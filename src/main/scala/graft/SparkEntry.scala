@@ -13,7 +13,7 @@ import graft.queries._
 object SparkEntry {
 
   private val families: Seq[QueryFamily] = Seq(
-    AggQueries
+    CoreQueries, AggQueries, JoinQueries, MiscQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

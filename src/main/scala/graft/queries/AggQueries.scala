@@ -165,13 +165,13 @@ object AggQueries extends QueryFamily {
       "q_agg_multikey",
       (s, dir) => {
         val o = Tables(s, dir, "orders")
-        o.groupBy(col("o_orderstatus"), col("o_orderpriority"), year(col("o_orderdate")).as("o_year"))
+        o.groupBy(col("o_orderstatus"), col("o_orderpriority"), year(col("o_orderdate")).cast("long").as("o_year"))
           .agg(
             round(sum(col("o_totalprice")), 2).as("sum_total"),
             count(lit(1)).as("n"))
           .orderBy(col("o_orderstatus"), col("o_orderpriority"), col("o_year"))
       },
-      Some("""SELECT o_orderstatus, o_orderpriority, CAST(year(o_orderdate) AS INT) AS o_year,
+      Some("""SELECT o_orderstatus, o_orderpriority, year(o_orderdate) AS o_year,
              |  round(sum(o_totalprice), 2) AS sum_total, count(*) AS n
              |FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
   )

@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Join surface (SURVEY §2.3).
+  *
+  * The reference joins are nested loops over windowed buffers
+  * (join_processor.rs:18-214, table_join_processor.rs:17-176). Spark-first
+  * re-expression: equi-conditions become hash joins (broadcast when one side
+  * is a dimension — at 100 TB the fact side never shuffles for those);
+  * residual theta conditions ride along as post-join filters; pure theta
+  * joins fall back to broadcast-nested-loop, which we only use on dimension-
+  * sized inputs. Semi/anti/as-of joins are free additions the reference
+  * lists as unimplemented (GRAMMAR.md:328-338).
+  */
+object JoinQueries extends QueryFamily {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // INNER equi join fact-to-fact, aggregated. At scale: shuffle hash/SMJ
+    // on l_orderkey=o_orderkey; AQE picks the physical strategy.
+    QueryDef(
+      "q_join_inner",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val o  = Tables(s, dir, "orders")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // LEFT OUTER: unmatched left rows pad NULLs (join_processor.rs LEFT arm);
+    // count(o_orderkey) skips the padded NULLs, count(*) does not.
+    QueryDef(
+      "q_join_left",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val o = Tables(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(
+            count(col("o_orderkey")).as("n_big_orders"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey,
+             |  count(o_orderkey) AS n_big_orders,
+             |  count(*) AS n_rows
+             |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+             |  ON c_custkey = o_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    // RIGHT OUTER mirror.
+    QueryDef(
+      "q_join_right",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem").filter(col("l_quantity") >= 49.0)
+        val o  = Tables(s, dir, "orders")
+        li.join(o, col("l_orderkey") === col("o_orderkey"), "right_outer")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(col("l_orderkey")).as("n_matched"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus,
+             |  count(l_orderkey) AS n_matched,
+             |  count(*) AS n_rows
+             |FROM (SELECT * FROM lineitem WHERE l_quantity >= 49.0) li
+             |  RIGHT JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // FULL OUTER: both sides contribute unmatched keys.
+    QueryDef(
+      "q_join_full",
+      (s, dir) => {
+        val big  = Tables(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"))
+        val poor = Tables(s, dir, "customer").filter(col("c_acctbal") < 0.0)
+          .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
+        big.join(poor, col("o_custkey") === col("c_custkey"), "full_outer")
+          .select(
+            coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+            coalesce(col("n_big"), lit(0L)).as("n_big"),
+            col("bal").isNotNull.as("in_debt"))
+          .orderBy(col("custkey"))
+      },
+      Some("""SELECT coalesce(o_custkey, c_custkey) AS custkey,
+             |  coalesce(n_big, 0) AS n_big,
+             |  bal IS NOT NULL AS in_debt
+             |FROM (SELECT o_custkey, count(*) AS n_big FROM orders
+             |      WHERE o_totalprice > 450000.0 GROUP BY o_custkey) big
+             |FULL JOIN (SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer
+             |           WHERE c_acctbal < 0.0) poor
+             |  ON o_custkey = c_custkey
+             |ORDER BY custkey""".stripMargin)),
+
+    // Theta (non-equi) join — the reference's joins are arbitrary-theta
+    // nested loops; on Spark a pure theta join is broadcast-nested-loop, so
+    // we only ever run it dimension×dimension (supplier×nation here).
+    QueryDef(
+      "q_join_theta",
+      (s, dir) => {
+        val su = Tables(s, dir, "supplier")
+        val n  = Tables(s, dir, "nation")
+        su.join(broadcast(n),
+            col("s_acctbal") > col("n_nationkey") * lit(150.0) &&
+            col("s_nationkey") =!= col("n_nationkey"))
+          .groupBy(col("s_suppkey"))
+          .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_nation"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, count(*) AS n_nations, min(n_name) AS first_nation
+             |FROM supplier JOIN nation
+             |  ON s_acctbal > n_nationkey * 150.0 AND s_nationkey <> n_nationkey
+             |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin)),
+
+    // LEFT SEMI (EXISTS) — shuffle-free on the build side when broadcast;
+    // no row duplication, output columns only from the left.
+    QueryDef(
+      "q_join_semi",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val o = Tables(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // LEFT ANTI (NOT EXISTS).
+    QueryDef(
+      "q_join_anti",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val o = Tables(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Multiway star join (TPC-H Q5 shape): every dimension broadcast — the
+    // 100 TB plan scans lineitem once, no dimension shuffle.
+    QueryDef(
+      "q_join_star",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val o  = Tables(s, dir, "orders")
+        val c  = Tables(s, dir, "customer")
+        val n  = Tables(s, dir, "nation")
+        val r  = Tables(s, dir, "region")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("o_orderdate") < lit("1999-01-01"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""SELECT r_name, n_name,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE o_orderdate < TIMESTAMP '1999-01-01'
+             |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    // Stream–table join analog (table_join_processor.rs): the events fact
+    // joins a broadcast customer dimension; LEFT so unmatched users pad
+    // NULLs exactly like the reference's LEFT table join.
+    QueryDef(
+      "q_join_streamtable",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        val c = Tables(s, dir, "customer")
+        e.join(broadcast(c), col("user_id") === col("c_custkey"), "left_outer")
+          .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            round(sum(col("value")), 2).as("sum_value"))
+          .orderBy(col("segment"))
+      },
+      Some("""SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+             |  count(*) AS n_events,
+             |  round(sum(value), 2) AS sum_value
+             |FROM events LEFT JOIN customer ON user_id = c_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // As-of join (beyond the reference; GRAMMAR.md:328-338 roadmap): for
+    // each event, the most recent order of that user at-or-before the event
+    // time — here via conditional join + max_by, the shape DuckDB's ASOF
+    // JOIN computes. At scale: sort-merge within user partitions.
+    QueryDef(
+      "q_join_asof",
+      (s, dir) => {
+        val e = Tables(s, dir, "events").filter(col("event_type") === "purchase")
+        val o = Tables(s, dir, "orders")
+        e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"), "left_outer")
+          .groupBy(col("event_id"))
+          .agg(
+            max(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("last_order_date"),
+            max_by(round(col("o_totalprice"), 2),
+              concat(date_format(col("o_orderdate"), "yyyy-MM-dd"),
+                lpad(col("o_orderkey").cast("string"), 12, "0"))).as("last_order_price"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |  max(strftime(o_orderdate, '%Y-%m-%d')) AS last_order_date,
+             |  max_by(round(o_totalprice, 2), strftime(o_orderdate, '%Y-%m-%d')
+             |    || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS last_order_price
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+             |LEFT JOIN orders ON user_id = o_custkey AND o_orderdate <= ts
+             |GROUP BY event_id ORDER BY event_id""".stripMargin))
+  )
+}

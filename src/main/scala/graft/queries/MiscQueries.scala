@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Sorts / limits / top-k (SURVEY §2.6), set operations (§2.7), DISTINCT and
+  * analytic (rank/lag/lead) functions.
+  *
+  * Scale notes: a global ORDER BY + LIMIT k compiles to TakeOrderedAndProject
+  * (per-partition top-k then a k-row driver merge — no full sort at 100 TB);
+  * per-key top-k uses a rank over a hash-partitioned window (one shuffle on
+  * the partition key). UNION ALL is a zero-shuffle concatenation; INTERSECT/
+  * EXCEPT are distinct-ized joins the reference lacks entirely
+  * (GRAMMAR.md:328-338).
+  */
+object MiscQueries extends QueryFamily {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Global top-k — ORDER BY + LIMIT with a total tie-break.
+    QueryDef(
+      "q_topk",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        li.select(
+            col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+            round(col("l_extendedprice"), 2).as("price"))
+          .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+          .limit(20)
+      },
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |  round(l_extendedprice, 2) AS price
+             |FROM lineitem
+             |ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin)),
+
+    // LIMIT + OFFSET (select_processor.rs:396-419 apply_limit_offset).
+    QueryDef(
+      "q_limit_offset",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        o.select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+          .orderBy(col("price").desc, col("o_orderkey"))
+          .offset(5).limit(10)
+      },
+      Some("""SELECT o_orderkey, round(o_totalprice, 2) AS price
+             |FROM orders ORDER BY price DESC, o_orderkey LIMIT 10 OFFSET 5""".stripMargin)),
+
+    // UNION ALL fan-in — the reference's implicit multi-INSERT junction
+    // semantics (stream_junction.rs:40-58).
+    QueryDef(
+      "q_union_all",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val hi = o.filter(col("o_totalprice") > 450000.0)
+          .select(col("o_orderkey"), lit("high").as("src"))
+        val lo = o.filter(col("o_totalprice") < 5000.0)
+          .select(col("o_orderkey"), lit("low").as("src"))
+        hi.union(lo).orderBy(col("o_orderkey"), col("src"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT o_orderkey, 'high' AS src FROM orders WHERE o_totalprice > 450000.0
+             |  UNION ALL
+             |  SELECT o_orderkey, 'low' AS src FROM orders WHERE o_totalprice < 5000.0)
+             |ORDER BY o_orderkey, src""".stripMargin)),
+
+    // INTERSECT / EXCEPT (distinct semantics on both engines).
+    QueryDef(
+      "q_intersect_except",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val y95 = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+        val y96 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+        val both = y95.intersect(y96).withColumn("tag", lit("both"))
+        val only95 = y95.except(y96).withColumn("tag", lit("only95"))
+        both.union(only95).orderBy(col("o_custkey"), col("tag"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT o_custkey, 'both' AS tag FROM
+             |    (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+             |     INTERSECT
+             |     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+             |  UNION ALL
+             |  SELECT o_custkey, 'only95' AS tag FROM
+             |    (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+             |     EXCEPT
+             |     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996))
+             |ORDER BY o_custkey, tag""".stripMargin)),
+
+    // SELECT DISTINCT.
+    QueryDef(
+      "q_distinct",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        li.select(col("l_returnflag"), col("l_linestatus")).distinct()
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Analytic functions: per-key rank/row_number/lag/lead — the batch
+    // counterpart of the reference's sort window (§2.5) and the kernel for
+    // per-key top-k at scale (single shuffle on the partition key).
+    QueryDef(
+      "q_rank_lag",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem").filter(col("l_suppkey") <= 20)
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        li.select(
+            col("l_suppkey"),
+            col("l_orderkey"),
+            col("l_linenumber").cast("long").as("l_linenumber"),
+            round(col("l_extendedprice"), 2).as("price"),
+            row_number().over(w).cast("long").as("rn"),
+            rank().over(w).cast("long").as("rnk"),
+            dense_rank().over(w).cast("long").as("drnk"),
+            round(lag(col("l_extendedprice"), 1).over(w), 2).as("prev_price"),
+            round(lead(col("l_extendedprice"), 1).over(w), 2).as("next_price"))
+          .filter(col("rn") <= 5)
+          .orderBy(col("l_suppkey"), col("rn"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |    round(l_extendedprice, 2) AS price,
+             |    row_number() OVER w AS rn,
+             |    rank() OVER w AS rnk,
+             |    dense_rank() OVER w AS drnk,
+             |    round(lag(l_extendedprice, 1) OVER w, 2) AS prev_price,
+             |    round(lead(l_extendedprice, 1) OVER w, 2) AS next_price
+             |  FROM lineitem WHERE l_suppkey <= 20
+             |  WINDOW w AS (PARTITION BY l_suppkey
+             |               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber))
+             |WHERE rn <= 5 ORDER BY l_suppkey, rn""".stripMargin))
+  )
+}
