@@ -13,7 +13,7 @@ import graft.queries._
 object SparkEntry {
 
   private val families: Seq[QueryFamily] = Seq(
-    CoreQueries, AggQueries, JoinQueries, MiscQueries
+    CoreQueries, AggQueries, JoinQueries, MiscQueries, WindowQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

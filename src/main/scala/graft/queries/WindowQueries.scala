@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Window operator family (SURVEY §2.5) in batch/event-time form over the
+  * `events` table. The reference drives these per-event with a wall-clock
+  * scheduler (window/mod.rs); since `ts` is a data column, every one of its
+  * windows has an exact event-time (externalTime*) equivalent here:
+  *
+  *  - timeBatch/tumbling + externalTimeBatch → `window(ts, size)` (native)
+  *  - sliding/hop (rejected by the reference, converter.rs:659-667; native
+  *    for us) → `window(ts, size, slide)`
+  *  - session (session_window_processor.rs) → `session_window(ts, gap)`
+  *  - length (sliding count, window/mod.rs:63-195) → count-bounded frame
+  *  - lengthBatch (window/mod.rs:645-964) → row-bucket tumbling count
+  *  - time (per-event sliding, window/mod.rs:196-644) → range frame on
+  *    event-time micros
+  *  - sort (top-N retention, sort_window_processor.rs) → rank ≤ N per key
+  *
+  * The streaming (flatMapGroupsWithState) forms of length/lengthBatch/time/
+  * sort live in graft.streaming; these batch forms are the oracle-checkable
+  * result-level semantics. Scale: every query shuffles once on the grouping
+  * key (or user_id for per-key frames); window frames are computed within
+  * partitions, no driver-side state.
+  */
+object WindowQueries extends QueryFamily {
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Tumbling event-time window (timeBatch ≡ externalTimeBatch in batch).
+    QueryDef(
+      "q_win_tumble",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        e.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+          .select(
+            date_format(col("window.start"), TsFmt).as("w_start"),
+            col("event_type"), col("n"), col("sum_v"))
+          .orderBy(col("w_start"), col("event_type"))
+      },
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+             |  event_type, count(*) AS n, round(sum(value), 2) AS sum_v
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Sliding / hopping window: size 1h, slide 15m — each event lands in 4
+    // windows. The reference parses but rejects this (converter.rs:659-667).
+    QueryDef(
+      "q_win_hop",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        e.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+          .select(date_format(col("window.start"), TsFmt).as("w_start"), col("n"), col("sum_v"))
+          .orderBy(col("w_start"))
+      },
+      Some("""SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+             |                - (k.k * INTERVAL '15 minutes'), '%Y-%m-%d %H:%M:%S') AS w_start,
+             |  count(*) AS n, round(sum(value), 2) AS sum_v
+             |FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) k(k)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Session window, 6h gap per user. Spark closes a session when the gap
+    // is >= gapDuration; the islands-style oracle uses the same boundary.
+    QueryDef(
+      "q_win_session",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        e.groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+          .select(
+            col("user_id"),
+            date_format(col("session_window.start"), TsFmt).as("s_start"),
+            col("n"), col("sum_v"))
+          .orderBy(col("user_id"), col("s_start"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR ts - lag(ts) OVER w >= INTERVAL '6 hours' THEN 1 ELSE 0 END AS new_s
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                             ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM g)
+             |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+             |  count(*) AS n, round(sum(value), 2) AS sum_v
+             |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin)),
+
+    // length(N): sliding count window — per event, aggregate over the last
+    // 10 events of that user (window/mod.rs:63-195 emits exactly this state
+    // after each arrival).
+    QueryDef(
+      "q_win_length",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-9, 0)
+        e.select(
+            col("event_id"), col("user_id"),
+            count(lit(1)).over(w).as("n_in_win"),
+            round(sum(col("value")).over(w), 2).as("sum_win"),
+            round(max(col("value")).over(w), 2).as("max_win"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  count(*) OVER w AS n_in_win,
+             |  round(sum(value) OVER w, 2) AS sum_win,
+             |  round(max(value) OVER w, 2) AS max_win
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
+    // lengthBatch(N): tumbling count window — flush every 10 events per
+    // user; only complete batches emit (window/mod.rs:645-964).
+    QueryDef(
+      "q_win_length_batch",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        e.withColumn("batch_no", expr("(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) div 10"))
+          .groupBy(col("user_id"), col("batch_no"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"),
+               min(col("event_id")).as("first_event"))
+          .filter(col("n") === 10)
+          .orderBy(col("user_id"), col("batch_no"))
+      },
+      Some("""SELECT user_id, batch_no, count(*) AS n, round(sum(value), 2) AS sum_v,
+             |  min(event_id) AS first_event
+             |FROM (SELECT *, (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) // 10 AS batch_no
+             |      FROM events)
+             |GROUP BY user_id, batch_no HAVING count(*) = 10
+             |ORDER BY user_id, batch_no""".stripMargin)),
+
+    // time(d): per-event sliding time window — for each event, the state of
+    // a 1-hour window ending at it (window/mod.rs:196-644). Range frame over
+    // event-time micros.
+    QueryDef(
+      "q_win_time_sliding",
+      (s, dir) => {
+        val e = Tables(s, dir, "events").withColumn("ts_us", unix_micros(col("ts")))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+          .rangeBetween(-3600000000L, 0)
+        e.select(
+            col("event_id"), col("user_id"),
+            count(lit(1)).over(w).as("n_1h"),
+            round(sum(col("value")).over(w), 2).as("sum_1h"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  count(*) OVER w AS n_1h,
+             |  round(sum(value) OVER w, 2) AS sum_1h
+             |FROM (SELECT *, epoch_us(ts) AS ts_us FROM events)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
+    // sort(N, attr): keep the top-3 by value per user — the end state of the
+    // reference's sort window (sort_window_processor.rs:25-45).
+    QueryDef(
+      "q_win_sort",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("value").desc, col("event_id"))
+        e.select(col("user_id"), col("event_id"), col("value"),
+            row_number().over(w).cast("long").as("rnk"))
+          .filter(col("rnk") <= 3)
+          .orderBy(col("user_id"), col("rnk"))
+      },
+      Some("""SELECT user_id, event_id, value, rnk FROM (
+             |  SELECT user_id, event_id, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+             |  FROM events)
+             |WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin))
+  )
+}
