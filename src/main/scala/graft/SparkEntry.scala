@@ -13,7 +13,8 @@ import graft.queries._
 object SparkEntry {
 
   private val families: Seq[QueryFamily] = Seq(
-    CoreQueries, AggQueries, JoinQueries, MiscQueries, WindowQueries
+    CoreQueries, AggQueries, JoinQueries, MiscQueries, WindowQueries,
+    DedupQueries, SimilarityQueries, TextQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

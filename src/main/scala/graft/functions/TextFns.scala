@@ -1,0 +1,175 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text-analysis primitives for a training-data pipeline over a `documents`
+  * table: tokenization, language-ID heuristics, quality scoring, and
+  * fingerprinting. All the non-custom pieces are composed from codegen'd
+  * built-ins (regexp_count / split / md5), so they fuse into the scan at
+  * 100 TB; the rolling hash and simhash are native Catalyst expressions.
+  */
+object TextFns {
+
+  /** Whitespace-collapsed, lower-cased canonical text. */
+  def normText(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Content-defined fingerprint of the canonical text (md5 → hex). */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** 64-bit rolling-hash fingerprint (native expression, codegen). */
+  def rollingHash(c: Column): Column = column(RollingHash64(expression(c.cast("string"))))
+
+  def tokenCount(c: Column): Column = regexp_count(c, lit("\\S+")).cast("long")
+
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenSet(c: Column): Column = array_distinct(tokens(c))
+
+  /** Word n-gram shingles (n consecutive tokens joined by space). */
+  def shingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    filter(
+      transform(sequence(lit(0), greatest(size(t) - n, lit(0))),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))),
+      s => length(s) > 0)
+  }
+
+  /** Count of matches of any of `words` as whole words (lower-cased). */
+  def stopwordHits(c: Column, words: Seq[String]): Column =
+    regexp_count(lower(c), lit(words.mkString("\\b(", "|", ")\\b"))).cast("long")
+
+  /** 64-bit simhash over a token array (native expression). */
+  def simHash(tokensCol: Column): Column = column(SimHash64(expression(tokensCol)))
+
+  /** MinHash signature of length k over a token array — each slot is the
+    * min of a seeded xxhash64 over the tokens. Pure built-ins → codegen'd.
+    */
+  def minHashSignature(tokensCol: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(tokensCol, t => xxhash64(t, i))))
+}
+
+/** Shared 64-bit byte hashing (FNV-1a core + splitmix64 finalizer).
+  * Self-contained on purpose: no dependence on engine-internal hash utils,
+  * and trivially portable to any re-implementation.
+  */
+object TextHash {
+  def hash64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    mix64(h)
+  }
+  def mix64(v: Long): Long = {
+    var z = v + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}
+
+/** Polynomial rolling hash of a UTF8 string (64-bit wraparound).
+  * The streaming form (chunk-wise rolling) makes this a document
+  * fingerprint computable without materializing the whole document.
+  */
+case class RollingHash64(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash64"
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * 1000003L + (bytes(i) & 0xffL); i += 1 }
+    TextHash.mix64(h)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val bs = ctx.freshName("bs"); val h = ctx.freshName("h"); val i = ctx.freshName("i")
+      s"""
+         |byte[] $bs = $x.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $bs.length; $i++) {
+         |  $h = $h * 1000003L + ($bs[$i] & 0xffL);
+         |}
+         |${ev.value} = graft.functions.TextHash.mix64($h);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over a token array: each token votes ±1 on every bit of
+  * its 64-bit hash; the sign of each bit-sum forms the output bits. Near-
+  * duplicate documents land within a small Hamming distance.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = TextHash.hash64(arr.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val votes = ctx.freshName("votes"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n"); val h = ctx.freshName("h")
+      val b = ctx.freshName("b"); val out = ctx.freshName("out")
+      s"""
+         |int[] $votes = new int[64];
+         |int $n = $x.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$x.isNullAt($i)) {
+         |    long $h = graft.functions.TextHash.hash64($x.getUTF8String($i).getBytes());
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |    }
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] > 0) $out |= (1L << $b);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

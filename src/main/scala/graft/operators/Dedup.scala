@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Deduplication operators for a document corpus, designed for the 100 TB
+  * shape: never all-pairs over the corpus — candidate generation always goes
+  * through a hash/band bucket (shuffle key) so the quadratic step is bounded
+  * to within-bucket pairs, and every stage is a plain shuffle-once groupBy
+  * or equi-join that AQE can skew-split.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical-text digest → representative id + multiplicity.
+    * One shuffle on the digest; at scale this is the classic hash-dedup.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextFns.fingerprint(col(textCol)).as("digest"))
+      .groupBy(col("digest"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** All-pairs token-set Jaccard within a blocking key. The block bound is
+    * the scale contract: pairs are only enumerated inside one block (e.g.
+    * language, shard, LSH bucket), never across the corpus.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   blockCol: String, threshold: Double): DataFrame = {
+    val t = df.select(
+      col(idCol).as("id"), col(blockCol).as("blk"),
+      TextFns.tokenSet(col(textCol)).as("toks"))
+    val a = t.select(col("blk"), col("id").as("a_id"), col("toks").as("a_toks"))
+    val b = t.select(col("blk"), col("id").as("b_id"), col("toks").as("b_toks"))
+    a.join(b, Seq("blk")).filter(col("a_id") < col("b_id"))
+      .withColumn("jac",
+        size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
+        size(array_union(col("a_toks"), col("b_toks"))).cast("double"))
+      .filter(col("jac") > threshold)
+      .select(col("a_id"), col("b_id"), col("jac"))
+  }
+
+  /** MinHash + LSH near-dup detection:
+    * shingle/tokenize → k-slot minhash signature → band keys → bucket join
+    * candidates → exact Jaccard verification. Candidate generation is
+    * linear in corpus size (explode by #bands, shuffle on band key); only
+    * same-bucket pairs are verified.
+    */
+  def minHashLsh(df: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 128, bands: Int = 32,
+                 threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val base = df.select(
+      col(idCol).as("id"),
+      TextFns.tokenSet(col(textCol)).as("toks"))
+      .withColumn("sig", TextFns.minHashSignature(col("toks"), numHashes))
+    val banded = base.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("band_key", hash(slice(col("sig"), col("band") * r + 1, lit(r)), col("band")))
+      .select(col("band"), col("band_key"), col("id"), col("toks"))
+    val a = banded.select(col("band"), col("band_key"), col("id").as("a_id"), col("toks").as("a_toks"))
+    val b = banded.select(col("band"), col("band_key"), col("id").as("b_id"), col("toks").as("b_toks"))
+    a.join(b, Seq("band", "band_key")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_toks"), col("b_toks"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("jac",
+        size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
+        size(array_union(col("a_toks"), col("b_toks"))).cast("double"))
+      .filter(col("jac") > threshold)
+      .select(col("a_id"), col("b_id"), col("jac"))
+  }
+
+  /** SimHash near-dup: 64-bit signature, 4×16-bit band blocking, Hamming
+    * verification via bit_count(xor). A pair within Hamming distance d<=3
+    * shares at least one of the 4 bands (pigeonhole) → recall 1.0 for d<=3.
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      TextFns.simHash(TextFns.tokens(col(textCol))).as("sh"))
+    val banded = base.withColumn("band", explode(sequence(lit(0), lit(3))))
+      .withColumn("band_key",
+        expr("shiftrightunsigned(sh, band * 16)").bitwiseAND(lit(0xFFFFL)))
+    val a = banded.select(col("band"), col("band_key"), col("id").as("a_id"), col("sh").as("a_sh"))
+    val b = banded.select(col("band"), col("band_key"), col("id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, Seq("band", "band_key")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFns
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Scale design: the query set is the small side — it broadcasts; the corpus
+  * never shuffles for the brute-force path (one scan, per-partition top-k,
+  * k-row combine). The LSH path buckets the corpus once (linear) and probes
+  * only matching buckets.
+  */
+object Similarity {
+
+  /** Exact brute-force cosine top-k: broadcast queries × corpus scan.
+    * The per-query top-k uses a rank window over (query, sim) — at scale
+    * replace the final rank with per-partition heaps + combine, but the
+    * broadcast/scan shape is already the right one.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     qIdCol: String, cIdCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    val q = queries.select(col(qIdCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(cIdCol).as("c_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(broadcast(q))
+      .withColumn("sim", VectorFns.cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
+  }
+
+  /** Quantized variant (exact integer dot/norms, see VectorFns.cosineQ) —
+    * the cross-engine-reproducible path and the practical storage format at
+    * scale (int16 components, 4x narrower shuffles).
+    */
+  def bruteForceTopKQuantized(queries: DataFrame, corpus: DataFrame,
+                              qIdCol: String, cIdCol: String, vecCol: String,
+                              k: Int, scale: Int = 10000): DataFrame = {
+    val q = queries.select(col(qIdCol).as("q_id"),
+      VectorFns.quantize(col(vecCol), scale).as("q_vec"))
+    val c = corpus.select(col(cIdCol).as("c_id"),
+      VectorFns.quantize(col(vecCol), scale).as("c_vec"))
+    val scored = c.join(broadcast(q))
+      .withColumn("sim", VectorFns.cosineQ(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes for sign-LSH: component j of
+    * plane p derives from mix64(p*dim + j), mapped to [-0.5, 0.5).
+    */
+  private def planes(numPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until numPlanes).map { p =>
+      (0 until dim).map { j =>
+        val h = graft.functions.TextHash.mix64(p.toLong * dim + j)
+        (h.toDouble / Long.MaxValue.toDouble) / 2.0
+      }
+    }
+
+  /** Random-hyperplane LSH bucket id (numPlanes sign bits) for each vector.
+    * Bucketing is a narrow map — no shuffle until the probe join.
+    */
+  def lshBucket(df: DataFrame, vecCol: String, numPlanes: Int, dim: Int): DataFrame = {
+    val ps = planes(numPlanes, dim)
+    val bucket = ps.zipWithIndex.map { case (plane, p) =>
+      val dot = aggregate(
+        zip_with(col(vecCol), typedlit(plane), (x, w) => x.cast("double") * w),
+        lit(0.0), (s, v) => s + v)
+      when(dot >= 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    df.withColumn("lsh_bucket", bucket)
+  }
+
+  /** ANN top-k: probe only same-bucket candidates, then exact cosine rank.
+    * Trades recall for a corpus-linear candidate step; bucket width
+    * (numPlanes) tunes the tradeoff.
+    */
+  def annTopK(queries: DataFrame, corpus: DataFrame,
+              qIdCol: String, cIdCol: String, vecCol: String,
+              k: Int, numPlanes: Int, dim: Int): DataFrame = {
+    val q = lshBucket(queries, vecCol, numPlanes, dim)
+      .select(col(qIdCol).as("q_id"), col(vecCol).as("q_vec"), col("lsh_bucket"))
+    val c = lshBucket(corpus, vecCol, numPlanes, dim)
+      .select(col(cIdCol).as("c_id"), col(vecCol).as("c_vec"), col("lsh_bucket"))
+    val scored = c.join(broadcast(q), Seq("lsh_bucket"))
+      .withColumn("sim", VectorFns.cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFns
+import graft.operators.Dedup
+
+/** Deduplication over `documents`/`embeddings` (beyond-reference LLM-data
+  * operators). Exact dedup, blocked Jaccard, and quantized-cosine near-dup
+  * carry full DuckDB oracles; MinHash-LSH and SimHash use engine-specific
+  * hash families, so they get rows-only checks plus a ScalaTest spec that
+  * cross-validates LSH candidates against the exact Jaccard operator.
+  */
+object DedupQueries extends QueryFamily {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup by canonical-text digest (hash groupBy — one shuffle).
+    QueryDef(
+      "q_dedup_exact",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        Dedup.exact(d, "doc_id", "text")
+          .orderBy(col("digest"))
+      },
+      Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest,
+             |  min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Token-set Jaccard pairs, blocked by language (all-pairs only within a
+    // block — the scale contract; cross-corpus pairs go through LSH).
+    QueryDef(
+      "q_dedup_jaccard",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        Dedup.jaccardPairs(d, "doc_id", "text", "lang", 0.6)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang,
+             |    list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+             |  FROM documents)
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+             |    / CAST(len(a.toks) + len(b.toks)
+             |           - len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE) AS jac
+             |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |WHERE CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+             |    / CAST(len(a.toks) + len(b.toks)
+             |           - len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE) > 0.6
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // MinHash + LSH near-dup candidates (rows-only: engine-specific hash
+    // family; recall cross-checked against exact Jaccard in DedupSpec).
+    QueryDef(
+      "q_dedup_minhash",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        Dedup.minHashLsh(d, "doc_id", "text", numHashes = 64, bands = 16, threshold = 0.6)
+          .withColumn("jac", round(col("jac"), 6))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      None),
+
+    // SimHash near-dup pairs within Hamming distance 3 (rows-only).
+    QueryDef(
+      "q_dedup_simhash",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        Dedup.simHashPairs(d, "doc_id", "text", maxHamming = 3)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      None),
+
+    // Embedding-cosine near-dup, blocked by label, quantized for exact
+    // cross-engine parity (see VectorFns.quantize scaladoc).
+    QueryDef(
+      "q_dedup_cosine",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            VectorFns.quantize(col("embedding"), 10000).as("qv"))
+        val a = e.select(col("label"), col("vec_id").as("a_id"), col("qv").as("a_qv"))
+        val b = e.select(col("label"), col("vec_id").as("b_id"), col("qv").as("b_qv"))
+        a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
+          .withColumn("sim", VectorFns.cosineQ(col("a_qv"), col("b_qv")))
+          .filter(col("sim") > 0.3)
+          .select(col("a_id"), col("b_id"), col("sim"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |p AS (
+             |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv), z -> z[1] * z[2])) AS DOUBLE) AS dot,
+             |    CAST(list_sum(list_transform(a.qv, x -> x * x)) AS DOUBLE) AS na,
+             |    CAST(list_sum(list_transform(b.qv, x -> x * x)) AS DOUBLE) AS nb
+             |  FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id)
+             |SELECT a_id, b_id, dot / (sqrt(na) * sqrt(nb)) AS sim
+             |FROM p WHERE dot / (sqrt(na) * sqrt(nb)) > 0.3
+             |ORDER BY a_id, b_id""".stripMargin))
+  )
+}

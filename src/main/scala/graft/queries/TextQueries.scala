@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns
+import graft.operators.Multimodal
+
+/** Text analysis + multimodal plumbing over `documents` (beyond-reference
+  * LLM-data surface): token counting, quality scoring, language-ID
+  * heuristic, fingerprinting, binary-payload metadata. Everything except
+  * the rolling hash and the stubbed media decode carries a full oracle.
+  */
+object TextQueries extends QueryFamily {
+
+  private val StopEn = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val StopData = Seq("table", "query", "row", "column", "value")
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Token / character statistics — the quality-filter raw features.
+    QueryDef(
+      "q_text_stats",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        d.select(
+            col("doc_id"),
+            length(col("text")).cast("long").as("n_chars"),
+            TextFns.tokenCount(col("text")).as("n_tokens"),
+            regexp_count(col("text"), lit("[aeiou]")).cast("long").as("n_vowels"),
+            regexp_count(col("text"), lit("[0-9]")).cast("long").as("n_digits"),
+            size(array_distinct(split(trim(col("text")), "\\s+"))).cast("long").as("n_unique_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  length(text) AS n_chars,
+             |  len(regexp_extract_all(text, '\S+')) AS n_tokens,
+             |  len(regexp_extract_all(text, '[aeiou]')) AS n_vowels,
+             |  len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+             |  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_unique_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Quality score: deterministic arithmetic over exact integer counts —
+    // identical doubles on both engines, no rounding needed.
+    QueryDef(
+      "q_text_quality",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val nTok = TextFns.tokenCount(col("text"))
+        val nChr = length(col("text")).cast("long")
+        val uniq = size(array_distinct(split(trim(col("text")), "\\s+"))).cast("long")
+        val stop = TextFns.stopwordHits(col("text"), StopEn)
+        d.select(
+            col("doc_id"),
+            nTok.as("n_tokens"),
+            (uniq.cast("double") / nTok.cast("double")).as("uniq_ratio"),
+            (stop.cast("double") / nTok.cast("double")).as("stop_ratio"),
+            (nChr.cast("double") / nTok.cast("double")).as("avg_token_len"),
+            when(nTok < 20, "short")
+              .when(uniq.cast("double") / nTok.cast("double") < 0.3, "repetitive")
+              .otherwise("ok").as("quality_band"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+              |  len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+              |  CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+              |    / len(regexp_extract_all(text, '\\S+')) AS uniq_ratio,
+              |  CAST(len(regexp_extract_all(lower(text), '\\b(${StopEn.mkString("|")})\\b')) AS DOUBLE)
+              |    / len(regexp_extract_all(text, '\\S+')) AS stop_ratio,
+              |  CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '\\S+')) AS avg_token_len,
+              |  CASE WHEN len(regexp_extract_all(text, '\\S+')) < 20 THEN 'short'
+              |       WHEN CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+              |            / len(regexp_extract_all(text, '\\S+')) < 0.3 THEN 'repetitive'
+              |       ELSE 'ok' END AS quality_band
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Language-ID heuristic: stopword-profile scores, argmax with a stable
+    // tie-break, compared against the labeled lang.
+    QueryDef(
+      "q_text_langid",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val scoreEn = TextFns.stopwordHits(col("text"), StopEn)
+        val scoreData = TextFns.stopwordHits(col("text"), StopData)
+        d.select(
+            col("doc_id"), col("lang"),
+            scoreEn.as("score_en"),
+            scoreData.as("score_data"),
+            when(scoreEn >= scoreData, "en").otherwise("data").as("predicted"),
+            ((col("lang") === "en") === (scoreEn >= scoreData)).as("agree"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, lang,
+              |  len(regexp_extract_all(lower(text), '\\b(${StopEn.mkString("|")})\\b')) AS score_en,
+              |  len(regexp_extract_all(lower(text), '\\b(${StopData.mkString("|")})\\b')) AS score_data,
+              |  CASE WHEN len(regexp_extract_all(lower(text), '\\b(${StopEn.mkString("|")})\\b'))
+              |         >= len(regexp_extract_all(lower(text), '\\b(${StopData.mkString("|")})\\b'))
+              |       THEN 'en' ELSE 'data' END AS predicted,
+              |  (lang = 'en') = (len(regexp_extract_all(lower(text), '\\b(${StopEn.mkString("|")})\\b'))
+              |    >= len(regexp_extract_all(lower(text), '\\b(${StopData.mkString("|")})\\b'))) AS agree
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Canonical fingerprint (md5, full oracle) + rolling hash (native
+    // expression — covered by the fingerprint column's parity, checked
+    // rows-only for the hash value itself in TextSpec).
+    QueryDef(
+      "q_text_fingerprint",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        d.select(
+            col("doc_id"),
+            TextFns.fingerprint(col("text")).as("fp_md5"),
+            col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
+             |  source
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Word-shingle inventory: n-gram extraction parity (positional slicing).
+    QueryDef(
+      "q_text_shingles",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents").filter(col("doc_id") < 50)
+        d.select(col("doc_id"), explode(TextFns.shingles(col("text"), 3)).as("shingle"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+               countDistinct(col("shingle")).as("n_unique"),
+               min(col("shingle")).as("first_shingle"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents WHERE doc_id < 50),
+             |sh AS (
+             |  SELECT doc_id,
+             |    array_to_string(toks[i.i + 1 : i.i + 3], ' ') AS shingle
+             |  FROM t CROSS JOIN LATERAL (
+             |    SELECT unnest(range(0, greatest(len(toks) - 3, 0) + 1)) AS i) i)
+             |SELECT doc_id, count(*) AS n_shingles,
+             |  count(DISTINCT shingle) AS n_unique, min(shingle) AS first_shingle
+             |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Multimodal metadata with full oracle: text payload treated as an
+    // opaque binary column; byte length + sha256 digest of the blob.
+    QueryDef(
+      "q_multimodal_meta",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        d.select(
+            col("doc_id"),
+            octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+            sha2(col("text").cast("binary"), 256).as("sha"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  octet_length(encode(text)) AS n_bytes,
+             |  sha256(text) AS sha
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Stubbed media decode through the real mapPartitions plumbing
+    // (rows-only: the stub codec is engine-specific by definition).
+    QueryDef(
+      "q_multimodal_decode",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        Multimodal.withMediaMeta(d, "payload")
+          .select(col("doc_id"), col("width"), col("height"), col("n_frames"), col("format"))
+          .orderBy(col("doc_id"))
+      },
+      None)
+  )
+}

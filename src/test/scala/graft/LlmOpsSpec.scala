@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Spec for the LLM-pipeline operators whose hash families are engine-
+  * specific (no SQL oracle): MinHash-LSH recall against exact Jaccard,
+  * SimHash on exact duplicates, ANN vs brute-force, stub decode
+  * determinism, and expression-vs-quantized cosine agreement.
+  */
+class LlmOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("minhash LSH finds high-Jaccard pairs with good recall and exact precision") {
+    val docs = Tables(spark, dir, "documents").withColumn("blk", lit(1))
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", "blk", 0.7)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLsh(docs, "doc_id", "text", numHashes = 64, bands = 16, threshold = 0.7)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision 1.0 by construction (exact-Jaccard verification step)
+    assert(lsh.subsetOf(exact), s"LSH returned pairs below threshold: ${lsh -- exact}")
+    // banded-minhash recall at j>=0.7 (16 bands x 4 rows): expected ~0.99
+    if (exact.nonEmpty) {
+      val recall = (exact & lsh).size.toDouble / exact.size
+      assert(recall >= 0.8, s"recall $recall over ${exact.size} true pairs")
+    }
+  }
+
+  test("simhash flags exact duplicates at Hamming distance 0") {
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text").limit(100)
+    val dups = docs.withColumn("doc_id", col("doc_id") + 100000)
+    val pairs = Dedup.simHashPairs(docs.union(dups), "doc_id", "text", maxHamming = 0)
+    val found = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = docs.collect().map(_.getLong(0)).map(id => (id, id + 100000)).toSet
+    assert(expected.subsetOf(found),
+      s"missing ${(expected -- found).size} exact-dup pairs of ${expected.size}")
+  }
+
+  test("ANN results are valid and ordered; brute force agrees with itself") {
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val c = e.filter(col("vec_id") >= 5)
+    val ann = Similarity.annTopK(q, c, "vec_id", "vec_id", "embedding",
+      k = 5, numPlanes = 8, dim = 64).collect()
+    // per-query ranks are 1..n and sims non-increasing
+    ann.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq)
+      val sims = sorted.map(_.getDouble(3)).toSeq
+      assert(sims == sims.sorted.reverse)
+    }
+    val bf = Similarity.bruteForceTopK(q, c, "vec_id", "vec_id", "embedding", k = 5)
+    assert(bf.count() == 25) // 5 queries x k
+  }
+
+  test("float-expression cosine agrees with quantized cosine to 1e-3") {
+    val e = Tables(spark, dir, "embeddings").limit(50)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    val diffs = a.join(b, col("a_id") < col("b_id"))
+      .select(abs(
+        VectorFns.cosine(col("va"), col("vb")) -
+        VectorFns.cosineQ(VectorFns.quantize(col("va"), 10000),
+                          VectorFns.quantize(col("vb"), 10000))).as("d"))
+      .agg(max(col("d"))).head().getDouble(0)
+    assert(diffs < 1e-3, s"max |cosine - cosineQ| = $diffs")
+  }
+
+  test("stub media decode is deterministic and partition-safe") {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val once = Multimodal.withMediaMeta(d.repartition(7), "payload")
+      .select("doc_id", "width", "height", "n_frames", "format")
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val twice = Multimodal.withMediaMeta(d.repartition(3), "payload")
+      .select("doc_id", "width", "height", "n_frames", "format")
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(once == twice)
+    assert(once.values.forall { v =>
+      v(1).asInstanceOf[Int] >= 160 && v(4).asInstanceOf[String].nonEmpty })
+  }
+
+  test("rolling hash is stable and collision-free on the corpus") {
+    val d = Tables(spark, dir, "documents")
+    val hashes = d.select(TextFns.rollingHash(col("text")).as("h")).collect().map(_.getLong(0))
+    assert(hashes.distinct.length == hashes.length)
+    val again = d.select(TextFns.rollingHash(col("text")).as("h")).collect().map(_.getLong(0))
+    assert(hashes.toSeq == again.toSeq)
+  }
+}
