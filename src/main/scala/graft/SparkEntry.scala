@@ -14,7 +14,7 @@ object SparkEntry {
 
   private val families: Seq[QueryFamily] = Seq(
     CoreQueries, AggQueries, JoinQueries, MiscQueries, WindowQueries,
-    DedupQueries, SimilarityQueries, TextQueries
+    DedupQueries, SimilarityQueries, TextQueries, CepQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.streaming.{Cep, PatternSpec, Step}
+
+/** CEP pattern queries (SURVEY §2.8) run through the real NFA engine in
+  * batch mode over `events`, each validated against a window-function or
+  * join-based SQL oracle. The same specs run streaming via
+  * Cep.detectStream (CepStreamingSpec).
+  */
+object CepQueries extends QueryFamily {
+
+  private val H1 = 3600000000L   // 1h in micros
+  private val H6 = 6 * H1
+  private val H24 = 24 * H1
+  private val H48 = 48 * H1
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // SEQUENCE (strict): error immediately followed by purchase within 1h.
+    QueryDef(
+      "q_cep_seq",
+      (s, dir) => {
+        import s.implicits._
+        val spec = PatternSpec(
+          steps = Seq(
+            Step.simple("e1")(_.etype == "error"),
+            Step.simple("e2")(_.etype == "purchase")),
+          strict = true, every = true, withinUs = Some(H1))
+        Cep.detect(Cep.fromEvents(Tables(s, dir, "events")), spec)
+          .map(m => (m.key.toLong, m.steps.head.events.head.eventId, m.steps(1).events.head.eventId))
+          .toDF("user_id", "e1_id", "e2_id")
+          .orderBy(col("user_id"), col("e1_id"))
+      },
+      Some("""SELECT user_id, e1_id, e2_id FROM (
+             |  SELECT user_id, event_id AS e1_id, event_type AS t1,
+             |    lead(event_id) OVER w AS e2_id, lead(event_type) OVER w AS t2,
+             |    epoch_us(ts) AS ts1, lead(epoch_us(ts)) OVER w AS ts2
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+             |WHERE t1 = 'error' AND t2 = 'purchase' AND ts2 - ts1 <= 3600000000
+             |ORDER BY user_id, e1_id""".stripMargin)),
+
+    // PATTERN (relaxed, EVERY): signup followed (skipping others) by the
+    // first purchase within 24h.
+    QueryDef(
+      "q_cep_followedby",
+      (s, dir) => {
+        import s.implicits._
+        val spec = PatternSpec(
+          steps = Seq(
+            Step.simple("e1")(_.etype == "signup"),
+            Step.simple("e2")(_.etype == "purchase")),
+          strict = false, every = true, withinUs = Some(H24))
+        Cep.detect(Cep.fromEvents(Tables(s, dir, "events")), spec)
+          .map(m => (m.key.toLong, m.steps.head.events.head.eventId, m.steps(1).events.head.eventId))
+          .toDF("user_id", "e1_id", "e2_id")
+          .orderBy(col("user_id"), col("e1_id"))
+      },
+      Some("""WITH s AS (SELECT user_id, event_id AS s_id, epoch_us(ts) AS s_ts
+             |          FROM events WHERE event_type = 'signup'),
+             |p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_ts
+             |      FROM events WHERE event_type = 'purchase')
+             |SELECT s.user_id, s.s_id AS e1_id, min(p.p_id) AS e2_id
+             |FROM s JOIN p ON s.user_id = p.user_id
+             |  AND p.p_id > s.s_id AND p.p_ts - s.s_ts <= 86400000000
+             |GROUP BY s.user_id, s.s_id
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Count quantifier {3} strict: three consecutive errors within 1h.
+    QueryDef(
+      "q_cep_count",
+      (s, dir) => {
+        import s.implicits._
+        val spec = PatternSpec(
+          steps = Seq(Step.count("e", 3)(_.etype == "error")),
+          strict = true, every = true, withinUs = Some(H48))
+        Cep.detect(Cep.fromEvents(Tables(s, dir, "events")), spec)
+          .map(m => (m.key.toLong,
+            m.steps.head.events.head.eventId,
+            m.steps.head.events(1).eventId,
+            m.steps.head.events(2).eventId))
+          .toDF("user_id", "e1_id", "e2_id", "e3_id")
+          .orderBy(col("user_id"), col("e1_id"))
+      },
+      Some("""SELECT user_id, e1_id, e2_id, e3_id FROM (
+             |  SELECT user_id, event_id AS e1_id, event_type AS t1,
+             |    lead(event_id, 1) OVER w AS e2_id, lead(event_type, 1) OVER w AS t2,
+             |    lead(event_id, 2) OVER w AS e3_id, lead(event_type, 2) OVER w AS t3,
+             |    epoch_us(ts) AS ts1, lead(epoch_us(ts), 2) OVER w AS ts3
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+             |WHERE t1 = 'error' AND t2 = 'error' AND t3 = 'error'
+             |  AND ts3 - ts1 <= 172800000000
+             |ORDER BY user_id, e1_id""".stripMargin)),
+
+    // Logical OR step + relaxed follow: (signup OR error) then first
+    // purchase within 6h.
+    QueryDef(
+      "q_cep_or",
+      (s, dir) => {
+        import s.implicits._
+        val spec = PatternSpec(
+          steps = Seq(
+            Step.or("e1")(_.etype == "signup", _.etype == "error"),
+            Step.simple("e2")(_.etype == "purchase")),
+          strict = false, every = true, withinUs = Some(H6))
+        Cep.detect(Cep.fromEvents(Tables(s, dir, "events")), spec)
+          .map(m => (m.key.toLong, m.steps.head.events.head.eventId, m.steps(1).events.head.eventId))
+          .toDF("user_id", "e1_id", "e2_id")
+          .orderBy(col("user_id"), col("e1_id"))
+      },
+      Some("""WITH s AS (SELECT user_id, event_id AS s_id, epoch_us(ts) AS s_ts
+             |          FROM events WHERE event_type IN ('signup', 'error')),
+             |p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_ts
+             |      FROM events WHERE event_type = 'purchase')
+             |SELECT s.user_id, s.s_id AS e1_id, min(p.p_id) AS e2_id
+             |FROM s JOIN p ON s.user_id = p.user_id
+             |  AND p.p_id > s.s_id AND p.p_ts - s.s_ts <= 21600000000
+             |GROUP BY s.user_id, s.s_id
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Cross-step reference (e2.value > 2 * e1.value) — the StateEvent
+    // access pattern; relaxed, within 2h.
+    QueryDef(
+      "q_cep_trend",
+      (s, dir) => {
+        import s.implicits._
+        val spec = PatternSpec(
+          steps = Seq(
+            Step.simple("e1")(_.etype == "view"),
+            Step.withContext("e2") { (e, coll) =>
+              e.etype == "purchase" && e.value > 2.0 * coll.head.head.value }),
+          strict = false, every = true, withinUs = Some(2 * H1))
+        Cep.detect(Cep.fromEvents(Tables(s, dir, "events")), spec)
+          .map(m => (m.key.toLong,
+            m.steps.head.events.head.eventId, m.steps(1).events.head.eventId,
+            m.steps.head.events.head.value, m.steps(1).events.head.value))
+          .toDF("user_id", "e1_id", "e2_id", "v1", "v2")
+          .orderBy(col("user_id"), col("e1_id"))
+      },
+      Some("""WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_ts, value AS v1
+             |          FROM events WHERE event_type = 'view'),
+             |b AS (SELECT user_id, event_id AS b_id, epoch_us(ts) AS b_ts, value AS v2
+             |      FROM events WHERE event_type = 'purchase')
+             |SELECT a.user_id, a.a_id AS e1_id, min(b.b_id) AS e2_id,
+             |  min(a.v1) AS v1,
+             |  min_by(b.v2, b.b_id) AS v2
+             |FROM a JOIN b ON a.user_id = b.user_id
+             |  AND b.b_id > a.a_id AND b.b_ts - a.a_ts <= 7200000000
+             |  AND b.v2 > 2.0 * a.v1
+             |GROUP BY a.user_id, a.a_id
+             |ORDER BY 1, 2""".stripMargin))
+  )
+}

@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** CEP pattern/sequence engine — the reference's differentiating feature
+  * (SURVEY §2.8), re-expressed as an NFA over per-key ordered events inside
+  * `flatMapGroupsWithState` (the FlinkCEP / MATCH_RECOGNIZE shape).
+  *
+  * Feature map to the reference:
+  *  - `e1=S[filter] -> e2=S[filter]` followed-by chains: [[Step]] sequence;
+  *    cross-step references (`e2.price > e1.price`) via the predicate's view
+  *    of already-collected step events
+  *    (stream_pre_state_processor.rs's StateEvent access)
+  *  - PATTERN (relaxed, skip non-matching) vs SEQUENCE (strict contiguous):
+  *    [[PatternSpec.strict]] (sequence_stream_receiver.rs clears pending on
+  *    mismatch)
+  *  - `{n}` count quantifiers: [[Step.min]]/[[Step.max]]
+  *    (count_pre_state_processor.rs)
+  *  - `EVERY` multi-instance restart: [[PatternSpec.every]] — every event
+  *    seeds a new instance; without it the pattern matches once
+  *  - `WITHIN d`: [[PatternSpec.withinUs]] — partials expire by event time
+  *    (timer_wheel.rs)
+  *  - logical OR: [[Step.or]]; AND of two streams = union of the two
+  *    orderings (compose two detect() calls), as the reference's
+  *    LogicalPreStateProcessor enumerates both arrival orders
+  *  - indexed access `e1[0].x` + collection aggregations `avg(e1.price)`:
+  *    the emitted [[CepMatch]] carries every collected event per step
+  *
+  * Scale: state is per key (`groupByKey`), bounded by
+  * [[PatternSpec.maxPartials]] × pattern length; WITHIN expiry prunes
+  * partials by event time. This is the same state-growth discipline the
+  * reference needs 2120 lines of count_pre_state_processor.rs for.
+  */
+final case class CepEvent(key: String, tsUs: Long, eventId: Long, etype: String, value: Double)
+final case class Collected(step: String, events: Seq[CepEvent])
+final case class CepMatch(key: String, startUs: Long, endUs: Long, steps: Seq[Collected])
+
+/** One pattern step. `pred` sees the candidate event and all events
+  * collected so far (indexed [stepIdx][arrivalIdx]) for cross-step
+  * conditions. With min < max the NFA branches (both "stay" and "advance"
+  * instances are kept), emitting eagerly at each count >= min on the last
+  * step.
+  */
+final case class Step(
+    name: String, min: Int, max: Int,
+    pred: (CepEvent, Seq[Seq[CepEvent]]) => Boolean) extends Serializable
+
+object Step {
+  def simple(name: String)(p: CepEvent => Boolean): Step =
+    Step(name, 1, 1, (e, _) => p(e))
+  def count(name: String, n: Int)(p: CepEvent => Boolean): Step =
+    Step(name, n, n, (e, _) => p(e))
+  def or(name: String)(p1: CepEvent => Boolean, p2: CepEvent => Boolean): Step =
+    Step(name, 1, 1, (e, _) => p1(e) || p2(e))
+  def withContext(name: String)(p: (CepEvent, Seq[Seq[CepEvent]]) => Boolean): Step =
+    Step(name, 1, 1, p)
+}
+
+final case class PatternSpec(
+    steps: Seq[Step],
+    strict: Boolean = false,
+    every: Boolean = true,
+    withinUs: Option[Long] = None,
+    maxPartials: Int = 512)
+
+/** Serializable NFA state (data only — predicates live in the spec). */
+final case class Partial(stepIdx: Int, startUs: Long, collected: Seq[Seq[CepEvent]])
+final case class NfaState(partials: Seq[Partial], done: Boolean)
+
+object Cep {
+
+  private implicit val keyEnc: Encoder[String] = Encoders.STRING
+  private implicit val matchEnc: Encoder[CepMatch] = Encoders.product[CepMatch]
+  private implicit val stateEnc: Encoder[NfaState] = Encoders.product[NfaState]
+  private implicit val evEnc: Encoder[CepEvent] = Encoders.product[CepEvent]
+
+  /** Core incremental NFA step: feed ordered events through the state. */
+  def runNfa(events: Seq[CepEvent], init: NfaState, spec: PatternSpec)
+      : (Seq[CepMatch], NfaState) = {
+    val nSteps = spec.steps.size
+    var partials: Vector[Partial] = init.partials.toVector
+    var done = init.done
+    val matches = Seq.newBuilder[CepMatch]
+
+    events.foreach { e =>
+      if (!(done && !spec.every)) {
+        // WITHIN expiry by event time
+        spec.withinUs.foreach { w =>
+          partials = partials.filter(p => e.tsUs - p.startUs <= w)
+        }
+        val seed = Partial(0, e.tsUs, Vector.fill(nSteps)(Vector.empty))
+        val next = Vector.newBuilder[Partial]
+        var matchedNow = false
+
+        (partials :+ seed).foreach { p =>
+          val step = spec.steps(p.stepIdx)
+          if (step.pred(e, p.collected)) {
+            val coll2 = p.collected.updated(p.stepIdx, p.collected(p.stepIdx) :+ e)
+            val cnt = coll2(p.stepIdx).size
+            if (cnt < step.max)
+              next += p.copy(collected = coll2) // stay: await more of this step
+            if (cnt >= step.min) {
+              if (p.stepIdx == nSteps - 1) {
+                matches += CepMatch(e.key, p.startUs, e.tsUs,
+                  spec.steps.map(_.name).zip(coll2).map { case (n, es) => Collected(n, es) })
+                matchedNow = true
+              } else {
+                next += Partial(p.stepIdx + 1, p.startUs, coll2) // advance
+              }
+            }
+          } else if (!spec.strict) {
+            // relaxed PATTERN: non-matching events are skipped; seeds that
+            // fail step 0 are simply not retained
+            if (p ne seed) next += p
+          }
+          // strict SEQUENCE: mismatch kills the in-flight instance
+        }
+
+        partials = next.result().distinct.take(spec.maxPartials)
+        if (matchedNow && !spec.every) { done = true; partials = Vector.empty }
+      }
+    }
+    (matches.result(), NfaState(partials, done))
+  }
+
+  /** Batch detection: per-key sort then one NFA pass. */
+  def detect(ds: Dataset[CepEvent], spec: PatternSpec): Dataset[CepMatch] =
+    ds.groupByKey(_.key).flatMapGroups { (_: String, it: Iterator[CepEvent]) =>
+      runNfa(it.toSeq.sortBy(e => (e.tsUs, e.eventId)),
+        NfaState(Nil, done = false), spec)._1.iterator
+    }
+
+  /** Streaming detection: NFA state persists across micro-batches; events
+    * are ordered within each batch (cross-batch order = source contract).
+    */
+  def detectStream(ds: Dataset[CepEvent], spec: PatternSpec): Dataset[CepMatch] =
+    ds.groupByKey(_.key).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (_: String, it: Iterator[CepEvent], state: GroupState[NfaState]) =>
+        val (out, next) = runNfa(
+          it.toSeq.sortBy(e => (e.tsUs, e.eventId)),
+          state.getOption.getOrElse(NfaState(Nil, done = false)), spec)
+        state.update(next)
+        out.iterator
+    }
+
+  /** Adapt the `events` table (or an equivalently-shaped stream) to
+    * [[CepEvent]]: key = user_id, event time in micros.
+    */
+  def fromEvents(df: DataFrame): Dataset[CepEvent] =
+    df.select(
+        col("user_id").cast("string").as("key"),
+        unix_micros(col("ts")).as("tsUs"),
+        col("event_id").cast("long").as("eventId"),
+        col("event_type").as("etype"),
+        col("value").cast("double").as("value"))
+      .as[CepEvent]
+}

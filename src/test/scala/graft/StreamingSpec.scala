@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming._
+
+/** AppRunner-style harness (reference tests/common/mod.rs:31-70): feed
+  * events through MemoryStream, processAllAvailable, collect from a memory
+  * sink, assert exact rows. Fixtures mirror the compatibility corpus's
+  * cseEventStream shape (FIXTURES.md §1) — (symbol, price) becomes
+  * (key, value).
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private var sinkId = 0
+  /** Run a streaming transform over staged input batches, collect all
+    * output rows after each batch is processed.
+    */
+  private def runStream(batches: Seq[Seq[WinEvent]])(
+      f: org.apache.spark.sql.Dataset[WinEvent] => org.apache.spark.sql.Dataset[WinOut]): Seq[WinOut] = {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[WinEvent]
+    sinkId += 1
+    val name = s"win_sink_$sinkId"
+    val q: StreamingQuery = f(in.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      spark.table(name).as[WinOut].collect().toSeq
+    } finally q.stop()
+  }
+
+  private def ev(id: Long, v: Double, key: String = "k", tsUs: Long = -1): WinEvent =
+    WinEvent(key, if (tsUs < 0) id * 1000000L else tsUs, id, v)
+
+  test("length(2) window emits Current then Expired of the evicted oldest") {
+    // reference: compatibility/windows.rs lengthWindowTest shape
+    val out = runStream(Seq(Seq(ev(1, 10), ev(2, 20)), Seq(ev(3, 30), ev(4, 40))))(
+      ds => Windows.length(ds, 2))
+    val got = out.sortBy(o => (o.eventId, -o.op)).map(o => (o.eventId, o.op))
+    assert(got == Seq((1L, 1), (1L, -1), (2L, 1), (2L, -1), (3L, 1), (4L, 1)))
+    // incremental sum over the changelog = window content sum
+    val windowSum = out.map(o => o.value * o.op).sum
+    assert(windowSum == 30.0 + 40.0)
+  }
+
+  test("lengthBatch(2) flushes complete batches, expiring the previous batch") {
+    val out = runStream(Seq(Seq(ev(1, 1), ev(2, 2), ev(3, 3)), Seq(ev(4, 4))))(
+      ds => Windows.lengthBatch(ds, 2))
+    val current = out.filter(_.op == 1).map(_.eventId).sorted
+    val expired = out.filter(_.op == -1).map(_.eventId).sorted
+    assert(current == Seq(1L, 2L, 3L, 4L)) // two flushed batches
+    assert(expired == Seq(1L, 2L))          // first batch retracted at second flush
+  }
+
+  test("time window expires by event time across micro-batches") {
+    val out = runStream(Seq(
+      Seq(ev(1, 1, tsUs = 0L), ev(2, 2, tsUs = 500000L)),
+      Seq(ev(3, 3, tsUs = 1600000L))))( // 1.6s: evicts ts<=0.6s → events 1,2
+      ds => Windows.time(ds, durUs = 1000000L))
+    assert(out.count(_.op == 1) == 3)
+    assert(out.filter(_.op == -1).map(_.eventId).sorted == Seq(1L, 2L))
+  }
+
+  test("sort window keeps top-2 by value and ejects the worst") {
+    val out = runStream(Seq(Seq(ev(1, 50), ev(2, 80), ev(3, 60), ev(4, 90))))(
+      ds => Windows.sortTopN(ds, 2, descending = true))
+    val ejected = out.filter(_.op == -1).map(_.eventId)
+    assert(ejected == Seq(1L, 3L)) // 50 ejected by 60's arrival, 60 by 90's
+  }
+
+  test("CEP streaming: partial match carries across micro-batches, WITHIN prunes") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[CepEvent]
+    val spec = PatternSpec(
+      steps = Seq(
+        Step.simple("a")(_.etype == "A"),
+        Step.simple("b")(_.etype == "B")),
+      strict = false, every = true, withinUs = Some(1000000L))
+    val q = Cep.detectStream(in.toDS(), spec).writeStream
+      .format("memory").queryName("cep_sink").outputMode("append").start()
+    def e(id: Long, t: String, tsUs: Long) = CepEvent("u1", tsUs, id, t, id.toDouble)
+    try {
+      in.addData(Seq(e(1, "A", 0L)));                   q.processAllAvailable()
+      in.addData(Seq(e(2, "B", 500000L)));              q.processAllAvailable() // match across batches
+      in.addData(Seq(e(3, "A", 1000000L)));             q.processAllAvailable()
+      in.addData(Seq(e(4, "B", 2500000L)));             q.processAllAvailable() // WITHIN exceeded → no match
+      val matches = spark.table("cep_sink").as[CepMatch].collect()
+      assert(matches.length == 1)
+      assert(matches.head.steps.map(_.events.head.eventId) == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("CEP strict vs relaxed on the same input") {
+    val events = Seq(
+      CepEvent("u", 0L, 1, "A", 1), CepEvent("u", 1L, 2, "X", 2),
+      CepEvent("u", 2L, 3, "B", 3))
+    val relaxed = Cep.runNfa(events,
+      NfaState(Nil, done = false),
+      PatternSpec(Seq(Step.simple("a")(_.etype == "A"), Step.simple("b")(_.etype == "B"))))._1
+    val strict = Cep.runNfa(events,
+      NfaState(Nil, done = false),
+      PatternSpec(Seq(Step.simple("a")(_.etype == "A"), Step.simple("b")(_.etype == "B")),
+        strict = true))._1
+    assert(relaxed.length == 1) // X is skipped
+    assert(strict.isEmpty)      // X kills the in-flight sequence
+  }
+
+  test("CEP every=false matches exactly once") {
+    val events = (1L to 6L).map(i =>
+      CepEvent("u", i, i, if (i % 2 == 1) "A" else "B", i.toDouble))
+    val every = Cep.runNfa(events, NfaState(Nil, done = false),
+      PatternSpec(Seq(Step.simple("a")(_.etype == "A"), Step.simple("b")(_.etype == "B"))))._1
+    val once = Cep.runNfa(events, NfaState(Nil, done = false),
+      PatternSpec(Seq(Step.simple("a")(_.etype == "A"), Step.simple("b")(_.etype == "B")),
+        every = false))._1
+    assert(every.length == 3)
+    assert(once.length == 1)
+  }
+
+  test("CEP count quantifier collects e1[0..2] and supports collection aggregation") {
+    val events = Seq(
+      CepEvent("u", 1L, 1, "E", 10), CepEvent("u", 2L, 2, "E", 20),
+      CepEvent("u", 3L, 3, "E", 30))
+    val m = Cep.runNfa(events, NfaState(Nil, done = false),
+      PatternSpec(Seq(Step.count("e", 3)(_.etype == "E")), strict = true))._1
+    assert(m.length == 1)
+    val collected = m.head.steps.head.events
+    assert(collected.map(_.eventId) == Seq(1L, 2L, 3L)) // e1[i] indexed access
+    assert(collected.map(_.value).sum == 60.0)          // sum(e1.value)
+  }
+}
