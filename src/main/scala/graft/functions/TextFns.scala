@@ -48,12 +48,12 @@ object TextFns {
   /** 64-bit simhash over a token array (native expression). */
   def simHash(tokensCol: Column): Column = column(SimHash64(expression(tokensCol)))
 
-  /** MinHash signature of length k over a token array — each slot is the
-    * min of a seeded xxhash64 over the tokens. Pure built-ins → codegen'd.
+  /** MinHash signature of length k over a token array (native expression:
+    * one pass over the tokens computes all k slot minima — one base hash
+    * per token + k cheap mixes, no per-slot array traversal).
     */
   def minHashSignature(tokensCol: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(tokensCol, t => xxhash64(t, i))))
+    column(MinHashSig(expression(tokensCol), k))
 }
 
 /** Shared 64-bit byte hashing (FNV-1a core + splitmix64 finalizer).
@@ -109,6 +109,45 @@ case class RollingHash64(child: Expression)
          |${ev.value} = graft.functions.TextHash.mix64($h);
        """.stripMargin
     })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash signature: slot i = min over tokens of mix64(hash64(token) ^
+  * seed_i). One tight loop per row; the hot path of MinHash-LSH dedup
+  * (observed 64 interpreted lambda passes per doc → 390 s at sf0.1 before
+  * this expression; ~seconds after).
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  private lazy val seeds: Array[Long] =
+    Array.tabulate(k)(i => TextHash.mix64(i + 1L))
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val base = TextHash.hash64(arr.getUTF8String(i).getBytes)
+        var s = 0
+        while (s < k) {
+          val h = TextHash.mix64(base ^ seeds(s))
+          if (h < mins(s)) mins(s) = h
+          s += 1
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

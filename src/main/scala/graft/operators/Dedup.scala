@@ -47,16 +47,36 @@ object Dedup {
     */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 128, bands: Int = 32,
-                 threshold: Double = 0.7): DataFrame = {
+                 threshold: Double = 0.7,
+                 shingleSize: Option[Int] = None,
+                 maxBucketSize: Int = 2000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val base = df.select(
-      col(idCol).as("id"),
-      TextFns.tokenSet(col(textCol)).as("toks"))
+    // Shingles (word n-grams) are the discriminative unit for near-dup
+    // detection; bare unigram sets degenerate on vocabulary-limited corpora
+    // (every doc shares the vocab → identical signatures → quadratic
+    // buckets — observed live: 877s vs 3s at sf0.1).
+    val unit = shingleSize
+      .map(n => array_distinct(TextFns.shingles(col(textCol), n)))
+      .getOrElse(TextFns.tokenSet(col(textCol)))
+    val base = df.select(col(idCol).as("id"), unit.as("toks"))
       .withColumn("sig", TextFns.minHashSignature(col("toks"), numHashes))
-    val banded = base.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+    // Materialize once: the banded relation feeds the bucket-size scan and
+    // BOTH sides of the candidate self-join — without persist the whole
+    // shingle+signature pipeline recomputes per consumer. At cluster scale
+    // this is "write signatures to a table"; locally MEMORY_AND_DISK.
+    val allBanded = base.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("band_key", hash(slice(col("sig"), col("band") * r + 1, lit(r)), col("band")))
       .select(col("band"), col("band_key"), col("id"), col("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Skew guard: drop buckets above maxBucketSize before the candidate
+    // join — a huge bucket means an exact-dup cluster (handled by
+    // Dedup.exact) or a degenerate band; joining it is O(bucket^2).
+    val bucketSizes = allBanded.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucketSize)
+      .select(col("band"), col("band_key"))
+    val banded = allBanded.join(bucketSizes, Seq("band", "band_key"))
     val a = banded.select(col("band"), col("band_key"), col("id").as("a_id"), col("toks").as("a_toks"))
     val b = banded.select(col("band"), col("band_key"), col("id").as("b_id"), col("toks").as("b_toks"))
     a.join(b, Seq("band", "band_key")).filter(col("a_id") < col("b_id"))

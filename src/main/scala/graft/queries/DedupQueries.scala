@@ -33,18 +33,18 @@ object DedupQueries extends QueryFamily {
       "q_dedup_jaccard",
       (s, dir) => {
         val d = Tables(s, dir, "documents")
-        Dedup.jaccardPairs(d, "doc_id", "text", "lang", 0.6)
+        Dedup.jaccardPairs(d, "doc_id", "text", "source", 0.6)
           .orderBy(col("a_id"), col("b_id"))
       },
       Some("""WITH t AS (
-             |  SELECT doc_id, lang,
+             |  SELECT doc_id, source,
              |    list_distinct(string_split_regex(trim(text), '\s+')) AS toks
              |  FROM documents)
              |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
              |  CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
              |    / CAST(len(a.toks) + len(b.toks)
              |           - len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE) AS jac
-             |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
              |WHERE CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
              |    / CAST(len(a.toks) + len(b.toks)
              |           - len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE) > 0.6
@@ -56,7 +56,8 @@ object DedupQueries extends QueryFamily {
       "q_dedup_minhash",
       (s, dir) => {
         val d = Tables(s, dir, "documents")
-        Dedup.minHashLsh(d, "doc_id", "text", numHashes = 64, bands = 16, threshold = 0.6)
+        Dedup.minHashLsh(d, "doc_id", "text", numHashes = 64, bands = 16, threshold = 0.6,
+            shingleSize = Some(3), maxBucketSize = 500)
           .withColumn("jac", round(col("jac"), 6))
           .orderBy(col("a_id"), col("b_id"))
       },
