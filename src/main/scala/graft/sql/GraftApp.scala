@@ -1,0 +1,258 @@
+package graft.sql
+
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Minimal EventFlux-SQL application front end (SURVEY §3.1): a multi-
+  * statement app — `CREATE STREAM/TABLE …; INSERT INTO … SELECT … FROM …
+  * [WHERE] [WINDOW(…)] [GROUP BY] [HAVING] [ORDER BY] [LIMIT];` — compiled
+  * to chained DataFrame pipelines.
+  *
+  * Design (deliberately different from the reference's processor-chain
+  * runtime, src/sql_compiler/converter.rs): statements parse to an
+  * [[AppSpec]]; each query lowers to declarative DataFrame transforms with
+  * every scalar expression handed to Spark's own SQL expression parser —
+  * Catalyst owns analysis, optimization, and codegen (the reference has no
+  * optimizer at all; GRAMMAR.md:695-707). Streams chain by name: an INSERT
+  * INTO target makes `target` visible as a source for later queries,
+  * mirroring the junction fan-in (stream_junction.rs:40-58) — multiple
+  * inserts into one stream union.
+  *
+  * DDL-first like the reference (catalog.rs:144-165): queries against
+  * undeclared streams fail at compile time with a typed error.
+  */
+object GraftApp {
+
+  // ---- spec model (mirror of the reference's query_api surface we cover)
+
+  final case class StreamDef(name: String, schema: StructType,
+                             options: Map[String, String], isTable: Boolean)
+
+  final case class WindowClause(kind: String, params: Seq[String])
+
+  final case class QuerySpec(
+      target: String, source: String,
+      selectItems: Seq[(String, Option[String])], // (expr, alias)
+      where: Option[String],
+      window: Option[WindowClause],
+      groupBy: Seq[String],
+      having: Option[String],
+      orderBy: Seq[String],
+      limit: Option[Int])
+
+  final case class AppSpec(streams: Map[String, StreamDef], queries: Seq[QuerySpec])
+
+  final case class SqlError(msg: String) extends RuntimeException(msg)
+
+  // ---- parsing (regex statement-shape parser; expressions delegate to Spark)
+
+  private val CreateRe: Regex =
+    """(?is)\s*CREATE\s+(STREAM|TABLE)\s+(\w+)\s*\((.*?)\)\s*(?:WITH\s*\((.*?)\))?\s*""".r
+  private val InsertRe: Regex =
+    """(?is)\s*INSERT\s+INTO\s+(\w+)\s+SELECT\s+(.*?)\s+FROM\s+(\w+)\s*(.*)""".r
+  private val WindowRe: Regex =
+    """(?is)WINDOW\s*\(\s*'(\w+)'\s*(?:,\s*([^)]*))?\)""".r
+
+  private val TypeMap: Map[String, DataType] = Map(
+    "STRING" -> StringType, "VARCHAR" -> StringType,
+    "INT" -> IntegerType, "INTEGER" -> IntegerType,
+    "BIGINT" -> LongType, "LONG" -> LongType,
+    "FLOAT" -> FloatType, "DOUBLE" -> DoubleType,
+    "BOOL" -> BooleanType, "BOOLEAN" -> BooleanType,
+    "TIMESTAMP" -> TimestampType, "BINARY" -> BinaryType, "OBJECT" -> BinaryType)
+
+  def parse(appSql: String): AppSpec = {
+    val statements = appSql.split(";").map(_.trim).filter(_.nonEmpty)
+    var streams = Map.empty[String, StreamDef]
+    val queries = Seq.newBuilder[QuerySpec]
+    statements.foreach {
+      case CreateRe(kind, name, colsRaw, withRaw) =>
+        val fields = colsRaw.split(",").map(_.trim).filter(_.nonEmpty).map { c =>
+          val parts = c.split("\\s+")
+          if (parts.length < 2) throw SqlError(s"bad column def '$c' in $name")
+          val t = TypeMap.getOrElse(parts(1).toUpperCase,
+            throw SqlError(s"unknown type '${parts(1)}' in $name"))
+          StructField(parts(0), t)
+        }
+        val opts = Option(withRaw).map(parseWith).getOrElse(Map.empty)
+        streams += name -> StreamDef(name, StructType(fields), opts,
+          isTable = kind.equalsIgnoreCase("TABLE"))
+      case InsertRe(target, select, source, rest) =>
+        if (!streams.contains(source))
+          throw SqlError(s"undefined stream/table '$source' (definition first)")
+        queries += parseQuery(target, select, source, rest)
+      case other =>
+        throw SqlError(s"unsupported statement: ${other.take(60)}")
+    }
+    AppSpec(streams, queries.result())
+  }
+
+  private def parseWith(raw: String): Map[String, String] =
+    raw.split(",").map(_.trim).filter(_.nonEmpty).flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(k.trim.stripPrefix("'").stripSuffix("'") ->
+          v.trim.stripPrefix("'").stripSuffix("'"))
+        case _ => None
+      }
+    }.toMap
+
+  private def parseQuery(target: String, select: String, source: String,
+                         rest0: String): QuerySpec = {
+    var rest = rest0
+    var window: Option[WindowClause] = None
+    WindowRe.findFirstMatchIn(rest).foreach { m =>
+      window = Some(WindowClause(m.group(1).toLowerCase,
+        Option(m.group(2)).map(_.split(",").map(_.trim.stripPrefix("'").stripSuffix("'")).toSeq)
+          .getOrElse(Nil)))
+      rest = rest.substring(0, m.start) + rest.substring(m.end)
+    }
+    def grab(kw: String, next: Seq[String]): Option[String] = {
+      val p = ("(?is)\\b" + kw + "\\b(.*)").r
+      p.findFirstMatchIn(rest).map { m =>
+        var body = m.group(1)
+        next.foreach { n =>
+          val stop = ("(?is)\\b" + n + "\\b.*").r
+          body = stop.replaceAllIn(body, "")
+        }
+        body.trim
+      }
+    }
+    val where = grab("WHERE", Seq("GROUP\\s+BY", "HAVING", "ORDER\\s+BY", "LIMIT"))
+    val groupBy = grab("GROUP\\s+BY", Seq("HAVING", "ORDER\\s+BY", "LIMIT"))
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+    val having = grab("HAVING", Seq("ORDER\\s+BY", "LIMIT"))
+    val orderBy = grab("ORDER\\s+BY", Seq("LIMIT"))
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+    val limit = grab("LIMIT", Nil).map(_.trim.toInt)
+    val items = splitTopLevel(select).map { item =>
+      val asRe = "(?is)^(.*?)\\s+AS\\s+(\\w+)$".r
+      item.trim match {
+        case asRe(e, a) => (e.trim, Some(a))
+        case e => (e, None)
+      }
+    }
+    QuerySpec(target, source, items, where, window, groupBy, having, orderBy, limit)
+  }
+
+  /** Split a select list on commas that are not inside parentheses/quotes. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inQ = false; var cur = new StringBuilder
+    s.foreach {
+      case '\'' => inQ = !inQ; cur += '\''
+      case '(' if !inQ => depth += 1; cur += '('
+      case ')' if !inQ => depth -= 1; cur += ')'
+      case ',' if !inQ && depth == 0 => out += cur.toString; cur = new StringBuilder
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  // ---- compilation to DataFrames (batch; streaming DFs compile the same
+  //      way for native windows — kernels in graft.streaming cover the rest)
+
+  /** Run the app over bound inputs; returns every stream's DataFrame
+    * (inputs + each INSERT INTO target, multiple inserts union'd).
+    */
+  def run(spark: SparkSession, appSql: String,
+          inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val spec = parse(appSql)
+    var env: Map[String, DataFrame] = inputs
+    // validate bound inputs against declared schemas (names + arity)
+    inputs.foreach { case (name, df) =>
+      spec.streams.get(name).foreach { sd =>
+        val declared = sd.schema.fieldNames.toSeq
+        if (df.columns.toSeq != declared)
+          throw SqlError(s"input '$name' columns ${df.columns.toSeq} != declared $declared")
+      }
+    }
+    spec.queries.foreach { q =>
+      val src = env.getOrElse(q.source,
+        throw SqlError(s"stream '${q.source}' has no bound data"))
+      val out = compileQuery(src, q)
+      env += q.target -> env.get(q.target).map(_.unionByName(out)).getOrElse(out)
+    }
+    env
+  }
+
+  private def compileQuery(src: DataFrame, q: QuerySpec): DataFrame = {
+    var df = src
+    q.where.foreach(w => df = df.filter(expr(w)))
+    q.window.foreach { w => df = applyWindow(df, w) }
+    var having = q.having
+    df =
+      if (q.groupBy.nonEmpty) {
+        val groupSet = q.groupBy.map(_.trim.toLowerCase).toSet
+        val (groupItems, aggItems) = q.selectItems.partition {
+          case (e, _) => groupSet.contains(e.trim.toLowerCase)
+        }
+        if (aggItems.isEmpty) {
+          df.select(q.groupBy.map(expr): _*).distinct()
+        } else {
+          // aggregates aliased up front; grouping columns are retained by
+          // Spark and re-projected below in declared select order
+          val aggCols = aggItems.map { case (e, a) => expr(e).as(a.getOrElse(e)) }
+          var out = df.groupBy(q.groupBy.map(expr): _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+          // HAVING may reference aggregate expressions — rewrite them to
+          // their output aliases (per-group post-filter semantics,
+          // select_processor.rs:330)
+          having = having.map { h =>
+            aggItems.foldLeft(h) { case (acc, (e, a)) =>
+              acc.replace(e, a.getOrElse(e)) }
+          }
+          val finalCols = q.selectItems.map { case (e, a) =>
+            if (groupSet.contains(e.trim.toLowerCase)) expr(e).as(a.getOrElse(e))
+            else col(a.getOrElse(e))
+          }
+          out.select(finalCols: _*)
+        }
+      } else df.select(q.selectItems.map {
+        case ("*", _) => col("*")
+        case (e, Some(a)) => expr(e).as(a)
+        case (e, None) => expr(e)
+      }: _*)
+    having.foreach(h => df = df.filter(expr(h)))
+    if (q.orderBy.nonEmpty)
+      df = df.orderBy(q.orderBy.map { o =>
+        val (e, desc) = if (o.toUpperCase.endsWith(" DESC")) (o.dropRight(5), true)
+          else if (o.toUpperCase.endsWith(" ASC")) (o.dropRight(4), false)
+          else (o, false)
+        if (desc) expr(e).desc else expr(e).asc
+      }: _*)
+    q.limit.foreach(n => df = df.limit(n))
+    df
+  }
+
+  /** WINDOW('type', params) lowering (converter.rs:642-726 mapping):
+    * tumbling/timeBatch/externalTimeBatch → `window()`; sliding/hop →
+    * `window(size, slide)`; session → `session_window`. Count/sort/time
+    * per-event windows are the streaming kernels (graft.streaming.Windows)
+    * — in this SQL surface they require an aggregating GROUP BY downstream,
+    * which the batch equivalents express directly.
+    */
+  private def applyWindow(df: DataFrame, w: WindowClause): DataFrame = w.kind match {
+    case "tumbling" | "timebatch" | "externaltimebatch" =>
+      val ts = if (w.params.size > 1) w.params.head else "ts"
+      val dur = w.params.last
+      df.withColumn("window", window(col(ts), dur))
+    case "sliding" | "hop" =>
+      val (ts, size, slide) = w.params match {
+        case Seq(s, sl) => ("ts", s, sl)
+        case Seq(t, s, sl) => (t, s, sl)
+        case _ => throw SqlError(s"sliding window needs (size, slide), got ${w.params}")
+      }
+      df.withColumn("window", window(col(ts), size, slide))
+    case "session" =>
+      val ts = if (w.params.size > 1) w.params.head else "ts"
+      val gap = w.params.last
+      df.withColumn("window", session_window(col(ts), gap))
+    case other =>
+      throw SqlError(s"window '$other' is a streaming kernel " +
+        "(graft.streaming.Windows); not available in the batch SQL surface")
+  }
+}

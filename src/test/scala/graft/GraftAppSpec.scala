@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sql.GraftApp
+
+/** EventFlux-SQL front-end spec — the M1 end-to-end slice from SURVEY §7.2
+  * (filter app), plus chained streams, group-by/having, window clause, and
+  * the DDL-first error surface. Fixture shapes follow FIXTURES.md (In/Out
+  * (a INT), StockStream).
+  */
+class GraftAppSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("M1 slice: filter query end-to-end") {
+    val app =
+      """CREATE STREAM In (a INT);
+        |CREATE STREAM Out (a INT);
+        |INSERT INTO Out SELECT a FROM In WHERE a > 5;""".stripMargin
+    val in = Seq(1, 6, 3, 9, 5, 7).toDF("a")
+    val out = GraftApp.run(spark, app, Map("In" -> in))("Out")
+    assert(out.as[Int].collect().sorted.toSeq == Seq(6, 7, 9))
+  }
+
+  test("projection with expressions and aliases") {
+    val app =
+      """CREATE STREAM StockStream (symbol STRING, price DOUBLE, volume INT);
+        |CREATE STREAM Out (symbol STRING, notional DOUBLE);
+        |INSERT INTO Out SELECT upper(symbol) AS symbol, price * volume AS notional
+        |FROM StockStream WHERE volume >= 10;""".stripMargin
+    val in = Seq(("ibm", 10.0, 10), ("msft", 2.0, 5)).toDF("symbol", "price", "volume")
+    val out = GraftApp.run(spark, app, Map("StockStream" -> in))("Out")
+    assert(out.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq == Seq(("IBM", 100.0)))
+  }
+
+  test("group by + having + order by + limit") {
+    val app =
+      """CREATE STREAM S (sym STRING, v DOUBLE);
+        |CREATE STREAM Out (sym STRING, total DOUBLE);
+        |INSERT INTO S SELECT sym, v FROM S0;
+        |CREATE STREAM S0 (sym STRING, v DOUBLE);""".stripMargin
+    // definition-first: S0 referenced before declaration must fail
+    val err = intercept[GraftApp.SqlError] {
+      GraftApp.run(spark, app, Map("S0" -> Seq(("a", 1.0)).toDF("sym", "v")))
+    }
+    assert(err.getMessage.contains("undefined stream"))
+
+    val app2 =
+      """CREATE STREAM S (sym STRING, v DOUBLE);
+        |CREATE STREAM Out (sym STRING, total DOUBLE);
+        |INSERT INTO Out SELECT sym, sum(v) AS total FROM S
+        |GROUP BY sym HAVING sum(v) > 3 ORDER BY total DESC LIMIT 2;""".stripMargin
+    val in = Seq(("a", 2.0), ("a", 3.0), ("b", 1.0), ("c", 9.0)).toDF("sym", "v")
+    val out = GraftApp.run(spark, app2, Map("S" -> in))("Out")
+    assert(out.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("c", 9.0), ("a", 5.0)))
+  }
+
+  test("chained streams: INSERT INTO target feeds later FROM, fan-in unions") {
+    val app =
+      """CREATE STREAM In (a INT);
+        |CREATE STREAM Mid (a INT);
+        |CREATE STREAM Out (n BIGINT);
+        |INSERT INTO Mid SELECT a FROM In WHERE a > 2;
+        |INSERT INTO Mid SELECT a FROM In WHERE a < 0;
+        |INSERT INTO Out SELECT count(a) AS n FROM Mid;""".stripMargin
+    val in = Seq(-5, 1, 3, 4).toDF("a")
+    val out = GraftApp.run(spark, app, Map("In" -> in))("Out")
+    assert(out.as[Long].head() == 3L) // {3,4} union {-5}
+  }
+
+  test("tumbling window clause lowers to native window()") {
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, v DOUBLE);
+        |CREATE STREAM Out (n BIGINT, total DOUBLE);
+        |INSERT INTO Out SELECT count(v) AS n, sum(v) AS total FROM E
+        |WINDOW('tumbling', '1 hour') GROUP BY window;""".stripMargin
+    val in = Seq(
+      ("2024-01-01 00:10:00", 1.0), ("2024-01-01 00:50:00", 2.0),
+      ("2024-01-01 01:10:00", 10.0)).toDF("ts_s", "v")
+      .selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "v")
+    val out = GraftApp.run(spark, app, Map("E" -> in))("Out")
+    assert(out.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((2L, 3.0), (1L, 10.0)))
+  }
+
+  test("undeclared type and bad input schema produce typed errors") {
+    val bad = "CREATE STREAM X (a WIBBLE);"
+    assert(intercept[GraftApp.SqlError](GraftApp.parse(bad)).getMessage.contains("unknown type"))
+    val app = "CREATE STREAM In (a INT); CREATE STREAM Out (a INT);" +
+      "INSERT INTO Out SELECT a FROM In;"
+    val err = intercept[GraftApp.SqlError] {
+      GraftApp.run(spark, app, Map("In" -> Seq((1, 2)).toDF("x", "y")))
+    }
+    assert(err.getMessage.contains("columns"))
+  }
+}
