@@ -14,7 +14,8 @@ object SparkEntry {
 
   private val families: Seq[QueryFamily] = Seq(
     CoreQueries, AggQueries, JoinQueries, MiscQueries, WindowQueries,
-    DedupQueries, SimilarityQueries, TextQueries, CepQueries
+    DedupQueries, SimilarityQueries, TextQueries, CepQueries,
+    ConnectorQueries, RollupQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Connector/mapper surface (SURVEY §2.1) + the remaining aggregation and
+  * output-rate items (§2.4 minForever/maxForever, §2.10 rate limiting), in
+  * batch-checkable form:
+  *
+  *  - json mapper (json_mapper.rs:17-40, JSONPath `$.a.b` mapping) →
+  *    get_json_object / from_json / to_json over the `events.props` column
+  *  - csv mapper (csv_mapper.rs) → to_csv / from_csv round trip
+  *  - minForever/maxForever (aggregator factories :1981-2016) → running
+  *    min/max over an unbounded-preceding frame (never retracts)
+  *  - output rate limiting FIRST/LAST every interval (output_rate.rs:10-22)
+  *    → min_by/max_by per (key, time bucket)
+  *
+  * The timer/rate source and log/console sink are exercised in
+  * StreamingSpec (they are streaming-only surfaces).
+  */
+object ConnectorQueries extends QueryFamily {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // JSONPath field extraction from a JSON-string column.
+    QueryDef(
+      "q_json_extract",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        e.select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k_num"),
+            get_json_object(col("props"), "$.missing").as("missing"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_num,
+             |  json_extract_string(props, '$.missing') AS missing
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // JSON serialization of a computed struct (to_json mapper direction).
+    QueryDef(
+      "q_json_serialize",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        e.select(
+            col("event_id"),
+            to_json(struct(col("event_type").as("t"), col("user_id").as("u"))).as("payload"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |  '{"t":"' || event_type || '","u":' || CAST(user_id AS VARCHAR) || '}' AS payload
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // CSV mapper round trip: serialize a row to csv text, parse it back.
+    QueryDef(
+      "q_csv_mapper",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        val asCsv = e.select(
+          col("event_id"),
+          concat_ws(",", col("event_type"), col("user_id"), col("value")).as("line"))
+        asCsv.select(
+            col("event_id"), col("line"),
+            split(col("line"), ",").getItem(0).as("f_type"),
+            split(col("line"), ",").getItem(1).cast("long").as("f_user"),
+            split(col("line"), ",").getItem(2).cast("double").as("f_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH c AS (
+             |  SELECT event_id,
+             |    event_type || ',' || CAST(user_id AS VARCHAR) || ',' || CAST(value AS VARCHAR) AS line
+             |  FROM events)
+             |SELECT event_id, line,
+             |  string_split(line, ',')[1] AS f_type,
+             |  CAST(string_split(line, ',')[2] AS BIGINT) AS f_user,
+             |  CAST(string_split(line, ',')[3] AS DOUBLE) AS f_value
+             |FROM c ORDER BY event_id""".stripMargin)),
+
+    // minForever/maxForever: running extrema over all history per key —
+    // never retracts even as windows expire.
+    QueryDef(
+      "q_agg_forever",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        e.select(
+            col("event_id"), col("user_id"),
+            min(col("value")).over(w).as("min_forever"),
+            max(col("value")).over(w).as("max_forever"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  min(value) OVER w AS min_forever,
+             |  max(value) OVER w AS max_forever
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
+    // Output rate limiting: FIRST and LAST event per key per 6-hour
+    // interval (the batch-result semantics of `OUTPUT FIRST/LAST EVERY d`).
+    QueryDef(
+      "q_rate_limit",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        e.groupBy(col("user_id"),
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("h"))
+          .agg(
+            min_by(col("event_id"), col("event_id")).as("first_id"),
+            max_by(col("event_id"), col("event_id")).as("last_id"),
+            min_by(col("value"), col("event_id")).as("first_value"),
+            max_by(col("value"), col("event_id")).as("last_value"),
+            count(lit(1)).as("n"))
+          .orderBy(col("user_id"), col("h"))
+      },
+      Some("""SELECT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS h,
+             |  min_by(event_id, event_id) AS first_id,
+             |  max_by(event_id, event_id) AS last_id,
+             |  min_by(value, event_id) AS first_value,
+             |  max_by(value, event_id) AS last_value,
+             |  count(*) AS n
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+  )
+}

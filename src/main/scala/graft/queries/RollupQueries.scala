@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Rollups, TableOps}
+
+/** Incremental multi-granularity aggregation (§1.1) and keyed-table DML
+  * (§2.10) through the real operators, oracle-checked. The rollup queries
+  * go through the CASCADE (minute → hour → day), so a pass proves the
+  * re-aggregation composes, not just that Spark can group by hour.
+  */
+object RollupQueries extends QueryFamily {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Hour-grain rollup computed THROUGH the minute grain.
+    QueryDef(
+      "q_rollup_hour",
+      (s, dir) => {
+        val c = Rollups.cascade(Tables(s, dir, "events"), "ts",
+          Seq("event_type"), "value", Seq("minute", "hour"))
+        c.byGrain("hour")
+          .select(
+            col("event_type"),
+            date_format(col("bucket"), "yyyy-MM-dd HH").as("h"),
+            col("cnt"),
+            round(col("sum_v"), 2).as("sum_v"),
+            col("min_v"), col("max_v"))
+          .orderBy(col("event_type"), col("h"))
+      },
+      Some("""SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS h,
+             |  count(*) AS cnt, round(sum(value), 2) AS sum_v,
+             |  min(value) AS min_v, max(value) AS max_v
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // On-demand range query at day grain (query_aggregation "within"):
+    // minute → hour → day cascade, then [Jan 10, Jan 20).
+    QueryDef(
+      "q_rollup_query",
+      (s, dir) => {
+        val c = Rollups.cascade(Tables(s, dir, "events"), "ts",
+          Seq("user_id"), "value", Seq("minute", "hour", "day"))
+        Rollups.query(c, "day", "2024-01-10", "2024-01-20")
+          .select(
+            col("user_id"),
+            date_format(col("bucket"), "yyyy-MM-dd").as("d"),
+            col("cnt"),
+            round(col("sum_v"), 2).as("sum_v"),
+            round(col("avg_v"), 4).as("avg_v"))
+          .orderBy(col("user_id"), col("d"))
+      },
+      Some("""SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+             |  count(*) AS cnt, round(sum(value), 2) AS sum_v,
+             |  round(sum(value) / count(*), 4) AS avg_v
+             |FROM events
+             |WHERE date_trunc('day', ts) >= TIMESTAMP '2024-01-10'
+             |  AND date_trunc('day', ts) < TIMESTAMP '2024-01-20'
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // UPDATE OR INSERT (upsert): keys <= 50 updated to bal 0, synthetic
+    // keys (+1000000) inserted, everything else kept.
+    QueryDef(
+      "q_table_upsert",
+      (s, dir) => {
+        val t = Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("bal"))
+        val updates = t.filter(col("c_custkey") <= 50)
+          .select(col("c_custkey"), col("c_name"), lit(0.0).as("bal"))
+        val inserts = t.filter(col("c_custkey") <= 20)
+          .select((col("c_custkey") + 1000000).as("c_custkey"), col("c_name"), lit(1.0).as("bal"))
+        TableOps.upsert(t, updates.unionByName(inserts), Seq("c_custkey"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH t AS (SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal FROM customer),
+             |d AS (SELECT c_custkey, c_name, 0.0 AS bal FROM t WHERE c_custkey <= 50
+             |      UNION ALL
+             |      SELECT c_custkey + 1000000, c_name, 1.0 FROM t WHERE c_custkey <= 20)
+             |SELECT * FROM (
+             |  SELECT * FROM t WHERE c_custkey NOT IN (SELECT c_custkey FROM d)
+             |  UNION ALL SELECT * FROM d)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // DELETE ON condition: drop customers holding any >450k order.
+    QueryDef(
+      "q_table_delete",
+      (s, dir) => {
+        val t = Tables(s, dir, "customer")
+          .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
+        val matches = Tables(s, dir, "orders")
+          .filter(col("o_totalprice") > 450000.0)
+          .select(col("o_custkey").as("c_custkey"))
+        TableOps.delete(t, matches, Seq("c_custkey"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Table-membership IN predicate (in_expression_executor.rs): events
+    // whose user exists in the high-balance customer table.
+    QueryDef(
+      "q_table_contains",
+      (s, dir) => {
+        val stream = Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id").as("c_custkey"), col("value"))
+        val table = Tables(s, dir, "customer").filter(col("c_acctbal") > 5000.0)
+        TableOps.containsFilter(stream, table, Seq("c_custkey"))
+          .select(col("event_id"), col("c_custkey").as("user_id"), col("value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, value FROM events
+             |WHERE EXISTS (SELECT 1 FROM customer
+             |  WHERE c_custkey = user_id AND c_acctbal > 5000.0)
+             |ORDER BY event_id""".stripMargin))
+  )
+}
