@@ -13,6 +13,81 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 final case class WinEvent(key: String, tsUs: Long, eventId: Long, value: Double)
 final case class WinOut(key: String, tsUs: Long, eventId: Long, value: Double, op: Int)
 
+/** Pure window-kernel state machines: (ordered events, state) → (changelog,
+  * state). Kept Spark-free so invariants are property-testable directly
+  * (WindowPropSpec); graft.streaming.Windows wraps them in
+  * flatMapGroupsWithState.
+  *
+  * Reference: window/mod.rs:63-195 (length), :645-964 (lengthBatch),
+  * :196-644 (time), sort_window_processor.rs:25-45 (sort).
+  */
+object WindowKernels {
+
+  /** Kernel state: retained events + (for lengthBatch) the previous batch. */
+  final case class WinBuffer(events: Seq[WinEvent], prev: Seq[WinEvent])
+  val EmptyBuffer: WinBuffer = WinBuffer(Nil, Nil)
+
+  def length(events: Seq[WinEvent], buf: WinBuffer, n: Int): (Seq[WinOut], WinBuffer) = {
+    var b = buf.events.toVector
+    val out = Seq.newBuilder[WinOut]
+    events.foreach { e =>
+      out += WinOut(e.key, e.tsUs, e.eventId, e.value, 1)
+      b :+= e
+      if (b.size > n) {
+        val old = b.head; b = b.tail
+        out += WinOut(old.key, old.tsUs, old.eventId, old.value, -1)
+      }
+    }
+    (out.result(), WinBuffer(b, Nil))
+  }
+
+  def lengthBatch(events: Seq[WinEvent], buf: WinBuffer, n: Int): (Seq[WinOut], WinBuffer) = {
+    var cur = buf.events.toVector
+    var prev = buf.prev.toVector
+    val out = Seq.newBuilder[WinOut]
+    events.foreach { e =>
+      cur :+= e
+      if (cur.size == n) {
+        prev.foreach(p => out += WinOut(p.key, p.tsUs, p.eventId, p.value, -1))
+        cur.foreach(c => out += WinOut(c.key, c.tsUs, c.eventId, c.value, 1))
+        prev = cur; cur = Vector.empty
+      }
+    }
+    (out.result(), WinBuffer(cur, prev))
+  }
+
+  def time(events: Seq[WinEvent], buf: WinBuffer, durUs: Long): (Seq[WinOut], WinBuffer) = {
+    var b = buf.events.toVector
+    val out = Seq.newBuilder[WinOut]
+    events.foreach { e =>
+      out += WinOut(e.key, e.tsUs, e.eventId, e.value, 1)
+      b :+= e
+      val (expired, kept) = b.partition(_.tsUs <= e.tsUs - durUs)
+      expired.foreach(x => out += WinOut(x.key, x.tsUs, x.eventId, x.value, -1))
+      b = kept
+    }
+    (out.result(), WinBuffer(b, Nil))
+  }
+
+  def sortTopN(events: Seq[WinEvent], buf: WinBuffer, n: Int,
+               descending: Boolean): (Seq[WinOut], WinBuffer) = {
+    var b = buf.events.toVector
+    val out = Seq.newBuilder[WinOut]
+    val ord: Ordering[WinEvent] =
+      if (descending) Ordering.by(e => (-e.value, e.tsUs, e.eventId))
+      else Ordering.by(e => (e.value, e.tsUs, e.eventId))
+    events.foreach { e =>
+      out += WinOut(e.key, e.tsUs, e.eventId, e.value, 1)
+      b = (b :+ e).sorted(ord)
+      if (b.size > n) {
+        val ejected = b.last; b = b.init
+        out += WinOut(ejected.key, ejected.tsUs, ejected.eventId, ejected.value, -1)
+      }
+    }
+    (out.result(), WinBuffer(b, Nil))
+  }
+}
+
 /** Stateful window kernels the reference has but Spark lacks as built-ins
   * (SURVEY §2.5): length, lengthBatch, per-event sliding time, sort. Each is
   * a `flatMapGroupsWithState` over the window key, so state shards across
@@ -23,18 +98,13 @@ final case class WinOut(key: String, tsUs: Long, eventId: Long, value: Double, o
   * on batch Datasets with empty initial state), which is how the DuckDB
   * oracles check the result-level semantics; events within a micro-batch
   * are sorted by (tsUs, eventId), cross-batch order is the source contract.
-  *
-  * Reference: window/mod.rs:63-195 (length), :645-964 (lengthBatch),
-  * :196-644 (time), sort_window_processor.rs:25-45 (sort).
   */
 object Windows {
+  import WindowKernels.{EmptyBuffer, WinBuffer}
 
   private implicit val keyEnc: Encoder[String] = Encoders.STRING
   private implicit val outEnc: Encoder[WinOut] = Encoders.product[WinOut]
   private implicit val bufEnc: Encoder[WinBuffer] = Encoders.product[WinBuffer]
-
-  /** Kernel state: retained events + (for lengthBatch) the previous batch. */
-  final case class WinBuffer(events: Seq[WinEvent], prev: Seq[WinEvent])
 
   private def sorted(it: Iterator[WinEvent]): Seq[WinEvent] =
     it.toSeq.sortBy(e => (e.tsUs, e.eventId))
@@ -44,7 +114,7 @@ object Windows {
     ds.groupByKey(_.key).flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
       (_: String, it: Iterator[WinEvent], state: GroupState[WinBuffer]) =>
-        val (out, next) = f(sorted(it), state.getOption.getOrElse(WinBuffer(Nil, Nil)))
+        val (out, next) = f(sorted(it), state.getOption.getOrElse(EmptyBuffer))
         state.update(next)
         out.iterator
     }
@@ -53,76 +123,25 @@ object Windows {
     * each arrival also evicts (Expired) the oldest event.
     */
   def length(ds: Dataset[WinEvent], n: Int): Dataset[WinOut] =
-    kernel(ds) { (events, buf) =>
-      var b = buf.events.toVector
-      val out = Seq.newBuilder[WinOut]
-      events.foreach { e =>
-        out += WinOut(e.key, e.tsUs, e.eventId, e.value, 1)
-        b :+= e
-        if (b.size > n) {
-          val old = b.head; b = b.tail
-          out += WinOut(old.key, old.tsUs, old.eventId, old.value, -1)
-        }
-      }
-      (out.result(), WinBuffer(b, Nil))
-    }
+    kernel(ds)(WindowKernels.length(_, _, n))
 
   /** Tumbling count window: buffer n events then flush — the new batch emits
     * Current, the previous batch emits Expired (reference flush protocol).
     */
   def lengthBatch(ds: Dataset[WinEvent], n: Int): Dataset[WinOut] =
-    kernel(ds) { (events, buf) =>
-      var cur = buf.events.toVector
-      var prev = buf.prev.toVector
-      val out = Seq.newBuilder[WinOut]
-      events.foreach { e =>
-        cur :+= e
-        if (cur.size == n) {
-          prev.foreach(p => out += WinOut(p.key, p.tsUs, p.eventId, p.value, -1))
-          cur.foreach(c => out += WinOut(c.key, c.tsUs, c.eventId, c.value, 1))
-          prev = cur; cur = Vector.empty
-        }
-      }
-      (out.result(), WinBuffer(cur, prev))
-    }
+    kernel(ds)(WindowKernels.lengthBatch(_, _, n))
 
   /** Per-event sliding time window (event-time driven, the externalTime
     * semantics): arrival emits Current; events older than durUs relative to
     * the newest event time emit Expired.
     */
   def time(ds: Dataset[WinEvent], durUs: Long): Dataset[WinOut] =
-    kernel(ds) { (events, buf) =>
-      var b = buf.events.toVector
-      val out = Seq.newBuilder[WinOut]
-      events.foreach { e =>
-        out += WinOut(e.key, e.tsUs, e.eventId, e.value, 1)
-        b :+= e
-        val (expired, kept) = b.partition(_.tsUs <= e.tsUs - durUs)
-        expired.foreach(x => out += WinOut(x.key, x.tsUs, x.eventId, x.value, -1))
-        b = kept
-      }
-      (out.result(), WinBuffer(b, Nil))
-    }
+    kernel(ds)(WindowKernels.time(_, _, durUs))
 
   /** Sort window: retain the n "best" events by value (desc when
     * descending=true); an arrival that overflows the window ejects the worst
     * retained event as Expired.
     */
   def sortTopN(ds: Dataset[WinEvent], n: Int, descending: Boolean = true): Dataset[WinOut] =
-    kernel(ds) { (events, buf) =>
-      var b = buf.events.toVector
-      val out = Seq.newBuilder[WinOut]
-      val ord: Ordering[WinEvent] =
-        if (descending) Ordering.by(e => (-e.value, e.tsUs, e.eventId))
-        else Ordering.by(e => (e.value, e.tsUs, e.eventId))
-      events.foreach { e =>
-        out += WinOut(e.key, e.tsUs, e.eventId, e.value, 1)
-        b = (b :+ e).sorted(ord)
-        if (b.size > n) {
-          val ejected = b.last; b = b.init
-          out += WinOut(ejected.key, ejected.tsUs, ejected.eventId, ejected.value, -1)
-        }
-      }
-      (out.result(), WinBuffer(b, Nil))
-    }
+    kernel(ds)(WindowKernels.sortTopN(_, _, n, descending))
 }

@@ -1,0 +1,143 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming._
+import graft.streaming.WindowKernels.EmptyBuffer
+
+/** Property tests for the pure window kernels and the CEP NFA — invariants
+  * the reference's compatibility corpus checks by example, here checked over
+  * randomized inputs (the reference has no property tests; SURVEY §5
+  * flagged this as a cheap win). The NFA is additionally checked against a
+  * brute-force quadratic reference matcher.
+  */
+class WindowPropSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val genEvents: Gen[List[WinEvent]] = for {
+    n <- Gen.choose(0, 60)
+    vals <- Gen.listOfN(n, Gen.choose(-100, 100))
+  } yield vals.zipWithIndex.map { case (v, i) =>
+    WinEvent("k", i.toLong * 10, i.toLong, v.toDouble)
+  }
+
+  private def splitRandomly[A](xs: List[A], cut: Int): (List[A], List[A]) =
+    xs.splitAt(if (xs.isEmpty) 0 else math.abs(cut) % (xs.length + 1))
+
+  test("length(n): #Current = #events, #Expired = max(0, #events-n), window = last n") {
+    check(Prop.forAll(genEvents, Gen.choose(1, 10)) { (events, n) =>
+      val (out, buf) = WindowKernels.length(events, EmptyBuffer, n)
+      val current = out.filter(_.op == 1)
+      val expired = out.filter(_.op == -1)
+      current.size == events.size &&
+        expired.size == math.max(0, events.size - n) &&
+        buf.events == events.takeRight(n) &&
+        // changelog replays to exactly the retained window
+        (current.map(_.eventId).toSet -- expired.map(_.eventId).toSet) ==
+          buf.events.map(_.eventId).toSet
+    })
+  }
+
+  test("length(n) is batch-split invariant (streaming = batch semantics)") {
+    check(Prop.forAll(genEvents, Gen.choose(1, 10), Gen.choose(0, 100)) { (events, n, cut) =>
+      val (a, b) = splitRandomly(events, cut)
+      val (out1, s1) = WindowKernels.length(a, EmptyBuffer, n)
+      val (out2, s2) = WindowKernels.length(b, s1, n)
+      val (whole, sw) = WindowKernels.length(events, EmptyBuffer, n)
+      (out1 ++ out2) == whole && s2 == sw
+    })
+  }
+
+  test("lengthBatch(n): only complete batches flush; Expired lags one batch") {
+    check(Prop.forAll(genEvents, Gen.choose(1, 10)) { (events, n) =>
+      val (out, buf) = WindowKernels.lengthBatch(events, EmptyBuffer, n)
+      val flushes = events.size / n
+      val current = out.filter(_.op == 1)
+      val expired = out.filter(_.op == -1)
+      current.size == flushes * n &&
+        expired.size == math.max(0, (flushes - 1) * n) &&
+        buf.events.size == events.size % n
+    })
+  }
+
+  test("time(d): retained window spans exactly (lastTs-d, lastTs]") {
+    check(Prop.forAll(genEvents, Gen.choose(1L, 300L)) { (events, d) =>
+      val (out, buf) = WindowKernels.time(events, EmptyBuffer, d)
+      events.isEmpty || {
+        val last = events.last.tsUs
+        buf.events == events.filter(e => e.tsUs > last - d) &&
+          out.count(_.op == 1) == events.size &&
+          out.count(_.op == -1) == events.size - buf.events.size
+      }
+    })
+  }
+
+  test("sortTopN keeps the n best by value; split invariant") {
+    check(Prop.forAll(genEvents, Gen.choose(1, 8), Gen.choose(0, 100)) { (events, n, cut) =>
+      val (out, buf) = WindowKernels.sortTopN(events, EmptyBuffer, n, descending = true)
+      val expectTop = events.sortBy(e => (-e.value, e.tsUs, e.eventId)).take(n)
+      val (a, b) = splitRandomly(events, cut)
+      val (o1, s1) = WindowKernels.sortTopN(a, EmptyBuffer, n, descending = true)
+      val (o2, s2) = WindowKernels.sortTopN(b, s1, n, descending = true)
+      buf.events.toSet == expectTop.toSet &&
+        s2 == buf && (o1 ++ o2) == out
+    })
+  }
+
+  // ---- NFA vs brute-force reference matcher
+
+  private val genCepEvents: Gen[List[CepEvent]] = for {
+    n <- Gen.choose(0, 40)
+    types <- Gen.listOfN(n, Gen.oneOf("A", "B", "C"))
+  } yield types.zipWithIndex.map { case (t, i) =>
+    CepEvent("k", i.toLong * 100, i.toLong, t, i.toDouble)
+  }
+
+  /** Brute-force relaxed A->B with EVERY + WITHIN: for each A, the first B
+    * at-or-after it within w.
+    */
+  private def bruteForceAB(events: List[CepEvent], withinUs: Long): List[(Long, Long)] =
+    events.filter(_.etype == "A").flatMap { a =>
+      events.find(b => b.etype == "B" && b.tsUs > a.tsUs &&
+        b.tsUs - a.tsUs <= withinUs).map(b => (a.eventId, b.eventId))
+    }
+
+  test("NFA relaxed A->B EVERY+WITHIN equals brute-force matcher") {
+    val spec = PatternSpec(
+      Seq(Step.simple("a")(_.etype == "A"), Step.simple("b")(_.etype == "B")),
+      strict = false, every = true, withinUs = Some(500L))
+    check(Prop.forAll(genCepEvents) { events =>
+      val got = Cep.runNfa(events, NfaState(Nil, done = false), spec)._1
+        .map(m => (m.steps.head.events.head.eventId, m.steps(1).events.head.eventId))
+      got == bruteForceAB(events, 500L)
+    })
+  }
+
+  test("NFA is batch-split invariant (streaming = batch semantics)") {
+    val spec = PatternSpec(
+      Seq(Step.simple("a")(_.etype == "A"), Step.simple("b")(_.etype == "B")),
+      strict = false, every = true, withinUs = Some(700L))
+    check(Prop.forAll(genCepEvents, Gen.choose(0, 100)) { (events, cut) =>
+      val (a, b) = splitRandomly(events, cut)
+      val (m1, s1) = Cep.runNfa(a, NfaState(Nil, done = false), spec)
+      val (m2, s2) = Cep.runNfa(b, s1, spec)
+      val (whole, sw) = Cep.runNfa(events, NfaState(Nil, done = false), spec)
+      (m1 ++ m2) == whole && s2 == sw
+    })
+  }
+
+  test("NFA strict {n} equals consecutive-run counting") {
+    val spec = PatternSpec(Seq(Step.count("e", 3)(_.etype == "A")),
+      strict = true, every = true, withinUs = None)
+    check(Prop.forAll(genCepEvents) { events =>
+      val got = Cep.runNfa(events, NfaState(Nil, done = false), spec)._1.size
+      // brute force: windows of 3 consecutive events, all A
+      val expected = events.sliding(3).count(w => w.size == 3 && w.forall(_.etype == "A"))
+      got == expected
+    })
+  }
+}
