@@ -26,8 +26,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // operators that persist() intermediates (e.g. LSH banding) must not
+      // leak cached blocks into later queries' memory budget
+      spark.catalog.clearCache()
+    }
 
     // warm-up: JVM + codegen + parquet footer caches
     try run(SparkEntry.queries("q1_agg")) catch { case _: Throwable => () }
@@ -40,7 +44,34 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // events/sec throughput of the custom streaming-core operators, for
+    // comparison against the reference's single-node events/sec claims
+    // (BASELINE.md): run the length-window kernel and the CEP NFA over the
+    // full events table, batch mode.
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{Cep, PatternSpec, Step, Windows, WinEvent}
+    implicit val weEnc = org.apache.spark.sql.Encoders.product[WinEvent]
+    val events = Tables(spark, sfDir, "events")
+    val nEvents = events.count()
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val winDs = events.select(
+      col("user_id").cast("string").as("key"), unix_micros(col("ts")).as("tsUs"),
+      col("event_id").as("eventId"), col("value")).as[WinEvent]
+    val tWin = timed(Windows.length(winDs, 10).write.format("noop").mode("overwrite").save())
+    val cepSpec = PatternSpec(
+      Seq(Step.simple("a")(_.etype == "signup"), Step.simple("b")(_.etype == "purchase")),
+      strict = false, every = true, withinUs = Some(86400000000L))
+    val tCep = timed(Cep.detect(Cep.fromEvents(events), cepSpec)
+      .write.format("noop").mode("overwrite").save())
+    val winEps = if (tWin > 0) nEvents / tWin else 0.0
+    val cepEps = if (tCep > 0) nEvents / tCep else 0.0
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""window_kernel_events_per_sec":${winEps.round},"cep_events_per_sec":${cepEps.round},""" +
+      s""""n_events":$nEvents}""")
     spark.stop()
   }
 }

@@ -29,6 +29,7 @@ object Dedup {
     val t = df.select(
       col(idCol).as("id"), col(blockCol).as("blk"),
       TextFns.tokenSet(col(textCol)).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = t.select(col("blk"), col("id").as("a_id"), col("toks").as("a_toks"))
     val b = t.select(col("blk"), col("id").as("b_id"), col("toks").as("b_toks"))
     a.join(b, Seq("blk")).filter(col("a_id") < col("b_id"))

@@ -64,27 +64,50 @@ object GraftApp {
     "BOOL" -> BooleanType, "BOOLEAN" -> BooleanType,
     "TIMESTAMP" -> TimestampType, "BINARY" -> BinaryType, "OBJECT" -> BinaryType)
 
+  private val PartitionRe: Regex =
+    """(?is)PARTITION\s+WITH\s*\(\s*(\w+)\s+OF\s+(\w+)\s*\)\s+BEGIN\s+(.*?)\s+END\s*;?""".r
+
   def parse(appSql: String): AppSpec = {
-    val statements = appSql.split(";").map(_.trim).filter(_.nonEmpty)
+    // PARTITION WITH (attr OF Stream) BEGIN … END (§2.9,
+    // value_partition_type.rs): every query in the block whose source is
+    // Stream gets the partition attribute folded into its grouping — the
+    // Spark-native form of per-key state isolation (groupBy already shards
+    // state per key; the block just adds the key to every key set).
+    val partitionedStmts = PartitionRe.findAllMatchIn(appSql).toSeq.flatMap { m =>
+      val (attr, stream) = (m.group(1), m.group(2))
+      m.group(3).split(";").map(_.trim).filter(_.nonEmpty)
+        .map(s => (s, Some((attr, stream))))
+    }
+    val plainStmts = PartitionRe.replaceAllIn(appSql, "")
+      .split(";").map(_.trim).filter(_.nonEmpty)
+      .map(s => (s, Option.empty[(String, String)]))
     var streams = Map.empty[String, StreamDef]
     val queries = Seq.newBuilder[QuerySpec]
-    statements.foreach {
-      case CreateRe(kind, name, colsRaw, withRaw) =>
+    (plainStmts.toSeq ++ partitionedStmts).foreach {
+      case (CreateRe(kind, name, colsRaw, withRaw), _) =>
         val fields = colsRaw.split(",").map(_.trim).filter(_.nonEmpty).map { c =>
           val parts = c.split("\\s+")
           if (parts.length < 2) throw SqlError(s"bad column def '$c' in $name")
-          val t = TypeMap.getOrElse(parts(1).toUpperCase,
+        val t = TypeMap.getOrElse(parts(1).toUpperCase,
             throw SqlError(s"unknown type '${parts(1)}' in $name"))
           StructField(parts(0), t)
         }
         val opts = Option(withRaw).map(parseWith).getOrElse(Map.empty)
         streams += name -> StreamDef(name, StructType(fields), opts,
           isTable = kind.equalsIgnoreCase("TABLE"))
-      case InsertRe(target, select, source, rest) =>
+      case (InsertRe(target, select, source, rest), part) =>
         if (!streams.contains(source))
           throw SqlError(s"undefined stream/table '$source' (definition first)")
-        queries += parseQuery(target, select, source, rest)
-      case other =>
+        val q = parseQuery(target, select, source, rest)
+        queries += (part match {
+          // partition attr folds into the key set (and output) of queries
+          // over the partitioned stream
+          case Some((attr, stream)) if stream.equalsIgnoreCase(source) && q.groupBy.nonEmpty =>
+            q.copy(groupBy = attr +: q.groupBy,
+              selectItems = (attr, None) +: q.selectItems)
+          case _ => q
+        })
+      case (other, _) =>
         throw SqlError(s"unsupported statement: ${other.take(60)}")
     }
     AppSpec(streams, queries.result())

@@ -92,6 +92,21 @@ class GraftAppSpec extends AnyFunSuite {
       Set((2L, 3.0), (1L, 10.0)))
   }
 
+  test("PARTITION WITH folds the key into grouped queries (per-key isolation)") {
+    val app =
+      """CREATE STREAM S (sym STRING, region STRING, v DOUBLE);
+        |CREATE STREAM Out (region STRING, sym STRING, total DOUBLE);
+        |PARTITION WITH (region OF S) BEGIN
+        |  INSERT INTO Out SELECT sym, sum(v) AS total FROM S GROUP BY sym
+        |END;""".stripMargin
+    val in = Seq(("a", "eu", 1.0), ("a", "us", 2.0), ("a", "eu", 4.0), ("b", "us", 8.0))
+      .toDF("sym", "region", "v")
+    val out = GraftApp.run(spark, app, Map("S" -> in))("Out")
+    val got = out.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    // per-region state isolation: ("a","eu") and ("a","us") aggregate apart
+    assert(got == Set(("eu", "a", 5.0), ("us", "a", 2.0), ("us", "b", 8.0)))
+  }
+
   test("undeclared type and bad input schema produce typed errors") {
     val bad = "CREATE STREAM X (a WIBBLE);"
     assert(intercept[GraftApp.SqlError](GraftApp.parse(bad)).getMessage.contains("unknown type"))

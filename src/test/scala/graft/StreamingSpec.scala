@@ -102,6 +102,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join with watermarks (join_processor.rs semantics, bounded)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val left = MemoryStream[(Long, Long, String)]  // (id, tsSec, val)
+    val right = MemoryStream[(Long, Long, String)] // (id, tsSec, category)
+    val l = left.toDS().toDF("l_id", "l_sec", "l_val")
+      .withColumn("l_ts", timestamp_seconds(col("l_sec")))
+      .withWatermark("l_ts", "10 seconds")
+    val r = right.toDS().toDF("r_id", "r_sec", "r_cat")
+      .withColumn("r_ts", timestamp_seconds(col("r_sec")))
+      .withWatermark("r_ts", "10 seconds")
+    // equi key + time bound: right within 5s after left — the watermark
+    // bound is what the reference's unbounded join buffers lack
+    // (SURVEY §7.4 risk 5)
+    val joined = l.join(r,
+      expr("l_id = r_id AND r_ts >= l_ts AND r_ts <= l_ts + interval 5 seconds"))
+    val q = joined.select("l_id", "l_val", "r_cat").writeStream
+      .format("memory").queryName("jsink").outputMode("append").start()
+    try {
+      left.addData((1L, 100L, "a"), (2L, 200L, "b"))
+      right.addData((1L, 103L, "X"), (2L, 290L, "Y"), (3L, 100L, "Z"))
+      q.processAllAvailable()
+      val got = spark.table("jsink").collect()
+        .map(row => (row.getLong(0), row.getString(1), row.getString(2))).toSet
+      assert(got == Set((1L, "a", "X"))) // id2: outside window; id3: no left
+    } finally q.stop()
+  }
+
   test("CEP strict vs relaxed on the same input") {
     val events = Seq(
       CepEvent("u", 0L, 1, "A", 1), CepEvent("u", 1L, 2, "X", 2),
