@@ -20,22 +20,36 @@ object Dedup {
       .groupBy(col("digest"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** All-pairs token-set Jaccard within a blocking key. The block bound is
-    * the scale contract: pairs are only enumerated inside one block (e.g.
-    * language, shard, LSH bucket), never across the corpus.
+  /** Token-set Jaccard pairs within a blocking key, via an inverted index:
+    * explode tokens, self-join on (block, token) to count co-occurrences
+    * (|A∩B| as a hash-aggregated count), derive |A∪B| = |A|+|B|-|A∩B|.
+    *
+    * Scale rationale vs the naive array formulation (join all pairs, then
+    * array_intersect): the inverted index never materializes token arrays
+    * through the join — the shuffle rows are (block, token, id, size)
+    * tuples and partial aggregation combines map-side. Pairs sharing no
+    * token never appear (their jaccard is 0 < any threshold). The block
+    * bound remains the scale contract: pairs are only enumerated inside a
+    * block (language, shard, LSH bucket), never across the corpus.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCol: String, threshold: Double): DataFrame = {
+    require(threshold >= 0.0, "threshold must be non-negative")
     val t = df.select(
-      col(idCol).as("id"), col(blockCol).as("blk"),
-      TextFns.tokenSet(col(textCol)).as("toks"))
+        col(idCol).as("id"), col(blockCol).as("blk"),
+        TextFns.tokenSet(col(textCol)).as("toks"))
+      .withColumn("sz", size(col("toks")).cast("long"))
+      .withColumn("tk", explode(col("toks")))
+      .select(col("blk"), col("tk"), col("id"), col("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = t.select(col("blk"), col("id").as("a_id"), col("toks").as("a_toks"))
-    val b = t.select(col("blk"), col("id").as("b_id"), col("toks").as("b_toks"))
-    a.join(b, Seq("blk")).filter(col("a_id") < col("b_id"))
+    val a = t.select(col("blk"), col("tk"), col("id").as("a_id"), col("sz").as("a_sz"))
+    val b = t.select(col("blk"), col("tk"), col("id").as("b_id"), col("sz").as("b_sz"))
+    a.join(b, Seq("blk", "tk")).filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
+      .agg(count(lit(1)).as("inter"))
       .withColumn("jac",
-        size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
-        size(array_union(col("a_toks"), col("b_toks"))).cast("double"))
+        col("inter").cast("double") /
+        (col("a_sz") + col("b_sz") - col("inter")).cast("double"))
       .filter(col("jac") > threshold)
       .select(col("a_id"), col("b_id"), col("jac"))
   }

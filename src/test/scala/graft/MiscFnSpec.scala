@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sql.GraftApp
+
+/** Coverage for the nondeterministic / non-oracle-able scalar surface
+  * (SURVEY §2.2: uuid, now/current_timestamp, instanceOf type tests) and
+  * the SQL front end over a *streaming* input (stateless slice).
+  */
+class MiscFnSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("uuid(): RFC-4122 shape, unique per row, nondeterministic flag honored") {
+    val df = spark.range(500).select(expr("uuid()").as("u"))
+    val us = df.as[String].collect()
+    assert(us.distinct.length == 500)
+    val re = "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$".r
+    assert(us.forall(u => re.matches(u)))
+  }
+
+  test("now()/current_timestamp is constant within a query (reference now() contract)") {
+    val ts = spark.range(100).select(current_timestamp().as("t"))
+      .distinct().count()
+    assert(ts == 1) // one consistent value per query execution
+  }
+
+  test("instanceOf-style type tests via schema (the typed-DDL equivalent)") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "events")
+    import org.apache.spark.sql.types._
+    // the reference's instanceOfX() runtime checks become compile-time
+    // schema facts under a typed catalog
+    assert(e.schema("value").dataType == DoubleType)
+    assert(e.schema("event_type").dataType == StringType)
+    assert(e.schema("ts").dataType == TimestampType)
+    // runtime check shape for dynamic data: typeof()
+    val t = e.select(expr("typeof(value)").as("t")).distinct().as[String].collect()
+    assert(t.toSeq == Seq("double"))
+  }
+
+  test("GraftApp compiles the same app over a streaming input (stateless slice)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    val app =
+      """CREATE STREAM In (a INT);
+        |CREATE STREAM Out (a INT, doubled INT);
+        |INSERT INTO Out SELECT a, a * 2 AS doubled FROM In WHERE a > 5;""".stripMargin
+    val outDf = GraftApp.run(spark, app, Map("In" -> in.toDS().toDF("a")))("Out")
+    assert(outDf.isStreaming)
+    val q = outDf.writeStream.format("memory").queryName("gapp_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(1, 6, 9); q.processAllAvailable()
+      in.addData(7, 2); q.processAllAvailable()
+      val got = spark.table("gapp_stream").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSet
+      assert(got == Set((6, 12), (9, 18), (7, 14)))
+    } finally q.stop()
+  }
+}
