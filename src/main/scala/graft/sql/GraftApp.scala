@@ -33,9 +33,15 @@ object GraftApp {
 
   final case class WindowClause(kind: String, params: Seq[String])
 
+  /** joinType ∈ inner/left_outer/right_outer/full_outer; cond is a Spark
+    * SQL boolean expr over `<source>.<col>` / `<joinStream>.<col>`.
+    */
+  final case class JoinClause(joinType: String, stream: String, cond: String)
+
   final case class QuerySpec(
       target: String, source: String,
       selectItems: Seq[(String, Option[String])], // (expr, alias)
+      join: Option[JoinClause],
       where: Option[String],
       window: Option[WindowClause],
       groupBy: Seq[String],
@@ -143,6 +149,23 @@ object GraftApp {
         body.trim
       }
     }
+    // leading JOIN clause: [INNER|LEFT|RIGHT|FULL [OUTER]] JOIN S ON cond
+    val joinRe = ("(?is)^\\s*(INNER|LEFT|RIGHT|FULL)?(?:\\s+OUTER)?\\s*JOIN\\s+(\\w+)\\s+ON\\s+(.*)$").r
+    var join: Option[JoinClause] = None
+    joinRe.findFirstMatchIn(rest).foreach { m =>
+      val tail = m.group(3)
+      val stopIdx = Seq("WHERE", "GROUP\\s+BY", "HAVING", "ORDER\\s+BY", "LIMIT")
+        .flatMap(n => ("(?is)\\b" + n + "\\b").r.findFirstMatchIn(tail).map(_.start))
+        .minOption.getOrElse(tail.length)
+      val jt = Option(m.group(1)).map(_.toUpperCase) match {
+        case Some("LEFT") => "left_outer"
+        case Some("RIGHT") => "right_outer"
+        case Some("FULL") => "full_outer"
+        case _ => "inner"
+      }
+      join = Some(JoinClause(jt, m.group(2), tail.substring(0, stopIdx).trim))
+      rest = tail.substring(stopIdx)
+    }
     val where = grab("WHERE", Seq("GROUP\\s+BY", "HAVING", "ORDER\\s+BY", "LIMIT"))
     val groupBy = grab("GROUP\\s+BY", Seq("HAVING", "ORDER\\s+BY", "LIMIT"))
       .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
@@ -157,7 +180,7 @@ object GraftApp {
         case e => (e, None)
       }
     }
-    QuerySpec(target, source, items, where, window, groupBy, having, orderBy, limit)
+    QuerySpec(target, source, items, join, where, window, groupBy, having, orderBy, limit)
   }
 
   /** Split a select list on commas that are not inside parentheses/quotes. */
@@ -196,7 +219,15 @@ object GraftApp {
     spec.queries.foreach { q =>
       val src = env.getOrElse(q.source,
         throw SqlError(s"stream '${q.source}' has no bound data"))
-      val out = compileQuery(src, q)
+      // JOIN: both sides aliased by their stream name so ON conditions and
+      // select items can use Stream.col qualified references
+      // (join_input_stream.rs's two-sided naming)
+      val joined = q.join.fold(src) { j =>
+        val right = env.getOrElse(j.stream,
+          throw SqlError(s"stream '${j.stream}' has no bound data"))
+        src.as(q.source).join(right.as(j.stream), expr(j.cond), j.joinType)
+      }
+      val out = compileQuery(joined, q)
       env += q.target -> env.get(q.target).map(_.unionByName(out)).getOrElse(out)
     }
     env

@@ -92,6 +92,27 @@ class GraftAppSpec extends AnyFunSuite {
       Set((2L, 3.0), (1L, 10.0)))
   }
 
+  test("JOIN ON compiles: inner and left outer with qualified refs (examples/join.eventflux shape)") {
+    val app =
+      """CREATE STREAM LeftStream (id INT, val STRING);
+        |CREATE STREAM RightStream (rid INT, category STRING);
+        |CREATE STREAM Out (id INT, val STRING, category STRING);
+        |INSERT INTO Out SELECT LeftStream.id AS id, val, category
+        |FROM LeftStream JOIN RightStream ON LeftStream.id = RightStream.rid
+        |WHERE category != 'x' ORDER BY id;""".stripMargin
+    val l = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "val")
+    val r = Seq((1, "cat1"), (3, "x"), (4, "cat4")).toDF("rid", "category")
+    val out = GraftApp.run(spark, app, Map("LeftStream" -> l, "RightStream" -> r))("Out")
+    assert(out.collect().map(row => (row.getInt(0), row.getString(1), row.getString(2))).toSeq ==
+      Seq((1, "a", "cat1")))
+
+    val appLeft = app.replace("JOIN RightStream", "LEFT JOIN RightStream")
+      .replace("WHERE category != 'x' ", "")
+    val out2 = GraftApp.run(spark, appLeft, Map("LeftStream" -> l, "RightStream" -> r))("Out")
+    assert(out2.collect().map(row => (row.getInt(0), Option(row.getString(2)))).toSeq ==
+      Seq((1, Some("cat1")), (2, None), (3, Some("x"))))
+  }
+
   test("PARTITION WITH folds the key into grouped queries (per-key isolation)") {
     val app =
       """CREATE STREAM S (sym STRING, region STRING, v DOUBLE);
