@@ -49,7 +49,8 @@ object GraftApp {
       orderBy: Seq[String],
       limit: Option[Int])
 
-  final case class AppSpec(streams: Map[String, StreamDef], queries: Seq[QuerySpec])
+  final case class AppSpec(streams: Map[String, StreamDef], queries: Seq[QuerySpec],
+                           patterns: Seq[PatternCompiler.PatternQuery] = Nil)
 
   final case class SqlError(msg: String) extends RuntimeException(msg)
 
@@ -59,6 +60,9 @@ object GraftApp {
     """(?is)\s*CREATE\s+(STREAM|TABLE)\s+(\w+)\s*\((.*?)\)\s*(?:WITH\s*\((.*?)\))?\s*""".r
   private val InsertRe: Regex =
     """(?is)\s*INSERT\s+INTO\s+(\w+)\s+SELECT\s+(.*?)\s+FROM\s+(\w+)\s*(.*)""".r
+  private val PatternInsertRe: Regex =
+    ("""(?is)\s*INSERT\s+INTO\s+(\w+)\s+SELECT\s+(.*?)\s+FROM\s+(PATTERN|SEQUENCE)""" +
+     """\s*\((.*)\)\s*(?:WITHIN\s+(\d+)\s+(\w+))?\s*""").r
   private val WindowRe: Regex =
     """(?is)WINDOW\s*\(\s*'(\w+)'\s*(?:,\s*([^)]*))?\)""".r
 
@@ -89,7 +93,24 @@ object GraftApp {
       .map(s => (s, Option.empty[(String, String)]))
     var streams = Map.empty[String, StreamDef]
     val queries = Seq.newBuilder[QuerySpec]
+    val patterns = Seq.newBuilder[PatternCompiler.PatternQuery]
     (plainStmts.toSeq ++ partitionedStmts).foreach {
+      case (PatternInsertRe(target, select, mode, stepsRaw, withinN, withinUnit), _) =>
+        val (steps, every) = PatternCompiler.parseSteps(stepsRaw)
+        steps.foreach { st =>
+          if (!streams.contains(st.stream))
+            throw SqlError(s"undefined stream/table '${st.stream}' (definition first)")
+        }
+        val items = splitTopLevel(select).map { item =>
+          val asRe = "(?is)^(.*?)\\s+AS\\s+(\\w+)$".r
+          item.trim match {
+            case asRe(e, a) => (e.trim, Some(a))
+            case e => (e, None)
+          }
+        }
+        patterns += PatternCompiler.PatternQuery(target, items,
+          strict = mode.equalsIgnoreCase("SEQUENCE"), every = every, steps = steps,
+          withinUs = PatternCompiler.parseWithin(Option(withinN), Option(withinUnit)))
       case (CreateRe(kind, name, colsRaw, withRaw), _) =>
         val fields = colsRaw.split(",").map(_.trim).filter(_.nonEmpty).map { c =>
           val parts = c.split("\\s+")
@@ -116,7 +137,7 @@ object GraftApp {
       case (other, _) =>
         throw SqlError(s"unsupported statement: ${other.take(60)}")
     }
-    AppSpec(streams, queries.result())
+    AppSpec(streams, queries.result(), patterns.result())
   }
 
   private def parseWith(raw: String): Map[String, String] =
@@ -229,6 +250,10 @@ object GraftApp {
       }
       val out = compileQuery(joined, q)
       env += q.target -> env.get(q.target).map(_.unionByName(out)).getOrElse(out)
+    }
+    spec.patterns.foreach { p =>
+      val out = PatternCompiler.compile(spark, p, env)
+      env += p.target -> env.get(p.target).map(_.unionByName(out)).getOrElse(out)
     }
     env
   }

@@ -26,7 +26,7 @@ object RunApp {
     val inputs = spec.streams.keys.filter(Tables.names.contains)
       .map(n => n -> Tables(spark, sfDir, n)).toMap
     val env = GraftApp.run(spark, appSql, inputs)
-    spec.queries.map(_.target).distinct.foreach { t =>
+    (spec.queries.map(_.target) ++ spec.patterns.map(_.target)).distinct.foreach { t =>
       println(s"===== $t =====")
       env(t).show(20, truncate = false)
     }

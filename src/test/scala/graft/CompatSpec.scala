@@ -1,0 +1,202 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sql.GraftApp
+import graft.streaming._
+import graft.streaming.WindowKernels.EmptyBuffer
+
+/** Golden tests ported from the reference's compatibility corpus
+  * (/root/reference/tests/compatibility/ — the de-facto operator-semantics
+  * spec per SURVEY §5): same app SQL text, same positional inputs, same
+  * expected outputs. Each test cites the reference case it ports. Our
+  * harness runs the app through GraftApp (batch = result after all sends)
+  * or the streaming kernels/CEP NFA where the case exercises window/pattern
+  * event protocols.
+  */
+class CompatSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // -- filters.rs:filter_test1_basic_greater_than (FilterTestCase1.java:filterTest1)
+  test("compat filter_test1: literal > attribute keeps only MSFT") {
+    val app =
+      """CREATE STREAM cseEventStream (symbol STRING, price FLOAT, volume BIGINT);
+        |CREATE STREAM outputStream (symbol STRING, price FLOAT);
+        |INSERT INTO outputStream
+        |SELECT symbol, price FROM cseEventStream WHERE 70.0 > price;""".stripMargin
+    val in = Seq(("IBM", 700.0f, 100L), ("MSFT", 60.5f, 200L))
+      .toDF("symbol", "price", "volume")
+    val out = GraftApp.run(spark, app, Map("cseEventStream" -> in))("outputStream")
+    val rows = out.collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(0) == "MSFT")
+    assert(rows(0).getFloat(1) == 60.5f)
+  }
+
+  // -- filters.rs:filter_test8_string_equality
+  test("compat filter_test8: string equality") {
+    val app =
+      """CREATE STREAM cseEventStream (symbol STRING, price FLOAT, volume BIGINT);
+        |CREATE STREAM outputStream (symbol STRING, price FLOAT);
+        |INSERT INTO outputStream
+        |SELECT symbol, price FROM cseEventStream WHERE symbol = 'IBM';""".stripMargin
+    val in = Seq(("IBM", 700.0f, 100L), ("MSFT", 60.5f, 200L), ("IBM", 710.0f, 300L))
+      .toDF("symbol", "price", "volume")
+    val out = GraftApp.run(spark, app, Map("cseEventStream" -> in))("outputStream")
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("IBM", "IBM"))
+  }
+
+  // -- filters.rs:filter_test10_and_operator
+  test("compat filter_test10: AND of two predicates") {
+    val app =
+      """CREATE STREAM cseEventStream (symbol STRING, price FLOAT, volume BIGINT);
+        |CREATE STREAM outputStream (symbol STRING);
+        |INSERT INTO outputStream
+        |SELECT symbol FROM cseEventStream WHERE price > 100.0 AND volume < 250;""".stripMargin
+    val in = Seq(("A", 150.0f, 100L), ("B", 50.0f, 100L), ("C", 150.0f, 300L))
+      .toDF("symbol", "price", "volume")
+    val out = GraftApp.run(spark, app, Map("cseEventStream" -> in))("outputStream")
+    assert(out.as[String].collect().toSeq == Seq("A"))
+  }
+
+  // -- windows.rs:length_window_test1_fewer_events_than_window
+  //    (LengthWindowTestCase.java:lengthWindowTest1)
+  test("compat lengthWindowTest1: fewer events than window pass through in order") {
+    val events = Seq(
+      WinEvent("k", 1L, 0L, 700.0),  // IBM
+      WinEvent("k", 2L, 1L, 60.5))   // MSFT
+    val (out, _) = WindowKernels.length(events, EmptyBuffer, n = 4)
+    assert(out.length == 2)                       // two Current events, no eviction
+    assert(out.forall(_.op == 1))
+    assert(out.map(_.value) == Seq(700.0, 60.5))  // arrival order preserved
+  }
+
+  // -- windows.rs:length_window_test2_more_events_than_window
+  test("compat lengthWindowTest2: six events through a length-4 window") {
+    val events = (1 to 6).map(i => WinEvent("k", i.toLong, i.toLong, 700.0))
+    val (out, buf) = WindowKernels.length(events, EmptyBuffer, n = 4)
+    assert(out.count(_.op == 1) == 6)   // every event emitted as Current
+    assert(out.count(_.op == -1) == 2)  // two oldest evicted as Expired
+    assert(buf.events.map(_.eventId) == Seq(3L, 4L, 5L, 6L))
+  }
+
+  // -- windows.rs:length_window_test4_aggregation_functions: the
+  //    incremental max/min over the window content after each arrival
+  test("compat lengthWindowTest4: window-state aggregation after each event") {
+    val events = Seq(WinEvent("k", 1L, 1L, 100.0), WinEvent("k", 2L, 2L, 200.0))
+    val (out, buf) = WindowKernels.length(events, EmptyBuffer, n = 4)
+    val windowContent = buf.events.map(_.value)
+    assert(windowContent.max == 200.0) // maxp
+    assert(windowContent.min == 100.0) // minp
+    assert(out.map(o => o.value * o.op).sum == 300.0) // sum via changelog
+  }
+
+  // -- aggregations.rs:group_by_test2_having (via the SQL surface)
+  test("compat group_by_test2: HAVING filters groups") {
+    val app =
+      """CREATE STREAM S (symbol STRING, price DOUBLE);
+        |CREATE STREAM Out (symbol STRING, total DOUBLE);
+        |INSERT INTO Out SELECT symbol, sum(price) AS total FROM S
+        |GROUP BY symbol HAVING sum(price) > 150.0 ORDER BY symbol;""".stripMargin
+    val in = Seq(("IBM", 100.0), ("IBM", 100.0), ("MSFT", 60.0))
+      .toDF("symbol", "price")
+    val out = GraftApp.run(spark, app, Map("S" -> in))("Out")
+    assert(out.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("IBM", 200.0)))
+  }
+
+  // -- patterns.rs:pattern_test1_simple_followedby, through the FULL SQL
+  //    surface (FROM PATTERN clause → NFA lowering)
+  test("compat pattern_test1 via SQL: FROM PATTERN (e1=Stream1 -> e2=Stream2)") {
+    val app =
+      """CREATE STREAM Stream1 (ts TIMESTAMP, symbol STRING, price FLOAT, volume INT);
+        |CREATE STREAM Stream2 (ts TIMESTAMP, symbol STRING, price FLOAT, volume INT);
+        |CREATE STREAM OutputStream (symbol1 STRING, symbol2 STRING);
+        |INSERT INTO OutputStream
+        |SELECT e1.symbol AS symbol1, e2.symbol AS symbol2
+        |FROM PATTERN (e1=Stream1 -> e2=Stream2);""".stripMargin
+    val s1 = Seq(("2024-01-01 00:00:01", "MSFT", 55.6f, 100)).toDF("ts_s", "symbol", "price", "volume")
+      .selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "symbol", "price", "volume")
+    val s2 = Seq(("2024-01-01 00:00:02", "IBM", 55.7f, 100)).toDF("ts_s", "symbol", "price", "volume")
+      .selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "symbol", "price", "volume")
+    val out = GraftApp.run(spark, app, Map("Stream1" -> s1, "Stream2" -> s2))("OutputStream")
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("MSFT", "IBM")))
+  }
+
+  // -- patterns.rs:pattern_test2_with_filter via SQL: step predicate gates
+  test("compat pattern_test2 via SQL: step filter [price > 20.0]") {
+    val app =
+      """CREATE STREAM Stream1 (ts TIMESTAMP, symbol STRING, price FLOAT);
+        |CREATE STREAM Stream2 (ts TIMESTAMP, symbol STRING, price FLOAT);
+        |CREATE STREAM OutputStream (symbol1 STRING, symbol2 STRING);
+        |INSERT INTO OutputStream
+        |SELECT e1.symbol AS symbol1, e2.symbol AS symbol2
+        |FROM PATTERN (e1=Stream1[price > 20.0] -> e2=Stream2) WITHIN 60 SECONDS;""".stripMargin
+    def mk(ts: String, sym: String, p: Float) =
+      Seq((ts, sym, p)).toDF("ts_s", "symbol", "price")
+        .selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "symbol", "price")
+    // matching: price 55.6 > 20
+    val hit = GraftApp.run(spark, app, Map(
+      "Stream1" -> mk("2024-01-01 00:00:01", "MSFT", 55.6f),
+      "Stream2" -> mk("2024-01-01 00:00:02", "IBM", 55.7f)))("OutputStream")
+    assert(hit.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("MSFT", "IBM")))
+    // below-filter first event → no match
+    val miss = GraftApp.run(spark, app, Map(
+      "Stream1" -> mk("2024-01-01 00:00:01", "MSFT", 10.0f),
+      "Stream2" -> mk("2024-01-01 00:00:02", "IBM", 55.7f)))("OutputStream")
+    assert(miss.count() == 0)
+    // WITHIN exceeded → no match
+    val late = GraftApp.run(spark, app, Map(
+      "Stream1" -> mk("2024-01-01 00:00:01", "MSFT", 55.6f),
+      "Stream2" -> mk("2024-01-01 00:05:00", "IBM", 55.7f)))("OutputStream")
+    assert(late.count() == 0)
+  }
+
+  // -- patterns.rs:pattern_test1_simple_followedby
+  //    (PatternTestCase / e1=Stream1 -> e2=Stream2): two streams fan into
+  //    one NFA input with the stream tag as etype, exactly the reference's
+  //    junction wiring
+  test("compat pattern_test1: simple followed-by across two streams") {
+    val events = Seq(
+      CepEvent("app", 1L, 1L, "Stream1", 55.6),  // MSFT
+      CepEvent("app", 2L, 2L, "Stream2", 55.7))  // IBM
+    val spec = PatternSpec(
+      Seq(Step.simple("e1")(_.etype == "Stream1"),
+          Step.simple("e2")(_.etype == "Stream2")),
+      strict = false, every = true, withinUs = None)
+    val matches = Cep.runNfa(events, NfaState(Nil, done = false), spec)._1
+    assert(matches.length == 1)
+    assert(matches.head.steps.map(_.events.head.value) == Seq(55.6, 55.7))
+  }
+
+  // -- patterns.rs:pattern_test2_with_filter (EveryPatternTestCase.java:
+  //    testQuery1): e1=Stream1[price > 20] -> e2=Stream2
+  test("compat pattern_test2: step filter gates the first step") {
+    val spec = PatternSpec(
+      Seq(Step.simple("e1")(e => e.etype == "Stream1" && e.value > 20.0),
+          Step.simple("e2")(_.etype == "Stream2")),
+      strict = false, every = true, withinUs = None)
+    // matching first event
+    val hit = Cep.runNfa(Seq(
+      CepEvent("app", 1L, 1L, "Stream1", 55.6),
+      CepEvent("app", 2L, 2L, "Stream2", 55.7)),
+      NfaState(Nil, done = false), spec)._1
+    assert(hit.length == 1)
+    // below-filter first event → no match
+    val miss = Cep.runNfa(Seq(
+      CepEvent("app", 1L, 1L, "Stream1", 10.0),
+      CepEvent("app", 2L, 2L, "Stream2", 55.7)),
+      NfaState(Nil, done = false), spec)._1
+    assert(miss.isEmpty)
+  }
+}
