@@ -63,7 +63,7 @@ object Multimodal {
       it.map { r =>
         val meta = decoder.decode(r.getAs[Array[Byte]](binIdx))
         Row.fromSeq(r.toSeq ++ Seq(meta.width, meta.height, meta.nFrames, meta.format))
-      }
+      } ++ { decoder.close(); Iterator.empty } // close after exhaustion (++ is lazy)
     }(Encoders.row(outSchema))
   }
 }

@@ -158,6 +158,46 @@ object AggQueries extends QueryFamily {
              |FROM lineitem GROUP BY l_suppkey
              |HAVING round(sum(l_quantity), 2) > 100.0 ORDER BY l_suppkey""".stripMargin)),
 
+    // ROLLUP grouping sets — explicitly rejected by the reference
+    // (converter.rs:314-321); free under Catalyst. Subtotal rows surface
+    // NULL keys → coalesced to a sentinel for stable cross-engine compare.
+    QueryDef(
+      "q_agg_rollup",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        li.rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("sum_qty"), col("n"))
+          .orderBy(col("rf"), col("ls"))
+      },
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             |  coalesce(l_linestatus, 'ALL') AS ls,
+             |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin)),
+
+    // Median / percentiles — exact median both engines (linear interp on
+    // even counts), quantized to dodge interpolation ulps.
+    QueryDef(
+      "q_agg_median",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        e.groupBy(col("event_type"))
+          .agg(
+            round(median(col("value")), 4).as("med"),
+            round(min(col("value")), 4).as("lo"),
+            round(max(col("value")), 4).as("hi"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             |  round(median(value), 4) AS med,
+             |  round(min(value), 4) AS lo,
+             |  round(max(value), 4) AS hi
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Multi-key GROUP BY — reference builds a composite string key per event
     // (group_by_key_generator.rs:9-38); Spark hashes native key columns, no
     // string materialization.

@@ -119,6 +119,33 @@ object CepQueries extends QueryFamily {
              |GROUP BY s.user_id, s.s_id
              |ORDER BY 1, 2""".stripMargin)),
 
+    // Absent pattern: `error NOT followed by purchase WITHIN 2h` — a
+    // reference roadmap item (MILESTONES.md:121,126-133, unimplemented
+    // there). Result-level form: time-bounded anti-join per key; the
+    // streaming form is an EventTimeTimeout flush in the NFA (round-2).
+    QueryDef(
+      "q_cep_absent",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        val errs = e.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("e1_id"), col("ts").as("e1_ts"))
+        val purch = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+        errs.join(purch,
+            errs("user_id") === purch("user_id") &&
+            col("p_id") > col("e1_id") &&
+            col("p_ts") <= col("e1_ts") + expr("INTERVAL 2 HOURS"), "left_anti")
+          .select(col("user_id"), col("e1_id"))
+          .orderBy(col("user_id"), col("e1_id"))
+      },
+      Some("""SELECT user_id, event_id AS e1_id FROM events a
+             |WHERE event_type = 'error' AND NOT EXISTS (
+             |  SELECT 1 FROM events b
+             |  WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+             |    AND b.event_id > a.event_id
+             |    AND b.ts <= a.ts + INTERVAL 2 HOUR)
+             |ORDER BY user_id, e1_id""".stripMargin)),
+
     // Cross-step reference (e2.value > 2 * e1.value) — the StateEvent
     // access pattern; relaxed, within 2h.
     QueryDef(

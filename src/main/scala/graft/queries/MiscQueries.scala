@@ -98,6 +98,28 @@ object MiscQueries extends QueryFamily {
       Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // Distribution analytics: ntile/percent_rank/cume_dist over a key.
+    QueryDef(
+      "q_rank_dist",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders").filter(col("o_custkey") <= 100)
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        o.select(
+            col("o_custkey"), col("o_orderkey"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  ntile(4) OVER w AS quartile,
+             |  round(percent_rank() OVER w, 6) AS pr,
+             |  round(cume_dist() OVER w, 6) AS cd
+             |FROM orders WHERE o_custkey <= 100
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // Analytic functions: per-key rank/row_number/lag/lead — the batch
     // counterpart of the reference's sort window (§2.5) and the kernel for
     // per-key top-k at scale (single shuffle on the partition key).
