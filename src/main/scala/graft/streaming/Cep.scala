@@ -146,6 +146,42 @@ object Cep {
         out.iterator
     }
 
+  /** Streaming detection with watermark-driven state hygiene: partials of
+    * idle keys are dropped once the event-time watermark passes their
+    * WITHIN deadline (GroupStateTimeout.EventTimeTimeout) — without this,
+    * a key that stops sending events retains its partial matches forever
+    * (the reference needs its TimerWheel for exactly this,
+    * timers/timer_wheel.rs). Requires withinUs; watermarkDelay bounds
+    * out-of-orderness.
+    */
+  def detectStreamWithTimeout(ds: Dataset[CepEvent], spec: PatternSpec,
+                              watermarkDelay: String): Dataset[CepMatch] = {
+    val withinUs = spec.withinUs.getOrElse(
+      throw new IllegalArgumentException("detectStreamWithTimeout requires withinUs"))
+    val withTime = ds.toDF()
+      .withColumn("eventTime", timestamp_micros(col("tsUs")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[CepEvent](evEnc)
+    withTime.groupByKey(_.key).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (_: String, it: Iterator[CepEvent], state: GroupState[NfaState]) =>
+        if (state.hasTimedOut) {
+          // watermark passed every live partial's deadline → clear
+          state.remove()
+          Iterator.empty
+        } else {
+          val events = it.toSeq.sortBy(e => (e.tsUs, e.eventId))
+          val (out, next) = runNfa(events,
+            state.getOption.getOrElse(NfaState(Nil, done = false)), spec)
+          state.update(next)
+          // schedule cleanup at the latest live deadline (event-time ms)
+          val deadlines = next.partials.map(p => (p.startUs + withinUs) / 1000L)
+          if (deadlines.nonEmpty) state.setTimeoutTimestamp(deadlines.max)
+          out.iterator
+        }
+    }
+  }
+
   /** Adapt the `events` table (or an equivalently-shaped stream) to
     * [[CepEvent]]: key = user_id, event time in micros.
     */

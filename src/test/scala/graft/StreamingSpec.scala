@@ -130,6 +130,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CEP event-time timeout clears idle-key partials once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[CepEvent]
+    val spec = PatternSpec(
+      Seq(Step.simple("a")(_.etype == "A"), Step.simple("b")(_.etype == "B")),
+      strict = false, every = true, withinUs = Some(10000000L)) // 10s
+    val q = Cep.detectStreamWithTimeout(in.toDS(), spec, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("cep_to_sink").outputMode("append").start()
+    def e(key: String, id: Long, t: String, tsUs: Long) = CepEvent(key, tsUs, id, t, 0.0)
+    try {
+      in.addData(Seq(e("u1", 1, "A", 0L)));             q.processAllAvailable()
+      // other-key event advances the watermark far past u1's 10s deadline;
+      // the following batch fires u1's EventTimeTimeout and clears state
+      in.addData(Seq(e("u2", 2, "A", 100000000L)));     q.processAllAvailable()
+      in.addData(Seq(e("u2", 3, "X", 101000000L)));     q.processAllAvailable()
+      // B for u1 inside WITHIN by data time, but the partial is gone
+      in.addData(Seq(e("u1", 4, "B", 5000000L)));       q.processAllAvailable()
+      assert(spark.table("cep_to_sink").count() == 0)
+    } finally q.stop()
+
+    // control: plain detectStream (no timeout) would have matched
+    val control = Cep.runNfa(
+      Seq(e("u1", 1, "A", 0L), e("u1", 4, "B", 5000000L)),
+      NfaState(Nil, done = false), spec)._1
+    assert(control.length == 1)
+  }
+
   test("CEP strict vs relaxed on the same input") {
     val events = Seq(
       CepEvent("u", 0L, 1, "A", 1), CepEvent("u", 1L, 2, "X", 2),
