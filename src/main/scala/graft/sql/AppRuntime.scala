@@ -1,0 +1,61 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** WITH-clause connector auto-attach (SURVEY §2.1; reference
+  * auto_attach_from_sql_definitions, eventflux_app_runtime.rs:996-1040):
+  * streams declared `WITH ('type'='source', 'format'=…, …)` become
+  * readStream sources; `WITH ('type'='sink', 'format'=…, …)` targets get a
+  * writeStream started on the compiled pipeline. Remaining namespaced
+  * options pass through to the connector verbatim.
+  *
+  * This makes a fully-declared EventFlux-SQL app runnable end to end with
+  * no host code: sources → queries → sinks.
+  */
+object AppRuntime {
+
+  private val Reserved = Set("type", "format", "path")
+
+  /** Build source DataFrames for every WITH('type'='source') stream. */
+  def bindSources(spark: SparkSession, spec: GraftApp.AppSpec): Map[String, DataFrame] =
+    spec.streams.collect {
+      case (name, sd) if sd.options.get("type").contains("source") =>
+        val fmt = sd.options.getOrElse("format",
+          throw GraftApp.SqlError(s"source '$name' needs a 'format' option"))
+        var reader = spark.readStream.format(fmt)
+        sd.options.filterNot(kv => Reserved.contains(kv._1))
+          .foreach { case (k, v) => reader = reader.option(k, v) }
+        val df = (fmt, sd.options.get("path")) match {
+          case ("rate", _) => reader.load() // fixed (timestamp, value) schema
+          case (_, Some(p)) => reader.schema(sd.schema).load(p)
+          case _ => reader.schema(sd.schema).load()
+        }
+        name -> df
+    }
+
+  /** Start a writeStream for every WITH('type'='sink') stream that a query
+    * targets; returns the running queries (caller awaits/stops).
+    */
+  def startSinks(spec: GraftApp.AppSpec, env: Map[String, DataFrame]): Seq[StreamingQuery] =
+    spec.streams.toSeq.collect {
+      case (name, sd) if sd.options.get("type").contains("sink") && env.contains(name) =>
+        val fmt = sd.options.getOrElse("format", "console")
+        var writer = env(name).writeStream.format(fmt)
+          .outputMode(sd.options.getOrElse("outputMode", "append"))
+          .queryName(name)
+        sd.options.filterNot(kv => Reserved.contains(kv._1) || kv._1 == "outputMode")
+          .foreach { case (k, v) => writer = writer.option(k, v) }
+        writer.start()
+    }
+
+  /** Run a fully-declared app: auto-attach sources, compile queries,
+    * start sinks.
+    */
+  def start(spark: SparkSession, appSql: String,
+            extraInputs: Map[String, DataFrame] = Map.empty): Seq[StreamingQuery] = {
+    val spec = GraftApp.parse(appSql)
+    val env = GraftApp.run(spark, appSql, bindSources(spark, spec) ++ extraInputs)
+    startSinks(spec, env)
+  }
+}

@@ -113,6 +113,30 @@ class CompatSpec extends AnyFunSuite {
       Seq(("IBM", 200.0)))
   }
 
+  // -- aggregations.rs:aggregation_test_min_max
+  test("compat aggregation_test_min_max") {
+    val app =
+      """CREATE STREAM S (symbol STRING, price DOUBLE);
+        |CREATE STREAM Out (minp DOUBLE, maxp DOUBLE);
+        |INSERT INTO Out SELECT min(price) AS minp, max(price) AS maxp FROM S;""".stripMargin
+    val in = Seq(("A", 55.6), ("B", 70.6), ("C", 23.5)).toDF("symbol", "price")
+    val out = GraftApp.run(spark, app, Map("S" -> in))("Out")
+    assert(out.collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq ==
+      Seq((23.5, 70.6)))
+  }
+
+  // -- aggregations.rs:order_by_limit_test1
+  test("compat order_by_limit_test1: top-2 by price desc") {
+    val app =
+      """CREATE STREAM S (symbol STRING, price DOUBLE);
+        |CREATE STREAM Out (symbol STRING, price DOUBLE);
+        |INSERT INTO Out SELECT symbol, price FROM S ORDER BY price DESC LIMIT 2;""".stripMargin
+    val in = Seq(("A", 10.0), ("B", 30.0), ("C", 20.0), ("D", 5.0)).toDF("symbol", "price")
+    val out = GraftApp.run(spark, app, Map("S" -> in))("Out")
+    assert(out.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("B", 30.0), ("C", 20.0)))
+  }
+
   // -- patterns.rs:pattern_test1_simple_followedby, through the FULL SQL
   //    surface (FROM PATTERN clause → NFA lowering)
   test("compat pattern_test1 via SQL: FROM PATTERN (e1=Stream1 -> e2=Stream2)") {

@@ -47,6 +47,30 @@ class MiscFnSpec extends AnyFunSuite {
     assert(t.toSeq == Seq("double"))
   }
 
+  test("fully-declared app: WITH source/sink auto-attach runs end to end") {
+    // reference auto_attach (eventflux_app_runtime.rs:996-1040): rate
+    // source → filter → memory sink, zero host wiring
+    val app =
+      """CREATE STREAM Ticks (timestamp TIMESTAMP, value BIGINT)
+        |  WITH ('type' = 'source', 'format' = 'rate', 'rowsPerSecond' = '50');
+        |CREATE STREAM Evens (value BIGINT)
+        |  WITH ('type' = 'sink', 'format' = 'memory');
+        |INSERT INTO Evens SELECT value FROM Ticks WHERE value % 2 = 0;""".stripMargin
+    val queries = graft.sql.AppRuntime.start(spark, app)
+    try {
+      assert(queries.length == 1)
+      var n = 0L
+      val deadline = System.currentTimeMillis() + 20000
+      while (n < 3 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        n = spark.table("Evens").count()
+      }
+      assert(n >= 3, s"sink received only $n rows")
+      val vals = spark.table("Evens").as[Long].collect()
+      assert(vals.forall(_ % 2 == 0))
+    } finally queries.foreach(_.stop())
+  }
+
   test("GraftApp compiles the same app over a streaming input (stateless slice)") {
     implicit val sqlCtx = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
