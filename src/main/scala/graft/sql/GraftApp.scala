@@ -266,16 +266,29 @@ object GraftApp {
     df =
       if (q.groupBy.nonEmpty) {
         val groupSet = q.groupBy.map(_.trim.toLowerCase).toSet
-        val (groupItems, aggItems) = q.selectItems.partition {
+        val (_, aggItems) = q.selectItems.partition {
           case (e, _) => groupSet.contains(e.trim.toLowerCase)
         }
+        // expression group keys (year(ts), window, …) are materialized as
+        // columns first, so they can be re-referenced after aggregation
+        var pre = df
+        val keyCol: Map[String, String] = q.groupBy.map(_.trim).zipWithIndex.map {
+          case (k, i) =>
+            if (k.matches("\\w+")) k.toLowerCase -> k
+            else {
+              val n = s"__gk$i"
+              pre = pre.withColumn(n, expr(k))
+              k.toLowerCase -> n
+            }
+        }.toMap
+        val keyCols = q.groupBy.map(k => col(keyCol(k.trim.toLowerCase)))
         if (aggItems.isEmpty) {
-          df.select(q.groupBy.map(expr): _*).distinct()
+          pre.select(keyCols: _*).distinct()
         } else {
           // aggregates aliased up front; grouping columns are retained by
           // Spark and re-projected below in declared select order
           val aggCols = aggItems.map { case (e, a) => expr(e).as(a.getOrElse(e)) }
-          var out = df.groupBy(q.groupBy.map(expr): _*)
+          val out = pre.groupBy(keyCols: _*)
             .agg(aggCols.head, aggCols.tail: _*)
           // HAVING may reference aggregate expressions — rewrite them to
           // their output aliases (per-group post-filter semantics,
@@ -285,8 +298,10 @@ object GraftApp {
               acc.replace(e, a.getOrElse(e)) }
           }
           val finalCols = q.selectItems.map { case (e, a) =>
-            if (groupSet.contains(e.trim.toLowerCase)) expr(e).as(a.getOrElse(e))
-            else col(a.getOrElse(e))
+            keyCol.get(e.trim.toLowerCase) match {
+              case Some(n) => col(n).as(a.getOrElse(if (n.startsWith("__gk")) "gk" else e))
+              case None => col(a.getOrElse(e))
+            }
           }
           out.select(finalCols: _*)
         }

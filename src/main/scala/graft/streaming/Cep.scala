@@ -58,16 +58,25 @@ object Step {
     Step(name, 1, 1, p)
 }
 
+/** withinEvents: count-bounded WITHIN — a partial expires once more than n
+  * events (of its key) have arrived since it was seeded. The reference
+  * parses but blocks `WITHIN n EVENTS` at conversion; the NFA supports it
+  * directly.
+  */
 final case class PatternSpec(
     steps: Seq[Step],
     strict: Boolean = false,
     every: Boolean = true,
     withinUs: Option[Long] = None,
+    withinEvents: Option[Long] = None,
     maxPartials: Int = 512)
 
-/** Serializable NFA state (data only — predicates live in the spec). */
-final case class Partial(stepIdx: Int, startUs: Long, collected: Seq[Seq[CepEvent]])
-final case class NfaState(partials: Seq[Partial], done: Boolean)
+/** Serializable NFA state (data only — predicates live in the spec).
+  * startSeq = per-key event ordinal at seed time (for withinEvents).
+  */
+final case class Partial(stepIdx: Int, startUs: Long, startSeq: Long,
+                         collected: Seq[Seq[CepEvent]])
+final case class NfaState(partials: Seq[Partial], done: Boolean, seq: Long = 0L)
 
 object Cep {
 
@@ -82,15 +91,20 @@ object Cep {
     val nSteps = spec.steps.size
     var partials: Vector[Partial] = init.partials.toVector
     var done = init.done
+    var seq = init.seq
     val matches = Seq.newBuilder[CepMatch]
 
     events.foreach { e =>
+      seq += 1
       if (!(done && !spec.every)) {
-        // WITHIN expiry by event time
+        // WITHIN expiry by event time and/or event count
         spec.withinUs.foreach { w =>
           partials = partials.filter(p => e.tsUs - p.startUs <= w)
         }
-        val seed = Partial(0, e.tsUs, Vector.fill(nSteps)(Vector.empty))
+        spec.withinEvents.foreach { n =>
+          partials = partials.filter(p => seq - p.startSeq <= n)
+        }
+        val seed = Partial(0, e.tsUs, seq, Vector.fill(nSteps)(Vector.empty))
         val next = Vector.newBuilder[Partial]
         var matchedNow = false
 
@@ -107,7 +121,7 @@ object Cep {
                   spec.steps.map(_.name).zip(coll2).map { case (n, es) => Collected(n, es) })
                 matchedNow = true
               } else {
-                next += Partial(p.stepIdx + 1, p.startUs, coll2) // advance
+                next += Partial(p.stepIdx + 1, p.startUs, p.startSeq, coll2) // advance
               }
             }
           } else if (!spec.strict) {
@@ -122,7 +136,7 @@ object Cep {
         if (matchedNow && !spec.every) { done = true; partials = Vector.empty }
       }
     }
-    (matches.result(), NfaState(partials, done))
+    (matches.result(), NfaState(partials, done, seq))
   }
 
   /** Batch detection: per-key sort then one NFA pass. */

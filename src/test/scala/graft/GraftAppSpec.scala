@@ -128,6 +128,20 @@ class GraftAppSpec extends AnyFunSuite {
     assert(got == Set(("eu", "a", 5.0), ("us", "a", 2.0), ("us", "b", 8.0)))
   }
 
+  test("expression GROUP BY keys (year(ts)) compile") {
+    val app =
+      """CREATE STREAM S (ts TIMESTAMP, v DOUBLE);
+        |CREATE STREAM Out (y BIGINT, total DOUBLE);
+        |INSERT INTO Out SELECT year(ts) AS y, sum(v) AS total FROM S
+        |GROUP BY year(ts) ORDER BY y;""".stripMargin
+    val in = Seq(("2023-05-01 00:00:00", 1.0), ("2023-06-01 00:00:00", 2.0),
+      ("2024-01-01 00:00:00", 4.0)).toDF("ts_s", "v")
+      .selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "v")
+    val out = GraftApp.run(spark, app, Map("S" -> in))("Out")
+    assert(out.collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq ==
+      Seq((2023, 3.0), (2024, 4.0)))
+  }
+
   test("undeclared type and bad input schema produce typed errors") {
     val bad = "CREATE STREAM X (a WIBBLE);"
     assert(intercept[GraftApp.SqlError](GraftApp.parse(bad)).getMessage.contains("unknown type"))

@@ -184,6 +184,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(once.length == 1)
   }
 
+  test("CEP WITHIN n EVENTS: count-bounded partial expiry") {
+    // A then B, but B must arrive within 2 subsequent events of the A
+    val spec = PatternSpec(
+      Seq(Step.simple("a")(_.etype == "A"), Step.simple("b")(_.etype == "B")),
+      strict = false, every = true, withinEvents = Some(2L))
+    def mk(types: String*): Seq[CepEvent] = types.zipWithIndex.map {
+      case (t, i) => CepEvent("u", i.toLong, i.toLong, t, 0.0) }
+    // B is the 2nd event after A → within bound
+    assert(Cep.runNfa(mk("A", "X", "B"), NfaState(Nil, done = false), spec)._1.length == 1)
+    // B is the 3rd event after A → expired
+    assert(Cep.runNfa(mk("A", "X", "X", "B"), NfaState(Nil, done = false), spec)._1.isEmpty)
+  }
+
   test("CEP count quantifier collects e1[0..2] and supports collection aggregation") {
     val events = Seq(
       CepEvent("u", 1L, 1, "E", 10), CepEvent("u", 2L, 2, "E", 20),
