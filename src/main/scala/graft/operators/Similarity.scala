@@ -76,19 +76,28 @@ object Similarity {
     df.withColumn("lsh_bucket", bucket)
   }
 
-  /** ANN top-k: probe only same-bucket candidates, then exact cosine rank.
-    * Trades recall for a corpus-linear candidate step; bucket width
-    * (numPlanes) tunes the tradeoff.
+  /** ANN top-k: probe same-bucket candidates plus, with multiProbe, every
+    * bucket at Hamming distance 1 from the query's bucket (flip each sign
+    * bit once) — the standard multi-probe LSH recall fix for near-boundary
+    * vectors. Candidate step stays corpus-linear; the query side (small,
+    * broadcast) carries the probe expansion.
     */
   def annTopK(queries: DataFrame, corpus: DataFrame,
               qIdCol: String, cIdCol: String, vecCol: String,
-              k: Int, numPlanes: Int, dim: Int): DataFrame = {
-    val q = lshBucket(queries, vecCol, numPlanes, dim)
+              k: Int, numPlanes: Int, dim: Int,
+              multiProbe: Boolean = true): DataFrame = {
+    val qBase = lshBucket(queries, vecCol, numPlanes, dim)
       .select(col(qIdCol).as("q_id"), col(vecCol).as("q_vec"), col("lsh_bucket"))
+    val q =
+      if (!multiProbe) qBase
+      else qBase.withColumn("lsh_bucket",
+          explode(array((lit(0L) +: (0 until numPlanes).map(p => lit(1L << p)))
+            .map(m => col("lsh_bucket").bitwiseXOR(m)): _*)))
     val c = lshBucket(corpus, vecCol, numPlanes, dim)
       .select(col(cIdCol).as("c_id"), col(vecCol).as("c_vec"), col("lsh_bucket"))
     val scored = c.join(broadcast(q), Seq("lsh_bucket"))
       .withColumn("sim", VectorFns.cosine(col("q_vec"), col("c_vec")))
+      .dropDuplicates("q_id", "c_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)

@@ -204,6 +204,23 @@ object GraftApp {
     QuerySpec(target, source, items, join, where, window, groupBy, having, orderBy, limit)
   }
 
+  /** Parse a simple duration literal ("10 seconds", "1 hour") to micros. */
+  private def parseDurationUs(s: String): Long = {
+    val m = """(?i)\s*(\d+)\s*(millisecond|second|minute|hour|day)s?\s*""".r
+    s.trim match {
+      case m(n, unit) =>
+        val mult = unit.toLowerCase match {
+          case "millisecond" => 1000L
+          case "second" => 1000000L
+          case "minute" => 60000000L
+          case "hour" => 3600000000L
+          case "day" => 86400000000L
+        }
+        n.toLong * mult
+      case other => throw SqlError(s"bad duration '$other'")
+    }
+  }
+
   /** Split a select list on commas that are not inside parentheses/quotes. */
   private def splitTopLevel(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
@@ -261,6 +278,34 @@ object GraftApp {
   private def compileQuery(src: DataFrame, q: QuerySpec): DataFrame = {
     var df = src
     q.where.foreach(w => df = df.filter(expr(w)))
+    // per-event windows (length/time): aggregates become frame window
+    // functions emitting one row per event — the reference's per-arrival
+    // window-state output (window/mod.rs:63-644). Handled before the
+    // grouped path since there is no GROUP BY here.
+    q.window.filter(w => Set("length", "time").contains(w.kind)).foreach { w =>
+      if (!df.columns.contains("ts"))
+        throw SqlError(s"window('${w.kind}') needs a 'ts' TIMESTAMP column for event order")
+      val frame = w.kind match {
+        case "length" =>
+          val n = w.params.last.trim.toInt
+          s"ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW"
+        case "time" =>
+          val us = parseDurationUs(w.params.last)
+          s"RANGE BETWEEN $us PRECEDING AND CURRENT ROW"
+      }
+      val over = s"OVER (ORDER BY unix_micros(ts) $frame)"
+      val items = q.selectItems.map { case (e, a) =>
+        // aggregate items become frame-windowed; plain columns pass through
+        val isAgg = "(?i)^(sum|avg|count|min|max|stddev|stddev_pop|first|last)\\s*\\(".r
+          .findFirstIn(e.trim).isDefined
+        (if (isAgg) s"${e.trim} $over" else e, a)
+      }
+      val cols = items.map {
+        case (e, Some(a)) => expr(e).as(a)
+        case (e, None) => expr(e)
+      }
+      return df.select(cols: _*)
+    }
     q.window.foreach { w => df = applyWindow(df, w) }
     var having = q.having
     df =
@@ -347,6 +392,7 @@ object GraftApp {
       df.withColumn("window", session_window(col(ts), gap))
     case other =>
       throw SqlError(s"window '$other' is a streaming kernel " +
-        "(graft.streaming.Windows); not available in the batch SQL surface")
+        "(graft.streaming.Windows); in the batch SQL surface 'length'/'time' " +
+        "lower to per-event frames, others need the Scala API")
   }
 }

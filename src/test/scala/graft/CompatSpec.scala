@@ -113,6 +113,24 @@ class CompatSpec extends AnyFunSuite {
       Seq(("IBM", 200.0)))
   }
 
+  // -- windows.rs:length_window_test4_aggregation_functions via the SQL
+  //    surface: WINDOW('length', 4) + aggregates → per-event window state
+  test("compat lengthWindowTest4 via SQL: per-event aggregates over WINDOW('length', 4)") {
+    val app =
+      """CREATE STREAM cseEventStream (ts TIMESTAMP, symbol STRING, price DOUBLE);
+        |CREATE STREAM outputStream (maxp DOUBLE, minp DOUBLE, sump DOUBLE);
+        |INSERT INTO outputStream
+        |SELECT max(price) AS maxp, min(price) AS minp, sum(price) AS sump
+        |FROM cseEventStream WINDOW('length', 4);""".stripMargin
+    val in = Seq(("2024-01-01 00:00:01", "IBM", 100.0), ("2024-01-01 00:00:02", "IBM", 200.0))
+      .toDF("ts_s", "symbol", "price")
+      .selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "symbol", "price")
+    val out = GraftApp.run(spark, app, Map("cseEventStream" -> in))("outputStream")
+    val rows = out.orderBy("sump").collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    // per-arrival emissions: after IBM@100 → (100,100,100); after IBM@200 → (200,100,300)
+    assert(rows.toSeq == Seq((100.0, 100.0, 100.0), (200.0, 100.0, 300.0)))
+  }
+
   // -- aggregations.rs:aggregation_test_min_max
   test("compat aggregation_test_min_max") {
     val app =

@@ -51,8 +51,18 @@ class LlmOpsSpec extends AnyFunSuite {
     val e = Tables(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") < 5)
     val c = e.filter(col("vec_id") >= 5)
+    // 4 planes on this near-random corpus: per-bit neighbor agreement ~0.6,
+    // so exact+flip-1 probes cover ~45% of true neighbors — wider codes
+    // would need more probes (documented tradeoff)
     val ann = Similarity.annTopK(q, c, "vec_id", "vec_id", "embedding",
-      k = 5, numPlanes = 8, dim = 64).collect()
+      k = 5, numPlanes = 4, dim = 64).collect()
+    assert(ann.map(_.getLong(0)).distinct.length == 5, "a query had no ANN candidates")
+    // recall vs brute force over the probed neighborhood
+    val bfTop = Similarity.bruteForceTopK(q, c, "vec_id", "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val annSet = ann.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bfTop & annSet).size.toDouble / bfTop.size
+    assert(recall >= 0.2, s"multi-probe recall $recall")
     // per-query ranks are 1..n and sims non-increasing
     ann.groupBy(_.getLong(0)).foreach { case (_, rows) =>
       val sorted = rows.sortBy(_.getLong(1))
