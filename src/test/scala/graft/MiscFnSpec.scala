@@ -20,6 +20,14 @@ class MiscFnSpec extends AnyFunSuite {
 
   import spark.implicits._
 
+  test("SparkEntry.entry: flagship star-join returns rows (driver t1 smoke)") {
+    val df = SparkEntry.entry(spark)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(df.columns.toSeq == Seq("r_name", "n_name", "revenue", "n_items"))
+    assert(rows.map(_.getLong(3)).sum > 0)
+  }
+
   test("uuid(): RFC-4122 shape, unique per row, nondeterministic flag honored") {
     val df = spark.range(500).select(expr("uuid()").as("u"))
     val us = df.as[String].collect()
