@@ -131,6 +131,26 @@ class CompatSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((100.0, 100.0, 100.0), (200.0, 100.0, 300.0)))
   }
 
+  // -- tables.rs:table_test1_insert_and_query: stream fills a table, a
+  //    query stream joins against it — the full table lifecycle in SQL
+  test("compat table_test1: insert into table then stream-table join") {
+    val app =
+      """CREATE TABLE stockTable (symbol STRING, price DOUBLE, volume INT);
+        |CREATE STREAM stockStream (symbol STRING, price DOUBLE, volume INT);
+        |CREATE STREAM queryStream (qsym STRING);
+        |CREATE STREAM outputStream (symbol STRING, price DOUBLE, volume INT);
+        |INSERT INTO stockTable SELECT symbol, price, volume FROM stockStream;
+        |INSERT INTO outputStream
+        |SELECT stockTable.symbol AS symbol, stockTable.price AS price, stockTable.volume AS volume
+        |FROM queryStream JOIN stockTable ON queryStream.qsym = stockTable.symbol;""".stripMargin
+    val stocks = Seq(("IBM", 75.6, 100), ("MSFT", 55.6, 50)).toDF("symbol", "price", "volume")
+    val lookups = Seq("IBM").toDF("qsym")
+    val out = GraftApp.run(spark, app,
+      Map("stockStream" -> stocks, "queryStream" -> lookups))("outputStream")
+    assert(out.collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2))).toSeq ==
+      Seq(("IBM", 75.6, 100)))
+  }
+
   // -- aggregations.rs:aggregation_test_min_max
   test("compat aggregation_test_min_max") {
     val app =
