@@ -29,12 +29,15 @@ object VectorFns {
   def cosine(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a.cast(FloatArr)), expression(b.cast(FloatArr))))
 
-  /** Quantize a float array to exact longs: round(x * scale). For float32
-    * inputs and power-of-10 scales the product is never exactly half-way
-    * between integers (non-dyadic), so round is unambiguous cross-engine.
+  /** Quantize a float array to exact longs: floor(x * scale + 0.5).
+    * Engine-independent by construction — float→double cast, the multiply,
+    * the add, and floor are each single IEEE-754 operations with identical
+    * results on any engine, unlike `round` (Spark rounds the shortest
+    * decimal representation via BigDecimal; DuckDB rounds the binary
+    * double — they disagree near .5).
     */
   def quantize(v: Column, scale: Int): Column =
-    transform(v, x => round(x.cast("double") * scale, 0).cast("long"))
+    transform(v, x => floor(x.cast("double") * scale + 0.5).cast("long"))
 
   /** Exact integer dot product of two quantized vectors. */
   def dotQ(a: Column, b: Column): Column =

@@ -91,7 +91,7 @@ object DedupQueries extends QueryFamily {
       },
       Some("""WITH q AS (
              |  SELECT vec_id, label,
-             |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS qv
+             |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
              |  FROM embeddings),
              |p AS (
              |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,

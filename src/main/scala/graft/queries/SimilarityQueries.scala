@@ -27,7 +27,7 @@ object SimilarityQueries extends QueryFamily {
       },
       Some("""WITH q AS (
              |  SELECT vec_id,
-             |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS qv
+             |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
              |  FROM embeddings),
              |scored AS (
              |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
@@ -74,7 +74,7 @@ object SimilarityQueries extends QueryFamily {
       },
       Some("""WITH q AS (
              |  SELECT CAST(label AS BIGINT) AS label,
-             |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS qv
+             |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
              |  FROM embeddings)
              |SELECT label, d.d AS dim, sum(qv[d.d + 1]) AS sum_q, count(*) AS n
              |FROM q CROSS JOIN (SELECT unnest(range(0, 4)) AS d) d
