@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.sql.GraftApp
 import graft.streaming.{Cep, PatternSpec, Step}
 
 /** CEP pattern queries (SURVEY §2.8) run through the real NFA engine in
@@ -145,6 +146,35 @@ object CepQueries extends QueryFamily {
              |    AND b.event_id > a.event_id
              |    AND b.ts <= a.ts + INTERVAL 2 HOUR)
              |ORDER BY user_id, e1_id""".stripMargin)),
+
+    // The FULL SQL pattern surface, partitioned: FROM PATTERN … PARTITION BY
+    // user_id lowers to a per-key ordering window + per-key NFA — every user
+    // is an independent NFA on its own core (the 100 TB shape; an
+    // unpartitioned SQL pattern is inherently one global order = one task).
+    QueryDef(
+      "q_cep_sql_partitioned",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (user_id BIGINT, e1_id BIGINT, e2_id BIGINT);
+            |INSERT INTO Out
+            |SELECT e1.user_id AS user_id, e1.event_id AS e1_id, e2.event_id AS e2_id
+            |FROM PATTERN (EVERY (e1=events[event_type = 'signup'] -> e2=events[event_type = 'purchase']))
+            |WITHIN 24 HOURS
+            |PARTITION BY user_id;""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .orderBy(col("user_id"), col("e1_id"))
+      },
+      Some("""WITH s AS (SELECT user_id, event_id AS s_id, epoch_us(ts) AS s_ts
+             |          FROM events WHERE event_type = 'signup'),
+             |p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_ts
+             |      FROM events WHERE event_type = 'purchase')
+             |SELECT s.user_id, s.s_id AS e1_id, min(p.p_id) AS e2_id
+             |FROM s JOIN p ON s.user_id = p.user_id
+             |  AND p.p_id > s.s_id AND p.p_ts - s.s_ts <= 86400000000
+             |GROUP BY s.user_id, s.s_id
+             |ORDER BY 1, 2""".stripMargin)),
 
     // Cross-step reference (e2.value > 2 * e1.value) — the StateEvent
     // access pattern; relaxed, within 2h.

@@ -47,7 +47,8 @@ object GraftApp {
       groupBy: Seq[String],
       having: Option[String],
       orderBy: Seq[String],
-      limit: Option[Int])
+      limit: Option[Int],
+      partitionAttr: Option[String] = None) // PARTITION WITH key (§2.9)
 
   final case class AppSpec(streams: Map[String, StreamDef], queries: Seq[QuerySpec],
                            patterns: Seq[PatternCompiler.PatternQuery] = Nil)
@@ -60,9 +61,8 @@ object GraftApp {
     """(?is)\s*CREATE\s+(STREAM|TABLE)\s+(\w+)\s*\((.*?)\)\s*(?:WITH\s*\((.*?)\))?\s*""".r
   private val InsertRe: Regex =
     """(?is)\s*INSERT\s+INTO\s+(\w+)\s+SELECT\s+(.*?)\s+FROM\s+(\w+)\s*(.*)""".r
-  private val PatternInsertRe: Regex =
-    ("""(?is)\s*INSERT\s+INTO\s+(\w+)\s+SELECT\s+(.*?)\s+FROM\s+(PATTERN|SEQUENCE)""" +
-     """\s*\((.*)\)\s*(?:WITHIN\s+(\d+)\s+(\w+))?\s*""").r
+  private val PatternPrefixRe: Regex =
+    """(?is)\s*INSERT\s+INTO\s+(\w+)\s+SELECT\s+(.*?)\s+FROM\s+(PATTERN|SEQUENCE)\s*\(""".r
   private val WindowRe: Regex =
     """(?is)WINDOW\s*\(\s*'(\w+)'\s*(?:,\s*([^)]*))?\)""".r
 
@@ -94,51 +94,115 @@ object GraftApp {
     var streams = Map.empty[String, StreamDef]
     val queries = Seq.newBuilder[QuerySpec]
     val patterns = Seq.newBuilder[PatternCompiler.PatternQuery]
-    (plainStmts.toSeq ++ partitionedStmts).foreach {
-      case (PatternInsertRe(target, select, mode, stepsRaw, withinN, withinUnit), _) =>
-        val (steps, every) = PatternCompiler.parseSteps(stepsRaw)
-        steps.foreach { st =>
-          if (!streams.contains(st.stream))
-            throw SqlError(s"undefined stream/table '${st.stream}' (definition first)")
-        }
-        val items = splitTopLevel(select).map { item =>
-          val asRe = "(?is)^(.*?)\\s+AS\\s+(\\w+)$".r
-          item.trim match {
-            case asRe(e, a) => (e.trim, Some(a))
-            case e => (e, None)
+    (plainStmts.toSeq ++ partitionedStmts).foreach { case (stmt, part) =>
+      parsePatternInsert(stmt) match {
+        case Some(pq0) =>
+          pq0.allAlts.foreach { a =>
+            if (!streams.contains(a.stream))
+              throw SqlError(s"undefined stream/table '${a.stream}' (definition first)")
           }
+          // enclosing PARTITION WITH block folds in as the pattern key
+          // (explicit PARTITION BY wins)
+          patterns += ((pq0.partitionBy, part) match {
+            case (None, Some((attr, stream)))
+                if pq0.allAlts.exists(_.stream.equalsIgnoreCase(stream)) =>
+              pq0.copy(partitionBy = Some(attr))
+            case _ => pq0
+          })
+        case None => stmt match {
+          case CreateRe(kind, name, colsRaw, withRaw) =>
+            val fields = colsRaw.split(",").map(_.trim).filter(_.nonEmpty).map { c =>
+              val parts = c.split("\\s+")
+              if (parts.length < 2) throw SqlError(s"bad column def '$c' in $name")
+              val t = TypeMap.getOrElse(parts(1).toUpperCase,
+                throw SqlError(s"unknown type '${parts(1)}' in $name"))
+              StructField(parts(0), t)
+            }
+            val opts = Option(withRaw).map(parseWith).getOrElse(Map.empty)
+            streams += name -> StreamDef(name, StructType(fields), opts,
+              isTable = kind.equalsIgnoreCase("TABLE"))
+          case InsertRe(target, select, source, rest) =>
+            if (!streams.contains(source))
+              throw SqlError(s"undefined stream/table '$source' (definition first)")
+            val q = parseQuery(target, select, source, rest)
+            queries += (part match {
+              // partition attr folds into the key set (and output) of grouped
+              // queries over the partitioned stream; per-event window frames
+              // read partitionAttr directly (per-key state isolation, §2.9)
+              case Some((attr, stream)) if stream.equalsIgnoreCase(source) =>
+                val q1 = q.copy(partitionAttr = Some(attr))
+                if (q.groupBy.nonEmpty)
+                  q1.copy(groupBy = attr +: q.groupBy,
+                    selectItems = (attr, None) +: q.selectItems)
+                else q1
+              case _ => q
+            })
+          case other =>
+            throw SqlError(s"unsupported statement: ${other.take(60)}")
         }
-        patterns += PatternCompiler.PatternQuery(target, items,
-          strict = mode.equalsIgnoreCase("SEQUENCE"), every = every, steps = steps,
-          withinUs = PatternCompiler.parseWithin(Option(withinN), Option(withinUnit)))
-      case (CreateRe(kind, name, colsRaw, withRaw), _) =>
-        val fields = colsRaw.split(",").map(_.trim).filter(_.nonEmpty).map { c =>
-          val parts = c.split("\\s+")
-          if (parts.length < 2) throw SqlError(s"bad column def '$c' in $name")
-        val t = TypeMap.getOrElse(parts(1).toUpperCase,
-            throw SqlError(s"unknown type '${parts(1)}' in $name"))
-          StructField(parts(0), t)
-        }
-        val opts = Option(withRaw).map(parseWith).getOrElse(Map.empty)
-        streams += name -> StreamDef(name, StructType(fields), opts,
-          isTable = kind.equalsIgnoreCase("TABLE"))
-      case (InsertRe(target, select, source, rest), part) =>
-        if (!streams.contains(source))
-          throw SqlError(s"undefined stream/table '$source' (definition first)")
-        val q = parseQuery(target, select, source, rest)
-        queries += (part match {
-          // partition attr folds into the key set (and output) of queries
-          // over the partitioned stream
-          case Some((attr, stream)) if stream.equalsIgnoreCase(source) && q.groupBy.nonEmpty =>
-            q.copy(groupBy = attr +: q.groupBy,
-              selectItems = (attr, None) +: q.selectItems)
-          case _ => q
-        })
-      case (other, _) =>
-        throw SqlError(s"unsupported statement: ${other.take(60)}")
+      }
     }
     AppSpec(streams, queries.result(), patterns.result())
   }
+
+  /** Parse `INSERT INTO t SELECT … FROM PATTERN/SEQUENCE (…) [WITHIN n u]
+    * [WHERE …] [PARTITION BY attr]` (WITHIN may also sit inside the parens,
+    * per the reference grammar's examples).
+    */
+  private def parsePatternInsert(stmt: String): Option[PatternCompiler.PatternQuery] =
+    PatternPrefixRe.findPrefixMatchOf(stmt).map { m =>
+      val (target, select, mode) = (m.group(1), m.group(2), m.group(3))
+      // balanced close paren (grouping parens may nest inside)
+      var depth = 1; var i = m.end; var inQ = false
+      while (i < stmt.length && depth > 0) {
+        val c = stmt.charAt(i)
+        if (c == '\'') inQ = !inQ
+        else if (!inQ && c == '(') depth += 1
+        else if (!inQ && c == ')') depth -= 1
+        i += 1
+      }
+      if (depth != 0) throw SqlError(s"unbalanced parens in pattern: ${stmt.take(60)}")
+      var stepsRaw = stmt.substring(m.end, i - 1)
+      var rest = stmt.substring(i)
+      // WITHIN inside the parens (trailing) or after them
+      var within: Option[(String, String)] = None
+      val withinTrailRe = """(?is)^(.*?)\s+WITHIN\s+(\d+)\s+(\w+)\s*$""".r
+      stepsRaw match {
+        case withinTrailRe(body, n, u) => stepsRaw = body; within = Some((n, u))
+        case _ =>
+      }
+      // WHERE body runs to PARTITION BY / WITHIN / end
+      var where: Option[String] = None
+      """(?is)\bWHERE\b""".r.findFirstMatchIn(rest).foreach { w =>
+        val tail = rest.substring(w.end)
+        val stop = Seq("PARTITION\\s+BY", "WITHIN")
+          .flatMap(k => ("(?is)\\b" + k + "\\b").r.findFirstMatchIn(tail).map(_.start))
+          .minOption.getOrElse(tail.length)
+        where = Some(tail.substring(0, stop).trim).filter(_.nonEmpty)
+        rest = rest.substring(0, w.start) + tail.substring(stop)
+      }
+      """(?is)\bWITHIN\s+(\d+)\s+(\w+)""".r.findFirstMatchIn(rest).foreach { wm =>
+        within = Some((wm.group(1), wm.group(2)))
+        rest = rest.substring(0, wm.start) + rest.substring(wm.end)
+      }
+      val partitionBy = """(?is)\bPARTITION\s+BY\s+(\w+)""".r
+        .findFirstMatchIn(rest).map(_.group(1))
+      val (variants, every) = PatternCompiler.parseSteps(stepsRaw)
+      val (withinUs, withinEvents) = within
+        .map { case (n, u) => PatternCompiler.parseWithin(n, u) }
+        .getOrElse((None, None))
+      val items = splitTopLevel(select).map { item =>
+        val asRe = "(?is)^(.*?)\\s+AS\\s+(\\w+)$".r
+        item.trim match {
+          case asRe(e, a) => (e.trim, Some(a))
+          case e => (e, None)
+        }
+      }
+      PatternCompiler.PatternQuery(target, items,
+        strict = mode.equalsIgnoreCase("SEQUENCE"), every = every,
+        variants = variants, withinUs = withinUs, withinEvents = withinEvents,
+        where = where, partitionBy = partitionBy)
+    }
 
   private def parseWith(raw: String): Map[String, String] =
     raw.split(",").map(_.trim).filter(_.nonEmpty).flatMap { kv =>
@@ -243,8 +307,17 @@ object GraftApp {
     * (inputs + each INSERT INTO target, multiple inserts union'd).
     */
   def run(spark: SparkSession, appSql: String,
-          inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
+          inputs: Map[String, DataFrame]): Map[String, DataFrame] =
+    runTracked(spark, appSql, inputs)._1
+
+  /** Like [[run]], also returning a cleanup thunk that unpersists every
+    * intermediate the compiler cached (pattern event orderings). Call it
+    * after the outputs are fully consumed.
+    */
+  def runTracked(spark: SparkSession, appSql: String,
+                 inputs: Map[String, DataFrame]): (Map[String, DataFrame], () => Unit) = {
     val spec = parse(appSql)
+    val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
     var env: Map[String, DataFrame] = inputs
     // validate bound inputs against declared schemas (names + arity)
     inputs.foreach { case (name, df) =>
@@ -269,10 +342,10 @@ object GraftApp {
       env += q.target -> env.get(q.target).map(_.unionByName(out)).getOrElse(out)
     }
     spec.patterns.foreach { p =>
-      val out = PatternCompiler.compile(spark, p, env)
+      val out = PatternCompiler.compile(spark, p, env, persisted += _)
       env += p.target -> env.get(p.target).map(_.unionByName(out)).getOrElse(out)
     }
-    env
+    (env, () => persisted.foreach(_.unpersist()))
   }
 
   private def compileQuery(src: DataFrame, q: QuerySpec): DataFrame = {
@@ -293,7 +366,14 @@ object GraftApp {
           val us = parseDurationUs(w.params.last)
           s"RANGE BETWEEN $us PRECEDING AND CURRENT ROW"
       }
-      val over = s"OVER (ORDER BY unix_micros(ts) $frame)"
+      // PARTITION WITH shards the frame per key — per-key window state
+      // isolation (§2.9, value_partition_type.rs); without it the frame is
+      // one global ordering (inherently serial, like the reference's
+      // single-threaded junction)
+      val over = q.partitionAttr match {
+        case Some(a) => s"OVER (PARTITION BY $a ORDER BY unix_micros(ts) $frame)"
+        case None => s"OVER (ORDER BY unix_micros(ts) $frame)"
+      }
       val items = q.selectItems.map { case (e, a) =>
         // aggregate items become frame-windowed; plain columns pass through
         val isAgg = "(?i)^(sum|avg|count|min|max|stddev|stddev_pop|first|last)\\s*\\(".r

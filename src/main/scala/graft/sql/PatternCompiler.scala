@@ -1,43 +1,87 @@
 package graft.sql
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.streaming.{Cep, CepEvent, PatternSpec, Step}
 
-/** Lowers the SQL pattern surface — `FROM PATTERN (e1=S[pred] -> e2=T[pred])
-  * [WITHIN n unit]` / `FROM SEQUENCE (…)` — onto the CEP NFA
-  * (SURVEY §2.8; reference grammar PATTERN_GRAMMAR_V1.2.md:36-160).
+/** Lowers the SQL pattern surface — `FROM PATTERN (…)` / `FROM SEQUENCE (…)`
+  * — onto the CEP NFA (SURVEY §2.8; reference grammar
+  * feat/pattern_processing/PATTERN_GRAMMAR_V1.2.md:36-160, runtime
+  * count_pre_state_processor.rs / logical_pre_state_processor.rs).
+  *
+  * Grammar covered:
+  *  - followed-by chains `e1=S[pred] -> e2=T[pred]`, PATTERN (relaxed) vs
+  *    SEQUENCE (strict), `EVERY (…)`
+  *  - count quantifiers `e=S<n>`, `e=S<n:m>` (also `{n}` / `{n,m}`)
+  *  - logical OR steps `e1=A[p] OR e2=B[q]` — per-alternative aliases; the
+  *    unmatched alternative's columns are NULL (resolve with coalesce)
+  *  - logical AND steps `e1=A AND e2=B` — lowered as the union of both
+  *    orderings (the reference's LogicalPreStateProcessor enumerates both
+  *    arrival orders)
+  *  - `WITHIN n <unit>` (event time) and `WITHIN n EVENTS` (count)
+  *  - `WHERE` post-filter over resolved step aliases
+  *  - `PARTITION BY attr` — per-key pattern isolation: the key is folded
+  *    into the event ordering window AND the NFA `groupByKey`, so every
+  *    partition runs its own NFA on its own executor core (the scale path;
+  *    an unpartitioned pattern is inherently a single global order = one
+  *    task, exactly like the reference's single-threaded junction)
+  *  - select items: `e.col`, indexed `e[0].col` / `e[last].col`, collection
+  *    aggregations `count(e)`, `sum/avg/min/max/count(e.col)` over count-
+  *    quantified steps (collection_aggregation_executor.rs:141-729)
   *
   * Lowering strategy: step predicates are arbitrary SQL boolean exprs over
-  * their stream's columns, so they are evaluated ONCE as codegen'd columns
-  * on the tagged union of the referenced streams; the NFA then only reads a
-  * per-step flag bitstring (CepEvent.etype). Matched step event-ids join
-  * back to the union to resolve `e<k>.<col>` select items. Event order =
-  * the `ts` TIMESTAMP column (the reference's arrival order made explicit —
+  * their stream's columns, evaluated ONCE as codegen'd columns on the tagged
+  * union of the referenced streams; the NFA then only reads a per-step flag
+  * bitstring (CepEvent.etype). Matched step event-ids join back to the union
+  * to resolve `e<k>.<col>` select items. Event order = the `ts` TIMESTAMP
+  * column per partition key (the reference's arrival order made explicit —
   * a distributed engine cannot have implicit arrival order).
   *
-  * v1 scope: one event per step ({n,m} and partitioned patterns are
-  * available on the Scala API, graft.streaming.Cep).
+  * Not supported (typed errors): cross-step references inside step
+  * predicates (use the Scala API's Step.withContext), quantifiers on OR/AND
+  * steps, more than two AND operands.
   */
 object PatternCompiler {
 
-  final case class PatternStep(alias: String, stream: String, pred: Option[String])
+  /** One alternative of a step: `alias=Stream[pred]`. */
+  final case class StepAlt(alias: String, stream: String, pred: Option[String])
+
+  /** One NFA step: OR-alternatives plus a count quantifier. */
+  final case class PatternStep(alts: Seq[StepAlt], min: Int = 1, max: Int = 1) {
+    def aliases: Seq[String] = alts.map(_.alias).distinct
+  }
 
   final case class PatternQuery(
       target: String,
       selectItems: Seq[(String, Option[String])],
       strict: Boolean,           // SEQUENCE vs PATTERN
       every: Boolean,
-      steps: Seq[PatternStep],
-      withinUs: Option[Long])
+      variants: Seq[Seq[PatternStep]], // >1 only for AND expansion
+      withinUs: Option[Long] = None,
+      withinEvents: Option[Long] = None,
+      where: Option[String] = None,
+      partitionBy: Option[String] = None) {
+    def allAlts: Seq[StepAlt] = variants.flatten.flatMap(_.alts)
+  }
 
-  def compile(spark: SparkSession, q: PatternQuery,
-              env: Map[String, DataFrame]): DataFrame = {
-    import spark.implicits._
-    val streams = q.steps.map(_.stream).distinct
+  def compile(spark: SparkSession, q: PatternQuery, env: Map[String, DataFrame],
+              onPersist: DataFrame => Unit = _ => ()): DataFrame = {
+    val streams = q.allAlts.map(_.stream).distinct
     streams.foreach { s =>
       if (!env.contains(s)) throw GraftApp.SqlError(s"pattern stream '$s' has no bound data")
+    }
+    // cross-step refs in predicates are not resolvable in the flag lowering
+    val aliases = q.variants.head.flatMap(_.aliases)
+    q.allAlts.foreach { a =>
+      a.pred.foreach { p =>
+        aliases.filterNot(_ == a.alias).foreach { other =>
+          if (("(?i)\\b" + other + "\\s*\\.").r.findFirstIn(p).isDefined)
+            throw GraftApp.SqlError(
+              s"cross-step reference '$other.' in step '${a.alias}' predicate is not " +
+              "supported in SQL patterns; use the Scala API (Step.withContext)")
+        }
+      }
     }
     // tagged union of all referenced streams (junction fan-in)
     val tagged = streams.map { s =>
@@ -46,75 +90,313 @@ object PatternCompiler {
     if (!tagged.columns.contains("ts"))
       throw GraftApp.SqlError(
         "pattern streams need a 'ts' TIMESTAMP column (explicit event order)")
+    q.partitionBy.foreach { attr =>
+      if (!tagged.columns.exists(_.equalsIgnoreCase(attr)))
+        throw GraftApp.SqlError(s"PARTITION BY attribute '$attr' not found in pattern streams")
+    }
+
+    // per-key event order; the key shards both the ordering window and the
+    // NFA state (unpartitioned = one global order, inherently serial)
+    val keyCol = q.partitionBy.map(a => col(a).cast("string")).getOrElse(lit("app"))
+    val ordered = tagged
+      .withColumn("__key", keyCol)
+      .withColumn("__id",
+        row_number().over(Window.partitionBy(col("__key")).orderBy(col("ts"))).cast("long"))
+      .persist()
+    onPersist(ordered)
+
+    q.variants.map(v => compileVariant(spark, q, v, ordered))
+      .reduce((a, b) => a.unionByName(b))
+  }
+
+  // ---- one step-chain variant → matches → resolved select
+
+  private def compileVariant(spark: SparkSession, q: PatternQuery,
+                             steps: Seq[PatternStep], ordered: DataFrame): DataFrame = {
+    import spark.implicits._
+    // duplicate aliases across steps would make join-back ambiguous
+    val dup = steps.flatMap(_.aliases).groupBy(identity).collect { case (a, as) if as.size > 1 => a }
+    if (dup.nonEmpty)
+      throw GraftApp.SqlError(s"duplicate step alias(es) ${dup.mkString(",")} across steps")
 
     // per-step match flags -> one bitstring column, evaluated by Catalyst
-    val flags = q.steps.map { st =>
-      val base = col("__stream") === st.stream
-      st.pred.map(p => base && expr(p)).getOrElse(base)
+    val flags = steps.map { st =>
+      st.alts.map { a =>
+        val base = col("__stream") === a.stream
+        a.pred.map(p => base && expr(p)).getOrElse(base)
+      }.reduce(_ || _)
     }
     val bits = concat(flags.map(f => when(f, lit("1")).otherwise(lit("0"))): _*)
-    // global order (single NFA instance, like an unpartitioned reference
-    // pattern); partitioned patterns go through the Scala API
-    val ordered = tagged
-      .withColumn("__bits", bits)
-      .withColumn("__id", row_number().over(Window.orderBy(col("ts"))).cast("long"))
-      .persist()
 
-    val cepIn = ordered.select(
-        lit("app").as("key"),
+    val cepIn = ordered.withColumn("__bits", bits).select(
+        col("__key").as("key"),
         unix_micros(col("ts")).as("tsUs"),
         col("__id").as("eventId"),
         col("__bits").as("etype"),
         lit(0.0).as("value"))
       .as[CepEvent]
 
-    val steps = q.steps.zipWithIndex.map { case (st, i) =>
-      Step.simple(st.alias)(e => e.etype.length > i && e.etype.charAt(i) == '1')
+    val specSteps = steps.zipWithIndex.map { case (st, i) =>
+      Step(st.aliases.head, st.min, st.max,
+        (e, _) => e.etype.length > i && e.etype.charAt(i) == '1')
     }
-    val spec = PatternSpec(steps, strict = q.strict, every = q.every,
-      withinUs = q.withinUs)
+    val spec = PatternSpec(specSteps, strict = q.strict, every = q.every,
+      withinUs = q.withinUs, withinEvents = q.withinEvents)
     val matches = Cep.detect(cepIn, spec).toDF()
 
-    // one column per step alias: the matched event id
-    var out = q.steps.zipWithIndex.foldLeft(
-      matches.select(col("startUs") +: q.steps.zipWithIndex.map { case (st, i) =>
-        expr(s"steps[$i].events[0].eventId").as(s"__${st.alias}_id")
-      }: _*)) { case (df, (st, _)) =>
-      // join the original row back for e<k>.<col> references
-      df.join(ordered.as(st.alias),
-        col(s"__${st.alias}_id") === col(s"${st.alias}.__id"), "inner")
+    // base projection: key + per-step matched-event-id arrays
+    var base = matches.select(
+      col("key").as("__mkey") +:
+      steps.indices.map { i =>
+        expr(s"transform(steps[$i].events, x -> x.eventId)").as(s"__ids_$i")
+      }: _*)
+
+    // ---- select/WHERE rewriting + join planning
+    val multi = steps.zipWithIndex.collect { case (st, i) if st.max > 1 =>
+      st.aliases.head -> i
+    }.toMap
+    if (multi.nonEmpty && steps.exists(st => st.max > 1 && st.alts.size > 1))
+      throw GraftApp.SqlError("count quantifiers on OR steps are not supported")
+
+    // joins: joinName -> (idExpr over base, step, outer?)
+    final case class JoinPlan(name: String, idExpr: Column, streams: Seq[String], outer: Boolean)
+    val joins = scala.collection.mutable.LinkedHashMap.empty[String, JoinPlan]
+    // collection aggregations: stepIdx -> (outputCol, aggSql over alias __c)
+    val aggItems = scala.collection.mutable.LinkedHashMap.empty[Int, Vector[(String, String)]]
+    var aggN = 0
+
+    def idAt(i: Int, idx: String): Column = idx match {
+      case "last" => element_at(col(s"__ids_$i"), -1)
+      case n => element_at(col(s"__ids_$i"), n.toInt + 1)
     }
-    val selectCols = q.selectItems.map {
+
+    // register joins for every single-event alias (matched id is always
+    // present; OR alternatives join left so the unmatched side is NULL)
+    steps.zipWithIndex.foreach { case (st, i) =>
+      if (st.max == 1) {
+        val outer = st.aliases.size > 1
+        st.aliases.foreach { a =>
+          val altStreams = st.alts.filter(_.alias == a).map(_.stream)
+          joins(a) = JoinPlan(a, element_at(col(s"__ids_$i"), 1), altStreams, outer)
+        }
+      }
+    }
+
+    val aggRe = """(?i)\b(sum|avg|min|max|count)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)""".r
+    val countStepRe = """(?i)\bcount\s*\(\s*(\w+)\s*\)""".r
+    val idxRe = """\b(\w+)\s*\[\s*(\d+|last)\s*\]\s*\.""".r
+
+    def rewrite(text0: String): String = {
+      var text = text0
+      // collection aggregations over count-quantified steps
+      text = aggRe.replaceAllIn(text, m => {
+        val (fn, alias, c) = (m.group(1), m.group(2), m.group(3))
+        multi.get(alias) match {
+          case Some(i) =>
+            val name = s"__agg_$aggN"; aggN += 1
+            aggItems(i) = aggItems.getOrElse(i, Vector.empty) :+
+              (name, s"${fn.toLowerCase}(__c.$c)")
+            name
+          case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+        }
+      })
+      // count(e) over a quantified step = collected size
+      text = countStepRe.replaceAllIn(text, m => {
+        multi.get(m.group(1)) match {
+          case Some(i) => s"CAST(size(__ids_$i) AS BIGINT)"
+          case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+        }
+      })
+      // indexed access e[j].col / e[last].col
+      text = idxRe.replaceAllIn(text, m => {
+        val (alias, idx) = (m.group(1), m.group(2))
+        steps.indices.find(i => steps(i).aliases.contains(alias) && steps(i).max > 1) match {
+          case Some(i) =>
+            val name = s"__${alias}_$idx"
+            joins.getOrElseUpdate(name,
+              JoinPlan(name, idAt(i, idx), steps(i).alts.map(_.stream), outer = false))
+            s"$name."
+          case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+        }
+      })
+      // plain e.col on a quantified step = first collected event
+      multi.foreach { case (alias, i) =>
+        val plainRe = ("\\b" + alias + "\\s*\\.").r
+        if (plainRe.findFirstIn(text).isDefined) {
+          val name = s"__${alias}_0"
+          joins.getOrElseUpdate(name,
+            JoinPlan(name, idAt(i, "0"), steps(i).alts.map(_.stream), outer = false))
+          text = plainRe.replaceAllIn(text, s"$name.")
+        }
+      }
+      text
+    }
+
+    val items = q.selectItems.map { case (e, a) => (rewrite(e), a) }
+    val whereRw = q.where.map(rewrite)
+
+    // match identity for re-joining aggregates (unique: a match IS its key +
+    // full event-id set)
+    val needMatchId = aggItems.nonEmpty
+    if (needMatchId) {
+      val idsConcat = steps.indices.map(i => col(s"__ids_$i").cast("string"))
+      base = base.withColumn("__match_id", concat_ws("|", col("__mkey") +: idsConcat: _*))
+    }
+
+    var out = base
+    joins.values.foreach { j =>
+      val cond = col(s"${j.name}.__id") === j.idExpr &&
+        col(s"${j.name}.__key") === col("__mkey") &&
+        col(s"${j.name}.__stream").isin(j.streams: _*)
+      out = out.join(ordered.as(j.name), cond, if (j.outer) "left_outer" else "inner")
+    }
+    aggItems.foreach { case (i, items) =>
+      val exploded = base
+        .select(col("__match_id"), col("__mkey"), explode(col(s"__ids_$i")).as("__eid"))
+        .join(ordered.as("__c"),
+          col("__c.__id") === col("__eid") && col("__c.__key") === col("__mkey"))
+      val aggCols = items.map { case (name, sql) => expr(sql).as(name) }
+      val agg = exploded.groupBy(col("__match_id")).agg(aggCols.head, aggCols.tail: _*)
+      out = out.join(agg, "__match_id")
+    }
+    whereRw.foreach(w => out = out.filter(expr(w)))
+
+    val selectCols = items.map {
       case (e, Some(a)) => expr(e).as(a)
       case (e, None) => expr(e)
     }
-    out.orderBy(q.steps.map(st => col(s"__${st.alias}_id")): _*)
+    out.orderBy(col("__mkey") +: steps.indices.map(i => element_at(col(s"__ids_$i"), 1)): _*)
       .select(selectCols: _*)
   }
 
-  /** Parse the step chain `[EVERY] e1=S[pred] -> e2=T[pred] …`. */
-  def parseSteps(raw0: String): (Seq[PatternStep], Boolean) = {
+  // ---- parsing
+
+  /** Parse the pattern body `[EVERY] (elem -> elem …)`; returns the step
+    * chains (one per AND-ordering variant) and the EVERY flag.
+    */
+  def parseSteps(raw0: String): (Seq[Seq[PatternStep]], Boolean) = {
     var raw = raw0.trim
     val every = raw.toUpperCase.startsWith("EVERY ") || raw.toUpperCase.startsWith("EVERY(")
-    if (every) raw = raw.substring(5).trim.stripPrefix("(").stripSuffix(")")
-    val stepRe = """(?s)^\s*(\w+)\s*=\s*(\w+)\s*(?:\[(.*)\])?\s*$""".r
-    val steps = raw.split("->").toSeq.map(_.trim).map {
-      case stepRe(alias, stream, pred) =>
-        PatternStep(alias, stream, Option(pred).map(_.trim).filter(_.nonEmpty))
-      case other => throw GraftApp.SqlError(s"bad pattern step '$other'")
-    }
-    (steps, every)
-  }
-
-  def parseWithin(n: Option[String], unit: Option[String]): Option[Long] =
-    n.map { v =>
-      val base = v.trim.toLong
-      unit.map(_.toUpperCase.stripSuffix("S")) match {
-        case Some("SECOND") => base * 1000000L
-        case Some("MINUTE") => base * 60000000L
-        case Some("HOUR") => base * 3600000000L
-        case Some("MILLISECOND") => base * 1000L
-        case other => throw GraftApp.SqlError(s"bad WITHIN unit $other")
+    if (every) raw = stripOuterParens(raw.substring(5).trim)
+    val elements = splitTopLevel(raw, "->").map(e => stripOuterParens(e.trim))
+    if (elements.isEmpty) throw GraftApp.SqlError("empty pattern")
+    // each element → one or two (AND) step sequences
+    val perElement: Seq[Seq[Seq[PatternStep]]] = elements.map { el =>
+      val orParts = splitTopLevelWord(el, "OR")
+      val andParts = splitTopLevelWord(el, "AND")
+      if (orParts.size > 1 && andParts.size > 1)
+        throw GraftApp.SqlError(s"mixed OR/AND in one pattern element '$el'; parenthesize")
+      if (orParts.size > 1) {
+        val alts = orParts.map(parseAlt)
+        if (alts.exists(_._2 != (1, 1)))
+          throw GraftApp.SqlError("count quantifiers on OR alternatives are not supported")
+        Seq(Seq(PatternStep(alts.map(_._1))))
+      } else if (andParts.size > 1) {
+        if (andParts.size > 2)
+          throw GraftApp.SqlError("AND patterns support two operands")
+        val Seq((a1, q1), (a2, q2)) = andParts.map(parseAlt)
+        if (q1 != (1, 1) || q2 != (1, 1))
+          throw GraftApp.SqlError("count quantifiers on AND operands are not supported")
+        // both arrival orders (LogicalPreStateProcessor enumerates both)
+        Seq(Seq(PatternStep(Seq(a1)), PatternStep(Seq(a2))),
+            Seq(PatternStep(Seq(a2)), PatternStep(Seq(a1))))
+      } else {
+        val (alt, (mn, mx)) = parseAlt(el)
+        Seq(Seq(PatternStep(Seq(alt), mn, mx)))
       }
     }
+    val variants = perElement.foldLeft(Seq(Seq.empty[PatternStep])) { (acc, opts) =>
+      for (a <- acc; o <- opts) yield a ++ o
+    }
+    (variants, every)
+  }
+
+  /** `alias=Stream[pred]<n:m>` (alias, bracket, quantifier all optional;
+    * `{n,m}` accepted as quantifier spelling too).
+    */
+  private def parseAlt(s: String): (StepAlt, (Int, Int)) = {
+    val re = """(?s)^\s*(?:(\w+)\s*=\s*)?(\w+)\s*(?:\[(.*)\]\s*)?(?:[<{]\s*(\d+)\s*(?:[:,]\s*(\d+)\s*)?[>}]\s*)?$""".r
+    s.trim match {
+      case re(alias, stream, pred, qn, qm) =>
+        val mn = Option(qn).map(_.toInt).getOrElse(1)
+        val mx = Option(qm).map(_.toInt).getOrElse(mn)
+        if (mn < 1 || mx < mn)
+          throw GraftApp.SqlError(s"bad count quantifier in '$s' (min >= 1, max >= min)")
+        (StepAlt(Option(alias).getOrElse(stream), stream,
+          Option(pred).map(_.trim).filter(_.nonEmpty)), (mn, mx))
+      case other => throw GraftApp.SqlError(s"bad pattern step '$other'")
+    }
+  }
+
+  /** WITHIN duration/EVENTS → (micros, eventCount). */
+  def parseWithin(n: String, unit: String): (Option[Long], Option[Long]) = {
+    val base = n.trim.toLong
+    unit.toUpperCase.stripSuffix("S") match {
+      case "EVENT" => (None, Some(base))
+      case "MILLISECOND" => (Some(base * 1000L), None)
+      case "SECOND" => (Some(base * 1000000L), None)
+      case "MINUTE" => (Some(base * 60000000L), None)
+      case "HOUR" => (Some(base * 3600000000L), None)
+      case "DAY" => (Some(base * 86400000000L), None)
+      case other => throw GraftApp.SqlError(s"bad WITHIN unit $other")
+    }
+  }
+
+  // ---- text utilities (depth-aware: parens, brackets, single quotes)
+
+  private def stripOuterParens(s0: String): String = {
+    val s = s0.trim
+    if (!(s.startsWith("(") && s.endsWith(")"))) return s
+    // only strip if the opening paren closes at the very end
+    var depth = 0
+    for (i <- s.indices) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+          if (depth == 0 && i != s.length - 1) return s
+        case _ =>
+      }
+    }
+    if (depth == 0) stripOuterParens(s.substring(1, s.length - 1)) else s
+  }
+
+  /** Split on a symbol separator (`->`) at depth 0. */
+  def splitTopLevel(s: String, sep: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inQ = false; var i = 0; var start = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') inQ = !inQ
+      else if (!inQ && (c == '(' || c == '[')) depth += 1
+      else if (!inQ && (c == ')' || c == ']')) depth -= 1
+      else if (!inQ && depth == 0 && s.regionMatches(i, sep, 0, sep.length)) {
+        out += s.substring(start, i); start = i + sep.length; i += sep.length - 1
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Split on a keyword separator (OR/AND) at depth 0, word-bounded. */
+  private def splitTopLevelWord(s: String, word: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inQ = false; var i = 0; var start = 0
+    def isW(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') inQ = !inQ
+      else if (!inQ && (c == '(' || c == '[')) depth += 1
+      else if (!inQ && (c == ')' || c == ']')) depth -= 1
+      else if (!inQ && depth == 0 &&
+          s.regionMatches(true, i, word, 0, word.length) &&
+          (i == 0 || !isW(s.charAt(i - 1))) &&
+          (i + word.length >= s.length || !isW(s.charAt(i + word.length)))) {
+        out += s.substring(start, i); start = i + word.length; i += word.length - 1
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
 }

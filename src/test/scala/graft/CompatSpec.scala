@@ -224,6 +224,135 @@ class CompatSpec extends AnyFunSuite {
     assert(late.count() == 0)
   }
 
+  private def tsDf(rows: Seq[(Int, Int)]): org.apache.spark.sql.DataFrame =
+    rows.toDF("sec", "val")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "val")
+
+  // -- patterns.rs:logical_pattern_test2_or (LogicalPatternTestCase:testQuery1)
+  test("compat logical_pattern_test2_or via SQL: e1=A OR e2=B") {
+    val app =
+      """CREATE STREAM A (ts TIMESTAMP, val INT);
+        |CREATE STREAM B (ts TIMESTAMP, val INT);
+        |CREATE STREAM Out (aval INT);
+        |INSERT INTO Out SELECT e1.val AS aval FROM PATTERN (e1=A OR e2=B);""".stripMargin
+    val out = GraftApp.run(spark, app,
+      Map("A" -> tsDf(Seq((1, 1))), "B" -> tsDf(Nil)))("Out")
+    assert(out.collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  // -- patterns.rs:logical_pattern_test4_or_first_match — the unmatched
+  //    alternative's columns are NULL, resolved with coalesce
+  test("compat logical_pattern_test4: OR first match wins via coalesce") {
+    val app =
+      """CREATE STREAM Stream1 (ts TIMESTAMP, symbol STRING, price DOUBLE);
+        |CREATE STREAM Stream2 (ts TIMESTAMP, symbol STRING, price DOUBLE);
+        |CREATE STREAM Out (symbol STRING, price DOUBLE);
+        |INSERT INTO Out
+        |SELECT coalesce(e1.symbol, e2.symbol) AS symbol,
+        |       coalesce(e1.price, e2.price) AS price
+        |FROM PATTERN (e1=Stream1 OR e2=Stream2);""".stripMargin
+    def mk(rows: Seq[(Int, String, Double)]) = rows.toDF("sec", "symbol", "price")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "symbol", "price")
+    val out = GraftApp.run(spark, app, Map(
+      "Stream1" -> mk(Seq((1, "IBM", 50.0))), "Stream2" -> mk(Nil)))("Out")
+    assert(out.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("IBM", 50.0)))
+  }
+
+  // -- patterns.rs:pattern_test_count_exact (CountPatternTestCase):
+  //    e1=A<2> with indexed access e1[0]/e1[1]
+  test("compat pattern_test_count_exact via SQL: e1=A<2>, indexed select") {
+    val app =
+      """CREATE STREAM A (ts TIMESTAMP, val INT);
+        |CREATE STREAM Out (val1 INT, val2 INT);
+        |INSERT INTO Out SELECT e1[0].val AS val1, e1[1].val AS val2
+        |FROM PATTERN (e1=A<2>);""".stripMargin
+    val out = GraftApp.run(spark, app, Map("A" -> tsDf(Seq((1, 1), (2, 2)))))("Out")
+    assert(out.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((1, 2)))
+  }
+
+  // -- patterns.rs:pattern_test_collection_aggregation: avg over the
+  //    collected events + e1[last] (collection_aggregation_executor.rs)
+  test("compat pattern_test_collection_aggregation via SQL: avg(e1.price), e1[last]") {
+    val app =
+      """CREATE STREAM Stock (ts TIMESTAMP, symbol STRING, price DOUBLE);
+        |CREATE STREAM Out (symbol STRING, avgPrice DOUBLE, n BIGINT);
+        |INSERT INTO Out
+        |SELECT e1[last].symbol AS symbol, avg(e1.price) AS avgPrice, count(e1) AS n
+        |FROM PATTERN (e1=Stock<3>);""".stripMargin
+    val in = Seq((1, "IBM", 100.0), (2, "IBM", 110.0), (3, "IBM", 120.0))
+      .toDF("sec", "symbol", "price")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "symbol", "price")
+    val out = GraftApp.run(spark, app, Map("Stock" -> in))("Out")
+    assert(out.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq ==
+      Seq(("IBM", 110.0, 3L)))
+  }
+
+  // -- patterns.rs:pattern_test_or_then_followedby: (e1=A OR e2=B) -> e3=C
+  test("compat pattern_test_or_then_followedby via SQL") {
+    val app =
+      """CREATE STREAM A (ts TIMESTAMP, id INT);
+        |CREATE STREAM B (ts TIMESTAMP, id INT);
+        |CREATE STREAM C (ts TIMESTAMP, id INT);
+        |CREATE STREAM Out (aOrB INT, c INT);
+        |INSERT INTO Out
+        |SELECT coalesce(e1.id, e2.id) AS aOrB, e3.id AS c
+        |FROM PATTERN ((e1=A OR e2=B) -> e3=C);""".stripMargin
+    def mk(rows: Seq[(Int, Int)]) = rows.toDF("sec", "id")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "id")
+    val out = GraftApp.run(spark, app, Map(
+      "A" -> mk(Seq((1, 1))), "B" -> mk(Nil), "C" -> mk(Seq((2, 3)))))("Out")
+    assert(out.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((1, 3)))
+  }
+
+  // -- patterns.rs:logical_pattern_test3_and_with_symbol: AND = both
+  //    orderings enumerated (LogicalPreStateProcessor), WHERE post-filter
+  test("compat logical_pattern_test3 via SQL: e1=Stream1 AND e2=Stream2 + WHERE") {
+    val app =
+      """CREATE STREAM Stream1 (ts TIMESTAMP, symbol STRING, price DOUBLE);
+        |CREATE STREAM Stream2 (ts TIMESTAMP, symbol STRING, price DOUBLE);
+        |CREATE STREAM Out (symbol1 STRING, symbol2 STRING);
+        |INSERT INTO Out
+        |SELECT e1.symbol AS symbol1, e2.symbol AS symbol2
+        |FROM PATTERN (e1=Stream1 AND e2=Stream2)
+        |WHERE e1.symbol = 'IBM' AND e2.symbol = 'MSFT';""".stripMargin
+    def mk(rows: Seq[(Int, String, Double)]) = rows.toDF("sec", "symbol", "price")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "symbol", "price")
+    // Stream2 event arrives AFTER Stream1 — matches via the 1→2 ordering
+    val out = GraftApp.run(spark, app, Map(
+      "Stream1" -> mk(Seq((1, "IBM", 50.0))),
+      "Stream2" -> mk(Seq((2, "MSFT", 60.0)))))("Out")
+    assert(out.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("IBM", "MSFT")))
+    // reverse arrival order — matches via the 2→1 ordering
+    val out2 = GraftApp.run(spark, app, Map(
+      "Stream1" -> mk(Seq((2, "IBM", 50.0))),
+      "Stream2" -> mk(Seq((1, "MSFT", 60.0)))))("Out")
+    assert(out2.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("IBM", "MSFT")))
+  }
+
+  // PARTITION BY on FROM PATTERN: per-key NFA isolation — users must not
+  // cross-match (§2.9 + PATTERN_GRAMMAR_V1.2.md PARTITION BY)
+  test("pattern PARTITION BY: per-key isolation, no cross-key matches") {
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id INT, kind STRING);
+        |CREATE STREAM Out (user_id INT, k1 STRING, k2 STRING);
+        |INSERT INTO Out
+        |SELECT e1.user_id AS user_id, e1.kind AS k1, e2.kind AS k2
+        |FROM PATTERN (EVERY (e1=E[kind = 'a'] -> e2=E[kind = 'b']))
+        |PARTITION BY user_id;""".stripMargin
+    // user 1: a@1 .. b@4 ; user 2: a@3 (never followed by b) , b@2 (before a)
+    val in = Seq((1, 1, "a"), (2, 2, "b"), (3, 2, "a"), (4, 1, "b"))
+      .toDF("sec", "user_id", "kind")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "user_id", "kind")
+    val (env, close) = GraftApp.runTracked(spark, app, Map("E" -> in))
+    val rows = env("Out").collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    close()
+    // unpartitioned would match user 2's a@3 with user 1's b@4
+    assert(rows.toSeq == Seq((1, "a", "b")))
+  }
+
   // -- patterns.rs:pattern_test1_simple_followedby
   //    (PatternTestCase / e1=Stream1 -> e2=Stream2): two streams fan into
   //    one NFA input with the stream tag as etype, exactly the reference's
