@@ -128,6 +128,44 @@ class GraftAppSpec extends AnyFunSuite {
     assert(got == Set(("eu", "a", 5.0), ("us", "a", 2.0), ("us", "b", 8.0)))
   }
 
+  test("PARTITION WITH shards per-event WINDOW('length') frames per key " +
+       "(golden vs the keyed Windows.length kernel)") {
+    val app =
+      """CREATE STREAM S (ts TIMESTAMP, k STRING, x DOUBLE);
+        |CREATE STREAM Out (k STRING, x DOUBLE, s DOUBLE);
+        |PARTITION WITH (k OF S) BEGIN
+        |  INSERT INTO Out SELECT k, x, sum(x) AS s FROM S WINDOW('length', 3)
+        |END;""".stripMargin
+    // interleaved keys: an unpartitioned frame would mix them
+    val rows = Seq((1, "a", 1.0), (2, "b", 10.0), (3, "a", 2.0), (4, "b", 20.0),
+      (5, "a", 4.0), (6, "a", 8.0), (7, "b", 40.0), (8, "b", 80.0))
+    val in = rows.toDF("sec", "k", "x")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "k", "x")
+    val out = GraftApp.run(spark, app, Map("S" -> in))("Out")
+    val got = out.collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+
+    // oracle: the keyed length kernel's changelog, folded into per-arrival
+    // window sums (op=+1 adds, op=-1 evicts)
+    val kernelIn = rows.map { case (sec, k, x) =>
+      graft.streaming.WinEvent(k, sec * 1000000L, sec.toLong, x) }
+    val expected = kernelIn.groupBy(_.key).flatMap { case (k, evs) =>
+      val (outs, _) = graft.streaming.WindowKernels.length(
+        evs.sortBy(_.tsUs), graft.streaming.WindowKernels.EmptyBuffer, 3)
+      // snapshot per arrival = sum after the arrival's full effect
+      // (Current + the eviction it triggers)
+      var sum = 0.0
+      val buf = Seq.newBuilder[(String, Double, Double)]
+      var pending: Option[Double] = None
+      outs.foreach { o =>
+        if (o.op == 1) { pending.foreach(v => buf += ((k, v, sum))); pending = Some(o.value) }
+        sum += o.value * o.op
+      }
+      pending.foreach(v => buf += ((k, v, sum)))
+      buf.result()
+    }.toSet
+    assert(got == expected)
+  }
+
   test("expression GROUP BY keys (year(ts)) compile") {
     val app =
       """CREATE STREAM S (ts TIMESTAMP, v DOUBLE);
