@@ -23,15 +23,21 @@ object ConnectorQueries extends QueryFamily {
 
   def defs: Seq[QueryDef] = Seq(
 
-    // JSONPath field extraction from a JSON-string column.
+    // JSONPath field extraction from a JSON-string column. One from_json
+    // struct projection — the document is parsed ONCE for all extracted
+    // fields (N get_json_object calls would parse it N times).
     QueryDef(
       "q_json_extract",
       (s, dir) => {
         val e = Tables(s, dir, "events")
-        e.select(
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("missing", org.apache.spark.sql.types.StringType)))
+        e.select(col("event_id"), from_json(col("props"), schema).as("p"))
+          .select(
             col("event_id"),
-            get_json_object(col("props"), "$.k").cast("long").as("k_num"),
-            get_json_object(col("props"), "$.missing").as("missing"))
+            col("p.k").as("k_num"),
+            col("p.missing").as("missing"))
           .orderBy(col("event_id"))
       },
       Some("""SELECT event_id,
