@@ -2,7 +2,7 @@ package graft.sql
 
 import scala.util.matching.Regex
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -413,22 +413,25 @@ object GraftApp {
           // aggregates aliased up front; grouping columns are retained by
           // Spark and re-projected below in declared select order
           val aggCols = aggItems.map { case (e, a) => expr(e).as(a.getOrElse(e)) }
-          val out = pre.groupBy(keyCols: _*)
-            .agg(aggCols.head, aggCols.tail: _*)
-          // HAVING may reference aggregate expressions — rewrite them to
-          // their output aliases (per-group post-filter semantics,
-          // select_processor.rs:330)
-          having = having.map { h =>
-            aggItems.foldLeft(h) { case (acc, (e, a)) =>
-              acc.replace(e, a.getOrElse(e)) }
+          // HAVING: expression-level resolve against the aggregated plan
+          // (per-group post-filter semantics, select_processor.rs:330) —
+          // aggregate calls matching a select item map to its alias;
+          // aggregates NOT in the select list become hidden agg columns
+          val (havingCol, hiddenAggs) = having match {
+            case Some(h) => resolveHaving(pre.sparkSession, h, aggItems)
+            case None => (None, Nil)
           }
+          having = None // consumed here; don't re-filter after the select
+          val allAggs = aggCols ++ hiddenAggs
+          var grouped = pre.groupBy(keyCols: _*).agg(allAggs.head, allAggs.tail: _*)
+          havingCol.foreach(c => grouped = grouped.filter(c))
           val finalCols = q.selectItems.map { case (e, a) =>
             keyCol.get(e.trim.toLowerCase) match {
               case Some(n) => col(n).as(a.getOrElse(if (n.startsWith("__gk")) "gk" else e))
               case None => col(a.getOrElse(e))
             }
           }
-          out.select(finalCols: _*)
+          grouped.select(finalCols: _*)
         }
       } else df.select(q.selectItems.map {
         case ("*", _) => col("*")
@@ -445,6 +448,47 @@ object GraftApp {
       }: _*)
     q.limit.foreach(n => df = df.limit(n))
     df
+  }
+
+  private val AggFnNames = Set(
+    "sum", "avg", "mean", "count", "min", "max", "stddev", "stddev_pop",
+    "stddev_samp", "variance", "var_pop", "var_samp", "first", "last",
+    "median", "min_by", "max_by", "approx_count_distinct", "collect_list")
+
+  /** Resolve a HAVING expression against the aggregated plan: parse it,
+    * replace every aggregate-call subtree that structurally matches a select
+    * aggregate (case/whitespace-insensitive) with that item's output alias,
+    * and turn unmatched aggregate calls into hidden agg columns evaluated
+    * alongside the select aggregates. Returns (filter, hidden agg columns).
+    * Anything else (unknown columns, malformed exprs) surfaces as Spark's
+    * own typed AnalysisException at resolution.
+    */
+  private def resolveHaving(spark: SparkSession, h: String,
+      aggItems: Seq[(String, Option[String])]): (Option[Column], Seq[Column]) = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.graftbridge.Bridge
+    val parser = spark.sessionState.sqlParser
+    def normalize(e: Expression): Expression = e.transform {
+      case f: UnresolvedFunction => f.copy(nameParts = f.nameParts.map(_.toLowerCase))
+      case a: UnresolvedAttribute => UnresolvedAttribute(a.nameParts.map(_.toLowerCase))
+    }
+    val selectAggs: Seq[(Expression, String)] = aggItems.map { case (e, a) =>
+      (normalize(parser.parseExpression(e)), a.getOrElse(e))
+    }
+    val hidden = Seq.newBuilder[Column]
+    var hiddenN = 0
+    val rewritten = parser.parseExpression(h).transform {
+      case f: UnresolvedFunction if AggFnNames.contains(f.nameParts.last.toLowerCase) =>
+        selectAggs.find(_._1 == normalize(f)) match {
+          case Some((_, alias)) => UnresolvedAttribute.quoted(alias)
+          case None =>
+            val name = s"__having_$hiddenN"; hiddenN += 1
+            hidden += Bridge.column(f).as(name)
+            UnresolvedAttribute.quoted(name)
+        }
+    }
+    (Some(Bridge.column(rewritten)), hidden.result())
   }
 
   /** WINDOW('type', params) lowering (converter.rs:642-726 mapping):

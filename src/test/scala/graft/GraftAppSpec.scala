@@ -180,6 +180,24 @@ class GraftAppSpec extends AnyFunSuite {
       Seq((2023, 3.0), (2024, 4.0)))
   }
 
+  test("HAVING resolves aggregates at expression level (case/whitespace-insensitive, " +
+       "hidden aggs, typed error on unknowns)") {
+    val in = Seq(("a", 1.0), ("a", 2.0), ("b", 10.0), ("b", 1.0), ("c", 1.0))
+      .toDF("sym", "v")
+    def run(having: String) = GraftApp.run(spark,
+      s"""CREATE STREAM S (sym STRING, v DOUBLE);
+         |CREATE STREAM Out (sym STRING, total DOUBLE);
+         |INSERT INTO Out SELECT sym, sum(v) AS total FROM S
+         |GROUP BY sym HAVING $having ORDER BY sym;""".stripMargin,
+      Map("S" -> in))("Out").collect().map(_.getString(0)).toSeq
+    assert(run("sum(v) > 2.5") == Seq("a", "b"))        // exact text
+    assert(run("SUM( V )   >  2.5") == Seq("a", "b"))   // case + whitespace variant
+    assert(run("total > 2.5") == Seq("a", "b"))         // output alias
+    assert(run("count(v) >= 2 AND sum(v) > 2.5") == Seq("a", "b")) // hidden agg
+    assert(run("max(v) = 10.0") == Seq("b"))            // hidden agg only
+    intercept[Exception] { run("wibble > 1") }          // unknown column → typed
+  }
+
   test("undeclared type and bad input schema produce typed errors") {
     val bad = "CREATE STREAM X (a WIBBLE);"
     assert(intercept[GraftApp.SqlError](GraftApp.parse(bad)).getMessage.contains("unknown type"))
