@@ -34,28 +34,63 @@ object AppRuntime {
         name -> df
     }
 
+  /** Build source DataFrames for every CREATE TRIGGER (trigger_runtime.rs):
+    * periodic/cron triggers lower to the rate source (one partition — a
+    * trigger is a metronome, not a data stream; downstream shuffles fan
+    * out); AT START is a one-row batch input emitted at app start.
+    */
+  def bindTriggers(spark: SparkSession, spec: GraftApp.AppSpec): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions._
+    spec.triggers.map { t =>
+      val df = t.mode match {
+        case "start" =>
+          spark.range(1).select(current_timestamp().as("triggered_time"))
+        case _ =>
+          val ms = t.everyMs.get
+          val base = spark.readStream.format("rate")
+            .option("rowsPerSecond", if (ms >= 1000L) "1" else (1000L / ms).toString)
+            .option("numPartitions", "1")
+            .load()
+          val paced =
+            if (ms > 1000L) base.filter(col("value") % lit(ms / 1000L) === 0)
+            else base
+          paced.select(col("timestamp").as("triggered_time"))
+      }
+      t.name -> df
+    }.toMap
+  }
+
   /** Start a writeStream for every WITH('type'='sink') stream that a query
-    * targets; returns the running queries (caller awaits/stops).
+    * targets; returns the running queries (caller awaits/stops). Batch
+    * outputs (e.g. fed only by an AT START trigger) register as a temp view
+    * under the sink name instead of a streaming query.
     */
   def startSinks(spec: GraftApp.AppSpec, env: Map[String, DataFrame]): Seq[StreamingQuery] =
-    spec.streams.toSeq.collect {
+    spec.streams.toSeq.flatMap {
       case (name, sd) if sd.options.get("type").contains("sink") && env.contains(name) =>
-        val fmt = sd.options.getOrElse("format", "console")
-        var writer = env(name).writeStream.format(fmt)
-          .outputMode(sd.options.getOrElse("outputMode", "append"))
-          .queryName(name)
-        sd.options.filterNot(kv => Reserved.contains(kv._1) || kv._1 == "outputMode")
-          .foreach { case (k, v) => writer = writer.option(k, v) }
-        writer.start()
+        if (!env(name).isStreaming) {
+          env(name).createOrReplaceTempView(name)
+          None
+        } else {
+          val fmt = sd.options.getOrElse("format", "console")
+          var writer = env(name).writeStream.format(fmt)
+            .outputMode(sd.options.getOrElse("outputMode", "append"))
+            .queryName(name)
+          sd.options.filterNot(kv => Reserved.contains(kv._1) || kv._1 == "outputMode")
+            .foreach { case (k, v) => writer = writer.option(k, v) }
+          Some(writer.start())
+        }
+      case _ => None
     }
 
-  /** Run a fully-declared app: auto-attach sources, compile queries,
-    * start sinks.
+  /** Run a fully-declared app: auto-attach sources and triggers, compile
+    * queries, start sinks.
     */
   def start(spark: SparkSession, appSql: String,
             extraInputs: Map[String, DataFrame] = Map.empty): Seq[StreamingQuery] = {
     val spec = GraftApp.parse(appSql)
-    val env = GraftApp.run(spark, appSql, bindSources(spark, spec) ++ extraInputs)
+    val env = GraftApp.run(spark, appSql,
+      bindSources(spark, spec) ++ bindTriggers(spark, spec) ++ extraInputs)
     startSinks(spec, env)
   }
 }

@@ -50,8 +50,15 @@ object GraftApp {
       limit: Option[Int],
       partitionAttr: Option[String] = None) // PARTITION WITH key (§2.9)
 
+  /** CREATE TRIGGER (trigger_definition.rs): mode ∈ start/every/cron.
+    * `everyMs` is resolved for both EVERY and the supported cron forms.
+    */
+  final case class TriggerDef(name: String, mode: String,
+                              everyMs: Option[Long], cron: Option[String])
+
   final case class AppSpec(streams: Map[String, StreamDef], queries: Seq[QuerySpec],
-                           patterns: Seq[PatternCompiler.PatternQuery] = Nil)
+                           patterns: Seq[PatternCompiler.PatternQuery] = Nil,
+                           triggers: Seq[TriggerDef] = Nil)
 
   final case class SqlError(msg: String) extends RuntimeException(msg)
 
@@ -77,6 +84,9 @@ object GraftApp {
   private val PartitionRe: Regex =
     """(?is)PARTITION\s+WITH\s*\(\s*(\w+)\s+OF\s+(\w+)\s*\)\s+BEGIN\s+(.*?)\s+END\s*;?""".r
 
+  private val TriggerRe: Regex =
+    """(?is)\s*CREATE\s+TRIGGER\s+(\w+)\s+AT\s+(.+?)\s*""".r
+
   def parse(appSql: String): AppSpec = {
     // PARTITION WITH (attr OF Stream) BEGIN … END (§2.9,
     // value_partition_type.rs): every query in the block whose source is
@@ -94,6 +104,7 @@ object GraftApp {
     var streams = Map.empty[String, StreamDef]
     val queries = Seq.newBuilder[QuerySpec]
     val patterns = Seq.newBuilder[PatternCompiler.PatternQuery]
+    val triggers = Seq.newBuilder[TriggerDef]
     (plainStmts.toSeq ++ partitionedStmts).foreach { case (stmt, part) =>
       parsePatternInsert(stmt) match {
         case Some(pq0) =>
@@ -110,6 +121,15 @@ object GraftApp {
             case _ => pq0
           })
         case None => stmt match {
+          // CREATE TRIGGER Name AT START | AT EVERY n unit | AT '<cron>'
+          // (trigger_definition.rs; TriggerTestCase ports). The trigger
+          // name becomes a stream with a single triggered_time column.
+          case TriggerRe(name, atRaw) =>
+            val t = parseTriggerAt(name, atRaw.trim)
+            triggers += t
+            streams += name -> StreamDef(name,
+              StructType(Seq(StructField("triggered_time", TimestampType))),
+              Map("type" -> "trigger"), isTable = false)
           case CreateRe(kind, name, colsRaw, withRaw) =>
             val fields = colsRaw.split(",").map(_.trim).filter(_.nonEmpty).map { c =>
               val parts = c.split("\\s+")
@@ -142,7 +162,26 @@ object GraftApp {
         }
       }
     }
-    AppSpec(streams, queries.result(), patterns.result())
+    AppSpec(streams, queries.result(), patterns.result(), triggers.result())
+  }
+
+  private def parseTriggerAt(name: String, atRaw: String): TriggerDef = {
+    val everyRe = """(?is)^EVERY\s+(\d+)\s+(\w+)$""".r
+    val cronRe = """(?s)^'(.*)'$""".r
+    // seconds-field-only cron (`*/n * * * * *`) resolves to a period; other
+    // cron shapes have no Spark-native scheduler → typed error
+    val cronSecRe = """^\*/(\d+)(\s+\*){5}$""".r
+    atRaw match {
+      case a if a.equalsIgnoreCase("START") => TriggerDef(name, "start", None, None)
+      case everyRe(n, unit) =>
+        TriggerDef(name, "every", Some(parseDurationUs(s"$n $unit") / 1000L), None)
+      case cronRe(c) => c.trim match {
+        case cronSecRe(n, _) => TriggerDef(name, "cron", Some(n.toLong * 1000L), Some(c))
+        case other => throw SqlError(
+          s"unsupported cron '$other' in trigger $name (use */n * * * * * or AT EVERY)")
+      }
+      case other => throw SqlError(s"bad trigger schedule '$other' in $name")
+    }
   }
 
   /** Parse `INSERT INTO t SELECT … FROM PATTERN/SEQUENCE (…) [WITHIN n u]

@@ -41,6 +41,52 @@ class ConnectorSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // -- triggers.rs:trigger_test7_sql_periodic / trigger_test6_sql_start
+  //    (TriggerTestCase ports), SQL-only end to end
+  test("CREATE TRIGGER AT EVERY: periodic trigger feeds a query to a sink") {
+    val app =
+      """CREATE TRIGGER Tick AT EVERY 100 MILLISECONDS;
+        |CREATE STREAM TrigOut (triggered_time TIMESTAMP) WITH ('type'='sink','format'='memory');
+        |INSERT INTO TrigOut SELECT triggered_time FROM Tick;""".stripMargin
+    val qs = graft.sql.AppRuntime.start(spark, app)
+    try {
+      var n = 0L
+      val deadline = System.currentTimeMillis() + 20000
+      while (n < 2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        n = spark.table("TrigOut").count()
+      }
+      assert(n >= 2, s"periodic trigger emitted only $n events")
+    } finally qs.foreach(_.stop())
+  }
+
+  test("CREATE TRIGGER AT START: fires exactly once at app start") {
+    val app =
+      """CREATE TRIGGER Boot AT START;
+        |CREATE STREAM BootOut (triggered_time TIMESTAMP) WITH ('type'='sink','format'='memory');
+        |INSERT INTO BootOut SELECT triggered_time FROM Boot;""".stripMargin
+    val qs = graft.sql.AppRuntime.start(spark, app)
+    try assert(spark.table("BootOut").count() == 1)
+    finally qs.foreach(_.stop())
+  }
+
+  test("CREATE TRIGGER parse: START, EVERY, cron forms and typed errors") {
+    import graft.sql.GraftApp
+    val spec = GraftApp.parse(
+      """CREATE TRIGGER A AT START;
+        |CREATE TRIGGER B AT EVERY 5 SECONDS;
+        |CREATE TRIGGER C AT '*/2 * * * * *';""".stripMargin)
+    assert(spec.triggers == Seq(
+      GraftApp.TriggerDef("A", "start", None, None),
+      GraftApp.TriggerDef("B", "every", Some(5000L), None),
+      GraftApp.TriggerDef("C", "cron", Some(2000L), Some("*/2 * * * * *"))))
+    // trigger streams are declared with the triggered_time column
+    assert(spec.streams("B").schema.fieldNames.toSeq == Seq("triggered_time"))
+    val err = intercept[GraftApp.SqlError](
+      GraftApp.parse("CREATE TRIGGER X AT '0 0 * * * *';"))
+    assert(err.getMessage.contains("unsupported cron"))
+  }
+
   test("stream-driven table upsert via foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
