@@ -97,6 +97,43 @@ object RollupQueries extends QueryFamily {
              |  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // The same DML algebra through the SQL surface: UPDATE OR INSERT then
+    // DELETE as app statements executing in declared order against the
+    // table env (update_table_processor.rs roadmap syntax).
+    QueryDef(
+      "q_table_dml_sql",
+      (s, dir) => {
+        val app =
+          """CREATE TABLE t (c_custkey BIGINT, bal DOUBLE);
+            |CREATE STREAM updates (c_custkey BIGINT, bal DOUBLE);
+            |CREATE STREAM dels (c_custkey BIGINT);
+            |UPDATE OR INSERT INTO t SELECT c_custkey, bal FROM updates
+            |ON t.c_custkey = updates.c_custkey;
+            |DELETE FROM t FROM dels WHERE t.c_custkey = dels.c_custkey;""".stripMargin
+        val cust = Tables(s, dir, "customer")
+          .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
+        val updates = cust.filter(col("c_custkey") <= 50)
+          .select(col("c_custkey"), lit(0.0).as("bal"))
+          .unionByName(cust.filter(col("c_custkey") <= 20)
+            .select((col("c_custkey") + 1000000).as("c_custkey"), lit(1.0).as("bal")))
+        val dels = Tables(s, dir, "orders")
+          .filter(col("o_totalprice") > 450000.0)
+          .select(col("o_custkey").as("c_custkey"))
+        graft.sql.GraftApp.run(s, app,
+            Map("t" -> cust, "updates" -> updates, "dels" -> dels))("t")
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH t0 AS (SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer),
+             |d AS (SELECT c_custkey, 0.0 AS bal FROM t0 WHERE c_custkey <= 50
+             |      UNION ALL
+             |      SELECT c_custkey + 1000000, 1.0 FROM t0 WHERE c_custkey <= 20),
+             |t1 AS (SELECT * FROM t0 WHERE c_custkey NOT IN (SELECT c_custkey FROM d)
+             |       UNION ALL SELECT * FROM d)
+             |SELECT * FROM t1
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = t1.c_custkey AND o_totalprice > 450000.0)
+             |ORDER BY c_custkey""".stripMargin)),
+
     // Table-membership IN predicate (in_expression_executor.rs): events
     // whose user exists in the high-balance customer table.
     QueryDef(

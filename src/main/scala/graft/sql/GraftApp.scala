@@ -56,9 +56,27 @@ object GraftApp {
   final case class TriggerDef(name: String, mode: String,
                               everyMs: Option[Long], cron: Option[String])
 
+  /** Table DML (§2.10): `UPDATE t SET … FROM s WHERE/ON cond`,
+    * `DELETE FROM t FROM s WHERE/ON cond`, `UPDATE OR INSERT INTO t
+    * SELECT … FROM s ON cond` (update_table_processor.rs:12, update_set.rs,
+    * delete_table_processor.rs — roadmap syntax in the reference, lowered
+    * here onto the TableOps merge algebra).
+    */
+  final case class DmlSpec(kind: String, table: String, source: String,
+                           setClauses: Seq[(String, String)],
+                           selectItems: Seq[(String, Option[String])],
+                           cond: String)
+
+  /** Statements that execute against the env, in declared order. */
+  sealed trait Stmt
+  final case class QueryStmt(q: QuerySpec) extends Stmt
+  final case class PatternStmt(p: PatternCompiler.PatternQuery) extends Stmt
+  final case class DmlStmt(d: DmlSpec) extends Stmt
+
   final case class AppSpec(streams: Map[String, StreamDef], queries: Seq[QuerySpec],
                            patterns: Seq[PatternCompiler.PatternQuery] = Nil,
-                           triggers: Seq[TriggerDef] = Nil)
+                           triggers: Seq[TriggerDef] = Nil,
+                           stmts: Seq[Stmt] = Nil)
 
   final case class SqlError(msg: String) extends RuntimeException(msg)
 
@@ -87,6 +105,13 @@ object GraftApp {
   private val TriggerRe: Regex =
     """(?is)\s*CREATE\s+TRIGGER\s+(\w+)\s+AT\s+(.+?)\s*""".r
 
+  private val UpsertRe: Regex =
+    """(?is)\s*UPDATE\s+OR\s+INSERT\s+INTO\s+(\w+)\s+SELECT\s+(.*?)\s+FROM\s+(\w+)\s+ON\s+(.*?)\s*""".r
+  private val UpdateRe: Regex =
+    """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.*?)\s+FROM\s+(\w+)\s+(?:WHERE|ON)\s+(.*?)\s*""".r
+  private val DeleteRe: Regex =
+    """(?is)\s*DELETE\s+FROM\s+(\w+)\s+FROM\s+(\w+)\s+(?:WHERE|ON)\s+(.*?)\s*""".r
+
   def parse(appSql: String): AppSpec = {
     // PARTITION WITH (attr OF Stream) BEGIN … END (§2.9,
     // value_partition_type.rs): every query in the block whose source is
@@ -105,21 +130,24 @@ object GraftApp {
     val queries = Seq.newBuilder[QuerySpec]
     val patterns = Seq.newBuilder[PatternCompiler.PatternQuery]
     val triggers = Seq.newBuilder[TriggerDef]
+    val stmts = Seq.newBuilder[Stmt]
+    def requireDefined(name: String): Unit =
+      if (!streams.contains(name))
+        throw SqlError(s"undefined stream/table '$name' (definition first)")
     (plainStmts.toSeq ++ partitionedStmts).foreach { case (stmt, part) =>
       parsePatternInsert(stmt) match {
         case Some(pq0) =>
-          pq0.allAlts.foreach { a =>
-            if (!streams.contains(a.stream))
-              throw SqlError(s"undefined stream/table '${a.stream}' (definition first)")
-          }
+          pq0.allAlts.foreach(a => requireDefined(a.stream))
           // enclosing PARTITION WITH block folds in as the pattern key
           // (explicit PARTITION BY wins)
-          patterns += ((pq0.partitionBy, part) match {
+          val pq = (pq0.partitionBy, part) match {
             case (None, Some((attr, stream)))
                 if pq0.allAlts.exists(_.stream.equalsIgnoreCase(stream)) =>
               pq0.copy(partitionBy = Some(attr))
             case _ => pq0
-          })
+          }
+          patterns += pq
+          stmts += PatternStmt(pq)
         case None => stmt match {
           // CREATE TRIGGER Name AT START | AT EVERY n unit | AT '<cron>'
           // (trigger_definition.rs; TriggerTestCase ports). The trigger
@@ -141,28 +169,53 @@ object GraftApp {
             val opts = Option(withRaw).map(parseWith).getOrElse(Map.empty)
             streams += name -> StreamDef(name, StructType(fields), opts,
               isTable = kind.equalsIgnoreCase("TABLE"))
+          case UpsertRe(table, select, source, cond) =>
+            requireDefined(table); requireDefined(source)
+            val items = splitTopLevel(select).map(parseSelectItem)
+            stmts += DmlStmt(DmlSpec("upsert", table, source, Nil, items, cond.trim))
+          case UpdateRe(table, setRaw, source, cond) =>
+            requireDefined(table); requireDefined(source)
+            val sets = splitTopLevel(setRaw).map { s =>
+              s.split("=", 2) match {
+                case Array(c, e) => (c.trim, e.trim)
+                case _ => throw SqlError(s"bad SET clause '$s'")
+              }
+            }
+            stmts += DmlStmt(DmlSpec("update", table, source, sets, Nil, cond.trim))
+          case DeleteRe(table, source, cond) =>
+            requireDefined(table); requireDefined(source)
+            stmts += DmlStmt(DmlSpec("delete", table, source, Nil, Nil, cond.trim))
           case InsertRe(target, select, source, rest) =>
-            if (!streams.contains(source))
-              throw SqlError(s"undefined stream/table '$source' (definition first)")
-            val q = parseQuery(target, select, source, rest)
-            queries += (part match {
+            requireDefined(source)
+            val q0 = parseQuery(target, select, source, rest)
+            val q = part match {
               // partition attr folds into the key set (and output) of grouped
               // queries over the partitioned stream; per-event window frames
               // read partitionAttr directly (per-key state isolation, §2.9)
               case Some((attr, stream)) if stream.equalsIgnoreCase(source) =>
-                val q1 = q.copy(partitionAttr = Some(attr))
-                if (q.groupBy.nonEmpty)
-                  q1.copy(groupBy = attr +: q.groupBy,
-                    selectItems = (attr, None) +: q.selectItems)
+                val q1 = q0.copy(partitionAttr = Some(attr))
+                if (q0.groupBy.nonEmpty)
+                  q1.copy(groupBy = attr +: q0.groupBy,
+                    selectItems = (attr, None) +: q0.selectItems)
                 else q1
-              case _ => q
-            })
+              case _ => q0
+            }
+            queries += q
+            stmts += QueryStmt(q)
           case other =>
             throw SqlError(s"unsupported statement: ${other.take(60)}")
         }
       }
     }
-    AppSpec(streams, queries.result(), patterns.result(), triggers.result())
+    AppSpec(streams, queries.result(), patterns.result(), triggers.result(), stmts.result())
+  }
+
+  private def parseSelectItem(item: String): (String, Option[String]) = {
+    val asRe = "(?is)^(.*?)\\s+AS\\s+(\\w+)$".r
+    item.trim match {
+      case asRe(e, a) => (e.trim, Some(a))
+      case e => (e, None)
+    }
   }
 
   private def parseTriggerAt(name: String, atRaw: String): TriggerDef = {
@@ -366,25 +419,79 @@ object GraftApp {
           throw SqlError(s"input '$name' columns ${df.columns.toSeq} != declared $declared")
       }
     }
-    spec.queries.foreach { q =>
-      val src = env.getOrElse(q.source,
-        throw SqlError(s"stream '${q.source}' has no bound data"))
-      // JOIN: both sides aliased by their stream name so ON conditions and
-      // select items can use Stream.col qualified references
-      // (join_input_stream.rs's two-sided naming)
-      val joined = q.join.fold(src) { j =>
-        val right = env.getOrElse(j.stream,
-          throw SqlError(s"stream '${j.stream}' has no bound data"))
-        src.as(q.source).join(right.as(j.stream), expr(j.cond), j.joinType)
-      }
-      val out = compileQuery(joined, q)
-      env += q.target -> env.get(q.target).map(_.unionByName(out)).getOrElse(out)
-    }
-    spec.patterns.foreach { p =>
-      val out = PatternCompiler.compile(spark, p, env, persisted += _)
-      env += p.target -> env.get(p.target).map(_.unionByName(out)).getOrElse(out)
+    // statements run in declared order: a DML statement sees the table
+    // state produced by everything before it, and later reads see the DML
+    spec.stmts.foreach {
+      case QueryStmt(q) =>
+        val src = env.getOrElse(q.source,
+          throw SqlError(s"stream '${q.source}' has no bound data"))
+        // JOIN: both sides aliased by their stream name so ON conditions and
+        // select items can use Stream.col qualified references
+        // (join_input_stream.rs's two-sided naming)
+        val joined = q.join.fold(src) { j =>
+          val right = env.getOrElse(j.stream,
+            throw SqlError(s"stream '${j.stream}' has no bound data"))
+          src.as(q.source).join(right.as(j.stream), expr(j.cond), j.joinType)
+        }
+        val out = compileQuery(joined, q)
+        env += q.target -> env.get(q.target).map(_.unionByName(out)).getOrElse(out)
+      case PatternStmt(p) =>
+        val out = PatternCompiler.compile(spark, p, env, persisted += _)
+        env += p.target -> env.get(p.target).map(_.unionByName(out)).getOrElse(out)
+      case DmlStmt(d) =>
+        env += d.table -> execDml(env, d)
     }
     (env, () => persisted.foreach(_.unpersist()))
+  }
+
+  /** Execute one table-DML statement against the env (batch semantics; in a
+    * streaming app these run per micro-batch inside foreachBatch — see
+    * ConnectorSpec's upsert test). One equi-ish join each; the delta side is
+    * usually the small one (broadcast at scale).
+    */
+  private def execDml(env: Map[String, DataFrame], d: DmlSpec): DataFrame = {
+    val table = env.getOrElse(d.table, throw SqlError(s"table '${d.table}' has no bound data"))
+    val src = env.getOrElse(d.source, throw SqlError(s"stream '${d.source}' has no bound data"))
+    d.kind match {
+      case "delete" =>
+        // DELETE FROM t FROM s WHERE cond (delete_table_processor.rs)
+        table.as(d.table).join(src.as(d.source), expr(d.cond), "left_anti")
+      case "update" =>
+        // UPDATE t SET c = expr … (update_table_processor.rs): matched rows
+        // take the SET expressions, unmatched pass through. Expects at most
+        // one delta row per matched table row (keyed deltas).
+        val joined = table.as(d.table)
+          .join(src.withColumn("__m", lit(1)).as(d.source), expr(d.cond), "left_outer")
+        val sets = d.setClauses.map { case (c, e) => c.split("\\.").last.toLowerCase -> e }.toMap
+        val cols = table.columns.map { c =>
+          sets.get(c.toLowerCase) match {
+            case Some(e) =>
+              when(col("__m").isNotNull, expr(e)).otherwise(col(s"${d.table}.$c")).as(c)
+            case None => col(s"${d.table}.$c").as(c)
+          }
+        }
+        joined.select(cols.toSeq: _*)
+      case "upsert" =>
+        // UPDATE OR INSERT INTO t SELECT … ON cond → TableOps.upsert keyed
+        // by the table-side columns of the ON equalities
+        val delta = src.as(d.source).select(d.selectItems.map {
+          case (e, Some(a)) => expr(e).as(a)
+          case (e, None) => expr(e)
+        }: _*)
+        val eqRe = """(?i)\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
+        val keys = d.cond.split("(?i)\\bAND\\b").toSeq.map {
+          case eqRe(q1, c1, q2, c2) =>
+            if (q1.equalsIgnoreCase(d.table)) c1
+            else if (q2.equalsIgnoreCase(d.table)) c2
+            else throw SqlError(s"ON condition must reference ${d.table}: '$q1.$c1 = $q2.$c2'")
+          case other => throw SqlError(
+            s"UPDATE OR INSERT ON supports qualified equality conjunctions, got '$other'")
+        }
+        if (delta.columns.toSet != table.columns.toSet)
+          throw SqlError(s"upsert delta columns ${delta.columns.toSeq} must match " +
+            s"table ${d.table} columns ${table.columns.toSeq}")
+        graft.operators.TableOps.upsert(table, delta, keys)
+    }
   }
 
   private def compileQuery(src: DataFrame, q: QuerySpec): DataFrame = {

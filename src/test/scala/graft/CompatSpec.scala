@@ -353,6 +353,58 @@ class CompatSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1, "a", "b")))
   }
 
+  // -- tables.rs:table_test2_update (UpdateTableTestCase.java:updateTableTest1;
+  //    roadmap syntax in the reference, implemented here)
+  test("compat table_test2: UPDATE table SET … FROM stream WHERE cond") {
+    val app =
+      """CREATE TABLE stockTable (symbol STRING, price DOUBLE, volume INT);
+        |CREATE STREAM stockStream (symbol STRING, price DOUBLE, volume INT);
+        |CREATE STREAM updateStream (symbol STRING, newPrice DOUBLE);
+        |INSERT INTO stockTable SELECT symbol, price, volume FROM stockStream;
+        |UPDATE stockTable SET price = updateStream.newPrice
+        |FROM updateStream
+        |WHERE stockTable.symbol = updateStream.symbol;""".stripMargin
+    val out = GraftApp.run(spark, app, Map(
+      "stockStream" -> Seq(("IBM", 100.0, 100), ("MSFT", 50.0, 10)).toDF("symbol", "price", "volume"),
+      "updateStream" -> Seq(("IBM", 150.0)).toDF("symbol", "newPrice")))("stockTable")
+    assert(out.orderBy("symbol").collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2))).toSeq ==
+      Seq(("IBM", 150.0, 100), ("MSFT", 50.0, 10)))
+  }
+
+  // -- tables.rs:table_test3_delete (DeleteFromTableTestCase.java)
+  test("compat table_test3: DELETE FROM table FROM stream WHERE cond") {
+    val app =
+      """CREATE TABLE stockTable (symbol STRING, price DOUBLE, volume INT);
+        |CREATE STREAM stockStream (symbol STRING, price DOUBLE, volume INT);
+        |CREATE STREAM deleteStream (symbol STRING);
+        |INSERT INTO stockTable SELECT symbol, price, volume FROM stockStream;
+        |DELETE FROM stockTable
+        |FROM deleteStream
+        |WHERE stockTable.symbol = deleteStream.symbol;""".stripMargin
+    val out = GraftApp.run(spark, app, Map(
+      "stockStream" -> Seq(("IBM", 100.0, 100), ("MSFT", 50.0, 10)).toDF("symbol", "price", "volume"),
+      "deleteStream" -> Seq(Tuple1("IBM")).toDF("symbol")))("stockTable")
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("MSFT"))
+  }
+
+  // -- tables.rs:table_test7_upsert (UpdateOrInsertTableTestCase.java)
+  test("compat table_test7: UPDATE OR INSERT INTO table … ON cond") {
+    val app =
+      """CREATE TABLE stockTable (symbol STRING, price DOUBLE, volume INT);
+        |CREATE STREAM seedStream (symbol STRING, price DOUBLE, volume INT);
+        |CREATE STREAM stockStream (symbol STRING, price DOUBLE, volume INT);
+        |INSERT INTO stockTable SELECT symbol, price, volume FROM seedStream;
+        |UPDATE OR INSERT INTO stockTable
+        |SELECT symbol, price, volume
+        |FROM stockStream
+        |ON stockTable.symbol = stockStream.symbol;""".stripMargin
+    val out = GraftApp.run(spark, app, Map(
+      "seedStream" -> Seq(("IBM", 100.0, 100)).toDF("symbol", "price", "volume"),
+      "stockStream" -> Seq(("IBM", 150.0, 200), ("WSO2", 10.0, 5)).toDF("symbol", "price", "volume")))("stockTable")
+    assert(out.orderBy("symbol").collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2))).toSeq ==
+      Seq(("IBM", 150.0, 200), ("WSO2", 10.0, 5)))
+  }
+
   // -- patterns.rs:pattern_test1_simple_followedby
   //    (PatternTestCase / e1=Stream1 -> e2=Stream2): two streams fan into
   //    one NFA input with the stream tag as etype, exactly the reference's
