@@ -279,7 +279,7 @@ object GraftApp {
       }
       val partitionBy = """(?is)\bPARTITION\s+BY\s+(\w+)""".r
         .findFirstMatchIn(rest).map(_.group(1))
-      val (variants, every) = PatternCompiler.parseSteps(stepsRaw)
+      val (variants, every, absents) = PatternCompiler.parseSteps(stepsRaw)
       val (withinUs, withinEvents) = within
         .map { case (n, u) => PatternCompiler.parseWithin(n, u) }
         .getOrElse((None, None))
@@ -293,7 +293,7 @@ object GraftApp {
       PatternCompiler.PatternQuery(target, items,
         strict = mode.equalsIgnoreCase("SEQUENCE"), every = every,
         variants = variants, withinUs = withinUs, withinEvents = withinEvents,
-        where = where, partitionBy = partitionBy)
+        where = where, partitionBy = partitionBy, absents = absents)
     }
 
   private def parseWith(raw: String): Map[String, String] =

@@ -52,6 +52,12 @@ object PatternCompiler {
     def aliases: Seq[String] = alts.map(_.alias).distinct
   }
 
+  /** Absent element `NOT S[pred] [FOR d]` guarding the gap after step
+    * `afterStep` (mid-chain: bounded by the next step's match; trailing:
+    * requires FOR — unbounded absence is undecidable on a stream).
+    */
+  final case class AbsentElem(afterStep: Int, alt: StepAlt, forUs: Option[Long])
+
   final case class PatternQuery(
       target: String,
       selectItems: Seq[(String, Option[String])],
@@ -61,8 +67,9 @@ object PatternCompiler {
       withinUs: Option[Long] = None,
       withinEvents: Option[Long] = None,
       where: Option[String] = None,
-      partitionBy: Option[String] = None) {
-    def allAlts: Seq[StepAlt] = variants.flatten.flatMap(_.alts)
+      partitionBy: Option[String] = None,
+      absents: Seq[AbsentElem] = Nil) {
+    def allAlts: Seq[StepAlt] = variants.flatten.flatMap(_.alts) ++ absents.map(_.alt)
   }
 
   def compile(spark: SparkSession, q: PatternQuery, env: Map[String, DataFrame],
@@ -144,9 +151,9 @@ object PatternCompiler {
       withinUs = q.withinUs, withinEvents = q.withinEvents)
     val matches = Cep.detect(cepIn, spec).toDF()
 
-    // base projection: key + per-step matched-event-id arrays
+    // base projection: key + match end time + per-step matched-event-id arrays
     var base = matches.select(
-      col("key").as("__mkey") +:
+      col("key").as("__mkey") +: col("endUs").as("__endUs") +:
       steps.indices.map { i =>
         expr(s"transform(steps[$i].events, x -> x.eventId)").as(s"__ids_$i")
       }: _*)
@@ -261,6 +268,23 @@ object PatternCompiler {
     }
     whereRw.foreach(w => out = out.filter(expr(w)))
 
+    // NOT guards: anti-join against the absent stream's matching events in
+    // the guarded gap (arrival order via per-key __id; trailing guards are
+    // time-bounded by FOR). Result-level form of the absent pattern — the
+    // streaming flush variant is Cep.detectAbsentStream.
+    q.absents.foreach { a =>
+      val ab0 = ordered.filter(col("__stream") === a.alt.stream)
+      val ab = a.alt.pred.map(p => ab0.filter(expr(p))).getOrElse(ab0)
+        .select(col("__key").as("__akey"), col("__id").as("__aid"),
+          unix_micros(col("ts")).as("__ats"))
+      val lower = element_at(col(s"__ids_${a.afterStep}"), -1)
+      var cond = col("__akey") === col("__mkey") && col("__aid") > lower
+      if (a.afterStep < steps.size - 1)
+        cond = cond && col("__aid") < element_at(col(s"__ids_${a.afterStep + 1}"), 1)
+      a.forUs.foreach(d => cond = cond && col("__ats") <= col("__endUs") + d)
+      out = out.join(ab, cond, "left_anti")
+    }
+
     val selectCols = items.map {
       case (e, Some(a)) => expr(e).as(a)
       case (e, None) => expr(e)
@@ -272,16 +296,43 @@ object PatternCompiler {
   // ---- parsing
 
   /** Parse the pattern body `[EVERY] (elem -> elem …)`; returns the step
-    * chains (one per AND-ordering variant) and the EVERY flag.
+    * chains (one per AND-ordering variant), the EVERY flag, and absent
+    * (`NOT … [FOR d]`) elements anchored to their preceding step.
     */
-  def parseSteps(raw0: String): (Seq[Seq[PatternStep]], Boolean) = {
+  def parseSteps(raw0: String): (Seq[Seq[PatternStep]], Boolean, Seq[AbsentElem]) = {
     var raw = raw0.trim
     val every = raw.toUpperCase.startsWith("EVERY ") || raw.toUpperCase.startsWith("EVERY(")
     if (every) raw = stripOuterParens(raw.substring(5).trim)
-    val elements = splitTopLevel(raw, "->").map(e => stripOuterParens(e.trim))
-    if (elements.isEmpty) throw GraftApp.SqlError("empty pattern")
+    val allElements = splitTopLevel(raw, "->").map(e => stripOuterParens(e.trim))
+    if (allElements.isEmpty) throw GraftApp.SqlError("empty pattern")
+    // peel off NOT elements; they guard the gap after the preceding step
+    val notRe = """(?is)^NOT\s+(.+?)(?:\s+FOR\s+(\d+)\s+(\w+))?$""".r
+    val absents = Seq.newBuilder[AbsentElem]
+    val elements = Seq.newBuilder[String]
+    var stepIdx = -1
+    allElements.foreach {
+      case notRe(altRaw, forN, forUnit) =>
+        if (stepIdx < 0)
+          throw GraftApp.SqlError("pattern cannot start with NOT (no anchoring step)")
+        val forUs = Option(forN).map { n =>
+          parseWithin(n, forUnit)._1.getOrElse(
+            throw GraftApp.SqlError("NOT … FOR needs a time unit"))
+        }
+        val (alt, quant) = parseAlt(altRaw)
+        if (quant != (1, 1))
+          throw GraftApp.SqlError("count quantifiers on NOT elements are not supported")
+        absents += AbsentElem(stepIdx, alt, forUs)
+      case el =>
+        if (splitTopLevelWord(el, "AND").size > 1 && absents.result().nonEmpty)
+          throw GraftApp.SqlError("AND elements cannot be combined with NOT guards")
+        stepIdx += 1
+        elements += el
+    }
+    val absentElems = absents.result()
+    if (absentElems.nonEmpty && elements.result().exists(e => splitTopLevelWord(e, "AND").size > 1))
+      throw GraftApp.SqlError("AND elements cannot be combined with NOT guards")
     // each element → one or two (AND) step sequences
-    val perElement: Seq[Seq[Seq[PatternStep]]] = elements.map { el =>
+    val perElement: Seq[Seq[Seq[PatternStep]]] = elements.result().map { el =>
       val orParts = splitTopLevelWord(el, "OR")
       val andParts = splitTopLevelWord(el, "AND")
       if (orParts.size > 1 && andParts.size > 1)
@@ -308,7 +359,17 @@ object PatternCompiler {
     val variants = perElement.foldLeft(Seq(Seq.empty[PatternStep])) { (acc, opts) =>
       for (a <- acc; o <- opts) yield a ++ o
     }
-    (variants, every)
+    // trailing NOT must be time-bounded (absence after the final step is
+    // only decidable up to a deadline)
+    val nSteps = variants.head.size
+    absentElems.foreach { a =>
+      if (a.afterStep >= nSteps - 1 && a.forUs.isEmpty)
+        throw GraftApp.SqlError("trailing NOT needs FOR <duration>")
+      if (a.afterStep < nSteps - 1 && a.forUs.nonEmpty)
+        throw GraftApp.SqlError(
+          "mid-chain NOT is bounded by the next step; FOR applies to trailing NOT only")
+    }
+    (variants, every, absentElems)
   }
 
   /** `alias=Stream[pred]<n:m>` (alias, bracket, quantifier all optional;

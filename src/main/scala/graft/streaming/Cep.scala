@@ -196,6 +196,66 @@ object Cep {
     }
   }
 
+  /** Streaming absent pattern — `e1=A NOT FOLLOWED BY B WITHIN d` (the
+    * reference's `NOT … FOR d` roadmap design, MILESTONES.md:126-133; batch
+    * result-level form = q_cep_absent's anti-join). A matched first event
+    * waits out its deadline in per-key state:
+    *  - an absent-matching event before the deadline kills the partial;
+    *  - deadline passing (older in-batch event time, or the event-time
+    *    watermark firing EventTimeTimeout) flushes the partial as a match.
+    * Emission is therefore delayed by exactly the WITHIN duration — absence
+    * is only knowable after the deadline (same reason the reference routes
+    * this through its TimerWheel).
+    */
+  final case class AbsentSpec(
+      first: CepEvent => Boolean,
+      absent: CepEvent => Boolean,
+      withinUs: Long) extends Serializable
+
+  def detectAbsentStream(ds: Dataset[CepEvent], spec: AbsentSpec,
+                         watermarkDelay: String): Dataset[CepMatch] = {
+    val withTime = ds.toDF()
+      .withColumn("eventTime", timestamp_micros(col("tsUs")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[CepEvent](evEnc)
+    withTime.groupByKey(_.key).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (_: String, it: Iterator[CepEvent], state: GroupState[NfaState]) =>
+        def emit(p: Partial): CepMatch = {
+          val a = p.collected.head.head
+          CepMatch(a.key, a.tsUs, p.startUs + spec.withinUs, Seq(Collected("e1", Seq(a))))
+        }
+        var pending = state.getOption.map(_.partials.toVector).getOrElse(Vector.empty)
+        val out = Seq.newBuilder[CepMatch]
+        if (state.hasTimedOut) {
+          // watermark passed some deadlines: flush those, keep the rest
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (due, live) = pending.partition(p => p.startUs + spec.withinUs <= wmUs)
+          due.foreach(p => out += emit(p))
+          pending = live
+        } else {
+          it.toSeq.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
+            // deadlines strictly before this event's time are conclusive
+            val (due, live) = pending.partition(p => p.startUs + spec.withinUs < e.tsUs)
+            due.foreach(p => out += emit(p))
+            pending = live
+            if (spec.absent(e))
+              pending = pending.filterNot(p => p.startUs < e.tsUs) // followed → killed
+            if (spec.first(e))
+              pending :+= Partial(0, e.tsUs, 0L, Vector(Vector(e)))
+          }
+        }
+        if (pending.isEmpty) state.remove()
+        else {
+          state.update(NfaState(pending, done = false))
+          val nextDeadlineMs = pending.map(p => (p.startUs + spec.withinUs) / 1000L).min
+          state.setTimeoutTimestamp(math.max(nextDeadlineMs,
+            state.getCurrentWatermarkMs() + 1))
+        }
+        out.result().iterator
+    }
+  }
+
   /** Adapt the `events` table (or an equivalently-shaped stream) to
     * [[CepEvent]]: key = user_id, event time in micros.
     */

@@ -332,6 +332,49 @@ class CompatSpec extends AnyFunSuite {
       Seq(("IBM", "MSFT")))
   }
 
+  // -- patterns.rs:pattern_test_not_absent: e1=A -> NOT B -> e2=C
+  //    (B must not occur between A's and C's matches)
+  test("compat pattern_test_not_absent via SQL: mid-chain NOT guard") {
+    val app =
+      """CREATE STREAM A (ts TIMESTAMP, val INT);
+        |CREATE STREAM B (ts TIMESTAMP, val INT);
+        |CREATE STREAM C (ts TIMESTAMP, val INT);
+        |CREATE STREAM Out (aval INT, cval INT);
+        |INSERT INTO Out SELECT e1.val AS aval, e2.val AS cval
+        |FROM PATTERN (e1=A -> NOT B -> e2=C);""".stripMargin
+    // no B between → match
+    val hit = GraftApp.run(spark, app, Map(
+      "A" -> tsDf(Seq((1, 1))), "B" -> tsDf(Nil), "C" -> tsDf(Seq((3, 3)))))("Out")
+    assert(hit.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((1, 3)))
+    // B in the gap → guarded out
+    val miss = GraftApp.run(spark, app, Map(
+      "A" -> tsDf(Seq((1, 1))), "B" -> tsDf(Seq((2, 2))), "C" -> tsDf(Seq((3, 3)))))("Out")
+    assert(miss.count() == 0)
+    // B after C does NOT kill the match
+    val after = GraftApp.run(spark, app, Map(
+      "A" -> tsDf(Seq((1, 1))), "B" -> tsDf(Seq((4, 2))), "C" -> tsDf(Seq((3, 3)))))("Out")
+    assert(after.count() == 1)
+  }
+
+  // trailing NOT … FOR d (grammar absent_pattern; MILESTONES.md:126-133)
+  test("trailing NOT … FOR via SQL: order not shipped within the deadline") {
+    val app =
+      """CREATE STREAM OrderS (ts TIMESTAMP, oid INT);
+        |CREATE STREAM Ship (ts TIMESTAMP, oid INT);
+        |CREATE STREAM Out (oid INT);
+        |INSERT INTO Out SELECT e1.oid AS oid
+        |FROM PATTERN (EVERY (e1=OrderS -> NOT Ship FOR 10 SECONDS))
+        |PARTITION BY oid;""".stripMargin
+    def mk(rows: Seq[(Int, Int)]) = rows.toDF("sec", "oid")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "oid")
+    // order 1 ships at +5s (inside FOR) → suppressed; order 2 ships late
+    // (+20s); order 3 never ships → both emitted
+    val out = GraftApp.run(spark, app, Map(
+      "OrderS" -> mk(Seq((1, 1), (2, 2), (3, 3))),
+      "Ship" -> mk(Seq((6, 1), (22, 2)))))("Out")
+    assert(out.collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+  }
+
   // PARTITION BY on FROM PATTERN: per-key NFA isolation — users must not
   // cross-match (§2.9 + PATTERN_GRAMMAR_V1.2.md PARTITION BY)
   test("pattern PARTITION BY: per-key isolation, no cross-key matches") {

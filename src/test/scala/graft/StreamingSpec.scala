@@ -102,6 +102,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CEP streaming absent pattern: B in a later batch kills; timeout flush emits") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[CepEvent]
+    val spec = Cep.AbsentSpec(
+      first = _.etype == "A", absent = _.etype == "B", withinUs = 10000000L) // 10s
+    val q = Cep.detectAbsentStream(in.toDS(), spec, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("absent_sink").outputMode("append").start()
+    def e(key: String, id: Long, t: String, tsUs: Long) = CepEvent(key, tsUs, id, t, 0.0)
+    try {
+      // u1: A then B arrives in a LATER batch inside the window → no emit
+      in.addData(Seq(e("u1", 1, "A", 0L)));            q.processAllAvailable()
+      in.addData(Seq(e("u1", 2, "B", 5000000L)));      q.processAllAvailable()
+      // u2: A never followed by B
+      in.addData(Seq(e("u2", 3, "A", 20000000L)));     q.processAllAvailable()
+      assert(spark.table("absent_sink").count() == 0)  // deadline not reached yet
+      // far-future other-key event advances the watermark past u2's
+      // deadline; the next batch fires the EventTimeTimeout flush
+      in.addData(Seq(e("u3", 4, "X", 100000000L)));    q.processAllAvailable()
+      in.addData(Seq(e("u3", 5, "X", 101000000L)));    q.processAllAvailable()
+      val matches = spark.table("absent_sink").as[CepMatch].collect()
+      assert(matches.map(m => (m.key, m.steps.head.events.head.eventId)).toSeq ==
+        Seq(("u2", 3L)))
+      // in-batch conclusive deadline: A then much-later event, same key
+      in.addData(Seq(e("u4", 6, "A", 102000000L), e("u4", 7, "X", 120000000L)))
+      q.processAllAvailable()
+      assert(spark.table("absent_sink").count() == 2)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join with watermarks (join_processor.rs semantics, bounded)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
