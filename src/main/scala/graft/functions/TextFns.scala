@@ -32,14 +32,12 @@ object TextFns {
 
   def tokenSet(c: Column): Column = array_distinct(tokens(c))
 
-  /** Word n-gram shingles (n consecutive tokens joined by space). */
-  def shingles(c: Column, n: Int): Column = {
-    val t = tokens(c)
-    filter(
-      transform(sequence(lit(0), greatest(size(t) - n, lit(0))),
-        i => concat_ws(" ", slice(t, i + 1, lit(n)))),
-      s => length(s) > 0)
-  }
+  /** Word n-gram shingles (n consecutive tokens joined by space). Native
+    * expression: the HOF formulation (transform + slice + concat_ws per
+    * position) costs ~1 ms/doc interpreted — the single biggest stage of
+    * MinHash-LSH before this (4.8 s of a 9.4 s sf0.1 run).
+    */
+  def shingles(c: Column, n: Int): Column = column(WordShingles(expression(c), n))
 
   /** Count of matches of any of `words` as whole words (lower-cased). */
   def stopwordHits(c: Column, words: Seq[String]): Column =
@@ -112,6 +110,59 @@ case class RollingHash64(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** One-pass word n-gram shingler over the raw string: tokenize on
+  * whitespace, emit m-n+1 space-joined n-grams (the whole token list when
+  * m < n, nothing for blank text) — byte-identical to the previous
+  * HOF formulation (sequence → slice → concat_ws → filter), one codegen'd
+  * call instead of ~m interpreted lambda evaluations.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(v: Any): Any =
+    WordShingles.eval(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.WordShingles.eval($x, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  def eval(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString.trim
+    if (str.isEmpty)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val toks = str.split("\\s+")
+    val m = toks.length
+    val out: Array[Any] =
+      if (m < n) Array(UTF8String.fromString(toks.mkString(" ")))
+      else {
+        val res = new Array[Any](m - n + 1)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i <= m - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          res(i) = UTF8String.fromString(sb.toString)
+          i += 1
+        }
+        res
+      }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** MinHash signature: slot i = min over tokens of mix64(hash64(token) ^

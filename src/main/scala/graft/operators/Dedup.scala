@@ -33,7 +33,8 @@ object Dedup {
     * block (language, shard, LSH bucket), never across the corpus.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   blockCol: String, threshold: Double): DataFrame = {
+                   blockCol: String, threshold: Double,
+                   onPersist: DataFrame => Unit = _ => ()): DataFrame = {
     require(threshold >= 0.0, "threshold must be non-negative")
     val t = df.select(
         col(idCol).as("id"), col(blockCol).as("blk"),
@@ -42,6 +43,7 @@ object Dedup {
       .withColumn("tk", explode(col("toks")))
       .select(col("blk"), col("tk"), col("id"), col("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onPersist(t)
     val a = t.select(col("blk"), col("tk"), col("id").as("a_id"), col("sz").as("a_sz"))
     val b = t.select(col("blk"), col("tk"), col("id").as("b_id"), col("sz").as("b_sz"))
     a.join(b, Seq("blk", "tk")).filter(col("a_id") < col("b_id"))
@@ -64,7 +66,8 @@ object Dedup {
                  numHashes: Int = 128, bands: Int = 32,
                  threshold: Double = 0.7,
                  shingleSize: Option[Int] = None,
-                 maxBucketSize: Int = 2000): DataFrame = {
+                 maxBucketSize: Int = 2000,
+                 onPersist: DataFrame => Unit = _ => ()): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // Shingles (word n-grams) are the discriminative unit for near-dup
@@ -74,16 +77,18 @@ object Dedup {
     val unit = shingleSize
       .map(n => array_distinct(TextFns.shingles(col(textCol), n)))
       .getOrElse(TextFns.tokenSet(col(textCol)))
+    // Materialize shingles+signatures once: feeds the banding (sig) and the
+    // verification (toks). At cluster scale this is "write signatures to a
+    // table"; locally MEMORY_AND_DISK.
     val base = df.select(col(idCol).as("id"), unit.as("toks"))
       .withColumn("sig", TextFns.minHashSignature(col("toks"), numHashes))
-    // Materialize once: the banded relation feeds the bucket-size scan and
-    // BOTH sides of the candidate self-join — without persist the whole
-    // shingle+signature pipeline recomputes per consumer. At cluster scale
-    // this is "write signatures to a table"; locally MEMORY_AND_DISK.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onPersist(base)
+    // NARROW banded relation: (band, band_key, id) only — token arrays
+    // never enter the ×bands explode or the candidate self-join shuffle.
     val allBanded = base.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("band_key", hash(slice(col("sig"), col("band") * r + 1, lit(r)), col("band")))
-      .select(col("band"), col("band_key"), col("id"), col("toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("band"), col("band_key"), col("id"))
     // Skew guard: drop buckets above maxBucketSize before the candidate
     // join — a huge bucket means an exact-dup cluster (handled by
     // Dedup.exact) or a degenerate band; joining it is O(bucket^2).
@@ -92,11 +97,18 @@ object Dedup {
       .filter(col("bsz") <= maxBucketSize)
       .select(col("band"), col("band_key"))
     val banded = allBanded.join(bucketSizes, Seq("band", "band_key"))
-    val a = banded.select(col("band"), col("band_key"), col("id").as("a_id"), col("toks").as("a_toks"))
-    val b = banded.select(col("band"), col("band_key"), col("id").as("b_id"), col("toks").as("b_toks"))
-    a.join(b, Seq("band", "band_key")).filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_toks"), col("b_toks"))
+    val a = banded.select(col("band"), col("band_key"), col("id").as("a_id"))
+    val b = banded.select(col("band"), col("band_key"), col("id").as("b_id"))
+    val cands = a.join(b, Seq("band", "band_key")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
+    // Exact-Jaccard verification by joining the deduped candidate PAIRS back
+    // to the id→tokens relation: each side's tokens shuffle once total,
+    // not once per band bucket occurrence.
+    val toksRel = base.select(col("id"), col("toks"))
+    cands
+      .join(toksRel.select(col("id").as("a_id"), col("toks").as("a_toks")), Seq("a_id"))
+      .join(toksRel.select(col("id").as("b_id"), col("toks").as("b_toks")), Seq("b_id"))
       .withColumn("jac",
         size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
         size(array_union(col("a_toks"), col("b_toks"))).cast("double"))
