@@ -48,6 +48,7 @@ object GraftApp {
       having: Option[String],
       orderBy: Seq[String],
       limit: Option[Int],
+      offset: Option[Int] = None,
       partitionAttr: Option[String] = None) // PARTITION WITH key (§2.9)
 
   /** CREATE TRIGGER (trigger_definition.rs): mode ∈ start/every/cron.
@@ -300,10 +301,28 @@ object GraftApp {
     raw.split(",").map(_.trim).filter(_.nonEmpty).flatMap { kv =>
       kv.split("=", 2) match {
         case Array(k, v) => Some(k.trim.stripPrefix("'").stripSuffix("'") ->
-          v.trim.stripPrefix("'").stripSuffix("'"))
+          expandEnv(v.trim.stripPrefix("'").stripSuffix("'")))
         case _ => None
       }
     }.toMap
+
+  /** `${VAR}` / `${VAR:-default}` / `${VAR:default}` expansion in WITH
+    * clause values (reference config loader semantics: bare form errors
+    * when unset; `:` form also falls back when set-but-empty).
+    */
+  private[graft] def expandEnv(s: String,
+      env: String => Option[String] = sys.env.get): String =
+    """\$\{([^}]+)\}""".r.replaceAllIn(s, m => {
+      val e = m.group(1)
+      val resolved =
+        if (e.contains(":-")) {
+          val Array(v, d) = e.split(":-", 2); env(v).getOrElse(d)
+        } else if (e.contains(":")) {
+          val Array(v, d) = e.split(":", 2); env(v).filter(_.nonEmpty).getOrElse(d)
+        } else env(e).getOrElse(
+          throw SqlError(s"environment variable '$e' not set (WITH clause)"))
+      java.util.regex.Matcher.quoteReplacement(resolved)
+    })
 
   private def parseQuery(target: String, select: String, source: String,
                          rest0: String): QuerySpec = {
@@ -343,13 +362,14 @@ object GraftApp {
       join = Some(JoinClause(jt, m.group(2), tail.substring(0, stopIdx).trim))
       rest = tail.substring(stopIdx)
     }
-    val where = grab("WHERE", Seq("GROUP\\s+BY", "HAVING", "ORDER\\s+BY", "LIMIT"))
-    val groupBy = grab("GROUP\\s+BY", Seq("HAVING", "ORDER\\s+BY", "LIMIT"))
+    val where = grab("WHERE", Seq("GROUP\\s+BY", "HAVING", "ORDER\\s+BY", "LIMIT", "OFFSET"))
+    val groupBy = grab("GROUP\\s+BY", Seq("HAVING", "ORDER\\s+BY", "LIMIT", "OFFSET"))
       .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
-    val having = grab("HAVING", Seq("ORDER\\s+BY", "LIMIT"))
-    val orderBy = grab("ORDER\\s+BY", Seq("LIMIT"))
+    val having = grab("HAVING", Seq("ORDER\\s+BY", "LIMIT", "OFFSET"))
+    val orderBy = grab("ORDER\\s+BY", Seq("LIMIT", "OFFSET"))
       .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
-    val limit = grab("LIMIT", Nil).map(_.trim.toInt)
+    val limit = grab("LIMIT", Seq("OFFSET")).map(_.trim.toInt)
+    val offset = grab("OFFSET", Nil).map(_.trim.toInt)
     val items = splitTopLevel(select).map { item =>
       val asRe = "(?is)^(.*?)\\s+AS\\s+(\\w+)$".r
       item.trim match {
@@ -357,7 +377,7 @@ object GraftApp {
         case e => (e, None)
       }
     }
-    QuerySpec(target, source, items, join, where, window, groupBy, having, orderBy, limit)
+    QuerySpec(target, source, items, join, where, window, groupBy, having, orderBy, limit, offset)
   }
 
   /** Parse a simple duration literal ("10 seconds", "1 hour") to micros. */
@@ -592,6 +612,8 @@ object GraftApp {
           else (o, false)
         if (desc) expr(e).desc else expr(e).asc
       }: _*)
+    // OFFSET before LIMIT (select_processor.rs:396-419 applies skip-then-take)
+    q.offset.foreach(n => df = df.offset(n))
     q.limit.foreach(n => df = df.limit(n))
     df
   }

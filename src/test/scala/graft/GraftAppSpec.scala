@@ -198,6 +198,34 @@ class GraftAppSpec extends AnyFunSuite {
     intercept[Exception] { run("wibble > 1") }          // unknown column → typed
   }
 
+  test("LIMIT/OFFSET in the SQL surface: skip then take after ORDER BY") {
+    val app =
+      """CREATE STREAM S (x INT);
+        |CREATE STREAM Out (x INT);
+        |INSERT INTO Out SELECT x FROM S ORDER BY x LIMIT 3 OFFSET 2;""".stripMargin
+    val in = (1 to 10).map(Tuple1(_)).toDF("x")
+    val out = GraftApp.run(spark, app, Map("S" -> in))("Out")
+    assert(out.collect().map(_.getInt(0)).toSeq == Seq(3, 4, 5))
+    // OFFSET without LIMIT
+    val app2 = app.replace("LIMIT 3 OFFSET 2", "OFFSET 8")
+    val out2 = GraftApp.run(spark, app2, Map("S" -> in))("Out")
+    assert(out2.collect().map(_.getInt(0)).toSeq == Seq(9, 10))
+  }
+
+  test("${ENV} expansion in WITH clause values (bare, :- and : defaults)") {
+    val env = Map("HOST" -> "h1", "EMPTY" -> "").get _
+    assert(GraftApp.expandEnv("amqp://${HOST}:5672", env) == "amqp://h1:5672")
+    assert(GraftApp.expandEnv("${MISSING:-fallback}", env) == "fallback")
+    assert(GraftApp.expandEnv("${EMPTY:fallback}", env) == "fallback")
+    assert(GraftApp.expandEnv("${HOST:fallback}", env) == "h1")
+    val err = intercept[GraftApp.SqlError](GraftApp.expandEnv("${MISSING}", env))
+    assert(err.getMessage.contains("MISSING"))
+    // end to end: WITH clause values expand at parse time
+    val spec = GraftApp.parse(
+      "CREATE STREAM S (a INT) WITH ('type'='source','format'='rate','rowsPerSecond'='${MISSING:-7}');")
+    assert(spec.streams("S").options("rowsPerSecond") == "7")
+  }
+
   test("undeclared type and bad input schema produce typed errors") {
     val bad = "CREATE STREAM X (a WIBBLE);"
     assert(intercept[GraftApp.SqlError](GraftApp.parse(bad)).getMessage.contains("unknown type"))
