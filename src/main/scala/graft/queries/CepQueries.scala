@@ -176,6 +176,65 @@ object CepQueries extends QueryFamily {
              |GROUP BY s.user_id, s.s_id
              |ORDER BY 1, 2""".stripMargin)),
 
+    // Count quantifier THROUGH the SQL surface: e<3> strict, partitioned —
+    // same semantics as q_cep_count (Scala API) but exercising parseSteps'
+    // quantifier grammar + indexed e[i] select resolution end to end.
+    QueryDef(
+      "q_cep_sql_count",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (user_id BIGINT, e1_id BIGINT, e2_id BIGINT, e3_id BIGINT);
+            |INSERT INTO Out
+            |SELECT e.user_id AS user_id, e[0].event_id AS e1_id,
+            |       e[1].event_id AS e2_id, e[2].event_id AS e3_id
+            |FROM SEQUENCE (EVERY (e=events[event_type = 'error']<3>))
+            |WITHIN 48 HOURS
+            |PARTITION BY user_id;""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .orderBy(col("user_id"), col("e1_id"))
+      },
+      Some("""SELECT user_id, e1_id, e2_id, e3_id FROM (
+             |  SELECT user_id, event_id AS e1_id, event_type AS t1,
+             |    lead(event_id, 1) OVER w AS e2_id, lead(event_type, 1) OVER w AS t2,
+             |    lead(event_id, 2) OVER w AS e3_id, lead(event_type, 2) OVER w AS t3,
+             |    epoch_us(ts) AS ts1, lead(epoch_us(ts), 2) OVER w AS ts3
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+             |WHERE t1 = 'error' AND t2 = 'error' AND t3 = 'error'
+             |  AND ts3 - ts1 <= 172800000000
+             |ORDER BY user_id, e1_id""".stripMargin)),
+
+    // OR alternatives THROUGH the SQL surface (coalesce over the two
+    // alternative aliases), partitioned per user.
+    QueryDef(
+      "q_cep_sql_or",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (user_id BIGINT, e1_id BIGINT, e2_id BIGINT);
+            |INSERT INTO Out
+            |SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+            |       coalesce(s1.event_id, s2.event_id) AS e1_id,
+            |       p.event_id AS e2_id
+            |FROM PATTERN (EVERY ((s1=events[event_type = 'signup'] OR s2=events[event_type = 'error'])
+            |  -> p=events[event_type = 'purchase']))
+            |WITHIN 6 HOURS
+            |PARTITION BY user_id;""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .orderBy(col("user_id"), col("e1_id"))
+      },
+      Some("""WITH s AS (SELECT user_id, event_id AS s_id, epoch_us(ts) AS s_ts
+             |          FROM events WHERE event_type IN ('signup', 'error')),
+             |p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_ts
+             |      FROM events WHERE event_type = 'purchase')
+             |SELECT s.user_id, s.s_id AS e1_id, min(p.p_id) AS e2_id
+             |FROM s JOIN p ON s.user_id = p.user_id
+             |  AND p.p_id > s.s_id AND p.p_ts - s.s_ts <= 21600000000
+             |GROUP BY s.user_id, s.s_id
+             |ORDER BY 1, 2""".stripMargin)),
+
     // Cross-step reference (e2.value > 2 * e1.value) — the StateEvent
     // access pattern; relaxed, within 2h.
     QueryDef(
