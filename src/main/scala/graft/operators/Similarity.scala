@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFns
 
@@ -14,10 +13,20 @@ import graft.functions.VectorFns
   */
 object Similarity {
 
-  /** Exact brute-force cosine top-k: broadcast queries × corpus scan.
-    * The per-query top-k uses a rank window over (query, sim) — at scale
-    * replace the final rank with per-partition heaps + combine, but the
-    * broadcast/scan shape is already the right one.
+  /** Per-query top-k via the bounded [[TopKBySim]] aggregator: partial
+    * aggregation keeps at most k entries per (partition, query) ahead of the
+    * shuffle — the heap+combine shape, vs a rank window's full sort of every
+    * scored row.
+    */
+  private def topKSelect(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("q_id"))
+      .agg(TopK.bySim(k)(col("c_id").cast("long"), col("sim")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("e.c_id").as("c_id"), col("e.sim").as("sim"))
+
+  /** Exact brute-force cosine top-k: broadcast queries × one corpus scan,
+    * bounded top-k aggregation (no full sort anywhere).
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      qIdCol: String, cIdCol: String, vecCol: String,
@@ -26,10 +35,7 @@ object Similarity {
     val c = corpus.select(col(cIdCol).as("c_id"), col(vecCol).as("c_vec"))
     val scored = c.join(broadcast(q))
       .withColumn("sim", VectorFns.cosine(col("q_vec"), col("c_vec")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
+    topKSelect(scored, k)
   }
 
   /** Quantized variant (exact integer dot/norms, see VectorFns.cosineQ) —
@@ -45,10 +51,7 @@ object Similarity {
       VectorFns.quantize(col(vecCol), scale).as("c_vec"))
     val scored = c.join(broadcast(q))
       .withColumn("sim", VectorFns.cosineQ(col("q_vec"), col("c_vec")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
+    topKSelect(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplanes for sign-LSH: component j of
@@ -98,9 +101,6 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("lsh_bucket"))
       .withColumn("sim", VectorFns.cosine(col("q_vec"), col("c_vec")))
       .dropDuplicates("q_id", "c_id")
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
+    topKSelect(scored, k)
   }
 }

@@ -22,6 +22,36 @@ class LlmOpsSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("TopKBySim aggregator: bounded buffer, tie-break by id, matches a full sort") {
+    import graft.operators.{SimEntry, TopKBySim}
+    val agg = new TopKBySim(3)
+    val entries = Seq(
+      SimEntry(5, 0.9), SimEntry(1, 0.7), SimEntry(2, 0.9), SimEntry(9, 0.1),
+      SimEntry(7, 0.7), SimEntry(3, 0.95))
+    // reduce in arbitrary orders + merge of split halves == full sort take 3
+    val expect = entries.sortBy(e => (-e.sim, e.c_id)).take(3)
+    val direct = entries.foldLeft(agg.zero)(agg.reduce)
+    assert(direct == expect)
+    val (l, r) = entries.splitAt(2)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(merged == expect)
+    // distributed: aggregator result equals a rank-window top-k
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 500).map(i => (i % 7L, i.toLong, ((i * 37) % 100) / 100.0))
+      .toDF("q_id", "c_id", "sim").repartition(8)
+    val viaAgg = df.groupBy(col("q_id"))
+      .agg(graft.operators.TopK.bySim(5)(col("c_id"), col("sim")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("q_id"), col("pos"), col("e.c_id"), col("e.sim"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    val viaWin = df.withColumn("rnk", row_number().over(w) - 1).filter(col("rnk") < 5)
+      .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(viaAgg == viaWin)
+  }
+
   test("minhash LSH finds high-Jaccard pairs with good recall and exact precision") {
     val docs = Tables(spark, dir, "documents").withColumn("blk", lit(1))
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", "blk", 0.7)
