@@ -20,17 +20,25 @@ object Dedup {
       .groupBy(col("digest"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Token-set Jaccard pairs within a blocking key, via an inverted index:
-    * explode tokens, self-join on (block, token) to count co-occurrences
-    * (|A∩B| as a hash-aggregated count), derive |A∪B| = |A|+|B|-|A∩B|.
+  /** Token-set Jaccard pairs within a blocking key, via PREFIX FILTERING
+    * (the AllPairs/PPJoin family): order each doc's tokens by block-level
+    * rarity, index only the first |d| - ceil(t*|d|) + 1 tokens, enumerate
+    * pairs sharing a prefix token, verify candidates exactly.
     *
-    * Scale rationale vs the naive array formulation (join all pairs, then
-    * array_intersect): the inverted index never materializes token arrays
-    * through the join — the shuffle rows are (block, token, id, size)
-    * tuples and partial aggregation combines map-side. Pairs sharing no
-    * token never appear (their jaccard is 0 < any threshold). The block
-    * bound remains the scale contract: pairs are only enumerated inside a
-    * block (language, shard, LSH bucket), never across the corpus.
+    * Exactness: for J(A,B) >= t the overlap o satisfies o >= ceil(t*|A|);
+    * the globally smallest shared token has at most |A| - o non-shared
+    * tokens before it in A's rarity order, so it sits inside A's prefix --
+    * and symmetrically inside B's. Every qualifying pair therefore collides
+    * on at least one prefix token; exact verification removes false
+    * positives, so the output equals brute force.
+    *
+    * Scale rationale: the candidate self-join runs over prefix tokens only
+    * (the rarest ~(1-t) fraction of each doc), so bucket sizes are the
+    * doc-frequencies of RARE tokens -- far below the full inverted index's
+    * co-occurrence row count; verification joins the deduped candidate
+    * pairs back to the id->tokens relation once per side. The block bound
+    * remains the scale contract: pairs only within a block (language,
+    * shard, LSH bucket), never across the corpus.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCol: String, threshold: Double,
@@ -39,23 +47,34 @@ object Dedup {
     val t = df.select(
         col(idCol).as("id"), col(blockCol).as("blk"),
         TextFns.tokenSet(col(textCol)).as("toks"))
-      .withColumn("sz", size(col("toks")).cast("long"))
-      .withColumn("tk", explode(col("toks")))
-      .select(col("blk"), col("tk"), col("id"), col("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     onPersist(t)
-    val a = t.select(col("blk"), col("tk"), col("id").as("a_id"), col("sz").as("a_sz"))
-    val b = t.select(col("blk"), col("tk"), col("id").as("b_id"), col("sz").as("b_sz"))
-    a.join(b, Seq("blk", "tk")).filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
-      .agg(count(lit(1)).as("inter"))
+    val ex = t.select(col("blk"), col("id"), explode(col("toks")).as("tk"))
+    // global order = (block doc-frequency asc, token): rarest-first
+    // prefixes minimize candidate bucket sizes (classic AllPairs ordering)
+    val dfRel = ex.groupBy(col("blk"), col("tk")).agg(count(lit(1)).as("dfc"))
+    val prefixes = ex.join(dfRel, Seq("blk", "tk"))
+      .groupBy(col("blk"), col("id"))
+      .agg(array_sort(collect_list(struct(col("dfc"), col("tk")))).as("st"))
+      .withColumn("plen",
+        (size(col("st")) - ceil(lit(threshold) * size(col("st"))) + 1).cast("int"))
+      .select(col("blk"), col("id"),
+        explode(slice(transform(col("st"), s => s.getField("tk")),
+          lit(1), col("plen"))).as("tk"))
+    val a = prefixes.select(col("blk"), col("tk"), col("id").as("a_id"))
+    val b = prefixes.select(col("blk"), col("tk"), col("id").as("b_id"))
+    val cands = a.join(b, Seq("blk", "tk")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    cands
+      .join(t.select(col("id").as("a_id"), col("toks").as("a_toks")), Seq("a_id"))
+      .join(t.select(col("id").as("b_id"), col("toks").as("b_toks")), Seq("b_id"))
       .withColumn("jac",
-        col("inter").cast("double") /
-        (col("a_sz") + col("b_sz") - col("inter")).cast("double"))
+        size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
+        size(array_union(col("a_toks"), col("b_toks"))).cast("double"))
       .filter(col("jac") > threshold)
       .select(col("a_id"), col("b_id"), col("jac"))
   }
-
   /** MinHash + LSH near-dup detection:
     * shingle/tokenize → k-slot minhash signature → band keys → bucket join
     * candidates → exact Jaccard verification. Candidate generation is
