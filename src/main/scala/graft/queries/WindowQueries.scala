@@ -176,6 +176,45 @@ object WindowQueries extends QueryFamily {
              |  SELECT user_id, event_id, value,
              |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
              |  FROM events)
-             |WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin))
+             |WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin)),
+
+    // unique window (keep-LATEST per unique attribute; UniqueWindowTestCase
+    // roadmap) THROUGH the SQL surface's WINDOW('unique', key) lowering.
+    QueryDef(
+      "q_win_unique",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (event_type STRING, event_id BIGINT, value DOUBLE);
+            |INSERT INTO Out SELECT event_type, event_id, value FROM events
+            |WINDOW('unique', event_type) ORDER BY event_type;""".stripMargin
+        graft.sql.GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+      },
+      Some("""SELECT event_type, event_id, value FROM (
+             |  SELECT event_type, event_id, value,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY ts DESC, event_id DESC, user_id DESC, value DESC, props DESC) AS rn
+             |  FROM events)
+             |WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
+    // firstUnique window (keep-FIRST per unique attribute) via SQL.
+    QueryDef(
+      "q_win_first_unique",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (event_type STRING, event_id BIGINT, value DOUBLE);
+            |INSERT INTO Out SELECT event_type, event_id, value FROM events
+            |WINDOW('firstUnique', event_type) ORDER BY event_type;""".stripMargin
+        graft.sql.GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+      },
+      Some("""SELECT event_type, event_id, value FROM (
+             |  SELECT event_type, event_id, value,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY ts ASC, event_id ASC, user_id ASC, value ASC, props ASC) AS rn
+             |  FROM events)
+             |WHERE rn = 1 ORDER BY event_type""".stripMargin))
   )
 }

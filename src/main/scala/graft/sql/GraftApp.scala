@@ -682,6 +682,28 @@ object GraftApp {
       val ts = if (w.params.size > 1) w.params.head else "ts"
       val gap = w.params.last
       df.withColumn("window", session_window(col(ts), gap))
+    // unique / firstUnique (UniqueWindowTestCase / FirstUniqueWindowTestCase
+    // — roadmap syntax in the reference): keep the latest / first event per
+    // unique attribute. Ordered by ts, tie-broken by every remaining column
+    // so the pick is deterministic for distinct rows.
+    case "unique" | "firstunique" =>
+      val key = w.params.last
+      if (!df.columns.contains("ts"))
+        throw SqlError(s"window('${w.kind}') needs a 'ts' TIMESTAMP column for event order")
+      val ordCols = col("ts") +: df.columns.filterNot(c => c == "ts" || c.equalsIgnoreCase(key))
+        .map(col).toSeq
+      val ord = if (w.kind == "unique") ordCols.map(_.desc) else ordCols.map(_.asc)
+      val win = org.apache.spark.sql.expressions.Window.partitionBy(col(key)).orderBy(ord: _*)
+      df.withColumn("__rn", row_number().over(win)).filter(col("__rn") === 1).drop("__rn")
+    // delay window (DelayWindowTestCase roadmap): events surface durUs of
+    // event time later — batch result-level form shifts the event time; the
+    // streaming buffer form is Windows.delay. Bare numeric param = millis.
+    case "delay" =>
+      val p = w.params.last.trim
+      val us = if (p.matches("\\d+")) p.toLong * 1000L else parseDurationUs(p)
+      if (!df.columns.contains("ts"))
+        throw SqlError("window('delay') needs a 'ts' TIMESTAMP column")
+      df.withColumn("ts", col("ts") + expr(s"INTERVAL $us MICROSECOND"))
     case other =>
       throw SqlError(s"window '$other' is a streaming kernel " +
         "(graft.streaming.Windows); in the batch SQL surface 'length'/'time' " +

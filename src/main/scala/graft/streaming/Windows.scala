@@ -69,6 +69,37 @@ object WindowKernels {
     (out.result(), WinBuffer(b, Nil))
   }
 
+  /** firstUnique window (FirstUniqueWindowTestCase roadmap): only the FIRST
+    * event of each key passes; later same-key arrivals are swallowed. The
+    * kernel runs keyed by the unique attribute, so state is one marker
+    * event per distinct key.
+    */
+  def firstUnique(events: Seq[WinEvent], buf: WinBuffer): (Seq[WinOut], WinBuffer) = {
+    var b = buf.events.toVector
+    val out = Seq.newBuilder[WinOut]
+    events.foreach { e =>
+      if (b.isEmpty) { out += WinOut(e.key, e.tsUs, e.eventId, e.value, 1); b = Vector(e) }
+    }
+    (out.result(), WinBuffer(b, Nil))
+  }
+
+  /** delay window (DelayWindowTestCase roadmap): events are held for durUs
+    * of EVENT time and released once a newer event proves the delay has
+    * passed (watermark-driven on a cluster). State is the in-flight delay
+    * buffer per key, bounded by events-per-duration.
+    */
+  def delay(events: Seq[WinEvent], buf: WinBuffer, durUs: Long): (Seq[WinOut], WinBuffer) = {
+    var b = buf.events.toVector
+    val out = Seq.newBuilder[WinOut]
+    events.foreach { e =>
+      b :+= e
+      val (due, held) = b.partition(x => x.tsUs + durUs <= e.tsUs)
+      due.foreach(x => out += WinOut(x.key, x.tsUs, x.eventId, x.value, 1))
+      b = held
+    }
+    (out.result(), WinBuffer(b, Nil))
+  }
+
   def sortTopN(events: Seq[WinEvent], buf: WinBuffer, n: Int,
                descending: Boolean): (Seq[WinOut], WinBuffer) = {
     var b = buf.events.toVector
@@ -144,4 +175,18 @@ object Windows {
     */
   def sortTopN(ds: Dataset[WinEvent], n: Int, descending: Boolean = true): Dataset[WinOut] =
     kernel(ds)(WindowKernels.sortTopN(_, _, n, descending))
+
+  /** unique window: keep-LATEST per key — exactly a per-key length(1)
+    * (arrival emits Current, previous holder expires). Run it keyed by the
+    * unique attribute.
+    */
+  def unique(ds: Dataset[WinEvent]): Dataset[WinOut] = length(ds, 1)
+
+  /** firstUnique window: only the first event per key passes. */
+  def firstUnique(ds: Dataset[WinEvent]): Dataset[WinOut] =
+    kernel(ds)(WindowKernels.firstUnique)
+
+  /** delay window: events released durUs of event time after arrival. */
+  def delay(ds: Dataset[WinEvent], durUs: Long): Dataset[WinOut] =
+    kernel(ds)(WindowKernels.delay(_, _, durUs))
 }

@@ -396,6 +396,35 @@ class CompatSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1, "a", "b")))
   }
 
+  // -- windows.rs:unique_window_test1_basic / first_unique_window_test1_basic
+  //    / delay_window_test1_basic (roadmap syntax in the reference)
+  test("compat unique/firstUnique/delay windows via SQL") {
+    def mk(rows: Seq[(Int, String, Double)]) = rows.toDF("sec", "symbol", "price")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "symbol", "price")
+    val in = mk(Seq((1, "IBM", 100.0), (2, "MSFT", 200.0), (3, "IBM", 150.0)))
+    def app(win: String) =
+      s"""CREATE STREAM S (ts TIMESTAMP, symbol STRING, price DOUBLE);
+         |CREATE STREAM Out (symbol STRING, price DOUBLE);
+         |INSERT INTO Out SELECT symbol, price FROM S WINDOW($win) ORDER BY symbol;""".stripMargin
+    // unique: latest per symbol
+    val u = GraftApp.run(spark, app("'unique', symbol"), Map("S" -> in))("Out")
+    assert(u.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("IBM", 150.0), ("MSFT", 200.0)))
+    // firstUnique: first per symbol
+    val f = GraftApp.run(spark, app("'firstUnique', symbol"), Map("S" -> in))("Out")
+    assert(f.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("IBM", 100.0), ("MSFT", 200.0)))
+    // delay: rows pass through with event time shifted by the delay
+    val dApp =
+      """CREATE STREAM S (ts TIMESTAMP, symbol STRING, price DOUBLE);
+        |CREATE STREAM Out (symbol STRING, ts TIMESTAMP);
+        |INSERT INTO Out SELECT symbol, ts FROM S WINDOW('delay', 100);""".stripMargin
+    val d = GraftApp.run(spark, dApp, Map("S" -> in))("Out")
+    assert(d.count() == 3)
+    val shifted = d.filter($"symbol" === "MSFT").collect()(0).getTimestamp(1)
+    assert(shifted.getTime == 2100L) // 2s event + 100ms delay
+  }
+
   // -- tables.rs:table_test2_update (UpdateTableTestCase.java:updateTableTest1;
   //    roadmap syntax in the reference, implemented here)
   test("compat table_test2: UPDATE table SET … FROM stream WHERE cond") {

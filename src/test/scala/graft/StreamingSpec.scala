@@ -80,6 +80,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(ejected == Seq(1L, 3L)) // 50 ejected by 60's arrival, 60 by 90's
   }
 
+  test("firstUnique window passes only the first event per key across batches") {
+    val out = runStream(Seq(
+      Seq(ev(1, 10, key = "IBM"), ev(2, 20, key = "MSFT")),
+      Seq(ev(3, 30, key = "IBM"))))( // later IBM swallowed, even cross-batch
+      ds => Windows.firstUnique(ds))
+    assert(out.map(o => (o.key, o.eventId, o.op)).sortBy(_._2) ==
+      Seq(("IBM", 1L, 1), ("MSFT", 2L, 1)))
+  }
+
+  test("delay window releases events once event time passes the delay") {
+    val out = runStream(Seq(
+      Seq(ev(1, 1, tsUs = 0L), ev(2, 2, tsUs = 500000L)),   // nothing due yet
+      Seq(ev(3, 3, tsUs = 1700000L))))(                      // 1.7s: releases ts<=0.7s
+      ds => Windows.delay(ds, 1000000L)) // 1s delay
+    assert(out.map(o => (o.eventId, o.op)) == Seq((1L, 1), (2L, 1)))
+  }
+
   test("CEP streaming: partial match carries across micro-batches, WITHIN prunes") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[CepEvent]
