@@ -101,10 +101,13 @@ object GraftApp {
     "TIMESTAMP" -> TimestampType, "BINARY" -> BinaryType, "OBJECT" -> BinaryType)
 
   private val PartitionRe: Regex =
-    """(?is)PARTITION\s+WITH\s*\(\s*(\w+)\s+OF\s+(\w+)\s*\)\s+BEGIN\s+(.*?)\s+END\s*;?""".r
+    """(?is)PARTITION\s+WITH\s*\((.*?)\)\s+BEGIN\s+(.*?)\s+END\s*;?""".r
 
   private val TriggerRe: Regex =
     """(?is)\s*CREATE\s+TRIGGER\s+(\w+)\s+AT\s+(.+?)\s*""".r
+
+  private val AggCallRe: Regex =
+    "(?i)^(sum|avg|count|min|max|stddev|stddev_pop|first|last)\\s*\\(".r
 
   private val UpsertRe: Regex =
     """(?is)\s*UPDATE\s+OR\s+INSERT\s+INTO\s+(\w+)\s+SELECT\s+(.*?)\s+FROM\s+(\w+)\s+ON\s+(.*?)\s*""".r
@@ -113,20 +116,52 @@ object GraftApp {
   private val DeleteRe: Regex =
     """(?is)\s*DELETE\s+FROM\s+(\w+)\s+FROM\s+(\w+)\s+(?:WHERE|ON)\s+(.*?)\s*""".r
 
+  /** One partition key of a PARTITION WITH block: a value key (`attr OF S`,
+    * multiple keys comma-separated, value_partition_type.rs) or a RANGE key
+    * (`cond AS 'label' OR cond AS 'label' … OF S`,
+    * range_partition_type.rs) — the key expression becomes a CASE label and
+    * `guard` drops events matching no range.
+    */
+  final case class PartitionKeySpec(stream: String, keyExpr: String,
+                                    alias: Option[String], guard: Option[String])
+
+  private def parsePartitionKeys(raw: String): Seq[PartitionKeySpec] = {
+    val ofRe = """(?is)^(.*?)\s+OF\s+(\w+)$""".r
+    splitTopLevel(raw).map {
+      case ofRe(spec0, stream) =>
+        val spec = spec0.trim
+        if (spec.matches("\\w+")) PartitionKeySpec(stream, spec, None, None)
+        else {
+          // range partition: cond AS 'label' [OR …]
+          val partRe = """(?is)^(.*?)\s+AS\s+'([^']*)'$""".r
+          val parts = PatternCompiler.splitTopLevelWord(spec, "OR").map {
+            case partRe(cond, label) => (cond.trim, label)
+            case other => throw SqlError(
+              s"bad range partition element '$other' (want: cond AS 'label')")
+          }
+          val caseExpr = parts.map { case (c, l) => s"WHEN ($c) THEN '$l'" }
+            .mkString("CASE ", " ", " END")
+          val guard = parts.map { case (c, _) => s"($c)" }.mkString(" OR ")
+          PartitionKeySpec(stream, caseExpr, Some("pkey"), Some(guard))
+        }
+      case other => throw SqlError(s"bad partition key '$other' (want: key OF Stream)")
+    }
+  }
+
   def parse(appSql: String): AppSpec = {
-    // PARTITION WITH (attr OF Stream) BEGIN … END (§2.9,
-    // value_partition_type.rs): every query in the block whose source is
-    // Stream gets the partition attribute folded into its grouping — the
-    // Spark-native form of per-key state isolation (groupBy already shards
-    // state per key; the block just adds the key to every key set).
+    // PARTITION WITH (key OF Stream[, key OF Stream…]) BEGIN … END (§2.9):
+    // every query in the block whose source matches gets the partition keys
+    // folded into its grouping / frame spec — the Spark-native form of
+    // per-key state isolation (groupBy already shards state per key; the
+    // block just adds the keys to every key set).
     val partitionedStmts = PartitionRe.findAllMatchIn(appSql).toSeq.flatMap { m =>
-      val (attr, stream) = (m.group(1), m.group(2))
-      m.group(3).split(";").map(_.trim).filter(_.nonEmpty)
-        .map(s => (s, Some((attr, stream))))
+      val keys = parsePartitionKeys(m.group(1))
+      m.group(2).split(";").map(_.trim).filter(_.nonEmpty)
+        .map(s => (s, keys))
     }
     val plainStmts = PartitionRe.replaceAllIn(appSql, "")
       .split(";").map(_.trim).filter(_.nonEmpty)
-      .map(s => (s, Option.empty[(String, String)]))
+      .map(s => (s, Seq.empty[PartitionKeySpec]))
     var streams = Map.empty[String, StreamDef]
     val queries = Seq.newBuilder[QuerySpec]
     val patterns = Seq.newBuilder[PatternCompiler.PatternQuery]
@@ -140,11 +175,12 @@ object GraftApp {
         case Some(pq0) =>
           pq0.allAlts.foreach(a => requireDefined(a.stream))
           // enclosing PARTITION WITH block folds in as the pattern key
-          // (explicit PARTITION BY wins)
-          val pq = (pq0.partitionBy, part) match {
-            case (None, Some((attr, stream)))
-                if pq0.allAlts.exists(_.stream.equalsIgnoreCase(stream)) =>
-              pq0.copy(partitionBy = Some(attr))
+          // (explicit PARTITION BY wins; patterns take a single key)
+          val patKeys = part.filter(k => pq0.allAlts.exists(_.stream.equalsIgnoreCase(k.stream)))
+          val pq = (pq0.partitionBy, patKeys) match {
+            case (None, Seq(k)) => pq0.copy(partitionBy = Some(k.keyExpr))
+            case (None, ks) if ks.size > 1 =>
+              throw SqlError("patterns support a single partition key")
             case _ => pq0
           }
           patterns += pq
@@ -189,17 +225,33 @@ object GraftApp {
           case InsertRe(target, select, source, rest) =>
             requireDefined(source)
             val q0 = parseQuery(target, select, source, rest)
-            val q = part match {
-              // partition attr folds into the key set (and output) of grouped
-              // queries over the partitioned stream; per-event window frames
-              // read partitionAttr directly (per-key state isolation, §2.9)
-              case Some((attr, stream)) if stream.equalsIgnoreCase(source) =>
-                val q1 = q0.copy(partitionAttr = Some(attr))
-                if (q0.groupBy.nonEmpty)
-                  q1.copy(groupBy = attr +: q0.groupBy,
-                    selectItems = (attr, None) +: q0.selectItems)
-                else q1
-              case _ => q0
+            // partition keys fold into the key set (and output) of grouped
+            // queries over the partitioned stream; per-event window frames
+            // read partitionAttr directly (per-key state isolation, §2.9);
+            // range guards drop events matching no range
+            val qKeys = part.filter(_.stream.equalsIgnoreCase(source))
+            val q = if (qKeys.isEmpty) q0 else {
+              var q1 = q0.copy(partitionAttr = Some(qKeys.map(_.keyExpr).mkString(", ")))
+              val guards = qKeys.flatMap(_.guard)
+              if (guards.nonEmpty) {
+                val g = guards.map(g0 => s"($g0)").mkString(" AND ")
+                q1 = q1.copy(where = Some(q1.where.map(w => s"($w) AND $g").getOrElse(g)))
+              }
+              // keys the user did not already select are added to the output
+              val newKeys = qKeys.filterNot(k =>
+                q0.selectItems.exists(_._1.trim.equalsIgnoreCase(k.keyExpr)))
+              val keyItems = newKeys.map(k => (k.keyExpr, k.alias))
+              val hasAgg = q0.selectItems.exists { case (e, _) =>
+                AggCallRe.findFirstIn(e.trim).isDefined }
+              if (q0.groupBy.nonEmpty)
+                q1.copy(groupBy = qKeys.map(_.keyExpr) ++ q0.groupBy,
+                  selectItems = keyItems ++ q0.selectItems)
+              else if (hasAgg && q0.window.isEmpty)
+                // partitioned aggregation without GROUP BY = implicit
+                // per-key grouping (the reference's per-partition state)
+                q1.copy(groupBy = qKeys.map(_.keyExpr),
+                  selectItems = keyItems ++ q0.selectItems)
+              else q1
             }
             queries += q
             stmts += QueryStmt(q)

@@ -98,13 +98,15 @@ object PatternCompiler {
       throw GraftApp.SqlError(
         "pattern streams need a 'ts' TIMESTAMP column (explicit event order)")
     q.partitionBy.foreach { attr =>
-      if (!tagged.columns.exists(_.equalsIgnoreCase(attr)))
+      // expression keys (range partitions) resolve at analysis; only plain
+      // column keys are checkable here
+      if (attr.matches("\\w+") && !tagged.columns.exists(_.equalsIgnoreCase(attr)))
         throw GraftApp.SqlError(s"PARTITION BY attribute '$attr' not found in pattern streams")
     }
 
     // per-key event order; the key shards both the ordering window and the
     // NFA state (unpartitioned = one global order, inherently serial)
-    val keyCol = q.partitionBy.map(a => col(a).cast("string")).getOrElse(lit("app"))
+    val keyCol = q.partitionBy.map(a => expr(a).cast("string")).getOrElse(lit("app"))
     val ordered = tagged
       .withColumn("__key", keyCol)
       .withColumn("__id",
@@ -440,7 +442,7 @@ object PatternCompiler {
   }
 
   /** Split on a keyword separator (OR/AND) at depth 0, word-bounded. */
-  private def splitTopLevelWord(s: String, word: String): Seq[String] = {
+  private[sql] def splitTopLevelWord(s: String, word: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0; var inQ = false; var i = 0; var start = 0
     def isW(c: Char) = c.isLetterOrDigit || c == '_'

@@ -166,6 +166,40 @@ class GraftAppSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  // -- partitions.rs:partition_test36_multi_key (adapted: no lengthBatch
+  //    window — the point is multi-key isolation) + implicit aggregation
+  //    (partition_test2_sum_aggregation shape: no GROUP BY in the block)
+  test("PARTITION WITH multi-key and implicit per-key aggregation") {
+    val app =
+      """CREATE STREAM S (region STRING, product STRING, amount INT);
+        |CREATE STREAM Out (region STRING, product STRING, total BIGINT);
+        |PARTITION WITH (region OF S, product OF S) BEGIN
+        |  INSERT INTO Out SELECT region, product, sum(amount) AS total FROM S
+        |END;""".stripMargin
+    val in = Seq(("US", "A", 100), ("US", "A", 200), ("US", "B", 5), ("EU", "A", 7))
+      .toDF("region", "product", "amount")
+    val out = GraftApp.run(spark, app, Map("S" -> in))("Out")
+    val got = out.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("US", "A", 300L), ("US", "B", 5L), ("EU", "A", 7L)))
+  }
+
+  // range partitions (range_partition_type.rs): cond AS 'label' OR … OF S —
+  // events route to labeled partitions; unmatched events are dropped
+  test("PARTITION WITH range partitioning labels and guards") {
+    val app =
+      """CREATE STREAM S (sym STRING, price DOUBLE);
+        |CREATE STREAM Out (pkey STRING, n BIGINT, total DOUBLE);
+        |PARTITION WITH (price < 100 AS 'low' OR price >= 200 AS 'high' OF S) BEGIN
+        |  INSERT INTO Out SELECT count(sym) AS n, sum(price) AS total FROM S
+        |END;""".stripMargin
+    // 150 matches NO range → dropped entirely
+    val in = Seq(("a", 50.0), ("b", 99.0), ("c", 150.0), ("d", 250.0))
+      .toDF("sym", "price")
+    val out = GraftApp.run(spark, app, Map("S" -> in))("Out")
+    val got = out.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(("low", 2L, 149.0), ("high", 1L, 250.0)))
+  }
+
   test("expression GROUP BY keys (year(ts)) compile") {
     val app =
       """CREATE STREAM S (ts TIMESTAMP, v DOUBLE);
