@@ -41,7 +41,7 @@ object GraftApp {
   final case class QuerySpec(
       target: String, source: String,
       selectItems: Seq[(String, Option[String])], // (expr, alias)
-      join: Option[JoinClause],
+      joins: Seq[JoinClause],
       where: Option[String],
       window: Option[WindowClause],
       groupBy: Seq[String],
@@ -397,22 +397,31 @@ object GraftApp {
         body.trim
       }
     }
-    // leading JOIN clause: [INNER|LEFT|RIGHT|FULL [OUTER]] JOIN S ON cond
+    // JOIN chain: [INNER|LEFT|RIGHT|FULL [OUTER]] JOIN S ON cond, repeated
+    // (three-way+ joins, joins.rs:join_test27). Each ON body runs to the
+    // next JOIN keyword or a query clause keyword.
     val joinRe = ("(?is)^\\s*(INNER|LEFT|RIGHT|FULL)?(?:\\s+OUTER)?\\s*JOIN\\s+(\\w+)\\s+ON\\s+(.*)$").r
-    var join: Option[JoinClause] = None
-    joinRe.findFirstMatchIn(rest).foreach { m =>
-      val tail = m.group(3)
-      val stopIdx = Seq("WHERE", "GROUP\\s+BY", "HAVING", "ORDER\\s+BY", "LIMIT")
-        .flatMap(n => ("(?is)\\b" + n + "\\b").r.findFirstMatchIn(tail).map(_.start))
-        .minOption.getOrElse(tail.length)
-      val jt = Option(m.group(1)).map(_.toUpperCase) match {
-        case Some("LEFT") => "left_outer"
-        case Some("RIGHT") => "right_outer"
-        case Some("FULL") => "full_outer"
-        case _ => "inner"
+    val joins = Seq.newBuilder[JoinClause]
+    var more = true
+    while (more) {
+      joinRe.findFirstMatchIn(rest) match {
+        case Some(m) =>
+          val tail = m.group(3)
+          val stopIdx = Seq("JOIN", "WHERE", "GROUP\\s+BY", "HAVING", "ORDER\\s+BY",
+              "LIMIT", "OFFSET")
+            .flatMap(n => ("(?is)\\b(?:(?:INNER|LEFT|RIGHT|FULL)\\s+(?:OUTER\\s+)?)?" + n + "\\b")
+              .r.findFirstMatchIn(tail).map(_.start))
+            .minOption.getOrElse(tail.length)
+          val jt = Option(m.group(1)).map(_.toUpperCase) match {
+            case Some("LEFT") => "left_outer"
+            case Some("RIGHT") => "right_outer"
+            case Some("FULL") => "full_outer"
+            case _ => "inner"
+          }
+          joins += JoinClause(jt, m.group(2), tail.substring(0, stopIdx).trim)
+          rest = tail.substring(stopIdx)
+        case None => more = false
       }
-      join = Some(JoinClause(jt, m.group(2), tail.substring(0, stopIdx).trim))
-      rest = tail.substring(stopIdx)
     }
     val where = grab("WHERE", Seq("GROUP\\s+BY", "HAVING", "ORDER\\s+BY", "LIMIT", "OFFSET"))
     val groupBy = grab("GROUP\\s+BY", Seq("HAVING", "ORDER\\s+BY", "LIMIT", "OFFSET"))
@@ -429,7 +438,7 @@ object GraftApp {
         case e => (e, None)
       }
     }
-    QuerySpec(target, source, items, join, where, window, groupBy, having, orderBy, limit, offset)
+    QuerySpec(target, source, items, joins.result(), where, window, groupBy, having, orderBy, limit, offset)
   }
 
   /** Parse a simple duration literal ("10 seconds", "1 hour") to micros. */
@@ -497,13 +506,13 @@ object GraftApp {
       case QueryStmt(q) =>
         val src = env.getOrElse(q.source,
           throw SqlError(s"stream '${q.source}' has no bound data"))
-        // JOIN: both sides aliased by their stream name so ON conditions and
-        // select items can use Stream.col qualified references
+        // JOIN chain: every side aliased by its stream name so ON conditions
+        // and select items can use Stream.col qualified references
         // (join_input_stream.rs's two-sided naming)
-        val joined = q.join.fold(src) { j =>
+        val joined = q.joins.foldLeft(src.as(q.source)) { (acc, j) =>
           val right = env.getOrElse(j.stream,
             throw SqlError(s"stream '${j.stream}' has no bound data"))
-          src.as(q.source).join(right.as(j.stream), expr(j.cond), j.joinType)
+          acc.join(right.as(j.stream), expr(j.cond), j.joinType)
         }
         val out = compileQuery(joined, q)
         env += q.target -> env.get(q.target).map(_.unionByName(out)).getOrElse(out)

@@ -396,6 +396,28 @@ class CompatSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1, "a", "b")))
   }
 
+  // -- joins.rs:join_test27_three_way_join (adapted: join-side length
+  //    windows dropped — batch result-level form joins full history)
+  test("compat join_test27: three-way chained join") {
+    val app =
+      """CREATE STREAM Orders (orderId INT, productId INT, customerId INT);
+        |CREATE STREAM Products (productId INT, productName STRING);
+        |CREATE STREAM Customers (customerId INT, customerName STRING);
+        |CREATE STREAM Out (orderId INT, productName STRING, customerName STRING);
+        |INSERT INTO Out
+        |SELECT Orders.orderId AS orderId, Products.productName AS productName,
+        |       Customers.customerName AS customerName
+        |FROM Orders
+        |JOIN Products ON Orders.productId = Products.productId
+        |JOIN Customers ON Orders.customerId = Customers.customerId;""".stripMargin
+    val out = GraftApp.run(spark, app, Map(
+      "Orders" -> Seq((101, 1, 1)).toDF("orderId", "productId", "customerId"),
+      "Products" -> Seq((1, "Laptop")).toDF("productId", "productName"),
+      "Customers" -> Seq((1, "Alice")).toDF("customerId", "customerName")))("Out")
+    assert(out.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((101, "Laptop", "Alice")))
+  }
+
   // -- windows.rs:unique_window_test1_basic / first_unique_window_test1_basic
   //    / delay_window_test1_basic (roadmap syntax in the reference)
   test("compat unique/firstUnique/delay windows via SQL") {
