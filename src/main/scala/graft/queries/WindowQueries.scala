@@ -198,6 +198,29 @@ object WindowQueries extends QueryFamily {
              |  FROM events)
              |WHERE rn = 1 ORDER BY event_type""".stripMargin)),
 
+    // frequent window, batch result-level form: events of the top-2 most
+    // frequent event types (count desc, type asc) — the exact contract the
+    // streaming Misra-Gries kernel approximates (FrequentWindowTestCase
+    // roadmap; the reference's lossyCounting sibling is a stub there).
+    QueryDef(
+      "q_win_frequent",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (event_id BIGINT, event_type STRING);
+            |INSERT INTO Out SELECT event_id, event_type FROM events
+            |WINDOW('frequent', 2, event_type) ORDER BY event_id;""".stripMargin
+        graft.sql.GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+      },
+      Some("""WITH topk AS (
+             |  SELECT event_type FROM (
+             |    SELECT event_type, count(*) AS c FROM events GROUP BY 1)
+             |  ORDER BY c DESC, event_type LIMIT 2)
+             |SELECT event_id, event_type FROM events
+             |WHERE event_type IN (SELECT event_type FROM topk)
+             |ORDER BY event_id""".stripMargin)),
+
     // firstUnique window (keep-FIRST per unique attribute) via SQL.
     QueryDef(
       "q_win_first_unique",

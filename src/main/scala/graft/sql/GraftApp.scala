@@ -756,6 +756,17 @@ object GraftApp {
       val ord = if (w.kind == "unique") ordCols.map(_.desc) else ordCols.map(_.asc)
       val win = org.apache.spark.sql.expressions.Window.partitionBy(col(key)).orderBy(ord: _*)
       df.withColumn("__rn", row_number().over(win)).filter(col("__rn") === 1).drop("__rn")
+    // frequent window (FrequentWindowTestCase roadmap): batch result-level
+    // form = EXACT top-k most frequent attribute values (count desc, value
+    // asc tie-break), which the streaming Misra-Gries kernel
+    // (Windows.frequent) approximates with O(k) state. Default attribute =
+    // the whole row. TakeOrdered(k) + broadcast semi-join — no global sort.
+    case "frequent" =>
+      val k = w.params.head.trim.toInt
+      val attr = if (w.params.size > 1) col(w.params(1)) else struct(df.columns.map(col): _*)
+      val topk = df.groupBy(attr.as("__fa")).agg(count(lit(1)).as("__cnt"))
+        .orderBy(col("__cnt").desc, col("__fa")).limit(k)
+      df.join(broadcast(topk.select(col("__fa"))), attr === col("__fa"), "left_semi")
     // delay window (DelayWindowTestCase roadmap): events surface durUs of
     // event time later — batch result-level form shifts the event time; the
     // streaming buffer form is Windows.delay. Bare numeric param = millis.

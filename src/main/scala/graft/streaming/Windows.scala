@@ -13,6 +13,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 final case class WinEvent(key: String, tsUs: Long, eventId: Long, value: Double)
 final case class WinOut(key: String, tsUs: Long, eventId: Long, value: Double, op: Int)
 
+/** Misra-Gries counter slot for the frequent window: tracked attribute
+  * value, its count, and the latest retained event of that value.
+  */
+final case class FreqEntry(attr: String, cnt: Long, ev: WinEvent)
+final case class FreqState(entries: Seq[FreqEntry])
+
 /** Pure window-kernel state machines: (ordered events, state) → (changelog,
   * state). Kept Spark-free so invariants are property-testable directly
   * (WindowPropSpec); graft.streaming.Windows wraps them in
@@ -98,6 +104,40 @@ object WindowKernels {
       b = held
     }
     (out.result(), WinBuffer(b, Nil))
+  }
+
+  /** frequent window (FrequentWindowTestCase roadmap): Misra-Gries heavy
+    * hitters over at most k tracked attribute values. A tracked arrival
+    * replaces (expires) that value's retained event; an untracked arrival
+    * with a free slot is admitted; an untracked arrival with all slots
+    * full decrements every counter (zeros evict with Expired) and is
+    * discarded — the classic O(k)-state sketch, vs the reference's
+    * lossyCounting stub.
+    */
+  def frequent(events: Seq[WinEvent], st: Seq[FreqEntry], k: Int,
+               attrOf: WinEvent => String): (Seq[WinOut], Seq[FreqEntry]) = {
+    var entries = st.toVector
+    val out = Seq.newBuilder[WinOut]
+    events.foreach { e =>
+      val a = attrOf(e)
+      entries.indexWhere(_.attr == a) match {
+        case i if i >= 0 =>
+          val old = entries(i)
+          out += WinOut(old.ev.key, old.ev.tsUs, old.ev.eventId, old.ev.value, -1)
+          out += WinOut(e.key, e.tsUs, e.eventId, e.value, 1)
+          entries = entries.updated(i, FreqEntry(a, old.cnt + 1, e))
+        case _ if entries.size < k =>
+          out += WinOut(e.key, e.tsUs, e.eventId, e.value, 1)
+          entries :+= FreqEntry(a, 1L, e)
+        case _ =>
+          val dec = entries.map(en => en.copy(cnt = en.cnt - 1))
+          val (dead, live) = dec.partition(_.cnt <= 0)
+          dead.foreach(en =>
+            out += WinOut(en.ev.key, en.ev.tsUs, en.ev.eventId, en.ev.value, -1))
+          entries = live
+      }
+    }
+    (out.result(), entries)
   }
 
   def sortTopN(events: Seq[WinEvent], buf: WinBuffer, n: Int,
@@ -189,4 +229,20 @@ object Windows {
   /** delay window: events released durUs of event time after arrival. */
   def delay(ds: Dataset[WinEvent], durUs: Long): Dataset[WinOut] =
     kernel(ds)(WindowKernels.delay(_, _, durUs))
+
+  /** frequent window: Misra-Gries top-k by an attribute of the event
+    * (default: the value field). State is O(k) per partition key.
+    */
+  def frequent(ds: Dataset[WinEvent], k: Int,
+               attrOf: WinEvent => String = _.value.toString): Dataset[WinOut] = {
+    implicit val freqEnc: Encoder[FreqState] = Encoders.product[FreqState]
+    ds.groupByKey(_.key).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (_: String, it: Iterator[WinEvent], state: GroupState[FreqState]) =>
+        val (out, next) = WindowKernels.frequent(sorted(it),
+          state.getOption.map(_.entries).getOrElse(Nil), k, attrOf)
+        state.update(FreqState(next))
+        out.iterator
+    }
+  }
 }

@@ -447,6 +447,20 @@ class CompatSpec extends AnyFunSuite {
     assert(shifted.getTime == 2100L) // 2s event + 100ms delay
   }
 
+  // -- windows.rs:frequent_window_test1_basic (roadmap): batch form = exact
+  //    top-k frequent values; streaming kernel = Misra-Gries
+  test("compat frequent_window_test1 via SQL: top-k frequent symbols") {
+    val app =
+      """CREATE STREAM S (symbol STRING, price DOUBLE);
+        |CREATE STREAM Out (symbol STRING);
+        |INSERT INTO Out SELECT symbol FROM S WINDOW('frequent', 2, symbol);""".stripMargin
+    val in = Seq(("IBM", 100.0), ("IBM", 105.0), ("MSFT", 50.0), ("X", 1.0), ("X", 2.0), ("Y", 9.0))
+      .toDF("symbol", "price")
+    val out = GraftApp.run(spark, app, Map("S" -> in))("Out")
+    // top-2 by count: IBM(2), X(2) — MSFT/Y dropped
+    assert(out.collect().map(_.getString(0)).sorted.toSeq == Seq("IBM", "IBM", "X", "X"))
+  }
+
   // -- tables.rs:table_test2_update (UpdateTableTestCase.java:updateTableTest1;
   //    roadmap syntax in the reference, implemented here)
   test("compat table_test2: UPDATE table SET … FROM stream WHERE cond") {

@@ -97,6 +97,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.map(o => (o.eventId, o.op)) == Seq((1L, 1), (2L, 1)))
   }
 
+  test("frequent window: Misra-Gries tracks top-k values, decrements evict") {
+    val out = runStream(Seq(
+      Seq(ev(1, 1.0), ev(2, 1.0), ev(3, 2.0)),  // 1.0 tracked (cnt 2), 2.0 tracked (cnt 1)
+      Seq(ev(4, 3.0)),                           // full: decrement → 2.0 dies, 3.0 discarded
+      Seq(ev(5, 1.0))))(                         // 1.0 still tracked → replace
+      ds => Windows.frequent(ds, 2))
+    val got = out.map(o => (o.eventId, o.op))
+    assert(got == Seq((1L, 1), (1L, -1), (2L, 1), (3L, 1), (3L, -1), (2L, -1), (5L, 1)))
+  }
+
   test("CEP streaming: partial match carries across micro-batches, WITHIN prunes") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[CepEvent]
