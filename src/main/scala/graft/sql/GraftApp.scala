@@ -246,10 +246,12 @@ object GraftApp {
               if (q0.groupBy.nonEmpty)
                 q1.copy(groupBy = qKeys.map(_.keyExpr) ++ q0.groupBy,
                   selectItems = keyItems ++ q0.selectItems)
-              else if (hasAgg && q0.window.isEmpty)
+              else if (hasAgg && !q0.window.exists(w => Set("length", "time")(w.kind)))
                 // partitioned aggregation without GROUP BY = implicit
-                // per-key grouping (the reference's per-partition state)
-                q1.copy(groupBy = qKeys.map(_.keyExpr),
+                // per-key grouping (the reference's per-partition state);
+                // bucketing windows contribute their bucket to the key set
+                q1.copy(groupBy = qKeys.map(_.keyExpr) ++
+                    (if (q0.window.isDefined) Seq("window") else Nil),
                   selectItems = keyItems ++ q0.selectItems)
               else q1
             }
@@ -613,7 +615,7 @@ object GraftApp {
       }
       return df.select(cols: _*)
     }
-    q.window.foreach { w => df = applyWindow(df, w) }
+    q.window.foreach { w => df = applyWindow(df, w, q.partitionAttr) }
     var having = q.having
     df =
       if (q.groupBy.nonEmpty) {
@@ -727,7 +729,26 @@ object GraftApp {
     * — in this SQL surface they require an aggregating GROUP BY downstream,
     * which the batch equivalents express directly.
     */
-  private def applyWindow(df: DataFrame, w: WindowClause): DataFrame = w.kind match {
+  private def applyWindow(df: DataFrame, w: WindowClause,
+                          partitionAttr: Option[String] = None): DataFrame = w.kind match {
+    // lengthBatch (tumbling count): bucket rows per partition key in event
+    // order; only COMPLETE batches surface (the reference flushes on the
+    // n-th event; the incomplete tail stays buffered). The bucket id is the
+    // `window` column, groupable downstream.
+    case "lengthbatch" =>
+      val n = w.params.last.trim.toInt
+      if (!df.columns.contains("ts"))
+        throw SqlError("window('lengthBatch') needs a 'ts' TIMESTAMP column for event order")
+      val partCols = partitionAttr.toSeq.flatMap(_.split(",")).map(a => expr(a.trim))
+      val ordCols = col("ts") +: df.columns.filterNot(_ == "ts").map(col).toSeq
+      val w1 = org.apache.spark.sql.expressions.Window
+        .partitionBy(partCols: _*).orderBy(ordCols: _*)
+      val bucketed = df
+        .withColumn("window", ((row_number().over(w1) - 1) / n).cast("long"))
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy(partCols :+ col("window"): _*)
+      bucketed.withColumn("__bsz", count(lit(1)).over(w2))
+        .filter(col("__bsz") === n).drop("__bsz")
     case "tumbling" | "timebatch" | "externaltimebatch" =>
       val ts = if (w.params.size > 1) w.params.head else "ts"
       val dur = w.params.last

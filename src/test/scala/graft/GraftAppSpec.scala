@@ -183,6 +183,40 @@ class GraftAppSpec extends AnyFunSuite {
     assert(got == Set(("US", "A", 300L), ("US", "B", 5L), ("EU", "A", 7L)))
   }
 
+  // -- partitions.rs:partition_test36_multi_key, full form: lengthBatch
+  //    window inside a multi-key partition block (complete batches only)
+  test("PARTITION WITH multi-key + WINDOW('lengthBatch') emits complete batches per key") {
+    val app =
+      """CREATE STREAM S (ts TIMESTAMP, region STRING, product STRING, amount INT);
+        |CREATE STREAM Out (region STRING, product STRING, total BIGINT);
+        |PARTITION WITH (region OF S, product OF S) BEGIN
+        |  INSERT INTO Out SELECT region, product, sum(amount) AS total FROM S
+        |  WINDOW('lengthBatch', 2)
+        |END;""".stripMargin
+    // US/A: 3 events → one complete batch (100+200); the 3rd stays buffered.
+    // EU/B: 1 event → no complete batch.
+    val in = Seq((1, "US", "A", 100), (2, "US", "A", 200), (3, "US", "A", 999), (4, "EU", "B", 5))
+      .toDF("sec", "region", "product", "amount")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "region", "product", "amount")
+    val out = GraftApp.run(spark, app, Map("S" -> in))("Out")
+    assert(out.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("US", "A", 300L)))
+  }
+
+  // -- aggregations.rs:aggregation_test_min_max_string +
+  //    aggregation_test_having_order (both ignored in the reference)
+  test("string min/max aggregation and ORDER BY on aggregate alias") {
+    val app =
+      """CREATE STREAM S (sym STRING, v DOUBLE);
+        |CREATE STREAM Out (sym STRING, total DOUBLE, lo STRING);
+        |INSERT INTO Out SELECT sym, sum(v) AS total, min(sym) AS lo FROM S
+        |GROUP BY sym HAVING sum(v) > 1.0 ORDER BY total DESC;""".stripMargin
+    val in = Seq(("b", 2.0), ("a", 5.0), ("c", 0.5), ("b", 1.0)).toDF("sym", "v")
+    val out = GraftApp.run(spark, app, Map("S" -> in))("Out")
+    assert(out.collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSeq ==
+      Seq(("a", 5.0, "a"), ("b", 3.0, "b")))
+  }
+
   // range partitions (range_partition_type.rs): cond AS 'label' OR … OF S —
   // events route to labeled partitions; unmatched events are dropped
   test("PARTITION WITH range partitioning labels and guards") {
