@@ -235,6 +235,41 @@ object CepQueries extends QueryFamily {
              |GROUP BY s.user_id, s.s_id
              |ORDER BY 1, 2""".stripMargin)),
 
+    // Cross-step reference IN THE STEP PREDICATE through the SQL surface:
+    // value > 2 * e1.value evaluates NFA-side (Catalyst precomputes both
+    // comparison operands as vals slots), so each view matches its FIRST
+    // qualifying purchase — same semantics as q_cep_trend's
+    // Step.withContext, same oracle.
+    QueryDef(
+      "q_cep_sql_trend",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (user_id BIGINT, e1_id BIGINT, e2_id BIGINT, v1 DOUBLE, v2 DOUBLE);
+            |INSERT INTO Out
+            |SELECT e1.user_id AS user_id, e1.event_id AS e1_id, e2.event_id AS e2_id,
+            |       e1.value AS v1, e2.value AS v2
+            |FROM PATTERN (EVERY (e1=events[event_type = 'view']
+            |  -> e2=events[event_type = 'purchase' AND value > 2 * e1.value]))
+            |WITHIN 2 HOURS
+            |PARTITION BY user_id;""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .orderBy(col("user_id"), col("e1_id"))
+      },
+      Some("""WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_ts, value AS v1
+             |          FROM events WHERE event_type = 'view'),
+             |b AS (SELECT user_id, event_id AS b_id, epoch_us(ts) AS b_ts, value AS v2
+             |      FROM events WHERE event_type = 'purchase')
+             |SELECT a.user_id, a.a_id AS e1_id, min(b.b_id) AS e2_id,
+             |  min(a.v1) AS v1,
+             |  min_by(b.v2, b.b_id) AS v2
+             |FROM a JOIN b ON a.user_id = b.user_id
+             |  AND b.b_id > a.a_id AND b.b_ts - a.a_ts <= 7200000000
+             |  AND b.v2 > 2.0 * a.v1
+             |GROUP BY a.user_id, a.a_id
+             |ORDER BY 1, 2""".stripMargin)),
+
     // Cross-step reference (e2.value > 2 * e1.value) — the StateEvent
     // access pattern; relaxed, within 2h.
     QueryDef(

@@ -78,18 +78,6 @@ object PatternCompiler {
     streams.foreach { s =>
       if (!env.contains(s)) throw GraftApp.SqlError(s"pattern stream '$s' has no bound data")
     }
-    // cross-step refs in predicates are not resolvable in the flag lowering
-    val aliases = q.variants.head.flatMap(_.aliases)
-    q.allAlts.foreach { a =>
-      a.pred.foreach { p =>
-        aliases.filterNot(_ == a.alias).foreach { other =>
-          if (("(?i)\\b" + other + "\\s*\\.").r.findFirstIn(p).isDefined)
-            throw GraftApp.SqlError(
-              s"cross-step reference '$other.' in step '${a.alias}' predicate is not " +
-              "supported in SQL patterns; use the Scala API (Step.withContext)")
-        }
-      }
-    }
     // tagged union of all referenced streams (junction fan-in)
     val tagged = streams.map { s =>
       env(s).withColumn("__stream", lit(s))
@@ -128,26 +116,125 @@ object PatternCompiler {
     if (dup.nonEmpty)
       throw GraftApp.SqlError(s"duplicate step alias(es) ${dup.mkString(",")} across steps")
 
-    // per-step match flags -> one bitstring column, evaluated by Catalyst
-    val flags = steps.map { st =>
-      st.alts.map { a =>
+    // ---- predicate classification: LOCAL conjuncts become Catalyst flag
+    // columns; cross-step comparisons (`price > e1.price * 1.1`, the
+    // reference's StateEvent access) have BOTH sides precomputed as
+    // per-event doubles (vals slots) and the NFA compares slot values —
+    // no expression evaluation inside the state machine.
+    val aliasToStep: Map[String, Int] =
+      steps.zipWithIndex.flatMap { case (st, i) => st.aliases.map(_ -> i) }.toMap
+    val valReg = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def valIdx(e: String): Int = valReg.getOrElseUpdate(e.trim, valReg.size)
+
+    final case class CrossCmp(localIdx: Int, op: String, refStep: Int, refIdx: Int)
+    def crossAliasesIn(text: String, self: String): Seq[String] =
+      aliasToStep.keys.toSeq.filter(a => a != self &&
+        ("(?i)\\b" + a + "\\s*\\.").r.findFirstIn(text).isDefined)
+    def splitCompare(c: String): Option[(String, String, String)] = {
+      var depth = 0; var inQ = false; var i = 0
+      while (i < c.length) {
+        val ch = c.charAt(i)
+        if (ch == '\'') inQ = !inQ
+        else if (!inQ && (ch == '(' || ch == '[')) depth += 1
+        else if (!inQ && (ch == ')' || ch == ']')) depth -= 1
+        else if (!inQ && depth == 0) {
+          val two = c.substring(i, math.min(i + 2, c.length))
+          if (Seq("<=", ">=", "!=", "<>", "==").contains(two))
+            return Some((c.take(i), two, c.drop(i + 2)))
+          if (ch == '<' || ch == '>' || ch == '=')
+            return Some((c.take(i), ch.toString, c.drop(i + 1)))
+        }
+        i += 1
+      }
+      None
+    }
+    val flip = Map("<" -> ">", "<=" -> ">=", ">" -> "<", ">=" -> "<=",
+      "=" -> "=", "==" -> "==", "!=" -> "!=", "<>" -> "<>")
+
+    // per step: (per-alt local predicate, cross comparisons)
+    val classified: Seq[(Seq[Option[String]], Seq[CrossCmp])] =
+      steps.zipWithIndex.map { case (st, i) =>
+        val perAlt = Seq.newBuilder[Option[String]]
+        val comps = Seq.newBuilder[CrossCmp]
+        st.alts.foreach { a =>
+          a.pred match {
+            case None => perAlt += None
+            case Some(p) =>
+              val conjuncts = splitTopLevelWord(p, "AND")
+              val locals = Seq.newBuilder[String]
+              conjuncts.foreach { c =>
+                if (crossAliasesIn(c, a.alias).isEmpty) locals += c
+                else {
+                  if (st.alts.size > 1) throw GraftApp.SqlError(
+                    s"cross-step references are not supported on OR steps ('${a.alias}')")
+                  val (l, op, r) = splitCompare(c).getOrElse(throw GraftApp.SqlError(
+                    s"cross-step predicate '$c' must be a comparison " +
+                    "(<, <=, >, >=, =, !=) between a local and a cross-step expression"))
+                  val (lc, rc) = (crossAliasesIn(l, a.alias), crossAliasesIn(r, a.alias))
+                  val (localSide, op2, crossSide, refs) =
+                    if (lc.isEmpty && rc.nonEmpty) (l, op, r, rc)
+                    else if (rc.isEmpty && lc.nonEmpty) (r, flip(op), l, lc)
+                    else throw GraftApp.SqlError(
+                      s"cross-step predicate '$c' must reference other steps on one side only")
+                  if (refs.distinct.size > 1) throw GraftApp.SqlError(
+                    s"cross-step predicate '$c' may reference a single step")
+                  val ref = refs.head
+                  val refStep = aliasToStep(ref)
+                  if (refStep >= i) throw GraftApp.SqlError(
+                    s"cross-step predicate '$c' must reference an EARLIER step")
+                  val stripped = crossSide.replaceAll("(?i)\\b" + ref + "\\s*\\.", "")
+                  comps += CrossCmp(valIdx(localSide), op2, refStep, valIdx(stripped))
+                }
+              }
+              val ls = locals.result()
+              perAlt += (if (ls.isEmpty) None else Some(ls.mkString(" AND ")))
+          }
+        }
+        (perAlt.result(), comps.result())
+      }
+
+    // per-step LOCAL match flags -> one bitstring column
+    val flags = steps.zip(classified).map { case (st, (perAlt, _)) =>
+      st.alts.zip(perAlt).map { case (a, predOpt) =>
         val base = col("__stream") === a.stream
-        a.pred.map(p => base && expr(p)).getOrElse(base)
+        predOpt.map(p => base && expr(p)).getOrElse(base)
       }.reduce(_ || _)
     }
     val bits = concat(flags.map(f => when(f, lit("1")).otherwise(lit("0"))): _*)
+
+    // comparison operand slots, NaN when not evaluable on this event
+    val valsCol =
+      if (valReg.isEmpty) typedlit(Seq.empty[Double])
+      else array(valReg.keys.toSeq.map(e =>
+        coalesce(expr(e).cast("double"), lit(Double.NaN))): _*)
 
     val cepIn = ordered.withColumn("__bits", bits).select(
         col("__key").as("key"),
         unix_micros(col("ts")).as("tsUs"),
         col("__id").as("eventId"),
         col("__bits").as("etype"),
-        lit(0.0).as("value"))
+        lit(0.0).as("value"),
+        valsCol.as("vals"))
       .as[CepEvent]
 
+    def cmp(l: Double, op: String, r: Double): Boolean =
+      if (l.isNaN || r.isNaN) false
+      else op match {
+        case "<" => l < r
+        case "<=" => l <= r
+        case ">" => l > r
+        case ">=" => l >= r
+        case "=" | "==" => l == r
+        case "!=" | "<>" => l != r
+      }
     val specSteps = steps.zipWithIndex.map { case (st, i) =>
-      Step(st.aliases.head, st.min, st.max,
-        (e, _) => e.etype.length > i && e.etype.charAt(i) == '1')
+      val comps = classified(i)._2
+      Step(st.aliases.head, st.min, st.max, (e, coll) =>
+        e.etype.length > i && e.etype.charAt(i) == '1' &&
+        comps.forall { c =>
+          val ref = coll(c.refStep)
+          ref.nonEmpty && cmp(e.vals(c.localIdx), c.op, ref.head.vals(c.refIdx))
+        })
     }
     val spec = PatternSpec(specSteps, strict = q.strict, every = q.every,
       withinUs = q.withinUs, withinEvents = q.withinEvents)

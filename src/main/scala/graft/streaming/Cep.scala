@@ -33,7 +33,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * partials by event time. This is the same state-growth discipline the
   * reference needs 2120 lines of count_pre_state_processor.rs for.
   */
-final case class CepEvent(key: String, tsUs: Long, eventId: Long, etype: String, value: Double)
+/** `vals` carries precomputed comparison operands for cross-step
+  * predicates (SQL surface): Catalyst evaluates both sides of
+  * `e2.price > e1.price * 1.1` as per-event doubles; the NFA only compares
+  * slots — no expression evaluation inside the state machine.
+  */
+final case class CepEvent(key: String, tsUs: Long, eventId: Long, etype: String,
+                          value: Double, vals: Seq[Double] = Nil)
 final case class Collected(step: String, events: Seq[CepEvent])
 final case class CepMatch(key: String, startUs: Long, endUs: Long, steps: Seq[Collected])
 
@@ -265,6 +271,7 @@ object Cep {
         unix_micros(col("ts")).as("tsUs"),
         col("event_id").cast("long").as("eventId"),
         col("event_type").as("etype"),
-        col("value").cast("double").as("value"))
+        col("value").cast("double").as("value"),
+        typedlit(Seq.empty[Double]).as("vals"))
       .as[CepEvent]
 }

@@ -332,6 +332,42 @@ class CompatSpec extends AnyFunSuite {
       Seq(("IBM", "MSFT")))
   }
 
+  // -- patterns.rs:pattern_test7_cross_stream_reference (WHERE form) and
+  //    the grammar's in-predicate form (PATTERN_GRAMMAR_V1.2.md:715 shape)
+  test("compat pattern_test7: cross-step reference via WHERE and via predicate") {
+    def mk(rows: Seq[(Int, String, Double)]) = rows.toDF("sec", "symbol", "price")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "symbol", "price")
+    // WHERE form (post-filter over resolved aliases)
+    val appWhere =
+      """CREATE STREAM Stream1 (ts TIMESTAMP, symbol STRING, price DOUBLE);
+        |CREATE STREAM Stream2 (ts TIMESTAMP, symbol STRING, price DOUBLE);
+        |CREATE STREAM Out (symbol1 STRING, symbol2 STRING);
+        |INSERT INTO Out SELECT e1.symbol AS symbol1, e2.symbol AS symbol2
+        |FROM PATTERN (e1=Stream1 -> e2=Stream2)
+        |WHERE e2.price > e1.price;""".stripMargin
+    val hit = GraftApp.run(spark, appWhere, Map(
+      "Stream1" -> mk(Seq((1, "MSFT", 50.0))), "Stream2" -> mk(Seq((2, "IBM", 60.0)))))("Out")
+    assert(hit.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("MSFT", "IBM")))
+    // pattern_test8 shape: condition fails → no match
+    val miss = GraftApp.run(spark, appWhere, Map(
+      "Stream1" -> mk(Seq((1, "MSFT", 70.0))), "Stream2" -> mk(Seq((2, "IBM", 60.0)))))("Out")
+    assert(miss.count() == 0)
+    // in-PREDICATE form: the NFA keeps waiting past non-qualifying events —
+    // semantics a WHERE post-filter cannot express (the first Stream2 event
+    // fails the comparison; the SECOND qualifies and matches)
+    val appPred =
+      """CREATE STREAM Stream1 (ts TIMESTAMP, symbol STRING, price DOUBLE);
+        |CREATE STREAM Stream2 (ts TIMESTAMP, symbol STRING, price DOUBLE);
+        |CREATE STREAM Out (symbol2 STRING);
+        |INSERT INTO Out SELECT e2.symbol AS symbol2
+        |FROM PATTERN (e1=Stream1 -> e2=Stream2[price > e1.price * 1.1]);""".stripMargin
+    val later = GraftApp.run(spark, appPred, Map(
+      "Stream1" -> mk(Seq((1, "MSFT", 100.0))),
+      "Stream2" -> mk(Seq((2, "ALOW", 105.0), (3, "BHIGH", 120.0)))))("Out")
+    assert(later.collect().map(_.getString(0)).toSeq == Seq("BHIGH"))
+  }
+
   // -- patterns.rs:pattern_test_not_absent: e1=A -> NOT B -> e2=C
   //    (B must not occur between A's and C's matches)
   test("compat pattern_test_not_absent via SQL: mid-chain NOT guard") {
