@@ -148,7 +148,21 @@ object GraftApp {
     }
   }
 
-  def parse(appSql: String): AppSpec = {
+  /** Strip `-- …` line comments (outside single-quoted literals). */
+  private def stripComments(sql: String): String =
+    sql.split("\n", -1).map { line =>
+      var inQ = false; var i = 0; var cut = -1
+      while (i < line.length && cut < 0) {
+        val c = line.charAt(i)
+        if (c == '\'') inQ = !inQ
+        else if (!inQ && c == '-' && i + 1 < line.length && line.charAt(i + 1) == '-') cut = i
+        i += 1
+      }
+      if (cut >= 0) line.substring(0, cut) else line
+    }.mkString("\n")
+
+  def parse(appSql0: String): AppSpec = {
+    val appSql = stripComments(appSql0)
     // PARTITION WITH (key OF Stream[, key OF Stream…]) BEGIN … END (§2.9):
     // every query in the block whose source matches gets the partition keys
     // folded into its grouping / frame spec — the Spark-native form of

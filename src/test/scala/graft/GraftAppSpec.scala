@@ -294,6 +294,33 @@ class GraftAppSpec extends AnyFunSuite {
     assert(spec.streams("S").options("rowsPerSecond") == "7")
   }
 
+  test("examples/round2_demo.sql parses and runs end to end") {
+    val app = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/round2_demo.sql")))
+    val events = Seq(
+      (1L, 1, 7L, "view", 10.0), (2L, 2, 7L, "purchase", 15.0),
+      (3L, 3, 7L, "purchase", 25.0), (4L, 4, 8L, "view", 5.0))
+      .toDF("event_id", "sec", "user_id", "event_type", "value")
+      .selectExpr("event_id", "CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "event_type", "value", "CAST(NULL AS STRING) AS props")
+    val spec = GraftApp.parse(app)
+    assert(spec.triggers.map(_.name) == Seq("Heartbeat"))
+    val (env, close) = GraftApp.runTracked(spark, app, Map(
+      "events" -> events,
+      "balances" -> Seq((7L, 1.0)).toDF("user_id", "bal"),
+      "adjustments" -> Seq((7L, 2.0), (9L, 3.0)).toDF("user_id", "bal")))
+    // DML: updated 7, inserted 9
+    assert(env("balances").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((7L, 2.0), (9L, 3.0)))
+    // pattern: user 7's view(10) → first purchase > 20 is event 3
+    assert(env("TrendAlerts").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((7L, 1L, 3L)))
+    // range partition: small = value<10 (1 row), large = the rest
+    assert(env("BandTotals").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet ==
+      Set(("small", 1L, 5.0), ("large", 3L, 50.0)))
+    close()
+  }
+
   test("undeclared type and bad input schema produce typed errors") {
     val bad = "CREATE STREAM X (a WIBBLE);"
     assert(intercept[GraftApp.SqlError](GraftApp.parse(bad)).getMessage.contains("unknown type"))
