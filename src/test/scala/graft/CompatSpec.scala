@@ -368,6 +368,21 @@ class CompatSpec extends AnyFunSuite {
     assert(later.collect().map(_.getString(0)).toSeq == Seq("BHIGH"))
   }
 
+  // -- patterns.rs:pattern_test_concat_filter (ignored there): function
+  //    calls in step predicates are free — flags are Catalyst expressions
+  test("compat pattern_test_concat_filter via SQL: function call in step filter") {
+    val app =
+      """CREATE STREAM userStream (ts TIMESTAMP, prefix STRING, suffix STRING);
+        |CREATE STREAM Out (prefix STRING, suffix STRING);
+        |INSERT INTO Out SELECT e1.prefix AS prefix, e1.suffix AS suffix
+        |FROM PATTERN (EVERY (e1=userStream[concat(prefix, suffix) = 'ADMIN']));""".stripMargin
+    val in = Seq((1, "USER", ""), (2, "ADM", "IN")).toDF("sec", "prefix", "suffix")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "prefix", "suffix")
+    val out = GraftApp.run(spark, app, Map("userStream" -> in))("Out")
+    assert(out.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("ADM", "IN")))
+  }
+
   // -- patterns.rs:pattern_test_not_absent: e1=A -> NOT B -> e2=C
   //    (B must not occur between A's and C's matches)
   test("compat pattern_test_not_absent via SQL: mid-chain NOT guard") {
