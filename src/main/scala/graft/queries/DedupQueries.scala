@@ -33,8 +33,13 @@ object DedupQueries extends QueryFamily {
       "q_dedup_jaccard",
       (s, dir) => {
         val d = Tables(s, dir, "documents")
+        // repartition(1)+sortWithinPartitions instead of a global orderBy:
+        // a range sort would run a sampling pass that RECOMPUTES the whole
+        // candidate+verify pipeline a second time (observed 2.7x); the
+        // shuffle barrier keeps the pipeline parallel and the single-
+        // partition sort of the narrow output is trivial.
         Dedup.jaccardPairs(d, "doc_id", "text", "source", 0.6)
-          .orderBy(col("a_id"), col("b_id"))
+          .repartition(1).sortWithinPartitions(col("a_id"), col("b_id"))
       },
       Some("""WITH t AS (
              |  SELECT doc_id, source,
