@@ -87,6 +87,29 @@ class ConnectorSpec extends AnyFunSuite {
     assert(err.getMessage.contains("unsupported cron"))
   }
 
+  // file connector (SURVEY §2.1; the reference plans file sources): a fully
+  // declared app reading a json directory source into a memory sink
+  test("file source WITH clause: json directory streams through a query to a sink") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_src").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "a.json").toPath,
+      """{"sym":"IBM","v":10.0}
+        |{"sym":"MSFT","v":3.0}
+        |{"sym":"IBM","v":7.5}""".stripMargin)
+    val app =
+      s"""CREATE STREAM In (sym STRING, v DOUBLE)
+         |  WITH ('type'='source','format'='json','path'='${dir.getAbsolutePath}');
+         |CREATE STREAM FileOut (sym STRING, v DOUBLE)
+         |  WITH ('type'='sink','format'='memory');
+         |INSERT INTO FileOut SELECT sym, v FROM In WHERE v > 5.0;""".stripMargin
+    val qs = graft.sql.AppRuntime.start(spark, app)
+    try {
+      qs.foreach(_.processAllAvailable())
+      val got = spark.table("FileOut").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSet
+      assert(got == Set(("IBM", 10.0), ("IBM", 7.5)))
+    } finally qs.foreach(_.stop())
+  }
+
   test("stream-driven table upsert via foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
