@@ -78,6 +78,11 @@ object PatternCompiler {
     streams.foreach { s =>
       if (!env.contains(s)) throw GraftApp.SqlError(s"pattern stream '$s' has no bound data")
     }
+    streams.filter(env(_).isStreaming).foreach { s =>
+      throw GraftApp.SqlError(
+        s"FROM PATTERN compiles to a batch plan; streaming input '$s' needs the " +
+        "Scala API (Cep.detectStream / detectStreamWithTimeout)")
+    }
     // tagged union of all referenced streams (junction fan-in)
     val tagged = streams.map { s =>
       env(s).withColumn("__stream", lit(s))
