@@ -106,6 +106,18 @@ object GraftApp {
   private val TriggerRe: Regex =
     """(?is)\s*CREATE\s+TRIGGER\s+(\w+)\s+AT\s+(.+?)\s*""".r
 
+  /** `WINDOW('session', [ts,] gap [, key…])`: the duration param is the
+    * gap; anything before it is the event-time column, anything after it
+    * partition keys (session_window_test2 shape).
+    */
+  private def sessionParams(w: WindowClause): (String, String, Seq[String]) = {
+    val durRe = """(?i)^\d+\s*(millisecond|second|minute|hour|day)s?$""".r
+    val gi = w.params.indexWhere(p => durRe.findFirstIn(p.trim).isDefined)
+    if (gi < 0) throw SqlError(s"session window needs a gap duration, got ${w.params}")
+    val ts = if (gi > 0) w.params(gi - 1) else "ts"
+    (ts, w.params(gi), w.params.drop(gi + 1))
+  }
+
   private val AggCallRe: Regex =
     "(?i)^(sum|avg|count|min|max|stddev|stddev_pop|first|last)\\s*\\(".r
 
@@ -630,17 +642,26 @@ object GraftApp {
       return df.select(cols: _*)
     }
     q.window.foreach { w => df = applyWindow(df, w, q.partitionAttr) }
+    // session windows with inline partition keys + aggregates and no GROUP
+    // BY group implicitly per (keys, session)
+    val groupByEff = q.window match {
+      case Some(w) if w.kind == "session" && q.groupBy.isEmpty &&
+          q.selectItems.exists(it => AggCallRe.findFirstIn(it._1.trim).isDefined) =>
+        val keys = sessionParams(w)._3
+        if (keys.nonEmpty) keys :+ "window" else q.groupBy
+      case _ => q.groupBy
+    }
     var having = q.having
     df =
-      if (q.groupBy.nonEmpty) {
-        val groupSet = q.groupBy.map(_.trim.toLowerCase).toSet
+      if (groupByEff.nonEmpty) {
+        val groupSet = groupByEff.map(_.trim.toLowerCase).toSet
         val (_, aggItems) = q.selectItems.partition {
           case (e, _) => groupSet.contains(e.trim.toLowerCase)
         }
         // expression group keys (year(ts), window, …) are materialized as
         // columns first, so they can be re-referenced after aggregation
         var pre = df
-        val keyCol: Map[String, String] = q.groupBy.map(_.trim).zipWithIndex.map {
+        val keyCol: Map[String, String] = groupByEff.map(_.trim).zipWithIndex.map {
           case (k, i) =>
             if (k.matches("\\w+")) k.toLowerCase -> k
             else {
@@ -649,7 +670,7 @@ object GraftApp {
               k.toLowerCase -> n
             }
         }.toMap
-        val keyCols = q.groupBy.map(k => col(keyCol(k.trim.toLowerCase)))
+        val keyCols = groupByEff.map(k => col(keyCol(k.trim.toLowerCase)))
         if (aggItems.isEmpty) {
           pre.select(keyCols: _*).distinct()
         } else {
@@ -775,8 +796,7 @@ object GraftApp {
       }
       df.withColumn("window", window(col(ts), size, slide))
     case "session" =>
-      val ts = if (w.params.size > 1) w.params.head else "ts"
-      val gap = w.params.last
+      val (ts, gap, _) = sessionParams(w)
       df.withColumn("window", session_window(col(ts), gap))
     // unique / firstUnique (UniqueWindowTestCase / FirstUniqueWindowTestCase
     // — roadmap syntax in the reference): keep the latest / first event per

@@ -447,6 +447,46 @@ class CompatSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1, "a", "b")))
   }
 
+  // -- windows.rs:session_window_test2_with_partition (ignored there):
+  //    session window with an inline partition key — implicit per-(key,
+  //    session) grouping
+  test("compat session_window_test2: session window with partition key") {
+    val app =
+      """CREATE STREAM stockStream (ts TIMESTAMP, symbol STRING, price DOUBLE);
+        |CREATE STREAM Out (symbol STRING, total DOUBLE);
+        |INSERT INTO Out
+        |SELECT symbol, sum(price) AS total FROM stockStream
+        |WINDOW('session', 100 MILLISECONDS, symbol) ORDER BY symbol;""".stripMargin
+    val in = Seq((0, "IBM", 100.0), (20, "MSFT", 50.0), (40, "IBM", 200.0), (5000, "IBM", 7.0))
+      .toDF("ms", "symbol", "price")
+      .selectExpr("timestamp_millis(ms) AS ts", "symbol", "price")
+    val out = GraftApp.run(spark, app, Map("stockStream" -> in))("Out")
+    // IBM: one session (0,40ms) totalling 300, a second at 5s totalling 7
+    assert(out.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("IBM", 300.0), ("IBM", 7.0), ("MSFT", 50.0)) ||
+      out.collect().map(r => (r.getString(0), r.getDouble(1))).toSet ==
+      Set(("IBM", 300.0), ("IBM", 7.0), ("MSFT", 50.0)))
+  }
+
+  // -- partitions.rs:partition_test10_multiple_queries (ignored there):
+  //    several queries in one PARTITION BEGIN block
+  test("compat partition_test10: multiple queries in one PARTITION block") {
+    val app =
+      """CREATE STREAM inputStream (key STRING, value INT);
+        |CREATE STREAM sumStream (key STRING, total BIGINT);
+        |CREATE STREAM countStream (key STRING, cnt BIGINT);
+        |PARTITION WITH (key OF inputStream) BEGIN
+        |  INSERT INTO sumStream SELECT SUM(value) AS total FROM inputStream;
+        |  INSERT INTO countStream SELECT COUNT(value) AS cnt FROM inputStream
+        |END;""".stripMargin
+    val in = Seq(("A", 10), ("A", 5), ("B", 1)).toDF("key", "value")
+    val env = GraftApp.run(spark, app, Map("inputStream" -> in))
+    assert(env("sumStream").collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("A", 15L), ("B", 1L)))
+    assert(env("countStream").collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("A", 2L), ("B", 1L)))
+  }
+
   // -- joins.rs:join_test27_three_way_join (adapted: join-side length
   //    windows dropped — batch result-level form joins full history)
   test("compat join_test27: three-way chained join") {
