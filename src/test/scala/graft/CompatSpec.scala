@@ -447,6 +447,41 @@ class CompatSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1, "a", "b")))
   }
 
+  // -- aggregations.rs:group_by_test_case_when (ignored there; adapted:
+  //    batch form aggregates full history, length window dropped)
+  test("compat group_by_test_case_when: CASE WHEN group keys") {
+    val app =
+      """CREATE STREAM stockStream (symbol STRING, price DOUBLE);
+        |CREATE STREAM Out (category STRING, totalPrice DOUBLE);
+        |INSERT INTO Out
+        |SELECT CASE WHEN price > 100.0 THEN 'high' ELSE 'low' END AS category,
+        |       sum(price) AS totalPrice
+        |FROM stockStream
+        |GROUP BY CASE WHEN price > 100.0 THEN 'high' ELSE 'low' END
+        |ORDER BY category;""".stripMargin
+    val in = Seq(("IBM", 150.0), ("MSFT", 50.0), ("X", 250.0)).toDF("symbol", "price")
+    val out = GraftApp.run(spark, app, Map("stockStream" -> in))("Out")
+    assert(out.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("high", 400.0), ("low", 50.0)))
+  }
+
+  // -- partitions.rs:partition_test79_coalesce (ignored there: their parser
+  //    split the coalesce args on the comma)
+  test("compat partition_test79: coalesce with commas inside a partition block") {
+    val app =
+      """CREATE STREAM dataStream (key STRING, primary_val STRING, backup_val STRING);
+        |CREATE STREAM Out (key STRING, result STRING);
+        |PARTITION WITH (key OF dataStream) BEGIN
+        |  INSERT INTO Out SELECT key, coalesce(primary_val, backup_val) AS result
+        |  FROM dataStream
+        |END;""".stripMargin
+    val in = Seq(("K1", "primary", "backup"), ("K2", null, "backup2"))
+      .toDF("key", "primary_val", "backup_val")
+    val out = GraftApp.run(spark, app, Map("dataStream" -> in))("Out")
+    assert(out.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("K1", "primary"), ("K2", "backup2")))
+  }
+
   // -- windows.rs:session_window_test2_with_partition (ignored there):
   //    session window with an inline partition key — implicit per-(key,
   //    session) grouping
