@@ -52,6 +52,13 @@ object TextFns {
     */
   def minHashSignature(tokensCol: Column, k: Int): Column =
     column(MinHashSig(expression(tokensCol), k))
+
+  /** Exact Jaccard of two SORTED string arrays: one merge pass counts the
+    * intersection (|A∪B| = |A|+|B|−|A∩B|) — no per-row hash-set builds,
+    * unlike array_intersect + array_union. Callers must array_sort inputs.
+    */
+  def sortedJaccard(a: Column, b: Column): Column =
+    column(SortedJaccard(expression(a), expression(b)))
 }
 
 /** Shared 64-bit byte hashing (FNV-1a core + splitmix64 finalizer).
@@ -163,6 +170,37 @@ object WordShingles {
       }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+}
+
+/** Merge-pass Jaccard over two sorted distinct string arrays. The verify
+  * step of the dedup pipelines evaluates this once per candidate pair —
+  * linear in array length with zero allocation.
+  */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sorted_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = nx + ny - inter
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** MinHash signature: slot i = min over tokens of mix64(hash64(token) ^
