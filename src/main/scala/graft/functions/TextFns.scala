@@ -144,18 +144,19 @@ case class WordShingles(child: Expression, n: Int)
 
 object WordShingles {
   def eval(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val str = s.toString.trim
-    if (str.isEmpty)
-      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
-    val toks = str.split("\\s+")
+    // Replicate the exact HOF semantics (trim = SPACES only, like Spark's
+    // trim; split with limit -1 keeps edge empty tokens from leading/
+    // trailing non-space whitespace; empty shingles filtered at the end) —
+    // Java String.trim would also strip \t/\n and change MinHash signatures
+    // for documents with edge whitespace.
+    val str = s.trim().toString // UTF8String.trim: ASCII space only
+    val toks = str.split("\\s+", -1)
     val m = toks.length
-    val out: Array[Any] =
-      if (m < n) Array(UTF8String.fromString(toks.mkString(" ")))
+    val raw: Seq[String] =
+      if (m < n) Seq(toks.mkString(" "))
       else {
-        val res = new Array[Any](m - n + 1)
         val sb = new java.lang.StringBuilder
-        var i = 0
-        while (i <= m - n) {
+        (0 to m - n).map { i =>
           sb.setLength(0)
           var j = 0
           while (j < n) {
@@ -163,11 +164,10 @@ object WordShingles {
             sb.append(toks(i + j))
             j += 1
           }
-          res(i) = UTF8String.fromString(sb.toString)
-          i += 1
+          sb.toString
         }
-        res
       }
+    val out: Array[Any] = raw.filter(_.nonEmpty).map(UTF8String.fromString).toArray
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }

@@ -16,14 +16,30 @@ object Similarity {
   /** Per-query top-k via the bounded [[TopKBySim]] aggregator: partial
     * aggregation keeps at most k entries per (partition, query) ahead of the
     * shuffle — the heap+combine shape, vs a rank window's full sort of every
-    * scored row.
+    * scored row. The aggregator buffer keys ids as longs; non-integral id
+    * types fall back to the rank window (same order contract) instead of
+    * silently nulling ids through a cast.
     */
-  private def topKSelect(scored: DataFrame, k: Int): DataFrame =
-    scored.groupBy(col("q_id"))
-      .agg(TopK.bySim(k)(col("c_id").cast("long"), col("sim")).as("top"))
-      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
-      .select(col("q_id"), (col("pos") + 1).cast("long").as("rnk"),
-        col("e.c_id").as("c_id"), col("e.sim").as("sim"))
+  private def topKSelect(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integralId = scored.schema("c_id").dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (integralId)
+      scored.groupBy(col("q_id"))
+        .agg(TopK.bySim(k)(col("c_id").cast("long"), col("sim")).as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("q_id"), (col("pos") + 1).cast("long").as("rnk"),
+          col("e.c_id").as("c_id"), col("e.sim").as("sim"))
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= k)
+        .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
+    }
+  }
 
   /** Exact brute-force cosine top-k: broadcast queries × one corpus scan,
     * bounded top-k aggregation (no full sort anywhere).

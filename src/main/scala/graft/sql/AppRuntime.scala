@@ -46,15 +46,18 @@ object AppRuntime {
         case "start" =>
           spark.range(1).select(current_timestamp().as("triggered_time"))
         case _ =>
-          val ms = t.everyMs.get
-          val base = spark.readStream.format("rate")
-            .option("rowsPerSecond", if (ms >= 1000L) "1" else (1000L / ms).toString)
+          // 100 ms tick resolution: a 10-rows/sec rate filtered to every
+          // round(ms/100)-th tick — exact for multiples of 100 ms,
+          // <=50 ms deviation otherwise (integer-divide pacing was off by
+          // up to 2x for periods like 600 or 1500 ms)
+          val ms = math.max(t.everyMs.get, 100L)
+          val everyTicks = math.max(1L, (ms + 50L) / 100L)
+          spark.readStream.format("rate")
+            .option("rowsPerSecond", "10")
             .option("numPartitions", "1")
             .load()
-          val paced =
-            if (ms > 1000L) base.filter(col("value") % lit(ms / 1000L) === 0)
-            else base
-          paced.select(col("timestamp").as("triggered_time"))
+            .filter(col("value") % lit(everyTicks) === 0)
+            .select(col("timestamp").as("triggered_time"))
       }
       t.name -> df
     }.toMap

@@ -49,7 +49,7 @@ object GraftApp {
       orderBy: Seq[String],
       limit: Option[Int],
       offset: Option[Int] = None,
-      partitionAttr: Option[String] = None) // PARTITION WITH key (§2.9)
+      partitionKeys: Seq[String] = Nil) // PARTITION WITH keys (§2.9)
 
   /** CREATE TRIGGER (trigger_definition.rs): mode ∈ start/every/cron.
     * `everyMs` is resolved for both EVERY and the supported cron forms.
@@ -120,6 +120,11 @@ object GraftApp {
 
   private val AggCallRe: Regex =
     "(?i)^(sum|avg|count|min|max|stddev|stddev_pop|first|last)\\s*\\(".r
+
+  /** Window kinds whose lowering emits a groupable `window` bucket column. */
+  private val BucketWindowKinds: Set[String] =
+    Set("tumbling", "timebatch", "externaltimebatch", "sliding", "hop",
+      "session", "lengthbatch")
 
   private val UpsertRe: Regex =
     """(?is)\s*UPDATE\s+OR\s+INSERT\s+INTO\s+(\w+)\s+SELECT\s+(.*?)\s+FROM\s+(\w+)\s+ON\s+(.*?)\s*""".r
@@ -201,13 +206,17 @@ object GraftApp {
         case Some(pq0) =>
           pq0.allAlts.foreach(a => requireDefined(a.stream))
           // enclosing PARTITION WITH block folds in as the pattern key
-          // (explicit PARTITION BY wins; patterns take a single key)
+          // (explicit PARTITION BY wins; patterns take a single key); range
+          // guards become per-stream event pre-filters so out-of-range
+          // events never reach the NFA
           val patKeys = part.filter(k => pq0.allAlts.exists(_.stream.equalsIgnoreCase(k.stream)))
-          val pq = (pq0.partitionBy, patKeys) match {
-            case (None, Seq(k)) => pq0.copy(partitionBy = Some(k.keyExpr))
+          val guards = patKeys.flatMap(k => k.guard.map(k.stream -> _)).toMap
+          val pq0g = if (guards.isEmpty) pq0 else pq0.copy(sourceFilters = guards)
+          val pq = (pq0g.partitionBy, patKeys) match {
+            case (None, Seq(k)) => pq0g.copy(partitionBy = Some(k.keyExpr))
             case (None, ks) if ks.size > 1 =>
               throw SqlError("patterns support a single partition key")
-            case _ => pq0
+            case _ => pq0g
           }
           patterns += pq
           stmts += PatternStmt(pq)
@@ -257,7 +266,7 @@ object GraftApp {
             // range guards drop events matching no range
             val qKeys = part.filter(_.stream.equalsIgnoreCase(source))
             val q = if (qKeys.isEmpty) q0 else {
-              var q1 = q0.copy(partitionAttr = Some(qKeys.map(_.keyExpr).mkString(", ")))
+              var q1 = q0.copy(partitionKeys = qKeys.map(_.keyExpr))
               val guards = qKeys.flatMap(_.guard)
               if (guards.nonEmpty) {
                 val g = guards.map(g0 => s"($g0)").mkString(" AND ")
@@ -275,9 +284,11 @@ object GraftApp {
               else if (hasAgg && !q0.window.exists(w => Set("length", "time")(w.kind)))
                 // partitioned aggregation without GROUP BY = implicit
                 // per-key grouping (the reference's per-partition state);
-                // bucketing windows contribute their bucket to the key set
+                // windows that EMIT a bucket column contribute it to the key
+                // set (unique/firstUnique/delay/frequent produce rows, not
+                // buckets)
                 q1.copy(groupBy = qKeys.map(_.keyExpr) ++
-                    (if (q0.window.isDefined) Seq("window") else Nil),
+                    (if (q0.window.exists(w => BucketWindowKinds(w.kind))) Seq("window") else Nil),
                   selectItems = keyItems ++ q0.selectItems)
               else q1
             }
@@ -308,7 +319,9 @@ object GraftApp {
     atRaw match {
       case a if a.equalsIgnoreCase("START") => TriggerDef(name, "start", None, None)
       case everyRe(n, unit) =>
-        TriggerDef(name, "every", Some(parseDurationUs(s"$n $unit") / 1000L), None)
+        val ms = parseDurationUs(s"$n $unit") / 1000L
+        if (ms <= 0) throw SqlError(s"trigger $name: AT EVERY needs a positive period")
+        TriggerDef(name, "every", Some(ms), None)
       case cronRe(c) => c.trim match {
         case cronSecRe(n, _) => TriggerDef(name, "cron", Some(n.toLong * 1000L), Some(c))
         case other => throw SqlError(
@@ -364,13 +377,7 @@ object GraftApp {
       val (withinUs, withinEvents) = within
         .map { case (n, u) => PatternCompiler.parseWithin(n, u) }
         .getOrElse((None, None))
-      val items = splitTopLevel(select).map { item =>
-        val asRe = "(?is)^(.*?)\\s+AS\\s+(\\w+)$".r
-        item.trim match {
-          case asRe(e, a) => (e.trim, Some(a))
-          case e => (e, None)
-        }
-      }
+      val items = splitTopLevel(select).map(parseSelectItem)
       PatternCompiler.PatternQuery(target, items,
         strict = mode.equalsIgnoreCase("SEQUENCE"), every = every,
         variants = variants, withinUs = withinUs, withinEvents = withinEvents,
@@ -459,13 +466,7 @@ object GraftApp {
       .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
     val limit = grab("LIMIT", Seq("OFFSET")).map(_.trim.toInt)
     val offset = grab("OFFSET", Nil).map(_.trim.toInt)
-    val items = splitTopLevel(select).map { item =>
-      val asRe = "(?is)^(.*?)\\s+AS\\s+(\\w+)$".r
-      item.trim match {
-        case asRe(e, a) => (e.trim, Some(a))
-        case e => (e, None)
-      }
-    }
+    val items = splitTopLevel(select).map(parseSelectItem)
     QuerySpec(target, source, items, joins.result(), where, window, groupBy, having, orderBy, limit, offset)
   }
 
@@ -625,10 +626,10 @@ object GraftApp {
       // isolation (§2.9, value_partition_type.rs); without it the frame is
       // one global ordering (inherently serial, like the reference's
       // single-threaded junction)
-      val over = q.partitionAttr match {
-        case Some(a) => s"OVER (PARTITION BY $a ORDER BY unix_micros(ts) $frame)"
-        case None => s"OVER (ORDER BY unix_micros(ts) $frame)"
-      }
+      val over =
+        if (q.partitionKeys.nonEmpty)
+          s"OVER (PARTITION BY ${q.partitionKeys.mkString(", ")} ORDER BY unix_micros(ts) $frame)"
+        else s"OVER (ORDER BY unix_micros(ts) $frame)"
       val items = q.selectItems.map { case (e, a) =>
         // aggregate items become frame-windowed; plain columns pass through
         val isAgg = "(?i)^(sum|avg|count|min|max|stddev|stddev_pop|first|last)\\s*\\(".r
@@ -641,7 +642,7 @@ object GraftApp {
       }
       return df.select(cols: _*)
     }
-    q.window.foreach { w => df = applyWindow(df, w, q.partitionAttr) }
+    q.window.foreach { w => df = applyWindow(df, w, q.partitionKeys) }
     // session windows with inline partition keys + aggregates and no GROUP
     // BY group implicitly per (keys, session)
     val groupByEff = q.window match {
@@ -765,7 +766,7 @@ object GraftApp {
     * which the batch equivalents express directly.
     */
   private def applyWindow(df: DataFrame, w: WindowClause,
-                          partitionAttr: Option[String] = None): DataFrame = w.kind match {
+                          partitionKeys: Seq[String] = Nil): DataFrame = w.kind match {
     // lengthBatch (tumbling count): bucket rows per partition key in event
     // order; only COMPLETE batches surface (the reference flushes on the
     // n-th event; the incomplete tail stays buffered). The bucket id is the
@@ -774,7 +775,7 @@ object GraftApp {
       val n = w.params.last.trim.toInt
       if (!df.columns.contains("ts"))
         throw SqlError("window('lengthBatch') needs a 'ts' TIMESTAMP column for event order")
-      val partCols = partitionAttr.toSeq.flatMap(_.split(",")).map(a => expr(a.trim))
+      val partCols = partitionKeys.map(a => expr(a))
       val ordCols = col("ts") +: df.columns.filterNot(_ == "ts").map(col).toSeq
       val w1 = org.apache.spark.sql.expressions.Window
         .partitionBy(partCols: _*).orderBy(ordCols: _*)

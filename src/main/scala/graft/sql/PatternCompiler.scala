@@ -68,7 +68,8 @@ object PatternCompiler {
       withinEvents: Option[Long] = None,
       where: Option[String] = None,
       partitionBy: Option[String] = None,
-      absents: Seq[AbsentElem] = Nil) {
+      absents: Seq[AbsentElem] = Nil,
+      sourceFilters: Map[String, String] = Map.empty) {
     def allAlts: Seq[StepAlt] = variants.flatten.flatMap(_.alts) ++ absents.map(_.alt)
   }
 
@@ -83,9 +84,12 @@ object PatternCompiler {
         s"FROM PATTERN compiles to a batch plan; streaming input '$s' needs the " +
         "Scala API (Cep.detectStream / detectStreamWithTimeout)")
     }
-    // tagged union of all referenced streams (junction fan-in)
+    // tagged union of all referenced streams (junction fan-in); range
+    // partition guards pre-filter each stream's events before the NFA
     val tagged = streams.map { s =>
-      env(s).withColumn("__stream", lit(s))
+      val src0 = env(s)
+      val src = q.sourceFilters.get(s).map(g => src0.filter(expr(g))).getOrElse(src0)
+      src.withColumn("__stream", lit(s))
     }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
     if (!tagged.columns.contains("ts"))
       throw GraftApp.SqlError(
@@ -259,8 +263,10 @@ object PatternCompiler {
     if (multi.nonEmpty && steps.exists(st => st.max > 1 && st.alts.size > 1))
       throw GraftApp.SqlError("count quantifiers on OR steps are not supported")
 
-    // joins: joinName -> (idExpr over base, step, outer?)
-    final case class JoinPlan(name: String, idExpr: Column, streams: Seq[String], outer: Boolean)
+    // joins: joinName -> (idExpr over base, streams, alias-qualified
+    // residual predicate for OR alternatives, outer?)
+    final case class JoinPlan(name: String, idExpr: Column, streams: Seq[String],
+                              pred: Option[Column], outer: Boolean)
     val joins = scala.collection.mutable.LinkedHashMap.empty[String, JoinPlan]
     // collection aggregations: stepIdx -> (outputCol, aggSql over alias __c)
     val aggItems = scala.collection.mutable.LinkedHashMap.empty[Int, Vector[(String, String)]]
@@ -268,17 +274,33 @@ object PatternCompiler {
 
     def idAt(i: Int, idx: String): Column = idx match {
       case "last" => element_at(col(s"__ids_$i"), -1)
-      case n => element_at(col(s"__ids_$i"), n.toInt + 1)
+      // try_: an index past a range quantifier's collected count is NULL
+      // (the left join then yields NULL columns), not an ANSI error
+      case n => try_element_at(col(s"__ids_$i"), lit(n.toInt + 1))
     }
 
     // register joins for every single-event alias (matched id is always
-    // present; OR alternatives join left so the unmatched side is NULL)
-    steps.zipWithIndex.foreach { case (st, i) =>
+    // present; OR alternatives join left so the unmatched side is NULL).
+    // An OR alternative's join re-applies its LOCAL predicate, alias-
+    // qualified — same-stream alternatives would otherwise BOTH bind the
+    // matched event instead of NULLing the one whose predicate failed.
+    def qualify(alias: String, pred: String): Column = {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      val parsed = spark.sessionState.sqlParser.parseExpression(pred).transform {
+        case ua: UnresolvedAttribute if ua.nameParts.size == 1 =>
+          UnresolvedAttribute(alias +: ua.nameParts)
+      }
+      org.apache.spark.sql.graftbridge.Bridge.column(parsed)
+    }
+    steps.zip(classified).zipWithIndex.foreach { case ((st, (perAlt, _)), i) =>
       if (st.max == 1) {
         val outer = st.aliases.size > 1
         st.aliases.foreach { a =>
+          val altIdx = st.alts.indexWhere(_.alias == a)
           val altStreams = st.alts.filter(_.alias == a).map(_.stream)
-          joins(a) = JoinPlan(a, element_at(col(s"__ids_$i"), 1), altStreams, outer)
+          val residual =
+            if (outer) perAlt(altIdx).map(p => qualify(a, p)) else None
+          joins(a) = JoinPlan(a, element_at(col(s"__ids_$i"), 1), altStreams, residual, outer)
         }
       }
     }
@@ -315,7 +337,8 @@ object PatternCompiler {
           case Some(i) =>
             val name = s"__${alias}_$idx"
             joins.getOrElseUpdate(name,
-              JoinPlan(name, idAt(i, idx), steps(i).alts.map(_.stream), outer = false))
+              JoinPlan(name, idAt(i, idx), steps(i).alts.map(_.stream),
+                pred = None, outer = true)) // index may exceed collected count
             s"$name."
           case None => java.util.regex.Matcher.quoteReplacement(m.matched)
         }
@@ -326,7 +349,8 @@ object PatternCompiler {
         if (plainRe.findFirstIn(text).isDefined) {
           val name = s"__${alias}_0"
           joins.getOrElseUpdate(name,
-            JoinPlan(name, idAt(i, "0"), steps(i).alts.map(_.stream), outer = false))
+            JoinPlan(name, idAt(i, "0"), steps(i).alts.map(_.stream),
+              pred = None, outer = false))
           text = plainRe.replaceAllIn(text, s"$name.")
         }
       }
@@ -346,9 +370,10 @@ object PatternCompiler {
 
     var out = base
     joins.values.foreach { j =>
-      val cond = col(s"${j.name}.__id") === j.idExpr &&
+      var cond = col(s"${j.name}.__id") === j.idExpr &&
         col(s"${j.name}.__key") === col("__mkey") &&
         col(s"${j.name}.__stream").isin(j.streams: _*)
+      j.pred.foreach(p => cond = cond && p)
       out = out.join(ordered.as(j.name), cond, if (j.outer) "left_outer" else "inner")
     }
     aggItems.foreach { case (i, items) =>

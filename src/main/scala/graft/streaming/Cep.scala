@@ -246,7 +246,10 @@ object Cep {
             due.foreach(p => out += emit(p))
             pending = live
             if (spec.absent(e))
-              pending = pending.filterNot(p => p.startUs < e.tsUs) // followed → killed
+              // <= : an absent event at the SAME event time arrives after
+              // the pending first event in arrival order (matches the batch
+              // NOT-guard's __id ordering)
+              pending = pending.filterNot(p => p.startUs <= e.tsUs) // followed → killed
             if (spec.first(e))
               pending :+= Partial(0, e.tsUs, 0L, Vector(Vector(e)))
           }

@@ -368,6 +368,38 @@ class CompatSpec extends AnyFunSuite {
     assert(later.collect().map(_.getString(0)).toSeq == Seq("BHIGH"))
   }
 
+  // regression: SAME-STREAM OR alternatives must NULL the alias whose
+  // predicate failed (the join re-applies the alternative's predicate)
+  test("OR alternatives over one stream: unmatched alias is NULL") {
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, kind STRING, v INT);
+        |CREATE STREAM Out (v1 INT, v2 INT);
+        |INSERT INTO Out SELECT s1.v AS v1, s2.v AS v2
+        |FROM PATTERN (s1=E[kind = 'a'] OR s2=E[kind = 'b']);""".stripMargin
+    val in = Seq((1, "b", 42)).toDF("sec", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "kind", "v")
+    val rows = GraftApp.run(spark, app, Map("E" -> in))("Out").collect()
+    assert(rows.length == 1)
+    assert(rows(0).isNullAt(0) && rows(0).getInt(1) == 42) // s1 NULL, s2 bound
+  }
+
+  // regression: indexed access beyond a range quantifier's collected count
+  // yields NULL instead of dropping the match
+  test("range quantifier: e[j] beyond collected count is NULL, match kept") {
+    val app =
+      """CREATE STREAM A (ts TIMESTAMP, val INT);
+        |CREATE STREAM Out (n BIGINT, v0 INT, v2 INT);
+        |INSERT INTO Out SELECT count(e) AS n, e[0].val AS v0, e[2].val AS v2
+        |FROM PATTERN (e=A<2:3> -> stop=A[val = 99]);""".stripMargin
+    // two collected A's (1,2) then the stop marker: e[2] does not exist
+    val in = Seq((1, 1), (2, 2), (3, 99)).toDF("sec", "val")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "val")
+    val rows = GraftApp.run(spark, app, Map("A" -> in))("Out").collect()
+    assert(rows.nonEmpty)
+    val two = rows.filter(_.getLong(0) == 2L)
+    assert(two.nonEmpty && two.head.getInt(1) == 1 && two.head.isNullAt(2))
+  }
+
   // -- patterns.rs:pattern_test_concat_filter (ignored there): function
   //    calls in step predicates are free — flags are Catalyst expressions
   test("compat pattern_test_concat_filter via SQL: function call in step filter") {
