@@ -33,8 +33,12 @@ object Bench {
       spark.catalog.clearCache()
     }
 
-    // warm-up: JVM + codegen + parquet footer caches
-    try run(SparkEntry.queries("q1_agg")) catch { case _: Throwable => () }
+    // warm-up: JVM + codegen + parquet footer caches, one query per table
+    // family (TPC-H relations, documents, embeddings) so no measured query
+    // pays first-touch costs for its inputs
+    Seq("q1_agg", "q_text_stats", "q_sim_topk").foreach { q =>
+      try run(SparkEntry.queries(q)) catch { case _: Throwable => () }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -479,6 +479,18 @@ class CompatSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1, "a", "b")))
   }
 
+  // -- functions/arithmetic.rs:arithmetic_test_modulo (ignored there:
+  //    their converter lacks %; expressions here are Spark's parser)
+  test("compat arithmetic_test_modulo: % operator in SQL") {
+    val app =
+      """CREATE STREAM inputStream (a INT, b INT);
+        |CREATE STREAM Out (result INT);
+        |INSERT INTO Out SELECT a % b AS result FROM inputStream;""".stripMargin
+    val out = GraftApp.run(spark, app,
+      Map("inputStream" -> Seq((10, 3)).toDF("a", "b")))("Out")
+    assert(out.collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
   // -- aggregations.rs:group_by_test_case_when (ignored there; adapted:
   //    batch form aggregates full history, length window dropped)
   test("compat group_by_test_case_when: CASE WHEN group keys") {
