@@ -368,6 +368,25 @@ class CompatSpec extends AnyFunSuite {
     assert(later.collect().map(_.getString(0)).toSeq == Seq("BHIGH"))
   }
 
+  // WITHIN n EVENTS through SQL (the reference parses but blocks this;
+  // the NFA's count-bounded expiry supports it)
+  test("WITHIN n EVENTS via SQL: partial expires after n arrivals") {
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, kind STRING);
+        |CREATE STREAM Out (k1 STRING, k2 STRING);
+        |INSERT INTO Out SELECT e1.kind AS k1, e2.kind AS k2
+        |FROM PATTERN (EVERY (e1=E[kind = 'a'] -> e2=E[kind = 'b'])) WITHIN 2 EVENTS;""".stripMargin
+    def mk(kinds: Seq[String]) = kinds.zipWithIndex.map { case (k, i) => (i + 1, k) }
+      .toDF("sec", "kind")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "kind")
+    // a then b one event later: within 2 events → match
+    val hit = GraftApp.run(spark, app, Map("E" -> mk(Seq("a", "x", "b"))))("Out")
+    assert(hit.count() == 1)
+    // two fillers push b past the 2-event budget → partial expired
+    val miss = GraftApp.run(spark, app, Map("E" -> mk(Seq("a", "x", "y", "b"))))("Out")
+    assert(miss.count() == 0)
+  }
+
   // regression: SAME-STREAM OR alternatives must NULL the alias whose
   // predicate failed (the join re-applies the alternative's predicate)
   test("OR alternatives over one stream: unmatched alias is NULL") {
