@@ -79,11 +79,8 @@ object PatternCompiler {
     streams.foreach { s =>
       if (!env.contains(s)) throw GraftApp.SqlError(s"pattern stream '$s' has no bound data")
     }
-    streams.filter(env(_).isStreaming).foreach { s =>
-      throw GraftApp.SqlError(
-        s"FROM PATTERN compiles to a batch plan; streaming input '$s' needs the " +
-        "Scala API (Cep.detectStream / detectStreamWithTimeout)")
-    }
+    if (streams.exists(env(_).isStreaming))
+      return compileStreaming(spark, q, env)
     // tagged union of all referenced streams (junction fan-in); range
     // partition guards pre-filter each stream's events before the NFA
     val tagged = streams.map { s =>
@@ -115,27 +112,124 @@ object PatternCompiler {
       .reduce((a, b) => a.unionByName(b))
   }
 
-  // ---- one step-chain variant → matches → resolved select
+  // ---- STREAMING lowering: the NFA runs per key via Cep.detectStream, and
+  // select items resolve from value slots carried THROUGH the NFA
+  // (CepEvent.svals, Catalyst-evaluated per event, cast back to the source
+  // column types on output) — no join back to the source, so the whole plan
+  // is streaming-legal. Within a micro-batch events order by (ts, arrival);
+  // cross-batch order is the source contract, exactly like Cep.detectStream.
 
-  private def compileVariant(spark: SparkSession, q: PatternQuery,
-                             steps: Seq[PatternStep], ordered: DataFrame): DataFrame = {
+  private def compileStreaming(spark: SparkSession, q: PatternQuery,
+                               env: Map[String, DataFrame]): DataFrame = {
     import spark.implicits._
-    // duplicate aliases across steps would make join-back ambiguous
-    val dup = steps.flatMap(_.aliases).groupBy(identity).collect { case (a, as) if as.size > 1 => a }
-    if (dup.nonEmpty)
-      throw GraftApp.SqlError(s"duplicate step alias(es) ${dup.mkString(",")} across steps")
+    if (q.absents.nonEmpty)
+      throw GraftApp.SqlError(
+        "NOT guards are not supported on streaming SQL patterns; use " +
+        "Cep.detectAbsentStream for the trailing form")
+    val streams = q.allAlts.map(_.stream).distinct
+    val tagged = streams.map { s =>
+      val src0 = env(s)
+      val src = q.sourceFilters.get(s).map(g => src0.filter(expr(g))).getOrElse(src0)
+      src.withColumn("__stream", lit(s))
+    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    if (!tagged.columns.contains("ts"))
+      throw GraftApp.SqlError(
+        "pattern streams need a 'ts' TIMESTAMP column (explicit event order)")
+    val keyCol = q.partitionBy.map(a => expr(a).cast("string")).getOrElse(lit("app"))
+    val evs = tagged.withColumn("__key", keyCol)
+    q.variants.map(v => streamVariant(spark, q, v, evs)).reduce(_ unionByName _)
+  }
 
-    // ---- predicate classification: LOCAL conjuncts become Catalyst flag
-    // columns; cross-step comparisons (`price > e1.price * 1.1`, the
-    // reference's StateEvent access) have BOTH sides precomputed as
-    // per-event doubles (vals slots) and the NFA compares slot values —
-    // no expression evaluation inside the state machine.
+  private def streamVariant(spark: SparkSession, q: PatternQuery,
+                            steps: Seq[PatternStep], evs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val nb = classifySteps(q, steps)
+    val aliasToStep: Map[String, Int] =
+      steps.zipWithIndex.flatMap { case (st, i) => st.aliases.map(_ -> i) }.toMap
+    val colTypes: Map[String, String] =
+      evs.schema.fields.map(f => f.name.toLowerCase -> f.dataType.sql).toMap
+
+    // slot registry: source column -> svals index; refs rewrite to a slot
+    // extraction cast back to the column's type
+    val svalReg = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def slot(colName: String): Int = {
+      if (!colTypes.contains(colName.toLowerCase))
+        throw GraftApp.SqlError(s"pattern select references unknown column '$colName'")
+      svalReg.getOrElseUpdate(colName, svalReg.size)
+    }
+    def eventRef(i: Int, idx: String): String = idx match {
+      case "0" => s"steps[$i].events[0]"
+      case "last" => s"element_at(steps[$i].events, -1)"
+      case n => s"try_element_at(steps[$i].events, ${n.toInt + 1})"
+    }
+    def slotRef(i: Int, idx: String, colName: String): String =
+      s"CAST(${eventRef(i, idx)}.svals[${slot(colName)}] AS ${colTypes(colName.toLowerCase)})"
+
+    val idxRe = """\b(\w+)\s*\[\s*(\d+|last)\s*\]\s*\.\s*(\w+)""".r
+    val plainRe = """\b(\w+)\s*\.\s*(\w+)""".r
+    val countRe = """(?i)\bcount\s*\(\s*(\w+)\s*\)""".r
+    def rewrite(text0: String): String = {
+      var text = countRe.replaceAllIn(text0, m => aliasToStep.get(m.group(1)) match {
+        case Some(i) => s"CAST(size(steps[$i].events) AS BIGINT)"
+        case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+      })
+      text = idxRe.replaceAllIn(text, m => aliasToStep.get(m.group(1)) match {
+        case Some(i) => java.util.regex.Matcher.quoteReplacement(
+          slotRef(i, m.group(2), m.group(3)))
+        case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+      })
+      plainRe.replaceAllIn(text, m => aliasToStep.get(m.group(1)) match {
+        case Some(i) => java.util.regex.Matcher.quoteReplacement(
+          slotRef(i, "0", m.group(2)))
+        case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+      })
+    }
+    val items = q.selectItems.map { case (e, a) => (rewrite(e), a) }
+    val whereRw = q.where.map(rewrite)
+
+    val svalsCol =
+      if (svalReg.isEmpty) typedlit(Seq.empty[String])
+      else array(svalReg.keys.toSeq.map(c => col(c).cast("string")): _*)
+
+    val cepIn = evs.withColumn("__bits", nb.bits).select(
+        col("__key").as("key"),
+        unix_micros(col("ts")).as("tsUs"),
+        // same-timestamp tie-break within a micro-batch (event ids are not
+        // resolved from in streaming — slots carry the data)
+        xxhash64(evs.columns.map(col).toSeq: _*).as("eventId"),
+        col("__bits").as("etype"),
+        lit(0.0).as("value"),
+        nb.valsCol.as("vals"),
+        svalsCol.as("svals"))
+      .as[CepEvent]
+    val spec = PatternSpec(nb.specSteps, strict = q.strict, every = q.every,
+      withinUs = q.withinUs, withinEvents = q.withinEvents)
+    var out = Cep.detectStream(cepIn, spec).toDF()
+    whereRw.foreach(w => out = out.filter(expr(w)))
+    out.select(items.map {
+      case (e, Some(a)) => expr(e).as(a)
+      case (e, None) => expr(e)
+    }: _*)
+  }
+
+  // ---- predicate classification shared by the batch and streaming paths:
+  // LOCAL conjuncts become Catalyst flag columns; cross-step comparisons
+  // (`price > e1.price * 1.1`, the reference's StateEvent access) have BOTH
+  // sides precomputed as per-event doubles (vals slots) and the NFA
+  // compares slot values — no expression evaluation inside the state
+  // machine.
+
+  private final case class CrossCmp(localIdx: Int, op: String, refStep: Int, refIdx: Int)
+  private final case class NfaBuild(bits: Column, valsCol: Column,
+                                    specSteps: Seq[Step],
+                                    perAltLocal: Seq[Seq[Option[String]]])
+
+  private def classifySteps(q: PatternQuery, steps: Seq[PatternStep]): NfaBuild = {
     val aliasToStep: Map[String, Int] =
       steps.zipWithIndex.flatMap { case (st, i) => st.aliases.map(_ -> i) }.toMap
     val valReg = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def valIdx(e: String): Int = valReg.getOrElseUpdate(e.trim, valReg.size)
 
-    final case class CrossCmp(localIdx: Int, op: String, refStep: Int, refIdx: Int)
     def crossAliasesIn(text: String, self: String): Seq[String] =
       aliasToStep.keys.toSeq.filter(a => a != self &&
         ("(?i)\\b" + a + "\\s*\\.").r.findFirstIn(text).isDefined)
@@ -217,15 +311,6 @@ object PatternCompiler {
       else array(valReg.keys.toSeq.map(e =>
         coalesce(expr(e).cast("double"), lit(Double.NaN))): _*)
 
-    val cepIn = ordered.withColumn("__bits", bits).select(
-        col("__key").as("key"),
-        unix_micros(col("ts")).as("tsUs"),
-        col("__id").as("eventId"),
-        col("__bits").as("etype"),
-        lit(0.0).as("value"),
-        valsCol.as("vals"))
-      .as[CepEvent]
-
     def cmp(l: Double, op: String, r: Double): Boolean =
       if (l.isNaN || r.isNaN) false
       else op match {
@@ -245,7 +330,31 @@ object PatternCompiler {
           ref.nonEmpty && cmp(e.vals(c.localIdx), c.op, ref.head.vals(c.refIdx))
         })
     }
-    val spec = PatternSpec(specSteps, strict = q.strict, every = q.every,
+    NfaBuild(bits, valsCol, specSteps, classified.map(_._1))
+  }
+
+  // ---- one step-chain variant → matches → resolved select
+
+  private def compileVariant(spark: SparkSession, q: PatternQuery,
+                             steps: Seq[PatternStep], ordered: DataFrame): DataFrame = {
+    import spark.implicits._
+    // duplicate aliases across steps would make join-back ambiguous
+    val dup = steps.flatMap(_.aliases).groupBy(identity).collect { case (a, as) if as.size > 1 => a }
+    if (dup.nonEmpty)
+      throw GraftApp.SqlError(s"duplicate step alias(es) ${dup.mkString(",")} across steps")
+
+    val nb = classifySteps(q, steps)
+
+    val cepIn = ordered.withColumn("__bits", nb.bits).select(
+        col("__key").as("key"),
+        unix_micros(col("ts")).as("tsUs"),
+        col("__id").as("eventId"),
+        col("__bits").as("etype"),
+        lit(0.0).as("value"),
+        nb.valsCol.as("vals"),
+        typedlit(Seq.empty[String]).as("svals"))
+      .as[CepEvent]
+    val spec = PatternSpec(nb.specSteps, strict = q.strict, every = q.every,
       withinUs = q.withinUs, withinEvents = q.withinEvents)
     val matches = Cep.detect(cepIn, spec).toDF()
 
@@ -292,7 +401,7 @@ object PatternCompiler {
       }
       org.apache.spark.sql.graftbridge.Bridge.column(parsed)
     }
-    steps.zip(classified).zipWithIndex.foreach { case ((st, (perAlt, _)), i) =>
+    steps.zip(nb.perAltLocal).zipWithIndex.foreach { case ((st, perAlt), i) =>
       if (st.max == 1) {
         val outer = st.aliases.size > 1
         st.aliases.foreach { a =>

@@ -36,10 +36,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** `vals` carries precomputed comparison operands for cross-step
   * predicates (SQL surface): Catalyst evaluates both sides of
   * `e2.price > e1.price * 1.1` as per-event doubles; the NFA only compares
-  * slots — no expression evaluation inside the state machine.
+  * slots — no expression evaluation inside the state machine. `svals`
+  * carries select-referenced column values as strings for the STREAMING
+  * SQL pattern path (outputs cast back to the target's declared types), so
+  * match resolution needs no join back to the source.
   */
 final case class CepEvent(key: String, tsUs: Long, eventId: Long, etype: String,
-                          value: Double, vals: Seq[Double] = Nil)
+                          value: Double, vals: Seq[Double] = Nil,
+                          svals: Seq[String] = Nil)
 final case class Collected(step: String, events: Seq[CepEvent])
 final case class CepMatch(key: String, startUs: Long, endUs: Long, steps: Seq[Collected])
 
@@ -275,6 +279,7 @@ object Cep {
         col("event_id").cast("long").as("eventId"),
         col("event_type").as("etype"),
         col("value").cast("double").as("value"),
-        typedlit(Seq.empty[Double]).as("vals"))
+        typedlit(Seq.empty[Double]).as("vals"),
+        typedlit(Seq.empty[String]).as("svals"))
       .as[CepEvent]
 }

@@ -129,6 +129,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("STREAMING SQL pattern: FROM PATTERN over a streaming input, " +
+       "cross-batch match, typed slot resolution, per-key isolation") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)] // (sec, user, kind, v)
+    val events = in.toDS().toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, k1 STRING, v2 DOUBLE);
+        |INSERT INTO Out
+        |SELECT e1.user_id AS user_id, e1.kind AS k1, e2.v AS v2
+        |FROM PATTERN (EVERY (e1=E[kind = 'a'] -> e2=E[kind = 'b' AND v > 2 * e1.v]))
+        |WITHIN 1 HOUR
+        |PARTITION BY user_id;""".stripMargin
+    val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+    assert(outDf.isStreaming)
+    val q = outDf.writeStream.format("memory").queryName("sqlpat_sink")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 7L, "a", 10.0)); q.processAllAvailable() // partial only
+      assert(spark.table("sqlpat_sink").count() == 0)
+      // cross-batch: b qualifies (25 > 2*10) for user 7; user 8's b has no a
+      in.addData((2L, 7L, "b", 25.0), (3L, 8L, "b", 99.0)); q.processAllAvailable()
+      val rows = spark.table("sqlpat_sink").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq((7L, "a", 25.0)))
+      // non-qualifying b (not > 2*v1) leaves the partial waiting
+      in.addData((4L, 9L, "a", 50.0)); q.processAllAvailable()
+      in.addData((5L, 9L, "b", 60.0)); q.processAllAvailable() // 60 < 100
+      in.addData((6L, 9L, "b", 200.0)); q.processAllAvailable() // qualifies
+      val rows2 = spark.table("sqlpat_sink").collect().map(r => (r.getLong(0), r.getDouble(2)))
+      assert(rows2.toSet == Set((7L, 25.0), (9L, 200.0)))
+    } finally q.stop()
+  }
+
   test("CEP streaming absent pattern: B in a later batch kills; timeout flush emits") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[CepEvent]
