@@ -49,7 +49,8 @@ object GraftApp {
       orderBy: Seq[String],
       limit: Option[Int],
       offset: Option[Int] = None,
-      partitionKeys: Seq[String] = Nil) // PARTITION WITH keys (§2.9)
+      partitionKeys: Seq[String] = Nil, // PARTITION WITH keys (§2.9)
+      outputEvents: String = "current") // INSERT [CURRENT|EXPIRED|ALL] EVENTS
 
   /** CREATE TRIGGER (trigger_definition.rs): mode ∈ start/every/cron.
     * `everyMs` is resolved for both EVERY and the supported cron forms.
@@ -86,7 +87,7 @@ object GraftApp {
   private val CreateRe: Regex =
     """(?is)\s*CREATE\s+(STREAM|TABLE)\s+(\w+)\s*\((.*?)\)\s*(?:WITH\s*\((.*?)\))?\s*""".r
   private val InsertRe: Regex =
-    """(?is)\s*INSERT\s+INTO\s+(\w+)\s+SELECT\s+(.*?)\s+FROM\s+(\w+)\s*(.*)""".r
+    """(?is)\s*INSERT\s+(?:(CURRENT|EXPIRED|ALL)\s+EVENTS\s+)?INTO\s+(\w+)\s+SELECT\s+(.*?)\s+FROM\s+(\w+)\s*(.*)""".r
   private val PatternPrefixRe: Regex =
     """(?is)\s*INSERT\s+INTO\s+(\w+)\s+SELECT\s+(.*?)\s+FROM\s+(PATTERN|SEQUENCE)\s*\(""".r
   private val WindowRe: Regex =
@@ -257,9 +258,10 @@ object GraftApp {
           case DeleteRe(table, source, cond) =>
             requireDefined(table); requireDefined(source)
             stmts += DmlStmt(DmlSpec("delete", table, source, Nil, Nil, cond.trim))
-          case InsertRe(target, select, source, rest) =>
+          case InsertRe(outEvents, target, select, source, rest) =>
             requireDefined(source)
             val q0 = parseQuery(target, select, source, rest)
+              .copy(outputEvents = Option(outEvents).map(_.toLowerCase).getOrElse("current"))
             // partition keys fold into the key set (and output) of grouped
             // queries over the partitioned stream; per-event window frames
             // read partitionAttr directly (per-key state isolation, §2.9);
@@ -607,6 +609,28 @@ object GraftApp {
   private def compileQuery(src: DataFrame, q: QuerySpec): DataFrame = {
     var df = src
     q.where.foreach(w => df = df.filter(expr(w)))
+    // INSERT EXPIRED/ALL EVENTS (window_definition.rs OutputEventType):
+    // batch result-level form for count windows — an event EXPIRED iff it
+    // is not among the last n arrivals of its partition key. EXPIRED emits
+    // only evicted events; ALL emits every arrival plus its expiration.
+    if (q.outputEvents != "current") {
+      val w0 = q.window.getOrElse(throw SqlError(
+        s"${q.outputEvents.toUpperCase} EVENTS needs a window"))
+      if (w0.kind != "length") throw SqlError(
+        s"${q.outputEvents.toUpperCase} EVENTS is supported for WINDOW('length') " +
+        "in the batch surface (streaming kernels emit the ±1 changelog)")
+      if (q.selectItems.exists(it => AggCallRe.findFirstIn(it._1.trim).isDefined))
+        throw SqlError("EXPIRED/ALL EVENTS emits event rows; aggregates are not applicable")
+      if (!df.columns.contains("ts"))
+        throw SqlError("EXPIRED/ALL EVENTS needs a 'ts' TIMESTAMP column for event order")
+      val n = w0.params.last.trim.toInt
+      val ordCols = (col("ts") +: df.columns.filterNot(_ == "ts").map(col).toSeq).map(_.desc)
+      val w1 = org.apache.spark.sql.expressions.Window
+        .partitionBy(q.partitionKeys.map(expr): _*).orderBy(ordCols: _*)
+      val evicted = df.withColumn("__rne", row_number().over(w1))
+        .filter(col("__rne") > n).drop("__rne")
+      df = if (q.outputEvents == "expired") evicted else df.unionByName(evicted)
+    }
     // per-event windows (length/time): aggregates become frame window
     // functions emitting one row per event — the reference's per-arrival
     // window-state output (window/mod.rs:63-644). Handled before the
@@ -640,7 +664,8 @@ object GraftApp {
         case (e, Some(a)) => expr(e).as(a)
         case (e, None) => expr(e)
       }
-      return df.select(cols: _*)
+      // ORDER BY / OFFSET / LIMIT apply to per-event frame output too
+      return finishOrderLimit(df.select(cols: _*), q)
     }
     q.window.foreach { w => df = applyWindow(df, w, q.partitionKeys) }
     // session windows with inline partition keys + aggregates and no GROUP
@@ -704,6 +729,11 @@ object GraftApp {
         case (e, None) => expr(e)
       }: _*)
     having.foreach(h => df = df.filter(expr(h)))
+    finishOrderLimit(df, q)
+  }
+
+  private def finishOrderLimit(df0: DataFrame, q: QuerySpec): DataFrame = {
+    var df = df0
     if (q.orderBy.nonEmpty)
       df = df.orderBy(q.orderBy.map { o =>
         val (e, desc) = if (o.toUpperCase.endsWith(" DESC")) (o.dropRight(5), true)

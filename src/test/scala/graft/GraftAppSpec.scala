@@ -294,6 +294,35 @@ class GraftAppSpec extends AnyFunSuite {
     assert(spec.streams("S").options("rowsPerSecond") == "7")
   }
 
+  // INSERT [CURRENT|EXPIRED|ALL] EVENTS (window_definition.rs
+  // OutputEventType; grammar v1.2 'INSERT ALL EVENTS INTO SessionLogs')
+  test("INSERT EXPIRED/ALL EVENTS over a length window") {
+    def app(mode: String) =
+      s"""CREATE STREAM S (ts TIMESTAMP, x INT);
+         |CREATE STREAM Out (x INT);
+         |INSERT $mode INTO Out SELECT x FROM S WINDOW('length', 2) ORDER BY x;""".stripMargin
+    val in = (1 to 5).map(i => (i, i)).toDF("sec", "x")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "x")
+    // current (default): every arrival
+    val cur = GraftApp.run(spark, app("EVENTS".replace("EVENTS", "")), Map("S" -> in))("Out")
+    assert(cur.collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4, 5))
+    // expired: everything evicted from the last-2 window
+    val exp = GraftApp.run(spark, app("EXPIRED EVENTS"), Map("S" -> in))("Out")
+    assert(exp.collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    // all: arrivals plus expirations
+    val all = GraftApp.run(spark, app("ALL EVENTS"), Map("S" -> in))("Out")
+    assert(all.collect().map(_.getInt(0)).toSeq == Seq(1, 1, 2, 2, 3, 3, 4, 5))
+    // aggregates with EXPIRED → typed error
+    val err = intercept[GraftApp.SqlError] {
+      GraftApp.run(spark,
+        """CREATE STREAM S (ts TIMESTAMP, x INT);
+          |CREATE STREAM Out (n BIGINT);
+          |INSERT EXPIRED EVENTS INTO Out SELECT count(x) AS n FROM S WINDOW('length', 2);""".stripMargin,
+        Map("S" -> in))
+    }
+    assert(err.getMessage.contains("aggregates"))
+  }
+
   test("examples/round2_demo.sql parses and runs end to end") {
     val app = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("examples/round2_demo.sql")))
