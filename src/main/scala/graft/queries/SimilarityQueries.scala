@@ -76,7 +76,7 @@ object SimilarityQueries extends QueryFamily {
              |  SELECT CAST(label AS BIGINT) AS label,
              |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
              |  FROM embeddings)
-             |SELECT label, d.d AS dim, sum(qv[d.d + 1]) AS sum_q, count(*) AS n
+             |SELECT label, d.d AS dim, CAST(sum(qv[d.d + 1]) AS BIGINT) AS sum_q, count(*) AS n
              |FROM q CROSS JOIN (SELECT unnest(range(0, 4)) AS d) d
              |GROUP BY label, d.d ORDER BY label, dim""".stripMargin))
   )
