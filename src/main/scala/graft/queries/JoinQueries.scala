@@ -208,6 +208,46 @@ object JoinQueries extends QueryFamily {
              |FROM events LEFT JOIN customer ON user_id = c_custkey
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Windowed stream-stream join through the SQL surface (joins.rs
+    // join_test1 / join_test_mixed_windows shape): each join side bounded
+    // by its own buffer window — purchases keep the last 500 arrivals
+    // (length buffer), views the last 48h of event time (time buffer);
+    // window-then-join batch form, the length-bounded side broadcast.
+    QueryDef(
+      "q_join_windowed",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM purchases (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                         event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM views (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                     event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (p_id BIGINT, v_id BIGINT, user_id BIGINT, total DOUBLE);
+            |INSERT INTO Out
+            |SELECT purchases.event_id AS p_id, views.event_id AS v_id,
+            |       purchases.user_id AS user_id,
+            |       purchases.value + views.value AS total
+            |FROM purchases WINDOW('length', 500)
+            |JOIN views WINDOW('time', '48 hours')
+            |ON purchases.user_id = views.user_id
+            |ORDER BY p_id, v_id;""".stripMargin
+        val e = Tables(s, dir, "events")
+        graft.sql.GraftApp.run(s, app, Map(
+          "purchases" -> e.filter(col("event_type") === "purchase"),
+          "views"     -> e.filter(col("event_type") === "view")))("Out")
+      },
+      Some("""WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+             |pbuf AS (SELECT * FROM (
+             |    SELECT *, row_number() OVER (ORDER BY ts DESC, event_id DESC,
+             |      user_id DESC, event_type DESC, value DESC, props DESC) AS rn
+             |    FROM p) WHERE rn <= 500),
+             |v AS (SELECT * FROM events WHERE event_type = 'view'),
+             |vbuf AS (SELECT * FROM v
+             |  WHERE epoch_us(ts) > (SELECT max(epoch_us(ts)) FROM v) - 172800000000)
+             |SELECT pbuf.event_id AS p_id, vbuf.event_id AS v_id,
+             |       pbuf.user_id AS user_id, pbuf.value + vbuf.value AS total
+             |FROM pbuf JOIN vbuf ON pbuf.user_id = vbuf.user_id
+             |ORDER BY p_id, v_id""".stripMargin)),
+
     // As-of join (beyond the reference; GRAMMAR.md:328-338 roadmap): for
     // each event, the most recent order of that user at-or-before the event
     // time — here via conditional join + max_by, the shape DuckDB's ASOF

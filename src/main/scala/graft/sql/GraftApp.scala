@@ -35,8 +35,12 @@ object GraftApp {
 
   /** joinType ∈ inner/left_outer/right_outer/full_outer; cond is a Spark
     * SQL boolean expr over `<source>.<col>` / `<joinStream>.<col>`.
+    * `window` is the side's buffer window (`JOIN B WINDOW('length', n) ON`):
+    * in the reference every arrival probes the opposite side's *windowed*
+    * buffer (join_processor.rs:18-214), so the window bounds join state.
     */
-  final case class JoinClause(joinType: String, stream: String, cond: String)
+  final case class JoinClause(joinType: String, stream: String, cond: String,
+                              window: Option[WindowClause] = None)
 
   final case class QuerySpec(
       target: String, source: String,
@@ -50,7 +54,8 @@ object GraftApp {
       limit: Option[Int],
       offset: Option[Int] = None,
       partitionKeys: Seq[String] = Nil, // PARTITION WITH keys (§2.9)
-      outputEvents: String = "current") // INSERT [CURRENT|EXPIRED|ALL] EVENTS
+      outputEvents: String = "current", // INSERT [CURRENT|EXPIRED|ALL] EVENTS
+      sourceWindow: Option[WindowClause] = None) // FROM src WINDOW(…) JOIN …
 
   /** CREATE TRIGGER (trigger_definition.rs): mode ∈ start/every/cron.
     * `everyMs` is resolved for both EVERY and the supported cron forms.
@@ -416,11 +421,53 @@ object GraftApp {
   private def parseQuery(target: String, select: String, source: String,
                          rest0: String): QuerySpec = {
     var rest = rest0
+    def mkWin(kind: String, raw: String): WindowClause =
+      WindowClause(kind.toLowerCase,
+        Option(raw).map(_.split(",").map(_.trim.stripPrefix("'").stripSuffix("'")).toSeq)
+          .getOrElse(Nil))
+    // JOIN chain with optional per-side buffer windows (windowed joins,
+    // join_processor.rs:18-214 — each arrival probes the opposite side's
+    // WINDOWED buffer): `FROM A [WINDOW(…)] [type] JOIN B [WINDOW(…)] ON
+    // cond`, repeated (three-way+ joins, joins.rs:join_test27). A WINDOW
+    // right after the source is its join buffer only when a JOIN follows;
+    // otherwise WINDOW(…) is the query's own window clause. Each ON body
+    // runs to the next JOIN keyword or a query clause keyword.
+    var sourceWindow: Option[WindowClause] = None
+    if ("""(?is)\bJOIN\b""".r.findFirstIn(rest).isDefined) {
+      val sideWinRe = """(?is)^\s*WINDOW\s*\(\s*'(\w+)'\s*(?:,\s*([^)]*))?\)""".r
+      sideWinRe.findPrefixMatchOf(rest).foreach { m =>
+        sourceWindow = Some(mkWin(m.group(1), m.group(2)))
+        rest = rest.substring(m.end)
+      }
+    }
+    val joinRe = ("(?is)^\\s*(INNER|LEFT|RIGHT|FULL)?(?:\\s+OUTER)?\\s*JOIN\\s+(\\w+)\\s*" +
+      "(?:WINDOW\\s*\\(\\s*'(\\w+)'\\s*(?:,\\s*([^)]*))?\\))?\\s+ON\\s+(.*)$").r
+    val joins = Seq.newBuilder[JoinClause]
+    var more = true
+    while (more) {
+      joinRe.findFirstMatchIn(rest) match {
+        case Some(m) =>
+          val tail = m.group(5)
+          val stopIdx = Seq("JOIN", "WHERE", "GROUP\\s+BY", "HAVING", "ORDER\\s+BY",
+              "LIMIT", "OFFSET", "WINDOW")
+            .flatMap(n => ("(?is)\\b(?:(?:INNER|LEFT|RIGHT|FULL)\\s+(?:OUTER\\s+)?)?" + n + "\\b")
+              .r.findFirstMatchIn(tail).map(_.start))
+            .minOption.getOrElse(tail.length)
+          val jt = Option(m.group(1)).map(_.toUpperCase) match {
+            case Some("LEFT") => "left_outer"
+            case Some("RIGHT") => "right_outer"
+            case Some("FULL") => "full_outer"
+            case _ => "inner"
+          }
+          joins += JoinClause(jt, m.group(2), tail.substring(0, stopIdx).trim,
+            Option(m.group(3)).map(k => mkWin(k, m.group(4))))
+          rest = tail.substring(stopIdx)
+        case None => more = false
+      }
+    }
     var window: Option[WindowClause] = None
     WindowRe.findFirstMatchIn(rest).foreach { m =>
-      window = Some(WindowClause(m.group(1).toLowerCase,
-        Option(m.group(2)).map(_.split(",").map(_.trim.stripPrefix("'").stripSuffix("'")).toSeq)
-          .getOrElse(Nil)))
+      window = Some(mkWin(m.group(1), m.group(2)))
       rest = rest.substring(0, m.start) + rest.substring(m.end)
     }
     def grab(kw: String, next: Seq[String]): Option[String] = {
@@ -434,32 +481,6 @@ object GraftApp {
         body.trim
       }
     }
-    // JOIN chain: [INNER|LEFT|RIGHT|FULL [OUTER]] JOIN S ON cond, repeated
-    // (three-way+ joins, joins.rs:join_test27). Each ON body runs to the
-    // next JOIN keyword or a query clause keyword.
-    val joinRe = ("(?is)^\\s*(INNER|LEFT|RIGHT|FULL)?(?:\\s+OUTER)?\\s*JOIN\\s+(\\w+)\\s+ON\\s+(.*)$").r
-    val joins = Seq.newBuilder[JoinClause]
-    var more = true
-    while (more) {
-      joinRe.findFirstMatchIn(rest) match {
-        case Some(m) =>
-          val tail = m.group(3)
-          val stopIdx = Seq("JOIN", "WHERE", "GROUP\\s+BY", "HAVING", "ORDER\\s+BY",
-              "LIMIT", "OFFSET")
-            .flatMap(n => ("(?is)\\b(?:(?:INNER|LEFT|RIGHT|FULL)\\s+(?:OUTER\\s+)?)?" + n + "\\b")
-              .r.findFirstMatchIn(tail).map(_.start))
-            .minOption.getOrElse(tail.length)
-          val jt = Option(m.group(1)).map(_.toUpperCase) match {
-            case Some("LEFT") => "left_outer"
-            case Some("RIGHT") => "right_outer"
-            case Some("FULL") => "full_outer"
-            case _ => "inner"
-          }
-          joins += JoinClause(jt, m.group(2), tail.substring(0, stopIdx).trim)
-          rest = tail.substring(stopIdx)
-        case None => more = false
-      }
-    }
     val where = grab("WHERE", Seq("GROUP\\s+BY", "HAVING", "ORDER\\s+BY", "LIMIT", "OFFSET"))
     val groupBy = grab("GROUP\\s+BY", Seq("HAVING", "ORDER\\s+BY", "LIMIT", "OFFSET"))
       .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
@@ -469,7 +490,8 @@ object GraftApp {
     val limit = grab("LIMIT", Seq("OFFSET")).map(_.trim.toInt)
     val offset = grab("OFFSET", Nil).map(_.trim.toInt)
     val items = splitTopLevel(select).map(parseSelectItem)
-    QuerySpec(target, source, items, joins.result(), where, window, groupBy, having, orderBy, limit, offset)
+    QuerySpec(target, source, items, joins.result(), where, window, groupBy, having,
+      orderBy, limit, offset, sourceWindow = sourceWindow)
   }
 
   /** Parse a simple duration literal ("10 seconds", "1 hour") to micros. */
@@ -535,14 +557,19 @@ object GraftApp {
     // state produced by everything before it, and later reads see the DML
     spec.stmts.foreach {
       case QueryStmt(q) =>
-        val src = env.getOrElse(q.source,
+        val src0 = env.getOrElse(q.source,
           throw SqlError(s"stream '${q.source}' has no bound data"))
+        val src = q.sourceWindow.map(bufferWindow(src0, _)).getOrElse(src0)
         // JOIN chain: every side aliased by its stream name so ON conditions
         // and select items can use Stream.col qualified references
-        // (join_input_stream.rs's two-sided naming)
+        // (join_input_stream.rs's two-sided naming). Window-bounded sides
+        // probe each other's buffer contents (window-then-join batch form);
+        // a length-bounded side is ≤ n rows by construction — broadcast it.
         val joined = q.joins.foldLeft(src.as(q.source)) { (acc, j) =>
-          val right = env.getOrElse(j.stream,
+          val right0 = env.getOrElse(j.stream,
             throw SqlError(s"stream '${j.stream}' has no bound data"))
+          val right1 = j.window.map(bufferWindow(right0, _)).getOrElse(right0)
+          val right = if (j.window.exists(_.kind == "length")) broadcast(right1) else right1
           acc.join(right.as(j.stream), expr(j.cond), j.joinType)
         }
         val out = compileQuery(joined, q)
@@ -786,6 +813,36 @@ object GraftApp {
         }
     }
     (Some(Bridge.column(rewritten)), hidden.result())
+  }
+
+  /** Join-side buffer window: the batch result-level CONTENTS of the side's
+    * window buffer (join_processor.rs:18-214 — every arrival probes the
+    * opposite side's windowed buffer; final-state form here, consistent with
+    * the repo's other batch window semantics). `length` keeps the last n
+    * arrivals (ts order, full-row tie-break — a total-order bounded buffer
+    * is inherently one task, but its output is ≤ n rows and broadcasts);
+    * `time` keeps events within d of the side's max event time (scalar max
+    * broadcast, scan stays distributed); `unique`/`firstUnique` delegate to
+    * the window lowering.
+    */
+  private def bufferWindow(df: DataFrame, w: WindowClause): DataFrame = w.kind match {
+    case "length" =>
+      val n = w.params.last.trim.toInt
+      if (!df.columns.contains("ts"))
+        throw SqlError("join-side window('length') needs a 'ts' TIMESTAMP column")
+      val ordCols = (col("ts") +: df.columns.filterNot(_ == "ts").map(col).toSeq).map(_.desc)
+      val win = org.apache.spark.sql.expressions.Window.orderBy(ordCols: _*)
+      df.withColumn("__rn", row_number().over(win)).filter(col("__rn") <= n).drop("__rn")
+    case "time" =>
+      val us = parseDurationUs(w.params.last)
+      if (!df.columns.contains("ts"))
+        throw SqlError("join-side window('time') needs a 'ts' TIMESTAMP column")
+      df.crossJoin(broadcast(df.agg(max(col("ts")).as("__mx"))))
+        .filter(col("ts") > col("__mx") - expr(s"INTERVAL $us MICROSECOND"))
+        .drop("__mx")
+    case "unique" | "firstunique" => applyWindow(df, w)
+    case other => throw SqlError(
+      s"window '$other' cannot bound a join side (use length/time/unique/firstUnique)")
   }
 
   /** WINDOW('type', params) lowering (converter.rs:642-726 mapping):

@@ -607,6 +607,52 @@ class CompatSpec extends AnyFunSuite {
       Seq((101, "Laptop", "Alice")))
   }
 
+  // -- joins.rs:join_test1_inner_with_window + join_test_mixed_windows:
+  //    each join side probes the opposite side's WINDOWED buffer — events
+  //    evicted from a length/time buffer must stop matching
+  test("compat join_test1/mixed: windowed join bounds each side's buffer") {
+    def mk(rows: Seq[(Int, Int, Int)]) = rows.toDF("sec", "id", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "id", "v")
+    val app =
+      """CREATE STREAM A (ts TIMESTAMP, id INT, v INT);
+        |CREATE STREAM B (ts TIMESTAMP, id INT, v INT);
+        |CREATE STREAM Out (a_id INT, av INT, bv INT);
+        |INSERT INTO Out
+        |SELECT A.id AS a_id, A.v AS av, B.v AS bv
+        |FROM A WINDOW('length', 2)
+        |JOIN B WINDOW('time', 10 SECONDS)
+        |ON A.id = B.id ORDER BY a_id;""".stripMargin
+    // A: ids 1..4 in ts order — the length-2 buffer keeps only ids 3,4
+    val a = mk(Seq((1, 1, 10), (2, 2, 20), (3, 3, 30), (4, 4, 40)))
+    // B: max ts = 12s, 10s buffer keeps ts > 2s — id 1 at t=1 evicted
+    val b = mk(Seq((1, 1, 100), (5, 3, 300), (12, 4, 400)))
+    val out = GraftApp.run(spark, app, Map("A" -> a, "B" -> b))("Out")
+    assert(out.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((3, 30, 300), (4, 40, 400)))
+  }
+
+  // -- joins.rs:join_test25_left_outer_with_coalesce: windowed LEFT OUTER
+  //    pads NULLs for unmatched buffer rows
+  test("compat join_test25: windowed left outer join with coalesce") {
+    val app =
+      """CREATE STREAM Orders (ts TIMESTAMP, orderId INT, customerId INT);
+        |CREATE STREAM Customers (ts TIMESTAMP, customerId INT, name STRING);
+        |CREATE STREAM Out (orderId INT, customerName STRING);
+        |INSERT INTO Out
+        |SELECT Orders.orderId AS orderId,
+        |       coalesce(Customers.name, 'Unknown') AS customerName
+        |FROM Orders WINDOW('length', 10)
+        |LEFT OUTER JOIN Customers WINDOW('length', 10)
+        |ON Orders.customerId = Customers.customerId;""".stripMargin
+    val orders = Seq((1, 1, 999)).toDF("sec", "orderId", "customerId")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "orderId", "customerId")
+    val custs = Seq((1, 7, "Alice")).toDF("sec", "customerId", "name")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "customerId", "name")
+    val out = GraftApp.run(spark, app, Map("Orders" -> orders, "Customers" -> custs))("Out")
+    assert(out.collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "Unknown")))
+  }
+
   // -- windows.rs:unique_window_test1_basic / first_unique_window_test1_basic
   //    / delay_window_test1_basic (roadmap syntax in the reference)
   test("compat unique/firstUnique/delay windows via SQL") {
