@@ -122,10 +122,13 @@ object PatternCompiler {
   private def compileStreaming(spark: SparkSession, q: PatternQuery,
                                env: Map[String, DataFrame]): DataFrame = {
     import spark.implicits._
-    if (q.absents.nonEmpty)
+    // trailing NOT … FOR d runs via the absent-chain state
+    // (Cep.detectStreamWithTrailingAbsents); mid-chain NOT (no FOR bound,
+    // killed by the NEXT step's match) has no streaming lowering yet
+    if (q.absents.exists(_.forUs.isEmpty))
       throw GraftApp.SqlError(
-        "NOT guards are not supported on streaming SQL patterns; use " +
-        "Cep.detectAbsentStream for the trailing form")
+        "mid-chain NOT guards are not supported on streaming SQL patterns " +
+        "(trailing NOT … FOR d is)")
     val streams = q.allAlts.map(_.stream).distinct
     val tagged = streams.map { s =>
       val src0 = env(s)
@@ -191,7 +194,18 @@ object PatternCompiler {
       if (svalReg.isEmpty) typedlit(Seq.empty[String])
       else array(svalReg.keys.toSeq.map(c => col(c).cast("string")): _*)
 
-    val cepIn = evs.withColumn("__bits", nb.bits).select(
+    // trailing NOT guards get one extra flag bit each, after the step bits;
+    // their predicates evaluate as Catalyst columns like step predicates
+    val absentFlags = q.absents.map { a =>
+      val base = col("__stream") === a.alt.stream
+      a.alt.pred.map(p => base && expr(p)).getOrElse(base)
+    }
+    val bitsCol =
+      if (absentFlags.isEmpty) nb.bits
+      else concat(nb.bits +: absentFlags.map(f =>
+        when(f, lit("1")).otherwise(lit("0"))): _*)
+
+    val cepIn = evs.withColumn("__bits", bitsCol).select(
         col("__key").as("key"),
         unix_micros(col("ts")).as("tsUs"),
         // same-timestamp tie-break within a micro-batch (event ids are not
@@ -204,7 +218,18 @@ object PatternCompiler {
       .as[CepEvent]
     val spec = PatternSpec(nb.specSteps, strict = q.strict, every = q.every,
       withinUs = q.withinUs, withinEvents = q.withinEvents)
-    var out = Cep.detectStream(cepIn, spec).toDF()
+    val nSteps = steps.size
+    val guards = q.absents.zipWithIndex.map { case (a, j) =>
+      val bit = nSteps + j
+      Cep.TrailingAbsent(
+        e => e.etype.length > bit && e.etype.charAt(bit) == '1',
+        a.forUs.getOrElse(throw GraftApp.SqlError(
+          "streaming NOT guards need FOR <duration>")))
+    }
+    var out =
+      (if (guards.isEmpty) Cep.detectStream(cepIn, spec)
+       else Cep.detectStreamWithTrailingAbsents(cepIn, spec, guards, "0 seconds"))
+        .toDF()
     whereRw.foreach(w => out = out.filter(expr(w)))
     out.select(items.map {
       case (e, Some(a)) => expr(e).as(a)

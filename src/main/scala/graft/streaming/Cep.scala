@@ -269,6 +269,76 @@ object Cep {
     }
   }
 
+  /** Trailing absent guard over a full pattern chain, streaming — the
+    * generalization of [[detectAbsentStream]] to arbitrary base chains
+    * (`… -> NOT B FOR d`, the streaming SQL surface's trailing NOT): the
+    * NFA completes a base match, which then waits out every guard's FOR
+    * deadline in per-key state; a guard-matching later event (arrival order
+    * within the guard's window) kills it; the deadline passing (an older
+    * in-batch event time, or the event-time watermark firing
+    * EventTimeTimeout) flushes it as a match. Emission is delayed by up to
+    * the longest FOR duration — absence is only knowable after the deadline.
+    */
+  final case class TrailingAbsent(pred: CepEvent => Boolean, forUs: Long)
+    extends Serializable
+
+  /** NFA state + completed base matches awaiting their absence deadlines. */
+  final case class AbsentChainState(nfa: NfaState, pending: Seq[CepMatch])
+
+  def detectStreamWithTrailingAbsents(ds: Dataset[CepEvent], spec: PatternSpec,
+      guards: Seq[TrailingAbsent], watermarkDelay: String): Dataset[CepMatch] = {
+    require(guards.nonEmpty, "detectStreamWithTrailingAbsents needs >= 1 guard")
+    implicit val stEnc: Encoder[AbsentChainState] = Encoders.product[AbsentChainState]
+    // a match is conclusive only once EVERY guard's window has passed
+    val maxForUs = guards.map(_.forUs).max
+    val withTime = ds.toDF()
+      .withColumn("eventTime", timestamp_micros(col("tsUs")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[CepEvent](evEnc)
+    withTime.groupByKey(_.key).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (_: String, it: Iterator[CepEvent], state: GroupState[AbsentChainState]) =>
+        val st = state.getOption.getOrElse(
+          AbsentChainState(NfaState(Nil, done = false), Nil))
+        var nfa = st.nfa
+        var pending = st.pending.toVector
+        val out = Seq.newBuilder[CepMatch]
+        if (state.hasTimedOut) {
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (due, live) = pending.partition(m => m.endUs + maxForUs <= wmUs)
+          due.foreach(out += _)
+          pending = live
+        } else {
+          it.toSeq.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
+            // deadlines strictly before this event's time are conclusive
+            val (due, live) = pending.partition(m => m.endUs + maxForUs < e.tsUs)
+            due.foreach(out += _)
+            pending = live
+            guards.foreach { g =>
+              if (g.pred(e))
+                // <= : a guard event at the SAME event time arrives after
+                // the base match in arrival order (matches the batch
+                // NOT-guard anti-join's __id ordering)
+                pending = pending.filterNot(m =>
+                  m.endUs <= e.tsUs && e.tsUs <= m.endUs + g.forUs)
+            }
+            // the guard check runs before the NFA consumes the event, so a
+            // completing event can never kill its own match
+            val (ms, n2) = runNfa(Seq(e), nfa, spec)
+            nfa = n2
+            ms.foreach(pending :+= _)
+          }
+        }
+        state.update(AbsentChainState(nfa, pending))
+        if (pending.nonEmpty) {
+          val nextMs = pending.map(m => (m.endUs + maxForUs) / 1000L).min
+          state.setTimeoutTimestamp(math.max(nextMs,
+            state.getCurrentWatermarkMs() + 1))
+        }
+        out.result().iterator
+    }
+  }
+
   /** Adapt the `events` table (or an equivalently-shaped stream) to
     * [[CepEvent]]: key = user_id, event time in micros.
     */

@@ -165,6 +165,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("STREAMING SQL trailing NOT: guard event kills; watermark flush emits") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)] // (sec, user, kind, v)
+    val events = in.toDS().toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, v1 DOUBLE);
+        |INSERT INTO Out
+        |SELECT e1.user_id AS user_id, e1.v AS v1
+        |FROM PATTERN (EVERY (e1=E[kind = 'a'] -> NOT E[kind = 'b'] FOR 10 SECONDS))
+        |PARTITION BY user_id;""".stripMargin
+    val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+    assert(outDf.isStreaming)
+    val q = outDf.writeStream.format("memory").queryName("sqlabs_sink")
+      .outputMode("append").start()
+    try {
+      // user 7: 'a' then a 'b' IN A LATER BATCH within 10s → killed
+      in.addData((1L, 7L, "a", 10.0));  q.processAllAvailable()
+      in.addData((5L, 7L, "b", 0.0));   q.processAllAvailable()
+      // user 8: 'a' never followed by 'b'
+      in.addData((20L, 8L, "a", 50.0)); q.processAllAvailable()
+      assert(spark.table("sqlabs_sink").count() == 0) // deadline not reached
+      // far-future other-key events advance the watermark past user 8's
+      // deadline; the next batch fires the EventTimeTimeout flush
+      in.addData((100L, 9L, "x", 0.0)); q.processAllAvailable()
+      in.addData((101L, 9L, "x", 0.0)); q.processAllAvailable()
+      val rows = spark.table("sqlabs_sink").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(rows.toSeq == Seq((8L, 50.0)))
+      // mid-chain NOT stays a typed error on streaming inputs
+      val midApp =
+        """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+          |CREATE STREAM Out (user_id BIGINT);
+          |INSERT INTO Out SELECT e1.user_id AS user_id
+          |FROM PATTERN (e1=E[kind = 'a'] -> NOT E[kind = 'b'] -> e2=E[kind = 'c'])
+          |PARTITION BY user_id;""".stripMargin
+      val err = intercept[graft.sql.GraftApp.SqlError] {
+        graft.sql.GraftApp.run(spark, midApp, Map("E" -> events))
+      }
+      assert(err.msg.contains("mid-chain NOT"))
+    } finally q.stop()
+  }
+
   test("CEP streaming absent pattern: B in a later batch kills; timeout flush emits") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[CepEvent]
