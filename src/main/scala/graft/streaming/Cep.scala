@@ -72,6 +72,15 @@ object Step {
   * events (of its key) have arrived since it was seeded. The reference
   * parses but blocks `WITHIN n EVENTS` at conversion; the NFA supports it
   * directly.
+  *
+  * maxPartials bounds the simultaneous in-flight partial matches PER KEY
+  * (state is per key × pattern length — without a cap, EVERY + relaxed
+  * skipping on a hot key grows state linearly with the stream). On
+  * overflow the earliest-seeded partials are kept, the newest dropped;
+  * every drop is counted in [[NfaState.dropped]], surfaced through the
+  * optional drop accumulator on detect/detectStream, and logged as a
+  * warning — matches past the cap are LOST, so a nonzero count means
+  * raise maxPartials, narrow step predicates, or add WITHIN bounds.
   */
 final case class PatternSpec(
     steps: Seq[Step],
@@ -83,12 +92,16 @@ final case class PatternSpec(
 
 /** Serializable NFA state (data only — predicates live in the spec).
   * startSeq = per-key event ordinal at seed time (for withinEvents).
+  * dropped = cumulative partials discarded past [[PatternSpec.maxPartials]].
   */
 final case class Partial(stepIdx: Int, startUs: Long, startSeq: Long,
                          collected: Seq[Seq[CepEvent]])
-final case class NfaState(partials: Seq[Partial], done: Boolean, seq: Long = 0L)
+final case class NfaState(partials: Seq[Partial], done: Boolean, seq: Long = 0L,
+                          dropped: Long = 0L)
 
 object Cep {
+
+  @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   private implicit val keyEnc: Encoder[String] = Encoders.STRING
   private implicit val matchEnc: Encoder[CepMatch] = Encoders.product[CepMatch]
@@ -102,6 +115,7 @@ object Cep {
     var partials: Vector[Partial] = init.partials.toVector
     var done = init.done
     var seq = init.seq
+    var droppedRun = 0L
     val matches = Seq.newBuilder[CepMatch]
 
     events.foreach { e =>
@@ -142,30 +156,50 @@ object Cep {
           // strict SEQUENCE: mismatch kills the in-flight instance
         }
 
-        partials = next.result().distinct.take(spec.maxPartials)
+        val trimmed = next.result().distinct
+        if (trimmed.size > spec.maxPartials)
+          droppedRun += trimmed.size - spec.maxPartials
+        partials = trimmed.take(spec.maxPartials)
         if (matchedNow && !spec.every) { done = true; partials = Vector.empty }
       }
     }
-    (matches.result(), NfaState(partials, done, seq))
+    if (droppedRun > 0)
+      log.warn(s"CEP NFA dropped $droppedRun in-flight partial match(es) past " +
+        s"maxPartials=${spec.maxPartials} for key '${events.head.key}' — " +
+        "matches past the cap are lost; raise PatternSpec.maxPartials, " +
+        "narrow step predicates, or add a WITHIN bound")
+    (matches.result(), NfaState(partials, done, seq, init.dropped + droppedRun))
   }
 
-  /** Batch detection: per-key sort then one NFA pass. */
-  def detect(ds: Dataset[CepEvent], spec: PatternSpec): Dataset[CepMatch] =
+  /** Batch detection: per-key sort then one NFA pass. `dropCounter`
+    * aggregates partials discarded past maxPartials across keys — zero
+    * means no match was lost to the state cap.
+    */
+  def detect(ds: Dataset[CepEvent], spec: PatternSpec,
+             dropCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[CepMatch] =
     ds.groupByKey(_.key).flatMapGroups { (_: String, it: Iterator[CepEvent]) =>
-      runNfa(it.toSeq.sortBy(e => (e.tsUs, e.eventId)),
-        NfaState(Nil, done = false), spec)._1.iterator
+      val (out, st) = runNfa(it.toSeq.sortBy(e => (e.tsUs, e.eventId)),
+        NfaState(Nil, done = false), spec)
+      dropCounter.foreach(_.add(st.dropped))
+      out.iterator
     }
 
   /** Streaming detection: NFA state persists across micro-batches; events
     * are ordered within each batch (cross-batch order = source contract).
+    * `dropCounter` adds each batch's newly dropped partials (state carries
+    * the cumulative count).
     */
-  def detectStream(ds: Dataset[CepEvent], spec: PatternSpec): Dataset[CepMatch] =
+  def detectStream(ds: Dataset[CepEvent], spec: PatternSpec,
+                   dropCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[CepMatch] =
     ds.groupByKey(_.key).flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
       (_: String, it: Iterator[CepEvent], state: GroupState[NfaState]) =>
+        val init = state.getOption.getOrElse(NfaState(Nil, done = false))
         val (out, next) = runNfa(
-          it.toSeq.sortBy(e => (e.tsUs, e.eventId)),
-          state.getOption.getOrElse(NfaState(Nil, done = false)), spec)
+          it.toSeq.sortBy(e => (e.tsUs, e.eventId)), init, spec)
+        dropCounter.foreach(_.add(next.dropped - init.dropped))
         state.update(next)
         out.iterator
     }

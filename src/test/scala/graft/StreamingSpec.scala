@@ -334,6 +334,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(Cep.runNfa(mk("A", "X", "X", "B"), NfaState(Nil, done = false), spec)._1.isEmpty)
   }
 
+  test("CEP NFA partial overflow is counted and surfaced, not silent") {
+    import spark.implicits._
+    // EVERY + relaxed + a hot key that only ever seeds: every A advances a
+    // partial to the b step and no B ever arrives — state grows one partial
+    // per event until the cap
+    val spec = PatternSpec(
+      Seq(Step.simple("a")(_.etype == "A"), Step.simple("b")(_.etype == "B")),
+      strict = false, every = true, maxPartials = 8)
+    val events = (1 to 100).map(i => CepEvent("k", i * 1000L, i.toLong, "A", 0.0))
+    val (_, st) = Cep.runNfa(events, NfaState(Nil, done = false), spec)
+    assert(st.partials.size == 8)
+    assert(st.dropped == 100 - 8) // events 9..100 each shed one partial
+    // distributed surface: the accumulator totals drops across keys
+    val acc = spark.sparkContext.longAccumulator("cepDroppedPartials")
+    Cep.detect(events.toDS(), spec, Some(acc)).count()
+    assert(acc.value == 100 - 8)
+    // under the cap → exactly zero
+    val acc0 = spark.sparkContext.longAccumulator
+    Cep.detect(events.take(5).toDS(), spec, Some(acc0)).count()
+    assert(acc0.value == 0L)
+  }
+
   test("CEP count quantifier collects e1[0..2] and supports collection aggregation") {
     val events = Seq(
       CepEvent("u", 1L, 1, "E", 10), CepEvent("u", 2L, 2, "E", 20),
