@@ -350,6 +350,24 @@ class GraftAppSpec extends AnyFunSuite {
     close()
   }
 
+  test("runTracked cleanup unpersists the pattern ordering cache") {
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING);
+        |CREATE STREAM Out (user_id BIGINT);
+        |INSERT INTO Out SELECT e1.user_id AS user_id
+        |FROM PATTERN (e1=E[kind = 'a'] -> e2=E[kind = 'b'])
+        |PARTITION BY user_id;""".stripMargin
+    val in = Seq((1, 7L, "a"), (2, 7L, "b")).toDF("sec", "user_id", "kind")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "user_id", "kind")
+    spark.catalog.clearCache()
+    val (env, close) = GraftApp.runTracked(spark, app, Map("E" -> in))
+    assert(env("Out").collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // the compiler persisted the per-key ordering; cleanup must release it
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    close()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("undeclared type and bad input schema produce typed errors") {
     val bad = "CREATE STREAM X (a WIBBLE);"
     assert(intercept[GraftApp.SqlError](GraftApp.parse(bad)).getMessage.contains("unknown type"))
