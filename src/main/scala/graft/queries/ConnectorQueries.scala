@@ -128,6 +128,53 @@ object ConnectorQueries extends QueryFamily {
              |  min_by(value, event_id) AS first_value,
              |  max_by(value, event_id) AS last_value,
              |  count(*) AS n
-             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // OUTPUT SNAPSHOT EVERY d (snapshot_output_rate.rs; output_rate.rs:18-22
+    // — Snapshot emits the WHOLE current state each interval, not just the
+    // interval's events): batch result-level form — at every 6h tick, each
+    // key's cumulative state (count, sum, latest event) at-or-before that
+    // tick. Scale path: per-(key, tick) last state, then forward-fill over
+    // the key×tick grid — linear in events + keys×ticks (the output size
+    // snapshot semantics inherently require); no per-tick rescan.
+    QueryDef(
+      "q_rate_snapshot",
+      (s, dir) => {
+        val tickUs = 6L * 3600000000L
+        val e = Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("value"),
+            expr(s"unix_micros(ts) div $tickUs").as("ti"))
+        val wCum = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        val cum = e
+          .withColumn("run_n", count(lit(1)).over(wCum))
+          .withColumn("run_sum", sum(col("value")).over(wCum))
+        val perBucket = cum.groupBy(col("user_id"), col("ti"))
+          .agg(max(col("event_id")).as("b_last"),
+            max_by(col("run_sum"), col("event_id")).as("b_sum"),
+            max(col("run_n")).as("b_n"))
+        val ticks = e.agg(min(col("ti")).as("t0"), max(col("ti")).as("t1"))
+          .select(explode(sequence(col("t0"), col("t1"))).as("ti"))
+        val grid = e.select(col("user_id")).distinct().crossJoin(broadcast(ticks))
+        val wFill = Window.partitionBy(col("user_id")).orderBy(col("ti"))
+        grid.join(perBucket, Seq("user_id", "ti"), "left")
+          .select(col("user_id"), col("ti"),
+            last(col("b_last"), ignoreNulls = true).over(wFill).as("last_id"),
+            last(col("b_sum"), ignoreNulls = true).over(wFill).as("sum_raw"),
+            last(col("b_n"), ignoreNulls = true).over(wFill).as("n_events"))
+          .filter(col("last_id").isNotNull) // keys with no state yet emit nothing
+          .select(col("ti").as("tick"), col("user_id"), col("n_events"),
+            round(col("sum_raw"), 2).as("sum_value"), col("last_id"))
+          .orderBy(col("tick"), col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, value,
+             |    epoch_us(ts) // 21600000000 AS ti FROM events),
+             |ticks AS (SELECT unnest(range((SELECT min(ti) FROM e),
+             |                              (SELECT max(ti) FROM e) + 1)) AS tick)
+             |SELECT t.tick, e.user_id, count(*) AS n_events,
+             |  round(sum(e.value), 2) AS sum_value,
+             |  max(e.event_id) AS last_id
+             |FROM ticks t JOIN e ON e.ti <= t.tick
+             |GROUP BY t.tick, e.user_id
+             |ORDER BY tick, user_id""".stripMargin))
   )
 }

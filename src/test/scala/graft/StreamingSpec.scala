@@ -210,6 +210,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("OUTPUT SNAPSHOT streaming form: complete mode re-emits whole state per trigger") {
+    // snapshot_output_rate.rs semantics on a stream = complete-mode agg: every
+    // trigger emits EVERY key's current state, not just changed keys
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[(Long, Double)] // (user, value)
+    sinkId += 1
+    val name = s"snap_sink_$sinkId"
+    val q = in.toDS().toDF("user_id", "value")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try {
+      in.addData((1L, 10.0), (2L, 5.0)); q.processAllAvailable()
+      val snap1 = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(snap1 == Set((1L, 1L, 10.0), (2L, 1L, 5.0)))
+      // second interval touches only user 1 — the snapshot still carries
+      // user 2's unchanged state (whole-state emit)
+      in.addData((1L, 30.0)); q.processAllAvailable()
+      val snap2 = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(snap2 == Set((1L, 2L, 40.0), (2L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("CEP streaming absent pattern: B in a later batch kills; timeout flush emits") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[CepEvent]
