@@ -178,6 +178,32 @@ object WindowQueries extends QueryFamily {
              |  FROM events)
              |WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin)),
 
+    // multi-criteria sort window THROUGH the SQL surface (the reference
+    // comparator-list form, sort_window_processor.rs:25-45): per user, the
+    // 2 best rows under (event_type asc, value desc); ties by ts then the
+    // remaining columns.
+    QueryDef(
+      "q_win_sort_multi",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (user_id BIGINT, event_id BIGINT, event_type STRING, value DOUBLE);
+            |PARTITION WITH (user_id OF events) BEGIN
+            |INSERT INTO Out SELECT user_id, event_id, event_type, value FROM events
+            |WINDOW('sort', 2, event_type asc, value desc)
+            |ORDER BY user_id, event_type, value DESC, event_id;
+            |END;""".stripMargin
+        graft.sql.GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+      },
+      Some("""SELECT user_id, event_id, event_type, value FROM (
+             |  SELECT user_id, event_id, event_type, value,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY event_type, value DESC, ts, event_id, props) AS rn
+             |  FROM events)
+             |WHERE rn <= 2
+             |ORDER BY user_id, event_type, value DESC, event_id""".stripMargin)),
+
     // unique window (keep-LATEST per unique attribute; UniqueWindowTestCase
     // roadmap) THROUGH the SQL surface's WINDOW('unique', key) lowering.
     QueryDef(

@@ -910,6 +910,32 @@ object GraftApp {
       val topk = df.groupBy(attr.as("__fa")).agg(count(lit(1)).as("__cnt"))
         .orderBy(col("__cnt").desc, col("__fa")).limit(k)
       df.join(broadcast(topk.select(col("__fa"))), attr === col("__fa"), "left_semi")
+    // sort window (sort_window_processor.rs:25-45 — length + an
+    // OrderByEventComparator list): retain the n best rows under the
+    // lexicographic criteria chain `WINDOW('sort', n, attr [asc|desc], …)`,
+    // ties broken by ts then every remaining column (deterministic pick);
+    // per partition key when inside PARTITION WITH. Batch result-level form
+    // of the streaming kernel Windows.sortTopNMulti.
+    case "sort" =>
+      val n = w.params.head.trim.toInt
+      val crits = w.params.tail.map { p =>
+        val parts = p.trim.split("\\s+")
+        val asc = parts.length < 2 || !parts.last.equalsIgnoreCase("desc")
+        (parts.head, asc)
+      }
+      if (crits.isEmpty)
+        throw SqlError("window('sort') needs (n, attr [asc|desc], …)")
+      if (!df.columns.contains("ts"))
+        throw SqlError("window('sort') needs a 'ts' TIMESTAMP column for order tie-break")
+      val critCols = crits.map { case (a, asc) =>
+        if (asc) expr(a).asc else expr(a).desc }
+      val used = crits.map(_._1.toLowerCase).toSet
+      val tieCols = col("ts") +:
+        df.columns.filterNot(c => c == "ts" || used(c.toLowerCase)).map(col).toSeq
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(partitionKeys.map(expr): _*)
+        .orderBy(critCols ++ tieCols.map(_.asc): _*)
+      df.withColumn("__rn", row_number().over(win)).filter(col("__rn") <= n).drop("__rn")
     // delay window (DelayWindowTestCase roadmap): events surface durUs of
     // event time later — batch result-level form shifts the event time; the
     // streaming buffer form is Windows.delay. Bare numeric param = millis.

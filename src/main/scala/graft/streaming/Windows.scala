@@ -10,7 +10,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * — exactly the reference's add/remove aggregator protocol
   * (aggregator/mod.rs:15) re-expressed as a changelog.
   */
-final case class WinEvent(key: String, tsUs: Long, eventId: Long, value: Double)
+final case class WinEvent(key: String, tsUs: Long, eventId: Long, value: Double,
+                          vals: Seq[Double] = Nil)
 final case class WinOut(key: String, tsUs: Long, eventId: Long, value: Double, op: Int)
 
 /** Misra-Gries counter slot for the frequent window: tracked attribute
@@ -141,12 +142,36 @@ object WindowKernels {
   }
 
   def sortTopN(events: Seq[WinEvent], buf: WinBuffer, n: Int,
-               descending: Boolean): (Seq[WinOut], WinBuffer) = {
+               descending: Boolean): (Seq[WinOut], WinBuffer) =
+    sortTopNMulti(events, buf, n, Seq(SortKey(0, asc = !descending)))
+
+  /** One sort criterion: slot 0 sorts on [[WinEvent.value]], slot k >= 1 on
+    * `vals(k - 1)` (multi-attribute events carry extra comparands there).
+    */
+  final case class SortKey(slot: Int, asc: Boolean)
+
+  /** Multi-criteria sort window (sort_window_processor.rs:25-45 takes an
+    * OrderByEventComparator list): retain the n best events under the
+    * lexicographic criteria chain, ties broken by arrival (tsUs, eventId).
+    * An overflow ejects the WORST retained event as Expired.
+    */
+  def sortTopNMulti(events: Seq[WinEvent], buf: WinBuffer, n: Int,
+                    keys: Seq[SortKey]): (Seq[WinOut], WinBuffer) = {
+    require(keys.nonEmpty, "sort window needs at least one criterion")
     var b = buf.events.toVector
     val out = Seq.newBuilder[WinOut]
-    val ord: Ordering[WinEvent] =
-      if (descending) Ordering.by(e => (-e.value, e.tsUs, e.eventId))
-      else Ordering.by(e => (e.value, e.tsUs, e.eventId))
+    def slotOf(e: WinEvent, k: SortKey): Double =
+      if (k.slot == 0) e.value else e.vals(k.slot - 1)
+    val ord: Ordering[WinEvent] = new Ordering[WinEvent] {
+      def compare(x: WinEvent, y: WinEvent): Int = {
+        keys.foreach { k =>
+          val c = java.lang.Double.compare(slotOf(x, k), slotOf(y, k))
+          if (c != 0) return if (k.asc) c else -c
+        }
+        val ct = java.lang.Long.compare(x.tsUs, y.tsUs)
+        if (ct != 0) ct else java.lang.Long.compare(x.eventId, y.eventId)
+      }
+    }
     events.foreach { e =>
       out += WinOut(e.key, e.tsUs, e.eventId, e.value, 1)
       b = (b :+ e).sorted(ord)
@@ -215,6 +240,13 @@ object Windows {
     */
   def sortTopN(ds: Dataset[WinEvent], n: Int, descending: Boolean = true): Dataset[WinOut] =
     kernel(ds)(WindowKernels.sortTopN(_, _, n, descending))
+
+  /** Multi-criteria sort window: retain the n best under the criteria chain
+    * (slot 0 = value, slot k = vals(k-1); sort_window_processor.rs:25-45).
+    */
+  def sortTopNMulti(ds: Dataset[WinEvent], n: Int,
+                    keys: Seq[WindowKernels.SortKey]): Dataset[WinOut] =
+    kernel(ds)(WindowKernels.sortTopNMulti(_, _, n, keys))
 
   /** unique window: keep-LATEST per key — exactly a per-key length(1)
     * (arrival emits Current, previous holder expires). Run it keyed by the

@@ -88,6 +88,27 @@ class WindowPropSpec extends AnyFunSuite {
     })
   }
 
+  test("sortTopNMulti: lexicographic criteria chain; split invariant") {
+    import graft.streaming.WindowKernels.SortKey
+    val genMulti: Gen[List[WinEvent]] = for {
+      n <- Gen.choose(0, 60)
+      vs <- Gen.listOfN(n, Gen.zip(Gen.choose(-3, 3), Gen.choose(-100, 100)))
+    } yield vs.zipWithIndex.map { case ((g, v), i) =>
+      WinEvent("k", i.toLong * 10, i.toLong, v.toDouble, Seq(g.toDouble))
+    }
+    check(Prop.forAll(genMulti, Gen.choose(1, 8), Gen.choose(0, 100)) { (events, n, cut) =>
+      // criteria: vals(0) asc, then value desc — ties by (tsUs, eventId)
+      val keys = Seq(SortKey(1, asc = true), SortKey(0, asc = false))
+      val (out, buf) = WindowKernels.sortTopNMulti(events, EmptyBuffer, n, keys)
+      val expectTop = events.sortBy(e => (e.vals.head, -e.value, e.tsUs, e.eventId)).take(n)
+      val (a, b) = splitRandomly(events, cut)
+      val (o1, s1) = WindowKernels.sortTopNMulti(a, EmptyBuffer, n, keys)
+      val (o2, s2) = WindowKernels.sortTopNMulti(b, s1, n, keys)
+      buf.events.toSet == expectTop.toSet &&
+        s2 == buf && (o1 ++ o2) == out
+    })
+  }
+
   // ---- NFA vs brute-force reference matcher
 
   private val genCepEvents: Gen[List[CepEvent]] = for {
