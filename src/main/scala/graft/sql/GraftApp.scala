@@ -677,6 +677,11 @@ object GraftApp {
       // isolation (§2.9, value_partition_type.rs); without it the frame is
       // one global ordering (inherently serial, like the reference's
       // single-threaded junction)
+      if (q.partitionKeys.isEmpty)
+        ScaleWarnings.warn(s"per-event window('${w.kind}') INTO '${q.target}' " +
+          "has no partition keys: the global event ordering runs as ONE task " +
+          "regardless of cluster size — wrap the query in PARTITION WITH " +
+          "(key OF stream) to shard the frame per key")
       val over =
         if (q.partitionKeys.nonEmpty)
           s"OVER (PARTITION BY ${q.partitionKeys.mkString(", ")} ORDER BY unix_micros(ts) $frame)"
@@ -862,6 +867,10 @@ object GraftApp {
       val n = w.params.last.trim.toInt
       if (!df.columns.contains("ts"))
         throw SqlError("window('lengthBatch') needs a 'ts' TIMESTAMP column for event order")
+      if (partitionKeys.isEmpty)
+        ScaleWarnings.warn("window('lengthBatch') has no partition keys: the " +
+          "global event ordering runs as ONE task — wrap the query in " +
+          "PARTITION WITH (key OF stream) to shard batches per key")
       val partCols = partitionKeys.map(a => expr(a))
       val ordCols = col("ts") +: df.columns.filterNot(_ == "ts").map(col).toSeq
       val w1 = org.apache.spark.sql.expressions.Window
@@ -927,6 +936,10 @@ object GraftApp {
         throw SqlError("window('sort') needs (n, attr [asc|desc], …)")
       if (!df.columns.contains("ts"))
         throw SqlError("window('sort') needs a 'ts' TIMESTAMP column for order tie-break")
+      if (partitionKeys.isEmpty)
+        ScaleWarnings.warn("window('sort') has no partition keys: the global " +
+          "ranking runs as ONE task — wrap the query in PARTITION WITH " +
+          "(key OF stream) to shard the sort per key")
       val critCols = crits.map { case (a, asc) =>
         if (asc) expr(a).asc else expr(a).desc }
       val used = crits.map(_._1.toLowerCase).toSet

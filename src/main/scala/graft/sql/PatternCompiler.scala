@@ -100,6 +100,11 @@ object PatternCompiler {
 
     // per-key event order; the key shards both the ordering window and the
     // NFA state (unpartitioned = one global order, inherently serial)
+    if (q.partitionBy.isEmpty)
+      ScaleWarnings.warn(s"pattern INTO '${q.target}' has no PARTITION BY: " +
+        "the global event ordering and the NFA run as ONE task regardless of " +
+        "cluster size, and partial-match state is capped per the single key " +
+        "— add PARTITION BY <attr> to shard the pattern per key")
     val keyCol = q.partitionBy.map(a => expr(a).cast("string")).getOrElse(lit("app"))
     val ordered = tagged
       .withColumn("__key", keyCol)
@@ -138,6 +143,10 @@ object PatternCompiler {
     if (!tagged.columns.contains("ts"))
       throw GraftApp.SqlError(
         "pattern streams need a 'ts' TIMESTAMP column (explicit event order)")
+    if (q.partitionBy.isEmpty)
+      ScaleWarnings.warn(s"streaming pattern INTO '${q.target}' has no " +
+        "PARTITION BY: all NFA state lives under one key = one task — add " +
+        "PARTITION BY <attr> to shard the pattern per key")
     val keyCol = q.partitionBy.map(a => expr(a).cast("string")).getOrElse(lit("app"))
     val evs = tagged.withColumn("__key", keyCol)
     q.variants.map(v => streamVariant(spark, q, v, evs)).reduce(_ unionByName _)

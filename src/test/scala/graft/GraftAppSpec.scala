@@ -368,6 +368,33 @@ class GraftAppSpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("unpartitioned pattern and per-event frame log the single-task warning") {
+    import graft.sql.ScaleWarnings
+    val in = Seq((1, 7L, "a"), (2, 7L, "b")).toDF("sec", "user_id", "kind")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "user_id", "kind")
+    val patApp =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING);
+        |CREATE STREAM Out (user_id BIGINT);
+        |INSERT INTO Out SELECT e1.user_id AS user_id
+        |FROM PATTERN (e1=E[kind = 'a'] -> e2=E[kind = 'b'])%s;""".stripMargin
+    // unpartitioned pattern → warning
+    ScaleWarnings.reset()
+    GraftApp.run(spark, patApp.format(""), Map("E" -> in))("Out").collect()
+    assert(ScaleWarnings.recentWarnings.exists(_.contains("ONE task")))
+    // partitioned → silent
+    ScaleWarnings.reset()
+    GraftApp.run(spark, patApp.format("\nPARTITION BY user_id"), Map("E" -> in))("Out").collect()
+    assert(ScaleWarnings.recentWarnings.isEmpty)
+    // unpartitioned per-event frame → warning
+    val frameApp =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING);
+        |CREATE STREAM Out (user_id BIGINT, n BIGINT);
+        |INSERT INTO Out SELECT user_id, count(kind) AS n FROM E WINDOW('length', 2);""".stripMargin
+    ScaleWarnings.reset()
+    GraftApp.run(spark, frameApp, Map("E" -> in))("Out").collect()
+    assert(ScaleWarnings.recentWarnings.exists(_.contains("ONE task")))
+  }
+
   test("undeclared type and bad input schema produce typed errors") {
     val bad = "CREATE STREAM X (a WIBBLE);"
     assert(intercept[GraftApp.SqlError](GraftApp.parse(bad)).getMessage.contains("unknown type"))
