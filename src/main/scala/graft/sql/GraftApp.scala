@@ -597,19 +597,30 @@ object GraftApp {
         table.as(d.table).join(src.as(d.source), expr(d.cond), "left_anti")
       case "update" =>
         // UPDATE t SET c = expr … (update_table_processor.rs): matched rows
-        // take the SET expressions, unmatched pass through. Expects at most
-        // one delta row per matched table row (keyed deltas).
-        val joined = table.as(d.table)
+        // take the SET expressions, unmatched pass through. A non-keyed ON
+        // condition matching SEVERAL delta rows per table row would silently
+        // fan the table out — that raises at execution instead (reference
+        // deltas are keyed); the guard rides on the SET columns so column
+        // pruning cannot drop it.
+        val tableR = table.withColumn("__rid", monotonically_increasing_id())
+        val joined = tableR.as(d.table)
           .join(src.withColumn("__m", lit(1)).as(d.source), expr(d.cond), "left_outer")
+        val wr = org.apache.spark.sql.expressions.Window.partitionBy(col("__rid"))
+        val counted = joined.withColumn("__nm", sum(col("__m")).over(wr))
         val sets = d.setClauses.map { case (c, e) => c.split("\\.").last.toLowerCase -> e }.toMap
         val cols = table.columns.map { c =>
           sets.get(c.toLowerCase) match {
             case Some(e) =>
-              when(col("__m").isNotNull, expr(e)).otherwise(col(s"${d.table}.$c")).as(c)
+              when(col("__nm") > 1, raise_error(lit(
+                s"UPDATE ${d.table}: multiple delta rows matched one table " +
+                "row (non-keyed ON condition) — dedup the delta or key the " +
+                "condition")).cast(table.schema(c).dataType))
+                .when(col("__m").isNotNull, expr(e))
+                .otherwise(col(s"${d.table}.$c")).as(c)
             case None => col(s"${d.table}.$c").as(c)
           }
         }
-        joined.select(cols.toSeq: _*)
+        counted.select(cols.toSeq: _*)
       case "upsert" =>
         // UPDATE OR INSERT INTO t SELECT … ON cond → TableOps.upsert keyed
         // by the table-side columns of the ON equalities

@@ -395,6 +395,28 @@ class GraftAppSpec extends AnyFunSuite {
     assert(ScaleWarnings.recentWarnings.exists(_.contains("ONE task")))
   }
 
+  test("UPDATE with a multi-match delta raises instead of fanning out") {
+    val app =
+      """CREATE TABLE T (id BIGINT, bal DOUBLE);
+        |CREATE STREAM S (id BIGINT, bal DOUBLE);
+        |UPDATE T SET T.bal = S.bal FROM S ON T.id = S.id;""".stripMargin
+    // keyed delta (one row per id) updates cleanly
+    val ok = GraftApp.run(spark, app, Map(
+      "T" -> Seq((1L, 1.0), (2L, 2.0)).toDF("id", "bal"),
+      "S" -> Seq((1L, 9.0)).toDF("id", "bal")))("T")
+    assert(ok.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((1L, 9.0), (2L, 2.0)))
+    // two delta rows for id=1 → loud failure, not silent duplication
+    val err = intercept[Exception] {
+      GraftApp.run(spark, app, Map(
+        "T" -> Seq((1L, 1.0), (2L, 2.0)).toDF("id", "bal"),
+        "S" -> Seq((1L, 9.0), (1L, 8.0)).toDF("id", "bal")))("T").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("multiple delta rows")))
+  }
+
   test("undeclared type and bad input schema produce typed errors") {
     val bad = "CREATE STREAM X (a WIBBLE);"
     assert(intercept[GraftApp.SqlError](GraftApp.parse(bad)).getMessage.contains("unknown type"))
