@@ -317,22 +317,50 @@ object GraftApp {
     }
   }
 
+  /** Derive a fixed firing period from a standard 5-field (min hour dom mon
+    * dow) or 6-field (sec first) cron expression (trigger_runtime accepts
+    * full cron; the Spark-native trigger is a paced rate source, so only
+    * fixed-period schedules are expressible). Calendar-aligned fields
+    * (day-of-month/month/day-of-week restrictions) have no fixed period →
+    * None. Phase offsets (`15 * * * *` = hourly AT :15) pace the period
+    * only; the first fire aligns to stream start, like AT EVERY.
+    */
+  private[graft] def cronPeriodMs(c: String): Option[Long] = {
+    val fs = c.trim.split("\\s+")
+    if (fs.length != 5 && fs.length != 6) return None
+    val (sec, rest) = if (fs.length == 6) (fs.head, fs.tail) else ("0", fs)
+    val Array(min, hour, dom, mon, dow) = rest
+    if (dom != "*" || mon != "*" || dow != "*") return None
+    def star(s: String) = s == "*"
+    def fixed(s: String) = s.matches("\\d+")
+    val every = """\*/(\d+)""".r
+    (sec, min, hour) match {
+      case (every(n), m, h) if star(m) && star(h) => Some(n.toLong * 1000L)
+      case (s, m, h) if star(s) && star(m) && star(h) => Some(1000L)
+      case (s, every(n), h) if fixed(s) && star(h) => Some(n.toLong * 60000L)
+      case (s, m, h) if fixed(s) && star(m) && star(h) => Some(60000L)
+      case (s, m, every(n)) if fixed(s) && fixed(m) => Some(n.toLong * 3600000L)
+      case (s, m, h) if fixed(s) && fixed(m) && star(h) => Some(3600000L)
+      case (s, m, h) if fixed(s) && fixed(m) && fixed(h) => Some(86400000L)
+      case _ => None
+    }
+  }
+
   private def parseTriggerAt(name: String, atRaw: String): TriggerDef = {
     val everyRe = """(?is)^EVERY\s+(\d+)\s+(\w+)$""".r
     val cronRe = """(?s)^'(.*)'$""".r
-    // seconds-field-only cron (`*/n * * * * *`) resolves to a period; other
-    // cron shapes have no Spark-native scheduler → typed error
-    val cronSecRe = """^\*/(\d+)(\s+\*){5}$""".r
     atRaw match {
       case a if a.equalsIgnoreCase("START") => TriggerDef(name, "start", None, None)
       case everyRe(n, unit) =>
         val ms = parseDurationUs(s"$n $unit") / 1000L
         if (ms <= 0) throw SqlError(s"trigger $name: AT EVERY needs a positive period")
         TriggerDef(name, "every", Some(ms), None)
-      case cronRe(c) => c.trim match {
-        case cronSecRe(n, _) => TriggerDef(name, "cron", Some(n.toLong * 1000L), Some(c))
-        case other => throw SqlError(
-          s"unsupported cron '$other' in trigger $name (use */n * * * * * or AT EVERY)")
+      case cronRe(c) => cronPeriodMs(c) match {
+        case Some(ms) => TriggerDef(name, "cron", Some(ms), Some(c.trim))
+        case None => throw SqlError(
+          s"unsupported cron '${c.trim}' in trigger $name: no fixed period is " +
+          "derivable (calendar-aligned day/month/weekday fields cannot map " +
+          "to a paced source; use AT EVERY or a */n form)")
       }
       case other => throw SqlError(s"bad trigger schedule '$other' in $name")
     }

@@ -70,6 +70,23 @@ class ConnectorSpec extends AnyFunSuite {
     finally qs.foreach(_.stop())
   }
 
+  test("CREATE TRIGGER AT cron: every-second cron paces the trigger source") {
+    val app =
+      """CREATE TRIGGER Sec AT '* * * * * *';
+        |CREATE STREAM SecOut (triggered_time TIMESTAMP) WITH ('type'='sink','format'='memory');
+        |INSERT INTO SecOut SELECT triggered_time FROM Sec;""".stripMargin
+    val qs = graft.sql.AppRuntime.start(spark, app)
+    try {
+      var n = 0L
+      val deadline = System.currentTimeMillis() + 20000
+      while (n < 2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        n = spark.table("SecOut").count()
+      }
+      assert(n >= 2, s"cron trigger emitted only $n events")
+    } finally qs.foreach(_.stop())
+  }
+
   test("CREATE TRIGGER parse: START, EVERY, cron forms and typed errors") {
     import graft.sql.GraftApp
     val spec = GraftApp.parse(
@@ -82,9 +99,24 @@ class ConnectorSpec extends AnyFunSuite {
       GraftApp.TriggerDef("C", "cron", Some(2000L), Some("*/2 * * * * *"))))
     // trigger streams are declared with the triggered_time column
     assert(spec.streams("B").schema.fieldNames.toSeq == Seq("triggered_time"))
+    // general 5/6-field cron forms with a derivable fixed period
+    // (trigger_runtime accepts full cron; phase offsets pace the period)
+    assert(GraftApp.cronPeriodMs("*/5 * * * *") == Some(300000L))   // every 5 min
+    assert(GraftApp.cronPeriodMs("* * * * *") == Some(60000L))      // every minute
+    assert(GraftApp.cronPeriodMs("15 * * * *") == Some(3600000L))   // hourly at :15
+    assert(GraftApp.cronPeriodMs("0 */6 * * *") == Some(21600000L)) // every 6 h
+    assert(GraftApp.cronPeriodMs("30 2 * * *") == Some(86400000L))  // daily 02:30
+    assert(GraftApp.cronPeriodMs("* * * * * *") == Some(1000L))     // every second
+    assert(GraftApp.cronPeriodMs("30 * * * * *") == Some(60000L))   // every minute at :30
+    assert(GraftApp.cronPeriodMs("0 0 * * * *") == Some(3600000L))  // hourly on the hour
+    val hourly = GraftApp.parse("CREATE TRIGGER H AT '0 * * * *';")
+    assert(hourly.triggers == Seq(
+      GraftApp.TriggerDef("H", "cron", Some(3600000L), Some("0 * * * *"))))
+    // calendar-aligned fields have no fixed period → typed error
     val err = intercept[GraftApp.SqlError](
-      GraftApp.parse("CREATE TRIGGER X AT '0 0 * * * *';"))
+      GraftApp.parse("CREATE TRIGGER X AT '0 0 1 * *';"))
     assert(err.getMessage.contains("unsupported cron"))
+    assert(GraftApp.cronPeriodMs("0 0 * * 1") == None)  // weekly → not derivable
   }
 
   // file connector (SURVEY §2.1; the reference plans file sources): a fully
