@@ -128,9 +128,9 @@ object PatternCompiler {
                                env: Map[String, DataFrame]): DataFrame = {
     import spark.implicits._
     // trailing NOT … FOR d runs via the absent-chain state
-    // (Cep.detectStreamWithTrailingAbsents); mid-chain NOT (no FOR bound,
-    // killed by the NEXT step's match) has no streaming lowering yet
-    if (q.absents.exists(_.forUs.isEmpty))
+    // (Cep.detectStreamWithTrailingAbsents); mid-chain NOT (killed by the
+    // NEXT step's match) has no streaming lowering yet
+    if (q.absents.exists(_.afterStep < q.variants.head.size - 1))
       throw GraftApp.SqlError(
         "mid-chain NOT guards are not supported on streaming SQL patterns " +
         "(trailing NOT … FOR d is)")
@@ -392,12 +392,15 @@ object PatternCompiler {
       withinUs = q.withinUs, withinEvents = q.withinEvents)
     val matches = Cep.detect(cepIn, spec).toDF()
 
-    // base projection: key + match end time + per-step matched-event-id arrays
+    // base projection: key + match end time + per-step matched-event-id
+    // arrays (+ per-step end timestamps when NOT guards need FOR anchors)
     var base = matches.select(
       col("key").as("__mkey") +: col("endUs").as("__endUs") +:
-      steps.indices.map { i =>
+      (steps.indices.map { i =>
         expr(s"transform(steps[$i].events, x -> x.eventId)").as(s"__ids_$i")
-      }: _*)
+      } ++ (if (q.absents.isEmpty) Nil else steps.indices.map { i =>
+        expr(s"element_at(steps[$i].events, -1).tsUs").as(s"__endts_$i")
+      })): _*)
 
     // ---- select/WHERE rewriting + join planning
     val multi = steps.zipWithIndex.collect { case (st, i) if st.max > 1 =>
@@ -531,9 +534,12 @@ object PatternCompiler {
     whereRw.foreach(w => out = out.filter(expr(w)))
 
     // NOT guards: anti-join against the absent stream's matching events in
-    // the guarded gap (arrival order via per-key __id; trailing guards are
-    // time-bounded by FOR). Result-level form of the absent pattern — the
-    // streaming flush variant is Cep.detectAbsentStream.
+    // the guarded gap (arrival order via per-key __id). FOR narrows the
+    // guard to d after the ANCHORING step's match — mandatory on trailing
+    // guards (unbounded absence is undecidable), optional mid-chain (the
+    // next step's match bounds the gap; FOR additionally bounds it in
+    // time). Result-level form of the absent pattern — the streaming flush
+    // variant is Cep.detectStreamWithTrailingAbsents.
     q.absents.foreach { a =>
       val ab0 = ordered.filter(col("__stream") === a.alt.stream)
       val ab = a.alt.pred.map(p => ab0.filter(expr(p))).getOrElse(ab0)
@@ -543,7 +549,8 @@ object PatternCompiler {
       var cond = col("__akey") === col("__mkey") && col("__aid") > lower
       if (a.afterStep < steps.size - 1)
         cond = cond && col("__aid") < element_at(col(s"__ids_${a.afterStep + 1}"), 1)
-      a.forUs.foreach(d => cond = cond && col("__ats") <= col("__endUs") + d)
+      a.forUs.foreach(d =>
+        cond = cond && col("__ats") <= col(s"__endts_${a.afterStep}") + d)
       out = out.join(ab, cond, "left_anti")
     }
 
@@ -622,14 +629,14 @@ object PatternCompiler {
       for (a <- acc; o <- opts) yield a ++ o
     }
     // trailing NOT must be time-bounded (absence after the final step is
-    // only decidable up to a deadline)
+    // only decidable up to a deadline); mid-chain NOT is bounded by the
+    // next step's match, and MAY carry FOR to narrow the guarded gap to d
+    // after the anchoring step (the reference grammar's FOR-bounded
+    // mid-gap form)
     val nSteps = variants.head.size
     absentElems.foreach { a =>
       if (a.afterStep >= nSteps - 1 && a.forUs.isEmpty)
         throw GraftApp.SqlError("trailing NOT needs FOR <duration>")
-      if (a.afterStep < nSteps - 1 && a.forUs.nonEmpty)
-        throw GraftApp.SqlError(
-          "mid-chain NOT is bounded by the next step; FOR applies to trailing NOT only")
     }
     (variants, every, absentElems)
   }

@@ -458,6 +458,27 @@ class CompatSpec extends AnyFunSuite {
     assert(after.count() == 1)
   }
 
+  // mid-chain NOT … FOR d (grammar FOR-bounded mid-gap form): the guard
+  // covers only the d window after the anchoring step, not the whole gap
+  test("mid-chain NOT … FOR via SQL: guard narrowed to the FOR window") {
+    val app =
+      """CREATE STREAM A (ts TIMESTAMP, val INT);
+        |CREATE STREAM B (ts TIMESTAMP, val INT);
+        |CREATE STREAM C (ts TIMESTAMP, val INT);
+        |CREATE STREAM Out (aval INT, cval INT);
+        |INSERT INTO Out SELECT e1.val AS aval, e2.val AS cval
+        |FROM PATTERN (e1=A -> NOT B FOR 5 SECONDS -> e2=C);""".stripMargin
+    // B inside the 5s window after A → guarded out (even though C is later)
+    val miss = GraftApp.run(spark, app, Map(
+      "A" -> tsDf(Seq((1, 1))), "B" -> tsDf(Seq((3, 2))), "C" -> tsDf(Seq((100, 3)))))("Out")
+    assert(miss.count() == 0)
+    // B in the gap but PAST the FOR window → match survives (the unbounded
+    // mid-chain NOT above would have killed it)
+    val hit = GraftApp.run(spark, app, Map(
+      "A" -> tsDf(Seq((1, 1))), "B" -> tsDf(Seq((30, 2))), "C" -> tsDf(Seq((100, 3)))))("Out")
+    assert(hit.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((1, 3)))
+  }
+
   // trailing NOT … FOR d (grammar absent_pattern; MILESTONES.md:126-133)
   test("trailing NOT … FOR via SQL: order not shipped within the deadline") {
     val app =
