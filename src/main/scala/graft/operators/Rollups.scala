@@ -25,10 +25,24 @@ object Rollups {
     */
   final case class Cascade(byGrain: Map[String, DataFrame])
 
+  /** `within` pushes the query range down to the RAW scan (the reference's
+    * `query_aggregation(within)` prunes buckets before reading tables,
+    * eventflux_app_runtime.rs:982-993): with it, the finest grain only
+    * aggregates rows inside [from, to) — at the parquet level this is a
+    * PushedFilter on the event-time column, so a 10-day query over a year
+    * of data reads ~3% of it. The bounds must align to the coarsest grain
+    * queried (bucket-aligned semantics, same as the reference's within).
+    */
   def cascade(df: DataFrame, tsCol: String, keyCols: Seq[String],
-              valueCol: String, grains: Seq[String] = Grains): Cascade = {
+              valueCol: String, grains: Seq[String] = Grains,
+              within: Option[(String, String)] = None): Cascade = {
     val keys: Seq[Column] = keyCols.map(col)
-    var cur = df.groupBy((keys :+ date_trunc(grains.head, col(tsCol)).as("bucket")): _*)
+    val src = within match {
+      case Some((from, to)) =>
+        df.filter(col(tsCol) >= lit(from) && col(tsCol) < lit(to))
+      case None => df
+    }
+    var cur = src.groupBy((keys :+ date_trunc(grains.head, col(tsCol)).as("bucket")): _*)
       .agg(
         count(lit(1)).as("cnt"),
         sum(col(valueCol)).as("sum_v"),

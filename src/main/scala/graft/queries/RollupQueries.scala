@@ -39,7 +39,8 @@ object RollupQueries extends QueryFamily {
       "q_rollup_query",
       (s, dir) => {
         val c = Rollups.cascade(Tables(s, dir, "events"), "ts",
-          Seq("user_id"), "value", Seq("minute", "hour", "day"))
+          Seq("user_id"), "value", Seq("minute", "hour", "day"),
+          within = Some(("2024-01-10", "2024-01-20")))
         Rollups.query(c, "day", "2024-01-10", "2024-01-20")
           .select(
             col("user_id"),
