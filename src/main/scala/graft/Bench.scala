@@ -33,12 +33,16 @@ object Bench {
       spark.catalog.clearCache()
     }
 
-    // warm-up: JVM + codegen + parquet footer caches, one query per table
-    // family (TPC-H relations, documents, embeddings) so no measured query
-    // pays first-touch costs for its inputs
-    Seq("q1_agg", "q_text_stats", "q_sim_topk").foreach { q =>
-      try run(SparkEntry.queries(q)) catch { case _: Throwable => () }
-    }
+    // warm-up: JVM + codegen + parquet footer caches — one query per table
+    // family (TPC-H relations, documents, embeddings) AND per heavy codegen
+    // family (date formatting, pattern-SQL lowering + NFA), so no measured
+    // query pays one-time JIT/codegen costs (steady-state engine throughput
+    // is the comparable number; first-touch JIT was worth 3-5x on exactly
+    // these two: q_date_funcs 6.8 s cold vs 1.1 s steady)
+    Seq("q1_agg", "q_text_stats", "q_sim_topk", "q_date_funcs", "q_cep_sql_or")
+      .foreach { q =>
+        try run(SparkEntry.queries(q)) catch { case _: Throwable => () }
+      }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -63,11 +67,16 @@ object Bench {
     }
     val winDs = events.select(
       col("user_id").cast("string").as("key"), unix_micros(col("ts")).as("tsUs"),
-      col("event_id").as("eventId"), col("value")).as[WinEvent]
-    val tWin = timed(Windows.length(winDs, 10).write.format("noop").mode("overwrite").save())
+      col("event_id").as("eventId"), col("value"),
+      typedlit(Seq.empty[Double]).as("vals")).as[WinEvent]
     val cepSpec = PatternSpec(
       Seq(Step.simple("a")(_.etype == "signup"), Step.simple("b")(_.etype == "purchase")),
       strict = false, every = true, withinUs = Some(86400000000L))
+    // same steady-state policy as the query warm-up: the kernel code paths
+    // (flatMapGroupsWithState plans + their encoders) JIT on first touch
+    Windows.length(winDs, 10).write.format("noop").mode("overwrite").save()
+    Cep.detect(Cep.fromEvents(events), cepSpec).write.format("noop").mode("overwrite").save()
+    val tWin = timed(Windows.length(winDs, 10).write.format("noop").mode("overwrite").save())
     val tCep = timed(Cep.detect(Cep.fromEvents(events), cepSpec)
       .write.format("noop").mode("overwrite").save())
     val winEps = if (tWin > 0) nEvents / tWin else 0.0
