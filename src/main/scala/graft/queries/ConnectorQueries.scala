@@ -141,16 +141,22 @@ object ConnectorQueries extends QueryFamily {
       "q_rate_snapshot",
       (s, dir) => {
         val tickUs = 6L * 3600000000L
+        // cumulative state ordered by EVENT TIME (tie-broken by event_id) —
+        // not by event_id alone, which would silently assume per-user ids
+        // are monotone in ts. Ordered by (tus, id), the bucket-final run_sum is
+        // the sum of every event in ticks <= this one by construction
+        // (later ticks have strictly later ts), with no id↔ts contract.
         val e = Tables(s, dir, "events")
           .select(col("user_id"), col("event_id"), col("value"),
+            expr("unix_micros(ts)").as("tus"),
             expr(s"unix_micros(ts) div $tickUs").as("ti"))
-        val wCum = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        val wCum = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
         val cum = e
           .withColumn("run_n", count(lit(1)).over(wCum))
           .withColumn("run_sum", sum(col("value")).over(wCum))
         val perBucket = cum.groupBy(col("user_id"), col("ti"))
           .agg(max(col("event_id")).as("b_last"),
-            max_by(col("run_sum"), col("event_id")).as("b_sum"),
+            max_by(col("run_sum"), struct(col("tus"), col("event_id"))).as("b_sum"),
             max(col("run_n")).as("b_n"))
         val ticks = e.agg(min(col("ti")).as("t0"), max(col("ti")).as("t1"))
           .select(explode(sequence(col("t0"), col("t1"))).as("ti"))
@@ -158,7 +164,10 @@ object ConnectorQueries extends QueryFamily {
         val wFill = Window.partitionBy(col("user_id")).orderBy(col("ti"))
         grid.join(perBucket, Seq("user_id", "ti"), "left")
           .select(col("user_id"), col("ti"),
-            last(col("b_last"), ignoreNulls = true).over(wFill).as("last_id"),
+            // running max, not forward-fill: the oracle's last_id is
+            // max(event_id) over ALL ticks <= t, which an earlier bucket
+            // may own when ids are not ts-monotone
+            max(col("b_last")).over(wFill).as("last_id"),
             last(col("b_sum"), ignoreNulls = true).over(wFill).as("sum_raw"),
             last(col("b_n"), ignoreNulls = true).over(wFill).as("n_events"))
           .filter(col("last_id").isNotNull) // keys with no state yet emit nothing

@@ -392,15 +392,24 @@ object GraftApp {
         case withinTrailRe(body, n, u) => stepsRaw = body; within = Some((n, u))
         case _ =>
       }
-      // WHERE body runs to PARTITION BY / WITHIN / end
+      // WHERE body runs to PARTITION BY / WITHIN / ALLOW LATENESS / end
       var where: Option[String] = None
       """(?is)\bWHERE\b""".r.findFirstMatchIn(rest).foreach { w =>
         val tail = rest.substring(w.end)
-        val stop = Seq("PARTITION\\s+BY", "WITHIN")
+        val stop = Seq("PARTITION\\s+BY", "WITHIN", "ALLOW\\s+LATENESS")
           .flatMap(k => ("(?is)\\b" + k + "\\b").r.findFirstMatchIn(tail).map(_.start))
           .minOption.getOrElse(tail.length)
         where = Some(tail.substring(0, stop).trim).filter(_.nonEmpty)
         rest = rest.substring(0, w.start) + tail.substring(stop)
+      }
+      // ALLOW LATENESS d: the streaming lowering's watermark delay (how far
+      // out-of-order cross-batch events may arrive and still reach the NFA)
+      var lateness: Option[String] = None
+      """(?is)\bALLOW\s+LATENESS\s+(\d+)\s+(\w+)""".r.findFirstMatchIn(rest).foreach { lm =>
+        val (n, unit) = (lm.group(1), lm.group(2))
+        parseDurationUs(s"$n $unit") // unit validation; raises typed on junk
+        lateness = Some(s"$n $unit")
+        rest = rest.substring(0, lm.start) + rest.substring(lm.end)
       }
       """(?is)\bWITHIN\s+(\d+)\s+(\w+)""".r.findFirstMatchIn(rest).foreach { wm =>
         within = Some((wm.group(1), wm.group(2)))
@@ -416,7 +425,8 @@ object GraftApp {
       PatternCompiler.PatternQuery(target, items,
         strict = mode.equalsIgnoreCase("SEQUENCE"), every = every,
         variants = variants, withinUs = withinUs, withinEvents = withinEvents,
-        where = where, partitionBy = partitionBy, absents = absents)
+        where = where, partitionBy = partitionBy, absents = absents,
+        lateness = lateness)
     }
 
   private def parseWith(raw: String): Map[String, String] =

@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.streaming.{Cep, CepEvent, PatternSpec, Step}
+import graft.streaming.{Cep, CepEvent, MidGuard, PatternSpec, Step}
 
 /** Lowers the SQL pattern surface — `FROM PATTERN (…)` / `FROM SEQUENCE (…)`
   * — onto the CEP NFA (SURVEY §2.8; reference grammar
@@ -69,7 +69,12 @@ object PatternCompiler {
       where: Option[String] = None,
       partitionBy: Option[String] = None,
       absents: Seq[AbsentElem] = Nil,
-      sourceFilters: Map[String, String] = Map.empty) {
+      sourceFilters: Map[String, String] = Map.empty,
+      // allowed event-time lateness of the STREAMING lowering's watermark
+      // (`ALLOW LATENESS n unit`): how far out-of-order cross-batch events
+      // may arrive and still reach the NFA / absent-guard state. Default 0
+      // = in-order contract, tightest state bound.
+      lateness: Option[String] = None) {
     def allAlts: Seq[StepAlt] = variants.flatten.flatMap(_.alts) ++ absents.map(_.alt)
   }
 
@@ -128,12 +133,8 @@ object PatternCompiler {
                                env: Map[String, DataFrame]): DataFrame = {
     import spark.implicits._
     // trailing NOT … FOR d runs via the absent-chain state
-    // (Cep.detectStreamWithTrailingAbsents); mid-chain NOT (killed by the
-    // NEXT step's match) has no streaming lowering yet
-    if (q.absents.exists(_.afterStep < q.variants.head.size - 1))
-      throw GraftApp.SqlError(
-        "mid-chain NOT guards are not supported on streaming SQL patterns " +
-        "(trailing NOT … FOR d is)")
+    // (Cep.detectStreamWithTrailingAbsents); mid-chain NOT runs as
+    // MidGuard kills inside the NFA itself (poisoned-partial discipline)
     val streams = q.allAlts.map(_.stream).distinct
     val tagged = streams.map { s =>
       val src0 = env(s)
@@ -225,19 +226,38 @@ object PatternCompiler {
         nb.valsCol.as("vals"),
         svalsCol.as("svals"))
       .as[CepEvent]
-    val spec = PatternSpec(nb.specSteps, strict = q.strict, every = q.every,
-      withinUs = q.withinUs, withinEvents = q.withinEvents)
+    // absent guards: one flag bit each, positionally after the step bits.
+    // Mid-chain guards (an event between the anchoring step and the next)
+    // kill partials inside the NFA; trailing guards route through the
+    // absent-chain state (emission delayed by the FOR deadline).
     val nSteps = steps.size
-    val guards = q.absents.zipWithIndex.map { case (a, j) =>
-      val bit = nSteps + j
-      Cep.TrailingAbsent(
-        e => e.etype.length > bit && e.etype.charAt(bit) == '1',
-        a.forUs.getOrElse(throw GraftApp.SqlError(
-          "streaming NOT guards need FOR <duration>")))
+    def bitPred(bit: Int): CepEvent => Boolean =
+      e => e.etype.length > bit && e.etype.charAt(bit) == '1'
+    val absWithBit = q.absents.zipWithIndex.map { case (a, j) => (a, nSteps + j) }
+    val (midAbs, trailAbs) = absWithBit.partition(_._1.afterStep < nSteps - 1)
+    val midGuards = midAbs.map { case (a, bit) =>
+      MidGuard(a.afterStep, bitPred(bit), a.forUs)
     }
+    val guards = trailAbs.map { case (a, bit) =>
+      Cep.TrailingAbsent(bitPred(bit),
+        a.forUs.getOrElse(throw GraftApp.SqlError(
+          "streaming trailing NOT guards need FOR <duration>")))
+    }
+    val spec = PatternSpec(nb.specSteps, strict = q.strict, every = q.every,
+      withinUs = q.withinUs, withinEvents = q.withinEvents,
+      midGuards = midGuards)
+    // watermark delay = the user's declared disorder tolerance (ALLOW
+    // LATENESS); 0 = strict in-order contract, tightest state bound
+    val lateness = q.lateness.getOrElse("0 seconds")
     var out =
-      (if (guards.isEmpty) Cep.detectStream(cepIn, spec)
-       else Cep.detectStreamWithTrailingAbsents(cepIn, spec, guards, "0 seconds"))
+      (if (guards.nonEmpty)
+         Cep.detectStreamWithTrailingAbsents(cepIn, spec, guards, lateness)
+       else if (q.withinUs.isDefined)
+         // WITHIN bounds state-store growth only if idle keys are purged:
+         // route through the event-time-timeout NFA (the reference's
+         // TimerWheel, timers/timer_wheel.rs) instead of NoTimeout
+         Cep.detectStreamWithTimeout(cepIn, spec, lateness)
+       else Cep.detectStream(cepIn, spec))
         .toDF()
     whereRw.foreach(w => out = out.filter(expr(w)))
     out.select(items.map {

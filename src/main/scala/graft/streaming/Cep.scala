@@ -68,6 +68,20 @@ object Step {
     Step(name, 1, 1, p)
 }
 
+/** Mid-chain absent guard (`A -> NOT B -> C`,
+  * stream_pre_state_processor.rs's absent discipline): an event matching
+  * `pred` kills every partial sitting in the guarded gap — the anchoring
+  * step `afterStep` complete, the next step not yet started — unless that
+  * same event advances the partial out of the gap (the batch anti-join
+  * bounds the guard STRICTLY between the anchor's last and the next step's
+  * first event, so the next step's own event never kills its match).
+  * `forUs` additionally narrows the guard to d after the anchor's last
+  * collected event. Evaluated inside [[Cep.runNfa]], so it works on batch
+  * and on every streaming detect variant, cross-micro-batch.
+  */
+final case class MidGuard(afterStep: Int, pred: CepEvent => Boolean,
+                          forUs: Option[Long] = None) extends Serializable
+
 /** withinEvents: count-bounded WITHIN — a partial expires once more than n
   * events (of its key) have arrived since it was seeded. The reference
   * parses but blocks `WITHIN n EVENTS` at conversion; the NFA supports it
@@ -88,7 +102,8 @@ final case class PatternSpec(
     every: Boolean = true,
     withinUs: Option[Long] = None,
     withinEvents: Option[Long] = None,
-    maxPartials: Int = 512)
+    maxPartials: Int = 512,
+    midGuards: Seq[MidGuard] = Nil)
 
 /** Serializable NFA state (data only — predicates live in the spec).
   * startSeq = per-key event ordinal at seed time (for withinEvents).
@@ -134,6 +149,15 @@ object Cep {
 
         (partials :+ seed).foreach { p =>
           val step = spec.steps(p.stepIdx)
+          // mid-chain NOT: this event kills every partial whose guarded gap
+          // is open (anchor collected, next step empty) — unless the step
+          // predicate also matches, in which case the event ADVANCES the
+          // partial instead (strict between-bounds, see [[MidGuard]])
+          val guardKill = spec.midGuards.exists { g =>
+            p.stepIdx == g.afterStep + 1 && p.collected(p.stepIdx).isEmpty &&
+            g.pred(e) &&
+            g.forUs.forall(f => e.tsUs <= p.collected(g.afterStep).last.tsUs + f)
+          }
           if (step.pred(e, p.collected)) {
             val coll2 = p.collected.updated(p.stepIdx, p.collected(p.stepIdx) :+ e)
             val cnt = coll2(p.stepIdx).size
@@ -148,12 +172,13 @@ object Cep {
                 next += Partial(p.stepIdx + 1, p.startUs, p.startSeq, coll2) // advance
               }
             }
-          } else if (!spec.strict) {
+          } else if (!spec.strict && !guardKill) {
             // relaxed PATTERN: non-matching events are skipped; seeds that
             // fail step 0 are simply not retained
             if (p ne seed) next += p
           }
-          // strict SEQUENCE: mismatch kills the in-flight instance
+          // strict SEQUENCE: mismatch kills the in-flight instance;
+          // guardKill: a mid-chain NOT event kills the gap's partial
         }
 
         val trimmed = next.result().distinct
@@ -231,10 +256,20 @@ object Cep {
           val events = it.toSeq.sortBy(e => (e.tsUs, e.eventId))
           val (out, next) = runNfa(events,
             state.getOption.getOrElse(NfaState(Nil, done = false)), spec)
-          state.update(next)
-          // schedule cleanup at the latest live deadline (event-time ms)
-          val deadlines = next.partials.map(p => (p.startUs + withinUs) / 1000L)
-          if (deadlines.nonEmpty) state.setTimeoutTimestamp(deadlines.max)
+          // drained keys drop their state entry entirely (a key whose
+          // partials all resolved must not keep an empty shell in the
+          // state store — at high key cardinality that is unbounded
+          // growth); the done-latch of every=false is the one shell kept
+          if (next.partials.isEmpty && !(next.done && !spec.every)) state.remove()
+          else {
+            state.update(next)
+            // schedule cleanup at the latest live deadline (event-time ms;
+            // clamped above the watermark — registering at-or-below it is
+            // rejected by the state store)
+            val deadlines = next.partials.map(p => (p.startUs + withinUs) / 1000L)
+            if (deadlines.nonEmpty) state.setTimeoutTimestamp(
+              math.max(deadlines.max, state.getCurrentWatermarkMs() + 1))
+          }
           out.iterator
         }
     }
@@ -342,6 +377,12 @@ object Cep {
           val (due, live) = pending.partition(m => m.endUs + maxForUs <= wmUs)
           due.foreach(out += _)
           pending = live
+          // purge NFA partials whose WITHIN deadline the watermark passed —
+          // idle keys would otherwise retain partial matches forever (the
+          // TimerWheel role detectStreamWithTimeout plays for plain chains)
+          spec.withinUs.foreach { w =>
+            nfa = nfa.copy(partials = nfa.partials.filter(p => p.startUs + w > wmUs))
+          }
         } else {
           it.toSeq.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
             // deadlines strictly before this event's time are conclusive
@@ -363,11 +404,21 @@ object Cep {
             ms.foreach(pending :+= _)
           }
         }
-        state.update(AbsentChainState(nfa, pending))
-        if (pending.nonEmpty) {
-          val nextMs = pending.map(m => (m.endUs + maxForUs) / 1000L).min
-          state.setTimeoutTimestamp(math.max(nextMs,
-            state.getCurrentWatermarkMs() + 1))
+        // drained keys (no pending matches awaiting deadlines, no in-flight
+        // partials) drop their state entry — mirrors detectAbsentStream's
+        // remove-on-drain; the done-latch of every=false is the one shell
+        // kept (it must keep suppressing re-matches)
+        if (pending.isEmpty && nfa.partials.isEmpty && !(nfa.done && !spec.every))
+          state.remove()
+        else {
+          state.update(AbsentChainState(nfa, pending))
+          // wake at the earliest conclusive deadline: a pending match's FOR
+          // window or (when WITHIN bounds the chain) a partial's expiry
+          val deadlines = pending.map(m => (m.endUs + maxForUs) / 1000L) ++
+            spec.withinUs.toSeq.flatMap(w => nfa.partials.map(p => (p.startUs + w) / 1000L))
+          if (deadlines.nonEmpty)
+            state.setTimeoutTimestamp(math.max(deadlines.min,
+              state.getCurrentWatermarkMs() + 1))
         }
         out.result().iterator
     }
