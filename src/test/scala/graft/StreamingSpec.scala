@@ -196,17 +196,195 @@ class StreamingSpec extends AnyFunSuite {
       val rows = spark.table("sqlabs_sink").collect()
         .map(r => (r.getLong(0), r.getDouble(1)))
       assert(rows.toSeq == Seq((8L, 50.0)))
-      // mid-chain NOT stays a typed error on streaming inputs
-      val midApp =
-        """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
-          |CREATE STREAM Out (user_id BIGINT);
-          |INSERT INTO Out SELECT e1.user_id AS user_id
-          |FROM PATTERN (e1=E[kind = 'a'] -> NOT E[kind = 'b'] -> e2=E[kind = 'c'])
-          |PARTITION BY user_id;""".stripMargin
-      val err = intercept[graft.sql.GraftApp.SqlError] {
-        graft.sql.GraftApp.run(spark, midApp, Map("E" -> events))
-      }
-      assert(err.msg.contains("mid-chain NOT"))
+    } finally q.stop()
+  }
+
+  test("STREAMING SQL mid-chain NOT: guard event in a LATER batch kills the " +
+      "gapped partial; the next step's own event does not") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)] // (sec, user, kind, v)
+    val events = in.toDS().toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, v1 DOUBLE, v2 DOUBLE);
+        |INSERT INTO Out
+        |SELECT e1.user_id AS user_id, e1.v AS v1, e2.v AS v2
+        |FROM PATTERN (e1=E[kind = 'a'] -> NOT E[kind = 'b'] -> e2=E[kind = 'c'])
+        |PARTITION BY user_id;""".stripMargin
+    val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+    assert(outDf.isStreaming)
+    val q = outDf.writeStream.format("memory").queryName("sqlmid_sink")
+      .outputMode("append").start()
+    val fed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Double)]
+    def feed(rows: (Long, Long, String, Double)*): Unit = {
+      fed ++= rows; in.addData(rows); q.processAllAvailable()
+    }
+    try {
+      // user 7: a … b … c across THREE batches → the cross-batch guard
+      // event kills the partial sitting in the gap
+      feed((1L, 7L, "a", 10.0))
+      feed((2L, 7L, "b", 0.0))
+      feed((3L, 7L, "c", 30.0))
+      assert(spark.table("sqlmid_sink").count() == 0)
+      // user 8: a then c in a later batch, no b between → match; the c
+      // ADVANCES the partial out of the gap rather than killing it
+      feed((10L, 8L, "a", 1.0))
+      feed((12L, 8L, "c", 2.0))
+      val rows = spark.table("sqlmid_sink").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq((8L, 1.0, 2.0)))
+      // user 9: a → c matches; a b AFTER the c must not retract anything
+      feed((20L, 9L, "a", 5.0), (21L, 9L, "c", 6.0))
+      feed((25L, 9L, "b", 0.0))
+      val rows2 = spark.table("sqlmid_sink").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      assert(rows2 == Set((8L, 1.0, 2.0), (9L, 5.0, 6.0)))
+      // batch ↔ streaming parity: the batch lowering (anti-join) over the
+      // same accumulated events agrees with the NFA's MidGuard discipline
+      val batchDf = fed.toSeq.toDF("sec", "user_id", "kind", "v")
+        .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+          "user_id", "kind", "v")
+      val batchRows = graft.sql.GraftApp.run(spark, app, Map("E" -> batchDf))("Out")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      assert(batchRows == rows2)
+    } finally q.stop()
+  }
+
+  test("STREAMING SQL mid-chain NOT … FOR: guard narrowed to the FOR window") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val events = in.toDS().toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, v2 DOUBLE);
+        |INSERT INTO Out SELECT e1.user_id AS user_id, e2.v AS v2
+        |FROM PATTERN (e1=E[kind = 'a'] -> NOT E[kind = 'b'] FOR 5 SECONDS -> e2=E[kind = 'c'])
+        |PARTITION BY user_id;""".stripMargin
+    val q = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+      .writeStream.format("memory").queryName("sqlmidfor_sink")
+      .outputMode("append").start()
+    try {
+      // user 1: b lands INSIDE the 5s window after a → killed
+      in.addData((1L, 1L, "a", 0.0));   q.processAllAvailable()
+      in.addData((3L, 1L, "b", 0.0));   q.processAllAvailable()
+      in.addData((100L, 1L, "c", 9.0)); q.processAllAvailable()
+      // user 2: b lands in the gap but PAST the FOR window → match survives
+      in.addData((1L, 2L, "a", 0.0));   q.processAllAvailable()
+      in.addData((30L, 2L, "b", 0.0));  q.processAllAvailable()
+      in.addData((100L, 2L, "c", 7.0)); q.processAllAvailable()
+      val rows = spark.table("sqlmidfor_sink").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(rows.toSeq == Seq((2L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("STREAMING SQL ALLOW LATENESS: late cross-batch events still reach " +
+      "the NFA; without it the watermark drops them") {
+    implicit val sqlCtx = spark.sqlContext
+    def run(latenessClause: String, sink: String): (MemoryStream[(Long, Long, String, Double)], StreamingQuery) = {
+      val in = MemoryStream[(Long, Long, String, Double)]
+      val events = in.toDS().toDF("sec", "user_id", "kind", "v")
+        .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+          "user_id", "kind", "v")
+      val app =
+        s"""CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+           |CREATE STREAM Out (user_id BIGINT, v2 DOUBLE);
+           |INSERT INTO Out SELECT e1.user_id AS user_id, e2.v AS v2
+           |FROM PATTERN (e1=E[kind = 'a'] -> e2=E[kind = 'b'])
+           |PARTITION BY user_id WITHIN 20 SECONDS$latenessClause;""".stripMargin
+      val q = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      (in, q)
+    }
+    // WITH lateness 30s: watermark after the t=100 batch sits at 70; the
+    // late-by-5s pair (95, 96) in the next batch is admitted → match
+    val (inLate, qLate) = run(" ALLOW LATENESS 30 SECONDS", "late_ok_sink")
+    try {
+      inLate.addData((100L, 99L, "x", 0.0)); qLate.processAllAvailable()
+      inLate.addData((95L, 1L, "a", 0.0), (96L, 1L, "b", 4.0)); qLate.processAllAvailable()
+      val got = spark.table("late_ok_sink").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.toSeq == Seq((1L, 4.0)))
+    } finally qLate.stop()
+    // WITHOUT lateness (strict in-order contract): watermark = 100 after the
+    // first batch; the same late pair is dropped before the NFA → no match
+    val (inStrict, qStrict) = run("", "late_drop_sink")
+    try {
+      inStrict.addData((100L, 99L, "x", 0.0)); qStrict.processAllAvailable()
+      inStrict.addData((95L, 1L, "a", 0.0), (96L, 1L, "b", 4.0)); qStrict.processAllAvailable()
+      assert(spark.table("late_drop_sink").count() == 0)
+    } finally qStrict.stop()
+  }
+
+  test("STREAMING SQL WITHIN: idle-key partials purge on watermark timeout; " +
+      "fresh in-window pairs still match") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val events = in.toDS().toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, v2 DOUBLE);
+        |INSERT INTO Out SELECT e1.user_id AS user_id, e2.v AS v2
+        |FROM PATTERN (EVERY (e1=E[kind = 'a'] -> e2=E[kind = 'b']))
+        |PARTITION BY user_id WITHIN 10 SECONDS;""".stripMargin
+    val q = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+      .writeStream.format("memory").queryName("sqlwithin_sink")
+      .outputMode("append").start()
+    try {
+      // u1 seeds a partial, then goes idle; far-future other-key events
+      // advance the watermark past u1's 10s deadline → EventTimeTimeout
+      // fires and clears u1's state (the reference's TimerWheel role)
+      in.addData((1L, 1L, "a", 0.0));    q.processAllAvailable()
+      in.addData((100L, 9L, "x", 0.0));  q.processAllAvailable()
+      in.addData((101L, 9L, "x", 0.0));  q.processAllAvailable()
+      // u1's b — in-window by data time, but the partial is gone (and the
+      // event is late vs the watermark): no match
+      in.addData((5L, 1L, "b", 1.0));    q.processAllAvailable()
+      assert(spark.table("sqlwithin_sink").count() == 0)
+      // a FRESH in-window pair after the purge matches normally — the
+      // timeout cleared state without poisoning the key
+      in.addData((200L, 1L, "a", 0.0), (205L, 1L, "b", 7.0)); q.processAllAvailable()
+      val rows = spark.table("sqlwithin_sink").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(rows.toSeq == Seq((1L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("CEP remove-on-drain: resolved guards and drained keys leave ZERO state rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[CepEvent]
+    val spec = PatternSpec(Seq(Step.simple("a")(_.etype == "A")))
+    val guards = Seq(Cep.TrailingAbsent(_.etype == "B", forUs = 10000000L)) // 10s
+    val q = Cep.detectStreamWithTrailingAbsents(in.toDS(), spec, guards,
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("drain_sink").outputMode("append").start()
+    def e(key: String, id: Long, t: String, tsUs: Long) = CepEvent(key, tsUs, id, t, 0.0)
+    def stateRows: Long = q.lastProgress.stateOperators.head.numRowsTotal
+    try {
+      // u1: base match pends awaiting its 10s guard deadline → 1 state row
+      // (ts sits above the initial watermark 0 — an event AT the watermark
+      // is dropped before the NFA, see numRowsDroppedByWatermark)
+      in.addData(Seq(e("u1", 1, "A", 1000000L))); q.processAllAvailable()
+      assert(stateRows == 1)
+      // guard event resolves the pending match (kills it) → state drains to 0
+      in.addData(Seq(e("u1", 2, "B", 5000000L))); q.processAllAvailable()
+      assert(spark.table("drain_sink").count() == 0)
+      assert(stateRows == 0)
+      // u2: match pends, then the watermark passes its deadline → flushed as
+      // a match AND its state entry removed (no empty shells linger)
+      in.addData(Seq(e("u2", 3, "A", 20000000L)));  q.processAllAvailable()
+      assert(stateRows == 1)
+      in.addData(Seq(e("u3", 4, "X", 100000000L))); q.processAllAvailable()
+      in.addData(Seq(e("u3", 5, "X", 101000000L))); q.processAllAvailable()
+      val matches = spark.table("drain_sink").as[CepMatch].collect()
+      assert(matches.map(_.key).toSeq == Seq("u2"))
+      assert(stateRows == 0)
     } finally q.stop()
   }
 
