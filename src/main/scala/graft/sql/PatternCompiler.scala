@@ -249,6 +249,15 @@ object PatternCompiler {
     // watermark delay = the user's declared disorder tolerance (ALLOW
     // LATENESS); 0 = strict in-order contract, tightest state bound
     val lateness = q.lateness.getOrElse("0 seconds")
+    if (q.lateness.isDefined && guards.isEmpty && q.withinUs.isEmpty)
+      // the plain NoTimeout NFA has no watermark: nothing is ever dropped
+      // for lateness (every event reaches the NFA in arrival order), so the
+      // clause cannot take effect — surface that instead of silently
+      // accepting a no-op knob
+      ScaleWarnings.warn(s"pattern INTO '${q.target}': ALLOW LATENESS has no " +
+        "effect without WITHIN or a trailing NOT … FOR guard — the plan has " +
+        "no event-time watermark, so no event is ever dropped as late; add " +
+        "WITHIN <d> to bound state and activate the lateness contract")
     var out =
       (if (guards.nonEmpty)
          Cep.detectStreamWithTrailingAbsents(cepIn, spec, guards, lateness)

@@ -118,6 +118,13 @@ object Cep {
 
   @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Event-time deadline (us) → state-store timeout timestamp (ms), rounded
+    * UP: flooring would let the timeout fire up to 1ms before the
+    * microsecond deadline, purging a partial a deadline-exact event could
+    * still complete.
+    */
+  private def ceilMs(us: Long): Long = (us + 999L) / 1000L
+
   private implicit val keyEnc: Encoder[String] = Encoders.STRING
   private implicit val matchEnc: Encoder[CepMatch] = Encoders.product[CepMatch]
   private implicit val stateEnc: Encoder[NfaState] = Encoders.product[NfaState]
@@ -249,8 +256,22 @@ object Cep {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
       (_: String, it: Iterator[CepEvent], state: GroupState[NfaState]) =>
         if (state.hasTimedOut) {
-          // watermark passed every live partial's deadline → clear
-          state.remove()
+          // watermark passed the registered deadline: purge only partials
+          // that can no longer complete. A partial completes via an event
+          // at tsUs <= startUs + withinUs; events at-or-below the watermark
+          // are dropped before the NFA, so >= (keep at equality) errs on
+          // the side of keeping — the next timeout sweeps it at no cost,
+          // while dropping early can lose a deadline-exact match.
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption.getOrElse(NfaState(Nil, done = false))
+          val live = st.partials.filter(p => p.startUs + withinUs >= wmUs)
+          if (live.isEmpty && !(st.done && !spec.every)) state.remove()
+          else {
+            state.update(st.copy(partials = live))
+            if (live.nonEmpty) state.setTimeoutTimestamp(math.max(
+              ceilMs(live.map(p => p.startUs + withinUs).max),
+              state.getCurrentWatermarkMs() + 1))
+          }
           Iterator.empty
         } else {
           val events = it.toSeq.sortBy(e => (e.tsUs, e.eventId))
@@ -259,14 +280,17 @@ object Cep {
           // drained keys drop their state entry entirely (a key whose
           // partials all resolved must not keep an empty shell in the
           // state store — at high key cardinality that is unbounded
-          // growth); the done-latch of every=false is the one shell kept
+          // growth); the done-latch of every=false is the one shell kept:
+          // it enforces the once-per-key contract (a later event must NOT
+          // re-match), so it cannot expire without changing semantics —
+          // O(1) per matched key, documented in SCALE.md
           if (next.partials.isEmpty && !(next.done && !spec.every)) state.remove()
           else {
             state.update(next)
-            // schedule cleanup at the latest live deadline (event-time ms;
-            // clamped above the watermark — registering at-or-below it is
-            // rejected by the state store)
-            val deadlines = next.partials.map(p => (p.startUs + withinUs) / 1000L)
+            // schedule cleanup at the latest live deadline (event-time ms,
+            // rounded up; clamped above the watermark — registering
+            // at-or-below it is rejected by the state store)
+            val deadlines = next.partials.map(p => ceilMs(p.startUs + withinUs))
             if (deadlines.nonEmpty) state.setTimeoutTimestamp(
               math.max(deadlines.max, state.getCurrentWatermarkMs() + 1))
           }
@@ -330,7 +354,7 @@ object Cep {
         if (pending.isEmpty) state.remove()
         else {
           state.update(NfaState(pending, done = false))
-          val nextDeadlineMs = pending.map(p => (p.startUs + spec.withinUs) / 1000L).min
+          val nextDeadlineMs = pending.map(p => ceilMs(p.startUs + spec.withinUs)).min
           state.setTimeoutTimestamp(math.max(nextDeadlineMs,
             state.getCurrentWatermarkMs() + 1))
         }
@@ -379,9 +403,11 @@ object Cep {
           pending = live
           // purge NFA partials whose WITHIN deadline the watermark passed —
           // idle keys would otherwise retain partial matches forever (the
-          // TimerWheel role detectStreamWithTimeout plays for plain chains)
+          // TimerWheel role detectStreamWithTimeout plays for plain chains);
+          // >= keeps a deadline-exact partial (see the purge note in
+          // detectStreamWithTimeout)
           spec.withinUs.foreach { w =>
-            nfa = nfa.copy(partials = nfa.partials.filter(p => p.startUs + w > wmUs))
+            nfa = nfa.copy(partials = nfa.partials.filter(p => p.startUs + w >= wmUs))
           }
         } else {
           it.toSeq.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
@@ -414,8 +440,8 @@ object Cep {
           state.update(AbsentChainState(nfa, pending))
           // wake at the earliest conclusive deadline: a pending match's FOR
           // window or (when WITHIN bounds the chain) a partial's expiry
-          val deadlines = pending.map(m => (m.endUs + maxForUs) / 1000L) ++
-            spec.withinUs.toSeq.flatMap(w => nfa.partials.map(p => (p.startUs + w) / 1000L))
+          val deadlines = pending.map(m => ceilMs(m.endUs + maxForUs)) ++
+            spec.withinUs.toSeq.flatMap(w => nfa.partials.map(p => ceilMs(p.startUs + w)))
           if (deadlines.nonEmpty)
             state.setTimeoutTimestamp(math.max(deadlines.min,
               state.getCurrentWatermarkMs() + 1))

@@ -356,6 +356,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ALLOW LATENESS without WITHIN or trailing NOT warns it is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val events = in.toDS().toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    def app(tail: String) =
+      s"""CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+         |CREATE STREAM Out (user_id BIGINT);
+         |INSERT INTO Out SELECT e1.user_id AS user_id
+         |FROM PATTERN (e1=E[kind = 'a'] -> e2=E[kind = 'b'])
+         |PARTITION BY user_id$tail;""".stripMargin
+    // lateness on the plain NoTimeout path: no watermark exists → warn
+    graft.sql.ScaleWarnings.reset()
+    graft.sql.GraftApp.run(spark, app(" ALLOW LATENESS 10 SECONDS"), Map("E" -> events))
+    assert(graft.sql.ScaleWarnings.recentWarnings.exists(_.contains("ALLOW LATENESS")))
+    // with WITHIN the clause is load-bearing (watermark delay) → silent
+    graft.sql.ScaleWarnings.reset()
+    graft.sql.GraftApp.run(spark,
+      app(" WITHIN 20 SECONDS ALLOW LATENESS 10 SECONDS"), Map("E" -> events))
+    assert(!graft.sql.ScaleWarnings.recentWarnings.exists(_.contains("ALLOW LATENESS")))
+  }
+
   test("CEP remove-on-drain: resolved guards and drained keys leave ZERO state rows") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[CepEvent]
