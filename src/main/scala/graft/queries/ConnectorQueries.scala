@@ -184,6 +184,36 @@ object ConnectorQueries extends QueryFamily {
              |  max(e.event_id) AS last_id
              |FROM ticks t JOIN e ON e.ti <= t.tick
              |GROUP BY t.tick, e.user_id
-             |ORDER BY tick, user_id""".stripMargin))
+             |ORDER BY tick, user_id""".stripMargin)),
+
+    // OUTPUT FIRST/LAST EVERY n EVENTS (output_rate.rs:19 Events variant,
+    // the count-based rate limiter): batch-result semantics — per key the
+    // event stream (ordered by event_id) cuts into 100-event chunks; FIRST
+    // = each chunk's first event (emitted even for the open trailing
+    // chunk), LAST = each COMPLETE chunk's n-th event. One hash shuffle on
+    // user_id + an in-partition sort; no self-join, linear at any scale.
+    // Streaming form = Windows.outputEveryN (counter in keyed state).
+    QueryDef(
+      "q_rate_events",
+      (s, dir) => {
+        val n = 100
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("value"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") % n === 1 || col("rn") % n === 0)
+          .select(col("user_id"), expr(s"(rn - 1) div $n").as("blk"),
+            when(col("rn") % n === 1, "first").otherwise("last").as("behavior"),
+            col("event_id"), col("value"))
+          .orderBy(col("user_id"), col("blk"), col("behavior"))
+      },
+      Some("""WITH r AS (SELECT user_id, event_id, value,
+             |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events)
+             |SELECT user_id, CAST((rn - 1) // 100 AS BIGINT) AS blk,
+             |  CASE WHEN rn % 100 = 1 THEN 'first' ELSE 'last' END AS behavior,
+             |  event_id, value
+             |FROM r WHERE rn % 100 = 1 OR rn % 100 = 0
+             |ORDER BY user_id, blk, behavior""".stripMargin))
   )
 }

@@ -20,6 +20,21 @@ final case class WinOut(key: String, tsUs: Long, eventId: Long, value: Double, o
 final case class FreqEntry(attr: String, cnt: Long, ev: WinEvent)
 final case class FreqState(entries: Seq[FreqEntry])
 
+/** `OUTPUT FIRST|LAST|ALL EVERY n EVENTS` behavior selector
+  * (output_rate.rs:10-22 `OutputRateBehavior` × `EventsOutputRate`).
+  */
+sealed abstract class RateBehavior extends Serializable
+object RateBehavior {
+  case object First extends RateBehavior // first event of each n-chunk, emitted on arrival
+  case object Last extends RateBehavior  // n-th event of each chunk, emitted when it completes
+  case object All extends RateBehavior   // whole chunk, flushed when it completes
+}
+
+/** Event-count rate-limiter state: events seen so far (FIRST/LAST) and the
+  * open chunk's buffer (ALL — bounded by n).
+  */
+final case class RateBuffer(cnt: Long, pending: Seq[WinEvent])
+
 /** Pure window-kernel state machines: (ordered events, state) → (changelog,
   * state). Kept Spark-free so invariants are property-testable directly
   * (WindowPropSpec); graft.streaming.Windows wraps them in
@@ -182,6 +197,38 @@ object WindowKernels {
     }
     (out.result(), WinBuffer(b, Nil))
   }
+
+  /** `OUTPUT FIRST|LAST|ALL EVERY n EVENTS` (output_rate.rs:19 Events
+    * variant): the stream is cut into consecutive n-event chunks per key;
+    * FIRST passes each chunk's first event the moment it arrives (then
+    * suppresses the rest), LAST passes the n-th event as the chunk
+    * completes, ALL buffers the chunk and flushes it whole on completion.
+    * State is a counter (+ at most n-1 buffered events for ALL) per key.
+    */
+  def everyNEvents(events: Seq[WinEvent], buf: RateBuffer, n: Int,
+                   behavior: RateBehavior): (Seq[WinOut], RateBuffer) = {
+    require(n > 0, s"EVERY n EVENTS needs n > 0, got $n")
+    var cnt = buf.cnt
+    var pending = buf.pending.toVector
+    val out = Seq.newBuilder[WinOut]
+    events.foreach { e =>
+      behavior match {
+        case RateBehavior.First =>
+          if (cnt % n == 0) out += WinOut(e.key, e.tsUs, e.eventId, e.value, 1)
+          cnt += 1
+        case RateBehavior.Last =>
+          cnt += 1
+          if (cnt % n == 0) out += WinOut(e.key, e.tsUs, e.eventId, e.value, 1)
+        case RateBehavior.All =>
+          pending :+= e
+          if (pending.size == n) {
+            pending.foreach(p => out += WinOut(p.key, p.tsUs, p.eventId, p.value, 1))
+            pending = Vector.empty
+          }
+      }
+    }
+    (out.result(), RateBuffer(cnt, pending))
+  }
 }
 
 /** Stateful window kernels the reference has but Spark lacks as built-ins
@@ -261,6 +308,24 @@ object Windows {
   /** delay window: events released durUs of event time after arrival. */
   def delay(ds: Dataset[WinEvent], durUs: Long): Dataset[WinOut] =
     kernel(ds)(WindowKernels.delay(_, _, durUs))
+
+  /** Event-count output rate limiter (`OUTPUT FIRST|LAST|ALL EVERY n
+    * EVENTS`): per-key counter in keyed state; ALL additionally buffers the
+    * open chunk (bounded by n). Batch-result semantics = q_rate_events'
+    * row_number-block query.
+    */
+  def outputEveryN(ds: Dataset[WinEvent], n: Int,
+                   behavior: RateBehavior): Dataset[WinOut] = {
+    implicit val rateEnc: Encoder[RateBuffer] = Encoders.product[RateBuffer]
+    ds.groupByKey(_.key).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (_: String, it: Iterator[WinEvent], state: GroupState[RateBuffer]) =>
+        val (out, next) = WindowKernels.everyNEvents(sorted(it),
+          state.getOption.getOrElse(RateBuffer(0L, Nil)), n, behavior)
+        state.update(next)
+        out.iterator
+    }
+  }
 
   /** frequent window: Misra-Gries top-k by an attribute of the event
     * (default: the value field). State is O(k) per partition key.

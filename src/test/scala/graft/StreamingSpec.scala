@@ -356,6 +356,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("OUTPUT EVERY n EVENTS: FIRST on arrival, LAST on chunk completion, " +
+      "ALL flushed whole — counter state carries across batches") {
+    // chunks of 3 per key; the chunk boundary falls INSIDE batch 2 so the
+    // cross-batch counter is load-bearing
+    val batches = Seq(Seq(ev(1, 10), ev(2, 20)), Seq(ev(3, 30), ev(4, 40)), Seq(ev(5, 50)))
+    val first = runStream(batches)(ds => Windows.outputEveryN(ds, 3, RateBehavior.First))
+    assert(first.map(_.eventId).sorted == Seq(1L, 4L)) // chunk heads, open chunk included
+    val last = runStream(batches)(ds => Windows.outputEveryN(ds, 3, RateBehavior.Last))
+    assert(last.map(_.eventId).sorted == Seq(3L)) // only the complete chunk emits
+    val all = runStream(batches)(ds => Windows.outputEveryN(ds, 3, RateBehavior.All))
+    assert(all.map(_.eventId).sorted == Seq(1L, 2L, 3L)) // chunk flushed at event 3
+    // kernel-level state resume: the counter (and ALL's open-chunk buffer)
+    // carries between calls exactly like micro-batches
+    val (o1, s1) = WindowKernels.everyNEvents(
+      Seq(ev(1, 1), ev(2, 2)), RateBuffer(0L, Nil), 3, RateBehavior.All)
+    assert(o1.isEmpty && s1.pending.size == 2)
+    val (o2, s2) = WindowKernels.everyNEvents(
+      Seq(ev(3, 3)), s1, 3, RateBehavior.All)
+    assert(o2.map(_.eventId) == Seq(1L, 2L, 3L) && s2.pending.isEmpty)
+  }
+
   test("ALLOW LATENESS without WITHIN or trailing NOT warns it is a no-op") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, String, Double)]
