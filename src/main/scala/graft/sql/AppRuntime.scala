@@ -52,12 +52,17 @@ object AppRuntime {
           // up to 2x for periods like 600 or 1500 ms)
           val ms = math.max(t.everyMs.get, 100L)
           val everyTicks = math.max(1L, (ms + 50L) / 100L)
-          spark.readStream.format("rate")
+          val paced = spark.readStream.format("rate")
             .option("rowsPerSecond", "10")
             .option("numPartitions", "1")
             .load()
             .filter(col("value") % lit(everyTicks) === 0)
             .select(col("timestamp").as("triggered_time"))
+          // calendar-restricted crons (`0 0 1 * *`): the paced tick fires
+          // at the wildcarded sub-period (daily here); the gate keeps only
+          // ticks whose date matches dom/mon/dow
+          t.cron.flatMap(GraftApp.cronCalendarGate)
+            .map(paced.filter).getOrElse(paced)
       }
       t.name -> df
     }.toMap

@@ -334,17 +334,76 @@ object GraftApp {
     def star(s: String) = s == "*"
     def fixed(s: String) = s.matches("\\d+")
     val every = """\*/(\d+)""".r
+    // `*/n` is only a FIXED period when n divides the field's modulus: real
+    // cron fires `*/7 * * * *` at :00,:07,…,:56 then RESETS on the hour (an
+    // irregular 4-min gap), so a paced 7-min source would drift off the
+    // schedule. Require 60 % n == 0 (sec/min) and 24 % n == 0 (hours).
+    def divides(n: Long, modulus: Long) = n > 0 && modulus % n == 0
     (sec, min, hour) match {
-      case (every(n), m, h) if star(m) && star(h) => Some(n.toLong * 1000L)
+      case (every(n), m, h) if star(m) && star(h) && divides(n.toLong, 60) =>
+        Some(n.toLong * 1000L)
       case (s, m, h) if star(s) && star(m) && star(h) => Some(1000L)
-      case (s, every(n), h) if fixed(s) && star(h) => Some(n.toLong * 60000L)
+      case (s, every(n), h) if fixed(s) && star(h) && divides(n.toLong, 60) =>
+        Some(n.toLong * 60000L)
       case (s, m, h) if fixed(s) && star(m) && star(h) => Some(60000L)
-      case (s, m, every(n)) if fixed(s) && fixed(m) => Some(n.toLong * 3600000L)
+      case (s, m, every(n)) if fixed(s) && fixed(m) && divides(n.toLong, 24) =>
+        Some(n.toLong * 3600000L)
       case (s, m, h) if fixed(s) && fixed(m) && star(h) => Some(3600000L)
       case (s, m, h) if fixed(s) && fixed(m) && fixed(h) => Some(86400000L)
       case _ => None
     }
   }
+
+  /** Split a cron into (sec, min, hour, dom, mon, dow) — sec synthesized
+    * for 5-field forms. None when the field count is wrong.
+    */
+  private def cronFields(c: String): Option[(String, String, String, String, String, String)] = {
+    val fs = c.trim.split("\\s+")
+    if (fs.length != 5 && fs.length != 6) None
+    else {
+      val (sec, rest) = if (fs.length == 6) (fs.head, fs.tail) else ("0", fs)
+      Some((sec, rest(0), rest(1), rest(2), rest(3), rest(4)))
+    }
+  }
+
+  /** Calendar gate for dom/mon/dow-restricted crons (trigger_runtime.rs
+    * accepts full cron): the paced source ticks at the sub-period derivable
+    * with the calendar fields wildcarded, and this predicate keeps only
+    * ticks whose DATE matches them — `0 0 1 * *` = a daily tick gated to
+    * the 1st of the month. Supported field shapes: `*`, a value, a comma
+    * list (dow 0-7, 0 and 7 both Sunday). Returns None when no calendar
+    * field is restricted; raises typed on unsupported shapes (ranges,
+    * steps) so they cannot silently degrade to `*`.
+    */
+  private[graft] def cronCalendarGate(c: String): Option[Column] = {
+    val (_, _, _, dom, mon, dow) = cronFields(c).getOrElse(return None)
+    def field(which: String, s: String, lo: Int, hi: Int): Option[Seq[Int]] =
+      if (s == "*") None
+      else if (s.matches("\\d+(,\\d+)*")) {
+        val vs = s.split(",").toSeq.map(_.toInt)
+        vs.find(v => v < lo || v > hi).foreach(v => throw SqlError(
+          s"cron '$c': $which value $v outside [$lo,$hi]"))
+        Some(vs)
+      } else throw SqlError(s"cron '$c': unsupported $which field '$s' " +
+        "(calendar fields support *, a value, or a comma list)")
+    val ts = col("triggered_time")
+    val conds = Seq(
+      field("day-of-month", dom, 1, 31).map(v => dayofmonth(ts).isin(v: _*)),
+      field("month", mon, 1, 12).map(v => month(ts).isin(v: _*)),
+      // cron dow 0-7 (0=7=Sunday) → Spark dayofweek 1=Sunday..7=Saturday
+      field("day-of-week", dow, 0, 7).map(v =>
+        dayofweek(ts).isin(v.map(x => x % 7 + 1).distinct: _*))).flatten
+    conds.reduceOption(_ && _)
+  }
+
+  /** The cron with its calendar fields wildcarded — the pacing sub-period
+    * of a calendar-gated schedule.
+    */
+  private def calendarWild(c: String): String =
+    cronFields(c).map { case (sec, min, hour, _, _, _) =>
+      (if (c.trim.split("\\s+").length == 6) Seq(sec) else Nil) ++
+        Seq(min, hour, "*", "*", "*")
+    }.map(_.mkString(" ")).getOrElse(c)
 
   private def parseTriggerAt(name: String, atRaw: String): TriggerDef = {
     val everyRe = """(?is)^EVERY\s+(\d+)\s+(\w+)$""".r
@@ -357,10 +416,19 @@ object GraftApp {
         TriggerDef(name, "every", Some(ms), None)
       case cronRe(c) => cronPeriodMs(c) match {
         case Some(ms) => TriggerDef(name, "cron", Some(ms), Some(c.trim))
-        case None => throw SqlError(
-          s"unsupported cron '${c.trim}' in trigger $name: no fixed period is " +
-          "derivable (calendar-aligned day/month/weekday fields cannot map " +
-          "to a paced source; use AT EVERY or a */n form)")
+        case None =>
+          // calendar-restricted (dom/mon/dow) crons pace at the wildcarded
+          // sub-period and gate each tick on the calendar (cronCalendarGate
+          // raises typed on field shapes it cannot honor)
+          (cronCalendarGate(c), cronPeriodMs(calendarWild(c))) match {
+            case (Some(_), Some(ms)) => TriggerDef(name, "cron", Some(ms), Some(c.trim))
+            case _ => throw SqlError(
+              s"unsupported cron '${c.trim}' in trigger $name: no fixed period is " +
+              "derivable (*/n steps need n to divide the field's modulus — " +
+              "60 for sec/min, 24 for hours — or real cron's end-of-cycle " +
+              "reset makes the gaps irregular; use AT EVERY or a dividing " +
+              "*/n form)")
+          }
       }
       case other => throw SqlError(s"bad trigger schedule '$other' in $name")
     }

@@ -109,14 +109,67 @@ class ConnectorSpec extends AnyFunSuite {
     assert(GraftApp.cronPeriodMs("* * * * * *") == Some(1000L))     // every second
     assert(GraftApp.cronPeriodMs("30 * * * * *") == Some(60000L))   // every minute at :30
     assert(GraftApp.cronPeriodMs("0 0 * * * *") == Some(3600000L))  // hourly on the hour
+    // */n is only fixed-period when n divides the field's modulus: real
+    // cron resets */7 at the top of the hour (:56 → :00 is a 4-min gap)
+    assert(GraftApp.cronPeriodMs("*/15 * * * *") == Some(900000L))  // 60 % 15 == 0
+    assert(GraftApp.cronPeriodMs("*/7 * * * *") == None)            // irregular
+    assert(GraftApp.cronPeriodMs("*/7 * * * * *") == None)          // seconds too
+    assert(GraftApp.cronPeriodMs("0 */5 * * *") == None)            // 24 % 5 != 0
+    assert(GraftApp.cronPeriodMs("*/20 * * * * *") == Some(20000L)) // 60 % 20 == 0
+    val err7 = intercept[GraftApp.SqlError](
+      GraftApp.parse("CREATE TRIGGER S AT '*/7 * * * *';"))
+    assert(err7.getMessage.contains("divide"))
     val hourly = GraftApp.parse("CREATE TRIGGER H AT '0 * * * *';")
     assert(hourly.triggers == Seq(
       GraftApp.TriggerDef("H", "cron", Some(3600000L), Some("0 * * * *"))))
-    // calendar-aligned fields have no fixed period → typed error
-    val err = intercept[GraftApp.SqlError](
-      GraftApp.parse("CREATE TRIGGER X AT '0 0 1 * *';"))
-    assert(err.getMessage.contains("unsupported cron"))
-    assert(GraftApp.cronPeriodMs("0 0 * * 1") == None)  // weekly → not derivable
+    // calendar-aligned fields: no fixed period from cronPeriodMs itself…
+    assert(GraftApp.cronPeriodMs("0 0 1 * *") == None)
+    assert(GraftApp.cronPeriodMs("0 0 * * 1") == None)
+    // …but the trigger parses: paced at the wildcarded sub-period (daily)
+    // with the calendar gate applied per tick at bind time
+    val monthly = GraftApp.parse("CREATE TRIGGER M AT '0 0 1 * *';")
+    assert(monthly.triggers == Seq(
+      GraftApp.TriggerDef("M", "cron", Some(86400000L), Some("0 0 1 * *"))))
+    val hourlyOn1st = GraftApp.parse("CREATE TRIGGER H1 AT '0 * 1 * *';")
+    assert(hourlyOn1st.triggers.head.everyMs == Some(3600000L))
+    // unsupported calendar shapes raise typed instead of degrading to *
+    val errRange = intercept[GraftApp.SqlError](
+      GraftApp.parse("CREATE TRIGGER R AT '0 0 1-5 * *';"))
+    assert(errRange.getMessage.contains("unsupported day-of-month"))
+  }
+
+  test("cron calendar gate keeps only ticks whose date matches dom/mon/dow") {
+    import graft.sql.GraftApp
+    import spark.implicits._
+    def ticks(ts: String*) = ts.toSeq.toDF("t")
+      .selectExpr("CAST(t AS TIMESTAMP) AS triggered_time")
+    // monthly on the 1st: Jan 1 + Feb 1 pass, Jan 15 gated out
+    val monthly = GraftApp.cronCalendarGate("0 0 1 * *").get
+    assert(ticks("2026-01-01 00:00:00", "2026-01-15 00:00:00", "2026-02-01 00:00:00")
+      .filter(monthly).count() == 2)
+    // weekly Monday (cron dow 1): 2026-08-10 is a Monday, 08-11 a Tuesday
+    val mondays = GraftApp.cronCalendarGate("0 0 * * 1").get
+    assert(ticks("2026-08-10 00:00:00", "2026-08-11 00:00:00")
+      .filter(mondays).count() == 1)
+    // Sunday as both 0 and 7 (2026-08-09 is a Sunday)
+    for (dowSun <- Seq("0", "7")) {
+      val sundays = GraftApp.cronCalendarGate(s"0 0 * * $dowSun").get
+      assert(ticks("2026-08-09 00:00:00", "2026-08-10 00:00:00")
+        .filter(sundays).count() == 1)
+    }
+    // compound: 1st of February only
+    val feb1 = GraftApp.cronCalendarGate("0 0 1 2 *").get
+    assert(ticks("2026-01-01 00:00:00", "2026-02-01 00:00:00", "2026-02-02 00:00:00")
+      .filter(feb1).count() == 1)
+    // comma list dom
+    val d1or15 = GraftApp.cronCalendarGate("0 0 1,15 * *").get
+    assert(ticks("2026-03-01 00:00:00", "2026-03-15 00:00:00", "2026-03-20 00:00:00")
+      .filter(d1or15).count() == 2)
+    // unrestricted calendar → no gate
+    assert(GraftApp.cronCalendarGate("*/5 * * * *").isEmpty)
+    // out-of-range value raises typed
+    val err = intercept[GraftApp.SqlError](GraftApp.cronCalendarGate("0 0 32 * *"))
+    assert(err.getMessage.contains("outside"))
   }
 
   // file connector (SURVEY §2.1; the reference plans file sources): a fully
