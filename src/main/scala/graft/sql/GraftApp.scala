@@ -651,6 +651,41 @@ object GraftApp {
     val spec = parse(appSql)
     val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
     var env: Map[String, DataFrame] = inputs
+    // bounded cache tables (cache_table.rs:20-37 `max_size` +
+    // `trim_if_needed` FIFO): a shadow frame per bounded table carries a
+    // hidden insertion-sequence column; every statement that grows the
+    // table trims it back to the newest max_size rows. The public env never
+    // sees the sequence column.
+    val bounded: Map[String, Int] = spec.streams.collect {
+      case (n, sd) if sd.isTable && sd.options.contains("max_size") =>
+        val sz = sd.options("max_size")
+        if (!sz.matches("\\d+") || sz.toInt <= 0)
+          throw SqlError(s"table '$n': max_size must be a positive integer, got '$sz'")
+        n -> sz.toInt
+    }
+    val shadow = scala.collection.mutable.Map.empty[String, DataFrame]
+    var insSeq = 0L
+    // FIFO trim: keep the newest n rows — insertion sequence first, then
+    // the data columns lexicographically (a deterministic tie-break inside
+    // one statement's delta, where arrival order has no batch meaning).
+    // orderBy+limit plans as TakeOrdered: a distributed top-n over at most
+    // (n + delta) rows, never a global sort materialization.
+    def trimFifo(sh: DataFrame, n: Int): DataFrame = {
+      val ord = col("__ins").desc +:
+        sh.columns.filterNot(_ == "__ins").toSeq.map(c => col(c).desc)
+      sh.orderBy(ord: _*).limit(n)
+    }
+    // route a new delta for table t through its bounded shadow
+    def boundedAppend(t: String, delta: DataFrame): DataFrame = {
+      insSeq += 1
+      val stamped = delta.withColumn("__ins", lit(insSeq))
+      // seed from caller-bound initial table data (sequence 0) if present
+      val base = shadow.get(t).orElse(env.get(t).map(_.withColumn("__ins", lit(0L))))
+      val sh = base.map(_.unionByName(stamped)).getOrElse(stamped)
+      val trimmed = trimFifo(sh, bounded(t))
+      shadow(t) = trimmed
+      trimmed.drop("__ins")
+    }
     // validate bound inputs against declared schemas (names + arity)
     inputs.foreach { case (name, df) =>
       spec.streams.get(name).foreach { sd =>
@@ -679,10 +714,24 @@ object GraftApp {
           acc.join(right.as(j.stream), expr(j.cond), j.joinType)
         }
         val out = compileQuery(joined, q)
-        env += q.target -> env.get(q.target).map(_.unionByName(out)).getOrElse(out)
+        env += q.target -> (if (bounded.contains(q.target)) boundedAppend(q.target, out)
+          else env.get(q.target).map(_.unionByName(out)).getOrElse(out))
       case PatternStmt(p) =>
         val out = PatternCompiler.compile(spark, p, env, persisted += _)
-        env += p.target -> env.get(p.target).map(_.unionByName(out)).getOrElse(out)
+        env += p.target -> (if (bounded.contains(p.target)) boundedAppend(p.target, out)
+          else env.get(p.target).map(_.unionByName(out)).getOrElse(out))
+      case DmlStmt(d) if bounded.contains(d.table) =>
+        // DML against the SHADOW so kept rows retain their insertion order
+        // (delete/update preserve __ins through the join; an upsert's new
+        // rows are stamped with a fresh sequence), then trim
+        insSeq += 1
+        val shTable = shadow.getOrElse(d.table, env.getOrElse(d.table,
+          throw SqlError(s"table '${d.table}' has no bound data"))
+          .withColumn("__ins", lit(0L)))
+        val next = execDml(env + (d.table -> shTable), d, stampSeq = Some(insSeq))
+        val trimmed = trimFifo(next, bounded(d.table))
+        shadow(d.table) = trimmed
+        env += d.table -> trimmed.drop("__ins")
       case DmlStmt(d) =>
         env += d.table -> execDml(env, d)
     }
@@ -694,7 +743,8 @@ object GraftApp {
     * ConnectorSpec's upsert test). One equi-ish join each; the delta side is
     * usually the small one (broadcast at scale).
     */
-  private def execDml(env: Map[String, DataFrame], d: DmlSpec): DataFrame = {
+  private def execDml(env: Map[String, DataFrame], d: DmlSpec,
+                      stampSeq: Option[Long] = None): DataFrame = {
     val table = env.getOrElse(d.table, throw SqlError(s"table '${d.table}' has no bound data"))
     val src = env.getOrElse(d.source, throw SqlError(s"stream '${d.source}' has no bound data"))
     d.kind match {
@@ -730,10 +780,16 @@ object GraftApp {
       case "upsert" =>
         // UPDATE OR INSERT INTO t SELECT … ON cond → TableOps.upsert keyed
         // by the table-side columns of the ON equalities
-        val delta = src.as(d.source).select(d.selectItems.map {
+        val delta0 = src.as(d.source).select(d.selectItems.map {
           case (e, Some(a)) => expr(e).as(a)
           case (e, None) => expr(e)
         }: _*)
+        // bounded-table path: new rows carry a fresh insertion sequence so
+        // FIFO eviction can order them against the kept rows
+        val delta =
+          if (table.columns.contains("__ins"))
+            delta0.withColumn("__ins", lit(stampSeq.getOrElse(0L)))
+          else delta0
         val eqRe = """(?i)\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
         val keys = d.cond.split("(?i)\\bAND\\b").toSeq.map {
           case eqRe(q1, c1, q2, c2) =>

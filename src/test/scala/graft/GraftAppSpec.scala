@@ -395,6 +395,48 @@ class GraftAppSpec extends AnyFunSuite {
     assert(ScaleWarnings.recentWarnings.exists(_.contains("ONE task")))
   }
 
+  test("bounded cache table: max_size trims FIFO, DML composes, no column leaks") {
+    // cache_table.rs:20-37 — max_size + trim_if_needed pop the OLDEST
+    // inserted rows once the table exceeds the bound
+    val base =
+      """CREATE STREAM S1 (id BIGINT, v DOUBLE);
+        |CREATE STREAM S2 (id BIGINT, v DOUBLE);
+        |CREATE STREAM S3 (id BIGINT, v DOUBLE);
+        |CREATE TABLE T (id BIGINT, v DOUBLE) WITH ('max_size'='2');
+        |INSERT INTO T SELECT id, v FROM S1;
+        |INSERT INTO T SELECT id, v FROM S2;
+        |INSERT INTO T SELECT id, v FROM S3;""".stripMargin
+    def one(id: Long, v: Double) = Seq((id, v)).toDF("id", "v")
+    val in = Map("S1" -> one(1, 10), "S2" -> one(2, 20), "S3" -> one(3, 30))
+    val t = GraftApp.run(spark, base, in)("T")
+    assert(t.columns.toSeq == Seq("id", "v")) // the hidden sequence never leaks
+    // 3 single-row inserts into max_size=2 → the first insert is evicted
+    assert(t.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((2L, 20.0), (3L, 30.0)))
+    // DML composes: an upsert's NEW row counts as the newest insertion and
+    // evicts the oldest kept row (id=2); its UPDATE half replaces in place
+    val upApp = base + "\n" +
+      """CREATE STREAM S4 (id BIGINT, v DOUBLE);
+        |UPDATE OR INSERT INTO T SELECT id, v FROM S4 ON T.id = S4.id;""".stripMargin
+    val t2 = GraftApp.run(spark, upApp, in + ("S4" -> one(4, 40)))("T")
+    assert(t2.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((3L, 30.0), (4L, 40.0)))
+    // update-in-place keeps size and order (no eviction)
+    val t3 = GraftApp.run(spark, upApp, in + ("S4" -> one(3, 99)))("T")
+    assert(t3.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((2L, 20.0), (3L, 99.0)))
+    // DELETE shrinks below the bound without refilling
+    val delApp = base + "\n" +
+      """CREATE STREAM D (id BIGINT);
+        |DELETE FROM T FROM D WHERE T.id = D.id;""".stripMargin
+    val t4 = GraftApp.run(spark, delApp, in + ("D" -> Seq(Tuple1(3L)).toDF("id")))("T")
+    assert(t4.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet == Set((2L, 20.0)))
+    // a non-positive max_size raises typed
+    val err = intercept[GraftApp.SqlError](GraftApp.run(spark,
+      "CREATE TABLE B (id BIGINT) WITH ('max_size'='0');", Map.empty))
+    assert(err.getMessage.contains("max_size"))
+  }
+
   test("UPDATE with a multi-match delta raises instead of fanning out") {
     val app =
       """CREATE TABLE T (id BIGINT, bal DOUBLE);
