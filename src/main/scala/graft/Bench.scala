@@ -33,16 +33,15 @@ object Bench {
       spark.catalog.clearCache()
     }
 
-    // warm-up: JVM + codegen + parquet footer caches — one query per table
-    // family (TPC-H relations, documents, embeddings) AND per heavy codegen
-    // family (date formatting, pattern-SQL lowering + NFA), so no measured
-    // query pays one-time JIT/codegen costs (steady-state engine throughput
-    // is the comparable number; first-touch JIT was worth 3-5x on exactly
-    // these two: q_date_funcs 6.8 s cold vs 1.1 s steady)
-    Seq("q1_agg", "q_text_stats", "q_sim_topk", "q_date_funcs", "q_cep_sql_or")
-      .foreach { q =>
-        try run(SparkEntry.queries(q)) catch { case _: Throwable => () }
-      }
+    // warm-up: the FULL corpus runs once unmeasured, so every measured
+    // number below is steady-state — one uniform policy (a hand-picked
+    // warm list measured 5 queries warm and 77 cold, making driver and
+    // clean runs incomparable query-by-query). First-touch JIT/codegen is
+    // worth 3-5x on date formatting and pattern lowering, which is a JVM
+    // artifact, not engine throughput.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try run(fn) catch { case _: Throwable => () }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -82,8 +81,27 @@ object Bench {
     val winEps = if (tWin > 0) nEvents / tWin else 0.0
     val cepEps = if (tCep > 0) nEvents / tCep else 0.0
 
+    // regression floors (round-4 steady state cleared both with >=1.5x
+    // headroom: 478k window / 318k CEP): a state-format or hot-loop
+    // regression must not land silently. floors_met=false is the signal —
+    // the JSON still emits so the driver keeps its datapoint.
+    // floors are calibrated at sf0.1 (100k events, where per-job fixed
+    // costs amortize); below that the ~0.1s job overhead caps apparent
+    // events/s regardless of kernel speed, so the floor is not applicable
+    val winFloor = 300000L
+    val cepFloor = 200000L
+    val floorsApplicable = nEvents >= 100000L
+    val floorsMet = !floorsApplicable || (winEps >= winFloor && cepEps >= cepFloor)
+    if (!floorsMet)
+      System.err.println(s"WARN: kernel throughput below regression floor " +
+        s"(window ${winEps.round}/$winFloor, cep ${cepEps.round}/$cepFloor " +
+        "events/s) — investigate before shipping (or a contended host)")
+
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""warmup":"full-corpus-steady-state",""" +
       s""""window_kernel_events_per_sec":${winEps.round},"cep_events_per_sec":${cepEps.round},""" +
+      s""""kernel_floor_events_per_sec":$winFloor,"cep_floor_events_per_sec":$cepFloor,""" +
+      s""""floors_applicable":$floorsApplicable,"floors_met":$floorsMet,""" +
       s""""n_events":$nEvents}""")
     spark.stop()
   }
