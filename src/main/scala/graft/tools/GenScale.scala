@@ -1,0 +1,77 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up of a driver testdata directory: union K shifted
+  * copies of each fact table with consistently remapped keys, so joins
+  * stay referentially intact and per-key densities match the source
+  * (new keys, same per-key history — how a keyed workload actually grows).
+  * `region`/`nation` stay fixed like TPC-H dimension tables at every SF.
+  *
+  * Usage: runMain graft.tools.GenScale <srcDir> <dstDir> [k=10]
+  * The output exists for SCALING datapoints (Bench at 10x) — it is NOT the
+  * driver corpus and must not be used for oracle correctness runs.
+  */
+object GenScale {
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val k = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def write(t: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    // key-domain strides from the source so shifted copies never collide
+    def stride(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0) + 1L
+
+    val cust = read("customer"); val custN = stride(cust, "c_custkey")
+    val supp = read("supplier"); val suppN = stride(supp, "s_suppkey")
+    val part = read("part");     val partN = stride(part, "p_partkey")
+    val ord  = read("orders");   val ordN  = stride(ord, "o_orderkey")
+    val li   = read("lineitem")
+    val ev   = read("events");   val userN = stride(ev, "user_id")
+    val evN  = stride(ev, "event_id")
+    val doc  = read("documents"); val docN = stride(doc, "doc_id")
+    val emb  = read("embeddings"); val embN = stride(emb, "vec_id")
+
+    /** K copies with the listed long key columns shifted by copy * stride. */
+    def copies(df: DataFrame, shifts: Map[String, Long]): DataFrame =
+      (0 until k).map { c =>
+        shifts.foldLeft(df) { case (d, (colName, s)) =>
+          d.withColumn(colName, col(colName) + lit(c * s))
+        }
+      }.reduce(_ unionByName _)
+
+    // fixed dimensions pass through
+    write("region", read("region"))
+    write("nation", read("nation"))
+    write("customer", copies(cust, Map("c_custkey" -> custN)))
+    write("supplier", copies(supp, Map("s_suppkey" -> suppN)))
+    write("part", copies(part, Map("p_partkey" -> partN)))
+    write("orders", copies(ord, Map("o_orderkey" -> ordN, "o_custkey" -> custN)))
+    write("lineitem", copies(li, Map(
+      "l_orderkey" -> ordN, "l_partkey" -> partN, "l_suppkey" -> suppN)))
+    // events scale by USER (same time range, k x key cardinality): per-key
+    // history and window densities stay identical, which is the realistic
+    // growth axis for keyed streaming state
+    write("events", copies(ev, Map("event_id" -> evN, "user_id" -> userN)))
+    write("documents", copies(doc, Map("doc_id" -> docN)))
+    write("embeddings", copies(emb, Map("vec_id" -> embN)))
+
+    println(s"""{"generated":"$dst","from":"$src","k":$k}""")
+    spark.stop()
+  }
+}
