@@ -34,6 +34,48 @@ object AppRuntime {
         name -> df
     }
 
+  /** Bind JDBC-backed tables (jdbc_table.rs:18): `CREATE TABLE T (…) WITH
+    * ('store'='jdbc', 'url'=…, 'dbtable'=…)` loads its initial contents
+    * through Spark's JDBC source (predicate pushdown + partitioned reads
+    * come free); [[writeTableJdbc]] persists a table's current state back.
+    * The DML algebra stays engine-side (TableOps) — JDBC is storage, not
+    * compute, exactly the reference's Table-trait split.
+    */
+  def bindJdbcTables(spark: SparkSession, spec: GraftApp.AppSpec): Map[String, DataFrame] =
+    spec.streams.collect {
+      case (name, sd) if sd.isTable && sd.options.get("store").contains("jdbc") =>
+        val url = sd.options.getOrElse("url",
+          throw GraftApp.SqlError(s"jdbc table '$name' needs a 'url' option"))
+        val dbtable = sd.options.getOrElse("dbtable", name)
+        var reader = spark.read.format("jdbc")
+          .option("url", url).option("dbtable", dbtable)
+        sd.options.filterNot(kv => Reserved.contains(kv._1) ||
+            Set("store", "url", "dbtable").contains(kv._1))
+          .foreach { case (k, v) => reader = reader.option(k, v) }
+        // JDBC column names surface per the database's case folding; align
+        // them to the declared schema (names are validated by runTracked)
+        val raw = reader.load()
+        val renamed = raw.toDF(sd.schema.fieldNames.toIndexedSeq: _*)
+        name -> renamed
+    }
+
+  /** Persist a table's current state back to its JDBC store (overwrite =
+    * the reference's full-table ownership; truncate keeps the DDL). The
+    * state usually derives FROM the same store (load → DML → persist), so
+    * the plan is materialized eagerly first — otherwise the overwrite
+    * truncates the table and the lazy plan re-reads it empty. Table state
+    * is bounded (a lookup relation, not a fact stream), so executor-local
+    * checkpoint blocks are the right cost.
+    */
+  def writeTableJdbc(df: DataFrame, url: String, dbtable: String): Unit = {
+    val materialized = df.localCheckpoint(true)
+    try materialized.write.format("jdbc")
+      .option("url", url).option("dbtable", dbtable)
+      .option("truncate", "true")
+      .mode("overwrite").save()
+    finally materialized.unpersist()
+  }
+
   /** Build source DataFrames for every CREATE TRIGGER (trigger_runtime.rs):
     * periodic/cron triggers lower to the rate source (one partition — a
     * trigger is a metronome, not a data stream; downstream shuffles fan
@@ -98,7 +140,8 @@ object AppRuntime {
             extraInputs: Map[String, DataFrame] = Map.empty): Seq[StreamingQuery] = {
     val spec = GraftApp.parse(appSql)
     val env = GraftApp.run(spark, appSql,
-      bindSources(spark, spec) ++ bindTriggers(spark, spec) ++ extraInputs)
+      bindSources(spark, spec) ++ bindTriggers(spark, spec) ++
+        bindJdbcTables(spark, spec) ++ extraInputs)
     startSinks(spec, env)
   }
 }

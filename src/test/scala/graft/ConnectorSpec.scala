@@ -138,6 +138,37 @@ class ConnectorSpec extends AnyFunSuite {
     assert(errRange.getMessage.contains("unsupported day-of-month"))
   }
 
+  test("JDBC table backend: Derby-backed table loads, DML composes, persists back") {
+    import graft.sql.{AppRuntime, GraftApp}
+    // in-process Derby (ships with Spark) — the jdbc_table.rs role: the
+    // table's STORAGE is a database, the DML algebra stays engine-side
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE STOCK (symbol VARCHAR(16), price DOUBLE)")
+    st.execute("INSERT INTO STOCK VALUES ('IBM', 100.0), ('MSFT', 50.0)")
+    st.close()
+    val app =
+      """CREATE TABLE stock (symbol STRING, price DOUBLE)
+        |WITH ('store'='jdbc', 'url'='jdbc:derby:memory:graftjdbc', 'dbtable'='STOCK');
+        |CREATE STREAM quotes (symbol STRING, price DOUBLE);
+        |UPDATE OR INSERT INTO stock SELECT symbol, price FROM quotes
+        |ON stock.symbol = quotes.symbol;""".stripMargin
+    val spec = GraftApp.parse(app)
+    val jdbcEnv = AppRuntime.bindJdbcTables(spark, spec)
+    assert(jdbcEnv.keySet == Set("stock"))
+    val out = GraftApp.run(spark, app, jdbcEnv +
+      ("quotes" -> Seq(("IBM", 150.0), ("WSO2", 10.0)).toDF("symbol", "price")))("stock")
+    assert(out.orderBy("symbol").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("IBM", 150.0), ("MSFT", 50.0), ("WSO2", 10.0)))
+    // persist back and re-read through a fresh JDBC bind
+    AppRuntime.writeTableJdbc(out, url, "STOCK")
+    val again = AppRuntime.bindJdbcTables(spark, spec)("stock")
+    assert(again.orderBy("symbol").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("IBM", 150.0), ("MSFT", 50.0), ("WSO2", 10.0)))
+    conn.close()
+  }
+
   test("cron calendar gate keeps only ticks whose date matches dom/mon/dow") {
     import graft.sql.GraftApp
     import spark.implicits._
