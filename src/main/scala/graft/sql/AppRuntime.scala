@@ -27,7 +27,19 @@ object AppRuntime {
         sd.options.filterNot(kv => Reserved.contains(kv._1))
           .foreach { case (k, v) => reader = reader.option(k, v) }
         val df = (fmt, sd.options.get("path")) match {
-          case ("rate", _) => reader.load() // fixed (timestamp, value) schema
+          case ("rate", _) => reader.load()   // fixed (timestamp, value) schema
+          case ("socket", _) =>
+            // network text source (websocket_source.rs role over a raw TCP
+            // transport): fixed value:string schema; a declared multi-column
+            // schema means csv-mapped lines (csv_mapper.rs), split here so
+            // the app sees typed columns
+            val raw = reader.load()
+            if (sd.schema.fieldNames.toSeq == Seq("value")) raw
+            else {
+              import org.apache.spark.sql.functions.{col, from_csv, lit}
+              raw.select(from_csv(col("value"), sd.schema, Map.empty[String, String])
+                .as("r")).select(sd.schema.fieldNames.map(f => col(s"r.$f")).toIndexedSeq: _*)
+            }
           case (_, Some(p)) => reader.schema(sd.schema).load(p)
           case _ => reader.schema(sd.schema).load()
         }

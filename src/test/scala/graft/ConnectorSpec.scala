@@ -169,6 +169,47 @@ class ConnectorSpec extends AnyFunSuite {
     conn.close()
   }
 
+  test("socket network source: csv-mapped lines stream through a declared app") {
+    import graft.sql.{AppRuntime, GraftApp}
+    // in-process TCP server — the websocket/rabbitmq source ROLE (a network
+    // text transport + mapper) over the one transport the container allows
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val writerThread = new Thread(() => {
+      val sock = server.accept()
+      val w = new java.io.PrintWriter(sock.getOutputStream, true)
+      w.println("IBM,100.5")
+      w.println("MSFT,50.25")
+      w.println("IBM,7.5")
+      // keep the connection open long enough for the micro-batches to drain
+      Thread.sleep(8000); w.close(); sock.close()
+    })
+    writerThread.setDaemon(true); writerThread.start()
+    val app =
+      s"""CREATE STREAM ticks (symbol STRING, price DOUBLE)
+         |WITH ('type'='source', 'format'='socket',
+         |      'host'='localhost', 'port'='$port');
+         |CREATE STREAM agg (symbol STRING, total DOUBLE);
+         |INSERT INTO agg SELECT symbol, sum(price) AS total FROM ticks GROUP BY symbol;""".stripMargin
+    val spec = GraftApp.parse(app)
+    val env = GraftApp.run(spark, app, AppRuntime.bindSources(spark, spec))
+    val q = env("agg").writeStream.format("memory").queryName("sock_sink")
+      .outputMode("complete").start()
+    try {
+      // poll until both symbols aggregated (socket source has no
+      // processAllAvailable-style barrier for external writers)
+      val deadline = System.nanoTime() + 30e9.toLong
+      var rows = Map.empty[String, Double]
+      while (rows.size < 2 && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        rows = spark.table("sock_sink").collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+        if (rows.size < 2) Thread.sleep(200)
+      }
+      assert(rows == Map("IBM" -> 108.0, "MSFT" -> 50.25))
+    } finally { q.stop(); server.close() }
+  }
+
   test("cron calendar gate keeps only ticks whose date matches dom/mon/dow") {
     import graft.sql.GraftApp
     import spark.implicits._
