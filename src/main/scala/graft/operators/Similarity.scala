@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFns
 
@@ -117,6 +117,76 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("lsh_bucket"))
       .withColumn("sim", VectorFns.cosine(col("q_vec"), col("c_vec")))
       .dropDuplicates("q_id", "c_id")
+    topKSelect(scored, k)
+  }
+
+  // ---- IVF (inverted-file) ANN — the other standard scale path next to
+  // sign-LSH (the FAISS IVF-Flat shape): k-means coarse lists over the
+  // corpus; queries probe only the nprobe nearest lists. Centroids are
+  // nlist × dim doubles (KBs) and live on the driver, so list ASSIGNMENT
+  // is a pure projection against literal centroids — corpus-linear, no
+  // UDF, no shuffle besides the Lloyd updates (iters × one groupBy) and
+  // the final probe join. At 100 TB, train on a corpus sample (the
+  // assignment pass is the same either way).
+
+  /** Nearest-centroid list id (argmax cosine) as a literal-centroid
+    * projection: an array of (sim, list) structs reduced by array_max
+    * (lexicographic — sim first), no shuffle.
+    */
+  private def assignList(vec: Column, cents: Seq[Seq[Float]]): Column =
+    array_max(array(cents.zipWithIndex.map { case (cv, i) =>
+      struct(VectorFns.cosine(vec, typedlit(cv)).as("sim"), lit(i).as("list"))
+    }: _*)).getField("list")
+
+  /** Deterministic Lloyd k-means: init = the nlist corpus vectors with the
+    * smallest xxhash64(id) (a deterministic pseudo-random sample), then
+    * `iters` assignment/mean rounds. Empty lists keep their centroid.
+    */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                     nlist: Int, iters: Int = 3): Seq[Seq[Float]] = {
+    var cents: Seq[Seq[Float]] = corpus
+      .orderBy(xxhash64(col(idCol)))
+      .limit(nlist)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    for (_ <- 0 until iters) {
+      val means = corpus
+        .withColumn("__list", assignList(col(vecCol), cents))
+        .select(col("__list"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+        .groupBy(col("__list"), col("__pos"))
+        .agg(avg(col("__v")).as("__m"))
+        .collect().groupBy(_.getInt(0))
+      cents = cents.indices.map { i =>
+        means.get(i)
+          .map(_.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq)
+          .getOrElse(cents(i))
+      }
+    }
+    cents
+  }
+
+  /** IVF top-k: corpus vectors land in exactly one list (so the probe join
+    * produces no duplicate (q, c) pairs — unlike multi-probe LSH, no dedup
+    * shuffle); each query explodes to its nprobe best lists and broadcasts.
+    * nprobe == nlist probes everything and reproduces brute force exactly
+    * (the recall/cost dial with an exact endpoint).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              qIdCol: String, cIdCol: String, vecCol: String,
+              k: Int, nlist: Int, nprobe: Int, iters: Int = 3): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, s"nprobe $nprobe must be in [1, $nlist]")
+    val cents = trainCentroids(corpus, cIdCol, vecCol, nlist, iters)
+    val c = corpus.select(col(cIdCol).as("c_id"), col(vecCol).as("c_vec"))
+      .withColumn("__list", assignList(col("c_vec"), cents))
+    val probeArr = array(cents.zipWithIndex.map { case (cv, i) =>
+      struct(VectorFns.cosine(col("q_vec"), typedlit(cv)).as("sim"),
+        lit(i).as("list"))
+    }: _*)
+    val q = queries.select(col(qIdCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("__list",
+        explode(slice(reverse(array_sort(probeArr)), 1, nprobe).getField("list")))
+    val scored = c.join(broadcast(q), Seq("__list"))
+      .withColumn("sim", VectorFns.cosine(col("q_vec"), col("c_vec")))
     topKSelect(scored, k)
   }
 }

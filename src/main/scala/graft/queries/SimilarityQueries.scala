@@ -57,6 +57,22 @@ object SimilarityQueries extends QueryFamily {
       },
       None),
 
+    // ANN via IVF coarse quantizer (rows-only check; the nprobe==nlist
+    // exact-equality and partial-probe recall contracts are asserted in
+    // LlmOpsSpec — deterministic k-means, so rows are stable).
+    QueryDef(
+      "q_sim_ivf",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val queries = e.filter(col("vec_id") < 10)
+        val corpus  = e.filter(col("vec_id") >= 10)
+        Similarity.ivfTopK(queries, corpus,
+            "vec_id", "vec_id", "embedding", k = 5, nlist = 8, nprobe = 4)
+          .withColumn("sim", round(col("sim"), 6))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      None),
+
     // Centroid distance per label — embedding analytics shape: elementwise
     // array aggregation without exploding (posexplode would be 64x rows;
     // here we aggregate the quantized arrays summed per label).

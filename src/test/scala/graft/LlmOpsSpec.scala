@@ -77,6 +77,42 @@ class LlmOpsSpec extends AnyFunSuite {
       s"missing ${(expected -- found).size} exact-dup pairs of ${expected.size}")
   }
 
+  test("IVF ANN: full probe reproduces brute force exactly; partial probe recalls") {
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val c = e.filter(col("vec_id") >= 5)
+    val bf = Similarity.bruteForceTopK(q, c, "vec_id", "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // nprobe == nlist probes every list = exhaustive search: the IVF dial
+    // has an EXACT endpoint, so result set and ranks must match brute force
+    val full = Similarity.ivfTopK(q, c, "vec_id", "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == bf, "full-probe IVF must equal brute force")
+    // partial probe (half the lists): every query answered, ranks 1..k,
+    // sims non-increasing, and recall vs brute force above the floor for
+    // near-random vectors (no cluster structure to exploit — see
+    // embeddings-labels note; clustered corpora recall far higher)
+    val part = Similarity.ivfTopK(q, c, "vec_id", "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 4).collect()
+    assert(part.map(_.getLong(0)).distinct.length == 5)
+    part.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq)
+      val sims = sorted.map(_.getDouble(3)).toSeq
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    val bfPairs = bf.map(t => (t._1, t._3))
+    val partPairs = part.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bfPairs & partPairs).size.toDouble / bfPairs.size
+    assert(recall >= 0.3, s"IVF nprobe=4/8 recall $recall")
+    // determinism: training is xxhash-seeded Lloyd — identical rows on rerun
+    val rerun = Similarity.ivfTopK(q, c, "vec_id", "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rerun == part.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
   test("ANN results are valid and ordered; brute force agrees with itself") {
     val e = Tables(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") < 5)
