@@ -161,4 +161,33 @@ class WindowPropSpec extends AnyFunSuite {
       got == expected
     })
   }
+
+  test("everyNEvents: chunk algebra + batch-split invariance for all behaviors") {
+    val behaviors = Gen.oneOf[RateBehavior](
+      RateBehavior.First, RateBehavior.Last, RateBehavior.All)
+    check(Prop.forAll(genEvents, Gen.choose(1, 7), behaviors) { (events, n, b) =>
+      val (out, st) = WindowKernels.everyNEvents(events, RateBuffer(0L, Nil), n, b)
+      val chunks = events.grouped(n).toList
+      val complete = chunks.filter(_.size == n)
+      val algebraOk = b match {
+        case RateBehavior.First =>
+          // every chunk's head (open trailing chunk included), on arrival
+          out.map(_.eventId) == chunks.map(_.head.eventId) && st.pending.isEmpty
+        case RateBehavior.Last =>
+          out.map(_.eventId) == complete.map(_.last.eventId) && st.pending.isEmpty
+        case RateBehavior.All =>
+          out.map(_.eventId) == complete.flatten.map(_.eventId) &&
+            st.pending.map(_.eventId) == events.drop(complete.size * n).map(_.eventId)
+      }
+      algebraOk
+    })
+    check(Prop.forAll(genEvents, Gen.choose(1, 7), Gen.choose(0, 100), behaviors) {
+      (events, n, cut, b) =>
+        val (a2, b2) = splitRandomly(events, cut)
+        val (o1, s1) = WindowKernels.everyNEvents(a2, RateBuffer(0L, Nil), n, b)
+        val (o2, s2) = WindowKernels.everyNEvents(b2, s1, n, b)
+        val (whole, sw) = WindowKernels.everyNEvents(events, RateBuffer(0L, Nil), n, b)
+        (o1 ++ o2) == whole && s2 == sw
+    })
+  }
 }
