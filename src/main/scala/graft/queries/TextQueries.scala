@@ -39,6 +39,31 @@ object TextQueries extends QueryFamily {
              |  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_unique_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // BPE-ish token counting: the GPT-2 pre-tokenizer alternation shape
+    // (contractions | space-prefixed letter runs | digit runs | punct runs)
+    // as a plain leftmost-first regex — a much closer LLM token-cost proxy
+    // than whitespace splitting (punctuation and contractions count). Pure
+    // regexp_extract_all both sides; no lookarounds so Java regex and
+    // DuckDB's RE2 agree.
+    QueryDef(
+      "q_text_bpe_tokens",
+      (s, dir) => {
+        val pat = "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+"
+        val d = Tables(s, dir, "documents")
+        d.select(
+            col("doc_id"),
+            size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+              .cast("long").as("n_bpe_tokens"),
+            TextFns.tokenCount(col("text")).as("n_ws_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  len(regexp_extract_all(text,
+             |    '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))
+             |    AS n_bpe_tokens,
+             |  len(regexp_extract_all(text, '\S+')) AS n_ws_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Quality score: deterministic arithmetic over exact integer counts —
     // identical doubles on both engines, no rounding needed.
     QueryDef(
