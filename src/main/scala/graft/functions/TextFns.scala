@@ -132,18 +132,18 @@ case class WordShingles(child: Expression, n: Int)
   override def prettyName: String = "word_shingles"
 
   override def nullSafeEval(v: Any): Any =
-    WordShingles.eval(v.asInstanceOf[UTF8String], n)
+    WordShingles.compute(v.asInstanceOf[UTF8String], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x =>
-      s"${ev.value} = graft.functions.WordShingles.eval($x, $n);")
+      s"${ev.value} = graft.functions.WordShingles.compute($x, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object WordShingles {
-  def eval(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+  def compute(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     // Replicate the exact HOF semantics (trim = SPACES only, like Spark's
     // trim; split with limit -1 keeps edge empty tokens from leading/
     // trailing non-space whitespace; empty shingles filtered at the end) —

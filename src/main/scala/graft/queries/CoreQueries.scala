@@ -259,6 +259,46 @@ object CoreQueries extends QueryFamily {
              |  p_type LIKE 'STANDARD%' AS is_standard,
              |  p_name NOT LIKE '%a%' AS no_a,
              |  regexp_matches(p_type, 'STEEL$') AS ends_steel
-             |FROM part ORDER BY p_partkey""".stripMargin))
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Reference-spelled builtins through the registered RefFns surface
+    // (builtin_wrapper.rs:645-): maximum/minimum/default/convert/truncate/
+    // formatDate/parseDate/dateAdd/eventTimestamp/instanceOfX all resolve
+    // to native Catalyst compositions — this query runs them against the
+    // DuckDB-ANSI equivalents.
+    QueryDef(
+      "q_ref_scalar_fns",
+      (s, dir) => {
+        graft.functions.RefFns.register(s)
+        Tables(s, dir, "orders")
+          .where("o_orderkey <= 2000")
+          .selectExpr(
+            "o_orderkey",
+            "maximum(o_totalprice, 150000.0D) AS max_v",
+            "minimum(o_totalprice, 150000.0D) AS min_v",
+            "default(CAST(NULL AS DOUBLE), o_totalprice) AS def_v",
+            "convert(o_orderkey, 'string') AS conv_s",
+            "truncate(o_totalprice, 1) AS trunc1_v",
+            "formatDate(eventTimestamp(CAST(o_orderdate AS TIMESTAMP)), '%Y-%m') AS fmt_ym",
+            "dateAdd(eventTimestamp(CAST(o_orderdate AS TIMESTAMP)), 2, 'days') AS plus2_ms",
+            "parseDate(concat(formatDate(eventTimestamp(CAST(o_orderdate AS TIMESTAMP)), " +
+              "'%Y-%m-%d'), ' 06:30:00'), '%Y-%m-%d %H:%M:%S') AS halfpast_ms",
+            "instanceOfDouble(o_totalprice) AS is_dbl",
+            "instanceOfString(o_orderstatus) AS is_str")
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |  greatest(o_totalprice, 150000.0) AS max_v,
+             |  least(o_totalprice, 150000.0) AS min_v,
+             |  coalesce(CAST(NULL AS DOUBLE), o_totalprice) AS def_v,
+             |  CAST(o_orderkey AS VARCHAR) AS conv_s,
+             |  trunc(o_totalprice * 10.0) / 10.0 AS trunc1_v,
+             |  strftime(o_orderdate, '%Y-%m') AS fmt_ym,
+             |  epoch_ms(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 2 DAY) AS plus2_ms,
+             |  epoch_ms(strptime(strftime(o_orderdate, '%Y-%m-%d') || ' 06:30:00',
+             |    '%Y-%m-%d %H:%M:%S')) AS halfpast_ms,
+             |  TRUE AS is_dbl,
+             |  TRUE AS is_str
+             |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin))
   )
 }

@@ -194,6 +194,69 @@ object TextQueries extends QueryFamily {
           .select(col("doc_id"), col("width"), col("height"), col("n_frames"), col("format"))
           .orderBy(col("doc_id"))
       },
-      None)
+      None),
+
+    // End-to-end curation pipeline — the canonical training-data prep flow
+    // as ONE declarative plan: quality banding → lang-ID → exact dedup →
+    // per-(source, lang) corpus stats. Scale shape: every per-document
+    // computation (tokens, bands, stopword scores, fingerprint) is
+    // codegen'd map-side work over the scan; the `text` column is dropped
+    // BEFORE the first shuffle, so the dedup groupBy moves only
+    // (fp, doc_id, source, predicted, n_tokens) — at 100 TB the wide text
+    // bytes never leave the mappers, and the whole job is two shuffles
+    // (dedup keys, final stats).
+    QueryDef(
+      "q_pipeline_curation",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val nTok = TextFns.tokenCount(col("text"))
+        val uniq = size(array_distinct(split(trim(col("text")), "\\s+"))).cast("long")
+        val scoreEn = TextFns.stopwordHits(col("text"), StopEn)
+        val scoreData = TextFns.stopwordHits(col("text"), StopData)
+        val staged = d.select(
+            col("doc_id"), col("source"),
+            nTok.as("n_tokens"),
+            when(scoreEn >= scoreData, "en").otherwise("data").as("predicted"),
+            when(nTok < 20, "short")
+              .when(uniq.cast("double") / nTok.cast("double") < 0.3, "repetitive")
+              .otherwise("ok").as("quality_band"),
+            TextFns.fingerprint(col("text")).as("fp"))
+          .filter(col("quality_band") === "ok")
+        val kept = staged.groupBy(col("fp"))
+          .agg(min_by(
+            struct(col("doc_id"), col("source"), col("predicted"), col("n_tokens")),
+            col("doc_id")).as("r"))
+          .select(col("r.source").as("source"), col("r.predicted").as("predicted"),
+            col("r.n_tokens").as("n_tokens"))
+        kept.groupBy(col("source"), col("predicted"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"))
+          // exact integer sum / count: bit-deterministic, unlike avg()'s
+          // order-dependent double accumulation
+          .withColumn("avg_tokens",
+            col("total_tokens").cast("double") / col("n_docs").cast("double"))
+          .orderBy(col("source"), col("predicted"))
+      },
+      Some(s"""WITH staged AS (
+              |  SELECT doc_id, source,
+              |    len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+              |    CASE WHEN len(regexp_extract_all(lower(text), '\\b(${StopEn.mkString("|")})\\b'))
+              |           >= len(regexp_extract_all(lower(text), '\\b(${StopData.mkString("|")})\\b'))
+              |         THEN 'en' ELSE 'data' END AS predicted,
+              |    CASE WHEN len(regexp_extract_all(text, '\\S+')) < 20 THEN 'short'
+              |         WHEN CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+              |              / len(regexp_extract_all(text, '\\S+')) < 0.3 THEN 'repetitive'
+              |         ELSE 'ok' END AS quality_band,
+              |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+              |  FROM documents),
+              |ok_docs AS (SELECT * FROM staged WHERE quality_band = 'ok'),
+              |kept AS (SELECT min(doc_id) AS doc_id FROM ok_docs GROUP BY fp),
+              |rows_kept AS (SELECT o.* FROM ok_docs o JOIN kept k ON o.doc_id = k.doc_id)
+              |SELECT source, predicted,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+              |  CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
+              |FROM rows_kept GROUP BY source, predicted
+              |ORDER BY source, predicted""".stripMargin))
   )
 }

@@ -648,6 +648,7 @@ object GraftApp {
     */
   def runTracked(spark: SparkSession, appSql: String,
                  inputs: Map[String, DataFrame]): (Map[String, DataFrame], () => Unit) = {
+    graft.functions.RefFns.register(spark) // reference-spelled builtins
     val spec = parse(appSql)
     val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
     var env: Map[String, DataFrame] = inputs

@@ -174,4 +174,27 @@ class LlmOpsSpec extends AnyFunSuite {
     val again = d.select(TextFns.rollingHash(col("text")).as("h")).collect().map(_.getLong(0))
     assert(hashes.toSeq == again.toSeq)
   }
+
+  test("curation pipeline: wide text column never enters a shuffle (100 TB shape)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // AQE wraps the plan in AdaptiveSparkPlanExec whose collect() doesn't
+    // descend; audit the static plan
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q_pipeline_curation")(spark, dir)
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s
+      }
+      assert(shuffles.nonEmpty)
+      // per-document text is consumed map-side; only (fp, source, predicted,
+      // n_tokens)-width rows may cross the wire
+      assert(shuffles.forall(s => !s.output.exists(_.name == "text")),
+        shuffles.map(_.output.map(_.name).mkString(",")).mkString(" | "))
+      // and the result is still correct
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(_.getLong(2) > 0))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }

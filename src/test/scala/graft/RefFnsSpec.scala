@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.RefFns
+import graft.sql.GraftApp
+
+/** The reference's 57 registered builtin names (builtin_wrapper.rs:645-)
+  * callable from GraftApp SQL: natives resolve as-is; RefFns supplies the
+  * rest (maximum/minimum/default/convert/now/eventTimestamp/formatDate/
+  * parseDate/dateAdd/trunc/truncate/instanceOfX) as compositions of native
+  * Catalyst expressions with the reference's semantics.
+  */
+class RefFnsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def one(exprSql: String): Any = {
+    RefFns.register(spark)
+    spark.range(1).selectExpr(s"($exprSql) AS v").collect()(0).get(0)
+  }
+
+  test("all 57 reference builtin names resolve through the SQL parser") {
+    RefFns.register(spark)
+    // one sample invocation per registered name from builtin_wrapper.rs;
+    // cast(x, t) is grammar-level CAST syntax in Spark — `convert` is the
+    // function-call spelling (identical semantics, converter.rs:30-35)
+    val samples = Seq(
+      "cast(5.5 AS INT)", "convert(5.5, 'int')", "coalesce(NULL, 1)",
+      "ifnull(NULL, 1)", "nullif(1, 1)", "default(NULL, 2)", "uuid()",
+      "now()", "eventTimestamp(timestamp_seconds(1))",
+      "formatDate(0, '%Y')", "parseDate('1970-01-01', '%Y-%m-%d')",
+      "dateAdd(0, 1, 'days')", "abs(-1)", "acos(1.0)", "asin(0.0)",
+      "atan(0.0)", "ascii('a')", "ceil(1.2)", "char(65)", "chr(65)",
+      "concat('a', 'b')", "cos(0.0)", "exp(1.0)", "floor(1.8)",
+      "instr('abc', 'b')", "left('abc', 1)", "length('abc')",
+      "like('abc', 'a%')", "ln(1.0)", "locate('b', 'abc')", "log(2.0, 8.0)",
+      "log10(100.0)", "lower('AB')", "lpad('a', 3, 'x')", "ltrim(' a')",
+      "maximum(1, 2, 3)", "minimum(1, 2, 3)", "mod(7, 3)",
+      "position('b', 'abc')", "pow(2, 3)", "power(2, 3)", "repeat('a', 2)",
+      "replace('aa', 'a', 'b')", "reverse('ab')", "right('abc', 1)",
+      "round(1.25, 1)", "rpad('a', 3, 'x')", "rtrim('a ')", "sign(-2)",
+      "sin(0.0)", "sqrt(4.0)", "substr('abc', 2)", "substring('abc', 2)",
+      "tan(0.0)", "trim(' a ')", "trunc(5.79)", "truncate(5.789, 2)",
+      "upper('ab')")
+    val row = spark.range(1)
+      .selectExpr(samples.zipWithIndex.map { case (s, i) => s"($s) AS c$i" }: _*)
+      .collect()(0)
+    assert(row.length == samples.length)
+  }
+
+  test("maximum/minimum = variadic greatest/least") {
+    assert(one("maximum(3, 9, 5)") == 9)
+    assert(one("minimum(3, 9, 5)") == 3)
+    assert(one("maximum(1.5, CAST(2 AS DOUBLE))") == 2.0)
+  }
+
+  test("default(v, d): d on NULL, v otherwise; exactly 2 args") {
+    assert(one("default(CAST(NULL AS INT), 7)") == 7)
+    assert(one("default(4, 7)") == 4)
+    val e = intercept[GraftApp.SqlError](one("default(1, 2, 3)"))
+    assert(e.getMessage.contains("exactly 2"))
+  }
+
+  test("convert(x, 'type'): the reference's six type spellings; typed error otherwise") {
+    assert(one("convert('42', 'int')") == 42)
+    assert(one("convert(1, 'bool')") == true)
+    assert(one("convert(5.9, 'long')") == 5L)
+    assert(one("convert(5, 'string')") == "5")
+    assert(one("convert('2.5', 'float')") == 2.5f)
+    assert(one("convert('2.5', 'double')") == 2.5)
+    val e = intercept[GraftApp.SqlError](one("convert(1, 'decimal')"))
+    assert(e.getMessage.contains("unknown target type"))
+  }
+
+  test("now() returns epoch millis LONG (reference time domain, date_functions.rs:13-24)") {
+    val before = System.currentTimeMillis()
+    val v = one("now()").asInstanceOf[Long]
+    val after = System.currentTimeMillis()
+    assert(v >= before - 5000 && v <= after + 5000)
+  }
+
+  test("formatDate: chrono %-patterns translate, literal letters quoted, unknown specifier typed") {
+    // 2021-03-04T05:06:07Z = 1614834367000 ms
+    assert(one("formatDate(1614834367000, '%Y-%m-%d %H:%M:%S')") == "2021-03-04 05:06:07")
+    assert(one("formatDate(1614834367000, '%d %B %Y')") == "04 March 2021")
+    // literal letters in the pattern survive (quoted for Java)
+    assert(one("formatDate(1614834367000, '%Hh at %Mm')") == "05h at 06m")
+    // %% = literal percent
+    assert(one("formatDate(1614834367000, '%H%%')") == "05%")
+    // Java-style pattern with no % passes through
+    assert(one("formatDate(1614834367000, 'yyyy/MM/dd')") == "2021/03/04")
+    val e = intercept[GraftApp.SqlError](one("formatDate(0, '%Q')"))
+    assert(e.getMessage.contains("unsupported chrono specifier"))
+  }
+
+  test("parseDate: date-only → midnight; datetime form; inverse of formatDate") {
+    assert(one("parseDate('2021-03-04', '%Y-%m-%d')") == 1614816000000L)
+    assert(one("parseDate('2021-03-04 05:06:07', '%Y-%m-%d %H:%M:%S')") == 1614834367000L)
+    assert(one("parseDate(formatDate(1614834367000, '%Y-%m-%d %H:%M:%S'), " +
+      "'%Y-%m-%d %H:%M:%S')") == 1614834367000L)
+  }
+
+  test("dateAdd: fixed-width units over millis; negative increments; typed unit error") {
+    assert(one("dateAdd(1000, 3, 'seconds')") == 4000L)
+    assert(one("dateAdd(0, 2, 'minutes')") == 120000L)
+    assert(one("dateAdd(0, 1, 'hours')") == 3600000L)
+    assert(one("dateAdd(86400000, -1, 'days')") == 0L)
+    assert(one("dateAdd(CAST(NULL AS LONG), 1, 'days')") == null)
+    val e = intercept[GraftApp.SqlError](one("dateAdd(0, 1, 'months')"))
+    assert(e.getMessage.contains("unknown unit"))
+  }
+
+  test("eventTimestamp(ts) = event-time column as epoch millis") {
+    assert(one("eventTimestamp(timestamp_seconds(42))") == 42000L)
+  }
+
+  test("trunc/truncate: toward-zero numeric truncation (math_functions.rs:781-828)") {
+    assert(one("trunc(5.79)") == 5.0)
+    assert(one("trunc(-5.79)") == -5.0) // toward zero, NOT floor
+    assert(one("truncate(5.789, 2)") == 5.78)
+    assert(one("truncate(-5.789, 1)") == -5.7)
+    assert(one("trunc(5.789, 1)") == 5.7)
+    // 2-arg string form still dispatches to Spark's date trunc
+    assert(one("trunc(DATE'2021-03-15', 'MM')").toString == "2021-03-01")
+  }
+
+  test("instanceOfX: value-type tests, false on NULL (instance_of_checkers.rs)") {
+    assert(one("instanceOfInteger(1)") == true)
+    assert(one("instanceOfInteger(CAST(1 AS LONG))") == false)
+    assert(one("instanceOfLong(CAST(1 AS LONG))") == true)
+    assert(one("instanceOfString('a')") == true)
+    assert(one("instanceOfString(1)") == false)
+    assert(one("instanceOfFloat(CAST(1 AS FLOAT))") == true)
+    // NB: a bare `1.5` literal is DECIMAL in Spark SQL (not the reference's
+    // DOUBLE) — typed columns / casts carry the reference's six-type model
+    assert(one("instanceOfDouble(1.5D)") == true)
+    assert(one("instanceOfDouble(1.5)") == false)
+    assert(one("instanceOfBoolean(true)") == true)
+    assert(one("instanceOfDouble(CAST(NULL AS DOUBLE))") == false)
+  }
+
+  test("reference spellings work through the GraftApp SQL surface end to end") {
+    import spark.implicits._
+    val events = Seq(
+      (1000L, 1L, 5.0, 2.0), (2000L, 2L, 1.0, 9.0), (3000L, 3L, 4.5, 6.0)
+    ).toDF("ms", "user_id", "a", "b")
+      .selectExpr("timestamp_millis(ms) AS ts", "user_id", "a", "b")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, a DOUBLE, b DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, hi DOUBLE, ems BIGINT, day STRING);
+        |INSERT INTO Out
+        |SELECT user_id, maximum(a, b) AS hi,
+        |       dateAdd(eventTimestamp(ts), 1, 'seconds') AS ems,
+        |       formatDate(eventTimestamp(ts), '%Y-%m-%d') AS day
+        |FROM E WHERE instanceOfDouble(a) AND minimum(a, b) < 4.4;""".stripMargin
+    val out = GraftApp.run(spark, app, Map("E" -> events))("Out")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 5.0, 2000L, "1970-01-01"),
+      (2L, 9.0, 3000L, "1970-01-01")))
+  }
+}
