@@ -20,6 +20,26 @@ object Dedup {
       .groupBy(col("digest"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Streaming exact dedup over an ingest stream: first occurrence of each
+    * canonical-text digest passes, re-arrivals within the watermark horizon
+    * are dropped. State is the digest set bounded by the watermark —
+    * Spark's `dropDuplicatesWithinWatermark` evicts entries once the
+    * event-time watermark passes them, so state stays proportional to the
+    * dedup horizon, not the stream's lifetime (the unbounded-state cliff a
+    * naive dropDuplicates hits on an infinite corpus feed).
+    *
+    * `tsCol` must be the event-time column; `horizon` is a Spark duration
+    * string ("10 minutes"). Batch DataFrames take the exact() path instead.
+    */
+  def streamingExact(df: DataFrame, textCol: String, tsCol: String,
+                     horizon: String): DataFrame = {
+    require(df.isStreaming, "streamingExact needs a streaming DataFrame; use exact() for batch")
+    df.withColumn("__digest", TextFns.fingerprint(col(textCol)))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest")
+  }
+
   /** Token-set Jaccard pairs within a blocking key, via PREFIX FILTERING
     * (the AllPairs/PPJoin family): order each doc's tokens by block-level
     * rarity, index only the first |d| - ceil(t*|d|) + 1 tokens, enumerate

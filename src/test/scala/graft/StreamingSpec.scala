@@ -615,4 +615,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(collected.map(_.eventId) == Seq(1L, 2L, 3L)) // e1[i] indexed access
     assert(collected.map(_.value).sum == 60.0)          // sum(e1.value)
   }
+
+  test("streaming exact dedup: cross-batch drop within horizon, state evicted past it") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String)] // (sec, doc_id, text)
+    val docs = in.toDS().toDF("sec", "doc_id", "text")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "doc_id", "text")
+    val out = graft.operators.Dedup.streamingExact(docs, "text", "ts", "10 seconds")
+    assert(out.isStreaming)
+    assert(out.columns.toSeq == Seq("ts", "doc_id", "text")) // digest col hidden
+    val q = out.writeStream.format("memory").queryName("sdedup_sink")
+      .outputMode("append").start()
+    def ids() = spark.table("sdedup_sink").collect().map(_.getLong(1)).sorted.toSeq
+    try {
+      in.addData((1L, 1L, "alpha"), (2L, 2L, "beta")); q.processAllAvailable()
+      // same canonical text in a LATER batch (case/whitespace-normalized
+      // duplicate) is dropped while its digest is in state
+      in.addData((3L, 3L, "  ALPHA "), (4L, 4L, "gamma")); q.processAllAvailable()
+      assert(ids() == Seq(1L, 2L, 4L))
+      // advance the watermark well past the horizon: digest state for the
+      // old entries is evicted, so a far-future repeat re-admits (the
+      // documented horizon contract of dropDuplicatesWithinWatermark)
+      in.addData((100L, 5L, "delta")); q.processAllAvailable()
+      in.addData((101L, 6L, "alpha")); q.processAllAvailable()
+      assert(ids() == Seq(1L, 2L, 4L, 5L, 6L))
+    } finally q.stop()
+  }
 }
