@@ -231,12 +231,16 @@ object GraftApp {
           // (trigger_definition.rs; TriggerTestCase ports). The trigger
           // name becomes a stream with a single triggered_time column.
           case TriggerRe(name, atRaw) =>
+            if (streams.contains(name)) throw SqlError(
+              s"duplicate stream/table/trigger definition '$name'")
             val t = parseTriggerAt(name, atRaw.trim)
             triggers += t
             streams += name -> StreamDef(name,
               StructType(Seq(StructField("triggered_time", TimestampType))),
               Map("type" -> "trigger"), isTable = false)
           case CreateRe(kind, name, colsRaw, withRaw) =>
+            if (streams.contains(name)) throw SqlError(
+              s"duplicate stream/table/trigger definition '$name'")
             val fields = colsRaw.split(",").map(_.trim).filter(_.nonEmpty).map { c =>
               val parts = c.split("\\s+")
               if (parts.length < 2) throw SqlError(s"bad column def '$c' in $name")
@@ -699,6 +703,11 @@ object GraftApp {
     // state produced by everything before it, and later reads see the DML
     spec.stmts.foreach {
       case QueryStmt(q) =>
+        // tables are passive state: joinable from a stream, never a query
+        // source themselves (type_validation_test.rs test_1_7)
+        if (spec.streams.get(q.source).exists(_.isTable))
+          throw SqlError(s"direct query on table '${q.source}' — " +
+            "tables are passive state; JOIN them from a stream")
         val src0 = env.getOrElse(q.source,
           throw SqlError(s"stream '${q.source}' has no bound data"))
         val src = q.sourceWindow.map(bufferWindow(src0, _)).getOrElse(src0)
@@ -712,12 +721,21 @@ object GraftApp {
             throw SqlError(s"stream '${j.stream}' has no bound data"))
           val right1 = j.window.map(bufferWindow(right0, _)).getOrElse(right0)
           val right = if (j.window.exists(_.kind == "length")) broadcast(right1) else right1
+          TypeGuard.check(acc.sparkSession, j.cond,
+            StructType(acc.schema.fields ++ right.schema.fields),
+            checkUndefined = false)
           acc.join(right.as(j.stream), expr(j.cond), j.joinType)
         }
         val out = compileQuery(joined, q)
         env += q.target -> (if (bounded.contains(q.target)) boundedAppend(q.target, out)
           else env.get(q.target).map(_.unionByName(out)).getOrElse(out))
       case PatternStmt(p) =>
+        // pattern steps fire on event arrival; a passive table never
+        // "arrives" (type_validation_test.rs test_1_9)
+        p.allAlts.map(_.stream).distinct
+          .find(s => spec.streams.get(s).exists(_.isTable))
+          .foreach(t => throw SqlError(
+            s"table '$t' cannot appear as a pattern step — patterns match STREAM events"))
         val out = PatternCompiler.compile(spark, p, env, persisted += _)
         env += p.target -> (if (bounded.contains(p.target)) boundedAppend(p.target, out)
           else env.get(p.target).map(_.unionByName(out)).getOrElse(out))
@@ -809,7 +827,10 @@ object GraftApp {
 
   private def compileQuery(src: DataFrame, q: QuerySpec): DataFrame = {
     var df = src
-    q.where.foreach(w => df = df.filter(expr(w)))
+    q.where.foreach { w =>
+      TypeGuard.check(df.sparkSession, w, df.schema, checkUndefined = true)
+      df = df.filter(expr(w))
+    }
     // INSERT EXPIRED/ALL EVENTS (window_definition.rs OutputEventType):
     // batch result-level form for count windows — an event EXPIRED iff it
     // is not among the last n arrivals of its partition key. EXPIRED emits
@@ -934,7 +955,10 @@ object GraftApp {
         case (e, Some(a)) => expr(e).as(a)
         case (e, None) => expr(e)
       }: _*)
-    having.foreach(h => df = df.filter(expr(h)))
+    having.foreach { h =>
+      TypeGuard.check(df.sparkSession, h, df.schema, checkUndefined = false)
+      df = df.filter(expr(h))
+    }
     finishOrderLimit(df, q)
   }
 

@@ -806,4 +806,108 @@ class CompatSpec extends AnyFunSuite {
       NfaState(Nil, done = false), spec)._1
     assert(miss.isEmpty)
   }
+
+  // -- tests/type_validation_test.rs + compare_expression.rs: the
+  //    reference validates expression types at COMPILE time where Spark's
+  //    analyzer would silently coerce. TypeGuard restores the reference's
+  //    rejections on the GraftApp surface.
+  private def tgApp(whereClause: String,
+                    cols: String = "sym STRING, price DOUBLE, n INT, ok BOOLEAN") = {
+    import spark.implicits._
+    val in = Seq(("a", 1.0, 1, true)).toDF("sym", "price", "n", "ok")
+    val app =
+      s"""CREATE STREAM S ($cols);
+         |CREATE STREAM Out (sym STRING);
+         |INSERT INTO Out SELECT sym FROM S WHERE $whereClause;""".stripMargin
+    graft.sql.GraftApp.run(spark, app, Map("S" -> in))("Out")
+  }
+
+  test("compat type_validation 1_1: BOOL ordering comparisons rejected, equality allowed") {
+    for (op <- Seq(">", "<", ">=", "<=")) {
+      val e = intercept[GraftApp.SqlError](tgApp(s"ok $op false"))
+      assert(e.getMessage.contains("Only == and != supported for BOOL"), op)
+    }
+    assert(tgApp("ok = true").count() == 1)   // test_1_1_boolean_equal_allowed
+    assert(tgApp("ok != false").count() == 1) // ..._not_equal_allowed
+  }
+
+  test("compat type_validation 1_2: STRING vs numeric/BOOL comparison rejected, STRING-STRING allowed") {
+    for (rhs <- Seq("42", "4.5D", "true")) {
+      val e = intercept[GraftApp.SqlError](tgApp(s"sym = $rhs"))
+      assert(e.getMessage.contains("Cannot compare"), rhs)
+    }
+    val e2 = intercept[GraftApp.SqlError](tgApp("n > 'abc'"))
+    assert(e2.getMessage.contains("Cannot compare"))
+    assert(tgApp("sym = 'a'").count() == 1)
+    assert(tgApp("sym >= 'a'").count() == 1) // string ordering is legal
+  }
+
+  test("compat type_validation: numeric cross-type comparisons stay allowed") {
+    assert(tgApp("n <= price").count() == 1)          // INT vs DOUBLE
+    assert(tgApp("n = CAST(1 AS LONG)").count() == 1) // INT vs LONG
+    assert(tgApp("price >= 0.5").count() == 1)
+  }
+
+  test("compat type_validation 1_6: NOT requires a boolean operand") {
+    val e = intercept[GraftApp.SqlError](tgApp("NOT price"))
+    assert(e.getMessage.contains("NOT requires a BOOL operand"))
+    assert(tgApp("NOT ok = false").count() == 0 ||
+           tgApp("NOT (ok = false)").count() == 1) // boolean forms legal
+  }
+
+  test("compat type_validation 1_3: undefined attribute in WHERE is a typed error") {
+    val e = intercept[GraftApp.SqlError](tgApp("missing_col > 5"))
+    assert(e.getMessage.contains("undefined attribute 'missing_col'"))
+  }
+
+  test("compat type_validation 1_4: duplicate stream definition rejected, distinct names fine") {
+    import spark.implicits._
+    val in = Seq(("a", 1.0)).toDF("sym", "price")
+    val dup =
+      """CREATE STREAM Stock (sym STRING, price DOUBLE);
+        |CREATE STREAM Stock (sym STRING, volume INT);
+        |INSERT INTO Out SELECT sym FROM Stock;""".stripMargin
+    val e = intercept[GraftApp.SqlError](
+      graft.sql.GraftApp.run(spark, dup, Map("Stock" -> in)))
+    assert(e.getMessage.contains("duplicate") && e.getMessage.contains("Stock"))
+  }
+
+  test("compat type_validation 1_7: direct table query rejected; table JOIN and stream query allowed") {
+    import spark.implicits._
+    val lookup = Seq((1, "x")).toDF("id", "name")
+    val events = Seq((1, "d")).toDF("id", "data")
+    val direct =
+      """CREATE STREAM Events (id INT, data STRING);
+        |CREATE TABLE Lookup (id INT, name STRING);
+        |CREATE STREAM Out (id INT, name STRING);
+        |INSERT INTO Out SELECT id, name FROM Lookup;""".stripMargin
+    val e = intercept[GraftApp.SqlError](graft.sql.GraftApp.run(
+      spark, direct, Map("Events" -> events, "Lookup" -> lookup)))
+    assert(e.getMessage.contains("table") && e.getMessage.contains("JOIN"))
+    val joined =
+      """CREATE STREAM Events (id INT, data STRING);
+        |CREATE TABLE Lookup (id INT, name STRING);
+        |CREATE STREAM Out (id INT, name STRING);
+        |INSERT INTO Out SELECT Events.id AS id, Lookup.name AS name
+        |FROM Events JOIN Lookup ON Events.id = Lookup.id;""".stripMargin
+    assert(graft.sql.GraftApp.run(
+      spark, joined, Map("Events" -> events, "Lookup" -> lookup))("Out").count() == 1)
+  }
+
+  test("compat type_validation 1_9: table as a pattern step rejected, stream allowed") {
+    import spark.implicits._
+    val t = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 1L, "a"))
+      .toDF("ts", "user_id", "kind")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING);
+        |CREATE TABLE L (ts TIMESTAMP, user_id BIGINT, kind STRING);
+        |CREATE STREAM Out (user_id BIGINT);
+        |INSERT INTO Out
+        |SELECT e1.user_id AS user_id
+        |FROM PATTERN (e1=E[kind = 'a'] -> e2=L[kind = 'b'])
+        |PARTITION BY user_id;""".stripMargin
+    val e = intercept[GraftApp.SqlError](graft.sql.GraftApp.run(
+      spark, app, Map("E" -> t, "L" -> t)))
+    assert(e.getMessage.contains("pattern") && e.getMessage.contains("L"))
+  }
 }
