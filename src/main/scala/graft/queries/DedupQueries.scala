@@ -106,6 +106,47 @@ object DedupQueries extends QueryFamily {
              |  FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id)
              |SELECT a_id, b_id, dot / (sqrt(na) * sqrt(nb)) AS sim
              |FROM p WHERE dot / (sqrt(na) * sqrt(nb)) > 0.3
-             |ORDER BY a_id, b_id""".stripMargin))
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Cluster resolution: connected components over a duplicate-pair graph
+    // (docs sharing a shingle with doc-frequency exactly 2 — deterministic
+    // edges both engines can mine), labels = min reachable doc id. Spark
+    // side runs the iterative pointer-jumping propagation; the oracle
+    // computes ground truth via a recursive transitive-closure CTE.
+    QueryDef(
+      "q_dedup_clusters",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val sh = d.select(col("doc_id"),
+            explode(graft.functions.TextFns.shingles(col("text"), 3)).as("sh"))
+          .distinct()
+        val edges = sh.groupBy(col("sh"))
+          .agg(countDistinct(col("doc_id")).as("n"),
+            min(col("doc_id")).as("a_id"), max(col("doc_id")).as("b_id"))
+          .filter(col("n") === 2)
+          .select(col("a_id"), col("b_id")).distinct()
+        Dedup.clusters(edges, "a_id", "b_id")
+          .orderBy(col("id"))
+      },
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id,
+             |    array_to_string(toks[i.i + 1 : i.i + 3], ' ') AS sh
+             |  FROM t CROSS JOIN LATERAL (
+             |    SELECT unnest(range(0, greatest(len(toks) - 3, 0) + 1)) AS i) i),
+             |e2 AS (
+             |  SELECT min(doc_id) a, max(doc_id) b FROM sh
+             |  GROUP BY sh HAVING count(DISTINCT doc_id) = 2),
+             |edges AS (
+             |  SELECT DISTINCT a AS src, b AS dst FROM e2
+             |  UNION SELECT DISTINCT b, a FROM e2),
+             |reach(id, r) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+             |SELECT id, min(r) AS cluster_id FROM reach
+             |GROUP BY id ORDER BY id""".stripMargin))
   )
 }

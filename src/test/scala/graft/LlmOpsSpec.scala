@@ -175,6 +175,48 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(hashes.toSeq == again.toSeq)
   }
 
+  test("cluster resolution matches union-find on seeded random graphs; log-round chains") {
+    import spark.implicits._
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map(x => x -> find(x)).toMap
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 60 + trial * 40
+      val edges = (0 until n).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(e => e._1 != e._2)
+      val got = graft.operators.Dedup
+        .clusters(edges.toDF("a_id", "b_id"), "a_id", "b_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == unionFind(n, edges), s"trial $trial")
+    }
+    // 120-node path graph: diameter 119 — converges only because of the
+    // pointer jump (plain hash-min would exhaust the 25-round bound)
+    val chain = (0L until 119L).map(i => (i, i + 1))
+    val labels = graft.operators.Dedup
+      .clusters(chain.toDF("a_id", "b_id"), "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 120 && labels.forall(_._2 == 0L))
+    assert(graft.sql.ScaleWarnings.recentWarnings
+      .forall(!_.contains("Dedup.clusters"))) // converged inside the bound
+    // determinism
+    val again = graft.operators.Dedup
+      .clusters(chain.toDF("a_id", "b_id"), "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("curation pipeline: wide text column never enters a shuffle (100 TB shape)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     // AQE wraps the plan in AdaptiveSparkPlanExec whose collect() doesn't
