@@ -43,6 +43,8 @@ object Dedup {
   def clusters(pairs: DataFrame, aCol: String, bCol: String,
                maxIter: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sc = pairs.sparkSession.sparkContext
+    val preexisting = sc.getPersistentRDDs.keySet
     val sym = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(pairs
@@ -85,7 +87,17 @@ object Dedup {
         "diameter exceeds the bound; labels are a valid refinement but may " +
         "split true components. Raise maxIter.")
     sym.unpersist()
-    labels.select(col("id"), col("label").as("cluster_id"))
+    // re-checkpoint the final generation, then free every intermediate
+    // checkpoint RDD this call created (they otherwise stay registered
+    // until GC — executor memory held hostage to driver garbage timing)
+    val beforeFinal = sc.getPersistentRDDs.keySet
+    val result = labels.select(col("id"), col("label").as("cluster_id"))
+      .localCheckpoint(true)
+    val finalIds = sc.getPersistentRDDs.keySet -- beforeFinal
+    (sc.getPersistentRDDs.keySet -- preexisting -- finalIds).foreach { id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
+    }
+    result
   }
 
   /** Streaming exact dedup over an ingest stream: first occurrence of each

@@ -360,12 +360,17 @@ class GraftAppSpec extends AnyFunSuite {
     val in = Seq((1, 7L, "a"), (2, 7L, "b")).toDF("sec", "user_id", "kind")
       .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "user_id", "kind")
     spark.catalog.clearCache()
+    // scope the assertion to THIS runTracked's persists: other components
+    // (e.g. a Dedup.clusters result checkpoint from another suite in the
+    // shared JVM) may legitimately hold persistent RDDs
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
     val (env, close) = GraftApp.runTracked(spark, app, Map("E" -> in))
     assert(env("Out").collect().map(_.getLong(0)).toSeq == Seq(7L))
     // the compiler persisted the per-key ordering; cleanup must release it
-    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    def mine = spark.sparkContext.getPersistentRDDs.keySet -- preexisting
+    assert(mine.nonEmpty)
     close()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert(mine.isEmpty)
   }
 
   test("unpartitioned pattern and per-event frame log the single-task warning") {
