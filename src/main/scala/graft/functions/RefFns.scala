@@ -187,12 +187,19 @@ object RefFns {
   }
 
   /** Install every reference-spelled name into the session registry.
-    * Idempotent (createOrReplace); called on every GraftApp.run.
+    * Once per session (a WeakHashMap latch — re-registering on every
+    * GraftApp.run would log a "function replaced" warning per name per run,
+    * and must not pin sessions in memory).
     */
-  def register(spark: SparkSession): Unit = {
+  private val installed =
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()
+
+  def register(spark: SparkSession): Unit = installed.synchronized {
+    if (installed.containsKey(spark)) return
     val reg = spark.sessionState.functionRegistry
     builders.foreach { case (name, b) =>
       reg.createOrReplaceTempFunction(name, b, "built-in")
     }
+    installed.put(spark, java.lang.Boolean.TRUE)
   }
 }

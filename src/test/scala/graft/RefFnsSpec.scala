@@ -146,6 +146,26 @@ class RefFnsSpec extends AnyFunSuite {
     assert(one("instanceOfDouble(CAST(NULL AS DOUBLE))") == false)
   }
 
+  test("property: formatDate/parseDate round-trip random second-aligned instants") {
+    import spark.implicits._
+    RefFns.register(spark)
+    val rnd = new scala.util.Random(7)
+    // 200 instants across 1970-2100, second resolution (the finest the
+    // patterns carry)
+    val ms = Seq.fill(200)((rnd.nextLong().abs % 4102444800L) * 1000L)
+    val pats = Seq("%Y-%m-%d %H:%M:%S", "%F %T", "%Y/%m/%d %H:%M:%S")
+    for (p <- pats) {
+      val rows = ms.toDF("ms")
+        .selectExpr(s"ms", s"parseDate(formatDate(ms, '$p'), '$p') AS rt")
+        .collect()
+      rows.foreach(r => assert(r.getLong(1) == r.getLong(0), s"pattern $p"))
+    }
+    // letter literals in the pattern survive the chrono→Java translation
+    val lit = spark.range(1)
+      .selectExpr("formatDate(0, '%Y year, %m month at %H hrs')").collect()(0).getString(0)
+    assert(lit == "1970 year, 01 month at 00 hrs")
+  }
+
   test("reference spellings work through the GraftApp SQL surface end to end") {
     import spark.implicits._
     val events = Seq(
