@@ -100,6 +100,32 @@ object Dedup {
     result
   }
 
+  /** Keep one canonical document per near-dup cluster — the final stage of
+    * the dedup pipeline (pairs → clusters → canonical). Unclustered docs
+    * (no mined duplicate partner) are their own cluster. Canonical = the
+    * longest text, ties broken by the smallest id — a deterministic,
+    * content-quality-biased pick. One broadcast-or-shuffle join (clusters
+    * is node-ids only, tiny next to the corpus) + one groupBy over
+    * (cluster, id, length) triples; the text itself rides only the final
+    * semi-join fetch of winners.
+    */
+  def canonical(docs: DataFrame, idCol: String, textCol: String,
+                clusterLabels: DataFrame): DataFrame = {
+    val lab = clusterLabels.select(col("id").as("__cid"), col("cluster_id"))
+    val slim = docs.select(col(idCol).cast("long").as("__id"),
+        length(col(textCol)).cast("long").as("__len"))
+      .join(lab, col("__id") === col("__cid"), "left_outer")
+      .select(col("__id"), col("__len"),
+        coalesce(col("cluster_id"), col("__id")).as("cluster_id"))
+    val winners = slim.groupBy(col("cluster_id"))
+      .agg(max_by(col("__id"), struct(col("__len"), -col("__id"))).as("keep_id"),
+        count(lit(1)).as("n_members"))
+    val keepCols = Seq(col("cluster_id"), col("keep_id"), col("n_members")) ++
+      docs.columns.filter(_ != idCol).map(docs(_))
+    docs.join(winners, docs(idCol) === winners("keep_id"))
+      .select(keepCols: _*)
+  }
+
   /** Streaming exact dedup over an ingest stream: first occurrence of each
     * canonical-text digest passes, re-arrivals within the watermark horizon
     * are dropped. State is the digest set bounded by the watermark —

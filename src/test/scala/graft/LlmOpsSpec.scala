@@ -217,6 +217,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(labels.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("canonical per cluster: longest text wins, min-id tie-break, singletons survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa bbbb cccc", "s1"),   // cluster {1,2,3}: longest is 1 (tie w/ 2 → min id)
+      (2L, "aaaa bbbb cccc", "s2"),
+      (3L, "aaaa bbbb", "s3"),
+      (7L, "zz", "s4"),               // cluster {7,8}: 8 longer
+      (8L, "zzzz yyyy", "s5"),
+      (9L, "solo document", "s6")     // unclustered singleton
+    ).toDF("doc_id", "text", "source")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a_id", "b_id")
+    val labels = graft.operators.Dedup.clusters(pairs, "a_id", "b_id")
+    val kept = graft.operators.Dedup.canonical(docs, "doc_id", "text", labels)
+      .select("cluster_id", "keep_id", "n_members", "source")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(kept.toSeq == Seq(
+      (1L, 1L, 3L, "s1"),   // ties on length → min id
+      (7L, 8L, 2L, "s5"),   // longer text wins
+      (9L, 9L, 1L, "s6")))  // singleton kept as itself
+  }
+
   test("curation pipeline: wide text column never enters a shuffle (100 TB shape)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     // AQE wraps the plan in AdaptiveSparkPlanExec whose collect() doesn't
