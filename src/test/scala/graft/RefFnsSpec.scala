@@ -166,6 +166,15 @@ class RefFnsSpec extends AnyFunSuite {
     assert(lit == "1970 year, 01 month at 00 hrs")
   }
 
+  test("RefFns compositions keep the parquet filter pushdown intact") {
+    RefFns.register(spark)
+    val df = SparkEntry.queries("q_ref_scalar_fns")(spark, "/root/testdata/sf0.001")
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(scan.contains("LessThanOrEqual(o_orderkey,2000)"),
+      s"filter must reach the scan: $scan")
+  }
+
   test("reference spellings work through the GraftApp SQL surface end to end") {
     import spark.implicits._
     val events = Seq(
