@@ -1125,11 +1125,43 @@ object GraftApp {
     // of the streaming kernel Windows.sortTopNMulti.
     case "sort" =>
       val n = w.params.head.trim.toInt
-      val crits = w.params.tail.map { p =>
-        val parts = p.trim.split("\\s+")
-        val asc = parts.length < 2 || !parts.last.equalsIgnoreCase("desc")
-        (parts.head, asc)
+      // two accepted spellings (sort_window_validation_test.rs): inline
+      // `attr [asc|desc]` and the reference's separate quoted order param
+      // `attr, 'asc'|'desc'`. Criteria must be real attributes — constants
+      // and order-string typos are compile errors, not silent ASC.
+      val critBuf = scala.collection.mutable.Buffer.empty[(String, Boolean)]
+      def dirOf(tok: String, raw: String): Boolean = tok.toLowerCase match {
+        case "asc" => true
+        case "desc" => false
+        case _ => throw SqlError(
+          s"window('sort'): order must be asc or desc, got '$raw'")
       }
+      def isCol(a: String) = df.columns.exists(_.equalsIgnoreCase(a))
+      w.params.tail.map(_.trim).filter(_.nonEmpty).foreach { p =>
+        val parts = p.split("\\s+")
+        val head = parts.head
+        // a lone asc/desc param (the reference's `attr, 'desc'` spelling —
+        // quotes are stripped at parse) orders the PREVIOUS criterion
+        if (parts.length == 1 && !isCol(head) &&
+            (head.equalsIgnoreCase("asc") || head.equalsIgnoreCase("desc"))) {
+          if (critBuf.isEmpty) throw SqlError(
+            s"window('sort'): order token '$head' before any sort attribute")
+          critBuf.update(critBuf.length - 1, (critBuf.last._1, dirOf(head, head)))
+        } else {
+          if (parts.length > 2) throw SqlError(s"bad sort criterion '$p'")
+          val asc = parts.length < 2 || dirOf(parts(1), parts(1))
+          if (!isCol(head)) {
+            // a letters-only non-column after a criterion is a mistyped
+            // order word — say so (sort_window_validation_test.rs)
+            if (critBuf.nonEmpty && head.matches("(?i)[a-z]+")) throw SqlError(
+              s"window('sort'): order must be asc or desc, got '$head'")
+            throw SqlError(s"window('sort'): '$head' is not a stream " +
+              "attribute (constants cannot be sort criteria)")
+          }
+          critBuf += ((head, asc))
+        }
+      }
+      val crits = critBuf.toSeq
       if (crits.isEmpty)
         throw SqlError("window('sort') needs (n, attr [asc|desc], …)")
       if (!df.columns.contains("ts"))

@@ -894,6 +894,33 @@ class CompatSpec extends AnyFunSuite {
       spark, joined, Map("Events" -> events, "Lookup" -> lookup))("Out").count() == 1)
   }
 
+  test("compat sort_window_validation: constants and order typos rejected, both order spellings work") {
+    import spark.implicits._
+    val in = Seq((1, 5.0), (2, 1.0), (3, 9.0)).toDF("sec", "value")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "value")
+    def app(winParams: String) =
+      s"""CREATE STREAM In (ts TIMESTAMP, value DOUBLE);
+         |CREATE STREAM Out (value DOUBLE);
+         |INSERT INTO Out SELECT value FROM In WINDOW('sort', $winParams);""".stripMargin
+    def run(winParams: String) =
+      graft.sql.GraftApp.run(spark, app(winParams), Map("In" -> in))("Out")
+    // constant criterion rejected (test_sort_window_rejects_constant_expression)
+    val e1 = intercept[GraftApp.SqlError](run("2, 5"))
+    assert(e1.getMessage.contains("not a stream attribute"))
+    // order-string typo rejected, both spellings (…_invalid_order_string / _order_typo)
+    val e2 = intercept[GraftApp.SqlError](run("2, value, 'ascending'"))
+    assert(e2.getMessage.contains("asc or desc"))
+    val e3 = intercept[GraftApp.SqlError](run("2, value descc"))
+    assert(e3.getMessage.contains("asc or desc"))
+    // order token with no attribute rejected (…_requires_attribute)
+    val e4 = intercept[GraftApp.SqlError](run("2, 'asc'"))
+    assert(e4.getMessage.contains("before any sort attribute"))
+    // valid forms: inline, quoted-param, default asc, case-insensitive
+    assert(run("2, value desc").collect().map(_.getDouble(0)).sorted.toSeq == Seq(5.0, 9.0))
+    assert(run("2, value, 'DESC'").collect().map(_.getDouble(0)).sorted.toSeq == Seq(5.0, 9.0))
+    assert(run("2, value").collect().map(_.getDouble(0)).sorted.toSeq == Seq(1.0, 5.0))
+  }
+
   test("compat type_validation 1_9: table as a pattern step rejected, stream allowed") {
     import spark.implicits._
     val t = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 1L, "a"))
