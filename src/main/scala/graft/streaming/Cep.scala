@@ -150,11 +150,20 @@ object Cep {
         spec.withinEvents.foreach { n =>
           partials = partials.filter(p => seq - p.startSeq <= n)
         }
+        // Without EVERY the pattern is single-instance: only the FIRST
+        // complete sequence ever emits, and no new instance is seeded while
+        // one is in flight (pattern_every_overlapping_test.rs:194-285 —
+        // A1, A2, B3 against `A -> B` yields exactly A1-B3; A2 is ignored).
+        // With EVERY, every event seeds a fresh concurrent instance — true
+        // overlapping per the reference's grammar spec (same file :786-969),
+        // including the sliding count-quantifier form its :1203 test marks
+        // as intended-but-unimplemented.
+        val seedNow = spec.every || partials.isEmpty
         val seed = Partial(0, e.tsUs, seq, Vector.fill(nSteps)(Vector.empty))
         val next = Vector.newBuilder[Partial]
         var matchedNow = false
 
-        (partials :+ seed).foreach { p =>
+        (if (seedNow) partials :+ seed else partials).foreach { p =>
           val step = spec.steps(p.stepIdx)
           // mid-chain NOT: this event kills every partial whose guarded gap
           // is open (anchor collected, next step empty) — unless the step
@@ -172,8 +181,12 @@ object Cep {
               next += p.copy(collected = coll2) // stay: await more of this step
             if (cnt >= step.min) {
               if (p.stepIdx == nSteps - 1) {
-                matches += CepMatch(e.key, p.startUs, e.tsUs,
-                  spec.steps.map(_.name).zip(coll2).map { case (n, es) => Collected(n, es) })
+                // non-EVERY: first completion only — a second partial
+                // completing on the same event is not emitted (reference:
+                // "the first complete sequence" wins)
+                if (spec.every || !matchedNow)
+                  matches += CepMatch(e.key, p.startUs, e.tsUs,
+                    spec.steps.map(_.name).zip(coll2).map { case (n, es) => Collected(n, es) })
                 matchedNow = true
               } else {
                 next += Partial(p.stepIdx + 1, p.startUs, p.startSeq, coll2) // advance

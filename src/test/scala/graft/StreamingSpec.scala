@@ -569,6 +569,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(once.length == 1)
   }
 
+  test("CEP EVERY true-overlapping vs non-EVERY first-sequence-wins " +
+      "(pattern_every_overlapping_test.rs)") {
+    // A1@1s, A2@2s, B3@3s against `A -> B`
+    val events = Seq(
+      CepEvent("u", 1000000L, 1, "A", 1), CepEvent("u", 2000000L, 2, "A", 2),
+      CepEvent("u", 3000000L, 3, "B", 3))
+    val steps = Seq(Step.simple("e1")(_.etype == "A"), Step.simple("e2")(_.etype == "B"))
+    // EVERY: true overlapping instances — BOTH A1-B3 and A2-B3
+    // (test_true_every_overlapping_multiple_a_before_b :786)
+    val every = Cep.runNfa(events, NfaState(Nil, done = false), PatternSpec(steps))._1
+    assert(every.map(m => (m.startUs, m.endUs)).toSet ==
+      Set((1000000L, 3000000L), (2000000L, 3000000L)))
+    // without EVERY: single-instance — exactly A1-B3; A2 neither seeds a
+    // second instance nor replaces the in-flight one
+    // (test_pattern_without_every_no_overlapping :194)
+    val once = Cep.runNfa(events, NfaState(Nil, done = false),
+      PatternSpec(steps, every = false))._1
+    assert(once.map(m => (m.startUs, m.endUs)) == Seq((1000000L, 3000000L)))
+    assert(once.head.steps.head.events.map(_.eventId) == Seq(1L))
+  }
+
+  test("CEP EVERY with count quantifier slides per the reference grammar spec " +
+      "(PATTERN_GRAMMAR_V1.2 Test 2.9)") {
+    // EVERY (A{3} -> B) over A1..A5, B6: the reference's grammar spec mandates
+    // sliding instances [A1A2A3], [A2A3A4], [A3A4A5], each completed by B6 —
+    // its own engine marks this intended-but-unimplemented
+    // (pattern_every_overlapping_test.rs:1203 #[ignore]); the NFA here
+    // implements the spec'd behavior.
+    val events = (1L to 5L).map(i =>
+      CepEvent("u", i * 1000000L, i, "A", i.toDouble)) :+
+      CepEvent("u", 6000000L, 6, "B", 6)
+    val spec = PatternSpec(Seq(
+      Step.count("e1", 3)(_.etype == "A"), Step.simple("e2")(_.etype == "B")))
+    val ms = Cep.runNfa(events, NfaState(Nil, done = false), spec)._1
+    assert(ms.map(_.steps.head.events.map(_.eventId)).toSet ==
+      Set(Seq(1L, 2L, 3L), Seq(2L, 3L, 4L), Seq(3L, 4L, 5L)))
+    assert(ms.forall(_.steps.last.events.map(_.eventId) == Seq(6L)))
+  }
+
+  test("CEP EVERY chain restart and WITHIN expiry under EVERY " +
+      "(pattern_every_overlapping_test.rs:440,549)") {
+    // EVERY (A -> B -> C) over A,B,C,A,B,C → two block matches (:549)
+    val abc = Seq("A", "B", "C", "A", "B", "C").zipWithIndex.map {
+      case (t, i) => CepEvent("u", (i + 1) * 1000000L, i + 1L, t, i) }
+    val chain = PatternSpec(Seq(
+      Step.simple("e1")(_.etype == "A"), Step.simple("e2")(_.etype == "B"),
+      Step.simple("e3")(_.etype == "C")))
+    assert(Cep.runNfa(abc, NfaState(Nil, done = false), chain)._1
+      .map(m => (m.startUs, m.endUs)) ==
+      Seq((1000000L, 3000000L), (4000000L, 6000000L)))
+    // EVERY + WITHIN 5s: A@0→B@1s matches; A@2s→B@10s exceeds the bound.
+    // The reference's test asserts 2 (it documents WITHIN/EVERY expiry as an
+    // open TODO, :437-448 "should be 1 match"); the NFA implements the
+    // intended semantics: the late pair is expired.
+    val timed = Seq(
+      CepEvent("u", 0L, 1, "A", 1), CepEvent("u", 1000000L, 2, "B", 2),
+      CepEvent("u", 2000000L, 3, "A", 3), CepEvent("u", 10000000L, 4, "B", 4))
+    val withinSpec = PatternSpec(Seq(
+      Step.simple("e1")(_.etype == "A"), Step.simple("e2")(_.etype == "B")),
+      withinUs = Some(5000000L))
+    assert(Cep.runNfa(timed, NfaState(Nil, done = false), withinSpec)._1
+      .map(m => (m.startUs, m.endUs)) == Seq((0L, 1000000L)))
+  }
+
   test("CEP WITHIN n EVENTS: count-bounded partial expiry") {
     // A then B, but B must arrive within 2 subsequent events of the A
     val spec = PatternSpec(
