@@ -653,6 +653,24 @@ object GraftApp {
   def runTracked(spark: SparkSession, appSql: String,
                  inputs: Map[String, DataFrame]): (Map[String, DataFrame], () => Unit) = {
     graft.functions.RefFns.register(spark) // reference-spelled builtins
+    // The reference's math executors are lenient: division by zero yields
+    // NULL, never an error (divide.rs:82-87), and numeric conversion
+    // truncates rather than raising. Spark 4 defaults to ANSI mode, which
+    // turns x/0 into a runtime error — compile this app's expressions with
+    // ANSI off so the plans bake in the reference's null-on-zero semantics
+    // (eval mode is captured at analysis time, so restoring the flag after
+    // compilation does not affect the returned frames).
+    val ansiWas = spark.conf.getOption("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try runTracked0(spark, appSql, inputs)
+    finally ansiWas match {
+      case Some(v) => spark.conf.set("spark.sql.ansi.enabled", v)
+      case None => spark.conf.unset("spark.sql.ansi.enabled")
+    }
+  }
+
+  private def runTracked0(spark: SparkSession, appSql: String,
+                 inputs: Map[String, DataFrame]): (Map[String, DataFrame], () => Unit) = {
     val spec = parse(appSql)
     val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
     var env: Map[String, DataFrame] = inputs

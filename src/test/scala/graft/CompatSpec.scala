@@ -921,6 +921,26 @@ class CompatSpec extends AnyFunSuite {
     assert(run("2, value").collect().map(_.getDouble(0)).sorted.toSeq == Seq(1.0, 5.0))
   }
 
+  test("compat division semantics: x/0 is NULL, int/int promotes to DOUBLE (divide.rs)") {
+    import spark.implicits._
+    // the reference's divide executor returns NULL on a zero divisor
+    // (divide.rs:82-87) and promotes ANY numeric division to DOUBLE
+    // (divide.rs:25-43) — under Spark 4's default ANSI mode x/0 would
+    // instead raise, so GraftApp compiles with the lenient semantics
+    val in = Seq((7, 2, 4), (1, 0, 4)).toDF("a", "b", "c")
+    val app =
+      """CREATE STREAM In (a INT, b INT, c INT);
+        |CREATE STREAM Out (result DOUBLE);
+        |INSERT INTO Out SELECT (a / b) * c AS result FROM In;""".stripMargin
+    val ansiBefore = spark.conf.getOption("spark.sql.ansi.enabled")
+    val out = graft.sql.GraftApp.run(spark, app, Map("In" -> in))("Out")
+    assert(out.schema("result").dataType.typeName == "double")
+    val rows = out.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(rows.toSet == Set(Some(14.0), None))
+    // the caller's session-level ANSI setting is restored after compilation
+    assert(spark.conf.getOption("spark.sql.ansi.enabled") == ansiBefore)
+  }
+
   test("compat type_validation 1_9: table as a pattern step rejected, stream allowed") {
     import spark.implicits._
     val t = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 1L, "a"))
