@@ -138,6 +138,29 @@ class WindowPropSpec extends AnyFunSuite {
     })
   }
 
+  test("NFA non-EVERY equals first-complete-sequence model, batch-split invariant") {
+    // reference contract (pattern_every_overlapping_test.rs:194): without
+    // EVERY a pattern is single-instance — the match anchors at the FIRST A
+    // whose instance completes, later As neither seed nor replace it
+    val spec = PatternSpec(
+      Seq(Step.simple("a")(_.etype == "A"), Step.simple("b")(_.etype == "B")),
+      strict = false, every = false)
+    def model(events: List[CepEvent]): List[(Long, Long)] =
+      events.find(_.etype == "A").flatMap { a =>
+        events.find(b => b.etype == "B" && b.tsUs > a.tsUs)
+          .map(b => (a.eventId, b.eventId))
+      }.toList
+    check(Prop.forAll(genCepEvents, Gen.choose(0, 100)) { (events, cut) =>
+      val got = Cep.runNfa(events, NfaState(Nil, done = false), spec)._1
+        .map(m => (m.steps.head.events.head.eventId, m.steps(1).events.head.eventId))
+      val (a, b) = splitRandomly(events, cut)
+      val (m1, s1) = Cep.runNfa(a, NfaState(Nil, done = false), spec)
+      val (m2, _) = Cep.runNfa(b, s1, spec)
+      got == model(events) && (m1 ++ m2).map(
+        m => (m.steps.head.events.head.eventId, m.steps(1).events.head.eventId)) == got
+    })
+  }
+
   test("NFA is batch-split invariant (streaming = batch semantics)") {
     val spec = PatternSpec(
       Seq(Step.simple("a")(_.etype == "A"), Step.simple("b")(_.etype == "B")),
