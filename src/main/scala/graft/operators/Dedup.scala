@@ -4,6 +4,30 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
 
+/** One LSH-banded row of a streaming document: `bucket` is the 64-bit band
+  * key (xxhash64 of the band's signature slice + band index), `sig` the full
+  * MinHash signature carried for in-bucket verification.
+  */
+final case class NearDupBandRow(bucket: Long, band: Int, id: Long, tsUs: Long,
+                                sig: Seq[Long])
+
+/** A bucket-resident document: admitted (non-duplicate) doc whose signature
+  * future arrivals in this bucket verify against.
+  */
+final case class NearDupMember(id: Long, tsUs: Long, sig: Seq[Long])
+
+/** Keyed state for one LSH bucket. `saturatedDrops` counts arrivals that
+  * could not be recorded past maxBucketSize (skew guard).
+  */
+final case class NearDupBucketState(members: Seq[NearDupMember],
+                                    saturatedDrops: Long)
+
+/** Per-band verdict: `dupOf`/`estJaccard` set iff a bucket member within
+  * the horizon verified as a near-duplicate of this arrival.
+  */
+final case class NearDupVerdict(id: Long, tsUs: Long, band: Int,
+                                dupOf: Option[Long], estJaccard: Option[Double])
+
 /** Deduplication operators for a document corpus, designed for the 100 TB
   * shape: never all-pairs over the corpus — candidate generation always goes
   * through a hash/band bucket (shuffle key) so the quadratic step is bounded
@@ -256,6 +280,164 @@ object Dedup {
       .withColumn("jac", TextFns.sortedJaccard(col("a_toks"), col("b_toks")))
       .filter(col("jac") > threshold)
       .select(col("a_id"), col("b_id"), col("jac"))
+  }
+
+  /** Streaming near-duplicate detection at ingest: MinHash+LSH banding
+    * with the bucket membership held in watermark-bounded keyed state —
+    * the streaming twin of [[minHashLsh]], for "drop near-dups as the
+    * corpus feed arrives" pipelines.
+    *
+    * Shape: one pass computes the signature (native [[TextFns.minHashSignature]]
+    * expression), an explode emits `bands` slim (bucket, id, ts, sig) rows,
+    * and a `flatMapGroupsWithState` keyed by the 64-bit bucket hash holds
+    * each bucket's admitted members. An arrival is verified against the
+    * bucket's members by ESTIMATED Jaccard — the fraction of agreeing
+    * signature slots, concentrated within ±~1/sqrt(numHashes) of the true
+    * value — and flagged with the earliest qualifying member id. Flagged
+    * arrivals are NOT recorded (the canonical member stays), so state per
+    * bucket is proportional to DISTINCT near-dup classes in the horizon,
+    * not arrivals.
+    *
+    * State hygiene: members expire once the event-time watermark passes
+    * `ts + horizon` (no future in-horizon arrival can match them — mirrors
+    * [[streamingExact]]'s dropDuplicatesWithinWatermark bound); idle buckets
+    * drop their state entirely via EventTimeTimeout. `maxBucketSize` is the
+    * skew guard: a saturated bucket (degenerate band or an exact-dup storm;
+    * the batch path drops such buckets too) stops recording members, counts
+    * the drops, and keeps verifying against what it holds.
+    *
+    * Output: one verdict row PER BAND (id, ts_us, band, dup_of, est_jaccard)
+    * — all of a document's band rows emit in the micro-batch it arrives in,
+    * so the per-document decision is batch-local: resolve with
+    * [[resolveNearDupVerdicts]] inside `foreachBatch` (Spark does not allow
+    * further stateful operators downstream of flatMapGroupsWithState).
+    *
+    * 100 TB shape: state shards by bucket hash across executors; shuffles
+    * carry (bucket, id, ts, sig) — ~numHashes×8 bytes per row, never token
+    * arrays; per admitted doc the cluster-wide state is bands×(16 +
+    * 8×numHashes) bytes within the horizon, linear and watermark-evicted.
+    */
+  def streamingNearDup(df: DataFrame, idCol: String, textCol: String,
+                       tsCol: String, horizon: String,
+                       numHashes: Int = 128, bands: Int = 32,
+                       threshold: Double = 0.7,
+                       shingleSize: Option[Int] = None,
+                       maxBucketSize: Int = 2000): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(df.isStreaming, "streamingNearDup needs a streaming DataFrame; " +
+      "use minHashLsh() for batch")
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    val r = numHashes / bands
+    val horizonUs = durationUs(horizon)
+    val unit = array_sort(shingleSize
+      .map(n => array_distinct(TextFns.shingles(col(textCol), n)))
+      .getOrElse(TextFns.tokenSet(col(textCol))))
+    val banded = df.select(
+        col(idCol).cast("long").as("id"),
+        unix_micros(col(tsCol).cast("timestamp")).as("tsUs"),
+        col(tsCol).cast("timestamp").as("eventTime"),
+        TextFns.minHashSignature(unit, numHashes).as("sig"))
+      .withWatermark("eventTime", horizon)
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("bucket",
+        xxhash64(slice(col("sig"), col("band") * r + 1, lit(r)), col("band")))
+      .select(col("bucket"), col("band"), col("id"), col("tsUs"), col("sig"),
+        col("eventTime"))
+    implicit val rowEnc: Encoder[NearDupBandRow] = Encoders.product[NearDupBandRow]
+    implicit val stEnc: Encoder[NearDupBucketState] = Encoders.product[NearDupBucketState]
+    implicit val outEnc: Encoder[NearDupVerdict] = Encoders.product[NearDupVerdict]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    def estJac(a: Seq[Long], b: Seq[Long]): Double = {
+      var eq = 0; var i = 0
+      while (i < numHashes) { if (a(i) == b(i)) eq += 1; i += 1 }
+      eq.toDouble / numHashes
+    }
+    val ds = banded.as[NearDupBandRow](rowEnc)
+    ds.groupByKey(_.bucket).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (_: Long, it: Iterator[NearDupBandRow], state: GroupState[NearDupBucketState]) =>
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        def live(ms: Seq[NearDupMember]): Seq[NearDupMember] =
+          ms.filter(m => m.tsUs + horizonUs >= wmUs)
+        if (state.hasTimedOut) {
+          val st = state.getOption.getOrElse(NearDupBucketState(Nil, 0L))
+          val kept = live(st.members)
+          if (kept.isEmpty) state.remove()
+          else {
+            state.update(st.copy(members = kept))
+            state.setTimeoutTimestamp(math.max(
+              (kept.map(_.tsUs + horizonUs).max + 999L) / 1000L,
+              state.getCurrentWatermarkMs() + 1))
+          }
+          Iterator.empty
+        } else {
+          val st = state.getOption.getOrElse(NearDupBucketState(Nil, 0L))
+          var members = live(st.members).toVector
+          var drops = st.saturatedDrops
+          val out = Vector.newBuilder[NearDupVerdict]
+          // deterministic arrival order inside the micro-batch
+          it.toSeq.sortBy(e => (e.tsUs, e.id)).foreach { e =>
+            val hit = members.iterator
+              .filter(m => e.tsUs - m.tsUs <= horizonUs && m.tsUs - e.tsUs <= horizonUs)
+              .map(m => (m, estJac(m.sig, e.sig)))
+              .filter(_._2 >= threshold)
+              .reduceOption((x, y) => if (x._1.tsUs <= y._1.tsUs) x else y)
+            hit match {
+              case Some((m, j)) =>
+                out += NearDupVerdict(e.id, e.tsUs, e.band, Some(m.id), Some(j))
+              case None =>
+                out += NearDupVerdict(e.id, e.tsUs, e.band, None, None)
+                if (members.size < maxBucketSize)
+                  members :+= NearDupMember(e.id, e.tsUs, e.sig)
+                else drops += 1L
+            }
+          }
+          if (drops > st.saturatedDrops && st.saturatedDrops == 0L)
+            graft.sql.ScaleWarnings.warn(
+              s"streamingNearDup: bucket saturated past maxBucketSize=" +
+                s"$maxBucketSize — new members unrecorded (degenerate band " +
+                "or exact-dup storm; raise maxBucketSize or pre-dedup exactly)")
+          if (members.isEmpty && drops == 0L) state.remove()
+          else {
+            state.update(NearDupBucketState(members, drops))
+            if (members.nonEmpty) state.setTimeoutTimestamp(math.max(
+              (members.map(_.tsUs + horizonUs).max + 999L) / 1000L,
+              state.getCurrentWatermarkMs() + 1))
+          }
+          out.result().iterator
+        }
+    }.toDF("id", "ts_us", "band", "dup_of", "est_jaccard")
+  }
+
+  /** Batch-local resolution of [[streamingNearDup]] verdict rows to one
+    * decision per document: a doc is a near-duplicate iff ANY band flagged
+    * it; `dup_of` is the earliest-admitted flagging member (min id among
+    * qualifying bands' hits ties the knot deterministically). Run inside
+    * `foreachBatch` — every band row of a doc lands in the same micro-batch.
+    */
+  def resolveNearDupVerdicts(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy(col("id"), col("ts_us"))
+      .agg(min(col("dup_of")).as("dup_of"),
+        max(col("est_jaccard")).as("est_jaccard"))
+      .withColumn("is_dup", col("dup_of").isNotNull)
+
+  /** Spark duration string → microseconds (the subset the streaming dedup
+    * horizons use).
+    */
+  private def durationUs(s: String): Long = {
+    val m = "(?i)^\\s*(\\d+)\\s*(millisecond|second|minute|hour|day)s?\\s*$".r
+      .findFirstMatchIn(s).getOrElse(throw new IllegalArgumentException(
+        s"bad duration '$s' — expected 'n milliseconds|seconds|minutes|hours|days'"))
+    val n = m.group(1).toLong
+    n * (m.group(2).toLowerCase match {
+      case "millisecond" => 1000L
+      case "second" => 1000000L
+      case "minute" => 60L * 1000000L
+      case "hour" => 3600L * 1000000L
+      case "day" => 86400L * 1000000L
+    })
   }
 
   /** SimHash near-dup: 64-bit signature, 4×16-bit band blocking, Hamming

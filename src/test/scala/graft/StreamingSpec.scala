@@ -705,4 +705,45 @@ class StreamingSpec extends AnyFunSuite {
       assert(ids() == Seq(1L, 2L, 4L, 5L, 6L))
     } finally q.stop()
   }
+
+  test("streaming near-dup: cross-batch LSH flag, same-batch pair, horizon expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String)] // (sec, id, text)
+    val docs = in.toDS().toDF("sec", "id", "text")
+      .selectExpr("id", "text", "CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts")
+    val verdicts = graft.operators.Dedup.streamingNearDup(
+      docs, "id", "text", "ts", "30 seconds",
+      numHashes = 32, bands = 16, threshold = 0.6)
+    assert(verdicts.isStreaming)
+    val q = verdicts.writeStream.format("memory").queryName("neardup_sink")
+      .outputMode("append").start()
+    def resolved(): Map[Long, Option[Long]] =
+      graft.operators.Dedup.resolveNearDupVerdicts(spark.table("neardup_sink"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "green ships sail slowly beyond the ancient harbor wall at dawn"
+    val near = base.replace("dawn", "dusk") // one token differs → J ≈ 0.9
+    val other = "completely different content describing distributed query " +
+      "engines aggregating massive corpora with partitioned shuffles and joins"
+    val otherNear = other.replace("joins", "scans")
+    try {
+      in.addData((1L, 1L, base), (2L, 2L, other)); q.processAllAvailable()
+      // near-dup of doc1 arrives in a LATER micro-batch: bucket state flags it
+      in.addData((3L, 3L, near)); q.processAllAvailable()
+      assert(resolved() == Map(1L -> None, 2L -> None, 3L -> Some(1L)))
+      // same-batch near-dup pair: earliest arrival admitted, the other flagged
+      in.addData((4L, 4L, otherNear), (5L, 5L, other + " addendum"))
+      q.processAllAvailable()
+      val r2 = resolved()
+      assert(r2(4L) == Some(2L) && r2(5L) == Some(2L))
+      // push the watermark past the horizon, then replay base: bucket
+      // members expired → re-admitted, not flagged
+      in.addData((200L, 6L, "entirely fresh unrelated prose about watermark " +
+        "advancement in structured streaming state stores")); q.processAllAvailable()
+      in.addData((201L, 7L, base)); q.processAllAvailable()
+      val r3 = resolved()
+      assert(r3(6L) == None && r3(7L) == None)
+    } finally q.stop()
+  }
 }
