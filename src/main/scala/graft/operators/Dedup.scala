@@ -208,12 +208,18 @@ object Dedup {
       .agg(array_sort(collect_list(struct(col("dfc"), col("tk")))).as("st"))
       .withColumn("plen",
         (size(col("st")) - ceil(lit(threshold) * size(col("st"))) + 1).cast("int"))
-      .select(col("blk"), col("id"),
+      .select(col("blk"), col("id"), size(col("st")).as("sz"),
         explode(slice(transform(col("st"), s => s.getField("tk")),
           lit(1), col("plen"))).as("tk"))
-    val a = prefixes.select(col("blk"), col("tk"), col("id").as("a_id"))
-    val b = prefixes.select(col("blk"), col("tk"), col("id").as("b_id"))
+    val a = prefixes.select(col("blk"), col("tk"), col("id").as("a_id"), col("sz").as("a_sz"))
+    val b = prefixes.select(col("blk"), col("tk"), col("id").as("b_id"), col("sz").as("b_sz"))
+    // LENGTH FILTER (PPJoin): J(A,B) <= min/max of the set sizes, so a pair
+    // with least(sz) <= t*greatest(sz) can never pass `jac > t` — prune it
+    // BEFORE the dedup and the two token joins of the verify stage. The
+    // size rides the prefix rows as one int; no extra shuffle.
     val cands = a.join(b, Seq("blk", "tk")).filter(col("a_id") < col("b_id"))
+      .filter(least(col("a_sz"), col("b_sz")) >
+        lit(threshold) * greatest(col("a_sz"), col("b_sz")))
       .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
     cands
@@ -256,7 +262,7 @@ object Dedup {
     // never enter the ×bands explode or the candidate self-join shuffle.
     val allBanded = base.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("band_key", hash(slice(col("sig"), col("band") * r + 1, lit(r)), col("band")))
-      .select(col("band"), col("band_key"), col("id"))
+      .select(col("band"), col("band_key"), col("id"), size(col("toks")).as("sz"))
     // Skew guard: drop buckets above maxBucketSize before the candidate
     // join — a huge bucket means an exact-dup cluster (handled by
     // Dedup.exact) or a degenerate band; joining it is O(bucket^2).
@@ -265,9 +271,13 @@ object Dedup {
       .filter(col("bsz") <= maxBucketSize)
       .select(col("band"), col("band_key"))
     val banded = allBanded.join(bucketSizes, Seq("band", "band_key"))
-    val a = banded.select(col("band"), col("band_key"), col("id").as("a_id"))
-    val b = banded.select(col("band"), col("band_key"), col("id").as("b_id"))
+    val a = banded.select(col("band"), col("band_key"), col("id").as("a_id"), col("sz").as("a_sz"))
+    val b = banded.select(col("band"), col("band_key"), col("id").as("b_id"), col("sz").as("b_sz"))
+    // LENGTH FILTER (as in jaccardPairs): J <= min/max set sizes, so prune
+    // size-incompatible bucket pairs before the verify joins
     val cands = a.join(b, Seq("band", "band_key")).filter(col("a_id") < col("b_id"))
+      .filter(least(col("a_sz"), col("b_sz")) >
+        lit(threshold) * greatest(col("a_sz"), col("b_sz")))
       .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
     // Exact-Jaccard verification by joining the deduped candidate PAIRS back
