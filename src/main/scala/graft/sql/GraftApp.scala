@@ -597,14 +597,25 @@ object GraftApp {
     val having = grab("HAVING", Seq("ORDER\\s+BY", "LIMIT", "OFFSET"))
     val orderBy = grab("ORDER\\s+BY", Seq("LIMIT", "OFFSET"))
       .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
-    val limit = grab("LIMIT", Seq("OFFSET")).map(_.trim.toInt)
-    val offset = grab("OFFSET", Nil).map(_.trim.toInt)
+    val limit = grab("LIMIT", Seq("OFFSET")).map(intOf(_, "LIMIT"))
+    val offset = grab("OFFSET", Nil).map(intOf(_, "OFFSET"))
     val items = splitTopLevel(select).map(parseSelectItem)
     QuerySpec(target, source, items, joins.result(), where, window, groupBy, having,
       orderBy, limit, offset, sourceWindow = sourceWindow)
   }
 
   /** Parse a simple duration literal ("10 seconds", "1 hour") to micros. */
+  /** User-supplied integer (LIMIT/OFFSET/window params): a malformed or
+    * missing number is a typed compile error, never a NumberFormatException
+    * leaking out of the compiler (found by ParserFuzzSpec).
+    */
+  private def intOf(s: String, what: String): Int = {
+    val t = s.trim
+    if (!t.matches("-?\\d+")) throw SqlError(s"$what: expected an integer, got '$t'")
+    try t.toInt catch { case _: NumberFormatException =>
+      throw SqlError(s"$what: integer out of range: '$t'") }
+  }
+
   private def parseDurationUs(s: String): Long = {
     val m = """(?i)\s*(\d+)\s*(millisecond|second|minute|hour|day)s?\s*""".r
     s.trim match {
@@ -863,7 +874,7 @@ object GraftApp {
         throw SqlError("EXPIRED/ALL EVENTS emits event rows; aggregates are not applicable")
       if (!df.columns.contains("ts"))
         throw SqlError("EXPIRED/ALL EVENTS needs a 'ts' TIMESTAMP column for event order")
-      val n = w0.params.last.trim.toInt
+      val n = intOf(w0.params.last, "window('length')")
       val ordCols = (col("ts") +: df.columns.filterNot(_ == "ts").map(col).toSeq).map(_.desc)
       val w1 = org.apache.spark.sql.expressions.Window
         .partitionBy(q.partitionKeys.map(expr): _*).orderBy(ordCols: _*)
@@ -880,7 +891,7 @@ object GraftApp {
         throw SqlError(s"window('${w.kind}') needs a 'ts' TIMESTAMP column for event order")
       val frame = w.kind match {
         case "length" =>
-          val n = w.params.last.trim.toInt
+          val n = intOf(w.params.last, "window('length')")
           s"ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW"
         case "time" =>
           val us = parseDurationUs(w.params.last)
@@ -1048,7 +1059,7 @@ object GraftApp {
     */
   private def bufferWindow(df: DataFrame, w: WindowClause): DataFrame = w.kind match {
     case "length" =>
-      val n = w.params.last.trim.toInt
+      val n = intOf(w.params.last, "window('length')")
       if (!df.columns.contains("ts"))
         throw SqlError("join-side window('length') needs a 'ts' TIMESTAMP column")
       val ordCols = (col("ts") +: df.columns.filterNot(_ == "ts").map(col).toSeq).map(_.desc)
@@ -1080,7 +1091,7 @@ object GraftApp {
     // n-th event; the incomplete tail stays buffered). The bucket id is the
     // `window` column, groupable downstream.
     case "lengthbatch" =>
-      val n = w.params.last.trim.toInt
+      val n = intOf(w.params.last, "window('lengthBatch')")
       if (!df.columns.contains("ts"))
         throw SqlError("window('lengthBatch') needs a 'ts' TIMESTAMP column for event order")
       if (partitionKeys.isEmpty)
@@ -1130,7 +1141,7 @@ object GraftApp {
     // (Windows.frequent) approximates with O(k) state. Default attribute =
     // the whole row. TakeOrdered(k) + broadcast semi-join — no global sort.
     case "frequent" =>
-      val k = w.params.head.trim.toInt
+      val k = intOf(w.params.head, "window('frequent')")
       val attr = if (w.params.size > 1) col(w.params(1)) else struct(df.columns.map(col): _*)
       val topk = df.groupBy(attr.as("__fa")).agg(count(lit(1)).as("__cnt"))
         .orderBy(col("__cnt").desc, col("__fa")).limit(k)
@@ -1142,7 +1153,7 @@ object GraftApp {
     // per partition key when inside PARTITION WITH. Batch result-level form
     // of the streaming kernel Windows.sortTopNMulti.
     case "sort" =>
-      val n = w.params.head.trim.toInt
+      val n = intOf(w.params.head, "window('sort')")
       // two accepted spellings (sort_window_validation_test.rs): inline
       // `attr [asc|desc]` and the reference's separate quoted order param
       // `attr, 'asc'|'desc'`. Criteria must be real attributes — constants

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sql.GraftApp
+
+/** Robustness fuzz over the SQL front end: whatever garbage an app text
+  * contains, the compiler must either parse it or fail with the TYPED
+  * [[GraftApp.SqlError]] — never a MatchError / NullPointerException /
+  * StringIndexOutOfBounds leaking compiler internals (the reference's
+  * parser returns typed errors for malformed apps too; parser_tests.rs).
+  */
+class ParserFuzzSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val tokens: Gen[String] = Gen.oneOf(
+    "CREATE", "STREAM", "TABLE", "INSERT", "INTO", "SELECT", "FROM",
+    "WHERE", "GROUP", "BY", "HAVING", "ORDER", "LIMIT", "OFFSET",
+    "WINDOW", "PATTERN", "SEQUENCE", "EVERY", "NOT", "FOR", "WITHIN",
+    "PARTITION", "WITH", "JOIN", "ON", "LEFT", "OUTPUT", "FIRST",
+    "SNAPSHOT", "EVENTS", "ALLOW", "LATENESS", "TRIGGER", "AT",
+    "UPDATE", "DELETE", "SET", "VALUES", "BEGIN", "END", "AS",
+    "(", ")", ",", ";", "->", "=", "<", ">", "*", "'abc'", "\"q\"",
+    "123", "4.5", "-7", "x", "y1", "foo", "ts", "TIMESTAMP", "BIGINT",
+    "DOUBLE", "STRING", "INT", "[", "]", "{", "}", "<3>", "e1", ".",
+    "sum", "count", "avg", "length", "time", "'length'", "'5 seconds'",
+    "", "  ", "\n")
+
+  private val soup: Gen[String] = for {
+    n <- Gen.choose(0, 60)
+    ts <- Gen.listOfN(n, tokens)
+  } yield ts.mkString(" ")
+
+  /** Mutate a VALID app: truncate at a random point, or splice junk in —
+    * near-miss inputs exercise deeper compiler stages than pure noise.
+    */
+  private val validApp =
+    """CREATE STREAM In (ts TIMESTAMP, k STRING, v DOUBLE);
+      |CREATE STREAM Out (k STRING, total DOUBLE);
+      |INSERT INTO Out SELECT k, sum(v) AS total FROM In
+      |WHERE v > 0 GROUP BY k HAVING sum(v) > 1 ORDER BY k LIMIT 5;""".stripMargin
+
+  private val nearMiss: Gen[String] = for {
+    cut <- Gen.choose(0, validApp.length)
+    junk <- Gen.oneOf("", ")", "((", "SELECT", "WINDOW('sort')", "->", "'", ";;")
+    mode <- Gen.oneOf(0, 1, 2)
+  } yield mode match {
+    case 0 => validApp.substring(0, cut)
+    case 1 => validApp.substring(0, cut) + junk + validApp.substring(cut)
+    case 2 => junk + validApp
+  }
+
+  private def typedOnly(app: String): Boolean =
+    try { GraftApp.parse(app); true }
+    catch {
+      case _: GraftApp.SqlError => true
+      case _: Throwable => false
+    }
+
+  test("random token soup: parse succeeds or raises the typed SqlError") {
+    check(Prop.forAll(soup)(typedOnly _))
+  }
+
+  test("near-miss mutations of a valid app: typed errors only") {
+    check(Prop.forAll(nearMiss)(typedOnly _))
+  }
+}
