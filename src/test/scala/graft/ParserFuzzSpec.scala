@@ -68,4 +68,23 @@ class ParserFuzzSpec extends AnyFunSuite {
   test("near-miss mutations of a valid app: typed errors only") {
     check(Prop.forAll(nearMiss)(typedOnly _))
   }
+
+  private val patternAtoms: Gen[String] = Gen.oneOf(
+    "e1=S", "e2=S[v > 1]", "NOT S", "NOT S FOR 5 SECONDS", "EVERY",
+    "->", "OR", "AND", "(", ")", "e1=S<3>", "e1=S<2:4>", "e1=S{3}",
+    "S{1,2}", "[", "]", "<", ">", "<3", "3>", "{", "}", "=", "e1",
+    "S", "", "FOR", "5 SECONDS", "WITHIN", "e1[0].v", ",")
+
+  private val patternSoup: Gen[String] = for {
+    n <- Gen.choose(0, 14)
+    ts <- Gen.listOfN(n, patternAtoms)
+  } yield
+    s"""CREATE STREAM S (ts TIMESTAMP, v DOUBLE);
+       |CREATE STREAM Out (v DOUBLE);
+       |INSERT INTO Out SELECT e1.v AS v
+       |FROM PATTERN (${ts.mkString(" ")}) WITHIN 1 HOURS;""".stripMargin
+
+  test("pattern clause soup: typed errors only") {
+    check(Prop.forAll(patternSoup)(typedOnly _))
+  }
 }
