@@ -261,4 +261,32 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(rows.forall(_.getLong(2) > 0))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("minhash LSH: banding/candidate shuffles never carry token or signature arrays") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = Tables(spark, dir, "documents")
+      val df = graft.operators.Dedup.minHashLsh(
+        docs, "doc_id", "text", numHashes = 32, bands = 8, threshold = 0.7)
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s
+      }
+      assert(shuffles.nonEmpty)
+      // the ×bands explode and the candidate self-join move (band, band_key,
+      // id, sz) rows only: signatures are projected away BEFORE any
+      // exchange, raw text before everything. Token arrays may cross the
+      // wire at most twice — the verification join's two sides (at this SF
+      // they broadcast instead; at scale each side shuffles once, the
+      // documented cost). More than that is the wide-shuffle regression the
+      // SCALE.md contract forbids.
+      assert(!shuffles.exists(_.output.exists(a =>
+        a.name == "sig" || a.name == "text")),
+        shuffles.map(_.output.map(_.name).mkString(",")).mkString(" | "))
+      val toksShuffles = shuffles.count(_.output.exists(a =>
+        a.name == "toks" || a.name == "a_toks" || a.name == "b_toks"))
+      assert(toksShuffles <= 2, s"token arrays crossed $toksShuffles shuffles")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
