@@ -575,6 +575,21 @@ object GraftApp {
         case None => more = false
       }
     }
+    // a JOIN token the chain parser could not consume is a malformed join
+    // — silently dropping it would run the query WITHOUT the join (wrong
+    // results); the reference rejects these at parse too
+    // (join_validation_test.rs: USING clause, NATURAL JOIN)
+    val restNoLits = rest.replaceAll("'[^']*'", "''")
+    if ("""(?is)\bJOIN\b""".r.findFirstIn(restNoLits).isDefined) {
+      if ("""(?is)\bUSING\b""".r.findFirstIn(restNoLits).isDefined)
+        throw SqlError("JOIN … USING (…) is not supported — spell the " +
+          "condition with ON (JOIN R ON L.id = R.id)")
+      if ("""(?is)\bNATURAL\b""".r.findFirstIn(restNoLits).isDefined)
+        throw SqlError("NATURAL JOIN is not supported — use JOIN … ON " +
+          "with an explicit condition")
+      throw SqlError("malformed JOIN clause — expected " +
+        "[INNER|LEFT|RIGHT|FULL [OUTER]] JOIN <stream> [WINDOW(…)] ON <cond>")
+    }
     var window: Option[WindowClause] = None
     WindowRe.findFirstMatchIn(rest).foreach { m =>
       window = Some(mkWin(m.group(1), m.group(2)))

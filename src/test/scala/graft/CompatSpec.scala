@@ -921,6 +921,24 @@ class CompatSpec extends AnyFunSuite {
     assert(run("2, value").collect().map(_.getDouble(0)).sorted.toSeq == Seq(1.0, 5.0))
   }
 
+  test("compat join_validation: USING and NATURAL JOIN rejected with typed errors") {
+    // join_validation_test.rs:6-47 — both forms must fail at parse with a
+    // message naming the construct, never silently drop the join
+    def app(fromClause: String) =
+      s"""CREATE STREAM L (id INT, name STRING);
+         |CREATE STREAM R (id INT, value INT);
+         |CREATE STREAM Out (name STRING, value INT);
+         |INSERT INTO Out SELECT L.name, R.value FROM $fromClause;""".stripMargin
+    val e1 = intercept[GraftApp.SqlError](GraftApp.parse(app("L JOIN R USING (id)")))
+    assert(e1.getMessage.contains("USING"))
+    val e2 = intercept[GraftApp.SqlError](GraftApp.parse(app("L NATURAL JOIN R")))
+    assert(e2.getMessage.contains("NATURAL"))
+    val e3 = intercept[GraftApp.SqlError](GraftApp.parse(app("L JOIN R")))
+    assert(e3.getMessage.contains("malformed JOIN"))
+    // the plain ON form still parses
+    GraftApp.parse(app("L JOIN R ON L.id = R.id"))
+  }
+
   test("compat division semantics: x/0 is NULL, int/int promotes to DOUBLE (divide.rs)") {
     import spark.implicits._
     // the reference's divide executor returns NULL on a zero divisor

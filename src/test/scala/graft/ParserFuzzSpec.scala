@@ -24,6 +24,7 @@ class ParserFuzzSpec extends AnyFunSuite {
     "PARTITION", "WITH", "JOIN", "ON", "LEFT", "OUTPUT", "FIRST",
     "SNAPSHOT", "EVENTS", "ALLOW", "LATENESS", "TRIGGER", "AT",
     "UPDATE", "DELETE", "SET", "VALUES", "BEGIN", "END", "AS",
+    "USING", "NATURAL",
     "(", ")", ",", ";", "->", "=", "<", ">", "*", "'abc'", "\"q\"",
     "123", "4.5", "-7", "x", "y1", "foo", "ts", "TIMESTAMP", "BIGINT",
     "DOUBLE", "STRING", "INT", "[", "]", "{", "}", "<3>", "e1", ".",
