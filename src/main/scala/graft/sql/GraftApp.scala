@@ -624,6 +624,22 @@ object GraftApp {
     * missing number is a typed compile error, never a NumberFormatException
     * leaking out of the compiler (found by ParserFuzzSpec).
     */
+  /** User-supplied SQL expression → Column with TYPED parse failure: Spark's
+    * raw ParseException names internal grammar states; app authors get the
+    * offending text (the reference's parser errors are typed the same way).
+    */
+  private def uexpr(s: String): org.apache.spark.sql.Column =
+    try {
+      // Column construction is lazy in Spark 4 — force the parse NOW so a
+      // syntax error fails this statement's compile, not a later analysis
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(s)
+      expr(s)
+    } catch {
+      case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+        throw SqlError(s"cannot parse expression '${s.trim}': " +
+          e.getMessage.linesIterator.find(_.trim.nonEmpty).getOrElse("syntax error").trim)
+    }
+
   private def intOf(s: String, what: String): Int = {
     val t = s.trim
     if (!t.matches("-?\\d+")) throw SqlError(s"$what: expected an integer, got '$t'")
@@ -768,7 +784,7 @@ object GraftApp {
           TypeGuard.check(acc.sparkSession, j.cond,
             StructType(acc.schema.fields ++ right.schema.fields),
             checkUndefined = false)
-          acc.join(right.as(j.stream), expr(j.cond), j.joinType)
+          acc.join(right.as(j.stream), uexpr(j.cond), j.joinType)
         }
         val out = compileQuery(joined, q)
         env += q.target -> (if (bounded.contains(q.target)) boundedAppend(q.target, out)
@@ -813,7 +829,7 @@ object GraftApp {
     d.kind match {
       case "delete" =>
         // DELETE FROM t FROM s WHERE cond (delete_table_processor.rs)
-        table.as(d.table).join(src.as(d.source), expr(d.cond), "left_anti")
+        table.as(d.table).join(src.as(d.source), uexpr(d.cond), "left_anti")
       case "update" =>
         // UPDATE t SET c = expr … (update_table_processor.rs): matched rows
         // take the SET expressions, unmatched pass through. A non-keyed ON
@@ -823,7 +839,7 @@ object GraftApp {
         // pruning cannot drop it.
         val tableR = table.withColumn("__rid", monotonically_increasing_id())
         val joined = tableR.as(d.table)
-          .join(src.withColumn("__m", lit(1)).as(d.source), expr(d.cond), "left_outer")
+          .join(src.withColumn("__m", lit(1)).as(d.source), uexpr(d.cond), "left_outer")
         val wr = org.apache.spark.sql.expressions.Window.partitionBy(col("__rid"))
         val counted = joined.withColumn("__nm", sum(col("__m")).over(wr))
         val sets = d.setClauses.map { case (c, e) => c.split("\\.").last.toLowerCase -> e }.toMap
@@ -834,7 +850,7 @@ object GraftApp {
                 s"UPDATE ${d.table}: multiple delta rows matched one table " +
                 "row (non-keyed ON condition) — dedup the delta or key the " +
                 "condition")).cast(table.schema(c).dataType))
-                .when(col("__m").isNotNull, expr(e))
+                .when(col("__m").isNotNull, uexpr(e))
                 .otherwise(col(s"${d.table}.$c")).as(c)
             case None => col(s"${d.table}.$c").as(c)
           }
@@ -844,8 +860,8 @@ object GraftApp {
         // UPDATE OR INSERT INTO t SELECT … ON cond → TableOps.upsert keyed
         // by the table-side columns of the ON equalities
         val delta0 = src.as(d.source).select(d.selectItems.map {
-          case (e, Some(a)) => expr(e).as(a)
-          case (e, None) => expr(e)
+          case (e, Some(a)) => uexpr(e).as(a)
+          case (e, None) => uexpr(e)
         }: _*)
         // bounded-table path: new rows carry a fresh insertion sequence so
         // FIFO eviction can order them against the kept rows
@@ -873,7 +889,7 @@ object GraftApp {
     var df = src
     q.where.foreach { w =>
       TypeGuard.check(df.sparkSession, w, df.schema, checkUndefined = true)
-      df = df.filter(expr(w))
+      df = df.filter(uexpr(w))
     }
     // INSERT EXPIRED/ALL EVENTS (window_definition.rs OutputEventType):
     // batch result-level form for count windows — an event EXPIRED iff it
@@ -932,8 +948,8 @@ object GraftApp {
         (if (isAgg) s"${e.trim} $over" else e, a)
       }
       val cols = items.map {
-        case (e, Some(a)) => expr(e).as(a)
-        case (e, None) => expr(e)
+        case (e, Some(a)) => uexpr(e).as(a)
+        case (e, None) => uexpr(e)
       }
       // ORDER BY / OFFSET / LIMIT apply to per-event frame output too
       return finishOrderLimit(df.select(cols: _*), q)
@@ -963,7 +979,7 @@ object GraftApp {
             if (k.matches("\\w+")) k.toLowerCase -> k
             else {
               val n = s"__gk$i"
-              pre = pre.withColumn(n, expr(k))
+              pre = pre.withColumn(n, uexpr(k))
               k.toLowerCase -> n
             }
         }.toMap
@@ -973,7 +989,7 @@ object GraftApp {
         } else {
           // aggregates aliased up front; grouping columns are retained by
           // Spark and re-projected below in declared select order
-          val aggCols = aggItems.map { case (e, a) => expr(e).as(a.getOrElse(e)) }
+          val aggCols = aggItems.map { case (e, a) => uexpr(e).as(a.getOrElse(e)) }
           // HAVING: expression-level resolve against the aggregated plan
           // (per-group post-filter semantics, select_processor.rs:330) —
           // aggregate calls matching a select item map to its alias;
@@ -996,12 +1012,12 @@ object GraftApp {
         }
       } else df.select(q.selectItems.map {
         case ("*", _) => col("*")
-        case (e, Some(a)) => expr(e).as(a)
-        case (e, None) => expr(e)
+        case (e, Some(a)) => uexpr(e).as(a)
+        case (e, None) => uexpr(e)
       }: _*)
     having.foreach { h =>
       TypeGuard.check(df.sparkSession, h, df.schema, checkUndefined = false)
-      df = df.filter(expr(h))
+      df = df.filter(uexpr(h))
     }
     finishOrderLimit(df, q)
   }
@@ -1013,7 +1029,7 @@ object GraftApp {
         val (e, desc) = if (o.toUpperCase.endsWith(" DESC")) (o.dropRight(5), true)
           else if (o.toUpperCase.endsWith(" ASC")) (o.dropRight(4), false)
           else (o, false)
-        if (desc) expr(e).desc else expr(e).asc
+        if (desc) uexpr(e).desc else uexpr(e).asc
       }: _*)
     // OFFSET before LIMIT (select_processor.rs:396-419 applies skip-then-take)
     q.offset.foreach(n => df = df.offset(n))
@@ -1113,7 +1129,7 @@ object GraftApp {
         ScaleWarnings.warn("window('lengthBatch') has no partition keys: the " +
           "global event ordering runs as ONE task — wrap the query in " +
           "PARTITION WITH (key OF stream) to shard batches per key")
-      val partCols = partitionKeys.map(a => expr(a))
+      val partCols = partitionKeys.map(a => uexpr(a))
       val ordCols = col("ts") +: df.columns.filterNot(_ == "ts").map(col).toSeq
       val w1 = org.apache.spark.sql.expressions.Window
         .partitionBy(partCols: _*).orderBy(ordCols: _*)
@@ -1215,7 +1231,7 @@ object GraftApp {
           "ranking runs as ONE task — wrap the query in PARTITION WITH " +
           "(key OF stream) to shard the sort per key")
       val critCols = crits.map { case (a, asc) =>
-        if (asc) expr(a).asc else expr(a).desc }
+        if (asc) uexpr(a).asc else uexpr(a).desc }
       val used = crits.map(_._1.toLowerCase).toSet
       val tieCols = col("ts") +:
         df.columns.filterNot(c => c == "ts" || used(c.toLowerCase)).map(col).toSeq

@@ -921,6 +921,21 @@ class CompatSpec extends AnyFunSuite {
     assert(run("2, value").collect().map(_.getDouble(0)).sorted.toSeq == Seq(1.0, 5.0))
   }
 
+  test("compat parser errors are typed: malformed expressions name the offending text") {
+    import spark.implicits._
+    val in = Seq((1, 2.0)).toDF("k", "v")
+    def run(whereClause: String) = graft.sql.GraftApp.run(spark,
+      s"""CREATE STREAM In (k INT, v DOUBLE);
+         |CREATE STREAM Out (k INT);
+         |INSERT INTO Out SELECT k FROM In WHERE $whereClause;""".stripMargin,
+      Map("In" -> in))("Out")
+    // incomplete predicate → typed SqlError carrying the text, not Spark's
+    // raw ParseException (reference parser errors are typed; parser_tests.rs)
+    val e = intercept[GraftApp.SqlError](run("v >"))
+    assert(e.getMessage.contains("cannot parse expression") && e.getMessage.contains("v >"))
+    assert(run("v > 1").collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
   test("compat join_validation: USING and NATURAL JOIN rejected with typed errors") {
     // join_validation_test.rs:6-47 — both forms must fail at parse with a
     // message naming the construct, never silently drop the join
