@@ -1010,11 +1010,26 @@ object GraftApp {
           }
           grouped.select(finalCols: _*)
         }
-      } else df.select(q.selectItems.map {
-        case ("*", _) => col("*")
-        case (e, Some(a)) => uexpr(e).as(a)
-        case (e, None) => uexpr(e)
-      }: _*)
+      } else {
+        // bare-identifier select items must exist in the input — typed,
+        // like the reference's parse-time attribute validation
+        // (type_validation_e2e_test.rs test_1_3 rejects `SELECT symbol1`);
+        // complex expressions stay Catalyst's to resolve
+        q.selectItems.foreach { case (e, _) =>
+          val t = e.trim
+          if (t.matches("[A-Za-z_][A-Za-z_0-9]*") &&
+              !Set("null", "true", "false", "current_timestamp",
+                "current_date").contains(t.toLowerCase) &&
+              !df.columns.exists(_.equalsIgnoreCase(t)))
+            throw SqlError(s"unknown attribute '$t' in SELECT — the input " +
+              s"provides: ${df.columns.mkString(", ")}")
+        }
+        df.select(q.selectItems.map {
+          case ("*", _) => col("*")
+          case (e, Some(a)) => uexpr(e).as(a)
+          case (e, None) => uexpr(e)
+        }: _*)
+      }
     having.foreach { h =>
       TypeGuard.check(df.sparkSession, h, df.schema, checkUndefined = false)
       df = df.filter(uexpr(h))

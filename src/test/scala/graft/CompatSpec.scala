@@ -934,6 +934,13 @@ class CompatSpec extends AnyFunSuite {
     val e = intercept[GraftApp.SqlError](run("v >"))
     assert(e.getMessage.contains("cannot parse expression") && e.getMessage.contains("v >"))
     assert(run("v > 1").collect().map(_.getInt(0)).toSeq == Seq(1))
+    // unknown bare attribute in SELECT → typed (test_1_3 select variant)
+    val e2 = intercept[GraftApp.SqlError](graft.sql.GraftApp.run(spark,
+      """CREATE STREAM In (k INT, v DOUBLE);
+        |CREATE STREAM Out (k INT);
+        |INSERT INTO Out SELECT symbol1 FROM In;""".stripMargin,
+      Map("In" -> Seq((1, 2.0)).toDF("k", "v")))("Out"))
+    assert(e2.getMessage.contains("unknown attribute 'symbol1'"))
   }
 
   test("compat join_validation: USING and NATURAL JOIN rejected with typed errors") {
