@@ -590,6 +590,15 @@ object GraftApp {
       throw SqlError("malformed JOIN clause — expected " +
         "[INNER|LEFT|RIGHT|FULL [OUTER]] JOIN <stream> [WINDOW(…)] ON <cond>")
     }
+    // OUTPUT rate clauses are not part of the SQL surface (nor the
+    // reference's M1 SQL grammar — its OutputRate is query-API only);
+    // silently ignoring one would emit at full rate. Typed-reject with the
+    // supported spellings.
+    if ("""(?is)\bOUTPUT\s+(FIRST|LAST|ALL|SNAPSHOT)\b""".r
+        .findFirstIn(restNoLits).isDefined)
+      throw SqlError("OUTPUT rate clauses are not supported in SQL apps — " +
+        "use the rate operators (ConnectorQueries q_rate_* forms / " +
+        "Windows.outputEveryN) or drop the clause")
     var window: Option[WindowClause] = None
     WindowRe.findFirstMatchIn(rest).foreach { m =>
       window = Some(mkWin(m.group(1), m.group(2)))

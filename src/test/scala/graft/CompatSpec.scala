@@ -959,6 +959,13 @@ class CompatSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("malformed JOIN"))
     // the plain ON form still parses
     GraftApp.parse(app("L JOIN R ON L.id = R.id"))
+    // an OUTPUT rate clause (query-API-only in the reference too) is a
+    // typed error, never a silent full-rate emission
+    val e4 = intercept[GraftApp.SqlError](GraftApp.parse(
+      """CREATE STREAM In (k INT);
+        |CREATE STREAM Out (k INT);
+        |INSERT INTO Out SELECT k FROM In OUTPUT LAST EVERY 10 EVENTS;""".stripMargin))
+    assert(e4.getMessage.contains("OUTPUT rate"))
   }
 
   test("compat division semantics: x/0 is NULL, int/int promotes to DOUBLE (divide.rs)") {
