@@ -409,10 +409,14 @@ object Dedup {
               s"streamingNearDup: bucket saturated past maxBucketSize=" +
                 s"$maxBucketSize — new members unrecorded (degenerate band " +
                 "or exact-dup storm; raise maxBucketSize or pre-dedup exactly)")
-          if (members.isEmpty && drops == 0L) state.remove()
+          // a memberless bucket holds nothing verifiable — drop the state
+          // entirely (keeping a drops-counter shell would leak one entry
+          // per ever-saturated bucket, with no timeout to reap it; the
+          // worst cost of forgetting is a repeated saturation warning)
+          if (members.isEmpty) state.remove()
           else {
             state.update(NearDupBucketState(members, drops))
-            if (members.nonEmpty) state.setTimeoutTimestamp(math.max(
+            state.setTimeoutTimestamp(math.max(
               (members.map(_.tsUs + horizonUs).max + 999L) / 1000L,
               state.getCurrentWatermarkMs() + 1))
           }

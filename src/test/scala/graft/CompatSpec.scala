@@ -519,6 +519,32 @@ class CompatSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1, "a", "b")))
   }
 
+  // SQL pattern WITHOUT the EVERY keyword = non-EVERY default: single
+  // instance per key, first complete sequence wins
+  // (pattern_every_overlapping_test.rs:194 e2e through the SQL surface)
+  test("pattern without EVERY: one match per key, first sequence wins") {
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id INT, kind STRING, v INT);
+        |CREATE STREAM Out (user_id INT, v1 INT, v2 INT);
+        |INSERT INTO Out
+        |SELECT e1.user_id AS user_id, e1.v AS v1, e2.v AS v2
+        |FROM PATTERN (e1=E[kind = 'a'] -> e2=E[kind = 'b'])
+        |PARTITION BY user_id;""".stripMargin
+    // user 1: a(1)@1, a(2)@2, b(3)@3 — reference expects EXACTLY the
+    // a(1)-b(3) match: a(2) neither seeds a second instance nor replaces
+    // the in-flight one, and b@5 after the match does not re-match.
+    // user 2 checks per-key independence of the once-latch.
+    val in = Seq((1, 1, "a", 1), (2, 1, "a", 2), (3, 1, "b", 3),
+        (4, 2, "a", 7), (5, 1, "b", 4), (6, 2, "b", 8))
+      .toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val (env, close) = GraftApp.runTracked(spark, app, Map("E" -> in))
+    val rows = env("Out").collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    close()
+    assert(rows.sorted.toSeq == Seq((1, 1, 3), (2, 7, 8)))
+  }
+
   // -- functions/arithmetic.rs:arithmetic_test_modulo (ignored there:
   //    their converter lacks %; expressions here are Spark's parser)
   test("compat arithmetic_test_modulo: % operator in SQL") {
