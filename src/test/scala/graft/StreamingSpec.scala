@@ -706,6 +706,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup vs ground truth on a seeded random corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    // 20 base docs of 25 words from a 200-word vocab (expected cross-doc
+    // Jaccard ~0.07), each base followed by 0-2 one-word-mutated copies
+    // (J ~0.92): every copy must be flagged against ITS family, no
+    // cross-family flags, no base flagged
+    val rnd = new scala.util.Random(42)
+    val vocab = Array.tabulate(200)(i => s"w$i")
+    def doc(): Array[String] = Array.fill(25)(vocab(rnd.nextInt(vocab.length)))
+    val families = (0 until 20).map { f =>
+      val base = doc()
+      val copies = (0 until rnd.nextInt(3)).map { _ =>
+        val c = base.clone(); c(rnd.nextInt(c.length)) = vocab(rnd.nextInt(vocab.length)); c
+      }
+      (f, base, copies)
+    }
+    // ids: base f -> f*10, copies f*10+1.. ; later ids arrive later
+    val rows = families.flatMap { case (f, base, copies) =>
+      (base +: copies).zipWithIndex.map { case (words, i) =>
+        (100L + f * 10L + i, f * 10L + i, words.mkString(" "))
+      }
+    }.sortBy(_._2)
+    val in = MemoryStream[(Long, Long, String)]
+    val docs = in.toDS().toDF("sec", "id", "text")
+      .selectExpr("id", "text", "CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts")
+    val verdicts = graft.operators.Dedup.streamingNearDup(
+      docs, "id", "text", "ts", "1 hour",
+      numHashes = 64, bands = 32, threshold = 0.6)
+    val q = verdicts.writeStream.format("memory").queryName("neardup_gt_sink")
+      .outputMode("append").start()
+    try {
+      in.addData(rows); q.processAllAvailable()
+      val resolved = graft.operators.Dedup
+        .resolveNearDupVerdicts(spark.table("neardup_gt_sink"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      families.foreach { case (f, _, copies) =>
+        val baseId = f * 10L
+        assert(resolved(baseId) == None, s"base $baseId wrongly flagged")
+        copies.indices.foreach { i =>
+          val id = baseId + i + 1
+          val dupOf = resolved(id)
+          assert(dupOf.isDefined, s"copy $id not flagged")
+          // flagged against its own family (base or an earlier copy)
+          assert(dupOf.get >= baseId && dupOf.get < id,
+            s"copy $id flagged against ${dupOf.get} outside family $f")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("streaming near-dup: cross-batch LSH flag, same-batch pair, horizon expiry") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, String)] // (sec, id, text)
