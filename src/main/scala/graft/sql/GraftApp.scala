@@ -487,8 +487,18 @@ object GraftApp {
         within = Some((wm.group(1), wm.group(2)))
         rest = rest.substring(0, wm.start) + rest.substring(wm.end)
       }
-      val partitionBy = """(?is)\bPARTITION\s+BY\s+(\w+)""".r
-        .findFirstMatchIn(rest).map(_.group(1))
+      var partitionBy: Option[String] = None
+      """(?is)\bPARTITION\s+BY\s+(\w+)""".r.findFirstMatchIn(rest).foreach { pm =>
+        partitionBy = Some(pm.group(1))
+        rest = rest.substring(0, pm.start) + rest.substring(pm.end)
+      }
+      // every clause above excised itself from `rest` — anything left is a
+      // clause this grammar does not have (OUTPUT rates, ORDER BY, a typo):
+      // silently ignoring it would change the query's meaning
+      val residue = rest.replace(";", " ").trim
+      if (residue.nonEmpty)
+        throw SqlError(s"unrecognized text after pattern clause: '${residue.take(60)}' — " +
+          "pattern queries support WHERE, WITHIN, ALLOW LATENESS, PARTITION BY")
       val (variants, every, absents) = PatternCompiler.parseSteps(stepsRaw)
       val (withinUs, withinEvents) = within
         .map { case (n, u) => PatternCompiler.parseWithin(n, u) }

@@ -992,6 +992,13 @@ class CompatSpec extends AnyFunSuite {
         |CREATE STREAM Out (k INT);
         |INSERT INTO Out SELECT k FROM In OUTPUT LAST EVERY 10 EVENTS;""".stripMargin))
     assert(e4.getMessage.contains("OUTPUT rate"))
+    // pattern statements reject ANY unconsumed trailing clause
+    val e5 = intercept[GraftApp.SqlError](GraftApp.parse(
+      """CREATE STREAM E (ts TIMESTAMP, k STRING);
+        |CREATE STREAM Out (k STRING);
+        |INSERT INTO Out SELECT e1.k AS k
+        |FROM PATTERN (EVERY (e1=E[k = 'a'])) OUTPUT LAST EVERY 5 EVENTS;""".stripMargin))
+    assert(e5.getMessage.contains("unrecognized text after pattern clause"))
   }
 
   test("compat division semantics: x/0 is NULL, int/int promotes to DOUBLE (divide.rs)") {
