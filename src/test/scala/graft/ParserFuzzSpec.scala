@@ -88,4 +88,22 @@ class ParserFuzzSpec extends AnyFunSuite {
   test("pattern clause soup: typed errors only") {
     check(Prop.forAll(patternSoup)(typedOnly _))
   }
+
+  private val trailingJunk: Gen[String] = for {
+    n <- Gen.choose(1, 5)
+    ts <- Gen.listOfN(n, Gen.oneOf("OUTPUT", "LAST", "EVERY 5 EVENTS",
+      "ORDER BY k", "LIMIT 3", "GROUP BY k", "WINDOWX", "foo", "->"))
+  } yield ts.mkString(" ")
+
+  test("pattern statements with trailing junk: rejected, never silently dropped") {
+    val valid =
+      """CREATE STREAM S (ts TIMESTAMP, v DOUBLE);
+        |CREATE STREAM Out (v DOUBLE);
+        |INSERT INTO Out SELECT e1.v AS v
+        |FROM PATTERN (EVERY (e1=S[v > 1])) WITHIN 1 HOURS PARTITION BY v""".stripMargin
+    check(Prop.forAll(trailingJunk) { junk =>
+      try { GraftApp.parse(s"$valid $junk;"); false } // junk must not be ignored
+      catch { case _: GraftApp.SqlError => true; case _: Throwable => false }
+    })
+  }
 }
