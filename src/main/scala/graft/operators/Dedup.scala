@@ -241,7 +241,8 @@ object Dedup {
                  threshold: Double = 0.7,
                  shingleSize: Option[Int] = None,
                  maxBucketSize: Int = 2000,
-                 onPersist: DataFrame => Unit = _ => ()): DataFrame = {
+                 onPersist: DataFrame => Unit = _ => (),
+                 portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // Shingles (word n-grams) are the discriminative unit for near-dup
@@ -254,14 +255,31 @@ object Dedup {
     // Materialize shingles+signatures once: feeds the banding (sig) and the
     // verification (toks). At cluster scale this is "write signatures to a
     // table"; locally MEMORY_AND_DISK.
+    // Two hash families, same LSH machinery. MinHash only needs a uniform
+    // per-slot hash, so the family is a free parameter:
+    //  - fast (default): the native codegen'd TextFns.minHashSignature
+    //    (xxhash64-derived slots) — the engine-local throughput choice;
+    //  - portable: slot i = lexicographic MIN of md5("i:" || unit) hex
+    //    strings — any engine with md5 (DuckDB, Trino, Postgres) reproduces
+    //    signatures, band keys, candidates and verified pairs bit-exactly,
+    //    which is what gives q_dedup_minhash a hard cross-engine oracle.
+    val sigExpr =
+      if (portable)
+        array((0 until numHashes).map { i =>
+          array_min(transform(col("toks"), s => md5(concat(lit(i + ":"), s))))
+        }: _*)
+      else TextFns.minHashSignature(col("toks"), numHashes)
     val base = df.select(col(idCol).as("id"), unit.as("toks"))
-      .withColumn("sig", TextFns.minHashSignature(col("toks"), numHashes))
+      .withColumn("sig", sigExpr)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     onPersist(base)
     // NARROW banded relation: (band, band_key, id) only — token arrays
     // never enter the ×bands explode or the candidate self-join shuffle.
+    val bandKeyExpr =
+      if (portable) concat_ws("|", slice(col("sig"), col("band") * r + 1, lit(r)))
+      else hash(slice(col("sig"), col("band") * r + 1, lit(r)), col("band")).cast("string")
     val allBanded = base.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
-      .withColumn("band_key", hash(slice(col("sig"), col("band") * r + 1, lit(r)), col("band")))
+      .withColumn("band_key", bandKeyExpr)
       .select(col("band"), col("band_key"), col("id"), size(col("toks")).as("sz"))
     // Skew guard: drop buckets above maxBucketSize before the candidate
     // join — a huge bucket means an exact-dup cluster (handled by
@@ -459,9 +477,45 @@ object Dedup {
     * shares at least one of the 4 bands (pigeonhole) → recall 1.0 for d<=3.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val base = df.select(col(idCol).as("id"),
-      TextFns.simHash(TextFns.tokens(col(textCol))).as("sh"))
+                   maxHamming: Int = 3): DataFrame =
+    simHashBandedPairs(df.select(col(idCol).as("id"),
+      TextFns.simHash(TextFns.tokens(col(textCol))).as("sh")), maxHamming)
+
+  /** Portable SimHash family: each token's 64-bit fingerprint is the first
+    * 16 hex digits of md5(token) (bit j = bit (3 - j%4) of hex digit j/4),
+    * summed with ±1 weights per occurrence; signature bit j is 1 iff the
+    * column sum is >= 0. Pure md5 + ascii + shift arithmetic, so any SQL
+    * engine reproduces the packed signature — and therefore the banded
+    * candidate pairs — bit-exactly (the q_dedup_simhash oracle path). The
+    * default family (TextFns.simHash, one-pass native expression) remains
+    * the engine-local throughput choice.
+    */
+  def simHashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int = 3): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+        explode(TextFns.tokens(col(textCol))).as("tk"))
+      .withColumn("h", md5(col("tk")))
+    // hex digit value without needle-column instr: ascii arithmetic
+    def digit(pos: Int) = {
+      val a = ascii(substring(col("h"), pos + 1, 1))
+      when(a <= 57, a - 48).otherwise(a - 87)
+    }
+    val aggCols = (0 until 64).map { j =>
+      val bit = shiftright(digit(j / 4), 3 - j % 4).bitwiseAND(lit(1))
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"c$j")
+    }
+    val sums = tok.groupBy(col("id")).agg(aggCols.head, aggCols.tail: _*)
+    val sh = (0 until 64).map { j =>
+      shiftleft(when(col(s"c$j") >= 0, 1L).otherwise(0L), j)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    simHashBandedPairs(sums.select(col("id"), sh.as("sh")), maxHamming)
+  }
+
+  /** Shared 4×16-bit band blocking + Hamming verification over a packed
+    * (id, sh: long) signature relation — see [[simHashPairs]] scaladoc for
+    * the pigeonhole recall argument.
+    */
+  private def simHashBandedPairs(base: DataFrame, maxHamming: Int): DataFrame = {
     val banded = base.withColumn("band", explode(sequence(lit(0), lit(3))))
       .withColumn("band_key",
         expr("shiftrightunsigned(sh, band * 16)").bitwiseAND(lit(0xFFFFL)))

@@ -120,6 +120,57 @@ object Similarity {
     topKSelect(scored, k)
   }
 
+  /** Deterministic INTEGER plane weights in [-5000, 5000] for the quantized
+    * sign-LSH path: component j of plane p derives from mix64(p*dim + j).
+    * Integers are the point — the bucket bit is the sign of an exact BIGINT
+    * dot product, so any engine given the same literal weights computes the
+    * same buckets (no float rounding at the sign boundary).
+    */
+  def planesQ(numPlanes: Int, dim: Int): Seq[Seq[Long]] =
+    (0 until numPlanes).map { p =>
+      (0 until dim).map { j =>
+        Math.floorMod(graft.functions.TextHash.mix64(p.toLong * dim + j), 10001L) - 5000L
+      }
+    }
+
+  /** Quantized sign-LSH ANN top-k: vectors quantize to BIGINT components
+    * (scale 1e4), bucket bits are signs of exact integer dots against the
+    * literal [[planesQ]] weights, and the final similarity is the exact
+    * quantized cosine — every stage is integer-or-deterministic-double, so
+    * candidates AND scores reproduce bit-exactly cross-engine (the
+    * q_sim_ann_lsh oracle path). Plan shape identical to [[annTopK]]:
+    * corpus-linear bucketing, broadcast query side carrying the Hamming-1
+    * multi-probe expansion, pair dedup, bounded top-k aggregation.
+    */
+  def annTopKQuantized(queries: DataFrame, corpus: DataFrame,
+                       qIdCol: String, cIdCol: String, vecCol: String,
+                       k: Int, numPlanes: Int, dim: Int,
+                       scale: Int = 10000, multiProbe: Boolean = true): DataFrame = {
+    val ps = planesQ(numPlanes, dim)
+    def bucketOf(qv: Column): Column =
+      ps.zipWithIndex.map { case (plane, p) =>
+        val dot = aggregate(
+          zip_with(qv, typedlit(plane), (x, w) => x * w),
+          lit(0L), (s, v) => s + v)
+        when(dot >= 0L, lit(1L << p)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    val qBase = queries.select(col(qIdCol).as("q_id"),
+        VectorFns.quantize(col(vecCol), scale).as("q_qv"))
+      .withColumn("lsh_bucket", bucketOf(col("q_qv")))
+    val q =
+      if (!multiProbe) qBase
+      else qBase.withColumn("lsh_bucket",
+        explode(array((lit(0L) +: (0 until numPlanes).map(p => lit(1L << p)))
+          .map(m => col("lsh_bucket").bitwiseXOR(m)): _*)))
+    val c = corpus.select(col(cIdCol).as("c_id"),
+        VectorFns.quantize(col(vecCol), scale).as("c_qv"))
+      .withColumn("lsh_bucket", bucketOf(col("c_qv")))
+    val scored = c.join(broadcast(q), Seq("lsh_bucket"))
+      .withColumn("sim", VectorFns.cosineQ(col("q_qv"), col("c_qv")))
+      .dropDuplicates("q_id", "c_id")
+    topKSelect(scored, k)
+  }
+
   // ---- IVF (inverted-file) ANN — the other standard scale path next to
   // sign-LSH (the FAISS IVF-Flat shape): k-means coarse lists over the
   // corpus; queries probe only the nprobe nearest lists. Centroids are
@@ -187,6 +238,55 @@ object Similarity {
         explode(slice(reverse(array_sort(probeArr)), 1, nprobe).getField("list")))
     val scored = c.join(broadcast(q), Seq("__list"))
       .withColumn("sim", VectorFns.cosine(col("q_vec"), col("c_vec")))
+    topKSelect(scored, k)
+  }
+
+  /** Quantized IVF top-k with DATA-DERIVED centroids: the coarse lists are
+    * the quantized vectors of `centroidIds` (a deterministic pick of corpus
+    * rows — at scale, a hashed sample; k-means refinement is [[ivfTopK]]'s
+    * job and stays spec-checked). Assignment, probing and scoring are all
+    * exact quantized-cosine computations with (sim DESC, list ASC)
+    * tie-breaks, so an oracle engine that looks up the same centroid rows
+    * reproduces list membership, probe sets and top-k bit-exactly (the
+    * q_sim_ivf oracle path). Plan shape identical to [[ivfTopK]]: literal
+    * centroids (KBs, driver-held), assignment as a pure projection, each
+    * corpus vector in exactly one list, broadcast probe join.
+    */
+  def ivfTopKQuantized(queries: DataFrame, corpus: DataFrame,
+                       qIdCol: String, cIdCol: String, vecCol: String,
+                       k: Int, nlist: Int, nprobe: Int,
+                       centroidIds: Seq[Long], scale: Int = 10000): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, s"nprobe $nprobe must be in [1, $nlist]")
+    require(centroidIds.size == nlist, "need exactly nlist centroid ids")
+    val centRows = corpus
+      .filter(col(cIdCol).isin(centroidIds: _*))
+      .select(col(cIdCol).cast("long").as("id"),
+        VectorFns.quantize(col(vecCol), scale).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val cents: Seq[Seq[Long]] = centroidIds.map(id => centRows.getOrElse(id,
+      throw new IllegalArgumentException(s"centroid id $id not in corpus")))
+    // (sim, -list) struct max ⇒ ties pick the SMALLEST list index — the
+    // cross-engine tie rule (ORDER BY sim DESC, list ASC)
+    def simToCent(qv: Column, cv: Seq[Long]): Column =
+      VectorFns.cosineQ(qv, typedlit(cv))
+    def assignQ(qv: Column): Column =
+      -array_max(array(cents.zipWithIndex.map { case (cv, i) =>
+        struct(simToCent(qv, cv).as("sim"), lit(-i).as("nl"))
+      }: _*)).getField("nl")
+    val c = corpus.select(col(cIdCol).as("c_id"),
+        VectorFns.quantize(col(vecCol), scale).as("c_qv"))
+      .withColumn("__list", assignQ(col("c_qv")))
+    val probeArr = array(cents.zipWithIndex.map { case (cv, i) =>
+      struct(simToCent(col("q_qv"), cv).as("sim"), lit(-i).as("nl"))
+    }: _*)
+    val q = queries.select(col(qIdCol).as("q_id"),
+        VectorFns.quantize(col(vecCol), scale).as("q_qv"))
+      .withColumn("__nl",
+        explode(slice(reverse(array_sort(probeArr)), 1, nprobe).getField("nl")))
+      .withColumn("__list", -col("__nl"))
+      .drop("__nl")
+    val scored = c.join(broadcast(q), Seq("__list"))
+      .withColumn("sim", VectorFns.cosineQ(col("q_qv"), col("c_qv")))
     topKSelect(scored, k)
   }
 }

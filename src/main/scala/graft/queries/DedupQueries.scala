@@ -55,28 +55,35 @@ object DedupQueries extends QueryFamily {
              |           - len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE) > 0.6
              |ORDER BY a_id, b_id""".stripMargin)),
 
-    // MinHash + LSH near-dup candidates (rows-only: engine-specific hash
-    // family; recall cross-checked against exact Jaccard in DedupSpec).
+    // MinHash + LSH near-dup pairs with a FULL cross-engine oracle: the
+    // portable md5-lexicographic hash family (see Dedup.minHashLsh scaladoc)
+    // lets DuckDB recompute signatures, band buckets, skew-guarded
+    // candidates and exact-Jaccard verification bit-for-bit. The fast
+    // xxhash64 family stays covered by DedupSpec's recall cross-validation.
     QueryDef(
       "q_dedup_minhash",
       (s, dir) => {
         val d = Tables(s, dir, "documents")
-        Dedup.minHashLsh(d, "doc_id", "text", numHashes = 64, bands = 16, threshold = 0.6,
-            shingleSize = Some(3), maxBucketSize = 500)
-          .withColumn("jac", round(col("jac"), 6))
-          .orderBy(col("a_id"), col("b_id"))
+        Dedup.minHashLsh(d, "doc_id", "text", numHashes = 16, bands = 4,
+            threshold = 0.6, shingleSize = Some(3), maxBucketSize = 500,
+            portable = true)
+          // single-partition sort, not a range orderBy: same double-execution
+          // rationale as q_dedup_jaccard below
+          .repartition(1).sortWithinPartitions(col("a_id"), col("b_id"))
       },
-      None),
+      Some(minHashOracle)),
 
-    // SimHash near-dup pairs within Hamming distance 3 (rows-only).
+    // SimHash near-dup pairs within Hamming distance 3, portable md5-bit
+    // fingerprint family — full oracle (banding + Hamming verify recomputed
+    // by DuckDB); the native one-pass SimHash64 expression stays spec-level.
     QueryDef(
       "q_dedup_simhash",
       (s, dir) => {
         val d = Tables(s, dir, "documents")
-        Dedup.simHashPairs(d, "doc_id", "text", maxHamming = 3)
+        Dedup.simHashPairsPortable(d, "doc_id", "text", maxHamming = 3)
           .orderBy(col("a_id"), col("b_id"))
       },
-      None),
+      Some(simHashOracle)),
 
     // Embedding-cosine near-dup, blocked by label, quantized for exact
     // cross-engine parity (see VectorFns.quantize scaladoc).
@@ -149,4 +156,76 @@ object DedupQueries extends QueryFamily {
              |SELECT id, min(r) AS cluster_id FROM reach
              |GROUP BY id ORDER BY id""".stripMargin))
   )
+
+  /** DuckDB replica of the portable-family minHashLsh pipeline (H=16, B=4,
+    * R=4, t=0.6, 3-shingles, maxBucketSize=500): same signatures (md5-min
+    * strings), same '|'-joined band keys, same skew guard, same length
+    * filter, same exact-Jaccard verify. Generated, not hand-written — the
+    * per-slot/per-band SQL is mechanical.
+    */
+  private def minHashOracle: String = {
+    val H = 16; val B = 4; val R = 4; val T = "0.6"; val MAXB = 500
+    val sigs = (0 until H).map(i =>
+      s"list_min(list_transform(shs, s -> md5('$i:' || s))) AS s$i").mkString(",\n    ")
+    val bands = (0 until B).map(b =>
+      s"($b, " + (0 until R).map(k => s"s${b * R + k}").mkString(" || '|' || ") + ")")
+      .mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |shd AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(toks)-3,0)+1),
+       |     i -> array_to_string(toks[i+1:i+3], ' '))) AS shs
+       |  FROM t),
+       |sig AS (
+       |  SELECT doc_id, shs, len(shs) AS sz,
+       |    $sigs
+       |  FROM shd),
+       |banded AS (
+       |  SELECT doc_id, sz, b.* FROM sig, LATERAL (VALUES $bands) b(band, bkey)),
+       |ok_buckets AS (
+       |  SELECT band, bkey FROM banded GROUP BY band, bkey HAVING count(*) <= $MAXB),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM banded a JOIN banded b USING (band, bkey)
+       |  JOIN ok_buckets USING (band, bkey)
+       |  WHERE a.doc_id < b.doc_id
+       |    AND least(a.sz, b.sz) > $T * greatest(a.sz, b.sz)),
+       |verified AS (
+       |  SELECT c.a_id, c.b_id,
+       |    CAST(len(list_filter(sa.shs, x -> list_contains(sb.shs, x))) AS DOUBLE)
+       |      / CAST(sa.sz + sb.sz - len(list_filter(sa.shs, x -> list_contains(sb.shs, x))) AS DOUBLE) AS jac
+       |  FROM cands c JOIN sig sa ON sa.doc_id = c.a_id JOIN sig sb ON sb.doc_id = c.b_id)
+       |SELECT a_id, b_id, jac FROM verified WHERE jac > $T ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** DuckDB replica of simHashPairsPortable: md5-hex per-token fingerprints
+    * (bit j = bit (3 - j%4) of hex digit j/4, via ascii arithmetic), ±1
+    * column sums, sign bits, 4×16-bit banding, Hamming <= 3 verify.
+    */
+  private def simHashOracle: String = {
+    val sums = (0 until 64).map { j =>
+      val digit = s"(CASE WHEN ascii(substr(h, ${j / 4 + 1}, 1)) <= 57 " +
+        s"THEN ascii(substr(h, ${j / 4 + 1}, 1)) - 48 " +
+        s"ELSE ascii(substr(h, ${j / 4 + 1}, 1)) - 87 END)"
+      s"sum(CASE WHEN ($digit >> ${3 - j % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS c$j"
+    }.mkString(",\n    ")
+    val bits = (0 until 64).map(j => s"CASE WHEN c$j >= 0 THEN 1 ELSE 0 END").mkString(", ")
+    val bandvals = (0 until 4).map(b =>
+      s"($b, " + (0 until 16).map(j => s"(bits[${16 * b + j + 1}] << $j)").mkString(" + ") + ")")
+      .mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tk FROM documents),
+       |hs AS (SELECT doc_id, md5(tk) AS h FROM tok),
+       |sums AS (SELECT doc_id, $sums FROM hs GROUP BY doc_id),
+       |sig AS (SELECT doc_id, [$bits] AS bits FROM sums),
+       |banded AS (SELECT doc_id, bits, b.* FROM sig, LATERAL (VALUES $bandvals) b(band, bkey)),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.bits AS ab, b.bits AS bb
+       |  FROM banded a JOIN banded b USING (band, bkey) WHERE a.doc_id < b.doc_id),
+       |ham AS (
+       |  SELECT a_id, b_id,
+       |    CAST(len(list_filter(range(1, 65), i -> ab[i] != bb[i])) AS BIGINT) AS hamming
+       |  FROM cands)
+       |SELECT a_id, b_id, hamming FROM ham WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin
+  }
 }

@@ -42,36 +42,41 @@ object SimilarityQueries extends QueryFamily {
              |SELECT q_id, rnk, c_id, sim FROM ranked WHERE rnk <= 5
              |ORDER BY q_id, rnk""".stripMargin)),
 
-    // ANN via random-hyperplane LSH buckets (rows-only check; recall vs
-    // brute force asserted in SimilaritySpec).
+    // ANN via quantized sign-LSH buckets with a FULL oracle: integer plane
+    // weights (Similarity.planesQ — inlined as literals into BOTH engines),
+    // exact BIGINT dot signs for bucketing, Hamming-1 multi-probe, exact
+    // quantized-cosine scoring. DuckDB recomputes buckets, probes,
+    // candidates and the top-5 bit-exactly. The float-cosine annTopK path
+    // stays covered by SimilaritySpec's recall checks.
     QueryDef(
       "q_sim_ann_lsh",
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
         val queries = e.filter(col("vec_id") < 10)
         val corpus  = e.filter(col("vec_id") >= 10)
-        Similarity.annTopK(queries, corpus, "vec_id", "vec_id", "embedding",
-            k = 5, numPlanes = 8, dim = 64)
-          .withColumn("sim", round(col("sim"), 6))
+        Similarity.annTopKQuantized(queries, corpus, "vec_id", "vec_id",
+            "embedding", k = 5, numPlanes = 8, dim = 64)
           .orderBy(col("q_id"), col("rnk"))
       },
-      None),
+      Some(annLshOracle)),
 
-    // ANN via IVF coarse quantizer (rows-only check; the nprobe==nlist
-    // exact-equality and partial-probe recall contracts are asserted in
-    // LlmOpsSpec — deterministic k-means, so rows are stable).
+    // ANN via IVF coarse lists with a FULL oracle: centroids are the corpus
+    // vectors with vec_id 10..17 (data-derived, oracle-reproducible),
+    // assignment/probing/scoring all exact quantized cosine with
+    // (sim DESC, list ASC) tie-breaks. The k-means-trained ivfTopK path
+    // (nprobe==nlist ≡ brute force, recall) stays covered by LlmOpsSpec.
     QueryDef(
       "q_sim_ivf",
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
         val queries = e.filter(col("vec_id") < 10)
         val corpus  = e.filter(col("vec_id") >= 10)
-        Similarity.ivfTopK(queries, corpus,
-            "vec_id", "vec_id", "embedding", k = 5, nlist = 8, nprobe = 4)
-          .withColumn("sim", round(col("sim"), 6))
+        Similarity.ivfTopKQuantized(queries, corpus,
+            "vec_id", "vec_id", "embedding", k = 5, nlist = 8, nprobe = 4,
+            centroidIds = (10L until 18L))
           .orderBy(col("q_id"), col("rnk"))
       },
-      None),
+      Some(ivfOracle)),
 
     // Centroid distance per label — embedding analytics shape: elementwise
     // array aggregation without exploding (posexplode would be 64x rows;
@@ -96,4 +101,78 @@ object SimilarityQueries extends QueryFamily {
              |FROM q CROSS JOIN (SELECT unnest(range(0, 4)) AS d) d
              |GROUP BY label, d.d ORDER BY label, dim""".stripMargin))
   )
+
+  /** The exact quantized-cosine expression both oracles share (DuckDB SQL,
+    * identical arithmetic to VectorFns.cosineQ: BIGINT dot and norms, one
+    * double division at the end).
+    */
+  private def qcos(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1]*z[2])) AS DOUBLE)
+       |     / (sqrt(CAST(list_sum(list_transform($a, x -> x*x)) AS DOUBLE))
+       |        * sqrt(CAST(list_sum(list_transform($b, x -> x*x)) AS DOUBLE)))""".stripMargin
+
+  /** DuckDB replica of annTopKQuantized (8 planes, dim 64, k=5, scale 1e4,
+    * Hamming-1 multi-probe): the SAME integer plane literals Similarity
+    * .planesQ generates are inlined here, so bucket bits — signs of exact
+    * BIGINT dots — match by construction.
+    */
+  private def annLshOracle: String = {
+    val P = 8
+    val planes = Similarity.planesQ(P, 64)
+    val bucketExpr = planes.zipWithIndex.map { case (pl, p) =>
+      val plit = pl.mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(list_zip(qv, $plit), z -> z[1]*z[2])) >= 0 THEN 1 ELSE 0 END << $p)"
+    }.mkString("\n    + ")
+    val masks = (0L +: (0 until P).map(p => 1L << p)).mkString("[", ",", "]")
+    s"""WITH q0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |bkt AS (SELECT vec_id, qv, $bucketExpr AS bucket FROM q0),
+       |qside AS (
+       |  SELECT vec_id AS q_id, xor(bucket, m.m) AS bucket
+       |  FROM bkt, LATERAL (SELECT unnest($masks) AS m) m WHERE vec_id < 10),
+       |cside AS (SELECT vec_id AS c_id, bucket FROM bkt WHERE vec_id >= 10),
+       |cand AS (SELECT DISTINCT q_id, c_id FROM qside JOIN cside USING (bucket)),
+       |scored AS (
+       |  SELECT c.q_id, c.c_id,
+       |    ${qcos("a.qv", "b.qv")} AS sim
+       |  FROM cand c JOIN q0 a ON a.vec_id = c.q_id JOIN q0 b ON b.vec_id = c.c_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+       |  FROM scored)
+       |SELECT q_id, rnk, c_id, sim FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** DuckDB replica of ivfTopKQuantized (nlist=8, nprobe=4, k=5, centroids =
+    * corpus vectors 10..17): same assignment argmax, same probe ranking,
+    * same tie-breaks, same quantized-cosine scores.
+    */
+  private def ivfOracle: String =
+    s"""WITH q0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id - 10 AS list, qv AS cv FROM q0 WHERE vec_id >= 10 AND vec_id < 18),
+       |csim AS (
+       |  SELECT v.vec_id, c.list,
+       |    ${qcos("v.qv", "c.cv")} AS sim
+       |  FROM q0 v CROSS JOIN cents c),
+       |assign AS (
+       |  SELECT vec_id, list FROM (
+       |    SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list) AS rn
+       |    FROM csim) WHERE rn = 1),
+       |cside AS (
+       |  SELECT a.list, v.vec_id AS c_id FROM assign a JOIN q0 v USING (vec_id) WHERE v.vec_id >= 10),
+       |qprobe AS (
+       |  SELECT vec_id AS q_id, list FROM (
+       |    SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list) AS rn
+       |    FROM csim WHERE vec_id < 10) WHERE rn <= 4),
+       |scored AS (
+       |  SELECT p.q_id, c.c_id,
+       |    ${qcos("a.qv", "b.qv")} AS sim
+       |  FROM qprobe p JOIN cside c USING (list)
+       |  JOIN q0 a ON a.vec_id = p.q_id JOIN q0 b ON b.vec_id = c.c_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM scored)
+       |SELECT q_id, rnk, c_id, sim FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 }
