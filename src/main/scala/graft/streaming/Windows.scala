@@ -342,4 +342,160 @@ object Windows {
         out.iterator
     }
   }
+
+  // --------------------------------------------------------------------
+  // Watermark-driven idle-key state shedding (EventTimeTimeout variants).
+  //
+  // The NoTimeout kernels above bound state PER KEY (n events / duration),
+  // but a key that goes quiet keeps its buffer forever — at 100 TB key
+  // cardinality that is state linear in keys-ever-seen. These variants
+  // mirror Cep.detectStreamWithTimeout: every update registers an
+  // event-time timeout at (last arrival + idle horizon); when the
+  // watermark passes it, the key's state is flushed THROUGH THE CHANGELOG
+  // (retained events emit op=-1 Expired — or op=+1 for delay/ALL-chunk
+  // releases — so downstream incremental aggregations stay consistent)
+  // and the state-store entry is removed. A later arrival starts the key
+  // fresh. For `time` and `delay` the horizon is the window duration
+  // itself and the timeout flush is exactly the reference's timer-wheel
+  // expiry (timers/timer_wheel.rs) — events whose eviction no newer
+  // arrival would otherwise ever prove. For count-shaped kernels the
+  // horizon is an explicit TTL and the flush is a documented
+  // retract-on-idle semantic the NoTimeout form does not have.
+  // --------------------------------------------------------------------
+
+  private def withEventTime(ds: Dataset[WinEvent], watermarkDelay: String): Dataset[WinEvent] = {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    implicit val evEnc: Encoder[WinEvent] = Encoders.product[WinEvent]
+    ds.toDF()
+      .withColumn("eventTime", timestamp_micros(col("tsUs")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[WinEvent]
+  }
+
+  /** Shared EventTimeTimeout kernel harness: `f` is the pure kernel,
+    * `evict` renders a timed-out key's state into final changelog rows,
+    * `isEmpty` lets drained keys drop their entry immediately (no shell
+    * rows — the Cep remove-on-drain contract).
+    */
+  private def timeoutKernel[S](ds: Dataset[WinEvent], watermarkDelay: String,
+      idleUs: Long, empty: S, isEmpty: S => Boolean, evict: S => Seq[WinOut])(
+      f: (Seq[WinEvent], S) => (Seq[WinOut], S))(
+      implicit se: Encoder[S]): Dataset[WinOut] = {
+    require(idleUs > 0, s"idle horizon must be positive, got $idleUs us")
+    withEventTime(ds, watermarkDelay).groupByKey(_.key).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (_: String, it: Iterator[WinEvent], state: GroupState[S]) =>
+        if (state.hasTimedOut) {
+          val out = state.getOption.map(evict).getOrElse(Nil)
+          state.remove()
+          out.iterator
+        } else {
+          val events = sorted(it)
+          val (out, next) = f(events, state.getOption.getOrElse(empty))
+          if (isEmpty(next)) state.remove()
+          else {
+            state.update(next)
+            // ceil to ms, clamped above the watermark (the store rejects
+            // at-or-below registrations)
+            state.setTimeoutTimestamp(math.max(
+              (events.map(_.tsUs).max + idleUs + 999L) / 1000L,
+              state.getCurrentWatermarkMs() + 1))
+          }
+          out.iterator
+        }
+    }
+  }
+
+  private def bufEmpty(b: WinBuffer): Boolean = b.events.isEmpty && b.prev.isEmpty
+  private def expireAll(es: Seq[WinEvent]): Seq[WinOut] =
+    es.map(e => WinOut(e.key, e.tsUs, e.eventId, e.value, -1))
+  private def releaseAll(es: Seq[WinEvent]): Seq[WinOut] =
+    es.map(e => WinOut(e.key, e.tsUs, e.eventId, e.value, 1))
+
+  /** time window with timer-accurate expiry: when the watermark passes
+    * (newest arrival + durUs), every retained event is provably expired —
+    * emit the Expired rows no future arrival would trigger and drop the
+    * key's state. This is the semantics gap of the NoTimeout form (which
+    * only expires on a newer same-key arrival) closed, not just hygiene.
+    */
+  def timeWithTimeout(ds: Dataset[WinEvent], durUs: Long,
+                      watermarkDelay: String): Dataset[WinOut] =
+    timeoutKernel(ds, watermarkDelay, durUs, EmptyBuffer, bufEmpty,
+      (b: WinBuffer) => expireAll(b.events))(WindowKernels.time(_, _, durUs))
+
+  /** delay window with timer-accurate release: watermark passing
+    * (newest + durUs) proves every held event's delay has elapsed — release
+    * them (Current) and drop the key.
+    */
+  def delayWithTimeout(ds: Dataset[WinEvent], durUs: Long,
+                       watermarkDelay: String): Dataset[WinOut] =
+    timeoutKernel(ds, watermarkDelay, durUs, EmptyBuffer, bufEmpty,
+      (b: WinBuffer) => releaseAll(b.events))(WindowKernels.delay(_, _, durUs))
+
+  /** length window + idle TTL: a key quiet for idleTtlUs retracts its
+    * window contents (Expired) and frees its state.
+    */
+  def lengthWithTimeout(ds: Dataset[WinEvent], n: Int, idleTtlUs: Long,
+                        watermarkDelay: String): Dataset[WinOut] =
+    timeoutKernel(ds, watermarkDelay, idleTtlUs, EmptyBuffer, bufEmpty,
+      (b: WinBuffer) => expireAll(b.events))(WindowKernels.length(_, _, n))
+
+  /** lengthBatch window + idle TTL: the last flushed batch retracts; the
+    * open partial chunk was never emitted, so it vanishes silently.
+    */
+  def lengthBatchWithTimeout(ds: Dataset[WinEvent], n: Int, idleTtlUs: Long,
+                             watermarkDelay: String): Dataset[WinOut] =
+    timeoutKernel(ds, watermarkDelay, idleTtlUs, EmptyBuffer, bufEmpty,
+      (b: WinBuffer) => expireAll(b.prev))(WindowKernels.lengthBatch(_, _, n))
+
+  /** sort window + idle TTL: retained top-n retracts on idle expiry. */
+  def sortTopNWithTimeout(ds: Dataset[WinEvent], n: Int, descending: Boolean,
+                          idleTtlUs: Long, watermarkDelay: String): Dataset[WinOut] =
+    timeoutKernel(ds, watermarkDelay, idleTtlUs, EmptyBuffer, bufEmpty,
+      (b: WinBuffer) => expireAll(b.events))(
+      WindowKernels.sortTopN(_, _, n, descending))
+
+  /** unique (keep-latest) + idle TTL: the latest holder retracts. */
+  def uniqueWithTimeout(ds: Dataset[WinEvent], idleTtlUs: Long,
+                        watermarkDelay: String): Dataset[WinOut] =
+    lengthWithTimeout(ds, 1, idleTtlUs, watermarkDelay)
+
+  /** firstUnique + idle TTL: the first-seen marker ages out silently (its
+    * Current was already emitted; a post-TTL arrival passes again — the
+    * TTL'd-dedup semantic, same shape as streamingExact's horizon).
+    */
+  def firstUniqueWithTimeout(ds: Dataset[WinEvent], idleTtlUs: Long,
+                             watermarkDelay: String): Dataset[WinOut] =
+    timeoutKernel(ds, watermarkDelay, idleTtlUs, EmptyBuffer, bufEmpty,
+      (_: WinBuffer) => Nil)(WindowKernels.firstUnique)
+
+  /** frequent window + idle TTL: tracked heavy-hitter entries retract. */
+  def frequentWithTimeout(ds: Dataset[WinEvent], k: Int, idleTtlUs: Long,
+                          watermarkDelay: String,
+                          attrOf: WinEvent => String = _.value.toString): Dataset[WinOut] = {
+    implicit val freqEnc: Encoder[FreqState] = Encoders.product[FreqState]
+    timeoutKernel[FreqState](ds, watermarkDelay, idleTtlUs, FreqState(Nil),
+      (s: FreqState) => s.entries.isEmpty,
+      (s: FreqState) => expireAll(s.entries.map(_.ev))) {
+      (events, st) =>
+        val (out, next) = WindowKernels.frequent(events, st.entries, k, attrOf)
+        (out, FreqState(next))
+    }
+  }
+
+  /** OUTPUT EVERY n EVENTS + idle TTL: ALL flushes its open chunk (those
+    * events were admitted but never released — dropping them silently would
+    * lose data); FIRST/LAST just free the counter. A post-TTL arrival
+    * starts a fresh chunk.
+    */
+  def outputEveryNWithTimeout(ds: Dataset[WinEvent], n: Int,
+                              behavior: RateBehavior, idleTtlUs: Long,
+                              watermarkDelay: String): Dataset[WinOut] = {
+    implicit val rateEnc: Encoder[RateBuffer] = Encoders.product[RateBuffer]
+    timeoutKernel[RateBuffer](ds, watermarkDelay, idleTtlUs, RateBuffer(0L, Nil),
+      (s: RateBuffer) => s.cnt == 0L && s.pending.isEmpty,
+      (s: RateBuffer) => releaseAll(s.pending)) {
+      (events, st) => WindowKernels.everyNEvents(events, st, n, behavior)
+    }
+  }
 }

@@ -432,6 +432,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("window EventTimeTimeout: idle keys flush through the changelog, ZERO state rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[WinEvent]
+    val q = Windows.timeWithTimeout(in.toDS(), durUs = 10000000L, // 10s window
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("wt_time_sink").outputMode("append").start()
+    def stateRows: Long = q.lastProgress.stateOperators.head.numRowsTotal
+    try {
+      // k1 gets two events; nothing ever expires them via arrivals
+      in.addData(Seq(WinEvent("k1", 1000000L, 1, 1.0), WinEvent("k1", 2000000L, 2, 2.0)))
+      q.processAllAvailable()
+      assert(stateRows == 1)
+      // k2 advances the watermark far past k1's (newest + dur) deadline;
+      // the NEXT batch fires k1's timeout: its events emit Expired and the
+      // state entry is removed — the timer-wheel expiry no newer k1
+      // arrival would ever produce
+      in.addData(Seq(WinEvent("k2", 50000000L, 3, 3.0))); q.processAllAvailable()
+      in.addData(Seq(WinEvent("k2", 51000000L, 4, 4.0))); q.processAllAvailable()
+      val rows = spark.table("wt_time_sink").as[WinOut].collect().toSeq
+      assert(rows.filter(r => r.key == "k1" && r.op == -1).map(_.eventId).toSet == Set(1L, 2L))
+      assert(stateRows == 1) // only k2 remains live
+    } finally q.stop()
+  }
+
+  test("outputEveryN EventTimeTimeout: idle ALL-chunk flushes, counter keys free") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[WinEvent]
+    val q = Windows.outputEveryNWithTimeout(in.toDS(), n = 3, RateBehavior.All,
+        idleTtlUs = 5000000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("wt_rate_sink").outputMode("append").start()
+    def stateRows: Long = q.lastProgress.stateOperators.head.numRowsTotal
+    try {
+      // two of a three-event chunk arrive, then the key goes idle
+      in.addData(Seq(WinEvent("k1", 1000000L, 1, 1.0), WinEvent("k1", 2000000L, 2, 2.0)))
+      q.processAllAvailable()
+      assert(spark.table("wt_rate_sink").count() == 0) // chunk still open
+      assert(stateRows == 1)
+      in.addData(Seq(WinEvent("k2", 60000000L, 3, 3.0))); q.processAllAvailable()
+      in.addData(Seq(WinEvent("k2", 61000000L, 4, 4.0))); q.processAllAvailable()
+      // idle TTL fired: the open chunk flushed (admitted events are not
+      // silently dropped), k1's entry removed
+      val k1 = spark.table("wt_rate_sink").as[WinOut].collect().filter(_.key == "k1")
+      assert(k1.map(_.eventId).toSet == Set(1L, 2L) && k1.forall(_.op == 1))
+      assert(stateRows == 1) // k2's open chunk only
+    } finally q.stop()
+  }
+
   test("OUTPUT SNAPSHOT streaming form: complete mode re-emits whole state per trigger") {
     // snapshot_output_rate.rs semantics on a stream = complete-mode agg: every
     // trigger emits EVERY key's current state, not just changed keys
