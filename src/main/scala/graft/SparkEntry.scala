@@ -19,18 +19,23 @@ object SparkEntry {
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Revenue by nation (TPC-H Q5 shape): star join where every dimension is
-    * broadcast — the only shuffle is the final 25-group aggregation.
+    * Revenue by nation (TPC-H Q5 shape). Broadcast is reserved for the
+    * FIXED-cardinality dimensions (nation=25, region=5): orders and
+    * customer grow with SF, so forcing them broadcast is an executor OOM at
+    * 100× — they take shuffle hash joins on their keys (AQE picks broadcast
+    * anyway if a filtered side happens to be small at runtime). Projecting
+    * join keys + aggregation inputs only keeps the shuffled rows narrow.
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
     val li = Tables(spark, dir, "lineitem")
-    val o  = Tables(spark, dir, "orders")
-    val c  = Tables(spark, dir, "customer")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val o  = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val c  = Tables(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
     val n  = Tables(spark, dir, "nation")
     val r  = Tables(spark, dir, "region")
-    li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))

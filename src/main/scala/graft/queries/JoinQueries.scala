@@ -250,20 +250,40 @@ object JoinQueries extends QueryFamily {
 
     // As-of join (beyond the reference; GRAMMAR.md:328-338 roadmap): for
     // each event, the most recent order of that user at-or-before the event
-    // time — here via conditional join + max_by, the shape DuckDB's ASOF
-    // JOIN computes. At scale: sort-merge within user partitions.
+    // time. SORT-MERGE shape: union both relations, one per-user sort, a
+    // running last-non-null carries the newest order into each event row —
+    // work is O(n log n) per user with NO join fan-out, so a hot user costs
+    // its sort instead of |events|x|orders| intermediate rows (the
+    // conditional-join + max_by form this replaces was quadratic on a
+    // skewed key; SCALE.md has the micro-bench). Ties: orders sort before
+    // events at the same instant (at-or-before inclusivity), and among
+    // same-date orders the largest orderkey wins — the (date, orderkey)
+    // max the aggregate form computed.
     QueryDef(
       "q_join_asof",
       (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
         val e = Tables(s, dir, "events").filter(col("event_type") === "purchase")
+          .select(col("user_id").as("u"), unix_micros(col("ts")).as("t_us"),
+            lit(1).as("kind"), col("event_id"),
+            lit(null).cast("long").as("okey"),
+            lit(null).cast("string").as("odate"),
+            lit(null).cast("double").as("oprice"))
         val o = Tables(s, dir, "orders")
-        e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"), "left_outer")
-          .groupBy(col("event_id"))
-          .agg(
-            max(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("last_order_date"),
-            max_by(round(col("o_totalprice"), 2),
-              concat(date_format(col("o_orderdate"), "yyyy-MM-dd"),
-                lpad(col("o_orderkey").cast("string"), 12, "0"))).as("last_order_price"))
+          .select(col("o_custkey").as("u"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"),
+            lit(0).as("kind"), lit(null).cast("long").as("event_id"),
+            col("o_orderkey").as("okey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+            round(col("o_totalprice"), 2).as("oprice"))
+        val w = Window.partitionBy(col("u"))
+          .orderBy(col("t_us"), col("kind"), col("okey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.unionByName(o)
+          .withColumn("last_order_date", last(col("odate"), ignoreNulls = true).over(w))
+          .withColumn("last_order_price", last(col("oprice"), ignoreNulls = true).over(w))
+          .filter(col("kind") === 1)
+          .select(col("event_id"), col("last_order_date"), col("last_order_price"))
           .orderBy(col("event_id"))
       },
       Some("""SELECT event_id,

@@ -16,6 +16,34 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object AppRuntime {
 
   private val Reserved = Set("type", "format", "path")
+  /** Mapper-layer option prefixes — consumed here, never passed to the
+    * transport connector.
+    */
+  private def mapperOption(k: String): Boolean =
+    k == "map.format" || k.startsWith("json.") || k.startsWith("csv.")
+
+  /** Declarative line mapping for text transports (the reference's
+    * SourceMapper layer, json_mapper.rs:17-40 / csv_mapper.rs): a declared
+    * multi-column schema turns raw lines into typed columns.
+    *  - `'map.format'='json'` (or any `'json.mapping.<attr>'` key): each
+    *    attribute extracts via JSONPath — explicit `json.mapping.<attr>`
+    *    path, else auto-mapped `$.<attr>` (the reference's top-level
+    *    auto-map) — then casts to the declared type.
+    *  - default: csv-split (positional).
+    */
+  private def mapLines(raw: DataFrame, sd: GraftApp.StreamDef): DataFrame = {
+    import org.apache.spark.sql.functions.{col, from_csv, get_json_object}
+    if (sd.schema.fieldNames.toSeq == Seq("value")) raw
+    else if (sd.options.get("map.format").contains("json") ||
+             sd.options.keys.exists(_.startsWith("json.mapping.")))
+      raw.select(sd.schema.fields.map { f =>
+        val path = sd.options.getOrElse(s"json.mapping.${f.name}", s"$$.${f.name}")
+        get_json_object(col("value"), path).cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*)
+    else
+      raw.select(from_csv(col("value"), sd.schema, Map.empty[String, String])
+        .as("r")).select(sd.schema.fieldNames.map(f => col(s"r.$f")).toIndexedSeq: _*)
+  }
 
   /** Build source DataFrames for every WITH('type'='source') stream. */
   def bindSources(spark: SparkSession, spec: GraftApp.AppSpec): Map[String, DataFrame] =
@@ -24,22 +52,15 @@ object AppRuntime {
         val fmt = sd.options.getOrElse("format",
           throw GraftApp.SqlError(s"source '$name' needs a 'format' option"))
         var reader = spark.readStream.format(fmt)
-        sd.options.filterNot(kv => Reserved.contains(kv._1))
+        sd.options.filterNot(kv => Reserved.contains(kv._1) || mapperOption(kv._1))
           .foreach { case (k, v) => reader = reader.option(k, v) }
         val df = (fmt, sd.options.get("path")) match {
           case ("rate", _) => reader.load()   // fixed (timestamp, value) schema
           case ("socket", _) =>
             // network text source (websocket_source.rs role over a raw TCP
             // transport): fixed value:string schema; a declared multi-column
-            // schema means csv-mapped lines (csv_mapper.rs), split here so
-            // the app sees typed columns
-            val raw = reader.load()
-            if (sd.schema.fieldNames.toSeq == Seq("value")) raw
-            else {
-              import org.apache.spark.sql.functions.{col, from_csv, lit}
-              raw.select(from_csv(col("value"), sd.schema, Map.empty[String, String])
-                .as("r")).select(sd.schema.fieldNames.map(f => col(s"r.$f")).toIndexedSeq: _*)
-            }
+            // schema engages the declarative line mapper (json/csv)
+            mapLines(reader.load(), sd)
           case (_, Some(p)) => reader.schema(sd.schema).load(p)
           case _ => reader.schema(sd.schema).load()
         }
@@ -127,18 +148,52 @@ object AppRuntime {
     * outputs (e.g. fed only by an AT START trigger) register as a temp view
     * under the sink name instead of a streaming query.
     */
+  /** Sink-side mapper layer (the reference's SinkMapper duals of the source
+    * mapping, json_mapper.rs sink half):
+    *  - `'json.template'='…{{attr}}…'`: template serialization — `{{attr}}`
+    *    placeholders substitute the column's value (NULL renders as the
+    *    JSON literal `null`), everything else passes through verbatim;
+    *  - `'map.format'='json'`: whole-row `to_json` serialization;
+    *  - `'map.format'='csv'`: positional comma-join.
+    * Each produces a single `value` string column — the wire shape text
+    * transports expect.
+    */
+  private def mapSinkRows(df: DataFrame, sd: GraftApp.StreamDef): DataFrame = {
+    import org.apache.spark.sql.functions._
+    sd.options.get("json.template") match {
+      case Some(tpl) =>
+        val ph = "\\{\\{([A-Za-z_][A-Za-z0-9_]*)\\}\\}".r
+        val parts = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Column]
+        var last = 0
+        ph.findAllMatchIn(tpl).foreach { m =>
+          if (m.start > last) parts += lit(tpl.substring(last, m.start))
+          parts += coalesce(col(m.group(1)).cast("string"), lit("null"))
+          last = m.end
+        }
+        if (last < tpl.length) parts += lit(tpl.substring(last))
+        df.select(concat(parts.toSeq: _*).as("value"))
+      case None if sd.options.get("map.format").contains("json") =>
+        df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
+      case None if sd.options.get("map.format").contains("csv") =>
+        df.select(concat_ws(",",
+          df.columns.map(c => col(c).cast("string")).toIndexedSeq: _*).as("value"))
+      case None => df
+    }
+  }
+
   def startSinks(spec: GraftApp.AppSpec, env: Map[String, DataFrame]): Seq[StreamingQuery] =
     spec.streams.toSeq.flatMap {
       case (name, sd) if sd.options.get("type").contains("sink") && env.contains(name) =>
         if (!env(name).isStreaming) {
-          env(name).createOrReplaceTempView(name)
+          mapSinkRows(env(name), sd).createOrReplaceTempView(name)
           None
         } else {
           val fmt = sd.options.getOrElse("format", "console")
-          var writer = env(name).writeStream.format(fmt)
+          var writer = mapSinkRows(env(name), sd).writeStream.format(fmt)
             .outputMode(sd.options.getOrElse("outputMode", "append"))
             .queryName(name)
-          sd.options.filterNot(kv => Reserved.contains(kv._1) || kv._1 == "outputMode")
+          sd.options.filterNot(kv => Reserved.contains(kv._1) ||
+              kv._1 == "outputMode" || mapperOption(kv._1))
             .foreach { case (k, v) => writer = writer.option(k, v) }
           Some(writer.start())
         }

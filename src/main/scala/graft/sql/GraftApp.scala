@@ -511,8 +511,25 @@ object GraftApp {
         lateness = lateness)
     }
 
+  /** Split a WITH-clause body on commas OUTSIDE single quotes — option
+    * values (json templates, JSONPaths, cron specs) legitimately contain
+    * commas.
+    */
+  private def splitWithItems(raw: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var inQ = false
+    raw.foreach {
+      case '\'' => inQ = !inQ; sb += '\''
+      case ',' if !inQ => out += sb.toString(); sb.clear()
+      case c => sb += c
+    }
+    out += sb.toString()
+    out.result()
+  }
+
   private def parseWith(raw: String): Map[String, String] =
-    raw.split(",").map(_.trim).filter(_.nonEmpty).flatMap { kv =>
+    splitWithItems(raw).map(_.trim).filter(_.nonEmpty).flatMap { kv =>
       kv.split("=", 2) match {
         case Array(k, v) => Some(k.trim.stripPrefix("'").stripSuffix("'") ->
           expandEnv(v.trim.stripPrefix("'").stripSuffix("'")))

@@ -210,6 +210,67 @@ class ConnectorSpec extends AnyFunSuite {
     } finally { q.stop(); server.close() }
   }
 
+  test("socket source json mapping: JSONPath + auto-map lines through a declared app") {
+    import graft.sql.{AppRuntime, GraftApp}
+    // nested-JSON lines over live TCP: explicit json.mapping JSONPaths for
+    // the nested fields, auto-map ($.city) for the top-level one —
+    // reference json_mapper.rs:17-40 surface
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val writerThread = new Thread(() => {
+      val sock = server.accept()
+      val w = new java.io.PrintWriter(sock.getOutputStream, true)
+      w.println("""{"order":{"id":1,"total":10.5},"city":"SF"}""")
+      w.println("""{"order":{"id":2,"total":4.5},"city":"NY"}""")
+      w.println("""{"order":{"id":3,"total":2.0},"city":"SF"}""")
+      Thread.sleep(8000); w.close(); sock.close()
+    })
+    writerThread.setDaemon(true); writerThread.start()
+    val app =
+      s"""CREATE STREAM orders (oid BIGINT, amount DOUBLE, city STRING)
+         |WITH ('type'='source', 'format'='socket',
+         |      'host'='localhost', 'port'='$port',
+         |      'json.mapping.oid'='$$.order.id',
+         |      'json.mapping.amount'='$$.order.total');
+         |CREATE STREAM agg (city STRING, total DOUBLE);
+         |INSERT INTO agg SELECT city, sum(amount) AS total FROM orders GROUP BY city;""".stripMargin
+    val spec = GraftApp.parse(app)
+    val env = GraftApp.run(spark, app, AppRuntime.bindSources(spark, spec))
+    val q = env("agg").writeStream.format("memory").queryName("sock_json_sink")
+      .outputMode("complete").start()
+    try {
+      val deadline = System.nanoTime() + 30e9.toLong
+      var rows = Map.empty[String, Double]
+      while (rows.size < 2 && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        rows = spark.table("sock_json_sink").collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+        if (rows.size < 2) Thread.sleep(200)
+      }
+      assert(rows == Map("SF" -> 12.5, "NY" -> 4.5))
+    } finally { q.stop(); server.close() }
+  }
+
+  test("sink mapper: json template, whole-row to_json, csv join") {
+    import graft.sql.{AppRuntime, GraftApp}
+    import spark.implicits._
+    val rows = Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("a", "b")
+    def sinkView(withOpts: String, view: String): Seq[String] = {
+      val app = s"""CREATE STREAM $view (a BIGINT, b STRING)
+                   |WITH ('type'='sink', 'format'='memory'$withOpts);""".stripMargin
+      AppRuntime.startSinks(GraftApp.parse(app), Map(view -> rows))
+      spark.table(view).collect().map(_.getString(0)).toSeq.sorted
+    }
+    // template: placeholders substitute, NULL renders as JSON null
+    assert(sinkView(""", 'json.template'='{"x":{{a}},"m":"{{b}}"}'""", "t_tpl")
+      == Seq("""{"x":1,"m":"a"}""", """{"x":2,"m":"null"}""").sorted)
+    // whole-row to_json (to_json omits null fields)
+    assert(sinkView(", 'map.format'='json'", "t_json")
+      == Seq("""{"a":1,"b":"a"}""", """{"a":2}""").sorted)
+    // csv positional join
+    assert(sinkView(", 'map.format'='csv'", "t_csv") == Seq("1,a", "2").sorted)
+  }
+
   test("cron calendar gate keeps only ticks whose date matches dom/mon/dow") {
     import graft.sql.GraftApp
     import spark.implicits._
