@@ -186,10 +186,27 @@ object RefFns {
     }
   }
 
-  /** Install every reference-spelled name into the session registry.
-    * Once per session (a WeakHashMap latch — re-registering on every
-    * GraftApp.run would log a "function replaced" warning per name per run,
-    * and must not pin sessions in memory).
+  private lazy val builderMap: Map[String, Builder] = builders.toMap
+
+  /** Builder names that SHADOW a native Spark builtin (now, trunc, …).
+    * A permanent override would change plain `spark.sql` semantics
+    * session-wide — now() returning LONG millis instead of TIMESTAMP,
+    * trunc() mis-routing non-literal formats to numeric truncation — so
+    * these names go live only inside [[withShadowing]] (the GraftApp
+    * compilation scope); [[register]] installs everything else for good.
+    */
+  private lazy val shadowingNames: Seq[String] = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    builders.map(_._1).filter { n =>
+      org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+        .functionExists(FunctionIdentifier(n))
+    }
+  }
+
+  /** Install every NON-shadowing reference-spelled name into the session
+    * registry. Once per session (a WeakHashMap latch — re-registering on
+    * every GraftApp.run would log a "function replaced" warning per name
+    * per run, and must not pin sessions in memory).
     */
   private val installed =
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()
@@ -197,9 +214,35 @@ object RefFns {
   def register(spark: SparkSession): Unit = installed.synchronized {
     if (installed.containsKey(spark)) return
     val reg = spark.sessionState.functionRegistry
+    val shadow = shadowingNames.toSet
     builders.foreach { case (name, b) =>
-      reg.createOrReplaceTempFunction(name, b, "built-in")
+      if (!shadow(name)) reg.createOrReplaceTempFunction(name, b, "built-in")
     }
     installed.put(spark, java.lang.Boolean.TRUE)
+  }
+
+  /** Run `body` with the shadowing names (now, trunc, …) resolving to their
+    * reference semantics, restoring the native builders afterwards —
+    * DataFrame analysis is eager, so plans built inside the scope keep the
+    * reference semantics while later `spark.sql` outside it gets the Spark
+    * natives back (same scoping discipline as GraftApp's ANSI-off compile;
+    * like that toggle, compilation is single-threaded per session).
+    */
+  def withShadowing[T](spark: SparkSession)(body: => T): T = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val reg = spark.sessionState.functionRegistry
+    val saved = shadowingNames.map { n =>
+      val id = FunctionIdentifier(n)
+      (n, reg.lookupFunction(id), reg.lookupFunctionBuilder(id))
+    }
+    shadowingNames.foreach(n =>
+      reg.createOrReplaceTempFunction(n, builderMap(n), "built-in"))
+    try body
+    finally saved.foreach {
+      case (n, Some(info), Some(b)) =>
+        reg.registerFunction(FunctionIdentifier(n), info, b)
+      case (n, _, _) =>
+        reg.dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(n))
+    }
   }
 }

@@ -68,7 +68,17 @@ object Dedup {
                maxIter: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sc = pairs.sparkSession.sparkContext
-    val preexisting = sc.getPersistentRDDs.keySet
+    // track the EXACT checkpoint-RDD ids this call creates (diff around
+    // each localCheckpoint) — an end-of-call whole-context sweep would
+    // unpersist RDDs other threads persisted mid-call, truncating a
+    // foreign localCheckpoint's lineage into missing-block failures
+    val created = scala.collection.mutable.Set.empty[Int]
+    def checkpointTracked(df: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      created ++= sc.getPersistentRDDs.keySet -- before
+      out
+    }
     val sym = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(pairs
@@ -79,9 +89,8 @@ object Dedup {
     // logical plan — a persist() alone leaves lineage growing exponentially
     // across iterations (each round's plan embeds the previous round's
     // whole tree, OOMing the driver on plan strings well before data does)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    var labels = checkpointTracked(sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -98,7 +107,7 @@ object Dedup {
           col("x.label") === col("y.lid"), "left_outer")
         .select(col("x.id").as("id"),
           least(col("x.label"), coalesce(col("ll"), col("x.label"))).as("label"))
-      val next = jump(jump(propagated)).localCheckpoint(true)
+      val next = checkpointTracked(jump(jump(propagated)))
       val changed = next
         .join(labels.select(col("id"), col("label").as("old")), "id")
         .filter(col("label") < col("old")).limit(1).count() > 0
@@ -113,12 +122,13 @@ object Dedup {
     sym.unpersist()
     // re-checkpoint the final generation, then free every intermediate
     // checkpoint RDD this call created (they otherwise stay registered
-    // until GC — executor memory held hostage to driver garbage timing)
+    // until GC — executor memory held hostage to driver garbage timing);
+    // only ids in `created` are touched, never foreign persists
     val beforeFinal = sc.getPersistentRDDs.keySet
     val result = labels.select(col("id"), col("label").as("cluster_id"))
       .localCheckpoint(true)
-    val finalIds = sc.getPersistentRDDs.keySet -- beforeFinal
-    (sc.getPersistentRDDs.keySet -- preexisting -- finalIds).foreach { id =>
+    created --= sc.getPersistentRDDs.keySet -- beforeFinal
+    created.foreach { id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
     }
     result
@@ -448,12 +458,34 @@ object Dedup {
     * it; `dup_of` is the earliest-admitted flagging member (min id among
     * qualifying bands' hits ties the knot deterministically). Run inside
     * `foreachBatch` — every band row of a doc lands in the same micro-batch.
+    *
+    * DUP_OF-CHAIN CONTRACT: a doc can be admitted as a bucket member by the
+    * bands that did not flag it even when another band did — so a later
+    * arrival's `dup_of` may name a doc that was itself dropped as a dup.
+    * Within the batch this resolver pointer-jumps such chains to their
+    * kept root (log-depth rounds); chains that cross micro-batches cannot
+    * be chased here (the earlier drop is not in this batch) — consumers
+    * keeping a global id→dup_of map should chase ids, or accept transitive
+    * drops. `est_jaccard` always refers to the DIRECT match, not the root.
     */
-  def resolveNearDupVerdicts(verdicts: DataFrame): DataFrame =
-    verdicts.groupBy(col("id"), col("ts_us"))
+  def resolveNearDupVerdicts(verdicts: DataFrame): DataFrame = {
+    val base = verdicts.groupBy(col("id"), col("ts_us"))
       .agg(min(col("dup_of")).as("dup_of"),
         max(col("est_jaccard")).as("est_jaccard"))
-      .withColumn("is_dup", col("dup_of").isNotNull)
+    // pointer-jump within the batch: adopt the parent's dup_of while the
+    // parent itself resolved as a dup (chain depth halves per round; 4
+    // rounds covers depth-16 chains — deeper means a degenerate bucket)
+    var cur = base
+    for (_ <- 0 until 4) {
+      cur = cur.as("x")
+        .join(cur.select(col("id").as("__pid"), col("dup_of").as("__pdup")).as("p"),
+          col("x.dup_of") === col("__pid"), "left_outer")
+        .select(col("x.id").as("id"), col("x.ts_us").as("ts_us"),
+          coalesce(col("__pdup"), col("x.dup_of")).as("dup_of"),
+          col("x.est_jaccard").as("est_jaccard"))
+    }
+    cur.withColumn("is_dup", col("dup_of").isNotNull)
+  }
 
   /** Spark duration string → microseconds (the subset the streaming dedup
     * horizons use).

@@ -270,6 +270,10 @@ object CoreQueries extends QueryFamily {
       "q_ref_scalar_fns",
       (s, dir) => {
         graft.functions.RefFns.register(s)
+        // dateAdd shadows a Spark builtin — analysis must happen inside the
+        // scoped override (DataFrame analysis is eager, so the returned
+        // frame keeps the reference semantics after the scope closes)
+        graft.functions.RefFns.withShadowing(s) {
         Tables(s, dir, "orders")
           .where("o_orderkey <= 2000")
           .selectExpr(
@@ -286,6 +290,7 @@ object CoreQueries extends QueryFamily {
             "instanceOfDouble(o_totalprice) AS is_dbl",
             "instanceOfString(o_orderstatus) AS is_str")
           .orderBy(col("o_orderkey"))
+        }
       },
       Some("""SELECT o_orderkey,
              |  greatest(o_totalprice, 150000.0) AS max_v,

@@ -676,11 +676,18 @@ object GraftApp {
           e.getMessage.linesIterator.find(_.trim.nonEmpty).getOrElse("syntax error").trim)
     }
 
-  private def intOf(s: String, what: String): Int = {
+  /** Typed integer parse with a lower bound: LIMIT/OFFSET take >= 0,
+    * window sizes >= 1 — a negative here would otherwise surface later as
+    * an untyped Spark IllegalArgumentException (the leak class the typed
+    * parse surface exists to eliminate).
+    */
+  private def intOf(s: String, what: String, min: Int = 0): Int = {
     val t = s.trim
     if (!t.matches("-?\\d+")) throw SqlError(s"$what: expected an integer, got '$t'")
-    try t.toInt catch { case _: NumberFormatException =>
+    val v = try t.toInt catch { case _: NumberFormatException =>
       throw SqlError(s"$what: integer out of range: '$t'") }
+    if (v < min) throw SqlError(s"$what: must be >= $min, got $v")
+    v
   }
 
   private def parseDurationUs(s: String): Long = {
@@ -738,12 +745,19 @@ object GraftApp {
     // ANSI off so the plans bake in the reference's null-on-zero semantics
     // (eval mode is captured at analysis time, so restoring the flag after
     // compilation does not affect the returned frames).
-    val ansiWas = spark.conf.getOption("spark.sql.ansi.enabled")
-    spark.conf.set("spark.sql.ansi.enabled", "false")
-    try runTracked0(spark, appSql, inputs)
-    finally ansiWas match {
-      case Some(v) => spark.conf.set("spark.sql.ansi.enabled", v)
-      case None => spark.conf.unset("spark.sql.ansi.enabled")
+    //
+    // CONCURRENCY CONTRACT: both this ANSI toggle and the RefFns shadowing
+    // scope mutate shared session state for the compile duration — GraftApp
+    // compilation is single-threaded per SparkSession; run concurrent
+    // compiles on separate sessions (spark.newSession()).
+    graft.functions.RefFns.withShadowing(spark) {
+      val ansiWas = spark.conf.getOption("spark.sql.ansi.enabled")
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      try runTracked0(spark, appSql, inputs)
+      finally ansiWas match {
+        case Some(v) => spark.conf.set("spark.sql.ansi.enabled", v)
+        case None => spark.conf.unset("spark.sql.ansi.enabled")
+      }
     }
   }
 
@@ -941,7 +955,7 @@ object GraftApp {
         throw SqlError("EXPIRED/ALL EVENTS emits event rows; aggregates are not applicable")
       if (!df.columns.contains("ts"))
         throw SqlError("EXPIRED/ALL EVENTS needs a 'ts' TIMESTAMP column for event order")
-      val n = intOf(w0.params.last, "window('length')")
+      val n = intOf(w0.params.last, "window('length')", min = 1)
       val ordCols = (col("ts") +: df.columns.filterNot(_ == "ts").map(col).toSeq).map(_.desc)
       val w1 = org.apache.spark.sql.expressions.Window
         .partitionBy(q.partitionKeys.map(expr): _*).orderBy(ordCols: _*)
@@ -958,7 +972,7 @@ object GraftApp {
         throw SqlError(s"window('${w.kind}') needs a 'ts' TIMESTAMP column for event order")
       val frame = w.kind match {
         case "length" =>
-          val n = intOf(w.params.last, "window('length')")
+          val n = intOf(w.params.last, "window('length')", min = 1)
           s"ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW"
         case "time" =>
           val us = parseDurationUs(w.params.last)
@@ -1141,7 +1155,7 @@ object GraftApp {
     */
   private def bufferWindow(df: DataFrame, w: WindowClause): DataFrame = w.kind match {
     case "length" =>
-      val n = intOf(w.params.last, "window('length')")
+      val n = intOf(w.params.last, "window('length')", min = 1)
       if (!df.columns.contains("ts"))
         throw SqlError("join-side window('length') needs a 'ts' TIMESTAMP column")
       val ordCols = (col("ts") +: df.columns.filterNot(_ == "ts").map(col).toSeq).map(_.desc)
@@ -1173,7 +1187,7 @@ object GraftApp {
     // n-th event; the incomplete tail stays buffered). The bucket id is the
     // `window` column, groupable downstream.
     case "lengthbatch" =>
-      val n = intOf(w.params.last, "window('lengthBatch')")
+      val n = intOf(w.params.last, "window('lengthBatch')", min = 1)
       if (!df.columns.contains("ts"))
         throw SqlError("window('lengthBatch') needs a 'ts' TIMESTAMP column for event order")
       if (partitionKeys.isEmpty)
@@ -1223,7 +1237,7 @@ object GraftApp {
     // (Windows.frequent) approximates with O(k) state. Default attribute =
     // the whole row. TakeOrdered(k) + broadcast semi-join — no global sort.
     case "frequent" =>
-      val k = intOf(w.params.head, "window('frequent')")
+      val k = intOf(w.params.head, "window('frequent')", min = 1)
       val attr = if (w.params.size > 1) col(w.params(1)) else struct(df.columns.map(col): _*)
       val topk = df.groupBy(attr.as("__fa")).agg(count(lit(1)).as("__cnt"))
         .orderBy(col("__cnt").desc, col("__fa")).limit(k)
@@ -1235,7 +1249,7 @@ object GraftApp {
     // per partition key when inside PARTITION WITH. Batch result-level form
     // of the streaming kernel Windows.sortTopNMulti.
     case "sort" =>
-      val n = intOf(w.params.head, "window('sort')")
+      val n = intOf(w.params.head, "window('sort')", min = 1)
       // two accepted spellings (sort_window_validation_test.rs): inline
       // `attr [asc|desc]` and the reference's separate quoted order param
       // `attr, 'asc'|'desc'`. Criteria must be real attributes — constants

@@ -23,7 +23,9 @@ class RefFnsSpec extends AnyFunSuite {
 
   private def one(exprSql: String): Any = {
     RefFns.register(spark)
-    spark.range(1).selectExpr(s"($exprSql) AS v").collect()(0).get(0)
+    RefFns.withShadowing(spark) {
+      spark.range(1).selectExpr(s"($exprSql) AS v").collect()(0).get(0)
+    }
   }
 
   test("all 57 reference builtin names resolve through the SQL parser") {
@@ -49,9 +51,11 @@ class RefFnsSpec extends AnyFunSuite {
       "sin(0.0)", "sqrt(4.0)", "substr('abc', 2)", "substring('abc', 2)",
       "tan(0.0)", "trim(' a ')", "trunc(5.79)", "truncate(5.789, 2)",
       "upper('ab')")
-    val row = spark.range(1)
-      .selectExpr(samples.zipWithIndex.map { case (s, i) => s"($s) AS c$i" }: _*)
-      .collect()(0)
+    val row = RefFns.withShadowing(spark) {
+      spark.range(1)
+        .selectExpr(samples.zipWithIndex.map { case (s, i) => s"($s) AS c$i" }: _*)
+        .collect()(0)
+    }
     assert(row.length == samples.length)
   }
 
@@ -155,15 +159,33 @@ class RefFnsSpec extends AnyFunSuite {
     val ms = Seq.fill(200)((rnd.nextLong().abs % 4102444800L) * 1000L)
     val pats = Seq("%Y-%m-%d %H:%M:%S", "%F %T", "%Y/%m/%d %H:%M:%S")
     for (p <- pats) {
-      val rows = ms.toDF("ms")
-        .selectExpr(s"ms", s"parseDate(formatDate(ms, '$p'), '$p') AS rt")
-        .collect()
+      val rows = RefFns.withShadowing(spark) {
+        ms.toDF("ms")
+          .selectExpr(s"ms", s"parseDate(formatDate(ms, '$p'), '$p') AS rt")
+          .collect()
+      }
       rows.foreach(r => assert(r.getLong(1) == r.getLong(0), s"pattern $p"))
     }
     // letter literals in the pattern survive the chrono→Java translation
     val lit = spark.range(1)
       .selectExpr("formatDate(0, '%Y year, %m month at %H hrs')").collect()(0).getString(0)
     assert(lit == "1970 year, 01 month at 00 hrs")
+  }
+
+  test("shadowing overrides are scoped: native now()/trunc return after the scope") {
+    RefFns.register(spark)
+    // inside the scope: reference semantics (now() = LONG epoch millis)
+    RefFns.withShadowing(spark) {
+      assert(spark.range(1).selectExpr("now()").schema.head.dataType ==
+        org.apache.spark.sql.types.LongType)
+    }
+    // outside: plain spark.sql gets the Spark natives back — now() is a
+    // TIMESTAMP, trunc() date-truncates with a non-literal format column
+    assert(spark.sql("SELECT now()").schema.head.dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val d = spark.sql("SELECT trunc(DATE'2021-03-15', fmt) AS t FROM (SELECT 'MM' AS fmt)")
+      .collect()(0).get(0)
+    assert(d.toString == "2021-03-01")
   }
 
   test("RefFns compositions keep the parquet filter pushdown intact") {
