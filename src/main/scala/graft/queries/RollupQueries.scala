@@ -33,22 +33,27 @@ object RollupQueries extends QueryFamily {
              |  min(value) AS min_v, max(value) AS max_v
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
-    // On-demand range query at day grain (query_aggregation "within"):
-    // minute → hour → day cascade, then [Jan 10, Jan 20).
+    // On-demand range query at day grain (query_aggregation "within"),
+    // THROUGH the SQL surface: CREATE AGGREGATION lowers onto the
+    // minute → hour → day Rollups.cascade, and the WITHIN … PER statement
+    // is the reference's query_aggregation(agg_id, within, per)
+    // (aggregation_definition.rs:13-24, eventflux_app_runtime.rs:982-993).
     QueryDef(
       "q_rollup_query",
       (s, dir) => {
-        val c = Rollups.cascade(Tables(s, dir, "events"), "ts",
-          Seq("user_id"), "value", Seq("minute", "hour", "day"),
-          within = Some(("2024-01-10", "2024-01-20")))
-        Rollups.query(c, "day", "2024-01-10", "2024-01-20")
-          .select(
-            col("user_id"),
-            date_format(col("bucket"), "yyyy-MM-dd").as("d"),
-            col("cnt"),
-            round(col("sum_v"), 2).as("sum_v"),
-            round(col("avg_v"), 4).as("avg_v"))
-          .orderBy(col("user_id"), col("d"))
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (user_id BIGINT, d STRING, cnt BIGINT,
+            |                   sum_v DOUBLE, avg_v DOUBLE);
+            |CREATE AGGREGATION UserDaily FROM events
+            |GROUP BY user_id AGGREGATE value BY ts EVERY minute TO day;
+            |INSERT INTO Out
+            |SELECT user_id, date_format(bucket, 'yyyy-MM-dd') AS d, cnt,
+            |       round(sum_v, 2) AS sum_v, round(avg_v, 4) AS avg_v
+            |FROM UserDaily WITHIN '2024-01-10' AND '2024-01-20' PER 'day'
+            |ORDER BY user_id, d;""".stripMargin
+        graft.sql.GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
       },
       Some("""SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
              |  count(*) AS cnt, round(sum(value), 2) AS sum_v,

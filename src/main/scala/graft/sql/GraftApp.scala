@@ -74,16 +74,36 @@ object GraftApp {
                            selectItems: Seq[(String, Option[String])],
                            cond: String)
 
+  /** `CREATE AGGREGATION` definition (aggregation_definition.rs:13-24:
+    * input stream + group keys + aggregated attribute + time-period range):
+    * lowered onto Rollups.cascade at query time. `grains` is the contiguous
+    * EVERY <from> TO <to> slice of Rollups.Grains.
+    */
+  final case class AggDef(name: String, source: String, keys: Seq[String],
+                          valueCol: String, tsCol: String, grains: Seq[String])
+
+  /** `INSERT INTO t SELECT … FROM <agg> WITHIN 'from' AND 'to' PER 'grain'`
+    * — the reference's on-demand `query_aggregation(agg_id, within, per)`
+    * (eventflux_app_runtime.rs:982-993) as a statement. Select items see
+    * the cascade columns: the group keys, `bucket`, and cnt/sum_v/min_v/
+    * max_v/avg_v.
+    */
+  final case class AggQuerySpec(target: String, selectItems: Seq[(String, Option[String])],
+                                agg: String, from: String, to: String, per: String,
+                                orderBy: Seq[String])
+
   /** Statements that execute against the env, in declared order. */
   sealed trait Stmt
   final case class QueryStmt(q: QuerySpec) extends Stmt
   final case class PatternStmt(p: PatternCompiler.PatternQuery) extends Stmt
   final case class DmlStmt(d: DmlSpec) extends Stmt
+  final case class AggQueryStmt(q: AggQuerySpec) extends Stmt
 
   final case class AppSpec(streams: Map[String, StreamDef], queries: Seq[QuerySpec],
                            patterns: Seq[PatternCompiler.PatternQuery] = Nil,
                            triggers: Seq[TriggerDef] = Nil,
-                           stmts: Seq[Stmt] = Nil)
+                           stmts: Seq[Stmt] = Nil,
+                           aggs: Map[String, AggDef] = Map.empty)
 
   final case class SqlError(msg: String) extends RuntimeException(msg)
 
@@ -95,6 +115,13 @@ object GraftApp {
     """(?is)\s*INSERT\s+(?:(CURRENT|EXPIRED|ALL)\s+EVENTS\s+)?INTO\s+(\w+)\s+SELECT\s+(.*?)\s+FROM\s+(\w+)\s*(.*)""".r
   private val PatternPrefixRe: Regex =
     """(?is)\s*INSERT\s+INTO\s+(\w+)\s+SELECT\s+(.*?)\s+FROM\s+(PATTERN|SEQUENCE)\s*\(""".r
+  private val AggRe: Regex =
+    ("""(?is)\s*CREATE\s+AGGREGATION\s+(\w+)\s+FROM\s+(\w+)\s+""" +
+      """(?:GROUP\s+BY\s+(.*?)\s+)?AGGREGATE\s+(\w+)\s+BY\s+(\w+)\s+""" +
+      """EVERY\s+(\w+)(?:\s+TO\s+(\w+))?\s*""").r
+  private val AggQueryRe: Regex =
+    ("""(?is)\s*INSERT\s+INTO\s+(\w+)\s+SELECT\s+(.*?)\s+FROM\s+(\w+)\s+""" +
+      """WITHIN\s+'([^']+)'\s+AND\s+'([^']+)'\s+PER\s+'(\w+)'\s*(.*?)\s*""").r
   private val WindowRe: Regex =
     """(?is)WINDOW\s*\(\s*'(\w+)'\s*(?:,\s*([^)]*))?\)""".r
 
@@ -200,6 +227,7 @@ object GraftApp {
       .split(";").map(_.trim).filter(_.nonEmpty)
       .map(s => (s, Seq.empty[PartitionKeySpec]))
     var streams = Map.empty[String, StreamDef]
+    var aggs = Map.empty[String, AggDef]
     val queries = Seq.newBuilder[QuerySpec]
     val patterns = Seq.newBuilder[PatternCompiler.PatternQuery]
     val triggers = Seq.newBuilder[TriggerDef]
@@ -251,6 +279,42 @@ object GraftApp {
             val opts = Option(withRaw).map(parseWith).getOrElse(Map.empty)
             streams += name -> StreamDef(name, StructType(fields), opts,
               isTable = kind.equalsIgnoreCase("TABLE"))
+          case AggRe(name, source, keysRaw, valueCol, tsCol, gFrom, gTo) =>
+            if (streams.contains(name) || aggs.contains(name)) throw SqlError(
+              s"duplicate stream/table/trigger/aggregation definition '$name'")
+            requireDefined(source)
+            val sd = streams(source)
+            val keys = Option(keysRaw).toSeq
+              .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+            (keys :+ valueCol :+ tsCol).foreach { c =>
+              if (!sd.schema.fieldNames.contains(c)) throw SqlError(
+                s"aggregation '$name': column '$c' not in stream '$source'")
+            }
+            val gi = graft.operators.Rollups.Grains.indexOf(gFrom.toLowerCase)
+            val gj = graft.operators.Rollups.Grains.indexOf(
+              Option(gTo).map(_.toLowerCase).getOrElse(gFrom.toLowerCase))
+            if (gi < 0 || gj < 0) throw SqlError(
+              s"aggregation '$name': grains must be one of ${graft.operators.Rollups.Grains.mkString(", ")}")
+            if (gj < gi) throw SqlError(
+              s"aggregation '$name': EVERY $gFrom TO $gTo is not a coarsening range")
+            aggs += name -> AggDef(name, source, keys, valueCol, tsCol,
+              graft.operators.Rollups.Grains.slice(gi, gj + 1))
+          case AggQueryRe(target, select, aggName, from, to, per, rest)
+              if aggs.contains(aggName) =>
+            val ad = aggs(aggName)
+            if (!ad.grains.contains(per.toLowerCase)) throw SqlError(
+              s"aggregation '$aggName' materializes ${ad.grains.mkString(", ")} — " +
+                s"PER '$per' is not among them")
+            val orderBy = rest.trim match {
+              case "" => Nil
+              case r => "(?is)^ORDER\\s+BY\\s+(.*)$".r.findFirstMatchIn(r)
+                .map(m => splitTopLevel(m.group(1)))
+                .getOrElse(throw SqlError(
+                  s"aggregation query supports ORDER BY only, got '${r.take(40)}'"))
+            }
+            stmts += AggQueryStmt(AggQuerySpec(target,
+              splitTopLevel(select).map(parseSelectItem), aggName,
+              from, to, per.toLowerCase, orderBy))
           case UpsertRe(table, select, source, cond) =>
             requireDefined(table); requireDefined(source)
             val items = splitTopLevel(select).map(parseSelectItem)
@@ -310,7 +374,8 @@ object GraftApp {
         }
       }
     }
-    AppSpec(streams, queries.result(), patterns.result(), triggers.result(), stmts.result())
+    AppSpec(streams, queries.result(), patterns.result(), triggers.result(),
+      stmts.result(), aggs)
   }
 
   private def parseSelectItem(item: String): (String, Option[String]) = {
@@ -863,6 +928,27 @@ object GraftApp {
         env += d.table -> trimmed.drop("__ins")
       case DmlStmt(d) =>
         env += d.table -> execDml(env, d)
+      case AggQueryStmt(a) =>
+        // CREATE AGGREGATION query: build the grain cascade over the source
+        // (within pushed to the raw scan — partition/filter pruning at the
+        // parquet level), read the PER grain in [from, to), project, order
+        val ad = spec.aggs(a.agg)
+        val src = env.getOrElse(ad.source,
+          throw SqlError(s"stream '${ad.source}' has no bound data"))
+        val cascade = graft.operators.Rollups.cascade(src, ad.tsCol, ad.keys,
+          ad.valueCol, ad.grains, within = Some((a.from, a.to)))
+        val base = graft.operators.Rollups.query(cascade, a.per, a.from, a.to)
+        var out = base.selectExpr(a.selectItems.map { case (e, al) =>
+          al.map(x => s"($e) AS $x").getOrElse(e)
+        }: _*)
+        if (a.orderBy.nonEmpty)
+          out = out.orderBy(a.orderBy.map { o =>
+            val (e, desc) = if (o.toUpperCase.endsWith(" DESC")) (o.dropRight(5), true)
+              else if (o.toUpperCase.endsWith(" ASC")) (o.dropRight(4), false)
+              else (o, false)
+            if (desc) expr(e).desc else expr(e).asc
+          }: _*)
+        env += a.target -> env.get(a.target).map(_.unionByName(out)).getOrElse(out)
     }
     (env, () => persisted.foreach(_.unpersist()))
   }

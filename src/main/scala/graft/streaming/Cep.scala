@@ -230,6 +230,58 @@ object Cep {
       out.iterator
     }
 
+  /** Batch detection with BOUNDED per-key memory — the hot-key scale path.
+    * [[detect]] materializes each key's full history (`it.toSeq`) before
+    * the NFA pass: fine on TPC-H-shaped keys, an executor-memory cliff on a
+    * pathological hot key. This variant instead SECONDARY-SORTS the
+    * partitions (repartition by key, sortWithinPartitions by key/ts/id —
+    * Spark's sort is spillable, so the ordering never needs the key in
+    * memory) and folds the sorted run through [[runNfa]] in fixed-size
+    * chunks, exactly like the streaming path folds micro-batches; resident
+    * state is one chunk + the partial set (maxPartials-capped). Chunked
+    * fold ≡ one-shot pass because runNfa is a state fold (the
+    * batch≡streaming property CepSpec pins).
+    */
+  def detectSorted(ds: Dataset[CepEvent], spec: PatternSpec,
+                   chunkSize: Int = 1 << 16,
+                   dropCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[CepMatch] = {
+    val sorted = ds.repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("tsUs"), col("eventId"))
+      .as[CepEvent](evEnc)
+    sorted.mapPartitions { it =>
+      val b = it.buffered
+      // one inner iterator per key run; flatten consumes each fully before
+      // advancing, preserving the single-pass contract
+      new Iterator[Iterator[CepMatch]] {
+        def hasNext: Boolean = b.hasNext
+        def next(): Iterator[CepMatch] = {
+          val key = b.head.key
+          var st = NfaState(Nil, done = false)
+          val chunks = new Iterator[Seq[CepEvent]] {
+            def hasNext: Boolean = b.hasNext && b.head.key == key
+            def next(): Seq[CepEvent] = {
+              val buf = Vector.newBuilder[CepEvent]
+              var n = 0
+              while (n < chunkSize && b.hasNext && b.head.key == key) {
+                buf += b.next(); n += 1
+              }
+              buf.result()
+            }
+          }
+          var lastDropped = 0L
+          chunks.flatMap { evs =>
+            val (out, st2) = runNfa(evs, st, spec)
+            st = st2
+            dropCounter.foreach(_.add(st2.dropped - lastDropped))
+            lastDropped = st2.dropped
+            out
+          }
+        }
+      }.flatten
+    }(matchEnc)
+  }
+
   /** Streaming detection: NFA state persists across micro-batches; events
     * are ordered within each batch (cross-batch order = source contract).
     * `dropCounter` adds each batch's newly dropped partials (state carries

@@ -483,6 +483,45 @@ object Windows {
     }
   }
 
+  /** Batch window evaluation with BOUNDED per-key memory — the hot-key
+    * scale path, same shape as Cep.detectSorted: secondary sort (spillable)
+    * orders each partition by (key, ts, id); the sorted run folds through
+    * the pure kernel in fixed-size chunks, so resident memory is one chunk
+    * plus the kernel's own state (n events / duration-bounded), never a hot
+    * key's full history. Chunked fold ≡ one-shot because every kernel is a
+    * (events, state) → (out, state) fold — the property WindowPropSpec pins.
+    */
+  def foldSorted(ds: Dataset[WinEvent], chunkSize: Int = 1 << 16)(
+      f: (Seq[WinEvent], WinBuffer) => (Seq[WinOut], WinBuffer)): Dataset[WinOut] = {
+    import org.apache.spark.sql.functions.col
+    implicit val evEnc: Encoder[WinEvent] = Encoders.product[WinEvent]
+    val sorted = ds.repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("tsUs"), col("eventId"))
+      .as[WinEvent]
+    sorted.mapPartitions { it =>
+      val b = it.buffered
+      new Iterator[Iterator[WinOut]] {
+        def hasNext: Boolean = b.hasNext
+        def next(): Iterator[WinOut] = {
+          val key = b.head.key
+          var st = EmptyBuffer
+          val chunks = new Iterator[Seq[WinEvent]] {
+            def hasNext: Boolean = b.hasNext && b.head.key == key
+            def next(): Seq[WinEvent] = {
+              val buf = Vector.newBuilder[WinEvent]
+              var n = 0
+              while (n < chunkSize && b.hasNext && b.head.key == key) {
+                buf += b.next(); n += 1
+              }
+              buf.result()
+            }
+          }
+          chunks.flatMap { evs => val (out, st2) = f(evs, st); st = st2; out }
+        }
+      }.flatten
+    }
+  }
+
   /** OUTPUT EVERY n EVENTS + idle TTL: ALL flushes its open chunk (those
     * events were admitted but never released — dropping them silently would
     * lose data); FIRST/LAST just free the counter. A post-TTL arrival

@@ -474,4 +474,41 @@ class GraftAppSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("columns"))
   }
+
+  test("CREATE AGGREGATION: cascade query runs; typed errors for bad grains/columns/clauses") {
+    import spark.implicits._
+    val base = """CREATE STREAM E (ts TIMESTAMP, k STRING, v DOUBLE);
+                 |CREATE STREAM Out (k STRING, h STRING, cnt BIGINT, sum_v DOUBLE);
+                 |""".stripMargin
+    val in = Seq(
+      ("2024-03-01 10:05:00", "a", 1.0), ("2024-03-01 10:45:00", "a", 2.0),
+      ("2024-03-01 11:05:00", "a", 4.0), ("2024-03-01 10:20:00", "b", 8.0),
+      ("2024-03-02 09:00:00", "a", 16.0) // outside the WITHIN range
+    ).toDF("s", "k", "v").selectExpr("CAST(s AS TIMESTAMP) AS ts", "k", "v")
+    val app = base +
+      """CREATE AGGREGATION ByK FROM E GROUP BY k AGGREGATE v BY ts EVERY minute TO hour;
+        |INSERT INTO Out SELECT k, date_format(bucket, 'HH') AS h, cnt, sum_v
+        |FROM ByK WITHIN '2024-03-01' AND '2024-03-02' PER 'hour' ORDER BY k, h;""".stripMargin
+    val got = GraftApp.run(spark, app, Map("E" -> in))("Out")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(("a", "10", 2L, 3.0), ("a", "11", 1L, 4.0), ("b", "10", 1L, 8.0)))
+    // PER grain not materialized by the definition
+    val e1 = intercept[GraftApp.SqlError](GraftApp.parse(base +
+      """CREATE AGGREGATION ByK FROM E GROUP BY k AGGREGATE v BY ts EVERY minute TO hour;
+        |INSERT INTO Out SELECT k FROM ByK WITHIN '2024' AND '2025' PER 'day';""".stripMargin))
+    assert(e1.getMessage.contains("not among"))
+    // non-coarsening EVERY range
+    val e2 = intercept[GraftApp.SqlError](GraftApp.parse(base +
+      "CREATE AGGREGATION ByK FROM E GROUP BY k AGGREGATE v BY ts EVERY day TO minute;"))
+    assert(e2.getMessage.contains("coarsening"))
+    // unknown aggregated column
+    val e3 = intercept[GraftApp.SqlError](GraftApp.parse(base +
+      "CREATE AGGREGATION ByK FROM E GROUP BY k AGGREGATE missing BY ts EVERY minute;"))
+    assert(e3.getMessage.contains("not in stream"))
+    // trailing junk after PER
+    val e4 = intercept[GraftApp.SqlError](GraftApp.parse(base +
+      """CREATE AGGREGATION ByK FROM E GROUP BY k AGGREGATE v BY ts EVERY minute;
+        |INSERT INTO Out SELECT k FROM ByK WITHIN '2024' AND '2025' PER 'minute' LIMIT 3;""".stripMargin))
+    assert(e4.getMessage.contains("ORDER BY only"))
+  }
 }

@@ -432,6 +432,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked stream-stream join: cross-batch time-range join equals the batch form") {
+    // reference join_processor.rs:18-214 buffers each side per key/window;
+    // the Spark-native twin is a watermarked stream-stream join with a
+    // time-range condition (state bounded by the watermark + range, vs the
+    // reference's per-side unbounded buffers — SURVEY §2.3 divergence note)
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val pIn = MemoryStream[(Long, Long, Long)] // (id, user, sec)
+    val vIn = MemoryStream[(Long, Long, Long)]
+    def shape(df: org.apache.spark.sql.DataFrame, pfx: String) =
+      df.toDF(s"${pfx}_id", s"${pfx}_user", s"${pfx}_sec")
+        .withColumn(s"${pfx}_ts", timestamp_seconds(col(s"${pfx}_sec")))
+        .withWatermark(s"${pfx}_ts", "5 seconds")
+    val cond = "p_user = v_user AND v_ts BETWEEN p_ts - INTERVAL 10 SECONDS AND p_ts"
+    val q = shape(pIn.toDF(), "p").join(shape(vIn.toDF(), "v"), expr(cond))
+      .select(col("p_id"), col("v_id"))
+      .writeStream.format("memory").queryName("ssj_sink").outputMode("append").start()
+    val ps = Seq((1L, 7L, 100L), (2L, 8L, 120L), (3L, 7L, 130L))
+    val vs = Seq((11L, 7L, 95L), (12L, 7L, 98L), (13L, 8L, 111L),
+      (14L, 8L, 130L), (15L, 7L, 125L))
+    try {
+      // spread across batches so matches form cross-batch in BOTH directions
+      pIn.addData(ps(0)); vIn.addData(vs(0)); q.processAllAvailable()
+      vIn.addData(vs(1)); q.processAllAvailable()            // view joins batch-1 purchase
+      pIn.addData(ps(1)); vIn.addData(vs(2)); q.processAllAvailable()
+      vIn.addData(vs(3), vs(4)); pIn.addData(ps(2)); q.processAllAvailable()
+      val got = spark.table("ssj_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch form over the same events decides the expected pairs
+      import spark.implicits._
+      val pb = ps.toDF("p_id", "p_user", "p_sec")
+        .withColumn("p_ts", timestamp_seconds(col("p_sec")))
+      val vb = vs.toDF("v_id", "v_user", "v_sec")
+        .withColumn("v_ts", timestamp_seconds(col("v_sec")))
+      val want = pb.join(vb, expr(cond)).select(col("p_id"), col("v_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
   test("window EventTimeTimeout: idle keys flush through the changelog, ZERO state rows") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[WinEvent]
@@ -713,6 +753,38 @@ class StreamingSpec extends AnyFunSuite {
     val acc0 = spark.sparkContext.longAccumulator
     Cep.detect(events.take(5).toDS(), spec, Some(acc0)).count()
     assert(acc0.value == 0L)
+  }
+
+  test("detectSorted (chunked secondary-sort NFA) equals detect on random keyed events") {
+    val rnd = new scala.util.Random(11)
+    val events = (1 to 3000).map { i =>
+      CepEvent(s"k${rnd.nextInt(7)}", rnd.nextInt(500).toLong * 1000L, i.toLong,
+        if (rnd.nextBoolean()) "A" else "B", rnd.nextInt(100).toDouble)
+    }
+    val spec = PatternSpec(
+      Seq(Step.simple("a")(_.etype == "A"), Step.simple("b")(_.etype == "B")),
+      strict = false, every = true, withinUs = Some(60000000L))
+    def norm(ds: org.apache.spark.sql.Dataset[CepMatch]) =
+      ds.collect().map(m => (m.key, m.startUs, m.endUs,
+        m.steps.map(s => (s.step, s.events.map(_.eventId))))).toSet
+    val oneShot = norm(Cep.detect(events.toDS(), spec))
+    // tiny chunks force many per-key folds — the hot-key memory bound path
+    val chunked = norm(Cep.detectSorted(events.toDS(), spec, chunkSize = 64))
+    assert(oneShot.nonEmpty && chunked == oneShot)
+  }
+
+  test("Windows.foldSorted (chunked) equals the one-shot kernel on random keyed events") {
+    val rnd = new scala.util.Random(13)
+    val events = (1 to 2000).map { i =>
+      WinEvent(s"k${rnd.nextInt(5)}", rnd.nextInt(300).toLong * 1000000L, i.toLong,
+        rnd.nextInt(50).toDouble)
+    }
+    def norm(ds: org.apache.spark.sql.Dataset[WinOut]) =
+      ds.collect().map(o => (o.key, o.tsUs, o.eventId, o.value, o.op)).toSet
+    val oneShot = norm(Windows.length(events.toDS(), 5))
+    val chunked = norm(Windows.foldSorted(events.toDS(), chunkSize = 32)(
+      WindowKernels.length(_, _, 5)))
+    assert(oneShot.nonEmpty && chunked == oneShot)
   }
 
   test("CEP count quantifier collects e1[0..2] and supports collection aggregation") {
