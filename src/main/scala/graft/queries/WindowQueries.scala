@@ -247,6 +247,29 @@ object WindowQueries extends QueryFamily {
              |WHERE event_type IN (SELECT event_type FROM topk)
              |ORDER BY event_id""".stripMargin)),
 
+    // lossyCounting window, batch result-level form: events of attributes
+    // with exact frequency >= support × N — the contract the streaming
+    // Manku-Motwani kernel (Windows.lossyCounting) approximates with a hard
+    // error bound. The reference registers this window name but its
+    // processor is a pass-through stub (window/mod.rs:1654-1741); this is
+    // the real operator. support=0.199 splits the ~0.20-uniform event types.
+    QueryDef(
+      "q_win_lossy",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (event_id BIGINT, event_type STRING);
+            |INSERT INTO Out SELECT event_id, event_type FROM events
+            |WINDOW('lossyCounting', 0.199, 0.01, event_type) ORDER BY event_id;""".stripMargin
+        graft.sql.GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+      },
+      Some("""SELECT event_id, event_type FROM events
+             |WHERE event_type IN (
+             |  SELECT event_type FROM events GROUP BY 1
+             |  HAVING count(*) >= 0.199 * (SELECT count(*) FROM events))
+             |ORDER BY event_id""".stripMargin)),
+
     // firstUnique window (keep-FIRST per unique attribute) via SQL.
     QueryDef(
       "q_win_first_unique",

@@ -755,6 +755,13 @@ object GraftApp {
     v
   }
 
+  private def doubleOf(s: String, what: String): Double = {
+    val t = s.trim
+    if (!t.matches("-?\\d+(\\.\\d+)?")) throw SqlError(
+      s"$what: expected a number, got '$t'")
+    t.toDouble
+  }
+
   private def parseDurationUs(s: String): Long = {
     val m = """(?i)\s*(\d+)\s*(millisecond|second|minute|hour|day)s?\s*""".r
     s.trim match {
@@ -1328,6 +1335,29 @@ object GraftApp {
       val topk = df.groupBy(attr.as("__fa")).agg(count(lit(1)).as("__cnt"))
         .orderBy(col("__cnt").desc, col("__fa")).limit(k)
       df.join(broadcast(topk.select(col("__fa"))), attr === col("__fa"), "left_semi")
+    // lossyCounting window `WINDOW('lossyCounting', support, error[, attr])`
+    // — the reference registers the name but its processor is a pass-through
+    // stub (window/mod.rs:1654-1741); the batch result-level form is the
+    // EXACT answer the sketch approximates: events whose attribute's
+    // frequency is at least support × N. The streaming form
+    // (Windows.lossyCounting) is real Manku-Motwani with a hard error
+    // bound. Aggregate + two broadcasts — no wide shuffle.
+    case "lossycounting" =>
+      if (w.params.size < 2) throw SqlError(
+        "window('lossyCounting') needs (support, error[, attr])")
+      val support = doubleOf(w.params.head, "window('lossyCounting') support")
+      val error = doubleOf(w.params(1), "window('lossyCounting') error")
+      if (support <= 0 || support >= 1) throw SqlError(
+        s"window('lossyCounting'): support must be in (0,1), got $support")
+      if (error <= 0 || error >= support) throw SqlError(
+        s"window('lossyCounting'): error must be in (0, support), got $error")
+      val attr = if (w.params.size > 2) col(w.params(2)) else struct(df.columns.map(col): _*)
+      val totals = df.agg(count(lit(1)).cast("double").as("__n"))
+      val heavy = df.groupBy(attr.as("__fa")).agg(count(lit(1)).as("__cnt"))
+        .crossJoin(broadcast(totals))
+        .filter(col("__cnt") >= col("__n") * support)
+        .select(col("__fa"))
+      df.join(broadcast(heavy), attr === col("__fa"), "left_semi")
     // sort window (sort_window_processor.rs:25-45 — length + an
     // OrderByEventComparator list): retain the n best rows under the
     // lexicographic criteria chain `WINDOW('sort', n, attr [asc|desc], …)`,

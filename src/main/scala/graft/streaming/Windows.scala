@@ -20,6 +20,16 @@ final case class WinOut(key: String, tsUs: Long, eventId: Long, value: Double, o
 final case class FreqEntry(attr: String, cnt: Long, ev: WinEvent)
 final case class FreqState(entries: Seq[FreqEntry])
 
+/** Manku-Motwani lossy-counting slot: tracked attribute value, observed
+  * count since tracking began, the bucket-offset error bound Δ (events of
+  * this value possibly missed before tracking), the latest arrival of the
+  * value, and whether that arrival is currently emitted (owes a
+  * retraction). `n` is the total events processed for the key.
+  */
+final case class LossyEntry(attr: String, cnt: Long, delta: Long,
+                            ev: WinEvent, emitted: Boolean)
+final case class LossyState(n: Long, entries: Seq[LossyEntry])
+
 /** `OUTPUT FIRST|LAST|ALL EVERY n EVENTS` behavior selector
   * (output_rate.rs:10-22 `OutputRateBehavior` × `EventsOutputRate`).
   */
@@ -154,6 +164,71 @@ object WindowKernels {
       }
     }
     (out.result(), entries)
+  }
+
+  /** lossyCounting window — the reference registers the name but its
+    * processor is a pass-through stub (window/mod.rs:1654-1741, factory
+    * :1717-1741 — no frequency logic at all); this is the REAL
+    * Manku-Motwani lossy-counting sketch the name promises. Stream is cut
+    * into buckets of width w = ⌈1/error⌉; an untracked arrival starts an
+    * entry with Δ = currentBucket−1 (its maximum possible undercount); a
+    * bucket boundary prunes entries with cnt+Δ ≤ currentBucket. Guarantees:
+    * tracked cnt never exceeds true frequency, undercounts by at most
+    * error·N, and state is O((1/error)·log(error·N)) — vs the frequent
+    * window's fixed k slots this trades adaptive capacity for a hard error
+    * bound.
+    *
+    * Changelog protocol: an arrival whose entry qualifies at the support
+    * threshold (cnt ≥ (support−error)·N, the classic query rule) replaces
+    * the value's retained event (Expired then Current); an arrival that
+    * leaves its entry below threshold is absorbed. A bucket boundary
+    * retracts pruned entries' retained events, and also entries that fell
+    * below threshold through N growth (their cnt froze while N rose) — so
+    * the net changelog is always exactly the currently-qualifying values.
+    */
+  def lossyCounting(events: Seq[WinEvent], st: LossyState, support: Double,
+                    error: Double, attrOf: WinEvent => String)
+      : (Seq[WinOut], LossyState) = {
+    require(support > 0 && support < 1, s"support must be in (0,1), got $support")
+    require(error > 0 && error < support, s"error must be in (0, support), got $error")
+    val w = math.ceil(1.0 / error).toLong
+    var n = st.n
+    var entries = st.entries.toVector
+    val out = Seq.newBuilder[WinOut]
+    def retract(e: WinEvent): Unit = out += WinOut(e.key, e.tsUs, e.eventId, e.value, -1)
+    events.foreach { e =>
+      n += 1
+      val bucket = (n + w - 1) / w // ⌈n/w⌉
+      val a = attrOf(e)
+      val i = entries.indexWhere(_.attr == a)
+      val en0 =
+        if (i >= 0) entries(i).copy(cnt = entries(i).cnt + 1)
+        else LossyEntry(a, 1L, bucket - 1, e, emitted = false)
+      val qualifies = en0.cnt >= (support - error) * n
+      val en1 =
+        if (qualifies) {
+          if (en0.emitted) retract(en0.ev)
+          out += WinOut(e.key, e.tsUs, e.eventId, e.value, 1)
+          en0.copy(ev = e, emitted = true)
+        } else {
+          // falling edge on arrival: the threshold (support−error)·n can
+          // outgrow a count between boundaries — retract the retained
+          // event before replacing it, or the net changelog leaks it
+          if (en0.emitted) retract(en0.ev)
+          en0.copy(ev = e, emitted = false)
+        }
+      entries = if (i >= 0) entries.updated(i, en1) else entries :+ en1
+      if (n % w == 0) {
+        val (dead, live) = entries.partition(en => en.cnt + en.delta <= bucket)
+        dead.filter(_.emitted).foreach(en => retract(en.ev))
+        entries = live.map { en =>
+          if (en.emitted && en.cnt < (support - error) * n) {
+            retract(en.ev); en.copy(emitted = false)
+          } else en
+        }
+      }
+    }
+    (out.result(), LossyState(n, entries))
   }
 
   def sortTopN(events: Seq[WinEvent], buf: WinBuffer, n: Int,
@@ -343,6 +418,23 @@ object Windows {
     }
   }
 
+  /** lossyCounting window: Manku-Motwani heavy hitters at a support
+    * threshold with a hard error bound; state O((1/error)·log(error·N))
+    * per partition key.
+    */
+  def lossyCounting(ds: Dataset[WinEvent], support: Double, error: Double,
+                    attrOf: WinEvent => String = _.value.toString): Dataset[WinOut] = {
+    implicit val lossyEnc: Encoder[LossyState] = Encoders.product[LossyState]
+    ds.groupByKey(_.key).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (_: String, it: Iterator[WinEvent], state: GroupState[LossyState]) =>
+        val (out, next) = WindowKernels.lossyCounting(sorted(it),
+          state.getOption.getOrElse(LossyState(0L, Nil)), support, error, attrOf)
+        state.update(next)
+        out.iterator
+    }
+  }
+
   // --------------------------------------------------------------------
   // Watermark-driven idle-key state shedding (EventTimeTimeout variants).
   //
@@ -468,6 +560,21 @@ object Windows {
                              watermarkDelay: String): Dataset[WinOut] =
     timeoutKernel(ds, watermarkDelay, idleTtlUs, EmptyBuffer, bufEmpty,
       (_: WinBuffer) => Nil)(WindowKernels.firstUnique)
+
+  /** lossyCounting + idle TTL: emitted heavy-hitter events retract; the
+    * sketch (counts, Δs, N) is discarded — a post-TTL arrival restarts the
+    * key's stream, the same fresh-start contract as the other kernels.
+    */
+  def lossyCountingWithTimeout(ds: Dataset[WinEvent], support: Double,
+                               error: Double, idleTtlUs: Long, watermarkDelay: String,
+                               attrOf: WinEvent => String = _.value.toString): Dataset[WinOut] = {
+    implicit val lossyEnc: Encoder[LossyState] = Encoders.product[LossyState]
+    timeoutKernel[LossyState](ds, watermarkDelay, idleTtlUs, LossyState(0L, Nil),
+      (s: LossyState) => s.n == 0L && s.entries.isEmpty,
+      (s: LossyState) => expireAll(s.entries.filter(_.emitted).map(_.ev))) {
+      (events, st) => WindowKernels.lossyCounting(events, st, support, error, attrOf)
+    }
+  }
 
   /** frequent window + idle TTL: tracked heavy-hitter entries retract. */
   def frequentWithTimeout(ds: Dataset[WinEvent], k: Int, idleTtlUs: Long,

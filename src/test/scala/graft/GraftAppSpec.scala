@@ -475,6 +475,36 @@ class GraftAppSpec extends AnyFunSuite {
     assert(err.getMessage.contains("columns"))
   }
 
+  test("lossyCounting window: SQL batch form filters at support; typed param errors") {
+    import spark.implicits._
+    val base = """CREATE STREAM E (ts TIMESTAMP, id BIGINT, t STRING);
+                 |CREATE STREAM Out (id BIGINT, t STRING);
+                 |""".stripMargin
+    // 10 events: 'a'×6 (0.6), 'b'×3 (0.3), 'c'×1 — support 0.25 keeps a and b
+    val in = (1 to 10).map(i =>
+      ("2024-01-01 00:00:0" + (i % 10), i.toLong,
+        if (i <= 6) "a" else if (i <= 9) "b" else "c"))
+      .toDF("s", "id", "t").selectExpr("CAST(s AS TIMESTAMP) AS ts", "id", "t")
+    val app = base +
+      """INSERT INTO Out SELECT id, t FROM E
+        |WINDOW('lossyCounting', 0.25, 0.1, t) ORDER BY id;""".stripMargin
+    val got = GraftApp.run(spark, app, Map("E" -> in))("Out")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == (1 to 9).map(i => (i.toLong, if (i <= 6) "a" else "b")))
+    val e1 = intercept[GraftApp.SqlError](GraftApp.run(spark, base +
+      "INSERT INTO Out SELECT id, t FROM E WINDOW('lossyCounting', 1.5, 0.1, t);",
+      Map("E" -> in))("Out"))
+    assert(e1.getMessage.contains("support must be in (0,1)"))
+    val e2 = intercept[GraftApp.SqlError](GraftApp.run(spark, base +
+      "INSERT INTO Out SELECT id, t FROM E WINDOW('lossyCounting', 0.2, 0.3, t);",
+      Map("E" -> in))("Out"))
+    assert(e2.getMessage.contains("error must be in (0, support)"))
+    val e3 = intercept[GraftApp.SqlError](GraftApp.run(spark, base +
+      "INSERT INTO Out SELECT id, t FROM E WINDOW('lossyCounting', 0.2);",
+      Map("E" -> in))("Out"))
+    assert(e3.getMessage.contains("needs (support, error"))
+  }
+
   test("CREATE AGGREGATION: cascade query runs; typed errors for bad grains/columns/clauses") {
     import spark.implicits._
     val base = """CREATE STREAM E (ts TIMESTAMP, k STRING, v DOUBLE);

@@ -472,6 +472,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("lossyCounting window: Manku-Motwani tracks at support, bucket boundary prunes") {
+    // support 0.4, error 0.2 → bucket width 5, qualify at cnt >= 0.2·n.
+    // v=1 stays hot; v=2/v=3 are singletons the n=5 boundary prunes
+    // (cnt+Δ=1 ≤ bucket) — their retained events retract.
+    val out = runStream(Seq(
+      Seq(ev(1, 1.0), ev(2, 1.0), ev(3, 2.0)),
+      Seq(ev(4, 3.0), ev(5, 1.0))))(
+      ds => Windows.lossyCounting(ds, 0.4, 0.2))
+    assert(out.map(o => (o.eventId, o.op)) == Seq(
+      (1L, 1), (1L, -1), (2L, 1), (3L, 1),          // batch 1
+      (4L, 1), (2L, -1), (5L, 1), (3L, -1), (4L, -1))) // batch 2: e5 replaces e2, boundary prunes
+  }
+
+  test("lossyCounting EventTimeTimeout: idle key retracts emitted events, state removed") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[WinEvent]
+    val q = Windows.lossyCountingWithTimeout(in.toDS(), 0.4, 0.2,
+        idleTtlUs = 10000000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("wt_lossy_sink").outputMode("append").start()
+    def stateRows: Long = q.lastProgress.stateOperators.head.numRowsTotal
+    try {
+      in.addData(Seq(WinEvent("k1", 1000000L, 1, 7.0), WinEvent("k1", 2000000L, 2, 7.0)))
+      q.processAllAvailable()
+      assert(stateRows == 1)
+      in.addData(Seq(WinEvent("k2", 50000000L, 3, 9.0))); q.processAllAvailable()
+      in.addData(Seq(WinEvent("k2", 51000000L, 4, 9.0))); q.processAllAvailable()
+      val rows = spark.table("wt_lossy_sink").as[WinOut].collect().toSeq
+      // k1's retained emitted event (e2 — e1 was replaced) retracts on idle
+      assert(rows.filter(r => r.key == "k1" && r.op == -1).map(_.eventId).toSet == Set(1L, 2L))
+      assert(rows.filter(r => r.key == "k1").map(_.op).sum == 0) // net zero after flush
+      assert(stateRows == 1) // only k2 remains
+    } finally q.stop()
+  }
+
   test("window EventTimeTimeout: idle keys flush through the changelog, ZERO state rows") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[WinEvent]

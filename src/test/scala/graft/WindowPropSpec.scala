@@ -213,4 +213,61 @@ class WindowPropSpec extends AnyFunSuite {
         (o1 ++ o2) == whole && s2 == sw
     })
   }
+
+  // Skewed attribute stream: one heavy value plus a uniform tail, so runs
+  // exercise both sides of the support threshold and bucket pruning.
+  private val genLossyEvents: Gen[List[WinEvent]] = for {
+    n <- Gen.choose(0, 300)
+    vals <- Gen.listOfN(n, Gen.frequency(
+      (6, Gen.const(1)), (2, Gen.const(2)), (1, Gen.choose(3, 12))))
+  } yield vals.zipWithIndex.map { case (v, i) =>
+    WinEvent("k", i.toLong * 10, i.toLong, v.toDouble)
+  }
+
+  test("lossyCounting: Manku-Motwani guarantees (soundness, ε-undercount, no false negatives, state bound)") {
+    val params = Gen.oneOf((0.2, 0.05), (0.3, 0.1), (0.5, 0.2), (0.15, 0.02))
+    check(Prop.forAll(genLossyEvents, params) { case (events, (support, error)) =>
+      val (out, st) = WindowKernels.lossyCounting(
+        events, LossyState(0L, Nil), support, error, _.value.toString)
+      val n = events.size.toLong
+      val trueFreq = events.groupBy(_.value.toString).map { case (a, es) => a -> es.size.toLong }
+      val entryOf = st.entries.map(e => e.attr -> e).toMap
+      // soundness: a tracked count never exceeds the true frequency, and
+      // the bucket-offset bound Δ covers everything missed before tracking
+      val sound = st.entries.forall(e =>
+        e.cnt <= trueFreq(e.attr) && e.cnt + e.delta >= trueFreq(e.attr))
+      // ε-undercount: tracked undercounts ≤ εN; untracked true freq ≤ εN
+      val bounded = trueFreq.forall { case (a, f) =>
+        entryOf.get(a) match {
+          case Some(e) => f - e.cnt <= error * n + 1
+          case None => f <= error * n + 1
+        }
+      }
+      // no false negatives: every attr at/above support has a net-emitted
+      // retained event, and the changelog nets to exactly the emitted set
+      val netIds = out.groupBy(_.eventId).collect {
+        case (id, ops) if ops.map(_.op).sum > 0 => id
+      }.toSet
+      val emittedIds = st.entries.filter(_.emitted).map(_.ev.eventId).toSet
+      val noFalseNeg = trueFreq.forall { case (a, f) =>
+        f < support * n || entryOf.get(a).exists(_.emitted)
+      }
+      // paper bound: at most (1/ε)·log(εN) + w entries
+      val w = math.ceil(1.0 / error)
+      val stateOk = n == 0 ||
+        st.entries.size <= w * (math.log(math.max(error * n, math.E)) + 1)
+      sound && bounded && noFalseNeg && netIds == emittedIds && stateOk
+    })
+  }
+
+  test("lossyCounting is batch-split invariant (streaming = batch semantics)") {
+    check(Prop.forAll(genLossyEvents, Gen.choose(0, 300)) { (events, cut) =>
+      val (a, b) = splitRandomly(events, cut)
+      val (o1, s1) = WindowKernels.lossyCounting(a, LossyState(0L, Nil), 0.3, 0.1, _.value.toString)
+      val (o2, s2) = WindowKernels.lossyCounting(b, s1, 0.3, 0.1, _.value.toString)
+      val (whole, sw) = WindowKernels.lossyCounting(
+        events, LossyState(0L, Nil), 0.3, 0.1, _.value.toString)
+      (o1 ++ o2) == whole && s2 == sw
+    })
+  }
 }
