@@ -247,6 +247,24 @@ object WindowQueries extends QueryFamily {
              |WHERE event_type IN (SELECT event_type FROM topk)
              |ORDER BY event_id""".stripMargin)),
 
+    // delay window (DelayWindowTestCase roadmap), batch result-level form:
+    // events surface 90 seconds of EVENT time later — the streaming buffer
+    // form is Windows.delay / delayWithTimeout (watermark-released).
+    QueryDef(
+      "q_win_delay",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (event_id BIGINT, release_ts STRING, value DOUBLE);
+            |INSERT INTO Out SELECT event_id, date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS release_ts,
+            |  value FROM events WINDOW('delay', 90000) ORDER BY event_id;""".stripMargin
+        graft.sql.GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+      },
+      Some("""SELECT event_id,
+             |  strftime(ts + INTERVAL 90 SECOND, '%Y-%m-%d %H:%M:%S') AS release_ts,
+             |  value FROM events ORDER BY event_id""".stripMargin)),
+
     // lossyCounting window, batch result-level form: events of attributes
     // with exact frequency >= support × N — the contract the streaming
     // Manku-Motwani kernel (Windows.lossyCounting) approximates with a hard
