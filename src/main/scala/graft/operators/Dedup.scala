@@ -89,8 +89,10 @@ object Dedup {
     // logical plan — a persist() alone leaves lineage growing exponentially
     // across iterations (each round's plan embeds the previous round's
     // whole tree, OOMing the driver on plan strings well before data does)
-    var labels = checkpointTracked(sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")))
+    // init = the first propagate round for free: label(v) = min(v, N(v))
+    var labels = checkpointTracked(sym
+      .groupBy(col("src").as("id")).agg(min(col("dst")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("label")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -107,11 +109,14 @@ object Dedup {
           col("x.label") === col("y.lid"), "left_outer")
         .select(col("x.id").as("id"),
           least(col("x.label"), coalesce(col("ll"), col("x.label"))).as("label"))
-      val next = checkpointTracked(jump(jump(propagated)))
-      val changed = next
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") < col("old")).limit(1).count() > 0
-      labels = next
+      // the change flag rides INSIDE the checkpointed frame (computed in
+      // the same job as the round itself); the convergence probe is then a
+      // limit-1 scan of the materialized RDD, not an extra join job
+      val next = checkpointTracked(jump(jump(propagated)).as("n")
+        .join(labels.select(col("id"), col("label").as("old")).as("o"), "id")
+        .select(col("id"), col("label"), (col("label") < col("old")).as("chg")))
+      val changed = next.filter(col("chg")).limit(1).count() > 0
+      labels = next.select(col("id"), col("label"))
       converged = !changed
       iter += 1
     }

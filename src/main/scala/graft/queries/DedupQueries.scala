@@ -124,11 +124,15 @@ object DedupQueries extends QueryFamily {
       "q_dedup_clusters",
       (s, dir) => {
         val d = Tables(s, dir, "documents")
+        // one shuffle: per-doc shingle dedup happens in memory
+        // (array_distinct before the explode), so (doc_id, sh) rows are
+        // already unique — no distinct shuffle, and count(*) per shingle
+        // == countDistinct(doc_id) without the distinct-agg expand
         val sh = d.select(col("doc_id"),
-            explode(graft.functions.TextFns.shingles(col("text"), 3)).as("sh"))
-          .distinct()
+            explode(array_distinct(
+              graft.functions.TextFns.shingles(col("text"), 3))).as("sh"))
         val edges = sh.groupBy(col("sh"))
-          .agg(countDistinct(col("doc_id")).as("n"),
+          .agg(count(lit(1)).as("n"),
             min(col("doc_id")).as("a_id"), max(col("doc_id")).as("b_id"))
           .filter(col("n") === 2)
           .select(col("a_id"), col("b_id")).distinct()
