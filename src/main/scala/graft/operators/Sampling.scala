@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling — the composition stage of a training-data
+  * pipeline (beyond-reference LLM-data operator, sibling of Dedup/TextFns):
+  * subsample strata and re-weight source/language mixtures BEFORE the
+  * expensive downstream stages (dedup mining, embedding).
+  *
+  * Everything is hash-gated, never RNG-gated: the portable unit hash
+  * (md5 prefix, same family as Dedup.minHashLsh's portable mode) makes
+  * every sample a pure function of (id, salt) — reproducible across runs,
+  * partitionings and cluster sizes, trivially auditable cross-engine, and
+  * stable under incremental re-runs (a doc's keep/drop verdict never
+  * changes when the corpus around it grows, unlike rand(seed) which
+  * depends on row order per partition).
+  *
+  * Scale shape: `hashSample`/`mixture` are map-side filters (the only
+  * shuffle in `mixture` is the stratum-count aggregate, whose result is
+  * broadcast back); `stratifiedK` shuffles once on the stratum key and
+  * rank-prunes with one window pass.
+  */
+object Sampling {
+
+  /** Portable uniform in [0,1): first 8 md5 hex digits of `salt:id`,
+    * parsed as an unsigned 32-bit numerator. DuckDB computes the same
+    * value as `CAST('0x' || substr(md5(salt || ':' || id), 1, 8) AS
+    * BIGINT) / 4294967296.0`.
+    */
+  def unitHash(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), lit(":"), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+
+  /** Deterministic Bernoulli sample: keep rows whose unit hash < rate.
+    * A pure map-side filter — pushes below any downstream shuffle.
+    */
+  def hashSample(df: DataFrame, idCol: String, rate: Double,
+                 salt: String = "s"): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    df.filter(unitHash(col(idCol), salt) < rate)
+  }
+
+  /** Exactly min(k, |stratum|) rows per stratum, uniformly by hash rank —
+    * the deterministic equivalent of per-stratum reservoir sampling. The
+    * rank orders on the md5 string itself (id tie-break), so any engine
+    * reproduces the exact same sample.
+    */
+  def stratifiedK(df: DataFrame, strataCols: Seq[String], idCol: String,
+                  k: Int, salt: String = "s"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))), col(idCol))
+    df.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k).drop("__rk")
+  }
+
+  /** Resample to target mixture proportions over `stratumCol`: compute the
+    * largest total T that achieves `weights` exactly without oversampling
+    * any stratum (T = min over strata of N_s / w_s), gate each stratum at
+    * rate w_s·T / N_s. Strata absent from `weights` are dropped (weight 0).
+    * One count aggregate (broadcast back), then a map-side hash gate.
+    */
+  def mixture(df: DataFrame, stratumCol: String, idCol: String,
+              weights: Map[String, Double], salt: String = "m"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val wlit = map(weights.toSeq.flatMap { case (s, v) => Seq(lit(s), lit(v)) }: _*)
+    val counts = df.groupBy(col(stratumCol).as("__st"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__w", element_at(wlit, col("__st")))
+      .filter(col("__w").isNotNull)
+    // T = min(N_s / w_s): the largest sampled total with exact proportions
+    val t = counts.agg(min(col("__n") / col("__w")).as("__t"))
+    val rates = counts.crossJoin(broadcast(t))
+      .select(col("__st"), least(lit(1.0), col("__w") * col("__t") / col("__n")).as("__rate"))
+    df.join(broadcast(rates), col(stratumCol) === col("__st"), "inner")
+      .filter(unitHash(col(idCol), salt) < col("__rate"))
+      .drop("__st", "__rate")
+  }
+}

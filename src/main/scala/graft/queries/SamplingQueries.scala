@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Sampling
+
+/** Corpus-composition sampling (beyond-reference LLM-data operators):
+  * deterministic stratified sampling and mixture re-weighting over
+  * `documents`. Both are hash-gated (portable md5 family), so DuckDB
+  * reproduces the exact sample — full oracles, no rows-only checks.
+  */
+object SamplingQueries extends QueryFamily {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Exactly 5 docs per source, uniform by hash rank — deterministic
+    // per-stratum reservoir sampling.
+    QueryDef(
+      "q_sample_stratified",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        Sampling.stratifiedK(d, Seq("source"), "doc_id", 5)
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some("""SELECT doc_id, source FROM (
+             |  SELECT doc_id, source, row_number() OVER (
+             |    PARTITION BY source
+             |    ORDER BY md5('s:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |  FROM documents) WHERE rk <= 5 ORDER BY source, doc_id""".stripMargin)),
+
+    // Resample the corpus to a target language mixture (en-heavy corpus →
+    // 40/20/20/10/10): per-stratum rates derived from counts (largest
+    // total preserving exact proportions), then a map-side hash gate.
+    QueryDef(
+      "q_sample_mixture",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        Sampling.mixture(d, "lang", "doc_id",
+            Map("en" -> 0.4, "zh" -> 0.2, "es" -> 0.2, "de" -> 0.1, "fr" -> 0.1))
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (
+             |  SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+             |    CASE lang WHEN 'en' THEN 0.4 WHEN 'zh' THEN 0.2 WHEN 'es' THEN 0.2
+             |              WHEN 'de' THEN 0.1 WHEN 'fr' THEN 0.1 END AS w
+             |  FROM documents GROUP BY lang),
+             |t AS (SELECT min(n / w) AS t FROM c WHERE w IS NOT NULL),
+             |r AS (SELECT lang, least(1.0, w * t.t / n) AS rate FROM c, t
+             |      WHERE w IS NOT NULL)
+             |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
+             |WHERE CAST('0x' || substr(md5('m:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      / 4294967296.0 < r.rate
+             |ORDER BY d.doc_id""".stripMargin))
+  )
+}

@@ -289,4 +289,40 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(toksShuffles <= 2, s"token arrays crossed $toksShuffles shuffles")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("Sampling: deterministic, growth-stable, exact strata counts, mixture proportions") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = (1L to 2000L).map(i =>
+      (i, s"s${i % 7}", if (i % 10 < 6) "en" else if (i % 10 < 8) "de" else "fr"))
+      .toDF("doc_id", "source", "lang")
+    // hashSample: rate approximately honored, and rerun-identical
+    val s1 = Sampling.hashSample(docs, "doc_id", 0.3).select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.hashSample(docs, "doc_id", 0.3).select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2 && math.abs(s1.size / 2000.0 - 0.3) < 0.05)
+    // growth stability: a doc's verdict never changes when the corpus
+    // grows (the property rand(seed) does NOT have — it depends on row
+    // order within partitions)
+    val grown = Sampling.hashSample(docs.limit(500), "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(grown == s1.filter(_ <= 500))
+    // stratifiedK: exactly k per stratum, subset-of-corpus, deterministic
+    val strat = Sampling.stratifiedK(docs, Seq("source"), "doc_id", 10)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(strat.values.toSet == Set(10L) && strat.size == 7)
+    // mixture: proportions land near target, no stratum oversampled, and
+    // the largest-total property (the binding stratum samples ~fully)
+    val mixed = Sampling.mixture(docs, "lang", "doc_id",
+      Map("en" -> 0.2, "de" -> 0.4, "fr" -> 0.4))
+    val byLang = mixed.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val total = byLang.values.sum.toDouble
+    // binding stratum: de (400 docs / 0.4 weight = min ratio with fr)
+    assert(math.abs(byLang("en") / total - 0.2) < 0.06)
+    assert(math.abs(byLang("de") / total - 0.4) < 0.06)
+    assert(math.abs(byLang("fr") / total - 0.4) < 0.06)
+    assert(byLang("de") <= 400 && byLang("fr") <= 400)
+    // weight-0 strata drop entirely
+    val dropped = Sampling.mixture(docs, "lang", "doc_id", Map("en" -> 1.0))
+    assert(dropped.select("lang").distinct().as[String].collect().toSeq == Seq("en"))
+  }
 }
