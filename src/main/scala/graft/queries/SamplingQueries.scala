@@ -52,6 +52,24 @@ object SamplingQueries extends QueryFamily {
              |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
              |WHERE CAST('0x' || substr(md5('m:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
              |      / 4294967296.0 < r.rate
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Sequence packing: per-source offset packing into 4096-char budgets
+    // (concat-then-chunk pretraining layout); per-pack composition stats.
+    QueryDef(
+      "q_pack_sequences",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        graft.operators.Packing.offsetPack(d, Seq("source"), "doc_id", "n_chars", 4096L)
+          .groupBy(col("source"), col("pack_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy(col("source"), col("pack_id"))
+      },
+      Some("""SELECT source, CAST(floor((cum - n_chars) / 4096.0) AS BIGINT) AS pack_id,
+             |  count(*) AS n_docs, sum(n_chars) AS sum_chars
+             |FROM (SELECT source, doc_id, n_chars,
+             |        sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+             |      FROM documents)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

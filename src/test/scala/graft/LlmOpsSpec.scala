@@ -325,4 +325,33 @@ class LlmOpsSpec extends AnyFunSuite {
     val dropped = Sampling.mixture(docs, "lang", "doc_id", Map("en" -> 1.0))
     assert(dropped.select("lang").distinct().as[String].collect().toSeq == Seq("en"))
   }
+
+  test("Packing.offsetPack: packs are contiguous, budget-filled, straddle-bounded") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 1000L).map(i =>
+      (i, s"s${i % 4}", 50L + rnd.nextInt(400)))
+      .toDF("doc_id", "source", "len")
+    val budget = 2048L
+    val packed = graft.operators.Packing.offsetPack(docs, Seq("source"), "doc_id", "len", budget)
+      .select($"source", $"doc_id", $"len", $"pack_id")
+      .as[(String, Long, Long, Long)].collect()
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      val byId = rows.sortBy(_._2)
+      // replay the layout: each doc's start offset determines its pack
+      var off = 0L
+      byId.foreach { case (_, _, len, pack) =>
+        assert(pack == off / budget)
+        off += len
+      }
+      // packs are contiguous from 0, and every pack except the last spans
+      // its budget (sum of lens >= budget - maxLen straddle slack)
+      val packs = byId.map(_._4).distinct.sorted
+      assert(packs.head == 0L && packs.toVector == (0L to packs.last).toVector)
+      val maxLen = byId.map(_._3).max
+      byId.groupBy(_._4).filter(_._1 < packs.last).foreach { case (_, ds) =>
+        assert(ds.map(_._3).sum >= budget - maxLen)
+      }
+    }
+  }
 }
