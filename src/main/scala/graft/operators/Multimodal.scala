@@ -129,6 +129,19 @@ object Multimodal {
     }
   }
 
+  /** Frame-sampling plumbing: one row per sampled frame index — every
+    * `every`-th frame of each media row with frames (video/audio), the
+    * standard decimation step before per-frame feature extraction. Pure
+    * generator projection (explode of a sequence), no UDF: the downstream
+    * per-frame decode joins back to the blob by (id, frame_idx).
+    */
+  def frameSample(df: DataFrame, nFramesCol: String, every: Int): DataFrame = {
+    require(every > 0, s"every must be positive, got $every")
+    df.filter(col(nFramesCol) > 0)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), col(nFramesCol).cast("long") - 1, lit(every.toLong))))
+  }
+
   /** Attach decoded metadata columns to a DataFrame holding `binCol`.
     * mapPartitions so the decoder opens once per partition (codec init
     * amortized over the batch) — the Scala analog of a batched decode UDF.

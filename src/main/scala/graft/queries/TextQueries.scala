@@ -15,6 +15,53 @@ object TextQueries extends QueryFamily {
   private val StopEn = Seq("the", "a", "of", "and", "to", "in", "is")
   private val StopData = Seq("table", "query", "row", "column", "value")
 
+  /** Synthetic-but-well-formed media payloads per doc (PNG/JPEG/GIF/BMP/WAV
+    * headers built with pure byte-assembly SQL — unhex/concat — plus an
+    * 'unknown' raw-text case), dimensions derived arithmetically from
+    * doc_id so DuckDB can recompute the expected decode output.
+    */
+  private def stagedMedia(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // big-endian / little-endian byte encodings of an int column
+    def be(c: org.apache.spark.sql.Column, n: Int) =
+      unhex(lpad(hex(c), n * 2, "0"))
+    def le(c: org.apache.spark.sql.Column, n: Int) =
+      concat((0 until n).map(k =>
+        unhex(lpad(hex(shiftright(c, 8 * k).bitwiseAND(lit(255))), 2, "0"))): _*)
+    val w = (col("doc_id") % 317 + 16).cast("int")
+    val h = (col("doc_id") % 211 + 16).cast("int")
+    val nf = (col("doc_id") % 211 + 16).cast("int") // wav frame count
+    val png = concat(
+      unhex(lit("89504E470D0A1A0A0000000D49484452")), // sig + IHDR len/tag
+      be(w, 4), be(h, 4),
+      unhex(lit("0806000000DEADBEEF")))               // depth/color + crc
+    val jpeg = concat(
+      unhex(lit("FFD8FFE000104A46494600010100000100010000")), // SOI + APP0
+      unhex(lit("FFC0001108")), be(h, 2), be(w, 2),           // SOF0
+      unhex(lit("03012200021101031101FFD9")))
+    val gif = concat(
+      unhex(lit("474946383961")), le(w, 2), le(h, 2),         // GIF89a
+      unhex(lit("F7000000003B")))
+    val bmp = concat(
+      unhex(lit("424D")), le(lit(70), 4), unhex(lit("00000000")),
+      le(lit(54), 4), le(lit(40), 4), le(w, 4), le(h, 4),
+      unhex(lit("0100180000000000")))
+    val wav = concat(
+      unhex(lit("52494646")), le(nf * 2 + 36, 4), unhex(lit("57415645")),
+      unhex(lit("666D7420")), le(lit(16), 4),                 // fmt chunk
+      le(lit(1), 2), le(lit(1), 2), le(lit(8000), 4),         // pcm mono 8k
+      le(lit(16000), 4), le(lit(2), 2), le(lit(16), 2),
+      unhex(lit("64617461")), le(nf * 2, 4))                  // data header
+    val payload = when(col("doc_id") % 6 === 0, png)
+      .when(col("doc_id") % 6 === 1, jpeg)
+      .when(col("doc_id") % 6 === 2, gif)
+      .when(col("doc_id") % 6 === 3, bmp)
+      .when(col("doc_id") % 6 === 4, wav)
+      // leading NUL guarantees no container magic matches, whatever the
+      // text happens to start with
+      .otherwise(concat(unhex(lit("00")), col("text").cast("binary")))
+    d.select(col("doc_id"), payload.as("payload"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Token / character statistics — the quality-filter raw features.
@@ -194,46 +241,7 @@ object TextQueries extends QueryFamily {
       "q_multimodal_decode",
       (s, dir) => {
         val d = Tables(s, dir, "documents")
-        // big-endian / little-endian byte encodings of an int column
-        def be(c: org.apache.spark.sql.Column, n: Int) =
-          unhex(lpad(hex(c), n * 2, "0"))
-        def le(c: org.apache.spark.sql.Column, n: Int) =
-          concat((0 until n).map(k =>
-            unhex(lpad(hex(shiftright(c, 8 * k).bitwiseAND(lit(255))), 2, "0"))): _*)
-        val w = (col("doc_id") % 317 + 16).cast("int")
-        val h = (col("doc_id") % 211 + 16).cast("int")
-        val nf = (col("doc_id") % 211 + 16).cast("int") // wav frame count
-        val png = concat(
-          unhex(lit("89504E470D0A1A0A0000000D49484452")), // sig + IHDR len/tag
-          be(w, 4), be(h, 4),
-          unhex(lit("0806000000DEADBEEF")))               // depth/color + crc
-        val jpeg = concat(
-          unhex(lit("FFD8FFE000104A46494600010100000100010000")), // SOI + APP0
-          unhex(lit("FFC0001108")), be(h, 2), be(w, 2),           // SOF0
-          unhex(lit("03012200021101031101FFD9")))
-        val gif = concat(
-          unhex(lit("474946383961")), le(w, 2), le(h, 2),         // GIF89a
-          unhex(lit("F7000000003B")))
-        val bmp = concat(
-          unhex(lit("424D")), le(lit(70), 4), unhex(lit("00000000")),
-          le(lit(54), 4), le(lit(40), 4), le(w, 4), le(h, 4),
-          unhex(lit("0100180000000000")))
-        val wav = concat(
-          unhex(lit("52494646")), le(nf * 2 + 36, 4), unhex(lit("57415645")),
-          unhex(lit("666D7420")), le(lit(16), 4),                 // fmt chunk
-          le(lit(1), 2), le(lit(1), 2), le(lit(8000), 4),         // pcm mono 8k
-          le(lit(16000), 4), le(lit(2), 2), le(lit(16), 2),
-          unhex(lit("64617461")), le(nf * 2, 4))                  // data header
-        val payload = when(col("doc_id") % 6 === 0, png)
-          .when(col("doc_id") % 6 === 1, jpeg)
-          .when(col("doc_id") % 6 === 2, gif)
-          .when(col("doc_id") % 6 === 3, bmp)
-          .when(col("doc_id") % 6 === 4, wav)
-          // leading NUL guarantees no container magic matches, whatever the
-          // text happens to start with
-          .otherwise(concat(unhex(lit("00")), col("text").cast("binary")))
-        val staged = d.select(col("doc_id"), payload.as("payload"))
-        Multimodal.withMediaMeta(staged, "payload", Multimodal.HeaderDecoder)
+        Multimodal.withMediaMeta(stagedMedia(d), "payload", Multimodal.HeaderDecoder)
           .select(col("doc_id"),
             col("width").cast("long").as("width"),
             col("height").cast("long").as("height"),
@@ -249,6 +257,27 @@ object TextQueries extends QueryFamily {
              |  CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
              |       WHEN 3 THEN 'bmp' WHEN 4 THEN 'wav' ELSE 'unknown' END AS format
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Frame sampling over decoded media: every 25th frame of each WAV
+    // payload, with its byte offset in the container (data chunk at 44,
+    // block align 2 in the staged layout). Decode → decimate → per-frame
+    // fan-out, the multimodal feature-extraction feed shape.
+    QueryDef(
+      "q_multimodal_frames",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val meta = Multimodal.withMediaMeta(stagedMedia(d), "payload",
+          Multimodal.HeaderDecoder)
+        Multimodal.frameSample(meta.filter(col("format") === "wav"), "n_frames", 25)
+          .select(col("doc_id"), col("frame_idx"),
+            (lit(44L) + col("frame_idx") * 2L).as("byte_offset"))
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some("""SELECT doc_id, CAST(i.f AS BIGINT) AS frame_idx,
+             |  CAST(44 + i.f * 2 AS BIGINT) AS byte_offset
+             |FROM documents CROSS JOIN LATERAL (
+             |  SELECT unnest(range(0, doc_id % 211 + 16, 25)) AS f) i
+             |WHERE doc_id % 6 = 4 ORDER BY doc_id, frame_idx""".stripMargin)),
 
     // End-to-end curation pipeline — the canonical training-data prep flow
     // as ONE declarative plan: quality banding → lang-ID → exact dedup →
