@@ -70,9 +70,15 @@ object Sampling {
       .agg(count(lit(1)).cast("double").as("__n"))
       .withColumn("__w", element_at(wlit, col("__st")))
       .filter(col("__w").isNotNull)
-    // T = min(N_s / w_s): the largest sampled total with exact proportions
-    val t = counts.agg(min(col("__n") / col("__w")).as("__t"))
-    val rates = counts.crossJoin(broadcast(t))
+    // T = min(N_s / w_s): the largest sampled total with exact proportions.
+    // Computed as a global window over the counts relation (one row per
+    // stratum) — a separate agg would re-scan the whole corpus for the
+    // second aggregate; the single-task window runs over #strata rows only.
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val rates = counts
+      .withColumn("__t", min(col("__n") / col("__w")).over(wAll))
       .select(col("__st"), least(lit(1.0), col("__w") * col("__t") / col("__n")).as("__rate"))
     df.join(broadcast(rates), col(stratumCol) === col("__st"), "inner")
       .filter(unitHash(col(idCol), salt) < col("__rate"))

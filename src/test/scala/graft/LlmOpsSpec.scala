@@ -326,6 +326,38 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(dropped.select("lang").distinct().as[String].collect().toSeq == Seq("en"))
   }
 
+  test("Sampling/Packing plans: gates are map-side, one stratum shuffle (100 TB shape)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.operators.{Packing, Sampling}
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = (1L to 100L).map(i => (i, s"s${i % 3}", 100L)).toDF("doc_id", "source", "len")
+      def shuffles(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
+      // hashSample: pure filter over the scan — zero exchanges
+      assert(shuffles(Sampling.hashSample(docs, "doc_id", 0.5)).isEmpty)
+      // mixture: the corpus side must NOT shuffle — only post-aggregate
+      // relations (one row per stratum) may exchange, and the corpus is
+      // scanned exactly once for the counts (no doc_id/len in any exchange)
+      val mixPlan = Sampling.mixture(docs, "source", "doc_id",
+        Map("s0" -> 0.5, "s1" -> 0.3, "s2" -> 0.2))
+      val mixEx = shuffles(mixPlan)
+      assert(mixEx.size <= 2 && mixEx.forall(s =>
+        !s.output.exists(a => a.name == "doc_id" || a.name == "len")),
+        mixPlan.queryExecution.executedPlan.toString.take(2000))
+      // stratifiedK / offsetPack: exactly one exchange, on the stratum key
+      Seq(Sampling.stratifiedK(docs, Seq("source"), "doc_id", 5),
+          Packing.offsetPack(docs, Seq("source"), "doc_id", "len", 1000L))
+        .foreach { df =>
+          val ex = shuffles(df)
+          assert(ex.size == 1 && ex.head.outputPartitioning.toString.contains("source"),
+            df.queryExecution.executedPlan.toString.take(2000))
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("Packing.offsetPack: packs are contiguous, budget-filled, straddle-bounded") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

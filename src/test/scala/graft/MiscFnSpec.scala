@@ -28,6 +28,22 @@ class MiscFnSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum > 0)
   }
 
+  test("SparkEntry.entry plan: broadcast HINTS reserved for fixed dims (100x shape)") {
+    // only nation (n_*) and region (r_*) may carry a FORCED broadcast hint —
+    // orders/customer are SF-proportional; forcing them broadcast is the
+    // executor OOM the round-5 review flagged. At toy SF Catalyst still
+    // auto-broadcasts small sides from size stats (correct — stats scale
+    // with SF and flip to shuffle joins at 100x), so the audit pins the
+    // logical hints, not the stats-dependent physical picks.
+    val hinted = SparkEntry.entry(spark).queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
+        h.child.output.map(_.name)
+    }
+    assert(hinted.size == 2, hinted.map(_.mkString(",")).mkString(" | "))
+    assert(hinted.forall(_.forall(n => n.startsWith("n_") || n.startsWith("r_"))),
+      hinted.map(_.mkString(",")).mkString(" | "))
+  }
+
   test("uuid(): RFC-4122 shape, unique per row, nondeterministic flag honored") {
     val df = spark.range(500).select(expr("uuid()").as("u"))
     val us = df.as[String].collect()
