@@ -165,6 +165,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("STREAMING SQL tumbling window aggregation: cross-batch accumulation e2e") {
+    // the window clause compiles to native window() — the same app text
+    // runs batch (GraftAppSpec) and streaming; here a late second batch
+    // lands in an ALREADY-SEEN window and the aggregate updates
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)] // (sec, v)
+    val events = in.toDS().toDF("sec", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "v")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, v DOUBLE);
+        |CREATE STREAM Out (n BIGINT, total DOUBLE);
+        |INSERT INTO Out SELECT count(v) AS n, sum(v) AS total FROM E
+        |WINDOW('tumbling', '10 seconds') GROUP BY window;""".stripMargin
+    val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+    assert(outDf.isStreaming)
+    val q = outDf.writeStream.format("memory").queryName("sqlwin_sink")
+      .outputMode("complete").start()
+    try {
+      in.addData((1L, 1.0), (5L, 2.0), (12L, 10.0)); q.processAllAvailable()
+      assert(spark.table("sqlwin_sink").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet == Set((2L, 3.0), (1L, 10.0)))
+      in.addData((7L, 4.0)); q.processAllAvailable() // updates window [0,10)
+      assert(spark.table("sqlwin_sink").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet == Set((3L, 7.0), (1L, 10.0)))
+    } finally q.stop()
+  }
+
   test("STREAMING SQL trailing NOT: guard event kills; watermark flush emits") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, String, Double)] // (sec, user, kind, v)
