@@ -70,6 +70,32 @@ class ParserFuzzSpec extends AnyFunSuite {
     check(Prop.forAll(nearMiss)(typedOnly _))
   }
 
+  /** CREATE AGGREGATION + WITHIN…PER statements (round 6) get the same
+    * near-miss treatment: truncations and junk splices of a valid
+    * aggregation app must die typed, never leak compiler internals.
+    */
+  private val validAggApp =
+    """CREATE STREAM E (ts TIMESTAMP, k STRING, v DOUBLE);
+      |CREATE STREAM Out (k STRING, cnt BIGINT);
+      |CREATE AGGREGATION ByK FROM E GROUP BY k AGGREGATE v BY ts EVERY minute TO day;
+      |INSERT INTO Out SELECT k, cnt FROM ByK
+      |WITHIN '2024-01-01' AND '2024-02-01' PER 'day' ORDER BY k;""".stripMargin
+
+  private val aggNearMiss: Gen[String] = for {
+    cut <- Gen.choose(0, validAggApp.length)
+    junk <- Gen.oneOf("", ")", "PER", "PER 'week'", "EVERY day TO minute",
+      "AGGREGATE missing BY ts", "WITHIN", "AND", "'", ";;", "LIMIT 3")
+    mode <- Gen.oneOf(0, 1, 2)
+  } yield mode match {
+    case 0 => validAggApp.substring(0, cut)
+    case 1 => validAggApp.substring(0, cut) + junk + validAggApp.substring(cut)
+    case 2 => validAggApp + "\n" + junk
+  }
+
+  test("aggregation statement near-misses: typed errors only") {
+    check(Prop.forAll(aggNearMiss)(typedOnly _))
+  }
+
   private val patternAtoms: Gen[String] = Gen.oneOf(
     "e1=S", "e2=S[v > 1]", "NOT S", "NOT S FOR 5 SECONDS", "EVERY",
     "->", "OR", "AND", "(", ")", "e1=S<3>", "e1=S<2:4>", "e1=S{3}",
