@@ -113,6 +113,43 @@ class CompatSpec extends AnyFunSuite {
       Seq(("IBM", 200.0)))
   }
 
+  // -- where_vs_having_test.rs:test_where_before_having_after_aggregation:
+  //    WHERE filters rows BEFORE aggregation, HAVING filters groups AFTER,
+  //    and HAVING's COUNT sees only WHERE-surviving rows (A: 3 of 4 pass
+  //    WHERE → kept; B: 2 of 4 → dropped by HAVING; C: 5 of 5 → kept)
+  test("compat where_vs_having: WHERE pre-aggregation, HAVING post, counts reflect WHERE") {
+    val app =
+      """CREATE STREAM Products (category STRING, price INT);
+        |CREATE STREAM Output (category STRING, cnt BIGINT);
+        |INSERT INTO Output SELECT category, count(*) AS cnt FROM Products
+        |WHERE price > 100 GROUP BY category HAVING count(*) > 2 ORDER BY category;""".stripMargin
+    val in = Seq(
+      ("A", 50), ("A", 150), ("A", 200), ("A", 120),
+      ("B", 80), ("B", 90), ("B", 110), ("B", 130),
+      ("C", 150), ("C", 160), ("C", 170), ("C", 180), ("C", 190))
+      .toDF("category", "price")
+    val out = GraftApp.run(spark, app, Map("Products" -> in))("Output")
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("A", 3L), ("C", 5L)))
+  }
+
+  // -- app_runner_case_expression.rs:test_case_null_semantics: a simple
+  //    CASE compares with SQL equality, so WHEN NULL never matches (NULL =
+  //    NULL is NULL) — a NULL operand falls to ELSE
+  test("compat case_null_semantics: simple CASE WHEN NULL falls to ELSE") {
+    val app =
+      """CREATE STREAM In (symbol STRING, price DOUBLE);
+        |CREATE STREAM Out (symbol STRING, result STRING);
+        |INSERT INTO Out SELECT symbol,
+        |  CASE price WHEN NULL THEN 'NULL_MATCH' WHEN 100.0 THEN 'HUNDRED'
+        |  ELSE 'OTHER' END AS result FROM In ORDER BY symbol;""".stripMargin
+    val in = Seq(("AAPL", None), ("GOOGL", Some(100.0)), ("MSFT", Some(50.0)))
+      .toDF("symbol", "price")
+    val out = GraftApp.run(spark, app, Map("In" -> in))("Out")
+    assert(out.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("AAPL", "OTHER"), ("GOOGL", "HUNDRED"), ("MSFT", "OTHER")))
+  }
+
   // -- windows.rs:length_window_test4_aggregation_functions via the SQL
   //    surface: WINDOW('length', 4) + aggregates → per-event window state
   test("compat lengthWindowTest4 via SQL: per-event aggregates over WINDOW('length', 4)") {
