@@ -15,7 +15,7 @@ object SparkEntry {
   private val families: Seq[QueryFamily] = Seq(
     CoreQueries, AggQueries, JoinQueries, MiscQueries, WindowQueries,
     DedupQueries, SimilarityQueries, TextQueries, CepQueries,
-    ConnectorQueries, RollupQueries, SamplingQueries
+    ConnectorQueries, RollupQueries, SamplingQueries, CurationQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

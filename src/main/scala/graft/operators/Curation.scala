@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Corpus-curation operators a training-data pipeline runs between raw
+  * ingest and tokenization: repetition/quality gates (the Gopher-rule
+  * family), PII redaction, benchmark decontamination, and token-window
+  * chunking. All four are pure DataFrame transforms built from codegen'd
+  * Spark functions — no UDFs — with documented shuffle shapes, so every
+  * output is DuckDB-oracle-expressible and the plans hold at corpus scale.
+  */
+object Curation {
+
+  /** Repetition/shape statistics behind the classic quality gates (the
+    * Gopher-rule family: token length bounds, max-word-dominance,
+    * duplicate-n-gram fraction): per doc,
+    *   - n_tokens, mean_token_len
+    *   - top_token_frac: occurrences of the most frequent token / n_tokens
+    *     (tie irrelevant — it is a max over counts)
+    *   - top_bigram_frac: same over word bigrams
+    *   - hapax_ratio: tokens occurring exactly once / distinct tokens
+    *
+    * Scale shape: one explode to narrow (id, token) rows — the wide text
+    * column never shuffles — then two hash aggregations
+    * (id, token) → (id). Per-doc memory is O(1); nothing is quadratic in
+    * document length (the naive higher-order-function form is O(L²) per
+    * doc — fine on toy rows, a stall on 100 KB documents).
+    */
+  def gopherStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    val toks = base.select(col("doc_id"),
+      explode(TextFns.tokens(col("__text"))).as("tok"))
+    val tokStats = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"), sum(length(col("tok")).cast("long")).as("chars"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        (sum(col("chars")).cast("double") / sum(col("c"))).as("mean_token_len"),
+        (max(col("c")).cast("double") / sum(col("c"))).as("top_token_frac"),
+        (sum(when(col("c") === 1, 1L).otherwise(0L)).cast("double")
+          / count(lit(1))).as("hapax_ratio"))
+    val bigrams = base.select(col("doc_id"),
+      explode(TextFns.shingles(col("__text"), 2)).as("bg"))
+    val bgStats = bigrams.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c"))).as("top_bigram_frac"))
+    // left join: a 1-token doc has no bigrams — frac 0, not a dropped row
+    tokStats.join(bgStats, Seq("doc_id"), "left_outer")
+      .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
+  }
+
+  /** PII regexes shared by the Spark and oracle sides: plain RE2-safe
+    * alternation-free patterns (no lookarounds, no backrefs) so Java regex
+    * and DuckDB's RE2 match identically.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Scrub emails, NANP-shaped phone numbers and IPv4 literals from
+    * `textCol`, appending per-category hit counts. Order matters and is
+    * fixed: emails first (an address can embed digits), then phones, then
+    * IPs (the phone pattern cannot match a dotted quad and vice versa —
+    * separators differ). Pure regexp_replace/regexp_count projection:
+    * map-side only, codegen'd, no shuffle.
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), lit(EmailRe), lit("[EMAIL]")),
+          lit(PhoneRe), lit("[PHONE]")),
+        lit(Ipv4Re), lit("[IP]"))
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)).cast("long"))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(PhoneRe)).cast("long"))
+      .withColumn("n_ips", regexp_count(col(textCol), lit(Ipv4Re)).cast("long"))
+      .withColumn("redacted", scrubbed)
+  }
+
+  /** Benchmark decontamination: count, per document, the distinct word
+    * `n`-grams it shares with a probe corpus (the eval/benchmark set), and
+    * flag docs at `minOverlap`. The standard training-data hygiene pass —
+    * a doc that reproduces benchmark n-grams leaks eval data.
+    *
+    * Scale shape: the probe side is the SMALL side (eval sets are KBs–MBs)
+    * — its distinct shingles broadcast; the doc side explodes to narrow
+    * (id, shingle) rows (text never shuffles), semi-joins the broadcast
+    * set map-side, and one aggregation per doc remains. Docs with zero
+    * overlap are restored by a left join against the id spine so the
+    * output is total (every doc gets a row — gates need a verdict, not
+    * just offenders).
+    */
+  def contamination(docs: DataFrame, probes: DataFrame, idCol: String,
+                    textCol: String, n: Int, minOverlap: Long): DataFrame = {
+    val probeShingles = probes
+      .select(explode(array_distinct(TextFns.shingles(col(textCol), n))).as("sh"))
+      .distinct()
+    val docShingles = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TextFns.shingles(col(textCol), n))).as("sh"))
+    val hits = docShingles
+      .join(broadcast(probeShingles), Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("contaminated", col("n_overlap") >= minOverlap)
+  }
+
+  /** Token-window chunking: cut each document into training sequences of
+    * `size` tokens starting every `stride` tokens (stride < size ⇒
+    * overlapping context windows, the standard LM packing prep). Emits
+    * (doc_id, chunk_idx, start_tok, n_chunk_tokens, chunk_text). The final
+    * partial window is kept — downstream packing (Packing.packGreedy)
+    * decides padding, not the chunker.
+    *
+    * Pure generator projection: tokens once per doc, posexplode over the
+    * arithmetic start sequence, slice + array_join — map-side codegen, no
+    * shuffle, output rows ≈ n_tokens/stride per doc.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  size: Int, stride: Int): DataFrame = {
+    require(size > 0, s"chunk size must be positive, got $size")
+    require(stride > 0 && stride <= size,
+      s"stride must be in [1, size], got $stride (size $size)")
+    val toks = df.select(col(idCol).as("doc_id"), TextFns.tokens(col(textCol)).as("toks"))
+      .withColumn("n_toks", size_(col("toks")))
+    toks
+      .select(col("doc_id"), col("toks"), col("n_toks"),
+        posexplode(sequence(lit(0), greatest(col("n_toks") - 1, lit(0)), lit(stride)))
+          .as(Seq("chunk_idx", "start_tok")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(size), col("n_toks") - col("start_tok")).cast("long").as("n_chunk_tokens"),
+        array_join(slice(col("toks"), col("start_tok") + 1, lit(size)), " ").as("chunk_text"))
+  }
+
+  // functions.size clashes with the `size` parameter name above
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+}

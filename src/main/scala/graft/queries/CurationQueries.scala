@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Curation
+
+/** Corpus-curation pipeline stages over `documents` (beyond-reference
+  * LLM-data surface): repetition/quality gates, PII redaction, benchmark
+  * decontamination, token-window chunking. Every query carries a full
+  * DuckDB oracle — the operators are pure codegen'd-function transforms.
+  */
+object CurationQueries extends QueryFamily {
+
+  /** Deterministic PII staging (the stagedMedia pattern): the corpus is
+    * synthetic word salad with no real PII, so each doc gets a
+    * doc_id-derived contact line appended — emails on id%4=0, phones on
+    * id%4=1, dotted-quad hosts on id%4=2, nothing on id%4=3 — which BOTH
+    * engines reconstruct arithmetically. The redaction operator itself
+    * never sees the staging (it takes an opaque text column).
+    */
+  private def stagedPii(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    d.select(col("doc_id"),
+      when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@mail.example.com for details")))
+        .when(col("doc_id") % 4 === 1,
+          concat(col("text"), lit(" call 415-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now")))
+        .when(col("doc_id") % 4 === 2,
+          concat(col("text"), lit(" host 10."), (col("doc_id") % 256).cast("string"),
+            lit("."), (col("doc_id") % 199).cast("string"),
+            lit("."), (col("doc_id") % 97).cast("string"), lit(" up")))
+        .otherwise(col("text")).as("text"))
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Repetition/shape gates (the Gopher-rule family): mean token length,
+    // max-token dominance, duplicate-bigram dominance, hapax ratio, and
+    // the resulting keep/drop verdict.
+    QueryDef(
+      "q_text_gopher",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        Curation.gopherStats(d, "doc_id", "text")
+          .withColumn("keep",
+            col("n_tokens") >= 20 && col("top_token_frac") < 0.2 &&
+              col("top_bigram_frac") < 0.2)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents),
+             |tc AS (
+             |  SELECT doc_id, tok, count(*) AS c, sum(length(tok)) AS chars
+             |  FROM toks GROUP BY doc_id, tok),
+             |ts AS (
+             |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |    CAST(sum(chars) AS DOUBLE) / sum(c) AS mean_token_len,
+             |    CAST(max(c) AS DOUBLE) / sum(c) AS top_token_frac,
+             |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS hapax_ratio
+             |  FROM tc GROUP BY doc_id),
+             |t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+             |bg AS (
+             |  SELECT doc_id, array_to_string(w[i.i + 1 : i.i + 2], ' ') AS bg
+             |  FROM t CROSS JOIN LATERAL (
+             |    SELECT unnest(range(0, greatest(len(w) - 2, 0) + 1)) AS i) i),
+             |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+             |bs AS (
+             |  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
+             |  FROM bc GROUP BY doc_id)
+             |SELECT ts.doc_id, n_tokens, mean_token_len, top_token_frac, hapax_ratio,
+             |  coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
+             |  (n_tokens >= 20 AND top_token_frac < 0.2
+             |   AND coalesce(top_bigram_frac, 0.0) < 0.2) AS keep
+             |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+             |ORDER BY ts.doc_id""".stripMargin)),
+
+    // PII redaction over the staged corpus: per-category hit counts + the
+    // scrubbed text (the oracle re-runs the same RE2-safe regex chain).
+    QueryDef(
+      "q_text_redact",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        Curation.redactPii(stagedPii(d), "text")
+          .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+            col("redacted"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH staged AS (
+              |  SELECT doc_id,
+              |    CASE
+              |      WHEN doc_id % 4 = 0 THEN text || ' contact user' || doc_id || '@mail.example.com for details'
+              |      WHEN doc_id % 4 = 1 THEN text || ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+              |      WHEN doc_id % 4 = 2 THEN text || ' host 10.' || (doc_id % 256) || '.' || (doc_id % 199) || '.' || (doc_id % 97) || ' up'
+              |      ELSE text END AS text
+              |  FROM documents)
+              |SELECT doc_id,
+              |  len(regexp_extract_all(text, '${Curation.EmailRe}')) AS n_emails,
+              |  len(regexp_extract_all(text, '${Curation.PhoneRe}')) AS n_phones,
+              |  len(regexp_extract_all(text, '${Curation.Ipv4Re}')) AS n_ips,
+              |  regexp_replace(regexp_replace(regexp_replace(text,
+              |    '${Curation.EmailRe}', '[EMAIL]', 'g'),
+              |    '${Curation.PhoneRe}', '[PHONE]', 'g'),
+              |    '${Curation.Ipv4Re}', '[IP]', 'g') AS redacted
+              |FROM staged ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark decontamination: docs 0..24 stand in as the eval set;
+    // count each training doc's distinct 4-gram overlaps with it.
+    QueryDef(
+      "q_text_contamination",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val probes = d.filter(col("doc_id") < 25)
+        val train = d.filter(col("doc_id") >= 25)
+        Curation.contamination(train, probes, "doc_id", "text", n = 4, minOverlap = 3L)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, array_to_string(w[i.i + 1 : i.i + 4], ' ') AS sh
+             |  FROM t CROSS JOIN LATERAL (
+             |    SELECT unnest(range(0, greatest(len(w) - 4, 0) + 1)) AS i) i),
+             |probe AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 25),
+             |hits AS (
+             |  SELECT s.doc_id, count(*) AS n_overlap
+             |  FROM sh s JOIN probe USING (sh) WHERE s.doc_id >= 25
+             |  GROUP BY s.doc_id)
+             |SELECT d.doc_id, coalesce(h.n_overlap, 0) AS n_overlap,
+             |  coalesce(h.n_overlap, 0) >= 3 AS contaminated
+             |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+             |WHERE d.doc_id >= 25 ORDER BY d.doc_id""".stripMargin)),
+
+    // Token-window chunking: 16-token training sequences every 12 tokens
+    // (4-token overlapping context), final partial window kept.
+    QueryDef(
+      "q_text_chunks",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents").filter(col("doc_id") < 100)
+        Curation.chunkTokens(d, "doc_id", "text", size = 16, stride = 12)
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+             |  FROM documents WHERE doc_id < 100)
+             |SELECT doc_id,
+             |  CAST(i.s / 12 AS BIGINT) AS chunk_idx,
+             |  CAST(i.s AS BIGINT) AS start_tok,
+             |  CAST(least(16, len(w) - i.s) AS BIGINT) AS n_chunk_tokens,
+             |  array_to_string(w[i.s + 1 : i.s + 16], ' ') AS chunk_text
+             |FROM t CROSS JOIN LATERAL (
+             |  SELECT unnest(range(0, greatest(len(w) - 1, 0) + 1, 12)) AS s) i
+             |ORDER BY doc_id, chunk_idx""".stripMargin))
+  )
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Curation
+
+/** Spec for the corpus-curation operators (Curation.scala): Gopher-style
+  * repetition gates, PII redaction, benchmark decontamination, token
+  * chunking. Hand-computed goldens on tiny inputs; the sf-corpus parity
+  * is covered by the q_text_* DuckDB oracles.
+  */
+class CurationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("gopherStats: token/bigram dominance and hapax on a hand-computed doc") {
+    // "a a a b" → tokens 4, top token a=3/4, bigrams: "a a"(2) "a b"(1) → 2/3,
+    // hapax: {b}=1 of 2 distinct, mean len (1+1+1+1)/4 = 1
+    val df = Seq((1L, "a a a b"), (2L, "x y")).toDF("id", "txt")
+    val out = Curation.gopherStats(df, "id", "txt")
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getLong(r1.fieldIndex("n_tokens")) == 4L)
+    assert(r1.getDouble(r1.fieldIndex("top_token_frac")) == 0.75)
+    assert(math.abs(r1.getDouble(r1.fieldIndex("top_bigram_frac")) - 2.0 / 3) < 1e-12)
+    assert(r1.getDouble(r1.fieldIndex("hapax_ratio")) == 0.5)
+    assert(r1.getDouble(r1.fieldIndex("mean_token_len")) == 1.0)
+    val r2 = out(1) // "x y": every token unique, single bigram
+    assert(r2.getLong(r2.fieldIndex("n_tokens")) == 2L)
+    assert(r2.getDouble(r2.fieldIndex("hapax_ratio")) == 1.0)
+    assert(r2.getDouble(r2.fieldIndex("top_bigram_frac")) == 1.0)
+  }
+
+  test("redactPii: all three categories scrubbed, counts exact, order-safe") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "dial 415-555-0134 or 650-555-9999"),
+      (3L, "ping 10.0.255.7 ok"),
+      (4L, "clean text only")).toDF("id", "text")
+    val out = Curation.redactPii(df, "text").orderBy("id")
+      .select("n_emails", "n_phones", "n_ips", "redacted")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 0L, 0L, "mail [EMAIL] now")))
+    assert(out(1) == ((0L, 2L, 0L, "dial [PHONE] or [PHONE]")))
+    assert(out(2) == ((0L, 0L, 1L, "ping [IP] ok")))
+    assert(out(3) == ((0L, 0L, 0L, "clean text only")))
+  }
+
+  test("contamination: overlap counts distinct shared n-grams; zero-overlap docs kept") {
+    val probes = Seq((100L, "alpha beta gamma delta epsilon")).toDF("id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta zeta"), // shares "alpha beta gamma" + "beta gamma delta"
+      (2L, "zeta eta theta iota kappa"),   // no overlap
+      (3L, "alpha beta gamma alpha beta gamma x")) // distinct overlap still 1 ("alpha beta gamma")
+      .toDF("id", "text")
+    val out = Curation.contamination(docs, probes, "id", "text", n = 3, minOverlap = 2L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq((1L, 2L, true), (2L, 0L, false), (3L, 1L, false)))
+  }
+
+  test("chunkTokens: stride windows cover every token; final partial kept") {
+    val df = Seq((7L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("id", "text")
+    val out = Curation.chunkTokens(df, "id", "text", size = 4, stride = 3)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getLong(r.fieldIndex("chunk_idx")),
+        r.getLong(r.fieldIndex("start_tok")),
+        r.getLong(r.fieldIndex("n_chunk_tokens")),
+        r.getString(r.fieldIndex("chunk_text"))))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 3L, 4L, "t4 t5 t6 t7"),
+      (2L, 6L, 4L, "t7 t8 t9 t10"),
+      (3L, 9L, 1L, "t10")))
+    // invariant: every token index lands in at least one chunk
+    val covered = out.flatMap { case (_, s, n, _) => s until (s + n) }.toSet
+    assert(covered == (0L until 10L).toSet)
+  }
+
+  test("chunkTokens rejects bad size/stride") {
+    val df = Seq((1L, "a b")).toDF("id", "text")
+    intercept[IllegalArgumentException](Curation.chunkTokens(df, "id", "text", 0, 1))
+    intercept[IllegalArgumentException](Curation.chunkTokens(df, "id", "text", 4, 5))
+  }
+}
