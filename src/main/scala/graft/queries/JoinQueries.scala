@@ -292,6 +292,30 @@ object JoinQueries extends QueryFamily {
              |    || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS last_order_price
              |FROM (SELECT * FROM events WHERE event_type = 'purchase') e
              |LEFT JOIN orders ON user_id = o_custkey AND o_orderdate <= ts
-             |GROUP BY event_id ORDER BY event_id""".stripMargin))
+             |GROUP BY event_id ORDER BY event_id""".stripMargin)),
+
+    // Salted skew join (Skew.saltedJoin): lineitem⋈supplier with the big
+    // side's per-key rows spread over 8 salted reducers, then aggregated —
+    // the oracle is the PLAIN join, which is the operator's correctness
+    // contract (salting must be invisible in the result). The skew tool for
+    // when the small side is too big to broadcast and AQE can't see the
+    // shuffle (e.g. it feeds this very groupBy).
+    QueryDef(
+      "q_join_salted",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+        val sup = Tables(s, dir, "supplier")
+          .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+        graft.operators.Skew.saltedJoin(li, sup, Seq("suppkey"), salts = 8)
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_quantity")), 2).as("sum_qty"))
+          .orderBy(col("s_nationkey"))
+      },
+      Some("""SELECT s_nationkey, count(*) AS n_items,
+             |  round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
   )
 }

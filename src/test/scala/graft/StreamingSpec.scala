@@ -977,4 +977,24 @@ class StreamingSpec extends AnyFunSuite {
       assert(r3(6L) == None && r3(7L) == None)
     } finally q.stop()
   }
+
+  test("window kernel runs unchanged on the RocksDB state store (the 100 TB state path)") {
+    // HDFSBackedStateStore holds every key's state in executor heap; at
+    // 100 TB key cardinality the deployment answer is the RocksDB provider
+    // (spilling state to local disk). The kernels must not depend on
+    // provider internals -- prove the same changelog comes back.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val was = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = runStream(Seq(Seq(ev(1, 10), ev(2, 20)), Seq(ev(3, 30))))(
+        ds => Windows.length(ds, 2))
+      val got = out.sortBy(o => (o.eventId, -o.op)).map(o => (o.eventId, o.op))
+      assert(got == Seq((1L, 1), (1L, -1), (2L, 1), (3L, 1)))
+    } finally was match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
