@@ -90,4 +90,33 @@ class CurationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Curation.chunkTokens(df, "id", "text", 0, 1))
     intercept[IllegalArgumentException](Curation.chunkTokens(df, "id", "text", 4, 5))
   }
+
+  test("gopherStats/contamination plan audits: text never shuffles; probe side broadcasts") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = (1 to 200)
+        .map(i => (i.toLong, (1 to 30).map(j => s"w${(i * j) % 40}").mkString(" ")))
+        .toDF("id", "text")
+      // gopher: the wide text column is consumed by the map-side explode --
+      // only (doc_id, tok/bg)-width rows may cross the wire
+      val g = Curation.gopherStats(docs, "id", "text")
+      val gShuffles = g.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
+      assert(gShuffles.nonEmpty)
+      assert(gShuffles.forall(s => !s.output.exists(c => c.name == "text" || c.name == "__text")),
+        gShuffles.map(_.output.map(_.name).mkString(",")).mkString(" | "))
+      // contamination: the probe-shingle side reaches the doc side as a
+      // broadcast (eval sets are small by contract), and doc text stays
+      // out of every shuffle
+      val c = Curation.contamination(docs, docs.filter(col("id") < 20), "id", "text",
+        n = 3, minOverlap = 2L)
+      val plan = c.queryExecution.executedPlan
+      assert(plan.collect { case b: BroadcastExchangeExec => b }.nonEmpty,
+        plan.toString.take(1500))
+      val cShuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(cShuffles.forall(s => !s.output.exists(_.name == "text")),
+        cShuffles.map(_.output.map(_.name).mkString(",")).mkString(" | "))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
