@@ -1111,19 +1111,37 @@ object GraftApp {
     df =
       if (groupByEff.nonEmpty) {
         val groupSet = groupByEff.map(_.trim.toLowerCase).toSet
+        // a group key may name a select item's ALIAS (`SELECT L.cat AS cat
+        // … GROUP BY cat`, app_runner_joins.rs join_with_group_by): the key
+        // then means that item's expression — grouping by an aggregate's
+        // alias is circular and typed
+        val aliasExpr: Map[String, String] = q.selectItems.collect {
+          case (e, Some(a)) if e.trim.toLowerCase != a.trim.toLowerCase =>
+            a.trim.toLowerCase -> e.trim
+        }.toMap
+        aliasExpr.foreach { case (a, e) =>
+          if (groupSet.contains(a) && AggCallRe.findFirstIn(e).isDefined)
+            throw SqlError(s"GROUP BY '$a' references an aggregate select alias")
+        }
         val (_, aggItems) = q.selectItems.partition {
-          case (e, _) => groupSet.contains(e.trim.toLowerCase)
+          case (e, a) => groupSet.contains(e.trim.toLowerCase) ||
+            a.exists(x => groupSet.contains(x.trim.toLowerCase))
         }
         // expression group keys (year(ts), window, …) are materialized as
         // columns first, so they can be re-referenced after aggregation
         var pre = df
         val keyCol: Map[String, String] = groupByEff.map(_.trim).zipWithIndex.map {
           case (k, i) =>
-            if (k.matches("\\w+")) k.toLowerCase -> k
+            val kl = k.toLowerCase
+            if (aliasExpr.contains(kl)) {
+              val n = s"__gk$i"
+              pre = pre.withColumn(n, uexpr(aliasExpr(kl)))
+              kl -> n
+            } else if (k.matches("\\w+")) kl -> k
             else {
               val n = s"__gk$i"
               pre = pre.withColumn(n, uexpr(k))
-              k.toLowerCase -> n
+              kl -> n
             }
         }.toMap
         val keyCols = groupByEff.map(k => col(keyCol(k.trim.toLowerCase)))
@@ -1146,7 +1164,8 @@ object GraftApp {
           var grouped = pre.groupBy(keyCols: _*).agg(allAggs.head, allAggs.tail: _*)
           havingCol.foreach(c => grouped = grouped.filter(c))
           val finalCols = q.selectItems.map { case (e, a) =>
-            keyCol.get(e.trim.toLowerCase) match {
+            keyCol.get(e.trim.toLowerCase)
+              .orElse(a.flatMap(x => keyCol.get(x.trim.toLowerCase))) match {
               case Some(n) => col(n).as(a.getOrElse(if (n.startsWith("__gk")) "gk" else e))
               case None => col(a.getOrElse(e))
             }

@@ -1074,4 +1074,66 @@ class CompatSpec extends AnyFunSuite {
       spark, app, Map("E" -> t, "L" -> t)))
     assert(e.getMessage.contains("pattern") && e.getMessage.contains("L"))
   }
+
+  // -- app_runner_selector.rs:group_by_having_order_limit_offset: the full
+  //    selector clause chain in one statement — groups (b=1,s=7) (b=2,s=10)
+  //    (b=3,s=1), HAVING >5 keeps {1,2}, DESC orders [2,1], OFFSET 1 LIMIT 2
+  //    leaves exactly (1,7)
+  test("compat selector: GROUP BY + HAVING + ORDER BY DESC + LIMIT + OFFSET chain") {
+    val app =
+      """CREATE STREAM In (a INT, b INT);
+        |CREATE STREAM Out (b INT, s BIGINT);
+        |INSERT INTO Out
+        |SELECT b, SUM(a) AS s FROM In GROUP BY b
+        |HAVING SUM(a) > 5 ORDER BY b DESC LIMIT 2 OFFSET 1;""".stripMargin
+    val in = Seq((3, 1), (4, 1), (10, 2), (1, 3)).toDF("a", "b")
+    val out = GraftApp.run(spark, app, Map("In" -> in))("Out")
+    assert(out.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((1, 7L)))
+  }
+
+  // -- app_runner_joins.rs:join_with_condition_gt: pure theta join through
+  //    the SQL surface (no equi-key at all)
+  test("compat join_with_condition_gt: pure theta ON L.id > R.id") {
+    val app =
+      """CREATE STREAM L (id INT);
+        |CREATE STREAM R (id INT);
+        |CREATE STREAM Out (l INT, r INT);
+        |INSERT INTO Out SELECT L.id AS l, R.id AS r FROM L JOIN R ON L.id > R.id;""".stripMargin
+    val out = GraftApp.run(spark, app, Map(
+      "L" -> Seq(1, 3).toDF("id"), "R" -> Seq(1).toDF("id")))("Out")
+    assert(out.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((3, 1)))
+  }
+
+  // -- app_runner_joins.rs:join_complex_condition — `#[ignore]`d in the
+  //    reference ("Complex nested JOIN conditions - Not part of M1");
+  //    DELIBERATE SUPERSET: Catalyst evaluates the nested (AND)-OR residual
+  //    directly, so the construct works here
+  test("compat join_complex_condition (reference-ignored): nested (AND) OR in ON") {
+    val app =
+      """CREATE STREAM L (id INT);
+        |CREATE STREAM R (id INT);
+        |CREATE STREAM Out (l INT, r INT);
+        |INSERT INTO Out SELECT L.id AS l, R.id AS r
+        |FROM L JOIN R ON (L.id > R.id AND R.id > 0) OR L.id = 10;""".stripMargin
+    val out = GraftApp.run(spark, app, Map(
+      "L" -> Seq(1, 10).toDF("id"), "R" -> Seq(1, 2).toDF("id")))("Out")
+    assert(out.collect().map(r => (r.getInt(0), r.getInt(1))).toSet ==
+      Set((10, 1), (10, 2)))
+  }
+
+  // -- app_runner_joins.rs:join_with_group_by: aggregation directly over a
+  //    join result, grouped by a projected join column
+  test("compat join_with_group_by: COUNT(*) per category over the joined rows") {
+    val app =
+      """CREATE STREAM L (id INT, cat INT);
+        |CREATE STREAM R (id INT);
+        |CREATE STREAM Out (cat INT, c BIGINT);
+        |INSERT INTO Out SELECT L.cat AS cat, COUNT(*) AS c
+        |FROM L JOIN R ON L.id = R.id GROUP BY cat ORDER BY cat ASC;""".stripMargin
+    val out = GraftApp.run(spark, app, Map(
+      "L" -> Seq((1, 10), (1, 10), (2, 20)).toDF("id", "cat"),
+      "R" -> Seq(1, 2).toDF("id")))("Out")
+    assert(out.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((10, 2L), (20, 1L)))
+  }
 }
