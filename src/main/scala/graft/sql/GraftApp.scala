@@ -1060,16 +1060,38 @@ object GraftApp {
     // functions emitting one row per event — the reference's per-arrival
     // window-state output (window/mod.rs:63-644). Handled before the
     // grouped path since there is no GROUP BY here.
-    q.window.filter(w => Set("length", "time").contains(w.kind)).foreach { w =>
-      if (!df.columns.contains("ts"))
-        throw SqlError(s"window('${w.kind}') needs a 'ts' TIMESTAMP column for event order")
+    q.window.filter(w => Set("length", "time", "externaltime").contains(w.kind)).foreach { w =>
+      // externalTime (window/mod.rs:196-644 external variant): time over a
+      // DECLARED attribute — `WINDOW('externalTime', tsAttr, dur)`. The
+      // attribute is the reference's LONG epoch-millis convention (or a
+      // TIMESTAMP column); the ordering/range timeline is that attribute,
+      // not the stream's own ts.
+      val (ordExpr, unitDiv) = w.kind match {
+        case "externaltime" =>
+          if (w.params.size < 2) throw SqlError(
+            "window('externalTime') needs (tsAttr, duration)")
+          val attr = w.params.head.trim
+          val f = df.schema.fields.find(_.name.equalsIgnoreCase(attr)).getOrElse(
+            throw SqlError(s"window('externalTime'): '$attr' is not a stream attribute"))
+          f.dataType match {
+            case org.apache.spark.sql.types.TimestampType => (s"unix_micros($attr)", 1L)
+            case org.apache.spark.sql.types.LongType |
+                 org.apache.spark.sql.types.IntegerType => (attr, 1000L) // epoch millis
+            case other => throw SqlError(
+              s"window('externalTime'): '$attr' must be LONG millis or TIMESTAMP, got $other")
+          }
+        case _ =>
+          if (!df.columns.contains("ts"))
+            throw SqlError(s"window('${w.kind}') needs a 'ts' TIMESTAMP column for event order")
+          ("unix_micros(ts)", 1L)
+      }
       val frame = w.kind match {
         case "length" =>
           val n = intOf(w.params.last, "window('length')", min = 1)
           s"ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW"
-        case "time" =>
-          val us = parseDurationUs(w.params.last)
-          s"RANGE BETWEEN $us PRECEDING AND CURRENT ROW"
+        case _ =>
+          val units = parseDurationUs(w.params.last) / unitDiv
+          s"RANGE BETWEEN $units PRECEDING AND CURRENT ROW"
       }
       // PARTITION WITH shards the frame per key — per-key window state
       // isolation (§2.9, value_partition_type.rs); without it the frame is
@@ -1082,8 +1104,8 @@ object GraftApp {
           "(key OF stream) to shard the frame per key")
       val over =
         if (q.partitionKeys.nonEmpty)
-          s"OVER (PARTITION BY ${q.partitionKeys.mkString(", ")} ORDER BY unix_micros(ts) $frame)"
-        else s"OVER (ORDER BY unix_micros(ts) $frame)"
+          s"OVER (PARTITION BY ${q.partitionKeys.mkString(", ")} ORDER BY $ordExpr $frame)"
+        else s"OVER (ORDER BY $ordExpr $frame)"
       val items = q.selectItems.map { case (e, a) =>
         // aggregate items become frame-windowed; plain columns pass through
         val isAgg = "(?i)^(sum|avg|count|min|max|stddev|stddev_pop|first|last)\\s*\\(".r
@@ -1317,9 +1339,18 @@ object GraftApp {
       bucketed.withColumn("__bsz", count(lit(1)).over(w2))
         .filter(col("__bsz") === n).drop("__bsz")
     case "tumbling" | "timebatch" | "externaltimebatch" =>
-      val ts = if (w.params.size > 1) w.params.head else "ts"
+      val ts = if (w.params.size > 1) w.params.head.trim else "ts"
       val dur = w.params.last
-      df.withColumn("window", window(col(ts), dur))
+      // the reference's external time attribute is LONG epoch millis
+      // (event.rs timestamp convention) — lift it to TIMESTAMP for window()
+      val tsCol = df.schema.fields.find(_.name.equalsIgnoreCase(ts)) match {
+        case Some(f) if f.dataType == org.apache.spark.sql.types.LongType ||
+            f.dataType == org.apache.spark.sql.types.IntegerType =>
+          timestamp_millis(col(ts))
+        case Some(_) => col(ts)
+        case None => throw SqlError(s"window('${w.kind}'): '$ts' is not a stream attribute")
+      }
+      df.withColumn("window", window(tsCol, dur))
     case "sliding" | "hop" =>
       val (ts, size, slide) = w.params match {
         case Seq(s, sl) => ("ts", s, sl)

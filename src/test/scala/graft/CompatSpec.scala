@@ -1136,4 +1136,37 @@ class CompatSpec extends AnyFunSuite {
     assert(out.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
       Seq((10, 2L), (20, 1L)))
   }
+
+  // -- app_runner_windows.rs:external_time_window_basic, result-level: the
+  //    window timeline is the DECLARED LONG-millis attribute, not arrival
+  //    time. Per-arrival window content: e1(ts 0) → {1}; e2(ts 150) expels
+  //    e1 (150-100=50 > 0) → {2}. (The Current/Expired emission protocol of
+  //    the same window is StreamingSpec's time-kernel coverage.)
+  test("compat external_time_window: per-event sums over a declared millis attribute") {
+    val app =
+      """CREATE STREAM In (ts BIGINT, v INT);
+        |CREATE STREAM Out (ts BIGINT, s BIGINT);
+        |INSERT INTO Out SELECT ts, sum(v) AS s FROM In
+        |WINDOW('externalTime', ts, 100 MILLISECONDS) ORDER BY ts;""".stripMargin
+    val in = Seq((0L, 1), (150L, 2)).toDF("ts", "v")
+    val out = GraftApp.run(spark, app, Map("In" -> in))("Out")
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 1L), (150L, 2L)))
+  }
+
+  // -- app_runner_windows.rs:external_time_batch_window, result-level:
+  //    100ms buckets over the declared millis attribute — [0,100):{1,2},
+  //    [100,200):{3}, [200,300):{4}
+  test("compat external_time_batch_window: bucket sums over a declared millis attribute") {
+    val app =
+      """CREATE STREAM In (ts BIGINT, v INT);
+        |CREATE STREAM Out (s BIGINT, n BIGINT);
+        |INSERT INTO Out SELECT sum(v) AS s, count(*) AS n FROM In
+        |WINDOW('externalTimeBatch', ts, 100 MILLISECONDS)
+        |GROUP BY window ORDER BY s, n;""".stripMargin
+    val in = Seq((0L, 1), (60L, 2), (120L, 3), (240L, 4)).toDF("ts", "v")
+    val out = GraftApp.run(spark, app, Map("In" -> in))("Out")
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((3L, 1L), (3L, 2L), (4L, 1L)))
+  }
 }
