@@ -20,7 +20,8 @@ object AppRuntime {
     * transport connector.
     */
   private def mapperOption(k: String): Boolean =
-    k == "map.format" || k.startsWith("json.") || k.startsWith("csv.")
+    k == "map.format" || k == "on.error" ||
+      k.startsWith("json.") || k.startsWith("csv.")
 
   /** Declarative line mapping for text transports (the reference's
     * SourceMapper layer, json_mapper.rs:17-40 / csv_mapper.rs): a declared
@@ -31,41 +32,77 @@ object AppRuntime {
     *    auto-map) — then casts to the declared type.
     *  - default: csv-split (positional).
     */
-  private def mapLines(raw: DataFrame, sd: GraftApp.StreamDef): DataFrame = {
+  /** Mapped rows plus, when `'on.error'` routes faults, the raw lines the
+    * mapper could not parse (stream_junction.rs OnErrorAction at the one
+    * seam where per-event faults exist in a declarative engine — the
+    * mapper): 'stream' → faults become the `!Name` source; 'drop' →
+    * discarded; 'log'/absent → the null-padded row passes through (the
+    * pre-round-6 behavior, kept as the default).
+    */
+  private def mapLines(raw: DataFrame, sd: GraftApp.StreamDef)
+      : (DataFrame, Option[DataFrame]) = {
     import org.apache.spark.sql.functions.{col, from_csv, get_json_object}
-    if (sd.schema.fieldNames.toSeq == Seq("value")) raw
-    else if (sd.options.get("map.format").contains("json") ||
-             sd.options.keys.exists(_.startsWith("json.mapping.")))
-      raw.select(sd.schema.fields.map { f =>
-        val path = sd.options.getOrElse(s"json.mapping.${f.name}", s"$$.${f.name}")
-        get_json_object(col("value"), path).cast(f.dataType).as(f.name)
-      }.toIndexedSeq: _*)
-    else
-      raw.select(from_csv(col("value"), sd.schema, Map.empty[String, String])
-        .as("r")).select(sd.schema.fieldNames.map(f => col(s"r.$f")).toIndexedSeq: _*)
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    if (sd.schema.fieldNames.toSeq == Seq("value")) return (raw, None)
+    val onError = sd.options.get("on.error").map(_.toLowerCase)
+    val (mapped, badLine) =
+      if (sd.options.get("map.format").contains("json") ||
+          sd.options.keys.exists(_.startsWith("json.mapping."))) {
+        val m = raw.select((col("value").as("__line") +: sd.schema.fields.map { f =>
+          val path = sd.options.getOrElse(s"json.mapping.${f.name}", s"$$.${f.name}")
+          get_json_object(col("value"), path).cast(f.dataType).as(f.name)
+        }.toIndexedSeq): _*)
+        // a line that is not valid JSON extracts nothing — '$' itself nulls
+        (m, get_json_object(col("__line"), "$").isNull)
+      } else {
+        // PERMISSIVE parse with a corrupt-record column: a malformed line
+        // (wrong arity / untypeable field) lands there verbatim
+        val withCorrupt = StructType(sd.schema.fields :+
+          StructField("__corrupt", StringType))
+        val m = raw.select(col("value").as("__line"),
+            from_csv(col("value"), withCorrupt,
+              Map("mode" -> "PERMISSIVE",
+                "columnNameOfCorruptRecord" -> "__corrupt")).as("r"))
+          .select((col("__line") +: col("r.__corrupt").as("__bad") +:
+            sd.schema.fieldNames.map(f => col(s"r.$f")).toIndexedSeq): _*)
+        (m, col("__bad").isNotNull)
+      }
+    val good = onError match {
+      case Some("drop") | Some("stream") => mapped.filter(!badLine)
+      case _ => mapped // log/absent: null-padded row passes through
+    }
+    val faults = onError match {
+      case Some("stream") => Some(mapped.filter(badLine).select(col("__line").as("value")))
+      case _ => None
+    }
+    (good.select(sd.schema.fieldNames.map(col).toIndexedSeq: _*), faults)
   }
 
-  /** Build source DataFrames for every WITH('type'='source') stream. */
+  /** Build source DataFrames for every WITH('type'='source') stream; a
+    * source with `'on.error'='stream'` additionally binds its `!Name`
+    * fault stream (raw unparseable lines).
+    */
   def bindSources(spark: SparkSession, spec: GraftApp.AppSpec): Map[String, DataFrame] =
-    spec.streams.collect {
+    spec.streams.toSeq.flatMap {
       case (name, sd) if sd.options.get("type").contains("source") =>
         val fmt = sd.options.getOrElse("format",
           throw GraftApp.SqlError(s"source '$name' needs a 'format' option"))
         var reader = spark.readStream.format(fmt)
         sd.options.filterNot(kv => Reserved.contains(kv._1) || mapperOption(kv._1))
           .foreach { case (k, v) => reader = reader.option(k, v) }
-        val df = (fmt, sd.options.get("path")) match {
-          case ("rate", _) => reader.load()   // fixed (timestamp, value) schema
+        (fmt, sd.options.get("path")) match {
+          case ("rate", _) => Seq(name -> reader.load()) // fixed (timestamp, value) schema
           case ("socket", _) =>
             // network text source (websocket_source.rs role over a raw TCP
             // transport): fixed value:string schema; a declared multi-column
             // schema engages the declarative line mapper (json/csv)
-            mapLines(reader.load(), sd)
-          case (_, Some(p)) => reader.schema(sd.schema).load(p)
-          case _ => reader.schema(sd.schema).load()
+            val (good, faults) = mapLines(reader.load(), sd)
+            Seq(name -> good) ++ faults.map(s"!$name" -> _)
+          case (_, Some(p)) => Seq(name -> reader.schema(sd.schema).load(p))
+          case _ => Seq(name -> reader.schema(sd.schema).load())
         }
-        name -> df
-    }
+      case _ => Nil
+    }.toMap
 
   /** Bind JDBC-backed tables (jdbc_table.rs:18): `CREATE TABLE T (…) WITH
     * ('store'='jdbc', 'url'=…, 'dbtable'=…)` loads its initial contents

@@ -112,7 +112,7 @@ object GraftApp {
   private val CreateRe: Regex =
     """(?is)\s*CREATE\s+(STREAM|TABLE)\s+(\w+)\s*\((.*?)\)\s*(?:WITH\s*\((.*?)\))?\s*""".r
   private val InsertRe: Regex =
-    """(?is)\s*INSERT\s+(?:(CURRENT|EXPIRED|ALL)\s+EVENTS\s+)?INTO\s+(\w+)\s+SELECT\s+(.*?)\s+FROM\s+(\w+)\s*(.*)""".r
+    """(?is)\s*INSERT\s+(?:(CURRENT|EXPIRED|ALL)\s+EVENTS\s+)?INTO\s+(\w+)\s+SELECT\s+(.*?)\s+FROM\s+(!?\w+)\s*(.*)""".r
   private val PatternPrefixRe: Regex =
     """(?is)\s*INSERT\s+INTO\s+(\w+)\s+SELECT\s+(.*?)\s+FROM\s+(PATTERN|SEQUENCE)\s*\(""".r
   private val AggRe: Regex =
@@ -277,6 +277,23 @@ object GraftApp {
               StructField(parts(0), t)
             }
             val opts = Option(withRaw).map(parseWith).getOrElse(Map.empty)
+            // mapper fault routing (stream_junction.rs:31-37 OnErrorAction;
+            // fault streams carry the reference's `!` prefix,
+            // query_api/constants.rs FAULT_STREAM_FLAG): 'stream' implicitly
+            // defines `!Name (value STRING)` holding the raw unparseable
+            // lines; 'drop' discards them; 'log' (default) passes the
+            // null-padded row through. STORE's bespoke error store is
+            // Spark-side a sink on the fault stream — spell it that way.
+            opts.get("on.error").foreach { v =>
+              if (!Set("log", "drop", "stream").contains(v.toLowerCase))
+                throw SqlError(s"stream '$name': on.error must be log, drop " +
+                  s"or stream (got '$v'; for store semantics attach a sink " +
+                  "to the !-fault stream)")
+              if (v.equalsIgnoreCase("stream"))
+                streams += s"!$name" -> StreamDef(s"!$name",
+                  StructType(Seq(StructField("value", StringType))),
+                  Map.empty, isTable = false)
+            }
             streams += name -> StreamDef(name, StructType(fields), opts,
               isTable = kind.equalsIgnoreCase("TABLE"))
           case AggRe(name, source, keysRaw, valueCol, tsCol, gFrom, gTo) =>

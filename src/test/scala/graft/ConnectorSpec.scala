@@ -348,4 +348,67 @@ class ConnectorSpec extends AnyFunSuite {
       assert(state == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
     } finally q.stop()
   }
+
+  test("mapper fault routing: on.error=stream sends raw bad lines to !source") {
+    import graft.sql.{AppRuntime, GraftApp}
+    // stream_junction.rs OnErrorAction::STREAM at the mapper seam: two
+    // parseable JSON lines reach the main stream, the garbage line lands
+    // raw on the implicit !orders fault stream
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    // each streaming query opens its OWN socket connection — serve the
+    // same lines to every client
+    val writerThread = new Thread(() => {
+      while (!server.isClosed) {
+        val sock = server.accept()
+        val t = new Thread(() => {
+          val w = new java.io.PrintWriter(sock.getOutputStream, true)
+          w.println("""{"oid":1,"amount":10.5}""")
+          w.println("this is not json at all")
+          w.println("""{"oid":2,"amount":4.5}""")
+          Thread.sleep(8000); w.close(); sock.close()
+        })
+        t.setDaemon(true); t.start()
+      }
+    })
+    writerThread.setDaemon(true); writerThread.start()
+    val app =
+      s"""CREATE STREAM orders (oid BIGINT, amount DOUBLE)
+         |WITH ('type'='source', 'format'='socket',
+         |      'host'='localhost', 'port'='$port',
+         |      'map.format'='json', 'on.error'='stream');
+         |CREATE STREAM good (oid BIGINT, amount DOUBLE);
+         |CREATE STREAM bad (value STRING);
+         |INSERT INTO good SELECT oid, amount FROM orders;
+         |INSERT INTO bad SELECT value FROM !orders;""".stripMargin
+    val spec = GraftApp.parse(app)
+    val env = GraftApp.run(spark, app, AppRuntime.bindSources(spark, spec))
+    val qg = env("good").writeStream.format("memory").queryName("fault_good")
+      .outputMode("append").start()
+    val qb = env("bad").writeStream.format("memory").queryName("fault_bad")
+      .outputMode("append").start()
+    try {
+      val deadline = System.nanoTime() + 30e9.toLong
+      var good = Seq.empty[(Long, Double)]
+      var bad = Seq.empty[String]
+      while ((good.size < 2 || bad.size < 1) && System.nanoTime() < deadline) {
+        qg.processAllAvailable(); qb.processAllAvailable()
+        good = spark.table("fault_good").collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+        bad = spark.table("fault_bad").collect().map(_.getString(0)).toSeq
+        if (good.size < 2 || bad.size < 1) Thread.sleep(200)
+      }
+      assert(good == Seq((1L, 10.5), (2L, 4.5)))
+      assert(bad == Seq("this is not json at all"))
+    } finally { qg.stop(); qb.stop(); server.close() }
+  }
+
+  test("on.error validates its action; store points at the fault-stream spelling") {
+    import graft.sql.GraftApp
+    val err = intercept[GraftApp.SqlError](GraftApp.parse(
+      """CREATE STREAM s (a BIGINT)
+        |WITH ('type'='source','format'='socket','on.error'='store');""".stripMargin))
+    assert(err.getMessage.contains("on.error"))
+    assert(err.getMessage.contains("fault stream"))
+  }
 }
