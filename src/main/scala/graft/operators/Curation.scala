@@ -139,6 +139,53 @@ object Curation {
         array_join(slice(col("toks"), col("start_tok") + 1, lit(size)), " ").as("chunk_text"))
   }
 
+  /** Corpus-level line deduplication (the CCNet / RefinedWeb boilerplate
+    * pass): a line whose trimmed form appears in at least `maxDocFreq`
+    * DISTINCT documents is boilerplate (nav bars, cookie banners,
+    * copyright footers) and is dropped from EVERY document; all other
+    * lines keep their original order. Blank lines are layout, not
+    * content — never counted and never dropped. Output is total: one row
+    * per input doc with (clean_text, n_kept, n_dropped); a doc whose
+    * every line is boilerplate survives with an empty clean_text.
+    *
+    * Scale shape: lines explode map-side to (doc_id, pos, line); the
+    * document-frequency aggregation shuffles only (md5(line), doc_id) —
+    * 16-byte keys, never the line text. Boilerplate is by definition the
+    * high-frequency tail of that aggregate, so the surviving set is tiny
+    * (bounded by corpus_lines / maxDocFreq distinct values) and
+    * BROADCASTS back — the drop itself is a map-side hash probe, not a
+    * join shuffle. The only wide shuffle is the unavoidable reassembly
+    * groupBy(doc_id); per-doc state there is bounded by document size.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                maxDocFreq: Int): DataFrame = {
+    require(maxDocFreq >= 2,
+      s"maxDocFreq must be >= 2 (1 would drop every non-blank line), got $maxDocFreq")
+    val lines = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+      .withColumn("norm", trim(col("line")))
+    val boiler = lines.filter(col("norm") =!= "")
+      .select(md5(col("norm")).as("h"), col("doc_id"))
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("docfreq"))
+      .filter(col("docfreq") >= maxDocFreq)
+      .select(col("h"))
+    lines
+      .join(broadcast(boiler), md5(col("norm")) === col("h"), "left_outer")
+      .withColumn("keep", col("h").isNull)
+      .groupBy(col("doc_id"))
+      .agg(
+        coalesce(
+          array_join(transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("pos"), col("line"))))),
+            x => x("line")), "\n"),
+          lit("")).as("clean_text"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+  }
+
   // functions.size clashes with the `size` parameter name above
   private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
 }

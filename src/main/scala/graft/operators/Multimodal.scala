@@ -142,6 +142,90 @@ object Multimodal {
         explode(sequence(lit(0L), col(nFramesCol).cast("long") - 1, lit(every.toLong))))
   }
 
+  final case class AudioStats(nSamples: Long, meanAmp: Double, rmsAmp: Double,
+                              peakAmp: Long)
+
+  /** Real PCM sample decode — the uncompressed-audio slice of the
+    * [[FrameDecoder]] seam needs no codec library, so it is implemented
+    * for real: walks the RIFF chunks, reads the fmt sample format, and
+    * folds the data chunk's samples (8-bit unsigned or 16-bit signed
+    * little-endian PCM, any channel count — channels are interleaved and
+    * pooled) into the features audio curation filters on: sample count,
+    * mean amplitude, RMS energy (silence/clipping gates), peak. Sums
+    * accumulate in Long so the derived doubles are exact-integer ratios —
+    * bit-reproducible across engines. Non-PCM / compressed payloads
+    * return the zero row rather than throwing (gates drop them).
+    */
+  object PcmDecoder extends Serializable {
+    private def u8(p: Array[Byte], i: Int): Int = p(i) & 0xFF
+    private def le16(p: Array[Byte], i: Int): Int = u8(p, i) | (u8(p, i + 1) << 8)
+    private def le32(p: Array[Byte], i: Int): Int =
+      u8(p, i) | (u8(p, i + 1) << 8) | (u8(p, i + 2) << 16) | (u8(p, i + 3) << 24)
+    private def ascii(p: Array[Byte], i: Int, s: String): Boolean =
+      p.length >= i + s.length && s.indices.forall(k => u8(p, i + k) == s.charAt(k))
+
+    val Zero: AudioStats = AudioStats(0L, 0.0, 0.0, 0L)
+
+    def decode(p: Array[Byte]): AudioStats = {
+      if (!ascii(p, 0, "RIFF") || !ascii(p, 8, "WAVE")) return Zero
+      var i = 12
+      var fmtCode = 0
+      var bits = 0
+      var dataOff = -1
+      var dataLen = 0
+      while (i + 8 <= p.length) {
+        val size = le32(p, i + 4)
+        if (ascii(p, i, "fmt ") && i + 8 + 16 <= p.length) {
+          fmtCode = le16(p, i + 8)
+          bits = le16(p, i + 8 + 14)
+        }
+        if (ascii(p, i, "data")) { dataOff = i + 8; dataLen = size }
+        i += 8 + size + (size & 1) // chunks are 2-byte aligned
+      }
+      if (fmtCode != 1 || dataOff < 0) return Zero // PCM only
+      val end = math.min(dataOff + dataLen, p.length)
+      var n = 0L; var sum = 0L; var sumSq = 0L; var peak = 0L
+      if (bits == 8) {
+        var j = dataOff
+        while (j < end) {
+          val v = u8(p, j).toLong // unsigned by spec
+          n += 1; sum += v; sumSq += v * v; if (v > peak) peak = v
+          j += 1
+        }
+      } else if (bits == 16) {
+        var j = dataOff
+        while (j + 1 < end) {
+          val v = le16(p, j).toShort.toLong // signed LE by spec
+          val a = math.abs(v)
+          n += 1; sum += v; sumSq += v * v; if (a > peak) peak = a
+          j += 2
+        }
+      } else return Zero
+      if (n == 0) Zero
+      else AudioStats(n, sum.toDouble / n, math.sqrt(sumSq.toDouble / n), peak)
+    }
+  }
+
+  /** Attach real decoded-sample audio features to a DataFrame holding WAV
+    * payloads in `binCol`: (n_samples, mean_amp, rms_amp, peak_amp). Same
+    * per-partition decode shape as [[withMediaMeta]]; non-WAV rows get the
+    * zero row. Blobs are consumed map-side — only the four narrow feature
+    * columns (plus whatever the caller projects) continue downstream.
+    */
+  def withAudioStats(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = df.schema
+      .add("n_samples", LongType).add("mean_amp", DoubleType)
+      .add("rms_amp", DoubleType).add("peak_amp", LongType)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val s = PcmDecoder.decode(r.getAs[Array[Byte]](binIdx))
+        // Seq[Any]: plain Seq(...) weakly unifies Long|Double to Seq[Double]
+        Row.fromSeq(r.toSeq ++ Seq[Any](s.nSamples, s.meanAmp, s.rmsAmp, s.peakAmp))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Attach decoded metadata columns to a DataFrame holding `binCol`.
     * mapPartitions so the decoder opens once per partition (codec init
     * amortized over the batch) — the Scala analog of a batched decode UDF.

@@ -151,6 +151,51 @@ object CurationQueries extends QueryFamily {
              |  array_to_string(w[i.s + 1 : i.s + 16], ' ') AS chunk_text
              |FROM t CROSS JOIN LATERAL (
              |  SELECT unnest(range(0, greatest(len(w) - 1, 0) + 1, 12)) AS s) i
-             |ORDER BY doc_id, chunk_idx""".stripMargin))
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Corpus-level line dedup (CCNet/RefinedWeb boilerplate pass): the
+    // synthetic corpus has no newlines, so docs are staged with a shared
+    // newsletter header (+ a blank layout line, doc_id%3=0) and a shared
+    // copyright footer (doc_id%3 in {0,1}) around a unique 80-char body —
+    // both engines reconstruct the staging arithmetically. With
+    // maxDocFreq=5 the header (~67 docs) and footer (~134 docs) are
+    // boilerplate; bodies and blank lines survive in order.
+    QueryDef(
+      "q_text_line_dedup",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val staged = d.filter(col("doc_id") < 200).select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat_ws("\n", lit("Subscribe to our newsletter"), lit(""),
+              substring(col("text"), 1, 80), lit("Copyright 2026 Example Corp")))
+          .when(col("doc_id") % 3 === 1,
+            concat_ws("\n", substring(col("text"), 1, 80),
+              lit("Copyright 2026 Example Corp")))
+          .otherwise(substring(col("text"), 1, 80)).as("text"))
+        Curation.lineDedup(staged, "doc_id", "text", maxDocFreq = 5)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH staged AS (
+             |  SELECT doc_id,
+             |    CASE
+             |      WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter' || chr(10) || chr(10) || substr(text, 1, 80) || chr(10) || 'Copyright 2026 Example Corp'
+             |      WHEN doc_id % 3 = 1 THEN substr(text, 1, 80) || chr(10) || 'Copyright 2026 Example Corp'
+             |      ELSE substr(text, 1, 80) END AS text
+             |  FROM documents WHERE doc_id < 200),
+             |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM staged),
+             |l AS (
+             |  SELECT doc_id, unnest(ls) AS line,
+             |         unnest(range(1, len(ls) + 1)) AS pos
+             |  FROM l0),
+             |b AS (
+             |  SELECT trim(line) AS norm FROM l WHERE trim(line) <> ''
+             |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5)
+             |SELECT l.doc_id,
+             |  coalesce(string_agg(CASE WHEN b.norm IS NULL THEN l.line END,
+             |                      chr(10) ORDER BY l.pos), '') AS clean_text,
+             |  CAST(count(CASE WHEN b.norm IS NULL THEN 1 END) AS BIGINT) AS n_kept,
+             |  CAST(count(b.norm) AS BIGINT) AS n_dropped
+             |FROM l LEFT JOIN b ON trim(l.line) = b.norm
+             |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin))
   )
 }

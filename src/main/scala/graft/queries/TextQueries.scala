@@ -340,6 +340,46 @@ object TextQueries extends QueryFamily {
               |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
               |  CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
               |FROM rows_kept GROUP BY source, predicted
-              |ORDER BY source, predicted""".stripMargin))
+              |ORDER BY source, predicted""".stripMargin)),
+
+    // REAL sample-level audio decode: each doc stages an 8-bit mono PCM
+    // WAV whose sample bytes are the arithmetic ramp (doc_id*31 + i*7) %
+    // 256 — Spark byte-assembles the container and PcmDecoder folds the
+    // actual data-chunk bytes; DuckDB reproduces the features from the
+    // same arithmetic. Integer sums → exact double ratios, so the hash
+    // compare is strict.
+    QueryDef(
+      "q_multimodal_audio",
+      (s, dir) => {
+        def le(c: org.apache.spark.sql.Column, n: Int) =
+          concat((0 until n).map(k =>
+            unhex(lpad(hex(shiftright(c, 8 * k).bitwiseAND(lit(255))), 2, "0"))): _*)
+        val d = Tables(s, dir, "documents").filter(col("doc_id") < 300)
+        val nf = (col("doc_id") % 211 + 16).cast("int")
+        val sampleHex = concat_ws("",
+          transform(sequence(lit(0), nf - 1),
+            i => lpad(hex((col("doc_id") * 31 + i * 7) % 256), 2, "0")))
+        val wav = concat(
+          unhex(lit("52494646")), le(nf + 36, 4), unhex(lit("57415645")),
+          unhex(lit("666D7420")), le(lit(16), 4),                 // fmt chunk
+          le(lit(1), 2), le(lit(1), 2), le(lit(8000), 4),         // pcm mono 8k
+          le(lit(8000), 4), le(lit(1), 2), le(lit(8), 2),         // u8 samples
+          unhex(lit("64617461")), le(nf, 4), unhex(sampleHex))
+        Multimodal.withAudioStats(d.select(col("doc_id"), wav.as("payload")), "payload")
+          .select(col("doc_id"), col("n_samples"), col("mean_amp"),
+            col("rms_amp"), col("peak_amp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT d.doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_samples,
+             |  CAST(sum((d.doc_id * 31 + g.i * 7) % 256) AS DOUBLE) / count(*) AS mean_amp,
+             |  sqrt(CAST(sum(((d.doc_id * 31 + g.i * 7) % 256)
+             |                * ((d.doc_id * 31 + g.i * 7) % 256)) AS DOUBLE)
+             |       / count(*)) AS rms_amp,
+             |  CAST(max((d.doc_id * 31 + g.i * 7) % 256) AS BIGINT) AS peak_amp
+             |FROM documents d CROSS JOIN LATERAL (
+             |  SELECT unnest(range(0, d.doc_id % 211 + 16)) AS i) g
+             |WHERE d.doc_id < 300
+             |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
   )
 }

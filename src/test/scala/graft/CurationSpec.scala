@@ -119,4 +119,63 @@ class CurationSpec extends AnyFunSuite {
         cShuffles.map(_.output.map(_.name).mkString(",")).mkString(" | "))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("lineDedup: corpus-frequent lines dropped, order kept, blanks immune") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "HEADER\nunique one\n\nFOOTER"),
+      (2L, "HEADER\nunique two\nFOOTER"),
+      (3L, "HEADER\nFOOTER"),
+      (4L, "only body here"),
+      (5L, "  HEADER  \ntrailing ws still boilerplate")
+    ).toDF("id", "text")
+    val out = Curation.lineDedup(docs, "id", "text", maxDocFreq = 3)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out === Seq(
+      // HEADER (4 docs incl. the whitespace-padded one) and FOOTER (3 docs)
+      // are boilerplate at maxDocFreq=3; the blank line is layout and stays
+      (1L, "unique one\n", 2L, 2L),
+      (2L, "unique two", 1L, 2L),
+      (3L, "", 0L, 2L),          // all lines dropped — doc survives empty
+      (4L, "only body here", 1L, 0L),
+      (5L, "trailing ws still boilerplate", 1L, 1L)))
+  }
+
+  test("lineDedup: below-threshold lines all kept; maxDocFreq validated") {
+    import spark.implicits._
+    val docs = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("id", "text")
+    val out = Curation.lineDedup(docs, "id", "text", maxDocFreq = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out === Seq((1L, "a\nb", 2L, 0L), (2L, "a\nc", 2L, 0L)))
+    intercept[IllegalArgumentException] {
+      Curation.lineDedup(docs, "id", "text", maxDocFreq = 1)
+    }
+  }
+
+  test("lineDedup plan audit: boilerplate set broadcasts; count shuffle is hash-width") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = (1 to 300)
+        .map(i => (i.toLong, s"SHARED BANNER\nbody ${i} text\nSHARED FOOTER"))
+        .toDF("id", "text")
+      val plan = Curation.lineDedup(docs, "id", "text", maxDocFreq = 10)
+        .queryExecution.executedPlan
+      // the frequent-line set comes back as a broadcast, never a join shuffle
+      assert(plan.collect { case b: BroadcastExchangeExec => b }.nonEmpty,
+        plan.toString.take(1500))
+      // the doc-frequency aggregation shuffles (h, doc_id) — the raw line
+      // text crosses the wire only in the unavoidable reassembly groupBy
+      val dfShuffles = plan.collect { case s: ShuffleExchangeExec => s }
+        .filter(_.output.exists(_.name == "h"))
+      assert(dfShuffles.nonEmpty)
+      assert(dfShuffles.forall(s => !s.output.exists(c =>
+        c.name == "line" || c.name == "norm" || c.name == "text")),
+        dfShuffles.map(_.output.map(_.name).mkString(",")).mkString(" | "))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }

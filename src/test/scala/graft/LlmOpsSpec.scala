@@ -167,6 +167,39 @@ class LlmOpsSpec extends AnyFunSuite {
       v(1).asInstanceOf[Int] >= 160 && v(4).asInstanceOf[String].nonEmpty })
   }
 
+  test("PcmDecoder: real sample decode for u8 / s16 PCM; stereo pooled; junk rejected") {
+    import graft.operators.Multimodal.PcmDecoder
+    def wav(bits: Int, channels: Int, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer
+        .allocate(44 + data.length).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(8000)
+        .putInt(8000 * channels * bits / 8)
+        .putShort((channels * bits / 8).toShort).putShort(bits.toShort)
+        .put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+      bb.array()
+    }
+    // u8: samples 0, 128, 255 → mean 127.667, rms sqrt((128²+255²)/3), peak 255
+    val u8 = PcmDecoder.decode(wav(8, 1, Array[Byte](0, 128.toByte, 255.toByte)))
+    assert(u8.nSamples == 3 && u8.peakAmp == 255L)
+    assert(math.abs(u8.meanAmp - 383.0 / 3) < 1e-12)
+    assert(math.abs(u8.rmsAmp - math.sqrt((128.0 * 128 + 255.0 * 255) / 3)) < 1e-12)
+    // s16 signed LE, stereo interleave pooled: 1000, -1000, 32767, -32768
+    val s16data = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(1000).putShort(-1000).putShort(32767).putShort(-32768).array()
+    val s16 = PcmDecoder.decode(wav(16, 2, s16data))
+    assert(s16.nSamples == 4 && s16.peakAmp == 32768L)
+    assert(math.abs(s16.meanAmp - (1000 - 1000 + 32767 - 32768) / 4.0) < 1e-12)
+    // junk / non-PCM → the zero row, never a throw
+    assert(PcmDecoder.decode("not audio at all".getBytes) == PcmDecoder.Zero)
+    assert(PcmDecoder.decode(Array.emptyByteArray) == PcmDecoder.Zero)
+    val f24 = PcmDecoder.decode(wav(24, 1, Array[Byte](1, 2, 3)))
+    assert(f24 == PcmDecoder.Zero) // unsupported width rejected, not misread
+  }
+
   test("rolling hash is stable and collision-free on the corpus") {
     val d = Tables(spark, dir, "documents")
     val hashes = d.select(TextFns.rollingHash(col("text")).as("h")).collect().map(_.getLong(0))
