@@ -206,6 +206,70 @@ object Multimodal {
     }
   }
 
+  final case class ImageStats(nPixels: Long, meanB: Double, meanG: Double,
+                              meanR: Double)
+
+  /** Real pixel decode for uncompressed 24-bit BMP — like [[PcmDecoder]],
+    * the uncompressed-raster slice of the decode seam needs no codec
+    * library: walks the file + info headers, honors the data offset and
+    * the 4-byte row stride padding, and folds the actual BGR pixel bytes
+    * into per-channel means (brightness/tint gates). Integer channel sums
+    * → exact double ratios. Anything not BI_RGB 24-bit (compressed,
+    * paletted, not a BMP) returns the zero row. Top-down bitmaps
+    * (negative height) pool identically — channel means are row-order
+    * agnostic.
+    */
+  object BmpPixelDecoder extends Serializable {
+    private def u8(p: Array[Byte], i: Int): Int = p(i) & 0xFF
+    private def le16(p: Array[Byte], i: Int): Int = u8(p, i) | (u8(p, i + 1) << 8)
+    private def le32(p: Array[Byte], i: Int): Int =
+      u8(p, i) | (u8(p, i + 1) << 8) | (u8(p, i + 2) << 16) | (u8(p, i + 3) << 24)
+
+    val Zero: ImageStats = ImageStats(0L, 0.0, 0.0, 0.0)
+
+    def decode(p: Array[Byte]): ImageStats = {
+      if (p.length < 54 || u8(p, 0) != 'B' || u8(p, 1) != 'M') return Zero
+      val dataOff = le32(p, 10)
+      val w = le32(p, 18)
+      val h = math.abs(le32(p, 22))
+      val bits = le16(p, 28)
+      val comp = le32(p, 30)
+      if (bits != 24 || comp != 0 || w <= 0 || h <= 0 || dataOff < 54) return Zero
+      val stride = (w * 3 + 3) & ~3
+      if (dataOff.toLong + stride.toLong * h > p.length) return Zero // truncated
+      var sb = 0L; var sg = 0L; var sr = 0L
+      var y = 0
+      while (y < h) {
+        var off = dataOff + y * stride
+        var x = 0
+        while (x < w) {
+          sb += u8(p, off); sg += u8(p, off + 1); sr += u8(p, off + 2)
+          off += 3; x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      ImageStats(n, sb.toDouble / n, sg.toDouble / n, sr.toDouble / n)
+    }
+  }
+
+  /** Attach real decoded-pixel image features to a DataFrame holding BMP
+    * payloads in `binCol`: (n_pixels, mean_b, mean_g, mean_r). Same
+    * map-side shape as [[withAudioStats]].
+    */
+  def withImageStats(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = df.schema
+      .add("n_pixels", LongType).add("mean_b", DoubleType)
+      .add("mean_g", DoubleType).add("mean_r", DoubleType)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val s = BmpPixelDecoder.decode(r.getAs[Array[Byte]](binIdx))
+        Row.fromSeq(r.toSeq ++ Seq[Any](s.nPixels, s.meanB, s.meanG, s.meanR))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Attach real decoded-sample audio features to a DataFrame holding WAV
     * payloads in `binCol`: (n_samples, mean_amp, rms_amp, peak_amp). Same
     * per-partition decode shape as [[withMediaMeta]]; non-WAV rows get the

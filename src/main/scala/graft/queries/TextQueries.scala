@@ -380,6 +380,55 @@ object TextQueries extends QueryFamily {
              |FROM documents d CROSS JOIN LATERAL (
              |  SELECT unnest(range(0, d.doc_id % 211 + 16)) AS i) g
              |WHERE d.doc_id < 300
+             |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
+
+    // REAL pixel-level image decode: each doc stages a w×h 24-bit BMP
+    // (w=doc_id%8+2, h=doc_id%6+2) whose BGR channels carry three distinct
+    // arithmetic ramps — B=(doc_id+3x+7y)%256, G=+85, R=+170 — with true
+    // 4-byte row-stride padding. BmpPixelDecoder folds the actual pixel
+    // bytes (a BGR-order or stride bug shifts a channel mean); DuckDB
+    // reproduces the means from the same arithmetic.
+    QueryDef(
+      "q_multimodal_pixels",
+      (s, dir) => {
+        def le(c: org.apache.spark.sql.Column, n: Int) =
+          concat((0 until n).map(k =>
+            unhex(lpad(hex(shiftright(c, 8 * k).bitwiseAND(lit(255))), 2, "0"))): _*)
+        def hx(c: org.apache.spark.sql.Column) = lpad(hex(c % 256), 2, "0")
+        val d = Tables(s, dir, "documents").filter(col("doc_id") < 300)
+        val w = (col("doc_id") % 8 + 2).cast("int")
+        val h = (col("doc_id") % 6 + 2).cast("int")
+        val stride = (w * 3 + 3).bitwiseAND(lit(-4))
+        val padHex = lit("000000").substr(lit(1), (stride - w * 3) * 2)
+        val pixelsHex = concat_ws("",
+          transform(sequence(lit(0), h - 1), y => concat(
+            concat_ws("", transform(sequence(lit(0), w - 1), x => {
+              val v = col("doc_id") + x * 3 + y * 7
+              concat(hx(v), hx(v + 85), hx(v + 170))
+            })),
+            padHex)))
+        val bmp = concat(
+          unhex(lit("424D")), le(stride * h + 54, 4), unhex(lit("00000000")),
+          le(lit(54), 4),                                        // data offset
+          le(lit(40), 4), le(w, 4), le(h, 4),                    // info header
+          le(lit(1), 2), le(lit(24), 2), le(lit(0), 4),          // planes/bits/BI_RGB
+          le(stride * h, 4), unhex(lit("0000000000000000")),     // img size + ppm
+          le(lit(0), 4), le(lit(0), 4),                          // palette counts
+          unhex(pixelsHex))
+        Multimodal.withImageStats(d.select(col("doc_id"), bmp.as("payload")), "payload")
+          .select(col("doc_id"), col("n_pixels"), col("mean_b"),
+            col("mean_g"), col("mean_r"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT d.doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_pixels,
+             |  CAST(sum((d.doc_id + gx.x * 3 + gy.y * 7) % 256) AS DOUBLE) / count(*) AS mean_b,
+             |  CAST(sum((d.doc_id + gx.x * 3 + gy.y * 7 + 85) % 256) AS DOUBLE) / count(*) AS mean_g,
+             |  CAST(sum((d.doc_id + gx.x * 3 + gy.y * 7 + 170) % 256) AS DOUBLE) / count(*) AS mean_r
+             |FROM documents d
+             |CROSS JOIN LATERAL (SELECT unnest(range(0, d.doc_id % 8 + 2)) AS x) gx
+             |CROSS JOIN LATERAL (SELECT unnest(range(0, d.doc_id % 6 + 2)) AS y) gy
+             |WHERE d.doc_id < 300
              |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
   )
 }

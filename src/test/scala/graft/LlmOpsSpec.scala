@@ -200,6 +200,42 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(f24 == PcmDecoder.Zero) // unsupported width rejected, not misread
   }
 
+  test("BmpPixelDecoder: real BGR pixel fold honors stride padding; non-raster rejected") {
+    import graft.operators.Multimodal.BmpPixelDecoder
+    // 3x2 24-bit BMP: row stride = 12 (9 pixel bytes + 3 pad). Pixel (x,y)
+    // carries B=10x+y, G=100+x, R=200+y — pad bytes are 0xFF landmines: if
+    // the decoder reads them as pixels, every mean shifts.
+    def bmp(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val stride = (w * 3 + 3) & ~3
+      val bb = java.nio.ByteBuffer.allocate(54 + stride * h)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + stride * h)
+        .putInt(0).putInt(54)
+        .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24).putInt(0)
+        .putInt(stride * h).putInt(0).putInt(0).putInt(0).putInt(0)
+      for (y <- 0 until h) {
+        for (x <- 0 until w) {
+          val (b, g, r) = px(x, y)
+          bb.put(b.toByte).put(g.toByte).put(r.toByte)
+        }
+        for (_ <- 0 until stride - w * 3) bb.put(0xFF.toByte)
+      }
+      bb.array()
+    }
+    val s = BmpPixelDecoder.decode(bmp(3, 2, (x, y) => (10 * x + y, 100 + x, 200 + y)))
+    assert(s.nPixels == 6L)
+    assert(math.abs(s.meanB - (0 + 10 + 20 + 1 + 11 + 21) / 6.0) < 1e-12)
+    assert(math.abs(s.meanG - (100 + 101 + 102) / 3.0) < 1e-12)
+    assert(math.abs(s.meanR - (200.0 + 201.0) / 2.0) < 1e-12)
+    // stride-aligned width (4 px, no padding) also exact
+    val s4 = BmpPixelDecoder.decode(bmp(4, 1, (x, _) => (x, x, x)))
+    assert(s4.nPixels == 4L && math.abs(s4.meanB - 1.5) < 1e-12)
+    // junk, truncated pixels, unsupported depth → the zero row
+    assert(BmpPixelDecoder.decode("BMnot really".getBytes) == BmpPixelDecoder.Zero)
+    val trunc = bmp(3, 2, (_, _) => (1, 2, 3)).dropRight(5)
+    assert(BmpPixelDecoder.decode(trunc) == BmpPixelDecoder.Zero)
+  }
+
   test("rolling hash is stable and collision-free on the corpus") {
     val d = Tables(spark, dir, "documents")
     val hashes = d.select(TextFns.rollingHash(col("text")).as("h")).collect().map(_.getLong(0))
