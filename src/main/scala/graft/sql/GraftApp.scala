@@ -42,6 +42,19 @@ object GraftApp {
   final case class JoinClause(joinType: String, stream: String, cond: String,
                               window: Option[WindowClause] = None)
 
+  /** `lhs [NOT] IN (SELECT expr FROM src [WHERE …])` extracted from a
+    * top-level WHERE conjunct (reference roadmap GRAMMAR.md:812-820).
+    * Compiles to a left_semi / left_anti join — membership over streams
+    * AND tables (the passive-state read is exactly the reference's
+    * table-membership test). NOT IN is the anti-join: a NULL in the
+    * subquery does not annihilate the result (standard SQL NOT-IN NULL
+    * annihilation is never what a stream filter wants; divergence pinned
+    * by spec).
+    */
+  final case class InSubquery(lhs: String, negated: Boolean,
+                              selectExpr: String, source: String,
+                              where: Option[String])
+
   final case class QuerySpec(
       target: String, source: String,
       selectItems: Seq[(String, Option[String])], // (expr, alias)
@@ -55,7 +68,9 @@ object GraftApp {
       offset: Option[Int] = None,
       partitionKeys: Seq[String] = Nil, // PARTITION WITH keys (§2.9)
       outputEvents: String = "current", // INSERT [CURRENT|EXPIRED|ALL] EVENTS
-      sourceWindow: Option[WindowClause] = None) // FROM src WINDOW(…) JOIN …
+      sourceWindow: Option[WindowClause] = None, // FROM src WINDOW(…) JOIN …
+      distinct: Boolean = false, // SELECT DISTINCT …
+      inSubqueries: Seq[InSubquery] = Nil) // WHERE … IN (SELECT …) conjuncts
 
   /** CREATE TRIGGER (trigger_definition.rs): mode ∈ start/every/cron.
     * `everyMs` is resolved for both EVERY and the supported cron forms.
@@ -235,7 +250,110 @@ object GraftApp {
     def requireDefined(name: String): Unit =
       if (!streams.contains(name))
         throw SqlError(s"undefined stream/table '$name' (definition first)")
-    (plainStmts.toSeq ++ partitionedStmts).foreach { case (stmt, part) =>
+    // ---- statement-local desugaring: WITH CTEs and top-level UNION [ALL]
+    // (reference roadmap GRAMMAR.md:822-841). Both lower onto the existing
+    // chained-INSERT algebra — a CTE is a named single-use stream; a UNION
+    // branch is a fan-in INSERT (distinct = SELECT DISTINCT * over an
+    // internal fan-in stream). Names are mangled per statement so the same
+    // CTE name in two statements never unions across them.
+    var synth = 0
+    def freshName(tag: String, base: String): String = {
+      synth += 1; s"__${tag}${synth}_$base"
+    }
+    def registerSynth(name: String): Unit =
+      streams += name -> StreamDef(name, StructType(Nil), Map.empty, isTable = false)
+    def desugarUnion(stmt: String): Seq[String] = {
+      val parts = splitTopLevelKeyword(stmt, "UNION").map(_.trim)
+      if (parts.lengthCompare(1) == 0) return Seq(stmt)
+      val headRe = ("(?is)^(INSERT\\s+(?:(CURRENT|EXPIRED|ALL)\\s+EVENTS\\s+)?" +
+        "INTO\\s+)(\\w+)(\\s+SELECT\\b.*)$").r
+      val head = headRe.findFirstMatchIn(parts.head).getOrElse(
+        throw SqlError("UNION is supported between the SELECT branches of an " +
+          s"INSERT INTO statement — got '${parts.head.take(60)}'"))
+      if (head.group(2) != null)
+        throw SqlError("INSERT … EVENTS cannot combine with UNION — the " +
+          "changelog modifier is per-query, not per-branch")
+      val target = head.group(3)
+      // the split drops only the UNION token: a branch that was `UNION ALL`
+      // still starts with ALL
+      val allFlags = parts.tail.map(p => "(?is)^ALL\\b".r.findFirstIn(p).isDefined)
+      if (allFlags.distinct.lengthCompare(1) > 0)
+        throw SqlError("mixed UNION and UNION ALL in one statement is not " +
+          "supported — split into separate statements")
+      val branches = parts.tail.map(p => "(?is)^ALL\\b\\s*".r.replaceFirstIn(p, "").trim)
+      branches.foreach { b =>
+        if (!b.matches("(?is)^SELECT\\b.*"))
+          throw SqlError(s"each UNION branch must be a SELECT query — got '${b.take(60)}'")
+      }
+      if (allFlags.head) {
+        // UNION ALL ≡ the existing fan-in: every branch inserts the target
+        parts.head +: branches.map(b => s"INSERT INTO $target $b")
+      } else {
+        val u = freshName("union", target)
+        registerSynth(u)
+        (s"${head.group(1)}$u${head.group(4)}" +:
+          branches.map(b => s"INSERT INTO $u $b")) :+
+          s"INSERT INTO $target SELECT DISTINCT * FROM $u"
+      }
+    }
+    def desugarCte(stmt: String): Seq[String] = {
+      val pre = "(?is)^\\s*WITH\\s+".r.findPrefixMatchOf(stmt)
+      if (pre.isEmpty) return Seq(stmt)
+      var rest = stmt.substring(pre.get.end)
+      var defs = Seq.empty[(String, String)]
+      var more = true
+      while (more) {
+        val h = "(?is)^(\\w+)\\s+AS\\s*\\(".r.findPrefixMatchOf(rest).getOrElse(
+          throw SqlError("malformed WITH clause — expected: WITH Name AS " +
+            "(SELECT …) [, Name2 AS (…)] INSERT INTO …"))
+        val name = h.group(1)
+        var depth = 1; var i = h.end; var inQ = false
+        while (i < rest.length && depth > 0) {
+          val c = rest.charAt(i)
+          if (c == '\'') inQ = !inQ
+          else if (!inQ && c == '(') depth += 1
+          else if (!inQ && c == ')') depth -= 1
+          i += 1
+        }
+        if (depth != 0)
+          throw SqlError(s"unbalanced parentheses in WITH clause for '$name'")
+        val body = rest.substring(h.end, i - 1).trim
+        if (!body.matches("(?is)^SELECT\\b.*"))
+          throw SqlError(s"CTE '$name' body must be a SELECT query")
+        if (defs.exists(_._1.equalsIgnoreCase(name)))
+          throw SqlError(s"duplicate CTE name '$name'")
+        if (streams.contains(name) || aggs.contains(name))
+          throw SqlError(s"CTE '$name' shadows a declared stream/table/" +
+            "aggregation — pick another name")
+        defs :+= (name -> body)
+        rest = rest.substring(i)
+        "(?s)^\\s*,\\s*".r.findPrefixMatchOf(rest) match {
+          case Some(cm) => rest = rest.substring(cm.end)
+          case None => more = false
+        }
+      }
+      if (rest.trim.isEmpty)
+        throw SqlError("WITH must be followed by a statement that uses the CTEs")
+      val mangled = defs.map { case (n, _) => n -> freshName("cte", n) }.toMap
+      defs.foreach { case (n, _) => registerSynth(mangled(n)) }
+      // a CTE body sees EARLIER ctes only (forward/self references stay
+      // unmangled and fail as undefined streams — typed, like the reference)
+      val cteStmts = defs.zipWithIndex.map { case ((n, body), i) =>
+        val visible = defs.take(i).map(_._1)
+        val b2 = visible.foldLeft(body)((t, vn) =>
+          replaceIdentOutsideQuotes(t, vn, mangled(vn)))
+        s"INSERT INTO ${mangled(n)} $b2"
+      }
+      val tail = defs.map(_._1).foldLeft(rest.trim)((t, n) =>
+        replaceIdentOutsideQuotes(t, n, mangled(n)))
+      cteStmts :+ tail
+    }
+    def expandStmt(stmt: String): Seq[String] = desugarCte(stmt).flatMap(desugarUnion)
+    // expansion happens per statement IN ORDER (not as a prepass), so a
+    // CTE's shadow check and requireDefined see every earlier CREATE
+    (plainStmts.toSeq ++ partitionedStmts)
+      .foreach { case (stmt0, part) =>
+        expandStmt(stmt0).foreach { stmt =>
       parsePatternInsert(stmt) match {
         case Some(pq0) =>
           pq0.allAlts.foreach(a => requireDefined(a.stream))
@@ -352,6 +470,7 @@ object GraftApp {
             requireDefined(source)
             val q0 = parseQuery(target, select, source, rest)
               .copy(outputEvents = Option(outEvents).map(_.toLowerCase).getOrElse("current"))
+            q0.inSubqueries.foreach(s => requireDefined(s.source))
             // partition keys fold into the key set (and output) of grouped
             // queries over the partitioned stream; per-event window frames
             // read partitionAttr directly (per-key state isolation, §2.9);
@@ -390,6 +509,7 @@ object GraftApp {
             throw SqlError(s"unsupported statement: ${other.take(60)}")
         }
       }
+    }
     }
     AppSpec(streams, queries.result(), patterns.result(), triggers.result(),
       stmts.result(), aggs)
@@ -708,23 +828,32 @@ object GraftApp {
       throw SqlError("OUTPUT rate clauses are not supported in SQL apps — " +
         "use the rate operators (ConnectorQueries q_rate_* forms / " +
         "Windows.outputEveryN) or drop the clause")
+    // clause keywords match at paren-depth 0 only — a keyword inside an
+    // IN (SELECT …) subquery belongs to the subquery, not this query
+    def atTopLevel(text: String)(m: Regex.Match): Boolean = {
+      var depth = 0; var inQ = false
+      text.substring(0, m.start).foreach { c =>
+        if (c == '\'') inQ = !inQ
+        else if (!inQ && c == '(') depth += 1
+        else if (!inQ && c == ')') depth -= 1
+      }
+      depth == 0 && !inQ
+    }
     var window: Option[WindowClause] = None
-    WindowRe.findFirstMatchIn(rest).foreach { m =>
+    WindowRe.findAllMatchIn(rest).find(atTopLevel(rest)).foreach { m =>
       window = Some(mkWin(m.group(1), m.group(2)))
       rest = rest.substring(0, m.start) + rest.substring(m.end)
     }
     def grab(kw: String, next: Seq[String]): Option[String] = {
-      val p = ("(?is)\\b" + kw + "\\b(.*)").r
-      p.findFirstMatchIn(rest).map { m =>
-        var body = m.group(1)
-        next.foreach { n =>
-          val stop = ("(?is)\\b" + n + "\\b.*").r
-          body = stop.replaceAllIn(body, "")
-        }
+      ("(?is)\\b" + kw + "\\b").r.findAllMatchIn(rest).find(atTopLevel(rest)).map { m =>
+        var body = rest.substring(m.end)
+        next.flatMap(n => ("(?is)\\b" + n + "\\b").r.findAllMatchIn(body)
+            .find(atTopLevel(body)).map(_.start))
+          .minOption.foreach(s => body = body.substring(0, s))
         body.trim
       }
     }
-    val where = grab("WHERE", Seq("GROUP\\s+BY", "HAVING", "ORDER\\s+BY", "LIMIT", "OFFSET"))
+    val where0 = grab("WHERE", Seq("GROUP\\s+BY", "HAVING", "ORDER\\s+BY", "LIMIT", "OFFSET"))
     val groupBy = grab("GROUP\\s+BY", Seq("HAVING", "ORDER\\s+BY", "LIMIT", "OFFSET"))
       .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
     val having = grab("HAVING", Seq("ORDER\\s+BY", "LIMIT", "OFFSET"))
@@ -732,9 +861,123 @@ object GraftApp {
       .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
     val limit = grab("LIMIT", Seq("OFFSET")).map(intOf(_, "LIMIT"))
     val offset = grab("OFFSET", Nil).map(intOf(_, "OFFSET"))
-    val items = splitTopLevel(select).map(parseSelectItem)
+    // IN (SELECT …) subqueries (ref roadmap GRAMMAR.md:812-820): extracted
+    // from top-level WHERE conjuncts only — under an OR a semi-join is not
+    // equivalent, so that spelling is a typed error, not a wrong answer
+    val (where, inSubs) = extractInSubqueries(where0)
+    val (dis, select2) = "(?is)^DISTINCT\\s+(.*)$".r.findFirstMatchIn(select.trim) match {
+      case Some(m) => (true, m.group(1))
+      case None => (false, select)
+    }
+    val items = splitTopLevel(select2).map(parseSelectItem)
     QuerySpec(target, source, items, joins.result(), where, window, groupBy, having,
-      orderBy, limit, offset, sourceWindow = sourceWindow)
+      orderBy, limit, offset, sourceWindow = sourceWindow,
+      distinct = dis, inSubqueries = inSubs)
+  }
+
+  /** Split on a keyword at paren-depth 0 outside single quotes; returns
+    * segment list (the keyword itself is dropped). */
+  private def splitTopLevelKeyword(s: String, kw: String): Seq[String] = {
+    val re = ("(?is)\\b" + kw + "\\b").r
+    val cuts = re.findAllMatchIn(s).filter { m =>
+      var depth = 0; var inQ = false
+      s.substring(0, m.start).foreach { c =>
+        if (c == '\'') inQ = !inQ
+        else if (!inQ && c == '(') depth += 1
+        else if (!inQ && c == ')') depth -= 1
+      }
+      depth == 0 && !inQ
+    }.map(m => (m.start, m.end)).toSeq
+    if (cuts.isEmpty) Seq(s)
+    else {
+      val bounds = ((0, 0) +: cuts) :+ ((s.length, s.length))
+      bounds.sliding(2).map { case Seq((_, a), (b, _)) => s.substring(a, b) }.toSeq
+    }
+  }
+
+  /** Pull `lhs [NOT] IN (SELECT expr FROM src [WHERE …])` conjuncts out of
+    * the WHERE clause; the remainder (other conjuncts AND'd back together)
+    * stays the filter. A subquery under OR or with clauses beyond
+    * SELECT/FROM/WHERE raises typed errors.
+    */
+  private def extractInSubqueries(where: Option[String]): (Option[String], Seq[InSubquery]) = {
+    val conjRe = "(?is)^(.*?)\\s+(NOT\\s+)?IN\\s*\\(\\s*(SELECT\\b.*)\\)$".r
+    val subRe = "(?is)^SELECT\\s+(.+?)\\s+FROM\\s+(\\w+)(?:\\s+WHERE\\s+(.+))?$".r
+    where match {
+      case None => (None, Nil)
+      case Some(w) =>
+        val conjuncts = splitTopLevelKeyword(w, "AND").map(_.trim).filter(_.nonEmpty)
+        val (subs, keep) = conjuncts.partitionMap { c =>
+          // a conjunct with a top-level OR is never a pure membership term —
+          // the lazy lhs match would otherwise swallow `a OR b` as the lhs
+          val hasTopOr = splitTopLevelKeyword(c, "OR").lengthCompare(1) > 0
+          if (hasTopOr && "(?is)\\bIN\\s*\\(\\s*SELECT\\b".r.findFirstIn(c).isDefined)
+            throw SqlError("IN (SELECT …) is supported only as a top-level " +
+              s"AND conjunct of WHERE — rewrite '${c.take(60)}'")
+          if (hasTopOr) Right(c)
+          else conjRe.findFirstMatchIn(c) match {
+            case Some(m) if balancedParens(m.group(3)) =>
+              val body = m.group(3).trim
+              m.group(1).trim match {
+                case "" => throw SqlError(s"IN (SELECT …) needs a left-hand expression: '$c'")
+                case lhs =>
+                  Seq("GROUP\\s+BY", "ORDER\\s+BY", "JOIN", "LIMIT", "HAVING",
+                      "WINDOW").foreach { kw =>
+                    if (splitTopLevelKeyword(body, kw).lengthCompare(1) > 0)
+                      throw SqlError("IN subquery supports SELECT <expr> FROM " +
+                        s"<stream> [WHERE …] only — drop the ${kw.replace("\\s+", " ")} " +
+                        "(route richer shapes through a WITH cte)")
+                  }
+                  subRe.findFirstMatchIn(body) match {
+                    case Some(s) =>
+                      Left(InSubquery(lhs, m.group(2) != null, s.group(1).trim,
+                        s.group(2), Option(s.group(3)).map(_.trim)))
+                    case None => throw SqlError(
+                      s"IN subquery supports SELECT <expr> FROM <stream> [WHERE …] — got '${body.take(60)}'")
+                  }
+              }
+            case _ =>
+              if ("(?is)\\bIN\\s*\\(\\s*SELECT\\b".r.findFirstIn(c).isDefined)
+                throw SqlError("IN (SELECT …) is supported only as a top-level " +
+                  s"AND conjunct of WHERE — rewrite '${c.take(60)}'")
+              Right(c)
+          }
+        }
+        (if (keep.isEmpty) None else Some(keep.mkString(" AND ")), subs)
+    }
+  }
+
+  /** Whole-word, case-insensitive identifier replacement that never touches
+    * single-quoted literals — the CTE name-mangling rewriter. */
+  private def replaceIdentOutsideQuotes(text: String, name: String, repl: String): String = {
+    val re = ("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+    val sb = new StringBuilder
+    var i = 0
+    while (i < text.length) {
+      val q = text.indexOf('\'', i)
+      if (q < 0) {
+        sb.append(re.replaceAllIn(text.substring(i),
+          java.util.regex.Matcher.quoteReplacement(repl)))
+        i = text.length
+      } else {
+        sb.append(re.replaceAllIn(text.substring(i, q),
+          java.util.regex.Matcher.quoteReplacement(repl)))
+        val q2 = text.indexOf('\'', q + 1)
+        val end = if (q2 < 0) text.length else q2 + 1
+        sb.append(text.substring(q, end)); i = end
+      }
+    }
+    sb.toString
+  }
+
+  private def balancedParens(s: String): Boolean = {
+    var depth = 0; var inQ = false
+    s.foreach { c =>
+      if (c == '\'') inQ = !inQ
+      else if (!inQ && c == '(') depth += 1
+      else if (!inQ && c == ')') { depth -= 1; if (depth < 0) return false }
+    }
+    depth == 0 && !inQ
   }
 
   /** Parse a simple duration literal ("10 seconds", "1 hour") to micros. */
@@ -925,7 +1168,18 @@ object GraftApp {
             checkUndefined = false)
           acc.join(right.as(j.stream), uexpr(j.cond), j.joinType)
         }
-        val out = compileQuery(joined, q)
+        // IN (SELECT …) conjuncts: membership as semi/anti join. Tables are
+        // legal here — reading passive state for a membership test is the
+        // reference's `IN table` shape, not a query-on-table.
+        val withSubs = q.inSubqueries.foldLeft(joined) { (acc, sq) =>
+          val sub0 = env.getOrElse(sq.source,
+            throw SqlError(s"stream '${sq.source}' has no bound data"))
+          val sub = sq.where.map(w => sub0.filter(uexpr(w))).getOrElse(sub0)
+            .select(uexpr(sq.selectExpr).as("__in_val"))
+          acc.join(sub, uexpr(sq.lhs) === col("__in_val"),
+            if (sq.negated) "left_anti" else "left_semi")
+        }
+        val out = compileQuery(withSubs, q)
         env += q.target -> (if (bounded.contains(q.target)) boundedAppend(q.target, out)
           else env.get(q.target).map(_.unionByName(out)).getOrElse(out))
       case PatternStmt(p) =>
@@ -1235,6 +1489,9 @@ object GraftApp {
       TypeGuard.check(df.sparkSession, h, df.schema, checkUndefined = false)
       df = df.filter(uexpr(h))
     }
+    // SELECT DISTINCT dedups the projected rows (then ORDER BY/LIMIT) —
+    // one exact-dedup shuffle on the full select list
+    if (q.distinct) df = df.dropDuplicates()
     finishOrderLimit(df, q)
   }
 

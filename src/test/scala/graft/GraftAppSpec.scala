@@ -541,4 +541,124 @@ class GraftAppSpec extends AnyFunSuite {
         |INSERT INTO Out SELECT k FROM ByK WITHIN '2024' AND '2025' PER 'minute' LIMIT 3;""".stripMargin))
     assert(e4.getMessage.contains("ORDER BY only"))
   }
+
+  test("WITH ctes: chained bodies, statement-local scoping, typed errors") {
+    val app =
+      """CREATE STREAM S (sym STRING, price DOUBLE);
+        |CREATE STREAM Out (sym STRING, n BIGINT);
+        |CREATE STREAM Out2 (sym STRING);
+        |WITH Hot AS (SELECT sym, price FROM S WHERE price > 10),
+        |     Agg AS (SELECT sym, count(price) AS n FROM Hot GROUP BY sym)
+        |INSERT INTO Out SELECT sym, n FROM Agg WHERE n >= 2;
+        |-- same CTE name again: statement-local, must NOT union with the first
+        |WITH Hot AS (SELECT sym, price FROM S WHERE price < 0)
+        |INSERT INTO Out2 SELECT sym FROM Hot;""".stripMargin
+    val in = Seq(("a", 11.0), ("a", 12.0), ("b", 99.0), ("c", -5.0), ("c", 1.0))
+      .toDF("sym", "price")
+    val res = GraftApp.run(spark, app, Map("S" -> in))
+    assert(res("Out").collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 2L)))
+    assert(res("Out2").as[String].collect().toSeq == Seq("c"))
+    // CTE shadowing a declared stream is a typed error, not a silent rebind
+    val e1 = intercept[GraftApp.SqlError](GraftApp.parse(
+      """CREATE STREAM S (a INT);
+        |CREATE STREAM Out (a INT);
+        |WITH S AS (SELECT a FROM S) INSERT INTO Out SELECT a FROM S;""".stripMargin))
+    assert(e1.getMessage.contains("shadows"))
+    val e2 = intercept[GraftApp.SqlError](GraftApp.parse(
+      """CREATE STREAM S (a INT);
+        |WITH X AS (SELECT a FROM S;""".stripMargin))
+    assert(e2.getMessage.toLowerCase.contains("unbalanced"))
+    val e3 = intercept[GraftApp.SqlError](GraftApp.parse(
+      """CREATE STREAM S (a INT);
+        |WITH X AS (SELECT a FROM S), X AS (SELECT a FROM S) INSERT INTO X SELECT a FROM X;""".stripMargin))
+    assert(e3.getMessage.contains("duplicate CTE"))
+    // a CTE body sees earlier ctes only — forward refs are undefined streams
+    val e4 = intercept[GraftApp.SqlError](GraftApp.parse(
+      """CREATE STREAM S (a INT);
+        |CREATE STREAM Out (a INT);
+        |WITH X AS (SELECT a FROM Y), Y AS (SELECT a FROM S)
+        |INSERT INTO Out SELECT a FROM X;""".stripMargin))
+    assert(e4.getMessage.contains("undefined stream"))
+  }
+
+  test("IN (SELECT …) subqueries: semi over stream, anti, table membership") {
+    val app =
+      """CREATE STREAM Trades (sym STRING, qty INT);
+        |CREATE STREAM HighVol (sym STRING, volume INT);
+        |CREATE TABLE Blocked (sym STRING);
+        |CREATE STREAM Out (sym STRING, qty INT);
+        |CREATE STREAM Clean (sym STRING);
+        |INSERT INTO Out SELECT sym, qty FROM Trades
+        |WHERE qty > 0 AND sym IN (SELECT sym FROM HighVol WHERE volume > 1000);
+        |INSERT INTO Clean SELECT sym FROM Trades
+        |WHERE sym NOT IN (SELECT sym FROM Blocked);""".stripMargin
+    val trades = Seq(("ibm", 5), ("msft", -1), ("aapl", 3), ("ibm", 2)).toDF("sym", "qty")
+    val hv = Seq(("ibm", 2000), ("aapl", 10)).toDF("sym", "volume")
+    val blocked = Seq("aapl").toDF("sym")
+    val res = GraftApp.run(spark, app,
+      Map("Trades" -> trades, "HighVol" -> hv, "Blocked" -> blocked))
+    assert(res("Out").collect().map(r => (r.getString(0), r.getInt(1))).toSet ==
+      Set(("ibm", 5), ("ibm", 2)))
+    assert(res("Clean").as[String].collect().sorted.toSeq ==
+      Seq("ibm", "ibm", "msft"))
+    // under OR a semi-join is not equivalent → typed error
+    val e1 = intercept[GraftApp.SqlError](GraftApp.parse(
+      """CREATE STREAM A (x INT);
+        |CREATE STREAM B (x INT);
+        |CREATE STREAM Out (x INT);
+        |INSERT INTO Out SELECT x FROM A
+        |WHERE x > 3 OR x IN (SELECT x FROM B);""".stripMargin))
+    assert(e1.getMessage.contains("top-level AND conjunct"))
+    val e2 = intercept[GraftApp.SqlError](GraftApp.parse(
+      """CREATE STREAM A (x INT);
+        |CREATE STREAM B (x INT);
+        |CREATE STREAM Out (x INT);
+        |INSERT INTO Out SELECT x FROM A
+        |WHERE x IN (SELECT x FROM B GROUP BY x);""".stripMargin))
+    assert(e2.getMessage.contains("GROUP BY"))
+  }
+
+  test("UNION / UNION ALL between INSERT branches; SELECT DISTINCT") {
+    val app =
+      """CREATE STREAM A (x INT);
+        |CREATE STREAM B (x INT);
+        |CREATE STREAM U (x INT);
+        |CREATE STREAM UA (x INT);
+        |CREATE STREAM D (x INT);
+        |INSERT INTO U SELECT x FROM A UNION SELECT x FROM B;
+        |INSERT INTO UA SELECT x FROM A UNION ALL SELECT x FROM B;
+        |INSERT INTO D SELECT DISTINCT x FROM A;""".stripMargin
+    val a = Seq(1, 2, 2).toDF("x")
+    val b = Seq(2, 3).toDF("x")
+    val res = GraftApp.run(spark, app, Map("A" -> a, "B" -> b))
+    assert(res("U").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    assert(res("UA").as[Int].collect().sorted.toSeq == Seq(1, 2, 2, 2, 3))
+    assert(res("D").as[Int].collect().sorted.toSeq == Seq(1, 2))
+    // mixed UNION / UNION ALL in one statement: typed, never misgrouped
+    val e1 = intercept[GraftApp.SqlError](GraftApp.parse(
+      """CREATE STREAM A (x INT);
+        |CREATE STREAM Out (x INT);
+        |INSERT INTO Out SELECT x FROM A UNION SELECT x FROM A UNION ALL SELECT x FROM A;""".stripMargin))
+    assert(e1.getMessage.contains("mixed UNION"))
+    // a UNION branch that is not a SELECT is typed
+    val e2 = intercept[GraftApp.SqlError](GraftApp.parse(
+      """CREATE STREAM A (x INT);
+        |CREATE STREAM Out (x INT);
+        |INSERT INTO Out SELECT x FROM A UNION DELETE FROM A;""".stripMargin))
+    assert(e2.getMessage.contains("branch"))
+  }
+
+  test("WITH + UNION compose; cte over table join still works") {
+    val app =
+      """CREATE STREAM S (k STRING, v INT);
+        |CREATE STREAM T (k STRING, v INT);
+        |CREATE STREAM Out (k STRING);
+        |WITH Big AS (SELECT k, v FROM S WHERE v > 10)
+        |INSERT INTO Out SELECT k FROM Big UNION SELECT k FROM T;""".stripMargin
+    val s = Seq(("a", 20), ("b", 5)).toDF("k", "v")
+    val t = Seq(("c", 1), ("a", 2)).toDF("k", "v")
+    val res = GraftApp.run(spark, app, Map("S" -> s, "T" -> t))
+    assert(res("Out").as[String].collect().sorted.toSeq == Seq("a", "c"))
+  }
 }

@@ -55,6 +55,29 @@ class ParserFuzzSpec extends AnyFunSuite {
     case 2 => junk + validApp
   }
 
+  /** Same near-miss treatment over the round-6 desugared surface: WITH
+    * ctes, UNION branches, IN (SELECT …) membership. */
+  private val validCteApp =
+    """CREATE STREAM In (k STRING, v DOUBLE);
+      |CREATE STREAM Aux (k STRING);
+      |CREATE STREAM Out (k STRING, total DOUBLE);
+      |WITH Hot AS (SELECT k, v FROM In WHERE v > 0),
+      |     Named AS (SELECT k FROM Aux)
+      |INSERT INTO Out SELECT k, sum(v) AS total FROM Hot
+      |WHERE k IN (SELECT k FROM Named) GROUP BY k
+      |UNION ALL SELECT k, v FROM In WHERE v < -100;""".stripMargin
+
+  private val cteNearMiss: Gen[String] = for {
+    cut <- Gen.choose(0, validCteApp.length)
+    junk <- Gen.oneOf("", ")", "((", "WITH", "AS (", "UNION", "UNION ALL",
+      "IN (SELECT", "SELECT", "'", ",", ";;")
+    mode <- Gen.oneOf(0, 1, 2)
+  } yield mode match {
+    case 0 => validCteApp.substring(0, cut)
+    case 1 => validCteApp.substring(0, cut) + junk + validCteApp.substring(cut)
+    case 2 => junk + validCteApp
+  }
+
   private def typedOnly(app: String): Boolean =
     try { GraftApp.parse(app); true }
     catch {
@@ -68,6 +91,10 @@ class ParserFuzzSpec extends AnyFunSuite {
 
   test("near-miss mutations of a valid app: typed errors only") {
     check(Prop.forAll(nearMiss)(typedOnly _))
+  }
+
+  test("near-miss mutations of a WITH/UNION/IN-subquery app: typed errors only") {
+    check(Prop.forAll(cteNearMiss)(typedOnly _))
   }
 
   /** CREATE AGGREGATION + WITHIN…PER statements (round 6) get the same
