@@ -649,6 +649,37 @@ class GraftAppSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("branch"))
   }
 
+  test("examples/round6_demo.sql parses and runs end to end") {
+    val app = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/round6_demo.sql")))
+    val events = Seq(
+      (1L, 10, 7L, "purchase", 500.0), (2L, 20, 7L, "view", 10.0),
+      (3L, 30, 8L, "purchase", 100.0), (4L, 40, 8L, "error", 950.0),
+      (5L, 50, 9L, "cancel", 20.0), (6L, 60, 8L, "error", 30.0))
+      .toDF("event_id", "sec", "user_id", "event_type", "value")
+      .selectExpr("event_id", "CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "event_type", "value", "CAST(NULL AS STRING) AS props")
+    val (env, close) = GraftApp.runTracked(spark, app, Map(
+      "events" -> events,
+      "allowlist" -> Seq(8L).toDF("user_id")))
+    try {
+      // CTE + IN: only user 7 has a >400 purchase; all their activity shows
+      assert(env("BigSpenderActivity").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+        Seq((7L, 1L, "purchase"), (7L, 2L, "view")))
+      // UNION distinct: user 8 errored twice but appears once
+      assert(env("FlaggedUsers").as[Long].collect().sorted.toSeq == Seq(8L, 9L))
+      // NOT IN over the allowlist table: 8's 950.0 event is suppressed
+      assert(env("Suspect").collect().isEmpty)
+      // aggregation cascade: every event lands in the epoch hour bucket
+      assert(env("HourlyTotals").collect()
+        .map(r => (r.getString(0), r.getDouble(2))).toSet ==
+        Set(("purchase", 600.0), ("view", 10.0), ("error", 980.0), ("cancel", 20.0)))
+      assert(env("EventKinds").as[String].collect().sorted.toSeq ==
+        Seq("cancel", "error", "purchase", "view"))
+    } finally close()
+  }
+
   test("WITH + UNION compose; cte over table join still works") {
     val app =
       """CREATE STREAM S (k STRING, v INT);
