@@ -51,9 +51,15 @@ object GraftApp {
     * annihilation is never what a stream filter wants; divergence pinned
     * by spec).
     */
+  /** `tableForm` marks the reference's own spelling `expr [NOT] IN Table`
+    * (query_api/expression/condition/in_op.rs; executor
+    * in_expression_executor.rs: NULL value → false, membership against the
+    * single-column table) — resolved to the table's column at statement
+    * level, then identical lowering. */
   final case class InSubquery(lhs: String, negated: Boolean,
                               selectExpr: String, source: String,
-                              where: Option[String])
+                              where: Option[String],
+                              tableForm: Boolean = false)
 
   final case class QuerySpec(
       target: String, source: String,
@@ -468,9 +474,25 @@ object GraftApp {
             stmts += DmlStmt(DmlSpec("delete", table, source, Nil, Nil, cond.trim))
           case InsertRe(outEvents, target, select, source, rest) =>
             requireDefined(source)
-            val q0 = parseQuery(target, select, source, rest)
+            val q00 = parseQuery(target, select, source, rest)
               .copy(outputEvents = Option(outEvents).map(_.toLowerCase).getOrElse("current"))
-            q0.inSubqueries.foreach(s => requireDefined(s.source))
+            // resolve `expr IN Table` membership (in_expression_executor.rs)
+            // to the table's single column; subquery form passes through
+            val q0 = q00.copy(inSubqueries = q00.inSubqueries.map { s =>
+              requireDefined(s.source)
+              if (!s.tableForm) s
+              else {
+                val sd = streams(s.source)
+                if (!sd.isTable) throw SqlError(
+                  s"'${s.lhs} IN ${s.source}': ${s.source} is a stream — " +
+                    s"membership needs a TABLE, or spell IN (SELECT col FROM ${s.source})")
+                if (sd.schema.fields.length != 1) throw SqlError(
+                  s"IN ${s.source}: membership table must have exactly one " +
+                    s"column (${s.source} has ${sd.schema.fieldNames.mkString(", ")}) — " +
+                    s"use IN (SELECT <col> FROM ${s.source})")
+                s.copy(selectExpr = sd.schema.fieldNames.head, tableForm = false)
+              }
+            })
             // partition keys fold into the key set (and output) of grouped
             // queries over the partitioned stream; per-event window frames
             // read partitionAttr directly (per-key state isolation, §2.9);
@@ -940,7 +962,20 @@ object GraftApp {
               if ("(?is)\\bIN\\s*\\(\\s*SELECT\\b".r.findFirstIn(c).isDefined)
                 throw SqlError("IN (SELECT …) is supported only as a top-level " +
                   s"AND conjunct of WHERE — rewrite '${c.take(60)}'")
-              Right(c)
+              // the reference's own membership spelling: expr [NOT] IN Table
+              // (both negation forms: `x NOT IN t` and `NOT x IN t` — the
+              // query-api shape is Not(In(x, t)))
+              "(?is)^(.+?)\\s+(NOT\\s+)?IN\\s+(\\w+)$".r.findFirstMatchIn(c) match {
+                case Some(t) =>
+                  val (lhs, notPfx) =
+                    "(?is)^NOT\\s+(.+)$".r.findFirstMatchIn(t.group(1).trim) match {
+                      case Some(n) => (n.group(1).trim, true)
+                      case None => (t.group(1).trim, false)
+                    }
+                  Left(InSubquery(lhs, (t.group(2) != null) ^ notPfx,
+                    "", t.group(3), None, tableForm = true))
+                case None => Right(c)
+              }
           }
         }
         (if (keep.isEmpty) None else Some(keep.mkString(" AND ")), subs)

@@ -680,6 +680,42 @@ class GraftAppSpec extends AnyFunSuite {
     } finally close()
   }
 
+  test("expr IN Table membership: reference spelling, NULL semantics, typed errors") {
+    // in_expression_executor.rs: NULL value → false (row dropped for IN,
+    // kept for NOT IN); membership against the single-column table
+    val app =
+      """CREATE STREAM S (sym STRING, v INT);
+        |CREATE TABLE Watch (sym STRING);
+        |CREATE STREAM Hits (sym STRING, v INT);
+        |CREATE STREAM Misses (sym STRING);
+        |INSERT INTO Hits SELECT sym, v FROM S WHERE v > 0 AND sym IN Watch;
+        |INSERT INTO Misses SELECT sym FROM S WHERE sym NOT IN Watch;""".stripMargin
+    val s = Seq(("ibm", 1), ("aapl", 2), (null, 3), ("ibm", -1)).toDF("sym", "v")
+    val watch = Seq("ibm").toDF("sym")
+    val res = GraftApp.run(spark, app, Map("S" -> s, "Watch" -> watch))
+    assert(res("Hits").collect().map(r => (r.getString(0), r.getInt(1))).toSet ==
+      Set(("ibm", 1)))
+    // NULL is not a member → NOT IN keeps it (Not(In) = Not(false))
+    assert(res("Misses").as[String].collect().toSet == Set("aapl", null))
+    // `NOT x IN t` prefix form ≡ `x NOT IN t` (query-api Not(In) shape)
+    val app2 = app.replace("sym NOT IN Watch", "NOT sym IN Watch")
+    assert(GraftApp.run(spark, app2, Map("S" -> s, "Watch" -> watch))("Misses")
+      .as[String].collect().toSet == Set("aapl", null))
+    // membership against a STREAM or a multi-column table: typed
+    val e1 = intercept[GraftApp.SqlError](GraftApp.parse(
+      """CREATE STREAM A (x INT);
+        |CREATE STREAM B (x INT);
+        |CREATE STREAM Out (x INT);
+        |INSERT INTO Out SELECT x FROM A WHERE x IN B;""".stripMargin))
+    assert(e1.getMessage.contains("needs a TABLE"))
+    val e2 = intercept[GraftApp.SqlError](GraftApp.parse(
+      """CREATE STREAM A (x INT);
+        |CREATE TABLE T (x INT, y INT);
+        |CREATE STREAM Out (x INT);
+        |INSERT INTO Out SELECT x FROM A WHERE x IN T;""".stripMargin))
+    assert(e2.getMessage.contains("exactly one column"))
+  }
+
   test("WITH + UNION compose; cte over table join still works") {
     val app =
       """CREATE STREAM S (k STRING, v INT);
