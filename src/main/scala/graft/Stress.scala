@@ -92,6 +92,32 @@ object Stress {
         .select(sum(col("last_price"))).collect()(0).getDouble(0)
     }
     println(s"[stress] rows: sortMerge=$sortMerge fanOut=$fanOut")
+
+    // ---- 3. lineDedup scaling: 1x vs 10x synthetic corpus ----
+    // Each doc = 2 corpus-wide boilerplate lines + 6 unique body lines.
+    // The evidence is the growth FACTOR: the three-shuffle plan (16-byte
+    // doc-frequency agg, broadcast drop, doc-keyed reassembly) should
+    // scale near-linearly in docs; super-linear growth would flag a
+    // broadcast-threshold or skew cliff.
+    def lineCorpus(docs: Int) = spark.range(docs).select(col("id").as("doc_id"),
+      concat_ws("\n",
+        lit("SUBSCRIBE TO OUR NEWSLETTER"),
+        concat(lit("body "), col("id"), lit(" alpha")),
+        concat(lit("body "), col("id"), lit(" beta gamma")),
+        concat(lit("body "), col("id"), lit(" delta")),
+        concat(lit("body "), col("id"), lit(" epsilon zeta")),
+        concat(lit("body "), col("id"), lit(" eta")),
+        concat(lit("body "), col("id"), lit(" theta iota")),
+        lit("COPYRIGHT 2026 EXAMPLE CORP")).as("text"))
+    val ld1 = timed(s"lineDedup 1x (${hotE * 10} docs)") {
+      graft.operators.Curation.lineDedup(lineCorpus(hotE * 10), "doc_id", "text", 5)
+        .agg(sum(col("n_kept")), sum(col("n_dropped"))).collect()(0)
+    }
+    val ld10 = timed(s"lineDedup 10x (${hotE * 100} docs)") {
+      graft.operators.Curation.lineDedup(lineCorpus(hotE * 100), "doc_id", "text", 5)
+        .agg(sum(col("n_kept")), sum(col("n_dropped"))).collect()(0)
+    }
+    println(s"[stress] lineDedup kept/dropped 1x=$ld1 10x=$ld10")
     spark.stop()
   }
 }
