@@ -875,6 +875,21 @@ object GraftApp {
         body.trim
       }
     }
+    // anything between FROM <source> and the first clause keyword is
+    // unconsumed text — silently dropping it would run a DIFFERENT query
+    // than the author wrote (the wrong-results class the pattern parser
+    // already rejects); ORDER/LIMIT/OFFSET junk dies in their own typed
+    // parses, this closes the gap before the first keyword
+    locally {
+      val firstKw = Seq("WHERE", "GROUP\\s+BY", "HAVING", "ORDER\\s+BY",
+          "LIMIT", "OFFSET")
+        .flatMap(n => ("(?is)\\b" + n + "\\b").r.findAllMatchIn(rest)
+          .find(atTopLevel(rest)).map(_.start))
+        .minOption.getOrElse(rest.length)
+      val junk = rest.substring(0, firstKw).trim
+      if (junk.nonEmpty)
+        throw SqlError(s"unconsumed text after FROM $source: '${junk.take(40)}'")
+    }
     val where0 = grab("WHERE", Seq("GROUP\\s+BY", "HAVING", "ORDER\\s+BY", "LIMIT", "OFFSET"))
     val groupBy = grab("GROUP\\s+BY", Seq("HAVING", "ORDER\\s+BY", "LIMIT", "OFFSET"))
       .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)

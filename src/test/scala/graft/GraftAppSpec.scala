@@ -680,6 +680,32 @@ class GraftAppSpec extends AnyFunSuite {
     } finally close()
   }
 
+  test("unconsumed text after FROM is a typed error, never silently dropped") {
+    def bad(stmt: String): Unit = {
+      val e = intercept[GraftApp.SqlError](GraftApp.parse(
+        s"""CREATE STREAM A (x INT);
+           |CREATE STREAM Out (x INT);
+           |$stmt""".stripMargin))
+      assert(e.getMessage.contains("unconsumed text") ||
+        e.getMessage.contains("branch") || e.getMessage.contains("malformed"),
+        e.getMessage)
+    }
+    bad("INSERT INTO Out SELECT x FROM A GARBAGE TEXT;")
+    bad("INSERT INTO Out SELECT x FROM A sample 5 WHERE x > 1;")
+    // a recognized-but-misplaced keyword still dies in its own typed parse
+    val e = intercept[GraftApp.SqlError](GraftApp.parse(
+      """CREATE STREAM A (x INT);
+        |CREATE STREAM Out (x INT);
+        |INSERT INTO Out SELECT x FROM A LIMIT 5 nonsense;""".stripMargin))
+    assert(e.getMessage.contains("expected an integer"))
+    // and the legitimate full-clause query still parses
+    GraftApp.parse(
+      """CREATE STREAM A (x INT, k STRING);
+        |CREATE STREAM Out (k STRING, n BIGINT);
+        |INSERT INTO Out SELECT k, count(x) AS n FROM A
+        |WHERE x > 0 GROUP BY k HAVING count(x) > 1 ORDER BY k LIMIT 3 OFFSET 1;""".stripMargin)
+  }
+
   test("expr IN Table membership: reference spelling, NULL semantics, typed errors") {
     // in_expression_executor.rs: NULL value → false (row dropped for IN,
     // kept for NOT IN); membership against the single-column table
