@@ -997,10 +997,8 @@ object GraftApp {
     }
   }
 
-  /** Whole-word, case-insensitive identifier replacement that never touches
-    * single-quoted literals — the CTE name-mangling rewriter. */
-  private def replaceIdentOutsideQuotes(text: String, name: String, repl: String): String = {
-    val re = ("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+  /** Regex replacement that never touches single-quoted literals. */
+  private def replaceOutsideQuotes(text: String, re: Regex, repl: String): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < text.length) {
@@ -1019,6 +1017,12 @@ object GraftApp {
     }
     sb.toString
   }
+
+  /** Whole-word, case-insensitive identifier replacement that never touches
+    * single-quoted literals — the CTE name-mangling rewriter. */
+  private def replaceIdentOutsideQuotes(text: String, name: String, repl: String): String =
+    replaceOutsideQuotes(text,
+      ("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b").r, repl)
 
   private def balancedParens(s: String): Boolean = {
     var depth = 0; var inQ = false
@@ -1039,7 +1043,13 @@ object GraftApp {
     * raw ParseException names internal grammar states; app authors get the
     * offending text (the reference's parser errors are typed the same way).
     */
-  private def uexpr(s: String): org.apache.spark.sql.Column =
+  private def uexpr(s0: String): org.apache.spark.sql.Column = {
+    // dialect type spellings inside expressions (CAST(x AS VARCHAR)):
+    // bare VARCHAR ≡ STRING, OBJECT ≡ BINARY — the TypeMap parity the DDL
+    // already has; a sized VARCHAR(n) passes through untouched
+    val s = replaceOutsideQuotes(
+      replaceOutsideQuotes(s0, "(?i)\\bVARCHAR\\b(?!\\s*\\()".r, "STRING"),
+      "(?i)\\bOBJECT\\b(?!\\s*\\()".r, "BINARY")
     try {
       // Column construction is lazy in Spark 4 — force the parse NOW so a
       // syntax error fails this statement's compile, not a later analysis
@@ -1050,6 +1060,7 @@ object GraftApp {
         throw SqlError(s"cannot parse expression '${s.trim}': " +
           e.getMessage.linesIterator.find(_.trim.nonEmpty).getOrElse("syntax error").trim)
     }
+  }
 
   /** Typed integer parse with a lower bound: LIMIT/OFFSET take >= 0,
     * window sizes >= 1 — a negative here would otherwise surface later as

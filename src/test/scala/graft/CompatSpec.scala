@@ -1169,4 +1169,35 @@ class CompatSpec extends AnyFunSuite {
     assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((3L, 1L), (3L, 2L), (4L, 1L)))
   }
+
+  // -- app_runner_functions.rs:app_runner_cast_string_to_double /
+  //    cast_int_to_string / cast_with_avg: CAST round-trips through the SQL
+  //    surface, including CAST feeding an aggregate over a lengthBatch
+  //    window (the reference asserts the final complete batch)
+  test("compat casts: string→double, int→varchar, CAST under AVG in a lengthBatch") {
+    val castApp =
+      """CREATE STREAM In (price VARCHAR);
+        |CREATE STREAM Out (numeric_price DOUBLE);
+        |INSERT INTO Out SELECT CAST(price AS DOUBLE) AS numeric_price FROM In;""".stripMargin
+    val o1 = GraftApp.run(spark, castApp,
+      Map("In" -> Seq("123.45").toDF("price")))("Out")
+    assert(o1.collect().map(_.getDouble(0)).toSeq == Seq(123.45))
+    val intApp =
+      """CREATE STREAM In (count INT);
+        |CREATE STREAM Out (count_str VARCHAR);
+        |INSERT INTO Out SELECT CAST(count AS VARCHAR) AS count_str FROM In;""".stripMargin
+    val o2 = GraftApp.run(spark, intApp,
+      Map("In" -> Seq(42).toDF("count")))("Out")
+    assert(o2.collect().map(_.getString(0)).toSeq == Seq("42"))
+    val avgApp =
+      """CREATE STREAM In (ts TIMESTAMP, price VARCHAR);
+        |CREATE STREAM Out (avg_price DOUBLE);
+        |INSERT INTO Out SELECT AVG(CAST(price AS DOUBLE)) AS avg_price
+        |FROM In WINDOW('lengthBatch', 2);""".stripMargin
+    val in3 = Seq((1, "10.0"), (2, "20.0"))
+      .toDF("sec", "price")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "price")
+    val o3 = GraftApp.run(spark, avgApp, Map("In" -> in3))("Out")
+    assert(o3.collect().map(_.getDouble(0)).toSeq == Seq(15.0))
+  }
 }
