@@ -1170,6 +1170,21 @@ class CompatSpec extends AnyFunSuite {
       Seq((3L, 1L), (3L, 2L), (4L, 1L)))
   }
 
+  // -- expression_parser_complex.rs:test_app_runner_table_in_lookup: the
+  //    stream feeds a bounded cache table AND filters on membership in it —
+  //    statement order means the insert runs before the lookup, so both
+  //    events pass (reference asserts [[1],[1]])
+  test("compat table_in_lookup: stream-fed cache-table membership via IN") {
+    val app =
+      """CREATE STREAM S (val INT);
+        |CREATE TABLE T (val INT) WITH ('max_size' = '100');
+        |CREATE STREAM Out (val INT);
+        |INSERT INTO T SELECT val FROM S;
+        |INSERT INTO Out SELECT val FROM S WHERE val IN T;""".stripMargin
+    val out = GraftApp.run(spark, app, Map("S" -> Seq(1, 1).toDF("val")))("Out")
+    assert(out.as[Int].collect().toSeq == Seq(1, 1))
+  }
+
   // -- app_runner_functions.rs:app_runner_cast_string_to_double /
   //    cast_int_to_string / cast_with_avg: CAST round-trips through the SQL
   //    surface, including CAST feeding an aggregate over a lengthBatch
