@@ -186,6 +186,36 @@ object Curation {
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
   }
 
+  /** Within-document line dedup — the intra-doc half of the CCNet pass
+    * ([[lineDedup]] is the corpus-wide half; they compose): repeated
+    * identical (trimmed) non-blank lines inside one document keep their
+    * FIRST occurrence only; blank lines are layout and always survive.
+    * Output matches lineDedup's shape: (doc_id, clean_text, n_kept,
+    * n_dropped), total over input docs.
+    *
+    * Scale shape: no corpus-wide state at all — a rank over
+    * (doc_id, line) then the doc-keyed reassembly, two narrow doc-local
+    * shuffles; per-doc window state is bounded by document size.
+    */
+  def lineDedupWithinDoc(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("norm")).orderBy(col("pos"))
+    df.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+      .withColumn("norm", trim(col("line")))
+      .withColumn("keep", col("norm") === "" || row_number().over(w) === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        coalesce(
+          array_join(transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("pos"), col("line"))))),
+            x => x("line")), "\n"),
+          lit("")).as("clean_text"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+  }
+
   // functions.size clashes with the `size` parameter name above
   private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
 }

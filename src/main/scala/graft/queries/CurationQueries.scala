@@ -196,6 +196,43 @@ object CurationQueries extends QueryFamily {
              |  CAST(count(CASE WHEN b.norm IS NULL THEN 1 END) AS BIGINT) AS n_kept,
              |  CAST(count(b.norm) AS BIGINT) AS n_dropped
              |FROM l LEFT JOIN b ON trim(l.line) = b.norm
-             |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin))
+             |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin)),
+
+    // Within-doc line dedup (keep-first): each staged doc repeats a line
+    // twice around unique body halves plus two blank layout lines — the
+    // second occurrence drops, blanks and both bodies survive in order.
+    QueryDef(
+      "q_text_line_dedup_doc",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val staged = d.filter(col("doc_id") < 200).select(col("doc_id"),
+          concat_ws("\n",
+            substring(col("text"), 1, 40), lit("repeated boilerplate line"),
+            lit(""), substring(col("text"), 41, 40), lit(""),
+            lit("repeated boilerplate line")).as("text"))
+        Curation.lineDedupWithinDoc(staged, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH staged AS (
+             |  SELECT doc_id,
+             |    substr(text, 1, 40) || chr(10) || 'repeated boilerplate line' || chr(10)
+             |      || chr(10) || substr(text, 41, 40) || chr(10) || chr(10)
+             |      || 'repeated boilerplate line' AS text
+             |  FROM documents WHERE doc_id < 200),
+             |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM staged),
+             |l AS (
+             |  SELECT doc_id, unnest(ls) AS line,
+             |         unnest(range(1, len(ls) + 1)) AS pos
+             |  FROM l0),
+             |r AS (
+             |  SELECT doc_id, line, pos, trim(line) AS norm,
+             |    row_number() OVER (PARTITION BY doc_id, trim(line) ORDER BY pos) AS rn
+             |  FROM l)
+             |SELECT doc_id,
+             |  coalesce(string_agg(CASE WHEN norm = '' OR rn = 1 THEN line END,
+             |                      chr(10) ORDER BY pos), '') AS clean_text,
+             |  CAST(count(CASE WHEN norm = '' OR rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+             |  CAST(count(CASE WHEN norm <> '' AND rn > 1 THEN 1 END) AS BIGINT) AS n_dropped
+             |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

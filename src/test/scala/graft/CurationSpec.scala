@@ -155,6 +155,22 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("lineDedupWithinDoc: keep-first per doc, blanks immune, docs independent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a\nb\na\n\n\na"),   // 'a' x3 → first kept; two blanks kept
+      (2L, "a\na"),              // independent doc: its own first 'a' kept
+      (3L, "  pad  \npad")       // trimmed-equal → second drops, first verbatim
+    ).toDF("id", "text")
+    val out = Curation.lineDedupWithinDoc(docs, "id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out === Seq(
+      (1L, "a\nb\n\n", 4L, 2L),
+      (2L, "a", 1L, 1L),
+      (3L, "  pad  ", 1L, 1L)))
+  }
+
   test("lineDedup plan audit: boilerplate set broadcasts; count shuffle is hash-width") {
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
