@@ -1170,6 +1170,56 @@ class CompatSpec extends AnyFunSuite {
       Seq((3L, 1L), (3L, 2L), (4L, 1L)))
   }
 
+  // -- compatibility/functions/cast_functions.rs:function_test_cast_double_to_int
+  //    (9.99 truncates to 9 — lenient cast, no ANSI overflow error) and
+  //    combined.rs:string_chain / mixed_functions / nested_calls and
+  //    utility_functions.rs:coalesce_in_filter — the scalar-composition
+  //    corpus through the SQL surface
+  test("compat function corpus: truncating casts, chained/nested scalars, coalesce filter") {
+    def one(app: String, in: org.apache.spark.sql.DataFrame,
+            inName: String = "inputStream") =
+      GraftApp.run(spark, app, Map(inName -> in))("outputStream").collect()
+    val castOut = one(
+      """CREATE STREAM inputStream (value DOUBLE);
+        |CREATE STREAM outputStream (result INT);
+        |INSERT INTO outputStream SELECT CAST(value AS INT) AS result FROM inputStream;""".stripMargin,
+      Seq(9.99, -9.99).toDF("value"))
+    assert(castOut.map(_.getInt(0)).sorted.toSeq == Seq(-9, 9)) // toward zero
+    val chainOut = one(
+      """CREATE STREAM inputStream (text STRING);
+        |CREATE STREAM outputStream (result STRING);
+        |INSERT INTO outputStream
+        |SELECT upper(concat(text, '_suffix')) AS result FROM inputStream;""".stripMargin,
+      Seq("hello").toDF("text"))
+    assert(chainOut.map(_.getString(0)).toSeq == Seq("HELLO_SUFFIX"))
+    val mixedOut = one(
+      """CREATE STREAM inputStream (name STRING, score DOUBLE);
+        |CREATE STREAM outputStream (report STRING, rounded DOUBLE);
+        |INSERT INTO outputStream
+        |SELECT upper(name) AS report, round(score) AS rounded FROM inputStream;""".stripMargin,
+      Seq(("alice", 85.6)).toDF("name", "score"))
+    assert(mixedOut.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("ALICE", 86.0)))
+    val nestedOut = one(
+      """CREATE STREAM inputStream (value DOUBLE);
+        |CREATE STREAM outputStream (result DOUBLE);
+        |INSERT INTO outputStream
+        |SELECT round(sqrt(value)) AS result FROM inputStream;""".stripMargin,
+      Seq(17.0).toDF("value"))
+    assert(nestedOut.map(_.getDouble(0)).toSeq == Seq(4.0))
+    val coalesceOut = one(
+      """CREATE STREAM cseEventStream (symbol STRING, price1 FLOAT, price2 FLOAT, quantity INT);
+        |CREATE STREAM outputStream (symbol STRING, price FLOAT, quantity INT);
+        |INSERT INTO outputStream
+        |SELECT symbol, coalesce(price1, price2) AS price, quantity
+        |FROM cseEventStream WHERE coalesce(price1, price2) > 0.0
+        |ORDER BY quantity;""".stripMargin,
+      Seq(("MSFT", Some(50.0f), Some(60.0f), 6), ("MSFT", Some(70.0f), None, 10))
+        .toDF("symbol", "price1", "price2", "quantity"),
+      "cseEventStream")
+    assert(coalesceOut.map(_.getFloat(1)).toSeq == Seq(50.0f, 70.0f))
+  }
+
   // -- expression_parser_complex.rs:test_app_runner_table_in_lookup: the
   //    stream feeds a bounded cache table AND filters on membership in it —
   //    statement order means the insert runs before the lookup, so both
