@@ -429,6 +429,54 @@ object TextQueries extends QueryFamily {
              |CROSS JOIN LATERAL (SELECT unnest(range(0, d.doc_id % 8 + 2)) AS x) gx
              |CROSS JOIN LATERAL (SELECT unnest(range(0, d.doc_id % 6 + 2)) AS y) gy
              |WHERE d.doc_id < 300
-             |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
+             |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
+
+    // End-to-end multimodal curation: decode headers → resolution gates for
+    // images (width AND height ≥ 100) / duration gate for audio (≥ 100
+    // frames) → per-format survivor stats. The q_pipeline_curation shape
+    // for the multimodal side: decode is map-side over the blob scan, the
+    // gate is a codegen'd projection, and only the narrow per-format
+    // aggregate ever shuffles.
+    QueryDef(
+      "q_pipeline_multimodal",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val meta = Multimodal.withMediaMeta(stagedMedia(d), "payload",
+          Multimodal.HeaderDecoder)
+        meta
+          .withColumn("keep",
+            (col("format").isin("png", "jpeg", "gif", "bmp") &&
+              col("width") >= 100 && col("height") >= 100) ||
+            (col("format") === "wav" && col("n_frames") >= 100))
+          .groupBy(col("format"))
+          .agg(
+            count(lit(1)).as("n_total"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            coalesce(
+              avg(when(col("keep"),
+                col("width").cast("long") * col("height"))), lit(0.0))
+              .as("avg_kept_pixels"))
+          .orderBy(col("format"))
+      },
+      Some("""WITH meta AS (
+             |  SELECT doc_id,
+             |    CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+             |         WHEN 3 THEN 'bmp' WHEN 4 THEN 'wav' ELSE 'unknown' END AS format,
+             |    CASE WHEN doc_id % 6 IN (0, 1, 2, 3) THEN doc_id % 317 + 16 ELSE 0 END AS width,
+             |    CASE WHEN doc_id % 6 IN (0, 1, 2, 3) THEN doc_id % 211 + 16 ELSE 0 END AS height,
+             |    CASE WHEN doc_id % 6 IN (0, 1, 2, 3) THEN 1
+             |         WHEN doc_id % 6 = 4 THEN doc_id % 211 + 16 ELSE 0 END AS n_frames
+             |  FROM documents),
+             |gated AS (
+             |  SELECT *,
+             |    (format IN ('png', 'jpeg', 'gif', 'bmp') AND width >= 100 AND height >= 100)
+             |     OR (format = 'wav' AND n_frames >= 100) AS keep
+             |  FROM meta)
+             |SELECT format,
+             |  CAST(count(*) AS BIGINT) AS n_total,
+             |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  coalesce(avg(CASE WHEN keep THEN CAST(width * height AS BIGINT) END), 0.0)
+             |    AS avg_kept_pixels
+             |FROM gated GROUP BY format ORDER BY format""".stripMargin))
   )
 }
