@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** The library's LLM-ops scalar extensions exposed by NAME through the
+  * session `FunctionRegistry` — the Spark-side analog of the reference's
+  * extension registry (`ScalarFunctionExecutor` registration,
+  * expression_parser_complex.rs:188-277): once registered, plain
+  * `spark.sql` AND every GraftApp SQL expression can call the custom
+  * Catalyst expressions (codegen'd, no UDFs) that power the curation
+  * operators:
+  *
+  *   token_count(text)            — whitespace-token count (LONG)
+  *   rolling_hash64(text)         — polynomial rolling fingerprint (LONG)
+  *   word_shingles(text, n)       — word n-gram array (n a literal)
+  *   sorted_jaccard(a, b)         — exact Jaccard of two sorted token arrays
+  *   minhash_sig(tokens, k)       — k-slot MinHash signature (k a literal)
+  *   simhash64(tokens)            — 64-bit SimHash fingerprint
+  *   cosine_sim(a, b)             — float-vector cosine (DOUBLE)
+  *   cosine_q(a, b)               — exact quantized (long-vector) cosine
+  *
+  * None of the names shadows a Spark builtin, so registration is permanent
+  * per session (same WeakHashMap latch discipline as [[RefFns.register]]).
+  * Bad arity / non-literal size parameters raise immediately at analysis
+  * with the offending name, not from codegen.
+  */
+object GraftFns {
+
+  private type Builder = Seq[Expression] => Expression
+
+  private def arity(name: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$name expects $n argument(s), got ${args.length}")
+
+  private def litInt(name: String, e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case _ => throw new IllegalArgumentException(
+      s"$name: $what must be an integer literal")
+  }
+
+  private[graft] val builders: Seq[(String, Builder)] = Seq(
+    "token_count" -> { args =>
+      arity("token_count", args, 1)
+      Cast(RegExpCount(args.head, Literal("\\S+")), LongType)
+    },
+    "rolling_hash64" -> { args =>
+      arity("rolling_hash64", args, 1)
+      RollingHash64(Cast(args.head, StringType))
+    },
+    "word_shingles" -> { args =>
+      arity("word_shingles", args, 2)
+      WordShingles(args.head, litInt("word_shingles", args(1), "shingle width"))
+    },
+    "sorted_jaccard" -> { args =>
+      arity("sorted_jaccard", args, 2)
+      SortedJaccard(args.head, args(1))
+    },
+    "minhash_sig" -> { args =>
+      arity("minhash_sig", args, 2)
+      MinHashSig(args.head, litInt("minhash_sig", args(1), "signature size"))
+    },
+    "simhash64" -> { args =>
+      arity("simhash64", args, 1)
+      SimHash64(args.head)
+    },
+    "cosine_sim" -> { args =>
+      arity("cosine_sim", args, 2)
+      CosineSimilarity(args.head, args(1))
+    },
+    "cosine_q" -> { args =>
+      arity("cosine_q", args, 2)
+      QuantizedCosine(args.head, args(1))
+    })
+
+  private val installed =
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()
+
+  def register(spark: SparkSession): Unit = installed.synchronized {
+    if (installed.containsKey(spark)) return
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
+    installed.put(spark, java.lang.Boolean.TRUE)
+  }
+}

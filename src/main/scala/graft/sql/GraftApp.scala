@@ -1131,6 +1131,7 @@ object GraftApp {
   def runTracked(spark: SparkSession, appSql: String,
                  inputs: Map[String, DataFrame]): (Map[String, DataFrame], () => Unit) = {
     graft.functions.RefFns.register(spark) // reference-spelled builtins
+    graft.functions.GraftFns.register(spark) // LLM-ops scalar extensions
     // The reference's math executors are lenient: division by zero yields
     // NULL, never an error (divide.rs:82-87), and numeric conversion
     // truncates rather than raising. Spark 4 defaults to ANSI mode, which

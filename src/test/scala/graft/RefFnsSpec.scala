@@ -218,4 +218,53 @@ class RefFnsSpec extends AnyFunSuite {
       (1L, 5.0, 2000L, "1970-01-01"),
       (2L, 9.0, 3000L, "1970-01-01")))
   }
+
+  test("GraftFns: LLM-ops extensions resolve by name and match the Column API") {
+    import graft.functions.{GraftFns, TextFns, VectorFns}
+    import spark.implicits._
+    GraftFns.register(spark)
+    val df = Seq(("the quick brown fox jumps", Seq(0.1f, 0.2f, 0.7f), Seq(0.3f, 0.1f, 0.6f)))
+      .toDF("text", "va", "vb")
+    df.createOrReplaceTempView("gfn_docs")
+    val sqlRow = spark.sql(
+      """SELECT token_count(text) AS tc, rolling_hash64(text) AS rh,
+        |  word_shingles(text, 2) AS sh, simhash64(word_shingles(text, 1)) AS sim,
+        |  minhash_sig(word_shingles(text, 1), 8) AS mh,
+        |  sorted_jaccard(array('a','b'), array('b','c')) AS jac,
+        |  cosine_sim(va, vb) AS cs
+        |FROM gfn_docs""".stripMargin).collect()(0)
+    val apiRow = df.select(
+      TextFns.tokenCount(col("text")).as("tc"),
+      TextFns.rollingHash(col("text")).as("rh"),
+      TextFns.shingles(col("text"), 2).as("sh"),
+      TextFns.simHash(TextFns.shingles(col("text"), 1)).as("sim"),
+      TextFns.minHashSignature(TextFns.shingles(col("text"), 1), 8).as("mh"),
+      VectorFns.cosine(col("va"), col("vb")).as("cs")).collect()(0)
+    assert(sqlRow.getLong(0) == apiRow.getLong(0))
+    assert(sqlRow.getLong(1) == apiRow.getLong(1))
+    assert(sqlRow.getSeq[String](2) == apiRow.getSeq[String](2))
+    assert(sqlRow.getLong(3) == apiRow.getLong(3))
+    assert(sqlRow.getSeq[Long](4) == apiRow.getSeq[Long](4))
+    assert(math.abs(sqlRow.getDouble(5) - 1.0 / 3) < 1e-12) // |{b}| / |{a,b,c}|
+    assert(math.abs(sqlRow.getDouble(6) - apiRow.getDouble(5)) < 1e-12)
+    // bad arity / non-literal size die at analysis with the function name
+    val e1 = intercept[Exception](spark.sql("SELECT token_count('a','b')").collect())
+    assert(e1.getMessage.contains("token_count"))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT minhash_sig(array('a'), length('xx'))").collect())
+    assert(e2.getMessage.contains("integer literal"))
+  }
+
+  test("GraftFns resolve inside GraftApp SQL apps (curation via the app surface)") {
+    import spark.implicits._
+    val app =
+      """CREATE STREAM Docs (id BIGINT, text STRING);
+        |CREATE STREAM Gated (id BIGINT, n BIGINT);
+        |INSERT INTO Gated SELECT id, token_count(text) AS n FROM Docs
+        |WHERE token_count(text) >= 3 ORDER BY id;""".stripMargin
+    val docs = Seq((1L, "one two three four"), (2L, "too short")).toDF("id", "text")
+    val out = GraftApp.run(spark, app, Map("Docs" -> docs))("Gated")
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 4L)))
+  }
 }
