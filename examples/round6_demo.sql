@@ -46,3 +46,10 @@ WITHIN '1970-01-01' AND '2100-01-01' PER 'hour' ORDER BY event_type, bucket;
 -- SELECT DISTINCT projection dedup
 CREATE STREAM EventKinds (event_type STRING);
 INSERT INTO EventKinds SELECT DISTINCT event_type FROM events;
+
+-- LLM-ops scalar extensions resolve by name in app SQL (GraftFns):
+-- token-count gates on the props payload, like a curation quality filter
+CREATE STREAM DenseProps (event_id BIGINT, n_tokens BIGINT);
+INSERT INTO DenseProps SELECT event_id, token_count(props) AS n_tokens
+FROM events WHERE props IS NOT NULL AND token_count(props) >= 2
+ORDER BY event_id;

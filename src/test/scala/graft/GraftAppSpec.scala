@@ -658,7 +658,10 @@ class GraftAppSpec extends AnyFunSuite {
       (5L, 50, 9L, "cancel", 20.0), (6L, 60, 8L, "error", 30.0))
       .toDF("event_id", "sec", "user_id", "event_type", "value")
       .selectExpr("event_id", "CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
-        "user_id", "event_type", "value", "CAST(NULL AS STRING) AS props")
+        "user_id", "event_type", "value",
+        // one dense props payload (3 tokens), one sparse, rest NULL
+        """CASE event_id WHEN 6 THEN 'tag alpha beta'
+          |  WHEN 5 THEN 'solo' ELSE CAST(NULL AS STRING) END AS props""".stripMargin)
     val (env, close) = GraftApp.runTracked(spark, app, Map(
       "events" -> events,
       "allowlist" -> Seq(8L).toDF("user_id")))
@@ -677,6 +680,9 @@ class GraftAppSpec extends AnyFunSuite {
         Set(("purchase", 600.0), ("view", 10.0), ("error", 980.0), ("cancel", 20.0)))
       assert(env("EventKinds").as[String].collect().sorted.toSeq ==
         Seq("cancel", "error", "purchase", "view"))
+      // GraftFns by name in app SQL: only doc-like props pass the gate
+      assert(env("DenseProps").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((6L, 3L)))
     } finally close()
   }
 
