@@ -61,6 +61,14 @@ object GraftApp {
                               where: Option[String],
                               tableForm: Boolean = false)
 
+  /** `[NOT] EXISTS (SELECT … FROM src [WHERE cond])` as a top-level WHERE
+    * conjunct: the select list is irrelevant (per SQL), `cond` may
+    * correlate with the outer query via qualified refs (`src.col =
+    * Outer.col`) — it becomes the semi/anti join condition directly; no
+    * cond means "src is non-empty". */
+  final case class ExistsSubquery(negated: Boolean, source: String,
+                                  where: Option[String])
+
   final case class QuerySpec(
       target: String, source: String,
       selectItems: Seq[(String, Option[String])], // (expr, alias)
@@ -76,7 +84,8 @@ object GraftApp {
       outputEvents: String = "current", // INSERT [CURRENT|EXPIRED|ALL] EVENTS
       sourceWindow: Option[WindowClause] = None, // FROM src WINDOW(…) JOIN …
       distinct: Boolean = false, // SELECT DISTINCT …
-      inSubqueries: Seq[InSubquery] = Nil) // WHERE … IN (SELECT …) conjuncts
+      inSubqueries: Seq[InSubquery] = Nil, // WHERE … IN (SELECT …) conjuncts
+      existsSubqueries: Seq[ExistsSubquery] = Nil) // WHERE [NOT] EXISTS (…)
 
   /** CREATE TRIGGER (trigger_definition.rs): mode ∈ start/every/cron.
     * `everyMs` is resolved for both EVERY and the supported cron forms.
@@ -478,6 +487,7 @@ object GraftApp {
               .copy(outputEvents = Option(outEvents).map(_.toLowerCase).getOrElse("current"))
             // resolve `expr IN Table` membership (in_expression_executor.rs)
             // to the table's single column; subquery form passes through
+            q00.existsSubqueries.foreach(s => requireDefined(s.source))
             val q0 = q00.copy(inSubqueries = q00.inSubqueries.map { s =>
               requireDefined(s.source)
               if (!s.tableForm) s
@@ -901,7 +911,7 @@ object GraftApp {
     // IN (SELECT …) subqueries (ref roadmap GRAMMAR.md:812-820): extracted
     // from top-level WHERE conjuncts only — under an OR a semi-join is not
     // equivalent, so that spelling is a typed error, not a wrong answer
-    val (where, inSubs) = extractInSubqueries(where0)
+    val (where, inSubs, exSubs) = extractInSubqueries(where0)
     val (dis, select2) = "(?is)^DISTINCT\\s+(.*)$".r.findFirstMatchIn(select.trim) match {
       case Some(m) => (true, m.group(1))
       case None => (false, select)
@@ -909,7 +919,7 @@ object GraftApp {
     val items = splitTopLevel(select2).map(parseSelectItem)
     QuerySpec(target, source, items, joins.result(), where, window, groupBy, having,
       orderBy, limit, offset, sourceWindow = sourceWindow,
-      distinct = dis, inSubqueries = inSubs)
+      distinct = dis, inSubqueries = inSubs, existsSubqueries = exSubs)
   }
 
   /** Split on a keyword at paren-depth 0 outside single quotes; returns
@@ -937,22 +947,47 @@ object GraftApp {
     * stays the filter. A subquery under OR or with clauses beyond
     * SELECT/FROM/WHERE raises typed errors.
     */
-  private def extractInSubqueries(where: Option[String]): (Option[String], Seq[InSubquery]) = {
+  private def extractInSubqueries(where: Option[String])
+      : (Option[String], Seq[InSubquery], Seq[ExistsSubquery]) = {
     val conjRe = "(?is)^(.*?)\\s+(NOT\\s+)?IN\\s*\\(\\s*(SELECT\\b.*)\\)$".r
+    val existsRe = "(?is)^(NOT\\s+)?EXISTS\\s*\\(\\s*(SELECT\\b.*)\\)$".r
     val subRe = "(?is)^SELECT\\s+(.+?)\\s+FROM\\s+(\\w+)(?:\\s+WHERE\\s+(.+))?$".r
+    def subqueryKeywordGuard(body: String, what: String): Unit =
+      Seq("GROUP\\s+BY", "ORDER\\s+BY", "JOIN", "LIMIT", "HAVING",
+          "WINDOW").foreach { kw =>
+        if (splitTopLevelKeyword(body, kw).lengthCompare(1) > 0)
+          throw SqlError(s"$what supports SELECT <expr> FROM " +
+            s"<stream> [WHERE …] only — drop the ${kw.replace("\\s+", " ")} " +
+            "(route richer shapes through a WITH cte)")
+      }
     where match {
-      case None => (None, Nil)
+      case None => (None, Nil, Nil)
       case Some(w) =>
         val conjuncts = splitTopLevelKeyword(w, "AND").map(_.trim).filter(_.nonEmpty)
+        val exists = Seq.newBuilder[ExistsSubquery]
         val (subs, keep) = conjuncts.partitionMap { c =>
           // a conjunct with a top-level OR is never a pure membership term —
           // the lazy lhs match would otherwise swallow `a OR b` as the lhs
           val hasTopOr = splitTopLevelKeyword(c, "OR").lengthCompare(1) > 0
-          if (hasTopOr && "(?is)\\bIN\\s*\\(\\s*SELECT\\b".r.findFirstIn(c).isDefined)
-            throw SqlError("IN (SELECT …) is supported only as a top-level " +
-              s"AND conjunct of WHERE — rewrite '${c.take(60)}'")
+          if (hasTopOr &&
+              ("(?is)\\bIN\\s*\\(\\s*SELECT\\b".r.findFirstIn(c).isDefined ||
+               "(?is)\\bEXISTS\\s*\\(".r.findFirstIn(c).isDefined))
+            throw SqlError("IN/EXISTS (SELECT …) is supported only as a " +
+              s"top-level AND conjunct of WHERE — rewrite '${c.take(60)}'")
           if (hasTopOr) Right(c)
-          else conjRe.findFirstMatchIn(c) match {
+          else existsRe.findFirstMatchIn(c).filter(m => balancedParens(m.group(2))) match {
+            case Some(m) =>
+              val body = m.group(2).trim
+              subqueryKeywordGuard(body, "EXISTS subquery")
+              subRe.findFirstMatchIn(body) match {
+                case Some(s) =>
+                  exists += ExistsSubquery(m.group(1) != null, s.group(2),
+                    Option(s.group(3)).map(_.trim))
+                  Left(Option.empty[InSubquery]) // consumed into `exists`
+                case None => throw SqlError(
+                  s"EXISTS supports (SELECT … FROM <stream> [WHERE …]) — got '${body.take(60)}'")
+              }
+            case None => conjRe.findFirstMatchIn(c) match {
             case Some(m) if balancedParens(m.group(3)) =>
               val body = m.group(3).trim
               m.group(1).trim match {
@@ -967,8 +1002,8 @@ object GraftApp {
                   }
                   subRe.findFirstMatchIn(body) match {
                     case Some(s) =>
-                      Left(InSubquery(lhs, m.group(2) != null, s.group(1).trim,
-                        s.group(2), Option(s.group(3)).map(_.trim)))
+                      Left(Some(InSubquery(lhs, m.group(2) != null, s.group(1).trim,
+                        s.group(2), Option(s.group(3)).map(_.trim))))
                     case None => throw SqlError(
                       s"IN subquery supports SELECT <expr> FROM <stream> [WHERE …] — got '${body.take(60)}'")
                   }
@@ -987,13 +1022,15 @@ object GraftApp {
                       case Some(n) => (n.group(1).trim, true)
                       case None => (t.group(1).trim, false)
                     }
-                  Left(InSubquery(lhs, (t.group(2) != null) ^ notPfx,
-                    "", t.group(3), None, tableForm = true))
+                  Left(Some(InSubquery(lhs, (t.group(2) != null) ^ notPfx,
+                    "", t.group(3), None, tableForm = true)))
                 case None => Right(c)
               }
+            }
           }
         }
-        (if (keep.isEmpty) None else Some(keep.mkString(" AND ")), subs)
+        (if (keep.isEmpty) None else Some(keep.mkString(" AND ")),
+          subs.flatten, exists.result())
     }
   }
 
@@ -1233,12 +1270,22 @@ object GraftApp {
         // IN (SELECT …) conjuncts: membership as semi/anti join. Tables are
         // legal here — reading passive state for a membership test is the
         // reference's `IN table` shape, not a query-on-table.
-        val withSubs = q.inSubqueries.foldLeft(joined) { (acc, sq) =>
+        val withIns = q.inSubqueries.foldLeft(joined) { (acc, sq) =>
           val sub0 = env.getOrElse(sq.source,
             throw SqlError(s"stream '${sq.source}' has no bound data"))
           val sub = sq.where.map(w => sub0.filter(uexpr(w))).getOrElse(sub0)
             .select(uexpr(sq.selectExpr).as("__in_val"))
           acc.join(sub, uexpr(sq.lhs) === col("__in_val"),
+            if (sq.negated) "left_anti" else "left_semi")
+        }
+        // [NOT] EXISTS conjuncts: the subquery's WHERE (qualified refs —
+        // `Sub.col = Outer.col`) IS the semi/anti join condition, so
+        // correlation falls out of the aliasing; no condition = non-empty
+        val withSubs = q.existsSubqueries.foldLeft(withIns) { (acc, sq) =>
+          val sub0 = env.getOrElse(sq.source,
+            throw SqlError(s"stream '${sq.source}' has no bound data"))
+          acc.join(sub0.as(sq.source),
+            sq.where.map(uexpr).getOrElse(lit(true)),
             if (sq.negated) "left_anti" else "left_semi")
         }
         val out = compileQuery(withSubs, q)

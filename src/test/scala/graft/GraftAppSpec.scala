@@ -712,6 +712,59 @@ class GraftAppSpec extends AnyFunSuite {
         |WHERE x > 0 GROUP BY k HAVING count(x) > 1 ORDER BY k LIMIT 3 OFFSET 1;""".stripMargin)
   }
 
+  test("EXISTS subqueries: correlated semi/anti; typed under OR and bad shapes") {
+    val app =
+      """CREATE STREAM Orders (user_id BIGINT, amount DOUBLE);
+        |CREATE STREAM Refunds (user_id BIGINT, amount DOUBLE);
+        |CREATE STREAM Flagged (user_id BIGINT, amount DOUBLE);
+        |CREATE STREAM Clean (user_id BIGINT);
+        |INSERT INTO Flagged SELECT user_id, amount FROM Orders
+        |WHERE amount > 10.0
+        |  AND EXISTS (SELECT user_id FROM Refunds
+        |              WHERE Refunds.user_id = Orders.user_id
+        |                AND Refunds.amount >= Orders.amount);
+        |INSERT INTO Clean SELECT user_id FROM Orders
+        |WHERE NOT EXISTS (SELECT user_id FROM Refunds
+        |                  WHERE Refunds.user_id = Orders.user_id);""".stripMargin
+    val orders = Seq((7L, 50.0), (7L, 500.0), (8L, 20.0), (9L, 5.0))
+      .toDF("user_id", "amount")
+    val refunds = Seq((7L, 60.0)).toDF("user_id", "amount")
+    val res = GraftApp.run(spark, app,
+      Map("Orders" -> orders, "Refunds" -> refunds))
+    // user 7: refund 60 covers the 50 order (flagged), not the 500 one
+    assert(res("Flagged").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((7L, 50.0)))
+    assert(res("Clean").as[Long].collect().sorted.toSeq == Seq(8L, 9L))
+    // uncorrelated EXISTS = non-empty gate
+    val app2 =
+      """CREATE STREAM A (x INT);
+        |CREATE STREAM B (y INT);
+        |CREATE STREAM Out (x INT);
+        |INSERT INTO Out SELECT x FROM A WHERE EXISTS (SELECT y FROM B);""".stripMargin
+    assert(GraftApp.run(spark, app2,
+      Map("A" -> Seq(1, 2).toDF("x"), "B" -> Seq(9).toDF("y")))("Out")
+      .as[Int].collect().sorted.toSeq == Seq(1, 2))
+    assert(GraftApp.run(spark, app2,
+      Map("A" -> Seq(1, 2).toDF("x"),
+          "B" -> spark.emptyDataset[Int].toDF("y")))("Out")
+      .as[Int].collect().isEmpty)
+    // under OR: typed, never a mis-lowered semi join
+    val e1 = intercept[GraftApp.SqlError](GraftApp.parse(
+      """CREATE STREAM A (x INT);
+        |CREATE STREAM B (y INT);
+        |CREATE STREAM Out (x INT);
+        |INSERT INTO Out SELECT x FROM A
+        |WHERE x > 3 OR EXISTS (SELECT y FROM B);""".stripMargin))
+    assert(e1.getMessage.contains("top-level AND conjunct"))
+    val e2 = intercept[GraftApp.SqlError](GraftApp.parse(
+      """CREATE STREAM A (x INT);
+        |CREATE STREAM B (y INT);
+        |CREATE STREAM Out (x INT);
+        |INSERT INTO Out SELECT x FROM A
+        |WHERE EXISTS (SELECT y FROM B GROUP BY y);""".stripMargin))
+    assert(e2.getMessage.contains("GROUP BY"))
+  }
+
   test("expr IN Table membership: reference spelling, NULL semantics, typed errors") {
     // in_expression_executor.rs: NULL value → false (row dropped for IN,
     // kept for NOT IN); membership against the single-column table
