@@ -64,13 +64,14 @@ class ParserFuzzSpec extends AnyFunSuite {
       |WITH Hot AS (SELECT k, v FROM In WHERE v > 0),
       |     Named AS (SELECT k FROM Aux)
       |INSERT INTO Out SELECT k, sum(v) AS total FROM Hot
-      |WHERE k IN (SELECT k FROM Named) GROUP BY k
+      |WHERE k IN (SELECT k FROM Named)
+      |  AND EXISTS (SELECT k FROM Aux WHERE Aux.k = Hot.k) GROUP BY k
       |UNION ALL SELECT k, v FROM In WHERE v < -100;""".stripMargin
 
   private val cteNearMiss: Gen[String] = for {
     cut <- Gen.choose(0, validCteApp.length)
     junk <- Gen.oneOf("", ")", "((", "WITH", "AS (", "UNION", "UNION ALL",
-      "IN (SELECT", "SELECT", "'", ",", ";;")
+      "IN (SELECT", "EXISTS (", "NOT EXISTS", "SELECT", "'", ",", ";;")
     mode <- Gen.oneOf(0, 1, 2)
   } yield mode match {
     case 0 => validCteApp.substring(0, cut)
