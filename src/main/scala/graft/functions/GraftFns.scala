@@ -14,6 +14,7 @@ import org.apache.spark.sql.types._
   *
   *   token_count(text)            — whitespace-token count (LONG)
   *   rolling_hash64(text)         — polynomial rolling fingerprint (LONG)
+  *   nfc_normalize(text)          — Unicode NFC canonical composition
   *   word_shingles(text, n)       — word n-gram array (n a literal)
   *   sorted_jaccard(a, b)         — exact Jaccard of two sorted token arrays
   *   minhash_sig(tokens, k)       — k-slot MinHash signature (k a literal)
@@ -49,6 +50,10 @@ object GraftFns {
     "rolling_hash64" -> { args =>
       arity("rolling_hash64", args, 1)
       RollingHash64(Cast(args.head, StringType))
+    },
+    "nfc_normalize" -> { args =>
+      arity("nfc_normalize", args, 1)
+      NfcNormalize(Cast(args.head, StringType))
     },
     "word_shingles" -> { args =>
       arity("word_shingles", args, 2)

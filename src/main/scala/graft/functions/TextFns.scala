@@ -46,6 +46,9 @@ object TextFns {
   /** 64-bit simhash over a token array (native expression). */
   def simHash(tokensCol: Column): Column = column(SimHash64(expression(tokensCol)))
 
+  /** Unicode NFC canonical composition (see [[NfcNormalize]]). */
+  def nfc(c: Column): Column = column(NfcNormalize(expression(c.cast("string"))))
+
   /** MinHash signature of length k over a token array (native expression:
     * one pass over the tokens computes all k slot minima — one base hash
     * per token + k cheap mixes, no per-slot array traversal).
@@ -82,6 +85,43 @@ object TextHash {
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z ^ (z >>> 31)
   }
+}
+
+/** Unicode NFC normalization (canonical composition) — the standard first
+  * step of text curation: visually-identical strings with different
+  * codepoint sequences (e + COMBINING ACUTE vs precomposed é) collapse to
+  * one canonical form, so downstream dedup/fingerprinting sees them as
+  * equal. Pure JDK `java.text.Normalizer` (Unicode-conformant, matches
+  * other engines' NFC), codegen'd.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    // fast path: already-normalized (all-ASCII included) skips the rebuild
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) v
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val s = ctx.freshName("s")
+      s"""
+         |String $s = $x.toString();
+         |${ev.value} = java.text.Normalizer.isNormalized($s, java.text.Normalizer.Form.NFC)
+         |  ? $x
+         |  : org.apache.spark.unsafe.types.UTF8String.fromString(
+         |      java.text.Normalizer.normalize($s, java.text.Normalizer.Form.NFC));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Polynomial rolling hash of a UTF8 string (64-bit wraparound).

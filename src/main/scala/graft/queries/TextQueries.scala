@@ -431,6 +431,43 @@ object TextQueries extends QueryFamily {
              |WHERE d.doc_id < 300
              |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
 
+    // Unicode NFC normalization + whitespace/case canonicalization — the
+    // standard first curation step. Staged text appends a decomposed
+    // sequence (e + COMBINING ACUTE, bytes 65 CC 81) and a precomposed é
+    // (C3 A9) plus ragged whitespace; after NFC both spell the same
+    // codepoint, so len_norm drops by exactly the composed pairs. DuckDB's
+    // nfc_normalize implements the same Unicode algorithm.
+    QueryDef(
+      "q_text_normalize",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents").filter(col("doc_id") < 200)
+        val raw = concat(
+          substring(col("text"), 1, 30), lit(" CAF"),
+          decode(unhex(lit("65CC81")), "UTF-8"),     // e + combining acute
+          lit("  Mixed   CASE "),
+          decode(unhex(lit("C3A9")), "UTF-8"))       // precomposed é
+        d.select(col("doc_id"),
+            raw.as("raw"),
+            trim(regexp_replace(lower(TextFns.nfc(raw)), "\\s+", " ")).as("norm_text"))
+          .select(col("doc_id"), col("norm_text"),
+            length(col("raw")).cast("long").as("len_raw"),
+            length(col("norm_text")).cast("long").as("len_norm"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH staged AS (
+             |  SELECT doc_id,
+             |    substr(text, 1, 30) || ' CAF' || 'e' || chr(769)
+             |      || '  Mixed   CASE ' || chr(233) AS raw
+             |  FROM documents WHERE doc_id < 200),
+             |n AS (
+             |  SELECT doc_id, raw,
+             |    trim(regexp_replace(lower(nfc_normalize(raw)), '\s+', ' ', 'g')) AS norm_text
+             |  FROM staged)
+             |SELECT doc_id, norm_text,
+             |  CAST(length(raw) AS BIGINT) AS len_raw,
+             |  CAST(length(norm_text) AS BIGINT) AS len_norm
+             |FROM n ORDER BY doc_id""".stripMargin)),
+
     // End-to-end multimodal curation: decode headers → resolution gates for
     // images (width AND height ≥ 100) / duration gate for audio (≥ 100
     // frames) → per-format survivor stats. The q_pipeline_curation shape

@@ -236,6 +236,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(BmpPixelDecoder.decode(trunc) == BmpPixelDecoder.Zero)
   }
 
+  test("NfcNormalize: composes decomposed sequences, idempotent, null-safe, by name") {
+    import graft.functions.GraftFns
+    import spark.implicits._
+    GraftFns.register(spark)
+    val decomposed = "CAFe\u0301 and A\u030A" // e+COMBINING ACUTE, A+RING
+    val composed = "CAF\u00E9 and \u00C5"
+    val df = Seq(Some(decomposed), Some(composed), None).toDF("s")
+    val out = df.select(TextFns.nfc(col("s")).as("n")).collect().map(r =>
+      if (r.isNullAt(0)) null else r.getString(0))
+    assert(out(0) == composed && out(1) == composed && out(2) == null)
+    // by-name SQL resolves to the same expression
+    df.createOrReplaceTempView("nfc_in")
+    assert(spark.sql("SELECT nfc_normalize(s) FROM nfc_in WHERE s IS NOT NULL")
+      .collect().map(_.getString(0)).toSeq == Seq(composed, composed))
+    // codepoint length drops by the two composed pairs
+    assert(decomposed.codePointCount(0, decomposed.length) ==
+      composed.codePointCount(0, composed.length) + 2)
+  }
+
   test("rolling hash is stable and collision-free on the corpus") {
     val d = Tables(spark, dir, "documents")
     val hashes = d.select(TextFns.rollingHash(col("text")).as("h")).collect().map(_.getLong(0))
