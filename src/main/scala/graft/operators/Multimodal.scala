@@ -51,7 +51,8 @@ object Multimodal {
     private val PngSig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
 
     def decode(p: Array[Byte]): MediaMeta = {
-      if (p.length >= 24 && PngSig.indices.forall(i => u8(p, i) == PngSig(i)) &&
+      if (p == null) MediaMeta(0, 0, 0, "unknown")
+      else if (p.length >= 24 && PngSig.indices.forall(i => u8(p, i) == PngSig(i)) &&
           ascii(p, 12, "IHDR"))
         MediaMeta(be32(p, 16), be32(p, 20), 1, "png")
       else if (p.length >= 4 && u8(p, 0) == 0xFF && u8(p, 1) == 0xD8)
@@ -120,6 +121,7 @@ object Multimodal {
     */
   object StubDecoder extends MediaDecoder {
     def decode(payload: Array[Byte]): MediaMeta = {
+      if (payload == null) return MediaMeta(0, 0, 0, "unknown")
       val h = graft.functions.TextHash.hash64(payload)
       val width = 160 + (Math.floorMod(h, 8L).toInt * 160)
       val height = 120 + (Math.floorMod(h >>> 8, 8L).toInt * 120)
@@ -167,7 +169,7 @@ object Multimodal {
     val Zero: AudioStats = AudioStats(0L, 0.0, 0.0, 0L)
 
     def decode(p: Array[Byte]): AudioStats = {
-      if (!ascii(p, 0, "RIFF") || !ascii(p, 8, "WAVE")) return Zero
+      if (p == null || !ascii(p, 0, "RIFF") || !ascii(p, 8, "WAVE")) return Zero
       var i = 12
       var fmtCode = 0
       var bits = 0
@@ -175,6 +177,10 @@ object Multimodal {
       var dataLen = 0
       while (i + 8 <= p.length) {
         val size = le32(p, i + 4)
+        // a corrupt size would stall (advance 0), walk backwards, or
+        // overflow the cursor (AIOOBE) — a chunk can never exceed the
+        // payload, so reject the container, per the never-throw contract
+        if (size < 0 || size > p.length) return Zero
         if (ascii(p, i, "fmt ") && i + 8 + 16 <= p.length) {
           fmtCode = le16(p, i + 8)
           bits = le16(p, i + 8 + 14)
@@ -228,15 +234,18 @@ object Multimodal {
     val Zero: ImageStats = ImageStats(0L, 0.0, 0.0, 0.0)
 
     def decode(p: Array[Byte]): ImageStats = {
-      if (p.length < 54 || u8(p, 0) != 'B' || u8(p, 1) != 'M') return Zero
+      if (p == null || p.length < 54 || u8(p, 0) != 'B' || u8(p, 1) != 'M') return Zero
       val dataOff = le32(p, 10)
       val w = le32(p, 18)
       val h = math.abs(le32(p, 22))
       val bits = le16(p, 28)
       val comp = le32(p, 30)
       if (bits != 24 || comp != 0 || w <= 0 || h <= 0 || dataOff < 54) return Zero
-      val stride = (w * 3 + 3) & ~3
-      if (dataOff.toLong + stride.toLong * h > p.length) return Zero // truncated
+      // stride in Long: a huge declared width overflows Int (w*3 wraps
+      // negative), sailing past the truncation guard into an AIOOBE
+      val strideL = (w.toLong * 3 + 3) & ~3L
+      if (dataOff.toLong + strideL * h > p.length) return Zero // truncated
+      val stride = strideL.toInt // fits: bounded by p.length above
       var sb = 0L; var sg = 0L; var sr = 0L
       var y = 0
       while (y < h) {

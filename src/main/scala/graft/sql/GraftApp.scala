@@ -277,6 +277,11 @@ object GraftApp {
     }
     def registerSynth(name: String): Unit =
       streams += name -> StreamDef(name, StructType(Nil), Map.empty, isTable = false)
+    // NOTE: branches combine through the dialect's fan-in (unionByName),
+    // so columns pair BY NAME, not by SQL's positional rule — consistent
+    // with multi-INSERT chaining, where every branch aliases to the
+    // target's declared columns. Branches with disjoint aliases fail at
+    // analysis rather than silently mispairing.
     def desugarUnion(stmt: String): Seq[String] = {
       val parts = splitTopLevelKeyword(stmt, "UNION").map(_.trim)
       if (parts.lengthCompare(1) == 0) return Seq(stmt)
@@ -351,16 +356,23 @@ object GraftApp {
         throw SqlError("WITH must be followed by a statement that uses the CTEs")
       val mangled = defs.map { case (n, _) => n -> freshName("cte", n) }.toMap
       defs.foreach { case (n, _) => registerSynth(mangled(n)) }
+      // Rewrite the CTE name ONLY where it stands as a stream source —
+      // after FROM/JOIN or qualifying a column (`Name.col`) — so a COLUMN
+      // of another stream that merely shares the name survives untouched.
+      def rwSource(text: String, n: String): String = {
+        val quoted = java.util.regex.Pattern.quote(n)
+        replaceOutsideQuotes(
+          replaceOutsideQuotes(text,
+            ("(?i)(?<=\\b(?:FROM|JOIN)\\s{1,20})" + quoted + "\\b").r, mangled(n)),
+          ("(?i)\\b" + quoted + "\\b(?=\\s*\\.)").r, mangled(n))
+      }
       // a CTE body sees EARLIER ctes only (forward/self references stay
       // unmangled and fail as undefined streams — typed, like the reference)
       val cteStmts = defs.zipWithIndex.map { case ((n, body), i) =>
-        val visible = defs.take(i).map(_._1)
-        val b2 = visible.foldLeft(body)((t, vn) =>
-          replaceIdentOutsideQuotes(t, vn, mangled(vn)))
+        val b2 = defs.take(i).map(_._1).foldLeft(body)(rwSource)
         s"INSERT INTO ${mangled(n)} $b2"
       }
-      val tail = defs.map(_._1).foldLeft(rest.trim)((t, n) =>
-        replaceIdentOutsideQuotes(t, n, mangled(n)))
+      val tail = defs.map(_._1).foldLeft(rest.trim)(rwSource)
       cteStmts :+ tail
     }
     def expandStmt(stmt: String): Seq[String] = desugarCte(stmt).flatMap(desugarUnion)
@@ -969,9 +981,11 @@ object GraftApp {
           // a conjunct with a top-level OR is never a pure membership term —
           // the lazy lhs match would otherwise swallow `a OR b` as the lhs
           val hasTopOr = splitTopLevelKeyword(c, "OR").lengthCompare(1) > 0
+          // require `(SELECT` after EXISTS: Spark's higher-order
+          // exists(array, lambda) is a plain expression, not a subquery
           if (hasTopOr &&
               ("(?is)\\bIN\\s*\\(\\s*SELECT\\b".r.findFirstIn(c).isDefined ||
-               "(?is)\\bEXISTS\\s*\\(".r.findFirstIn(c).isDefined))
+               "(?is)\\bEXISTS\\s*\\(\\s*SELECT\\b".r.findFirstIn(c).isDefined))
             throw SqlError("IN/EXISTS (SELECT …) is supported only as a " +
               s"top-level AND conjunct of WHERE — rewrite '${c.take(60)}'")
           if (hasTopOr) Right(c)
@@ -993,13 +1007,7 @@ object GraftApp {
               m.group(1).trim match {
                 case "" => throw SqlError(s"IN (SELECT …) needs a left-hand expression: '$c'")
                 case lhs =>
-                  Seq("GROUP\\s+BY", "ORDER\\s+BY", "JOIN", "LIMIT", "HAVING",
-                      "WINDOW").foreach { kw =>
-                    if (splitTopLevelKeyword(body, kw).lengthCompare(1) > 0)
-                      throw SqlError("IN subquery supports SELECT <expr> FROM " +
-                        s"<stream> [WHERE …] only — drop the ${kw.replace("\\s+", " ")} " +
-                        "(route richer shapes through a WITH cte)")
-                  }
+                  subqueryKeywordGuard(body, "IN subquery")
                   subRe.findFirstMatchIn(body) match {
                     case Some(s) =>
                       Left(Some(InSubquery(lhs, m.group(2) != null, s.group(1).trim,
@@ -1081,12 +1089,14 @@ object GraftApp {
     * offending text (the reference's parser errors are typed the same way).
     */
   private def uexpr(s0: String): org.apache.spark.sql.Column = {
-    // dialect type spellings inside expressions (CAST(x AS VARCHAR)):
+    // dialect type spellings in CAST positions (CAST(x AS VARCHAR)):
     // bare VARCHAR ≡ STRING, OBJECT ≡ BINARY — the TypeMap parity the DDL
-    // already has; a sized VARCHAR(n) passes through untouched
+    // already has. Anchored on the preceding AS so a COLUMN named
+    // `object`/`varchar` is never rewritten; sized VARCHAR(n) untouched
     val s = replaceOutsideQuotes(
-      replaceOutsideQuotes(s0, "(?i)\\bVARCHAR\\b(?!\\s*\\()".r, "STRING"),
-      "(?i)\\bOBJECT\\b(?!\\s*\\()".r, "BINARY")
+      replaceOutsideQuotes(s0,
+        "(?i)(?<=\\bAS\\s{1,20})VARCHAR\\b(?!\\s*\\()".r, "STRING"),
+      "(?i)(?<=\\bAS\\s{1,20})OBJECT\\b(?!\\s*\\()".r, "BINARY")
     try {
       // Column construction is lazy in Spark 4 — force the parse NOW so a
       // syntax error fails this statement's compile, not a later analysis
@@ -1496,8 +1506,13 @@ object GraftApp {
         case (e, Some(a)) => uexpr(e).as(a)
         case (e, None) => uexpr(e)
       }
-      // ORDER BY / OFFSET / LIMIT apply to per-event frame output too
-      return finishOrderLimit(df.select(cols: _*), q)
+      // ORDER BY / OFFSET / LIMIT apply to per-event frame output too —
+      // and SELECT DISTINCT dedups the frame output like any projection
+      // (silently ignoring it here would be the wrong-results class the
+      // FROM-junk guard exists to kill)
+      val frameOut = df.select(cols: _*)
+      return finishOrderLimit(
+        if (q.distinct) frameOut.dropDuplicates() else frameOut, q)
     }
     q.window.foreach { w => df = applyWindow(df, w, q.partitionKeys) }
     // session windows with inline partition keys + aggregates and no GROUP

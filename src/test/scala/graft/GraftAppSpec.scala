@@ -765,6 +765,54 @@ class GraftAppSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("GROUP BY"))
   }
 
+  test("review fixes: window DISTINCT, exists() HOF under OR, shared column names") {
+    // SELECT DISTINCT is honored on the per-event window path (was
+    // silently dropped)
+    val winApp =
+      """CREATE STREAM S (ts TIMESTAMP, sym STRING);
+        |CREATE STREAM Out (sym STRING);
+        |INSERT INTO Out SELECT DISTINCT sym FROM S WINDOW('length', 3);""".stripMargin
+    val in = Seq((1, "a"), (2, "a"), (3, "b"))
+      .toDF("sec", "sym")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "sym")
+    assert(GraftApp.run(spark, winApp, Map("S" -> in))("Out")
+      .as[String].collect().sorted.toSeq == Seq("a", "b"))
+    // Spark's higher-order exists(array, lambda) under OR is a plain
+    // expression, not a subquery — must compile, not die typed
+    val hofApp =
+      """CREATE STREAM S (id INT, flag INT, tags STRING);
+        |CREATE STREAM Out (id INT);
+        |INSERT INTO Out SELECT id FROM S
+        |WHERE flag = 1 OR exists(split(tags, ','), t -> t = 'spam');""".stripMargin
+    val hofIn = Seq((1, 0, "x,spam"), (2, 0, "clean"), (3, 1, "zz"))
+      .toDF("id", "flag", "tags")
+    assert(GraftApp.run(spark, hofApp, Map("S" -> hofIn))("Out")
+      .as[Int].collect().sorted.toSeq == Seq(1, 3))
+    // a column that shares a CTE's name is NOT mangled — only source
+    // positions (FROM/JOIN/qualified) rewrite
+    val cteApp =
+      """CREATE STREAM Events (status STRING, k INT);
+        |CREATE STREAM Keys (k INT);
+        |CREATE STREAM Out (status STRING, k INT);
+        |WITH status AS (SELECT k FROM Keys WHERE k > 0)
+        |INSERT INTO Out SELECT status, k FROM Events
+        |WHERE status = 'open' AND k IN (SELECT k FROM status);""".stripMargin
+    val ev = Seq(("open", 1), ("open", -5), ("closed", 1)).toDF("status", "k")
+    val keys = Seq(1, 2).toDF("k")
+    assert(GraftApp.run(spark, cteApp, Map("Events" -> ev, "Keys" -> keys))("Out")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("open", 1)))
+    // a column named like a dialect type survives expressions untouched
+    val typeApp =
+      """CREATE STREAM S (object STRING);
+        |CREATE STREAM Out (object STRING, s STRING);
+        |INSERT INTO Out SELECT object, CAST(object AS VARCHAR) AS s FROM S;""".stripMargin
+    assert(GraftApp.run(spark, typeApp,
+      Map("S" -> Seq("blob").toDF("object")))("Out")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("blob", "blob")))
+  }
+
   test("expr IN Table membership: reference spelling, NULL semantics, typed errors") {
     // in_expression_executor.rs: NULL value → false (row dropped for IN,
     // kept for NOT IN); membership against the single-column table

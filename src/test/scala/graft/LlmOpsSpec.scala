@@ -198,6 +198,17 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(PcmDecoder.decode(Array.emptyByteArray) == PcmDecoder.Zero)
     val f24 = PcmDecoder.decode(wav(24, 1, Array[Byte](1, 2, 3)))
     assert(f24 == PcmDecoder.Zero) // unsupported width rejected, not misread
+    // corrupt chunk sizes: negative (would loop forever / walk backwards)
+    // and absurdly large (would overflow the cursor) → Zero, promptly
+    val neg = wav(8, 1, Array[Byte](1, 2, 3, 4))
+    val nb = java.nio.ByteBuffer.wrap(neg).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    nb.putInt(16, -8) // fmt chunk size = -8
+    assert(PcmDecoder.decode(neg) == PcmDecoder.Zero)
+    val big = wav(8, 1, Array[Byte](1, 2))
+    val bb2 = java.nio.ByteBuffer.wrap(big).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb2.putInt(16, Int.MaxValue)
+    assert(PcmDecoder.decode(big) == PcmDecoder.Zero)
+    assert(PcmDecoder.decode(null) == PcmDecoder.Zero)
   }
 
   test("BmpPixelDecoder: real BGR pixel fold honors stride padding; non-raster rejected") {
@@ -234,6 +245,13 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(BmpPixelDecoder.decode("BMnot really".getBytes) == BmpPixelDecoder.Zero)
     val trunc = bmp(3, 2, (_, _) => (1, 2, 3)).dropRight(5)
     assert(BmpPixelDecoder.decode(trunc) == BmpPixelDecoder.Zero)
+    // adversarial headers: a width whose w*3 overflows Int must reject,
+    // not sail past the truncation guard into an AIOOBE; null → Zero
+    val evil = bmp(4, 1, (_, _) => (0, 0, 0))
+    val bb = java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(18, 715827883) // w*3 = 2^31+1 → wraps negative
+    assert(BmpPixelDecoder.decode(evil) == BmpPixelDecoder.Zero)
+    assert(BmpPixelDecoder.decode(null) == BmpPixelDecoder.Zero)
   }
 
   test("NfcNormalize: composes decomposed sequences, idempotent, null-safe, by name") {
