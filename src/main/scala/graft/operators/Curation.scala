@@ -128,6 +128,10 @@ object Curation {
     val toks = df.select(col(idCol).as("doc_id"), TextFns.tokens(col(textCol)).as("toks"))
       .withColumn("n_toks", size_(col("toks")))
     toks
+      // an empty/whitespace-only doc has n_toks = 0 but sequence(0,
+      // greatest(-1, 0)) still yields [0] — filter it out rather than emit
+      // a spurious zero-length chunk that downstream packing chokes on
+      .filter(col("n_toks") > 0)
       .select(col("doc_id"), col("toks"), col("n_toks"),
         posexplode(sequence(lit(0), greatest(col("n_toks") - 1, lit(0)), lit(stride)))
           .as(Seq("chunk_idx", "start_tok")))

@@ -482,8 +482,14 @@ object Dedup {
     // rounds covers depth-16 chains — deeper means a degenerate bucket)
     var cur = base
     for (_ <- 0 until 4) {
+      // parent relation deduplicated to ONE row per id (earliest ts_us):
+      // rows are keyed by (id, ts_us), but the jump joins on id alone — a
+      // same-id-two-timestamps batch would otherwise fan out per parent
+      // row, compounding up to 16x over the 4 rounds
+      val parents = cur.groupBy(col("id").as("__pid"))
+        .agg(min_by(col("dup_of"), col("ts_us")).as("__pdup"))
       cur = cur.as("x")
-        .join(cur.select(col("id").as("__pid"), col("dup_of").as("__pdup")).as("p"),
+        .join(parents.as("p"),
           col("x.dup_of") === col("__pid"), "left_outer")
         .select(col("x.id").as("id"), col("x.ts_us").as("ts_us"),
           coalesce(col("__pdup"), col("x.dup_of")).as("dup_of"),

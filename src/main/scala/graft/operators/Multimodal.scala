@@ -97,10 +97,18 @@ object Multimodal {
       var dataSize = -1
       while (i + 8 <= p.length) {
         val size = le32(p, i + 4)
+        // corrupt-size DoS guard: size = -8/-9 advances the cursor by 0
+        // (infinite loop), other negatives walk backwards, and sizes near
+        // Int.MaxValue wrap the Int advance negative. Unlike PcmDecoder we
+        // must NOT reject size > remaining bytes — a header-only WAV
+        // (declared data size, truncated payload) is the metadata fast
+        // path's normal diet — so advance in Long, clamped to the payload.
+        if (size < 0) return MediaMeta(0, 0, 0, "unknown")
         if (ascii(p, i, "fmt ") && i + 8 + 14 <= p.length)
           blockAlign = le16(p, i + 8 + 12)
         if (ascii(p, i, "data")) dataSize = size
-        i += 8 + size + (size & 1) // chunks are 2-byte aligned
+        val next = i.toLong + 8L + size.toLong + (size & 1) // 2-byte aligned
+        i = math.min(next, p.length.toLong).toInt
       }
       if (blockAlign > 0 && dataSize >= 0)
         MediaMeta(0, 0, dataSize / blockAlign, "wav")
@@ -242,8 +250,11 @@ object Multimodal {
       val comp = le32(p, 30)
       if (bits != 24 || comp != 0 || w <= 0 || h <= 0 || dataOff < 54) return Zero
       // stride in Long: a huge declared width overflows Int (w*3 wraps
-      // negative), sailing past the truncation guard into an AIOOBE
+      // negative), sailing past the truncation guard into an AIOOBE.
+      // Reject BEFORE multiplying: strideL*h itself can wrap Long for
+      // w,h both near Int.MaxValue, making the truncation check pass.
       val strideL = (w.toLong * 3 + 3) & ~3L
+      if (strideL > p.length || h > p.length / strideL) return Zero
       if (dataOff.toLong + strideL * h > p.length) return Zero // truncated
       val stride = strideL.toInt // fits: bounded by p.length above
       var sb = 0L; var sg = 0L; var sr = 0L

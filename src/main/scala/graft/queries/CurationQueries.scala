@@ -143,7 +143,7 @@ object CurationQueries extends QueryFamily {
       },
       Some("""WITH t AS (
              |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-             |  FROM documents WHERE doc_id < 100)
+             |  FROM documents WHERE doc_id < 100 AND trim(text) <> '')
              |SELECT doc_id,
              |  CAST(i.s / 12 AS BIGINT) AS chunk_idx,
              |  CAST(i.s AS BIGINT) AS start_tok,

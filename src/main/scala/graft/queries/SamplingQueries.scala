@@ -66,7 +66,7 @@ object SamplingQueries extends QueryFamily {
           .orderBy(col("source"), col("pack_id"))
       },
       Some("""SELECT source, CAST(floor((cum - n_chars) / 4096.0) AS BIGINT) AS pack_id,
-             |  count(*) AS n_docs, sum(n_chars) AS sum_chars
+             |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM (SELECT source, doc_id, n_chars,
              |        sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS cum
              |      FROM documents)

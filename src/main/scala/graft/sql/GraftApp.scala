@@ -434,6 +434,17 @@ object GraftApp {
                 throw SqlError(s"stream '$name': on.error must be log, drop " +
                   s"or stream (got '$v'; for store semantics attach a sink " +
                   "to the !-fault stream)")
+              // fault routing exists only at the mapper seam, and bindSources
+              // engages the mapper only for line transports (socket): any
+              // other declared source format would register a `!Name` stream
+              // that never receives data — reject at parse time, not at run
+              if (v.equalsIgnoreCase("stream") &&
+                  opts.get("type").contains("source") &&
+                  !opts.get("format").forall(_ == "socket"))
+                throw SqlError(s"stream '$name': on.error='stream' needs a " +
+                  "line-mapped transport (format 'socket'); format " +
+                  s"'${opts.getOrElse("format", "?")}' bypasses the mapper, " +
+                  s"so the !$name fault stream would never be fed")
               if (v.equalsIgnoreCase("stream"))
                 streams += s"!$name" -> StreamDef(s"!$name",
                   StructType(Seq(StructField("value", StringType))),
@@ -1439,6 +1450,11 @@ object GraftApp {
       if (!df.columns.contains("ts"))
         throw SqlError("EXPIRED/ALL EVENTS needs a 'ts' TIMESTAMP column for event order")
       val n = intOf(w0.params.last, "window('length')", min = 1)
+      if (q.partitionKeys.isEmpty)
+        ScaleWarnings.warn(s"${q.outputEvents.toUpperCase} EVENTS over " +
+          "window('length') has no partition keys: the global event ordering " +
+          "runs as ONE task — wrap the query in PARTITION WITH (key OF " +
+          "stream) to shard eviction per key")
       val ordCols = (col("ts") +: df.columns.filterNot(_ == "ts").map(col).toSeq).map(_.desc)
       val w1 = org.apache.spark.sql.expressions.Window
         .partitionBy(q.partitionKeys.map(expr): _*).orderBy(ordCols: _*)
@@ -1691,8 +1707,12 @@ object GraftApp {
       if (!df.columns.contains("ts"))
         throw SqlError("join-side window('length') needs a 'ts' TIMESTAMP column")
       val ordCols = (col("ts") +: df.columns.filterNot(_ == "ts").map(col).toSeq).map(_.desc)
-      val win = org.apache.spark.sql.expressions.Window.orderBy(ordCols: _*)
-      df.withColumn("__rn", row_number().over(win)).filter(col("__rn") <= n).drop("__rn")
+      // "last n arrivals" is a global top-n: orderBy().limit(n) plans
+      // TakeOrderedAndProject — per-partition partial top-n, then one merge
+      // of n rows. The previous row_number() over an unpartitioned Window
+      // funneled the ENTIRE side through one task before filtering; at
+      // fact-stream scale that single sort is the job's tail.
+      df.orderBy(ordCols: _*).limit(n)
     case "time" =>
       val us = parseDurationUs(w.params.last)
       if (!df.columns.contains("ts"))
