@@ -116,12 +116,25 @@ object Multimodal {
     }
   }
 
-  /** Pixel/frame decode seam — the one stage that genuinely needs a native
-    * codec library (absent in this environment). Header metadata does NOT
-    * go through this: [[HeaderDecoder]] is real.
+  /** Full-decode dispatch. Formats whose complete decode needs no native
+    * codec are real: PNG (inflate + unfilter, [[PngPixelDecoder]]), BMP
+    * ([[BmpPixelDecoder]]), WAV PCM ([[PcmDecoder]]). The `???` seam now
+    * covers only genuinely codec-bound formats — JPEG entropy decode and
+    * video — where a production build plugs libjpeg/ffmpeg.
     */
   object FrameDecoder extends MediaDecoder {
-    def decode(payload: Array[Byte]): MediaMeta = ???
+    def decode(p: Array[Byte]): MediaMeta = {
+      val meta = HeaderDecoder.decode(p)
+      meta.format match {
+        case "png" | "bmp" =>
+          val s = RasterDecoder.decode(p)
+          if (s.nPixels > 0) meta else MediaMeta(0, 0, 0, meta.format)
+        case "wav" =>
+          val a = PcmDecoder.decode(p)
+          if (a.nSamples > 0) meta else MediaMeta(0, 0, 0, meta.format)
+        case _ => ??? // codec-bound: JPEG entropy decode / video containers
+      }
+    }
   }
 
   /** Deterministic fake decoder: derives plausible metadata from a stable
@@ -273,8 +286,148 @@ object Multimodal {
     }
   }
 
-  /** Attach real decoded-pixel image features to a DataFrame holding BMP
-    * payloads in `binCol`: (n_pixels, mean_b, mean_g, mean_r). Same
+  /** Real pixel decode for PNG — pure JVM, no codec library: walks the
+    * chunk stream (lenient on CRCs, like most production decoders),
+    * concatenates IDAT payloads, inflates the zlib stream with JDK
+    * `Inflater` (raw-deflate mode after parsing the 2-byte zlib header, so
+    * a missing/garbage Adler trailer on a truncated blob still decodes),
+    * reverses the per-row filter (None/Sub/Up/Average/Paeth per the spec)
+    * and folds RGB channels into per-channel means. Supported: bit depth
+    * 8, color types 0 (gray — pooled into all three channels), 2 (RGB),
+    * 6 (RGBA — alpha excluded from means), non-interlaced. Anything else
+    * (16-bit, paletted, Adam7, preset dictionary) returns the zero row
+    * rather than throwing; a declared raster over 64 MiB is rejected
+    * before allocation (decompression-bomb guard — a 100-byte payload can
+    * declare a multi-GiB raster).
+    */
+  object PngPixelDecoder extends Serializable {
+    private def u8(p: Array[Byte], i: Int): Int = p(i) & 0xFF
+    private def be32(p: Array[Byte], i: Int): Int =
+      (u8(p, i) << 24) | (u8(p, i + 1) << 16) | (u8(p, i + 2) << 8) | u8(p, i + 3)
+    private def ascii(p: Array[Byte], i: Int, s: String): Boolean =
+      p.length >= i + s.length && s.indices.forall(k => u8(p, i + k) == s.charAt(k))
+
+    private val Sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    private val MaxRaw = 64L << 20
+
+    val Zero: ImageStats = ImageStats(0L, 0.0, 0.0, 0.0)
+
+    def decode(p: Array[Byte]): ImageStats = {
+      if (p == null || p.length < 45 || Sig.indices.exists(i => u8(p, i) != Sig(i)))
+        return Zero
+      // IHDR must be the first chunk (spec) — read geometry, then gather IDATs
+      if (be32(p, 8) != 13 || !ascii(p, 12, "IHDR")) return Zero
+      val w = be32(p, 16); val h = be32(p, 20)
+      val bitDepth = u8(p, 24); val colorType = u8(p, 25)
+      val interlace = u8(p, 28)
+      if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0 ||
+          u8(p, 26) != 0 || u8(p, 27) != 0) return Zero
+      val channels = colorType match {
+        case 0 => 1; case 2 => 3; case 6 => 4; case _ => return Zero
+      }
+      val rowBytes = 1L + w.toLong * channels
+      val rawLen = rowBytes * h
+      if (rawLen > MaxRaw) return Zero
+      // chunk walk: IDAT payloads concatenate into one zlib stream
+      val zlib = new java.io.ByteArrayOutputStream()
+      var i = 8
+      var sawEnd = false
+      while (!sawEnd && i + 8 <= p.length) {
+        val len = be32(p, i)
+        if (len < 0 || len > p.length - i - 8) return Zero // corrupt/truncated
+        if (ascii(p, i + 4, "IDAT")) zlib.write(p, i + 8, len)
+        else if (ascii(p, i + 4, "IEND")) sawEnd = true
+        i += 8 + len + 4 // len + type + data + crc (crc not verified)
+      }
+      val z = zlib.toByteArray
+      if (z.length < 3) return Zero
+      if ((z(0) & 0x0F) != 8) return Zero     // CM must be deflate
+      if ((z(1) & 0x20) != 0) return Zero     // FDICT unsupported
+      val raw = new Array[Byte](rawLen.toInt)
+      val inf = new java.util.zip.Inflater(true) // raw: Adler trailer optional
+      try {
+        inf.setInput(z, 2, z.length - 2)
+        var got = 0
+        var n = -1
+        while (got < raw.length && n != 0 && !inf.finished()) {
+          n = inf.inflate(raw, got, raw.length - got)
+          got += n
+        }
+        if (got < raw.length) return Zero // truncated pixel data
+      } catch {
+        case _: java.util.zip.DataFormatException => return Zero
+      } finally inf.end()
+      unfilterAndPool(raw, w, h, channels, colorType)
+    }
+
+    /** Reverse the per-row filter in place, then pool channel sums. bpp =
+      * channels (8-bit samples), `left`/`up` per the PNG filter spec.
+      */
+    private def unfilterAndPool(raw: Array[Byte], w: Int, h: Int,
+                                channels: Int, colorType: Int): ImageStats = {
+      val rowBytes = 1 + w * channels
+      val bpp = channels
+      var y = 0
+      while (y < h) {
+        val rs = y * rowBytes // filter byte offset; pixels at rs+1
+        val f = raw(rs) & 0xFF
+        if (f > 4) return Zero
+        var k = 0
+        while (k < w * bpp) {
+          val idx = rs + 1 + k
+          val left = if (k >= bpp) raw(idx - bpp) & 0xFF else 0
+          val up = if (y > 0) raw(idx - rowBytes) & 0xFF else 0
+          val upLeft = if (y > 0 && k >= bpp) raw(idx - rowBytes - bpp) & 0xFF else 0
+          val add = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) >> 1
+            case 4 => // Paeth predictor
+              val pa = math.abs(up - upLeft)
+              val pb = math.abs(left - upLeft)
+              val pc = math.abs(left + up - 2 * upLeft)
+              if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft
+          }
+          raw(idx) = ((raw(idx) & 0xFF) + add).toByte
+          k += 1
+        }
+        y += 1
+      }
+      var sr = 0L; var sg = 0L; var sb = 0L
+      y = 0
+      while (y < h) {
+        var off = y * rowBytes + 1
+        var x = 0
+        while (x < w) {
+          if (colorType == 0) {
+            val g = raw(off) & 0xFF; sr += g; sg += g; sb += g
+          } else {
+            sr += raw(off) & 0xFF; sg += raw(off + 1) & 0xFF; sb += raw(off + 2) & 0xFF
+          }
+          off += bpp; x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      ImageStats(n, sb.toDouble / n, sg.toDouble / n, sr.toDouble / n)
+    }
+  }
+
+  /** Raster dispatch by magic bytes: the uncompressed (BMP) and
+    * deflate-compressed (PNG) pure-JVM decoders behind one entry point;
+    * unknown containers get the zero row.
+    */
+  object RasterDecoder extends Serializable {
+    def decode(p: Array[Byte]): ImageStats =
+      if (p == null || p.length < 8) BmpPixelDecoder.Zero
+      else if ((p(0) & 0xFF) == 'B' && (p(1) & 0xFF) == 'M') BmpPixelDecoder.decode(p)
+      else if ((p(0) & 0xFF) == 0x89 && (p(1) & 0xFF) == 0x50) PngPixelDecoder.decode(p)
+      else BmpPixelDecoder.Zero
+  }
+
+  /** Attach real decoded-pixel image features to a DataFrame holding BMP or
+    * PNG payloads in `binCol`: (n_pixels, mean_b, mean_g, mean_r). Same
     * map-side shape as [[withAudioStats]].
     */
   def withImageStats(df: DataFrame, binCol: String): DataFrame = {
@@ -284,7 +437,7 @@ object Multimodal {
     val binIdx = df.schema.fieldIndex(binCol)
     df.mapPartitions { it =>
       it.map { r =>
-        val s = BmpPixelDecoder.decode(r.getAs[Array[Byte]](binIdx))
+        val s = RasterDecoder.decode(r.getAs[Array[Byte]](binIdx))
         Row.fromSeq(r.toSeq ++ Seq[Any](s.nPixels, s.meanB, s.meanG, s.meanR))
       }
     }(Encoders.row(outSchema))

@@ -431,6 +431,63 @@ object TextQueries extends QueryFamily {
              |WHERE d.doc_id < 300
              |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
 
+    // REAL PNG pixel decode through the zlib path: each doc stages a w×h
+    // RGB PNG whose IDAT is a stored-block deflate stream (BTYPE=00 —
+    // byte-assemblable in SQL, yet decoded by the same JDK Inflater that
+    // handles compressed blocks from real encoders; the Deflater round-trip
+    // and filters 1–4 are spec-covered). Channels carry the arithmetic
+    // ramps R=(doc_id+3x+7y)%256, G=+85, B=+170, filter byte 0 per row;
+    // an endian, filter-offset, or channel-order bug shifts a mean.
+    QueryDef(
+      "q_multimodal_pixels_png",
+      (s, dir) => {
+        def le(c: org.apache.spark.sql.Column, n: Int) =
+          concat((0 until n).map(k =>
+            unhex(lpad(hex(shiftright(c, 8 * k).bitwiseAND(lit(255))), 2, "0"))): _*)
+        def be(c: org.apache.spark.sql.Column, n: Int) =
+          concat((n - 1 to 0 by -1).map(k =>
+            unhex(lpad(hex(shiftright(c, 8 * k).bitwiseAND(lit(255))), 2, "0"))): _*)
+        def hx(c: org.apache.spark.sql.Column) = lpad(hex(c % 256), 2, "0")
+        val d = Tables(s, dir, "documents").filter(col("doc_id") < 300)
+        val w = (col("doc_id") % 8 + 2).cast("int")
+        val h = (col("doc_id") % 6 + 2).cast("int")
+        val rawHex = concat_ws("",
+          transform(sequence(lit(0), h - 1), y => concat(
+            lit("00"), // filter type None
+            concat_ws("", transform(sequence(lit(0), w - 1), x => {
+              val v = col("doc_id") + x * 3 + y * 7
+              concat(hx(v), hx(v + 85), hx(v + 170))
+            })))))
+        val rawLen = h * (w * 3 + 1)
+        val png = concat(
+          unhex(lit("89504E470D0A1A0A")),
+          be(lit(13), 4), unhex(lit("49484452")),            // IHDR
+          be(w, 4), be(h, 4), unhex(lit("0802000000")),      // 8-bit RGB
+          unhex(lit("00000000")),                            // crc (lenient)
+          be(rawLen + 11, 4), unhex(lit("49444154")),        // IDAT
+          unhex(lit("7801")),                                // zlib CM=8
+          unhex(lit("01")), le(rawLen, 2),                   // final stored block
+          le(rawLen.bitwiseXOR(lit(65535)), 2),              // NLEN
+          unhex(rawHex),
+          unhex(lit("00000000")),                            // adler (raw mode)
+          unhex(lit("00000000")),                            // idat crc
+          be(lit(0), 4), unhex(lit("49454E4400000000")))     // IEND
+        Multimodal.withImageStats(d.select(col("doc_id"), png.as("payload")), "payload")
+          .select(col("doc_id"), col("n_pixels"), col("mean_b"),
+            col("mean_g"), col("mean_r"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT d.doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_pixels,
+             |  CAST(sum((d.doc_id + gx.x * 3 + gy.y * 7 + 170) % 256) AS DOUBLE) / count(*) AS mean_b,
+             |  CAST(sum((d.doc_id + gx.x * 3 + gy.y * 7 + 85) % 256) AS DOUBLE) / count(*) AS mean_g,
+             |  CAST(sum((d.doc_id + gx.x * 3 + gy.y * 7) % 256) AS DOUBLE) / count(*) AS mean_r
+             |FROM documents d
+             |CROSS JOIN LATERAL (SELECT unnest(range(0, d.doc_id % 8 + 2)) AS x) gx
+             |CROSS JOIN LATERAL (SELECT unnest(range(0, d.doc_id % 6 + 2)) AS y) gy
+             |WHERE d.doc_id < 300
+             |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
+
     // Unicode NFC normalization + whitespace/case canonicalization — the
     // standard first curation step. Staged text appends a decomposed
     // sequence (e + COMBINING ACUTE, bytes 65 CC 81) and a precomposed é

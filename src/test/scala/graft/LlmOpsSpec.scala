@@ -254,6 +254,130 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(BmpPixelDecoder.decode(null) == BmpPixelDecoder.Zero)
   }
 
+  // Real-encoder PNGs: zlib-wrapped Deflater streams with correct CRCs and
+  // Adler trailers, forward-filtered per the spec — decode must invert
+  // every filter type exactly, over RGB, RGBA (alpha excluded) and gray.
+  test("PngPixelDecoder: inflate + unfilter round-trip for filters 0-4, all color types") {
+    import graft.operators.Multimodal.PngPixelDecoder
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+        .putInt(crc.getValue.toInt).array()
+    }
+    val Sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+    def png(w: Int, h: Int, colorType: Int, filterOf: Int => Int,
+            px: (Int, Int) => Array[Int], splitIdat: Boolean = false): Array[Byte] = {
+      val ch = colorType match { case 0 => 1; case 2 => 3; case 6 => 4 }
+      val rowBytes = 1 + w * ch
+      val raw = new Array[Byte](rowBytes * h) // unfiltered image
+      for (y <- 0 until h) {
+        raw(y * rowBytes) = filterOf(y).toByte
+        for (x <- 0 until w; c <- 0 until ch)
+          raw(y * rowBytes + 1 + x * ch + c) = px(x, y)(c).toByte
+      }
+      val filt = raw.clone() // forward-filter against ORIGINAL neighbors
+      for (y <- 0 until h; k <- 0 until w * ch) {
+        val idx = y * rowBytes + 1 + k
+        val left = if (k >= ch) raw(idx - ch) & 0xFF else 0
+        val up = if (y > 0) raw(idx - rowBytes) & 0xFF else 0
+        val ul = if (y > 0 && k >= ch) raw(idx - rowBytes - ch) & 0xFF else 0
+        val sub = filterOf(y) match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) >> 1
+          case 4 =>
+            val pa = math.abs(up - ul); val pb = math.abs(left - ul)
+            val pc = math.abs(left + up - 2 * ul)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        filt(idx) = (((raw(idx) & 0xFF) - sub) & 0xFF).toByte
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(filt); defl.finish()
+      val buf = new Array[Byte](filt.length + 128)
+      val n = defl.deflate(buf); defl.end()
+      val z = buf.take(n)
+      val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+        .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte)
+        .put(0.toByte).array()
+      val idats =
+        if (splitIdat) chunk("IDAT", z.take(3)) ++ chunk("IDAT", z.drop(3))
+        else chunk("IDAT", z)
+      Sig ++ chunk("IHDR", ihdr) ++ idats ++ chunk("IEND", Array.emptyByteArray)
+    }
+    // every filter type in one image (h=6 → filters 0,1,2,3,4,0); values
+    // chosen to exercise byte wraparound in the filter deltas
+    val rgb = png(5, 6, 2, y => y % 5, (x, y) => Array(40 * x + y, 7 + 40 * y, 200 + 9 * x))
+    val s = PngPixelDecoder.decode(rgb)
+    assert(s.nPixels == 30L)
+    assert(math.abs(s.meanR - (0 to 4).map(40 * _).sum / 5.0 - 2.5) < 1e-12)
+    assert(math.abs(s.meanG - 7.0 - 40 * 2.5) < 1e-12)
+    assert(math.abs(s.meanB - 200.0 - 9 * 2.0) < 1e-12)
+    // IDAT split across chunks concatenates into one zlib stream
+    val split = PngPixelDecoder.decode(
+      png(5, 6, 2, y => y % 5, (x, y) => Array(40 * x + y, 7 + 40 * y, 200 + 9 * x),
+        splitIdat = true))
+    assert(split == s)
+    // RGBA: alpha channel excluded from the means
+    val rgba = PngPixelDecoder.decode(
+      png(3, 3, 6, _ => 4, (x, y) => Array(x, y, x + y, 255)))
+    assert(rgba.nPixels == 9L && math.abs(rgba.meanR - 1.0) < 1e-12 &&
+      math.abs(rgba.meanB - 2.0) < 1e-12)
+    // grayscale pools the single channel into all three means
+    val gray = PngPixelDecoder.decode(png(4, 2, 0, _ => 1, (x, y) => Array(10 * x + y)))
+    assert(gray.nPixels == 8L && gray.meanR == gray.meanB &&
+      math.abs(gray.meanR - (0 + 10 + 20 + 30) / 4.0 - 0.5) < 1e-12)
+    // the staged-oracle form: stored (uncompressed) deflate block, zeroed
+    // Adler and CRCs — the lenient raw-inflate path must still decode
+    val w0 = 2; val h0 = 1
+    val rb = 1 + w0 * 3
+    val rawRow = Array[Byte](0, 10, 20, 30, 40, 50, 60)
+    val stored = java.nio.ByteBuffer.allocate(2 + 5 + rb + 4)
+      .put(0x78.toByte).put(0x01.toByte).put(0x01.toByte)
+      .putShort(java.lang.Short.reverseBytes(rb.toShort))
+      .putShort(java.lang.Short.reverseBytes((rb ^ 0xFFFF).toShort))
+      .put(rawRow).putInt(0).array()
+    val ihdr0 = java.nio.ByteBuffer.allocate(13).putInt(w0).putInt(h0)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val storedPng = Sig ++
+      java.nio.ByteBuffer.allocate(12 + 13).putInt(13)
+        .put("IHDR".getBytes("US-ASCII")).put(ihdr0).putInt(0).array() ++
+      java.nio.ByteBuffer.allocate(12 + stored.length).putInt(stored.length)
+        .put("IDAT".getBytes("US-ASCII")).put(stored).putInt(0).array() ++
+      java.nio.ByteBuffer.allocate(12).putInt(0)
+        .put("IEND".getBytes("US-ASCII")).putInt(0).array()
+    val sp = PngPixelDecoder.decode(storedPng)
+    assert(sp.nPixels == 2L && math.abs(sp.meanR - 25.0) < 1e-12 &&
+      math.abs(sp.meanG - 35.0) < 1e-12 && math.abs(sp.meanB - 45.0) < 1e-12)
+    // rejections: never a throw — junk, palette, 16-bit, interlaced,
+    // truncated IDAT, decompression bomb (tiny payload, huge raster), null
+    assert(PngPixelDecoder.decode("not a png".getBytes) == PngPixelDecoder.Zero)
+    val pal = png(2, 2, 2, _ => 0, (_, _) => Array(1, 2, 3))
+    pal(25) = 3 // colorType → paletted
+    assert(PngPixelDecoder.decode(pal) == PngPixelDecoder.Zero)
+    val deep = png(2, 2, 2, _ => 0, (_, _) => Array(1, 2, 3))
+    deep(24) = 16 // bit depth
+    assert(PngPixelDecoder.decode(deep) == PngPixelDecoder.Zero)
+    val adam = png(2, 2, 2, _ => 0, (_, _) => Array(1, 2, 3))
+    adam(28) = 1 // interlaced
+    assert(PngPixelDecoder.decode(adam) == PngPixelDecoder.Zero)
+    val trunc = png(5, 6, 2, _ => 0, (_, _) => Array(9, 9, 9)).dropRight(20)
+    assert(PngPixelDecoder.decode(trunc) == PngPixelDecoder.Zero)
+    val bomb = png(2, 2, 2, _ => 0, (_, _) => Array(1, 2, 3))
+    java.nio.ByteBuffer.wrap(bomb).putInt(16, 1 << 20).putInt(20, 1 << 20)
+    assert(PngPixelDecoder.decode(bomb) == PngPixelDecoder.Zero) // 3 TiB declared
+    assert(PngPixelDecoder.decode(null) == PngPixelDecoder.Zero)
+    // dispatch: RasterDecoder routes PNG and BMP by magic; FrameDecoder's
+    // full decode is now real for PNG (meta from the verified raster)
+    import graft.operators.Multimodal.{FrameDecoder, RasterDecoder}
+    assert(RasterDecoder.decode(rgb) == s)
+    val fm = FrameDecoder.decode(rgb)
+    assert(fm.width == 5 && fm.height == 6 && fm.format == "png")
+  }
+
   test("NfcNormalize: composes decomposed sequences, idempotent, null-safe, by name") {
     import graft.functions.GraftFns
     import spark.implicits._
