@@ -15,6 +15,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Bench measures the production hash families (see RunMode scaladoc);
+    // Verify keeps the portable md5 families for the DuckDB oracle.
+    sys.props("graft.hash.family") = "fast"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

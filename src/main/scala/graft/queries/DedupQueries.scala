@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{RunMode, Tables}
 import graft.functions.VectorFns
 import graft.operators.Dedup
 
@@ -66,7 +66,10 @@ object DedupQueries extends QueryFamily {
         val d = Tables(s, dir, "documents")
         Dedup.minHashLsh(d, "doc_id", "text", numHashes = 16, bands = 4,
             threshold = 0.6, shingleSize = Some(3), maxBucketSize = 500,
-            portable = true)
+            // Verify: portable family (bit-exact DuckDB oracle). Bench:
+            // production xxhash64 family, so the measured cost is the
+            // production plan's (RunMode scaladoc).
+            portable = !RunMode.productionHash)
           // single-partition sort, not a range orderBy: same double-execution
           // rationale as q_dedup_jaccard below
           .repartition(1).sortWithinPartitions(col("a_id"), col("b_id"))
@@ -80,7 +83,9 @@ object DedupQueries extends QueryFamily {
       "q_dedup_simhash",
       (s, dir) => {
         val d = Tables(s, dir, "documents")
-        Dedup.simHashPairsPortable(d, "doc_id", "text", maxHamming = 3)
+        // Same family gate as q_dedup_minhash above.
+        (if (RunMode.productionHash) Dedup.simHashPairs(d, "doc_id", "text", maxHamming = 3)
+         else Dedup.simHashPairsPortable(d, "doc_id", "text", maxHamming = 3))
           .orderBy(col("a_id"), col("b_id"))
       },
       Some(simHashOracle)),
