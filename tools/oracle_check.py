@@ -67,6 +67,19 @@ def main():
             print(f"FAIL {name}: columns spark={sorted(got.columns)} oracle={sorted(exp.columns)}")
             n_fail += 1
             continue
+        # dtype-kind guard BEFORE normalization: catches the width-drift bug
+        # class (DuckDB HUGEINT/DECIMAL widened to float64 vs Spark int64 —
+        # hash-differs in the driver even when every value matches) loudly at
+        # authoring time. Kinds: integer/float/bool/datetime/object; int
+        # width differences (int32 vs int64) are fine, int-vs-float is not.
+        kind = lambda s: {"u": "i", "S": "O", "U": "O"}.get(s.dtype.kind, s.dtype.kind)
+        bad_dtypes = [
+            f"{c}: spark={got[c].dtype}({kind(got[c])}) oracle={exp[c].dtype}({kind(exp[c])})"
+            for c in sorted(got.columns) if kind(got[c]) != kind(exp[c])]
+        if bad_dtypes:
+            print(f"FAIL {name}: DTYPE drift — " + "; ".join(bad_dtypes))
+            n_fail += 1
+            continue
         g, e = norm(got), norm(exp)
         if len(g) != len(e):
             print(f"FAIL {name}: rows spark={len(g)} oracle={len(e)}")
