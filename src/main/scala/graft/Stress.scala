@@ -57,6 +57,24 @@ object Stress {
     }
     println(s"[stress] matches: $matches")
 
+    // ---- 1b. one-key batch window kernel through the chunked fold ----
+    // Windows.length on a batch Dataset routes through foldSorted (the
+    // compiled default): spillable secondary sort + 64k-event chunked
+    // kernel fold, so the 10M-event hot key never materializes — the
+    // flatMapGroupsWithState batch path would hold all N in one group.
+    implicit val weEnc: org.apache.spark.sql.Encoder[WinEvent] =
+      org.apache.spark.sql.Encoders.product[WinEvent]
+    val hotWin = spark.range(n).select(
+        lit("hot").as("key"), (col("id") * 1000L).as("tsUs"), col("id").as("eventId"),
+        (col("id") % 97).cast("double").as("value"),
+        typedlit(Seq.empty[Double]).as("vals"),
+        typedlit(Seq.empty[String]).as("svals"))
+      .as[WinEvent]
+    val winRows = timed(s"one-key batch length(10) window, $n events, foldSorted default") {
+      Windows.length(hotWin, 10).count()
+    }
+    println(s"[stress] window changelog rows: $winRows")
+
     // ---- 2. skewed as-of join: sort-merge vs conditional-join fan-out ----
     import org.apache.spark.sql.expressions.Window
     val coldUsers = 1000

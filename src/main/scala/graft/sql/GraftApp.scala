@@ -1309,7 +1309,8 @@ object GraftApp {
             sq.where.map(uexpr).getOrElse(lit(true)),
             if (sq.negated) "left_anti" else "left_semi")
         }
-        val out = compileQuery(withSubs, q)
+        val out = compileQuery(withSubs, q,
+          spec.streams.get(q.source).map(_.options).getOrElse(Map.empty))
         env += q.target -> (if (bounded.contains(q.target)) boundedAppend(q.target, out)
           else env.get(q.target).map(_.unionByName(out)).getOrElse(out))
       case PatternStmt(p) =>
@@ -1429,12 +1430,22 @@ object GraftApp {
     }
   }
 
-  private def compileQuery(src: DataFrame, q: QuerySpec): DataFrame = {
+  private def compileQuery(src: DataFrame, q: QuerySpec,
+                           streamOpts: Map[String, String] = Map.empty): DataFrame = {
     var df = src
     q.where.foreach { w =>
       TypeGuard.check(df.sparkSession, w, df.schema, checkUndefined = true)
       df = df.filter(uexpr(w))
     }
+    // STREAMING kernel windows: per-event window kinds over an unbounded
+    // input lower to the graft.streaming keyed-state kernels — the batch
+    // frame/rank rewrites below are not streaming-legal. Time-horizon kinds
+    // run the EventTimeTimeout form unconditionally (timer-accurate expiry,
+    // the reference's timer wheel); count-shaped kinds take an idle TTL from
+    // the source stream's WITH ('idle.ttl'='…') so quiet keys shed state
+    // through the changelog.
+    if (df.isStreaming && q.window.exists(w => StreamKernelKinds(w.kind)))
+      return compileStreamingKernel(df, q, streamOpts)
     // INSERT EXPIRED/ALL EVENTS (window_definition.rs OutputEventType):
     // batch result-level form for count windows — an event EXPIRED iff it
     // is not among the last n arrivals of its partition key. EXPIRED emits
@@ -1691,6 +1702,248 @@ object GraftApp {
     (Some(Bridge.column(rewritten)), hidden.result())
   }
 
+  /** Window kinds that lower to graft.streaming kernels when the input is
+    * unbounded (the batch rewrites for these are frame/rank plans Spark
+    * cannot run incrementally).
+    */
+  private val StreamKernelKinds = Set("length", "lengthbatch", "time",
+    "externaltime", "delay", "sort", "unique", "firstunique", "frequent",
+    "lossycounting")
+
+  /** STREAMING lowering for kernel-shaped windows: the source row rides
+    * through the keyed-state kernel as string slots (svals — the same
+    * carry-through mechanism as the CEP streaming lowering's CepEvent.svals)
+    * and is restored, cast back to the declared types, on the emitted
+    * changelog row; `op` (+1 Current / −1 Expired) is selectable. INSERT
+    * [CURRENT|EXPIRED|ALL] EVENTS filters the changelog.
+    *
+    * State discipline (the reference's timer wheel, timers/timer_wheel.rs,
+    * re-expressed as EventTimeTimeout):
+    *  - time/externalTime/delay: ALWAYS the *WithTimeout kernel with the
+    *    window duration as the horizon — when the watermark passes (newest
+    *    arrival + d), retained events are provably expired/released and the
+    *    key's state-store entry is removed.
+    *  - count-shaped kinds (length/lengthBatch/sort/unique/firstUnique/
+    *    frequent/lossyCounting): `WITH ('idle.ttl'='<duration>')` on the
+    *    source stream opts into idle-key shedding (retract-then-remove);
+    *    without it the NoTimeout kernel runs and a ScaleWarning flags the
+    *    keys-ever-seen state growth.
+    * `WITH ('allow.lateness'='<duration>')` sets the watermark delay
+    * (disorder tolerance); default 0 = strict in-order contract.
+    */
+  private def compileStreamingKernel(df: DataFrame, q: QuerySpec,
+      streamOpts: Map[String, String]): DataFrame = {
+    import graft.streaming.{Windows, WinEvent, WinOut, WindowKernels}
+    val w = q.window.get
+    implicit val weEnc: org.apache.spark.sql.Encoder[WinEvent] =
+      org.apache.spark.sql.Encoders.product[WinEvent]
+    if (q.groupBy.nonEmpty ||
+        q.selectItems.exists(it => AggCallRe.findFirstIn(it._1.trim).isDefined))
+      throw SqlError(s"window('${w.kind}') on a STREAMING input emits the " +
+        "per-event ±1 changelog; aggregate it downstream in update mode " +
+        "(sum(x * op) per key) — GROUP BY/aggregates are not part of the " +
+        "streaming kernel surface")
+    if (q.orderBy.nonEmpty || q.limit.isDefined || q.offset.isDefined)
+      throw SqlError("ORDER BY/LIMIT/OFFSET are undefined on an unbounded " +
+        "changelog — apply them to a downstream batch read")
+    val fields = df.schema.fields.toSeq
+    def fieldIdx(name: String, what: String): Int = {
+      val i = fields.indexWhere(_.name.equalsIgnoreCase(name))
+      if (i < 0) throw SqlError(s"$what: '$name' is not a stream attribute")
+      i
+    }
+    // the event-time column driving the kernel's timeline and watermark
+    val tsExpr: Column = w.kind match {
+      case "externaltime" =>
+        if (w.params.size < 2) throw SqlError(
+          "window('externalTime') needs (tsAttr, duration)")
+        val f = fields(fieldIdx(w.params.head.trim, "window('externalTime')"))
+        f.dataType match {
+          case TimestampType => unix_micros(col(f.name))
+          case LongType | IntegerType => col(f.name).cast("long") * lit(1000L)
+          case other => throw SqlError(s"window('externalTime'): '${f.name}' " +
+            s"must be LONG millis or TIMESTAMP, got $other")
+        }
+      case _ =>
+        if (!df.columns.contains("ts"))
+          throw SqlError(s"window('${w.kind}') needs a 'ts' TIMESTAMP column " +
+            "for event order")
+        unix_micros(col("ts"))
+    }
+    // unique windows key by the unique attribute (per-key length(1)); the
+    // PARTITION WITH keys compose in front
+    val extraKey = w.kind match {
+      case "unique" | "firstunique" =>
+        val a = w.params.last.trim
+        fieldIdx(a, s"window('${w.kind}')"); Seq(a)
+      case _ => Nil
+    }
+    if (q.partitionKeys.isEmpty && extraKey.isEmpty)
+      ScaleWarnings.warn(s"streaming window('${w.kind}') INTO '${q.target}' " +
+        "has no partition keys: all window state lives under one key = one " +
+        "task — wrap the query in PARTITION WITH (key OF stream) to shard " +
+        "state per key")
+    val keyParts = (q.partitionKeys ++ extraKey)
+      .map(a => coalesce(uexpr(a).cast("string"), lit("\u0000")))
+    val keyCol = if (keyParts.isEmpty) lit("app") else concat_ws("\u0001", keyParts: _*)
+    // sort criteria become the kernel's value/vals comparand slots
+    val sortCrits: Seq[(String, Boolean)] =
+      if (w.kind == "sort") {
+        val crits = parseSortCriteria(w, df.columns.toSeq)
+        crits.foreach { case (a, _) => fieldIdx(a, "window('sort')") }
+        crits
+      } else Nil
+    val valueCol =
+      if (sortCrits.nonEmpty) uexpr(sortCrits.head._1).cast("double")
+      else lit(0.0)
+    val valsCol =
+      if (sortCrits.size > 1)
+        array(sortCrits.tail.map(c => uexpr(c._1).cast("double")): _*)
+      else typedlit(Seq.empty[Double])
+    val svalsCol = array(fields.map(f => col(f.name).cast("string")): _*)
+    val evs = df.select(
+        keyCol.as("key"), tsExpr.as("tsUs"),
+        // same-timestamp tie-break within a micro-batch (arrival ids are
+        // not resolvable in streaming — slots carry the data)
+        xxhash64(df.columns.map(col).toIndexedSeq: _*).as("eventId"),
+        valueCol.as("value"), valsCol.as("vals"), svalsCol.as("svals"))
+      .as[WinEvent]
+    val lateness = streamOpts.getOrElse("allow.lateness", "0 seconds")
+    val idleTtlUs: Option[Long] = streamOpts.get("idle.ttl").map(parseDurationUs)
+    def ttlOrWarn(run: Long => org.apache.spark.sql.Dataset[WinOut],
+                  noTtl: => org.apache.spark.sql.Dataset[WinOut]) =
+      idleTtlUs match {
+        case Some(ttl) => run(ttl)
+        case None =>
+          ScaleWarnings.warn(s"streaming window('${w.kind}') INTO " +
+            s"'${q.target}' has no idle TTL: a key that goes quiet keeps " +
+            "its state forever (state grows with keys-ever-seen) — add " +
+            "WITH ('idle.ttl'='<duration>') on the source stream to shed " +
+            "idle keys through the changelog")
+          noTtl
+      }
+    val out: org.apache.spark.sql.Dataset[WinOut] = w.kind match {
+      case "length" =>
+        val n = intOf(w.params.last, "window('length')", min = 1)
+        ttlOrWarn(Windows.lengthWithTimeout(evs, n, _, lateness),
+          Windows.length(evs, n))
+      case "lengthbatch" =>
+        val n = intOf(w.params.last, "window('lengthBatch')", min = 1)
+        ttlOrWarn(Windows.lengthBatchWithTimeout(evs, n, _, lateness),
+          Windows.lengthBatch(evs, n))
+      case "time" | "externaltime" =>
+        Windows.timeWithTimeout(evs, parseDurationUs(w.params.last), lateness)
+      case "delay" =>
+        val p = w.params.last.trim
+        val us = if (p.matches("\\d+")) p.toLong * 1000L else parseDurationUs(p)
+        Windows.delayWithTimeout(evs, us, lateness)
+      case "sort" =>
+        val n = intOf(w.params.head, "window('sort')", min = 1)
+        val keys = sortCrits.zipWithIndex.map { case ((_, asc), i) =>
+          WindowKernels.SortKey(i, asc) }
+        ttlOrWarn(Windows.sortTopNMultiWithTimeout(evs, n, keys, _, lateness),
+          Windows.sortTopNMulti(evs, n, keys))
+      case "unique" =>
+        ttlOrWarn(Windows.uniqueWithTimeout(evs, _, lateness), Windows.unique(evs))
+      case "firstunique" =>
+        ttlOrWarn(Windows.firstUniqueWithTimeout(evs, _, lateness),
+          Windows.firstUnique(evs))
+      case "frequent" =>
+        val k = intOf(w.params.head, "window('frequent')", min = 1)
+        val attrOf: WinEvent => String =
+          if (w.params.size > 1) {
+            val i = fieldIdx(w.params(1).trim, "window('frequent')")
+            e => String.valueOf(e.svals(i))
+          } else e => e.svals.mkString("\u0001")
+        ttlOrWarn(Windows.frequentWithTimeout(evs, k, _, lateness, attrOf),
+          Windows.frequent(evs, k, attrOf))
+      case "lossycounting" =>
+        if (w.params.size < 2) throw SqlError(
+          "window('lossyCounting') needs (support, error[, attr])")
+        val support = doubleOf(w.params.head, "window('lossyCounting') support")
+        val error = doubleOf(w.params(1), "window('lossyCounting') error")
+        if (support <= 0 || support >= 1) throw SqlError(
+          s"window('lossyCounting'): support must be in (0,1), got $support")
+        if (error <= 0 || error >= support) throw SqlError(
+          s"window('lossyCounting'): error must be in (0, support), got $error")
+        val attrOf: WinEvent => String =
+          if (w.params.size > 2) {
+            val i = fieldIdx(w.params(2).trim, "window('lossyCounting')")
+            e => String.valueOf(e.svals(i))
+          } else e => e.svals.mkString("\u0001")
+        ttlOrWarn(Windows.lossyCountingWithTimeout(evs, support, error, _,
+            lateness, attrOf),
+          Windows.lossyCounting(evs, support, error, attrOf))
+      case other => throw SqlError(s"window('$other') has no streaming lowering")
+    }
+    val changelog = q.outputEvents match {
+      case "expired" => out.filter(col("op") === -1)
+      case "all" => out
+      case _ => out.filter(col("op") === 1)
+    }
+    // restore the source row from the slots, typed; op stays selectable
+    val restored = fields.zipWithIndex.map { case (f, i) =>
+      expr(s"CAST(svals[${i}] AS ${f.dataType.sql})").as(f.name)
+    } :+ col("op")
+    val base = changelog.toDF().select(restored: _*)
+    var res = base.select(q.selectItems.map {
+      case ("*", _) => col("*")
+      case (e, Some(a)) => uexpr(e).as(a)
+      case (e, None) => uexpr(e)
+    }: _*)
+    if (q.distinct) {
+      ScaleWarnings.warn(s"SELECT DISTINCT INTO '${q.target}' on a streaming " +
+        "changelog keeps every distinct row in state forever — bound it " +
+        "with a watermark-aware downstream dedup if the key space is open")
+      res = res.dropDuplicates()
+    }
+    res
+  }
+
+  /** Parse `WINDOW('sort', n, attr [asc|desc], …)` criteria. Two accepted
+    * spellings (sort_window_validation_test.rs): inline `attr [asc|desc]`
+    * and the reference's separate quoted order param `attr, 'asc'|'desc'`.
+    * Criteria must be real attributes — constants and order-string typos
+    * are compile errors, not silent ASC.
+    */
+  private def parseSortCriteria(w: WindowClause, columns: Seq[String]): Seq[(String, Boolean)] = {
+    val critBuf = scala.collection.mutable.Buffer.empty[(String, Boolean)]
+    def dirOf(tok: String, raw: String): Boolean = tok.toLowerCase match {
+      case "asc" => true
+      case "desc" => false
+      case _ => throw SqlError(
+        s"window('sort'): order must be asc or desc, got '$raw'")
+    }
+    def isCol(a: String) = columns.exists(_.equalsIgnoreCase(a))
+    w.params.tail.map(_.trim).filter(_.nonEmpty).foreach { p =>
+      val parts = p.split("\\s+")
+      val head = parts.head
+      // a lone asc/desc param (the reference's `attr, 'desc'` spelling —
+      // quotes are stripped at parse) orders the PREVIOUS criterion
+      if (parts.length == 1 && !isCol(head) &&
+          (head.equalsIgnoreCase("asc") || head.equalsIgnoreCase("desc"))) {
+        if (critBuf.isEmpty) throw SqlError(
+          s"window('sort'): order token '$head' before any sort attribute")
+        critBuf.update(critBuf.length - 1, (critBuf.last._1, dirOf(head, head)))
+      } else {
+        if (parts.length > 2) throw SqlError(s"bad sort criterion '$p'")
+        val asc = parts.length < 2 || dirOf(parts(1), parts(1))
+        if (!isCol(head)) {
+          // a letters-only non-column after a criterion is a mistyped
+          // order word — say so (sort_window_validation_test.rs)
+          if (critBuf.nonEmpty && head.matches("(?i)[a-z]+")) throw SqlError(
+            s"window('sort'): order must be asc or desc, got '$head'")
+          throw SqlError(s"window('sort'): '$head' is not a stream " +
+            "attribute (constants cannot be sort criteria)")
+        }
+        critBuf += ((head, asc))
+      }
+    }
+    if (critBuf.isEmpty)
+      throw SqlError("window('sort') needs (n, attr [asc|desc], …)")
+    critBuf.toSeq
+  }
+
   /** Join-side buffer window: the batch result-level CONTENTS of the side's
     * window buffer (join_processor.rs:18-214 — every arrival probes the
     * opposite side's windowed buffer; final-state form here, consistent with
@@ -1834,45 +2087,7 @@ object GraftApp {
     // of the streaming kernel Windows.sortTopNMulti.
     case "sort" =>
       val n = intOf(w.params.head, "window('sort')", min = 1)
-      // two accepted spellings (sort_window_validation_test.rs): inline
-      // `attr [asc|desc]` and the reference's separate quoted order param
-      // `attr, 'asc'|'desc'`. Criteria must be real attributes — constants
-      // and order-string typos are compile errors, not silent ASC.
-      val critBuf = scala.collection.mutable.Buffer.empty[(String, Boolean)]
-      def dirOf(tok: String, raw: String): Boolean = tok.toLowerCase match {
-        case "asc" => true
-        case "desc" => false
-        case _ => throw SqlError(
-          s"window('sort'): order must be asc or desc, got '$raw'")
-      }
-      def isCol(a: String) = df.columns.exists(_.equalsIgnoreCase(a))
-      w.params.tail.map(_.trim).filter(_.nonEmpty).foreach { p =>
-        val parts = p.split("\\s+")
-        val head = parts.head
-        // a lone asc/desc param (the reference's `attr, 'desc'` spelling —
-        // quotes are stripped at parse) orders the PREVIOUS criterion
-        if (parts.length == 1 && !isCol(head) &&
-            (head.equalsIgnoreCase("asc") || head.equalsIgnoreCase("desc"))) {
-          if (critBuf.isEmpty) throw SqlError(
-            s"window('sort'): order token '$head' before any sort attribute")
-          critBuf.update(critBuf.length - 1, (critBuf.last._1, dirOf(head, head)))
-        } else {
-          if (parts.length > 2) throw SqlError(s"bad sort criterion '$p'")
-          val asc = parts.length < 2 || dirOf(parts(1), parts(1))
-          if (!isCol(head)) {
-            // a letters-only non-column after a criterion is a mistyped
-            // order word — say so (sort_window_validation_test.rs)
-            if (critBuf.nonEmpty && head.matches("(?i)[a-z]+")) throw SqlError(
-              s"window('sort'): order must be asc or desc, got '$head'")
-            throw SqlError(s"window('sort'): '$head' is not a stream " +
-              "attribute (constants cannot be sort criteria)")
-          }
-          critBuf += ((head, asc))
-        }
-      }
-      val crits = critBuf.toSeq
-      if (crits.isEmpty)
-        throw SqlError("window('sort') needs (n, attr [asc|desc], …)")
+      val crits = parseSortCriteria(w, df.columns.toSeq)
       if (!df.columns.contains("ts"))
         throw SqlError("window('sort') needs a 'ts' TIMESTAMP column for order tie-break")
       if (partitionKeys.isEmpty)

@@ -11,8 +11,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (aggregator/mod.rs:15) re-expressed as a changelog.
   */
 final case class WinEvent(key: String, tsUs: Long, eventId: Long, value: Double,
-                          vals: Seq[Double] = Nil)
-final case class WinOut(key: String, tsUs: Long, eventId: Long, value: Double, op: Int)
+                          vals: Seq[Double] = Nil, svals: Seq[String] = Nil)
+final case class WinOut(key: String, tsUs: Long, eventId: Long, value: Double, op: Int,
+                        svals: Seq[String] = Nil)
 
 /** Misra-Gries counter slot for the frequent window: tracked attribute
   * value, its count, and the latest retained event of that value.
@@ -59,15 +60,24 @@ object WindowKernels {
   final case class WinBuffer(events: Seq[WinEvent], prev: Seq[WinEvent])
   val EmptyBuffer: WinBuffer = WinBuffer(Nil, Nil)
 
+  /** Changelog row constructors: the event's payload slots (svals) ride
+    * along so SQL-surface lowerings can restore source columns from the
+    * emitted row — no join back to the source.
+    */
+  @inline def current(e: WinEvent): WinOut =
+    WinOut(e.key, e.tsUs, e.eventId, e.value, 1, e.svals)
+  @inline def expired(e: WinEvent): WinOut =
+    WinOut(e.key, e.tsUs, e.eventId, e.value, -1, e.svals)
+
   def length(events: Seq[WinEvent], buf: WinBuffer, n: Int): (Seq[WinOut], WinBuffer) = {
     var b = buf.events.toVector
     val out = Seq.newBuilder[WinOut]
     events.foreach { e =>
-      out += WinOut(e.key, e.tsUs, e.eventId, e.value, 1)
+      out += current(e)
       b :+= e
       if (b.size > n) {
         val old = b.head; b = b.tail
-        out += WinOut(old.key, old.tsUs, old.eventId, old.value, -1)
+        out += expired(old)
       }
     }
     (out.result(), WinBuffer(b, Nil))
@@ -80,8 +90,8 @@ object WindowKernels {
     events.foreach { e =>
       cur :+= e
       if (cur.size == n) {
-        prev.foreach(p => out += WinOut(p.key, p.tsUs, p.eventId, p.value, -1))
-        cur.foreach(c => out += WinOut(c.key, c.tsUs, c.eventId, c.value, 1))
+        prev.foreach(p => out += expired(p))
+        cur.foreach(c => out += current(c))
         prev = cur; cur = Vector.empty
       }
     }
@@ -92,10 +102,10 @@ object WindowKernels {
     var b = buf.events.toVector
     val out = Seq.newBuilder[WinOut]
     events.foreach { e =>
-      out += WinOut(e.key, e.tsUs, e.eventId, e.value, 1)
+      out += current(e)
       b :+= e
-      val (expired, kept) = b.partition(_.tsUs <= e.tsUs - durUs)
-      expired.foreach(x => out += WinOut(x.key, x.tsUs, x.eventId, x.value, -1))
+      val (evicted, kept) = b.partition(_.tsUs <= e.tsUs - durUs)
+      evicted.foreach(x => out += expired(x))
       b = kept
     }
     (out.result(), WinBuffer(b, Nil))
@@ -110,7 +120,7 @@ object WindowKernels {
     var b = buf.events.toVector
     val out = Seq.newBuilder[WinOut]
     events.foreach { e =>
-      if (b.isEmpty) { out += WinOut(e.key, e.tsUs, e.eventId, e.value, 1); b = Vector(e) }
+      if (b.isEmpty) { out += current(e); b = Vector(e) }
     }
     (out.result(), WinBuffer(b, Nil))
   }
@@ -126,7 +136,7 @@ object WindowKernels {
     events.foreach { e =>
       b :+= e
       val (due, held) = b.partition(x => x.tsUs + durUs <= e.tsUs)
-      due.foreach(x => out += WinOut(x.key, x.tsUs, x.eventId, x.value, 1))
+      due.foreach(x => out += current(x))
       b = held
     }
     (out.result(), WinBuffer(b, Nil))
@@ -149,17 +159,17 @@ object WindowKernels {
       entries.indexWhere(_.attr == a) match {
         case i if i >= 0 =>
           val old = entries(i)
-          out += WinOut(old.ev.key, old.ev.tsUs, old.ev.eventId, old.ev.value, -1)
-          out += WinOut(e.key, e.tsUs, e.eventId, e.value, 1)
+          out += expired(old.ev)
+          out += current(e)
           entries = entries.updated(i, FreqEntry(a, old.cnt + 1, e))
         case _ if entries.size < k =>
-          out += WinOut(e.key, e.tsUs, e.eventId, e.value, 1)
+          out += current(e)
           entries :+= FreqEntry(a, 1L, e)
         case _ =>
           val dec = entries.map(en => en.copy(cnt = en.cnt - 1))
           val (dead, live) = dec.partition(_.cnt <= 0)
           dead.foreach(en =>
-            out += WinOut(en.ev.key, en.ev.tsUs, en.ev.eventId, en.ev.value, -1))
+            out += expired(en.ev))
           entries = live
       }
     }
@@ -195,7 +205,7 @@ object WindowKernels {
     var n = st.n
     var entries = st.entries.toVector
     val out = Seq.newBuilder[WinOut]
-    def retract(e: WinEvent): Unit = out += WinOut(e.key, e.tsUs, e.eventId, e.value, -1)
+    def retract(e: WinEvent): Unit = out += expired(e)
     events.foreach { e =>
       n += 1
       val bucket = (n + w - 1) / w // ⌈n/w⌉
@@ -208,7 +218,7 @@ object WindowKernels {
       val en1 =
         if (qualifies) {
           if (en0.emitted) retract(en0.ev)
-          out += WinOut(e.key, e.tsUs, e.eventId, e.value, 1)
+          out += current(e)
           en0.copy(ev = e, emitted = true)
         } else {
           // falling edge on arrival: the threshold (support−error)·n can
@@ -263,11 +273,11 @@ object WindowKernels {
       }
     }
     events.foreach { e =>
-      out += WinOut(e.key, e.tsUs, e.eventId, e.value, 1)
+      out += current(e)
       b = (b :+ e).sorted(ord)
       if (b.size > n) {
         val ejected = b.last; b = b.init
-        out += WinOut(ejected.key, ejected.tsUs, ejected.eventId, ejected.value, -1)
+        out += expired(ejected)
       }
     }
     (out.result(), WinBuffer(b, Nil))
@@ -289,15 +299,15 @@ object WindowKernels {
     events.foreach { e =>
       behavior match {
         case RateBehavior.First =>
-          if (cnt % n == 0) out += WinOut(e.key, e.tsUs, e.eventId, e.value, 1)
+          if (cnt % n == 0) out += current(e)
           cnt += 1
         case RateBehavior.Last =>
           cnt += 1
-          if (cnt % n == 0) out += WinOut(e.key, e.tsUs, e.eventId, e.value, 1)
+          if (cnt % n == 0) out += current(e)
         case RateBehavior.All =>
           pending :+= e
           if (pending.size == n) {
-            pending.foreach(p => out += WinOut(p.key, p.tsUs, p.eventId, p.value, 1))
+            pending.foreach(p => out += current(p))
             pending = Vector.empty
           }
       }
@@ -318,7 +328,7 @@ object WindowKernels {
   * are sorted by (tsUs, eventId), cross-batch order is the source contract.
   */
 object Windows {
-  import WindowKernels.{EmptyBuffer, WinBuffer}
+  import WindowKernels.{EmptyBuffer, WinBuffer, current, expired}
 
   private implicit val keyEnc: Encoder[String] = Encoders.STRING
   private implicit val outEnc: Encoder[WinOut] = Encoders.product[WinOut]
@@ -327,15 +337,24 @@ object Windows {
   private def sorted(it: Iterator[WinEvent]): Seq[WinEvent] =
     it.toSeq.sortBy(e => (e.tsUs, e.eventId))
 
+  /** Kernel dispatch: streaming inputs run the keyed-state form; batch
+    * inputs fold through [[foldSorted]] — a spillable secondary sort plus a
+    * fixed-size chunked fold, so a hot key's whole history is NEVER resident
+    * (the flatMapGroupsWithState batch path materializes each key group).
+    * Chunked ≡ one-shot is the WindowPropSpec/StreamingSpec-pinned property
+    * every kernel satisfies by construction.
+    */
   private def kernel(ds: Dataset[WinEvent])(
       f: (Seq[WinEvent], WinBuffer) => (Seq[WinOut], WinBuffer)): Dataset[WinOut] =
-    ds.groupByKey(_.key).flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-      (_: String, it: Iterator[WinEvent], state: GroupState[WinBuffer]) =>
-        val (out, next) = f(sorted(it), state.getOption.getOrElse(EmptyBuffer))
-        state.update(next)
-        out.iterator
-    }
+    if (ds.isStreaming)
+      ds.groupByKey(_.key).flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[WinEvent], state: GroupState[WinBuffer]) =>
+          val (out, next) = f(sorted(it), state.getOption.getOrElse(EmptyBuffer))
+          state.update(next)
+          out.iterator
+      }
+    else foldSorted(ds)(f)
 
   /** Sliding count window of size n: every arrival emits Current; once full,
     * each arrival also evicts (Expired) the oldest event.
@@ -392,14 +411,17 @@ object Windows {
   def outputEveryN(ds: Dataset[WinEvent], n: Int,
                    behavior: RateBehavior): Dataset[WinOut] = {
     implicit val rateEnc: Encoder[RateBuffer] = Encoders.product[RateBuffer]
-    ds.groupByKey(_.key).flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-      (_: String, it: Iterator[WinEvent], state: GroupState[RateBuffer]) =>
-        val (out, next) = WindowKernels.everyNEvents(sorted(it),
-          state.getOption.getOrElse(RateBuffer(0L, Nil)), n, behavior)
-        state.update(next)
-        out.iterator
-    }
+    if (ds.isStreaming)
+      ds.groupByKey(_.key).flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[WinEvent], state: GroupState[RateBuffer]) =>
+          val (out, next) = WindowKernels.everyNEvents(sorted(it),
+            state.getOption.getOrElse(RateBuffer(0L, Nil)), n, behavior)
+          state.update(next)
+          out.iterator
+      }
+    else foldSortedS(ds, RateBuffer(0L, Nil))(
+      (evs, st) => WindowKernels.everyNEvents(evs, st, n, behavior))
   }
 
   /** frequent window: Misra-Gries top-k by an attribute of the event
@@ -408,13 +430,18 @@ object Windows {
   def frequent(ds: Dataset[WinEvent], k: Int,
                attrOf: WinEvent => String = _.value.toString): Dataset[WinOut] = {
     implicit val freqEnc: Encoder[FreqState] = Encoders.product[FreqState]
-    ds.groupByKey(_.key).flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-      (_: String, it: Iterator[WinEvent], state: GroupState[FreqState]) =>
-        val (out, next) = WindowKernels.frequent(sorted(it),
-          state.getOption.map(_.entries).getOrElse(Nil), k, attrOf)
-        state.update(FreqState(next))
-        out.iterator
+    if (ds.isStreaming)
+      ds.groupByKey(_.key).flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[WinEvent], state: GroupState[FreqState]) =>
+          val (out, next) = WindowKernels.frequent(sorted(it),
+            state.getOption.map(_.entries).getOrElse(Nil), k, attrOf)
+          state.update(FreqState(next))
+          out.iterator
+      }
+    else foldSortedS(ds, FreqState(Nil)) { (evs, st) =>
+      val (out, next) = WindowKernels.frequent(evs, st.entries, k, attrOf)
+      (out, FreqState(next))
     }
   }
 
@@ -425,14 +452,17 @@ object Windows {
   def lossyCounting(ds: Dataset[WinEvent], support: Double, error: Double,
                     attrOf: WinEvent => String = _.value.toString): Dataset[WinOut] = {
     implicit val lossyEnc: Encoder[LossyState] = Encoders.product[LossyState]
-    ds.groupByKey(_.key).flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-      (_: String, it: Iterator[WinEvent], state: GroupState[LossyState]) =>
-        val (out, next) = WindowKernels.lossyCounting(sorted(it),
-          state.getOption.getOrElse(LossyState(0L, Nil)), support, error, attrOf)
-        state.update(next)
-        out.iterator
-    }
+    if (ds.isStreaming)
+      ds.groupByKey(_.key).flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[WinEvent], state: GroupState[LossyState]) =>
+          val (out, next) = WindowKernels.lossyCounting(sorted(it),
+            state.getOption.getOrElse(LossyState(0L, Nil)), support, error, attrOf)
+          state.update(next)
+          out.iterator
+      }
+    else foldSortedS(ds, LossyState(0L, Nil))(
+      (evs, st) => WindowKernels.lossyCounting(evs, st, support, error, attrOf))
   }
 
   // --------------------------------------------------------------------
@@ -500,9 +530,9 @@ object Windows {
 
   private def bufEmpty(b: WinBuffer): Boolean = b.events.isEmpty && b.prev.isEmpty
   private def expireAll(es: Seq[WinEvent]): Seq[WinOut] =
-    es.map(e => WinOut(e.key, e.tsUs, e.eventId, e.value, -1))
+    es.map(e => expired(e))
   private def releaseAll(es: Seq[WinEvent]): Seq[WinOut] =
-    es.map(e => WinOut(e.key, e.tsUs, e.eventId, e.value, 1))
+    es.map(e => current(e))
 
   /** time window with timer-accurate expiry: when the watermark passes
     * (newest arrival + durUs), every retained event is provably expired —
@@ -546,6 +576,14 @@ object Windows {
     timeoutKernel(ds, watermarkDelay, idleTtlUs, EmptyBuffer, bufEmpty,
       (b: WinBuffer) => expireAll(b.events))(
       WindowKernels.sortTopN(_, _, n, descending))
+
+  /** multi-criteria sort window + idle TTL: retained top-n retracts. */
+  def sortTopNMultiWithTimeout(ds: Dataset[WinEvent], n: Int,
+                               keys: Seq[WindowKernels.SortKey], idleTtlUs: Long,
+                               watermarkDelay: String): Dataset[WinOut] =
+    timeoutKernel(ds, watermarkDelay, idleTtlUs, EmptyBuffer, bufEmpty,
+      (b: WinBuffer) => expireAll(b.events))(
+      WindowKernels.sortTopNMulti(_, _, n, keys))
 
   /** unique (keep-latest) + idle TTL: the latest holder retracts. */
   def uniqueWithTimeout(ds: Dataset[WinEvent], idleTtlUs: Long,
@@ -599,7 +637,15 @@ object Windows {
     * (events, state) → (out, state) fold — the property WindowPropSpec pins.
     */
   def foldSorted(ds: Dataset[WinEvent], chunkSize: Int = 1 << 16)(
-      f: (Seq[WinEvent], WinBuffer) => (Seq[WinOut], WinBuffer)): Dataset[WinOut] = {
+      f: (Seq[WinEvent], WinBuffer) => (Seq[WinOut], WinBuffer)): Dataset[WinOut] =
+    foldSortedS(ds, EmptyBuffer, chunkSize)(f)
+
+  /** [[foldSorted]] generalized over the kernel's state type, so the
+    * sketch-state kernels (frequent / lossyCounting / output-rate) get the
+    * same bounded-memory batch path as the buffer-state ones.
+    */
+  def foldSortedS[S](ds: Dataset[WinEvent], empty: S, chunkSize: Int = 1 << 16)(
+      f: (Seq[WinEvent], S) => (Seq[WinOut], S)): Dataset[WinOut] = {
     import org.apache.spark.sql.functions.col
     implicit val evEnc: Encoder[WinEvent] = Encoders.product[WinEvent]
     val sorted = ds.repartition(col("key"))
@@ -611,7 +657,7 @@ object Windows {
         def hasNext: Boolean = b.hasNext
         def next(): Iterator[WinOut] = {
           val key = b.head.key
-          var st = EmptyBuffer
+          var st = empty
           val chunks = new Iterator[Seq[WinEvent]] {
             def hasNext: Boolean = b.hasNext && b.head.key == key
             def next(): Seq[WinEvent] = {

@@ -978,6 +978,120 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("STREAMING SQL kernel window: GraftApp-compiled length changelog, " +
+       "idle.ttl drains the quiet key's state, post-TTL arrival starts fresh") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)] // (sec, user, tag, v)
+    val events = in.toDS().toDF("sec", "user_id", "tag", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "tag", "v")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, tag STRING, v DOUBLE)
+        |  WITH ('idle.ttl'='10 seconds');
+        |CREATE STREAM Out (user_id BIGINT, tag STRING, v DOUBLE, op INT);
+        |PARTITION WITH (user_id OF E) BEGIN
+        |  INSERT ALL EVENTS INTO Out SELECT user_id, tag, v, op
+        |  FROM E WINDOW('length', 2)
+        |END;""".stripMargin
+    val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+    assert(outDf.isStreaming)
+    val q = outDf.writeStream.format("memory").queryName("sqlker_sink")
+      .outputMode("append").start()
+    def stateRows: Long = q.lastProgress.stateOperators.head.numRowsTotal
+    def rows(): Seq[(Long, String, Double, Int)] =
+      spark.table("sqlker_sink").collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    try {
+      // user 7: third arrival overflows length(2) → 'a' evicts (op −1),
+      // payload columns restored through the slots with their types
+      in.addData((1L, 7L, "a", 1.0), (2L, 7L, "b", 2.0), (3L, 7L, "c", 3.0))
+      q.processAllAvailable()
+      assert(rows().count(_._4 == 1) == 3)
+      assert(rows().filter(_._4 == -1) == Seq((7L, "a", 1.0, -1)))
+      assert(stateRows == 1)
+      // user 9's far-future events advance the watermark past user 7's
+      // idle deadline; the NEXT batch fires the timeout: retained b and c
+      // retract through the changelog and the state entry is REMOVED
+      in.addData((60L, 9L, "x", 9.0)); q.processAllAvailable()
+      in.addData((61L, 9L, "y", 9.5)); q.processAllAvailable()
+      assert(rows().filter(t => t._1 == 7L && t._4 == -1).map(_._2).toSet ==
+        Set("a", "b", "c"))
+      assert(stateRows == 1) // user 9 only — user 7 drained
+      // post-TTL arrival starts the key FRESH: its window refills from
+      // empty (no eviction), proving the old buffer is gone not dormant
+      in.addData((62L, 7L, "d", 4.0)); q.processAllAvailable()
+      assert(rows().filter(t => t._1 == 7L && t._2 == "d") ==
+        Seq((7L, "d", 4.0, 1)))
+      assert(stateRows == 2)
+    } finally q.stop()
+  }
+
+  test("STREAMING SQL time window via GraftApp: timer-accurate expiry fires " +
+       "from the watermark, no same-key arrival needed; CURRENT is the default") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Double)] // (sec, user, v)
+    val events = in.toDS().toDF("sec", "user_id", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "user_id", "v")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, v DOUBLE);
+        |CREATE STREAM Cur (user_id BIGINT, v DOUBLE);
+        |CREATE STREAM Chg (user_id BIGINT, v DOUBLE, op INT);
+        |PARTITION WITH (user_id OF E) BEGIN
+        |  INSERT INTO Cur SELECT user_id, v FROM E WINDOW('time', '10 seconds');
+        |  INSERT ALL EVENTS INTO Chg SELECT user_id, v, op
+        |  FROM E WINDOW('time', '10 seconds')
+        |END;""".stripMargin
+    val env = graft.sql.GraftApp.run(spark, app, Map("E" -> events))
+    val qc = env("Cur").writeStream.format("memory").queryName("sqltime_cur")
+      .outputMode("append").start()
+    val qa = env("Chg").writeStream.format("memory").queryName("sqltime_chg")
+      .outputMode("append").start()
+    def chgStateRows: Long = qa.lastProgress.stateOperators.head.numRowsTotal
+    try {
+      def feed(rows: (Long, Long, Double)*): Unit = {
+        in.addData(rows); qc.processAllAvailable(); qa.processAllAvailable()
+      }
+      feed((1L, 7L, 1.0), (2L, 7L, 2.0))
+      // default surface = CURRENT events only (no op column, +1 rows)
+      assert(spark.table("sqltime_cur").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet == Set((7L, 1.0), (7L, 2.0)))
+      assert(chgStateRows == 1)
+      // watermark passes (newest k7 arrival + 10 s) via another key's
+      // events → k7's retained events emit Expired and its state drops:
+      // the NoTimeout form would hold them forever absent a k7 arrival
+      feed((60L, 9L, 9.0)); feed((61L, 9L, 9.5))
+      val expired = spark.table("sqltime_chg").collect()
+        .filter(r => r.getInt(2) == -1).map(r => (r.getLong(0), r.getDouble(1)))
+      assert(expired.toSet == Set((7L, 1.0), (7L, 2.0)))
+      assert(chgStateRows == 1) // k9 only
+      // the CURRENT-only surface never saw a retraction row
+      assert(spark.table("sqltime_cur").columns.toSeq == Seq("user_id", "v"))
+    } finally { qc.stop(); qa.stop() }
+  }
+
+  test("STREAMING SQL kernel window rejects aggregates/ORDER BY with typed errors") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Double)]
+    val events = in.toDS().toDF("sec", "user_id", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "user_id", "v")
+    def app(body: String) =
+      s"""CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, v DOUBLE);
+         |CREATE STREAM Out (a DOUBLE);
+         |$body;""".stripMargin
+    val e1 = intercept[graft.sql.GraftApp.SqlError] {
+      graft.sql.GraftApp.run(spark,
+        app("INSERT INTO Out SELECT sum(v) AS a FROM E WINDOW('length', 3)"),
+        Map("E" -> events))
+    }
+    assert(e1.getMessage.contains("changelog"))
+    val e2 = intercept[graft.sql.GraftApp.SqlError] {
+      graft.sql.GraftApp.run(spark,
+        app("INSERT INTO Out SELECT v AS a FROM E WINDOW('length', 3) ORDER BY a"),
+        Map("E" -> events))
+    }
+    assert(e2.getMessage.contains("unbounded"))
+  }
+
   test("window kernel runs unchanged on the RocksDB state store (the 100 TB state path)") {
     // HDFSBackedStateStore holds every key's state in executor heap; at
     // 100 TB key cardinality the deployment answer is the RocksDB provider
