@@ -70,7 +70,8 @@ object Bench {
     val winDs = events.select(
       col("user_id").cast("string").as("key"), unix_micros(col("ts")).as("tsUs"),
       col("event_id").as("eventId"), col("value"),
-      typedlit(Seq.empty[Double]).as("vals")).as[WinEvent]
+      typedlit(Seq.empty[Double]).as("vals"),
+      typedlit(Seq.empty[String]).as("svals")).as[WinEvent]
     val cepSpec = PatternSpec(
       Seq(Step.simple("a")(_.etype == "signup"), Step.simple("b")(_.etype == "purchase")),
       strict = false, every = true, withinUs = Some(86400000000L))
