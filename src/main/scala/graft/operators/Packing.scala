@@ -37,4 +37,54 @@ object Packing {
         floor((col("__cum") - col(lenCol)) / lit(budget.toDouble)).cast("long"))
       .drop("__cum")
   }
+
+  /** Greedy sequential BIN packing — adds `bin_id`. Documents are laid out
+    * per stratum in `idCol` order; one that does not fit the open bin
+    * CLOSES it and starts the next, so no document straddles a boundary —
+    * the packed-SFT / fine-tuning layout where example boundaries must not
+    * cross sequences ([[offsetPack]] is the concat-then-chunk pretraining
+    * layout that allows straddle). A document longer than the budget gets a
+    * bin of its own (callers chunk oversized docs first — Curation
+    * .chunkTokens).
+    *
+    * Determinism: the assignment is a pure left fold over the stratum's
+    * idCol-ordered length sequence — independent of partitioning, cluster
+    * size, and reruns (same contract as the hash-gated samplers).
+    *
+    * Scale shape: one shuffle on the stratum key, a SPILLABLE secondary
+    * sort (strata, id), then a sequential in-partition fold with O(1)
+    * state (open-bin fill) — a hot stratum streams through, same
+    * bounded-memory shape as Windows.foldSorted / Cep.detectSorted. NOT a
+    * partitioned window: the fill-reset recurrence is not expressible as a
+    * frame aggregate, and a row_number-based rewrite would carry the whole
+    * stratum through one window buffer.
+    */
+  def binPack(df: DataFrame, strataCols: Seq[String], idCol: String,
+              lenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(strataCols.nonEmpty, "binPack needs at least one stratum column")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sorted = df
+      .repartition(strataCols.map(col): _*)
+      .sortWithinPartitions((strataCols :+ idCol).map(col): _*)
+    val strataIdx = strataCols.map(sorted.schema.fieldIndex)
+    val lenIdx = sorted.schema.fieldIndex(lenCol)
+    val outSchema = StructType(sorted.schema.fields :+
+      StructField("bin_id", LongType, nullable = false))
+    sorted.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var bin = 0L
+      var fill = 0L
+      it.map { r =>
+        val key = strataIdx.map(r.get)
+        if (key != curKey) { curKey = key; bin = 0L; fill = 0L }
+        val len = if (r.isNullAt(lenIdx)) 0L
+          else r.get(lenIdx).asInstanceOf[Number].longValue()
+        if (fill > 0L && fill + len > budget) { bin += 1L; fill = len }
+        else fill += len
+        Row.fromSeq(r.toSeq :+ bin)
+      }
+    }(Encoders.row(outSchema))
+  }
 }

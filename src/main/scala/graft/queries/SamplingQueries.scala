@@ -70,6 +70,36 @@ object SamplingQueries extends QueryFamily {
              |FROM (SELECT source, doc_id, n_chars,
              |        sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS cum
              |      FROM documents)
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Greedy BIN packing (no straddle — the packed-SFT layout): per-source
+    // sequential fill into 4096-char bins, a doc that does not fit closes
+    // the bin. Oracle replays the same left fold with a recursive CTE.
+    QueryDef(
+      "q_pack_bins",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        graft.operators.Packing.binPack(d, Seq("source"), "doc_id", "n_chars", 4096L)
+          .groupBy(col("source"), col("bin_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy(col("source"), col("bin_id"))
+      },
+      Some("""WITH RECURSIVE ordered AS (
+             |  SELECT source, doc_id, COALESCE(n_chars, 0) AS n_chars,
+             |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+             |  FROM documents),
+             |p AS (
+             |  SELECT source, rn, n_chars, 0 AS bin, n_chars AS fill
+             |  FROM ordered WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.source, o.rn, o.n_chars,
+             |         CASE WHEN p.fill > 0 AND p.fill + o.n_chars > 4096
+             |              THEN p.bin + 1 ELSE p.bin END,
+             |         CASE WHEN p.fill > 0 AND p.fill + o.n_chars > 4096
+             |              THEN o.n_chars ELSE p.fill + o.n_chars END
+             |  FROM p JOIN ordered o ON o.source = p.source AND o.rn = p.rn + 1)
+             |SELECT source, CAST(bin AS BIGINT) AS bin_id, count(*) AS n_docs,
+             |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

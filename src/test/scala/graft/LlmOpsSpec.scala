@@ -616,4 +616,48 @@ class LlmOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("Packing.binPack: no straddle, greedy-closed bins, partition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // lengths include oversize docs (> budget) and zero-length docs
+    val docs = (1L to 1200L).map { i =>
+      val len = rnd.nextInt(10) match {
+        case 0 => 0L
+        case 9 => 2500L + rnd.nextInt(1000) // oversized: own bin
+        case _ => 50L + rnd.nextInt(700)
+      }
+      (i, s"s${i % 5}", len)
+    }.toDF("doc_id", "source", "len")
+    val budget = 2048L
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Packing.binPack(df, Seq("source"), "doc_id", "len", budget)
+        .select($"source", $"doc_id", $"len", $"bin_id")
+        .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val packed = collect(docs)
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      val byId = rows.sortBy(_._2)
+      // replay the reference left fold
+      var bin = 0L; var fill = 0L
+      byId.foreach { case (_, _, len, got) =>
+        if (fill > 0L && fill + len > budget) { bin += 1; fill = len }
+        else fill += len
+        assert(got == bin)
+      }
+      // no bin with 2+ NONEMPTY docs exceeds the budget (an oversize doc
+      // shares a bin only with zero-length docs, which add no content)
+      byId.groupBy(_._4).foreach { case (_, ds) =>
+        if (ds.count(_._3 > 0) > 1) assert(ds.map(_._3).sum <= budget)
+      }
+      // bins are contiguous from 0
+      val bins = byId.map(_._4).distinct.sorted
+      assert(bins.head == 0L && bins.toVector == (0L to bins.last).toVector)
+    }
+    // assignment is a pure function of the data — any input partitioning
+    // (including a pathological single partition and a scrambled order)
+    // yields the identical layout
+    assert(collect(docs.repartition(1)).toSeq == packed.toSeq)
+    assert(collect(docs.orderBy(org.apache.spark.sql.functions.rand(3)))
+      .toSeq == packed.toSeq)
+  }
 }
