@@ -1069,6 +1069,73 @@ class StreamingSpec extends AnyFunSuite {
     } finally { qc.stop(); qa.stop() }
   }
 
+  test("STREAMING SQL changelog aggregation: update-mode sum(v*op) over the " +
+       "GraftApp kernel changelog IS the live window aggregate per key") {
+    // the pattern the kernel surface's error message prescribes: aggregates
+    // run DOWNSTREAM of the ±1 changelog — incremental add/remove, the
+    // reference's aggregator protocol
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Double)] // (sec, user, v)
+    val events = in.toDS().toDF("sec", "user_id", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "user_id", "v")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, v DOUBLE);
+        |CREATE STREAM Chg (user_id BIGINT, v DOUBLE, op INT);
+        |PARTITION WITH (user_id OF E) BEGIN
+        |  INSERT ALL EVENTS INTO Chg SELECT user_id, v, op
+        |  FROM E WINDOW('length', 3)
+        |END;""".stripMargin
+    val chg = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Chg")
+    val winSum = chg.groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.sum($"v" * $"op").as("win_sum"))
+    val q = winSum.writeStream.format("memory").queryName("sqlagg_sink")
+      .outputMode("complete").start()
+    def sums(): Map[Long, Double] = spark.table("sqlagg_sink").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    try {
+      in.addData((1L, 7L, 1.0), (2L, 7L, 2.0), (3L, 8L, 10.0))
+      q.processAllAvailable()
+      assert(sums() == Map(7L -> 3.0, 8L -> 10.0))
+      // u7's 4th arrival evicts v=1 (op −1): live sum = 2+3+4, across
+      // micro-batches, with no reprocessing of the earlier events
+      in.addData((4L, 7L, 3.0), (5L, 7L, 4.0)); q.processAllAvailable()
+      assert(sums() == Map(7L -> 9.0, 8L -> 10.0))
+    } finally q.stop()
+  }
+
+  test("STREAMING SQL sort window via GraftApp: top-n retention, worst ejects " +
+       "as Expired, criteria ride the value/vals comparand slots") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)] // (sec, user, tag, v)
+    val events = in.toDS().toDF("sec", "user_id", "tag", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "tag", "v")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, tag STRING, v DOUBLE);
+        |CREATE STREAM Out (tag STRING, v DOUBLE, op INT);
+        |PARTITION WITH (user_id OF E) BEGIN
+        |  INSERT ALL EVENTS INTO Out SELECT tag, v, op
+        |  FROM E WINDOW('sort', 2, v desc)
+        |END;""".stripMargin
+    val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+    val q = outDf.writeStream.format("memory").queryName("sqlsort_sink")
+      .outputMode("append").start()
+    def rows(): Seq[(String, Double, Int)] = spark.table("sqlsort_sink")
+      .collect().toSeq.map(r => (r.getString(0), r.getDouble(1), r.getInt(2)))
+    try {
+      // u7 keeps the 2 LARGEST v: 5 then 9 admit; 7 admits and ejects 5
+      in.addData((1L, 7L, "a", 5.0), (2L, 7L, "b", 9.0), (3L, 7L, "c", 7.0))
+      q.processAllAvailable()
+      assert(rows().count(_._3 == 1) == 3)
+      assert(rows().filter(_._3 == -1) == Seq(("a", 5.0, -1)))
+      // a smaller v is admitted (Current) and immediately ejected as the
+      // worst retained — the reference sort-window overflow protocol
+      in.addData((4L, 7L, "d", 1.0)); q.processAllAvailable()
+      assert(rows().filter(t => t._1 == "d").toSet ==
+        Set(("d", 1.0, 1), ("d", 1.0, -1)))
+    } finally q.stop()
+  }
+
   test("STREAMING SQL kernel window rejects aggregates/ORDER BY with typed errors") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, Double)]
