@@ -58,6 +58,10 @@ object Packing {
     * partitioned window: the fill-reset recurrence is not expressible as a
     * frame aggregate, and a row_number-based rewrite would carry the whole
     * stratum through one window buffer.
+    *
+    * The fold is opaque to Catalyst column pruning (mapPartitions), so
+    * PROJECT FIRST: pass only the columns the downstream needs — an
+    * un-projected wide text column would ride the shuffle and sort.
     */
   def binPack(df: DataFrame, strataCols: Seq[String], idCol: String,
               lenCol: String, budget: Long): DataFrame = {

@@ -78,7 +78,10 @@ object SamplingQueries extends QueryFamily {
     QueryDef(
       "q_pack_bins",
       (s, dir) => {
-        val d = Tables(s, dir, "documents")
+        // project BEFORE the fold: mapPartitions is opaque to column
+        // pruning, so un-projected wide text would ride the stratum
+        // shuffle and sort
+        val d = Tables(s, dir, "documents").select("source", "doc_id", "n_chars")
         graft.operators.Packing.binPack(d, Seq("source"), "doc_id", "n_chars", 4096L)
           .groupBy(col("source"), col("bin_id"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))

@@ -577,9 +577,11 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(mixEx.size <= 2 && mixEx.forall(s =>
         !s.output.exists(a => a.name == "doc_id" || a.name == "len")),
         mixPlan.queryExecution.executedPlan.toString.take(2000))
-      // stratifiedK / offsetPack: exactly one exchange, on the stratum key
+      // stratifiedK / offsetPack / binPack: exactly one exchange, on the
+      // stratum key (binPack's fold is in-partition after the sort)
       Seq(Sampling.stratifiedK(docs, Seq("source"), "doc_id", 5),
-          Packing.offsetPack(docs, Seq("source"), "doc_id", "len", 1000L))
+          Packing.offsetPack(docs, Seq("source"), "doc_id", "len", 1000L),
+          Packing.binPack(docs, Seq("source"), "doc_id", "len", 1000L))
         .foreach { df =>
           val ex = shuffles(df)
           assert(ex.size == 1 && ex.head.outputPartitioning.toString.contains("source"),
