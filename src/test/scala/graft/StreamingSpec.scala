@@ -1136,6 +1136,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch ≡ streaming for INSERT ALL EVENTS over a length window: the " +
+       "same app text yields the same multiset through both lowerings") {
+    // batch compiles the EXPIRED/ALL row_number rewrite; streaming compiles
+    // the length kernel changelog — the result-level contract is identical
+    implicit val sqlCtx = spark.sqlContext
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, tag STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, tag STRING, v DOUBLE);
+        |PARTITION WITH (user_id OF E) BEGIN
+        |  INSERT ALL EVENTS INTO Out SELECT user_id, tag, v
+        |  FROM E WINDOW('length', 2)
+        |END;""".stripMargin
+    val rows = Seq( // distinct ts per key: order is unambiguous in both modes
+      (1L, 7L, "a", 1.0), (2L, 7L, "b", 2.0), (3L, 7L, "c", 3.0),
+      (4L, 7L, "d", 4.0), (5L, 8L, "x", 9.0), (6L, 8L, "y", 8.0))
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val batchIn = rows.toDF("sec", "user_id", "tag", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "tag", "v")
+    val batchOut = shape(graft.sql.GraftApp.run(spark, app, Map("E" -> batchIn))("Out"))
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val events = in.toDS().toDF("sec", "user_id", "tag", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "tag", "v")
+    val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+    val q = outDf.writeStream.format("memory").queryName("sqlpar_sink")
+      .outputMode("append").start()
+    try {
+      // split across micro-batches to exercise cross-batch kernel state
+      in.addData(rows.take(3)); q.processAllAvailable()
+      in.addData(rows.drop(3)); q.processAllAvailable()
+      val streamOut = shape(spark.table("sqlpar_sink"))
+      assert(streamOut == batchOut)
+    } finally q.stop()
+  }
+
   test("STREAMING SQL kernel window rejects aggregates/ORDER BY with typed errors") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, Double)]
