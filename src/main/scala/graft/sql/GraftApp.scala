@@ -1747,6 +1747,19 @@ object GraftApp {
       throw SqlError("ORDER BY/LIMIT/OFFSET are undefined on an unbounded " +
         "changelog — apply them to a downstream batch read")
     val fields = df.schema.fields.toSeq
+    // rows ride the kernel as STRING slots; a non-atomic column (array/
+    // struct/map/binary) does not round-trip through a string cast — it
+    // would restore as NULL silently, the wrong-results class
+    def nonAtomic(t: DataType): Boolean = t match {
+      case _: ArrayType | _: MapType | _: StructType | BinaryType | NullType => true
+      case _ => false
+    }
+    fields.find(f => nonAtomic(f.dataType)).foreach { f =>
+      throw SqlError(s"window('${w.kind}') on a STREAMING input carries " +
+        s"rows as string slots; column '${f.name}' has non-atomic type " +
+        s"${f.dataType.sql} which cannot ride them — project it away or " +
+        "serialize it (to_json) before the window")
+    }
     def fieldIdx(name: String, what: String): Int = {
       val i = fields.indexWhere(_.name.equalsIgnoreCase(name))
       if (i < 0) throw SqlError(s"$what: '$name' is not a stream attribute")
