@@ -126,11 +126,15 @@ object Curation {
     require(stride > 0 && stride <= size,
       s"stride must be in [1, size], got $stride (size $size)")
     val toks = df.select(col(idCol).as("doc_id"), TextFns.tokens(col(textCol)).as("toks"))
-      .withColumn("n_toks", size_(col("toks")))
+      // split(trim(''), '\s+') yields [""] (size 1), NOT an empty array —
+      // an empty/whitespace-only doc must count 0 tokens or the filter
+      // below never fires and a spurious empty chunk reaches packing
+      .withColumn("n_toks",
+        when(element_at(col("toks"), 1) === "", lit(0))
+          .otherwise(size_(col("toks"))))
     toks
-      // an empty/whitespace-only doc has n_toks = 0 but sequence(0,
-      // greatest(-1, 0)) still yields [0] — filter it out rather than emit
-      // a spurious zero-length chunk that downstream packing chokes on
+      // empty/whitespace-only (and NULL-text) docs emit no chunks — the
+      // oracle's `trim(text) <> ''` filter, matched here
       .filter(col("n_toks") > 0)
       .select(col("doc_id"), col("toks"), col("n_toks"),
         posexplode(sequence(lit(0), greatest(col("n_toks") - 1, lit(0)), lit(stride)))

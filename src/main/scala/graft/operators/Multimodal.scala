@@ -132,6 +132,10 @@ object Multimodal {
         case "wav" =>
           val a = PcmDecoder.decode(p)
           if (a.nSamples > 0) meta else MediaMeta(0, 0, 0, meta.format)
+        case "unknown" =>
+          // unrecognized/corrupt payload: the zero row, like every other
+          // decoder here — a junk blob in a mixed corpus must not throw
+          MediaMeta(0, 0, 0, "unknown")
         case _ => ??? // codec-bound: JPEG entropy decode / video containers
       }
     }

@@ -15,18 +15,25 @@ object TextQueries extends QueryFamily {
   private val StopEn = Seq("the", "a", "of", "and", "to", "in", "is")
   private val StopData = Seq("table", "query", "row", "column", "value")
 
+  /** Big-endian / little-endian byte encodings of an int column (exactly n
+    * bytes, byte-wise) and a single-byte hex pair — shared by every staged
+    * media query; one definition so an endianness or padding fix cannot
+    * miss a copy.
+    */
+  private def be(c: org.apache.spark.sql.Column, n: Int) =
+    concat((n - 1 to 0 by -1).map(k =>
+      unhex(lpad(hex(shiftright(c, 8 * k).bitwiseAND(lit(255))), 2, "0"))): _*)
+  private def le(c: org.apache.spark.sql.Column, n: Int) =
+    concat((0 until n).map(k =>
+      unhex(lpad(hex(shiftright(c, 8 * k).bitwiseAND(lit(255))), 2, "0"))): _*)
+  private def hx(c: org.apache.spark.sql.Column) = lpad(hex(c % 256), 2, "0")
+
   /** Synthetic-but-well-formed media payloads per doc (PNG/JPEG/GIF/BMP/WAV
     * headers built with pure byte-assembly SQL — unhex/concat — plus an
     * 'unknown' raw-text case), dimensions derived arithmetically from
     * doc_id so DuckDB can recompute the expected decode output.
     */
   private def stagedMedia(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    // big-endian / little-endian byte encodings of an int column
-    def be(c: org.apache.spark.sql.Column, n: Int) =
-      unhex(lpad(hex(c), n * 2, "0"))
-    def le(c: org.apache.spark.sql.Column, n: Int) =
-      concat((0 until n).map(k =>
-        unhex(lpad(hex(shiftright(c, 8 * k).bitwiseAND(lit(255))), 2, "0"))): _*)
     val w = (col("doc_id") % 317 + 16).cast("int")
     val h = (col("doc_id") % 211 + 16).cast("int")
     val nf = (col("doc_id") % 211 + 16).cast("int") // wav frame count
@@ -351,9 +358,6 @@ object TextQueries extends QueryFamily {
     QueryDef(
       "q_multimodal_audio",
       (s, dir) => {
-        def le(c: org.apache.spark.sql.Column, n: Int) =
-          concat((0 until n).map(k =>
-            unhex(lpad(hex(shiftright(c, 8 * k).bitwiseAND(lit(255))), 2, "0"))): _*)
         val d = Tables(s, dir, "documents").filter(col("doc_id") < 300)
         val nf = (col("doc_id") % 211 + 16).cast("int")
         val sampleHex = concat_ws("",
@@ -391,10 +395,6 @@ object TextQueries extends QueryFamily {
     QueryDef(
       "q_multimodal_pixels",
       (s, dir) => {
-        def le(c: org.apache.spark.sql.Column, n: Int) =
-          concat((0 until n).map(k =>
-            unhex(lpad(hex(shiftright(c, 8 * k).bitwiseAND(lit(255))), 2, "0"))): _*)
-        def hx(c: org.apache.spark.sql.Column) = lpad(hex(c % 256), 2, "0")
         val d = Tables(s, dir, "documents").filter(col("doc_id") < 300)
         val w = (col("doc_id") % 8 + 2).cast("int")
         val h = (col("doc_id") % 6 + 2).cast("int")
@@ -441,13 +441,6 @@ object TextQueries extends QueryFamily {
     QueryDef(
       "q_multimodal_pixels_png",
       (s, dir) => {
-        def le(c: org.apache.spark.sql.Column, n: Int) =
-          concat((0 until n).map(k =>
-            unhex(lpad(hex(shiftright(c, 8 * k).bitwiseAND(lit(255))), 2, "0"))): _*)
-        def be(c: org.apache.spark.sql.Column, n: Int) =
-          concat((n - 1 to 0 by -1).map(k =>
-            unhex(lpad(hex(shiftright(c, 8 * k).bitwiseAND(lit(255))), 2, "0"))): _*)
-        def hx(c: org.apache.spark.sql.Column) = lpad(hex(c % 256), 2, "0")
         val d = Tables(s, dir, "documents").filter(col("doc_id") < 300)
         val w = (col("doc_id") % 8 + 2).cast("int")
         val h = (col("doc_id") % 6 + 2).cast("int")

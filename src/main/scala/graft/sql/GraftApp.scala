@@ -1765,15 +1765,21 @@ object GraftApp {
       if (i < 0) throw SqlError(s"$what: '$name' is not a stream attribute")
       i
     }
+    // the changelog's op column is part of this surface's output contract —
+    // a source attribute of the same name would collide ambiguously
+    if (fields.exists(_.name.equalsIgnoreCase("op")))
+      throw SqlError(s"window('${w.kind}') on a STREAMING input reserves " +
+        "the output column name 'op' for the ±1 changelog marker; rename " +
+        "the stream's 'op' attribute")
     // the event-time column driving the kernel's timeline and watermark
-    val tsExpr: Column = w.kind match {
+    val (tsName, tsExpr): (String, Column) = w.kind match {
       case "externaltime" =>
         if (w.params.size < 2) throw SqlError(
           "window('externalTime') needs (tsAttr, duration)")
         val f = fields(fieldIdx(w.params.head.trim, "window('externalTime')"))
         f.dataType match {
-          case TimestampType => unix_micros(col(f.name))
-          case LongType | IntegerType => col(f.name).cast("long") * lit(1000L)
+          case TimestampType => (f.name, unix_micros(col(f.name)))
+          case LongType | IntegerType => (f.name, col(f.name).cast("long") * lit(1000L))
           case other => throw SqlError(s"window('externalTime'): '${f.name}' " +
             s"must be LONG millis or TIMESTAMP, got $other")
         }
@@ -1781,8 +1787,13 @@ object GraftApp {
         if (!df.columns.contains("ts"))
           throw SqlError(s"window('${w.kind}') needs a 'ts' TIMESTAMP column " +
             "for event order")
-        unix_micros(col("ts"))
+        ("ts", unix_micros(col("ts")))
     }
+    // a NULL event time has no place on the event-time timeline (the
+    // mapper's 'log' default null-pads malformed lines) — drop such rows
+    // here; they would otherwise kill the query at the non-nullable
+    // WinEvent.tsUs encoder
+    val dfTs = df.filter(col(tsName).isNotNull)
     // unique windows key by the unique attribute (per-key length(1)); the
     // PARTITION WITH keys compose in front
     val extraKey = w.kind match {
@@ -1799,26 +1810,40 @@ object GraftApp {
     val keyParts = (q.partitionKeys ++ extraKey)
       .map(a => coalesce(uexpr(a).cast("string"), lit("\u0000")))
     val keyCol = if (keyParts.isEmpty) lit("app") else concat_ws("\u0001", keyParts: _*)
-    // sort criteria become the kernel's value/vals comparand slots
+    // sort criteria become the kernel's value/vals comparand slots — the
+    // slots are doubles, so criteria must be numeric here (the batch
+    // row_number lowering orders any type); NULL criterion values map to
+    // -Infinity, which reproduces Spark's default null ordering (first
+    // under asc, last under desc)
     val sortCrits: Seq[(String, Boolean)] =
       if (w.kind == "sort") {
         val crits = parseSortCriteria(w, df.columns.toSeq)
-        crits.foreach { case (a, _) => fieldIdx(a, "window('sort')") }
+        crits.foreach { case (a, _) =>
+          fields(fieldIdx(a, "window('sort')")).dataType match {
+            case ByteType | ShortType | IntegerType | LongType |
+                 FloatType | DoubleType | _: DecimalType => ()
+            case other => throw SqlError("window('sort') on a STREAMING " +
+              s"input orders via numeric comparand slots; criterion '$a' " +
+              s"has type ${other.sql} — derive a numeric key in a prior " +
+              "query (the batch lowering orders any type)")
+          }
+        }
         crits
       } else Nil
+    def critSlot(a: String): Column =
+      coalesce(uexpr(a).cast("double"), lit(Double.NegativeInfinity))
     val valueCol =
-      if (sortCrits.nonEmpty) uexpr(sortCrits.head._1).cast("double")
-      else lit(0.0)
+      if (sortCrits.nonEmpty) critSlot(sortCrits.head._1) else lit(0.0)
     val valsCol =
       if (sortCrits.size > 1)
-        array(sortCrits.tail.map(c => uexpr(c._1).cast("double")): _*)
+        array(sortCrits.tail.map(c => critSlot(c._1)): _*)
       else typedlit(Seq.empty[Double])
     val svalsCol = array(fields.map(f => col(f.name).cast("string")): _*)
-    val evs = df.select(
+    val evs = dfTs.select(
         keyCol.as("key"), tsExpr.as("tsUs"),
         // same-timestamp tie-break within a micro-batch (arrival ids are
         // not resolvable in streaming — slots carry the data)
-        xxhash64(df.columns.map(col).toIndexedSeq: _*).as("eventId"),
+        xxhash64(dfTs.columns.map(col).toIndexedSeq: _*).as("eventId"),
         valueCol.as("value"), valsCol.as("vals"), svalsCol.as("svals"))
       .as[WinEvent]
     val lateness = streamOpts.getOrElse("allow.lateness", "0 seconds")
