@@ -91,6 +91,20 @@ class CurationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Curation.chunkTokens(df, "id", "text", 4, 5))
   }
 
+  test("chunkTokens: empty / whitespace-only / NULL docs emit ZERO chunks " +
+       "(split('') yields [\"\"], which must not count as a token)") {
+    val df = Seq((1L, ""), (2L, "   \t "), (4L, "one two"))
+      .toDF("id", "text")
+      .unionByName(Seq(3L).toDF("id")
+        .selectExpr("id", "CAST(NULL AS STRING) AS text"))
+    val out = Curation.chunkTokens(df, "id", "text", size = 4, stride = 3)
+      .collect().map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getLong(r.fieldIndex("n_chunk_tokens")),
+        r.getString(r.fieldIndex("chunk_text"))))
+    // only the real doc produces a chunk; no zero-length chunk rows exist
+    assert(out.toSeq == Seq((4L, 2L, "one two")))
+  }
+
   test("gopherStats/contamination plan audits: text never shuffles; probe side broadcasts") {
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     val prev = spark.conf.get("spark.sql.adaptive.enabled")

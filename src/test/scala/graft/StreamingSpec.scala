@@ -1195,6 +1195,72 @@ class StreamingSpec extends AnyFunSuite {
         Map("E" -> events))
     }
     assert(e2.getMessage.contains("unbounded"))
+    // sort criteria ride numeric comparand slots — a string criterion is a
+    // typed error, not a silent null-cast crash (batch orders any type)
+    val inTag = MemoryStream[(Long, Long, String)]
+    val tagEvents = inTag.toDS().toDF("sec", "user_id", "tag")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "user_id", "tag")
+    val e3 = intercept[graft.sql.GraftApp.SqlError] {
+      graft.sql.GraftApp.run(spark,
+        """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, tag STRING);
+          |CREATE STREAM Out (a STRING);
+          |INSERT INTO Out SELECT tag AS a FROM E WINDOW('sort', 2, tag desc);""".stripMargin,
+        Map("E" -> tagEvents))
+    }
+    assert(e3.getMessage.contains("numeric comparand"))
+    // 'op' is the changelog's reserved output column
+    val inOp = MemoryStream[(Long, Long, Double)]
+    val opEvents = inOp.toDS().toDF("sec", "op", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "op", "v")
+    val e4 = intercept[graft.sql.GraftApp.SqlError] {
+      graft.sql.GraftApp.run(spark,
+        """CREATE STREAM E (ts TIMESTAMP, op BIGINT, v DOUBLE);
+          |CREATE STREAM Out (a DOUBLE);
+          |INSERT INTO Out SELECT v AS a FROM E WINDOW('length', 3);""".stripMargin,
+        Map("E" -> opEvents))
+    }
+    assert(e4.getMessage.contains("reserves"))
+    // a non-atomic column cannot ride the string slots (unreachable from
+    // DDL — the type grammar is atomic-only — but input binding validates
+    // column NAMES, not types, so a caller can hand one in)
+    val inArr = MemoryStream[(Long, Double)]
+    val arrEvents = inArr.toDS().toDF("sec", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "v",
+        "array(v) AS vs")
+    val e5 = intercept[graft.sql.GraftApp.SqlError] {
+      graft.sql.GraftApp.run(spark,
+        """CREATE STREAM E (ts TIMESTAMP, v DOUBLE, vs STRING);
+          |CREATE STREAM Out (a DOUBLE);
+          |INSERT INTO Out SELECT v AS a FROM E WINDOW('length', 3);""".stripMargin,
+        Map("E" -> arrEvents))
+    }
+    assert(e5.getMessage.contains("non-atomic"))
+  }
+
+  test("STREAMING SQL kernel window: NULL event-time rows drop instead of " +
+       "killing the query (the mapper's null-padded malformed lines)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Double)] // (sec, user, v); sec<0 = null ts
+    val events = in.toDS().toDF("sec", "user_id", "v")
+      .selectExpr(
+        "CASE WHEN sec >= 0 THEN CAST(timestamp_seconds(sec) AS TIMESTAMP) END AS ts",
+        "user_id", "v")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, v DOUBLE);
+        |PARTITION WITH (user_id OF E) BEGIN
+        |  INSERT INTO Out SELECT user_id, v FROM E WINDOW('length', 2)
+        |END;""".stripMargin
+    val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+    val q = outDf.writeStream.format("memory").queryName("sqlnullts_sink")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 7L, 1.0), (-1L, 7L, 666.0), (2L, 7L, 2.0))
+      q.processAllAvailable() // would throw at the encoder without the drop
+      val got = spark.table("sqlnullts_sink").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == Set((7L, 1.0), (7L, 2.0)))
+    } finally q.stop()
   }
 
   test("window kernel runs unchanged on the RocksDB state store (the 100 TB state path)") {
