@@ -136,7 +136,14 @@ object Multimodal {
           // unrecognized/corrupt payload: the zero row, like every other
           // decoder here — a junk blob in a mixed corpus must not throw
           MediaMeta(0, 0, 0, "unknown")
-        case _ => ??? // codec-bound: JPEG entropy decode / video containers
+        case _ =>
+          // codec-bound seam: JPEG entropy decode / video containers need
+          // libjpeg/ffmpeg (absent here) — a production build plugs them in
+          // and verifies the pixel payload like the png/bmp/wav arms above.
+          // Until then the header-parsed metadata passes through UNVERIFIED
+          // rather than throwing: a mixed corpus containing one JPEG must
+          // not kill the job (the module's junk-must-not-throw contract).
+          meta
       }
     }
   }

@@ -72,8 +72,23 @@ object Packing {
     val sorted = df
       .repartition(strataCols.map(col): _*)
       .sortWithinPartitions((strataCols :+ idCol).map(col): _*)
-    val strataIdx = strataCols.map(sorted.schema.fieldIndex)
-    val lenIdx = sorted.schema.fieldIndex(lenCol)
+    // resolve columns case-insensitively (the SQL surface's fieldIdx
+    // convention) and type-check lenCol UP FRONT: a missing or non-numeric
+    // length column must be a driver-side error, not an executor-side
+    // ClassCastException mid-job
+    def fieldIdxOf(name: String, what: String): Int = {
+      val i = sorted.schema.fields.indexWhere(_.name.equalsIgnoreCase(name))
+      require(i >= 0, s"$what: '$name' is not a column of the input " +
+        s"(columns: ${sorted.schema.fieldNames.mkString(", ")})")
+      i
+    }
+    val strataIdx = strataCols.map(fieldIdxOf(_, "binPack strata column"))
+    val lenIdx = fieldIdxOf(lenCol, "binPack length column")
+    sorted.schema.fields(lenIdx).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case other => throw new IllegalArgumentException(
+        s"binPack length column '$lenCol' must be numeric, got ${other.sql}")
+    }
     val outSchema = StructType(sorted.schema.fields :+
       StructField("bin_id", LongType, nullable = false))
     sorted.mapPartitions { it =>

@@ -248,14 +248,25 @@ object GraftApp {
     // folded into its grouping / frame spec — the Spark-native form of
     // per-key state isolation (groupBy already shards state per key; the
     // block just adds the keys to every key set).
-    val partitionedStmts = PartitionRe.findAllMatchIn(appSql).toSeq.flatMap { m =>
-      val keys = parsePartitionKeys(m.group(1))
-      m.group(2).split(";").map(_.trim).filter(_.nonEmpty)
-        .map(s => (s, keys))
+    // statements keep their DECLARED order across block boundaries (the
+    // reference contract: each statement sees everything before it) — a
+    // plain query may consume a partitioned block's target and vice versa
+    val orderedStmts = {
+      val buf = Seq.newBuilder[(String, Seq[PartitionKeySpec])]
+      def addPlain(text: String): Unit =
+        text.split(";").map(_.trim).filter(_.nonEmpty)
+          .foreach(s => buf += ((s, Seq.empty[PartitionKeySpec])))
+      var pos = 0
+      PartitionRe.findAllMatchIn(appSql).foreach { m =>
+        addPlain(appSql.substring(pos, m.start))
+        val keys = parsePartitionKeys(m.group(1))
+        m.group(2).split(";").map(_.trim).filter(_.nonEmpty)
+          .foreach(s => buf += ((s, keys)))
+        pos = m.end
+      }
+      addPlain(appSql.substring(pos))
+      buf.result()
     }
-    val plainStmts = PartitionRe.replaceAllIn(appSql, "")
-      .split(";").map(_.trim).filter(_.nonEmpty)
-      .map(s => (s, Seq.empty[PartitionKeySpec]))
     var streams = Map.empty[String, StreamDef]
     var aggs = Map.empty[String, AggDef]
     val queries = Seq.newBuilder[QuerySpec]
@@ -378,7 +389,7 @@ object GraftApp {
     def expandStmt(stmt: String): Seq[String] = desugarCte(stmt).flatMap(desugarUnion)
     // expansion happens per statement IN ORDER (not as a prepass), so a
     // CTE's shadow check and requireDefined see every earlier CREATE
-    (plainStmts.toSeq ++ partitionedStmts)
+    orderedStmts
       .foreach { case (stmt0, part) =>
         expandStmt(stmt0).foreach { stmt =>
       parsePatternInsert(stmt) match {
@@ -1272,7 +1283,18 @@ object GraftApp {
             "tables are passive state; JOIN them from a stream")
         val src0 = env.getOrElse(q.source,
           throw SqlError(s"stream '${q.source}' has no bound data"))
-        val src = q.sourceWindow.map(bufferWindow(src0, _)).getOrElse(src0)
+        // STREAM-STREAM join (both sides unbounded): the batch bufferWindow
+        // (final-state buffer contents) is not streaming-legal — lower to
+        // the watermarked time-range join instead (see streamStreamJoin);
+        // the source-side WINDOW clause then bounds the source's buffer
+        // duration rather than materializing it.
+        def optsOf(name: String): Map[String, String] =
+          spec.streams.get(name).map(_.options).getOrElse(Map.empty)
+        val hasStreamJoin = src0.isStreaming &&
+          q.joins.exists(j => env.get(j.stream).exists(_.isStreaming))
+        val src =
+          if (hasStreamJoin) watermarkSide(src0, q.source, optsOf(q.source))
+          else q.sourceWindow.map(bufferWindow(src0, _)).getOrElse(src0)
         // JOIN chain: every side aliased by its stream name so ON conditions
         // and select items can use Stream.col qualified references
         // (join_input_stream.rs's two-sided naming). Window-bounded sides
@@ -1281,12 +1303,16 @@ object GraftApp {
         val joined = q.joins.foldLeft(src.as(q.source)) { (acc, j) =>
           val right0 = env.getOrElse(j.stream,
             throw SqlError(s"stream '${j.stream}' has no bound data"))
-          val right1 = j.window.map(bufferWindow(right0, _)).getOrElse(right0)
-          val right = if (j.window.exists(_.kind == "length")) broadcast(right1) else right1
-          TypeGuard.check(acc.sparkSession, j.cond,
-            StructType(acc.schema.fields ++ right.schema.fields),
-            checkUndefined = false)
-          acc.join(right.as(j.stream), uexpr(j.cond), j.joinType)
+          if (acc.isStreaming && right0.isStreaming)
+            streamStreamJoin(acc, q, j, right0, optsOf(j.stream))
+          else {
+            val right1 = j.window.map(bufferWindow(right0, _)).getOrElse(right0)
+            val right = if (j.window.exists(_.kind == "length")) broadcast(right1) else right1
+            TypeGuard.check(acc.sparkSession, j.cond,
+              StructType(acc.schema.fields ++ right.schema.fields),
+              checkUndefined = false)
+            acc.join(right.as(j.stream), uexpr(j.cond), j.joinType)
+          }
         }
         // IN (SELECT …) conjuncts: membership as semi/anti join. Tables are
         // legal here — reading passive state for a membership test is the
@@ -1466,12 +1492,21 @@ object GraftApp {
           "window('length') has no partition keys: the global event ordering " +
           "runs as ONE task — wrap the query in PARTITION WITH (key OF " +
           "stream) to shard eviction per key")
+      // the ±1 changelog marker is part of the EXPIRED/ALL surface in BOTH
+      // lowerings (the streaming kernel emits it as WinOut.op) — same
+      // reserved-name contract as the streaming path
+      if (df.columns.exists(_.equalsIgnoreCase("op")))
+        throw SqlError(s"${q.outputEvents.toUpperCase} EVENTS reserves the " +
+          "output column name 'op' for the ±1 changelog marker; rename the " +
+          "stream's 'op' attribute")
       val ordCols = (col("ts") +: df.columns.filterNot(_ == "ts").map(col).toSeq).map(_.desc)
       val w1 = org.apache.spark.sql.expressions.Window
         .partitionBy(q.partitionKeys.map(expr): _*).orderBy(ordCols: _*)
       val evicted = df.withColumn("__rne", row_number().over(w1))
         .filter(col("__rne") > n).drop("__rne")
-      df = if (q.outputEvents == "expired") evicted else df.unionByName(evicted)
+        .withColumn("op", lit(-1))
+      df = if (q.outputEvents == "expired") evicted
+        else df.withColumn("op", lit(1)).unionByName(evicted)
     }
     // per-event windows (length/time): aggregates become frame window
     // functions emitting one row per event — the reference's per-arrival
@@ -1747,18 +1782,9 @@ object GraftApp {
       throw SqlError("ORDER BY/LIMIT/OFFSET are undefined on an unbounded " +
         "changelog — apply them to a downstream batch read")
     val fields = df.schema.fields.toSeq
-    // rows ride the kernel as STRING slots; a non-atomic column (array/
-    // struct/map/binary) does not round-trip through a string cast — it
-    // would restore as NULL silently, the wrong-results class
     def nonAtomic(t: DataType): Boolean = t match {
       case _: ArrayType | _: MapType | _: StructType | BinaryType | NullType => true
       case _ => false
-    }
-    fields.find(f => nonAtomic(f.dataType)).foreach { f =>
-      throw SqlError(s"window('${w.kind}') on a STREAMING input carries " +
-        s"rows as string slots; column '${f.name}' has non-atomic type " +
-        s"${f.dataType.sql} which cannot ride them — project it away or " +
-        "serialize it (to_json) before the window")
     }
     def fieldIdx(name: String, what: String): Int = {
       val i = fields.indexWhere(_.name.equalsIgnoreCase(name))
@@ -1810,35 +1836,100 @@ object GraftApp {
     val keyParts = (q.partitionKeys ++ extraKey)
       .map(a => coalesce(uexpr(a).cast("string"), lit("\u0000")))
     val keyCol = if (keyParts.isEmpty) lit("app") else concat_ws("\u0001", keyParts: _*)
-    // sort criteria become the kernel's value/vals comparand slots — the
-    // slots are doubles, so criteria must be numeric here (the batch
-    // row_number lowering orders any type); NULL criterion values map to
-    // -Infinity, which reproduces Spark's default null ordering (first
-    // under asc, last under desc)
+    // sort criteria: NUMERIC criteria become the kernel's double comparand
+    // slots (value/vals; NULL → -Infinity reproduces Spark's default null
+    // ordering — first under asc, last under desc); string/timestamp/date/
+    // boolean criteria — whose string rendering orders correctly byte-wise —
+    // compare via their carried string slot (SortKey.sslot), so a streaming
+    // sort window now orders every atomic type the batch lowering does
+    def isNumericCrit(t: DataType): Boolean = t match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | _: DecimalType => true
+      case _ => false
+    }
+    def isStringyCrit(t: DataType): Boolean = t match {
+      case StringType | TimestampType | DateType | BooleanType => true
+      case _ => false
+    }
+    def critType(a: String): DataType =
+      fields(fieldIdx(a, "window('sort')")).dataType
     val sortCrits: Seq[(String, Boolean)] =
       if (w.kind == "sort") {
         val crits = parseSortCriteria(w, df.columns.toSeq)
         crits.foreach { case (a, _) =>
-          fields(fieldIdx(a, "window('sort')")).dataType match {
-            case ByteType | ShortType | IntegerType | LongType |
-                 FloatType | DoubleType | _: DecimalType => ()
-            case other => throw SqlError("window('sort') on a STREAMING " +
-              s"input orders via numeric comparand slots; criterion '$a' " +
-              s"has type ${other.sql} — derive a numeric key in a prior " +
-              "query (the batch lowering orders any type)")
-          }
+          val t = critType(a)
+          if (!isNumericCrit(t) && !isStringyCrit(t))
+            throw SqlError("window('sort') on a STREAMING input cannot " +
+              s"order by criterion '$a' of type ${t.sql} — use a numeric, " +
+              "string, timestamp, date or boolean attribute")
         }
         crits
       } else Nil
+    val stringCrits: Seq[String] =
+      sortCrits.collect { case (a, _) if isStringyCrit(critType(a)) => a }
+    // frequent/lossyCounting attribute parameter, validated here so its
+    // column joins the carried slots below
+    val explicitAttr: Option[String] = w.kind match {
+      case "frequent" if w.params.size > 1 => Some(w.params(1).trim)
+      case "lossycounting" if w.params.size > 2 => Some(w.params(2).trim)
+      case _ => None
+    }
+    explicitAttr.foreach(a => fieldIdx(a, s"window('${w.kind}')"))
+    // slot projection (the CepEvent.svals discipline, Cep.scala:40-46): only
+    // columns the query's output or the kernel itself references ride the
+    // state store — a window over a wide documents stream selecting
+    // (ts, user_id) must not drag the text column through RocksDB per
+    // buffered event. `SELECT *` and the default whole-row frequent/
+    // lossyCounting attribute carry everything (the row IS the value there).
+    val needsWholeRow =
+      (w.kind == "frequent" || w.kind == "lossycounting") && explicitAttr.isEmpty
+    val selectAll = q.selectItems.exists(_._1.trim == "*")
+    val idRe = "[A-Za-z_][A-Za-z_0-9]*".r
+    val referenced: Set[String] =
+      (q.selectItems.flatMap(it => idRe.findAllIn(it._1).map(_.toLowerCase)) ++
+        q.having.toSeq.flatMap(h => idRe.findAllIn(h).map(_.toLowerCase)) ++
+        explicitAttr.map(_.toLowerCase) ++
+        stringCrits.map(_.toLowerCase)).toSet
+    val carried: Seq[StructField] =
+      if (selectAll || needsWholeRow) fields
+      else fields.filter(f => referenced.contains(f.name.toLowerCase))
+    // carried rows ride the kernel as STRING slots; a non-atomic CARRIED
+    // column (array/struct/map/binary) does not round-trip through a string
+    // cast — it would restore as NULL silently, the wrong-results class.
+    // Un-referenced columns are simply not carried, so a binary blob column
+    // on the stream is fine as long as the window query ignores it.
+    carried.find(f => nonAtomic(f.dataType)).foreach { f =>
+      throw SqlError(s"window('${w.kind}') on a STREAMING input carries " +
+        s"referenced rows as string slots; column '${f.name}' has " +
+        s"non-atomic type ${f.dataType.sql} which cannot ride them — " +
+        "project it away or serialize it (to_json) before the window")
+    }
+    def carryIdx(name: String, what: String): Int = {
+      val i = carried.indexWhere(_.name.equalsIgnoreCase(name))
+      if (i < 0) throw SqlError(s"$what: '$name' is not a carried stream attribute")
+      i
+    }
     def critSlot(a: String): Column =
       coalesce(uexpr(a).cast("double"), lit(Double.NegativeInfinity))
+    val numericCrits: Seq[String] =
+      sortCrits.collect { case (a, _) if isNumericCrit(critType(a)) => a }
+    // double slots number the numeric criteria in order (slot 0 = value,
+    // k >= 1 = vals(k-1)); stringy criteria point at their carried slot
+    var dslot = -1
+    val sortKeys: Seq[WindowKernels.SortKey] = sortCrits.map { case (a, asc) =>
+      if (isNumericCrit(critType(a))) {
+        dslot += 1; WindowKernels.SortKey(dslot, asc)
+      } else WindowKernels.SortKey(-1, asc, sslot = carryIdx(a, "window('sort')"))
+    }
     val valueCol =
-      if (sortCrits.nonEmpty) critSlot(sortCrits.head._1) else lit(0.0)
+      if (numericCrits.nonEmpty) critSlot(numericCrits.head) else lit(0.0)
     val valsCol =
-      if (sortCrits.size > 1)
-        array(sortCrits.tail.map(c => critSlot(c._1)): _*)
+      if (numericCrits.size > 1)
+        array(numericCrits.tail.map(critSlot): _*)
       else typedlit(Seq.empty[Double])
-    val svalsCol = array(fields.map(f => col(f.name).cast("string")): _*)
+    val svalsCol =
+      if (carried.isEmpty) typedlit(Seq.empty[String])
+      else array(carried.map(f => col(f.name).cast("string")): _*)
     val evs = dfTs.select(
         keyCol.as("key"), tsExpr.as("tsUs"),
         // same-timestamp tie-break within a micro-batch (arrival ids are
@@ -1860,6 +1951,16 @@ object GraftApp {
             "idle keys through the changelog")
           noTtl
       }
+    // default frequent/lossyCounting attribute = the whole row, rendered
+    // from the string slots joined on the u0001 separator. NULL slots use a
+    // dedicated u0000 sentinel so a NULL column cannot merge with a literal
+    // 'null' string value; the grouping is over the STRING rendering (a 1.0
+    // double and a '1.0' string merge here) where the batch lowering groups
+    // the raw row struct — documented divergence of the slot carry-through.
+    def defaultAttrOf(e: WinEvent): String = {
+      val nul = 0.toChar.toString
+      e.svals.map(s => if (s == null) nul else s).mkString(1.toChar.toString)
+    }
     val out: org.apache.spark.sql.Dataset[WinOut] = w.kind match {
       case "length" =>
         val n = intOf(w.params.last, "window('length')", min = 1)
@@ -1877,10 +1978,8 @@ object GraftApp {
         Windows.delayWithTimeout(evs, us, lateness)
       case "sort" =>
         val n = intOf(w.params.head, "window('sort')", min = 1)
-        val keys = sortCrits.zipWithIndex.map { case ((_, asc), i) =>
-          WindowKernels.SortKey(i, asc) }
-        ttlOrWarn(Windows.sortTopNMultiWithTimeout(evs, n, keys, _, lateness),
-          Windows.sortTopNMulti(evs, n, keys))
+        ttlOrWarn(Windows.sortTopNMultiWithTimeout(evs, n, sortKeys, _, lateness),
+          Windows.sortTopNMulti(evs, n, sortKeys))
       case "unique" =>
         ttlOrWarn(Windows.uniqueWithTimeout(evs, _, lateness), Windows.unique(evs))
       case "firstunique" =>
@@ -1890,9 +1989,9 @@ object GraftApp {
         val k = intOf(w.params.head, "window('frequent')", min = 1)
         val attrOf: WinEvent => String =
           if (w.params.size > 1) {
-            val i = fieldIdx(w.params(1).trim, "window('frequent')")
+            val i = carryIdx(w.params(1).trim, "window('frequent')")
             e => String.valueOf(e.svals(i))
-          } else e => e.svals.mkString("\u0001")
+          } else defaultAttrOf
         ttlOrWarn(Windows.frequentWithTimeout(evs, k, _, lateness, attrOf),
           Windows.frequent(evs, k, attrOf))
       case "lossycounting" =>
@@ -1906,9 +2005,9 @@ object GraftApp {
           s"window('lossyCounting'): error must be in (0, support), got $error")
         val attrOf: WinEvent => String =
           if (w.params.size > 2) {
-            val i = fieldIdx(w.params(2).trim, "window('lossyCounting')")
+            val i = carryIdx(w.params(2).trim, "window('lossyCounting')")
             e => String.valueOf(e.svals(i))
-          } else e => e.svals.mkString("\u0001")
+          } else defaultAttrOf
         ttlOrWarn(Windows.lossyCountingWithTimeout(evs, support, error, _,
             lateness, attrOf),
           Windows.lossyCounting(evs, support, error, attrOf))
@@ -1919,8 +2018,9 @@ object GraftApp {
       case "all" => out
       case _ => out.filter(col("op") === 1)
     }
-    // restore the source row from the slots, typed; op stays selectable
-    val restored = fields.zipWithIndex.map { case (f, i) =>
+    // restore the CARRIED source columns from the slots, typed; op stays
+    // selectable (un-carried columns were never referenced by the query)
+    val restored = carried.zipWithIndex.map { case (f, i) =>
       expr(s"CAST(svals[${i}] AS ${f.dataType.sql})").as(f.name)
     } :+ col("op")
     val base = changelog.toDF().select(restored: _*)
@@ -1929,6 +2029,19 @@ object GraftApp {
       case (e, Some(a)) => uexpr(e).as(a)
       case (e, None) => uexpr(e)
     }: _*)
+    // HAVING without GROUP BY is a post-select filter in the batch lowering
+    // (select_processor.rs:330 semantics) — the streaming changelog applies
+    // the same filter so the two surfaces cannot silently diverge.
+    // Aggregate-bearing HAVING is rejected like aggregate select items: the
+    // kernel emits per-event rows, aggregation belongs downstream.
+    q.having.foreach { h =>
+      if (AggCallRe.findFirstIn(h.trim).isDefined)
+        throw SqlError(s"HAVING with aggregates on window('${w.kind}') over " +
+          "a STREAMING input: the kernel emits the per-event ±1 changelog — " +
+          "aggregate it downstream in update mode (sum(x * op) per key)")
+      TypeGuard.check(df.sparkSession, h, res.schema, checkUndefined = false)
+      res = res.filter(uexpr(h))
+    }
     if (q.distinct) {
       ScaleWarnings.warn(s"SELECT DISTINCT INTO '${q.target}' on a streaming " +
         "changelog keeps every distinct row in state forever — bound it " +
@@ -1980,6 +2093,78 @@ object GraftApp {
     if (critBuf.isEmpty)
       throw SqlError("window('sort') needs (n, attr [asc|desc], …)")
     critBuf.toSeq
+  }
+
+  /** Watermark a streaming join side on its 'ts' column, delay taken from
+    * the stream's `WITH ('allow.lateness'='<duration>')` (default 0 =
+    * strict in-order contract — same knob as the kernel/CEP lowerings).
+    * Spark requires BOTH sides watermarked for an append-mode stream-stream
+    * join; the watermark + time bound are what let it evict join state,
+    * which the reference's unbounded per-side buffers never do
+    * (SURVEY §7.4 risk 5).
+    */
+  private def watermarkSide(df: DataFrame, stream: String,
+                            opts: Map[String, String]): DataFrame = {
+    if (!df.columns.contains("ts"))
+      throw SqlError(s"streaming join side '$stream' needs a 'ts' TIMESTAMP " +
+        "column (the watermark/event-time timeline)")
+    df.withWatermark("ts", opts.getOrElse("allow.lateness", "0 seconds"))
+  }
+
+  /** A streaming join side's buffer duration in microseconds: WINDOW('time',
+    * d) → d; no window → 0 (the side holds only the arriving event); any
+    * other kind is typed-rejected — count-shaped buffers have no watermark
+    * bound, so Spark could never evict their join state.
+    */
+  private def streamWindowUs(w: Option[WindowClause], side: String): Long = w match {
+    case None => 0L
+    case Some(wc) if wc.kind == "time" => parseDurationUs(wc.params.last)
+    case Some(wc) => throw SqlError("streaming stream-stream join: " +
+      s"WINDOW('${wc.kind}') cannot bound side '$side' — only " +
+      "WINDOW('time', d) is streaming-legal (a count-shaped buffer has no " +
+      "event-time bound for state eviction); count-bounded joins run in " +
+      "the batch surface")
+  }
+
+  /** STREAMING lowering of the windowed stream-stream join
+    * (join_processor.rs:18-214): each arrival probes the OPPOSITE side's
+    * window buffer — a left arrival matches right events at most dRight
+    * older (right's buffer), a right arrival matches left events at most
+    * dLeft older (left's buffer). The union of the two probe directions is
+    * one symmetric time-range condition
+    * `right.ts ∈ [left.ts − dRight, left.ts + dLeft]`, which with both
+    * sides watermarked is exactly Spark's streaming interval join — state
+    * bounded by watermark + range, sharded by the equi-keys Catalyst
+    * extracts from the ON condition. An un-windowed side holds only the
+    * arriving event (duration 0); at least one side must carry a time
+    * window or no join state could ever be evicted. Inner/left/right/full
+    * outer all lower directly (Spark supports outer interval joins; NULL
+    * pads emit once the watermark proves no match can arrive).
+    *
+    * Result-level note: the BATCH form of a windowed join is the
+    * final-buffer-contents snapshot (bufferWindow); the streaming form
+    * emits every cross-arrival match over the run — the same batch/stream
+    * duality as the window kernels' changelog surface.
+    */
+  private def streamStreamJoin(acc: DataFrame, q: QuerySpec, j: JoinClause,
+                               right0: DataFrame,
+                               rightOpts: Map[String, String]): DataFrame = {
+    val dLeftUs = streamWindowUs(q.sourceWindow, q.source)
+    val dRightUs = streamWindowUs(j.window, j.stream)
+    if (dLeftUs + dRightUs == 0L)
+      throw SqlError("streaming stream-stream join needs WINDOW('time', d) " +
+        s"on at least one side of '${q.source}' JOIN '${j.stream}' — " +
+        "without a time bound the join state is unbounded (the reference's " +
+        "join buffers are window-bounded too, join_processor.rs:18-214)")
+    val right = watermarkSide(right0, j.stream, rightOpts).as(j.stream)
+    TypeGuard.check(acc.sparkSession, j.cond,
+      StructType(acc.schema.fields ++ right.schema.fields),
+      checkUndefined = false)
+    val lTs = col(s"${q.source}.ts")
+    val rTs = col(s"${j.stream}.ts")
+    val bound = rTs >= lTs - expr(s"INTERVAL $dRightUs MICROSECOND") &&
+      rTs <= lTs + expr(s"INTERVAL $dLeftUs MICROSECOND")
+    acc.join(right, uexpr(j.cond) && bound, j.joinType)
   }
 
   /** Join-side buffer window: the batch result-level CONTENTS of the side's

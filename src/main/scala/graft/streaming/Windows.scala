@@ -245,10 +245,28 @@ object WindowKernels {
                descending: Boolean): (Seq[WinOut], WinBuffer) =
     sortTopNMulti(events, buf, n, Seq(SortKey(0, asc = !descending)))
 
-  /** One sort criterion: slot 0 sorts on [[WinEvent.value]], slot k >= 1 on
-    * `vals(k - 1)` (multi-attribute events carry extra comparands there).
+  /** One sort criterion. Numeric criteria ride the double comparand slots:
+    * slot 0 sorts on [[WinEvent.value]], slot k >= 1 on `vals(k - 1)`
+    * (multi-attribute events carry extra comparands there). Non-numeric
+    * criteria (string/timestamp/date/boolean — all of which order correctly
+    * in their string rendering) set `sslot` >= 0 and compare
+    * `svals(sslot)` as UTF-8 bytes — Spark's binary string collation, so
+    * the streaming order matches the batch `orderBy` exactly. NULL is the
+    * smallest value under asc (Spark's asc_nulls_first / desc_nulls_last
+    * defaults), mirroring the double slots' NULL → -Infinity convention.
     */
-  final case class SortKey(slot: Int, asc: Boolean)
+  final case class SortKey(slot: Int, asc: Boolean, sslot: Int = -1)
+
+  /** UTF-8 byte-order comparison with NULL smallest — the string-slot twin
+    * of `Double.compare` over the NULL → -Infinity double slots.
+    */
+  private def compareSlotStr(a: String, b: String): Int =
+    if (a == null && b == null) 0
+    else if (a == null) -1
+    else if (b == null) 1
+    else java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** Multi-criteria sort window (sort_window_processor.rs:25-45 takes an
     * OrderByEventComparator list): retain the n best events under the
@@ -265,7 +283,9 @@ object WindowKernels {
     val ord: Ordering[WinEvent] = new Ordering[WinEvent] {
       def compare(x: WinEvent, y: WinEvent): Int = {
         keys.foreach { k =>
-          val c = java.lang.Double.compare(slotOf(x, k), slotOf(y, k))
+          val c =
+            if (k.sslot >= 0) compareSlotStr(x.svals(k.sslot), y.svals(k.sslot))
+            else java.lang.Double.compare(slotOf(x, k), slotOf(y, k))
           if (c != 0) return if (k.asc) c else -c
         }
         val ct = java.lang.Long.compare(x.tsUs, y.tsUs)

@@ -1195,19 +1195,21 @@ class StreamingSpec extends AnyFunSuite {
         Map("E" -> events))
     }
     assert(e2.getMessage.contains("unbounded"))
-    // sort criteria ride numeric comparand slots — a string criterion is a
-    // typed error, not a silent null-cast crash (batch orders any type)
+    // sort criteria ride the comparand slots (doubles, or carried string
+    // slots for string/timestamp/date/boolean) — a BINARY criterion fits
+    // neither and is a typed error, not a silent null-cast crash
     val inTag = MemoryStream[(Long, Long, String)]
     val tagEvents = inTag.toDS().toDF("sec", "user_id", "tag")
-      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "user_id", "tag")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "user_id",
+        "CAST(tag AS BINARY) AS tag")
     val e3 = intercept[graft.sql.GraftApp.SqlError] {
       graft.sql.GraftApp.run(spark,
         """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, tag STRING);
-          |CREATE STREAM Out (a STRING);
-          |INSERT INTO Out SELECT tag AS a FROM E WINDOW('sort', 2, tag desc);""".stripMargin,
+          |CREATE STREAM Out (a BIGINT);
+          |INSERT INTO Out SELECT user_id AS a FROM E WINDOW('sort', 2, tag desc);""".stripMargin,
         Map("E" -> tagEvents))
     }
-    assert(e3.getMessage.contains("numeric comparand"))
+    assert(e3.getMessage.contains("cannot order by criterion"))
     // 'op' is the changelog's reserved output column
     val inOp = MemoryStream[(Long, Long, Double)]
     val opEvents = inOp.toDS().toDF("sec", "op", "v")
@@ -1220,9 +1222,10 @@ class StreamingSpec extends AnyFunSuite {
         Map("E" -> opEvents))
     }
     assert(e4.getMessage.contains("reserves"))
-    // a non-atomic column cannot ride the string slots (unreachable from
-    // DDL — the type grammar is atomic-only — but input binding validates
-    // column NAMES, not types, so a caller can hand one in)
+    // a non-atomic column cannot ride the string slots WHEN REFERENCED
+    // (unreachable from DDL — the type grammar is atomic-only — but input
+    // binding validates column NAMES, not types, so a caller can hand one
+    // in); an IGNORED non-atomic column is fine — it is simply not carried
     val inArr = MemoryStream[(Long, Double)]
     val arrEvents = inArr.toDS().toDF("sec", "v")
       .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "v",
@@ -1230,11 +1233,24 @@ class StreamingSpec extends AnyFunSuite {
     val e5 = intercept[graft.sql.GraftApp.SqlError] {
       graft.sql.GraftApp.run(spark,
         """CREATE STREAM E (ts TIMESTAMP, v DOUBLE, vs STRING);
-          |CREATE STREAM Out (a DOUBLE);
-          |INSERT INTO Out SELECT v AS a FROM E WINDOW('length', 3);""".stripMargin,
+          |CREATE STREAM Out (a STRING);
+          |INSERT INTO Out SELECT vs AS a FROM E WINDOW('length', 3);""".stripMargin,
         Map("E" -> arrEvents))
     }
     assert(e5.getMessage.contains("non-atomic"))
+    // un-referenced: compiles (the slot projection leaves the array behind)
+    graft.sql.GraftApp.run(spark,
+      """CREATE STREAM E (ts TIMESTAMP, v DOUBLE, vs STRING);
+        |CREATE STREAM Out (a DOUBLE);
+        |INSERT INTO Out SELECT v AS a FROM E WINDOW('length', 3);""".stripMargin,
+      Map("E" -> arrEvents))
+    // HAVING with an aggregate is rejected like aggregate select items
+    val e6 = intercept[graft.sql.GraftApp.SqlError] {
+      graft.sql.GraftApp.run(spark,
+        app("INSERT INTO Out SELECT v AS a FROM E WINDOW('length', 3) HAVING sum(v) > 2"),
+        Map("E" -> events))
+    }
+    assert(e6.getMessage.contains("HAVING with aggregates"))
   }
 
   test("STREAMING SQL kernel window: NULL event-time rows drop instead of " +
@@ -1260,6 +1276,267 @@ class StreamingSpec extends AnyFunSuite {
       val got = spark.table("sqlnullts_sink").collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toSet
       assert(got == Set((7L, 1.0), (7L, 2.0)))
+    } finally q.stop()
+  }
+
+  test("STREAMING SQL stream-stream join: the windowed JOIN lowers to the " +
+       "watermarked interval join; cross-batch matches in BOTH probe " +
+       "directions equal the batch time-range join") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val pIn = MemoryStream[(Long, Long, Long)] // (sec, user, pid)
+    val vIn = MemoryStream[(Long, Long, Long)] // (sec, user, vid)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("sec", "user_id", "id")
+        .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+          "user_id", "id")
+    val app =
+      """CREATE STREAM P (ts TIMESTAMP, user_id BIGINT, id BIGINT)
+        |  WITH ('allow.lateness'='10 seconds');
+        |CREATE STREAM V (ts TIMESTAMP, user_id BIGINT, id BIGINT)
+        |  WITH ('allow.lateness'='10 seconds');
+        |CREATE STREAM Out (pid BIGINT, vid BIGINT);
+        |INSERT INTO Out SELECT P.id AS pid, V.id AS vid
+        |FROM P JOIN V WINDOW('time', '10 seconds') ON P.user_id = V.user_id;""".stripMargin
+    val outDf = graft.sql.GraftApp.run(spark, app,
+      Map("P" -> shape(pIn.toDF()), "V" -> shape(vIn.toDF())))("Out")
+    assert(outDf.isStreaming)
+    val q = outDf.writeStream.format("memory").queryName("sqlssj_sink")
+      .outputMode("append").start()
+    val ps = Seq((100L, 7L, 1L), (112L, 7L, 2L))
+    val vs = Seq((95L, 7L, 11L), (105L, 7L, 12L), (111L, 8L, 13L))
+    try {
+      // purchase first, then an OLDER view in a later batch (left probes
+      // right's 10s buffer); then a later purchase finds the view already
+      // buffered (right probes left) — matches form cross-batch both ways
+      pIn.addData(ps(0)); q.processAllAvailable()
+      vIn.addData(vs(0), vs(1)); q.processAllAvailable()
+      pIn.addData(ps(1)); vIn.addData(vs(2)); q.processAllAvailable()
+      val got = spark.table("sqlssj_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the batch time-range join over the same events decides expectations:
+      // V within (10s before, 0 after) of P — the un-windowed P side holds
+      // only the arriving event, so later views never match earlier purchases
+      val pb = ps.toDF("sec", "user_id", "id")
+        .selectExpr("timestamp_seconds(sec) AS p_ts", "user_id AS p_user", "id AS pid")
+      val vb = vs.toDF("sec", "user_id", "id")
+        .selectExpr("timestamp_seconds(sec) AS v_ts", "user_id AS v_user", "id AS vid")
+      val want = pb.join(vb, expr("p_user = v_user AND " +
+          "v_ts BETWEEN p_ts - INTERVAL 10 SECONDS AND p_ts"))
+        .select(col("pid"), col("vid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want == Set((1L, 11L), (2L, 12L)) && got == want)
+    } finally q.stop()
+    // typed guards: no time window on either side; count window on a side
+    val e1 = intercept[graft.sql.GraftApp.SqlError] {
+      graft.sql.GraftApp.run(spark,
+        """CREATE STREAM P (ts TIMESTAMP, user_id BIGINT, id BIGINT);
+          |CREATE STREAM V (ts TIMESTAMP, user_id BIGINT, id BIGINT);
+          |CREATE STREAM Out (pid BIGINT);
+          |INSERT INTO Out SELECT P.id AS pid
+          |FROM P JOIN V ON P.user_id = V.user_id;""".stripMargin,
+        Map("P" -> shape(pIn.toDF()), "V" -> shape(vIn.toDF())))
+    }
+    assert(e1.getMessage.contains("WINDOW('time'"))
+    val e2 = intercept[graft.sql.GraftApp.SqlError] {
+      graft.sql.GraftApp.run(spark,
+        """CREATE STREAM P (ts TIMESTAMP, user_id BIGINT, id BIGINT);
+          |CREATE STREAM V (ts TIMESTAMP, user_id BIGINT, id BIGINT);
+          |CREATE STREAM Out (pid BIGINT);
+          |INSERT INTO Out SELECT P.id AS pid
+          |FROM P JOIN V WINDOW('length', 5) ON P.user_id = V.user_id;""".stripMargin,
+        Map("P" -> shape(pIn.toDF()), "V" -> shape(vIn.toDF())))
+    }
+    assert(e2.getMessage.contains("streaming-legal"))
+  }
+
+  test("STREAMING SQL kernel state carries ONLY select-referenced columns " +
+       "(CepEvent.svals discipline) and restores them typed") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, String, Double, Long)]
+    val events = in.toDS().toDF("sec", "user_id", "text", "tag", "v", "n")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "text", "tag", "v", "n")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, text STRING,
+        |  tag STRING, v DOUBLE, n BIGINT);
+        |CREATE STREAM Out (user_id BIGINT, v DOUBLE, op INT);
+        |PARTITION WITH (user_id OF E) BEGIN
+        |  INSERT ALL EVENTS INTO Out SELECT user_id, v, op
+        |  FROM E WINDOW('length', 2)
+        |END;""".stripMargin
+    val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+    // plan-level: the svals array construction has exactly the 2 referenced
+    // slots (user_id, v) — the wide text column does NOT ride the state store
+    val arities = outDf.queryExecution.analyzed.collect {
+      case p => p.expressions.flatMap(_.collect {
+        case al: org.apache.spark.sql.catalyst.expressions.Alias
+            if al.name == "svals" &&
+              al.child.isInstanceOf[org.apache.spark.sql.catalyst.expressions.CreateArray] =>
+          al.child.children.size
+      })
+    }.flatten
+    assert(arities == Seq(2), s"svals slot arities: $arities")
+    // e2e: values restore through the slots with their declared types
+    val q = outDf.writeStream.format("memory").queryName("sqlproj_sink")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 7L, "long document text", "a", 1.5, 10L),
+        (2L, 7L, "more text", "b", 2.5, 20L),
+        (3L, 7L, "even more", "c", 3.5, 30L))
+      q.processAllAvailable()
+      val rows = spark.table("sqlproj_sink").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      assert(rows.count(_._3 == 1) == 3)
+      assert(rows.filter(_._3 == -1).toSeq == Seq((7L, 1.5, -1)))
+    } finally q.stop()
+  }
+
+  test("STREAMING SQL kernel HAVING filters the changelog exactly like the " +
+       "batch per-event lowering (no silent divergence)") {
+    implicit val sqlCtx = spark.sqlContext
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, v DOUBLE);
+        |PARTITION WITH (user_id OF E) BEGIN
+        |  INSERT INTO Out SELECT user_id, v FROM E WINDOW('length', 2)
+        |  HAVING v > 2
+        |END;""".stripMargin
+    val rows = Seq((1L, 7L, 1.0), (2L, 7L, 3.0), (3L, 7L, 5.0), (4L, 8L, 2.0))
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("sec", "user_id", "v")
+        .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "user_id", "v")
+    val in = MemoryStream[(Long, Long, Double)]
+    val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> shape(in.toDF())))("Out")
+    val q = outDf.writeStream.format("memory").queryName("sqlhav_sink")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.take(2)); in.addData(rows.drop(2)); q.processAllAvailable()
+      val got = spark.table("sqlhav_sink").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == Set((7L, 3.0), (7L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("STREAMING SQL sort window on a STRING criterion: carried-slot " +
+       "byte-order comparison; net changelog state equals the batch top-n") {
+    implicit val sqlCtx = spark.sqlContext
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, tag STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, tag STRING, v DOUBLE, op INT);
+        |PARTITION WITH (user_id OF E) BEGIN
+        |  INSERT ALL EVENTS INTO Out SELECT user_id, tag, v, op
+        |  FROM E WINDOW('sort', 2, tag desc)
+        |END;""".stripMargin
+    // streaming emits the ±1 changelog; its NET content (Current minus
+    // Expired) must equal the batch lowering's final retained top-n —
+    // the changelog-contract parity between the two surfaces
+    val rows = Seq(
+      (1L, 7L, "alpha", 1.0), (2L, 7L, "zulu", 2.0), (3L, 7L, "mike", 3.0),
+      (4L, 7L, "yankee", 4.0), (5L, 8L, "bravo", 5.0))
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("sec", "user_id", "tag", "v")
+        .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+          "user_id", "tag", "v")
+    val batchApp =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, tag STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, tag STRING, v DOUBLE);
+        |PARTITION WITH (user_id OF E) BEGIN
+        |  INSERT INTO Out SELECT user_id, tag, v
+        |  FROM E WINDOW('sort', 2, tag desc)
+        |END;""".stripMargin
+    val batchWant = graft.sql.GraftApp.run(spark, batchApp,
+        Map("E" -> shape(rows.toDF())))("Out")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(batchWant == Set((7L, "zulu", 2.0), (7L, "yankee", 4.0), (8L, "bravo", 5.0)))
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> shape(in.toDF())))("Out")
+    val q = outDf.writeStream.format("memory").queryName("sqlsortstr_sink")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.take(2)); q.processAllAvailable()
+      in.addData(rows.drop(2)); q.processAllAvailable()
+      val got = spark.table("sqlsortstr_sink").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      val net = got.groupBy(t => (t._1, t._2, t._3))
+        .view.mapValues(_.map(_._4).sum).filter(_._2 > 0).keySet.toSet
+      assert(net == batchWant)
+      // ejection order pins the byte-order comparison: 'alpha' (smallest
+      // under desc) ejects first, then 'mike'
+      assert(got.filter(_._4 == -1).map(_._2).toSeq == Seq("alpha", "mike"))
+    } finally q.stop()
+  }
+
+  test("STREAMING frequent window: a NULL column and the literal string " +
+       "'null' are distinct whole-row attribute values (sentinel rendering)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)]
+    // same ts/user/v — the rows differ ONLY in tag: NULL vs the string 'null'
+    val events = in.toDS().toDF("sec", "user_id", "tag", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "user_id",
+        "CASE WHEN tag = 'NULL_SENTINEL' THEN NULL ELSE tag END AS tag", "v")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, tag STRING, v DOUBLE);
+        |CREATE STREAM Out (tag STRING, op INT);
+        |PARTITION WITH (user_id OF E) BEGIN
+        |  INSERT ALL EVENTS INTO Out SELECT tag, op FROM E WINDOW('frequent', 1)
+        |END;""".stripMargin
+    val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+    val q = outDf.writeStream.format("memory").queryName("sqlnulldist_sink")
+      .outputMode("append").start()
+    try {
+      // k=1: the NULL-tag row is tracked; the 'null'-tag row must be a
+      // DIFFERENT value → slot full → decrement evicts the first, and the
+      // arrival is DISCARDED (no Current). Were NULL rendered as the string
+      // 'null' (the old mkString), the second row would merge into the
+      // tracked entry and emit Current.
+      in.addData((1L, 7L, "NULL_SENTINEL", 1.0), (1L, 7L, "null", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sqlnulldist_sink").collect()
+        .map(r => (Option(r.getString(0)), r.getInt(1)))
+      assert(got.toSet == Set((None, 1), (None, -1)))
+      assert(!got.contains((Some("null"), 1)))
+    } finally q.stop()
+  }
+
+  test("STREAMING SQL changelog chaining: a second query consumes the first " +
+       "kernel's EXPIRED events end-to-end; batch and streaming agree") {
+    implicit val sqlCtx = spark.sqlContext
+    // complex_event.rs Current/Expired chaining: query 2 reads query 1's
+    // changelog stream and keeps only evictions — the reference's
+    // expired-event consumer shape, fully declared in app SQL
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, v DOUBLE);
+        |CREATE STREAM Chg (user_id BIGINT, v DOUBLE, op INT);
+        |CREATE STREAM Evicted (user_id BIGINT, v DOUBLE);
+        |PARTITION WITH (user_id OF E) BEGIN
+        |  INSERT ALL EVENTS INTO Chg SELECT user_id, v, op
+        |  FROM E WINDOW('length', 2)
+        |END;
+        |INSERT INTO Evicted SELECT user_id, v FROM Chg WHERE op = -1;""".stripMargin
+    val rows = Seq(
+      (1L, 7L, 1.0), (2L, 7L, 2.0), (3L, 7L, 3.0), (4L, 7L, 4.0), (5L, 8L, 9.0))
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("sec", "user_id", "v")
+        .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "user_id", "v")
+    // batch form: the ALL-EVENTS rewrite + the op filter — length(2) over
+    // u7's 4 events evicts v=1 and v=2 (the reference window semantics
+    // CompatSpec pins)
+    val batchWant = graft.sql.GraftApp.run(spark, app,
+        Map("E" -> shape(rows.toDF())))("Evicted")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(batchWant == Set((7L, 1.0), (7L, 2.0)))
+    val in = MemoryStream[(Long, Long, Double)]
+    val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> shape(in.toDF())))("Evicted")
+    assert(outDf.isStreaming)
+    val q = outDf.writeStream.format("memory").queryName("sqlchain_sink")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.take(3)); q.processAllAvailable() // cross-batch eviction
+      in.addData(rows.drop(3)); q.processAllAvailable()
+      val got = spark.table("sqlchain_sink").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == batchWant)
     } finally q.stop()
   }
 
