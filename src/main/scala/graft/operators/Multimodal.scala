@@ -117,16 +117,16 @@ object Multimodal {
   }
 
   /** Full-decode dispatch. Formats whose complete decode needs no native
-    * codec are real: PNG (inflate + unfilter, [[PngPixelDecoder]]), BMP
-    * ([[BmpPixelDecoder]]), WAV PCM ([[PcmDecoder]]). The `???` seam now
-    * covers only genuinely codec-bound formats — JPEG entropy decode and
-    * video — where a production build plugs libjpeg/ffmpeg.
+    * codec are real: PNG (inflate + unfilter, [[PngPixelDecoder]]), GIF
+    * (LZW, [[GifPixelDecoder]]), BMP ([[BmpPixelDecoder]]), WAV PCM
+    * ([[PcmDecoder]]). The codec-bound seam now covers only JPEG entropy
+    * decode and video — where a production build plugs libjpeg/ffmpeg.
     */
   object FrameDecoder extends MediaDecoder {
     def decode(p: Array[Byte]): MediaMeta = {
       val meta = HeaderDecoder.decode(p)
       meta.format match {
-        case "png" | "bmp" =>
+        case "png" | "bmp" | "gif" =>
           val s = RasterDecoder.decode(p)
           if (s.nPixels > 0) meta else MediaMeta(0, 0, 0, meta.format)
         case "wav" =>
@@ -425,15 +425,194 @@ object Multimodal {
     }
   }
 
-  /** Raster dispatch by magic bytes: the uncompressed (BMP) and
-    * deflate-compressed (PNG) pure-JVM decoders behind one entry point;
-    * unknown containers get the zero row.
+  /** Real pixel decode for GIF — pure JVM, no codec library: parses the
+    * logical screen descriptor and global color table, skips extension
+    * blocks, and LZW-decompresses the first image's index stream (variable
+    * code width 3–12 bits LSB-first, clear/EOI codes, the KwKwK case,
+    * deferred-clear encoders that run the table to 4096), mapping indices
+    * through the active (local-over-global) color table into per-channel
+    * means. Interlaced images pool correctly without deinterlacing —
+    * channel means are row-order agnostic. Animated GIFs pool the FIRST
+    * frame only (the curation gate's diet); transparency is ignored (the
+    * transparent index still has table RGB). Corrupt streams — bad codes,
+    * truncated sub-blocks, out-of-table indices, missing color table —
+    * return the zero row per the module's never-throw contract; a declared
+    * raster over 64 M pixels is rejected before allocation.
+    */
+  object GifPixelDecoder extends Serializable {
+    private def u8(p: Array[Byte], i: Int): Int = p(i) & 0xFF
+    private def le16(p: Array[Byte], i: Int): Int = u8(p, i) | (u8(p, i + 1) << 8)
+    private def ascii(p: Array[Byte], i: Int, s: String): Boolean =
+      p.length >= i + s.length && s.indices.forall(k => u8(p, i + k) == s.charAt(k))
+
+    private val MaxPixels = 64L << 20
+
+    val Zero: ImageStats = ImageStats(0L, 0.0, 0.0, 0.0)
+
+    def decode(p: Array[Byte]): ImageStats = {
+      if (p == null || p.length < 14) return Zero
+      if (!ascii(p, 0, "GIF87a") && !ascii(p, 0, "GIF89a")) return Zero
+      val packed = u8(p, 10)
+      var i = 13
+      var gct: Int = -1 // offset of global color table
+      var gctN = 0
+      if ((packed & 0x80) != 0) {
+        gctN = 2 << (packed & 7)
+        if (i + 3 * gctN > p.length) return Zero
+        gct = i
+        i += 3 * gctN
+      }
+      // block stream: extensions (0x21) until the first image descriptor
+      while (i < p.length) {
+        u8(p, i) match {
+          case 0x21 => // extension: introducer + label, then sub-blocks
+            i += 2
+            while (i < p.length && u8(p, i) != 0) {
+              val bs = u8(p, i)
+              if (i + 1 + bs > p.length) return Zero
+              i += 1 + bs
+            }
+            if (i >= p.length) return Zero
+            i += 1 // block terminator
+          case 0x2C => // image descriptor
+            if (i + 10 > p.length) return Zero
+            val w = le16(p, i + 5); val h = le16(p, i + 7)
+            val ipacked = u8(p, i + 9)
+            i += 10
+            var pal = gct; var palN = gctN
+            if ((ipacked & 0x80) != 0) { // local color table overrides
+              palN = 2 << (ipacked & 7)
+              if (i + 3 * palN > p.length) return Zero
+              pal = i
+              i += 3 * palN
+            }
+            if (pal < 0 || w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return Zero
+            return lzwPool(p, i, w.toLong * h, pal, palN)
+          case 0x3B => return Zero // trailer before any image
+          case _ => return Zero
+        }
+      }
+      Zero
+    }
+
+    /** LZW-decode the index stream starting at `off` (min-code-size byte,
+      * then length-prefixed sub-blocks) and pool the first `nPix` indices
+      * through the color table at `pal`.
+      */
+    private def lzwPool(p: Array[Byte], off: Int, nPix: Long,
+                        pal: Int, palN: Int): ImageStats = {
+      if (off >= p.length) return Zero
+      val minCode = u8(p, off)
+      if (minCode < 2 || minCode > 8) return Zero
+      // gather sub-blocks into one contiguous code stream (bounded by |p|)
+      val bos = new java.io.ByteArrayOutputStream()
+      var i = off + 1
+      var done = false
+      while (!done) {
+        if (i >= p.length) return Zero
+        val bs = u8(p, i)
+        if (bs == 0) done = true
+        else {
+          if (i + 1 + bs > p.length) return Zero
+          bos.write(p, i + 1, bs)
+          i += 1 + bs
+        }
+      }
+      val d = bos.toByteArray
+      val clear = 1 << minCode
+      val end = clear + 1
+      val prefix = new Array[Int](4096)
+      val suffix = new Array[Byte](4096)
+      var c = 0
+      while (c < clear) { prefix(c) = -1; suffix(c) = c.toByte; c += 1 }
+      var dictSize = end + 1
+      var codeWidth = minCode + 1
+      var bitPos = 0
+      val nBits = d.length * 8
+      def readCode(): Int = {
+        if (bitPos + codeWidth > nBits) -1
+        else {
+          var v = 0; var k = 0
+          while (k < codeWidth) {
+            val b = bitPos + k
+            if (((d(b >> 3) >> (b & 7)) & 1) != 0) v |= 1 << k
+            k += 1
+          }
+          bitPos += codeWidth
+          v
+        }
+      }
+      val stack = new Array[Byte](4097)
+      var prev = -1
+      var count = 0L
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var stop = false
+      while (!stop) {
+        val code = readCode()
+        if (code < 0 || code == end) stop = true
+        else if (code == clear) {
+          dictSize = end + 1; codeWidth = minCode + 1; prev = -1
+        } else if (code > dictSize || (code == dictSize && prev < 0)) {
+          return Zero // code not yet defined in the table
+        } else {
+          var sp = 0
+          var cur = code
+          if (code == dictSize) { // KwKwK: prev's expansion + its first byte
+            stack(sp) = suffix(firstOf(prefix, prev, clear)); sp += 1
+            cur = prev
+          }
+          while (cur >= 0) {
+            stack(sp) = suffix(cur); sp += 1
+            cur = prefix(cur)
+          }
+          val first = stack(sp - 1)
+          if (prev >= 0 && dictSize < 4096) {
+            prefix(dictSize) = prev
+            suffix(dictSize) = first
+            dictSize += 1
+            if (dictSize == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+          }
+          prev = code
+          // pop in order; pool only the first nPix indices
+          var k = sp - 1
+          while (k >= 0) {
+            if (count < nPix) {
+              val idx = stack(k) & 0xFF
+              if (idx >= palN) return Zero
+              sr += u8(p, pal + 3 * idx)
+              sg += u8(p, pal + 3 * idx + 1)
+              sb += u8(p, pal + 3 * idx + 2)
+            }
+            count += 1
+            k -= 1
+          }
+          if (count >= nPix) stop = true
+        }
+      }
+      if (count < nPix) return Zero // truncated index stream
+      ImageStats(nPix, sb.toDouble / nPix, sg.toDouble / nPix, sr.toDouble / nPix)
+    }
+
+    /** First byte of `code`'s expansion: walk the prefix chain to its
+      * literal root. Codes below `clear` are their own root.
+      */
+    private def firstOf(prefix: Array[Int], code: Int, clear: Int): Int = {
+      var cur = code
+      while (cur >= clear + 2) cur = prefix(cur)
+      cur
+    }
+  }
+
+  /** Raster dispatch by magic bytes: the uncompressed (BMP),
+    * deflate-compressed (PNG), and LZW-compressed (GIF) pure-JVM decoders
+    * behind one entry point; unknown containers get the zero row.
     */
   object RasterDecoder extends Serializable {
     def decode(p: Array[Byte]): ImageStats =
       if (p == null || p.length < 8) BmpPixelDecoder.Zero
       else if ((p(0) & 0xFF) == 'B' && (p(1) & 0xFF) == 'M') BmpPixelDecoder.decode(p)
       else if ((p(0) & 0xFF) == 0x89 && (p(1) & 0xFF) == 0x50) PngPixelDecoder.decode(p)
+      else if ((p(0) & 0xFF) == 'G' && (p(1) & 0xFF) == 'I') GifPixelDecoder.decode(p)
       else BmpPixelDecoder.Zero
   }
 

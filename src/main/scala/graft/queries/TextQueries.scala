@@ -28,6 +28,15 @@ object TextQueries extends QueryFamily {
       unhex(lpad(hex(shiftright(c, 8 * k).bitwiseAND(lit(255))), 2, "0"))): _*)
   private def hx(c: org.apache.spark.sql.Column) = lpad(hex(c % 256), 2, "0")
 
+  /** 128-entry GIF global color table with arithmetic RGB ramps —
+    * palette[i] = ((2i)%256, (2i+85)%256, (2i+170)%256) — constant across
+    * rows so it stages as one hex literal and DuckDB recomputes the means
+    * from the same arithmetic.
+    */
+  private lazy val GifPaletteHex: String =
+    (0 until 128).map(i =>
+      f"${(i * 2) % 256}%02X${(i * 2 + 85) % 256}%02X${(i * 2 + 170) % 256}%02X").mkString
+
   /** Synthetic-but-well-formed media payloads per doc (PNG/JPEG/GIF/BMP/WAV
     * headers built with pure byte-assembly SQL — unhex/concat — plus an
     * 'unknown' raw-text case), dimensions derived arithmetically from
@@ -475,6 +484,52 @@ object TextQueries extends QueryFamily {
              |  CAST(sum((d.doc_id + gx.x * 3 + gy.y * 7 + 170) % 256) AS DOUBLE) / count(*) AS mean_b,
              |  CAST(sum((d.doc_id + gx.x * 3 + gy.y * 7 + 85) % 256) AS DOUBLE) / count(*) AS mean_g,
              |  CAST(sum((d.doc_id + gx.x * 3 + gy.y * 7) % 256) AS DOUBLE) / count(*) AS mean_r
+             |FROM documents d
+             |CROSS JOIN LATERAL (SELECT unnest(range(0, d.doc_id % 8 + 2)) AS x) gx
+             |CROSS JOIN LATERAL (SELECT unnest(range(0, d.doc_id % 6 + 2)) AS y) gy
+             |WHERE d.doc_id < 300
+             |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
+
+    // REAL GIF pixel decode through the LZW path: each doc stages a w×h
+    // GIF whose 128-entry global color table carries the arithmetic RGB
+    // ramps palette[i] = ((2i)%256, (2i+85)%256, (2i+170)%256) and whose
+    // index stream is clear + literal codes + EOI (min code size 7 keeps
+    // every code an aligned byte — assemblable in SQL, yet decoded by the
+    // same variable-width LZW loop that handles real encoders' dictionary
+    // codes; the ImageIO round-trip is spec-covered). A bit-order, palette
+    // -offset, or dictionary bug shifts a channel mean.
+    QueryDef(
+      "q_multimodal_pixels_gif",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents").filter(col("doc_id") < 300)
+        val w = (col("doc_id") % 8 + 2).cast("int")
+        val h = (col("doc_id") % 6 + 2).cast("int")
+        val idxHex = concat_ws("",
+          transform(sequence(lit(0), h - 1), y =>
+            concat_ws("", transform(sequence(lit(0), w - 1), x =>
+              hx((col("doc_id") + x * 3 + y * 7) % 128)))))
+        val gif = concat(
+          unhex(lit("474946383961")), le(w, 2), le(h, 2),      // GIF89a + screen
+          unhex(lit("F60000")),                                // GCT(128), bg, aspect
+          unhex(lit(GifPaletteHex)),
+          unhex(lit("2C")), le(lit(0), 4), le(w, 2), le(h, 2), // image descriptor
+          unhex(lit("0007")),                                  // no LCT; min code 7
+          le(w * h + 2, 1),                                    // one data sub-block
+          unhex(lit("80")), unhex(idxHex), unhex(lit("81")),   // clear, literals, EOI
+          unhex(lit("003B")))                                  // terminator + trailer
+        Multimodal.withImageStats(d.select(col("doc_id"), gif.as("payload")), "payload")
+          .select(col("doc_id"), col("n_pixels"), col("mean_b"),
+            col("mean_g"), col("mean_r"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT d.doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_pixels,
+             |  CAST(sum(((d.doc_id + gx.x * 3 + gy.y * 7) % 128 * 2 + 170) % 256) AS DOUBLE)
+             |    / count(*) AS mean_b,
+             |  CAST(sum(((d.doc_id + gx.x * 3 + gy.y * 7) % 128 * 2 + 85) % 256) AS DOUBLE)
+             |    / count(*) AS mean_g,
+             |  CAST(sum((d.doc_id + gx.x * 3 + gy.y * 7) % 128 * 2 % 256) AS DOUBLE)
+             |    / count(*) AS mean_r
              |FROM documents d
              |CROSS JOIN LATERAL (SELECT unnest(range(0, d.doc_id % 8 + 2)) AS x) gx
              |CROSS JOIN LATERAL (SELECT unnest(range(0, d.doc_id % 6 + 2)) AS y) gy

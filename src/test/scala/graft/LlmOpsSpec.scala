@@ -378,6 +378,120 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fm.width == 5 && fm.height == 6 && fm.format == "png")
   }
 
+  // Real-encoder GIFs: ImageIO's writer emits genuine variable-width LZW
+  // with dictionary growth and code-width bumps — decode must track the
+  // table exactly; an indexed-color source makes the round-trip lossless,
+  // so channel means compare strictly.
+  test("GifPixelDecoder: LZW decode — encoder round-trip, staged form, KwKwK, rejections") {
+    import graft.operators.Multimodal.{FrameDecoder, GifPixelDecoder, RasterDecoder}
+    val pal16 = (0 until 16).map(i => (i * 16, (i * 7 + 3) % 256, (255 - i * 13) % 256))
+    val cm = new java.awt.image.IndexColorModel(8, 16,
+      pal16.map(_._1.toByte).toArray, pal16.map(_._2.toByte).toArray,
+      pal16.map(_._3.toByte).toArray)
+    val w = 40; val h = 25
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    val idx = Array.tabulate(w * h)(k => (k * 31 + 7) % 16)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, idx(y * w + x))
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", baos))
+    val real = baos.toByteArray
+    val s = GifPixelDecoder.decode(real)
+    assert(s.nPixels == w.toLong * h)
+    assert(math.abs(s.meanR - idx.map(pal16(_)._1).sum.toDouble / (w * h)) < 1e-12)
+    assert(math.abs(s.meanG - idx.map(pal16(_)._2).sum.toDouble / (w * h)) < 1e-12)
+    assert(math.abs(s.meanB - idx.map(pal16(_)._3).sum.toDouble / (w * h)) < 1e-12)
+
+    // the staged-oracle form: 128-entry GCT with arithmetic ramps, min code
+    // size 7, one clear then aligned literal bytes then EOI — plus a
+    // graphic-control extension in front of the descriptor (must be skipped)
+    def staged(sw: Int, sh: Int, docId: Int, interlace: Boolean = false,
+               gctBits: Int = 6, minCode: Int = 7): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("GIF89a".getBytes("US-ASCII"))
+      b.write(sw & 0xFF); b.write(sw >> 8); b.write(sh & 0xFF); b.write(sh >> 8)
+      b.write(0x80 | 0x70 | gctBits); b.write(0); b.write(0)
+      for (i <- 0 until (2 << gctBits)) {
+        b.write((i * 2) % 256); b.write((i * 2 + 85) % 256); b.write((i * 2 + 170) % 256)
+      }
+      b.write(0x21); b.write(0xF9); b.write(4)             // graphic control ext
+      b.write(0); b.write(0); b.write(0); b.write(0); b.write(0)
+      b.write(0x2C); b.write(0); b.write(0); b.write(0); b.write(0)
+      b.write(sw & 0xFF); b.write(sw >> 8); b.write(sh & 0xFF); b.write(sh >> 8)
+      b.write(if (interlace) 0x40 else 0x00)
+      b.write(minCode)
+      b.write(sw * sh + 2)                                 // one data sub-block
+      b.write(1 << minCode)                                // clear
+      for (y <- 0 until sh; x <- 0 until sw) b.write((docId + x * 3 + y * 7) % 128)
+      b.write((1 << minCode) + 1)                          // EOI
+      b.write(0); b.write(0x3B)
+      b.toByteArray
+    }
+    val st = GifPixelDecoder.decode(staged(5, 4, 17))
+    assert(st.nPixels == 20L)
+    val exp = for (y <- 0 until 4; x <- 0 until 5) yield (17 + x * 3 + y * 7) % 128
+    assert(math.abs(st.meanR - exp.map(i => i * 2 % 256).sum / 20.0) < 1e-12)
+    assert(math.abs(st.meanG - exp.map(i => (i * 2 + 85) % 256).sum / 20.0) < 1e-12)
+    assert(math.abs(st.meanB - exp.map(i => (i * 2 + 170) % 256).sum / 20.0) < 1e-12)
+    // interlace flag changes row layout, not membership — means identical
+    assert(GifPixelDecoder.decode(staged(5, 4, 17, interlace = true)) == st)
+
+    // KwKwK: min code 2, codes clear(4),1,6,end(5) — 6 names the entry
+    // being defined (prev + its first byte) → pixels [1,1,1]
+    def kwkwk: Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("GIF89a".getBytes("US-ASCII"))
+      b.write(3); b.write(0); b.write(1); b.write(0)
+      b.write(0x80 | 0x01); b.write(0); b.write(0)         // GCT: 4 entries
+      val p4 = Seq((9, 19, 29), (40, 50, 60), (1, 2, 3), (4, 5, 6))
+      p4.foreach { case (r, g0, b0) => b.write(r); b.write(g0); b.write(b0) }
+      b.write(0x2C); b.write(0); b.write(0); b.write(0); b.write(0)
+      b.write(3); b.write(0); b.write(1); b.write(0); b.write(0)
+      b.write(2)                                           // min code size
+      b.write(2); b.write(0x8C); b.write(0x0B)             // packed 3-bit codes
+      b.write(0); b.write(0x3B)
+      b.toByteArray
+    }
+    val kw = GifPixelDecoder.decode(kwkwk)
+    assert(kw.nPixels == 3L && kw.meanR == 40.0 && kw.meanG == 50.0 && kw.meanB == 60.0)
+
+    // rejections: never a throw — junk, null, truncated stream, undefined
+    // code, index beyond the color table, missing table, declared bomb
+    assert(GifPixelDecoder.decode("not a gif".getBytes) == GifPixelDecoder.Zero)
+    assert(GifPixelDecoder.decode(null) == GifPixelDecoder.Zero)
+    val tr = staged(5, 4, 17)
+    assert(GifPixelDecoder.decode(tr.dropRight(6)) == GifPixelDecoder.Zero)
+    // undefined code: clear(4) then 7 > dictSize (first data byte is at
+    // length-4: [..., blockLen, 0x8C, 0x0B, 0x00, 0x3B])
+    val bad = kwkwk
+    bad(bad.length - 4) = 0x3C.toByte // bits [001 111 ..] = clear, code 7
+    assert(GifPixelDecoder.decode(bad) == GifPixelDecoder.Zero)
+    // 4-entry table but min code 7 → literal 50 indexes past the table
+    assert(GifPixelDecoder.decode(staged(2, 1, 50, gctBits = 1)) ==
+      GifPixelDecoder.Zero)
+    val noTable = staged(5, 4, 17)
+    noTable(10) = (noTable(10) & 0x7F).toByte // clear GCT flag: indices dangle
+    assert(GifPixelDecoder.decode(noTable) == GifPixelDecoder.Zero)
+    // decompression bomb: huge declared image-descriptor dims → rejected
+    // before any allocation (screen dims are informational, bomb the
+    // descriptor's)
+    assert({
+      val bb = staged(5, 4, 17)
+      val desc = 6 + 7 + 128 * 3 + 8 // header + GCT + ext, at 0x2C
+      assert(bb(desc) == 0x2C.toByte)
+      bb(desc + 5) = 0xFF.toByte; bb(desc + 6) = 0xFF.toByte
+      bb(desc + 7) = 0xFF.toByte; bb(desc + 8) = 0xFF.toByte
+      GifPixelDecoder.decode(bb) == GifPixelDecoder.Zero   // 4.3 G pixels
+    })
+
+    // dispatch: RasterDecoder routes GIF by magic; FrameDecoder's full
+    // decode is now real for GIF (meta from the verified raster)
+    assert(RasterDecoder.decode(real) == s)
+    val fm = FrameDecoder.decode(real)
+    assert(fm.width == w && fm.height == h && fm.format == "gif")
+  }
+
   test("NfcNormalize: composes decomposed sequences, idempotent, null-safe, by name") {
     import graft.functions.GraftFns
     import spark.implicits._
