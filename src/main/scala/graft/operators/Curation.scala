@@ -225,5 +225,36 @@ object Curation {
   }
 
   // functions.size clashes with the `size` parameter name above
+  /** URL canonicalization — the normalization step before URL-level dedup
+    * and per-domain frequency capping (CommonCrawl-style corpus balancing):
+    * lowercase the scheme and host, strip default ports (:80/:443), drop
+    * tracking query params (utm_*, fbclid, gclid), strip the fragment;
+    * path case and non-tracking params are preserved, an empty path becomes
+    * "/". Pure column expressions — codegen'd, map-side, fuses into the
+    * scan; DuckDB replays it with the same regex family.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = regexp_replace(hostport, ":(443|80)$", "")
+    val path = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val q = regexp_extract(url, "\\?([^#]*)", 1)
+    val q2 = array_join(filter(split(q, "&"),
+      p => !p.rlike("^(utm_[^=]*|fbclid|gclid)=")), "&")
+    concat(scheme, lit("://"), host,
+      when(path === "", lit("/")).otherwise(path),
+      when(q2 === "", lit("")).otherwise(concat(lit("?"), q2)))
+  }
+
+  /** Registrable domain-ish key for frequency capping: the lowercased host
+    * with the default port and a leading `www.` stripped.
+    */
+  def urlDomain(url: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+        ":(443|80)$", ""),
+      "^www\\.", "")
+
   private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
 }

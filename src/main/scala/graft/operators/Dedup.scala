@@ -554,6 +554,48 @@ object Dedup {
     simHashBandedPairs(sums.select(col("id"), sh.as("sh")), maxHamming)
   }
 
+  /** Exact substring-duplication statistics at token-window granularity —
+    * the Spark-shaped counterpart of suffix-array substring dedup (Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better"): a
+    * length-k token window slides at stride 1 over each document; a window
+    * whose exact text occurs in more than one document marks a duplicated
+    * span. Output per document: total windows, windows inside
+    * cross-document duplicated spans, and the duplicated fraction — the
+    * signal used to drop or trim boilerplate-heavy documents.
+    *
+    * Plan shape (the 100 TB contract): explode to (window, doc) pairs, ONE
+    * exchange on the window key; the per-window doc-count agg and the
+    * flag-back join both reuse that partitioning; the final per-doc rollup
+    * shuffles only (doc_id, two counts). At corpus scale the window string
+    * would be xxhash64(window) so the exchange carries 8-byte keys — the
+    * string form is kept because the DuckDB oracle replays it exactly, and
+    * the plans are identical either way.
+    */
+  def substringDupStats(df: DataFrame, idCol: String, textCol: String,
+                        k: Int): DataFrame = {
+    require(k >= 2, s"window must be >= 2 tokens, got $k")
+    val toks = df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("t"))
+      .withColumn("n", size(col("t")))
+    val wins = toks.filter(col("n") >= k)
+      .select(col(idCol), explode(transform(sequence(lit(0), col("n") - k),
+        i => concat_ws(" ", slice(col("t"), i + 1, lit(k))))).as("win"))
+    // per-(window, doc) multiplicity, then per-window doc count: the second
+    // agg and the join are both pre-partitioned by win — one wide exchange
+    val pairs = wins.groupBy(col("win"), col(idCol)).agg(count(lit(1)).as("c"))
+    val stats = pairs.groupBy(col("win")).agg(count(lit(1)).as("ndocs"))
+    val perDoc = pairs.join(stats, "win")
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_windows"),
+           sum(when(col("ndocs") > 1, col("c")).otherwise(0L)).as("n_dup_windows"))
+    toks.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        when(col("n_windows") > 0,
+          col("n_dup_windows").cast("double") / col("n_windows")).otherwise(0.0))
+  }
+
   /** Shared 4×16-bit band blocking + Hamming verification over a packed
     * (id, sh: long) signature relation — see [[simHashPairs]] scaladoc for
     * the pigeonhole recall argument.

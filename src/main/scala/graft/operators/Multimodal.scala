@@ -7,8 +7,10 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with a typed metadata struct. The Spark-side contract —
   * schema, per-partition decoder lifecycle, batch shape, partition sizing —
-  * is real; the actual codec is stubbed (no media libraries in this
-  * environment) behind [[MediaDecoder]], deterministic so tests are stable.
+  * is real, and so is the full decode for every image/audio format
+  * (PNG/GIF/BMP pure-JVM, JPEG via the JDK's built-in codec, WAV PCM);
+  * only video remains a seam behind [[MediaDecoder]] (no ffmpeg in this
+  * environment).
   *
   * Scale notes: blobs dominate row width, so (a) payloads are decoded
   * per-partition with one decoder instance (codec init is expensive),
@@ -116,17 +118,17 @@ object Multimodal {
     }
   }
 
-  /** Full-decode dispatch. Formats whose complete decode needs no native
-    * codec are real: PNG (inflate + unfilter, [[PngPixelDecoder]]), GIF
-    * (LZW, [[GifPixelDecoder]]), BMP ([[BmpPixelDecoder]]), WAV PCM
-    * ([[PcmDecoder]]). The codec-bound seam now covers only JPEG entropy
-    * decode and video — where a production build plugs libjpeg/ffmpeg.
+  /** Full-decode dispatch. Every image/audio format is now real: PNG
+    * (inflate + unfilter, [[PngPixelDecoder]]), GIF (LZW,
+    * [[GifPixelDecoder]]), BMP ([[BmpPixelDecoder]]), JPEG (JDK codec,
+    * [[JpegPixelDecoder]]), WAV PCM ([[PcmDecoder]]). The codec-bound seam
+    * covers only video containers — where a production build plugs ffmpeg.
     */
   object FrameDecoder extends MediaDecoder {
     def decode(p: Array[Byte]): MediaMeta = {
       val meta = HeaderDecoder.decode(p)
       meta.format match {
-        case "png" | "bmp" | "gif" =>
+        case "png" | "bmp" | "gif" | "jpeg" =>
           val s = RasterDecoder.decode(p)
           if (s.nPixels > 0) meta else MediaMeta(0, 0, 0, meta.format)
         case "wav" =>
@@ -137,12 +139,11 @@ object Multimodal {
           // decoder here — a junk blob in a mixed corpus must not throw
           MediaMeta(0, 0, 0, "unknown")
         case _ =>
-          // codec-bound seam: JPEG entropy decode / video containers need
-          // libjpeg/ffmpeg (absent here) — a production build plugs them in
-          // and verifies the pixel payload like the png/bmp/wav arms above.
-          // Until then the header-parsed metadata passes through UNVERIFIED
-          // rather than throwing: a mixed corpus containing one JPEG must
-          // not kill the job (the module's junk-must-not-throw contract).
+          // codec-bound seam, now video-only: containers need ffmpeg
+          // (absent here) — a production build plugs it in and verifies the
+          // frame payload like the raster/wav arms above. Until then the
+          // header-parsed metadata passes through UNVERIFIED rather than
+          // throwing (the module's junk-must-not-throw contract).
           meta
       }
     }
@@ -603,9 +604,81 @@ object Multimodal {
     }
   }
 
+  /** Real pixel decode for JPEG via the JDK's built-in codec
+    * (`javax.imageio` — part of `java.desktop`, no external library): the
+    * entropy decode + IDCT that the hand-rolled decoders above deliberately
+    * don't reimplement. Guards mirror the siblings: magic + SOF-parsed
+    * dimensions checked BEFORE the codec runs (decompression-bomb cap at
+    * 64 M pixels), and any codec failure — truncated entropy stream,
+    * unsupported colorspace (CMYK), junk — returns the zero row, never a
+    * throw. Decoded ARGB is pooled per channel like the raster siblings.
+    * Scale note: `ImageIO.read` allocates a reader per call; the per-blob
+    * cost is dominated by the IDCT itself, and the whole step is map-side
+    * over the blob scan like every decoder here.
+    */
+  object JpegPixelDecoder extends Serializable {
+    private val MaxPixels = 64L << 20
+    val Zero: ImageStats = ImageStats(0L, 0.0, 0.0, 0.0)
+
+    def decode(p: Array[Byte]): ImageStats = {
+      if (p == null || p.length < 4 ||
+          (p(0) & 0xFF) != 0xFF || (p(1) & 0xFF) != 0xD8) return Zero
+      val meta = HeaderDecoder.decode(p) // SOF dims without running the codec
+      if (meta.format != "jpeg" || meta.width <= 0 || meta.height <= 0 ||
+          meta.width.toLong * meta.height > MaxPixels) return Zero
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+        if (img == null) return Zero
+        val w = img.getWidth; val h = img.getHeight
+        if (w <= 0 || h <= 0) return Zero
+        val row = new Array[Int](w)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0
+          while (x < w) {
+            val v = row(x)
+            sr += (v >> 16) & 0xFF; sg += (v >> 8) & 0xFF; sb += v & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        ImageStats(n, sb.toDouble / n, sg.toDouble / n, sr.toDouble / n)
+      } catch {
+        case scala.util.control.NonFatal(_) => Zero
+      }
+    }
+  }
+
+  /** Deterministic JPEG staging (JDK encoder, default quality): a solid
+    * w×h RGB image — for oracle queries and specs, where "solid" makes the
+    * lossy round-trip predictable (constant chroma subsamples losslessly;
+    * only DC quantization + colorspace rounding remain, ≤2 per channel
+    * mean, measured over the staged corpus).
+    */
+  object JpegStager extends Serializable {
+    def solid(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val v = (r << 16) | (g << 8) | b
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, v); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", bos)
+      bos.toByteArray
+    }
+  }
+
   /** Raster dispatch by magic bytes: the uncompressed (BMP),
-    * deflate-compressed (PNG), and LZW-compressed (GIF) pure-JVM decoders
-    * behind one entry point; unknown containers get the zero row.
+    * deflate-compressed (PNG), LZW-compressed (GIF), and DCT-compressed
+    * (JPEG, JDK codec) decoders behind one entry point; unknown containers
+    * get the zero row.
     */
   object RasterDecoder extends Serializable {
     def decode(p: Array[Byte]): ImageStats =
@@ -613,6 +686,7 @@ object Multimodal {
       else if ((p(0) & 0xFF) == 'B' && (p(1) & 0xFF) == 'M') BmpPixelDecoder.decode(p)
       else if ((p(0) & 0xFF) == 0x89 && (p(1) & 0xFF) == 0x50) PngPixelDecoder.decode(p)
       else if ((p(0) & 0xFF) == 'G' && (p(1) & 0xFF) == 'I') GifPixelDecoder.decode(p)
+      else if ((p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8) JpegPixelDecoder.decode(p)
       else BmpPixelDecoder.Zero
   }
 

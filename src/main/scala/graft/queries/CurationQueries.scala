@@ -233,6 +233,71 @@ object CurationQueries extends QueryFamily {
              |                      chr(10) ORDER BY pos), '') AS clean_text,
              |  CAST(count(CASE WHEN norm = '' OR rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
              |  CAST(count(CASE WHEN norm <> '' AND rn > 1 THEN 1 END) AS BIGINT) AS n_dropped
-             |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // URL canonicalization + per-domain frequency cap (CommonCrawl-style
+    // corpus balancing). Staged URLs (the stagedPii pattern — the corpus
+    // text has no URLs) exercise every rule: uppercase scheme/host, a :443
+    // default port, utm_* tracking params around a kept param, fragments.
+    // kept = row_number per canonical domain by doc_id <= 5, the standard
+    // per-domain cap. Both engines reconstruct the staging arithmetically.
+    QueryDef(
+      "q_text_urls",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables(s, dir, "documents").filter(col("doc_id") < 1000)
+        val id = col("doc_id")
+        val url = concat(
+          lit("HTTPS://WWW.Site"), (id % 37).cast("string"), lit(".Example.COM"),
+          when(id % 4 === 0, lit(":443")).otherwise(lit("")),
+          lit("/Path/To/Page"), id.cast("string"),
+          when(id % 3 === 0,
+            concat(lit("?utm_source=feed&ref="), (id % 7).cast("string"),
+              lit("&utm_campaign=x")))
+            .otherwise(concat(lit("?ref="), (id % 7).cast("string"))),
+          when(id % 5 === 0, lit("#Section2")).otherwise(lit("")))
+        d.select(id, url.as("url"))
+          .select(id,
+            Curation.urlDomain(col("url")).as("domain"),
+            Curation.canonicalizeUrl(col("url")).as("canon_url"))
+          .withColumn("kept",
+            row_number().over(
+              Window.partitionBy(col("domain")).orderBy(col("doc_id"))) <= 5)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH staged AS (
+             |  SELECT doc_id,
+             |    'HTTPS://WWW.Site' || CAST(doc_id % 37 AS VARCHAR) || '.Example.COM'
+             |      || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+             |      || '/Path/To/Page' || CAST(doc_id AS VARCHAR)
+             |      || CASE WHEN doc_id % 3 = 0
+             |           THEN '?utm_source=feed&ref=' || CAST(doc_id % 7 AS VARCHAR)
+             |                  || '&utm_campaign=x'
+             |           ELSE '?ref=' || CAST(doc_id % 7 AS VARCHAR) END
+             |      || CASE WHEN doc_id % 5 = 0 THEN '#Section2' ELSE '' END AS url
+             |  FROM documents WHERE doc_id < 1000),
+             |parts AS (
+             |  SELECT doc_id, url,
+             |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             |    regexp_replace(lower(regexp_extract(url,
+             |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':(443|80)$', '') AS host,
+             |    regexp_extract(url,
+             |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+             |    regexp_extract(url, '\?([^#]*)', 1) AS q
+             |  FROM staged),
+             |canon AS (
+             |  SELECT doc_id,
+             |    regexp_replace(host, '^www\.', '') AS domain,
+             |    scheme || '://' || host
+             |      || CASE WHEN path = '' THEN '/' ELSE path END
+             |      || CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS canon_url
+             |  FROM (SELECT *,
+             |          array_to_string(list_filter(string_split(q, '&'),
+             |            p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=')),
+             |            '&') AS q2
+             |        FROM parts))
+             |SELECT doc_id, domain, canon_url,
+             |  row_number() OVER (PARTITION BY domain ORDER BY doc_id) <= 5 AS kept
+             |FROM canon ORDER BY doc_id""".stripMargin))
   )
 }

@@ -163,7 +163,44 @@ object DedupQueries extends QueryFamily {
              |  UNION
              |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
              |SELECT id, min(r) AS cluster_id FROM reach
-             |GROUP BY id ORDER BY id""".stripMargin))
+             |GROUP BY id ORDER BY id""".stripMargin)),
+
+    // Exact substring duplication at token-window granularity — the Spark
+    // shape of suffix-array substring dedup (Lee et al.): 8-token windows
+    // at stride 1; a window whose exact text occurs in >1 document marks a
+    // duplicated span, rolled up per doc as counts + fraction. DuckDB
+    // replays the identical windows via list slicing.
+    QueryDef(
+      "q_dedup_substring",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        Dedup.substringDupStats(d, "doc_id", "text", 8)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+             |  FROM documents),
+             |sized AS (SELECT doc_id, t, len(t) AS n FROM toks),
+             |wins AS (
+             |  SELECT doc_id, array_to_string(t[g.i + 1 : g.i + 8], ' ') AS win
+             |  FROM sized CROSS JOIN LATERAL (
+             |    SELECT unnest(range(0, n - 7)) AS i) g
+             |  WHERE n >= 8),
+             |pairs AS (SELECT doc_id, win, count(*) AS c FROM wins GROUP BY doc_id, win),
+             |stats AS (SELECT win, count(*) AS ndocs FROM pairs GROUP BY win),
+             |perdoc AS (
+             |  SELECT p.doc_id,
+             |    CAST(sum(p.c) AS BIGINT) AS n_windows,
+             |    CAST(sum(CASE WHEN s.ndocs > 1 THEN p.c ELSE 0 END) AS BIGINT)
+             |      AS n_dup_windows
+             |  FROM pairs p JOIN stats s USING (win) GROUP BY p.doc_id)
+             |SELECT d.doc_id,
+             |  coalesce(n_windows, 0) AS n_windows,
+             |  coalesce(n_dup_windows, 0) AS n_dup_windows,
+             |  CASE WHEN coalesce(n_windows, 0) > 0
+             |       THEN CAST(n_dup_windows AS DOUBLE) / n_windows
+             |       ELSE 0.0 END AS dup_ratio
+             |FROM sized d LEFT JOIN perdoc USING (doc_id) ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB replica of the portable-family minHashLsh pipeline (H=16, B=4,

@@ -536,6 +536,38 @@ object TextQueries extends QueryFamily {
              |WHERE d.doc_id < 300
              |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
 
+    // REAL JPEG pixel decode through the JDK codec (entropy decode + IDCT):
+    // each doc stages a solid-color w×h JPEG (encode is deterministic but
+    // LOSSY, so exact means aren't SQL-recomputable); the oracle contract is
+    // a tolerance assertion instead — solid color makes the round-trip
+    // error ≤2 per channel mean (constant chroma subsamples losslessly),
+    // so `ok` = all channels within 6 must be TRUE for every row, which
+    // DuckDB predicts exactly. A codec failure or channel swap flips ok.
+    QueryDef(
+      "q_multimodal_pixels_jpeg",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables(s, dir, "documents").filter(col("doc_id") < 300)
+        val staged = d.select(col("doc_id")).as[Long].mapPartitions { it =>
+          it.map { id =>
+            val w = (id % 8 + 8).toInt; val h = (id % 6 + 8).toInt
+            (id, Multimodal.JpegStager.solid(w, h,
+              ((id * 3) % 256).toInt, ((id * 5 + 85) % 256).toInt,
+              ((id * 7 + 170) % 256).toInt))
+          }
+        }.toDF("doc_id", "payload")
+        Multimodal.withImageStats(staged, "payload")
+          .select(col("doc_id"), col("n_pixels"),
+            (abs(col("mean_r") - (col("doc_id") * 3 % 256)) <= 6 &&
+             abs(col("mean_g") - (col("doc_id") * 5 + 85) % 256) <= 6 &&
+             abs(col("mean_b") - (col("doc_id") * 7 + 170) % 256) <= 6).as("ok"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST((doc_id % 8 + 8) * (doc_id % 6 + 8) AS BIGINT) AS n_pixels,
+             |  TRUE AS ok
+             |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin)),
+
     // Unicode NFC normalization + whitespace/case canonicalization — the
     // standard first curation step. Staged text appends a decomposed
     // sequence (e + COMBINING ACUTE, bytes 65 CC 81) and a precomposed é

@@ -208,4 +208,54 @@ class CurationSpec extends AnyFunSuite {
         dfShuffles.map(_.output.map(_.name).mkString(",")).mkString(" | "))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("canonicalizeUrl/urlDomain: case, ports, tracking params, fragments, non-URLs") {
+    val df = Seq(
+      (1L, "HTTPS://WWW.Example.COM:443/Path/Page?utm_source=a&id=7&utm_campaign=b#frag"),
+      (2L, "http://example.com"),                        // no path → "/"
+      (3L, "https://sub.Example.com:8080/x?fbclid=z"),   // non-default port kept
+      (4L, "https://example.com/p?utm_medium=m"),        // all params tracking
+      (5L, "not a url at all")
+    ).toDF("id", "url")
+    val out = df.select(col("id"),
+        Curation.canonicalizeUrl(col("url")).as("c"),
+        Curation.urlDomain(col("url")).as("d"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "https://www.example.com/Path/Page?id=7")
+    assert(out(0).getString(2) == "example.com")
+    assert(out(1).getString(1) == "http://example.com/")
+    assert(out(2).getString(1) == "https://sub.example.com:8080/x")
+    assert(out(2).getString(2) == "sub.example.com:8080")
+    assert(out(3).getString(1) == "https://example.com/p")
+    // a non-URL canonicalizes to the degenerate "://" + "/" skeleton — the
+    // caller gates on a scheme match before trusting it; must not throw
+    assert(out(4).getString(1) == ":///")
+    assert(out(4).getString(2) == "")
+  }
+
+  test("substringDupStats: shared window counted, short and unique docs zeroed") {
+    import graft.operators.Dedup
+    // k=3: docs 1 and 2 share the window "q w e" (1 window each);
+    // doc 3 has no 3-token window in common; doc 4 is too short (2 tokens)
+    val df = Seq(
+      (1L, "q w e r t"),   // windows: "q w e","w e r","e r t" (3)
+      (2L, "z q w e"),     // windows: "z q w","q w e" (2)
+      (3L, "a b c d"),     // windows: "a b c","b c d" (2), none shared
+      (4L, "x y")          // too short: zero windows
+    ).toDF("id", "txt")
+    val out = Dedup.substringDupStats(df, "id", "txt", 3)
+      .orderBy("id").collect()
+    def row(i: Int) = (out(i).getLong(1), out(i).getLong(2), out(i).getDouble(3))
+    assert(row(0) == ((3L, 1L, 1.0 / 3)))
+    assert(row(1) == ((2L, 1L, 0.5)))
+    assert(row(2) == ((2L, 0L, 0.0)))
+    assert(row(3) == ((0L, 0L, 0.0)))
+    // a window repeated WITHIN one doc only is not a cross-doc duplicate
+    val solo = Seq((1L, "m n m n m n")).toDF("id", "txt") // "m n m" x2 etc.
+    val so = Dedup.substringDupStats(solo, "id", "txt", 3).collect()(0)
+    assert(so.getLong(1) == 4L && so.getLong(2) == 0L)
+    intercept[IllegalArgumentException] {
+      Dedup.substringDupStats(df, "id", "txt", 1)
+    }
+  }
 }

@@ -492,6 +492,55 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fm.width == w && fm.height == h && fm.format == "gif")
   }
 
+  // JPEG via the JDK's built-in codec: the one genuinely codec-bound image
+  // format, closed with javax.imageio (part of java.desktop, no external
+  // library). Lossy — assertions are tolerance-based where the encoder
+  // quantizes, exact where the same codec defines the reference.
+  test("JpegPixelDecoder: JDK codec decode — solid tolerance, gradient identity, rejections") {
+    import graft.operators.Multimodal.{FrameDecoder, JpegPixelDecoder, JpegStager, RasterDecoder}
+    // solid color: constant chroma subsamples losslessly; channel means
+    // land within 2 of the staged color (the q_multimodal_pixels_jpeg bound)
+    val solid = JpegStager.solid(13, 11, 200, 85, 30)
+    val s = JpegPixelDecoder.decode(solid)
+    assert(s.nPixels == 143L)
+    assert(math.abs(s.meanR - 200) <= 2 && math.abs(s.meanG - 85) <= 2 &&
+      math.abs(s.meanB - 30) <= 2)
+    // gradient: decode must EQUAL a reference pooling of the same codec's
+    // ARGB output (identity against ImageIO.read, not a tolerance)
+    val img = new java.awt.image.BufferedImage(
+      64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 64)
+      img.setRGB(x, y, ((x * 4) << 16) | ((y * 5) << 8) | ((x + y) & 0xFF))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpeg", bos))
+    val jp = bos.toByteArray
+    val g = JpegPixelDecoder.decode(jp)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jp))
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until 48; x <- 0 until 64) {
+      val v = back.getRGB(x, y)
+      sr += (v >> 16) & 0xFF; sg += (v >> 8) & 0xFF; sb += v & 0xFF
+    }
+    val n = 64.0 * 48
+    assert(g.nPixels == 64L * 48 && g.meanR == sr / n && g.meanG == sg / n &&
+      g.meanB == sb / n)
+    // rejections: junk, null, truncated entropy stream (reader throws →
+    // zero row), declared bomb (SOF dims gate BEFORE the codec runs)
+    assert(JpegPixelDecoder.decode("not a jpeg".getBytes) == JpegPixelDecoder.Zero)
+    assert(JpegPixelDecoder.decode(null) == JpegPixelDecoder.Zero)
+    assert(JpegPixelDecoder.decode(jp.take(jp.length / 2)) == JpegPixelDecoder.Zero)
+    val bomb = Array[Int](0xFF, 0xD8, 0xFF, 0xC0, 0x00, 0x0B, 0x08,
+      0xEA, 0x60, 0xEA, 0x60, 0x01, 0x00, 0x00, 0x00).map(_.toByte)
+    assert(JpegPixelDecoder.decode(bomb) == JpegPixelDecoder.Zero) // 3.6 G px
+    // dispatch: RasterDecoder routes JPEG by magic; FrameDecoder's jpeg arm
+    // is now raster-VERIFIED (video is the only remaining seam)
+    assert(RasterDecoder.decode(jp) == g)
+    val fm = FrameDecoder.decode(jp)
+    assert(fm.width == 64 && fm.height == 48 && fm.format == "jpeg")
+    assert(FrameDecoder.decode(jp.take(jp.length / 2)) ==
+      graft.operators.Multimodal.MediaMeta(0, 0, 0, "jpeg"))
+  }
+
   test("NfcNormalize: composes decomposed sequences, idempotent, null-safe, by name") {
     import graft.functions.GraftFns
     import spark.implicits._
