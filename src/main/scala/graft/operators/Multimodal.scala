@@ -32,12 +32,12 @@ object Multimodal {
   }
 
   /** Pure-JVM container-header codec: parses PNG / JPEG / GIF / BMP / WAV
-    * headers from the raw bytes — real dimension/frame extraction with no
-    * native media libraries. Full pixel decode (the part that genuinely
-    * needs libjpeg/ffmpeg) stays behind [[FrameDecoder]]; header metadata is
-    * what the curation pipeline actually filters on (resolution gates,
-    * aspect-ratio gates, duration gates), so this is the production-shaped
-    * fast path: no decompression, O(header) bytes touched per blob.
+    * / MP4 (ISO BMFF) headers from the raw bytes — real dimension/frame
+    * extraction with no native media libraries. Full pixel decode stays
+    * behind [[FrameDecoder]]; header metadata is what the curation pipeline
+    * actually filters on (resolution gates, aspect-ratio gates, duration
+    * gates), so this is the production-shaped fast path: no decompression,
+    * O(header) bytes touched per blob.
     */
   object HeaderDecoder extends MediaDecoder {
     private def u8(p: Array[Byte], i: Int): Int = p(i) & 0xFF
@@ -65,7 +65,56 @@ object Multimodal {
         MediaMeta(le32(p, 18), le32(p, 22), 1, "bmp")
       else if (ascii(p, 0, "RIFF") && ascii(p, 8, "WAVE"))
         decodeWav(p)
+      else if (p.length >= 12 && ascii(p, 4, "ftyp"))
+        decodeMp4(p)
       else MediaMeta(0, 0, 0, "unknown")
+    }
+
+    /** ISO BMFF (MP4/MOV) box walk — container metadata is a pure
+      * structure parse, no codec: recurse through moov/trak/mdia/minf/stbl,
+      * read the first v0 `tkhd` with nonzero 16.16-fixed dimensions and the
+      * first `stts` sample-count sum (total frames of that track). Only the
+      * frame DECODE is codec-bound; this makes duration/resolution gates
+      * and frame-sampling plans real for video. Guards: 64-bit largesize
+      * and size<8 boxes reject the container (corrupt/oversized), child
+      * walks are bounded by the parent box, recursion depth capped.
+      */
+    private def decodeMp4(p: Array[Byte]): MediaMeta = {
+      var w = 0; var h = 0; var frames = 0L
+      var bad = false
+      def walk(start: Int, end: Int, depth: Int): Unit = {
+        if (depth > 8) return
+        var i = start
+        while (!bad && i + 8 <= end) {
+          val size = be32(p, i)
+          val boxEnd = if (size == 0) end else i.toLong + size
+          if (size == 1 || (size != 0 && size < 8) || boxEnd > end) {
+            bad = true; return
+          }
+          if (ascii(p, i + 4, "moov") || ascii(p, i + 4, "trak") ||
+              ascii(p, i + 4, "mdia") || ascii(p, i + 4, "minf") ||
+              ascii(p, i + 4, "stbl"))
+            walk(i + 8, boxEnd.toInt, depth + 1)
+          else if (ascii(p, i + 4, "tkhd") && w == 0 &&
+                   i + 8 + 84 <= end && u8(p, i + 8) == 0) {
+            val ww = be32(p, i + 8 + 76) >>> 16 // 16.16 fixed point
+            val hh = be32(p, i + 8 + 80) >>> 16
+            if (ww > 0 && hh > 0) { w = ww; h = hh }
+          } else if (ascii(p, i + 4, "stts") && frames == 0 && i + 16 <= end) {
+            val n = be32(p, i + 12)
+            var k = 0; var sum = 0L
+            while (k < n && i + 16 + k * 8 + 4 <= end) {
+              sum += be32(p, i + 16 + k * 8).toLong & 0xFFFFFFFFL
+              k += 1
+            }
+            frames = sum
+          }
+          i = boxEnd.toInt
+        }
+      }
+      walk(0, p.length, 0)
+      if (bad || w <= 0 || h <= 0) MediaMeta(0, 0, 0, "unknown")
+      else MediaMeta(w, h, math.min(frames, Int.MaxValue.toLong).toInt, "mp4")
     }
 
     /** Walk JPEG marker segments to the first SOF frame header (C0–CF minus

@@ -568,6 +568,49 @@ object TextQueries extends QueryFamily {
              |  TRUE AS ok
              |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin)),
 
+    // REAL MP4 container metadata through the ISO BMFF box walk: each doc
+    // stages a minimal-but-to-spec MP4 (ftyp + moov{mvhd + trak{tkhd +
+    // mdia/minf/stbl/stts}}) with doc_id-derived dimensions (16.16 fixed in
+    // tkhd) and frame count (stts sample sum) — byte-assembled in SQL with
+    // exact box sizes, so a size-accounting, fixed-point, or recursion bug
+    // breaks the parse. DuckDB predicts the decoded metadata arithmetically.
+    QueryDef(
+      "q_multimodal_video",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents").filter(col("doc_id") < 300)
+        val w = (col("doc_id") % 317 + 16).cast("int")
+        val h = (col("doc_id") % 211 + 16).cast("int")
+        val nf = (col("doc_id") % 97 + 10).cast("int")
+        val dur = nf * 40 // 25 fps at timescale 1000
+        val matrixHex =
+          "000100000000000000000000000000000001000000000000000000000000000040000000"
+        val mp4 = concat(
+          unhex(lit("000000106674797069736F6D00000000")),     // ftyp isom
+          unhex(lit("000001086D6F6F76")),                     // moov (264)
+          unhex(lit("0000006C6D766864" + "00000000" * 3)),    // mvhd v0, times 0
+          be(lit(1000), 4), be(dur, 4),                       // timescale, duration
+          unhex(lit("000100000100" + "00" * 10 + matrixHex + "00" * 24 + "00000002")),
+          unhex(lit("000000947472616B")),                     // trak (148)
+          unhex(lit("0000005C746B6864" + "00000007" +        // tkhd v0, flags 7
+            "00000000" * 2 + "00000001" + "00000000")),       // times, id 1, rsvd
+          be(dur, 4), unhex(lit("00" * 16 + matrixHex)),      // dur, layer.., matrix
+          be(w, 2), unhex(lit("0000")), be(h, 2), unhex(lit("0000")), // 16.16 dims
+          unhex(lit("000000306D646961000000286D696E66000000207374626C")),
+          unhex(lit("0000001873747473" + "00000000" + "00000001")), // stts, 1 entry
+          be(nf, 4), unhex(lit("00000001")))                  // count, delta
+        Multimodal.withMediaMeta(d.select(col("doc_id"), mp4.as("payload")),
+            "payload", Multimodal.HeaderDecoder)
+          .select(col("doc_id"), col("width"), col("height"),
+            col("n_frames"), col("format"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(doc_id % 317 + 16 AS INTEGER) AS width,
+             |  CAST(doc_id % 211 + 16 AS INTEGER) AS height,
+             |  CAST(doc_id % 97 + 10 AS INTEGER) AS n_frames,
+             |  'mp4' AS format
+             |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin)),
+
     // Unicode NFC normalization + whitespace/case canonicalization — the
     // standard first curation step. Staged text appends a decomposed
     // sequence (e + COMBINING ACUTE, bytes 65 CC 81) and a precomposed é

@@ -541,6 +541,50 @@ class LlmOpsSpec extends AnyFunSuite {
       graft.operators.Multimodal.MediaMeta(0, 0, 0, "jpeg"))
   }
 
+  // MP4 container metadata: a pure ISO BMFF structure parse (no codec) —
+  // box-size accounting, 16.16 fixed-point dims, stts sample summing, and
+  // the corrupt-container rejections.
+  test("HeaderDecoder: MP4 box walk — dims, multi-entry stts, v1/corrupt rejections") {
+    import graft.operators.Multimodal.HeaderDecoder
+    def be32(v: Int): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    val matrix = be32(0x00010000) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0x00010000) ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0x40000000)
+    def tkhd(w: Int, h: Int, version: Int = 0): Array[Byte] = box("tkhd",
+      Array[Byte](version.toByte, 0, 0, 7) ++ be32(0) ++ be32(0) ++ be32(1) ++
+      be32(0) ++ be32(4000) ++ new Array[Byte](8) ++ new Array[Byte](8) ++
+      matrix ++ be32(w << 16) ++ be32(h << 16))
+    // two stts entries: 30 + 12 samples — the sum is the frame count
+    val stts = box("stts", be32(0) ++ be32(2) ++
+      be32(30) ++ be32(1) ++ be32(12) ++ be32(1))
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(1000) ++
+      be32(4000) ++ be32(0x00010000) ++ Array[Byte](1, 0) ++ new Array[Byte](10) ++
+      matrix ++ new Array[Byte](24) ++ be32(2))
+    def mp4(tk: Array[Byte]): Array[Byte] =
+      box("ftyp", "isom".getBytes ++ be32(0)) ++
+        box("moov", mvhd ++ box("trak",
+          tk ++ box("mdia", box("minf", box("stbl", stts)))))
+    val good = mp4(tkhd(640, 360))
+    val m = HeaderDecoder.decode(good)
+    assert(m == graft.operators.Multimodal.MediaMeta(640, 360, 42, "mp4"))
+    // FrameDecoder passes mp4 through as the documented UNVERIFIED seam
+    assert(graft.operators.Multimodal.FrameDecoder.decode(good) == m)
+    // v1 tkhd (64-bit times, different offsets) is skipped → no dims
+    assert(HeaderDecoder.decode(mp4(tkhd(640, 360, version = 1))).format == "unknown")
+    // truncated container: moov declares past EOF
+    assert(HeaderDecoder.decode(good.dropRight(30)).format == "unknown")
+    // 64-bit largesize box (size == 1) rejects
+    val large = good.clone()
+    System.arraycopy(be32(1), 0, large, 16, 4) // moov size → largesize marker
+    assert(HeaderDecoder.decode(large).format == "unknown")
+    // size < 8 (cursor would stall) rejects
+    val stall = good.clone()
+    System.arraycopy(be32(4), 0, stall, 16, 4)
+    assert(HeaderDecoder.decode(stall).format == "unknown")
+  }
+
   test("NfcNormalize: composes decomposed sequences, idempotent, null-safe, by name") {
     import graft.functions.GraftFns
     import spark.implicits._
