@@ -23,7 +23,8 @@ object Multimodal {
   final case class MediaMeta(width: Int, height: Int, nFrames: Int, format: String)
 
   /** Decoder contract: one instance per partition, `decode` per payload.
-    * A production build plugs a real codec here (`???` marks the seam).
+    * Every image/audio implementation is real; a production build plugs
+    * ffmpeg here for video frame decode (the one remaining seam).
     */
   trait MediaDecoder extends Serializable {
     def open(): Unit = ()
