@@ -188,10 +188,15 @@ object Multimodal {
           // unrecognized/corrupt payload: the zero row, like every other
           // decoder here — a junk blob in a mixed corpus must not throw
           MediaMeta(0, 0, 0, "unknown")
+        case "mp4" if MjpegDecoder.isMjpeg(p) =>
+          // MJPEG tracks are per-frame JPEGs — verifiable with the JDK
+          // codec like the raster arms above
+          val v = MjpegDecoder.decode(p)
+          if (v.nFramesDecoded > 0) meta else MediaMeta(0, 0, 0, meta.format)
         case _ =>
-          // codec-bound seam, now video-only: containers need ffmpeg
-          // (absent here) — a production build plugs it in and verifies the
-          // frame payload like the raster/wav arms above. Until then the
+          // codec-bound seam, now inter-frame video only (H.264/VP9/AV1
+          // need ffmpeg, absent here) — a production build plugs it in and
+          // verifies the frame payload like the arms above. Until then the
           // header-parsed metadata passes through UNVERIFIED rather than
           // throwing (the module's junk-must-not-throw contract).
           meta
@@ -670,17 +675,22 @@ object Multimodal {
     private val MaxPixels = 64L << 20
     val Zero: ImageStats = ImageStats(0L, 0.0, 0.0, 0.0)
 
-    def decode(p: Array[Byte]): ImageStats = {
+    /** Channel sums (n, sumB, sumG, sumR) of one JPEG payload, or null if
+      * the payload is not a decodable JPEG — the exact-integer form shared
+      * with [[MjpegDecoder]], which pools sums ACROSS frames before taking
+      * the one division (per-frame double means would compound rounding).
+      */
+    private[operators] def decodeSums(p: Array[Byte]): Array[Long] = {
       if (p == null || p.length < 4 ||
-          (p(0) & 0xFF) != 0xFF || (p(1) & 0xFF) != 0xD8) return Zero
+          (p(0) & 0xFF) != 0xFF || (p(1) & 0xFF) != 0xD8) return null
       val meta = HeaderDecoder.decode(p) // SOF dims without running the codec
       if (meta.format != "jpeg" || meta.width <= 0 || meta.height <= 0 ||
-          meta.width.toLong * meta.height > MaxPixels) return Zero
+          meta.width.toLong * meta.height > MaxPixels) return null
       try {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
-        if (img == null) return Zero
+        if (img == null) return null
         val w = img.getWidth; val h = img.getHeight
-        if (w <= 0 || h <= 0) return Zero
+        if (w <= 0 || h <= 0) return null
         val row = new Array[Int](w)
         var sr = 0L; var sg = 0L; var sb = 0L
         var y = 0
@@ -694,11 +704,17 @@ object Multimodal {
           }
           y += 1
         }
-        val n = w.toLong * h
-        ImageStats(n, sb.toDouble / n, sg.toDouble / n, sr.toDouble / n)
+        Array(w.toLong * h, sb, sg, sr)
       } catch {
-        case scala.util.control.NonFatal(_) => Zero
+        case scala.util.control.NonFatal(_) => null
       }
+    }
+
+    def decode(p: Array[Byte]): ImageStats = {
+      val s = decodeSums(p)
+      if (s == null || s(0) == 0L) Zero
+      else ImageStats(s(0), s(1).toDouble / s(0), s(2).toDouble / s(0),
+        s(3).toDouble / s(0))
     }
   }
 
@@ -723,6 +739,225 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "jpeg", bos)
       bos.toByteArray
     }
+  }
+
+  final case class VideoStats(nFramesDecoded: Int, nPixels: Long,
+                              meanB: Double, meanG: Double, meanR: Double)
+
+  /** Real video FRAME decode for Motion-JPEG MP4 — the one video codec
+    * family where every frame is an independent JPEG, so the JDK codec
+    * (java.desktop) covers it with no ffmpeg: walks the ISO BMFF sample
+    * tables (`stsd` codec check, `stsz` sample sizes, `stsc`
+    * samples-per-chunk runs, `stco`/`co64` chunk offsets), resolves each
+    * sample to its byte range in `mdat`, decodes it via
+    * [[JpegPixelDecoder]], and pools per-channel sums ACROSS frames into
+    * exact-integer means. Inter-frame codecs (H.264/VP9/AV1) remain the
+    * ffmpeg seam — [[FrameDecoder]] passes their header metadata through
+    * unverified, while a declared-MJPEG track whose frames don't decode is
+    * rejected (zero row), per the module's junk-must-not-throw contract.
+    * Guards: sample counts capped, every byte range bounds-checked against
+    * the payload, per-frame pixel bomb gate inherited from the JPEG path.
+    */
+  object MjpegDecoder extends Serializable {
+    private def u8(p: Array[Byte], i: Int): Int = p(i) & 0xFF
+    private def be32(p: Array[Byte], i: Int): Int =
+      (u8(p, i) << 24) | (u8(p, i + 1) << 16) | (u8(p, i + 2) << 8) | u8(p, i + 3)
+    private def be64(p: Array[Byte], i: Int): Long =
+      (be32(p, i).toLong << 32) | (be32(p, i + 4).toLong & 0xFFFFFFFFL)
+    private def ascii(p: Array[Byte], i: Int, s: String): Boolean =
+      p.length >= i + s.length && s.indices.forall(k => u8(p, i + k) == s.charAt(k))
+
+    private val MaxSamples = 100000
+    private val MjpegFourccs = Set("jpeg", "mjpa", "mjpb", "MJPG", "mjpg")
+
+    val Zero: VideoStats = VideoStats(0, 0L, 0.0, 0.0, 0.0)
+
+    private final class Tables {
+      var fourcc: String = null
+      var sizes: Array[Int] = null           // per-sample byte sizes
+      var chunkOffsets: Array[Long] = null   // absolute file offsets
+      var stsc: Array[(Int, Int)] = null     // (firstChunk 1-based, samplesPerChunk)
+      def complete: Boolean =
+        fourcc != null && sizes != null && chunkOffsets != null && stsc != null
+    }
+
+    /** True iff the first video sample description declares an MJPEG
+      * codec — the gate [[FrameDecoder]] uses to decide "verifiable here"
+      * vs "codec-bound pass-through".
+      */
+    def isMjpeg(p: Array[Byte]): Boolean = {
+      val t = parseTables(p)
+      t != null && t.fourcc != null && MjpegFourccs.contains(t.fourcc)
+    }
+
+    private def parseTables(p: Array[Byte]): Tables = {
+      if (p == null || p.length < 16 || !ascii(p, 4, "ftyp")) return null
+      val t = new Tables
+      var bad = false
+      def walk(start: Int, end: Int, depth: Int): Unit = {
+        if (depth > 8) return
+        var i = start
+        while (!bad && i + 8 <= end) {
+          val size = be32(p, i)
+          val boxEnd = if (size == 0) end else i.toLong + size
+          if (size == 1 || (size != 0 && size < 8) || boxEnd > end) { bad = true; return }
+          val e = boxEnd.toInt
+          if (ascii(p, i + 4, "moov") || ascii(p, i + 4, "trak") ||
+              ascii(p, i + 4, "mdia") || ascii(p, i + 4, "minf") ||
+              ascii(p, i + 4, "stbl"))
+            walk(i + 8, e, depth + 1)
+          else if (ascii(p, i + 4, "stsd") && t.fourcc == null && i + 24 <= e) {
+            // v/flags + entry_count, then first entry: size + fourcc
+            if (be32(p, i + 12) >= 1 && i + 24 <= p.length)
+              t.fourcc = new String(p, i + 20, 4, "ISO-8859-1")
+          } else if (ascii(p, i + 4, "stsz") && t.sizes == null && i + 20 <= e) {
+            val uniform = be32(p, i + 12)
+            val n = be32(p, i + 16)
+            if (n < 0 || n > MaxSamples) { bad = true; return }
+            if (uniform != 0) t.sizes = Array.fill(n)(uniform)
+            else if (i + 20 + 4L * n <= e) t.sizes = Array.tabulate(n)(k => be32(p, i + 20 + 4 * k))
+            else { bad = true; return }
+          } else if (ascii(p, i + 4, "stco") && t.chunkOffsets == null && i + 16 <= e) {
+            val n = be32(p, i + 12)
+            if (n < 0 || n > MaxSamples || i + 16 + 4L * n > e) { bad = true; return }
+            t.chunkOffsets = Array.tabulate(n)(k => be32(p, i + 16 + 4 * k).toLong & 0xFFFFFFFFL)
+          } else if (ascii(p, i + 4, "co64") && t.chunkOffsets == null && i + 16 <= e) {
+            val n = be32(p, i + 12)
+            if (n < 0 || n > MaxSamples || i + 16 + 8L * n > e) { bad = true; return }
+            t.chunkOffsets = Array.tabulate(n)(k => be64(p, i + 16 + 8 * k))
+          } else if (ascii(p, i + 4, "stsc") && t.stsc == null && i + 16 <= e) {
+            val n = be32(p, i + 12)
+            if (n < 0 || n > MaxSamples || i + 16 + 12L * n > e) { bad = true; return }
+            t.stsc = Array.tabulate(n)(k =>
+              (be32(p, i + 16 + 12 * k), be32(p, i + 16 + 12 * k + 4)))
+          }
+          i = e
+        }
+      }
+      walk(0, p.length, 0)
+      if (bad) null else t
+    }
+
+    /** (offset, length) of every sample, in sample order — resolved from
+      * the chunk map; null when the tables are absent/corrupt or any range
+      * escapes the payload.
+      */
+    private[graft] def sampleRanges(p: Array[Byte]): Array[(Long, Int)] = {
+      val t = parseTables(p)
+      if (t == null || !t.complete || t.sizes.isEmpty || t.chunkOffsets.isEmpty ||
+          t.stsc.isEmpty) return null
+      val out = new Array[(Long, Int)](t.sizes.length)
+      var sample = 0
+      var chunk = 0 // 0-based
+      while (sample < t.sizes.length && chunk < t.chunkOffsets.length) {
+        // samples-per-chunk for this chunk = last stsc run with firstChunk <= chunk+1
+        var spc = 0
+        var k = 0
+        while (k < t.stsc.length && t.stsc(k)._1 <= chunk + 1) { spc = t.stsc(k)._2; k += 1 }
+        if (spc <= 0) return null
+        var off = t.chunkOffsets(chunk)
+        var j = 0
+        while (j < spc && sample < t.sizes.length) {
+          val len = t.sizes(sample)
+          if (len <= 0 || off < 0 || off + len > p.length) return null
+          out(sample) = (off, len)
+          off += len
+          sample += 1; j += 1
+        }
+        chunk += 1
+      }
+      if (sample < t.sizes.length) null else out
+    }
+
+    def decode(p: Array[Byte], maxFrames: Int = 10000): VideoStats = {
+      val t = parseTables(p)
+      if (t == null || t.fourcc == null || !MjpegFourccs.contains(t.fourcc)) return Zero
+      val ranges = sampleRanges(p)
+      if (ranges == null) return Zero
+      var n = 0L; var sb = 0L; var sg = 0L; var sr = 0L
+      var decoded = 0
+      var i = 0
+      while (i < ranges.length && decoded < maxFrames) {
+        val (off, len) = ranges(i)
+        val frame = java.util.Arrays.copyOfRange(p, off.toInt, off.toInt + len)
+        val s = JpegPixelDecoder.decodeSums(frame)
+        if (s == null) return Zero // declared MJPEG, frame doesn't decode
+        n += s(0); sb += s(1); sg += s(2); sr += s(3)
+        decoded += 1; i += 1
+      }
+      if (decoded == 0 || n == 0) Zero
+      else VideoStats(decoded, n, sb.toDouble / n, sg.toDouble / n, sr.toDouble / n)
+    }
+  }
+
+  /** Deterministic MJPEG-MP4 staging: solid-color JPEG frames (JDK
+    * encoder, via [[JpegStager]]) in one `mdat` chunk, with to-spec sample
+    * tables (stsd video entry + stts + stsc + stsz + stco) and the
+    * tkhd/stts metadata the header walk reads. For oracle queries and
+    * specs — solid frames keep the lossy round-trip bounded, and the box
+    * sizes are computed exactly so a size-accounting bug breaks the parse.
+    */
+  object MjpegStager extends Serializable {
+    private def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    private def be32(v: Int): Array[Byte] =
+      Array((v >>> 24).toByte, ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    private def box(name: String, payload: Array[Byte]*): Array[Byte] = {
+      val len = 8 + payload.map(_.length).sum
+      val bos = new java.io.ByteArrayOutputStream(len)
+      bos.write(be32(len)); bos.write(name.getBytes("ISO-8859-1"))
+      payload.foreach(bos.write)
+      bos.toByteArray
+    }
+
+    def stage(w: Int, h: Int, frameColors: Seq[(Int, Int, Int)]): Array[Byte] = {
+      val frames = frameColors.map { case (r, g, b) => JpegStager.solid(w, h, r, g, b) }
+      val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1"), be32(0))
+      val mdatPayloadOff = ftyp.length + 8 // frames start right after mdat header
+      val mdat = box("mdat", frames: _*)
+      val nf = frames.length
+      val matrix = be32(0x10000) ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0x10000) ++
+        be32(0) ++ be32(0) ++ be32(0) ++ be32(0x40000000)
+      val tkhd = box("tkhd", be32(7), be32(0), be32(0), be32(1), be32(0), be32(nf * 40),
+        new Array[Byte](16), matrix, be16(w), be16(0), be16(h), be16(0))
+      // 86-byte to-spec video sample entry: fourcc 'jpeg'
+      val sampleEntry = be32(86) ++ "jpeg".getBytes("ISO-8859-1") ++
+        new Array[Byte](6) ++ be16(1) ++ be16(0) ++ be16(0) ++ new Array[Byte](12) ++
+        be16(w) ++ be16(h) ++ be32(0x480000) ++ be32(0x480000) ++ be32(0) ++ be16(1) ++
+        new Array[Byte](32) ++ be16(24) ++ be16(-1)
+      val stsd = box("stsd", be32(0), be32(1), sampleEntry)
+      val stts = box("stts", be32(0), be32(1), be32(nf), be32(1))
+      val stsc = box("stsc", be32(0), be32(1), be32(1), be32(nf), be32(1))
+      val stszPayload = be32(0) ++ be32(0) ++ be32(nf) ++
+        frames.flatMap(f => be32(f.length)).toArray
+      val stsz = box("stsz", stszPayload)
+      val stco = box("stco", be32(0), be32(1), be32(mdatPayloadOff))
+      val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", minf)
+      val trak = box("trak", tkhd, mdia)
+      val mvhd = box("mvhd", be32(0), be32(0), be32(0), be32(1000), be32(nf * 40),
+        be32(0x10000), be16(0x100), new Array[Byte](10), matrix,
+        new Array[Byte](24), be32(2))
+      val moov = box("moov", mvhd, trak)
+      ftyp ++ mdat ++ moov
+    }
+  }
+
+  /** Attach real decoded MJPEG frame features to a DataFrame holding MP4
+    * payloads in `binCol`: (n_frames_decoded, n_pixels, mean_b, mean_g,
+    * mean_r). Map-side like every decoder here; non-MJPEG rows get zeros.
+    */
+  def withVideoStats(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = df.schema
+      .add("n_frames_decoded", IntegerType).add("n_pixels", LongType)
+      .add("mean_b", DoubleType).add("mean_g", DoubleType).add("mean_r", DoubleType)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val s = MjpegDecoder.decode(r.getAs[Array[Byte]](binIdx))
+        Row.fromSeq(r.toSeq ++ Seq[Any](s.nFramesDecoded, s.nPixels, s.meanB, s.meanG, s.meanR))
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Raster dispatch by magic bytes: the uncompressed (BMP),

@@ -611,6 +611,49 @@ object TextQueries extends QueryFamily {
              |  'mp4' AS format
              |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin)),
 
+    // REAL video FRAME decode for Motion-JPEG MP4: each doc stages an MP4
+    // whose mdat holds nf solid-color JPEG frames located by to-spec sample
+    // tables (stsd 'jpeg' + stsz/stsc/stco); MjpegDecoder walks the tables,
+    // decodes every frame through the JDK codec, and pools channel sums
+    // across frames. A sample-table bug (chunk-offset, size accounting,
+    // stsc run expansion) loses or misreads frames; a codec bug shifts a
+    // mean. Solid frames bound the lossy round-trip, so `ok` (all channel
+    // means within 6 of the staged average) is TRUE for every row, which
+    // DuckDB predicts exactly along with the frame and pixel counts.
+    QueryDef(
+      "q_multimodal_mjpeg",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables(s, dir, "documents").filter(col("doc_id") < 300)
+        val staged = d.select(col("doc_id")).as[Long].mapPartitions { it =>
+          it.map { id =>
+            val w = (id % 8 + 8).toInt; val h = (id % 6 + 8).toInt
+            val nf = (id % 5 + 2).toInt
+            val colors = (0 until nf).map { j =>
+              (((id * 3 + j * 17) % 256).toInt,
+               ((id * 5 + 85 + j * 17) % 256).toInt,
+               ((id * 7 + 170 + j * 17) % 256).toInt)
+            }
+            (id, Multimodal.MjpegStager.stage(w, h, colors),
+             colors.map(_._1).sum.toDouble / nf,
+             colors.map(_._2).sum.toDouble / nf,
+             colors.map(_._3).sum.toDouble / nf)
+          }
+        }.toDF("doc_id", "payload", "exp_r", "exp_g", "exp_b")
+        Multimodal.withVideoStats(staged, "payload")
+          .select(col("doc_id"), col("n_frames_decoded"), col("n_pixels"),
+            (abs(col("mean_r") - col("exp_r")) <= 6 &&
+             abs(col("mean_g") - col("exp_g")) <= 6 &&
+             abs(col("mean_b") - col("exp_b")) <= 6).as("ok"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(doc_id % 5 + 2 AS INTEGER) AS n_frames_decoded,
+             |  CAST((doc_id % 5 + 2) * (doc_id % 8 + 8) * (doc_id % 6 + 8) AS BIGINT)
+             |    AS n_pixels,
+             |  TRUE AS ok
+             |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin)),
+
     // Unicode NFC normalization + whitespace/case canonicalization — the
     // standard first curation step. Staged text appends a decomposed
     // sequence (e + COMBINING ACUTE, bytes 65 CC 81) and a precomposed é

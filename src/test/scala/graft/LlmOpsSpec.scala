@@ -585,6 +585,66 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(HeaderDecoder.decode(stall).format == "unknown")
   }
 
+  // MJPEG MP4: real frame decode through the sample tables — every frame
+  // is an independent JPEG, so the JDK codec verifies video content with
+  // no ffmpeg; the table walk (stsd/stsz/stsc/stco) must locate each
+  // frame's byte range exactly.
+  test("MjpegDecoder: sample-table walk + per-frame JDK decode, rejections") {
+    import graft.operators.Multimodal.{FrameDecoder, HeaderDecoder, MjpegDecoder, MjpegStager}
+    def be32(v: Int): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val colors = Seq((200, 40, 90), (10, 250, 130), (60, 60, 60))
+    val mp4 = MjpegStager.stage(16, 12, colors)
+    // header walk reads the same container: dims from tkhd, frames from stts
+    val hm = HeaderDecoder.decode(mp4)
+    assert(hm == graft.operators.Multimodal.MediaMeta(16, 12, 3, "mp4"))
+    assert(MjpegDecoder.isMjpeg(mp4))
+    // sample ranges: 3 contiguous frames in one chunk, each a JPEG (SOI)
+    val ranges = MjpegDecoder.sampleRanges(mp4)
+    assert(ranges.length == 3)
+    assert(ranges.sliding(2).forall { case Array((o1, l1), (o2, _)) => o1 + l1 == o2 })
+    assert(ranges.forall { case (o, _) =>
+      (mp4(o.toInt) & 0xFF) == 0xFF && (mp4(o.toInt + 1) & 0xFF) == 0xD8 })
+    // decoded frames pool: per-channel means within the solid-JPEG bound
+    // of the staged colors' average
+    val v = MjpegDecoder.decode(mp4)
+    assert(v.nFramesDecoded == 3 && v.nPixels == 3L * 16 * 12)
+    assert(math.abs(v.meanR - colors.map(_._1).sum / 3.0) <= 2)
+    assert(math.abs(v.meanG - colors.map(_._2).sum / 3.0) <= 2)
+    assert(math.abs(v.meanB - colors.map(_._3).sum / 3.0) <= 2)
+    // FrameDecoder's video arm: MJPEG is now VERIFIED (meta on success,
+    // zero row when a declared-MJPEG frame fails to decode)
+    assert(FrameDecoder.decode(mp4) == hm)
+    val corrupt = mp4.clone()
+    // zero out the middle of frame 2's entropy stream
+    val (o2, l2) = ranges(1)
+    java.util.Arrays.fill(corrupt, o2.toInt + l2 / 2, o2.toInt + l2, 0.toByte)
+    assert(MjpegDecoder.decode(corrupt) == MjpegDecoder.Zero)
+    assert(FrameDecoder.decode(corrupt) ==
+      graft.operators.Multimodal.MediaMeta(0, 0, 0, "mp4"))
+    // non-MJPEG codec fourcc: isMjpeg false, decode Zero, FrameDecoder
+    // passes the header metadata through (the documented ffmpeg seam)
+    val h264 = mp4.clone()
+    val stsdIdx = indexOfAscii(h264, "stsd")
+    System.arraycopy("avc1".getBytes("US-ASCII"), 0, h264, stsdIdx + 16, 4)
+    assert(!MjpegDecoder.isMjpeg(h264) && MjpegDecoder.decode(h264) == MjpegDecoder.Zero)
+    assert(FrameDecoder.decode(h264) == hm)
+    // corrupt tables: truncated payload (ranges escape), junk, null
+    assert(MjpegDecoder.decode(mp4.take(mp4.length / 3)) == MjpegDecoder.Zero)
+    assert(MjpegDecoder.decode("not an mp4".getBytes) == MjpegDecoder.Zero)
+    assert(MjpegDecoder.decode(null) == MjpegDecoder.Zero)
+    // chunk offset pointing past EOF rejects (no throw)
+    val badOff = mp4.clone()
+    val stcoIdx = indexOfAscii(badOff, "stco")
+    System.arraycopy(be32(mp4.length + 100), 0, badOff, stcoIdx + 12, 4)
+    assert(MjpegDecoder.decode(badOff) == MjpegDecoder.Zero)
+  }
+
+  private def indexOfAscii(p: Array[Byte], s: String): Int = {
+    val pat = s.getBytes("US-ASCII")
+    (0 to p.length - pat.length).find(i => pat.indices.forall(k => p(i + k) == pat(k))).get
+  }
+
   test("NfcNormalize: composes decomposed sequences, idempotent, null-safe, by name") {
     import graft.functions.GraftFns
     import spark.implicits._
