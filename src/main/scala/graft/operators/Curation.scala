@@ -246,6 +246,90 @@ object Curation {
       when(q2 === "", lit("")).otherwise(concat(lit("?"), q2)))
   }
 
+  /** HTML → text extraction — the CommonCrawl WET-style boilerplate strip
+    * that precedes every text-quality gate on web corpora: drop
+    * script/style subtrees and comments (content and all), flatten the
+    * remaining tags to spaces, decode the common character entities
+    * (`&amp;` LAST, so `&amp;lt;` round-trips as the literal `&lt;` and
+    * never double-decodes), and collapse whitespace. Pure codegen'd column
+    * expressions — map-side, fuses into the scan; DuckDB replays the same
+    * RE2-safe regex chain. Tag-soup behavior (the standard regex-stripper
+    * contract, deterministic but not a parser): an UNTERMINATED `<script>`
+    * loses only the tag itself (its body leaks as text — the subtree rule
+    * needs the closing tag); a bare `<` swallows through the next `>` if
+    * one exists, and survives as text when none does.
+    */
+  def htmlToText(html: Column): Column = {
+    val s1 = regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val s2 = regexp_replace(s1, "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val s3 = regexp_replace(s2, "(?s)<!--.*?-->", " ")
+    val s4 = regexp_replace(s3, "<[^>]*>", " ")
+    val e1 = regexp_replace(s4, "&nbsp;", " ")
+    val e2 = regexp_replace(e1, "&lt;", "<")
+    val e3 = regexp_replace(e2, "&gt;", ">")
+    val e4 = regexp_replace(e3, "&quot;", "\"")
+    val e5 = regexp_replace(e4, "&#39;", "'")
+    val e6 = regexp_replace(e5, "&amp;", "&")
+    trim(regexp_replace(e6, "\\s+", " "))
+  }
+
+  /** HTML extraction with the boilerplate signals quality filters gate on:
+    * `clean_text` ([[htmlToText]]), `n_tags` (tag count outside
+    * script/style — markup density), `n_links` (`<a` count — link-farm
+    * gate), and `text_ratio` (clean/raw length — the text-to-markup ratio;
+    * 0.0 for empty raw). All map-side column expressions over the one scan.
+    */
+  def htmlStats(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val raw = col(htmlCol)
+    val noSub = regexp_replace(
+      regexp_replace(raw, "(?is)<script\\b[^>]*>.*?</script\\s*>", " "),
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val clean = htmlToText(raw)
+    df.select(col(idCol), clean.as("clean_text"),
+      (size_(split(noSub, "<[^>]*>", -1)) - 1).cast("long").as("n_tags"),
+      (size_(split(raw, "(?i)<a\\b", -1)) - 1).cast("long").as("n_links"),
+      when(length(raw) === 0, lit(0.0))
+        .otherwise(length(clean).cast("double") / length(raw)).as("text_ratio"))
+  }
+
+  /** Hashed n-gram linear classifier INFERENCE — the fastText/DCLM-style
+    * learned quality filter, the step after the rule-based gates in a
+    * production curation stack: features are lowercased word unigrams +
+    * adjacent bigrams hashed into `nBuckets` buckets (portable md5 family,
+    * so any engine reproduces the bucketing); `weights` is the trained
+    * model as a (bucket LONG, weight LONG) table — INTEGER weights, so the
+    * per-doc sum is exact and order-free (a double sum would depend on
+    * Spark's partial-agg order). Score = weight sum / feature count;
+    * label = score > 0.
+    *
+    * Scale shape: the feature explode is map-side; the model join is a
+    * BROADCAST (a 4 M-bucket int model is ~64 MB — fastText quantizes to
+    * exactly this shape); the one shuffle carries (id, partial sums) —
+    * never text. Missing buckets weigh 0 (an L1-pruned model).
+    */
+  def classifierScore(df: DataFrame, idCol: String, textCol: String,
+                      weights: DataFrame, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val toks = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= lit(""))
+    val n1 = size_(toks)
+    val pairLen = greatest(n1 - 1, lit(0))
+    val bigrams = zip_with(slice(toks, lit(1), pairLen), slice(toks, lit(2), pairLen),
+      (a, b) => concat(a, lit("_"), b))
+    val feats = concat(toks, bigrams)
+    df.select(col(idCol), explode_outer(feats).as("feat"))
+      .withColumn("bucket",
+        conv(substring(md5(col("feat")), 1, 8), 16, 10).cast("long") % nBuckets)
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("feat").isNotNull, coalesce(col("weight"), lit(0L)))
+          .otherwise(lit(0L))).cast("long").as("score_num"),
+        count(col("feat")).cast("long").as("n_feats"))
+      .withColumn("score", when(col("n_feats") === 0, lit(0.0))
+        .otherwise(col("score_num").cast("double") / col("n_feats")))
+      .withColumn("label", col("score") > 0)
+  }
+
   /** Registrable domain-ish key for frequency capping: the lowercased host
     * with the default port and a leading `www.` stripped.
     */

@@ -298,6 +298,118 @@ object CurationQueries extends QueryFamily {
              |        FROM parts))
              |SELECT doc_id, domain, canon_url,
              |  row_number() OVER (PARTITION BY domain ORDER BY doc_id) <= 5 AS kept
-             |FROM canon ORDER BY doc_id""".stripMargin))
+             |FROM canon ORDER BY doc_id""".stripMargin)),
+
+    // HTML → text extraction (the WET-style boilerplate strip before any
+    // web-corpus quality gate). Staged HTML wraps each doc's text with
+    // every feature the chain must handle: script/style subtrees whose
+    // CONTENT must vanish (including a `1 < 2` that would break a naive
+    // tag regex), comments, attribute-bearing tags, all six entities
+    // (incl. `&amp;lt;` double-decode bait), and a per-doc link count.
+    // Outputs: clean text, tag/link counts, text-to-markup ratio. DuckDB
+    // replays the identical RE2-safe chain.
+    QueryDef(
+      "q_text_html",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents").filter(col("doc_id") < 500)
+        val id = col("doc_id")
+        val html = concat(
+          lit("<HTML><head><title>Doc "), id.cast("string"), lit("</title>"),
+          lit("<style type=\"text/css\">body{color:#"),
+          (id % 10).cast("string"), lit("}</style>"),
+          lit("<script src=\"a.js\">var x = 1 < 2 && y > 0;</script></head>"),
+          lit("<body><!-- id "), id.cast("string"), lit(" --><p class=\"lead\">"),
+          substring(col("text"), 1, 60),
+          lit(" &amp; more &amp;lt;raw&gt;&nbsp;it&#39;s &quot;q&quot;</p>"),
+          lit("<div><a href=\"/p1\">l1</a>"),
+          when(id % 3 === 0, lit("<A HREF=\"/p2\">l2</A>")).otherwise(lit("")),
+          lit("</div></body></HTML>"))
+        Curation.htmlStats(d.select(id, html.as("html")), "doc_id", "html")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH staged AS (
+             |  SELECT doc_id,
+             |    '<HTML><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'
+             |    || '<style type="text/css">body{color:#'
+             |    || CAST(doc_id % 10 AS VARCHAR) || '}</style>'
+             |    || '<script src="a.js">var x = 1 < 2 && y > 0;</script></head>'
+             |    || '<body><!-- id ' || CAST(doc_id AS VARCHAR) || ' --><p class="lead">'
+             |    || substr(text, 1, 60)
+             |    || ' &amp; more &amp;lt;raw&gt;&nbsp;it&#39;s &quot;q&quot;</p>'
+             |    || '<div><a href="/p1">l1</a>'
+             |    || CASE WHEN doc_id % 3 = 0 THEN '<A HREF="/p2">l2</A>' ELSE '' END
+             |    || '</div></body></HTML>' AS html
+             |  FROM documents WHERE doc_id < 500),
+             |nosub AS (
+             |  SELECT doc_id, html,
+             |    regexp_replace(
+             |      regexp_replace(html, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+             |      '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS ns
+             |  FROM staged),
+             |clean AS (
+             |  SELECT doc_id, html, ns,
+             |    trim(regexp_replace(
+             |      regexp_replace(
+             |        regexp_replace(
+             |          regexp_replace(
+             |            regexp_replace(
+             |              regexp_replace(
+             |                regexp_replace(
+             |                  regexp_replace(
+             |                    regexp_replace(ns, '(?s)<!--.*?-->', ' ', 'g'),
+             |                    '<[^>]*>', ' ', 'g'),
+             |                  '&nbsp;', ' ', 'g'),
+             |                '&lt;', '<', 'g'),
+             |              '&gt;', '>', 'g'),
+             |            '&quot;', '"', 'g'),
+             |          '&#39;', '''', 'g'),
+             |        '&amp;', '&', 'g'),
+             |      '\s+', ' ', 'g')) AS clean_text
+             |  FROM nosub)
+             |SELECT doc_id, clean_text,
+             |  CAST(len(regexp_split_to_array(ns, '<[^>]*>')) - 1 AS BIGINT) AS n_tags,
+             |  CAST(len(regexp_split_to_array(html, '(?i)<a\b')) - 1 AS BIGINT) AS n_links,
+             |  CASE WHEN length(html) = 0 THEN 0.0
+             |       ELSE CAST(length(clean_text) AS DOUBLE) / length(html) END AS text_ratio
+             |FROM clean ORDER BY doc_id""".stripMargin)),
+
+    // Hashed n-gram linear classifier inference (the fastText/DCLM-style
+    // learned quality filter): unigram+bigram features → portable md5
+    // buckets → broadcast model join → exact integer weight sum per doc.
+    // The model is arithmetic (weight(b) = (b*2654435761) % 2001 - 1000 on
+    // 4096 buckets) so DuckDB reconstructs the whole inference — bucketing,
+    // weights, score, label — with no staged table.
+    QueryDef(
+      "q_text_classifier",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val weights = s.range(4096).select(col("id").as("bucket"),
+          ((col("id") * 2654435761L) % 2001 - 1000).as("weight"))
+        Curation.classifierScore(d, "doc_id", "text", weights, 4096)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |           t -> t <> '') AS ts
+             |  FROM documents),
+             |feats AS (
+             |  SELECT doc_id, unnest(list_concat(ts,
+             |    list_transform(range(1, len(ts)), i -> ts[i] || '_' || ts[i + 1]))) AS feat
+             |  FROM tok),
+             |scored AS (
+             |  SELECT doc_id,
+             |    CAST(sum((CAST('0x' || substr(md5(feat), 1, 8) AS BIGINT) % 4096
+             |         * 2654435761) % 2001 - 1000) AS BIGINT) AS score_num,
+             |    CAST(count(*) AS BIGINT) AS n_feats
+             |  FROM feats GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  coalesce(s.score_num, 0) AS score_num,
+             |  coalesce(s.n_feats, 0) AS n_feats,
+             |  CASE WHEN coalesce(s.n_feats, 0) = 0 THEN 0.0
+             |       ELSE CAST(s.score_num AS DOUBLE) / s.n_feats END AS score,
+             |  CASE WHEN coalesce(s.n_feats, 0) = 0 THEN FALSE
+             |       ELSE CAST(s.score_num AS DOUBLE) / s.n_feats > 0 END AS label
+             |FROM documents d LEFT JOIN scored s USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))
   )
 }

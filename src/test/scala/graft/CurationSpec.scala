@@ -233,6 +233,74 @@ class CurationSpec extends AnyFunSuite {
     assert(out(4).getString(2) == "")
   }
 
+  test("htmlToText/htmlStats: subtree drop, entity decode order, tag soup, counts") {
+    val df = Seq(
+      // script CONTENT (with a bare `1 < 2`) and style content vanish;
+      // entities decode; &amp;lt; must end as literal "&lt;" (no double
+      // decode); block structure flattens to single-spaced text
+      (1L, "<html><head><style>p{x}</style><script>if(1 < 2){a();}</script>" +
+        "</head><body><p class=\"x\">A &amp; B &amp;lt;c&gt; &nbsp;it&#39;s " +
+        "&quot;q&quot;</p><a href=\"/1\">l1</a><A HREF=\"/2\">l2</A></body></html>"),
+      // tag soup: a bare `<` with no later `>` survives as text
+      (2L, "keep <b>this</b> 1 < 2 stays"),
+      // unterminated script: only the tag strips, its body leaks as text
+      // (the documented regex-stripper contract — not a parser)
+      (3L, "drop<script>x = 1;"),
+      (4L, "")
+    ).toDF("id", "html")
+    val out = Curation.htmlStats(df, "id", "html").orderBy("id").collect()
+    assert(out(0).getString(1) == "A & B &lt;c> it's \"q\" l1 l2")
+    assert(out(0).getLong(2) == 12L)  // every tag outside the script/style subtrees
+    assert(out(0).getLong(3) == 2L)   // both <a and <A
+    assert(out(1).getString(1) == "keep this 1 < 2 stays")
+    assert(out(1).getLong(2) == 2L)   // <b> and </b>
+    assert(out(2).getString(1) == "drop x = 1;")
+    assert(out(3).getString(1) == "" && out(3).getLong(2) == 0L &&
+      out(3).getDouble(4) == 0.0)
+    // ratio: clean/raw lengths
+    val r0 = out(0)
+    assert(r0.getDouble(4) ==
+      r0.getString(1).length.toDouble / df.collect()(0).getString(1).length)
+  }
+
+  test("classifierScore: hand-replayed md5 bucketing, empty/null docs, broadcast plan") {
+    val nB = 64
+    val weights = spark.range(nB).select(col("id").as("bucket"),
+      ((col("id") * 2654435761L) % 2001 - 1000).as("weight"))
+    val df = Seq((1L, Some("The cat SAT on the mat")), (2L, Some("")),
+      (3L, None: Option[String]), (4L, Some("one"))).toDF("id", "txt")
+    val out = Curation.classifierScore(df, "id", "txt", weights, nB)
+      .orderBy("id").collect()
+    // replay doc 1 by hand: tokens [the,cat,sat,on,the,mat] + 5 bigrams
+    val toks = "the cat sat on the mat".split(" ").toSeq
+    val feats = toks ++ toks.sliding(2).map(p => p(0) + "_" + p(1))
+    def bucket(f: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % nB
+    }
+    val expNum = feats.map(f => (bucket(f) * 2654435761L) % 2001 - 1000).sum
+    val r1 = out(0)
+    assert(r1.getLong(r1.fieldIndex("score_num")) == expNum)
+    assert(r1.getLong(r1.fieldIndex("n_feats")) == 11L)
+    assert(r1.getDouble(r1.fieldIndex("score")) == expNum.toDouble / 11)
+    assert(r1.getBoolean(r1.fieldIndex("label")) == (expNum > 0))
+    // empty and NULL docs: zero features, score 0.0, label false — rows kept
+    for (i <- Seq(1, 2)) {
+      assert(out(i).getLong(out(i).fieldIndex("n_feats")) == 0L)
+      assert(out(i).getDouble(out(i).fieldIndex("score")) == 0.0)
+      assert(!out(i).getBoolean(out(i).fieldIndex("label")))
+    }
+    // single token: 1 unigram, 0 bigrams
+    assert(out(3).getLong(out(3).fieldIndex("n_feats")) == 1L)
+    // plan: the model join must be a BROADCAST (never a shuffle of the
+    // exploded feature relation against the model)
+    val plan = Curation.classifierScore(df, "id", "txt", weights, nB)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("substringDupStats: shared window counted, short and unique docs zeroed") {
     import graft.operators.Dedup
     // k=3: docs 1 and 2 share the window "q w e" (1 window each);
