@@ -251,6 +251,48 @@ object Dedup {
     * linear in corpus size (explode by #bands, shuffle on band key); only
     * same-bucket pairs are verified.
     */
+  /** (id, toks, sig) relation shared by [[minHashLsh]] and
+    * [[crossCorpusNearDup]]. Shingles (word n-grams) are the discriminative
+    * unit for near-dup detection; bare unigram sets degenerate on
+    * vocabulary-limited corpora (every doc shares the vocab → identical
+    * signatures → quadratic buckets — observed live: 877s vs 3s at sf0.1).
+    * Two hash families, same LSH machinery — MinHash only needs a uniform
+    * per-slot hash, so the family is a free parameter:
+    *  - fast (default): the native codegen'd TextFns.minHashSignature
+    *    (xxhash64-derived slots) — the engine-local throughput choice;
+    *  - portable: slot i = lexicographic MIN of md5("i:" || unit) hex
+    *    strings — any engine with md5 (DuckDB, Trino, Postgres) reproduces
+    *    signatures, band keys, candidates and verified pairs bit-exactly,
+    *    which is what gives the q_dedup_minhash/q_dedup_cross oracles teeth.
+    */
+  private def sigBase(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int, shingleSize: Option[Int],
+                      portable: Boolean): DataFrame = {
+    val unit = array_sort(shingleSize
+      .map(n => array_distinct(TextFns.shingles(col(textCol), n)))
+      .getOrElse(TextFns.tokenSet(col(textCol))))
+    val sigExpr =
+      if (portable)
+        array((0 until numHashes).map { i =>
+          array_min(transform(col("toks"), s => md5(concat(lit(i + ":"), s))))
+        }: _*)
+      else TextFns.minHashSignature(col("toks"), numHashes)
+    df.select(col(idCol).as("id"), unit.as("toks")).withColumn("sig", sigExpr)
+  }
+
+  /** NARROW banded relation (band, band_key, id, sz): token arrays never
+    * enter the ×bands explode or any candidate-join shuffle.
+    */
+  private def bandedRel(base: DataFrame, bands: Int, r: Int,
+                        portable: Boolean): DataFrame = {
+    val bandKeyExpr =
+      if (portable) concat_ws("|", slice(col("sig"), col("band") * r + 1, lit(r)))
+      else hash(slice(col("sig"), col("band") * r + 1, lit(r)), col("band")).cast("string")
+    base.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("band_key", bandKeyExpr)
+      .select(col("band"), col("band_key"), col("id"), size(col("toks")).as("sz"))
+  }
+
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 128, bands: Int = 32,
                  threshold: Double = 0.7,
@@ -260,42 +302,10 @@ object Dedup {
                  portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // Shingles (word n-grams) are the discriminative unit for near-dup
-    // detection; bare unigram sets degenerate on vocabulary-limited corpora
-    // (every doc shares the vocab → identical signatures → quadratic
-    // buckets — observed live: 877s vs 3s at sf0.1).
-    val unit = array_sort(shingleSize
-      .map(n => array_distinct(TextFns.shingles(col(textCol), n)))
-      .getOrElse(TextFns.tokenSet(col(textCol))))
-    // Materialize shingles+signatures once: feeds the banding (sig) and the
-    // verification (toks). At cluster scale this is "write signatures to a
-    // table"; locally MEMORY_AND_DISK.
-    // Two hash families, same LSH machinery. MinHash only needs a uniform
-    // per-slot hash, so the family is a free parameter:
-    //  - fast (default): the native codegen'd TextFns.minHashSignature
-    //    (xxhash64-derived slots) — the engine-local throughput choice;
-    //  - portable: slot i = lexicographic MIN of md5("i:" || unit) hex
-    //    strings — any engine with md5 (DuckDB, Trino, Postgres) reproduces
-    //    signatures, band keys, candidates and verified pairs bit-exactly,
-    //    which is what gives q_dedup_minhash a hard cross-engine oracle.
-    val sigExpr =
-      if (portable)
-        array((0 until numHashes).map { i =>
-          array_min(transform(col("toks"), s => md5(concat(lit(i + ":"), s))))
-        }: _*)
-      else TextFns.minHashSignature(col("toks"), numHashes)
-    val base = df.select(col(idCol).as("id"), unit.as("toks"))
-      .withColumn("sig", sigExpr)
+    val base = sigBase(df, idCol, textCol, numHashes, shingleSize, portable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     onPersist(base)
-    // NARROW banded relation: (band, band_key, id) only — token arrays
-    // never enter the ×bands explode or the candidate self-join shuffle.
-    val bandKeyExpr =
-      if (portable) concat_ws("|", slice(col("sig"), col("band") * r + 1, lit(r)))
-      else hash(slice(col("sig"), col("band") * r + 1, lit(r)), col("band")).cast("string")
-    val allBanded = base.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
-      .withColumn("band_key", bandKeyExpr)
-      .select(col("band"), col("band_key"), col("id"), size(col("toks")).as("sz"))
+    val allBanded = bandedRel(base, bands, r, portable)
     // Skew guard: drop buckets above maxBucketSize before the candidate
     // join — a huge bucket means an exact-dup cluster (handled by
     // Dedup.exact) or a degenerate band; joining it is O(bucket^2).
@@ -323,6 +333,63 @@ object Dedup {
       .withColumn("jac", TextFns.sortedJaccard(col("a_toks"), col("b_toks")))
       .filter(col("jac") > threshold)
       .select(col("a_id"), col("b_id"), col("jac"))
+  }
+
+  /** CROSS-corpus near-dup — flag incoming documents that near-duplicate
+    * an EXISTING reference corpus (the "dedup the new crawl against what
+    * we already trained on" pass; the self-join form is [[minHashLsh]]).
+    * Same portable/fast MinHash families and banding; candidates come from
+    * a new×ref band join (never new×new or ref×ref), the skew guard drops
+    * buckets whose COMBINED population exceeds `maxBucketSize`, and exact
+    * Jaccard verifies each candidate.
+    *
+    * Output: one verdict row per NEW doc — (new_id, is_dup, dup_of,
+    * best_jac), where dup_of = MIN matching ref id and best_jac = MAX
+    * verified Jaccard (deterministic aggregates, not an arbitrary argmax;
+    * NULLs when no match). 100 TB shape: the reference side's signatures
+    * are computed once and (in production) persisted as a table; the band
+    * join shuffles ids only; re-running on each new crawl increment
+    * re-reads the signature table, not the reference text.
+    */
+  def crossCorpusNearDup(newDocs: DataFrame, refDocs: DataFrame,
+                         idCol: String, textCol: String,
+                         numHashes: Int = 128, bands: Int = 32,
+                         threshold: Double = 0.7,
+                         shingleSize: Option[Int] = None,
+                         maxBucketSize: Int = 2000,
+                         portable: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val baseN = sigBase(newDocs, idCol, textCol, numHashes, shingleSize, portable).persist(lvl)
+    val baseR = sigBase(refDocs, idCol, textCol, numHashes, shingleSize, portable).persist(lvl)
+    val bN = bandedRel(baseN, bands, r, portable)
+    val bR = bandedRel(baseR, bands, r, portable)
+    val okBuckets = bN.select(col("band"), col("band_key"))
+      .unionAll(bR.select(col("band"), col("band_key")))
+      .groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucketSize)
+      .select(col("band"), col("band_key"))
+    val a = bN.join(okBuckets, Seq("band", "band_key"))
+      .select(col("band"), col("band_key"), col("id").as("new_id"), col("sz").as("a_sz"))
+    val b = bR.select(col("band"), col("band_key"), col("id").as("ref_id"), col("sz").as("b_sz"))
+    val cands = a.join(b, Seq("band", "band_key"))
+      .filter(least(col("a_sz"), col("b_sz")) >
+        lit(threshold) * greatest(col("a_sz"), col("b_sz")))
+      .select(col("new_id"), col("ref_id"))
+      .dropDuplicates("new_id", "ref_id")
+    val matches = cands
+      .join(baseN.select(col("id").as("new_id"), col("toks").as("a_toks")), Seq("new_id"))
+      .join(baseR.select(col("id").as("ref_id"), col("toks").as("b_toks")), Seq("ref_id"))
+      .withColumn("jac", TextFns.sortedJaccard(col("a_toks"), col("b_toks")))
+      .filter(col("jac") > threshold)
+      .groupBy(col("new_id"))
+      .agg(min(col("ref_id")).as("dup_of"), max(col("jac")).as("best_jac"))
+    newDocs.select(col(idCol).as("new_id"))
+      .join(matches, Seq("new_id"), "left")
+      .select(col("new_id"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), col("best_jac"))
   }
 
   /** Streaming near-duplicate detection at ingest: MinHash+LSH banding

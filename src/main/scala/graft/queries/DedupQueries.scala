@@ -76,6 +76,27 @@ object DedupQueries extends QueryFamily {
       },
       Some(minHashOracle)),
 
+    // CROSS-corpus near-dup: docs >= 250 are the "incoming crawl", docs
+    // < 250 the "already-trained reference"; every incoming doc gets a
+    // deterministic verdict (is_dup, min matching ref id, max Jaccard).
+    // Same portable family + parameters as q_dedup_minhash, so DuckDB
+    // replays signatures, the new x ref band join, the combined-bucket skew
+    // guard, and the exact-Jaccard verify bit-for-bit.
+    QueryDef(
+      "q_dedup_cross",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        Dedup.crossCorpusNearDup(
+            d.filter(col("doc_id") >= 250), d.filter(col("doc_id") < 250),
+            "doc_id", "text", numHashes = 16, bands = 4, threshold = 0.6,
+            shingleSize = Some(3), maxBucketSize = 500,
+            portable = !RunMode.productionHash)
+          // single-partition sort: same double-execution rationale as
+          // q_dedup_jaccard below
+          .repartition(1).sortWithinPartitions(col("new_id"))
+      },
+      Some(crossCorpusOracle)),
+
     // SimHash near-dup pairs within Hamming distance 3, portable md5-bit
     // fingerprint family — full oracle (banding + Hamming verify recomputed
     // by DuckDB); the native one-pass SimHash64 expression stays spec-level.
@@ -242,6 +263,55 @@ object DedupQueries extends QueryFamily {
        |      / CAST(sa.sz + sb.sz - len(list_filter(sa.shs, x -> list_contains(sb.shs, x))) AS DOUBLE) AS jac
        |  FROM cands c JOIN sig sa ON sa.doc_id = c.a_id JOIN sig sb ON sb.doc_id = c.b_id)
        |SELECT a_id, b_id, jac FROM verified WHERE jac > $T ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** DuckDB replica of the portable-family crossCorpusNearDup pipeline
+    * (same H=16/B=4/R=4/t=0.6/3-shingles/maxBucketSize=500 as
+    * [[minHashOracle]], split at doc_id 250): signatures over the whole
+    * corpus, new x ref band join, COMBINED-population skew guard,
+    * exact-Jaccard verify, then the per-new-doc deterministic verdict
+    * (min ref id, max Jaccard) over the full incoming spine.
+    */
+  private def crossCorpusOracle: String = {
+    val H = 16; val B = 4; val R = 4; val T = "0.6"; val MAXB = 500; val SPLIT = 250
+    val sigs = (0 until H).map(i =>
+      s"list_min(list_transform(shs, s -> md5('$i:' || s))) AS s$i").mkString(",\n    ")
+    val bands = (0 until B).map(b =>
+      s"($b, " + (0 until R).map(k => s"s${b * R + k}").mkString(" || '|' || ") + ")")
+      .mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |shd AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(toks)-3,0)+1),
+       |     i -> array_to_string(toks[i+1:i+3], ' '))) AS shs
+       |  FROM t),
+       |sig AS (
+       |  SELECT doc_id, shs, len(shs) AS sz,
+       |    $sigs
+       |  FROM shd),
+       |banded AS (
+       |  SELECT doc_id, sz, b.* FROM sig, LATERAL (VALUES $bands) b(band, bkey)),
+       |ok_buckets AS (
+       |  SELECT band, bkey FROM banded GROUP BY band, bkey HAVING count(*) <= $MAXB),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+       |  FROM banded a JOIN banded b USING (band, bkey)
+       |  JOIN ok_buckets USING (band, bkey)
+       |  WHERE a.doc_id >= $SPLIT AND b.doc_id < $SPLIT
+       |    AND least(a.sz, b.sz) > $T * greatest(a.sz, b.sz)),
+       |verified AS (
+       |  SELECT c.new_id, c.ref_id,
+       |    CAST(len(list_filter(sa.shs, x -> list_contains(sb.shs, x))) AS DOUBLE)
+       |      / CAST(sa.sz + sb.sz - len(list_filter(sa.shs, x -> list_contains(sb.shs, x))) AS DOUBLE) AS jac
+       |  FROM cands c JOIN sig sa ON sa.doc_id = c.new_id JOIN sig sb ON sb.doc_id = c.ref_id),
+       |m AS (
+       |  SELECT new_id, min(ref_id) AS dup_of, max(jac) AS best_jac
+       |  FROM verified WHERE jac > $T GROUP BY new_id)
+       |SELECT d.doc_id AS new_id,
+       |  m.dup_of IS NOT NULL AS is_dup, m.dup_of, m.best_jac
+       |FROM documents d LEFT JOIN m ON m.new_id = d.doc_id
+       |WHERE d.doc_id >= $SPLIT
+       |ORDER BY new_id""".stripMargin
   }
 
   /** DuckDB replica of simHashPairsPortable: md5-hex per-token fingerprints

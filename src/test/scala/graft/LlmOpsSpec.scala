@@ -67,6 +67,41 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("crossCorpusNearDup: new-vs-ref only, full spine, deterministic verdict") {
+    import spark.implicits._
+    val mk = (base: String, n: Int) => (1 to n).map(i => base + " tail" + i).mkString(" ")
+    val refDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5),
+      (2L, "one two three four five six seven eight nine ten " * 5)
+    ).toDF("doc_id", "text")
+    val newDocs = Seq(
+      // near-dup of ref 1 (one word changed out of 50)
+      (10L, ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4) +
+        "alpha beta gamma delta epsilon zeta eta theta iota CHANGED "),
+      // two new docs that duplicate EACH OTHER but nothing in the reference:
+      // must NOT be flagged (cross-corpus only — the self-join form is minHashLsh)
+      (11L, mk("lorem ipsum dolor sit amet consectetur", 8)),
+      (12L, mk("lorem ipsum dolor sit amet consectetur", 8)),
+      // unrelated
+      (13L, "completely different content about spark engines and parquet files")
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossCorpusNearDup(newDocs, refDocs, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.7, shingleSize = Some(3))
+      .orderBy("new_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(10L, 11L, 12L, 13L)) // full spine
+    val r10 = out(0)
+    assert(r10.getBoolean(1) && r10.getLong(2) == 1L && r10.getDouble(3) > 0.7)
+    assert(!out(1).getBoolean(1) && out(1).isNullAt(2)) // new-new dup not flagged
+    assert(!out(2).getBoolean(1))
+    assert(!out(3).getBoolean(1))
+    // portable family agrees on the verdict spine
+    val p = Dedup.crossCorpusNearDup(newDocs, refDocs, "doc_id", "text",
+        numHashes = 16, bands = 4, threshold = 0.7, shingleSize = Some(3),
+        portable = true)
+      .orderBy("new_id").collect()
+    assert(p(0).getBoolean(1) && !p(1).getBoolean(1))
+  }
+
   test("simhash flags exact duplicates at Hamming distance 0") {
     val docs = Tables(spark, dir, "documents").select("doc_id", "text").limit(100)
     val dups = docs.withColumn("doc_id", col("doc_id") + 100000)
