@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.TextFns
+import graft.functions.{TextFns, VectorFns}
 
 /** One LSH-banded row of a streaming document: `bucket` is the 64-bit band
   * key (xxhash64 of the band's signature slice + band index), `sig` the full
@@ -390,6 +390,60 @@ object Dedup {
       .join(matches, Seq("new_id"), "left")
       .select(col("new_id"), col("dup_of").isNotNull.as("is_dup"),
         col("dup_of"), col("best_jac"))
+  }
+
+  /** SEMANTIC dedup over an embedding column (the SemDeDup shape, Abbas et
+    * al. 2023): coarse-cluster the corpus by nearest centroid, flag
+    * within-cluster pairs above a cosine threshold, keep the lowest-id
+    * representative. Paraphrases and re-encodings that token-level MinHash
+    * can't see land in the same cluster and score high cosine — this is
+    * the dedup pass that runs AFTER lexical dedup in a curation stack.
+    *
+    * Determinism/oracle contract mirrors [[Similarity.ivfTopKQuantized]]:
+    * centroids are DATA-DERIVED (the quantized vectors of `centroidIds`),
+    * assignment is exact quantized cosine with the (sim DESC, list ASC)
+    * tie rule, pair similarity is exact quantized cosine — any engine
+    * reproduces clusters, matches and verdicts bit-for-bit.
+    *
+    * Output: one row per corpus vector — (vec_id, cluster, is_dup, dup_of,
+    * best_sim); dup_of = MIN lower-id match, best_sim = MAX verified
+    * cosine (NULLs when kept). 100 TB shape: centroids are driver-held
+    * literals (KBs) so assignment is a map-side projection; the all-pairs
+    * step is confined within clusters — nlist scales with the corpus
+    * (SemDeDup uses ~sqrt(N) clusters) to bound per-cluster population,
+    * and the one shuffle is on the cluster key.
+    */
+  def semantic(corpus: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, centroidIds: Seq[Long],
+               scale: Int = 10000): DataFrame = {
+    require(centroidIds.nonEmpty, "need at least one centroid id")
+    val centRows = corpus
+      .filter(col(idCol).isin(centroidIds: _*))
+      .select(col(idCol).cast("long").as("id"),
+        VectorFns.quantize(col(vecCol), scale).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val cents: Seq[Seq[Long]] = centroidIds.map(id => centRows.getOrElse(id,
+      throw new IllegalArgumentException(s"centroid id $id not in corpus")))
+    // (sim, -list) struct max ⇒ ties pick the SMALLEST list index (the
+    // cross-engine ORDER BY sim DESC, list ASC rule)
+    def assignQ(qv: Column): Column =
+      -array_max(array(cents.zipWithIndex.map { case (cv, i) =>
+        struct(VectorFns.cosineQ(qv, typedlit(cv)).as("sim"), lit(-i).as("nl"))
+      }: _*)).getField("nl")
+    val e = corpus.select(col(idCol).cast("long").as("vec_id"),
+        VectorFns.quantize(col(vecCol), scale).as("qv"))
+      .withColumn("cluster", assignQ(col("qv")).cast("long"))
+    val a = e.select(col("cluster"), col("vec_id").as("a_id"), col("qv").as("a_qv"))
+    val b = e.select(col("cluster"), col("vec_id").as("b_id"), col("qv").as("b_qv"))
+    val matches = a.join(b, Seq("cluster")).filter(col("b_id") < col("a_id"))
+      .withColumn("sim", VectorFns.cosineQ(col("a_qv"), col("b_qv")))
+      .filter(col("sim") > threshold)
+      .groupBy(col("a_id"))
+      .agg(min(col("b_id")).as("dup_of"), max(col("sim")).as("best_sim"))
+    e.select(col("vec_id"), col("cluster"))
+      .join(matches.withColumnRenamed("a_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), col("best_sim"))
   }
 
   /** Streaming near-duplicate detection at ingest: MinHash+LSH banding

@@ -111,6 +111,22 @@ object DedupQueries extends QueryFamily {
       },
       Some(simHashOracle)),
 
+    // SEMANTIC dedup (SemDeDup): coarse-cluster embeddings by nearest
+    // data-derived centroid (vec_ids 10..17, the q_sim_ivf convention),
+    // flag within-cluster pairs above quantized-cosine 0.4, keep the
+    // lowest id. Every vector gets a verdict row; DuckDB replays
+    // assignment (sim DESC, list ASC tie rule), pairing, and the
+    // deterministic (min dup_of, max best_sim) aggregates exactly.
+    QueryDef(
+      "q_dedup_semantic",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        Dedup.semantic(e, "vec_id", "embedding", threshold = 0.4,
+            centroidIds = (10L until 18L))
+          .orderBy(col("vec_id"))
+      },
+      Some(semanticOracle)),
+
     // Embedding-cosine near-dup, blocked by label, quantized for exact
     // cross-engine parity (see VectorFns.quantize scaladoc).
     QueryDef(
@@ -263,6 +279,43 @@ object DedupQueries extends QueryFamily {
        |      / CAST(sa.sz + sb.sz - len(list_filter(sa.shs, x -> list_contains(sb.shs, x))) AS DOUBLE) AS jac
        |  FROM cands c JOIN sig sa ON sa.doc_id = c.a_id JOIN sig sb ON sb.doc_id = c.b_id)
        |SELECT a_id, b_id, jac FROM verified WHERE jac > $T ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** DuckDB replica of Dedup.semantic (centroids = corpus vectors 10..17,
+    * threshold 0.4, scale 1e4): same quantization, same (sim DESC, list
+    * ASC) assignment tie rule, same within-cluster pairing and verdict
+    * aggregates. The quantized-cosine SQL matches VectorFns.cosineQ
+    * (BIGINT dot/norms, one double division).
+    */
+  private def semanticOracle: String = {
+    def qcos(a: String, b: String): String =
+      s"""CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1]*z[2])) AS DOUBLE)
+         |     / (sqrt(CAST(list_sum(list_transform($a, x -> x*x)) AS DOUBLE))
+         |        * sqrt(CAST(list_sum(list_transform($b, x -> x*x)) AS DOUBLE)))""".stripMargin
+    s"""WITH q0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id - 10 AS list, qv AS cv FROM q0 WHERE vec_id >= 10 AND vec_id < 18),
+       |csim AS (
+       |  SELECT v.vec_id, c.list,
+       |    ${qcos("v.qv", "c.cv")} AS sim
+       |  FROM q0 v CROSS JOIN cents c),
+       |assign AS (
+       |  SELECT vec_id, CAST(list AS BIGINT) AS cluster FROM (
+       |    SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list) AS rn
+       |    FROM csim) WHERE rn = 1),
+       |e AS (SELECT a.vec_id, a.cluster, v.qv FROM assign a JOIN q0 v USING (vec_id)),
+       |pairs AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    ${qcos("a.qv", "b.qv")} AS sim
+       |  FROM e a JOIN e b ON a.cluster = b.cluster AND b.vec_id < a.vec_id),
+       |m AS (
+       |  SELECT a_id, min(b_id) AS dup_of, max(sim) AS best_sim
+       |  FROM pairs WHERE sim > 0.4 GROUP BY a_id)
+       |SELECT e.vec_id, e.cluster, m.dup_of IS NOT NULL AS is_dup, m.dup_of, m.best_sim
+       |FROM e LEFT JOIN m ON m.a_id = e.vec_id
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** DuckDB replica of the portable-family crossCorpusNearDup pipeline

@@ -102,6 +102,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(p(0).getBoolean(1) && !p(1).getBoolean(1))
   }
 
+  test("semantic dedup: cluster assignment tie rule, keep-lowest verdict, full spine") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),      // centroid/list 0
+      (2L, Array(0f, 1f, 0f, 0f)),      // centroid/list 1
+      (3L, Array(0.9f, 0.1f, 0f, 0f)),  // cluster 0, cos(3,1) ≈ 0.994 → dup of 1
+      (4L, Array(0f, 0.9f, 0.2f, 0f)),  // cluster 1, cos(4,2) ≈ 0.976 → dup of 2
+      (5L, Array(0.5f, 0.5f, 0f, 0f)),  // equidistant: tie → cluster 0 (list ASC)
+      (6L, Array(0f, 0f, 1f, 0f))       // cluster 0 or 1 by tie, no high match
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semantic(rows, "vec_id", "embedding", threshold = 0.9,
+        centroidIds = Seq(1L, 2L))
+      .orderBy("vec_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == (1L to 6L)) // every vector gets a verdict
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getLong(1) == 0L && !byId(1L).getBoolean(2)) // lowest id kept
+    assert(byId(2L).getLong(1) == 1L && !byId(2L).getBoolean(2))
+    assert(byId(3L).getBoolean(2) && byId(3L).getLong(3) == 1L &&
+      byId(3L).getDouble(4) > 0.99)
+    assert(byId(4L).getBoolean(2) && byId(4L).getLong(3) == 2L)
+    assert(byId(5L).getLong(1) == 0L && !byId(5L).getBoolean(2)) // tie → list 0; cos ≈ 0.707
+    assert(!byId(6L).getBoolean(2) && byId(6L).isNullAt(3))      // orthogonal: kept
+    // missing centroid id is a typed driver-side error
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semantic(rows, "vec_id", "embedding", 0.9, Seq(1L, 99L))
+    }
+    assert(e.getMessage.contains("99"))
+  }
+
   test("simhash flags exact duplicates at Hamming distance 0") {
     val docs = Tables(spark, dir, "documents").select("doc_id", "text").limit(100)
     val dups = docs.withColumn("doc_id", col("doc_id") + 100000)
