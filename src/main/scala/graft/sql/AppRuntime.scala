@@ -87,15 +87,22 @@ object AppRuntime {
       case (name, sd) if sd.options.get("type").contains("source") =>
         val fmt = sd.options.getOrElse("format",
           throw GraftApp.SqlError(s"source '$name' needs a 'format' option"))
-        var reader = spark.readStream.format(fmt)
+        // 'websocket' binds the in-repo RFC 6455 DataSource-V2 provider
+        // (graft.sources.WebSocket) — resolved by class name, no service
+        // registry needed
+        val readFmt =
+          if (fmt == "websocket") classOf[graft.sources.WebSocketSourceProvider].getName
+          else fmt
+        var reader = spark.readStream.format(readFmt)
         sd.options.filterNot(kv => Reserved.contains(kv._1) || mapperOption(kv._1))
           .foreach { case (k, v) => reader = reader.option(k, v) }
         (fmt, sd.options.get("path")) match {
           case ("rate", _) => Seq(name -> reader.load()) // fixed (timestamp, value) schema
-          case ("socket", _) =>
-            // network text source (websocket_source.rs role over a raw TCP
-            // transport): fixed value:string schema; a declared multi-column
-            // schema engages the declarative line mapper (json/csv)
+          case ("socket", _) | ("websocket", _) =>
+            // network text sources (websocket_source.rs: the real RFC 6455
+            // transport; 'socket' = the raw-TCP dev surrogate): fixed
+            // value:string wire schema; a declared multi-column schema
+            // engages the declarative line mapper (json/csv)
             val (good, faults) = mapLines(reader.load(), sd)
             Seq(name -> good) ++ faults.map(s"!$name" -> _)
           case (_, Some(p)) => Seq(name -> reader.schema(sd.schema).load(p))
@@ -226,13 +233,27 @@ object AppRuntime {
           None
         } else {
           val fmt = sd.options.getOrElse("format", "console")
-          var writer = mapSinkRows(env(name), sd).writeStream.format(fmt)
-            .outputMode(sd.options.getOrElse("outputMode", "append"))
-            .queryName(name)
-          sd.options.filterNot(kv => Reserved.contains(kv._1) ||
-              kv._1 == "outputMode" || mapperOption(kv._1))
-            .foreach { case (k, v) => writer = writer.option(k, v) }
-          Some(writer.start())
+          if (fmt == "websocket") {
+            // RFC 6455 sink: rows (reduced to one string column by the sink
+            // mappers) go out as client-masked text frames
+            val host = sd.options.getOrElse("host",
+              throw GraftApp.SqlError(s"websocket sink '$name' needs a 'host' option"))
+            val port = sd.options.getOrElse("port",
+              throw GraftApp.SqlError(s"websocket sink '$name' needs a 'port' option")).toInt
+            val path = sd.options.getOrElse("path", "/")
+            Some(mapSinkRows(env(name), sd).writeStream
+              .foreach(new graft.sources.WebSocketForeachWriter(host, port, path))
+              .outputMode(sd.options.getOrElse("outputMode", "append"))
+              .queryName(name).start())
+          } else {
+            var writer = mapSinkRows(env(name), sd).writeStream.format(fmt)
+              .outputMode(sd.options.getOrElse("outputMode", "append"))
+              .queryName(name)
+            sd.options.filterNot(kv => Reserved.contains(kv._1) ||
+                kv._1 == "outputMode" || mapperOption(kv._1))
+              .foreach { case (k, v) => writer = writer.option(k, v) }
+            Some(writer.start())
+          }
         }
       case _ => None
     }

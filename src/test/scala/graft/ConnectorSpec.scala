@@ -251,6 +251,159 @@ class ConnectorSpec extends AnyFunSuite {
     } finally { q.stop(); server.close() }
   }
 
+  // ---- RFC 6455 WebSocket transport (graft.sources.WebSocket) ----
+
+  /** Server half of the Upgrade handshake for the in-process test server. */
+  private def wsHandshake(sock: java.net.Socket):
+      (java.io.DataInputStream, java.io.DataOutputStream) = {
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(sock.getInputStream))
+    val out = new java.io.DataOutputStream(sock.getOutputStream)
+    def line(): String = {
+      val sb = new StringBuilder
+      var c = in.read()
+      while (c >= 0 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
+      sb.toString
+    }
+    var key: String = null
+    var l = line()
+    while (l.nonEmpty) {
+      if (l.toLowerCase.startsWith("sec-websocket-key:"))
+        key = l.substring(l.indexOf(':') + 1).trim
+      l = line()
+    }
+    out.write(("HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n" +
+      "Connection: Upgrade\r\n" +
+      s"Sec-WebSocket-Accept: ${graft.sources.WsCodec.acceptKey(key)}\r\n\r\n")
+      .getBytes("UTF-8"))
+    out.flush()
+    (in, out)
+  }
+
+  test("websocket codec: RFC accept key, mask round-trip, extended lengths, DoS cap") {
+    import graft.sources.WsCodec
+    // the RFC 6455 §1.3 worked example
+    assert(WsCodec.acceptKey("dGhlIHNhbXBsZSBub25jZQ==") ==
+      "s3pPLMBiTxaQ9kYGzzhZRbK+xOo=")
+    def rt(payload: Array[Byte], mask: Boolean): WsCodec.Frame =
+      WsCodec.readFrame(new java.io.DataInputStream(new java.io.ByteArrayInputStream(
+        WsCodec.encodeFrame(WsCodec.OpText, payload, mask))))
+    for (mask <- Seq(true, false); n <- Seq(0, 1, 125, 126, 300, 70000)) {
+      val payload = Array.tabulate(n)(i => ((i * 31 + 7) % 256).toByte)
+      val f = rt(payload, mask)
+      assert(f.fin && f.opcode == WsCodec.OpText && f.payload.toSeq == payload.toSeq,
+        s"mask=$mask n=$n")
+    }
+    // wire-level length encodings: 7-bit <= 125, 16-bit to 65535, 64-bit above
+    val e300 = WsCodec.encodeFrame(WsCodec.OpText, new Array[Byte](300), mask = false)
+    assert((e300(1) & 0x7F) == 126 &&
+      (((e300(2) & 0xFF) << 8) | (e300(3) & 0xFF)) == 300)
+    assert((WsCodec.encodeFrame(WsCodec.OpText, new Array[Byte](70000),
+      mask = false)(1) & 0x7F) == 127)
+    // declared multi-GiB frame is rejected before allocation
+    val evil = Array[Byte](0x81.toByte, 127, 0x7F, -1, -1, -1, -1, -1, -1, -1)
+    intercept[java.io.IOException] {
+      WsCodec.readFrame(new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(evil)))
+    }
+  }
+
+  test("websocket source: real frames (fragmentation, ping/pong) through a declared app") {
+    import graft.sql.{AppRuntime, GraftApp}
+    import graft.sources.WsCodec
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    @volatile var pongPayload: String = null
+    val t = new Thread(() => {
+      val sock = server.accept()
+      val (in, out) = wsHandshake(sock)
+      def send(op: Int, payload: Array[Byte], fin: Boolean = true): Unit = {
+        out.write(WsCodec.encodeFrame(op, payload, mask = false, fin)); out.flush()
+      }
+      send(WsCodec.OpText, "IBM,100.5".getBytes("UTF-8"))
+      // fragmented message: text(fin=0) + continuation(fin=1) must
+      // reassemble into ONE line
+      send(WsCodec.OpText, "MSFT,".getBytes("UTF-8"), fin = false)
+      send(WsCodec.OpCont, "50.25".getBytes("UTF-8"))
+      // ping: the client must answer a pong with the same payload
+      send(WsCodec.OpPing, "hb".getBytes("UTF-8"))
+      val pong = WsCodec.readFrame(in) // client frames are masked; readFrame unmasks
+      if (pong != null && pong.opcode == WsCodec.OpPong)
+        pongPayload = new String(pong.payload, "UTF-8")
+      send(WsCodec.OpText, "IBM,7.5".getBytes("UTF-8"))
+      Thread.sleep(8000)
+      send(WsCodec.OpClose, Array.emptyByteArray)
+      sock.close()
+    })
+    t.setDaemon(true); t.start()
+    val app =
+      s"""CREATE STREAM ticks (symbol STRING, price DOUBLE)
+         |WITH ('type'='source', 'format'='websocket',
+         |      'host'='127.0.0.1', 'port'='$port');
+         |CREATE STREAM agg (symbol STRING, total DOUBLE);
+         |INSERT INTO agg SELECT symbol, sum(price) AS total FROM ticks GROUP BY symbol;""".stripMargin
+    val spec = GraftApp.parse(app)
+    val env = GraftApp.run(spark, app, AppRuntime.bindSources(spark, spec))
+    val q = env("agg").writeStream.format("memory").queryName("ws_src_sink")
+      .outputMode("complete").start()
+    try {
+      val deadline = System.nanoTime() + 30e9.toLong
+      var rows = Map.empty[String, Double]
+      while (rows.get("IBM") != Some(108.0) && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        rows = spark.table("ws_src_sink").collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+        if (rows.get("IBM") != Some(108.0)) Thread.sleep(200)
+      }
+      assert(rows == Map("IBM" -> 108.0, "MSFT" -> 50.25))
+      assert(pongPayload == "hb") // the transport answered the keepalive
+    } finally { q.stop(); server.close() }
+  }
+
+  test("websocket sink: mapped rows leave as client-masked text frames") {
+    import graft.sql.AppRuntime
+    import graft.sources.WsCodec
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var serving = true
+    val acceptor = new Thread(() => {
+      while (serving) {
+        try {
+          val sock = server.accept()
+          new Thread(() => {
+            val (in, _) = wsHandshake(sock)
+            var f = WsCodec.readFrame(in)
+            while (f != null && f.opcode != WsCodec.OpClose) {
+              if (f.opcode == WsCodec.OpText)
+                received.add(new String(f.payload, "UTF-8"))
+              f = WsCodec.readFrame(in)
+            }
+          }).start()
+        } catch { case _: Exception => () /* server closed */ }
+      }
+    })
+    acceptor.setDaemon(true); acceptor.start()
+    val mem = MemoryStream[(String, Double)](spark, 1)
+    val app =
+      s"""CREATE STREAM src (symbol STRING, price DOUBLE);
+         |CREATE STREAM wsout (symbol STRING, price DOUBLE)
+         |WITH ('type'='sink', 'format'='websocket',
+         |      'host'='127.0.0.1', 'port'='$port',
+         |      'json.template'='{{symbol}}:{{price}}');
+         |INSERT INTO wsout SELECT symbol, price FROM src WHERE price > 10;""".stripMargin
+    val qs = AppRuntime.start(spark, app,
+      extraInputs = Map("src" -> mem.toDF.toDF("symbol", "price")))
+    try {
+      mem.addData(("IBM", 100.5), ("PENNY", 0.5), ("MSFT", 50.25))
+      qs.foreach(_.processAllAvailable())
+      val deadline = System.nanoTime() + 20e9.toLong
+      while (received.size < 2 && System.nanoTime() < deadline) Thread.sleep(100)
+      val got = received.toArray(Array.empty[String]).toSet
+      assert(got == Set("IBM:100.5", "MSFT:50.25")) // filter applied, template mapped
+    } finally { qs.foreach(_.stop()); serving = false; server.close() }
+  }
+
   test("sink mapper: json template, whole-row to_json, csv join") {
     import graft.sql.{AppRuntime, GraftApp}
     import spark.implicits._
