@@ -306,9 +306,16 @@ object Curation {
     * BROADCAST (a 4 M-bucket int model is ~64 MB — fastText quantizes to
     * exactly this shape); the one shuffle carries (id, partial sums) —
     * never text. Missing buckets weigh 0 (an L1-pruned model).
+    *
+    * Hash families (the [[graft.RunMode]] convention): `portable` buckets
+    * by md5-prefix so any engine reproduces the bucketing (the oracle
+    * path); the production family is codegen'd xxhash64 — 4x faster at the
+    * 10x study size (SCALE.md). A real model is TRAINED under one family;
+    * both are deterministic, the choice just travels with the model.
     */
   def classifierScore(df: DataFrame, idCol: String, textCol: String,
-                      weights: DataFrame, nBuckets: Int): DataFrame = {
+                      weights: DataFrame, nBuckets: Int,
+                      portable: Boolean = true): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val toks = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= lit(""))
     val n1 = size_(toks)
@@ -316,9 +323,11 @@ object Curation {
     val bigrams = zip_with(slice(toks, lit(1), pairLen), slice(toks, lit(2), pairLen),
       (a, b) => concat(a, lit("_"), b))
     val feats = concat(toks, bigrams)
+    val bucketExpr =
+      if (portable) conv(substring(md5(col("feat")), 1, 8), 16, 10).cast("long") % nBuckets
+      else pmod(xxhash64(col("feat")), lit(nBuckets.toLong))
     df.select(col(idCol), explode_outer(feats).as("feat"))
-      .withColumn("bucket",
-        conv(substring(md5(col("feat")), 1, 8), 16, 10).cast("long") % nBuckets)
+      .withColumn("bucket", bucketExpr)
       .join(broadcast(weights), Seq("bucket"), "left")
       .groupBy(col(idCol))
       .agg(

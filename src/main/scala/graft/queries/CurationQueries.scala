@@ -385,7 +385,10 @@ object CurationQueries extends QueryFamily {
         val d = Tables(s, dir, "documents")
         val weights = s.range(4096).select(col("id").as("bucket"),
           ((col("id") * 2654435761L) % 2001 - 1000).as("weight"))
-        Curation.classifierScore(d, "doc_id", "text", weights, 4096)
+        // Oracle runs bucket with the portable md5 family (DuckDB replays
+        // it); Bench measures the production xxhash64 family (RunMode).
+        Curation.classifierScore(d, "doc_id", "text", weights, 4096,
+            portable = !graft.RunMode.productionHash)
           .orderBy(col("doc_id"))
       },
       Some("""WITH tok AS (

@@ -299,6 +299,15 @@ class CurationSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("SortMergeJoin"))
+    // production family (xxhash64 buckets): different hash, same feature
+    // extraction — n_feats identical, scores deterministic
+    val fast = Curation.classifierScore(df, "id", "txt", weights, nB, portable = false)
+      .orderBy("id").collect()
+    assert(fast.map(r => r.getLong(r.fieldIndex("n_feats"))).toSeq ==
+      out.map(r => r.getLong(r.fieldIndex("n_feats"))).toSeq)
+    val fast2 = Curation.classifierScore(df, "id", "txt", weights, nB, portable = false)
+      .orderBy("id").collect()
+    assert(fast.map(_.toSeq).toSeq == fast2.map(_.toSeq).toSeq)
   }
 
   test("substringDupStats: shared window counted, short and unique docs zeroed") {
