@@ -240,29 +240,29 @@ private[sources] case class WsOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-/** Driver-side buffered micro-batch stream (the socket-source architecture):
-  * a daemon reader thread appends complete text messages; `latestOffset`
-  * exposes the high-water mark, each batch slices [start, end), `commit`
-  * trims everything below the committed offset.
+/** Driver-side buffered micro-batch stream (the socket-source architecture,
+  * shared by the WebSocket and AMQP transports): `open` starts the
+  * transport delivering complete text messages into the buffer;
+  * `latestOffset` exposes the high-water mark, each batch slices
+  * [start, end), `commit` trims everything below the committed offset.
   */
-private[sources] class WsMicroBatchStream(host: String, port: Int, path: String)
-  extends MicroBatchStream {
+private[sources] abstract class DriverBufferedTextStream extends MicroBatchStream {
+
+  /** Connect the transport; every complete message calls `onText`.
+    * Returns the handle `stop()` closes.
+    */
+  protected def open(onText: String => Unit): AutoCloseable
 
   private val lock = new Object
   private var base = 0L
   private val buf = mutable.ArrayBuffer.empty[String]
-  @volatile private var client: WebSocketClient = _
+  @volatile private var handle: AutoCloseable = _
   @volatile private var started = false
 
   private def ensureStarted(): Unit = lock.synchronized {
     if (!started) {
       started = true
-      client = new WebSocketClient(host, port, path,
-        s => lock.synchronized { buf += s })
-      client.connect()
-      val t = new Thread(() => client.loop(), s"ws-reader-$host:$port")
-      t.setDaemon(true)
-      t.start()
+      handle = open(s => lock.synchronized { buf += s })
     }
   }
 
@@ -293,7 +293,19 @@ private[sources] class WsMicroBatchStream(host: String, port: Int, path: String)
     base += drop
   }
 
-  override def stop(): Unit = if (client != null) client.close()
+  override def stop(): Unit = if (handle != null) handle.close()
+}
+
+private[sources] class WsMicroBatchStream(host: String, port: Int, path: String)
+  extends DriverBufferedTextStream {
+  protected def open(onText: String => Unit): AutoCloseable = {
+    val client = new WebSocketClient(host, port, path, onText)
+    client.connect()
+    val t = new Thread(() => client.loop(), s"ws-reader-$host:$port")
+    t.setDaemon(true)
+    t.start()
+    () => client.close()
+  }
 }
 
 private[sources] case class WsInputPartition(rows: Array[String]) extends InputPartition

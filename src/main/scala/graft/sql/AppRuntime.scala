@@ -87,22 +87,25 @@ object AppRuntime {
       case (name, sd) if sd.options.get("type").contains("source") =>
         val fmt = sd.options.getOrElse("format",
           throw GraftApp.SqlError(s"source '$name' needs a 'format' option"))
-        // 'websocket' binds the in-repo RFC 6455 DataSource-V2 provider
-        // (graft.sources.WebSocket) — resolved by class name, no service
-        // registry needed
-        val readFmt =
-          if (fmt == "websocket") classOf[graft.sources.WebSocketSourceProvider].getName
-          else fmt
+        // 'websocket'/'rabbitmq' bind the in-repo RFC 6455 / AMQP 0-9-1
+        // DataSource-V2 providers (graft.sources) — resolved by class
+        // name, no service registry needed
+        val readFmt = fmt match {
+          case "websocket" => classOf[graft.sources.WebSocketSourceProvider].getName
+          case "rabbitmq" | "amqp" => classOf[graft.sources.AmqpSourceProvider].getName
+          case other => other
+        }
         var reader = spark.readStream.format(readFmt)
         sd.options.filterNot(kv => Reserved.contains(kv._1) || mapperOption(kv._1))
           .foreach { case (k, v) => reader = reader.option(k, v) }
         (fmt, sd.options.get("path")) match {
           case ("rate", _) => Seq(name -> reader.load()) // fixed (timestamp, value) schema
-          case ("socket", _) | ("websocket", _) =>
+          case ("socket", _) | ("websocket", _) | ("rabbitmq", _) | ("amqp", _) =>
             // network text sources (websocket_source.rs: the real RFC 6455
-            // transport; 'socket' = the raw-TCP dev surrogate): fixed
-            // value:string wire schema; a declared multi-column schema
-            // engages the declarative line mapper (json/csv)
+            // transport; rabbitmq_source.rs: the real AMQP 0-9-1 consumer;
+            // 'socket' = the raw-TCP dev surrogate): fixed value:string
+            // wire schema; a declared multi-column schema engages the
+            // declarative line mapper (json/csv)
             val (good, faults) = mapLines(reader.load(), sd)
             Seq(name -> good) ++ faults.map(s"!$name" -> _)
           case (_, Some(p)) => Seq(name -> reader.schema(sd.schema).load(p))
@@ -233,16 +236,22 @@ object AppRuntime {
           None
         } else {
           val fmt = sd.options.getOrElse("format", "console")
-          if (fmt == "websocket") {
-            // RFC 6455 sink: rows (reduced to one string column by the sink
-            // mappers) go out as client-masked text frames
-            val host = sd.options.getOrElse("host",
-              throw GraftApp.SqlError(s"websocket sink '$name' needs a 'host' option"))
-            val port = sd.options.getOrElse("port",
-              throw GraftApp.SqlError(s"websocket sink '$name' needs a 'port' option")).toInt
-            val path = sd.options.getOrElse("path", "/")
+          if (fmt == "websocket" || fmt == "rabbitmq" || fmt == "amqp") {
+            // network sinks: rows (reduced to one string column by the sink
+            // mappers) go out as RFC 6455 text frames / AMQP publishes
+            def req(k: String): String = sd.options.getOrElse(k,
+              throw GraftApp.SqlError(s"$fmt sink '$name' needs a '$k' option"))
+            val writer: org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] =
+              if (fmt == "websocket")
+                new graft.sources.WebSocketForeachWriter(req("host"), req("port").toInt,
+                  sd.options.getOrElse("path", "/"))
+              else
+                new graft.sources.AmqpForeachWriter(req("host"), req("port").toInt,
+                  req("queue"), sd.options.getOrElse("vhost", "/"),
+                  sd.options.getOrElse("user", "guest"),
+                  sd.options.getOrElse("pass", "guest"))
             Some(mapSinkRows(env(name), sd).writeStream
-              .foreach(new graft.sources.WebSocketForeachWriter(host, port, path))
+              .foreach(writer)
               .outputMode(sd.options.getOrElse("outputMode", "append"))
               .queryName(name).start())
           } else {

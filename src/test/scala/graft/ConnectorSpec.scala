@@ -404,6 +404,217 @@ class ConnectorSpec extends AnyFunSuite {
     } finally { qs.foreach(_.stop()); serving = false; server.close() }
   }
 
+  // ---- AMQP 0-9-1 transport (graft.sources.Amqp) ----
+
+  /** Scripted in-process broker half: negotiate one connection through
+    * channel.open + queue.declare, then hand control to `afterSetup`.
+    * Asserting inside threads is unreliable — protocol violations are
+    * recorded and re-checked by the test body via the returned buffer.
+    */
+  private def amqpBrokerSetup(sock: java.net.Socket,
+                              problems: java.util.Queue[String]):
+      (java.io.DataInputStream, java.io.DataOutputStream, String) = {
+    import graft.sources.AmqpCodec._
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(sock.getInputStream))
+    val out = new java.io.DataOutputStream(sock.getOutputStream)
+    val hdr = new Array[Byte](8)
+    in.readFully(hdr)
+    if (!hdr.sameElements(ProtocolHeader)) problems.add(s"bad protocol header")
+    // connection.start with a NON-empty server-properties table (the
+    // client must skip it structurally) — one 'product' longstr entry
+    val tableEntry = {
+      val b = new java.io.ByteArrayOutputStream()
+      val d = new java.io.DataOutputStream(b)
+      d.writeByte(7); d.write("product".getBytes("UTF-8"))
+      d.writeByte('S'); d.writeInt(10); d.write("testbroker".getBytes("UTF-8"))
+      b.toByteArray
+    }
+    val startArgs = new Args().u8(0).u8(9)
+    val startPayload = new Args().u16(10).u16(10).bytes ++ startArgs.bytes ++
+      (new Args().u32(tableEntry.length).bytes ++ tableEntry) ++
+      new Args().longstr("PLAIN".getBytes).longstr("en_US".getBytes).bytes
+    writeFrame(out, FrameMethod, 0, startPayload)
+    // start-ok: mechanism PLAIN, SASL response \0user\0pass
+    val so = new Reader(readFrame(in).payload)
+    if ((so.u16(), so.u16()) != ((10, 11))) problems.add("expected start-ok")
+    so.skipTable()
+    if (so.shortstr() != "PLAIN") problems.add("mechanism not PLAIN")
+    if (new String(so.longstr(), "UTF-8") != "\u0000guest\u0000guest")
+      problems.add("bad SASL PLAIN response")
+    // tune / tune-ok (client echoes, disables heartbeat)
+    writeFrame(out, FrameMethod, 0, method(10, 30,
+      new Args().u16(2047).u32(131072).u16(60)))
+    val to = new Reader(readFrame(in).payload)
+    if ((to.u16(), to.u16()) != ((10, 31))) problems.add("expected tune-ok")
+    if (to.u16() != 2047 || to.u32() != 131072) problems.add("tune-ok not echoed")
+    // connection.open / open-ok
+    val op = new Reader(readFrame(in).payload)
+    if ((op.u16(), op.u16()) != ((10, 40))) problems.add("expected connection.open")
+    if (op.shortstr() != "/") problems.add("bad vhost")
+    writeFrame(out, FrameMethod, 0, method(10, 41, new Args().shortstr("")))
+    // channel.open / open-ok
+    val ch = readFrame(in)
+    if (ch.channel != 1) problems.add("channel.open not on channel 1")
+    val cr = new Reader(ch.payload)
+    if ((cr.u16(), cr.u16()) != ((20, 10))) problems.add("expected channel.open")
+    writeFrame(out, FrameMethod, 1, method(20, 11,
+      new Args().longstr(Array.emptyByteArray)))
+    // queue.declare / declare-ok
+    val qd = new Reader(readFrame(in).payload)
+    if ((qd.u16(), qd.u16()) != ((50, 10))) problems.add("expected queue.declare")
+    qd.u16()
+    val queue = qd.shortstr()
+    writeFrame(out, FrameMethod, 1, method(50, 11,
+      new Args().shortstr(queue).u32(0).u32(0)))
+    (in, out, queue)
+  }
+
+  test("amqp codec: golden wire bytes, frame round-trip, size cap") {
+    import graft.sources.AmqpCodec._
+    // protocol header per the 0-9-1 spec
+    assert(ProtocolHeader.map(b => f"${b & 0xFF}%02X").mkString ==
+      "414D515000000901")
+    // basic.publish method frame for queue "q" on channel 1, hand-computed:
+    // type 01, channel 0001, size 0000000A,
+    // payload 003C 0028 0000 00 0171 00, end CE
+    val bos = new java.io.ByteArrayOutputStream()
+    writeFrame(new java.io.DataOutputStream(bos), FrameMethod, 1,
+      method(60, 40, new Args().u16(0).shortstr("").shortstr("q").u8(0)))
+    assert(bos.toByteArray.map(b => f"${b & 0xFF}%02X").mkString ==
+      "010001" + "0000000A" + "003C0028" + "0000" + "00" + "0171" + "00" + "CE")
+    // round-trip
+    val f = readFrame(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray)))
+    assert(f.ftype == FrameMethod && f.channel == 1 && f.payload.length == 10)
+    // declared multi-GiB frame is rejected before allocation
+    val evil = Array[Byte](1, 0, 0, 0x7F, -1, -1, -1)
+    intercept[java.io.IOException] {
+      readFrame(new java.io.DataInputStream(new java.io.ByteArrayInputStream(evil)))
+    }
+  }
+
+  test("amqp source: negotiated consume, split body reassembly, heartbeat skip") {
+    import graft.sql.{AppRuntime, GraftApp}
+    import graft.sources.AmqpCodec._
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val problems = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val t = new Thread(() => {
+      val sock = server.accept()
+      val (in, out, queue) = amqpBrokerSetup(sock, problems)
+      // basic.consume / consume-ok
+      val bc = new Reader(readFrame(in).payload)
+      if ((bc.u16(), bc.u16()) != ((60, 20))) problems.add("expected basic.consume")
+      bc.u16()
+      if (bc.shortstr() != queue) problems.add("consume on wrong queue")
+      bc.shortstr()
+      if ((bc.u8() & 0x02) == 0) problems.add("no-ack flag not set")
+      writeFrame(out, FrameMethod, 1, method(60, 21, new Args().shortstr("ctag-1")))
+      def deliver(tag: Long, body: Array[Byte], split: Boolean): Unit = {
+        writeFrame(out, FrameMethod, 1, method(60, 60,
+          new Args().shortstr("ctag-1").u64(tag).u8(0).shortstr("").shortstr(queue)))
+        writeFrame(out, FrameHeader, 1, contentHeader(body.length))
+        if (split) {
+          writeFrame(out, FrameBody, 1, body.take(body.length / 2))
+          writeFrame(out, FrameBody, 1, body.drop(body.length / 2))
+        } else writeFrame(out, FrameBody, 1, body)
+      }
+      deliver(1, "IBM,100.5".getBytes("UTF-8"), split = false)
+      writeFrame(out, FrameHeartbeat, 0, Array.emptyByteArray) // must be skipped
+      deliver(2, "MSFT,50.25".getBytes("UTF-8"), split = true) // body reassembly
+      deliver(3, "IBM,7.5".getBytes("UTF-8"), split = false)
+      Thread.sleep(8000)
+      sock.close()
+    })
+    t.setDaemon(true); t.start()
+    val app =
+      s"""CREATE STREAM ticks (symbol STRING, price DOUBLE)
+         |WITH ('type'='source', 'format'='rabbitmq',
+         |      'host'='127.0.0.1', 'port'='$port', 'queue'='ticks');
+         |CREATE STREAM agg (symbol STRING, total DOUBLE);
+         |INSERT INTO agg SELECT symbol, sum(price) AS total FROM ticks GROUP BY symbol;""".stripMargin
+    val spec = GraftApp.parse(app)
+    val env = GraftApp.run(spark, app, AppRuntime.bindSources(spark, spec))
+    val q = env("agg").writeStream.format("memory").queryName("amqp_src_sink")
+      .outputMode("complete").start()
+    try {
+      val deadline = System.nanoTime() + 30e9.toLong
+      var rows = Map.empty[String, Double]
+      while (rows.get("IBM") != Some(108.0) && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        rows = spark.table("amqp_src_sink").collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+        if (rows.get("IBM") != Some(108.0)) Thread.sleep(200)
+      }
+      assert(rows == Map("IBM" -> 108.0, "MSFT" -> 50.25))
+      assert(problems.isEmpty, s"broker saw protocol violations: $problems")
+    } finally { q.stop(); server.close() }
+  }
+
+  test("amqp sink: mapped rows publish to the declared queue") {
+    import graft.sql.AppRuntime
+    import graft.sources.AmqpCodec._
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val problems = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var serving = true
+    val acceptor = new Thread(() => {
+      while (serving) {
+        try {
+          val sock = server.accept()
+          new Thread(() => {
+            try {
+              val (in, _, queue) = amqpBrokerSetup(sock, problems)
+              if (queue != "outq") problems.add(s"declared wrong queue: $queue")
+              var open = true
+              var f = readFrame(in)
+              while (open && f != null) {
+                if (f.ftype == FrameMethod) {
+                  val r = new Reader(f.payload)
+                  val (c, m) = (r.u16(), r.u16())
+                  if (c == 60 && m == 40) { // basic.publish
+                    r.u16()
+                    if (r.shortstr() != "") problems.add("not the default exchange")
+                    if (r.shortstr() != "outq") problems.add("wrong routing key")
+                    val hr = new Reader(readFrame(in).payload)
+                    hr.u16(); hr.u16()
+                    val size = hr.u64()
+                    val body = new java.io.ByteArrayOutputStream()
+                    while (body.size < size) body.write(readFrame(in).payload)
+                    received.add(new String(body.toByteArray, "UTF-8"))
+                  } else if (c == 10 && m == 50) open = false // connection.close
+                }
+                if (open) f = readFrame(in)
+              }
+            } catch { case _: Exception => () }
+          }).start()
+        } catch { case _: Exception => () }
+      }
+    })
+    acceptor.setDaemon(true); acceptor.start()
+    val mem = MemoryStream[(String, Double)](spark, 1)
+    val app =
+      s"""CREATE STREAM src (symbol STRING, price DOUBLE);
+         |CREATE STREAM amqpout (symbol STRING, price DOUBLE)
+         |WITH ('type'='sink', 'format'='rabbitmq',
+         |      'host'='127.0.0.1', 'port'='$port', 'queue'='outq',
+         |      'map.format'='csv');
+         |INSERT INTO amqpout SELECT symbol, price FROM src WHERE price > 10;""".stripMargin
+    val qs = AppRuntime.start(spark, app,
+      extraInputs = Map("src" -> mem.toDF.toDF("symbol", "price")))
+    try {
+      mem.addData(("IBM", 100.5), ("PENNY", 0.5), ("MSFT", 50.25))
+      qs.foreach(_.processAllAvailable())
+      val deadline = System.nanoTime() + 20e9.toLong
+      while (received.size < 2 && System.nanoTime() < deadline) Thread.sleep(100)
+      val got = received.toArray(Array.empty[String]).toSet
+      assert(got == Set("IBM,100.5", "MSFT,50.25"))
+      assert(problems.isEmpty, s"broker saw protocol violations: $problems")
+    } finally { qs.foreach(_.stop()); serving = false; server.close() }
+  }
+
   test("sink mapper: json template, whole-row to_json, csv join") {
     import graft.sql.{AppRuntime, GraftApp}
     import spark.implicits._
