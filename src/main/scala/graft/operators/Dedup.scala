@@ -717,6 +717,27 @@ object Dedup {
           col("n_dup_windows").cast("double") / col("n_windows")).otherwise(0.0))
   }
 
+  /** IMAGE near-dup by perceptual hash: [[Multimodal.DHash]] fingerprints
+    * (map-side, one decoder pass over the blob scan — blobs never shuffle)
+    * banded through the same 4×16-bit blocking + Hamming verify as
+    * [[simHashPairs]]. Catches re-encodes/resizes/small edits that
+    * byte-digest dedup can't see — the image half of corpus dedup.
+    * Undecodable payloads drop out (no fingerprint, no pairs).
+    */
+  def imageNearDup(df: DataFrame, idCol: String, binCol: String,
+                   maxHamming: Int = 6): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val pruned = df.select(col(idCol).cast("long").as("id"), col(binCol).as("bin"))
+    val schema = StructType(Seq(StructField("id", LongType), StructField("sh", LongType)))
+    val base = pruned.mapPartitions { it =>
+      it.flatMap { r =>
+        Multimodal.DHash.hash(r.getAs[Array[Byte]](1)).map(h => Row(r.getLong(0), h))
+      }
+    }(Encoders.row(schema))
+    simHashBandedPairs(base, maxHamming)
+  }
+
   /** Shared 4×16-bit band blocking + Hamming verification over a packed
     * (id, sh: long) signature relation — see [[simHashPairs]] scaladoc for
     * the pigeonhole recall argument.

@@ -960,6 +960,63 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** 64-bit difference hash (dHash) — the standard perceptual fingerprint
+    * for IMAGE near-dup at corpus scale (re-encodes, resizes, small edits
+    * that byte-level dedup can't see): decode via the JDK codec (reads all
+    * four staged formats), pool to a 9×8 grayscale grid by EXACT integer
+    * area averaging, bit (r,c) = cell (r,c+1) brighter than cell (r,c).
+    * Brightness comparisons cross-multiply the integer (sum, count) pairs,
+    * so no division rounding enters and any engine replaying the pixel
+    * arithmetic reproduces the hash bit-for-bit. None for undecodable or
+    * sub-9×8 rasters; the 64 M-pixel bomb gate runs BEFORE the codec.
+    */
+  object DHash extends Serializable {
+    private val MaxPixels = 64L << 20
+
+    def hash(p: Array[Byte]): Option[Long] = {
+      if (p == null || p.length < 8) return None
+      val meta = HeaderDecoder.decode(p)
+      if (meta.width.toLong * meta.height > MaxPixels) return None
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+        if (img == null) return None
+        val w = img.getWidth; val h = img.getHeight
+        if (w < 9 || h < 8) return None
+        val sums = Array.ofDim[Long](8, 9)
+        val counts = Array.ofDim[Long](8, 9)
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          val r8 = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val v = row(x)
+            sums(r8)(x * 9 / w) += ((v >> 16) & 0xFF) + ((v >> 8) & 0xFF) + (v & 0xFF)
+            counts(r8)(x * 9 / w) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var bits = 0L
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            // right cell brighter: s2/n2 > s1/n1 ⟺ s2·n1 > s1·n2 (exact)
+            if (sums(r)(c + 1) * counts(r)(c) > sums(r)(c) * counts(r)(c + 1))
+              bits |= 1L << (r * 8 + c)
+            c += 1
+          }
+          r += 1
+        }
+        Some(bits)
+      } catch {
+        case scala.util.control.NonFatal(_) => None
+      }
+    }
+  }
+
   /** Raster dispatch by magic bytes: the uncompressed (BMP),
     * deflate-compressed (PNG), LZW-compressed (GIF), and DCT-compressed
     * (JPEG, JDK codec) decoders behind one entry point; unknown containers

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.Multimodal
+import graft.operators.{Dedup, Multimodal}
 
 /** Text analysis + multimodal plumbing over `documents` (beyond-reference
   * LLM-data surface): token counting, quality scoring, language-ID
@@ -101,6 +101,33 @@ object TextQueries extends QueryFamily {
              |  len(regexp_extract_all(text, '[0-9]')) AS n_digits,
              |  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_unique_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Corpus vocabulary builder — the term-frequency / document-frequency
+    // table a tokenizer-training or TF-IDF pass starts from: explode is
+    // map-side, one hash-agg shuffle carries (token, partial tf, doc_id
+    // set partials), top-200 by (tf DESC, token) lowers to
+    // TakeOrderedAndProject (distributed partial top-k, no global sort).
+    QueryDef(
+      "q_text_vocab",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        d.select(col("doc_id"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy(col("token"))
+          .agg(count(lit(1)).cast("long").as("tf"),
+            count_distinct(col("doc_id")).cast("long").as("df"))
+          .orderBy(col("tf").desc, col("token"))
+          .limit(200)
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+             |  FROM documents)
+             |SELECT token, CAST(count(*) AS BIGINT) AS tf,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+             |FROM tok WHERE token <> ''
+             |GROUP BY token ORDER BY tf DESC, token LIMIT 200""".stripMargin)),
 
     // BPE-ish token counting: the GPT-2 pre-tokenizer alternation shape
     // (contractions | space-prefixed letter runs | digit runs | punct runs)
@@ -653,6 +680,86 @@ object TextQueries extends QueryFamily {
              |    AS n_pixels,
              |  TRUE AS ok
              |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin)),
+
+    // IMAGE near-dup by perceptual hash (dHash): 25 groups of staged 18×16
+    // BMPs share a per-group pixel pattern; every 4th doc perturbs ONE
+    // pixel (+120 on (0,0)) — a re-encode-scale edit that byte dedup would
+    // miss but moves at most one dHash bit (pixel (0,0) only feeds cell
+    // (0,0), which only bit (0,0) compares). imageNearDup decodes via the
+    // JDK codec (BI_RGB is lossless), pools exact integer cells, bands the
+    // 64-bit hash, verifies Hamming ≤ 2. DuckDB replays pixels → cells →
+    // bits → bands → pairs arithmetically; BMP rows are staged bottom-up
+    // (file row k = image row 15-k) so the oracle's top-down y matches the
+    // decoded raster.
+    QueryDef(
+      "q_multimodal_phash",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents").filter(col("doc_id") < 200)
+        val g = col("doc_id") % 25
+        val delta = when(col("doc_id") % 4 === 0, lit(120)).otherwise(lit(0))
+        val stride = 56 // 18*3 = 54, padded to the 4-byte boundary
+        val pixelsHex = concat_ws("",
+          transform(sequence(lit(0), lit(15)), yf => {
+            val y = lit(15) - yf // bottom-up storage
+            concat(
+              concat_ws("", transform(sequence(lit(0), lit(17)), x => {
+                val v = g * 7 + x * 13 + y * 29 +
+                  when(x === 0 && y === 0, delta).otherwise(lit(0))
+                concat(hx(v), hx(v), hx(v))
+              })),
+              lit("0000")) // 2-byte stride padding
+          }))
+        val bmp = concat(
+          unhex(lit("424D")), le(lit(stride * 16 + 54), 4), unhex(lit("00000000")),
+          le(lit(54), 4),
+          le(lit(40), 4), le(lit(18), 4), le(lit(16), 4),
+          le(lit(1), 2), le(lit(24), 2), le(lit(0), 4),
+          le(lit(stride * 16), 4), unhex(lit("0000000000000000")),
+          le(lit(0), 4), le(lit(0), 4),
+          unhex(pixelsHex))
+        Dedup.imageNearDup(d.select(col("doc_id"), bmp.as("payload")),
+            "doc_id", "payload", maxHamming = 2)
+          .repartition(1).sortWithinPartitions(col("a_id"), col("b_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, doc_id % 25 AS g,
+             |    CASE WHEN doc_id % 4 = 0 THEN 120 ELSE 0 END AS dd
+             |  FROM documents WHERE doc_id < 200),
+             |pix AS (
+             |  SELECT doc_id, x.x // 2 AS c, y.y // 2 AS r,
+             |    3 * ((g * 7 + x.x * 13 + y.y * 29 +
+             |          CASE WHEN x.x = 0 AND y.y = 0 THEN dd ELSE 0 END) % 256) AS gray
+             |  FROM d,
+             |    (SELECT unnest(range(0, 18)) AS x) x,
+             |    (SELECT unnest(range(0, 16)) AS y) y),
+             |cells AS (
+             |  SELECT doc_id, r, c, CAST(sum(gray) AS BIGINT) AS s
+             |  FROM pix GROUP BY doc_id, r, c),
+             |bits AS (
+             |  SELECT a.doc_id, a.r, a.c, CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
+             |  FROM cells a
+             |  JOIN cells b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+             |  WHERE a.c < 8),
+             |hash AS (
+             |  -- assemble in HUGEINT (1<<63 overflows BIGINT), then fold
+             |  -- to the two's-complement int64 Spark's long carries
+             |  SELECT doc_id,
+             |    CAST(CASE WHEN hs >= CAST(9223372036854775808 AS HUGEINT)
+             |              THEN hs - CAST(18446744073709551616 AS HUGEINT)
+             |              ELSE hs END AS BIGINT) AS sh
+             |  FROM (SELECT doc_id,
+             |          sum(bit * (CAST(1 AS HUGEINT) << (r * 8 + c))) AS hs
+             |        FROM bits GROUP BY doc_id)),
+             |banded AS (
+             |  SELECT doc_id, sh, b.band AS band, (sh >> (b.band * 16)) & 65535 AS band_key
+             |  FROM hash, (SELECT unnest(range(0, 4)) AS band) b),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS ash, b.sh AS bsh
+             |  FROM banded a JOIN banded b USING (band, band_key)
+             |  WHERE a.doc_id < b.doc_id)
+             |SELECT a_id, b_id, CAST(bit_count(xor(ash, bsh)) AS BIGINT) AS hamming
+             |FROM cand WHERE bit_count(xor(ash, bsh)) <= 2
+             |ORDER BY a_id, b_id""".stripMargin)),
 
     // Unicode NFC normalization + whitespace/case canonicalization — the
     // standard first curation step. Staged text appends a decomposed

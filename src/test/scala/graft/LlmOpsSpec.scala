@@ -709,6 +709,54 @@ class LlmOpsSpec extends AnyFunSuite {
     (0 to p.length - pat.length).find(i => pat.indices.forall(k => p(i + k) == pat(k))).get
   }
 
+  // Perceptual image hash: the property that makes it the image-dedup
+  // fingerprint — invariant under lossless re-encode, stable under lossy
+  // re-encode, local under small edits.
+  test("DHash + imageNearDup: re-encode invariance, one-pixel locality, pairs") {
+    import graft.operators.Multimodal.DHash
+    import java.awt.image.BufferedImage
+    def img(w: Int, h: Int, f: (Int, Int) => Int): BufferedImage = {
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(x, y) & 0xFF
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      im
+    }
+    def enc(im: BufferedImage, fmt: String): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, fmt, b))
+      b.toByteArray
+    }
+    val base = img(18, 16, (x, y) => (x * 13 + y * 29) % 256)
+    val png = enc(base, "png"); val bmp = enc(base, "bmp"); val jpg = enc(base, "jpeg")
+    val hPng = DHash.hash(png).get
+    // lossless re-encode (png == bmp pixels): IDENTICAL hash
+    assert(DHash.hash(bmp).get == hPng)
+    // lossy jpeg re-encode: near, not equal-by-luck-required
+    assert(java.lang.Long.bitCount(hPng ^ DHash.hash(jpg).get) <= 6)
+    // one-pixel edit feeds one cell → moves at most bit (0,0)
+    val pert = img(18, 16, (x, y) =>
+      if (x == 0 && y == 0) 120 else (x * 13 + y * 29) % 256)
+    assert(java.lang.Long.bitCount(hPng ^ DHash.hash(enc(pert, "png")).get) <= 1)
+    // rejections: junk, null, sub-grid raster
+    assert(DHash.hash("not an image".getBytes).isEmpty)
+    assert(DHash.hash(null).isEmpty)
+    assert(DHash.hash(enc(img(4, 4, (_, _) => 9), "png")).isEmpty)
+    // pairs: cross-FORMAT dup found at Hamming 0; jpeg re-encode pairs
+    // near; unrelated and undecodable rows pair with nothing
+    import spark.implicits._
+    val other = enc(img(18, 16, (x, y) => (x * 91 + y * 57 + 31) % 256), "png")
+    val df = Seq((1L, png), (2L, bmp), (3L, jpg), (4L, other),
+      (5L, "junk".getBytes)).toDF("id", "bin")
+    val pairs = Dedup.imageNearDup(df, "id", "bin", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((1L, 2L, 0L)))
+    assert(pairs.exists(p => p._2 == 3L && p._3 <= 6L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
   test("NfcNormalize: composes decomposed sequences, idempotent, null-safe, by name") {
     import graft.functions.GraftFns
     import spark.implicits._
