@@ -413,6 +413,119 @@ object CurationQueries extends QueryFamily {
              |  CASE WHEN coalesce(s.n_feats, 0) = 0 THEN FALSE
              |       ELSE CAST(s.score_num AS DOUBLE) / s.n_feats > 0 END AS label
              |FROM documents d LEFT JOIN scored s USING (doc_id)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // End-to-end WEB pipeline — the round-8 operators composed as one
+    // declarative plan, the q_pipeline_curation shape for crawled data:
+    // HTML → text (map-side regexp chain) → learned-classifier gate
+    // (broadcast model, exact integer score) → per-domain frequency cap →
+    // per-domain survivor stats. The wide html/clean_text columns are
+    // consumed map-side (strip + feature explode); shuffles carry only
+    // (doc_id, bucket weights), the domain window, and the final stats.
+    QueryDef(
+      "q_pipeline_web",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables(s, dir, "documents").filter(col("doc_id") < 500)
+        val id = col("doc_id")
+        val html = concat(
+          lit("<html><head><style>p{c:#"), (id % 10).cast("string"),
+          lit("}</style><script>var x = 1 < 2;</script></head><body><p>"),
+          substring(col("text"), 1, 120),
+          lit(" &amp; tail</p><a href=\"/x\">l</a></body></html>"))
+        val url = concat(lit("HTTPS://WWW.Site"), (id % 37).cast("string"),
+          lit(".Example.COM/Path"), id.cast("string"))
+        val staged = d.select(id, html.as("html"), url.as("url"))
+        val stats = Curation.htmlStats(staged, "doc_id", "html")
+        val weights = s.range(4096).select(col("id").as("bucket"),
+          ((col("id") * 2654435761L) % 2001 - 1000).as("weight"))
+        val scored = Curation.classifierScore(stats, "doc_id", "clean_text",
+          weights, 4096, portable = !graft.RunMode.productionHash)
+        val joined = stats.select(col("doc_id"), col("text_ratio"))
+          .join(scored.select(col("doc_id"), col("score_num"), col("n_feats"),
+            col("label")), "doc_id")
+          .join(staged.select(id, Curation.urlDomain(col("url")).as("domain")), "doc_id")
+        joined
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("domain")).orderBy(col("doc_id"))))
+          .filter(col("rn") <= 8 && col("text_ratio") > 0.1 && col("label"))
+          .groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_feats")).cast("long").as("total_feats"),
+            sum(col("score_num")).cast("long").as("total_score"))
+          // exact integer sums → one double division (order-free)
+          .withColumn("mean_score",
+            col("total_score").cast("double") / col("total_feats"))
+          .orderBy(col("domain"))
+      },
+      Some("""WITH staged AS (
+             |  SELECT doc_id,
+             |    '<html><head><style>p{c:#' || CAST(doc_id % 10 AS VARCHAR)
+             |    || '}</style><script>var x = 1 < 2;</script></head><body><p>'
+             |    || substr(text, 1, 120)
+             |    || ' &amp; tail</p><a href="/x">l</a></body></html>' AS html,
+             |    'HTTPS://WWW.Site' || CAST(doc_id % 37 AS VARCHAR)
+             |    || '.Example.COM/Path' || CAST(doc_id AS VARCHAR) AS url
+             |  FROM documents WHERE doc_id < 500),
+             |clean AS (
+             |  SELECT doc_id, html,
+             |    trim(regexp_replace(
+             |      regexp_replace(
+             |        regexp_replace(
+             |          regexp_replace(
+             |            regexp_replace(
+             |              regexp_replace(
+             |                regexp_replace(
+             |                  regexp_replace(
+             |                    regexp_replace(
+             |                      regexp_replace(
+             |                        regexp_replace(html,
+             |                          '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+             |                        '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+             |                      '(?s)<!--.*?-->', ' ', 'g'),
+             |                    '<[^>]*>', ' ', 'g'),
+             |                  '&nbsp;', ' ', 'g'),
+             |                '&lt;', '<', 'g'),
+             |              '&gt;', '>', 'g'),
+             |            '&quot;', '"', 'g'),
+             |          '&#39;', '''', 'g'),
+             |        '&amp;', '&', 'g'),
+             |      '\s+', ' ', 'g')) AS clean_text
+             |  FROM staged),
+             |ratio AS (
+             |  SELECT doc_id, clean_text,
+             |    CAST(length(clean_text) AS DOUBLE) / length(html) AS text_ratio
+             |  FROM clean),
+             |tok AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(clean_text),
+             |           '[^a-z0-9]+'), t -> t <> '') AS ts
+             |  FROM ratio),
+             |feats AS (
+             |  SELECT doc_id, unnest(list_concat(ts,
+             |    list_transform(range(1, len(ts)), i -> ts[i] || '_' || ts[i + 1]))) AS feat
+             |  FROM tok),
+             |scored AS (
+             |  SELECT doc_id,
+             |    CAST(sum((CAST('0x' || substr(md5(feat), 1, 8) AS BIGINT) % 4096
+             |         * 2654435761) % 2001 - 1000) AS BIGINT) AS score_num,
+             |    CAST(count(*) AS BIGINT) AS n_feats
+             |  FROM feats GROUP BY doc_id),
+             |joined AS (
+             |  SELECT r.doc_id, r.text_ratio, sc.score_num, sc.n_feats,
+             |    CAST(sc.score_num AS DOUBLE) / sc.n_feats > 0 AS label,
+             |    regexp_replace(regexp_replace(lower(regexp_extract(s.url,
+             |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':(443|80)$', ''),
+             |      '^www\.', '') AS domain
+             |  FROM ratio r JOIN scored sc USING (doc_id) JOIN staged s USING (doc_id)),
+             |capped AS (
+             |  SELECT *, row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+             |  FROM joined)
+             |SELECT domain,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_feats) AS BIGINT) AS total_feats,
+             |  CAST(sum(score_num) AS BIGINT) AS total_score,
+             |  CAST(sum(score_num) AS DOUBLE) / sum(n_feats) AS mean_score
+             |FROM capped WHERE rn <= 8 AND text_ratio > 0.1 AND label
+             |GROUP BY domain ORDER BY domain""".stripMargin))
   )
 }
