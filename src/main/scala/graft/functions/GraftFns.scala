@@ -21,6 +21,9 @@ import org.apache.spark.sql.types._
   *   simhash64(tokens)            — 64-bit SimHash fingerprint
   *   cosine_sim(a, b)             — float-vector cosine (DOUBLE)
   *   cosine_q(a, b)               — exact quantized (long-vector) cosine
+  *   html_to_text(html)           — WET-style HTML boilerplate strip
+  *   url_canon(url)               — URL canonicalization (tracking params…)
+  *   url_domain(url)              — frequency-capping domain key
   *
   * None of the names shadows a Spark builtin, so registration is permanent
   * per session (same WeakHashMap latch discipline as [[RefFns.register]]).
@@ -78,7 +81,27 @@ object GraftFns {
     "cosine_q" -> { args =>
       arity("cosine_q", args, 2)
       QuantizedCosine(args.head, args(1))
+    },
+    // Round-8 curation compositions, registered through the SAME
+    // definitions the DataFrame operators use (Bridge converts the Column
+    // chain — a by-name call and a Curation.* call cannot diverge):
+    "html_to_text" -> { args =>
+      arity("html_to_text", args, 1)
+      expr0(graft.operators.Curation.htmlToText(col0(Cast(args.head, StringType))))
+    },
+    "url_canon" -> { args =>
+      arity("url_canon", args, 1)
+      expr0(graft.operators.Curation.canonicalizeUrl(col0(Cast(args.head, StringType))))
+    },
+    "url_domain" -> { args =>
+      arity("url_domain", args, 1)
+      expr0(graft.operators.Curation.urlDomain(col0(Cast(args.head, StringType))))
     })
+
+  private def col0(e: Expression) =
+    org.apache.spark.sql.graftbridge.Bridge.column(e)
+  private def expr0(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graftbridge.Bridge.convertedExpression(c)
 
   private val installed =
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()

@@ -12,4 +12,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly CONVERT a Column's node tree to catalyst expressions
+    * (UnresolvedFunction nodes and all), instead of the lazy
+    * `ColumnNodeExpression` wrapper `expression` returns. Required when
+    * the result is spliced into an analyzer-driven context (a
+    * FunctionRegistry builder): the wrapper is Unevaluable and opaque to
+    * the analyzer, while a converted tree's unresolved functions resolve
+    * in the analyzer's next fixed-point pass.
+    */
+  def convertedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -255,6 +255,41 @@ class RefFnsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("integer literal"))
   }
 
+  test("GraftFns round-8 curation compositions: by-name ≡ Column API, app surface") {
+    import graft.functions.GraftFns
+    import graft.operators.Curation
+    import spark.implicits._
+    GraftFns.register(spark)
+    val df = Seq(
+      ("<p>A &amp; B</p><script>x()</script>",
+       "HTTPS://WWW.Ex.COM:443/P?utm_source=a&id=7#f")).toDF("html", "url")
+    df.createOrReplaceTempView("gfn_web")
+    val sqlRow = spark.sql(
+      """SELECT html_to_text(html) AS t, url_canon(url) AS c, url_domain(url) AS d
+        |FROM gfn_web""".stripMargin).collect()(0)
+    val apiRow = df.select(
+      Curation.htmlToText(col("html")).as("t"),
+      Curation.canonicalizeUrl(col("url")).as("c"),
+      Curation.urlDomain(col("url")).as("d")).collect()(0)
+    assert(sqlRow.getString(0) == "A & B" && sqlRow.getString(0) == apiRow.getString(0))
+    assert(sqlRow.getString(1) == "https://www.ex.com/P?id=7" &&
+      sqlRow.getString(1) == apiRow.getString(1))
+    assert(sqlRow.getString(2) == "ex.com" && sqlRow.getString(2) == apiRow.getString(2))
+    // and through a declared app: strip + domain-gate in EventFlux SQL
+    val app =
+      """CREATE STREAM Pages (id BIGINT, html STRING, url STRING);
+        |CREATE STREAM Clean (id BIGINT, text STRING, domain STRING);
+        |INSERT INTO Clean
+        |SELECT id, html_to_text(html) AS text, url_domain(url) AS domain
+        |FROM Pages WHERE token_count(html_to_text(html)) >= 2 ORDER BY id;""".stripMargin
+    val pages = Seq(
+      (1L, "<b>hello</b> world<style>s{}</style>", "http://a.example.com/x"),
+      (2L, "<p>hi</p>", "http://b.example.com/y")).toDF("id", "html", "url")
+    val out = GraftApp.run(spark, app, Map("Pages" -> pages))("Clean")
+    assert(out.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1L, "hello world", "a.example.com")))
+  }
+
   test("GraftFns resolve inside GraftApp SQL apps (curation via the app surface)") {
     import spark.implicits._
     val app =
