@@ -725,14 +725,26 @@ object Dedup {
     * Undecodable payloads drop out (no fingerprint, no pairs).
     */
   def imageNearDup(df: DataFrame, idCol: String, binCol: String,
-                   maxHamming: Int = 6): DataFrame = {
+                   maxHamming: Int = 6): DataFrame =
+    fingerprintNearDup(df, idCol, binCol, Multimodal.DHash.hash, maxHamming)
+
+  /** AUDIO near-dup by [[Multimodal.AudioHash]] — same shape as
+    * [[imageNearDup]] over the 1-D energy-profile fingerprint.
+    */
+  def audioNearDup(df: DataFrame, idCol: String, binCol: String,
+                   maxHamming: Int = 6): DataFrame =
+    fingerprintNearDup(df, idCol, binCol, Multimodal.AudioHash.hash, maxHamming)
+
+  private def fingerprintNearDup(df: DataFrame, idCol: String, binCol: String,
+                                 hashFn: Array[Byte] => Option[Long],
+                                 maxHamming: Int): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val pruned = df.select(col(idCol).cast("long").as("id"), col(binCol).as("bin"))
     val schema = StructType(Seq(StructField("id", LongType), StructField("sh", LongType)))
     val base = pruned.mapPartitions { it =>
       it.flatMap { r =>
-        Multimodal.DHash.hash(r.getAs[Array[Byte]](1)).map(h => Row(r.getLong(0), h))
+        hashFn(r.getAs[Array[Byte]](1)).map(h => Row(r.getLong(0), h))
       }
     }(Encoders.row(schema))
     simHashBandedPairs(base, maxHamming)

@@ -1017,6 +1017,64 @@ object Multimodal {
     }
   }
 
+  /** 64-bit audio difference hash — [[DHash]]'s 1-D twin for AUDIO
+    * near-dup (re-encodes, level changes, trims that byte digests miss):
+    * walk the RIFF chunks like [[PcmDecoder]], pool per-sample amplitude
+    * deviation (|v−128| for 8-bit unsigned, |v| for 16-bit signed,
+    * channels interleaved-pooled) into 65 equal sample windows by exact
+    * integer sums, bit k = window k+1 more energetic than window k
+    * (cross-multiplied — no division rounding). Loudness-scaling an
+    * entire clip preserves every comparison, so the hash is level-robust
+    * by construction. None for non-PCM payloads or fewer than 65 samples.
+    */
+  object AudioHash extends Serializable {
+    private def u8(p: Array[Byte], i: Int): Int = p(i) & 0xFF
+    private def le16(p: Array[Byte], i: Int): Int = u8(p, i) | (u8(p, i + 1) << 8)
+    private def le32(p: Array[Byte], i: Int): Int =
+      u8(p, i) | (u8(p, i + 1) << 8) | (u8(p, i + 2) << 16) | (u8(p, i + 3) << 24)
+    private def ascii(p: Array[Byte], i: Int, s: String): Boolean =
+      p.length >= i + s.length && s.indices.forall(k => u8(p, i + k) == s.charAt(k))
+
+    def hash(p: Array[Byte]): Option[Long] = {
+      if (p == null || !ascii(p, 0, "RIFF") || !ascii(p, 8, "WAVE")) return None
+      var i = 12
+      var fmtCode = 0; var bits = 0
+      var dataOff = -1; var dataLen = 0
+      while (i + 8 <= p.length) {
+        val size = le32(p, i + 4)
+        if (size < 0 || size > p.length) return None // corrupt chunk size
+        if (ascii(p, i, "fmt ") && i + 8 + 16 <= p.length) {
+          fmtCode = le16(p, i + 8); bits = le16(p, i + 8 + 14)
+        }
+        if (ascii(p, i, "data")) { dataOff = i + 8; dataLen = size }
+        i += 8 + size + (size & 1)
+      }
+      if (fmtCode != 1 || dataOff < 0) return None // PCM only
+      val end = math.min(dataOff + dataLen, p.length)
+      val bytesPer = if (bits == 8) 1 else if (bits == 16) 2 else return None
+      val n = (end - dataOff) / bytesPer
+      if (n < 65) return None
+      val sums = new Array[Long](65)
+      val counts = new Array[Long](65)
+      var k = 0
+      while (k < n) {
+        val amp =
+          if (bytesPer == 1) math.abs(u8(p, dataOff + k) - 128)
+          else math.abs(le16(p, dataOff + 2 * k).toShort.toInt)
+        val w = (k.toLong * 65 / n).toInt
+        sums(w) += amp; counts(w) += 1
+        k += 1
+      }
+      var h = 0L
+      var b = 0
+      while (b < 64) {
+        if (sums(b + 1) * counts(b) > sums(b) * counts(b + 1)) h |= 1L << b
+        b += 1
+      }
+      Some(h)
+    }
+  }
+
   /** Raster dispatch by magic bytes: the uncompressed (BMP),
     * deflate-compressed (PNG), LZW-compressed (GIF), and DCT-compressed
     * (JPEG, JDK codec) decoders behind one entry point; unknown containers

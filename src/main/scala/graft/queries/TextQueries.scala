@@ -681,6 +681,67 @@ object TextQueries extends QueryFamily {
              |  TRUE AS ok
              |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin)),
 
+    // AUDIO near-dup by energy-profile hash (the 1-D dHash twin): 25
+    // groups of staged 8-bit PCM WAVs (130 samples = 65 windows of exactly
+    // 2) share a per-group waveform; every 4th doc perturbs the FIRST
+    // window (+60 on samples 0-1), which only bit 0 compares — within a
+    // group Hamming ≤ 1. audioNearDup walks the RIFF chunks, pools
+    // |v-128| amplitude into exact integer windows, bands the 64-bit hash
+    // and verifies Hamming ≤ 2; DuckDB replays samples → windows → bits →
+    // bands → pairs arithmetically (HUGEINT hash assembly, like phash).
+    QueryDef(
+      "q_multimodal_audiohash",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents").filter(col("doc_id") < 200)
+        val g = col("doc_id") % 25
+        val delta = when(col("doc_id") % 4 === 0, lit(60)).otherwise(lit(0))
+        val sampleHex = concat_ws("",
+          transform(sequence(lit(0), lit(129)), i =>
+            hx(g * 31 + i * 7 + when(i < 2, delta).otherwise(lit(0)))))
+        val wav = concat(
+          unhex(lit("52494646")), le(lit(130 + 36), 4), unhex(lit("57415645")),
+          unhex(lit("666D7420")), le(lit(16), 4),                 // fmt chunk
+          le(lit(1), 2), le(lit(1), 2), le(lit(8000), 4),         // pcm mono 8k
+          le(lit(8000), 4), le(lit(1), 2), le(lit(8), 2),         // u8 samples
+          unhex(lit("64617461")), le(lit(130), 4), unhex(sampleHex))
+        Dedup.audioNearDup(d.select(col("doc_id"), wav.as("payload")),
+            "doc_id", "payload", maxHamming = 2)
+          .repartition(1).sortWithinPartitions(col("a_id"), col("b_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, doc_id % 25 AS g,
+             |    CASE WHEN doc_id % 4 = 0 THEN 60 ELSE 0 END AS dd
+             |  FROM documents WHERE doc_id < 200),
+             |amp AS (
+             |  SELECT doc_id, i.i // 2 AS w,
+             |    abs((g * 31 + i.i * 7 +
+             |         CASE WHEN i.i < 2 THEN dd ELSE 0 END) % 256 - 128) AS a
+             |  FROM d, (SELECT unnest(range(0, 130)) AS i) i),
+             |wins AS (
+             |  SELECT doc_id, w, CAST(sum(a) AS BIGINT) AS e
+             |  FROM amp GROUP BY doc_id, w),
+             |bits AS (
+             |  SELECT a.doc_id, a.w, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+             |  FROM wins a JOIN wins b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+             |  WHERE a.w < 64),
+             |hash AS (
+             |  SELECT doc_id,
+             |    CAST(CASE WHEN hs >= CAST(9223372036854775808 AS HUGEINT)
+             |              THEN hs - CAST(18446744073709551616 AS HUGEINT)
+             |              ELSE hs END AS BIGINT) AS sh
+             |  FROM (SELECT doc_id, sum(bit * (CAST(1 AS HUGEINT) << w)) AS hs
+             |        FROM bits GROUP BY doc_id)),
+             |banded AS (
+             |  SELECT doc_id, sh, b.band AS band, (sh >> (b.band * 16)) & 65535 AS band_key
+             |  FROM hash, (SELECT unnest(range(0, 4)) AS band) b),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS ash, b.sh AS bsh
+             |  FROM banded a JOIN banded b USING (band, band_key)
+             |  WHERE a.doc_id < b.doc_id)
+             |SELECT a_id, b_id, CAST(bit_count(xor(ash, bsh)) AS BIGINT) AS hamming
+             |FROM cand WHERE bit_count(xor(ash, bsh)) <= 2
+             |ORDER BY a_id, b_id""".stripMargin)),
+
     // IMAGE near-dup by perceptual hash (dHash): 25 groups of staged 18×16
     // BMPs share a per-group pixel pattern; every 4th doc perturbs ONE
     // pixel (+120 on (0,0)) — a re-encode-scale edit that byte dedup would

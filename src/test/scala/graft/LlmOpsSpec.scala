@@ -757,6 +757,53 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  // Audio energy-profile hash: representation-invariant (the same waveform
+  // at 8-bit and 16-bit depth hashes identically — amplitudes scale by an
+  // exact factor, every window comparison is preserved), local under a
+  // one-window edit.
+  test("AudioHash: depth invariance, window locality, pairs, rejections") {
+    import graft.operators.Multimodal.AudioHash
+    def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def wav(samples: Array[Int], bits: Int): Array[Byte] = {
+      val data = if (bits == 8) samples.map(v => (v & 0xFF).toByte)
+        else samples.flatMap(v => le16((v - 128) * 256))
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("RIFF".getBytes); b.write(le32(36 + data.length)); b.write("WAVE".getBytes)
+      b.write("fmt ".getBytes); b.write(le32(16))
+      b.write(le16(1)); b.write(le16(1)); b.write(le32(8000))
+      b.write(le32(8000 * bits / 8)); b.write(le16(bits / 8)); b.write(le16(bits))
+      b.write("data".getBytes); b.write(le32(data.length)); b.write(data.toArray)
+      b.toByteArray
+    }
+    val base = Array.tabulate(130)(i => (37 + i * 7) % 256)
+    val h8 = AudioHash.hash(wav(base, 8)).get
+    // same waveform, 16-bit depth: amplitudes scale by exactly 256 →
+    // identical comparisons, identical hash
+    assert(AudioHash.hash(wav(base, 16)).get == h8)
+    // one-window edit (samples 0-1 feed only window 0 → only bit 0)
+    val pert = base.clone(); pert(0) = (pert(0) + 60) % 256; pert(1) = (pert(1) + 60) % 256
+    assert(java.lang.Long.bitCount(h8 ^ AudioHash.hash(wav(pert, 8)).get) <= 1)
+    // rejections: junk, null, too-short, non-PCM fmt code
+    assert(AudioHash.hash("not a wav".getBytes).isEmpty)
+    assert(AudioHash.hash(null).isEmpty)
+    assert(AudioHash.hash(wav(base.take(40), 8)).isEmpty)
+    val nonPcm = wav(base, 8); nonPcm(20) = 2 // fmt code 2 (ADPCM)
+    assert(AudioHash.hash(nonPcm).isEmpty)
+    // pairs: cross-DEPTH dup at Hamming 0; unrelated clip doesn't pair
+    import spark.implicits._
+    val other = Array.tabulate(130)(i => (i * 83 + 11) % 256)
+    val df = Seq((1L, wav(base, 8)), (2L, wav(base, 16)), (3L, wav(pert, 8)),
+      (4L, wav(other, 8)), (5L, "junk".getBytes)).toDF("id", "bin")
+    val pairs = Dedup.audioNearDup(df, "id", "bin", maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((1L, 2L, 0L)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 <= 1L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
   test("NfcNormalize: composes decomposed sequences, idempotent, null-safe, by name") {
     import graft.functions.GraftFns
     import spark.implicits._
