@@ -339,6 +339,49 @@ object Curation {
       .withColumn("label", col("score") > 0)
   }
 
+  /** Corpus-LM fluency scoring — the CCNet/KenLM-role quality signal
+    * (docs whose word transitions are improbable under a reference corpus
+    * score low: boilerplate, shuffled text, OCR noise): train bigram
+    * conditionals on the corpus itself, score each doc by its mean
+    * conditional probability. All arithmetic is EXACT integer — the
+    * conditional is `(1e6·c2(w1,w2)) div c1(w1)` (c1 counts w1 as bigram
+    * prefix, so Σ_w2 conditionals = 1e6 per prefix — a proper
+    * distribution), the per-doc sum is an order-free BIGINT, and one
+    * double division at the end yields `lm_score` in [0,1]. A real KenLM
+    * adds Kneser-Ney smoothing; this is the deterministic integer shape
+    * of the same filter.
+    *
+    * Scale shape: the model is two hash aggs over the narrow exploded
+    * bigram relation; the scoring join is on bigram keys (never text). At
+    * 100 TB the model trains ONCE on a reference sample, persists as a
+    * table, and broadcasts when pruned to the top-k bigrams.
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= lit(""))
+    val n1 = size_(toks)
+    val pairLen = greatest(n1 - 1, lit(0))
+    val bigrams = zip_with(slice(toks, lit(1), pairLen), slice(toks, lit(2), pairLen),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val docBi = df.select(col(idCol), explode_outer(bigrams).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val seen = docBi.filter(col("w1").isNotNull)
+    val c2 = seen.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = seen.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // integer `div`, not `/`: Spark's `/` is double division, whose
+    // round-to-nearest can cross an integer boundary before the floor
+    val model = c2.join(c1, "w1")
+      .select(col("w1"), col("w2"),
+        expr("CAST(1000000 AS BIGINT) * c2 div c1").as("cond_milli"))
+    docBi.join(model, Seq("w1", "w2"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("w1").isNotNull, coalesce(col("cond_milli"), lit(0L)))
+          .otherwise(lit(0L))).cast("long").as("score_num"),
+        count(col("w1")).cast("long").as("n_bigrams"))
+      .withColumn("lm_score", when(col("n_bigrams") === 0, lit(0.0))
+        .otherwise(col("score_num").cast("double") / (col("n_bigrams") * 1000000L)))
+  }
+
   /** Registrable domain-ish key for frequency capping: the lowercased host
     * with the default port and a leading `www.` stripped.
     */

@@ -415,6 +415,40 @@ object CurationQueries extends QueryFamily {
              |FROM documents d LEFT JOIN scored s USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Corpus-LM fluency scoring (the CCNet/KenLM quality-filter role):
+    // self-trained bigram conditionals, exact integer arithmetic
+    // throughout — DuckDB retrains the same model and reproduces every
+    // score bit-for-bit.
+    QueryDef(
+      "q_text_lm_score",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        Curation.lmScore(d, "doc_id", "text").orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |           t -> t <> '') AS ts
+             |  FROM documents),
+             |bi AS (
+             |  SELECT doc_id, ts[i.i] AS w1, ts[i.i + 1] AS w2
+             |  FROM tok, LATERAL (SELECT unnest(range(1, len(ts))) AS i) i),
+             |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+             |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+             |model AS (
+             |  SELECT c2.w1, c2.w2, (1000000 * c2.c2) // c1.c1 AS cond_milli
+             |  FROM c2 JOIN c1 USING (w1)),
+             |scored AS (
+             |  SELECT b.doc_id, CAST(sum(m.cond_milli) AS BIGINT) AS score_num,
+             |    CAST(count(*) AS BIGINT) AS n_bigrams
+             |  FROM bi b JOIN model m USING (w1, w2) GROUP BY b.doc_id)
+             |SELECT d.doc_id,
+             |  coalesce(s.score_num, 0) AS score_num,
+             |  coalesce(s.n_bigrams, 0) AS n_bigrams,
+             |  CASE WHEN coalesce(s.n_bigrams, 0) = 0 THEN 0.0
+             |       ELSE CAST(s.score_num AS DOUBLE) / (s.n_bigrams * 1000000) END AS lm_score
+             |FROM documents d LEFT JOIN scored s USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // End-to-end WEB pipeline — the round-8 operators composed as one
     // declarative plan, the q_pipeline_curation shape for crawled data:
     // HTML → text (map-side regexp chain) → learned-classifier gate

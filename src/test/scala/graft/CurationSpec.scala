@@ -310,6 +310,25 @@ class CurationSpec extends AnyFunSuite {
     assert(fast.map(_.toSeq).toSeq == fast2.map(_.toSeq).toSeq)
   }
 
+  test("lmScore: hand-computed bigram conditionals, floor division, empty docs") {
+    // corpus bigrams: (a,b) x2, (a,c) x1 → c1(a)=3;
+    // cond(a,b) = 2000000 div 3 = 666666, cond(a,c) = 333333
+    val df = Seq((1L, Some("a b")), (2L, Some("a b")), (3L, Some("a c")),
+      (4L, Some("solo")), (5L, None: Option[String])).toDF("id", "txt")
+    val out = Curation.lmScore(df, "id", "txt").orderBy("id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getLong(1) == 666666L && byId(1L).getLong(2) == 1L)
+    assert(byId(1L).getDouble(3) == 666666.0 / 1000000)
+    assert(byId(3L).getLong(1) == 333333L)
+    // floor loss: per-prefix conditionals sum to <= 1e6 (666666 + 333333)
+    assert(byId(1L).getLong(1) + byId(3L).getLong(1) == 999999L)
+    // single-token and NULL docs: zero bigrams, score 0.0, rows kept
+    for (i <- Seq(4L, 5L)) {
+      assert(byId(i).getLong(2) == 0L && byId(i).getDouble(3) == 0.0)
+    }
+    assert(out.length == 5)
+  }
+
   test("substringDupStats: shared window counted, short and unique docs zeroed") {
     import graft.operators.Dedup
     // k=3: docs 1 and 2 share the window "q w e" (1 window each);
