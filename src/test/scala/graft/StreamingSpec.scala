@@ -1559,4 +1559,63 @@ class StreamingSpec extends AnyFunSuite {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("round-8 curation ops run AT INGEST: map stages and the classifier " +
+       "aggregate compile on streams, batch ≡ streaming on the same rows") {
+    import graft.operators.Curation
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "<p>the quick brown fox</p><script>x()</script>",
+        "HTTPS://WWW.A.Example.COM:443/p?utm_source=x&k=1"),
+      (2L, "<b>lazy &amp; dog</b>", "http://b.example.org/q"),
+      (3L, "<div>fox fox fox</div>", "https://A.example.com/r"))
+    val batchDf = spark.createDataFrame(rows).toDF("id", "html", "url")
+    def mapStage(df: org.apache.spark.sql.DataFrame) =
+      Curation.htmlStats(df, "id", "html")
+        .join(df.select(col("id"), Curation.urlDomain(col("url")).as("domain")), "id")
+        .select(col("id"), col("clean_text"), col("n_tags"), col("text_ratio"),
+          col("domain"))
+    // map stages: pure projections — append mode, row-for-row parity
+    val in = MemoryStream[(Long, String, String)]
+    val q = mapStage(in.toDS().toDF("id", "html", "url"))
+      .writeStream.format("memory").queryName("cur_ingest").outputMode("append")
+      .start()
+    try {
+      in.addData(rows.take(2): _*); q.processAllAvailable()
+      in.addData(rows.drop(2): _*); q.processAllAvailable()
+      val streamed = spark.table("cur_ingest").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+          r.getString(4))).sortBy(_._1)
+      val batch = mapStage(batchDf).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+          r.getString(4))).sortBy(_._1)
+      assert(streamed.toSeq == batch.toSeq)
+      assert(streamed.head._2 == "the quick brown fox") // script subtree gone
+      assert(streamed.head._5 == "a.example.com")
+    } finally q.stop()
+    // the classifier AGGREGATE (explode → broadcast model join → per-doc
+    // sum) compiles in update mode; ids arrive whole, so the final table
+    // state equals the batch scores
+    val weights = spark.range(64).select(col("id").as("bucket"),
+      ((col("id") * 2654435761L) % 2001 - 1000).as("weight"))
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = Curation.classifierScore(
+        in2.toDS().toDF("id", "txt"), "id", "txt", weights, 64)
+      .writeStream.format("memory").queryName("clf_ingest").outputMode("update")
+      .start()
+    try {
+      in2.addData((1L, "the quick brown fox"), (2L, "lazy dog"))
+      q2.processAllAvailable()
+      in2.addData((3L, "fox fox"))
+      q2.processAllAvailable()
+      val streamed = spark.table("clf_ingest").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val batch = Curation.classifierScore(
+          spark.createDataFrame(Seq((1L, "the quick brown fox"), (2L, "lazy dog"),
+            (3L, "fox fox"))).toDF("id", "txt"), "id", "txt", weights, 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q2.stop()
+  }
 }
