@@ -289,4 +289,67 @@ object Similarity {
       .withColumn("sim", VectorFns.cosineQ(col("q_qv"), col("c_qv")))
     topKSelect(scored, k)
   }
+
+  /** PRODUCT-QUANTIZATION top-k (the FAISS PQ/ADC shape) — the
+    * memory-compression path for embedding search at 100 TB: a 64-dim
+    * float vector (256 B) compresses to `m`=8 one-byte codes (32×), so a
+    * billion-vector index fits where raw vectors cannot, and scoring is
+    * `m` table lookups per pair instead of a 64-term dot product.
+    *
+    * Determinism/oracle contract mirrors [[ivfTopKQuantized]]: the
+    * per-subspace codebooks are DATA-DERIVED (the quantized vectors of
+    * `codebookIds`, sliced per block — k-means refinement is the same
+    * upgrade path as ivfTopK's and changes no plumbing), encoding is exact
+    * integer squared-L2 argmin with ties to the smallest codeword, and
+    * the ADC distance is an exact BIGINT sum of per-block table entries —
+    * any engine replaying the arithmetic reproduces codes, tables and
+    * top-k bit-for-bit. Ranking: (dist ASC, c_id ASC) through the bounded
+    * top-k aggregator (sim = −dist, exact for dist < 2^53).
+    *
+    * Production composition: IVF lists ([[ivfTopKQuantized]]) prune
+    * candidates, PQ codes score them — independent dials, same plumbing.
+    */
+  def pqTopKQuantized(queries: DataFrame, corpus: DataFrame,
+                      qIdCol: String, cIdCol: String, vecCol: String,
+                      k: Int, codebookIds: Seq[Long], dim: Int = 64,
+                      m: Int = 8, scale: Int = 10000): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(codebookIds.nonEmpty && codebookIds.size <= 256,
+      "codebook must hold 1..256 entries (one-byte codes)")
+    val sub = dim / m
+    val cbRows = corpus.filter(col(cIdCol).isin(codebookIds: _*))
+      .select(col(cIdCol).cast("long").as("id"),
+        VectorFns.quantize(col(vecCol), scale).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val cbs: Seq[Seq[Long]] = codebookIds.map(id => cbRows.getOrElse(id,
+      throw new IllegalArgumentException(s"codebook id $id not in corpus")))
+    // exact integer squared L2 between block `blk` of a quantized vector
+    // column and codeword j (literal slices — codegen'd, no shuffle)
+    def subDist(v: Column, blk: Int, cw: Seq[Long]): Column =
+      (0 until sub).map { i =>
+        val d = v.getItem(blk * sub + i) - lit(cw(blk * sub + i))
+        d * d
+      }.reduce(_ + _)
+    // argmin codeword per block: (−dist, −j) struct max ⇒ ties pick the
+    // smallest j (the cross-engine ORDER BY d ASC, j ASC rule)
+    def codeOf(v: Column, blk: Int): Column =
+      -array_max(array(cbs.zipWithIndex.map { case (cw, j) =>
+        struct((-subDist(v, blk, cw)).as("nd"), lit(-j).as("nj"))
+      }: _*)).getField("nj")
+    val c = corpus.select(col(cIdCol).as("c_id"),
+        VectorFns.quantize(col(vecCol), scale).as("c_qv"))
+      .select(col("c_id") +: (0 until m).map(blk =>
+        codeOf(col("c_qv"), blk).as(s"code$blk")): _*)
+    val q = queries.select(col(qIdCol).as("q_id"),
+        VectorFns.quantize(col(vecCol), scale).as("q_qv"))
+      .select(col("q_id") +: (0 until m).map(blk =>
+        array(cbs.map(cw => subDist(col("q_qv"), blk, cw)): _*).as(s"tab$blk")): _*)
+    val scored = c.join(broadcast(q))
+      .withColumn("dist", (0 until m).map(blk =>
+        element_at(col(s"tab$blk"), col(s"code$blk") + 1)).reduce(_ + _))
+      .withColumn("sim", -col("dist").cast("double"))
+    topKSelect(scored, k)
+      .select(col("q_id"), col("rnk"), col("c_id"),
+        (-col("sim")).cast("long").as("dist"))
+  }
 }

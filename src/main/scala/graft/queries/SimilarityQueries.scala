@@ -78,6 +78,23 @@ object SimilarityQueries extends QueryFamily {
       },
       Some(ivfOracle)),
 
+    // PQ/ADC top-k with a FULL oracle: 16 data-derived codebook rows
+    // (vec_ids 10..25), exact integer squared-L2 encode (ties to the
+    // smallest codeword), BIGINT ADC sums, (dist ASC, c_id ASC) ranking —
+    // the 32x memory-compression path for billion-vector indexes, every
+    // step replayed by DuckDB.
+    QueryDef(
+      "q_sim_pq",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val queries = e.filter(col("vec_id") < 10)
+        val corpus  = e.filter(col("vec_id") >= 10)
+        Similarity.pqTopKQuantized(queries, corpus, "vec_id", "vec_id",
+            "embedding", k = 5, codebookIds = (10L until 26L))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(pqOracle)),
+
     // Centroid distance per label — embedding analytics shape: elementwise
     // array aggregation without exploding (posexplode would be 64x rows;
     // here we aggregate the quantized arrays summed per label).
@@ -141,6 +158,41 @@ object SimilarityQueries extends QueryFamily {
        |  SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
        |  FROM scored)
        |SELECT q_id, rnk, c_id, sim FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** DuckDB replica of pqTopKQuantized (m=8 blocks of 8 dims, 16 codewords
+    * = corpus vectors 10..25, k=5): same integer squared-L2 block
+    * distances, same (d ASC, j ASC) encode tie rule, same BIGINT ADC sums,
+    * same (dist ASC, c_id ASC) ranking.
+    */
+  private def pqOracle: String = {
+    val M = 8; val SUB = 8; val K = 5
+    def sd(v: String, c: String): String =
+      s"list_sum(list_transform(range(0, $SUB), i -> " +
+        s"($v[m.m * $SUB + i + 1] - $c[m.m * $SUB + i + 1]) * " +
+        s"($v[m.m * $SUB + i + 1] - $c[m.m * $SUB + i + 1])))"
+    s"""WITH q0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |cb AS (SELECT vec_id - 10 AS j, qv AS cv FROM q0 WHERE vec_id >= 10 AND vec_id < 26),
+       |bd AS (
+       |  SELECT v.vec_id, m.m, c.j, ${sd("v.qv", "c.cv")} AS d
+       |  FROM q0 v CROSS JOIN (SELECT unnest(range(0, $M)) AS m) m CROSS JOIN cb c),
+       |enc AS (
+       |  SELECT vec_id, m, j FROM (
+       |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+       |    FROM bd WHERE vec_id >= 10) WHERE rn = 1),
+       |qtab AS (SELECT vec_id AS q_id, m, j, d FROM bd WHERE vec_id < 10),
+       |adc AS (
+       |  SELECT t.q_id, e.vec_id AS c_id, CAST(sum(t.d) AS BIGINT) AS dist
+       |  FROM enc e JOIN qtab t USING (m, j)
+       |  GROUP BY t.q_id, e.vec_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, dist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS rnk
+       |  FROM adc)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, dist
+       |FROM ranked WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
   }
 
   /** DuckDB replica of ivfTopKQuantized (nlist=8, nprobe=4, k=5, centroids =

@@ -177,6 +177,44 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rerun == part.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
   }
 
+  test("PQ/ADC: zero self-distance for codebook rows, ordering, determinism") {
+    import graft.operators.Similarity
+    val e = Tables(spark, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+    val corpus = e.filter(col("vec_id") >= 10)
+    val cb = (10L until 26L)
+    val pq = Similarity.pqTopKQuantized(queries, corpus, "vec_id", "vec_id",
+      "embedding", k = 5, codebookIds = cb).collect()
+    assert(pq.length == 50) // 10 queries x top-5
+    // per query: ranks 1..5, dist non-decreasing, ties broken by c_id
+    pq.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to 5L))
+      assert(sorted.sliding(2).forall { case Array(a, b) =>
+        a.getLong(3) < b.getLong(3) ||
+          (a.getLong(3) == b.getLong(3) && a.getLong(2) < b.getLong(2)) })
+    }
+    // a codebook row used AS QUERY reconstructs itself: every block encodes
+    // to its own codeword, so its ADC distance to itself is exactly 0
+    val self = Similarity.pqTopKQuantized(
+      corpus.filter(col("vec_id") === 12), corpus, "vec_id", "vec_id",
+      "embedding", k = 5, codebookIds = cb).collect()
+    assert(self.exists(r => r.getLong(2) == 12L && r.getLong(3) == 0L))
+    // deterministic across runs
+    val again = Similarity.pqTopKQuantized(queries, corpus, "vec_id", "vec_id",
+      "embedding", k = 5, codebookIds = cb).collect()
+    assert(pq.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // guards: m must divide dim; codebook ids must exist
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopKQuantized(queries, corpus, "vec_id", "vec_id",
+        "embedding", k = 5, codebookIds = cb, m = 7)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopKQuantized(queries, corpus, "vec_id", "vec_id",
+        "embedding", k = 5, codebookIds = Seq(10L, 99999L))
+    }
+  }
+
   test("ANN results are valid and ordered; brute force agrees with itself") {
     val e = Tables(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") < 5)
