@@ -352,4 +352,76 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("c_id"),
         (-col("sim")).cast("long").as("dist"))
   }
+
+  /** IVF + PQ composed (the FAISS IVFPQ production pairing): coarse
+    * squared-L2 lists prune candidates, PQ/ADC codes score them. All-L2,
+    * all exact integer, both quantizers DATA-DERIVED — the oracle replays
+    * list assignment (d ASC, list ASC ties), probe sets, per-block codes,
+    * and ADC ranking bit-for-bit. nprobe == nlist degrades to
+    * [[pqTopKQuantized]] exactly (the recall dial's closed endpoint).
+    *
+    * 100 TB shape: the index is (list, 8-byte code) per vector — the scan
+    * side of the probe join reads codes only; raw vectors are touched once
+    * at encode time. Queries broadcast with their nprobe lists + 16-entry
+    * distance tables (KBs).
+    */
+  def ivfPqTopKQuantized(queries: DataFrame, corpus: DataFrame,
+                         qIdCol: String, cIdCol: String, vecCol: String,
+                         k: Int, nprobe: Int,
+                         centroidIds: Seq[Long], codebookIds: Seq[Long],
+                         dim: Int = 64, m: Int = 8, scale: Int = 10000): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(nprobe >= 1 && nprobe <= centroidIds.size,
+      s"nprobe $nprobe must be in [1, ${centroidIds.size}]")
+    val sub = dim / m
+    def lookup(ids: Seq[Long], what: String): Seq[Seq[Long]] = {
+      val rows = corpus.filter(col(cIdCol).isin(ids: _*))
+        .select(col(cIdCol).cast("long").as("id"),
+          VectorFns.quantize(col(vecCol), scale).as("qv"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      ids.map(id => rows.getOrElse(id,
+        throw new IllegalArgumentException(s"$what id $id not in corpus")))
+    }
+    val cents = lookup(centroidIds, "centroid")
+    val cbs = lookup(codebookIds, "codebook")
+    def l2Full(v: Column, cw: Seq[Long]): Column =
+      (0 until dim).map { i =>
+        val d = v.getItem(i) - lit(cw(i)); d * d
+      }.reduce(_ + _)
+    def subDist(v: Column, blk: Int, cw: Seq[Long]): Column =
+      (0 until sub).map { i =>
+        val d = v.getItem(blk * sub + i) - lit(cw(blk * sub + i))
+        d * d
+      }.reduce(_ + _)
+    // (−dist, −list) struct max ⇒ min dist, ties to the smallest list
+    def assignL2(v: Column): Column =
+      -array_max(array(cents.zipWithIndex.map { case (cw, i) =>
+        struct((-l2Full(v, cw)).as("nd"), lit(-i).as("nl"))
+      }: _*)).getField("nl")
+    def codeOf(v: Column, blk: Int): Column =
+      -array_max(array(cbs.zipWithIndex.map { case (cw, j) =>
+        struct((-subDist(v, blk, cw)).as("nd"), lit(-j).as("nj"))
+      }: _*)).getField("nj")
+    val c = corpus.select(col(cIdCol).as("c_id"),
+        VectorFns.quantize(col(vecCol), scale).as("c_qv"))
+      .select(col("c_id") +: assignL2(col("c_qv")).as("__list") +:
+        (0 until m).map(blk => codeOf(col("c_qv"), blk).as(s"code$blk")): _*)
+    val probeArr = array(cents.zipWithIndex.map { case (cw, i) =>
+      struct((-l2Full(col("q_qv"), cw)).as("nd"), lit(-i).as("nl"))
+    }: _*)
+    val q = queries.select(col(qIdCol).as("q_id"),
+        VectorFns.quantize(col(vecCol), scale).as("q_qv"))
+      .withColumn("__nl",
+        explode(slice(reverse(array_sort(probeArr)), 1, nprobe).getField("nl")))
+      .withColumn("__list", -col("__nl"))
+      .select(col("q_id") +: col("__list") +: (0 until m).map(blk =>
+        array(cbs.map(cw => subDist(col("q_qv"), blk, cw)): _*).as(s"tab$blk")): _*)
+    val scored = c.join(broadcast(q), Seq("__list"))
+      .withColumn("dist", (0 until m).map(blk =>
+        element_at(col(s"tab$blk"), col(s"code$blk") + 1)).reduce(_ + _))
+      .withColumn("sim", -col("dist").cast("double"))
+    topKSelect(scored, k)
+      .select(col("q_id"), col("rnk"), col("c_id"),
+        (-col("sim")).cast("long").as("dist"))
+  }
 }

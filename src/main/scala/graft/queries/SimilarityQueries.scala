@@ -95,6 +95,23 @@ object SimilarityQueries extends QueryFamily {
       },
       Some(pqOracle)),
 
+    // IVF + PQ composed (the FAISS IVFPQ production pairing): coarse L2
+    // lists (centroids 10..17) prune, PQ/ADC codes (codebook 10..25)
+    // score; all exact integer with (d ASC, idx ASC) tie rules — DuckDB
+    // replays assignment, probe sets, codes and ranking bit-for-bit.
+    QueryDef(
+      "q_sim_ivfpq",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val queries = e.filter(col("vec_id") < 10)
+        val corpus  = e.filter(col("vec_id") >= 10)
+        Similarity.ivfPqTopKQuantized(queries, corpus, "vec_id", "vec_id",
+            "embedding", k = 5, nprobe = 4,
+            centroidIds = (10L until 18L), codebookIds = (10L until 26L))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(ivfPqOracle)),
+
     // Centroid distance per label — embedding analytics shape: elementwise
     // array aggregation without exploding (posexplode would be 64x rows;
     // here we aggregate the quantized arrays summed per label).
@@ -186,6 +203,58 @@ object SimilarityQueries extends QueryFamily {
        |adc AS (
        |  SELECT t.q_id, e.vec_id AS c_id, CAST(sum(t.d) AS BIGINT) AS dist
        |  FROM enc e JOIN qtab t USING (m, j)
+       |  GROUP BY t.q_id, e.vec_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, dist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS rnk
+       |  FROM adc)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, dist
+       |FROM ranked WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** DuckDB replica of ivfPqTopKQuantized (centroids 10..17, 16-codeword
+    * books 10..25, nprobe=4, m=8, k=5): full-vector L2 assignment/probe
+    * with (d ASC, list ASC) ties, the pqOracle encode/table machinery, ADC
+    * restricted to probed lists.
+    */
+  private def ivfPqOracle: String = {
+    val M = 8; val SUB = 8; val K = 5; val NPROBE = 4
+    def sd(v: String, c: String): String =
+      s"list_sum(list_transform(range(0, $SUB), i -> " +
+        s"($v[m.m * $SUB + i + 1] - $c[m.m * $SUB + i + 1]) * " +
+        s"($v[m.m * $SUB + i + 1] - $c[m.m * $SUB + i + 1])))"
+    s"""WITH q0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |cents AS (SELECT vec_id - 10 AS list, qv AS cv FROM q0 WHERE vec_id >= 10 AND vec_id < 18),
+       |cb AS (SELECT vec_id - 10 AS j, qv AS cv FROM q0 WHERE vec_id >= 10 AND vec_id < 26),
+       |cl AS (
+       |  SELECT v.vec_id, c.list,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS d
+       |  FROM q0 v CROSS JOIN cents c),
+       |assign AS (
+       |  SELECT vec_id, list FROM (
+       |    SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id ORDER BY d, list) AS rn
+       |    FROM cl WHERE vec_id >= 10) WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS q_id, list FROM (
+       |    SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id ORDER BY d, list) AS rn
+       |    FROM cl WHERE vec_id < 10) WHERE rn <= $NPROBE),
+       |bd AS (
+       |  SELECT v.vec_id, m.m, c.j, ${sd("v.qv", "c.cv")} AS d
+       |  FROM q0 v CROSS JOIN (SELECT unnest(range(0, $M)) AS m) m CROSS JOIN cb c),
+       |enc AS (
+       |  SELECT vec_id, m, j FROM (
+       |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+       |    FROM bd WHERE vec_id >= 10) WHERE rn = 1),
+       |qtab AS (SELECT vec_id AS q_id, m, j, d FROM bd WHERE vec_id < 10),
+       |adc AS (
+       |  SELECT t.q_id, e.vec_id AS c_id, CAST(sum(t.d) AS BIGINT) AS dist
+       |  FROM enc e
+       |  JOIN assign a ON a.vec_id = e.vec_id
+       |  JOIN qprobe p ON p.list = a.list
+       |  JOIN qtab t ON t.q_id = p.q_id AND t.m = e.m AND t.j = e.j
        |  GROUP BY t.q_id, e.vec_id),
        |ranked AS (
        |  SELECT q_id, c_id, dist,

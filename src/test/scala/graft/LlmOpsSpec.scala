@@ -213,6 +213,13 @@ class LlmOpsSpec extends AnyFunSuite {
       Similarity.pqTopKQuantized(queries, corpus, "vec_id", "vec_id",
         "embedding", k = 5, codebookIds = Seq(10L, 99999L))
     }
+    // IVF+PQ with nprobe == nlist probes every list → EXACTLY the pq
+    // result (the recall dial's closed endpoint, same as ivfTopK's)
+    val full = Similarity.ivfPqTopKQuantized(queries, corpus, "vec_id",
+      "vec_id", "embedding", k = 5, nprobe = 8,
+      centroidIds = (10L until 18L), codebookIds = cb).collect()
+    assert(full.map(_.toSeq).sortBy(_.toString).toSeq ==
+      pq.map(_.toSeq).sortBy(_.toString).toSeq)
   }
 
   test("ANN results are valid and ordered; brute force agrees with itself") {
