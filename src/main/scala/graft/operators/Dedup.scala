@@ -750,6 +750,53 @@ object Dedup {
     simHashBandedPairs(base, maxHamming)
   }
 
+  /** Exact substring-span REMOVAL — the remove half of the suffix-array
+    * dedup family ([[substringDupStats]] is the measure half): every token
+    * covered by a k-token window whose exact text occurs in `minDocs`+
+    * DISTINCT documents is dropped from every document, and the survivors
+    * re-join in order. The standard pass for boilerplate spans (license
+    * headers, navigation chrome) that repeat verbatim across a crawl.
+    *
+    * Output: one row per doc — (id, clean_text, n_tokens, n_removed);
+    * whitespace collapses to single spaces in `clean_text` (tokens are the
+    * unit). Docs shorter than k tokens pass through untouched.
+    *
+    * Scale shape: same as substringDupStats — ONE wide exchange on the
+    * window key (the doc-frequency agg and the flag-back join reuse its
+    * partitioning; at corpus scale the key becomes xxhash64), the coverage
+    * explode is narrow (id, pos), and the reassembly is the one doc-keyed
+    * shuffle.
+    */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+                     k: Int, minDocs: Int = 2): DataFrame = {
+    require(k >= 1, s"window size k must be >= 1, got $k")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val base = df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("t"))
+    val wins = base.filter(size(col("t")) >= k)
+      .select(col(idCol), explode(transform(sequence(lit(0), size(col("t")) - k),
+        i => struct(i.as("i"),
+          concat_ws(" ", slice(col("t"), i + 1, lit(k))).as("win")))).as("w"))
+      .select(col(idCol), col("w.i").as("i"), col("w.win").as("win"))
+    val dupWins = wins.groupBy(col("win"))
+      .agg(count_distinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("win"))
+    val removedPos = wins.join(dupWins, "win")
+      .select(col(idCol), explode(sequence(col("i"), col("i") + (k - 1))).as("pos"))
+      .distinct()
+    val rem = removedPos.groupBy(col(idCol))
+      .agg(collect_set(col("pos")).as("rem"))
+    base.join(rem, Seq(idCol), "left")
+      .select(col(idCol), col("t"),
+        coalesce(col("rem"), array().cast("array<int>")).as("rem"))
+      .select(col(idCol),
+        concat_ws(" ",
+          filter(col("t"), (_, idx) => !array_contains(col("rem"), idx)))
+          .as("clean_text"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(col("rem")).cast("long").as("n_removed"))
+  }
+
   /** Shared 4×16-bit band blocking + Hamming verification over a packed
     * (id, sh: long) signature relation — see [[simHashPairs]] scaladoc for
     * the pigeonhole recall argument.

@@ -237,7 +237,55 @@ object DedupQueries extends QueryFamily {
              |  CASE WHEN coalesce(n_windows, 0) > 0
              |       THEN CAST(n_dup_windows AS DOUBLE) / n_windows
              |       ELSE 0.0 END AS dup_ratio
-             |FROM sized d LEFT JOIN perdoc USING (doc_id) ORDER BY doc_id""".stripMargin))
+             |FROM sized d LEFT JOIN perdoc USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // The REMOVE half of substring dedup: tokens covered by any 8-token
+    // window occurring in >= 2 distinct docs are dropped, survivors
+    // re-join in order. DuckDB replays windows → dup set → coverage →
+    // ordered reassembly token-for-token.
+    QueryDef(
+      "q_dedup_substring_rm",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        Dedup.substringDedup(d, "doc_id", "text", 8)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+             |  FROM documents),
+             |sized AS (SELECT doc_id, t, len(t) AS n FROM toks),
+             |wins AS (
+             |  SELECT doc_id, g.i AS i, array_to_string(t[g.i + 1 : g.i + 8], ' ') AS win
+             |  FROM sized CROSS JOIN LATERAL (
+             |    SELECT unnest(range(0, n - 7)) AS i) g
+             |  WHERE n >= 8),
+             |dup AS (
+             |  SELECT win FROM (
+             |    SELECT win, count(DISTINCT doc_id) AS nd FROM wins GROUP BY win)
+             |  WHERE nd >= 2),
+             |cover AS (
+             |  SELECT DISTINCT w.doc_id, w.i + o.o AS pos
+             |  FROM wins w JOIN dup USING (win)
+             |  CROSS JOIN (SELECT unnest(range(0, 8)) AS o) o),
+             |rem AS (SELECT doc_id, count(*) AS n_removed FROM cover GROUP BY doc_id),
+             |tokpos AS (
+             |  SELECT doc_id, p.i AS pos, t[p.i + 1] AS tok
+             |  FROM sized CROSS JOIN LATERAL (SELECT unnest(range(0, n)) AS i) p),
+             |keptagg AS (
+             |  SELECT tp.doc_id,
+             |    coalesce(string_agg(CASE WHEN c.pos IS NULL THEN tp.tok END,
+             |                        ' ' ORDER BY tp.pos), '') AS clean_text
+             |  FROM tokpos tp
+             |  LEFT JOIN cover c ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+             |  GROUP BY tp.doc_id)
+             |SELECT s.doc_id,
+             |  coalesce(k.clean_text, '') AS clean_text,
+             |  CAST(s.n AS BIGINT) AS n_tokens,
+             |  coalesce(r.n_removed, 0) AS n_removed
+             |FROM sized s
+             |LEFT JOIN keptagg k USING (doc_id)
+             |LEFT JOIN rem r USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB replica of the portable-family minHashLsh pipeline (H=16, B=4,

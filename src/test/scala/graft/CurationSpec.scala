@@ -329,6 +329,32 @@ class CurationSpec extends AnyFunSuite {
     assert(out.length == 5)
   }
 
+  test("substringDedup: cross-doc spans removed, within-doc repeats kept, order") {
+    import graft.operators.Dedup
+    val span = "COMMON SPAN OF EIGHT TOKENS HERE NOW END"
+    val df = Seq(
+      (1L, s"x $span y"),
+      (2L, s"a b $span c"),
+      (3L, "solo text under eight"),
+      // the 8-token window repeats WITHIN one doc only → 1 distinct doc,
+      // not a cross-corpus span, nothing removed
+      (4L, "p q r s t u v w p q r s t u v w")
+    ).toDF("id", "txt")
+    val out = Dedup.substringDedup(df, "id", "txt", 8).orderBy("id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getString(1) == "x y")
+    assert(byId(1L).getLong(2) == 10L && byId(1L).getLong(3) == 8L)
+    assert(byId(2L).getString(1) == "a b c")
+    assert(byId(2L).getLong(3) == 8L)
+    assert(byId(3L).getString(1) == "solo text under eight" &&
+      byId(3L).getLong(3) == 0L)                       // shorter than k: untouched
+    assert(byId(4L).getString(1) == "p q r s t u v w p q r s t u v w" &&
+      byId(4L).getLong(3) == 0L)                       // within-doc repeat kept
+    // typed parameter guards
+    intercept[IllegalArgumentException](Dedup.substringDedup(df, "id", "txt", 0))
+    intercept[IllegalArgumentException](Dedup.substringDedup(df, "id", "txt", 8, 1))
+  }
+
   test("substringDupStats: shared window counted, short and unique docs zeroed") {
     import graft.operators.Dedup
     // k=3: docs 1 and 2 share the window "q w e" (1 window each);
