@@ -382,6 +382,30 @@ object Curation {
         .otherwise(col("score_num").cast("double") / (col("n_bigrams") * 1000000L)))
   }
 
+  /** Unicode-script profile — the routing signal a multilingual corpus
+    * needs BEFORE language-specific pipelines (the n-gram lang-ID only
+    * works within a script): per-block character counts (Latin, CJK
+    * unified, Cyrillic, Arabic) and the dominant script, ties resolved in
+    * that fixed order. Map-side regexp counts; `\x{...}` class spellings
+    * are shared verbatim with the DuckDB oracle (valid in both Java regex
+    * and RE2).
+    */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nLatin = regexp_count(t, lit("[A-Za-z]")).cast("long")
+    val nCjk = regexp_count(t, lit("[\\x{4E00}-\\x{9FFF}]")).cast("long")
+    val nCyr = regexp_count(t, lit("[\\x{0400}-\\x{04FF}]")).cast("long")
+    val nArab = regexp_count(t, lit("[\\x{0600}-\\x{06FF}]")).cast("long")
+    df.select(col(idCol), nLatin.as("n_latin"), nCjk.as("n_cjk"),
+        nCyr.as("n_cyr"), nArab.as("n_arab"))
+      .withColumn("script",
+        when(col("n_latin") >= col("n_cjk") && col("n_latin") >= col("n_cyr") &&
+             col("n_latin") >= col("n_arab"), "latin")
+          .when(col("n_cjk") >= col("n_cyr") && col("n_cjk") >= col("n_arab"), "cjk")
+          .when(col("n_cyr") >= col("n_arab"), "cyrillic")
+          .otherwise("arabic"))
+  }
+
   /** Registrable domain-ish key for frequency capping: the lowercased host
     * with the default port and a leading `www.` stripped.
     */

@@ -449,6 +449,60 @@ object CurationQueries extends QueryFamily {
              |FROM documents d LEFT JOIN scored s USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Unicode-script routing: staged multilingual docs (Scala-side
+    // Character.toChars staging; DuckDB rebuilds identical codepoints via
+    // chr()) — every 4th doc appends a CJK run, others Cyrillic/Arabic/
+    // none, lengths scaled so the dominant script flips where the counts
+    // say so. Both engines replay the per-block counts and the fixed tie
+    // order exactly.
+    QueryDef(
+      "q_text_script",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables(s, dir, "documents").filter(col("doc_id") < 500)
+        val staged = d.select(col("doc_id"), substring(col("text"), 1, 20).as("base"))
+          .as[(Long, String)].mapPartitions { it =>
+            it.map { case (id, base) =>
+              def run(cp0: Int, n: Int): String =
+                (0 until n).map(j => new String(Character.toChars(cp0 + j.toInt % 40))).mkString
+              val extra = (id % 4) match {
+                case 0 => run(0x4E00 + (id % 40).toInt, (id % 30 + 15).toInt) // CJK
+                case 1 => run(0x0410 + (id % 20).toInt, (id % 25 + 10).toInt) // Cyrillic
+                case 2 => run(0x0627, (id % 20 + 5).toInt)                    // Arabic
+                case _ => ""
+              }
+              (id, base + " " + extra)
+            }
+          }.toDF("doc_id", "text")
+        Curation.scriptProfile(staged, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH staged AS (
+             |  SELECT doc_id,
+             |    substr(text, 1, 20) || ' ' ||
+             |    CASE doc_id % 4
+             |      WHEN 0 THEN (SELECT string_agg(chr(CAST(19968 + doc_id % 40 + j.j % 40 AS INTEGER)), '' ORDER BY j.j)
+             |                   FROM (SELECT unnest(range(0, doc_id % 30 + 15)) AS j) j)
+             |      WHEN 1 THEN (SELECT string_agg(chr(CAST(1040 + doc_id % 20 + j.j % 40 AS INTEGER)), '' ORDER BY j.j)
+             |                   FROM (SELECT unnest(range(0, doc_id % 25 + 10)) AS j) j)
+             |      WHEN 2 THEN (SELECT string_agg(chr(CAST(1575 + j.j % 40 AS INTEGER)), '' ORDER BY j.j)
+             |                   FROM (SELECT unnest(range(0, doc_id % 20 + 5)) AS j) j)
+             |      ELSE '' END AS text
+             |  FROM documents WHERE doc_id < 500),
+             |counts AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_latin,
+             |    CAST(len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')) AS BIGINT) AS n_cjk,
+             |    CAST(len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS BIGINT) AS n_cyr,
+             |    CAST(len(regexp_extract_all(text, '[\x{0600}-\x{06FF}]')) AS BIGINT) AS n_arab
+             |  FROM staged)
+             |SELECT doc_id, n_latin, n_cjk, n_cyr, n_arab,
+             |  CASE WHEN n_latin >= n_cjk AND n_latin >= n_cyr AND n_latin >= n_arab THEN 'latin'
+             |       WHEN n_cjk >= n_cyr AND n_cjk >= n_arab THEN 'cjk'
+             |       WHEN n_cyr >= n_arab THEN 'cyrillic'
+             |       ELSE 'arabic' END AS script
+             |FROM counts ORDER BY doc_id""".stripMargin)),
+
     // End-to-end WEB pipeline — the round-8 operators composed as one
     // declarative plan, the q_pipeline_curation shape for crawled data:
     // HTML → text (map-side regexp chain) → learned-classifier gate
