@@ -430,9 +430,14 @@ object Dedup {
       -array_max(array(cents.zipWithIndex.map { case (cv, i) =>
         struct(VectorFns.cosineQ(qv, typedlit(cv)).as("sim"), lit(-i).as("nl"))
       }: _*)).getField("nl")
+    // persist: quantize + nlist cosine evaluations per vector is the
+    // expensive map stage, and `e` feeds BOTH self-join sides plus the
+    // verdict spine — without it Spark recomputes the assignment 3x
+    // (the minHashLsh sigBase rationale)
     val e = corpus.select(col(idCol).cast("long").as("vec_id"),
         VectorFns.quantize(col(vecCol), scale).as("qv"))
       .withColumn("cluster", assignQ(col("qv")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = e.select(col("cluster"), col("vec_id").as("a_id"), col("qv").as("a_qv"))
     val b = e.select(col("cluster"), col("vec_id").as("b_id"), col("qv").as("b_qv"))
     val matches = a.join(b, Seq("cluster")).filter(col("b_id") < col("a_id"))

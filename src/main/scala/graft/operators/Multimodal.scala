@@ -60,7 +60,7 @@ object Multimodal {
         MediaMeta(be32(p, 16), be32(p, 20), 1, "png")
       else if (p.length >= 4 && u8(p, 0) == 0xFF && u8(p, 1) == 0xD8)
         decodeJpeg(p)
-      else if (ascii(p, 0, "GIF87a") || ascii(p, 0, "GIF89a"))
+      else if ((ascii(p, 0, "GIF87a") || ascii(p, 0, "GIF89a")) && p.length >= 10)
         MediaMeta(le16(p, 6), le16(p, 8), 1, "gif")
       else if (ascii(p, 0, "BM") && p.length >= 26)
         MediaMeta(le32(p, 18), le32(p, 22), 1, "bmp")
@@ -975,9 +975,11 @@ object Multimodal {
 
     def hash(p: Array[Byte]): Option[Long] = {
       if (p == null || p.length < 8) return None
-      val meta = HeaderDecoder.decode(p)
-      if (meta.width.toLong * meta.height > MaxPixels) return None
       try {
+        // header decode INSIDE the try: a truncated-magic blob in a mixed
+        // corpus must drop out, never kill the task
+        val meta = HeaderDecoder.decode(p)
+        if (meta.width.toLong * meta.height > MaxPixels) return None
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
         if (img == null) return None
         val w = img.getWidth; val h = img.getHeight

@@ -125,6 +125,8 @@ final class AmqpClient(host: String, port: Int, vhost: String = "/",
   @volatile private var socket: Socket = _
   private var in: DataInputStream = _
   private var out: DataOutputStream = _
+  // negotiated in tune; 0 from the server means "no limit" → keep default
+  private var frameMax: Int = 131072
 
   private def expectMethod(classId: Int, methodId: Int): Reader = {
     var f = readFrame(in)
@@ -156,6 +158,7 @@ final class AmqpClient(host: String, port: Int, vhost: String = "/",
     // tune / tune-ok (echo; heartbeat 0 = disabled)
     val tune = expectMethod(10, 30)
     val chMax = tune.u16(); val frMax = tune.u32()
+    if (frMax > 0) frameMax = frMax // 0 = server imposes no limit
     writeFrame(out, FrameMethod, 0, method(10, 31,
       new Args().u16(chMax).u32(frMax).u16(0)))
     // connection.open / open-ok
@@ -222,7 +225,17 @@ final class AmqpClient(host: String, port: Int, vhost: String = "/",
     writeFrame(out, FrameMethod, 1, method(60, 40,
       new Args().u16(0).shortstr("").shortstr(queue).u8(0)))
     writeFrame(out, FrameHeader, 1, contentHeader(body.length))
-    writeFrame(out, FrameBody, 1, body)
+    // bodies must be split into frames within the NEGOTIATED frame-max
+    // (spec 4.2.6: frame = 7-byte header + payload + end octet; one
+    // oversized BODY frame is a FRAME_ERROR that kills the connection)
+    val chunk = math.max(1, frameMax - 8)
+    var off = 0
+    while (off < body.length) {
+      val n = math.min(chunk, body.length - off)
+      writeFrame(out, FrameBody, 1, java.util.Arrays.copyOfRange(body, off, off + n))
+      off += n
+    }
+    if (body.isEmpty) () // zero-length content: header frame alone suffices
   }
 
   def close(): Unit = {
@@ -273,13 +286,16 @@ private[sources] class AmqpTable(host: String, port: Int, queue: String,
 private[sources] class AmqpMicroBatchStream(host: String, port: Int, queue: String,
                                             vhost: String, user: String, pass: String)
   extends DriverBufferedTextStream {
-  protected def open(onText: String => Unit): AutoCloseable = {
+  protected def open(onText: String => Unit, onDeath: String => Unit): AutoCloseable = {
     val client = new AmqpClient(host, port, vhost, user, pass)
     client.connect()
     client.declareQueue(queue)
-    val t = new Thread(() =>
-      client.consume(queue, b => onText(new String(b, UTF_8))),
-      s"amqp-consumer-$host:$port/$queue")
+    val t = new Thread(() => {
+      try {
+        client.consume(queue, b => onText(new String(b, UTF_8)))
+        onDeath("connection closed by broker")
+      } catch { case e: Throwable => onDeath(e.toString) }
+    }, s"amqp-consumer-$host:$port/$queue")
     t.setDaemon(true)
     t.start()
     () => client.close()

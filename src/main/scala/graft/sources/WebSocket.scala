@@ -152,15 +152,24 @@ final class WebSocketClient(host: String, port: Int, path: String,
   def loop(): Unit = {
     var pendingOp = -1
     val pending = new java.io.ByteArrayOutputStream()
+    // the per-frame cap alone doesn't bound a fragmented message — an
+    // endless fin=0 continuation stream would grow `pending` without limit
+    // on the driver; apply the same aggregate cap and treat excess as a
+    // protocol violation (close, like any other malformed peer)
+    def boundedWrite(b: Array[Byte]): Boolean = {
+      if (pending.size.toLong + b.length > WsCodec.MaxFrameBytes) false
+      else { pending.write(b); true }
+    }
     try {
       var frame = WsCodec.readFrame(in)
       while (frame != null) {
         frame.opcode match {
           case WsCodec.OpText | WsCodec.OpBinary =>
             if (frame.fin) deliver(frame.opcode, frame.payload)
-            else { pendingOp = frame.opcode; pending.reset(); pending.write(frame.payload) }
+            else { pendingOp = frame.opcode; pending.reset()
+              if (!boundedWrite(frame.payload)) return }
           case WsCodec.OpCont =>
-            pending.write(frame.payload)
+            if (!boundedWrite(frame.payload)) return
             if (frame.fin && pendingOp >= 0) {
               deliver(pendingOp, pending.toByteArray); pendingOp = -1
             }
@@ -248,27 +257,37 @@ private[sources] case class WsOffset(n: Long) extends Offset {
   */
 private[sources] abstract class DriverBufferedTextStream extends MicroBatchStream {
 
-  /** Connect the transport; every complete message calls `onText`.
+  /** Connect the transport; every complete message calls `onText`, and the
+    * reader thread reports its exit through `onDeath` (a transport dying
+    * mid-query must FAIL the query loudly, not stall it silently).
     * Returns the handle `stop()` closes.
     */
-  protected def open(onText: String => Unit): AutoCloseable
+  protected def open(onText: String => Unit, onDeath: String => Unit): AutoCloseable
 
   private val lock = new Object
   private var base = 0L
   private val buf = mutable.ArrayBuffer.empty[String]
   @volatile private var handle: AutoCloseable = _
   @volatile private var started = false
+  @volatile private var stopped = false
+  @volatile private var deadCause: String = _
+  @volatile private var warnedGap = false
 
   private def ensureStarted(): Unit = lock.synchronized {
     if (!started) {
       started = true
-      handle = open(s => lock.synchronized { buf += s })
+      handle = open(s => lock.synchronized { buf += s },
+        cause => if (!stopped) deadCause = cause)
     }
   }
 
   override def initialOffset(): Offset = { ensureStarted(); WsOffset(0L) }
   override def latestOffset(): Offset = {
     ensureStarted()
+    if (deadCause != null)
+      throw new java.io.IOException(
+        s"streaming transport died: $deadCause — this transport does not " +
+          "replay; restart the query (fresh checkpoint) to reconnect")
     lock.synchronized { WsOffset(base + buf.size) }
   }
   override def deserializeOffset(json: String): Offset = WsOffset(json.toLong)
@@ -277,6 +296,18 @@ private[sources] abstract class DriverBufferedTextStream extends MicroBatchStrea
     val s = start.asInstanceOf[WsOffset].n
     val e = end.asInstanceOf[WsOffset].n
     val rows = lock.synchronized {
+      if (s > base + buf.size && !warnedGap) {
+        warnedGap = true
+        // a checkpointed restart: the committed offset is ahead of anything
+        // this fresh connection has seen — like Spark's own socket source,
+        // these transports cannot replay; say so instead of silently
+        // swallowing the first (start - seen) messages
+        System.err.println(
+          s"[graft] WARNING: stream restarted from checkpointed offset $s " +
+            "but this transport does not replay — messages before that " +
+            "offset are lost and the next messages will be skipped until " +
+            s"the count catches up; restart from a fresh checkpoint")
+      }
       val from = math.max(0L, s - base).toInt
       val until = math.max(0L, math.min(buf.size.toLong, e - base)).toInt
       buf.slice(from, until).toArray
@@ -293,15 +324,21 @@ private[sources] abstract class DriverBufferedTextStream extends MicroBatchStrea
     base += drop
   }
 
-  override def stop(): Unit = if (handle != null) handle.close()
+  override def stop(): Unit = {
+    stopped = true
+    if (handle != null) handle.close()
+  }
 }
 
 private[sources] class WsMicroBatchStream(host: String, port: Int, path: String)
   extends DriverBufferedTextStream {
-  protected def open(onText: String => Unit): AutoCloseable = {
+  protected def open(onText: String => Unit, onDeath: String => Unit): AutoCloseable = {
     val client = new WebSocketClient(host, port, path, onText)
     client.connect()
-    val t = new Thread(() => client.loop(), s"ws-reader-$host:$port")
+    val t = new Thread(() => {
+      try { client.loop(); onDeath("connection closed by peer") }
+      catch { case e: Throwable => onDeath(e.toString) }
+    }, s"ws-reader-$host:$port")
     t.setDaemon(true)
     t.start()
     () => client.close()
@@ -334,6 +371,14 @@ class WebSocketForeachWriter(host: String, port: Int, path: String = "/")
   override def open(partitionId: Long, epochId: Long): Boolean = {
     client = new WebSocketClient(host, port, path, _ => ())
     client.connect()
+    // a write-side connection still has RFC obligations: run the message
+    // loop on a daemon thread so server pings are answered (unanswered
+    // keepalives get long-lived sink connections dropped mid-epoch) and
+    // inbound frames never back up the receive buffer
+    val c = client
+    val t = new Thread(() => c.loop(), s"ws-sink-reader-$host:$port")
+    t.setDaemon(true)
+    t.start()
     true
   }
   override def process(row: Row): Unit =

@@ -98,6 +98,11 @@ object AppRuntime {
         var reader = spark.readStream.format(readFmt)
         sd.options.filterNot(kv => Reserved.contains(kv._1) || mapperOption(kv._1))
           .foreach { case (k, v) => reader = reader.option(k, v) }
+        // 'path' is Reserved (file sources consume it via load(p)), but for
+        // the network providers it is the HTTP-resource option — forward it
+        // explicitly or the websocket handshake silently GETs '/'
+        if (fmt == "websocket" || fmt == "rabbitmq" || fmt == "amqp")
+          sd.options.get("path").foreach(p => reader = reader.option("path", p))
         (fmt, sd.options.get("path")) match {
           case ("rate", _) => Seq(name -> reader.load()) // fixed (timestamp, value) schema
           case ("socket", _) | ("websocket", _) | ("rabbitmq", _) | ("amqp", _) =>
@@ -241,7 +246,7 @@ object AppRuntime {
             // mappers) go out as RFC 6455 text frames / AMQP publishes
             def req(k: String): String = sd.options.getOrElse(k,
               throw GraftApp.SqlError(s"$fmt sink '$name' needs a '$k' option"))
-            val writer: org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] =
+            val fw: org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] =
               if (fmt == "websocket")
                 new graft.sources.WebSocketForeachWriter(req("host"), req("port").toInt,
                   sd.options.getOrElse("path", "/"))
@@ -250,10 +255,19 @@ object AppRuntime {
                   req("queue"), sd.options.getOrElse("vhost", "/"),
                   sd.options.getOrElse("user", "guest"),
                   sd.options.getOrElse("pass", "guest"))
-            Some(mapSinkRows(env(name), sd).writeStream
-              .foreach(writer)
+            // transport options are consumed above; everything else
+            // (checkpointLocation, trigger intervals, …) must still reach
+            // the writer — silently dropping them would lose checkpoints
+            val transportKeys = Set("host", "port", "queue", "vhost", "user", "pass")
+            var writer = mapSinkRows(env(name), sd).writeStream
+              .foreach(fw)
               .outputMode(sd.options.getOrElse("outputMode", "append"))
-              .queryName(name).start())
+              .queryName(name)
+            sd.options.filterNot(kv => Reserved.contains(kv._1) ||
+                kv._1 == "outputMode" || mapperOption(kv._1) ||
+                transportKeys.contains(kv._1))
+              .foreach { case (k, v) => writer = writer.option(k, v) }
+            Some(writer.start())
           } else {
             var writer = mapSinkRows(env(name), sd).writeStream.format(fmt)
               .outputMode(sd.options.getOrElse("outputMode", "append"))

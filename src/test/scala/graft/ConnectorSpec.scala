@@ -412,7 +412,8 @@ class ConnectorSpec extends AnyFunSuite {
     * recorded and re-checked by the test body via the returned buffer.
     */
   private def amqpBrokerSetup(sock: java.net.Socket,
-                              problems: java.util.Queue[String]):
+                              problems: java.util.Queue[String],
+                              frameMax: Int = 131072):
       (java.io.DataInputStream, java.io.DataOutputStream, String) = {
     import graft.sources.AmqpCodec._
     val in = new java.io.DataInputStream(
@@ -444,10 +445,10 @@ class ConnectorSpec extends AnyFunSuite {
       problems.add("bad SASL PLAIN response")
     // tune / tune-ok (client echoes, disables heartbeat)
     writeFrame(out, FrameMethod, 0, method(10, 30,
-      new Args().u16(2047).u32(131072).u16(60)))
+      new Args().u16(2047).u32(frameMax).u16(60)))
     val to = new Reader(readFrame(in).payload)
     if ((to.u16(), to.u16()) != ((10, 31))) problems.add("expected tune-ok")
-    if (to.u16() != 2047 || to.u32() != 131072) problems.add("tune-ok not echoed")
+    if (to.u16() != 2047 || to.u32() != frameMax) problems.add("tune-ok not echoed")
     // connection.open / open-ok
     val op = new Reader(readFrame(in).payload)
     if ((op.u16(), op.u16()) != ((10, 40))) problems.add("expected connection.open")
@@ -566,7 +567,8 @@ class ConnectorSpec extends AnyFunSuite {
           val sock = server.accept()
           new Thread(() => {
             try {
-              val (in, _, queue) = amqpBrokerSetup(sock, problems)
+              // tiny negotiated frame-max: the client MUST split bodies
+              val (in, _, queue) = amqpBrokerSetup(sock, problems, frameMax = 16)
               if (queue != "outq") problems.add(s"declared wrong queue: $queue")
               var open = true
               var f = readFrame(in)
@@ -582,7 +584,16 @@ class ConnectorSpec extends AnyFunSuite {
                     hr.u16(); hr.u16()
                     val size = hr.u64()
                     val body = new java.io.ByteArrayOutputStream()
-                    while (body.size < size) body.write(readFrame(in).payload)
+                    var nBodyFrames = 0
+                    while (body.size < size) {
+                      val bf = readFrame(in)
+                      if (bf.payload.length > 16 - 8)
+                        problems.add(s"body frame ${bf.payload.length} exceeds frame-max")
+                      nBodyFrames += 1
+                      body.write(bf.payload)
+                    }
+                    if (size > 8 && nBodyFrames < 2)
+                      problems.add("oversized body was not split")
                     received.add(new String(body.toByteArray, "UTF-8"))
                   } else if (c == 10 && m == 50) open = false // connection.close
                 }

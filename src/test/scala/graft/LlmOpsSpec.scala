@@ -784,10 +784,14 @@ class LlmOpsSpec extends AnyFunSuite {
     val pert = img(18, 16, (x, y) =>
       if (x == 0 && y == 0) 120 else (x * 13 + y * 29) % 256)
     assert(java.lang.Long.bitCount(hPng ^ DHash.hash(enc(pert, "png")).get) <= 1)
-    // rejections: junk, null, sub-grid raster
+    // rejections: junk, null, sub-grid raster, and a truncated-magic blob
+    // (9 bytes of GIF header — must drop out, never throw from the task)
     assert(DHash.hash("not an image".getBytes).isEmpty)
     assert(DHash.hash(null).isEmpty)
     assert(DHash.hash(enc(img(4, 4, (_, _) => 9), "png")).isEmpty)
+    assert(DHash.hash("GIF87a   ".getBytes("ISO-8859-1")).isEmpty)
+    assert(graft.operators.Multimodal.HeaderDecoder
+      .decode("GIF89a12".getBytes).format == "unknown")
     // pairs: cross-FORMAT dup found at Hamming 0; jpeg re-encode pairs
     // near; unrelated and undecodable rows pair with nothing
     import spark.implicits._
