@@ -306,6 +306,13 @@ object Similarity {
     * top-k bit-for-bit. Ranking: (dist ASC, c_id ASC) through the bounded
     * top-k aggregator (sim = −dist, exact for dist < 2^53).
     *
+    * Implementation note: encode and table-build run as PER-PARTITION
+    * imperative arithmetic (mapPartitions — the media-decoder precedent),
+    * not as Catalyst expressions: the unrolled m×|codebook|×sub tree
+    * (~16k nodes) costs the optimizer and codegen tens of seconds per
+    * plan while evaluating no faster per row. The ADC join + lookup-sum
+    * stays declarative (narrow columns, codegen'd).
+    *
     * Production composition: IVF lists ([[ivfTopKQuantized]]) prune
     * candidates, PQ codes score them — independent dials, same plumbing.
     */
@@ -317,40 +324,103 @@ object Similarity {
     require(codebookIds.nonEmpty && codebookIds.size <= 256,
       "codebook must hold 1..256 entries (one-byte codes)")
     val sub = dim / m
-    val cbRows = corpus.filter(col(cIdCol).isin(codebookIds: _*))
-      .select(col(cIdCol).cast("long").as("id"),
-        VectorFns.quantize(col(vecCol), scale).as("qv"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
-    val cbs: Seq[Seq[Long]] = codebookIds.map(id => cbRows.getOrElse(id,
-      throw new IllegalArgumentException(s"codebook id $id not in corpus")))
-    // exact integer squared L2 between block `blk` of a quantized vector
-    // column and codeword j (literal slices — codegen'd, no shuffle)
-    def subDist(v: Column, blk: Int, cw: Seq[Long]): Column =
-      (0 until sub).map { i =>
-        val d = v.getItem(blk * sub + i) - lit(cw(blk * sub + i))
-        d * d
-      }.reduce(_ + _)
-    // argmin codeword per block: (−dist, −j) struct max ⇒ ties pick the
-    // smallest j (the cross-engine ORDER BY d ASC, j ASC rule)
-    def codeOf(v: Column, blk: Int): Column =
-      -array_max(array(cbs.zipWithIndex.map { case (cw, j) =>
-        struct((-subDist(v, blk, cw)).as("nd"), lit(-j).as("nj"))
-      }: _*)).getField("nj")
-    val c = corpus.select(col(cIdCol).as("c_id"),
-        VectorFns.quantize(col(vecCol), scale).as("c_qv"))
-      .select(col("c_id") +: (0 until m).map(blk =>
-        codeOf(col("c_qv"), blk).as(s"code$blk")): _*)
-    val q = queries.select(col(qIdCol).as("q_id"),
-        VectorFns.quantize(col(vecCol), scale).as("q_qv"))
-      .select(col("q_id") +: (0 until m).map(blk =>
-        array(cbs.map(cw => subDist(col("q_qv"), blk, cw)): _*).as(s"tab$blk")): _*)
+    val cbs = lookupQuantized(corpus, cIdCol, vecCol, codebookIds, scale, "codebook")
+    val c = encodeCorpus(corpus, cIdCol, vecCol, cbs, dim, m, scale)
+    val q = queryTables(queries, qIdCol, vecCol, cbs, dim, m, scale)
     val scored = c.join(broadcast(q))
       .withColumn("dist", (0 until m).map(blk =>
-        element_at(col(s"tab$blk"), col(s"code$blk") + 1)).reduce(_ + _))
+        element_at(element_at(col("tabs"), blk + 1),
+          element_at(col("codes"), blk + 1) + 1)).reduce(_ + _))
       .withColumn("sim", -col("dist").cast("double"))
     topKSelect(scored, k)
       .select(col("q_id"), col("rnk"), col("c_id"),
         (-col("sim")).cast("long").as("dist"))
+  }
+
+  /** Quantized vectors of `ids`, in order, as driver-held arrays. */
+  private def lookupQuantized(corpus: DataFrame, idCol: String, vecCol: String,
+                              ids: Seq[Long], scale: Int,
+                              what: String): Array[Array[Long]] = {
+    val rows = corpus.filter(col(idCol).isin(ids: _*))
+      .select(col(idCol).cast("long").as("id"),
+        VectorFns.quantize(col(vecCol), scale).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    ids.map(id => rows.getOrElse(id,
+      throw new IllegalArgumentException(s"$what id $id not in corpus"))).toArray
+  }
+
+  /** VectorFns.quantize semantics in Scala: floor(x·scale + 0.5) as long
+    * (float→double widening is exact, so this is bit-identical to the
+    * expression form — the oracle contract depends on it).
+    */
+  private def quantizeRow(v: Seq[Float], scale: Int): Array[Long] = {
+    val out = new Array[Long](v.length)
+    var i = 0
+    while (i < out.length) {
+      out(i) = math.floor(v(i).toDouble * scale + 0.5).toLong; i += 1
+    }
+    out
+  }
+
+  /** Exact integer squared L2 between block `blk` of `v` and codeword `cw`. */
+  private def blockDist(v: Array[Long], cw: Array[Long], blk: Int, sub: Int): Long = {
+    var d = 0L; var i = blk * sub
+    val end = i + sub
+    while (i < end) { val t = v(i) - cw(i); d += t * t; i += 1 }
+    d
+  }
+
+  /** (c_id, codes array<int>): per-block argmin codeword, ties to the
+    * smallest index (strict `<` keeps the first minimum — the
+    * cross-engine ORDER BY d ASC, j ASC rule).
+    */
+  private def encodeCorpus(corpus: DataFrame, idCol: String, vecCol: String,
+                           cbs: Array[Array[Long]], dim: Int, m: Int,
+                           scale: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StructField, StructType}
+    val sub = dim / m
+    val schema = StructType(Seq(StructField("c_id", LongType),
+      StructField("codes", ArrayType(IntegerType))))
+    corpus.select(col(idCol).cast("long"), col(vecCol)).mapPartitions { it =>
+      it.map { r =>
+        val qv = quantizeRow(r.getSeq[Float](1), scale)
+        val codes = new Array[Int](m)
+        var blk = 0
+        while (blk < m) {
+          var best = 0; var bestD = Long.MaxValue
+          var j = 0
+          while (j < cbs.length) {
+            val d = blockDist(qv, cbs(j), blk, sub)
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          codes(blk) = best; blk += 1
+        }
+        Row(r.getLong(0), codes.toSeq)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** (q_id, tabs array<array<long>>): per-block distance table to every
+    * codeword — the ADC lookup tables.
+    */
+  private def queryTables(queries: DataFrame, idCol: String, vecCol: String,
+                          cbs: Array[Array[Long]], dim: Int, m: Int,
+                          scale: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+    val sub = dim / m
+    val schema = StructType(Seq(StructField("q_id", LongType),
+      StructField("tabs", ArrayType(ArrayType(LongType)))))
+    queries.select(col(idCol).cast("long"), col(vecCol)).mapPartitions { it =>
+      it.map { r =>
+        val qv = quantizeRow(r.getSeq[Float](1), scale)
+        val tabs = (0 until m).map(blk => cbs.map(cw =>
+          blockDist(qv, cw, blk, sub)).toSeq)
+        Row(r.getLong(0), tabs)
+      }
+    }(Encoders.row(schema))
   }
 
   /** IVF + PQ composed (the FAISS IVFPQ production pairing): coarse
@@ -370,55 +440,66 @@ object Similarity {
                          k: Int, nprobe: Int,
                          centroidIds: Seq[Long], codebookIds: Seq[Long],
                          dim: Int = 64, m: Int = 8, scale: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StructField, StructType}
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     require(nprobe >= 1 && nprobe <= centroidIds.size,
       s"nprobe $nprobe must be in [1, ${centroidIds.size}]")
     val sub = dim / m
-    def lookup(ids: Seq[Long], what: String): Seq[Seq[Long]] = {
-      val rows = corpus.filter(col(cIdCol).isin(ids: _*))
-        .select(col(cIdCol).cast("long").as("id"),
-          VectorFns.quantize(col(vecCol), scale).as("qv"))
-        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
-      ids.map(id => rows.getOrElse(id,
-        throw new IllegalArgumentException(s"$what id $id not in corpus")))
+    val cents = lookupQuantized(corpus, cIdCol, vecCol, centroidIds, scale, "centroid")
+    val cbs = lookupQuantized(corpus, cIdCol, vecCol, codebookIds, scale, "codebook")
+    def fullDist(v: Array[Long], cw: Array[Long]): Long = {
+      var d = 0L; var i = 0
+      while (i < v.length) { val t = v(i) - cw(i); d += t * t; i += 1 }
+      d
     }
-    val cents = lookup(centroidIds, "centroid")
-    val cbs = lookup(codebookIds, "codebook")
-    def l2Full(v: Column, cw: Seq[Long]): Column =
-      (0 until dim).map { i =>
-        val d = v.getItem(i) - lit(cw(i)); d * d
-      }.reduce(_ + _)
-    def subDist(v: Column, blk: Int, cw: Seq[Long]): Column =
-      (0 until sub).map { i =>
-        val d = v.getItem(blk * sub + i) - lit(cw(blk * sub + i))
-        d * d
-      }.reduce(_ + _)
-    // (−dist, −list) struct max ⇒ min dist, ties to the smallest list
-    def assignL2(v: Column): Column =
-      -array_max(array(cents.zipWithIndex.map { case (cw, i) =>
-        struct((-l2Full(v, cw)).as("nd"), lit(-i).as("nl"))
-      }: _*)).getField("nl")
-    def codeOf(v: Column, blk: Int): Column =
-      -array_max(array(cbs.zipWithIndex.map { case (cw, j) =>
-        struct((-subDist(v, blk, cw)).as("nd"), lit(-j).as("nj"))
-      }: _*)).getField("nj")
-    val c = corpus.select(col(cIdCol).as("c_id"),
-        VectorFns.quantize(col(vecCol), scale).as("c_qv"))
-      .select(col("c_id") +: assignL2(col("c_qv")).as("__list") +:
-        (0 until m).map(blk => codeOf(col("c_qv"), blk).as(s"code$blk")): _*)
-    val probeArr = array(cents.zipWithIndex.map { case (cw, i) =>
-      struct((-l2Full(col("q_qv"), cw)).as("nd"), lit(-i).as("nl"))
-    }: _*)
-    val q = queries.select(col(qIdCol).as("q_id"),
-        VectorFns.quantize(col(vecCol), scale).as("q_qv"))
-      .withColumn("__nl",
-        explode(slice(reverse(array_sort(probeArr)), 1, nprobe).getField("nl")))
-      .withColumn("__list", -col("__nl"))
-      .select(col("q_id") +: col("__list") +: (0 until m).map(blk =>
-        array(cbs.map(cw => subDist(col("q_qv"), blk, cw)): _*).as(s"tab$blk")): _*)
+    // corpus index rows: (list, c_id, codes) — strict `<` keeps the first
+    // minimum, the cross-engine (d ASC, idx ASC) tie rule on both levels
+    val cSchema = StructType(Seq(StructField("__list", IntegerType),
+      StructField("c_id", LongType), StructField("codes", ArrayType(IntegerType))))
+    val c = corpus.select(col(cIdCol).cast("long"), col(vecCol)).mapPartitions { it =>
+      it.map { r =>
+        val qv = quantizeRow(r.getSeq[Float](1), scale)
+        var bestL = 0; var bestD = Long.MaxValue
+        var i = 0
+        while (i < cents.length) {
+          val d = fullDist(qv, cents(i))
+          if (d < bestD) { bestD = d; bestL = i }
+          i += 1
+        }
+        val codes = new Array[Int](m)
+        var blk = 0
+        while (blk < m) {
+          var best = 0; var bd = Long.MaxValue
+          var j = 0
+          while (j < cbs.length) {
+            val d = blockDist(qv, cbs(j), blk, sub)
+            if (d < bd) { bd = d; best = j }
+            j += 1
+          }
+          codes(blk) = best; blk += 1
+        }
+        Row(bestL, r.getLong(0), codes.toSeq)
+      }
+    }(Encoders.row(cSchema))
+    // query rows: one per probed list, carrying the ADC tables
+    val qSchema = StructType(Seq(StructField("__list", IntegerType),
+      StructField("q_id", LongType),
+      StructField("tabs", ArrayType(ArrayType(LongType)))))
+    val q = queries.select(col(qIdCol).cast("long"), col(vecCol)).mapPartitions { it =>
+      it.flatMap { r =>
+        val qv = quantizeRow(r.getSeq[Float](1), scale)
+        val probes = cents.indices
+          .map(i => (fullDist(qv, cents(i)), i)).sorted.take(nprobe)
+        val tabs = (0 until m).map(blk => cbs.map(cw =>
+          blockDist(qv, cw, blk, sub)).toSeq)
+        probes.map { case (_, list) => Row(list, r.getLong(0), tabs) }
+      }
+    }(Encoders.row(qSchema))
     val scored = c.join(broadcast(q), Seq("__list"))
       .withColumn("dist", (0 until m).map(blk =>
-        element_at(col(s"tab$blk"), col(s"code$blk") + 1)).reduce(_ + _))
+        element_at(element_at(col("tabs"), blk + 1),
+          element_at(col("codes"), blk + 1) + 1)).reduce(_ + _))
       .withColumn("sim", -col("dist").cast("double"))
     topKSelect(scored, k)
       .select(col("q_id"), col("rnk"), col("c_id"),
