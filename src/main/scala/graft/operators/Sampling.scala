@@ -41,6 +41,46 @@ object Sampling {
     df.filter(unitHash(col(idCol), salt) < rate)
   }
 
+  /** Deterministic train/validation/test SPLIT: each row's unit hash falls
+    * into one label's cumulative-weight interval. Disjoint and exhaustive
+    * by construction, and STABLE under corpus growth (a doc's split never
+    * changes when other docs arrive — the property rand(seed) splits
+    * lack, and the one that keeps eval sets eval). Map-side.
+    */
+  def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+                salt: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 > 0), "split weights must be positive")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val u = unitHash(col(idCol), salt)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    // last label catches everything (u < 1 always, but guard fp drift)
+    val expr = splits.init.zip(cum.init).foldRight(
+      lit(splits.last._1): Column) { case (((label, _), bound), acc) =>
+      when(u < bound, label).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Deterministic training-order SHARDING: shard = portable hash of the
+    * id, order within a shard = (md5, id) — the "global shuffle" step
+    * before writing training shards, reproducible across runs/engines
+    * (rand-based shuffles are not). One shuffle on the shard key; the
+    * within-shard sort is in-partition.
+    */
+  def shardOrder(df: DataFrame, idCol: String, nShards: Int,
+                 salt: String = "shard"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val h = conv(substring(md5(concat(lit(salt), lit(":"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))), col(idCol))
+    df.withColumn("shard", (h % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   /** Exactly min(k, |stratum|) rows per stratum, uniformly by hash rank —
     * the deterministic equivalent of per-stratum reservoir sampling. The
     * rank orders on the md5 string itself (id tie-break), so any engine

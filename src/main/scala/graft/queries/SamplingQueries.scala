@@ -54,6 +54,51 @@ object SamplingQueries extends QueryFamily {
              |      / 4294967296.0 < r.rate
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // Deterministic train/val/test split (90/5/5): each doc's unit hash
+    // falls into one cumulative-weight interval — disjoint, exhaustive,
+    // and STABLE under corpus growth (an eval doc never migrates into
+    // train when new docs arrive). Map-side; DuckDB replays the hash
+    // arithmetic and interval logic exactly.
+    QueryDef(
+      "q_sample_split",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        Sampling.hashSplit(d, "doc_id",
+            Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+          .select(col("doc_id"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN u < 0.9 THEN 'train'
+             |       WHEN u < 0.95 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM (SELECT doc_id,
+             |        CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |          / 4294967296.0 AS u
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic training-order sharding: shard = portable hash % 8,
+    // within-shard position = (md5, id) rank — the reproducible "global
+    // shuffle" before writing training shards (rand-based shuffles are
+    // not reproducible across engines or retries).
+    QueryDef(
+      "q_sample_shards",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        Sampling.shardOrder(d, "doc_id", 8)
+          .select(col("doc_id"), col("shard"), col("pos"))
+          .orderBy(col("shard"), col("pos"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(h % 8 AS INTEGER) AS shard,
+             |  CAST(row_number() OVER (PARTITION BY h % 8
+             |    ORDER BY md5('shard:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+             |FROM (SELECT doc_id,
+             |        CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+             |      FROM documents)
+             |ORDER BY shard, pos""".stripMargin)),
+
     // Sequence packing: per-source offset packing into 4096-char budgets
     // (concat-then-chunk pretraining layout); per-pack composition stats.
     QueryDef(

@@ -995,6 +995,37 @@ class LlmOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("hashSplit/shardOrder: exhaustive, growth-stable split; reproducible shards") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    val d = Tables(spark, dir, "documents")
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val full = Sampling.hashSplit(d, "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // exhaustive: every doc gets exactly one label; rough proportions hold
+    assert(full.size == d.count())
+    assert(full.values.count(_ == "train").toDouble / full.size > 0.8)
+    // GROWTH-STABLE: splitting only half the corpus assigns each doc the
+    // SAME label it gets in the full corpus — eval sets never migrate
+    val half = Sampling.hashSplit(d.filter(col("doc_id") % 2 === 0), "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(half.forall { case (id, s) => full(id) == s })
+    // weights must sum to 1
+    intercept[IllegalArgumentException](
+      Sampling.hashSplit(d, "doc_id", Seq("a" -> 0.5, "b" -> 0.4)))
+    // shardOrder: every row exactly once, positions contiguous from 1 per
+    // shard, byte-identical across runs
+    val sh1 = Sampling.shardOrder(d, "doc_id", 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect().sorted
+    assert(sh1.length == full.size)
+    sh1.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    val sh2 = Sampling.shardOrder(d, "doc_id", 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect().sorted
+    assert(sh1.toSeq == sh2.toSeq)
+  }
+
   test("Sampling: deterministic, growth-stable, exact strata counts, mixture proportions") {
     import spark.implicits._
     import graft.operators.Sampling
