@@ -67,7 +67,9 @@ object Sampling {
     * id, order within a shard = (md5, id) — the "global shuffle" step
     * before writing training shards, reproducible across runs/engines
     * (rand-based shuffles are not). One shuffle on the shard key; the
-    * within-shard sort is in-partition.
+    * within-shard sort is in-partition. Scale note: a shard is the
+    * ranking-parallelism unit — pick nShards at least the cluster's
+    * task parallelism (training shards number in the thousands anyway).
     */
   def shardOrder(df: DataFrame, idCol: String, nShards: Int,
                  salt: String = "shard"): DataFrame = {
