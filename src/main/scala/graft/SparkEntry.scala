@@ -15,7 +15,8 @@ object SparkEntry {
   private val families: Seq[QueryFamily] = Seq(
     CoreQueries, AggQueries, JoinQueries, MiscQueries, WindowQueries,
     DedupQueries, SimilarityQueries, TextQueries, CepQueries,
-    ConnectorQueries, RollupQueries, SamplingQueries, CurationQueries
+    ConnectorQueries, RollupQueries, SamplingQueries, CurationQueries,
+    SearchQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -505,4 +505,63 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("c_id"),
         (-col("sim")).cast("long").as("dist"))
   }
+
+  /** Distributed Lloyd k-means over quantized vectors, EXACT arithmetic —
+    * the clustering pass a corpus-curation pipeline runs before per-cluster
+    * sampling / SemDeDup (this is the full-corpus, oracle-replayable
+    * sibling of [[trainCentroids]]'s float/sample flavor).
+    *
+    * Determinism contract (every step integer, replayable by any engine):
+    *  - init: the quantized vectors of the k smallest ids (at 100 TB swap
+    *    in a hashed sample — the iteration contract is unchanged);
+    *  - assignment: exact squared-L2 argmin over the k driver-held centroid
+    *    literals, ties to the LOWEST cluster index — a pure map-side
+    *    projection, the corpus never shuffles for assignment;
+    *  - update: per-dim FLOOR(sum/count) — floor division spelled
+    *    `(s - pmod(s, n)) div n` so engines with truncating and flooring
+    *    integer division agree on negative sums; empty clusters keep their
+    *    previous centroid.
+    *
+    * Per iteration: one narrow (cluster, dim, partial-sum) hash agg —
+    * k·dim result rows collected to the driver (KBs, the same bounded
+    * collect contract as trainCentroids/ivfTopK). Output: every vector's
+    * final cluster and exact squared distance to its centroid.
+    */
+  def kmeansAssignQuantized(df: DataFrame, idCol: String, vecCol: String,
+                            k: Int, iters: Int,
+                            scale: Int = 10000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val q = df.select(col(idCol).cast("long").as("vec_id"),
+      VectorFns.quantize(col(vecCol), scale).as("qv"))
+    def distSq(cv: Seq[Long]): Column =
+      aggregate(zip_with(col("qv"), typedlit(cv), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    // struct sort: (dist ASC, cluster ASC) — the lowest-index tie rule
+    def assign(cents: Seq[Seq[Long]]): Column =
+      array_sort(array(cents.zipWithIndex.map { case (cv, i) =>
+        struct(distSq(cv).as("d"), lit(i).as("cl"))
+      }: _*)).getItem(0)
+    var cents: Seq[Seq[Long]] = q.orderBy(col("vec_id")).limit(k)
+      .select(col("qv")).collect().map(_.getSeq[Long](0).toSeq).toSeq
+    require(cents.size == k, s"corpus has fewer than k=$k vectors")
+    for (_ <- 0 until iters) {
+      val means = q.withColumn("cl", assign(cents).getField("cl"))
+        .select(col("cl"), posexplode(col("qv")).as(Seq("dim", "v")))
+        .groupBy(col("cl"), col("dim"))
+        .agg(sum(col("v")).cast("long").as("s"),
+          count(lit(1)).cast("long").as("n"))
+        .withColumn("c", expr("(s - pmod(s, n)) div n"))
+        .select(col("cl"), col("dim"), col("c"))
+        .collect().groupBy(_.getInt(0))
+      cents = cents.indices.map { i =>
+        means.get(i)
+          .map(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+          .getOrElse(cents(i))
+      }
+    }
+    q.withColumn("a", assign(cents))
+      .select(col("vec_id"), col("a.cl").cast("long").as("cluster"),
+        col("a.d").as("dist_sq"))
+  }
 }

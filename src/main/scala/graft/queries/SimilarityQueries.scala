@@ -133,7 +133,64 @@ object SimilarityQueries extends QueryFamily {
              |  FROM embeddings)
              |SELECT label, d.d AS dim, CAST(sum(qv[d.d + 1]) AS BIGINT) AS sum_q, count(*) AS n
              |FROM q CROSS JOIN (SELECT unnest(range(0, 4)) AS d) d
-             |GROUP BY label, d.d ORDER BY label, dim""".stripMargin))
+             |GROUP BY label, d.d ORDER BY label, dim""".stripMargin)),
+
+    // Distributed Lloyd k-means (k=4, 2 iterations) with exact integer
+    // arithmetic end-to-end: init = 4 lowest vec_ids, map-side argmin
+    // assignment against driver-held centroid literals, floor(sum/count)
+    // centroid update. DuckDB replays both iterations (chained CTEs) and
+    // every final (cluster, dist_sq) matches bit-for-bit.
+    QueryDef(
+      "q_sim_kmeans",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        Similarity.kmeansAssignQuantized(e, "vec_id", "embedding",
+            k = 4, iters = 2)
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |c0 AS (
+             |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, qv
+             |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 4)),
+             |a1 AS (
+             |  SELECT q.vec_id, q.qv, best.cl
+             |  FROM q, LATERAL (
+             |    SELECT c.cl FROM c0 c
+             |    ORDER BY list_sum(list_transform(list_zip(q.qv, c.qv),
+             |      z -> (z[1]-z[2])*(z[1]-z[2]))) ASC, c.cl ASC LIMIT 1) best),
+             |s1 AS (
+             |  SELECT a.cl, d.i AS dim, CAST(sum(a.qv[d.i + 1]) AS BIGINT) AS s,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM a1 a, LATERAL (SELECT unnest(range(0, 64)) AS i) d
+             |  GROUP BY a.cl, d.i),
+             |c1v AS (
+             |  SELECT cl, list((s - ((s % n) + n) % n) // n ORDER BY dim) AS qv
+             |  FROM s1 GROUP BY cl),
+             |c1 AS (SELECT c0.cl, coalesce(c1v.qv, c0.qv) AS qv FROM c0 LEFT JOIN c1v USING (cl)),
+             |a2 AS (
+             |  SELECT q.vec_id, q.qv, best.cl
+             |  FROM q, LATERAL (
+             |    SELECT c.cl FROM c1 c
+             |    ORDER BY list_sum(list_transform(list_zip(q.qv, c.qv),
+             |      z -> (z[1]-z[2])*(z[1]-z[2]))) ASC, c.cl ASC LIMIT 1) best),
+             |s2 AS (
+             |  SELECT a.cl, d.i AS dim, CAST(sum(a.qv[d.i + 1]) AS BIGINT) AS s,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM a2 a, LATERAL (SELECT unnest(range(0, 64)) AS i) d
+             |  GROUP BY a.cl, d.i),
+             |c2v AS (
+             |  SELECT cl, list((s - ((s % n) + n) % n) // n ORDER BY dim) AS qv
+             |  FROM s2 GROUP BY cl),
+             |c2 AS (SELECT c1.cl, coalesce(c2v.qv, c1.qv) AS qv FROM c1 LEFT JOIN c2v USING (cl))
+             |SELECT q.vec_id, CAST(best.cl AS BIGINT) AS cluster, CAST(best.d AS BIGINT) AS dist_sq
+             |FROM q, LATERAL (
+             |  SELECT c.cl, list_sum(list_transform(list_zip(q.qv, c.qv),
+             |    z -> (z[1]-z[2])*(z[1]-z[2]))) AS d
+             |  FROM c2 c ORDER BY d ASC, c.cl ASC LIMIT 1) best
+             |ORDER BY vec_id""".stripMargin))
   )
 
   /** The exact quantized-cosine expression both oracles share (DuckDB SQL,

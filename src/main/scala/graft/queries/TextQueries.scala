@@ -905,6 +905,53 @@ object TextQueries extends QueryFamily {
              |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
              |  coalesce(avg(CASE WHEN keep THEN CAST(width * height AS BIGINT) END), 0.0)
              |    AS avg_kept_pixels
-             |FROM gated GROUP BY format ORDER BY format""".stripMargin))
+             |FROM gated GROUP BY format ORDER BY format""".stripMargin)),
+
+    // BPE training statistic: the adjacent symbol-pair frequency table
+    // over the word-count relation (chars + </w> end marker) — the exact
+    // quantity each merge round maximizes. Fully declarative on the Spark
+    // side (explode + two hash aggs); DuckDB replays it verbatim. The
+    // trainer itself (Tokenizer.bpeTrain, driver-side over this bounded
+    // table) and the rank-priority encoder stay TokenizerSpec-golden.
+    QueryDef(
+      "q_text_bpe_pairs",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        graft.operators.Tokenizer.pairCounts(
+            graft.operators.Tokenizer.wordCounts(d, "text"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(100)
+      },
+      Some("""WITH tok AS (
+             |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |         t -> t <> '')) AS word
+             |  FROM documents),
+             |w AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY word),
+             |sy AS (SELECT word, cnt,
+             |         list_append(regexp_extract_all(word, '.'), '</w>') AS syms FROM w),
+             |pr AS (SELECT syms[i.i] AS a, syms[i.i + 1] AS b, cnt
+             |       FROM sy, LATERAL (SELECT unnest(range(1, len(syms))) AS i) i)
+             |SELECT a, b, CAST(sum(cnt) AS BIGINT) AS cnt
+             |FROM pr GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 100""".stripMargin)),
+
+    // End-to-end tokenizer pass: train 30 merges on the corpus word table,
+    // broadcast the merge ranks, encode every doc map-side, report the
+    // piece vocabulary (top-50 by frequency). The trained merges are data-
+    // derived (not SQL-replayable), so this row is the driver's rows-only
+    // check; TokenizerSpec pins the algorithm with hand-computed goldens.
+    QueryDef(
+      "q_text_bpe_encode",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val merges = graft.operators.Tokenizer.bpeTrain(
+          graft.operators.Tokenizer.wordCounts(d, "text"), numMerges = 30)
+        graft.operators.Tokenizer.bpeEncode(d, "doc_id", "text", merges)
+          .select(explode(col("pieces")).as("piece"))
+          .groupBy(col("piece"))
+          .agg(count(lit(1)).cast("long").as("cnt"))
+          .orderBy(col("cnt").desc, col("piece"))
+          .limit(50)
+      },
+      None)
   )
 }

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Search, Similarity, Tokenizer}
+
+/** Search/retrieval, BPE tokenizer, and exact k-means specs: hand-computed
+  * fixed-point goldens (the oracle queries re-check the same arithmetic
+  * against DuckDB at sf0.01; here the numbers are derived by hand so a
+  * same-bug-both-sides slip in the SQL can't hide).
+  */
+class SearchSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("invertedIndex: tf/df/postings golden + minDf and maxDf gates") {
+    val d = docs(
+      1L -> "apple banana apple",
+      2L -> "banana cherry",
+      3L -> "apple? BANANA banana")
+    val out = Search.invertedIndex(d, "doc_id", "text")
+      .orderBy("token")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3).toList))
+    assert(out.toList == List(
+      ("apple", 3L, 2L, List(1L, 3L)),
+      ("banana", 4L, 3L, List(1L, 2L, 3L)),
+      ("cherry", 1L, 1L, List(2L))))
+    // minDf drops cherry; maxDf at 700‰ of 3 docs (=2.1 docs) drops banana
+    assert(Search.invertedIndex(d, "doc_id", "text", minDf = 2)
+      .collect().map(_.getString(0)).toSet == Set("apple", "banana"))
+    assert(Search.invertedIndex(d, "doc_id", "text", maxDfPermille = 700)
+      .collect().map(_.getString(0)).toSet == Set("apple", "cherry"))
+  }
+
+  test("bm25TopK: hand-computed fixed-point scores, ranking, tie-break") {
+    // Corpus: N=3 docs, dl = 3, 2, 4; T = 9.
+    val d = docs(
+      1L -> "x x y",
+      2L -> "y z",
+      3L -> "z z z w")
+    // Query "x": df=1 ⇒ idf_fp = (1000·(2·2+1)) div 3 = 1666.
+    //   doc1: tf=2, rdl = (1000·3·3) div 9 = 1000
+    //     tfn = (22000000·2) div (10000·2 + 3000 + 9·1000) = 44000000 div 32000 = 1375
+    //     contrib = 1666·1375 = 2290750
+    // Query "z": df=2 ⇒ idf_fp = (1000·3) div 5 = 600.
+    //   doc2: tf=1, rdl = (1000·2·3) div 9 = 666
+    //     tfn = 22000000 div (10000 + 3000 + 5994) = 22000000 div 18994 = 1158
+    //     contrib = 600·1158 = 694800
+    //   doc3: tf=3, rdl = (1000·4·3) div 9 = 1333
+    //     tfn = 66000000 div (30000 + 3000 + 11997) = 66000000 div 44997 = 1466
+    //     contrib = 600·1466 = 879600
+    val out = Search.bm25TopK(d, "doc_id", "text", Seq("x", "z"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toList == List(
+      (1L, 2290750L, 1L), (3L, 879600L, 1L), (2L, 694800L, 1L)))
+  }
+
+  test("tfIdfTopTerms: rank order and tie-break by token") {
+    val d = docs(
+      1L -> "a a b c",
+      2L -> "b b b c")
+    // N=2; df: a=1, b=2, c=2. idf_fp: a=2000, b=1000, c=1000.
+    // doc1: a: 2·2000=4000, b: 1·1000=1000, c: 1·1000=1000 (b before c)
+    val out = Search.tfIdfTopTerms(d, "doc_id", "text", m = 3)
+      .filter(col("doc_id") === 1)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(5)))
+    assert(out.toList == List((1L, "a", 4000L), (2L, "b", 1000L), (3L, "c", 1000L)))
+  }
+
+  test("bpeTrain: textbook merge sequence on a hand golden") {
+    import spark.implicits._
+    // words: "aaab"×3, "aab"×2 → symbols a a a b</w>... wait: chars + </w>
+    // aaab: a a a b </w> (cnt 3); aab: a a b </w> (cnt 2)
+    // round 1 pairs: (a,a): 3·2+2·1=8... aaab has (a,a) at pos1,2 → 2·3=6; aab 1·2=2 ⇒ 8
+    //   (a,b): 3+2=5, (b,</w>): 5 ⇒ best (a,a) count 8 → merge "aa"
+    // round 2: aaab→[aa,a,b,</w>] (left-to-right non-overlap), aab→[aa,b,</w>]
+    //   pairs: (aa,a):3, (a,b):3, (aa,b):2, (b,</w>):5 ⇒ best (b,</w>) → "b</w>"
+    // round 3: (aa,a):3, (a,b</w>):3, (aa,b</w>):2 ⇒ ties at 3 → lexicographic:
+    //   ("a","b</w>") < ("aa","a") ⇒ merge ("a","b</w>")
+    val wc = Seq(("aaab", 3L), ("aab", 2L)).toDF("word", "cnt")
+    val merges = Tokenizer.bpeTrain(wc, numMerges = 3)
+    assert(merges == Seq(("a", "a"), ("b", "</w>"), ("a", "b</w>")))
+    // encode agrees with training's merge application
+    val ranks = merges.zipWithIndex.toMap
+    assert(Tokenizer.encodeWord("aaab", ranks).toList == List("aa", "ab</w>"))
+    assert(Tokenizer.encodeWord("aab", ranks).toList == List("aa", "b</w>"))
+    assert(Tokenizer.encodeWord("ba", ranks).toList == List("b", "a", "</w>"))
+  }
+
+  test("bpeTrain: stops when no pair repeats; zero merges = empty") {
+    import spark.implicits._
+    val wc = Seq(("ab", 1L), ("cd", 1L)).toDF("word", "cnt")
+    assert(Tokenizer.bpeTrain(wc, numMerges = 10) == Seq.empty)
+    val wc2 = Seq(("aa", 5L)).toDF("word", "cnt")
+    assert(Tokenizer.bpeTrain(wc2, numMerges = 0) == Seq.empty)
+  }
+
+  test("mergeOnce: left-to-right non-overlapping (KwKwK-style run)") {
+    assert(Tokenizer.mergeOnce(Array("a", "a", "a"), ("a", "a")).toList
+      == List("aa", "a"))
+    assert(Tokenizer.mergeOnce(Array("a", "a", "a", "a"), ("a", "a")).toList
+      == List("aa", "aa"))
+  }
+
+  test("bpeEncode: distributed encode matches encodeWord; piece concat restores text") {
+    val d = docs(5L -> "Hello, hello world", 6L -> "", 7L -> "a")
+    val merges = Seq(("l", "l"), ("o", "</w>"), ("h", "e"))
+    val out = Tokenizer.bpeEncode(d, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+    val ranks = merges.zipWithIndex.toMap
+    val exp5 = Seq("hello", "hello", "world").flatMap(w => Tokenizer.encodeWord(w, ranks))
+    assert(out(0).getSeq[String](1) == exp5)
+    assert(out(0).getLong(2) == exp5.length.toLong)
+    assert(out(1).getSeq[String](1).isEmpty && out(1).getLong(2) == 0L)
+    // concatenating pieces and dropping </w> restores the normalized words
+    assert(exp5.mkString.replace("</w>", " ").trim == "hello hello world")
+  }
+
+  test("kmeansAssignQuantized: every vector lands on its nearest centroid; deterministic") {
+    import spark.implicits._
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(4)(j => ((i * 7 + j * 3) % 11).toFloat / 11f - 0.4f).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val a = Similarity.kmeansAssignQuantized(df, "vec_id", "embedding", k = 3, iters = 2)
+      .orderBy("vec_id").collect()
+    val b = Similarity.kmeansAssignQuantized(df, "vec_id", "embedding", k = 3, iters = 2)
+      .orderBy("vec_id").collect()
+    assert(a.toSeq == b.toSeq) // rerun-deterministic
+    assert(a.length == 40 && a.map(_.getLong(1)).toSet.subsetOf(Set(0L, 1L, 2L)))
+    // iters=0: assignment against the raw init centroids (3 lowest ids) —
+    // those three vectors must each sit in their own cluster at dist 0
+    val z = Similarity.kmeansAssignQuantized(df, "vec_id", "embedding", k = 3, iters = 0)
+      .filter(col("vec_id") < 3).orderBy("vec_id").collect()
+    assert(z.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+      == List((0L, 0L, 0L), (1L, 1L, 0L), (2L, 2L, 0L)))
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansAssignQuantized(df.limit(2), "vec_id", "embedding", k = 3, iters = 1)
+    }
+  }
+}
