@@ -83,11 +83,16 @@ object Search {
       .withColumn("dl", size(col("ts")).cast("long"))
     val stats = base.agg(count(lit(1)).cast("long").as("n_docs"),
       sum(col("dl")).cast("long").as("total_dl"))
+    // persist the matched-postings relation: dfreq and the scoring join
+    // both read it — without the cache Spark re-runs the corpus scan +
+    // tokenize for each reference (3 corpus passes instead of 2). The
+    // relation is docs×|terms| rows of (ids, counts) — tiny.
     val hits = base
       .select(col("doc_id"), col("dl"),
         explode(filter(col("ts"), t => t.isInCollection(terms))).as("token"))
       .groupBy(col("doc_id"), col("dl"), col("token"))
       .agg(count(lit(1)).cast("long").as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = hits.groupBy(col("token"))
       .agg(count(lit(1)).cast("long").as("df_t"))
     hits.join(broadcast(dfreq), "token")
@@ -116,10 +121,14 @@ object Search {
     require(m >= 1, s"m must be >= 1, got $m")
     val tok = df.select(col(idCol).cast("long").as("doc_id"),
       explode(toks(col(textCol))).as("token"))
+    // df derives FROM the tf relation (one row per (doc, token), so a
+    // plain count per token IS the document frequency) — and tf persists
+    // so the corpus is scanned/tokenized once, not once per reference
     val tf = tok.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).cast("long").as("tf"))
-    val dfreq = tok.groupBy(col("token"))
-      .agg(count_distinct(col("doc_id")).cast("long").as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df"))
     val nDocs = df.select(count(lit(1)).cast("long").as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf_fp").desc, col("token"))

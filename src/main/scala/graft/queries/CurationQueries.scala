@@ -614,6 +614,146 @@ object CurationQueries extends QueryFamily {
              |  CAST(sum(score_num) AS BIGINT) AS total_score,
              |  CAST(sum(score_num) AS DOUBLE) / sum(n_feats) AS mean_score
              |FROM capped WHERE rn <= 8 AND text_ratio > 0.1 AND label
-             |GROUP BY domain ORDER BY domain""".stripMargin))
+             |GROUP BY domain ORDER BY domain""".stripMargin)),
+
+    // Corpus data card — the per-(lang, source) summary a dataset release
+    // ships: doc counts, char volume, exact interpolated median/p90 doc
+    // length (Spark `percentile` and DuckDB `quantile_cont` share the
+    // (n-1)·p linear-interpolation definition; both sides round to 4dp),
+    // and each stratum's exact per-myriad share of the corpus (integer
+    // div — replayable, no float ratio). One hash-agg on the stratum key;
+    // the 1-row corpus total broadcasts.
+    QueryDef(
+      "q_text_datacard",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val total = d.agg(count(lit(1)).cast("long").as("total"))
+        d.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            round(median(col("n_chars")), 4).as("med_chars"),
+            round(expr("percentile(n_chars, 0.9)"), 4).as("p90_chars"))
+          .crossJoin(broadcast(total))
+          .withColumn("permyriad", expr("(10000 * n_docs) div total"))
+          .drop("total")
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents)
+             |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  round(median(n_chars), 4) AS med_chars,
+             |  round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+             |  (10000 * CAST(count(*) AS BIGINT)) // (SELECT total FROM t) AS permyriad
+             |FROM documents GROUP BY lang, source
+             |ORDER BY lang, source""".stripMargin)),
+
+    // End-to-end QUALITY ENSEMBLE — the three independent quality signals
+    // (Gopher repetition/length gates, learned hashed-n-gram classifier,
+    // corpus-LM fluency) joined into one keep/drop verdict, reported per
+    // language with per-signal failure counts (the corpus-QA table a
+    // filtering run ships). The LM gate compares integers
+    // (score_num > 34000*n_bigrams  ==  lm_score > 0.034) so the verdict
+    // is replayable with zero float-threshold risk. Each signal is its own
+    // narrow agg over the one corpus scan family; the verdict join carries
+    // (doc_id, bool) triples; the final lang rollup is one tiny hash agg.
+    QueryDef(
+      "q_pipeline_quality",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val weights = s.range(4096).select(col("id").as("bucket"),
+          ((col("id") * 2654435761L) % 2001 - 1000).as("weight"))
+        val g = Curation.gopherStats(d, "doc_id", "text")
+          .select(col("doc_id"), (col("n_tokens") >= 20 &&
+            col("top_token_frac") < 0.2 &&
+            col("top_bigram_frac") < 0.2).as("pass_gopher"))
+        val c = Curation.classifierScore(d, "doc_id", "text", weights, 4096,
+            portable = !graft.RunMode.productionHash)
+          .select(col("doc_id"), col("label").as("pass_cls"))
+        val l = Curation.lmScore(d, "doc_id", "text")
+          .select(col("doc_id"),
+            (col("score_num") > col("n_bigrams") * 34000L).as("pass_lm"))
+        d.select(col("doc_id"), col("lang"))
+          .join(g, "doc_id").join(c, "doc_id").join(l, "doc_id")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(when(col("pass_gopher") && col("pass_cls") && col("pass_lm"),
+              1L).otherwise(0L)).cast("long").as("n_keep"),
+            sum(when(!col("pass_gopher"), 1L).otherwise(0L)).cast("long")
+              .as("n_fail_gopher"),
+            sum(when(!col("pass_cls"), 1L).otherwise(0L)).cast("long")
+              .as("n_fail_cls"),
+            sum(when(!col("pass_lm"), 1L).otherwise(0L)).cast("long")
+              .as("n_fail_lm"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH gtok AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents),
+             |gtc AS (
+             |  SELECT doc_id, tok, count(*) AS c, sum(length(tok)) AS chars
+             |  FROM gtok GROUP BY doc_id, tok),
+             |gts AS (
+             |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |    CAST(max(c) AS DOUBLE) / sum(c) AS top_token_frac
+             |  FROM gtc GROUP BY doc_id),
+             |gt AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+             |gbg AS (
+             |  SELECT doc_id, array_to_string(w[i.i + 1 : i.i + 2], ' ') AS bg
+             |  FROM gt CROSS JOIN LATERAL (
+             |    SELECT unnest(range(0, greatest(len(w) - 2, 0) + 1)) AS i) i),
+             |gbc AS (SELECT doc_id, bg, count(*) AS c FROM gbg GROUP BY doc_id, bg),
+             |gbs AS (
+             |  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
+             |  FROM gbc GROUP BY doc_id),
+             |gop AS (
+             |  SELECT gts.doc_id,
+             |    (n_tokens >= 20 AND top_token_frac < 0.2
+             |     AND coalesce(top_bigram_frac, 0.0) < 0.2) AS pass_gopher
+             |  FROM gts LEFT JOIN gbs ON gts.doc_id = gbs.doc_id),
+             |ctok AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |           t -> t <> '') AS ts
+             |  FROM documents),
+             |cfeats AS (
+             |  SELECT doc_id, unnest(list_concat(ts,
+             |    list_transform(range(1, len(ts)), i -> ts[i] || '_' || ts[i + 1]))) AS feat
+             |  FROM ctok),
+             |cscored AS (
+             |  SELECT doc_id,
+             |    CAST(sum((CAST('0x' || substr(md5(feat), 1, 8) AS BIGINT) % 4096
+             |         * 2654435761) % 2001 - 1000) AS BIGINT) AS score_num,
+             |    CAST(count(*) AS BIGINT) AS n_feats
+             |  FROM cfeats GROUP BY doc_id),
+             |cls AS (
+             |  SELECT d.doc_id,
+             |    CASE WHEN coalesce(s.n_feats, 0) = 0 THEN FALSE
+             |         ELSE CAST(s.score_num AS DOUBLE) / s.n_feats > 0 END AS pass_cls
+             |  FROM documents d LEFT JOIN cscored s USING (doc_id)),
+             |lbi AS (
+             |  SELECT doc_id, ts[i.i] AS w1, ts[i.i + 1] AS w2
+             |  FROM ctok, LATERAL (SELECT unnest(range(1, len(ts))) AS i) i),
+             |lc2 AS (SELECT w1, w2, count(*) AS c2 FROM lbi GROUP BY w1, w2),
+             |lc1 AS (SELECT w1, count(*) AS c1 FROM lbi GROUP BY w1),
+             |lmodel AS (
+             |  SELECT lc2.w1, lc2.w2, (1000000 * lc2.c2) // lc1.c1 AS cond_milli
+             |  FROM lc2 JOIN lc1 USING (w1)),
+             |lscored AS (
+             |  SELECT b.doc_id, CAST(sum(m.cond_milli) AS BIGINT) AS score_num,
+             |    CAST(count(*) AS BIGINT) AS n_bigrams
+             |  FROM lbi b JOIN lmodel m USING (w1, w2) GROUP BY b.doc_id),
+             |lm AS (
+             |  SELECT d.doc_id,
+             |    coalesce(s.score_num, 0) > coalesce(s.n_bigrams, 0) * 34000 AS pass_lm
+             |  FROM documents d LEFT JOIN lscored s USING (doc_id))
+             |SELECT d.lang,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN pass_gopher AND pass_cls AND pass_lm THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+             |  CAST(sum(CASE WHEN NOT pass_gopher THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_gopher,
+             |  CAST(sum(CASE WHEN NOT pass_cls THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_cls,
+             |  CAST(sum(CASE WHEN NOT pass_lm THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_lm
+             |FROM documents d
+             |JOIN gop USING (doc_id) JOIN cls USING (doc_id) JOIN lm USING (doc_id)
+             |GROUP BY d.lang ORDER BY d.lang""".stripMargin))
   )
 }
