@@ -110,6 +110,29 @@ object Search {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion over N rankings — the standard hybrid-search
+    * combiner (lexical BM25 + semantic ANN, or any mix of rank lists).
+    * Each input is a (doc_id, rank) relation; a document's fused score is
+    * `Σ 1000000 div (c + rank)` over the lists that ranked it — the
+    * classic RRF formula in exact fixed-point (integer division, order-
+    * free BIGINT sum), so fusion is engine-replayable. Inputs are already
+    * top-k-sized rank lists (tiny); the union + one hash-agg + final
+    * TakeOrderedAndProject never touch the corpus.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 1 && c >= 0, s"bad k=$k / c=$c")
+    rankings
+      .map(_.select(col("doc_id").cast("long").as("doc_id"),
+        expr(s"1000000 div ($c + rank)").cast("long").as("__contrib")))
+      .reduce(_ unionByName _)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_lists"),
+        sum(col("__contrib")).cast("long").as("rrf_fp"))
+      .orderBy(col("rrf_fp").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Per-document top-m keyword extraction by fixed-point TF-IDF:
     * `tfidf_fp = tf · ((1000·N) div df)` — the idf is the scaled inverse
     * document-frequency RATIO (monotone in the classic `ln(N/df)`).

@@ -112,6 +112,77 @@ object SearchQueries extends QueryFamily {
              |           ORDER BY tfidf_fp DESC, token) AS BIGINT) AS rank
              |  FROM sc)
              |SELECT doc_id, rank, token, tf, df, tfidf_fp
-             |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
+             |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
+    // HYBRID retrieval: BM25 lexical top-50 and exact-cosine semantic
+    // top-50 (query = vector 0 against the rest) fused by reciprocal-rank
+    // fusion in exact fixed-point (Search.rrfFuse). Both rank lists and
+    // the fusion are integer-replayable, so DuckDB reproduces the final
+    // top-20 bit-for-bit. The rank windows run over already-top-k rows
+    // (50 each) — the single-partition window is on a k-row relation,
+    // never the corpus.
+    QueryDef(
+      "q_search_hybrid",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val e = Tables(s, dir, "embeddings")
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_fp").desc, col("doc_id"))
+        val lex = Search.bm25TopK(d, "doc_id", "text",
+            Seq("spark", "vector", "customer"), k = 50)
+          .select(col("doc_id"),
+            row_number().over(w).cast("long").as("rank"))
+        val sem = graft.operators.Similarity.bruteForceTopKQuantized(
+            e.filter(col("vec_id") === 0), e.filter(col("vec_id") >= 1),
+            "vec_id", "vec_id", "embedding", k = 50)
+          .select(col("c_id").as("doc_id"), col("rnk").as("rank"))
+        Search.rrfFuse(Seq(lex, sem), k = 20)
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |    t -> t <> '') AS ts
+             |  FROM documents),
+             |wd AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS dl FROM base),
+             |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |            CAST(sum(dl) AS BIGINT) AS total_dl FROM wd),
+             |hits AS (
+             |  SELECT doc_id, dl, t.token AS token, CAST(count(*) AS BIGINT) AS tf
+             |  FROM wd, LATERAL (SELECT unnest(ts) AS token) t
+             |  WHERE t.token IN ('spark', 'vector', 'customer')
+             |  GROUP BY doc_id, dl, t.token),
+             |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df_t FROM hits GROUP BY token),
+             |lexscored AS (
+             |  SELECT h.doc_id,
+             |    ((1000 * (2 * (s.n_docs - d.df_t) + 1)) // (2 * d.df_t + 1))
+             |      * ((22000000 * h.tf) //
+             |         (10000 * h.tf + 3000 + 9 * ((1000 * h.dl * s.n_docs) // s.total_dl)))
+             |      AS contrib
+             |  FROM hits h JOIN dfreq d USING (token), stats s),
+             |lexagg AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_fp
+             |           FROM lexscored GROUP BY doc_id),
+             |lex AS (
+             |  SELECT doc_id, rank_ AS rank FROM (
+             |    SELECT doc_id, CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rank_
+             |    FROM lexagg) WHERE rank_ <= 50),
+             |qv AS (SELECT vec_id,
+             |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+             |       FROM embeddings),
+             |semscored AS (
+             |  SELECT b.vec_id AS doc_id,
+             |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv), z -> z[1] * z[2])) AS DOUBLE)
+             |      / (sqrt(CAST(list_sum(list_transform(a.qv, x -> x * x)) AS DOUBLE))
+             |         * sqrt(CAST(list_sum(list_transform(b.qv, x -> x * x)) AS DOUBLE))) AS sim
+             |  FROM qv a JOIN qv b ON a.vec_id = 0 AND b.vec_id >= 1),
+             |sem AS (
+             |  SELECT doc_id, rank_ AS rank FROM (
+             |    SELECT doc_id, CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS rank_
+             |    FROM semscored) WHERE rank_ <= 50),
+             |u AS (
+             |  SELECT doc_id, 1000000 // (60 + rank) AS contrib FROM lex
+             |  UNION ALL
+             |  SELECT doc_id, 1000000 // (60 + rank) AS contrib FROM sem)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+             |  CAST(sum(contrib) AS BIGINT) AS rrf_fp
+             |FROM u GROUP BY doc_id ORDER BY rrf_fp DESC, doc_id LIMIT 20""".stripMargin))
   )
 }

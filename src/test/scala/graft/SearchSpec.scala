@@ -81,6 +81,19 @@ class SearchSpec extends AnyFunSuite {
     assert(out.toList == List((1L, "a", 4000L), (2L, "b", 1000L), (3L, "c", 1000L)))
   }
 
+  test("rrfFuse: hand-computed fused scores, overlap counted, tie-break by id") {
+    import spark.implicits._
+    val lex = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("doc_id", "rank")
+    val sem = Seq((11L, 1L), (13L, 2L)).toDF("doc_id", "rank")
+    // contrib = 1000000 div (60 + rank):
+    //   rank1=16393, rank2=16129, rank3=15873
+    // doc11: 16129 + 16393 = 32522 (2 lists); doc10: 16393; doc13: 16129; doc12: 15873
+    val out = Search.rrfFuse(Seq(lex, sem), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toList == List(
+      (11L, 2L, 32522L), (10L, 1L, 16393L), (13L, 1L, 16129L), (12L, 1L, 15873L)))
+  }
+
   test("bpeTrain: textbook merge sequence on a hand golden") {
     import spark.implicits._
     // words: "aaab"×3, "aab"×2 → symbols a a a b</w>... wait: chars + </w>
