@@ -416,5 +416,46 @@ object Curation {
         ":(443|80)$", ""),
       "^www\\.", "")
 
+  /** Data-expectations pass (the Deequ/Great-Expectations role): each rule
+    * is (name, violation predicate); output is one row per rule with the
+    * violation count and the corpus size. ONE corpus pass — every rule is
+    * a conditional sum inside a single aggregate (map-side partials), then
+    * a k-row stack/unpivot. Rules are ordinary Columns, so any check the
+    * engine can express is a rule.
+    */
+  def expectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "expectations needs at least one rule")
+    rules.foreach { case (n, _) =>
+      require(n.matches("[A-Za-z0-9_]+"), s"rule name '$n' must be [A-Za-z0-9_]+") }
+    val aggs = count(lit(1)).cast("long").as("n_checked") +:
+      rules.map { case (n, p) =>
+        sum(when(p, 1L).otherwise(0L)).cast("long").as(s"__$n") }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = rules.map(r => s"'${r._1}', __${r._1}").mkString(", ")
+    one.select(
+        expr(s"stack(${rules.size}, $stacked) AS (rule, n_violations)"),
+        col("n_checked"))
+      .select(col("rule"), col("n_violations"), col("n_checked"))
+  }
+
+  /** Diff two corpus snapshots by content digest: per doc id, `added` /
+    * `deleted` / `changed` / `unchanged` — the audit table an incremental
+    * corpus refresh publishes. The join carries only (id, md5) — text
+    * never shuffles; one id-key exchange.
+    */
+  def corpusDiff(v1: DataFrame, v2: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    def slim(df: DataFrame, h: String) =
+      df.select(col(idCol).cast("long").as("doc_id"),
+        md5(col(textCol).cast("binary")).as(h))
+    slim(v1, "h1").join(slim(v2, "h2"), Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "deleted")
+          .when(col("h1") === col("h2"), "unchanged")
+          .otherwise("changed"))
+      .select(col("doc_id"), col("status"))
+  }
+
   private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
 }

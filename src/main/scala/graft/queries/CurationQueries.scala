@@ -754,6 +754,82 @@ object CurationQueries extends QueryFamily {
              |  CAST(sum(CASE WHEN NOT pass_lm THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_lm
              |FROM documents d
              |JOIN gop USING (doc_id) JOIN cls USING (doc_id) JOIN lm USING (doc_id)
-             |GROUP BY d.lang ORDER BY d.lang""".stripMargin))
+             |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
+
+    // Corpus snapshot DIFF — the audit table an incremental refresh
+    // publishes: v2 stages deterministic deletions (id%10=7), edits
+    // (id%10=3) and additions (shifted ids), then corpusDiff classifies
+    // every id by content digest. The join carries (id, md5) only.
+    QueryDef(
+      "q_corpus_diff",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val v2 = d.filter(col("doc_id") % 10 =!= 7)
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 === 3, concat(col("text"), lit(" edited v2")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(d.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        Curation.corpusDiff(d, v2, "doc_id", "text")
+          .groupBy(col("status"))
+          .agg(count(lit(1)).cast("long").as("n_docs"))
+          .orderBy(col("status"))
+      },
+      Some("""WITH v2 AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 10 = 3 THEN text || ' edited v2' ELSE text END AS text
+             |  FROM documents WHERE doc_id % 10 <> 7
+             |  UNION ALL
+             |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+             |a AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+             |b AS (SELECT doc_id, md5(text) AS h2 FROM v2),
+             |j AS (
+             |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             |    CASE WHEN a.doc_id IS NULL THEN 'added'
+             |         WHEN b.doc_id IS NULL THEN 'deleted'
+             |         WHEN h1 = h2 THEN 'unchanged' ELSE 'changed' END AS status
+             |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+             |SELECT status, CAST(count(*) AS BIGINT) AS n_docs
+             |FROM j GROUP BY status ORDER BY status""".stripMargin)),
+
+    // Data-expectations pass (Curation.expectations): three rules over a
+    // deterministically corrupted corpus (blank text on id%11, n_chars
+    // drift on id%13, unknown lang on id%17) — one corpus pass, conditional
+    // sums inside a single aggregate, k-row stack. DuckDB replays staging
+    // and counts.
+    QueryDef(
+      "q_text_validate",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val staged = d.select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, lit("  ")).otherwise(col("text")).as("text"),
+          when(col("doc_id") % 17 === 0, lit("xx")).otherwise(col("lang")).as("lang"),
+          when(col("doc_id") % 13 === 0, col("n_chars") + 1)
+            .otherwise(col("n_chars")).as("n_chars"))
+        Curation.expectations(staged, Seq(
+            "chars_consistent" -> (length(col("text")).cast("long") =!= col("n_chars")),
+            "lang_known" -> !col("lang").isin("en", "es", "de", "fr", "zh"),
+            "text_nonblank" -> (trim(col("text")) === "")))
+          .orderBy(col("rule"))
+      },
+      Some("""WITH staged AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 11 = 0 THEN '  ' ELSE text END AS text,
+             |    CASE WHEN doc_id % 17 = 0 THEN 'xx' ELSE lang END AS lang,
+             |    CASE WHEN doc_id % 13 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+             |  FROM documents)
+             |SELECT * FROM (
+             |  SELECT 'chars_consistent' AS rule,
+             |    CAST(count(*) FILTER (length(text) <> n_chars) AS BIGINT) AS n_violations,
+             |    CAST(count(*) AS BIGINT) AS n_checked FROM staged
+             |  UNION ALL
+             |  SELECT 'lang_known',
+             |    CAST(count(*) FILTER (lang NOT IN ('en', 'es', 'de', 'fr', 'zh')) AS BIGINT),
+             |    CAST(count(*) AS BIGINT) FROM staged
+             |  UNION ALL
+             |  SELECT 'text_nonblank',
+             |    CAST(count(*) FILTER (trim(text) = '') AS BIGINT),
+             |    CAST(count(*) AS BIGINT) FROM staged)
+             |ORDER BY rule""".stripMargin))
   )
 }

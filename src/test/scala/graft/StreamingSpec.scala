@@ -1618,4 +1618,51 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.toSeq == batch.toSeq)
     } finally q2.stop()
   }
+
+  test("retrieval index + BPE encode run AT INGEST: word-count state in " +
+       "update mode and map-side encode in append mode, batch ≡ streaming") {
+    import graft.operators.Tokenizer
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"), (3L, "alpha"))
+    val batchDf = spark.createDataFrame(rows).toDF("doc_id", "text")
+    // word counts — the inverted-index/vocabulary statistic — maintain
+    // incrementally in update mode; final state equals the batch table
+    val in = MemoryStream[(Long, String)]
+    val q = Tokenizer.wordCounts(in.toDS().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("wc_ingest").outputMode("update")
+      .start()
+    try {
+      in.addData(rows.take(2): _*); q.processAllAvailable()
+      in.addData(rows.drop(2): _*); q.processAllAvailable()
+      // update mode emits one row per changed key per batch — latest wins
+      val streamed = spark.table("wc_ingest").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (w, vs) => (w, vs.map(_._2).max) }.toSeq.sorted
+      val batch = Tokenizer.wordCounts(batchDf, "text").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      assert(streamed == batch)
+      assert(batch == Seq(("alpha", 3L), ("beta", 2L), ("gamma", 1L)))
+    } finally q.stop()
+    // BPE encode with a trained merge table is pure map-side — append
+    // mode, row-for-row parity with batch on the same rows
+    val merges = Seq(("a", "l"), ("al", "p"), ("b", "e"))
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = Tokenizer.bpeEncode(in2.toDS().toDF("doc_id", "text"),
+        "doc_id", "text", merges)
+      .writeStream.format("memory").queryName("bpe_ingest").outputMode("append")
+      .start()
+    try {
+      in2.addData(rows: _*); q2.processAllAvailable()
+      val streamed = spark.table("bpe_ingest").collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1).toList, r.getLong(2)))
+        .sortBy(_._1)
+      val batch = Tokenizer.bpeEncode(batchDf, "doc_id", "text", merges)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1).toList, r.getLong(2)))
+        .sortBy(_._1)
+      assert(streamed.toSeq == batch.toSeq)
+      assert(batch.head._2.take(2) == List("alp", "h")) // merges applied
+    } finally q2.stop()
+  }
 }
