@@ -24,6 +24,7 @@ import org.apache.spark.sql.types._
   *   html_to_text(html)           — WET-style HTML boilerplate strip
   *   url_canon(url)               — URL canonicalization (tracking params…)
   *   url_domain(url)              — frequency-capping domain key
+  *   deflate_len(text)            — zlib-compressed byte length (quality signal)
   *
   * None of the names shadows a Spark builtin, so registration is permanent
   * per session (same WeakHashMap latch discipline as [[RefFns.register]]).
@@ -96,6 +97,10 @@ object GraftFns {
     "url_domain" -> { args =>
       arity("url_domain", args, 1)
       expr0(graft.operators.Curation.urlDomain(col0(Cast(args.head, StringType))))
+    },
+    "deflate_len" -> { args =>
+      arity("deflate_len", args, 1)
+      DeflateLen(Cast(args.head, StringType))
     })
 
   private def col0(e: Expression) =

@@ -952,6 +952,29 @@ object TextQueries extends QueryFamily {
           .orderBy(col("cnt").desc, col("piece"))
           .limit(50)
       },
+      None),
+
+    // Compression-ratio quality signal (RefinedWeb/CCNet heuristic family):
+    // deflate_len/n_bytes separates boilerplate-repetitive text from prose
+    // with zero linguistic machinery. Docs on id%5=0 are staged repetitive
+    // (first 10 chars × 30) so both bands appear. Compressed length is
+    // codec-implementation-specific — rows-only check (like trained-BPE
+    // encode); SearchSpec pins determinism, band separation, null safety.
+    QueryDef(
+      "q_text_deflate",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val staged = d.select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, repeat(substring(col("text"), 1, 10), 30))
+            .otherwise(col("text")).as("text"))
+        staged.select(col("doc_id"),
+            octet_length(col("text")).cast("long").as("n_bytes"),
+            graft.functions.TextFns.deflateLen(col("text")).as("deflate_bytes"))
+          .withColumn("ratio_pm", expr("(1000 * deflate_bytes) div n_bytes"))
+          .withColumn("band",
+            when(col("ratio_pm") < 200, "repetitive").otherwise("prose"))
+          .orderBy(col("doc_id"))
+      },
       None)
   )
 }

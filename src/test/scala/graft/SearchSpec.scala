@@ -143,6 +143,34 @@ class SearchSpec extends AnyFunSuite {
     assert(exp5.mkString.replace("</w>", " ").trim == "hello hello world")
   }
 
+  test("deflateLen: repetitive text compresses far below prose; deterministic; by-name SQL") {
+    import graft.functions.{DeflateLen, GraftFns, TextFns}
+    import org.apache.spark.unsafe.types.UTF8String
+    val prose = "the quick brown fox jumps over the lazy dog " * 8
+    val repet = "ab" * 176 // same byte length as prose (352)
+    assert(prose.length == repet.length)
+    val dlP = DeflateLen.compute(UTF8String.fromString(prose))
+    val dlR = DeflateLen.compute(UTF8String.fromString(repet))
+    assert(dlR * 4 < dlP, s"repetitive $dlR should compress ≪ prose $dlP")
+    assert(dlP < prose.length) // even prose with repeats compresses some
+    // deterministic per JVM
+    assert(dlP == DeflateLen.compute(UTF8String.fromString(prose)))
+    // distributed + null safety + by-name registration agree with the API
+    val df = docs(1L -> prose, 2L -> repet)
+      .unionByName(spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(3L, null))),
+        docs(1L -> "x").schema))
+    val api = df.select(col("doc_id"), TextFns.deflateLen(col("text")).as("dl"))
+      .orderBy("doc_id").collect()
+    assert(api(0).getLong(1) == dlP && api(1).getLong(1) == dlR && api(2).isNullAt(1))
+    GraftFns.register(spark)
+    df.createOrReplaceTempView("dfl_docs")
+    val byName = spark.sql(
+      "SELECT deflate_len(text) AS dl FROM dfl_docs ORDER BY doc_id").collect()
+    assert(byName.map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toList
+      == List(dlP, dlR, -1L))
+  }
+
   test("kmeansAssignQuantized: every vector lands on its nearest centroid; deterministic") {
     import spark.implicits._
     val vecs = (0L until 40L).map { i =>
