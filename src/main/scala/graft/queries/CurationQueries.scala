@@ -830,6 +830,85 @@ object CurationQueries extends QueryFamily {
              |  SELECT 'text_nonblank',
              |    CAST(count(*) FILTER (trim(text) = '') AS BIGINT),
              |    CAST(count(*) AS BIGINT) FROM staged)
-             |ORDER BY rule""".stripMargin))
+             |ORDER BY rule""".stripMargin)),
+
+    // END-TO-END PREPROCESS — the whole front half of a training-data
+    // build as ONE declarative plan: NFC normalize → quality gate (token
+    // count + top-token dominance) → exact dedup keep-first →
+    // deterministic 90/5/5 split → per-split doc/token stats, with the
+    // quality and dup drop counts as audit rows. Wide text is consumed
+    // map-side (digest + token stats); every shuffle after that carries
+    // (id, counts, digest) only. DuckDB replays the entire chain.
+    QueryDef(
+      "q_pipeline_preprocess",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables(s, dir, "documents")
+        val norm = d.select(col("doc_id"),
+          graft.functions.TextFns.nfc(col("text")).as("t"))
+        val ts = norm
+          .select(col("doc_id"), explode(graft.functions.TextFns.tokens(col("t"))).as("tk"))
+          .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).cast("long").as("n_tokens"),
+            (max(col("c")).cast("double") / sum(col("c"))).as("top_frac"))
+        // narrow spine persists: referenced by the kept chain + 2 audits
+        val base = norm.join(ts, "doc_id")
+          .select(col("doc_id"), md5(col("t").cast("binary")).as("h"),
+            col("n_tokens"),
+            (col("n_tokens") >= 20 && col("top_frac") < 0.2).as("pass_q"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dd = base.filter(col("pass_q"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+        val kept = graft.operators.Sampling.hashSplit(
+          dd.filter(col("rn") === 1).select(col("doc_id"), col("n_tokens")),
+          "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        def stats(df: org.apache.spark.sql.DataFrame, label: Option[String]) = {
+          val g = label match {
+            case Some(l) => df.agg(count(lit(1)).cast("long").as("n_docs"),
+                coalesce(sum(col("n_tokens")), lit(0L)).cast("long").as("total_tokens"))
+              .select(lit(l).as("split"), col("n_docs"), col("total_tokens"))
+            case None => df.groupBy(col("split"))
+              .agg(count(lit(1)).cast("long").as("n_docs"),
+                coalesce(sum(col("n_tokens")), lit(0L)).cast("long").as("total_tokens"))
+          }
+          g
+        }
+        stats(kept, None)
+          .unionByName(stats(base.filter(!col("pass_q")), Some("_dropped_quality")))
+          .unionByName(stats(dd.filter(col("rn") > 1), Some("_dropped_dup")))
+          .orderBy(col("split"))
+      },
+      Some("""WITH norm AS (
+             |  SELECT doc_id, nfc_normalize(text) AS t FROM documents),
+             |tok AS (SELECT doc_id, unnest(string_split_regex(trim(t), '\s+')) AS tk FROM norm),
+             |tc AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY doc_id, tk),
+             |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |         CAST(max(c) AS DOUBLE) / sum(c) AS top_frac FROM tc GROUP BY doc_id),
+             |q AS (SELECT n.doc_id, md5(n.t) AS h, ts.n_tokens,
+             |        (ts.n_tokens >= 20 AND ts.top_frac < 0.2) AS pass_q
+             |      FROM norm n JOIN ts USING (doc_id)),
+             |dd AS (SELECT doc_id, n_tokens,
+             |         row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+             |       FROM q WHERE pass_q),
+             |kept AS (SELECT doc_id, n_tokens,
+             |           CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val'
+             |                ELSE 'test' END AS split
+             |         FROM (SELECT doc_id, n_tokens,
+             |                 CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |                   / 4294967296.0 AS u
+             |               FROM dd WHERE rn = 1)),
+             |outp AS (
+             |  SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS total_tokens
+             |  FROM kept GROUP BY split
+             |  UNION ALL
+             |  SELECT '_dropped_quality', CAST(count(*) AS BIGINT),
+             |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM q WHERE NOT pass_q
+             |  UNION ALL
+             |  SELECT '_dropped_dup', CAST(count(*) AS BIGINT),
+             |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM dd WHERE rn > 1)
+             |SELECT split, n_docs, total_tokens FROM outp ORDER BY split""".stripMargin))
   )
 }
