@@ -506,6 +506,33 @@ object Similarity {
         (-col("sim")).cast("long").as("dist"))
   }
 
+  /** SEMANTIC decontamination — the embedding-space sibling of
+    * Curation.contamination's n-gram overlap: every corpus document gets
+    * its best cosine similarity against the eval/probe set and a verdict
+    * at `threshold` (paraphrased eval leakage that shares no n-grams still
+    * lights up here). Eval sets are small → probes broadcast; the corpus
+    * contributes one scan; the per-document max is a map-side partial agg
+    * (each c_id's probe rows stay in its partition), so the exchange
+    * carries one row per corpus doc. Ties on sim go to the LOWEST probe
+    * id (struct-max on (sim, -p_id) — the cross-engine rank rule).
+    */
+  def semanticDecontam(corpus: DataFrame, probes: DataFrame, cIdCol: String,
+                       pIdCol: String, vecCol: String, threshold: Double,
+                       scale: Int = 10000): DataFrame = {
+    require(threshold > 0 && threshold < 1, s"threshold must be in (0,1), got $threshold")
+    val p = probes.select(col(pIdCol).cast("long").as("p_id"),
+      VectorFns.quantize(col(vecCol), scale).as("pv"))
+    val c = corpus.select(col(cIdCol).cast("long").as("c_id"),
+      VectorFns.quantize(col(vecCol), scale).as("cv"))
+    c.join(broadcast(p))
+      .withColumn("sim", VectorFns.cosineQ(col("pv"), col("cv")))
+      .groupBy(col("c_id"))
+      .agg(max(struct(col("sim").as("s"), (-col("p_id")).as("np"))).as("b"))
+      .select(col("c_id"), col("b.s").as("best_sim"),
+        (-col("b.np")).cast("long").as("probe_id"),
+        (col("b.s") > threshold).as("contaminated"))
+  }
+
   /** Distributed Lloyd k-means over quantized vectors, EXACT arithmetic —
     * the clustering pass a corpus-curation pipeline runs before per-cluster
     * sampling / SemDeDup (this is the full-corpus, oracle-replayable

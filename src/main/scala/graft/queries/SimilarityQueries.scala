@@ -190,7 +190,48 @@ object SimilarityQueries extends QueryFamily {
              |  SELECT c.cl, list_sum(list_transform(list_zip(q.qv, c.qv),
              |    z -> (z[1]-z[2])*(z[1]-z[2]))) AS d
              |  FROM c2 c ORDER BY d ASC, c.cl ASC LIMIT 1) best
-             |ORDER BY vec_id""".stripMargin))
+             |ORDER BY vec_id""".stripMargin)),
+
+    // SEMANTIC decontamination: eval set = vectors 0..24 (broadcast
+    // probes); the corpus is the remaining vectors plus the probes
+    // re-keyed verbatim (+1000) as staged leaks — exactly those 25 rows
+    // must flag at sim = 1.0 while the genuine corpus stays below 0.5.
+    // Exact quantized cosine, lowest-probe-id ties; DuckDB replays every
+    // similarity and verdict bit-for-bit.
+    QueryDef(
+      "q_sim_decontam",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val probes = e.filter(col("vec_id") < 25)
+        val corpus = e.filter(col("vec_id") >= 25)
+          .select(col("vec_id"), col("embedding"))
+          .unionByName(probes.select((col("vec_id") + 1000L).as("vec_id"),
+            col("embedding")))
+        Similarity.semanticDecontam(corpus, probes, "vec_id", "vec_id",
+            "embedding", threshold = 0.9)
+          .orderBy(col("c_id"))
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |probes AS (SELECT vec_id AS p_id, qv FROM q WHERE vec_id < 25),
+             |corpus AS (
+             |  SELECT vec_id AS c_id, qv FROM q WHERE vec_id >= 25
+             |  UNION ALL
+             |  SELECT p_id + 1000 AS c_id, qv FROM probes),
+             |scored AS (
+             |  SELECT c.c_id, p.p_id,
+             |    CAST(list_sum(list_transform(list_zip(p.qv, c.qv), z -> z[1] * z[2])) AS DOUBLE)
+             |      / (sqrt(CAST(list_sum(list_transform(p.qv, x -> x * x)) AS DOUBLE))
+             |         * sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE))) AS sim
+             |  FROM corpus c CROSS JOIN probes p),
+             |best AS (
+             |  SELECT c_id, p_id AS probe_id, sim AS best_sim,
+             |    row_number() OVER (PARTITION BY c_id ORDER BY sim DESC, p_id) AS rn
+             |  FROM scored)
+             |SELECT c_id, best_sim, probe_id, best_sim > 0.9 AS contaminated
+             |FROM best WHERE rn = 1 ORDER BY c_id""".stripMargin))
   )
 
   /** The exact quantized-cosine expression both oracles share (DuckDB SQL,
