@@ -819,4 +819,37 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
+
+  /** Entity-name fuzzy pairs (record linkage — the edit-distance sibling
+    * of the token-set [[jaccardPairs]]): the join runs over the DISTINCT-
+    * NAME dictionary (names with multiplicities), never row-level — at
+    * corpus scale the dictionary is orders of magnitude smaller than the
+    * table, and the output multiplicity is the count product. Blocking =
+    * the LAST name token (the head noun in entity names) + the Levenshtein
+    * length-band lower bound `|len(a)−len(b)| ≤ d`; verification is the
+    * exact edit distance (both engines implement classic Levenshtein, so
+    * the relation is oracle-replayable). Blocking is the documented recall
+    * trade: pairs whose head token itself is misspelled need a second pass
+    * blocked on another key (first token, phonetic key) unioned in.
+    */
+  def fuzzyNamePairs(df: DataFrame, nameCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val n = df.groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .select(col("name"), col("cnt"),
+        element_at(split(col("name"), " "), -1).as("blk"),
+        length(col("name")).as("ln"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = n.select(col("name").as("a_name"), col("cnt").as("a_cnt"),
+      col("blk"), col("ln").as("a_ln"))
+    val b = n.select(col("name").as("b_name"), col("cnt").as("b_cnt"),
+      col("blk"), col("ln").as("b_ln"))
+    a.join(b, Seq("blk"))
+      .filter(col("a_name") < col("b_name") &&
+        abs(col("a_ln") - col("b_ln")) <= maxDist)
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_name"), col("b_name"), col("dist"),
+        (col("a_cnt") * col("b_cnt")).as("n_pairs"))
+  }
 }

@@ -316,6 +316,29 @@ object JoinQueries extends QueryFamily {
       Some("""SELECT s_nationkey, count(*) AS n_items,
              |  round(sum(l_quantity), 2) AS sum_qty
              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-             |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
+             |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
+    // Edit-distance FUZZY join (record linkage) over part names: the join
+    // runs on the distinct-name dictionary (blocked by head noun + length
+    // band), exact Levenshtein verify at d<=3, multiplicities as count
+    // products. Both engines implement classic Levenshtein — bit-exact.
+    QueryDef(
+      "q_join_fuzzy",
+      (s, dir) => {
+        val p = Tables(s, dir, "part")
+        graft.operators.Dedup.fuzzyNamePairs(p, "p_name", maxDist = 3)
+          .orderBy(col("a_name"), col("b_name"))
+      },
+      Some("""WITH n AS (
+             |  SELECT p_name AS name, CAST(count(*) AS BIGINT) AS cnt,
+             |    string_split(p_name, ' ')[-1] AS blk, length(p_name) AS ln
+             |  FROM part GROUP BY p_name)
+             |SELECT a.name AS a_name, b.name AS b_name,
+             |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+             |  a.cnt * b.cnt AS n_pairs
+             |FROM n a JOIN n b ON a.blk = b.blk AND a.name < b.name
+             |  AND abs(a.ln - b.ln) <= 3
+             |WHERE levenshtein(a.name, b.name) <= 3
+             |ORDER BY a_name, b_name""".stripMargin))
   )
 }
