@@ -339,6 +339,47 @@ object JoinQueries extends QueryFamily {
              |FROM n a JOIN n b ON a.blk = b.blk AND a.name < b.name
              |  AND abs(a.ln - b.ln) <= 3
              |WHERE levenshtein(a.name, b.name) <= 3
-             |ORDER BY a_name, b_name""".stripMargin))
+             |ORDER BY a_name, b_name""".stripMargin)),
+
+    // Banded RANGE join (RangeJoin.bandedIntervalJoin): each purchase
+    // event joined to the same user's other events within ±1 hour. The
+    // theta range predicate runs as an equi-join on (user, 2h-bin) + exact
+    // residual — no nested-loop anywhere (the scale rewrite); the oracle
+    // is the PLAIN range join, which is the operator's correctness
+    // contract (banding must be invisible in the result).
+    QueryDef(
+      "q_join_range",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        val purch = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"),
+            (unix_timestamp(col("ts")) - 3600L).as("w_start"),
+            (unix_timestamp(col("ts")) + 3600L).as("w_end"))
+        val others = e.select(col("event_id").as("o_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("o_sec"), col("value"))
+        graft.operators.RangeJoin.bandedIntervalJoin(
+            purch, others, Seq("user_id"), "w_start", "w_end", "o_sec",
+            binWidthSec = 7200L)
+          .filter(col("o_id") =!= col("p_id"))
+          .groupBy(col("p_id"))
+          .agg(count(lit(1)).cast("long").as("n_nearby"),
+            round(sum(col("value")), 2).as("sum_value"))
+          .orderBy(col("p_id"))
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id AS p_id, user_id,
+             |    CAST(floor(epoch(ts)) AS BIGINT) - 3600 AS w_start,
+             |    CAST(floor(epoch(ts)) AS BIGINT) + 3600 AS w_end
+             |  FROM events WHERE event_type = 'purchase'),
+             |o AS (SELECT event_id AS o_id, user_id,
+             |        CAST(floor(epoch(ts)) AS BIGINT) AS o_sec, value
+             |      FROM events),
+             |j AS (
+             |  SELECT p.p_id, o.value FROM p JOIN o ON p.user_id = o.user_id
+             |    AND o.o_sec BETWEEN p.w_start AND p.w_end
+             |    AND o.o_id <> p.p_id)
+             |SELECT p_id, CAST(count(*) AS BIGINT) AS n_nearby,
+             |  round(sum(value), 2) AS sum_value
+             |FROM j GROUP BY p_id ORDER BY p_id""".stripMargin))
   )
 }

@@ -143,6 +143,34 @@ class SearchSpec extends AnyFunSuite {
     assert(exp5.mkString.replace("</w>", " ").trim == "hello hello world")
   }
 
+  test("bandedIntervalJoin: banding is invisible — equals the plain theta join, " +
+       "including bin-boundary points") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    // deterministic pseudo-random intervals/points, spans ≤ width=100,
+    // plus exact bin-boundary points (p = k·width) that must not drop
+    val left = (0L until 60L).map { i =>
+      val s = (i * 97) % 1000
+      (i, i % 5, s, s + (i * 13) % 100)
+    }.toDF("l_id", "k", "s", "e")
+    val right = ((0L until 80L).map { j =>
+      (j, j % 5, (j * 61) % 1100)
+    } ++ Seq((900L, 0L, 100L), (901L, 1L, 200L), (902L, 2L, 0L)))
+      .toDF("r_id", "k", "p")
+    val banded = RangeJoin.bandedIntervalJoin(left, right, Seq("k"), "s", "e", "p", 100L)
+      .select(col("l_id"), col("r_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = left.join(right, Seq("k"))
+      .filter(col("p") >= col("s") && col("p") <= col("e"))
+      .select(col("l_id"), col("r_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == plain && plain.nonEmpty)
+    intercept[IllegalArgumentException] {
+      RangeJoin.bandedIntervalJoin(left, right, Seq("k"), "s", "e", "p", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.bandedIntervalJoin(left, right, Seq.empty, "s", "e", "p", 100L)
+    }
+  }
+
   test("deflateLen: repetitive text compresses far below prose; deterministic; by-name SQL") {
     import graft.functions.{DeflateLen, GraftFns, TextFns}
     import org.apache.spark.unsafe.types.UTF8String
