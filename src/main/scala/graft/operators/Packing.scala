@@ -106,4 +106,42 @@ object Packing {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** SFT chat-template assembly — the conversation → training-text step:
+    * each conversation's turns render as `<|role|>content<|end|>` blocks
+    * in turn order, concatenated into one training string, with the
+    * 1-based inclusive character spans of the ASSISTANT blocks (content +
+    * end tag — the tokens the loss applies to) emitted alongside as
+    * `start-end` pairs. All offsets are exact cumulative-length
+    * arithmetic, so any engine replays text and mask bit-for-bit.
+    *
+    * Scale shape: one conversation-key shuffle; block rendering and
+    * lengths are map-side; the per-conversation window and the ordered
+    * aggregation reuse the same partitioning. Conversations are the unit
+    * of parallelism — turns-per-conversation is small by construction.
+    */
+  def assembleChat(turns: DataFrame, convCol: String, idxCol: String,
+                   roleCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(convCol)).orderBy(col(idxCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val blocks = turns.select(col(convCol).as("conv_id"),
+        col(idxCol).as("idx"), col(roleCol).as("role"),
+        concat(lit("<|"), col(roleCol), lit("|>"), col(textCol),
+          lit("<|end|>")).as("block"))
+      .withColumn("len", length(col("block")).cast("long"))
+      .withColumn("start", coalesce(sum(col("len")).over(w), lit(0L)) + 1L)
+      .withColumn("end", col("start") + col("len") - 1L)
+    blocks.groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_turns"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("idx"), col("block").as("b")))), s => s.getField("b")), "")
+          .as("text"),
+        array_join(transform(array_sort(collect_list(
+          when(col("role") === "assistant",
+            struct(col("idx"), concat(col("start"), lit("-"), col("end")).as("sp"))))),
+          s => s.getField("sp")), ",").as("assistant_spans"))
+      .select(col("conv_id"), col("n_turns"), col("text"), col("assistant_spans"))
+  }
 }

@@ -148,6 +148,40 @@ object SamplingQueries extends QueryFamily {
              |  FROM p JOIN ordered o ON o.source = p.source AND o.rn = p.rn + 1)
              |SELECT source, CAST(bin AS BIGINT) AS bin_id, count(*) AS n_docs,
              |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
-             |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // SFT chat-template assembly (Packing.assembleChat): staged 5-turn
+    // conversations (doc_id div 5, alternating roles) render to one
+    // training string with the assistant loss-mask spans as exact 1-based
+    // character offsets — both text and mask replayed by DuckDB.
+    QueryDef(
+      "q_pack_chat",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val turns = d.select(
+          expr("doc_id div 5").as("conv_id"),
+          (col("doc_id") % 5).as("idx"),
+          when(col("doc_id") % 5 % 2 === 0, "user").otherwise("assistant").as("role"),
+          substring(col("text"), 1, 60).as("txt"))
+        graft.operators.Packing.assembleChat(turns, "conv_id", "idx", "role", "txt")
+          .orderBy(col("conv_id"))
+      },
+      Some("""WITH turns AS (
+             |  SELECT doc_id // 5 AS conv_id, doc_id % 5 AS idx,
+             |    CASE WHEN doc_id % 5 % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+             |    substr(text, 1, 60) AS txt
+             |  FROM documents),
+             |b AS (SELECT conv_id, idx, role,
+             |        '<|' || role || '|>' || txt || '<|end|>' AS block FROM turns),
+             |o AS (SELECT conv_id, idx, role, block,
+             |        CAST(length(block) AS BIGINT) AS len,
+             |        CAST(coalesce(sum(length(block)) OVER (PARTITION BY conv_id ORDER BY idx
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) + 1 AS start
+             |      FROM b)
+             |SELECT CAST(conv_id AS BIGINT) AS conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+             |  string_agg(block, '' ORDER BY idx) AS text,
+             |  coalesce(string_agg(CASE WHEN role = 'assistant'
+             |    THEN start || '-' || (start + len - 1) END, ',' ORDER BY idx), '') AS assistant_spans
+             |FROM o GROUP BY conv_id ORDER BY conv_id""".stripMargin))
   )
 }
