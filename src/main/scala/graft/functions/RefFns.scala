@@ -178,6 +178,14 @@ object RefFns {
       case Seq(num) => numericTrunc(num, None)
       case Seq(num, p) => numericTrunc(num, Some(p))
       case args => throw SqlError(s"truncate() takes 1-2 arguments, got ${args.size}")
+    },
+    // count() — the reference's parameterless EVENT count (count_test
+    // corpus spells it bare; Spark requires >= 1 arg). Zero args lower to
+    // count(1); with args, Spark's own Count semantics apply unchanged.
+    // Shadowing-scoped: live only inside GraftApp compiles.
+    entry("count") { args =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.Count(
+        if (args.isEmpty) Seq(Literal(1)) else args)
     }) ++ instanceOf.map { case (name, typeName) =>
     entry(name) { args =>
       arity(name, args, 1)

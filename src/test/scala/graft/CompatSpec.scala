@@ -1265,4 +1265,102 @@ class CompatSpec extends AnyFunSuite {
     val o3 = GraftApp.run(spark, avgApp, Map("In" -> in3))("Out")
     assert(o3.collect().map(_.getDouble(0)).toSeq == Seq(15.0))
   }
+
+  // -- windows.rs:length_window_null_handling_in_aggregation: a NULL-priced
+  //    event still occupies a window slot — count() counts EVENTS (2), max
+  //    skips the NULL (700.0), exactly the reference's last-row assertion
+  test("compat lengthWindowNull: NULL slots count as events, max skips them") {
+    val app =
+      """CREATE STREAM cseEventStream (ts TIMESTAMP, symbol STRING, price FLOAT);
+        |CREATE STREAM outputStream (maxp FLOAT, cp BIGINT);
+        |INSERT INTO outputStream
+        |SELECT max(price) AS maxp, count() AS cp
+        |FROM cseEventStream WINDOW('length', 4);""".stripMargin
+    val in = Seq((1, null.asInstanceOf[String], null.asInstanceOf[java.lang.Float]),
+        (2, "IBM", java.lang.Float.valueOf(700.0f)))
+      .toDF("sec", "symbol", "price")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "symbol", "price")
+    val out = GraftApp.run(spark, app, Map("cseEventStream" -> in))("outputStream")
+      .collect()
+    assert(out.nonEmpty)
+    val last = out.last
+    assert(last.getFloat(0) == 700.0f && last.getLong(1) == 2L)
+  }
+
+  // -- windows.rs:length_window_test11_with_expiry_count: after 4 events
+  //    through length-2, the window holds exactly 2 — the count the LAST
+  //    output row reports
+  test("compat lengthWindowTest11: count over a full length-2 window is 2") {
+    val app =
+      """CREATE STREAM stockStream (ts TIMESTAMP, symbol STRING, price FLOAT);
+        |CREATE STREAM outputStream (symbol STRING, cnt BIGINT);
+        |INSERT INTO outputStream
+        |SELECT symbol, count() AS cnt FROM stockStream WINDOW('length', 2);""".stripMargin
+    val in = Seq((1, "IBM", 100.0f), (2, "MSFT", 200.0f), (3, "GOOG", 300.0f),
+        (4, "AAPL", 400.0f))
+      .toDF("sec", "symbol", "price")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "symbol", "price")
+    val out = GraftApp.run(spark, app, Map("stockStream" -> in))("outputStream")
+      .collect()
+    assert(out.length >= 4)
+    assert(out.last.getLong(1) == 2L)
+  }
+
+  // -- windows.rs:time_window_test7_expiring_sum: once the 100ms window
+  //    passes, the changelog retracts the old events — the running sum
+  //    after the late arrival covers ONLY the newest event
+  test("compat timeWindowTest7: expiring sum retracts past-duration events") {
+    val ms = 1000L // µs per ms
+    val events = Seq(
+      WinEvent("k", 0L, 1L, 100.0),
+      WinEvent("k", 10 * ms, 2L, 200.0),
+      WinEvent("k", 150 * ms, 3L, 50.0))
+    val (out, buf) = WindowKernels.time(events, EmptyBuffer, durUs = 100 * ms)
+    assert(out.count(_.op == -1) == 2)                   // both old events expired
+    assert(out.map(o => o.value * o.op).sum == 50.0)     // changelog sum = newest only
+    assert(buf.events.map(_.eventId) == Seq(3L))
+  }
+
+  // -- windows.rs:external_time_window_test2_out_of_order: event-time
+  //    driven eviction processes out-of-order arrivals without dropping —
+  //    all three events emit as Current
+  test("compat externalTimeTest2: out-of-order events all process") {
+    val ms = 1000L
+    val events = Seq(
+      WinEvent("k", 100 * ms, 1L, 100.0),
+      WinEvent("k", 50 * ms, 2L, 50.0),   // out of order
+      WinEvent("k", 200 * ms, 3L, 200.0))
+    val (out, _) = WindowKernels.time(events, EmptyBuffer, durUs = 500 * ms)
+    assert(out.count(_.op == 1) == 3)
+    assert(out.count(_.op == -1) == 0)   // nothing older than 500ms of max ts
+  }
+
+  // -- windows.rs:sort_window_test4_string_sort: 'asc' on a STRING
+  //    criterion keeps the lexicographically smallest n; the largest
+  //    evicts on overflow
+  test("compat sortWindowTest4: string-criterion sort window") {
+    import graft.streaming.WindowKernels.SortKey
+    def ev(id: Long, sym: String) =
+      WinEvent("k", id, id, 0.0, svals = Seq(sym))
+    val events = Seq(ev(1, "MSFT"), ev(2, "IBM"), ev(3, "GOOG"), ev(4, "ZZZ"))
+    val (out, buf) = WindowKernels.sortTopNMulti(events, EmptyBuffer, n = 3,
+      keys = Seq(SortKey(slot = 0, asc = true, sslot = 0)))
+    assert(out.count(_.op == 1) == 4)
+    // ZZZ is the largest under asc — it evicts on its own arrival
+    assert(out.filter(_.op == -1).map(_.eventId) == Seq(4L))
+    assert(buf.events.map(_.svals.head).sorted == Seq("GOOG", "IBM", "MSFT"))
+  }
+
+  // -- windows.rs:sort_window_test5_with_ties: equal sort values all fit
+  //    while capacity allows — no spurious eviction on ties
+  test("compat sortWindowTest5: ties retained up to capacity") {
+    val events = Seq(
+      WinEvent("k", 1L, 1L, 100.0),
+      WinEvent("k", 2L, 2L, 100.0),
+      WinEvent("k", 3L, 3L, 100.0))
+    val (out, buf) = WindowKernels.sortTopN(events, EmptyBuffer, n = 3,
+      descending = true)
+    assert(out.count(_.op == 1) == 3 && out.count(_.op == -1) == 0)
+    assert(buf.events.length == 3)
+  }
 }
