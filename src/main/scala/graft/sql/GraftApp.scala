@@ -679,9 +679,16 @@ object GraftApp {
 
   private def parseTriggerAt(name: String, atRaw: String): TriggerDef = {
     val everyRe = """(?is)^EVERY\s+(\d+)\s+(\w+)$""".r
+    // bare `AT EVERY 5000` — the reference's TimeUtil reads unitless
+    // numbers as milliseconds (tables.rs trigger_test1_periodic)
+    val everyBareRe = """(?is)^EVERY\s+(\d+)$""".r
     val cronRe = """(?s)^'(.*)'$""".r
     atRaw match {
       case a if a.equalsIgnoreCase("START") => TriggerDef(name, "start", None, None)
+      case everyBareRe(n) =>
+        val ms = n.toLong
+        if (ms <= 0) throw SqlError(s"trigger $name: AT EVERY needs a positive period")
+        TriggerDef(name, "every", Some(ms), None)
       case everyRe(n, unit) =>
         val ms = parseDurationUs(s"$n $unit") / 1000L
         if (ms <= 0) throw SqlError(s"trigger $name: AT EVERY needs a positive period")
@@ -845,28 +852,43 @@ object GraftApp {
         rest = rest.substring(m.end)
       }
     }
-    val joinRe = ("(?is)^\\s*(INNER|LEFT|RIGHT|FULL)?(?:\\s+OUTER)?\\s*JOIN\\s+(\\w+)\\s*" +
-      "(?:WINDOW\\s*\\(\\s*'(\\w+)'\\s*(?:,\\s*([^)]*))?\\))?\\s+ON\\s+(.*)$").r
+    // head (join type + stream + optional buffer window) parses first; the
+    // ON body is OPTIONAL — a bare `JOIN B [WINDOW(…)]` with no ON is the
+    // reference's CROSS join form (joins.rs:join_test5_cross_join), lowered
+    // as condition TRUE over the two buffers.
+    val joinHeadRe = ("(?is)^\\s*(INNER|LEFT|RIGHT|FULL)?(?:\\s+OUTER)?\\s*JOIN\\s+(\\w+)\\s*" +
+      "(?:WINDOW\\s*\\(\\s*'(\\w+)'\\s*(?:,\\s*([^)]*))?\\))?").r
+    val onRe = """(?is)^\s*ON\s+""".r
     val joins = Seq.newBuilder[JoinClause]
     var more = true
     while (more) {
-      joinRe.findFirstMatchIn(rest) match {
+      joinHeadRe.findPrefixMatchOf(rest) match {
         case Some(m) =>
-          val tail = m.group(5)
-          val stopIdx = Seq("JOIN", "WHERE", "GROUP\\s+BY", "HAVING", "ORDER\\s+BY",
-              "LIMIT", "OFFSET", "WINDOW")
-            .flatMap(n => ("(?is)\\b(?:(?:INNER|LEFT|RIGHT|FULL)\\s+(?:OUTER\\s+)?)?" + n + "\\b")
-              .r.findFirstMatchIn(tail).map(_.start))
-            .minOption.getOrElse(tail.length)
           val jt = Option(m.group(1)).map(_.toUpperCase) match {
             case Some("LEFT") => "left_outer"
             case Some("RIGHT") => "right_outer"
             case Some("FULL") => "full_outer"
             case _ => "inner"
           }
-          joins += JoinClause(jt, m.group(2), tail.substring(0, stopIdx).trim,
-            Option(m.group(3)).map(k => mkWin(k, m.group(4))))
-          rest = tail.substring(stopIdx)
+          val win = Option(m.group(3)).map(k => mkWin(k, m.group(4)))
+          val afterHead = rest.substring(m.end)
+          onRe.findPrefixMatchOf(afterHead) match {
+            case Some(onM) =>
+              val tail = afterHead.substring(onM.end)
+              val stopIdx = Seq("JOIN", "WHERE", "GROUP\\s+BY", "HAVING", "ORDER\\s+BY",
+                  "LIMIT", "OFFSET", "WINDOW")
+                .flatMap(n => ("(?is)\\b(?:(?:INNER|LEFT|RIGHT|FULL)\\s+(?:OUTER\\s+)?)?" + n + "\\b")
+                  .r.findFirstMatchIn(tail).map(_.start))
+                .minOption.getOrElse(tail.length)
+              joins += JoinClause(jt, m.group(2), tail.substring(0, stopIdx).trim, win)
+              rest = tail.substring(stopIdx)
+            case None =>
+              if ("""(?is)^\s*USING\b""".r.findFirstIn(afterHead).isDefined)
+                throw SqlError("JOIN … USING (…) is not supported — spell the " +
+                  "condition with ON (JOIN R ON L.id = R.id)")
+              joins += JoinClause(jt, m.group(2), "TRUE", win)
+              rest = afterHead
+          }
         case None => more = false
       }
     }

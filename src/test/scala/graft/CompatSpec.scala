@@ -1018,8 +1018,11 @@ class CompatSpec extends AnyFunSuite {
     assert(e1.getMessage.contains("USING"))
     val e2 = intercept[GraftApp.SqlError](GraftApp.parse(app("L NATURAL JOIN R")))
     assert(e2.getMessage.contains("NATURAL"))
-    val e3 = intercept[GraftApp.SqlError](GraftApp.parse(app("L JOIN R")))
-    assert(e3.getMessage.contains("malformed JOIN"))
+    // `L JOIN R` with no ON is NOT malformed — it is the reference's
+    // cross-join form (joins.rs:join_test5_cross_join, ported above):
+    // it parses as an always-true join condition
+    val crossSpec = GraftApp.parse(app("L JOIN R"))
+    assert(crossSpec.queries.head.joins.head.cond == "TRUE")
     // the plain ON form still parses
     GraftApp.parse(app("L JOIN R ON L.id = R.id"))
     // an OUTPUT rate clause (query-API-only in the reference too) is a
@@ -1264,6 +1267,40 @@ class CompatSpec extends AnyFunSuite {
       .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "price")
     val o3 = GraftApp.run(spark, avgApp, Map("In" -> in3))("Out")
     assert(o3.collect().map(_.getDouble(0)).toSeq == Seq(15.0))
+  }
+
+  // -- joins.rs:join_test5_cross_join: JOIN with no ON clause is the
+  //    reference's CROSS join over the two window buffers
+  test("compat joinTest5: ON-less JOIN is a cross join") {
+    val app =
+      """CREATE STREAM A (ts TIMESTAMP, val INT);
+        |CREATE STREAM B (ts TIMESTAMP, val INT);
+        |CREATE STREAM Out (a INT, b INT);
+        |INSERT INTO Out
+        |SELECT A.val AS a, B.val AS b
+        |FROM A WINDOW('length', 10)
+        |JOIN B WINDOW('length', 10);""".stripMargin
+    def in(vals: Int*) = vals.zipWithIndex.map { case (v, i) => (i + 1, v) }
+      .toDF("sec", "val")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "val")
+    val out = GraftApp.run(spark, app, Map("A" -> in(1), "B" -> in(2)))("Out")
+    assert(out.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((1, 2)))
+    // three-by-two cross product
+    val out2 = GraftApp.run(spark, app,
+      Map("A" -> in(1, 2, 3), "B" -> in(10, 20)))("Out")
+    assert(out2.count() == 6)
+  }
+
+  // -- tables.rs:trigger_test1_periodic: `AT EVERY 5000` — unitless
+  //    trigger periods read as milliseconds (the reference's TimeUtil)
+  test("compat triggerTest1: bare-millis AT EVERY period parses") {
+    val spec = GraftApp.parse(
+      """CREATE TRIGGER FiveSecTrigger AT EVERY 5000;
+        |CREATE STREAM outputStream (triggered BOOLEAN);
+        |INSERT INTO outputStream
+        |SELECT true AS triggered FROM FiveSecTrigger;""".stripMargin)
+    val trig = spec.triggers.head
+    assert(trig.name == "FiveSecTrigger" && trig.everyMs.contains(5000L))
   }
 
   // -- windows.rs:length_window_null_handling_in_aggregation: a NULL-priced
