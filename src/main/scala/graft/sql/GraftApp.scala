@@ -40,7 +40,11 @@ object GraftApp {
     * buffer (join_processor.rs:18-214), so the window bounds join state.
     */
   final case class JoinClause(joinType: String, stream: String, cond: String,
-                              window: Option[WindowClause] = None)
+                              window: Option[WindowClause] = None,
+                              alias: Option[String] = None) {
+    /** The name qualified refs use: the AS alias when present. */
+    def label: String = alias.getOrElse(stream)
+  }
 
   /** `lhs [NOT] IN (SELECT expr FROM src [WHERE …])` extracted from a
     * top-level WHERE conjunct (reference roadmap GRAMMAR.md:812-820).
@@ -85,7 +89,11 @@ object GraftApp {
       sourceWindow: Option[WindowClause] = None, // FROM src WINDOW(…) JOIN …
       distinct: Boolean = false, // SELECT DISTINCT …
       inSubqueries: Seq[InSubquery] = Nil, // WHERE … IN (SELECT …) conjuncts
-      existsSubqueries: Seq[ExistsSubquery] = Nil) // WHERE [NOT] EXISTS (…)
+      existsSubqueries: Seq[ExistsSubquery] = Nil, // WHERE [NOT] EXISTS (…)
+      sourceAlias: Option[String] = None) { // FROM src AS a (joins.rs AS-alias)
+    /** The name qualified refs use for the source side. */
+    def sourceLabel: String = sourceAlias.getOrElse(source)
+  }
 
   /** CREATE TRIGGER (trigger_definition.rs): mode ∈ start/every/cron.
     * `everyMs` is resolved for both EVERY and the supported cron forms.
@@ -683,7 +691,11 @@ object GraftApp {
     // numbers as milliseconds (tables.rs trigger_test1_periodic)
     val everyBareRe = """(?is)^EVERY\s+(\d+)$""".r
     val cronRe = """(?s)^'(.*)'$""".r
-    atRaw match {
+    // `AT CRON '…'` (triggers.rs trigger_test8_sql_cron) ≡ `AT '…'` — the
+    // CRON keyword is optional noise in the reference grammar
+    val atRaw1 = """(?is)^CRON\s+(.*)$""".r.findFirstMatchIn(atRaw)
+      .map(_.group(1).trim).getOrElse(atRaw)
+    atRaw1 match {
       case a if a.equalsIgnoreCase("START") => TriggerDef(name, "start", None, None)
       case everyBareRe(n) =>
         val ms = n.toLong
@@ -803,10 +815,21 @@ object GraftApp {
     out.result()
   }
 
+  // keys appear single-quoted ('format'), double-quoted ("timer.interval" —
+  // sql_with_end_to_end.rs:39) or bare (type = 'source'); all three
+  // normalize to the bare key, else a quoted spelling silently misses the
+  // option lookup
+  private def stripKeyQuotes(k: String): String = {
+    val t = k.trim
+    if (t.length >= 2 && ((t.head == '\'' && t.last == '\'') ||
+        (t.head == '"' && t.last == '"'))) t.substring(1, t.length - 1)
+    else t
+  }
+
   private def parseWith(raw: String): Map[String, String] =
     splitWithItems(raw).map(_.trim).filter(_.nonEmpty).flatMap { kv =>
       kv.split("=", 2) match {
-        case Array(k, v) => Some(k.trim.stripPrefix("'").stripSuffix("'") ->
+        case Array(k, v) => Some(stripKeyQuotes(k) ->
           expandEnv(v.trim.stripPrefix("'").stripSuffix("'")))
         case _ => None
       }
@@ -844,6 +867,13 @@ object GraftApp {
     // right after the source is its join buffer only when a JOIN follows;
     // otherwise WINDOW(…) is the query's own window clause. Each ON body
     // runs to the next JOIN keyword or a query clause keyword.
+    // optional FROM-side alias: `FROM cseEventStream AS a …` (joins.rs
+    // aliased-join cases) — consumed ahead of the side window / join chain
+    var sourceAlias: Option[String] = None
+    """(?is)^\s*AS\s+(\w+)\b""".r.findPrefixMatchOf(rest).foreach { m =>
+      sourceAlias = Some(m.group(1))
+      rest = rest.substring(m.end)
+    }
     var sourceWindow: Option[WindowClause] = None
     if ("""(?is)\bJOIN\b""".r.findFirstIn(rest).isDefined) {
       val sideWinRe = """(?is)^\s*WINDOW\s*\(\s*'(\w+)'\s*(?:,\s*([^)]*))?\)""".r
@@ -856,7 +886,8 @@ object GraftApp {
     // ON body is OPTIONAL — a bare `JOIN B [WINDOW(…)]` with no ON is the
     // reference's CROSS join form (joins.rs:join_test5_cross_join), lowered
     // as condition TRUE over the two buffers.
-    val joinHeadRe = ("(?is)^\\s*(INNER|LEFT|RIGHT|FULL)?(?:\\s+OUTER)?\\s*JOIN\\s+(\\w+)\\s*" +
+    val joinHeadRe = ("(?is)^\\s*(INNER|LEFT|RIGHT|FULL)?(?:\\s+OUTER)?\\s*JOIN\\s+(\\w+)" +
+      "(?:\\s+AS\\s+(\\w+))?\\s*" +
       "(?:WINDOW\\s*\\(\\s*'(\\w+)'\\s*(?:,\\s*([^)]*))?\\))?").r
     val onRe = """(?is)^\s*ON\s+""".r
     val joins = Seq.newBuilder[JoinClause]
@@ -870,7 +901,8 @@ object GraftApp {
             case Some("FULL") => "full_outer"
             case _ => "inner"
           }
-          val win = Option(m.group(3)).map(k => mkWin(k, m.group(4)))
+          val alias = Option(m.group(3))
+          val win = Option(m.group(4)).map(k => mkWin(k, m.group(5)))
           val afterHead = rest.substring(m.end)
           onRe.findPrefixMatchOf(afterHead) match {
             case Some(onM) =>
@@ -880,13 +912,14 @@ object GraftApp {
                 .flatMap(n => ("(?is)\\b(?:(?:INNER|LEFT|RIGHT|FULL)\\s+(?:OUTER\\s+)?)?" + n + "\\b")
                   .r.findFirstMatchIn(tail).map(_.start))
                 .minOption.getOrElse(tail.length)
-              joins += JoinClause(jt, m.group(2), tail.substring(0, stopIdx).trim, win)
+              joins += JoinClause(jt, m.group(2), tail.substring(0, stopIdx).trim,
+                win, alias)
               rest = tail.substring(stopIdx)
             case None =>
               if ("""(?is)^\s*USING\b""".r.findFirstIn(afterHead).isDefined)
                 throw SqlError("JOIN … USING (…) is not supported — spell the " +
                   "condition with ON (JOIN R ON L.id = R.id)")
-              joins += JoinClause(jt, m.group(2), "TRUE", win)
+              joins += JoinClause(jt, m.group(2), "TRUE", win, alias)
               rest = afterHead
           }
         case None => more = false
@@ -975,7 +1008,8 @@ object GraftApp {
     val items = splitTopLevel(select2).map(parseSelectItem)
     QuerySpec(target, source, items, joins.result(), where, window, groupBy, having,
       orderBy, limit, offset, sourceWindow = sourceWindow,
-      distinct = dis, inSubqueries = inSubs, existsSubqueries = exSubs)
+      distinct = dis, inSubqueries = inSubs, existsSubqueries = exSubs,
+      sourceAlias = sourceAlias)
   }
 
   /** Split on a keyword at paren-depth 0 outside single quotes; returns
@@ -1322,7 +1356,7 @@ object GraftApp {
         // (join_input_stream.rs's two-sided naming). Window-bounded sides
         // probe each other's buffer contents (window-then-join batch form);
         // a length-bounded side is ≤ n rows by construction — broadcast it.
-        val joined = q.joins.foldLeft(src.as(q.source)) { (acc, j) =>
+        val joined = q.joins.foldLeft(src.as(q.sourceLabel)) { (acc, j) =>
           val right0 = env.getOrElse(j.stream,
             throw SqlError(s"stream '${j.stream}' has no bound data"))
           if (acc.isStreaming && right0.isStreaming)
@@ -1333,7 +1367,7 @@ object GraftApp {
             TypeGuard.check(acc.sparkSession, j.cond,
               StructType(acc.schema.fields ++ right.schema.fields),
               checkUndefined = false)
-            acc.join(right.as(j.stream), uexpr(j.cond), j.joinType)
+            acc.join(right.as(j.label), uexpr(j.cond), j.joinType)
           }
         }
         // IN (SELECT …) conjuncts: membership as semi/anti join. Tables are
@@ -2178,12 +2212,12 @@ object GraftApp {
         s"on at least one side of '${q.source}' JOIN '${j.stream}' — " +
         "without a time bound the join state is unbounded (the reference's " +
         "join buffers are window-bounded too, join_processor.rs:18-214)")
-    val right = watermarkSide(right0, j.stream, rightOpts).as(j.stream)
+    val right = watermarkSide(right0, j.stream, rightOpts).as(j.label)
     TypeGuard.check(acc.sparkSession, j.cond,
       StructType(acc.schema.fields ++ right.schema.fields),
       checkUndefined = false)
-    val lTs = col(s"${q.source}.ts")
-    val rTs = col(s"${j.stream}.ts")
+    val lTs = col(s"${q.sourceLabel}.ts")
+    val rTs = col(s"${j.label}.ts")
     val bound = rTs >= lTs - expr(s"INTERVAL $dRightUs MICROSECOND") &&
       rTs <= lTs + expr(s"INTERVAL $dLeftUs MICROSECOND")
     acc.join(right, uexpr(j.cond) && bound, j.joinType)

@@ -1291,6 +1291,56 @@ class CompatSpec extends AnyFunSuite {
     assert(out2.count() == 6)
   }
 
+  // -- joins.rs:join_test2_with_aliases + join_test3_self_join — the Rust
+  //    reference marks BOTH ignored ("aliases not yet supported"); the
+  //    Java original (JoinTestCase joinTest2/3) supports them, and so do
+  //    we: AS-aliased sides, including a self-join under two aliases
+  test("compat joinTest2/3: AS-aliased join sides and aliased self-join") {
+    val app =
+      """CREATE STREAM cseEventStream (ts TIMESTAMP, symbol STRING, price FLOAT);
+        |CREATE STREAM twitterStream (ts TIMESTAMP, user STRING, tweet STRING, company STRING);
+        |CREATE STREAM outputStream (symbol STRING, tweet STRING, price FLOAT);
+        |INSERT INTO outputStream
+        |SELECT a.symbol AS symbol, b.tweet AS tweet, a.price AS price
+        |FROM cseEventStream AS a WINDOW('length', 10)
+        |JOIN twitterStream AS b WINDOW('length', 10)
+        |ON a.symbol = b.company;""".stripMargin
+    val cse = Seq((1, "MSFT", 55.6f)).toDF("sec", "symbol", "price")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "symbol", "price")
+    val twt = Seq((2, "User1", "Hello World", "MSFT")).toDF("sec", "user", "tweet", "company")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "user", "tweet", "company")
+    val out = GraftApp.run(spark, app,
+      Map("cseEventStream" -> cse, "twitterStream" -> twt))("outputStream")
+    assert(out.collect().map(r => (r.getString(0), r.getString(1), r.getFloat(2))).toSeq
+      == Seq(("MSFT", "Hello World", 55.6f)))
+    // self-join: one stream under two aliases (join_test3)
+    val selfApp =
+      """CREATE STREAM S (ts TIMESTAMP, symbol STRING, price FLOAT);
+        |CREATE STREAM Out (symbol STRING, priceA FLOAT, priceB FLOAT);
+        |INSERT INTO Out
+        |SELECT a.symbol AS symbol, a.price AS priceA, b.price AS priceB
+        |FROM S AS a WINDOW('length', 10)
+        |JOIN S AS b WINDOW('length', 10)
+        |ON a.symbol = b.symbol;""".stripMargin
+    val s = Seq((1, "IBM", 75.6f), (2, "MSFT", 57.6f)).toDF("sec", "symbol", "price")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "symbol", "price")
+    val out2 = GraftApp.run(spark, selfApp, Map("S" -> s))("Out")
+    // each row matches itself only (distinct symbols)
+    assert(out2.collect().map(r => (r.getString(0), r.getFloat(1), r.getFloat(2)))
+      .toSet == Set(("IBM", 75.6f, 75.6f), ("MSFT", 57.6f, 57.6f)))
+  }
+
+  // -- triggers.rs:trigger_test8_sql_cron: `AT CRON '…'` spelling parses
+  //    to the same schedule as the bare quoted form
+  test("compat triggerTest8: AT CRON spelling") {
+    val spec = GraftApp.parse(
+      """CREATE TRIGGER CronTrigger AT CRON '*/1 * * * * *';
+        |CREATE STREAM Out (triggered_time TIMESTAMP);
+        |INSERT INTO Out SELECT triggered_time FROM CronTrigger;""".stripMargin)
+    val t = spec.triggers.head
+    assert(t.mode == "cron" && t.everyMs.contains(1000L))
+  }
+
   // -- tables.rs:trigger_test1_periodic: `AT EVERY 5000` — unitless
   //    trigger periods read as milliseconds (the reference's TimeUtil)
   test("compat triggerTest1: bare-millis AT EVERY period parses") {

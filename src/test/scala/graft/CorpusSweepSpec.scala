@@ -27,7 +27,12 @@ class CorpusSweepSpec extends AnyFunSuite {
     val out = Seq.newBuilder[String]
     var i = 0
     while (i < src.length) {
-      if (src.charAt(i) == '"') {
+      if (src.startsWith("r#\"", i)) {
+        // Rust raw string: verbatim until "#
+        val end = src.indexOf("\"#", i + 3)
+        if (end < 0) i = src.length
+        else { out += src.substring(i + 3, end); i = end + 2 }
+      } else if (src.charAt(i) == '"') {
         val sb = new StringBuilder
         i += 1
         var done = false
@@ -71,14 +76,15 @@ class CorpusSweepSpec extends AnyFunSuite {
     apps.foreach { case (f, s) =>
       try { GraftApp.parse(s); ok += 1 }
       catch {
-        case e: GraftApp.SqlError => rejected += e.getMessage // typed = pass
+        case e: GraftApp.SqlError =>
+          rejected += (e.getMessage + "  @" + f.substring(f.lastIndexOf('/') + 1))
         case e: Throwable =>
           unexpected += ((f, s.linesIterator.take(3).mkString(" | ").take(120),
             e.getClass.getName + ": " + String.valueOf(e.getMessage).take(120)))
       }
     }
-    rejected.groupBy(_.takeWhile(_ != '\'')).toSeq.sortBy(-_._2.size).take(8)
-      .foreach { case (k, v) => info(s"typed reject ×${v.size}: ${v.head.take(110)}") }
+    rejected.groupBy(_.takeWhile(_ != '\'')).toSeq.sortBy(-_._2.size).take(10)
+      .foreach { case (k, v) => info(s"typed reject ×${v.size}: ${v.head.take(160)}") }
     assert(unexpected.isEmpty,
       s"${unexpected.size} untyped crashes, first 5:\n" +
         unexpected.take(5).map(t => s"  ${t._1}\n    ${t._2}\n    ${t._3}")
