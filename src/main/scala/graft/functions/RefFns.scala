@@ -186,6 +186,15 @@ object RefFns {
     entry("count") { args =>
       org.apache.spark.sql.catalyst.expressions.aggregate.Count(
         if (args.isEmpty) Seq(Literal(1)) else args)
+    },
+    // stddev — the reference's Welford aggregator divides M2 by n
+    // (aggregator/mod.rs:1530: POPULATION stddev), while Spark's `stddev`
+    // is the SAMPLE form (n−1) — a silent wrong-results divergence for any
+    // app spelling `stddev`. Shadow it to stddev_pop inside app compiles;
+    // stddev_samp stays reachable for the explicit sample form.
+    entry("stddev") { args =>
+      arity("stddev", args, 1)
+      fn("stddev_pop", args.head)
     }) ++ instanceOf.map { case (name, typeName) =>
     entry(name) { args =>
       arity(name, args, 1)

@@ -1291,6 +1291,21 @@ class CompatSpec extends AnyFunSuite {
     assert(out2.count() == 6)
   }
 
+  // -- aggregator/mod.rs:1530 — the reference's stdDev divides M2 by n
+  //    (POPULATION), not n−1: an app spelling stddev must get 1.118 on
+  //    {1,2,3,4}, not Spark's sample 1.291
+  test("compat stdDev: app-level stddev is the reference's population form") {
+    val app =
+      """CREATE STREAM S (v DOUBLE);
+        |CREATE STREAM Out (sd DOUBLE, sds DOUBLE);
+        |INSERT INTO Out
+        |SELECT stddev(v) AS sd, stddev_samp(v) AS sds FROM S;""".stripMargin
+    val in = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val r = GraftApp.run(spark, app, Map("S" -> in))("Out").collect()(0)
+    assert(math.abs(r.getDouble(0) - math.sqrt(5.0 / 4.0)) < 1e-12) // population
+    assert(math.abs(r.getDouble(1) - math.sqrt(5.0 / 3.0)) < 1e-12) // explicit sample
+  }
+
   // -- joins.rs:join_test2_with_aliases + join_test3_self_join — the Rust
   //    reference marks BOTH ignored ("aliases not yet supported"); the
   //    Java original (JoinTestCase joinTest2/3) supports them, and so do
