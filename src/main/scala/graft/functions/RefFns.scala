@@ -196,6 +196,9 @@ object RefFns {
       arity("stddev", args, 1)
       fn("stddev_pop", args.head)
     }) ++ instanceOf.map { case (name, typeName) =>
+    // (first/last arrival-order semantics live in GraftApp's
+    // rewriteArrivalOrderAggs — the parser builds First/Last AST nodes
+    // directly, so a registry shadow here would never fire)
     entry(name) { args =>
       arity(name, args, 1)
       And(IsNotNull(args.head),

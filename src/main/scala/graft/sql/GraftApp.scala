@@ -1178,12 +1178,39 @@ object GraftApp {
     try {
       // Column construction is lazy in Spark 4 — force the parse NOW so a
       // syntax error fails this statement's compile, not a later analysis
-      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(s)
-      expr(s)
+      val parsed =
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(s)
+      val rewritten = rewriteArrivalOrderAggs(parsed)
+      if (rewritten eq parsed) expr(s)
+      else org.apache.spark.sql.graftbridge.Bridge.column(rewritten)
     } catch {
       case e: org.apache.spark.sql.catalyst.parser.ParseException =>
         throw SqlError(s"cannot parse expression '${s.trim}': " +
           e.getMessage.linesIterator.find(_.trim.nonEmpty).getOrElse("syntax error").trim)
+    }
+  }
+
+  /** The reference's first/last aggregators keep the FIRST/LAST ARRIVED
+    * value (aggregator/mod.rs:1655-1840, a VecDeque in arrival order);
+    * arrival order in the batch model is the `ts` column. Spark's
+    * First/Last are partition-order-dependent — stable per layout, silently
+    * different under another shuffle: the worst wrong-results mode. The
+    * parser builds First/Last AST nodes directly (dedicated grammar rule —
+    * a FunctionRegistry shadow never sees them), so app compiles rewrite
+    * the parsed tree: first(x) → min_by(x, ts), last(x) → max_by(x, ts).
+    * In the per-event frame path the rewrite lands INSIDE the ts-ordered
+    * frame, where min_by/max_by over the frame rows are exactly the frame's
+    * first/last arrivals. Apps without a ts column fail resolution — the
+    * same event-order contract the window lowering enforces.
+    */
+  private def rewriteArrivalOrderAggs(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{First, Last, MaxBy, MinBy}
+    e.transform {
+      case First(c, _) => MinBy(c, UnresolvedAttribute("ts"))
+      case Last(c, _) => MaxBy(c, UnresolvedAttribute("ts"))
     }
   }
 

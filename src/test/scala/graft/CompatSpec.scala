@@ -1291,6 +1291,34 @@ class CompatSpec extends AnyFunSuite {
     assert(out2.count() == 6)
   }
 
+  // -- aggregator/mod.rs:1655-1840 — first/last keep the FIRST/LAST
+  //    ARRIVED value; with the input deliberately re-partitioned so
+  //    partition order ≠ arrival order, the answer must still follow ts
+  //    (Spark's native First/Last would return whatever partition 0 held)
+  test("compat first/last: arrival-order semantics survive re-partitioning") {
+    val app =
+      """CREATE STREAM S (ts TIMESTAMP, v DOUBLE);
+        |CREATE STREAM Out (f DOUBLE, l DOUBLE);
+        |INSERT INTO Out SELECT first(v) AS f, last(v) AS l FROM S;""".stripMargin
+    val in = (1 to 200).map(i => (i, i.toDouble)).toDF("sec", "v")
+      .repartition(8)
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "v")
+    val r = GraftApp.run(spark, app, Map("S" -> in))("Out").collect()
+    assert(r.length == 1 && r(0).getDouble(0) == 1.0 && r(0).getDouble(1) == 200.0)
+    // grouped form: per-key arrival order
+    val app2 =
+      """CREATE STREAM S (ts TIMESTAMP, k STRING, v DOUBLE);
+        |CREATE STREAM Out (k STRING, f DOUBLE, l DOUBLE);
+        |INSERT INTO Out SELECT k, first(v) AS f, last(v) AS l FROM S
+        |GROUP BY k ORDER BY k;""".stripMargin
+    val in2 = (1 to 100).map(i => (i, if (i % 2 == 0) "a" else "b", i.toDouble))
+      .toDF("sec", "k", "v").repartition(8)
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "k", "v")
+    val rows = GraftApp.run(spark, app2, Map("S" -> in2))("Out").collect()
+    assert(rows.map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+      == Seq(("a", 2.0, 100.0), ("b", 1.0, 99.0)))
+  }
+
   // -- aggregator/mod.rs:1530 — the reference's stdDev divides M2 by n
   //    (POPULATION), not n−1: an app spelling stddev must get 1.118 on
   //    {1,2,3,4}, not Spark's sample 1.291
