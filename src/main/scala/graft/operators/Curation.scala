@@ -440,18 +440,26 @@ object Curation {
 
   /** Diff two corpus snapshots by content digest: per doc id, `added` /
     * `deleted` / `changed` / `unchanged` — the audit table an incremental
-    * corpus refresh publishes. The join carries only (id, md5) — text
-    * never shuffles; one id-key exchange.
+    * corpus refresh publishes. The join carries only (id, presence, md5) —
+    * text never shuffles; one id-key exchange.
+    *
+    * Presence is carried as an explicit flag per side, NOT inferred from
+    * digest nullness: a doc present with NULL text would otherwise get a
+    * NULL digest and be misreported as added/deleted (and NULL-vs-NULL as
+    * added). NULL text hashes as a sentinel distinct from any real md5 and
+    * from the empty string's digest, so NULL→'' edits report `changed` and
+    * NULL→NULL reports `unchanged`.
     */
   def corpusDiff(v1: DataFrame, v2: DataFrame, idCol: String,
                  textCol: String): DataFrame = {
-    def slim(df: DataFrame, h: String) =
+    def slim(df: DataFrame, h: String, p: String) =
       df.select(col(idCol).cast("long").as("doc_id"),
-        md5(col(textCol).cast("binary")).as(h))
-    slim(v1, "h1").join(slim(v2, "h2"), Seq("doc_id"), "full_outer")
+        lit(true).as(p),
+        coalesce(md5(col(textCol).cast("binary")), lit("<null-text>")).as(h))
+    slim(v1, "h1", "p1").join(slim(v2, "h2", "p2"), Seq("doc_id"), "full_outer")
       .withColumn("status",
-        when(col("h1").isNull, "added")
-          .when(col("h2").isNull, "deleted")
+        when(col("p1").isNull, "added")
+          .when(col("p2").isNull, "deleted")
           .when(col("h1") === col("h2"), "unchanged")
           .otherwise("changed"))
       .select(col("doc_id"), col("status"))

@@ -834,12 +834,15 @@ object Dedup {
     */
   def fuzzyNamePairs(df: DataFrame, nameCol: String, maxDist: Int): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    // the self-join's two sides share an identical aggregation subplan, so
+    // Spark's ReuseExchange serves both from ONE shuffle — no persist (a
+    // cache here would sit in the session's CacheManager until clearCache,
+    // leaking for library callers that compose operators)
     val n = df.groupBy(col(nameCol).as("name"))
       .agg(count(lit(1)).cast("long").as("cnt"))
       .select(col("name"), col("cnt"),
         element_at(split(col("name"), " "), -1).as("blk"),
         length(col("name")).as("ln"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = n.select(col("name").as("a_name"), col("cnt").as("a_cnt"),
       col("blk"), col("ln").as("a_ln"))
     val b = n.select(col("name").as("b_name"), col("cnt").as("b_cnt"),

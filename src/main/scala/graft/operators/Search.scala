@@ -83,20 +83,21 @@ object Search {
       .withColumn("dl", size(col("ts")).cast("long"))
     val stats = base.agg(count(lit(1)).cast("long").as("n_docs"),
       sum(col("dl")).cast("long").as("total_dl"))
-    // persist the matched-postings relation: dfreq and the scoring join
-    // both read it — without the cache Spark re-runs the corpus scan +
-    // tokenize for each reference (3 corpus passes instead of 2). The
-    // relation is docs×|terms| rows of (ids, counts) — tiny.
+    // per-term document frequency is a COUNT OVER the token partition of
+    // the matched-postings relation (one row per (doc, term), so the
+    // partition row count IS df_t) — a single corpus pass with no persist;
+    // a cache here would outlive the query in the session's CacheManager
+    // (library callers composing operators would accumulate cached
+    // relations for the session lifetime). The windowed relation is
+    // docs×|terms| rows of (ids, counts) — tiny.
     val hits = base
       .select(col("doc_id"), col("dl"),
         explode(filter(col("ts"), t => t.isInCollection(terms))).as("token"))
       .groupBy(col("doc_id"), col("dl"), col("token"))
       .agg(count(lit(1)).cast("long").as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfreq = hits.groupBy(col("token"))
-      .agg(count(lit(1)).cast("long").as("df_t"))
-    hits.join(broadcast(dfreq), "token")
-      .crossJoin(broadcast(stats))
+      .withColumn("df_t",
+        count(lit(1)).over(Window.partitionBy(col("token"))).cast("long"))
+    hits.crossJoin(broadcast(stats))
       .withColumn("idf_fp",
         expr("(1000 * (2 * (n_docs - df_t) + 1)) div (2 * df_t + 1)"))
       .withColumn("rdl", expr("(1000 * dl * n_docs) div total_dl"))
@@ -144,19 +145,19 @@ object Search {
     require(m >= 1, s"m must be >= 1, got $m")
     val tok = df.select(col(idCol).cast("long").as("doc_id"),
       explode(toks(col(textCol))).as("token"))
-    // df derives FROM the tf relation (one row per (doc, token), so a
-    // plain count per token IS the document frequency) — and tf persists
-    // so the corpus is scanned/tokenized once, not once per reference
+    // df derives FROM the tf relation (one row per (doc, token), so the
+    // token partition's row count IS the document frequency) — computed as
+    // COUNT OVER the token window, keeping the whole operator a single
+    // corpus pass with no persist (a cache here would sit in the session's
+    // CacheManager until clearCache — a leak for library callers)
     val tf = tok.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).cast("long").as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfreq = tf.groupBy(col("token"))
-      .agg(count(lit(1)).cast("long").as("df"))
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("token"))).cast("long"))
     val nDocs = df.select(count(lit(1)).cast("long").as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf_fp").desc, col("token"))
-    tf.join(dfreq, "token")
-      .crossJoin(broadcast(nDocs))
+    tf.crossJoin(broadcast(nDocs))
       .withColumn("tfidf_fp", col("tf") * expr("(1000 * n_docs) div df"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= m)

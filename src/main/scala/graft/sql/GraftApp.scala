@@ -919,6 +919,14 @@ object GraftApp {
               if ("""(?is)^\s*USING\b""".r.findFirstIn(afterHead).isDefined)
                 throw SqlError("JOIN … USING (…) is not supported — spell the " +
                   "condition with ON (JOIN R ON L.id = R.id)")
+              // the reference's ON-less form is ONLY the bare (cross) JOIN
+              // (joins.rs:join_test5_cross_join); an outer-join keyword with
+              // a dropped ON is a malformed query — lowering it to an
+              // always-true condition would silently cross-product
+              if (jt != "inner")
+                throw SqlError("malformed JOIN clause — " +
+                  s"${m.group(1).toUpperCase} OUTER JOIN requires an ON " +
+                  "condition (only the bare cross JOIN may omit ON)")
               joins += JoinClause(jt, m.group(2), "TRUE", win, alias)
               rest = afterHead
           }
@@ -1202,15 +1210,34 @@ object GraftApp {
     * frame, where min_by/max_by over the frame rows are exactly the frame's
     * first/last arrivals. Apps without a ts column fail resolution — the
     * same event-order contract the window lowering enforces.
+    *
+    * Two refinements for exact reference parity (aggregator/mod.rs:1680,
+    * 1765 — `if !value.is_null()` guards the VecDeque push):
+    *  - NULL SKIPPING: the reference only enqueues non-null values, so
+    *    first/last return the first/last NON-NULL arrival. min_by/max_by
+    *    skip rows whose ORDERING expression is null, so the ordering is
+    *    `IF(c IS NOT NULL, ts, NULL)` — a null value never wins the slot.
+    *  - DUPLICATE-ts DETERMINISM: bare ts ties resolve in partition order
+    *    (the nondeterminism class this rewrite exists to kill), so the
+    *    ordering is the struct (ts, c): equal-ts rows tie-break on the
+    *    value itself — stable under any shuffle. Within one ts the
+    *    reference's arrival order is unobservable in the batch model, so a
+    *    deterministic value-order tie-break is the faithful choice.
     */
   private def rewriteArrivalOrderAggs(
       e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.catalyst.expressions.Expression = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct, Expression, If, IsNotNull, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.{First, Last, MaxBy, MinBy}
+    def arrivalKey(c: Expression): Expression =
+      If(IsNotNull(c),
+        CreateNamedStruct(Seq(
+          Literal("ts"), UnresolvedAttribute("ts"), Literal("v"), c)),
+        Literal(null))
     e.transform {
-      case First(c, _) => MinBy(c, UnresolvedAttribute("ts"))
-      case Last(c, _) => MaxBy(c, UnresolvedAttribute("ts"))
+      case First(c, _) => MinBy(c, arrivalKey(c))
+      case Last(c, _) => MaxBy(c, arrivalKey(c))
     }
   }
 

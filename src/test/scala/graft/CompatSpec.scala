@@ -1319,6 +1319,64 @@ class CompatSpec extends AnyFunSuite {
       == Seq(("a", 2.0, 100.0), ("b", 1.0, 99.0)))
   }
 
+  // -- aggregator/mod.rs:1680,1765 — the reference's First/Last only
+  //    enqueue NON-NULL values (`if !value.is_null()`): a null at the
+  //    earliest/latest ts must not win the slot; and duplicate-ts rows
+  //    resolve deterministically (value tie-break), not by partition order
+  test("compat first/last: null values are skipped; duplicate ts is deterministic") {
+    val app =
+      """CREATE STREAM S (ts TIMESTAMP, v DOUBLE);
+        |CREATE STREAM Out (f DOUBLE, l DOUBLE);
+        |INSERT INTO Out SELECT first(v) AS f, last(v) AS l FROM S;""".stripMargin
+    // nulls sit at BOTH extremes of the arrival order
+    val in = Seq((1, null), (2, "5.0"), (3, "7.0"), (4, null))
+      .toDF("sec", "s").repartition(4)
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "CAST(s AS DOUBLE) AS v")
+    val r = GraftApp.run(spark, app, Map("S" -> in))("Out").collect()
+    assert(r.length == 1 && r(0).getDouble(0) == 5.0 && r(0).getDouble(1) == 7.0)
+    // all-null input: first/last are NULL (reference: empty VecDeque)
+    val inAllNull = Seq(1, 2).toDF("sec")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "CAST(NULL AS DOUBLE) AS v")
+    val r2 = GraftApp.run(spark, app, Map("S" -> inAllNull))("Out").collect()
+    assert(r2.length == 1 && r2(0).isNullAt(0) && r2(0).isNullAt(1))
+    // duplicate ts: arrival order within one ts is unobservable in the
+    // batch model — the contract is DETERMINISM (min/max value at the tied
+    // extreme ts), stable under any repartitioning
+    val inTies = Seq((1, 3.0), (1, 1.0), (1, 2.0), (2, 9.0), (2, 8.0))
+      .toDF("sec", "v").repartition(5)
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "v")
+    (1 to 3).foreach { _ =>
+      val rt = GraftApp.run(spark, app, Map("S" -> inTies))("Out").collect()
+      assert(rt.length == 1 && rt(0).getDouble(0) == 1.0 && rt(0).getDouble(1) == 9.0)
+    }
+  }
+
+  // -- joins.rs: the ON-less form is ONLY the bare (cross) JOIN; an outer
+  //    keyword with a dropped ON must stay a loud compile error, never a
+  //    silent cross product
+  test("compat: outer JOIN without ON is rejected at compile") {
+    Seq("LEFT", "RIGHT", "FULL", "LEFT OUTER", "FULL OUTER").foreach { kw =>
+      val app =
+        s"""CREATE STREAM A (ts TIMESTAMP, val INT);
+           |CREATE STREAM B (ts TIMESTAMP, val INT);
+           |CREATE STREAM Out (a INT, b INT);
+           |INSERT INTO Out
+           |SELECT A.val AS a, B.val AS b
+           |FROM A WINDOW('length', 10)
+           |$kw JOIN B WINDOW('length', 10);""".stripMargin
+      val e = intercept[GraftApp.SqlError] {
+        GraftApp.run(spark, app, Map(
+          "A" -> Seq((1, 1)).toDF("sec", "val")
+            .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "val"),
+          "B" -> Seq((1, 2)).toDF("sec", "val")
+            .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "val")))
+      }
+      assert(e.getMessage.toLowerCase.contains("on"), s"$kw: ${e.getMessage}")
+    }
+  }
+
   // -- aggregator/mod.rs:1530 — the reference's stdDev divides M2 by n
   //    (POPULATION), not n−1: an app spelling stddev must get 1.118 on
   //    {1,2,3,4}, not Spark's sample 1.291

@@ -39,6 +39,21 @@ class CurationSpec extends AnyFunSuite {
     assert(r2.getDouble(r2.fieldIndex("top_bigram_frac")) == 1.0)
   }
 
+  test("corpusDiff: NULL text is presence, not absence") {
+    // id 1: text→NULL = changed (not deleted); id 2: NULL→text = changed
+    // (not added); id 3: NULL→NULL = unchanged (not added); id 4: only in
+    // v1 = deleted; id 5: only in v2 = added; id 6: NULL→'' = changed
+    // (the empty string's digest is distinct from the null sentinel)
+    val v1 = Seq((1L, Option("x")), (2L, None), (3L, None),
+      (4L, Option("d")), (6L, None)).toDF("id", "txt")
+    val v2 = Seq((1L, None), (2L, Option("y")), (3L, None),
+      (5L, Option("a")), (6L, Option(""))).toDF("id", "txt")
+    val got = Curation.corpusDiff(v1, v2, "id", "txt")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "changed", 2L -> "changed", 3L -> "unchanged",
+      4L -> "deleted", 5L -> "added", 6L -> "changed"))
+  }
+
   test("redactPii: all three categories scrubbed, counts exact, order-safe") {
     val df = Seq(
       (1L, "mail bob.smith+x@corp.example.org now"),
