@@ -937,8 +937,13 @@ object TextQueries extends QueryFamily {
     // End-to-end tokenizer pass: train 30 merges on the corpus word table,
     // broadcast the merge ranks, encode every doc map-side, report the
     // piece vocabulary (top-50 by frequency). The trained merges are data-
-    // derived (not SQL-replayable), so this row is the driver's rows-only
-    // check; TokenizerSpec pins the algorithm with hand-computed goldens.
+    // derived (not SQL-recomputable), so the oracle is a STAGED GOLDEN:
+    // the expected output is a committed parquet fixture per SF
+    // (src/test/resources/golden/, regenerated by tools/stage_goldens.sh)
+    // that DuckDB reads and the driver hash-compares like any other row.
+    // The SF is selected by the corpus's total text bytes — a content key,
+    // since sf0.001 and sf0.01 share a row count. TokenizerSpec pins the
+    // algorithm itself with hand-computed goldens.
     QueryDef(
       "q_text_bpe_encode",
       (s, dir) => {
@@ -952,14 +957,16 @@ object TextQueries extends QueryFamily {
           .orderBy(col("cnt").desc, col("piece"))
           .limit(50)
       },
-      None),
+      Some(TextQueries.stagedGolden("q_text_bpe_encode", "piece, cnt"))),
 
     // Compression-ratio quality signal (RefinedWeb/CCNet heuristic family):
     // deflate_len/n_bytes separates boilerplate-repetitive text from prose
     // with zero linguistic machinery. Docs on id%5=0 are staged repetitive
     // (first 10 chars × 30) so both bands appear. Compressed length is
-    // codec-implementation-specific — rows-only check (like trained-BPE
-    // encode); SearchSpec pins determinism, band separation, null safety.
+    // codec-implementation-specific (not SQL-recomputable) — the oracle is
+    // a STAGED GOLDEN parquet fixture per SF (see q_text_bpe_encode note;
+    // regenerate with tools/stage_goldens.sh); SearchSpec pins determinism,
+    // band separation, null safety.
     QueryDef(
       "q_text_deflate",
       (s, dir) => {
@@ -975,6 +982,25 @@ object TextQueries extends QueryFamily {
             when(col("ratio_pm") < 200, "repetitive").otherwise("prose"))
           .orderBy(col("doc_id"))
       },
-      None)
+      Some(TextQueries.stagedGolden("q_text_deflate",
+        "doc_id, n_bytes, deflate_bytes, ratio_pm, band")))
   )
+
+  /** Staged-golden oracle SQL: the expected output lives as a committed
+    * parquet fixture per SF (src/test/resources/golden/<q>_sf<sf>.parquet,
+    * written by tools/stage_goldens.sh from the query's own deterministic
+    * output); DuckDB selects the fixture matching the corpus under test by
+    * its TOTAL TEXT BYTES (a content key — sf0.001 and sf0.01 share a row
+    * count) and the driver hash-compares it like any SQL-recomputed oracle.
+    * An unknown corpus matches no branch → zero oracle rows → a loud
+    * row-count mismatch, never a silent pass.
+    */
+  private[queries] def stagedGolden(q: String, cols: String): String = {
+    val dir = "/root/repo/src/test/resources/golden"
+    Seq("0.001" -> 153156L, "0.01" -> 149174L, "0.1" -> 1485576L)
+      .map { case (sf, key) =>
+        s"""SELECT $cols FROM read_parquet('$dir/${q}_sf$sf.parquet')
+           |WHERE (SELECT sum(strlen(text)) FROM documents) = $key""".stripMargin }
+      .mkString("\nUNION ALL\n")
+  }
 }
