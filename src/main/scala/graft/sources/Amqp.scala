@@ -262,12 +262,14 @@ class AmqpSourceProvider extends TableProvider {
     new AmqpTable(req("host"), req("port").toInt, req("queue"),
       Option(opts.get("vhost")).getOrElse("/"),
       Option(opts.get("user")).getOrElse("guest"),
-      Option(opts.get("pass")).getOrElse("guest"))
+      Option(opts.get("pass")).getOrElse("guest"),
+      BufferPolicy.fromOptions(opts))
   }
 }
 
 private[sources] class AmqpTable(host: String, port: Int, queue: String,
-                                 vhost: String, user: String, pass: String)
+                                 vhost: String, user: String, pass: String,
+                                 bufPolicy: BufferPolicy)
   extends Table with SupportsRead {
   override def name(): String = s"amqp:$host:$port/$queue"
   override def schema(): StructType = WebSocketSourceProvider.Schema
@@ -278,14 +280,16 @@ private[sources] class AmqpTable(host: String, port: Int, queue: String,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = WebSocketSourceProvider.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new AmqpMicroBatchStream(host, port, queue, vhost, user, pass)
+          new AmqpMicroBatchStream(host, port, queue, vhost, user, pass, bufPolicy)
       }
     }
 }
 
 private[sources] class AmqpMicroBatchStream(host: String, port: Int, queue: String,
-                                            vhost: String, user: String, pass: String)
+                                            vhost: String, user: String, pass: String,
+                                            bufPolicy: BufferPolicy = BufferPolicy.Default)
   extends DriverBufferedTextStream {
+  override protected def policy: BufferPolicy = bufPolicy
   protected def open(onText: String => Unit, onDeath: String => Unit): AutoCloseable = {
     val client = new AmqpClient(host, port, vhost, user, pass)
     client.connect()

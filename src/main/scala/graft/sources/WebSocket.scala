@@ -30,7 +30,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * source: a driver-side reader thread buffers messages; each micro-batch
   * serves a slice. That is the right shape for a LOW-VOLUME control/feed
   * channel (the reference's use); a 100 TB bulk feed belongs on a
-  * partitioned transport (files/Kafka), not a single WebSocket.
+  * partitioned transport (files/Kafka), not a single WebSocket. The buffer
+  * is CAPPED ([[BufferPolicy]], `'max.buffered'`/`'overflow'` options):
+  * a producer outpacing the trigger either has its excess dropped-and-
+  * counted or is parked via TCP flow control — the reference's junction
+  * Drop/Block strategies (event_pipeline.rs:23-72) — never an unbounded
+  * driver heap.
   */
 object WsCodec {
 
@@ -221,7 +226,7 @@ class WebSocketSourceProvider extends TableProvider {
     val port = Option(opts.get("port")).map(_.toInt).getOrElse(
       throw new IllegalArgumentException("websocket source needs a 'port' option"))
     val path = Option(opts.get("path")).getOrElse("/")
-    new WsTable(host, port, path)
+    new WsTable(host, port, path, BufferPolicy.fromOptions(opts))
   }
 }
 
@@ -229,7 +234,8 @@ object WebSocketSourceProvider {
   val Schema: StructType = StructType(Seq(StructField("value", StringType)))
 }
 
-private[sources] class WsTable(host: String, port: Int, path: String)
+private[sources] class WsTable(host: String, port: Int, path: String,
+                               bufPolicy: BufferPolicy)
   extends Table with SupportsRead {
   override def name(): String = s"websocket:$host:$port$path"
   override def schema(): StructType = WebSocketSourceProvider.Schema
@@ -240,13 +246,40 @@ private[sources] class WsTable(host: String, port: Int, path: String)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = WebSocketSourceProvider.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new WsMicroBatchStream(host, port, path)
+          new WsMicroBatchStream(host, port, path, bufPolicy)
       }
     }
 }
 
 private[sources] case class WsOffset(n: Long) extends Offset {
   override def json(): String = n.toString
+}
+
+/** Driver-buffer backpressure policy for the buffered transports — the
+  * reference's junction Drop/Block strategies (event_pipeline.rs:23-72)
+  * re-expressed for the micro-batch buffer: `maxBuffered` caps messages
+  * held between micro-batches; on overflow `drop` discards the incoming
+  * message (counted, surfaced), `block` parks the reader thread until a
+  * commit trims the buffer — which stops reading the socket, so TCP flow
+  * control pushes back on the producer. Without a cap a producer that
+  * outpaces the trigger grows driver memory until OOM — silently.
+  */
+private[sources] final case class BufferPolicy(maxBuffered: Int, overflow: String) {
+  require(maxBuffered >= 1, s"max.buffered must be >= 1, got $maxBuffered")
+  require(overflow == "drop" || overflow == "block",
+    s"overflow must be 'drop' or 'block', got '$overflow'")
+}
+
+private[sources] object BufferPolicy {
+  /** Default: block at 1M buffered messages — lossless backpressure sized
+    * for the low-volume control feeds these transports are scoped to. */
+  val Default: BufferPolicy = BufferPolicy(1000000, "block")
+  def fromOptions(opts: CaseInsensitiveStringMap): BufferPolicy =
+    BufferPolicy(
+      Option(opts.get("max.buffered")).map(_.trim.toInt)
+        .getOrElse(Default.maxBuffered),
+      Option(opts.get("overflow")).map(_.trim.toLowerCase)
+        .getOrElse(Default.overflow))
 }
 
 /** Driver-side buffered micro-batch stream (the socket-source architecture,
@@ -264,20 +297,48 @@ private[sources] abstract class DriverBufferedTextStream extends MicroBatchStrea
     */
   protected def open(onText: String => Unit, onDeath: String => Unit): AutoCloseable
 
+  /** Overflow behavior when the producer outpaces the trigger. */
+  protected def policy: BufferPolicy = BufferPolicy.Default
+
   private val lock = new Object
   private var base = 0L
   private val buf = mutable.ArrayBuffer.empty[String]
+  private var droppedTotal = 0L
   @volatile private var handle: AutoCloseable = _
   @volatile private var started = false
   @volatile private var stopped = false
   @volatile private var deadCause: String = _
   @volatile private var warnedGap = false
 
+  /** Messages discarded by the `drop` overflow policy so far (also logged
+    * on the first drop and every 10,000th). */
+  def droppedCount: Long = lock.synchronized(droppedTotal)
+
+  /** Enqueue one message under the policy. Runs on the reader thread, so
+    * `block` parks the TRANSPORT — the socket stops being read and TCP
+    * receive-window backpressure reaches the producer, the same effect as
+    * the reference's Block junction strategy.
+    */
+  private def enqueue(s: String): Unit = lock.synchronized {
+    if (buf.size >= policy.maxBuffered) {
+      if (policy.overflow == "drop") {
+        droppedTotal += 1
+        if (droppedTotal == 1L || droppedTotal % 10000 == 0)
+          System.err.println(
+            s"[graft] WARNING: driver buffer full (${policy.maxBuffered}); " +
+              s"dropped $droppedTotal message(s) so far (overflow='drop')")
+        return
+      }
+      while (buf.size >= policy.maxBuffered && !stopped) lock.wait()
+      if (stopped) return
+    }
+    buf += s
+  }
+
   private def ensureStarted(): Unit = lock.synchronized {
     if (!started) {
       started = true
-      handle = open(s => lock.synchronized { buf += s },
-        cause => if (!stopped) deadCause = cause)
+      handle = open(enqueue, cause => if (!stopped) deadCause = cause)
     }
   }
 
@@ -322,16 +383,19 @@ private[sources] abstract class DriverBufferedTextStream extends MicroBatchStrea
     val drop = math.max(0L, math.min(buf.size.toLong, e - base)).toInt
     buf.remove(0, drop)
     base += drop
+    lock.notifyAll() // wake a reader parked by the `block` overflow policy
   }
 
   override def stop(): Unit = {
-    stopped = true
+    lock.synchronized { stopped = true; lock.notifyAll() }
     if (handle != null) handle.close()
   }
 }
 
-private[sources] class WsMicroBatchStream(host: String, port: Int, path: String)
+private[sources] class WsMicroBatchStream(host: String, port: Int, path: String,
+                                          bufPolicy: BufferPolicy = BufferPolicy.Default)
   extends DriverBufferedTextStream {
+  override protected def policy: BufferPolicy = bufPolicy
   protected def open(onText: String => Unit, onDeath: String => Unit): AutoCloseable = {
     val client = new WebSocketClient(host, port, path, onText)
     client.connect()
