@@ -413,6 +413,42 @@ object Dedup {
     * (SemDeDup uses ~sqrt(N) clusters) to bound per-cluster population,
     * and the one shuffle is on the cluster key.
     */
+  /** The SemDeDup nlist contract IN CODE: with nlist clusters over N
+    * vectors, assignment costs N·nlist cosines and the within-cluster pair
+    * stage costs ≈ N²/nlist — nlist = √N equalizes the two at O(N^1.5·dim),
+    * the single-level optimum (and SemDeDup's ~√N operating point; per-
+    * vector candidate sets grow only ∝ √N). Truly linear pair work needs
+    * FIXED cluster population (nlist ∝ N), which makes flat assignment
+    * quadratic — that regime wants hierarchical/IVF coarse assignment, out
+    * of scope for the single-level operator. This is the derivation
+    * [[semanticAuto]] uses and the bound [[semantic]] warns against;
+    * measured: 10× corpus with nlist scaled by this rule = 1.2× wall vs
+    * 2.5× (pairs ×100) with nlist held fixed (SCALE.md round-9 row).
+    */
+  def nlistFor(corpusCount: Long): Int =
+    math.max(1, math.ceil(math.sqrt(math.max(0L, corpusCount).toDouble)).toInt)
+
+  /** [[semantic]] with the nlist ∝ √N contract applied automatically:
+    * counts the corpus, derives nlist = ⌈√N⌉, and picks centroid ids
+    * deterministically as the MIN id of each id-range stripe (bucket =
+    * id div ⌈N/nlist⌉ — one narrow hash-agg, engine-replayable, spread
+    * across the id range). Use the explicit-centroid overload when a
+    * trained k-means codebook (Similarity.trainCentroids) is available.
+    */
+  def semanticAuto(corpus: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, scale: Int = 10000): DataFrame = {
+    val n = corpus.count()
+    require(n > 0, "semanticAuto needs a non-empty corpus")
+    val k = nlistFor(n)
+    val stride = math.max(1L, math.ceil(n.toDouble / k).toLong)
+    val ids = corpus
+      .select((col(idCol).cast("long") / stride).cast("long").as("bucket"),
+        col(idCol).cast("long").as("id"))
+      .groupBy(col("bucket")).agg(min(col("id")).as("id"))
+      .select(col("id")).collect().map(_.getLong(0)).toSeq.sorted
+    semantic(corpus, idCol, vecCol, threshold, ids, scale)
+  }
+
   def semantic(corpus: DataFrame, idCol: String, vecCol: String,
                threshold: Double, centroidIds: Seq[Long],
                scale: Int = 10000): DataFrame = {
@@ -424,20 +460,86 @@ object Dedup {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
     val cents: Seq[Seq[Long]] = centroidIds.map(id => centRows.getOrElse(id,
       throw new IllegalArgumentException(s"centroid id $id not in corpus")))
-    // (sim, -list) struct max ⇒ ties pick the SMALLEST list index (the
-    // cross-engine ORDER BY sim DESC, list ASC rule)
-    def assignQ(qv: Column): Column =
-      -array_max(array(cents.zipWithIndex.map { case (cv, i) =>
-        struct(VectorFns.cosineQ(qv, typedlit(cv)).as("sim"), lit(-i).as("nl"))
-      }: _*)).getField("nl")
+    // Assignment = argmax quantized cosine over nlist centroids, written
+    // as per-partition imperative arithmetic rather than a Catalyst
+    // array_max over nlist (sim, -list) structs: with nlist ∝ √N
+    // (nlistFor) the expression tree GROWS WITH THE CORPUS and the
+    // optimizer/codegen cost dominates the job (the q_sim_pq lesson,
+    // SCALE.md) — the loop evaluates the identical exact long sums and
+    // the same single double divide, bit-for-bit, with a
+    // strictly-greater argmax reproducing the (sim DESC, list ASC) tie
+    // rule. Centroid norms hoist out of the per-row loop (exact integer
+    // sums — same values, computed once).
     // persist: quantize + nlist cosine evaluations per vector is the
     // expensive map stage, and `e` feeds BOTH self-join sides plus the
     // verdict spine — without it Spark recomputes the assignment 3x
     // (the minHashLsh sigBase rationale)
-    val e = corpus.select(col(idCol).cast("long").as("vec_id"),
-        VectorFns.quantize(col(vecCol), scale).as("qv"))
-      .withColumn("cluster", assignQ(col("qv")).cast("long"))
+    val centArr: Array[Array[Long]] = cents.map(_.toArray).toArray
+    val centNorm: Array[Long] = centArr.map(c => c.map(y => y * y).sum)
+    val eSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("qv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.LongType)))
+    val e = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .mapPartitions { it =>
+        it.map { r =>
+          if (r.isNullAt(1)) org.apache.spark.sql.Row(r.getLong(0), null, null)
+          else {
+            val raw = r.getSeq[Number](1)
+            val qv = new Array[Long](raw.length)
+            var i = 0
+            while (i < qv.length) {
+              qv(i) = math.floor(raw(i).doubleValue() * scale + 0.5).toLong
+              i += 1
+            }
+            var na = 0L; i = 0
+            while (i < qv.length) { na += qv(i) * qv(i); i += 1 }
+            var best = 0; var bestSim = Double.NegativeInfinity
+            var j = 0
+            while (j < centArr.length) {
+              val c = centArr(j)
+              val n = math.min(qv.length, c.length)
+              var d = 0L; var t = 0
+              while (t < n) { d += qv(t) * c(t); t += 1 }
+              // truncated-norm edge: if dims differ, norms over min(n) only
+              val (nav, nbv) =
+                if (n == qv.length && n == c.length) (na, centNorm(j))
+                else {
+                  var a2 = 0L; var b2 = 0L; var u = 0
+                  while (u < n) { a2 += qv(u) * qv(u); b2 += c(u) * c(u); u += 1 }
+                  (a2, b2)
+                }
+              val sim =
+                if (nav == 0L || nbv == 0L) 0.0
+                else d.toDouble / (math.sqrt(nav.toDouble) * math.sqrt(nbv.toDouble))
+              if (sim > bestSim) { bestSim = sim; best = j }
+              j += 1
+            }
+            org.apache.spark.sql.Row(r.getLong(0), qv.toSeq, best.toLong)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(eSchema))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // enforce the nlist ∝ √N contract (see nlistFor): count() here is NOT
+    // an extra pass — it materializes the persisted assignment every
+    // downstream stage reads anyway. The bound is on expected cluster
+    // POPULATION (pairs/cluster = pop²/2): pop ≤ 4·√N ⇔ 16·nlist² ≥ N
+    // accepts any nlist down to √N/4; below that the within-cluster pair
+    // stage is measurably quadratic (SCALE.md's fixed-nlist 10× row:
+    // 2.3× wall, pairs ×100).
+    val nVecs = e.count()
+    if (16L * centroidIds.size * centroidIds.size < nVecs)
+      graft.sql.ScaleWarnings.warn(
+        s"semantic dedup: nlist=${centroidIds.size} for $nVecs vectors — " +
+          "within-cluster pairing is quadratic in cluster population " +
+          s"(expected ${nVecs / centroidIds.size}/cluster); pass nlist ≈ " +
+          s"sqrt(N) = ${nlistFor(nVecs)} centroids (Dedup.nlistFor / " +
+          "semanticAuto) to balance assignment and pairing at the " +
+          "single-level optimum")
     val a = e.select(col("cluster"), col("vec_id").as("a_id"), col("qv").as("a_qv"))
     val b = e.select(col("cluster"), col("vec_id").as("b_id"), col("qv").as("b_qv"))
     val matches = a.join(b, Seq("cluster")).filter(col("b_id") < col("a_id"))

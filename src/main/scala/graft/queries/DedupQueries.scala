@@ -127,6 +127,21 @@ object DedupQueries extends QueryFamily {
       },
       Some(semanticOracle)),
 
+    // SemDeDup with the nlist ∝ √N contract APPLIED (Dedup.semanticAuto):
+    // nlist = ⌈√N⌉ derived from the corpus count, centroids = the MIN id
+    // of each ⌈N/nlist⌉-wide id stripe — every step (count, stripe
+    // selection, assignment, pairing) is engine-replayable, so the oracle
+    // recomputes the WHOLE auto path at any SF. This is the scale-path
+    // twin of q_dedup_semantic's fixed-nlist convention.
+    QueryDef(
+      "q_dedup_semantic_auto",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        Dedup.semanticAuto(e, "vec_id", "embedding", threshold = 0.4)
+          .orderBy(col("vec_id"))
+      },
+      Some(semanticAutoOracle)),
+
     // Embedding-cosine near-dup, blocked by label, quantized for exact
     // cross-engine parity (see VectorFns.quantize scaladoc).
     QueryDef(
@@ -345,6 +360,50 @@ object DedupQueries extends QueryFamily {
        |  FROM embeddings),
        |cents AS (
        |  SELECT vec_id - 10 AS list, qv AS cv FROM q0 WHERE vec_id >= 10 AND vec_id < 18),
+       |csim AS (
+       |  SELECT v.vec_id, c.list,
+       |    ${qcos("v.qv", "c.cv")} AS sim
+       |  FROM q0 v CROSS JOIN cents c),
+       |assign AS (
+       |  SELECT vec_id, CAST(list AS BIGINT) AS cluster FROM (
+       |    SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list) AS rn
+       |    FROM csim) WHERE rn = 1),
+       |e AS (SELECT a.vec_id, a.cluster, v.qv FROM assign a JOIN q0 v USING (vec_id)),
+       |pairs AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    ${qcos("a.qv", "b.qv")} AS sim
+       |  FROM e a JOIN e b ON a.cluster = b.cluster AND b.vec_id < a.vec_id),
+       |m AS (
+       |  SELECT a_id, min(b_id) AS dup_of, max(sim) AS best_sim
+       |  FROM pairs WHERE sim > 0.4 GROUP BY a_id)
+       |SELECT e.vec_id, e.cluster, m.dup_of IS NOT NULL AS is_dup, m.dup_of, m.best_sim
+       |FROM e LEFT JOIN m ON m.a_id = e.vec_id
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** DuckDB replica of [[graft.operators.Dedup.semanticAuto]]: derives
+    * nlist = ⌈√N⌉ and the id-stripe centroids from the corpus itself, then
+    * replays assignment/pairing/verdicts exactly like [[semanticOracle]].
+    * Centroid list index = rank of the (sorted) stripe-min ids, matching
+    * semanticAuto's sorted `ids` ordering.
+    */
+  private def semanticAutoOracle: String = {
+    def qcos(a: String, b: String): String =
+      s"""CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1]*z[2])) AS DOUBLE)
+         |     / (sqrt(CAST(list_sum(list_transform($a, x -> x*x)) AS DOUBLE))
+         |        * sqrt(CAST(list_sum(list_transform($b, x -> x*x)) AS DOUBLE)))""".stripMargin
+    s"""WITH q0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT count(*) AS n, CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM q0),
+       |st AS (
+       |  SELECT CAST(greatest(1, CAST(ceil(CAST(n AS DOUBLE) / k) AS BIGINT)) AS BIGINT) AS stride FROM p),
+       |cids AS (
+       |  SELECT min(vec_id) AS id FROM q0, st GROUP BY vec_id // stride),
+       |cents AS (
+       |  SELECT row_number() OVER (ORDER BY c.id) - 1 AS list, v.qv AS cv
+       |  FROM cids c JOIN q0 v ON v.vec_id = c.id),
        |csim AS (
        |  SELECT v.vec_id, c.list,
        |    ${qcos("v.qv", "c.cv")} AS sim

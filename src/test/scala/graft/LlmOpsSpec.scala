@@ -131,6 +131,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("99"))
   }
 
+  test("semantic dedup: nlist ∝ √N contract — nlistFor, under-nlist warning, auto path") {
+    import spark.implicits._
+    import graft.sql.ScaleWarnings
+    // the contract itself
+    assert(Dedup.nlistFor(0) == 1 && Dedup.nlistFor(1) == 1)
+    assert(Dedup.nlistFor(100) == 10 && Dedup.nlistFor(500) == 23)
+    assert(Dedup.nlistFor(1000000) == 1000)
+    // under-provisioned nlist (1 centroid for 100 vectors; 16·1 < 100)
+    // fires the ScaleWarning naming the √N fix
+    val vecs = (0L until 100L)
+      .map(i => (i, Array((i % 7).toFloat + 1f, (i % 5).toFloat, 1f)))
+      .toDF("vec_id", "embedding")
+    ScaleWarnings.reset()
+    Dedup.semantic(vecs, "vec_id", "embedding", 0.999, Seq(0L)).count()
+    assert(ScaleWarnings.recentWarnings.exists(w =>
+      w.contains("quadratic") && w.contains("sqrt(N) = 10")))
+    // the √N auto path derives a compliant nlist — no warning — and its
+    // verdict spine covers every vector
+    ScaleWarnings.reset()
+    val auto = Dedup.semanticAuto(vecs, "vec_id", "embedding", 0.999)
+    assert(auto.count() == 100)
+    assert(ScaleWarnings.recentWarnings.isEmpty)
+    // auto ≡ explicit semantic() with the same derived stripe centroids
+    // (stride = ceil(100/10) = 10 → ids 0,10,…,90)
+    val explicit = Dedup.semantic(vecs, "vec_id", "embedding", 0.999,
+      (0L until 100L by 10L))
+    assert(auto.orderBy("vec_id").collect().toSeq ==
+      explicit.orderBy("vec_id").collect().toSeq)
+  }
+
   test("simhash flags exact duplicates at Hamming distance 0") {
     val docs = Tables(spark, dir, "documents").select("doc_id", "text").limit(100)
     val dups = docs.withColumn("doc_id", col("doc_id") + 100000)
