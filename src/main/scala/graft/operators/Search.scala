@@ -36,23 +36,47 @@ object Search {
     * df and the sorted posting list (distinct doc ids). `minDf` drops
     * hapax-ish noise; `maxDfPermille` (per-mille of the corpus doc count)
     * drops stopword-grade tokens — the posting-list skew at scale.
+    *
+    * `postingsAs` picks the materialization:
+    *  - `'array'` (default): one row per token, postings as a sorted
+    *    `collect_set` array — convenient for bounded indexes; under the
+    *    maxDf gate each array is bounded, but the row is as wide as the
+    *    token's df.
+    *  - `'relation'`: the 100 TB-native surface — one NARROW row per
+    *    (token, doc_id) with the per-doc tf and the token's (tf, df)
+    *    alongside (count/sum over the token partition of the already-
+    *    aggregated relation — no second corpus pass, no wide rows, and
+    *    downstream joins/scans shard by token like any fact table).
     */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
-                    minDf: Long = 1, maxDfPermille: Int = 1000): DataFrame = {
+                    minDf: Long = 1, maxDfPermille: Int = 1000,
+                    postingsAs: String = "array"): DataFrame = {
     require(minDf >= 1, s"minDf must be >= 1, got $minDf")
     require(maxDfPermille >= 1 && maxDfPermille <= 1000,
       s"maxDfPermille must be in [1, 1000], got $maxDfPermille")
+    require(postingsAs == "array" || postingsAs == "relation",
+      s"postingsAs must be 'array' or 'relation', got '$postingsAs'")
     val tok = df.select(col(idCol).cast("long").as("doc_id"),
         explode(toks(col(textCol))).as("token"))
     val nDocs = df.select(count(lit(1)).cast("long").as("n_docs"))
-    tok.groupBy(col("token"))
-      .agg(count(lit(1)).cast("long").as("tf"),
-        count_distinct(col("doc_id")).cast("long").as("df"),
-        sort_array(collect_set(col("doc_id"))).as("posting_ids"))
-      .crossJoin(broadcast(nDocs))
-      .filter(col("df") >= minDf &&
-        col("df") * 1000L <= col("n_docs") * maxDfPermille.toLong)
-      .drop("n_docs")
+    def gated(d: DataFrame): DataFrame =
+      d.crossJoin(broadcast(nDocs))
+        .filter(col("df") >= minDf &&
+          col("df") * 1000L <= col("n_docs") * maxDfPermille.toLong)
+        .drop("n_docs")
+    if (postingsAs == "array")
+      gated(tok.groupBy(col("token"))
+        .agg(count(lit(1)).cast("long").as("tf"),
+          count_distinct(col("doc_id")).cast("long").as("df"),
+          sort_array(collect_set(col("doc_id"))).as("posting_ids")))
+    else {
+      val w = Window.partitionBy(col("token"))
+      gated(tok.groupBy(col("token"), col("doc_id"))
+          .agg(count(lit(1)).cast("long").as("tf_doc"))
+          .withColumn("tf", sum(col("tf_doc")).over(w).cast("long"))
+          .withColumn("df", count(lit(1)).over(w).cast("long")))
+        .select(col("token"), col("doc_id"), col("tf_doc"), col("tf"), col("df"))
+    }
   }
 
   /** BM25 top-k retrieval for a literal term list, exact fixed-point.

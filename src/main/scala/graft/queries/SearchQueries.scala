@@ -43,6 +43,31 @@ object SearchQueries extends QueryFamily {
              |FROM post JOIN tfs USING (token)
              |WHERE df >= 3 ORDER BY token""".stripMargin)),
 
+    // Relation-form postings (postingsAs='relation'): the 100 TB-native
+    // surface — one narrow (token, doc_id, tf_doc) row with the token's
+    // (tf, df) alongside; no collect_set arrays, shards by token.
+    QueryDef(
+      "q_search_index_rel",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        Search.invertedIndex(d, "doc_id", "text", minDf = 3,
+            postingsAs = "relation")
+          .orderBy(col("token"), col("doc_id"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |           t -> t <> '')) AS token
+             |  FROM documents),
+             |td AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf_doc
+             |       FROM tok GROUP BY token, doc_id),
+             |rel AS (SELECT token, doc_id, tf_doc,
+             |          CAST(sum(tf_doc) OVER (PARTITION BY token) AS BIGINT) AS tf,
+             |          CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS df
+             |        FROM td)
+             |SELECT token, doc_id, tf_doc, tf, df FROM rel
+             |WHERE df >= 3 ORDER BY token, doc_id""".stripMargin)),
+
     // BM25 top-20 for a three-term query. Fixed-point contract documented
     // at Search.bm25TopK; DuckDB recomputes every BIGINT score exactly.
     QueryDef(

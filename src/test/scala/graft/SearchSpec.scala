@@ -45,6 +45,31 @@ class SearchSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet == Set("apple", "cherry"))
   }
 
+  test("invertedIndex relation form: narrow rows agree with the array form") {
+    val d = docs(
+      1L -> "apple banana apple",
+      2L -> "banana cherry",
+      3L -> "apple? BANANA banana")
+    val rel = Search.invertedIndex(d, "doc_id", "text",
+        postingsAs = "relation")
+      .orderBy("token", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // (token, doc_id, tf_doc, tf, df): per-doc tf plus the token stats
+    assert(rel.toList == List(
+      ("apple", 1L, 2L, 3L, 2L), ("apple", 3L, 1L, 3L, 2L),
+      ("banana", 1L, 1L, 4L, 3L), ("banana", 2L, 1L, 4L, 3L),
+      ("banana", 3L, 2L, 4L, 3L),
+      ("cherry", 2L, 1L, 1L, 1L)))
+    // gates apply identically; bad mode is a typed error
+    assert(Search.invertedIndex(d, "doc_id", "text", minDf = 2,
+        postingsAs = "relation")
+      .collect().map(_.getString(0)).toSet == Set("apple", "banana"))
+    intercept[IllegalArgumentException] {
+      Search.invertedIndex(d, "doc_id", "text", postingsAs = "csv")
+    }
+  }
+
   test("bm25TopK: hand-computed fixed-point scores, ranking, tie-break") {
     // Corpus: N=3 docs, dl = 3, 2, 4; T = 9.
     val d = docs(
