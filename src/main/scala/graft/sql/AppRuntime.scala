@@ -240,6 +240,11 @@ object AppRuntime {
           mapSinkRows(env(name), sd).createOrReplaceTempView(name)
           None
         } else {
+          // typed state-schema gate: a checkpoint from another build fails
+          // HERE with an actionable message, not in Spark's state-store
+          // schema check mid-batch (StateSchema scaladoc)
+          sd.options.get("checkpointLocation").foreach(p =>
+            graft.streaming.StateSchema.guard(env(name).sparkSession, p))
           val fmt = sd.options.getOrElse("format", "console")
           if (fmt == "websocket" || fmt == "rabbitmq" || fmt == "amqp") {
             // network sinks: rows (reduced to one string column by the sink

@@ -60,6 +60,47 @@ class ConnectorSpec extends AnyFunSuite {
     } finally qs.foreach(_.stop())
   }
 
+  test("state-schema versioning: typed checkpoint error, marker stamped on fresh dirs") {
+    import graft.streaming.StateSchema
+    import java.nio.file.{Files, Paths}
+    // fresh dir → marker stamped; same-version restart passes
+    val dir = Files.createTempDirectory("graft-ckpt").toString
+    StateSchema.guard(spark, dir)
+    StateSchema.guard(spark, dir)
+    assert(new java.io.File(dir, "graft-state-version.json").exists())
+    // staged old-version marker → typed, actionable error naming both
+    // versions (drop the local FS's .crc sidecar: we are simulating a
+    // marker written by ANOTHER build, not editing this one's)
+    Files.writeString(Paths.get(dir, "graft-state-version.json"), "{\"version\":7}")
+    Files.deleteIfExists(Paths.get(dir, ".graft-state-version.json.crc"))
+    val e = intercept[StateSchema.CheckpointVersionMismatch](
+      StateSchema.guard(spark, dir))
+    assert(e.getMessage.contains("v7") &&
+      e.getMessage.contains(s"v${StateSchema.Version}") &&
+      e.getMessage.contains("fresh"))
+    // pre-versioning checkpoint (content, no marker) → typed error too
+    val old = Files.createTempDirectory("graft-ckpt-old")
+    Files.createDirectory(old.resolve("offsets"))
+    val e2 = intercept[StateSchema.CheckpointVersionMismatch](
+      StateSchema.guard(spark, old.toString))
+    assert(e2.getMessage.contains("predates"))
+    // the app-runtime path: a sink restarted on a staged old checkpoint
+    // fails AT START with the typed message, before any executor work
+    val dir3 = Files.createTempDirectory("graft-ckpt3")
+    Files.writeString(dir3.resolve("graft-state-version.json"), "{\"version\":8}")
+    Files.deleteIfExists(dir3.resolve(".graft-state-version.json.crc"))
+    val app =
+      s"""CREATE TRIGGER Tick AT EVERY 100 MILLISECONDS;
+         |CREATE STREAM CkOut (triggered_time TIMESTAMP)
+         |WITH ('type'='sink','format'='memory','checkpointLocation'='$dir3');
+         |INSERT INTO CkOut SELECT triggered_time FROM Tick;""".stripMargin
+    try {
+      val e3 = intercept[StateSchema.CheckpointVersionMismatch](
+        graft.sql.AppRuntime.start(spark, app))
+      assert(e3.getMessage.contains("v8"))
+    } finally spark.streams.active.foreach(_.stop())
+  }
+
   test("CREATE TRIGGER AT START: fires exactly once at app start") {
     val app =
       """CREATE TRIGGER Boot AT START;
