@@ -23,8 +23,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * client-side masking, fragmentation reassembly, ping/pong, close), a
   * blocking client, a Spark DataSource-V2 micro-batch SOURCE, and a
   * `ForeachWriter` SINK. No external library — `java.net.Socket` +
-  * `java.security.MessageDigest` only. TLS (wss://) and proxy traversal
-  * stay environment concerns, as in the reference.
+  * `java.security.MessageDigest` only. Client-side TLS (wss://) is
+  * supported pure-JVM via JSSE ([[WsTls]]: `'tls'='true'` +
+  * optional pinned `'tls.truststore'`, hostname verification on); proxy
+  * traversal and server-side TLS termination stay environment concerns,
+  * as in the reference.
   *
   * The source follows the architecture of Spark's own dev-transport socket
   * source: a driver-side reader thread buffers messages; each micro-batch
@@ -109,18 +112,60 @@ object WsCodec {
   }
 }
 
+/** Client-side TLS for wss:// over the existing socket path, pure JSSE.
+  * `'tls'='true'` upgrades the transport; trust defaults to the JVM's
+  * standard chain (cacerts / `javax.net.ssl.trustStore` properties), or a
+  * `'tls.truststore'` (+ password) option pins an explicit store — the
+  * shape every JVM client config uses. Endpoint identification (hostname
+  * vs certificate SAN/CN) is ON — JSSE raw sockets skip it by default,
+  * which would accept any certificate the chain signs.
+  */
+object WsTls {
+  def context(trustStore: Option[(String, String)]): javax.net.ssl.SSLContext =
+    trustStore match {
+      case None => javax.net.ssl.SSLContext.getDefault
+      case Some((path, password)) =>
+        val ks = java.security.KeyStore.getInstance(
+          java.security.KeyStore.getDefaultType)
+        val in = new java.io.FileInputStream(path)
+        try ks.load(in, password.toCharArray) finally in.close()
+        val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+          javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+        tmf.init(ks)
+        val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+        ctx.init(null, tmf.getTrustManagers, null)
+        ctx
+    }
+
+  /** TLS-wrapped client socket with hostname verification enabled. */
+  def socket(host: String, port: Int,
+             trustStore: Option[(String, String)]): Socket = {
+    val s = context(trustStore).getSocketFactory
+      .createSocket(host, port).asInstanceOf[javax.net.ssl.SSLSocket]
+    val p = s.getSSLParameters
+    p.setEndpointIdentificationAlgorithm("HTTPS")
+    s.setSSLParameters(p)
+    s.startHandshake()
+    s
+  }
+}
+
 /** Blocking RFC 6455 client: connect + Upgrade handshake, then a message
   * loop that reassembles fragmented text/binary messages, answers pings,
   * and echoes close. `onText` fires once per complete text message.
+  * `tls=true` runs the identical protocol over a JSSE socket ([[WsTls]]).
   */
 final class WebSocketClient(host: String, port: Int, path: String,
-                            onText: String => Unit) {
+                            onText: String => Unit,
+                            tls: Boolean = false,
+                            trustStore: Option[(String, String)] = None) {
   @volatile private var socket: Socket = _
   private var in: DataInputStream = _
   private var out: DataOutputStream = _
 
   def connect(): Unit = {
-    socket = new Socket(host, port)
+    socket = if (tls) WsTls.socket(host, port, trustStore)
+             else new Socket(host, port)
     socket.setTcpNoDelay(true)
     in = new DataInputStream(new java.io.BufferedInputStream(socket.getInputStream))
     out = new DataOutputStream(new java.io.BufferedOutputStream(socket.getOutputStream))
@@ -226,18 +271,38 @@ class WebSocketSourceProvider extends TableProvider {
     val port = Option(opts.get("port")).map(_.toInt).getOrElse(
       throw new IllegalArgumentException("websocket source needs a 'port' option"))
     val path = Option(opts.get("path")).getOrElse("/")
-    new WsTable(host, port, path, BufferPolicy.fromOptions(opts))
+    new WsTable(host, port, path, BufferPolicy.fromOptions(opts),
+      WebSocketSourceProvider.tlsOf(opts))
   }
 }
 
 object WebSocketSourceProvider {
   val Schema: StructType = StructType(Seq(StructField("value", StringType)))
+
+  /** ('tls', 'tls.truststore', 'tls.truststore.password') → (tls?, store).
+    * A truststore option without 'tls'='true' is a config mistake —
+    * rejected rather than silently running plaintext.
+    */
+  private[sources] def tlsOf(opts: CaseInsensitiveStringMap)
+      : (Boolean, Option[(String, String)]) = {
+    val tls = Option(opts.get("tls")).exists(_.trim.equalsIgnoreCase("true"))
+    val store = Option(opts.get("tls.truststore")).map(p =>
+      p -> Option(opts.get("tls.truststore.password")).getOrElse(""))
+    if (store.isDefined && !tls)
+      throw new IllegalArgumentException(
+        "'tls.truststore' is set but 'tls' is not 'true' — refusing to " +
+          "run plaintext with TLS material configured")
+    (tls, store)
+  }
 }
 
 private[sources] class WsTable(host: String, port: Int, path: String,
-                               bufPolicy: BufferPolicy)
+                               bufPolicy: BufferPolicy,
+                               tls: (Boolean, Option[(String, String)]) =
+                                 (false, None))
   extends Table with SupportsRead {
-  override def name(): String = s"websocket:$host:$port$path"
+  override def name(): String =
+    s"${if (tls._1) "websocket+tls" else "websocket"}:$host:$port$path"
   override def schema(): StructType = WebSocketSourceProvider.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
@@ -246,7 +311,7 @@ private[sources] class WsTable(host: String, port: Int, path: String,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = WebSocketSourceProvider.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new WsMicroBatchStream(host, port, path, bufPolicy)
+          new WsMicroBatchStream(host, port, path, bufPolicy, tls)
       }
     }
 }
@@ -393,11 +458,13 @@ private[sources] abstract class DriverBufferedTextStream extends MicroBatchStrea
 }
 
 private[sources] class WsMicroBatchStream(host: String, port: Int, path: String,
-                                          bufPolicy: BufferPolicy = BufferPolicy.Default)
+                                          bufPolicy: BufferPolicy = BufferPolicy.Default,
+                                          tls: (Boolean, Option[(String, String)]) =
+                                            (false, None))
   extends DriverBufferedTextStream {
   override protected def policy: BufferPolicy = bufPolicy
   protected def open(onText: String => Unit, onDeath: String => Unit): AutoCloseable = {
-    val client = new WebSocketClient(host, port, path, onText)
+    val client = new WebSocketClient(host, port, path, onText, tls._1, tls._2)
     client.connect()
     val t = new Thread(() => {
       try { client.loop(); onDeath("connection closed by peer") }
@@ -429,11 +496,13 @@ private[sources] class WsReaderFactory extends PartitionReaderFactory {
   * RFC). Pair with the sink mappers (json template / to_json / csv) which
   * already reduce rows to one `value` column.
   */
-class WebSocketForeachWriter(host: String, port: Int, path: String = "/")
+class WebSocketForeachWriter(host: String, port: Int, path: String = "/",
+                             tls: Boolean = false,
+                             trustStore: Option[(String, String)] = None)
   extends ForeachWriter[Row] {
   @transient private var client: WebSocketClient = _
   override def open(partitionId: Long, epochId: Long): Boolean = {
-    client = new WebSocketClient(host, port, path, _ => ())
+    client = new WebSocketClient(host, port, path, _ => (), tls, trustStore)
     client.connect()
     // a write-side connection still has RFC obligations: run the message
     // loop on a daemon thread so server pings are answered (unanswered

@@ -254,7 +254,10 @@ object AppRuntime {
             val fw: org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] =
               if (fmt == "websocket")
                 new graft.sources.WebSocketForeachWriter(req("host"), req("port").toInt,
-                  sd.options.getOrElse("path", "/"))
+                  sd.options.getOrElse("path", "/"),
+                  tls = sd.options.get("tls").exists(_.trim.equalsIgnoreCase("true")),
+                  trustStore = sd.options.get("tls.truststore").map(p =>
+                    p -> sd.options.getOrElse("tls.truststore.password", "")))
               else
                 new graft.sources.AmqpForeachWriter(req("host"), req("port").toInt,
                   req("queue"), sd.options.getOrElse("vhost", "/"),
@@ -263,7 +266,8 @@ object AppRuntime {
             // transport options are consumed above; everything else
             // (checkpointLocation, trigger intervals, …) must still reach
             // the writer — silently dropping them would lose checkpoints
-            val transportKeys = Set("host", "port", "queue", "vhost", "user", "pass")
+            val transportKeys = Set("host", "port", "queue", "vhost", "user",
+              "pass", "tls", "tls.truststore", "tls.truststore.password")
             var writer = mapSinkRows(env(name), sd).writeStream
               .foreach(fw)
               .outputMode(sd.options.getOrElse("outputMode", "append"))

@@ -401,6 +401,95 @@ class ConnectorSpec extends AnyFunSuite {
     } finally { q.stop(); server.close() }
   }
 
+  test("websocket wss: TLS source e2e against an in-process JSSE server, " +
+      "untrusted chain rejected, config validation") {
+    import graft.sql.{AppRuntime, GraftApp}
+    import graft.sources.WsCodec
+    // self-signed test keystore (PKCS12) via the JDK's own keytool
+    val dir = java.nio.file.Files.createTempDirectory("graft-tls")
+    val ks = dir.resolve("ws.p12").toString
+    val keytool = new java.io.File(
+      System.getProperty("java.home"), "bin/keytool").getAbsolutePath
+    val gen = new ProcessBuilder(keytool, "-genkeypair", "-alias", "ws",
+      "-keyalg", "RSA", "-keysize", "2048", "-validity", "30",
+      "-dname", "CN=localhost",
+      "-ext", "san=ip:127.0.0.1,dns:localhost",
+      "-keystore", ks, "-storetype", "PKCS12", "-storepass", "changeit")
+      .redirectErrorStream(true).start()
+    assert(gen.waitFor() == 0, "keytool keystore generation failed")
+    // TLS server socket from the keystore's key material
+    val kstore = java.security.KeyStore.getInstance("PKCS12")
+    val fin = new java.io.FileInputStream(ks)
+    try kstore.load(fin, "changeit".toCharArray) finally fin.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(kstore, "changeit".toCharArray)
+    val sctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    sctx.init(kmf.getKeyManagers, null, null)
+    val server = sctx.getServerSocketFactory.createServerSocket(0)
+    val port = server.getLocalPort
+    val serve = new Thread(() => {
+      // accept forever: the first (untrusted) client dies mid-handshake,
+      // the trusted one gets the full upgrade + frames
+      while (!server.isClosed) {
+        try {
+          val sock = server.accept()
+          new Thread(() => {
+            try {
+              val (in, out) = wsHandshake(sock)
+              def send(payload: String): Unit = {
+                out.write(WsCodec.encodeFrame(WsCodec.OpText,
+                  payload.getBytes("UTF-8"), mask = false))
+                out.flush()
+              }
+              send("IBM,100.5"); send("IBM,7.5")
+              Thread.sleep(30000)
+            } catch { case _: Throwable => () }
+          }).start()
+        } catch { case _: Throwable => () }
+      }
+    })
+    serve.setDaemon(true); serve.start()
+    // 1. a client with the DEFAULT trust chain must reject the self-signed
+    //    server — TLS without trust is worse than plaintext
+    intercept[java.io.IOException] {
+      val c = new graft.sources.WebSocketClient("127.0.0.1", port, "/",
+        _ => (), tls = true)
+      try c.connect() finally c.close()
+    }
+    // 2. the pinned-truststore path: full app e2e over wss
+    val app =
+      s"""CREATE STREAM ticks (symbol STRING, price DOUBLE)
+         |WITH ('type'='source', 'format'='websocket',
+         |      'host'='127.0.0.1', 'port'='$port', 'tls'='true',
+         |      'tls.truststore'='$ks',
+         |      'tls.truststore.password'='changeit');
+         |CREATE STREAM agg (symbol STRING, total DOUBLE);
+         |INSERT INTO agg SELECT symbol, sum(price) AS total FROM ticks GROUP BY symbol;""".stripMargin
+    val spec = GraftApp.parse(app)
+    val env = GraftApp.run(spark, app, AppRuntime.bindSources(spark, spec))
+    val q = env("agg").writeStream.format("memory").queryName("wss_src_sink")
+      .outputMode("complete").start()
+    try {
+      val deadline = System.nanoTime() + 30e9.toLong
+      var total = 0.0
+      while (total != 108.0 && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        total = spark.table("wss_src_sink").collect()
+          .find(_.getString(0) == "IBM").map(_.getDouble(1)).getOrElse(0.0)
+        if (total != 108.0) Thread.sleep(200)
+      }
+      assert(total == 108.0)
+    } finally { q.stop(); server.close() }
+    // 3. truststore configured without tls='true' is rejected loudly
+    intercept[IllegalArgumentException] {
+      new graft.sources.WebSocketSourceProvider().getTable(null, Array.empty,
+        scala.jdk.CollectionConverters.MapHasAsJava(Map(
+          "host" -> "h", "port" -> "1",
+          "tls.truststore" -> ks)).asJava)
+    }
+  }
+
   test("websocket sink: mapped rows leave as client-masked text frames") {
     import graft.sql.AppRuntime
     import graft.sources.WsCodec
