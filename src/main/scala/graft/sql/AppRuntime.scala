@@ -93,6 +93,7 @@ object AppRuntime {
         val readFmt = fmt match {
           case "websocket" => classOf[graft.sources.WebSocketSourceProvider].getName
           case "rabbitmq" | "amqp" => classOf[graft.sources.AmqpSourceProvider].getName
+          case "kafka" => classOf[graft.sources.KafkaSourceProvider].getName
           case other => other
         }
         var reader = spark.readStream.format(readFmt)
@@ -105,6 +106,22 @@ object AppRuntime {
           sd.options.get("path").foreach(p => reader = reader.option("path", p))
         (fmt, sd.options.get("path")) match {
           case ("rate", _) => Seq(name -> reader.load()) // fixed (timestamp, value) schema
+          case ("kafka", _) =>
+            // graft.sources.Kafka: the real Kafka wire protocol with
+            // partition-parallel replayable offsets. Physical columns are
+            // (key, value, partition, offset, ts_ms); a declared schema
+            // drawn from those projects directly (metadata access), any
+            // other schema engages the line mappers over `value`
+            val raw = reader.load()
+            val phys = raw.columns.toSet
+            if (sd.schema.fieldNames.forall(phys.contains))
+              Seq(name -> raw.select(
+                sd.schema.fieldNames.map(org.apache.spark.sql.functions.col)
+                  .toIndexedSeq: _*))
+            else {
+              val (good, faults) = mapLines(raw, sd)
+              Seq(name -> good) ++ faults.map(s"!$name" -> _)
+            }
           case ("socket", _) | ("websocket", _) | ("rabbitmq", _) | ("amqp", _) =>
             // network text sources (websocket_source.rs: the real RFC 6455
             // transport; rabbitmq_source.rs: the real AMQP 0-9-1 consumer;
@@ -246,7 +263,8 @@ object AppRuntime {
           sd.options.get("checkpointLocation").foreach(p =>
             graft.streaming.StateSchema.guard(env(name).sparkSession, p))
           val fmt = sd.options.getOrElse("format", "console")
-          if (fmt == "websocket" || fmt == "rabbitmq" || fmt == "amqp") {
+          if (fmt == "websocket" || fmt == "rabbitmq" || fmt == "amqp" ||
+              fmt == "kafka") {
             // network sinks: rows (reduced to one string column by the sink
             // mappers) go out as RFC 6455 text frames / AMQP publishes
             def req(k: String): String = sd.options.getOrElse(k,
@@ -258,6 +276,8 @@ object AppRuntime {
                   tls = sd.options.get("tls").exists(_.trim.equalsIgnoreCase("true")),
                   trustStore = sd.options.get("tls.truststore").map(p =>
                     p -> sd.options.getOrElse("tls.truststore.password", "")))
+              else if (fmt == "kafka")
+                new graft.sources.KafkaForeachWriter(req("brokers"), req("topic"))
               else
                 new graft.sources.AmqpForeachWriter(req("host"), req("port").toInt,
                   req("queue"), sd.options.getOrElse("vhost", "/"),
@@ -267,7 +287,8 @@ object AppRuntime {
             // (checkpointLocation, trigger intervals, …) must still reach
             // the writer — silently dropping them would lose checkpoints
             val transportKeys = Set("host", "port", "queue", "vhost", "user",
-              "pass", "tls", "tls.truststore", "tls.truststore.password")
+              "pass", "tls", "tls.truststore", "tls.truststore.password",
+              "brokers", "topic")
             var writer = mapSinkRows(env(name), sd).writeStream
               .foreach(fw)
               .outputMode(sd.options.getOrElse("outputMode", "append"))
