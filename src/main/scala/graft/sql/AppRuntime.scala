@@ -94,6 +94,7 @@ object AppRuntime {
           case "websocket" => classOf[graft.sources.WebSocketSourceProvider].getName
           case "rabbitmq" | "amqp" => classOf[graft.sources.AmqpSourceProvider].getName
           case "kafka" => classOf[graft.sources.KafkaSourceProvider].getName
+          case "http" => classOf[graft.sources.HttpSourceProvider].getName
           case other => other
         }
         var reader = spark.readStream.format(readFmt)
@@ -102,7 +103,8 @@ object AppRuntime {
         // 'path' is Reserved (file sources consume it via load(p)), but for
         // the network providers it is the HTTP-resource option — forward it
         // explicitly or the websocket handshake silently GETs '/'
-        if (fmt == "websocket" || fmt == "rabbitmq" || fmt == "amqp")
+        if (fmt == "websocket" || fmt == "rabbitmq" || fmt == "amqp" ||
+            fmt == "http")
           sd.options.get("path").foreach(p => reader = reader.option("path", p))
         (fmt, sd.options.get("path")) match {
           case ("rate", _) => Seq(name -> reader.load()) // fixed (timestamp, value) schema
@@ -122,12 +124,14 @@ object AppRuntime {
               val (good, faults) = mapLines(raw, sd)
               Seq(name -> good) ++ faults.map(s"!$name" -> _)
             }
-          case ("socket", _) | ("websocket", _) | ("rabbitmq", _) | ("amqp", _) =>
+          case ("socket", _) | ("websocket", _) | ("rabbitmq", _) | ("amqp", _) |
+               ("http", _) =>
             // network text sources (websocket_source.rs: the real RFC 6455
             // transport; rabbitmq_source.rs: the real AMQP 0-9-1 consumer;
-            // 'socket' = the raw-TCP dev surrogate): fixed value:string
-            // wire schema; a declared multi-column schema engages the
-            // declarative line mapper (json/csv)
+            // 'http' = the webhook receiver; 'socket' = the raw-TCP dev
+            // surrogate): fixed value:string wire schema; a declared
+            // multi-column schema engages the declarative line mapper
+            // (json/csv)
             val (good, faults) = mapLines(reader.load(), sd)
             Seq(name -> good) ++ faults.map(s"!$name" -> _)
           case (_, Some(p)) => Seq(name -> reader.schema(sd.schema).load(p))
@@ -264,7 +268,7 @@ object AppRuntime {
             graft.streaming.StateSchema.guard(env(name).sparkSession, p))
           val fmt = sd.options.getOrElse("format", "console")
           if (fmt == "websocket" || fmt == "rabbitmq" || fmt == "amqp" ||
-              fmt == "kafka") {
+              fmt == "kafka" || fmt == "http") {
             // network sinks: rows (reduced to one string column by the sink
             // mappers) go out as RFC 6455 text frames / AMQP publishes
             def req(k: String): String = sd.options.getOrElse(k,
@@ -278,6 +282,9 @@ object AppRuntime {
                     p -> sd.options.getOrElse("tls.truststore.password", "")))
               else if (fmt == "kafka")
                 new graft.sources.KafkaForeachWriter(req("brokers"), req("topic"))
+              else if (fmt == "http")
+                new graft.sources.HttpForeachWriter(req("url"),
+                  sd.options.getOrElse("content.type", "text/plain"))
               else
                 new graft.sources.AmqpForeachWriter(req("host"), req("port").toInt,
                   req("queue"), sd.options.getOrElse("vhost", "/"),
@@ -288,7 +295,7 @@ object AppRuntime {
             // the writer — silently dropping them would lose checkpoints
             val transportKeys = Set("host", "port", "queue", "vhost", "user",
               "pass", "tls", "tls.truststore", "tls.truststore.password",
-              "brokers", "topic")
+              "brokers", "topic", "url", "content.type")
             var writer = mapSinkRows(env(name), sd).writeStream
               .foreach(fw)
               .outputMode(sd.options.getOrElse("outputMode", "append"))
