@@ -357,29 +357,91 @@ object Curation {
     * table, and broadcasts when pruned to the top-k bigrams.
     */
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docBi = docBigrams(df, idCol, textCol)
+    scoreUnderModel(docBi, idCol, bigramModel(docBi))
+      .withColumn("lm_score", when(col("n_bigrams") === 0, lit(0.0))
+        .otherwise(col("score_num").cast("double") / (col("n_bigrams") * 1000000L)))
+  }
+
+  /** (id, w1, w2) bigram relation; docs with <2 tokens keep a null-w1 spine
+    * row (explode_outer) so every doc scores. */
+  private def docBigrams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= lit(""))
     val n1 = size_(toks)
     val pairLen = greatest(n1 - 1, lit(0))
     val bigrams = zip_with(slice(toks, lit(1), pairLen), slice(toks, lit(2), pairLen),
       (a, b) => struct(a.as("w1"), b.as("w2")))
-    val docBi = df.select(col(idCol), explode_outer(bigrams).as("bg"))
+    df.select(col(idCol), explode_outer(bigrams).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val seen = docBi.filter(col("w1").isNotNull)
+  }
+
+  /** Fixed-point bigram conditionals `(1e6·c2) div c1` from a bigram
+    * relation — Σ_w2 = 1e6 per prefix, a proper distribution. Integer
+    * `div`, not `/`: double division's round-to-nearest can cross an
+    * integer boundary before the floor. */
+  private def bigramModel(bi: DataFrame): DataFrame = {
+    val seen = bi.filter(col("w1").isNotNull)
     val c2 = seen.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val c1 = seen.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    // integer `div`, not `/`: Spark's `/` is double division, whose
-    // round-to-nearest can cross an integer boundary before the floor
-    val model = c2.join(c1, "w1")
+    c2.join(c1, "w1")
       .select(col("w1"), col("w2"),
         expr("CAST(1000000 AS BIGINT) * c2 div c1").as("cond_milli"))
+  }
+
+  /** (id, score_num, n_bigrams) of each doc under a bigram model — LEFT
+    * join so out-of-model bigrams contribute 0 (matters when the model is
+    * trained on a DIFFERENT corpus, e.g. dsirResample's target domain). */
+  private def scoreUnderModel(docBi: DataFrame, idCol: String,
+                              model: DataFrame): DataFrame =
     docBi.join(model, Seq("w1", "w2"), "left")
       .groupBy(col(idCol))
       .agg(
         sum(when(col("w1").isNotNull, coalesce(col("cond_milli"), lit(0L)))
           .otherwise(lit(0L))).cast("long").as("score_num"),
         count(col("w1")).cast("long").as("n_bigrams"))
-      .withColumn("lm_score", when(col("n_bigrams") === 0, lit(0.0))
-        .otherwise(col("score_num").cast("double") / (col("n_bigrams") * 1000000L)))
+
+  /** DSIR-style importance RESAMPLING (Xie et al. 2023's shape, this
+    * repo's exact-integer discipline): score every raw doc under a bigram
+    * model of the TARGET domain and one of the raw corpus, form the
+    * fixed-point importance weight
+    *   `w_pm = min(capX·1e6, (1e6·(st+1)) div (sr+1))`
+    * (st/sr = mean bigram conditional in 1e-6 units under target/raw —
+    * the probability-RATIO substitute for the classic log-ratio, monotone
+    * per component, +1-smoothed), then keep each doc with probability
+    * `ratePm·w_pm / 1e9` via the portable md5 unit hash (Sampling.scala's
+    * hash-gated convention — deterministic, engine-replayable, never RNG):
+    *   `u24 = int(md5('salt:id')[0:6 hex]); keep ⇔ u24 < (ratePm·w_pm·2^24) div 1e9`.
+    * Docs matching the target domain (high st relative to sr) are kept at
+    * up to capX× the base rate; off-domain docs are downsampled.
+    *
+    * Scale shape: two bigram-model hash-aggs + two scoring joins on bigram
+    * keys (text never shuffles), then a map-side hash gate. At 100 TB the
+    * target model trains on the (small) domain sample once and broadcasts
+    * when pruned; the raw model trains on a documented sample.
+    */
+  def dsirResample(raw: DataFrame, target: DataFrame, idCol: String,
+                   textCol: String, ratePm: Int, capX: Int = 10,
+                   salt: String = "dsir"): DataFrame = {
+    require(ratePm >= 1 && ratePm <= 1000, s"ratePm must be in [1,1000], got $ratePm")
+    require(capX >= 1 && capX <= 100, s"capX must be in [1,100], got $capX")
+    val rawBi = docBigrams(raw, idCol, textCol)
+    val st = scoreUnderModel(rawBi, idCol, bigramModel(docBigrams(target, idCol, textCol)))
+      .select(col(idCol), col("score_num").as("st_num"), col("n_bigrams"))
+    val sr = scoreUnderModel(rawBi, idCol, bigramModel(rawBi))
+      .select(col(idCol), col("score_num").as("sr_num"),
+        col("n_bigrams").as("__nr"))
+    st.join(sr, idCol)
+      .withColumn("st_fp", expr("st_num div greatest(n_bigrams, 1)"))
+      .withColumn("sr_fp", expr("sr_num div greatest(__nr, 1)"))
+      .withColumn("w_pm",
+        least(lit(capX * 1000000L),
+          expr("(1000000 * (st_fp + 1)) div (sr_fp + 1)")).cast("long"))
+      .withColumn("__u24",
+        conv(substring(md5(concat(lit(salt), lit(":"),
+          col(idCol).cast("string"))), 1, 6), 16, 10).cast("long"))
+      .withColumn("kept",
+        col("__u24") < expr(s"($ratePm * w_pm * 16777216) div 1000000000"))
+      .select(col(idCol), col("st_fp"), col("sr_fp"), col("w_pm"), col("kept"))
   }
 
   /** Unicode-script profile — the routing signal a multilingual corpus

@@ -39,6 +39,41 @@ class CurationSpec extends AnyFunSuite {
     assert(r2.getDouble(r2.fieldIndex("top_bigram_frac")) == 1.0)
   }
 
+  test("dsirResample: on-domain docs outweigh off-domain, cap applies, deterministic") {
+    // target domain: "the cat sat" style; off-domain: digit babble
+    val raw = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "9 8 7 6 5 4 3 2 1 0 9 8 7 6 5"),
+      (4L, ""),                      // no bigrams: scores 0, weight = 1e6·1/1
+      (5L, "the cat sat")).toDF("id", "txt")
+    val target = raw.filter(col("id") =!= 3L && col("id") =!= 4L)
+    val out = Curation.dsirResample(raw, target, "id", "txt", ratePm = 500)
+      .orderBy("id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // on-domain: target model ≡ raw model restricted to these docs → st ≈ sr
+    // → w_pm near 1e6; off-domain doc 3's bigrams are absent from the
+    // target model → st=0 → weight collapses toward (1e6·1)/(sr+1)
+    assert(byId(1L)._3 > byId(3L)._3)
+    assert(byId(3L)._1 == 0L) // zero target-model mass
+    // doc 4 (no bigrams): st=sr=0 → w_pm = (1e6·1) div 1 = 1e6 exactly
+    assert(byId(4L)._3 == 1000000L)
+    // the cap binds when the raw model under-weights a target-heavy doc
+    val skew = Curation.dsirResample(raw, target, "id", "txt",
+      ratePm = 500, capX = 1)
+      .orderBy("id").collect().map(r => r.getLong(3))
+    assert(skew.forall(_ <= 1000000L))
+    // hash-gated, not RNG-gated: identical verdicts on every run
+    val again = Curation.dsirResample(raw, target, "id", "txt", ratePm = 500)
+      .orderBy("id").collect()
+    assert(out.toSeq == again.toSeq)
+    // rate validation
+    intercept[IllegalArgumentException] {
+      Curation.dsirResample(raw, target, "id", "txt", ratePm = 0)
+    }
+  }
+
   test("corpusDiff: NULL text is presence, not absence") {
     // id 1: text→NULL = changed (not deleted); id 2: NULL→text = changed
     // (not added); id 3: NULL→NULL = unchanged (not added); id 4: only in
