@@ -166,12 +166,28 @@ object Curation {
     * groupBy(doc_id); per-doc state there is bounded by document size.
     */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
-                maxDocFreq: Int): DataFrame = {
+                maxDocFreq: Int): DataFrame =
+    segmentDedup(df, idCol, textCol, maxDocFreq, "\n", "\n")
+
+  /** Corpus-wide PARAGRAPH dedup — [[lineDedup]] at paragraph granularity
+    * (split on blank-line runs): catches boilerplate blocks (cookie
+    * banners, footers) whose internal line structure varies. Blank-run
+    * separators normalize to one blank line on reassembly (documented
+    * lossy-layout trade, same class as lineDedup's trim-normalized
+    * matching).
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     maxDocFreq: Int): DataFrame =
+    segmentDedup(df, idCol, textCol, maxDocFreq, "\n\\s*\n", "\n\n")
+
+  private def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+                           maxDocFreq: Int, splitRe: String,
+                           joinStr: String): DataFrame = {
     require(maxDocFreq >= 2,
-      s"maxDocFreq must be >= 2 (1 would drop every non-blank line), got $maxDocFreq")
+      s"maxDocFreq must be >= 2 (1 would drop every non-blank segment), got $maxDocFreq")
     val lines = df
       .select(col(idCol).as("doc_id"),
-        posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+        posexplode(split(col(textCol), splitRe, -1)).as(Seq("pos", "line")))
       .withColumn("norm", trim(col("line")))
     val boiler = lines.filter(col("norm") =!= "")
       .select(md5(col("norm")).as("h"), col("doc_id"))
@@ -188,7 +204,7 @@ object Curation {
           array_join(transform(
             array_sort(collect_list(when(col("keep"),
               struct(col("pos"), col("line"))))),
-            x => x("line")), "\n"),
+            x => x("line")), joinStr),
           lit("")).as("clean_text"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
@@ -466,6 +482,30 @@ object Curation {
           .when(col("n_cjk") >= col("n_cyr") && col("n_cjk") >= col("n_arab"), "cjk")
           .when(col("n_cyr") >= col("n_arab"), "cyrillic")
           .otherwise("arabic"))
+  }
+
+  /** Per-key frequency CAP — the corpus-balancing step after
+    * [[canonicalizeUrl]]/[[urlDomain]] (CommonCrawl-style: no domain, source
+    * or license bucket may dominate the mix): keep at most `maxPerKey` docs
+    * per key, selected DETERMINISTICALLY by the portable md5 hash order
+    * (Sampling.scala's convention — an unbiased, engine-replayable draw;
+    * (hash, id) total order makes ties impossible). Output is the full doc
+    * spine with the key, the draw rank, and the verdict.
+    *
+    * Scale shape: one key-hash exchange for the rank window; per-key window
+    * state is the key's population (sort spills). A pathologically hot key
+    * at 100 TB ranks inside one task — pre-filter such keys with an
+    * aggregate count gate (the maxDf/skew discipline) before ranking.
+    */
+  def capPerKey(df: DataFrame, idCol: String, keyCol: String,
+                maxPerKey: Int, salt: String = "cap"): DataFrame = {
+    require(maxPerKey >= 1, s"maxPerKey must be >= 1, got $maxPerKey")
+    val h = md5(concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(h, col(idCol))
+    df.select(col(idCol), col(keyCol))
+      .withColumn("cap_rank", row_number().over(w).cast("long"))
+      .withColumn("kept", col("cap_rank") <= maxPerKey)
   }
 
   /** Registrable domain-ish key for frequency capping: the lowercased host

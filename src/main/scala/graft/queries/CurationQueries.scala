@@ -198,6 +198,69 @@ object CurationQueries extends QueryFamily {
              |FROM l LEFT JOIN b ON trim(l.line) = b.norm
              |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin)),
 
+    // Corpus-wide PARAGRAPH dedup (Curation.paragraphDedup): staged docs
+    // share a multi-LINE cookie-notice block and a footer block — units
+    // line dedup can't treat atomically. Blocks present in >= 5 docs drop
+    // whole; the unique body paragraph survives; blank-run separators
+    // normalize to one blank line (documented).
+    QueryDef(
+      "q_text_para_dedup",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val staged = d.filter(col("doc_id") < 200).select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat_ws("\n\n",
+              lit("We use cookies on this site\nAccept all to continue"),
+              substring(col("text"), 1, 80),
+              lit("Footer line A\nFooter line B")))
+          .when(col("doc_id") % 3 === 1,
+            concat_ws("\n\n", substring(col("text"), 1, 80),
+              lit("Footer line A\nFooter line B")))
+          .otherwise(substring(col("text"), 1, 80)).as("text"))
+        Curation.paragraphDedup(staged, "doc_id", "text", maxDocFreq = 5)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH staged AS (
+             |  SELECT doc_id,
+             |    CASE
+             |      WHEN doc_id % 3 = 0 THEN 'We use cookies on this site' || chr(10) || 'Accept all to continue' || chr(10) || chr(10) || substr(text, 1, 80) || chr(10) || chr(10) || 'Footer line A' || chr(10) || 'Footer line B'
+             |      WHEN doc_id % 3 = 1 THEN substr(text, 1, 80) || chr(10) || chr(10) || 'Footer line A' || chr(10) || 'Footer line B'
+             |      ELSE substr(text, 1, 80) END AS text
+             |  FROM documents WHERE doc_id < 200),
+             |l0 AS (SELECT doc_id, string_split_regex(text, '\n\s*\n') AS ls FROM staged),
+             |l AS (
+             |  SELECT doc_id, unnest(ls) AS line,
+             |         unnest(range(1, len(ls) + 1)) AS pos
+             |  FROM l0),
+             |b AS (
+             |  SELECT trim(line) AS norm FROM l WHERE trim(line) <> ''
+             |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5)
+             |SELECT l.doc_id,
+             |  coalesce(string_agg(CASE WHEN b.norm IS NULL THEN l.line END,
+             |                      chr(10) || chr(10) ORDER BY l.pos), '') AS clean_text,
+             |  CAST(count(CASE WHEN b.norm IS NULL THEN 1 END) AS BIGINT) AS n_kept,
+             |  CAST(count(b.norm) AS BIGINT) AS n_dropped
+             |FROM l LEFT JOIN b ON trim(l.line) = b.norm
+             |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin)),
+
+    // Per-key frequency cap (Curation.capPerKey): at most 10 docs per
+    // source bucket, drawn by the portable md5 hash order — the
+    // corpus-balancing step no single domain/source may dominate past.
+    // Both engines replay the (md5, id) rank and the verdict exactly.
+    QueryDef(
+      "q_text_cap",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        Curation.capPerKey(d, "doc_id", "source", maxPerKey = 10)
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, source,
+             |  CAST(row_number() OVER (PARTITION BY source
+             |    ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cap_rank,
+             |  row_number() OVER (PARTITION BY source
+             |    ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) <= 10 AS kept
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Within-doc line dedup (keep-first): each staged doc repeats a line
     // twice around unique body halves plus two blank layout lines — the
     // second occurrence drops, blanks and both bodies survive in order.

@@ -39,6 +39,46 @@ class CurationSpec extends AnyFunSuite {
     assert(r2.getDouble(r2.fieldIndex("top_bigram_frac")) == 1.0)
   }
 
+  test("paragraphDedup: multi-line blocks drop whole; blank runs normalize; unique bodies survive") {
+    val boiler = "We use cookies\nAccept to continue"
+    val docs = (1L to 5L).map(i => (i, s"$boiler\n\nbody text $i"))
+      .toDF("id", "txt")
+      // one doc with a 3-newline separator run: still ONE paragraph break
+      .union(Seq((6L, s"$boiler\n\n\nbody text 6")).toDF("id", "txt"))
+    val out = Curation.paragraphDedup(docs, "id", "txt", maxDocFreq = 5)
+      .orderBy("doc_id").collect()
+    out.foreach { r =>
+      assert(r.getString(1) == s"body text ${r.getLong(0)}")
+      assert(r.getLong(2) == 1L && r.getLong(3) == 1L) // kept 1, dropped 1
+    }
+    // below threshold: everything survives, separators normalized to \n\n
+    val few = Seq((1L, "para one\n\n\npara two")).toDF("id", "txt")
+    val kept = Curation.paragraphDedup(few, "id", "txt", maxDocFreq = 5)
+      .collect()(0)
+    assert(kept.getString(1) == "para one\n\npara two")
+  }
+
+  test("capPerKey: deterministic hash-order cap, full spine, rank contiguity") {
+    val docs = (1L to 25L).map(i => (i, s"k${i % 3}")).toDF("id", "key")
+    val out = Curation.capPerKey(docs, "id", "key", maxPerKey = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == 25) // verdict spine covers every doc
+    // per key: ranks are 1..n contiguous, exactly min(4, n) kept
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+      assert(rows.count(_._4) == math.min(4, rows.length))
+      // kept = the 4 LOWEST ranks, which follow the md5 draw order
+      assert(rows.filter(_._4).map(_._3).forall(_ <= 4L))
+    }
+    // deterministic across runs
+    val again = Curation.capPerKey(docs, "id", "key", maxPerKey = 4)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    assert(out.forall(r => again(r._1) == r._4))
+    intercept[IllegalArgumentException] {
+      Curation.capPerKey(docs, "id", "key", maxPerKey = 0)
+    }
+  }
+
   test("dsirResample: on-domain docs outweigh off-domain, cap applies, deterministic") {
     // target domain: "the cat sat" style; off-domain: digit babble
     val raw = Seq(
