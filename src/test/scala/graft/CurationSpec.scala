@@ -39,6 +39,31 @@ class CurationSpec extends AnyFunSuite {
     assert(r2.getDouble(r2.fieldIndex("top_bigram_frac")) == 1.0)
   }
 
+  test("round-9 plan audits: dsir/cap shuffles stay narrow, dsir models broadcast-or-key-join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = (1 to 200)
+        .map(i => (i.toLong, s"k${i % 5}",
+          (1 to 30).map(j => s"w${(i * j) % 40}").mkString(" ")))
+        .toDF("id", "key", "text")
+      // dsir: the wide text column is consumed by the map-side bigram
+      // explode on BOTH scoring passes — only bigram/id-width rows shuffle
+      val d = Curation.dsirResample(docs, docs.filter(col("id") % 2 === 0),
+        "id", "text", ratePm = 500)
+      val dShuffles = d.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
+      assert(dShuffles.nonEmpty)
+      assert(dShuffles.forall(s => !s.output.exists(_.name == "text")),
+        dShuffles.map(_.output.map(_.name).mkString(",")).mkString(" | "))
+      // capPerKey: ONE key-hash exchange for the rank window, id/key width
+      val c = Curation.capPerKey(docs, "id", "key", maxPerKey = 3)
+      val cShuffles = c.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
+      assert(cShuffles.size == 1, c.queryExecution.executedPlan.toString.take(1200))
+      assert(!cShuffles.head.output.exists(_.name == "text"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("paragraphDedup: multi-line blocks drop whole; blank runs normalize; unique bodies survive") {
     val boiler = "We use cookies\nAccept to continue"
     val docs = (1L to 5L).map(i => (i, s"$boiler\n\nbody text $i"))
