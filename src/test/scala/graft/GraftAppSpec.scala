@@ -350,6 +350,22 @@ class GraftAppSpec extends AnyFunSuite {
     close()
   }
 
+  test("examples/round9_demo.sql parses: connector surface declarations") {
+    // network endpoints are placeholders — this demo is parse-level (the
+    // specs drive identical apps against in-process brokers/servers)
+    val app = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/round9_demo.sql")))
+    val spec = GraftApp.parse(app)
+    val byName = spec.streams
+    assert(byName("Trades").options("format") == "kafka")
+    assert(byName("TradesRaw").options("format") == "kafka")
+    assert(byName("Signals").options("max.buffered") == "50000")
+    assert(byName("Signals").options("overflow") == "block")
+    assert(byName("SecureTicks").options("tls") == "true")
+    assert(byName("BigTrades").options("checkpointLocation").nonEmpty)
+    assert(byName("PagerAlerts").options("url").startsWith("https://"))
+  }
+
   test("runTracked cleanup unpersists the pattern ordering cache") {
     val app =
       """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING);
