@@ -239,6 +239,32 @@ class KafkaSpec extends AnyFunSuite {
     assert(decoded.map(_.offset) == Seq(7L, 8L))
   }
 
+  test("codec property: arbitrary record batches round-trip bit-exactly") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genBytes: Gen[Array[Byte]] = Gen.frequency(
+      1 -> Gen.const(null.asInstanceOf[Array[Byte]]),
+      2 -> Gen.const(Array.emptyByteArray),
+      7 -> Gen.choose(1, 300).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)))
+    val genRecords = for {
+      n <- Gen.choose(1, 40)
+      recs <- Gen.listOfN(n, Gen.zip(genBytes, genBytes))
+    } yield recs
+    val p = Prop.forAll(genRecords, Gen.choose(0L, 1L << 40),
+        Gen.choose(0L, 2000000000000L)) { (recs, base, ts) =>
+      val decoded = KafkaCodec.decodeBatches(
+        KafkaCodec.encodeBatch(base, ts, recs))
+      decoded.length == recs.length &&
+        decoded.zipWithIndex.forall { case (r, i) =>
+          r.offset == base + i && r.timestampMs == ts &&
+            java.util.Arrays.equals(r.key, recs(i)._1) &&
+            java.util.Arrays.equals(r.value, recs(i)._2)
+        }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
   // ---- client ↔ broker ----------------------------------------------------
 
   test("client: metadata, listOffsets, produce, fetch round-trip a scripted broker") {
