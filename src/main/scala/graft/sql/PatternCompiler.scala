@@ -181,8 +181,39 @@ object PatternCompiler {
     val idxRe = """\b(\w+)\s*\[\s*(\d+|last)\s*\]\s*\.\s*(\w+)""".r
     val plainRe = """\b(\w+)\s*\.\s*(\w+)""".r
     val countRe = """(?i)\bcount\s*\(\s*(\w+)\s*\)""".r
+    val stepAggRe = """(?i)\b(sum|avg|min|max|count)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)""".r
     def rewrite(text0: String): String = {
-      var text = countRe.replaceAllIn(text0, m => aliasToStep.get(m.group(1)) match {
+      // collection aggregations over a step's collected events lower to
+      // LAMBDA folds on the per-match arrays (no Aggregate node — each
+      // match is one output row), null-skipping like their SQL namesakes
+      var text = stepAggRe.replaceAllIn(text0, m => {
+        val (fn, alias, c) = (m.group(1).toLowerCase, m.group(2), m.group(3))
+        aliasToStep.get(alias) match {
+          case Some(i) =>
+            val t = colTypes.getOrElse(c.toLowerCase,
+              throw GraftApp.SqlError(
+                s"pattern select references unknown column '$c'"))
+            val vals = s"transform(steps[$i].events, x -> CAST(x.svals[${slot(c)}] AS $t))"
+            val nn = s"filter($vals, v -> v IS NOT NULL)"
+            val acc =
+              if (Set("TINYINT", "SMALLINT", "INT", "BIGINT").contains(t.toUpperCase))
+                "BIGINT"
+              else "DOUBLE"
+            java.util.regex.Matcher.quoteReplacement(fn match {
+              case "sum" =>
+                s"if(size($nn) = 0, CAST(NULL AS $acc), " +
+                  s"aggregate($nn, CAST(0 AS $acc), (a, v) -> a + v))"
+              case "avg" =>
+                s"CAST(aggregate($nn, CAST(0 AS DOUBLE), (a, v) -> a + v) " +
+                  s"/ nullif(size($nn), 0) AS DOUBLE)"
+              case "min" => s"array_min($vals)"
+              case "max" => s"array_max($vals)"
+              case "count" => s"CAST(size($nn) AS BIGINT)"
+            })
+          case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+        }
+      })
+      text = countRe.replaceAllIn(text, m => aliasToStep.get(m.group(1)) match {
         case Some(i) => s"CAST(size(steps[$i].events) AS BIGINT)"
         case None => java.util.regex.Matcher.quoteReplacement(m.matched)
       })
@@ -246,6 +277,7 @@ object PatternCompiler {
     val spec = PatternSpec(nb.specSteps, strict = q.strict, every = q.every,
       withinUs = q.withinUs, withinEvents = q.withinEvents,
       midGuards = midGuards)
+    requireBoundedState(spec)
     // watermark delay = the user's declared disorder tolerance (ALLOW
     // LATENESS); 0 = strict in-order contract, tightest state bound
     val lateness = q.lateness.getOrElse("0 seconds")
@@ -419,6 +451,7 @@ object PatternCompiler {
       .as[CepEvent]
     val spec = PatternSpec(nb.specSteps, strict = q.strict, every = q.every,
       withinUs = q.withinUs, withinEvents = q.withinEvents)
+    requireBoundedState(spec)
     val matches = Cep.detect(cepIn, spec).toDF()
 
     // base projection: key + match end time + per-step matched-event-id
@@ -671,14 +704,28 @@ object PatternCompiler {
   }
 
   /** `alias=Stream[pred]<n:m>` (alias, bracket, quantifier all optional;
-    * `{n,m}` accepted as quantifier spelling too).
+    * `{n,m}` accepted as quantifier spelling too). UNBOUNDED forms —
+    * `+` (one-or-more), `{n,}` / `<n:>` (n-or-more) — compile to
+    * max = Int.MaxValue; the spec assembly then REQUIRES a WITHIN bound
+    * ([[requireBoundedState]]), which the NFA's branching quantifier
+    * supports directly (the reference rejects `A+` outright — this is the
+    * WITHIN-gated beyond-parity form, state bounded by the horizon +
+    * maxPartials).
     */
   private def parseAlt(s: String): (StepAlt, (Int, Int)) = {
-    val re = """(?s)^\s*(?:(\w+)\s*=\s*)?(\w+)\s*(?:\[(.*)\]\s*)?(?:[<{]\s*(\d+)\s*(?:[:,]\s*(\d+)\s*)?[>}]\s*)?$""".r
+    val re = """(?s)^\s*(?:(\w+)\s*=\s*)?(\w+)\s*(?:\[(.*)\]\s*)?(?:(\+)|[<{]\s*(\d+)\s*(?:([:,])\s*(\d+)?\s*)?[>}])?\s*$""".r
     s.trim match {
-      case re(alias, stream, pred, qn, qm) =>
-        val mn = Option(qn).map(_.toInt).getOrElse(1)
-        val mx = Option(qm).map(_.toInt).getOrElse(mn)
+      case re(alias, stream, pred, plus, qn, sep, qm) =>
+        val (mn, mx) =
+          if (plus != null) (1, Int.MaxValue)
+          else {
+            val n = Option(qn).map(_.toInt).getOrElse(1)
+            val m =
+              if (qn == null) 1
+              else if (sep == null) n                      // {n}
+              else Option(qm).map(_.toInt).getOrElse(Int.MaxValue) // {n,m} / {n,}
+            (n, m)
+          }
         if (mn < 1 || mx < mn)
           throw GraftApp.SqlError(s"bad count quantifier in '$s' (min >= 1, max >= min)")
         (StepAlt(Option(alias).getOrElse(stream), stream,
@@ -686,6 +733,18 @@ object PatternCompiler {
       case other => throw GraftApp.SqlError(s"bad pattern step '$other'")
     }
   }
+
+  /** Unbounded quantifiers keep an in-flight partial per possible match
+    * start — decidable and bounded ONLY under a WITHIN horizon (plus the
+    * kernel's maxPartials cap). Enforced at compile, like `NOT … FOR`.
+    */
+  private def requireBoundedState(spec: PatternSpec): Unit =
+    if (spec.steps.exists(_.max == Int.MaxValue) &&
+        spec.withinUs.isEmpty && spec.withinEvents.isEmpty)
+      throw GraftApp.SqlError(
+        "unbounded count quantifier ('+' / '{n,}') requires WITHIN " +
+          "<duration | n EVENTS> — in-flight pattern state is otherwise " +
+          "unbounded")
 
   /** WITHIN duration/EVENTS → (micros, eventCount). */
   def parseWithin(n: String, unit: String): (Option[Long], Option[Long]) = {

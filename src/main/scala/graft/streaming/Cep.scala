@@ -62,6 +62,11 @@ object Step {
     Step(name, 1, 1, (e, _) => p(e))
   def count(name: String, n: Int)(p: CepEvent => Boolean): Step =
     Step(name, n, n, (e, _) => p(e))
+  /** Unbounded `n`-or-more (the SQL `+` / `{n,}` forms). Pair with a
+    * WITHIN bound — the SQL compiler enforces it; API callers must too,
+    * or in-flight partials grow with the stream. */
+  def atLeast(name: String, n: Int)(p: CepEvent => Boolean): Step =
+    Step(name, n, Int.MaxValue, (e, _) => p(e))
   def or(name: String)(p1: CepEvent => Boolean, p2: CepEvent => Boolean): Step =
     Step(name, 1, 1, (e, _) => p1(e) || p2(e))
   def withContext(name: String)(p: (CepEvent, Seq[Seq[CepEvent]]) => Boolean): Step =

@@ -456,6 +456,47 @@ class CompatSpec extends AnyFunSuite {
     assert(two.nonEmpty && two.head.getInt(1) == 1 && two.head.isNullAt(2))
   }
 
+  // -- BEYOND the reference: `A+` / `{n,}` unbounded quantifiers, gated on
+  //    WITHIN (the reference rejects them outright; here state is bounded
+  //    by the horizon + maxPartials, so the WITHIN-gated form is sound)
+  test("unbounded quantifier: A+ with WITHIN collects growing prefixes; {2,} floors; no-WITHIN rejected") {
+    val app =
+      """CREATE STREAM A (ts TIMESTAMP, val INT);
+        |CREATE STREAM Out (n BIGINT, total BIGINT);
+        |INSERT INTO Out SELECT count(e) AS n, sum(e.val) AS total
+        |FROM PATTERN (EVERY e=A[val < 50]+ -> stop=A[val = 99])
+        |WITHIN 1 HOUR;""".stripMargin
+    // A(1) A(2) stop: in-flight collected sets at stop = [1], [1,2], [2]
+    val in = Seq((1, 1), (2, 2), (3, 99)).toDF("sec", "val")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "val")
+    val rows = GraftApp.run(spark, app, Map("A" -> in))("Out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+    assert(rows.toSeq == Seq((1L, 1L), (1L, 2L), (2L, 3L)))
+    // {2,}: the single-A prefixes fall below the floor
+    val app2 = app.replace("[val < 50]+", "[val < 50]{2,}")
+    val rows2 = GraftApp.run(spark, app2, Map("A" -> in))("Out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows2 == Seq((2L, 3L)))
+    // WITHIN n EVENTS also bounds state — accepted
+    val app3 = app.replace("WITHIN 1 HOUR", "WITHIN 10 EVENTS")
+    assert(GraftApp.run(spark, app3, Map("A" -> in))("Out").collect().length == 3)
+    // no WITHIN at all = unbounded in-flight state — typed compile error
+    val e = intercept[GraftApp.SqlError] {
+      GraftApp.run(spark, app.replace("\nWITHIN 1 HOUR", ""), Map("A" -> in))
+    }
+    assert(e.getMessage.contains("WITHIN"), e.getMessage)
+    // strict SEQUENCE form: contiguity makes the run a single maximal match
+    val app4 =
+      """CREATE STREAM A (ts TIMESTAMP, val INT);
+        |CREATE STREAM Out (n BIGINT, total BIGINT);
+        |INSERT INTO Out SELECT count(e) AS n, sum(e.val) AS total
+        |FROM SEQUENCE (e=A[val < 50]+ -> stop=A[val = 99])
+        |WITHIN 1 HOUR;""".stripMargin
+    val rows4 = GraftApp.run(spark, app4, Map("A" -> in))("Out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows4 == Seq((2L, 3L)))
+  }
+
   // -- patterns.rs:pattern_test_concat_filter (ignored there): function
   //    calls in step predicates are free — flags are Catalyst expressions
   test("compat pattern_test_concat_filter via SQL: function call in step filter") {

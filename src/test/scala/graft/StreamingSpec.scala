@@ -165,6 +165,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("STREAMING SQL pattern: unbounded A+ collects across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Int)] // (sec, user, val)
+    val events = in.toDS().toDF("sec", "user_id", "val")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "val")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, val INT);
+        |CREATE STREAM Out (user_id BIGINT, n BIGINT, total BIGINT);
+        |INSERT INTO Out
+        |SELECT e.user_id AS user_id, count(e) AS n, sum(e.val) AS total
+        |FROM PATTERN (EVERY e=E[val < 50]+ -> stop=E[val = 99])
+        |WITHIN 1 HOUR
+        |PARTITION BY user_id;""".stripMargin
+    val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+    assert(outDf.isStreaming)
+    val q = outDf.writeStream.format("memory").queryName("aplus_sink")
+      .outputMode("append").start()
+    try {
+      // the collected run spans TWO micro-batches before the stop marker
+      in.addData((1L, 7L, 1)); q.processAllAvailable()
+      assert(spark.table("aplus_sink").count() == 0)
+      in.addData((2L, 7L, 2), (3L, 7L, 99)); q.processAllAvailable()
+      val rows = spark.table("aplus_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(identity)
+      // batch ≡ streaming: the same prefix set as the batch kernel
+      assert(rows.toSeq == Seq((7L, 1L, 1L), (7L, 1L, 2L), (7L, 2L, 3L)))
+    } finally q.stop()
+  }
+
   test("STREAMING SQL tumbling window aggregation: cross-batch accumulation e2e") {
     // the window clause compiles to native window() — the same app text
     // runs batch (GraftAppSpec) and streaming; here a late second batch
