@@ -143,6 +143,26 @@ class ParserFuzzSpec extends AnyFunSuite {
     check(Prop.forAll(patternSoup)(typedOnly _))
   }
 
+  test("quantifier spellings: valid forms compile, malformed forms reject typed") {
+    def app(q: String, within: String = " WITHIN 1 HOURS") =
+      s"""CREATE STREAM S (ts TIMESTAMP, v DOUBLE);
+         |CREATE STREAM Out (n BIGINT);
+         |INSERT INTO Out SELECT count(e) AS n
+         |FROM PATTERN (EVERY e=S[v > 1]$q -> z=S[v = 0])$within;""".stripMargin
+    // valid spellings (unbounded ones under WITHIN)
+    Seq("<2>", "<2:3>", "{2}", "{2,3}", "+", "{2,}", "<2:>").foreach { q =>
+      GraftApp.parse(app(q)) // must not throw
+    }
+    // malformed / unsupported spellings and the WITHIN gate: typed only
+    Seq("{,3}", "{0,}", "{3,2}", "{a}", "++", "*", "{2", "2}").foreach { q =>
+      val ok = try { GraftApp.parse(app(q)); false }
+        catch { case _: GraftApp.SqlError => true; case _: Throwable => false }
+      assert(ok, s"quantifier '$q' should be a typed rejection")
+    }
+    // (the WITHIN gate on unbounded forms fires at COMPILE, not parse —
+    // CompatSpec's unbounded-quantifier test pins that typed rejection)
+  }
+
   private val trailingJunk: Gen[String] = for {
     n <- Gen.choose(1, 5)
     ts <- Gen.listOfN(n, Gen.oneOf("OUTPUT", "LAST", "EVERY 5 EVENTS",
