@@ -730,6 +730,11 @@ object PatternCompiler {
           throw GraftApp.SqlError(s"bad count quantifier in '$s' (min >= 1, max >= min)")
         (StepAlt(Option(alias).getOrElse(stream), stream,
           Option(pred).map(_.trim).filter(_.nonEmpty)), (mn, mx))
+      case other if other.trim.endsWith("*") =>
+        throw GraftApp.SqlError(
+          s"zero-or-more quantifier in '$other' is not supported — " +
+            "'A* -> B' is equivalent to 'B OR (A+ -> B)'; the one-or-more " +
+            "'+' form is supported (WITHIN-gated)")
       case other => throw GraftApp.SqlError(s"bad pattern step '$other'")
     }
   }
