@@ -709,8 +709,12 @@ object PatternCompiler {
     * max = Int.MaxValue; the spec assembly then REQUIRES a WITHIN bound
     * ([[requireBoundedState]]), which the NFA's branching quantifier
     * supports directly (the reference rejects `A+` outright — this is the
-    * WITHIN-gated beyond-parity form, state bounded by the horizon +
-    * maxPartials).
+    * WITHIN-gated beyond-parity form). State contract (pinned by
+    * WindowPropSpec): enumerate-all-prefixes semantics hold ~h²/2
+    * in-flight partials for a horizon of h matching events — bounded by
+    * WITHIN and independent of stream length, quadratic in the horizon
+    * population; size WITHIN tightly, and maxPartials is the hard cap
+    * that counts (and warns about) drops past it.
     */
   private def parseAlt(s: String): (StepAlt, (Int, Int)) = {
     val re = """(?s)^\s*(?:(\w+)\s*=\s*)?(\w+)\s*(?:\[(.*)\]\s*)?(?:(\+)|[<{]\s*(\d+)\s*(?:([:,])\s*(\d+)?\s*)?[>}])?\s*$""".r

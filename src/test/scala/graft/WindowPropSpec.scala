@@ -28,6 +28,39 @@ class WindowPropSpec extends AnyFunSuite {
   private def splitRandomly[A](xs: List[A], cut: Int): (List[A], List[A]) =
     xs.splitAt(if (xs.isEmpty) 0 else math.abs(cut) % (xs.length + 1))
 
+  test("unbounded A+ state bound: O(h²) in the WITHIN horizon, never the stream; cap catches runaway") {
+    // 2k events on one key, ALL matching the unbounded step — the
+    // worst case for A+ (every event extends every stay branch and parks
+    // an advance branch). The contract the WITHIN gate promises: in-flight
+    // partials are bounded by the HORIZON population h as ~h²/2 prefixes
+    // (enumerate-all-prefixes semantics), independent of stream length.
+    def run(withinEvents: Long, cap: Int): (Int, Long) = {
+      val spec = PatternSpec(
+        Seq(Step.atLeast("a", 1)(_.etype == "A"), Step.simple("b")(_.etype == "B")),
+        strict = false, every = true, withinEvents = Some(withinEvents),
+        maxPartials = cap)
+      val events = (0 until 2000).map(i =>
+        CepEvent("k", i.toLong * 10, i.toLong, "A", 0.0, Nil, Nil))
+      var st = NfaState(Nil, done = false)
+      var maxP = 0
+      events.grouped(200).foreach { chunk =>
+        val (_, st2) = Cep.runNfa(chunk, st, spec)
+        st = st2
+        maxP = math.max(maxP, st.partials.size)
+      }
+      (maxP, st.dropped)
+    }
+    // h = 12: partials ≈ h²/2 + h stays ≈ 90 — far below a 1k cap, flat
+    // over 2k events (re-runs at 10× stream length hold the same bound)
+    val (maxP, dropped) = run(withinEvents = 12L, cap = 1000)
+    assert(maxP <= 160, s"partials grew to $maxP")
+    assert(dropped == 0L)
+    // a WIDE horizon with a low cap: the maxPartials guard engages and
+    // REPORTS the drops instead of letting state run away silently
+    val (maxP2, dropped2) = run(withinEvents = 500L, cap = 256)
+    assert(maxP2 <= 256 && dropped2 > 0L)
+  }
+
   test("length(n): #Current = #events, #Expired = max(0, #events-n), window = last n") {
     check(Prop.forAll(genEvents, Gen.choose(1, 10)) { (events, n) =>
       val (out, buf) = WindowKernels.length(events, EmptyBuffer, n)
