@@ -119,7 +119,9 @@ object AmqpCodec {
   * role — at-least-once ack flows are broker-policy concerns).
   */
 final class AmqpClient(host: String, port: Int, vhost: String = "/",
-                       user: String = "guest", pass: String = "guest") {
+                       user: String = "guest", pass: String = "guest",
+                       tls: Boolean = false,
+                       trustStore: Option[(String, String)] = None) {
   import AmqpCodec._
 
   @volatile private var socket: Socket = _
@@ -141,7 +143,10 @@ final class AmqpClient(host: String, port: Int, vhost: String = "/",
   }
 
   def connect(): Unit = {
-    socket = new Socket(host, port)
+    // amqps:// = the identical AMQP conversation over a JSSE socket with
+    // hostname verification (WsTls — shared with the wss:// transport)
+    socket = if (tls) WsTls.socket(host, port, trustStore)
+             else new Socket(host, port)
     socket.setTcpNoDelay(true)
     in = new DataInputStream(new java.io.BufferedInputStream(socket.getInputStream))
     out = new DataOutputStream(new java.io.BufferedOutputStream(socket.getOutputStream))
@@ -263,13 +268,16 @@ class AmqpSourceProvider extends TableProvider {
       Option(opts.get("vhost")).getOrElse("/"),
       Option(opts.get("user")).getOrElse("guest"),
       Option(opts.get("pass")).getOrElse("guest"),
-      BufferPolicy.fromOptions(opts))
+      BufferPolicy.fromOptions(opts),
+      WebSocketSourceProvider.tlsOf(opts))
   }
 }
 
 private[sources] class AmqpTable(host: String, port: Int, queue: String,
                                  vhost: String, user: String, pass: String,
-                                 bufPolicy: BufferPolicy)
+                                 bufPolicy: BufferPolicy,
+                                 tls: (Boolean, Option[(String, String)]) =
+                                   (false, None))
   extends Table with SupportsRead {
   override def name(): String = s"amqp:$host:$port/$queue"
   override def schema(): StructType = WebSocketSourceProvider.Schema
@@ -280,18 +288,21 @@ private[sources] class AmqpTable(host: String, port: Int, queue: String,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = WebSocketSourceProvider.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new AmqpMicroBatchStream(host, port, queue, vhost, user, pass, bufPolicy)
+          new AmqpMicroBatchStream(host, port, queue, vhost, user, pass,
+            bufPolicy, tls)
       }
     }
 }
 
 private[sources] class AmqpMicroBatchStream(host: String, port: Int, queue: String,
                                             vhost: String, user: String, pass: String,
-                                            bufPolicy: BufferPolicy = BufferPolicy.Default)
+                                            bufPolicy: BufferPolicy = BufferPolicy.Default,
+                                            tls: (Boolean, Option[(String, String)]) =
+                                              (false, None))
   extends DriverBufferedTextStream {
   override protected def policy: BufferPolicy = bufPolicy
   protected def open(onText: String => Unit, onDeath: String => Unit): AutoCloseable = {
-    val client = new AmqpClient(host, port, vhost, user, pass)
+    val client = new AmqpClient(host, port, vhost, user, pass, tls._1, tls._2)
     client.connect()
     client.declareQueue(queue)
     val t = new Thread(() => {
@@ -311,10 +322,12 @@ private[sources] class AmqpMicroBatchStream(host: String, port: Int, queue: Stri
   */
 class AmqpForeachWriter(host: String, port: Int, queue: String,
                         vhost: String = "/", user: String = "guest",
-                        pass: String = "guest") extends ForeachWriter[Row] {
+                        pass: String = "guest", tls: Boolean = false,
+                        trustStore: Option[(String, String)] = None)
+  extends ForeachWriter[Row] {
   @transient private var client: AmqpClient = _
   override def open(partitionId: Long, epochId: Long): Boolean = {
-    client = new AmqpClient(host, port, vhost, user, pass)
+    client = new AmqpClient(host, port, vhost, user, pass, tls, trustStore)
     client.connect()
     client.declareQueue(queue)
     true

@@ -289,7 +289,10 @@ object AppRuntime {
                 new graft.sources.AmqpForeachWriter(req("host"), req("port").toInt,
                   req("queue"), sd.options.getOrElse("vhost", "/"),
                   sd.options.getOrElse("user", "guest"),
-                  sd.options.getOrElse("pass", "guest"))
+                  sd.options.getOrElse("pass", "guest"),
+                  tls = sd.options.get("tls").exists(_.trim.equalsIgnoreCase("true")),
+                  trustStore = sd.options.get("tls.truststore").map(p =>
+                    p -> sd.options.getOrElse("tls.truststore.password", "")))
             // transport options are consumed above; everything else
             // (checkpointLocation, trigger intervals, …) must still reach
             // the writer — silently dropping them would lose checkpoints

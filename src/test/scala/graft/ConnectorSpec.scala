@@ -683,6 +683,83 @@ class ConnectorSpec extends AnyFunSuite {
     } finally { q.stop(); server.close() }
   }
 
+  test("amqps: the identical AMQP negotiation runs over JSSE TLS; untrusted chain rejected") {
+    import graft.sources.AmqpCodec._
+    // self-signed PKCS12 keystore via keytool (same recipe as the wss test)
+    val dir = java.nio.file.Files.createTempDirectory("graft-amqps")
+    val ks = dir.resolve("amqp.p12").toString
+    val keytool = new java.io.File(
+      System.getProperty("java.home"), "bin/keytool").getAbsolutePath
+    val gen = new ProcessBuilder(keytool, "-genkeypair", "-alias", "amqp",
+      "-keyalg", "RSA", "-keysize", "2048", "-validity", "30",
+      "-dname", "CN=localhost", "-ext", "san=ip:127.0.0.1,dns:localhost",
+      "-keystore", ks, "-storetype", "PKCS12", "-storepass", "changeit")
+      .redirectErrorStream(true).start()
+    assert(gen.waitFor() == 0, "keytool keystore generation failed")
+    val kstore = java.security.KeyStore.getInstance("PKCS12")
+    val fin = new java.io.FileInputStream(ks)
+    try kstore.load(fin, "changeit".toCharArray) finally fin.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(kstore, "changeit".toCharArray)
+    val sctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    sctx.init(kmf.getKeyManagers, null, null)
+    val server = sctx.getServerSocketFactory.createServerSocket(0)
+    val problems = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val acceptor = new Thread(() => {
+      while (!server.isClosed) {
+        try {
+          val sock = server.accept()
+          new Thread(() => {
+            try {
+              val (in, _, queue) = amqpBrokerSetup(sock, problems)
+              var f = readFrame(in)
+              var open = true
+              while (open && f != null) {
+                if (f.ftype == FrameMethod) {
+                  val r = new Reader(f.payload)
+                  val (c, m) = (r.u16(), r.u16())
+                  if (c == 60 && m == 40) { // basic.publish
+                    r.u16(); r.shortstr(); r.shortstr()
+                    val hr = new Reader(readFrame(in).payload)
+                    hr.u16(); hr.u16()
+                    val size = hr.u64()
+                    val body = new java.io.ByteArrayOutputStream()
+                    while (body.size < size) body.write(readFrame(in).payload)
+                    received.add(new String(body.toByteArray, "UTF-8") + "@" + queue)
+                  } else if (c == 10 && m == 50) open = false
+                }
+                if (open) f = readFrame(in)
+              }
+            } catch { case _: Exception => () }
+          }).start()
+        } catch { case _: Exception => () }
+      }
+    })
+    acceptor.setDaemon(true); acceptor.start()
+    try {
+      // default trust chain must reject the self-signed broker
+      intercept[java.io.IOException] {
+        val c = new graft.sources.AmqpClient("127.0.0.1", server.getLocalPort,
+          tls = true)
+        try c.connect() finally c.close()
+      }
+      // pinned truststore: the FULL 0-9-1 negotiation + publish over TLS
+      val c = new graft.sources.AmqpClient("127.0.0.1", server.getLocalPort,
+        tls = true, trustStore = Some(ks -> "changeit"))
+      c.connect()
+      try {
+        c.declareQueue("secq")
+        c.publish("secq", "over-tls".getBytes("UTF-8"))
+      } finally c.close()
+      val deadline = System.nanoTime() + 15e9.toLong
+      while (received.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(received.toArray.toSeq == Seq("over-tls@secq"))
+      assert(problems.isEmpty, problems.toArray.mkString("; "))
+    } finally server.close()
+  }
+
   test("amqp sink: mapped rows publish to the declared queue") {
     import graft.sql.AppRuntime
     import graft.sources.AmqpCodec._
