@@ -233,8 +233,12 @@ object KafkaCodec {
 
 /** Blocking Kafka client over one broker connection: framed request/response
   * with correlation-id checking, typed error codes. One instance per thread.
+  * `tls=true` runs the identical protocol over a JSSE socket (WsTls — the
+  * path shared by wss:// and amqps://, hostname verification on).
   */
-final class KafkaClient(host: String, port: Int, clientId: String = "graft") {
+final class KafkaClient(host: String, port: Int, clientId: String = "graft",
+                        tls: Boolean = false,
+                        trustStore: Option[(String, String)] = None) {
   import KafkaCodec._
 
   private var socket: Socket = _
@@ -243,7 +247,8 @@ final class KafkaClient(host: String, port: Int, clientId: String = "graft") {
   private var corr = 0
 
   def connect(): Unit = {
-    socket = new Socket(host, port)
+    socket = if (tls) WsTls.socket(host, port, trustStore)
+             else new Socket(host, port)
     socket.setTcpNoDelay(true)
     in = new DataInputStream(new java.io.BufferedInputStream(socket.getInputStream))
     out = new DataOutputStream(new java.io.BufferedOutputStream(socket.getOutputStream))
@@ -391,7 +396,8 @@ class KafkaSourceProvider extends TableProvider {
     if (starting != "earliest" && starting != "latest")
       throw new IllegalArgumentException(
         s"startingOffsets must be 'earliest' or 'latest', got '$starting'")
-    new KafkaTable(host, port, req("topic"), starting)
+    new KafkaTable(host, port, req("topic"), starting,
+      WebSocketSourceProvider.tlsOf(opts))
   }
 }
 
@@ -412,7 +418,9 @@ object KafkaSourceProvider {
 }
 
 private[sources] class KafkaTable(host: String, port: Int, topic: String,
-                                  starting: String)
+                                  starting: String,
+                                  tls: (Boolean, Option[(String, String)]) =
+                                    (false, None))
   extends Table with SupportsRead {
   override def name(): String = s"kafka:$host:$port/$topic"
   override def schema(): StructType = KafkaSourceProvider.Schema
@@ -423,7 +431,7 @@ private[sources] class KafkaTable(host: String, port: Int, topic: String,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = KafkaSourceProvider.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new KafkaMicroBatchStream(host, port, topic, starting)
+          new KafkaMicroBatchStream(host, port, topic, starting, tls)
       }
     }
 }
@@ -442,11 +450,14 @@ private[sources] object KafkaOffsets {
 }
 
 private[sources] class KafkaMicroBatchStream(host: String, port: Int,
-                                             topic: String, starting: String)
+                                             topic: String, starting: String,
+                                             tls: (Boolean, Option[(String, String)]) =
+                                               (false, None))
   extends MicroBatchStream {
 
   private lazy val client: KafkaClient = {
-    val c = new KafkaClient(host, port); c.connect(); c
+    val c = new KafkaClient(host, port, tls = tls._1, trustStore = tls._2)
+    c.connect(); c
   }
   private lazy val leaders: Map[Int, (String, Int)] = client.partitionLeaders(topic)
 
@@ -466,7 +477,8 @@ private[sources] class KafkaMicroBatchStream(host: String, port: Int,
       val startOff = s.getOrElse(p, 0L)
       if (endOff > startOff) {
         val (lh, lp) = leaders.getOrElse(p, (host, port))
-        Some(KafkaRangePartition(lh, lp, topic, p, startOff, endOff))
+        Some(KafkaRangePartition(lh, lp, topic, p, startOff, endOff,
+          tls._1, tls._2))
       } else None
     }.toArray
   }
@@ -480,7 +492,9 @@ private[sources] class KafkaMicroBatchStream(host: String, port: Int,
 
 private[sources] case class KafkaRangePartition(host: String, port: Int,
                                                 topic: String, partition: Int,
-                                                startOffset: Long, endOffset: Long)
+                                                startOffset: Long, endOffset: Long,
+                                                tls: Boolean = false,
+                                                trustStore: Option[(String, String)] = None)
   extends InputPartition
 
 private[sources] class KafkaReaderFactory extends PartitionReaderFactory {
@@ -488,8 +502,13 @@ private[sources] class KafkaReaderFactory extends PartitionReaderFactory {
     val p = p0.asInstanceOf[KafkaRangePartition]
     new PartitionReader[InternalRow] {
       // each task owns its connection to the partition leader — the
-      // executor-parallel shape; nothing is buffered on the driver
-      private val client = { val c = new KafkaClient(p.host, p.port); c.connect(); c }
+      // executor-parallel shape; nothing is buffered on the driver (the
+      // truststore path must be executor-visible, like any Spark file dep)
+      private val client = {
+        val c = new KafkaClient(p.host, p.port, tls = p.tls,
+          trustStore = p.trustStore)
+        c.connect(); c
+      }
       private var queue: Iterator[KafkaCodec.KRecord] = Iterator.empty
       private var nextOffset = p.startOffset
       private var current: KafkaCodec.KRecord = _
@@ -526,7 +545,9 @@ private[sources] class KafkaReaderFactory extends PartitionReaderFactory {
   * flushed in `close` — one Produce round-trip per task). Spark partition
   * id maps onto the topic's partitions round-robin.
   */
-class KafkaForeachWriter(brokers: String, topic: String)
+class KafkaForeachWriter(brokers: String, topic: String,
+                         tls: Boolean = false,
+                         trustStore: Option[(String, String)] = None)
   extends ForeachWriter[Row] {
   @transient private var client: KafkaClient = _
   @transient private var buf: scala.collection.mutable.ArrayBuffer[Array[Byte]] = _
@@ -534,14 +555,14 @@ class KafkaForeachWriter(brokers: String, topic: String)
 
   override def open(partitionId: Long, epochId: Long): Boolean = {
     val (h, p) = KafkaSourceProvider.parseBroker(brokers)
-    val boot = new KafkaClient(h, p)
+    val boot = new KafkaClient(h, p, tls = tls, trustStore = trustStore)
     boot.connect()
     try {
       val leaders = boot.partitionLeaders(topic)
       val ids = leaders.keys.toSeq.sorted
       partition = ids((partitionId % ids.size).toInt)
       val (lh, lp) = leaders(partition)
-      client = new KafkaClient(lh, lp)
+      client = new KafkaClient(lh, lp, tls = tls, trustStore = trustStore)
       client.connect()
     } finally boot.close()
     buf = scala.collection.mutable.ArrayBuffer.empty

@@ -281,7 +281,10 @@ object AppRuntime {
                   trustStore = sd.options.get("tls.truststore").map(p =>
                     p -> sd.options.getOrElse("tls.truststore.password", "")))
               else if (fmt == "kafka")
-                new graft.sources.KafkaForeachWriter(req("brokers"), req("topic"))
+                new graft.sources.KafkaForeachWriter(req("brokers"), req("topic"),
+                  tls = sd.options.get("tls").exists(_.trim.equalsIgnoreCase("true")),
+                  trustStore = sd.options.get("tls.truststore").map(p =>
+                    p -> sd.options.getOrElse("tls.truststore.password", "")))
               else if (fmt == "http")
                 new graft.sources.HttpForeachWriter(req("url"),
                   sd.options.getOrElse("content.type", "text/plain"))
