@@ -42,6 +42,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object KafkaCodec {
 
   val ApiProduce = 0; val ApiFetch = 1; val ApiListOffsets = 2; val ApiMetadata = 3
+  val ApiSaslHandshake = 17; val ApiSaslAuthenticate = 36
 
   final case class KRecord(offset: Long, timestampMs: Long,
                            key: Array[Byte], value: Array[Byte])
@@ -238,7 +239,8 @@ object KafkaCodec {
   */
 final class KafkaClient(host: String, port: Int, clientId: String = "graft",
                         tls: Boolean = false,
-                        trustStore: Option[(String, String)] = None) {
+                        trustStore: Option[(String, String)] = None,
+                        sasl: Option[(String, String)] = None) {
   import KafkaCodec._
 
   private var socket: Socket = _
@@ -252,6 +254,7 @@ final class KafkaClient(host: String, port: Int, clientId: String = "graft",
     socket.setTcpNoDelay(true)
     in = new DataInputStream(new java.io.BufferedInputStream(socket.getInputStream))
     out = new DataOutputStream(new java.io.BufferedOutputStream(socket.getOutputStream))
+    sasl.foreach { case (u, p) => saslPlain(u, p) }
   }
 
   def close(): Unit = try if (socket != null) socket.close() catch { case _: Exception => () }
@@ -276,6 +279,30 @@ final class KafkaClient(host: String, port: Int, clientId: String = "graft",
 
   private def err(code: Int, what: String): Unit =
     if (code != 0) throw new java.io.IOException(s"kafka $what error code $code")
+
+  /** SASL/PLAIN (RFC 4616: `\0user\0pass`) through SaslHandshake v1 +
+    * SaslAuthenticate v0 — the framed post-handshake flow modern brokers
+    * use (the standard pairing with TLS). Call right after connect().
+    */
+  def saslPlain(user: String, pass: String): Unit = {
+    val h = new Writer
+    h.string("PLAIN")
+    val hr = call(ApiSaslHandshake, 1, h.result())
+    val hErr = hr.int16()
+    val mechanisms = (0 until hr.int32()).map(_ => hr.string())
+    if (hErr != 0)
+      throw new java.io.IOException(
+        s"kafka SASL handshake error $hErr — broker offers: ${mechanisms.mkString(", ")}")
+    val token = ("\u0000" + user + "\u0000" + pass).getBytes(UTF_8)
+    val a = new Writer
+    a.bytes(token)
+    val ar = call(ApiSaslAuthenticate, 0, a.result())
+    val aErr = ar.int16()
+    val msg = ar.nullableString()
+    if (aErr != 0)
+      throw new java.io.IOException(
+        s"kafka SASL authentication failed (error $aErr${msg.map(": " + _).getOrElse("")})")
+  }
 
   /** Metadata v0: partition → (leaderHost, leaderPort) for one topic. */
   def partitionLeaders(topic: String): Map[Int, (String, Int)] = {
@@ -396,8 +423,12 @@ class KafkaSourceProvider extends TableProvider {
     if (starting != "earliest" && starting != "latest")
       throw new IllegalArgumentException(
         s"startingOffsets must be 'earliest' or 'latest', got '$starting'")
+    val sasl = Option(opts.get("sasl.user")).map(u =>
+      u -> Option(opts.get("sasl.pass")).getOrElse(
+        throw new IllegalArgumentException(
+          "'sasl.user' is set but 'sasl.pass' is missing")))
     new KafkaTable(host, port, req("topic"), starting,
-      WebSocketSourceProvider.tlsOf(opts))
+      WebSocketSourceProvider.tlsOf(opts), sasl)
   }
 }
 
@@ -420,7 +451,8 @@ object KafkaSourceProvider {
 private[sources] class KafkaTable(host: String, port: Int, topic: String,
                                   starting: String,
                                   tls: (Boolean, Option[(String, String)]) =
-                                    (false, None))
+                                    (false, None),
+                                  sasl: Option[(String, String)] = None)
   extends Table with SupportsRead {
   override def name(): String = s"kafka:$host:$port/$topic"
   override def schema(): StructType = KafkaSourceProvider.Schema
@@ -431,7 +463,7 @@ private[sources] class KafkaTable(host: String, port: Int, topic: String,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = KafkaSourceProvider.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new KafkaMicroBatchStream(host, port, topic, starting, tls)
+          new KafkaMicroBatchStream(host, port, topic, starting, tls, sasl)
       }
     }
 }
@@ -452,11 +484,13 @@ private[sources] object KafkaOffsets {
 private[sources] class KafkaMicroBatchStream(host: String, port: Int,
                                              topic: String, starting: String,
                                              tls: (Boolean, Option[(String, String)]) =
-                                               (false, None))
+                                               (false, None),
+                                             sasl: Option[(String, String)] = None)
   extends MicroBatchStream {
 
   private lazy val client: KafkaClient = {
-    val c = new KafkaClient(host, port, tls = tls._1, trustStore = tls._2)
+    val c = new KafkaClient(host, port, tls = tls._1, trustStore = tls._2,
+      sasl = sasl)
     c.connect(); c
   }
   private lazy val leaders: Map[Int, (String, Int)] = client.partitionLeaders(topic)
@@ -478,7 +512,7 @@ private[sources] class KafkaMicroBatchStream(host: String, port: Int,
       if (endOff > startOff) {
         val (lh, lp) = leaders.getOrElse(p, (host, port))
         Some(KafkaRangePartition(lh, lp, topic, p, startOff, endOff,
-          tls._1, tls._2))
+          tls._1, tls._2, sasl))
       } else None
     }.toArray
   }
@@ -494,7 +528,8 @@ private[sources] case class KafkaRangePartition(host: String, port: Int,
                                                 topic: String, partition: Int,
                                                 startOffset: Long, endOffset: Long,
                                                 tls: Boolean = false,
-                                                trustStore: Option[(String, String)] = None)
+                                                trustStore: Option[(String, String)] = None,
+                                                sasl: Option[(String, String)] = None)
   extends InputPartition
 
 private[sources] class KafkaReaderFactory extends PartitionReaderFactory {
@@ -506,7 +541,7 @@ private[sources] class KafkaReaderFactory extends PartitionReaderFactory {
       // truststore path must be executor-visible, like any Spark file dep)
       private val client = {
         val c = new KafkaClient(p.host, p.port, tls = p.tls,
-          trustStore = p.trustStore)
+          trustStore = p.trustStore, sasl = p.sasl)
         c.connect(); c
       }
       private var queue: Iterator[KafkaCodec.KRecord] = Iterator.empty
@@ -547,7 +582,8 @@ private[sources] class KafkaReaderFactory extends PartitionReaderFactory {
   */
 class KafkaForeachWriter(brokers: String, topic: String,
                          tls: Boolean = false,
-                         trustStore: Option[(String, String)] = None)
+                         trustStore: Option[(String, String)] = None,
+                         sasl: Option[(String, String)] = None)
   extends ForeachWriter[Row] {
   @transient private var client: KafkaClient = _
   @transient private var buf: scala.collection.mutable.ArrayBuffer[Array[Byte]] = _
@@ -555,14 +591,16 @@ class KafkaForeachWriter(brokers: String, topic: String,
 
   override def open(partitionId: Long, epochId: Long): Boolean = {
     val (h, p) = KafkaSourceProvider.parseBroker(brokers)
-    val boot = new KafkaClient(h, p, tls = tls, trustStore = trustStore)
+    val boot = new KafkaClient(h, p, tls = tls, trustStore = trustStore,
+      sasl = sasl)
     boot.connect()
     try {
       val leaders = boot.partitionLeaders(topic)
       val ids = leaders.keys.toSeq.sorted
       partition = ids((partitionId % ids.size).toInt)
       val (lh, lp) = leaders(partition)
-      client = new KafkaClient(lh, lp, tls = tls, trustStore = trustStore)
+      client = new KafkaClient(lh, lp, tls = tls, trustStore = trustStore,
+        sasl = sasl)
       client.connect()
     } finally boot.close()
     buf = scala.collection.mutable.ArrayBuffer.empty

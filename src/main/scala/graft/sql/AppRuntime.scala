@@ -284,7 +284,11 @@ object AppRuntime {
                 new graft.sources.KafkaForeachWriter(req("brokers"), req("topic"),
                   tls = sd.options.get("tls").exists(_.trim.equalsIgnoreCase("true")),
                   trustStore = sd.options.get("tls.truststore").map(p =>
-                    p -> sd.options.getOrElse("tls.truststore.password", "")))
+                    p -> sd.options.getOrElse("tls.truststore.password", "")),
+                  sasl = sd.options.get("sasl.user").map(u =>
+                    u -> sd.options.getOrElse("sasl.pass",
+                      throw GraftApp.SqlError(
+                        "'sasl.user' is set but 'sasl.pass' is missing"))))
               else if (fmt == "http")
                 new graft.sources.HttpForeachWriter(req("url"),
                   sd.options.getOrElse("content.type", "text/plain"))
@@ -301,7 +305,8 @@ object AppRuntime {
             // the writer — silently dropping them would lose checkpoints
             val transportKeys = Set("host", "port", "queue", "vhost", "user",
               "pass", "tls", "tls.truststore", "tls.truststore.password",
-              "brokers", "topic", "url", "content.type")
+              "brokers", "topic", "url", "content.type",
+              "sasl.user", "sasl.pass")
             var writer = mapSinkRows(env(name), sd).writeStream
               .foreach(fw)
               .outputMode(sd.options.getOrElse("outputMode", "append"))

@@ -141,6 +141,21 @@ class KafkaSpec extends AnyFunSuite {
               w.int32(1).string(name).int32(1)
               w.int32(p).int16(0).int64(base).int64(-1L)
               w.int32(0) // throttle
+            case KafkaCodec.ApiSaslHandshake =>
+              assert(apiVersion == 1)
+              val mech = r.string()
+              if (mech == "PLAIN") w.int16(0) else w.int16(33) // UNSUPPORTED_SASL_MECHANISM
+              w.int32(1).string("PLAIN")
+            case KafkaCodec.ApiSaslAuthenticate =>
+              assert(apiVersion == 0)
+              val token = new String(r.bytes(), UTF_8)
+              if (token == "\u0000alice\u0000secret") {
+                w.int16(0); w.int16(-1); w.bytes(Array.emptyByteArray)
+              } else {
+                w.int16(58) // SASL_AUTHENTICATION_FAILED
+                w.string("bad credentials")
+                w.bytes(Array.emptyByteArray)
+              }
             case other => fail(s"unexpected api key $other")
           }
           val resp = w.result()
@@ -326,6 +341,41 @@ class KafkaSpec extends AnyFunSuite {
         reader.close()
         assert(got.toSeq == Seq("p0a", "p0b"))
       } finally stream.stop()
+    } finally broker.close()
+  }
+
+  test("kafka SASL/PLAIN: handshake + authenticate; bad credentials fail typed") {
+    val broker = new ScriptedBroker("auth", 1)
+    broker.seed(0, "a1")
+    try {
+      val c = new KafkaClient("127.0.0.1", broker.port)
+      c.connect()
+      try {
+        c.saslPlain("alice", "secret")
+        // the authenticated connection serves the data APIs as usual
+        assert(c.listOffsets("auth", Seq(0), -1L) == Map(0 -> 1L))
+      } finally c.close()
+      val bad = new KafkaClient("127.0.0.1", broker.port)
+      bad.connect()
+      try {
+        val e = intercept[java.io.IOException](bad.saslPlain("alice", "wrong"))
+        assert(e.getMessage.contains("authentication failed") &&
+          e.getMessage.contains("bad credentials"))
+      } finally bad.close()
+      // connect() runs SASL automatically when credentials are configured
+      // (the option path the source/sink take)
+      val auto = new KafkaClient("127.0.0.1", broker.port,
+        sasl = Some("alice" -> "secret"))
+      auto.connect()
+      try assert(auto.listOffsets("auth", Seq(0), -2L) == Map(0 -> 0L))
+      finally auto.close()
+      // provider-level config validation: a user without a password is loud
+      intercept[IllegalArgumentException] {
+        new KafkaSourceProvider().getTable(null, Array.empty,
+          scala.jdk.CollectionConverters.MapHasAsJava(Map(
+            "brokers" -> "h:1", "topic" -> "t",
+            "sasl.user" -> "alice")).asJava)
+      }
     } finally broker.close()
   }
 
