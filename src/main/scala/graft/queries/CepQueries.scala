@@ -94,6 +94,52 @@ object CepQueries extends QueryFamily {
              |  AND ts3 - ts1 <= 172800000000
              |ORDER BY user_id, e1_id""".stripMargin)),
 
+    // UNBOUNDED one-or-more (round 9, beyond the reference): every signup
+    // RUN prefix followed by the first purchase, within 6h of the seed.
+    // The NFA's enumerate-all-prefixes semantics are exactly the SQL
+    // triangle: one match per signup PAIR (first, last) with first<=last,
+    // completed by the first purchase after `last` while the seed is
+    // inside the WITHIN horizon — DuckDB replays every match and the
+    // collected count (signups in [first, last]) bit-for-bit.
+    QueryDef(
+      "q_cep_plus",
+      (s, dir) => {
+        import s.implicits._
+        val spec = PatternSpec(
+          steps = Seq(
+            Step.atLeast("e", 1)(_.etype == "signup"),
+            Step.simple("z")(_.etype == "purchase")),
+          strict = false, every = true, withinUs = Some(H6))
+        Cep.detect(Cep.fromEvents(Tables(s, dir, "events")), spec)
+          .map(m => (m.key.toLong,
+            m.steps.head.events.head.eventId,
+            m.steps.head.events.last.eventId,
+            m.steps(1).events.head.eventId,
+            m.steps.head.events.size.toLong))
+          .toDF("user_id", "first_id", "last_id", "b_id", "n_collected")
+          .orderBy(col("user_id"), col("first_id"), col("last_id"))
+      },
+      Some("""WITH sg AS (
+             |  SELECT user_id, event_id AS id, epoch_us(ts) AS ts
+             |  FROM events WHERE event_type = 'signup'),
+             |pur AS (
+             |  SELECT user_id, event_id AS id, epoch_us(ts) AS ts
+             |  FROM events WHERE event_type = 'purchase'),
+             |pairs AS (
+             |  SELECT a.user_id, a.id AS first_id, k.id AS last_id, a.ts AS s_ts
+             |  FROM sg a JOIN sg k ON a.user_id = k.user_id AND k.id >= a.id),
+             |m AS (
+             |  SELECT p.user_id, p.first_id, p.last_id, min(b.id) AS b_id
+             |  FROM pairs p JOIN pur b ON b.user_id = p.user_id
+             |    AND b.id > p.last_id AND b.ts - p.s_ts <= 21600000000
+             |  GROUP BY 1, 2, 3)
+             |SELECT m.user_id, m.first_id, m.last_id, m.b_id,
+             |  CAST(count(*) AS BIGINT) AS n_collected
+             |FROM m JOIN sg x ON x.user_id = m.user_id
+             |  AND x.id BETWEEN m.first_id AND m.last_id
+             |GROUP BY 1, 2, 3, 4
+             |ORDER BY m.user_id, m.first_id, m.last_id""".stripMargin)),
+
     // Logical OR step + relaxed follow: (signup OR error) then first
     // purchase within 6h.
     QueryDef(
