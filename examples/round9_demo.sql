@@ -11,7 +11,10 @@
 CREATE STREAM Trades (symbol STRING, qty BIGINT, price DOUBLE)
 WITH ('type' = 'source', 'format' = 'kafka',
       'brokers' = 'broker.example.com:9092', 'topic' = 'trades',
-      'startingOffsets' = 'earliest', 'map.format' = 'csv');
+      'startingOffsets' = 'earliest', 'map.format' = 'csv',
+      'tls' = 'true', 'tls.truststore' = '/etc/graft/kafka-truststore.p12',
+      'tls.truststore.password' = '${KAFKA_TRUST_PW:-changeit}',
+      'sasl.user' = 'svc-graft', 'sasl.pass' = '${KAFKA_SASL_PW:-secret}');
 
 -- Kafka metadata access: a schema drawn from the physical columns
 -- (key, value, partition, offset, ts_ms) projects them directly
