@@ -431,6 +431,37 @@ class KafkaSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("checkpointed restart REPLAYS: stop mid-stream, restart, no loss, no duplicates") {
+    val broker = new ScriptedBroker("ck", 2)
+    broker.seed(0, "a1", "a2")
+    broker.seed(1, "b1")
+    val ckpt = java.nio.file.Files.createTempDirectory("kafka-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("kafka-out").toString
+    def readSource() = spark.readStream
+      .format(classOf[KafkaSourceProvider].getName)
+      .option("brokers", s"127.0.0.1:${broker.port}")
+      .option("topic", "ck")
+      .load().selectExpr("value")
+    try {
+      val q1 = readSource().writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt).start()
+      try q1.processAllAvailable() finally q1.stop()
+      assert(spark.read.parquet(outDir).collect().map(_.getString(0)).sorted.toSeq
+        == Seq("a1", "a2", "b1"))
+      // messages arrive while NO query is running...
+      broker.seed(0, "a3")
+      broker.seed(1, "b2")
+      // ...and the restarted query resumes from the CHECKPOINTED offsets:
+      // exactly the new messages, nothing lost, nothing re-emitted — the
+      // guarantee the driver-buffered transports document they cannot give
+      val q2 = readSource().writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt).start()
+      try q2.processAllAvailable() finally q2.stop()
+      val all = spark.read.parquet(outDir).collect().map(_.getString(0)).sorted.toSeq
+      assert(all == Seq("a1", "a2", "a3", "b1", "b2"))
+    } finally broker.close()
+  }
+
   test("declared app e2e: kafka source through the csv mapper, kafka sink back out") {
     import graft.sql.{AppRuntime, GraftApp}
     val broker = new ScriptedBroker("ticks", 2)
