@@ -457,13 +457,43 @@ private[sources] class KafkaTable(host: String, port: Int, topic: String,
   override def name(): String = s"kafka:$host:$port/$topic"
   override def schema(): StructType = KafkaSourceProvider.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = KafkaSourceProvider.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new KafkaMicroBatchStream(host, port, topic, starting, tls, sasl)
+        /** BATCH read = one topic snapshot: offsets pinned at planning
+          * time (earliest..log-end per partition), one task per partition
+          * — `spark.read.format(kafka).load()` for bulk corpus ingestion,
+          * same reader as the stream.
+          */
+        override def toBatch(): org.apache.spark.sql.connector.read.Batch =
+          new org.apache.spark.sql.connector.read.Batch {
+            override def planInputPartitions(): Array[InputPartition] = {
+              val c = new KafkaClient(host, port, tls = tls._1,
+                trustStore = tls._2, sasl = sasl)
+              c.connect()
+              try {
+                val leaders = c.partitionLeaders(topic)
+                val ps = leaders.keys.toSeq.sorted
+                val startOffs = c.listOffsets(topic, ps, -2L)
+                val endOffs = c.listOffsets(topic, ps, -1L)
+                ps.flatMap { p =>
+                  val (s, e) = (startOffs(p), endOffs(p))
+                  if (e > s) {
+                    val (lh, lp) = leaders(p)
+                    Some(KafkaRangePartition(lh, lp, topic, p, s, e,
+                      tls._1, tls._2, sasl))
+                  } else None
+                }.toArray
+              } finally c.close()
+            }
+            override def createReaderFactory(): PartitionReaderFactory =
+              new KafkaReaderFactory
+          }
       }
     }
 }

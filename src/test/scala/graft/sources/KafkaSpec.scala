@@ -431,6 +431,23 @@ class KafkaSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("batch read: one pinned topic snapshot, one task per partition") {
+    val broker = new ScriptedBroker("snap", 3)
+    broker.seed(0, "x1", "x2")
+    broker.seed(2, "z1")
+    try {
+      val df = spark.read
+        .format(classOf[KafkaSourceProvider].getName)
+        .option("brokers", s"127.0.0.1:${broker.port}")
+        .option("topic", "snap")
+        .load()
+      assert(df.rdd.getNumPartitions == 2) // only partitions WITH data
+      val rows = df.collect()
+        .map(r => (r.getInt(2), r.getLong(3), r.getString(1))).sorted
+      assert(rows.toSeq == Seq((0, 0L, "x1"), (0, 1L, "x2"), (2, 0L, "z1")))
+    } finally broker.close()
+  }
+
   test("checkpointed restart REPLAYS: stop mid-stream, restart, no loss, no duplicates") {
     val broker = new ScriptedBroker("ck", 2)
     broker.seed(0, "a1", "a2")
