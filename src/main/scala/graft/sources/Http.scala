@@ -37,13 +37,15 @@ class HttpSourceProvider extends TableProvider {
     val port = Option(opts.get("port")).map(_.toInt).getOrElse(
       throw new IllegalArgumentException("http source needs a 'port' option"))
     val path = Option(opts.get("path")).getOrElse("/")
-    new HttpTable(port, path, BufferPolicy.fromOptions(opts))
+    val bind = Option(opts.get("bind")).getOrElse("0.0.0.0")
+    new HttpTable(bind, port, path, BufferPolicy.fromOptions(opts))
   }
 }
 
-private[sources] class HttpTable(port: Int, path: String, bufPolicy: BufferPolicy)
+private[sources] class HttpTable(bind: String, port: Int, path: String,
+                                 bufPolicy: BufferPolicy)
   extends Table with SupportsRead {
-  override def name(): String = s"http:$port$path"
+  override def name(): String = s"http:$bind:$port$path"
   override def schema(): StructType = WebSocketSourceProvider.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
@@ -52,18 +54,20 @@ private[sources] class HttpTable(port: Int, path: String, bufPolicy: BufferPolic
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = WebSocketSourceProvider.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new HttpMicroBatchStream(port, path, bufPolicy)
+          new HttpMicroBatchStream(bind, port, path, bufPolicy)
       }
     }
 }
 
-private[sources] class HttpMicroBatchStream(port: Int, path: String,
+private[sources] class HttpMicroBatchStream(bind: String, port: Int, path: String,
                                             bufPolicy: BufferPolicy = BufferPolicy.Default)
   extends DriverBufferedTextStream {
   override protected def policy: BufferPolicy = bufPolicy
   protected def open(onText: String => Unit, onDeath: String => Unit): AutoCloseable = {
+    // 'bind' narrows the listen interface (e.g. '127.0.0.1' behind a
+    // local reverse proxy); default = all interfaces, the webhook shape
     val server = com.sun.net.httpserver.HttpServer.create(
-      new java.net.InetSocketAddress(port), 0)
+      new java.net.InetSocketAddress(bind, port), 0)
     server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
       try {
         val (code, body) =
