@@ -119,26 +119,32 @@ object CepQueries extends QueryFamily {
           .toDF("user_id", "first_id", "last_id", "b_id", "n_collected")
           .orderBy(col("user_id"), col("first_id"), col("last_id"))
       },
-      Some("""WITH sg AS (
-             |  SELECT user_id, event_id AS id, epoch_us(ts) AS ts
-             |  FROM events WHERE event_type = 'signup'),
-             |pur AS (
-             |  SELECT user_id, event_id AS id, epoch_us(ts) AS ts
-             |  FROM events WHERE event_type = 'purchase'),
-             |pairs AS (
-             |  SELECT a.user_id, a.id AS first_id, k.id AS last_id, a.ts AS s_ts
-             |  FROM sg a JOIN sg k ON a.user_id = k.user_id AND k.id >= a.id),
-             |m AS (
-             |  SELECT p.user_id, p.first_id, p.last_id, min(b.id) AS b_id
-             |  FROM pairs p JOIN pur b ON b.user_id = p.user_id
-             |    AND b.id > p.last_id AND b.ts - p.s_ts <= 21600000000
-             |  GROUP BY 1, 2, 3)
-             |SELECT m.user_id, m.first_id, m.last_id, m.b_id,
-             |  CAST(count(*) AS BIGINT) AS n_collected
-             |FROM m JOIN sg x ON x.user_id = m.user_id
-             |  AND x.id BETWEEN m.first_id AND m.last_id
-             |GROUP BY 1, 2, 3, 4
-             |ORDER BY m.user_id, m.first_id, m.last_id""".stripMargin)),
+      Some(cepPlusOracle)),
+
+    // The same A+ semantics THROUGH THE SQL SURFACE (PatternCompiler's
+    // `+` quantifier, e[0]/e[last] indexed access and count(e) collection
+    // agg over the unbounded step) — identical oracle, so the API and the
+    // compiled paths are pinned to each other at corpus scale.
+    QueryDef(
+      "q_cep_sql_plus",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (user_id BIGINT, first_id BIGINT, last_id BIGINT,
+            |                   b_id BIGINT, n_collected BIGINT);
+            |INSERT INTO Out
+            |SELECT e.user_id AS user_id, e[0].event_id AS first_id,
+            |       e[last].event_id AS last_id, z.event_id AS b_id,
+            |       count(e) AS n_collected
+            |FROM PATTERN (EVERY e=events[event_type = 'signup']+
+            |              -> z=events[event_type = 'purchase'])
+            |WITHIN 6 HOURS
+            |PARTITION BY user_id;""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .orderBy(col("user_id"), col("first_id"), col("last_id"))
+      },
+      Some(cepPlusOracle)),
 
     // Logical OR step + relaxed follow: (signup OR error) then first
     // purchase within 6h.
@@ -348,4 +354,31 @@ object CepQueries extends QueryFamily {
              |GROUP BY a.user_id, a.a_id
              |ORDER BY 1, 2""".stripMargin))
   )
+
+  /** Shared oracle for the A+ rows (q_cep_plus / q_cep_sql_plus): one
+    * match per signup PAIR (first <= last), completed by the first
+    * purchase after `last` while the seed stays inside the 6h horizon;
+    * n_collected = signups in [first, last].
+    */
+  private def cepPlusOracle: String =
+    """WITH sg AS (
+      |  SELECT user_id, event_id AS id, epoch_us(ts) AS ts
+      |  FROM events WHERE event_type = 'signup'),
+      |pur AS (
+      |  SELECT user_id, event_id AS id, epoch_us(ts) AS ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |pairs AS (
+      |  SELECT a.user_id, a.id AS first_id, k.id AS last_id, a.ts AS s_ts
+      |  FROM sg a JOIN sg k ON a.user_id = k.user_id AND k.id >= a.id),
+      |m AS (
+      |  SELECT p.user_id, p.first_id, p.last_id, min(b.id) AS b_id
+      |  FROM pairs p JOIN pur b ON b.user_id = p.user_id
+      |    AND b.id > p.last_id AND b.ts - p.s_ts <= 21600000000
+      |  GROUP BY 1, 2, 3)
+      |SELECT m.user_id, m.first_id, m.last_id, m.b_id,
+      |  CAST(count(*) AS BIGINT) AS n_collected
+      |FROM m JOIN sg x ON x.user_id = m.user_id
+      |  AND x.id BETWEEN m.first_id AND m.last_id
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY m.user_id, m.first_id, m.last_id""".stripMargin
 }
