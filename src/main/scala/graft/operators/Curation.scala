@@ -372,8 +372,15 @@ object Curation {
     * 100 TB the model trains ONCE on a reference sample, persists as a
     * table, and broadcasts when pruned to the top-k bigrams.
     */
-  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+              onPersist: DataFrame => Unit = _ => ()): DataFrame = {
+    // The bigram relation feeds THREE hash-aggs/joins (model c2, model c1,
+    // scoring join): persist it so the corpus text is tokenized/exploded
+    // once, not three times. MEMORY_AND_DISK — the relation is narrow
+    // (id, w1, w2) but corpus-sized, so it must be allowed to spill.
     val docBi = docBigrams(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onPersist(docBi)
     scoreUnderModel(docBi, idCol, bigramModel(docBi))
       .withColumn("lm_score", when(col("n_bigrams") === 0, lit(0.0))
         .otherwise(col("score_num").cast("double") / (col("n_bigrams") * 1000000L)))
@@ -394,11 +401,18 @@ object Curation {
   /** Fixed-point bigram conditionals `(1e6·c2) div c1` from a bigram
     * relation — Σ_w2 = 1e6 per prefix, a proper distribution. Integer
     * `div`, not `/`: double division's round-to-nearest can cross an
-    * integer boundary before the floor. */
+    * integer boundary before the floor.
+    *
+    * ONE corpus-wide agg: c1 (prefix totals) is Σ c2 over w1, re-aggregated
+    * from the already-aggregated MODEL relation (distinct bigrams) instead
+    * of a second scan of the corpus-sized input — the c1 agg and its join
+    * back are model-sized, and both land on the w1 hash partitioning the
+    * c2 agg already produced.
+    */
   private def bigramModel(bi: DataFrame): DataFrame = {
-    val seen = bi.filter(col("w1").isNotNull)
-    val c2 = seen.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val c1 = seen.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c2 = bi.filter(col("w1").isNotNull)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     c2.join(c1, "w1")
       .select(col("w1"), col("w2"),
         expr("CAST(1000000 AS BIGINT) * c2 div c1").as("cond_milli"))
@@ -437,18 +451,40 @@ object Curation {
     */
   def dsirResample(raw: DataFrame, target: DataFrame, idCol: String,
                    textCol: String, ratePm: Int, capX: Int = 10,
-                   salt: String = "dsir"): DataFrame = {
+                   salt: String = "dsir",
+                   onPersist: DataFrame => Unit = _ => ()): DataFrame = {
     require(ratePm >= 1 && ratePm <= 1000, s"ratePm must be in [1,1000], got $ratePm")
     require(capX >= 1 && capX <= 100, s"capX must be in [1,100], got $capX")
+    // The raw-corpus bigram relation feeds the raw-model aggs AND the
+    // scoring join: persist so raw text is tokenized once, not 4x. The
+    // target relation feeds the two target-model aggs — persist it too
+    // (it is the small domain sample, so this is cheap). Both spill-safe
+    // (MEMORY_AND_DISK).
     val rawBi = docBigrams(raw, idCol, textCol)
-    val st = scoreUnderModel(rawBi, idCol, bigramModel(docBigrams(target, idCol, textCol)))
-      .select(col(idCol), col("score_num").as("st_num"), col("n_bigrams"))
-    val sr = scoreUnderModel(rawBi, idCol, bigramModel(rawBi))
-      .select(col(idCol), col("score_num").as("sr_num"),
-        col("n_bigrams").as("__nr"))
-    st.join(sr, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onPersist(rawBi)
+    val targetBi = docBigrams(target, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onPersist(targetBi)
+    // MERGED-MODEL scoring: outer-join the two (w1,w2)→cond models into
+    // one relation and score both numerators in a SINGLE pass over the
+    // corpus bigrams — one scoring join + one hash-agg instead of two of
+    // each plus an id-keyed st⋈sr join. The merge itself is model-sized
+    // (distinct bigrams), not corpus-sized.
+    val model = bigramModel(targetBi).withColumnRenamed("cond_milli", "__ct")
+      .join(bigramModel(rawBi).withColumnRenamed("cond_milli", "__cr"),
+        Seq("w1", "w2"), "full_outer")
+    val scores = rawBi.join(model, Seq("w1", "w2"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("w1").isNotNull, coalesce(col("__ct"), lit(0L)))
+          .otherwise(lit(0L))).cast("long").as("st_num"),
+        sum(when(col("w1").isNotNull, coalesce(col("__cr"), lit(0L)))
+          .otherwise(lit(0L))).cast("long").as("sr_num"),
+        count(col("w1")).cast("long").as("n_bigrams"))
+    scores
       .withColumn("st_fp", expr("st_num div greatest(n_bigrams, 1)"))
-      .withColumn("sr_fp", expr("sr_num div greatest(__nr, 1)"))
+      .withColumn("sr_fp", expr("sr_num div greatest(n_bigrams, 1)"))
       .withColumn("w_pm",
         least(lit(capX * 1000000L),
           expr("(1000000 * (st_fp + 1)) div (sr_fp + 1)")).cast("long"))

@@ -430,20 +430,27 @@ object Dedup {
 
   /** [[semantic]] with the nlist ∝ √N contract applied automatically:
     * counts the corpus, derives nlist = ⌈√N⌉, and picks centroid ids
-    * deterministically as the MIN id of each id-range stripe (bucket =
-    * id div ⌈N/nlist⌉ — one narrow hash-agg, engine-replayable, spread
-    * across the id range). Use the explicit-centroid overload when a
-    * trained k-means codebook (Similarity.trainCentroids) is available.
+    * deterministically as the MIN id of each of ⌈√N⌉ PORTABLE-HASH buckets
+    * (`u32(md5('cent:'||id)) % nlist` — the repo's md5 unit-hash
+    * convention, Sampling.scala). Hash bucketing, not id-range striping:
+    * the bucket count is ≤ nlist BY CONSTRUCTION for any id space —
+    * sparse, negative, or beyond 2^53 — where range stripes could occupy
+    * far more than √N stripes and defeat the contract, and the arithmetic
+    * is pure integer (no double division, no trunc-vs-floor divergence).
+    * One narrow hash-agg over the id column, no sort; the collect is
+    * ≤ ⌈√N⌉ longs. Use the explicit-centroid overload when a trained
+    * k-means codebook (Similarity.trainCentroids) is available.
     */
   def semanticAuto(corpus: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, scale: Int = 10000): DataFrame = {
     val n = corpus.count()
     require(n > 0, "semanticAuto needs a non-empty corpus")
     val k = nlistFor(n)
-    val stride = math.max(1L, math.ceil(n.toDouble / k).toLong)
     val ids = corpus
-      .select((col(idCol).cast("long") / stride).cast("long").as("bucket"),
-        col(idCol).cast("long").as("id"))
+      .select(col(idCol).cast("long").as("id"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(concat(lit("cent:"), col("id").cast("string"))),
+          1, 8), 16, 10).cast("long"), lit(k.toLong)))
       .groupBy(col("bucket")).agg(min(col("id")).as("id"))
       .select(col("id")).collect().map(_.getLong(0)).toSeq.sorted
     semantic(corpus, idCol, vecCol, threshold, ids, scale)

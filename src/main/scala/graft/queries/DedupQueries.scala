@@ -397,10 +397,9 @@ object DedupQueries extends QueryFamily {
        |  FROM embeddings),
        |p AS (
        |  SELECT count(*) AS n, CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM q0),
-       |st AS (
-       |  SELECT CAST(greatest(1, CAST(ceil(CAST(n AS DOUBLE) / k) AS BIGINT)) AS BIGINT) AS stride FROM p),
        |cids AS (
-       |  SELECT min(vec_id) AS id FROM q0, st GROUP BY vec_id // stride),
+       |  SELECT min(vec_id) AS id FROM q0, p
+       |  GROUP BY CAST('0x' || substr(md5('cent:' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % k),
        |cents AS (
        |  SELECT row_number() OVER (ORDER BY c.id) - 1 AS list, v.qv AS cv
        |  FROM cids c JOIN q0 v ON v.vec_id = c.id),

@@ -995,8 +995,34 @@ object TextQueries extends QueryFamily {
     * An unknown corpus matches no branch → zero oracle rows → a loud
     * row-count mismatch, never a silent pass.
     */
+  /** Golden-fixture directory, resolved per checkout (never a hardcoded
+    * absolute path): `-Dgraft.golden.dir` wins; else the working
+    * directory's `src/test/resources/golden` (Verify/sbt run from the repo
+    * root); else walk up from the compiled-classes location (classes sit
+    * at `target/scala-2.13/...` inside the repo) until the directory
+    * appears. Resolution happens when the oracle SQL is GENERATED — in
+    * this JVM — so the SQL the driver hands DuckDB always carries a path
+    * valid for the checkout that produced it.
+    */
+  private[queries] lazy val goldenDir: String = {
+    val rel = "src/test/resources/golden"
+    sys.props.get("graft.golden.dir")
+      .orElse {
+        val cwd = new java.io.File(rel)
+        if (cwd.isDirectory) Some(cwd.getAbsolutePath) else None
+      }
+      .orElse {
+        val code = new java.io.File(
+          getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+        Iterator.iterate(code)(_.getParentFile).takeWhile(_ != null).take(8)
+          .map(p => new java.io.File(p, rel))
+          .collectFirst { case d if d.isDirectory => d.getAbsolutePath }
+      }
+      .getOrElse(new java.io.File(rel).getAbsolutePath)
+  }
+
   private[queries] def stagedGolden(q: String, cols: String): String = {
-    val dir = "/root/repo/src/test/resources/golden"
+    val dir = goldenDir
     Seq("0.001" -> 153156L, "0.01" -> 149174L, "0.1" -> 1485576L)
       .map { case (sf, key) =>
         s"""SELECT $cols FROM read_parquet('$dir/${q}_sf$sf.parquet')

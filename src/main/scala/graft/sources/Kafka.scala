@@ -108,20 +108,17 @@ object KafkaCodec {
     def remaining: Int = buf.remaining()
   }
 
-  /** One record batch (v2, uncompressed) for `records` with all offsets /
-    * timestamps relative to `baseOffset` / `timestampMs`.
+  /** One record batch (v2) for `records` with all offsets / timestamps
+    * relative to `baseOffset` / `timestampMs`. `codec` is the attributes
+    * compression id (0=none, 1=gzip, 2=snappy xerial-framed, 3=lz4 frame)
+    * applied to the records section only — the v2 header stays plain, per
+    * the protocol.
     */
   def encodeBatch(baseOffset: Long, timestampMs: Long,
-                  records: Seq[(Array[Byte], Array[Byte])]): Array[Byte] = {
+                  records: Seq[(Array[Byte], Array[Byte])],
+                  codec: Int = 0): Array[Byte] = {
     require(records.nonEmpty, "empty record batch")
-    val body = new Writer
-    // attributes .. records — the CRC32C input
-    body.int16(0)                       // attributes: no compression
-    body.int32(records.size - 1)        // lastOffsetDelta
-    body.int64(timestampMs)             // baseTimestamp
-    body.int64(timestampMs)             // maxTimestamp
-    body.int64(-1L).int16(-1).int32(-1) // producerId/Epoch, baseSequence
-    body.int32(records.size)
+    val recs = new Writer
     records.zipWithIndex.foreach { case ((k, v), i) =>
       val r = new Writer
       r.int8(0)          // record attributes
@@ -131,8 +128,28 @@ object KafkaCodec {
       if (v == null) r.varint(-1) else { r.varint(v.length); r.raw(v) }
       r.varint(0)        // headers
       val rb = r.result()
-      body.varint(rb.length); body.raw(rb)
+      recs.varint(rb.length); recs.raw(rb)
     }
+    val recBytes = codec match {
+      case 0 => recs.result()
+      case 1 =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(recs.result()); gz.close()
+        bos.toByteArray
+      case 2 => KafkaCompress.SnappyStream.compress(recs.result())
+      case 3 => KafkaCompress.Lz4Frame.compress(recs.result())
+      case c => throw new IllegalArgumentException(s"unsupported encode codec $c")
+    }
+    val body = new Writer
+    // attributes .. records — the CRC32C input
+    body.int16(codec)                   // attributes: compression id
+    body.int32(records.size - 1)        // lastOffsetDelta
+    body.int64(timestampMs)             // baseTimestamp
+    body.int64(timestampMs)             // maxTimestamp
+    body.int64(-1L).int16(-1).int32(-1) // producerId/Epoch, baseSequence
+    body.int32(records.size)
+    body.raw(recBytes)
     val bodyBytes = body.result()
     val crc = new java.util.zip.CRC32C
     crc.update(bodyBytes)
@@ -180,6 +197,15 @@ object KafkaCodec {
         val baseTs = b.int64()
         b.int64(); b.int64(); b.int16(); b.int32() // maxTs, pid, pepoch, baseSeq
         val count = b.int32()
+        // CONTROL batches (attributes bit 5): transactional commit/abort
+        // markers a read_uncommitted Fetch still returns. Their records are
+        // protocol metadata (ControlRecordKey version/type), not data —
+        // decoding them would emit garbage rows on any topic written by a
+        // transactional producer. Skip the whole batch; offsets stay
+        // monotone because the next batch's baseOffset accounts for them.
+        if ((attributes & 0x20) != 0) {
+          // skip (batch already consumed from buf)
+        } else {
         val recordBytes = {
           val rest = new Array[Byte](b.remaining)
           b.buf.get(rest)
@@ -189,14 +215,15 @@ object KafkaCodec {
               val in = new java.util.zip.GZIPInputStream(
                 new java.io.ByteArrayInputStream(rest))
               try in.readAllBytes() finally in.close()
+            case 2 => // snappy — xerial stream framing over raw blocks
+              KafkaCompress.SnappyStream.decompress(rest)
+            case 3 => // lz4 — standard LZ4 Frame (Kafka magic-2 batches)
+              KafkaCompress.Lz4Frame.decompress(rest)
             case c =>
-              val name = c match {
-                case 2 => "snappy"; case 3 => "lz4"; case 4 => "zstd"
-                case _ => s"codec#$c"
-              }
+              val name = if (c == 4) "zstd" else s"codec#$c"
               throw new java.io.IOException(
                 s"record batch uses $name compression — this pure-JVM build " +
-                  "supports none/gzip (snappy/lz4/zstd need external codecs)")
+                  "supports none/gzip/snappy/lz4 (zstd needs an external codec)")
           }
         }
         val rb = new Reader(ByteBuffer.wrap(recordBytes))
@@ -225,6 +252,7 @@ object KafkaCodec {
           rb.buf.position(start + len) // defensive: honor declared length
           out += KRecord(baseOffset + offDelta, baseTs + tsDelta, key, value)
           i += 1
+        }
         }
       }
     }
@@ -379,10 +407,14 @@ final class KafkaClient(host: String, port: Int, clientId: String = "graft",
     (records, hw)
   }
 
-  /** Produce v3 (acks=-1): one uncompressed v2 batch; returns base offset. */
+  /** Produce v3 (acks=-1): one uncompressed v2 batch; returns base offset.
+    * `timestampMs` defaults to wall-clock: a 0 (epoch-1970) CreateTime
+    * makes time-retention brokers treat the segment as already expired.
+    * Tests that need byte-stable batches pass an explicit timestamp.
+    */
   def produce(topic: String, partition: Int,
               records: Seq[(Array[Byte], Array[Byte])],
-              timestampMs: Long = 0L): Long = {
+              timestampMs: Long = System.currentTimeMillis()): Long = {
     val set = KafkaCodec.encodeBatch(0L, timestampMs, records)
     val b = new Writer
     b.nullableString(None) // transactional_id

@@ -1211,30 +1211,32 @@ object GraftApp {
     * first/last arrivals. Apps without a ts column fail resolution — the
     * same event-order contract the window lowering enforces.
     *
-    * Two refinements for exact reference parity (aggregator/mod.rs:1680,
-    * 1765 — `if !value.is_null()` guards the VecDeque push):
-    *  - NULL SKIPPING: the reference only enqueues non-null values, so
-    *    first/last return the first/last NON-NULL arrival. min_by/max_by
-    *    skip rows whose ORDERING expression is null, so the ordering is
-    *    `IF(c IS NOT NULL, ts, NULL)` — a null value never wins the slot.
+    * Two refinements for exact reference parity:
+    *  - NULLS ARE VALUES: the reference's First/Last process_add pushes
+    *    ANY Some(v) — and a null attribute arrives as
+    *    Some(AttributeValue::Null), not None (aggregator/mod.rs:1696-1705,
+    *    1804-1811; value.rs AttributeValue::Null) — so a null first/last
+    *    arrival IS the answer. The ordering key is therefore the bare
+    *    struct (ts, c): the struct is never null, so min_by/max_by never
+    *    skip a row, and a null-valued first arrival returns null exactly
+    *    as the reference does.
     *  - DUPLICATE-ts DETERMINISM: bare ts ties resolve in partition order
     *    (the nondeterminism class this rewrite exists to kill), so the
     *    ordering is the struct (ts, c): equal-ts rows tie-break on the
     *    value itself — stable under any shuffle. Within one ts the
     *    reference's arrival order is unobservable in the batch model, so a
-    *    deterministic value-order tie-break is the faithful choice.
+    *    deterministic value-order tie-break is the faithful choice
+    *    (nulls sort first in Spark's struct ordering — still total).
     */
   private def rewriteArrivalOrderAggs(
       e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.catalyst.expressions.Expression = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct, Expression, If, IsNotNull, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct, Expression, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.{First, Last, MaxBy, MinBy}
     def arrivalKey(c: Expression): Expression =
-      If(IsNotNull(c),
-        CreateNamedStruct(Seq(
-          Literal("ts"), UnresolvedAttribute("ts"), Literal("v"), c)),
-        Literal(null))
+      CreateNamedStruct(Seq(
+        Literal("ts"), UnresolvedAttribute("ts"), Literal("v"), c))
     e.transform {
       case First(c, _) => MinBy(c, arrivalKey(c))
       case Last(c, _) => MaxBy(c, arrivalKey(c))

@@ -1360,22 +1360,31 @@ class CompatSpec extends AnyFunSuite {
       == Seq(("a", 2.0, 100.0), ("b", 1.0, 99.0)))
   }
 
-  // -- aggregator/mod.rs:1680,1765 — the reference's First/Last only
-  //    enqueue NON-NULL values (`if !value.is_null()`): a null at the
-  //    earliest/latest ts must not win the slot; and duplicate-ts rows
+  // -- aggregator/mod.rs:1696-1705,1804-1811 — the reference's First/Last
+  //    process_add pushes ANY Some(v), and a null attribute arrives as
+  //    Some(AttributeValue::Null), not None (value.rs): a null at the
+  //    earliest/latest ts IS the first/last value. Duplicate-ts rows
   //    resolve deterministically (value tie-break), not by partition order
-  test("compat first/last: null values are skipped; duplicate ts is deterministic") {
+  test("compat first/last: nulls are values (reference parity); duplicate ts is deterministic") {
     val app =
       """CREATE STREAM S (ts TIMESTAMP, v DOUBLE);
         |CREATE STREAM Out (f DOUBLE, l DOUBLE);
         |INSERT INTO Out SELECT first(v) AS f, last(v) AS l FROM S;""".stripMargin
-    // nulls sit at BOTH extremes of the arrival order
+    // nulls sit at BOTH extremes of the arrival order — first AND last
+    // must be NULL, exactly as the reference's VecDeque front/back would be
     val in = Seq((1, null), (2, "5.0"), (3, "7.0"), (4, null))
       .toDF("sec", "s").repartition(4)
       .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
         "CAST(s AS DOUBLE) AS v")
     val r = GraftApp.run(spark, app, Map("S" -> in))("Out").collect()
-    assert(r.length == 1 && r(0).getDouble(0) == 5.0 && r(0).getDouble(1) == 7.0)
+    assert(r.length == 1 && r(0).isNullAt(0) && r(0).isNullAt(1))
+    // non-null extremes still behave
+    val inNn = Seq((1, "5.0"), (2, null), (3, "7.0"))
+      .toDF("sec", "s").repartition(3)
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "CAST(s AS DOUBLE) AS v")
+    val rNn = GraftApp.run(spark, app, Map("S" -> inNn))("Out").collect()
+    assert(rNn.length == 1 && rNn(0).getDouble(0) == 5.0 && rNn(0).getDouble(1) == 7.0)
     // all-null input: first/last are NULL (reference: empty VecDeque)
     val inAllNull = Seq(1, 2).toDF("sec")
       .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",

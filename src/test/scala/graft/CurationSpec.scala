@@ -56,6 +56,17 @@ class CurationSpec extends AnyFunSuite {
       assert(dShuffles.nonEmpty)
       assert(dShuffles.forall(s => !s.output.exists(_.name == "text")),
         dShuffles.map(_.output.map(_.name).mkString(",")).mkString(" | "))
+      // round-10: the raw/target bigram relations are PERSISTED, so the
+      // live plan has ZERO Generate nodes — every tokenize/explode happens
+      // once inside a cached relation and downstream aggs/joins read the
+      // InMemoryTableScans (>=3: two model builds + the scoring join)
+      val liveGens = d.queryExecution.executedPlan.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g }
+      assert(liveGens.isEmpty,
+        s"expected all explodes inside cached relations, got ${liveGens.size} live")
+      val cached = d.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s }
+      assert(cached.size >= 3, s"expected >=3 cached bigram scans, got ${cached.size}")
       // capPerKey: ONE key-hash exchange for the rank window, id/key width
       val c = Curation.capPerKey(docs, "id", "key", maxPerKey = 3)
       val cShuffles = c.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }

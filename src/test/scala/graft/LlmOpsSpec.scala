@@ -153,12 +153,32 @@ class LlmOpsSpec extends AnyFunSuite {
     val auto = Dedup.semanticAuto(vecs, "vec_id", "embedding", 0.999)
     assert(auto.count() == 100)
     assert(ScaleWarnings.recentWarnings.isEmpty)
-    // auto ≡ explicit semantic() with the same derived stripe centroids
-    // (stride = ceil(100/10) = 10 → ids 0,10,…,90)
-    val explicit = Dedup.semantic(vecs, "vec_id", "embedding", 0.999,
-      (0L until 100L by 10L))
+    // auto ≡ explicit semantic() with the same derived hash-bucket
+    // centroids (u32(md5('cent:'||id)) % k, min id per bucket) — replayed
+    // here with java.security.MessageDigest, independent of the Spark
+    // expression that computes it inside semanticAuto
+    def u32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val cents = (0L until 100L).groupBy(id => u32(s"cent:$id") % 10)
+      .values.map(_.min).toSeq.sorted
+    assert(cents.size <= 10)
+    val explicit = Dedup.semantic(vecs, "vec_id", "embedding", 0.999, cents)
     assert(auto.orderBy("vec_id").collect().toSeq ==
       explicit.orderBy("vec_id").collect().toSeq)
+    // SPARSE id space (range >> N): hash bucketing keeps the centroid
+    // count ≤ ⌈√N⌉ by construction — the regime where id-range striping
+    // would occupy far more than √N stripes and defeat the contract
+    val sparse = (0L until 64L)
+      .map(i => (i * 1000003L - 7L, Array(1f, (i % 9).toFloat, 1f)))
+      .toDF("vec_id", "embedding")
+    ScaleWarnings.reset()
+    val sparseOut = Dedup.semanticAuto(sparse, "vec_id", "embedding", 0.999)
+    assert(sparseOut.count() == 64)
+    assert(sparseOut.select("cluster").distinct().count() <= Dedup.nlistFor(64))
+    assert(ScaleWarnings.recentWarnings.isEmpty)
   }
 
   test("simhash flags exact duplicates at Hamming distance 0") {
