@@ -214,6 +214,70 @@ object ConnectorQueries extends QueryFamily {
              |  CASE WHEN rn % 100 = 1 THEN 'first' ELSE 'last' END AS behavior,
              |  event_id, value
              |FROM r WHERE rn % 100 = 1 OR rn % 100 = 0
-             |ORDER BY user_id, blk, behavior""".stripMargin))
+             |ORDER BY user_id, blk, behavior""".stripMargin)),
+
+    // Kafka BATCH_READ through the real wire protocol (Kafka.scala
+    // toBatch: pinned snapshot, one task per partition): a documents slice
+    // is staged ONCE per JVM+sfDir into an embedded in-memory broker
+    // (EmbeddedKafkaBroker — Metadata/ListOffsets/Fetch/Produce over a
+    // real ServerSocket, fetch batches cycling none/gzip/snappy/lz4), then
+    // read back with spark.read.format(kafka) and csv-mapped. Partition
+    // (doc_id % 4) and per-partition offset (arrival rank) are
+    // deterministic, so the oracle RECOMPUTES the same rows from the
+    // parquet table — the wire source gets a hash-compared gate, not just
+    // protocol specs.
+    QueryDef(
+      "q_kafka_batch",
+      (s, dir) => {
+        val broker = KafkaStage.brokerFor(s, dir)
+        s.read.format(classOf[graft.sources.KafkaSourceProvider].getName)
+          .option("brokers", s"127.0.0.1:${broker.port}")
+          .option("topic", KafkaStage.Topic)
+          .load()
+          .select(
+            col("partition"),
+            col("offset"),
+            split(col("value"), ",").getItem(0).cast("long").as("doc_id"),
+            split(col("value"), ",").getItem(1).as("lang"),
+            split(col("value"), ",").getItem(2).cast("long").as("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH s AS (
+             |  SELECT doc_id, lang, n_chars,
+             |    CAST(doc_id % 4 AS INTEGER) AS "partition",
+             |    row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) - 1 AS off
+             |  FROM documents WHERE doc_id < 200)
+             |SELECT "partition", CAST(off AS BIGINT) AS "offset", doc_id, lang,
+             |  CAST(n_chars AS BIGINT) AS n_chars
+             |FROM s ORDER BY doc_id""".stripMargin))
   )
+
+  /** One embedded broker per (JVM, sfDir), seeded with the doc_id < 200
+    * slice of `documents` as csv lines, partitioned by doc_id % 4 in
+    * doc_id order (making per-partition offsets the doc_id rank — the
+    * derivation the oracle replays). The collect is bounded (< 200 fixture
+    * rows) and the broker lives on a daemon thread for the JVM's lifetime,
+    * so the lazily-evaluated DataFrame can be materialized any time after
+    * this returns.
+    */
+  private object KafkaStage {
+    val Topic = "graft-docs"
+    private val brokers =
+      scala.collection.concurrent.TrieMap.empty[String, graft.sources.EmbeddedKafkaBroker]
+    def brokerFor(s: org.apache.spark.sql.SparkSession,
+                  dir: String): graft.sources.EmbeddedKafkaBroker =
+      brokers.getOrElseUpdate(dir, {
+        val b = new graft.sources.EmbeddedKafkaBroker(Topic, 4)
+        Tables(s, dir, "documents")
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"), col("lang"), col("n_chars").cast("long"))
+          .orderBy(col("doc_id"))
+          .collect() // bounded: < 200 rows, fixture staging only
+          .foreach { r =>
+            val id = r.getLong(0)
+            b.seed((id % 4).toInt, s"$id,${r.getString(1)},${r.getLong(2)}")
+          }
+        b
+      })
+  }
 }

@@ -23,151 +23,11 @@ class KafkaSpec extends AnyFunSuite {
 
   // ---- scripted broker ----------------------------------------------------
 
-  /** Minimal single-node broker over an in-memory log: enough of the public
-    * protocol for a consumer/producer conversation, every frame parsed with
-    * the same strictness a real broker applies (correlation ids echoed,
-    * arrays sized, record sets re-decoded on produce).
+  /** The embedded wire-protocol broker now lives in main scope
+    * (graft.sources.EmbeddedKafkaBroker) so the q_kafka_batch oracle row
+    * and demos share the exact implementation these protocol e2es pin.
     */
-  final class ScriptedBroker(topic: String, numPartitions: Int,
-                             serverSocketFactory: Int => java.net.ServerSocket =
-                               _ => new java.net.ServerSocket(0)) {
-    val logs: Array[scala.collection.mutable.ArrayBuffer[(Array[Byte], Array[Byte])]] =
-      Array.fill(numPartitions)(scala.collection.mutable.ArrayBuffer.empty)
-    /** Override to serve fetches in batches of N records (multi-batch sets). */
-    var fetchBatchSize: Int = 2
-    private val server = serverSocketFactory(0)
-    def port: Int = server.getLocalPort
-    def seed(partition: Int, values: String*): Unit = synchronized {
-      values.foreach(v => logs(partition) += ((null, v.getBytes(UTF_8))))
-    }
-    def values(partition: Int): Seq[String] = synchronized {
-      logs(partition).map(r => new String(r._2, UTF_8)).toSeq
-    }
-
-    private val acceptor = new Thread(() => {
-      while (!server.isClosed) {
-        try {
-          val sock = server.accept()
-          val t = new Thread(() => serve(sock))
-          t.setDaemon(true); t.start()
-        } catch { case _: Throwable => () }
-      }
-    })
-    acceptor.setDaemon(true); acceptor.start()
-
-    def close(): Unit = server.close()
-
-    private def serve(sock: java.net.Socket): Unit = {
-      try {
-        val in = new java.io.DataInputStream(
-          new java.io.BufferedInputStream(sock.getInputStream))
-        val out = new java.io.DataOutputStream(
-          new java.io.BufferedOutputStream(sock.getOutputStream))
-        while (true) {
-          val size = in.readInt()
-          val req = new Array[Byte](size)
-          in.readFully(req)
-          val r = new KafkaCodec.Reader(ByteBuffer.wrap(req))
-          val apiKey = r.int16(); val apiVersion = r.int16()
-          val corr = r.int32(); r.nullableString() // client_id
-          val w = new KafkaCodec.Writer
-          w.int32(corr)
-          apiKey match {
-            case KafkaCodec.ApiMetadata =>
-              assert(apiVersion == 0)
-              val n = r.int32(); (0 until n).foreach(_ => r.string())
-              w.int32(1).int32(0).string("127.0.0.1").int32(port) // brokers
-              w.int32(1) // topics
-              w.int16(0).string(topic)
-              w.int32(numPartitions)
-              (0 until numPartitions).foreach { p =>
-                w.int16(0).int32(p).int32(0) // err, partition, leader
-                w.int32(1).int32(0)          // replicas [0]
-                w.int32(1).int32(0)          // isr [0]
-              }
-            case KafkaCodec.ApiListOffsets =>
-              assert(apiVersion == 1)
-              r.int32() // replica_id
-              val nt = r.int32(); assert(nt == 1)
-              val name = r.string()
-              val np = r.int32()
-              val parts = (0 until np).map(_ => (r.int32(), r.int64()))
-              w.int32(1).string(name).int32(parts.size)
-              parts.foreach { case (p, target) =>
-                val off = synchronized {
-                  if (target == -2L) 0L else logs(p).size.toLong
-                }
-                w.int32(p).int16(0).int64(-1L).int64(off)
-              }
-            case KafkaCodec.ApiFetch =>
-              assert(apiVersion == 4)
-              r.int32(); r.int32(); r.int32(); r.int32(); r.int8()
-              val nt = r.int32(); assert(nt == 1)
-              val name = r.string()
-              val np = r.int32(); assert(np == 1)
-              val p = r.int32(); val offset = r.int64(); r.int32()
-              val (set, hw) = synchronized {
-                val log = logs(p)
-                val hw = log.size.toLong
-                if (offset >= hw) (Array.emptyByteArray, hw)
-                else {
-                  // serve in fetchBatchSize-record batches so the client's
-                  // multi-batch decode path runs on every conversation;
-                  // cycle none/gzip/snappy/lz4 per batch so every consume
-                  // e2e in this suite also exercises all four codecs
-                  val bytes = (offset until hw).grouped(fetchBatchSize)
-                    .zipWithIndex.map { case (g, gi) =>
-                    KafkaCodec.encodeBatch(g.head, 1723640000000L + g.head,
-                      g.map(i => log(i.toInt)).toSeq, codec = gi % 4)
-                  }.reduce(_ ++ _)
-                  (bytes, hw)
-                }
-              }
-              w.int32(0) // throttle
-              w.int32(1).string(name).int32(1)
-              w.int32(p).int16(0).int64(hw).int64(hw).int32(0)
-              w.bytes(if (set.isEmpty) null else set)
-            case KafkaCodec.ApiProduce =>
-              assert(apiVersion == 3)
-              r.nullableString(); r.int16(); r.int32()
-              val nt = r.int32(); assert(nt == 1)
-              val name = r.string()
-              val np = r.int32(); assert(np == 1)
-              val p = r.int32()
-              val set = r.bytes()
-              val base = synchronized {
-                val b = logs(p).size.toLong
-                KafkaCodec.decodeBatches(set).foreach(rec =>
-                  logs(p) += ((rec.key, rec.value)))
-                b
-              }
-              w.int32(1).string(name).int32(1)
-              w.int32(p).int16(0).int64(base).int64(-1L)
-              w.int32(0) // throttle
-            case KafkaCodec.ApiSaslHandshake =>
-              assert(apiVersion == 1)
-              val mech = r.string()
-              if (mech == "PLAIN") w.int16(0) else w.int16(33) // UNSUPPORTED_SASL_MECHANISM
-              w.int32(1).string("PLAIN")
-            case KafkaCodec.ApiSaslAuthenticate =>
-              assert(apiVersion == 0)
-              val token = new String(r.bytes(), UTF_8)
-              if (token == "\u0000alice\u0000secret") {
-                w.int16(0); w.int16(-1); w.bytes(Array.emptyByteArray)
-              } else {
-                w.int16(58) // SASL_AUTHENTICATION_FAILED
-                w.string("bad credentials")
-                w.bytes(Array.emptyByteArray)
-              }
-            case other => fail(s"unexpected api key $other")
-          }
-          val resp = w.result()
-          out.writeInt(resp.length); out.write(resp); out.flush()
-        }
-      } catch { case _: Throwable => () } // connection closed
-      finally { try sock.close() catch { case _: Throwable => () } }
-    }
-  }
+  type ScriptedBroker = EmbeddedKafkaBroker
 
   // ---- codec goldens ------------------------------------------------------
 
