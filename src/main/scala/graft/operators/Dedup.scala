@@ -456,31 +456,17 @@ object Dedup {
     semantic(corpus, idCol, vecCol, threshold, ids, scale)
   }
 
-  def semantic(corpus: DataFrame, idCol: String, vecCol: String,
-               threshold: Double, centroidIds: Seq[Long],
-               scale: Int = 10000): DataFrame = {
-    require(centroidIds.nonEmpty, "need at least one centroid id")
-    val centRows = corpus
-      .filter(col(idCol).isin(centroidIds: _*))
-      .select(col(idCol).cast("long").as("id"),
-        VectorFns.quantize(col(vecCol), scale).as("qv"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
-    val cents: Seq[Seq[Long]] = centroidIds.map(id => centRows.getOrElse(id,
-      throw new IllegalArgumentException(s"centroid id $id not in corpus")))
-    // Assignment = argmax quantized cosine over nlist centroids, written
-    // as per-partition imperative arithmetic rather than a Catalyst
-    // array_max over nlist (sim, -list) structs: with nlist ∝ √N
-    // (nlistFor) the expression tree GROWS WITH THE CORPUS and the
-    // optimizer/codegen cost dominates the job (the q_sim_pq lesson,
-    // SCALE.md) — the loop evaluates the identical exact long sums and
-    // the same single double divide, bit-for-bit, with a
-    // strictly-greater argmax reproducing the (sim DESC, list ASC) tie
-    // rule. Centroid norms hoist out of the per-row loop (exact integer
-    // sums — same values, computed once).
-    // persist: quantize + nlist cosine evaluations per vector is the
-    // expensive map stage, and `e` feeds BOTH self-join sides plus the
-    // verdict spine — without it Spark recomputes the assignment 3x
-    // (the minHashLsh sigBase rationale)
+  /** Quantize + argmax-cosine assignment against a driver-held centroid
+    * list: (vec_id, qv, cluster) with cluster = the argmax centroid's
+    * LIST INDEX under the (sim DESC, list ASC) tie rule. The imperative
+    * per-partition loop (not a Catalyst array_max over nlist structs) is
+    * deliberate: with nlist ∝ √N the expression tree would grow with the
+    * corpus and optimizer/codegen cost dominates (the q_sim_pq lesson,
+    * SCALE.md); the loop evaluates the identical exact long sums and one
+    * double divide, bit-for-bit. Centroid norms hoist out of the row loop.
+    */
+  private def assignQ(corpus: DataFrame, idCol: String, vecCol: String,
+                      cents: Seq[Seq[Long]], scale: Int): DataFrame = {
     val centArr: Array[Array[Long]] = cents.map(_.toArray).toArray
     val centNorm: Array[Long] = centArr.map(c => c.map(y => y * y).sum)
     val eSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -491,7 +477,7 @@ object Dedup {
           org.apache.spark.sql.types.LongType)),
       org.apache.spark.sql.types.StructField("cluster",
         org.apache.spark.sql.types.LongType)))
-    val e = corpus.select(col(idCol).cast("long"), col(vecCol))
+    corpus.select(col(idCol).cast("long"), col(vecCol))
       .mapPartitions { it =>
         it.map { r =>
           if (r.isNullAt(1)) org.apache.spark.sql.Row(r.getLong(0), null, null)
@@ -530,6 +516,24 @@ object Dedup {
           }
         }
       }(org.apache.spark.sql.Encoders.row(eSchema))
+  }
+
+  def semantic(corpus: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, centroidIds: Seq[Long],
+               scale: Int = 10000): DataFrame = {
+    require(centroidIds.nonEmpty, "need at least one centroid id")
+    val centRows = corpus
+      .filter(col(idCol).isin(centroidIds: _*))
+      .select(col(idCol).cast("long").as("id"),
+        VectorFns.quantize(col(vecCol), scale).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val cents: Seq[Seq[Long]] = centroidIds.map(id => centRows.getOrElse(id,
+      throw new IllegalArgumentException(s"centroid id $id not in corpus")))
+    // persist: quantize + nlist cosine evaluations per vector (assignQ) is
+    // the expensive map stage, and `e` feeds BOTH self-join sides plus the
+    // verdict spine — without it Spark recomputes the assignment 3x
+    // (the minHashLsh sigBase rationale)
+    val e = assignQ(corpus, idCol, vecCol, cents, scale)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // enforce the nlist ∝ √N contract (see nlistFor): count() here is NOT
     // an extra pass — it materializes the persisted assignment every
@@ -555,6 +559,99 @@ object Dedup {
       .groupBy(col("a_id"))
       .agg(min(col("b_id")).as("dup_of"), max(col("sim")).as("best_sim"))
     e.select(col("vec_id"), col("cluster"))
+      .join(matches.withColumnRenamed("a_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), col("best_sim"))
+  }
+
+  /** TWO-LEVEL SemDeDup — the scale path past the single-level O(N^1.5)
+    * optimum ([[nlistFor]] derivation). Coarse→fine IVF-style assignment:
+    *
+    *   level 1: K coarse centroids, flat argmax assignment     → N·K cosines
+    *   level 2: ≤K fine centroids chosen WITHIN each coarse
+    *            cell, assignment by a coarse-key join (the fine
+    *            codebook is never driver-collected)             → ≤N·K cosines
+    *   pairing: within fine cells, population ≈ N/K²            → N²/K² pairs
+    *
+    * Total 2NK + N²/K², minimized at K = ⌈N^(1/3)⌉ → **O(N^(4/3))** vs the
+    * single-level N^(3/2): at 10¹² docs that is ~10^16 → ~10^16/10^2, two
+    * orders less work, and — unlike single-level at nlist=√N — the fine
+    * codebook (K² ≤ N^(2/3) centroids) stays DISTRIBUTED (coarse-keyed
+    * relation), only the K ≤ N^(1/3) coarse centroids ride the driver.
+    *
+    * Determinism contract (same family as [[semanticAuto]], every step
+    * engine-replayable): coarse centroid ids = min id per
+    * `u32(md5('cent:'||id)) % K` bucket; fine centroid ids = min id per
+    * (coarse cell, `u32(md5('cent2:'||id)) % K`) bucket; both assignments
+    * are exact quantized cosine with the (sim DESC, centroid-id ASC) tie
+    * rule; `cluster` in the output is the fine centroid's vec_id (globally
+    * unique — it IS a corpus id). Same output schema/verdict contract as
+    * [[semantic]]: (vec_id, cluster, is_dup, dup_of, best_sim).
+    *
+    * Single-level [[semanticAuto]] stays the default operating point:
+    * below ~10⁸ vectors the coarse level's extra shuffle outweighs the
+    * asymptotic win, and its cluster labels are centroid list indices the
+    * existing oracle replays. Use this when the corpus outgrows √N driver
+    * centroids or the N^1.5 budget.
+    */
+  def semanticTwoLevel(corpus: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, scale: Int = 10000,
+                       kOverride: Option[Int] = None): DataFrame = {
+    val n = corpus.count()
+    require(n > 0, "semanticTwoLevel needs a non-empty corpus")
+    val k = kOverride.getOrElse(
+      math.max(1, math.ceil(math.cbrt(n.toDouble)).toInt))
+    // coarse centroids: ≤k hash-bucket min ids, driver-held (≤ N^(1/3))
+    val coarseIds = corpus
+      .select(col(idCol).cast("long").as("id"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(concat(lit("cent:"), col("id").cast("string"))),
+          1, 8), 16, 10).cast("long"), lit(k.toLong)))
+      .groupBy(col("bucket")).agg(min(col("id")).as("id"))
+      .select(col("id")).collect().map(_.getLong(0)).toSeq.sorted
+    val centRows = corpus
+      .filter(col(idCol).isin(coarseIds: _*))
+      .select(col(idCol).cast("long").as("id"),
+        VectorFns.quantize(col(vecCol), scale).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val cents: Seq[Seq[Long]] = coarseIds.map(centRows(_))
+    // level 1: flat assignment; persist — feeds fine-centroid selection,
+    // the fine assignment join, and the verdict spine
+    val e1 = assignQ(corpus, idCol, vecCol, cents, scale)
+      .withColumnRenamed("cluster", "coarse")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // level 2 centroids: min id per (coarse, hash bucket) — a RELATION,
+    // joined back to e1 for the vectors; never collected
+    val fineIds = e1
+      .withColumn("b2",
+        pmod(conv(substring(md5(concat(lit("cent2:"),
+          col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+          lit(k.toLong)))
+      .groupBy(col("coarse"), col("b2")).agg(min(col("vec_id")).as("fid"))
+      .select(col("coarse"), col("fid"))
+    val fineCents = fineIds
+      .join(e1.select(col("vec_id").as("fid"), col("qv").as("fqv")), "fid")
+    // fine assignment: coarse-key join fans each vector out to its cell's
+    // ≤k fine centroids; exact quantized cosine; (sim DESC, fid ASC) pick
+    val cand = e1.join(fineCents, Seq("coarse"))
+      .withColumn("sim_f", VectorFns.cosineQ(col("qv"), col("fqv")))
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("sim_f").desc, col("fid").asc)
+    val e2 = cand
+      .withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("qv"), col("fid").as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pairing + verdict spine — identical contract to semantic()
+    val a = e2.select(col("cluster"), col("vec_id").as("a_id"), col("qv").as("a_qv"))
+    val b = e2.select(col("cluster"), col("vec_id").as("b_id"), col("qv").as("b_qv"))
+    val matches = a.join(b, Seq("cluster")).filter(col("b_id") < col("a_id"))
+      .withColumn("sim", VectorFns.cosineQ(col("a_qv"), col("b_qv")))
+      .filter(col("sim") > threshold)
+      .groupBy(col("a_id"))
+      .agg(min(col("b_id")).as("dup_of"), max(col("sim")).as("best_sim"))
+    e2.select(col("vec_id"), col("cluster"))
       .join(matches.withColumnRenamed("a_id", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"), col("dup_of").isNotNull.as("is_dup"),
         col("dup_of"), col("best_sim"))

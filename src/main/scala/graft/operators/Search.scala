@@ -135,6 +135,50 @@ object Search {
       .limit(k)
   }
 
+  /** Per-doc token count (dl) — the narrow doc-length dimension the
+    * index-side BM25 scorer joins; build it once alongside the inverted
+    * index (one map-side pass, no shuffle).
+    */
+  def docLengths(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+      size(toks(col(textCol))).cast("long").as("dl"))
+
+  /** BM25 top-k scored from a PRE-BUILT relation-form index — the 100 TB
+    * retrieval path: `postings` is [[invertedIndex]]`(postingsAs =
+    * 'relation')` output ((token, doc_id, tf_doc, tf, df) — build it
+    * UNGATED, minDf=1/maxDfPermille=1000, for exact [[bm25TopK]] parity),
+    * `docLens` is [[docLengths]]. No corpus text is touched at query
+    * time: the plan filters the postings fact table by term (narrow rows,
+    * token-prunable when the index is written partitioned/bucketed by
+    * token), joins the doc-length dimension on the doc key, and
+    * broadcasts the 1-row corpus stats. Scores are the identical exact
+    * fixed-point BIGINTs of [[bm25TopK]] (same idf_fp/rdl/tfn_fp
+    * formulas), so both paths are interchangeable under one oracle.
+    */
+  def bm25TopKFromIndex(postings: DataFrame, docLens: DataFrame,
+                        terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25TopKFromIndex needs at least one query term")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val stats = docLens.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(col("dl")).cast("long").as("total_dl"))
+    val hits = postings
+      .filter(col("token").isInCollection(terms))
+      .select(col("doc_id"), col("tf_doc").as("tf"), col("df").as("df_t"))
+      .join(docLens, "doc_id")
+    hits.crossJoin(broadcast(stats))
+      .withColumn("idf_fp",
+        expr("(1000 * (2 * (n_docs - df_t) + 1)) div (2 * df_t + 1)"))
+      .withColumn("rdl", expr("(1000 * dl * n_docs) div total_dl"))
+      .withColumn("contrib",
+        col("idf_fp") * expr("(22000000 * tf) div (10000 * tf + 3000 + 9 * rdl)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).cast("long").as("score_fp"),
+        count(lit(1)).cast("long").as("n_hit"))
+      .withColumn("score", col("score_fp").cast("double") / 1e6)
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Reciprocal-rank fusion over N rankings — the standard hybrid-search
     * combiner (lexical BM25 + semantic ANN, or any mix of rank lists).
     * Each input is a (doc_id, rank) relation; a document's fused score is

@@ -107,6 +107,51 @@ object SearchQueries extends QueryFamily {
              |  CAST(score_fp AS DOUBLE) / 1000000 AS score
              |FROM agg ORDER BY score_fp DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // The same retrieval through the RELATION-form index path
+    // (Search.bm25TopKFromIndex over invertedIndex(postingsAs='relation')
+    // + docLengths): the 100 TB shape — corpus text is tokenized only to
+    // BUILD the index; query-time scoring touches narrow (token, doc)
+    // fact rows and the doc-length dimension. Same exact fixed-point
+    // scores, same oracle as q_search_bm25.
+    QueryDef(
+      "q_search_bm25_rel",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val idx = Search.invertedIndex(d, "doc_id", "text",
+          postingsAs = "relation")
+        Search.bm25TopKFromIndex(idx, Search.docLengths(d, "doc_id", "text"),
+            Seq("spark", "vector", "customer"), k = 20)
+          .select(col("doc_id"), col("n_hit"), col("score_fp"), col("score"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |      t -> t <> '') AS ts
+             |  FROM documents),
+             |wd AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS dl FROM base),
+             |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |            CAST(sum(dl) AS BIGINT) AS total_dl FROM wd),
+             |hits AS (
+             |  SELECT doc_id, dl, t.token AS token, CAST(count(*) AS BIGINT) AS tf
+             |  FROM wd, LATERAL (SELECT unnest(ts) AS token) t
+             |  WHERE t.token IN ('spark', 'vector', 'customer')
+             |  GROUP BY doc_id, dl, t.token),
+             |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df_t
+             |          FROM hits GROUP BY token),
+             |scored AS (
+             |  SELECT h.doc_id,
+             |    ((1000 * (2 * (s.n_docs - d.df_t) + 1)) // (2 * d.df_t + 1))
+             |      * ((22000000 * h.tf) //
+             |         (10000 * h.tf + 3000 + 9 * ((1000 * h.dl * s.n_docs) // s.total_dl)))
+             |      AS contrib
+             |  FROM hits h JOIN dfreq d USING (token), stats s),
+             |agg AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_fp,
+             |          CAST(count(*) AS BIGINT) AS n_hit
+             |        FROM scored GROUP BY doc_id)
+             |SELECT doc_id, n_hit, score_fp,
+             |  CAST(score_fp AS DOUBLE) / 1000000 AS score
+             |FROM agg ORDER BY score_fp DESC, doc_id LIMIT 20""".stripMargin)),
+
     // Per-doc top-3 keywords by fixed-point TF-IDF on a 100-doc slice
     // (bounds the output; df/N computed over the same slice both sides).
     QueryDef(

@@ -90,10 +90,21 @@ object GraftApp {
       distinct: Boolean = false, // SELECT DISTINCT …
       inSubqueries: Seq[InSubquery] = Nil, // WHERE … IN (SELECT …) conjuncts
       existsSubqueries: Seq[ExistsSubquery] = Nil, // WHERE [NOT] EXISTS (…)
-      sourceAlias: Option[String] = None) { // FROM src AS a (joins.rs AS-alias)
+      sourceAlias: Option[String] = None, // FROM src AS a (joins.rs AS-alias)
+      outputRate: Option[OutputRateSpec] = None) { // OUTPUT … EVERY … (§2.10)
     /** The name qualified refs use for the source side. */
     def sourceLabel: String = sourceAlias.getOrElse(source)
   }
+
+  /** `OUTPUT [ALL|FIRST|LAST] EVERY n EVENTS | d <unit>` / `OUTPUT
+    * SNAPSHOT EVERY d <unit>` (output_rate.rs:10-22 Events/Time/Snapshot
+    * variants + per_events/per_time/per_snapshot factories — query-API
+    * only in the reference; its SQL tests sit behind `#[ignore = "… not
+    * yet supported"]`, compatibility/aggregations.rs:789+). kind ∈
+    * events|time|snapshot; n = event count for events, microseconds
+    * otherwise; behavior ∈ all|first|last (snapshot implies all).
+    */
+  final case class OutputRateSpec(kind: String, behavior: String, n: Long)
 
   /** CREATE TRIGGER (trigger_definition.rs): mode ∈ start/every/cron.
     * `everyMs` is resolved for both EVERY and the supported cron forms.
@@ -163,16 +174,37 @@ object GraftApp {
   private val WindowRe: Regex =
     """(?is)WINDOW\s*\(\s*'(\w+)'\s*(?:,\s*([^)]*))?\)""".r
 
+  private val WindowBareRe: Regex =
+    """(?is)\bWINDOW\s+(\w+)\s*\(\s*([^)]*)\)""".r
+
+  private val OutputRateRe: Regex =
+    ("(?is)\\bOUTPUT\\s+(?:(ALL|FIRST|LAST|SNAPSHOT)\\s+)?EVERY\\s+" +
+      "(\\d+)\\s*(EVENTS?|MILLISECONDS?|SECONDS?|MINUTES?|HOURS?|DAYS?)\\b").r
+
   private val TypeMap: Map[String, DataType] = Map(
     "STRING" -> StringType, "VARCHAR" -> StringType,
     "INT" -> IntegerType, "INTEGER" -> IntegerType,
     "BIGINT" -> LongType, "LONG" -> LongType,
     "FLOAT" -> FloatType, "DOUBLE" -> DoubleType,
     "BOOL" -> BooleanType, "BOOLEAN" -> BooleanType,
-    "TIMESTAMP" -> TimestampType, "BINARY" -> BinaryType, "OBJECT" -> BinaryType)
+    "TIMESTAMP" -> TimestampType, "BINARY" -> BinaryType, "OBJECT" -> BinaryType,
+    "TEXT" -> StringType) // app_runner_windows.rs:209 spells STRING as TEXT
 
+  // the block terminator is an END followed by `;` (or end of app text) —
+  // a CASE expression's END inside a block query is followed by an alias /
+  // FROM / `,`, so the lookahead skips it (partitions.rs range-partition
+  // apps carry CASE WHEN inside their SELECTs)
   private val PartitionRe: Regex =
-    """(?is)PARTITION\s+WITH\s*\((.*?)\)\s+BEGIN\s+(.*?)\s+END\s*;?""".r
+    """(?is)PARTITION\s+WITH\s*\((.*?)\)\s+BEGIN\s+(.*?)\s+END(?=\s*(?:;|$))\s*;?""".r
+
+  /** The reference's value/range-partition spelling (compatibility/
+    * tables.rs:75 partition_test1, :524 range form): `PARTITION BY
+    * key[, key…] OF stream BEGIN … END` or `PARTITION BY cond AS 'label'
+    * [OR …] OF stream BEGIN … END` — same semantics as PARTITION WITH
+    * (spec OF stream, …), one stream for every spec.
+    */
+  private val PartitionByRe: Regex =
+    """(?is)PARTITION\s+BY\s+(.+?)\s+OF\s+(\w+)\s+BEGIN\s+(.*?)\s+END(?=\s*(?:;|$))\s*;?""".r
 
   private val TriggerRe: Regex =
     """(?is)\s*CREATE\s+TRIGGER\s+(\w+)\s+AT\s+(.+?)\s*""".r
@@ -213,25 +245,31 @@ object GraftApp {
   final case class PartitionKeySpec(stream: String, keyExpr: String,
                                     alias: Option[String], guard: Option[String])
 
+  /** One partition spec (value key or range condition list) against its
+    * stream — shared by the WITH and BY spellings.
+    */
+  private def partitionKeySpec(spec0: String, stream: String): PartitionKeySpec = {
+    val spec = spec0.trim
+    if (spec.matches("\\w+")) PartitionKeySpec(stream, spec, None, None)
+    else {
+      // range partition: cond AS 'label' [OR …]
+      val partRe = """(?is)^(.*?)\s+AS\s+'([^']*)'$""".r
+      val parts = PatternCompiler.splitTopLevelWord(spec, "OR").map {
+        case partRe(cond, label) => (cond.trim, label)
+        case other => throw SqlError(
+          s"bad range partition element '$other' (want: cond AS 'label')")
+      }
+      val caseExpr = parts.map { case (c, l) => s"WHEN ($c) THEN '$l'" }
+        .mkString("CASE ", " ", " END")
+      val guard = parts.map { case (c, _) => s"($c)" }.mkString(" OR ")
+      PartitionKeySpec(stream, caseExpr, Some("pkey"), Some(guard))
+    }
+  }
+
   private def parsePartitionKeys(raw: String): Seq[PartitionKeySpec] = {
     val ofRe = """(?is)^(.*?)\s+OF\s+(\w+)$""".r
     splitTopLevel(raw).map {
-      case ofRe(spec0, stream) =>
-        val spec = spec0.trim
-        if (spec.matches("\\w+")) PartitionKeySpec(stream, spec, None, None)
-        else {
-          // range partition: cond AS 'label' [OR …]
-          val partRe = """(?is)^(.*?)\s+AS\s+'([^']*)'$""".r
-          val parts = PatternCompiler.splitTopLevelWord(spec, "OR").map {
-            case partRe(cond, label) => (cond.trim, label)
-            case other => throw SqlError(
-              s"bad range partition element '$other' (want: cond AS 'label')")
-          }
-          val caseExpr = parts.map { case (c, l) => s"WHEN ($c) THEN '$l'" }
-            .mkString("CASE ", " ", " END")
-          val guard = parts.map { case (c, _) => s"($c)" }.mkString(" OR ")
-          PartitionKeySpec(stream, caseExpr, Some("pkey"), Some(guard))
-        }
+      case ofRe(spec0, stream) => partitionKeySpec(spec0, stream)
       case other => throw SqlError(s"bad partition key '$other' (want: key OF Stream)")
     }
   }
@@ -265,12 +303,24 @@ object GraftApp {
         text.split(";").map(_.trim).filter(_.nonEmpty)
           .foreach(s => buf += ((s, Seq.empty[PartitionKeySpec])))
       var pos = 0
-      PartitionRe.findAllMatchIn(appSql).foreach { m =>
-        addPlain(appSql.substring(pos, m.start))
-        val keys = parsePartitionKeys(m.group(1))
-        m.group(2).split(";").map(_.trim).filter(_.nonEmpty)
+      // both partition spellings, processed in source order: the WITH form
+      // (this SQL surface's native §2.9 syntax) and the reference's BY …
+      // OF … form (compatibility/tables.rs:75) — one key list, one stream
+      val blocks: Seq[(Int, Int, Seq[PartitionKeySpec], String)] =
+        (PartitionRe.findAllMatchIn(appSql).map(m =>
+          (m.start, m.end, parsePartitionKeys(m.group(1)), m.group(2))) ++
+         PartitionByRe.findAllMatchIn(appSql).map { m =>
+           val stream = m.group(2)
+           val keys = splitTopLevel(m.group(1)).map(_.trim).filter(_.nonEmpty)
+             .map(partitionKeySpec(_, stream))
+           if (keys.isEmpty) throw SqlError("PARTITION BY needs at least one key")
+           (m.start, m.end, keys, m.group(3))
+         }).toSeq.sortBy(_._1)
+      blocks.foreach { case (start, end, keys, body) =>
+        addPlain(appSql.substring(pos, start))
+        body.split(";").map(_.trim).filter(_.nonEmpty)
           .foreach(s => buf += ((s, keys)))
-        pos = m.end
+        pos = end
       }
       addPlain(appSql.substring(pos))
       buf.result()
@@ -394,7 +444,16 @@ object GraftApp {
       val tail = defs.map(_._1).foldLeft(rest.trim)(rwSource)
       cteStmts :+ tail
     }
-    def expandStmt(stmt: String): Seq[String] = desugarCte(stmt).flatMap(desugarUnion)
+    // bare `SELECT … FROM s;` statement (sql_with_end_to_end.rs:409 — the
+    // reference's ad-hoc subscription form, no INSERT INTO): desugar to an
+    // INSERT into a synthesized output stream; run() exposes it in the
+    // result map like any derived stream
+    def adhocSelect(stmt: String): String =
+      if ("""(?is)^\s*SELECT\b""".r.findFirstIn(stmt).isDefined)
+        s"INSERT INTO ${freshName("adhoc", "select")} $stmt"
+      else stmt
+    def expandStmt(stmt: String): Seq[String] =
+      desugarCte(stmt).flatMap(desugarUnion).map(adhocSelect)
     // expansion happens per statement IN ORDER (not as a prepass), so a
     // CTE's shadow check and requireDefined see every earlier CREATE
     orderedStmts
@@ -597,6 +656,18 @@ object GraftApp {
     }
   }
 
+  /** Phase offset of a fixed-period cron below its repeating unit — the
+    * fixed lower-order digits (`0 30 * * * *` = hourly at :30 → 30 min).
+    * Callers mod by the period; `*`/`*／n` fields contribute 0.
+    */
+  private[graft] def cronPhaseMs(c: String): Long = {
+    val fs = c.trim.split("\\s+")
+    if (fs.length != 5 && fs.length != 6) return 0L
+    val (sec, rest) = if (fs.length == 6) (fs.head, fs.tail) else ("0", fs)
+    def d(s: String) = if (s.matches("\\d+")) s.toLong else 0L
+    d(sec) * 1000L + d(rest(0)) * 60000L + d(rest(1)) * 3600000L
+  }
+
   /** Derive a fixed firing period from a standard 5-field (min hour dom mon
     * dow) or 6-field (sec first) cron expression (trigger_runtime accepts
     * full cron; the Spark-native trigger is a paced rate source, so only
@@ -705,6 +776,10 @@ object GraftApp {
         val ms = parseDurationUs(s"$n $unit") / 1000L
         if (ms <= 0) throw SqlError(s"trigger $name: AT EVERY needs a positive period")
         TriggerDef(name, "every", Some(ms), None)
+      // quoted `AT 'start'` (compatibility/tables.rs:139 trigger_test2) ≡
+      // the bare AT START spelling — fire once at app start
+      case cronRe(c) if c.trim.equalsIgnoreCase("start") =>
+        TriggerDef(name, "start", None, None)
       case cronRe(c) => cronPeriodMs(c) match {
         case Some(ms) => TriggerDef(name, "cron", Some(ms), Some(c.trim))
         case None =>
@@ -857,7 +932,13 @@ object GraftApp {
                          rest0: String): QuerySpec = {
     var rest = rest0
     def mkWin(kind: String, raw: String): WindowClause =
-      WindowClause(kind.toLowerCase,
+      // cron params are ONE quoted expression whose fields may themselves
+      // contain commas (`0 0,30 * * * *`) — never comma-split them
+      if (kind.equalsIgnoreCase("cron"))
+        WindowClause("cron",
+          Option(raw).map(r => Seq(r.trim.stripPrefix("'").stripSuffix("'")))
+            .getOrElse(Nil))
+      else WindowClause(kind.toLowerCase,
         Option(raw).map(_.split(",").map(_.trim.stripPrefix("'").stripSuffix("'")).toSeq)
           .getOrElse(Nil))
     // JOIN chain with optional per-side buffer windows (windowed joins,
@@ -948,15 +1029,6 @@ object GraftApp {
       throw SqlError("malformed JOIN clause — expected " +
         "[INNER|LEFT|RIGHT|FULL [OUTER]] JOIN <stream> [WINDOW(…)] ON <cond>")
     }
-    // OUTPUT rate clauses are not part of the SQL surface (nor the
-    // reference's M1 SQL grammar — its OutputRate is query-API only);
-    // silently ignoring one would emit at full rate. Typed-reject with the
-    // supported spellings.
-    if ("""(?is)\bOUTPUT\s+(FIRST|LAST|ALL|SNAPSHOT)\b""".r
-        .findFirstIn(restNoLits).isDefined)
-      throw SqlError("OUTPUT rate clauses are not supported in SQL apps — " +
-        "use the rate operators (ConnectorQueries q_rate_* forms / " +
-        "Windows.outputEveryN) or drop the clause")
     // clause keywords match at paren-depth 0 only — a keyword inside an
     // IN (SELECT …) subquery belongs to the subquery, not this query
     def atTopLevel(text: String)(m: Regex.Match): Boolean = {
@@ -973,6 +1045,42 @@ object GraftApp {
       window = Some(mkWin(m.group(1), m.group(2)))
       rest = rest.substring(0, m.start) + rest.substring(m.end)
     }
+    // bare-kind spelling `WINDOW kind('params')` (the reference's cron
+    // window form, app_runner_windows.rs:235 `WINDOW cron('*/1 * * * * *')`)
+    // — same WindowClause, tried only when the quoted form didn't match
+    if (window.isEmpty)
+      WindowBareRe.findAllMatchIn(rest).find(atTopLevel(rest)).foreach { m =>
+        window = Some(mkWin(m.group(1), m.group(2)))
+        rest = rest.substring(0, m.start) + rest.substring(m.end)
+      }
+    // OUTPUT rate clause (see OutputRateSpec scaladoc): parse + excise
+    // here like WINDOW; a leftover OUTPUT keyword after excision is a
+    // malformed clause — silently ignoring it would emit at full rate.
+    var outputRate: Option[OutputRateSpec] = None
+    OutputRateRe.findAllMatchIn(rest).find(atTopLevel(rest)).foreach { m =>
+      val behavior = Option(m.group(1)).map(_.toLowerCase).getOrElse("all")
+      val num = m.group(2)
+      val unit = m.group(3).toLowerCase
+      outputRate = Some(
+        if (unit.startsWith("event")) {
+          if (behavior == "snapshot") throw SqlError(
+            "OUTPUT SNAPSHOT is time-driven (snapshot_output_rate.rs) — " +
+              "EVERY <duration>, not EVENTS")
+          OutputRateSpec("events", behavior,
+            intOf(num, "OUTPUT EVERY n EVENTS", min = 1).toLong)
+        } else {
+          val us = parseDurationUs(s"$num $unit")
+          if (behavior == "snapshot") OutputRateSpec("snapshot", "all", us)
+          else OutputRateSpec("time", behavior, us)
+        })
+      rest = rest.substring(0, m.start) + rest.substring(m.end)
+    }
+    if ("""(?is)\bOUTPUT\b""".r.findFirstIn(rest.replaceAll("'[^']*'", "''"))
+        .isDefined)
+      throw SqlError("malformed OUTPUT rate clause — supported: OUTPUT " +
+        "[ALL|FIRST|LAST] EVERY <n> EVENTS | EVERY <d> " +
+        "<milliseconds|seconds|minutes|hours|days>, and OUTPUT SNAPSHOT " +
+        "EVERY <d> <time unit>")
     def grab(kw: String, next: Seq[String]): Option[String] = {
       ("(?is)\\b" + kw + "\\b").r.findAllMatchIn(rest).find(atTopLevel(rest)).map { m =>
         var body = rest.substring(m.end)
@@ -1017,7 +1125,7 @@ object GraftApp {
     QuerySpec(target, source, items, joins.result(), where, window, groupBy, having,
       orderBy, limit, offset, sourceWindow = sourceWindow,
       distinct = dis, inSubqueries = inSubs, existsSubqueries = exSubs,
-      sourceAlias = sourceAlias)
+      sourceAlias = sourceAlias, outputRate = outputRate)
   }
 
   /** Split on a keyword at paren-depth 0 outside single quotes; returns
@@ -1574,6 +1682,60 @@ object GraftApp {
     q.where.foreach { w =>
       TypeGuard.check(df.sparkSession, w, df.schema, checkUndefined = true)
       df = df.filter(uexpr(w))
+    }
+    // OUTPUT rate clause (output_rate.rs Events/Time/Snapshot variants):
+    // batch result-level lowering on the post-WHERE event stream (the
+    // reference rate-limits the query's OUTPUT stream; for the per-event
+    // shapes supported here output events are 1:1 with these arrivals).
+    //  - ALL = identity: batching is delivery cadence, unobservable in
+    //    final results — the reference's own test asserts every row has
+    //    arrived by shutdown (app_runner_output_rate.rs:51-64).
+    //  - SNAPSHOT = identity: the final batch IS the last snapshot
+    //    (snapshot re-emission cadence has no final-result footprint).
+    //  - FIRST/LAST cut the per-key arrival order into n-event blocks /
+    //    d-wide time buckets — exactly the oracle-checked q_rate_events /
+    //    q_rate_limit forms (FIRST emits at block START so an open
+    //    trailing block emits; LAST only on completed blocks, matching
+    //    EventsOutputRate: 6 events EVERY 3 → FIRST {1,4}, LAST {3,6},
+    //    compatibility/aggregations.rs:817-868).
+    q.outputRate.filter(r => r.behavior == "first" || r.behavior == "last")
+      .foreach { r =>
+      val hasAgg = q.groupBy.nonEmpty ||
+        q.selectItems.exists(it => AggCallRe.findFirstIn(it._1.trim).isDefined)
+      if (hasAgg) throw SqlError(
+        "OUTPUT FIRST/LAST applies to per-event queries in the batch " +
+          "surface — aggregated shapes re-emit state per arrival, which " +
+          "the batch result model cannot observe (stream through " +
+          "Windows.outputEveryN, or use ALL/SNAPSHOT)")
+      if (df.isStreaming) throw SqlError(
+        "OUTPUT FIRST/LAST EVERY … on a streaming source is the keyed-state " +
+          "kernel's job (Windows.outputEveryN) — the rank lowering here is " +
+          "batch-only")
+      if (!df.columns.contains("ts")) throw SqlError(
+        "OUTPUT FIRST/LAST EVERY … needs a 'ts' TIMESTAMP column for arrival order")
+      if (q.partitionKeys.isEmpty)
+        ScaleWarnings.warn(s"OUTPUT ${r.behavior.toUpperCase} EVERY … INTO " +
+          s"'${q.target}' has no partition keys: the arrival ordering runs " +
+          "as ONE task — wrap the query in PARTITION WITH (key OF stream) " +
+          "to shard the rate limiter per key")
+      val W = org.apache.spark.sql.expressions.Window
+      // deterministic arrival order: ts, then every remaining column —
+      // the same duplicate-ts tie rule the EXPIRED/ALL lowering uses
+      val tieCols = col("ts") +: df.columns.filterNot(_ == "ts").map(col).toSeq
+      if (r.kind == "events") {
+        val base = W.partitionBy(q.partitionKeys.map(uexpr): _*)
+        val rn = row_number().over(base.orderBy(tieCols.map(_.asc): _*))
+        val want = if (r.behavior == "first") 1L else 0L
+        df = df.withColumn("__rate_rn", rn.cast("long"))
+          .filter(col("__rate_rn") % r.n === lit(want)).drop("__rate_rn")
+      } else { // time buckets of width r.n micros over event time
+        val keys = q.partitionKeys.map(uexpr) :+ expr(s"unix_micros(ts) div ${r.n}")
+        val ord = if (r.behavior == "first") tieCols.map(_.asc)
+          else tieCols.map(_.desc)
+        df = df.withColumn("__rate_rn",
+            row_number().over(W.partitionBy(keys: _*).orderBy(ord: _*)))
+          .filter(col("__rate_rn") === 1).drop("__rate_rn")
+      }
     }
     // STREAMING kernel windows: per-event window kinds over an unbounded
     // input lower to the graft.streaming keyed-state kernels — the batch
@@ -2357,6 +2519,32 @@ object GraftApp {
         case None => throw SqlError(s"window('${w.kind}'): '$ts' is not a stream attribute")
       }
       df.withColumn("window", window(tsCol, dur))
+    // cron window (`WINDOW cron('<6-field cron>')`, app_runner_windows.rs
+    // :235 cron_window test): the window flushes its buffer at each cron
+    // firing — for FIXED-period crons the batch result-level form is a
+    // tumbling bucket of that period aligned to the epoch grid the cron
+    // fires on (cronPeriodMs resolves `*/n` second/minute forms). Calendar
+    // crons (`0 0 1 * *`) have no constant period; their flush times are
+    // trigger-driven, which the batch model cannot replay — typed error
+    // pointing at the trigger surface (AppRuntime cron triggers).
+    case "cron" =>
+      val c = w.params.headOption.getOrElse(
+        throw SqlError("window cron(…) needs a cron expression"))
+      cronPeriodMs(c) match {
+        case Some(ms) =>
+          if (!df.columns.contains("ts"))
+            throw SqlError("window cron(…) needs a 'ts' TIMESTAMP column")
+          // phase-align the buckets to the cron grid: `0 30 * * * *` is
+          // hourly AT :30, so buckets run [k·P+φ, (k+1)·P+φ)
+          val phase = cronPhaseMs(c) % ms
+          df.withColumn("window",
+            window(col("ts"), s"$ms milliseconds", s"$ms milliseconds",
+              s"$phase milliseconds"))
+        case None => throw SqlError(
+          s"window cron('$c') has no fixed period — calendar crons are " +
+            "trigger-driven: CREATE TRIGGER t AT '<cron>' and join the tick " +
+            "stream, or use the streaming runtime's cron window")
+      }
     case "sliding" | "hop" =>
       val (ts, size, slide) = w.params match {
         case Seq(s, sl) => ("ts", s, sl)

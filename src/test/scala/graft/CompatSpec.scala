@@ -653,6 +653,96 @@ class CompatSpec extends AnyFunSuite {
       Seq(("high", 400.0), ("low", 50.0)))
   }
 
+  // -- compatibility/tables.rs:70-80 partition_test1_value_based: the
+  //    reference's `PARTITION BY symbol OF stockStream BEGIN … END`
+  //    spelling — identical semantics to PARTITION WITH (symbol OF
+  //    stockStream); both spellings must agree row-for-row
+  test("compat partition_test1: PARTITION BY … OF … spelling ≡ PARTITION WITH") {
+    def app(header: String) =
+      s"""CREATE STREAM stockStream (ts TIMESTAMP, symbol STRING, price DOUBLE, volume INT);
+         |CREATE STREAM outputStream (symbol STRING, totalVolume BIGINT);
+         |$header
+         |INSERT INTO outputStream
+         |SELECT symbol, sum(volume) AS totalVolume
+         |FROM stockStream WINDOW('length', 2);
+         |END;""".stripMargin
+    val in = Seq((1, "IBM", 75.6, 100), (2, "WSO2", 57.6, 200), (3, "IBM", 76.0, 50))
+      .toDF("sec", "symbol", "price", "volume")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "symbol", "price", "volume")
+    def run(header: String) =
+      GraftApp.run(spark, app(header), Map("stockStream" -> in))("outputStream")
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val by = run("PARTITION BY symbol OF stockStream BEGIN")
+    val withForm = run("PARTITION WITH (symbol OF stockStream) BEGIN")
+    assert(by == withForm)
+    // per-arrival frame sums within each symbol partition: IBM 100, then
+    // 100+50=150; WSO2 200
+    assert(by == Seq(("IBM", 100L), ("IBM", 150L), ("WSO2", 200L)))
+    // multi-key form parses and shards by both keys
+    val multi =
+      """CREATE STREAM S (ts TIMESTAMP, a STRING, b STRING, v INT);
+        |CREATE STREAM Out (a STRING, b STRING, t BIGINT);
+        |PARTITION BY a, b OF S BEGIN
+        |INSERT INTO Out SELECT a, b, sum(v) AS t FROM S WINDOW('length', 10);
+        |END;""".stripMargin
+    val mIn = Seq((1, "x", "p", 1), (2, "x", "q", 2), (3, "x", "p", 3))
+      .toDF("sec", "a", "b", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "a", "b", "v")
+    val mOut = GraftApp.run(spark, multi, Map("S" -> mIn))("Out")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(mOut == Seq(("x", "p", 1L), ("x", "p", 4L), ("x", "q", 2L)))
+  }
+
+  // -- sql_with_end_to_end.rs:409: a bare trailing `SELECT … FROM s;`
+  //    statement (no INSERT INTO) is the reference's ad-hoc subscription —
+  //    desugared onto a synthesized output stream exposed in the result map
+  test("compat ad-hoc SELECT: bare SELECT statement subscribes to a stream") {
+    val app =
+      """CREATE STREAM InternalStream (tick STRING);
+        |CREATE STREAM Loud (tick STRING);
+        |INSERT INTO Loud SELECT upper(tick) AS tick FROM InternalStream;
+        |SELECT tick FROM Loud;""".stripMargin
+    val in = Seq("a", "b").toDF("tick")
+    val outs = GraftApp.run(spark, app, Map("InternalStream" -> in))
+    val adhoc = outs.keys.filter(_.startsWith("__adhoc")).toSeq
+    assert(adhoc.size == 1)
+    assert(outs(adhoc.head).collect().map(_.getString(0)).sorted.toSeq == Seq("A", "B"))
+  }
+
+  // -- app_runner_windows.rs:228-242 cron_window: `WINDOW cron('*/1 * * * *
+  //    *')` flushes its buffer every cron firing; fixed-period crons lower
+  //    to the matching tumbling bucket in the batch model
+  test("compat cron_window: WINDOW cron(…) bare spelling, fixed-period lowering") {
+    val app =
+      """CREATE STREAM In (ts TIMESTAMP, v INT);
+        |CREATE STREAM Out (v INT);
+        |INSERT INTO Out SELECT v FROM In WINDOW cron('*/1 * * * * *');""".stripMargin
+    val in = Seq((0, 1), (1500, 2)).toDF("ms", "v")
+      .selectExpr("timestamp_millis(ms) AS ts", "v")
+    val out = GraftApp.run(spark, app, Map("In" -> in))("Out")
+    assert(out.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    // the cron grid is visible when grouped: */1 second buckets
+    val agg =
+      """CREATE STREAM In (ts TIMESTAMP, v INT);
+        |CREATE STREAM Out (n BIGINT);
+        |INSERT INTO Out SELECT count(v) AS n FROM In WINDOW cron('*/1 * * * * *')
+        |GROUP BY window ORDER BY n;""".stripMargin
+    val in2 = Seq((0, 1), (200, 2), (1500, 3)).toDF("ms", "v")
+      .selectExpr("timestamp_millis(ms) AS ts", "v")
+    val out2 = GraftApp.run(spark, agg, Map("In" -> in2))("Out")
+    assert(out2.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // calendar cron (day-of-month restricted → no fixed period) is a typed
+    // error naming the trigger path
+    val cal =
+      """CREATE STREAM In (ts TIMESTAMP, v INT);
+        |CREATE STREAM Out (v INT);
+        |INSERT INTO Out SELECT v FROM In WINDOW cron('0 0 1 1 * *');""".stripMargin
+    val e = intercept[GraftApp.SqlError](GraftApp.run(spark, cal,
+      Map("In" -> in)))
+    assert(e.getMessage.contains("trigger"))
+  }
+
   // -- partitions.rs:partition_test79_coalesce (ignored there: their parser
   //    split the coalesce args on the comma)
   test("compat partition_test79: coalesce with commas inside a partition block") {
@@ -1066,12 +1156,18 @@ class CompatSpec extends AnyFunSuite {
     assert(crossSpec.queries.head.joins.head.cond == "TRUE")
     // the plain ON form still parses
     GraftApp.parse(app("L JOIN R ON L.id = R.id"))
-    // an OUTPUT rate clause (query-API-only in the reference too) is a
-    // typed error, never a silent full-rate emission
+    // a well-formed OUTPUT rate clause now PARSES (round 10); a malformed
+    // one stays a typed error, never a silent full-rate emission
+    val rateSpec = GraftApp.parse(
+      """CREATE STREAM In (k INT);
+        |CREATE STREAM Out (k INT);
+        |INSERT INTO Out SELECT k FROM In OUTPUT LAST EVERY 10 EVENTS;""".stripMargin)
+    assert(rateSpec.queries.head.outputRate.contains(
+      GraftApp.OutputRateSpec("events", "last", 10L)))
     val e4 = intercept[GraftApp.SqlError](GraftApp.parse(
       """CREATE STREAM In (k INT);
         |CREATE STREAM Out (k INT);
-        |INSERT INTO Out SELECT k FROM In OUTPUT LAST EVERY 10 EVENTS;""".stripMargin))
+        |INSERT INTO Out SELECT k FROM In OUTPUT LAST 10 EVENTS;""".stripMargin))
     assert(e4.getMessage.contains("OUTPUT rate"))
     // pattern statements reject ANY unconsumed trailing clause
     val e5 = intercept[GraftApp.SqlError](GraftApp.parse(
@@ -1401,6 +1497,59 @@ class CompatSpec extends AnyFunSuite {
       val rt = GraftApp.run(spark, app, Map("S" -> inTies))("Out").collect()
       assert(rt.length == 1 && rt(0).getDouble(0) == 1.0 && rt(0).getDouble(1) == 9.0)
     }
+  }
+
+  // -- compatibility/aggregations.rs:789-868 (rate_limit_test2/3/4 —
+  //    `#[ignore = "… syntax not yet supported"]` in the reference) +
+  //    app_runner_output_rate.rs:51-64 (ALL EVERY 2: every row arrives by
+  //    shutdown): the OUTPUT rate SQL surface, run through the batch
+  //    lowering. 6 events EVERY 3 → ALL = all six, FIRST = batch starts
+  //    {1,4}, LAST = batch completions {3,6} (the reference test asserts
+  //    out.len() == 2 for both FIRST and LAST).
+  test("compat OUTPUT rate: ALL/FIRST/LAST EVERY n EVENTS, time buckets, snapshot") {
+    def app(clause: String) =
+      s"""CREATE STREAM stockStream (ts TIMESTAMP, symbol STRING, price DOUBLE);
+         |CREATE STREAM outputStream (symbol STRING, price DOUBLE);
+         |INSERT INTO outputStream
+         |SELECT symbol, price
+         |FROM stockStream WINDOW('length', 10)
+         |$clause;""".stripMargin
+    def in(n: Int) = (1 to n).map(i => (i, s"SYM$i", i * 10.0))
+      .toDF("sec", "symbol", "price").repartition(3)
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "symbol", "price")
+    def run(clause: String, n: Int = 6): Seq[String] =
+      GraftApp.run(spark, app(clause), Map("stockStream" -> in(n)))("outputStream")
+        .collect().map(_.getString(0)).toSeq.sorted
+    assert(run("OUTPUT ALL EVERY 3 EVENTS") == (1 to 6).map(i => s"SYM$i"))
+    assert(run("OUTPUT FIRST EVERY 3 EVENTS") == Seq("SYM1", "SYM4"))
+    assert(run("OUTPUT LAST EVERY 3 EVENTS") == Seq("SYM3", "SYM6"))
+    // 7th event STARTS a batch: FIRST emits it immediately
+    // (EventsOutputRate First emits at batch start); LAST waits for the
+    // batch to complete, so the open batch emits nothing
+    assert(run("OUTPUT FIRST EVERY 3 EVENTS", n = 7) == Seq("SYM1", "SYM4", "SYM7"))
+    assert(run("OUTPUT LAST EVERY 3 EVENTS", n = 7) == Seq("SYM3", "SYM6"))
+    // time variant (rate_limit_test5-7 family): 2-second event-time
+    // buckets over sec 1..6 = {1},{2,3},{4,5},{6}
+    assert(run("OUTPUT FIRST EVERY 2 SECONDS") == Seq("SYM1", "SYM2", "SYM4", "SYM6"))
+    assert(run("OUTPUT LAST EVERY 2 SECONDS") == Seq("SYM1", "SYM3", "SYM5", "SYM6"))
+    assert(run("OUTPUT ALL EVERY 200 MILLISECONDS") == (1 to 6).map(i => s"SYM$i"))
+    // SNAPSHOT EVERY d (rate_limit_test8 family): the final batch result
+    // IS the last snapshot — identity
+    assert(run("OUTPUT SNAPSHOT EVERY 500 MILLISECONDS") == (1 to 6).map(i => s"SYM$i"))
+    // aggregated shape + FIRST/LAST: typed error (batch results cannot
+    // observe per-arrival state re-emission); ALL still passes
+    val aggApp =
+      """CREATE STREAM S (ts TIMESTAMP, v DOUBLE);
+        |CREATE STREAM Out (s DOUBLE);
+        |INSERT INTO Out SELECT sum(v) AS s FROM S OUTPUT FIRST EVERY 3 EVENTS;""".stripMargin
+    val e = intercept[GraftApp.SqlError](GraftApp.run(spark, aggApp,
+      Map("S" -> in(3).selectExpr("ts", "price AS v"))))
+    assert(e.getMessage.contains("OUTPUT FIRST/LAST"))
+    // SNAPSHOT EVERY n EVENTS is not a reference form — typed at parse
+    val e2 = intercept[GraftApp.SqlError](GraftApp.parse(app(
+      "OUTPUT SNAPSHOT EVERY 5 EVENTS")))
+    assert(e2.getMessage.contains("SNAPSHOT"))
   }
 
   // -- joins.rs: the ON-less form is ONLY the bare (cross) JOIN; an outer

@@ -83,8 +83,12 @@ class CorpusSweepSpec extends AnyFunSuite {
             e.getClass.getName + ": " + String.valueOf(e.getMessage).take(120)))
       }
     }
-    rejected.groupBy(_.takeWhile(_ != '\'')).toSeq.sortBy(-_._2.size).take(10)
+    rejected.groupBy(_.takeWhile(_ != '\'')).toSeq.sortBy(-_._2.size)
       .foreach { case (k, v) => info(s"typed reject ×${v.size}: ${v.head.take(160)}") }
+    // full rejection list on disk so every remaining rejection is
+    // individually inspectable (target/, not committed)
+    Files.write(java.nio.file.Paths.get("target/sweep-rejections.txt"),
+      rejected.sorted.mkString("\n").getBytes("UTF-8"))
     assert(unexpected.isEmpty,
       s"${unexpected.size} untyped crashes, first 5:\n" +
         unexpected.take(5).map(t => s"  ${t._1}\n    ${t._2}\n    ${t._3}")

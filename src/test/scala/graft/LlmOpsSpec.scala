@@ -181,6 +181,50 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ScaleWarnings.recentWarnings.isEmpty)
   }
 
+  test("semanticTwoLevel: K=1 degenerates to single-level; general-K precision exact") {
+    import spark.implicits._
+    val vecs = (0L until 80L)
+      .map(i => (i, Array((i % 7).toFloat + 1f, (i % 5).toFloat, (i % 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    // K=1: one coarse cell and one fine centroid (= min corpus id), so the
+    // dup verdicts must equal single-level semantic() with that centroid —
+    // all-pairs within the single cluster, identical exact arithmetic
+    val two = Dedup.semanticTwoLevel(vecs, "vec_id", "embedding", 0.999,
+      kOverride = Some(1))
+    val one = Dedup.semantic(vecs, "vec_id", "embedding", 0.999, Seq(0L))
+    def verdicts(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "is_dup", "dup_of", "best_sim")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1.0 else r.getDouble(3))).sortBy(_._1).toSeq
+    assert(verdicts(two) == verdicts(one))
+    // general K: full spine, deterministic across runs, and every flagged
+    // pair is a TRUE near-dup (precision exact — the within-cluster verify
+    // uses the same exact quantized cosine as brute force)
+    val g = Dedup.semanticTwoLevel(vecs, "vec_id", "embedding", 0.999,
+      kOverride = Some(4))
+    val rows = g.collect()
+    assert(rows.length == 80)
+    assert(verdicts(g) == verdicts(Dedup.semanticTwoLevel(
+      vecs, "vec_id", "embedding", 0.999, kOverride = Some(4))))
+    // precision is EXACT: every flagged (vec_id, dup_of) pair must verify
+    // under brute-force quantized cosine at the same threshold
+    def v(i: Long) = Array(((i % 7) + 1).toDouble, (i % 5).toDouble, (i % 3).toDouble)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val qa = a.map(x => math.floor(x * 10000 + 0.5).toLong)
+      val qb = b.map(x => math.floor(x * 10000 + 0.5).toLong)
+      val d = qa.zip(qb).map { case (x, y) => x * y }.sum.toDouble
+      d / (math.sqrt(qa.map(x => x * x).sum.toDouble) *
+        math.sqrt(qb.map(x => x * x).sum.toDouble))
+    }
+    val flagged = rows.filter(_.getBoolean(2)).map(r => (r.getLong(0), r.getLong(3)))
+    assert(flagged.nonEmpty) // the (x,0,0) colinear family guarantees dups
+    flagged.foreach { case (a, b) =>
+      assert(cos(v(a), v(b)) > 0.999, s"flagged pair ($a, $b) fails brute-force verify")
+      assert(b < a, "dup_of must be a LOWER id")
+    }
+  }
+
   test("simhash flags exact duplicates at Hamming distance 0") {
     val docs = Tables(spark, dir, "documents").select("doc_id", "text").limit(100)
     val dups = docs.withColumn("doc_id", col("doc_id") + 100000)

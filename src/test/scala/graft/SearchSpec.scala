@@ -93,6 +93,32 @@ class SearchSpec extends AnyFunSuite {
       (1L, 2290750L, 1L), (3L, 879600L, 1L), (2L, 694800L, 1L)))
   }
 
+  test("bm25TopKFromIndex: relation-index path reproduces bm25TopK bit-exactly") {
+    val d = docs(
+      1L -> "x x y",
+      2L -> "y z",
+      3L -> "z z z w")
+    // same hand golden as bm25TopK above, scored from the pre-built
+    // relation index + doc-length dimension instead of the corpus text
+    val idx = Search.invertedIndex(d, "doc_id", "text", postingsAs = "relation")
+    val out = Search.bm25TopKFromIndex(idx,
+        Search.docLengths(d, "doc_id", "text"), Seq("x", "z"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toList == List(
+      (1L, 2290750L, 1L), (3L, 879600L, 1L), (2L, 694800L, 1L)))
+    // parity on a larger slice of the real corpus, multi-hit docs included
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents").limit(300)
+    val a = Search.bm25TopK(corpus, "doc_id", "text",
+      Seq("spark", "vector", "customer"), k = 50).collect().toSeq
+    val idx2 = Search.invertedIndex(corpus, "doc_id", "text",
+      postingsAs = "relation")
+    val b = Search.bm25TopKFromIndex(idx2,
+      Search.docLengths(corpus, "doc_id", "text"),
+      Seq("spark", "vector", "customer"), k = 50).collect().toSeq
+    assert(a.map(r => (r.getLong(0), r.getLong(2))) ==
+      b.map(r => (r.getLong(0), r.getLong(2))))
+  }
+
   test("tfIdfTopTerms: rank order and tie-break by token") {
     val d = docs(
       1L -> "a a b c",
