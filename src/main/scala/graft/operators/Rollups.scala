@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   */
 object Rollups {
 
-  val Grains: Seq[String] = Seq("minute", "hour", "day", "month", "year")
+  val Grains: Seq[String] = Seq("second", "minute", "hour", "day", "month", "year")
 
   /** Measures that compose across grains: count and sum re-aggregate with
     * sum, min/max with min/max; avg derives as sum/count at read time.

@@ -352,8 +352,131 @@ object CepQueries extends QueryFamily {
              |  AND b.b_id > a.a_id AND b.b_ts - a.a_ts <= 7200000000
              |  AND b.v2 > 2.0 * a.v1
              |GROUP BY a.user_id, a.a_id
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Three-way logical AND (round 10; the reference `#[ignore]`s the
+    // chained form, patterns.rs:1228): signup AND purchase AND error in
+    // ANY arrival order within 6h — the compiler unions all 3! = 6
+    // arrival-order variants, each a first-next chain from its seed. The
+    // oracle replays exactly that: per permutation, seed each event of the
+    // first type, chain min-id picks, horizon on completion.
+    QueryDef(
+      "q_cep_sql_and3",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (user_id BIGINT, s_id BIGINT, p_id BIGINT, c_id BIGINT);
+            |INSERT INTO Out
+            |SELECT e1.user_id AS user_id, e1.event_id AS s_id,
+            |       e2.event_id AS p_id, e3.event_id AS c_id
+            |FROM PATTERN (EVERY (e1=events[event_type = 'signup']
+            |              AND e2=events[event_type = 'purchase']
+            |              AND e3=events[event_type = 'error']))
+            |WITHIN 6 HOURS
+            |PARTITION BY user_id;""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .orderBy(col("user_id"), col("s_id"), col("p_id"), col("c_id"))
+      },
+      Some(interleaveOracle(Seq("s", "p", "c").permutations.toSeq))),
+
+    // Nested sub-chain AND (round 10; patterns.rs:611 `#[ignore]`d):
+    // (signup -> purchase) AND error — the sub-chain completes in order,
+    // the error lands anywhere relative to it (3 interleavings).
+    QueryDef(
+      "q_cep_sql_group",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (user_id BIGINT, s_id BIGINT, p_id BIGINT, c_id BIGINT);
+            |INSERT INTO Out
+            |SELECT e1.user_id AS user_id, e1.event_id AS s_id,
+            |       e2.event_id AS p_id, e3.event_id AS c_id
+            |FROM PATTERN (EVERY ((e1=events[event_type = 'signup']
+            |              -> e2=events[event_type = 'purchase'])
+            |              AND e3=events[event_type = 'error']))
+            |WITHIN 6 HOURS
+            |PARTITION BY user_id;""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .orderBy(col("user_id"), col("s_id"), col("p_id"), col("c_id"))
+      },
+      Some(interleaveOracle(Seq(
+        Seq("s", "p", "c"), Seq("s", "c", "p"), Seq("c", "s", "p"))))),
+
+    // Zero-or-more (round 10; patterns.rs:563 `#[ignore]`d `e1=A* -> e2=B`):
+    // `signup* -> purchase` = the A+ enumeration PLUS one zero-repeat match
+    // per purchase (first/last NULL, count 0) — the documented
+    // `B OR (A+ -> B)` union, both branches in one compiled query.
+    QueryDef(
+      "q_cep_sql_star",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (user_id BIGINT, first_id BIGINT, last_id BIGINT,
+            |                   b_id BIGINT, n_collected BIGINT);
+            |INSERT INTO Out
+            |SELECT z.user_id AS user_id, e[0].event_id AS first_id,
+            |       e[last].event_id AS last_id, z.event_id AS b_id,
+            |       count(e) AS n_collected
+            |FROM PATTERN (EVERY e=events[event_type = 'signup']*
+            |              -> z=events[event_type = 'purchase'])
+            |WITHIN 6 HOURS
+            |PARTITION BY user_id;""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .orderBy(col("user_id"), col("first_id"), col("last_id"), col("b_id"))
+      },
+      Some(
+        """WITH plus AS (
+          |""".stripMargin +
+        cepPlusOracle.replace("ORDER BY m.user_id, m.first_id, m.last_id", "") + """
+          |)
+          |SELECT * FROM plus
+          |UNION ALL
+          |SELECT user_id, CAST(NULL AS BIGINT) AS first_id,
+          |  CAST(NULL AS BIGINT) AS last_id, event_id AS b_id,
+          |  CAST(0 AS BIGINT) AS n_collected
+          |FROM events WHERE event_type = 'purchase'
+          |ORDER BY user_id, first_id, last_id, b_id""".stripMargin))
   )
+
+  /** Oracle generator for AND-interleaving rows: one SELECT per arrival
+    * order (a, b, c are type tags s=signup, p=purchase, c=error), each a
+    * seed + two first-next (min id) picks with the 6h horizon checked on
+    * the completing event, UNION ALL'd. A concrete event triple has ONE
+    * arrival order, so the union is duplicate-free — same argument as the
+    * compiler's variant union.
+    */
+  private def interleaveOracle(perms: Seq[Seq[String]]): String = {
+    val tbl = Map("s" -> "sg", "p" -> "pur", "c" -> "er")
+    val variantSqls = perms.map { case Seq(a, b, c) =>
+      def outCol(tag: String, idExpr: String) = s"$idExpr AS ${tag}_id"
+      val cols = Seq("s", "p", "c").map { t =>
+        if (t == a) outCol(t, "f.a_id")
+        else if (t == b) outCol(t, "f.b_id")
+        else outCol(t, "min(t3.id)")
+      }.mkString(", ")
+      s"""SELECT f.user_id, $cols
+         |FROM (
+         |  SELECT t1.user_id, t1.id AS a_id, t1.ts AS a_ts, min(t2.id) AS b_id
+         |  FROM ${tbl(a)} t1 JOIN ${tbl(b)} t2
+         |    ON t2.user_id = t1.user_id AND t2.id > t1.id
+         |  GROUP BY 1, 2, 3) f
+         |JOIN ${tbl(c)} t3 ON t3.user_id = f.user_id AND t3.id > f.b_id
+         |  AND t3.ts - f.a_ts <= 21600000000
+         |GROUP BY f.user_id, f.a_id, f.b_id""".stripMargin
+    }
+    """WITH sg AS (SELECT user_id, event_id AS id, epoch_us(ts) AS ts
+      |           FROM events WHERE event_type = 'signup'),
+      |pur AS (SELECT user_id, event_id AS id, epoch_us(ts) AS ts
+      |        FROM events WHERE event_type = 'purchase'),
+      |er AS (SELECT user_id, event_id AS id, epoch_us(ts) AS ts
+      |       FROM events WHERE event_type = 'error')
+      |""".stripMargin +
+      variantSqls.mkString("", "\nUNION ALL\n", "\n") +
+      "ORDER BY user_id, s_id, p_id, c_id"
+  }
 
   /** Shared oracle for the A+ rows (q_cep_plus / q_cep_sql_plus): one
     * match per signup PAIR (first <= last), completed by the first

@@ -41,7 +41,14 @@ object GraftApp {
     */
   final case class JoinClause(joinType: String, stream: String, cond: String,
                               window: Option[WindowClause] = None,
-                              alias: Option[String] = None) {
+                              alias: Option[String] = None,
+                              // `USING (c1, …)` column list / NATURAL JOIN
+                              // marker — resolved to an equality ON at
+                              // compile, when both sides' schemas are known
+                              // (the reference rejects both spellings,
+                              // converter.rs:631-634 — beyond-parity)
+                              using: Seq[String] = Nil,
+                              natural: Boolean = false) {
     /** The name qualified refs use: the AS alias when present. */
     def label: String = alias.getOrElse(stream)
   }
@@ -129,7 +136,12 @@ object GraftApp {
     * EVERY <from> TO <to> slice of Rollups.Grains.
     */
   final case class AggDef(name: String, source: String, keys: Seq[String],
-                          valueCol: String, tsCol: String, grains: Seq[String])
+                          valueCol: String, tsCol: String, grains: Seq[String],
+                          // SELECT-form definitions (`CREATE AGGREGATION n
+                          // SELECT k, AVG(v) AS a …`) record alias →
+                          // cascade-column so WITHIN … PER queries can
+                          // reference the declared names
+                          aliases: Seq[(String, String)] = Nil)
 
   /** `INSERT INTO t SELECT … FROM <agg> WITHIN 'from' AND 'to' PER 'grain'`
     * — the reference's on-demand `query_aggregation(agg_id, within, per)`
@@ -167,7 +179,26 @@ object GraftApp {
   private val AggRe: Regex =
     ("""(?is)\s*CREATE\s+AGGREGATION\s+(\w+)\s+FROM\s+(\w+)\s+""" +
       """(?:GROUP\s+BY\s+(.*?)\s+)?AGGREGATE\s+(\w+)\s+BY\s+(\w+)\s+""" +
-      """EVERY\s+(\w+)(?:\s+TO\s+(\w+))?\s*""").r
+      """EVERY\s+(\w+?)(?:\s+TO\s+(\w+)|\s*\.\.\.\s*(\w+))?\s*""").r
+  /** The reference grammar's SELECT-form spelling (type_validation_test.rs
+    * :525-545): `CREATE AGGREGATION n SELECT k…, FN(v) [AS a]… FROM s
+    * [GROUP BY k…] AGGREGATE BY ts EVERY g1...g2` — same AggDef, aliases
+    * recorded for WITHIN … PER queries.
+    */
+  private val AggSelectRe: Regex =
+    ("""(?is)\s*CREATE\s+AGGREGATION\s+(\w+)\s+SELECT\s+(.*?)\s+FROM\s+(\w+)\s+""" +
+      """(?:GROUP\s+BY\s+(.*?)\s+)?AGGREGATE\s+BY\s+(\w+)\s+""" +
+      """EVERY\s+(\w+?)(?:\s*\.\.\.\s*(\w+))?\s*""").r
+  /** Siddhi-style grain abbreviations → Rollups.Grains spellings. */
+  private def normalizeGrain(g: String): String = g.toLowerCase match {
+    case "sec" | "secs" | "seconds" => "second"
+    case "min" | "mins" | "minutes" => "minute"
+    case "hours" => "hour"
+    case "days" => "day"
+    case "months" => "month"
+    case "years" => "year"
+    case other => other
+  }
   private val AggQueryRe: Regex =
     ("""(?is)\s*INSERT\s+INTO\s+(\w+)\s+SELECT\s+(.*?)\s+FROM\s+(\w+)\s+""" +
       """WITHIN\s+'([^']+)'\s+AND\s+'([^']+)'\s+PER\s+'(\w+)'\s*(.*?)\s*""").r
@@ -334,6 +365,29 @@ object GraftApp {
     def requireDefined(name: String): Unit =
       if (!streams.contains(name))
         throw SqlError(s"undefined stream/table '$name' (definition first)")
+    // shared validation for both CREATE AGGREGATION spellings
+    def mkAggDef(name: String, source: String, keys: Seq[String],
+                 valueCol: String, tsCol: String, gFrom: String,
+                 gTo: Option[String], aliases: Seq[(String, String)]): AggDef = {
+      if (streams.contains(name) || aggs.contains(name)) throw SqlError(
+        s"duplicate stream/table/trigger/aggregation definition '$name'")
+      requireDefined(source)
+      val sd = streams(source)
+      (keys :+ valueCol :+ tsCol).foreach { c =>
+        if (!sd.schema.fieldNames.contains(c)) throw SqlError(
+          s"aggregation '$name': column '$c' not in stream '$source'")
+      }
+      val g1 = normalizeGrain(gFrom)
+      val g2 = gTo.map(normalizeGrain).getOrElse(g1)
+      val gi = graft.operators.Rollups.Grains.indexOf(g1)
+      val gj = graft.operators.Rollups.Grains.indexOf(g2)
+      if (gi < 0 || gj < 0) throw SqlError(
+        s"aggregation '$name': grains must be one of ${graft.operators.Rollups.Grains.mkString(", ")}")
+      if (gj < gi) throw SqlError(
+        s"aggregation '$name': EVERY $gFrom TO ${gTo.getOrElse(gFrom)} is not a coarsening range")
+      AggDef(name, source, keys, valueCol, tsCol,
+        graft.operators.Rollups.Grains.slice(gi, gj + 1), aliases)
+    }
     // ---- statement-local desugaring: WITH CTEs and top-level UNION [ALL]
     // (reference roadmap GRAMMAR.md:822-841). Both lower onto the existing
     // chained-INSERT algebra — a CTE is a named single-use stream; a UNION
@@ -530,26 +584,40 @@ object GraftApp {
             }
             streams += name -> StreamDef(name, StructType(fields), opts,
               isTable = kind.equalsIgnoreCase("TABLE"))
-          case AggRe(name, source, keysRaw, valueCol, tsCol, gFrom, gTo) =>
-            if (streams.contains(name) || aggs.contains(name)) throw SqlError(
-              s"duplicate stream/table/trigger/aggregation definition '$name'")
-            requireDefined(source)
-            val sd = streams(source)
+          case AggRe(name, source, keysRaw, valueCol, tsCol, gFrom, gTo, gToDots) =>
+            aggs += name -> mkAggDef(name, source,
+              Option(keysRaw).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+              valueCol, tsCol, gFrom, Option(gTo).orElse(Option(gToDots)), Nil)
+          case AggSelectRe(name, select, source, keysRaw, tsCol, gFrom, gTo) =>
+            // SELECT-form: key items must be GROUP BY keys; agg items must
+            // all target ONE value column (the cascade carries one measure
+            // set); aliases map onto the cascade columns for later queries
             val keys = Option(keysRaw).toSeq
               .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-            (keys :+ valueCol :+ tsCol).foreach { c =>
-              if (!sd.schema.fieldNames.contains(c)) throw SqlError(
-                s"aggregation '$name': column '$c' not in stream '$source'")
+            val fnToCascade = Map("sum" -> "sum_v", "avg" -> "avg_v",
+              "min" -> "min_v", "max" -> "max_v", "count" -> "cnt")
+            val aggItemRe = """(?is)^(sum|avg|min|max|count)\s*\(\s*(\w+|\*)\s*\)(?:\s+AS\s+(\w+))?$""".r
+            var valueCol: Option[String] = None
+            val aliases = Seq.newBuilder[(String, String)]
+            splitTopLevel(select).map(_.trim).foreach {
+              case aggItemRe(fn, c, al) =>
+                if (!c.equals("*")) {
+                  valueCol.filter(_ != c).foreach(v => throw SqlError(
+                    s"aggregation '$name': one value column per aggregation " +
+                      s"— got both '$v' and '$c' (define a second aggregation)"))
+                  if (c != "*") valueCol = Some(c)
+                } else if (!fn.equalsIgnoreCase("count")) throw SqlError(
+                  s"aggregation '$name': $fn(*) is not a measure — name a column")
+                Option(al).foreach(a => aliases += a -> fnToCascade(fn.toLowerCase))
+              case item if keys.exists(_.equalsIgnoreCase(item)) => ()
+              case item => throw SqlError(
+                s"aggregation '$name': select item '$item' must be a GROUP BY " +
+                  "key or sum/avg/min/max/count(col) [AS alias]")
             }
-            val gi = graft.operators.Rollups.Grains.indexOf(gFrom.toLowerCase)
-            val gj = graft.operators.Rollups.Grains.indexOf(
-              Option(gTo).map(_.toLowerCase).getOrElse(gFrom.toLowerCase))
-            if (gi < 0 || gj < 0) throw SqlError(
-              s"aggregation '$name': grains must be one of ${graft.operators.Rollups.Grains.mkString(", ")}")
-            if (gj < gi) throw SqlError(
-              s"aggregation '$name': EVERY $gFrom TO $gTo is not a coarsening range")
-            aggs += name -> AggDef(name, source, keys, valueCol, tsCol,
-              graft.operators.Rollups.Grains.slice(gi, gj + 1))
+            aggs += name -> mkAggDef(name, source, keys,
+              valueCol.getOrElse(throw SqlError(
+                s"aggregation '$name' needs at least one aggregated column")),
+              tsCol, gFrom, Option(gTo), aliases.result())
           case AggQueryRe(target, select, aggName, from, to, per, rest)
               if aggs.contains(aggName) =>
             val ad = aggs(aggName)
@@ -583,6 +651,14 @@ object GraftApp {
             requireDefined(table); requireDefined(source)
             stmts += DmlStmt(DmlSpec("delete", table, source, Nil, Nil, cond.trim))
           case InsertRe(outEvents, target, select, source, rest) =>
+            // a direct SELECT on an aggregation (no WITHIN … PER) has no
+            // defined grain/range — rejected like the reference intends
+            // (type_validation_test.rs:541 "Direct aggregation query
+            // should be rejected")
+            if (aggs.contains(source)) throw SqlError(
+              s"aggregation '$source' must be queried with WITHIN 'from' " +
+                "AND 'to' PER 'grain' — a direct SELECT on an aggregation " +
+                "has no defined grain or range")
             requireDefined(source)
             val q00 = parseQuery(target, select, source, rest)
               .copy(outputEvents = Option(outEvents).map(_.toLowerCase).getOrElse("current"))
@@ -967,10 +1043,11 @@ object GraftApp {
     // ON body is OPTIONAL — a bare `JOIN B [WINDOW(…)]` with no ON is the
     // reference's CROSS join form (joins.rs:join_test5_cross_join), lowered
     // as condition TRUE over the two buffers.
-    val joinHeadRe = ("(?is)^\\s*(INNER|LEFT|RIGHT|FULL)?(?:\\s+OUTER)?\\s*JOIN\\s+(\\w+)" +
+    val joinHeadRe = ("(?is)^\\s*(?:(INNER|LEFT|RIGHT|FULL)(?:\\s+OUTER)?\\s+|(NATURAL)\\s+)?JOIN\\s+(\\w+)" +
       "(?:\\s+AS\\s+(\\w+))?\\s*" +
       "(?:WINDOW\\s*\\(\\s*'(\\w+)'\\s*(?:,\\s*([^)]*))?\\))?").r
     val onRe = """(?is)^\s*ON\s+""".r
+    val usingRe = """(?is)^\s*USING\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)""".r
     val joins = Seq.newBuilder[JoinClause]
     var more = true
     while (more) {
@@ -982,34 +1059,53 @@ object GraftApp {
             case Some("FULL") => "full_outer"
             case _ => "inner"
           }
-          val alias = Option(m.group(3))
-          val win = Option(m.group(4)).map(k => mkWin(k, m.group(5)))
+          val natural = m.group(2) != null
+          val alias = Option(m.group(4))
+          val win = Option(m.group(5)).map(k => mkWin(k, m.group(6)))
           val afterHead = rest.substring(m.end)
-          onRe.findPrefixMatchOf(afterHead) match {
-            case Some(onM) =>
+          (onRe.findPrefixMatchOf(afterHead), usingRe.findPrefixMatchOf(afterHead)) match {
+            case (Some(onM), _) =>
+              if (natural) throw SqlError(
+                "NATURAL JOIN derives its condition from the common columns " +
+                  "— drop the ON clause (or drop NATURAL)")
               val tail = afterHead.substring(onM.end)
               val stopIdx = Seq("JOIN", "WHERE", "GROUP\\s+BY", "HAVING", "ORDER\\s+BY",
                   "LIMIT", "OFFSET", "WINDOW")
-                .flatMap(n => ("(?is)\\b(?:(?:INNER|LEFT|RIGHT|FULL)\\s+(?:OUTER\\s+)?)?" + n + "\\b")
+                .flatMap(n => ("(?is)\\b(?:(?:INNER|LEFT|RIGHT|FULL)\\s+(?:OUTER\\s+)?|NATURAL\\s+)?" + n + "\\b")
                   .r.findFirstMatchIn(tail).map(_.start))
                 .minOption.getOrElse(tail.length)
-              joins += JoinClause(jt, m.group(2), tail.substring(0, stopIdx).trim,
+              joins += JoinClause(jt, m.group(3), tail.substring(0, stopIdx).trim,
                 win, alias)
               rest = tail.substring(stopIdx)
-            case None =>
-              if ("""(?is)^\s*USING\b""".r.findFirstIn(afterHead).isDefined)
-                throw SqlError("JOIN … USING (…) is not supported — spell the " +
-                  "condition with ON (JOIN R ON L.id = R.id)")
-              // the reference's ON-less form is ONLY the bare (cross) JOIN
-              // (joins.rs:join_test5_cross_join); an outer-join keyword with
-              // a dropped ON is a malformed query — lowering it to an
-              // always-true condition would silently cross-product
-              if (jt != "inner")
-                throw SqlError("malformed JOIN clause — " +
-                  s"${m.group(1).toUpperCase} OUTER JOIN requires an ON " +
-                  "condition (only the bare cross JOIN may omit ON)")
-              joins += JoinClause(jt, m.group(2), "TRUE", win, alias)
-              rest = afterHead
+            case (None, Some(um)) =>
+              // `JOIN R USING (c1, …)` — the reference rejects this
+              // spelling (converter.rs:631); lowered at compile to the
+              // equality conjunction over the named columns, each resolved
+              // against exactly one earlier side
+              if (natural) throw SqlError(
+                "NATURAL JOIN derives its condition from the common columns " +
+                  "— drop the USING clause (or drop NATURAL)")
+              joins += JoinClause(jt, m.group(3), "", win, alias,
+                using = um.group(1).split(",").map(_.trim).toSeq)
+              rest = afterHead.substring(um.end)
+            case (None, None) =>
+              // NATURAL JOIN: condition resolved at compile from the
+              // common columns of the two sides (converter.rs:634 rejects)
+              if (natural) {
+                joins += JoinClause(jt, m.group(3), "", win, alias, natural = true)
+                rest = afterHead
+              } else {
+                // the reference's ON-less form is ONLY the bare (cross) JOIN
+                // (joins.rs:join_test5_cross_join); an outer-join keyword with
+                // a dropped ON is a malformed query — lowering it to an
+                // always-true condition would silently cross-product
+                if (jt != "inner")
+                  throw SqlError("malformed JOIN clause — " +
+                    s"${m.group(1).toUpperCase} OUTER JOIN requires an ON " +
+                    "condition (only the bare cross JOIN may omit ON)")
+                joins += JoinClause(jt, m.group(3), "TRUE", win, alias)
+                rest = afterHead
+              }
           }
         case None => more = false
       }
@@ -1021,13 +1117,11 @@ object GraftApp {
     val restNoLits = rest.replaceAll("'[^']*'", "''")
     if ("""(?is)\bJOIN\b""".r.findFirstIn(restNoLits).isDefined) {
       if ("""(?is)\bUSING\b""".r.findFirstIn(restNoLits).isDefined)
-        throw SqlError("JOIN … USING (…) is not supported — spell the " +
-          "condition with ON (JOIN R ON L.id = R.id)")
-      if ("""(?is)\bNATURAL\b""".r.findFirstIn(restNoLits).isDefined)
-        throw SqlError("NATURAL JOIN is not supported — use JOIN … ON " +
-          "with an explicit condition")
+        throw SqlError("malformed JOIN … USING clause — expected " +
+          "USING (col[, col…]) with plain column names")
       throw SqlError("malformed JOIN clause — expected " +
-        "[INNER|LEFT|RIGHT|FULL [OUTER]] JOIN <stream> [WINDOW(…)] ON <cond>")
+        "[INNER|LEFT|RIGHT|FULL [OUTER]|NATURAL] JOIN <stream> " +
+        "[WINDOW(…)] [ON <cond> | USING (cols)]")
     }
     // clause keywords match at paren-depth 0 only — a keyword inside an
     // IN (SELECT …) subquery belongs to the subquery, not this query
@@ -1520,9 +1614,45 @@ object GraftApp {
         // (join_input_stream.rs's two-sided naming). Window-bounded sides
         // probe each other's buffer contents (window-then-join batch form);
         // a length-bounded side is ≤ n rows by construction — broadcast it.
-        val joined = q.joins.foldLeft(src.as(q.sourceLabel)) { (acc, j) =>
-          val right0 = env.getOrElse(j.stream,
-            throw SqlError(s"stream '${j.stream}' has no bound data"))
+        val joined = q.joins.zipWithIndex.foldLeft(src.as(q.sourceLabel)) {
+          case (acc, (j0, ji)) =>
+          val right0 = env.getOrElse(j0.stream,
+            throw SqlError(s"stream '${j0.stream}' has no bound data"))
+          // USING (cols) / NATURAL: resolve to the equality-ON conjunction
+          // now that both sides' schemas are known — each column must bind
+          // exactly one earlier side (ambiguity is a typed error, like the
+          // ANSI forms). NATURAL takes ALL common columns — including `ts`
+          // if both sides carry it, the standard (and documented) footgun.
+          val j = if (j0.using.isEmpty && !j0.natural) j0 else {
+            val leftSides: Seq[(String, Seq[String])] =
+              (q.sourceLabel -> env.get(q.source).map(_.columns.toSeq).getOrElse(Nil)) +:
+              q.joins.take(ji).map(p =>
+                p.label -> env.get(p.stream).map(_.columns.toSeq).getOrElse(Nil))
+            val rightCols = right0.columns.toSeq
+            def leftFor(c: String): String = {
+              val cands = leftSides.filter(_._2.exists(_.equalsIgnoreCase(c))).map(_._1)
+              if (cands.isEmpty) throw SqlError(
+                s"USING column '$c' not found on the left side of the join")
+              if (cands.distinct.size > 1) throw SqlError(
+                s"join column '$c' is ambiguous on the left side " +
+                  s"(${cands.distinct.mkString(", ")}) — spell the condition with ON")
+              cands.head
+            }
+            val cols =
+              if (j0.natural) {
+                val leftAll = leftSides.flatMap(_._2)
+                val common = rightCols.filter(c => leftAll.exists(_.equalsIgnoreCase(c)))
+                if (common.isEmpty) throw SqlError(
+                  s"NATURAL JOIN with '${j0.stream}': the sides share no columns")
+                common
+              } else j0.using.map { c =>
+                if (!rightCols.exists(_.equalsIgnoreCase(c)))
+                  throw SqlError(s"USING column '$c' not found in '${j0.stream}'")
+                c
+              }
+            j0.copy(cond = cols.map(c => s"${leftFor(c)}.$c = ${j0.label}.$c")
+              .mkString(" AND "))
+          }
           if (acc.isStreaming && right0.isStreaming)
             streamStreamJoin(acc, q, j, right0, optsOf(j.stream))
           else {
@@ -1592,7 +1722,12 @@ object GraftApp {
           throw SqlError(s"stream '${ad.source}' has no bound data"))
         val cascade = graft.operators.Rollups.cascade(src, ad.tsCol, ad.keys,
           ad.valueCol, ad.grains, within = Some((a.from, a.to)))
-        val base = graft.operators.Rollups.query(cascade, a.per, a.from, a.to)
+        val base0 = graft.operators.Rollups.query(cascade, a.per, a.from, a.to)
+        // SELECT-form definitions declared aliases (AVG(v) AS a) — expose
+        // them alongside the cascade columns
+        val base = ad.aliases.foldLeft(base0) { case (df, (al, cc)) =>
+          df.withColumn(al, col(cc))
+        }
         var out = base.selectExpr(a.selectItems.map { case (e, al) =>
           al.map(x => s"($e) AS $x").getOrElse(e)
         }: _*)

@@ -16,9 +16,16 @@ import graft.streaming.{Cep, CepEvent, MidGuard, PatternSpec, Step}
   *  - count quantifiers `e=S<n>`, `e=S<n:m>` (also `{n}` / `{n,m}`)
   *  - logical OR steps `e1=A[p] OR e2=B[q]` — per-alternative aliases; the
   *    unmatched alternative's columns are NULL (resolve with coalesce)
-  *  - logical AND steps `e1=A AND e2=B` — lowered as the union of both
-  *    orderings (the reference's LogicalPreStateProcessor enumerates both
-  *    arrival orders)
+  *  - logical AND elements `e1=A AND e2=B [AND e3=C …]` — n-ary, and each
+  *    operand may itself be a parenthesized `->` sub-chain
+  *    (`(e1=A -> e2=B) AND e3=C`): lowered as the union of every
+  *    order-preserving interleaving (the reference's
+  *    LogicalPreStateProcessor enumerates arrival orders; its SQL surface
+  *    `#[ignore]`s both shapes — patterns.rs:611,1228), capped at
+  *    [[MaxVariants]]
+  *  - zero-or-more `e=S*` and `{0,m}` quantifiers — presence/absence
+  *    variant pair, `A* -> B` ≡ `B OR (A+ -> B)`; the zero branch
+  *    NULL-pads the alias's select refs
   *  - `WITHIN n <unit>` (event time) and `WITHIN n EVENTS` (count)
   *  - `WHERE` post-filter over resolved step aliases
   *  - `PARTITION BY attr` — per-key pattern isolation: the key is folded
@@ -38,9 +45,10 @@ import graft.streaming.{Cep, CepEvent, MidGuard, PatternSpec, Step}
   * column per partition key (the reference's arrival order made explicit —
   * a distributed engine cannot have implicit arrival order).
   *
-  * Not supported (typed errors): cross-step references inside step
-  * predicates (use the Scala API's Step.withContext), quantifiers on OR/AND
-  * steps, more than two AND operands.
+  * Not supported (typed errors): cross-step references on OR steps,
+  * quantifiers on OR/AND operands, nested AND inside an AND operand,
+  * NOT guards combined with AND / zero-min elements, expansions past
+  * [[MaxVariants]] step-order variants.
   */
 object PatternCompiler {
 
@@ -154,13 +162,19 @@ object PatternCompiler {
   }
 
   private def streamVariant(spark: SparkSession, q: PatternQuery,
-                            steps: Seq[PatternStep], evs: DataFrame): DataFrame = {
+                            steps0: Seq[PatternStep], evs: DataFrame): DataFrame = {
     import spark.implicits._
+    val colTypes: Map[String, String] =
+      evs.schema.fields.map(f => f.name.toLowerCase -> f.dataType.sql).toMap
+    // min=0 no-step branch: NULL-pad refs to this variant's omitted aliases
+    val omitted = q.variants.flatMap(_.flatMap(_.aliases)).toSet --
+      steps0.flatMap(_.aliases).toSet
+    val padAbsent = absentAliasRewriter(omitted, c => colTypes.get(c.toLowerCase))
+    val steps = steps0.map(st => st.copy(alts = st.alts.map(a =>
+      a.copy(pred = a.pred.map(padAbsent)))))
     val nb = classifySteps(q, steps)
     val aliasToStep: Map[String, Int] =
       steps.zipWithIndex.flatMap { case (st, i) => st.aliases.map(_ -> i) }.toMap
-    val colTypes: Map[String, String] =
-      evs.schema.fields.map(f => f.name.toLowerCase -> f.dataType.sql).toMap
 
     // slot registry: source column -> svals index; refs rewrite to a slot
     // extraction cast back to the column's type
@@ -186,7 +200,7 @@ object PatternCompiler {
       // collection aggregations over a step's collected events lower to
       // LAMBDA folds on the per-match arrays (no Aggregate node — each
       // match is one output row), null-skipping like their SQL namesakes
-      var text = stepAggRe.replaceAllIn(text0, m => {
+      var text = stepAggRe.replaceAllIn(padAbsent(text0), m => {
         val (fn, alias, c) = (m.group(1).toLowerCase, m.group(2), m.group(3))
         aliasToStep.get(alias) match {
           case Some(i) =>
@@ -431,12 +445,21 @@ object PatternCompiler {
   // ---- one step-chain variant → matches → resolved select
 
   private def compileVariant(spark: SparkSession, q: PatternQuery,
-                             steps: Seq[PatternStep], ordered: DataFrame): DataFrame = {
+                             steps0: Seq[PatternStep], ordered: DataFrame): DataFrame = {
     import spark.implicits._
     // duplicate aliases across steps would make join-back ambiguous
-    val dup = steps.flatMap(_.aliases).groupBy(identity).collect { case (a, as) if as.size > 1 => a }
+    val dup = steps0.flatMap(_.aliases).groupBy(identity).collect { case (a, as) if as.size > 1 => a }
     if (dup.nonEmpty)
       throw GraftApp.SqlError(s"duplicate step alias(es) ${dup.mkString(",")} across steps")
+
+    // aliases present in OTHER variants but not this one (a min=0 step's
+    // no-step branch): their refs NULL-pad so the variant union lines up
+    val omitted = q.variants.flatMap(_.flatMap(_.aliases)).toSet --
+      steps0.flatMap(_.aliases).toSet
+    val padAbsent = absentAliasRewriter(omitted, c =>
+      ordered.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType.sql))
+    val steps = steps0.map(st => st.copy(alts = st.alts.map(a =>
+      a.copy(pred = a.pred.map(padAbsent)))))
 
     val nb = classifySteps(q, steps)
 
@@ -518,7 +541,7 @@ object PatternCompiler {
     val idxRe = """\b(\w+)\s*\[\s*(\d+|last)\s*\]\s*\.""".r
 
     def rewrite(text0: String): String = {
-      var text = text0
+      var text = padAbsent(text0)
       // collection aggregations over count-quantified steps
       text = aggRe.replaceAllIn(text, m => {
         val (fn, alias, c) = (m.group(1), m.group(2), m.group(3))
@@ -662,7 +685,8 @@ object PatternCompiler {
     val absentElems = absents.result()
     if (absentElems.nonEmpty && elements.result().exists(e => splitTopLevelWord(e, "AND").size > 1))
       throw GraftApp.SqlError("AND elements cannot be combined with NOT guards")
-    // each element → one or two (AND) step sequences
+    // each element → one or more step-sequence options (AND arrival
+    // orderings, min=0 presence/absence)
     val perElement: Seq[Seq[Seq[PatternStep]]] = elements.result().map { el =>
       val orParts = splitTopLevelWord(el, "OR")
       val andParts = splitTopLevelWord(el, "AND")
@@ -674,22 +698,46 @@ object PatternCompiler {
           throw GraftApp.SqlError("count quantifiers on OR alternatives are not supported")
         Seq(Seq(PatternStep(alts.map(_._1))))
       } else if (andParts.size > 1) {
-        if (andParts.size > 2)
-          throw GraftApp.SqlError("AND patterns support two operands")
-        val Seq((a1, q1), (a2, q2)) = andParts.map(parseAlt)
-        if (q1 != (1, 1) || q2 != (1, 1))
-          throw GraftApp.SqlError("count quantifiers on AND operands are not supported")
-        // both arrival orders (LogicalPreStateProcessor enumerates both)
-        Seq(Seq(PatternStep(Seq(a1)), PatternStep(Seq(a2))),
-            Seq(PatternStep(Seq(a2)), PatternStep(Seq(a1))))
+        // n-ary AND over operands that may themselves be `->` sub-chains
+        // (patterns.rs:611 `(e1=A -> e2=B) AND e3=C`, :1228 three-way AND
+        // — both `#[ignore]`d in the reference): a match = every operand's
+        // chain completes, events interleaved any way that preserves each
+        // chain's internal order (LogicalPreStateProcessor enumerates
+        // arrival orders). One NFA variant per interleaving; a concrete
+        // event set arrives in exactly ONE order, so it matches exactly
+        // one variant — the variant union counts each match once.
+        val chains: Seq[Seq[PatternStep]] = andParts.map(parseAndOperand)
+        val n = interleavingCount(chains.map(_.size))
+        if (n > MaxVariants) throw GraftApp.SqlError(
+          s"AND pattern '$el' expands to $n arrival-order variants " +
+            s"(cap $MaxVariants) — order some operands with -> or split the query")
+        interleavings(chains)
       } else {
         val (alt, (mn, mx)) = parseAlt(el)
-        Seq(Seq(PatternStep(Seq(alt), mn, mx)))
+        if (mn == 0)
+          // zero-or-more (`A*`) / `{0,m}`: one variant WITH the step (as
+          // one-or-more up to mx) and one WITHOUT — `A* -> B` ≡
+          // `B OR (A+ -> B)` compiled directly; the no-step variant
+          // NULL-pads the alias's refs (absentAliasRewriter)
+          Seq(Seq(PatternStep(Seq(alt), 1, mx)), Seq.empty)
+        else Seq(Seq(PatternStep(Seq(alt), mn, mx)))
       }
     }
+    if (absentElems.nonEmpty && perElement.exists(_.size > 1))
+      throw GraftApp.SqlError(
+        "AND / zero-min elements cannot be combined with NOT guards " +
+          "(guard anchors are positional; variants reorder steps)")
     val variants = perElement.foldLeft(Seq(Seq.empty[PatternStep])) { (acc, opts) =>
       for (a <- acc; o <- opts) yield a ++ o
     }
+    if (variants.size > MaxVariants)
+      throw GraftApp.SqlError(
+        s"pattern expands to ${variants.size} step-order variants " +
+          s"(cap $MaxVariants) — reduce AND / zero-min elements")
+    if (variants.exists(_.isEmpty))
+      throw GraftApp.SqlError(
+        "pattern needs at least one required element (min >= 1) — an " +
+          "all-optional pattern would match the empty stream")
     // trailing NOT must be time-bounded (absence after the final step is
     // only decidable up to a deadline); mid-chain NOT is bounded by the
     // next step's match, and MAY carry FOR to narrow the guarded gap to d
@@ -705,23 +753,27 @@ object PatternCompiler {
 
   /** `alias=Stream[pred]<n:m>` (alias, bracket, quantifier all optional;
     * `{n,m}` accepted as quantifier spelling too). UNBOUNDED forms —
-    * `+` (one-or-more), `{n,}` / `<n:>` (n-or-more) — compile to
-    * max = Int.MaxValue; the spec assembly then REQUIRES a WITHIN bound
-    * ([[requireBoundedState]]), which the NFA's branching quantifier
-    * supports directly (the reference rejects `A+` outright — this is the
-    * WITHIN-gated beyond-parity form). State contract (pinned by
-    * WindowPropSpec): enumerate-all-prefixes semantics hold ~h²/2
-    * in-flight partials for a horizon of h matching events — bounded by
-    * WITHIN and independent of stream length, quadratic in the horizon
+    * `+` (one-or-more), `*` (zero-or-more), `{n,}` / `<n:>` (n-or-more) —
+    * compile to max = Int.MaxValue; the spec assembly then REQUIRES a
+    * WITHIN bound ([[requireBoundedState]]), which the NFA's branching
+    * quantifier supports directly (the reference rejects `A+`/`A*`
+    * outright, CountPatternTestCase `#[ignore]`s — this is the
+    * WITHIN-gated beyond-parity form). ZERO-min forms (`*`, `{0,m}`,
+    * `<0:m>`) compile as a presence/absence variant pair in [[parseSteps]]
+    * — `A* -> B` ≡ `B OR (A+ -> B)`, compiled directly. State contract
+    * (pinned by WindowPropSpec): enumerate-all-prefixes semantics hold
+    * ~h²/2 in-flight partials for a horizon of h matching events — bounded
+    * by WITHIN and independent of stream length, quadratic in the horizon
     * population; size WITHIN tightly, and maxPartials is the hard cap
     * that counts (and warns about) drops past it.
     */
   private def parseAlt(s: String): (StepAlt, (Int, Int)) = {
-    val re = """(?s)^\s*(?:(\w+)\s*=\s*)?(\w+)\s*(?:\[(.*)\]\s*)?(?:(\+)|[<{]\s*(\d+)\s*(?:([:,])\s*(\d+)?\s*)?[>}])?\s*$""".r
+    val re = """(?s)^\s*(?:(\w+)\s*=\s*)?(\w+)\s*(?:\[(.*)\]\s*)?(?:([+*])|[<{]\s*(\d+)\s*(?:([:,])\s*(\d+)?\s*)?[>}])?\s*$""".r
     s.trim match {
-      case re(alias, stream, pred, plus, qn, sep, qm) =>
+      case re(alias, stream, pred, plusStar, qn, sep, qm) =>
         val (mn, mx) =
-          if (plus != null) (1, Int.MaxValue)
+          if (plusStar == "+") (1, Int.MaxValue)
+          else if (plusStar == "*") (0, Int.MaxValue)
           else {
             val n = Option(qn).map(_.toInt).getOrElse(1)
             val m =
@@ -730,18 +782,91 @@ object PatternCompiler {
               else Option(qm).map(_.toInt).getOrElse(Int.MaxValue) // {n,m} / {n,}
             (n, m)
           }
-        if (mn < 1 || mx < mn)
-          throw GraftApp.SqlError(s"bad count quantifier in '$s' (min >= 1, max >= min)")
+        if (mn < 0 || mx < mn || mx < 1)
+          throw GraftApp.SqlError(
+            s"bad count quantifier in '$s' (min >= 0, max >= min, max >= 1)")
         (StepAlt(Option(alias).getOrElse(stream), stream,
           Option(pred).map(_.trim).filter(_.nonEmpty)), (mn, mx))
-      case other if other.trim.endsWith("*") =>
-        throw GraftApp.SqlError(
-          s"zero-or-more quantifier in '$other' is not supported — " +
-            "'A* -> B' is equivalent to 'B OR (A+ -> B)'; the one-or-more " +
-            "'+' form is supported (WITHIN-gated)")
       case other => throw GraftApp.SqlError(s"bad pattern step '$other'")
     }
   }
+
+  /** Hard cap on the step-order variants one pattern may expand to: each
+    * variant is its own NFA pass + join plan, so the cap bounds both plan
+    * size and compile cost (3-way AND = 6, (A->B) AND C = 3, one star
+    * step ×2 — real shapes sit far below it).
+    */
+  private val MaxVariants = 24
+
+  /** One AND operand: a plain step, an OR group, or a parenthesized `->`
+    * sub-chain of those. Count quantifiers stay unsupported on AND
+    * operands (the pre-existing two-operand rule, kept for n-ary).
+    */
+  private def parseAndOperand(op: String): Seq[PatternStep] =
+    splitTopLevel(stripOuterParens(op.trim), "->").map { e0 =>
+      val e = stripOuterParens(e0.trim)
+      if (splitTopLevelWord(e, "AND").size > 1)
+        throw GraftApp.SqlError(
+          s"nested AND inside AND operand '${op.trim}' is not supported")
+      val alts = splitTopLevelWord(e, "OR").map(parseAlt)
+      if (alts.exists(_._2 != (1, 1)))
+        throw GraftApp.SqlError("count quantifiers on AND operands are not supported")
+      PatternStep(alts.map(_._1))
+    }
+
+  /** Multinomial (Σsizes; sizes…) — how many order-preserving merges the
+    * chains admit — computed exactly without building them.
+    */
+  private def interleavingCount(sizes: Seq[Int]): Long = {
+    var c = 1L; var used = 0
+    sizes.foreach { s =>
+      var i = 1
+      while (i <= s) { used += 1; c = c * used / i; i += 1 } // C(used,i) prefix — exact
+    }
+    c
+  }
+
+  /** All merges of the chains that preserve each chain's internal order. */
+  private def interleavings(chains: Seq[Seq[PatternStep]]): Seq[Seq[PatternStep]] = {
+    val live = chains.filter(_.nonEmpty)
+    if (live.isEmpty) Seq(Seq.empty)
+    else live.indices.flatMap { i =>
+      interleavings(live.updated(i, live(i).tail)).map(live(i).head +: _)
+    }
+  }
+
+  /** Text rewriter for aliases OMITTED from a variant (the min=0 no-step
+    * branch): plain/indexed refs → typed NULL, count → 0, collection aggs
+    * → NULL typed exactly like the present branch's agg result — so the
+    * variant union's schemas line up column-for-column. Applied to select
+    * items, WHERE, and step predicates (a predicate comparing against an
+    * omitted alias evaluates NULL → no match, the zero-repeat semantics).
+    */
+  private def absentAliasRewriter(absent: Set[String],
+                                  typeOf: String => Option[String]): String => String =
+    if (absent.isEmpty) identity
+    else {
+      val as = absent.map(java.util.regex.Pattern.quote).mkString("|")
+      val aggRe = ("""(?i)\b(sum|avg|min|max)\s*\(\s*(?:""" + as + """)\s*\.\s*(\w+)\s*\)""").r
+      val cntColRe = ("""(?i)\bcount\s*\(\s*(?:""" + as + """)\s*(?:\.\s*\w+\s*)?\)""").r
+      val refRe = ("""\b(?:""" + as + """)\s*(?:\[\s*(?:\d+|last)\s*\]\s*)?\.\s*(\w+)""").r
+      def t(c: String): String = typeOf(c).getOrElse(
+        throw GraftApp.SqlError(s"pattern select references unknown column '$c'"))
+      text0 => {
+        var text = cntColRe.replaceAllIn(text0, _ => "CAST(0 AS BIGINT)")
+        text = aggRe.replaceAllIn(text, m => {
+          val ty = m.group(1).toLowerCase match {
+            case "avg" => "DOUBLE"
+            case "sum" =>
+              if (Set("TINYINT", "SMALLINT", "INT", "BIGINT")
+                  .contains(t(m.group(2)).toUpperCase)) "BIGINT" else "DOUBLE"
+            case _ => t(m.group(2)) // min/max keep the column type
+          }
+          s"CAST(NULL AS $ty)"
+        })
+        refRe.replaceAllIn(text, m => s"CAST(NULL AS ${t(m.group(1))})")
+      }
+    }
 
   /** Unbounded quantifiers keep an in-flight partial per possible match
     * start — decidable and bounded ONLY under a WITHIN horizon (plus the

@@ -369,6 +369,114 @@ class CompatSpec extends AnyFunSuite {
       Seq(("IBM", "MSFT")))
   }
 
+  // -- patterns.rs:1220-1260 pattern_test_three_way_and / _or (both
+  //    `#[ignore = "Chained logical operators … not yet supported"]` in the
+  //    reference): n-ary AND = all arrival orderings; n-ary OR = first
+  //    match of any alternative
+  test("compat three-way AND / OR patterns") {
+    def mk(rows: Seq[(Int, Int)]) = rows.toDF("sec", "val")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "val")
+    val andApp =
+      """CREATE STREAM A (ts TIMESTAMP, val INT);
+        |CREATE STREAM B (ts TIMESTAMP, val INT);
+        |CREATE STREAM C (ts TIMESTAMP, val INT);
+        |CREATE STREAM Out (aval INT, bval INT, cval INT);
+        |INSERT INTO Out
+        |SELECT e1.val AS aval, e2.val AS bval, e3.val AS cval
+        |FROM PATTERN (e1=A AND e2=B AND e3=C);""".stripMargin
+    // the reference test's arrival order A,B,C — and a scrambled order
+    // C,A,B that only the n-ary enumeration catches
+    val out = GraftApp.run(spark, andApp, Map(
+      "A" -> mk(Seq((1, 1))), "B" -> mk(Seq((2, 2))), "C" -> mk(Seq((3, 3)))))("Out")
+    assert(out.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((1, 2, 3)))
+    val out2 = GraftApp.run(spark, andApp, Map(
+      "A" -> mk(Seq((2, 1))), "B" -> mk(Seq((3, 2))), "C" -> mk(Seq((1, 3)))))("Out")
+    assert(out2.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((1, 2, 3)))
+    val orApp =
+      """CREATE STREAM A (ts TIMESTAMP, val INT);
+        |CREATE STREAM B (ts TIMESTAMP, val INT);
+        |CREATE STREAM C (ts TIMESTAMP, val INT);
+        |CREATE STREAM Out (result INT);
+        |INSERT INTO Out
+        |SELECT coalesce(e1.val, e2.val, e3.val) AS result
+        |FROM PATTERN (e1=A OR e2=B OR e3=C);""".stripMargin
+    val orOut = GraftApp.run(spark, orApp, Map(
+      "A" -> mk(Nil), "B" -> mk(Seq((1, 20))), "C" -> mk(Nil)))("Out")
+    assert(orOut.collect().map(_.getInt(0)).toSeq == Seq(20))
+  }
+
+  // -- patterns.rs:600-620 pattern_test_complex_nested (`#[ignore]`d):
+  //    `(e1=A -> e2=B) AND e3=C` — the sub-chain completes in order, C
+  //    lands anywhere relative to it (3 interleavings)
+  test("compat complex nested pattern: (A -> B) AND C") {
+    def mk(rows: Seq[(Int, Int)]) = rows.toDF("sec", "val")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "val")
+    val app =
+      """CREATE STREAM A (ts TIMESTAMP, val INT);
+        |CREATE STREAM B (ts TIMESTAMP, val INT);
+        |CREATE STREAM C (ts TIMESTAMP, val INT);
+        |CREATE STREAM Out (aval INT, bval INT, cval INT);
+        |INSERT INTO Out
+        |SELECT e1.val AS aval, e2.val AS bval, e3.val AS cval
+        |FROM PATTERN ((e1=A -> e2=B) AND e3=C);""".stripMargin
+    def run(a: Int, b: Int, c: Int) = GraftApp.run(spark, app, Map(
+        "A" -> mk(Seq((a, 1))), "B" -> mk(Seq((b, 2))), "C" -> mk(Seq((c, 3)))))("Out")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(run(1, 2, 3) == Seq((1, 2, 3))) // A B C (the reference test's order)
+    assert(run(1, 3, 2) == Seq((1, 2, 3))) // C between A and B
+    assert(run(2, 3, 1) == Seq((1, 2, 3))) // C first
+    assert(run(2, 1, 3) == Nil)            // B before A: sub-chain violated
+  }
+
+  // -- patterns.rs:553-570 pattern_test_count_zero_or_more (`#[ignore]`d):
+  //    `e1=A* -> e2=B` — matches with ZERO A events (e1 refs NULL, counts
+  //    0) and with runs of As (the A+ branch); WITHIN-gated like A+
+  test("compat zero-or-more pattern: e1=A* -> e2=B") {
+    def mk(rows: Seq[(Int, Int)]) = rows.toDF("sec", "val")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "val")
+    val app =
+      """CREATE STREAM A (ts TIMESTAMP, val INT);
+        |CREATE STREAM B (ts TIMESTAMP, val INT);
+        |CREATE STREAM Out (bval INT, nA BIGINT, aSum BIGINT, firstA INT);
+        |INSERT INTO Out
+        |SELECT e2.val AS bval, count(e1) AS nA, sum(e1.val) AS aSum,
+        |       e1.val AS firstA
+        |FROM PATTERN (e1=A* -> e2=B) WITHIN 100 SECONDS;""".stripMargin
+    // the reference test: zero A events, then B → exactly one match
+    val zero = GraftApp.run(spark, app, Map(
+      "A" -> mk(Nil), "B" -> mk(Seq((1, 10)))))("Out")
+    assert(zero.collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3))).toSeq ==
+      Seq((10, 0L, -1L, -1)))
+    // two As then B: the zero branch (B alone) + the A+ branch's single
+    // non-EVERY match (the maximal run) — the documented `B OR (A+ -> B)`
+    // union semantics, one match per branch
+    val runs = GraftApp.run(spark, app, Map(
+      "A" -> mk(Seq((1, 1), (2, 2))), "B" -> mk(Seq((3, 10)))))("Out")
+    val got = runs.collect().map(r => (r.getInt(0), r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq.sorted
+    assert(got == Seq((10, 0L, -1L), (10, 2L, 3L)))
+    // EVERY form: the A+ branch enumerates all in-flight prefixes at B
+    // ({A1}, {A1 A2}, {A2}) — same contract as the standalone A+ test
+    val every = GraftApp.run(spark,
+      app.replace("PATTERN (e1=A* -> e2=B)", "PATTERN (EVERY (e1=A* -> e2=B))"),
+      Map("A" -> mk(Seq((1, 1), (2, 2))), "B" -> mk(Seq((3, 10)))))("Out")
+    val gotE = every.collect().map(r => (r.getInt(0), r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq.sorted
+    assert(gotE == Seq((10, 0L, -1L), (10, 1L, 1L), (10, 1L, 2L), (10, 2L, 3L)))
+    // an all-optional pattern is a typed error, not an empty-stream match
+    val e = intercept[GraftApp.SqlError](GraftApp.run(spark,
+      """CREATE STREAM A (ts TIMESTAMP, val INT);
+        |CREATE STREAM Out (v INT);
+        |INSERT INTO Out SELECT e1.val AS v
+        |FROM PATTERN (e1=A*) WITHIN 10 SECONDS;""".stripMargin,
+      Map("A" -> mk(Seq((1, 1))))))
+    assert(e.getMessage.contains("required element"))
+  }
+
   // -- patterns.rs:pattern_test7_cross_stream_reference (WHERE form) and
   //    the grammar's in-predicate form (PATTERN_GRAMMAR_V1.2.md:715 shape)
   test("compat pattern_test7: cross-step reference via WHERE and via predicate") {
@@ -1137,18 +1245,51 @@ class CompatSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("unknown attribute 'symbol1'"))
   }
 
-  test("compat join_validation: USING and NATURAL JOIN rejected with typed errors") {
-    // join_validation_test.rs:6-47 — both forms must fail at parse with a
-    // message naming the construct, never silently drop the join
+  test("compat join_validation: USING and NATURAL JOIN lower to equality ON") {
+    // converter.rs:631-634 rejects both spellings ("not yet supported");
+    // round 10 lowers them to the equivalent equality-ON conjunction at
+    // compile, once both sides' schemas are known — beyond-parity, same
+    // family as the hop window
     def app(fromClause: String) =
       s"""CREATE STREAM L (id INT, name STRING);
          |CREATE STREAM R (id INT, value INT);
          |CREATE STREAM Out (name STRING, value INT);
          |INSERT INTO Out SELECT L.name, R.value FROM $fromClause;""".stripMargin
-    val e1 = intercept[GraftApp.SqlError](GraftApp.parse(app("L JOIN R USING (id)")))
-    assert(e1.getMessage.contains("USING"))
-    val e2 = intercept[GraftApp.SqlError](GraftApp.parse(app("L NATURAL JOIN R")))
+    def run(fromClause: String) =
+      GraftApp.run(spark, app(fromClause), Map(
+        "L" -> Seq((1, "a"), (2, "b")).toDF("id", "name"),
+        "R" -> Seq((2, 20), (3, 30)).toDF("id", "value")))("Out")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+    val expected = Seq(("b", 20))
+    assert(run("L JOIN R USING (id)") == expected)
+    assert(run("L NATURAL JOIN R") == expected) // common column set = {id}
+    assert(run("L JOIN R ON L.id = R.id") == expected)
+    // LEFT ... USING keeps the unmatched left row
+    val left = GraftApp.run(spark, app("L LEFT JOIN R USING (id)"), Map(
+      "L" -> Seq((1, "a"), (2, "b")).toDF("id", "name"),
+      "R" -> Seq((2, 20)).toDF("id", "value")))("Out")
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+      .toSeq.sorted
+    assert(left == Seq(("a", -1), ("b", 20)))
+    // typed errors: unknown USING column; NATURAL with an ON clause;
+    // NATURAL with zero common columns
+    val e1 = intercept[GraftApp.SqlError](GraftApp.run(spark,
+      app("L JOIN R USING (nope)"), Map(
+        "L" -> Seq((1, "a")).toDF("id", "name"),
+        "R" -> Seq((1, 10)).toDF("id", "value"))))
+    assert(e1.getMessage.contains("USING column 'nope'"))
+    val e2 = intercept[GraftApp.SqlError](GraftApp.parse(
+      app("L NATURAL JOIN R ON L.id = R.id")))
     assert(e2.getMessage.contains("NATURAL"))
+    val e3 = intercept[GraftApp.SqlError](GraftApp.run(spark,
+      """CREATE STREAM L (id INT);
+        |CREATE STREAM R (other INT);
+        |CREATE STREAM Out (id INT);
+        |INSERT INTO Out SELECT L.id FROM L NATURAL JOIN R;""".stripMargin, Map(
+        "L" -> Seq(Tuple1(1)).toDF("id"),
+        "R" -> Seq(Tuple1(2)).toDF("other"))))
+    assert(e3.getMessage.contains("no common columns") ||
+      e3.getMessage.contains("share no columns"))
     // `L JOIN R` with no ON is NOT malformed — it is the reference's
     // cross-join form (joins.rs:join_test5_cross_join, ported above):
     // it parses as an always-true join condition

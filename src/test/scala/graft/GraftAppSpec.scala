@@ -558,6 +558,50 @@ class GraftAppSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("ORDER BY only"))
   }
 
+  test("CREATE AGGREGATION SELECT-form spelling + direct-query rejection") {
+    import spark.implicits._
+    // type_validation_test.rs:525-545 spelling: SELECT items + AGGREGATE
+    // BY ts EVERY sec...min (Siddhi grain abbreviations); declared aliases
+    // are visible to the WITHIN … PER query; same cascade as the FROM form
+    val base = """CREATE STREAM Stock (ts TIMESTAMP, symbol STRING, price DOUBLE);
+                 |CREATE STREAM Out (symbol STRING, avgPrice DOUBLE);
+                 |""".stripMargin
+    val in = Seq(
+      ("2024-03-01 10:00:01", "IBM", 10.0), ("2024-03-01 10:00:02", "IBM", 20.0),
+      ("2024-03-01 10:00:59", "WSO2", 50.0)
+    ).toDF("s", "symbol", "price").selectExpr("CAST(s AS TIMESTAMP) AS ts", "symbol", "price")
+    val app = base +
+      """CREATE AGGREGATION StockAgg
+        |SELECT symbol, AVG(price) as avgPrice
+        |FROM Stock
+        |GROUP BY symbol
+        |AGGREGATE BY ts EVERY sec...min;
+        |INSERT INTO Out SELECT symbol, avgPrice
+        |FROM StockAgg WITHIN '2024-03-01' AND '2024-03-02' PER 'minute'
+        |ORDER BY symbol;""".stripMargin
+    val got = GraftApp.run(spark, app, Map("Stock" -> in))("Out")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == Seq(("IBM", 15.0), ("WSO2", 50.0)))
+    // the 'second' grain is materialized too
+    val perSec = GraftApp.run(spark, app.replace("PER 'minute'", "PER 'second'"),
+      Map("Stock" -> in))("Out")
+    assert(perSec.count() == 3)
+    // direct SELECT on the aggregation (no WITHIN … PER): typed rejection
+    // naming the aggregation (type_validation_test.rs:541 intent)
+    val eDirect = intercept[GraftApp.SqlError](GraftApp.parse(base +
+      """CREATE AGGREGATION StockAgg
+        |SELECT symbol, AVG(price) as avgPrice FROM Stock
+        |GROUP BY symbol AGGREGATE BY ts EVERY sec...min;
+        |INSERT INTO Out SELECT symbol, avgPrice FROM StockAgg;""".stripMargin))
+    assert(eDirect.getMessage.contains("aggregation 'StockAgg'"))
+    // two different value columns: typed error
+    val eTwo = intercept[GraftApp.SqlError](GraftApp.parse(
+      """CREATE STREAM S (ts TIMESTAMP, a DOUBLE, b DOUBLE);
+        |CREATE AGGREGATION X SELECT sum(a) AS sa, sum(b) AS sb FROM S
+        |AGGREGATE BY ts EVERY minute;""".stripMargin))
+    assert(eTwo.getMessage.contains("one value column"))
+  }
+
   test("WITH ctes: chained bodies, statement-local scoping, typed errors") {
     val app =
       """CREATE STREAM S (sym STRING, price DOUBLE);

@@ -149,12 +149,14 @@ class ParserFuzzSpec extends AnyFunSuite {
          |CREATE STREAM Out (n BIGINT);
          |INSERT INTO Out SELECT count(e) AS n
          |FROM PATTERN (EVERY e=S[v > 1]$q -> z=S[v = 0])$within;""".stripMargin
-    // valid spellings (unbounded ones under WITHIN)
-    Seq("<2>", "<2:3>", "{2}", "{2,3}", "+", "{2,}", "<2:>").foreach { q =>
+    // valid spellings (unbounded ones under WITHIN; zero-min forms since
+    // round 10 — they expand to a presence/absence variant pair)
+    Seq("<2>", "<2:3>", "{2}", "{2,3}", "+", "{2,}", "<2:>",
+        "*", "{0,}", "{0,3}", "<0:>").foreach { q =>
       GraftApp.parse(app(q)) // must not throw
     }
-    // malformed / unsupported spellings and the WITHIN gate: typed only
-    Seq("{,3}", "{0,}", "{3,2}", "{a}", "++", "*", "{2", "2}").foreach { q =>
+    // malformed spellings: typed only ({0} is max=0 — rejected)
+    Seq("{,3}", "{3,2}", "{a}", "++", "**", "{0}", "{2", "2}").foreach { q =>
       val ok = try { GraftApp.parse(app(q)); false }
         catch { case _: GraftApp.SqlError => true; case _: Throwable => false }
       assert(ok, s"quantifier '$q' should be a typed rejection")
