@@ -195,6 +195,69 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("STREAMING SQL pattern: A* zero-or-more matches with and without As") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Int)] // (sec, user, val)
+    val events = in.toDS().toDF("sec", "user_id", "val")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "val")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, val INT);
+        |CREATE STREAM Out (user_id BIGINT, n BIGINT, total BIGINT, stopv INT);
+        |INSERT INTO Out
+        |SELECT z.user_id AS user_id, count(e) AS n, sum(e.val) AS total,
+        |       z.val AS stopv
+        |FROM PATTERN (EVERY e=E[val < 50]* -> z=E[val = 99])
+        |WITHIN 1 HOUR
+        |PARTITION BY user_id;""".stripMargin
+    val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+    assert(outDf.isStreaming)
+    val q = outDf.writeStream.format("memory").queryName("astar_sink")
+      .outputMode("append").start()
+    try {
+      // user 8: stop with ZERO prior As → the zero-branch match (n=0,
+      // total NULL); user 7: one A then stop → zero-branch AND A+ branch
+      in.addData((1L, 7L, 3), (2L, 8L, 99)); q.processAllAvailable()
+      in.addData((3L, 7L, 99)); q.processAllAvailable()
+      val rows = spark.table("astar_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getInt(3))).sortBy(identity)
+      assert(rows.toSeq == Seq((7L, 0L, -1L, 99), (7L, 1L, 3L, 99),
+        (8L, 0L, -1L, 99)))
+    } finally q.stop()
+  }
+
+  test("STREAMING SQL pattern: three-way AND matches any arrival order") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)] // (sec, user, kind, v)
+    val events = in.toDS().toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, av DOUBLE, bv DOUBLE, cv DOUBLE);
+        |INSERT INTO Out
+        |SELECT e1.user_id AS user_id, e1.v AS av, e2.v AS bv, e3.v AS cv
+        |FROM PATTERN (e1=E[kind = 'a'] AND e2=E[kind = 'b'] AND e3=E[kind = 'c'])
+        |WITHIN 1 HOUR
+        |PARTITION BY user_id;""".stripMargin
+    val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+    assert(outDf.isStreaming)
+    val q = outDf.writeStream.format("memory").queryName("and3_sink")
+      .outputMode("append").start()
+    try {
+      // user 7 arrives c, a, b across batches — only the c→a→b ordering
+      // variant completes, binding each alias to its kind
+      in.addData((1L, 7L, "c", 3.0)); q.processAllAvailable()
+      in.addData((2L, 7L, "a", 1.0)); q.processAllAvailable()
+      assert(spark.table("and3_sink").count() == 0)
+      in.addData((3L, 7L, "b", 2.0)); q.processAllAvailable()
+      val rows = spark.table("and3_sink").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      assert(rows.toSeq == Seq((7L, 1.0, 2.0, 3.0)))
+    } finally q.stop()
+  }
+
   test("STREAMING SQL tumbling window aggregation: cross-batch accumulation e2e") {
     // the window clause compiles to native window() — the same app text
     // runs batch (GraftAppSpec) and streaming; here a late second batch
