@@ -142,6 +142,20 @@ object DedupQueries extends QueryFamily {
       },
       Some(semanticAutoOracle)),
 
+    // TWO-LEVEL SemDeDup (round 10 — the O(N^(4/3)) scale path): coarse
+    // K=⌈N^⅓⌉ hash-bucket centroids, fine centroids per coarse cell as a
+    // relation, pairing within fine cells. Every step is deterministic
+    // (md5 buckets, exact quantized cosine, pinned tie rules), so DuckDB
+    // replays the full coarse→fine→pair cascade bit-for-bit.
+    QueryDef(
+      "q_dedup_semantic_2l",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        Dedup.semanticTwoLevel(e, "vec_id", "embedding", threshold = 0.4)
+          .orderBy(col("vec_id"))
+      },
+      Some(semanticTwoLevelOracle)),
+
     // Embedding-cosine near-dup, blocked by label, quantized for exact
     // cross-engine parity (see VectorFns.quantize scaladoc).
     QueryDef(
@@ -421,6 +435,65 @@ object DedupQueries extends QueryFamily {
        |  FROM pairs WHERE sim > 0.4 GROUP BY a_id)
        |SELECT e.vec_id, e.cluster, m.dup_of IS NOT NULL AS is_dup, m.dup_of, m.best_sim
        |FROM e LEFT JOIN m ON m.a_id = e.vec_id
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** DuckDB replica of [[Dedup.semanticTwoLevel]]: coarse centroids = min
+    * id per `u32(md5('cent:'||id)) % K` bucket with K = ⌈N^⅓⌉, coarse
+    * assignment by exact quantized-cosine argmax (sim DESC, list ASC),
+    * fine centroids = min id per (coarse, `u32(md5('cent2:'||id)) % K`)
+    * bucket, fine assignment (sim DESC, fid ASC), pairs within fine cells
+    * above threshold, keep-lowest-id verdicts.
+    */
+  private def semanticTwoLevelOracle: String = {
+    def qcos(a: String, b: String): String =
+      s"""CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1]*z[2])) AS DOUBLE)
+         |     / (sqrt(CAST(list_sum(list_transform($a, x -> x*x)) AS DOUBLE))
+         |        * sqrt(CAST(list_sum(list_transform($b, x -> x*x)) AS DOUBLE)))""".stripMargin
+    s"""WITH q0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT count(*) AS n, CAST(ceil(cbrt(count(*))) AS BIGINT) AS k FROM q0),
+       |cids AS (
+       |  SELECT min(vec_id) AS id FROM q0, p
+       |  GROUP BY CAST('0x' || substr(md5('cent:' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % k),
+       |cents AS (
+       |  SELECT row_number() OVER (ORDER BY c.id) - 1 AS list, v.qv AS cv
+       |  FROM cids c JOIN q0 v ON v.vec_id = c.id),
+       |csim AS (
+       |  SELECT v.vec_id, c.list,
+       |    ${qcos("v.qv", "c.cv")} AS sim
+       |  FROM q0 v CROSS JOIN cents c),
+       |assign AS (
+       |  SELECT vec_id, CAST(list AS BIGINT) AS coarse FROM (
+       |    SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list) AS rn
+       |    FROM csim) WHERE rn = 1),
+       |e1 AS (SELECT a.vec_id, a.coarse, v.qv FROM assign a JOIN q0 v USING (vec_id)),
+       |fids AS (
+       |  SELECT coarse, min(vec_id) AS fid FROM e1, p
+       |  GROUP BY coarse,
+       |    CAST('0x' || substr(md5('cent2:' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % k),
+       |fcents AS (
+       |  SELECT f.coarse, f.fid, v.qv AS fqv FROM fids f JOIN q0 v ON v.vec_id = f.fid),
+       |fsim AS (
+       |  SELECT a.vec_id, f.fid,
+       |    ${qcos("a.qv", "f.fqv")} AS sim
+       |  FROM e1 a JOIN fcents f ON f.coarse = a.coarse),
+       |e2 AS (
+       |  SELECT s.vec_id, s.cluster, v.qv FROM (
+       |    SELECT vec_id, fid AS cluster FROM (
+       |      SELECT vec_id, fid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, fid) AS rn
+       |      FROM fsim) WHERE rn = 1) s JOIN q0 v USING (vec_id)),
+       |pairs AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    ${qcos("a.qv", "b.qv")} AS sim
+       |  FROM e2 a JOIN e2 b ON a.cluster = b.cluster AND b.vec_id < a.vec_id),
+       |m AS (
+       |  SELECT a_id, min(b_id) AS dup_of, max(sim) AS best_sim
+       |  FROM pairs WHERE sim > 0.4 GROUP BY a_id)
+       |SELECT e2.vec_id, e2.cluster, m.dup_of IS NOT NULL AS is_dup, m.dup_of, m.best_sim
+       |FROM e2 LEFT JOIN m ON m.a_id = e2.vec_id
        |ORDER BY vec_id""".stripMargin
   }
 

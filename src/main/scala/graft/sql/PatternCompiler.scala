@@ -126,8 +126,15 @@ object PatternCompiler {
       .persist()
     onPersist(ordered)
 
-    q.variants.map(v => compileVariant(spark, q, v, ordered))
-      .reduce((a, b) => a.unionByName(b))
+    val variantDfs = q.variants.map(v => compileVariant(spark, q, v, ordered))
+    if (variantDfs.size == 1) variantDfs.head
+    else {
+      // one deterministic sort over the union (per-variant sorts skipped —
+      // see compileVariant); output columns are plain values, so sorting
+      // by all of them is a total, engine-portable order
+      val u = variantDfs.reduce((a, b) => a.unionByName(b))
+      u.orderBy(u.columns.map(col): _*)
+    }
   }
 
   // ---- STREAMING lowering: the NFA runs per key via Cep.detectStream, and
@@ -643,8 +650,16 @@ object PatternCompiler {
       case (e, Some(a)) => expr(e).as(a)
       case (e, None) => expr(e)
     }
-    out.orderBy(col("__mkey") +: steps.indices.map(i => element_at(col(s"__ids_$i"), 1)): _*)
-      .select(selectCols: _*)
+    // single-variant: deterministic (key, first-id-per-step) order, the
+    // long-standing output contract. Multi-variant (AND orderings, min=0
+    // pairs): skip the per-variant sort — the union interleaves chunks
+    // arbitrarily anyway, so compile() applies ONE output-column sort
+    // after the union instead of paying a full sort per variant (a 6-way
+    // AND would sort 6 times for nothing).
+    if (q.variants.size == 1)
+      out.orderBy(col("__mkey") +: steps.indices.map(i => element_at(col(s"__ids_$i"), 1)): _*)
+        .select(selectCols: _*)
+    else out.select(selectCols: _*)
   }
 
   // ---- parsing
