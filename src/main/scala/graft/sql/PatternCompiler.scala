@@ -18,11 +18,12 @@ import graft.streaming.{Cep, CepEvent, MidGuard, PatternSpec, Step}
   *    unmatched alternative's columns are NULL (resolve with coalesce)
   *  - logical AND elements `e1=A AND e2=B [AND e3=C …]` — n-ary, and each
   *    operand may itself be a parenthesized `->` sub-chain
-  *    (`(e1=A -> e2=B) AND e3=C`): lowered as the union of every
+  *    (`(e1=A -> e2=B) AND e3=C`): semantically the union of every
   *    order-preserving interleaving (the reference's
   *    LogicalPreStateProcessor enumerates arrival orders; its SQL surface
   *    `#[ignore]`s both shapes — patterns.rs:611,1228), capped at
-  *    [[MaxVariants]]
+  *    [[MaxVariants]] and executed as ONE shared per-key NFA pass
+  *    ([[compileMulti]])
   *  - zero-or-more `e=S*` and `{0,m}` quantifiers — presence/absence
   *    variant pair, `A* -> B` ≡ `B OR (A+ -> B)`; the zero branch
   *    NULL-pads the alias's select refs
@@ -126,15 +127,262 @@ object PatternCompiler {
       .persist()
     onPersist(ordered)
 
-    val variantDfs = q.variants.map(v => compileVariant(spark, q, v, ordered))
-    if (variantDfs.size == 1) variantDfs.head
-    else {
-      // one deterministic sort over the union (per-variant sorts skipped —
-      // see compileVariant); output columns are plain values, so sorting
-      // by all of them is a total, engine-portable order
-      val u = variantDfs.reduce((a, b) => a.unionByName(b))
-      u.orderBy(u.columns.map(col): _*)
+    if (q.variants.size == 1) compileVariant(spark, q, q.variants.head, ordered)
+    else compileMulti(spark, q, ordered)
+  }
+
+  /** Multi-variant compile (AND arrival orderings, `A*` presence pairs):
+    * every variant's NFA runs in ONE per-key pass over ONE shared event
+    * encoding ([[Cep.detectMulti]] — match-flag bits keyed by distinct
+    * padded step value, so all variants read the same etype/vals columns),
+    * and the per-variant match relations project onto ONE canonical
+    * step-group layout feeding a SINGLE join/select phase. V variants
+    * therefore cost one exchange + one set of join-backs instead of V of
+    * each (the naive expansion: a 3-way AND = 6 NFA shuffles + 18 joins).
+    * Match sets are bit-for-bit those of V independent passes — each
+    * variant folds the identical [[Cep.runNfa]] over the same per-key
+    * sorted history.
+    *
+    * Canonical layout: step GROUPS are keyed by alias set (a step's alias
+    * set is unique within a variant and value-identical across variants);
+    * a variant lacking a group (the `A*` no-step branch) NULL-pads its ids
+    * array, and the join/select phase resolves the absence relationally —
+    * outer joins for possibly-absent aliases, `coalesce(size(…),0)` for
+    * counts, left-joined aggregates — instead of the per-variant text
+    * NULL-rewriting the legacy per-variant path used (absentAliasRewriter
+    * still rewrites step PREDICATES, which ride the NFA bits).
+    */
+  private def compileMulti(spark: SparkSession, q: PatternQuery,
+                           ordered: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    import spark.implicits._
+    q.variants.foreach { v =>
+      val dup = v.flatMap(_.aliases).groupBy(identity)
+        .collect { case (a, as) if as.size > 1 => a }
+      if (dup.nonEmpty)
+        throw GraftApp.SqlError(s"duplicate step alias(es) ${dup.mkString(",")} across steps")
     }
+
+    // canonical step groups: alias set -> representative step (first
+    // appearance; identical by value wherever it appears)
+    val groupReg = scala.collection.mutable.LinkedHashMap.empty[Seq[String], PatternStep]
+    q.variants.foreach(_.foreach { st =>
+      groupReg.get(st.aliases) match {
+        case Some(prev) if prev != st => throw GraftApp.SqlError(
+          s"pattern step '${st.aliases.mkString(",")}' differs across variants")
+        case None => groupReg(st.aliases) = st
+        case _ =>
+      }
+    })
+    val groups: Seq[PatternStep] = groupReg.values.toSeq
+    val gIdx: Map[Seq[String], Int] = groups.map(_.aliases).zipWithIndex.toMap
+    val omittable: Seq[Boolean] =
+      groups.map(g => !q.variants.forall(_.exists(_.aliases == g.aliases)))
+    val everOmitted: Set[String] =
+      groups.zip(omittable).filter(_._2).flatMap(_._1.aliases).toSet
+    // OR-step residual predicates referencing a possibly-absent alias would
+    // need per-variant rewriting — unsupported (same class the absent
+    // rewriter covers per-variant; no runnable spelling reaches it)
+    groups.foreach { g =>
+      if (g.alts.size > 1 && g.alts.exists(_.pred.exists(p =>
+          everOmitted.exists(a => ("(?i)\\b" + java.util.regex.Pattern.quote(a) +
+            "\\s*\\.").r.findFirstIn(p).isDefined))))
+        throw GraftApp.SqlError(
+          "OR alternatives may not reference a zero-min step's alias")
+    }
+
+    // per-variant padded chains (refs to aliases ABSENT from the variant
+    // rewrite to typed NULLs inside step predicates) + shared classification
+    val typeOfCol = (c: String) =>
+      ordered.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType.sql)
+    val allAliases = groups.flatMap(_.aliases).toSet
+    val paddedVariants: Seq[Seq[PatternStep]] = q.variants.map { v =>
+      val pad = absentAliasRewriter(allAliases -- v.flatMap(_.aliases), typeOfCol)
+      v.map(st => st.copy(alts = st.alts.map(a => a.copy(pred = a.pred.map(pad)))))
+    }
+    val valReg = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val classifiedVariants = paddedVariants.map(ps =>
+      ps.zip(classifyChain(ps, e => valReg.getOrElseUpdate(e.trim, valReg.size))))
+    // one match-flag bit per DISTINCT padded step value (across variants a
+    // step usually pads identically, so the bitstring stays ~|groups| wide)
+    val flagReg = scala.collection.mutable.LinkedHashMap.empty[PatternStep, Int]
+    val flagCols = Vector.newBuilder[Column]
+    classifiedVariants.foreach(_.foreach { case (st, (perAlt, _)) =>
+      if (!flagReg.contains(st)) {
+        flagReg(st) = flagReg.size
+        flagCols += when(stepFlag(st, perAlt), lit("1")).otherwise(lit("0"))
+      }
+    })
+    val specs = classifiedVariants.map { scl =>
+      PatternSpec(
+        scl.map { case (st, (_, comps)) => nfaStep(st, flagReg(st), comps) },
+        strict = q.strict, every = q.every,
+        withinUs = q.withinUs, withinEvents = q.withinEvents)
+    }
+    specs.foreach(requireBoundedState)
+
+    val cepIn = ordered.withColumn("__bits", concat(flagCols.result(): _*)).select(
+        col("__key").as("key"),
+        unix_micros(col("ts")).as("tsUs"),
+        col("__id").as("eventId"),
+        col("__bits").as("etype"),
+        lit(0.0).as("value"),
+        valsColumn(valReg).as("vals"),
+        typedlit(Seq.empty[String]).as("svals"))
+      .as[CepEvent]
+    val matches = Cep.detectMulti(cepIn, specs).toDF()
+
+    // canonical base: one projection over the tagged matches — group gi's
+    // ids array resolves per variant by that variant's step position
+    // (CASE on the variant tag), NULL where the variant lacks the group
+    val posOf: Seq[Map[Int, Int]] = q.variants.map(v =>
+      v.zipWithIndex.map { case (st, i) => gIdx(st.aliases) -> i }.toMap)
+    val nullIds = lit(null).cast(ArrayType(LongType))
+    var base = matches.select(
+      col("variant") +: col("key").as("__mkey") +: col("endUs").as("__endUs") +:
+      groups.indices.map { gi =>
+        val arms = q.variants.indices.flatMap(vi => posOf(vi).get(gi).map(i =>
+          (vi, expr(s"transform(steps[$i].events, x -> x.eventId)"))))
+        arms.foldRight(nullIds) { case ((vi, ids), acc) =>
+          when(col("variant") === vi, ids).otherwise(acc)
+        }.as(s"__ids_$gi")
+      }: _*)
+
+    // ---- unified select/WHERE rewriting + join planning over the groups
+    val multi = groups.zipWithIndex.collect { case (st, gi) if st.max > 1 =>
+      st.aliases.head -> gi
+    }.toMap
+    if (multi.nonEmpty && groups.exists(st => st.max > 1 && st.alts.size > 1))
+      throw GraftApp.SqlError("count quantifiers on OR steps are not supported")
+
+    final case class JoinPlan(name: String, idExpr: Column, streams: Seq[String],
+                              pred: Option[Column], outer: Boolean)
+    val joins = scala.collection.mutable.LinkedHashMap.empty[String, JoinPlan]
+    val aggItems = scala.collection.mutable.LinkedHashMap.empty[Int, Vector[(String, String)]]
+    var aggN = 0
+
+    def idAt(gi: Int, idx: String): Column = idx match {
+      case "last" => element_at(col(s"__ids_$gi"), -1)
+      case n => try_element_at(col(s"__ids_$gi"), lit(n.toInt + 1))
+    }
+    def qualify(alias: String, pred: String): Column = {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      val parsed = spark.sessionState.sqlParser.parseExpression(pred).transform {
+        case ua: UnresolvedAttribute if ua.nameParts.size == 1 =>
+          UnresolvedAttribute(alias +: ua.nameParts)
+      }
+      org.apache.spark.sql.graftbridge.Bridge.column(parsed)
+    }
+    groups.zipWithIndex.foreach { case (st, gi) =>
+      if (st.max == 1) {
+        val orStep = st.aliases.size > 1
+        st.aliases.foreach { a =>
+          val altIdx = st.alts.indexWhere(_.alias == a)
+          val altStreams = st.alts.filter(_.alias == a).map(_.stream)
+          // OR steps re-apply the alt's LOCAL predicate (cross refs are
+          // rejected on OR steps, so the full pred IS local) — same-stream
+          // alternatives would otherwise both bind the matched event
+          val residual =
+            if (orStep) st.alts(altIdx).pred.map(p => qualify(a, p)) else None
+          joins(a) = JoinPlan(a, idAt(gi, "0"), altStreams, residual,
+            outer = orStep || omittable(gi))
+        }
+      }
+    }
+
+    val aggRe = """(?i)\b(sum|avg|min|max|count)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)""".r
+    val countStepRe = """(?i)\bcount\s*\(\s*(\w+)\s*\)""".r
+    val idxRe = """\b(\w+)\s*\[\s*(\d+|last)\s*\]\s*\.""".r
+    def rewrite(text0: String): String = {
+      var text = aggRe.replaceAllIn(text0, m => {
+        val (fn, alias, c) = (m.group(1), m.group(2), m.group(3))
+        multi.get(alias) match {
+          case Some(gi) =>
+            val name = s"__agg_$aggN"; aggN += 1
+            aggItems(gi) = aggItems.getOrElse(gi, Vector.empty) :+
+              (name, s"${fn.toLowerCase}(__c.$c)")
+            // a left-joined absent group's count is NULL — the zero-repeat
+            // count is 0 (sum/avg/min/max stay NULL, as the padder types)
+            if (fn.equalsIgnoreCase("count") && omittable(gi))
+              s"coalesce($name, CAST(0 AS BIGINT))"
+            else name
+          case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+        }
+      })
+      text = countStepRe.replaceAllIn(text, m => {
+        multi.get(m.group(1)) match {
+          case Some(gi) =>
+            // size(NULL) is -1 under legacy sizeOfNull — test the array
+            if (omittable(gi))
+              s"CAST(if(__ids_$gi IS NULL, 0, size(__ids_$gi)) AS BIGINT)"
+            else s"CAST(size(__ids_$gi) AS BIGINT)"
+          case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+        }
+      })
+      text = idxRe.replaceAllIn(text, m => {
+        val (alias, idx) = (m.group(1), m.group(2))
+        groups.indices.find(gi => groups(gi).aliases.contains(alias) &&
+            groups(gi).max > 1) match {
+          case Some(gi) =>
+            val name = s"__${alias}_$idx"
+            joins.getOrElseUpdate(name,
+              JoinPlan(name, idAt(gi, idx), groups(gi).alts.map(_.stream),
+                pred = None, outer = true))
+            s"$name."
+          case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+        }
+      })
+      multi.foreach { case (alias, gi) =>
+        val plainRe = ("\\b" + alias + "\\s*\\.").r
+        if (plainRe.findFirstIn(text).isDefined) {
+          val name = s"__${alias}_0"
+          joins.getOrElseUpdate(name,
+            JoinPlan(name, idAt(gi, "0"), groups(gi).alts.map(_.stream),
+              pred = None, outer = omittable(gi)))
+          text = plainRe.replaceAllIn(text, s"$name.")
+        }
+      }
+      text
+    }
+    val items = q.selectItems.map { case (e, a) => (rewrite(e), a) }
+    val whereRw = q.where.map(rewrite)
+
+    val needMatchId = aggItems.nonEmpty
+    if (needMatchId) {
+      // variant tag included: two variants CAN share a key + present-id set
+      // when concat_ws skips a NULL-padded absent group
+      val idsConcat = groups.indices.map(gi => col(s"__ids_$gi").cast("string"))
+      base = base.withColumn("__match_id",
+        concat_ws("|", col("variant").cast("string") +: col("__mkey") +: idsConcat: _*))
+    }
+
+    var out = base
+    joins.values.foreach { j =>
+      var cond = col(s"${j.name}.__id") === j.idExpr &&
+        col(s"${j.name}.__key") === col("__mkey") &&
+        col(s"${j.name}.__stream").isin(j.streams: _*)
+      j.pred.foreach(p => cond = cond && p)
+      out = out.join(ordered.as(j.name), cond, if (j.outer) "left_outer" else "inner")
+    }
+    aggItems.foreach { case (gi, items) =>
+      val exploded = base
+        .select(col("__match_id"), col("__mkey"), explode(col(s"__ids_$gi")).as("__eid"))
+        .join(ordered.as("__c"),
+          col("__c.__id") === col("__eid") && col("__c.__key") === col("__mkey"))
+      val aggCols = items.map { case (name, sql) => expr(sql).as(name) }
+      val agg = exploded.groupBy(col("__match_id")).agg(aggCols.head, aggCols.tail: _*)
+      out = out.join(agg, Seq("__match_id"), if (omittable(gi)) "left" else "inner")
+    }
+    whereRw.foreach(w => out = out.filter(expr(w)))
+
+    val selectCols = items.map {
+      case (e, Some(a)) => expr(e).as(a)
+      case (e, None) => expr(e)
+    }
+    // output columns are plain values — sorting by all of them is a total,
+    // engine-portable order (the single post-union sort contract)
+    val res = out.select(selectCols: _*)
+    res.orderBy(res.columns.map(col): _*)
   }
 
   // ---- STREAMING lowering: the NFA runs per key via Cep.detectStream, and
@@ -340,11 +588,18 @@ object PatternCompiler {
                                     specSteps: Seq[Step],
                                     perAltLocal: Seq[Seq[Option[String]]])
 
-  private def classifySteps(q: PatternQuery, steps: Seq[PatternStep]): NfaBuild = {
+  /** Per-step predicate split for one step chain: each alt's predicate
+    * decomposes into LOCAL conjuncts (evaluable on the candidate event
+    * alone — folded into the event's match-flag bit) and CROSS-step
+    * comparisons (compared by the NFA against collected earlier steps via
+    * precomputed value slots). `valIdx` interns comparison operand
+    * expressions — multi-variant compiles share one registry so every
+    * variant reads the same `vals` array.
+    */
+  private def classifyChain(steps: Seq[PatternStep], valIdx: String => Int)
+      : Seq[(Seq[Option[String]], Seq[CrossCmp])] = {
     val aliasToStep: Map[String, Int] =
       steps.zipWithIndex.flatMap { case (st, i) => st.aliases.map(_ -> i) }.toMap
-    val valReg = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    def valIdx(e: String): Int = valReg.getOrElseUpdate(e.trim, valReg.size)
 
     def crossAliasesIn(text: String, self: String): Seq[String] =
       aliasToStep.keys.toSeq.filter(a => a != self &&
@@ -411,42 +666,55 @@ object PatternCompiler {
         }
         (perAlt.result(), comps.result())
       }
+    classified
+  }
 
-    // per-step LOCAL match flags -> one bitstring column
-    val flags = steps.zip(classified).map { case (st, (perAlt, _)) =>
-      st.alts.zip(perAlt).map { case (a, predOpt) =>
-        val base = col("__stream") === a.stream
-        predOpt.map(p => base && expr(p)).getOrElse(base)
-      }.reduce(_ || _)
+  /** One step's LOCAL match flag: any alt's (stream, local-pred) holds. */
+  private def stepFlag(st: PatternStep, perAlt: Seq[Option[String]]): Column =
+    st.alts.zip(perAlt).map { case (a, predOpt) =>
+      val base = col("__stream") === a.stream
+      predOpt.map(p => base && expr(p)).getOrElse(base)
+    }.reduce(_ || _)
+
+  /** Comparison operand slots, NaN when not evaluable on this event. */
+  private def valsColumn(valReg: collection.Map[String, Int]): Column =
+    if (valReg.isEmpty) typedlit(Seq.empty[Double])
+    else array(valReg.keys.toSeq.map(e =>
+      coalesce(expr(e).cast("double"), lit(Double.NaN))): _*)
+
+  private def cmp(l: Double, op: String, r: Double): Boolean =
+    if (l.isNaN || r.isNaN) false
+    else op match {
+      case "<" => l < r
+      case "<=" => l <= r
+      case ">" => l > r
+      case ">=" => l >= r
+      case "=" | "==" => l == r
+      case "!=" | "<>" => l != r
     }
-    val bits = concat(flags.map(f => when(f, lit("1")).otherwise(lit("0"))): _*)
 
-    // comparison operand slots, NaN when not evaluable on this event
-    val valsCol =
-      if (valReg.isEmpty) typedlit(Seq.empty[Double])
-      else array(valReg.keys.toSeq.map(e =>
-        coalesce(expr(e).cast("double"), lit(Double.NaN))): _*)
+  /** NFA [[Step]] for a chain step whose local flag sits at `bit` of the
+    * event's etype bitstring; `comps` compare against EARLIER collected
+    * steps of the same chain (variant-positional indices).
+    */
+  private def nfaStep(st: PatternStep, bit: Int, comps: Seq[CrossCmp]): Step =
+    Step(st.aliases.head, st.min, st.max, (e, coll) =>
+      e.etype.length > bit && e.etype.charAt(bit) == '1' &&
+      comps.forall { c =>
+        val ref = coll(c.refStep)
+        ref.nonEmpty && cmp(e.vals(c.localIdx), c.op, ref.head.vals(c.refIdx))
+      })
 
-    def cmp(l: Double, op: String, r: Double): Boolean =
-      if (l.isNaN || r.isNaN) false
-      else op match {
-        case "<" => l < r
-        case "<=" => l <= r
-        case ">" => l > r
-        case ">=" => l >= r
-        case "=" | "==" => l == r
-        case "!=" | "<>" => l != r
-      }
+  private def classifySteps(q: PatternQuery, steps: Seq[PatternStep]): NfaBuild = {
+    val valReg = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val classified = classifyChain(steps, e => valReg.getOrElseUpdate(e.trim, valReg.size))
+    val bits = concat(steps.zip(classified).map { case (st, (perAlt, _)) =>
+      when(stepFlag(st, perAlt), lit("1")).otherwise(lit("0"))
+    }: _*)
     val specSteps = steps.zipWithIndex.map { case (st, i) =>
-      val comps = classified(i)._2
-      Step(st.aliases.head, st.min, st.max, (e, coll) =>
-        e.etype.length > i && e.etype.charAt(i) == '1' &&
-        comps.forall { c =>
-          val ref = coll(c.refStep)
-          ref.nonEmpty && cmp(e.vals(c.localIdx), c.op, ref.head.vals(c.refIdx))
-        })
+      nfaStep(st, i, classified(i)._2)
     }
-    NfaBuild(bits, valsCol, specSteps, classified.map(_._1))
+    NfaBuild(bits, valsColumn(valReg), specSteps, classified.map(_._1))
   }
 
   // ---- one step-chain variant → matches → resolved select
@@ -650,16 +918,11 @@ object PatternCompiler {
       case (e, Some(a)) => expr(e).as(a)
       case (e, None) => expr(e)
     }
-    // single-variant: deterministic (key, first-id-per-step) order, the
-    // long-standing output contract. Multi-variant (AND orderings, min=0
-    // pairs): skip the per-variant sort — the union interleaves chunks
-    // arbitrarily anyway, so compile() applies ONE output-column sort
-    // after the union instead of paying a full sort per variant (a 6-way
-    // AND would sort 6 times for nothing).
-    if (q.variants.size == 1)
-      out.orderBy(col("__mkey") +: steps.indices.map(i => element_at(col(s"__ids_$i"), 1)): _*)
-        .select(selectCols: _*)
-    else out.select(selectCols: _*)
+    // deterministic (key, first-id-per-step) order, the long-standing
+    // single-variant output contract (multi-variant patterns compile via
+    // [[compileMulti]], which sorts once over the final output columns)
+    out.orderBy(col("__mkey") +: steps.indices.map(i => element_at(col(s"__ids_$i"), 1)): _*)
+      .select(selectCols: _*)
   }
 
   // ---- parsing
@@ -806,10 +1069,11 @@ object PatternCompiler {
     }
   }
 
-  /** Hard cap on the step-order variants one pattern may expand to: each
-    * variant is its own NFA pass + join plan, so the cap bounds both plan
-    * size and compile cost (3-way AND = 6, (A->B) AND C = 3, one star
-    * step ×2 — real shapes sit far below it).
+  /** Hard cap on the step-order variants one pattern may expand to. All
+    * variant NFAs fold inside ONE per-key pass ([[compileMulti]] /
+    * [[Cep.detectMulti]]) — the cap bounds the per-key CPU of that fold
+    * and the compile cost, not shuffle count (3-way AND = 6,
+    * (A->B) AND C = 3, one star step ×2 — real shapes sit far below it).
     */
   private val MaxVariants = 24
 

@@ -46,6 +46,11 @@ final case class CepEvent(key: String, tsUs: Long, eventId: Long, etype: String,
                           svals: Seq[String] = Nil)
 final case class Collected(step: String, events: Seq[CepEvent])
 final case class CepMatch(key: String, startUs: Long, endUs: Long, steps: Seq[Collected])
+/** A [[CepMatch]] tagged with the index of the variant NFA that emitted it
+  * (multi-variant patterns: AND arrival orderings, min=0 presence pairs).
+  */
+final case class VariantMatch(variant: Int, key: String, startUs: Long,
+                              endUs: Long, steps: Seq[Collected])
 
 /** One pattern step. `pred` sees the candidate event and all events
   * collected so far (indexed [stepIdx][arrivalIdx]) for cross-step
@@ -234,6 +239,29 @@ object Cep {
       dropCounter.foreach(_.add(st.dropped))
       out.iterator
     }
+
+  /** Batch detection for a FAMILY of pattern variants over one shared
+    * event encoding: each key's history is shuffled, sorted, and
+    * materialized ONCE, then every variant's NFA folds over the same
+    * in-memory sequence — V variants cost one exchange instead of V
+    * (the multi-variant SQL patterns: AND arrival orderings, `A*`
+    * presence pairs). Each variant runs the IDENTICAL independent
+    * [[runNfa]] it would run under [[detect]], so match sets are
+    * bit-for-bit those of V separate passes.
+    */
+  def detectMulti(ds: Dataset[CepEvent], specs: Seq[PatternSpec],
+                  dropCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[VariantMatch] = {
+    implicit val vmEnc: Encoder[VariantMatch] = Encoders.product[VariantMatch]
+    ds.groupByKey(_.key).flatMapGroups { (_: String, it: Iterator[CepEvent]) =>
+      val evs = it.toSeq.sortBy(e => (e.tsUs, e.eventId))
+      specs.iterator.zipWithIndex.flatMap { case (spec, vi) =>
+        val (out, st) = runNfa(evs, NfaState(Nil, done = false), spec)
+        dropCounter.foreach(_.add(st.dropped))
+        out.map(m => VariantMatch(vi, m.key, m.startUs, m.endUs, m.steps))
+      }
+    }
+  }
 
   /** Batch detection with BOUNDED per-key memory — the hot-key scale path.
     * [[detect]] materializes each key's full history (`it.toSeq`) before
