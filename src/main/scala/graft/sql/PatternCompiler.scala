@@ -152,17 +152,27 @@ object PatternCompiler {
     * NULL-rewriting the legacy per-variant path used (absentAliasRewriter
     * still rewrites step PREDICATES, which ride the NFA bits).
     */
-  private def compileMulti(spark: SparkSession, q: PatternQuery,
-                           ordered: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.{ArrayType, LongType}
-    import spark.implicits._
+  /** Shared multi-variant classification (batch [[compileMulti]] and
+    * streaming [[streamMulti]]): canonical step groups keyed by alias set,
+    * per-variant padded chains, one match-flag bit per distinct padded
+    * step value, one value-slot registry — so every variant's NFA reads
+    * the same etype/vals event encoding and all variants fold in ONE
+    * per-key pass.
+    */
+  private final case class MultiBuild(
+      groups: Seq[PatternStep], gIdx: Map[Seq[String], Int],
+      posOf: Seq[Map[Int, Int]], omittable: Seq[Boolean],
+      paddedVariants: Seq[Seq[PatternStep]],
+      bitsCol: Column, valsCol: Column, specs: Seq[PatternSpec])
+
+  private def buildMulti(q: PatternQuery,
+                         typeOfCol: String => Option[String]): MultiBuild = {
     q.variants.foreach { v =>
       val dup = v.flatMap(_.aliases).groupBy(identity)
         .collect { case (a, as) if as.size > 1 => a }
       if (dup.nonEmpty)
         throw GraftApp.SqlError(s"duplicate step alias(es) ${dup.mkString(",")} across steps")
     }
-
     // canonical step groups: alias set -> representative step (first
     // appearance; identical by value wherever it appears)
     val groupReg = scala.collection.mutable.LinkedHashMap.empty[Seq[String], PatternStep]
@@ -176,6 +186,8 @@ object PatternCompiler {
     })
     val groups: Seq[PatternStep] = groupReg.values.toSeq
     val gIdx: Map[Seq[String], Int] = groups.map(_.aliases).zipWithIndex.toMap
+    val posOf: Seq[Map[Int, Int]] = q.variants.map(v =>
+      v.zipWithIndex.map { case (st, i) => gIdx(st.aliases) -> i }.toMap)
     val omittable: Seq[Boolean] =
       groups.map(g => !q.variants.forall(_.exists(_.aliases == g.aliases)))
     val everOmitted: Set[String] =
@@ -190,14 +202,11 @@ object PatternCompiler {
         throw GraftApp.SqlError(
           "OR alternatives may not reference a zero-min step's alias")
     }
-
     // per-variant padded chains (refs to aliases ABSENT from the variant
     // rewrite to typed NULLs inside step predicates) + shared classification
-    val typeOfCol = (c: String) =>
-      ordered.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType.sql)
     val allAliases = groups.flatMap(_.aliases).toSet
     val paddedVariants: Seq[Seq[PatternStep]] = q.variants.map { v =>
-      val pad = absentAliasRewriter(allAliases -- v.flatMap(_.aliases), typeOfCol)
+      val pad = absentAliasRewriter(allAliases -- v.flatMap(_.aliases).toSet, typeOfCol)
       v.map(st => st.copy(alts = st.alts.map(a => a.copy(pred = a.pred.map(pad)))))
     }
     val valReg = scala.collection.mutable.LinkedHashMap.empty[String, Int]
@@ -220,23 +229,33 @@ object PatternCompiler {
         withinUs = q.withinUs, withinEvents = q.withinEvents)
     }
     specs.foreach(requireBoundedState)
+    MultiBuild(groups, gIdx, posOf, omittable, paddedVariants,
+      concat(flagCols.result(): _*), valsColumn(valReg), specs)
+  }
 
-    val cepIn = ordered.withColumn("__bits", concat(flagCols.result(): _*)).select(
+  private def compileMulti(spark: SparkSession, q: PatternQuery,
+                           ordered: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    import spark.implicits._
+    val typeOfCol = (c: String) =>
+      ordered.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType.sql)
+    val mb = buildMulti(q, typeOfCol)
+    import mb.{groups, gIdx, omittable, posOf}
+
+    val cepIn = ordered.withColumn("__bits", mb.bitsCol).select(
         col("__key").as("key"),
         unix_micros(col("ts")).as("tsUs"),
         col("__id").as("eventId"),
         col("__bits").as("etype"),
         lit(0.0).as("value"),
-        valsColumn(valReg).as("vals"),
+        mb.valsCol.as("vals"),
         typedlit(Seq.empty[String]).as("svals"))
       .as[CepEvent]
-    val matches = Cep.detectMulti(cepIn, specs).toDF()
+    val matches = Cep.detectMulti(cepIn, mb.specs).toDF()
 
     // canonical base: one projection over the tagged matches — group gi's
     // ids array resolves per variant by that variant's step position
     // (CASE on the variant tag), NULL where the variant lacks the group
-    val posOf: Seq[Map[Int, Int]] = q.variants.map(v =>
-      v.zipWithIndex.map { case (st, i) => gIdx(st.aliases) -> i }.toMap)
     val nullIds = lit(null).cast(ArrayType(LongType))
     var base = matches.select(
       col("variant") +: col("key").as("__mkey") +: col("endUs").as("__endUs") +:
@@ -413,32 +432,24 @@ object PatternCompiler {
         "PARTITION BY <attr> to shard the pattern per key")
     val keyCol = q.partitionBy.map(a => expr(a).cast("string")).getOrElse(lit("app"))
     val evs = tagged.withColumn("__key", keyCol)
-    q.variants.map(v => streamVariant(spark, q, v, evs)).reduce(_ unionByName _)
+    if (q.variants.size == 1) streamVariant(spark, q, q.variants.head, evs)
+    else streamMulti(spark, q, evs)
   }
 
-  private def streamVariant(spark: SparkSession, q: PatternQuery,
-                            steps0: Seq[PatternStep], evs: DataFrame): DataFrame = {
-    import spark.implicits._
-    val colTypes: Map[String, String] =
-      evs.schema.fields.map(f => f.name.toLowerCase -> f.dataType.sql).toMap
-    // min=0 no-step branch: NULL-pad refs to this variant's omitted aliases
+  /** Select/WHERE rewriter for ONE streaming variant: step refs resolve
+    * from svals slots carried through the NFA (no join back), refs to
+    * aliases OMITTED from the variant NULL-pad. `slot` interns source
+    * columns — multi-variant compiles share one registry so every
+    * variant reads the same svals array.
+    */
+  private def streamRewriter(q: PatternQuery, steps0: Seq[PatternStep],
+                             colTypes: Map[String, String],
+                             slot: String => Int): String => String = {
     val omitted = q.variants.flatMap(_.flatMap(_.aliases)).toSet --
       steps0.flatMap(_.aliases).toSet
     val padAbsent = absentAliasRewriter(omitted, c => colTypes.get(c.toLowerCase))
-    val steps = steps0.map(st => st.copy(alts = st.alts.map(a =>
-      a.copy(pred = a.pred.map(padAbsent)))))
-    val nb = classifySteps(q, steps)
     val aliasToStep: Map[String, Int] =
-      steps.zipWithIndex.flatMap { case (st, i) => st.aliases.map(_ -> i) }.toMap
-
-    // slot registry: source column -> svals index; refs rewrite to a slot
-    // extraction cast back to the column's type
-    val svalReg = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    def slot(colName: String): Int = {
-      if (!colTypes.contains(colName.toLowerCase))
-        throw GraftApp.SqlError(s"pattern select references unknown column '$colName'")
-      svalReg.getOrElseUpdate(colName, svalReg.size)
-    }
+      steps0.zipWithIndex.flatMap { case (st, i) => st.aliases.map(_ -> i) }.toMap
     def eventRef(i: Int, idx: String): String = idx match {
       case "0" => s"steps[$i].events[0]"
       case "last" => s"element_at(steps[$i].events, -1)"
@@ -497,12 +508,40 @@ object PatternCompiler {
         case None => java.util.regex.Matcher.quoteReplacement(m.matched)
       })
     }
+    rewrite
+  }
+
+  /** svals slot array over the interned source columns. */
+  private def svalsColumn(svalReg: collection.Map[String, Int]): Column =
+    if (svalReg.isEmpty) typedlit(Seq.empty[String])
+    else array(svalReg.keys.toSeq.map(c => col(c).cast("string")): _*)
+
+  private def streamVariant(spark: SparkSession, q: PatternQuery,
+                            steps0: Seq[PatternStep], evs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val colTypes: Map[String, String] =
+      evs.schema.fields.map(f => f.name.toLowerCase -> f.dataType.sql).toMap
+    // min=0 no-step branch: NULL-pad refs to this variant's omitted aliases
+    val omitted = q.variants.flatMap(_.flatMap(_.aliases)).toSet --
+      steps0.flatMap(_.aliases).toSet
+    val padAbsent = absentAliasRewriter(omitted, c => colTypes.get(c.toLowerCase))
+    val steps = steps0.map(st => st.copy(alts = st.alts.map(a =>
+      a.copy(pred = a.pred.map(padAbsent)))))
+    val nb = classifySteps(q, steps)
+
+    // slot registry: source column -> svals index; refs rewrite to a slot
+    // extraction cast back to the column's type
+    val svalReg = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def slot(colName: String): Int = {
+      if (!colTypes.contains(colName.toLowerCase))
+        throw GraftApp.SqlError(s"pattern select references unknown column '$colName'")
+      svalReg.getOrElseUpdate(colName, svalReg.size)
+    }
+    val rewrite = streamRewriter(q, steps0, colTypes, slot)
     val items = q.selectItems.map { case (e, a) => (rewrite(e), a) }
     val whereRw = q.where.map(rewrite)
 
-    val svalsCol =
-      if (svalReg.isEmpty) typedlit(Seq.empty[String])
-      else array(svalReg.keys.toSeq.map(c => col(c).cast("string")): _*)
+    val svalsCol = svalsColumn(svalReg)
 
     // trailing NOT guards get one extra flag bit each, after the step bits;
     // their predicates evaluate as Catalyst columns like step predicates
@@ -568,6 +607,73 @@ object PatternCompiler {
          // TimerWheel, timers/timer_wheel.rs) instead of NoTimeout
          Cep.detectStreamWithTimeout(cepIn, spec, lateness)
        else Cep.detectStream(cepIn, spec))
+        .toDF()
+    whereRw.foreach(w => out = out.filter(expr(w)))
+    out.select(items.map {
+      case (e, Some(a)) => expr(e).as(a)
+      case (e, None) => expr(e)
+    }: _*)
+  }
+
+  /** Streaming multi-variant lowering: ONE kernel holds every variant's
+    * NFA state per key ([[Cep.detectStreamMulti]] /
+    * [[Cep.detectStreamMultiWithTimeout]]) — the stream shuffles once per
+    * micro-batch instead of once per variant, and the state store keeps
+    * one entry per key instead of V. Select items and WHERE resolve
+    * per-variant (step positions differ), combined as a CASE on the
+    * match's variant tag; all variants share one svals slot registry so
+    * every branch reads the same carried array. Absent (`NOT`) guards
+    * never reach here — parseSteps rejects them with AND / zero-min
+    * elements.
+    */
+  private def streamMulti(spark: SparkSession, q: PatternQuery,
+                          evs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val colTypes: Map[String, String] =
+      evs.schema.fields.map(f => f.name.toLowerCase -> f.dataType.sql).toMap
+    val mb = buildMulti(q, c => colTypes.get(c.toLowerCase))
+
+    val svalReg = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def slot(colName: String): Int = {
+      if (!colTypes.contains(colName.toLowerCase))
+        throw GraftApp.SqlError(s"pattern select references unknown column '$colName'")
+      svalReg.getOrElseUpdate(colName, svalReg.size)
+    }
+    val rewrites: Seq[String => String] =
+      q.variants.map(v => streamRewriter(q, v, colTypes, slot))
+    // identical branches collapse (common when the ref is to a step every
+    // variant shares at the same position); else dispatch on the tag
+    def caseOf(texts: Seq[String]): String =
+      if (texts.distinct.size == 1) texts.head
+      else texts.zipWithIndex.map { case (t, vi) => s"WHEN $vi THEN ($t)" }
+        .mkString("CASE variant ", " ", " END")
+    val items = q.selectItems.map { case (e, a) =>
+      // unaliased items take the source text as the output name — the
+      // dialect's fan-in pairs columns BY NAME, and the per-variant CASE
+      // text is not a stable name
+      (caseOf(rewrites.map(_(e))), a.orElse(Some(e.trim)))
+    }
+    val whereRw = q.where.map(w => caseOf(rewrites.map(_(w))))
+
+    val cepIn = evs.withColumn("__bits", mb.bitsCol).select(
+        col("__key").as("key"),
+        unix_micros(col("ts")).as("tsUs"),
+        xxhash64(evs.columns.map(col).toSeq: _*).as("eventId"),
+        col("__bits").as("etype"),
+        lit(0.0).as("value"),
+        mb.valsCol.as("vals"),
+        svalsColumn(svalReg).as("svals"))
+      .as[CepEvent]
+    val lateness = q.lateness.getOrElse("0 seconds")
+    if (q.lateness.isDefined && q.withinUs.isEmpty)
+      ScaleWarnings.warn(s"pattern INTO '${q.target}': ALLOW LATENESS has no " +
+        "effect without WITHIN — the plan has no event-time watermark, so " +
+        "no event is ever dropped as late; add WITHIN <d> to bound state " +
+        "and activate the lateness contract")
+    var out =
+      (if (q.withinUs.isDefined)
+         Cep.detectStreamMultiWithTimeout(cepIn, mb.specs, lateness)
+       else Cep.detectStreamMulti(cepIn, mb.specs))
         .toDF()
     whereRw.foreach(w => out = out.filter(expr(w)))
     out.select(items.map {

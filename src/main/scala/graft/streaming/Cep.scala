@@ -123,6 +123,10 @@ final case class Partial(stepIdx: Int, startUs: Long, startSeq: Long,
                          collected: Seq[Seq[CepEvent]])
 final case class NfaState(partials: Seq[Partial], done: Boolean, seq: Long = 0L,
                           dropped: Long = 0L)
+/** One state-store entry for a multi-variant pattern family: the i-th
+  * entry is variant i's independent NFA state.
+  */
+final case class MultiNfaState(states: Seq[NfaState])
 
 object Cep {
 
@@ -333,6 +337,82 @@ object Cep {
         state.update(next)
         out.iterator
     }
+
+  /** Streaming detection for a FAMILY of pattern variants: ONE state-store
+    * entry per key holds every variant's [[NfaState]], and each micro-batch
+    * shuffles the stream once instead of once per variant (the streaming
+    * face of [[detectMulti]]). Each variant folds the identical
+    * [[runNfa]] it would fold under [[detectStream]].
+    */
+  def detectStreamMulti(ds: Dataset[CepEvent], specs: Seq[PatternSpec],
+                        dropCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[VariantMatch] = {
+    implicit val vmEnc: Encoder[VariantMatch] = Encoders.product[VariantMatch]
+    implicit val msEnc: Encoder[MultiNfaState] = Encoders.product[MultiNfaState]
+    ds.groupByKey(_.key).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (_: String, it: Iterator[CepEvent], state: GroupState[MultiNfaState]) =>
+        val evs = it.toSeq.sortBy(e => (e.tsUs, e.eventId))
+        val init = state.getOption.getOrElse(
+          MultiNfaState(specs.map(_ => NfaState(Nil, done = false))))
+        val results = specs.zip(init.states).zipWithIndex.map { case ((spec, s0), vi) =>
+          val (out, s1) = runNfa(evs, s0, spec)
+          dropCounter.foreach(_.add(s1.dropped - s0.dropped))
+          (out.map(m => VariantMatch(vi, m.key, m.startUs, m.endUs, m.steps)), s1)
+        }
+        state.update(MultiNfaState(results.map(_._2)))
+        results.iterator.flatMap(_._1)
+    }
+  }
+
+  /** [[detectStreamMulti]] with the [[detectStreamWithTimeout]] hygiene:
+    * the event-time watermark purges partials past their WITHIN deadline
+    * across ALL variants, and a key drained in every variant drops its
+    * state entry entirely. All variants carry the query's single WITHIN.
+    */
+  def detectStreamMultiWithTimeout(ds: Dataset[CepEvent], specs: Seq[PatternSpec],
+                                   watermarkDelay: String): Dataset[VariantMatch] = {
+    val withinUs = specs.head.withinUs.getOrElse(
+      throw new IllegalArgumentException("detectStreamMultiWithTimeout requires withinUs"))
+    implicit val vmEnc: Encoder[VariantMatch] = Encoders.product[VariantMatch]
+    implicit val msEnc: Encoder[MultiNfaState] = Encoders.product[MultiNfaState]
+    val withTime = ds.toDF()
+      .withColumn("eventTime", timestamp_micros(col("tsUs")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[CepEvent](evEnc)
+    def emptyStates = MultiNfaState(specs.map(_ => NfaState(Nil, done = false)))
+    def latched(sts: Seq[NfaState]): Boolean =
+      sts.zip(specs).exists { case (s, spec) => s.done && !spec.every }
+    def schedule(state: GroupState[MultiNfaState], sts: Seq[NfaState]): Unit = {
+      val deadlines = sts.flatMap(_.partials.map(p => ceilMs(p.startUs + withinUs)))
+      if (deadlines.nonEmpty) state.setTimeoutTimestamp(
+        math.max(deadlines.max, state.getCurrentWatermarkMs() + 1))
+    }
+    withTime.groupByKey(_.key).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (_: String, it: Iterator[CepEvent], state: GroupState[MultiNfaState]) =>
+        if (state.hasTimedOut) {
+          // same keep-at-equality rule as the single-spec kernel
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val sts = state.getOption.getOrElse(emptyStates).states.map(s =>
+            s.copy(partials = s.partials.filter(p => p.startUs + withinUs >= wmUs)))
+          if (sts.forall(_.partials.isEmpty) && !latched(sts)) state.remove()
+          else { state.update(MultiNfaState(sts)); schedule(state, sts) }
+          Iterator.empty
+        } else {
+          val evs = it.toSeq.sortBy(e => (e.tsUs, e.eventId))
+          val init = state.getOption.getOrElse(emptyStates)
+          val results = specs.zip(init.states).zipWithIndex.map { case ((spec, s0), vi) =>
+            val (out, s1) = runNfa(evs, s0, spec)
+            (out.map(m => VariantMatch(vi, m.key, m.startUs, m.endUs, m.steps)), s1)
+          }
+          val sts = results.map(_._2)
+          if (sts.forall(_.partials.isEmpty) && !latched(sts)) state.remove()
+          else { state.update(MultiNfaState(sts)); schedule(state, sts) }
+          results.iterator.flatMap(_._1)
+        }
+    }
+  }
 
   /** Streaming detection with watermark-driven state hygiene: partials of
     * idle keys are dropped once the event-time watermark passes their

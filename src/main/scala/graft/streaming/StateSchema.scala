@@ -16,13 +16,16 @@ import org.apache.spark.sql.SparkSession
   *
   * [[Version]] must be bumped on every state-shape change (the bumps so
   * far: round 7 svals carry-through, round 8 svals projection + sort-window
-  * string comparand, round 9 = current). Library users driving the kernels
-  * directly (not through AppRuntime) can call [[guard]] themselves.
+  * string comparand, round 9 checkpointed sources, round 10 = current:
+  * multi-variant patterns consolidate V per-variant NFA kernels into one
+  * MultiNfaState kernel — both the state shape and the stateful-operator
+  * topology changed). Library users driving the kernels directly (not
+  * through AppRuntime) can call [[guard]] themselves.
   */
 object StateSchema {
 
   /** Current state-schema generation of the streaming kernels. */
-  val Version: Int = 9
+  val Version: Int = 10
 
   private val MarkerName = "graft-state-version.json"
 
