@@ -64,39 +64,61 @@ object Graph {
       created ++= sc.getPersistentRDDs.keySet -- before
       out
     }
+    // the normalized edge relation is consumed twice below (degree agg +
+    // degree join), but BOTH consumers exchange it on src inside one plan —
+    // ReuseExchange dedups the scan, so a persist here would only add a
+    // serialize/deserialize pass
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val nodes = e.select(col("src").as("node"))
+    // fold out-degree into the edge relation once; the degree-join output
+    // is already hash-partitioned on src (both join inputs exchange on it),
+    // so persisting it directly keeps the per-iteration rank join
+    // co-located with NO extra repartition pass over the edges
+    val degs = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val eDeg = degs.join(e, "src").persist(MEMORY_AND_DISK)
+    // node spine = the (already distinct, node-sized) degree srcs plus the
+    // dst column — one distinct over ~|E| rows instead of the naive
+    // union-both-columns 2|E| exchange
+    val nodes = degs.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
       .persist(MEMORY_AND_DISK)
-    // fold out-degree into the edge relation once; partition on src so the
-    // per-iteration rank join is a co-located hash join on this side
-    val eDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .join(e, "src")
-      .repartition(col("src"))
-      .persist(MEMORY_AND_DISK)
     val base = scale * (100 - dampingPct) / 100
-    var rank = checkpointTracked(nodes.select(col("node"), lit(scale).as("rank")))
+    // iterations CHAIN LAZILY (plan depth is linear in iters — each round
+    // references the previous rank once and the persisted eDeg/nodes), with
+    // an eager localCheckpoint every few rounds + at the end: enough to
+    // keep lineage flat on long runs without paying one job BARRIER per
+    // iteration (the all-eager variant measured ~1 job-scheduling round
+    // trip per iteration of pure overhead on small graphs — and a typical
+    // 5-10 round run now executes as ONE job).
+    val ckptEvery = 8
+    var rank = nodes.select(col("node"), lit(scale).as("rank"))
     var i = 0
     while (i < iters) {
+      // per-edge contributions UNION a zero row per node, ONE aggregation:
+      // folding the spine into the agg replaces the left-outer re-join
+      // (an extra broadcast + join stage per round) — nodes with no
+      // in-edges still get a row, so sum(c) is never null
       val contrib = eDeg
         .join(rank.select(col("node").as("src"), col("rank")), "src")
         .select(col("dst").as("node"), expr("rank div deg").as("c"))
+      val next = contrib
+        .union(nodes.select(col("node"), lit(0L).as("c")))
         .groupBy("node").agg(sum(col("c")).as("s"))
-      val next = checkpointTracked(nodes
-        .join(contrib, Seq("node"), "left_outer")
         .select(col("node"),
-          (lit(base) + expr(s"($dampingPct * coalesce(s, 0L)) div 100"))
-            .as("rank")))
+          (lit(base) + expr(s"($dampingPct * s) div 100")).as("rank"))
       i += 1
-      rank = next
+      rank = if (i % ckptEvery == 0 && i < iters) checkpointTracked(next) else next
     }
-    nodes.unpersist()
-    eDeg.unpersist()
+    // materialize the final generation FIRST (it is a lazy plan over the
+    // persisted nodes/eDeg), then free the inputs and every intermediate
+    // checkpoint this call created — never foreign persists
     val beforeFinal = sc.getPersistentRDDs.keySet
     val result = rank.select(col("node"), col("rank")).localCheckpoint(true)
     created --= sc.getPersistentRDDs.keySet -- beforeFinal
+    nodes.unpersist()
+    eDeg.unpersist()
+
     created.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist()))
     result
   }

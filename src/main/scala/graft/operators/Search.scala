@@ -65,10 +65,15 @@ object Search {
           col("df") * 1000L <= col("n_docs") * maxDfPermille.toLong)
         .drop("n_docs")
     if (postingsAs == "array")
+      // df = size(posting_ids), NOT count_distinct: a distinct aggregate
+      // next to collect_set plans an Expand (every input row duplicated
+      // per aggregate family) — the set is already being built, so its
+      // size is the distinct count for free, one pass instead of two.
       gated(tok.groupBy(col("token"))
         .agg(count(lit(1)).cast("long").as("tf"),
-          count_distinct(col("doc_id")).cast("long").as("df"),
-          sort_array(collect_set(col("doc_id"))).as("posting_ids")))
+          sort_array(collect_set(col("doc_id"))).as("posting_ids"))
+        .withColumn("df", size(col("posting_ids")).cast("long"))
+        .select(col("token"), col("tf"), col("df"), col("posting_ids")))
     else {
       val w = Window.partitionBy(col("token"))
       gated(tok.groupBy(col("token"), col("doc_id"))

@@ -44,7 +44,7 @@ object GraphQueries extends QueryFamily {
 
   def defs: Seq[QueryDef] = Seq(
 
-    // Fixed-point PageRank, 5 iterations, over the symmetric trading
+    // Fixed-point PageRank, 3 iterations, over the symmetric trading
     // graph. Per iteration the corpus-sized edge relation stays put
     // (persisted partitioned on src); only (node, rank) pairs shuffle.
     QueryDef(
@@ -57,11 +57,11 @@ object GraphQueries extends QueryFamily {
             (col("l_suppkey") + SuppOffset).as("dst"))
           .distinct()
         val sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
-        Graph.pageRank(sym, "src", "dst", iters = 5)
+        Graph.pageRank(sym, "src", "dst", iters = 3)
           .select(col("node"), col("rank").as("pr"))
           .orderBy(col("node"))
       },
-      Some(pageRankSql(iters = 5, dampingPct = 85, scale = 1000000000L))),
+      Some(pageRankSql(iters = 3, dampingPct = 85, scale = 1000000000L))),
 
     // Degree table over the DIRECTED trading graph (customers point at
     // the suppliers they buy from): out-degree = distinct suppliers per
