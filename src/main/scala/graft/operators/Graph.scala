@@ -123,6 +123,80 @@ object Graph {
     result
   }
 
+  /** TrustRank — personalized PageRank with the teleport mass restricted
+    * to a SEED set of trusted nodes (Gyöngyi et al., VLDB 2004): the spam-
+    * demotion sibling of [[pageRank]]. Rank flows outward from hand-vetted
+    * hosts; link farms far from any seed converge to ~0 instead of the
+    * uniform base, which is exactly the gap spam exploits in plain
+    * PageRank.
+    *
+    * Same exact fixed-point arithmetic and iteration shape as
+    * [[pageRank]]; the only change is the base term — `base` for seed
+    * nodes, 0 otherwise — and a seed-biased start vector (`scale` on
+    * seeds, 0 elsewhere). Seeds are a node-sized relation (hand-curated
+    * lists are thousands of rows): they broadcast into the spine join and
+    * add nothing to the per-iteration exchanges.
+    */
+  def trustRank(edges: DataFrame, srcCol: String, dstCol: String,
+                seeds: DataFrame, seedCol: String,
+                iters: Int, dampingPct: Int = 85,
+                scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampingPct >= 0 && dampingPct < 100,
+      s"dampingPct must be in [0,100) — at 100 no trust mass is ever " +
+        s"injected and every rank is 0; got $dampingPct")
+    require(scale > 0, s"scale must be positive, got $scale")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sc = edges.sparkSession.sparkContext
+    val created = scala.collection.mutable.Set.empty[Int]
+    def checkpointTracked(df: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      created ++= sc.getPersistentRDDs.keySet -- before
+      out
+    }
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val degs = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val eDeg = degs.join(e, "src").persist(MEMORY_AND_DISK)
+    val seedSet = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+    // spine carries the per-node base term: seed → base, non-seed → 0
+    val base = scale * (100 - dampingPct) / 100
+    val nodes = degs.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .join(broadcast(seedSet.withColumn("__seed", lit(true))), Seq("node"), "left_outer")
+      .select(col("node"),
+        when(col("__seed"), lit(base)).otherwise(lit(0L)).as("node_base"))
+      .persist(MEMORY_AND_DISK)
+    val ckptEvery = 8
+    var rank = nodes.select(col("node"),
+      when(col("node_base") > 0L, lit(scale)).otherwise(lit(0L)).as("rank"))
+    var i = 0
+    while (i < iters) {
+      // spine rows carry the per-node base as a second aggregated column
+      // (contrib rows carry 0), so base re-attachment costs no extra join
+      val contrib = eDeg
+        .join(rank.select(col("node").as("src"), col("rank")), "src")
+        .select(col("dst").as("node"), expr("rank div deg").as("c"),
+          lit(0L).as("b"))
+      val next = contrib
+        .union(nodes.select(col("node"), lit(0L).as("c"), col("node_base").as("b")))
+        .groupBy("node").agg(sum(col("c")).as("s"), sum(col("b")).as("b"))
+        .select(col("node"),
+          (col("b") + expr(s"($dampingPct * s) div 100")).as("rank"))
+      i += 1
+      rank = if (i % ckptEvery == 0 && i < iters) checkpointTracked(next) else next
+    }
+    val beforeFinal = sc.getPersistentRDDs.keySet
+    val result = rank.select(col("node"), col("rank")).localCheckpoint(true)
+    created --= sc.getPersistentRDDs.keySet -- beforeFinal
+    nodes.unpersist()
+    eDeg.unpersist()
+    created.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist()))
+    result
+  }
+
   /** Degree table for an edge relation: out-degree, in-degree, and total
     * per node (nodes missing from a side count 0). One aggregation per
     * direction over the narrow key columns — text/payloads never shuffle.

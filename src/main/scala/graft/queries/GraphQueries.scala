@@ -42,6 +42,38 @@ object GraphQueries extends QueryFamily {
     head + iterCtes + s"\nSELECT node, pr FROM r$iters ORDER BY node"
   }
 
+  /** Unrolled-CTE oracle for trustRank: same skeleton as [[pageRankSql]]
+    * with a seed-conditional base term and a seed-biased start vector. */
+  private def trustRankSql(iters: Int, dampingPct: Int, scale: Long): String = {
+    val base = scale * (100 - dampingPct) / 100
+    val head =
+      s"""WITH raw AS (
+         |  SELECT DISTINCT o_custkey AS src, l_suppkey + $SuppOffset AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT src, dst FROM raw
+         |      UNION ALL SELECT dst AS src, src AS dst FROM raw),
+         |nodes0 AS (SELECT DISTINCT src AS node FROM e),
+         |seeds AS (SELECT DISTINCT c_custkey AS node FROM customer
+         |          WHERE c_custkey % 50 = 0),
+         |nodes AS (SELECT n.node,
+         |    CASE WHEN s.node IS NOT NULL THEN $base ELSE 0 END AS node_base
+         |  FROM nodes0 n LEFT JOIN seeds s ON n.node = s.node),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT node,
+         |    CASE WHEN node_base > 0 THEN $scale ELSE 0 END AS pr FROM nodes)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s""",
+         |r$i AS (
+         |  SELECT n.node, n.node_base + ($dampingPct * coalesce(s.s, 0)) // 100 AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.pr // d.deg)::BIGINT AS s
+         |    FROM e JOIN r${i - 1} r ON e.src = r.node
+         |           JOIN deg d ON e.src = d.src
+         |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+    }.mkString
+    head + iterCtes + s"\nSELECT node, pr FROM r$iters ORDER BY node"
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Fixed-point PageRank, 3 iterations, over the symmetric trading
@@ -62,6 +94,28 @@ object GraphQueries extends QueryFamily {
           .orderBy(col("node"))
       },
       Some(pageRankSql(iters = 3, dampingPct = 85, scale = 1000000000L))),
+
+    // TrustRank: teleport mass restricted to a vetted seed set (every
+    // 50th customer stands in for the hand-curated trust list) — link
+    // farms far from any seed converge to ~0 instead of the uniform base.
+    QueryDef(
+      "q_graph_trustrank",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val raw = o.join(li, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + SuppOffset).as("dst"))
+          .distinct()
+        val sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = Tables(s, dir, "customer")
+          .filter(col("c_custkey") % 50 === 0)
+          .select(col("c_custkey"))
+        Graph.trustRank(sym, "src", "dst", seeds, "c_custkey", iters = 3)
+          .select(col("node"), col("rank").as("pr"))
+          .orderBy(col("node"))
+      },
+      Some(trustRankSql(iters = 3, dampingPct = 85, scale = 1000000000L))),
 
     // Degree table over the DIRECTED trading graph (customers point at
     // the suppliers they buy from): out-degree = distinct suppliers per

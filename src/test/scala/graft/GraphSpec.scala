@@ -64,6 +64,28 @@ class GraphSpec extends AnyFunSuite {
     assert(total == 3000000L) // deg=1 everywhere: div is exact, zero leak
   }
 
+  test("trustRank injects mass only at seeds; far nodes stay at zero") {
+    // chain 1→2→3→4; seed {1}; scale 1e6, damping 85 ⇒ base 150000.
+    // r0 = (1e6, 0, 0, 0)
+    // r1: contrib(2)=1e6; r1 = (150000, 850000, 0, 0)
+    // r2: contrib(2)=150000, contrib(3)=850000;
+    //     r2 = (150000, 127500, 722500, 0)   — node 4 still untouched
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("s")
+    val r2 = graft.operators.Graph.trustRank(chain, "src", "dst", seeds, "s",
+        iters = 2, dampingPct = 85, scale = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 150000L, 2L -> 127500L, 3L -> 722500L, 4L -> 0L))
+    // seeds not present in the graph are ignored, not invented as nodes
+    val phantom = Seq(Tuple1(99L)).toDF("s")
+    val rp = graft.operators.Graph.trustRank(chain, "src", "dst", phantom, "s",
+        iters = 1, dampingPct = 85, scale = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rp == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    intercept[IllegalArgumentException](graft.operators.Graph.trustRank(
+      chain, "src", "dst", seeds, "s", iters = 1, dampingPct = 100))
+  }
+
   test("degrees counts both directions with zero-filled missing sides") {
     val d = Graph.degrees(triangle, "src", "dst")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
