@@ -76,11 +76,11 @@ object Graph {
     // co-located with NO extra repartition pass over the edges
     val degs = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val eDeg = degs.join(e, "src").persist(MEMORY_AND_DISK)
-    // node spine = the (already distinct, node-sized) degree srcs plus the
-    // dst column — one distinct over ~|E| rows instead of the naive
-    // union-both-columns 2|E| exchange
-    val nodes = degs.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+    // node spine from the PERSISTED degree relation — deriving it from
+    // `e` would re-execute the caller's (unpersisted, often join-shaped)
+    // edge plan a second time
+    val nodes = eDeg.select(col("src").as("node"))
+      .union(eDeg.select(col("dst").as("node")))
       .distinct()
       .persist(MEMORY_AND_DISK)
     val base = scale * (100 - dampingPct) / 100
@@ -160,10 +160,12 @@ object Graph {
     val degs = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val eDeg = degs.join(e, "src").persist(MEMORY_AND_DISK)
     val seedSet = seeds.select(col(seedCol).cast("long").as("node")).distinct()
-    // spine carries the per-node base term: seed → base, non-seed → 0
+    // spine carries the per-node base term: seed → base, non-seed → 0;
+    // derived from the PERSISTED degree relation so the caller's edge
+    // plan executes once (see pageRank)
     val base = scale * (100 - dampingPct) / 100
-    val nodes = degs.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+    val nodes = eDeg.select(col("src").as("node"))
+      .union(eDeg.select(col("dst").as("node")))
       .distinct()
       .join(broadcast(seedSet.withColumn("__seed", lit(true))), Seq("node"), "left_outer")
       .select(col("node"),

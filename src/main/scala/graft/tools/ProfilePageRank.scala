@@ -45,6 +45,48 @@ object ProfilePageRank {
       t(s"pageRank-iters-$it")(Graph.pageRank(edges(), "src", "dst", it)
         .write.format("noop").mode("overwrite").save())
     }
+
+    // manual phase replication of the operator internals
+    {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val e = edges()
+      val degs = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      val eDeg = degs.join(e, "src").persist(MEMORY_AND_DISK)
+      t("phase-eDeg-materialize")(println("eDeg rows " + eDeg.count()))
+      val nodes = degs.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct().persist(MEMORY_AND_DISK)
+      t("phase-nodes-materialize")(println("nodes " + nodes.count()))
+      var rank = nodes.select(col("node"), lit(1000000000L).as("rank"))
+      t("phase-3-iters-lazy") {
+        var i = 0
+        while (i < 3) {
+          val contrib = eDeg
+            .join(rank.select(col("node").as("src"), col("rank")), "src")
+            .select(col("dst").as("node"), expr("rank div deg").as("c"))
+          rank = contrib.union(nodes.select(col("node"), lit(0L).as("c")))
+            .groupBy("node").agg(sum(col("c")).as("s"))
+            .select(col("node"), (lit(150000000L) + expr("(85 * s) div 100")).as("rank"))
+          i += 1
+        }
+        rank.write.format("noop").mode("overwrite").save()
+      }
+      t("phase-final-checkpoint")(rank.localCheckpoint(true))
+      var rank2 = nodes.select(col("node"), lit(1000000000L).as("rank"))
+      t("phase-3-iters-bcast") {
+        var i = 0
+        while (i < 3) {
+          val contrib = eDeg
+            .join(broadcast(rank2.select(col("node").as("src"), col("rank"))), "src")
+            .select(col("dst").as("node"), expr("rank div deg").as("c"))
+          rank2 = contrib.union(nodes.select(col("node"), lit(0L).as("c")))
+            .groupBy("node").agg(sum(col("c")).as("s"))
+            .select(col("node"), (lit(150000000L) + expr("(85 * s) div 100")).as("rank"))
+          i += 1
+        }
+        rank2.write.format("noop").mode("overwrite").save()
+      }
+      nodes.unpersist(); eDeg.unpersist()
+    }
     spark.stop()
   }
 }
