@@ -95,6 +95,63 @@ class GraphSpec extends AnyFunSuite {
       3L -> ((0L, 1L, 1L))))
   }
 
+  /** Naive single-machine fixed-point PageRank — the independent reference
+    * the distributed operator is property-checked against. */
+  private def naivePageRank(edges: Seq[(Long, Long)], iters: Int,
+                            dampingPct: Int, scale: Long,
+                            seeds: Option[Set[Long]] = None): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val base = scale * (100 - dampingPct) / 100
+    val baseOf: Long => Long = seeds match {
+      case Some(ss) => v => if (ss(v)) base else 0L
+      case None     => _ => base
+    }
+    var rank: Map[Long, Long] = seeds match {
+      case Some(ss) => nodes.map(v => v -> (if (ss(v)) scale else 0L)).toMap
+      case None     => nodes.map(_ -> scale).toMap
+    }
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => rank(s) / deg(s) }.sum
+      }
+      rank = nodes.map(v =>
+        v -> (baseOf(v) + dampingPct * contrib.getOrElse(v, 0L) / 100)).toMap
+    }
+    rank
+  }
+
+  test("pageRank/trustRank match the naive reference on random graphs (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genGraph = for {
+      nNodes <- Gen.choose(2, 12)
+      nEdges <- Gen.choose(1, 30)
+      es <- Gen.listOfN(nEdges,
+        Gen.zip(Gen.choose(0L, nNodes - 1L), Gen.choose(0L, nNodes - 1L)))
+      iters <- Gen.choose(0, 4)
+      seedBits <- Gen.listOfN(nNodes, Gen.oneOf(true, false))
+    } yield (es.distinct, iters, seedBits.zipWithIndex.collect { case (true, i) => i.toLong }.toSet)
+    val prop = Prop.forAll(genGraph) { case (es, iters, seedSet) =>
+      val edf = es.toDF("src", "dst")
+      val got = graft.operators.Graph.pageRank(edf, "src", "dst", iters,
+          dampingPct = 85, scale = 1000000L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = naivePageRank(es, iters, 85, 1000000L)
+      val trustOk = if (seedSet.isEmpty) true else {
+        val sdf = seedSet.toSeq.toDF("s")
+        val gotT = graft.operators.Graph.trustRank(edf, "src", "dst", sdf, "s",
+            iters, dampingPct = 85, scale = 1000000L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val nodeSet = (es.map(_._1) ++ es.map(_._2)).toSet
+        gotT == naivePageRank(es, iters, 85, 1000000L,
+          seeds = Some(seedSet.intersect(nodeSet)))
+      }
+      got == want && trustOk
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.mkString("|")).sorted.toSeq
 
