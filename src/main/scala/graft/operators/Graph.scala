@@ -34,6 +34,12 @@ object Graph {
     *    exactness matters more here than the stochastic-matrix purity.
     *  - duplicate edges count multiply (they are parallel edges); callers
     *    wanting simple-graph semantics pass `edges.distinct()`.
+    *  - `weightCol` makes edges weighted: a node's out-mass splits
+    *    proportionally — contribution = `(rank div sum_out_weight) * w`,
+    *    the per-unit-weight share times the edge weight. With all weights
+    *    1 this is EXACTLY the unweighted formula, and since `w <=
+    *    sum_out_weight` every operand stays within the unweighted BIGINT
+    *    bound (no `rank*w` blowup). Weights must be positive.
     *
     * Scale shape: the edge relation is joined with the per-source degree
     * ONCE and persisted hash-partitioned on `src` — iterations then shuffle
@@ -50,7 +56,8 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, dampingPct: Int = 85,
-               scale: Long = 1000000000L): DataFrame = {
+               scale: Long = 1000000000L,
+               weightCol: Option[String] = None): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
@@ -69,12 +76,14 @@ object Graph {
     // ReuseExchange dedups the scan, so a persist here would only add a
     // serialize/deserialize pass
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
-    // fold out-degree into the edge relation once; the degree-join output
-    // is already hash-partitioned on src (both join inputs exchange on it),
-    // so persisting it directly keeps the per-iteration rank join
-    // co-located with NO extra repartition pass over the edges
-    val degs = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      col(dstCol).cast("long").as("dst"),
+      weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L)).as("w"))
+    // fold out-degree (sum of out-weights; plain count when unweighted)
+    // into the edge relation once; the degree-join output is already
+    // hash-partitioned on src (both join inputs exchange on it), so
+    // persisting it directly keeps the per-iteration rank join co-located
+    // with NO extra repartition pass over the edges
+    val degs = e.groupBy("src").agg(sum(col("w")).as("deg"))
     val eDeg = degs.join(e, "src").persist(MEMORY_AND_DISK)
     // node spine from the PERSISTED degree relation — deriving it from
     // `e` would re-execute the caller's (unpersisted, often join-shaped)
@@ -101,7 +110,7 @@ object Graph {
       // in-edges still get a row, so sum(c) is never null
       val contrib = eDeg
         .join(rank.select(col("node").as("src"), col("rank")), "src")
-        .select(col("dst").as("node"), expr("rank div deg").as("c"))
+        .select(col("dst").as("node"), expr("(rank div deg) * w").as("c"))
       val next = contrib
         .union(nodes.select(col("node"), lit(0L).as("c")))
         .groupBy("node").agg(sum(col("c")).as("s"))
@@ -135,12 +144,14 @@ object Graph {
     * nodes, 0 otherwise — and a seed-biased start vector (`scale` on
     * seeds, 0 elsewhere). Seeds are a node-sized relation (hand-curated
     * lists are thousands of rows): they broadcast into the spine join and
-    * add nothing to the per-iteration exchanges.
+    * add nothing to the per-iteration exchanges. `weightCol` weights the
+    * propagation exactly as in [[pageRank]].
     */
   def trustRank(edges: DataFrame, srcCol: String, dstCol: String,
                 seeds: DataFrame, seedCol: String,
                 iters: Int, dampingPct: Int = 85,
-                scale: Long = 1000000000L): DataFrame = {
+                scale: Long = 1000000000L,
+                weightCol: Option[String] = None): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dampingPct >= 0 && dampingPct < 100,
       s"dampingPct must be in [0,100) — at 100 no trust mass is ever " +
@@ -156,8 +167,9 @@ object Graph {
       out
     }
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
-    val degs = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      col(dstCol).cast("long").as("dst"),
+      weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L)).as("w"))
+    val degs = e.groupBy("src").agg(sum(col("w")).as("deg"))
     val eDeg = degs.join(e, "src").persist(MEMORY_AND_DISK)
     val seedSet = seeds.select(col(seedCol).cast("long").as("node")).distinct()
     // spine carries the per-node base term: seed → base, non-seed → 0;
@@ -180,7 +192,7 @@ object Graph {
       // (contrib rows carry 0), so base re-attachment costs no extra join
       val contrib = eDeg
         .join(rank.select(col("node").as("src"), col("rank")), "src")
-        .select(col("dst").as("node"), expr("rank div deg").as("c"),
+        .select(col("dst").as("node"), expr("(rank div deg) * w").as("c"),
           lit(0L).as("b"))
       val next = contrib
         .union(nodes.select(col("node"), lit(0L).as("c"), col("node_base").as("b")))

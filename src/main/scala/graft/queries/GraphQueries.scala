@@ -95,6 +95,52 @@ object GraphQueries extends QueryFamily {
       },
       Some(pageRankSql(iters = 3, dampingPct = 85, scale = 1000000000L))),
 
+    // WEIGHTED PageRank on the custkey<=2000 subgraph: edge weight =
+    // (customer, supplier) pair multiplicity, so heavy trading relations
+    // carry proportionally more rank. 2 iterations, exact integer replay.
+    QueryDef(
+      "q_graph_pagerank_w",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+          .filter(col("o_custkey") <= 2000)
+          .select(col("o_orderkey"), col("o_custkey"))
+        val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val raw = o.join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey").as("src"),
+            (col("l_suppkey") + SuppOffset).as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val sym = raw.union(
+          raw.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        Graph.pageRank(sym, "src", "dst", iters = 2, weightCol = Some("w"))
+          .select(col("node"), col("rank").as("pr"))
+          .orderBy(col("node"))
+      },
+      Some {
+        val base = 150000000L
+        val head =
+          s"""WITH raw AS (
+             |  SELECT o_custkey AS src, l_suppkey + $SuppOffset AS dst,
+             |    count(*)::BIGINT AS w
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |  WHERE o_custkey <= 2000 GROUP BY 1, 2),
+             |e AS (SELECT src, dst, w FROM raw
+             |      UNION ALL SELECT dst AS src, src AS dst, w FROM raw),
+             |nodes AS (SELECT DISTINCT src AS node FROM e),
+             |deg AS (SELECT src, sum(w)::BIGINT AS deg FROM e GROUP BY src),
+             |r0 AS (SELECT node, 1000000000 AS pr FROM nodes)""".stripMargin
+        val iterCtes = (1 to 2).map { i =>
+          s""",
+             |r$i AS (
+             |  SELECT n.node, $base + (85 * coalesce(s.s, 0)) // 100 AS pr
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.dst AS node, sum((r.pr // d.deg) * e.w)::BIGINT AS s
+             |    FROM e JOIN r${i - 1} r ON e.src = r.node
+             |           JOIN deg d ON e.src = d.src
+             |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+        }.mkString
+        head + iterCtes + "\nSELECT node, pr FROM r2 ORDER BY node"
+      }),
+
     // TrustRank: teleport mass restricted to a vetted seed set (every
     // 50th customer stands in for the hand-curated trust list) — link
     // farms far from any seed converge to ~0 instead of the uniform base.

@@ -64,6 +64,28 @@ class GraphSpec extends AnyFunSuite {
     assert(total == 3000000L) // deg=1 everywhere: div is exact, zero leak
   }
 
+  test("weighted pageRank splits out-mass proportionally to edge weight") {
+    // 1→2 w=3, 1→3 w=1, 2→1 w=2; scale 1e6, damping 85 ⇒ base 150000.
+    // deg(1)=4, deg(2)=2. iter1: share(1)=250000 ⇒ contrib(2)=750000,
+    // contrib(3)=250000; share(2)=500000 ⇒ contrib(1)=1000000.
+    // r1 = (1000000, 787500, 362500)
+    val wEdges = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 2L))
+      .toDF("src", "dst", "w")
+    val r1 = graft.operators.Graph.pageRank(wEdges, "src", "dst", iters = 1,
+        dampingPct = 85, scale = 1000000L, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 1000000L, 2L -> 787500L, 3L -> 362500L))
+    // all-ones weights ≡ the unweighted path, bit for bit
+    val ones = triangle.withColumn("w", lit(1L))
+    val a = graft.operators.Graph.pageRank(ones, "src", "dst", iters = 3,
+        scale = 1000000L, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = graft.operators.Graph.pageRank(triangle, "src", "dst", iters = 3,
+        scale = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("trustRank injects mass only at seeds; far nodes stay at zero") {
     // chain 1→2→3→4; seed {1}; scale 1e6, damping 85 ⇒ base 150000.
     // r0 = (1e6, 0, 0, 0)
