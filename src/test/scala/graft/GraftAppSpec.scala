@@ -366,6 +366,24 @@ class GraftAppSpec extends AnyFunSuite {
     assert(byName("PagerAlerts").options("url").startsWith("https://"))
   }
 
+  test("examples/round10_demo.sql parses: round-10 SQL surface") {
+    val app = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/round10_demo.sql")))
+    val spec = GraftApp.parse(app)
+    // every construct present: OUTPUT rate, cron window, partition block,
+    // A*/AND patterns, USING/NATURAL joins, SELECT-form aggregation,
+    // ad-hoc subscription
+    assert(spec.streams.contains("stockStream"))
+    val outNames = (spec.queries.map(_.target) ++ spec.patterns.map(_.target) ++
+      spec.stmts.collect { case GraftApp.AggQueryStmt(q) => q }.map(_.target)).toSet
+    for (o <- Seq("outputStream", "tickerStream", "minuteRoll",
+        "calmThenSpike", "tripleConfirm", "enriched", "enrichedNatural",
+        "hourly"))
+      assert(outNames.contains(o), s"missing query output $o")
+    assert(outNames.exists(_.startsWith("__adhoc")), "ad-hoc SELECT missing")
+    assert(spec.aggs.contains("StockAgg"))
+  }
+
   test("runTracked cleanup unpersists the pattern ordering cache") {
     val app =
       """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING);
