@@ -134,30 +134,22 @@ object ConnectorQueries extends QueryFamily {
     // — Snapshot emits the WHOLE current state each interval, not just the
     // interval's events): batch result-level form — at every 6h tick, each
     // key's cumulative state (count, sum, latest event) at-or-before that
-    // tick. Scale path: per-(key, tick) last state, then forward-fill over
-    // the key×tick grid — linear in events + keys×ticks (the output size
-    // snapshot semantics inherently require); no per-tick rescan.
+    // tick. Scale path: one hash-agg collapses events to per-(key, tick)
+    // partials (NO per-event sort — cumulative state is only observed at
+    // bucket boundaries, so it can be rebuilt from bucket partials), then
+    // cumulative windows over the keys×ticks grid — linear in events +
+    // keys×ticks (the output size snapshot semantics inherently require).
     QueryDef(
       "q_rate_snapshot",
       (s, dir) => {
         val tickUs = 6L * 3600000000L
-        // cumulative state ordered by EVENT TIME (tie-broken by event_id) —
-        // not by event_id alone, which would silently assume per-user ids
-        // are monotone in ts. Ordered by (tus, id), the bucket-final run_sum is
-        // the sum of every event in ticks <= this one by construction
-        // (later ticks have strictly later ts), with no id↔ts contract.
         val e = Tables(s, dir, "events")
           .select(col("user_id"), col("event_id"), col("value"),
-            expr("unix_micros(ts)").as("tus"),
             expr(s"unix_micros(ts) div $tickUs").as("ti"))
-        val wCum = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
-        val cum = e
-          .withColumn("run_n", count(lit(1)).over(wCum))
-          .withColumn("run_sum", sum(col("value")).over(wCum))
-        val perBucket = cum.groupBy(col("user_id"), col("ti"))
+        val perBucket = e.groupBy(col("user_id"), col("ti"))
           .agg(max(col("event_id")).as("b_last"),
-            max_by(col("run_sum"), struct(col("tus"), col("event_id"))).as("b_sum"),
-            max(col("run_n")).as("b_n"))
+            sum(col("value")).as("b_sum"),
+            count(lit(1)).as("b_n"))
         val ticks = e.agg(min(col("ti")).as("t0"), max(col("ti")).as("t1"))
           .select(explode(sequence(col("t0"), col("t1"))).as("ti"))
         val grid = e.select(col("user_id")).distinct().crossJoin(broadcast(ticks))
@@ -166,10 +158,12 @@ object ConnectorQueries extends QueryFamily {
           .select(col("user_id"), col("ti"),
             // running max, not forward-fill: the oracle's last_id is
             // max(event_id) over ALL ticks <= t, which an earlier bucket
-            // may own when ids are not ts-monotone
+            // may own when ids are not ts-monotone; sum/count windows
+            // ignore the grid's NULL gap rows, so cumulative state falls
+            // out of the same pass with no forward-fill step
             max(col("b_last")).over(wFill).as("last_id"),
-            last(col("b_sum"), ignoreNulls = true).over(wFill).as("sum_raw"),
-            last(col("b_n"), ignoreNulls = true).over(wFill).as("n_events"))
+            sum(col("b_sum")).over(wFill).as("sum_raw"),
+            sum(col("b_n")).over(wFill).as("n_events"))
           .filter(col("last_id").isNotNull) // keys with no state yet emit nothing
           .select(col("ti").as("tick"), col("user_id"), col("n_events"),
             round(col("sum_raw"), 2).as("sum_value"), col("last_id"))
