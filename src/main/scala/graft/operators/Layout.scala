@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout (beyond-reference lakehouse operator):
+  * Z-order (Morton) clustering so parquet row-group / file min-max stats
+  * stay tight on EVERY clustered dimension at once, not just the leading
+  * sort key — the standard trick behind multi-dimensional data skipping.
+  *
+  * At 100 TB this is a write-path operator: `zorderBy` range-partitions on
+  * the interleaved key and sorts within partitions, so the writer emits
+  * files whose (dim1, dim2, …) bounding boxes are small; a reader's
+  * two-sided predicate then prunes most files from the parquet footer
+  * stats alone. Everything is integer bit arithmetic inside whole-stage
+  * codegen — no UDF, no driver state; the only exchange is the range
+  * partitioner's (which any global layout necessarily pays once).
+  */
+object Layout {
+
+  /** Interleaved-bit (Morton) key over already-bucketed dimension columns.
+    * Each input must be a non-negative integer in [0, 2^bits); dimension j
+    * contributes its bit i to output bit `i * n + j` (LSB-first round-robin
+    * interleave). `n * bits` must fit a signed long. The expansion is a
+    * static tree of shift/and/add terms over disjoint bit positions —
+    * codegen-friendly, constant-folded per row.
+    */
+  def zValue(dims: Seq[Column], bits: Int): Column = {
+    val n = dims.size
+    require(n >= 1 && bits >= 1 && n * bits <= 63,
+      s"zValue needs 1+ dims and n*bits <= 63 (got n=$n bits=$bits)")
+    val terms = for {
+      i <- 0 until bits
+      (d, j) <- dims.zipWithIndex
+    } yield shiftleft(shiftright(d.cast("long"), i).bitwiseAND(lit(1L)), i * n + j)
+    terms.reduce(_ + _) // disjoint bit positions: + is |
+  }
+
+  /** Scale a non-negative integer column onto [0, 2^bits) given its
+    * (exclusive) upper bound — integer arithmetic only, so any engine
+    * replays the bucketing exactly. For unbounded/skewed domains compute
+    * the bound once (1-row aggregate) or rank-bucket upstream.
+    */
+  def scaleBucket(c: Column, bound: Column, bits: Int): Column =
+    call_function("div", c.cast("long") * lit(1L << bits), bound.cast("long"))
+
+  /** Layout prep for a Z-ordered write: cluster rows by the interleaved key
+    * so downstream `write.parquet` emits multi-dim-tight files. `buckets`
+    * bounds output file count; ordering inside each range partition makes
+    * row-group stats tight too.
+    */
+  def zorderBy(df: DataFrame, zkey: Column, buckets: Int): DataFrame =
+    df.withColumn("_zkey", zkey)
+      .repartitionByRange(buckets, col("_zkey"))
+      .sortWithinPartitions(col("_zkey"))
+      .drop("_zkey")
+}

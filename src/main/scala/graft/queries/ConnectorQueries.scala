@@ -243,8 +243,60 @@ object ConnectorQueries extends QueryFamily {
              |  FROM documents WHERE doc_id < 200)
              |SELECT "partition", CAST(off AS BIGINT) AS "offset", doc_id, lang,
              |  CAST(n_chars AS BIGINT) AS n_chars
-             |FROM s ORDER BY doc_id""".stripMargin))
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // File connector, CSV format (reference M4 "file" is planned-only,
+    // MILESTONES.md:189-206): Spark's own file sink writes a gzip'd
+    // header'd multi-part CSV directory, the file source reads it back
+    // with an explicit schema — the full write→read round trip, checked
+    // against the original parquet rows. Doubles survive via shortest
+    // round-trip formatting; quoting handles any delimiter in the data.
+    QueryDef(
+      "q_file_csv",
+      (s, dir) => {
+        val path = FileStage.stage(s, dir, "csv")
+        s.read.schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+          .option("header", "true").csv(path)
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, event_type, value
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // File connector, JSONL format: jsonl.gz directory written by the file
+    // sink, read back schema-first (absent keys → NULL, the JSON-mapper
+    // null contract) — same parquet oracle.
+    QueryDef(
+      "q_file_jsonl",
+      (s, dir) => {
+        val path = FileStage.stage(s, dir, "json")
+        s.read.schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+          .json(path)
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, event_type, value
+             |FROM events ORDER BY event_id""".stripMargin))
   )
+
+  /** Stages the `events` projection as a compressed CSV/JSONL directory
+    * once per (JVM, sfDir, format) — the write half of the file-connector
+    * round trip. Multi-part on purpose: the read side must reassemble a
+    * directory of part files, exactly like a distributed writer's output.
+    */
+  private object FileStage {
+    private val staged = scala.collection.concurrent.TrieMap.empty[String, String]
+    def stage(s: org.apache.spark.sql.SparkSession, dir: String,
+              format: String): String =
+      staged.getOrElseUpdate(s"$dir|$format", {
+        val path = java.nio.file.Files
+          .createTempDirectory(s"graft-file-$format").toString
+        val w = Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").option("compression", "gzip")
+        (if (format == "csv") w.option("header", "true") else w)
+          .format(format).save(path)
+        path
+      })
+  }
 
   /** One embedded broker per (JVM, sfDir), seeded with the doc_id < 200
     * slice of `documents` as csv lines, partitioned by doc_id % 4 in

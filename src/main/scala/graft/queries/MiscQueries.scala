@@ -153,6 +153,47 @@ object MiscQueries extends QueryFamily {
              |  FROM lineitem WHERE l_suppkey <= 20
              |  WINDOW w AS (PARTITION BY l_suppkey
              |               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber))
-             |WHERE rn <= 5 ORDER BY l_suppkey, rn""".stripMargin))
+             |WHERE rn <= 5 ORDER BY l_suppkey, rn""".stripMargin)),
+
+    // Z-order (Morton) layout key (Layout.zValue): events bucketed onto an
+    // 8-bit × 8-bit (user, value) grid, bit-interleaved, grouped into
+    // 64-key blocks (≈ files of a z-ordered write). The per-block min/max
+    // spans demonstrate the property the layout exists for: every block's
+    // bounding box is tight on BOTH dimensions, so a reader's two-sided
+    // predicate prunes from footer stats alone. All-integer arithmetic;
+    // DuckDB replays the interleave bit-for-bit.
+    QueryDef(
+      "q_layout_zorder",
+      (s, dir) => {
+        import graft.operators.Layout
+        val e = Tables(s, dir, "events")
+          .select(col("user_id"), expr("CAST(round(value * 100) AS LONG)").as("vi"))
+        val bounds = e.agg((max(col("user_id")) + 1).as("ub_max"),
+          (max(col("vi")) + 1).as("vi_max"))
+        val b = e.crossJoin(broadcast(bounds))
+          .select(Layout.scaleBucket(col("user_id"), col("ub_max"), 8).as("ub"),
+            Layout.scaleBucket(col("vi"), col("vi_max"), 8).as("vb"))
+        b.withColumn("zkey", Layout.zValue(Seq(col("ub"), col("vb")), 8))
+          .groupBy(shiftright(col("zkey"), 6).as("block"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("ub")).as("u_min"), max(col("ub")).as("u_max"),
+            min(col("vb")).as("v_min"), max(col("vb")).as("v_max"))
+          .orderBy(col("block"))
+      },
+      Some {
+        val terms = (0 until 8).flatMap(i => Seq(
+          s"(((ub >> $i) & 1) << ${2 * i})",
+          s"(((vb >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+        s"""WITH e AS (
+           |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS vi FROM events),
+           |m AS (SELECT max(user_id) + 1 AS ubm, max(vi) + 1 AS vim FROM e),
+           |b AS (SELECT (user_id * 256) // ubm AS ub, (vi * 256) // vim AS vb
+           |      FROM e, m),
+           |z AS (SELECT ub, vb, $terms AS zkey FROM b)
+           |SELECT zkey // 64 AS block, count(*) AS n_rows,
+           |  min(ub) AS u_min, max(ub) AS u_max,
+           |  min(vb) AS v_min, max(vb) AS v_max
+           |FROM z GROUP BY 1 ORDER BY block""".stripMargin
+      })
   )
 }

@@ -1,8 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Rollups, TableOps}
+import graft.operators.{Rollups, Scd, TableOps}
 
 /** Incremental multi-granularity aggregation (§1.1) and keyed-table DML
   * (§2.10) through the real operators, oracle-checked. The rollup queries
@@ -155,6 +156,108 @@ object RollupQueries extends QueryFamily {
       Some("""SELECT event_id, user_id, value FROM events
              |WHERE EXISTS (SELECT 1 FROM customer
              |  WHERE c_custkey = user_id AND c_acctbal > 5000.0)
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // SCD type-2 history built from a change log (Scd.history): each
+    // customer's order-status intervals over time, change-compressed
+    // (re-stating the same status extends the interval). One key exchange
+    // + within-key sort; lag/lead share the window pass.
+    QueryDef(
+      "q_table_scd2",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        Scd.history(o, Seq("o_custkey"), "o_orderdate", "o_orderkey",
+            Seq("o_orderstatus"))
+          .select(col("o_custkey").as("custkey"),
+            col("o_orderstatus").as("status"),
+            date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+            date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
+            col("is_current"))
+          .orderBy(col("custkey"), col("valid_from"), col("valid_to"),
+            col("status"))
+      },
+      Some("""WITH w AS (
+             |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+             |    lag(o_orderstatus) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS prev
+             |  FROM orders),
+             |o AS (SELECT * FROM w WHERE prev IS NULL OR prev <> o_orderstatus),
+             |h AS (
+             |  SELECT o_custkey, o_orderstatus, o_orderdate AS vf,
+             |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS vt
+             |  FROM o)
+             |SELECT o_custkey AS custkey, o_orderstatus AS status,
+             |  strftime(vf, '%Y-%m-%d') AS valid_from,
+             |  strftime(vt, '%Y-%m-%d') AS valid_to,
+             |  vt IS NULL AS is_current
+             |FROM h ORDER BY custkey, valid_from, valid_to, status""".stripMargin)),
+
+    // Incremental SCD2 merge (Scd.merge): the pre-1997 history absorbs one
+    // delta batch (each key's latest post-1997 status, effective at the
+    // cutoff). Unchanged keys' rows pass through untouched — the daily-merge
+    // shape that never rewrites the cold dimension at 100 TB.
+    QueryDef(
+      "q_table_scd2_merge",
+      (s, dir) => {
+        val cutoff = to_timestamp(lit("1997-01-01 00:00:00"))
+        val o = Tables(s, dir, "orders")
+        val dim = Scd.history(o.filter(col("o_orderdate") < cutoff),
+          Seq("o_custkey"), "o_orderdate", "o_orderkey", Seq("o_orderstatus"))
+        val delta = o.filter(col("o_orderdate") >= cutoff)
+          .withColumn("rn", row_number().over(Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)))
+          .filter(col("rn") === 1).select("o_custkey", "o_orderstatus")
+        Scd.merge(dim, delta, Seq("o_custkey"), Seq("o_orderstatus"), cutoff)
+          .select(col("o_custkey").as("custkey"),
+            col("o_orderstatus").as("status"),
+            date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+            date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
+            col("is_current"))
+          .orderBy(col("custkey"), col("valid_from"), col("valid_to"),
+            col("status"), col("is_current"))
+      },
+      Some("""WITH pre AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+             |w AS (
+             |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+             |    lag(o_orderstatus) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS prev
+             |  FROM pre),
+             |o AS (SELECT * FROM w WHERE prev IS NULL OR prev <> o_orderstatus),
+             |dim AS (
+             |  SELECT o_custkey, o_orderstatus, o_orderdate AS vf,
+             |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS vt
+             |  FROM o),
+             |delta AS (
+             |  SELECT o_custkey, o_orderstatus FROM (
+             |    SELECT o_custkey, o_orderstatus, row_number() OVER (
+             |      PARTITION BY o_custkey
+             |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             |    FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+             |  WHERE rn = 1),
+             |changed AS (
+             |  SELECT d.o_custkey, d.o_orderstatus, d.vf, x.o_orderstatus AS new_s
+             |  FROM dim d JOIN delta x ON d.o_custkey = x.o_custkey
+             |  WHERE d.vt IS NULL AND d.o_orderstatus <> x.o_orderstatus),
+             |merged AS (
+             |  SELECT o_custkey, o_orderstatus, vf, vt FROM dim
+             |  WHERE vt IS NOT NULL
+             |    OR o_custkey NOT IN (SELECT o_custkey FROM changed)
+             |  UNION ALL
+             |  SELECT o_custkey, o_orderstatus, vf,
+             |    TIMESTAMP '1997-01-01' FROM changed
+             |  UNION ALL
+             |  SELECT o_custkey, new_s, TIMESTAMP '1997-01-01', NULL FROM changed
+             |  UNION ALL
+             |  SELECT o_custkey, o_orderstatus, TIMESTAMP '1997-01-01', NULL
+             |  FROM delta WHERE o_custkey NOT IN (
+             |    SELECT o_custkey FROM dim WHERE vt IS NULL))
+             |SELECT o_custkey AS custkey, o_orderstatus AS status,
+             |  strftime(vf, '%Y-%m-%d') AS valid_from,
+             |  strftime(vt, '%Y-%m-%d') AS valid_to,
+             |  vt IS NULL AS is_current
+             |FROM merged
+             |ORDER BY custkey, valid_from, valid_to, status, is_current""".stripMargin))
   )
 }

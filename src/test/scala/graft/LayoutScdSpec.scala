@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Layout, Scd}
+
+/** Invariants for the lakehouse layout + temporal-dimension operators:
+  * Z-order tile tightness (the data-skipping property itself) and SCD2
+  * history/merge structural correctness (one current row per key,
+  * non-overlapping contiguous intervals, merge≡rebuild equivalence).
+  */
+class LayoutScdSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // --- Layout -------------------------------------------------------------
+
+  test("zValue: bit interleave matches a Scala reference and is invertible") {
+    def ref(u: Long, v: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | ((u >> i) & 1L) << (2 * i) | ((v >> i) & 1L) << (2 * i + 1)
+      }
+    val pts = for (u <- 0 until 16; v <- 0 until 16) yield (u.toLong, v.toLong)
+    val got = pts.toDF("u", "v")
+      .select(col("u"), col("v"),
+        Layout.zValue(Seq(col("u"), col("v")), 4).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    for ((u, v) <- pts) assert(got((u, v)) == ref(u, v, 4), s"($u,$v)")
+    // bijective on the grid = invertible
+    assert(got.values.toSet.size == pts.size)
+  }
+
+  test("zValue blocks are aligned tiles: every 64-key block spans <= 8x8") {
+    // the data-skipping property: an aligned run of 64 Morton codes covers
+    // exactly one 8x8 tile, so every block's bounding box is tight on BOTH
+    // dimensions (a lexicographic (u,v) sort gives v-span 255 instead)
+    val grid = (for (u <- 0 until 256; v <- 0 until 256) yield (u.toLong, v.toLong))
+      .toDF("u", "v")
+    val spans = grid
+      .select(shiftright(Layout.zValue(Seq(col("u"), col("v")), 8), 6).as("block"),
+        col("u"), col("v"))
+      .groupBy("block")
+      .agg((max("u") - min("u")).as("du"), (max("v") - min("v")).as("dv"))
+      .agg(max("du"), max("dv")).head()
+    assert(spans.getLong(0) == 7 && spans.getLong(1) == 7)
+  }
+
+  test("zValue: rejects bit-width overflow and accepts 3-dim interleave") {
+    intercept[IllegalArgumentException](Layout.zValue(Seq(col("a")), 64))
+    val z = Seq((1L, 2L, 3L)).toDF("a", "b", "c")
+      .select(Layout.zValue(Seq(col("a"), col("b"), col("c")), 2).as("z"))
+      .head().getLong(0)
+    // a=01 → out bit 0; b=10 → out bit 4; c=11 → out bits 2 and 5
+    assert(z == ((1L << 0) | (1L << 4) | (1L << 2) | (1L << 5)))
+  }
+
+  test("zorderBy: partitions are range-disjoint and internally sorted") {
+    val df = (0 until 2048).map(i => ((i * 37) % 256).toLong).toDF("k")
+    val zed = Layout.zorderBy(df, col("k"), 8)
+    val perPart = zed.select("k").rdd.mapPartitionsWithIndex { (pid, it) =>
+      val ks = it.map(_.getLong(0)).toVector
+      if (ks.isEmpty) Iterator.empty
+      else Iterator((pid, ks.min, ks.max, ks == ks.sorted))
+    }.collect().sortBy(_._1)
+    assert(perPart.forall(_._4), "each partition sorted")
+    perPart.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 <= b._2, s"ranges overlap: $a $b")
+      case _ =>
+    }
+  }
+
+  // --- SCD2 ---------------------------------------------------------------
+
+  private def changelog(rows: (Int, Int, String)*) =
+    rows.toDF("k", "t", "s")
+
+  test("history: change compression, tie-break, interval chaining") {
+    val h = Scd.history(
+      changelog((1, 10, "A"), (1, 20, "A"), (1, 30, "B"), (1, 40, "A"),
+        (2, 10, "X"), (3, 5, "Y"), (3, 5, "Z")), // key 3: tie on t, id order
+      Seq("k"), "t", "s", Seq("s"))
+      .orderBy("k", "valid_from")
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        r.getInt(2), Option(r.get(3)), r.getBoolean(4)))
+    assert(h.toSeq == Seq(
+      (1, "A", 10, Some(30), false), // 20 "A" compressed away
+      (1, "B", 30, Some(40), false),
+      (1, "A", 40, None, true),
+      (2, "X", 10, None, true),
+      (3, "Y", 5, Some(5), false), // tie broken by s ("Y" < "Z")
+      (3, "Z", 5, None, true)))
+  }
+
+  test("history invariants on real data: one current row per key, contiguous") {
+    val o = Tables(spark, "/root/testdata/sf0.001", "orders")
+    val h = Scd.history(o, Seq("o_custkey"), "o_orderdate", "o_orderkey",
+      Seq("o_orderstatus")).cache()
+    val perKey = h.groupBy("o_custkey")
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("cur"))
+    assert(perKey.filter(col("cur") =!= 1).isEmpty, "exactly one current row per key")
+    // contiguity: every non-current valid_to equals the next valid_from
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("valid_from")
+    val gaps = h.withColumn("nxt", lead(col("valid_from"), 1).over(w))
+      .filter(col("valid_to").isNotNull && col("valid_to") =!= col("nxt"))
+    assert(gaps.isEmpty, "intervals chain without gaps")
+    h.unpersist()
+  }
+
+  test("merge == rebuild when the delta is the post-cutoff latest state") {
+    // property: history(pre) merged with "latest state per key after cutoff,
+    // effective at cutoff" == history(pre ++ one synthetic change at cutoff)
+    val pre = changelog((1, 10, "A"), (1, 20, "B"), (2, 10, "X"), (4, 1, "Q"))
+    val dim = Scd.history(pre, Seq("k"), "t", "s", Seq("s"))
+    val delta = Seq((1, "C"), (2, "X"), (3, "N")).toDF("k", "s") // 2 is a no-op
+    val merged = Scd.merge(dim, delta, Seq("k"), Seq("s"), lit(100))
+      .orderBy("k", "valid_from")
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        r.getInt(2), Option(r.get(3)), r.getBoolean(4)))
+    val rebuilt = Scd.history(
+      changelog((1, 10, "A"), (1, 20, "B"), (1, 100, "C"),
+        (2, 10, "X"), (2, 100, "X"), // no-op change compresses away
+        (3, 100, "N"), (4, 1, "Q")),
+      Seq("k"), "t", "s", Seq("s"))
+      .orderBy("k", "valid_from")
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        r.getInt(2), Option(r.get(3)), r.getBoolean(4)))
+    assert(merged.toSeq == rebuilt.toSeq)
+    assert(merged.count(_._5) == 4) // one current row per key: 1,2,3,4
+  }
+}
