@@ -61,15 +61,30 @@ object Scd {
     * no-op and the interval simply persists).
     *
     * `delta`: one row per key `(keys…, attrs…)`, all effective at `asOf`.
+    *
+    * Both inputs are consumed more than once (dim: pass-through + close-out
+    * + known-key sides; delta: state join + fresh-key anti), so both are
+    * persisted for the merge — `onPersist` receives each persisted frame so
+    * the caller can unpersist after materializing (the `minHashLsh`
+    * discipline). Without this, `dim` — typically itself a windowed
+    * derivation — would be recomputed up to four times.
     */
-  def merge(dim: DataFrame, delta: DataFrame, keys: Seq[String],
-            attrs: Seq[String], asOf: Column): DataFrame = {
+  def merge(dim0: DataFrame, delta0: DataFrame, keys: Seq[String],
+            attrs: Seq[String], asOf: Column,
+            onPersist: DataFrame => Unit = _ => ()): DataFrame = {
+    val dim = dim0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val delta = delta0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onPersist(dim); onPersist(delta)
     val keyCols = keys.map(col)
     val state = struct(attrs.map(col): _*)
     // current rows of keys the delta touches, with the delta's new state
     val touched = dim.filter(col("is_current"))
       .join(delta.select((keyCols :+ state.as("_new")): _*), keys, "inner")
+    // changed feeds three branches (anti filter, close-out, re-open) —
+    // persist so the state-compare join runs once, not three times
     val changed = touched.filter(state =!= col("_new"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onPersist(changed)
     // 1. untouched rows: closed history passes through whole; current rows
     //    survive unless their key changed (anti join runs on current rows
     //    only — the small side broadcasts for a typical daily delta)

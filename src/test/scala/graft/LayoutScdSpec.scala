@@ -115,6 +115,47 @@ class LayoutScdSpec extends AnyFunSuite {
     h.unpersist()
   }
 
+  test("streaming foreachBatch merge maintains the dimension incrementally") {
+    // the production shape: change batches arrive on a stream, each batch
+    // merges into the dimension table; after N batches the table must equal
+    // the one-shot history of the concatenated changelog
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Int, Int, String)] // (k, t, s)
+    var dim = Scd.history(changelog(), Seq("k"), "t", "s", Seq("s"))
+    val q = in.toDS().toDF("k", "t", "s").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect() // test-scale; production keeps it a DF
+        if (rows.nonEmpty) {
+          val asOf = rows.map(_.getInt(1)).max
+          val delta = rows.map(r => (r.getInt(0), r.getString(2))).toSeq
+            .toDF("k", "s")
+          // localCheckpoint: the merged lineage must not re-read this
+          // batch's source after the micro-batch ends
+          dim = Scd.merge(dim, delta, Seq("k"), Seq("s"), lit(asOf))
+            .localCheckpoint()
+        }
+      }
+      .start()
+    try {
+      in.addData((1, 10, "A"), (2, 10, "X")); q.processAllAvailable()
+      in.addData((1, 20, "B"), (3, 20, "N")); q.processAllAvailable()
+      in.addData((1, 30, "A"), (2, 30, "X")); q.processAllAvailable() // 2: no-op
+    } finally q.stop()
+    val got = dim.orderBy("k", "valid_from")
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        r.getInt(2), Option(r.get(3)), r.getBoolean(4)))
+    val want = Scd.history(
+      changelog((1, 10, "A"), (2, 10, "X"), (1, 20, "B"), (3, 20, "N"),
+        (1, 30, "A"), (2, 30, "X")),
+      Seq("k"), "t", "s", Seq("s"))
+      .orderBy("k", "valid_from")
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        r.getInt(2), Option(r.get(3)), r.getBoolean(4)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("merge == rebuild when the delta is the post-cutoff latest state") {
     // property: history(pre) merged with "latest state per key after cutoff,
     // effective at cutoff" == history(pre ++ one synthetic change at cutoff)
