@@ -52,6 +52,33 @@ object Curation {
       .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
   }
 
+  /** Duplicate-n-gram character fraction — the remaining Gopher repetition
+    * gate (`fraction of characters in duplicate n-grams`): per doc, the
+    * share of n-gram characters whose n-gram occurs more than once. Each
+    * occurrence weighs its full character length, so a doc that is one
+    * phrase repeated 50× scores ~1.0 while organic prose stays near 0.
+    * Docs shorter than n tokens have no n-grams → 0.0 (kept, like the
+    * gopherStats bigram convention).
+    *
+    * Scale shape: same as gopherStats — explode to narrow (id, shingle)
+    * rows (the wide text never shuffles), two hash aggregations, integer
+    * sums divided once. Nothing quadratic in document length.
+    */
+  def dupNgramCharFrac(df: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+      explode(TextFns.shingles(col(textCol), n)).as("sh"))
+    val perDoc = sh.groupBy(col("doc_id"), col("sh"))
+      .agg(count(lit(1)).as("c"), max(length(col("sh"))).cast("long").as("l"))
+      .groupBy(col("doc_id"))
+      .agg((sum(when(col("c") > 1, col("c") * col("l")).otherwise(0L)).cast("double")
+        / sum(col("c") * col("l"))).as("dup_ngram_char_frac"))
+    df.select(col(idCol).as("doc_id")).distinct()
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .withColumn("dup_ngram_char_frac",
+        coalesce(col("dup_ngram_char_frac"), lit(0.0)))
+  }
+
   /** PII regexes shared by the Spark and oracle sides: plain RE2-safe
     * alternation-free patterns (no lookarounds, no backrefs) so Java regex
     * and DuckDB's RE2 match identically.

@@ -76,6 +76,39 @@ object CurationQueries extends QueryFamily {
              |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
              |ORDER BY ts.doc_id""".stripMargin)),
 
+    // The remaining Gopher repetition gate: duplicate-3-gram character
+    // fraction (each occurrence of a repeated 3-gram contributes its full
+    // character length). Same explode + two-hash-agg shape as q_text_gopher.
+    QueryDef(
+      "q_text_gopher_rep",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        Curation.dupNgramCharFrac(d, "doc_id", "text", 3)
+          .withColumn("keep", col("dup_ngram_char_frac") < 0.2)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, array_to_string(w[i.i + 1 : i.i + 3], ' ') AS sh
+             |  FROM t CROSS JOIN LATERAL (
+             |    SELECT unnest(range(0, greatest(len(w) - 3, 0) + 1)) AS i) i),
+             |sc AS (
+             |  SELECT doc_id, sh, count(*) AS c, length(sh) AS l
+             |  FROM sh GROUP BY doc_id, sh),
+             |f AS (
+             |  SELECT doc_id,
+             |    CAST(sum(CASE WHEN c > 1 THEN c * l ELSE 0 END) AS DOUBLE)
+             |      / sum(c * l) AS dup_ngram_char_frac
+             |  FROM sc GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  coalesce(dup_ngram_char_frac, 0.0) AS dup_ngram_char_frac,
+             |  coalesce(dup_ngram_char_frac, 0.0) < 0.2 AS keep
+             |FROM (SELECT DISTINCT doc_id FROM documents) d
+             |LEFT JOIN f ON d.doc_id = f.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // PII redaction over the staged corpus: per-category hit counts + the
     // scrubbed text (the oracle re-runs the same RE2-safe regex chain).
     QueryDef(

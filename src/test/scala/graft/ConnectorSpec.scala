@@ -993,4 +993,32 @@ class ConnectorSpec extends AnyFunSuite {
     assert(err.getMessage.contains("on.error"))
     assert(err.getMessage.contains("fault stream"))
   }
+
+  test("file STREAMING source: readStream tails a csv drop directory") {
+    // the streaming half of the file connector (batch round trip is the
+    // q_file_csv oracle row): files dropped into a directory become
+    // micro-batches, each file exactly once
+    val dir = java.nio.file.Files.createTempDirectory("graft-file-stream")
+    def drop(name: String, lines: Seq[String]): Unit = {
+      val tmp = java.nio.file.Files.createTempFile("stage", ".csv")
+      java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes)
+      // atomic move in: Spark's file source requires complete files
+      java.nio.file.Files.move(tmp, dir.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    drop("a.csv", Seq("1,alpha", "2,beta"))
+    val q = spark.readStream
+      .schema("id LONG, name STRING")
+      .csv(dir.toString)
+      .writeStream.format("memory").queryName("file_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      drop("b.csv", Seq("3,gamma"))
+      q.processAllAvailable()
+      val got = spark.table("file_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      assert(got == Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+    } finally q.stop()
+  }
 }

@@ -77,6 +77,35 @@ class LayoutScdSpec extends AnyFunSuite {
     }
   }
 
+  test("z-ordered files concentrate two-sided predicates (the skipping payoff)") {
+    // write the grid as one file per z-block, then read with a predicate on
+    // BOTH dimensions: matching rows must live in a tiny fraction of the
+    // files — every other file's (u, v) footer stats exclude the predicate,
+    // which is exactly what parquet min/max skipping (PushedFilters) prunes
+    // on. A u-sorted layout has no such property on v: every u-stripe file
+    // spans all of v, so only the leading dimension ever prunes.
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val grid = (for (u <- 0 until 64; v <- 0 until 64) yield (u.toLong, v.toLong))
+      .toDF("u", "v")
+      .withColumn("block", shiftright(Layout.zValue(Seq(col("u"), col("v")), 6), 4))
+    grid.write.mode("overwrite").partitionBy("block").parquet(dir)
+    val all = spark.read.parquet(dir)
+    val pred = col("u").between(8, 15) && col("v").between(16, 23)
+    val hit = all.filter(pred)
+    // the scan must carry the pushed two-sided range so stats skipping is live
+    val scanStr = hit.queryExecution.executedPlan.collectLeaves().mkString
+    assert(scanStr.contains("PushedFilters") &&
+      scanStr.contains("GreaterThanOrEqual(u,8"), s"filter not pushed: $scanStr")
+    assert(hit.count() == 64) // 8x8 rectangle, every cell exactly once
+    // block = zkey >> 4 is an aligned 4x4 tile; the 8x8 rectangle overlaps
+    // exactly (8/4)*(8/4) = 4 of the 256 tiles
+    val filesWithHits = hit.select(input_file_name()).distinct().count()
+    val filesTotal = all.select(input_file_name()).distinct().count()
+    assert(filesTotal >= 256, s"expected one file per block, got $filesTotal")
+    assert(filesWithHits == 4,
+      s"aligned rectangle should live in exactly 4 tiles, got $filesWithHits")
+  }
+
   // --- SCD2 ---------------------------------------------------------------
 
   private def changelog(rows: (Int, Int, String)*) =
