@@ -25,6 +25,7 @@ import org.apache.spark.sql.types._
   *   url_canon(url)               — URL canonicalization (tracking params…)
   *   url_domain(url)              — frequency-capping domain key
   *   deflate_len(text)            — zlib-compressed byte length (quality signal)
+  *   zorder_key(d1[, d2…], bits)  — Morton-interleaved layout key (LONG)
   *
   * None of the names shadows a Spark builtin, so registration is permanent
   * per session (same WeakHashMap latch discipline as [[RefFns.register]]).
@@ -101,6 +102,15 @@ object GraftFns {
     "deflate_len" -> { args =>
       arity("deflate_len", args, 1)
       DeflateLen(Cast(args.head, StringType))
+    },
+    // Round-10 layout key, same definition the Layout operator uses:
+    // zorder_key(dim1[, dim2, ...], bits) — Morton-interleaved LONG over
+    // already-bucketed non-negative dims (bits a literal, n*bits <= 63)
+    "zorder_key" -> { args =>
+      if (args.length < 2) throw new IllegalArgumentException(
+        "zorder_key expects (dim1[, dim2, ...], bits literal)")
+      val bits = litInt("zorder_key", args.last, "bits")
+      expr0(graft.operators.Layout.zValue(args.init.map(col0), bits))
     })
 
   private def col0(e: Expression) =

@@ -290,6 +290,23 @@ class RefFnsSpec extends AnyFunSuite {
       Seq((1L, "hello world", "a.example.com")))
   }
 
+  test("GraftFns zorder_key: by-name ≡ Layout.zValue, typed arg errors") {
+    import graft.functions.GraftFns
+    import graft.operators.Layout
+    import spark.implicits._
+    GraftFns.register(spark)
+    val df = Seq((5L, 9L), (0L, 255L), (255L, 0L)).toDF("u", "v")
+    df.createOrReplaceTempView("gfn_z")
+    val sqlRows = spark.sql(
+      "SELECT zorder_key(u, v, 8) AS z FROM gfn_z").collect().map(_.getLong(0))
+    val apiRows = df.select(Layout.zValue(Seq(col("u"), col("v")), 8).as("z"))
+      .collect().map(_.getLong(0))
+    assert(sqlRows.toSeq == apiRows.toSeq)
+    // bits must be a literal; n*bits must fit a long
+    intercept[Exception](spark.sql("SELECT zorder_key(u, v, u) FROM gfn_z").collect())
+    intercept[Exception](spark.sql("SELECT zorder_key(u, v, 32) FROM gfn_z").collect())
+  }
+
   test("GraftFns resolve inside GraftApp SQL apps (curation via the app surface)") {
     import spark.implicits._
     val app =
