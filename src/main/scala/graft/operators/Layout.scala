@@ -54,4 +54,46 @@ object Layout {
       .repartitionByRange(buckets, col("_zkey"))
       .sortWithinPartitions(col("_zkey"))
       .drop("_zkey")
+
+  /** 2-D Hilbert curve index — the stronger locality alternative to
+    * [[zValue]]: consecutive indices are always grid NEIGHBORS (Morton
+    * order jumps at power-of-two boundaries), so equal-size blocks of the
+    * curve have equal-or-tighter bounding boxes. The classic xy→d walk
+    * (one reflect/swap rotation per bit, high bit first) unrolls to a
+    * static chain of `bits` conditional stages over staged columns —
+    * whole-stage codegen, no UDF, no driver state. Adds `out` (LONG in
+    * [0, 4^bits)); both inputs must already sit in [0, 2^bits).
+    *
+    * Column-staged rather than a single Column because each stage rewrites
+    * (x, y) for the next — a closed-form expression would duplicate the
+    * subtree per stage (exponential blowup); named stages keep the plan
+    * linear in `bits`.
+    */
+  def withHilbert(df: DataFrame, xCol: Column, yCol: Column, bits: Int,
+                  out: String): DataFrame = {
+    require(bits >= 1 && bits <= 30, s"hilbert needs 1 <= bits <= 30, got $bits")
+    val n = 1L << bits
+    val init = df
+      .withColumn("_hx", xCol.cast("long"))
+      .withColumn("_hy", yCol.cast("long"))
+      .withColumn(out, lit(0L))
+    val walked = (0 until bits).reverse.foldLeft(init) { (d, k) =>
+      val s = 1L << k
+      d.withColumn("_rx", when(col("_hx").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn("_ry", when(col("_hy").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn(out,
+          col(out) + lit(s * s) * (lit(3L) * col("_rx")).bitwiseXOR(col("_ry")))
+        // rotate the frame for the next bit: reflect within the n-grid when
+        // rx=1&ry=0, then swap axes whenever ry=0 (the standard xy2d step)
+        .withColumn("_nx", when(col("_ry") === 0,
+          when(col("_rx") === 1, lit(n - 1) - col("_hy")).otherwise(col("_hy")))
+          .otherwise(col("_hx")))
+        .withColumn("_ny", when(col("_ry") === 0,
+          when(col("_rx") === 1, lit(n - 1) - col("_hx")).otherwise(col("_hx")))
+          .otherwise(col("_hy")))
+        .withColumn("_hx", col("_nx"))
+        .withColumn("_hy", col("_ny"))
+    }
+    walked.drop("_hx", "_hy", "_rx", "_ry", "_nx", "_ny")
+  }
 }

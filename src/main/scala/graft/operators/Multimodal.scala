@@ -235,6 +235,9 @@ object Multimodal {
   final case class AudioStats(nSamples: Long, meanAmp: Double, rmsAmp: Double,
                               peakAmp: Long)
 
+  final case class AudioSegments(nFrames: Long, nActive: Long, nSegments: Long,
+                                 longestRun: Long)
+
   /** Real PCM sample decode — the uncompressed-audio slice of the
     * [[FrameDecoder]] seam needs no codec library, so it is implemented
     * for real: walks the RIFF chunks, reads the fmt sample format, and
@@ -297,6 +300,58 @@ object Multimodal {
       } else return Zero
       if (n == 0) Zero
       else AudioStats(n, sum.toDouble / n, math.sqrt(sumSq.toDouble / n), peak)
+    }
+
+    val ZeroSeg: AudioSegments = AudioSegments(0L, 0L, 0L, 0L)
+
+    /** Energy-based activity segmentation (the VAD-shaped pre-ASR curation
+      * gate): fixed `frameLen`-sample frames (the tail frame keeps its own
+      * length), a frame is ACTIVE iff its mean-square energy ≥ `thr`
+      * — compared in exact integer form (`sumSq ≥ thr * len`), so any
+      * engine replays the verdicts bit-for-bit. Returns frame counts plus
+      * the maximal-run structure (segment count, longest run). Same
+      * never-throw contract as [[decode]]: non-PCM/corrupt → zero row.
+      * O(1) state — samples are folded during the single walk, never
+      * materialized.
+      */
+    def segments(p: Array[Byte], frameLen: Int, thr: Long): AudioSegments = {
+      require(frameLen > 0, s"frameLen must be positive, got $frameLen")
+      if (p == null || !ascii(p, 0, "RIFF") || !ascii(p, 8, "WAVE")) return ZeroSeg
+      var i = 12
+      var fmtCode = 0; var bits = 0; var dataOff = -1; var dataLen = 0
+      while (i + 8 <= p.length) {
+        val size = le32(p, i + 4)
+        if (size < 0 || size > p.length) return ZeroSeg
+        if (ascii(p, i, "fmt ") && i + 8 + 16 <= p.length) {
+          fmtCode = le16(p, i + 8); bits = le16(p, i + 8 + 14)
+        }
+        if (ascii(p, i, "data")) { dataOff = i + 8; dataLen = size }
+        i += 8 + size + (size & 1)
+      }
+      if (fmtCode != 1 || dataOff < 0) return ZeroSeg
+      val end = math.min(dataOff + dataLen, p.length)
+      val step = if (bits == 8) 1 else if (bits == 16) 2 else return ZeroSeg
+      var nFrames = 0L; var nActive = 0L; var nSeg = 0L
+      var run = 0L; var longest = 0L
+      var inFrame = 0; var sumSq = 0L
+      var j = dataOff
+      def closeFrame(): Unit = if (inFrame > 0) {
+        nFrames += 1
+        if (sumSq >= thr * inFrame) { // integer mean-square gate
+          nActive += 1; run += 1
+          if (run == 1) nSeg += 1
+          if (run > longest) longest = run
+        } else run = 0
+        inFrame = 0; sumSq = 0L
+      }
+      while (j + step - 1 < end) {
+        val v = if (step == 1) u8(p, j).toLong else le16(p, j).toShort.toLong
+        sumSq += v * v; inFrame += 1
+        if (inFrame == frameLen) closeFrame()
+        j += step
+      }
+      closeFrame() // tail frame keeps its own length
+      AudioSegments(nFrames, nActive, nSeg, longest)
     }
   }
 
@@ -1125,6 +1180,26 @@ object Multimodal {
         val s = PcmDecoder.decode(r.getAs[Array[Byte]](binIdx))
         // Seq[Any]: plain Seq(...) weakly unifies Long|Double to Seq[Double]
         Row.fromSeq(r.toSeq ++ Seq[Any](s.nSamples, s.meanAmp, s.rmsAmp, s.peakAmp))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Attach energy-based activity segmentation to WAV payloads in
+    * `binCol`: (n_frames, n_active, n_segments, longest_run) per
+    * [[PcmDecoder.segments]]. Map-side, O(1) state per blob; only the four
+    * narrow counters continue downstream — the speech/music/silence
+    * structure gate a 100 TB audio-curation pass runs before any ASR.
+    */
+  def withAudioSegments(df: DataFrame, binCol: String, frameLen: Int,
+                        thr: Long): DataFrame = {
+    val outSchema = df.schema
+      .add("n_frames", LongType).add("n_active", LongType)
+      .add("n_segments", LongType).add("longest_run", LongType)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val s = PcmDecoder.segments(r.getAs[Array[Byte]](binIdx), frameLen, thr)
+        Row.fromSeq(r.toSeq ++ Seq[Any](s.nFrames, s.nActive, s.nSegments, s.longestRun))
       }
     }(Encoders.row(outSchema))
   }

@@ -194,6 +194,55 @@ object MiscQueries extends QueryFamily {
            |  min(ub) AS u_min, max(ub) AS u_max,
            |  min(vb) AS v_min, max(vb) AS v_max
            |FROM z GROUP BY 1 ORDER BY block""".stripMargin
-      })
+      }),
+
+    // Hilbert-curve layout key (Layout.withHilbert) over the same 8-bit
+    // grid: consecutive indices are always grid neighbors, so unaligned
+    // curve ranges bound tighter than Morton's (LayoutScdSpec quantifies).
+    // The oracle replays the per-bit reflect/swap walk as a recursive CTE —
+    // 8 integer steps per row, bit-exact.
+    QueryDef(
+      "q_layout_hilbert",
+      (s, dir) => {
+        import graft.operators.Layout
+        val e = Tables(s, dir, "events")
+          .select(col("user_id"), expr("CAST(round(value * 100) AS LONG)").as("vi"))
+        val bounds = e.agg((max(col("user_id")) + 1).as("ub_max"),
+          (max(col("vi")) + 1).as("vi_max"))
+        val b = e.crossJoin(broadcast(bounds))
+          .select(Layout.scaleBucket(col("user_id"), col("ub_max"), 8).as("ub"),
+            Layout.scaleBucket(col("vi"), col("vi_max"), 8).as("vb"))
+        Layout.withHilbert(b, col("ub"), col("vb"), 8, "hkey")
+          .groupBy(shiftright(col("hkey"), 6).as("block"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("ub")).as("u_min"), max(col("ub")).as("u_max"),
+            min(col("vb")).as("v_min"), max(col("vb")).as("v_max"))
+          .orderBy(col("block"))
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS vi FROM events),
+             |m AS (SELECT max(user_id) + 1 AS ubm, max(vi) + 1 AS vim FROM e),
+             |b AS (SELECT (user_id * 256) // ubm AS ub, (vi * 256) // vim AS vb
+             |      FROM e, m),
+             |w AS (
+             |  SELECT ub, vb, ub AS x, vb AS y, CAST(0 AS BIGINT) AS d, 7 AS k
+             |  FROM b
+             |  UNION ALL
+             |  SELECT ub, vb,
+             |    CASE WHEN ((y >> k) & 1) = 0 THEN
+             |      (CASE WHEN ((x >> k) & 1) = 1 THEN 255 - y ELSE y END)
+             |    ELSE x END,
+             |    CASE WHEN ((y >> k) & 1) = 0 THEN
+             |      (CASE WHEN ((x >> k) & 1) = 1 THEN 255 - x ELSE x END)
+             |    ELSE y END,
+             |    d + (CAST(1 AS BIGINT) << (2 * k))
+             |      * xor(3 * ((x >> k) & 1), (y >> k) & 1),
+             |    k - 1
+             |  FROM w WHERE k >= 0)
+             |SELECT d // 64 AS block, count(*) AS n_rows,
+             |  min(ub) AS u_min, max(ub) AS u_max,
+             |  min(vb) AS v_min, max(vb) AS v_max
+             |FROM w WHERE k = -1
+             |GROUP BY 1 ORDER BY block""".stripMargin))
   )
 }

@@ -422,6 +422,60 @@ object TextQueries extends QueryFamily {
              |WHERE d.doc_id < 300
              |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
 
+    // Energy-based activity segmentation over the same staged WAVs (the
+    // VAD-shaped pre-ASR gate): 16-sample frames, a frame is active iff
+    // its integer mean-square energy >= 22000 (~ the uniform-byte
+    // expectation, so actives and silences both occur); segments = maximal
+    // active runs. The oracle replays frames with integer arithmetic and
+    // rebuilds runs gaps-and-islands style.
+    QueryDef(
+      "q_multimodal_vad",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents").filter(col("doc_id") < 300)
+        val nf = (col("doc_id") % 211 + 16).cast("int")
+        val sampleHex = concat_ws("",
+          transform(sequence(lit(0), nf - 1),
+            i => lpad(hex((col("doc_id") * 31 + i * 7) % 256), 2, "0")))
+        val wav = concat(
+          unhex(lit("52494646")), le(nf + 36, 4), unhex(lit("57415645")),
+          unhex(lit("666D7420")), le(lit(16), 4),
+          le(lit(1), 2), le(lit(1), 2), le(lit(8000), 4),
+          le(lit(8000), 4), le(lit(1), 2), le(lit(8), 2),
+          unhex(lit("64617461")), le(nf, 4), unhex(sampleHex))
+        Multimodal.withAudioSegments(
+            d.select(col("doc_id"), wav.as("payload")), "payload", 16, 22000L)
+          .select(col("doc_id"), col("n_frames"), col("n_active"),
+            col("n_segments"), col("longest_run"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH s AS (
+             |  SELECT d.doc_id, g.i, (d.doc_id * 31 + g.i * 7) % 256 AS v
+             |  FROM documents d CROSS JOIN LATERAL (
+             |    SELECT unnest(range(0, d.doc_id % 211 + 16)) AS i) g
+             |  WHERE d.doc_id < 300),
+             |f AS (
+             |  SELECT doc_id, i // 16 AS frame, sum(v * v) AS ss, count(*) AS c
+             |  FROM s GROUP BY 1, 2),
+             |fa AS (SELECT doc_id, frame, (ss >= 22000 * c) AS active FROM f),
+             |isl AS (
+             |  SELECT doc_id,
+             |    frame - row_number() OVER (PARTITION BY doc_id ORDER BY frame) AS isl
+             |  FROM fa WHERE active),
+             |seg AS (SELECT doc_id, count(*) AS run FROM isl GROUP BY doc_id, isl),
+             |segagg AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+             |    CAST(max(run) AS BIGINT) AS longest_run
+             |  FROM seg GROUP BY doc_id),
+             |fagg AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+             |    CAST(sum(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT) AS n_active
+             |  FROM fa GROUP BY doc_id)
+             |SELECT fagg.doc_id, n_frames, n_active,
+             |  coalesce(n_segments, 0) AS n_segments,
+             |  coalesce(longest_run, 0) AS longest_run
+             |FROM fagg LEFT JOIN segagg ON fagg.doc_id = segagg.doc_id
+             |ORDER BY fagg.doc_id""".stripMargin)),
+
     // REAL pixel-level image decode: each doc stages a w×h 24-bit BMP
     // (w=doc_id%8+2, h=doc_id%6+2) whose BGR channels carry three distinct
     // arithmetic ramps — B=(doc_id+3x+7y)%256, G=+85, R=+170 — with true

@@ -77,6 +77,62 @@ class LayoutScdSpec extends AnyFunSuite {
     }
   }
 
+  // Scala reference xy2d (the classic per-bit reflect/swap walk)
+  private def hilbertRef(bits: Int, x0: Long, y0: Long): Long = {
+    val n = 1L << bits
+    var (x, y, d) = (x0, y0, 0L)
+    var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  test("hilbert: matches the reference walk, bijective, consecutive = neighbors") {
+    val bits = 5
+    val pts = for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong)
+    val got = Layout.withHilbert(pts.toDF("x", "y"), col("x"), col("y"), bits, "h")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    for ((x, y) <- pts) assert(got((x, y)) == hilbertRef(bits, x, y), s"($x,$y)")
+    assert(got.values.toSet.size == pts.size) // bijective on the grid
+    // the defining property Morton lacks: d and d+1 are always grid
+    // neighbors (Manhattan distance 1) — no jumps anywhere on the curve
+    val byD = got.map(_.swap)
+    for (d <- 0L until (pts.size - 1).toLong) {
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"jump at d=$d")
+    }
+  }
+
+  test("hilbert beats morton on unaligned contiguous ranges (locality)") {
+    // equal-length UNALIGNED runs of each curve: Hilbert's bounding boxes
+    // are tighter in aggregate (on 4^k-ALIGNED runs both orders give the
+    // same quadtree tiles — the difference is exactly the unaligned case)
+    val bits = 6
+    val grid = for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)
+    val zm = grid.map { case (x, y) =>
+      ((0 until bits).foldLeft(0L)((a, i) =>
+        a | ((x >> i) & 1L) << (2 * i) | ((y >> i) & 1L) << (2 * i + 1)), (x, y))
+    }.toMap
+    val hm = grid.map { case (x, y) => (hilbertRef(bits, x, y), (x, y)) }.toMap
+    def bboxArea(m: Map[Long, (Long, Long)], from: Long, len: Int): Long = {
+      val ps = (from until from + len).map(m)
+      (ps.map(_._1).max - ps.map(_._1).min + 1) * (ps.map(_._2).max - ps.map(_._2).min + 1)
+    }
+    val rnd = new scala.util.Random(42)
+    val starts = Seq.fill(200)(rnd.nextInt(64 * 64 - 50).toLong)
+    val zArea = starts.map(s => bboxArea(zm, s, 50)).sum
+    val hArea = starts.map(s => bboxArea(hm, s, 50)).sum
+    assert(hArea < zArea, s"hilbert $hArea should beat morton $zArea")
+  }
+
   test("z-ordered files concentrate two-sided predicates (the skipping payoff)") {
     // write the grid as one file per z-block, then read with a predicate on
     // BOTH dimensions: matching rows must live in a tiny fraction of the

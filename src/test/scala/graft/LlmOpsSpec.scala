@@ -414,6 +414,39 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(PcmDecoder.decode(null) == PcmDecoder.Zero)
   }
 
+  test("PcmDecoder.segments: frame gating, run structure, tail frame, junk") {
+    import graft.operators.Multimodal.PcmDecoder
+    def wav(data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer
+        .allocate(44 + data.length).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(8000)
+        .putShort(1).putShort(8)
+        .put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+      bb.array()
+    }
+    // 10 samples, frames of 4: [200,200,200,200] [0,0,0,0] [200,200]
+    // thr 10000: frame energies 40000, 0, 40000 → active/silent/active
+    // (the tail frame gates on ITS OWN length: 2*200² / 2 = 40000 ≥ thr)
+    val data = Array.fill(4)(200.toByte) ++ Array.fill(4)(0.toByte) ++
+      Array.fill(2)(200.toByte)
+    val s = PcmDecoder.segments(wav(data), 4, 10000L)
+    assert(s.nFrames == 3 && s.nActive == 2 && s.nSegments == 2 && s.longestRun == 1)
+    // one long run: all actives → 1 segment of length 3
+    val loud = PcmDecoder.segments(wav(Array.fill(10)(200.toByte)), 4, 10000L)
+    assert(loud.nFrames == 3 && loud.nActive == 3 &&
+      loud.nSegments == 1 && loud.longestRun == 3)
+    // all-silent → zero actives, zero segments
+    val quiet = PcmDecoder.segments(wav(Array.fill(8)(1.toByte)), 4, 10000L)
+    assert(quiet.nFrames == 2 && quiet.nActive == 0 &&
+      quiet.nSegments == 0 && quiet.longestRun == 0)
+    // junk and bad frameLen behave like decode's contract
+    assert(PcmDecoder.segments("junk".getBytes, 4, 1L) == PcmDecoder.ZeroSeg)
+    intercept[IllegalArgumentException](PcmDecoder.segments(wav(data), 0, 1L))
+  }
+
   test("BmpPixelDecoder: real BGR pixel fold honors stride padding; non-raster rejected") {
     import graft.operators.Multimodal.BmpPixelDecoder
     // 3x2 24-bit BMP: row stride = 12 (9 pixel bytes + 3 pad). Pixel (x,y)
