@@ -322,6 +322,36 @@ object CepQueries extends QueryFamily {
              |GROUP BY a.user_id, a.a_id
              |ORDER BY 1, 2""".stripMargin)),
 
+    // The ANSI/Flink MATCH_RECOGNIZE spelling of the same engine (round
+    // 10, beyond reference — desugars onto SEQUENCE/EVERY): strict
+    // error→purchase within 1h, same oracle as q_cep_seq.
+    QueryDef(
+      "q_cep_mr",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (user_id BIGINT, e1_id BIGINT, e2_id BIGINT);
+            |INSERT INTO Out SELECT * FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts
+            |  MEASURES A.event_id AS e1_id, B.event_id AS e2_id
+            |  ONE ROW PER MATCH
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN (A B) WITHIN INTERVAL '1' HOUR
+            |  DEFINE A AS A.event_type = 'error', B AS B.event_type = 'purchase'
+            |);""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .orderBy(col("user_id"), col("e1_id"))
+      },
+      Some("""SELECT user_id, e1_id, e2_id FROM (
+             |  SELECT user_id, event_id AS e1_id, event_type AS t1,
+             |    lead(event_id) OVER w AS e2_id, lead(event_type) OVER w AS t2,
+             |    epoch_us(ts) AS ts1, lead(epoch_us(ts)) OVER w AS ts2
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+             |WHERE t1 = 'error' AND t2 = 'purchase' AND ts2 - ts1 <= 3600000000
+             |ORDER BY user_id, e1_id""".stripMargin)),
+
     // Cross-step reference (e2.value > 2 * e1.value) — the StateEvent
     // access pattern; relaxed, within 2h.
     QueryDef(

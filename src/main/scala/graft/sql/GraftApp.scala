@@ -508,6 +508,7 @@ object GraftApp {
       else stmt
     def expandStmt(stmt: String): Seq[String] =
       desugarCte(stmt).flatMap(desugarUnion).map(adhocSelect)
+        .map(desugarMatchRecognize)
     // expansion happens per statement IN ORDER (not as a prepass), so a
     // CTE's shadow check and requireDefined see every earlier CREATE
     orderedStmts
@@ -948,6 +949,197 @@ object GraftApp {
         where = where, partitionBy = partitionBy, absents = absents,
         lateness = lateness)
     }
+
+  /** ANSI/Flink-style `MATCH_RECOGNIZE` — a second SQL spelling for the
+    * SAME CEP engine (beyond-reference: the reference has only its own
+    * PATTERN/SEQUENCE grammar; SURVEY §2.8 recommends exposing the
+    * MATCH_RECOGNIZE shape). Desugars
+    *
+    *   INSERT INTO t SELECT * FROM s MATCH_RECOGNIZE (
+    *     [PARTITION BY k] ORDER BY ts
+    *     MEASURES expr AS a [, …]
+    *     [ONE ROW PER MATCH] AFTER MATCH SKIP TO NEXT ROW
+    *     PATTERN (A B+ C{2,3} …) [WITHIN [INTERVAL] 'n' unit]
+    *     [DEFINE A AS pred [, …]])
+    *
+    * onto the engine's strict-contiguity grammar:
+    *   INSERT INTO t SELECT key, measures FROM SEQUENCE (EVERY (A=s[...]
+    *   -> B=s[...]+ -> …)) WITHIN n unit PARTITION BY k
+    *
+    * Faithful subset, everything else a TYPED error (never silent):
+    *  - ORDER BY must name the event-time column `ts` (the engine's only
+    *    ordering — rows enter the NFA in event-time order);
+    *  - AFTER MATCH SKIP TO NEXT ROW is REQUIRED: the engine emits every
+    *    overlapping match (the reference's EVERY). ANSI's default SKIP
+    *    PAST LAST ROW (non-overlapping resume) is a different state
+    *    machine — rejected by name rather than silently remapped;
+    *  - ALL ROWS PER MATCH, pattern grouping/alternation, and
+    *    PREV/NEXT/navigation inside DEFINE are rejected with pointers to
+    *    the engine spellings that cover them (OR steps, cross-step refs);
+    *  - MEASURES FIRST(V.x)/LAST(V.x) lower to the engine's V[0].x /
+    *    V[last].x; count/sum/avg/min/max(V.x) pass through to the
+    *    collection aggregations; DEFINE self-references (`A.x` inside A's
+    *    predicate) become bare columns, other variables stay qualified —
+    *    the engine's cross-step reference form.
+    */
+  private val MatchRecognizeRe =
+    """(?is)^\s*INSERT\s+INTO\s+(\w+)\s+SELECT\s+(.*?)\s+FROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\(""".r
+
+  private[sql] def desugarMatchRecognize(stmt: String): String = {
+    if (!"""(?i)MATCH_RECOGNIZE""".r.findFirstIn(stmt).isDefined) return stmt
+    val m = MatchRecognizeRe.findPrefixMatchOf(stmt).getOrElse(throw SqlError(
+      "MATCH_RECOGNIZE must appear as INSERT INTO t SELECT * FROM stream " +
+        s"MATCH_RECOGNIZE (...): ${stmt.trim.take(80)}"))
+    val (target, outerSel, stream) = (m.group(1), m.group(2).trim, m.group(3))
+    if (outerSel != "*") throw SqlError(
+      "MATCH_RECOGNIZE output columns are the PARTITION BY key plus the " +
+        "MEASURES aliases — write SELECT * and project in a downstream query")
+    // balanced close paren, quote-aware
+    var depth = 1; var i = m.end; var inQ = false
+    while (i < stmt.length && depth > 0) {
+      val c = stmt.charAt(i)
+      if (c == '\'') inQ = !inQ
+      else if (!inQ && c == '(') depth += 1
+      else if (!inQ && c == ')') depth -= 1
+      i += 1
+    }
+    if (depth != 0) throw SqlError(s"unbalanced parens in MATCH_RECOGNIZE: ${stmt.take(60)}")
+    val body = stmt.substring(m.end, i - 1)
+    val residue = stmt.substring(i).replace(";", " ").trim
+    if (residue.nonEmpty) throw SqlError(
+      s"unrecognized text after MATCH_RECOGNIZE: '${residue.take(60)}'")
+    // split at PATTERN ( … ): header before, tail after
+    val pm = """(?is)\bPATTERN\s*\(""".r.findFirstMatchIn(body).getOrElse(
+      throw SqlError("MATCH_RECOGNIZE needs a PATTERN (...) clause"))
+    val header = body.substring(0, pm.start)
+    var d2 = 1; var j = pm.end; var q2 = false
+    while (j < body.length && d2 > 0) {
+      val c = body.charAt(j)
+      if (c == '\'') q2 = !q2
+      else if (!q2 && c == '(') d2 += 1
+      else if (!q2 && c == ')') d2 -= 1
+      j += 1
+    }
+    if (d2 != 0) throw SqlError("unbalanced parens in PATTERN (...)")
+    val patternRaw = body.substring(pm.end, j - 1).trim
+    var tail = body.substring(j)
+
+    // ---- header: PARTITION BY / ORDER BY / MEASURES / rows-per-match /
+    //      AFTER MATCH
+    val partitionBy = """(?is)\bPARTITION\s+BY\s+(.+?)\s*(?=\bORDER\s+BY\b|\bMEASURES\b|\bONE\s+ROW\b|\bALL\s+ROWS\b|\bAFTER\s+MATCH\b|$)""".r
+      .findFirstMatchIn(header).map(_.group(1).trim.stripSuffix(","))
+    partitionBy.foreach { p =>
+      if (splitTopLevel(p).size > 1)
+        throw SqlError("patterns support a single partition key")
+    }
+    val orderBy = """(?is)\bORDER\s+BY\s+(\w+)(\s+ASC)?""".r
+      .findFirstMatchIn(header).getOrElse(throw SqlError(
+        "MATCH_RECOGNIZE needs ORDER BY ts — rows enter the pattern in " +
+          "event-time order (the engine's only ordering)")).group(1)
+    if (!orderBy.equalsIgnoreCase("ts")) throw SqlError(
+      s"ORDER BY $orderBy: only the event-time column `ts` orders a pattern " +
+        "(per-event order is the stream's time attribute)")
+    if ("""(?is)\bALL\s+ROWS\s+PER\s+MATCH""".r.findFirstIn(header).isDefined)
+      throw SqlError("ALL ROWS PER MATCH is not supported — the engine emits " +
+        "ONE ROW PER MATCH; collect per-step values with FIRST/LAST/count/sum " +
+        "MEASURES instead")
+    val afterMatch = """(?is)\bAFTER\s+MATCH\s+(.*?)(?=\bPATTERN\b|$)""".r
+      .findFirstMatchIn(header).map(_.group(1).trim)
+    afterMatch match {
+      case Some(s0) if s0.matches("(?is)SKIP\\s+TO\\s+NEXT\\s+ROW\\s*") => // ok
+      case Some(other) => throw SqlError(
+        s"AFTER MATCH $other: only SKIP TO NEXT ROW is supported — the engine " +
+          "emits every overlapping match (the reference's EVERY semantics); " +
+          "SKIP PAST LAST ROW's non-overlapping resume is a different machine")
+      case None => throw SqlError(
+        "specify AFTER MATCH SKIP TO NEXT ROW: the engine emits every " +
+          "overlapping match, which is NOT ANSI's default (SKIP PAST LAST " +
+          "ROW) — the clause is required so the semantics are explicit")
+    }
+    val measuresRaw = """(?is)\bMEASURES\s+(.*?)(?=\bONE\b|\bALL\b|\bAFTER\b|$)""".r
+      .findFirstMatchIn(header).map(_.group(1).trim).getOrElse(throw SqlError(
+        "MATCH_RECOGNIZE needs a MEASURES clause (the output columns)"))
+
+    // ---- tail: WITHIN / DEFINE
+    var withinStr = ""
+    """(?is)\bWITHIN\s+(?:INTERVAL\s+'(\d+)'\s+(\w+)|(\d+)\s+(\w+))""".r
+      .findFirstMatchIn(tail).foreach { wm =>
+        val (n, u) = if (wm.group(1) != null) (wm.group(1), wm.group(2))
+          else (wm.group(3), wm.group(4))
+        withinStr = s" WITHIN $n $u"
+        tail = tail.substring(0, wm.start) + tail.substring(wm.end)
+      }
+    val defines = """(?is)\bDEFINE\s+(.*)$""".r.findFirstMatchIn(tail) match {
+      case Some(dm) =>
+        tail = tail.substring(0, dm.start)
+        splitTopLevel(dm.group(1)).map { item =>
+          """(?is)^\s*(\w+)\s+AS\s+(.+)$""".r.findFirstMatchIn(item) match {
+            case Some(im) => im.group(1) -> im.group(2).trim
+            case None => throw SqlError(s"bad DEFINE item '$item' — expected VAR AS predicate")
+          }
+        }.toMap
+      case None => Map.empty[String, String]
+    }
+    if (tail.trim.nonEmpty) throw SqlError(
+      s"unrecognized MATCH_RECOGNIZE clause: '${tail.trim.take(60)}'")
+
+    // ---- pattern tokens: VAR quantifier, concatenation only
+    if (patternRaw.exists(c => c == '(' || c == ')' || c == '|'))
+      throw SqlError("pattern grouping/alternation is not supported in " +
+        "MATCH_RECOGNIZE — the engine grammar covers OR/AND steps: " +
+        "FROM PATTERN (a=S[...] OR b=S[...] -> ...)")
+    val tokRe = """(\w+)(\+|\*|\?|\{\d+(?:,\d*)?\})?""".r
+    val toks = patternRaw.trim.split("\\s+").toSeq.filter(_.nonEmpty).map {
+      case tokRe(v, q) => (v, Option(q))
+      case other => throw SqlError(s"bad pattern element '$other'")
+    }
+    if (toks.isEmpty) throw SqlError("empty PATTERN")
+    defines.keys.find(v => !toks.exists(_._1 == v)).foreach(v =>
+      throw SqlError(s"DEFINE names '$v' which is not a pattern variable"))
+    toks.headOption.filter(_._2.exists(q => q == "?" || q == "*" || q.startsWith("{0")))
+      .foreach { case (v, _) => throw SqlError(
+        s"first pattern variable '$v' must be required (min >= 1) — the " +
+          "match and its partition key anchor on it") }
+
+    // DEFINE predicate: self-references become bare columns (the engine's
+    // step-filter form); other variables stay qualified (cross-step refs)
+    def lowerPred(v: String, p: String): String = {
+      """(?i)\b(PREV|NEXT|FIRST|LAST)\s*\(""".r.findFirstIn(p).foreach(f =>
+        throw SqlError(s"$f in DEFINE is not supported — step predicates see " +
+          "the current event plus earlier steps by name (cross-step " +
+          "references like `B.x > A.x`)"))
+      p.replaceAll(s"(?i)\\b$v\\s*\\.\\s*", "")
+    }
+    val steps = toks.map { case (v, q) =>
+      val pred = defines.get(v).map(p => s"[${lowerPred(v, p)}]").getOrElse("")
+      val quant = q.getOrElse("") match {
+        case "" => ""
+        case "?" => "{0,1}"
+        case s0 => s0 // + * {n} {n,m} {n,} — the engine spells these the same
+      }
+      s"$v=$stream$pred$quant"
+    }
+
+    // MEASURES: FIRST/LAST navigation lowers to indexed access; collection
+    // aggregations pass through (the engine resolves count/sum/avg/min/max)
+    val items = splitTopLevel(measuresRaw).map { item =>
+      val im = """(?is)^(.*?)\s+AS\s+(\w+)\s*$""".r.findFirstMatchIn(item)
+        .getOrElse(throw SqlError(s"bad MEASURES item '$item' — expected expr AS alias"))
+      val expr0 = im.group(1)
+        .replaceAll("""(?i)\bFIRST\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)""", "$1[0].$2")
+        .replaceAll("""(?i)\bLAST\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)""", "$1[last].$2")
+      s"$expr0 AS ${im.group(2)}"
+    }
+    val keyItem = partitionBy.map { k =>
+      val (v0, q0) = toks.head
+      val spelled = if (q0.isDefined) s"$v0[0].$k" else s"$v0.$k"
+      s"$spelled AS $k"
+    }
+    val select = (keyItem.toSeq ++ items).mkString(", ")
+    val partStr = partitionBy.map(k => s" PARTITION BY $k").getOrElse("")
+    s"INSERT INTO $target SELECT $select FROM SEQUENCE (EVERY (" +
+      steps.mkString(" -> ") + s"))$withinStr$partStr;"
+  }
 
   /** Split a WITH-clause body on commas OUTSIDE single quotes — option
     * values (json templates, JSONPaths, cron specs) legitimately contain

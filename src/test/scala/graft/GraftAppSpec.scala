@@ -939,4 +939,102 @@ class GraftAppSpec extends AnyFunSuite {
     val res = GraftApp.run(spark, app, Map("S" -> s, "T" -> t))
     assert(res("Out").as[String].collect().sorted.toSeq == Seq("a", "c"))
   }
+
+  // ---- MATCH_RECOGNIZE (ANSI/Flink spelling of the same CEP engine) ----
+
+  private def mrEvents = Seq(
+    (1, 7L, "a", 1.0), (2, 7L, "b", 2.0), (3, 7L, "b", 3.0), (4, 7L, "c", 4.0),
+    (5, 8L, "a", 1.0), (6, 8L, "c", 9.0), // no b run → no match
+    (7, 9L, "a", 5.0), (8, 9L, "b", 6.0), (9, 9L, "c", 7.0))
+    .toDF("sec", "user_id", "kind", "v")
+    .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+      "user_id", "kind", "v")
+
+  test("MATCH_RECOGNIZE: lowers onto the CEP engine, equal to the native spelling") {
+    val mr =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, start_v DOUBLE, n_b BIGINT,
+        |                   b_last DOUBLE, end_v DOUBLE);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES A.v AS start_v, count(B.v) AS n_b, LAST(B.v) AS b_last,
+        |           C.v AS end_v
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A B+ C) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b',
+        |         C AS C.kind = 'c' AND C.v > A.v
+        |);""".stripMargin
+    val native =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, start_v DOUBLE, n_b BIGINT,
+        |                   b_last DOUBLE, end_v DOUBLE);
+        |INSERT INTO Out
+        |SELECT A.user_id AS user_id, A.v AS start_v, count(B.v) AS n_b,
+        |       B[last].v AS b_last, C.v AS end_v
+        |FROM SEQUENCE (EVERY (A=E[kind = 'a'] -> B=E[kind = 'b']+
+        |  -> C=E[kind = 'c' AND v > A.v]))
+        |WITHIN 1 HOUR PARTITION BY user_id;""".stripMargin
+    def rows(app: String) = GraftApp.run(spark, app, Map("E" -> mrEvents))("Out")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(t => (t._1, t._2))
+    val got = rows(mr)
+    assert(got.toSeq == rows(native).toSeq)
+    assert(got.toSeq == Seq((7L, 1.0, 2L, 3.0, 4.0), (9L, 5.0, 1L, 6.0, 7.0)))
+  }
+
+  test("MATCH_RECOGNIZE: quantifiers {n,m}/?, unpartitioned, no DEFINE for a var") {
+    // D has no DEFINE → always-true step; B{1,2}; optional trailing F?
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (n_b BIGINT, d_v DOUBLE);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  ORDER BY ts
+        |  MEASURES count(B.v) AS n_b, D.v AS d_v
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (B{1,2} D) WITHIN INTERVAL '1' HOUR
+        |  DEFINE B AS B.kind = 'b'
+        |);""".stripMargin
+    val in = Seq((1, 7L, "b", 1.0), (2, 7L, "b", 2.0), (3, 7L, "x", 3.0))
+      .toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val got = GraftApp.run(spark, app, Map("E" -> in))("Out")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+    // b,b,x: B={b1},D=b2 (D is unconstrained); B={b2},D=x; B={b1,b2},D=x
+    assert(got.toSeq == Seq((1L, 2.0), (1L, 3.0), (2L, 3.0)))
+  }
+
+  test("MATCH_RECOGNIZE: the faithful-subset boundaries are typed errors") {
+    def mk(clause: String): String =
+      s"""CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+         |CREATE STREAM Out (a DOUBLE);
+         |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE ($clause);""".stripMargin
+    def err(clause: String): String =
+      intercept[GraftApp.SqlError](
+        GraftApp.run(spark, mk(clause), Map("E" -> mrEvents))).getMessage
+    val base = """ORDER BY ts MEASURES A.v AS a AFTER MATCH SKIP TO NEXT ROW
+                 |PATTERN (A B) DEFINE A AS A.kind = 'a'""".stripMargin
+    // ANSI's default skip mode is a DIFFERENT machine — required, by name
+    assert(err(base.replace("AFTER MATCH SKIP TO NEXT ROW",
+      "AFTER MATCH SKIP PAST LAST ROW")).contains("SKIP TO NEXT ROW"))
+    assert(err(base.replace("AFTER MATCH SKIP TO NEXT ROW", ""))
+      .contains("AFTER MATCH"))
+    assert(err("ALL ROWS PER MATCH " + base).contains("ONE ROW PER MATCH"))
+    assert(err(base.replace("ORDER BY ts", "ORDER BY v")).contains("event-time"))
+    assert(err(base.replace("ORDER BY ts ", "")).contains("ORDER BY"))
+    assert(err(base.replace("PATTERN (A B)", "PATTERN (A (B | C))"))
+      .contains("alternation"))
+    assert(err(base.replace("A AS A.kind = 'a'",
+      "A AS PREV(A.v) < A.v")).contains("PREV"))
+    assert(err(base.replace("DEFINE A AS A.kind = 'a'",
+      "DEFINE Z AS Z.v > 0")).contains("not a pattern variable"))
+    assert(err(base.replace("PATTERN (A B)", "PATTERN (A? B)"))
+      .contains("must be required"))
+    // outer SELECT must be *
+    val sel = intercept[GraftApp.SqlError](GraftApp.run(spark,
+      mk(base).replace("SELECT *", "SELECT a"), Map("E" -> mrEvents)))
+    assert(sel.getMessage.contains("SELECT *"))
+  }
 }
