@@ -81,6 +81,21 @@ INSERT INTO hourly
 SELECT symbol, avgPrice
 FROM StockAgg WITHIN '2024-03-01' AND '2024-03-02' PER 'hour';
 
+-- MATCH_RECOGNIZE: the ANSI/Flink spelling of the same pattern engine
+-- (desugars onto SEQUENCE/EVERY — strict contiguity, every overlapping
+-- match). DEFINE predicates may reference earlier variables (cross-step
+-- refs); MEASURES navigate with FIRST/LAST and collection aggregates.
+CREATE STREAM mrOut (symbol STRING, start_p DOUBLE, n_up BIGINT, end_p DOUBLE);
+INSERT INTO mrOut SELECT * FROM stockStream MATCH_RECOGNIZE (
+  PARTITION BY symbol
+  ORDER BY ts
+  MEASURES A.price AS start_p, count(B.price) AS n_up, LAST(B.price) AS end_p
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (A B+) WITHIN INTERVAL '10' MINUTES
+  DEFINE A AS A.volume > 1000, B AS B.price > A.price
+);
+
 -- Bare ad-hoc SELECT (trailing statement, no INSERT INTO): the
 -- reference's subscription form — results surface under a synthesized
 -- __adhoc output in the run() result map.

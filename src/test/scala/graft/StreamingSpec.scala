@@ -1758,4 +1758,37 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch.head._2.take(2) == List("alp", "h")) // merges applied
     } finally q2.stop()
   }
+
+  test("STREAMING MATCH_RECOGNIZE: the MR spelling inherits the NFA lowering") {
+    // desugar → PatternStmt → the same streaming per-key NFA; the match
+    // completes ACROSS micro-batches
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)] // (sec, user, kind, v)
+    val events = in.toDS().toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, a_v DOUBLE, b_v DOUBLE);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES A.v AS a_v, B.v AS b_v
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A B) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b' AND B.v > A.v
+        |);""".stripMargin
+    val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+    assert(outDf.isStreaming)
+    val q = outDf.writeStream.format("memory").queryName("mr_sink")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 7L, "a", 1.0)); q.processAllAvailable()
+      assert(spark.table("mr_sink").count() == 0) // partial match held
+      in.addData((2L, 7L, "b", 5.0)); q.processAllAvailable()
+      val rows = spark.table("mr_sink").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq((7L, 1.0, 5.0)))
+    } finally q.stop()
+  }
 }
