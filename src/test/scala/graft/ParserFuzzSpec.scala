@@ -79,6 +79,29 @@ class ParserFuzzSpec extends AnyFunSuite {
     case 2 => junk + validCteApp
   }
 
+  /** Near-miss treatment over the round-10 MATCH_RECOGNIZE surface. */
+  private val validMrApp =
+    """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+      |CREATE STREAM Out (user_id BIGINT, a_v DOUBLE, n_b BIGINT);
+      |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+      |  PARTITION BY user_id ORDER BY ts
+      |  MEASURES A.v AS a_v, count(B.v) AS n_b
+      |  ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW
+      |  PATTERN (A B+) WITHIN INTERVAL '1' HOUR
+      |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b');""".stripMargin
+
+  private val mrNearMiss: Gen[String] = for {
+    cut <- Gen.choose(0, validMrApp.length)
+    junk <- Gen.oneOf("", ")", "((", "MEASURES", "PATTERN (", "DEFINE",
+      "AFTER MATCH", "SKIP PAST LAST ROW", "ALL ROWS PER MATCH", "PREV(",
+      "|", "?", "{0,", "ORDER BY", "'", ",", ";;")
+    mode <- Gen.oneOf(0, 1, 2)
+  } yield mode match {
+    case 0 => validMrApp.substring(0, cut)
+    case 1 => validMrApp.substring(0, cut) + junk + validMrApp.substring(cut)
+    case 2 => junk + validMrApp
+  }
+
   private def typedOnly(app: String): Boolean =
     try { GraftApp.parse(app); true }
     catch {
@@ -96,6 +119,12 @@ class ParserFuzzSpec extends AnyFunSuite {
 
   test("near-miss mutations of a WITH/UNION/IN-subquery app: typed errors only") {
     check(Prop.forAll(cteNearMiss)(typedOnly _))
+  }
+
+  test("MATCH_RECOGNIZE near-misses: typed errors only (and the base parses)") {
+    assert(typedOnly(validMrApp))
+    GraftApp.parse(validMrApp) // the unmutated text must parse clean
+    check(Prop.forAll(mrNearMiss)(typedOnly _))
   }
 
   /** CREATE AGGREGATION + WITHIN…PER statements (round 6) get the same
