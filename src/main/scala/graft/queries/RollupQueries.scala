@@ -193,6 +193,51 @@ object RollupQueries extends QueryFamily {
              |  vt IS NULL AS is_current
              |FROM h ORDER BY custkey, valid_from, valid_to, status""".stripMargin)),
 
+    // Point-in-time (as-of) lookup against the SCD2 history — the read
+    // path the dimension exists for: every order resolves the status
+    // interval in effect at its date (valid_from <= d < valid_to,
+    // open-ended current). Scale shape: per-key history is small by
+    // construction, so ONE equi-join on the key with the interval filter
+    // as residual is the right plan (no banding needed — the join key
+    // already bounds the candidates).
+    QueryDef(
+      "q_table_scd2_asof",
+      (s, dir) => {
+        val cutoff = to_timestamp(lit("1997-01-01 00:00:00"))
+        val o = Tables(s, dir, "orders")
+        val dim = Scd.history(o.filter(col("o_orderdate") < cutoff),
+          Seq("o_custkey"), "o_orderdate", "o_orderkey", Seq("o_orderstatus"))
+        val probes = o.select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"))
+        probes.join(dim, Seq("o_custkey"))
+          .filter(col("valid_from") <= col("o_orderdate") &&
+            (col("valid_to").isNull || col("valid_to") > col("o_orderdate")))
+          .select(col("o_orderkey").as("orderkey"),
+            col("o_custkey").as("custkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("as_of"),
+            col("o_orderstatus").as("status_then"))
+          .orderBy(col("orderkey"))
+      },
+      Some("""WITH pre AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+             |w AS (
+             |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+             |    lag(o_orderstatus) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS prev
+             |  FROM pre),
+             |o AS (SELECT * FROM w WHERE prev IS NULL OR prev <> o_orderstatus),
+             |dim AS (
+             |  SELECT o_custkey, o_orderstatus, o_orderdate AS vf,
+             |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS vt
+             |  FROM o)
+             |SELECT p.o_orderkey AS orderkey, p.o_custkey AS custkey,
+             |  strftime(p.o_orderdate, '%Y-%m-%d') AS as_of,
+             |  d.o_orderstatus AS status_then
+             |FROM orders p JOIN dim d ON p.o_custkey = d.o_custkey
+             |  AND d.vf <= p.o_orderdate
+             |  AND (d.vt IS NULL OR d.vt > p.o_orderdate)
+             |ORDER BY orderkey""".stripMargin)),
+
     // Incremental SCD2 merge (Scd.merge): the pre-1997 history absorbs one
     // delta batch (each key's latest post-1997 status, effective at the
     // cutoff). Unchanged keys' rows pass through untouched — the daily-merge
