@@ -107,6 +107,29 @@ object Curation {
       .withColumn("redacted", scrubbed)
   }
 
+  /** Re-identification risk gates for released datasets (the datacard
+    * privacy row): k-anonymity — every quasi-identifier combination must
+    * describe at least k rows — and l-diversity — each combination must
+    * carry at least l distinct values of the sensitive column (a k-sized
+    * group with one sensitive value still discloses it). One hash
+    * aggregation on the quasi-identifier key; exact distinct per group is
+    * fine because l is small and the count is per-group, not global.
+    * Returns one row per quasi-identifier group with both measures and
+    * the combined pass flag; join back on the quasi columns to drop or
+    * generalize violating rows.
+    */
+  def anonymityRisk(df: DataFrame, quasiCols: Seq[String],
+                    sensitiveCol: String, k: Long, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 1 && l >= 1,
+      s"need quasi columns and k,l >= 1 (got k=$k l=$l)")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"),
+        countDistinct(col(sensitiveCol)).as("sensitive_distinct"))
+      .withColumn("k_anonymous", col("group_n") >= k)
+      .withColumn("l_diverse", col("sensitive_distinct") >= l)
+      .withColumn("pass", col("k_anonymous") && col("l_diverse"))
+  }
+
   /** Benchmark decontamination: count, per document, the distinct word
     * `n`-grams it shares with a probe corpus (the eval/benchmark set), and
     * flag docs at `minOverlap`. The standard training-data hygiene pass —

@@ -109,6 +109,28 @@ object CurationQueries extends QueryFamily {
              |LEFT JOIN f ON d.doc_id = f.doc_id
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // Re-identification risk gates (k-anonymity + l-diversity per
+    // quasi-identifier group) — the datacard privacy row. One hash agg on
+    // the quasi key; exact per-group distinct of the sensitive attribute.
+    QueryDef(
+      "q_text_anonymity",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .withColumn("sens", col("n_chars") % 7)
+        Curation.anonymityRisk(d, Seq("lang", "source"), "sens", 5L, 3L)
+          .select(col("lang"), col("source"),
+            col("group_n"), col("sensitive_distinct"),
+            col("k_anonymous"), col("l_diverse"), col("pass"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""SELECT lang, source, count(*) AS group_n,
+             |  count(DISTINCT n_chars % 7) AS sensitive_distinct,
+             |  count(*) >= 5 AS k_anonymous,
+             |  count(DISTINCT n_chars % 7) >= 3 AS l_diverse,
+             |  (count(*) >= 5 AND count(DISTINCT n_chars % 7) >= 3) AS pass
+             |FROM documents GROUP BY lang, source
+             |ORDER BY lang, source""".stripMargin)),
+
     // PII redaction over the staged corpus: per-category hit counts + the
     // scrubbed text (the oracle re-runs the same RE2-safe regex chain).
     QueryDef(
