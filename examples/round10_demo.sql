@@ -96,6 +96,14 @@ INSERT INTO mrOut SELECT * FROM stockStream MATCH_RECOGNIZE (
   DEFINE A AS A.volume > 1000, B AS B.price > A.price
 );
 
+-- zorder_key(d1, d2, bits): the Z-order layout key from the scalar
+-- extension registry — cluster writes so file stats stay tight on BOTH
+-- dimensions (pair with repartition/sort in the writing job).
+CREATE STREAM layoutKeys (symbol STRING, zkey BIGINT);
+INSERT INTO layoutKeys
+SELECT symbol, zorder_key(volume % 256, CAST(price AS BIGINT) % 256, 8) AS zkey
+FROM stockStream;
+
 -- Bare ad-hoc SELECT (trailing statement, no INSERT INTO): the
 -- reference's subscription form — results surface under a synthesized
 -- __adhoc output in the run() result map.

@@ -70,6 +70,28 @@ object Similarity {
     topKSelect(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor, the
+    * top-k most-similar corpus items whose LABEL DIFFERS — same-class
+    * neighbors are positives, not negatives, so the label gate applies
+    * BEFORE ranking (an excluded same-class hit must not consume a rank
+    * slot). Same broadcast + quantized-cosine plumbing as
+    * [[bruteForceTopKQuantized]]; at 100 TB the anchors broadcast (the
+    * anchor set is the small side by construction) and the corpus is
+    * scanned map-side once.
+    */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame,
+                    qIdCol: String, cIdCol: String, labelCol: String,
+                    vecCol: String, k: Int, scale: Int = 10000): DataFrame = {
+    val q = anchors.select(col(qIdCol).as("q_id"), col(labelCol).as("q_lbl"),
+      VectorFns.quantize(col(vecCol), scale).as("q_vec"))
+    val c = corpus.select(col(cIdCol).as("c_id"), col(labelCol).as("c_lbl"),
+      VectorFns.quantize(col(vecCol), scale).as("c_vec"))
+    val scored = c.join(broadcast(q))
+      .filter(col("q_lbl") =!= col("c_lbl"))
+      .withColumn("sim", VectorFns.cosineQ(col("q_vec"), col("c_vec")))
+    topKSelect(scored, k)
+  }
+
   /** Deterministic pseudo-random hyperplanes for sign-LSH: component j of
     * plane p derives from mix64(p*dim + j), mapped to [-0.5, 0.5).
     */

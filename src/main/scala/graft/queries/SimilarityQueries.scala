@@ -42,6 +42,37 @@ object SimilarityQueries extends QueryFamily {
              |SELECT q_id, rnk, c_id, sim FROM ranked WHERE rnk <= 5
              |ORDER BY q_id, rnk""".stripMargin)),
 
+    // Hard-negative mining (contrastive-training data prep): each anchor's
+    // top-5 most-similar corpus vectors with a DIFFERENT label — the gate
+    // applies before ranking so excluded positives never consume a slot.
+    QueryDef(
+      "q_sim_hardneg",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val anchors = e.filter(col("vec_id") < 10)
+        val corpus = e.filter(col("vec_id") >= 10)
+        Similarity.hardNegatives(anchors, corpus,
+            "vec_id", "vec_id", "label", "embedding", k = 5)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |scored AS (
+             |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+             |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv), z -> z[1] * z[2])) AS DOUBLE)
+             |      / (sqrt(CAST(list_sum(list_transform(a.qv, x -> x * x)) AS DOUBLE))
+             |         * sqrt(CAST(list_sum(list_transform(b.qv, x -> x * x)) AS DOUBLE))) AS sim
+             |  FROM q a JOIN q b ON a.vec_id < 10 AND b.vec_id >= 10
+             |    AND a.label <> b.label),
+             |ranked AS (
+             |  SELECT q_id, c_id, sim,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+             |  FROM scored)
+             |SELECT q_id, rnk, c_id, sim FROM ranked WHERE rnk <= 5
+             |ORDER BY q_id, rnk""".stripMargin)),
+
     // ANN via quantized sign-LSH buckets with a FULL oracle: integer plane
     // weights (Similarity.planesQ — inlined as literals into BOTH engines),
     // exact BIGINT dot signs for bucketing, Hamming-1 multi-probe, exact

@@ -988,10 +988,10 @@ class GraftAppSpec extends AnyFunSuite {
     // D has no DEFINE → always-true step; B{1,2}; optional trailing F?
     val app =
       """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
-        |CREATE STREAM Out (n_b BIGINT, d_v DOUBLE);
+        |CREATE STREAM Out (n_b BIGINT, d_v DOUBLE, delta DOUBLE);
         |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
         |  ORDER BY ts
-        |  MEASURES count(B.v) AS n_b, D.v AS d_v
+        |  MEASURES count(B.v) AS n_b, D.v AS d_v, D.v - FIRST(B.v) AS delta
         |  AFTER MATCH SKIP TO NEXT ROW
         |  PATTERN (B{1,2} D) WITHIN INTERVAL '1' HOUR
         |  DEFINE B AS B.kind = 'b'
@@ -1001,9 +1001,10 @@ class GraftAppSpec extends AnyFunSuite {
       .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
         "user_id", "kind", "v")
     val got = GraftApp.run(spark, app, Map("E" -> in))("Out")
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted
     // b,b,x: B={b1},D=b2 (D is unconstrained); B={b2},D=x; B={b1,b2},D=x
-    assert(got.toSeq == Seq((1L, 2.0), (1L, 3.0), (2L, 3.0)))
+    // delta = D.v - B[0].v: 2-1, 3-2, 3-1 (arithmetic over navigation refs)
+    assert(got.toSeq == Seq((1L, 2.0, 1.0), (1L, 3.0, 1.0), (2L, 3.0, 2.0)))
   }
 
   test("MATCH_RECOGNIZE: the faithful-subset boundaries are typed errors") {
