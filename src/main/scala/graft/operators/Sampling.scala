@@ -126,4 +126,27 @@ object Sampling {
       .filter(unitHash(col(idCol), salt) < col("__rate"))
       .drop("__st", "__rate")
   }
+
+  /** Budget-constrained corpus selection: keep the best-scoring rows whose
+    * cumulative cost (tokens, chars, bytes) stays within `budget` — the
+    * greedy quality-first pick behind "train on the best N tokens of the
+    * corpus". Deterministic: ties on score break by `idCol`. A row is kept
+    * iff the running cost INCLUDING it fits, so selection is a prefix of
+    * the (score DESC, id) order and any engine replays it exactly.
+    *
+    * Scale: one global sort by (score, id) — unavoidable for an exact
+    * global prefix, and Spark's range-partitioned sort + running-sum
+    * window does it without any single-node bottleneck. For approximate
+    * selection at extreme scale, pre-filter by a score threshold from a
+    * 1-row quantile first; this exact form is the contract.
+    */
+  def selectBudget(df: DataFrame, idCol: String, scoreCol: String,
+                   costCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("__cum", sum(col(costCol).cast("long")).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
 }

@@ -99,6 +99,26 @@ object SamplingQueries extends QueryFamily {
              |      FROM documents)
              |ORDER BY shard, pos""".stripMargin)),
 
+    // Budget-constrained selection: the best-scoring docs whose cumulative
+    // char cost fits 100k (~2/3 of the corpus — the gate binds) — "train on the best N tokens" as an exact
+    // prefix of the (score DESC, id) order. One global sort (range-
+    // partitioned) + running-sum window; DuckDB replays the prefix.
+    QueryDef(
+      "q_sample_budget",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .withColumn("score", col("n_chars") * 2654435761L % 1000)
+        Sampling.selectBudget(d, "doc_id", "score", "n_chars", 100000L)
+          .select(col("doc_id"), col("score"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, score, n_chars FROM (
+             |  SELECT doc_id, (n_chars * 2654435761) % 1000 AS score, n_chars,
+             |    sum(n_chars) OVER (
+             |      ORDER BY (n_chars * 2654435761) % 1000 DESC, doc_id) AS cum
+             |  FROM documents)
+             |WHERE cum <= 100000 ORDER BY doc_id""".stripMargin)),
+
     // Sequence packing: per-source offset packing into 4096-char budgets
     // (concat-then-chunk pretraining layout); per-pack composition stats.
     QueryDef(
