@@ -1153,6 +1153,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(sh1.toSeq == sh2.toSeq)
   }
 
+  test("selectBudget: exact greedy prefix, boundary inclusion, zero budget") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // scores 5,4,3,2,1 with cost 10 each: budget 30 keeps exactly the top 3
+    val d = Seq((1L, 5L, 10L), (2L, 4L, 10L), (3L, 3L, 10L),
+      (4L, 2L, 10L), (5L, 1L, 10L)).toDF("id", "score", "cost")
+    def ids(budget: Long) = Sampling.selectBudget(d, "id", "score", "cost", budget)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids(30) == Seq(1L, 2L, 3L)) // boundary row INCLUDED (cum == budget)
+    assert(ids(29) == Seq(1L, 2L))     // one under the boundary excludes it
+    assert(ids(0) == Seq.empty)
+    assert(ids(1000) == Seq(1L, 2L, 3L, 4L, 5L))
+    // ties on score break by id: same-score rows admit lowest ids first
+    val t = Seq((9L, 7L, 10L), (2L, 7L, 10L), (5L, 7L, 10L)).toDF("id", "score", "cost")
+    assert(Sampling.selectBudget(t, "id", "score", "cost", 20L)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(2L, 5L))
+    intercept[IllegalArgumentException](
+      Sampling.selectBudget(d, "id", "score", "cost", -1L))
+  }
+
   test("Sampling: deterministic, growth-stable, exact strata counts, mixture proportions") {
     import spark.implicits._
     import graft.operators.Sampling
