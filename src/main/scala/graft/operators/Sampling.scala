@@ -134,19 +134,42 @@ object Sampling {
     * iff the running cost INCLUDING it fits, so selection is a prefix of
     * the (score DESC, id) order and any engine replays it exactly.
     *
-    * Scale: one global sort by (score, id) — unavoidable for an exact
-    * global prefix, and Spark's range-partitioned sort + running-sum
-    * window does it without any single-node bottleneck. For approximate
-    * selection at extreme scale, pre-filter by a score threshold from a
-    * 1-row quantile first; this exact form is the contract.
+    * Scale: an UNPARTITIONED running-sum window would drag the whole
+    * corpus through one task, so the prefix sum is two-level instead:
+    * range-partition on the selection order (partition p's rows all
+    * precede partition p+1's), running sum WITHIN each range partition,
+    * plus each partition's broadcast base offset (the tiny per-partition
+    * totals relation, cumulated driver-free). Two exchanges + one
+    * broadcast; no task ever holds more than its range slice.
     */
   def selectBudget(df: DataFrame, idCol: String, scoreCol: String,
-                   costCol: String, budget: Long): DataFrame = {
+                   costCol: String, budget: Long,
+                   onPersist: DataFrame => Unit = _ => ()): DataFrame = {
     require(budget >= 0, s"budget must be non-negative, got $budget")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col(scoreCol).desc, col(idCol))
-    df.withColumn("__cum", sum(col(costCol).cast("long")).over(w))
-      .filter(col("__cum") <= budget)
-      .drop("__cum")
+    // persisted: the range partitioner SAMPLES its boundaries, so the two
+    // consumers (offsets + main) must read one materialization — a
+    // re-evaluated exchange could split rows differently and the offsets
+    // would describe the wrong partitioning
+    val ranged = df
+      .repartitionByRange(col(scoreCol).desc, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onPersist(ranged)
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col(scoreCol).desc, col(idCol))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // per-partition base offsets: one row per range partition — tiny, and
+    // the only place an unpartitioned window runs
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(sum(col(costCol).cast("long")).as("__ptot"))
+      .withColumn("__off", coalesce(sum(col("__ptot")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    ranged
+      .withColumn("__cum", sum(col(costCol).cast("long")).over(wIn))
+      .join(broadcast(offsets), Seq("__pid"))
+      .filter(col("__off") + col("__cum") <= budget)
+      .drop("__pid", "__cum", "__off")
   }
 }
