@@ -274,6 +274,18 @@ object ConnectorQueries extends QueryFamily {
           .orderBy(col("event_id"))
       },
       Some("""SELECT event_id, user_id, event_type, value
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // File connector, ORC format: the columnar sibling (zlib-compressed,
+    // schema carried by the file) — typed round trip, no schema-first read
+    // needed.
+    QueryDef(
+      "q_file_orc",
+      (s, dir) => {
+        val path = FileStage.stage(s, dir, "orc")
+        s.read.orc(path).orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, event_type, value
              |FROM events ORDER BY event_id""".stripMargin))
   )
 
@@ -291,7 +303,8 @@ object ConnectorQueries extends QueryFamily {
           .createTempDirectory(s"graft-file-$format").toString
         val w = Tables(s, dir, "events")
           .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-          .write.mode("overwrite").option("compression", "gzip")
+          .write.mode("overwrite")
+          .option("compression", if (format == "orc") "zlib" else "gzip")
         (if (format == "csv") w.option("header", "true") else w)
           .format(format).save(path)
         path

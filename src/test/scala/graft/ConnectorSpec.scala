@@ -994,6 +994,26 @@ class ConnectorSpec extends AnyFunSuite {
     assert(err.getMessage.contains("fault stream"))
   }
 
+  test("file STREAMING sink: writeStream appends exactly-once parquet per batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-file-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-file-ckpt").toString
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDS().toDF("id", "name").writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "alpha")); q.processAllAvailable()
+      in.addData((2L, "beta"), (3L, "gamma")); q.processAllAvailable()
+    } finally q.stop()
+    // the manifest-committed files reassemble to exactly the input
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(got.toSeq == Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+  }
+
   test("file STREAMING source: readStream tails a csv drop directory") {
     // the streaming half of the file connector (batch round trip is the
     // q_file_csv oracle row): files dropped into a directory become
