@@ -101,7 +101,7 @@ INSERT INTO mrOut SELECT * FROM stockStream MATCH_RECOGNIZE (
 -- dimensions (pair with repartition/sort in the writing job).
 CREATE STREAM layoutKeys (symbol STRING, zkey BIGINT);
 INSERT INTO layoutKeys
-SELECT symbol, zorder_key(volume % 256, CAST(price AS BIGINT) % 256, 8) AS zkey
+SELECT symbol, zorder_key(pmod(volume, 256), pmod(CAST(price AS BIGINT), 256), 8) AS zkey
 FROM stockStream;
 
 -- Bare ad-hoc SELECT (trailing statement, no INSERT INTO): the

@@ -29,10 +29,21 @@ object Layout {
     val n = dims.size
     require(n >= 1 && bits >= 1 && n * bits <= 63,
       s"zValue needs 1+ dims and n*bits <= 63 (got n=$n bits=$bits)")
+    // out-of-range inputs (negative, or >= 2^bits) would interleave sign /
+    // overflow bits and collide with unrelated cells — the layout would be
+    // silently destroyed, so the domain is enforced per row (a codegen'd
+    // branch; raise_error carries the offending value)
+    val hi = (1L << bits) - 1
+    val checked = dims.map { d0 =>
+      val d = d0.cast("long")
+      when(d.between(0L, hi), d).otherwise(raise_error(format_string(
+        s"zValue: dimension value %s outside [0, ${hi}] — bucket inputs " +
+          s"first (scaleBucket/pmod)", d)).cast("long"))
+    }
     val terms = for {
       i <- 0 until bits
-      (d, j) <- dims.zipWithIndex
-    } yield shiftleft(shiftright(d.cast("long"), i).bitwiseAND(lit(1L)), i * n + j)
+      (d, j) <- checked.zipWithIndex
+    } yield shiftleft(shiftright(d, i).bitwiseAND(lit(1L)), i * n + j)
     terms.reduce(_ + _) // disjoint bit positions: + is |
   }
 

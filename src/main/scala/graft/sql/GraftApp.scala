@@ -985,8 +985,29 @@ object GraftApp {
   private val MatchRecognizeRe =
     """(?is)^\s*INSERT\s+INTO\s+(\w+)\s+SELECT\s+(.*?)\s+FROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\(""".r
 
+  /** Same-length copy with single-quoted spans (and the quotes) blanked —
+    * clause-keyword regexes run on the mask so a literal like
+    * 'retry WITHIN 5 MINUTES' can never be parsed as a clause; content is
+    * then sliced from the ORIGINAL by the mask match's positions.
+    */
+  private def maskQuotes(s: String): String = {
+    val out = s.toCharArray
+    var inQ = false
+    var i = 0
+    while (i < out.length) {
+      if (out(i) == '\'') { inQ = !inQ; out(i) = ' ' }
+      else if (inQ) out(i) = ' '
+      i += 1
+    }
+    new String(out)
+  }
+
   private[sql] def desugarMatchRecognize(stmt: String): String = {
-    if (!"""(?i)MATCH_RECOGNIZE""".r.findFirstIn(stmt).isDefined) return stmt
+    // keyword detection on the quote-masked text with word boundaries: a
+    // string literal mentioning MATCH_RECOGNIZE, or an identifier like
+    // match_recognizer, must NOT drag the statement into this parser
+    if ("""(?i)\bMATCH_RECOGNIZE\b""".r.findFirstIn(maskQuotes(stmt)).isEmpty)
+      return stmt
     val m = MatchRecognizeRe.findPrefixMatchOf(stmt).getOrElse(throw SqlError(
       "MATCH_RECOGNIZE must appear as INSERT INTO t SELECT * FROM stream " +
         s"MATCH_RECOGNIZE (...): ${stmt.trim.take(80)}"))
@@ -1008,9 +1029,10 @@ object GraftApp {
     val residue = stmt.substring(i).replace(";", " ").trim
     if (residue.nonEmpty) throw SqlError(
       s"unrecognized text after MATCH_RECOGNIZE: '${residue.take(60)}'")
-    // split at PATTERN ( … ): header before, tail after
-    val pm = """(?is)\bPATTERN\s*\(""".r.findFirstMatchIn(body).getOrElse(
-      throw SqlError("MATCH_RECOGNIZE needs a PATTERN (...) clause"))
+    // split at PATTERN ( … ): header before, tail after — keyword located
+    // on the quote-masked body
+    val pm = """(?is)\bPATTERN\s*\(""".r.findFirstMatchIn(maskQuotes(body))
+      .getOrElse(throw SqlError("MATCH_RECOGNIZE needs a PATTERN (...) clause"))
     val header = body.substring(0, pm.start)
     var d2 = 1; var j = pm.end; var q2 = false
     while (j < body.length && d2 > 0) {
@@ -1022,66 +1044,99 @@ object GraftApp {
     }
     if (d2 != 0) throw SqlError("unbalanced parens in PATTERN (...)")
     val patternRaw = body.substring(pm.end, j - 1).trim
-    var tail = body.substring(j)
 
-    // ---- header: PARTITION BY / ORDER BY / MEASURES / rows-per-match /
-    //      AFTER MATCH
-    val partitionBy = """(?is)\bPARTITION\s+BY\s+(.+?)\s*(?=\bORDER\s+BY\b|\bMEASURES\b|\bONE\s+ROW\b|\bALL\s+ROWS\b|\bAFTER\s+MATCH\b|$)""".r
-      .findFirstMatchIn(header).map(_.group(1).trim.stripSuffix(","))
+    // ---- clause excision: every recognized clause is CUT OUT of a working
+    // copy, keyword-matched on the quote mask, content sliced from the
+    // original; whatever text remains at the end is a typed error — the
+    // never-silent contract (ORDER BY ts DESC leaves 'DESC' behind, a
+    // misspelled clause leaves itself behind)
+    var hOrig = header
+    var hMask = maskQuotes(header)
+    def excise(re: scala.util.matching.Regex): Option[IndexedSeq[String]] =
+      re.findFirstMatchIn(hMask).map { mm =>
+        val gs = (1 to mm.groupCount).map(g =>
+          if (mm.start(g) < 0) null else hOrig.substring(mm.start(g), mm.end(g)))
+        hOrig = hOrig.substring(0, mm.start) + hOrig.substring(mm.end)
+        hMask = hMask.substring(0, mm.start) + hMask.substring(mm.end)
+        gs
+      }
+
+    val partitionBy = excise(
+      """(?is)\bPARTITION\s+BY\s+(.+?)\s*(?=\bORDER\s+BY\b|\bMEASURES\b|\bONE\s+ROW\b|\bALL\s+ROWS\b|\bAFTER\s+MATCH\b|$)""".r)
+      .map(_.head.trim.stripSuffix(","))
     partitionBy.foreach { p =>
       if (splitTopLevel(p).size > 1)
         throw SqlError("patterns support a single partition key")
     }
-    val orderBy = """(?is)\bORDER\s+BY\s+(\w+)(\s+ASC)?""".r
-      .findFirstMatchIn(header).getOrElse(throw SqlError(
+    val orderBy = excise("""(?is)\bORDER\s+BY\s+(\w+)(\s+ASC\b)?""".r)
+      .getOrElse(throw SqlError(
         "MATCH_RECOGNIZE needs ORDER BY ts — rows enter the pattern in " +
-          "event-time order (the engine's only ordering)")).group(1)
+          "event-time order (the engine's only ordering)")).head
     if (!orderBy.equalsIgnoreCase("ts")) throw SqlError(
       s"ORDER BY $orderBy: only the event-time column `ts` orders a pattern " +
         "(per-event order is the stream's time attribute)")
-    if ("""(?is)\bALL\s+ROWS\s+PER\s+MATCH""".r.findFirstIn(header).isDefined)
+    val measuresRaw = excise(
+      """(?is)\bMEASURES\s+(.+?)\s*(?=\bONE\s+ROW\b|\bALL\s+ROWS\b|\bAFTER\s+MATCH\b|$)""".r)
+      .map(_.head.trim).getOrElse(throw SqlError(
+        "MATCH_RECOGNIZE needs a MEASURES clause (the output columns)"))
+    if ("""(?is)\bALL\s+ROWS\s+PER\s+MATCH""".r.findFirstIn(hMask).isDefined)
       throw SqlError("ALL ROWS PER MATCH is not supported — the engine emits " +
         "ONE ROW PER MATCH; collect per-step values with FIRST/LAST/count/sum " +
         "MEASURES instead")
-    val afterMatch = """(?is)\bAFTER\s+MATCH\s+(.*?)(?=\bPATTERN\b|$)""".r
-      .findFirstMatchIn(header).map(_.group(1).trim)
-    afterMatch match {
-      case Some(s0) if s0.matches("(?is)SKIP\\s+TO\\s+NEXT\\s+ROW\\s*") => // ok
-      case Some(other) => throw SqlError(
-        s"AFTER MATCH $other: only SKIP TO NEXT ROW is supported — the engine " +
-          "emits every overlapping match (the reference's EVERY semantics); " +
-          "SKIP PAST LAST ROW's non-overlapping resume is a different machine")
-      case None => throw SqlError(
+    excise("""(?is)\bONE\s+ROW\s+PER\s+MATCH""".r)
+    if (excise("""(?is)\bAFTER\s+MATCH\s+SKIP\s+TO\s+NEXT\s+ROW""".r).isEmpty) {
+      if ("""(?is)\bAFTER\s+MATCH\b""".r.findFirstIn(hMask).isDefined)
+        throw SqlError(
+          "only AFTER MATCH SKIP TO NEXT ROW is supported — the engine " +
+            "emits every overlapping match (the reference's EVERY semantics); " +
+            "SKIP PAST LAST ROW's non-overlapping resume is a different machine")
+      throw SqlError(
         "specify AFTER MATCH SKIP TO NEXT ROW: the engine emits every " +
           "overlapping match, which is NOT ANSI's default (SKIP PAST LAST " +
           "ROW) — the clause is required so the semantics are explicit")
     }
-    val measuresRaw = """(?is)\bMEASURES\s+(.*?)(?=\bONE\b|\bALL\b|\bAFTER\b|$)""".r
-      .findFirstMatchIn(header).map(_.group(1).trim).getOrElse(throw SqlError(
-        "MATCH_RECOGNIZE needs a MEASURES clause (the output columns)"))
+    val hdrResidue = hOrig.replaceAll("""[\s,]+""", " ").trim
+    if (hdrResidue.nonEmpty) throw SqlError(
+      s"unrecognized MATCH_RECOGNIZE header text: '${hdrResidue.take(60)}' — " +
+        "supported: PARTITION BY, ORDER BY ts [ASC], MEASURES, ONE ROW PER " +
+        "MATCH, AFTER MATCH SKIP TO NEXT ROW")
 
-    // ---- tail: WITHIN / DEFINE
+    // ---- tail: WITHIN / DEFINE (same discipline)
+    var tOrig = body.substring(j)
+    var tMask = maskQuotes(tOrig)
     var withinStr = ""
-    """(?is)\bWITHIN\s+(?:INTERVAL\s+'(\d+)'\s+(\w+)|(\d+)\s+(\w+))""".r
-      .findFirstMatchIn(tail).foreach { wm =>
-        val (n, u) = if (wm.group(1) != null) (wm.group(1), wm.group(2))
-          else (wm.group(3), wm.group(4))
-        withinStr = s" WITHIN $n $u"
-        tail = tail.substring(0, wm.start) + tail.substring(wm.end)
-      }
-    val defines = """(?is)\bDEFINE\s+(.*)$""".r.findFirstMatchIn(tail) match {
+    """(?is)\bWITHIN\b""".r.findFirstMatchIn(tMask).foreach { km =>
+      // keyword found outside quotes; arguments parsed from the ORIGINAL
+      // anchored there (the INTERVAL 'n' form legitimately quotes n)
+      val anchored = """(?is)^WITHIN\s+(?:INTERVAL\s+'(\d+)'\s+(\w+)|(\d+)\s+(\w+))""".r
+      val wm = anchored.findPrefixMatchOf(tOrig.substring(km.start)).getOrElse(
+        throw SqlError(s"bad WITHIN clause: '${tOrig.substring(km.start).take(40)}' — " +
+          "expected WITHIN [INTERVAL] 'n' unit"))
+      val (n, u) = if (wm.group(1) != null) (wm.group(1), wm.group(2))
+        else (wm.group(3), wm.group(4))
+      withinStr = s" WITHIN $n $u"
+      tOrig = tOrig.substring(0, km.start) + tOrig.substring(km.start + wm.end)
+      tMask = tMask.substring(0, km.start) + tMask.substring(km.start + wm.end)
+    }
+    val defines = """(?is)\bDEFINE\b""".r.findFirstMatchIn(tMask) match {
       case Some(dm) =>
-        tail = tail.substring(0, dm.start)
-        splitTopLevel(dm.group(1)).map { item =>
+        val list = tOrig.substring(dm.end)
+        tOrig = tOrig.substring(0, dm.start)
+        val pairs = splitTopLevel(list).map { item =>
           """(?is)^\s*(\w+)\s+AS\s+(.+)$""".r.findFirstMatchIn(item) match {
             case Some(im) => im.group(1) -> im.group(2).trim
             case None => throw SqlError(s"bad DEFINE item '$item' — expected VAR AS predicate")
           }
-        }.toMap
+        }
+        pairs.groupBy(_._1).collectFirst { case (v, ps) if ps.size > 1 => v }
+          .foreach(v => throw SqlError(
+            s"duplicate DEFINE for pattern variable '$v' — each variable " +
+              "takes one predicate (AND the conditions instead)"))
+        pairs.toMap
       case None => Map.empty[String, String]
     }
-    if (tail.trim.nonEmpty) throw SqlError(
-      s"unrecognized MATCH_RECOGNIZE clause: '${tail.trim.take(60)}'")
+    if (tOrig.trim.nonEmpty) throw SqlError(
+      s"unrecognized MATCH_RECOGNIZE clause: '${tOrig.trim.take(60)}'")
 
     // ---- pattern tokens: VAR quantifier, concatenation only
     if (patternRaw.exists(c => c == '(' || c == ')' || c == '|'))

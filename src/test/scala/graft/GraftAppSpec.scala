@@ -1037,5 +1037,44 @@ class GraftAppSpec extends AnyFunSuite {
     val sel = intercept[GraftApp.SqlError](GraftApp.run(spark,
       mk(base).replace("SELECT *", "SELECT a"), Map("E" -> mrEvents)))
     assert(sel.getMessage.contains("SELECT *"))
+    // review findings: silently-dropped header text must be typed errors
+    assert(err(base.replace("ORDER BY ts", "ORDER BY ts DESC"))
+      .contains("DESC")) // residue check — DESC is not silently ascending
+    assert(err(base.replace("ORDER BY ts", "ORDER BY ts, v"))
+      .contains("unrecognized")) // extra sort keys likewise
+    assert(err(base.replace("DEFINE A AS A.kind = 'a'",
+      "DEFINE A AS A.v > 100, A AS A.kind = 'a'"))
+      .contains("duplicate DEFINE")) // last-wins toMap would drop a pred
+  }
+
+  test("MATCH_RECOGNIZE text inside literals/identifiers stays out of the parser") {
+    // a string literal mentioning the keyword must not drag the statement
+    // into the MR parser (the bare-substring guard rejected this before)
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (note STRING);
+        |INSERT INTO Out SELECT 'see MATCH_RECOGNIZE docs' AS note FROM E;""".stripMargin
+    val out = GraftApp.run(spark, app, Map("E" -> mrEvents))("Out")
+    assert(out.collect().length == mrEvents.count())
+    // and WITHIN-shaped text inside a DEFINE literal stays in the predicate
+    // (the clause regex used to excise it and invent a real WITHIN bound)
+    val lit =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (k STRING);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  ORDER BY ts
+        |  MEASURES A.kind AS k
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A)
+        |  DEFINE A AS A.kind = 'WITHIN 5 MINUTES'
+        |);""".stripMargin
+    import spark.implicits._
+    val in = Seq((1, 7L, "WITHIN 5 MINUTES", 1.0), (2, 7L, "x", 2.0))
+      .toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val got = GraftApp.run(spark, lit, Map("E" -> in))("Out")
+      .collect().map(_.getString(0))
+    assert(got.toSeq == Seq("WITHIN 5 MINUTES")) // literal survived intact
   }
 }

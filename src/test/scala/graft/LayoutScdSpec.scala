@@ -53,6 +53,16 @@ class LayoutScdSpec extends AnyFunSuite {
     assert(spans.getLong(0) == 7 && spans.getLong(1) == 7)
   }
 
+  test("zValue: out-of-range dims raise (negative/overflow would corrupt the key)") {
+    // a negative or >= 2^bits input would interleave sign/overflow bits and
+    // collide with unrelated cells — destroying the layout silently
+    val bad = Seq((-1L, 3L), (2L, 256L)).toDF("u", "v")
+    val e = intercept[Exception](
+      bad.select(Layout.zValue(Seq(col("u"), col("v")), 8)).collect())
+    assert(e.getMessage.contains("zValue") || Option(e.getCause)
+      .exists(_.getMessage.contains("zValue")))
+  }
+
   test("zValue: rejects bit-width overflow and accepts 3-dim interleave") {
     intercept[IllegalArgumentException](Layout.zValue(Seq(col("a")), 64))
     val z = Seq((1L, 2L, 3L)).toDF("a", "b", "c")
