@@ -38,9 +38,16 @@ object Bloom {
     * degrades silently, size costs only a few MBs.
     */
   private def bloomSubquery(members: DataFrame, memberCol: String,
-                            expectedItems: Long): ScalarSubquery = {
+                            expectedItems: Long,
+                            probeType: org.apache.spark.sql.types.DataType): ScalarSubquery = {
+    // XxHash64 is type-sensitive (INT 5 and BIGINT 5 hash differently), so a
+    // member column of a different type than the probe key would seed the
+    // bloom with hashes the probe never produces — silent false negatives,
+    // breaking the exact-results contract. Cast the member side to the probe
+    // key's type so both sides hash the same representation; the confirm
+    // join already coerces, so this aligns the bloom gate with it.
     val agg = new BloomFilterAggregate(
-      new XxHash64(Seq(Bridge.expression(col(memberCol)))), expectedItems)
+      new XxHash64(Seq(Bridge.expression(col(memberCol).cast(probeType)))), expectedItems)
     val bfDf = members.select(Bridge.column(agg.toAggregateExpression()).as("__bf"))
     ScalarSubquery(bfDf.queryExecution.analyzed)
   }
@@ -62,7 +69,8 @@ object Bloom {
                memberCol: String, expectedItems: Long): DataFrame = {
     require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
     val hits = df.filter(
-      mightContain(bloomSubquery(members, memberCol, expectedItems), col(keyCol)))
+      mightContain(bloomSubquery(members, memberCol, expectedItems,
+        df.schema(keyCol).dataType), col(keyCol)))
     hits.join(members.select(col(memberCol).as(keyCol)).distinct(),
       Seq(keyCol), "left_semi")
   }
@@ -76,10 +84,11 @@ object Bloom {
   def antiJoin(df: DataFrame, keyCol: String, members: DataFrame,
                memberCol: String, expectedItems: Long): DataFrame = {
     require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    val probeType = df.schema(keyCol).dataType
     val definiteMiss = df.filter(
-      !mightContain(bloomSubquery(members, memberCol, expectedItems), col(keyCol)))
+      !mightContain(bloomSubquery(members, memberCol, expectedItems, probeType), col(keyCol)))
     val candidates = df.filter(
-        mightContain(bloomSubquery(members, memberCol, expectedItems), col(keyCol)))
+        mightContain(bloomSubquery(members, memberCol, expectedItems, probeType), col(keyCol)))
       .join(members.select(col(memberCol).as(keyCol)).distinct(),
         Seq(keyCol), "left_anti")
     definiteMiss.unionByName(candidates)

@@ -20,6 +20,25 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Iterations executed by the most recent pageRank/trustRank call on this
+    * JVM — observability for the epsilon-stopping specs (pins that `tolPm`
+    * actually stopped early). Not part of the operator contract.
+    */
+  @volatile private[graft] var lastRunIters: Int = -1
+
+  /** Weighted propagation requires strictly positive weights: a source
+    * whose out-weights sum to <= 0 (or a NULL weight) makes `rank div deg`
+    * NULL under non-ANSI division and its contributions silently vanish
+    * from `sum(c)` — wrong ranks instead of an error. Gate every weight
+    * with a typed per-row error (codegen'd branch, same shape as
+    * Layout.zOrderKey's domain check — no extra validation pass over the
+    * edges).
+    */
+  private def positiveWeight(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c.isNotNull && c > 0L, c).otherwise(raise_error(format_string(
+      "graph edge weight must be a positive integer, got %s",
+      coalesce(c.cast("string"), lit("NULL")))))
+
   /** Fixed-point PageRank over an edge relation `(srcCol, dstCol)`.
     *
     * Semantics (all integer, all deterministic):
@@ -53,15 +72,25 @@ object Graph {
     * digits — safe in BIGINT up to ~9e16 node-mass, i.e. 9e7 nodes at the
     * default scale; trim `scale` for larger graphs (host graphs are ≤1e8
     * nodes at web scale).
+    *
+    * `tolPm` (optional) adds epsilon stopping for runs to convergence on an
+    * unknown graph: every `ckptEvery` rounds — where a generation is
+    * already eagerly checkpointed — ONE max-abs-delta aggregation against
+    * the previous checkpointed generation stops the loop early when no
+    * node's rank moved by more than `scale*tolPm/1000`. `iters` remains the
+    * hard cap. Default None = fixed iteration count, bit-identical to the
+    * pre-option behavior (the oracle rows pin this).
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, dampingPct: Int = 85,
                scale: Long = 1000000000L,
-               weightCol: Option[String] = None): DataFrame = {
+               weightCol: Option[String] = None,
+               tolPm: Option[Long] = None): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
     require(scale > 0, s"scale must be positive, got $scale")
+    tolPm.foreach(t => require(t > 0, s"tolPm must be positive, got $t"))
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sc = edges.sparkSession.sparkContext
     val created = scala.collection.mutable.Set.empty[Int]
@@ -77,7 +106,7 @@ object Graph {
     // serialize/deserialize pass
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"),
-      weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L)).as("w"))
+      weightCol.map(c => positiveWeight(col(c).cast("long"))).getOrElse(lit(1L)).as("w"))
     // fold out-degree (sum of out-weights; plain count when unweighted)
     // into the edge relation once; the degree-join output is already
     // hash-partitioned on src (both join inputs exchange on it), so
@@ -103,7 +132,15 @@ object Graph {
     val ckptEvery = 8
     var rank = nodes.select(col("node"), lit(scale).as("rank"))
     var i = 0
-    while (i < iters) {
+    var converged = false
+    // epsilon stopping (`tolPm`): every ckptEvery rounds the generation is
+    // already eagerly checkpointed — ONE extra max-abs-delta aggregation
+    // against the previous checkpointed generation (a co-partitioned join
+    // of two (node, rank) relations, no corpus touch) decides whether to
+    // stop. Tolerance is per-mille of `scale`: tolPm=1 stops when no rank
+    // moved by more than scale/1000 across a checkpoint span.
+    var prevCkpt: Option[DataFrame] = None
+    while (i < iters && !converged) {
       // per-edge contributions UNION a zero row per node, ONE aggregation:
       // folding the spine into the agg replaces the left-outer re-join
       // (an extra broadcast + join stage per round) — nodes with no
@@ -117,11 +154,24 @@ object Graph {
         .select(col("node"),
           (lit(base) + expr(s"($dampingPct * s) div 100")).as("rank"))
       i += 1
-      rank = if (i % ckptEvery == 0 && i < iters) checkpointTracked(next) else next
+      if (i % ckptEvery == 0 && i < iters) {
+        val ck = checkpointTracked(next)
+        tolPm.foreach { tol =>
+          prevCkpt.foreach { prev =>
+            val d = ck.join(prev.select(col("node"), col("rank").as("__pr")), "node")
+              .agg(max(abs(col("rank") - col("__pr"))).as("d"))
+              .head()
+            if (d.isNullAt(0) || d.getLong(0) <= scale * tol / 1000) converged = true
+          }
+          prevCkpt = Some(ck)
+        }
+        rank = ck
+      } else rank = next
     }
     // materialize the final generation FIRST (it is a lazy plan over the
     // persisted nodes/eDeg), then free the inputs and every intermediate
     // checkpoint this call created — never foreign persists
+    lastRunIters = i
     val beforeFinal = sc.getPersistentRDDs.keySet
     val result = rank.select(col("node"), col("rank")).localCheckpoint(true)
     created --= sc.getPersistentRDDs.keySet -- beforeFinal
@@ -151,12 +201,14 @@ object Graph {
                 seeds: DataFrame, seedCol: String,
                 iters: Int, dampingPct: Int = 85,
                 scale: Long = 1000000000L,
-                weightCol: Option[String] = None): DataFrame = {
+                weightCol: Option[String] = None,
+                tolPm: Option[Long] = None): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dampingPct >= 0 && dampingPct < 100,
       s"dampingPct must be in [0,100) — at 100 no trust mass is ever " +
         s"injected and every rank is 0; got $dampingPct")
     require(scale > 0, s"scale must be positive, got $scale")
+    tolPm.foreach(t => require(t > 0, s"tolPm must be positive, got $t"))
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sc = edges.sparkSession.sparkContext
     val created = scala.collection.mutable.Set.empty[Int]
@@ -168,7 +220,7 @@ object Graph {
     }
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"),
-      weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L)).as("w"))
+      weightCol.map(c => positiveWeight(col(c).cast("long"))).getOrElse(lit(1L)).as("w"))
     val degs = e.groupBy("src").agg(sum(col("w")).as("deg"))
     val eDeg = degs.join(e, "src").persist(MEMORY_AND_DISK)
     val seedSet = seeds.select(col(seedCol).cast("long").as("node")).distinct()
@@ -187,7 +239,11 @@ object Graph {
     var rank = nodes.select(col("node"),
       when(col("node_base") > 0L, lit(scale)).otherwise(lit(0L)).as("rank"))
     var i = 0
-    while (i < iters) {
+    var converged = false
+    // same epsilon stopping as pageRank: one max-abs-delta agg between
+    // consecutive checkpointed generations, per-mille-of-scale tolerance
+    var prevCkpt: Option[DataFrame] = None
+    while (i < iters && !converged) {
       // spine rows carry the per-node base as a second aggregated column
       // (contrib rows carry 0), so base re-attachment costs no extra join
       val contrib = eDeg
@@ -200,8 +256,21 @@ object Graph {
         .select(col("node"),
           (col("b") + expr(s"($dampingPct * s) div 100")).as("rank"))
       i += 1
-      rank = if (i % ckptEvery == 0 && i < iters) checkpointTracked(next) else next
+      if (i % ckptEvery == 0 && i < iters) {
+        val ck = checkpointTracked(next)
+        tolPm.foreach { tol =>
+          prevCkpt.foreach { prev =>
+            val d = ck.join(prev.select(col("node"), col("rank").as("__pr")), "node")
+              .agg(max(abs(col("rank") - col("__pr"))).as("d"))
+              .head()
+            if (d.isNullAt(0) || d.getLong(0) <= scale * tol / 1000) converged = true
+          }
+          prevCkpt = Some(ck)
+        }
+        rank = ck
+      } else rank = next
     }
+    lastRunIters = i
     val beforeFinal = sc.getPersistentRDDs.keySet
     val result = rank.select(col("node"), col("rank")).localCheckpoint(true)
     created --= sc.getPersistentRDDs.keySet -- beforeFinal

@@ -144,17 +144,23 @@ object Sampling {
     */
   def selectBudget(df: DataFrame, idCol: String, scoreCol: String,
                    costCol: String, budget: Long,
-                   onPersist: DataFrame => Unit = _ => ()): DataFrame = {
+                   onPersist: Option[DataFrame => Unit] = None): DataFrame = {
     require(budget >= 0, s"budget must be non-negative, got $budget")
     // persisted: the range partitioner SAMPLES its boundaries, so the two
     // consumers (offsets + main) must read one materialization — a
     // re-evaluated exchange could split rows differently and the offsets
-    // would describe the wrong partitioning
+    // would describe the wrong partitioning.
+    // Lifetime: by default the cached relation is freed INTERNALLY — the
+    // result is eagerly materialized (localCheckpoint, same discipline as
+    // Graph.pageRank) and `ranged` unpersisted before returning, so
+    // repeated calls never leak a corpus-sized cache for the session's
+    // lifetime. Callers who want the lazy plan instead pass
+    // `onPersist = Some(cb)` and own the unpersist.
     val ranged = df
       .repartitionByRange(col(scoreCol).desc, col(idCol))
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    onPersist(ranged)
+    onPersist.foreach(cb => cb(ranged))
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid")).orderBy(col(scoreCol).desc, col(idCol))
     val wOff = org.apache.spark.sql.expressions.Window
@@ -166,10 +172,16 @@ object Sampling {
       .agg(sum(col(costCol).cast("long")).as("__ptot"))
       .withColumn("__off", coalesce(sum(col("__ptot")).over(wOff), lit(0L)))
       .select(col("__pid"), col("__off"))
-    ranged
+    val out = ranged
       .withColumn("__cum", sum(col(costCol).cast("long")).over(wIn))
       .join(broadcast(offsets), Seq("__pid"))
       .filter(col("__off") + col("__cum") <= budget)
       .drop("__pid", "__cum", "__off")
+    if (onPersist.isDefined) out
+    else {
+      val res = out.localCheckpoint(true)
+      ranged.unpersist()
+      res
+    }
   }
 }

@@ -1002,6 +1002,25 @@ object GraftApp {
     new String(out)
   }
 
+  /** Regex rewrite applied only OUTSIDE single-quoted spans: matches are
+    * located on the quote-masked text (length-preserving, so offsets map
+    * 1:1 onto the original) and the replacement is spliced into the
+    * original — a pattern-variable prefix or keyword inside a string
+    * literal survives untouched. Group text is taken from the masked match,
+    * which is identical to the original for anything outside quotes.
+    */
+  private def rewriteOutsideQuotes(orig: String, re: scala.util.matching.Regex)(
+      repl: scala.util.matching.Regex.Match => String): String = {
+    val mask = maskQuotes(orig)
+    val sb = new StringBuilder
+    var pos = 0
+    re.findAllMatchIn(mask).foreach { m =>
+      sb.append(orig.substring(pos, m.start)).append(repl(m))
+      pos = m.end
+    }
+    sb.append(orig.substring(pos)).toString()
+  }
+
   private[sql] def desugarMatchRecognize(stmt: String): String = {
     // keyword detection on the quote-masked text with word boundaries: a
     // string literal mentioning MATCH_RECOGNIZE, or an identifier like
@@ -1159,11 +1178,14 @@ object GraftApp {
     // DEFINE predicate: self-references become bare columns (the engine's
     // step-filter form); other variables stay qualified (cross-step refs)
     def lowerPred(v: String, p: String): String = {
-      """(?i)\b(PREV|NEXT|FIRST|LAST)\s*\(""".r.findFirstIn(p).foreach(f =>
-        throw SqlError(s"$f in DEFINE is not supported — step predicates see " +
+      // keyword detection and the self-reference strip both run on the
+      // quote-masked text: a literal like 'A.x' or 'PREV(' inside a string
+      // must neither trip the rejection nor be rewritten
+      """(?i)\b(PREV|NEXT|FIRST|LAST)\s*\(""".r.findFirstIn(maskQuotes(p)).foreach(f =>
+        throw SqlError(s"${f.trim} in DEFINE is not supported — step predicates see " +
           "the current event plus earlier steps by name (cross-step " +
           "references like `B.x > A.x`)"))
-      p.replaceAll(s"(?i)\\b$v\\s*\\.\\s*", "")
+      rewriteOutsideQuotes(p, s"(?i)\\b$v\\s*\\.\\s*".r)(_ => "")
     }
     val steps = toks.map { case (v, q) =>
       val pred = defines.get(v).map(p => s"[${lowerPred(v, p)}]").getOrElse("")
@@ -1180,9 +1202,14 @@ object GraftApp {
     val items = splitTopLevel(measuresRaw).map { item =>
       val im = """(?is)^(.*?)\s+AS\s+(\w+)\s*$""".r.findFirstMatchIn(item)
         .getOrElse(throw SqlError(s"bad MEASURES item '$item' — expected expr AS alias"))
-      val expr0 = im.group(1)
-        .replaceAll("""(?i)\bFIRST\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)""", "$1[0].$2")
-        .replaceAll("""(?i)\bLAST\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)""", "$1[last].$2")
+      val expr0 = {
+        val a = rewriteOutsideQuotes(im.group(1),
+          """(?i)\bFIRST\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)""".r)(m =>
+          s"${m.group(1)}[0].${m.group(2)}")
+        rewriteOutsideQuotes(a,
+          """(?i)\bLAST\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)""".r)(m =>
+          s"${m.group(1)}[last].${m.group(2)}")
+      }
       s"$expr0 AS ${im.group(2)}"
     }
     val keyItem = partitionBy.map { k =>

@@ -1077,4 +1077,32 @@ class GraftAppSpec extends AnyFunSuite {
       .collect().map(_.getString(0))
     assert(got.toSeq == Seq("WITHIN 5 MINUTES")) // literal survived intact
   }
+
+  test("MATCH_RECOGNIZE: rewrites never touch string literals (review finding)") {
+    // the DEFINE self-reference strip and the MEASURES FIRST/LAST lowering
+    // are quote-masked: a pattern-variable prefix or navigation spelling
+    // INSIDE a literal must pass through verbatim, and a literal 'PREV('
+    // must not trip the navigation rejection
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (k STRING, tag STRING);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  ORDER BY ts
+        |  MEASURES A.kind AS k, 'LAST(B.v) A. PREV(x)' AS tag
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A)
+        |  DEFINE A AS A.kind = 'A.x'
+        |);""".stripMargin
+    import spark.implicits._
+    val in = Seq((1, 7L, "A.x", 1.0), (2, 7L, "x", 2.0))
+      .toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val got = GraftApp.run(spark, app, Map("E" -> in))("Out")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // without masking, DEFINE would compare against 'x' (stripped literal)
+    // and match the wrong event; the MEASURES literal would be mangled into
+    // indexed-access spellings
+    assert(got.toSeq == Seq(("A.x", "LAST(B.v) A. PREV(x)")))
+  }
 }

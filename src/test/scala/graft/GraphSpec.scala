@@ -108,6 +108,55 @@ class GraphSpec extends AnyFunSuite {
       chain, "src", "dst", seeds, "s", iters = 1, dampingPct = 100))
   }
 
+  test("weighted pageRank rejects zero/negative/NULL weights with a typed per-row error") {
+    // silent behavior would be NULL division → contributions vanish and
+    // ranks come out wrong; the operator must fail loudly instead
+    for (bad <- Seq(0L, -3L)) {
+      val edges = Seq((1L, 2L, 5L), (2L, 1L, bad)).toDF("src", "dst", "w")
+      val ex = intercept[Exception](Graph.pageRank(edges, "src", "dst",
+        iters = 1, scale = 1000000L, weightCol = Some("w")).collect())
+      assert(ex.getMessage.contains("positive"), ex.getMessage)
+    }
+    val withNull = Seq((1L, Some(5L)), (2L, None))
+      .toDF("src", "w").withColumn("dst", col("src") + 1L)
+    val exN = intercept[Exception](Graph.pageRank(withNull, "src", "dst",
+      iters = 1, scale = 1000000L, weightCol = Some("w")).collect())
+    assert(exN.getMessage.contains("positive"), exN.getMessage)
+  }
+
+  test("tolPm epsilon stopping halts early on a converged graph and is off by default") {
+    // deg=1 cycle at damping 100: every generation equals the start vector
+    // exactly, so the first delta check (i=16, comparing the i=8 and i=16
+    // checkpoints) sees delta 0 and stops — the hard cap of 64 is not run.
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val converged = Graph.pageRank(cycle, "src", "dst", iters = 64,
+        dampingPct = 100, scale = 1000000L, tolPm = Some(1L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Graph.lastRunIters == 16, s"expected early stop at 16, ran ${Graph.lastRunIters}")
+    assert(converged == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+    // without tolPm the same call runs all 64 iterations (and matches)
+    val full = Graph.pageRank(cycle, "src", "dst", iters = 64,
+        dampingPct = 100, scale = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Graph.lastRunIters == 64)
+    assert(full == converged)
+    // trustRank: seed chain converges to the exact fixed point fast; the
+    // epsilon stop returns the same ranks as the full run
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("s")
+    val tEps = Graph.trustRank(chain, "src", "dst", seeds, "s", iters = 64,
+        dampingPct = 85, scale = 1000000L, tolPm = Some(1L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tIters = Graph.lastRunIters
+    assert(tIters < 64, s"expected early stop, ran $tIters")
+    val tFull = Graph.trustRank(chain, "src", "dst", seeds, "s", iters = 64,
+        dampingPct = 85, scale = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tEps == tFull)
+    intercept[IllegalArgumentException](Graph.pageRank(cycle, "src", "dst",
+      iters = 1, tolPm = Some(0L)))
+  }
+
   test("degrees counts both directions with zero-filled missing sides") {
     val d = Graph.degrees(triangle, "src", "dst")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
@@ -191,6 +240,23 @@ class GraphSpec extends AnyFunSuite {
     val none = Seq.empty[Long].toDF("m")
     assert(Bloom.semiJoin(big, "k", none, "m", 10L).count() == 0L)
     assert(Bloom.antiJoin(big, "k", none, "m", 10L).count() == big.count())
+  }
+
+  test("bloom joins stay exact when member and probe key types differ") {
+    // XxHash64 hashes INT 5 and BIGINT 5 differently — without the cast
+    // alignment the bloom would be seeded with hashes the probe never
+    // produces (false negatives: semi drops members, anti passes blocked
+    // rows). Members here are INT, probe keys BIGINT.
+    val big = (1L to 2000L).map(i => (i % 97L, i)).toDF("k", "row_id")
+    val membersInt = Seq(3, 9, 50, 96).toDF("m") // IntegerType
+    assert(big.schema("k").dataType != membersInt.schema("m").dataType)
+    val plainSemi = big.join(membersInt.select(col("m").cast("long").as("k")).distinct(),
+      Seq("k"), "left_semi")
+    val plainAnti = big.join(membersInt.select(col("m").cast("long").as("k")).distinct(),
+      Seq("k"), "left_anti")
+    assert(canon(Bloom.semiJoin(big, "k", membersInt, "m", 100L)) == canon(plainSemi))
+    assert(canon(Bloom.antiJoin(big, "k", membersInt, "m", 100L)) == canon(plainAnti))
+    assert(Bloom.semiJoin(big, "k", membersInt, "m", 100L).count() > 0L)
   }
 
   test("bloom prune actually shrinks the confirm-join input") {
