@@ -85,6 +85,14 @@ object Bench {
     val winEps = if (tWin > 0) nEvents / tWin else 0.0
     val cepEps = if (tCep > 0) nEvents / tCep else 0.0
 
+    // host calibration (HostCalib): a fixed-work CPU probe measured right
+    // next to the kernels, so the floor gate can separate "the code got
+    // slower" from "the host got slower" — SCALE.md round 10 recorded the
+    // SAME build reading 233k-508k window events/s across one day's host
+    // states, which makes a raw floor a false-fail hazard.
+    val (calib1, calibN) = HostCalib.calibrate(cpus.toInt)
+    val adjust = HostCalib.floorAdjust(calibN)
+
     // regression floors (round-4 steady state cleared both with >=1.5x
     // headroom: 478k window / 318k CEP): a state-format or hot-loop
     // regression must not land silently. floors_met=false is the signal —
@@ -94,20 +102,34 @@ object Bench {
     // events/s regardless of kernel speed, so the floor is not applicable
     // raised round 6 (clean r6: 451-498k window / 380-388k CEP; worst
     // contended round-5 host window measured 333k / 294k — floors sit
-    // below that so floors_met=false still means code, not load)
+    // below that so floors_met=false still means code, not load).
+    // Round 11: floors are HOST-NORMALIZED — the gate compares against
+    // floor * (calib_now / CALIB_REF_32T_MOPS), clamped to [0.25, 1.25],
+    // so the same build passes on a contended host and a regression still
+    // fails on a fast one. Raw floors and raw readings stay in the JSON.
     val winFloor = 325000L
     val cepFloor = 250000L
-    val floorsApplicable = nEvents >= 100000L
-    val floorsMet = !floorsApplicable || (winEps >= winFloor && cepEps >= cepFloor)
+    val winFloorAdj = (winFloor * adjust).round
+    val cepFloorAdj = (cepFloor * adjust).round
+    // floors (and the calibration reference) were set at local[32]; a
+    // smaller-thread run can't be compared against either, so the gate
+    // only arms on the driver's shape
+    val floorsApplicable = nEvents >= 100000L && cpus.toInt == 32
+    val floorsMet = !floorsApplicable || (winEps >= winFloorAdj && cepEps >= cepFloorAdj)
     if (!floorsMet)
-      System.err.println(s"WARN: kernel throughput below regression floor " +
-        s"(window ${winEps.round}/$winFloor, cep ${cepEps.round}/$cepFloor " +
-        "events/s) — investigate before shipping (or a contended host)")
+      System.err.println(s"WARN: kernel throughput below host-normalized " +
+        s"regression floor (window ${winEps.round}/$winFloorAdj, " +
+        s"cep ${cepEps.round}/$cepFloorAdj events/s at calib ${calibN.round} " +
+        s"Mops, adjust $adjust) — a code regression, not host load")
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""warmup":"full-corpus-steady-state",""" +
       s""""window_kernel_events_per_sec":${winEps.round},"cep_events_per_sec":${cepEps.round},""" +
       s""""kernel_floor_events_per_sec":$winFloor,"cep_floor_events_per_sec":$cepFloor,""" +
+      s""""calib_1t_mops":${calib1.round},"calib_nt_mops":${calibN.round},"calib_threads":$cpus,""" +
+      s""""calib_ref_mops":${HostCalib.CALIB_REF_32T_MOPS.round},"floor_adjust":$adjust,""" +
+      s""""window_per_calib":${(winEps / calibN).round},"cep_per_calib":${(cepEps / calibN).round},""" +
+      s""""kernel_floor_adjusted":$winFloorAdj,"cep_floor_adjusted":$cepFloorAdj,""" +
       s""""floors_applicable":$floorsApplicable,"floors_met":$floorsMet,""" +
       s""""n_events":$nEvents}""")
     spark.stop()

@@ -51,7 +51,15 @@ object BenchKernel {
     for (r <- 1 to reps) {
       val tWin = timed(winRun())
       val tCep = timed(cepRun())
-      println(f"TIMED rep=$r window=${nEvents / tWin}%.0f cep=${nEvents / tCep}%.0f events_per_sec (n=$nEvents)")
+      // per-rep host calibration: the normalized columns (events per
+      // calibration Mop) should sit flat across host states even when the
+      // raw events/s swing — that flatness is the signal the floor gate
+      // keys on (HostCalib scaladoc; SCALE.md round-11 validation table)
+      val (_, calibN) = HostCalib.calibrate(cpus.toInt)
+      println(f"TIMED rep=$r window=${nEvents / tWin}%.0f cep=${nEvents / tCep}%.0f " +
+        f"events_per_sec calib=${calibN}%.0f Mops " +
+        f"win_per_calib=${nEvents / tWin / calibN}%.1f cep_per_calib=${nEvents / tCep / calibN}%.1f " +
+        f"adjust=${HostCalib.floorAdjust(calibN)}%.3f (n=$nEvents)")
     }
     spark.stop()
   }
