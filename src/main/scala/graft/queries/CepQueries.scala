@@ -352,6 +352,99 @@ object CepQueries extends QueryFamily {
              |WHERE t1 = 'error' AND t2 = 'purchase' AND ts2 - ts1 <= 3600000000
              |ORDER BY user_id, e1_id""".stripMargin)),
 
+    // MATCH_RECOGNIZE PREV/NEXT physical navigation (round 11): PREV in
+    // DEFINE gates on the physically previous row per user (lowered to a
+    // lag window over the pattern's per-key order), PREV/NEXT in MEASURES
+    // reach one row outside the match (physical-offset join-backs on the
+    // per-key row_number). Oracle = the same lag/lead windows in DuckDB.
+    QueryDef(
+      "q_cep_mr_nav",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (user_id BIGINT, e1_id BIGINT, e2_id BIGINT,
+            |                   before_v DOUBLE, after_v DOUBLE);
+            |INSERT INTO Out SELECT * FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts
+            |  MEASURES A.event_id AS e1_id, B.event_id AS e2_id,
+            |           PREV(A.value) AS before_v, NEXT(B.value) AS after_v
+            |  ONE ROW PER MATCH
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN (A B) WITHIN INTERVAL '1' HOUR
+            |  DEFINE A AS A.event_type = 'error',
+            |         B AS B.event_type = 'purchase' AND B.value > PREV(B.value)
+            |);""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .orderBy(col("user_id"), col("e1_id"))
+      },
+      Some("""SELECT user_id, e1_id, e2_id, before_v, after_v FROM (
+             |  SELECT user_id, event_id AS e1_id, event_type AS t1, value AS v1,
+             |    lag(value) OVER w AS before_v,
+             |    lead(event_id) OVER w AS e2_id, lead(event_type) OVER w AS t2,
+             |    lead(value) OVER w AS v2, lead(value, 2) OVER w AS after_v,
+             |    epoch_us(ts) AS ts1, lead(epoch_us(ts)) OVER w AS ts2
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+             |WHERE t1 = 'error' AND t2 = 'purchase' AND ts2 - ts1 <= 3600000000
+             |  AND v2 > v1
+             |ORDER BY user_id, e1_id""".stripMargin)),
+
+    // MATCH_RECOGNIZE ALL ROWS PER MATCH (round 11): one output row per
+    // matched EVENT — classifier + FINAL measures join back onto the
+    // matched rows. EVERY emits every B+ prefix, so the oracle enumerates
+    // (error, k-th consecutive purchase) pairs via a purchase-streak
+    // window and explodes each prefix into its k+1 member rows.
+    QueryDef(
+      "q_cep_mr_rows",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                   event_type STRING, value DOUBLE, props STRING,
+            |                   n_b BIGINT, mr_classifier STRING);
+            |INSERT INTO Out SELECT * FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts
+            |  MEASURES count(B.value) AS n_b
+            |  ALL ROWS PER MATCH
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN (A B+) WITHIN INTERVAL '1' HOUR
+            |  DEFINE A AS A.event_type = 'error', B AS B.event_type = 'purchase'
+            |);""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us",
+            "value", "n_b", "mr_classifier")
+          .orderBy(col("user_id"), col("event_id"), col("n_b"), col("mr_classifier"))
+      },
+      Some("""WITH ord AS (
+             |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS tsu,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events),
+             |streaks AS (
+             |  SELECT *, rn - coalesce(max(CASE WHEN event_type <> 'purchase' THEN rn END)
+             |    OVER (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING), 0) AS pstreak
+             |  FROM ord),
+             |m AS (
+             |  SELECT a.user_id, a.rn AS arn, bk.rn - a.rn AS k
+             |  FROM ord a JOIN streaks bk
+             |    ON bk.user_id = a.user_id AND bk.rn > a.rn
+             |  WHERE a.event_type = 'error' AND bk.event_type = 'purchase'
+             |    AND bk.pstreak >= bk.rn - a.rn
+             |    AND bk.tsu - a.tsu <= 3600000000),
+             |out AS (
+             |  SELECT m.user_id, o.event_id, o.tsu AS ts_us, o.value,
+             |         CAST(m.k AS BIGINT) AS n_b, 'A' AS mr_classifier
+             |  FROM m JOIN ord o ON o.user_id = m.user_id AND o.rn = m.arn
+             |  UNION ALL
+             |  SELECT m.user_id, o.event_id, o.tsu AS ts_us, o.value,
+             |         CAST(m.k AS BIGINT) AS n_b, 'B' AS mr_classifier
+             |  FROM m JOIN ord o ON o.user_id = m.user_id
+             |    AND o.rn > m.arn AND o.rn <= m.arn + m.k)
+             |SELECT user_id, event_id, ts_us, value, n_b, mr_classifier
+             |FROM out ORDER BY user_id, event_id, n_b, mr_classifier""".stripMargin)),
+
     // Cross-step reference (e2.value > 2 * e1.value) — the StateEvent
     // access pattern; relaxed, within 2h.
     QueryDef(

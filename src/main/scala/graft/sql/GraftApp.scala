@@ -931,13 +931,20 @@ object GraftApp {
         partitionBy = Some(pm.group(1))
         rest = rest.substring(0, pm.start) + rest.substring(pm.end)
       }
+      // EMIT ALL ROWS: one output row per matched EVENT (the lowering
+      // target of MATCH_RECOGNIZE's ALL ROWS PER MATCH; batch only)
+      var allRows = false
+      """(?is)\bEMIT\s+ALL\s+ROWS\b""".r.findFirstMatchIn(rest).foreach { em =>
+        allRows = true
+        rest = rest.substring(0, em.start) + rest.substring(em.end)
+      }
       // every clause above excised itself from `rest` — anything left is a
       // clause this grammar does not have (OUTPUT rates, ORDER BY, a typo):
       // silently ignoring it would change the query's meaning
       val residue = rest.replace(";", " ").trim
       if (residue.nonEmpty)
         throw SqlError(s"unrecognized text after pattern clause: '${residue.take(60)}' — " +
-          "pattern queries support WHERE, WITHIN, ALLOW LATENESS, PARTITION BY")
+          "pattern queries support WHERE, WITHIN, ALLOW LATENESS, PARTITION BY, EMIT ALL ROWS")
       val (variants, every, absents) = PatternCompiler.parseSteps(stepsRaw)
       val (withinUs, withinEvents) = within
         .map { case (n, u) => PatternCompiler.parseWithin(n, u) }
@@ -947,7 +954,7 @@ object GraftApp {
         strict = mode.equalsIgnoreCase("SEQUENCE"), every = every,
         variants = variants, withinUs = withinUs, withinEvents = withinEvents,
         where = where, partitionBy = partitionBy, absents = absents,
-        lateness = lateness)
+        lateness = lateness, allRows = allRows)
     }
 
   /** ANSI/Flink-style `MATCH_RECOGNIZE` — a second SQL spelling for the
@@ -973,14 +980,26 @@ object GraftApp {
     *    overlapping match (the reference's EVERY). ANSI's default SKIP
     *    PAST LAST ROW (non-overlapping resume) is a different state
     *    machine — rejected by name rather than silently remapped;
-    *  - ALL ROWS PER MATCH, pattern grouping/alternation, and
-    *    PREV/NEXT/navigation inside DEFINE are rejected with pointers to
-    *    the engine spellings that cover them (OR steps, cross-step refs);
-    *  - MEASURES FIRST(V.x)/LAST(V.x) lower to the engine's V[0].x /
-    *    V[last].x; count/sum/avg/min/max(V.x) pass through to the
+    *  - pattern grouping/alternation is rejected with a pointer to the
+    *    engine spelling that covers it (OR steps);
+    *  - ALL ROWS PER MATCH (round 11) lowers to the engine's EMIT ALL
+    *    ROWS: one output row per matched EVENT — the stream's own columns
+    *    plus `mr_classifier` plus the MEASURES with FINAL semantics
+    *    (constant across a match's rows). Batch only; the streaming
+    *    lowering rejects it typed;
+    *  - MEASURES FIRST(V.x [, k])/LAST(V.x [, k]) lower to the engine's
+    *    V[k].x / V[last-k].x (ANSI logical offsets; past the collected
+    *    count is NULL); count/sum/avg/min/max(V.x) pass through to the
     *    collection aggregations; DEFINE self-references (`A.x` inside A's
     *    predicate) become bare columns, other variables stay qualified —
-    *    the engine's cross-step reference form.
+    *    the engine's cross-step reference form;
+    *  - PREV(V.x [, k])/NEXT(V.x [, k]) (round 11) are ANSI physical
+    *    offsets. In DEFINE they anchor at the CURRENT candidate row and
+    *    lower to lag/lead windows over the pattern's per-key order; in
+    *    MEASURES they anchor at the variable's LAST matched row and lower
+    *    to physical-offset join-backs on the per-key row_number. Partition
+    *    edges yield NULL (ANSI's unmatched navigation), and both forms are
+    *    batch-only (a stream has no materialized physical order).
     */
   private val MatchRecognizeRe =
     """(?is)^\s*INSERT\s+INTO\s+(\w+)\s+SELECT\s+(.*?)\s+FROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\(""".r
@@ -1098,10 +1117,11 @@ object GraftApp {
       """(?is)\bMEASURES\s+(.+?)\s*(?=\bONE\s+ROW\b|\bALL\s+ROWS\b|\bAFTER\s+MATCH\b|$)""".r)
       .map(_.head.trim).getOrElse(throw SqlError(
         "MATCH_RECOGNIZE needs a MEASURES clause (the output columns)"))
-    if ("""(?is)\bALL\s+ROWS\s+PER\s+MATCH""".r.findFirstIn(hMask).isDefined)
-      throw SqlError("ALL ROWS PER MATCH is not supported — the engine emits " +
-        "ONE ROW PER MATCH; collect per-step values with FIRST/LAST/count/sum " +
-        "MEASURES instead")
+    // ALL ROWS PER MATCH lowers to the engine's EMIT ALL ROWS: one row per
+    // matched EVENT — the stream's own columns + mr_classifier + the
+    // MEASURES with FINAL semantics (constant per match). Batch surface;
+    // the streaming lowering rejects it with a pointer (PatternCompiler).
+    val allRows = excise("""(?is)\bALL\s+ROWS\s+PER\s+MATCH""".r).isDefined
     excise("""(?is)\bONE\s+ROW\s+PER\s+MATCH""".r)
     if (excise("""(?is)\bAFTER\s+MATCH\s+SKIP\s+TO\s+NEXT\s+ROW""".r).isEmpty) {
       if ("""(?is)\bAFTER\s+MATCH\b""".r.findFirstIn(hMask).isDefined)
@@ -1118,7 +1138,7 @@ object GraftApp {
     if (hdrResidue.nonEmpty) throw SqlError(
       s"unrecognized MATCH_RECOGNIZE header text: '${hdrResidue.take(60)}' — " +
         "supported: PARTITION BY, ORDER BY ts [ASC], MEASURES, ONE ROW PER " +
-        "MATCH, AFTER MATCH SKIP TO NEXT ROW")
+        "MATCH, ALL ROWS PER MATCH, AFTER MATCH SKIP TO NEXT ROW")
 
     // ---- tail: WITHIN / DEFINE (same discipline)
     var tOrig = body.substring(j)
@@ -1178,14 +1198,37 @@ object GraftApp {
     // DEFINE predicate: self-references become bare columns (the engine's
     // step-filter form); other variables stay qualified (cross-step refs)
     def lowerPred(v: String, p: String): String = {
-      // keyword detection and the self-reference strip both run on the
-      // quote-masked text: a literal like 'A.x' or 'PREV(' inside a string
-      // must neither trip the rejection nor be rewritten
-      """(?i)\b(PREV|NEXT|FIRST|LAST)\s*\(""".r.findFirstIn(maskQuotes(p)).foreach(f =>
+      // keyword detection and every rewrite run on the quote-masked text: a
+      // literal like 'A.x' or 'PREV(' inside a string must neither trip the
+      // rejection nor be rewritten
+      """(?i)\b(FIRST|LAST)\s*\(""".r.findFirstIn(maskQuotes(p)).foreach(f =>
         throw SqlError(s"${f.trim} in DEFINE is not supported — step predicates see " +
           "the current event plus earlier steps by name (cross-step " +
           "references like `B.x > A.x`)"))
-      rewriteOutsideQuotes(p, s"(?i)\\b$v\\s*\\.\\s*".r)(_ => "")
+      // self-references become bare columns FIRST, so PREV(B.price) inside
+      // B's predicate reads PREV(price) below
+      val bare = rewriteOutsideQuotes(p, s"(?i)\\b$v\\s*\\.\\s*".r)(_ => "")
+      // PREV(x[, k]) / NEXT(x[, k]): ANSI physical offsets relative to the
+      // CURRENT candidate row, per partition in event-time order — lowered
+      // to lag/lead over the tagged union's per-key row_number (__key/__id
+      // are the pattern compiler's internal order columns, present wherever
+      // step flags are evaluated). Out-of-range (partition edge) yields
+      // NULL, so the comparison is false — ANSI's unmatched-navigation
+      // contract. Batch-only: the streaming lowering rejects OVER in step
+      // predicates with a typed pointer.
+      val lowered = rewriteOutsideQuotes(bare,
+        """(?i)\b(PREV|NEXT)\s*\(\s*(\w+)\s*(?:,\s*(\d+)\s*)?\)""".r) { m =>
+        val fn = if (m.group(1).equalsIgnoreCase("PREV")) "lag" else "lead"
+        val k = Option(m.group(3)).getOrElse("1")
+        s"$fn(${m.group(2)}, $k) OVER (PARTITION BY __key ORDER BY __id)"
+      }
+      // anything PREV/NEXT-shaped still left (an expression or another
+      // variable's column inside the call) is outside the faithful subset —
+      // reject rather than let Spark fail on an undefined function
+      """(?i)\b(PREV|NEXT)\s*\(""".r.findFirstIn(maskQuotes(lowered)).foreach(f =>
+        throw SqlError(s"${f.trim} in DEFINE must navigate a single column of " +
+          s"the variable being defined — PREV($v.col [, k]) or PREV(col [, k])"))
+      lowered
     }
     val steps = toks.map { case (v, q) =>
       val pred = defines.get(v).map(p => s"[${lowerPred(v, p)}]").getOrElse("")
@@ -1202,25 +1245,40 @@ object GraftApp {
     val items = splitTopLevel(measuresRaw).map { item =>
       val im = """(?is)^(.*?)\s+AS\s+(\w+)\s*$""".r.findFirstMatchIn(item)
         .getOrElse(throw SqlError(s"bad MEASURES item '$item' — expected expr AS alias"))
+      // FIRST/LAST take ANSI's optional logical offset: FIRST(V.x, k) is
+      // the k-th row of V from the start (V[k].x), LAST(V.x, k) the k-th
+      // from the end (V[last-k].x); past the collected count yields NULL.
+      // PREV/NEXT pass through — the engine select grammar lowers them to
+      // physical-offset joins anchored at the variable's last matched row.
       val expr0 = {
         val a = rewriteOutsideQuotes(im.group(1),
-          """(?i)\bFIRST\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)""".r)(m =>
-          s"${m.group(1)}[0].${m.group(2)}")
+          """(?i)\bFIRST\s*\(\s*(\w+)\s*\.\s*(\w+)\s*(?:,\s*(\d+)\s*)?\)""".r)(m =>
+          Option(m.group(3)) match {
+            case Some(k) => s"${m.group(1)}[$k].${m.group(2)}"
+            case None => s"${m.group(1)}[0].${m.group(2)}"
+          })
         rewriteOutsideQuotes(a,
-          """(?i)\bLAST\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)""".r)(m =>
-          s"${m.group(1)}[last].${m.group(2)}")
+          """(?i)\bLAST\s*\(\s*(\w+)\s*\.\s*(\w+)\s*(?:,\s*(\d+)\s*)?\)""".r)(m =>
+          Option(m.group(3)) match {
+            case Some(k) if k != "0" => s"${m.group(1)}[last-$k].${m.group(2)}"
+            case _ => s"${m.group(1)}[last].${m.group(2)}"
+          })
       }
       s"$expr0 AS ${im.group(2)}"
     }
-    val keyItem = partitionBy.map { k =>
+    // ALL ROWS mode: the matched event's own columns carry the partition
+    // key, so no key item is injected; the engine appends them (plus
+    // mr_classifier) via EMIT ALL ROWS
+    val keyItem = if (allRows) None else partitionBy.map { k =>
       val (v0, q0) = toks.head
       val spelled = if (q0.isDefined) s"$v0[0].$k" else s"$v0.$k"
       s"$spelled AS $k"
     }
     val select = (keyItem.toSeq ++ items).mkString(", ")
     val partStr = partitionBy.map(k => s" PARTITION BY $k").getOrElse("")
+    val emitStr = if (allRows) " EMIT ALL ROWS" else ""
     s"INSERT INTO $target SELECT $select FROM SEQUENCE (EVERY (" +
-      steps.mkString(" -> ") + s"))$withinStr$partStr;"
+      steps.mkString(" -> ") + s"))$withinStr$partStr$emitStr;"
   }
 
   /** Split a WITH-clause body on commas OUTSIDE single quotes — option

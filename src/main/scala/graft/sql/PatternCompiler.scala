@@ -83,7 +83,13 @@ object PatternCompiler {
       // (`ALLOW LATENESS n unit`): how far out-of-order cross-batch events
       // may arrive and still reach the NFA / absent-guard state. Default 0
       // = in-order contract, tightest state bound.
-      lateness: Option[String] = None) {
+      lateness: Option[String] = None,
+      // `EMIT ALL ROWS` (the lowering target of MATCH_RECOGNIZE's ALL ROWS
+      // PER MATCH): one output row per matched EVENT instead of one per
+      // match — the select items (FINAL semantics, constant across a
+      // match's rows) are joined with the matched event's own columns plus
+      // an `mr_classifier` column naming the step variable. Batch only.
+      allRows: Boolean = false) {
     def allAlts: Seq[StepAlt] = variants.flatten.flatMap(_.alts) ++ absents.map(_.alt)
   }
 
@@ -280,8 +286,10 @@ object PatternCompiler {
     val aggItems = scala.collection.mutable.LinkedHashMap.empty[Int, Vector[(String, String)]]
     var aggN = 0
 
-    def idAt(gi: Int, idx: String): Column = idx match {
+    def idAt(gi: Int, idx: String): Column = idx.replaceAll("\\s", "") match {
       case "last" => element_at(col(s"__ids_$gi"), -1)
+      case s if s.startsWith("last-") =>
+        try_element_at(col(s"__ids_$gi"), lit(-(1 + s.stripPrefix("last-").toInt)))
       case n => try_element_at(col(s"__ids_$gi"), lit(n.toInt + 1))
     }
     def qualify(alias: String, pred: String): Column = {
@@ -311,9 +319,32 @@ object PatternCompiler {
 
     val aggRe = """(?i)\b(sum|avg|min|max|count)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)""".r
     val countStepRe = """(?i)\bcount\s*\(\s*(\w+)\s*\)""".r
-    val idxRe = """\b(\w+)\s*\[\s*(\d+|last)\s*\]\s*\.""".r
+    val idxRe = """\b(\w+)\s*\[\s*(\d+|last(?:\s*-\s*\d+)?)\s*\]\s*\.""".r
+    val navRe = """(?i)\b(prev|next)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*(?:,\s*(\d+)\s*)?\)""".r
+    val allStreams = q.allAlts.map(_.stream).distinct
     def rewrite(text0: String): String = {
-      var text = aggRe.replaceAllIn(text0, m => {
+      // PREV/NEXT physical navigation — same contract as the
+      // single-variant path (anchored at the variable's last matched
+      // event, per-key row_number arithmetic, NULL at partition edges);
+      // an omitted group's NULL anchor left-joins to NULL columns.
+      var text1 = navRe.replaceAllIn(text0, m => {
+        val (fn, alias, c) = (m.group(1).toLowerCase, m.group(2), m.group(3))
+        val k = Option(m.group(4)).map(_.toInt).getOrElse(1)
+        groups.indices.find(gi => groups(gi).aliases.contains(alias)) match {
+          case Some(gi) =>
+            if (groups(gi).alts.size > 1) throw GraftApp.SqlError(
+              s"$fn() navigation is not supported on OR steps ('$alias')")
+            val delta = if (fn == "prev") -k else k
+            val name = s"__nav_${fn}_${alias}_$k"
+            joins.getOrElseUpdate(name,
+              JoinPlan(name, idAt(gi, "last") + lit(delta), allStreams,
+                pred = None, outer = true))
+            s"$name.$c"
+          case None => throw GraftApp.SqlError(
+            s"$fn() references '$alias' which is not a pattern step alias")
+        }
+      })
+      var text = aggRe.replaceAllIn(text1, m => {
         val (fn, alias, c) = (m.group(1), m.group(2), m.group(3))
         multi.get(alias) match {
           case Some(gi) =>
@@ -343,7 +374,8 @@ object PatternCompiler {
         groups.indices.find(gi => groups(gi).aliases.contains(alias) &&
             groups(gi).max > 1) match {
           case Some(gi) =>
-            val name = s"__${alias}_$idx"
+            // sanitize `last-k` for the SQL alias ('-' would parse as minus)
+            val name = s"__${alias}_${idx.replaceAll("\\s", "").replace("-", "_m")}"
             joins.getOrElseUpdate(name,
               JoinPlan(name, idAt(gi, idx), groups(gi).alts.map(_.stream),
                 pred = None, outer = true))
@@ -394,6 +426,14 @@ object PatternCompiler {
     }
     whereRw.foreach(w => out = out.filter(expr(w)))
 
+    if (q.allRows) {
+      if (groups.exists(_.alts.size > 1)) throw GraftApp.SqlError(
+        "EMIT ALL ROWS is not supported with OR steps (the classifier is " +
+          "per step variable)")
+      return emitAllRows(out, ordered, groups.indices.map(gi => s"__ids_$gi"),
+        groups.map(_.aliases.head), items)
+    }
+
     val selectCols = items.map {
       case (e, Some(a)) => expr(e).as(a)
       case (e, None) => expr(e)
@@ -401,6 +441,51 @@ object PatternCompiler {
     // output columns are plain values — sorting by all of them is a total,
     // engine-portable order (the single post-union sort contract)
     val res = out.select(selectCols: _*)
+    res.orderBy(res.columns.map(col): _*)
+  }
+
+  /** `EMIT ALL ROWS` lowering (MATCH_RECOGNIZE's ALL ROWS PER MATCH): one
+    * output row per matched EVENT. `out` is the per-match relation (still
+    * carrying `__mkey` and the per-step id arrays); each step's ids explode
+    * with the step alias as `mr_classifier`, join back to the ordered union
+    * ONCE (the same join-back the collection aggregations perform), and the
+    * output is the matched event's own columns + the select items evaluated
+    * with FINAL semantics (constant across a match's rows — ANSI's
+    * `FINAL`-prefixed form; running semantics would need per-prefix
+    * re-evaluation, a different machine). A NULL ids array (a variant that
+    * omits the group — the `A*` zero branch) contributes no rows, which is
+    * exactly ANSI: an unmatched optional variable maps no rows.
+    *
+    * Scale: the explode/join-back is per-MATCH output, partitioned by the
+    * pattern key like every other join in this file — no new shuffle shape.
+    */
+  private def emitAllRows(out: DataFrame, ordered: DataFrame,
+                          idsCols: Seq[String], classifiers: Seq[String],
+                          items: Seq[(String, Option[String])]): DataFrame = {
+    val measureCols = items.map {
+      case (e, Some(a)) => expr(e).as(a)
+      case (e, None) => expr(e)
+    }
+    val keep = out.select((col("__mkey") +: idsCols.map(col)) ++ measureCols: _*)
+    val measureNames = keep.columns.drop(1 + idsCols.size).toSeq
+    val evCols = ordered.columns.filterNot(_.startsWith("__")).toSeq
+    val clash = measureNames.intersect(evCols)
+    if (clash.nonEmpty) throw GraftApp.SqlError(
+      s"EMIT ALL ROWS: measure alias(es) ${clash.mkString(", ")} collide " +
+        "with the stream's own columns (every input column is emitted per " +
+        "matched row) — rename the measure")
+    if ((measureNames ++ evCols).exists(_.equalsIgnoreCase("mr_classifier")))
+      throw GraftApp.SqlError(
+        "EMIT ALL ROWS reserves the output column name 'mr_classifier'")
+    val perStep = idsCols.zip(classifiers).map { case (ic, cls) =>
+      keep.select((col("__mkey") +: measureNames.map(col)) :+
+        lit(cls).as("mr_classifier") :+ explode(col(ic)).as("__eid"): _*)
+    }.reduce(_.unionByName(_))
+    val rows = perStep.join(ordered.as("__row"),
+      col("__row.__id") === col("__eid") && col("__row.__key") === col("__mkey"))
+    val res = rows.select(evCols.map(c => col(s"__row.$c")) ++
+      measureNames.map(col) :+ col("mr_classifier"): _*)
+    // plain-value output columns — the portable total-order contract
     res.orderBy(res.columns.map(col): _*)
   }
 
@@ -414,6 +499,20 @@ object PatternCompiler {
   private def compileStreaming(spark: SparkSession, q: PatternQuery,
                                env: Map[String, DataFrame]): DataFrame = {
     import spark.implicits._
+    if (q.allRows) throw GraftApp.SqlError(
+      "EMIT ALL ROWS (ALL ROWS PER MATCH) is batch-only — the streaming " +
+        "lowering carries value slots through the NFA, not event ids; use " +
+        "ONE ROW PER MATCH with FIRST/LAST/collection measures on streams")
+    // PREV/NEXT lower to physical-offset joins (select items) and window
+    // functions (DEFINE predicates) — both need the materialized per-key
+    // order, which a stream does not have
+    val navHit = (q.selectItems.map(_._1) ++ q.where.toSeq ++
+      q.allAlts.flatMap(_.pred)).flatMap(t =>
+      """(?i)\b(prev|next)\s*\(|\bover\s*\(""".r.findFirstIn(t))
+    if (navHit.nonEmpty) throw GraftApp.SqlError(
+      "PREV/NEXT navigation is batch-only — a stream has no materialized " +
+        "per-key physical order to offset into; use cross-step references " +
+        "(B.x > A.x) or FIRST/LAST measures instead")
     // trailing NOT … FOR d runs via the absent-chain state
     // (Cep.detectStreamWithTrailingAbsents); mid-chain NOT runs as
     // MidGuard kills inside the NFA itself (poisoned-partial discipline)
@@ -450,15 +549,17 @@ object PatternCompiler {
     val padAbsent = absentAliasRewriter(omitted, c => colTypes.get(c.toLowerCase))
     val aliasToStep: Map[String, Int] =
       steps0.zipWithIndex.flatMap { case (st, i) => st.aliases.map(_ -> i) }.toMap
-    def eventRef(i: Int, idx: String): String = idx match {
+    def eventRef(i: Int, idx: String): String = idx.replaceAll("\\s", "") match {
       case "0" => s"steps[$i].events[0]"
       case "last" => s"element_at(steps[$i].events, -1)"
+      case s if s.startsWith("last-") =>
+        s"try_element_at(steps[$i].events, -${1 + s.stripPrefix("last-").toInt})"
       case n => s"try_element_at(steps[$i].events, ${n.toInt + 1})"
     }
     def slotRef(i: Int, idx: String, colName: String): String =
       s"CAST(${eventRef(i, idx)}.svals[${slot(colName)}] AS ${colTypes(colName.toLowerCase)})"
 
-    val idxRe = """\b(\w+)\s*\[\s*(\d+|last)\s*\]\s*\.\s*(\w+)""".r
+    val idxRe = """\b(\w+)\s*\[\s*(\d+|last(?:\s*-\s*\d+)?)\s*\]\s*\.\s*(\w+)""".r
     val plainRe = """\b(\w+)\s*\.\s*(\w+)""".r
     val countRe = """(?i)\bcount\s*\(\s*(\w+)\s*\)""".r
     val stepAggRe = """(?i)\b(sum|avg|min|max|count)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)""".r
@@ -884,8 +985,12 @@ object PatternCompiler {
     val aggItems = scala.collection.mutable.LinkedHashMap.empty[Int, Vector[(String, String)]]
     var aggN = 0
 
-    def idAt(i: Int, idx: String): Column = idx match {
+    def idAt(i: Int, idx: String): Column = idx.replaceAll("\\s", "") match {
       case "last" => element_at(col(s"__ids_$i"), -1)
+      // `last-k` counts back from the buffer end (MEASURES LAST(V.x, k));
+      // try_: past the collected count is NULL, not an ANSI error
+      case s if s.startsWith("last-") =>
+        try_element_at(col(s"__ids_$i"), lit(-(1 + s.stripPrefix("last-").toInt)))
       // try_: an index past a range quantifier's collected count is NULL
       // (the left join then yields NULL columns), not an ANSI error
       case n => try_element_at(col(s"__ids_$i"), lit(n.toInt + 1))
@@ -919,10 +1024,35 @@ object PatternCompiler {
 
     val aggRe = """(?i)\b(sum|avg|min|max|count)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)""".r
     val countStepRe = """(?i)\bcount\s*\(\s*(\w+)\s*\)""".r
-    val idxRe = """\b(\w+)\s*\[\s*(\d+|last)\s*\]\s*\.""".r
+    val idxRe = """\b(\w+)\s*\[\s*(\d+|last(?:\s*-\s*\d+)?)\s*\]\s*\.""".r
+    val navRe = """(?i)\b(prev|next)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*(?:,\s*(\d+)\s*)?\)""".r
+    val allStreams = q.allAlts.map(_.stream).distinct
 
     def rewrite(text0: String): String = {
       var text = padAbsent(text0)
+      // physical navigation PREV(V.x, k) / NEXT(V.x, k): the row k PLACES
+      // before/after V's LAST matched event in the per-key event-time
+      // order (ANSI MATCH_RECOGNIZE's physical offsets, anchored at the
+      // variable's final row). Event ids are per-key row_numbers, so the
+      // neighbor id is plain arithmetic; the left join yields NULL at the
+      // partition edge — exactly PREV/NEXT's out-of-range contract.
+      text = navRe.replaceAllIn(text, m => {
+        val (fn, alias, c) = (m.group(1).toLowerCase, m.group(2), m.group(3))
+        val k = Option(m.group(4)).map(_.toInt).getOrElse(1)
+        steps.indices.find(i => steps(i).aliases.contains(alias)) match {
+          case Some(i) =>
+            if (steps(i).alts.size > 1) throw GraftApp.SqlError(
+              s"$fn() navigation is not supported on OR steps ('$alias')")
+            val delta = if (fn == "prev") -k else k
+            val name = s"__nav_${fn}_${alias}_$k"
+            joins.getOrElseUpdate(name,
+              JoinPlan(name, idAt(i, "last") + lit(delta), allStreams,
+                pred = None, outer = true))
+            s"$name.$c"
+          case None => throw GraftApp.SqlError(
+            s"$fn() references '$alias' which is not a pattern step alias")
+        }
+      })
       // collection aggregations over count-quantified steps
       text = aggRe.replaceAllIn(text, m => {
         val (fn, alias, c) = (m.group(1), m.group(2), m.group(3))
@@ -947,7 +1077,8 @@ object PatternCompiler {
         val (alias, idx) = (m.group(1), m.group(2))
         steps.indices.find(i => steps(i).aliases.contains(alias) && steps(i).max > 1) match {
           case Some(i) =>
-            val name = s"__${alias}_$idx"
+            // sanitize `last-k` for the SQL alias ('-' would parse as minus)
+            val name = s"__${alias}_${idx.replaceAll("\\s", "").replace("-", "_m")}"
             joins.getOrElseUpdate(name,
               JoinPlan(name, idAt(i, idx), steps(i).alts.map(_.stream),
                 pred = None, outer = true)) // index may exceed collected count
@@ -1018,6 +1149,14 @@ object PatternCompiler {
       a.forUs.foreach(d =>
         cond = cond && col("__ats") <= col(s"__endts_${a.afterStep}") + d)
       out = out.join(ab, cond, "left_anti")
+    }
+
+    if (q.allRows) {
+      if (steps.exists(_.alts.size > 1)) throw GraftApp.SqlError(
+        "EMIT ALL ROWS is not supported with OR steps (the classifier is " +
+          "per step variable)")
+      return emitAllRows(out, ordered, steps.indices.map(i => s"__ids_$i"),
+        steps.map(_.aliases.head), items)
     }
 
     val selectCols = items.map {

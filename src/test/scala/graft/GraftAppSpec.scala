@@ -1022,13 +1022,18 @@ class GraftAppSpec extends AnyFunSuite {
       "AFTER MATCH SKIP PAST LAST ROW")).contains("SKIP TO NEXT ROW"))
     assert(err(base.replace("AFTER MATCH SKIP TO NEXT ROW", ""))
       .contains("AFTER MATCH"))
-    assert(err("ALL ROWS PER MATCH " + base).contains("ONE ROW PER MATCH"))
     assert(err(base.replace("ORDER BY ts", "ORDER BY v")).contains("event-time"))
     assert(err(base.replace("ORDER BY ts ", "")).contains("ORDER BY"))
     assert(err(base.replace("PATTERN (A B)", "PATTERN (A (B | C))"))
       .contains("alternation"))
+    // FIRST/LAST stay DEFINE rejections; PREV over an expression (not a
+    // single column of the defining variable) is outside the subset
     assert(err(base.replace("A AS A.kind = 'a'",
-      "A AS PREV(A.v) < A.v")).contains("PREV"))
+      "A AS FIRST(A.v) < A.v")).contains("FIRST"))
+    assert(err(base.replace("A AS A.kind = 'a'",
+      "A AS PREV(A.v + 1) < A.v")).contains("PREV"))
+    assert(err(base.replace("A AS A.kind = 'a'",
+      "A AS PREV(B.v) < A.v")).contains("PREV"))
     assert(err(base.replace("DEFINE A AS A.kind = 'a'",
       "DEFINE Z AS Z.v > 0")).contains("not a pattern variable"))
     assert(err(base.replace("PATTERN (A B)", "PATTERN (A? B)"))
@@ -1104,5 +1109,91 @@ class GraftAppSpec extends AnyFunSuite {
     // and match the wrong event; the MEASURES literal would be mangled into
     // indexed-access spellings
     assert(got.toSeq == Seq(("A.x", "LAST(B.v) A. PREV(x)")))
+  }
+
+  test("MATCH_RECOGNIZE: ALL ROWS PER MATCH emits one row per matched event") {
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (ts TIMESTAMP, user_id BIGINT, kind STRING,
+        |                   v DOUBLE, n_b BIGINT, mr_classifier STRING);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES count(B.v) AS n_b
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A B+) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b'
+        |);""".stripMargin
+    val got = GraftApp.run(spark, app, Map("E" -> mrEvents))("Out")
+      .collect().map(r => (r.getLong(1), r.getDouble(3), r.getLong(4), r.getString(5)))
+      .sortBy(t => (t._1, t._3, t._2))
+    // user 7: match {A=1.0, B=[2.0]} and {A=1.0, B=[2.0,3.0]} (EVERY emits
+    // both prefixes); user 9: {A=5.0, B=[6.0]} — measures are FINAL
+    // (constant across a match's rows), classifier names the variable
+    assert(got.toSeq == Seq(
+      (7L, 1.0, 1L, "A"), (7L, 2.0, 1L, "B"),
+      (7L, 1.0, 2L, "A"), (7L, 2.0, 2L, "B"), (7L, 3.0, 2L, "B"),
+      (9L, 5.0, 1L, "A"), (9L, 6.0, 1L, "B")))
+  }
+
+  test("MATCH_RECOGNIZE: PREV/NEXT physical navigation in DEFINE and MEASURES") {
+    // DEFINE with PREV: b-events only count when STRICTLY rising vs the
+    // physically previous row; MEASURES PREV/NEXT reach outside the match
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, rise_v DOUBLE, before_a DOUBLE,
+        |                   after_b DOUBLE);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES B.v AS rise_v, PREV(A.v) AS before_a, NEXT(B.v) AS after_b
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A B) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b' AND B.v > PREV(B.v)
+        |);""".stripMargin
+    // user 7 rows: a(1), b(0.5) [not rising], a(2), b(7) [rising], c(9)
+    val in = Seq(
+      (1, 7L, "a", 1.0), (2, 7L, "b", 0.5), (3, 7L, "a", 2.0),
+      (4, 7L, "b", 7.0), (5, 7L, "c", 9.0))
+      .toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val got = GraftApp.run(spark, app, Map("E" -> in))("Out")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+    // only A=a@3, B=b@4 matches (b@2 is not rising: 0.5 < 1.0);
+    // PREV(A.v) = the row before a@3 = b@2's 0.5; NEXT(B.v) = c@5's 9.0
+    assert(got.toSeq == Seq((7L, 7.0, 0.5, 9.0)))
+  }
+
+  test("MATCH_RECOGNIZE: FIRST/LAST logical offsets and partition-edge NULLs") {
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, b0 DOUBLE, b_penult DOUBLE,
+        |                   b_second DOUBLE, before_a DOUBLE);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES FIRST(B.v) AS b0, LAST(B.v, 1) AS b_penult,
+        |           FIRST(B.v, 1) AS b_second, PREV(A.v, 1) AS before_a
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A B{3}) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b'
+        |);""".stripMargin
+    val in = Seq(
+      (1, 7L, "a", 1.0), (2, 7L, "b", 2.0), (3, 7L, "b", 3.0), (4, 7L, "b", 4.0))
+      .toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val got = GraftApp.run(spark, app, Map("E" -> in))("Out")
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        if (r.isNullAt(4)) null else r.getDouble(4)))
+    // B = [2,3,4]: FIRST=2, LAST(,1)=3 (penultimate), FIRST(,1)=3 (second);
+    // PREV(A.v,1): a@1 is the partition's first row → NULL, not an error
+    assert(got.toSeq == Seq((2.0, 3.0, 3.0, null)))
   }
 }

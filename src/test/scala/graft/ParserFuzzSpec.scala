@@ -127,6 +127,39 @@ class ParserFuzzSpec extends AnyFunSuite {
     check(Prop.forAll(mrNearMiss)(typedOnly _))
   }
 
+  /** Round-11 MR surface (ALL ROWS PER MATCH + PREV/NEXT + FIRST/LAST
+    * offsets) gets the same near-miss treatment. */
+  private val validMrRowsApp =
+    """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+      |CREATE STREAM Out (ts TIMESTAMP, user_id BIGINT, kind STRING,
+      |                   v DOUBLE, n_b BIGINT, pv DOUBLE, lp DOUBLE,
+      |                   mr_classifier STRING);
+      |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+      |  PARTITION BY user_id ORDER BY ts
+      |  MEASURES count(B.v) AS n_b, PREV(A.v, 2) AS pv, LAST(B.v, 1) AS lp
+      |  ALL ROWS PER MATCH AFTER MATCH SKIP TO NEXT ROW
+      |  PATTERN (A B+) WITHIN INTERVAL '1' HOUR
+      |  DEFINE A AS A.kind = 'a',
+      |         B AS B.kind = 'b' AND B.v > PREV(B.v));""".stripMargin
+
+  private val mrRowsNearMiss: Gen[String] = for {
+    cut <- Gen.choose(0, validMrRowsApp.length)
+    junk <- Gen.oneOf("", ")", "ALL ROWS", "PER MATCH", "PREV(", "NEXT(",
+      "PREV(v,", "LAST(", ", -1)", "EMIT", "EMIT ALL ROWS", "FIRST(B.v,",
+      "OVER (", "mr_classifier", "'", ",", ";;")
+    mode <- Gen.oneOf(0, 1, 2)
+  } yield mode match {
+    case 0 => validMrRowsApp.substring(0, cut)
+    case 1 => validMrRowsApp.substring(0, cut) + junk + validMrRowsApp.substring(cut)
+    case 2 => junk + validMrRowsApp
+  }
+
+  test("MATCH_RECOGNIZE ALL ROWS / navigation near-misses: typed errors only") {
+    assert(typedOnly(validMrRowsApp))
+    GraftApp.parse(validMrRowsApp)
+    check(Prop.forAll(mrRowsNearMiss)(typedOnly _))
+  }
+
   /** CREATE AGGREGATION + WITHIN…PER statements (round 6) get the same
     * near-miss treatment: truncations and junk splices of a valid
     * aggregation app must die typed, never leak compiler internals.

@@ -1791,4 +1791,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.toSeq == Seq((7L, 1.0, 5.0)))
     } finally q.stop()
   }
+
+  test("STREAMING MATCH_RECOGNIZE: ALL ROWS and PREV/NEXT reject typed (batch-only)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val events = in.toDS().toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    def mk(measures: String, rowsMode: String, defB: String): String =
+      s"""CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+         |CREATE STREAM Out (user_id BIGINT, a_v DOUBLE);
+         |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+         |  PARTITION BY user_id ORDER BY ts
+         |  MEASURES $measures
+         |  $rowsMode AFTER MATCH SKIP TO NEXT ROW
+         |  PATTERN (A B) WITHIN INTERVAL '1' HOUR
+         |  DEFINE A AS A.kind = 'a', $defB
+         |);""".stripMargin
+    val allRows = intercept[graft.sql.GraftApp.SqlError](graft.sql.GraftApp.run(
+      spark, mk("A.v AS a_v", "ALL ROWS PER MATCH", "B AS B.kind = 'b'"),
+      Map("E" -> events)))
+    assert(allRows.getMessage.contains("batch-only"))
+    val nav = intercept[graft.sql.GraftApp.SqlError](graft.sql.GraftApp.run(
+      spark, mk("PREV(A.v) AS a_v", "ONE ROW PER MATCH", "B AS B.kind = 'b'"),
+      Map("E" -> events)))
+    assert(nav.getMessage.contains("batch-only"))
+    val navDef = intercept[graft.sql.GraftApp.SqlError](graft.sql.GraftApp.run(
+      spark, mk("A.v AS a_v", "ONE ROW PER MATCH",
+        "B AS B.kind = 'b' AND B.v > PREV(B.v)"),
+      Map("E" -> events)))
+    assert(navDef.getMessage.contains("batch-only"))
+  }
 }
