@@ -497,33 +497,76 @@ object Curation {
     * Scale shape: two bigram-model hash-aggs + two scoring joins on bigram
     * keys (text never shuffles), then a map-side hash gate. At 100 TB the
     * target model trains on the (small) domain sample once and broadcasts
-    * when pruned; the raw model trains on a documented sample.
+    * when pruned; the raw model trains on a documented sample —
+    * `rawSamplePm` IS that sample: the raw/doc bigram model trains on a
+    * deterministic md5-gated per-mille of the raw DOCS
+    * (`u24('<salt>raw:' || id) < rawSamplePm·2^24/1000` — the same portable
+    * hash-gate convention as the keep decision, so any engine replays the
+    * exact model), while SCORING still covers the full corpus. A bigram
+    * model is a frequency ratio — a uniform doc sample estimates it with
+    * error ~1/sqrt(sample size) and shrinks the model-build aggregation by
+    * the sampling factor; 1000 (default) = train on everything, identical
+    * to the pre-option behavior.
     */
   def dsirResample(raw: DataFrame, target: DataFrame, idCol: String,
                    textCol: String, ratePm: Int, capX: Int = 10,
                    salt: String = "dsir",
+                   rawSamplePm: Int = 1000,
                    onPersist: DataFrame => Unit = _ => ()): DataFrame = {
     require(ratePm >= 1 && ratePm <= 1000, s"ratePm must be in [1,1000], got $ratePm")
     require(capX >= 1 && capX <= 100, s"capX must be in [1,100], got $capX")
-    // The raw-corpus bigram relation feeds the raw-model aggs AND the
-    // scoring join: persist so raw text is tokenized once, not 4x. The
-    // target relation feeds the two target-model aggs — persist it too
-    // (it is the small domain sample, so this is cheap). Both spill-safe
-    // (MEMORY_AND_DISK).
-    val rawBi = docBigrams(raw, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    onPersist(rawBi)
+    require(rawSamplePm >= 1 && rawSamplePm <= 1000,
+      s"rawSamplePm must be in [1,1000], got $rawSamplePm")
+    // Raw-model training slice (`rawSamplePm`): the md5 doc gate (salted
+    // differently from the keep gate so the two decisions are independent)
+    // filters the raw DOCS — per-doc hashes, not per-bigram — and the
+    // model branch tokenizes only the sample. Consumer accounting decides
+    // the persist: full model (two full-corpus consumers: model agg +
+    // scoring) → tokenize once into a spill-safe cache; sampled model
+    // (scoring is the ONLY full-corpus consumer) → no persist at all, the
+    // scoring scan streams once and the model branch re-tokenizes just the
+    // sample. The target relation always feeds the model agg once — never
+    // persisted (a single-consumer persist only adds a serialize/
+    // deserialize pass; round-11 plan audit).
+    val (rawBi, rawModelBi) =
+      if (rawSamplePm >= 1000) {
+        val p = docBigrams(raw, idCol, textCol)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        onPersist(p)
+        (p, p)
+      } else {
+        val sampleDocs = raw.filter(
+          conv(substring(md5(concat(lit(salt), lit("raw:"),
+            col(idCol).cast("string"))), 1, 6), 16, 10).cast("long") <
+            lit(rawSamplePm.toLong * 16777216L / 1000L))
+        (docBigrams(raw, idCol, textCol), docBigrams(sampleDocs, idCol, textCol))
+      }
     val targetBi = docBigrams(target, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    onPersist(targetBi)
-    // MERGED-MODEL scoring: outer-join the two (w1,w2)→cond models into
-    // one relation and score both numerators in a SINGLE pass over the
-    // corpus bigrams — one scoring join + one hash-agg instead of two of
-    // each plus an id-keyed st⋈sr join. The merge itself is model-sized
-    // (distinct bigrams), not corpus-sized.
-    val model = bigramModel(targetBi).withColumnRenamed("cond_milli", "__ct")
-      .join(bigramModel(rawBi).withColumnRenamed("cond_milli", "__cr"),
-        Seq("w1", "w2"), "full_outer")
+    // MERGED-MODEL build + scoring: ONE tagged-union aggregation computes
+    // both corpora's bigram counts side by side (c2t/c2r per bigram, c1
+    // re-aggregated model-sized), replacing the round-10 shape of two
+    // separate model aggs + a full-outer sort-merge — four exchanges
+    // collapse into one union agg. Conditionals are NULL where the bigram
+    // is absent from that corpus, exactly the old outer-join padding, so
+    // the scoring arithmetic below is bit-identical. Scoring stays a
+    // SINGLE pass over the corpus bigrams (one join + one hash-agg).
+    val taggedBi = targetBi.withColumn("__t", lit(1))
+      .unionByName(rawModelBi.withColumn("__t", lit(0)))
+    val c2 = taggedBi.filter(col("w1").isNotNull)
+      .groupBy(col("w1"), col("w2"))
+      .agg(sum(when(col("__t") === 1, 1L).otherwise(0L)).as("c2t"),
+        sum(when(col("__t") === 0, 1L).otherwise(0L)).as("c2r"))
+    // prefix totals as a WINDOW over the aggregated model relation, not a
+    // self-join — a join would consume c2 twice and re-execute the
+    // (unpersisted) tokenize branches once per consumer; the window costs
+    // one model-sized exchange on w1
+    val w1win = org.apache.spark.sql.expressions.Window.partitionBy("w1")
+    val model = c2
+      .withColumn("c1t", sum(col("c2t")).over(w1win))
+      .withColumn("c1r", sum(col("c2r")).over(w1win))
+      .select(col("w1"), col("w2"),
+        when(col("c2t") > 0, expr("CAST(1000000 AS BIGINT) * c2t div c1t")).as("__ct"),
+        when(col("c2r") > 0, expr("CAST(1000000 AS BIGINT) * c2r div c1r")).as("__cr"))
     val scores = rawBi.join(model, Seq("w1", "w2"), "left")
       .groupBy(col(idCol))
       .agg(

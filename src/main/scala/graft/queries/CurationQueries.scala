@@ -618,6 +618,60 @@ object CurationQueries extends QueryFamily {
              |  u24 < (500 * w_pm * 16777216) // 1000000000 AS kept
              |FROM ww ORDER BY doc_id""".stripMargin)),
 
+    // DSIR with a SAMPLED raw model (round 11, the documented 100 TB
+    // shape): the raw/doc bigram model trains on an md5-gated 20% of the
+    // docs (deterministic, salted independently of the keep gate) while
+    // scoring still covers the full corpus — the model-build aggregation
+    // shrinks 5x. DuckDB replays the identical hash gate, so the sampled
+    // model (and every downstream keep decision) is bit-exact.
+    QueryDef(
+      "q_text_dsir_sampled",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        Curation.dsirResample(d, d.filter(col("lang") === "en"),
+            "doc_id", "text", ratePm = 500, rawSamplePm = 200)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |           t -> t <> '') AS ts
+             |  FROM documents),
+             |bi0 AS (
+             |  SELECT doc_id, lang, ts[i.i] AS w1, ts[i.i + 1] AS w2
+             |  FROM tok, LATERAL (SELECT unnest(range(1, len(ts))) AS i) i),
+             |spine AS (SELECT doc_id FROM documents),
+             |tmodel AS (
+             |  SELECT w1, w2, (1000000 * count(*)) // (sum(count(*)) OVER (PARTITION BY w1)) AS cond_milli
+             |  FROM bi0 WHERE lang = 'en' GROUP BY w1, w2),
+             |rmodel AS (
+             |  SELECT w1, w2, (1000000 * count(*)) // (sum(count(*)) OVER (PARTITION BY w1)) AS cond_milli
+             |  FROM bi0
+             |  WHERE CAST(('0x' || substr(md5('dsirraw:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+             |        < (200 * CAST(16777216 AS BIGINT)) // 1000
+             |  GROUP BY w1, w2),
+             |st AS (
+             |  SELECT b.doc_id, CAST(sum(coalesce(m.cond_milli, 0)) AS BIGINT) AS st_num,
+             |    CAST(count(*) AS BIGINT) AS nb
+             |  FROM bi0 b LEFT JOIN tmodel m USING (w1, w2) GROUP BY b.doc_id),
+             |sr AS (
+             |  SELECT b.doc_id, CAST(sum(coalesce(m.cond_milli, 0)) AS BIGINT) AS sr_num,
+             |    CAST(count(*) AS BIGINT) AS nb
+             |  FROM bi0 b LEFT JOIN rmodel m USING (w1, w2) GROUP BY b.doc_id),
+             |w AS (
+             |  SELECT p.doc_id,
+             |    coalesce(st.st_num, 0) // greatest(coalesce(st.nb, 0), 1) AS st_fp,
+             |    coalesce(sr.sr_num, 0) // greatest(coalesce(sr.nb, 0), 1) AS sr_fp
+             |  FROM spine p LEFT JOIN st USING (doc_id) LEFT JOIN sr USING (doc_id)),
+             |ww AS (
+             |  SELECT doc_id, st_fp, sr_fp,
+             |    least(10000000, (1000000 * (st_fp + 1)) // (sr_fp + 1)) AS w_pm,
+             |    CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) AS u24
+             |  FROM w)
+             |SELECT doc_id, CAST(st_fp AS BIGINT) AS st_fp, CAST(sr_fp AS BIGINT) AS sr_fp,
+             |  CAST(w_pm AS BIGINT) AS w_pm,
+             |  u24 < (500 * w_pm * 16777216) // 1000000000 AS kept
+             |FROM ww ORDER BY doc_id""".stripMargin)),
+
     // Unicode-script routing: staged multilingual docs (Scala-side
     // Character.toChars staging; DuckDB rebuilds identical codepoints via
     // chr()) — every 4th doc appends a CJK run, others Cyrillic/Arabic/

@@ -56,17 +56,35 @@ class CurationSpec extends AnyFunSuite {
       assert(dShuffles.nonEmpty)
       assert(dShuffles.forall(s => !s.output.exists(_.name == "text")),
         dShuffles.map(_.output.map(_.name).mkString(",")).mkString(" | "))
-      // round-10: the raw/target bigram relations are PERSISTED, so the
-      // live plan has ZERO Generate nodes — every tokenize/explode happens
-      // once inside a cached relation and downstream aggs/joins read the
-      // InMemoryTableScans (>=3: two model builds + the scoring join)
+      // round-11 consumer accounting: the RAW bigram relation (two
+      // consumers: model agg + scoring join) is persisted — both read the
+      // InMemoryTableScan; the TARGET relation (one consumer) tokenizes
+      // live exactly once (a single-consumer persist would only add a
+      // serialize/deserialize pass)
       val liveGens = d.queryExecution.executedPlan.collect {
         case g: org.apache.spark.sql.execution.GenerateExec => g }
-      assert(liveGens.isEmpty,
-        s"expected all explodes inside cached relations, got ${liveGens.size} live")
+      assert(liveGens.size == 1,
+        s"expected exactly the target tokenize live, got ${liveGens.size}")
       val cached = d.queryExecution.executedPlan.collect {
         case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s }
-      assert(cached.size >= 3, s"expected >=3 cached bigram scans, got ${cached.size}")
+      assert(cached.size >= 2, s"expected >=2 cached raw-bigram scans, got ${cached.size}")
+      // sampled raw model (rawSamplePm): scoring is the ONLY full-corpus
+      // consumer, so NOTHING persists — the model branch tokenizes just
+      // the md5-gated doc sample (3 live Generates: scoring, model
+      // sample, target; 0 cached scans). Clear the cache first — the
+      // full-path persist above would otherwise substitute into the
+      // sampled plan's scoring branch and mask a live Generate.
+      spark.catalog.clearCache()
+      val ds = Curation.dsirResample(docs, docs.filter(col("id") % 2 === 0),
+        "id", "text", ratePm = 500, rawSamplePm = 300)
+      val dsGens = ds.queryExecution.executedPlan.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g }
+      assert(dsGens.size == 3, s"expected 3 live tokenizes, got ${dsGens.size}")
+      val dsCached = ds.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s }
+      assert(dsCached.isEmpty, s"sampled path must not persist, got ${dsCached.size}")
+      val dsShuffles = ds.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
+      assert(dsShuffles.forall(s => !s.output.exists(_.name == "text")))
       // capPerKey: ONE key-hash exchange for the rank window, id/key width
       val c = Curation.capPerKey(docs, "id", "key", maxPerKey = 3)
       val cShuffles = c.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
@@ -147,6 +165,22 @@ class CurationSpec extends AnyFunSuite {
     // rate validation
     intercept[IllegalArgumentException] {
       Curation.dsirResample(raw, target, "id", "txt", ratePm = 0)
+    }
+    // rawSamplePm = 1000 is bit-identical to the default (full model);
+    // a sampled model is deterministic run to run
+    val full = Curation.dsirResample(raw, target, "id", "txt", ratePm = 500,
+      rawSamplePm = 1000).orderBy("id").collect()
+    assert(full.toSeq == out.toSeq)
+    val s1 = Curation.dsirResample(raw, target, "id", "txt", ratePm = 500,
+      rawSamplePm = 400).orderBy("id").collect()
+    val s2 = Curation.dsirResample(raw, target, "id", "txt", ratePm = 500,
+      rawSamplePm = 400).orderBy("id").collect()
+    assert(s1.toSeq == s2.toSeq)
+    intercept[IllegalArgumentException] {
+      Curation.dsirResample(raw, target, "id", "txt", ratePm = 500, rawSamplePm = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.dsirResample(raw, target, "id", "txt", ratePm = 500, rawSamplePm = 1001)
     }
   }
 
