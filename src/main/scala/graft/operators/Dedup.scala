@@ -428,6 +428,16 @@ object Dedup {
   def nlistFor(corpusCount: Long): Int =
     math.max(1, math.ceil(math.sqrt(math.max(0L, corpusCount).toDouble)).toInt)
 
+  /** Population bound above which [[semanticAuto]] switches to
+    * [[semanticTwoLevel]]: below ~10⁸ vectors the coarse level's extra
+    * shuffle outweighs the O(N^{4/3}) vs O(N^{3/2}) asymptotic win, and
+    * the single level's √N driver centroid list (≤10⁴ vectors) is still
+    * trivially collectable; above it both arguments flip (the
+    * [[semanticTwoLevel]] scaladoc's operating-point note, now enforced
+    * in code rather than left to the caller).
+    */
+  val TwoLevelAbove: Long = 100000000L
+
   /** [[semantic]] with the nlist ∝ √N contract applied automatically:
     * counts the corpus, derives nlist = ⌈√N⌉, and picks centroid ids
     * deterministically as the MIN id of each of ⌈√N⌉ PORTABLE-HASH buckets
@@ -440,11 +450,28 @@ object Dedup {
     * One narrow hash-agg over the id column, no sort; the collect is
     * ≤ ⌈√N⌉ longs. Use the explicit-centroid overload when a trained
     * k-means codebook (Similarity.trainCentroids) is available.
+    *
+    * Above `twoLevelAbove` vectors (default [[TwoLevelAbove]] = 10⁸) the
+    * call auto-selects [[semanticTwoLevel]] — same verdict contract, the
+    * O(N^{4/3}) coarse→fine path whose fine codebook never rides the
+    * driver — and says so via ScaleWarnings. Cluster labels differ
+    * between the paths by documented design (list indices vs fine
+    * centroid corpus ids).
     */
   def semanticAuto(corpus: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double, scale: Int = 10000): DataFrame = {
+                   threshold: Double, scale: Int = 10000,
+                   twoLevelAbove: Long = TwoLevelAbove): DataFrame = {
     val n = corpus.count()
     require(n > 0, "semanticAuto needs a non-empty corpus")
+    if (n >= twoLevelAbove) {
+      graft.sql.ScaleWarnings.warn(
+        s"semanticAuto: $n vectors >= two-level cutover $twoLevelAbove — " +
+          "selecting semanticTwoLevel (coarse->fine IVF, O(N^(4/3)) work, " +
+          "fine codebook stays distributed); single-level at nlist=sqrt(N) " +
+          s"would collect ${nlistFor(n)} driver centroids and pay O(N^1.5)")
+      return semanticTwoLevel(corpus, idCol, vecCol, threshold, scale,
+        precount = Some(n))
+    }
     val k = nlistFor(n)
     val ids = corpus
       .select(col(idCol).cast("long").as("id"))
@@ -596,8 +623,11 @@ object Dedup {
     */
   def semanticTwoLevel(corpus: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, scale: Int = 10000,
-                       kOverride: Option[Int] = None): DataFrame = {
-    val n = corpus.count()
+                       kOverride: Option[Int] = None,
+                       precount: Option[Long] = None): DataFrame = {
+    // precount: semanticAuto already counted the corpus for the cutover
+    // decision — don't pay the scan twice
+    val n = precount.getOrElse(corpus.count())
     require(n > 0, "semanticTwoLevel needs a non-empty corpus")
     val k = kOverride.getOrElse(
       math.max(1, math.ceil(math.cbrt(n.toDouble)).toInt))

@@ -97,5 +97,26 @@ class CorpusSweepSpec extends AnyFunSuite {
     // deliberately reject — but the bulk of the language must parse
     info(s"parsed clean: $ok of ${apps.size} extracted corpus apps")
     assert(ok >= apps.size * 7 / 10, s"only $ok/${apps.size} parsed clean")
+    // round 11: the residue is PINNED exactly — all four remaining
+    // rejections are behaviors the reference itself intends (negative
+    // type-validation fixtures: a mid-app CREATE AGGREGATION re-definition
+    // cascade and a deliberately undefined stream). Any parser regression
+    // or NEW rejection class changes this set and fails loudly, instead of
+    // hiding under the >=70% floor.
+    val residue = rejected.map { r =>
+      val at = r.lastIndexOf("  @")
+      val fixture = r.substring(at + 3).trim
+      val msg = r.substring(0, at)
+      val prefix = msg.takeWhile(c => c != '—' && c != '(').trim.take(60)
+      s"$fixture :: $prefix"
+    }.sorted
+    val pinned = Seq(
+      "app_runner_tables.rs :: undefined stream/table 'NonExistentStream'",
+      "type_validation_test.rs :: aggregation 'StockAgg' must be queried with WITHIN 'from' AN",
+      "type_validation_test.rs :: duplicate stream/table/trigger definition 'Stock'",
+      "type_validation_test.rs :: unsupported statement: CREATE AGGREGATION StockAgg ...")
+    assert(residue == pinned,
+      s"sweep residue drifted from the pinned reference-intended set:\n" +
+        residue.mkString("\n"))
   }
 }

@@ -225,6 +225,37 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticAuto auto-selects the two-level path above the population cutover") {
+    import spark.implicits._
+    import graft.sql.ScaleWarnings
+    val vecs = (0L until 80L)
+      .map(i => (i, Array((i % 7).toFloat + 1f, (i % 5).toFloat, (i % 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    // staged large-N: lower the cutover below the population so the
+    // two-level selection logic fires on a testable corpus
+    ScaleWarnings.reset()
+    val auto = Dedup.semanticAuto(vecs, "vec_id", "embedding", 0.999,
+      twoLevelAbove = 50L)
+    assert(ScaleWarnings.recentWarnings.exists(w =>
+      w.contains("two-level cutover") && w.contains("semanticTwoLevel")),
+      ScaleWarnings.recentWarnings.mkString(" | "))
+    // verdicts equal an explicit semanticTwoLevel call (same K derivation)
+    def verdicts2(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "is_dup", "dup_of", "best_sim")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1.0 else r.getDouble(3))).sortBy(_._1).toSeq
+    assert(verdicts2(auto) == verdicts2(
+      Dedup.semanticTwoLevel(vecs, "vec_id", "embedding", 0.999)))
+    assert(auto.count() == 80)
+    // below the cutover (the default 1e8): single level, no warning —
+    // q_dedup_semantic_auto's shape at every current test scale
+    ScaleWarnings.reset()
+    Dedup.semanticAuto(vecs, "vec_id", "embedding", 0.999).count()
+    assert(!ScaleWarnings.recentWarnings.exists(_.contains("two-level cutover")))
+    assert(Dedup.TwoLevelAbove == 100000000L)
+  }
+
   test("simhash flags exact duplicates at Hamming distance 0") {
     val docs = Tables(spark, dir, "documents").select("doc_id", "text").limit(100)
     val dups = docs.withColumn("doc_id", col("doc_id") + 100000)
