@@ -19,11 +19,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    lz4-block-compressed or stored with the high size bit set, with
   *    optional per-block xxHash32), EndMark, optional content xxHash32.
   *
-  * Compress-side: a VALID-but-simple encoder for each (snappy literal-only
-  * blocks; lz4 stored blocks) so the sink can speak the codec and the
-  * specs can round-trip — decode handles the full format including copies
-  * / compressed blocks, encode never needs to emit them (the formats make
-  * uncompressed passthrough first-class).
+  * Compress-side (round 11): REAL match-emitting encoders for both —
+  * greedy hash-table matchers per each format spec (snappy copy-2 ops;
+  * lz4 sequences honoring the end-of-block rules) — so produced batches
+  * are genuinely smaller on repetitive payloads; incompressible input
+  * degrades to the formats' first-class passthrough (literal runs /
+  * stored blocks).
   *
   * Everything here is allocation-bounded by the DECLARED uncompressed
   * length, which is capped (maxOut) so a corrupt/malicious length prefix
@@ -161,6 +162,63 @@ object KafkaCompress {
       while (k < len) { out(o + k) = out(o + k - offset); k += 1 }
     }
 
+    /** Match-emitting snappy block encoder (the format spec's element
+      * stream): greedy hash-table matcher over 4-byte windows — literals
+      * for the gaps, copy-2 ops (2-byte LE offset, len 1..64) for matches
+      * within 64 KB. Repetitive payloads compress for real; incompressible
+      * data degrades to the literal passthrough by construction. Round 11:
+      * replaces the literal-only encoder on the produce path (batches to
+      * real brokers were valid but uncompressed-size before).
+      */
+    def compress(in: Array[Byte]): Array[Byte] = {
+      val len = in.length
+      val out = new java.io.ByteArrayOutputStream(len / 2 + 32)
+      var v = len
+      while ((v & ~0x7F) != 0) { out.write((v & 0x7F) | 0x80); v >>>= 7 }
+      out.write(v)
+      def load32(p: Int): Int =
+        (in(p) & 0xFF) | ((in(p + 1) & 0xFF) << 8) |
+          ((in(p + 2) & 0xFF) << 16) | ((in(p + 3) & 0xFF) << 24)
+      def emitLiteral(from: Int, n: Int): Unit = if (n > 0) {
+        val l = n - 1
+        if (l < 60) out.write(l << 2)
+        else if (l < 0x100) { out.write(60 << 2); out.write(l) }
+        else if (l < 0x10000) {
+          out.write(61 << 2); out.write(l & 0xFF); out.write((l >> 8) & 0xFF)
+        } else {
+          out.write(62 << 2)
+          out.write(l & 0xFF); out.write((l >> 8) & 0xFF); out.write((l >> 16) & 0xFF)
+        }
+        out.write(in, from, n)
+      }
+      val bits = 13
+      val table = new Array[Int](1 << bits) // empty = 0, else pos + 1
+      var s = 0
+      var lit = 0
+      while (s + 4 <= len) {
+        val h = (load32(s) * 0x1E35A7BD) >>> (32 - bits)
+        val cand = table(h) - 1
+        table(h) = s + 1
+        if (cand >= 0 && s - cand < 0x10000 && load32(cand) == load32(s)) {
+          var m = 4
+          while (s + m < len && in(cand + m) == in(s + m)) m += 1
+          emitLiteral(lit, s - lit)
+          val offset = s - cand
+          var rem = m
+          while (rem > 0) {
+            val c = math.min(64, rem)
+            out.write(((c - 1) << 2) | 2)
+            out.write(offset & 0xFF); out.write((offset >> 8) & 0xFF)
+            rem -= c
+          }
+          s += m
+          lit = s
+        } else s += 1
+      }
+      emitLiteral(lit, len - lit)
+      out.toByteArray
+    }
+
     /** Valid literal-only snappy encoding (the format's passthrough path —
       * what a compressor emits for incompressible data).
       */
@@ -225,7 +283,7 @@ object KafkaCompress {
       var off = 0
       while (off < in.length || (in.length == 0 && off == 0)) {
         val n = math.min(32 * 1024, in.length - off)
-        val block = SnappyRaw.compressLiteral(
+        val block = SnappyRaw.compress(
           java.util.Arrays.copyOfRange(in, off, off + n))
         val len = ByteBuffer.allocate(4).putInt(block.length).array()
         out.write(len, 0, 4)
@@ -289,6 +347,61 @@ object KafkaCompress {
         }
       }
       if (o == outCap) out else java.util.Arrays.copyOf(out, o)
+    }
+
+    /** Match-emitting LZ4 block encoder (block format spec): greedy
+      * hash-table matcher, min match 4, 2-byte LE offsets, and the spec's
+      * end-of-block rules honored (the last match starts at least 12
+      * bytes before the end; the last 5 bytes are always literals).
+      * Round 11: gives the frame encoder real compressed blocks — the
+      * produce path previously emitted stored blocks only.
+      */
+    def compress(in: Array[Byte]): Array[Byte] = {
+      val len = in.length
+      val out = new java.io.ByteArrayOutputStream(len + len / 255 + 16)
+      def load32(p: Int): Int =
+        (in(p) & 0xFF) | ((in(p + 1) & 0xFF) << 8) |
+          ((in(p + 2) & 0xFF) << 16) | ((in(p + 3) & 0xFF) << 24)
+      def writeLen(n0: Int): Unit = {
+        var n = n0
+        while (n >= 255) { out.write(255); n -= 255 }
+        out.write(n)
+      }
+      def emitSeq(litFrom: Int, litN: Int, offset: Int, mLen: Int): Unit = {
+        val litTok = math.min(15, litN)
+        if (mLen < 0) { // final literals-only sequence
+          out.write(litTok << 4)
+          if (litN >= 15) writeLen(litN - 15)
+          out.write(in, litFrom, litN)
+        } else {
+          val mTok = math.min(15, mLen - 4)
+          out.write((litTok << 4) | mTok)
+          if (litN >= 15) writeLen(litN - 15)
+          out.write(in, litFrom, litN)
+          out.write(offset & 0xFF); out.write((offset >> 8) & 0xFF)
+          if (mLen - 4 >= 15) writeLen(mLen - 4 - 15)
+        }
+      }
+      val bits = 13
+      val table = new Array[Int](1 << bits)
+      var s = 0
+      var lit = 0
+      val mfLimit = len - 12   // no match may START in the last 12 bytes
+      val matchLimit = len - 5 // the last 5 bytes are always literals
+      while (s < mfLimit) {
+        val h = (load32(s) * 0x1E35A7BD) >>> (32 - bits)
+        val cand = table(h) - 1
+        table(h) = s + 1
+        if (cand >= 0 && s - cand <= 0xFFFF && load32(cand) == load32(s)) {
+          var m = 4
+          while (s + m < matchLimit && in(cand + m) == in(s + m)) m += 1
+          emitSeq(lit, s - lit, s - cand, m)
+          s += m
+          lit = s
+        } else s += 1
+      }
+      emitSeq(lit, len - lit, 0, -1)
+      out.toByteArray
     }
   }
 
@@ -369,9 +482,11 @@ object KafkaCompress {
       result
     }
 
-    /** Stored-blocks frame: FLG = version 01 + content-checksum, BD = 64 KB
-      * blocks, every block stored (high bit set). Valid per spec §"Block"
-      * ("uncompressed … when the highest bit of block size is set").
+    /** Frame encoder: FLG = version 01 + content-checksum, BD = 64 KB
+      * blocks. Each block is LZ4-compressed ([[Lz4Block.compress]]); when
+      * compression does not shrink a block it is emitted STORED instead
+      * (high bit of the block size — the spec's passthrough, and exactly
+      * what reference lz4 implementations do for incompressible blocks).
       */
     def compress(in: Array[Byte]): Array[Byte] = {
       val header = new Array[Byte](2)
@@ -387,10 +502,14 @@ object KafkaCompress {
       var off = 0
       while (off < in.length) {
         val n = math.min(64 * 1024, in.length - off)
+        val packed = Lz4Block.compress(java.util.Arrays.copyOfRange(in, off, off + n))
+        val (word, body) =
+          if (packed.length < n) (packed.length, packed)
+          else (n | 0x80000000, java.util.Arrays.copyOfRange(in, off, off + n))
         val sz = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
-          .putInt(n | 0x80000000).array()
+          .putInt(word).array()
         out.write(sz, 0, 4)
-        out.write(in, off, n)
+        out.write(body, 0, body.length)
         off += n
       }
       out.write(Array[Byte](0, 0, 0, 0), 0, 4) // EndMark

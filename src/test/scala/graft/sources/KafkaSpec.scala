@@ -193,6 +193,55 @@ class KafkaSpec extends AnyFunSuite {
     intercept[java.io.IOException](Lz4Frame.decompress(badHc))
   }
 
+  test("round-11 encoders: snappy/lz4 round-trip AND compress repetitive payloads") {
+    import graft.sources.KafkaCompress.{Lz4Block, Lz4Frame, SnappyRaw, SnappyStream}
+    // repetitive payload: the match-emitting encoders must SHRINK it
+    val rep = ("the quick brown fox " * 400).getBytes(UTF_8) // 8000 bytes
+    val sEnc = SnappyRaw.compress(rep)
+    assert(SnappyRaw.uncompress(sEnc, 0, sEnc.length).toSeq == rep.toSeq)
+    assert(sEnc.length < rep.length / 4,
+      s"snappy: ${sEnc.length} bytes for ${rep.length} repetitive input")
+    val sStream = SnappyStream.compress(rep)
+    assert(SnappyStream.decompress(sStream).toSeq == rep.toSeq)
+    assert(sStream.length < rep.length / 4)
+    val lEnc = Lz4Block.compress(rep)
+    assert(Lz4Block.decompress(lEnc, 0, lEnc.length, rep.length).toSeq == rep.toSeq)
+    assert(lEnc.length < rep.length / 4,
+      s"lz4: ${lEnc.length} bytes for ${rep.length} repetitive input")
+    val lFrame = Lz4Frame.compress(rep)
+    assert(Lz4Frame.decompress(lFrame).toSeq == rep.toSeq)
+    assert(lFrame.length < rep.length / 4)
+    // varied shapes round-trip bit-exactly: empty, tiny, just-under/over
+    // the end-of-block guards, incompressible (xorshift bytes), >1 chunk
+    val rnd = {
+      var x = 0x2545F4914F6CDD1DL
+      Array.fill(200000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; (x & 0xFF).toByte }
+    }
+    val shapes = Seq(
+      Array.empty[Byte], "a".getBytes(UTF_8), "abcd".getBytes(UTF_8),
+      "abcdabcd".getBytes(UTF_8), ("xy" * 6).getBytes(UTF_8),
+      ("z" * 11).getBytes(UTF_8), ("z" * 13).getBytes(UTF_8),
+      ("block" * 70).getBytes(UTF_8), rnd.take(64), rnd.take(65536 + 17), rnd)
+    shapes.foreach { p =>
+      val se = SnappyRaw.compress(p)
+      assert(SnappyRaw.uncompress(se, 0, se.length).toSeq == p.toSeq,
+        s"snappy raw round-trip failed at len ${p.length}")
+      val ss = SnappyStream.compress(p)
+      assert(SnappyStream.decompress(ss).toSeq == p.toSeq,
+        s"snappy stream round-trip failed at len ${p.length}")
+      val le = Lz4Block.compress(p)
+      assert(Lz4Block.decompress(le, 0, le.length, math.max(p.length, 1)).toSeq == p.toSeq,
+        s"lz4 block round-trip failed at len ${p.length}")
+      val lf = Lz4Frame.compress(p)
+      assert(Lz4Frame.decompress(lf).toSeq == p.toSeq,
+        s"lz4 frame round-trip failed at len ${p.length}")
+      // incompressible input must never blow up in size beyond the
+      // formats' bounded framing overhead
+      assert(se.length <= p.length + p.length / 6 + 16)
+      assert(le.length <= p.length + p.length / 255 + 16)
+    }
+  }
+
   test("codec: snappy- and lz4-compressed record batches decode pure-JVM") {
     import graft.sources.KafkaCompress.{SnappyStream, Lz4Frame}
     val recs = Seq[(Array[Byte], Array[Byte])](
