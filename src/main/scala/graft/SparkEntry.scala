@@ -16,7 +16,7 @@ object SparkEntry {
     CoreQueries, AggQueries, JoinQueries, MiscQueries, WindowQueries,
     DedupQueries, SimilarityQueries, TextQueries, CepQueries,
     ConnectorQueries, RollupQueries, SamplingQueries, CurationQueries,
-    SearchQueries, GraphQueries
+    SearchQueries, GraphQueries, SketchQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Bounded-state sketches for corpus-scale cardinality and frequency —
+  * the two questions every 100 TB curation run asks first ("how many
+  * distinct urls/users/tokens?", "which keys dominate?") whose exact
+  * answers are themselves big-data problems (an exact distinct shuffles
+  * every distinct key; an exact top-k groupBy shuffles every key's
+  * count).
+  *
+  * Both operators here follow this repo's determinism discipline: no RNG,
+  * no engine-private hash — the portable md5 convention (Sampling.scala),
+  * so a SQL engine replays the sketch BIT-EXACTLY and the DuckDB oracle
+  * hash-compares the actual output, not a tolerance band.
+  *
+  *  - [[kmvDistinct]]: KMV / bottom-k distinct estimation (Bar-Yossef et
+  *    al. 2002): keep the k smallest distinct 60-bit hashes; the k-th
+  *    smallest value estimates cardinality as `(k-1)·2^60 / kth`. State =
+  *    k longs per task, exchange = ≤ k longs per partition, estimate error
+  *    ~ 1/√k. Exact when fewer than k distinct values exist.
+  *  - [[heavyHitters]]: EXACT heavy hitters with a Misra-Gries pruning
+  *    pass (the classic 1982 k-counter stream summary): pass 1 runs MG
+  *    per partition (bounded k counters), whose survivor union PROVABLY
+  *    contains every key with global count > N/(k+1) — if
+  *    `count(x)·(k+1) > Σ n_p` then by pigeonhole some partition has
+  *    `count_p(x)·(k+1) > n_p`, which MG's decrement argument keeps.
+  *    Pass 2 recounts ONLY the ≤ k·partitions candidates (broadcast
+  *    semi gate) and applies the exact threshold — so the OUTPUT is
+  *    exact (the sketch only prunes), and the full-corpus groupBy the
+  *    oracle runs never happens on the Spark side.
+  *
+  * The per-partition kernels are `mapPartitions` folds — justified under
+  * the repo's preference order because both algorithms are DEFINED by
+  * their bounded in-task state (a k-entry ordered set / k counters),
+  * which no composition of relational operators expresses without giving
+  * up the state bound (e.g. `distinct().orderBy().limit(k)` is
+  * relational KMV but exchanges EVERY distinct key).
+  */
+object Sketches {
+
+  /** Portable 60-bit key hash: top 15 hex digits of md5 — positive in a
+    * BIGINT in every engine (the 16-digit form would need unsigned
+    * semantics DuckDB and Spark disagree on). */
+  private def hash60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  private val Two60: Double = 1152921504606846976.0 // 2^60, exact in double
+
+  /** KMV bottom-k distinct estimate of `keyCol`. Output: ONE row
+    * `(k_used BIGINT, kth_hash BIGINT, est_distinct BIGINT)` —
+    * `k_used` < k means the sketch saw every distinct value and
+    * `est_distinct` is exact; otherwise
+    * `est_distinct = round((k-1)·2^60 / kth_hash)`.
+    */
+  def kmvDistinct(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val hashed = df.select(hash60(col(keyCol)).as("hv"))
+    // per-partition bottom-k of DISTINCT hashes: a k-entry TreeSet fold.
+    // Output ≤ k longs per partition; the global merge below touches at
+    // most k·partitions values.
+    val bottom = hashed.select(col("hv")).as[Long](Encoders.scalaLong)
+      .mapPartitions { it =>
+        val set = new java.util.TreeSet[java.lang.Long]()
+        it.foreach { h =>
+          if (set.size < k) set.add(h)
+          else if (h < set.last()) {
+            if (set.add(h)) set.pollLast()
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        set.iterator().asScala.map(_.longValue())
+      }(Encoders.scalaLong)
+      .toDF("hv")
+    val topk = bottom.distinct().orderBy(col("hv")).limit(k)
+    topk.agg(count(lit(1)).as("k_used"), max(col("hv")).as("kth_hash"))
+      .select(
+        col("k_used"),
+        coalesce(col("kth_hash"), lit(0L)).as("kth_hash"),
+        when(col("k_used") < k, col("k_used")) // saw everything: exact
+          .otherwise(round(lit((k - 1).toDouble) * lit(Two60) /
+            col("kth_hash").cast("double")).cast("long"))
+          .as("est_distinct"))
+  }
+
+  /** Exact heavy hitters of `keyCol`: every key with
+    * `count·(k+1) > N` (strictly), with its EXACT count — computed with a
+    * Misra-Gries pruning pass so no full-corpus groupBy runs. Output:
+    * `(key STRING, cnt BIGINT)`, count-descending then key.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val keys = df.select(col(keyCol).cast("string").as("key"))
+    // pass 1: per-partition Misra-Gries; emit survivor keys (cnt column
+    // carries the partition row count on a null-key sentinel row so the
+    // grand total N needs no second full scan)
+    val mg = keys.select(col("key")).as[String](Encoders.STRING)
+      .mapPartitions { it =>
+        val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        var nP = 0L
+        it.foreach { s =>
+          nP += 1
+          counters.get(s) match {
+            case Some(c) => counters(s) = c + 1
+            case None if counters.size < k => counters(s) = 1L
+            case None =>
+              // decrement-all step; drop zeroed counters
+              counters.keys.toArray.foreach { kk =>
+                val c = counters(kk) - 1
+                if (c == 0) counters.remove(kk) else counters(kk) = c
+              }
+          }
+        }
+        counters.keysIterator.map(kk => (kk, -1L)) ++ Iterator((null: String, nP))
+      }(Encoders.product[(String, Long)])
+      .toDF("key", "n_p")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = mg.filter(col("key").isNull)
+      .agg(coalesce(sum(col("n_p")), lit(0L))).head().getLong(0)
+    val candidates = mg.filter(col("key").isNotNull).select(col("key")).distinct()
+    // pass 2: exact recount of the candidate slice only; the candidate
+    // relation is ≤ k·partitions rows — broadcast gate, corpus map-side
+    val out = keys
+      .join(broadcast(candidates), Seq("key"), "left_semi")
+      .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (k + 1) > total)
+      .orderBy(col("cnt").desc, col("key"))
+    // eager materialization so the pass-1 persist can be freed here (the
+    // selectBudget lifetime discipline)
+    val res = out.localCheckpoint(true)
+    mg.unpersist()
+    res
+  }
+}

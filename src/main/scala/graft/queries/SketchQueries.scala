@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Sketches
+
+/** Bounded-state sketch operators (operators/Sketches.scala) over the
+  * driver tables — cardinality estimation and exact pruned heavy hitters,
+  * both engine-replayable (portable md5 hashing, integer thresholds), so
+  * DuckDB hash-compares the actual sketch outputs.
+  */
+object SketchQueries extends QueryFamily {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // KMV bottom-k distinct estimation over two key columns of events:
+    // user_id (1.5k distinct at sf0.1 — estimated from 64 hashes) and
+    // event_id (100k distinct — estimated from 256). DuckDB replays the
+    // identical bottom-k hash sets and the (k-1)·2^60/kth estimator; the
+    // estimate is deterministic, so the hash compare is exact, not a
+    // tolerance band.
+    QueryDef(
+      "q_sketch_kmv",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        Sketches.kmvDistinct(e, "user_id", 64).withColumn("dim", lit("user_id"))
+          .unionByName(
+            Sketches.kmvDistinct(e, "event_id", 256).withColumn("dim", lit("event_id")))
+          .select(col("dim"), col("k_used"), col("kth_hash"), col("est_distinct"))
+          .orderBy(col("dim"))
+      },
+      Some("""WITH hu AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv FROM events),
+             |ku AS (SELECT hv FROM hu ORDER BY hv LIMIT 64),
+             |ua AS (SELECT CAST(count(*) AS BIGINT) AS k_used, max(hv) AS kth FROM ku),
+             |he AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv FROM events),
+             |ke AS (SELECT hv FROM he ORDER BY hv LIMIT 256),
+             |ea AS (SELECT CAST(count(*) AS BIGINT) AS k_used, max(hv) AS kth FROM ke)
+             |SELECT dim, k_used, kth_hash, est_distinct FROM (
+             |  SELECT 'user_id' AS dim, k_used, coalesce(kth, 0) AS kth_hash,
+             |    CASE WHEN k_used < 64 THEN k_used
+             |         ELSE CAST(round(63.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE)) AS BIGINT) END AS est_distinct
+             |  FROM ua
+             |  UNION ALL
+             |  SELECT 'event_id' AS dim, k_used, coalesce(kth, 0) AS kth_hash,
+             |    CASE WHEN k_used < 256 THEN k_used
+             |         ELSE CAST(round(255.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE)) AS BIGINT) END AS est_distinct
+             |  FROM ea)
+             |ORDER BY dim""".stripMargin)),
+
+    // Exact heavy hitters with Misra-Gries pruning: keys with
+    // count·(k+1) > N, exact counts — documents.lang at k=3 (only the
+    // dominant language clears N/4) and document tokens at k=30 (the
+    // above-mean half of the near-uniform vocabulary). The oracle is the
+    // plain exact threshold — the MG pass only prunes, never changes the
+    // answer.
+    QueryDef(
+      "q_sketch_heavy",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val langs = Sketches.heavyHitters(d, "lang", 3)
+          .select(lit("lang").as("dim"), col("key"), col("cnt"))
+        val toks = d.select(explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+            t => t =!= lit(""))).as("tok"))
+        val tokHh = Sketches.heavyHitters(toks, "tok", 30)
+          .select(lit("tok").as("dim"), col("key"), col("cnt"))
+        langs.unionByName(tokHh).orderBy(col("dim"), col("cnt").desc, col("key"))
+      },
+      Some("""WITH lc AS (SELECT lang AS key, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY lang),
+             |ln AS (SELECT count(*) AS n FROM documents),
+             |tk AS (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok FROM documents),
+             |tc AS (SELECT tok AS key, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY tok),
+             |tn AS (SELECT count(*) AS n FROM tk)
+             |SELECT dim, key, cnt FROM (
+             |  SELECT 'lang' AS dim, lc.key, lc.cnt FROM lc, ln WHERE lc.cnt * 4 > ln.n
+             |  UNION ALL
+             |  SELECT 'tok' AS dim, tc.key, tc.cnt FROM tc, tn WHERE tc.cnt * 31 > tn.n)
+             |ORDER BY dim, cnt DESC, key""".stripMargin)))
+}

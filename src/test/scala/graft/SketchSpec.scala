@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Sketches
+
+/** Specs for the bounded-state sketches (operators/Sketches.scala):
+  * KMV distinct estimation and Misra-Gries-pruned exact heavy hitters.
+  * Both are checked against exact ground truth computed in-process —
+  * KMV's estimator is deterministic (portable md5), so its value is
+  * asserted EXACTLY, and heavyHitters' output contract IS exactness.
+  */
+class SketchSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("kmvDistinct: exact below k, estimator formula above, duplicate-proof") {
+    // 40 distinct keys, each duplicated 5x — k=64 > 40 means the sketch
+    // sees everything: exact count, regardless of duplication
+    val small = (0L until 200L).map(i => Tuple1(i % 40)).toDF("k")
+    val ex = Sketches.kmvDistinct(small, "k", 64).head()
+    assert(ex.getLong(0) == 40 && ex.getLong(2) == 40)
+    // 5000 distinct over k=64: estimate = round(63*2^60/kth) where kth is
+    // the 64th smallest md5-60 hash — replayed independently here
+    val big = (0L until 5000L).map(Tuple1(_)).toDF("k")
+    val got = Sketches.kmvDistinct(big, "k", 64).head()
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    val kth = (0L until 5000L).map(i => h60(i.toString)).sorted.apply(63)
+    assert(got.getLong(0) == 64)
+    assert(got.getLong(1) == kth)
+    val want = math.round(63.0 * 1152921504606846976.0 / kth.toDouble)
+    assert(got.getLong(2) == want)
+    // the estimate lands within ~3/sqrt(64) of truth for this population
+    assert(math.abs(got.getLong(2) - 5000.0) / 5000.0 < 0.4,
+      s"estimate ${got.getLong(2)} too far from 5000")
+    // empty input: zero everything, no NULLs
+    val empty = Seq.empty[Tuple1[Long]].toDF("k")
+    val e = Sketches.kmvDistinct(empty, "k", 8).head()
+    assert(e.getLong(0) == 0 && e.getLong(1) == 0 && e.getLong(2) == 0)
+    intercept[IllegalArgumentException](Sketches.kmvDistinct(small, "k", 1))
+  }
+
+  test("heavyHitters: exact counts above the N/(k+1) threshold, MG prune never loses one") {
+    // skewed synthetic: key "hot" 500x, "warm" 120x, 200 singleton keys
+    // (N = 820). k=5 → threshold 820/6 = 136.7: only "hot" qualifies at
+    // k=5; k=9 → 82: hot + warm.
+    val rows = Seq.fill(500)("hot") ++ Seq.fill(120)("warm") ++
+      (0 until 200).map(i => s"cold$i")
+    // scramble deterministically so hot keys are spread across partitions
+    val df = rows.zipWithIndex.sortBy(t => (t._2 * 2654435761L) % 1000003L)
+      .map(_._1).toDF("k").repartition(7)
+    val hh5 = Sketches.heavyHitters(df, "k", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(hh5.toSeq == Seq(("hot", 500L)))
+    val hh9 = Sketches.heavyHitters(df, "k", 9)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(hh9.toSeq == Seq(("hot", 500L), ("warm", 120L)))
+    // equality with the plain exact computation for several k (the MG
+    // pass must be a pure prune)
+    for (k <- Seq(1, 3, 20)) {
+      val n = df.count()
+      val exact = df.groupBy("k").count()
+        .filter(col("count") * (k + 1) > n)
+        .orderBy(col("count").desc, col("k"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val sketched = Sketches.heavyHitters(df, "k", k)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(sketched.toSeq == exact.toSeq, s"k=$k mismatch")
+    }
+    // all-uniform input: nothing clears the threshold
+    val uni = (0 until 100).map(i => s"u${i % 10}").toDF("k")
+    assert(Sketches.heavyHitters(uni, "k", 5).count() == 0)
+    // empty input
+    assert(Sketches.heavyHitters(Seq.empty[Tuple1[String]].toDF("k"), "k", 5).count() == 0)
+    // the pass-1 persist must not leak: after a call, the only new cached
+    // entry is the localCheckpoint'ed RESULT itself (which lives exactly
+    // as long as the returned DataFrame — the selectBudget discipline)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Sketches.heavyHitters(df, "k", 5).count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"heavyHitters leaked cached blocks: $leaked")
+  }
+}
