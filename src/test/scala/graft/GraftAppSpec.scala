@@ -366,6 +366,20 @@ class GraftAppSpec extends AnyFunSuite {
     assert(byName("PagerAlerts").options("url").startsWith("https://"))
   }
 
+  test("examples/round11_demo.sql parses: MR ALL ROWS / navigation surface") {
+    val app = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/round11_demo.sql")))
+    val spec = GraftApp.parse(app)
+    assert(spec.streams.contains("trades"))
+    val patTargets = spec.patterns.map(_.target).toSet
+    for (o <- Seq("rallyRows", "breakouts", "seqRows"))
+      assert(patTargets.contains(o), s"missing pattern target $o")
+    // the two ALL ROWS statements carry the flag; the nav statement not
+    assert(spec.patterns.filter(p =>
+      Set("rallyRows", "seqRows")(p.target)).forall(_.allRows))
+    assert(!spec.patterns.find(_.target == "breakouts").get.allRows)
+  }
+
   test("examples/round10_demo.sql parses: round-10 SQL surface") {
     val app = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("examples/round10_demo.sql")))
