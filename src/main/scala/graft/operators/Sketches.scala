@@ -48,18 +48,11 @@ object Sketches {
 
   private val Two60: Double = 1152921504606846976.0 // 2^60, exact in double
 
-  /** KMV bottom-k distinct estimate of `keyCol`. Output: ONE row
-    * `(k_used BIGINT, kth_hash BIGINT, est_distinct BIGINT)` —
-    * `k_used` < k means the sketch saw every distinct value and
-    * `est_distinct` is exact; otherwise
-    * `est_distinct = round((k-1)·2^60 / kth_hash)`.
-    */
-  def kmvDistinct(df: DataFrame, keyCol: String, k: Int): DataFrame = {
-    require(k >= 2, s"k must be >= 2, got $k")
+  /** The k smallest DISTINCT md5-60 hashes of `keyCol` — the KMV sketch
+    * relation (≤ k rows, column `hv`). A k-entry TreeSet fold per
+    * partition, then a global merge over ≤ k·partitions values. */
+  private def bottomK(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     val hashed = df.select(hash60(col(keyCol)).as("hv"))
-    // per-partition bottom-k of DISTINCT hashes: a k-entry TreeSet fold.
-    // Output ≤ k longs per partition; the global merge below touches at
-    // most k·partitions values.
     val bottom = hashed.select(col("hv")).as[Long](Encoders.scalaLong)
       .mapPartitions { it =>
         val set = new java.util.TreeSet[java.lang.Long]()
@@ -73,8 +66,19 @@ object Sketches {
         set.iterator().asScala.map(_.longValue())
       }(Encoders.scalaLong)
       .toDF("hv")
-    val topk = bottom.distinct().orderBy(col("hv")).limit(k)
-    topk.agg(count(lit(1)).as("k_used"), max(col("hv")).as("kth_hash"))
+    bottom.distinct().orderBy(col("hv")).limit(k)
+  }
+
+  /** KMV bottom-k distinct estimate of `keyCol`. Output: ONE row
+    * `(k_used BIGINT, kth_hash BIGINT, est_distinct BIGINT)` —
+    * `k_used` < k means the sketch saw every distinct value and
+    * `est_distinct` is exact; otherwise
+    * `est_distinct = round((k-1)·2^60 / kth_hash)`.
+    */
+  def kmvDistinct(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    bottomK(df, keyCol, k)
+      .agg(count(lit(1)).as("k_used"), max(col("hv")).as("kth_hash"))
       .select(
         col("k_used"),
         coalesce(col("kth_hash"), lit(0L)).as("kth_hash"),
@@ -82,6 +86,48 @@ object Sketches {
           .otherwise(round(lit((k - 1).toDouble) * lit(Two60) /
             col("kth_hash").cast("double")).cast("long"))
           .as("est_distinct"))
+  }
+
+  /** KMV set-overlap estimate between two key columns — union cardinality,
+    * Jaccard, and intersection size WITHOUT ever joining the corpora
+    * (Beyer et al. 2007's KMV synopses): the bottom-k of A ∪ B is
+    * computable from the two sketches alone (k smallest of the merged
+    * hash sets), `est_union` follows the [[kmvDistinct]] estimator, the
+    * Jaccard estimate is the fraction of the merged bottom-k present in
+    * BOTH sketches, and `est_intersection = n_both·est_union div k_used`.
+    * When the union has fewer than k distinct values everything is exact.
+    * Output: ONE row `(k_used, n_both, est_union, est_intersection,
+    * jaccard_pm)` — jaccard in integer per-mille, fully deterministic.
+    *
+    * The 100 TB use: "how much of crawl B is already in corpus A" costs
+    * two independent bottom-k scans (k longs per partition each), not a
+    * distinct-key join.
+    */
+  def kmvOverlap(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val ka = bottomK(a, aCol, k)
+    val kb = bottomK(b, bCol, k)
+    val merged = ka.unionByName(kb).distinct().orderBy(col("hv")).limit(k)
+    val nBoth = merged.join(ka, Seq("hv"), "left_semi")
+      .join(kb, Seq("hv"), "left_semi")
+      .agg(count(lit(1)).as("n_both"))
+    merged.agg(count(lit(1)).as("k_used"), max(col("hv")).as("kth_hash"))
+      .crossJoin(nBoth)
+      .select(
+        col("k_used"), col("n_both"),
+        when(col("k_used") < k, col("k_used"))
+          .otherwise(round(lit((k - 1).toDouble) * lit(Two60) /
+            col("kth_hash").cast("double")).cast("long"))
+          .as("est_union"))
+      .select(
+        col("k_used"), col("n_both"), col("est_union"),
+        when(col("k_used") > 0,
+          expr("(n_both * est_union) div k_used")).otherwise(lit(0L))
+          .as("est_intersection"),
+        when(col("k_used") > 0,
+          expr("(n_both * 1000) div k_used")).otherwise(lit(0L))
+          .as("jaccard_pm"))
   }
 
   /** Exact heavy hitters of `keyCol`: every key with

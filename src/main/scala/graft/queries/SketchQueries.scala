@@ -47,6 +47,38 @@ object SketchQueries extends QueryFamily {
              |  FROM ea)
              |ORDER BY dim""".stripMargin)),
 
+    // KMV set-overlap without a join: how much do the signup and purchase
+    // user populations overlap? Union/intersection/Jaccard estimated from
+    // the two bottom-64 sketches alone — the corpora are never joined.
+    // DuckDB replays the merged sketch and every integer estimator.
+    QueryDef(
+      "q_sketch_overlap",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        Sketches.kmvOverlap(
+          e.filter(col("event_type") === "signup"), "user_id",
+          e.filter(col("event_type") === "purchase"), "user_id", 64)
+      },
+      Some("""WITH ha AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+             |            FROM events WHERE event_type = 'signup'),
+             |ka AS (SELECT hv FROM ha ORDER BY hv LIMIT 64),
+             |hb AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+             |            FROM events WHERE event_type = 'purchase'),
+             |kb AS (SELECT hv FROM hb ORDER BY hv LIMIT 64),
+             |m AS (SELECT hv FROM (SELECT hv FROM ka UNION SELECT hv FROM kb) ORDER BY hv LIMIT 64),
+             |agg AS (SELECT CAST(count(*) AS BIGINT) AS k_used, max(hv) AS kth,
+             |  CAST(count(*) FILTER (WHERE hv IN (SELECT hv FROM ka)
+             |                          AND hv IN (SELECT hv FROM kb)) AS BIGINT) AS n_both
+             |  FROM m),
+             |est AS (SELECT k_used, n_both,
+             |  CASE WHEN k_used < 64 THEN k_used
+             |       ELSE CAST(round(63.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE)) AS BIGINT) END AS est_union
+             |  FROM agg)
+             |SELECT k_used, n_both, est_union,
+             |  CASE WHEN k_used > 0 THEN (n_both * est_union) // k_used ELSE 0 END AS est_intersection,
+             |  CASE WHEN k_used > 0 THEN (n_both * 1000) // k_used ELSE 0 END AS jaccard_pm
+             |FROM est""".stripMargin)),
+
     // Exact heavy hitters with Misra-Gries pruning: keys with
     // count·(k+1) > N, exact counts — documents.lang at k=3 (only the
     // dominant language clears N/4) and document tokens at k=30 (the

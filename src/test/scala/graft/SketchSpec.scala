@@ -52,6 +52,32 @@ class SketchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Sketches.kmvDistinct(small, "k", 1))
   }
 
+  test("kmvOverlap: exact below k, estimator sanity above, disjoint and identical sets") {
+    // |A|=30, |B|=30, |A∩B|=10 → union 50 < k=64: everything exact
+    val a = (0L until 30L).map(Tuple1(_)).toDF("k")
+    val b = (20L until 50L).map(Tuple1(_)).toDF("k")
+    val ex = Sketches.kmvOverlap(a, "k", b, "k", 64).head()
+    assert(ex.getLong(0) == 50 && ex.getLong(1) == 10 && ex.getLong(2) == 50)
+    assert(ex.getLong(3) == 10) // (10*50) div 50
+    assert(ex.getLong(4) == 200) // (10*1000) div 50
+    // identical sets: jaccard 1000, intersection == union
+    val id = Sketches.kmvOverlap(a, "k", a, "k", 16).head()
+    assert(id.getLong(1) == id.getLong(0))
+    assert(id.getLong(4) == 1000)
+    // disjoint large sets over small k: n_both 0, intersection 0
+    val c = (100000L until 105000L).map(Tuple1(_)).toDF("k")
+    val d = (200000L until 205000L).map(Tuple1(_)).toDF("k")
+    val dj = Sketches.kmvOverlap(c, "k", d, "k", 64).head()
+    assert(dj.getLong(1) == 0 && dj.getLong(3) == 0 && dj.getLong(4) == 0)
+    // 50%-overlap large sets: union 15000, jaccard 1/3 — the estimates
+    // must land in a ~1/sqrt(k) band around truth
+    val e1 = (0L until 10000L).map(Tuple1(_)).toDF("k")
+    val e2 = (5000L until 15000L).map(Tuple1(_)).toDF("k")
+    val ov = Sketches.kmvOverlap(e1, "k", e2, "k", 256).head()
+    assert(math.abs(ov.getLong(2) - 15000.0) / 15000.0 < 0.25, s"union est ${ov.getLong(2)}")
+    assert(math.abs(ov.getLong(4) - 333.0) < 120, s"jaccard_pm ${ov.getLong(4)}")
+  }
+
   test("heavyHitters: exact counts above the N/(k+1) threshold, MG prune never loses one") {
     // skewed synthetic: key "hot" 500x, "warm" 120x, 200 singleton keys
     // (N = 820). k=5 → threshold 820/6 = 136.7: only "hot" qualifies at
