@@ -130,6 +130,67 @@ object Sketches {
           .as("jaccard_pm"))
   }
 
+  /** EXACT quantiles of the `scale`-quantized value — the histogram
+    * method: bucket = `floor(val·scale)`, so all heavy work is bounded by
+    * the number of DISTINCT buckets (price grids, score grids, length
+    * distributions — thousands to millions), never by the row count. The
+    * quantile contract is integer-deterministic: the `q‰` quantile is the
+    * smallest bucket whose cumulative count reaches
+    * `max(1, ceil(q·N/1000))` — any engine replays it bit-for-bit (no
+    * interpolation, no floating accumulation).
+    *
+    * Plan shape: one map-side-combined bucket aggregation (the only
+    * corpus-sized exchange, already narrowed to distinct buckets by the
+    * partial agg), then the selectBudget two-level prefix sum over the
+    * BUCKET relation (range partition on bucket, in-partition running
+    * sums, broadcast per-partition offsets — no single-task global
+    * window even when buckets run to millions), then a tiny
+    * targets-cross-buckets min. Output: one row per requested quantile
+    * `(q_pm BIGINT, bucket BIGINT, value DOUBLE = bucket/scale)`.
+    */
+  def quantiles(df: DataFrame, valCol: String, qsPm: Seq[Int],
+                scale: Int = 100): DataFrame = {
+    require(qsPm.nonEmpty && qsPm.forall(q => q >= 1 && q <= 1000),
+      s"quantiles must be in [1,1000] per-mille, got $qsPm")
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val spark = df.sparkSession
+    val buckets = df
+      .select(floor(col(valCol).cast("double") * scale).cast("long").as("bucket"))
+      .filter(col("bucket").isNotNull)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      .repartitionByRange(col("bucket"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("bucket"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = buckets.groupBy(col("__pid"))
+      .agg(sum(col("cnt")).as("__ptot"))
+      .withColumn("__off", coalesce(sum(col("__ptot")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val cum = buckets
+      .withColumn("__cum", sum(col("cnt")).over(wIn))
+      .join(broadcast(offsets), Seq("__pid"))
+      .select(col("bucket"), (col("__off") + col("__cum")).as("cum"))
+    // total N via one tiny agg on the persisted bucket relation; the
+    // targets relation is a literal per requested quantile
+    val n = buckets.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+    import spark.implicits._
+    val tdf = qsPm.distinct.sorted
+      .map(q => (q.toLong, math.max(1L, (q.toLong * n + 999) / 1000)))
+      .toDF("q_pm", "target")
+    val out = cum.join(broadcast(tdf), col("cum") >= col("target"))
+      .groupBy(col("q_pm")).agg(min(col("bucket")).as("bucket"))
+      .select(col("q_pm"), col("bucket"),
+        (col("bucket").cast("double") / scale).as("value"))
+      .orderBy(col("q_pm"))
+    val res = out.localCheckpoint(true)
+    buckets.unpersist()
+    res
+  }
+
   /** Exact heavy hitters of `keyCol`: every key with
     * `count·(k+1) > N` (strictly), with its EXACT count — computed with a
     * Misra-Gries pruning pass so no full-corpus groupBy runs. Output:

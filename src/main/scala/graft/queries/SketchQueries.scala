@@ -79,6 +79,31 @@ object SketchQueries extends QueryFamily {
              |  CASE WHEN k_used > 0 THEN (n_both * 1000) // k_used ELSE 0 END AS jaccard_pm
              |FROM est""".stripMargin)),
 
+    // Distributed exact quantiles via the bucket histogram: the p1/p25/
+    // median/p75/p99 of lineitem prices at cent granularity — work bounded
+    // by distinct buckets, integer-deterministic quantile contract
+    // (smallest bucket reaching ceil(q·N/1000)), replayed plain in DuckDB.
+    QueryDef(
+      "q_sketch_quantiles",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        Sketches.quantiles(li, "l_extendedprice", Seq(10, 250, 500, 750, 990),
+          scale = 100)
+      },
+      Some("""WITH b AS (
+             |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS bucket,
+             |         CAST(count(*) AS BIGINT) AS cnt
+             |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+             |n AS (SELECT coalesce(sum(cnt), 0) AS n FROM b),
+             |c AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum FROM b),
+             |t AS (SELECT CAST(v.q AS BIGINT) AS q_pm,
+             |             greatest(1, (CAST(v.q AS BIGINT) * n.n + 999) // 1000) AS target
+             |      FROM (VALUES (10), (250), (500), (750), (990)) v(q), n)
+             |SELECT t.q_pm, min(c.bucket) AS bucket,
+             |       CAST(min(c.bucket) AS DOUBLE) / 100 AS value
+             |FROM t JOIN c ON c.cum >= t.target
+             |GROUP BY t.q_pm ORDER BY q_pm""".stripMargin)),
+
     // Exact heavy hitters with Misra-Gries pruning: keys with
     // count·(k+1) > N, exact counts — documents.lang at k=3 (only the
     // dominant language clears N/4) and document tokens at k=30 (the

@@ -78,6 +78,38 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(ov.getLong(4) - 333.0) < 120, s"jaccard_pm ${ov.getLong(4)}")
   }
 
+  test("quantiles: integer-deterministic histogram quantiles match brute force") {
+    // 1..1000 at scale 1: q‰ quantile = smallest v with rank >= ceil(q·N/1000)
+    val vals = (1 to 1000).map(v => Tuple1(v.toDouble)).toDF("v")
+    val got = Sketches.quantiles(vals, "v", Seq(1, 250, 500, 999, 1000), scale = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 1L, 1.0), (250L, 250L, 250.0),
+      (500L, 500L, 500.0), (999L, 999L, 999.0), (1000L, 1000L, 1000.0)))
+    // duplicates + fractional scale: medians land on the bucket floor
+    val dup = Seq.fill(99)(1.25) ++ Seq(7.77)
+    val g2 = Sketches.quantiles(dup.map(Tuple1(_)).toDF("v"), "v",
+      Seq(500, 1000), scale = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(g2.toSeq == Seq((500L, 125L), (1000L, 777L)))
+    // brute-force equality on a pseudo-random population for many q
+    var x = 42L
+    val rnd = (1 to 5000).map { _ =>
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; ((x % 100000).abs / 7.0)
+    }
+    val qs = Seq(5, 100, 333, 500, 667, 900, 995)
+    val got3 = Sketches.quantiles(rnd.map(Tuple1(_)).toDF("v"), "v", qs, scale = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sortedBuckets = rnd.map(v => math.floor(v * 10).toLong).sorted
+    qs.foreach { q =>
+      val target = math.max(1L, (q.toLong * 5000 + 999) / 1000)
+      assert(got3(q.toLong) == sortedBuckets((target - 1).toInt), s"q=$q")
+    }
+    // empty input and arg validation
+    assert(Sketches.quantiles(Seq.empty[Tuple1[Double]].toDF("v"), "v", Seq(500)).count() == 0)
+    intercept[IllegalArgumentException](Sketches.quantiles(vals, "v", Seq(0)))
+    intercept[IllegalArgumentException](Sketches.quantiles(vals, "v", Seq(1001)))
+  }
+
   test("heavyHitters: exact counts above the N/(k+1) threshold, MG prune never loses one") {
     // skewed synthetic: key "hot" 500x, "warm" 120x, 200 singleton keys
     // (N = 820). k=5 → threshold 820/6 = 136.7: only "hot" qualifies at
