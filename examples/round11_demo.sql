@@ -10,9 +10,11 @@ CREATE STREAM trades (ts TIMESTAMP, symbol STRING, kind STRING, price DOUBLE);
 
 -- ALL ROWS PER MATCH: one output row per matched EVENT — the stream's
 -- own columns, the MEASURES (FINAL semantics: constant across a match's
--- rows), and mr_classifier naming the step variable that bound the row.
+-- rows), mr_match_number (per-partition match identity — overlapping
+-- matches share events), and mr_classifier naming the step variable.
 CREATE STREAM rallyRows (ts TIMESTAMP, symbol STRING, kind STRING,
-                         price DOUBLE, n_up BIGINT, mr_classifier STRING);
+                         price DOUBLE, n_up BIGINT, mr_match_number BIGINT,
+                         mr_classifier STRING);
 INSERT INTO rallyRows SELECT * FROM trades MATCH_RECOGNIZE (
   PARTITION BY symbol
   ORDER BY ts
@@ -44,7 +46,8 @@ INSERT INTO breakouts SELECT * FROM trades MATCH_RECOGNIZE (
 -- The engine-native spelling MATCH_RECOGNIZE lowers onto: EMIT ALL ROWS
 -- on a SEQUENCE query (per-event rows + mr_classifier appended).
 CREATE STREAM seqRows (ts TIMESTAMP, symbol STRING, kind STRING,
-                       price DOUBLE, dip_p DOUBLE, mr_classifier STRING);
+                       price DOUBLE, dip_p DOUBLE, mr_match_number BIGINT,
+                       mr_classifier STRING);
 INSERT INTO seqRows
 SELECT d.price AS dip_p
 FROM SEQUENCE (EVERY (d=trades[kind = 'dip'] -> u=trades[kind = 'up']))

@@ -403,7 +403,8 @@ object CepQueries extends QueryFamily {
             |                      event_type STRING, value DOUBLE, props STRING);
             |CREATE STREAM Out (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
             |                   event_type STRING, value DOUBLE, props STRING,
-            |                   n_b BIGINT, mr_classifier STRING);
+            |                   n_b BIGINT, mr_match_number BIGINT,
+            |                   mr_classifier STRING);
             |INSERT INTO Out SELECT * FROM events MATCH_RECOGNIZE (
             |  PARTITION BY user_id
             |  ORDER BY ts
@@ -415,8 +416,8 @@ object CepQueries extends QueryFamily {
             |);""".stripMargin
         GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
           .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us",
-            "value", "n_b", "mr_classifier")
-          .orderBy(col("user_id"), col("event_id"), col("n_b"), col("mr_classifier"))
+            "value", "n_b", "mr_match_number", "mr_classifier")
+          .orderBy(col("user_id"), col("mr_match_number"), col("event_id"))
       },
       Some("""WITH ord AS (
              |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS tsu,
@@ -426,24 +427,31 @@ object CepQueries extends QueryFamily {
              |  SELECT *, rn - coalesce(max(CASE WHEN event_type <> 'purchase' THEN rn END)
              |    OVER (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING), 0) AS pstreak
              |  FROM ord),
-             |m AS (
+             |m0 AS (
              |  SELECT a.user_id, a.rn AS arn, bk.rn - a.rn AS k
              |  FROM ord a JOIN streaks bk
              |    ON bk.user_id = a.user_id AND bk.rn > a.rn
              |  WHERE a.event_type = 'error' AND bk.event_type = 'purchase'
              |    AND bk.pstreak >= bk.rn - a.rn
              |    AND bk.tsu - a.tsu <= 3600000000),
+             |m AS (
+             |  SELECT user_id, arn, k,
+             |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY arn, k) AS BIGINT)
+             |      AS mr_match_number
+             |  FROM m0),
              |out AS (
              |  SELECT m.user_id, o.event_id, o.tsu AS ts_us, o.value,
-             |         CAST(m.k AS BIGINT) AS n_b, 'A' AS mr_classifier
+             |         CAST(m.k AS BIGINT) AS n_b, m.mr_match_number,
+             |         'A' AS mr_classifier
              |  FROM m JOIN ord o ON o.user_id = m.user_id AND o.rn = m.arn
              |  UNION ALL
              |  SELECT m.user_id, o.event_id, o.tsu AS ts_us, o.value,
-             |         CAST(m.k AS BIGINT) AS n_b, 'B' AS mr_classifier
+             |         CAST(m.k AS BIGINT) AS n_b, m.mr_match_number,
+             |         'B' AS mr_classifier
              |  FROM m JOIN ord o ON o.user_id = m.user_id
              |    AND o.rn > m.arn AND o.rn <= m.arn + m.k)
-             |SELECT user_id, event_id, ts_us, value, n_b, mr_classifier
-             |FROM out ORDER BY user_id, event_id, n_b, mr_classifier""".stripMargin)),
+             |SELECT user_id, event_id, ts_us, value, n_b, mr_match_number, mr_classifier
+             |FROM out ORDER BY user_id, mr_match_number, event_id""".stripMargin)),
 
     // Cross-step reference (e2.value > 2 * e1.value) — the StateEvent
     // access pattern; relaxed, within 2h.

@@ -474,17 +474,32 @@ object PatternCompiler {
       s"EMIT ALL ROWS: measure alias(es) ${clash.mkString(", ")} collide " +
         "with the stream's own columns (every input column is emitted per " +
         "matched row) — rename the measure")
-    if ((measureNames ++ evCols).exists(_.equalsIgnoreCase("mr_classifier")))
-      throw GraftApp.SqlError(
-        "EMIT ALL ROWS reserves the output column name 'mr_classifier'")
+    (measureNames ++ evCols).find(n =>
+      n.equalsIgnoreCase("mr_classifier") || n.equalsIgnoreCase("mr_match_number"))
+      .foreach(n => throw GraftApp.SqlError(
+        s"EMIT ALL ROWS reserves the output column name '$n'"))
+    // MATCH_NUMBER() equivalent: overlapping matches share events, so
+    // per-event rows are un-groupable without a match identity. Number the
+    // matches per partition by their event positions — (first id, buffer
+    // size) per step group, null-free (coalesce) so the order replays in
+    // engines that sort NULLs differently. The window runs over the
+    // per-MATCH relation (output-sized), not the corpus.
+    val matchOrder = idsCols.flatMap(ic => Seq(
+      coalesce(try_element_at(col(ic), lit(1)), lit(-1L)),
+      coalesce(size(col(ic)).cast("long"), lit(0L))))
+    val wMatch = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__mkey")).orderBy(matchOrder: _*)
+    val numbered = keep.withColumn("mr_match_number",
+      row_number().over(wMatch).cast("long"))
     val perStep = idsCols.zip(classifiers).map { case (ic, cls) =>
-      keep.select((col("__mkey") +: measureNames.map(col)) :+
+      numbered.select((col("__mkey") +: col("mr_match_number") +:
+        measureNames.map(col)) :+
         lit(cls).as("mr_classifier") :+ explode(col(ic)).as("__eid"): _*)
     }.reduce(_.unionByName(_))
     val rows = perStep.join(ordered.as("__row"),
       col("__row.__id") === col("__eid") && col("__row.__key") === col("__mkey"))
     val res = rows.select(evCols.map(c => col(s"__row.$c")) ++
-      measureNames.map(col) :+ col("mr_classifier"): _*)
+      measureNames.map(col) ++ Seq(col("mr_match_number"), col("mr_classifier")): _*)
     // plain-value output columns — the portable total-order contract
     res.orderBy(res.columns.map(col): _*)
   }

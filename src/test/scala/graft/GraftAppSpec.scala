@@ -1129,7 +1129,8 @@ class GraftAppSpec extends AnyFunSuite {
     val app =
       """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
         |CREATE STREAM Out (ts TIMESTAMP, user_id BIGINT, kind STRING,
-        |                   v DOUBLE, n_b BIGINT, mr_classifier STRING);
+        |                   v DOUBLE, n_b BIGINT, mr_match_number BIGINT,
+        |                   mr_classifier STRING);
         |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
         |  PARTITION BY user_id
         |  ORDER BY ts
@@ -1140,15 +1141,18 @@ class GraftAppSpec extends AnyFunSuite {
         |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b'
         |);""".stripMargin
     val got = GraftApp.run(spark, app, Map("E" -> mrEvents))("Out")
-      .collect().map(r => (r.getLong(1), r.getDouble(3), r.getLong(4), r.getString(5)))
+      .collect().map(r => (r.getLong(1), r.getDouble(3), r.getLong(4),
+        r.getLong(5), r.getString(6)))
       .sortBy(t => (t._1, t._3, t._2))
     // user 7: match {A=1.0, B=[2.0]} and {A=1.0, B=[2.0,3.0]} (EVERY emits
     // both prefixes); user 9: {A=5.0, B=[6.0]} — measures are FINAL
-    // (constant across a match's rows), classifier names the variable
+    // (constant across a match's rows), classifier names the variable,
+    // mr_match_number groups rows back into matches (numbered per
+    // partition by event position: the 1-length prefix is match 1)
     assert(got.toSeq == Seq(
-      (7L, 1.0, 1L, "A"), (7L, 2.0, 1L, "B"),
-      (7L, 1.0, 2L, "A"), (7L, 2.0, 2L, "B"), (7L, 3.0, 2L, "B"),
-      (9L, 5.0, 1L, "A"), (9L, 6.0, 1L, "B")))
+      (7L, 1.0, 1L, 1L, "A"), (7L, 2.0, 1L, 1L, "B"),
+      (7L, 1.0, 2L, 2L, "A"), (7L, 2.0, 2L, 2L, "B"), (7L, 3.0, 2L, 2L, "B"),
+      (9L, 5.0, 1L, 1L, "A"), (9L, 6.0, 1L, 1L, "B")))
   }
 
   test("MATCH_RECOGNIZE: PREV/NEXT physical navigation in DEFINE and MEASURES") {

@@ -133,7 +133,7 @@ class ParserFuzzSpec extends AnyFunSuite {
     """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
       |CREATE STREAM Out (ts TIMESTAMP, user_id BIGINT, kind STRING,
       |                   v DOUBLE, n_b BIGINT, pv DOUBLE, lp DOUBLE,
-      |                   mr_classifier STRING);
+      |                   mr_match_number BIGINT, mr_classifier STRING);
       |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
       |  PARTITION BY user_id ORDER BY ts
       |  MEASURES count(B.v) AS n_b, PREV(A.v, 2) AS pv, LAST(B.v, 1) AS lp
