@@ -191,6 +191,43 @@ object Sketches {
     res
   }
 
+  /** Per-group [[quantiles]]: the same integer-deterministic histogram
+    * quantiles computed independently for every value of `keyCol` — the
+    * "token-length p95 per language" shape every corpus datacard needs.
+    * Here the cumulative sum needs NO two-level trick: the window is
+    * PARTITIONED BY the group key, so it parallelizes across groups
+    * natively and each task holds one group's buckets. Output: one row
+    * per (group, quantile): `(key STRING, q_pm, bucket, value)`.
+    */
+  def quantilesBy(df: DataFrame, keyCol: String, valCol: String,
+                  qsPm: Seq[Int], scale: Int = 100): DataFrame = {
+    require(qsPm.nonEmpty && qsPm.forall(q => q >= 1 && q <= 1000),
+      s"quantiles must be in [1,1000] per-mille, got $qsPm")
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val buckets = df
+      .select(col(keyCol).cast("string").as("key"),
+        floor(col(valCol).cast("double") * scale).cast("long").as("bucket"))
+      .filter(col("bucket").isNotNull && col("key").isNotNull)
+      .groupBy(col("key"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("bucket"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+    val cum = buckets
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qdf = qsPm.distinct.sorted.map(Tuple1(_)).toDF("q_pm")
+      .select(col("q_pm").cast("long").as("q_pm"))
+    cum.crossJoin(broadcast(qdf))
+      .filter(col("cum") >= greatest(lit(1L),
+        expr("(q_pm * n + 999) div 1000")))
+      .groupBy(col("key"), col("q_pm")).agg(min(col("bucket")).as("bucket"))
+      .select(col("key"), col("q_pm"), col("bucket"),
+        (col("bucket").cast("double") / scale).as("value"))
+      .orderBy(col("key"), col("q_pm"))
+  }
+
   /** Exact heavy hitters of `keyCol`: every key with
     * `count·(k+1) > N` (strictly), with its EXACT count — computed with a
     * Misra-Gries pruning pass so no full-corpus groupBy runs. Output:

@@ -104,6 +104,33 @@ object SketchQueries extends QueryFamily {
              |FROM t JOIN c ON c.cum >= t.target
              |GROUP BY t.q_pm ORDER BY q_pm""".stripMargin)),
 
+    // Per-group quantiles: document length (chars) p25/p50/p95 PER
+    // LANGUAGE — the datacard shape; the cumulative window partitions by
+    // the group key, so every group computes in parallel with no global
+    // single-task stage. DuckDB replays the integer contract per group.
+    QueryDef(
+      "q_sketch_quantiles_by",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("lang"), length(col("text")).as("n_chars"))
+        Sketches.quantilesBy(d, "lang", "n_chars", Seq(250, 500, 950), scale = 1)
+      },
+      Some("""WITH b AS (
+             |  SELECT lang AS key, CAST(floor(CAST(length(text) AS DOUBLE) * 1) AS BIGINT) AS bucket,
+             |         CAST(count(*) AS BIGINT) AS cnt
+             |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+             |  GROUP BY 1, 2),
+             |c AS (SELECT key, bucket,
+             |        sum(cnt) OVER (PARTITION BY key ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+             |        sum(cnt) OVER (PARTITION BY key) AS n
+             |      FROM b),
+             |q AS (SELECT CAST(v.q AS BIGINT) AS q_pm FROM (VALUES (250), (500), (950)) v(q))
+             |SELECT c.key, q.q_pm, min(c.bucket) AS bucket,
+             |       CAST(min(c.bucket) AS DOUBLE) / 1 AS value
+             |FROM c, q
+             |WHERE c.cum >= greatest(1, (q.q_pm * c.n + 999) // 1000)
+             |GROUP BY c.key, q.q_pm ORDER BY key, q_pm""".stripMargin)),
+
     // Exact heavy hitters with Misra-Gries pruning: keys with
     // count·(k+1) > N, exact counts — documents.lang at k=3 (only the
     // dominant language clears N/4) and document tokens at k=30 (the

@@ -110,6 +110,23 @@ class SketchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Sketches.quantiles(vals, "v", Seq(1001)))
   }
 
+  test("quantilesBy: per-group quantiles equal per-group brute force") {
+    val rows = (1 to 100).map(v => ("a", v.toDouble)) ++
+      (1 to 9).map(v => ("b", v * 10.0)) ++ Seq(("c", 5.0))
+    val df = rows.toDF("g", "v")
+    val got = Sketches.quantilesBy(df, "g", "v", Seq(100, 500, 1000), scale = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def brute(vs: Seq[Double], qPm: Long): Long = {
+      val sorted = vs.map(v => math.floor(v).toLong).sorted
+      val target = math.max(1L, (qPm * vs.size + 999) / 1000)
+      sorted((target - 1).toInt)
+    }
+    for ((g, vs) <- rows.groupBy(_._1); q <- Seq(100L, 500L, 1000L))
+      assert(got((g, q)) == brute(vs.map(_._2), q), s"group $g q $q")
+    // single-element group: every quantile is that element
+    assert(got(("c", 100L)) == 5L && got(("c", 1000L)) == 5L)
+  }
+
   test("heavyHitters: exact counts above the N/(k+1) threshold, MG prune never loses one") {
     // skewed synthetic: key "hot" 500x, "warm" 120x, 200 singleton keys
     // (N = 820). k=5 → threshold 820/6 = 136.7: only "hot" qualifies at
