@@ -1187,6 +1187,65 @@ class GraftAppSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((7L, 7.0, 0.5, 9.0)))
   }
 
+  test("MATCH_RECOGNIZE property: matches + navigation equal a brute-force reference") {
+    // 20 deterministic trials of random per-user event tapes; the MR
+    // query (strict A B+ within 1h, EVERY) with PREV/NEXT measures is
+    // compared against an independent in-process enumeration — not the
+    // native-spelling (that equality is pinned elsewhere), an actual
+    // second implementation of the semantics
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, a_v DOUBLE, n_b BIGINT,
+        |                   b_last DOUBLE, before_a DOUBLE, after_b DOUBLE);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES A.v AS a_v, count(B.v) AS n_b, LAST(B.v) AS b_last,
+        |           PREV(A.v) AS before_a, NEXT(B.v) AS after_b
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A B+) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b'
+        |);""".stripMargin
+    val H = 3600L
+    for (seed <- 1 to 20) {
+      val rnd = new scala.util.Random(seed)
+      // unique, sorted timestamps per user (no tie ambiguity); gaps can
+      // exceed the 1h WITHIN so the horizon actually gates
+      val evs = (for {
+        u <- 1L to 2L
+        i <- 0 until (5 + rnd.nextInt(14))
+      } yield (u, i)).foldLeft(Vector.empty[(Long, Long, String, Double)]) {
+        case (acc, (u, i)) =>
+          val prevTs = acc.filter(_._2 == u).lastOption.map(_._1).getOrElse(0L)
+          val ts = prevTs + 60L + rnd.nextInt(3) * 2000L
+          acc :+ ((ts, u, Seq("a", "b", "c")(rnd.nextInt(3)), rnd.nextInt(50).toDouble))
+      }
+      val in = evs.toDF("sec", "user_id", "kind", "v")
+        .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+          "user_id", "kind", "v")
+      val got = GraftApp.run(spark, app, Map("E" -> in))("Out")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+          r.getDouble(3),
+          if (r.isNullAt(4)) -1e9 else r.getDouble(4),
+          if (r.isNullAt(5)) -1e9 else r.getDouble(5)))
+        .sortBy(t => (t._1, t._2, t._3, t._4)).toSeq
+      // brute force: per user, every (a at i, b-run prefix i+1..i+k)
+      val want = (for {
+        u <- Seq(1L, 2L)
+        tape = evs.filter(_._2 == u)
+        i <- tape.indices if tape(i)._3 == "a"
+        k <- 1 to tape.size
+        if i + k < tape.size && (1 to k).forall(j => tape(i + j)._3 == "b")
+        if tape(i + k)._1 - tape(i)._1 <= H
+      } yield (u, tape(i)._4, k.toLong, tape(i + k)._4,
+        if (i > 0) tape(i - 1)._4 else -1e9,
+        if (i + k + 1 < tape.size) tape(i + k + 1)._4 else -1e9))
+        .sortBy(t => (t._1, t._2, t._3, t._4))
+      assert(got == want, s"seed $seed: got ${got.size}, want ${want.size}")
+    }
+  }
+
   test("MATCH_RECOGNIZE: FIRST/LAST logical offsets and partition-edge NULLs") {
     val app =
       """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
