@@ -99,6 +99,8 @@ object PatternCompiler {
     streams.foreach { s =>
       if (!env.contains(s)) throw GraftApp.SqlError(s"pattern stream '$s' has no bound data")
     }
+    validateColumnRefs(spark, q,
+      streams.flatMap(s => env(s).columns).distinct)
     if (streams.exists(env(_).isStreaming))
       return compileStreaming(spark, q, env)
     // tagged union of all referenced streams (junction fan-in); range
@@ -510,6 +512,73 @@ object PatternCompiler {
   // column types on output) — no join back to the source, so the whole plan
   // is streaming-legal. Within a micro-batch events order by (ts, arrival);
   // cross-batch order is the source contract, exactly like Cep.detectStream.
+
+  /** Typed-error gate for column references (round 11): an unknown column
+    * in a select item, WHERE, or step predicate previously surfaced as
+    * Spark's AnalysisException naming INTERNAL join aliases
+    * (`__nav_prev_A_1.nosuch cannot be resolved`) — the never-silent
+    * contract wants the error at compile, in the user's vocabulary.
+    * Checks, against the union of the pattern streams' schemas:
+    *  - alias-qualified refs `V.col` (incl. inside PREV/NEXT and after
+    *    stripping `[idx]` forms) where V is a step alias;
+    *  - bare single-part refs that are neither columns, step aliases,
+    *    registered functions (niladic spellings like current_date parse
+    *    as attributes), lambda-bound names, nor the compiler's own order
+    *    columns.
+    * Anything it cannot positively classify passes through to Spark's
+    * analyzer — this gate only catches the provable misses.
+    */
+  private def lambdaArgNames(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Set[String] = {
+    val out = scala.collection.mutable.Set.empty[String]
+    def walk(x: org.apache.spark.sql.catalyst.expressions.Expression): Unit = {
+      x match {
+        case lf: org.apache.spark.sql.catalyst.expressions.LambdaFunction =>
+          lf.arguments.foreach(a => out += a.name.toLowerCase)
+        case _ =>
+      }
+      x.children.foreach(walk)
+    }
+    walk(e)
+    out.toSet
+  }
+
+  private def validateColumnRefs(spark: SparkSession, q: PatternQuery,
+                                 cols: Seq[String]): Unit = {
+    val colSet = cols.map(_.toLowerCase).toSet ++ Set("__key", "__id")
+    val aliasSet = q.allAlts.map(_.alias.toLowerCase).toSet
+    val colList = cols.mkString(", ")
+    def check(text0: String, where: String): Unit = {
+      // strip indexed-access forms so `B[last].v` parses as `B.v`
+      val text = text0.replaceAll("""\[\s*(?:\d+|last(?:\s*-\s*\d+)?)\s*\]""", "")
+      val parsed =
+        try spark.sessionState.sqlParser.parseExpression(text)
+        catch { case _: Throwable => return } // malformed text errors later, in context
+      val bound = lambdaArgNames(parsed)
+      parsed.foreach {
+        case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          val parts = ua.nameParts
+          if (parts.size >= 2 && aliasSet(parts.head.toLowerCase) &&
+              !colSet(parts(1).toLowerCase))
+            throw GraftApp.SqlError(
+              s"pattern $where references unknown column " +
+                s"'${parts.head}.${parts(1)}' — stream columns: $colList")
+          if (parts.size == 1) {
+            val n = parts.head.toLowerCase
+            val isFn = spark.sessionState.functionRegistry.functionExists(
+              org.apache.spark.sql.catalyst.FunctionIdentifier(parts.head))
+            if (!colSet(n) && !aliasSet(n) && !bound(n) && !isFn)
+              throw GraftApp.SqlError(
+                s"pattern $where references unknown column '${parts.head}' — " +
+                  s"stream columns: $colList")
+          }
+        case _ =>
+      }
+    }
+    q.selectItems.foreach { case (e, _) => check(e, "select item") }
+    q.where.foreach(w => check(w, "WHERE"))
+    q.allAlts.foreach(a => a.pred.foreach(p => check(p, s"step '${a.alias}' predicate")))
+  }
 
   private def compileStreaming(spark: SparkSession, q: PatternQuery,
                                env: Map[String, DataFrame]): DataFrame = {

@@ -1187,6 +1187,44 @@ class GraftAppSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((7L, 7.0, 0.5, 9.0)))
   }
 
+  test("pattern column references: unknown columns die typed, in the user's vocabulary") {
+    // previously Spark's AnalysisException leaked INTERNAL join aliases
+    // (__nav_prev_A_1.nosuch); the round-11 gate validates refs against
+    // the stream schema at compile
+    def mk(measures: String, defA: String): String =
+      s"""CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+         |CREATE STREAM Out (user_id BIGINT, x DOUBLE);
+         |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+         |  PARTITION BY user_id ORDER BY ts
+         |  MEASURES $measures
+         |  ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW
+         |  PATTERN (A B) WITHIN INTERVAL '1' HOUR
+         |  DEFINE $defA, B AS B.kind = 'b');""".stripMargin
+    def err(app: String): String =
+      intercept[GraftApp.SqlError](
+        GraftApp.run(spark, app, Map("E" -> mrEvents))).getMessage
+    val e1 = err(mk("A.nosuch AS x", "A AS A.kind = 'a'"))
+    assert(e1.contains("unknown column 'A.nosuch'") && e1.contains("stream columns"))
+    val e2 = err(mk("A.v AS x", "A AS A.nosuch = 'a'"))
+    assert(e2.contains("unknown column 'nosuch'"))
+    val e3 = err(mk("PREV(A.nosuch) AS x", "A AS A.kind = 'a'"))
+    assert(e3.contains("unknown column 'A.nosuch'"))
+    assert(!e3.contains("__nav"), "internal alias leaked into the error")
+    // valid spellings the gate must NOT reject: niladic function names,
+    // lambda-bound variables, struct-ish two-part refs on non-aliases
+    val ok =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, x DOUBLE, y TIMESTAMP);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES aggregate(array(A.v, 1.0), CAST(0.0 AS DOUBLE), (acc, t) -> acc + t) AS x,
+        |           current_timestamp AS y
+        |  ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A B) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b');""".stripMargin
+    assert(GraftApp.run(spark, ok, Map("E" -> mrEvents))("Out").count() >= 0)
+  }
+
   test("MATCH_RECOGNIZE property: matches + navigation equal a brute-force reference") {
     // 20 deterministic trials of random per-user event tapes; the MR
     // query (strict A B+ within 1h, EVERY) with PREV/NEXT measures is
