@@ -106,13 +106,18 @@ object Sketches {
   def kmvOverlap(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
                  k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val ka = bottomK(a, aCol, k)
-    val kb = bottomK(b, bCol, k)
+    // each sketch feeds the merge AND the containment join — materialize
+    // the ≤k-row relations eagerly so the corpus scans run exactly once
+    // (an unmaterialized ka would re-scan corpus A per consumer)
+    val ka = bottomK(a, aCol, k).localCheckpoint(true)
+    val kb = bottomK(b, bCol, k).localCheckpoint(true)
     val merged = ka.unionByName(kb).distinct().orderBy(col("hv")).limit(k)
+      .localCheckpoint(true)
     val nBoth = merged.join(ka, Seq("hv"), "left_semi")
       .join(kb, Seq("hv"), "left_semi")
       .agg(count(lit(1)).as("n_both"))
-    merged.agg(count(lit(1)).as("k_used"), max(col("hv")).as("kth_hash"))
+    val est0 = merged
+      .agg(count(lit(1)).as("k_used"), max(col("hv")).as("kth_hash"))
       .crossJoin(nBoth)
       .select(
         col("k_used"), col("n_both"),
@@ -128,6 +133,11 @@ object Sketches {
         when(col("k_used") > 0,
           expr("(n_both * 1000) div k_used")).otherwise(lit(0L))
           .as("jaccard_pm"))
+    // one output row — materialize it and free the sketch blocks (the
+    // selectBudget lifetime discipline)
+    val res = est0.localCheckpoint(true)
+    ka.unpersist(); kb.unpersist(); merged.unpersist()
+    res
   }
 
   /** EXACT quantiles of the `scale`-quantized value — the histogram
