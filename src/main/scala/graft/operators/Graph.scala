@@ -74,11 +74,14 @@ object Graph {
     * nodes at web scale).
     *
     * `tolPm` (optional) adds epsilon stopping for runs to convergence on an
-    * unknown graph: every `ckptEvery` rounds — where a generation is
-    * already eagerly checkpointed — ONE max-abs-delta aggregation against
-    * the previous checkpointed generation stops the loop early when no
-    * node's rank moved by more than `scale*tolPm/1000`. `iters` remains the
-    * hard cap. Default None = fixed iteration count, bit-identical to the
+    * unknown graph: every `ckptEvery` rounds, ONE max-abs-delta
+    * aggregation between CONSECUTIVE generations (i vs i-1, both pinned
+    * eagerly at the checkpoint round) stops the loop early when no node's
+    * rank moved by more than `scale*tolPm/1000` in one step — a
+    * consecutive delta, not a checkpoint-span delta, so a rank
+    * oscillation whose period divides the checkpoint interval (possible
+    * at dampingPct=100) can never masquerade as a fixed point. `iters`
+    * remains the hard cap. Default None = fixed iteration count, bit-identical to the
     * pre-option behavior (the oracle rows pin this).
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
@@ -130,43 +133,48 @@ object Graph {
     // trip per iteration of pure overhead on small graphs — and a typical
     // 5-10 round run now executes as ONE job).
     val ckptEvery = 8
-    var rank = nodes.select(col("node"), lit(scale).as("rank"))
-    var i = 0
-    var converged = false
-    // epsilon stopping (`tolPm`): every ckptEvery rounds the generation is
-    // already eagerly checkpointed — ONE extra max-abs-delta aggregation
-    // against the previous checkpointed generation (a co-partitioned join
-    // of two (node, rank) relations, no corpus touch) decides whether to
-    // stop. Tolerance is per-mille of `scale`: tolPm=1 stops when no rank
-    // moved by more than scale/1000 across a checkpoint span.
-    var prevCkpt: Option[DataFrame] = None
-    while (i < iters && !converged) {
-      // per-edge contributions UNION a zero row per node, ONE aggregation:
-      // folding the spine into the agg replaces the left-outer re-join
-      // (an extra broadcast + join stage per round) — nodes with no
-      // in-edges still get a row, so sum(c) is never null
+    // per-edge contributions UNION a zero row per node, ONE aggregation:
+    // folding the spine into the agg replaces the left-outer re-join
+    // (an extra broadcast + join stage per round) — nodes with no
+    // in-edges still get a row, so sum(c) is never null
+    def step(r: DataFrame): DataFrame = {
       val contrib = eDeg
-        .join(rank.select(col("node").as("src"), col("rank")), "src")
+        .join(r.select(col("node").as("src"), col("rank")), "src")
         .select(col("dst").as("node"), expr("(rank div deg) * w").as("c"))
-      val next = contrib
+      contrib
         .union(nodes.select(col("node"), lit(0L).as("c")))
         .groupBy("node").agg(sum(col("c")).as("s"))
         .select(col("node"),
           (lit(base) + expr(s"($dampingPct * s) div 100")).as("rank"))
+    }
+    var rank = nodes.select(col("node"), lit(scale).as("rank"))
+    var i = 0
+    var converged = false
+    // epsilon stopping (`tolPm`): every ckptEvery rounds, pin generation
+    // i-1 eagerly, take ONE step from the pinned relation, and compare
+    // CONSECUTIVE generations with a max-abs-delta aggregation (a
+    // co-partitioned join of two (node, rank) relations, no corpus
+    // touch). The delta MUST be between i and i-1 — a span delta (i vs
+    // i-ckptEvery) reports any oscillation whose period divides ckptEvery
+    // as converged, e.g. a 2-cycle at dampingPct=100. Tolerance is
+    // per-mille of `scale`: tolPm=1 stops when no rank moved by more than
+    // scale/1000 in one step.
+    while (i < iters && !converged) {
       i += 1
       if (i % ckptEvery == 0 && i < iters) {
-        val ck = checkpointTracked(next)
-        tolPm.foreach { tol =>
-          prevCkpt.foreach { prev =>
+        tolPm match {
+          case Some(tol) =>
+            val prev = checkpointTracked(rank)
+            val ck = checkpointTracked(step(prev))
             val d = ck.join(prev.select(col("node"), col("rank").as("__pr")), "node")
               .agg(max(abs(col("rank") - col("__pr"))).as("d"))
               .head()
             if (d.isNullAt(0) || d.getLong(0) <= scale * tol / 1000) converged = true
-          }
-          prevCkpt = Some(ck)
+            rank = ck
+          case None =>
+            rank = checkpointTracked(step(rank))
         }
-        rank = ck
-      } else rank = next
+      } else rank = step(rank)
     }
     // materialize the final generation FIRST (it is a lazy plan over the
     // persisted nodes/eDeg), then free the inputs and every intermediate
@@ -236,39 +244,42 @@ object Graph {
         when(col("__seed"), lit(base)).otherwise(lit(0L)).as("node_base"))
       .persist(MEMORY_AND_DISK)
     val ckptEvery = 8
+    // spine rows carry the per-node base as a second aggregated column
+    // (contrib rows carry 0), so base re-attachment costs no extra join
+    def step(r: DataFrame): DataFrame = {
+      val contrib = eDeg
+        .join(r.select(col("node").as("src"), col("rank")), "src")
+        .select(col("dst").as("node"), expr("(rank div deg) * w").as("c"),
+          lit(0L).as("b"))
+      contrib
+        .union(nodes.select(col("node"), lit(0L).as("c"), col("node_base").as("b")))
+        .groupBy("node").agg(sum(col("c")).as("s"), sum(col("b")).as("b"))
+        .select(col("node"),
+          (col("b") + expr(s"($dampingPct * s) div 100")).as("rank"))
+    }
     var rank = nodes.select(col("node"),
       when(col("node_base") > 0L, lit(scale)).otherwise(lit(0L)).as("rank"))
     var i = 0
     var converged = false
     // same epsilon stopping as pageRank: one max-abs-delta agg between
-    // consecutive checkpointed generations, per-mille-of-scale tolerance
-    var prevCkpt: Option[DataFrame] = None
+    // CONSECUTIVE generations (i vs i-1, both pinned at the checkpoint
+    // round — never a checkpoint-span delta, which oscillations defeat)
     while (i < iters && !converged) {
-      // spine rows carry the per-node base as a second aggregated column
-      // (contrib rows carry 0), so base re-attachment costs no extra join
-      val contrib = eDeg
-        .join(rank.select(col("node").as("src"), col("rank")), "src")
-        .select(col("dst").as("node"), expr("(rank div deg) * w").as("c"),
-          lit(0L).as("b"))
-      val next = contrib
-        .union(nodes.select(col("node"), lit(0L).as("c"), col("node_base").as("b")))
-        .groupBy("node").agg(sum(col("c")).as("s"), sum(col("b")).as("b"))
-        .select(col("node"),
-          (col("b") + expr(s"($dampingPct * s) div 100")).as("rank"))
       i += 1
       if (i % ckptEvery == 0 && i < iters) {
-        val ck = checkpointTracked(next)
-        tolPm.foreach { tol =>
-          prevCkpt.foreach { prev =>
+        tolPm match {
+          case Some(tol) =>
+            val prev = checkpointTracked(rank)
+            val ck = checkpointTracked(step(prev))
             val d = ck.join(prev.select(col("node"), col("rank").as("__pr")), "node")
               .agg(max(abs(col("rank") - col("__pr"))).as("d"))
               .head()
             if (d.isNullAt(0) || d.getLong(0) <= scale * tol / 1000) converged = true
-          }
-          prevCkpt = Some(ck)
+            rank = ck
+          case None =>
+            rank = checkpointTracked(step(rank))
         }
-        rank = ck
-      } else rank = next
+      } else rank = step(rank)
     }
     lastRunIters = i
     val beforeFinal = sc.getPersistentRDDs.keySet

@@ -48,11 +48,36 @@ object Sketches {
 
   private val Two60: Double = 1152921504606846976.0 // 2^60, exact in double
 
+  /** Largest double magnitude whose floor fits a BIGINT — just inside
+    * 2^63 (the next representable double above is out of range). Beyond
+    * it, `floor(v).cast(long)` saturates/overflows SILENTLY; the repo's
+    * convention (Layout.zValue) is a typed per-row error instead. */
+  private val LongDomainD: Double = 9.2233720368547676E18
+
+  /** `floor(val·scale)` as a guarded BIGINT bucket: NULL stays NULL,
+    * in-domain values bucket normally, out-of-domain values raise a typed
+    * per-row error carrying the offending value (never a silent
+    * saturated bucket). */
+  private def guardedBucket(valCol: org.apache.spark.sql.Column,
+                            scale: Int): org.apache.spark.sql.Column = {
+    val v = valCol.cast("double") * scale
+    when(v.isNull, lit(null).cast("long"))
+      .when(abs(v) <= LongDomainD && !isnan(v), floor(v).cast("long"))
+      .otherwise(raise_error(format_string(
+        s"quantiles: value·scale=%s outside the 64-bit bucket domain — " +
+          s"lower `scale` or pre-clip the column", v)).cast("long"))
+  }
+
   /** The k smallest DISTINCT md5-60 hashes of `keyCol` — the KMV sketch
     * relation (≤ k rows, column `hv`). A k-entry TreeSet fold per
-    * partition, then a global merge over ≤ k·partitions values. */
+    * partition, then a global merge over ≤ k·partitions values.
+    * NULL keys are ignored (the SQL distinct-count convention:
+    * `count(DISTINCT x)` never counts NULL) — `md5(NULL)` is NULL, which
+    * the primitive-long fold below cannot carry anyway, so the skip is
+    * both the defined semantics and the crash guard. */
   private def bottomK(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     val hashed = df.select(hash60(col(keyCol)).as("hv"))
+      .filter(col("hv").isNotNull)
     val bottom = hashed.select(col("hv")).as[Long](Encoders.scalaLong)
       .mapPartitions { it =>
         val set = new java.util.TreeSet[java.lang.Long]()
@@ -118,7 +143,7 @@ object Sketches {
       .agg(count(lit(1)).as("n_both"))
     val est0 = merged
       .agg(count(lit(1)).as("k_used"), max(col("hv")).as("kth_hash"))
-      .crossJoin(nBoth)
+      .crossJoin(broadcast(nBoth))
       .select(
         col("k_used"), col("n_both"),
         when(col("k_used") < k, col("k_used"))
@@ -165,7 +190,7 @@ object Sketches {
     require(scale >= 1, s"scale must be >= 1, got $scale")
     val spark = df.sparkSession
     val buckets = df
-      .select(floor(col(valCol).cast("double") * scale).cast("long").as("bucket"))
+      .select(guardedBucket(col(valCol), scale).as("bucket"))
       .filter(col("bucket").isNotNull)
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
       .repartitionByRange(col("bucket"))
@@ -216,7 +241,7 @@ object Sketches {
     require(scale >= 1, s"scale must be >= 1, got $scale")
     val buckets = df
       .select(col(keyCol).cast("string").as("key"),
-        floor(col(valCol).cast("double") * scale).cast("long").as("bucket"))
+        guardedBucket(col(valCol), scale).as("bucket"))
       .filter(col("bucket").isNotNull && col("key").isNotNull)
       .groupBy(col("key"), col("bucket")).agg(count(lit(1)).as("cnt"))
     val wCum = org.apache.spark.sql.expressions.Window
@@ -240,15 +265,17 @@ object Sketches {
 
   /** Exact heavy hitters of `keyCol`: every key with
     * `count·(k+1) > N` (strictly), with its EXACT count — computed with a
-    * Misra-Gries pruning pass so no full-corpus groupBy runs. Output:
-    * `(key STRING, cnt BIGINT)`, count-descending then key.
+    * Misra-Gries pruning pass so no full-corpus groupBy runs. NULL keys
+    * count as their own group, exactly like the SQL `GROUP BY` the oracle
+    * replays (a dominant NULL lang IS a datacard finding, not noise).
+    * Output: `(key STRING, cnt BIGINT)`, count-descending then key.
     */
   def heavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val keys = df.select(col(keyCol).cast("string").as("key"))
-    // pass 1: per-partition Misra-Gries; emit survivor keys (cnt column
-    // carries the partition row count on a null-key sentinel row so the
-    // grand total N needs no second full scan)
+    // pass 1: per-partition Misra-Gries; the partition row count rides on
+    // an `is_tot` flag column (NOT a null-key sentinel — a genuine NULL
+    // key surviving MG must stay distinguishable from the total row)
     val mg = keys.select(col("key")).as[String](Encoders.STRING)
       .mapPartitions { it =>
         val counters = scala.collection.mutable.HashMap.empty[String, Long]
@@ -266,17 +293,21 @@ object Sketches {
               }
           }
         }
-        counters.keysIterator.map(kk => (kk, -1L)) ++ Iterator((null: String, nP))
-      }(Encoders.product[(String, Long)])
-      .toDF("key", "n_p")
+        counters.keysIterator.map(kk => (kk, 0L, false)) ++
+          Iterator((null: String, nP, true))
+      }(Encoders.product[(String, Long, Boolean)])
+      .toDF("key", "n_p", "is_tot")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = mg.filter(col("key").isNull)
+    val total = mg.filter(col("is_tot"))
       .agg(coalesce(sum(col("n_p")), lit(0L))).head().getLong(0)
-    val candidates = mg.filter(col("key").isNotNull).select(col("key")).distinct()
+    val candidates = mg.filter(!col("is_tot")).select(col("key")).distinct()
     // pass 2: exact recount of the candidate slice only; the candidate
-    // relation is ≤ k·partitions rows — broadcast gate, corpus map-side
+    // relation is ≤ k·partitions rows — broadcast gate, corpus map-side.
+    // Null-safe equality so a NULL candidate key gates its group through
+    // (plain semi-join equality would silently drop every NULL row).
     val out = keys
-      .join(broadcast(candidates), Seq("key"), "left_semi")
+      .join(broadcast(candidates.withColumnRenamed("key", "__ck")),
+        col("key") <=> col("__ck"), "left_semi")
       .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * (k + 1) > total)
       .orderBy(col("cnt").desc, col("key"))

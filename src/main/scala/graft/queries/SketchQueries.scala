@@ -29,10 +29,10 @@ object SketchQueries extends QueryFamily {
           .select(col("dim"), col("k_used"), col("kth_hash"), col("est_distinct"))
           .orderBy(col("dim"))
       },
-      Some("""WITH hu AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv FROM events),
+      Some("""WITH hu AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv FROM events WHERE user_id IS NOT NULL),
              |ku AS (SELECT hv FROM hu ORDER BY hv LIMIT 64),
              |ua AS (SELECT CAST(count(*) AS BIGINT) AS k_used, max(hv) AS kth FROM ku),
-             |he AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv FROM events),
+             |he AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv FROM events WHERE event_id IS NOT NULL),
              |ke AS (SELECT hv FROM he ORDER BY hv LIMIT 256),
              |ea AS (SELECT CAST(count(*) AS BIGINT) AS k_used, max(hv) AS kth FROM ke)
              |SELECT dim, k_used, kth_hash, est_distinct FROM (
@@ -60,10 +60,10 @@ object SketchQueries extends QueryFamily {
           e.filter(col("event_type") === "purchase"), "user_id", 64)
       },
       Some("""WITH ha AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
-             |            FROM events WHERE event_type = 'signup'),
+             |            FROM events WHERE event_type = 'signup' AND user_id IS NOT NULL),
              |ka AS (SELECT hv FROM ha ORDER BY hv LIMIT 64),
              |hb AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
-             |            FROM events WHERE event_type = 'purchase'),
+             |            FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
              |kb AS (SELECT hv FROM hb ORDER BY hv LIMIT 64),
              |m AS (SELECT hv FROM (SELECT hv FROM ka UNION SELECT hv FROM kb) ORDER BY hv LIMIT 64),
              |agg AS (SELECT CAST(count(*) AS BIGINT) AS k_used, max(hv) AS kth,

@@ -484,11 +484,18 @@ object PatternCompiler {
     // per-event rows are un-groupable without a match identity. Number the
     // matches per partition by their event positions — (first id, buffer
     // size) per step group, null-free (coalesce) so the order replays in
-    // engines that sort NULLs differently. The window runs over the
-    // per-MATCH relation (output-sized), not the corpus.
+    // engines that sort NULLs differently, then the FULL id arrays as the
+    // final tie-break (lexicographic array order): two distinct matches
+    // agreeing on every (first, size) pair — same-start same-count
+    // variants differing only in interior events — would otherwise get
+    // tie-nondeterministic numbers against the bit-exact replay contract.
+    // (Matches identical in EVERY group's full array produce identical
+    // output rows, where number assignment is unobservable.) The window
+    // runs over the per-MATCH relation (output-sized), not the corpus.
     val matchOrder = idsCols.flatMap(ic => Seq(
       coalesce(try_element_at(col(ic), lit(1)), lit(-1L)),
-      coalesce(size(col(ic)).cast("long"), lit(0L))))
+      coalesce(size(col(ic)).cast("long"), lit(0L)))) ++
+      idsCols.map(ic => coalesce(col(ic), array().cast("array<bigint>")))
     val wMatch = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__mkey")).orderBy(matchOrder: _*)
     val numbered = keep.withColumn("mr_match_number",

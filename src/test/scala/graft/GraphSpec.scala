@@ -126,13 +126,13 @@ class GraphSpec extends AnyFunSuite {
 
   test("tolPm epsilon stopping halts early on a converged graph and is off by default") {
     // deg=1 cycle at damping 100: every generation equals the start vector
-    // exactly, so the first delta check (i=16, comparing the i=8 and i=16
-    // checkpoints) sees delta 0 and stops — the hard cap of 64 is not run.
+    // exactly, so the first delta check (i=8, comparing generations 7 and
+    // 8) sees delta 0 and stops — the hard cap of 64 is not run.
     val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     val converged = Graph.pageRank(cycle, "src", "dst", iters = 64,
         dampingPct = 100, scale = 1000000L, tolPm = Some(1L))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(Graph.lastRunIters == 16, s"expected early stop at 16, ran ${Graph.lastRunIters}")
+    assert(Graph.lastRunIters == 8, s"expected early stop at 8, ran ${Graph.lastRunIters}")
     assert(converged == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
     // without tolPm the same call runs all 64 iterations (and matches)
     val full = Graph.pageRank(cycle, "src", "dst", iters = 64,
@@ -155,6 +155,22 @@ class GraphSpec extends AnyFunSuite {
     assert(tEps == tFull)
     intercept[IllegalArgumentException](Graph.pageRank(cycle, "src", "dst",
       iters = 1, tolPm = Some(0L)))
+  }
+
+  test("tolPm: a period-2 rank oscillation is NOT reported as converged") {
+    // a↔b 2-cycle with a third node feeding a, damping 100 (no teleport
+    // mass): ranks cycle (2s,s,0) ↔ (s,2s,0) forever with period 2 — a
+    // checkpoint-SPAN delta (gen i vs i-8) reads 0 on every check because
+    // 2 divides 8, falsely reporting convergence; the consecutive-
+    // generation delta (i vs i-1) reads s and must run to the hard cap.
+    val osc = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRank(osc, "src", "dst", iters = 40,
+        dampingPct = 100, scale = 1000000L, tolPm = Some(1L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Graph.lastRunIters == 40,
+      s"oscillation falsely converged at ${Graph.lastRunIters}")
+    // gen 40 (even) == gen 2: a=s, b=2s, c=0
+    assert(r == Map(1L -> 1000000L, 2L -> 2000000L, 3L -> 0L), r.toString)
   }
 
   test("degrees counts both directions with zero-filled missing sides") {

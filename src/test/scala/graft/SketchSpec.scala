@@ -110,6 +110,43 @@ class SketchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Sketches.quantiles(vals, "v", Seq(1001)))
   }
 
+  test("quantiles: out-of-long-domain value·scale raises a typed per-row error, never a silent bucket") {
+    // 1e19 > 2^63: floor(v·scale) would silently saturate — must raise
+    val over = Seq(1.0, 1.0e19).map(Tuple1(_)).toDF("v")
+    val ex = intercept[Exception](
+      Sketches.quantiles(over, "v", Seq(500), scale = 1).collect())
+    assert(ex.getMessage != null && ex.getMessage.contains("quantiles:"),
+      s"wrong error: ${ex.getMessage}")
+    // in-domain but within 2x of the edge: buckets fine (no false trip)
+    val near = Seq(4.0e18, -4.0e18).map(Tuple1(_)).toDF("v")
+    assert(Sketches.quantiles(near, "v", Seq(500, 1000), scale = 1).count() == 2)
+    // scale amplification trips the guard too: 1e17·100 = 1e19
+    val amp = Seq(1.0e17).map(Tuple1(_)).toDF("v")
+    val ex2 = intercept[Exception](
+      Sketches.quantiles(amp, "v", Seq(500), scale = 100).collect())
+    assert(ex2.getMessage != null && ex2.getMessage.contains("quantiles:"))
+    // NaN raises (neither bucketable nor silently droppable)
+    val nan = Seq(Double.NaN).map(Tuple1(_)).toDF("v")
+    intercept[Exception](Sketches.quantiles(nan, "v", Seq(500)).collect())
+    // per-group path shares the guard
+    val byOver = Seq(("g", 1.0e19)).toDF("g", "v")
+    val ex3 = intercept[Exception](
+      Sketches.quantilesBy(byOver, "g", "v", Seq(500), scale = 1).collect())
+    assert(ex3.getMessage != null && ex3.getMessage.contains("quantiles:"))
+  }
+
+  test("kmvDistinct/kmvOverlap: NULL keys are ignored (SQL distinct-count convention), no crash") {
+    val withNulls = (Seq[java.lang.Long](1L, 2L, 3L, null, null) ++
+      (0L until 10L).map(java.lang.Long.valueOf)).map(Tuple1(_)).toDF("k")
+    val r = Sketches.kmvDistinct(withNulls, "k", 64).head()
+    assert(r.getLong(0) == 10 && r.getLong(2) == 10) // 0..9 distinct, nulls skipped
+    val allNull = Seq[java.lang.Long](null, null).map(Tuple1(_)).toDF("k")
+    val rn = Sketches.kmvDistinct(allNull, "k", 8).head()
+    assert(rn.getLong(0) == 0 && rn.getLong(2) == 0)
+    val ov = Sketches.kmvOverlap(withNulls, "k", allNull, "k", 16).head()
+    assert(ov.getLong(0) == 10 && ov.getLong(1) == 0)
+  }
+
   test("quantilesBy: per-group quantiles equal per-group brute force") {
     val rows = (1 to 100).map(v => ("a", v.toDouble)) ++
       (1 to 9).map(v => ("b", v * 10.0)) ++ Seq(("c", 5.0))
@@ -157,6 +194,16 @@ class SketchSpec extends AnyFunSuite {
     // all-uniform input: nothing clears the threshold
     val uni = (0 until 100).map(i => s"u${i % 10}").toDF("k")
     assert(Sketches.heavyHitters(uni, "k", 5).count() == 0)
+    // a DOMINANT NULL key is a real group (SQL GROUP BY semantics) and
+    // must be reported with its exact count — the flag-column total
+    // carrier must never conflate with it, and the threshold must not
+    // absorb phantom sentinel rows
+    val nullRows = (Seq.fill(60)(null: String) ++ (0 until 40).map(i => s"x$i"))
+    val nulDf = nullRows.zipWithIndex.sortBy(t => (t._2 * 2654435761L) % 1000003L)
+      .map(_._1).map(Tuple1(_)).toDF("k").repartition(5)
+    val hhNull = Sketches.heavyHitters(nulDf, "k", 3)
+      .collect().map(r => (if (r.isNullAt(0)) "<NULL>" else r.getString(0), r.getLong(1)))
+    assert(hhNull.toSeq == Seq(("<NULL>", 60L)), s"got ${hhNull.toSeq}")
     // empty input
     assert(Sketches.heavyHitters(Seq.empty[Tuple1[String]].toDF("k"), "k", 5).count() == 0)
     // the pass-1 persist must not leak: after a call, the only new cached
