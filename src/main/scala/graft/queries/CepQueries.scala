@@ -453,6 +453,94 @@ object CepQueries extends QueryFamily {
              |SELECT user_id, event_id, ts_us, value, n_b, mr_match_number, mr_classifier
              |FROM out ORDER BY user_id, mr_match_number, event_id""".stripMargin)),
 
+    // MATCH_RECOGNIZE AFTER MATCH SKIP PAST LAST ROW (round 12): ANSI's
+    // DEFAULT skip mode — the clause is OMITTED here to pin exactly the
+    // paste-a-Flink-query contract. Greedy leftmost non-overlapping over
+    // self-chaining predicates: in every maximal per-user run of
+    // consecutive value>50 events, A B pairs rows off (1,2),(3,4),… —
+    // where SKIP TO NEXT ROW would emit every adjacent pair. The oracle
+    // replays the pairing with gaps-and-islands windows: odd positions in
+    // each qualifying island pair with their successor.
+    QueryDef(
+      "q_cep_mr_skip",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (user_id BIGINT, e1_id BIGINT, e2_id BIGINT);
+            |INSERT INTO Out SELECT * FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts
+            |  MEASURES A.event_id AS e1_id, B.event_id AS e2_id
+            |  ONE ROW PER MATCH
+            |  PATTERN (A B)
+            |  DEFINE A AS A.value > 50, B AS B.value > 50
+            |);""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .orderBy(col("user_id"), col("e1_id"))
+      },
+      Some("""WITH ord AS (
+             |  SELECT user_id, event_id, value,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events),
+             |isl AS (
+             |  SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+             |  FROM ord WHERE value > 50),
+             |pos AS (
+             |  SELECT *, row_number() OVER (PARTITION BY user_id, grp ORDER BY rn) AS p
+             |  FROM isl)
+             |SELECT a.user_id, a.event_id AS e1_id, b.event_id AS e2_id
+             |FROM pos a JOIN pos b
+             |  ON b.user_id = a.user_id AND b.grp = a.grp AND b.p = a.p + 1
+             |WHERE a.p % 2 = 1
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // SKIP PAST LAST ROW greedy quantifier (round 12): B+ consumes the
+    // WHOLE consecutive purchase streak after an error (bounded by WITHIN
+    // 1h), not the every-mode prefix enumeration — n_b is the maximal
+    // count and b_last the streak's final event. The oracle computes the
+    // same maximal extent per anchoring error via the purchase-streak
+    // window (matches are automatically disjoint: an error can only
+    // anchor the streak that starts immediately after it).
+    QueryDef(
+      "q_cep_mr_skip_greedy",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (user_id BIGINT, e1_id BIGINT, n_b BIGINT, b_last BIGINT);
+            |INSERT INTO Out SELECT * FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts
+            |  MEASURES A.event_id AS e1_id, count(B.value) AS n_b,
+            |           LAST(B.event_id) AS b_last
+            |  ONE ROW PER MATCH
+            |  AFTER MATCH SKIP PAST LAST ROW
+            |  PATTERN (A B+) WITHIN INTERVAL '1' HOUR
+            |  DEFINE A AS A.event_type = 'error', B AS B.event_type = 'purchase'
+            |);""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .orderBy(col("user_id"), col("e1_id"))
+      },
+      Some("""WITH ord AS (
+             |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events),
+             |streaks AS (
+             |  SELECT *, rn - coalesce(max(CASE WHEN event_type <> 'purchase' THEN rn END)
+             |    OVER (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING), 0) AS pstreak
+             |  FROM ord)
+             |SELECT a.user_id, a.event_id AS e1_id,
+             |       CAST(max(b.rn - a.rn) AS BIGINT) AS n_b,
+             |       max_by(b.event_id, b.rn) AS b_last
+             |FROM ord a JOIN streaks b
+             |  ON b.user_id = a.user_id AND b.rn > a.rn
+             |WHERE a.event_type = 'error' AND b.event_type = 'purchase'
+             |  AND b.pstreak >= b.rn - a.rn
+             |  AND b.tsu - a.tsu <= 3600000000
+             |GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin)),
+
     // Cross-step reference (e2.value > 2 * e1.value) — the StateEvent
     // access pattern; relaxed, within 2h.
     QueryDef(

@@ -938,13 +938,22 @@ object GraftApp {
         allRows = true
         rest = rest.substring(0, em.start) + rest.substring(em.end)
       }
+      // SKIP PAST LAST ROW: greedy leftmost non-overlapping match subset
+      // (the lowering target of MATCH_RECOGNIZE's default skip mode;
+      // batch only, SEQUENCE+EVERY — PatternCompiler gates typed)
+      var skipPast = false
+      """(?is)\bSKIP\s+PAST\s+LAST\s+ROW\b""".r.findFirstMatchIn(rest).foreach { sm =>
+        skipPast = true
+        rest = rest.substring(0, sm.start) + rest.substring(sm.end)
+      }
       // every clause above excised itself from `rest` — anything left is a
       // clause this grammar does not have (OUTPUT rates, ORDER BY, a typo):
       // silently ignoring it would change the query's meaning
       val residue = rest.replace(";", " ").trim
       if (residue.nonEmpty)
         throw SqlError(s"unrecognized text after pattern clause: '${residue.take(60)}' — " +
-          "pattern queries support WHERE, WITHIN, ALLOW LATENESS, PARTITION BY, EMIT ALL ROWS")
+          "pattern queries support WHERE, WITHIN, ALLOW LATENESS, PARTITION " +
+          "BY, EMIT ALL ROWS, SKIP PAST LAST ROW")
       val (variants, every, absents) = PatternCompiler.parseSteps(stepsRaw)
       val (withinUs, withinEvents) = within
         .map { case (n, u) => PatternCompiler.parseWithin(n, u) }
@@ -954,7 +963,7 @@ object GraftApp {
         strict = mode.equalsIgnoreCase("SEQUENCE"), every = every,
         variants = variants, withinUs = withinUs, withinEvents = withinEvents,
         where = where, partitionBy = partitionBy, absents = absents,
-        lateness = lateness, allRows = allRows)
+        lateness = lateness, allRows = allRows, skipPast = skipPast)
     }
 
   /** ANSI/Flink-style `MATCH_RECOGNIZE` — a second SQL spelling for the
@@ -976,10 +985,12 @@ object GraftApp {
     * Faithful subset, everything else a TYPED error (never silent):
     *  - ORDER BY must name the event-time column `ts` (the engine's only
     *    ordering — rows enter the NFA in event-time order);
-    *  - AFTER MATCH SKIP TO NEXT ROW is REQUIRED: the engine emits every
-    *    overlapping match (the reference's EVERY). ANSI's default SKIP
-    *    PAST LAST ROW (non-overlapping resume) is a different state
-    *    machine — rejected by name rather than silently remapped;
+    *  - AFTER MATCH SKIP TO NEXT ROW emits every overlapping match (the
+    *    reference's EVERY); SKIP PAST LAST ROW — ANSI's DEFAULT, applied
+    *    when the clause is omitted, so Flink/Trino queries paste
+    *    unchanged — emits the greedy leftmost non-overlapping subset
+    *    (round 12; batch-only, no zero-min quantifiers — typed gates in
+    *    PatternCompiler). SKIP TO FIRST/LAST variable stays typed-rejected;
     *  - pattern grouping/alternation is rejected with a pointer to the
     *    engine spelling that covers it (OR steps);
     *  - ALL ROWS PER MATCH (round 11) lowers to the engine's EMIT ALL
@@ -1123,22 +1134,28 @@ object GraftApp {
     // the streaming lowering rejects it with a pointer (PatternCompiler).
     val allRows = excise("""(?is)\bALL\s+ROWS\s+PER\s+MATCH""".r).isDefined
     excise("""(?is)\bONE\s+ROW\s+PER\s+MATCH""".r)
-    if (excise("""(?is)\bAFTER\s+MATCH\s+SKIP\s+TO\s+NEXT\s+ROW""".r).isEmpty) {
-      if ("""(?is)\bAFTER\s+MATCH\b""".r.findFirstIn(hMask).isDefined)
-        throw SqlError(
-          "only AFTER MATCH SKIP TO NEXT ROW is supported — the engine " +
-            "emits every overlapping match (the reference's EVERY semantics); " +
-            "SKIP PAST LAST ROW's non-overlapping resume is a different machine")
+    // skip mode (round 12): SKIP TO NEXT ROW = every overlapping match
+    // (the engine's EVERY); SKIP PAST LAST ROW — or NO clause, since it is
+    // ANSI's default, so Flink/Trino queries paste unchanged — = greedy
+    // leftmost non-overlapping matches (the engine's SKIP PAST LAST ROW
+    // clause). Any other AFTER MATCH form is a typed error.
+    val skipToNext = excise("""(?is)\bAFTER\s+MATCH\s+SKIP\s+TO\s+NEXT\s+ROW""".r).isDefined
+    val skipPastExplicit =
+      excise("""(?is)\bAFTER\s+MATCH\s+SKIP\s+PAST\s+LAST\s+ROW""".r).isDefined
+    if (!skipToNext && !skipPastExplicit &&
+        """(?is)\bAFTER\s+MATCH\b""".r.findFirstIn(hMask).isDefined)
       throw SqlError(
-        "specify AFTER MATCH SKIP TO NEXT ROW: the engine emits every " +
-          "overlapping match, which is NOT ANSI's default (SKIP PAST LAST " +
-          "ROW) — the clause is required so the semantics are explicit")
-    }
+        "unsupported AFTER MATCH form — SKIP TO NEXT ROW (every " +
+          "overlapping match) and SKIP PAST LAST ROW (greedy " +
+          "non-overlapping, the ANSI default when the clause is omitted) " +
+          "are supported; SKIP TO [FIRST|LAST] variable is not")
+    val skipPast = !skipToNext // explicit PAST LAST ROW or the ANSI default
     val hdrResidue = hOrig.replaceAll("""[\s,]+""", " ").trim
     if (hdrResidue.nonEmpty) throw SqlError(
       s"unrecognized MATCH_RECOGNIZE header text: '${hdrResidue.take(60)}' — " +
         "supported: PARTITION BY, ORDER BY ts [ASC], MEASURES, ONE ROW PER " +
-        "MATCH, ALL ROWS PER MATCH, AFTER MATCH SKIP TO NEXT ROW")
+        "MATCH, ALL ROWS PER MATCH, AFTER MATCH SKIP TO NEXT ROW | SKIP " +
+        "PAST LAST ROW")
 
     // ---- tail: WITHIN / DEFINE (same discipline)
     var tOrig = body.substring(j)
@@ -1277,8 +1294,9 @@ object GraftApp {
     val select = (keyItem.toSeq ++ items).mkString(", ")
     val partStr = partitionBy.map(k => s" PARTITION BY $k").getOrElse("")
     val emitStr = if (allRows) " EMIT ALL ROWS" else ""
+    val skipStr = if (skipPast) " SKIP PAST LAST ROW" else ""
     s"INSERT INTO $target SELECT $select FROM SEQUENCE (EVERY (" +
-      steps.mkString(" -> ") + s"))$withinStr$partStr$emitStr;"
+      steps.mkString(" -> ") + s"))$withinStr$partStr$emitStr$skipStr;"
   }
 
   /** Split a WITH-clause body on commas OUTSIDE single quotes — option

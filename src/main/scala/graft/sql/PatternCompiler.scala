@@ -89,7 +89,16 @@ object PatternCompiler {
       // match — the select items (FINAL semantics, constant across a
       // match's rows) are joined with the matched event's own columns plus
       // an `mr_classifier` column naming the step variable. Batch only.
-      allRows: Boolean = false) {
+      allRows: Boolean = false,
+      // `SKIP PAST LAST ROW` (the lowering target of MATCH_RECOGNIZE's
+      // AFTER MATCH SKIP PAST LAST ROW — ANSI's DEFAULT skip mode): the
+      // greedy leftmost NON-OVERLAPPING match subset. The EVERY NFA
+      // enumerates every (start, parse) pair; a per-key sweep then keeps,
+      // at each position, the earliest-starting match with the
+      // lexicographically-greedy quantifier counts and resumes past its
+      // last row (see [[selectSkipPast]]). Batch only; requires SEQUENCE
+      // + EVERY, a single variant, and no absent guards.
+      skipPast: Boolean = false) {
     def allAlts: Seq[StepAlt] = variants.flatten.flatMap(_.alts) ++ absents.map(_.alt)
   }
 
@@ -101,6 +110,25 @@ object PatternCompiler {
     }
     validateColumnRefs(spark, q,
       streams.flatMap(s => env(s).columns).distinct)
+    if (q.skipPast) {
+      // the non-overlapping sweep is defined over the EVERY match set's
+      // contiguous row spans — each unsupported combination is a typed
+      // error naming the working alternative, never a silent remap
+      if (!q.strict) throw GraftApp.SqlError(
+        "SKIP PAST LAST ROW needs SEQUENCE (strict contiguity) — ANSI's " +
+          "non-overlapping resume skips past a span of CONSECUTIVE rows; " +
+          "relaxed PATTERN matches have gaps, which that machine does not define")
+      if (!q.every) throw GraftApp.SqlError(
+        "SKIP PAST LAST ROW needs EVERY: the non-overlapping subset is " +
+          "selected from the full overlapping match set (without EVERY the " +
+          "engine emits only the first match per key)")
+      if (q.variants.size > 1) throw GraftApp.SqlError(
+        "SKIP PAST LAST ROW is not supported with AND patterns or zero-min " +
+          "quantifiers (?, *, {0,n}) — use SKIP TO NEXT ROW (every " +
+          "overlapping match) for those patterns")
+      if (q.absents.nonEmpty) throw GraftApp.SqlError(
+        "SKIP PAST LAST ROW is not supported with absent (NOT) guards")
+    }
     if (streams.exists(env(_).isStreaming))
       return compileStreaming(spark, q, env)
     // tagged union of all referenced streams (junction fan-in); range
@@ -446,6 +474,51 @@ object PatternCompiler {
     res.orderBy(res.columns.map(col): _*)
   }
 
+  /** `SKIP PAST LAST ROW` selection (MATCH_RECOGNIZE's AFTER MATCH SKIP
+    * PAST LAST ROW — ANSI's DEFAULT skip mode): from the EVERY machine's
+    * complete overlapping match set — the strict NFA explores both the
+    * stay and advance branch of every quantifier, so every (start, parse)
+    * pair of the contiguous chain is present — keep the greedy leftmost
+    * NON-OVERLAPPING subsequence. Per key:
+    *
+    *   pos = -∞; repeatedly take, among matches starting at the earliest
+    *   row ≥ pos, the one with the lexicographically LARGEST per-step
+    *   count vector (regex-greedy backtracking: quantifier i maximizes its
+    *   count before quantifier i+1 — at a fixed start of a contiguous
+    *   chain the chosen parse IS the lex-max count vector); emit it and
+    *   resume at pos = its last row + 1.
+    *
+    * One sort + linear sweep per key over the MATCH relation (output-
+    * sized, never the corpus), sharded by the pattern key exactly like
+    * the NFA. `(key, start, counts)` identifies a match uniquely for a
+    * single strict variant (the consumed rows are the contiguous span
+    * start..start+Σcounts-1, split by the counts), so the sweep's winners
+    * gate `base` through a semi join on those three columns.
+    */
+  private def selectSkipPast(spark: SparkSession, base: DataFrame,
+                             idsCols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val startC = element_at(col(idsCols.head), 1)
+    val countsC = array(idsCols.map(c => size(col(c)).cast("long")): _*)
+    val spans = base.select(col("__mkey"), startC.as("__s"),
+        element_at(col(idsCols.last), -1).as("__e"), countsC.as("__c"))
+      .as[(String, Long, Long, Seq[Long])]
+    def lexGt(a: Seq[Long], b: Seq[Long]): Boolean = {
+      val i = a.zip(b).indexWhere { case (x, y) => x != y }
+      i >= 0 && a(i) > b(i) // same chain -> equal-length vectors
+    }
+    val chosen = spans.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val ms = it.toVector.sortWith((a, b) =>
+        if (a._2 != b._2) a._2 < b._2 else lexGt(a._4, b._4))
+      var pos = Long.MinValue
+      ms.iterator.filter(m => if (m._2 >= pos) { pos = m._3 + 1; true } else false)
+    }.toDF("__ck", "__cs", "__ce", "__cc")
+    base.join(chosen,
+      col("__mkey") === col("__ck") && startC === col("__cs") &&
+        countsC === col("__cc"),
+      "left_semi")
+  }
+
   /** `EMIT ALL ROWS` lowering (MATCH_RECOGNIZE's ALL ROWS PER MATCH): one
     * output row per matched EVENT. `out` is the per-match relation (still
     * carrying `__mkey` and the per-step id arrays); each step's ids explode
@@ -590,6 +663,11 @@ object PatternCompiler {
   private def compileStreaming(spark: SparkSession, q: PatternQuery,
                                env: Map[String, DataFrame]): DataFrame = {
     import spark.implicits._
+    if (q.skipPast) throw GraftApp.SqlError(
+      "SKIP PAST LAST ROW is batch-only — greedy non-overlapping selection " +
+        "needs lookahead past each candidate match (a quantifier's maximal " +
+        "extent is not known until a non-matching row arrives), which the " +
+        "incremental NFA does not buffer; use SKIP TO NEXT ROW on streams")
     if (q.allRows) throw GraftApp.SqlError(
       "EMIT ALL ROWS (ALL ROWS PER MATCH) is batch-only — the streaming " +
         "lowering carries value slots through the NFA, not event ids; use " +
@@ -1059,6 +1137,11 @@ object PatternCompiler {
       } ++ (if (q.absents.isEmpty) Nil else steps.indices.map { i =>
         expr(s"element_at(steps[$i].events, -1).tsUs").as(s"__endts_$i")
       })): _*)
+    // SKIP PAST LAST ROW: filter base to the greedy non-overlapping match
+    // subset BEFORE any join-back — downstream joins/aggregations then run
+    // over the (strictly smaller) selected set only
+    if (q.skipPast)
+      base = selectSkipPast(spark, base, steps.indices.map(i => s"__ids_$i"))
 
     // ---- select/WHERE rewriting + join planning
     val multi = steps.zipWithIndex.collect { case (st, i) if st.max > 1 =>

@@ -1021,6 +1021,102 @@ class GraftAppSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2.0, 1.0), (1L, 3.0, 1.0), (2L, 3.0, 2.0)))
   }
 
+  test("MATCH_RECOGNIZE SKIP PAST LAST ROW: greedy leftmost non-overlapping, the ANSI default") {
+    def tape(rows: Seq[(Int, Long, String, Double)]) = rows
+      .toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    def mr(measures: String, skip: String, pattern: String, define: String,
+           out: String, within: String = "WITHIN INTERVAL '1' HOUR") =
+      s"""CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+         |CREATE STREAM Out ($out);
+         |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+         |  PARTITION BY user_id ORDER BY ts
+         |  MEASURES $measures
+         |  ONE ROW PER MATCH $skip
+         |  PATTERN ($pattern) $within
+         |  DEFINE $define);""".stripMargin
+
+    // 1. chained pairs: 5 consecutive qualifying rows — TO NEXT ROW emits
+    // every adjacent pair (4); PAST LAST ROW pairs them off (1,2),(3,4)
+    val run5 = tape((1 to 5).map(i => (i, 7L, "p", i.toDouble)))
+    def pairs(skip: String) = GraftApp.run(spark,
+      mr("A.v AS a_v, B.v AS b_v", skip, "A B",
+        "A AS A.kind = 'p', B AS B.kind = 'p'", "a_v DOUBLE, b_v DOUBLE"),
+      Map("E" -> run5))("Out")
+      .select("a_v", "b_v")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).sorted
+    val everyP = pairs("AFTER MATCH SKIP TO NEXT ROW")
+    val pastP = pairs("AFTER MATCH SKIP PAST LAST ROW")
+    assert(everyP.toSeq == Seq((1.0, 2.0), (2.0, 3.0), (3.0, 4.0), (4.0, 5.0)))
+    assert(pastP.toSeq == Seq((1.0, 2.0), (3.0, 4.0)))
+    // the non-overlapping set is a subset of the overlapping one
+    assert(pastP.toSet.subsetOf(everyP.toSet))
+    // omitted AFTER MATCH = the ANSI default = SKIP PAST LAST ROW
+    assert(pairs("").toSeq == pastP.toSeq)
+
+    // 2. greedy trailing quantifier: a b b b b a b b — B+ consumes the
+    // WHOLE streak (4 then 2), not the every-mode prefix enumeration
+    val streaks = tape(Seq((1, 8L, "a", 0.0), (2, 8L, "b", 1.0), (3, 8L, "b", 2.0),
+      (4, 8L, "b", 3.0), (5, 8L, "b", 4.0), (6, 8L, "a", 0.0),
+      (7, 8L, "b", 5.0), (8, 8L, "b", 6.0)))
+    def nb(skip: String) = GraftApp.run(spark,
+      mr("count(B.v) AS n_b", skip, "A B+",
+        "A AS A.kind = 'a', B AS B.kind = 'b'", "n_b BIGINT"),
+      Map("E" -> streaks))("Out")
+      .select("n_b")
+      .collect().map(_.getLong(0)).sorted
+    assert(nb("AFTER MATCH SKIP TO NEXT ROW").toSeq == Seq(1L, 1L, 2L, 2L, 3L, 4L))
+    assert(nb("AFTER MATCH SKIP PAST LAST ROW").toSeq == Seq(2L, 4L))
+
+    // 3. interior quantifier greediness: A{1,2} B{1,2} over x x x picks
+    // (2,1) — the left quantifier maximizes first; over x x x x picks (2,2)
+    for ((n, want) <- Seq(3 -> (2L, 1L), 4 -> (2L, 2L))) {
+      val xs = tape((1 to n).map(i => (i, 9L, "x", i.toDouble)))
+      val got = GraftApp.run(spark,
+        mr("count(A.v) AS n_a, count(B.v) AS n_b",
+          "AFTER MATCH SKIP PAST LAST ROW", "A{1,2} B{1,2}",
+          "A AS A.kind = 'x', B AS B.kind = 'x'", "n_a BIGINT, n_b BIGINT"),
+        Map("E" -> xs))("Out")
+        .select("n_a", "n_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq == Seq(want), s"n=$n got ${got.toSeq}")
+    }
+
+    // 4. failed attempt retries at the NEXT row (not the naive single-
+    // instance machine): a a b — the attempt at row 1 dies at row 2, and
+    // the match (a@2, b@3) must still be found
+    val retry = tape(Seq((1, 11L, "a", 1.0), (2, 11L, "a", 2.0), (3, 11L, "b", 3.0)))
+    val gotR = GraftApp.run(spark,
+      mr("A.v AS a_v, B.v AS b_v", "AFTER MATCH SKIP PAST LAST ROW", "A B",
+        "A AS A.kind = 'a', B AS B.kind = 'b'", "a_v DOUBLE, b_v DOUBLE"),
+      Map("E" -> retry))("Out")
+      .select("a_v", "b_v")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(gotR.toSeq == Seq((2.0, 3.0)))
+
+    // typed gates: zero-min quantifiers, relaxed PATTERN, non-EVERY
+    def errOf(app: String, env: Map[String, org.apache.spark.sql.DataFrame]) =
+      intercept[GraftApp.SqlError](GraftApp.run(spark, app, env)).getMessage
+    assert(errOf(mr("A.v AS a_v", "AFTER MATCH SKIP PAST LAST ROW", "A B?",
+      "A AS A.kind = 'a'", "a_v DOUBLE"), Map("E" -> retry))
+      .contains("zero-min"))
+    val nativeRelaxed =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (a_v DOUBLE);
+        |INSERT INTO Out SELECT A.v AS a_v
+        |FROM PATTERN (EVERY (A=E[kind = 'a'] -> B=E[kind = 'b']))
+        |WITHIN 1 HOUR PARTITION BY user_id SKIP PAST LAST ROW;""".stripMargin
+    assert(errOf(nativeRelaxed, Map("E" -> retry)).contains("SEQUENCE"))
+    val nativeNoEvery =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (a_v DOUBLE);
+        |INSERT INTO Out SELECT A.v AS a_v
+        |FROM SEQUENCE ((A=E[kind = 'a'] -> B=E[kind = 'b']))
+        |WITHIN 1 HOUR PARTITION BY user_id SKIP PAST LAST ROW;""".stripMargin
+    assert(errOf(nativeNoEvery, Map("E" -> retry)).contains("EVERY"))
+  }
+
   test("MATCH_RECOGNIZE: the faithful-subset boundaries are typed errors") {
     def mk(clause: String): String =
       s"""CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
@@ -1031,11 +1127,13 @@ class GraftAppSpec extends AnyFunSuite {
         GraftApp.run(spark, mk(clause), Map("E" -> mrEvents))).getMessage
     val base = """ORDER BY ts MEASURES A.v AS a AFTER MATCH SKIP TO NEXT ROW
                  |PATTERN (A B) DEFINE A AS A.kind = 'a'""".stripMargin
-    // ANSI's default skip mode is a DIFFERENT machine — required, by name
+    // SKIP PAST LAST ROW and the omitted-clause ANSI default are now
+    // SUPPORTED (round 12, see the skip-past suite); the remaining AFTER
+    // MATCH forms (SKIP TO FIRST/LAST variable) stay typed rejections
     assert(err(base.replace("AFTER MATCH SKIP TO NEXT ROW",
-      "AFTER MATCH SKIP PAST LAST ROW")).contains("SKIP TO NEXT ROW"))
-    assert(err(base.replace("AFTER MATCH SKIP TO NEXT ROW", ""))
-      .contains("AFTER MATCH"))
+      "AFTER MATCH SKIP TO FIRST A")).contains("AFTER MATCH"))
+    assert(err(base.replace("AFTER MATCH SKIP TO NEXT ROW",
+      "AFTER MATCH SKIP TO LAST B")).contains("AFTER MATCH"))
     assert(err(base.replace("ORDER BY ts", "ORDER BY v")).contains("event-time"))
     assert(err(base.replace("ORDER BY ts ", "")).contains("ORDER BY"))
     assert(err(base.replace("PATTERN (A B)", "PATTERN (A (B | C))"))
