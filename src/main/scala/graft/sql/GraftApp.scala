@@ -996,8 +996,10 @@ object GraftApp {
     *  - ALL ROWS PER MATCH (round 11) lowers to the engine's EMIT ALL
     *    ROWS: one output row per matched EVENT — the stream's own columns
     *    plus `mr_classifier` plus the MEASURES with FINAL semantics
-    *    (constant across a match's rows). Batch only; the streaming
-    *    lowering rejects it typed;
+    *    (constant across a match's rows). Streams too (round 12, single
+    *    chain): the NFA's buffered svals explode per event, with
+    *    `mr_match_number` = the per-key completion ordinal carried in the
+    *    state store; zero-min/AND forms stay batch-only, typed;
     *  - MEASURES FIRST(V.x [, k])/LAST(V.x [, k]) lower to the engine's
     *    V[k].x / V[last-k].x (ANSI logical offsets; past the collected
     *    count is NULL); count/sum/avg/min/max(V.x) pass through to the

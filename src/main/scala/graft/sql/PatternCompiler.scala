@@ -668,10 +668,18 @@ object PatternCompiler {
         "needs lookahead past each candidate match (a quantifier's maximal " +
         "extent is not known until a non-matching row arrives), which the " +
         "incremental NFA does not buffer; use SKIP TO NEXT ROW on streams")
-    if (q.allRows) throw GraftApp.SqlError(
-      "EMIT ALL ROWS (ALL ROWS PER MATCH) is batch-only — the streaming " +
-        "lowering carries value slots through the NFA, not event ids; use " +
-        "ONE ROW PER MATCH with FIRST/LAST/collection measures on streams")
+    if (q.allRows) {
+      // streaming EMIT ALL ROWS (round 12): the NFA already buffers every
+      // matched event with its svals slots — per-event emission explodes
+      // state already held. Single-chain only: multi-variant padding and
+      // guard-killed matches have no defined per-event classifier/number.
+      if (q.variants.size > 1) throw GraftApp.SqlError(
+        "streaming EMIT ALL ROWS supports a single pattern chain — AND " +
+          "patterns and zero-min quantifiers (?, *, {0,n}) are batch-only")
+      if (q.absents.nonEmpty) throw GraftApp.SqlError(
+        "streaming EMIT ALL ROWS with absent (NOT) guards is batch-only — " +
+          "a guard-killed match would leave a gap in mr_match_number")
+    }
     // PREV/NEXT lower to physical-offset joins (select items) and window
     // functions (DEFINE predicates) — both need the materialized per-key
     // order, which a stream does not have
@@ -811,6 +819,13 @@ object PatternCompiler {
     val items = q.selectItems.map { case (e, a) => (rewrite(e), a) }
     val whereRw = q.where.map(rewrite)
 
+    // EMIT ALL ROWS carries the FULL source row through the NFA: intern
+    // every source column so the per-event output reconstructs it from the
+    // svals slots (state grows by one string per column per buffered
+    // event — the inherent cost of emitting the rows themselves)
+    if (q.allRows)
+      evs.columns.filterNot(_.startsWith("__")).foreach(slot)
+
     val svalsCol = svalsColumn(svalReg)
 
     // trailing NOT guards get one extra flag bit each, after the step bits;
@@ -879,10 +894,62 @@ object PatternCompiler {
        else Cep.detectStream(cepIn, spec))
         .toDF()
     whereRw.foreach(w => out = out.filter(expr(w)))
+    if (q.allRows)
+      return emitAllRowsStream(q, steps, out, evs, colTypes, slot, items)
     out.select(items.map {
       case (e, Some(a)) => expr(e).as(a)
       case (e, None) => expr(e)
     }: _*)
+  }
+
+  /** Streaming `EMIT ALL ROWS` (MATCH_RECOGNIZE's ALL ROWS PER MATCH on a
+    * stream, round 12): one output row per matched EVENT — the NFA already
+    * buffers every matched event's svals slots, so emission is a per-match
+    * explode of each step's buffer, no join back to the source (the plan
+    * stays streaming-legal). Output layout matches the batch lowering:
+    * the stream's own columns (reconstructed from the slots, cast back to
+    * the source types) + the measures (FINAL semantics, constant across a
+    * match's rows) + `mr_match_number` + `mr_classifier`.
+    *
+    * `mr_match_number` here is the NFA's per-key match-COMPLETION ordinal
+    * ([[graft.streaming.CepMatch.matchSeq]], carried across micro-batches
+    * in the state store) — batch numbers matches by start position
+    * instead; the two orders differ only when matches overlap, and both
+    * group a match's rows exactly.
+    */
+  private def emitAllRowsStream(q: PatternQuery, steps: Seq[PatternStep],
+                                matches: DataFrame, evs: DataFrame,
+                                colTypes: Map[String, String],
+                                slot: String => Int,
+                                items: Seq[(String, Option[String])]): DataFrame = {
+    if (steps.exists(_.alts.size > 1)) throw GraftApp.SqlError(
+      "EMIT ALL ROWS is not supported with OR steps (the classifier is " +
+        "per step variable)")
+    val measureCols = items.map {
+      case (e, Some(a)) => expr(e).as(a)
+      case (e, None) => expr(e)
+    }
+    val measureNames = matches.select(measureCols: _*).columns.toSeq
+    val evCols = evs.columns.filterNot(_.startsWith("__")).toSeq
+    val clash = measureNames.intersect(evCols)
+    if (clash.nonEmpty) throw GraftApp.SqlError(
+      s"EMIT ALL ROWS: measure alias(es) ${clash.mkString(", ")} collide " +
+        "with the stream's own columns (every input column is emitted per " +
+        "matched row) — rename the measure")
+    (measureNames ++ evCols).find(n =>
+      n.equalsIgnoreCase("mr_classifier") || n.equalsIgnoreCase("mr_match_number"))
+      .foreach(n => throw GraftApp.SqlError(
+        s"EMIT ALL ROWS reserves the output column name '$n'"))
+    val perStep = steps.indices.map { i =>
+      matches.select(measureCols ++ Seq(
+        col("matchSeq").as("mr_match_number"),
+        lit(steps(i).aliases.head).as("mr_classifier"),
+        explode(expr(s"steps[$i].events")).as("__ev")): _*)
+    }.reduce(_.unionByName(_))
+    val srcCols = evCols.map(c =>
+      expr(s"CAST(__ev.svals[${slot(c)}] AS ${colTypes(c.toLowerCase)})").as(c))
+    perStep.select(srcCols ++ measureNames.map(col) ++
+      Seq(col("mr_match_number"), col("mr_classifier")): _*)
   }
 
   /** Streaming multi-variant lowering: ONE kernel holds every variant's

@@ -45,7 +45,15 @@ final case class CepEvent(key: String, tsUs: Long, eventId: Long, etype: String,
                           value: Double, vals: Seq[Double] = Nil,
                           svals: Seq[String] = Nil)
 final case class Collected(step: String, events: Seq[CepEvent])
-final case class CepMatch(key: String, startUs: Long, endUs: Long, steps: Seq[Collected])
+/** `matchSeq` (round 12): per-key 1-based ordinal in match-COMPLETION
+  * order, carried across micro-batches through [[NfaState.matchSeq]] —
+  * the streaming MATCH_NUMBER() equivalent (EMIT ALL ROWS groups a
+  * match's per-event rows by it). Batch EMIT ALL ROWS keeps its own
+  * start-position numbering (the oracle-pinned contract); completion
+  * order and start order differ only for overlapping matches.
+  */
+final case class CepMatch(key: String, startUs: Long, endUs: Long,
+                          steps: Seq[Collected], matchSeq: Long = 0L)
 /** A [[CepMatch]] tagged with the index of the variant NFA that emitted it
   * (multi-variant patterns: AND arrival orderings, min=0 presence pairs).
   */
@@ -122,7 +130,7 @@ final case class PatternSpec(
 final case class Partial(stepIdx: Int, startUs: Long, startSeq: Long,
                          collected: Seq[Seq[CepEvent]])
 final case class NfaState(partials: Seq[Partial], done: Boolean, seq: Long = 0L,
-                          dropped: Long = 0L)
+                          dropped: Long = 0L, matchSeq: Long = 0L)
 /** One state-store entry for a multi-variant pattern family: the i-th
   * entry is variant i's independent NFA state.
   */
@@ -151,6 +159,7 @@ object Cep {
     var partials: Vector[Partial] = init.partials.toVector
     var done = init.done
     var seq = init.seq
+    var mseq = init.matchSeq
     var droppedRun = 0L
     val matches = Seq.newBuilder[CepMatch]
 
@@ -198,9 +207,12 @@ object Cep {
                 // non-EVERY: first completion only — a second partial
                 // completing on the same event is not emitted (reference:
                 // "the first complete sequence" wins)
-                if (spec.every || !matchedNow)
+                if (spec.every || !matchedNow) {
+                  mseq += 1
                   matches += CepMatch(e.key, p.startUs, e.tsUs,
-                    spec.steps.map(_.name).zip(coll2).map { case (n, es) => Collected(n, es) })
+                    spec.steps.map(_.name).zip(coll2).map { case (n, es) => Collected(n, es) },
+                    matchSeq = mseq)
+                }
                 matchedNow = true
               } else {
                 next += Partial(p.stepIdx + 1, p.startUs, p.startSeq, coll2) // advance
@@ -227,7 +239,7 @@ object Cep {
         s"maxPartials=${spec.maxPartials} for key '${events.head.key}' — " +
         "matches past the cap are lost; raise PatternSpec.maxPartials, " +
         "narrow step predicates, or add a WITHIN bound")
-    (matches.result(), NfaState(partials, done, seq, init.dropped + droppedRun))
+    (matches.result(), NfaState(partials, done, seq, init.dropped + droppedRun, mseq))
   }
 
   /** Batch detection: per-key sort then one NFA pass. `dropCounter`

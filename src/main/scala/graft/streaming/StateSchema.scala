@@ -16,16 +16,17 @@ import org.apache.spark.sql.SparkSession
   *
   * [[Version]] must be bumped on every state-shape change (the bumps so
   * far: round 7 svals carry-through, round 8 svals projection + sort-window
-  * string comparand, round 9 checkpointed sources, round 10 = current:
-  * multi-variant patterns consolidate V per-variant NFA kernels into one
-  * MultiNfaState kernel — both the state shape and the stateful-operator
-  * topology changed). Library users driving the kernels directly (not
-  * through AppRuntime) can call [[guard]] themselves.
+  * string comparand, round 9 checkpointed sources, round 10 multi-variant
+  * patterns consolidate V per-variant NFA kernels into one MultiNfaState
+  * kernel, round 11(schema v11, shipped round 12) = current: NfaState
+  * grows the per-key `matchSeq` match-completion counter backing streaming
+  * EMIT ALL ROWS' mr_match_number). Library users driving the kernels
+  * directly (not through AppRuntime) can call [[guard]] themselves.
   */
 object StateSchema {
 
   /** Current state-schema generation of the streaming kernels. */
-  val Version: Int = 10
+  val Version: Int = 11
 
   private val MarkerName = "graft-state-version.json"
 

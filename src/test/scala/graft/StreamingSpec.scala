@@ -1792,34 +1792,96 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("STREAMING MATCH_RECOGNIZE: ALL ROWS and PREV/NEXT reject typed (batch-only)") {
+  test("STREAMING MATCH_RECOGNIZE: PREV/NEXT and skip-past reject typed (batch-only)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, String, Double)]
     val events = in.toDS().toDF("sec", "user_id", "kind", "v")
       .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
         "user_id", "kind", "v")
-    def mk(measures: String, rowsMode: String, defB: String): String =
+    def mk(measures: String, rowsMode: String, pattern: String, defB: String): String =
       s"""CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
          |CREATE STREAM Out (user_id BIGINT, a_v DOUBLE);
          |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
          |  PARTITION BY user_id ORDER BY ts
          |  MEASURES $measures
          |  $rowsMode AFTER MATCH SKIP TO NEXT ROW
-         |  PATTERN (A B) WITHIN INTERVAL '1' HOUR
+         |  PATTERN ($pattern) WITHIN INTERVAL '1' HOUR
          |  DEFINE A AS A.kind = 'a', $defB
          |);""".stripMargin
-    val allRows = intercept[graft.sql.GraftApp.SqlError](graft.sql.GraftApp.run(
-      spark, mk("A.v AS a_v", "ALL ROWS PER MATCH", "B AS B.kind = 'b'"),
-      Map("E" -> events)))
-    assert(allRows.getMessage.contains("batch-only"))
     val nav = intercept[graft.sql.GraftApp.SqlError](graft.sql.GraftApp.run(
-      spark, mk("PREV(A.v) AS a_v", "ONE ROW PER MATCH", "B AS B.kind = 'b'"),
+      spark, mk("PREV(A.v) AS a_v", "ONE ROW PER MATCH", "A B", "B AS B.kind = 'b'"),
       Map("E" -> events)))
     assert(nav.getMessage.contains("batch-only"))
     val navDef = intercept[graft.sql.GraftApp.SqlError](graft.sql.GraftApp.run(
-      spark, mk("A.v AS a_v", "ONE ROW PER MATCH",
+      spark, mk("A.v AS a_v", "ONE ROW PER MATCH", "A B",
         "B AS B.kind = 'b' AND B.v > PREV(B.v)"),
       Map("E" -> events)))
     assert(navDef.getMessage.contains("batch-only"))
+    // ALL ROWS PER MATCH now streams for a single chain (see the parity
+    // test); the zero-min-quantifier multi-variant form stays batch-only
+    val allRowsOpt = intercept[graft.sql.GraftApp.SqlError](graft.sql.GraftApp.run(
+      spark, mk("A.v AS a_v", "ALL ROWS PER MATCH", "A B?", "B AS B.kind = 'b'"),
+      Map("E" -> events)))
+    assert(allRowsOpt.getMessage.contains("batch-only"))
+    // SKIP PAST LAST ROW needs lookahead — batch-only, typed
+    val skipPast = intercept[graft.sql.GraftApp.SqlError](graft.sql.GraftApp.run(
+      spark, mk("A.v AS a_v", "ONE ROW PER MATCH", "A B", "B AS B.kind = 'b'")
+        .replace("AFTER MATCH SKIP TO NEXT ROW", "AFTER MATCH SKIP PAST LAST ROW"),
+      Map("E" -> events)))
+    assert(skipPast.getMessage.contains("batch-only"))
+  }
+
+  test("STREAMING MATCH_RECOGNIZE ALL ROWS PER MATCH: per-event rows across micro-batches, parity with batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val events = in.toDS().toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE,
+        |                   n_b BIGINT, mr_match_number BIGINT, mr_classifier STRING);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES count(B.v) AS n_b
+        |  ALL ROWS PER MATCH AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A B+) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b'
+        |);""".stripMargin
+    val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+    assert(outDf.isStreaming)
+    val q = outDf.writeStream.format("memory").queryName("mr_allrows_sink")
+      .outputMode("append").start()
+    def snap() = spark.table("mr_allrows_sink").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4),
+        r.getLong(5), r.getString(6)))
+      .sortBy(t => (t._1, t._5, t._3))
+    try {
+      // batch 1: a b — the n_b=1 match emits its two rows
+      in.addData((1L, 7L, "a", 1.0), (2L, 7L, "b", 2.0)); q.processAllAvailable()
+      assert(snap().toSeq == Seq(
+        (7L, "a", 1.0, 1L, 1L, "A"), (7L, "b", 2.0, 1L, 1L, "B")))
+      // batch 2: another b — the n_b=2 match emits THREE rows, including
+      // the two events buffered in state from batch 1 (cross-batch replay)
+      in.addData((3L, 7L, "b", 3.0)); q.processAllAvailable()
+      val got = snap()
+      assert(got.toSeq == Seq(
+        (7L, "a", 1.0, 1L, 1L, "A"), (7L, "b", 2.0, 1L, 1L, "B"),
+        (7L, "a", 1.0, 2L, 2L, "A"),
+        (7L, "b", 2.0, 2L, 2L, "B"), (7L, "b", 3.0, 2L, 2L, "B")))
+      // parity: the batch lowering over the same tape yields the same rows
+      // (same numbering here — completion order equals start order when
+      // matches share a start)
+      val tape = Seq((1L, 7L, "a", 1.0), (2L, 7L, "b", 2.0), (3L, 7L, "b", 3.0))
+        .toDF("sec", "user_id", "kind", "v")
+        .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+          "user_id", "kind", "v")
+      val batch = graft.sql.GraftApp.run(spark, app, Map("E" -> tape))("Out")
+        .collect()
+        .map(r => (r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4),
+          r.getLong(5), r.getString(6)))
+        .sortBy(t => (t._1, t._5, t._3))
+      assert(got.toSeq == batch.toSeq)
+    } finally q.stop()
   }
 }
