@@ -94,6 +94,100 @@ object Sketches {
     bottom.distinct().orderBy(col("hv")).limit(k)
   }
 
+  /** The KMV sketch RELATION of `keyCol` — ≤ k rows, single column `hv`
+    * (the k smallest distinct portable md5-60 hashes). This is the
+    * persistable form: write it as parquet next to a corpus snapshot, and
+    * later [[kmvMerge]] it with new crawls' sketches and read the union
+    * cardinality off [[kmvEstimate]] WITHOUT rescanning old corpora — the
+    * incremental-crawl bookkeeping shape (a 100 TB corpus's sketch is k
+    * longs). NULL keys are ignored (distinct-count convention).
+    */
+  def kmvSketch(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    bottomK(df, keyCol, k)
+  }
+
+  /** Merge two KMV sketch relations (column `hv`, built with the same k):
+    * union → distinct → re-truncate to the k smallest. KMV's closure
+    * property (Beyer et al. 2007): the bottom-k of A ∪ B is computable
+    * from the two bottom-k synopses alone, so the merged relation IS the
+    * sketch of the concatenated corpora — bit-exactly, associatively,
+    * without touching either corpus. Output: a sketch relation again
+    * (composable: fold a whole directory of sketches).
+    */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    a.select(col("hv")).unionByName(b.select(col("hv")))
+      .distinct().orderBy(col("hv")).limit(k)
+  }
+
+  /** Distinct-count estimate from a sketch RELATION alone (no corpus):
+    * same row contract as [[kmvDistinct]] — `(k_used, kth_hash,
+    * est_distinct)`, exact when the sketch saw everything (k_used < k).
+    */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    sketch.select(col("hv"))
+      .agg(count(lit(1)).as("k_used"), max(col("hv")).as("kth_hash"))
+      .select(
+        col("k_used"),
+        coalesce(col("kth_hash"), lit(0L)).as("kth_hash"),
+        when(col("k_used") < k, col("k_used"))
+          .otherwise(round(lit((k - 1).toDouble) * lit(Two60) /
+            col("kth_hash").cast("double")).cast("long"))
+          .as("est_distinct"))
+  }
+
+  /** Per-group KMV distinct estimate — "distinct users per domain", the
+    * datacard question [[kmvDistinct]] can't answer globally. One
+    * mapPartitions fold holds a bounded k-entry TreeSet PER GROUP (state ≤
+    * k·|groups| longs per task — groups are datacard dimensions: languages,
+    * domains, event types), emitting ≤ k hashes per (partition, group);
+    * a group-partitioned row_number window then keeps each group's k
+    * smallest and one aggregation applies the estimator. NULL group keys
+    * form their own group (GROUP BY parity); NULL member keys are ignored
+    * (distinct-count convention). Output: one row per group
+    * `(key STRING, k_used, kth_hash, est_distinct)`.
+    */
+  def kmvDistinctBy(df: DataFrame, groupCol: String, keyCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    // tuple-encoder field names (_1, _2): Dataset.as matches by name
+    val hashed = df.select(col(groupCol).cast("string").as("_1"),
+        hash60(col(keyCol)).as("_2"))
+      .filter(col("_2").isNotNull)
+    val perPart = hashed.as[(String, Long)](Encoders.product[(String, Long)])
+      .mapPartitions { it =>
+        val sets = scala.collection.mutable.HashMap
+          .empty[String, java.util.TreeSet[java.lang.Long]]
+        it.foreach { case (g, h) =>
+          val set = sets.getOrElseUpdate(g, new java.util.TreeSet[java.lang.Long]())
+          if (set.size < k) set.add(h)
+          else if (h < set.last()) {
+            if (set.add(h)) set.pollLast()
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        sets.iterator.flatMap { case (g, set) =>
+          set.iterator().asScala.map(h => (g, h.longValue()))
+        }
+      }(Encoders.product[(String, Long)])
+      .toDF("key", "hv").dropDuplicates("key", "hv")
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("hv"))
+    perPart.withColumn("__rn", row_number().over(wK))
+      .filter(col("__rn") <= k)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("k_used"), max(col("hv")).as("kth_hash"))
+      .select(
+        col("key"), col("k_used"), col("kth_hash"),
+        when(col("k_used") < k, col("k_used"))
+          .otherwise(round(lit((k - 1).toDouble) * lit(Two60) /
+            col("kth_hash").cast("double")).cast("long"))
+          .as("est_distinct"))
+      .orderBy(col("key"))
+  }
+
   /** KMV bottom-k distinct estimate of `keyCol`. Output: ONE row
     * `(k_used BIGINT, kth_hash BIGINT, est_distinct BIGINT)` —
     * `k_used` < k means the sketch saw every distinct value and
@@ -313,6 +407,67 @@ object Sketches {
       .orderBy(col("cnt").desc, col("key"))
     // eager materialization so the pass-1 persist can be freed here (the
     // selectBudget lifetime discipline)
+    val res = out.localCheckpoint(true)
+    mg.unpersist()
+    res
+  }
+
+  /** Per-group exact heavy hitters — "heavy tokens per language", the
+    * per-group form of [[heavyHitters]]: within every group g, every key
+    * with `count·(k+1) > N_g` (N_g = the group's row count), exact counts.
+    * Pass 1 runs Misra-Gries PER (partition, group) — bounded k counters
+    * per group per task, the same pigeonhole coverage proof applied
+    * group-wise — and carries each (partition, group) row count on flag
+    * rows; pass 2 recounts only the ≤ k·partitions candidates per group
+    * (null-safe two-column semi gate, so NULL groups and NULL keys stay
+    * real groups — GROUP BY parity) and applies each group's own exact
+    * threshold. No full-corpus groupBy ever runs. Output:
+    * `(grp STRING, key STRING, cnt BIGINT)`, group asc then count desc.
+    */
+  def heavyHittersBy(df: DataFrame, groupCol: String, keyCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val keys = df.select(col(groupCol).cast("string").as("_1"),
+      col(keyCol).cast("string").as("_2"))
+    val mg = keys.as[(String, String)](Encoders.product[(String, String)])
+      .mapPartitions { it =>
+        val counters = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.HashMap[String, Long]]
+        val nG = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { case (g, s) =>
+          nG(g) = nG.getOrElse(g, 0L) + 1
+          val cs = counters.getOrElseUpdate(g,
+            scala.collection.mutable.HashMap.empty[String, Long])
+          cs.get(s) match {
+            case Some(c) => cs(s) = c + 1
+            case None if cs.size < k => cs(s) = 1L
+            case None =>
+              cs.keys.toArray.foreach { kk =>
+                val c = cs(kk) - 1
+                if (c == 0) cs.remove(kk) else cs(kk) = c
+              }
+          }
+        }
+        counters.iterator.flatMap { case (g, cs) =>
+          cs.keysIterator.map(kk => (g, kk, 0L, false))
+        } ++ nG.iterator.map { case (g, n) => (g, null: String, n, true) }
+      }(Encoders.product[(String, String, Long, Boolean)])
+      .toDF("grp", "key", "n_p", "is_tot")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-group totals are a ≤|groups|·partitions relation — broadcast it
+    val totals = mg.filter(col("is_tot"))
+      .groupBy(col("grp")).agg(sum(col("n_p")).as("__n"))
+    val candidates = mg.filter(!col("is_tot"))
+      .select(col("grp").as("__cg"), col("key").as("__ck")).distinct()
+    val out = keys.toDF("grp", "key")
+      .join(broadcast(candidates),
+        col("grp") <=> col("__cg") && col("key") <=> col("__ck"), "left_semi")
+      .groupBy(col("grp"), col("key")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals.withColumnRenamed("grp", "__tg")),
+        col("grp") <=> col("__tg"))
+      .filter(col("cnt") * (k + 1) > col("__n"))
+      .select(col("grp"), col("key"), col("cnt"))
+      .orderBy(col("grp"), col("cnt").desc, col("key"))
     val res = out.localCheckpoint(true)
     mg.unpersist()
     res

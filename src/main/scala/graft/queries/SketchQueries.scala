@@ -79,6 +79,56 @@ object SketchQueries extends QueryFamily {
              |  CASE WHEN k_used > 0 THEN (n_both * 1000) // k_used ELSE 0 END AS jaccard_pm
              |FROM est""".stripMargin)),
 
+    // Per-group KMV (round 12): distinct users PER EVENT TYPE from one
+    // bounded fold (k-entry TreeSet per group per partition) — the
+    // datacard's "distinct X per Y" from ≤ k longs per group, never a
+    // distinct-key exchange. DuckDB replays each group's bottom-64 and
+    // the estimator per group.
+    QueryDef(
+      "q_sketch_kmv_by",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        Sketches.kmvDistinctBy(e, "event_type", "user_id", 64)
+      },
+      Some("""WITH h AS (SELECT DISTINCT event_type AS key,
+             |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+             |  FROM events WHERE user_id IS NOT NULL),
+             |r AS (SELECT key, hv, row_number() OVER (PARTITION BY key ORDER BY hv) AS rn FROM h),
+             |a AS (SELECT key, CAST(count(*) AS BIGINT) AS k_used, max(hv) AS kth
+             |      FROM r WHERE rn <= 64 GROUP BY key)
+             |SELECT key, k_used, kth AS kth_hash,
+             |  CASE WHEN k_used < 64 THEN k_used
+             |       ELSE CAST(round(63.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE)) AS BIGINT) END
+             |    AS est_distinct
+             |FROM a ORDER BY key""".stripMargin)),
+
+    // Sketch persistence + merge (round 12): the corpus splits into two
+    // independently-sketched halves (kmvSketch = the persistable ≤k-row
+    // relation), kmvMerge folds them (union → re-truncate: KMV's closure
+    // property, bit-exact), kmvEstimate reads the union cardinality off
+    // the merged sketch alone — the incremental-crawl shape: no rescan of
+    // the old half. The oracle replays the whole-corpus bottom-64, which
+    // the merged sketch must equal exactly.
+    QueryDef(
+      "q_sketch_merge",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        val a = Sketches.kmvSketch(
+          e.filter(col("event_type").isin("signup", "click")), "user_id", 64)
+        val b = Sketches.kmvSketch(
+          e.filter(!col("event_type").isin("signup", "click")), "user_id", 64)
+        Sketches.kmvEstimate(Sketches.kmvMerge(a, b, 64), 64)
+      },
+      Some("""WITH h AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+             |           FROM events WHERE user_id IS NOT NULL),
+             |kk AS (SELECT hv FROM h ORDER BY hv LIMIT 64),
+             |a AS (SELECT CAST(count(*) AS BIGINT) AS k_used, max(hv) AS kth FROM kk)
+             |SELECT k_used, coalesce(kth, 0) AS kth_hash,
+             |  CASE WHEN k_used < 64 THEN k_used
+             |       ELSE CAST(round(63.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE)) AS BIGINT) END
+             |    AS est_distinct
+             |FROM a""".stripMargin)),
+
     // Distributed exact quantiles via the bucket histogram: the p1/p25/
     // median/p75/p99 of lineitem prices at cent granularity — work bounded
     // by distinct buckets, integer-deterministic quantile contract
@@ -158,5 +208,28 @@ object SketchQueries extends QueryFamily {
              |  SELECT 'lang' AS dim, lc.key, lc.cnt FROM lc, ln WHERE lc.cnt * 4 > ln.n
              |  UNION ALL
              |  SELECT 'tok' AS dim, tc.key, tc.cnt FROM tc, tn WHERE tc.cnt * 31 > tn.n)
-             |ORDER BY dim, cnt DESC, key""".stripMargin)))
+             |ORDER BY dim, cnt DESC, key""".stripMargin)),
+
+    // Per-group exact heavy hitters (round 12): heavy tokens PER LANGUAGE
+    // — Misra-Gries per (partition, group), exact recount of candidates
+    // only, each group's own N_g threshold. The oracle is the plain
+    // per-group exact computation the MG pass provably only prunes.
+    QueryDef(
+      "q_sketch_heavy_by",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val toks = d.select(col("lang"),
+          explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+            t => t =!= lit(""))).as("tok"))
+        Sketches.heavyHittersBy(toks, "lang", "tok", 30)
+      },
+      Some("""WITH tk AS (SELECT lang AS grp,
+             |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS key
+             |  FROM documents),
+             |tc AS (SELECT grp, key, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY 1, 2),
+             |tn AS (SELECT grp, count(*) AS n FROM tk GROUP BY 1)
+             |SELECT tc.grp AS grp, tc.key AS key, tc.cnt AS cnt
+             |FROM tc JOIN tn ON tc.grp IS NOT DISTINCT FROM tn.grp
+             |WHERE tc.cnt * 31 > tn.n
+             |ORDER BY 1, 3 DESC, 2""".stripMargin)))
 }

@@ -78,6 +78,97 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(ov.getLong(4) - 333.0) < 120, s"jaccard_pm ${ov.getLong(4)}")
   }
 
+  test("kmvDistinctBy: per-group estimates equal independent per-group sketches") {
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    // group a: 20 distinct (< k=32: exact); group b: 500 distinct
+    // (estimator); group c: 1 value duplicated (exact 1)
+    val rows = (0L until 100L).map(i => ("a", i % 20)) ++
+      (0L until 500L).map(i => ("b", 1000 + i)) ++ Seq.fill(7)(("c", 9L))
+    val df = rows.toDF("g", "k")
+    val got = Sketches.kmvDistinctBy(df, "g", "k", 32)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("a")._1 == 20 && got("a")._3 == 20)
+    assert(got("c")._1 == 1 && got("c")._3 == 1)
+    val kthB = (0L until 500L).map(i => h60((1000 + i).toString)).sorted.apply(31)
+    assert(got("b")._1 == 32 && got("b")._2 == kthB)
+    assert(got("b")._3 == math.round(31.0 * 1152921504606846976.0 / kthB.toDouble))
+    // per-group result == global kmvDistinct run on each group's slice
+    for (g <- Seq("a", "b", "c")) {
+      val solo = Sketches.kmvDistinct(df.filter(col("g") === g), "k", 32).head()
+      assert(got(g) == ((solo.getLong(0), solo.getLong(1), solo.getLong(2))), s"group $g")
+    }
+    // NULL group keys form their own group; NULL member keys are skipped
+    val withNull = Seq((null: String, java.lang.Long.valueOf(1L)),
+      (null, java.lang.Long.valueOf(2L)), (null, null: java.lang.Long),
+      ("x", java.lang.Long.valueOf(3L))).toDF("g", "k")
+    val gn = Sketches.kmvDistinctBy(withNull, "g", "k", 8)
+      .collect().map(r => (if (r.isNullAt(0)) "<N>" else r.getString(0)) -> r.getLong(3)).toMap
+    assert(gn == Map("<N>" -> 2L, "x" -> 1L))
+  }
+
+  test("kmvSketch/kmvMerge/kmvEstimate: merge is bit-exact and associative") {
+    val a = (0L until 3000L).map(Tuple1(_)).toDF("k")
+    val b = (2000L until 5000L).map(Tuple1(_)).toDF("k")
+    val c = (4500L until 6000L).map(Tuple1(_)).toDF("k")
+    val union = (0L until 6000L).map(Tuple1(_)).toDF("k")
+    val (sa, sb, sc) = (Sketches.kmvSketch(a, "k", 64),
+      Sketches.kmvSketch(b, "k", 64), Sketches.kmvSketch(c, "k", 64))
+    def hvs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("hv").collect().map(_.getLong(0)).toSeq
+    // merged sketch == the sketch of the concatenated corpora, exactly
+    assert(hvs(Sketches.kmvMerge(sa, sb, 64)) ==
+      hvs(Sketches.kmvSketch(a.unionByName(b), "k", 64)))
+    // associativity: (a⊕b)⊕c == a⊕(b⊕c) == sketch of the 3-way union
+    val l = Sketches.kmvMerge(Sketches.kmvMerge(sa, sb, 64), sc, 64)
+    val r = Sketches.kmvMerge(sa, Sketches.kmvMerge(sb, sc, 64), 64)
+    assert(hvs(l) == hvs(r))
+    assert(hvs(l) == hvs(Sketches.kmvSketch(union, "k", 64)))
+    // estimate off the merged sketch == kmvDistinct on the union corpus
+    val em = Sketches.kmvEstimate(l, 64).head()
+    val eu = Sketches.kmvDistinct(union, "k", 64).head()
+    assert((em.getLong(0), em.getLong(1), em.getLong(2)) ==
+      ((eu.getLong(0), eu.getLong(1), eu.getLong(2))))
+    // small unions stay exact through a merge
+    val tiny = Sketches.kmvEstimate(Sketches.kmvMerge(
+      Sketches.kmvSketch((0L until 10L).map(Tuple1(_)).toDF("k"), "k", 64),
+      Sketches.kmvSketch((5L until 15L).map(Tuple1(_)).toDF("k"), "k", 64), 64), 64).head()
+    assert(tiny.getLong(0) == 15 && tiny.getLong(2) == 15)
+  }
+
+  test("heavyHittersBy: per-group exact thresholds, MG prune per (partition, group)") {
+    // group g1: 'hot' dominates; group g2: uniform (nothing qualifies);
+    // group g3: two heavies at k=9
+    val rows = Seq.fill(300)(("g1", "hot")) ++ (0 until 100).map(i => ("g1", s"c$i")) ++
+      (0 until 100).map(i => ("g2", s"u${i % 10}")) ++ // 10 each of 100: 10*10 = N, not > N
+      Seq.fill(50)(("g3", "x")) ++ Seq.fill(40)(("g3", "y")) ++
+      (0 until 30).map(i => ("g3", s"z$i"))
+    val df = rows.zipWithIndex.sortBy(t => (t._2 * 2654435761L) % 1000003L)
+      .map(_._1).toDF("g", "k").repartition(7)
+    val got = Sketches.heavyHittersBy(df, "g", "k", 9)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // exact per-group computation for comparison
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((g, k), c) => (g, k, c) }
+      .filter { case (g, _, c) => c * 10 > rows.count(_._1 == g) }
+      .sortBy { case (g, k, c) => (g, -c, k) }
+    assert(got.toSeq == exact, s"got ${got.toSeq}\nwant $exact")
+    assert(got.exists(_._1 == "g1") && got.exists(_._1 == "g3"))
+    assert(!got.exists(_._1 == "g2"))
+    // NULL group and NULL key both count as real groups
+    val nul = (Seq.fill(5)((null: String, "a")) ++ Seq.fill(4)(("g", null: String)) ++
+      Seq(("g", "b"))).toDF("g", "k")
+    val gotN = Sketches.heavyHittersBy(nul, "g", "k", 2)
+      .collect().map(r => (
+        if (r.isNullAt(0)) "<G>" else r.getString(0),
+        if (r.isNullAt(1)) "<K>" else r.getString(1), r.getLong(2)))
+    // null group: 'a'x5 of 5 (5*3>5 yes); group g: null-key x4 of 5 (12>5)
+    assert(gotN.toSet == Set(("<G>", "a", 5L), ("g", "<K>", 4L)), gotN.toSeq)
+  }
+
   test("quantiles: integer-deterministic histogram quantiles match brute force") {
     // 1..1000 at scale 1: q‰ quantile = smallest v with rank >= ceil(q·N/1000)
     val vals = (1 to 1000).map(v => Tuple1(v.toDouble)).toDF("v")
