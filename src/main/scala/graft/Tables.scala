@@ -37,4 +37,37 @@ object Tables {
   /** Register every table as a temp view (for spark.sql-expressed queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Write a driver table as a BUCKETED managed table — the write-once,
+    * join-forever-shuffle-free path for fact-fact joins (SCALE.md's join
+    * section): two tables bucketed on the same key with the same bucket
+    * count hash-partition identically at WRITE time, so every later
+    * equi-join or aggregation on that key plans with ZERO
+    * ShuffleExchange — the per-query fact-fact shuffle (the dominant
+    * exchange at 100 TB: both sides corpus-sized) is paid once, at
+    * ingest. `sortBy` on the key additionally pre-orders each bucket file
+    * so the join can run as a zip merge.
+    *
+    * Sizing at 100 TB: nBuckets ≈ table_bytes / target_task_bytes
+    * (128-256 MB) — thousands of buckets for a fact table; both join
+    * sides MUST use the same count (Spark joins bucketed tables
+    * shuffle-free only on equal bucket counts; a mismatch silently
+    * re-shuffles one side).
+    *
+    * Returns the registered table name (default `<name>_bucketed`). Reads
+    * go through `spark.table(...)` — bucketing metadata lives in the
+    * catalog, not the parquet footer, which is why this writes a managed
+    * table instead of a bare directory.
+    */
+  def writeBucketed(spark: SparkSession, dir: String, name: String,
+                    bucketCol: String, nBuckets: Int,
+                    tableName: Option[String] = None,
+                    sorted: Boolean = true): String = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val tbl = tableName.getOrElse(s"${name}_bucketed")
+    val w0 = apply(spark, dir, name).write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol)
+    (if (sorted) w0.sortBy(bucketCol) else w0).saveAsTable(tbl)
+    tbl
+  }
 }

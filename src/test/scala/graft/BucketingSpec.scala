@@ -64,4 +64,42 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS fact_b")
     }
   }
+
+  test("Tables.writeBucketed: bucketed lineitem JOIN orders plans with zero shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val dir = "/root/testdata/sf0.001"
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.writeBucketed(spark, dir, "lineitem", "l_orderkey", 8)
+      val ord = Tables.writeBucketed(spark, dir, "orders", "o_orderkey", 8)
+      val joined = spark.table(li)
+        .join(spark.table(ord), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("rev"))
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s
+      }
+      // the fact-fact join AND the same-key aggregation both ride the
+      // write-time bucket partitioning — zero exchanges in the whole plan
+      assert(shuffles.isEmpty,
+        joined.queryExecution.executedPlan.toString.take(2000))
+      // answers equal the unbucketed plan's
+      val plain = Tables(spark, dir, "lineitem")
+        .join(Tables(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("rev"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == plain)
+      assert(got.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+      spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+    }
+  }
 }
