@@ -453,6 +453,43 @@ object CepQueries extends QueryFamily {
              |SELECT user_id, event_id, ts_us, value, n_b, mr_match_number, mr_classifier
              |FROM out ORDER BY user_id, mr_match_number, event_id""".stripMargin)),
 
+    // MATCH_RECOGNIZE pattern alternation (round 12): (A|B) lowers to the
+    // engine's n-ary OR step — the classifier stays per alternative, so
+    // the unmatched branch's measures are NULL. strict (signup|view) →
+    // purchase within 1h; the oracle replays it with lead windows and a
+    // two-way CASE on the anchoring type.
+    QueryDef(
+      "q_cep_mr_alt",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (user_id BIGINT, a_id BIGINT, b_id BIGINT, c_id BIGINT);
+            |INSERT INTO Out SELECT * FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts
+            |  MEASURES A.event_id AS a_id, B.event_id AS b_id, C.event_id AS c_id
+            |  ONE ROW PER MATCH
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN ((A | B) C) WITHIN INTERVAL '1' HOUR
+            |  DEFINE A AS A.event_type = 'signup', B AS B.event_type = 'view',
+            |         C AS C.event_type = 'purchase'
+            |);""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .orderBy(col("user_id"), col("c_id"))
+      },
+      Some("""SELECT user_id, a_id, b_id, c_id FROM (
+             |  SELECT user_id,
+             |    CASE WHEN event_type = 'signup' THEN event_id END AS a_id,
+             |    CASE WHEN event_type = 'view' THEN event_id END AS b_id,
+             |    event_type AS t1,
+             |    lead(event_id) OVER w AS c_id, lead(event_type) OVER w AS t2,
+             |    epoch_us(ts) AS ts1, lead(epoch_us(ts)) OVER w AS ts2
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+             |WHERE t1 IN ('signup', 'view') AND t2 = 'purchase'
+             |  AND ts2 - ts1 <= 3600000000
+             |ORDER BY user_id, c_id""".stripMargin)),
+
     // MATCH_RECOGNIZE AFTER MATCH SKIP PAST LAST ROW (round 12): ANSI's
     // DEFAULT skip mode — the clause is OMITTED here to pin exactly the
     // paste-a-Flink-query contract. Greedy leftmost non-overlapping over

@@ -991,8 +991,11 @@ object GraftApp {
     *    unchanged — emits the greedy leftmost non-overlapping subset
     *    (round 12; batch-only, no zero-min quantifiers — typed gates in
     *    PatternCompiler). SKIP TO FIRST/LAST variable stays typed-rejected;
-    *  - pattern grouping/alternation is rejected with a pointer to the
-    *    engine spelling that covers it (OR steps);
+    *  - single-level alternation `(A|B)` (round 12) lowers to the engine's
+    *    n-ary OR step — alias/classifier kept per alternative, unmatched
+    *    alternatives NULL in MEASURES; quantified alternation and any
+    *    other grouping stay typed rejections pointing to the engine
+    *    spelling (OR/AND steps);
     *  - ALL ROWS PER MATCH (round 11) lowers to the engine's EMIT ALL
     *    ROWS: one output row per matched EVENT — the stream's own columns
     *    plus `mr_classifier` plus the MEASURES with FINAL semantics
@@ -1196,23 +1199,42 @@ object GraftApp {
     if (tOrig.trim.nonEmpty) throw SqlError(
       s"unrecognized MATCH_RECOGNIZE clause: '${tOrig.trim.take(60)}'")
 
-    // ---- pattern tokens: VAR quantifier, concatenation only
-    if (patternRaw.exists(c => c == '(' || c == ')' || c == '|'))
-      throw SqlError("pattern grouping/alternation is not supported in " +
-        "MATCH_RECOGNIZE — the engine grammar covers OR/AND steps: " +
-        "FROM PATTERN (a=S[...] OR b=S[...] -> ...)")
-    val tokRe = """(\w+)(\+|\*|\?|\{\d+(?:,\d*)?\})?""".r
-    val toks = patternRaw.trim.split("\\s+").toSeq.filter(_.nonEmpty).map {
-      case tokRe(v, q) => (v, Option(q))
-      case other => throw SqlError(s"bad pattern element '$other'")
-    }
+    // ---- pattern tokens: VAR[quant], or an (A|B) alternation group
+    // (round 12) lowering to ONE engine OR step — each alternative keeps
+    // its own alias (classifier) and DEFINE predicate. Nested/sequence
+    // grouping and QUANTIFIED alternation stay typed errors: the engine's
+    // OR steps take no count quantifier (compileVariant rejects it too).
+    val grpRe =
+      ("""\(\s*(\w+(?:\s*\|\s*\w+)+)\s*\)\s*(\+|\*|\?|\{\d+(?:,\d*)?\})?""" +
+        """|(\w+)\s*(\+|\*|\?|\{\d+(?:,\d*)?\})?""").r
+    val covered = new StringBuilder
+    val toks: Seq[(Seq[String], Option[String])] =
+      grpRe.findAllMatchIn(patternRaw).map { gm =>
+        covered.append(gm.matched)
+        if (gm.group(1) != null) {
+          if (gm.group(2) != null) throw SqlError(
+            s"quantified alternation '(${gm.group(1).trim})${gm.group(2)}' is " +
+              "not supported — engine OR steps take no count quantifier")
+          val alts = gm.group(1).split("\\|").map(_.trim).toSeq
+          alts.groupBy(identity).collectFirst { case (a, as) if as.size > 1 => a }
+            .foreach(a => throw SqlError(
+              s"duplicate alternative '$a' in alternation (${gm.group(1).trim})"))
+          (alts, None)
+        } else (Seq(gm.group(3)), Option(gm.group(4)))
+      }.toSeq
+    // the scan skips anything unmatchable — require full coverage so a
+    // nested group / stray paren is a typed error, never silently dropped
+    if (covered.toString.replaceAll("\\s", "") != patternRaw.replaceAll("\\s", ""))
+      throw SqlError("pattern grouping beyond single-level alternation " +
+        "(A|B) is not supported in MATCH_RECOGNIZE — the engine grammar " +
+        "covers OR/AND steps: FROM PATTERN (a=S[...] OR b=S[...] -> ...)")
     if (toks.isEmpty) throw SqlError("empty PATTERN")
-    defines.keys.find(v => !toks.exists(_._1 == v)).foreach(v =>
+    defines.keys.find(v => !toks.exists(_._1.contains(v))).foreach(v =>
       throw SqlError(s"DEFINE names '$v' which is not a pattern variable"))
     toks.headOption.filter(_._2.exists(q => q == "?" || q == "*" || q.startsWith("{0")))
-      .foreach { case (v, _) => throw SqlError(
-        s"first pattern variable '$v' must be required (min >= 1) — the " +
-          "match and its partition key anchor on it") }
+      .foreach { case (vs, _) => throw SqlError(
+        s"first pattern variable '${vs.head}' must be required (min >= 1) — " +
+          "the match and its partition key anchor on it") }
 
     // DEFINE predicate: self-references become bare columns (the engine's
     // step-filter form); other variables stay qualified (cross-step refs)
@@ -1249,14 +1271,20 @@ object GraftApp {
           s"the variable being defined — PREV($v.col [, k]) or PREV(col [, k])"))
       lowered
     }
-    val steps = toks.map { case (v, q) =>
-      val pred = defines.get(v).map(p => s"[${lowerPred(v, p)}]").getOrElse("")
-      val quant = q.getOrElse("") match {
-        case "" => ""
-        case "?" => "{0,1}"
-        case s0 => s0 // + * {n} {n,m} {n,} — the engine spells these the same
-      }
-      s"$v=$stream$pred$quant"
+    val steps = toks.map {
+      case (Seq(v), q) =>
+        val pred = defines.get(v).map(p => s"[${lowerPred(v, p)}]").getOrElse("")
+        val quant = q.getOrElse("") match {
+          case "" => ""
+          case "?" => "{0,1}"
+          case s0 => s0 // + * {n} {n,m} {n,} — the engine spells these the same
+        }
+        s"$v=$stream$pred$quant"
+      case (alts, _) => // alternation: one engine OR step, alias per branch
+        alts.map { v =>
+          val pred = defines.get(v).map(p => s"[${lowerPred(v, p)}]").getOrElse("")
+          s"$v=$stream$pred"
+        }.mkString(" OR ")
     }
 
     // MEASURES: FIRST/LAST navigation lowers to indexed access; collection
@@ -1289,8 +1317,13 @@ object GraftApp {
     // key, so no key item is injected; the engine appends them (plus
     // mr_classifier) via EMIT ALL ROWS
     val keyItem = if (allRows) None else partitionBy.map { k =>
-      val (v0, q0) = toks.head
-      val spelled = if (q0.isDefined) s"$v0[0].$k" else s"$v0.$k"
+      val (vs0, q0) = toks.head
+      // an alternation head binds exactly one alternative per match (the
+      // others join NULL) — coalesce picks the matched one's key
+      val spelled =
+        if (vs0.size > 1) vs0.map(v => s"$v.$k").mkString("coalesce(", ", ", ")")
+        else if (q0.isDefined) s"${vs0.head}[0].$k"
+        else s"${vs0.head}.$k"
       s"$spelled AS $k"
     }
     val select = (keyItem.toSeq ++ items).mkString(", ")

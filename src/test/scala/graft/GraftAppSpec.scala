@@ -1117,6 +1117,42 @@ class GraftAppSpec extends AnyFunSuite {
     assert(errOf(nativeNoEvery, Map("E" -> retry)).contains("EVERY"))
   }
 
+  test("MATCH_RECOGNIZE alternation (A|B): lowers to the engine's OR step, equal to the native spelling") {
+    // a c | b c | x c: (A|B) binds signup-or-view; the unmatched
+    // alternative's measures are NULL; x anchors nothing
+    val in = Seq((1, 7L, "a", 1.0), (2, 7L, "c", 2.0), (3, 7L, "b", 3.0),
+      (4, 7L, "c", 4.0), (5, 7L, "x", 5.0), (6, 7L, "c", 6.0))
+      .toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val mr =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, a_v DOUBLE, b_v DOUBLE, c_v DOUBLE);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES A.v AS a_v, B.v AS b_v, C.v AS c_v
+        |  ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN ((A | B) C) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b', C AS C.kind = 'c'
+        |);""".stripMargin
+    val native =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, a_v DOUBLE, b_v DOUBLE, c_v DOUBLE);
+        |INSERT INTO Out
+        |SELECT coalesce(A.user_id, B.user_id) AS user_id, A.v AS a_v,
+        |       B.v AS b_v, C.v AS c_v
+        |FROM SEQUENCE (EVERY (A=E[kind = 'a'] OR B=E[kind = 'b'] -> C=E[kind = 'c']))
+        |WITHIN 1 HOUR PARTITION BY user_id;""".stripMargin
+    def rows(app: String) = GraftApp.run(spark, app, Map("E" -> in))("Out")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1.0 else r.getDouble(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2),
+        r.getDouble(3))).sortBy(_._4)
+    val got = rows(mr)
+    assert(got.toSeq == rows(native).toSeq)
+    assert(got.toSeq == Seq((7L, 1.0, -1.0, 2.0), (7L, -1.0, 3.0, 4.0)))
+  }
+
   test("MATCH_RECOGNIZE: the faithful-subset boundaries are typed errors") {
     def mk(clause: String): String =
       s"""CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
@@ -1136,8 +1172,15 @@ class GraftAppSpec extends AnyFunSuite {
       "AFTER MATCH SKIP TO LAST B")).contains("AFTER MATCH"))
     assert(err(base.replace("ORDER BY ts", "ORDER BY v")).contains("event-time"))
     assert(err(base.replace("ORDER BY ts ", "")).contains("ORDER BY"))
-    assert(err(base.replace("PATTERN (A B)", "PATTERN (A (B | C))"))
+    // single-level (A|B) alternation is SUPPORTED since round 12 (see the
+    // alternation test); sequence grouping and quantified alternation stay
+    // typed rejections
+    assert(err(base.replace("PATTERN (A B)", "PATTERN ((A B) C)"))
       .contains("alternation"))
+    assert(err(base.replace("PATTERN (A B)", "PATTERN ((A|B)+ C)"))
+      .contains("quantified alternation"))
+    assert(err(base.replace("PATTERN (A B)", "PATTERN ((A|A) C)"))
+      .contains("duplicate alternative"))
     // FIRST/LAST stay DEFINE rejections; PREV over an expression (not a
     // single column of the defining variable) is outside the subset
     assert(err(base.replace("A AS A.kind = 'a'",
