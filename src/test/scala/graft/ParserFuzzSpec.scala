@@ -160,6 +160,36 @@ class ParserFuzzSpec extends AnyFunSuite {
     check(Prop.forAll(mrRowsNearMiss)(typedOnly _))
   }
 
+  /** Round-12 MR surface (alternation + the omitted-AFTER-MATCH ANSI
+    * default = SKIP PAST LAST ROW) gets the same near-miss treatment. */
+  private val validMrSkipApp =
+    """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+      |CREATE STREAM Out (user_id BIGINT, a_v DOUBLE, b_v DOUBLE, n_c BIGINT);
+      |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+      |  PARTITION BY user_id ORDER BY ts
+      |  MEASURES A.v AS a_v, B.v AS b_v, count(C.v) AS n_c
+      |  ONE ROW PER MATCH
+      |  PATTERN ((A | B) C+) WITHIN INTERVAL '1' HOUR
+      |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b', C AS C.kind = 'c');""".stripMargin
+
+  private val mrSkipNearMiss: Gen[String] = for {
+    cut <- Gen.choose(0, validMrSkipApp.length)
+    junk <- Gen.oneOf("", ")", "(A|", "|B)", "(A|A)", "(A|B)+", "((A|B))",
+      "SKIP PAST", "LAST ROW", "AFTER MATCH SKIP TO FIRST A", "|", "(",
+      "'", ",", ";;")
+    mode <- Gen.oneOf(0, 1, 2)
+  } yield mode match {
+    case 0 => validMrSkipApp.substring(0, cut)
+    case 1 => validMrSkipApp.substring(0, cut) + junk + validMrSkipApp.substring(cut)
+    case 2 => junk + validMrSkipApp
+  }
+
+  test("MATCH_RECOGNIZE alternation / skip-past near-misses: typed errors only") {
+    assert(typedOnly(validMrSkipApp))
+    GraftApp.parse(validMrSkipApp) // omitted AFTER MATCH = the ANSI default, parses clean
+    check(Prop.forAll(mrSkipNearMiss)(typedOnly _))
+  }
+
   /** CREATE AGGREGATION + WITHIN…PER statements (round 6) get the same
     * near-miss treatment: truncations and junk splices of a valid
     * aggregation app must die typed, never leak compiler internals.
