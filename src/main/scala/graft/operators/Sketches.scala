@@ -278,47 +278,11 @@ object Sketches {
     * `(q_pm BIGINT, bucket BIGINT, value DOUBLE = bucket/scale)`.
     */
   def quantiles(df: DataFrame, valCol: String, qsPm: Seq[Int],
-                scale: Int = 100): DataFrame = {
-    require(qsPm.nonEmpty && qsPm.forall(q => q >= 1 && q <= 1000),
-      s"quantiles must be in [1,1000] per-mille, got $qsPm")
-    require(scale >= 1, s"scale must be >= 1, got $scale")
-    val spark = df.sparkSession
-    val buckets = df
-      .select(guardedBucket(col(valCol), scale).as("bucket"))
-      .filter(col("bucket").isNotNull)
-      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
-      .repartitionByRange(col("bucket"))
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wIn = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__pid")).orderBy(col("bucket"))
-    val wOff = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__pid"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val offsets = buckets.groupBy(col("__pid"))
-      .agg(sum(col("cnt")).as("__ptot"))
-      .withColumn("__off", coalesce(sum(col("__ptot")).over(wOff), lit(0L)))
-      .select(col("__pid"), col("__off"))
-    val cum = buckets
-      .withColumn("__cum", sum(col("cnt")).over(wIn))
-      .join(broadcast(offsets), Seq("__pid"))
-      .select(col("bucket"), (col("__off") + col("__cum")).as("cum"))
-    // total N via one tiny agg on the persisted bucket relation; the
-    // targets relation is a literal per requested quantile
-    val n = buckets.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
-    import spark.implicits._
-    val tdf = qsPm.distinct.sorted
-      .map(q => (q.toLong, math.max(1L, (q.toLong * n + 999) / 1000)))
-      .toDF("q_pm", "target")
-    val out = cum.join(broadcast(tdf), col("cum") >= col("target"))
-      .groupBy(col("q_pm")).agg(min(col("bucket")).as("bucket"))
-      .select(col("q_pm"), col("bucket"),
-        (col("bucket").cast("double") / scale).as("value"))
-      .orderBy(col("q_pm"))
-    val res = out.localCheckpoint(true)
-    buckets.unpersist()
-    res
-  }
+                scale: Int = 100): DataFrame =
+    // one implementation: the corpus-input form IS the sketch form over a
+    // freshly-built histogram (bucket agg = the only corpus-sized stage,
+    // already narrowed map-side by the partial agg)
+    quantilesFromHist(histSketch(df, valCol, scale), qsPm, scale)
 
   /** Per-group [[quantiles]]: the same integer-deterministic histogram
     * quantiles computed independently for every value of `keyCol` — the
@@ -355,6 +319,76 @@ object Sketches {
       .select(col("key"), col("q_pm"), col("bucket"),
         (col("bucket").cast("double") / scale).as("value"))
       .orderBy(col("key"), col("q_pm"))
+  }
+
+  /** The histogram sketch RELATION of `valCol` at `scale` — one row per
+    * distinct bucket `(bucket BIGINT, cnt BIGINT)`. The persistable
+    * quantile state: write it next to a corpus snapshot and
+    * [[histMerge]] it with new crawls' histograms; unlike probabilistic
+    * quantile sketches, bucket histograms merge EXACTLY (counts add), so
+    * [[quantilesFromHist]] over the merged relation equals [[quantiles]]
+    * over the concatenated corpora bit-for-bit. Size = distinct buckets
+    * (a price grid, a length distribution) — KBs to MBs at any corpus
+    * scale. Same guarded bucketing as [[quantiles]].
+    */
+  def histSketch(df: DataFrame, valCol: String, scale: Int = 100): DataFrame = {
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    df.select(guardedBucket(col(valCol), scale).as("bucket"))
+      .filter(col("bucket").isNotNull)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge two histogram sketch relations (same scale): bucket counts ADD
+    * — exact, associative, commutative. Output: a histogram relation
+    * again (composable over a whole directory of snapshots). */
+  def histMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("bucket"), col("cnt"))
+      .unionByName(b.select(col("bucket"), col("cnt")))
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+
+  /** [[quantiles]] evaluated over a histogram sketch RELATION instead of
+    * the corpus — same integer-deterministic contract (smallest bucket
+    * whose cumulative count reaches ceil(q·N/1000)), same two-level
+    * prefix-sum plan shape, zero corpus touch. With [[histMerge]] this is
+    * the incremental-crawl percentile path: p99 of the merged corpus from
+    * two bucket relations alone.
+    */
+  def quantilesFromHist(hist: DataFrame, qsPm: Seq[Int],
+                        scale: Int = 100): DataFrame = {
+    require(qsPm.nonEmpty && qsPm.forall(q => q >= 1 && q <= 1000),
+      s"quantiles must be in [1,1000] per-mille, got $qsPm")
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val spark = hist.sparkSession
+    val buckets = hist.select(col("bucket"), col("cnt"))
+      .repartitionByRange(col("bucket"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("bucket"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = buckets.groupBy(col("__pid"))
+      .agg(sum(col("cnt")).as("__ptot"))
+      .withColumn("__off", coalesce(sum(col("__ptot")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val cum = buckets
+      .withColumn("__cum", sum(col("cnt")).over(wIn))
+      .join(broadcast(offsets), Seq("__pid"))
+      .select(col("bucket"), (col("__off") + col("__cum")).as("cum"))
+    val n = buckets.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+    import spark.implicits._
+    val tdf = qsPm.distinct.sorted
+      .map(q => (q.toLong, math.max(1L, (q.toLong * n + 999) / 1000)))
+      .toDF("q_pm", "target")
+    val out = cum.join(broadcast(tdf), col("cum") >= col("target"))
+      .groupBy(col("q_pm")).agg(min(col("bucket")).as("bucket"))
+      .select(col("q_pm"), col("bucket"),
+        (col("bucket").cast("double") / scale).as("value"))
+      .orderBy(col("q_pm"))
+    val res = out.localCheckpoint(true)
+    buckets.unpersist()
+    res
   }
 
   /** Exact heavy hitters of `keyCol`: every key with

@@ -578,6 +578,64 @@ object CepQueries extends QueryFamily {
              |GROUP BY 1, 2
              |ORDER BY 1, 2""".stripMargin)),
 
+    // MATCH_RECOGNIZE AFTER MATCH SKIP TO LAST <var> (round 12): the
+    // partial-overlap resume — the textbook V-shape PATTERN (A D+ U+)
+    // where consecutive Vs SHARE their peak (the scan resumes AT the last
+    // U row, which anchors the next descent). The oracle enumerates Vs
+    // from the run-length structure: every maximal down-run immediately
+    // followed by an up-run is a V anchored one row earlier, and under
+    // SKIP TO LAST U every such V emits (the resume row is always at or
+    // before the next V's anchor). WITHIN 30 DAYS never binds at the test
+    // densities (~0.5 day/event, runs of ≤ ~12 rows).
+    QueryDef(
+      "q_cep_mr_skip_to",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (user_id BIGINT, a_id BIGINT, a_v DOUBLE,
+            |                   n_d BIGINT, n_u BIGINT);
+            |INSERT INTO Out SELECT * FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts
+            |  MEASURES A.event_id AS a_id, A.value AS a_v,
+            |           count(D.value) AS n_d, count(U.value) AS n_u
+            |  ONE ROW PER MATCH
+            |  AFTER MATCH SKIP TO LAST U
+            |  PATTERN (A D+ U+) WITHIN INTERVAL '30' DAY
+            |  DEFINE D AS D.value < PREV(D.value), U AS U.value > PREV(U.value)
+            |);""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .orderBy(col("user_id"), col("a_id"))
+      },
+      Some("""WITH ord AS (
+             |  SELECT user_id, event_id, value,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+             |         lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv
+             |  FROM events),
+             |dirs AS (
+             |  SELECT *, CASE WHEN pv IS NULL THEN 'F'
+             |                 WHEN value < pv THEN 'D'
+             |                 WHEN value > pv THEN 'U' ELSE 'F' END AS dir
+             |  FROM ord),
+             |runs0 AS (
+             |  SELECT user_id, dir, rn,
+             |         rn - row_number() OVER (PARTITION BY user_id, dir ORDER BY rn) AS grp
+             |  FROM dirs),
+             |ragg AS (
+             |  SELECT user_id, dir, grp, min(rn) AS rs, max(rn) AS re,
+             |         count(*) AS len
+             |  FROM runs0 GROUP BY 1, 2, 3),
+             |v AS (
+             |  SELECT dd.user_id, dd.rs - 1 AS a_rn,
+             |         CAST(dd.len AS BIGINT) AS n_d, CAST(uu.len AS BIGINT) AS n_u
+             |  FROM ragg dd JOIN ragg uu
+             |    ON uu.user_id = dd.user_id AND uu.rs = dd.re + 1
+             |  WHERE dd.dir = 'D' AND uu.dir = 'U' AND dd.rs >= 2)
+             |SELECT v.user_id, o.event_id AS a_id, o.value AS a_v, v.n_d, v.n_u
+             |FROM v JOIN ord o ON o.user_id = v.user_id AND o.rn = v.a_rn
+             |ORDER BY 1, 2""".stripMargin)),
+
     // Cross-step reference (e2.value > 2 * e1.value) — the StateEvent
     // access pattern; relaxed, within 2h.
     QueryDef(

@@ -129,6 +129,39 @@ object SketchQueries extends QueryFamily {
              |    AS est_distinct
              |FROM a""".stripMargin)),
 
+    // Histogram sketch persistence + merge (round 12): the quantile
+    // analog of q_sketch_merge — two corpus halves histogrammed
+    // independently (histSketch = the persistable bucket relation),
+    // histMerge ADDS bucket counts (exact, associative), and
+    // quantilesFromHist reads the merged corpus percentiles off the
+    // bucket relations alone. Unlike probabilistic quantile sketches this
+    // is EXACT under merge, so the oracle is simply the whole-corpus
+    // quantile replay.
+    QueryDef(
+      "q_sketch_hist_merge",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val a = Sketches.histSketch(
+          li.filter(col("l_orderkey") % 2 === 0), "l_extendedprice", 100)
+        val b = Sketches.histSketch(
+          li.filter(col("l_orderkey") % 2 =!= 0), "l_extendedprice", 100)
+        Sketches.quantilesFromHist(Sketches.histMerge(a, b),
+          Seq(50, 500, 950), scale = 100)
+      },
+      Some("""WITH b AS (
+             |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS bucket,
+             |         CAST(count(*) AS BIGINT) AS cnt
+             |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+             |n AS (SELECT coalesce(sum(cnt), 0) AS n FROM b),
+             |c AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum FROM b),
+             |t AS (SELECT CAST(v.q AS BIGINT) AS q_pm,
+             |             greatest(1, (CAST(v.q AS BIGINT) * n.n + 999) // 1000) AS target
+             |      FROM (VALUES (50), (500), (950)) v(q), n)
+             |SELECT t.q_pm, min(c.bucket) AS bucket,
+             |       CAST(min(c.bucket) AS DOUBLE) / 100 AS value
+             |FROM t JOIN c ON c.cum >= t.target
+             |GROUP BY t.q_pm ORDER BY q_pm""".stripMargin)),
+
     // Distributed exact quantiles via the bucket histogram: the p1/p25/
     // median/p75/p99 of lineitem prices at cent granularity — work bounded
     // by distinct buckets, integer-deterministic quantile contract

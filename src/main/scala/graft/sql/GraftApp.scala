@@ -946,6 +946,13 @@ object GraftApp {
         skipPast = true
         rest = rest.substring(0, sm.start) + rest.substring(sm.end)
       }
+      // SKIP TO FIRST/LAST <var>: same greedy selection, resume AT the
+      // named variable's first/last row (partial overlap allowed)
+      var skipTo: Option[(Boolean, String)] = None
+      """(?is)\bSKIP\s+TO\s+(FIRST|LAST)\s+(\w+)""".r.findFirstMatchIn(rest).foreach { sm =>
+        skipTo = Some((sm.group(1).equalsIgnoreCase("FIRST"), sm.group(2)))
+        rest = rest.substring(0, sm.start) + rest.substring(sm.end)
+      }
       // every clause above excised itself from `rest` — anything left is a
       // clause this grammar does not have (OUTPUT rates, ORDER BY, a typo):
       // silently ignoring it would change the query's meaning
@@ -953,7 +960,7 @@ object GraftApp {
       if (residue.nonEmpty)
         throw SqlError(s"unrecognized text after pattern clause: '${residue.take(60)}' — " +
           "pattern queries support WHERE, WITHIN, ALLOW LATENESS, PARTITION " +
-          "BY, EMIT ALL ROWS, SKIP PAST LAST ROW")
+          "BY, EMIT ALL ROWS, SKIP PAST LAST ROW, SKIP TO FIRST|LAST <var>")
       val (variants, every, absents) = PatternCompiler.parseSteps(stepsRaw)
       val (withinUs, withinEvents) = within
         .map { case (n, u) => PatternCompiler.parseWithin(n, u) }
@@ -963,7 +970,8 @@ object GraftApp {
         strict = mode.equalsIgnoreCase("SEQUENCE"), every = every,
         variants = variants, withinUs = withinUs, withinEvents = withinEvents,
         where = where, partitionBy = partitionBy, absents = absents,
-        lateness = lateness, allRows = allRows, skipPast = skipPast)
+        lateness = lateness, allRows = allRows, skipPast = skipPast,
+        skipTo = skipTo)
     }
 
   /** ANSI/Flink-style `MATCH_RECOGNIZE` — a second SQL spelling for the
@@ -990,7 +998,11 @@ object GraftApp {
     *    when the clause is omitted, so Flink/Trino queries paste
     *    unchanged — emits the greedy leftmost non-overlapping subset
     *    (round 12; batch-only, no zero-min quantifiers — typed gates in
-    *    PatternCompiler). SKIP TO FIRST/LAST variable stays typed-rejected;
+    *    PatternCompiler); SKIP TO FIRST|LAST <variable> (round 12) is the
+    *    partial-overlap resume AT the variable's row (consecutive
+    *    V-shapes share their peak under SKIP TO LAST UP) — resuming at
+    *    the chain's own head is ANSI's runtime-error case, rejected at
+    *    compile;
     *  - single-level alternation `(A|B)` (round 12) lowers to the engine's
     *    n-ary OR step — alias/classifier kept per alternative, unmatched
     *    alternatives NULL in MEASURES; quantified alternation and any
@@ -1147,20 +1159,28 @@ object GraftApp {
     val skipToNext = excise("""(?is)\bAFTER\s+MATCH\s+SKIP\s+TO\s+NEXT\s+ROW""".r).isDefined
     val skipPastExplicit =
       excise("""(?is)\bAFTER\s+MATCH\s+SKIP\s+PAST\s+LAST\s+ROW""".r).isDefined
-    if (!skipToNext && !skipPastExplicit &&
+    // SKIP TO FIRST/LAST <var> (round 12): partial-overlap resume at the
+    // variable's row — lowers to the engine's SKIP TO clause
+    val skipToVar = excise(
+      """(?is)\bAFTER\s+MATCH\s+SKIP\s+TO\s+(FIRST|LAST)\s+(\w+)""".r)
+      .map(gs => (gs(0).equalsIgnoreCase("FIRST"), gs(1)))
+    if (!skipToNext && !skipPastExplicit && skipToVar.isEmpty &&
         """(?is)\bAFTER\s+MATCH\b""".r.findFirstIn(hMask).isDefined)
       throw SqlError(
-        "unsupported AFTER MATCH form — SKIP TO NEXT ROW (every " +
-          "overlapping match) and SKIP PAST LAST ROW (greedy " +
-          "non-overlapping, the ANSI default when the clause is omitted) " +
-          "are supported; SKIP TO [FIRST|LAST] variable is not")
-    val skipPast = !skipToNext // explicit PAST LAST ROW or the ANSI default
+        "unsupported AFTER MATCH form — supported: SKIP TO NEXT ROW (every " +
+          "overlapping match), SKIP PAST LAST ROW (greedy non-overlapping, " +
+          "the ANSI default when the clause is omitted), and SKIP TO " +
+          "FIRST|LAST <variable> (partial-overlap resume)")
+    if (Seq(skipToNext, skipPastExplicit, skipToVar.isDefined).count(identity) > 1)
+      throw SqlError("multiple AFTER MATCH clauses — specify one skip mode")
+    // explicit PAST LAST ROW or the ANSI default when no clause is given
+    val skipPast = !skipToNext && skipToVar.isEmpty
     val hdrResidue = hOrig.replaceAll("""[\s,]+""", " ").trim
     if (hdrResidue.nonEmpty) throw SqlError(
       s"unrecognized MATCH_RECOGNIZE header text: '${hdrResidue.take(60)}' — " +
         "supported: PARTITION BY, ORDER BY ts [ASC], MEASURES, ONE ROW PER " +
         "MATCH, ALL ROWS PER MATCH, AFTER MATCH SKIP TO NEXT ROW | SKIP " +
-        "PAST LAST ROW")
+        "PAST LAST ROW | SKIP TO FIRST|LAST <var>")
 
     // ---- tail: WITHIN / DEFINE (same discipline)
     var tOrig = body.substring(j)
@@ -1329,7 +1349,11 @@ object GraftApp {
     val select = (keyItem.toSeq ++ items).mkString(", ")
     val partStr = partitionBy.map(k => s" PARTITION BY $k").getOrElse("")
     val emitStr = if (allRows) " EMIT ALL ROWS" else ""
-    val skipStr = if (skipPast) " SKIP PAST LAST ROW" else ""
+    val skipStr =
+      if (skipPast) " SKIP PAST LAST ROW"
+      else skipToVar.map { case (isFirst, v) =>
+        s" SKIP TO ${if (isFirst) "FIRST" else "LAST"} $v"
+      }.getOrElse("")
     s"INSERT INTO $target SELECT $select FROM SEQUENCE (EVERY (" +
       steps.mkString(" -> ") + s"))$withinStr$partStr$emitStr$skipStr;"
   }

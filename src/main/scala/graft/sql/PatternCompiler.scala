@@ -98,7 +98,18 @@ object PatternCompiler {
       // lexicographically-greedy quantifier counts and resumes past its
       // last row (see [[selectSkipPast]]). Batch only; requires SEQUENCE
       // + EVERY, a single variant, and no absent guards.
-      skipPast: Boolean = false) {
+      skipPast: Boolean = false,
+      // `SKIP TO [FIRST|LAST] <variable>` (ANSI's partial-overlap resume
+      // modes): same greedy leftmost selection as skipPast, but the scan
+      // resumes AT the row mapped to FIRST/LAST of the named variable —
+      // that row may start the next match (consecutive V-shapes share
+      // their peak under SKIP TO LAST UP, the textbook use). (isFirst,
+      // alias). Same gates as skipPast, plus: the alias must not be the
+      // chain's first variable (resuming at the match's own start row
+      // re-matches forever — the case ANSI defines as a runtime error,
+      // rejected here at compile) and must not sit on an OR step (the
+      // alternative may be absent in a given match).
+      skipTo: Option[(Boolean, String)] = None) {
     def allAlts: Seq[StepAlt] = variants.flatten.flatMap(_.alts) ++ absents.map(_.alt)
   }
 
@@ -110,24 +121,43 @@ object PatternCompiler {
     }
     validateColumnRefs(spark, q,
       streams.flatMap(s => env(s).columns).distinct)
-    if (q.skipPast) {
-      // the non-overlapping sweep is defined over the EVERY match set's
+    if (q.skipPast && q.skipTo.isDefined) throw GraftApp.SqlError(
+      "SKIP PAST LAST ROW and SKIP TO FIRST/LAST are mutually exclusive")
+    if (q.skipPast || q.skipTo.isDefined) {
+      // the greedy selection sweep is defined over the EVERY match set's
       // contiguous row spans — each unsupported combination is a typed
       // error naming the working alternative, never a silent remap
+      val mode = if (q.skipPast) "SKIP PAST LAST ROW" else "SKIP TO FIRST/LAST"
       if (!q.strict) throw GraftApp.SqlError(
-        "SKIP PAST LAST ROW needs SEQUENCE (strict contiguity) — ANSI's " +
-          "non-overlapping resume skips past a span of CONSECUTIVE rows; " +
+        s"$mode needs SEQUENCE (strict contiguity) — ANSI's " +
+          "after-match resume skips within a span of CONSECUTIVE rows; " +
           "relaxed PATTERN matches have gaps, which that machine does not define")
       if (!q.every) throw GraftApp.SqlError(
-        "SKIP PAST LAST ROW needs EVERY: the non-overlapping subset is " +
-          "selected from the full overlapping match set (without EVERY the " +
-          "engine emits only the first match per key)")
+        s"$mode needs EVERY: the selected subset comes from the full " +
+          "overlapping match set (without EVERY the engine emits only the " +
+          "first match per key)")
       if (q.variants.size > 1) throw GraftApp.SqlError(
-        "SKIP PAST LAST ROW is not supported with AND patterns or zero-min " +
+        s"$mode is not supported with AND patterns or zero-min " +
           "quantifiers (?, *, {0,n}) — use SKIP TO NEXT ROW (every " +
           "overlapping match) for those patterns")
       if (q.absents.nonEmpty) throw GraftApp.SqlError(
-        "SKIP PAST LAST ROW is not supported with absent (NOT) guards")
+        s"$mode is not supported with absent (NOT) guards")
+      q.skipTo.foreach { case (isFirst, alias) =>
+        val chain = q.variants.head
+        val step = chain.find(_.aliases.contains(alias)).getOrElse(
+          throw GraftApp.SqlError(
+            s"SKIP TO references '$alias' which is not a pattern variable"))
+        if (step.alts.size > 1) throw GraftApp.SqlError(
+          s"SKIP TO ${if (isFirst) "FIRST" else "LAST"} $alias: the alias " +
+            "sits on an OR step — the alternative may be absent in a given " +
+            "match, leaving no row to resume at")
+        if (chain.head.aliases.contains(alias)) throw GraftApp.SqlError(
+          s"AFTER MATCH SKIP TO ${if (isFirst) "FIRST" else "LAST"} $alias " +
+            "resumes at the match's own first variable, which can re-match " +
+            "the same rows forever (the case ANSI defines as a runtime " +
+            "error) — use a later variable, SKIP PAST LAST ROW, or SKIP TO " +
+            "NEXT ROW")
+      }
     }
     if (streams.exists(env(_).isStreaming))
       return compileStreaming(spark, q, env)
@@ -496,12 +526,23 @@ object PatternCompiler {
     * gate `base` through a semi join on those three columns.
     */
   private def selectSkipPast(spark: SparkSession, base: DataFrame,
-                             idsCols: Seq[String]): DataFrame = {
+                             idsCols: Seq[String],
+                             resume: Option[(Int, Boolean)] = None): DataFrame = {
     import spark.implicits._
     val startC = element_at(col(idsCols.head), 1)
     val countsC = array(idsCols.map(c => size(col(c)).cast("long")): _*)
+    // where the scan resumes after emitting a match: PAST LAST ROW = the
+    // row after the span; SKIP TO FIRST/LAST V = AT V's first/last row
+    // (inclusive — that row may start the next match; termination holds
+    // because the gate rejects V = the chain's head, so the resume row is
+    // strictly after the match start and emitted starts increase)
+    val resumeC = resume match {
+      case None => element_at(col(idsCols.last), -1) + lit(1L)
+      case Some((i, isFirst)) =>
+        element_at(col(idsCols(i)), if (isFirst) 1 else -1)
+    }
     val spans = base.select(col("__mkey"), startC.as("__s"),
-        element_at(col(idsCols.last), -1).as("__e"), countsC.as("__c"))
+        resumeC.as("__r"), countsC.as("__c"))
       .as[(String, Long, Long, Seq[Long])]
     def lexGt(a: Seq[Long], b: Seq[Long]): Boolean = {
       val i = a.zip(b).indexWhere { case (x, y) => x != y }
@@ -511,8 +552,8 @@ object PatternCompiler {
       val ms = it.toVector.sortWith((a, b) =>
         if (a._2 != b._2) a._2 < b._2 else lexGt(a._4, b._4))
       var pos = Long.MinValue
-      ms.iterator.filter(m => if (m._2 >= pos) { pos = m._3 + 1; true } else false)
-    }.toDF("__ck", "__cs", "__ce", "__cc")
+      ms.iterator.filter(m => if (m._2 >= pos) { pos = m._3; true } else false)
+    }.toDF("__ck", "__cs", "__cr", "__cc")
     base.join(chosen,
       col("__mkey") === col("__ck") && startC === col("__cs") &&
         countsC === col("__cc"),
@@ -663,11 +704,12 @@ object PatternCompiler {
   private def compileStreaming(spark: SparkSession, q: PatternQuery,
                                env: Map[String, DataFrame]): DataFrame = {
     import spark.implicits._
-    if (q.skipPast) throw GraftApp.SqlError(
-      "SKIP PAST LAST ROW is batch-only — greedy non-overlapping selection " +
-        "needs lookahead past each candidate match (a quantifier's maximal " +
-        "extent is not known until a non-matching row arrives), which the " +
-        "incremental NFA does not buffer; use SKIP TO NEXT ROW on streams")
+    if (q.skipPast || q.skipTo.isDefined) throw GraftApp.SqlError(
+      "SKIP PAST LAST ROW / SKIP TO FIRST|LAST are batch-only — greedy " +
+        "after-match selection needs lookahead past each candidate match " +
+        "(a quantifier's maximal extent is not known until a non-matching " +
+        "row arrives), which the incremental NFA does not buffer; use SKIP " +
+        "TO NEXT ROW on streams")
     if (q.allRows) {
       // streaming EMIT ALL ROWS (round 12): the NFA already buffers every
       // matched event with its svals slots — per-event emission explodes
@@ -1204,11 +1246,15 @@ object PatternCompiler {
       } ++ (if (q.absents.isEmpty) Nil else steps.indices.map { i =>
         expr(s"element_at(steps[$i].events, -1).tsUs").as(s"__endts_$i")
       })): _*)
-    // SKIP PAST LAST ROW: filter base to the greedy non-overlapping match
-    // subset BEFORE any join-back — downstream joins/aggregations then run
-    // over the (strictly smaller) selected set only
-    if (q.skipPast)
-      base = selectSkipPast(spark, base, steps.indices.map(i => s"__ids_$i"))
+    // SKIP PAST LAST ROW / SKIP TO FIRST|LAST: filter base to the greedy
+    // selected match subset BEFORE any join-back — downstream joins/
+    // aggregations then run over the (strictly smaller) selected set only
+    if (q.skipPast || q.skipTo.isDefined) {
+      val resume = q.skipTo.map { case (isFirst, alias) =>
+        (steps.indices.find(i => steps(i).aliases.contains(alias)).get, isFirst)
+      }
+      base = selectSkipPast(spark, base, steps.indices.map(i => s"__ids_$i"), resume)
+    }
 
     // ---- select/WHERE rewriting + join planning
     val multi = steps.zipWithIndex.collect { case (st, i) if st.max > 1 =>

@@ -1117,6 +1117,42 @@ class GraftAppSpec extends AnyFunSuite {
     assert(errOf(nativeNoEvery, Map("E" -> retry)).contains("EVERY"))
   }
 
+  test("MATCH_RECOGNIZE SKIP TO FIRST/LAST: partial-overlap resume at the variable's row") {
+    // the textbook V-shape: A (any row) + strictly-down run + strictly-up
+    // run; values 10 8 6 9 12 7 11 hold two Vs sharing the peak 12
+    val tape = Seq(10.0, 8.0, 6.0, 9.0, 12.0, 7.0, 11.0).zipWithIndex
+      .map { case (v, i) => (i + 1, 7L, v) }
+      .toDF("sec", "user_id", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "user_id", "v")
+    def mr(skip: String) =
+      s"""CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, v DOUBLE);
+         |CREATE STREAM Out (user_id BIGINT, a_v DOUBLE, n_d BIGINT, n_u BIGINT);
+         |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+         |  PARTITION BY user_id ORDER BY ts
+         |  MEASURES A.v AS a_v, count(D.v) AS n_d, count(U.v) AS n_u
+         |  ONE ROW PER MATCH $skip
+         |  PATTERN (A D+ U+) WITHIN INTERVAL '1' HOUR
+         |  DEFINE D AS D.v < PREV(D.v), U AS U.v > PREV(U.v));""".stripMargin
+    def rows(skip: String) = GraftApp.run(spark, mr(skip), Map("E" -> tape))("Out")
+      .select("a_v", "n_d", "n_u")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).sorted
+    // SKIP TO LAST U: the second V starts AT the first V's peak (12)
+    assert(rows("AFTER MATCH SKIP TO LAST U").toSeq ==
+      Seq((10.0, 2L, 2L), (12.0, 1L, 1L)).sorted)
+    // SKIP PAST LAST ROW: the peak is consumed — the second V's would-be
+    // anchor lands mid-descent where D+ can no longer complete: one match
+    assert(rows("AFTER MATCH SKIP PAST LAST ROW").toSeq == Seq((10.0, 2L, 2L)))
+    // SKIP TO FIRST D: resume INSIDE the previous match — the overlapping
+    // truncated V (anchor 8, one down-step) is found, then the second V
+    assert(rows("AFTER MATCH SKIP TO FIRST D").toSeq ==
+      Seq((10.0, 2L, 2L), (8.0, 1L, 2L), (12.0, 1L, 1L)).sorted)
+    // gates: head alias, unknown alias, streaming
+    def errOf(app: String) = intercept[GraftApp.SqlError](
+      GraftApp.run(spark, app, Map("E" -> tape))).getMessage
+    assert(errOf(mr("AFTER MATCH SKIP TO FIRST A")).contains("first variable"))
+    assert(errOf(mr("AFTER MATCH SKIP TO LAST Q")).contains("not a pattern variable"))
+  }
+
   test("MATCH_RECOGNIZE alternation (A|B): lowers to the engine's OR step, equal to the native spelling") {
     // a c | b c | x c: (A|B) binds signup-or-view; the unmatched
     // alternative's measures are NULL; x anchors nothing
@@ -1163,13 +1199,15 @@ class GraftAppSpec extends AnyFunSuite {
         GraftApp.run(spark, mk(clause), Map("E" -> mrEvents))).getMessage
     val base = """ORDER BY ts MEASURES A.v AS a AFTER MATCH SKIP TO NEXT ROW
                  |PATTERN (A B) DEFINE A AS A.kind = 'a'""".stripMargin
-    // SKIP PAST LAST ROW and the omitted-clause ANSI default are now
-    // SUPPORTED (round 12, see the skip-past suite); the remaining AFTER
-    // MATCH forms (SKIP TO FIRST/LAST variable) stay typed rejections
+    // every ANSI skip mode is now supported (round 12); what remains typed:
+    // resuming at the chain's own head (ANSI's runtime-error case, caught
+    // at compile), unknown variables, and garbled forms
     assert(err(base.replace("AFTER MATCH SKIP TO NEXT ROW",
-      "AFTER MATCH SKIP TO FIRST A")).contains("AFTER MATCH"))
+      "AFTER MATCH SKIP TO FIRST A")).contains("first variable"))
     assert(err(base.replace("AFTER MATCH SKIP TO NEXT ROW",
-      "AFTER MATCH SKIP TO LAST B")).contains("AFTER MATCH"))
+      "AFTER MATCH SKIP TO LAST Z")).contains("not a pattern variable"))
+    assert(err(base.replace("AFTER MATCH SKIP TO NEXT ROW",
+      "AFTER MATCH SKIP SOMEWHERE")).contains("AFTER MATCH"))
     assert(err(base.replace("ORDER BY ts", "ORDER BY v")).contains("event-time"))
     assert(err(base.replace("ORDER BY ts ", "")).contains("ORDER BY"))
     // single-level (A|B) alternation is SUPPORTED since round 12 (see the

@@ -255,6 +255,32 @@ class SketchSpec extends AnyFunSuite {
     assert(got(("c", 100L)) == 5L && got(("c", 1000L)) == 5L)
   }
 
+  test("histSketch/histMerge/quantilesFromHist: exact under merge, associative") {
+    val a = (1 to 400).map(v => Tuple1(v.toDouble)).toDF("v")
+    val b = (301 to 1000).map(v => Tuple1(v.toDouble)).toDF("v")
+    val union = ((1 to 400) ++ (301 to 1000)).map(v => Tuple1(v.toDouble)).toDF("v")
+    val merged = Sketches.histMerge(
+      Sketches.histSketch(a, "v", 1), Sketches.histSketch(b, "v", 1))
+    def qs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // quantiles off the merged relation == quantiles over the union corpus
+    assert(qs(Sketches.quantilesFromHist(merged, Seq(100, 500, 900), 1)) ==
+      qs(Sketches.quantiles(union, "v", Seq(100, 500, 900), 1)))
+    // merged histogram == union histogram, bucket for bucket
+    def hist(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist(merged) == hist(Sketches.histSketch(union, "v", 1)))
+    // associativity over three snapshots
+    val c = (900 to 1200).map(v => Tuple1(v.toDouble)).toDF("v")
+    val (sa, sb, sc) = (Sketches.histSketch(a, "v", 1),
+      Sketches.histSketch(b, "v", 1), Sketches.histSketch(c, "v", 1))
+    assert(hist(Sketches.histMerge(Sketches.histMerge(sa, sb), sc)) ==
+      hist(Sketches.histMerge(sa, Sketches.histMerge(sb, sc))))
+    // the corpus-input quantiles form IS the sketch form (delegation)
+    assert(qs(Sketches.quantiles(a, "v", Seq(500), 1)) ==
+      qs(Sketches.quantilesFromHist(sa, Seq(500), 1)))
+  }
+
   test("heavyHitters: exact counts above the N/(k+1) threshold, MG prune never loses one") {
     // skewed synthetic: key "hot" 500x, "warm" 120x, 200 singleton keys
     // (N = 820). k=5 → threshold 820/6 = 136.7: only "hot" qualifies at
