@@ -997,8 +997,9 @@ object GraftApp {
     *    reference's EVERY); SKIP PAST LAST ROW — ANSI's DEFAULT, applied
     *    when the clause is omitted, so Flink/Trino queries paste
     *    unchanged — emits the greedy leftmost non-overlapping subset
-    *    (round 12; batch-only, no zero-min quantifiers — typed gates in
-    *    PatternCompiler); SKIP TO FIRST|LAST <variable> (round 12) is the
+    *    (round 12; batch AND streams — streaming needs a time WITHIN to
+    *    bound the lookahead hold; no zero-min quantifiers — typed gates
+    *    in PatternCompiler); SKIP TO FIRST|LAST <variable> (round 12) is the
     *    partial-overlap resume AT the variable's row (consecutive
     *    V-shapes share their peak under SKIP TO LAST UP) — resuming at
     *    the chain's own head is ANSI's runtime-error case, rejected at

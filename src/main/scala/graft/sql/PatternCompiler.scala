@@ -96,8 +96,12 @@ object PatternCompiler {
       // enumerates every (start, parse) pair; a per-key sweep then keeps,
       // at each position, the earliest-starting match with the
       // lexicographically-greedy quantifier counts and resumes past its
-      // last row (see [[selectSkipPast]]). Batch only; requires SEQUENCE
-      // + EVERY, a single variant, and no absent guards.
+      // last row (see [[selectSkipPast]]). Requires SEQUENCE + EVERY, a
+      // single variant, and no absent guards; on STREAMS it additionally
+      // requires a time WITHIN and runs the incremental
+      // [[graft.streaming.Cep.runNfaSkipPast]] machine (candidates held
+      // until no earlier-start partial survives — emission delay bounded
+      // by the WITHIN window, flushed by the watermark timeout).
       skipPast: Boolean = false,
       // `SKIP TO [FIRST|LAST] <variable>` (ANSI's partial-overlap resume
       // modes): same greedy leftmost selection as skipPast, but the scan
@@ -704,12 +708,15 @@ object PatternCompiler {
   private def compileStreaming(spark: SparkSession, q: PatternQuery,
                                env: Map[String, DataFrame]): DataFrame = {
     import spark.implicits._
-    if (q.skipPast || q.skipTo.isDefined) throw GraftApp.SqlError(
-      "SKIP PAST LAST ROW / SKIP TO FIRST|LAST are batch-only — greedy " +
-        "after-match selection needs lookahead past each candidate match " +
-        "(a quantifier's maximal extent is not known until a non-matching " +
-        "row arrives), which the incremental NFA does not buffer; use SKIP " +
-        "TO NEXT ROW on streams")
+    if (q.skipTo.isDefined) throw GraftApp.SqlError(
+      "SKIP TO FIRST|LAST is batch-only — use SKIP PAST LAST ROW (round " +
+        "12: streams too, WITHIN-bounded) or SKIP TO NEXT ROW on streams")
+    if (q.skipPast && q.withinUs.isEmpty) throw GraftApp.SqlError(
+      "streaming SKIP PAST LAST ROW needs a time WITHIN: a held candidate " +
+        "match is only emittable once every earlier-start partial dies, " +
+        "and without a WITHIN deadline a key that stops receiving events " +
+        "would hold its last matches forever (the WITHIN window bounds the " +
+        "emission delay)")
     if (q.allRows) {
       // streaming EMIT ALL ROWS (round 12): the NFA already buffers every
       // matched event with its svals slots — per-event emission explodes
@@ -926,13 +933,20 @@ object PatternCompiler {
         "no event-time watermark, so no event is ever dropped as late; add " +
         "WITHIN <d> to bound state and activate the lateness contract")
     var out =
-      (if (guards.nonEmpty)
+      (if (q.skipPast)
+         // greedy non-overlapping selection with WITHIN-bounded candidate
+         // holding (compile gates require the WITHIN); retain the per-key
+         // match counter when EMIT ALL ROWS reads mr_match_number
+         Cep.detectStreamSkipPast(cepIn, spec, lateness,
+           retainMatchSeq = q.allRows)
+       else if (guards.nonEmpty)
          Cep.detectStreamWithTrailingAbsents(cepIn, spec, guards, lateness)
        else if (q.withinUs.isDefined)
          // WITHIN bounds state-store growth only if idle keys are purged:
          // route through the event-time-timeout NFA (the reference's
          // TimerWheel, timers/timer_wheel.rs) instead of NoTimeout
-         Cep.detectStreamWithTimeout(cepIn, spec, lateness)
+         Cep.detectStreamWithTimeout(cepIn, spec, lateness,
+           retainMatchSeq = q.allRows)
        else Cep.detectStream(cepIn, spec))
         .toDF()
     whereRw.foreach(w => out = out.filter(expr(w)))

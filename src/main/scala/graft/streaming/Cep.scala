@@ -242,6 +242,156 @@ object Cep {
     (matches.result(), NfaState(partials, done, seq, init.dropped + droppedRun, mseq))
   }
 
+  /** One held candidate of the streaming SKIP PAST LAST ROW machine: a
+    * COMPLETED match waiting until no earlier-or-same-start partial can
+    * still produce a leftmost-greedier match. `counts` = per-step buffer
+    * sizes (the greedy comparison key — lex-max wins at a fixed start).
+    */
+  final case class SkipCand(m: CepMatch, startSeq: Long, endSeq: Long,
+                            counts: Seq[Long])
+
+  /** State of the streaming skip-past machine: the NFA state (partials
+    * enumerate every (start, parse) pair exactly like EVERY mode), the
+    * consumed-row frontier `pos` (per-key seq ordinal — matches starting
+    * before it are overlapped and dead), and the held candidates (one
+    * per start, best-parse-so-far).
+    */
+  final case class SkipNfaState(nfa: NfaState, pos: Long, cands: Seq[SkipCand])
+
+  /** Incremental `AFTER MATCH SKIP PAST LAST ROW` (greedy leftmost
+    * non-overlapping) for a STRICT single-chain pattern — the streaming
+    * face of the batch selectSkipPast sweep. Enumeration is EVERY-mode
+    * (each event seeds; stay/advance both explored), but instead of
+    * emitting on completion, a completed match becomes a held CANDIDATE;
+    * a candidate at start s emits only when NO live partial has start ≤ s
+    * (an earlier-or-same-start partial could still complete leftmost-er
+    * or greedier — the conservative hold), and emission advances `pos`
+    * past the match's last row, killing overlapped partials/candidates.
+    * In strict mode a partial dies on the first non-matching event or at
+    * WITHIN expiry, so the hold is bounded by the WITHIN window — which
+    * is why the streaming lowering REQUIRES a time WITHIN (the timeout
+    * sweep must be able to flush a key that stops receiving events).
+    * matchSeq numbers the SELECTED matches in emission order.
+    *
+    * No midGuards / OR-residual machinery: the compile gates restrict
+    * streaming skip-past to strict single chains without absent guards.
+    */
+  def runNfaSkipPast(events: Seq[CepEvent], init: SkipNfaState,
+                     spec: PatternSpec): (Seq[CepMatch], SkipNfaState) = {
+    val nSteps = spec.steps.size
+    var partials: Vector[Partial] = init.nfa.partials.toVector
+    var seq = init.nfa.seq
+    var mseq = init.nfa.matchSeq
+    var pos = init.pos
+    var cands: Vector[SkipCand] = init.cands.toVector
+    var droppedRun = 0L
+    val out = Seq.newBuilder[CepMatch]
+
+    def addCand(c: SkipCand): Unit = {
+      if (c.startSeq < pos) return
+      val i = cands.indexWhere(_.startSeq == c.startSeq)
+      if (i < 0) cands :+= c
+      else if (skipLexGt(c.counts, cands(i).counts)) cands = cands.updated(i, c)
+    }
+    def flush(): Unit = {
+      val (emitted, st2) = skipFlush(SkipNfaState(
+        NfaState(partials, done = false, seq, 0L, mseq), pos, cands))
+      out ++= emitted
+      partials = st2.nfa.partials.toVector
+      mseq = st2.nfa.matchSeq
+      pos = st2.pos
+      cands = st2.cands.toVector
+    }
+
+    events.foreach { e =>
+      seq += 1
+      spec.withinUs.foreach { w =>
+        partials = partials.filter(p => e.tsUs - p.startUs <= w)
+      }
+      spec.withinEvents.foreach { n =>
+        partials = partials.filter(p => seq - p.startSeq <= n)
+      }
+      val seed = Partial(0, e.tsUs, seq, Vector.fill(nSteps)(Vector.empty))
+      val next = Vector.newBuilder[Partial]
+      (partials :+ seed).foreach { p =>
+        val step = spec.steps(p.stepIdx)
+        if (step.pred(e, p.collected)) {
+          val coll2 = p.collected.updated(p.stepIdx, p.collected(p.stepIdx) :+ e)
+          val cnt = coll2(p.stepIdx).size
+          if (cnt < step.max) next += p.copy(collected = coll2)
+          if (cnt >= step.min) {
+            if (p.stepIdx == nSteps - 1)
+              addCand(SkipCand(
+                CepMatch(e.key, p.startUs, e.tsUs,
+                  spec.steps.map(_.name).zip(coll2).map { case (n, es) => Collected(n, es) }),
+                p.startSeq, seq, coll2.map(_.size.toLong)))
+            else next += Partial(p.stepIdx + 1, p.startUs, p.startSeq, coll2)
+          }
+        }
+        // strict contiguity: a mismatching event kills the instance
+      }
+      val trimmed = next.result().distinct
+      if (trimmed.size > spec.maxPartials)
+        droppedRun += trimmed.size - spec.maxPartials
+      partials = trimmed.take(spec.maxPartials)
+      flush()
+    }
+    if (droppedRun > 0)
+      log.warn(s"CEP skip-past NFA dropped $droppedRun in-flight partial " +
+        s"match(es) past maxPartials=${spec.maxPartials} for key " +
+        s"'${events.headOption.map(_.key).getOrElse("?")}'")
+    (out.result(),
+      SkipNfaState(NfaState(partials, done = false, seq,
+        init.nfa.dropped + droppedRun, mseq), pos, cands))
+  }
+
+  private def skipLexGt(a: Seq[Long], b: Seq[Long]): Boolean = {
+    val i = a.zip(b).indexWhere { case (x, y) => x != y }
+    i >= 0 && a(i) > b(i)
+  }
+
+  /** The selection sweep shared by the event path and the timeout path:
+    * repeatedly emit the earliest-start held candidate once no live
+    * partial at-or-before that start remains, advancing `pos` past the
+    * emitted span. Returns (emitted, state'). */
+  private def skipFlush(st: SkipNfaState): (Seq[CepMatch], SkipNfaState) = {
+    var pos = st.pos
+    var cands = st.cands.toVector
+    var partials = st.nfa.partials.toVector
+    var mseq = st.nfa.matchSeq
+    val o = Seq.newBuilder[CepMatch]
+    var cont = true
+    while (cont) {
+      cont = false
+      cands = cands.filter(_.startSeq >= pos)
+      if (cands.nonEmpty) {
+        val s = cands.map(_.startSeq).min
+        if (!partials.exists(_.startSeq <= s)) {
+          val best = cands.filter(_.startSeq == s)
+            .reduceLeft((x, y) => if (skipLexGt(y.counts, x.counts)) y else x)
+          mseq += 1
+          o += best.m.copy(matchSeq = mseq)
+          pos = best.endSeq + 1
+          partials = partials.filter(_.startSeq >= pos)
+          cont = true
+        }
+      }
+    }
+    (o.result(), SkipNfaState(
+      st.nfa.copy(partials = partials, matchSeq = mseq), pos, cands))
+  }
+
+  /** Expire partials past the WITHIN deadline at watermark time and
+    * re-flush: candidates blocked only by now-dead partials emit. The
+    * timeout half of [[runNfaSkipPast]] — without it a key that stops
+    * receiving events would hold its last candidates forever.
+    */
+  def skipPastTimeoutFlush(st: SkipNfaState, wmUs: Long, withinUs: Long)
+      : (Seq[CepMatch], SkipNfaState) = {
+    val live = st.nfa.partials.filter(p => p.startUs + withinUs >= wmUs)
+    skipFlush(st.copy(nfa = st.nfa.copy(partials = live)))
+  }
+
   /** Batch detection: per-key sort then one NFA pass. `dropCounter`
     * aggregates partials discarded past maxPartials across keys — zero
     * means no match was lost to the state cap.
@@ -434,8 +584,18 @@ object Cep {
     * timers/timer_wheel.rs). Requires withinUs; watermarkDelay bounds
     * out-of-orderness.
     */
+  /** `retainMatchSeq`: keep the per-key state shell after the partials
+    * drain so [[NfaState.matchSeq]] never restarts — REQUIRED when the
+    * query exposes mr_match_number (streaming EMIT ALL ROWS): a removed
+    * entry restarts the counter and a later match of the same key would
+    * re-issue an already-used number, conflating two matches' rows
+    * downstream. Costs one O(1) shell per key that ever matched (the
+    * done-latch class of retained state); queries that never read
+    * matchSeq keep the default remove-on-drain.
+    */
   def detectStreamWithTimeout(ds: Dataset[CepEvent], spec: PatternSpec,
-                              watermarkDelay: String): Dataset[CepMatch] = {
+                              watermarkDelay: String,
+                              retainMatchSeq: Boolean = false): Dataset[CepMatch] = {
     val withinUs = spec.withinUs.getOrElse(
       throw new IllegalArgumentException("detectStreamWithTimeout requires withinUs"))
     val withTime = ds.toDF()
@@ -455,7 +615,8 @@ object Cep {
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val st = state.getOption.getOrElse(NfaState(Nil, done = false))
           val live = st.partials.filter(p => p.startUs + withinUs >= wmUs)
-          if (live.isEmpty && !(st.done && !spec.every)) state.remove()
+          if (live.isEmpty && !(st.done && !spec.every) &&
+              !(retainMatchSeq && st.matchSeq > 0)) state.remove()
           else {
             state.update(st.copy(partials = live))
             if (live.nonEmpty) state.setTimeoutTimestamp(math.max(
@@ -474,7 +635,8 @@ object Cep {
           // it enforces the once-per-key contract (a later event must NOT
           // re-match), so it cannot expire without changing semantics —
           // O(1) per matched key, documented in SCALE.md
-          if (next.partials.isEmpty && !(next.done && !spec.every)) state.remove()
+          if (next.partials.isEmpty && !(next.done && !spec.every) &&
+              !(retainMatchSeq && next.matchSeq > 0)) state.remove()
           else {
             state.update(next)
             // schedule cleanup at the latest live deadline (event-time ms,
@@ -483,6 +645,69 @@ object Cep {
             val deadlines = next.partials.map(p => ceilMs(p.startUs + withinUs))
             if (deadlines.nonEmpty) state.setTimeoutTimestamp(
               math.max(deadlines.max, state.getCurrentWatermarkMs() + 1))
+          }
+          out.iterator
+        }
+    }
+  }
+
+  /** Streaming `AFTER MATCH SKIP PAST LAST ROW` detection: the
+    * [[runNfaSkipPast]] machine under event-time timeout. A candidate
+    * match is held until every partial that could produce a leftmost-er
+    * or greedier match dies — by a mismatching event (strict mode, same
+    * micro-batch) or by WITHIN expiry (the timeout sweep, which also
+    * FLUSHES newly-unblocked candidates — the reason this kernel
+    * requires a time WITHIN: a key that stops receiving events must
+    * still emit its held matches once the watermark passes the window).
+    * Emission delay is therefore bounded by the WITHIN duration.
+    */
+  def detectStreamSkipPast(ds: Dataset[CepEvent], spec: PatternSpec,
+                           watermarkDelay: String,
+                           retainMatchSeq: Boolean = false): Dataset[CepMatch] = {
+    val withinUs = spec.withinUs.getOrElse(
+      throw new IllegalArgumentException("detectStreamSkipPast requires withinUs"))
+    implicit val skipEnc: Encoder[SkipNfaState] = Encoders.product[SkipNfaState]
+    val withTime = ds.toDF()
+      .withColumn("eventTime", timestamp_micros(col("tsUs")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[CepEvent](evEnc)
+    def schedule(state: GroupState[SkipNfaState], st: SkipNfaState): Unit = {
+      // wake at the latest live-partial deadline; held candidates with no
+      // live partials flush immediately (skipFlush), so partials are the
+      // only thing worth waiting for
+      val deadlines = st.nfa.partials.map(p => ceilMs(p.startUs + withinUs))
+      if (deadlines.nonEmpty) state.setTimeoutTimestamp(
+        math.max(deadlines.max, state.getCurrentWatermarkMs() + 1))
+    }
+    def emptySt = SkipNfaState(NfaState(Nil, done = false), 0L, Nil)
+    withTime.groupByKey(_.key).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (_: String, it: Iterator[CepEvent], state: GroupState[SkipNfaState]) =>
+        if (state.hasTimedOut) {
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption.getOrElse(emptySt)
+          val (out, next) = skipPastTimeoutFlush(st, wmUs, withinUs)
+          if (next.nfa.partials.isEmpty && next.cands.isEmpty &&
+              !(retainMatchSeq && next.nfa.matchSeq > 0)) {
+            // seq/pos continuity is not needed once nothing is held: a
+            // fresh entry restarts at 0 with an empty frontier, and the
+            // selection only ever compares ordinals WITHIN a lifetime
+            // (matchSeq is the exception — the retain flag keeps it)
+            state.remove()
+          } else {
+            state.update(next)
+            schedule(state, next)
+          }
+          out.iterator
+        } else {
+          val events = it.toSeq.sortBy(e => (e.tsUs, e.eventId))
+          val (out, next) = runNfaSkipPast(events,
+            state.getOption.getOrElse(emptySt), spec)
+          if (next.nfa.partials.isEmpty && next.cands.isEmpty &&
+              !(retainMatchSeq && next.nfa.matchSeq > 0)) state.remove()
+          else {
+            state.update(next)
+            schedule(state, next)
           }
           out.iterator
         }

@@ -1823,12 +1823,75 @@ class StreamingSpec extends AnyFunSuite {
       spark, mk("A.v AS a_v", "ALL ROWS PER MATCH", "A B?", "B AS B.kind = 'b'"),
       Map("E" -> events)))
     assert(allRowsOpt.getMessage.contains("batch-only"))
-    // SKIP PAST LAST ROW needs lookahead — batch-only, typed
-    val skipPast = intercept[graft.sql.GraftApp.SqlError](graft.sql.GraftApp.run(
+    // streaming SKIP PAST LAST ROW works WITH a WITHIN (see its own test);
+    // without one there is no flush deadline — typed
+    val skipPastNoWithin = intercept[graft.sql.GraftApp.SqlError](graft.sql.GraftApp.run(
       spark, mk("A.v AS a_v", "ONE ROW PER MATCH", "A B", "B AS B.kind = 'b'")
-        .replace("AFTER MATCH SKIP TO NEXT ROW", "AFTER MATCH SKIP PAST LAST ROW"),
+        .replace("AFTER MATCH SKIP TO NEXT ROW", "AFTER MATCH SKIP PAST LAST ROW")
+        .replace(" WITHIN INTERVAL '1' HOUR", ""),
       Map("E" -> events)))
-    assert(skipPast.getMessage.contains("batch-only"))
+    assert(skipPastNoWithin.getMessage.contains("WITHIN"))
+    // SKIP TO FIRST/LAST stays batch-only, typed
+    val skipTo = intercept[graft.sql.GraftApp.SqlError](graft.sql.GraftApp.run(
+      spark, mk("A.v AS a_v", "ONE ROW PER MATCH", "A B", "B AS B.kind = 'b'")
+        .replace("AFTER MATCH SKIP TO NEXT ROW", "AFTER MATCH SKIP TO LAST B"),
+      Map("E" -> events)))
+    assert(skipTo.getMessage.contains("batch-only"))
+  }
+
+  test("STREAMING MATCH_RECOGNIZE SKIP PAST LAST ROW: greedy non-overlapping, held until safe, watermark flush") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val events = in.toDS().toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, n_b BIGINT);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES count(B.v) AS n_b
+        |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B+) WITHIN INTERVAL '1' MINUTE
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b'
+        |);""".stripMargin
+    val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+    assert(outDf.isStreaming)
+    val q = outDf.writeStream.format("memory").queryName("mr_skip_sink")
+      .outputMode("append").start()
+    def snap() = spark.table("mr_skip_sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    try {
+      // a b b: the n_b=1 and n_b=2 completions are HELD — the stay-partial
+      // at the same start could still extend greedier
+      in.addData((1000L, 7L, "a", 0.0), (1010L, 7L, "b", 1.0), (1020L, 7L, "b", 2.0))
+      q.processAllAvailable()
+      assert(snap() == Nil, s"emitted while extendable: ${snap()}")
+      // a non-b event kills the stay branch in strict mode -> the greedy
+      // n_b=2 match flushes; the x row also seeds nothing
+      in.addData((1030L, 7L, "x", 0.0)); q.processAllAvailable()
+      assert(snap() == Seq((7L, 2L)))
+      // second A-run held at the tape end, then the watermark passes the
+      // WITHIN window (a later event on ANOTHER key advances it) and the
+      // timeout sweep flushes the held greedy match
+      in.addData((1040L, 7L, "a", 0.0), (1050L, 7L, "b", 3.0)); q.processAllAvailable()
+      assert(snap() == Seq((7L, 2L)), "tail candidate must still be held")
+      in.addData((1600L, 9L, "x", 0.0)); q.processAllAvailable()
+      // one more empty-ish tick lets the timeout fire after the watermark
+      // update propagates
+      in.addData((1610L, 9L, "x", 0.0)); q.processAllAvailable()
+      assert(snap() == Seq((7L, 1L), (7L, 2L)))
+      // batch parity on the full tape (batch selection + the same WITHIN)
+      val tape = Seq((1000L, 7L, "a", 0.0), (1010L, 7L, "b", 1.0), (1020L, 7L, "b", 2.0),
+        (1030L, 7L, "x", 0.0), (1040L, 7L, "a", 0.0), (1050L, 7L, "b", 3.0),
+        (1600L, 9L, "x", 0.0), (1610L, 9L, "x", 0.0))
+        .toDF("sec", "user_id", "kind", "v")
+        .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+          "user_id", "kind", "v")
+      val batch = graft.sql.GraftApp.run(spark, app, Map("E" -> tape))("Out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(batch == snap())
+    } finally q.stop()
   }
 
   test("STREAMING MATCH_RECOGNIZE ALL ROWS PER MATCH: per-event rows across micro-batches, parity with batch") {

@@ -207,6 +207,53 @@ class WindowPropSpec extends AnyFunSuite {
     })
   }
 
+  test("skip-past NFA equals greedy leftmost non-overlapping reference, batch-split invariant, timeout flush") {
+    import Cep.{SkipNfaState, runNfaSkipPast, skipPastTimeoutFlush}
+    val w = 500L
+    val spec = PatternSpec(
+      Seq(Step.simple("a")(_.etype == "A"),
+        Step("b", 1, 3, (e, _) => e.etype == "B")),
+      strict = true, every = true, withinUs = Some(w))
+    def emptySt = SkipNfaState(NfaState(Nil, done = false), 0L, Nil)
+    def ids(ms: Seq[CepMatch]) = ms.map(m =>
+      (m.steps.head.events.head.eventId, m.steps(1).events.last.eventId,
+        m.steps(1).events.size))
+    // independent reference: scan left to right; at an A, take the LONGEST
+    // contiguous B run (≤3, end within w of the A), emit, resume past it
+    def ref(events: List[CepEvent]): List[(Long, Long, Int)] = {
+      val ev = events.toVector
+      val out = List.newBuilder[(Long, Long, Int)]
+      var pos = 0
+      while (pos < ev.length) {
+        val g = if (ev(pos).etype != "A") None else
+          (3 to 1 by -1).collectFirst(Function.unlift { k =>
+            val end = pos + k
+            if (end < ev.length && (pos + 1 to end).forall(ev(_).etype == "B") &&
+                ev(end).tsUs - ev(pos).tsUs <= w) Some((k, end)) else None
+          })
+        g match {
+          case Some((k, end)) =>
+            out += ((ev(pos).eventId, ev(end).eventId, k)); pos = end + 1
+          case None => pos += 1
+        }
+      }
+      out.result()
+    }
+    check(Prop.forAll(genCepEvents, Gen.choose(0, 100)) { (events, cut) =>
+      // whole-tape run + a far-future flush for candidates still held at
+      // the tape end (the watermark sweep's job on a real stream)
+      val (m0, s0) = runNfaSkipPast(events, emptySt, spec)
+      val (mf, _) = skipPastTimeoutFlush(s0, Long.MaxValue / 2, w)
+      val got = ids(m0 ++ mf)
+      // the same tape split into two micro-batches must agree, state and all
+      val (a, b) = splitRandomly(events, cut)
+      val (m1, s1) = runNfaSkipPast(a, emptySt, spec)
+      val (m2, s2) = runNfaSkipPast(b, s1, spec)
+      val (mf2, _) = skipPastTimeoutFlush(s2, Long.MaxValue / 2, w)
+      got == ref(events) && ids(m1 ++ m2 ++ mf2) == got
+    })
+  }
+
   test("NFA strict {n} equals consecutive-run counting") {
     val spec = PatternSpec(Seq(Step.count("e", 3)(_.etype == "A")),
       strict = true, every = true, withinUs = None)
