@@ -380,6 +380,20 @@ class GraftAppSpec extends AnyFunSuite {
     assert(!spec.patterns.find(_.target == "breakouts").get.allRows)
   }
 
+  test("examples/round12_demo.sql parses: skip modes + alternation surface") {
+    val app = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/round12_demo.sql")))
+    val spec = GraftApp.parse(app)
+    val byTarget = spec.patterns.map(p => p.target -> p).toMap
+    // omitted AFTER MATCH = the ANSI default = SKIP PAST LAST ROW
+    assert(byTarget("rallies").skipPast && byTarget("rallies").skipTo.isEmpty)
+    assert(byTarget("vShapes").skipTo.contains((false, "U")))
+    val entries = byTarget("entries")
+    assert(!entries.skipPast && entries.skipTo.isEmpty)
+    // (DIP | HALT) lowered to one OR step with both aliases
+    assert(entries.variants.head.head.aliases == Seq("DIP", "HALT"))
+  }
+
   test("examples/round10_demo.sql parses: round-10 SQL surface") {
     val app = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("examples/round10_demo.sql")))
