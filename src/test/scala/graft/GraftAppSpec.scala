@@ -1131,6 +1131,57 @@ class GraftAppSpec extends AnyFunSuite {
     assert(errOf(nativeNoEvery, Map("E" -> retry)).contains("EVERY"))
   }
 
+  test("MATCH_RECOGNIZE: ALL ROWS PER MATCH composes with SKIP PAST LAST ROW; alternation composes with skip-past") {
+    // a b b b: skip-past keeps ONLY the greedy n_b=3 match; ALL ROWS
+    // explodes exactly its 4 rows (the every-mode would emit 1+2+3+4 rows
+    // across three matches)
+    val tape = Seq((1, 7L, "a", 1.0), (2, 7L, "b", 2.0), (3, 7L, "b", 3.0),
+      (4, 7L, "b", 4.0))
+      .toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE,
+        |                   n_b BIGINT, mr_match_number BIGINT, mr_classifier STRING);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES count(B.v) AS n_b
+        |  ALL ROWS PER MATCH
+        |  PATTERN (A B+) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b');""".stripMargin
+    val got = GraftApp.run(spark, app, Map("E" -> tape))("Out")
+      .select("v", "n_b", "mr_match_number", "mr_classifier")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1.0, 3L, 1L, "A"), (2.0, 3L, 1L, "B"),
+      (3.0, 3L, 1L, "B"), (4.0, 3L, 1L, "B")))
+
+    // alternation head + skip-past: (A|B) C pairs off without overlap and
+    // the unmatched alternative reads NULL
+    val tape2 = Seq((1, 7L, "a", 1.0), (2, 7L, "c", 2.0), (3, 7L, "b", 3.0),
+      (4, 7L, "c", 4.0))
+      .toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val app2 =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, a_v DOUBLE, b_v DOUBLE, c_v DOUBLE);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES A.v AS a_v, B.v AS b_v, C.v AS c_v
+        |  ONE ROW PER MATCH
+        |  PATTERN ((A | B) C) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b', C AS C.kind = 'c');""".stripMargin
+    val got2 = GraftApp.run(spark, app2, Map("E" -> tape2))("Out")
+      .select("a_v", "b_v", "c_v")
+      .collect().map(r => (
+        if (r.isNullAt(0)) -1.0 else r.getDouble(0),
+        if (r.isNullAt(1)) -1.0 else r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._3)
+    assert(got2.toSeq == Seq((1.0, -1.0, 2.0), (-1.0, 3.0, 4.0)))
+  }
+
   test("MATCH_RECOGNIZE SKIP TO FIRST/LAST: partial-overlap resume at the variable's row") {
     // the textbook V-shape: A (any row) + strictly-down run + strictly-up
     // run; values 10 8 6 9 12 7 11 hold two Vs sharing the peak 12
