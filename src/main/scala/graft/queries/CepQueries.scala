@@ -636,6 +636,239 @@ object CepQueries extends QueryFamily {
              |FROM v JOIN ord o ON o.user_id = v.user_id AND o.rn = v.a_rn
              |ORDER BY 1, 2""".stripMargin)),
 
+    // MATCH_RECOGNIZE SUBSET (round 12): union variable U = (A, B) —
+    // MEASURES over U distribute over the members (count sums the member
+    // counts, sum/min combine, LAST coalesces in reverse chain order).
+    // Every-mode error → k consecutive purchases; the oracle recomputes
+    // each union aggregate from the anchoring error row plus the streak
+    // members directly.
+    QueryDef(
+      "q_cep_mr_subset",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (user_id BIGINT, a_id BIGINT, n_u BIGINT,
+            |                   s_u DOUBLE, v_min DOUBLE, u_last BIGINT);
+            |INSERT INTO Out SELECT * FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts
+            |  MEASURES A.event_id AS a_id, count(U.value) AS n_u,
+            |           sum(U.value) AS s_u, min(U.value) AS v_min,
+            |           LAST(U.event_id) AS u_last
+            |  ONE ROW PER MATCH
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN (A B+) WITHIN INTERVAL '1' HOUR
+            |  SUBSET U = (A, B)
+            |  DEFINE A AS A.event_type = 'error', B AS B.event_type = 'purchase'
+            |);""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .orderBy(col("user_id"), col("a_id"), col("n_u"))
+      },
+      Some("""WITH ord AS (
+             |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS tsu,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events),
+             |streaks AS (
+             |  SELECT *, rn - coalesce(max(CASE WHEN event_type <> 'purchase' THEN rn END)
+             |    OVER (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING), 0) AS pstreak
+             |  FROM ord),
+             |m AS (
+             |  SELECT a.user_id, a.rn AS arn, a.event_id AS a_id, a.value AS a_v,
+             |         b.rn - a.rn AS k
+             |  FROM ord a JOIN streaks b
+             |    ON b.user_id = a.user_id AND b.rn > a.rn
+             |  WHERE a.event_type = 'error' AND b.event_type = 'purchase'
+             |    AND b.pstreak >= b.rn - a.rn
+             |    AND b.tsu - a.tsu <= 3600000000)
+             |SELECT m.user_id, m.a_id, CAST(m.k + 1 AS BIGINT) AS n_u,
+             |       m.a_v + sum(o.value) AS s_u,
+             |       least(m.a_v, min(o.value)) AS v_min,
+             |       max_by(o.event_id, o.rn) AS u_last
+             |FROM m JOIN ord o
+             |  ON o.user_id = m.user_id AND o.rn > m.arn AND o.rn <= m.arn + m.k
+             |GROUP BY m.user_id, m.a_id, m.a_v, m.k
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // MATCH_RECOGNIZE CLASSIFIER()/MATCH_NUMBER() (round 12): ANSI's
+    // per-row functions, lowered to aliases of the mr_classifier /
+    // mr_match_number columns EMIT ALL ROWS appends — the q_cep_mr_rows
+    // oracle with the two extra aliased copies.
+    QueryDef(
+      "q_cep_mr_classifier",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                   event_type STRING, value DOUBLE, props STRING,
+            |                   cls STRING, mn BIGINT, mr_match_number BIGINT,
+            |                   mr_classifier STRING);
+            |INSERT INTO Out SELECT * FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts
+            |  MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS mn
+            |  ALL ROWS PER MATCH
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN (A B+) WITHIN INTERVAL '1' HOUR
+            |  DEFINE A AS A.event_type = 'error', B AS B.event_type = 'purchase'
+            |);""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us",
+            "value", "cls", "mn", "mr_match_number", "mr_classifier")
+          .orderBy(col("user_id"), col("mr_match_number"), col("event_id"))
+      },
+      Some("""WITH ord AS (
+             |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS tsu,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events),
+             |streaks AS (
+             |  SELECT *, rn - coalesce(max(CASE WHEN event_type <> 'purchase' THEN rn END)
+             |    OVER (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING), 0) AS pstreak
+             |  FROM ord),
+             |m0 AS (
+             |  SELECT a.user_id, a.rn AS arn, bk.rn - a.rn AS k
+             |  FROM ord a JOIN streaks bk
+             |    ON bk.user_id = a.user_id AND bk.rn > a.rn
+             |  WHERE a.event_type = 'error' AND bk.event_type = 'purchase'
+             |    AND bk.pstreak >= bk.rn - a.rn
+             |    AND bk.tsu - a.tsu <= 3600000000),
+             |m AS (
+             |  SELECT user_id, arn, k,
+             |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY arn, k) AS BIGINT)
+             |      AS mr_match_number
+             |  FROM m0),
+             |out AS (
+             |  SELECT m.user_id, o.event_id, o.tsu AS ts_us, o.value,
+             |         'A' AS cls, m.mr_match_number AS mn,
+             |         m.mr_match_number, 'A' AS mr_classifier
+             |  FROM m JOIN ord o ON o.user_id = m.user_id AND o.rn = m.arn
+             |  UNION ALL
+             |  SELECT m.user_id, o.event_id, o.tsu AS ts_us, o.value,
+             |         'B' AS cls, m.mr_match_number AS mn,
+             |         m.mr_match_number, 'B' AS mr_classifier
+             |  FROM m JOIN ord o ON o.user_id = m.user_id
+             |    AND o.rn > m.arn AND o.rn <= m.arn + m.k)
+             |SELECT user_id, event_id, ts_us, value, cls, mn, mr_match_number, mr_classifier
+             |FROM out ORDER BY user_id, mr_match_number, event_id""".stripMargin)),
+
+    // MATCH_RECOGNIZE pattern exclusion {- A -} (round 12): A still
+    // anchors, times and numbers the match — its rows are just omitted
+    // from the ALL ROWS output. Oracle = the q_cep_mr_rows enumeration
+    // restricted to the B branch.
+    QueryDef(
+      "q_cep_mr_excl",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                   event_type STRING, value DOUBLE, props STRING,
+            |                   n_b BIGINT, mr_match_number BIGINT,
+            |                   mr_classifier STRING);
+            |INSERT INTO Out SELECT * FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts
+            |  MEASURES count(B.value) AS n_b
+            |  ALL ROWS PER MATCH
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN ({- A -} B+) WITHIN INTERVAL '1' HOUR
+            |  DEFINE A AS A.event_type = 'error', B AS B.event_type = 'purchase'
+            |);""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us",
+            "value", "n_b", "mr_match_number", "mr_classifier")
+          .orderBy(col("user_id"), col("mr_match_number"), col("event_id"))
+      },
+      Some("""WITH ord AS (
+             |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS tsu,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events),
+             |streaks AS (
+             |  SELECT *, rn - coalesce(max(CASE WHEN event_type <> 'purchase' THEN rn END)
+             |    OVER (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING), 0) AS pstreak
+             |  FROM ord),
+             |m0 AS (
+             |  SELECT a.user_id, a.rn AS arn, bk.rn - a.rn AS k
+             |  FROM ord a JOIN streaks bk
+             |    ON bk.user_id = a.user_id AND bk.rn > a.rn
+             |  WHERE a.event_type = 'error' AND bk.event_type = 'purchase'
+             |    AND bk.pstreak >= bk.rn - a.rn
+             |    AND bk.tsu - a.tsu <= 3600000000),
+             |m AS (
+             |  SELECT user_id, arn, k,
+             |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY arn, k) AS BIGINT)
+             |      AS mr_match_number
+             |  FROM m0)
+             |SELECT m.user_id, o.event_id, o.tsu AS ts_us, o.value,
+             |       CAST(m.k AS BIGINT) AS n_b, m.mr_match_number,
+             |       'B' AS mr_classifier
+             |FROM m JOIN ord o ON o.user_id = m.user_id
+             |  AND o.rn > m.arn AND o.rn <= m.arn + m.k
+             |ORDER BY m.user_id, m.mr_match_number, o.event_id""".stripMargin)),
+
+    // MATCH_RECOGNIZE RUNNING semantics (round 12): RUNNING count(B.value)
+    // re-aggregates per output ROW (rows up to and including the current
+    // one) while FINAL stays the whole-match constant. Oracle: the
+    // anchoring A row has seen 0 B rows; the j-th B row has seen j.
+    QueryDef(
+      "q_cep_mr_running",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                   event_type STRING, value DOUBLE, props STRING,
+            |                   rc BIGINT, n_b BIGINT, mr_match_number BIGINT,
+            |                   mr_classifier STRING);
+            |INSERT INTO Out SELECT * FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts
+            |  MEASURES RUNNING count(B.value) AS rc, FINAL count(B.value) AS n_b
+            |  ALL ROWS PER MATCH
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN (A B+) WITHIN INTERVAL '1' HOUR
+            |  DEFINE A AS A.event_type = 'error', B AS B.event_type = 'purchase'
+            |);""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us",
+            "value", "rc", "n_b", "mr_match_number", "mr_classifier")
+          .orderBy(col("user_id"), col("mr_match_number"), col("event_id"))
+      },
+      Some("""WITH ord AS (
+             |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS tsu,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events),
+             |streaks AS (
+             |  SELECT *, rn - coalesce(max(CASE WHEN event_type <> 'purchase' THEN rn END)
+             |    OVER (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING), 0) AS pstreak
+             |  FROM ord),
+             |m0 AS (
+             |  SELECT a.user_id, a.rn AS arn, bk.rn - a.rn AS k
+             |  FROM ord a JOIN streaks bk
+             |    ON bk.user_id = a.user_id AND bk.rn > a.rn
+             |  WHERE a.event_type = 'error' AND bk.event_type = 'purchase'
+             |    AND bk.pstreak >= bk.rn - a.rn
+             |    AND bk.tsu - a.tsu <= 3600000000),
+             |m AS (
+             |  SELECT user_id, arn, k,
+             |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY arn, k) AS BIGINT)
+             |      AS mr_match_number
+             |  FROM m0),
+             |out AS (
+             |  SELECT m.user_id, o.event_id, o.tsu AS ts_us, o.value,
+             |         CAST(0 AS BIGINT) AS rc, CAST(m.k AS BIGINT) AS n_b,
+             |         m.mr_match_number, 'A' AS mr_classifier
+             |  FROM m JOIN ord o ON o.user_id = m.user_id AND o.rn = m.arn
+             |  UNION ALL
+             |  SELECT m.user_id, o.event_id, o.tsu AS ts_us, o.value,
+             |         CAST(o.rn - m.arn AS BIGINT) AS rc, CAST(m.k AS BIGINT) AS n_b,
+             |         m.mr_match_number, 'B' AS mr_classifier
+             |  FROM m JOIN ord o ON o.user_id = m.user_id
+             |    AND o.rn > m.arn AND o.rn <= m.arn + m.k)
+             |SELECT user_id, event_id, ts_us, value, rc, n_b, mr_match_number, mr_classifier
+             |FROM out ORDER BY user_id, mr_match_number, event_id""".stripMargin)),
+
     // Cross-step reference (e2.value > 2 * e1.value) — the StateEvent
     // access pattern; relaxed, within 2h.
     QueryDef(

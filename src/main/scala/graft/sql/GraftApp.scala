@@ -931,13 +931,23 @@ object GraftApp {
         partitionBy = Some(pm.group(1))
         rest = rest.substring(0, pm.start) + rest.substring(pm.end)
       }
-      // EMIT ALL ROWS: one output row per matched EVENT (the lowering
-      // target of MATCH_RECOGNIZE's ALL ROWS PER MATCH; batch only)
+      // EMIT ALL ROWS [EXCLUDING (v, …)]: one output row per matched EVENT
+      // (the lowering target of MATCH_RECOGNIZE's ALL ROWS PER MATCH);
+      // EXCLUDING names step variables whose rows are omitted from the
+      // OUTPUT only (ANSI's {- v -} pattern exclusion — the variables still
+      // match, anchor WITHIN, and feed RUNNING measures)
       var allRows = false
-      """(?is)\bEMIT\s+ALL\s+ROWS\b""".r.findFirstMatchIn(rest).foreach { em =>
-        allRows = true
-        rest = rest.substring(0, em.start) + rest.substring(em.end)
-      }
+      var allRowsExcluding: Seq[String] = Nil
+      """(?is)\bEMIT\s+ALL\s+ROWS(\s+EXCLUDING\s*\(([^)]*)\))?""".r
+        .findFirstMatchIn(rest).foreach { em =>
+          allRows = true
+          Option(em.group(2)).foreach { lst =>
+            allRowsExcluding = lst.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            if (allRowsExcluding.isEmpty) throw SqlError(
+              "EXCLUDING needs at least one pattern variable: EXCLUDING (v [, …])")
+          }
+          rest = rest.substring(0, em.start) + rest.substring(em.end)
+        }
       // SKIP PAST LAST ROW: greedy leftmost non-overlapping match subset
       // (the lowering target of MATCH_RECOGNIZE's default skip mode;
       // batch only, SEQUENCE+EVERY — PatternCompiler gates typed)
@@ -960,7 +970,8 @@ object GraftApp {
       if (residue.nonEmpty)
         throw SqlError(s"unrecognized text after pattern clause: '${residue.take(60)}' — " +
           "pattern queries support WHERE, WITHIN, ALLOW LATENESS, PARTITION " +
-          "BY, EMIT ALL ROWS, SKIP PAST LAST ROW, SKIP TO FIRST|LAST <var>")
+          "BY, EMIT ALL ROWS [EXCLUDING (v, …)], SKIP PAST LAST ROW, " +
+          "SKIP TO FIRST|LAST <var>")
       val (variants, every, absents) = PatternCompiler.parseSteps(stepsRaw)
       val (withinUs, withinEvents) = within
         .map { case (n, u) => PatternCompiler.parseWithin(n, u) }
@@ -971,7 +982,7 @@ object GraftApp {
         variants = variants, withinUs = withinUs, withinEvents = withinEvents,
         where = where, partitionBy = partitionBy, absents = absents,
         lateness = lateness, allRows = allRows, skipPast = skipPast,
-        skipTo = skipTo)
+        skipTo = skipTo, allRowsExcluding = allRowsExcluding)
     }
 
   /** ANSI/Flink-style `MATCH_RECOGNIZE` — a second SQL spelling for the
@@ -1028,7 +1039,31 @@ object GraftApp {
     *    MEASURES they anchor at the variable's LAST matched row and lower
     *    to physical-offset join-backs on the per-key row_number. Partition
     *    edges yield NULL (ANSI's unmatched navigation), and both forms are
-    *    batch-only (a stream has no materialized physical order).
+    *    batch-only (a stream has no materialized physical order);
+    *  - SUBSET u = (A, B) (round 12) declares ANSI union variables,
+    *    resolved in MEASURES by textual distribution over the members
+    *    (which a chain visits in event-time order): count sums the member
+    *    counts, sum/min/max/avg combine NULL-safely (all-absent stays
+    *    NULL), FIRST/LAST coalesce in chain/reverse-chain order, and a
+    *    bare u.x is ANSI's LAST(u.x). Logical offsets (FIRST(u.x, k>0)),
+    *    PREV/NEXT over unions, and DEFINE references are typed errors;
+    *  - CLASSIFIER()/MATCH_NUMBER() (round 12) in MEASURES alias the
+    *    mr_classifier/mr_match_number columns ALL ROWS appends — per-row
+    *    values, so they need ALL ROWS PER MATCH and must be a measure's
+    *    entire expression (compose downstream);
+    *  - RUNNING/FINAL semantics keywords (round 12): measures without a
+    *    keyword are FINAL (the documented divergence from ANSI's
+    *    ALL-ROWS-defaults-to-RUNNING — write RUNNING explicitly for the
+    *    per-prefix form). `RUNNING agg(V.x)` (count/sum/min/max/avg) in
+    *    ALL ROWS re-aggregates per output row via a window over the
+    *    exploded match rows, batch-only; in ONE ROW both keywords strip
+    *    (they coincide at the match's final row, per ANSI). FINAL always
+    *    strips (it names the implemented semantics);
+    *  - {- V[quant] -} pattern exclusion (round 12, ANSI): V matches
+    *    normally — anchors, WITHIN, measures and RUNNING all see its
+    *    rows — but its rows are omitted from ALL ROWS output (lowered to
+    *    the engine's EMIT ALL ROWS EXCLUDING clause). In ONE ROW mode
+    *    exclusion is ANSI's defined no-op.
     */
   private val MatchRecognizeRe =
     """(?is)^\s*INSERT\s+INTO\s+(\w+)\s+SELECT\s+(.*?)\s+FROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\(""".r
@@ -1200,6 +1235,33 @@ object GraftApp {
       tOrig = tOrig.substring(0, km.start) + tOrig.substring(km.start + wm.end)
       tMask = tMask.substring(0, km.start) + tMask.substring(km.start + wm.end)
     }
+    // SUBSET u = (A, B) [, w = (…)] (round 12): ANSI union variables —
+    // resolved in MEASURES only (each reference expands over the members,
+    // which a chain visits in event-time order). Parsed here (either side
+    // of DEFINE positionally); members validated against the pattern
+    // variables once tokens are parsed below.
+    var subsets = Map.empty[String, Seq[String]]
+    """(?is)\bSUBSET\b""".r.findFirstMatchIn(tMask).foreach { sm =>
+      val after = tOrig.substring(sm.end)
+      val afterMask = tMask.substring(sm.end)
+      val stop = """(?is)\bDEFINE\b""".r.findFirstMatchIn(afterMask)
+        .map(_.start).getOrElse(after.length)
+      val listStr = after.substring(0, stop)
+      tOrig = tOrig.substring(0, sm.start) + after.substring(stop)
+      tMask = tMask.substring(0, sm.start) + afterMask.substring(stop)
+      val itemRe = """(?is)^\s*(\w+)\s*=\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)\s*$""".r
+      splitTopLevel(listStr).foreach { item =>
+        val im = itemRe.findFirstMatchIn(item).getOrElse(throw SqlError(
+          s"bad SUBSET item '${item.trim.take(40)}' — expected name = (VAR [, …])"))
+        val (name, members) = (im.group(1), im.group(2).split(",").map(_.trim).toSeq)
+        if (subsets.contains(name)) throw SqlError(
+          s"duplicate SUBSET '$name' — each union variable is declared once")
+        members.groupBy(identity).collectFirst { case (v, vs) if vs.size > 1 => v }
+          .foreach(v => throw SqlError(
+            s"duplicate member '$v' in SUBSET $name"))
+        subsets += name -> members
+      }
+    }
     val defines = """(?is)\bDEFINE\b""".r.findFirstMatchIn(tMask) match {
       case Some(dm) =>
         val list = tOrig.substring(dm.end)
@@ -1220,28 +1282,37 @@ object GraftApp {
     if (tOrig.trim.nonEmpty) throw SqlError(
       s"unrecognized MATCH_RECOGNIZE clause: '${tOrig.trim.take(60)}'")
 
-    // ---- pattern tokens: VAR[quant], or an (A|B) alternation group
-    // (round 12) lowering to ONE engine OR step — each alternative keeps
-    // its own alias (classifier) and DEFINE predicate. Nested/sequence
-    // grouping and QUANTIFIED alternation stay typed errors: the engine's
-    // OR steps take no count quantifier (compileVariant rejects it too).
+    // ---- pattern tokens: VAR[quant], an (A|B) alternation group (round
+    // 12) lowering to ONE engine OR step — each alternative keeps its own
+    // alias (classifier) and DEFINE predicate — or an ANSI exclusion
+    // {- VAR[quant] -} (round 12): the variable matches normally (anchors,
+    // WITHIN, measures, RUNNING all see its rows) but its rows are omitted
+    // from ALL ROWS PER MATCH output (in ONE ROW mode exclusion is ANSI's
+    // defined no-op). Nested/sequence grouping and QUANTIFIED alternation
+    // stay typed errors: the engine's OR steps take no count quantifier
+    // (compileVariant rejects it too).
     val grpRe =
-      ("""\(\s*(\w+(?:\s*\|\s*\w+)+)\s*\)\s*(\+|\*|\?|\{\d+(?:,\d*)?\})?""" +
+      ("""\{-\s*(\w+)\s*(\+|\*|\?|\{\d+(?:,\d*)?\})?\s*-\}""" +
+        """|\(\s*(\w+(?:\s*\|\s*\w+)+)\s*\)\s*(\+|\*|\?|\{\d+(?:,\d*)?\})?""" +
         """|(\w+)\s*(\+|\*|\?|\{\d+(?:,\d*)?\})?""").r
+    final case class MrTok(vars: Seq[String], quant: Option[String],
+                           excluded: Boolean)
     val covered = new StringBuilder
-    val toks: Seq[(Seq[String], Option[String])] =
+    val toks: Seq[MrTok] =
       grpRe.findAllMatchIn(patternRaw).map { gm =>
         covered.append(gm.matched)
-        if (gm.group(1) != null) {
-          if (gm.group(2) != null) throw SqlError(
-            s"quantified alternation '(${gm.group(1).trim})${gm.group(2)}' is " +
+        if (gm.group(1) != null)
+          MrTok(Seq(gm.group(1)), Option(gm.group(2)), excluded = true)
+        else if (gm.group(3) != null) {
+          if (gm.group(4) != null) throw SqlError(
+            s"quantified alternation '(${gm.group(3).trim})${gm.group(4)}' is " +
               "not supported — engine OR steps take no count quantifier")
-          val alts = gm.group(1).split("\\|").map(_.trim).toSeq
+          val alts = gm.group(3).split("\\|").map(_.trim).toSeq
           alts.groupBy(identity).collectFirst { case (a, as) if as.size > 1 => a }
             .foreach(a => throw SqlError(
-              s"duplicate alternative '$a' in alternation (${gm.group(1).trim})"))
-          (alts, None)
-        } else (Seq(gm.group(3)), Option(gm.group(4)))
+              s"duplicate alternative '$a' in alternation (${gm.group(3).trim})"))
+          MrTok(alts, None, excluded = false)
+        } else MrTok(Seq(gm.group(5)), Option(gm.group(6)), excluded = false)
       }.toSeq
     // the scan skips anything unmatchable — require full coverage so a
     // nested group / stray paren is a typed error, never silently dropped
@@ -1250,12 +1321,106 @@ object GraftApp {
         "(A|B) is not supported in MATCH_RECOGNIZE — the engine grammar " +
         "covers OR/AND steps: FROM PATTERN (a=S[...] OR b=S[...] -> ...)")
     if (toks.isEmpty) throw SqlError("empty PATTERN")
-    defines.keys.find(v => !toks.exists(_._1.contains(v))).foreach(v =>
+    defines.keys.find(v => !toks.exists(_.vars.contains(v))).foreach(v =>
       throw SqlError(s"DEFINE names '$v' which is not a pattern variable"))
-    toks.headOption.filter(_._2.exists(q => q == "?" || q == "*" || q.startsWith("{0")))
-      .foreach { case (vs, _) => throw SqlError(
-        s"first pattern variable '${vs.head}' must be required (min >= 1) — " +
+    toks.headOption.filter(_.quant.exists(q => q == "?" || q == "*" || q.startsWith("{0")))
+      .foreach { t => throw SqlError(
+        s"first pattern variable '${t.vars.head}' must be required (min >= 1) — " +
           "the match and its partition key anchor on it") }
+    val excludedVars = toks.filter(_.excluded).flatMap(_.vars)
+
+    // SUBSET validation (needs the parsed pattern variables): names must
+    // not shadow variables, members must be variables, and union variables
+    // resolve in MEASURES only — a DEFINE reference is a typed error, not
+    // a silent misparse.
+    subsets.foreach { case (name, members) =>
+      if (toks.exists(_.vars.contains(name))) throw SqlError(
+        s"SUBSET '$name' collides with a pattern variable of the same name")
+      members.find(v => !toks.exists(_.vars.contains(v))).foreach(v =>
+        throw SqlError(s"SUBSET $name names '$v' which is not a pattern variable"))
+      defines.foreach { case (dv, p) =>
+        if (("(?i)\\b" + name + "\\s*\\.").r.findFirstIn(maskQuotes(p)).isDefined)
+          throw SqlError(s"SUBSET '$name' referenced in DEFINE ($dv) — union " +
+            "variables resolve in MEASURES only; spell the member predicates out")
+      }
+    }
+    // member metadata: a count-quantified member reads through the engine's
+    // collection forms (count(v.x), v[0].x, v[last].x); a max-1 member
+    // (`?` / {0,1} / {1}) through plain scalar refs, which NULL out via the
+    // variant padding when the optional member is omitted from a match
+    def isColl(v: String): Boolean =
+      toks.find(_.vars.contains(v)).flatMap(_.quant).exists {
+        case "+" | "*" => true
+        case "?" => false
+        case q if q.startsWith("{") =>
+          val parts = q.stripPrefix("{").stripSuffix("}").split(",", -1)
+          if (parts.length == 1) parts(0).trim.toInt > 1 // {n}
+          else parts(1).trim.isEmpty || parts(1).trim.toInt > 1 // {n,} {n,m}
+        case _ => false
+      }
+    // SUBSET reference expansion over the members, which a chain visits in
+    // pattern order = event-time order; each aggregate distributes over the
+    // members' own collection/scalar forms (all-NULL stays NULL — ANSI's
+    // empty-aggregate contract), FIRST/LAST coalesce in chain/reverse-chain
+    // order, and a bare U.x is ANSI's LAST(U.x).
+    def sMemberOrder(ms: Seq[String]): Seq[String] =
+      ms.sortBy(v => toks.indexWhere(_.vars.contains(v)))
+    def sCount(v: String, x: String) =
+      if (isColl(v)) s"count($v.$x)"
+      else s"(CASE WHEN $v.$x IS NOT NULL THEN 1 ELSE 0 END)"
+    def sSum(v: String, x: String) = if (isColl(v)) s"sum($v.$x)" else s"$v.$x"
+    def sMinMax(fn: String, v: String, x: String) =
+      if (isColl(v)) s"$fn($v.$x)" else s"$v.$x"
+    def subsetAgg(fn: String, ms0: Seq[String], x: String): String = {
+      val ms = sMemberOrder(ms0)
+      def sumExpr = {
+        val parts = ms.map(sSum(_, x))
+        if (parts.size == 1) parts.head
+        else s"(CASE WHEN ${parts.map(p => s"$p IS NULL").mkString(" AND ")} " +
+          s"THEN NULL ELSE ${parts.map(p => s"coalesce($p, 0)").mkString(" + ")} END)"
+      }
+      def cntExpr = s"(${ms.map(sCount(_, x)).mkString(" + ")})"
+      fn.toLowerCase match {
+        case "count" => cntExpr
+        case "sum" => sumExpr
+        case "avg" => s"($sumExpr * 1.0 / nullif($cntExpr, 0))"
+        case mm => // min | max: least/greatest skip NULLs (absent members)
+          val parts = ms.map(sMinMax(mm, _, x))
+          if (parts.size == 1) parts.head
+          else s"${if (mm == "min") "least" else "greatest"}(${parts.mkString(", ")})"
+      }
+    }
+    def subsetNav(first: Boolean, ms0: Seq[String], x: String): String = {
+      val ms = sMemberOrder(ms0)
+      val parts =
+        if (first) ms.map(v => if (isColl(v)) s"$v[0].$x" else s"$v.$x")
+        else ms.reverse.map(v => if (isColl(v)) s"$v[last].$x" else s"$v.$x")
+      if (parts.size == 1) parts.head else s"coalesce(${parts.mkString(", ")})"
+    }
+    def expandSubsets(e0: String): String = {
+      var e = e0
+      subsets.foreach { case (u, ms) =>
+        ("(?i)\\b(PREV|NEXT)\\s*\\(\\s*" + u + "\\s*\\.").r
+          .findFirstIn(maskQuotes(e)).foreach(_ => throw SqlError(
+            s"PREV/NEXT over SUBSET '$u' is not supported — physical " +
+              "navigation anchors at a single variable's row"))
+        e = rewriteOutsideQuotes(e,
+          ("(?i)\\b(count|sum|avg|min|max)\\s*\\(\\s*" + u +
+            "\\s*\\.\\s*(\\w+)\\s*\\)").r)(m =>
+          subsetAgg(m.group(1), ms, m.group(2)))
+        e = rewriteOutsideQuotes(e,
+          ("(?i)\\b(FIRST|LAST)\\s*\\(\\s*" + u +
+            "\\s*\\.\\s*(\\w+)\\s*(?:,\\s*(\\d+)\\s*)?\\)").r) { m =>
+          Option(m.group(3)).filter(_ != "0").foreach(k => throw SqlError(
+            s"${m.group(1).toUpperCase}($u.${m.group(2)}, $k): logical offsets " +
+              "over a SUBSET union are not supported — index the member variable"))
+          subsetNav(m.group(1).equalsIgnoreCase("FIRST"), ms, m.group(2))
+        }
+        e = rewriteOutsideQuotes(e, ("(?i)\\b" + u + "\\s*\\.\\s*(\\w+)").r)(m =>
+          subsetNav(first = false, ms, m.group(1)))
+      }
+      e
+    }
 
     // DEFINE predicate: self-references become bare columns (the engine's
     // step-filter form); other variables stay qualified (cross-step refs)
@@ -1293,7 +1458,7 @@ object GraftApp {
       lowered
     }
     val steps = toks.map {
-      case (Seq(v), q) =>
+      case MrTok(Seq(v), q, _) =>
         val pred = defines.get(v).map(p => s"[${lowerPred(v, p)}]").getOrElse("")
         val quant = q.getOrElse("") match {
           case "" => ""
@@ -1301,7 +1466,7 @@ object GraftApp {
           case s0 => s0 // + * {n} {n,m} {n,} — the engine spells these the same
         }
         s"$v=$stream$pred$quant"
-      case (alts, _) => // alternation: one engine OR step, alias per branch
+      case MrTok(alts, _, _) => // alternation: one engine OR step, alias per branch
         alts.map { v =>
           val pred = defines.get(v).map(p => s"[${lowerPred(v, p)}]").getOrElse("")
           s"$v=$stream$pred"
@@ -1313,13 +1478,57 @@ object GraftApp {
     val items = splitTopLevel(measuresRaw).map { item =>
       val im = """(?is)^(.*?)\s+AS\s+(\w+)\s*$""".r.findFirstMatchIn(item)
         .getOrElse(throw SqlError(s"bad MEASURES item '$item' — expected expr AS alias"))
+      // semantics keywords (round 12): FINAL is the implemented semantics
+      // for measures on the per-match relation (constant per match) — the
+      // keyword strips. RUNNING in ONE ROW coincides with FINAL at the
+      // match's final row (ANSI) — strips too. RUNNING in ALL ROWS is the
+      // per-prefix form: RUNNING agg(V.x) lowers to an internal marker the
+      // EMIT ALL ROWS lowering evaluates as a window over the exploded
+      // match rows; any other RUNNING shape is a typed error.
+      var e0 = rewriteOutsideQuotes(im.group(1),
+        """(?i)\bFINAL\s+(?=(?:count|sum|min|max|avg|first|last|prev|next)\s*\()""".r)(
+        _ => "")
+      if (allRows) {
+        e0 = rewriteOutsideQuotes(e0,
+          """(?i)\bRUNNING\s+(count|sum|min|max|avg)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)""".r) { m =>
+          val v = m.group(2)
+          if (subsets.contains(v)) throw SqlError(
+            s"RUNNING over SUBSET '$v' is not supported — expand per member")
+          s"__mr_running_${m.group(1).toLowerCase}($v.${m.group(3)})"
+        }
+      } else {
+        e0 = rewriteOutsideQuotes(e0,
+          """(?i)\bRUNNING\s+(?=(?:count|sum|min|max|avg|first|last)\s*\()""".r)(
+          _ => "")
+      }
+      """(?i)\bRUNNING\b""".r.findFirstIn(maskQuotes(e0)).foreach(_ =>
+        throw SqlError("RUNNING supports count|sum|min|max|avg over a single " +
+          "pattern variable column (RUNNING agg(V.col)) and, in ONE ROW PER " +
+          "MATCH, the FINAL-coinciding aggregate/navigation forms"))
+      // CLASSIFIER() / MATCH_NUMBER() (round 12): aliases of the
+      // mr_classifier / mr_match_number columns EMIT ALL ROWS appends —
+      // per-row values, so they need ALL ROWS PER MATCH and must be the
+      // measure's entire expression (compose downstream).
+      if ("""(?i)\b(CLASSIFIER|MATCH_NUMBER)\s*\(""".r
+          .findFirstIn(maskQuotes(e0)).isDefined) {
+        if (!allRows) throw SqlError(
+          "CLASSIFIER()/MATCH_NUMBER() need ALL ROWS PER MATCH (they are " +
+            "per-row values; ONE ROW emits one row per match)")
+        val t = e0.trim
+        if (t.matches("""(?i)CLASSIFIER\s*\(\s*\)""")) e0 = "__mr_classifier"
+        else if (t.matches("""(?i)MATCH_NUMBER\s*\(\s*\)""")) e0 = "__mr_match_number"
+        else throw SqlError(
+          "CLASSIFIER()/MATCH_NUMBER() must be a measure's entire expression " +
+            "(no arguments, no composition — alias it and compose downstream)")
+      }
+      e0 = expandSubsets(e0)
       // FIRST/LAST take ANSI's optional logical offset: FIRST(V.x, k) is
       // the k-th row of V from the start (V[k].x), LAST(V.x, k) the k-th
       // from the end (V[last-k].x); past the collected count yields NULL.
       // PREV/NEXT pass through — the engine select grammar lowers them to
       // physical-offset joins anchored at the variable's last matched row.
       val expr0 = {
-        val a = rewriteOutsideQuotes(im.group(1),
+        val a = rewriteOutsideQuotes(e0,
           """(?i)\bFIRST\s*\(\s*(\w+)\s*\.\s*(\w+)\s*(?:,\s*(\d+)\s*)?\)""".r)(m =>
           Option(m.group(3)) match {
             case Some(k) => s"${m.group(1)}[$k].${m.group(2)}"
@@ -1338,7 +1547,7 @@ object GraftApp {
     // key, so no key item is injected; the engine appends them (plus
     // mr_classifier) via EMIT ALL ROWS
     val keyItem = if (allRows) None else partitionBy.map { k =>
-      val (vs0, q0) = toks.head
+      val MrTok(vs0, q0, _) = toks.head
       // an alternation head binds exactly one alternative per match (the
       // others join NULL) — coalesce picks the matched one's key
       val spelled =
@@ -1349,7 +1558,12 @@ object GraftApp {
     }
     val select = (keyItem.toSeq ++ items).mkString(", ")
     val partStr = partitionBy.map(k => s" PARTITION BY $k").getOrElse("")
-    val emitStr = if (allRows) " EMIT ALL ROWS" else ""
+    // exclusions reach the engine only in ALL ROWS mode — in ONE ROW mode
+    // ANSI defines {- v -} as a no-op (nothing is emitted per row anyway)
+    val emitStr =
+      if (!allRows) ""
+      else " EMIT ALL ROWS" + (if (excludedVars.nonEmpty)
+        s" EXCLUDING (${excludedVars.mkString(", ")})" else "")
     val skipStr =
       if (skipPast) " SKIP PAST LAST ROW"
       else skipToVar.map { case (isFirst, v) =>

@@ -113,7 +113,12 @@ object PatternCompiler {
       // re-matches forever — the case ANSI defines as a runtime error,
       // rejected here at compile) and must not sit on an OR step (the
       // alternative may be absent in a given match).
-      skipTo: Option[(Boolean, String)] = None) {
+      skipTo: Option[(Boolean, String)] = None,
+      // `EMIT ALL ROWS EXCLUDING (v, …)` (ANSI's {- v -} pattern
+      // exclusion): step variables whose rows are omitted from the OUTPUT
+      // only — they still match, anchor WITHIN, and feed measures
+      // (including RUNNING, which sees excluded rows per ANSI).
+      allRowsExcluding: Seq[String] = Nil) {
     def allAlts: Seq[StepAlt] = variants.flatten.flatMap(_.alts) ++ absents.map(_.alt)
   }
 
@@ -387,6 +392,8 @@ object PatternCompiler {
     val navRe = """(?i)\b(prev|next)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*(?:,\s*(\d+)\s*)?\)""".r
     val allStreams = q.allAlts.map(_.stream).distinct
     def rewrite(text0: String): String = {
+      // EMIT ALL ROWS RUNNING marker: opaque here (resolved post-explode)
+      if (RunningMarkerRe.findFirstMatchIn(text0).isDefined) return text0
       // PREV/NEXT physical navigation — same contract as the
       // single-variant path (anchored at the variable's last matched
       // event, per-key row_number arithmetic, NULL at partition edges);
@@ -495,7 +502,7 @@ object PatternCompiler {
         "EMIT ALL ROWS is not supported with OR steps (the classifier is " +
           "per step variable)")
       return emitAllRows(out, ordered, groups.indices.map(gi => s"__ids_$gi"),
-        groups.map(_.aliases.head), items)
+        groups.map(_.aliases.head), items, q.allRowsExcluding)
     }
 
     val selectCols = items.map {
@@ -571,23 +578,76 @@ object PatternCompiler {
     * ONCE (the same join-back the collection aggregations perform), and the
     * output is the matched event's own columns + the select items evaluated
     * with FINAL semantics (constant across a match's rows — ANSI's
-    * `FINAL`-prefixed form; running semantics would need per-prefix
-    * re-evaluation, a different machine). A NULL ids array (a variant that
-    * omits the group — the `A*` zero branch) contributes no rows, which is
-    * exactly ANSI: an unmatched optional variable maps no rows.
+    * `FINAL`-prefixed form). Round 12 adds the per-ROW measure kinds:
+    * `__mr_classifier`/`__mr_match_number` markers (CLASSIFIER()/
+    * MATCH_NUMBER() aliases of the appended columns) and
+    * `__mr_running_fn(V.col)` (ANSI RUNNING semantics — a per-prefix
+    * window over the exploded rows in event order; count/sum/min/max/avg),
+    * plus `excluding` (ANSI's `{- v -}`): those classifiers' rows are
+    * dropped from the OUTPUT only, after the RUNNING windows have seen
+    * them. A NULL ids array (a variant that omits the group — the `A*`
+    * zero branch) contributes no rows, which is exactly ANSI: an unmatched
+    * optional variable maps no rows.
     *
     * Scale: the explode/join-back is per-MATCH output, partitioned by the
-    * pattern key like every other join in this file — no new shuffle shape.
+    * pattern key like every other join in this file — no new shuffle
+    * shape; the RUNNING windows partition by (key, match) over the same
+    * output-sized relation.
     */
+  /** Internal EMIT ALL ROWS measure marker (produced by the
+    * MATCH_RECOGNIZE desugarer): `__mr_running_fn(V.col)` is a RUNNING
+    * per-prefix aggregate, resolved here as a window over the exploded
+    * match rows. The select-item rewrites skip it whole (the V.col inside
+    * anchors the post-explode filter, not a join).
+    */
+  private[sql] val RunningMarkerRe =
+    """(?is)^\s*__mr_running_(count|sum|min|max|avg)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)\s*$""".r
+
   private def emitAllRows(out: DataFrame, ordered: DataFrame,
                           idsCols: Seq[String], classifiers: Seq[String],
-                          items: Seq[(String, Option[String])]): DataFrame = {
-    val measureCols = items.map {
-      case (e, Some(a)) => expr(e).as(a)
-      case (e, None) => expr(e)
+                          items: Seq[(String, Option[String])],
+                          excluding: Seq[String]): DataFrame = {
+    excluding.find(v => !classifiers.contains(v)).foreach(v =>
+      throw GraftApp.SqlError(
+        s"EXCLUDING names '$v' which is not a pattern step variable"))
+    // measure classification: CLASSIFIER()/MATCH_NUMBER() markers and
+    // RUNNING per-prefix aggregates are PER-ROW values, resolved after the
+    // explode; everything else keeps FINAL semantics (constant per match,
+    // evaluated on the per-match relation as before)
+    sealed trait MKind
+    case object MNormal extends MKind
+    case object MCls extends MKind
+    case object MNum extends MKind
+    final case class MRun(fn: String, v: String, c: String) extends MKind
+    def needAlias(e: String, a: Option[String]): String = a.getOrElse(
+      throw GraftApp.SqlError(
+        s"EMIT ALL ROWS measure '${e.trim.take(40)}' needs an AS alias"))
+    val kinds: Seq[(MKind, String)] = items.map { case (e, a) =>
+      e.trim.toLowerCase match {
+        case "__mr_classifier" => (MCls, needAlias(e, a))
+        case "__mr_match_number" => (MNum, needAlias(e, a))
+        case _ => e.trim match {
+          case RunningMarkerRe(fn, v, c) =>
+            if (!classifiers.contains(v)) throw GraftApp.SqlError(
+              s"RUNNING aggregate references '$v' which is not a pattern " +
+                "step variable")
+            (MRun(fn.toLowerCase, v, c), needAlias(e, a))
+          case _ => (MNormal, "") // name resolved from the select below
+        }
+      }
     }
-    val keep = out.select((col("__mkey") +: idsCols.map(col)) ++ measureCols: _*)
-    val measureNames = keep.columns.drop(1 + idsCols.size).toSeq
+    val normalCols = items.zip(kinds).collect { case ((e, a), (MNormal, _)) =>
+      a.map(al => expr(e).as(al)).getOrElse(expr(e)) }
+    val keep = out.select((col("__mkey") +: idsCols.map(col)) ++ normalCols: _*)
+    val normalNames = keep.columns.drop(1 + idsCols.size).toSeq
+    // stitch the user's measure order back together (normal names consumed
+    // in sequence; deferred kinds carry their own alias)
+    val nIt = normalNames.iterator
+    val outMeasures: Seq[(MKind, String)] = kinds.map {
+      case (MNormal, _) => (MNormal, nIt.next())
+      case other => other
+    }
+    val measureNames = outMeasures.map(_._2)
     val evCols = ordered.columns.filterNot(_.startsWith("__")).toSeq
     val clash = measureNames.intersect(evCols)
     if (clash.nonEmpty) throw GraftApp.SqlError(
@@ -598,6 +658,11 @@ object PatternCompiler {
       n.equalsIgnoreCase("mr_classifier") || n.equalsIgnoreCase("mr_match_number"))
       .foreach(n => throw GraftApp.SqlError(
         s"EMIT ALL ROWS reserves the output column name '$n'"))
+    val runItems = outMeasures.collect { case (r: MRun, a) => (r, a) }
+    runItems.foreach { case (r, _) =>
+      if (!evCols.exists(_.equalsIgnoreCase(r.c))) throw GraftApp.SqlError(
+        s"RUNNING ${r.fn}(${r.v}.${r.c}): '${r.c}' is not a stream column")
+    }
     // MATCH_NUMBER() equivalent: overlapping matches share events, so
     // per-event rows are un-groupable without a match identity. Number the
     // matches per partition by their event positions — (first id, buffer
@@ -620,13 +685,43 @@ object PatternCompiler {
       row_number().over(wMatch).cast("long"))
     val perStep = idsCols.zip(classifiers).map { case (ic, cls) =>
       numbered.select((col("__mkey") +: col("mr_match_number") +:
-        measureNames.map(col)) :+
+        normalNames.map(col)) :+
         lit(cls).as("mr_classifier") :+ explode(col(ic)).as("__eid"): _*)
     }.reduce(_.unionByName(_))
-    val rows = perStep.join(ordered.as("__row"),
+    var rows = perStep.join(ordered.as("__row"),
       col("__row.__id") === col("__eid") && col("__row.__key") === col("__mkey"))
-    val res = rows.select(evCols.map(c => col(s"__row.$c")) ++
-      measureNames.map(col) ++ Seq(col("mr_match_number"), col("mr_classifier")): _*)
+    // RUNNING measures: a per-prefix window over the match's exploded rows
+    // in event order (__eid = per-key row_number). Excluded rows still feed
+    // the window (ANSI: exclusion affects OUTPUT only) — filtered after.
+    if (runItems.nonEmpty) {
+      val wRun = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__mkey"), col("mr_match_number"))
+        .orderBy(col("__eid"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      runItems.foreach { case (r, alias) =>
+        val evC = evCols.find(_.equalsIgnoreCase(r.c)).get
+        val arg = when(col("mr_classifier") === lit(r.v), col(s"__row.$evC"))
+        val agg = r.fn match {
+          case "count" => count(arg)
+          case "sum" => sum(arg)
+          case "min" => min(arg)
+          case "max" => max(arg)
+          case "avg" => avg(arg)
+        }
+        rows = rows.withColumn(alias, agg.over(wRun))
+      }
+    }
+    val kept =
+      if (excluding.isEmpty) rows
+      else rows.filter(!col("mr_classifier").isin(excluding: _*))
+    val mCols = outMeasures.map {
+      case (MCls, a) => col("mr_classifier").as(a)
+      case (MNum, a) => col("mr_match_number").as(a)
+      case (_, n) => col(n)
+    }
+    val res = kept.select(evCols.map(c => col(s"__row.$c")) ++ mCols ++
+      Seq(col("mr_match_number"), col("mr_classifier")): _*)
     // plain-value output columns — the portable total-order contract
     res.orderBy(res.columns.map(col): _*)
   }
@@ -670,7 +765,10 @@ object PatternCompiler {
 
   private def validateColumnRefs(spark: SparkSession, q: PatternQuery,
                                  cols: Seq[String]): Unit = {
-    val colSet = cols.map(_.toLowerCase).toSet ++ Set("__key", "__id")
+    // the __mr_* names are the desugarer's EMIT ALL ROWS markers
+    // (CLASSIFIER()/MATCH_NUMBER() aliases), resolved post-explode
+    val colSet = cols.map(_.toLowerCase).toSet ++
+      Set("__key", "__id", "__mr_classifier", "__mr_match_number")
     val aliasSet = q.allAlts.map(_.alias.toLowerCase).toSet
     val colList = cols.mkString(", ")
     def check(text0: String, where: String): Unit = {
@@ -790,6 +888,9 @@ object PatternCompiler {
     val countRe = """(?i)\bcount\s*\(\s*(\w+)\s*\)""".r
     val stepAggRe = """(?i)\b(sum|avg|min|max|count)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)""".r
     def rewrite(text0: String): String = {
+      // EMIT ALL ROWS RUNNING marker: opaque here — kept whole so the
+      // streaming lowering can REJECT it typed (RUNNING is batch-only)
+      if (RunningMarkerRe.findFirstMatchIn(text0).isDefined) return text0
       // collection aggregations over a step's collected events lower to
       // LAMBDA folds on the per-match arrays (no Aggregate node — each
       // match is one output row), null-skipping like their SQL namesakes
@@ -981,11 +1082,40 @@ object PatternCompiler {
     if (steps.exists(_.alts.size > 1)) throw GraftApp.SqlError(
       "EMIT ALL ROWS is not supported with OR steps (the classifier is " +
         "per step variable)")
-    val measureCols = items.map {
-      case (e, Some(a)) => expr(e).as(a)
-      case (e, None) => expr(e)
+    val stepAliases = steps.map(_.aliases.head)
+    q.allRowsExcluding.find(v => !stepAliases.contains(v)).foreach(v =>
+      throw GraftApp.SqlError(
+        s"EXCLUDING names '$v' which is not a pattern step variable"))
+    // per-row measure kinds: CLASSIFIER()/MATCH_NUMBER() alias the columns
+    // this lowering appends anyway; RUNNING is batch-only (per-prefix
+    // re-aggregation inside the state store is a different machine) —
+    // detected by the marker prefix even after the slot rewrite touched it
+    sealed trait MKind
+    case object MNormal extends MKind
+    case object MCls extends MKind
+    case object MNum extends MKind
+    def needAlias(e: String, a: Option[String]): String = a.getOrElse(
+      throw GraftApp.SqlError(
+        s"EMIT ALL ROWS measure '${e.trim.take(40)}' needs an AS alias"))
+    val kinds: Seq[(MKind, String)] = items.map { case (e, a) =>
+      val t = e.trim.toLowerCase
+      if (t == "__mr_classifier") (MCls, needAlias(e, a))
+      else if (t == "__mr_match_number") (MNum, needAlias(e, a))
+      else if (t.contains("__mr_running_")) throw GraftApp.SqlError(
+        "RUNNING measures are batch-only — the streaming NFA emits each " +
+          "match once from its buffered state; per-prefix re-aggregation " +
+          "would need retraction")
+      else (MNormal, "")
     }
-    val measureNames = matches.select(measureCols: _*).columns.toSeq
+    val normalCols = items.zip(kinds).collect { case ((e, a), (MNormal, _)) =>
+      a.map(al => expr(e).as(al)).getOrElse(expr(e)) }
+    val normalNames = matches.select(normalCols: _*).columns.toSeq
+    val nIt = normalNames.iterator
+    val outMeasures: Seq[(MKind, String)] = kinds.map {
+      case (MNormal, _) => (MNormal, nIt.next())
+      case other => other
+    }
+    val measureNames = outMeasures.map(_._2)
     val evCols = evs.columns.filterNot(_.startsWith("__")).toSeq
     val clash = measureNames.intersect(evCols)
     if (clash.nonEmpty) throw GraftApp.SqlError(
@@ -996,15 +1126,26 @@ object PatternCompiler {
       n.equalsIgnoreCase("mr_classifier") || n.equalsIgnoreCase("mr_match_number"))
       .foreach(n => throw GraftApp.SqlError(
         s"EMIT ALL ROWS reserves the output column name '$n'"))
-    val perStep = steps.indices.map { i =>
-      matches.select(measureCols ++ Seq(
+    // EXCLUDING: drop the excluded steps at emission — streaming has no
+    // RUNNING measures, so output-only filtering and step skipping coincide
+    val emitted = steps.indices
+      .filterNot(i => q.allRowsExcluding.contains(steps(i).aliases.head))
+    val perStep = (if (emitted.nonEmpty) emitted else steps.indices).map { i =>
+      matches.select(normalCols ++ Seq(
         col("matchSeq").as("mr_match_number"),
         lit(steps(i).aliases.head).as("mr_classifier"),
         explode(expr(s"steps[$i].events")).as("__ev")): _*)
     }.reduce(_.unionByName(_))
+    // every step excluded: structurally valid (ANSI), zero output rows
+    val kept = if (emitted.nonEmpty) perStep else perStep.filter(lit(false))
     val srcCols = evCols.map(c =>
       expr(s"CAST(__ev.svals[${slot(c)}] AS ${colTypes(c.toLowerCase)})").as(c))
-    perStep.select(srcCols ++ measureNames.map(col) ++
+    val mCols = outMeasures.map {
+      case (MCls, a) => col("mr_classifier").as(a)
+      case (MNum, a) => col("mr_match_number").as(a)
+      case (_, n) => col(n)
+    }
+    kept.select(srcCols ++ mCols ++
       Seq(col("mr_match_number"), col("mr_classifier")): _*)
   }
 
@@ -1330,6 +1471,8 @@ object PatternCompiler {
     val allStreams = q.allAlts.map(_.stream).distinct
 
     def rewrite(text0: String): String = {
+      // EMIT ALL ROWS RUNNING marker: opaque here (resolved post-explode)
+      if (RunningMarkerRe.findFirstMatchIn(text0).isDefined) return text0
       var text = padAbsent(text0)
       // physical navigation PREV(V.x, k) / NEXT(V.x, k): the row k PLACES
       // before/after V's LAST matched event in the per-key event-time
@@ -1457,7 +1600,7 @@ object PatternCompiler {
         "EMIT ALL ROWS is not supported with OR steps (the classifier is " +
           "per step variable)")
       return emitAllRows(out, ordered, steps.indices.map(i => s"__ids_$i"),
-        steps.map(_.aliases.head), items)
+        steps.map(_.aliases.head), items, q.allRowsExcluding)
     }
 
     val selectCols = items.map {

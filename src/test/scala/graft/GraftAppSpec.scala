@@ -1182,6 +1182,207 @@ class GraftAppSpec extends AnyFunSuite {
     assert(got2.toSeq == Seq((1.0, -1.0, 2.0), (-1.0, 3.0, 4.0)))
   }
 
+  test("MATCH_RECOGNIZE SUBSET: union variables expand over members in MEASURES") {
+    // a(10) b(2) b(4) c(6): strict A B+ C has exactly one parse
+    val tape = Seq((1, 7L, "a", 10.0, 101L), (2, 7L, "b", 2.0, 102L),
+      (3, 7L, "b", 4.0, 103L), (4, 7L, "c", 6.0, 104L))
+      .toDF("sec", "user_id", "kind", "v", "id")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v", "id")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE, id BIGINT);
+        |CREATE STREAM Out (user_id BIGINT, n_u BIGINT, s_u DOUBLE, v_min DOUBLE,
+        |                   v_max DOUBLE, v_avg DOUBLE, u_first BIGINT,
+        |                   u_last BIGINT, u_bare DOUBLE);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES count(U.v) AS n_u, sum(U.v) AS s_u, min(U.v) AS v_min,
+        |           max(U.v) AS v_max, avg(U.v) AS v_avg, FIRST(U.id) AS u_first,
+        |           LAST(U.id) AS u_last, U.v AS u_bare
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A B+ C) WITHIN INTERVAL '1' HOUR
+        |  SUBSET U = (B, C)
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b', C AS C.kind = 'c');""".stripMargin
+    val got = GraftApp.run(spark, app, Map("E" -> tape))("Out").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+      r.getDouble(5), r.getLong(6), r.getLong(7), r.getDouble(8)) ==
+      ((3L, 12.0, 2.0, 6.0, 4.0, 102L, 104L, 6.0)))
+
+    // scalar + collection members mix: W = (A, B) — A contributes one row
+    val app2 =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE, id BIGINT);
+        |CREATE STREAM Out (user_id BIGINT, n_w BIGINT, s_w DOUBLE,
+        |                   w_first DOUBLE, w_last DOUBLE);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES count(W.v) AS n_w, sum(W.v) AS s_w,
+        |           FIRST(W.v) AS w_first, LAST(W.v) AS w_last
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B+) WITHIN INTERVAL '1' HOUR
+        |  SUBSET W = (A, B)
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b');""".stripMargin
+    val got2 = GraftApp.run(spark, app2, Map("E" -> tape))("Out").collect()
+    assert(got2.length == 1)
+    val r2 = got2.head
+    assert((r2.getLong(1), r2.getDouble(2), r2.getDouble(3), r2.getDouble(4)) ==
+      ((3L, 16.0, 10.0, 4.0)))
+
+    // typed gates
+    def errOf(app: String) = intercept[GraftApp.SqlError](
+      GraftApp.run(spark, app, Map("E" -> tape))).getMessage
+    assert(errOf(app.replace("U = (B, C)", "U = (B, X)"))
+      .contains("not a pattern variable"))
+    assert(errOf(app.replace("U = (B, C)", "B = (A, C)")).contains("collides"))
+    assert(errOf(app2.replace("B AS B.kind = 'b'", "B AS B.v > W.v"))
+      .contains("MEASURES only"))
+    assert(errOf(app.replace("FIRST(U.id)", "FIRST(U.id, 2)"))
+      .contains("logical offsets"))
+  }
+
+  test("MATCH_RECOGNIZE CLASSIFIER()/MATCH_NUMBER() and pattern exclusion {- v -}") {
+    val tape = Seq((1, 7L, "a", 1.0), (2, 7L, "b", 2.0), (3, 7L, "b", 4.0))
+      .toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE,
+        |                   cls STRING, mn BIGINT, mr_match_number BIGINT,
+        |                   mr_classifier STRING);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS mn
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A B+) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b');""".stripMargin
+    val rows = GraftApp.run(spark, app, Map("E" -> tape))("Out").collect()
+    // every-mode: (a,b1) and (a,b1,b2) = 5 rows; the measures alias the
+    // appended columns exactly
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[String]("cls") == r.getAs[String]("mr_classifier"))
+      assert(r.getAs[Long]("mn") == r.getAs[Long]("mr_match_number"))
+    }
+
+    def errOf(app: String) = intercept[GraftApp.SqlError](
+      GraftApp.run(spark, app, Map("E" -> tape))).getMessage
+    assert(errOf(app.replace("ALL ROWS PER MATCH", "ONE ROW PER MATCH"))
+      .contains("ALL ROWS"))
+    assert(errOf(app.replace("CLASSIFIER() AS cls", "concat(CLASSIFIER(), 'x') AS cls"))
+      .contains("entire expression"))
+
+    // exclusion {- A -}: A still anchors (and numbers) the match; only B
+    // rows are emitted
+    val appEx =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE,
+        |                   n_b BIGINT, mr_match_number BIGINT, mr_classifier STRING);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES count(B.v) AS n_b
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN ({- A -} B+) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b');""".stripMargin
+    val ex = GraftApp.run(spark, appEx, Map("E" -> tape))("Out")
+      .select("v", "n_b", "mr_match_number", "mr_classifier")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._3, t._1))
+    assert(ex.toSeq == Seq((2.0, 1L, 1L, "B"),
+      (2.0, 2L, 2L, "B"), (4.0, 2L, 2L, "B")))
+
+    // ONE ROW exclusion is ANSI's defined no-op
+    val one =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, n_b BIGINT);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES count(B.v) AS n_b
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A {- B+ -}) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b');""".stripMargin
+    val gotOne = GraftApp.run(spark, one, Map("E" -> tape))("Out")
+      .select("n_b").as[Long].collect().sorted.toSeq
+    assert(gotOne == Seq(1L, 2L))
+
+    // engine grammar: EXCLUDING an unknown variable is typed
+    val native =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE,
+        |                   n_b BIGINT, mr_match_number BIGINT, mr_classifier STRING);
+        |INSERT INTO Out SELECT count(B.v) AS n_b
+        |FROM SEQUENCE (EVERY (A=E[kind = 'a'] -> B=E[kind = 'b']+))
+        |WITHIN 1 HOUR PARTITION BY user_id EMIT ALL ROWS EXCLUDING (Z);""".stripMargin
+    assert(errOf(native).contains("not a pattern step variable"))
+  }
+
+  test("MATCH_RECOGNIZE RUNNING/FINAL semantics keywords") {
+    val tape = Seq((1, 7L, "a", 1.0), (2, 7L, "b", 2.0), (3, 7L, "b", 4.0))
+      .toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE,
+        |                   rc BIGINT, rs DOUBLE, n_b BIGINT,
+        |                   mr_match_number BIGINT, mr_classifier STRING);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES RUNNING count(B.v) AS rc, RUNNING sum(B.v) AS rs,
+        |           FINAL count(B.v) AS n_b
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A B+) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b');""".stripMargin
+    val got = GraftApp.run(spark, app, Map("E" -> tape))("Out")
+      .selectExpr("v", "rc", "coalesce(rs, -1.0) AS rs", "n_b", "mr_match_number")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._5, t._1))
+    // match 1 = (a, b1); match 2 = (a, b1, b2): the RUNNING prefix grows
+    // per row while FINAL stays the whole-match constant
+    assert(got.toSeq == Seq(
+      (1.0, 0L, -1.0, 1L, 1L), (2.0, 1L, 2.0, 1L, 1L),
+      (1.0, 0L, -1.0, 2L, 2L), (2.0, 1L, 2.0, 2L, 2L), (4.0, 2L, 6.0, 2L, 2L)))
+
+    // exclusion feeds RUNNING (ANSI: output-only): dropping A leaves the
+    // B rows' running counts unchanged
+    val exApp = app.replace("PATTERN (A B+)", "PATTERN ({- A -} B+)")
+    val ex = GraftApp.run(spark, exApp, Map("E" -> tape))("Out")
+      .select("v", "rc", "mr_match_number")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._3, t._1))
+    assert(ex.toSeq == Seq((2.0, 1L, 1L), (2.0, 1L, 2L), (4.0, 2L, 2L)))
+
+    // ONE ROW: RUNNING coincides with FINAL at the match's final row — the
+    // keyword strips and both spellings agree
+    val one =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, r_n BIGINT, f_n BIGINT);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES RUNNING count(B.v) AS r_n, FINAL count(B.v) AS f_n
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A B+) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b');""".stripMargin
+    val gotOne = GraftApp.run(spark, one, Map("E" -> tape))("Out")
+      .select("r_n", "f_n").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotOne.forall(t => t._1 == t._2) && gotOne.length == 2)
+
+    // typed gates: RUNNING beyond the aggregate forms
+    def errOf(app: String) = intercept[GraftApp.SqlError](
+      GraftApp.run(spark, app, Map("E" -> tape))).getMessage
+    assert(errOf(app.replace("RUNNING count(B.v)", "RUNNING LAST(B.v)"))
+      .contains("RUNNING supports"))
+  }
+
   test("MATCH_RECOGNIZE SKIP TO FIRST/LAST: partial-overlap resume at the variable's row") {
     // the textbook V-shape: A (any row) + strictly-down run + strictly-up
     // run; values 10 8 6 9 12 7 11 hold two Vs sharing the peak 12
