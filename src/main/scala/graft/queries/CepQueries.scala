@@ -869,6 +869,43 @@ object CepQueries extends QueryFamily {
              |SELECT user_id, event_id, ts_us, value, rc, n_b, mr_match_number, mr_classifier
              |FROM out ORDER BY user_id, mr_match_number, event_id""".stripMargin)),
 
+    // MATCH_RECOGNIZE PERMUTE (round 12): every ordering of the members —
+    // lowered to the engine's n-ary AND element (arrival-order variants,
+    // one shared NFA pass). Strict error/purchase adjacency in EITHER
+    // order; the oracle enumerates adjacent pairs with a lead window and
+    // assigns a_id/b_id by which type came first.
+    QueryDef(
+      "q_cep_mr_permute",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (user_id BIGINT, a_id BIGINT, b_id BIGINT);
+            |INSERT INTO Out SELECT * FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts
+            |  MEASURES A.event_id AS a_id, B.event_id AS b_id
+            |  ONE ROW PER MATCH
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN (PERMUTE(A, B)) WITHIN INTERVAL '1' HOUR
+            |  DEFINE A AS A.event_type = 'error', B AS B.event_type = 'purchase'
+            |);""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .orderBy(col("user_id"), col("a_id"), col("b_id"))
+      },
+      Some("""SELECT user_id,
+             |  CASE WHEN t1 = 'error' THEN id1 ELSE id2 END AS a_id,
+             |  CASE WHEN t1 = 'error' THEN id2 ELSE id1 END AS b_id
+             |FROM (
+             |  SELECT user_id, event_id AS id1, event_type AS t1,
+             |         lead(event_id) OVER w AS id2, lead(event_type) OVER w AS t2,
+             |         epoch_us(ts) AS ts1, lead(epoch_us(ts)) OVER w AS ts2
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+             |WHERE ((t1 = 'error' AND t2 = 'purchase')
+             |    OR (t1 = 'purchase' AND t2 = 'error'))
+             |  AND ts2 - ts1 <= 3600000000
+             |ORDER BY user_id, a_id, b_id""".stripMargin)),
+
     // Cross-step reference (e2.value > 2 * e1.value) — the StateEvent
     // access pattern; relaxed, within 2h.
     QueryDef(

@@ -1059,6 +1059,13 @@ object GraftApp {
     *    exploded match rows, batch-only; in ONE ROW both keywords strip
     *    (they coincide at the match's final row, per ANSI). FINAL always
     *    strips (it names the implemented semantics);
+    *  - PERMUTE(A, B[, C]) (round 12, ANSI): every ordering of the member
+    *    variables, as the ENTIRE pattern — lowers to the engine's n-ary
+    *    AND element, whose compile expands exactly the arrival-order
+    *    variants over ONE shared NFA pass (strict SEQUENCE keeps members
+    *    adjacent, ANSI's concatenation-permutation semantics). Chains
+    *    around PERMUTE, quantified PERMUTE, and SUBSET over its members
+    *    are typed errors;
     *  - {- V[quant] -} pattern exclusion (round 12, ANSI): V matches
     *    normally — anchors, WITHIN, measures and RUNNING all see its
     *    rows — but its rows are omitted from ALL ROWS output (lowered to
@@ -1292,27 +1299,41 @@ object GraftApp {
     // stay typed errors: the engine's OR steps take no count quantifier
     // (compileVariant rejects it too).
     val grpRe =
-      ("""\{-\s*(\w+)\s*(\+|\*|\?|\{\d+(?:,\d*)?\})?\s*-\}""" +
+      ("""(?i)PERMUTE\s*\(\s*(\w+(?:\s*,\s*\w+)+)\s*\)\s*(\+|\*|\?|\{\d+(?:,\d*)?\})?""" +
+        """|\{-\s*(\w+)\s*(\+|\*|\?|\{\d+(?:,\d*)?\})?\s*-\}""" +
         """|\(\s*(\w+(?:\s*\|\s*\w+)+)\s*\)\s*(\+|\*|\?|\{\d+(?:,\d*)?\})?""" +
         """|(\w+)\s*(\+|\*|\?|\{\d+(?:,\d*)?\})?""").r
     final case class MrTok(vars: Seq[String], quant: Option[String],
-                           excluded: Boolean)
+                           excluded: Boolean, permute: Boolean = false)
     val covered = new StringBuilder
     val toks: Seq[MrTok] =
       grpRe.findAllMatchIn(patternRaw).map { gm =>
         covered.append(gm.matched)
-        if (gm.group(1) != null)
-          MrTok(Seq(gm.group(1)), Option(gm.group(2)), excluded = true)
-        else if (gm.group(3) != null) {
-          if (gm.group(4) != null) throw SqlError(
-            s"quantified alternation '(${gm.group(3).trim})${gm.group(4)}' is " +
+        if (gm.group(1) != null) {
+          // PERMUTE(A, B[, C]) (round 12, ANSI): every ordering of the
+          // members — lowers to the engine's n-ary AND element, whose
+          // compile expands exactly the arrival-order variants (one shared
+          // NFA pass; strict SEQUENCE keeps the members adjacent)
+          if (gm.group(2) != null) throw SqlError(
+            s"quantified PERMUTE '…${gm.group(2)}' is not supported — " +
+              "engine AND elements take no count quantifier")
+          val ms = gm.group(1).split(",").map(_.trim).toSeq
+          ms.groupBy(identity).collectFirst { case (v, vs) if vs.size > 1 => v }
+            .foreach(v => throw SqlError(
+              s"duplicate variable '$v' in PERMUTE(${gm.group(1).trim})"))
+          MrTok(ms, None, excluded = false, permute = true)
+        } else if (gm.group(3) != null)
+          MrTok(Seq(gm.group(3)), Option(gm.group(4)), excluded = true)
+        else if (gm.group(5) != null) {
+          if (gm.group(6) != null) throw SqlError(
+            s"quantified alternation '(${gm.group(5).trim})${gm.group(6)}' is " +
               "not supported — engine OR steps take no count quantifier")
-          val alts = gm.group(3).split("\\|").map(_.trim).toSeq
+          val alts = gm.group(5).split("\\|").map(_.trim).toSeq
           alts.groupBy(identity).collectFirst { case (a, as) if as.size > 1 => a }
             .foreach(a => throw SqlError(
-              s"duplicate alternative '$a' in alternation (${gm.group(3).trim})"))
+              s"duplicate alternative '$a' in alternation (${gm.group(5).trim})"))
           MrTok(alts, None, excluded = false)
-        } else MrTok(Seq(gm.group(5)), Option(gm.group(6)), excluded = false)
+        } else MrTok(Seq(gm.group(7)), Option(gm.group(8)), excluded = false)
       }.toSeq
     // the scan skips anything unmatchable — require full coverage so a
     // nested group / stray paren is a typed error, never silently dropped
@@ -1328,6 +1349,12 @@ object GraftApp {
         s"first pattern variable '${t.vars.head}' must be required (min >= 1) — " +
           "the match and its partition key anchor on it") }
     val excludedVars = toks.filter(_.excluded).flatMap(_.vars)
+    // PERMUTE composes with nothing else: the engine AND element is a
+    // whole-pattern form (arrival-order variants reorder every step)
+    if (toks.exists(_.permute) && toks.size > 1) throw SqlError(
+      "PERMUTE(…) is supported as the ENTIRE pattern — a chain around it " +
+        "would need ordered steps inside the arrival-order variants; " +
+        "compose with a downstream join instead")
 
     // SUBSET validation (needs the parsed pattern variables): names must
     // not shadow variables, members must be variables, and union variables
@@ -1338,6 +1365,11 @@ object GraftApp {
         s"SUBSET '$name' collides with a pattern variable of the same name")
       members.find(v => !toks.exists(_.vars.contains(v))).foreach(v =>
         throw SqlError(s"SUBSET $name names '$v' which is not a pattern variable"))
+      members.find(v => toks.exists(t => t.permute && t.vars.contains(v)))
+        .foreach(v => throw SqlError(
+          s"SUBSET $name over PERMUTE variable '$v' is not supported — " +
+            "PERMUTE members have no fixed chain order for FIRST/LAST to " +
+            "coalesce over"))
       defines.foreach { case (dv, p) =>
         if (("(?i)\\b" + name + "\\s*\\.").r.findFirstIn(maskQuotes(p)).isDefined)
           throw SqlError(s"SUBSET '$name' referenced in DEFINE ($dv) — union " +
@@ -1458,7 +1490,12 @@ object GraftApp {
       lowered
     }
     val steps = toks.map {
-      case MrTok(Seq(v), q, _) =>
+      case MrTok(ms, _, _, true) => // PERMUTE: one engine n-ary AND element
+        ms.map { v =>
+          val pred = defines.get(v).map(p => s"[${lowerPred(v, p)}]").getOrElse("")
+          s"$v=$stream$pred"
+        }.mkString(" AND ")
+      case MrTok(Seq(v), q, _, _) =>
         val pred = defines.get(v).map(p => s"[${lowerPred(v, p)}]").getOrElse("")
         val quant = q.getOrElse("") match {
           case "" => ""
@@ -1466,7 +1503,7 @@ object GraftApp {
           case s0 => s0 // + * {n} {n,m} {n,} — the engine spells these the same
         }
         s"$v=$stream$pred$quant"
-      case MrTok(alts, _, _) => // alternation: one engine OR step, alias per branch
+      case MrTok(alts, _, _, _) => // alternation: one engine OR step, alias per branch
         alts.map { v =>
           val pred = defines.get(v).map(p => s"[${lowerPred(v, p)}]").getOrElse("")
           s"$v=$stream$pred"
@@ -1547,7 +1584,7 @@ object GraftApp {
     // key, so no key item is injected; the engine appends them (plus
     // mr_classifier) via EMIT ALL ROWS
     val keyItem = if (allRows) None else partitionBy.map { k =>
-      val MrTok(vs0, q0, _) = toks.head
+      val MrTok(vs0, q0, _, _) = toks.head
       // an alternation head binds exactly one alternative per match (the
       // others join NULL) — coalesce picks the matched one's key
       val spelled =

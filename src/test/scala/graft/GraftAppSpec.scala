@@ -392,6 +392,21 @@ class GraftAppSpec extends AnyFunSuite {
     assert(!entries.skipPast && entries.skipTo.isEmpty)
     // (DIP | HALT) lowered to one OR step with both aliases
     assert(entries.variants.head.head.aliases == Seq("DIP", "HALT"))
+    // SUBSET MOVE = (D, U) expanded into member forms in the measures
+    val swings = byTarget("swings")
+    val nMoves = swings.selectItems.find(_._2.contains("n_moves")).get._1
+    assert(nMoves.contains("count(D.price)") && nMoves.contains("U.price"))
+    // ALL ROWS toolkit: exclusion + markers + RUNNING
+    val rallyRows = byTarget("rallyRows")
+    assert(rallyRows.allRows && rallyRows.allRowsExcluding == Seq("DIP"))
+    assert(rallyRows.selectItems.exists(_._1.trim == "__mr_classifier"))
+    assert(rallyRows.selectItems.exists(_._1.trim == "__mr_match_number"))
+    assert(rallyRows.selectItems.exists(_._1.contains("__mr_running_count")))
+    // PERMUTE(DIP, HALT) = the 2 arrival-order variants of the AND element
+    val straddles = byTarget("straddles")
+    assert(straddles.variants.size == 2)
+    assert(straddles.variants.map(_.map(_.aliases.head)).toSet ==
+      Set(Seq("DIP", "HALT"), Seq("HALT", "DIP")))
   }
 
   test("examples/round10_demo.sql parses: round-10 SQL surface") {
@@ -1381,6 +1396,61 @@ class GraftAppSpec extends AnyFunSuite {
       GraftApp.run(spark, app, Map("E" -> tape))).getMessage
     assert(errOf(app.replace("RUNNING count(B.v)", "RUNNING LAST(B.v)"))
       .contains("RUNNING supports"))
+  }
+
+  test("MATCH_RECOGNIZE PERMUTE: every member ordering via the engine's n-ary AND") {
+    // b a a b: strict adjacency matches (b,a) as B->A and (a,b) as A->B
+    val tape = Seq((1, 7L, "b", 2.0), (2, 7L, "a", 1.0), (3, 7L, "a", 3.0),
+      (4, 7L, "b", 4.0))
+      .toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, a_v DOUBLE, b_v DOUBLE);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES A.v AS a_v, B.v AS b_v
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (PERMUTE(A, B)) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b');""".stripMargin
+    val got = GraftApp.run(spark, app, Map("E" -> tape))("Out")
+      .select("a_v", "b_v")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((1.0, 2.0), (3.0, 4.0)))
+
+    // 3-way: one tape ordering matches exactly one of the 6 variants once
+    val tape3 = Seq((1, 7L, "c", 9.0), (2, 7L, "a", 1.0), (3, 7L, "b", 2.0))
+      .toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val app3 =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, a_v DOUBLE, b_v DOUBLE, c_v DOUBLE);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES A.v AS a_v, B.v AS b_v, C.v AS c_v
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (PERMUTE(A, B, C)) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b', C AS C.kind = 'c');""".stripMargin
+    val got3 = GraftApp.run(spark, app3, Map("E" -> tape3))("Out")
+      .select("a_v", "b_v", "c_v")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    assert(got3.toSeq == Seq((1.0, 2.0, 9.0)))
+
+    // typed gates: chain around PERMUTE, quantified PERMUTE, SUBSET member
+    def errOf(app: String) = intercept[GraftApp.SqlError](
+      GraftApp.run(spark, app, Map("E" -> tape))).getMessage
+    assert(errOf(app.replace("PATTERN (PERMUTE(A, B))",
+      "PATTERN (PERMUTE(A, B) X)")).contains("ENTIRE pattern"))
+    assert(errOf(app.replace("PATTERN (PERMUTE(A, B))",
+      "PATTERN (PERMUTE(A, B)+)")).contains("quantified PERMUTE"))
+    assert(errOf(app.replace("MEASURES A.v AS a_v",
+      "MEASURES LAST(U.v) AS a_v").replace("PATTERN (PERMUTE(A, B)) WITHIN INTERVAL '1' HOUR",
+      "PATTERN (PERMUTE(A, B)) WITHIN INTERVAL '1' HOUR SUBSET U = (A, B)"))
+      .contains("no fixed chain order"))
   }
 
   test("MATCH_RECOGNIZE SKIP TO FIRST/LAST: partial-overlap resume at the variable's row") {

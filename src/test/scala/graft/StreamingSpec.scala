@@ -1947,4 +1947,60 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.toSeq == batch.toSeq)
     } finally q.stop()
   }
+
+  test("STREAMING MATCH_RECOGNIZE: CLASSIFIER()/MATCH_NUMBER() + {- v -} exclusion stream; RUNNING is typed batch-only") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val events = in.toDS().toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE,
+        |                   cls STRING, mn BIGINT, mr_match_number BIGINT,
+        |                   mr_classifier STRING);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS mn
+        |  ALL ROWS PER MATCH AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN ({- A -} B+) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b'
+        |);""".stripMargin
+    val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+    assert(outDf.isStreaming)
+    val q = outDf.writeStream.format("memory").queryName("mr_clsex_sink")
+      .outputMode("append").start()
+    def snap() = spark.table("mr_clsex_sink").collect()
+      .map(r => (r.getString(2), r.getDouble(3), r.getString(4), r.getLong(5),
+        r.getLong(6), r.getString(7)))
+      .sortBy(t => (t._5, t._2))
+    try {
+      // the excluded anchor A never emits; the markers alias the appended
+      // columns exactly, across micro-batches
+      in.addData((1L, 7L, "a", 1.0), (2L, 7L, "b", 2.0)); q.processAllAvailable()
+      assert(snap().toSeq == Seq(("b", 2.0, "B", 1L, 1L, "B")))
+      in.addData((3L, 7L, "b", 3.0)); q.processAllAvailable()
+      val got = snap()
+      assert(got.toSeq == Seq(("b", 2.0, "B", 1L, 1L, "B"),
+        ("b", 2.0, "B", 2L, 2L, "B"), ("b", 3.0, "B", 2L, 2L, "B")))
+      // batch parity on the same tape
+      val tape = Seq((1L, 7L, "a", 1.0), (2L, 7L, "b", 2.0), (3L, 7L, "b", 3.0))
+        .toDF("sec", "user_id", "kind", "v")
+        .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+          "user_id", "kind", "v")
+      val batch = graft.sql.GraftApp.run(spark, app, Map("E" -> tape))("Out")
+        .collect()
+        .map(r => (r.getString(2), r.getDouble(3), r.getString(4), r.getLong(5),
+          r.getLong(6), r.getString(7)))
+        .sortBy(t => (t._5, t._2))
+      assert(got.toSeq == batch.toSeq)
+    } finally q.stop()
+
+    // RUNNING on a stream: typed rejection, not a Spark analysis error
+    val runningApp = app.replace("CLASSIFIER() AS cls, MATCH_NUMBER() AS mn",
+      "RUNNING count(B.v) AS cls, MATCH_NUMBER() AS mn")
+    val err = intercept[graft.sql.GraftApp.SqlError](
+      graft.sql.GraftApp.run(spark, runningApp, Map("E" -> events)))
+    assert(err.getMessage.contains("batch-only"))
+  }
 }
