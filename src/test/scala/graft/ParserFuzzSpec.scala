@@ -190,6 +190,55 @@ class ParserFuzzSpec extends AnyFunSuite {
     check(Prop.forAll(mrSkipNearMiss)(typedOnly _))
   }
 
+  /** Round-12b MR surface (SUBSET, CLASSIFIER/MATCH_NUMBER, RUNNING/FINAL,
+    * {- v -} exclusion, PERMUTE) gets the same near-miss treatment. */
+  private val validMr12bApp =
+    """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+      |CREATE STREAM Out (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE,
+      |                   cls STRING, mn BIGINT, rc BIGINT, s_u DOUBLE,
+      |                   mr_match_number BIGINT, mr_classifier STRING);
+      |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+      |  PARTITION BY user_id ORDER BY ts
+      |  MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS mn,
+      |           RUNNING count(B.v) AS rc, FINAL sum(U.v) AS s_u
+      |  ALL ROWS PER MATCH
+      |  AFTER MATCH SKIP TO NEXT ROW
+      |  PATTERN ({- A -} B+ C) WITHIN INTERVAL '1' HOUR
+      |  SUBSET U = (B, C)
+      |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b', C AS C.kind = 'c');""".stripMargin
+
+  private val validMrPermuteApp =
+    """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+      |CREATE STREAM Out (user_id BIGINT, a_v DOUBLE, b_v DOUBLE);
+      |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+      |  PARTITION BY user_id ORDER BY ts
+      |  MEASURES A.v AS a_v, B.v AS b_v
+      |  ONE ROW PER MATCH
+      |  PATTERN (PERMUTE(A, B)) WITHIN INTERVAL '1' HOUR
+      |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b');""".stripMargin
+
+  private val mr12bNearMiss: Gen[String] = for {
+    base <- Gen.oneOf(validMr12bApp, validMrPermuteApp)
+    cut <- Gen.choose(0, base.length)
+    junk <- Gen.oneOf("", "SUBSET", "SUBSET U = ()", "U = (B", "SUBSET U = (B, X)",
+      "PERMUTE(", "PERMUTE(A)", "PERMUTE(A, A)", "PERMUTE(A, B)+", "{-", "-}",
+      "{- A", "{- (A|B) -}", "RUNNING", "FINAL", "RUNNING LAST(B.v)",
+      "CLASSIFIER(", "CLASSIFIER(A)", "MATCH_NUMBER()", "EXCLUDING", "(A|B)",
+      "'", ",", ";;")
+    mode <- Gen.oneOf(0, 1, 2)
+  } yield mode match {
+    case 0 => base.substring(0, cut)
+    case 1 => base.substring(0, cut) + junk + base.substring(cut)
+    case 2 => junk + base
+  }
+
+  test("MATCH_RECOGNIZE SUBSET / RUNNING / exclusion / PERMUTE near-misses: typed errors only") {
+    assert(typedOnly(validMr12bApp) && typedOnly(validMrPermuteApp))
+    GraftApp.parse(validMr12bApp)
+    GraftApp.parse(validMrPermuteApp)
+    check(Prop.forAll(mr12bNearMiss)(typedOnly _))
+  }
+
   /** CREATE AGGREGATION + WITHIN…PER statements (round 6) get the same
     * near-miss treatment: truncations and junk splices of a valid
     * aggregation app must die typed, never leak compiler internals.
