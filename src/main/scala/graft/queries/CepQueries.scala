@@ -869,6 +869,79 @@ object CepQueries extends QueryFamily {
              |SELECT user_id, event_id, ts_us, value, rc, n_b, mr_match_number, mr_classifier
              |FROM out ORDER BY user_id, mr_match_number, event_id""".stripMargin)),
 
+    // MATCH_RECOGNIZE ALL ROWS WITH UNMATCHED ROWS (round 12): every input
+    // row NO match claimed also emits, measures/classifier/number NULL.
+    // Oracle = the q_cep_mr_rows enumeration UNION the anti-joined rest of
+    // the events table.
+    QueryDef(
+      "q_cep_mr_unmatched",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                   event_type STRING, value DOUBLE, props STRING,
+            |                   n_b BIGINT, mr_match_number BIGINT,
+            |                   mr_classifier STRING);
+            |INSERT INTO Out SELECT * FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts
+            |  MEASURES count(B.value) AS n_b
+            |  ALL ROWS PER MATCH WITH UNMATCHED ROWS
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN (A B+) WITHIN INTERVAL '1' HOUR
+            |  DEFINE A AS A.event_type = 'error', B AS B.event_type = 'purchase'
+            |);""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us",
+            "value", "n_b", "mr_match_number", "mr_classifier")
+          .orderBy(col("user_id"), col("mr_match_number"), col("event_id"))
+      },
+      Some("""WITH ord AS (
+             |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS tsu,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events),
+             |streaks AS (
+             |  SELECT *, rn - coalesce(max(CASE WHEN event_type <> 'purchase' THEN rn END)
+             |    OVER (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING), 0) AS pstreak
+             |  FROM ord),
+             |m0 AS (
+             |  SELECT a.user_id, a.rn AS arn, bk.rn - a.rn AS k
+             |  FROM ord a JOIN streaks bk
+             |    ON bk.user_id = a.user_id AND bk.rn > a.rn
+             |  WHERE a.event_type = 'error' AND bk.event_type = 'purchase'
+             |    AND bk.pstreak >= bk.rn - a.rn
+             |    AND bk.tsu - a.tsu <= 3600000000),
+             |m AS (
+             |  SELECT user_id, arn, k,
+             |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY arn, k) AS BIGINT)
+             |      AS mr_match_number
+             |  FROM m0),
+             |claimed AS (
+             |  SELECT DISTINCT m.user_id, o.rn
+             |  FROM m JOIN ord o ON o.user_id = m.user_id
+             |    AND o.rn >= m.arn AND o.rn <= m.arn + m.k),
+             |out AS (
+             |  SELECT m.user_id, o.event_id, o.tsu AS ts_us, o.value,
+             |         CAST(m.k AS BIGINT) AS n_b, m.mr_match_number,
+             |         'A' AS mr_classifier
+             |  FROM m JOIN ord o ON o.user_id = m.user_id AND o.rn = m.arn
+             |  UNION ALL
+             |  SELECT m.user_id, o.event_id, o.tsu AS ts_us, o.value,
+             |         CAST(m.k AS BIGINT) AS n_b, m.mr_match_number,
+             |         'B' AS mr_classifier
+             |  FROM m JOIN ord o ON o.user_id = m.user_id
+             |    AND o.rn > m.arn AND o.rn <= m.arn + m.k
+             |  UNION ALL
+             |  SELECT o.user_id, o.event_id, o.tsu AS ts_us, o.value,
+             |         CAST(NULL AS BIGINT) AS n_b, CAST(NULL AS BIGINT) AS mr_match_number,
+             |         CAST(NULL AS VARCHAR) AS mr_classifier
+             |  FROM ord o LEFT JOIN claimed c
+             |    ON c.user_id = o.user_id AND c.rn = o.rn
+             |  WHERE c.rn IS NULL)
+             |SELECT user_id, event_id, ts_us, value, n_b, mr_match_number, mr_classifier
+             |FROM out ORDER BY user_id, mr_match_number, event_id""".stripMargin)),
+
     // MATCH_RECOGNIZE PERMUTE (round 12): every ordering of the members —
     // lowered to the engine's n-ary AND element (arrival-order variants,
     // one shared NFA pass). Strict error/purchase adjacency in EITHER

@@ -938,7 +938,8 @@ object GraftApp {
       // match, anchor WITHIN, and feed RUNNING measures)
       var allRows = false
       var allRowsExcluding: Seq[String] = Nil
-      """(?is)\bEMIT\s+ALL\s+ROWS(\s+EXCLUDING\s*\(([^)]*)\))?""".r
+      var allRowsUnmatched = false
+      """(?is)\bEMIT\s+ALL\s+ROWS(\s+EXCLUDING\s*\(([^)]*)\))?(\s+WITH\s+UNMATCHED)?""".r
         .findFirstMatchIn(rest).foreach { em =>
           allRows = true
           Option(em.group(2)).foreach { lst =>
@@ -946,6 +947,11 @@ object GraftApp {
             if (allRowsExcluding.isEmpty) throw SqlError(
               "EXCLUDING needs at least one pattern variable: EXCLUDING (v [, …])")
           }
+          allRowsUnmatched = em.group(3) != null
+          if (allRowsUnmatched && allRowsExcluding.nonEmpty) throw SqlError(
+            "EXCLUDING and WITH UNMATCHED are mutually exclusive (ANSI: an " +
+              "excluded row is matched, so its absence from the output would " +
+              "be indistinguishable from an unmatched row)")
           rest = rest.substring(0, em.start) + rest.substring(em.end)
         }
       // SKIP PAST LAST ROW: greedy leftmost non-overlapping match subset
@@ -982,7 +988,8 @@ object GraftApp {
         variants = variants, withinUs = withinUs, withinEvents = withinEvents,
         where = where, partitionBy = partitionBy, absents = absents,
         lateness = lateness, allRows = allRows, skipPast = skipPast,
-        skipTo = skipTo, allRowsExcluding = allRowsExcluding)
+        skipTo = skipTo, allRowsExcluding = allRowsExcluding,
+        allRowsUnmatched = allRowsUnmatched)
     }
 
   /** ANSI/Flink-style `MATCH_RECOGNIZE` — a second SQL spelling for the
@@ -1070,7 +1077,13 @@ object GraftApp {
     *    normally — anchors, WITHIN, measures and RUNNING all see its
     *    rows — but its rows are omitted from ALL ROWS output (lowered to
     *    the engine's EMIT ALL ROWS EXCLUDING clause). In ONE ROW mode
-    *    exclusion is ANSI's defined no-op.
+    *    exclusion is ANSI's defined no-op;
+    *  - ALL ROWS PER MATCH WITH UNMATCHED ROWS (round 12, ANSI): also
+    *    emit every input row NO match claimed, measures and
+    *    classifier/number NULL (an anti-join on the same per-key shuffle;
+    *    batch-only, and mutually exclusive with {- v -} per ANSI). SHOW /
+    *    OMIT EMPTY MATCHES both accept as no-ops: the first variable must
+    *    be required, so empty matches cannot arise and the modes coincide.
     */
   private val MatchRecognizeRe =
     """(?is)^\s*INSERT\s+INTO\s+(\w+)\s+SELECT\s+(.*?)\s+FROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\(""".r
@@ -1193,6 +1206,17 @@ object GraftApp {
     // MEASURES with FINAL semantics (constant per match). Batch surface;
     // the streaming lowering rejects it with a pointer (PatternCompiler).
     val allRows = excise("""(?is)\bALL\s+ROWS\s+PER\s+MATCH""".r).isDefined
+    // ALL ROWS modifiers (round 12): WITH UNMATCHED ROWS emits the input
+    // rows no match claimed, measures/classifier/number NULL (ANSI; batch
+    // only — the engine lowering unions an anti-join). SHOW/OMIT EMPTY
+    // MATCHES both accept as no-ops: the first pattern variable must be
+    // required (min >= 1), so an empty match cannot arise and the two
+    // ANSI modes coincide.
+    val unmatchedRows = excise("""(?is)\bWITH\s+UNMATCHED\s+ROWS""".r).isDefined
+    val emptyMode = excise("""(?is)\b(SHOW|OMIT)\s+EMPTY\s+MATCHES""".r).isDefined
+    if ((unmatchedRows || emptyMode) && !allRows) throw SqlError(
+      "WITH UNMATCHED ROWS / SHOW|OMIT EMPTY MATCHES modify ALL ROWS PER " +
+        "MATCH — ONE ROW PER MATCH emits one row per match by definition")
     excise("""(?is)\bONE\s+ROW\s+PER\s+MATCH""".r)
     // skip mode (round 12): SKIP TO NEXT ROW = every overlapping match
     // (the engine's EVERY); SKIP PAST LAST ROW — or NO clause, since it is
@@ -1222,8 +1246,9 @@ object GraftApp {
     if (hdrResidue.nonEmpty) throw SqlError(
       s"unrecognized MATCH_RECOGNIZE header text: '${hdrResidue.take(60)}' — " +
         "supported: PARTITION BY, ORDER BY ts [ASC], MEASURES, ONE ROW PER " +
-        "MATCH, ALL ROWS PER MATCH, AFTER MATCH SKIP TO NEXT ROW | SKIP " +
-        "PAST LAST ROW | SKIP TO FIRST|LAST <var>")
+        "MATCH, ALL ROWS PER MATCH [WITH UNMATCHED ROWS | SHOW|OMIT EMPTY " +
+        "MATCHES], AFTER MATCH SKIP TO NEXT ROW | SKIP PAST LAST ROW | " +
+        "SKIP TO FIRST|LAST <var>")
 
     // ---- tail: WITHIN / DEFINE (same discipline)
     var tOrig = body.substring(j)
@@ -1597,10 +1622,15 @@ object GraftApp {
     val partStr = partitionBy.map(k => s" PARTITION BY $k").getOrElse("")
     // exclusions reach the engine only in ALL ROWS mode — in ONE ROW mode
     // ANSI defines {- v -} as a no-op (nothing is emitted per row anyway)
+    if (allRows && unmatchedRows && excludedVars.nonEmpty) throw SqlError(
+      "{- v -} exclusion and WITH UNMATCHED ROWS are mutually exclusive " +
+        "(ANSI: an excluded row is matched — omitting it would be " +
+        "indistinguishable from an unmatched row)")
     val emitStr =
       if (!allRows) ""
-      else " EMIT ALL ROWS" + (if (excludedVars.nonEmpty)
-        s" EXCLUDING (${excludedVars.mkString(", ")})" else "")
+      else " EMIT ALL ROWS" +
+        (if (excludedVars.nonEmpty) s" EXCLUDING (${excludedVars.mkString(", ")})" else "") +
+        (if (unmatchedRows) " WITH UNMATCHED" else "")
     val skipStr =
       if (skipPast) " SKIP PAST LAST ROW"
       else skipToVar.map { case (isFirst, v) =>

@@ -118,7 +118,13 @@ object PatternCompiler {
       // exclusion): step variables whose rows are omitted from the OUTPUT
       // only — they still match, anchor WITHIN, and feed measures
       // (including RUNNING, which sees excluded rows per ANSI).
-      allRowsExcluding: Seq[String] = Nil) {
+      allRowsExcluding: Seq[String] = Nil,
+      // `EMIT ALL ROWS … WITH UNMATCHED` (ANSI's ALL ROWS PER MATCH WITH
+      // UNMATCHED ROWS): also emit every input row NO match claimed, with
+      // NULL measures/classifier/match number. Batch only (an unbounded
+      // stream cannot prove a row will never be claimed); mutually
+      // exclusive with EXCLUDING.
+      allRowsUnmatched: Boolean = false) {
     def allAlts: Seq[StepAlt] = variants.flatten.flatMap(_.alts) ++ absents.map(_.alt)
   }
 
@@ -502,7 +508,8 @@ object PatternCompiler {
         "EMIT ALL ROWS is not supported with OR steps (the classifier is " +
           "per step variable)")
       return emitAllRows(out, ordered, groups.indices.map(gi => s"__ids_$gi"),
-        groups.map(_.aliases.head), items, q.allRowsExcluding)
+        groups.map(_.aliases.head), items, q.allRowsExcluding,
+        q.allRowsUnmatched)
     }
 
     val selectCols = items.map {
@@ -606,7 +613,8 @@ object PatternCompiler {
   private def emitAllRows(out: DataFrame, ordered: DataFrame,
                           idsCols: Seq[String], classifiers: Seq[String],
                           items: Seq[(String, Option[String])],
-                          excluding: Seq[String]): DataFrame = {
+                          excluding: Seq[String],
+                          unmatched: Boolean): DataFrame = {
     excluding.find(v => !classifiers.contains(v)).foreach(v =>
       throw GraftApp.SqlError(
         s"EXCLUDING names '$v' which is not a pattern step variable"))
@@ -720,8 +728,23 @@ object PatternCompiler {
       case (MNum, a) => col("mr_match_number").as(a)
       case (_, n) => col(n)
     }
-    val res = kept.select(evCols.map(c => col(s"__row.$c")) ++ mCols ++
+    val matched = kept.select(evCols.map(c => col(s"__row.$c")) ++ mCols ++
       Seq(col("mr_match_number"), col("mr_classifier")): _*)
+    // WITH UNMATCHED: union the input rows NO match claimed, measures and
+    // classifier/number NULL (typed from the matched side's schema). The
+    // anti-join runs on (key, id) — the same per-key shuffle shape.
+    val res =
+      if (!unmatched) matched
+      else {
+        val claimed = rows
+          .select(col("__mkey").as("__umk"), col("__eid").as("__uid")).distinct()
+        val um = ordered.join(claimed,
+          col("__key") === col("__umk") && col("__id") === col("__uid"),
+          "left_anti")
+        val nullCols = matched.schema.drop(evCols.size).map(f =>
+          lit(null).cast(f.dataType).as(f.name))
+        matched.unionByName(um.select(evCols.map(col) ++ nullCols: _*))
+      }
     // plain-value output columns — the portable total-order contract
     res.orderBy(res.columns.map(col): _*)
   }
@@ -826,6 +849,10 @@ object PatternCompiler {
       if (q.absents.nonEmpty) throw GraftApp.SqlError(
         "streaming EMIT ALL ROWS with absent (NOT) guards is batch-only — " +
           "a guard-killed match would leave a gap in mr_match_number")
+      if (q.allRowsUnmatched) throw GraftApp.SqlError(
+        "WITH UNMATCHED ROWS is batch-only — an unbounded stream cannot " +
+          "prove a row will never be claimed by a future match (a WITHIN " +
+          "deadline bounds matches, not the row's eligibility under EVERY)")
     }
     // PREV/NEXT lower to physical-offset joins (select items) and window
     // functions (DEFINE predicates) — both need the materialized per-key
@@ -1600,7 +1627,8 @@ object PatternCompiler {
         "EMIT ALL ROWS is not supported with OR steps (the classifier is " +
           "per step variable)")
       return emitAllRows(out, ordered, steps.indices.map(i => s"__ids_$i"),
-        steps.map(_.aliases.head), items, q.allRowsExcluding)
+        steps.map(_.aliases.head), items, q.allRowsExcluding,
+        q.allRowsUnmatched)
     }
 
     val selectCols = items.map {

@@ -1398,6 +1398,51 @@ class GraftAppSpec extends AnyFunSuite {
       .contains("RUNNING supports"))
   }
 
+  test("MATCH_RECOGNIZE ALL ROWS WITH UNMATCHED ROWS: unclaimed input rows join with NULLs") {
+    val tape = Seq((1, 7L, "a", 1.0), (2, 7L, "b", 2.0), (3, 7L, "b", 4.0),
+      (4, 7L, "c", 9.0))
+      .toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE,
+        |                   n_b BIGINT, mr_match_number BIGINT, mr_classifier STRING);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES count(B.v) AS n_b
+        |  ALL ROWS PER MATCH WITH UNMATCHED ROWS
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A B+) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b');""".stripMargin
+    val got = GraftApp.run(spark, app, Map("E" -> tape))("Out")
+      .selectExpr("kind", "v", "coalesce(n_b, -1) AS n_b",
+        "coalesce(mr_match_number, -1) AS mn",
+        "coalesce(mr_classifier, '-') AS cls")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+      .sortBy(t => (t._4, t._2))
+    // matches (a,b1) and (a,b1,b2) emit 5 rows; the c row is unmatched
+    assert(got.toSeq == Seq(
+      ("c", 9.0, -1L, -1L, "-"),
+      ("a", 1.0, 1L, 1L, "A"), ("b", 2.0, 1L, 1L, "B"),
+      ("a", 1.0, 2L, 2L, "A"), ("b", 2.0, 2L, 2L, "B"), ("b", 4.0, 2L, 2L, "B")))
+
+    // SHOW/OMIT EMPTY MATCHES: ANSI no-ops here (first variable required)
+    GraftApp.run(spark, app.replace("WITH UNMATCHED ROWS", "OMIT EMPTY MATCHES"),
+      Map("E" -> tape))
+    GraftApp.run(spark, app.replace("WITH UNMATCHED ROWS", "SHOW EMPTY MATCHES"),
+      Map("E" -> tape))
+
+    // typed gates: exclusion conflict; ONE ROW modifier
+    def errOf(app: String) = intercept[GraftApp.SqlError](
+      GraftApp.run(spark, app, Map("E" -> tape))).getMessage
+    assert(errOf(app.replace("PATTERN (A B+)", "PATTERN ({- A -} B+)"))
+      .contains("mutually exclusive"))
+    assert(errOf(app.replace("ALL ROWS PER MATCH WITH UNMATCHED ROWS",
+      "ONE ROW PER MATCH WITH UNMATCHED ROWS")).contains("modify ALL ROWS"))
+  }
+
   test("MATCH_RECOGNIZE PERMUTE: every member ordering via the engine's n-ary AND") {
     // b a a b: strict adjacency matches (b,a) as B->A and (a,b) as A->B
     val tape = Seq((1, 7L, "b", 2.0), (2, 7L, "a", 1.0), (3, 7L, "a", 3.0),

@@ -2002,5 +2002,12 @@ class StreamingSpec extends AnyFunSuite {
     val err = intercept[graft.sql.GraftApp.SqlError](
       graft.sql.GraftApp.run(spark, runningApp, Map("E" -> events)))
     assert(err.getMessage.contains("batch-only"))
+    // WITH UNMATCHED ROWS on a stream: typed rejection (a stream cannot
+    // prove a row will never be claimed)
+    val unmatchedApp = app.replace("PATTERN ({- A -} B+)", "PATTERN (A B+)")
+      .replace("ALL ROWS PER MATCH", "ALL ROWS PER MATCH WITH UNMATCHED ROWS")
+    val err2 = intercept[graft.sql.GraftApp.SqlError](
+      graft.sql.GraftApp.run(spark, unmatchedApp, Map("E" -> events)))
+    assert(err2.getMessage.contains("batch-only"))
   }
 }
