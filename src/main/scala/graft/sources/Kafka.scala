@@ -28,7 +28,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (earliest/latest log offsets), Fetch v4 (record batches), Produce v3;
   *  - record batch format v2 (magic 2): varint/zigzag record encoding,
   *    CRC32C integrity (java.util.zip.CRC32C), compression codecs none +
-  *    gzip (JDK-native); snappy/lz4/zstd are typed errors — their codecs
+  *    gzip (JDK-native) + snappy/lz4 ([[KafkaCompress]]) + zstd
+  *    ([[Zstd]], full RFC 8878) — every codec the protocol defines; the
   *    are external libraries this build excludes.
   *
   * Unlike the driver-buffered WS/AMQP transports, this source is a REAL
@@ -110,9 +111,9 @@ object KafkaCodec {
 
   /** One record batch (v2) for `records` with all offsets / timestamps
     * relative to `baseOffset` / `timestampMs`. `codec` is the attributes
-    * compression id (0=none, 1=gzip, 2=snappy xerial-framed, 3=lz4 frame)
-    * applied to the records section only — the v2 header stays plain, per
-    * the protocol.
+    * compression id (0=none, 1=gzip, 2=snappy xerial-framed, 3=lz4 frame,
+    * 4=zstd frame) applied to the records section only — the v2 header
+    * stays plain, per the protocol.
     */
   def encodeBatch(baseOffset: Long, timestampMs: Long,
                   records: Seq[(Array[Byte], Array[Byte])],
@@ -139,6 +140,7 @@ object KafkaCodec {
         bos.toByteArray
       case 2 => KafkaCompress.SnappyStream.compress(recs.result())
       case 3 => KafkaCompress.Lz4Frame.compress(recs.result())
+      case 4 => Zstd.compress(recs.result())
       case c => throw new IllegalArgumentException(s"unsupported encode codec $c")
     }
     val body = new Writer
@@ -165,8 +167,8 @@ object KafkaCodec {
 
   /** Decode a record SET (zero or more concatenated v2 batches; the last
     * may be truncated by the broker's max_bytes — skipped, the next fetch
-    * re-reads it). Verifies CRC32C; inflates gzip batches (JDK codec);
-    * snappy/lz4/zstd raise typed errors.
+    * re-reads it). Verifies CRC32C; inflates gzip (JDK codec), snappy,
+    * lz4, and zstd batches — unknown codec ids raise typed errors.
     */
   def decodeBatches(data: Array[Byte]): Seq[KRecord] = {
     if (data == null) return Nil
@@ -219,11 +221,12 @@ object KafkaCodec {
               KafkaCompress.SnappyStream.decompress(rest)
             case 3 => // lz4 — standard LZ4 Frame (Kafka magic-2 batches)
               KafkaCompress.Lz4Frame.decompress(rest)
+            case 4 => // zstd — full RFC 8878 decoder (round 12)
+              Zstd.decompress(rest)
             case c =>
-              val name = if (c == 4) "zstd" else s"codec#$c"
               throw new java.io.IOException(
-                s"record batch uses $name compression — this pure-JVM build " +
-                  "supports none/gzip/snappy/lz4 (zstd needs an external codec)")
+                s"record batch uses unknown codec#$c — the protocol defines " +
+                  "none/gzip/snappy/lz4/zstd (all supported by this build)")
           }
         }
         val rb = new Reader(ByteBuffer.wrap(recordBytes))

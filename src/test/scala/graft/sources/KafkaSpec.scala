@@ -77,11 +77,11 @@ class KafkaSpec extends AnyFunSuite {
     // corrupt a payload byte → CRC32C failure is loud
     val corrupt = batch.clone(); corrupt(batch.length - 1) = (corrupt(batch.length - 1) ^ 0x01).toByte
     intercept[java.io.IOException](KafkaCodec.decodeBatches(corrupt))
-    // unsupported codec (zstd = attributes value 4) is a typed error
-    val zstd = batch.clone()
-    zstd(22) = 4 // attributes int16 low byte at offset 21..22
-    val e = intercept[java.io.IOException](KafkaCodec.decodeBatches(fixCrc(zstd)))
-    assert(e.getMessage.contains("zstd"))
+    // unknown codec id (attributes value 7) is a typed error
+    val badCodec = batch.clone()
+    badCodec(22) = 7 // attributes int16 low byte at offset 21..22
+    val e = intercept[java.io.IOException](KafkaCodec.decodeBatches(fixCrc(badCodec)))
+    assert(e.getMessage.contains("codec#7"))
     // CONTROL batch (attributes bit 5): whole batch skipped, no garbage rows
     val ctl = batch.clone()
     ctl(22) = (ctl(22) | 0x20).toByte
@@ -266,6 +266,24 @@ class KafkaSpec extends AnyFunSuite {
     assert(java.nio.ByteBuffer.wrap(lSection)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt == 0x184D2204)
     assert(Lz4Frame.decompress(lSection).nonEmpty)
+  }
+
+  test("codec: zstd-compressed record batches round-trip pure-JVM (round 12)") {
+    val recs = Seq[(Array[Byte], Array[Byte])](
+      ("k".getBytes(UTF_8), "zstd-payload".getBytes(UTF_8)),
+      (null, ("z" * 4000).getBytes(UTF_8)))
+    val batch = KafkaCodec.encodeBatch(9L, 77L, recs, codec = 4)
+    val decoded = KafkaCodec.decodeBatches(batch)
+    assert(decoded.map(_.offset) == Seq(9L, 10L))
+    assert(new String(decoded.head.value, UTF_8) == "zstd-payload")
+    assert(decoded(1).value.length == 4000)
+    // framing sanity: the compressed section is a real zstd frame (magic)
+    // and the repetitive payload genuinely shrank
+    val section = java.util.Arrays.copyOfRange(batch, 61, batch.length)
+    assert(java.nio.ByteBuffer.wrap(section)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt == 0xFD2FB528)
+    assert(section.length < 2000, s"4k of 'z' should compress: ${section.length}")
+    assert(graft.sources.Zstd.decompress(section).nonEmpty)
   }
 
   test("codec property: arbitrary record batches round-trip bit-exactly") {
