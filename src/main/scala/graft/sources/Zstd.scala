@@ -151,22 +151,34 @@ object Zstd {
 
     def remaining: Int = bitsLeft
 
-    /** Read n bits (n <= 31). Reading PAST the start returns zero bits —
-      * the spec's defined completion behavior for FSE state reloads.
+    /** Read n bits (n <= 31): the n-bit little-endian field ending at the
+      * current position, word-loaded in one pass. Reading PAST the start
+      * returns zero bits — the spec's defined completion behavior for FSE
+      * state reloads.
       */
     def read(n: Int): Int = {
       if (n == 0) return 0
-      var v = 0
-      var k = n
-      while (k > 0) {
-        bitsLeft -= 1
-        val bit =
-          if (bitsLeft < 0) 0
-          else (d(start + (bitsLeft >> 3)) >> (bitsLeft & 7)) & 1
-        v = (v << 1) | bit
-        k -= 1
+      bitsLeft -= n
+      val p = bitsLeft
+      if (p >= 0) {
+        val byteIdx = p >> 3
+        val lim = math.min(6, len - byteIdx)
+        var v = 0L
+        var k = 0
+        while (k < lim) { v |= (d(start + byteIdx + k) & 0xFFL) << (8 * k); k += 1 }
+        ((v >>> (p & 7)) & ((1L << n) - 1)).toInt
+      } else {
+        // partial underflow: the low -p bits are zero-filled
+        if (p + n <= 0) 0
+        else {
+          val have = p + n // real bits, at positions [0, have)
+          var v = 0L
+          val lim = math.min(6, len)
+          var k = 0
+          while (k < lim) { v |= (d(start + k) & 0xFFL) << (8 * k); k += 1 }
+          ((v & ((1L << have) - 1)) << (n - have)).toInt
+        }
       }
-      v
     }
 
     /** True when every real bit has been consumed exactly (stream end). */
@@ -550,16 +562,37 @@ object Zstd {
       (prev, pos0)
   }
 
+  /** Growable output buffer with random access — match copies reach back
+    * into the already-produced frame bytes, so the decoder writes into one
+    * flat array instead of a stream.
+    */
+  private final class Buf {
+    var a: Array[Byte] = new Array[Byte](8192)
+    var len: Int = 0
+    def ensure(extra: Int): Unit = {
+      val need = len + extra
+      if (need > KafkaCompress.MaxOut) fail("decoded frame exceeds the bomb guard")
+      if (need > a.length) {
+        val grown = new Array[Byte](math.max(need, a.length * 2))
+        System.arraycopy(a, 0, grown, 0, len)
+        a = grown
+      }
+    }
+    def append(src: Array[Byte], off: Int, n: Int): Unit = {
+      ensure(n)
+      System.arraycopy(src, off, a, len, n)
+      len += n
+    }
+    def result(): Array[Byte] = java.util.Arrays.copyOf(a, len)
+  }
+
   /** Decode and execute the sequences section over `literals`, appending
     * to `out` (which already holds this frame's earlier blocks — the
     * match window).
     */
   private def decodeSequences(d: Array[Byte], off: Int, limit: Int,
                               literals: Array[Byte], ctx: Ctx,
-                              out: java.io.ByteArrayOutputStream,
-                              window: Array[Byte] => Unit): Unit = {
-    // helper writes through a growable view: we need random access to the
-    // already-produced frame output for match copies
+                              out: Buf): Unit = {
     if (off >= limit) fail("missing sequences section")
     var p = off
     val b0 = d(p) & 0xFF; p += 1
@@ -574,7 +607,7 @@ object Zstd {
       }
     if (nbSeq == 0) {
       if (p != limit) fail("trailing bytes after a 0-sequence section")
-      out.write(literals, 0, literals.length)
+      out.append(literals, 0, literals.length)
       return
     }
     if (p >= limit) fail("missing symbol compression modes")
@@ -592,20 +625,6 @@ object Zstd {
     var ofState = bb.read(ofT.log)
     var mlState = bb.read(mlT.log)
     var litPos = 0
-    // the frame's produced bytes so far — match copies may reach back into
-    // earlier blocks; we materialize the stream buffer once per sequences
-    // section and copy within it (sections are block-bounded, ≤ 128 KB out)
-    var buf = out.toByteArray
-    var bufLen = buf.length
-    def ensure(extra: Int): Unit = {
-      val need = bufLen + extra
-      if (need > KafkaCompress.MaxOut) fail("decoded frame exceeds the bomb guard")
-      if (need > buf.length) {
-        val grown = new Array[Byte](math.max(need, buf.length * 2 + 64))
-        System.arraycopy(buf, 0, grown, 0, bufLen)
-        buf = grown
-      }
-    }
     var seq = 0
     while (seq < nbSeq) {
       val ofCode = ofT.symbol(ofState)
@@ -638,13 +657,18 @@ object Zstd {
           o
         }
       if (litPos + ll > literals.length) fail("sequence literals overrun")
-      ensure(ll + ml)
-      System.arraycopy(literals, litPos, buf, bufLen, ll)
-      litPos += ll; bufLen += ll
-      if (offset > bufLen) fail(s"match offset $offset beyond history $bufLen")
-      var k = 0
-      while (k < ml) { // byte-wise: overlap (offset < ml) is the RLE idiom
-        buf(bufLen) = buf(bufLen - offset); bufLen += 1; k += 1
+      out.ensure(ll + ml)
+      System.arraycopy(literals, litPos, out.a, out.len, ll)
+      litPos += ll; out.len += ll
+      if (offset > out.len) fail(s"match offset $offset beyond history ${out.len}")
+      if (offset >= ml) { // non-overlapping: one block copy
+        System.arraycopy(out.a, out.len - offset, out.a, out.len, ml)
+        out.len += ml
+      } else {
+        var k = 0
+        while (k < ml) { // byte-wise: overlap (offset < ml) is the RLE idiom
+          out.a(out.len) = out.a(out.len - offset); out.len += 1; k += 1
+        }
       }
       seq += 1
       if (seq < nbSeq) {
@@ -656,12 +680,7 @@ object Zstd {
     }
     if (!bb.exhausted) fail("sequences bitstream has unconsumed bits")
     // trailing literals after the last sequence
-    val rest = literals.length - litPos
-    ensure(rest)
-    System.arraycopy(literals, litPos, buf, bufLen, rest)
-    bufLen += rest
-    out.reset()
-    out.write(buf, 0, bufLen)
+    out.append(literals, litPos, literals.length - litPos)
   }
 
   // -------------------------------------------------------------- frames
@@ -670,7 +689,7 @@ object Zstd {
     * skippable frames passed over, content checksums verified.
     */
   def decompress(data: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
+    val out = new Buf
     var p = 0
     def le32(i: Int): Int =
       (data(i) & 0xFF) | ((data(i + 1) & 0xFF) << 8) |
@@ -686,7 +705,7 @@ object Zstd {
         fail(f"bad frame magic 0x$magic%08X")
       } else {
         p += 4
-        val frameStart = out.size()
+        val frameStart = out.len
         val fhd = data(p) & 0xFF; p += 1
         if ((fhd & 0x08) != 0) fail("reserved frame-header bit set")
         val singleSegment = (fhd & 0x20) != 0
@@ -721,39 +740,36 @@ object Zstd {
           btype match {
             case 0 => // Raw
               if (p + bsize > data.length) fail("raw block overruns input")
-              if (out.size() + bsize > KafkaCompress.MaxOut) fail("decoded frame exceeds the bomb guard")
-              out.write(data, p, bsize)
+              out.append(data, p, bsize)
               p += bsize
             case 1 => // RLE: one byte, bsize = regenerated length
               if (p >= data.length) fail("rle block missing byte")
-              if (out.size() + bsize > KafkaCompress.MaxOut) fail("decoded frame exceeds the bomb guard")
-              val run = new Array[Byte](bsize)
-              java.util.Arrays.fill(run, data(p))
-              out.write(run, 0, bsize)
+              out.ensure(bsize)
+              java.util.Arrays.fill(out.a, out.len, out.len + bsize, data(p))
+              out.len += bsize
               p += 1
             case 2 => // Compressed
               if (p + bsize > data.length) fail("compressed block overruns input")
               val limit = p + bsize
               val (lits, used) = decodeLiterals(data, p, limit, ctx)
-              decodeSequences(data, p + used, limit, lits, ctx, out, _ => ())
+              decodeSequences(data, p + used, limit, lits, ctx, out)
               p = limit
             case 3 => fail("reserved block type")
           }
         }
-        val frameOut = out.size() - frameStart
+        val frameOut = out.len - frameStart
         if (contentSize >= 0 && frameOut != contentSize)
           fail(s"frame declared $contentSize bytes but decoded $frameOut")
         if (checksum) {
           if (p + 4 > data.length) fail("truncated content checksum")
           val stored = le32(p); p += 4
-          val all = out.toByteArray
-          val got = XxHash64.hash(all, frameStart, frameOut, 0L).toInt
+          val got = XxHash64.hash(out.a, frameStart, frameOut, 0L).toInt
           if (got != stored)
             fail(f"content checksum mismatch: stored 0x$stored%08X computed 0x$got%08X")
         }
       }
     }
-    out.toByteArray
+    out.result()
   }
 
   // ------------------------------------------------------------- encoder
@@ -765,44 +781,36 @@ object Zstd {
   private final class FseEnc(val log: Int, counts: Array[Int]) {
     private val size = 1 << log
     private val table = buildFse(counts, log) // decode view: cell -> (symbol, nbBits, newStateBase)
-    // encode view: for each symbol, the ascending list of cells that emit it
-    private val cellsOf: Array[Array[Int]] = {
-      val buckets = Array.fill(counts.length)(Vector.empty[Int])
+    // direct encode view: cellFor(sym*size + state) = the cell emitting
+    // `sym` whose transition range covers `state` (the FSE invariant: a
+    // symbol's cells' ranges partition the state space) — O(1) per step
+    private val cellFor: Array[Int] = {
+      val m = new Array[Int](counts.length * size)
+      java.util.Arrays.fill(m, -1)
       var c = 0
       while (c < size) {
         val s = table.symbol(c)
-        buckets(s) = buckets(s) :+ c
+        val base = table.newState(c)
+        val span = 1 << table.nbBits(c)
+        var st = base
+        while (st < base + span) { m(s * size + st) = c; st += 1 }
         c += 1
       }
-      buckets.map(_.toArray)
+      m
     }
-    /** Total occurrences of symbol s in the table. */
-    def freq(s: Int): Int = cellsOf(s).length
-    /** Encoding step: FROM a current state (a cell), to emit symbol s the
-      * DECODER must have read s at some cell and transitioned to our
-      * current state — find the cell c for s whose (newState, nbBits)
-      * range covers `state`, output the low bits, and make c the new
-      * state. Returns (bitsValue, bitsCount, newCell).
+    def nbBitsAt(cell: Int): Int = table.nbBits(cell)
+    def baseAt(cell: Int): Int = table.newState(cell)
+    /** Encoding step: FROM the decoder's NEXT cell (`state`), the cell
+      * that emits symbol s and transitions into it. -1 never occurs for
+      * in-range symbols (ranges partition the space).
       */
-    def encode(state: Int, s: Int): (Int, Int, Int) = {
-      val cells = cellsOf(s)
-      var i = 0
-      while (i < cells.length) {
-        val c = cells(i)
-        val base = table.newState(c)
-        val nb = table.nbBits(c)
-        if (state >= base && state < base + (1 << nb))
-          return (state - base, nb, c)
-        i += 1
-      }
-      fail(s"fse encode: no transition to symbol $s from state $state")
+    def cellInto(state: Int, s: Int): Int = {
+      val c = cellFor(s * size + state)
+      if (c < 0) fail(s"fse encode: no transition to symbol $s from state $state")
+      c
     }
     /** Any cell that emits s — used to seed the initial states. */
-    def anyCell(s: Int): Int = {
-      val cells = cellsOf(s)
-      if (cells.isEmpty) fail(s"fse encode: symbol $s has zero probability")
-      cells(0)
-    }
+    def anyCell(s: Int): Int = cellInto(0, s) // state 0 is always covered
   }
 
   private lazy val LlEnc = new FseEnc(LlDefaultLog, LlDefault)
@@ -810,30 +818,29 @@ object Zstd {
   private lazy val OfEnc = new FseEnc(OfDefaultLog, OfDefault)
 
   /** Backward bit WRITER: bits pushed are read back MSB-first by BackBits;
-    * finished with the sentinel 1-bit and zero padding to a byte.
+    * finished with the sentinel 1-bit and zero padding to a byte. Fields
+    * accumulate LSB-first in a 64-bit container, flushed bytewise.
     */
   private final class BackBitsW {
-    private val bytes = Array.newBuilder[Byte]
-    private var cur = 0
-    private var nCur = 0
-    private var total = 0L
-    def push(value: Int, n: Int): Unit = {
-      var k = 0 // push LSB-first so the backward reader sees MSB-first order
-      while (k < n) {
-        cur |= ((value >> k) & 1) << nCur
-        nCur += 1
-        if (nCur == 8) { bytes += cur.toByte; cur = 0; nCur = 0 }
-        k += 1
-        total += 1
+    private var bytes = new Array[Byte](64)
+    private var n = 0
+    private var acc = 0L
+    private var accBits = 0
+    def push(value: Int, nb: Int): Unit = {
+      acc |= (value.toLong & ((1L << nb) - 1)) << accBits
+      accBits += nb
+      while (accBits >= 8) {
+        if (n == bytes.length) bytes = java.util.Arrays.copyOf(bytes, n * 2)
+        bytes(n) = acc.toByte; n += 1
+        acc >>>= 8; accBits -= 8
       }
     }
     def result(): Array[Byte] = {
-      // sentinel bit then pad
-      cur |= 1 << nCur
-      bytes += cur.toByte
-      val r = bytes.result()
-      cur = 0; nCur = 0
-      r
+      // sentinel bit then pad to the byte
+      acc |= 1L << accBits
+      if (n == bytes.length) bytes = java.util.Arrays.copyOf(bytes, n + 1)
+      bytes(n) = acc.toByte; n += 1
+      java.util.Arrays.copyOf(bytes, n)
     }
   }
 
@@ -849,8 +856,6 @@ object Zstd {
     c
   }
 
-  private final case class Seq0(ll: Int, offset: Int, ml: Int)
-
   /** Compress one block's worth of input with the greedy hash-table
     * matcher (same shape as the snappy/lz4 encoders), emitting raw
     * literals + predefined-FSE sequences. Returns None when the
@@ -858,7 +863,6 @@ object Zstd {
     */
   private def compressBlock(d: Array[Byte], off: Int, len: Int): Option[Array[Byte]] = {
     if (len < 16) return None
-    val MinMatch = 3
     val hashLog = 15
     val hash = new Array[Int](1 << hashLog)
     java.util.Arrays.fill(hash, -1)
@@ -867,7 +871,19 @@ object Zstd {
         ((d(i + 2) & 0xFF) << 16) | ((d(i + 3) & 0xFF) << 24)
       (v * -1640531535) >>> (32 - hashLog)
     }
-    val seqs = Vector.newBuilder[Seq0]
+    // primitive parallel arrays: (literal run, offset, match len) per seq
+    var seqLl = new Array[Int](256)
+    var seqOf = new Array[Int](256)
+    var seqMl = new Array[Int](256)
+    var ns = 0
+    def addSeq(ll: Int, ofs: Int, ml: Int): Unit = {
+      if (ns == seqLl.length) {
+        seqLl = java.util.Arrays.copyOf(seqLl, ns * 2)
+        seqOf = java.util.Arrays.copyOf(seqOf, ns * 2)
+        seqMl = java.util.Arrays.copyOf(seqMl, ns * 2)
+      }
+      seqLl(ns) = ll; seqOf(ns) = ofs; seqMl(ns) = ml; ns += 1
+    }
     val lits = new java.io.ByteArrayOutputStream()
     var anchor = off
     var i = off
@@ -881,20 +897,17 @@ object Zstd {
           d(cand + 2) == d(i + 2) && d(cand + 3) == d(i + 3)) {
         var ml = 4
         while (i + ml < end && d(cand + ml) == d(i + ml)) ml += 1
-        if (ml >= MinMatch) {
-          lits.write(d, anchor, i - anchor)
-          seqs += Seq0(i - anchor, i - cand, ml)
-          // index a couple of positions inside the match (cheap future hits)
-          var j = i + 1
-          val stop = math.min(i + ml, end - 4)
-          while (j < stop) { hash(h4(j)) = j; j += math.max(1, ml / 8) }
-          i += ml
-          anchor = i
-        } else i += 1
+        lits.write(d, anchor, i - anchor)
+        addSeq(i - anchor, i - cand, ml)
+        // index a couple of positions inside the match (cheap future hits)
+        var j = i + 1
+        val stop = math.min(i + ml, end - 4)
+        while (j < stop) { hash(h4(j)) = j; j += math.max(1, ml / 8) }
+        i += ml
+        anchor = i
       } else i += 1
     }
-    val sequences = seqs.result()
-    if (sequences.isEmpty) return None
+    if (ns == 0) return None
     lits.write(d, anchor, end - anchor)
     val literals = lits.toByteArray
 
@@ -913,22 +926,25 @@ object Zstd {
 
     // sequences: count, modes (all predefined), interleaved FSE bitstream
     val sout = new java.io.ByteArrayOutputStream()
-    val ns = sequences.length
     if (ns < 128) sout.write(ns)
     else if (ns < 0x7F00) { sout.write((ns >> 8) + 128); sout.write(ns & 0xFF) }
     else { sout.write(255); sout.write((ns - 0x7F00) & 0xFF); sout.write(((ns - 0x7F00) >> 8) & 0xFF) }
     sout.write(0) // LL/OF/ML all Predefined_Mode, reserved 0
 
-    // precompute per-sequence codes
-    val codes = sequences.map { s =>
-      val llc = llCodeOf(s.ll)
-      val mlc = mlCodeOf(s.ml)
-      val ofv = s.offset + 3L // no repeat-offset use: offset_value = offset + 3
-      val ofc = 63 - java.lang.Long.numberOfLeadingZeros(ofv).toInt
-      (llc, mlc, ofc, ofv)
+    // per-sequence codes (offset_value = offset + 3: no repeat-offset use)
+    val llCode = new Array[Int](ns)
+    val mlCode = new Array[Int](ns)
+    val ofCode = new Array[Int](ns)
+    var ci = 0
+    while (ci < ns) {
+      llCode(ci) = llCodeOf(seqLl(ci))
+      mlCode(ci) = mlCodeOf(seqMl(ci))
+      val ofv = seqOf(ci) + 3
+      val c = 31 - Integer.numberOfLeadingZeros(ofv)
+      if (c > 28) return None // beyond the predefined OF table
+      ofCode(ci) = c
+      ci += 1
     }
-    // reject blocks needing offset codes beyond the predefined table (28)
-    if (codes.exists(_._3 > 28)) return None
 
     // The DECODER reads: init states LL,OF,ML; per seq k: OF extra, ML
     // extra, LL extra; then (k < last) state updates LL,ML,OF. FSE encodes
@@ -938,46 +954,40 @@ object Zstd {
     // each step finding the cell of code_k whose transition range covers
     // c_{k+1} (the FSE invariant: a symbol's cells' ranges partition the
     // state space, so one always exists). The cells we end on are the
-    // decoder's init states. The whole forward bit sequence is then
-    // written REVERSED into the backward bitstream.
+    // decoder's init states. A backward reader consumes bits in the
+    // reverse of write order, so the walk pushes the forward field
+    // sequence REVERSED, fused into one loop: last sequence's extras
+    // (reversed LL,ML,OF), then per earlier sequence the updates
+    // (reversed OF,ML,LL) and its extras, finally the init states
+    // (reversed ML,OF,LL).
     val w = new BackBitsW
-    var llState = LlEnc.anyCell(codes.last._1)
-    var mlState = MlEnc.anyCell(codes.last._2)
-    var ofState = OfEnc.anyCell(codes.last._3)
-    final case class Bits(v: Int, n: Int)
-    val updates = new Array[(Bits, Bits, Bits)](math.max(0, ns - 1))
+    def pushExtras(q: Int): Unit = {
+      val llc = llCode(q); val mlc = mlCode(q); val ofc = ofCode(q)
+      w.push(seqLl(q) - LlBase(llc), LlBits(llc))            // LL extra
+      w.push(seqMl(q) - MlBase(mlc), MlBits(mlc))            // ML extra
+      w.push(seqOf(q) + 3 - (1 << ofc), ofc)                 // OF extra
+    }
+    var llState = LlEnc.anyCell(llCode(ns - 1))
+    var mlState = MlEnc.anyCell(mlCode(ns - 1))
+    var ofState = OfEnc.anyCell(ofCode(ns - 1))
+    pushExtras(ns - 1)
     var k = ns - 2
     while (k >= 0) {
-      val (llB, llN, llC) = LlEnc.encode(llState, codes(k)._1)
-      val (mlB, mlN, mlC) = MlEnc.encode(mlState, codes(k)._2)
-      val (ofB, ofN, ofC) = OfEnc.encode(ofState, codes(k)._3)
+      val llC = LlEnc.cellInto(llState, llCode(k))
+      val mlC = MlEnc.cellInto(mlState, mlCode(k))
+      val ofC = OfEnc.cellInto(ofState, ofCode(k))
+      // updates, reversed field order (decoder reads LL, ML, OF)
+      w.push(ofState - OfEnc.baseAt(ofC), OfEnc.nbBitsAt(ofC))
+      w.push(mlState - MlEnc.baseAt(mlC), MlEnc.nbBitsAt(mlC))
+      w.push(llState - LlEnc.baseAt(llC), LlEnc.nbBitsAt(llC))
       llState = llC; mlState = mlC; ofState = ofC
-      updates(k) = (Bits(llB, llN), Bits(mlB, mlN), Bits(ofB, ofN))
+      pushExtras(k)
       k -= 1
     }
-    // now llState/mlState/ofState are the cells for sequence 0 = the init
-    // states the decoder must read first
-    val fwd2 = Vector.newBuilder[Bits]
-    fwd2 += Bits(llState, LlDefaultLog)
-    fwd2 += Bits(ofState, OfDefaultLog)
-    fwd2 += Bits(mlState, MlDefaultLog)
-    var q = 0
-    while (q < ns) {
-      val (llc, mlc, ofc, ofv) = codes(q)
-      val s = sequences(q)
-      fwd2 += Bits((ofv - (1L << ofc)).toInt, ofc)          // OF extra
-      fwd2 += Bits(s.ml - MlBase(mlc), MlBits(mlc))         // ML extra
-      fwd2 += Bits(s.ll - LlBase(llc), LlBits(llc))         // LL extra
-      if (q < ns - 1) {
-        val (lu, mu, ou) = updates(q)
-        fwd2 += lu; fwd2 += mu; fwd2 += ou                  // LL, ML, OF updates
-      }
-      q += 1
-    }
-    // a backward reader consumes bits in the reverse of write order, so
-    // write the forward sequence REVERSED (each field's bits intact:
-    // reader takes n MSB-first bits = the value we'd push LSB-first)
-    fwd2.result().reverse.foreach(b => w.push(b.v, b.n))
+    // init states = the cells for sequence 0, reversed read order
+    w.push(mlState, MlDefaultLog)
+    w.push(ofState, OfDefaultLog)
+    w.push(llState, LlDefaultLog)
     val seqBits = w.result()
     sout.write(seqBits, 0, seqBits.length)
 
