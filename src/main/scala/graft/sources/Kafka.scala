@@ -417,8 +417,9 @@ final class KafkaClient(host: String, port: Int, clientId: String = "graft",
     */
   def produce(topic: String, partition: Int,
               records: Seq[(Array[Byte], Array[Byte])],
-              timestampMs: Long = System.currentTimeMillis()): Long = {
-    val set = KafkaCodec.encodeBatch(0L, timestampMs, records)
+              timestampMs: Long = System.currentTimeMillis(),
+              codec: Int = 0): Long = {
+    val set = KafkaCodec.encodeBatch(0L, timestampMs, records, codec = codec)
     val b = new Writer
     b.nullableString(None) // transactional_id
     b.int16(-1).int32(30000)
@@ -641,14 +642,30 @@ private[sources] class KafkaReaderFactory extends PartitionReaderFactory {
 }
 
 /** Kafka SINK half: rows' single string column produced as record values,
-  * one uncompressed v2 batch per epoch-partition (buffered in `process`,
-  * flushed in `close` — one Produce round-trip per task). Spark partition
-  * id maps onto the topic's partitions round-robin.
+  * one v2 batch per epoch-partition (buffered in `process`, flushed in
+  * `close` — one Produce round-trip per task), compressed per `codec`
+  * (the 'compression' sink option: none/gzip/snappy/lz4/zstd — every
+  * codec the protocol defines, all pure-JVM). Spark partition id maps
+  * onto the topic's partitions round-robin.
   */
+object KafkaForeachWriter {
+  /** 'compression' option value → record-batch attributes codec id. */
+  def codecOf(name: String): Int = name.trim.toLowerCase match {
+    case "" | "none" => 0
+    case "gzip" => 1
+    case "snappy" => 2
+    case "lz4" => 3
+    case "zstd" => 4
+    case other => throw new IllegalArgumentException(
+      s"unknown 'compression' value '$other' — none|gzip|snappy|lz4|zstd")
+  }
+}
+
 class KafkaForeachWriter(brokers: String, topic: String,
                          tls: Boolean = false,
                          trustStore: Option[(String, String)] = None,
-                         sasl: Option[(String, String)] = None)
+                         sasl: Option[(String, String)] = None,
+                         codec: Int = 0)
   extends ForeachWriter[Row] {
   @transient private var client: KafkaClient = _
   @transient private var buf: scala.collection.mutable.ArrayBuffer[Array[Byte]] = _
@@ -676,7 +693,8 @@ class KafkaForeachWriter(brokers: String, topic: String,
   override def close(errorOrNull: Throwable): Unit = {
     try {
       if (errorOrNull == null && client != null && buf != null && buf.nonEmpty)
-        client.produce(topic, partition, buf.toSeq.map(v => (null, v)))
+        client.produce(topic, partition, buf.toSeq.map(v => (null, v)),
+          codec = codec)
     } finally if (client != null) client.close()
   }
 }

@@ -706,6 +706,7 @@ object Zstd {
       } else {
         p += 4
         val frameStart = out.len
+        if (p >= data.length) fail("truncated frame header")
         val fhd = data(p) & 0xFF; p += 1
         if ((fhd & 0x08) != 0) fail("reserved frame-header bit set")
         val singleSegment = (fhd & 0x20) != 0
@@ -719,6 +720,7 @@ object Zstd {
           case 2 => 4
           case 3 => 8
         }
+        if (p + fcsSize > data.length) fail("truncated frame header")
         var contentSize = -1L
         if (fcsSize > 0) {
           var v = 0L; var k = 0

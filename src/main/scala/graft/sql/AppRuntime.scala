@@ -288,7 +288,13 @@ object AppRuntime {
                   sasl = sd.options.get("sasl.user").map(u =>
                     u -> sd.options.getOrElse("sasl.pass",
                       throw GraftApp.SqlError(
-                        "'sasl.user' is set but 'sasl.pass' is missing"))))
+                        "'sasl.user' is set but 'sasl.pass' is missing"))),
+                  // produce-side batch compression (round 12: all five
+                  // protocol codecs pure-JVM); unknown values fail typed
+                  codec = sd.options.get("compression").map(c =>
+                    try graft.sources.KafkaForeachWriter.codecOf(c)
+                    catch { case e: IllegalArgumentException =>
+                      throw GraftApp.SqlError(e.getMessage) }).getOrElse(0))
               else if (fmt == "http")
                 new graft.sources.HttpForeachWriter(req("url"),
                   sd.options.getOrElse("content.type", "text/plain"))
@@ -306,7 +312,7 @@ object AppRuntime {
             val transportKeys = Set("host", "port", "queue", "vhost", "user",
               "pass", "tls", "tls.truststore", "tls.truststore.password",
               "brokers", "topic", "url", "content.type",
-              "sasl.user", "sasl.pass")
+              "sasl.user", "sasl.pass", "compression")
             var writer = mapSinkRows(env(name), sd).writeStream
               .foreach(fw)
               .outputMode(sd.options.getOrElse("outputMode", "append"))

@@ -286,6 +286,23 @@ class KafkaSpec extends AnyFunSuite {
     assert(graft.sources.Zstd.decompress(section).nonEmpty)
   }
 
+  test("sink compression option: name mapping and zstd produce round-trip") {
+    import graft.sources.KafkaForeachWriter.codecOf
+    assert(codecOf("none") == 0 && codecOf("") == 0 && codecOf("GZIP") == 1 &&
+      codecOf("snappy") == 2 && codecOf("lz4") == 3 && codecOf(" zstd ") == 4)
+    val e = intercept[IllegalArgumentException](codecOf("brotli"))
+    assert(e.getMessage.contains("brotli"))
+    // every codec id round-trips the same records through encode/decode
+    val recs = Seq[(Array[Byte], Array[Byte])](
+      (null, ("v" * 500).getBytes(UTF_8)), ("k".getBytes(UTF_8), "w".getBytes(UTF_8)))
+    for (codec <- 0 to 4) {
+      val decoded = KafkaCodec.decodeBatches(
+        KafkaCodec.encodeBatch(3L, 9L, recs, codec = codec))
+      assert(decoded.map(r => new String(r.value, UTF_8)) == Seq("v" * 500, "w"),
+        s"codec $codec")
+    }
+  }
+
   test("codec property: arbitrary record batches round-trip bit-exactly") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val genBytes: Gen[Array[Byte]] = Gen.frequency(

@@ -103,6 +103,38 @@ class ZstdSpec extends AnyFunSuite {
     assert(m.nonEmpty) // size mismatch or downstream structural error — typed either way
   }
 
+  test("corruption fuzz: 400 byte-flips on valid frames — typed IOException or clean decode, never a crash") {
+    val frames = Seq(
+      Zstd.compress(textish(20000)),
+      Zstd.compress(Array.fill[Byte](5000)('q')),
+      Zstd.compress(lcgBytes(3000, 11)))
+    var s = 0xDEADL
+    var flips = 0
+    while (flips < 400) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      val f = frames(((s >>> 33) % frames.length).toInt).clone()
+      val pos = math.abs((s >>> 17).toInt) % f.length
+      f(pos) = (f(pos) ^ (1 << math.abs((s >>> 7).toInt % 8))).toByte
+      try Zstd.decompress(f) // a lucky flip may still decode — fine
+      catch {
+        case _: java.io.IOException => // the typed contract
+        case other: Throwable =>
+          fail(s"flip at $pos raised ${other.getClass.getSimpleName}: ${other.getMessage}")
+      }
+      flips += 1
+    }
+    // truncations at every prefix length of a small frame: typed too
+    val small = Zstd.compress("truncate me please, zstd".getBytes)
+    for (n <- 0 until small.length) {
+      try Zstd.decompress(java.util.Arrays.copyOf(small, n))
+      catch {
+        case _: java.io.IOException =>
+        case other: Throwable =>
+          fail(s"truncation to $n raised ${other.getClass.getSimpleName}")
+      }
+    }
+  }
+
   // ---- reference CLI round-trips (strongest evidence; skipped if absent)
   private def zstdCli: Option[String] =
     Seq("zstd", "/usr/bin/zstd", "/root/miniconda/bin/zstd").find { p =>
