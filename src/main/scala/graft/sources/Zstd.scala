@@ -846,6 +846,166 @@ object Zstd {
     }
   }
 
+  // ------------------------------------------- Huffman literals ENCODING
+
+  /** Depth-limited (≤ 11) canonical Huffman code lengths for the given
+    * frequencies: two-queue Huffman, clamp, then Kraft-sum repair (take
+    * the cheapest length increments until the code is complete again).
+    * Returns null when Huffman can't apply (fewer than 2 distinct bytes).
+    */
+  private def hufLengths(freq: Array[Int]): Array[Int] = {
+    val present = (0 until freq.length).filter(freq(_) > 0)
+    if (present.size < 2) return null
+    // two-queue Huffman over (weight, members)
+    final case class Node(w: Long, syms: List[Int], depth: Int,
+                          l: Node = null, r: Node = null)
+    var leaves = present.map(s => Node(freq(s), List(s), 0))
+      .sortBy(_.w).toList
+    var merged = List.empty[Node]
+    def popMin(): Node = (leaves, merged) match {
+      case (a :: ta, b :: _) if a.w <= b.w => leaves = ta; a
+      case (a :: ta, Nil) => leaves = ta; a
+      case (_, b :: tb) => merged = tb; b
+      case _ => fail("huffman: empty queues")
+    }
+    var count = leaves.size
+    while (count > 1) {
+      val a = popMin(); val b = popMin()
+      merged = merged :+ Node(a.w + b.w, Nil, 0, a, b)
+      count -= 1
+    }
+    val root = popMin()
+    val len = new Array[Int](freq.length)
+    def walk(n: Node, d: Int): Unit =
+      if (n.l == null) n.syms.foreach(s => len(s) = math.max(d, 1))
+      else { walk(n.l, d + 1); walk(n.r, d + 1) }
+    walk(root, 0)
+    // depth-limit to 11, then repair the Kraft sum to exactly 1
+    val MaxLen = 11
+    present.foreach(s => if (len(s) > MaxLen) len(s) = MaxLen)
+    def kraft: Long = present.map(s => 1L << (MaxLen - len(s))).sum
+    val full = 1L << MaxLen
+    while (kraft > full) {
+      // lengthen the lowest-frequency symbol that can still grow
+      val s = present.filter(len(_) < MaxLen).minBy(freq(_))
+      len(s) += 1
+    }
+    var slack = full - kraft
+    while (slack > 0) {
+      // shorten the highest-frequency symbol whose step fits the slack
+      val fit = present.filter(s => len(s) > 1 &&
+        (1L << (MaxLen - len(s))) <= slack)
+      if (fit.isEmpty) fail("huffman: cannot complete the code")
+      val s = fit.maxBy(freq(_))
+      slack -= 1L << (MaxLen - len(s))
+      len(s) -= 1
+    }
+    len
+  }
+
+  /** Encode `lits` as a Compressed literals section (direct-weights
+    * Huffman table + 1 or 4 backward streams). Returns null when the
+    * compressed form is not smaller or the shape is outside the
+    * direct-weights profile (highest byte > 128 — the FSE-weights form
+    * is decode-only here).
+    */
+  private def hufEncodeLiterals(lits: Array[Byte]): Array[Byte] = {
+    val n = lits.length
+    if (n < 64) return null
+    val freq = new Array[Int](256)
+    var i = 0
+    while (i < n) { freq(lits(i) & 0xFF) += 1; i += 1 }
+    val maxSym = (255 to 0 by -1).find(freq(_) > 0).get
+    if (maxSym > 128) return null // direct weights carry at most 128 entries
+    val len = hufLengths(freq)
+    if (len == null) return null
+    val maxBits = (0 to maxSym).filter(freq(_) > 0).map(len(_)).max
+    // weights; the LAST present symbol's weight is implicit (the decoder
+    // completes the power of two), so transmit weights for 0..maxSym-1
+    val weight = new Array[Int](maxSym + 1)
+    var s = 0
+    while (s <= maxSym) {
+      weight(s) = if (freq(s) == 0) 0 else maxBits + 1 - len(s)
+      s += 1
+    }
+    val nW = maxSym // transmitted weights: symbols 0..maxSym-1
+    val table = new java.io.ByteArrayOutputStream()
+    table.write(127 + nW)
+    var w2 = 0
+    while (w2 < nW) {
+      val hi = weight(w2)
+      val lo = if (w2 + 1 < nW) weight(w2 + 1) else 0
+      table.write((hi << 4) | lo)
+      w2 += 2
+    }
+    // canonical codes in the DECODER's fill order: ascending weight,
+    // ascending symbol — a symbol's code = its table start >> (log - nb)
+    val log = maxBits
+    val code = new Array[Int](maxSym + 1)
+    val nb = new Array[Int](maxSym + 1)
+    var pos = 0
+    var wgt = 1
+    while (wgt <= log) {
+      var sym = 0
+      while (sym <= maxSym) {
+        if (freq(sym) > 0 && maxBits + 1 - len(sym) == wgt) {
+          nb(sym) = len(sym)
+          code(sym) = pos >> (log - len(sym))
+          pos += 1 << (log - len(sym))
+        }
+        sym += 1
+      }
+      wgt += 1
+    }
+    if (pos != (1 << log)) fail("huffman encode: incomplete canonical fill")
+    def encodeStream(off: Int, sz: Int): Array[Byte] = {
+      val w = new BackBitsW
+      var k = off + sz - 1
+      while (k >= off) { // backward: last literal pushed first
+        val b = lits(k) & 0xFF
+        w.push(code(b), nb(b))
+        k -= 1
+      }
+      w.result()
+    }
+    val fourStreams = n > 1023
+    val streams: Array[Array[Byte]] =
+      if (!fourStreams) Array(encodeStream(0, n))
+      else {
+        val seg = (n + 3) / 4
+        Array(encodeStream(0, seg), encodeStream(seg, seg),
+          encodeStream(2 * seg, seg), encodeStream(3 * seg, n - 3 * seg))
+      }
+    if (fourStreams && streams.take(3).exists(_.length > 0xFFFF)) return null
+    val comp = table.size() + streams.map(_.length).sum +
+      (if (fourStreams) 6 else 0)
+    // header: type 2 (Compressed); format by the larger of (regen, comp)
+    val out = new java.io.ByteArrayOutputStream()
+    val m = math.max(n, comp)
+    if (!fourStreams) { // 1 stream: Size_Format 00, 10-bit sizes
+      if (m > 1023) return null
+      val h = 2 | (0 << 2) | (n << 4) | (comp << 14)
+      out.write(h & 0xFF); out.write((h >> 8) & 0xFF); out.write((h >> 16) & 0xFF)
+    } else if (m <= 16383) { // Size_Format 10, 14-bit sizes
+      val h = 2L | (2L << 2) | (n.toLong << 4) | (comp.toLong << 18)
+      out.write((h & 0xFF).toInt); out.write(((h >> 8) & 0xFF).toInt)
+      out.write(((h >> 16) & 0xFF).toInt); out.write(((h >> 24) & 0xFF).toInt)
+    } else { // Size_Format 11, 18-bit sizes
+      if (m > 0x3FFFF) return null
+      val h = 2L | (3L << 2) | (n.toLong << 4) | (comp.toLong << 22)
+      var b = 0
+      while (b < 5) { out.write(((h >> (8 * b)) & 0xFF).toInt); b += 1 }
+    }
+    table.writeTo(out)
+    if (fourStreams) {
+      def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      w16(streams(0).length); w16(streams(1).length); w16(streams(2).length)
+    }
+    streams.foreach(st => out.write(st, 0, st.length))
+    val bytes = out.toByteArray
+    if (bytes.length >= n) null else bytes
+  }
+
   /** Map a literals length to its code (inverse of LlBase). */
   private def llCodeOf(ll: Int): Int = {
     var c = LlBase.length - 1
@@ -865,6 +1025,28 @@ object Zstd {
     */
   private def compressBlock(d: Array[Byte], off: Int, len: Int): Option[Array[Byte]] = {
     if (len < 16) return None
+    // entropy-aware match gate: a sequence costs ~32 bits (state updates +
+    // offset/length extras) while a literal costs ~H bits under the
+    // Huffman stage — emitting a short match on low-entropy data LOSES to
+    // just coding the bytes. Estimate H from the block's byte histogram
+    // and require ml ≥ ~36/H (clamped), so text keeps long matches only
+    // and lets the entropy stage take the rest, while random-ish data
+    // keeps the 4-byte floor.
+    val minMatch = {
+      val hist = new Array[Int](256)
+      var i = off
+      while (i < off + len) { hist(d(i) & 0xFF) += 1; i += 1 }
+      var h = 0.0
+      var s = 0
+      while (s < 256) {
+        if (hist(s) > 0) {
+          val p = hist(s).toDouble / len
+          h -= p * math.log(p) / math.log(2)
+        }
+        s += 1
+      }
+      math.max(4, math.min(12, math.round(36.0 / math.max(h, 1.0)).toInt))
+    }
     val hashLog = 15
     val hash = new Array[Int](1 << hashLog)
     java.util.Arrays.fill(hash, -1)
@@ -899,32 +1081,58 @@ object Zstd {
           d(cand + 2) == d(i + 2) && d(cand + 3) == d(i + 3)) {
         var ml = 4
         while (i + ml < end && d(cand + ml) == d(i + ml)) ml += 1
-        lits.write(d, anchor, i - anchor)
-        addSeq(i - anchor, i - cand, ml)
-        // index a couple of positions inside the match (cheap future hits)
-        var j = i + 1
-        val stop = math.min(i + ml, end - 4)
-        while (j < stop) { hash(h4(j)) = j; j += math.max(1, ml / 8) }
-        i += ml
-        anchor = i
+        if (ml >= minMatch) {
+          lits.write(d, anchor, i - anchor)
+          addSeq(i - anchor, i - cand, ml)
+          // index a couple of positions inside the match (cheap future hits)
+          var j = i + 1
+          val stop = math.min(i + ml, end - 4)
+          while (j < stop) { hash(h4(j)) = j; j += math.max(1, ml / 8) }
+          i += ml
+          anchor = i
+        } else i += 1
       } else i += 1
     }
-    if (ns == 0) return None
     lits.write(d, anchor, end - anchor)
     val literals = lits.toByteArray
 
-    // literals section header: Raw literals
+    // literals section: Huffman-compressed when it wins, RLE when uniform,
+    // Raw otherwise
+    def rawHeader(n: Int, tpe: Int): Array[Byte] =
+      if (n < 32) Array(((n << 3) | tpe).toByte) // size_format 00, 5-bit size
+      else if (n < 4096) { // size_format 01, 12-bit size
+        val h = (n << 4) | 4 | tpe
+        Array((h & 0xFF).toByte, ((h >> 8) & 0xFF).toByte)
+      } else { // size_format 11, 20-bit size
+        val h = (n << 4) | 12 | tpe
+        Array((h & 0xFF).toByte, ((h >> 8) & 0xFF).toByte, ((h >> 16) & 0xFF).toByte)
+      }
     val lout = new java.io.ByteArrayOutputStream()
-    val n = literals.length
-    if (n < 32) lout.write((n << 3) | 0) // size_format 00, 5-bit size
-    else if (n < 4096) { // size_format 01, 12-bit size
-      val h = (n << 4) | 4 | 0
-      lout.write(h & 0xFF); lout.write((h >> 8) & 0xFF)
-    } else { // size_format 11, 20-bit size
-      val h = (n << 4) | 12 | 0
-      lout.write(h & 0xFF); lout.write((h >> 8) & 0xFF); lout.write((h >> 16) & 0xFF)
+    locally {
+      val n = literals.length
+      val uniform = n > 1 && {
+        var k = 1; while (k < n && literals(k) == literals(0)) k += 1; k == n
+      }
+      val huf = if (uniform) null else hufEncodeLiterals(literals)
+      if (uniform) { // RLE literals: header (type 1) + the one byte
+        val h = rawHeader(n, 1); lout.write(h, 0, h.length)
+        lout.write(literals(0))
+      } else if (huf != null) lout.write(huf, 0, huf.length)
+      else {
+        val h = rawHeader(n, 0); lout.write(h, 0, h.length)
+        lout.write(literals, 0, n)
+      }
     }
-    lout.write(literals, 0, n)
+    if (ns == 0) {
+      // literals-only block (no matches): worth emitting only when the
+      // entropy stage actually shrank it — else the caller's Raw block
+      val body = lout.toByteArray
+      if (body.length + 1 >= len) return None
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(body, 0, body.length)
+      out.write(0) // zero sequences
+      return Some(out.toByteArray)
+    }
 
     // sequences: count, modes (all predefined), interleaved FSE bitstream
     val sout = new java.io.ByteArrayOutputStream()
@@ -933,18 +1141,28 @@ object Zstd {
     else { sout.write(255); sout.write((ns - 0x7F00) & 0xFF); sout.write(((ns - 0x7F00) >> 8) & 0xFF) }
     sout.write(0) // LL/OF/ML all Predefined_Mode, reserved 0
 
-    // per-sequence codes (offset_value = offset + 3: no repeat-offset use)
+    // per-sequence codes. Repeat-offset reuse (forward walk mirroring the
+    // decoder's rep machine): a sequence whose offset equals the current
+    // rep0 AND has literals emits offset_value 1 — code 0, ZERO extra
+    // bits (the big win on offset-repetitive data); everything else is
+    // offset_value = offset + 3, which also becomes the new rep0. Only
+    // the ll>0 / rep0 cell is used, so the rep1/rep2 shifts never matter.
     val llCode = new Array[Int](ns)
     val mlCode = new Array[Int](ns)
     val ofCode = new Array[Int](ns)
+    val ofVal = new Array[Int](ns)
+    var rep0 = 1 // the decoder's initial repeat offsets are [1, 4, 8]
     var ci = 0
     while (ci < ns) {
       llCode(ci) = llCodeOf(seqLl(ci))
       mlCode(ci) = mlCodeOf(seqMl(ci))
-      val ofv = seqOf(ci) + 3
+      val ofv =
+        if (seqOf(ci) == rep0 && seqLl(ci) > 0) 1
+        else { rep0 = seqOf(ci); seqOf(ci) + 3 }
       val c = 31 - Integer.numberOfLeadingZeros(ofv)
       if (c > 28) return None // beyond the predefined OF table
       ofCode(ci) = c
+      ofVal(ci) = ofv
       ci += 1
     }
 
@@ -967,7 +1185,7 @@ object Zstd {
       val llc = llCode(q); val mlc = mlCode(q); val ofc = ofCode(q)
       w.push(seqLl(q) - LlBase(llc), LlBits(llc))            // LL extra
       w.push(seqMl(q) - MlBase(mlc), MlBits(mlc))            // ML extra
-      w.push(seqOf(q) + 3 - (1 << ofc), ofc)                 // OF extra
+      w.push(ofVal(q) - (1 << ofc), ofc)                     // OF extra
     }
     var llState = LlEnc.anyCell(llCode(ns - 1))
     var mlState = MlEnc.anyCell(mlCode(ns - 1))
