@@ -1062,10 +1062,12 @@ object GraftApp {
     *    keyword are FINAL (the documented divergence from ANSI's
     *    ALL-ROWS-defaults-to-RUNNING — write RUNNING explicitly for the
     *    per-prefix form). `RUNNING agg(V.x)` (count/sum/min/max/avg) in
-    *    ALL ROWS re-aggregates per output row via a window over the
-    *    exploded match rows, batch-only; in ONE ROW both keywords strip
-    *    (they coincide at the match's final row, per ANSI). FINAL always
-    *    strips (it names the implemented semantics);
+    *    ALL ROWS re-aggregates per output row — batch as a window over
+    *    the exploded match rows; STREAMS too (a match's rows all emit at
+    *    completion, so the per-row value is a prefix fold over the NFA's
+    *    buffered arrays, no retraction involved). In ONE ROW both
+    *    keywords strip (they coincide at the match's final row, per
+    *    ANSI). FINAL always strips (it names the implemented semantics);
     *  - PERMUTE(A, B[, C]) (round 12, ANSI): every ordering of the member
     *    variables, as the ENTIRE pattern — lowers to the engine's n-ary
     *    AND element, whose compile expands exactly the arrival-order

@@ -1092,8 +1092,9 @@ object PatternCompiler {
     * explode of each step's buffer, no join back to the source (the plan
     * stays streaming-legal). Output layout matches the batch lowering:
     * the stream's own columns (reconstructed from the slots, cast back to
-    * the source types) + the measures (FINAL semantics, constant across a
-    * match's rows) + `mr_match_number` + `mr_classifier`.
+    * the source types) + the measures (FINAL semantics constant per match;
+    * RUNNING measures — round 12b — re-aggregate per row as prefix folds
+    * over the same buffered arrays) + `mr_match_number` + `mr_classifier`.
     *
     * `mr_match_number` here is the NFA's per-key match-COMPLETION ordinal
     * ([[graft.streaming.CepMatch.matchSeq]], carried across micro-batches
@@ -1114,13 +1115,15 @@ object PatternCompiler {
       throw GraftApp.SqlError(
         s"EXCLUDING names '$v' which is not a pattern step variable"))
     // per-row measure kinds: CLASSIFIER()/MATCH_NUMBER() alias the columns
-    // this lowering appends anyway; RUNNING is batch-only (per-prefix
-    // re-aggregation inside the state store is a different machine) —
-    // detected by the marker prefix even after the slot rewrite touched it
+    // this lowering appends anyway; RUNNING (round 12b, streams too) is a
+    // PREFIX aggregate over buffers the NFA already holds — a match's rows
+    // all emit at completion, so the per-row re-aggregation is a slice
+    // fold over the state that produced them, no retraction involved
     sealed trait MKind
     case object MNormal extends MKind
     case object MCls extends MKind
     case object MNum extends MKind
+    final case class MRun(fn: String, v: String, c: String) extends MKind
     def needAlias(e: String, a: Option[String]): String = a.getOrElse(
       throw GraftApp.SqlError(
         s"EMIT ALL ROWS measure '${e.trim.take(40)}' needs an AS alias"))
@@ -1128,11 +1131,12 @@ object PatternCompiler {
       val t = e.trim.toLowerCase
       if (t == "__mr_classifier") (MCls, needAlias(e, a))
       else if (t == "__mr_match_number") (MNum, needAlias(e, a))
-      else if (t.contains("__mr_running_")) throw GraftApp.SqlError(
-        "RUNNING measures are batch-only — the streaming NFA emits each " +
-          "match once from its buffered state; per-prefix re-aggregation " +
-          "would need retraction")
-      else (MNormal, "")
+      else e.trim match {
+        case RunningMarkerRe(fn, v, c) => (MRun(fn.toLowerCase, v, c), needAlias(e, a))
+        case _ if t.contains("__mr_running_") => throw GraftApp.SqlError(
+          "RUNNING must be a measure's entire aggregate — RUNNING agg(V.col)")
+        case _ => (MNormal, "")
+      }
     }
     val normalCols = items.zip(kinds).collect { case ((e, a), (MNormal, _)) =>
       a.map(al => expr(e).as(al)).getOrElse(expr(e)) }
@@ -1154,14 +1158,58 @@ object PatternCompiler {
       .foreach(n => throw GraftApp.SqlError(
         s"EMIT ALL ROWS reserves the output column name '$n'"))
     // EXCLUDING: drop the excluded steps at emission — streaming has no
-    // RUNNING measures, so output-only filtering and step skipping coincide
+    // RUNNING: the prefix aggregate for the row at position __pos of
+    // emitting step i reads variable V (step k) as: the whole buffer when
+    // k < i (V's rows all precede this row), the [0, __pos] slice when
+    // k == i, nothing when k > i. Excluded steps still feed these buffers
+    // (ANSI: exclusion is output-only), because the slices read the match
+    // STATE, not the emitted rows.
+    val runItems = outMeasures.collect { case (r: MRun, a) => (r, a) }
+    def runExprFor(r: MRun, emitStep: Int): String = {
+      val k = stepAliases.indexOf(r.v)
+      if (k < 0) throw GraftApp.SqlError(
+        s"RUNNING aggregate references '${r.v}' which is not a pattern step variable")
+      val t = colTypes.getOrElse(r.c.toLowerCase, throw GraftApp.SqlError(
+        s"RUNNING ${r.fn}(${r.v}.${r.c}): '${r.c}' is not a stream column"))
+      val s = slot(r.c)
+      val acc =
+        if (Set("TINYINT", "SMALLINT", "INT", "BIGINT").contains(t.toUpperCase))
+          "BIGINT"
+        else "DOUBLE"
+      if (k > emitStep) r.fn match {
+        case "count" => "CAST(0 AS BIGINT)"
+        case "sum" => s"CAST(NULL AS $acc)"
+        case "avg" => "CAST(NULL AS DOUBLE)"
+        case _ => s"CAST(NULL AS $t)"
+      } else {
+        // __steps = the match's step buffers, re-selected under that name
+        // because the per-step select already consumed the generator output
+        val arr =
+          if (k < emitStep) s"__steps[$k].events"
+          else s"slice(__steps[$k].events, 1, __pos + 1)"
+        val vals = s"transform($arr, x -> CAST(x.svals[$s] AS $t))"
+        val nn = s"filter($vals, v -> v IS NOT NULL)"
+        r.fn match {
+          case "count" => s"CAST(size($nn) AS BIGINT)"
+          case "sum" => s"if(size($nn) = 0, CAST(NULL AS $acc), " +
+            s"aggregate($nn, CAST(0 AS $acc), (a, v) -> a + v))"
+          case "avg" => s"CAST(aggregate($nn, CAST(0 AS DOUBLE), " +
+            s"(a, v) -> a + v) / nullif(size($nn), 0) AS DOUBLE)"
+          case "min" => s"array_min($vals)"
+          case "max" => s"array_max($vals)"
+        }
+      }
+    }
     val emitted = steps.indices
       .filterNot(i => q.allRowsExcluding.contains(steps(i).aliases.head))
     val perStep = (if (emitted.nonEmpty) emitted else steps.indices).map { i =>
-      matches.select(normalCols ++ Seq(
+      var df = matches.select(normalCols ++ Seq(
         col("matchSeq").as("mr_match_number"),
         lit(steps(i).aliases.head).as("mr_classifier"),
-        explode(expr(s"steps[$i].events")).as("__ev")): _*)
+        col("steps").as("__steps"),
+        posexplode(expr(s"steps[$i].events")).as(Seq("__pos", "__ev"))): _*)
+      runItems.foreach { case (r, a) => df = df.withColumn(a, expr(runExprFor(r, i))) }
+      df.drop("__steps", "__pos")
     }.reduce(_.unionByName(_))
     // every step excluded: structurally valid (ANSI), zero output rows
     val kept = if (emitted.nonEmpty) perStep else perStep.filter(lit(false))

@@ -1948,7 +1948,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("STREAMING MATCH_RECOGNIZE: CLASSIFIER()/MATCH_NUMBER() + {- v -} exclusion stream; RUNNING is typed batch-only") {
+  test("STREAMING MATCH_RECOGNIZE: CLASSIFIER()/MATCH_NUMBER() + {- v -} exclusion stream; WITH UNMATCHED typed batch-only") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, String, Double)]
     val events = in.toDS().toDF("sec", "user_id", "kind", "v")
@@ -1996,12 +1996,6 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.toSeq == batch.toSeq)
     } finally q.stop()
 
-    // RUNNING on a stream: typed rejection, not a Spark analysis error
-    val runningApp = app.replace("CLASSIFIER() AS cls, MATCH_NUMBER() AS mn",
-      "RUNNING count(B.v) AS cls, MATCH_NUMBER() AS mn")
-    val err = intercept[graft.sql.GraftApp.SqlError](
-      graft.sql.GraftApp.run(spark, runningApp, Map("E" -> events)))
-    assert(err.getMessage.contains("batch-only"))
     // WITH UNMATCHED ROWS on a stream: typed rejection (a stream cannot
     // prove a row will never be claimed)
     val unmatchedApp = app.replace("PATTERN ({- A -} B+)", "PATTERN (A B+)")
@@ -2009,5 +2003,53 @@ class StreamingSpec extends AnyFunSuite {
     val err2 = intercept[graft.sql.GraftApp.SqlError](
       graft.sql.GraftApp.run(spark, unmatchedApp, Map("E" -> events)))
     assert(err2.getMessage.contains("batch-only"))
+  }
+
+  test("STREAMING MATCH_RECOGNIZE RUNNING: prefix re-aggregation from buffered state, parity with batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val events = in.toDS().toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE,
+        |                   rc BIGINT, rs DOUBLE, n_b BIGINT,
+        |                   mr_match_number BIGINT, mr_classifier STRING);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES RUNNING count(B.v) AS rc, RUNNING sum(B.v) AS rs,
+        |           FINAL count(B.v) AS n_b
+        |  ALL ROWS PER MATCH AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A B+) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b'
+        |);""".stripMargin
+    val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+    assert(outDf.isStreaming)
+    val q = outDf.writeStream.format("memory").queryName("mr_running_sink")
+      .outputMode("append").start()
+    def grab(df: Array[org.apache.spark.sql.Row]) = df
+      .map(r => (r.getDouble(3), r.getLong(4),
+        if (r.isNullAt(5)) -1.0 else r.getDouble(5), r.getLong(6), r.getLong(7)))
+      .sortBy(t => (t._4, t._1))
+    try {
+      // two batches so the second match replays state buffered in batch 1
+      in.addData((1L, 7L, "a", 1.0), (2L, 7L, "b", 2.0)); q.processAllAvailable()
+      in.addData((3L, 7L, "b", 4.0)); q.processAllAvailable()
+      val got = grab(spark.table("mr_running_sink").collect())
+      // match 1 (a,b1): rc 0,1; match 2 (a,b1,b2): rc 0,1,2 — RUNNING
+      // grows per row, FINAL stays the whole-match constant
+      assert(got.toSeq == Seq(
+        (1.0, 0L, -1.0, 1L, 1L), (2.0, 1L, 2.0, 1L, 1L),
+        (1.0, 0L, -1.0, 2L, 2L), (2.0, 1L, 2.0, 2L, 2L), (4.0, 2L, 6.0, 2L, 2L)))
+      // parity with the batch lowering on the same tape
+      val tape = Seq((1L, 7L, "a", 1.0), (2L, 7L, "b", 2.0), (3L, 7L, "b", 4.0))
+        .toDF("sec", "user_id", "kind", "v")
+        .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+          "user_id", "kind", "v")
+      val batch = grab(graft.sql.GraftApp.run(spark, app, Map("E" -> tape))("Out")
+        .collect())
+      assert(got.toSeq == batch.toSeq)
+    } finally q.stop()
   }
 }
