@@ -490,6 +490,57 @@ object CepQueries extends QueryFamily {
              |  AND ts2 - ts1 <= 3600000000
              |ORDER BY user_id, c_id""".stripMargin)),
 
+    // MATCH_RECOGNIZE ALL ROWS × alternation (round 12): the per-row
+    // classifier resolves WHICH alternative bound the head row (re-
+    // evaluating the alternatives' predicates against the row, first
+    // textual match winning). Oracle = the q_cep_mr_alt pair enumeration
+    // exploded to (head, C) rows with a CASE classifier.
+    QueryDef(
+      "q_cep_mr_alt_rows",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                   event_type STRING, value DOUBLE, props STRING,
+            |                   c_v DOUBLE, mr_match_number BIGINT,
+            |                   mr_classifier STRING);
+            |INSERT INTO Out SELECT * FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts
+            |  MEASURES C.value AS c_v
+            |  ALL ROWS PER MATCH
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN ((A | B) C) WITHIN INTERVAL '1' HOUR
+            |  DEFINE A AS A.event_type = 'signup', B AS B.event_type = 'view',
+            |         C AS C.event_type = 'purchase'
+            |);""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .selectExpr("user_id", "event_id", "value", "c_v",
+            "mr_match_number", "mr_classifier")
+          .orderBy(col("user_id"), col("mr_match_number"), col("event_id"))
+      },
+      Some("""WITH m0 AS (
+             |  SELECT user_id, event_id AS h_id, event_type AS t1, value AS h_v,
+             |         epoch_us(ts) AS ts1,
+             |         lead(event_id) OVER w AS c_id, lead(event_type) OVER w AS t2,
+             |         lead(value) OVER w AS c_val, lead(epoch_us(ts)) OVER w AS ts2
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+             |m AS (
+             |  SELECT user_id, h_id, t1, h_v, c_id, c_val,
+             |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY h_id) AS BIGINT) AS mn
+             |  FROM m0
+             |  WHERE t1 IN ('signup', 'view') AND t2 = 'purchase'
+             |    AND ts2 - ts1 <= 3600000000),
+             |out AS (
+             |  SELECT user_id, h_id AS event_id, h_v AS value, c_val AS c_v, mn,
+             |         CASE WHEN t1 = 'signup' THEN 'A' ELSE 'B' END AS mr_classifier
+             |  FROM m
+             |  UNION ALL
+             |  SELECT user_id, c_id, c_val, c_val, mn, 'C' FROM m)
+             |SELECT user_id, event_id, value, c_v, mn AS mr_match_number, mr_classifier
+             |FROM out ORDER BY user_id, mr_match_number, event_id""".stripMargin)),
+
     // MATCH_RECOGNIZE AFTER MATCH SKIP PAST LAST ROW (round 12): ANSI's
     // DEFAULT skip mode — the clause is OMITTED here to pin exactly the
     // paste-a-Flink-query contract. Greedy leftmost non-overlapping over

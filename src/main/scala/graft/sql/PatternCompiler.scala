@@ -503,14 +503,9 @@ object PatternCompiler {
     }
     whereRw.foreach(w => out = out.filter(expr(w)))
 
-    if (q.allRows) {
-      if (groups.exists(_.alts.size > 1)) throw GraftApp.SqlError(
-        "EMIT ALL ROWS is not supported with OR steps (the classifier is " +
-          "per step variable)")
+    if (q.allRows)
       return emitAllRows(out, ordered, groups.indices.map(gi => s"__ids_$gi"),
-        groups.map(_.aliases.head), items, q.allRowsExcluding,
-        q.allRowsUnmatched)
-    }
+        groups, items, q.allRowsExcluding, q.allRowsUnmatched)
 
     val selectCols = items.map {
       case (e, Some(a)) => expr(e).as(a)
@@ -611,10 +606,11 @@ object PatternCompiler {
     """(?is)^\s*__mr_running_(count|sum|min|max|avg)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)\s*$""".r
 
   private def emitAllRows(out: DataFrame, ordered: DataFrame,
-                          idsCols: Seq[String], classifiers: Seq[String],
+                          idsCols: Seq[String], emitSteps: Seq[PatternStep],
                           items: Seq[(String, Option[String])],
                           excluding: Seq[String],
                           unmatched: Boolean): DataFrame = {
+    val classifiers = emitSteps.flatMap(_.aliases)
     excluding.find(v => !classifiers.contains(v)).foreach(v =>
       throw GraftApp.SqlError(
         s"EXCLUDING names '$v' which is not a pattern step variable"))
@@ -691,13 +687,31 @@ object PatternCompiler {
       .partitionBy(col("__mkey")).orderBy(matchOrder: _*)
     val numbered = keep.withColumn("mr_match_number",
       row_number().over(wMatch).cast("long"))
-    val perStep = idsCols.zip(classifiers).map { case (ic, cls) =>
+    val perStep = idsCols.zipWithIndex.map { case (ic, si) =>
       numbered.select((col("__mkey") +: col("mr_match_number") +:
         normalNames.map(col)) :+
-        lit(cls).as("mr_classifier") :+ explode(col(ic)).as("__eid"): _*)
+        lit(si).as("__stepIdx") :+ explode(col(ic)).as("__eid"): _*)
     }.reduce(_.unionByName(_))
     var rows = perStep.join(ordered.as("__row"),
       col("__row.__id") === col("__eid") && col("__row.__key") === col("__mkey"))
+    // classifier per ROW (round 12b): single-alternative steps name their
+    // variable; an OR step's classifier is whichever ALTERNATIVE the
+    // matched row satisfies — re-evaluated against the row (stream tag +
+    // local predicate), first textual alternative winning on ties (ANSI's
+    // alternation preference). Bare refs resolve to the __row side: the
+    // collision checks above guarantee measure aliases never shadow them.
+    val clsCol = emitSteps.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (st, si)) =>
+        val inner =
+          if (st.alts.size == 1) lit(st.alts.head.alias)
+          else st.alts.foldRight(lit(null).cast("string")) { (alt, a2) =>
+            val cond = col("__row.__stream") === alt.stream &&
+              alt.pred.map(p => expr(p)).getOrElse(lit(true))
+            when(cond, lit(alt.alias)).otherwise(a2)
+          }
+        when(col("__stepIdx") === si, inner).otherwise(acc)
+    }
+    rows = rows.withColumn("mr_classifier", clsCol)
     // RUNNING measures: a per-prefix window over the match's exploded rows
     // in event order (__eid = per-key row_number). Excluded rows still feed
     // the window (ANSI: exclusion affects OUTPUT only) — filtered after.
@@ -999,9 +1013,14 @@ object PatternCompiler {
     // EMIT ALL ROWS carries the FULL source row through the NFA: intern
     // every source column so the per-event output reconstructs it from the
     // svals slots (state grows by one string per column per buffered
-    // event — the inherent cost of emitting the rows themselves)
-    if (q.allRows)
+    // event — the inherent cost of emitting the rows themselves). OR steps
+    // additionally intern the stream tag: the per-row classifier CASE
+    // discriminates alternatives by (stream, predicate). Interning must
+    // happen HERE — svalsCol snapshots the registry below.
+    if (q.allRows) {
       evs.columns.filterNot(_.startsWith("__")).foreach(slot)
+      if (steps0.exists(_.alts.size > 1)) slot("__stream")
+    }
 
     val svalsCol = svalsColumn(svalReg)
 
@@ -1107,13 +1126,11 @@ object PatternCompiler {
                                 colTypes: Map[String, String],
                                 slot: String => Int,
                                 items: Seq[(String, Option[String])]): DataFrame = {
-    if (steps.exists(_.alts.size > 1)) throw GraftApp.SqlError(
-      "EMIT ALL ROWS is not supported with OR steps (the classifier is " +
-        "per step variable)")
-    val stepAliases = steps.map(_.aliases.head)
-    q.allRowsExcluding.find(v => !stepAliases.contains(v)).foreach(v =>
+    val allAliases = steps.flatMap(_.aliases)
+    q.allRowsExcluding.find(v => !allAliases.contains(v)).foreach(v =>
       throw GraftApp.SqlError(
         s"EXCLUDING names '$v' which is not a pattern step variable"))
+    val hasOr = steps.exists(_.alts.size > 1)
     // per-row measure kinds: CLASSIFIER()/MATCH_NUMBER() alias the columns
     // this lowering appends anyway; RUNNING (round 12b, streams too) is a
     // PREFIX aggregate over buffers the NFA already holds — a match's rows
@@ -1166,9 +1183,13 @@ object PatternCompiler {
     // STATE, not the emitted rows.
     val runItems = outMeasures.collect { case (r: MRun, a) => (r, a) }
     def runExprFor(r: MRun, emitStep: Int): String = {
-      val k = stepAliases.indexOf(r.v)
+      val k = steps.indexWhere(_.aliases.contains(r.v))
       if (k < 0) throw GraftApp.SqlError(
         s"RUNNING aggregate references '${r.v}' which is not a pattern step variable")
+      if (steps(k).alts.size > 1) throw GraftApp.SqlError(
+        s"streaming RUNNING over OR alternative '${r.v}' is not supported — " +
+          "the prefix fold reads the step buffer, which interleaves the " +
+          "alternatives (batch supports it via the per-row classifier)")
       val t = colTypes.getOrElse(r.c.toLowerCase, throw GraftApp.SqlError(
         s"RUNNING ${r.fn}(${r.v}.${r.c}): '${r.c}' is not a stream column"))
       val s = slot(r.c)
@@ -1200,27 +1221,56 @@ object PatternCompiler {
         }
       }
     }
-    val emitted = steps.indices
-      .filterNot(i => q.allRowsExcluding.contains(steps(i).aliases.head))
-    val perStep = (if (emitted.nonEmpty) emitted else steps.indices).map { i =>
+    val perStep = steps.indices.map { i =>
       var df = matches.select(normalCols ++ Seq(
         col("matchSeq").as("mr_match_number"),
-        lit(steps(i).aliases.head).as("mr_classifier"),
+        lit(i).as("__stepIdx"),
         col("steps").as("__steps"),
         posexplode(expr(s"steps[$i].events")).as(Seq("__pos", "__ev"))): _*)
       runItems.foreach { case (r, a) => df = df.withColumn(a, expr(runExprFor(r, i))) }
       df.drop("__steps", "__pos")
     }.reduce(_.unionByName(_))
-    // every step excluded: structurally valid (ANSI), zero output rows
-    val kept = if (emitted.nonEmpty) perStep else perStep.filter(lit(false))
+    // materialize the source columns (and, under OR steps, the stream tag)
+    // from the svals slots, then resolve the per-row classifier: single-
+    // alternative steps name their variable; an OR step's classifier is
+    // whichever ALTERNATIVE the row satisfies — (stream, local predicate)
+    // re-evaluated on the reconstructed row, first textual alternative
+    // winning (ANSI's alternation preference)
     val srcCols = evCols.map(c =>
       expr(s"CAST(__ev.svals[${slot(c)}] AS ${colTypes(c.toLowerCase)})").as(c))
+    val matCols = outMeasures.collect {
+      case (MNormal, n) => col(n)
+      case (r: MRun, a) => col(a)
+    }
+    val streamTag =
+      if (hasOr) Seq(expr(s"CAST(__ev.svals[${slot("__stream")}] AS STRING)")
+        .as("__stream"))
+      else Nil
+    val withSrc = perStep.select(srcCols ++ matCols ++
+      Seq(col("mr_match_number"), col("__stepIdx")) ++ streamTag: _*)
+    val clsCol = steps.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (st, si)) =>
+        val inner =
+          if (st.alts.size == 1) lit(st.alts.head.alias)
+          else st.alts.foldRight(lit(null).cast("string")) { (alt, a2) =>
+            val cond = col("__stream") === alt.stream &&
+              alt.pred.map(p => expr(p)).getOrElse(lit(true))
+            when(cond, lit(alt.alias)).otherwise(a2)
+          }
+        when(col("__stepIdx") === si, inner).otherwise(acc)
+    }
+    val rowsCls = withSrc.withColumn("mr_classifier", clsCol)
+    // EXCLUDING: output-only filter on the resolved classifier (RUNNING
+    // folds already read the buffers, so excluded rows still fed them)
+    val kept =
+      if (q.allRowsExcluding.isEmpty) rowsCls
+      else rowsCls.filter(!col("mr_classifier").isin(q.allRowsExcluding: _*))
     val mCols = outMeasures.map {
       case (MCls, a) => col("mr_classifier").as(a)
       case (MNum, a) => col("mr_match_number").as(a)
       case (_, n) => col(n)
     }
-    kept.select(srcCols ++ mCols ++
+    kept.select(evCols.map(col) ++ mCols ++
       Seq(col("mr_match_number"), col("mr_classifier")): _*)
   }
 
@@ -1670,14 +1720,9 @@ object PatternCompiler {
       out = out.join(ab, cond, "left_anti")
     }
 
-    if (q.allRows) {
-      if (steps.exists(_.alts.size > 1)) throw GraftApp.SqlError(
-        "EMIT ALL ROWS is not supported with OR steps (the classifier is " +
-          "per step variable)")
+    if (q.allRows)
       return emitAllRows(out, ordered, steps.indices.map(i => s"__ids_$i"),
-        steps.map(_.aliases.head), items, q.allRowsExcluding,
-        q.allRowsUnmatched)
-    }
+        steps, items, q.allRowsExcluding, q.allRowsUnmatched)
 
     val selectCols = items.map {
       case (e, Some(a)) => expr(e).as(a)

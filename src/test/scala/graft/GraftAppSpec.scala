@@ -1443,6 +1443,47 @@ class GraftAppSpec extends AnyFunSuite {
       "ONE ROW PER MATCH WITH UNMATCHED ROWS")).contains("modify ALL ROWS"))
   }
 
+  test("MATCH_RECOGNIZE ALL ROWS with alternation: per-row classifier resolves the matched alternative") {
+    // a c b c: (A|B) C matches (a,c1) and (b,c2) — the head row's
+    // classifier names WHICH alternative bound it
+    val tape = Seq((1, 7L, "a", 1.0), (2, 7L, "c", 2.0), (3, 7L, "b", 3.0),
+      (4, 7L, "c", 4.0))
+      .toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE,
+        |                   c_v DOUBLE, mr_match_number BIGINT, mr_classifier STRING);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES C.v AS c_v
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN ((A | B) C) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b', C AS C.kind = 'c');""".stripMargin
+    val got = GraftApp.run(spark, app, Map("E" -> tape))("Out")
+      .select("v", "c_v", "mr_match_number", "mr_classifier")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._3, t._1))
+    assert(got.toSeq == Seq(
+      (1.0, 2.0, 1L, "A"), (2.0, 2.0, 1L, "C"),
+      (3.0, 4.0, 2L, "B"), (4.0, 4.0, 2L, "C")))
+
+    // engine-level EXCLUDING of one ALTERNATIVE drops only its rows
+    val native =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE,
+        |                   c_v DOUBLE, mr_match_number BIGINT, mr_classifier STRING);
+        |INSERT INTO Out SELECT C.v AS c_v
+        |FROM SEQUENCE (EVERY (A=E[kind = 'a'] OR B=E[kind = 'b'] -> C=E[kind = 'c']))
+        |WITHIN 1 HOUR PARTITION BY user_id EMIT ALL ROWS EXCLUDING (B);""".stripMargin
+    val ex = GraftApp.run(spark, native, Map("E" -> tape))("Out")
+      .select("v", "mr_classifier")
+      .collect().map(r => (r.getDouble(0), r.getString(1))).sortBy(_._1)
+    assert(ex.toSeq == Seq((1.0, "A"), (2.0, "C"), (4.0, "C")))
+  }
+
   test("MATCH_RECOGNIZE PERMUTE: every member ordering via the engine's n-ary AND") {
     // b a a b: strict adjacency matches (b,a) as B->A and (a,b) as A->B
     val tape = Seq((1, 7L, "b", 2.0), (2, 7L, "a", 1.0), (3, 7L, "a", 3.0),

@@ -2005,6 +2005,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(err2.getMessage.contains("batch-only"))
   }
 
+  test("STREAMING MATCH_RECOGNIZE ALL ROWS with alternation: per-row classifier, parity with batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val events = in.toDS().toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE,
+        |                   c_v DOUBLE, mr_match_number BIGINT, mr_classifier STRING);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES C.v AS c_v
+        |  ALL ROWS PER MATCH AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN ((A | B) C) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b', C AS C.kind = 'c'
+        |);""".stripMargin
+    val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+    assert(outDf.isStreaming)
+    val q = outDf.writeStream.format("memory").queryName("mr_altrows_sink")
+      .outputMode("append").start()
+    def grab(rs: Array[org.apache.spark.sql.Row]) = rs
+      .map(r => (r.getDouble(3), r.getDouble(4), r.getLong(5), r.getString(6)))
+      .sortBy(t => (t._3, t._1))
+    try {
+      in.addData((1L, 7L, "a", 1.0), (2L, 7L, "c", 2.0)); q.processAllAvailable()
+      in.addData((3L, 7L, "b", 3.0), (4L, 7L, "c", 4.0)); q.processAllAvailable()
+      val got = grab(spark.table("mr_altrows_sink").collect())
+      assert(got.toSeq == Seq(
+        (1.0, 2.0, 1L, "A"), (2.0, 2.0, 1L, "C"),
+        (3.0, 4.0, 2L, "B"), (4.0, 4.0, 2L, "C")))
+      val tape = Seq((1L, 7L, "a", 1.0), (2L, 7L, "c", 2.0),
+        (3L, 7L, "b", 3.0), (4L, 7L, "c", 4.0))
+        .toDF("sec", "user_id", "kind", "v")
+        .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+          "user_id", "kind", "v")
+      val batch = grab(graft.sql.GraftApp.run(spark, app, Map("E" -> tape))("Out")
+        .collect())
+      assert(got.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("STREAMING MATCH_RECOGNIZE RUNNING: prefix re-aggregation from buffered state, parity with batch") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, String, Double)]
