@@ -592,7 +592,7 @@ object Zstd {
     */
   private def decodeSequences(d: Array[Byte], off: Int, limit: Int,
                               literals: Array[Byte], ctx: Ctx,
-                              out: Buf): Unit = {
+                              out: Buf, frameStart: Int): Unit = {
     if (off >= limit) fail("missing sequences section")
     var p = off
     val b0 = d(p) & 0xFF; p += 1
@@ -660,7 +660,10 @@ object Zstd {
       out.ensure(ll + ml)
       System.arraycopy(literals, litPos, out.a, out.len, ll)
       litPos += ll; out.len += ll
-      if (offset > out.len) fail(s"match offset $offset beyond history ${out.len}")
+      // match window is the CURRENT frame only — out.len spans every frame
+      // decoded so far in a multi-frame payload, and a corrupt offset must
+      // fail typed rather than copy another frame's bytes
+      if (offset > out.len - frameStart) fail(s"match offset $offset beyond frame history ${out.len - frameStart}")
       if (offset >= ml) { // non-overlapping: one block copy
         System.arraycopy(out.a, out.len - offset, out.a, out.len, ml)
         out.len += ml
@@ -754,7 +757,7 @@ object Zstd {
               if (p + bsize > data.length) fail("compressed block overruns input")
               val limit = p + bsize
               val (lits, used) = decodeLiterals(data, p, limit, ctx)
-              decodeSequences(data, p + used, limit, lits, ctx, out)
+              decodeSequences(data, p + used, limit, lits, ctx, out, frameStart)
               p = limit
             case 3 => fail("reserved block type")
           }
@@ -1021,9 +1024,13 @@ object Zstd {
   /** Compress one block's worth of input with the greedy hash-table
     * matcher (same shape as the snappy/lz4 encoders), emitting raw
     * literals + predefined-FSE sequences. Returns None when the
-    * compressed form would not be smaller (caller emits a Raw block).
+    * compressed form would not be smaller (caller emits a Raw block),
+    * else (body, rep0Out). `rep0In` is the decoder's rep0 entering this
+    * block — repeat-offset history persists ACROSS blocks within a frame
+    * (RFC 8878 §3.1.1.5), so the caller threads it block to block; a Raw
+    * block leaves it unchanged.
     */
-  private def compressBlock(d: Array[Byte], off: Int, len: Int): Option[Array[Byte]] = {
+  private def compressBlock(d: Array[Byte], off: Int, len: Int, rep0In: Int): Option[(Array[Byte], Int)] = {
     if (len < 16) return None
     // entropy-aware match gate: a sequence costs ~32 bits (state updates +
     // offset/length extras) while a literal costs ~H bits under the
@@ -1131,7 +1138,7 @@ object Zstd {
       val out = new java.io.ByteArrayOutputStream()
       out.write(body, 0, body.length)
       out.write(0) // zero sequences
-      return Some(out.toByteArray)
+      return Some((out.toByteArray, rep0In)) // no sequences → rep unchanged
     }
 
     // sequences: count, modes (all predefined), interleaved FSE bitstream
@@ -1151,7 +1158,7 @@ object Zstd {
     val mlCode = new Array[Int](ns)
     val ofCode = new Array[Int](ns)
     val ofVal = new Array[Int](ns)
-    var rep0 = 1 // the decoder's initial repeat offsets are [1, 4, 8]
+    var rep0 = rep0In // rep0 entering this block (frame-initial is 1)
     var ci = 0
     while (ci < ns) {
       llCode(ci) = llCodeOf(seqLl(ci))
@@ -1214,7 +1221,7 @@ object Zstd {
     val body = new java.io.ByteArrayOutputStream()
     lout.writeTo(body); sout.writeTo(body)
     val outBytes = body.toByteArray
-    if (outBytes.length >= len) None else Some(outBytes)
+    if (outBytes.length >= len) None else Some((outBytes, rep0))
   }
 
   /** Compress `data` into one zstd frame (single-segment, frame content
@@ -1243,14 +1250,16 @@ object Zstd {
       // one empty raw last-block
       out.write(1); out.write(0); out.write(0)
     }
+    var rep0 = 1 // decoder's frame-initial rep0; persists across blocks
     while (off < n) {
       val len = math.min(BlockMax, n - off)
       val last = off + len >= n
-      compressBlock(data, off, len) match {
-        case Some(body) =>
+      compressBlock(data, off, len, rep0) match {
+        case Some((body, rep0Out)) =>
           val bh = (body.length << 3) | (2 << 1) | (if (last) 1 else 0)
           out.write(bh & 0xFF); out.write((bh >> 8) & 0xFF); out.write((bh >> 16) & 0xFF)
           out.write(body, 0, body.length)
+          rep0 = rep0Out
         case None =>
           val bh = (len << 3) | (0 << 1) | (if (last) 1 else 0)
           out.write(bh & 0xFF); out.write((bh >> 8) & 0xFF); out.write((bh >> 16) & 0xFF)

@@ -44,7 +44,32 @@ class ZstdSpec extends AnyFunSuite {
     "allbytes" -> Array.tabulate[Byte](4096)(i => i.toByte),
     "overlap" -> ("abc" * 5000).getBytes,
     "multiblock" -> textish(300000),
-    "mixed" -> (lcgBytes(5000, 9) ++ Array.fill[Byte](5000)('x') ++ textish(5000)))
+    "mixed" -> (lcgBytes(5000, 9) ++ Array.fill[Byte](5000)('x') ++ textish(5000)),
+    // cross-block repeat-offset shapes: the decoder's rep history persists
+    // across blocks within a frame, so a block whose FIRST match is an
+    // offset-1 run (the RLE idiom) after a compressed block that ended on
+    // an explicit offset desyncs an encoder that reseeds rep0=1 per block.
+    // 64-byte phrase repeats (explicit offset 64 becomes rep0) through
+    // block 1, then a random lead + a long 'z' run opening block 2.
+    "repblock" -> {
+      val phrase = textish(64)
+      val b = new java.io.ByteArrayOutputStream()
+      while (b.size < 135 * 1024) b.write(phrase, 0, phrase.length)
+      b.write(lcgBytes(100, 13), 0, 100)
+      b.write(Array.fill[Byte](4000)('z'), 0, 4000)
+      b.toByteArray
+    },
+    // three blocks alternating explicit-offset text and offset-1 runs
+    "repblock3" -> {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(textish(130 * 1024), 0, 130 * 1024)
+      b.write(Array.fill[Byte](130 * 1024)('q'), 0, 130 * 1024)
+      b.write(textish(130 * 1024), 0, 130 * 1024)
+      b.toByteArray
+    },
+    // raw (incompressible) block between two compressed ones: rep0 must
+    // carry UNCHANGED across the raw block
+    "rawmid" -> (("abcdefgh" * (17 * 1024)).getBytes ++ lcgBytes(130 * 1024, 21) ++ Array.fill[Byte](4000)('y')))
 
   test("xxHash64: spec test vectors") {
     // the xxHash reference's published sanity values (seed 0 / prime seed)
