@@ -46,21 +46,64 @@ object Bench {
       try run(fn) catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
+    // Interleaved host calibration (rounds 11 AND 12 produced an official
+    // per-query map inflated by a contention burst the single end-of-run
+    // probe could not see): a short HostCalib probe runs before the first
+    // query, after every PROBE_EVERY queries, and after the last, giving a
+    // piecewise picture of host capacity ACROSS the run. Each query's
+    // adjust is interpolated (in wall-clock time, at the query's midpoint)
+    // between its two surrounding probes, so `queries_norm` stays honest
+    // through a mid-run burst, and `contended_queries` names the rows
+    // measured under >20% capacity loss vs the run's best probe.
+    val probeEvery = 20
+    val runT0 = System.nanoTime()
+    def nowSec: Double = (System.nanoTime() - runT0) / 1e9
+    val probes = scala.collection.mutable.ArrayBuffer[(Double, Double)]() // (tSec, mops)
+    def takeProbe(): Unit =
+      probes += ((nowSec, HostCalib.mops(cpus.toInt, targetSec = 0.15, trials = 2)))
+
+    takeProbe()
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
+      if (i > 0 && i % probeEvery == 0) takeProbe()
+      val s0 = nowSec
       val ok = try { run(fn); true } catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -1.0)
+      val s1 = nowSec
+      (name, if (ok) s1 - s0 else -1.0, (s0 + s1) / 2)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    takeProbe()
+
+    // host capacity at time t: linear interpolation between surrounding
+    // probes (probes are (tSec, mops), strictly increasing in t)
+    def mopsAt(t: Double): Double = {
+      val after = probes.indexWhere(_._1 >= t)
+      if (after <= 0) probes(if (after == 0) 0 else probes.length - 1)._2
+      else {
+        val (t0p, m0) = probes(after - 1); val (t1p, m1) = probes(after)
+        if (t1p <= t0p) m1 else m0 + (m1 - m0) * (t - t0p) / (t1p - t0p)
+      }
+    }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // host-normalized per-query seconds (finishes the round-11 measurement
-    // fix at query granularity): t_norm = t_raw × floor_adjust, so a query
-    // unchanged across rounds reads flat in `queries_norm` even when the
-    // raw column wobbles with host state. Emitted AFTER calibration below.
-    def qsNorm(adjust: Double): String = results.map { case (k, v) =>
-      "\"" + k + "\":" + (if (v >= 0) v * adjust else -1.0)
+    // per-query host-normalized seconds: t_norm = t_raw × adjust(t_mid),
+    // adjust interpolated from the probes bracketing the query — a query
+    // unchanged across rounds reads flat in `queries_norm` even through a
+    // mid-run contention burst the end-of-run probe would miss.
+    val perQueryAdjust = results.map { case (_, _, tMid) => HostCalib.floorAdjust(mopsAt(tMid)) }
+    val qsNormStr = results.zip(perQueryAdjust).map { case ((k, v, _), a) =>
+      "\"" + k + "\":" + (if (v >= 0) v * a else -1.0)
     }.mkString("{", ",", "}")
+    val totalNorm = results.zip(perQueryAdjust).collect { case ((_, v, _), a) if v >= 0 => v * a }.sum
+    // contention flagging: spread = best/worst probe; when >1.2, list the
+    // queries whose local capacity was >20% under the run's best probe
+    val bestMops = probes.map(_._2).max
+    val worstMops = probes.map(_._2).min
+    val calibSpread = if (worstMops > 0) bestMops / worstMops else Double.PositiveInfinity
+    val contended = if (calibSpread <= 1.2) Seq.empty[String] else
+      results.collect { case (k, v, tMid) if v >= 0 && mopsAt(tMid) < 0.8 * bestMops => k }
+    val probesJson = probes.map { case (t, m) =>
+      s"""{"t_sec":${math.round(t * 10) / 10.0},"mops":${m.round}}"""
+    }.mkString("[", ",", "]")
 
     // events/sec throughput of the custom streaming-core operators, for
     // comparison against the reference's single-node events/sec claims
@@ -140,7 +183,9 @@ object Bench {
     }
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""queries_norm":${qsNorm(adjust)},"total_norm":${total * adjust},""" +
+      s""""queries_norm":$qsNormStr,"total_norm":$totalNorm,""" +
+      s""""calib_probes":$probesJson,"calib_spread":${math.round(calibSpread * 1000) / 1000.0},""" +
+      s""""contended_queries":${contended.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""calib_clamp_saturated":$clampSaturated,""" +
       s""""warmup":"full-corpus-steady-state",""" +
       s""""window_kernel_events_per_sec":${winEps.round},"cep_events_per_sec":${cepEps.round},""" +
