@@ -517,62 +517,6 @@ object PatternCompiler {
     res.orderBy(res.columns.map(col): _*)
   }
 
-  /** `SKIP PAST LAST ROW` selection (MATCH_RECOGNIZE's AFTER MATCH SKIP
-    * PAST LAST ROW — ANSI's DEFAULT skip mode): from the EVERY machine's
-    * complete overlapping match set — the strict NFA explores both the
-    * stay and advance branch of every quantifier, so every (start, parse)
-    * pair of the contiguous chain is present — keep the greedy leftmost
-    * NON-OVERLAPPING subsequence. Per key:
-    *
-    *   pos = -∞; repeatedly take, among matches starting at the earliest
-    *   row ≥ pos, the one with the lexicographically LARGEST per-step
-    *   count vector (regex-greedy backtracking: quantifier i maximizes its
-    *   count before quantifier i+1 — at a fixed start of a contiguous
-    *   chain the chosen parse IS the lex-max count vector); emit it and
-    *   resume at pos = its last row + 1.
-    *
-    * One sort + linear sweep per key over the MATCH relation (output-
-    * sized, never the corpus), sharded by the pattern key exactly like
-    * the NFA. `(key, start, counts)` identifies a match uniquely for a
-    * single strict variant (the consumed rows are the contiguous span
-    * start..start+Σcounts-1, split by the counts), so the sweep's winners
-    * gate `base` through a semi join on those three columns.
-    */
-  private def selectSkipPast(spark: SparkSession, base: DataFrame,
-                             idsCols: Seq[String],
-                             resume: Option[(Int, Boolean)] = None): DataFrame = {
-    import spark.implicits._
-    val startC = element_at(col(idsCols.head), 1)
-    val countsC = array(idsCols.map(c => size(col(c)).cast("long")): _*)
-    // where the scan resumes after emitting a match: PAST LAST ROW = the
-    // row after the span; SKIP TO FIRST/LAST V = AT V's first/last row
-    // (inclusive — that row may start the next match; termination holds
-    // because the gate rejects V = the chain's head, so the resume row is
-    // strictly after the match start and emitted starts increase)
-    val resumeC = resume match {
-      case None => element_at(col(idsCols.last), -1) + lit(1L)
-      case Some((i, isFirst)) =>
-        element_at(col(idsCols(i)), if (isFirst) 1 else -1)
-    }
-    val spans = base.select(col("__mkey"), startC.as("__s"),
-        resumeC.as("__r"), countsC.as("__c"))
-      .as[(String, Long, Long, Seq[Long])]
-    def lexGt(a: Seq[Long], b: Seq[Long]): Boolean = {
-      val i = a.zip(b).indexWhere { case (x, y) => x != y }
-      i >= 0 && a(i) > b(i) // same chain -> equal-length vectors
-    }
-    val chosen = spans.groupByKey(_._1).flatMapGroups { (_, it) =>
-      val ms = it.toVector.sortWith((a, b) =>
-        if (a._2 != b._2) a._2 < b._2 else lexGt(a._4, b._4))
-      var pos = Long.MinValue
-      ms.iterator.filter(m => if (m._2 >= pos) { pos = m._3; true } else false)
-    }.toDF("__ck", "__cs", "__cr", "__cc")
-    base.join(chosen,
-      col("__mkey") === col("__ck") && startC === col("__cs") &&
-        countsC === col("__cc"),
-      "left_semi")
-  }
-
   /** `EMIT ALL ROWS` lowering (MATCH_RECOGNIZE's ALL ROWS PER MATCH): one
     * output row per matched EVENT. `out` is the per-match relation (still
     * carrying `__mkey` and the per-step id arrays); each step's ids explode
@@ -843,15 +787,12 @@ object PatternCompiler {
   private def compileStreaming(spark: SparkSession, q: PatternQuery,
                                env: Map[String, DataFrame]): DataFrame = {
     import spark.implicits._
-    if (q.skipTo.isDefined) throw GraftApp.SqlError(
-      "SKIP TO FIRST|LAST is batch-only — use SKIP PAST LAST ROW (round " +
-        "12: streams too, WITHIN-bounded) or SKIP TO NEXT ROW on streams")
-    if (q.skipPast && q.withinUs.isEmpty) throw GraftApp.SqlError(
-      "streaming SKIP PAST LAST ROW needs a time WITHIN: a held candidate " +
-        "match is only emittable once every earlier-start partial dies, " +
-        "and without a WITHIN deadline a key that stops receiving events " +
-        "would hold its last matches forever (the WITHIN window bounds the " +
-        "emission delay)")
+    if ((q.skipPast || q.skipTo.isDefined) && q.withinUs.isEmpty) throw GraftApp.SqlError(
+      "streaming SKIP PAST LAST ROW / SKIP TO FIRST|LAST needs a time " +
+        "WITHIN: a held candidate match is only emittable once every " +
+        "earlier-start partial dies, and without a WITHIN deadline a key " +
+        "that stops receiving events would hold its last matches forever " +
+        "(the WITHIN window bounds the emission delay)")
     if (q.allRows) {
       // streaming EMIT ALL ROWS (round 12): the NFA already buffers every
       // matched event with its svals slots — per-event emission explodes
@@ -1080,12 +1021,17 @@ object PatternCompiler {
         "no event-time watermark, so no event is ever dropped as late; add " +
         "WITHIN <d> to bound state and activate the lateness contract")
     var out =
-      (if (q.skipPast)
+      (if (q.skipPast || q.skipTo.isDefined)
          // greedy non-overlapping selection with WITHIN-bounded candidate
          // holding (compile gates require the WITHIN); retain the per-key
-         // match counter when EMIT ALL ROWS reads mr_match_number
+         // match counter when EMIT ALL ROWS reads mr_match_number. SKIP TO
+         // FIRST|LAST resumes at the named variable's row (same machine,
+         // partial-overlap resume)
          Cep.detectStreamSkipPast(cepIn, spec, lateness,
-           retainMatchSeq = q.allRows)
+           retainMatchSeq = q.allRows,
+           resume = q.skipTo.map { case (isFirst, alias) =>
+             (steps.indexWhere(_.aliases.contains(alias)), isFirst)
+           })
        else if (guards.nonEmpty)
          Cep.detectStreamWithTrailingAbsents(cepIn, spec, guards, lateness)
        else if (q.withinUs.isDefined)
@@ -1515,7 +1461,19 @@ object PatternCompiler {
     val spec = PatternSpec(nb.specSteps, strict = q.strict, every = q.every,
       withinUs = q.withinUs, withinEvents = q.withinEvents)
     requireBoundedState(spec)
-    val matches = Cep.detect(cepIn, spec).toDF()
+    // SKIP PAST LAST ROW / SKIP TO FIRST|LAST: the incremental
+    // consume-on-match NFA ([[Cep.detectSkipPast]]) emits the greedy
+    // leftmost non-overlapping subset directly — the full EVERY match set
+    // is never materialized (a k-row monotone streak costs O(k), not the
+    // O(k²) collected events of enumerate-then-filter), and every
+    // downstream join/aggregation runs over the selected set only
+    val matches =
+      if (q.skipPast || q.skipTo.isDefined) {
+        val resume = q.skipTo.map { case (isFirst, alias) =>
+          (steps.indices.find(i => steps(i).aliases.contains(alias)).get, isFirst)
+        }
+        Cep.detectSkipPast(cepIn, spec, resume).toDF()
+      } else Cep.detect(cepIn, spec).toDF()
 
     // base projection: key + match end time + per-step matched-event-id
     // arrays (+ per-step end timestamps when NOT guards need FOR anchors)
@@ -1526,16 +1484,6 @@ object PatternCompiler {
       } ++ (if (q.absents.isEmpty) Nil else steps.indices.map { i =>
         expr(s"element_at(steps[$i].events, -1).tsUs").as(s"__endts_$i")
       })): _*)
-    // SKIP PAST LAST ROW / SKIP TO FIRST|LAST: filter base to the greedy
-    // selected match subset BEFORE any join-back — downstream joins/
-    // aggregations then run over the (strictly smaller) selected set only
-    if (q.skipPast || q.skipTo.isDefined) {
-      val resume = q.skipTo.map { case (isFirst, alias) =>
-        (steps.indices.find(i => steps(i).aliases.contains(alias)).get, isFirst)
-      }
-      base = selectSkipPast(spark, base, steps.indices.map(i => s"__ids_$i"), resume)
-    }
-
     // ---- select/WHERE rewriting + join planning
     val multi = steps.zipWithIndex.collect { case (st, i) if st.max > 1 =>
       st.aliases.head -> i

@@ -258,26 +258,42 @@ object Cep {
     */
   final case class SkipNfaState(nfa: NfaState, pos: Long, cands: Seq[SkipCand])
 
-  /** Incremental `AFTER MATCH SKIP PAST LAST ROW` (greedy leftmost
-    * non-overlapping) for a STRICT single-chain pattern — the streaming
-    * face of the batch selectSkipPast sweep. Enumeration is EVERY-mode
-    * (each event seeds; stay/advance both explored), but instead of
-    * emitting on completion, a completed match becomes a held CANDIDATE;
-    * a candidate at start s emits only when NO live partial has start ≤ s
-    * (an earlier-or-same-start partial could still complete leftmost-er
-    * or greedier — the conservative hold), and emission advances `pos`
-    * past the match's last row, killing overlapped partials/candidates.
+  /** Incremental `AFTER MATCH SKIP PAST LAST ROW` / `SKIP TO FIRST|LAST`
+    * (greedy leftmost non-overlapping selection) for a STRICT single-chain
+    * pattern — batch AND streaming run this same machine (batch through
+    * [[detectSkipPast]], which folds it over the key's history and
+    * end-of-input-flushes; streaming through [[detectStreamSkipPast]]'s
+    * watermark timeout). Enumeration is EVERY-mode (each event seeds;
+    * stay/advance both explored), but instead of emitting on completion, a
+    * completed match becomes a held CANDIDATE — at most ONE per live start
+    * (lex-max parse wins), so the full EVERY match set is never
+    * materialized: a k-row monotone streak holds one partial and one
+    * candidate where the enumerate-then-filter shape materializes O(k²)
+    * collected events. A candidate at start s emits only when NO live
+    * partial has start ≤ s (an earlier-or-same-start partial could still
+    * complete leftmost-er or greedier — the conservative hold), and
+    * emission advances `pos` to the resume row — past the match's last row
+    * (SKIP PAST), or AT the row FIRST/LAST of the named variable mapped to
+    * (`resume` = (step index, isFirst); inclusive — that row may start the
+    * next match, and the compile gate rejects resume-at-head so emitted
+    * starts strictly increase) — killing overlapped partials/candidates.
     * In strict mode a partial dies on the first non-matching event or at
     * WITHIN expiry, so the hold is bounded by the WITHIN window — which
     * is why the streaming lowering REQUIRES a time WITHIN (the timeout
     * sweep must be able to flush a key that stops receiving events).
     * matchSeq numbers the SELECTED matches in emission order.
     *
+    * Resume-row mapping needs no extra state: a strict chain's match spans
+    * CONSECUTIVE rows (every event in [startSeq, endSeq] is collected —
+    * a mismatch anywhere kills the instance), so variable i's first row is
+    * startSeq + Σcounts(0..i-1) and its last is startSeq + Σcounts(0..i) - 1.
+    *
     * No midGuards / OR-residual machinery: the compile gates restrict
-    * streaming skip-past to strict single chains without absent guards.
+    * skip modes to strict single chains without absent guards.
     */
   def runNfaSkipPast(events: Seq[CepEvent], init: SkipNfaState,
-                     spec: PatternSpec): (Seq[CepMatch], SkipNfaState) = {
+                     spec: PatternSpec,
+                     resume: Option[(Int, Boolean)] = None): (Seq[CepMatch], SkipNfaState) = {
     val nSteps = spec.steps.size
     var partials: Vector[Partial] = init.nfa.partials.toVector
     var seq = init.nfa.seq
@@ -295,7 +311,7 @@ object Cep {
     }
     def flush(): Unit = {
       val (emitted, st2) = skipFlush(SkipNfaState(
-        NfaState(partials, done = false, seq, 0L, mseq), pos, cands))
+        NfaState(partials, done = false, seq, 0L, mseq), pos, cands), resume)
       out ++= emitted
       partials = st2.nfa.partials.toVector
       mseq = st2.nfa.matchSeq
@@ -352,9 +368,12 @@ object Cep {
 
   /** The selection sweep shared by the event path and the timeout path:
     * repeatedly emit the earliest-start held candidate once no live
-    * partial at-or-before that start remains, advancing `pos` past the
-    * emitted span. Returns (emitted, state'). */
-  private def skipFlush(st: SkipNfaState): (Seq[CepMatch], SkipNfaState) = {
+    * partial at-or-before that start remains, advancing `pos` to the
+    * emitted match's resume row (see [[runNfaSkipPast]]: past the span, or
+    * the SKIP TO variable's first/last row — inclusive, allowing partial
+    * overlap of the NEXT match). Returns (emitted, state'). */
+  private def skipFlush(st: SkipNfaState,
+                        resume: Option[(Int, Boolean)] = None): (Seq[CepMatch], SkipNfaState) = {
     var pos = st.pos
     var cands = st.cands.toVector
     var partials = st.nfa.partials.toVector
@@ -371,7 +390,14 @@ object Cep {
             .reduceLeft((x, y) => if (skipLexGt(y.counts, x.counts)) y else x)
           mseq += 1
           o += best.m.copy(matchSeq = mseq)
-          pos = best.endSeq + 1
+          pos = resume match {
+            case None => best.endSeq + 1
+            case Some((i, isFirst)) =>
+              // contiguous span: variable i's rows sit at a counts-prefix
+              // offset from the start (see runNfaSkipPast scaladoc)
+              if (isFirst) best.startSeq + best.counts.take(i).sum
+              else best.startSeq + best.counts.take(i + 1).sum - 1
+          }
           partials = partials.filter(_.startSeq >= pos)
           cont = true
         }
@@ -386,11 +412,31 @@ object Cep {
     * timeout half of [[runNfaSkipPast]] — without it a key that stops
     * receiving events would hold its last candidates forever.
     */
-  def skipPastTimeoutFlush(st: SkipNfaState, wmUs: Long, withinUs: Long)
+  def skipPastTimeoutFlush(st: SkipNfaState, wmUs: Long, withinUs: Long,
+                           resume: Option[(Int, Boolean)] = None)
       : (Seq[CepMatch], SkipNfaState) = {
     val live = st.nfa.partials.filter(p => p.startUs + withinUs >= wmUs)
-    skipFlush(st.copy(nfa = st.nfa.copy(partials = live)))
+    skipFlush(st.copy(nfa = st.nfa.copy(partials = live)), resume)
   }
+
+  /** Batch `AFTER MATCH SKIP PAST LAST ROW` / `SKIP TO FIRST|LAST`
+    * detection: per-key sort, one [[runNfaSkipPast]] pass, then a final
+    * flush with every partial dead — end of input is a watermark past
+    * every deadline, so every held candidate is conclusive. This replaces
+    * the enumerate-all-EVERY-matches-then-filter shape: the machine holds
+    * O(live starts) candidates and consumes on match, so a key's cost is
+    * linear in its history even on adversarial monotone streaks where the
+    * EVERY match set is quadratic.
+    */
+  def detectSkipPast(ds: Dataset[CepEvent], spec: PatternSpec,
+                     resume: Option[(Int, Boolean)] = None): Dataset[CepMatch] =
+    ds.groupByKey(_.key).flatMapGroups { (_: String, it: Iterator[CepEvent]) =>
+      val evs = it.toSeq.sortBy(e => (e.tsUs, e.eventId))
+      val (out, st) = runNfaSkipPast(evs,
+        SkipNfaState(NfaState(Nil, done = false), 0L, Nil), spec, resume)
+      val (tail, _) = skipFlush(st.copy(nfa = st.nfa.copy(partials = Nil)), resume)
+      (out ++ tail).iterator
+    }
 
   /** Batch detection: per-key sort then one NFA pass. `dropCounter`
     * aggregates partials discarded past maxPartials across keys — zero
@@ -661,9 +707,16 @@ object Cep {
     * still emit its held matches once the watermark passes the window).
     * Emission delay is therefore bounded by the WITHIN duration.
     */
+  /** `resume` (SKIP TO FIRST|LAST): same candidate hold, but emission
+    * resumes at the variable's row instead of past the span — a surviving
+    * candidate's emission still kills every held overlapper whose start
+    * precedes the resume row (the skipFlush pos advance), which is the
+    * partial-overlap care SKIP TO needs.
+    */
   def detectStreamSkipPast(ds: Dataset[CepEvent], spec: PatternSpec,
                            watermarkDelay: String,
-                           retainMatchSeq: Boolean = false): Dataset[CepMatch] = {
+                           retainMatchSeq: Boolean = false,
+                           resume: Option[(Int, Boolean)] = None): Dataset[CepMatch] = {
     val withinUs = spec.withinUs.getOrElse(
       throw new IllegalArgumentException("detectStreamSkipPast requires withinUs"))
     implicit val skipEnc: Encoder[SkipNfaState] = Encoders.product[SkipNfaState]
@@ -686,7 +739,7 @@ object Cep {
         if (state.hasTimedOut) {
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val st = state.getOption.getOrElse(emptySt)
-          val (out, next) = skipPastTimeoutFlush(st, wmUs, withinUs)
+          val (out, next) = skipPastTimeoutFlush(st, wmUs, withinUs, resume)
           if (next.nfa.partials.isEmpty && next.cands.isEmpty &&
               !(retainMatchSeq && next.nfa.matchSeq > 0)) {
             // seq/pos continuity is not needed once nothing is held: a
@@ -702,7 +755,7 @@ object Cep {
         } else {
           val events = it.toSeq.sortBy(e => (e.tsUs, e.eventId))
           val (out, next) = runNfaSkipPast(events,
-            state.getOption.getOrElse(emptySt), spec)
+            state.getOption.getOrElse(emptySt), spec, resume)
           if (next.nfa.partials.isEmpty && next.cands.isEmpty &&
               !(retainMatchSeq && next.nfa.matchSeq > 0)) state.remove()
           else {

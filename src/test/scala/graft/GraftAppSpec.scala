@@ -1146,6 +1146,40 @@ class GraftAppSpec extends AnyFunSuite {
     assert(errOf(nativeNoEvery, Map("E" -> retry)).contains("EVERY"))
   }
 
+  test("MATCH_RECOGNIZE SKIP PAST LAST ROW: adversarial monotone streak is linear, not quadratic") {
+    // one key, one DIP then 10^4 monotone UP rows: the EVERY match set for
+    // (A B+) is 10^4 matches totalling ~5*10^7 collected events — the
+    // enumerate-then-filter shape materializes all of it to select ONE
+    // greedy match. The incremental consume-on-match machine holds one
+    // partial + one candidate, so this completes in seconds; a quadratic
+    // crawl blows the suite timeout (and the old shape OOMs well before
+    // 10^5). Correctness: exactly one match, B count = the full streak.
+    val n = 10000
+    val rows = (0, 7L, "a", 0.0) +: (1 to n).map(i => (i, 7L, "b", i.toDouble))
+    val streak = rows.toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (n_b BIGINT, last_v DOUBLE);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES count(B.v) AS n_b, LAST(B.v) AS last_v
+        |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B+) WITHIN INTERVAL '30' DAY
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b'
+        |);""".stripMargin
+    val t0 = System.nanoTime()
+    val got = GraftApp.run(spark, app, Map("E" -> streak))("Out")
+      .select("n_b", "last_v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(got.toSeq == Seq((n.toLong, n.toDouble)))
+    // generous wall bound — the point is catching a reversion to the
+    // enumerate-everything shape (minutes/OOM), not micro-benchmarking
+    assert(sec < 60.0, s"monotone streak took ${sec}s — quadratic reversion?")
+  }
+
   test("MATCH_RECOGNIZE: ALL ROWS PER MATCH composes with SKIP PAST LAST ROW; alternation composes with skip-past") {
     // a b b b: skip-past keeps ONLY the greedy n_b=3 match; ALL ROWS
     // explodes exactly its 4 rows (the every-mode would emit 1+2+3+4 rows

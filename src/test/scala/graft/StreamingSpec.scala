@@ -1831,12 +1831,67 @@ class StreamingSpec extends AnyFunSuite {
         .replace(" WITHIN INTERVAL '1' HOUR", ""),
       Map("E" -> events)))
     assert(skipPastNoWithin.getMessage.contains("WITHIN"))
-    // SKIP TO FIRST/LAST stays batch-only, typed
-    val skipTo = intercept[graft.sql.GraftApp.SqlError](graft.sql.GraftApp.run(
+    // SKIP TO FIRST/LAST streams (round 13) but, like SKIP PAST, needs a
+    // WITHIN flush deadline — typed without one
+    val skipToNoWithin = intercept[graft.sql.GraftApp.SqlError](graft.sql.GraftApp.run(
       spark, mk("A.v AS a_v", "ONE ROW PER MATCH", "A B", "B AS B.kind = 'b'")
-        .replace("AFTER MATCH SKIP TO NEXT ROW", "AFTER MATCH SKIP TO LAST B"),
+        .replace("AFTER MATCH SKIP TO NEXT ROW", "AFTER MATCH SKIP TO LAST B")
+        .replace(" WITHIN INTERVAL '1' HOUR", ""),
       Map("E" -> events)))
-    assert(skipTo.getMessage.contains("batch-only"))
+    assert(skipToNoWithin.getMessage.contains("WITHIN"))
+  }
+
+  test("STREAMING MATCH_RECOGNIZE SKIP TO LAST: partial-overlap resume, parity with batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val events = in.toDS().toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    // A matches 'x' OR 'u': the resume row (LAST U, a 'u') can anchor the
+    // NEXT match — the partial-overlap case SKIP TO exists for
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, a_v DOUBLE, n_d BIGINT, n_u BIGINT);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES A.v AS a_v, count(D.v) AS n_d, count(U.v) AS n_u
+        |  ONE ROW PER MATCH AFTER MATCH SKIP TO LAST U
+        |  PATTERN (A D+ U+) WITHIN INTERVAL '1' MINUTE
+        |  DEFINE A AS A.kind = 'x' OR A.kind = 'u',
+        |         D AS D.kind = 'd', U AS U.kind = 'u'
+        |);""".stripMargin
+    val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+    assert(outDf.isStreaming)
+    val q = outDf.writeStream.format("memory").queryName("mr_skipto_sink")
+      .outputMode("append").start()
+    def snap() = spark.table("mr_skipto_sink").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val tapeRows = Seq((1000L, 7L, "x", 1.0), (1010L, 7L, "d", 2.0),
+      (1020L, 7L, "d", 3.0), (1030L, 7L, "u", 4.0), (1040L, 7L, "u", 5.0),
+      (1050L, 7L, "d", 6.0), (1060L, 7L, "u", 7.0), (1070L, 7L, "q", 0.0))
+    try {
+      // feed in two batches (state crosses the micro-batch boundary mid-
+      // pattern), then advance the watermark on another key to flush
+      in.addData(tapeRows.take(4): _*); q.processAllAvailable()
+      in.addData(tapeRows.drop(4): _*); q.processAllAvailable()
+      in.addData((1200L, 9L, "q", 0.0)); q.processAllAvailable()
+      in.addData((1210L, 9L, "q", 0.0)); q.processAllAvailable()
+      // match 1: A=x@1000, D+={d,d}, U+={u,u} greedy; resume at LAST U
+      // (u@1040, v=5.0) which anchors match 2: A=u@1040, D+={d@1050},
+      // U+={u@1060} — the two matches SHARE the resume row
+      assert(snap() == Seq((7L, 1.0, 2L, 2L), (7L, 5.0, 1L, 1L)),
+        s"got ${snap()}")
+      // batch parity over the identical tape
+      val tape = (tapeRows ++ Seq((1200L, 9L, "q", 0.0), (1210L, 9L, "q", 0.0)))
+        .toDF("sec", "user_id", "kind", "v")
+        .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+          "user_id", "kind", "v")
+      val batch = graft.sql.GraftApp.run(spark, app, Map("E" -> tape))("Out")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(batch == snap(), s"batch $batch vs stream ${snap()}")
+    } finally q.stop()
   }
 
   test("STREAMING MATCH_RECOGNIZE SKIP PAST LAST ROW: greedy non-overlapping, held until safe, watermark flush") {
