@@ -629,6 +629,44 @@ object CepQueries extends QueryFamily {
              |GROUP BY 1, 2
              |ORDER BY 1, 2""".stripMargin)),
 
+    // MATCH_RECOGNIZE reluctant quantifier (round 13): B+? takes the
+    // FEWEST purchases that complete the match — exactly one — where the
+    // greedy B+ (q_cep_mr_skip_greedy, same tape) consumes the whole
+    // streak. The oracle is the error→immediately-next-purchase pair;
+    // n_b pins the count at 1 and b_last pins the collected row at the
+    // FIRST purchase (a greedy regression would flip both).
+    QueryDef(
+      "q_cep_mr_reluctant",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (user_id BIGINT, e1_id BIGINT, n_b BIGINT, b_last BIGINT);
+            |INSERT INTO Out SELECT * FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts
+            |  MEASURES A.event_id AS e1_id, count(B.value) AS n_b,
+            |           LAST(B.event_id) AS b_last
+            |  ONE ROW PER MATCH
+            |  AFTER MATCH SKIP PAST LAST ROW
+            |  PATTERN (A B+?) WITHIN INTERVAL '1' HOUR
+            |  DEFINE A AS A.event_type = 'error', B AS B.event_type = 'purchase'
+            |);""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .orderBy(col("user_id"), col("e1_id"))
+      },
+      Some("""WITH ord AS (
+             |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events)
+             |SELECT a.user_id, a.event_id AS e1_id, CAST(1 AS BIGINT) AS n_b,
+             |       b.event_id AS b_last
+             |FROM ord a JOIN ord b
+             |  ON b.user_id = a.user_id AND b.rn = a.rn + 1
+             |WHERE a.event_type = 'error' AND b.event_type = 'purchase'
+             |  AND b.tsu - a.tsu <= 3600000000
+             |ORDER BY 1, 2""".stripMargin)),
+
     // MATCH_RECOGNIZE AFTER MATCH SKIP TO LAST <var> (round 12): the
     // partial-overlap resume — the textbook V-shape PATTERN (A D+ U+)
     // where consecutive Vs SHARE their peak (the scan resumes AT the last

@@ -1325,11 +1325,13 @@ object GraftApp {
     // defined no-op). Nested/sequence grouping and QUANTIFIED alternation
     // stay typed errors: the engine's OR steps take no count quantifier
     // (compileVariant rejects it too).
+    // a quantifier may carry ANSI's reluctant marker (`+?`, `{n,m}?`,
+    // `??`, `*?`): lex-MIN parse preference under skip-mode selection
     val grpRe =
-      ("""(?i)PERMUTE\s*\(\s*(\w+(?:\s*,\s*\w+)+)\s*\)\s*(\+|\*|\?|\{\d+(?:,\d*)?\})?""" +
-        """|\{-\s*(\w+)\s*(\+|\*|\?|\{\d+(?:,\d*)?\})?\s*-\}""" +
-        """|\(\s*(\w+(?:\s*\|\s*\w+)+)\s*\)\s*(\+|\*|\?|\{\d+(?:,\d*)?\})?""" +
-        """|(\w+)\s*(\+|\*|\?|\{\d+(?:,\d*)?\})?""").r
+      ("""(?i)PERMUTE\s*\(\s*(\w+(?:\s*,\s*\w+)+)\s*\)\s*(\+\??|\*\??|\?\??|\{\d+(?:,\d*)?\}\??)?""" +
+        """|\{-\s*(\w+)\s*(\+\??|\*\??|\?\??|\{\d+(?:,\d*)?\}\??)?\s*-\}""" +
+        """|\(\s*(\w+(?:\s*\|\s*\w+)+)\s*\)\s*(\+\??|\*\??|\?\??|\{\d+(?:,\d*)?\}\??)?""" +
+        """|(\w+)\s*(\+\??|\*\??|\?\??|\{\d+(?:,\d*)?\}\??)?""").r
     final case class MrTok(vars: Seq[String], quant: Option[String],
                            excluded: Boolean, permute: Boolean = false)
     val covered = new StringBuilder
@@ -1371,7 +1373,11 @@ object GraftApp {
     if (toks.isEmpty) throw SqlError("empty PATTERN")
     defines.keys.find(v => !toks.exists(_.vars.contains(v))).foreach(v =>
       throw SqlError(s"DEFINE names '$v' which is not a pattern variable"))
-    toks.headOption.filter(_.quant.exists(q => q == "?" || q == "*" || q.startsWith("{0")))
+    // quantifier base = the token minus a trailing reluctant marker ("+?"
+    // -> "+"; a bare "?" IS the quantifier and stays)
+    def qBase(q: String): String =
+      if (q.length > 1 && q.endsWith("?")) q.dropRight(1) else q
+    toks.headOption.filter(_.quant.map(qBase).exists(q => q == "?" || q == "*" || q.startsWith("{0")))
       .foreach { t => throw SqlError(
         s"first pattern variable '${t.vars.head}' must be required (min >= 1) — " +
           "the match and its partition key anchor on it") }
@@ -1408,7 +1414,7 @@ object GraftApp {
     // (`?` / {0,1} / {1}) through plain scalar refs, which NULL out via the
     // variant padding when the optional member is omitted from a match
     def isColl(v: String): Boolean =
-      toks.find(_.vars.contains(v)).flatMap(_.quant).exists {
+      toks.find(_.vars.contains(v)).flatMap(_.quant).map(qBase).exists {
         case "+" | "*" => true
         case "?" => false
         case q if q.startsWith("{") =>
@@ -1527,7 +1533,8 @@ object GraftApp {
         val quant = q.getOrElse("") match {
           case "" => ""
           case "?" => "{0,1}"
-          case s0 => s0 // + * {n} {n,m} {n,} — the engine spells these the same
+          case "??" => "{0,1}?" // reluctant optionality (zero-min gates apply)
+          case s0 => s0 // + * {n} {n,m} {n,} [+ reluctant ?] — engine spelling
         }
         s"$v=$stream$pred$quant"
       case MrTok(alts, _, _, _) => // alternation: one engine OR step, alias per branch

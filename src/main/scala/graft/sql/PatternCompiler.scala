@@ -56,8 +56,16 @@ object PatternCompiler {
   /** One alternative of a step: `alias=Stream[pred]`. */
   final case class StepAlt(alias: String, stream: String, pred: Option[String])
 
-  /** One NFA step: OR-alternatives plus a count quantifier. */
-  final case class PatternStep(alts: Seq[StepAlt], min: Int = 1, max: Int = 1) {
+  /** One NFA step: OR-alternatives plus a count quantifier. `reluctant`
+    * (ANSI `+?` / `{n,m}?`): under the skip-mode parse selection the
+    * quantifier prefers the FEWEST repetitions (lex-MIN at its position in
+    * the count-vector comparison) instead of the greedy most — the
+    * "shortest run to threshold" form Flink/Trino also accept. Without a
+    * skip mode every (start, parse) pair is enumerated, so reluctance
+    * selects nothing — the compile gate rejects it there.
+    */
+  final case class PatternStep(alts: Seq[StepAlt], min: Int = 1, max: Int = 1,
+                               reluctant: Boolean = false) {
     def aliases: Seq[String] = alts.map(_.alias).distinct
   }
 
@@ -174,6 +182,13 @@ object PatternCompiler {
             "NEXT ROW")
       }
     }
+    if (q.variants.exists(_.exists(_.reluctant)) && !q.skipPast && q.skipTo.isEmpty)
+      throw GraftApp.SqlError(
+        "reluctant quantifiers (+?, {n,m}?) need an after-match skip mode " +
+          "(SKIP PAST LAST ROW — the default when AFTER MATCH is omitted — " +
+          "or SKIP TO FIRST/LAST): reluctance is a parse PREFERENCE, and " +
+          "SKIP TO NEXT ROW enumerates every (start, parse) pair, selecting " +
+          "nothing for it to prefer")
     if (streams.exists(env(_).isStreaming))
       return compileStreaming(spark, q, env)
     // tagged union of all referenced streams (junction fan-in); range
@@ -1414,7 +1429,7 @@ object PatternCompiler {
       comps.forall { c =>
         val ref = coll(c.refStep)
         ref.nonEmpty && cmp(e.vals(c.localIdx), c.op, ref.head.vals(c.refIdx))
-      })
+      }, reluctant = st.reluctant)
 
   private def classifySteps(q: PatternQuery, steps: Seq[PatternStep]): NfaBuild = {
     val valReg = scala.collection.mutable.LinkedHashMap.empty[String, Int]
@@ -1708,8 +1723,8 @@ object PatternCompiler {
           parseWithin(n, forUnit)._1.getOrElse(
             throw GraftApp.SqlError("NOT … FOR needs a time unit"))
         }
-        val (alt, quant) = parseAlt(altRaw)
-        if (quant != (1, 1))
+        val (alt, quant, rel) = parseAlt(altRaw)
+        if (quant != (1, 1) || rel)
           throw GraftApp.SqlError("count quantifiers on NOT elements are not supported")
         absents += AbsentElem(stepIdx, alt, forUs)
       case el =>
@@ -1730,7 +1745,7 @@ object PatternCompiler {
         throw GraftApp.SqlError(s"mixed OR/AND in one pattern element '$el'; parenthesize")
       if (orParts.size > 1) {
         val alts = orParts.map(parseAlt)
-        if (alts.exists(_._2 != (1, 1)))
+        if (alts.exists(a => a._2 != (1, 1) || a._3))
           throw GraftApp.SqlError("count quantifiers on OR alternatives are not supported")
         Seq(Seq(PatternStep(alts.map(_._1))))
       } else if (andParts.size > 1) {
@@ -1749,14 +1764,14 @@ object PatternCompiler {
             s"(cap $MaxVariants) — order some operands with -> or split the query")
         interleavings(chains)
       } else {
-        val (alt, (mn, mx)) = parseAlt(el)
+        val (alt, (mn, mx), rel) = parseAlt(el)
         if (mn == 0)
           // zero-or-more (`A*`) / `{0,m}`: one variant WITH the step (as
           // one-or-more up to mx) and one WITHOUT — `A* -> B` ≡
           // `B OR (A+ -> B)` compiled directly; the no-step variant
           // NULL-pads the alias's refs (absentAliasRewriter)
-          Seq(Seq(PatternStep(Seq(alt), 1, mx)), Seq.empty)
-        else Seq(Seq(PatternStep(Seq(alt), mn, mx)))
+          Seq(Seq(PatternStep(Seq(alt), 1, mx, rel)), Seq.empty)
+        else Seq(Seq(PatternStep(Seq(alt), mn, mx, rel)))
       }
     }
     if (absentElems.nonEmpty && perElement.exists(_.size > 1))
@@ -1803,10 +1818,10 @@ object PatternCompiler {
     * population; size WITHIN tightly, and maxPartials is the hard cap
     * that counts (and warns about) drops past it.
     */
-  private def parseAlt(s: String): (StepAlt, (Int, Int)) = {
-    val re = """(?s)^\s*(?:(\w+)\s*=\s*)?(\w+)\s*(?:\[(.*)\]\s*)?(?:([+*])|[<{]\s*(\d+)\s*(?:([:,])\s*(\d+)?\s*)?[>}])?\s*$""".r
+  private def parseAlt(s: String): (StepAlt, (Int, Int), Boolean) = {
+    val re = """(?s)^\s*(?:(\w+)\s*=\s*)?(\w+)\s*(?:\[(.*)\]\s*)?(?:([+*])|[<{]\s*(\d+)\s*(?:([:,])\s*(\d+)?\s*)?[>}])?\s*(\?)?\s*$""".r
     s.trim match {
-      case re(alias, stream, pred, plusStar, qn, sep, qm) =>
+      case re(alias, stream, pred, plusStar, qn, sep, qm, rel) =>
         val (mn, mx) =
           if (plusStar == "+") (1, Int.MaxValue)
           else if (plusStar == "*") (0, Int.MaxValue)
@@ -1821,8 +1836,16 @@ object PatternCompiler {
         if (mn < 0 || mx < mn || mx < 1)
           throw GraftApp.SqlError(
             s"bad count quantifier in '$s' (min >= 0, max >= min, max >= 1)")
+        // reluctant marker `?` after a quantifier (`+?`, `{n,m}?`): lex-MIN
+        // parse preference under skip-mode selection. A bare trailing `?`
+        // with NO quantifier is not this form — reject (the MR surface
+        // spells optionality as {0,1} before reaching here).
+        if (rel != null && plusStar == null && qn == null)
+          throw GraftApp.SqlError(
+            s"bad pattern step '$s' — a reluctant marker needs a " +
+              "quantifier (+?, {n,m}?)")
         (StepAlt(Option(alias).getOrElse(stream), stream,
-          Option(pred).map(_.trim).filter(_.nonEmpty)), (mn, mx))
+          Option(pred).map(_.trim).filter(_.nonEmpty)), (mn, mx), rel != null)
       case other => throw GraftApp.SqlError(s"bad pattern step '$other'")
     }
   }
@@ -1846,7 +1869,7 @@ object PatternCompiler {
         throw GraftApp.SqlError(
           s"nested AND inside AND operand '${op.trim}' is not supported")
       val alts = splitTopLevelWord(e, "OR").map(parseAlt)
-      if (alts.exists(_._2 != (1, 1)))
+      if (alts.exists(a => a._2 != (1, 1) || a._3))
         throw GraftApp.SqlError("count quantifiers on AND operands are not supported")
       PatternStep(alts.map(_._1))
     }

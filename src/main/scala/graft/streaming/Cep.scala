@@ -66,9 +66,14 @@ final case class VariantMatch(variant: Int, key: String, startUs: Long,
   * instances are kept), emitting eagerly at each count >= min on the last
   * step.
   */
+/** `reluctant` (ANSI `+?` / `{n,m}?`): under skip-mode parse selection
+  * this quantifier prefers the FEWEST repetitions (see skipPreferred);
+  * ignored by the plain EVERY enumeration, which explores all parses.
+  */
 final case class Step(
     name: String, min: Int, max: Int,
-    pred: (CepEvent, Seq[Seq[CepEvent]]) => Boolean) extends Serializable
+    pred: (CepEvent, Seq[Seq[CepEvent]]) => Boolean,
+    reluctant: Boolean = false) extends Serializable
 
 object Step {
   def simple(name: String)(p: CepEvent => Boolean): Step =
@@ -303,15 +308,16 @@ object Cep {
     var droppedRun = 0L
     val out = Seq.newBuilder[CepMatch]
 
+    val rel = spec.steps.map(_.reluctant)
     def addCand(c: SkipCand): Unit = {
       if (c.startSeq < pos) return
       val i = cands.indexWhere(_.startSeq == c.startSeq)
       if (i < 0) cands :+= c
-      else if (skipLexGt(c.counts, cands(i).counts)) cands = cands.updated(i, c)
+      else if (skipPreferred(c.counts, cands(i).counts, rel)) cands = cands.updated(i, c)
     }
     def flush(): Unit = {
       val (emitted, st2) = skipFlush(SkipNfaState(
-        NfaState(partials, done = false, seq, 0L, mseq), pos, cands), resume)
+        NfaState(partials, done = false, seq, 0L, mseq), pos, cands), resume, rel)
       out ++= emitted
       partials = st2.nfa.partials.toVector
       mseq = st2.nfa.matchSeq
@@ -366,6 +372,18 @@ object Cep {
     i >= 0 && a(i) > b(i)
   }
 
+  /** Parse preference at a fixed start: quantifiers resolve left to right,
+    * each greedy one preferring MORE repetitions and each reluctant one
+    * (`+?` / `{n,m}?`) FEWER — lexicographic comparison with a
+    * per-position direction (regex backtracking order for a contiguous
+    * chain). `rel(i)` = step i is reluctant; empty = all greedy. Returns
+    * true when `a` is strictly preferred over `b`.
+    */
+  private def skipPreferred(a: Seq[Long], b: Seq[Long], rel: Seq[Boolean]): Boolean = {
+    val i = a.zip(b).indexWhere { case (x, y) => x != y }
+    i >= 0 && (if (i < rel.length && rel(i)) a(i) < b(i) else a(i) > b(i))
+  }
+
   /** The selection sweep shared by the event path and the timeout path:
     * repeatedly emit the earliest-start held candidate once no live
     * partial at-or-before that start remains, advancing `pos` to the
@@ -373,7 +391,8 @@ object Cep {
     * the SKIP TO variable's first/last row — inclusive, allowing partial
     * overlap of the NEXT match). Returns (emitted, state'). */
   private def skipFlush(st: SkipNfaState,
-                        resume: Option[(Int, Boolean)] = None): (Seq[CepMatch], SkipNfaState) = {
+                        resume: Option[(Int, Boolean)] = None,
+                        rel: Seq[Boolean] = Nil): (Seq[CepMatch], SkipNfaState) = {
     var pos = st.pos
     var cands = st.cands.toVector
     var partials = st.nfa.partials.toVector
@@ -387,7 +406,7 @@ object Cep {
         val s = cands.map(_.startSeq).min
         if (!partials.exists(_.startSeq <= s)) {
           val best = cands.filter(_.startSeq == s)
-            .reduceLeft((x, y) => if (skipLexGt(y.counts, x.counts)) y else x)
+            .reduceLeft((x, y) => if (skipPreferred(y.counts, x.counts, rel)) y else x)
           mseq += 1
           o += best.m.copy(matchSeq = mseq)
           pos = resume match {
@@ -413,10 +432,11 @@ object Cep {
     * receiving events would hold its last candidates forever.
     */
   def skipPastTimeoutFlush(st: SkipNfaState, wmUs: Long, withinUs: Long,
-                           resume: Option[(Int, Boolean)] = None)
+                           resume: Option[(Int, Boolean)] = None,
+                           rel: Seq[Boolean] = Nil)
       : (Seq[CepMatch], SkipNfaState) = {
     val live = st.nfa.partials.filter(p => p.startUs + withinUs >= wmUs)
-    skipFlush(st.copy(nfa = st.nfa.copy(partials = live)), resume)
+    skipFlush(st.copy(nfa = st.nfa.copy(partials = live)), resume, rel)
   }
 
   /** Batch `AFTER MATCH SKIP PAST LAST ROW` / `SKIP TO FIRST|LAST`
@@ -434,7 +454,8 @@ object Cep {
       val evs = it.toSeq.sortBy(e => (e.tsUs, e.eventId))
       val (out, st) = runNfaSkipPast(evs,
         SkipNfaState(NfaState(Nil, done = false), 0L, Nil), spec, resume)
-      val (tail, _) = skipFlush(st.copy(nfa = st.nfa.copy(partials = Nil)), resume)
+      val (tail, _) = skipFlush(st.copy(nfa = st.nfa.copy(partials = Nil)),
+        resume, spec.steps.map(_.reluctant))
       (out ++ tail).iterator
     }
 
@@ -739,7 +760,8 @@ object Cep {
         if (state.hasTimedOut) {
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val st = state.getOption.getOrElse(emptySt)
-          val (out, next) = skipPastTimeoutFlush(st, wmUs, withinUs, resume)
+          val (out, next) = skipPastTimeoutFlush(st, wmUs, withinUs, resume,
+            spec.steps.map(_.reluctant))
           if (next.nfa.partials.isEmpty && next.cands.isEmpty &&
               !(retainMatchSeq && next.nfa.matchSeq > 0)) {
             // seq/pos continuity is not needed once nothing is held: a

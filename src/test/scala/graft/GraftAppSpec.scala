@@ -1146,6 +1146,77 @@ class GraftAppSpec extends AnyFunSuite {
     assert(errOf(nativeNoEvery, Map("E" -> retry)).contains("EVERY"))
   }
 
+  test("MATCH_RECOGNIZE reluctant quantifiers: +? / {n,m}? prefer the fewest repetitions under skip selection") {
+    def tape(rows: Seq[(Int, String, Double)]) = rows.map { case (s, k, v) => (s, 7L, k, v) }
+      .toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    def mr(measures: String, pattern: String, define: String, out: String,
+           skip: String = "AFTER MATCH SKIP PAST LAST ROW") =
+      s"""CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+         |CREATE STREAM Out ($out);
+         |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+         |  PARTITION BY user_id ORDER BY ts
+         |  MEASURES $measures
+         |  ONE ROW PER MATCH $skip
+         |  PATTERN ($pattern) WITHIN INTERVAL '1' HOUR
+         |  DEFINE $define);""".stripMargin
+
+    // 1. trailing B+? vs B+ on the same tape: a b b b a b — greedy takes
+    // the whole streak (3,1); reluctant stops at the first B (1,1) and
+    // resumes earlier, but the extra b rows cannot anchor, so the SAME
+    // match count with DIFFERENT extents (exactly ANSI's difference)
+    val t1 = tape(Seq((1, "a", 0.0), (2, "b", 1.0), (3, "b", 2.0),
+      (4, "b", 3.0), (5, "a", 0.0), (6, "b", 4.0)))
+    def nb(pat: String) = GraftApp.run(spark,
+      mr("count(B.v) AS n_b", pat, "A AS A.kind = 'a', B AS B.kind = 'b'",
+        "n_b BIGINT"), Map("E" -> t1))("Out")
+      .select("n_b").collect().map(_.getLong(0)).sorted.toSeq
+    assert(nb("A B+") == Seq(1L, 3L))
+    assert(nb("A B+?") == Seq(1L, 1L))
+
+    // 2. interior reluctant: A{1,2}? B{1,2} over x x x — greedy parse is
+    // (2,1); reluctant-first backtracking prefers a=1, then b max = (1,2)
+    val t2 = tape((1 to 3).map(i => (i, "x", i.toDouble)))
+    def ab(pat: String) = GraftApp.run(spark,
+      mr("count(A.v) AS n_a, count(B.v) AS n_b", pat,
+        "A AS A.kind = 'x', B AS B.kind = 'x'", "n_a BIGINT, n_b BIGINT"),
+      Map("E" -> t2))("Out")
+      .select("n_a", "n_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ab("A{1,2} B{1,2}") == Seq((2L, 1L)))
+    assert(ab("A{1,2}? B{1,2}") == Seq((1L, 2L)))
+
+    // 3. mid-chain B+? where B's predicate overlaps C's: B absorbs ANY
+    // positive value (including c rows) — reluctant stops at the FIRST c,
+    // greedy runs to the LAST completable one
+    val t3 = tape(Seq((1, "a", 0.0), (2, "p", 1.0), (3, "p", 2.0),
+      (4, "c", 3.0), (5, "p", 4.0), (6, "c", 5.0)))
+    def bc(pat: String) = GraftApp.run(spark,
+      mr("count(B.v) AS n_b", pat,
+        "A AS A.kind = 'a', B AS B.v > 0, C AS C.kind = 'c'", "n_b BIGINT"),
+      Map("E" -> t3))("Out")
+      .select("n_b").collect().map(_.getLong(0)).toSeq
+    assert(bc("A B+ C") == Seq(4L))  // B = {p,p,c,p}, C = c@6
+    assert(bc("A B+? C") == Seq(2L)) // B = {p,p}, C = c@4
+
+    // 4. reluctance is a parse preference — SKIP TO NEXT ROW enumerates
+    // every parse, so there is nothing to prefer: typed
+    val err = intercept[GraftApp.SqlError](GraftApp.run(spark,
+      mr("count(B.v) AS n_b", "A B+?", "A AS A.kind = 'a', B AS B.kind = 'b'",
+        "n_b BIGINT", skip = "AFTER MATCH SKIP TO NEXT ROW"),
+      Map("E" -> t1)))
+    assert(err.getMessage.contains("skip mode"))
+
+    // 5. composes with SKIP TO LAST: resume at the reluctant B's row
+    val t5 = tape(Seq((1, "a", 0.0), (2, "b", 1.0), (3, "b", 2.0)))
+    val got5 = GraftApp.run(spark,
+      mr("count(B.v) AS n_b", "A B+?", "A AS A.kind = 'a', B AS B.kind = 'b'",
+        "n_b BIGINT", skip = "AFTER MATCH SKIP TO LAST B"),
+      Map("E" -> t5))("Out")
+      .select("n_b").collect().map(_.getLong(0)).toSeq
+    assert(got5 == Seq(1L)) // resume at b@2: no further anchor
+  }
+
   test("MATCH_RECOGNIZE SKIP PAST LAST ROW: adversarial monotone streak is linear, not quadratic") {
     // one key, one DIP then 10^4 monotone UP rows: the EVERY match set for
     // (A B+) is 10^4 matches totalling ~5*10^7 collected events — the

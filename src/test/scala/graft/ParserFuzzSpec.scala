@@ -239,6 +239,39 @@ class ParserFuzzSpec extends AnyFunSuite {
     check(Prop.forAll(mr12bNearMiss)(typedOnly _))
   }
 
+  /** Round-13 MR surface (reluctant quantifiers `+?` / `{n,m}?`) gets the
+    * same near-miss treatment: double markers, marker without quantifier,
+    * marker on the wrong side, and reluctance under SKIP TO NEXT ROW must
+    * all die typed.
+    */
+  private val validMrReluctantApp =
+    """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+      |CREATE STREAM Out (user_id BIGINT, n_b BIGINT, n_c BIGINT);
+      |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+      |  PARTITION BY user_id ORDER BY ts
+      |  MEASURES count(B.v) AS n_b, count(C.v) AS n_c
+      |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (A B+? C{1,2}?) WITHIN INTERVAL '1' HOUR
+      |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b', C AS C.kind = 'c');""".stripMargin
+
+  private val mrReluctantNearMiss: Gen[String] = for {
+    cut <- Gen.choose(0, validMrReluctantApp.length)
+    junk <- Gen.oneOf("", "+??", "?+", "{1,2}??", "??", "B+?", "?{1,2}",
+      "+? +?", "AFTER MATCH SKIP TO NEXT ROW", "(A|B)+?", "PERMUTE(A, B)+?",
+      "'", ",", ";;")
+    mode <- Gen.oneOf(0, 1, 2)
+  } yield mode match {
+    case 0 => validMrReluctantApp.substring(0, cut)
+    case 1 => validMrReluctantApp.substring(0, cut) + junk + validMrReluctantApp.substring(cut)
+    case 2 => junk + validMrReluctantApp
+  }
+
+  test("MATCH_RECOGNIZE reluctant-quantifier near-misses: typed errors only") {
+    assert(typedOnly(validMrReluctantApp))
+    GraftApp.parse(validMrReluctantApp)
+    check(Prop.forAll(mrReluctantNearMiss)(typedOnly _))
+  }
+
   /** CREATE AGGREGATION + WITHIN…PER statements (round 6) get the same
     * near-miss treatment: truncations and junk splices of a valid
     * aggregation app must die typed, never leak compiler internals.
