@@ -819,10 +819,11 @@ object PatternCompiler {
       if (q.absents.nonEmpty) throw GraftApp.SqlError(
         "streaming EMIT ALL ROWS with absent (NOT) guards is batch-only — " +
           "a guard-killed match would leave a gap in mr_match_number")
-      if (q.allRowsUnmatched) throw GraftApp.SqlError(
-        "WITH UNMATCHED ROWS is batch-only — an unbounded stream cannot " +
-          "prove a row will never be claimed by a future match (a WITHIN " +
-          "deadline bounds matches, not the row's eligibility under EVERY)")
+      if (q.allRowsUnmatched && q.withinUs.isEmpty) throw GraftApp.SqlError(
+        "streaming WITH UNMATCHED ROWS needs a time WITHIN: a row is " +
+          "provably unmatched only once the watermark passes row_ts + " +
+          "WITHIN (any match claiming it must complete by then) — without " +
+          "the bound no row's eligibility is ever decidable")
     }
     // PREV/NEXT lower to physical-offset joins (select items) and window
     // functions (DEFINE predicates) — both need the materialized per-key
@@ -1036,7 +1037,20 @@ object PatternCompiler {
         "no event-time watermark, so no event is ever dropped as late; add " +
         "WITHIN <d> to bound state and activate the lateness contract")
     var out =
-      (if (q.skipPast || q.skipTo.isDefined)
+      (if (q.allRows && q.allRowsUnmatched)
+         // WITH UNMATCHED ROWS (round 13): wraps the match machine with
+         // watermark-proved row eligibility — unmatched rows emit as
+         // matchSeq = -1 pseudo-matches once the watermark passes
+         // row_ts + WITHIN (see Cep.detectStreamWithUnmatched); the inner
+         // machine is the skip selector or the plain EVERY NFA as the
+         // query's skip mode dictates
+         Cep.detectStreamWithUnmatched(cepIn, spec, lateness,
+           useSkip = q.skipPast || q.skipTo.isDefined,
+           resume = q.skipTo.map { case (isFirst, alias) =>
+             (steps.indexWhere(_.aliases.contains(alias)), isFirst)
+           },
+           retainMatchSeq = true)
+       else if (q.skipPast || q.skipTo.isDefined)
          // greedy non-overlapping selection with WITHIN-bounded candidate
          // holding (compile gates require the WITHIN); retain the per-key
          // match counter when EMIT ALL ROWS reads mr_match_number. SKIP TO
@@ -1057,7 +1071,10 @@ object PatternCompiler {
            retainMatchSeq = q.allRows)
        else Cep.detectStream(cepIn, spec))
         .toDF()
-    whereRw.foreach(w => out = out.filter(expr(w)))
+    // WHERE applies to MATCHES; an unmatched pseudo-row (matchSeq = -1)
+    // bypasses it — its measures are NULL by contract, not filterable
+    whereRw.foreach(w => out = out.filter(
+      if (q.allRowsUnmatched) col("matchSeq") === -1L || expr(w) else expr(w)))
     if (q.allRows)
       return emitAllRowsStream(q, steps, out, evs, colTypes, slot, items)
     out.select(items.map {
@@ -1116,8 +1133,12 @@ object PatternCompiler {
         case _ => (MNormal, "")
       }
     }
+    // measures NULL out on WITH UNMATCHED pseudo-matches (matchSeq = -1)
+    val guard = (c: Column) =>
+      if (q.allRowsUnmatched) when(col("matchSeq") === -1L, lit(null)).otherwise(c)
+      else c
     val normalCols = items.zip(kinds).collect { case ((e, a), (MNormal, _)) =>
-      a.map(al => expr(e).as(al)).getOrElse(expr(e)) }
+      a.map(al => guard(expr(e)).as(al)).getOrElse(guard(expr(e))) }
     val normalNames = matches.select(normalCols: _*).columns.toSeq
     val nIt = normalNames.iterator
     val outMeasures: Seq[(MKind, String)] = kinds.map {
@@ -1182,15 +1203,31 @@ object PatternCompiler {
         }
       }
     }
-    val perStep = steps.indices.map { i =>
-      var df = matches.select(normalCols ++ Seq(
-        col("matchSeq").as("mr_match_number"),
-        lit(i).as("__stepIdx"),
-        col("steps").as("__steps"),
-        posexplode(expr(s"steps[$i].events")).as(Seq("__pos", "__ev"))): _*)
-      runItems.foreach { case (r, a) => df = df.withColumn(a, expr(runExprFor(r, i))) }
-      df.drop("__steps", "__pos")
-    }.reduce(_.unionByName(_))
+    // ONE explode over ALL steps (round 13): a per-step explode-then-union
+    // re-instantiates the stateful NFA operator once per union branch —
+    // N step buffers cost N state stores per key, and (the correctness
+    // half) Spark does not deliver event-time TIMEOUT emissions through a
+    // duplicated stateful operator, which silently drops any row whose
+    // emission depends on the watermark sweep (held skip candidates,
+    // WITH UNMATCHED pseudo-rows). A single inline generator over the
+    // steps array keeps exactly one kernel instance in the plan.
+    // WITH UNMATCHED pseudo-matches (matchSeq = -1, one buffered row)
+    // flow through the same pipeline: their measures/markers NULL out via
+    // the __mseq guards below.
+    var exploded = matches.select(normalCols ++ Seq(
+      guard(col("matchSeq")).as("mr_match_number"),
+      col("matchSeq").as("__mseq"),
+      col("steps").as("__steps"),
+      expr("inline(flatten(transform(steps, (s, si) -> " +
+        "transform(s.events, (e, p) -> " +
+        "named_struct('__stepIdx', si, '__pos', p, '__ev', e)))))")): _*)
+    runItems.foreach { case (r, a) =>
+      val arms = steps.indices.map(i =>
+        s"WHEN __stepIdx = $i THEN (${runExprFor(r, i)})").mkString(" ")
+      val head = if (q.allRowsUnmatched) "WHEN __mseq = -1 THEN NULL " else ""
+      exploded = exploded.withColumn(a, expr(s"CASE $head$arms END"))
+    }
+    val perStep = exploded.drop("__steps", "__pos")
     // materialize the source columns (and, under OR steps, the stream tag)
     // from the svals slots, then resolve the per-row classifier: single-
     // alternative steps name their variable; an OR step's classifier is
@@ -1208,8 +1245,8 @@ object PatternCompiler {
         .as("__stream"))
       else Nil
     val withSrc = perStep.select(srcCols ++ matCols ++
-      Seq(col("mr_match_number"), col("__stepIdx")) ++ streamTag: _*)
-    val clsCol = steps.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      Seq(col("mr_match_number"), col("__stepIdx"), col("__mseq")) ++ streamTag: _*)
+    val clsCol0 = steps.zipWithIndex.foldLeft(lit(null).cast("string")) {
       case (acc, (st, si)) =>
         val inner =
           if (st.alts.size == 1) lit(st.alts.head.alias)
@@ -1220,12 +1257,19 @@ object PatternCompiler {
           }
         when(col("__stepIdx") === si, inner).otherwise(acc)
     }
+    // WITH UNMATCHED pseudo-rows carry a NULL classifier (ANSI)
+    val clsCol =
+      if (q.allRowsUnmatched)
+        when(col("__mseq") === -1L, lit(null).cast("string")).otherwise(clsCol0)
+      else clsCol0
     val rowsCls = withSrc.withColumn("mr_classifier", clsCol)
     // EXCLUDING: output-only filter on the resolved classifier (RUNNING
-    // folds already read the buffers, so excluded rows still fed them)
+    // folds already read the buffers, so excluded rows still fed them);
+    // a NULL classifier (unmatched pseudo-row) is never excluded
     val kept =
       if (q.allRowsExcluding.isEmpty) rowsCls
-      else rowsCls.filter(!col("mr_classifier").isin(q.allRowsExcluding: _*))
+      else rowsCls.filter(col("mr_classifier").isNull ||
+        !col("mr_classifier").isin(q.allRowsExcluding: _*))
     val mCols = outMeasures.map {
       case (MCls, a) => col("mr_classifier").as(a)
       case (MNum, a) => col("mr_match_number").as(a)

@@ -789,6 +789,115 @@ object Cep {
     }
   }
 
+  /** One input row awaiting its unmatched-eligibility proof, and the
+    * reference that marks it claimed: (tsUs, eventId) — eventId is the
+    * streaming tie-break hash, so bit-identical duplicate rows share a
+    * ref (they are already conflated everywhere the stream lacks a
+    * physical row id; batch WITH UNMATCHED distinguishes them via its
+    * row_number ids).
+    */
+  final case class RowRef(tsUs: Long, eventId: Long)
+  /** State of [[detectStreamWithUnmatched]]: the inner match machine
+    * (SkipNfaState — for the plain EVERY mode only its `nfa` field is
+    * used), the rows not yet provably unmatched, and the claimed refs of
+    * matches already emitted (kept until the rows they cover expire).
+    */
+  final case class UnmatchedNfaState(skip: SkipNfaState, pending: Seq[CepEvent],
+                                     claimed: Seq[RowRef])
+
+  /** Streaming `ALL ROWS PER MATCH WITH UNMATCHED ROWS` detection: matched
+    * rows emit through the inner machine exactly as without the clause;
+    * an UNMATCHED row is emitted as a pseudo-match (matchSeq = -1, the row
+    * alone in a "__unmatched" step) once it is PROVABLE no match will ever
+    * claim it. The proof is the WITHIN bound + the watermark: any match
+    * containing row r spans at most `within`, so it completes by an event
+    * at tsUs <= r.tsUs + within — once the watermark passes that, r's
+    * eligibility is decided (the round-12 rejection reasoned "cannot prove
+    * a row will never be claimed"; under a WITHIN it can be, which is why
+    * this kernel REQUIRES one). Emission delay for unmatched rows is
+    * therefore exactly the WITHIN duration, the same bound the held-
+    * candidate skip machine already pays.
+    *
+    * Order of operations per sweep matters: the inner machine flushes
+    * FIRST (its claims mark rows), THEN pending rows past their deadline
+    * flush as unmatched. A row inside a HELD skip candidate can never
+    * expire before its candidate resolves: every partial blocking the
+    * candidate starts at-or-before it, so the partials' deadlines pass
+    * first and the same timeout sweep resolves the candidate before the
+    * row's own deadline check runs.
+    *
+    * State is pending-rows + claimed-refs per key, both bounded by the
+    * WITHIN window — the same O(window) bound the NFA partials already
+    * hold; drained keys drop their entry.
+    */
+  def detectStreamWithUnmatched(ds: Dataset[CepEvent], spec: PatternSpec,
+                                watermarkDelay: String, useSkip: Boolean,
+                                resume: Option[(Int, Boolean)] = None,
+                                retainMatchSeq: Boolean = false): Dataset[CepMatch] = {
+    val withinUs = spec.withinUs.getOrElse(
+      throw new IllegalArgumentException("detectStreamWithUnmatched requires withinUs"))
+    implicit val stEnc: Encoder[UnmatchedNfaState] = Encoders.product[UnmatchedNfaState]
+    val rel = spec.steps.map(_.reluctant)
+    val withTime = ds.toDF()
+      .withColumn("eventTime", timestamp_micros(col("tsUs")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[CepEvent](evEnc)
+    def emptySt = UnmatchedNfaState(
+      SkipNfaState(NfaState(Nil, done = false), 0L, Nil), Nil, Nil)
+    def claimRefs(ms: Seq[CepMatch]): Seq[RowRef] =
+      ms.flatMap(_.steps.flatMap(_.events)).map(e => RowRef(e.tsUs, e.eventId))
+    def pseudo(e: CepEvent): CepMatch =
+      CepMatch(e.key, e.tsUs, e.tsUs, Seq(Collected("__unmatched", Seq(e))),
+        matchSeq = -1L)
+    withTime.groupByKey(_.key).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (_: String, it: Iterator[CepEvent], state: GroupState[UnmatchedNfaState]) =>
+        val st = state.getOption.getOrElse(emptySt)
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        val events =
+          if (state.hasTimedOut) Nil
+          else it.toSeq.sortBy(e => (e.tsUs, e.eventId))
+        // 1. inner machine first (its claims mark rows before the
+        //    unmatched flush below decides anything)
+        val (matched: Seq[CepMatch], skip2: SkipNfaState) =
+          if (state.hasTimedOut) {
+            if (useSkip) skipPastTimeoutFlush(st.skip, wmUs, withinUs, resume, rel)
+            else (Seq.empty[CepMatch], st.skip.copy(nfa = st.skip.nfa.copy(
+              partials = st.skip.nfa.partials.filter(p => p.startUs + withinUs >= wmUs))))
+          } else if (useSkip) runNfaSkipPast(events, st.skip, spec, resume)
+          else {
+            val (o, n2) = runNfa(events, st.skip.nfa, spec)
+            (o, st.skip.copy(nfa = n2))
+          }
+        // 2. bookkeeping: new rows join pending; emitted matches claim
+        val claimed = st.claimed ++ claimRefs(matched)
+        val claimedSet = claimed.map(r => (r.tsUs, r.eventId)).toSet
+        // 3. provably-unmatched flush: rows whose deadline the watermark
+        //    passed emit (unclaimed) or drop (claimed); claimed refs past
+        //    the same deadline have no row left to mark — prune
+        val (due, live) = (st.pending ++ events)
+          .partition(e => e.tsUs + withinUs < wmUs)
+        val unmatchedOut = due.filterNot(e => claimedSet((e.tsUs, e.eventId)))
+          .sortBy(e => (e.tsUs, e.eventId)).map(pseudo)
+        val claimedLive = claimed.filter(r => r.tsUs + withinUs >= wmUs)
+        val next = UnmatchedNfaState(skip2, live, claimedLive)
+        val drained = next.pending.isEmpty && next.skip.nfa.partials.isEmpty &&
+          next.skip.cands.isEmpty
+        if (drained && !(retainMatchSeq && next.skip.nfa.matchSeq > 0)) state.remove()
+        else {
+          state.update(next)
+          // wake at the earliest decision point: a pending row's
+          // unmatched deadline or a partial's WITHIN expiry (held skip
+          // candidates resolve at partial expiry, which the same sweep runs)
+          val deadlines = next.pending.map(e => ceilMs(e.tsUs + withinUs)) ++
+            next.skip.nfa.partials.map(p => ceilMs(p.startUs + withinUs))
+          if (deadlines.nonEmpty) state.setTimeoutTimestamp(
+            math.max(deadlines.min, state.getCurrentWatermarkMs() + 1))
+        }
+        (matched ++ unmatchedOut).iterator
+    }
+  }
+
   /** Streaming absent pattern — `e1=A NOT FOLLOWED BY B WITHIN d` (the
     * reference's `NOT … FOR d` roadmap design, MILESTONES.md:126-133; batch
     * result-level form = q_cep_absent's anti-join). A matched first event

@@ -2051,13 +2051,75 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.toSeq == batch.toSeq)
     } finally q.stop()
 
-    // WITH UNMATCHED ROWS on a stream: typed rejection (a stream cannot
-    // prove a row will never be claimed)
+    // WITH UNMATCHED ROWS streams under a WITHIN (round 13); WITHOUT one
+    // no row's eligibility is ever provable — typed
     val unmatchedApp = app.replace("PATTERN ({- A -} B+)", "PATTERN (A B+)")
       .replace("ALL ROWS PER MATCH", "ALL ROWS PER MATCH WITH UNMATCHED ROWS")
     val err2 = intercept[graft.sql.GraftApp.SqlError](
-      graft.sql.GraftApp.run(spark, unmatchedApp, Map("E" -> events)))
-    assert(err2.getMessage.contains("batch-only"))
+      graft.sql.GraftApp.run(spark,
+        unmatchedApp.replace(" WITHIN INTERVAL '1' HOUR", ""), Map("E" -> events)))
+    assert(err2.getMessage.contains("WITHIN"))
+  }
+
+  test("STREAMING MATCH_RECOGNIZE WITH UNMATCHED ROWS: watermark-proved eligibility, parity with batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val events = in.toDS().toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE,
+        |                   n_b BIGINT, mr_match_number BIGINT, mr_classifier STRING);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES count(B.v) AS n_b
+        |  ALL ROWS PER MATCH WITH UNMATCHED ROWS
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A B+) WITHIN INTERVAL '1' MINUTE
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b'
+        |);""".stripMargin
+    val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+    assert(outDf.isStreaming)
+    val q = outDf.writeStream.format("memory").queryName("mr_unm_sink")
+      .outputMode("append").start()
+    def snap() = spark.table("mr_unm_sink").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getDouble(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5),
+        if (r.isNullAt(6)) null else r.getString(6)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    // tape: x a b a q — 'x', the second 'a', and 'q' are never claimed
+    val tapeRows = Seq((1000L, 7L, "x", 1.0), (1010L, 7L, "a", 2.0),
+      (1020L, 7L, "b", 3.0), (1030L, 7L, "a", 4.0), (1040L, 7L, "q", 5.0))
+    try {
+      in.addData(tapeRows: _*); q.processAllAvailable()
+      // the match emits immediately; unmatched rows wait on the watermark
+      assert(snap() == Seq(
+        (7L, "a", 2.0, 1L, 1L, "A"), (7L, "b", 3.0, 1L, 1L, "B")),
+        s"got ${snap()}")
+      // advance the watermark past every deadline via another key
+      in.addData((1300L, 9L, "q", 0.0)); q.processAllAvailable()
+      in.addData((1310L, 9L, "q", 0.0)); q.processAllAvailable()
+      val got = snap()
+      assert(got == Seq(
+        (7L, "x", 1.0, -1L, -1L, null), (7L, "a", 2.0, 1L, 1L, "A"),
+        (7L, "b", 3.0, 1L, 1L, "B"), (7L, "a", 4.0, -1L, -1L, null),
+        (7L, "q", 5.0, -1L, -1L, null)), s"got $got")
+      // batch parity over the same user-7 rows (same app, batch tape)
+      val tape = tapeRows
+        .toDF("sec", "user_id", "kind", "v")
+        .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+          "user_id", "kind", "v")
+      val batch = graft.sql.GraftApp.run(spark, app, Map("E" -> tape))("Out")
+        .collect()
+        .map(r => (r.getLong(1), r.getString(2), r.getDouble(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5),
+          if (r.isNullAt(6)) null else r.getString(6)))
+        .sortBy(t => (t._1, t._3)).toSeq
+      assert(batch == got, s"batch $batch vs stream $got")
+    } finally q.stop()
   }
 
   test("STREAMING MATCH_RECOGNIZE ALL ROWS with alternation: per-row classifier, parity with batch") {
