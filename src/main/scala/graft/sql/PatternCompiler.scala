@@ -938,9 +938,15 @@ object PatternCompiler {
   }
 
   /** svals slot array over the interned source columns. */
-  private def svalsColumn(svalReg: collection.Map[String, Int]): Column =
+  /** `overrides`: slot names whose value is a derived EXPRESSION instead
+    * of a plain source column (the per-alternative RUNNING slots — NULL
+    * for events the alternative does not claim).
+    */
+  private def svalsColumn(svalReg: collection.Map[String, Int],
+                          overrides: collection.Map[String, Column] = Map.empty): Column =
     if (svalReg.isEmpty) typedlit(Seq.empty[String])
-    else array(svalReg.keys.toSeq.map(c => col(c).cast("string")): _*)
+    else array(svalReg.keys.toSeq.map(c =>
+      overrides.getOrElse(c, col(c)).cast("string")): _*)
 
   private def streamVariant(spark: SparkSession, q: PatternQuery,
                             steps0: Seq[PatternStep], evs: DataFrame): DataFrame = {
@@ -958,10 +964,12 @@ object PatternCompiler {
     // slot registry: source column -> svals index; refs rewrite to a slot
     // extraction cast back to the column's type
     val svalReg = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    def slot(colName: String): Int = {
-      if (!colTypes.contains(colName.toLowerCase))
-        throw GraftApp.SqlError(s"pattern select references unknown column '$colName'")
-      svalReg.getOrElseUpdate(colName, svalReg.size)
+    def slot(colName: String): Int = svalReg.get(colName) match {
+      case Some(i) => i // already-registered (incl. derived __alt_ slots)
+      case None =>
+        if (!colTypes.contains(colName.toLowerCase))
+          throw GraftApp.SqlError(s"pattern select references unknown column '$colName'")
+        svalReg.getOrElseUpdate(colName, svalReg.size)
     }
     val rewrite = streamRewriter(q, steps0, colTypes, slot)
     val items = q.selectItems.map { case (e, a) => (rewrite(e), a) }
@@ -974,12 +982,37 @@ object PatternCompiler {
     // additionally intern the stream tag: the per-row classifier CASE
     // discriminates alternatives by (stream, predicate). Interning must
     // happen HERE — svalsCol snapshots the registry below.
+    val svalExpr = scala.collection.mutable.LinkedHashMap.empty[String, Column]
     if (q.allRows) {
       evs.columns.filterNot(_.startsWith("__")).foreach(slot)
       if (steps0.exists(_.alts.size > 1)) slot("__stream")
+      // RUNNING over an OR ALTERNATIVE (round 13): the step buffer
+      // interleaves alternatives, so the prefix fold needs per-event
+      // attribution. A dedicated derived slot per (alternative, column) —
+      // the column's value when THIS alternative claims the event
+      // ((stream, local predicate), the same discrimination the per-row
+      // classifier uses), NULL otherwise — lets the fold's existing
+      // NULL-filtering do the attribution. Registered here because the
+      // svals array snapshots the registry below.
+      items.map(_._1.trim).foreach {
+        case RunningMarkerRe(_, v, c) =>
+          steps.find(st => st.alts.size > 1 && st.aliases.contains(v)).foreach { st =>
+            if (!colTypes.contains(c.toLowerCase)) throw GraftApp.SqlError(
+              s"RUNNING aggregate over '$v.$c': '$c' is not a stream column")
+            val cond = st.alts.filter(_.alias == v).map { alt =>
+              val base = col("__stream") === alt.stream
+              alt.pred.map(p => base && expr(p)).getOrElse(base)
+            }.reduce(_ || _)
+            // direct registry write — slot() validates against the SOURCE
+            // schema, which a derived slot is not part of
+            svalExpr.getOrElseUpdate(s"__alt_${v}_$c", when(cond, col(c)))
+            svalReg.getOrElseUpdate(s"__alt_${v}_$c", svalReg.size)
+          }
+        case _ =>
+      }
     }
 
-    val svalsCol = svalsColumn(svalReg)
+    val svalsCol = svalsColumn(svalReg, svalExpr)
 
     // trailing NOT guards get one extra flag bit each, after the step bits;
     // their predicates evaluate as Catalyst columns like step predicates
@@ -1168,13 +1201,13 @@ object PatternCompiler {
       val k = steps.indexWhere(_.aliases.contains(r.v))
       if (k < 0) throw GraftApp.SqlError(
         s"RUNNING aggregate references '${r.v}' which is not a pattern step variable")
-      if (steps(k).alts.size > 1) throw GraftApp.SqlError(
-        s"streaming RUNNING over OR alternative '${r.v}' is not supported — " +
-          "the prefix fold reads the step buffer, which interleaves the " +
-          "alternatives (batch supports it via the per-row classifier)")
       val t = colTypes.getOrElse(r.c.toLowerCase, throw GraftApp.SqlError(
         s"RUNNING ${r.fn}(${r.v}.${r.c}): '${r.c}' is not a stream column"))
-      val s = slot(r.c)
+      // OR step (round 13): the buffer interleaves alternatives, so the
+      // fold reads the DERIVED per-alternative slot (NULL when another
+      // alternative claimed the event) registered in streamVariant —
+      // the existing NULL filtering then does the attribution
+      val s = if (steps(k).alts.size > 1) slot(s"__alt_${r.v}_${r.c}") else slot(r.c)
       val acc =
         if (Set("TINYINT", "SMALLINT", "INT", "BIGINT").contains(t.toUpperCase))
           "BIGINT"

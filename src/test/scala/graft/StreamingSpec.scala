@@ -2164,6 +2164,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("STREAMING MATCH_RECOGNIZE RUNNING over OR alternatives: per-alternative slots, parity with batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val events = in.toDS().toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    // RUNNING count(A.v)/sum(B.v) where A and B are ALTERNATIVES of the
+    // head step: the step buffer holds whichever alternative matched, and
+    // the fold must attribute it per row (round 12 rejected this typed;
+    // batch resolves it via the per-row classifier)
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE,
+        |                   rca BIGINT, rsb DOUBLE, mr_match_number BIGINT,
+        |                   mr_classifier STRING);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES RUNNING count(A.v) AS rca, RUNNING sum(B.v) AS rsb
+        |  ALL ROWS PER MATCH AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN ((A | B) C) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b', C AS C.kind = 'c'
+        |);""".stripMargin
+    val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+    assert(outDf.isStreaming)
+    val q = outDf.writeStream.format("memory").queryName("mr_runor_sink")
+      .outputMode("append").start()
+    def grab(rs: Array[org.apache.spark.sql.Row]) = rs
+      .map(r => (r.getDouble(3), r.getLong(4),
+        if (r.isNullAt(5)) -1.0 else r.getDouble(5), r.getLong(6), r.getString(7)))
+      .sortBy(t => (t._4, t._1))
+    try {
+      in.addData((1L, 7L, "a", 1.0), (2L, 7L, "c", 2.0)); q.processAllAvailable()
+      in.addData((3L, 7L, "b", 3.0), (4L, 7L, "c", 4.0)); q.processAllAvailable()
+      val got = grab(spark.table("mr_runor_sink").collect())
+      // match 1 (a c): A row -> rca=1, rsb NULL; C row -> rca=1, rsb NULL
+      // match 2 (b c): B row -> rca=0, rsb=3.0; C row -> rca=0, rsb=3.0
+      assert(got.toSeq == Seq(
+        (1.0, 1L, -1.0, 1L, "A"), (2.0, 1L, -1.0, 1L, "C"),
+        (3.0, 0L, 3.0, 2L, "B"), (4.0, 0L, 3.0, 2L, "C")),
+        s"got ${got.toSeq}")
+      val tape = Seq((1L, 7L, "a", 1.0), (2L, 7L, "c", 2.0),
+        (3L, 7L, "b", 3.0), (4L, 7L, "c", 4.0))
+        .toDF("sec", "user_id", "kind", "v")
+        .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+          "user_id", "kind", "v")
+      val batch = grab(graft.sql.GraftApp.run(spark, app, Map("E" -> tape))("Out")
+        .collect())
+      assert(got.toSeq == batch.toSeq, s"batch ${batch.toSeq} vs stream ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("STREAMING MATCH_RECOGNIZE RUNNING: prefix re-aggregation from buffered state, parity with batch") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, String, Double)]
