@@ -13,6 +13,53 @@ object SketchQueries extends QueryFamily {
 
   def defs: Seq[QueryDef] = Seq(
 
+    // SQL surface for the sketch family (round 13): the eventflux-SQL app
+    // text a migrating user writes — kmv_distinct(col, k) and
+    // hist_quantile(col, q_pm[, scale]) as GROUP BY aggregates, lowered by
+    // GraftApp.compileQuery to the Sketches OPERATORS (bounded
+    // per-(partition,group) state), mixed with a plain count(*) that rides
+    // the normal grouped path and joins back on the group spine. The
+    // oracle replays the md5-60 bottom-k estimator and the integer
+    // histogram-quantile rule per group.
+    QueryDef(
+      "q_sketch_sql",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (etype STRING, n BIGINT, du BIGINT, p50 DOUBLE);
+            |INSERT INTO Out SELECT event_type AS etype, count(*) AS n,
+            |  kmv_distinct(user_id, 64) AS du,
+            |  hist_quantile(value, 500, 100) AS p50
+            |FROM events GROUP BY event_type ORDER BY etype;""".stripMargin
+        graft.sql.GraftApp.run(s, app,
+          Map("events" -> Tables(s, dir, "events")))("Out")
+          .orderBy(col("etype"))
+      },
+      Some("""WITH h AS (SELECT DISTINCT event_type AS key,
+             |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+             |  FROM events WHERE user_id IS NOT NULL),
+             |r AS (SELECT key, hv, row_number() OVER (PARTITION BY key ORDER BY hv) AS rn FROM h),
+             |du AS (SELECT key, CAST(count(*) AS BIGINT) AS k_used, max(hv) AS kth
+             |       FROM r WHERE rn <= 64 GROUP BY key),
+             |duv AS (SELECT key,
+             |  CASE WHEN k_used < 64 THEN k_used
+             |       ELSE CAST(round(63.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE)) AS BIGINT) END AS du
+             |  FROM du),
+             |b AS (SELECT event_type AS key, CAST(floor(value * 100) AS BIGINT) AS bucket
+             |      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+             |bc AS (SELECT key, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+             |cum AS (SELECT key, bucket, sum(cnt) OVER (PARTITION BY key ORDER BY bucket) AS cum,
+             |               sum(cnt) OVER (PARTITION BY key) AS nn FROM bc),
+             |p50 AS (SELECT key, min(bucket) AS bucket FROM cum
+             |        WHERE cum >= greatest(1, (500 * nn + 999) // 1000) GROUP BY key),
+             |n AS (SELECT event_type AS key, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1)
+             |SELECT n.key AS etype, n.n,
+             |       duv.du, CAST(p50.bucket AS DOUBLE) / 100 AS p50
+             |FROM n LEFT JOIN duv ON duv.key = n.key
+             |       LEFT JOIN p50 ON p50.key = n.key
+             |ORDER BY etype""".stripMargin)),
+
     // KMV bottom-k distinct estimation over two key columns of events:
     // user_id (1.5k distinct at sf0.1 — estimated from 64 hashes) and
     // event_id (100k distinct — estimated from 256). DuckDB replays the

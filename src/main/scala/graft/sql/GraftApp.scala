@@ -2572,6 +2572,120 @@ object GraftApp {
           .filter(col("__rate_rn") === 1).drop("__rate_rn")
       }
     }
+    // Sketch aggregate spellings (round 13): kmv_distinct(col, k),
+    // hist_quantile(col, q_pm[, scale]), heavy_hitters(col, k) — the SQL
+    // face of the graft.operators.Sketches family, lowered to the
+    // OPERATORS (bounded per-(partition,group) state, KB-sized exchange),
+    // NOT to a collect_set-style expression that would hold a group's
+    // distinct set in memory. One row per group; group coverage follows
+    // GROUP BY parity via a distinct-key spine left-joined to each
+    // sketch's result (quantiles drop all-NULL groups, KMV drops NULL
+    // member keys — the spine restores the group row with a NULL measure).
+    locally {
+      val sketchRe =
+        """(?i)^(kmv_distinct|hist_quantile|heavy_hitters)\s*\(\s*(\w+)\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)$""".r
+      val sk = q.selectItems.flatMap { case (e, a) =>
+        sketchRe.findFirstMatchIn(e.trim).map(m =>
+          (m.group(1).toLowerCase, m.group(2), m.group(3).toInt,
+            Option(m.group(4)).map(_.toInt), a.getOrElse(e.trim)))
+      }
+      if (sk.nonEmpty) {
+        if (df.isStreaming) throw SqlError(
+          "sketch aggregates (kmv_distinct/hist_quantile/heavy_hitters) " +
+            "are batch-surface — stream into a table and query that")
+        if (q.window.isDefined) throw SqlError(
+          "sketch aggregates do not compose with WINDOW clauses — drop the " +
+            "window or use the plain aggregate family")
+        if (q.having.isDefined) throw SqlError(
+          "HAVING over sketch aggregates is not supported — filter the " +
+            "result downstream (INSERT INTO a stream and SELECT ... WHERE)")
+        if (q.groupBy.size > 1) throw SqlError(
+          "sketch aggregates take at most ONE GROUP BY key — concat keys " +
+            "into one column upstream for composite grouping")
+        q.groupBy.headOption.filterNot(_.matches("\\w+")).foreach(g =>
+          throw SqlError(s"sketch aggregates need a plain column GROUP BY " +
+            s"key, got '$g' — materialize the expression upstream"))
+        sk.foreach { case (fn, c, p1, p2, _) =>
+          if (!df.columns.exists(_.equalsIgnoreCase(c))) throw SqlError(
+            s"$fn references unknown column '$c'")
+          fn match {
+            case "kmv_distinct" => if (p1 < 2) throw SqlError(
+              s"kmv_distinct(col, k): k must be >= 2, got $p1")
+            case "hist_quantile" =>
+              if (p1 < 1 || p1 > 1000) throw SqlError(
+                s"hist_quantile(col, q_pm): q_pm is per-mille in [1,1000], got $p1")
+              if (p2.exists(_ < 1)) throw SqlError(
+                s"hist_quantile(col, q_pm, scale): scale must be >= 1, got ${p2.get}")
+            case _ => if (p1 < 1) throw SqlError(
+              s"heavy_hitters(col, k): k must be >= 1, got $p1")
+          }
+        }
+        val gOpt = q.groupBy.headOption
+        import graft.operators.Sketches
+        def sketchOf(fn: String, c: String, p1: Int, p2: Option[Int],
+                     alias: String): DataFrame = (fn, gOpt) match {
+          case ("kmv_distinct", Some(g)) =>
+            Sketches.kmvDistinctBy(df, g, c, p1)
+              .select(col("key").as("__skk"), col("est_distinct").as(alias))
+          case ("kmv_distinct", None) =>
+            Sketches.kmvDistinct(df, c, p1).select(col("est_distinct").as(alias))
+          case ("hist_quantile", Some(g)) =>
+            Sketches.quantilesBy(df, g, c, Seq(p1), p2.getOrElse(100))
+              .select(col("key").as("__skk"), col("value").as(alias))
+          case ("hist_quantile", None) =>
+            Sketches.quantiles(df, c, Seq(p1), p2.getOrElse(100))
+              .select(col("value").as(alias))
+          case ("heavy_hitters", Some(g)) =>
+            // per-group key LIST, count-desc then key (the operator's own
+            // order), packed so the result is one row per group
+            Sketches.heavyHittersBy(df, g, c, p1)
+              .groupBy(col("grp").as("__skk"))
+              .agg(expr("transform(array_sort(collect_list(" +
+                "named_struct('nc', -cnt, 'k', key))), x -> x.k)").as(alias))
+          case ("heavy_hitters", None) =>
+            Sketches.heavyHitters(df, c, p1)
+              .agg(expr("transform(array_sort(collect_list(" +
+                "named_struct('nc', -cnt, 'k', key))), x -> x.k)").as(alias))
+        }
+        val result = gOpt match {
+          case Some(g) =>
+            // group spine: every input group appears once, original type
+            val spine = df.select(col(g)).distinct()
+              .withColumn("__skk0", col(g).cast("string"))
+            var joined = sk.foldLeft(spine) { case (acc, (fn, c, p1, p2, alias)) =>
+              acc.join(sketchOf(fn, c, p1, p2, alias),
+                col("__skk0") <=> col("__skk"), "left").drop("__skk")
+            }
+            // non-sketch aggregates ride the normal grouped path and join
+            // back on the same spine key
+            val normal = q.selectItems.filter { case (e, a) =>
+              sketchRe.findFirstMatchIn(e.trim).isEmpty &&
+                !e.trim.equalsIgnoreCase(g) && !a.exists(_.equalsIgnoreCase(g))
+            }
+            if (normal.nonEmpty) {
+              val aggCols = normal.map { case (e, a) => uexpr(e).as(a.getOrElse(e)) }
+              val nd = df.groupBy(col(g).cast("string").as("__skkn")).agg(
+                aggCols.head, aggCols.tail: _*)
+              joined = joined.join(nd, col("__skk0") <=> col("__skkn"), "left")
+                .drop("__skkn")
+            }
+            val outCols = q.selectItems.map { case (e, a) =>
+              if (e.trim.equalsIgnoreCase(g)) col(g).as(a.getOrElse(g))
+              else col(sketchRe.findFirstMatchIn(e.trim)
+                .map(_ => a.getOrElse(e.trim)).getOrElse(a.getOrElse(e)))
+            }
+            joined.select(outCols: _*)
+          case None =>
+            if (q.selectItems.size != sk.size) throw SqlError(
+              "sketch aggregates without GROUP BY must be the entire select " +
+                "list (mixing with other global aggregates is not supported " +
+                "— add a GROUP BY or split the query)")
+            sk.map { case (fn, c, p1, p2, alias) => sketchOf(fn, c, p1, p2, alias) }
+              .reduce(_.crossJoin(_))
+        }
+        return finishOrderLimit(if (q.distinct) result.dropDuplicates() else result, q)
+      }
+    }
     // STREAMING kernel windows: per-event window kinds over an unbounded
     // input lower to the graft.streaming keyed-state kernels — the batch
     // frame/rank rewrites below are not streaming-legal. Time-horizon kinds

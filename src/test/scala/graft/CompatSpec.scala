@@ -1891,4 +1891,73 @@ class CompatSpec extends AnyFunSuite {
     assert(out.count(_.op == 1) == 3 && out.count(_.op == -1) == 0)
     assert(buf.events.length == 3)
   }
+
+  // ---- sketch aggregate SQL spellings (round 13): the app-text face of
+  // graft.operators.Sketches — lowered to the operators, so the SQL result
+  // must equal the operator's own output; bad arity/types/placement die
+  // typed at compile, never at Spark analysis.
+  test("sketch SQL: heavy_hitters list equals the operator; rejections are typed") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = (1 to 400).map(i => (i.toLong, "t" + (i % 3),
+      if (i % 5 != 0) 7L else i.toLong, i / 10.0)) // user 7 dominates
+    val ev = rows.toDF("event_id", "user_id0", "uid", "value")
+      .selectExpr("event_id", "CAST(timestamp_seconds(event_id) AS TIMESTAMP) AS ts",
+        "uid AS user_id", "user_id0 AS event_type", "value", "'{}' AS props")
+    def app(select: String, group: String = "GROUP BY event_type") =
+      s"""CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+         |                      event_type STRING, value DOUBLE, props STRING);
+         |CREATE STREAM Out (etype STRING, hh STRING);
+         |INSERT INTO Out SELECT event_type AS etype, $select AS hh
+         |FROM events $group ORDER BY etype;""".stripMargin
+    // list parity with heavyHittersBy (count-desc then key — the
+    // operator's own order), read back as the packed array
+    val got = GraftApp.run(spark,
+      app("heavy_hitters(user_id, 4)"), Map("events" -> ev))("Out")
+      .select(col("etype"), col("hh").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val op = graft.operators.Sketches.heavyHittersBy(ev, "event_type", "user_id", 4)
+      .groupBy(col("grp"))
+      .agg(expr("transform(array_sort(collect_list(named_struct('nc', -cnt, 'k', key))), x -> x.k)").as("hh"))
+      .select(col("grp"), col("hh").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(got == op, s"sql $got vs operator $op")
+    // user 7 dominates every group
+    assert(got.forall(_._2.contains("7")))
+
+    def err(a: String): String =
+      intercept[GraftApp.SqlError](GraftApp.run(spark, a, Map("events" -> ev)))
+        .getMessage
+    // bad arity / types / ranges
+    assert(err(app("kmv_distinct(user_id, 1)")).contains("k must be >= 2"))
+    assert(err(app("hist_quantile(value, 0)")).contains("per-mille"))
+    assert(err(app("hist_quantile(value, 1001)")).contains("per-mille"))
+    assert(err(app("hist_quantile(value, 500, 0)")).contains("scale"))
+    assert(err(app("heavy_hitters(user_id, 0)")).contains("k must be >= 1"))
+    assert(err(app("kmv_distinct(nosuch, 64)")).contains("unknown column"))
+    // placement gates
+    assert(err(app("kmv_distinct(user_id, 64)",
+      "GROUP BY event_type, user_id")).contains("ONE GROUP BY key"))
+    assert(err(app("kmv_distinct(user_id, 64)",
+      "GROUP BY event_type HAVING hh > 1")).contains("HAVING"))
+    // global form must be the whole select list
+    val mixed =
+      """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+        |                      event_type STRING, value DOUBLE, props STRING);
+        |CREATE STREAM Out (n BIGINT, du BIGINT);
+        |INSERT INTO Out SELECT count(*) AS n, kmv_distinct(user_id, 64) AS du
+        |FROM events;""".stripMargin
+    assert(err(mixed).contains("entire select list"))
+    // global single-sketch form works and equals the operator
+    val glob =
+      """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+        |                      event_type STRING, value DOUBLE, props STRING);
+        |CREATE STREAM Out (du BIGINT);
+        |INSERT INTO Out SELECT kmv_distinct(user_id, 64) AS du FROM events;""".stripMargin
+    val gGot = GraftApp.run(spark, glob, Map("events" -> ev))("Out")
+      .collect().map(_.getLong(0)).toSeq
+    val gOp = graft.operators.Sketches.kmvDistinct(ev, "user_id", 64)
+      .select(col("est_distinct")).collect().map(_.getLong(0)).toSeq
+    assert(gGot == gOp)
+  }
 }
