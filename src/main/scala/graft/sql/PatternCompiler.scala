@@ -809,13 +809,27 @@ object PatternCompiler {
         "that stops receiving events would hold its last matches forever " +
         "(the WITHIN window bounds the emission delay)")
     if (q.allRows) {
-      // streaming EMIT ALL ROWS (round 12): the NFA already buffers every
-      // matched event with its svals slots — per-event emission explodes
-      // state already held. Single-chain only: multi-variant padding and
-      // guard-killed matches have no defined per-event classifier/number.
-      if (q.variants.size > 1) throw GraftApp.SqlError(
-        "streaming EMIT ALL ROWS supports a single pattern chain — AND " +
-          "patterns and zero-min quantifiers (?, *, {0,n}) are batch-only")
+      // streaming EMIT ALL ROWS (round 12; round 13 extends to
+      // multi-variant): the NFA already buffers every matched event with
+      // its svals slots — per-event emission explodes state already held.
+      if (q.variants.size > 1) {
+        // AND / zero-min patterns: matches carry a variant tag; emission
+        // resolves classifiers per (variant, step) and mr_match_number is
+        // a per-key ordinal SHARED across variants, which needs the
+        // WITHIN-timed kernel (Cep.detectStreamMultiAllRows)
+        if (q.withinUs.isEmpty) throw GraftApp.SqlError(
+          "streaming EMIT ALL ROWS over AND / zero-min patterns needs a " +
+            "time WITHIN (state hygiene for the shared match counter)")
+        if (q.allRowsUnmatched) throw GraftApp.SqlError(
+          "WITH UNMATCHED ROWS over AND / zero-min patterns is batch-only " +
+            "— per-variant claims have no single watermark-provable row " +
+            "eligibility")
+        if (q.selectItems.exists(it =>
+            RunningMarkerRe.findFirstMatchIn(it._1.trim).isDefined))
+          throw GraftApp.SqlError(
+            "streaming RUNNING measures over AND / zero-min patterns are " +
+              "batch-only — the prefix fold is defined per variant chain")
+      }
       if (q.absents.nonEmpty) throw GraftApp.SqlError(
         "streaming EMIT ALL ROWS with absent (NOT) guards is batch-only — " +
           "a guard-killed match would leave a gap in mr_match_number")
@@ -1352,6 +1366,14 @@ object PatternCompiler {
     }
     val whereRw = q.where.map(w => caseOf(rewrites.map(_(w))))
 
+    // EMIT ALL ROWS (round 13, multi-variant): the per-event output
+    // reconstructs the source row from svals slots — intern every source
+    // column, plus the stream tag when any step has OR alternatives
+    if (q.allRows) {
+      evs.columns.filterNot(_.startsWith("__")).foreach(slot)
+      if (q.variants.exists(_.exists(_.alts.size > 1))) slot("__stream")
+    }
+
     val cepIn = evs.withColumn("__bits", mb.bitsCol).select(
         col("__key").as("key"),
         unix_micros(col("ts")).as("tsUs"),
@@ -1368,15 +1390,120 @@ object PatternCompiler {
         "no event is ever dropped as late; add WITHIN <d> to bound state " +
         "and activate the lateness contract")
     var out =
-      (if (q.withinUs.isDefined)
+      (if (q.allRows)
+         // shared per-key match ordinal across variants (mr_match_number)
+         Cep.detectStreamMultiAllRows(cepIn, mb.specs, lateness)
+       else if (q.withinUs.isDefined)
          Cep.detectStreamMultiWithTimeout(cepIn, mb.specs, lateness)
        else Cep.detectStreamMulti(cepIn, mb.specs))
         .toDF()
     whereRw.foreach(w => out = out.filter(expr(w)))
+    if (q.allRows)
+      return emitAllRowsStreamMulti(q, out, evs, colTypes, slot, items)
     out.select(items.map {
       case (e, Some(a)) => expr(e).as(a)
       case (e, None) => expr(e)
     }: _*)
+  }
+
+  /** Streaming `EMIT ALL ROWS` over a MULTI-VARIANT pattern family (AND
+    * arrival orderings, zero-min presence pairs — round 13): one output
+    * row per matched event, like [[emitAllRowsStream]], but the match
+    * relation carries a variant tag and the per-variant chains differ in
+    * length and step identity. One inline explode over the match's steps
+    * (single kernel instance — see the single-chain scaladoc for why the
+    * per-branch union is both a correctness and a state-cost bug);
+    * `mr_classifier` resolves as a CASE over (variant, step position)
+    * with OR alternatives discriminated by (stream, local predicate) like
+    * the single-chain path; `mr_match_number` is the kernel's per-key
+    * ordinal SHARED across variants. Measures keep FINAL semantics: the
+    * per-variant CASE texts evaluate on the match relation before the
+    * explode (a variant lacking an alias NULL-pads its branch, exactly
+    * like the ONE ROW lowering). RUNNING and WITH UNMATCHED are typed
+    * batch-only here (gated upstream).
+    */
+  private def emitAllRowsStreamMulti(q: PatternQuery, matches: DataFrame,
+                                     evs: DataFrame,
+                                     colTypes: Map[String, String],
+                                     slot: String => Int,
+                                     items: Seq[(String, Option[String])]): DataFrame = {
+    val allAliases = q.variants.flatten.flatMap(_.aliases).distinct
+    q.allRowsExcluding.find(v => !allAliases.contains(v)).foreach(v =>
+      throw GraftApp.SqlError(
+        s"EXCLUDING names '$v' which is not a pattern step variable"))
+    val hasOr = q.variants.exists(_.exists(_.alts.size > 1))
+    // marker kinds from the RAW select texts (markers are whole
+    // expressions, variant-invariant, and survive the per-variant CASE
+    // rewrite untouched); RUNNING was rejected at the gate
+    sealed trait MKind
+    case object MNormal extends MKind
+    case object MCls extends MKind
+    case object MNum extends MKind
+    val kinds: Seq[(MKind, String)] = q.selectItems.zip(items).map {
+      case ((raw, a0), (_, a)) =>
+        val alias = a.orElse(a0).getOrElse(raw.trim)
+        raw.trim.toLowerCase match {
+          case "__mr_classifier" => (MCls, alias)
+          case "__mr_match_number" => (MNum, alias)
+          case _ => (MNormal, alias)
+        }
+    }
+    val normalCols = items.zip(kinds).collect { case ((e, a), (MNormal, al)) =>
+      expr(e).as(a.getOrElse(al)) }
+    val measureNames = kinds.map(_._2)
+    val evCols = evs.columns.filterNot(_.startsWith("__")).toSeq
+    val clash = measureNames.intersect(evCols)
+    if (clash.nonEmpty) throw GraftApp.SqlError(
+      s"EMIT ALL ROWS: measure alias(es) ${clash.mkString(", ")} collide " +
+        "with the stream's own columns (every input column is emitted per " +
+        "matched row) — rename the measure")
+    (measureNames ++ evCols).find(n =>
+      n.equalsIgnoreCase("mr_classifier") || n.equalsIgnoreCase("mr_match_number"))
+      .foreach(n => throw GraftApp.SqlError(
+        s"EMIT ALL ROWS reserves the output column name '$n'"))
+    val exploded = matches.select(normalCols ++ Seq(
+      col("matchSeq").as("mr_match_number"),
+      col("variant").as("__variant"),
+      expr("inline(flatten(transform(steps, (s, si) -> " +
+        "transform(s.events, (e, p) -> " +
+        "named_struct('__stepIdx', si, '__pos', p, '__ev', e)))))")): _*)
+    val srcCols = evCols.map(c =>
+      expr(s"CAST(__ev.svals[${slot(c)}] AS ${colTypes(c.toLowerCase)})").as(c))
+    val streamTag =
+      if (hasOr) Seq(expr(s"CAST(__ev.svals[${slot("__stream")}] AS STRING)")
+        .as("__stream"))
+      else Nil
+    val matCols = kinds.collect { case (MNormal, n) => col(n) }
+    val withSrc = exploded.select(srcCols ++ matCols ++
+      Seq(col("mr_match_number"), col("__variant"), col("__stepIdx")) ++ streamTag: _*)
+    // classifier: (variant, step position) → the variant chain's alias at
+    // that position; OR steps discriminate alternatives like single-chain
+    val clsCol = q.variants.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (chain, vi)) =>
+        val inner = chain.zipWithIndex.foldLeft(lit(null).cast("string")) {
+          case (acc2, (st, si)) =>
+            val stepCls =
+              if (st.alts.size == 1) lit(st.alts.head.alias)
+              else st.alts.foldRight(lit(null).cast("string")) { (alt, a2) =>
+                val cond = col("__stream") === alt.stream &&
+                  alt.pred.map(p => expr(p)).getOrElse(lit(true))
+                when(cond, lit(alt.alias)).otherwise(a2)
+              }
+            when(col("__stepIdx") === si, stepCls).otherwise(acc2)
+        }
+        when(col("__variant") === vi, inner).otherwise(acc)
+    }
+    val rowsCls = withSrc.withColumn("mr_classifier", clsCol)
+    val kept =
+      if (q.allRowsExcluding.isEmpty) rowsCls
+      else rowsCls.filter(!col("mr_classifier").isin(q.allRowsExcluding: _*))
+    val mCols = kinds.map {
+      case (MCls, a) => col("mr_classifier").as(a)
+      case (MNum, a) => col("mr_match_number").as(a)
+      case (MNormal, n) => col(n)
+    }
+    kept.select(evCols.map(col) ++ mCols ++
+      Seq(col("mr_match_number"), col("mr_classifier")): _*)
   }
 
   // ---- predicate classification shared by the batch and streaming paths:

@@ -56,9 +56,13 @@ final case class CepMatch(key: String, startUs: Long, endUs: Long,
                           steps: Seq[Collected], matchSeq: Long = 0L)
 /** A [[CepMatch]] tagged with the index of the variant NFA that emitted it
   * (multi-variant patterns: AND arrival orderings, min=0 presence pairs).
+  * `matchSeq`: per-key ordinal SHARED across variants, assigned in
+  * conclusive-emission order by [[Cep.detectStreamMultiAllRows]] (streaming
+  * EMIT ALL ROWS' mr_match_number); 0 from the other detect kernels.
   */
 final case class VariantMatch(variant: Int, key: String, startUs: Long,
-                              endUs: Long, steps: Seq[Collected])
+                              endUs: Long, steps: Seq[Collected],
+                              matchSeq: Long = 0L)
 
 /** One pattern step. `pred` sees the candidate event and all events
   * collected so far (indexed [stepIdx][arrivalIdx]) for cross-step
@@ -639,6 +643,75 @@ object Cep {
           if (sts.forall(_.partials.isEmpty) && !latched(sts)) state.remove()
           else { state.update(MultiNfaState(sts)); schedule(state, sts) }
           results.iterator.flatMap(_._1)
+        }
+    }
+  }
+
+  /** State of [[detectStreamMultiAllRows]]: every variant's NFA state plus
+    * the per-key match ordinal SHARED across variants (streaming EMIT ALL
+    * ROWS' mr_match_number must number a key's matches once, not per
+    * variant — two variants' counters would collide).
+    */
+  final case class MultiSeqState(states: Seq[NfaState], shared: Long)
+
+  /** [[detectStreamMultiWithTimeout]] for the EMIT ALL ROWS lowering: the
+    * same shared-pass variant fold and watermark hygiene, plus a per-key
+    * match ordinal shared across variants — each batch's matches (all
+    * variants) sort by (endUs, startUs, variant) and number through one
+    * counter carried in [[MultiSeqState]]. Completion-order numbering,
+    * exactly like the single-chain kernel's matchSeq (batch numbers by
+    * start position instead; the orders differ only for overlapping
+    * matches). The counter latches the state shell once any match emitted
+    * (the retainMatchSeq discipline) so numbers never restart mid-stream.
+    */
+  def detectStreamMultiAllRows(ds: Dataset[CepEvent], specs: Seq[PatternSpec],
+                               watermarkDelay: String): Dataset[VariantMatch] = {
+    val withinUs = specs.head.withinUs.getOrElse(
+      throw new IllegalArgumentException("detectStreamMultiAllRows requires withinUs"))
+    implicit val vmEnc: Encoder[VariantMatch] = Encoders.product[VariantMatch]
+    implicit val msEnc: Encoder[MultiSeqState] = Encoders.product[MultiSeqState]
+    val withTime = ds.toDF()
+      .withColumn("eventTime", timestamp_micros(col("tsUs")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[CepEvent](evEnc)
+    def emptySt = MultiSeqState(specs.map(_ => NfaState(Nil, done = false)), 0L)
+    def latched(sts: Seq[NfaState]): Boolean =
+      sts.zip(specs).exists { case (s, spec) => s.done && !spec.every }
+    def schedule(state: GroupState[MultiSeqState], sts: Seq[NfaState]): Unit = {
+      val deadlines = sts.flatMap(_.partials.map(p => ceilMs(p.startUs + withinUs)))
+      if (deadlines.nonEmpty) state.setTimeoutTimestamp(
+        math.max(deadlines.max, state.getCurrentWatermarkMs() + 1))
+    }
+    withTime.groupByKey(_.key).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (_: String, it: Iterator[CepEvent], state: GroupState[MultiSeqState]) =>
+        val st = state.getOption.getOrElse(emptySt)
+        if (state.hasTimedOut) {
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val sts = st.states.map(s =>
+            s.copy(partials = s.partials.filter(p => p.startUs + withinUs >= wmUs)))
+          if (sts.forall(_.partials.isEmpty) && !latched(sts) && st.shared == 0)
+            state.remove()
+          else { state.update(MultiSeqState(sts, st.shared)); schedule(state, sts) }
+          Iterator.empty
+        } else {
+          val evs = it.toSeq.sortBy(e => (e.tsUs, e.eventId))
+          val results = specs.zip(st.states).zipWithIndex.map { case ((spec, s0), vi) =>
+            val (out, s1) = runNfa(evs, s0, spec)
+            (out.map(m => (vi, m)), s1)
+          }
+          var shared = st.shared
+          val numbered = results.flatMap(_._1)
+            .sortBy { case (vi, m) => (m.endUs, m.startUs, vi) }
+            .map { case (vi, m) =>
+              shared += 1
+              VariantMatch(vi, m.key, m.startUs, m.endUs, m.steps, shared)
+            }
+          val sts = results.map(_._2)
+          if (sts.forall(_.partials.isEmpty) && !latched(sts) && shared == 0)
+            state.remove()
+          else { state.update(MultiSeqState(sts, shared)); schedule(state, sts) }
+          numbered.iterator
         }
     }
   }

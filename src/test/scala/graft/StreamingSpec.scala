@@ -1817,12 +1817,18 @@ class StreamingSpec extends AnyFunSuite {
         "B AS B.kind = 'b' AND B.v > PREV(B.v)"),
       Map("E" -> events)))
     assert(navDef.getMessage.contains("batch-only"))
-    // ALL ROWS PER MATCH now streams for a single chain (see the parity
-    // test); the zero-min-quantifier multi-variant form stays batch-only
+    // ALL ROWS PER MATCH streams for single chains AND (round 13) for
+    // zero-min multi-variant forms under a WITHIN; WITHOUT the WITHIN the
+    // multi-variant form has no shared-counter hygiene — typed
     val allRowsOpt = intercept[graft.sql.GraftApp.SqlError](graft.sql.GraftApp.run(
-      spark, mk("A.v AS a_v", "ALL ROWS PER MATCH", "A B?", "B AS B.kind = 'b'"),
+      spark, mk("A.v AS a_v", "ALL ROWS PER MATCH", "A B?", "B AS B.kind = 'b'")
+        .replace(" WITHIN INTERVAL '1' HOUR", ""),
       Map("E" -> events)))
-    assert(allRowsOpt.getMessage.contains("batch-only"))
+    assert(allRowsOpt.getMessage.contains("WITHIN"))
+    // with the WITHIN it compiles to a streaming plan
+    assert(graft.sql.GraftApp.run(
+      spark, mk("A.v AS a_v", "ALL ROWS PER MATCH", "A B?", "B AS B.kind = 'b'"),
+      Map("E" -> events))("Out").isStreaming)
     // streaming SKIP PAST LAST ROW works WITH a WITHIN (see its own test);
     // without one there is no flush deadline — typed
     val skipPastNoWithin = intercept[graft.sql.GraftApp.SqlError](graft.sql.GraftApp.run(
@@ -2162,6 +2168,93 @@ class StreamingSpec extends AnyFunSuite {
         .collect())
       assert(got.toSeq == batch.toSeq)
     } finally q.stop()
+  }
+
+  test("STREAMING MATCH_RECOGNIZE ALL ROWS over zero-min patterns: variant classifier, shared match numbers, parity with batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val events = in.toDS().toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    // B? expands to the [A B C] / [A C] variant pair — round 12 rejected
+    // this shape typed on streams
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE,
+        |                   b_v DOUBLE, mr_match_number BIGINT, mr_classifier STRING);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES B.v AS b_v
+        |  ALL ROWS PER MATCH AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A B? C) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b', C AS C.kind = 'c'
+        |);""".stripMargin
+    val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+    assert(outDf.isStreaming)
+    val q = outDf.writeStream.format("memory").queryName("mr_multirows_sink")
+      .outputMode("append").start()
+    def grab(rs: Array[org.apache.spark.sql.Row]) = rs
+      .map(r => (r.getString(2), r.getDouble(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4), r.getLong(5), r.getString(6)))
+      .sortBy(t => (t._4, t._2))
+    // tape: a b c (the WITH-B variant), x, a c (the no-B variant) — the
+    // two matches are disjoint, so completion order equals start order
+    // and the batch/stream numbering coincides
+    val tapeRows = Seq((1L, 7L, "a", 1.0), (2L, 7L, "b", 2.0), (3L, 7L, "c", 3.0),
+      (4L, 7L, "x", 0.0), (5L, 7L, "a", 4.0), (6L, 7L, "c", 5.0))
+    try {
+      in.addData(tapeRows.take(3): _*); q.processAllAvailable()
+      in.addData(tapeRows.drop(3): _*); q.processAllAvailable()
+      val got = grab(spark.table("mr_multirows_sink").collect())
+      assert(got.toSeq == Seq(
+        ("a", 1.0, 2.0, 1L, "A"), ("b", 2.0, 2.0, 1L, "B"), ("c", 3.0, 2.0, 1L, "C"),
+        ("a", 4.0, -1.0, 2L, "A"), ("c", 5.0, -1.0, 2L, "C")), s"got ${got.toSeq}")
+      val tape = tapeRows
+        .toDF("sec", "user_id", "kind", "v")
+        .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+          "user_id", "kind", "v")
+      val batch = grab(graft.sql.GraftApp.run(spark, app, Map("E" -> tape))("Out")
+        .collect())
+      assert(got.toSeq == batch.toSeq, s"batch ${batch.toSeq} vs stream ${got.toSeq}")
+    } finally q.stop()
+
+    // zero-or-more B*: overlapping presence-pair matches SHARE the anchor;
+    // the shared counter numbers them per key in completion order, and the
+    // row contents (ignoring numbering order) must be the batch's
+    val in2 = MemoryStream[(Long, Long, String, Double)]
+    val events2 = in2.toDS().toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val app2 = app.replace("PATTERN (A B? C)", "PATTERN (A B*)")
+      .replace(", C AS C.kind = 'c'", "")
+    val outDf2 = graft.sql.GraftApp.run(spark, app2, Map("E" -> events2))("Out")
+    val q2 = outDf2.writeStream.format("memory").queryName("mr_multirows2_sink")
+      .outputMode("append").start()
+    try {
+      in2.addData((1L, 7L, "a", 1.0), (2L, 7L, "b", 2.0), (3L, 7L, "b", 3.0))
+      q2.processAllAvailable()
+      val got2 = grab(spark.table("mr_multirows2_sink").collect())
+      // 3 matches: [a], [a b], [a b b] — 1 + 2 + 3 = 6 rows; per-row
+      // classifier resolves the variant; numbers are per completion
+      assert(got2.length == 6, s"got ${got2.toSeq}")
+      assert(got2.map(_._4).distinct.sorted.toSeq == Seq(1L, 2L, 3L))
+      val grouped = got2.groupBy(_._4).map { case (_, rs) =>
+        rs.map(t => (t._1, t._2, t._5)).sortBy(_._2).toSeq }.toSet
+      assert(grouped == Set(
+        Seq(("a", 1.0, "A")),
+        Seq(("a", 1.0, "A"), ("b", 2.0, "B")),
+        Seq(("a", 1.0, "A"), ("b", 2.0, "B"), ("b", 3.0, "B"))), s"got $grouped")
+      // batch multiset parity (numbering differs only in tie order)
+      val tape2 = Seq((1L, 7L, "a", 1.0), (2L, 7L, "b", 2.0), (3L, 7L, "b", 3.0))
+        .toDF("sec", "user_id", "kind", "v")
+        .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+          "user_id", "kind", "v")
+      val batch2 = grab(graft.sql.GraftApp.run(spark, app2, Map("E" -> tape2))("Out")
+        .collect())
+      val bGrouped = batch2.groupBy(_._4).map { case (_, rs) =>
+        rs.map(t => (t._1, t._2, t._5)).sortBy(_._2).toSeq }.toSet
+      assert(grouped == bGrouped, s"batch $bGrouped vs stream $grouped")
+    } finally q2.stop()
   }
 
   test("STREAMING MATCH_RECOGNIZE RUNNING over OR alternatives: per-alternative slots, parity with batch") {
