@@ -830,9 +830,16 @@ object PatternCompiler {
             "streaming RUNNING measures over AND / zero-min patterns are " +
               "batch-only — the prefix fold is defined per variant chain")
       }
-      if (q.absents.nonEmpty) throw GraftApp.SqlError(
-        "streaming EMIT ALL ROWS with absent (NOT) guards is batch-only — " +
-          "a guard-killed match would leave a gap in mr_match_number")
+      // absent guards stream with ALL ROWS (round 13): mid-chain guards
+      // kill PARTIALS (pre-completion — no numbering gap), and the
+      // trailing-absent kernel now assigns mr_match_number at CONCLUSIVE
+      // flush (after the FOR deadlines), so guard-killed matches never gap
+      // the sequence. UNMATCHED + guards stays batch-only: the unmatched
+      // kernel has no guard machinery.
+      if (q.allRowsUnmatched && q.absents.nonEmpty) throw GraftApp.SqlError(
+        "streaming WITH UNMATCHED ROWS with absent (NOT) guards is " +
+          "batch-only — row eligibility under guard-delayed claims has no " +
+          "single watermark proof")
       if (q.allRowsUnmatched && q.withinUs.isEmpty) throw GraftApp.SqlError(
         "streaming WITH UNMATCHED ROWS needs a time WITHIN: a row is " +
           "provably unmatched only once the watermark passes row_ts + " +
@@ -1109,7 +1116,8 @@ object PatternCompiler {
              (steps.indexWhere(_.aliases.contains(alias)), isFirst)
            })
        else if (guards.nonEmpty)
-         Cep.detectStreamWithTrailingAbsents(cepIn, spec, guards, lateness)
+         Cep.detectStreamWithTrailingAbsents(cepIn, spec, guards, lateness,
+           retainMatchSeq = q.allRows)
        else if (q.withinUs.isDefined)
          // WITHIN bounds state-store growth only if idle keys are purged:
          // route through the event-time-timeout NFA (the reference's

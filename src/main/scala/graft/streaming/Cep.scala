@@ -1047,11 +1047,22 @@ object Cep {
   final case class TrailingAbsent(pred: CepEvent => Boolean, forUs: Long)
     extends Serializable
 
-  /** NFA state + completed base matches awaiting their absence deadlines. */
-  final case class AbsentChainState(nfa: NfaState, pending: Seq[CepMatch])
+  /** NFA state + completed base matches awaiting their absence deadlines.
+    * `seq` (round 13): per-key CONCLUSIVE-emission ordinal — matchSeq is
+    * assigned when a pending match survives its deadlines, not when the
+    * NFA completes it, so guard-KILLED matches leave no gap in
+    * mr_match_number (the reason streaming ALL ROWS + trailing NOT was
+    * batch-only before). State schema v12.
+    */
+  final case class AbsentChainState(nfa: NfaState, pending: Seq[CepMatch],
+                                    seq: Long)
 
+  /** `retainMatchSeq`: keep the per-key shell once any match emitted so
+    * the conclusive ordinal never restarts (streaming EMIT ALL ROWS'
+    * mr_match_number contract — same flag as the other kernels). */
   def detectStreamWithTrailingAbsents(ds: Dataset[CepEvent], spec: PatternSpec,
-      guards: Seq[TrailingAbsent], watermarkDelay: String): Dataset[CepMatch] = {
+      guards: Seq[TrailingAbsent], watermarkDelay: String,
+      retainMatchSeq: Boolean = false): Dataset[CepMatch] = {
     require(guards.nonEmpty, "detectStreamWithTrailingAbsents needs >= 1 guard")
     implicit val stEnc: Encoder[AbsentChainState] = Encoders.product[AbsentChainState]
     // a match is conclusive only once EVERY guard's window has passed
@@ -1064,14 +1075,21 @@ object Cep {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
       (_: String, it: Iterator[CepEvent], state: GroupState[AbsentChainState]) =>
         val st = state.getOption.getOrElse(
-          AbsentChainState(NfaState(Nil, done = false), Nil))
+          AbsentChainState(NfaState(Nil, done = false), Nil, 0L))
         var nfa = st.nfa
         var pending = st.pending.toVector
+        var seq = st.seq
         val out = Seq.newBuilder[CepMatch]
+        // conclusive emission: matchSeq assigned in flush order (endUs then
+        // startUs — deterministic), so guard-killed matches leave no gap
+        def flushDue(due: Seq[CepMatch]): Unit =
+          due.sortBy(m => (m.endUs, m.startUs)).foreach { m =>
+            seq += 1; out += m.copy(matchSeq = seq)
+          }
         if (state.hasTimedOut) {
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val (due, live) = pending.partition(m => m.endUs + maxForUs <= wmUs)
-          due.foreach(out += _)
+          flushDue(due)
           pending = live
           // purge NFA partials whose WITHIN deadline the watermark passed —
           // idle keys would otherwise retain partial matches forever (the
@@ -1085,7 +1103,7 @@ object Cep {
           it.toSeq.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
             // deadlines strictly before this event's time are conclusive
             val (due, live) = pending.partition(m => m.endUs + maxForUs < e.tsUs)
-            due.foreach(out += _)
+            flushDue(due)
             pending = live
             guards.foreach { g =>
               if (g.pred(e))
@@ -1106,10 +1124,11 @@ object Cep {
         // partials) drop their state entry — mirrors detectAbsentStream's
         // remove-on-drain; the done-latch of every=false is the one shell
         // kept (it must keep suppressing re-matches)
-        if (pending.isEmpty && nfa.partials.isEmpty && !(nfa.done && !spec.every))
+        if (pending.isEmpty && nfa.partials.isEmpty && !(nfa.done && !spec.every) &&
+            !(retainMatchSeq && seq > 0))
           state.remove()
         else {
-          state.update(AbsentChainState(nfa, pending))
+          state.update(AbsentChainState(nfa, pending, seq))
           // wake at the earliest conclusive deadline: a pending match's FOR
           // window or (when WITHIN bounds the chain) a partial's expiry
           val deadlines = pending.map(m => ceilMs(m.endUs + maxForUs)) ++

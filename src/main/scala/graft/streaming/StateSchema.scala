@@ -18,15 +18,18 @@ import org.apache.spark.sql.SparkSession
   * far: round 7 svals carry-through, round 8 svals projection + sort-window
   * string comparand, round 9 checkpointed sources, round 10 multi-variant
   * patterns consolidate V per-variant NFA kernels into one MultiNfaState
-  * kernel, round 11(schema v11, shipped round 12) = current: NfaState
-  * grows the per-key `matchSeq` match-completion counter backing streaming
-  * EMIT ALL ROWS' mr_match_number). Library users driving the kernels
-  * directly (not through AppRuntime) can call [[guard]] themselves.
+  * kernel, round 11(schema v11, shipped round 12): NfaState grows the
+  * per-key `matchSeq` match-completion counter backing streaming EMIT ALL
+  * ROWS' mr_match_number, round 13 (v12) = current: AbsentChainState
+  * grows the conclusive-emission ordinal `seq` so guard-killed matches
+  * never gap mr_match_number, plus the new MultiSeqState/UnmatchedNfaState
+  * kernels). Library users driving the kernels directly (not through
+  * AppRuntime) can call [[guard]] themselves.
   */
 object StateSchema {
 
   /** Current state-schema generation of the streaming kernels. */
-  val Version: Int = 11
+  val Version: Int = 12
 
   private val MarkerName = "graft-state-version.json"
 

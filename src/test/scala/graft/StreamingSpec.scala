@@ -2170,6 +2170,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("STREAMING EMIT ALL ROWS with trailing NOT: conclusive-flush numbering leaves no gap for killed matches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val events = in.toDS().toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE,
+        |                   v1 DOUBLE, mr_match_number BIGINT, mr_classifier STRING);
+        |INSERT INTO Out
+        |SELECT e1.v AS v1
+        |FROM PATTERN (EVERY (e1=E[kind = 'a'] -> e2=E[kind = 'c'] -> NOT E[kind = 'b'] FOR 10 SECONDS))
+        |PARTITION BY user_id EMIT ALL ROWS;""".stripMargin
+    val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+    assert(outDf.isStreaming)
+    val q = outDf.writeStream.format("memory").queryName("mr_absrows_sink")
+      .outputMode("append").start()
+    def snap() = spark.table("mr_absrows_sink").collect()
+      .map(r => (r.getString(2), r.getDouble(3), r.getLong(5), r.getString(6)))
+      .sortBy(t => (t._3, t._2)).toSeq
+    val tapeRows = Seq((1L, 7L, "a", 1.0), (2L, 7L, "c", 2.0),
+      (5L, 7L, "b", 0.0), // kills the first match inside its FOR window
+      (20L, 7L, "a", 3.0), (21L, 7L, "c", 4.0),
+      (40L, 7L, "a", 5.0), (41L, 7L, "c", 6.0))
+    try {
+      in.addData(tapeRows: _*); q.processAllAvailable()
+      // nothing conclusive yet (deadlines 31s / 51s not passed)... except
+      // the killed match, which will NEVER emit
+      in.addData((100L, 9L, "x", 0.0)); q.processAllAvailable()
+      in.addData((101L, 9L, "x", 0.0)); q.processAllAvailable()
+      val got = snap()
+      // two surviving matches, numbered 1 and 2 — the killed first match
+      // leaves NO gap (conclusive-flush numbering)
+      assert(got == Seq(
+        ("a", 3.0, 1L, "e1"), ("c", 4.0, 1L, "e2"),
+        ("a", 5.0, 2L, "e1"), ("c", 6.0, 2L, "e2")), s"got $got")
+      // batch parity on the same tape
+      val tape = (tapeRows ++ Seq((100L, 9L, "x", 0.0), (101L, 9L, "x", 0.0)))
+        .toDF("sec", "user_id", "kind", "v")
+        .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+          "user_id", "kind", "v")
+      val batch = graft.sql.GraftApp.run(spark, app, Map("E" -> tape))("Out")
+        .collect().map(r => (r.getString(2), r.getDouble(3), r.getLong(5), r.getString(6)))
+        .sortBy(t => (t._3, t._2)).toSeq
+      assert(batch == got, s"batch $batch vs stream $got")
+    } finally q.stop()
+  }
+
   test("STREAMING MATCH_RECOGNIZE ALL ROWS over zero-min patterns: variant classifier, shared match numbers, parity with batch") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, String, Double)]
