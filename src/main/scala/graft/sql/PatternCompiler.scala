@@ -646,11 +646,17 @@ object PatternCompiler {
       .partitionBy(col("__mkey")).orderBy(matchOrder: _*)
     val numbered = keep.withColumn("mr_match_number",
       row_number().over(wMatch).cast("long"))
-    val perStep = idsCols.zipWithIndex.map { case (ic, si) =>
-      numbered.select((col("__mkey") +: col("mr_match_number") +:
-        normalNames.map(col)) :+
-        lit(si).as("__stepIdx") :+ explode(col(ic)).as("__eid"): _*)
-    }.reduce(_.unionByName(_))
+    // ONE inline generator over all step-id arrays (round 13): the
+    // per-step explode-then-union shape re-evaluated the whole match
+    // subtree — NFA pass included — once per union branch; a single
+    // generator reads it once. NULL ids arrays (a variant that omits the
+    // group) coalesce to empty and contribute no rows, as before.
+    val idsArray = idsCols.map(ic =>
+      s"coalesce($ic, CAST(array() AS ARRAY<BIGINT>))").mkString("array(", ", ", ")")
+    val perStep = numbered.select((col("__mkey") +: col("mr_match_number") +:
+      normalNames.map(col)) :+
+      expr(s"inline(flatten(transform($idsArray, (a, si) -> " +
+        "transform(a, e -> named_struct('__stepIdx', si, '__eid', e)))))"): _*)
     var rows = perStep.join(ordered.as("__row"),
       col("__row.__id") === col("__eid") && col("__row.__key") === col("__mkey"))
     // classifier per ROW (round 12b): single-alternative steps name their
