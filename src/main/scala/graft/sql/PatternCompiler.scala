@@ -492,11 +492,21 @@ object PatternCompiler {
 
     val needMatchId = aggItems.nonEmpty
     if (needMatchId) {
-      // variant tag included: two variants CAN share a key + present-id set
-      // when concat_ws skips a NULL-padded absent group
-      val idsConcat = groups.indices.map(gi => col(s"__ids_$gi").cast("string"))
+      // FIXED-SIZE match identity (round 13): (variant, key, first id +
+      // count per group). Within one NFA run a match's membership follows
+      // deterministically from its start and per-step counts (the same
+      // invariant the NFA's distinctPartials dedup pins), so this is exact
+      // — and O(groups) bytes where the old full-ids concat_ws string was
+      // O(match length), which the aggItems explode then duplicated onto
+      // every exploded row: O(len²) bytes per match, an OOM on adversarial
+      // streaks (SkipStreakBench). Variant tag included: two variants CAN
+      // share a key + identical present groups when one pads an absent
+      // group NULL (firsts/counts coalesce that to a sentinel).
+      val idParts = groups.indices.flatMap(gi => Seq(
+        coalesce(try_element_at(col(s"__ids_$gi"), lit(1)), lit(-1L)),
+        coalesce(size(col(s"__ids_$gi")).cast("long"), lit(-1L))))
       base = base.withColumn("__match_id",
-        concat_ws("|", col("variant").cast("string") +: col("__mkey") +: idsConcat: _*))
+        struct(col("variant") +: col("__mkey") +: idParts: _*))
     }
 
     var out = base
@@ -1853,12 +1863,19 @@ object PatternCompiler {
     val items = q.selectItems.map { case (e, a) => (rewrite(e), a) }
     val whereRw = q.where.map(rewrite)
 
-    // match identity for re-joining aggregates (unique: a match IS its key +
-    // full event-id set)
+    // FIXED-SIZE match identity for re-joining aggregates (round 13): a
+    // match within a key is determined by its (first id, count) per step —
+    // membership follows deterministically from start + counts (the
+    // distinctPartials invariant) — so the identity is O(steps) bytes; the
+    // old full-ids concat_ws string was O(match length) and the aggItems
+    // explode duplicated it onto every exploded row (O(len²) per match,
+    // an OOM on adversarial streaks — SkipStreakBench pins the fix)
     val needMatchId = aggItems.nonEmpty
     if (needMatchId) {
-      val idsConcat = steps.indices.map(i => col(s"__ids_$i").cast("string"))
-      base = base.withColumn("__match_id", concat_ws("|", col("__mkey") +: idsConcat: _*))
+      val idParts = steps.indices.flatMap(i => Seq(
+        coalesce(try_element_at(col(s"__ids_$i"), lit(1)), lit(-1L)),
+        coalesce(size(col(s"__ids_$i")).cast("long"), lit(-1L))))
+      base = base.withColumn("__match_id", struct(col("__mkey") +: idParts: _*))
     }
 
     var out = base

@@ -156,6 +156,23 @@ object Cep {
     */
   private def ceilMs(us: Long): Long = (us + 999L) / 1000L
 
+  /** Dedup branch-convergent partials by their IDENTITY KEY instead of
+    * structural equality: within one machine run a partial is fully
+    * determined by (stepIdx, startSeq, per-step counts) — the seed event
+    * is unique per startSeq, and at a given start the collected membership
+    * follows deterministically from when each quantifier advanced, which
+    * the count vector encodes. Structural `.distinct` hashed every
+    * partial's full collected buffers on EVERY event — O(buffered events)
+    * per event, the quadratic the monotone-streak bench caught (9 s for a
+    * 10⁴-row streak spent hashing one partial's ever-growing buffer).
+    */
+  private def distinctPartials(ps: Vector[Partial]): Vector[Partial] =
+    if (ps.length <= 1) ps
+    else {
+      val seen = scala.collection.mutable.HashSet.empty[(Int, Long, Seq[Int])]
+      ps.filter(p => seen.add((p.stepIdx, p.startSeq, p.collected.map(_.size))))
+    }
+
   private implicit val keyEnc: Encoder[String] = Encoders.STRING
   private implicit val matchEnc: Encoder[CepMatch] = Encoders.product[CepMatch]
   private implicit val stateEnc: Encoder[NfaState] = Encoders.product[NfaState]
@@ -236,7 +253,7 @@ object Cep {
           // guardKill: a mid-chain NOT event kills the gap's partial
         }
 
-        val trimmed = next.result().distinct
+        val trimmed = distinctPartials(next.result())
         if (trimmed.size > spec.maxPartials)
           droppedRun += trimmed.size - spec.maxPartials
         partials = trimmed.take(spec.maxPartials)
@@ -356,7 +373,7 @@ object Cep {
         }
         // strict contiguity: a mismatching event kills the instance
       }
-      val trimmed = next.result().distinct
+      val trimmed = distinctPartials(next.result())
       if (trimmed.size > spec.maxPartials)
         droppedRun += trimmed.size - spec.maxPartials
       partials = trimmed.take(spec.maxPartials)
