@@ -1,0 +1,66 @@
+-- Round-13 surface demo: reluctant quantifiers, the streaming faces of
+-- the remaining MATCH_RECOGNIZE modes (SKIP TO FIRST|LAST, ALL ROWS over
+-- zero-min patterns, WITH UNMATCHED ROWS), and the sketch aggregate SQL
+-- spellings — each the app text a migrating Flink/Trino/eventflux user
+-- pastes. Parsed end-to-end by GraftAppSpec; semantics pinned there, in
+-- StreamingSpec parity tests, and in the q_cep_mr_reluctant /
+-- q_sketch_sql oracle rows.
+
+CREATE STREAM trades (ts TIMESTAMP, symbol STRING, kind STRING, price DOUBLE);
+
+-- Reluctant +? (ANSI; Flink/Trino accept it): the SHORTEST run that
+-- completes the match — "first confirmation after a dip", not the whole
+-- rally. Needs a skip mode (the default PAST LAST ROW here): reluctance
+-- is a parse preference, and SKIP TO NEXT ROW enumerates every parse.
+CREATE STREAM confirmations (symbol STRING, dip_price DOUBLE, n_up BIGINT);
+INSERT INTO confirmations SELECT * FROM trades MATCH_RECOGNIZE (
+  PARTITION BY symbol
+  ORDER BY ts
+  MEASURES DIP.price AS dip_price, count(UP.price) AS n_up
+  ONE ROW PER MATCH
+  PATTERN (DIP UP+?) WITHIN INTERVAL '1' HOUR
+  DEFINE DIP AS DIP.kind = 'dip', UP AS UP.kind = 'up'
+);
+
+-- ALL ROWS PER MATCH over a zero-min pattern (B? expands to a variant
+-- pair): streams under a WITHIN — classifiers resolve per variant and
+-- mr_match_number is one per-key counter SHARED across variants.
+CREATE STREAM legs (ts TIMESTAMP, symbol STRING, kind STRING, price DOUBLE,
+                    entry DOUBLE, mr_match_number BIGINT, mr_classifier STRING);
+INSERT INTO legs SELECT * FROM trades MATCH_RECOGNIZE (
+  PARTITION BY symbol
+  ORDER BY ts
+  MEASURES A.price AS entry
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (A H? C) WITHIN INTERVAL '1' HOUR
+  DEFINE A AS A.kind = 'dip', H AS H.kind = 'halt', C AS C.kind = 'up'
+);
+
+-- WITH UNMATCHED ROWS on a stream: a row is provably unmatched once the
+-- watermark passes row_ts + WITHIN (any match claiming it must have
+-- completed by then) — NULL measures/classifier/number, exactly the
+-- batch anti-join contract, emission delayed by the WITHIN.
+CREATE STREAM audited (ts TIMESTAMP, symbol STRING, kind STRING, price DOUBLE,
+                       n_up BIGINT, mr_match_number BIGINT, mr_classifier STRING);
+INSERT INTO audited SELECT * FROM trades MATCH_RECOGNIZE (
+  PARTITION BY symbol
+  ORDER BY ts
+  MEASURES count(UP.price) AS n_up
+  ALL ROWS PER MATCH WITH UNMATCHED ROWS
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (DIP UP+) WITHIN INTERVAL '10' MINUTE
+  DEFINE DIP AS DIP.kind = 'dip', UP AS UP.kind = 'up'
+);
+
+-- Sketch aggregates in plain GROUP BY SQL: lowered to the bounded-state
+-- operators (bottom-k KMV, integer histogram quantiles, Misra-Gries-
+-- pruned exact heavy hitters), never to an in-memory distinct set; mixed
+-- freely with plain aggregates.
+CREATE STREAM symbol_card (symbol STRING, n BIGINT, traders BIGINT,
+                           p95 DOUBLE, whales ARRAY<STRING>);
+INSERT INTO symbol_card SELECT symbol, count(*) AS n,
+  kmv_distinct(price, 256) AS traders,
+  hist_quantile(price, 950, 100) AS p95,
+  heavy_hitters(kind, 20) AS whales
+FROM trades GROUP BY symbol ORDER BY symbol;

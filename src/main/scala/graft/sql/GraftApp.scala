@@ -221,6 +221,26 @@ object GraftApp {
     "TIMESTAMP" -> TimestampType, "BINARY" -> BinaryType, "OBJECT" -> BinaryType,
     "TEXT" -> StringType) // app_runner_windows.rs:209 spells STRING as TEXT
 
+  /** Column type in a CREATE STREAM/TABLE: a [[TypeMap]] scalar or
+    * `ARRAY<scalar>` (round 13 — heavy_hitters() and the packing/tokenizer
+    * relations emit array columns a declared sink must be able to type).
+    */
+  private def parseColType(raw: String, where: String): DataType = {
+    val t = raw.toUpperCase
+    val arr = """^ARRAY\s*<\s*(\w+)\s*>""".r
+    arr.findPrefixMatchOf(t) match {
+      case Some(m) => org.apache.spark.sql.types.ArrayType(
+        TypeMap.getOrElse(m.group(1),
+          throw SqlError(s"unknown array element type '${m.group(1)}' in $where")))
+      case None =>
+        // first token is the type; trailing modifiers (PRIMARY KEY — the
+        // reference corpus spells them) are tolerated like before
+        val head = t.split("\\s+").head
+        TypeMap.getOrElse(head,
+          throw SqlError(s"unknown type '$head' in $where"))
+    }
+  }
+
   // the block terminator is an END followed by `;` (or end of app text) —
   // a CASE expression's END inside a block query is followed by an alias /
   // FROM / `,`, so the lookahead skips it (partitions.rs range-partition
@@ -548,11 +568,9 @@ object GraftApp {
             if (streams.contains(name)) throw SqlError(
               s"duplicate stream/table/trigger definition '$name'")
             val fields = colsRaw.split(",").map(_.trim).filter(_.nonEmpty).map { c =>
-              val parts = c.split("\\s+")
+              val parts = c.split("\\s+", 2)
               if (parts.length < 2) throw SqlError(s"bad column def '$c' in $name")
-              val t = TypeMap.getOrElse(parts(1).toUpperCase,
-                throw SqlError(s"unknown type '${parts(1)}' in $name"))
-              StructField(parts(0), t)
+              StructField(parts(0), parseColType(parts(1).trim, name))
             }
             val opts = Option(withRaw).map(parseWith).getOrElse(Map.empty)
             // mapper fault routing (stream_junction.rs:31-37 OnErrorAction;

@@ -380,6 +380,26 @@ class GraftAppSpec extends AnyFunSuite {
     assert(!spec.patterns.find(_.target == "breakouts").get.allRows)
   }
 
+  test("examples/round13_demo.sql parses: reluctant, streaming MR modes, sketch SQL") {
+    val app = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/round13_demo.sql")))
+    val spec = GraftApp.parse(app)
+    val byTarget = spec.patterns.map(p => p.target -> p).toMap
+    // UP+? = reluctant one-or-more under the ANSI default skip mode
+    val conf = byTarget("confirmations")
+    assert(conf.skipPast && conf.variants.head.last.reluctant)
+    assert(conf.variants.head.last.min == 1 && conf.variants.head.last.max == Int.MaxValue)
+    // H? expands to the variant pair; ALL ROWS set
+    val legs = byTarget("legs")
+    assert(legs.allRows && legs.variants.size == 2)
+    // WITH UNMATCHED ROWS
+    assert(byTarget("audited").allRowsUnmatched)
+    // the sketch query is a plain (non-pattern) SELECT — it parses as a
+    // query statement, and its compiled form is pinned by q_sketch_sql +
+    // CompatSpec; here just assert the app parses whole
+    assert(spec.queries.exists(_.target == "symbol_card"))
+  }
+
   test("examples/round12_demo.sql parses: skip modes + alternation surface") {
     val app = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("examples/round12_demo.sql")))

@@ -1847,6 +1847,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(skipToNoWithin.getMessage.contains("WITHIN"))
   }
 
+  test("STREAMING MATCH_RECOGNIZE reluctant B+?: fewest repetitions, immediate-ish emission, parity with batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val events = in.toDS().toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, n_b BIGINT);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES count(B.v) AS n_b
+        |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B+?) WITHIN INTERVAL '1' MINUTE
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b'
+        |);""".stripMargin
+    val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+    assert(outDf.isStreaming)
+    val q = outDf.writeStream.format("memory").queryName("mr_rel_sink")
+      .outputMode("append").start()
+    def snap() = spark.table("mr_rel_sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    try {
+      // a b b b: the held candidate is the RELUCTANT n_b=1 parse; later Bs
+      // do not replace it (lex-MIN wins). The hold still waits for the
+      // stay-partial to die (leftmost safety), then flushes n_b=1.
+      in.addData((1000L, 7L, "a", 0.0), (1010L, 7L, "b", 1.0),
+        (1020L, 7L, "b", 2.0), (1030L, 7L, "b", 3.0))
+      q.processAllAvailable()
+      in.addData((1040L, 7L, "x", 0.0)); q.processAllAvailable()
+      assert(snap() == Seq((7L, 1L)), s"got ${snap()}")
+      // batch parity on the full tape
+      val tape = Seq((1000L, 7L, "a", 0.0), (1010L, 7L, "b", 1.0),
+        (1020L, 7L, "b", 2.0), (1030L, 7L, "b", 3.0), (1040L, 7L, "x", 0.0))
+        .toDF("sec", "user_id", "kind", "v")
+        .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+          "user_id", "kind", "v")
+      val batch = graft.sql.GraftApp.run(spark, app, Map("E" -> tape))("Out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(batch == snap(), s"batch $batch vs stream ${snap()}")
+    } finally q.stop()
+  }
+
   test("STREAMING MATCH_RECOGNIZE SKIP TO LAST: partial-overlap resume, parity with batch") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, String, Double)]
