@@ -2670,8 +2670,10 @@ object GraftApp {
             // group spine: every input group appears once, original type
             val spine = df.select(col(g)).distinct()
               .withColumn("__skk0", col(g).cast("string"))
+            // each sketch result is ≤ |groups| rows — broadcast explicitly
+            // rather than trusting size estimation over the operator plans
             var joined = sk.foldLeft(spine) { case (acc, (fn, c, p1, p2, alias)) =>
-              acc.join(sketchOf(fn, c, p1, p2, alias),
+              acc.join(broadcast(sketchOf(fn, c, p1, p2, alias)),
                 col("__skk0") <=> col("__skk"), "left").drop("__skk")
             }
             // non-sketch aggregates ride the normal grouped path and join
@@ -2684,7 +2686,7 @@ object GraftApp {
               val aggCols = normal.map { case (e, a) => uexpr(e).as(a.getOrElse(e)) }
               val nd = df.groupBy(col(g).cast("string").as("__skkn")).agg(
                 aggCols.head, aggCols.tail: _*)
-              joined = joined.join(nd, col("__skk0") <=> col("__skkn"), "left")
+              joined = joined.join(broadcast(nd), col("__skk0") <=> col("__skkn"), "left")
                 .drop("__skkn")
             }
             val outCols = q.selectItems.map { case (e, a) =>
