@@ -1,0 +1,148 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming._
+
+/** Property test for the incremental skip-selection machine
+  * ([[Cep.runNfaSkipPast]] + the timeout flush): random strict chains with
+  * mixed greedy/reluctant quantifiers over random tapes, checked against an
+  * INDEPENDENT brute-force reference — enumerate every (start, counts)
+  * parse of the contiguous chain, then replay ANSI's selection loop
+  * (earliest viable start, direction-aware lexicographic parse preference,
+  * resume past-last-row or at a SKIP TO variable's row). Pure JVM (no
+  * SparkSession): the kernel is where the selection logic lives; the batch
+  * and streaming lowerings around it are pinned by the oracle rows and the
+  * StreamingSpec parity tests.
+  */
+class CepSkipPropSpec extends AnyFunSuite {
+
+  // deterministic LCG so failures replay
+  private final class Rng(seed0: Long) {
+    private var s = seed0
+    def next(bound: Int): Int = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 33) % bound).toInt + bound) % bound
+    }
+  }
+
+  private case class StepSpec(kinds: Set[Int], min: Int, max: Int, rel: Boolean)
+
+  /** All (start, counts) parses: contiguous span from `start`, step i
+    * consuming counts(i) events all matching step i's kind set. */
+  private def enumerate(tape: IndexedSeq[Int], steps: Seq[StepSpec]): Seq[(Int, Seq[Int])] = {
+    val out = Seq.newBuilder[(Int, Seq[Int])]
+    def rec(si: Int, pos: Int, acc: List[Int], start: Int): Unit = {
+      if (si == steps.length) { out += ((start, acc.reverse)); return }
+      val st = steps(si)
+      var c = 0
+      var p = pos
+      // zero consumed is never legal here (min >= 1 in generated chains)
+      while (c < st.max && p < tape.length && st.kinds(tape(p))) {
+        c += 1; p += 1
+        if (c >= st.min) rec(si + 1, p, c :: acc, start)
+      }
+    }
+    tape.indices.foreach(s => rec(0, s, Nil, s))
+    out.result()
+  }
+
+  /** ANSI selection loop over the enumerated parse set. `resume`:
+    * None = past last row; Some((i, first)) = at variable i's first/last
+    * row (inclusive). */
+  private def select(matches: Seq[(Int, Seq[Int])], rel: Seq[Boolean],
+                     resume: Option[(Int, Boolean)]): Seq[(Int, Seq[Int])] = {
+    def preferred(a: Seq[Int], b: Seq[Int]): Boolean = {
+      val i = a.zip(b).indexWhere { case (x, y) => x != y }
+      i >= 0 && (if (rel(i)) a(i) < b(i) else a(i) > b(i))
+    }
+    val out = Seq.newBuilder[(Int, Seq[Int])]
+    var pos = Int.MinValue
+    var live = matches
+    var cont = true
+    while (cont) {
+      live = live.filter(_._1 >= pos)
+      if (live.isEmpty) cont = false
+      else {
+        val s = live.map(_._1).min
+        val best = live.filter(_._1 == s)
+          .reduceLeft((x, y) => if (preferred(y._2, x._2)) y else x)
+        out += best
+        pos = resume match {
+          case None => best._1 + best._2.sum
+          case Some((i, first)) =>
+            if (first) best._1 + best._2.take(i).sum
+            else best._1 + best._2.take(i + 1).sum - 1
+        }
+        // progress guard mirrors the compile gate (resume never at start)
+        require(pos > best._1, "resume must advance")
+      }
+    }
+    out.result()
+  }
+
+  private def runMachine(tape: IndexedSeq[Int], steps: Seq[StepSpec],
+                         resume: Option[(Int, Boolean)]): Seq[(Int, Seq[Int])] = {
+    val within = 1000L * 1000000L
+    val spec = PatternSpec(
+      steps.zipWithIndex.map { case (st, i) =>
+        Step(s"S$i", st.min, st.max,
+          (e, _) => st.kinds(e.etype.toInt), reluctant = st.rel)
+      },
+      strict = true, every = true, withinUs = Some(within),
+      maxPartials = 10000)
+    val evs = tape.zipWithIndex.map { case (k, i) =>
+      CepEvent("k", i.toLong * 1000000, i.toLong, k.toString, 0.0, Nil, Nil)
+    }
+    val (out, st) = Cep.runNfaSkipPast(evs,
+      Cep.SkipNfaState(NfaState(Nil, done = false), 0L, Nil), spec, resume)
+    // end of input = watermark past every deadline
+    val (tail, _) = Cep.skipPastTimeoutFlush(st,
+      wmUs = Long.MaxValue / 2, withinUs = within, resume = resume,
+      rel = steps.map(_.rel))
+    (out ++ tail).map { m =>
+      // startSeq is 1-based over the tape; convert to 0-based index
+      val startIdx = m.steps.head.events.head.eventId.toInt
+      (startIdx, m.steps.map(_.events.size))
+    }
+  }
+
+  test("skip selection == brute-force reference over 300 random (chain, tape) samples") {
+    val rng = new Rng(0xC0FFEE)
+    var checked = 0
+    var nonEmpty = 0
+    while (checked < 300) {
+      val nSteps = 2 + rng.next(2) // 2..3 steps
+      val steps = (0 until nSteps).map { _ =>
+        val kinds = (0 until 3).filter(_ => rng.next(2) == 1).toSet match {
+          case e if e.isEmpty => Set(rng.next(3))
+          case s2 => s2
+        }
+        val min = 1
+        val max = rng.next(4) match {
+          case 0 => 1
+          case 1 => 2
+          case 2 => 3
+          case _ => Int.MaxValue
+        }
+        StepSpec(kinds, min, max, rel = rng.next(3) == 0)
+      }
+      val tape = IndexedSeq.fill(4 + rng.next(21))(rng.next(3))
+      // resume mode: past-last, or SKIP TO FIRST/LAST of a non-head step
+      val resume = rng.next(3) match {
+        case 0 => None
+        case 1 => Some((1 + rng.next(nSteps - 1), true))
+        case _ => Some((1 + rng.next(nSteps - 1), false))
+      }
+      val all = enumerate(tape, steps)
+      val want = select(all, steps.map(_.rel), resume)
+      val got = runMachine(tape, steps, resume)
+      assert(got == want,
+        s"steps=$steps tape=${tape.mkString} resume=$resume\n" +
+          s"  all=${all.take(20)}\n  want=$want\n  got=$got")
+      if (want.nonEmpty) nonEmpty += 1
+      checked += 1
+    }
+    // the generator must actually exercise matches, not vacuous emptiness
+    assert(nonEmpty > 150, s"only $nonEmpty/300 samples produced matches")
+  }
+}
