@@ -2647,12 +2647,8 @@ object GraftApp {
               .select(col("key").as("__skk"), col("est_distinct").as(alias))
           case ("kmv_distinct", None) =>
             Sketches.kmvDistinct(df, c, p1).select(col("est_distinct").as(alias))
-          case ("hist_quantile", Some(g)) =>
-            Sketches.quantilesBy(df, g, c, Seq(p1), p2.getOrElse(100))
-              .select(col("key").as("__skk"), col("value").as(alias))
-          case ("hist_quantile", None) =>
-            Sketches.quantiles(df, c, Seq(p1), p2.getOrElse(100))
-              .select(col("value").as(alias))
+          case ("hist_quantile", _) =>
+            throw new IllegalStateException("hist_quantile handled batched") // see histBatches
           case ("heavy_hitters", Some(g)) =>
             // per-group key LIST, count-desc then key (the operator's own
             // order), packed so the result is one row per group
@@ -2665,6 +2661,28 @@ object GraftApp {
               .agg(expr("transform(array_sort(collect_list(" +
                 "named_struct('nc', -cnt, 'k', key))), x -> x.k)").as(alias))
         }
+        // hist_quantile calls sharing (column, scale) — the p50/p95/p99
+        // datacard shape — batch into ONE quantilesBy/quantiles pass (one
+        // corpus-side bucket aggregation instead of one per quantile),
+        // pivoted to per-alias columns in a single tiny aggregation
+        val histGroups: Seq[DataFrame] = sk
+          .filter(_._1 == "hist_quantile")
+          .groupBy { case (_, c, _, p2, _) => (c, p2.getOrElse(100)) }
+          .toSeq.map { case ((c, scale), items) =>
+            val qs = items.map(_._3).distinct
+            val aliasCols = items.map { case (_, _, qpm, _, alias) =>
+              max(when(col("q_pm") === qpm, col("value"))).as(alias)
+            }
+            gOpt match {
+              case Some(g) =>
+                Sketches.quantilesBy(df, g, c, qs, scale)
+                  .groupBy(col("key").as("__skk"))
+                  .agg(aliasCols.head, aliasCols.tail: _*)
+              case None =>
+                Sketches.quantiles(df, c, qs, scale)
+                  .agg(aliasCols.head, aliasCols.tail: _*)
+            }
+          }
         val result = gOpt match {
           case Some(g) =>
             // group spine: every input group appears once, original type
@@ -2672,9 +2690,14 @@ object GraftApp {
               .withColumn("__skk0", col(g).cast("string"))
             // each sketch result is ≤ |groups| rows — broadcast explicitly
             // rather than trusting size estimation over the operator plans
-            var joined = sk.foldLeft(spine) { case (acc, (fn, c, p1, p2, alias)) =>
-              acc.join(broadcast(sketchOf(fn, c, p1, p2, alias)),
-                col("__skk0") <=> col("__skk"), "left").drop("__skk")
+            var joined = sk.filter(_._1 != "hist_quantile")
+              .foldLeft(spine) { case (acc, (fn, c, p1, p2, alias)) =>
+                acc.join(broadcast(sketchOf(fn, c, p1, p2, alias)),
+                  col("__skk0") <=> col("__skk"), "left").drop("__skk")
+              }
+            joined = histGroups.foldLeft(joined) { (acc, h) =>
+              acc.join(broadcast(h), col("__skk0") <=> col("__skk"), "left")
+                .drop("__skk")
             }
             // non-sketch aggregates ride the normal grouped path and join
             // back on the same spine key
@@ -2700,8 +2723,12 @@ object GraftApp {
               "sketch aggregates without GROUP BY must be the entire select " +
                 "list (mixing with other global aggregates is not supported " +
                 "— add a GROUP BY or split the query)")
-            sk.map { case (fn, c, p1, p2, alias) => sketchOf(fn, c, p1, p2, alias) }
+            (sk.filter(_._1 != "hist_quantile")
+              .map { case (fn, c, p1, p2, alias) => sketchOf(fn, c, p1, p2, alias) }
+              ++ histGroups)
               .reduce(_.crossJoin(_))
+              // declared select order (the hist batch may have reordered)
+              .select(sk.map(x => col(x._5)): _*)
         }
         return finishOrderLimit(if (q.distinct) result.dropDuplicates() else result, q)
       }

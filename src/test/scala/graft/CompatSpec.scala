@@ -1948,6 +1948,26 @@ class CompatSpec extends AnyFunSuite {
         |INSERT INTO Out SELECT count(*) AS n, kmv_distinct(user_id, 64) AS du
         |FROM events;""".stripMargin
     assert(err(mixed).contains("entire select list"))
+    // multiple hist_quantile calls on one (column, scale) batch into ONE
+    // quantilesBy pass (the p50/p95 datacard shape) — values must equal
+    // the operator's own per-quantile output
+    val multiQ =
+      """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+        |                      event_type STRING, value DOUBLE, props STRING);
+        |CREATE STREAM Out (etype STRING, p50 DOUBLE, p95 DOUBLE);
+        |INSERT INTO Out SELECT event_type AS etype,
+        |  hist_quantile(value, 500) AS p50, hist_quantile(value, 950) AS p95
+        |FROM events GROUP BY event_type ORDER BY etype;""".stripMargin
+    val qGot = GraftApp.run(spark, multiQ, Map("events" -> ev))("Out")
+      .select("etype", "p50", "p95")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).sorted.toSeq
+    val qOp = graft.operators.Sketches.quantilesBy(ev, "event_type", "value", Seq(500, 950), 100)
+      .groupBy(col("key"))
+      .agg(max(when(col("q_pm") === 500, col("value"))).as("p50"),
+        max(when(col("q_pm") === 950, col("value"))).as("p95"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).sorted.toSeq
+    assert(qGot == qOp, s"sql $qGot vs operator $qOp")
+
     // global single-sketch form works and equals the operator
     val glob =
       """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
