@@ -629,6 +629,63 @@ object CepQueries extends QueryFamily {
              |GROUP BY 1, 2
              |ORDER BY 1, 2""".stripMargin)),
 
+    // MATCH_RECOGNIZE bounded group repetition (round 13): (D U){1,2} —
+    // one step-order variant per repetition count, member aliases
+    // suffixed per repetition, measures over D/U distributed across the
+    // repetitions via auto-SUBSET unions (count sums, sum NULL-safe,
+    // LAST coalesces reverse-chain). The oracle replays both repetition
+    // counts as lead() chains; k=1 and k=2 are mutually exclusive per
+    // anchor (position 3 is 'signup' vs 'view'). WITHIN 30 DAY never
+    // binds at the test densities (same note as q_cep_mr_skip_to).
+    QueryDef(
+      "q_cep_mr_group",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (user_id BIGINT, a_id BIGINT, n_d BIGINT,
+            |                   s_u DOUBLE, u_last BIGINT);
+            |INSERT INTO Out SELECT * FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts
+            |  MEASURES A.event_id AS a_id, count(D.value) AS n_d,
+            |           round(sum(U.value), 6) AS s_u, LAST(U.event_id) AS u_last
+            |  ONE ROW PER MATCH
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN (A (D U){1,2} C) WITHIN INTERVAL '30' DAY
+            |  DEFINE A AS A.event_type = 'error', D AS D.event_type = 'view',
+            |         U AS U.event_type = 'purchase', C AS C.event_type = 'signup'
+            |);""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .selectExpr("user_id", "a_id", "CAST(n_d AS BIGINT) AS n_d",
+            "s_u", "u_last")
+          .orderBy(col("user_id"), col("a_id"), col("n_d"))
+      },
+      Some("""WITH ord AS (
+             |  SELECT user_id, event_id, event_type, value,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events),
+             |w AS (
+             |  SELECT user_id, event_id, event_type,
+             |         lead(event_type, 1) OVER win AS e1, lead(event_type, 2) OVER win AS e2,
+             |         lead(event_type, 3) OVER win AS e3, lead(event_type, 4) OVER win AS e4,
+             |         lead(event_type, 5) OVER win AS e5,
+             |         lead(value, 2) OVER win AS v2, lead(value, 4) OVER win AS v4,
+             |         lead(event_id, 2) OVER win AS id2, lead(event_id, 4) OVER win AS id4
+             |  FROM ord
+             |  WINDOW win AS (PARTITION BY user_id ORDER BY rn))
+             |SELECT user_id, event_id AS a_id, CAST(1 AS BIGINT) AS n_d,
+             |       round(v2, 6) AS s_u, id2 AS u_last
+             |FROM w WHERE event_type = 'error' AND e1 = 'view'
+             |  AND e2 = 'purchase' AND e3 = 'signup'
+             |UNION ALL
+             |SELECT user_id, event_id AS a_id, CAST(2 AS BIGINT) AS n_d,
+             |       round(v2 + v4, 6) AS s_u, id4 AS u_last
+             |FROM w WHERE event_type = 'error' AND e1 = 'view'
+             |  AND e2 = 'purchase' AND e3 = 'view' AND e4 = 'purchase'
+             |  AND e5 = 'signup'
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
     // MATCH_RECOGNIZE reluctant quantifier (round 13): B+? takes the
     // FEWEST purchases that complete the match — exactly one — where the
     // greedy B+ (q_cep_mr_skip_greedy, same tape) consumes the whole

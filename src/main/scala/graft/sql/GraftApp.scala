@@ -1345,13 +1345,18 @@ object GraftApp {
     // (compileVariant rejects it too).
     // a quantifier may carry ANSI's reluctant marker (`+?`, `{n,m}?`,
     // `??`, `*?`): lex-MIN parse preference under skip-mode selection
+    // round 13 adds bounded GROUP repetition `(A B){n,m}` (space-separated
+    // members, {n[,m]} quantifier REQUIRED — the k-th repetition's steps
+    // are aliased V__k and measures over V distribute via auto-SUBSETs)
     val grpRe =
       ("""(?i)PERMUTE\s*\(\s*(\w+(?:\s*,\s*\w+)+)\s*\)\s*(\+\??|\*\??|\?\??|\{\d+(?:,\d*)?\}\??)?""" +
         """|\{-\s*(\w+)\s*(\+\??|\*\??|\?\??|\{\d+(?:,\d*)?\}\??)?\s*-\}""" +
         """|\(\s*(\w+(?:\s*\|\s*\w+)+)\s*\)\s*(\+\??|\*\??|\?\??|\{\d+(?:,\d*)?\}\??)?""" +
-        """|(\w+)\s*(\+\??|\*\??|\?\??|\{\d+(?:,\d*)?\}\??)?""").r
+        """|(\w+)\s*(\+\??|\*\??|\?\??|\{\d+(?:,\d*)?\}\??)?""" +
+        """|\(\s*(\w+(?:\s+\w+)*)\s*\)\s*(\{\d+(?:,\d+)?\})""").r
     final case class MrTok(vars: Seq[String], quant: Option[String],
-                           excluded: Boolean, permute: Boolean = false)
+                           excluded: Boolean, permute: Boolean = false,
+                           group: Boolean = false)
     val covered = new StringBuilder
     val toks: Seq[MrTok] =
       grpRe.findAllMatchIn(patternRaw).map { gm =>
@@ -1380,6 +1385,15 @@ object GraftApp {
             .foreach(a => throw SqlError(
               s"duplicate alternative '$a' in alternation (${gm.group(5).trim})"))
           MrTok(alts, None, excluded = false)
+        } else if (gm.group(9) != null) {
+          // bounded group repetition (A B){n,m} (round 13): members are
+          // space-separated plain variables; the engine expands one
+          // step-order variant per repetition count with __k suffixes
+          val ms = gm.group(9).split("\\s+").map(_.trim).filter(_.nonEmpty).toSeq
+          ms.groupBy(identity).collectFirst { case (v, vs) if vs.size > 1 => v }
+            .foreach(v => throw SqlError(
+              s"duplicate variable '$v' in group (${gm.group(9).trim})"))
+          MrTok(ms, Option(gm.group(10)), excluded = false, group = true)
         } else MrTok(Seq(gm.group(7)), Option(gm.group(8)), excluded = false)
       }.toSeq
     // the scan skips anything unmatchable — require full coverage so a
@@ -1427,6 +1441,52 @@ object GraftApp {
             "variables resolve in MEASURES only; spell the member predicates out")
       }
     }
+    // ---- group repetition bookkeeping (round 13): the k-th repetition's
+    // steps are V__k; measures over V distribute via auto-SUBSET unions
+    val groupToks = toks.filter(_.group)
+    val groupVars: Set[String] = groupToks.flatMap(_.vars).toSet
+    if (groupToks.nonEmpty) {
+      if (allRows) throw SqlError(
+        "ALL ROWS PER MATCH with group repetition (A B){n,m} is not " +
+          "supported — per-event classifiers are per REPETITION (V__k); " +
+          "use ONE ROW PER MATCH and aggregate measures")
+      // member names must be unique across the whole pattern: their
+      // measure references resolve through the auto-SUBSET union
+      groupToks.foreach { t =>
+        t.vars.foreach { v =>
+          if (toks.exists(t2 => (t2 ne t) && t2.vars.contains(v))) throw SqlError(
+            s"group member '$v' also appears elsewhere in the pattern — " +
+              "member names must be unique")
+        }
+      }
+      // DEFINE scope: a member's predicate may reference itself, its own
+      // group's members (bound to the SAME repetition), or non-group
+      // variables; any other reference to a group member is ambiguous
+      // across repetitions
+      defines.foreach { case (dv, p) =>
+        val ownGroup = groupToks.find(_.vars.contains(dv))
+          .map(_.vars.toSet).getOrElse(Set.empty[String])
+        (groupVars -- ownGroup - dv).find(o =>
+          ("(?i)\\b" + o + "\\s*\\.").r.findFirstIn(maskQuotes(p)).isDefined)
+          .foreach(o => throw SqlError(
+            s"DEFINE $dv references group member '$o' — group members bind " +
+              s"per repetition ('${o}__k'); only the member's own group " +
+              "sees them"))
+      }
+      subsets.keys.toSeq.foreach { name =>
+        subsets(name).find(groupVars.contains).foreach(v => throw SqlError(
+          s"SUBSET $name over group member '$v' is not supported — the " +
+            "member already unions its repetitions"))
+      }
+      // auto-SUBSETs: V in MEASURES = union of V__1..V__m (repetitions a
+      // given match lacks NULL-pad through the variant machinery)
+      groupToks.foreach { t =>
+        val mMax = t.quant.get.stripPrefix("{").stripSuffix("}")
+          .split(",").last.trim.toInt
+        t.vars.foreach(v => subsets += v -> (1 to mMax).map(k => s"${v}__$k"))
+      }
+    }
+
     // member metadata: a count-quantified member reads through the engine's
     // collection forms (count(v.x), v[0].x, v[last].x); a max-1 member
     // (`?` / {0,1} / {1}) through plain scalar refs, which NULL out via the
@@ -1541,12 +1601,17 @@ object GraftApp {
       lowered
     }
     val steps = toks.map {
-      case MrTok(ms, _, _, true) => // PERMUTE: one engine n-ary AND element
+      case MrTok(ms, _, _, true, _) => // PERMUTE: one engine n-ary AND element
         ms.map { v =>
           val pred = defines.get(v).map(p => s"[${lowerPred(v, p)}]").getOrElse("")
           s"$v=$stream$pred"
         }.mkString(" AND ")
-      case MrTok(Seq(v), q, _, _) =>
+      case MrTok(ms, Some(q), _, _, true) => // group repetition (A B){n,m}
+        ms.map { v =>
+          val pred = defines.get(v).map(p => s"[${lowerPred(v, p)}]").getOrElse("")
+          s"$v=$stream$pred"
+        }.mkString("(", " -> ", s")$q")
+      case MrTok(Seq(v), q, _, _, _) =>
         val pred = defines.get(v).map(p => s"[${lowerPred(v, p)}]").getOrElse("")
         val quant = q.getOrElse("") match {
           case "" => ""
@@ -1555,7 +1620,7 @@ object GraftApp {
           case s0 => s0 // + * {n} {n,m} {n,} [+ reluctant ?] — engine spelling
         }
         s"$v=$stream$pred$quant"
-      case MrTok(alts, _, _, _) => // alternation: one engine OR step, alias per branch
+      case MrTok(alts, _, _, _, _) => // alternation: one engine OR step, alias per branch
         alts.map { v =>
           val pred = defines.get(v).map(p => s"[${lowerPred(v, p)}]").getOrElse("")
           s"$v=$stream$pred"
@@ -1636,11 +1701,13 @@ object GraftApp {
     // key, so no key item is injected; the engine appends them (plus
     // mr_classifier) via EMIT ALL ROWS
     val keyItem = if (allRows) None else partitionBy.map { k =>
-      val MrTok(vs0, q0, _, _) = toks.head
+      val MrTok(vs0, q0, _, _, grp0) = toks.head
       // an alternation head binds exactly one alternative per match (the
-      // others join NULL) — coalesce picks the matched one's key
+      // others join NULL) — coalesce picks the matched one's key; a head
+      // GROUP's first repetition's first member is always present
       val spelled =
-        if (vs0.size > 1) vs0.map(v => s"$v.$k").mkString("coalesce(", ", ", ")")
+        if (grp0) s"${vs0.head}__1.$k"
+        else if (vs0.size > 1) vs0.map(v => s"$v.$k").mkString("coalesce(", ", ", ")")
         else if (q0.isDefined) s"${vs0.head}[0].$k"
         else s"${vs0.head}.$k"
       s"$spelled AS $k"

@@ -1998,15 +1998,17 @@ object PatternCompiler {
           s"AND pattern '$el' expands to $n arrival-order variants " +
             s"(cap $MaxVariants) — order some operands with -> or split the query")
         interleavings(chains)
-      } else {
-        val (alt, (mn, mx), rel) = parseAlt(el)
-        if (mn == 0)
-          // zero-or-more (`A*`) / `{0,m}`: one variant WITH the step (as
-          // one-or-more up to mx) and one WITHOUT — `A* -> B` ≡
-          // `B OR (A+ -> B)` compiled directly; the no-step variant
-          // NULL-pads the alias's refs (absentAliasRewriter)
-          Seq(Seq(PatternStep(Seq(alt), 1, mx, rel)), Seq.empty)
-        else Seq(Seq(PatternStep(Seq(alt), mn, mx, rel)))
+      } else GroupQuantRe.findFirstMatchIn(el.trim) match {
+        case Some(gm) => expandGroup(gm, el)
+        case None =>
+          val (alt, (mn, mx), rel) = parseAlt(el)
+          if (mn == 0)
+            // zero-or-more (`A*`) / `{0,m}`: one variant WITH the step (as
+            // one-or-more up to mx) and one WITHOUT — `A* -> B` ≡
+            // `B OR (A+ -> B)` compiled directly; the no-step variant
+            // NULL-pads the alias's refs (absentAliasRewriter)
+            Seq(Seq(PatternStep(Seq(alt), 1, mx, rel)), Seq.empty)
+          else Seq(Seq(PatternStep(Seq(alt), mn, mx, rel)))
       }
     }
     if (absentElems.nonEmpty && perElement.exists(_.size > 1))
@@ -2035,6 +2037,56 @@ object PatternCompiler {
         throw GraftApp.SqlError("trailing NOT needs FOR <duration>")
     }
     (variants, every, absentElems)
+  }
+
+  /** `( sub-chain ){n,m}` — bounded GROUP repetition (ANSI pattern
+    * grouping, round 13): the chain repeats k times for each k in n..m,
+    * one step-order VARIANT per k (the multi-variant machinery compiles
+    * all of them in ONE shared NFA pass), member aliases suffixed `__k`
+    * per repetition. A member predicate referencing another GROUP member
+    * rewrites to the SAME repetition's suffix (each repetition's B sees
+    * its own A — the ANSI latest-binding reading); references to
+    * non-group variables pass through as ordinary cross-step refs. The
+    * MR layer distributes measures over the per-repetition aliases via
+    * auto-SUBSET unions. n = 0 adds the empty option (optional group).
+    * m is capped — each k is a full variant.
+    */
+  private val GroupQuantRe =
+    """(?s)^\((.*)\)\s*\{\s*(\d+)\s*(?:,\s*(\d+)\s*)?\}$""".r
+  private[sql] val MaxGroupReps = 4
+
+  private def expandGroup(gm: scala.util.matching.Regex.Match,
+                          el: String): Seq[Seq[PatternStep]] = {
+    val n = gm.group(2).toInt
+    val m = Option(gm.group(3)).map(_.toInt).getOrElse(n)
+    if (m < math.max(n, 1))
+      throw GraftApp.SqlError(s"bad group repetition {$n,$m} in '$el' (max >= min, max >= 1)")
+    if (m > MaxGroupReps)
+      throw GraftApp.SqlError(
+        s"group repetition {$n,$m} in '$el' exceeds the cap $MaxGroupReps — " +
+          "each repetition count is a full step-order variant; restructure " +
+          "the pattern or aggregate downstream")
+    val inner = splitTopLevel(gm.group(1), "->").map(_.trim)
+    val parsed = inner.map(parseAlt)
+    parsed.foreach { case (_, q, rel) =>
+      if (q != (1, 1) || rel) throw GraftApp.SqlError(
+        s"quantifiers on group members are not supported in '$el' — " +
+          "quantify the GROUP itself")
+    }
+    val memberAliases = parsed.map(_._1.alias)
+    memberAliases.groupBy(identity).collectFirst { case (a, as) if as.size > 1 => a }
+      .foreach(a => throw GraftApp.SqlError(
+        s"duplicate member alias '$a' in group '$el'"))
+    def rep(k: Int): Seq[PatternStep] = parsed.map { case (alt, _, _) =>
+      val pred2 = alt.pred.map { p =>
+        memberAliases.foldLeft(p)((acc, a) =>
+          acc.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(a) + "\\s*\\.",
+            java.util.regex.Matcher.quoteReplacement(s"${a}__$k") + "."))
+      }
+      PatternStep(Seq(StepAlt(s"${alt.alias}__$k", alt.stream, pred2)))
+    }
+    val withOpts = (math.max(n, 1) to m).map(k => (1 to k).flatMap(rep))
+    if (n == 0) withOpts :+ Seq.empty[PatternStep] else withOpts
   }
 
   /** `alias=Stream[pred]<n:m>` (alias, bracket, quantifier all optional;

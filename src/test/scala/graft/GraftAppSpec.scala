@@ -1166,6 +1166,75 @@ class GraftAppSpec extends AnyFunSuite {
     assert(errOf(nativeNoEvery, Map("E" -> retry)).contains("EVERY"))
   }
 
+  test("MATCH_RECOGNIZE group repetition (A B){n,m}: per-repetition expansion, auto-SUBSET measures") {
+    def tape(rows: Seq[(Int, String, Double)]) = rows.map { case (s, k, v) => (s, 7L, k, v) }
+      .toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    def mr(measures: String, pattern: String, define: String, out: String,
+           rows: String = "ONE ROW PER MATCH") =
+      s"""CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+         |CREATE STREAM Out ($out);
+         |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+         |  PARTITION BY user_id ORDER BY ts
+         |  MEASURES $measures
+         |  $rows AFTER MATCH SKIP TO NEXT ROW
+         |  PATTERN ($pattern) WITHIN INTERVAL '1' HOUR
+         |  DEFINE $define);""".stripMargin
+
+    // (D U){1,2}: one step-order variant per repetition count; measures
+    // over D/U union the repetitions (count sums, sum NULL-safe, FIRST
+    // coalesces in chain order, LAST in reverse). U's DEFINE references
+    // ITS OWN repetition's D.
+    val defs = "A AS A.kind = 'a', D AS D.kind = 'd', " +
+      "U AS U.kind = 'u' AND U.v > D.v, C AS C.kind = 'c'"
+    def run(t: org.apache.spark.sql.DataFrame) = GraftApp.run(spark,
+      mr("count(D.v) AS n_d, sum(U.v) AS s_u, FIRST(D.v) AS d0, LAST(U.v) AS uz",
+        "A (D U){1,2} C", defs,
+        "n_d BIGINT, s_u DOUBLE, d0 DOUBLE, uz DOUBLE"),
+      Map("E" -> t))("Out")
+      .selectExpr("CAST(n_d AS BIGINT) AS n_d", "s_u", "d0", "uz")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    // k=1: a d(1) u(2) c
+    assert(run(tape(Seq((1, "a", 0.0), (2, "d", 1.0), (3, "u", 2.0), (4, "c", 0.0))))
+      == Seq((1L, 2.0, 1.0, 2.0)))
+    // k=2: a d(1) u(2) d(3) u(4) c — one match, repetitions unioned
+    assert(run(tape(Seq((1, "a", 0.0), (2, "d", 1.0), (3, "u", 2.0),
+      (4, "d", 3.0), (5, "u", 4.0), (6, "c", 0.0))))
+      == Seq((2L, 6.0, 1.0, 4.0)))
+    // same-repetition binding: second U NOT above its own D -> no k=2
+    // match, and k=1 dies at the second d (C expected) -> nothing
+    assert(run(tape(Seq((1, "a", 0.0), (2, "d", 1.0), (3, "u", 2.0),
+      (4, "d", 5.0), (5, "u", 4.0), (6, "c", 0.0)))) == Seq())
+
+    // optional group (H){0,1}: present and absent variants
+    def runOpt(t: org.apache.spark.sql.DataFrame) = GraftApp.run(spark,
+      mr("count(H.v) AS n_h", "A (H){0,1} C",
+        "A AS A.kind = 'a', H AS H.kind = 'h', C AS C.kind = 'c'", "n_h BIGINT"),
+      Map("E" -> t))("Out")
+      .selectExpr("CAST(n_h AS BIGINT) AS n_h").collect().map(_.getLong(0)).toSeq
+    assert(runOpt(tape(Seq((1, "a", 0.0), (2, "c", 0.0)))) == Seq(0L))
+    assert(runOpt(tape(Seq((1, "a", 0.0), (2, "h", 1.0), (3, "c", 0.0)))) == Seq(1L))
+
+    // typed gates
+    def errOf(app: String) = intercept[GraftApp.SqlError](
+      GraftApp.run(spark, app, Map("E" -> tape(Seq((1, "a", 0.0)))))).getMessage
+    assert(errOf(mr("count(D.v) AS n_d", "A (D U){1,9} C", defs, "n_d BIGINT"))
+      .contains("cap"))
+    assert(errOf(mr("count(D.v) AS n_d", "A (D U){1,2} C", defs,
+      "n_d BIGINT", rows = "ALL ROWS PER MATCH")).contains("ONE ROW"))
+    val defsNoC = "A AS A.kind = 'a', D AS D.kind = 'd', U AS U.kind = 'u'"
+    assert(errOf(mr("count(D.v) AS n_d", "A (D D){1,2} C",
+      defsNoC + ", C AS C.kind = 'c'", "n_d BIGINT")).contains("duplicate"))
+    assert(errOf(mr("count(D.v) AS n_d", "A (D U){1,2} D", defsNoC, "n_d BIGINT"))
+      .contains("unique"))
+    // a non-group DEFINE referencing a group member is ambiguous
+    assert(errOf(mr("count(D.v) AS n_d", "A (D U){1,2} C",
+      defs.replace("C AS C.kind = 'c'", "C AS C.kind = 'c' AND C.v > D.v"),
+      "n_d BIGINT")).contains("per repetition"))
+  }
+
   test("MATCH_RECOGNIZE reluctant quantifiers: +? / {n,m}? prefer the fewest repetitions under skip selection") {
     def tape(rows: Seq[(Int, String, Double)]) = rows.map { case (s, k, v) => (s, 7L, k, v) }
       .toDF("sec", "user_id", "kind", "v")

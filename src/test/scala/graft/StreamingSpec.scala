@@ -2310,6 +2310,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.toSeq == batch.toSeq, s"batch ${batch.toSeq} vs stream ${got.toSeq}")
     } finally q.stop()
 
+    // group repetition (D U){1,2} (round 13): the per-k variants ride the
+    // same multi-variant streaming kernel — parity with batch
+    val inG = MemoryStream[(Long, Long, String, Double)]
+    val eventsG = inG.toDS().toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val appG =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, n_d BIGINT, s_u DOUBLE);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES count(D.v) AS n_d, sum(U.v) AS s_u
+        |  ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A (D U){1,2} C) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', D AS D.kind = 'd',
+        |         U AS U.kind = 'u', C AS C.kind = 'c'
+        |);""".stripMargin
+    val outG = graft.sql.GraftApp.run(spark, appG, Map("E" -> eventsG))("Out")
+    assert(outG.isStreaming)
+    val qG = outG.writeStream.format("memory").queryName("mr_grp_sink")
+      .outputMode("append").start()
+    val tapeG = Seq((1L, 7L, "a", 0.0), (2L, 7L, "d", 1.0), (3L, 7L, "u", 2.0),
+      (4L, 7L, "d", 3.0), (5L, 7L, "u", 4.0), (6L, 7L, "c", 0.0))
+    try {
+      inG.addData(tapeG.take(3): _*); qG.processAllAvailable()
+      inG.addData(tapeG.drop(3): _*); qG.processAllAvailable()
+      val gotG = spark.table("mr_grp_sink").collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getDouble(2))).sorted.toSeq
+      assert(gotG == Seq((7L, 2L, 6.0)), s"got $gotG")
+      val batchG = graft.sql.GraftApp.run(spark, appG, Map("E" ->
+        tapeG.toDF("sec", "user_id", "kind", "v")
+          .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+            "user_id", "kind", "v")))("Out")
+        .selectExpr("user_id", "CAST(n_d AS BIGINT)", "s_u")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      assert(batchG == gotG, s"batch $batchG vs stream $gotG")
+    } finally qG.stop()
+
     // zero-or-more B*: overlapping presence-pair matches SHARE the anchor;
     // the shared counter numbers them per key in completion order, and the
     // row contents (ignoring numbering order) must be the batch's
