@@ -64,3 +64,19 @@ INSERT INTO symbol_card SELECT symbol, count(*) AS n,
   hist_quantile(price, 950, 100) AS p95,
   heavy_hitters(kind, 20) AS whales
 FROM trades GROUP BY symbol ORDER BY symbol;
+
+-- Bounded group repetition (ANSI pattern grouping): each (leg, recovery)
+-- pair repeats 1-2 times before the breakout; measures over LEG/REC
+-- union the repetitions automatically.
+CREATE STREAM ladders (symbol STRING, n_legs BIGINT, rec_sum DOUBLE);
+INSERT INTO ladders SELECT * FROM trades MATCH_RECOGNIZE (
+  PARTITION BY symbol
+  ORDER BY ts
+  MEASURES count(LEG.price) AS n_legs, sum(REC.price) AS rec_sum
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (ENTRY (LEG REC){1,2} BREAK) WITHIN INTERVAL '1' HOUR
+  DEFINE ENTRY AS ENTRY.kind = 'dip', LEG AS LEG.kind = 'down',
+         REC AS REC.kind = 'up' AND REC.price > LEG.price,
+         BREAK AS BREAK.kind = 'breakout'
+);

@@ -398,6 +398,12 @@ class GraftAppSpec extends AnyFunSuite {
     // query statement, and its compiled form is pinned by q_sketch_sql +
     // CompatSpec; here just assert the app parses whole
     assert(spec.queries.exists(_.target == "symbol_card"))
+    // bounded group repetition expands to the per-k variants with
+    // suffixed member aliases
+    val ladders = byTarget("ladders")
+    assert(ladders.variants.size == 2)
+    assert(ladders.variants.map(_.size).sorted == Seq(4, 6))
+    assert(ladders.variants.exists(_.exists(_.aliases.contains("LEG__2"))))
   }
 
   test("examples/round12_demo.sql parses: skip modes + alternation surface") {
