@@ -686,6 +686,57 @@ object CepQueries extends QueryFamily {
              |  AND e5 = 'signup'
              |ORDER BY 1, 2, 3""".stripMargin)),
 
+    // MATCH_RECOGNIZE unbounded loop group (round 13): (D U)+ — a
+    // loop-back NFA edge re-enters the group per iteration, accumulating
+    // the members' buffers; EVERY emits every completable iteration
+    // count. The oracle probes k = 1..12 via a bounded series (far above
+    // the data's longest alternating view/purchase run) and checks all k
+    // pair positions plus the closing signup arithmetically. WITHIN
+    // 30 DAY never binds at test densities.
+    QueryDef(
+      "q_cep_mr_loop",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (user_id BIGINT, a_id BIGINT, n_d BIGINT, s_u DOUBLE);
+            |INSERT INTO Out SELECT * FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts
+            |  MEASURES A.event_id AS a_id, count(D.value) AS n_d,
+            |           round(sum(U.value), 6) AS s_u
+            |  ONE ROW PER MATCH
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN (A (D U)+ C) WITHIN INTERVAL '30' DAY
+            |  DEFINE A AS A.event_type = 'error', D AS D.event_type = 'view',
+            |         U AS U.event_type = 'purchase', C AS C.event_type = 'signup'
+            |);""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .selectExpr("user_id", "a_id", "CAST(n_d AS BIGINT) AS n_d", "s_u")
+          .orderBy(col("user_id"), col("a_id"), col("n_d"))
+      },
+      Some("""WITH ord AS (
+             |  SELECT user_id, event_id, event_type, value,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events),
+             |pairs AS (
+             |  SELECT a.user_id, a.rn FROM ord a JOIN ord b
+             |    ON b.user_id = a.user_id AND b.rn = a.rn + 1
+             |  WHERE a.event_type = 'view' AND b.event_type = 'purchase'),
+             |ks AS (SELECT unnest(range(1, 13)) AS k)
+             |SELECT e.user_id, e.event_id AS a_id, CAST(ks.k AS BIGINT) AS n_d,
+             |  (SELECT round(sum(o2.value), 6) FROM ord o2
+             |   WHERE o2.user_id = e.user_id AND o2.rn >= e.rn + 2
+             |     AND o2.rn <= e.rn + 2 * ks.k AND (o2.rn - e.rn) % 2 = 0) AS s_u
+             |FROM ord e CROSS JOIN ks
+             |WHERE e.event_type = 'error'
+             |  AND (SELECT count(*) FROM pairs p WHERE p.user_id = e.user_id
+             |       AND p.rn >= e.rn + 1 AND p.rn <= e.rn + 2 * ks.k - 1
+             |       AND (p.rn - e.rn) % 2 = 1) = ks.k
+             |  AND EXISTS (SELECT 1 FROM ord c WHERE c.user_id = e.user_id
+             |       AND c.rn = e.rn + 2 * ks.k + 1 AND c.event_type = 'signup')
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
     // MATCH_RECOGNIZE reluctant quantifier (round 13): B+? takes the
     // FEWEST purchases that complete the match — exactly one — where the
     // greedy B+ (q_cep_mr_skip_greedy, same tape) consumes the whole

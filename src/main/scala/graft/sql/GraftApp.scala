@@ -1353,7 +1353,7 @@ object GraftApp {
         """|\{-\s*(\w+)\s*(\+\??|\*\??|\?\??|\{\d+(?:,\d*)?\}\??)?\s*-\}""" +
         """|\(\s*(\w+(?:\s*\|\s*\w+)+)\s*\)\s*(\+\??|\*\??|\?\??|\{\d+(?:,\d*)?\}\??)?""" +
         """|(\w+)\s*(\+\??|\*\??|\?\??|\{\d+(?:,\d*)?\}\??)?""" +
-        """|\(\s*(\w+(?:\s+\w+)*)\s*\)\s*(\{\d+(?:,\d+)?\})""").r
+        """|\(\s*(\w+(?:\s+\w+)*)\s*\)\s*(\{\d+(?:,\d+)?\}|\+|\*)""").r
     final case class MrTok(vars: Seq[String], quant: Option[String],
                            excluded: Boolean, permute: Boolean = false,
                            group: Boolean = false)
@@ -1444,12 +1444,17 @@ object GraftApp {
     // ---- group repetition bookkeeping (round 13): the k-th repetition's
     // steps are V__k; measures over V distribute via auto-SUBSET unions
     val groupToks = toks.filter(_.group)
-    val groupVars: Set[String] = groupToks.flatMap(_.vars).toSet
+    // BOUNDED groups {n,m} expand with per-repetition suffixed aliases
+    // (auto-SUBSET measures); LOOP groups (+ / *) keep their aliases as
+    // real collection steps — no suffix machinery applies to them
+    val boundedGroupToks = groupToks.filter(_.quant.exists(_.startsWith("{")))
+    val groupVars: Set[String] = boundedGroupToks.flatMap(_.vars).toSet
     if (groupToks.nonEmpty) {
-      if (allRows) throw SqlError(
+      if (allRows && boundedGroupToks.nonEmpty) throw SqlError(
         "ALL ROWS PER MATCH with group repetition (A B){n,m} is not " +
           "supported — per-event classifiers are per REPETITION (V__k); " +
-          "use ONE ROW PER MATCH and aggregate measures")
+          "use ONE ROW PER MATCH and aggregate measures (the unbounded " +
+          "loop form (A B)+ supports ALL ROWS)")
       // member names must be unique across the whole pattern: their
       // measure references resolve through the auto-SUBSET union
       groupToks.foreach { t =>
@@ -1459,6 +1464,8 @@ object GraftApp {
               "member names must be unique")
         }
       }
+      // the scope/SUBSET/auto-union rules below are the BOUNDED-group
+      // suffix machinery; loop members are ordinary collection steps
       // DEFINE scope: a member's predicate may reference itself, its own
       // group's members (bound to the SAME repetition), or non-group
       // variables; any other reference to a group member is ambiguous
@@ -1480,7 +1487,7 @@ object GraftApp {
       }
       // auto-SUBSETs: V in MEASURES = union of V__1..V__m (repetitions a
       // given match lacks NULL-pad through the variant machinery)
-      groupToks.foreach { t =>
+      boundedGroupToks.foreach { t =>
         val mMax = t.quant.get.stripPrefix("{").stripSuffix("}")
           .split(",").last.trim.toInt
         t.vars.foreach(v => subsets += v -> (1 to mMax).map(k => s"${v}__$k"))
@@ -1706,7 +1713,8 @@ object GraftApp {
       // others join NULL) — coalesce picks the matched one's key; a head
       // GROUP's first repetition's first member is always present
       val spelled =
-        if (grp0) s"${vs0.head}__1.$k"
+        if (grp0 && q0.exists(_.startsWith("{"))) s"${vs0.head}__1.$k"
+        else if (grp0) s"${vs0.head}[0].$k" // loop group: first collected
         else if (vs0.size > 1) vs0.map(v => s"$v.$k").mkString("coalesce(", ", ", ")")
         else if (q0.isDefined) s"${vs0.head}[0].$k"
         else s"${vs0.head}.$k"

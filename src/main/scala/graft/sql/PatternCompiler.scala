@@ -63,9 +63,18 @@ object PatternCompiler {
     * "shortest run to threshold" form Flink/Trino also accept. Without a
     * skip mode every (start, parse) pair is enumerated, so reluctance
     * selects nothing — the compile gate rejects it there.
+    *
+    * `looped` / `loopBack` (round 13, unbounded group repetition
+    * `(A B)+`): `looped` marks every member of a loop group (its buffer
+    * collects one event PER ITERATION, so joins/refs treat it as a
+    * collection even at max = 1); `loopBack >= 0` sits on the group's
+    * LAST member — on completion the NFA also branches back `loopBack`
+    * steps (a relative offset, so element concatenation never re-indexes)
+    * for another iteration.
     */
   final case class PatternStep(alts: Seq[StepAlt], min: Int = 1, max: Int = 1,
-                               reluctant: Boolean = false) {
+                               reluctant: Boolean = false,
+                               looped: Boolean = false, loopBack: Int = -1) {
     def aliases: Seq[String] = alts.map(_.alias).distinct
   }
 
@@ -174,6 +183,11 @@ object PatternCompiler {
           s"SKIP TO ${if (isFirst) "FIRST" else "LAST"} $alias: the alias " +
             "sits on an OR step — the alternative may be absent in a given " +
             "match, leaving no row to resume at")
+        if (step.looped) throw GraftApp.SqlError(
+          s"SKIP TO ${if (isFirst) "FIRST" else "LAST"} $alias: the alias " +
+            "sits inside an unbounded loop group — its rows interleave " +
+            "with the other members', so the resume row has no counts-" +
+            "prefix position; use SKIP PAST LAST ROW")
         if (chain.head.aliases.contains(alias)) throw GraftApp.SqlError(
           s"AFTER MATCH SKIP TO ${if (isFirst) "FIRST" else "LAST"} $alias " +
             "resumes at the match's own first variable, which can re-match " +
@@ -364,7 +378,7 @@ object PatternCompiler {
       }: _*)
 
     // ---- unified select/WHERE rewriting + join planning over the groups
-    val multi = groups.zipWithIndex.collect { case (st, gi) if st.max > 1 =>
+    val multi = groups.zipWithIndex.collect { case (st, gi) if st.max > 1 || st.looped =>
       st.aliases.head -> gi
     }.toMap
     if (multi.nonEmpty && groups.exists(st => st.max > 1 && st.alts.size > 1))
@@ -391,7 +405,7 @@ object PatternCompiler {
       org.apache.spark.sql.graftbridge.Bridge.column(parsed)
     }
     groups.zipWithIndex.foreach { case (st, gi) =>
-      if (st.max == 1) {
+      if (st.max == 1 && !st.looped) {
         val orStep = st.aliases.size > 1
         st.aliases.foreach { a =>
           val altIdx = st.alts.indexWhere(_.alias == a)
@@ -464,7 +478,7 @@ object PatternCompiler {
       text = idxRe.replaceAllIn(text, m => {
         val (alias, idx) = (m.group(1), m.group(2))
         groups.indices.find(gi => groups(gi).aliases.contains(alias) &&
-            groups(gi).max > 1) match {
+            (groups(gi).max > 1 || groups(gi).looped)) match {
           case Some(gi) =>
             // sanitize `last-k` for the SQL alias ('-' would parse as minus)
             val name = s"__${alias}_${idx.replaceAll("\\s", "").replace("-", "_m")}"
@@ -1239,6 +1253,10 @@ object PatternCompiler {
       val k = steps.indexWhere(_.aliases.contains(r.v))
       if (k < 0) throw GraftApp.SqlError(
         s"RUNNING aggregate references '${r.v}' which is not a pattern step variable")
+      if (steps.exists(_.looped)) throw GraftApp.SqlError(
+        "streaming RUNNING with an unbounded loop group is batch-only — " +
+          "the prefix fold slices per-step buffers, which interleave " +
+          "across loop iterations (batch orders by event id instead)")
       val t = colTypes.getOrElse(r.c.toLowerCase, throw GraftApp.SqlError(
         s"RUNNING ${r.fn}(${r.v}.${r.c}): '${r.c}' is not a stream column"))
       // OR step (round 13): the buffer interleaves alternatives, so the
@@ -1657,7 +1675,7 @@ object PatternCompiler {
       comps.forall { c =>
         val ref = coll(c.refStep)
         ref.nonEmpty && cmp(e.vals(c.localIdx), c.op, ref.head.vals(c.refIdx))
-      }, reluctant = st.reluctant)
+      }, reluctant = st.reluctant, loopBack = st.loopBack)
 
   private def classifySteps(q: PatternQuery, steps: Seq[PatternStep]): NfaBuild = {
     val valReg = scala.collection.mutable.LinkedHashMap.empty[String, Int]
@@ -1728,7 +1746,7 @@ object PatternCompiler {
         expr(s"element_at(steps[$i].events, -1).tsUs").as(s"__endts_$i")
       })): _*)
     // ---- select/WHERE rewriting + join planning
-    val multi = steps.zipWithIndex.collect { case (st, i) if st.max > 1 =>
+    val multi = steps.zipWithIndex.collect { case (st, i) if st.max > 1 || st.looped =>
       st.aliases.head -> i
     }.toMap
     if (multi.nonEmpty && steps.exists(st => st.max > 1 && st.alts.size > 1))
@@ -1768,7 +1786,7 @@ object PatternCompiler {
       org.apache.spark.sql.graftbridge.Bridge.column(parsed)
     }
     steps.zip(nb.perAltLocal).zipWithIndex.foreach { case ((st, perAlt), i) =>
-      if (st.max == 1) {
+      if (st.max == 1 && !st.looped) {
         val outer = st.aliases.size > 1
         st.aliases.foreach { a =>
           val altIdx = st.alts.indexWhere(_.alias == a)
@@ -1835,7 +1853,8 @@ object PatternCompiler {
       // indexed access e[j].col / e[last].col
       text = idxRe.replaceAllIn(text, m => {
         val (alias, idx) = (m.group(1), m.group(2))
-        steps.indices.find(i => steps(i).aliases.contains(alias) && steps(i).max > 1) match {
+        steps.indices.find(i => steps(i).aliases.contains(alias) &&
+            (steps(i).max > 1 || steps(i).looped)) match {
           case Some(i) =>
             // sanitize `last-k` for the SQL alias ('-' would parse as minus)
             val name = s"__${alias}_${idx.replaceAll("\\s", "").replace("-", "_m")}"
@@ -2052,13 +2071,54 @@ object PatternCompiler {
     * m is capped — each k is a full variant.
     */
   private val GroupQuantRe =
-    """(?s)^\((.*)\)\s*\{\s*(\d+)\s*(?:,\s*(\d+)\s*)?\}$""".r
+    """(?s)^\((.*)\)\s*(\{\s*\d+\s*(?:,\s*\d+\s*)?\}|\+|\*)$""".r
   private[sql] val MaxGroupReps = 4
 
   private def expandGroup(gm: scala.util.matching.Regex.Match,
                           el: String): Seq[Seq[PatternStep]] = {
-    val n = gm.group(2).toInt
-    val m = Option(gm.group(3)).map(_.toInt).getOrElse(n)
+    // unbounded loop form `(A B)+` / `(A B)*`: ONE variant whose members
+    // carry the loop-back edge — the NFA re-enters the group's first
+    // member after each completion, accumulating into the same buffers
+    // (requireBoundedState demands a WITHIN). Member predicates may not
+    // reference OTHER members: a cross-member ref would anchor at the
+    // FIRST iteration's event (CrossCmp reads the ref step's head), not
+    // the current iteration — bounded groups `{n,m}` give the
+    // per-repetition binding.
+    if (gm.group(2) == "+" || gm.group(2) == "*") {
+      val inner = splitTopLevel(gm.group(1), "->").map(_.trim)
+      val parsed = inner.map(parseAlt)
+      parsed.foreach { case (_, q, rel) =>
+        if (q != (1, 1) || rel) throw GraftApp.SqlError(
+          s"quantifiers on group members are not supported in '$el' — " +
+            "quantify the GROUP itself")
+      }
+      val aliases = parsed.map(_._1.alias)
+      aliases.groupBy(identity).collectFirst { case (a, as) if as.size > 1 => a }
+        .foreach(a => throw GraftApp.SqlError(
+          s"duplicate member alias '$a' in group '$el'"))
+      parsed.foreach { case (alt, _, _) =>
+        alt.pred.foreach { p =>
+          aliases.filter(_ != alt.alias).find(o =>
+            ("(?i)\\b" + java.util.regex.Pattern.quote(o) + "\\s*\\.").r
+              .findFirstIn(p).isDefined)
+            .foreach(o => throw GraftApp.SqlError(
+              s"member '${alt.alias}' of loop group '$el' references " +
+                s"member '$o' — cross-member references in an UNBOUNDED " +
+                "group would anchor at the first iteration; use a bounded " +
+                "group (A B){n,m} for per-repetition binding"))
+        }
+      }
+      val chain = parsed.zipWithIndex.map { case ((alt, _, _), i) =>
+        PatternStep(Seq(alt), looped = true,
+          loopBack = if (i == parsed.size - 1) parsed.size - 1 else -1)
+      }
+      return if (gm.group(2) == "+") Seq(chain)
+        else Seq(chain, Seq.empty[PatternStep])
+    }
+    val qm0 = """\{\s*(\d+)\s*(?:,\s*(\d+)\s*)?\}""".r
+      .findFirstMatchIn(gm.group(2)).get
+    val n = qm0.group(1).toInt
+    val m = Option(qm0.group(2)).map(_.toInt).getOrElse(n)
     if (m < math.max(n, 1))
       throw GraftApp.SqlError(s"bad group repetition {$n,$m} in '$el' (max >= min, max >= 1)")
     if (m > MaxGroupReps)
@@ -2220,12 +2280,12 @@ object PatternCompiler {
     * kernel's maxPartials cap). Enforced at compile, like `NOT … FOR`.
     */
   private def requireBoundedState(spec: PatternSpec): Unit =
-    if (spec.steps.exists(_.max == Int.MaxValue) &&
+    if (spec.steps.exists(st => st.max == Int.MaxValue || st.loopBack >= 0) &&
         spec.withinUs.isEmpty && spec.withinEvents.isEmpty)
       throw GraftApp.SqlError(
-        "unbounded count quantifier ('+' / '{n,}') requires WITHIN " +
-          "<duration | n EVENTS> — in-flight pattern state is otherwise " +
-          "unbounded")
+        "unbounded count quantifier ('+' / '{n,}' / a '(A B)+' loop group) " +
+          "requires WITHIN <duration | n EVENTS> — in-flight pattern state " +
+          "is otherwise unbounded")
 
   /** WITHIN duration/EVENTS → (micros, eventCount). */
   def parseWithin(n: String, unit: String): (Option[Long], Option[Long]) = {

@@ -73,11 +73,15 @@ final case class VariantMatch(variant: Int, key: String, startUs: Long,
 /** `reluctant` (ANSI `+?` / `{n,m}?`): under skip-mode parse selection
   * this quantifier prefers the FEWEST repetitions (see skipPreferred);
   * ignored by the plain EVERY enumeration, which explores all parses.
+  * `loopBack >= 0` (unbounded group repetition `(A B)+`): on this step's
+  * completion the NFA ALSO branches back `loopBack` steps for another
+  * iteration of the group, accumulating into the same per-step buffers.
   */
 final case class Step(
     name: String, min: Int, max: Int,
     pred: (CepEvent, Seq[Seq[CepEvent]]) => Boolean,
-    reluctant: Boolean = false) extends Serializable
+    reluctant: Boolean = false,
+    loopBack: Int = -1) extends Serializable
 
 object Step {
   def simple(name: String)(p: CepEvent => Boolean): Step =
@@ -243,6 +247,10 @@ object Cep {
               } else {
                 next += Partial(p.stepIdx + 1, p.startUs, p.startSeq, coll2) // advance
               }
+              // loop group (A B)+: the group's last member also branches
+              // back for another iteration, same accumulated buffers
+              if (step.loopBack >= 0)
+                next += Partial(p.stepIdx - step.loopBack, p.startUs, p.startSeq, coll2)
             }
           } else if (!spec.strict && !guardKill) {
             // relaxed PATTERN: non-matching events are skipped; seeds that
@@ -369,6 +377,8 @@ object Cep {
                   spec.steps.map(_.name).zip(coll2).map { case (n, es) => Collected(n, es) }),
                 p.startSeq, seq, coll2.map(_.size.toLong)))
             else next += Partial(p.stepIdx + 1, p.startUs, p.startSeq, coll2)
+            if (step.loopBack >= 0)
+              next += Partial(p.stepIdx - step.loopBack, p.startUs, p.startSeq, coll2)
           }
         }
         // strict contiguity: a mismatching event kills the instance

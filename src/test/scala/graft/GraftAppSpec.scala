@@ -1241,6 +1241,69 @@ class GraftAppSpec extends AnyFunSuite {
       "n_d BIGINT")).contains("per repetition"))
   }
 
+  test("MATCH_RECOGNIZE unbounded loop groups (A B)+: loop-back NFA edge, collection measures") {
+    def tape(rows: Seq[(Int, String, Double)]) = rows.map { case (s, k, v) => (s, 7L, k, v) }
+      .toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    def mr(measures: String, pattern: String, define: String, out: String,
+           skip: String = "AFTER MATCH SKIP TO NEXT ROW",
+           within: String = "WITHIN INTERVAL '1' HOUR") =
+      s"""CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+         |CREATE STREAM Out ($out);
+         |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+         |  PARTITION BY user_id ORDER BY ts
+         |  MEASURES $measures
+         |  ONE ROW PER MATCH $skip
+         |  PATTERN ($pattern) $within
+         |  DEFINE $define);""".stripMargin
+    val defs = "A AS A.kind = 'a', D AS D.kind = 'd', " +
+      "U AS U.kind = 'u', C AS C.kind = 'c'"
+    def run(t: org.apache.spark.sql.DataFrame, pattern: String = "A (D U)+ C",
+            skip: String = "AFTER MATCH SKIP TO NEXT ROW") = GraftApp.run(spark,
+      mr("count(D.v) AS n_d, sum(U.v) AS s_u, FIRST(D.v) AS d0, LAST(U.v) AS uz",
+        pattern, defs, "n_d BIGINT, s_u DOUBLE, d0 DOUBLE, uz DOUBLE", skip),
+      Map("E" -> t))("Out")
+      .selectExpr("CAST(n_d AS BIGINT) AS n_d", "s_u", "d0", "uz")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    // one iteration: a d u c
+    assert(run(tape(Seq((1, "a", 0.0), (2, "d", 1.0), (3, "u", 2.0), (4, "c", 0.0))))
+      == Seq((1L, 2.0, 1.0, 2.0)))
+    // three iterations, one match — unbounded where {1,2} would stop at 2
+    assert(run(tape(Seq((1, "a", 0.0), (2, "d", 1.0), (3, "u", 2.0),
+      (4, "d", 3.0), (5, "u", 4.0), (6, "d", 5.0), (7, "u", 6.0), (8, "c", 0.0))))
+      == Seq((3L, 12.0, 1.0, 6.0)))
+    // trailing loop group + SKIP PAST: greedy consumes ALL iterations
+    val defsNoC = "A AS A.kind = 'a', D AS D.kind = 'd', U AS U.kind = 'u'"
+    val greedy = GraftApp.run(spark,
+      mr("count(D.v) AS n_d, sum(U.v) AS s_u, FIRST(D.v) AS d0, LAST(U.v) AS uz",
+        "A (D U)+", defsNoC, "n_d BIGINT, s_u DOUBLE, d0 DOUBLE, uz DOUBLE",
+        skip = "AFTER MATCH SKIP PAST LAST ROW"),
+      Map("E" -> tape(Seq((1, "a", 0.0), (2, "d", 1.0), (3, "u", 2.0),
+        (4, "d", 3.0), (5, "u", 4.0), (6, "x", 0.0)))))("Out")
+      .selectExpr("CAST(n_d AS BIGINT) AS n_d", "s_u", "d0", "uz")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(greedy == Seq((2L, 6.0, 1.0, 4.0)))
+    // optional loop group (D U)*: absent variant
+    val opt = GraftApp.run(spark,
+      mr("count(D.v) AS n_d", "A (D U)* C", defs, "n_d BIGINT"),
+      Map("E" -> tape(Seq((1, "a", 0.0), (2, "c", 0.0)))))("Out")
+      .selectExpr("CAST(coalesce(n_d, 0) AS BIGINT)").collect().map(_.getLong(0)).toSeq
+    assert(opt == Seq(0L))
+    // typed gates: WITHIN required; cross-member refs; SKIP TO a loop member
+    def errOf(app: String) = intercept[GraftApp.SqlError](
+      GraftApp.run(spark, app, Map("E" -> tape(Seq((1, "a", 0.0)))))).getMessage
+    assert(errOf(mr("count(D.v) AS n_d", "A (D U)+ C", defs, "n_d BIGINT",
+      within = "")).contains("WITHIN"))
+    assert(errOf(mr("count(D.v) AS n_d", "A (D U)+ C",
+      defs.replace("U AS U.kind = 'u'", "U AS U.kind = 'u' AND U.v > D.v"),
+      "n_d BIGINT")).contains("bounded group"))
+    assert(errOf(mr("count(D.v) AS n_d", "A (D U)+ C", defs, "n_d BIGINT",
+      skip = "AFTER MATCH SKIP TO LAST U")).contains("loop group"))
+  }
+
   test("MATCH_RECOGNIZE reluctant quantifiers: +? / {n,m}? prefer the fewest repetitions under skip selection") {
     def tape(rows: Seq[(Int, String, Double)]) = rows.map { case (s, k, v) => (s, 7L, k, v) }
       .toDF("sec", "user_id", "kind", "v")

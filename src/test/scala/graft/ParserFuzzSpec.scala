@@ -259,7 +259,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     junk <- Gen.oneOf("", "+??", "?+", "{1,2}??", "??", "B+?", "?{1,2}",
       "+? +?", "AFTER MATCH SKIP TO NEXT ROW", "(A|B)+?", "PERMUTE(A, B)+?",
       "(A B)", "(A B){1,9}", "(A B){2,1}", "(A B){", "){1,2}", "(A B){1,2}+",
-      "(A A){1,2}", "((A B) C){1,2}", "(A B+){1,2}",
+      "(A A){1,2}", "((A B) C){1,2}", "(A B+){1,2}", "(A B)+?", "(A B)++",
+      "(A A)+", "(A B+)+",
       "'", ",", ";;")
     mode <- Gen.oneOf(0, 1, 2)
   } yield mode match {

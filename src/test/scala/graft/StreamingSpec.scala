@@ -2348,6 +2348,46 @@ class StreamingSpec extends AnyFunSuite {
       assert(batchG == gotG, s"batch $batchG vs stream $gotG")
     } finally qG.stop()
 
+    // unbounded loop group (A (D U)+ C) (round 13): single-variant
+    // streaming chain with the loop-back edge, cross-batch state
+    val inL = MemoryStream[(Long, Long, String, Double)]
+    val eventsL = inL.toDS().toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val appL =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, n_d BIGINT, s_u DOUBLE);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES count(D.v) AS n_d, sum(U.v) AS s_u
+        |  ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A (D U)+ C) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', D AS D.kind = 'd',
+        |         U AS U.kind = 'u', C AS C.kind = 'c'
+        |);""".stripMargin
+    val outL = graft.sql.GraftApp.run(spark, appL, Map("E" -> eventsL))("Out")
+    assert(outL.isStreaming)
+    val qL = outL.writeStream.format("memory").queryName("mr_loop_sink")
+      .outputMode("append").start()
+    val tapeL = Seq((1L, 7L, "a", 0.0), (2L, 7L, "d", 1.0), (3L, 7L, "u", 2.0),
+      (4L, 7L, "d", 3.0), (5L, 7L, "u", 4.0), (6L, 7L, "d", 5.0),
+      (7L, 7L, "u", 6.0), (8L, 7L, "c", 0.0))
+    try {
+      inL.addData(tapeL.take(5): _*); qL.processAllAvailable()
+      inL.addData(tapeL.drop(5): _*); qL.processAllAvailable()
+      val gotL = spark.table("mr_loop_sink").collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getDouble(2))).sorted.toSeq
+      // three iterations, one match (k<3 dies mid-loop on the next d)
+      assert(gotL == Seq((7L, 3L, 12.0)), s"got $gotL")
+      val batchL = graft.sql.GraftApp.run(spark, appL, Map("E" ->
+        tapeL.toDF("sec", "user_id", "kind", "v")
+          .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+            "user_id", "kind", "v")))("Out")
+        .selectExpr("user_id", "CAST(n_d AS BIGINT)", "s_u")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      assert(batchL == gotL, s"batch $batchL vs stream $gotL")
+    } finally qL.stop()
+
     // zero-or-more B*: overlapping presence-pair matches SHARE the anchor;
     // the shared counter numbers them per key in completion order, and the
     // row contents (ignoring numbering order) must be the batch's
