@@ -80,3 +80,18 @@ INSERT INTO ladders SELECT * FROM trades MATCH_RECOGNIZE (
          REC AS REC.kind = 'up' AND REC.price > LEG.price,
          BREAK AS BREAK.kind = 'breakout'
 );
+
+-- Unbounded loop group: ANY number of (leg, recovery) pairs before the
+-- breakout — the loop-back NFA edge accumulates the members' buffers
+-- per iteration (WITHIN bounds the in-flight state).
+CREATE STREAM long_ladders (symbol STRING, n_legs BIGINT);
+INSERT INTO long_ladders SELECT * FROM trades MATCH_RECOGNIZE (
+  PARTITION BY symbol
+  ORDER BY ts
+  MEASURES count(LEG2.price) AS n_legs
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (ENTRY2 (LEG2 REC2)+ BREAK2) WITHIN INTERVAL '1' HOUR
+  DEFINE ENTRY2 AS ENTRY2.kind = 'dip', LEG2 AS LEG2.kind = 'down',
+         REC2 AS REC2.kind = 'up', BREAK2 AS BREAK2.kind = 'breakout'
+);
