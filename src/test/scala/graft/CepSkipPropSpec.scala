@@ -106,6 +106,103 @@ class CepSkipPropSpec extends AnyFunSuite {
     }
   }
 
+  /** Loop-chain parses: `pre… (loop…)+ post…` — members all {1,1}, k ≥ 1
+    * iterations. counts = pre 1s ++ (k per loop member) ++ post 1s; the
+    * span is contiguous, so the selection/resume arithmetic is shared
+    * with plain chains. */
+  private def enumerateLoop(tape: IndexedSeq[Int], pre: Seq[StepSpec],
+                            loop: Seq[StepSpec], post: Seq[StepSpec]): Seq[(Int, Seq[Int])] = {
+    val out = Seq.newBuilder[(Int, Seq[Int])]
+    def consume(specs: Seq[StepSpec], pos: Int): Option[Int] = {
+      var p = pos
+      specs.foreach { st =>
+        if (p >= tape.length || !st.kinds(tape(p))) return None
+        p += 1
+      }
+      Some(p)
+    }
+    tape.indices.foreach { start =>
+      consume(pre, start).foreach { p0 =>
+        var p = p0
+        var k = 0
+        var cont = true
+        while (cont) {
+          consume(loop, p) match {
+            case Some(p2) =>
+              p = p2; k += 1
+              consume(post, p).foreach { _ =>
+                out += ((start, pre.map(_ => 1) ++ loop.map(_ => k) ++ post.map(_ => 1)))
+              }
+            case None => cont = false
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def runLoopMachine(tape: IndexedSeq[Int], pre: Seq[StepSpec],
+                             loop: Seq[StepSpec], post: Seq[StepSpec],
+                             resume: Option[(Int, Boolean)]): Seq[(Int, Seq[Int])] = {
+    val within = 1000L * 1000000L
+    def mk(st: StepSpec, name: String, lb: Int): Step =
+      Step(name, 1, 1, (e, _) => st.kinds(e.etype.toInt), loopBack = lb)
+    val steps = pre.zipWithIndex.map { case (st, i) => mk(st, s"P$i", -1) } ++
+      loop.zipWithIndex.map { case (st, i) =>
+        mk(st, s"L$i", if (i == loop.size - 1) loop.size - 1 else -1) } ++
+      post.zipWithIndex.map { case (st, i) => mk(st, s"Q$i", -1) }
+    val spec = PatternSpec(steps, strict = true, every = true,
+      withinUs = Some(within), maxPartials = 10000)
+    val evs = tape.zipWithIndex.map { case (kk, i) =>
+      CepEvent("k", i.toLong * 1000000, i.toLong, kk.toString, 0.0, Nil, Nil)
+    }
+    val (out, st) = Cep.runNfaSkipPast(evs,
+      Cep.SkipNfaState(NfaState(Nil, done = false), 0L, Nil), spec, resume)
+    val (tail, _) = Cep.skipPastTimeoutFlush(st,
+      wmUs = Long.MaxValue / 2, withinUs = within, resume = resume, rel = Nil)
+    (out ++ tail).map { m =>
+      (m.steps.head.events.head.eventId.toInt, m.steps.map(_.events.size))
+    }
+  }
+
+  test("loop-group skip selection == brute-force reference over 200 random samples") {
+    val rng = new Rng(0xBEEF)
+    var checked = 0
+    var nonEmpty = 0
+    while (checked < 200) {
+      def specOf(): StepSpec = {
+        val kinds = (0 until 3).filter(_ => rng.next(2) == 1).toSet match {
+          case e if e.isEmpty => Set(rng.next(3))
+          case s2 => s2
+        }
+        StepSpec(kinds, 1, 1, rel = false)
+      }
+      val pre = Seq.fill(rng.next(2))(specOf())   // 0..1
+      val loop = Seq.fill(1 + rng.next(2))(specOf()) // 1..2
+      val post = Seq.fill(rng.next(2))(specOf())  // 0..1
+      if (pre.isEmpty && post.isEmpty && loop.isEmpty) ()
+      else {
+        val tape = IndexedSeq.fill(4 + rng.next(17))(rng.next(3))
+        // resume: past-last, or SKIP TO FIRST/LAST of a POST step (never a
+        // loop member — its rows interleave; never the head — gate parity)
+        val postBase = pre.size + loop.size
+        val resume =
+          if (post.isEmpty || rng.next(2) == 0) None
+          else Some((postBase + rng.next(post.size), rng.next(2) == 0))
+        val all = enumerateLoop(tape, pre, loop, post)
+        val nSteps = pre.size + loop.size + post.size
+        val want = select(all, Seq.fill(nSteps)(false), resume)
+        val got = runLoopMachine(tape, pre, loop, post, resume)
+        assert(got == want,
+          s"pre=$pre loop=$loop post=$post tape=${tape.mkString} resume=$resume\n" +
+            s"  want=$want\n  got=$got")
+        if (want.nonEmpty) nonEmpty += 1
+        checked += 1
+      }
+    }
+    assert(nonEmpty > 80, s"only $nonEmpty/200 samples produced matches")
+  }
+
   test("skip selection == brute-force reference over 300 random (chain, tape) samples") {
     val rng = new Rng(0xC0FFEE)
     var checked = 0
