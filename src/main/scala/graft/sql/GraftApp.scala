@@ -1353,7 +1353,7 @@ object GraftApp {
         """|\{-\s*(\w+)\s*(\+\??|\*\??|\?\??|\{\d+(?:,\d*)?\}\??)?\s*-\}""" +
         """|\(\s*(\w+(?:\s*\|\s*\w+)+)\s*\)\s*(\+\??|\*\??|\?\??|\{\d+(?:,\d*)?\}\??)?""" +
         """|(\w+)\s*(\+\??|\*\??|\?\??|\{\d+(?:,\d*)?\}\??)?""" +
-        """|\(\s*(\w+(?:\s+\w+)*)\s*\)\s*(\{\d+(?:,\d+)?\}|\+|\*)""").r
+        """|\(\s*(\w+(?:\s+\w+)*)\s*\)\s*(\{\d+(?:,\d*)?\}|\+|\*)""").r
     final case class MrTok(vars: Seq[String], quant: Option[String],
                            excluded: Boolean, permute: Boolean = false,
                            group: Boolean = false)
@@ -1447,7 +1447,8 @@ object GraftApp {
     // BOUNDED groups {n,m} expand with per-repetition suffixed aliases
     // (auto-SUBSET measures); LOOP groups (+ / *) keep their aliases as
     // real collection steps — no suffix machinery applies to them
-    val boundedGroupToks = groupToks.filter(_.quant.exists(_.startsWith("{")))
+    val boundedGroupToks = groupToks.filter(_.quant.exists(q =>
+      q.startsWith("{") && !q.matches("""\{\d+,\}""")))
     val groupVars: Set[String] = boundedGroupToks.flatMap(_.vars).toSet
     if (groupToks.nonEmpty) {
       if (allRows && boundedGroupToks.nonEmpty) throw SqlError(
@@ -1713,7 +1714,8 @@ object GraftApp {
       // others join NULL) — coalesce picks the matched one's key; a head
       // GROUP's first repetition's first member is always present
       val spelled =
-        if (grp0 && q0.exists(_.startsWith("{"))) s"${vs0.head}__1.$k"
+        if (grp0 && q0.exists(q => q.startsWith("{") && !q.matches("""\{\d+,\}""")))
+          s"${vs0.head}__1.$k"
         else if (grp0) s"${vs0.head}[0].$k" // loop group: first collected
         else if (vs0.size > 1) vs0.map(v => s"$v.$k").mkString("coalesce(", ", ", ")")
         else if (q0.isDefined) s"${vs0.head}[0].$k"

@@ -74,7 +74,8 @@ object PatternCompiler {
     */
   final case class PatternStep(alts: Seq[StepAlt], min: Int = 1, max: Int = 1,
                                reluctant: Boolean = false,
-                               looped: Boolean = false, loopBack: Int = -1) {
+                               looped: Boolean = false, loopBack: Int = -1,
+                               minIters: Int = 1) {
     def aliases: Seq[String] = alts.map(_.alias).distinct
   }
 
@@ -1675,7 +1676,7 @@ object PatternCompiler {
       comps.forall { c =>
         val ref = coll(c.refStep)
         ref.nonEmpty && cmp(e.vals(c.localIdx), c.op, ref.head.vals(c.refIdx))
-      }, reluctant = st.reluctant, loopBack = st.loopBack)
+      }, reluctant = st.reluctant, loopBack = st.loopBack, minIters = st.minIters)
 
   private def classifySteps(q: PatternQuery, steps: Seq[PatternStep]): NfaBuild = {
     val valReg = scala.collection.mutable.LinkedHashMap.empty[String, Int]
@@ -2071,7 +2072,7 @@ object PatternCompiler {
     * m is capped — each k is a full variant.
     */
   private val GroupQuantRe =
-    """(?s)^\((.*)\)\s*(\{\s*\d+\s*(?:,\s*\d+\s*)?\}|\+|\*)$""".r
+    """(?s)^\((.*)\)\s*(\{\s*\d+\s*(?:,\s*\d*\s*)?\}|\+|\*)$""".r
   private[sql] val MaxGroupReps = 4
 
   private def expandGroup(gm: scala.util.matching.Regex.Match,
@@ -2084,7 +2085,8 @@ object PatternCompiler {
     // FIRST iteration's event (CrossCmp reads the ref step's head), not
     // the current iteration — bounded groups `{n,m}` give the
     // per-repetition binding.
-    if (gm.group(2) == "+" || gm.group(2) == "*") {
+    val unbounded = """\{\s*(\d+)\s*,\s*\}""".r.findFirstMatchIn(gm.group(2))
+    if (gm.group(2) == "+" || gm.group(2) == "*" || unbounded.isDefined) {
       val inner = splitTopLevel(gm.group(1), "->").map(_.trim)
       val parsed = inner.map(parseAlt)
       parsed.foreach { case (_, q, rel) =>
@@ -2108,11 +2110,16 @@ object PatternCompiler {
                 "group (A B){n,m} for per-repetition binding"))
         }
       }
+      // `(A B){n,}`: at least n iterations before the match may leave the
+      // group (minIters gates advance/emit on the loop's last member)
+      val nMin = unbounded.map(_.group(1).toInt)
+        .getOrElse(if (gm.group(2) == "+") 1 else 0)
       val chain = parsed.zipWithIndex.map { case ((alt, _, _), i) =>
         PatternStep(Seq(alt), looped = true,
-          loopBack = if (i == parsed.size - 1) parsed.size - 1 else -1)
+          loopBack = if (i == parsed.size - 1) parsed.size - 1 else -1,
+          minIters = math.max(nMin, 1))
       }
-      return if (gm.group(2) == "+") Seq(chain)
+      return if (nMin >= 1) Seq(chain)
         else Seq(chain, Seq.empty[PatternStep])
     }
     val qm0 = """\{\s*(\d+)\s*(?:,\s*(\d+)\s*)?\}""".r

@@ -77,11 +77,16 @@ final case class VariantMatch(variant: Int, key: String, startUs: Long,
   * completion the NFA ALSO branches back `loopBack` steps for another
   * iteration of the group, accumulating into the same per-step buffers.
   */
+/** `minIters` (with `loopBack >= 0`): the `(A B){n,}` form — the group
+  * must complete at least n iterations before the match may advance past
+  * it or emit; the loop-back branch itself is ungated.
+  */
 final case class Step(
     name: String, min: Int, max: Int,
     pred: (CepEvent, Seq[Seq[CepEvent]]) => Boolean,
     reluctant: Boolean = false,
-    loopBack: Int = -1) extends Serializable
+    loopBack: Int = -1,
+    minIters: Int = 1) extends Serializable
 
 object Step {
   def simple(name: String)(p: CepEvent => Boolean): Step =
@@ -233,7 +238,11 @@ object Cep {
             if (cnt < step.max)
               next += p.copy(collected = coll2) // stay: await more of this step
             if (cnt >= step.min) {
-              if (p.stepIdx == nSteps - 1) {
+              // a loop group's last member gates advance/emit on its
+              // minimum ITERATION count ((A B){n,}); cnt IS the
+              // iteration count just completed
+              val itersOk = step.loopBack < 0 || cnt >= step.minIters
+              if (p.stepIdx == nSteps - 1 && itersOk) {
                 // non-EVERY: first completion only — a second partial
                 // completing on the same event is not emitted (reference:
                 // "the first complete sequence" wins)
@@ -244,11 +253,11 @@ object Cep {
                     matchSeq = mseq)
                 }
                 matchedNow = true
-              } else {
+              } else if (p.stepIdx < nSteps - 1 && itersOk) {
                 next += Partial(p.stepIdx + 1, p.startUs, p.startSeq, coll2) // advance
               }
-              // loop group (A B)+: the group's last member also branches
-              // back for another iteration, same accumulated buffers
+              // loop group: the group's last member also branches back for
+              // another iteration, same accumulated buffers (ungated)
               if (step.loopBack >= 0)
                 next += Partial(p.stepIdx - step.loopBack, p.startUs, p.startSeq, coll2)
             }
@@ -371,12 +380,14 @@ object Cep {
           val cnt = coll2(p.stepIdx).size
           if (cnt < step.max) next += p.copy(collected = coll2)
           if (cnt >= step.min) {
-            if (p.stepIdx == nSteps - 1)
+            val itersOk = step.loopBack < 0 || cnt >= step.minIters
+            if (p.stepIdx == nSteps - 1 && itersOk)
               addCand(SkipCand(
                 CepMatch(e.key, p.startUs, e.tsUs,
                   spec.steps.map(_.name).zip(coll2).map { case (n, es) => Collected(n, es) }),
                 p.startSeq, seq, coll2.map(_.size.toLong)))
-            else next += Partial(p.stepIdx + 1, p.startUs, p.startSeq, coll2)
+            else if (p.stepIdx < nSteps - 1 && itersOk)
+              next += Partial(p.stepIdx + 1, p.startUs, p.startSeq, coll2)
             if (step.loopBack >= 0)
               next += Partial(p.stepIdx - step.loopBack, p.startUs, p.startSeq, coll2)
           }

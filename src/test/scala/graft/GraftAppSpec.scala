@@ -1292,6 +1292,19 @@ class GraftAppSpec extends AnyFunSuite {
       Map("E" -> tape(Seq((1, "a", 0.0), (2, "c", 0.0)))))("Out")
       .selectExpr("CAST(coalesce(n_d, 0) AS BIGINT)").collect().map(_.getLong(0)).toSeq
     assert(opt == Seq(0L))
+    // (D U){2,}: minimum TWO iterations before the group may close
+    def runMin2(t: org.apache.spark.sql.DataFrame) = GraftApp.run(spark,
+      mr("count(D.v) AS n_d", "A (D U){2,} C", defs, "n_d BIGINT"),
+      Map("E" -> t))("Out")
+      .selectExpr("CAST(n_d AS BIGINT)").collect().map(_.getLong(0)).sorted.toSeq
+    assert(runMin2(tape(Seq((1, "a", 0.0), (2, "d", 1.0), (3, "u", 2.0),
+      (4, "c", 0.0)))) == Seq()) // one iteration < 2
+    assert(runMin2(tape(Seq((1, "a", 0.0), (2, "d", 1.0), (3, "u", 2.0),
+      (4, "d", 3.0), (5, "u", 4.0), (6, "c", 0.0)))) == Seq(2L))
+    assert(runMin2(tape(Seq((1, "a", 0.0), (2, "d", 1.0), (3, "u", 2.0),
+      (4, "d", 3.0), (5, "u", 4.0), (6, "d", 5.0), (7, "u", 6.0),
+      (8, "c", 0.0)))) == Seq(3L))
+
     // typed gates: WITHIN required; cross-member refs; SKIP TO a loop member
     def errOf(app: String) = intercept[GraftApp.SqlError](
       GraftApp.run(spark, app, Map("E" -> tape(Seq((1, "a", 0.0)))))).getMessage
