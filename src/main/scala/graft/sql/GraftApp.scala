@@ -2776,6 +2776,17 @@ object GraftApp {
               acc.join(broadcast(h), col("__skk0") <=> col("__skk"), "left")
                 .drop("__skk")
             }
+            // a non-trivial expression aliased to the group key (e.g.
+            // `upper(etype) AS etype` with GROUP BY etype) would silently
+            // resolve to the RAW spine key below — reject it instead
+            q.selectItems.foreach { case (e, a) =>
+              if (a.exists(_.equalsIgnoreCase(g)) && !e.trim.equalsIgnoreCase(g) &&
+                  sketchRe.findFirstMatchIn(e.trim).isEmpty) throw SqlError(
+                s"select item '${e.trim}' is aliased to the GROUP BY key " +
+                  s"'$g' — with sketch aggregates the key column passes " +
+                  "through unchanged; alias the expression to a different " +
+                  "name or transform the key upstream")
+            }
             // non-sketch aggregates ride the normal grouped path and join
             // back on the same spine key
             val normal = q.selectItems.filter { case (e, a) =>

@@ -409,11 +409,6 @@ object Cep {
         init.nfa.dropped + droppedRun, mseq), pos, cands))
   }
 
-  private def skipLexGt(a: Seq[Long], b: Seq[Long]): Boolean = {
-    val i = a.zip(b).indexWhere { case (x, y) => x != y }
-    i >= 0 && a(i) > b(i)
-  }
-
   /** Parse preference at a fixed start: quantifiers resolve left to right,
     * each greedy one preferring MORE repetitions and each reluctant one
     * (`+?` / `{n,m}?`) FEWER — lexicographic comparison with a
@@ -701,6 +696,15 @@ object Cep {
     * start position instead; the orders differ only for overlapping
     * matches). The counter latches the state shell once any match emitted
     * (the retainMatchSeq discipline) so numbers never restart mid-stream.
+    *
+    * State bound: O(keys that ever matched) retained shells for the life
+    * of the query, a few dozen bytes each, never revisited while the key
+    * is idle (once partials drain no timeout is scheduled — there is
+    * nothing left to expire, and the shell itself must outlive any idle
+    * gap to keep mr_match_number monotonic). This is deliberate, same
+    * contract as [[detectStreamWithTimeout]]'s retainMatchSeq doc: no TTL
+    * can prove a key finished on an unbounded stream, so a deployment
+    * that cannot afford keys × ~100 B should not expose mr_match_number.
     */
   def detectStreamMultiAllRows(ds: Dataset[CepEvent], specs: Seq[PatternSpec],
                                watermarkDelay: String): Dataset[VariantMatch] = {
@@ -770,6 +774,18 @@ object Cep {
     * downstream. Costs one O(1) shell per key that ever matched (the
     * done-latch class of retained state); queries that never read
     * matchSeq keep the default remove-on-drain.
+    *
+    * State bound, stated explicitly: with retainMatchSeq the retained
+    * footprint is O(keys that ever matched) for the LIFE of the query —
+    * a shell is a few dozen bytes (counter + empty partial vectors), but
+    * it is never evicted, because ANY later event of that key must resume
+    * the numbering, and no TTL can prove a key is finished on an unbounded
+    * stream. At 100 TB this is the same bound as any per-key monotonic
+    * counter (e.g. Spark's own streaming dedup state without a watermark
+    * column): size it as keys × ~100 B. If a deployment can tolerate
+    * match numbers restarting for keys idle far beyond WITHIN, run the
+    * query without mr_match_number — the remove-on-drain default then
+    * bounds state by ACTIVE keys only.
     */
   def detectStreamWithTimeout(ds: Dataset[CepEvent], spec: PatternSpec,
                               watermarkDelay: String,

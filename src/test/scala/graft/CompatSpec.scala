@@ -1940,6 +1940,16 @@ class CompatSpec extends AnyFunSuite {
       "GROUP BY event_type, user_id")).contains("ONE GROUP BY key"))
     assert(err(app("kmv_distinct(user_id, 64)",
       "GROUP BY event_type HAVING hh > 1")).contains("HAVING"))
+    // a non-trivial expression aliased to the GROUP BY key would silently
+    // read back the raw spine key in the output — typed rejection (round 14)
+    val aliasClash =
+      """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+        |                      event_type STRING, value DOUBLE, props STRING);
+        |CREATE STREAM Out (event_type STRING, du BIGINT);
+        |INSERT INTO Out SELECT upper(event_type) AS event_type,
+        |  kmv_distinct(user_id, 64) AS du
+        |FROM events GROUP BY event_type;""".stripMargin
+    assert(err(aliasClash).contains("aliased to the GROUP BY key"))
     // global form must be the whole select list
     val mixed =
       """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
