@@ -737,6 +737,122 @@ object CepQueries extends QueryFamily {
              |       AND c.rn = e.rn + 2 * ks.k + 1 AND c.event_type = 'signup')
              |ORDER BY 1, 2, 3""".stripMargin)),
 
+    // MATCH_RECOGNIZE quantified group member (round 14): (D U+)+ — the
+    // inner U+ is gated PER ITERATION of the loop group (each view may be
+    // followed by a RUN of purchases, not exactly one). Because the member
+    // types are disjoint, exactly one NFA branch survives each event, so
+    // each error anchor yields at most ONE match: the contiguous
+    // view(purchase+) segment ending right before a signup. The oracle is
+    // an independent terminator-scan formulation: per anchor, find the
+    // first non-(view|purchase) row t; the match exists iff t is a signup,
+    // the segment starts with a view, and every view is immediately
+    // followed by a purchase. n_u > n_d rows pin the member quantifier (a
+    // one-per-iteration regression drops them). WITHIN 30 DAY never binds
+    // at test densities (same note as q_cep_mr_loop).
+    QueryDef(
+      "q_cep_mr_group_quant",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (user_id BIGINT, a_id BIGINT, n_d BIGINT,
+            |                   n_u BIGINT, s_u DOUBLE);
+            |INSERT INTO Out SELECT * FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts
+            |  MEASURES A.event_id AS a_id, count(D.value) AS n_d,
+            |           count(U.value) AS n_u, round(sum(U.value), 6) AS s_u
+            |  ONE ROW PER MATCH
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN (A (D U+)+ C) WITHIN INTERVAL '30' DAY
+            |  DEFINE A AS A.event_type = 'error', D AS D.event_type = 'view',
+            |         U AS U.event_type = 'purchase', C AS C.event_type = 'signup'
+            |);""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .selectExpr("user_id", "a_id", "CAST(n_d AS BIGINT) AS n_d",
+            "CAST(n_u AS BIGINT) AS n_u", "s_u")
+          .orderBy(col("user_id"), col("a_id"))
+      },
+      Some("""WITH ord AS (
+             |  SELECT user_id, event_id, event_type, value,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+             |         lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS nxt
+             |  FROM events),
+             |anch AS (
+             |  SELECT e.user_id, e.event_id, e.rn,
+             |    (SELECT min(o.rn) FROM ord o WHERE o.user_id = e.user_id
+             |       AND o.rn > e.rn AND o.event_type NOT IN ('view','purchase')) AS t
+             |  FROM ord e WHERE e.event_type = 'error')
+             |SELECT a.user_id, a.event_id AS a_id,
+             |  CAST((SELECT count(*) FROM ord o WHERE o.user_id = a.user_id
+             |        AND o.rn > a.rn AND o.rn < a.t AND o.event_type = 'view') AS BIGINT) AS n_d,
+             |  CAST((SELECT count(*) FROM ord o WHERE o.user_id = a.user_id
+             |        AND o.rn > a.rn AND o.rn < a.t AND o.event_type = 'purchase') AS BIGINT) AS n_u,
+             |  (SELECT round(sum(o.value), 6) FROM ord o WHERE o.user_id = a.user_id
+             |        AND o.rn > a.rn AND o.rn < a.t AND o.event_type = 'purchase') AS s_u
+             |FROM anch a
+             |JOIN ord f ON f.user_id = a.user_id AND f.rn = a.t
+             |JOIN ord s ON s.user_id = a.user_id AND s.rn = a.rn + 1
+             |WHERE f.event_type = 'signup' AND a.t >= a.rn + 3
+             |  AND s.event_type = 'view'
+             |  AND NOT EXISTS (SELECT 1 FROM ord v WHERE v.user_id = a.user_id
+             |        AND v.rn > a.rn AND v.rn < a.t AND v.event_type = 'view'
+             |        AND v.nxt <> 'purchase')
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // MATCH_RECOGNIZE per-iteration cross-member reference (round 14):
+    // (D U)+ with U defined as value > D.value — each iteration's U
+    // compares against ITS OWN iteration's D (the engine anchors the
+    // comparand at the current iteration's base, not the first
+    // iteration's head; CepSpec pins the k>=2 differential on a synthetic
+    // tape). The oracle is q_cep_mr_loop's bounded k-probe with the
+    // value condition folded into the pair relation.
+    QueryDef(
+      "q_cep_mr_iter_ref",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (user_id BIGINT, a_id BIGINT, n_d BIGINT, s_u DOUBLE);
+            |INSERT INTO Out SELECT * FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts
+            |  MEASURES A.event_id AS a_id, count(D.value) AS n_d,
+            |           round(sum(U.value), 6) AS s_u
+            |  ONE ROW PER MATCH
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN (A (D U)+ C) WITHIN INTERVAL '30' DAY
+            |  DEFINE A AS A.event_type = 'error', D AS D.event_type = 'view',
+            |         U AS U.event_type = 'purchase' AND U.value > D.value,
+            |         C AS C.event_type = 'signup'
+            |);""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .selectExpr("user_id", "a_id", "CAST(n_d AS BIGINT) AS n_d", "s_u")
+          .orderBy(col("user_id"), col("a_id"), col("n_d"))
+      },
+      Some("""WITH ord AS (
+             |  SELECT user_id, event_id, event_type, value,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events),
+             |pairs AS (
+             |  SELECT a.user_id, a.rn FROM ord a JOIN ord b
+             |    ON b.user_id = a.user_id AND b.rn = a.rn + 1
+             |  WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+             |    AND b.value > a.value),
+             |ks AS (SELECT unnest(range(1, 13)) AS k)
+             |SELECT e.user_id, e.event_id AS a_id, CAST(ks.k AS BIGINT) AS n_d,
+             |  (SELECT round(sum(o2.value), 6) FROM ord o2
+             |   WHERE o2.user_id = e.user_id AND o2.rn >= e.rn + 2
+             |     AND o2.rn <= e.rn + 2 * ks.k AND (o2.rn - e.rn) % 2 = 0) AS s_u
+             |FROM ord e CROSS JOIN ks
+             |WHERE e.event_type = 'error'
+             |  AND (SELECT count(*) FROM pairs p WHERE p.user_id = e.user_id
+             |       AND p.rn >= e.rn + 1 AND p.rn <= e.rn + 2 * ks.k - 1
+             |       AND (p.rn - e.rn) % 2 = 1) = ks.k
+             |  AND EXISTS (SELECT 1 FROM ord c WHERE c.user_id = e.user_id
+             |       AND c.rn = e.rn + 2 * ks.k + 1 AND c.event_type = 'signup')
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
     // MATCH_RECOGNIZE reluctant quantifier (round 13): B+? takes the
     // FEWEST purchases that complete the match — exactly one — where the
     // greedy B+ (q_cep_mr_skip_greedy, same tape) consumes the whole
@@ -772,6 +888,46 @@ object CepQueries extends QueryFamily {
              |FROM ord a JOIN ord b
              |  ON b.user_id = a.user_id AND b.rn = a.rn + 1
              |WHERE a.event_type = 'error' AND b.event_type = 'purchase'
+             |  AND b.tsu - a.tsu <= 3600000000
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // MATCH_RECOGNIZE reluctant quantifier under SKIP TO NEXT ROW
+    // (round 14): ANSI reads reluctance as a parse PREFERENCE, so it
+    // composes with every skip mode — under NEXT ROW each START emits its
+    // one preferred (fewest-B) parse and matches overlap freely. Anchoring
+    // on purchases makes the modes observably different: in a purchase
+    // streak p1..pn EVERY pi..pi+1 pair emits here (n-1 rows), where SKIP
+    // PAST LAST ROW would consume p2 and emit only alternate pairs; and
+    // n_b = 1 pins reluctance (greedy B+ would take the whole streak).
+    QueryDef(
+      "q_cep_mr_reluctant_next",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (user_id BIGINT, a_id BIGINT, n_b BIGINT, b_last BIGINT);
+            |INSERT INTO Out SELECT * FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts
+            |  MEASURES A.event_id AS a_id, count(B.value) AS n_b,
+            |           LAST(B.event_id) AS b_last
+            |  ONE ROW PER MATCH
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN (A B+?) WITHIN INTERVAL '1' HOUR
+            |  DEFINE A AS A.event_type = 'purchase', B AS B.event_type = 'purchase'
+            |);""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .orderBy(col("user_id"), col("a_id"))
+      },
+      Some("""WITH ord AS (
+             |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events)
+             |SELECT a.user_id, a.event_id AS a_id, CAST(1 AS BIGINT) AS n_b,
+             |       b.event_id AS b_last
+             |FROM ord a JOIN ord b
+             |  ON b.user_id = a.user_id AND b.rn = a.rn + 1
+             |WHERE a.event_type = 'purchase' AND b.event_type = 'purchase'
              |  AND b.tsu - a.tsu <= 3600000000
              |ORDER BY 1, 2""".stripMargin)),
 

@@ -60,6 +60,45 @@ object SketchQueries extends QueryFamily {
              |       LEFT JOIN p50 ON p50.key = n.key
              |ORDER BY etype""".stripMargin)),
 
+    // Multi-key GROUP BY + HAVING for sketch SQL (round 14): the datacard
+    // query a migrating user writes on day one — GROUP BY source×lang
+    // shaped keys with a composite spine (to_json key struct joins the
+    // per-group operator results back; output keys keep their original
+    // columns/types) and HAVING evaluated in the normal-aggregate pass
+    // pruning the spine. The oracle replays the md5-60 bottom-k estimator
+    // per composite group and applies the same HAVING.
+    QueryDef(
+      "q_sketch_sql_multikey",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (etype STRING, user_id BIGINT, n BIGINT, du BIGINT);
+            |INSERT INTO Out SELECT event_type AS etype, user_id, count(*) AS n,
+            |  kmv_distinct(event_id, 16) AS du
+            |FROM events GROUP BY event_type, user_id HAVING count(*) >= 15
+            |ORDER BY etype, user_id;""".stripMargin
+        graft.sql.GraftApp.run(s, app,
+          Map("events" -> Tables(s, dir, "events")))("Out")
+          .orderBy(col("etype"), col("user_id"))
+      },
+      Some("""WITH h AS (SELECT DISTINCT event_type, user_id,
+             |  CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+             |  FROM events WHERE event_id IS NOT NULL),
+             |r AS (SELECT event_type, user_id, hv,
+             |  row_number() OVER (PARTITION BY event_type, user_id ORDER BY hv) AS rn FROM h),
+             |du AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS k_used, max(hv) AS kth
+             |       FROM r WHERE rn <= 16 GROUP BY 1, 2),
+             |duv AS (SELECT event_type, user_id,
+             |  CASE WHEN k_used < 16 THEN k_used
+             |       ELSE CAST(round(15.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE)) AS BIGINT) END AS du
+             |  FROM du),
+             |n AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2
+             |      HAVING count(*) >= 15)
+             |SELECT n.event_type AS etype, n.user_id, n.n, duv.du
+             |FROM n LEFT JOIN duv ON duv.event_type = n.event_type AND duv.user_id = n.user_id
+             |ORDER BY 1, 2""".stripMargin)),
+
     // KMV bottom-k distinct estimation over two key columns of events:
     // user_id (1.5k distinct at sf0.1 — estimated from 64 hashes) and
     // event_id (100k distinct — estimated from 256). DuckDB replays the

@@ -980,6 +980,13 @@ object GraftApp {
         skipPast = true
         rest = rest.substring(0, sm.start) + rest.substring(sm.end)
       }
+      // SKIP TO NEXT ROW (round 14): the EVERY enumeration by default; with
+      // a reluctant quantifier it selects one preferred parse per start
+      var skipNext = false
+      """(?is)\bSKIP\s+TO\s+NEXT\s+ROW\b""".r.findFirstMatchIn(rest).foreach { sm =>
+        skipNext = true
+        rest = rest.substring(0, sm.start) + rest.substring(sm.end)
+      }
       // SKIP TO FIRST/LAST <var>: same greedy selection, resume AT the
       // named variable's first/last row (partial overlap allowed)
       var skipTo: Option[(Boolean, String)] = None
@@ -995,7 +1002,7 @@ object GraftApp {
         throw SqlError(s"unrecognized text after pattern clause: '${residue.take(60)}' — " +
           "pattern queries support WHERE, WITHIN, ALLOW LATENESS, PARTITION " +
           "BY, EMIT ALL ROWS [EXCLUDING (v, …)], SKIP PAST LAST ROW, " +
-          "SKIP TO FIRST|LAST <var>")
+          "SKIP TO NEXT ROW, SKIP TO FIRST|LAST <var>")
       val (variants, every, absents) = PatternCompiler.parseSteps(stepsRaw)
       val (withinUs, withinEvents) = within
         .map { case (n, u) => PatternCompiler.parseWithin(n, u) }
@@ -1006,7 +1013,8 @@ object GraftApp {
         variants = variants, withinUs = withinUs, withinEvents = withinEvents,
         where = where, partitionBy = partitionBy, absents = absents,
         lateness = lateness, allRows = allRows, skipPast = skipPast,
-        skipTo = skipTo, allRowsExcluding = allRowsExcluding,
+        skipTo = skipTo, skipNext = skipNext,
+        allRowsExcluding = allRowsExcluding,
         allRowsUnmatched = allRowsUnmatched)
     }
 
@@ -1348,15 +1356,26 @@ object GraftApp {
     // round 13 adds bounded GROUP repetition `(A B){n,m}` (space-separated
     // members, {n[,m]} quantifier REQUIRED — the k-th repetition's steps
     // are aliased V__k and measures over V distribute via auto-SUBSETs)
+    // round 14: group members may carry their own quantifiers
+    // ((A B+){1,2} — per-iteration counts on the loop machine), and a
+    // group body may nest ONE inner exact-count group (((A B){2} C)+,
+    // inlined by the engine with __i alias suffixes)
+    val grpMember = """(?:\w+(?:[+*]\??|\{\d+(?:,\d*)?\}\??)?|\(\s*\w+(?:[+*]\??|\{\d+(?:,\d*)?\}\??)?(?:\s+\w+(?:[+*]\??|\{\d+(?:,\d*)?\}\??)?)*\s*\)\s*(?:[+*]|\{\d+(?:,\d*)?\}))"""
     val grpRe =
       ("""(?i)PERMUTE\s*\(\s*(\w+(?:\s*,\s*\w+)+)\s*\)\s*(\+\??|\*\??|\?\??|\{\d+(?:,\d*)?\}\??)?""" +
         """|\{-\s*(\w+)\s*(\+\??|\*\??|\?\??|\{\d+(?:,\d*)?\}\??)?\s*-\}""" +
         """|\(\s*(\w+(?:\s*\|\s*\w+)+)\s*\)\s*(\+\??|\*\??|\?\??|\{\d+(?:,\d*)?\}\??)?""" +
         """|(\w+)\s*(\+\??|\*\??|\?\??|\{\d+(?:,\d*)?\}\??)?""" +
-        """|\(\s*(\w+(?:\s+\w+)*)\s*\)\s*(\{\d+(?:,\d*)?\}|\+|\*)""").r
+        s"""|\\(\\s*($grpMember(?:\\s+$grpMember)*)\\s*\\)\\s*(\\{\\d+(?:,\\d*)?\\}|\\+|\\*)""").r
+    /** `memberRaw`: for group tokens, each member's raw spelling including
+      * its own quantifier and inner-group parens, aligned with `vars`
+      * flattened in order (inner-group members appear individually).
+      */
     final case class MrTok(vars: Seq[String], quant: Option[String],
                            excluded: Boolean, permute: Boolean = false,
-                           group: Boolean = false)
+                           group: Boolean = false,
+                           memberRaw: Seq[String] = Nil,
+                           innerGroups: Seq[(Seq[String], Int)] = Nil)
     val covered = new StringBuilder
     val toks: Seq[MrTok] =
       grpRe.findAllMatchIn(patternRaw).map { gm =>
@@ -1386,14 +1405,34 @@ object GraftApp {
               s"duplicate alternative '$a' in alternation (${gm.group(5).trim})"))
           MrTok(alts, None, excluded = false)
         } else if (gm.group(9) != null) {
-          // bounded group repetition (A B){n,m} (round 13): members are
-          // space-separated plain variables; the engine expands one
-          // step-order variant per repetition count with __k suffixes
-          val ms = gm.group(9).split("\\s+").map(_.trim).filter(_.nonEmpty).toSeq
-          ms.groupBy(identity).collectFirst { case (v, vs) if vs.size > 1 => v }
+          // group repetition (A B){n,m} / (A B+)+ / ((A B){2} C)+ — all
+          // forms run the engine's loop machine (round 14); members keep
+          // their aliases as real collection steps, member quantifiers
+          // gate per iteration, inner exact-count groups inline with __i
+          // suffixes (their measures union via auto-SUBSETs below)
+          val memberToks = ("""(?i)""" + grpMember).r
+            .findAllIn(gm.group(9)).map(_.trim).toSeq
+          val inner = Seq.newBuilder[(Seq[String], Int)]
+          val names = memberToks.flatMap { t =>
+            if (t.startsWith("(")) {
+              val k = """\{(\d+)\}\s*$""".r.findFirstMatchIn(t)
+                .map(_.group(1).toInt).getOrElse(throw SqlError(
+                  s"nested group '$t' must carry an EXACT count {k} — " +
+                    "variable inner repetition ({n,m}, +, *) would need a " +
+                    "nested iteration frame; restructure or lift the inner " +
+                    "group out"))
+              val ns = """(\w+)(?:[+*]|\{\d+(?:,\d*)?\})?""".r
+                .findAllMatchIn(t.substring(1, t.lastIndexOf(')')))
+                .map(_.group(1)).toSeq
+              inner += ((ns, k))
+              ns
+            } else Seq(t.replaceAll("""[+*{].*$""", ""))
+          }
+          names.groupBy(identity).collectFirst { case (v, vs) if vs.size > 1 => v }
             .foreach(v => throw SqlError(
               s"duplicate variable '$v' in group (${gm.group(9).trim})"))
-          MrTok(ms, Option(gm.group(10)), excluded = false, group = true)
+          MrTok(names, Option(gm.group(10)), excluded = false, group = true,
+            memberRaw = memberToks, innerGroups = inner.result())
         } else MrTok(Seq(gm.group(7)), Option(gm.group(8)), excluded = false)
       }.toSeq
     // the scan skips anything unmatchable — require full coverage so a
@@ -1441,23 +1480,23 @@ object GraftApp {
             "variables resolve in MEASURES only; spell the member predicates out")
       }
     }
-    // ---- group repetition bookkeeping (round 13): the k-th repetition's
-    // steps are V__k; measures over V distribute via auto-SUBSET unions
+    // ---- group repetition bookkeeping (round 14): EVERY group form —
+    // (A B)+, (A B)*, (A B){n,m} — runs the engine's loop machine. Members
+    // keep their aliases as real collection steps (buffers accumulate per
+    // iteration), so measures aggregate/navigate them directly — no
+    // per-repetition suffix machinery, no auto-SUBSET join-back fan-out,
+    // no repetition cap. The one remaining suffix surface is inner
+    // exact-count groups (((A B){2} C)+): the engine inlines them as
+    // looped members A__1 B__1 A__2 B__2, and measures over A union the
+    // inline aliases via auto-SUBSETs.
     val groupToks = toks.filter(_.group)
-    // BOUNDED groups {n,m} expand with per-repetition suffixed aliases
-    // (auto-SUBSET measures); LOOP groups (+ / *) keep their aliases as
-    // real collection steps — no suffix machinery applies to them
-    val boundedGroupToks = groupToks.filter(_.quant.exists(q =>
-      q.startsWith("{") && !q.matches("""\{\d+,\}""")))
-    val groupVars: Set[String] = boundedGroupToks.flatMap(_.vars).toSet
+    val groupVars: Set[String] = groupToks.flatMap(_.vars).toSet
+    val innerAliases: Set[String] = groupToks.flatMap(_.innerGroups.flatMap {
+      case (ns, k) => ns.flatMap(n => (1 to k).map(i => s"${n}__$i"))
+    }).toSet
     if (groupToks.nonEmpty) {
-      if (allRows && boundedGroupToks.nonEmpty) throw SqlError(
-        "ALL ROWS PER MATCH with group repetition (A B){n,m} is not " +
-          "supported — per-event classifiers are per REPETITION (V__k); " +
-          "use ONE ROW PER MATCH and aggregate measures (the unbounded " +
-          "loop form (A B)+ supports ALL ROWS)")
-      // member names must be unique across the whole pattern: their
-      // measure references resolve through the auto-SUBSET union
+      // member names must be unique across the whole pattern: measures
+      // reference them directly
       groupToks.foreach { t =>
         t.vars.foreach { v =>
           if (toks.exists(t2 => (t2 ne t) && t2.vars.contains(v))) throw SqlError(
@@ -1465,41 +1504,57 @@ object GraftApp {
               "member names must be unique")
         }
       }
-      // the scope/SUBSET/auto-union rules below are the BOUNDED-group
-      // suffix machinery; loop members are ordinary collection steps
       // DEFINE scope: a member's predicate may reference itself, its own
-      // group's members (bound to the SAME repetition), or non-group
-      // variables; any other reference to a group member is ambiguous
-      // across repetitions
+      // group's members (bound to the SAME iteration by the engine's
+      // iteration-anchored comparands — the ANSI per-repetition reading),
+      // or non-group variables. A reference from OUTSIDE the group is
+      // ambiguous (first iteration's event vs ANSI's running-last) and
+      // stays a typed rejection.
       defines.foreach { case (dv, p) =>
         val ownGroup = groupToks.find(_.vars.contains(dv))
           .map(_.vars.toSet).getOrElse(Set.empty[String])
         (groupVars -- ownGroup - dv).find(o =>
           ("(?i)\\b" + o + "\\s*\\.").r.findFirstIn(maskQuotes(p)).isDefined)
           .foreach(o => throw SqlError(
-            s"DEFINE $dv references group member '$o' — group members bind " +
-              s"per repetition ('${o}__k'); only the member's own group " +
-              "sees them"))
+            s"DEFINE $dv references group member '$o' from outside its " +
+              "group — the binding across iterations is ambiguous (first " +
+              "vs latest); reference a non-group variable instead"))
       }
-      subsets.keys.toSeq.foreach { name =>
-        subsets(name).find(groupVars.contains).foreach(v => throw SqlError(
-          s"SUBSET $name over group member '$v' is not supported — the " +
-            "member already unions its repetitions"))
-      }
-      // auto-SUBSETs: V in MEASURES = union of V__1..V__m (repetitions a
-      // given match lacks NULL-pad through the variant machinery)
-      boundedGroupToks.foreach { t =>
-        val mMax = t.quant.get.stripPrefix("{").stripSuffix("}")
-          .split(",").last.trim.toInt
-        t.vars.foreach(v => subsets += v -> (1 to mMax).map(k => s"${v}__$k"))
-      }
+      // auto-SUBSETs for INNER group members: v in MEASURES = union of
+      // v__1..v__k over the engine's inlined per-inner-repetition aliases
+      groupToks.foreach(_.innerGroups.foreach { case (ns, k) =>
+        ns.foreach(v => subsets += v -> (1 to k).map(i => s"${v}__$i"))
+      })
+      // a single-member group that normalizes to a SCALAR step ((H){0,1},
+      // (H){1}) registers a self-SUBSET so aggregate measures over it
+      // rewrite to the NULL-aware scalar forms (count → CASE WHEN, sum →
+      // the value) instead of reaching Spark as a group-less aggregate
+      groupToks.filter(t => t.vars.size == 1 && t.innerGroups.isEmpty)
+        .foreach { t =>
+          val v = t.vars.head
+          val collByQuant = t.quant.map(qBase).exists {
+            case "+" | "*" => true
+            case q if q.startsWith("{") =>
+              val parts = q.stripPrefix("{").stripSuffix("}").split(",", -1)
+              if (parts.length == 1) parts(0).trim.toInt > 1
+              else parts(1).trim.isEmpty || parts(1).trim.toInt > 1
+            case _ => false
+          }
+          if (!collByQuant && !subsets.contains(v)) subsets += v -> Seq(v)
+        }
     }
 
     // member metadata: a count-quantified member reads through the engine's
     // collection forms (count(v.x), v[0].x, v[last].x); a max-1 member
     // (`?` / {0,1} / {1}) through plain scalar refs, which NULL out via the
     // variant padding when the optional member is omitted from a match
+    // members of a MULTI-member group are looped collection steps; a
+    // single-member group (H){0,1} normalizes to the plain quantifier in
+    // the engine, so its collection-ness follows the generic quant rule
+    val collGroupVars: Set[String] =
+      groupToks.filter(_.vars.size > 1).flatMap(_.vars).toSet
     def isColl(v: String): Boolean =
+      collGroupVars.contains(v) || innerAliases.contains(v) ||
       toks.find(_.vars.contains(v)).flatMap(_.quant).map(qBase).exists {
         case "+" | "*" => true
         case "?" => false
@@ -1609,17 +1664,33 @@ object GraftApp {
       lowered
     }
     val steps = toks.map {
-      case MrTok(ms, _, _, true, _) => // PERMUTE: one engine n-ary AND element
+      case MrTok(ms, _, _, true, _, _, _) => // PERMUTE: one engine n-ary AND element
         ms.map { v =>
           val pred = defines.get(v).map(p => s"[${lowerPred(v, p)}]").getOrElse("")
           s"$v=$stream$pred"
         }.mkString(" AND ")
-      case MrTok(ms, Some(q), _, _, true) => // group repetition (A B){n,m}
-        ms.map { v =>
-          val pred = defines.get(v).map(p => s"[${lowerPred(v, p)}]").getOrElse("")
-          s"$v=$stream$pred"
+      case t @ MrTok(_, Some(q), _, _, true, _, _) =>
+        // group repetition → the engine loop machine; member quantifiers
+        // and inner exact groups pass through in engine spelling
+        t.memberRaw.map { tok =>
+          if (tok.startsWith("(")) {
+            val k = """\{(\d+)\}\s*$""".r.findFirstMatchIn(tok).get.group(1)
+            val body = tok.substring(1, tok.lastIndexOf(')'))
+            val innerSteps = """(\w+)([+*]|\{\d+(?:,\d*)?\})?""".r
+              .findAllMatchIn(body).map { m =>
+                val v = m.group(1); val mq = Option(m.group(2)).getOrElse("")
+                val pred = defines.get(v).map(p => s"[${lowerPred(v, p)}]").getOrElse("")
+                s"$v=$stream$pred$mq"
+              }.mkString(" -> ")
+            s"($innerSteps){$k}"
+          } else {
+            val v = tok.replaceAll("""[+*{].*$""", "")
+            val mq = tok.stripPrefix(v)
+            val pred = defines.get(v).map(p => s"[${lowerPred(v, p)}]").getOrElse("")
+            s"$v=$stream$pred$mq"
+          }
         }.mkString("(", " -> ", s")$q")
-      case MrTok(Seq(v), q, _, _, _) =>
+      case MrTok(Seq(v), q, _, _, _, _, _) =>
         val pred = defines.get(v).map(p => s"[${lowerPred(v, p)}]").getOrElse("")
         val quant = q.getOrElse("") match {
           case "" => ""
@@ -1628,7 +1699,7 @@ object GraftApp {
           case s0 => s0 // + * {n} {n,m} {n,} [+ reluctant ?] — engine spelling
         }
         s"$v=$stream$pred$quant"
-      case MrTok(alts, _, _, _, _) => // alternation: one engine OR step, alias per branch
+      case MrTok(alts, _, _, _, _, _, _) => // alternation: one engine OR step, alias per branch
         alts.map { v =>
           val pred = defines.get(v).map(p => s"[${lowerPred(v, p)}]").getOrElse("")
           s"$v=$stream$pred"
@@ -1709,14 +1780,17 @@ object GraftApp {
     // key, so no key item is injected; the engine appends them (plus
     // mr_classifier) via EMIT ALL ROWS
     val keyItem = if (allRows) None else partitionBy.map { k =>
-      val MrTok(vs0, q0, _, _, grp0) = toks.head
+      val MrTok(vs0, q0, _, _, grp0, raw0, _) = toks.head
       // an alternation head binds exactly one alternative per match (the
       // others join NULL) — coalesce picks the matched one's key; a head
-      // GROUP's first repetition's first member is always present
+      // GROUP's first iteration's first member is always present (an
+      // inner-group head reads its first inlined repetition's alias)
       val spelled =
-        if (grp0 && q0.exists(q => q.startsWith("{") && !q.matches("""\{\d+,\}""")))
-          s"${vs0.head}__1.$k"
-        else if (grp0) s"${vs0.head}[0].$k" // loop group: first collected
+        if (grp0 && raw0.headOption.exists(_.startsWith("(")))
+          s"${vs0.head}__1[0].$k"
+        else if (grp0 && (vs0.size > 1 || isColl(vs0.head)))
+          s"${vs0.head}[0].$k" // group: first collected
+        else if (grp0) s"${vs0.head}.$k" // single-member {1} ≡ plain scalar
         else if (vs0.size > 1) vs0.map(v => s"$v.$k").mkString("coalesce(", ", ", ")")
         else if (q0.isDefined) s"${vs0.head}[0].$k"
         else s"${vs0.head}.$k"
@@ -1739,7 +1813,7 @@ object GraftApp {
       if (skipPast) " SKIP PAST LAST ROW"
       else skipToVar.map { case (isFirst, v) =>
         s" SKIP TO ${if (isFirst) "FIRST" else "LAST"} $v"
-      }.getOrElse("")
+      }.getOrElse(if (skipToNext) " SKIP TO NEXT ROW" else "")
     s"INSERT INTO $target SELECT $select FROM SEQUENCE (EVERY (" +
       steps.mkString(" -> ") + s"))$withinStr$partStr$emitStr$skipStr;"
   }
@@ -2691,15 +2765,21 @@ object GraftApp {
         if (q.window.isDefined) throw SqlError(
           "sketch aggregates do not compose with WINDOW clauses — drop the " +
             "window or use the plain aggregate family")
-        if (q.having.isDefined) throw SqlError(
-          "HAVING over sketch aggregates is not supported — filter the " +
-            "result downstream (INSERT INTO a stream and SELECT ... WHERE)")
-        if (q.groupBy.size > 1) throw SqlError(
-          "sketch aggregates take at most ONE GROUP BY key — concat keys " +
-            "into one column upstream for composite grouping")
-        q.groupBy.headOption.filterNot(_.matches("\\w+")).foreach(g =>
-          throw SqlError(s"sketch aggregates need a plain column GROUP BY " +
-            s"key, got '$g' — materialize the expression upstream"))
+        // HAVING composes over the NON-sketch aggregates (round 14): it is
+        // evaluated as one boolean aggregate in the normal-agg pass and
+        // prunes the group spine. HAVING over a sketch value stays typed —
+        // the sketch results are operator relations, not group aggregates.
+        q.having.foreach { h =>
+          sk.map(_._5).find(a =>
+            ("(?i)\\b" + java.util.regex.Pattern.quote(a) + "\\b").r
+              .findFirstIn(h).isDefined).foreach(a => throw SqlError(
+            s"HAVING references sketch aggregate '$a' — HAVING composes " +
+              "with the plain aggregates only; filter sketch values " +
+              "downstream (INSERT INTO a stream and SELECT ... WHERE)"))
+        }
+        q.groupBy.filterNot(_.matches("\\w+")).foreach(g =>
+          throw SqlError(s"sketch aggregates need plain column GROUP BY " +
+            s"keys, got '$g' — materialize the expression upstream"))
         sk.foreach { case (fn, c, p1, p2, _) =>
           if (!df.columns.exists(_.equalsIgnoreCase(c))) throw SqlError(
             s"$fn references unknown column '$c'")
@@ -2715,12 +2795,28 @@ object GraftApp {
               s"heavy_hitters(col, k): k must be >= 1, got $p1")
           }
         }
-        val gOpt = q.groupBy.headOption
+        val gKeys = q.groupBy
+        // multi-key GROUP BY (round 14): the per-group operators take one
+        // group column, so composite keys ride a single injective string —
+        // to_json over the key struct (field names disambiguate NULLs) —
+        // materialized identically on the sketch input and the spine, so
+        // the join-back is exact and the OUTPUT keys keep their original
+        // columns and types from the spine.
+        val compositeKey: Option[Column] =
+          if (gKeys.size <= 1) None
+          else Some(to_json(struct(gKeys.map(col): _*)))
+        val dfSk = compositeKey.map(k => df.withColumn("__gk", k)).getOrElse(df)
+        // the operators' group column name: the single key itself, or the
+        // composite string
+        val gOpt: Option[String] =
+          if (gKeys.isEmpty) None
+          else if (gKeys.size == 1) Some(gKeys.head)
+          else Some("__gk")
         import graft.operators.Sketches
         def sketchOf(fn: String, c: String, p1: Int, p2: Option[Int],
                      alias: String): DataFrame = (fn, gOpt) match {
           case ("kmv_distinct", Some(g)) =>
-            Sketches.kmvDistinctBy(df, g, c, p1)
+            Sketches.kmvDistinctBy(dfSk, g, c, p1)
               .select(col("key").as("__skk"), col("est_distinct").as(alias))
           case ("kmv_distinct", None) =>
             Sketches.kmvDistinct(df, c, p1).select(col("est_distinct").as(alias))
@@ -2729,7 +2825,7 @@ object GraftApp {
           case ("heavy_hitters", Some(g)) =>
             // per-group key LIST, count-desc then key (the operator's own
             // order), packed so the result is one row per group
-            Sketches.heavyHittersBy(df, g, c, p1)
+            Sketches.heavyHittersBy(dfSk, g, c, p1)
               .groupBy(col("grp").as("__skk"))
               .agg(expr("transform(array_sort(collect_list(" +
                 "named_struct('nc', -cnt, 'k', key))), x -> x.k)").as(alias))
@@ -2752,7 +2848,7 @@ object GraftApp {
             }
             gOpt match {
               case Some(g) =>
-                Sketches.quantilesBy(df, g, c, qs, scale)
+                Sketches.quantilesBy(dfSk, g, c, qs, scale)
                   .groupBy(col("key").as("__skk"))
                   .agg(aliasCols.head, aliasCols.tail: _*)
               case None =>
@@ -2762,9 +2858,14 @@ object GraftApp {
           }
         val result = gOpt match {
           case Some(g) =>
-            // group spine: every input group appears once, original type
-            val spine = df.select(col(g)).distinct()
-              .withColumn("__skk0", col(g).cast("string"))
+            // group spine: every input group appears once, original types
+            // (multi-key: all key columns plus the composite join string)
+            val spine = compositeKey match {
+              case None => df.select(col(g)).distinct()
+                .withColumn("__skk0", col(g).cast("string"))
+              case Some(_) => df.select(gKeys.map(col): _*).distinct()
+                .withColumn("__skk0", to_json(struct(gKeys.map(col): _*)))
+            }
             // each sketch result is ≤ |groups| rows — broadcast explicitly
             // rather than trusting size estimation over the operator plans
             var joined = sk.filter(_._1 != "hist_quantile")
@@ -2776,33 +2877,52 @@ object GraftApp {
               acc.join(broadcast(h), col("__skk0") <=> col("__skk"), "left")
                 .drop("__skk")
             }
-            // a non-trivial expression aliased to the group key (e.g.
+            val keyNames = if (compositeKey.isDefined) gKeys else Seq(g)
+            def isKeyRef(e: String) = keyNames.exists(_.equalsIgnoreCase(e.trim))
+            // a non-trivial expression aliased to a group key (e.g.
             // `upper(etype) AS etype` with GROUP BY etype) would silently
             // resolve to the RAW spine key below — reject it instead
             q.selectItems.foreach { case (e, a) =>
-              if (a.exists(_.equalsIgnoreCase(g)) && !e.trim.equalsIgnoreCase(g) &&
-                  sketchRe.findFirstMatchIn(e.trim).isEmpty) throw SqlError(
-                s"select item '${e.trim}' is aliased to the GROUP BY key " +
-                  s"'$g' — with sketch aggregates the key column passes " +
-                  "through unchanged; alias the expression to a different " +
-                  "name or transform the key upstream")
+              a.filter(al => keyNames.exists(_.equalsIgnoreCase(al))).foreach { al =>
+                if (!e.trim.equalsIgnoreCase(al) &&
+                    sketchRe.findFirstMatchIn(e.trim).isEmpty) throw SqlError(
+                  s"select item '${e.trim}' is aliased to the GROUP BY key " +
+                    s"'$al' — with sketch aggregates the key column passes " +
+                    "through unchanged; alias the expression to a different " +
+                    "name or transform the key upstream")
+              }
             }
             // non-sketch aggregates ride the normal grouped path and join
-            // back on the same spine key
+            // back on the same spine key; HAVING evaluates here too (one
+            // boolean aggregate) and prunes the spine's groups
             val normal = q.selectItems.filter { case (e, a) =>
               sketchRe.findFirstMatchIn(e.trim).isEmpty &&
-                !e.trim.equalsIgnoreCase(g) && !a.exists(_.equalsIgnoreCase(g))
+                !isKeyRef(e) && !a.exists(al => keyNames.exists(_.equalsIgnoreCase(al)))
             }
-            if (normal.nonEmpty) {
-              val aggCols = normal.map { case (e, a) => uexpr(e).as(a.getOrElse(e)) }
-              val nd = df.groupBy(col(g).cast("string").as("__skkn")).agg(
-                aggCols.head, aggCols.tail: _*)
+            if (normal.nonEmpty || q.having.isDefined) {
+              val aggCols = normal.map { case (e, a) => uexpr(e).as(a.getOrElse(e)) } ++
+                q.having.map { h =>
+                  // alias-aware: HAVING may name a normal select alias
+                  val resolved = normal.foldLeft(h) { case (acc, (e, a)) =>
+                    a.map(al => acc.replaceAll(
+                      "(?i)\\b" + java.util.regex.Pattern.quote(al) + "\\b",
+                      java.util.regex.Matcher.quoteReplacement(s"($e)"))).getOrElse(acc)
+                  }
+                  uexpr(resolved).cast("boolean").as("__having")
+                }
+              val ndKey = compositeKey
+                .getOrElse(col(g).cast("string")).as("__skkn")
+              val nd = df.groupBy(ndKey).agg(aggCols.head, aggCols.tail: _*)
               joined = joined.join(broadcast(nd), col("__skk0") <=> col("__skkn"), "left")
                 .drop("__skkn")
+              if (q.having.isDefined)
+                joined = joined.filter(col("__having")).drop("__having")
             }
             val outCols = q.selectItems.map { case (e, a) =>
-              if (e.trim.equalsIgnoreCase(g)) col(g).as(a.getOrElse(g))
-              else col(sketchRe.findFirstMatchIn(e.trim)
+              if (isKeyRef(e)) {
+                val kn = keyNames.find(_.equalsIgnoreCase(e.trim)).get
+                col(kn).as(a.getOrElse(kn))
+              } else col(sketchRe.findFirstMatchIn(e.trim)
                 .map(_ => a.getOrElse(e.trim)).getOrElse(a.getOrElse(e)))
             }
             joined.select(outCols: _*)

@@ -75,7 +75,8 @@ object PatternCompiler {
   final case class PatternStep(alts: Seq[StepAlt], min: Int = 1, max: Int = 1,
                                reluctant: Boolean = false,
                                looped: Boolean = false, loopBack: Int = -1,
-                               minIters: Int = 1) {
+                               minIters: Int = 1,
+                               maxIters: Int = Int.MaxValue) {
     def aliases: Seq[String] = alts.map(_.alias).distinct
   }
 
@@ -132,6 +133,14 @@ object PatternCompiler {
       // rejected here at compile) and must not sit on an OR step (the
       // alternative may be absent in a given match).
       skipTo: Option[(Boolean, String)] = None,
+      // `SKIP TO NEXT ROW` spelled explicitly (round 14): with all-greedy
+      // quantifiers this is the EVERY enumeration (every (start, parse)
+      // pair — the engine default, flag ignored); with a RELUCTANT
+      // quantifier it selects ONE preferred parse per start on the skip
+      // machine (resume = start + 1, overlapping starts allowed) — the
+      // ANSI reading where reluctance is a parse preference, not a match
+      // filter.
+      skipNext: Boolean = false,
       // `EMIT ALL ROWS EXCLUDING (v, …)` (ANSI's {- v -} pattern
       // exclusion): step variables whose rows are omitted from the OUTPUT
       // only — they still match, anchor WITHIN, and feed measures
@@ -144,6 +153,19 @@ object PatternCompiler {
       // exclusive with EXCLUDING.
       allRowsUnmatched: Boolean = false) {
     def allAlts: Seq[StepAlt] = variants.flatten.flatMap(_.alts) ++ absents.map(_.alt)
+    def reluctantAny: Boolean = variants.exists(_.exists(_.reluctant))
+    /** True when the query runs the greedy/preferred-parse selection
+      * machine (consume-on-match) instead of the EVERY enumeration:
+      * an after-match resume mode, or SKIP TO NEXT ROW with a reluctant
+      * quantifier (one preferred parse per start). */
+    def skipMachine: Boolean =
+      skipPast || skipTo.isDefined || (skipNext && reluctantAny)
+    /** `resume` argument for the skip kernels (None = past last row;
+      * (-1, _) = next row; (i, isFirst) = at variable i's first/last row). */
+    def skipResume(steps: Seq[PatternStep]): Option[(Int, Boolean)] =
+      skipTo.map { case (isFirst, alias) =>
+        (steps.indexWhere(_.aliases.contains(alias)), isFirst)
+      }.orElse(if (skipNext && reluctantAny) Some((-1, true)) else None)
   }
 
   def compile(spark: SparkSession, q: PatternQuery, env: Map[String, DataFrame],
@@ -156,11 +178,14 @@ object PatternCompiler {
       streams.flatMap(s => env(s).columns).distinct)
     if (q.skipPast && q.skipTo.isDefined) throw GraftApp.SqlError(
       "SKIP PAST LAST ROW and SKIP TO FIRST/LAST are mutually exclusive")
-    if (q.skipPast || q.skipTo.isDefined) {
+    if (q.skipMachine) {
       // the greedy selection sweep is defined over the EVERY match set's
       // contiguous row spans — each unsupported combination is a typed
       // error naming the working alternative, never a silent remap
-      val mode = if (q.skipPast) "SKIP PAST LAST ROW" else "SKIP TO FIRST/LAST"
+      val mode =
+        if (q.skipPast) "SKIP PAST LAST ROW"
+        else if (q.skipTo.isDefined) "SKIP TO FIRST/LAST"
+        else "SKIP TO NEXT ROW with reluctant quantifiers"
       if (!q.strict) throw GraftApp.SqlError(
         s"$mode needs SEQUENCE (strict contiguity) — ANSI's " +
           "after-match resume skips within a span of CONSECUTIVE rows; " +
@@ -197,13 +222,14 @@ object PatternCompiler {
             "NEXT ROW")
       }
     }
-    if (q.variants.exists(_.exists(_.reluctant)) && !q.skipPast && q.skipTo.isEmpty)
+    if (q.reluctantAny && !q.skipMachine)
       throw GraftApp.SqlError(
         "reluctant quantifiers (+?, {n,m}?) need an after-match skip mode " +
           "(SKIP PAST LAST ROW — the default when AFTER MATCH is omitted — " +
-          "or SKIP TO FIRST/LAST): reluctance is a parse PREFERENCE, and " +
-          "SKIP TO NEXT ROW enumerates every (start, parse) pair, selecting " +
-          "nothing for it to prefer")
+          "SKIP TO FIRST/LAST, or an explicit SKIP TO NEXT ROW): " +
+          "reluctance is a parse PREFERENCE; without a skip mode the " +
+          "engine enumerates every (start, parse) pair, selecting nothing " +
+          "for it to prefer")
     if (streams.exists(env(_).isStreaming))
       return compileStreaming(spark, q, env)
     // tagged union of all referenced streams (junction fan-in); range
@@ -833,8 +859,9 @@ object PatternCompiler {
   private def compileStreaming(spark: SparkSession, q: PatternQuery,
                                env: Map[String, DataFrame]): DataFrame = {
     import spark.implicits._
-    if ((q.skipPast || q.skipTo.isDefined) && q.withinUs.isEmpty) throw GraftApp.SqlError(
-      "streaming SKIP PAST LAST ROW / SKIP TO FIRST|LAST needs a time " +
+    if (q.skipMachine && q.withinUs.isEmpty) throw GraftApp.SqlError(
+      "streaming SKIP PAST LAST ROW / SKIP TO FIRST|LAST / reluctant SKIP " +
+        "TO NEXT ROW needs a time " +
         "WITHIN: a held candidate match is only emittable once every " +
         "earlier-start partial dies, and without a WITHIN deadline a key " +
         "that stops receiving events would hold its last matches forever " +
@@ -1130,12 +1157,10 @@ object PatternCompiler {
          // machine is the skip selector or the plain EVERY NFA as the
          // query's skip mode dictates
          Cep.detectStreamWithUnmatched(cepIn, spec, lateness,
-           useSkip = q.skipPast || q.skipTo.isDefined,
-           resume = q.skipTo.map { case (isFirst, alias) =>
-             (steps.indexWhere(_.aliases.contains(alias)), isFirst)
-           },
+           useSkip = q.skipMachine,
+           resume = q.skipResume(steps),
            retainMatchSeq = true)
-       else if (q.skipPast || q.skipTo.isDefined)
+       else if (q.skipMachine)
          // greedy non-overlapping selection with WITHIN-bounded candidate
          // holding (compile gates require the WITHIN); retain the per-key
          // match counter when EMIT ALL ROWS reads mr_match_number. SKIP TO
@@ -1143,9 +1168,7 @@ object PatternCompiler {
          // partial-overlap resume)
          Cep.detectStreamSkipPast(cepIn, spec, lateness,
            retainMatchSeq = q.allRows,
-           resume = q.skipTo.map { case (isFirst, alias) =>
-             (steps.indexWhere(_.aliases.contains(alias)), isFirst)
-           })
+           resume = q.skipResume(steps))
        else if (guards.nonEmpty)
          Cep.detectStreamWithTrailingAbsents(cepIn, spec, guards, lateness,
            retainMatchSeq = q.allRows)
@@ -1556,7 +1579,25 @@ object PatternCompiler {
   // compares slot values — no expression evaluation inside the state
   // machine.
 
-  private final case class CrossCmp(localIdx: Int, op: String, refStep: Int, refIdx: Int)
+  /** `iterLocal` (round 14): both sides sit in the SAME loop group — the
+    * comparison anchors at the ref step's first event of the CURRENT
+    * iteration (per-repetition binding) instead of its all-time head.
+    */
+  private final case class CrossCmp(localIdx: Int, op: String, refStep: Int,
+                                    refIdx: Int, iterLocal: Boolean = false)
+
+  /** Group id per step: members of the i-th loop group share id i; -1
+    * outside any group (the loopBack step closes its group's range —
+    * adjacent groups never merge because each close advances the id).
+    */
+  private def loopGroupIds(steps: Seq[PatternStep]): Seq[Int] = {
+    val ids = Array.fill(steps.size)(-1)
+    var g = 0
+    steps.zipWithIndex.foreach { case (st, i) =>
+      if (st.loopBack >= 0) { (i - st.loopBack to i).foreach(j => ids(j) = g); g += 1 }
+    }
+    ids.toSeq
+  }
   private final case class NfaBuild(bits: Column, valsCol: Column,
                                     specSteps: Seq[Step],
                                     perAltLocal: Seq[Seq[Option[String]]])
@@ -1573,6 +1614,7 @@ object PatternCompiler {
       : Seq[(Seq[Option[String]], Seq[CrossCmp])] = {
     val aliasToStep: Map[String, Int] =
       steps.zipWithIndex.flatMap { case (st, i) => st.aliases.map(_ -> i) }.toMap
+    val gids = loopGroupIds(steps)
 
     def crossAliasesIn(text: String, self: String): Seq[String] =
       aliasToStep.keys.toSeq.filter(a => a != self &&
@@ -1630,7 +1672,8 @@ object PatternCompiler {
                   if (refStep >= i) throw GraftApp.SqlError(
                     s"cross-step predicate '$c' must reference an EARLIER step")
                   val stripped = crossSide.replaceAll("(?i)\\b" + ref + "\\s*\\.", "")
-                  comps += CrossCmp(valIdx(localSide), op2, refStep, valIdx(stripped))
+                  comps += CrossCmp(valIdx(localSide), op2, refStep, valIdx(stripped),
+                    iterLocal = gids(i) >= 0 && gids(i) == gids(refStep))
                 }
               }
               val ls = locals.result()
@@ -1670,13 +1713,27 @@ object PatternCompiler {
     * event's etype bitstring; `comps` compare against EARLIER collected
     * steps of the same chain (variant-positional indices).
     */
-  private def nfaStep(st: PatternStep, bit: Int, comps: Seq[CrossCmp]): Step =
-    Step(st.aliases.head, st.min, st.max, (e, coll) =>
+  private def nfaStep(st: PatternStep, bit: Int, comps: Seq[CrossCmp]): Step = {
+    val base = Step(st.aliases.head, st.min, st.max, (e, coll) =>
       e.etype.length > bit && e.etype.charAt(bit) == '1' &&
       comps.forall { c =>
         val ref = coll(c.refStep)
         ref.nonEmpty && cmp(e.vals(c.localIdx), c.op, ref.head.vals(c.refIdx))
-      }, reluctant = st.reluctant, loopBack = st.loopBack, minIters = st.minIters)
+      }, reluctant = st.reluctant, loopBack = st.loopBack,
+      minIters = st.minIters, maxIters = st.maxIters, looped = st.looped)
+    // a same-group cross-member comparison anchors at the ref member's
+    // first event of the CURRENT iteration (the partial's iterBase view) —
+    // `(D U)+` with `U.price > D.price` binds each U to its iteration's D
+    if (comps.exists(_.iterLocal))
+      base.copy(iterPred = Some((e, coll, ib) =>
+        e.etype.length > bit && e.etype.charAt(bit) == '1' &&
+        comps.forall { c =>
+          val ref = coll(c.refStep)
+          val from = if (c.iterLocal && ib.nonEmpty) ib(c.refStep) else 0
+          ref.size > from && cmp(e.vals(c.localIdx), c.op, ref(from).vals(c.refIdx))
+        }))
+    else base
+  }
 
   private def classifySteps(q: PatternQuery, steps: Seq[PatternStep]): NfaBuild = {
     val valReg = scala.collection.mutable.LinkedHashMap.empty[String, Int]
@@ -1730,12 +1787,8 @@ object PatternCompiler {
     // O(k²) collected events of enumerate-then-filter), and every
     // downstream join/aggregation runs over the selected set only
     val matches =
-      if (q.skipPast || q.skipTo.isDefined) {
-        val resume = q.skipTo.map { case (isFirst, alias) =>
-          (steps.indices.find(i => steps(i).aliases.contains(alias)).get, isFirst)
-        }
-        Cep.detectSkipPast(cepIn, spec, resume).toDF()
-      } else Cep.detect(cepIn, spec).toDF()
+      if (q.skipMachine) Cep.detectSkipPast(cepIn, spec, q.skipResume(steps)).toDF()
+      else Cep.detect(cepIn, spec).toDF()
 
     // base projection: key + match end time + per-step matched-event-id
     // arrays (+ per-step end timestamps when NOT guards need FOR anchors)
@@ -2059,101 +2112,142 @@ object PatternCompiler {
     (variants, every, absentElems)
   }
 
-  /** `( sub-chain ){n,m}` — bounded GROUP repetition (ANSI pattern
-    * grouping, round 13): the chain repeats k times for each k in n..m,
-    * one step-order VARIANT per k (the multi-variant machinery compiles
-    * all of them in ONE shared NFA pass), member aliases suffixed `__k`
-    * per repetition. A member predicate referencing another GROUP member
-    * rewrites to the SAME repetition's suffix (each repetition's B sees
-    * its own A — the ANSI latest-binding reading); references to
-    * non-group variables pass through as ordinary cross-step refs. The
-    * MR layer distributes measures over the per-repetition aliases via
-    * auto-SUBSET unions. n = 0 adds the empty option (optional group).
-    * m is capped — each k is a full variant.
+  /** `( sub-chain ){quant}` — GROUP repetition (ANSI pattern grouping).
+    * Round 14 unifies every group quantifier — `+`, `*`, `{n}`, `{n,}`,
+    * `{n,m}` — onto ONE looped chain: the members carry the loop-back
+    * edge, the NFA re-enters the group's first member after each
+    * completion (accumulating into the same per-member buffers), and the
+    * iteration counter is gated at [minIters, maxIters]. This replaces
+    * round 13's per-repetition variant expansion for the bounded forms —
+    * one variant instead of k, no per-repetition alias suffixes, no
+    * auto-SUBSET join-back fan-out, and no repetition cap.
+    *
+    * Members may carry their own quantifiers (`(A B+)+`, `(A{1,3} B)+`),
+    * gated PER ITERATION via [[graft.streaming.Partial.iterBase]].
+    * A member predicate referencing another member of the same group
+    * binds to the CURRENT iteration's event (per-repetition binding, the
+    * ANSI reading) through the iteration-anchored comparand path in
+    * [[nfaStep]]. A single-member group `(A)+` normalizes to the plain
+    * quantifier token `A+` — degenerate loop groups and plain quantifiers
+    * are equivalent by construction, not by parallel code paths.
+    *
+    * One level of NESTING is supported for inner groups with an EXACT
+    * count — `((A B){2} C)+` inlines the inner group as `A__1 B__1 A__2
+    * B__2 C`, each `__i` a looped member of the outer group with
+    * intra-inner references bound to the same inner repetition; variable
+    * inner counts (`{n,m}`, `+`) stay typed errors (they would need a
+    * second, nested iteration frame).
+    *
+    * n = 0 adds the empty option (optional group) as a second variant.
+    * State: unbounded maxIters requires a WITHIN ([[requireBoundedState]]);
+    * bounded groups bound their own buffers at maxIters × member max.
     */
   private val GroupQuantRe =
     """(?s)^\((.*)\)\s*(\{\s*\d+\s*(?:,\s*\d*\s*)?\}|\+|\*)$""".r
-  private[sql] val MaxGroupReps = 4
+  private[sql] val MaxInnerReps = 4
+
+  /** One group member after parsing/inlining: alias + per-iteration count
+    * bounds. */
+  private final case class Member(alt: StepAlt, min: Int, max: Int)
 
   private def expandGroup(gm: scala.util.matching.Regex.Match,
                           el: String): Seq[Seq[PatternStep]] = {
-    // unbounded loop form `(A B)+` / `(A B)*`: ONE variant whose members
-    // carry the loop-back edge — the NFA re-enters the group's first
-    // member after each completion, accumulating into the same buffers
-    // (requireBoundedState demands a WITHIN). Member predicates may not
-    // reference OTHER members: a cross-member ref would anchor at the
-    // FIRST iteration's event (CrossCmp reads the ref step's head), not
-    // the current iteration — bounded groups `{n,m}` give the
-    // per-repetition binding.
-    val unbounded = """\{\s*(\d+)\s*,\s*\}""".r.findFirstMatchIn(gm.group(2))
-    if (gm.group(2) == "+" || gm.group(2) == "*" || unbounded.isDefined) {
-      val inner = splitTopLevel(gm.group(1), "->").map(_.trim)
-      val parsed = inner.map(parseAlt)
-      parsed.foreach { case (_, q, rel) =>
-        if (q != (1, 1) || rel) throw GraftApp.SqlError(
-          s"quantifiers on group members are not supported in '$el' — " +
-            "quantify the GROUP itself")
-      }
-      val aliases = parsed.map(_._1.alias)
-      aliases.groupBy(identity).collectFirst { case (a, as) if as.size > 1 => a }
-        .foreach(a => throw GraftApp.SqlError(
-          s"duplicate member alias '$a' in group '$el'"))
-      parsed.foreach { case (alt, _, _) =>
-        alt.pred.foreach { p =>
-          aliases.filter(_ != alt.alias).find(o =>
-            ("(?i)\\b" + java.util.regex.Pattern.quote(o) + "\\s*\\.").r
-              .findFirstIn(p).isDefined)
-            .foreach(o => throw GraftApp.SqlError(
-              s"member '${alt.alias}' of loop group '$el' references " +
-                s"member '$o' — cross-member references in an UNBOUNDED " +
-                "group would anchor at the first iteration; use a bounded " +
-                "group (A B){n,m} for per-repetition binding"))
+    val q = gm.group(2).replaceAll("\\s", "")
+    val (nMin, mMax) = q match {
+      case "+" => (1, Int.MaxValue)
+      case "*" => (0, Int.MaxValue)
+      case _ =>
+        val qm0 = """\{(\d+)(?:,(\d*))?\}""".r.findFirstMatchIn(q).get
+        val n = qm0.group(1).toInt
+        val m = Option(qm0.group(2)) match {
+          case None => n                      // {n}
+          case Some("") => Int.MaxValue       // {n,}
+          case Some(s) => s.toInt             // {n,m}
         }
-      }
-      // `(A B){n,}`: at least n iterations before the match may leave the
-      // group (minIters gates advance/emit on the loop's last member)
-      val nMin = unbounded.map(_.group(1).toInt)
-        .getOrElse(if (gm.group(2) == "+") 1 else 0)
-      val chain = parsed.zipWithIndex.map { case ((alt, _, _), i) =>
-        PatternStep(Seq(alt), looped = true,
-          loopBack = if (i == parsed.size - 1) parsed.size - 1 else -1,
-          minIters = math.max(nMin, 1))
-      }
-      return if (nMin >= 1) Seq(chain)
-        else Seq(chain, Seq.empty[PatternStep])
+        if (m < math.max(n, 1)) throw GraftApp.SqlError(
+          s"bad group repetition {$n,${qm0.group(2)}} in '$el' (max >= min, max >= 1)")
+        (n, m)
     }
-    val qm0 = """\{\s*(\d+)\s*(?:,\s*(\d+)\s*)?\}""".r
-      .findFirstMatchIn(gm.group(2)).get
-    val n = qm0.group(1).toInt
-    val m = Option(qm0.group(2)).map(_.toInt).getOrElse(n)
-    if (m < math.max(n, 1))
-      throw GraftApp.SqlError(s"bad group repetition {$n,$m} in '$el' (max >= min, max >= 1)")
-    if (m > MaxGroupReps)
-      throw GraftApp.SqlError(
-        s"group repetition {$n,$m} in '$el' exceeds the cap $MaxGroupReps — " +
-          "each repetition count is a full step-order variant; restructure " +
-          "the pattern or aggregate downstream")
-    val inner = splitTopLevel(gm.group(1), "->").map(_.trim)
-    val parsed = inner.map(parseAlt)
-    parsed.foreach { case (_, q, rel) =>
-      if (q != (1, 1) || rel) throw GraftApp.SqlError(
-        s"quantifiers on group members are not supported in '$el' — " +
-          "quantify the GROUP itself")
+    // members: plain alts, quantified alts, or ONE level of inner exact
+    // groups (inlined with __i suffixes before the loop chain is built)
+    val memberToks = splitTopLevel(gm.group(1), "->").map(_.trim)
+    val members: Seq[Member] = memberToks.flatMap { tok =>
+      GroupQuantRe.findFirstMatchIn(tok) match {
+        case Some(igm) => expandInnerGroup(igm, tok, el)
+        case None =>
+          val (alt, (mn, mx), rel) = parseAlt(tok)
+          if (rel) throw GraftApp.SqlError(
+            s"reluctant quantifier on group member '${alt.alias}' in '$el' " +
+              "is not supported — reluctance is resolved at the group level")
+          if (mn == 0) throw GraftApp.SqlError(
+            s"zero-min quantifier on group member '${alt.alias}' in '$el' " +
+              "is not supported — split the optional member into " +
+              "alternative patterns or use {1,m}")
+          Seq(Member(alt, mn, mx))
+      }
     }
-    val memberAliases = parsed.map(_._1.alias)
-    memberAliases.groupBy(identity).collectFirst { case (a, as) if as.size > 1 => a }
+    val aliases = members.map(_.alt.alias)
+    aliases.groupBy(identity).collectFirst { case (a, as) if as.size > 1 => a }
       .foreach(a => throw GraftApp.SqlError(
         s"duplicate member alias '$a' in group '$el'"))
-    def rep(k: Int): Seq[PatternStep] = parsed.map { case (alt, _, _) =>
-      val pred2 = alt.pred.map { p =>
-        memberAliases.foldLeft(p)((acc, a) =>
-          acc.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(a) + "\\s*\\.",
-            java.util.regex.Matcher.quoteReplacement(s"${a}__$k") + "."))
+    // single plain member: (A)+ IS A+ — emit the plain quantifier step so
+    // loop-group and quantifier semantics cannot drift apart
+    if (members.size == 1) {
+      val m = members.head
+      if (m.min == 1 && m.max == 1) {
+        val step = PatternStep(Seq(m.alt), math.max(nMin, 1), mMax)
+        return if (nMin >= 1) Seq(Seq(step))
+          else Seq(Seq(step.copy(min = 1)), Seq.empty[PatternStep])
       }
-      PatternStep(Seq(StepAlt(s"${alt.alias}__$k", alt.stream, pred2)))
+      throw GraftApp.SqlError(
+        s"single-member group '$el' quantifies both the member and the " +
+          "group — compose the counts into one quantifier")
     }
-    val withOpts = (math.max(n, 1) to m).map(k => (1 to k).flatMap(rep))
-    if (n == 0) withOpts :+ Seq.empty[PatternStep] else withOpts
+    val chain = members.zipWithIndex.map { case (m, i) =>
+      PatternStep(Seq(m.alt), min = m.min, max = m.max, looped = true,
+        loopBack = if (i == members.size - 1) members.size - 1 else -1,
+        minIters = math.max(nMin, 1), maxIters = mMax)
+    }
+    if (nMin >= 1) Seq(chain) else Seq(chain, Seq.empty[PatternStep])
+  }
+
+  /** Inner `(A B){k}` nested inside an outer group: inline k copies with
+    * `__i` alias suffixes; references among the inner members rewrite to
+    * the SAME inner repetition's suffix. Only exact counts — a variable
+    * inner count would need its own nested iteration frame.
+    */
+  private def expandInnerGroup(igm: scala.util.matching.Regex.Match,
+                               tok: String, el: String) = {
+    val iq = igm.group(2).replaceAll("\\s", "")
+    val k = """\{(\d+)\}""".r.findFirstMatchIn(iq).map(_.group(1).toInt)
+      .getOrElse(throw GraftApp.SqlError(
+        s"nested group '$tok' in '$el' must carry an EXACT count {k} — " +
+          "variable inner repetition ({n,m}, +, *) would need a nested " +
+          "iteration frame; restructure or lift the inner group out"))
+    if (k < 1 || k > MaxInnerReps) throw GraftApp.SqlError(
+      s"nested group count {$k} in '$el' out of range [1,$MaxInnerReps] — " +
+        "each inner repetition inlines as a full member")
+    val innerToks = splitTopLevel(igm.group(1), "->").map(_.trim)
+    val parsedInner = innerToks.map { t =>
+      if (GroupQuantRe.findFirstMatchIn(t).isDefined) throw GraftApp.SqlError(
+        s"group nesting deeper than one level in '$el' is not supported")
+      val (alt, (mn, mx), rel) = parseAlt(t)
+      if (rel || mn == 0) throw GraftApp.SqlError(
+        s"member '${alt.alias}' of nested group '$tok' in '$el': only " +
+          "plain or {n,m}/+ quantifiers with min >= 1 are supported")
+      (alt, mn, mx)
+    }
+    val innerAliases = parsedInner.map(_._1.alias)
+    (1 to k).flatMap { i =>
+      parsedInner.map { case (alt, mn, mx) =>
+        val pred2 = alt.pred.map { p =>
+          innerAliases.foldLeft(p)((acc, a) =>
+            acc.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(a) + "\\s*\\.",
+              java.util.regex.Matcher.quoteReplacement(s"${a}__$i") + "."))
+        }
+        Member(StepAlt(s"${alt.alias}__$i", alt.stream, pred2), mn, mx)
+      }
+    }
   }
 
   /** `alias=Stream[pred]<n:m>` (alias, bracket, quantifier all optional;
@@ -2287,12 +2381,14 @@ object PatternCompiler {
     * kernel's maxPartials cap). Enforced at compile, like `NOT … FOR`.
     */
   private def requireBoundedState(spec: PatternSpec): Unit =
-    if (spec.steps.exists(st => st.max == Int.MaxValue || st.loopBack >= 0) &&
+    if (spec.steps.exists(st => st.max == Int.MaxValue ||
+          (st.loopBack >= 0 && st.maxIters == Int.MaxValue)) &&
         spec.withinUs.isEmpty && spec.withinEvents.isEmpty)
       throw GraftApp.SqlError(
         "unbounded count quantifier ('+' / '{n,}' / a '(A B)+' loop group) " +
           "requires WITHIN <duration | n EVENTS> — in-flight pattern state " +
-          "is otherwise unbounded")
+          "is otherwise unbounded (bounded groups '(A B){n,m}' with bounded " +
+          "members bound their own buffers)")
 
   /** WITHIN duration/EVENTS → (micros, eventCount). */
   def parseWithin(n: String, unit: String): (Option[Long], Option[Long]) = {

@@ -77,16 +77,34 @@ final case class VariantMatch(variant: Int, key: String, startUs: Long,
   * completion the NFA ALSO branches back `loopBack` steps for another
   * iteration of the group, accumulating into the same per-step buffers.
   */
-/** `minIters` (with `loopBack >= 0`): the `(A B){n,}` form — the group
-  * must complete at least n iterations before the match may advance past
-  * it or emit; the loop-back branch itself is ungated.
+/** `minIters` / `maxIters` (with `loopBack >= 0`, round 14): the
+  * `(A B){n,m}` family on the loop machine — the group must complete at
+  * least `minIters` iterations before the match may advance past it or
+  * emit, and the loop-back branch is taken only while the completed
+  * iteration count stays below `maxIters` (∞ for `+` / `{n,}`). With
+  * min/max on a `looped` step the MEMBER itself is quantified PER
+  * ITERATION (`(A B+)+`): the NFA gates on the count collected since the
+  * current iteration began ([[Partial.iterBase]]), not the accumulated
+  * total.
+  *
+  * `iterPred` (round 14, per-iteration cross-member references): when
+  * set, the NFA calls it instead of `pred`, passing the partial's
+  * current-iteration base offsets — a predicate comparing against another
+  * member of the SAME loop group anchors at that member's first event of
+  * the CURRENT iteration (`(D U)+` with `U.price > D.price` binds each U
+  * to its own iteration's D), where `pred`'s collected view could only
+  * reach the first iteration's.
   */
 final case class Step(
     name: String, min: Int, max: Int,
     pred: (CepEvent, Seq[Seq[CepEvent]]) => Boolean,
     reluctant: Boolean = false,
     loopBack: Int = -1,
-    minIters: Int = 1) extends Serializable
+    minIters: Int = 1,
+    maxIters: Int = Int.MaxValue,
+    looped: Boolean = false,
+    iterPred: Option[(CepEvent, Seq[Seq[CepEvent]], Seq[Int]) => Boolean] = None)
+  extends Serializable
 
 object Step {
   def simple(name: String)(p: CepEvent => Boolean): Step =
@@ -144,9 +162,29 @@ final case class PatternSpec(
 /** Serializable NFA state (data only — predicates live in the spec).
   * startSeq = per-key event ordinal at seed time (for withinEvents).
   * dropped = cumulative partials discarded past [[PatternSpec.maxPartials]].
+  *
+  * Loop-group bookkeeping (round 14, all empty/zero outside loop groups so
+  * plain chains pay nothing):
+  *  - `iters`: COMPLETED iterations of the loop group currently being
+  *    matched (reset to 0 on advancing past the group's last member, so a
+  *    later group in the same pattern starts fresh);
+  *  - `iterBase`: per-step buffer size at the moment the current iteration
+  *    began (Nil ≡ all zeros) — member quantifiers gate on
+  *    `collected(i).size - iterBase(i)`, and per-iteration cross-member
+  *    predicates anchor at `collected(ref)(iterBase(ref))`;
+  *  - `iterHist`: flattened per-iteration counts of the looped steps for
+  *    completed iterations, populated ONLY when some member has a variable
+  *    count (min != max) — two parses can then hold the same per-step
+  *    TOTALS with different membership (e.g. `(A+ B)+` splitting 3 As as
+  *    2+1 vs 1+2 around a skipped event), so the dedup identity needs the
+  *    split itself. Fixed-count members derive the split from the totals,
+  *    keeping round-13 loop groups at their original hashing cost.
   */
 final case class Partial(stepIdx: Int, startUs: Long, startSeq: Long,
-                         collected: Seq[Seq[CepEvent]])
+                         collected: Seq[Seq[CepEvent]],
+                         iters: Int = 0,
+                         iterBase: Seq[Int] = Nil,
+                         iterHist: Seq[Int] = Nil)
 final case class NfaState(partials: Seq[Partial], done: Boolean, seq: Long = 0L,
                           dropped: Long = 0L, matchSeq: Long = 0L)
 /** One state-store entry for a multi-variant pattern family: the i-th
@@ -178,9 +216,40 @@ object Cep {
   private def distinctPartials(ps: Vector[Partial]): Vector[Partial] =
     if (ps.length <= 1) ps
     else {
-      val seen = scala.collection.mutable.HashSet.empty[(Int, Long, Seq[Int])]
-      ps.filter(p => seen.add((p.stepIdx, p.startSeq, p.collected.map(_.size))))
+      // loop-group fields join the key: same totals can hide different
+      // iteration splits (and, with variable members, different
+      // membership — iterHist carries the split; see [[Partial]])
+      val seen = scala.collection.mutable.HashSet
+        .empty[(Int, Long, Seq[Int], Int, Seq[Int], Seq[Int])]
+      ps.filter(p => seen.add((p.stepIdx, p.startSeq,
+        p.collected.map(_.size), p.iters, p.iterBase, p.iterHist)))
     }
+
+  /** Loop-group helpers shared by [[runNfa]] and [[runNfaSkipPast]]. */
+  private def stepOk(step: Step, e: CepEvent, p: Partial): Boolean =
+    step.iterPred match {
+      case Some(ip) => ip(e, p.collected, p.iterBase)
+      case None => step.pred(e, p.collected)
+    }
+  private def baseAt(p: Partial, i: Int): Int =
+    if (p.iterBase.isEmpty) 0 else p.iterBase(i)
+  /** Per-step counts collected in the CURRENT iteration of the group
+    * [stepIdx-loopBack, stepIdx]. */
+  private def iterCounts(p: Partial, coll2: Seq[Seq[CepEvent]], loopBack: Int): Seq[Int] =
+    (p.stepIdx - loopBack to p.stepIdx).map(i => coll2(i).size - baseAt(p, i))
+  /** Iteration base for the NEXT iteration: the group range snapshots its
+    * current buffer sizes; everything else keeps its old base (0 outside
+    * any group the partial has visited). */
+  private def nextBase(p: Partial, coll2: Seq[Seq[CepEvent]], loopBack: Int): Seq[Int] = {
+    val lo = p.stepIdx - loopBack
+    Seq.tabulate(coll2.size)(i =>
+      if (i >= lo && i <= p.stepIdx) coll2(i).size else baseAt(p, i))
+  }
+  /** iterHist is only needed when a looped member's per-iteration count
+    * can vary (min != max): only then can two parses share per-step
+    * totals while holding different events (see [[Partial]]). */
+  private def needIterHist(spec: PatternSpec): Boolean =
+    spec.steps.exists(s => (s.looped || s.loopBack >= 0) && s.min != s.max)
 
   private implicit val keyEnc: Encoder[String] = Encoders.STRING
   private implicit val matchEnc: Encoder[CepMatch] = Encoders.product[CepMatch]
@@ -191,6 +260,7 @@ object Cep {
   def runNfa(events: Seq[CepEvent], init: NfaState, spec: PatternSpec)
       : (Seq[CepMatch], NfaState) = {
     val nSteps = spec.steps.size
+    val needHist = needIterHist(spec)
     var partials: Vector[Partial] = init.partials.toVector
     var done = init.done
     var seq = init.seq
@@ -232,17 +302,17 @@ object Cep {
             g.pred(e) &&
             g.forUs.forall(f => e.tsUs <= p.collected(g.afterStep).last.tsUs + f)
           }
-          if (step.pred(e, p.collected)) {
+          if (stepOk(step, e, p)) {
             val coll2 = p.collected.updated(p.stepIdx, p.collected(p.stepIdx) :+ e)
+            // member quantifiers gate on the count collected THIS
+            // iteration (total minus the iteration base — zero outside
+            // loop groups, so plain chains read the total as before)
             val cnt = coll2(p.stepIdx).size
-            if (cnt < step.max)
+            val cntIter = cnt - baseAt(p, p.stepIdx)
+            if (cntIter < step.max)
               next += p.copy(collected = coll2) // stay: await more of this step
-            if (cnt >= step.min) {
-              // a loop group's last member gates advance/emit on its
-              // minimum ITERATION count ((A B){n,}); cnt IS the
-              // iteration count just completed
-              val itersOk = step.loopBack < 0 || cnt >= step.minIters
-              if (p.stepIdx == nSteps - 1 && itersOk) {
+            if (cntIter >= step.min) {
+              def emitHere(): Unit = {
                 // non-EVERY: first completion only — a second partial
                 // completing on the same event is not emitted (reference:
                 // "the first complete sequence" wins)
@@ -253,13 +323,36 @@ object Cep {
                     matchSeq = mseq)
                 }
                 matchedNow = true
-              } else if (p.stepIdx < nSteps - 1 && itersOk) {
-                next += Partial(p.stepIdx + 1, p.startUs, p.startSeq, coll2) // advance
               }
-              // loop group: the group's last member also branches back for
-              // another iteration, same accumulated buffers (ungated)
-              if (step.loopBack >= 0)
-                next += Partial(p.stepIdx - step.loopBack, p.startUs, p.startSeq, coll2)
+              if (step.loopBack >= 0) {
+                // the group's LAST member just completed iteration
+                // `p.iters + 1`: emit/advance once the minimum iteration
+                // count is met (advance leaves the group — the loop
+                // bookkeeping resets, the completed history rides
+                // iterHist for dedup identity), and branch back for
+                // another iteration while below maxIters
+                val itersDone = p.iters + 1
+                val histDone =
+                  if (!needHist) Nil
+                  else p.iterHist ++ iterCounts(p, coll2, step.loopBack)
+                if (itersDone >= step.minIters) {
+                  if (p.stepIdx == nSteps - 1) emitHere()
+                  else next += Partial(p.stepIdx + 1, p.startUs, p.startSeq,
+                    coll2, iters = 0, iterBase = Nil, iterHist = histDone)
+                }
+                if (itersDone < step.maxIters)
+                  next += Partial(p.stepIdx - step.loopBack, p.startUs,
+                    p.startSeq, coll2, iters = itersDone,
+                    iterBase = nextBase(p, coll2, step.loopBack),
+                    iterHist = histDone)
+              } else if (p.stepIdx == nSteps - 1) {
+                emitHere()
+              } else {
+                // mid-group members carry the iteration frame forward;
+                // outside a group all three fields are at their defaults
+                next += Partial(p.stepIdx + 1, p.startUs, p.startSeq, coll2,
+                  iters = p.iters, iterBase = p.iterBase, iterHist = p.iterHist)
+              }
             }
           } else if (!spec.strict && !guardKill) {
             // relaxed PATTERN: non-matching events are skipped; seeds that
@@ -320,6 +413,9 @@ object Cep {
     * (`resume` = (step index, isFirst); inclusive — that row may start the
     * next match, and the compile gate rejects resume-at-head so emitted
     * starts strictly increase) — killing overlapped partials/candidates.
+    * `resume = Some((-1, _))` is SKIP TO NEXT ROW under a parse preference
+    * (reluctant quantifiers): resume at start + 1, so every start emits
+    * its one preferred parse and matches overlap freely (round 14).
     * In strict mode a partial dies on the first non-matching event or at
     * WITHIN expiry, so the hold is bounded by the WITHIN window — which
     * is why the streaming lowering REQUIRES a time WITHIN (the timeout
@@ -338,6 +434,7 @@ object Cep {
                      spec: PatternSpec,
                      resume: Option[(Int, Boolean)] = None): (Seq[CepMatch], SkipNfaState) = {
     val nSteps = spec.steps.size
+    val needHist = needIterHist(spec)
     var partials: Vector[Partial] = init.nfa.partials.toVector
     var seq = init.nfa.seq
     var mseq = init.nfa.matchSeq
@@ -375,21 +472,39 @@ object Cep {
       val next = Vector.newBuilder[Partial]
       (partials :+ seed).foreach { p =>
         val step = spec.steps(p.stepIdx)
-        if (step.pred(e, p.collected)) {
+        if (stepOk(step, e, p)) {
           val coll2 = p.collected.updated(p.stepIdx, p.collected(p.stepIdx) :+ e)
           val cnt = coll2(p.stepIdx).size
-          if (cnt < step.max) next += p.copy(collected = coll2)
-          if (cnt >= step.min) {
-            val itersOk = step.loopBack < 0 || cnt >= step.minIters
-            if (p.stepIdx == nSteps - 1 && itersOk)
-              addCand(SkipCand(
-                CepMatch(e.key, p.startUs, e.tsUs,
-                  spec.steps.map(_.name).zip(coll2).map { case (n, es) => Collected(n, es) }),
-                p.startSeq, seq, coll2.map(_.size.toLong)))
-            else if (p.stepIdx < nSteps - 1 && itersOk)
-              next += Partial(p.stepIdx + 1, p.startUs, p.startSeq, coll2)
-            if (step.loopBack >= 0)
-              next += Partial(p.stepIdx - step.loopBack, p.startUs, p.startSeq, coll2)
+          val cntIter = cnt - baseAt(p, p.stepIdx)
+          if (cntIter < step.max) next += p.copy(collected = coll2)
+          if (cntIter >= step.min) {
+            def candHere(): Unit = addCand(SkipCand(
+              CepMatch(e.key, p.startUs, e.tsUs,
+                spec.steps.map(_.name).zip(coll2).map { case (n, es) => Collected(n, es) }),
+              p.startSeq, seq, coll2.map(_.size.toLong)))
+            if (step.loopBack >= 0) {
+              // same loop-group bookkeeping as [[runNfa]] (iteration gate,
+              // maxIters-bounded loop-back, iterHist identity carry)
+              val itersDone = p.iters + 1
+              val histDone =
+                if (!needHist) Nil
+                else p.iterHist ++ iterCounts(p, coll2, step.loopBack)
+              if (itersDone >= step.minIters) {
+                if (p.stepIdx == nSteps - 1) candHere()
+                else next += Partial(p.stepIdx + 1, p.startUs, p.startSeq,
+                  coll2, iters = 0, iterBase = Nil, iterHist = histDone)
+              }
+              if (itersDone < step.maxIters)
+                next += Partial(p.stepIdx - step.loopBack, p.startUs,
+                  p.startSeq, coll2, iters = itersDone,
+                  iterBase = nextBase(p, coll2, step.loopBack),
+                  iterHist = histDone)
+            } else if (p.stepIdx == nSteps - 1) {
+              candHere()
+            } else {
+              next += Partial(p.stepIdx + 1, p.startUs, p.startSeq, coll2,
+                iters = p.iters, iterBase = p.iterBase, iterHist = p.iterHist)
+            }
           }
         }
         // strict contiguity: a mismatching event kills the instance
@@ -448,6 +563,12 @@ object Cep {
           o += best.m.copy(matchSeq = mseq)
           pos = resume match {
             case None => best.endSeq + 1
+            case Some((i, _)) if i < 0 =>
+              // SKIP TO NEXT ROW with a parse preference (reluctant
+              // quantifiers, round 14): one preferred parse per START, the
+              // scan resumes at the row after the match's first — matches
+              // overlap freely, only same-start alternatives are decided
+              best.startSeq + 1
             case Some((i, isFirst)) =>
               // contiguous span: variable i's rows sit at a counts-prefix
               // offset from the start (see runNfaSkipPast scaladoc)

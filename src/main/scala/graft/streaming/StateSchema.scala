@@ -20,16 +20,19 @@ import org.apache.spark.sql.SparkSession
   * patterns consolidate V per-variant NFA kernels into one MultiNfaState
   * kernel, round 11(schema v11, shipped round 12): NfaState grows the
   * per-key `matchSeq` match-completion counter backing streaming EMIT ALL
-  * ROWS' mr_match_number, round 13 (v12) = current: AbsentChainState
+  * ROWS' mr_match_number, round 13 (v12): AbsentChainState
   * grows the conclusive-emission ordinal `seq` so guard-killed matches
   * never gap mr_match_number, plus the new MultiSeqState/UnmatchedNfaState
-  * kernels). Library users driving the kernels directly (not through
-  * AppRuntime) can call [[guard]] themselves.
+  * kernels, round 14 (v13) = current: Partial grows the loop-group
+  * iteration frame `iters`/`iterBase`/`iterHist` backing quantified group
+  * members and bounded groups on the loop machine). Library users driving
+  * the kernels directly (not through AppRuntime) can call [[guard]]
+  * themselves.
   */
 object StateSchema {
 
   /** Current state-schema generation of the streaming kernels. */
-  val Version: Int = 12
+  val Version: Int = 13
 
   private val MarkerName = "graft-state-version.json"
 

@@ -203,6 +203,125 @@ class CepSkipPropSpec extends AnyFunSuite {
     assert(nonEmpty > 80, s"only $nonEmpty/200 samples produced matches")
   }
 
+  /** Quantified-member loop groups (round 14): brute-force every
+    * (start, per-iteration member-count split) parse of
+    * `pre (m1{1,x1} m2{1,x2}){minIters,maxIters} post` — strict
+    * contiguity, so each parse's exact per-member row membership is
+    * derivable — and compare the EVERY enumeration ([[Cep.runNfa]])
+    * match-for-match on FULL collected event ids. This pins three things
+    * at once: per-iteration min/max gating (iterBase), the
+    * [minIters, maxIters] iteration gate, and the iterHist dedup identity
+    * (two different splits can share per-step TOTALS — e.g. iteration
+    * splits (1,2)+(2,1) vs (2,1)+(1,2) — and a totals-only identity would
+    * wrongly collapse them).
+    */
+  test("quantified-member loop groups: EVERY enumeration == brute force over 200 random samples") {
+    val rng = new Rng(0xF00D)
+
+    final case class LoopCase(pre: Seq[StepSpec], loop: Seq[StepSpec],
+                              post: Seq[StepSpec], minIters: Int, maxIters: Int)
+
+    // brute force: all (start, per-step collected id lists)
+    def bruteForce(tape: IndexedSeq[Int], c: LoopCase): Seq[(Int, Seq[Seq[Long]])] = {
+      val out = Seq.newBuilder[(Int, Seq[Seq[Long]])]
+      val nPre = c.pre.size; val nLoop = c.loop.size
+      def consumeSeq(specs: Seq[StepSpec], pos: Int): Option[(Int, Seq[Seq[Long]])] = {
+        var p = pos
+        val bufs = Seq.newBuilder[Seq[Long]]
+        specs.foreach { st =>
+          if (p >= tape.length || !st.kinds(tape(p))) return None
+          bufs += Seq(p.toLong); p += 1
+        }
+        Some((p, bufs.result()))
+      }
+      // one loop member with count choice c in [min..max]
+      def member(si: Int, pos: Int, acc: Seq[Seq[Long]],
+                 k: Int, start: Int, preB: Seq[Seq[Long]],
+                 loopAcc: Seq[Seq[Long]]): Unit = {
+        if (si == nLoop) { iterations(pos, k + 1, start, preB, loopAcc); return }
+        val st = c.loop(si)
+        var p = pos; var cnt = 0; var ids = List.empty[Long]
+        while (cnt < st.max && p < tape.length && st.kinds(tape(p))) {
+          ids ::= p.toLong; p += 1; cnt += 1
+          if (cnt >= st.min)
+            member(si + 1, p, acc, k, start, preB,
+              loopAcc.updated(si, loopAcc(si) ++ ids.reverse))
+        }
+      }
+      def iterations(pos: Int, k: Int, start: Int, preB: Seq[Seq[Long]],
+                     loopAcc: Seq[Seq[Long]]): Unit = {
+        if (k >= c.minIters)
+          consumeSeq(c.post, pos).foreach { case (_, postB) =>
+            out += ((start, preB ++ loopAcc ++ postB))
+          }
+        if (k < c.maxIters)
+          member(0, pos, preB, k, start, preB, loopAcc)
+      }
+      tape.indices.foreach { start =>
+        consumeSeq(c.pre, start).foreach { case (p0, preB) =>
+          iterations(p0, 0, start, preB, Seq.fill(nLoop)(Seq.empty[Long]))
+        }
+      }
+      out.result()
+    }
+
+    def runEvery(tape: IndexedSeq[Int], c: LoopCase): Seq[(Int, Seq[Seq[Long]])] = {
+      def mk(st: StepSpec, name: String, lb: Int, looped: Boolean): Step =
+        Step(name, st.min, st.max, (e, _) => st.kinds(e.etype.toInt),
+          loopBack = lb, looped = looped,
+          minIters = math.max(c.minIters, 1), maxIters = c.maxIters)
+      val steps = c.pre.zipWithIndex.map { case (st, i) => mk(st, s"P$i", -1, looped = false) } ++
+        c.loop.zipWithIndex.map { case (st, i) =>
+          mk(st, s"L$i", if (i == c.loop.size - 1) c.loop.size - 1 else -1, looped = true) } ++
+        c.post.zipWithIndex.map { case (st, i) => mk(st, s"Q$i", -1, looped = false) }
+      val spec = PatternSpec(steps, strict = true, every = true,
+        withinUs = Some(1000L * 1000000L), maxPartials = 10000)
+      val evs = tape.zipWithIndex.map { case (kk, i) =>
+        CepEvent("k", i.toLong * 1000000, i.toLong, kk.toString, 0.0, Nil, Nil)
+      }
+      val (out, _) = Cep.runNfa(evs, NfaState(Nil, done = false), spec)
+      out.map(m => (m.steps.head.events.head.eventId.toInt,
+        m.steps.map(_.events.map(_.eventId))))
+    }
+
+    var checked = 0
+    var nonEmpty = 0
+    var multiIter = 0
+    while (checked < 200) {
+      def specOf(varCount: Boolean): StepSpec = {
+        val kinds = (0 until 3).filter(_ => rng.next(2) == 1).toSet match {
+          case e if e.isEmpty => Set(rng.next(3))
+          case s2 => s2
+        }
+        val mx = if (varCount) 1 + rng.next(3) else 1
+        StepSpec(kinds, 1, mx, rel = false)
+      }
+      val pre = Seq.fill(rng.next(2))(specOf(varCount = false))
+      val loop = Seq.fill(1 + rng.next(2))(specOf(varCount = true))
+      val post = Seq.fill(rng.next(2))(specOf(varCount = false))
+      if (loop.forall(_.max == 1) && rng.next(3) != 0) ()   // bias toward real member quants
+      else {
+        val mi = 1 + rng.next(2)
+        val ma = if (rng.next(2) == 0) Int.MaxValue else mi + rng.next(3)
+        val c = LoopCase(pre, loop, post, mi, ma)
+        val tape = IndexedSeq.fill(4 + rng.next(13))(rng.next(3))
+        val want = bruteForce(tape, c)
+          .map { case (s2, b) => (s2, b.map(_.sorted)) }.sortBy(_.toString)
+        val got = runEvery(tape, c)
+          .map { case (s2, b) => (s2, b.map(_.sorted)) }.sortBy(_.toString)
+        assert(got == want,
+          s"case=$c tape=${tape.mkString}\n  want=$want\n  got=$got")
+        if (want.nonEmpty) nonEmpty += 1
+        if (want.exists(_._2.take(pre.size + 1).lastOption.exists(_.size > 1)) ||
+            want.exists { case (_, b) =>
+              pre.size < b.size && b(pre.size).size > 1 }) multiIter += 1
+        checked += 1
+      }
+    }
+    assert(nonEmpty > 60, s"only $nonEmpty/200 samples produced matches")
+    assert(multiIter > 20, s"only $multiIter/200 samples exercised multi-count members")
+  }
+
   test("skip selection == brute-force reference over 300 random (chain, tape) samples") {
     val rng = new Rng(0xC0FFEE)
     var checked = 0

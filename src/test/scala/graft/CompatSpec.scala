@@ -1935,9 +1935,26 @@ class CompatSpec extends AnyFunSuite {
     assert(err(app("hist_quantile(value, 500, 0)")).contains("scale"))
     assert(err(app("heavy_hitters(user_id, 0)")).contains("k must be >= 1"))
     assert(err(app("kmv_distinct(nosuch, 64)")).contains("unknown column"))
-    // placement gates
-    assert(err(app("kmv_distinct(user_id, 64)",
-      "GROUP BY event_type, user_id")).contains("ONE GROUP BY key"))
+    // round 14: multi-key GROUP BY composes (composite spine); HAVING
+    // over a SKETCH alias stays typed, HAVING over plain aggregates prunes
+    val multiKey =
+      """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+        |                      event_type STRING, value DOUBLE, props STRING);
+        |CREATE STREAM Out (etype STRING, user_id BIGINT, n BIGINT, du BIGINT);
+        |INSERT INTO Out SELECT event_type AS etype, user_id, count(*) AS n,
+        |  kmv_distinct(event_id, 256) AS du
+        |FROM events GROUP BY event_type, user_id HAVING count(*) >= 100;""".stripMargin
+    val mkGot = GraftApp.run(spark, multiKey, Map("events" -> ev))("Out")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val mkWant = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("event_id")).as("du"))
+      .filter(col("n") >= 100)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    // k=256 >> per-group distinct ids here, so the KMV estimate is EXACT
+    assert(mkGot == mkWant, s"multi-key sketch $mkGot vs $mkWant")
+    assert(mkGot.nonEmpty && mkGot.size < ev.select("event_type", "user_id").distinct().count())
     assert(err(app("kmv_distinct(user_id, 64)",
       "GROUP BY event_type HAVING hh > 1")).contains("HAVING"))
     // a non-trivial expression aliased to the GROUP BY key would silently

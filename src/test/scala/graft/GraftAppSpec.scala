@@ -398,12 +398,18 @@ class GraftAppSpec extends AnyFunSuite {
     // query statement, and its compiled form is pinned by q_sketch_sql +
     // CompatSpec; here just assert the app parses whole
     assert(spec.queries.exists(_.target == "symbol_card"))
-    // bounded group repetition expands to the per-k variants with
-    // suffixed member aliases
+    // bounded group repetition runs the loop machine (round 14): ONE
+    // looped variant, members keep their aliases, the group's last member
+    // carries the loop-back edge gated at [minIters, maxIters]
     val ladders = byTarget("ladders")
-    assert(ladders.variants.size == 2)
-    assert(ladders.variants.map(_.size).sorted == Seq(4, 6))
-    assert(ladders.variants.exists(_.exists(_.aliases.contains("LEG__2"))))
+    assert(ladders.variants.size == 1)
+    val lchain = ladders.variants.head
+    assert(lchain.size == 4)
+    assert(lchain.map(_.aliases.head) == Seq("ENTRY", "LEG", "REC", "BREAK"))
+    val lrec = lchain(2)
+    assert(lrec.looped && lrec.loopBack == 1 && lrec.minIters == 1 &&
+      lrec.maxIters == 2)
+    assert(lchain(1).looped && lchain(1).loopBack == -1)
   }
 
   test("examples/round12_demo.sql parses: skip modes + alternation surface") {
@@ -1223,13 +1229,28 @@ class GraftAppSpec extends AnyFunSuite {
     assert(runOpt(tape(Seq((1, "a", 0.0), (2, "c", 0.0)))) == Seq(0L))
     assert(runOpt(tape(Seq((1, "a", 0.0), (2, "h", 1.0), (3, "c", 0.0)))) == Seq(1L))
 
+    // round 14: the loop machine removed the repetition cap — {1,9}
+    // compiles as one looped variant and matches 3 iterations directly
+    val wide = GraftApp.run(spark,
+      mr("count(D.v) AS n_d", "A (D U){1,9} C", defs, "n_d BIGINT"),
+      Map("E" -> tape(Seq((1, "a", 0.0), (2, "d", 1.0), (3, "u", 2.0),
+        (4, "d", 3.0), (5, "u", 4.0), (6, "d", 5.0), (7, "u", 6.0),
+        (8, "c", 0.0)))))("Out")
+      .selectExpr("CAST(n_d AS BIGINT)").collect().map(_.getLong(0)).toSeq
+    assert(wide == Seq(3L))
+    // round 14: ALL ROWS PER MATCH composes with bounded groups (members
+    // are ordinary collection steps — classifier is the member alias)
+    val allRows = GraftApp.run(spark,
+      mr("count(D.v) AS n_d", "A (D U){1,2} C", defs, "n_d BIGINT",
+        rows = "ALL ROWS PER MATCH"),
+      Map("E" -> tape(Seq((1, "a", 0.0), (2, "d", 1.0), (3, "u", 2.0),
+        (4, "c", 0.0)))))("Out")
+    assert(allRows.count() == 4)
+    assert(allRows.select("mr_classifier").collect().map(_.getString(0)).toSeq
+      == Seq("A", "D", "U", "C"))
     // typed gates
     def errOf(app: String) = intercept[GraftApp.SqlError](
       GraftApp.run(spark, app, Map("E" -> tape(Seq((1, "a", 0.0)))))).getMessage
-    assert(errOf(mr("count(D.v) AS n_d", "A (D U){1,9} C", defs, "n_d BIGINT"))
-      .contains("cap"))
-    assert(errOf(mr("count(D.v) AS n_d", "A (D U){1,2} C", defs,
-      "n_d BIGINT", rows = "ALL ROWS PER MATCH")).contains("ONE ROW"))
     val defsNoC = "A AS A.kind = 'a', D AS D.kind = 'd', U AS U.kind = 'u'"
     assert(errOf(mr("count(D.v) AS n_d", "A (D D){1,2} C",
       defsNoC + ", C AS C.kind = 'c'", "n_d BIGINT")).contains("duplicate"))
@@ -1238,7 +1259,7 @@ class GraftAppSpec extends AnyFunSuite {
     // a non-group DEFINE referencing a group member is ambiguous
     assert(errOf(mr("count(D.v) AS n_d", "A (D U){1,2} C",
       defs.replace("C AS C.kind = 'c'", "C AS C.kind = 'c' AND C.v > D.v"),
-      "n_d BIGINT")).contains("per repetition"))
+      "n_d BIGINT")).contains("outside its group"))
   }
 
   test("MATCH_RECOGNIZE unbounded loop groups (A B)+: loop-back NFA edge, collection measures") {
@@ -1305,16 +1326,107 @@ class GraftAppSpec extends AnyFunSuite {
       (4, "d", 3.0), (5, "u", 4.0), (6, "d", 5.0), (7, "u", 6.0),
       (8, "c", 0.0)))) == Seq(3L))
 
-    // typed gates: WITHIN required; cross-member refs; SKIP TO a loop member
+    // round 14: cross-member refs in UNBOUNDED loops bind per iteration —
+    // each U compares against ITS OWN iteration's D (a first-iteration
+    // anchor would wrongly pass u(4) > d(1) below and emit a 2-iteration
+    // match; per-iteration binding kills the whole match at u(4) <= d(5))
+    val defsIter = defs.replace("U AS U.kind = 'u'",
+      "U AS U.kind = 'u' AND U.v > D.v")
+    def runIter(t: org.apache.spark.sql.DataFrame) = GraftApp.run(spark,
+      mr("count(D.v) AS n_d, sum(U.v) AS s_u, FIRST(D.v) AS d0, LAST(U.v) AS uz",
+        "A (D U)+ C", defsIter, "n_d BIGINT, s_u DOUBLE, d0 DOUBLE, uz DOUBLE"),
+      Map("E" -> t))("Out")
+      .selectExpr("CAST(n_d AS BIGINT) AS n_d", "s_u", "d0", "uz")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    // every U above its own D: both iterations bind
+    assert(runIter(tape(Seq((1, "a", 0.0), (2, "d", 1.0), (3, "u", 2.0),
+      (4, "d", 3.0), (5, "u", 4.0), (6, "c", 0.0)))) == Seq((2L, 6.0, 1.0, 4.0)))
+    // second U above the FIRST D but not its own: no match at all (strict
+    // contiguity also kills the 1-iteration parse at the second d)
+    assert(runIter(tape(Seq((1, "a", 0.0), (2, "d", 1.0), (3, "u", 2.0),
+      (4, "d", 5.0), (5, "u", 4.0), (6, "c", 0.0)))) == Seq())
+
+    // typed gates: WITHIN required; SKIP TO a loop member
     def errOf(app: String) = intercept[GraftApp.SqlError](
       GraftApp.run(spark, app, Map("E" -> tape(Seq((1, "a", 0.0)))))).getMessage
     assert(errOf(mr("count(D.v) AS n_d", "A (D U)+ C", defs, "n_d BIGINT",
       within = "")).contains("WITHIN"))
-    assert(errOf(mr("count(D.v) AS n_d", "A (D U)+ C",
-      defs.replace("U AS U.kind = 'u'", "U AS U.kind = 'u' AND U.v > D.v"),
-      "n_d BIGINT")).contains("bounded group"))
     assert(errOf(mr("count(D.v) AS n_d", "A (D U)+ C", defs, "n_d BIGINT",
       skip = "AFTER MATCH SKIP TO LAST U")).contains("loop group"))
+  }
+
+  test("MATCH_RECOGNIZE quantified group members + one-level nesting (round 14)") {
+    def tape(rows: Seq[(Int, String, Double)]) = rows.map { case (s, k, v) => (s, 7L, k, v) }
+      .toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    def mr(measures: String, pattern: String, define: String, out: String) =
+      s"""CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+         |CREATE STREAM Out ($out);
+         |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+         |  PARTITION BY user_id ORDER BY ts
+         |  MEASURES $measures
+         |  ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW
+         |  PATTERN ($pattern) WITHIN INTERVAL '1' HOUR
+         |  DEFINE $define);""".stripMargin
+    val defs = "A AS A.kind = 'a', D AS D.kind = 'd', " +
+      "U AS U.kind = 'u', C AS C.kind = 'c'"
+    def run(t: org.apache.spark.sql.DataFrame, pattern: String) = GraftApp.run(spark,
+      mr("count(D.v) AS n_d, count(U.v) AS n_u, round(sum(U.v), 6) AS s_u",
+        pattern, defs, "n_d BIGINT, n_u BIGINT, s_u DOUBLE"),
+      Map("E" -> t))("Out")
+      .selectExpr("CAST(n_d AS BIGINT)", "CAST(n_u AS BIGINT)", "s_u")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+
+    // (D U+)+: inner U+ gated PER ITERATION — one view, a RUN of u's
+    val t1 = tape(Seq((1, "a", 0.0), (2, "d", 1.0), (3, "u", 2.0),
+      (4, "u", 3.0), (5, "u", 4.0), (6, "c", 0.0)))
+    assert(run(t1, "A (D U+)+ C") == Seq((1L, 3L, 9.0)))
+    // two iterations with different run lengths
+    val t2 = tape(Seq((1, "a", 0.0), (2, "d", 1.0), (3, "u", 2.0),
+      (4, "d", 3.0), (5, "u", 4.0), (6, "u", 5.0), (7, "c", 0.0)))
+    assert(run(t2, "A (D U+)+ C") == Seq((2L, 3L, 11.0)))
+    // bounded member U{1,2}: a 3-run exceeds the per-iteration max — the
+    // iteration cannot close before the run ends, so no match on t1
+    assert(run(t1, "A (D U{1,2})+ C") == Seq())
+    assert(run(t2, "A (D U{1,2})+ C") == Seq((2L, 3L, 11.0)))
+
+    // one-level nesting ((D U){2} C)+: inner exact group inlines per
+    // repetition; measures over D/U union the inlined aliases
+    val t3 = tape(Seq((1, "a", 0.0),
+      (2, "d", 1.0), (3, "u", 2.0), (4, "d", 3.0), (5, "u", 4.0), (6, "c", 0.0),
+      (7, "d", 5.0), (8, "u", 6.0), (9, "d", 7.0), (10, "u", 8.0), (11, "c", 0.0),
+      (12, "e", 0.0)))
+    val nested = GraftApp.run(spark,
+      mr("count(D.v) AS n_d, count(U.v) AS n_u, round(sum(U.v), 6) AS s_u",
+        "A ((D U){2} C)+ E", defs + ", E AS E.kind = 'e'",
+        "n_d BIGINT, n_u BIGINT, s_u DOUBLE"),
+      Map("E" -> t3))("Out")
+      .selectExpr("CAST(n_d AS BIGINT)", "CAST(n_u AS BIGINT)", "s_u")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(nested == Seq((4L, 4L, 20.0)))
+
+    // near-miss fuzz: every unsupported shape dies typed, never silent
+    def errOf(app: String) = intercept[GraftApp.SqlError](
+      GraftApp.run(spark, app, Map("E" -> tape(Seq((1, "a", 0.0)))))).getMessage
+    // nesting depth 2
+    assert(errOf(mr("count(D.v) AS n_d", "A (((D U){2} C){2} U)+ E",
+      defs + ", E AS E.kind = 'e'", "n_d BIGINT")).nonEmpty)
+    // variable inner count
+    assert(errOf(mr("count(D.v) AS n_d", "A ((D U){1,2} C)+ E",
+      defs + ", E AS E.kind = 'e'", "n_d BIGINT")).contains("EXACT"))
+    // reluctant member quantifier
+    assert(errOf(mr("count(D.v) AS n_d", "A (D U+?)+ C", defs, "n_d BIGINT"))
+      .contains("reluctant"))
+    // zero-min member quantifier
+    assert(errOf(mr("count(D.v) AS n_d", "A (D U*)+ C", defs, "n_d BIGINT"))
+      .contains("zero-min"))
+    // member + group quantifier on a single-member group
+    assert(errOf(mr("count(D.v) AS n_d", "A (D+){2} C",
+      "A AS A.kind = 'a', D AS D.kind = 'd', C AS C.kind = 'c'",
+      "n_d BIGINT")).contains("compose"))
   }
 
   test("MATCH_RECOGNIZE reluctant quantifiers: +? / {n,m}? prefer the fewest repetitions under skip selection") {
@@ -1370,11 +1482,25 @@ class GraftAppSpec extends AnyFunSuite {
     assert(bc("A B+ C") == Seq(4L))  // B = {p,p,c,p}, C = c@6
     assert(bc("A B+? C") == Seq(2L)) // B = {p,p}, C = c@4
 
-    // 4. reluctance is a parse preference — SKIP TO NEXT ROW enumerates
-    // every parse, so there is nothing to prefer: typed
+    // 4. round 14 — reluctance composes with SKIP TO NEXT ROW: one
+    // preferred (fewest-repetition) parse per START, overlapping starts
+    // allowed. Same-kind anchors make the modes observably different:
+    // b b b under (A B+?) with A = B = 'b' — NEXT ROW emits both pairs
+    // (b1,b2) and (b2,b3); SKIP PAST consumes b2 and emits only (b1,b2).
+    val tb = tape(Seq((1, "b", 1.0), (2, "b", 2.0), (3, "b", 3.0)))
+    def bb(skipMode: String) = GraftApp.run(spark,
+      mr("count(B.v) AS n_b", "A B+?", "A AS A.kind = 'b', B AS B.kind = 'b'",
+        "n_b BIGINT", skip = skipMode), Map("E" -> tb))("Out")
+      .select("n_b").collect().map(_.getLong(0)).toSeq
+    assert(bb("AFTER MATCH SKIP TO NEXT ROW") == Seq(1L, 1L))
+    assert(bb("AFTER MATCH SKIP PAST LAST ROW") == Seq(1L))
+    // without ANY skip mode on the engine surface reluctance stays typed
+    // (nothing selects a preferred parse in the EVERY enumeration)
     val err = intercept[GraftApp.SqlError](GraftApp.run(spark,
-      mr("count(B.v) AS n_b", "A B+?", "A AS A.kind = 'a', B AS B.kind = 'b'",
-        "n_b BIGINT", skip = "AFTER MATCH SKIP TO NEXT ROW"),
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (n_b BIGINT);
+        |INSERT INTO Out SELECT count(B.v) AS n_b FROM SEQUENCE (EVERY (
+        |  A=E[kind = 'a'] -> B=E[kind = 'b']+?)) WITHIN 1 HOUR;""".stripMargin,
       Map("E" -> t1)))
     assert(err.getMessage.contains("skip mode"))
 
