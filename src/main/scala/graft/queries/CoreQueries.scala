@@ -207,6 +207,37 @@ object CoreQueries extends QueryFamily {
              |FROM lineitem WHERE l_orderkey <= 500
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // STRUCT DDL columns (round 14; reference roadmap
+    // feat/struct_type/STRUCT_TYPE.md specifies struct() composite
+    // returns): build a struct into a STRUCT-typed intermediate stream,
+    // filter on a field, project fields back out in a chained query. The
+    // oracle routes through a DuckDB STRUCT (struct_pack + field access),
+    // not a flattened rewrite.
+    QueryDef(
+      "q_struct_cols",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Mid (user_id BIGINT,
+            |                   s STRUCT<id: BIGINT, k: STRING, vv: DOUBLE>);
+            |CREATE STREAM Out (user_id BIGINT, eid BIGINT, k STRING, vv DOUBLE);
+            |INSERT INTO Mid SELECT user_id,
+            |  named_struct('id', event_id, 'k', event_type,
+            |               'vv', round(value * 2, 6)) AS s FROM events;
+            |INSERT INTO Out SELECT user_id, s.id AS eid, s.k AS k, s.vv AS vv
+            |FROM Mid WHERE s.vv > 150 AND s.k <> 'click';""".stripMargin
+        graft.sql.GraftApp.run(s, app,
+          Map("events" -> Tables(s, dir, "events")))("Out")
+          .orderBy(col("user_id"), col("eid"))
+      },
+      Some("""SELECT user_id, s.id AS eid, s.k AS k, s.vv AS vv FROM (
+             |  SELECT user_id, struct_pack(id := event_id, k := event_type,
+             |                              vv := round(value * 2, 6)) AS s
+             |  FROM events) t
+             |WHERE s.vv > 150 AND s.k <> 'click'
+             |ORDER BY 1, 2""".stripMargin)),
+
     // Date/time surface — date_functions.rs:14-92: formatDate→date_format,
     // parseDate→to_timestamp, dateAdd→+INTERVAL; extraction for good measure.
     QueryDef(

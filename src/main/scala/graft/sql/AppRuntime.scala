@@ -50,7 +50,17 @@ object AppRuntime {
           sd.options.keys.exists(_.startsWith("json.mapping."))) {
         val m = raw.select((col("value").as("__line") +: sd.schema.fields.map { f =>
           val path = sd.options.getOrElse(s"json.mapping.${f.name}", s"$$.${f.name}")
-          get_json_object(col("value"), path).cast(f.dataType).as(f.name)
+          val extracted = get_json_object(col("value"), path)
+          f.dataType match {
+            // nested declared types (STRUCT/ARRAY columns, round 14): the
+            // JSONPath extract returns the sub-object's JSON text — parse
+            // it into the declared shape ($.a.b maps into a struct field)
+            case _: org.apache.spark.sql.types.StructType |
+                 _: org.apache.spark.sql.types.ArrayType =>
+              org.apache.spark.sql.functions.from_json(extracted, f.dataType)
+                .as(f.name)
+            case _ => extracted.cast(f.dataType).as(f.name)
+          }
         }.toIndexedSeq): _*)
         // a line that is not valid JSON extracts nothing — '$' itself nulls
         (m, get_json_object(col("__line"), "$").isNull)

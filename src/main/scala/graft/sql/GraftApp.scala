@@ -221,24 +221,66 @@ object GraftApp {
     "TIMESTAMP" -> TimestampType, "BINARY" -> BinaryType, "OBJECT" -> BinaryType,
     "TEXT" -> StringType) // app_runner_windows.rs:209 spells STRING as TEXT
 
-  /** Column type in a CREATE STREAM/TABLE: a [[TypeMap]] scalar or
-    * `ARRAY<scalar>` (round 13 — heavy_hitters() and the packing/tokenizer
-    * relations emit array columns a declared sink must be able to type).
+  /** Column type in a CREATE STREAM/TABLE: a [[TypeMap]] scalar,
+    * `ARRAY<type>` (round 13), or `STRUCT<name: type, …>` (round 14 —
+    * the reference's own roadmap, feat/struct_type/STRUCT_TYPE.md,
+    * specifies struct() composite returns; Spark has the types natively).
+    * ARRAY/STRUCT nest recursively; field separators may be `:` or
+    * whitespace.
     */
   private def parseColType(raw: String, where: String): DataType = {
-    val t = raw.toUpperCase
-    val arr = """^ARRAY\s*<\s*(\w+)\s*>""".r
-    arr.findPrefixMatchOf(t) match {
-      case Some(m) => org.apache.spark.sql.types.ArrayType(
-        TypeMap.getOrElse(m.group(1),
-          throw SqlError(s"unknown array element type '${m.group(1)}' in $where")))
-      case None =>
-        // first token is the type; trailing modifiers (PRIMARY KEY — the
-        // reference corpus spells them) are tolerated like before
-        val head = t.split("\\s+").head
-        TypeMap.getOrElse(head,
-          throw SqlError(s"unknown type '$head' in $where"))
+    val t = raw.trim
+    val up = t.toUpperCase
+    def innerOf(kw: String): String = {
+      val open = t.indexOf('<')
+      if (open < 0) throw SqlError(s"$kw type needs <…> in $where: '$t'")
+      var depth = 0; var i = open
+      while (i < t.length) {
+        t.charAt(i) match {
+          case '<' => depth += 1
+          case '>' => depth -= 1; if (depth == 0) return t.substring(open + 1, i)
+          case _ =>
+        }
+        i += 1
+      }
+      throw SqlError(s"unbalanced <…> in $kw type in $where: '$t'")
     }
+    if (up.startsWith("ARRAY") && up.takeWhile(_ != '<').trim == "ARRAY")
+      org.apache.spark.sql.types.ArrayType(parseColType(innerOf("ARRAY"), where))
+    else if (up.startsWith("STRUCT") && up.takeWhile(_ != '<').trim == "STRUCT") {
+      val fields = splitAngleAware(innerOf("STRUCT")).map { f =>
+        val fm = """(?s)^\s*(\w+)\s*:?\s*(.+)$""".r.findFirstMatchIn(f)
+          .getOrElse(throw SqlError(
+            s"bad STRUCT field '$f' in $where — expected name[:] type"))
+        StructField(fm.group(1), parseColType(fm.group(2), where))
+      }
+      if (fields.isEmpty) throw SqlError(s"empty STRUCT<> in $where")
+      StructType(fields)
+    } else {
+      // first token is the type; trailing modifiers (PRIMARY KEY — the
+      // reference corpus spells them) are tolerated like before
+      val head = up.split("\\s+").head
+      TypeMap.getOrElse(head,
+        throw SqlError(s"unknown type '$head' in $where"))
+    }
+  }
+
+  /** Split a column/field list on commas OUTSIDE angle brackets —
+    * `a STRUCT<x: INT, y: STRING>, b BIGINT` is two columns. */
+  private def splitAngleAware(raw: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var start = 0; var i = 0
+    while (i < raw.length) {
+      raw.charAt(i) match {
+        case '<' => depth += 1
+        case '>' => depth -= 1
+        case ',' if depth == 0 => out += raw.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += raw.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 
   // the block terminator is an END followed by `;` (or end of app text) —
@@ -567,11 +609,11 @@ object GraftApp {
           case CreateRe(kind, name, colsRaw, withRaw) =>
             if (streams.contains(name)) throw SqlError(
               s"duplicate stream/table/trigger definition '$name'")
-            val fields = colsRaw.split(",").map(_.trim).filter(_.nonEmpty).map { c =>
+            val fields = splitAngleAware(colsRaw).map { c =>
               val parts = c.split("\\s+", 2)
               if (parts.length < 2) throw SqlError(s"bad column def '$c' in $name")
               StructField(parts(0), parseColType(parts(1).trim, name))
-            }
+            }.toArray
             val opts = Option(withRaw).map(parseWith).getOrElse(Map.empty)
             // mapper fault routing (stream_junction.rs:31-37 OnErrorAction;
             // fault streams carry the reference's `!` prefix,

@@ -292,6 +292,44 @@ class ConnectorSpec extends AnyFunSuite {
     } finally { q.stop(); server.close() }
   }
 
+  test("socket source json mapping: nested object into a declared STRUCT column (round 14)") {
+    import graft.sql.{AppRuntime, GraftApp}
+    // $.order maps into a STRUCT<id, total> column (from_json on the
+    // JSONPath extract); a scalar sibling auto-maps alongside
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val writerThread = new Thread(() => {
+      val sock = server.accept()
+      val w = new java.io.PrintWriter(sock.getOutputStream, true)
+      w.println("""{"order":{"id":1,"total":10.5},"city":"SF"}""")
+      w.println("""{"order":{"id":2,"total":4.5},"city":"NY"}""")
+      Thread.sleep(8000); w.close(); sock.close()
+    })
+    writerThread.setDaemon(true); writerThread.start()
+    val app =
+      s"""CREATE STREAM orders (o STRUCT<id: BIGINT, total: DOUBLE>, city STRING)
+         |WITH ('type'='source', 'format'='socket',
+         |      'host'='localhost', 'port'='$port',
+         |      'json.mapping.o'='$$.order');
+         |CREATE STREAM flat (city STRING, oid BIGINT, amount DOUBLE);
+         |INSERT INTO flat SELECT city, o.id AS oid, o.total AS amount FROM orders;""".stripMargin
+    val spec = GraftApp.parse(app)
+    val env = GraftApp.run(spark, app, AppRuntime.bindSources(spark, spec))
+    val q = env("flat").writeStream.format("memory").queryName("sock_struct_sink")
+      .outputMode("append").start()
+    try {
+      val deadline = System.nanoTime() + 30e9.toLong
+      var rows = Seq.empty[(String, Long, Double)]
+      while (rows.size < 2 && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        rows = spark.table("sock_struct_sink").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+        if (rows.size < 2) Thread.sleep(200)
+      }
+      assert(rows.sortBy(_._2) == Seq(("SF", 1L, 10.5), ("NY", 2L, 4.5)))
+    } finally { q.stop(); server.close() }
+  }
+
   // ---- RFC 6455 WebSocket transport (graft.sources.WebSocket) ----
 
   /** Server half of the Upgrade handshake for the in-process test server. */

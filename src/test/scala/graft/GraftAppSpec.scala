@@ -1356,6 +1356,46 @@ class GraftAppSpec extends AnyFunSuite {
       skip = "AFTER MATCH SKIP TO LAST U")).contains("loop group"))
   }
 
+  test("STRUCT<...> DDL columns: struct build, field access, nesting (round 14)") {
+    import spark.implicits._
+    val e = Seq((1, 7L, "a", 1.5), (2, 7L, "b", 2.5), (3, 8L, "a", 3.0))
+      .toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    // build a struct into a STRUCT-typed intermediate stream, then project
+    // fields back out of it in a chained query
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Mid (ts TIMESTAMP, user_id BIGINT,
+        |                   s STRUCT<k: STRING, vv DOUBLE>);
+        |CREATE STREAM Out (user_id BIGINT, k2 STRING, vv2 DOUBLE);
+        |INSERT INTO Mid SELECT ts, user_id,
+        |  named_struct('k', kind, 'vv', v * 2) AS s FROM E;
+        |INSERT INTO Out SELECT user_id, s.k AS k2, s.vv AS vv2 FROM Mid
+        |WHERE s.vv > 3;""".stripMargin
+    val got = GraftApp.run(spark, app, Map("E" -> e))("Out")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._3).toSeq
+    assert(got == Seq((7L, "b", 5.0), (8L, "a", 6.0)))
+    // declared shape: colon and whitespace field separators, nesting,
+    // ARRAY<STRUCT<...>>
+    val spec = GraftApp.parse(
+      """CREATE STREAM N (a STRUCT<x: BIGINT, y STRUCT<p: STRING, q DOUBLE>>,
+        |                 b ARRAY<STRUCT<m: BIGINT>>, c BIGINT);""".stripMargin)
+    val n = spec.streams("N").schema
+    import org.apache.spark.sql.types._
+    assert(n("a").dataType == StructType(Seq(StructField("x", LongType),
+      StructField("y", StructType(Seq(StructField("p", StringType),
+        StructField("q", DoubleType)))))))
+    assert(n("b").dataType == ArrayType(StructType(Seq(StructField("m", LongType)))))
+    assert(n("c").dataType == LongType)
+    // typed errors: unknown field type, unbalanced angles
+    def errOf(ddl: String) =
+      intercept[GraftApp.SqlError](GraftApp.parse(ddl)).getMessage
+    assert(errOf("CREATE STREAM X (a STRUCT<x: WAT>);").contains("unknown type"))
+    assert(errOf("CREATE STREAM X (a STRUCT<x: BIGINT);").contains("unbalanced"))
+  }
+
   test("MATCH_RECOGNIZE quantified group members + one-level nesting (round 14)") {
     def tape(rows: Seq[(Int, String, Double)]) = rows.map { case (s, k, v) => (s, 7L, k, v) }
       .toDF("sec", "user_id", "kind", "v")
