@@ -506,4 +506,150 @@ object Sketches {
     mg.unpersist()
     res
   }
+
+  // ---- streaming faces (round 14): windowed sketch aggregates ----
+  //
+  // The incremental-crawl datacard as a STREAM: per (group, tumbling
+  // event-time window), carry the bounded sketch state in
+  // `flatMapGroupsWithState` and emit ONE finalized row when the
+  // watermark proves the window complete (EventTimeTimeout at window end
+  // — exactly the CEP kernels' timer discipline). State bound: ≤ k
+  // entries per key×window, evicted on emission — the 100 TB shape is
+  // |active windows| × |groups| × k longs, independent of stream length.
+
+  /** Input row for the windowed sketch kernels: composite group key as a
+    * string (to_json of the key struct — parsed back by the SQL layer),
+    * the window start, the md5-60 member hash (KMV) and the raw member
+    * key string (Misra-Gries). */
+  final case class SkWinEvent(gk: String, winStartUs: Long,
+                              hv: Option[Long], skey: String)
+  /** Bottom-k state: sorted ascending, ≤ k values. */
+  final case class KmvWinState(hvs: Seq[Long])
+  final case class KmvWinOut(gk: String, winStartUs: Long, kUsed: Long,
+                             kthHash: Long, estDistinct: Long)
+  /** Misra-Gries state: ≤ k (key, counter) pairs. */
+  final case class MgWinState(keys: Seq[String], cnts: Seq[Long])
+  final case class MgWinOut(gk: String, winStartUs: Long, hh: Seq[String])
+
+  private def sketchWinInput(df: DataFrame, groupCols: Seq[String],
+                             keyCol: String, windowUs: Long, lateness: String) = {
+    import org.apache.spark.sql.Dataset
+    val gkCol =
+      if (groupCols.isEmpty) lit("")
+      else to_json(struct(groupCols.map(col): _*))
+    implicit val enc = Encoders.product[SkWinEvent]
+    df.withColumn("eventTime", col("ts"))
+      .withWatermark("eventTime", lateness)
+      .withColumn("gk", gkCol)
+      .withColumn("winStartUs",
+        (floor(unix_micros(col("ts")).cast("double") / windowUs).cast("long") *
+          windowUs))
+      .withColumn("hv", hash60(col(keyCol)))
+      .withColumn("skey", col(keyCol).cast("string"))
+      .as[SkWinEvent]: Dataset[SkWinEvent]
+  }
+
+  private def ceilMs(us: Long): Long = (us + 999L) / 1000L
+
+  /** Streaming windowed KMV distinct estimate: one row per
+    * (group, window) with the SAME estimator arithmetic as
+    * [[kmvDistinctBy]] — the result over a replayed stream is bit-equal
+    * to the batch operator per window (bottom-k is deterministic and
+    * mergeable; late events within the watermark fold into the same
+    * bounded set). Output: (gk, winStartUs, kUsed, kthHash, estDistinct).
+    */
+  def kmvDistinctStreamWindowed(df: DataFrame, groupCols: Seq[String],
+      keyCol: String, k: Int, windowUs: Long, lateness: String): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val keyEnc = Encoders.product[(String, Long)]
+    implicit val stEnc = Encoders.product[KmvWinState]
+    implicit val outEnc = Encoders.product[KmvWinOut]
+    sketchWinInput(df, groupCols, keyCol, windowUs, lateness)
+      .groupByKey(e => (e.gk, e.winStartUs))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, Long), it: Iterator[SkWinEvent], state: GroupState[KmvWinState]) =>
+          val (gk, win) = key
+          if (state.hasTimedOut) {
+            val hvs = state.getOption.map(_.hvs).getOrElse(Nil)
+            state.remove()
+            if (hvs.isEmpty) Iterator.empty
+            else {
+              val kth = hvs.last
+              val est =
+                if (hvs.size < k) hvs.size.toLong
+                else math.round((k - 1).toDouble * 1152921504606846976.0 / kth.toDouble)
+              Iterator(KmvWinOut(gk, win, hvs.size.toLong, kth, est))
+            }
+          } else {
+            val set = new java.util.TreeSet[java.lang.Long]()
+            state.getOption.foreach(_.hvs.foreach(h => set.add(h)))
+            it.foreach(e => e.hv.foreach { h =>
+              if (set.size < k) set.add(h)
+              else if (h < set.last()) { if (set.add(h)) set.pollLast() }
+            })
+            import scala.jdk.CollectionConverters._
+            state.update(KmvWinState(set.iterator().asScala.map(_.longValue()).toSeq))
+            state.setTimeoutTimestamp(math.max(ceilMs(win + windowUs),
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }.toDF()
+  }
+
+  /** Streaming windowed heavy hitters: per (group, window) Misra-Gries
+    * with k counters, emitting the surviving candidates ordered by MG
+    * count desc then key when the watermark closes the window. The MG
+    * guarantee transfers: any key with in-window frequency > N_win/(k+1)
+    * is in the emitted list. Counts are MG lower bounds, so (unlike the
+    * two-pass batch operator, which recounts exactly) the ORDER among
+    * emitted candidates is approximate once decrements occur; with ≤ k
+    * distinct keys in a window no decrement happens and the list is
+    * exact. Output: (gk, winStartUs, hh ARRAY<STRING>).
+    */
+  def heavyHittersStreamWindowed(df: DataFrame, groupCols: Seq[String],
+      keyCol: String, k: Int, windowUs: Long, lateness: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val keyEnc = Encoders.product[(String, Long)]
+    implicit val stEnc = Encoders.product[MgWinState]
+    implicit val outEnc = Encoders.product[MgWinOut]
+    sketchWinInput(df, groupCols, keyCol, windowUs, lateness)
+      .groupByKey(e => (e.gk, e.winStartUs))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, Long), it: Iterator[SkWinEvent], state: GroupState[MgWinState]) =>
+          val (gk, win) = key
+          if (state.hasTimedOut) {
+            val st = state.getOption.getOrElse(MgWinState(Nil, Nil))
+            state.remove()
+            if (st.keys.isEmpty) Iterator.empty
+            else {
+              val ordered = st.keys.zip(st.cnts)
+                .sortBy { case (kk, c) => (-c, kk) }.map(_._1)
+              Iterator(MgWinOut(gk, win, ordered))
+            }
+          } else {
+            val counters = scala.collection.mutable.HashMap.empty[String, Long]
+            state.getOption.foreach(s => s.keys.zip(s.cnts).foreach {
+              case (kk, c) => counters(kk) = c })
+            it.foreach { e =>
+              val s = e.skey
+              counters.get(s) match {
+                case Some(c) => counters(s) = c + 1
+                case None if counters.size < k => counters(s) = 1L
+                case None =>
+                  counters.keys.toArray.foreach { kk =>
+                    val c = counters(kk) - 1
+                    if (c == 0) counters.remove(kk) else counters(kk) = c
+                  }
+              }
+            }
+            val (ks, cs) = counters.toSeq.unzip
+            state.update(MgWinState(ks, cs))
+            state.setTimeoutTimestamp(math.max(ceilMs(win + windowUs),
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }.toDF()
+  }
 }

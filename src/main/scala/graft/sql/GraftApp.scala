@@ -2801,12 +2801,17 @@ object GraftApp {
             Option(m.group(4)).map(_.toInt), a.getOrElse(e.trim)))
       }
       if (sk.nonEmpty) {
-        if (df.isStreaming) throw SqlError(
-          "sketch aggregates (kmv_distinct/hist_quantile/heavy_hitters) " +
-            "are batch-surface — stream into a table and query that")
+        if (df.isStreaming) {
+          // streaming face (round 14): tumbling-window sketch aggregates
+          // over bounded flatMapGroupsWithState state (≤ k entries per
+          // group×window, evicted when the watermark closes the window)
+          return compileStreamingSketch(df, q, sk, streamOpts)
+        }
         if (q.window.isDefined) throw SqlError(
-          "sketch aggregates do not compose with WINDOW clauses — drop the " +
-            "window or use the plain aggregate family")
+          "sketch aggregates do not compose with WINDOW clauses in the " +
+            "batch surface — drop the window or use the plain aggregate " +
+            "family (on a STREAMING source, WINDOW('timeBatch', d) runs " +
+            "the windowed sketch kernels)")
         // HAVING composes over the NON-sketch aggregates (round 14): it is
         // evaluated as one boolean aggregate in the normal-agg pass and
         // prunes the group spine. HAVING over a sketch value stays typed —
@@ -3264,6 +3269,81 @@ object GraftApp {
   private val StreamKernelKinds = Set("length", "lengthbatch", "time",
     "externaltime", "delay", "sort", "unique", "firstunique", "frequent",
     "lossycounting")
+
+  /** Streaming sketch aggregates (round 14): `kmv_distinct(col, k)` /
+    * `heavy_hitters(col, k)` over a TUMBLING event-time window on a
+    * streaming source — the incremental-crawl datacard as a stream.
+    * Lowers to the bounded flatMapGroupsWithState kernels
+    * ([[graft.operators.Sketches.kmvDistinctStreamWindowed]] /
+    * heavyHittersStreamWindowed): state ≤ k entries per group×window,
+    * removed when the watermark passes the window end, at which point the
+    * window's FINAL row emits (append mode — late events inside
+    * `allow.lateness` still fold in). Output: `win_start TIMESTAMP`
+    * first, then the declared select items; group keys ride the kernel
+    * as a to_json composite and parse back to their original types.
+    */
+  private def compileStreamingSketch(df: DataFrame,
+      q: QuerySpec, sk: Seq[(String, String, Int, Option[Int], String)],
+      streamOpts: Map[String, String]): DataFrame = {
+    val w = q.window.getOrElse(throw SqlError(
+      "sketch aggregates on a STREAMING source need a tumbling window — " +
+        "add WINDOW('timeBatch', '<duration>') (or stream into a table " +
+        "and query that in batch)"))
+    if (w.kind != "timebatch" && w.kind != "tumbling") throw SqlError(
+      s"streaming sketch aggregates take WINDOW('timeBatch', d); " +
+        s"window('${w.kind}') is not supported — per-window finalization " +
+        "needs tumbling event-time buckets")
+    if (!df.columns.contains("ts")) throw SqlError(
+      "streaming sketch aggregates need a 'ts' TIMESTAMP column (event time)")
+    if (sk.size > 1) throw SqlError(
+      "one sketch aggregate per streaming query — split the query (each " +
+        "kernel finalizes its own per-window state)")
+    val (fn, c, p1, _, alias) = sk.head
+    if (fn == "hist_quantile") throw SqlError(
+      "hist_quantile is batch-surface — stream into a table and query " +
+        "that (the streaming kernels cover kmv_distinct/heavy_hitters)")
+    if (q.having.isDefined || q.orderBy.nonEmpty || q.limit.isDefined ||
+        q.offset.isDefined) throw SqlError(
+      "HAVING/ORDER BY/LIMIT do not compose with streaming sketch " +
+        "aggregates — filter/order downstream")
+    val skRe = """(?i)^(kmv_distinct|hist_quantile|heavy_hitters)\s*\(""".r
+    q.selectItems.foreach { case (e, _) =>
+      val isSketch = skRe.findFirstIn(e.trim).isDefined
+      val isKey = q.groupBy.exists(_.equalsIgnoreCase(e.trim))
+      if (!isSketch && !isKey) throw SqlError(
+        s"streaming sketch select items must be GROUP BY keys or the " +
+          s"sketch aggregate — got '${e.trim}' (plain aggregates need " +
+          "their own query)")
+    }
+    val windowUs = parseDurationUs(w.params.last)
+    val lateness = streamOpts.getOrElse("allow.lateness", "0 seconds")
+    val keys = q.groupBy
+    import graft.operators.Sketches
+    val kdf = fn match {
+      case "kmv_distinct" =>
+        Sketches.kmvDistinctStreamWindowed(df, keys, c, p1, windowUs, lateness)
+          .withColumnRenamed("estDistinct", "__sv")
+      case _ =>
+        Sketches.heavyHittersStreamWindowed(df, keys, c, p1, windowUs, lateness)
+          .withColumnRenamed("hh", "__sv")
+    }
+    val keyFields = keys.map(k =>
+      df.schema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
+        throw SqlError(s"GROUP BY key '$k' not found in the stream schema")))
+    val withKeys =
+      if (keys.isEmpty) kdf
+      else kdf.withColumn("__gkp",
+        from_json(col("gk"), org.apache.spark.sql.types.StructType(keyFields)))
+    val outCols = timestamp_micros(col("winStartUs")).as("win_start") +:
+      q.selectItems.map { case (e, a) =>
+        if (skRe.findFirstIn(e.trim).isDefined) col("__sv").as(alias)
+        else {
+          val kn = keys.find(_.equalsIgnoreCase(e.trim)).get
+          col(s"__gkp.$kn").as(a.getOrElse(kn))
+        }
+      }
+    withKeys.select(outCols: _*)
+  }
 
   /** STREAMING lowering for kernel-shaped windows: the source row rides
     * through the keyed-state kernel as string slots (svals — the same

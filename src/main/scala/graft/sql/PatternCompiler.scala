@@ -1273,14 +1273,10 @@ object PatternCompiler {
     // (ANSI: exclusion is output-only), because the slices read the match
     // STATE, not the emitted rows.
     val runItems = outMeasures.collect { case (r: MRun, a) => (r, a) }
-    def runExprFor(r: MRun, emitStep: Int): String = {
+    def runExprFor(r: MRun): String = {
       val k = steps.indexWhere(_.aliases.contains(r.v))
       if (k < 0) throw GraftApp.SqlError(
         s"RUNNING aggregate references '${r.v}' which is not a pattern step variable")
-      if (steps.exists(_.looped)) throw GraftApp.SqlError(
-        "streaming RUNNING with an unbounded loop group is batch-only — " +
-          "the prefix fold slices per-step buffers, which interleave " +
-          "across loop iterations (batch orders by event id instead)")
       val t = colTypes.getOrElse(r.c.toLowerCase, throw GraftApp.SqlError(
         s"RUNNING ${r.fn}(${r.v}.${r.c}): '${r.c}' is not a stream column"))
       // OR step (round 13): the buffer interleaves alternatives, so the
@@ -1292,28 +1288,27 @@ object PatternCompiler {
         if (Set("TINYINT", "SMALLINT", "INT", "BIGINT").contains(t.toUpperCase))
           "BIGINT"
         else "DOUBLE"
-      if (k > emitStep) r.fn match {
-        case "count" => "CAST(0 AS BIGINT)"
-        case "sum" => s"CAST(NULL AS $acc)"
-        case "avg" => "CAST(NULL AS DOUBLE)"
-        case _ => s"CAST(NULL AS $t)"
-      } else {
-        // __steps = the match's step buffers, re-selected under that name
-        // because the per-step select already consumed the generator output
-        val arr =
-          if (k < emitStep) s"__steps[$k].events"
-          else s"slice(__steps[$k].events, 1, __pos + 1)"
-        val vals = s"transform($arr, x -> CAST(x.svals[$s] AS $t))"
-        val nn = s"filter($vals, v -> v IS NOT NULL)"
-        r.fn match {
-          case "count" => s"CAST(size($nn) AS BIGINT)"
-          case "sum" => s"if(size($nn) = 0, CAST(NULL AS $acc), " +
-            s"aggregate($nn, CAST(0 AS $acc), (a, v) -> a + v))"
-          case "avg" => s"CAST(aggregate($nn, CAST(0 AS DOUBLE), " +
-            s"(a, v) -> a + v) / nullif(size($nn), 0) AS DOUBLE)"
-          case "min" => s"array_min($vals)"
-          case "max" => s"array_max($vals)"
-        }
+      // RUNNING prefix = V's buffered events at-or-before the emitted row
+      // in PROCESSING order — (tsUs, eventId), exactly the sort both the
+      // batch and streaming NFAs apply before folding (round 14: replaces
+      // the per-emit-step positional slice — identical on plain chains,
+      // where buffers are position-ordered, and correct for LOOP GROUPS,
+      // whose per-step buffers interleave across iterations). A step
+      // entirely after the emitted row filters to empty: count 0,
+      // sum/avg/min/max NULL. eventId alone is NOT usable: the streaming
+      // lowering's ids are xxhash64 tags, ordered only within a tsUs tie.
+      val arr = s"filter(__steps[$k].events, x -> x.tsUs < __ev.tsUs OR " +
+        s"(x.tsUs = __ev.tsUs AND x.eventId <= __ev.eventId))"
+      val vals = s"transform($arr, x -> CAST(x.svals[$s] AS $t))"
+      val nn = s"filter($vals, v -> v IS NOT NULL)"
+      r.fn match {
+        case "count" => s"CAST(size($nn) AS BIGINT)"
+        case "sum" => s"if(size($nn) = 0, CAST(NULL AS $acc), " +
+          s"aggregate($nn, CAST(0 AS $acc), (a, v) -> a + v))"
+        case "avg" => s"CAST(aggregate($nn, CAST(0 AS DOUBLE), " +
+          s"(a, v) -> a + v) / nullif(size($nn), 0) AS DOUBLE)"
+        case "min" => s"array_min($vals)"
+        case "max" => s"array_max($vals)"
       }
     }
     // ONE explode over ALL steps (round 13): a per-step explode-then-union
@@ -1335,10 +1330,12 @@ object PatternCompiler {
         "transform(s.events, (e, p) -> " +
         "named_struct('__stepIdx', si, '__pos', p, '__ev', e)))))")): _*)
     runItems.foreach { case (r, a) =>
-      val arms = steps.indices.map(i =>
-        s"WHEN __stepIdx = $i THEN (${runExprFor(r, i)})").mkString(" ")
-      val head = if (q.allRowsUnmatched) "WHEN __mseq = -1 THEN NULL " else ""
-      exploded = exploded.withColumn(a, expr(s"CASE $head$arms END"))
+      val body = runExprFor(r)
+      val e0 =
+        if (q.allRowsUnmatched)
+          s"CASE WHEN __mseq = -1 THEN NULL ELSE ($body) END"
+        else body
+      exploded = exploded.withColumn(a, expr(e0))
     }
     val perStep = exploded.drop("__steps", "__pos")
     // materialize the source columns (and, under OR steps, the stream tag)

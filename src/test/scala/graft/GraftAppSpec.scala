@@ -412,6 +412,32 @@ class GraftAppSpec extends AnyFunSuite {
     assert(lchain(1).looped && lchain(1).loopBack == -1)
   }
 
+  test("examples/round14_demo.sql parses: group quantifier matrix, STRUCT, multi-key sketch") {
+    val app = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/round14_demo.sql")))
+    val spec = GraftApp.parse(app)
+    val byTarget = spec.patterns.map(p => p.target -> p).toMap
+    // (DIP UP+)+: quantified member inside the loop group
+    val rallies = byTarget("rallies")
+    val rchain = rallies.variants.head
+    assert(rchain(2).looped && rchain(2).min == 1 && rchain(2).max == Int.MaxValue)
+    assert(rchain(2).loopBack == 1 && rchain(2).maxIters == Int.MaxValue)
+    // ((LO HI){2} BRK)+: inner group inlined with __i suffixes
+    val ladders = byTarget("ladders2")
+    assert(ladders.variants.head.map(_.aliases.head)
+      == Seq("LO__1", "HI__1", "LO__2", "HI__2", "BRK"))
+    assert(ladders.variants.head.last.loopBack == 4)
+    // reluctant under SKIP TO NEXT ROW: the flag rides the query
+    val fu = byTarget("first_ups")
+    assert(fu.skipNext && fu.variants.head.last.reluctant)
+    // STRUCT DDL parsed
+    import org.apache.spark.sql.types._
+    assert(spec.streams("enriched").schema("tick").dataType ==
+      StructType(Seq(StructField("kind", StringType), StructField("px", DoubleType))))
+    // the multi-key sketch query parses as a plain query statement
+    assert(spec.queries.exists(_.target == "symbol_kind_card"))
+  }
+
   test("examples/round12_demo.sql parses: skip modes + alternation surface") {
     val app = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("examples/round12_demo.sql")))

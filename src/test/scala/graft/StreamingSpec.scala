@@ -2525,4 +2525,189 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.toSeq == batch.toSeq)
     } finally q.stop()
   }
+
+  test("STREAMING MATCH_RECOGNIZE RUNNING over a LOOP GROUP: event-id-bounded prefix, parity with batch") {
+    // round 14: the prefix aggregate bounds V's buffered events by EVENT
+    // ID (not buffer position), so loop groups — whose per-step buffers
+    // interleave across iterations — stream RUNNING correctly. Tape:
+    // a d(1) u(2) d(3) u(4) — at the iteration-2 d row, RUNNING sum(U.v)
+    // must be 2 (only u(2) precedes it), though U's buffer will also hold
+    // u(4).
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val events = in.toDS().toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE,
+        |                   rs DOUBLE, rcd BIGINT,
+        |                   mr_match_number BIGINT, mr_classifier STRING);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES RUNNING sum(U.v) AS rs, RUNNING count(D.v) AS rcd
+        |  ALL ROWS PER MATCH AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A (D U)+) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', D AS D.kind = 'd', U AS U.kind = 'u'
+        |);""".stripMargin
+    val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+    assert(outDf.isStreaming)
+    sinkId += 1; val name = s"mr_loop_run_sink_$sinkId"
+    val q = outDf.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    def grab(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(6), r.getDouble(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4), r.getLong(5),
+        r.getString(7)))
+      .sortBy(t => (t._1, t._2))
+    try {
+      in.addData((1L, 7L, "a", 1.0), (2L, 7L, "d", 1.5), (3L, 7L, "u", 2.0))
+      q.processAllAvailable()
+      in.addData((4L, 7L, "d", 3.0), (5L, 7L, "u", 4.0))
+      q.processAllAvailable()
+      val got = grab(spark.table(name).collect())
+      // the 2-iteration match's d(3.0) row: rs = 2.0 (only u(2.0) is at-
+      // or-before it), rcd = 2 — a positional slice would read 6.0 there
+      val m2 = got.filter(x => x._5 == "D" && x._2 == 3.0)
+      assert(m2.exists(x => x._3 == 2.0 && x._4 == 2L), s"got $got")
+      // full parity with the batch lowering on the same tape
+      val tape = Seq((1L, 7L, "a", 1.0), (2L, 7L, "d", 1.5), (3L, 7L, "u", 2.0),
+        (4L, 7L, "d", 3.0), (5L, 7L, "u", 4.0))
+        .toDF("sec", "user_id", "kind", "v")
+        .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+          "user_id", "kind", "v")
+      val batch = grab(graft.sql.GraftApp.run(spark, app, Map("E" -> tape))("Out")
+        .collect())
+      assert(got.toSeq == batch.toSeq, s"stream ${got.toSeq} vs batch ${batch.toSeq}")
+    } finally q.stop()
+  }
+
+  test("streaming windowed kmv_distinct: per-window parity with the batch operator, late fold-in") {
+    // round 14: the incremental-crawl datacard as a stream — tumbling
+    // 10 s windows, watermark 5 s; a window's row emits only when the
+    // watermark proves it complete, and a late event inside the lateness
+    // folds into the SAME bounded bottom-k state.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long)]
+    def df0 = in.toDF().toDF("sec", "user_id", "doc_id").selectExpr(
+      "CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "user_id", "doc_id")
+    val k = 16
+    val out = graft.operators.Sketches.kmvDistinctStreamWindowed(
+      df0, Seq("user_id"), "doc_id", k, 10000000L, "5 seconds")
+    sinkId += 1; val name = s"kmv_sink_$sinkId"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // window [0,10): user 1 → 30 distinct docs (k=16 ⇒ genuine
+      // estimate), user 2 → docs 1..5; window [10,20): user 1 → 3 docs
+      in.addData((1 to 30).map(i => (1L + i % 8, 1L, i.toLong)) ++
+        (1 to 5).map(i => (2L, 2L, i.toLong)): _*)
+      q.processAllAvailable()
+      in.addData((12L, 1L, 101L), (12L, 1L, 102L), (13L, 1L, 103L),
+        (8L, 2L, 6L)) // late for window 0, inside the 5 s lateness
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 0) // watermark 13-5=8 < 10: open
+      in.addData((60L, 9L, 1L)) // sentinel pushes the watermark past both
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .selectExpr("gk", "winStartUs", "kUsed", "kthHash", "estDistinct")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(x => (x._2, x._1)).toSeq
+      assert(got.size == 3)
+      // batch parity: the SAME operator arithmetic per (user, window) on
+      // the full replayed data (late row included)
+      val allRows = ((1 to 30).map(i => (1L + i % 8, 1L, i.toLong)) ++
+        (1 to 5).map(i => (2L, 2L, i.toLong)) ++
+        Seq((12L, 1L, 101L), (12L, 1L, 102L), (13L, 1L, 103L), (8L, 2L, 6L)))
+        .toDF("sec", "user_id", "doc_id")
+        .selectExpr("sec", "user_id", "doc_id",
+          "CAST(FLOOR(sec / 10) AS BIGINT) * 10000000 AS win")
+      val want = graft.operators.Sketches.kmvDistinctBy(
+          allRows.selectExpr(
+            "concat(to_json(named_struct('user_id', user_id)), '|', win) AS gw",
+            "doc_id"),
+          "gw", "doc_id", k)
+        .collect().map { r =>
+          val Array(gk, win) = r.getString(0).split("\\|")
+          (gk, win.toLong, r.getLong(1), r.getLong(2), r.getLong(3))
+        }.sortBy(x => (x._2, x._1)).toSeq
+      assert(got == want, s"stream $got vs batch $want")
+      // the 30+3-distinct window really estimated (kUsed == k)
+      assert(got.exists(x => x._3 == k && x._5 != x._3))
+    } finally q.stop()
+  }
+
+  test("streaming sketch SQL lowering: kmv_distinct over WINDOW('timeBatch') GROUP BY") {
+    // the app-text face a migrating user writes: replaces round-13's
+    // typed "batch-surface" error for the windowed-stream case
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long)]
+    val sdf = in.toDF().toDF("sec", "user_id", "doc_id").selectExpr(
+      "CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "user_id", "doc_id")
+    val app =
+      """CREATE STREAM S (ts TIMESTAMP, user_id BIGINT, doc_id BIGINT);
+        |CREATE STREAM Out (win_start TIMESTAMP, user_id BIGINT, du BIGINT);
+        |INSERT INTO Out SELECT user_id, kmv_distinct(doc_id, 16) AS du
+        |FROM S WINDOW('timeBatch', '10 seconds') GROUP BY user_id;""".stripMargin
+    val out = graft.sql.GraftApp.run(spark, app, Map("S" -> sdf))("Out")
+    sinkId += 1; val name = s"kmvsql_sink_$sinkId"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      in.addData((1 to 7).map(i => (i.toLong, 1L, i.toLong)) ++
+        Seq((2L, 2L, 10L), (3L, 2L, 10L)): _*)
+      in.addData((60L, 9L, 1L)) // close window 0
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .selectExpr("unix_micros(win_start)", "user_id", "du")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._2).toSeq
+      // < k distinct per group ⇒ exact counts
+      assert(got == Seq((0L, 1L, 7L), (0L, 2L, 1L)))
+    } finally q.stop()
+
+    // typed gates: >1 sketch per streaming query; hist_quantile; plain
+    // aggregate mixed in
+    def errOf(a: String) = intercept[graft.sql.GraftApp.SqlError](
+      graft.sql.GraftApp.run(spark, a, Map("S" -> sdf))).getMessage
+    assert(errOf(
+      """CREATE STREAM S (ts TIMESTAMP, user_id BIGINT, doc_id BIGINT);
+        |CREATE STREAM Out (win_start TIMESTAMP, u BIGINT, p50 DOUBLE);
+        |INSERT INTO Out SELECT user_id, hist_quantile(doc_id, 500) AS p50
+        |FROM S WINDOW('timeBatch', '10 seconds') GROUP BY user_id;""".stripMargin)
+      .contains("hist_quantile"))
+    assert(errOf(
+      """CREATE STREAM S (ts TIMESTAMP, user_id BIGINT, doc_id BIGINT);
+        |CREATE STREAM Out (win_start TIMESTAMP, u BIGINT, du BIGINT);
+        |INSERT INTO Out SELECT user_id, kmv_distinct(doc_id, 16) AS du
+        |FROM S GROUP BY user_id;""".stripMargin)
+      .contains("tumbling window"))
+  }
+
+  test("streaming windowed heavy_hitters: MG survivors per window, exact under k distinct") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String)]
+    def df0 = in.toDF().toDF("sec", "user_id", "token").selectExpr(
+      "CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "user_id", "token")
+    val out = graft.operators.Sketches.heavyHittersStreamWindowed(
+      df0, Seq("user_id"), "token", 3, 10000000L, "0 seconds")
+    sinkId += 1; val name = s"hh_sink_$sinkId"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // ≤ k distinct per window ⇒ Misra-Gries never decrements ⇒ counts
+      // exact ⇒ the emitted order is the exact frequency order
+      in.addData(Seq.fill(5)((1L, 1L, "a")) ++ Seq.fill(2)((2L, 1L, "b")) ++
+        Seq((3L, 1L, "c")) ++ Seq.fill(3)((4L, 2L, "z")): _*)
+      in.addData((60L, 9L, "s")) // close window 0
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .selectExpr("gk", "winStartUs", "hh")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getSeq[String](2).toList)).sortBy(_._1).toSeq
+      assert(got == Seq(
+        ("""{"user_id":1}""", 0L, List("a", "b", "c")),
+        ("""{"user_id":2}""", 0L, List("z"))))
+    } finally q.stop()
+  }
 }
