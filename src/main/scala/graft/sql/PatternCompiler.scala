@@ -264,8 +264,9 @@ object PatternCompiler {
       .persist()
     onPersist(ordered)
 
-    if (q.variants.size == 1) compileVariant(spark, q, q.variants.head, ordered)
-    else compileMulti(spark, q, ordered)
+    if (q.variants.size == 1)
+      compileVariant(spark, q, q.variants.head, ordered, onPersist)
+    else compileMulti(spark, q, ordered, onPersist)
   }
 
   /** Multi-variant compile (AND arrival orderings, `A*` presence pairs):
@@ -371,7 +372,8 @@ object PatternCompiler {
   }
 
   private def compileMulti(spark: SparkSession, q: PatternQuery,
-                           ordered: DataFrame): DataFrame = {
+                           ordered: DataFrame,
+                           onPersist: DataFrame => Unit = _ => ()): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, LongType}
     import spark.implicits._
     val typeOfCol = (c: String) =>
@@ -388,7 +390,14 @@ object PatternCompiler {
         mb.valsCol.as("vals"),
         typedlit(Seq.empty[String]).as("svals"))
       .as[CepEvent]
-    val matches = Cep.detectMulti(cepIn, mb.specs).toDF()
+    // persist: the canonical base feeds scalar join-backs AND the
+    // aggregate explode — one NFA pass instead of one per consumer
+    // (same rationale as compileVariant's persist)
+    val matches = {
+      val m = Cep.detectMulti(cepIn, mb.specs).toDF().persist()
+      onPersist(m)
+      m
+    }
 
     // canonical base: one projection over the tagged matches — group gi's
     // ids array resolves per variant by that variant's step position
@@ -1747,7 +1756,8 @@ object PatternCompiler {
   // ---- one step-chain variant → matches → resolved select
 
   private def compileVariant(spark: SparkSession, q: PatternQuery,
-                             steps0: Seq[PatternStep], ordered: DataFrame): DataFrame = {
+                             steps0: Seq[PatternStep], ordered: DataFrame,
+                             onPersist: DataFrame => Unit = _ => ()): DataFrame = {
     import spark.implicits._
     // duplicate aliases across steps would make join-back ambiguous
     val dup = steps0.flatMap(_.aliases).groupBy(identity).collect { case (a, as) if as.size > 1 => a }
@@ -1783,9 +1793,19 @@ object PatternCompiler {
     // is never materialized (a k-row monotone streak costs O(k), not the
     // O(k²) collected events of enumerate-then-filter), and every
     // downstream join/aggregation runs over the selected set only
-    val matches =
-      if (q.skipMachine) Cep.detectSkipPast(cepIn, spec, q.skipResume(steps)).toDF()
-      else Cep.detect(cepIn, spec).toDF()
+    // the match relation feeds BOTH the scalar join-backs and the
+    // aggregate explode — without a persist the NFA MapGroups runs once
+    // per consumer (round 14: measured 2x the kernel cost on every
+    // aggregate-bearing pattern query); the relation is matches-sized
+    // (small), registered for end-of-run unpersist like `ordered`
+    val matches = {
+      val m =
+        if (q.skipMachine) Cep.detectSkipPast(cepIn, spec, q.skipResume(steps)).toDF()
+        else Cep.detect(cepIn, spec).toDF()
+      val p = m.persist()
+      onPersist(p)
+      p
+    }
 
     // base projection: key + match end time + per-step matched-event-id
     // arrays (+ per-step end timestamps when NOT guards need FOR anchors)
