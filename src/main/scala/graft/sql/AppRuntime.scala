@@ -56,7 +56,8 @@ object AppRuntime {
             // JSONPath extract returns the sub-object's JSON text — parse
             // it into the declared shape ($.a.b maps into a struct field)
             case _: org.apache.spark.sql.types.StructType |
-                 _: org.apache.spark.sql.types.ArrayType =>
+                 _: org.apache.spark.sql.types.ArrayType |
+                 _: org.apache.spark.sql.types.MapType =>
               org.apache.spark.sql.functions.from_json(extracted, f.dataType)
                 .as(f.name)
             case _ => extracted.cast(f.dataType).as(f.name)

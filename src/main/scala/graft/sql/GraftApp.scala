@@ -247,7 +247,13 @@ object GraftApp {
     }
     if (up.startsWith("ARRAY") && up.takeWhile(_ != '<').trim == "ARRAY")
       org.apache.spark.sql.types.ArrayType(parseColType(innerOf("ARRAY"), where))
-    else if (up.startsWith("STRUCT") && up.takeWhile(_ != '<').trim == "STRUCT") {
+    else if (up.startsWith("MAP") && up.takeWhile(_ != '<').trim == "MAP") {
+      val parts = splitAngleAware(innerOf("MAP"))
+      if (parts.size != 2) throw SqlError(
+        s"MAP type needs exactly <key, value> in $where: '$t'")
+      org.apache.spark.sql.types.MapType(
+        parseColType(parts(0), where), parseColType(parts(1), where))
+    } else if (up.startsWith("STRUCT") && up.takeWhile(_ != '<').trim == "STRUCT") {
       val fields = splitAngleAware(innerOf("STRUCT")).map { f =>
         val fm = """(?s)^\s*(\w+)\s*:?\s*(.+)$""".r.findFirstMatchIn(f)
           .getOrElse(throw SqlError(

@@ -1415,11 +1415,29 @@ class GraftAppSpec extends AnyFunSuite {
         StructField("q", DoubleType)))))))
     assert(n("b").dataType == ArrayType(StructType(Seq(StructField("m", LongType)))))
     assert(n("c").dataType == LongType)
-    // typed errors: unknown field type, unbalanced angles
+    // MAP<k, v> (the reference roadmap names STRUCT/MAP together) — nested
+    // value types compose; map_from/element access are native Spark
+    val m = GraftApp.parse(
+      "CREATE STREAM M (a MAP<STRING, DOUBLE>, b MAP<BIGINT, ARRAY<STRING>>);")
+      .streams("M").schema
+    assert(m("a").dataType == MapType(StringType, DoubleType))
+    assert(m("b").dataType == MapType(LongType, ArrayType(StringType)))
+    val mapp =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Mid (user_id BIGINT, kv MAP<STRING, DOUBLE>);
+        |CREATE STREAM Out (user_id BIGINT, got DOUBLE);
+        |INSERT INTO Mid SELECT user_id, map(kind, v) AS kv FROM E;
+        |INSERT INTO Out SELECT user_id, kv['a'] AS got FROM Mid
+        |WHERE kv['a'] IS NOT NULL;""".stripMargin
+    val mGot = GraftApp.run(spark, mapp, Map("E" -> e))("Out")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._2).toSeq
+    assert(mGot == Seq((7L, 1.5), (8L, 3.0)))
+    // typed errors: unknown field type, unbalanced angles, bad map arity
     def errOf(ddl: String) =
       intercept[GraftApp.SqlError](GraftApp.parse(ddl)).getMessage
     assert(errOf("CREATE STREAM X (a STRUCT<x: WAT>);").contains("unknown type"))
     assert(errOf("CREATE STREAM X (a STRUCT<x: BIGINT);").contains("unbalanced"))
+    assert(errOf("CREATE STREAM X (a MAP<STRING>);").contains("key, value"))
   }
 
   test("MATCH_RECOGNIZE quantified group members + one-level nesting (round 14)") {

@@ -275,6 +275,44 @@ class ParserFuzzSpec extends AnyFunSuite {
     check(Prop.forAll(mrReluctantNearMiss)(typedOnly _))
   }
 
+  /** Round-14 grammar: quantified group members, one-level nesting,
+    * STRUCT/MAP DDL — truncations, junk splices, and targeted malformed
+    * shapes (deeper nesting, variable inner counts, dangling angles) must
+    * die typed.
+    */
+  private val validGroupQuantApp =
+    """CREATE STREAM E (ts TIMESTAMP, k BIGINT, kind STRING, v DOUBLE,
+      |                 s STRUCT<a: BIGINT, b: STRING>, m MAP<STRING, DOUBLE>);
+      |CREATE STREAM Out (k BIGINT, n_d BIGINT, n_u BIGINT);
+      |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+      |  PARTITION BY k ORDER BY ts
+      |  MEASURES count(D.v) AS n_d, count(U.v) AS n_u
+      |  ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW
+      |  PATTERN (A ((D U){2} C)+ Z) WITHIN INTERVAL '1' HOUR
+      |  DEFINE A AS A.kind = 'a', D AS D.kind = 'd',
+      |         U AS U.kind = 'u' AND U.v > D.v,
+      |         C AS C.kind = 'c', Z AS Z.kind = 'z'
+      |);""".stripMargin
+
+  private val groupQuantNearMiss: Gen[String] = for {
+    cut <- Gen.choose(0, validGroupQuantApp.length)
+    junk <- Gen.oneOf("", ")", "){3,}", "(((", "STRUCT<", "MAP<STRING>",
+      "STRUCT<x: WAT>", "ARRAY<STRUCT<", "U+?", "D*", "{0,2}",
+      "(((A B){2} C){2} D)+", "((D U){1,3} C)+", "(D+){2}", ">>", "{2,1}")
+    mode <- Gen.oneOf(0, 1, 2)
+  } yield mode match {
+    case 0 => validGroupQuantApp.substring(0, cut)
+    case 1 => validGroupQuantApp.substring(0, cut) + junk +
+      validGroupQuantApp.substring(cut)
+    case 2 => validGroupQuantApp + "\n" + junk
+  }
+
+  test("group-quantifier / nested-group / STRUCT-MAP DDL near-misses: typed errors only") {
+    assert(typedOnly(validGroupQuantApp))
+    GraftApp.parse(validGroupQuantApp)
+    check(Prop.forAll(groupQuantNearMiss)(typedOnly _))
+  }
+
   /** CREATE AGGREGATION + WITHIN…PER statements (round 6) get the same
     * near-miss treatment: truncations and junk splices of a valid
     * aggregation app must die typed, never leak compiler internals.
