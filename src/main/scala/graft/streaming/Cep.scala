@@ -213,17 +213,29 @@ object Cep {
     * per event, the quadratic the monotone-streak bench caught (9 s for a
     * 10⁴-row streak spent hashing one partial's ever-growing buffer).
     */
-  private def distinctPartials(ps: Vector[Partial]): Vector[Partial] =
+  /** `hasLoops` = the spec contains a loop group: only then do the
+    * iteration-frame fields join the key — same totals can hide different
+    * iteration splits (and, with variable members, different membership —
+    * iterHist carries the split; see [[Partial]]). Plain chains keep the
+    * round-13 3-field key: hashing two always-Nil Seqs and an Int per
+    * partial per event measurably taxed the hot kernel (~7% on the bench
+    * CEP kernel), and without a loop edge the extra fields are constants.
+    */
+  private def distinctPartials(ps: Vector[Partial],
+                               hasLoops: Boolean): Vector[Partial] =
     if (ps.length <= 1) ps
-    else {
-      // loop-group fields join the key: same totals can hide different
-      // iteration splits (and, with variable members, different
-      // membership — iterHist carries the split; see [[Partial]])
+    else if (!hasLoops) {
+      val seen = scala.collection.mutable.HashSet.empty[(Int, Long, Seq[Int])]
+      ps.filter(p => seen.add((p.stepIdx, p.startSeq, p.collected.map(_.size))))
+    } else {
       val seen = scala.collection.mutable.HashSet
         .empty[(Int, Long, Seq[Int], Int, Seq[Int], Seq[Int])]
       ps.filter(p => seen.add((p.stepIdx, p.startSeq,
         p.collected.map(_.size), p.iters, p.iterBase, p.iterHist)))
     }
+
+  private def specHasLoops(spec: PatternSpec): Boolean =
+    spec.steps.exists(_.loopBack >= 0)
 
   /** Loop-group helpers shared by [[runNfa]] and [[runNfaSkipPast]]. */
   private def stepOk(step: Step, e: CepEvent, p: Partial): Boolean =
@@ -261,6 +273,7 @@ object Cep {
       : (Seq[CepMatch], NfaState) = {
     val nSteps = spec.steps.size
     val needHist = needIterHist(spec)
+    val hasLoops = specHasLoops(spec)
     var partials: Vector[Partial] = init.partials.toVector
     var done = init.done
     var seq = init.seq
@@ -363,7 +376,7 @@ object Cep {
           // guardKill: a mid-chain NOT event kills the gap's partial
         }
 
-        val trimmed = distinctPartials(next.result())
+        val trimmed = distinctPartials(next.result(), hasLoops)
         if (trimmed.size > spec.maxPartials)
           droppedRun += trimmed.size - spec.maxPartials
         partials = trimmed.take(spec.maxPartials)
@@ -435,6 +448,7 @@ object Cep {
                      resume: Option[(Int, Boolean)] = None): (Seq[CepMatch], SkipNfaState) = {
     val nSteps = spec.steps.size
     val needHist = needIterHist(spec)
+    val hasLoops = specHasLoops(spec)
     var partials: Vector[Partial] = init.nfa.partials.toVector
     var seq = init.nfa.seq
     var mseq = init.nfa.matchSeq
@@ -509,7 +523,7 @@ object Cep {
         }
         // strict contiguity: a mismatching event kills the instance
       }
-      val trimmed = distinctPartials(next.result())
+      val trimmed = distinctPartials(next.result(), hasLoops)
       if (trimmed.size > spec.maxPartials)
         droppedRun += trimmed.size - spec.maxPartials
       partials = trimmed.take(spec.maxPartials)
