@@ -1274,13 +1274,11 @@ object PatternCompiler {
       n.equalsIgnoreCase("mr_classifier") || n.equalsIgnoreCase("mr_match_number"))
       .foreach(n => throw GraftApp.SqlError(
         s"EMIT ALL ROWS reserves the output column name '$n'"))
-    // EXCLUDING: drop the excluded steps at emission — streaming has no
-    // RUNNING: the prefix aggregate for the row at position __pos of
-    // emitting step i reads variable V (step k) as: the whole buffer when
-    // k < i (V's rows all precede this row), the [0, __pos] slice when
-    // k == i, nothing when k > i. Excluded steps still feed these buffers
-    // (ANSI: exclusion is output-only), because the slices read the match
-    // STATE, not the emitted rows.
+    // RUNNING (streaming): the prefix aggregate for an emitted row reads
+    // variable V's buffered events at-or-before that row in processing
+    // order — see runExprFor. Excluded steps still feed these buffers
+    // (ANSI: exclusion is output-only), because the prefixes read the
+    // match STATE, not the emitted rows.
     val runItems = outMeasures.collect { case (r: MRun, a) => (r, a) }
     def runExprFor(r: MRun): String = {
       val k = steps.indexWhere(_.aliases.contains(r.v))

@@ -1492,6 +1492,14 @@ class GraftAppSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(nested == Seq((4L, 4L, 20.0)))
 
+    // (H)+ normalizes to the plain H+ token — degenerate single-member
+    // loop groups and plain quantifiers are equal BY CONSTRUCTION (the
+    // round-13 advice asked for the equivalence to be structural)
+    def parseOf(pat: String) = GraftApp.parse(
+      mr("count(D.v) AS n_d", pat, defs, "n_d BIGINT")).patterns.head.variants
+    assert(parseOf("A (D)+ C") == parseOf("A D+ C"))
+    assert(parseOf("A (D){2,3} C") == parseOf("A D{2,3} C"))
+
     // near-miss fuzz: every unsupported shape dies typed, never silent
     def errOf(app: String) = intercept[GraftApp.SqlError](
       GraftApp.run(spark, app, Map("E" -> tape(Seq((1, "a", 0.0)))))).getMessage
