@@ -1496,7 +1496,9 @@ class GraftAppSpec extends AnyFunSuite {
     // loop groups and plain quantifiers are equal BY CONSTRUCTION (the
     // round-13 advice asked for the equivalence to be structural)
     def parseOf(pat: String) = GraftApp.parse(
-      mr("count(D.v) AS n_d", pat, defs, "n_d BIGINT")).patterns.head.variants
+      mr("count(D.v) AS n_d", pat,
+        "A AS A.kind = 'a', D AS D.kind = 'd', C AS C.kind = 'c'",
+        "n_d BIGINT")).patterns.head.variants
     assert(parseOf("A (D)+ C") == parseOf("A D+ C"))
     assert(parseOf("A (D){2,3} C") == parseOf("A D{2,3} C"))
 
