@@ -1414,7 +1414,7 @@ object GraftApp {
         """|\{-\s*(\w+)\s*(\+\??|\*\??|\?\??|\{\d+(?:,\d*)?\}\??)?\s*-\}""" +
         """|\(\s*(\w+(?:\s*\|\s*\w+)+)\s*\)\s*(\+\??|\*\??|\?\??|\{\d+(?:,\d*)?\}\??)?""" +
         """|(\w+)\s*(\+\??|\*\??|\?\??|\{\d+(?:,\d*)?\}\??)?""" +
-        s"""|\\(\\s*($grpMember(?:\\s+$grpMember)*)\\s*\\)\\s*(\\{\\d+(?:,\\d*)?\\}|\\+|\\*)""").r
+        s"""|\\(\\s*($grpMember(?:\\s+$grpMember)*)\\s*\\)\\s*(\\{\\d+(?:,\\d*)?\\}\\??|\\+\\??|\\*\\??)""").r
     /** `memberRaw`: for group tokens, each member's raw spelling including
       * its own quantifier and inner-group parens, aligned with `vars`
       * flattened in order (inner-group members appear individually).

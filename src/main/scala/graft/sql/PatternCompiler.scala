@@ -2158,7 +2158,7 @@ object PatternCompiler {
     * bounded groups bound their own buffers at maxIters × member max.
     */
   private val GroupQuantRe =
-    """(?s)^\((.*)\)\s*(\{\s*\d+\s*(?:,\s*\d*\s*)?\}|\+|\*)$""".r
+    """(?s)^\((.*)\)\s*(\{\s*\d+\s*(?:,\s*\d*\s*)?\}\??|\+\??|\*\??)$""".r
   private[sql] val MaxInnerReps = 4
 
   /** One group member after parsing/inlining: alias + per-iteration count
@@ -2167,7 +2167,15 @@ object PatternCompiler {
 
   private def expandGroup(gm: scala.util.matching.Regex.Match,
                           el: String): Seq[Seq[PatternStep]] = {
-    val q = gm.group(2).replaceAll("\\s", "")
+    val q0 = gm.group(2).replaceAll("\\s", "")
+    // reluctant GROUP quantifier (round 14): `(A B){1,3}?` / `(A B)+?`
+    // prefers the FEWEST iterations under skip-mode parse selection —
+    // every member carries the reluctant flag, so the per-position
+    // lex-MIN comparison reads fewest-iterations at each looped slot
+    // (exact for fixed-count members; variable members would conflate
+    // iteration count with member count, so they stay typed)
+    val relGroup = q0.endsWith("?")
+    val q = if (relGroup) q0.dropRight(1) else q0
     val (nMin, mMax) = q match {
       case "+" => (1, Int.MaxValue)
       case "*" => (0, Int.MaxValue)
@@ -2205,12 +2213,19 @@ object PatternCompiler {
     aliases.groupBy(identity).collectFirst { case (a, as) if as.size > 1 => a }
       .foreach(a => throw GraftApp.SqlError(
         s"duplicate member alias '$a' in group '$el'"))
+    if (relGroup && members.exists(m => m.min != m.max))
+      throw GraftApp.SqlError(
+        s"reluctant group repetition in '$el' with a variable-count " +
+          "member is not supported — the parse preference would conflate " +
+          "iteration count with member count; fix the member counts or " +
+          "drop the group-level '?'")
     // single plain member: (A)+ IS A+ — emit the plain quantifier step so
     // loop-group and quantifier semantics cannot drift apart
     if (members.size == 1) {
       val m = members.head
       if (m.min == 1 && m.max == 1) {
-        val step = PatternStep(Seq(m.alt), math.max(nMin, 1), mMax)
+        val step = PatternStep(Seq(m.alt), math.max(nMin, 1), mMax,
+          reluctant = relGroup)
         return if (nMin >= 1) Seq(Seq(step))
           else Seq(Seq(step.copy(min = 1)), Seq.empty[PatternStep])
       }
@@ -2220,6 +2235,7 @@ object PatternCompiler {
     }
     val chain = members.zipWithIndex.map { case (m, i) =>
       PatternStep(Seq(m.alt), min = m.min, max = m.max, looped = true,
+        reluctant = relGroup,
         loopBack = if (i == members.size - 1) members.size - 1 else -1,
         minIters = math.max(nMin, 1), maxIters = mMax)
     }

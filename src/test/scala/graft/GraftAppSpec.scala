@@ -1373,13 +1373,33 @@ class GraftAppSpec extends AnyFunSuite {
     assert(runIter(tape(Seq((1, "a", 0.0), (2, "d", 1.0), (3, "u", 2.0),
       (4, "d", 5.0), (5, "u", 4.0), (6, "c", 0.0)))) == Seq())
 
-    // typed gates: WITHIN required; SKIP TO a loop member
+    // reluctant GROUP quantifier (round 14): (D U)+? prefers the FEWEST
+    // iterations per start under skip selection — on d u d u d u x the
+    // greedy form emits ONE 3-iteration match, the reluctant form THREE
+    // 1-iteration matches (SKIP PAST resumes after each short match)
+    val defsDU = "D AS D.kind = 'd', U AS U.kind = 'u'"
+    val relTape = tape(Seq((1, "d", 1.0), (2, "u", 2.0), (3, "d", 3.0),
+      (4, "u", 4.0), (5, "d", 5.0), (6, "u", 6.0), (7, "x", 0.0)))
+    def runRel(pat: String) = GraftApp.run(spark,
+      mr("count(D.v) AS n_d", pat, defsDU, "n_d BIGINT",
+        skip = "AFTER MATCH SKIP PAST LAST ROW"),
+      Map("E" -> relTape))("Out")
+      .selectExpr("CAST(n_d AS BIGINT)").collect().map(_.getLong(0)).toSeq
+    assert(runRel("(D U)+") == Seq(3L))
+    assert(runRel("(D U)+?") == Seq(1L, 1L, 1L))
+    assert(runRel("(D U){1,2}?") == Seq(1L, 1L, 1L))
+    assert(runRel("(D U){2,3}?") == Seq(2L)) // minIters floor still binds
+
+    // typed gates: WITHIN required; SKIP TO a loop member; reluctant
+    // group with a variable-count member
     def errOf(app: String) = intercept[GraftApp.SqlError](
       GraftApp.run(spark, app, Map("E" -> tape(Seq((1, "a", 0.0)))))).getMessage
     assert(errOf(mr("count(D.v) AS n_d", "A (D U)+ C", defs, "n_d BIGINT",
       within = "")).contains("WITHIN"))
     assert(errOf(mr("count(D.v) AS n_d", "A (D U)+ C", defs, "n_d BIGINT",
       skip = "AFTER MATCH SKIP TO LAST U")).contains("loop group"))
+    assert(errOf(mr("count(D.v) AS n_d", "(D U+)+?", defsDU, "n_d BIGINT",
+      skip = "AFTER MATCH SKIP PAST LAST ROW")).contains("variable-count"))
   }
 
   test("STRUCT<...> DDL columns: struct build, field access, nesting (round 14)") {

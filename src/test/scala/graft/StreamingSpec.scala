@@ -2388,6 +2388,43 @@ class StreamingSpec extends AnyFunSuite {
       assert(batchL == gotL, s"batch $batchL vs stream $gotL")
     } finally qL.stop()
 
+    // quantified member (D U+)+ split ACROSS micro-batches (round 14):
+    // the iteration frame (iters/iterBase/iterHist) rides NfaState through
+    // the state-store encoder — batch 1 ends MID-iteration-2 with a
+    // nonempty iterBase, batch 2 continues the same U+ run and closes
+    val inQ = MemoryStream[(Long, Long, String, Double)]
+    val eventsQ = inQ.toDS().toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val appQ = appL
+      .replace("PATTERN (A (D U)+ C)", "PATTERN (A (D U+)+ C)")
+      .replace("count(D.v) AS n_d, sum(U.v) AS s_u",
+        "count(D.v) AS n_d, count(U.v) AS s_u")
+    val outQ = graft.sql.GraftApp.run(spark, appQ, Map("E" -> eventsQ))("Out")
+    sinkId += 1; val nameQ = s"mr_quant_sink_$sinkId"
+    val qQ = outQ.writeStream.format("memory").queryName(nameQ)
+      .outputMode("append").start()
+    // a d u u u d u | (batch cut MID-iteration-2, iterBase nonempty) u c
+    val tapeQ = Seq((1L, 7L, "a", 0.0), (2L, 7L, "d", 1.0), (3L, 7L, "u", 2.0),
+      (4L, 7L, "u", 3.0), (5L, 7L, "u", 4.0), (6L, 7L, "d", 5.0),
+      (7L, 7L, "u", 6.0), (8L, 7L, "u", 7.0), (9L, 7L, "c", 0.0))
+    try {
+      inQ.addData(tapeQ.take(7): _*); qQ.processAllAvailable()
+      inQ.addData(tapeQ.drop(7): _*); qQ.processAllAvailable()
+      val gotQ = spark.table(nameQ).collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).longValue,
+          r.getAs[Number](2).longValue)).sorted.toSeq
+      // 2 iterations (3-run + 2-run of u's), 5 u's total
+      assert(gotQ == Seq((7L, 2L, 5L)), s"got $gotQ")
+      val batchQ = graft.sql.GraftApp.run(spark, appQ, Map("E" ->
+        tapeQ.toDF("sec", "user_id", "kind", "v")
+          .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+            "user_id", "kind", "v")))("Out")
+        .selectExpr("user_id", "CAST(n_d AS BIGINT)", "CAST(s_u AS BIGINT)")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(batchQ == gotQ, s"batch $batchQ vs stream $gotQ")
+    } finally qQ.stop()
+
     // zero-or-more B*: overlapping presence-pair matches SHARE the anchor;
     // the shared counter numbers them per key in completion order, and the
     // row contents (ignoring numbering order) must be the batch's
