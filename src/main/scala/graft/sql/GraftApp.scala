@@ -1501,12 +1501,17 @@ object GraftApp {
         s"first pattern variable '${t.vars.head}' must be required (min >= 1) — " +
           "the match and its partition key anchor on it") }
     val excludedVars = toks.filter(_.excluded).flatMap(_.vars)
-    // PERMUTE composes with nothing else: the engine AND element is a
-    // whole-pattern form (arrival-order variants reorder every step)
-    if (toks.exists(_.permute) && toks.size > 1) throw SqlError(
-      "PERMUTE(…) is supported as the ENTIRE pattern — a chain around it " +
-        "would need ordered steps inside the arrival-order variants; " +
-        "compose with a downstream join instead")
+    // PERMUTE composes as a CHAIN ELEMENT (round 14): the engine's AND
+    // element interleaves only ITS OWN operands — the surrounding chain
+    // keeps its order, so `A PERMUTE(B, C) D` lowers to
+    // `A -> (B AND C) -> D` (one arrival-order variant per interleaving,
+    // all folded in one shared NFA pass). Group repetition still does not
+    // compose (a looped AND element would need per-iteration variant
+    // re-expansion), and PERMUTE members take no quantifier (parse gate
+    // above).
+    if (toks.exists(_.permute) && toks.exists(_.group)) throw SqlError(
+      "PERMUTE(…) does not compose with group repetition (A B){n,m} / " +
+        "(A B)+ in one pattern — split the query")
 
     // SUBSET validation (needs the parsed pattern variables): names must
     // not shadow variables, members must be variables, and union variables

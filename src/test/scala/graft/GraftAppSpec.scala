@@ -2042,11 +2042,42 @@ class GraftAppSpec extends AnyFunSuite {
       .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
     assert(got3.toSeq == Seq((1.0, 2.0, 9.0)))
 
-    // typed gates: chain around PERMUTE, quantified PERMUTE, SUBSET member
+    // round 14: PERMUTE composes as a CHAIN ELEMENT — the AND element
+    // interleaves only its own operands; the surrounding chain keeps order
+    val tapeMid = Seq((1, 7L, "x", 0.5), (2, 7L, "b", 2.0), (3, 7L, "a", 1.0),
+      (4, 7L, "z", 5.0))
+      .toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val appMid =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, a_v DOUBLE, b_v DOUBLE, z_v DOUBLE);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES A.v AS a_v, B.v AS b_v, Z.v AS z_v
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (X PERMUTE(A, B) Z) WITHIN INTERVAL '1' HOUR
+        |  DEFINE X AS X.kind = 'x', A AS A.kind = 'a', B AS B.kind = 'b',
+        |         Z AS Z.kind = 'z');""".stripMargin
+    val gotMid = GraftApp.run(spark, appMid, Map("E" -> tapeMid))("Out")
+      .select("a_v", "b_v", "z_v")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(gotMid == Seq((1.0, 2.0, 5.0))) // B-then-A interleaving bound
+    // chain order around the element is NOT permuted: z before the pair
+    // does not match
+    val tapeBad = Seq((1, 7L, "x", 0.5), (2, 7L, "z", 5.0), (3, 7L, "b", 2.0),
+      (4, 7L, "a", 1.0))
+      .toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    assert(GraftApp.run(spark, appMid, Map("E" -> tapeBad))("Out").count() == 0)
+
+    // typed gates: PERMUTE×group, quantified PERMUTE, SUBSET member
     def errOf(app: String) = intercept[GraftApp.SqlError](
       GraftApp.run(spark, app, Map("E" -> tape))).getMessage
     assert(errOf(app.replace("PATTERN (PERMUTE(A, B))",
-      "PATTERN (PERMUTE(A, B) X)")).contains("ENTIRE pattern"))
+      "PATTERN (PERMUTE(A, B) (D U)+)")).contains("group repetition"))
     assert(errOf(app.replace("PATTERN (PERMUTE(A, B))",
       "PATTERN (PERMUTE(A, B)+)")).contains("quantified PERMUTE"))
     assert(errOf(app.replace("MEASURES A.v AS a_v",
