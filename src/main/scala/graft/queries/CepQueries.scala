@@ -891,6 +891,55 @@ object CepQueries extends QueryFamily {
              |  AND b.tsu - a.tsu <= 3600000000
              |ORDER BY 1, 2""".stripMargin)),
 
+    // MATCH_RECOGNIZE PERMUTE as a CHAIN ELEMENT (round 14): the
+    // either-order pair sits BETWEEN ordered anchor steps — A then
+    // PERMUTE(D, U) then C lowers to the engine's per-element AND
+    // (interleavings of the element's own operands; the chain keeps its
+    // order). The oracle replays both arms as lead() chains; at sf0.01
+    // 10 of 22 anchors bind the REVERSED (purchase-then-view) arm, so a
+    // regression to a fixed order loses rows and flips d_v/u_v.
+    QueryDef(
+      "q_cep_mr_permute_chain",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (user_id BIGINT, a_id BIGINT, d_v DOUBLE,
+            |                   u_v DOUBLE, c_id BIGINT);
+            |INSERT INTO Out SELECT * FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts
+            |  MEASURES A.event_id AS a_id, round(D.value, 6) AS d_v,
+            |           round(U.value, 6) AS u_v, C.event_id AS c_id
+            |  ONE ROW PER MATCH
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN (A PERMUTE(D, U) C) WITHIN INTERVAL '30' DAY
+            |  DEFINE A AS A.event_type = 'error', D AS D.event_type = 'view',
+            |         U AS U.event_type = 'purchase', C AS C.event_type = 'signup'
+            |);""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .orderBy(col("user_id"), col("a_id"))
+      },
+      Some("""WITH ord AS (
+             |  SELECT user_id, event_id, event_type, value,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events),
+             |w AS (
+             |  SELECT user_id, event_id, event_type,
+             |         lead(event_type, 1) OVER win AS e1, lead(event_type, 2) OVER win AS e2,
+             |         lead(event_type, 3) OVER win AS e3,
+             |         lead(value, 1) OVER win AS v1, lead(value, 2) OVER win AS v2,
+             |         lead(event_id, 3) OVER win AS id3
+             |  FROM ord WINDOW win AS (PARTITION BY user_id ORDER BY rn))
+             |SELECT user_id, event_id AS a_id,
+             |  round(CASE WHEN e1 = 'view' THEN v1 ELSE v2 END, 6) AS d_v,
+             |  round(CASE WHEN e1 = 'purchase' THEN v1 ELSE v2 END, 6) AS u_v,
+             |  id3 AS c_id
+             |FROM w WHERE event_type = 'error' AND e3 = 'signup'
+             |  AND ((e1 = 'view' AND e2 = 'purchase') OR
+             |       (e1 = 'purchase' AND e2 = 'view'))
+             |ORDER BY 1, 2""".stripMargin)),
+
     // MATCH_RECOGNIZE reluctant quantifier under SKIP TO NEXT ROW
     // (round 14): ANSI reads reluctance as a parse PREFERENCE, so it
     // composes with every skip mode — under NEXT ROW each START emits its
