@@ -186,7 +186,7 @@ object Bench {
     // printed line and the on-disk artifact
     val scalars =
       s""""calib_spread":${math.round(calibSpread * 1000) / 1000.0},""" +
-      s""""contended_queries":${contended.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""contended_n":${contended.size},""" +
       s""""calib_clamp_saturated":$clampSaturated,""" +
       s""""warmup":"full-corpus-steady-state",""" +
       s""""window_kernel_events_per_sec":${winEps.round},"cep_events_per_sec":${cepEps.round},""" +
@@ -205,7 +205,9 @@ object Bench {
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""queries_norm":$qsNormStr,"total_norm":$totalNorm,""" +
-      s""""calib_probes":$probesJson,""" + scalars + "}"
+      s""""calib_probes":$probesJson,""" +
+      s""""contended_queries":${contended.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      scalars + "}"
     val outFile = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
     java.nio.file.Files.write(outFile,

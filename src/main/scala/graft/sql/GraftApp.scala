@@ -1729,9 +1729,24 @@ object GraftApp {
           if (tok.startsWith("(")) {
             val k = """\{(\d+)\}\s*$""".r.findFirstMatchIn(tok).get.group(1)
             val body = tok.substring(1, tok.lastIndexOf(')'))
-            val innerSteps = """(\w+)([+*]|\{\d+(?:,\d*)?\})?""".r
+            val innerSteps = """(\w+)([+*]|\{\d+(?:,\d*)?\})?(\??)""".r
               .findAllMatchIn(body).map { m =>
                 val v = m.group(1); val mq = Option(m.group(2)).getOrElse("")
+                // a trailing '?' after the member quantifier is the
+                // reluctant mark — previously the regex silently dropped
+                // it, lowering `((D U+?){2} C)+` as greedy U+ (ADVICE r14);
+                // reluctant members get the same typed rejection the engine
+                // gives them in non-nested groups
+                if (m.group(3).nonEmpty) throw SqlError(
+                  if (mq.nonEmpty)
+                    s"reluctant member quantifier '$v$mq?' inside a nested " +
+                      "group is not supported — reluctance on group MEMBERS " +
+                      "conflates iteration count with member count; make the " +
+                      "member greedy or lift it out of the group"
+                  else
+                    s"optional member '$v?' inside a nested group is not " +
+                      "supported — spell the optionality as alternation or " +
+                      "lift the member out of the group")
                 val pred = defines.get(v).map(p => s"[${lowerPred(v, p)}]").getOrElse("")
                 s"$v=$stream$pred$mq"
               }.mkString(" -> ")
@@ -2970,7 +2985,15 @@ object GraftApp {
                 }
               val ndKey = compositeKey
                 .getOrElse(col(g).cast("string")).as("__skkn")
-              val nd = df.groupBy(ndKey).agg(aggCols.head, aggCols.tail: _*)
+              // group by the RAW key columns too (the composite string is an
+              // injective function of them, so the groups are identical):
+              // HAVING may reference a GROUP BY key (`HAVING etype <> 'x'`)
+              // and grouping columns are legal inside agg expressions —
+              // without this the reference surfaced as a raw Spark
+              // AnalysisException instead of resolving (ADVICE r14)
+              val nd = df.groupBy(ndKey +: keyNames.map(col): _*)
+                .agg(aggCols.head, aggCols.tail: _*)
+                .drop(keyNames: _*)
               joined = joined.join(broadcast(nd), col("__skk0") <=> col("__skkn"), "left")
                 .drop("__skkn")
               if (q.having.isDefined)

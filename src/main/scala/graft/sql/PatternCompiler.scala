@@ -178,6 +178,14 @@ object PatternCompiler {
       streams.flatMap(s => env(s).columns).distinct)
     if (q.skipPast && q.skipTo.isDefined) throw GraftApp.SqlError(
       "SKIP PAST LAST ROW and SKIP TO FIRST/LAST are mutually exclusive")
+    // conflicting resume modes never silently resolve (ADVICE r14): before
+    // this gate, spelling both SKIP PAST LAST ROW and SKIP TO NEXT ROW
+    // with a reluctant quantifier handed skipResume the NEXT ROW value,
+    // silently overriding PAST LAST ROW
+    if (q.skipNext && (q.skipPast || q.skipTo.isDefined)) throw GraftApp.SqlError(
+      "SKIP TO NEXT ROW conflicts with " +
+        (if (q.skipPast) "SKIP PAST LAST ROW" else "SKIP TO FIRST/LAST") +
+        " — spell exactly one AFTER MATCH resume mode")
     if (q.skipMachine) {
       // the greedy selection sweep is defined over the EVERY match set's
       // contiguous row spans — each unsupported combination is a typed

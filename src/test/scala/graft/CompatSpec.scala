@@ -1957,6 +1957,40 @@ class CompatSpec extends AnyFunSuite {
     assert(mkGot.nonEmpty && mkGot.size < ev.select("event_type", "user_id").distinct().count())
     assert(err(app("kmv_distinct(user_id, 64)",
       "GROUP BY event_type HAVING hh > 1")).contains("HAVING"))
+    // ADVICE r14: HAVING referencing a GROUP BY key resolves (grouping
+    // columns are legal in the normal-agg pass, which now groups by the
+    // raw keys too) — single key and composite key, mixed with aggregates
+    val keyHaving =
+      """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+        |                      event_type STRING, value DOUBLE, props STRING);
+        |CREATE STREAM Out (etype STRING, du BIGINT);
+        |INSERT INTO Out SELECT event_type AS etype, kmv_distinct(event_id, 256) AS du
+        |FROM events GROUP BY event_type HAVING event_type <> 't0';""".stripMargin
+    val khGot = GraftApp.run(spark, keyHaving, Map("events" -> ev))("Out")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val khWant = ev.filter(col("event_type") =!= "t0")
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("event_id")).as("du"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(khGot == khWant, s"key HAVING $khGot vs $khWant")
+    val keyHavingMulti =
+      """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+        |                      event_type STRING, value DOUBLE, props STRING);
+        |CREATE STREAM Out (etype STRING, user_id BIGINT, n BIGINT, du BIGINT);
+        |INSERT INTO Out SELECT event_type AS etype, user_id, count(*) AS n,
+        |  kmv_distinct(event_id, 256) AS du
+        |FROM events GROUP BY event_type, user_id
+        |HAVING user_id = 7 AND count(*) >= 100;""".stripMargin
+    val khmGot = GraftApp.run(spark, keyHavingMulti, Map("events" -> ev))("Out")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val khmWant = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("event_id")).as("du"))
+      .filter(col("user_id") === 7 && col("n") >= 100)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(khmGot == khmWant && khmGot.nonEmpty,
+      s"multi-key key HAVING $khmGot vs $khmWant")
     // a non-trivial expression aliased to the GROUP BY key would silently
     // read back the raw spine key in the output — typed rejection (round 14)
     val aliasClash =

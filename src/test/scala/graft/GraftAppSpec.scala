@@ -1541,6 +1541,42 @@ class GraftAppSpec extends AnyFunSuite {
     assert(errOf(mr("count(D.v) AS n_d", "A (D+){2} C",
       "A AS A.kind = 'a', D AS D.kind = 'd', C AS C.kind = 'c'",
       "n_d BIGINT")).contains("compose"))
+    // ADVICE r14: the NESTED inner-member regex used to DROP a trailing
+    // reluctant '?' (lowering ((D U+?){2} C)+ as greedy U+) — both the
+    // reluctant mark and a bare optional member now die typed
+    assert(errOf(mr("count(D.v) AS n_d", "A ((D U+?){2} C)+ E",
+      defs + ", E AS E.kind = 'e'", "n_d BIGINT")).contains("reluctant"))
+    // bare optional member U? never reaches the lowering — the group
+    // tokenizer itself rejects the shape (typed, message differs)
+    assert(errOf(mr("count(D.v) AS n_d", "A ((D U?){2} C)+ E",
+      defs + ", E AS E.kind = 'e'", "n_d BIGINT")).contains("not supported"))
+  }
+
+  test("conflicting AFTER MATCH resume modes on the engine surface die typed (ADVICE r14)") {
+    import spark.implicits._
+    val tape = Seq((1, 7L, "a", 1.0), (2, 7L, "b", 2.0))
+      .toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    // spelling SKIP PAST LAST ROW *and* SKIP TO NEXT ROW with a reluctant
+    // quantifier used to silently resolve to NEXT ROW's resume = start + 1
+    def app(skips: String) =
+      s"""CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+         |CREATE STREAM Out (n_b BIGINT);
+         |INSERT INTO Out SELECT count(B.v) AS n_b
+         |FROM SEQUENCE (EVERY (A=E[kind = 'a'] -> B=E[kind = 'b']+?))
+         |WITHIN 1 HOUR PARTITION BY user_id $skips;""".stripMargin
+    def errOf(a: String) = intercept[GraftApp.SqlError](
+      GraftApp.run(spark, a, Map("E" -> tape))).getMessage
+    assert(errOf(app("SKIP PAST LAST ROW SKIP TO NEXT ROW"))
+      .contains("exactly one AFTER MATCH resume mode"))
+    assert(errOf(app("SKIP TO LAST B SKIP TO NEXT ROW"))
+      .contains("exactly one AFTER MATCH resume mode"))
+    // each mode alone still compiles and runs
+    assert(GraftApp.run(spark, app("SKIP PAST LAST ROW"), Map("E" -> tape))("Out")
+      .count() == 1L)
+    assert(GraftApp.run(spark, app("SKIP TO NEXT ROW"), Map("E" -> tape))("Out")
+      .count() == 1L)
   }
 
   test("MATCH_RECOGNIZE reluctant quantifiers: +? / {n,m}? prefer the fewest repetitions under skip selection") {
