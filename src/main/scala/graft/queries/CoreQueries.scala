@@ -238,6 +238,47 @@ object CoreQueries extends QueryFamily {
              |WHERE s.vv > 150 AND s.k <> 'click'
              |ORDER BY 1, 2""".stripMargin)),
 
+    // MAP DDL columns (round 15; closes the only spec-only DDL type —
+    // STRUCT and ARRAY both carry oracle rows): build a MAP<STRING,DOUBLE>
+    // into a MAP-typed intermediate stream with a DATA-DEPENDENT key,
+    // element access in projection and WHERE, map_keys cardinality and the
+    // sorted key list. The oracle routes through a real DuckDB MAP
+    // (map([k…],[v…]); element access returns a LIST there, hence [1]).
+    QueryDef(
+      "q_map_cols",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Mid (event_id BIGINT, user_id BIGINT,
+            |                   kv MAP<STRING, DOUBLE>);
+            |CREATE STREAM Out (event_id BIGINT, user_id BIGINT, got DOUBLE,
+            |                   uid2 DOUBLE, nk BIGINT, ks STRING);
+            |INSERT INTO Mid SELECT event_id, user_id,
+            |  map(event_type, round(value, 6),
+            |      'uid', CAST(user_id AS DOUBLE)) AS kv FROM events;
+            |INSERT INTO Out SELECT event_id, user_id,
+            |  kv['click'] AS got, kv['uid'] AS uid2,
+            |  CAST(size(map_keys(kv)) AS BIGINT) AS nk,
+            |  array_join(array_sort(map_keys(kv)), ',') AS ks
+            |FROM Mid WHERE kv['click'] IS NOT NULL AND kv['click'] > 120;""".stripMargin
+        graft.sql.GraftApp.run(s, app,
+          Map("events" -> Tables(s, dir, "events")))("Out")
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  kv['click'][1] AS got, kv['uid'][1] AS uid2,
+             |  CAST(cardinality(kv) AS BIGINT) AS nk,
+             |  array_to_string(list_sort(map_keys(kv)), ',') AS ks
+             |FROM (
+             |  SELECT event_id, user_id,
+             |    map([event_type, 'uid'],
+             |        [CAST(round(value, 6) AS DOUBLE),
+             |         CAST(user_id AS DOUBLE)]) AS kv
+             |  FROM events) t
+             |WHERE kv['click'][1] IS NOT NULL AND kv['click'][1] > 120
+             |ORDER BY event_id""".stripMargin)),
+
     // Date/time surface — date_functions.rs:14-92: formatDate→date_format,
     // parseDate→to_timestamp, dateAdd→+INTERVAL; extraction for good measure.
     QueryDef(
