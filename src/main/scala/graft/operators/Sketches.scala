@@ -652,4 +652,297 @@ object Sketches {
           }
       }.toDF()
   }
+
+  // ------------------------------------------------------------------
+  // Composable multi-sketch streaming kernel (round 15)
+  // ------------------------------------------------------------------
+
+  /** Input row for [[multiSketchStreamWindowed]]: composite group key,
+    * ONE covering window start per row (hopping windows are enumerated
+    * MAP-SIDE by a single inline explode — never a per-section union,
+    * which would duplicate the stateful operator and lose event-time
+    * timeout emissions), and one slot per configured section:
+    *  - `hvs`: md5-60 member hash per KMV spec (Long.MinValue = NULL
+    *    member — legit hashes live in [0, 2^60));
+    *  - `skeys`: member key string per Misra-Gries spec (NULL keys count
+    *    as their own group, same as the batch operator);
+    *  - `buks`/`bukn`: histogram bucket id + null mask per hist spec
+    *    (bucket ids span the full BIGINT domain, so a sentinel cannot
+    *    encode NULL);
+    *  - `avd`/`avl`/`avn`: plain-aggregate operand in a double lane and
+    *    a long lane plus null mask (the long lane keeps integral sums
+    *    and extrema EXACT — a double lane alone silently loses precision
+    *    past 2^53). */
+  final case class MsWinEvent(gk: String, winStartUs: Long,
+      hvs: Seq[Long], skeys: Seq[String], buks: Seq[Long], bukn: Seq[Boolean],
+      avd: Seq[Double], avl: Seq[Long], avn: Seq[Boolean])
+
+  /** Per-(group, window) state: ≤ k entries per sketch section plus O(1)
+    * per plain aggregate — total live state is
+    * |open windows| × |groups| × (Σ sketch k + Σ hist distinct buckets
+    * + |aggs|), independent of stream length; hopping windows multiply
+    * |open windows| by ⌈size/slide⌉. */
+  final case class MsWinState(
+      kmv: Seq[Seq[Long]],
+      mgKeys: Seq[Seq[String]], mgCnts: Seq[Seq[Long]],
+      hb: Seq[Seq[Long]], hc: Seq[Seq[Long]],
+      an: Seq[Long], asd: Seq[Double], asl: Seq[Long],
+      amnd: Seq[Double], amxd: Seq[Double], amnl: Seq[Long], amxl: Seq[Long])
+
+  /** One row per (group, window) at watermark close: per-section results
+    * positionally aligned with the spec lists. `kmvEst` −1 = no non-NULL
+    * member seen (NULL downstream); `hq` NaN = empty histogram; plain
+    * aggregates carry both lanes plus a null flag — the caller picks the
+    * lane by (fn, operand integrality). */
+  final case class MsWinOut(gk: String, winStartUs: Long,
+      kmvEst: Seq[Long], hh: Seq[Seq[String]], hq: Seq[Seq[Double]],
+      aggL: Seq[Long], aggD: Seq[Double], aggNull: Seq[Boolean])
+
+  /** Streaming windowed MULTI-sketch + plain-aggregate kernel: every
+    * sketch aggregate (KMV distinct, Misra-Gries heavy hitters, histogram
+    * quantiles) and plain aggregate (count/sum/avg/min/max) of ONE
+    * windowed streaming query evaluated in ONE `flatMapGroupsWithState`
+    * pass — the datacard shape `SELECT source, kmv_distinct(url, 1024),
+    * heavy_hitters(domain, 32), count(*) … WINDOW('timeBatch', '1 hour')`
+    * as a single stateful operator instead of three queries.
+    *
+    * Section arithmetic is IDENTICAL to the single-section kernels /
+    * batch operators ([[kmvDistinctBy]], [[heavyHittersBy]],
+    * [[quantilesBy]]), so a replayed stream is bit-equal to the batch
+    * query per window (late events inside the watermark fold into the
+    * same bounded state). `slideUs` < `windowUs` runs HOPPING windows:
+    * each event's ⌈size/slide⌉ covering window starts are enumerated
+    * map-side; `slideUs` == `windowUs` is tumbling.
+    *
+    * @param kmvSpecs  (member column, k) per kmv_distinct
+    * @param mgSpecs   (member column, k) per heavy_hitters
+    * @param histSpecs (value column, scale, q per-milles) — one entry per
+    *                  DISTINCT (column, scale): the bucket map is shared
+    *                  across that entry's quantiles, exactly like the
+    *                  batch hist-batching path
+    * @param aggSpecs  (fn, operand column or "*", operand is integral)
+    */
+  def multiSketchStreamWindowed(df: DataFrame, groupCols: Seq[String],
+      kmvSpecs: Seq[(String, Int)], mgSpecs: Seq[(String, Int)],
+      histSpecs: Seq[(String, Int, Seq[Int])],
+      aggSpecs: Seq[(String, String, Boolean)],
+      windowUs: Long, slideUs: Long, lateness: String): DataFrame = {
+    require(windowUs > 0 && slideUs > 0,
+      s"window/slide must be positive, got ($windowUs, $slideUs)")
+    kmvSpecs.foreach { case (_, k) => require(k >= 2, s"k must be >= 2, got $k") }
+    mgSpecs.foreach { case (_, k) => require(k >= 1, s"k must be >= 1, got $k") }
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Dataset
+    implicit val evEnc = Encoders.product[MsWinEvent]
+    implicit val keyEnc = Encoders.product[(String, Long)]
+    implicit val stEnc = Encoders.product[MsWinState]
+    implicit val outEnc = Encoders.product[MsWinOut]
+    val gkCol =
+      if (groupCols.isEmpty) lit("")
+      else to_json(struct(groupCols.map(col): _*))
+    val tUs = unix_micros(col("ts"))
+    val lastStart =
+      (floor(tUs.cast("double") / slideUs).cast("long") * slideUs)
+    val winsCol =
+      if (slideUs == windowUs) array(lastStart) // tumbling: exactly one window
+      else {
+        // hop: candidate starts lastStart, lastStart−slide, …; keep those
+        // still covering t (handles slide ∤ size and slide > size, where an
+        // event may fall in NO window — explode then drops the row, the
+        // same containment rule as Spark's window())
+        val n = ((windowUs + slideUs - 1) / slideUs).toInt
+        filter(
+          sequence(lastStart - lit((n - 1).toLong * slideUs), lastStart,
+            lit(slideUs)),
+          ws => tUs < ws + lit(windowUs))
+      }
+    def arrOr(cols: Seq[org.apache.spark.sql.Column],
+              empty: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (cols.isEmpty) empty else array(cols: _*)
+    val input: Dataset[MsWinEvent] = df
+      .withColumn("eventTime", col("ts"))
+      .withWatermark("eventTime", lateness)
+      .withColumn("gk", gkCol)
+      .withColumn("winStartUs", explode(winsCol))
+      .withColumn("hvs", arrOr(kmvSpecs.map { case (c, _) =>
+        coalesce(hash60(col(c)), lit(Long.MinValue)) }, typedLit(Seq.empty[Long])))
+      .withColumn("skeys", arrOr(mgSpecs.map { case (c, _) =>
+        col(c).cast("string") }, typedLit(Seq.empty[String])))
+      .withColumn("buks", arrOr(histSpecs.map { case (c, scale, _) =>
+        coalesce(guardedBucket(col(c), scale), lit(0L)) }, typedLit(Seq.empty[Long])))
+      .withColumn("bukn", arrOr(histSpecs.map { case (c, scale, _) =>
+        guardedBucket(col(c), scale).isNull }, typedLit(Seq.empty[Boolean])))
+      .withColumn("avd", arrOr(aggSpecs.map {
+        case ("count", "*", _) => lit(1.0)
+        case (_, c, _) => coalesce(col(c).cast("double"), lit(0.0))
+      }, typedLit(Seq.empty[Double])))
+      .withColumn("avl", arrOr(aggSpecs.map {
+        case ("count", "*", _) => lit(1L)
+        case (_, c, true) => coalesce(col(c).cast("long"), lit(0L))
+        case _ => lit(0L)
+      }, typedLit(Seq.empty[Long])))
+      .withColumn("avn", arrOr(aggSpecs.map {
+        case ("count", "*", _) => lit(false)
+        case (_, c, _) => col(c).isNull
+      }, typedLit(Seq.empty[Boolean])))
+      .as[MsWinEvent]
+    val nKmv = kmvSpecs.size; val nMg = mgSpecs.size
+    val nHist = histSpecs.size; val nAgg = aggSpecs.size
+    val kmvKs = kmvSpecs.map(_._2).toArray
+    val mgKs = mgSpecs.map(_._2).toArray
+    val histScales = histSpecs.map(_._2).toArray
+    val histQs = histSpecs.map(_._3.toArray).toArray
+    val aggFns = aggSpecs.map(_._1).toArray
+    input
+      .groupByKey(e => (e.gk, e.winStartUs))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, Long), it: Iterator[MsWinEvent], state: GroupState[MsWinState]) =>
+          val (gk, win) = key
+          if (state.hasTimedOut) {
+            val st = state.getOption
+            state.remove()
+            st match {
+              case None => Iterator.empty
+              case Some(s) =>
+                // KMV: same estimator arithmetic as kmvDistinctBy
+                val kmvEst = (0 until nKmv).map { i =>
+                  val hvs = s.kmv(i); val k = kmvKs(i)
+                  if (hvs.isEmpty) -1L
+                  else if (hvs.size < k) hvs.size.toLong
+                  else math.round((k - 1).toDouble * Two60 / hvs.last.toDouble)
+                }
+                // MG: surviving candidates, count desc then key
+                val hh = (0 until nMg).map { i =>
+                  s.mgKeys(i).zip(s.mgCnts(i))
+                    .sortBy { case (kk, c) => (-c, kk) }.map(_._1)
+                }
+                // hist: smallest bucket whose cumulative count reaches
+                // ceil(q·N/1000) — the quantilesBy contract verbatim
+                val hq = (0 until nHist).map { i =>
+                  val buckets = s.hb(i).zip(s.hc(i)).sortBy(_._1)
+                  val n = s.hc(i).sum
+                  histQs(i).toSeq.map { qpm =>
+                    if (n == 0L) Double.NaN
+                    else {
+                      val target = math.max(1L, (qpm.toLong * n + 999L) / 1000L)
+                      var cum = 0L; var v = Double.NaN
+                      val itB = buckets.iterator
+                      while (itB.hasNext && cum < target) {
+                        val (b, c) = itB.next(); cum += c
+                        if (cum >= target) v = b.toDouble / histScales(i)
+                      }
+                      v
+                    }
+                  }
+                }
+                val aggL = new Array[Long](nAgg)
+                val aggD = new Array[Double](nAgg)
+                val aggNull = new Array[Boolean](nAgg)
+                var j = 0
+                while (j < nAgg) {
+                  val n = s.an(j)
+                  aggFns(j) match {
+                    case "count" => aggL(j) = n; aggD(j) = n.toDouble
+                    case "sum" => aggL(j) = s.asl(j); aggD(j) = s.asd(j)
+                      aggNull(j) = n == 0L
+                    case "avg" =>
+                      aggNull(j) = n == 0L
+                      if (n > 0L) aggD(j) = s.asd(j) / n
+                    case "min" => aggL(j) = s.amnl(j); aggD(j) = s.amnd(j)
+                      aggNull(j) = n == 0L
+                    case "max" => aggL(j) = s.amxl(j); aggD(j) = s.amxd(j)
+                      aggNull(j) = n == 0L
+                  }
+                  j += 1
+                }
+                Iterator(MsWinOut(gk, win, kmvEst, hh, hq,
+                  aggL.toSeq, aggD.toSeq, aggNull.toSeq))
+            }
+          } else {
+            val s0 = state.getOption.getOrElse(MsWinState(
+              Seq.fill(nKmv)(Nil), Seq.fill(nMg)(Nil), Seq.fill(nMg)(Nil),
+              Seq.fill(nHist)(Nil), Seq.fill(nHist)(Nil),
+              Seq.fill(nAgg)(0L), Seq.fill(nAgg)(0.0), Seq.fill(nAgg)(0L),
+              Seq.fill(nAgg)(Double.PositiveInfinity),
+              Seq.fill(nAgg)(Double.NegativeInfinity),
+              Seq.fill(nAgg)(Long.MaxValue), Seq.fill(nAgg)(Long.MinValue)))
+            val kmvSets = Array.tabulate(nKmv) { i =>
+              val set = new java.util.TreeSet[java.lang.Long]()
+              s0.kmv(i).foreach(h => set.add(h)); set
+            }
+            val mgMaps = Array.tabulate(nMg) { i =>
+              val m = scala.collection.mutable.HashMap.empty[String, Long]
+              s0.mgKeys(i).zip(s0.mgCnts(i)).foreach { case (kk, c) => m(kk) = c }
+              m
+            }
+            val histMaps = Array.tabulate(nHist) { i =>
+              val m = scala.collection.mutable.HashMap.empty[Long, Long]
+              s0.hb(i).zip(s0.hc(i)).foreach { case (b, c) => m(b) = c }
+              m
+            }
+            val an = s0.an.toArray; val asd = s0.asd.toArray
+            val asl = s0.asl.toArray
+            val amnd = s0.amnd.toArray; val amxd = s0.amxd.toArray
+            val amnl = s0.amnl.toArray; val amxl = s0.amxl.toArray
+            it.foreach { e =>
+              var i = 0
+              while (i < nKmv) {
+                val h = e.hvs(i)
+                if (h != Long.MinValue) {
+                  val set = kmvSets(i); val k = kmvKs(i)
+                  if (set.size < k) set.add(h)
+                  else if (h < set.last()) { if (set.add(h)) set.pollLast() }
+                }
+                i += 1
+              }
+              i = 0
+              while (i < nMg) {
+                val m = mgMaps(i); val sKey = e.skeys(i); val k = mgKs(i)
+                m.get(sKey) match {
+                  case Some(c) => m(sKey) = c + 1
+                  case None if m.size < k => m(sKey) = 1L
+                  case None =>
+                    m.keys.toArray.foreach { kk =>
+                      val c = m(kk) - 1
+                      if (c == 0) m.remove(kk) else m(kk) = c
+                    }
+                }
+                i += 1
+              }
+              i = 0
+              while (i < nHist) {
+                if (!e.bukn(i)) {
+                  val m = histMaps(i); val b = e.buks(i)
+                  m(b) = m.getOrElse(b, 0L) + 1L
+                }
+                i += 1
+              }
+              var j = 0
+              while (j < nAgg) {
+                if (!e.avn(j)) {
+                  an(j) += 1L
+                  asd(j) += e.avd(j); asl(j) += e.avl(j)
+                  if (e.avd(j) < amnd(j)) amnd(j) = e.avd(j)
+                  if (e.avd(j) > amxd(j)) amxd(j) = e.avd(j)
+                  if (e.avl(j) < amnl(j)) amnl(j) = e.avl(j)
+                  if (e.avl(j) > amxl(j)) amxl(j) = e.avl(j)
+                }
+                j += 1
+              }
+            }
+            import scala.jdk.CollectionConverters._
+            val mgPairs = mgMaps.toSeq.map(_.toSeq)
+            val histPairs = histMaps.toSeq.map(_.toSeq)
+            state.update(MsWinState(
+              kmvSets.toSeq.map(_.iterator().asScala.map(_.longValue()).toSeq),
+              mgPairs.map(_.map(_._1)), mgPairs.map(_.map(_._2)),
+              histPairs.map(_.map(_._1)), histPairs.map(_.map(_._2)),
+              an.toSeq, asd.toSeq, asl.toSeq,
+              amnd.toSeq, amxd.toSeq, amnl.toSeq, amxl.toSeq))
+            state.setTimeoutTimestamp(math.max(ceilMs(win + windowUs),
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }.toDF()
+  }
 }

@@ -2827,10 +2827,32 @@ object GraftApp {
             Option(m.group(4)).map(_.toInt), a.getOrElse(e.trim)))
       }
       if (sk.nonEmpty) {
+        // shared (batch + streaming) validation: plain-column GROUP BY
+        // keys, sketch param ranges, member-column existence
+        q.groupBy.filterNot(_.matches("\\w+")).foreach(g =>
+          throw SqlError(s"sketch aggregates need plain column GROUP BY " +
+            s"keys, got '$g' — materialize the expression upstream"))
+        sk.foreach { case (fn, c, p1, p2, _) =>
+          if (!df.columns.exists(_.equalsIgnoreCase(c))) throw SqlError(
+            s"$fn references unknown column '$c'")
+          fn match {
+            case "kmv_distinct" => if (p1 < 2) throw SqlError(
+              s"kmv_distinct(col, k): k must be >= 2, got $p1")
+            case "hist_quantile" =>
+              if (p1 < 1 || p1 > 1000) throw SqlError(
+                s"hist_quantile(col, q_pm): q_pm is per-mille in [1,1000], got $p1")
+              if (p2.exists(_ < 1)) throw SqlError(
+                s"hist_quantile(col, q_pm, scale): scale must be >= 1, got ${p2.get}")
+            case _ => if (p1 < 1) throw SqlError(
+              s"heavy_hitters(col, k): k must be >= 1, got $p1")
+          }
+        }
         if (df.isStreaming) {
-          // streaming face (round 14): tumbling-window sketch aggregates
-          // over bounded flatMapGroupsWithState state (≤ k entries per
-          // group×window, evicted when the watermark closes the window)
+          // streaming face (round 14; round 15 composable): windowed sketch
+          // aggregates — plus plain count/sum/avg/min/max riding the same
+          // state — over bounded flatMapGroupsWithState state (≤ k entries
+          // per sketch per group×window, evicted when the watermark closes
+          // the window); tumbling AND hopping windows
           return compileStreamingSketch(df, q, sk, streamOpts)
         }
         if (q.window.isDefined) throw SqlError(
@@ -2849,24 +2871,6 @@ object GraftApp {
             s"HAVING references sketch aggregate '$a' — HAVING composes " +
               "with the plain aggregates only; filter sketch values " +
               "downstream (INSERT INTO a stream and SELECT ... WHERE)"))
-        }
-        q.groupBy.filterNot(_.matches("\\w+")).foreach(g =>
-          throw SqlError(s"sketch aggregates need plain column GROUP BY " +
-            s"keys, got '$g' — materialize the expression upstream"))
-        sk.foreach { case (fn, c, p1, p2, _) =>
-          if (!df.columns.exists(_.equalsIgnoreCase(c))) throw SqlError(
-            s"$fn references unknown column '$c'")
-          fn match {
-            case "kmv_distinct" => if (p1 < 2) throw SqlError(
-              s"kmv_distinct(col, k): k must be >= 2, got $p1")
-            case "hist_quantile" =>
-              if (p1 < 1 || p1 > 1000) throw SqlError(
-                s"hist_quantile(col, q_pm): q_pm is per-mille in [1,1000], got $p1")
-              if (p2.exists(_ < 1)) throw SqlError(
-                s"hist_quantile(col, q_pm, scale): scale must be >= 1, got ${p2.get}")
-            case _ => if (p1 < 1) throw SqlError(
-              s"heavy_hitters(col, k): k must be >= 1, got $p1")
-          }
         }
         val gKeys = q.groupBy
         // multi-key GROUP BY (round 14): the per-group operators take one
@@ -3304,77 +3308,212 @@ object GraftApp {
     "externaltime", "delay", "sort", "unique", "firstunique", "frequent",
     "lossycounting")
 
-  /** Streaming sketch aggregates (round 14): `kmv_distinct(col, k)` /
-    * `heavy_hitters(col, k)` over a TUMBLING event-time window on a
-    * streaming source — the incremental-crawl datacard as a stream.
-    * Lowers to the bounded flatMapGroupsWithState kernels
-    * ([[graft.operators.Sketches.kmvDistinctStreamWindowed]] /
-    * heavyHittersStreamWindowed): state ≤ k entries per group×window,
-    * removed when the watermark passes the window end, at which point the
+  /** Streaming sketch aggregates (round 14; COMPOSABLE round 15): any mix
+    * of `kmv_distinct(col, k)` / `heavy_hitters(col, k)` /
+    * `hist_quantile(col, q_pm[, scale])` sketch aggregates AND plain
+    * `count/sum/avg/min/max` aggregates over a TUMBLING or HOPPING
+    * event-time window on a streaming source — the incremental-crawl
+    * datacard (`SELECT source, kmv_distinct(url, 1024),
+    * heavy_hitters(domain, 32), count(*) …`) as ONE stateful query.
+    *
+    * Lowers to ONE bounded flatMapGroupsWithState kernel
+    * ([[graft.operators.Sketches.multiSketchStreamWindowed]]): total live
+    * state = |open windows| × |groups| × (Σ sketch k + Σ histogram
+    * distinct buckets + |plain aggs|), independent of stream length;
+    * hopping multiplies |open windows| by ⌈size/slide⌉. Rows are removed
+    * when the watermark passes the window end, at which point the
     * window's FINAL row emits (append mode — late events inside
     * `allow.lateness` still fold in). Output: `win_start TIMESTAMP`
     * first, then the declared select items; group keys ride the kernel
     * as a to_json composite and parse back to their original types.
+    *
+    * The exact round-14 single-sketch tumbling shapes keep lowering to
+    * the round-14 single-section kernels so existing checkpoints stay
+    * compatible (state schema unchanged); every composable shape is new
+    * surface with no prior checkpoints.
     */
   private def compileStreamingSketch(df: DataFrame,
       q: QuerySpec, sk: Seq[(String, String, Int, Option[Int], String)],
       streamOpts: Map[String, String]): DataFrame = {
     val w = q.window.getOrElse(throw SqlError(
-      "sketch aggregates on a STREAMING source need a tumbling window — " +
-        "add WINDOW('timeBatch', '<duration>') (or stream into a table " +
-        "and query that in batch)"))
-    if (w.kind != "timebatch" && w.kind != "tumbling") throw SqlError(
-      s"streaming sketch aggregates take WINDOW('timeBatch', d); " +
-        s"window('${w.kind}') is not supported — per-window finalization " +
-        "needs tumbling event-time buckets")
+      "sketch aggregates on a STREAMING source need an event-time window — " +
+        "add WINDOW('timeBatch', '<duration>') or WINDOW('sliding', size, " +
+        "slide) (or stream into a table and query that in batch)"))
+    val (sizeP, slideP): (String, String) = w.kind match {
+      case "timebatch" | "tumbling" => (w.params.last, w.params.last)
+      case "sliding" | "hop" => w.params match {
+        case Seq(s, sl) => (s, sl)
+        case Seq(t, s, sl) if t.trim.equalsIgnoreCase("ts") => (s, sl)
+        case _ => throw SqlError(
+          s"window('${w.kind}') needs (size, slide), got ${w.params}")
+      }
+      case other => throw SqlError(
+        s"streaming sketch aggregates take WINDOW('timeBatch', d) or " +
+          s"WINDOW('sliding', size, slide); window('$other') is not " +
+          "supported — per-window finalization needs event-time buckets")
+    }
     if (!df.columns.contains("ts")) throw SqlError(
       "streaming sketch aggregates need a 'ts' TIMESTAMP column (event time)")
-    if (sk.size > 1) throw SqlError(
-      "one sketch aggregate per streaming query — split the query (each " +
-        "kernel finalizes its own per-window state)")
-    val (fn, c, p1, _, alias) = sk.head
-    if (fn == "hist_quantile") throw SqlError(
-      "hist_quantile is batch-surface — stream into a table and query " +
-        "that (the streaming kernels cover kmv_distinct/heavy_hitters)")
     if (q.having.isDefined || q.orderBy.nonEmpty || q.limit.isDefined ||
         q.offset.isDefined) throw SqlError(
       "HAVING/ORDER BY/LIMIT do not compose with streaming sketch " +
         "aggregates — filter/order downstream")
-    val skRe = """(?i)^(kmv_distinct|hist_quantile|heavy_hitters)\s*\(""".r
-    q.selectItems.foreach { case (e, _) =>
-      val isSketch = skRe.findFirstIn(e.trim).isDefined
-      val isKey = q.groupBy.exists(_.equalsIgnoreCase(e.trim))
-      if (!isSketch && !isKey) throw SqlError(
-        s"streaming sketch select items must be GROUP BY keys or the " +
-          s"sketch aggregate — got '${e.trim}' (plain aggregates need " +
-          "their own query)")
-    }
-    val windowUs = parseDurationUs(w.params.last)
-    val lateness = streamOpts.getOrElse("allow.lateness", "0 seconds")
+    val windowUs = parseDurationUs(sizeP)
+    val slideUs = parseDurationUs(slideP)
+    if (slideUs <= 0 || windowUs <= 0) throw SqlError(
+      s"window size/slide must be positive durations, got ($sizeP, $slideP)")
     val keys = q.groupBy
-    import graft.operators.Sketches
-    val kdf = fn match {
-      case "kmv_distinct" =>
-        Sketches.kmvDistinctStreamWindowed(df, keys, c, p1, windowUs, lateness)
-          .withColumnRenamed("estDistinct", "__sv")
-      case _ =>
-        Sketches.heavyHittersStreamWindowed(df, keys, c, p1, windowUs, lateness)
-          .withColumnRenamed("hh", "__sv")
-    }
     val keyFields = keys.map(k =>
       df.schema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
         throw SqlError(s"GROUP BY key '$k' not found in the stream schema")))
+    val lateness = streamOpts.getOrElse("allow.lateness", "0 seconds")
+    import graft.operators.Sketches
+
+    // classify every select item: GROUP BY key | sketch aggregate | plain
+    // aggregate (count/sum/avg/min/max). Anything else is typed.
+    val skRe = """(?i)^(kmv_distinct|hist_quantile|heavy_hitters)\s*\(""".r
+    val aggRe = """(?i)^(count|sum|avg|min|max)\s*\(\s*(\*|\w+)\s*\)$""".r
+    sealed trait Item
+    final case class KeyItem(kn: String, alias: Option[String]) extends Item
+    final case class SketchItem(skIdx: Int) extends Item
+    final case class AggItem(aggIdx: Int) extends Item
+    var skSeen = 0
+    val aggsB = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Boolean, String)] // fn, col, isIntegral, alias
+    var aggSeen = 0
+    def isIntegralType(t: DataType): Boolean = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    def isNumericType(t: DataType): Boolean = t match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | _: org.apache.spark.sql.types.DecimalType => true
+      case _ => false
+    }
+    val items: Seq[Item] = q.selectItems.map { case (e, a) =>
+      val et = e.trim
+      if (skRe.findFirstIn(et).isDefined) { skSeen += 1; SketchItem(skSeen - 1) }
+      else keys.find(_.equalsIgnoreCase(et)) match {
+        case Some(kn) => KeyItem(kn, a)
+        case None => aggRe.findFirstMatchIn(et) match {
+          case Some(m) =>
+            val fn = m.group(1).toLowerCase
+            val operand = m.group(2)
+            if (operand == "*") {
+              if (fn != "count") throw SqlError(
+                s"$fn(*) is not defined — only count(*) takes '*'")
+              aggsB += (("count", "*", false, a.getOrElse(et)))
+            } else {
+              val f = df.schema.fields.find(_.name.equalsIgnoreCase(operand))
+                .getOrElse(throw SqlError(
+                  s"$fn references unknown column '$operand'"))
+              if (fn != "count" && !isNumericType(f.dataType)) throw SqlError(
+                s"streaming $fn takes a numeric operand, got '${f.name}' " +
+                  s"(${f.dataType.simpleString}) — aggregate non-numeric " +
+                  "columns on the batch surface")
+              aggsB += ((fn, f.name, isIntegralType(f.dataType), a.getOrElse(et)))
+            }
+            aggSeen += 1; AggItem(aggSeen - 1)
+          case None => throw SqlError(
+            s"streaming sketch select items must be GROUP BY keys, sketch " +
+              s"aggregates, or plain count/sum/avg/min/max aggregates — " +
+              s"got '$et'")
+        }
+      }
+    }
+    val aggs = aggsB.toSeq
+
+    // round-14 shapes keep the round-14 kernels (checkpoint compatibility)
+    val tumbling = slideUs == windowUs &&
+      (w.kind == "timebatch" || w.kind == "tumbling")
+    if (sk.size == 1 && aggs.isEmpty && tumbling && sk.head._1 != "hist_quantile") {
+      val (fn, c, p1, _, alias) = sk.head
+      val kdf = fn match {
+        case "kmv_distinct" =>
+          Sketches.kmvDistinctStreamWindowed(df, keys, c, p1, windowUs, lateness)
+            .withColumnRenamed("estDistinct", "__sv")
+        case _ =>
+          Sketches.heavyHittersStreamWindowed(df, keys, c, p1, windowUs, lateness)
+            .withColumnRenamed("hh", "__sv")
+      }
+      val withKeys =
+        if (keys.isEmpty) kdf
+        else kdf.withColumn("__gkp",
+          from_json(col("gk"), org.apache.spark.sql.types.StructType(keyFields)))
+      val outCols = timestamp_micros(col("winStartUs")).as("win_start") +:
+        items.map {
+          case SketchItem(_) => col("__sv").as(alias)
+          case KeyItem(kn, a) => col(s"__gkp.$kn").as(a.getOrElse(kn))
+          case AggItem(_) => throw new IllegalStateException("aggs empty here")
+        }
+      return withKeys.select(outCols: _*)
+    }
+
+    // composable path: ONE multi-section kernel. Build the per-section
+    // spec lists in select-item order; hist items sharing (column, scale)
+    // share one bucket map (the batch hist-batching shape).
+    val kmvSpecs = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    val mgSpecs = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    val histKeys = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Int, Int)] // col, scale, q_pm (per item)
+    // per sketch item: (kind, index into its section, hist q index)
+    val skSlots = sk.map { case (fn, c, p1, p2, _) =>
+      val cn = df.columns.find(_.equalsIgnoreCase(c)).get
+      fn match {
+        case "kmv_distinct" => kmvSpecs += ((cn, p1)); ("kmv", kmvSpecs.size - 1, -1)
+        case "heavy_hitters" => mgSpecs += ((cn, p1)); ("mg", mgSpecs.size - 1, -1)
+        case "hist_quantile" =>
+          histKeys += ((cn, p2.getOrElse(100), p1)); ("hist", histKeys.size - 1, -1)
+      }
+    }
+    val histItems = histKeys.toSeq
+    val histGroups: Seq[(String, Int, Seq[Int])] = histItems
+      .map { case (c, s, _) => (c, s) }.distinct.map { case (c, s) =>
+        (c, s, histItems.filter(h => h._1 == c && h._2 == s).map(_._3).distinct.sorted)
+      }
+    // per hist ITEM: (group index, q index inside the group)
+    val histSlot: Seq[(Int, Int)] = histItems.map { case (c, s, qpm) =>
+      val gi = histGroups.indexWhere(g => g._1 == c && g._2 == s)
+      (gi, histGroups(gi)._3.indexOf(qpm))
+    }
+    val kdf = Sketches.multiSketchStreamWindowed(df, keys,
+      kmvSpecs.toSeq, mgSpecs.toSeq, histGroups,
+      aggs.map(a => (a._1, a._2, a._3)), windowUs, slideUs, lateness)
     val withKeys =
       if (keys.isEmpty) kdf
       else kdf.withColumn("__gkp",
         from_json(col("gk"), org.apache.spark.sql.types.StructType(keyFields)))
+    var histSeen = -1
     val outCols = timestamp_micros(col("winStartUs")).as("win_start") +:
-      q.selectItems.map { case (e, a) =>
-        if (skRe.findFirstIn(e.trim).isDefined) col("__sv").as(alias)
-        else {
-          val kn = keys.find(_.equalsIgnoreCase(e.trim)).get
-          col(s"__gkp.$kn").as(a.getOrElse(kn))
-        }
+      items.map {
+        case KeyItem(kn, a) => col(s"__gkp.$kn").as(a.getOrElse(kn))
+        case SketchItem(i) =>
+          val alias = sk(i)._5
+          skSlots(i) match {
+            case ("kmv", ki, _) =>
+              val v = col("kmvEst").getItem(ki)
+              when(v === -1L, lit(null).cast("long")).otherwise(v).as(alias)
+            case ("mg", mi, _) => col("hh").getItem(mi).as(alias)
+            case ("hist", hi, _) =>
+              val (gi, qi) = histSlot(hi)
+              val v = col("hq").getItem(gi).getItem(qi)
+              when(isnan(v), lit(null).cast("double")).otherwise(v).as(alias)
+          }
+        case AggItem(j) =>
+          val (fn, _, isIntegral, alias) = aggs(j)
+          val nul = col("aggNull").getItem(j)
+          fn match {
+            case "count" => col("aggL").getItem(j).as(alias)
+            case "avg" =>
+              when(nul, lit(null).cast("double"))
+                .otherwise(col("aggD").getItem(j)).as(alias)
+            case _ if isIntegral =>
+              when(nul, lit(null).cast("long"))
+                .otherwise(col("aggL").getItem(j)).as(alias)
+            case _ =>
+              when(nul, lit(null).cast("double"))
+                .otherwise(col("aggD").getItem(j)).as(alias)
+          }
       }
     withKeys.select(outCols: _*)
   }

@@ -2703,22 +2703,24 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == Seq((0L, 1L, 7L), (0L, 2L, 1L)))
     } finally q.stop()
 
-    // typed gates: >1 sketch per streaming query; hist_quantile; plain
-    // aggregate mixed in
+    // remaining typed gates (round 15 made multi-sketch, hist_quantile,
+    // and plain aggregates compose — see the composable test below):
+    // windowless sketch on a stream; a non-aggregate expression item
     def errOf(a: String) = intercept[graft.sql.GraftApp.SqlError](
       graft.sql.GraftApp.run(spark, a, Map("S" -> sdf))).getMessage
-    assert(errOf(
-      """CREATE STREAM S (ts TIMESTAMP, user_id BIGINT, doc_id BIGINT);
-        |CREATE STREAM Out (win_start TIMESTAMP, u BIGINT, p50 DOUBLE);
-        |INSERT INTO Out SELECT user_id, hist_quantile(doc_id, 500) AS p50
-        |FROM S WINDOW('timeBatch', '10 seconds') GROUP BY user_id;""".stripMargin)
-      .contains("hist_quantile"))
     assert(errOf(
       """CREATE STREAM S (ts TIMESTAMP, user_id BIGINT, doc_id BIGINT);
         |CREATE STREAM Out (win_start TIMESTAMP, u BIGINT, du BIGINT);
         |INSERT INTO Out SELECT user_id, kmv_distinct(doc_id, 16) AS du
         |FROM S GROUP BY user_id;""".stripMargin)
-      .contains("tumbling window"))
+      .contains("event-time window"))
+    assert(errOf(
+      """CREATE STREAM S (ts TIMESTAMP, user_id BIGINT, doc_id BIGINT);
+        |CREATE STREAM Out (win_start TIMESTAMP, u BIGINT, du BIGINT, x BIGINT);
+        |INSERT INTO Out SELECT user_id, kmv_distinct(doc_id, 16) AS du,
+        |  doc_id * 2 AS x
+        |FROM S WINDOW('timeBatch', '10 seconds') GROUP BY user_id;""".stripMargin)
+      .contains("count/sum/avg/min/max"))
   }
 
   test("streaming windowed heavy_hitters: MG survivors per window, exact under k distinct") {
@@ -2745,6 +2747,130 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == Seq(
         ("""{"user_id":1}""", 0L, List("a", "b", "c")),
         ("""{"user_id":2}""", 0L, List("z"))))
+    } finally q.stop()
+  }
+  test("composable streaming sketches (round 15): multi-sketch + plain aggregates in ONE windowed query, late fold-in") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, Double)]
+    val sdf = in.toDF().toDF("sec", "user_id", "doc_id", "value").selectExpr(
+      "CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "user_id", "doc_id", "value")
+    // the datacard shape that was three queries + a typed error in r14:
+    // two sketch families + hist_quantile + count/sum/avg/max in ONE query
+    val app =
+      """CREATE STREAM S (ts TIMESTAMP, user_id BIGINT, doc_id BIGINT, value DOUBLE)
+        |  WITH ('allow.lateness'='5 seconds');
+        |CREATE STREAM Out (win_start TIMESTAMP, user_id BIGINT, du BIGINT,
+        |                   hhl ARRAY<STRING>, n BIGINT, sv DOUBLE, av DOUBLE,
+        |                   p50 DOUBLE, mx BIGINT);
+        |INSERT INTO Out SELECT user_id, kmv_distinct(doc_id, 16) AS du,
+        |  heavy_hitters(doc_id, 3) AS hhl, count(*) AS n, sum(value) AS sv,
+        |  avg(value) AS av, hist_quantile(value, 500) AS p50,
+        |  max(doc_id) AS mx
+        |FROM S WINDOW('timeBatch', '10 seconds') GROUP BY user_id;""".stripMargin
+    val out = graft.sql.GraftApp.run(spark, app, Map("S" -> sdf))("Out")
+    assert(out.isStreaming)
+    sinkId += 1; val name = s"ms_sink_$sinkId"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // window [0,10): user 1 → docs 1..6 (doc 1 thrice — the heavy
+      // hitter), user 2 → doc 10 twice; window [10,20): user 1 → one doc
+      val w0 = Seq((1L, 1L, 1L, 2.0), (2L, 1L, 1L, 4.0), (3L, 1L, 1L, 6.0),
+        (4L, 1L, 2L, 1.0), (5L, 1L, 3L, 3.0), (6L, 1L, 4L, 5.0),
+        (2L, 2L, 10L, 7.5), (3L, 2L, 10L, 8.5))
+      in.addData(w0: _*)
+      in.addData((12L, 1L, 99L, 1.0)) // window [10,20); watermark 12-5=7
+      q.processAllAvailable()
+      val late = (8L, 1L, 5L, 9.0) // late for window 0, inside lateness
+      in.addData(late)
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 0) // window 0 still open
+      in.addData((60L, 9L, 1L, 0.0)) // sentinel closes both windows
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .selectExpr("unix_micros(win_start) AS w", "user_id", "du",
+          "array_join(hhl, ',') AS hhl", "n", "sv", "av", "p50", "mx")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+          r.getDouble(7), r.getLong(8)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      // expected, window 0 / user 1 (docs 1,1,1,2,3,4 + late 5; values
+      // 2,4,6,1,3,5 + 9): du = 5 exact (k=16 > distinct), MG k=3 with 5
+      // distinct decrements — doc 1 (3 occurrences vs runner-ups’ 1)
+      // must survive and lead; n=7, sv=30, av=30/7, p50: N=7 target
+      // ceil(3.5)=4 → 4th of sorted buckets [100,200,300,400,500,600,900]
+      // = 400 → 4.0; mx = 5
+      val u1 = got.find(x => x._1 == 0L && x._2 == 1L).get
+      assert(u1._3 == 5L, s"du $got")
+      assert(u1._4.startsWith("1"), s"MG survivor order $got")
+      assert(u1._5 == 7L && u1._6 == 30.0 && math.abs(u1._7 - 30.0 / 7) < 1e-12)
+      assert(u1._8 == 4.0, s"p50 $got")
+      assert(u1._9 == 5L)
+      // window 0 / user 2: two identical docs
+      val u2 = got.find(x => x._1 == 0L && x._2 == 2L).get
+      assert(u2._3 == 1L && u2._4 == "10" && u2._5 == 2L && u2._6 == 16.0 &&
+        u2._8 == 7.5 && u2._9 == 10L)
+      // window [10,20) / user 1: the single row
+      val u3 = got.find(x => x._1 == 10000000L && x._2 == 1L).get
+      assert(u3._3 == 1L && u3._5 == 1L && u3._9 == 99L)
+      assert(got.size == 3) // the sentinel's own window [60,70) never closes
+
+      // cross-check the kmv/hist sections against the BATCH operators on
+      // the replayed tape (same arithmetic by construction)
+      val all = (w0 :+ (12L, 1L, 99L, 1.0) :+ late)
+        .toDF("sec", "user_id", "doc_id", "value")
+        .selectExpr("sec", "user_id", "doc_id", "value",
+          "concat(CAST(user_id AS STRING), '|', CAST(FLOOR(sec / 10) AS STRING)) AS gw")
+      val kmvWant = graft.operators.Sketches.kmvDistinctBy(all, "gw", "doc_id", 16)
+        .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+      assert(got.filter(_._1 == 0L).forall(x =>
+        kmvWant(s"${x._2}|0") == x._3), s"kmv batch parity $kmvWant vs $got")
+      val qWant = graft.operators.Sketches.quantilesBy(all, "gw", "value", Seq(500), 100)
+        .collect().map(r => (r.getString(0), r.getDouble(3))).toMap
+      assert(got.filter(_._1 == 0L).forall(x =>
+        qWant(s"${x._2}|0") == x._8), s"hist batch parity $qWant vs $got")
+    } finally q.stop()
+  }
+
+  test("streaming sketches over HOPPING windows (round 15): map-side window enumeration, one stateful operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long)]
+    val sdf = in.toDF().toDF("sec", "user_id", "doc_id").selectExpr(
+      "CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "user_id", "doc_id")
+    val app =
+      """CREATE STREAM S (ts TIMESTAMP, user_id BIGINT, doc_id BIGINT);
+        |CREATE STREAM Out (win_start TIMESTAMP, user_id BIGINT, du BIGINT,
+        |                   n BIGINT);
+        |INSERT INTO Out SELECT user_id, kmv_distinct(doc_id, 16) AS du,
+        |  count(*) AS n
+        |FROM S WINDOW('sliding', '10 seconds', '5 seconds')
+        |GROUP BY user_id;""".stripMargin
+    val out = graft.sql.GraftApp.run(spark, app, Map("S" -> sdf))("Out")
+    // plan hygiene: the hop must be ONE inline explode feeding ONE
+    // stateful operator — a per-offset union would duplicate the state
+    // store and lose event-time timeout emissions
+    val planStr = out.queryExecution.analyzed.toString
+    assert("flatMapGroupsWithState|FlatMapGroupsWithState".r
+      .findAllIn(planStr).size <= 1, planStr)
+    sinkId += 1; val name = s"hop_sink_$sinkId"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // events at t=3 (windows [-5,5) and [0,10)), t=7 (windows [0,10)
+      // and [5,15)), t=12 (windows [5,15) and [10,20))
+      in.addData((3L, 1L, 100L), (7L, 1L, 200L), (12L, 1L, 200L))
+      in.addData((60L, 9L, 1L)) // close everything
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .selectExpr("unix_micros(win_start) AS w", "user_id", "du", "n")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .filter(_._2 == 1L).sortBy(_._1).toSeq
+      assert(got == Seq(
+        (-5000000L, 1L, 1L, 1L),  // [-5,5): t=3
+        (0L, 1L, 2L, 2L),         // [0,10): t=3, t=7
+        (5000000L, 1L, 1L, 2L),   // [5,15): t=7, t=12 — doc 200 twice, ONE distinct
+        (10000000L, 1L, 1L, 1L)), // [10,20): t=12
+        s"hop windows $got")
     } finally q.stop()
   }
 }
