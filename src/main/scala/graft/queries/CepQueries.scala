@@ -853,6 +853,96 @@ object CepQueries extends QueryFamily {
              |       AND c.rn = e.rn + 2 * ks.k + 1 AND c.event_type = 'signup')
              |ORDER BY 1, 2, 3""".stripMargin)),
 
+    // MATCH_RECOGNIZE variable-count NESTED group (round 15):
+    // ((D U){1,3} C)+ — the inner group's ITERATION count varies per
+    // outer iteration, running the engine's nested iteration frame
+    // (Partial.innerIters/innerBase; reference has no MATCH_RECOGNIZE —
+    // beyond feat/grammar/GRAMMAR.md:328-338's roadmap). Member classes
+    // are disjoint two-type sets so the parse per (anchor, end) is
+    // tape-determined, and the pattern ends ON the outer group, so EVERY
+    // emits one row per completed outer-iteration count j. The oracle is
+    // an independent TWO-LEVEL replay: a deterministic block relation
+    // ((d u){k} c for k = 1..3 — at most one k is valid per start) chained
+    // by a recursive CTE, one row per (anchor, j), with n_d summing the
+    // per-block pair counts (n_d > n_c rows pin the variable inner count;
+    // n_c >= 2 rows pin the outer chaining). WITHIN 30 DAY never binds at
+    // test densities (same note as q_cep_mr_loop).
+    QueryDef(
+      "q_cep_mr_nested",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (user_id BIGINT, a_id BIGINT, n_d BIGINT,
+            |                   n_c BIGINT, s_u DOUBLE);
+            |INSERT INTO Out SELECT * FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts
+            |  MEASURES A.event_id AS a_id, count(D.value) AS n_d,
+            |           count(C.value) AS n_c, round(sum(U.value), 6) AS s_u
+            |  ONE ROW PER MATCH
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN (A ((D U){1,3} C)+) WITHIN INTERVAL '30' DAY
+            |  DEFINE A AS A.event_type = 'error',
+            |         D AS D.event_type = 'view' OR D.event_type = 'signup',
+            |         U AS U.event_type = 'purchase' OR U.event_type = 'click',
+            |         C AS C.event_type = 'error'
+            |);""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .selectExpr("user_id", "a_id", "CAST(n_d AS BIGINT) AS n_d",
+            "CAST(n_c AS BIGINT) AS n_c", "s_u")
+          .orderBy(col("user_id"), col("a_id"), col("n_c"))
+      },
+      Some("""WITH RECURSIVE ord AS (
+             |  SELECT user_id, event_id, event_type, value,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events),
+             |blk AS (
+             |  SELECT d1.user_id, d1.rn AS s, 1 AS k, d1.rn + 2 AS e
+             |  FROM ord d1
+             |  JOIN ord u1 ON u1.user_id = d1.user_id AND u1.rn = d1.rn + 1
+             |  JOIN ord c  ON c.user_id  = d1.user_id AND c.rn  = d1.rn + 2
+             |  WHERE d1.event_type IN ('view','signup')
+             |    AND u1.event_type IN ('purchase','click') AND c.event_type = 'error'
+             |  UNION ALL
+             |  SELECT d1.user_id, d1.rn, 2, d1.rn + 4
+             |  FROM ord d1
+             |  JOIN ord u1 ON u1.user_id = d1.user_id AND u1.rn = d1.rn + 1
+             |  JOIN ord d2 ON d2.user_id = d1.user_id AND d2.rn = d1.rn + 2
+             |  JOIN ord u2 ON u2.user_id = d1.user_id AND u2.rn = d1.rn + 3
+             |  JOIN ord c  ON c.user_id  = d1.user_id AND c.rn  = d1.rn + 4
+             |  WHERE d1.event_type IN ('view','signup') AND u1.event_type IN ('purchase','click')
+             |    AND d2.event_type IN ('view','signup') AND u2.event_type IN ('purchase','click')
+             |    AND c.event_type = 'error'
+             |  UNION ALL
+             |  SELECT d1.user_id, d1.rn, 3, d1.rn + 6
+             |  FROM ord d1
+             |  JOIN ord u1 ON u1.user_id = d1.user_id AND u1.rn = d1.rn + 1
+             |  JOIN ord d2 ON d2.user_id = d1.user_id AND d2.rn = d1.rn + 2
+             |  JOIN ord u2 ON u2.user_id = d1.user_id AND u2.rn = d1.rn + 3
+             |  JOIN ord d3 ON d3.user_id = d1.user_id AND d3.rn = d1.rn + 4
+             |  JOIN ord u3 ON u3.user_id = d1.user_id AND u3.rn = d1.rn + 5
+             |  JOIN ord c  ON c.user_id  = d1.user_id AND c.rn  = d1.rn + 6
+             |  WHERE d1.event_type IN ('view','signup') AND u1.event_type IN ('purchase','click')
+             |    AND d2.event_type IN ('view','signup') AND u2.event_type IN ('purchase','click')
+             |    AND d3.event_type IN ('view','signup') AND u3.event_type IN ('purchase','click')
+             |    AND c.event_type = 'error'),
+             |anch AS (SELECT user_id, event_id, rn FROM ord WHERE event_type = 'error'),
+             |chain AS (
+             |  SELECT a.user_id, a.event_id AS a_id, a.rn AS anchor_rn,
+             |         b.e AS end_rn, b.k AS n_d, 1 AS n_c
+             |  FROM anch a JOIN blk b ON b.user_id = a.user_id AND b.s = a.rn + 1
+             |  UNION ALL
+             |  SELECT ch.user_id, ch.a_id, ch.anchor_rn, b.e, ch.n_d + b.k, ch.n_c + 1
+             |  FROM chain ch JOIN blk b ON b.user_id = ch.user_id AND b.s = ch.end_rn + 1)
+             |SELECT ch.user_id, ch.a_id, CAST(ch.n_d AS BIGINT) AS n_d,
+             |  CAST(ch.n_c AS BIGINT) AS n_c,
+             |  (SELECT round(sum(o.value), 6) FROM ord o WHERE o.user_id = ch.user_id
+             |     AND o.rn > ch.anchor_rn AND o.rn < ch.end_rn
+             |     AND o.event_type IN ('purchase','click')) AS s_u
+             |FROM chain ch
+             |ORDER BY 1, 2, 4""".stripMargin)),
+
     // MATCH_RECOGNIZE reluctant quantifier (round 13): B+? takes the
     // FEWEST purchases that complete the match — exactly one — where the
     // greedy B+ (q_cep_mr_skip_greedy, same tape) consumes the whole

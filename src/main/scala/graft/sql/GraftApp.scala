@@ -1463,16 +1463,16 @@ object GraftApp {
           val inner = Seq.newBuilder[(Seq[String], Int)]
           val names = memberToks.flatMap { t =>
             if (t.startsWith("(")) {
-              val k = """\{(\d+)\}\s*$""".r.findFirstMatchIn(t)
-                .map(_.group(1).toInt).getOrElse(throw SqlError(
-                  s"nested group '$t' must carry an EXACT count {k} — " +
-                    "variable inner repetition ({n,m}, +, *) would need a " +
-                    "nested iteration frame; restructure or lift the inner " +
-                    "group out"))
               val ns = """(\w+)(?:[+*]|\{\d+(?:,\d*)?\})?""".r
                 .findAllMatchIn(t.substring(1, t.lastIndexOf(')')))
                 .map(_.group(1)).toSeq
-              inner += ((ns, k))
+              // EXACT count {k}: the engine inlines with __i suffixes —
+              // record for the auto-SUBSET measures union. VARIABLE count
+              // ({n,m}, {n,}, +) runs the engine's NESTED iteration frame
+              // (round 15): members stay real collection steps under their
+              // own names, so no suffix bookkeeping is needed.
+              """\{(\d+)\}\s*$""".r.findFirstMatchIn(t)
+                .map(_.group(1).toInt).foreach(k => inner += ((ns, k)))
               ns
             } else Seq(t.replaceAll("""[+*{].*$""", ""))
           }
@@ -1727,7 +1727,10 @@ object GraftApp {
         // and inner exact groups pass through in engine spelling
         t.memberRaw.map { tok =>
           if (tok.startsWith("(")) {
-            val k = """\{(\d+)\}\s*$""".r.findFirstMatchIn(tok).get.group(1)
+            // the inner group's quantifier passes through verbatim — exact
+            // {k} inlines engine-side, variable {n,m}/{n,}/+ runs the
+            // nested iteration frame (round 15)
+            val iq = tok.substring(tok.lastIndexOf(')') + 1).replaceAll("\\s", "")
             val body = tok.substring(1, tok.lastIndexOf(')'))
             val innerSteps = """(\w+)([+*]|\{\d+(?:,\d*)?\})?(\??)""".r
               .findAllMatchIn(body).map { m =>
@@ -1750,7 +1753,7 @@ object GraftApp {
                 val pred = defines.get(v).map(p => s"[${lowerPred(v, p)}]").getOrElse("")
                 s"$v=$stream$pred$mq"
               }.mkString(" -> ")
-            s"($innerSteps){$k}"
+            s"($innerSteps)$iq"
           } else {
             val v = tok.replaceAll("""[+*{].*$""", "")
             val mq = tok.stripPrefix(v)

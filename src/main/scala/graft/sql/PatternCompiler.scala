@@ -76,7 +76,15 @@ object PatternCompiler {
                                reluctant: Boolean = false,
                                looped: Boolean = false, loopBack: Int = -1,
                                minIters: Int = 1,
-                               maxIters: Int = Int.MaxValue) {
+                               maxIters: Int = Int.MaxValue,
+                               // variable-count NESTED group (round 15):
+                               // `inner` on every member of the inner
+                               // group, the loop edge + iteration bounds on
+                               // its last member (mirrors Step)
+                               inner: Boolean = false,
+                               innerLoopBack: Int = -1,
+                               innerMinIters: Int = 1,
+                               innerMaxIters: Int = Int.MaxValue) {
     def aliases: Seq[String] = alts.map(_.alias).distinct
   }
 
@@ -1732,7 +1740,9 @@ object PatternCompiler {
         val ref = coll(c.refStep)
         ref.nonEmpty && cmp(e.vals(c.localIdx), c.op, ref.head.vals(c.refIdx))
       }, reluctant = st.reluctant, loopBack = st.loopBack,
-      minIters = st.minIters, maxIters = st.maxIters, looped = st.looped)
+      minIters = st.minIters, maxIters = st.maxIters, looped = st.looped,
+      inner = st.inner, innerLoopBack = st.innerLoopBack,
+      innerMinIters = st.innerMinIters, innerMaxIters = st.innerMaxIters)
     // a same-group cross-member comparison anchors at the ref member's
     // first event of the CURRENT iteration (the partial's iterBase view) —
     // `(D U)+` with `U.price > D.price` binds each U to its iteration's D
@@ -2170,8 +2180,14 @@ object PatternCompiler {
   private[sql] val MaxInnerReps = 4
 
   /** One group member after parsing/inlining: alias + per-iteration count
-    * bounds. */
-  private final case class Member(alt: StepAlt, min: Int, max: Int)
+    * bounds; `inner*` fields carry a variable-count NESTED group's frame
+    * (round 15 — exact-count inner groups inline instead and leave them
+    * at defaults). */
+  private final case class Member(alt: StepAlt, min: Int, max: Int,
+                                  inner: Boolean = false,
+                                  innerLoopBack: Int = -1,
+                                  innerMin: Int = 1,
+                                  innerMax: Int = Int.MaxValue)
 
   private def expandGroup(gm: scala.util.matching.Regex.Match,
                           el: String): Seq[Seq[PatternStep]] = {
@@ -2221,17 +2237,19 @@ object PatternCompiler {
     aliases.groupBy(identity).collectFirst { case (a, as) if as.size > 1 => a }
       .foreach(a => throw GraftApp.SqlError(
         s"duplicate member alias '$a' in group '$el'"))
-    if (relGroup && members.exists(m => m.min != m.max))
+    if (relGroup && members.exists(m => m.min != m.max || m.inner))
       throw GraftApp.SqlError(
         s"reluctant group repetition in '$el' with a variable-count " +
-          "member is not supported — the parse preference would conflate " +
-          "iteration count with member count; fix the member counts or " +
-          "drop the group-level '?'")
+          "member or nested group is not supported — the parse preference " +
+          "would conflate iteration count with member count; fix the " +
+          "member counts or drop the group-level '?'")
     // single plain member: (A)+ IS A+ — emit the plain quantifier step so
-    // loop-group and quantifier semantics cannot drift apart
+    // loop-group and quantifier semantics cannot drift apart (a single
+    // NESTED-group member is excluded: its iteration bounds do not compose
+    // into one quantifier by count arithmetic alone)
     if (members.size == 1) {
       val m = members.head
-      if (m.min == 1 && m.max == 1) {
+      if (m.min == 1 && m.max == 1 && !m.inner) {
         val step = PatternStep(Seq(m.alt), math.max(nMin, 1), mMax,
           reluctant = relGroup)
         return if (nMin >= 1) Seq(Seq(step))
@@ -2245,27 +2263,32 @@ object PatternCompiler {
       PatternStep(Seq(m.alt), min = m.min, max = m.max, looped = true,
         reluctant = relGroup,
         loopBack = if (i == members.size - 1) members.size - 1 else -1,
-        minIters = math.max(nMin, 1), maxIters = mMax)
+        minIters = math.max(nMin, 1), maxIters = mMax,
+        inner = m.inner, innerLoopBack = m.innerLoopBack,
+        innerMinIters = m.innerMin, innerMaxIters = m.innerMax)
     }
     if (nMin >= 1) Seq(chain) else Seq(chain, Seq.empty[PatternStep])
   }
 
-  /** Inner `(A B){k}` nested inside an outer group: inline k copies with
-    * `__i` alias suffixes; references among the inner members rewrite to
-    * the SAME inner repetition's suffix. Only exact counts — a variable
-    * inner count would need its own nested iteration frame.
+  /** Inner group nested inside an outer group, two regimes:
+    *  - EXACT count `(A B){k}`: inline k copies with `__i` alias suffixes
+    *    (round 14 — references among the inner members rewrite to the SAME
+    *    inner repetition's suffix); hashing and measures-union behavior
+    *    unchanged.
+    *  - VARIABLE count `(A B){n,m}` / `{n,}` / `+` (round 15): the inner
+    *    members become real looped steps carrying their own NESTED
+    *    iteration frame ([[graft.streaming.Partial.innerBase]]) — one
+    *    buffer per member across ALL outer × inner iterations, so
+    *    measures aggregate over them directly with no alias suffixes or
+    *    auto-SUBSETs. Zero-min inner counts stay typed (an optional inner
+    *    group would need an empty-variant expansion PER OUTER ITERATION).
     */
   private def expandInnerGroup(igm: scala.util.matching.Regex.Match,
-                               tok: String, el: String) = {
+                               tok: String, el: String): Seq[Member] = {
     val iq = igm.group(2).replaceAll("\\s", "")
-    val k = """\{(\d+)\}""".r.findFirstMatchIn(iq).map(_.group(1).toInt)
-      .getOrElse(throw GraftApp.SqlError(
-        s"nested group '$tok' in '$el' must carry an EXACT count {k} — " +
-          "variable inner repetition ({n,m}, +, *) would need a nested " +
-          "iteration frame; restructure or lift the inner group out"))
-    if (k < 1 || k > MaxInnerReps) throw GraftApp.SqlError(
-      s"nested group count {$k} in '$el' out of range [1,$MaxInnerReps] — " +
-        "each inner repetition inlines as a full member")
+    if (iq.endsWith("?") && iq.length > 1) throw GraftApp.SqlError(
+      s"reluctant quantifier on nested group '$tok' in '$el' is not " +
+        "supported — reluctance is resolved at the outer group level")
     val innerToks = splitTopLevel(igm.group(1), "->").map(_.trim)
     val parsedInner = innerToks.map { t =>
       if (GroupQuantRe.findFirstMatchIn(t).isDefined) throw GraftApp.SqlError(
@@ -2277,15 +2300,47 @@ object PatternCompiler {
       (alt, mn, mx)
     }
     val innerAliases = parsedInner.map(_._1.alias)
-    (1 to k).flatMap { i =>
-      parsedInner.map { case (alt, mn, mx) =>
-        val pred2 = alt.pred.map { p =>
-          innerAliases.foldLeft(p)((acc, a) =>
-            acc.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(a) + "\\s*\\.",
-              java.util.regex.Matcher.quoteReplacement(s"${a}__$i") + "."))
+    """^\{(\d+)\}$""".r.findFirstMatchIn(iq).map(_.group(1).toInt) match {
+      case Some(k) => // exact: round-14 inlining
+        if (k < 1 || k > MaxInnerReps) throw GraftApp.SqlError(
+          s"nested group count {$k} in '$el' out of range [1,$MaxInnerReps] — " +
+            "each inner repetition inlines as a full member")
+        (1 to k).flatMap { i =>
+          parsedInner.map { case (alt, mn, mx) =>
+            val pred2 = alt.pred.map { p =>
+              innerAliases.foldLeft(p)((acc, a) =>
+                acc.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(a) + "\\s*\\.",
+                  java.util.regex.Matcher.quoteReplacement(s"${a}__$i") + "."))
+            }
+            Member(StepAlt(s"${alt.alias}__$i", alt.stream, pred2), mn, mx)
+          }
         }
-        Member(StepAlt(s"${alt.alias}__$i", alt.stream, pred2), mn, mx)
-      }
+      case None => // variable: nested iteration frame
+        val (inMin, inMax) = iq match {
+          case "+" => (1, Int.MaxValue)
+          case "*" => throw GraftApp.SqlError(
+            s"zero-min nested group '$tok*' in '$el' is not supported — " +
+              "an optional inner group needs an empty variant per outer " +
+              "iteration; use {1,m} or restructure")
+          case _ =>
+            val m0 = """\{(\d+),(\d*)\}""".r.findFirstMatchIn(iq).getOrElse(
+              throw GraftApp.SqlError(
+                s"bad nested group quantifier '$iq' on '$tok' in '$el'"))
+            val n = m0.group(1).toInt
+            val m = if (m0.group(2).isEmpty) Int.MaxValue else m0.group(2).toInt
+            if (n == 0) throw GraftApp.SqlError(
+              s"zero-min nested group '$tok' in '$el' is not supported — " +
+                "an optional inner group needs an empty variant per outer " +
+                "iteration; use {1,m} or restructure")
+            if (m < n) throw GraftApp.SqlError(
+              s"bad nested repetition {$n,${m0.group(2)}} on '$tok' in '$el' (max >= min)")
+            (n, m)
+        }
+        parsedInner.zipWithIndex.map { case ((alt, mn, mx), i) =>
+          Member(alt, mn, mx, inner = true,
+            innerLoopBack = if (i == parsedInner.size - 1) parsedInner.size - 1 else -1,
+            innerMin = inMin, innerMax = inMax)
+        }
     }
   }
 
@@ -2421,7 +2476,8 @@ object PatternCompiler {
     */
   private def requireBoundedState(spec: PatternSpec): Unit =
     if (spec.steps.exists(st => st.max == Int.MaxValue ||
-          (st.loopBack >= 0 && st.maxIters == Int.MaxValue)) &&
+          (st.loopBack >= 0 && st.maxIters == Int.MaxValue) ||
+          (st.innerLoopBack >= 0 && st.innerMaxIters == Int.MaxValue)) &&
         spec.withinUs.isEmpty && spec.withinEvents.isEmpty)
       throw GraftApp.SqlError(
         "unbounded count quantifier ('+' / '{n,}' / a '(A B)+' loop group) " +

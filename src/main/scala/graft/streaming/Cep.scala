@@ -95,6 +95,20 @@ final case class VariantMatch(variant: Int, key: String, startUs: Long,
   * to its own iteration's D), where `pred`'s collected view could only
   * reach the first iteration's.
   */
+/** `inner` / `innerLoopBack` / `innerMinIters` / `innerMaxIters`
+  * (round 15, variable-count NESTED groups `((A B){1,3} C)+`): `inner`
+  * marks every member of a variable-count inner group — its member
+  * quantifier gates on the count collected since the current INNER
+  * iteration began ([[Partial.innerBase]]) and same-inner-group refs
+  * anchor there. `innerLoopBack >= 0` sits on the inner group's LAST
+  * member: on its completion the NFA resolves the inner frame first —
+  * once `innerMinIters` inner iterations are done the partial may LEAVE
+  * the inner group (falling through to the ordinary outer advance /
+  * outer loop-back logic), and while below `innerMaxIters` it also
+  * branches back `innerLoopBack` steps for another inner iteration.
+  * Exact-count inner groups keep the round-14 inlining (`__i` suffixes)
+  * and never set these fields.
+  */
 final case class Step(
     name: String, min: Int, max: Int,
     pred: (CepEvent, Seq[Seq[CepEvent]]) => Boolean,
@@ -103,7 +117,11 @@ final case class Step(
     minIters: Int = 1,
     maxIters: Int = Int.MaxValue,
     looped: Boolean = false,
-    iterPred: Option[(CepEvent, Seq[Seq[CepEvent]], Seq[Int]) => Boolean] = None)
+    iterPred: Option[(CepEvent, Seq[Seq[CepEvent]], Seq[Int]) => Boolean] = None,
+    inner: Boolean = false,
+    innerLoopBack: Int = -1,
+    innerMinIters: Int = 1,
+    innerMaxIters: Int = Int.MaxValue)
   extends Serializable
 
 object Step {
@@ -184,7 +202,21 @@ final case class Partial(stepIdx: Int, startUs: Long, startSeq: Long,
                          collected: Seq[Seq[CepEvent]],
                          iters: Int = 0,
                          iterBase: Seq[Int] = Nil,
-                         iterHist: Seq[Int] = Nil)
+                         iterHist: Seq[Int] = Nil,
+                         // nested (inner) iteration frame (round 15, both
+                         // empty/zero outside variable-count nested groups):
+                         // completed iterations of the inner group currently
+                         // being matched within the CURRENT outer iteration,
+                         // and the per-step buffer sizes when the current
+                         // INNER iteration began — inner member quantifiers
+                         // gate on `collected(i).size - innerBase(i)` and
+                         // inner cross-member refs anchor at
+                         // `collected(ref)(innerBase(ref))`. Reset to 0 (the
+                         // base stays, see advance logic) on leaving the
+                         // inner group; re-snapshotted on the outer
+                         // loop-back edge.
+                         innerIters: Int = 0,
+                         innerBase: Seq[Int] = Nil)
 final case class NfaState(partials: Seq[Partial], done: Boolean, seq: Long = 0L,
                           dropped: Long = 0L, matchSeq: Long = 0L)
 /** One state-store entry for a multi-variant pattern family: the i-th
@@ -221,30 +253,72 @@ object Cep {
     * partial per event measurably taxed the hot kernel (~7% on the bench
     * CEP kernel), and without a loop edge the extra fields are constants.
     */
-  private def distinctPartials(ps: Vector[Partial],
-                               hasLoops: Boolean): Vector[Partial] =
+  /** `hasInner` = the spec contains a variable-count NESTED group: only
+    * then do the inner-frame fields join the key (same flag-gating
+    * rationale as `hasLoops` — outside nested groups they are constants).
+    */
+  private def distinctPartials(ps: Vector[Partial], hasLoops: Boolean,
+                               hasInner: Boolean): Vector[Partial] =
     if (ps.length <= 1) ps
     else if (!hasLoops) {
       val seen = scala.collection.mutable.HashSet.empty[(Int, Long, Seq[Int])]
       ps.filter(p => seen.add((p.stepIdx, p.startSeq, p.collected.map(_.size))))
-    } else {
+    } else if (!hasInner) {
       val seen = scala.collection.mutable.HashSet
         .empty[(Int, Long, Seq[Int], Int, Seq[Int], Seq[Int])]
       ps.filter(p => seen.add((p.stepIdx, p.startSeq,
         p.collected.map(_.size), p.iters, p.iterBase, p.iterHist)))
+    } else {
+      val seen = scala.collection.mutable.HashSet
+        .empty[((Int, Long, Seq[Int], Int, Seq[Int], Seq[Int]), (Int, Seq[Int]))]
+      ps.filter(p => seen.add(((p.stepIdx, p.startSeq,
+        p.collected.map(_.size), p.iters, p.iterBase, p.iterHist),
+        (p.innerIters, p.innerBase))))
     }
 
   private def specHasLoops(spec: PatternSpec): Boolean =
     spec.steps.exists(_.loopBack >= 0)
+  private def specHasInner(spec: PatternSpec): Boolean =
+    spec.steps.exists(_.innerLoopBack >= 0)
 
-  /** Loop-group helpers shared by [[runNfa]] and [[runNfaSkipPast]]. */
-  private def stepOk(step: Step, e: CepEvent, p: Partial): Boolean =
+  /** Loop-group helpers shared by [[runNfa]] and [[runNfaSkipPast]].
+    * `iterPred` anchors: for specs WITHOUT nested groups the base view is
+    * the outer iteration base verbatim (zero allocation, the round-14
+    * path); with nested groups each INNER step's anchor comes from the
+    * inner frame instead — a ref from an inner member to an outer member
+    * of the same group still reads the outer base, and a ref from an
+    * outer member to an inner member reads the LAST inner iteration's
+    * start (the inner base survives leaving the group).
+    */
+  private def stepOk(step: Step, e: CepEvent, p: Partial,
+                     mergedBase: Partial => Seq[Int]): Boolean =
     step.iterPred match {
-      case Some(ip) => ip(e, p.collected, p.iterBase)
+      case Some(ip) => ip(e, p.collected, mergedBase(p))
       case None => step.pred(e, p.collected)
     }
   private def baseAt(p: Partial, i: Int): Int =
     if (p.iterBase.isEmpty) 0 else p.iterBase(i)
+  private def innerBaseAt(p: Partial, i: Int): Int =
+    if (p.innerBase.isEmpty) 0 else p.innerBase(i)
+  /** Gating base for the member quantifier at step i: inner members count
+    * within the current INNER iteration, other looped members within the
+    * current outer iteration, plain steps from zero. */
+  private def gateBaseAt(step: Step, p: Partial, i: Int): Int =
+    if (step.inner) innerBaseAt(p, i) else baseAt(p, i)
+  /** Per-step counts collected in the CURRENT inner iteration of the
+    * nested group [stepIdx-innerLoopBack, stepIdx]. */
+  private def innerIterCounts(p: Partial, coll2: Seq[Seq[CepEvent]],
+                              innerLoopBack: Int): Seq[Int] =
+    (p.stepIdx - innerLoopBack to p.stepIdx)
+      .map(i => coll2(i).size - innerBaseAt(p, i))
+  /** Inner base for the NEXT inner iteration: the inner range snapshots
+    * its current buffer sizes; everything else keeps its old inner base. */
+  private def nextInnerBase(p: Partial, coll2: Seq[Seq[CepEvent]],
+                            innerLoopBack: Int): Seq[Int] = {
+    val lo = p.stepIdx - innerLoopBack
+    Seq.tabulate(coll2.size)(i =>
+      if (i >= lo && i <= p.stepIdx) coll2(i).size else innerBaseAt(p, i))
+  }
   /** Per-step counts collected in the CURRENT iteration of the group
     * [stepIdx-loopBack, stepIdx]. */
   private def iterCounts(p: Partial, coll2: Seq[Seq[CepEvent]], loopBack: Int): Seq[Int] =
@@ -257,11 +331,15 @@ object Cep {
     Seq.tabulate(coll2.size)(i =>
       if (i >= lo && i <= p.stepIdx) coll2(i).size else baseAt(p, i))
   }
-  /** iterHist is only needed when a looped member's per-iteration count
-    * can vary (min != max): only then can two parses share per-step
-    * totals while holding different events (see [[Partial]]). */
+  /** iterHist is only needed when a per-iteration count can vary: a looped
+    * member's own count (min != max), or — round 15 — a nested group's
+    * ITERATION count (innerMin != innerMax): two parses can then share
+    * per-step totals and frame state while holding different membership
+    * (e.g. `((I){1,} T){2,3}` reading I,T,I,I,I,T as splits (1|1)(3|1) vs
+    * (3|1)(1|1) — same totals, different T rows; see [[Partial]]). */
   private def needIterHist(spec: PatternSpec): Boolean =
-    spec.steps.exists(s => (s.looped || s.loopBack >= 0) && s.min != s.max)
+    spec.steps.exists(s => ((s.looped || s.loopBack >= 0) && s.min != s.max) ||
+      (s.innerLoopBack >= 0 && s.innerMinIters != s.innerMaxIters))
 
   private implicit val keyEnc: Encoder[String] = Encoders.STRING
   private implicit val matchEnc: Encoder[CepMatch] = Encoders.product[CepMatch]
@@ -274,6 +352,11 @@ object Cep {
     val nSteps = spec.steps.size
     val needHist = needIterHist(spec)
     val hasLoops = specHasLoops(spec)
+    val hasInner = specHasInner(spec)
+    val mergedBase: Partial => Seq[Int] =
+      if (!hasInner) (p: Partial) => p.iterBase
+      else (p: Partial) => Seq.tabulate(nSteps)(i =>
+        if (spec.steps(i).inner) innerBaseAt(p, i) else baseAt(p, i))
     var partials: Vector[Partial] = init.partials.toVector
     var done = init.done
     var seq = init.seq
@@ -303,6 +386,14 @@ object Cep {
         val seed = Partial(0, e.tsUs, seq, Vector.fill(nSteps)(Vector.empty))
         val next = Vector.newBuilder[Partial]
         var matchedNow = false
+        // nested groups only: two parses differing ONLY in inner-iteration
+        // structure can hold IDENTICAL buffers (e.g. ((A{1,2}){1,2} C)+
+        // reading A A as one 2-count iteration vs two 1-count iterations) —
+        // same (start, membership) = the SAME match, emitted once
+        val emittedNow =
+          if (hasInner)
+            scala.collection.mutable.HashSet.empty[(Long, Seq[Seq[Long]])]
+          else null
 
         (if (seedNow) partials :+ seed else partials).foreach { p =>
           val step = spec.steps(p.stepIdx)
@@ -315,13 +406,14 @@ object Cep {
             g.pred(e) &&
             g.forUs.forall(f => e.tsUs <= p.collected(g.afterStep).last.tsUs + f)
           }
-          if (stepOk(step, e, p)) {
+          if (stepOk(step, e, p, mergedBase)) {
             val coll2 = p.collected.updated(p.stepIdx, p.collected(p.stepIdx) :+ e)
             // member quantifiers gate on the count collected THIS
             // iteration (total minus the iteration base — zero outside
-            // loop groups, so plain chains read the total as before)
+            // loop groups, so plain chains read the total as before;
+            // INNER members gate within the current inner iteration)
             val cnt = coll2(p.stepIdx).size
-            val cntIter = cnt - baseAt(p, p.stepIdx)
+            val cntIter = cnt - gateBaseAt(step, p, p.stepIdx)
             if (cntIter < step.max)
               next += p.copy(collected = coll2) // stay: await more of this step
             if (cntIter >= step.min) {
@@ -329,6 +421,14 @@ object Cep {
                 // non-EVERY: first completion only — a second partial
                 // completing on the same event is not emitted (reference:
                 // "the first complete sequence" wins)
+                // key = full membership (event ids), not counts: relaxed
+                // mode can skip middle events, so equal counts do not
+                // imply equal membership; hashing is per EMISSION, not
+                // per event
+                if (hasInner && !emittedNow.add(
+                    (p.startSeq, coll2.map(_.map(_.eventId))))) {
+                  matchedNow = true; return
+                }
                 if (spec.every || !matchedNow) {
                   mseq += 1
                   matches += CepMatch(e.key, p.startUs, e.tsUs,
@@ -337,35 +437,71 @@ object Cep {
                 }
                 matchedNow = true
               }
-              if (step.loopBack >= 0) {
-                // the group's LAST member just completed iteration
-                // `p.iters + 1`: emit/advance once the minimum iteration
-                // count is met (advance leaves the group — the loop
-                // bookkeeping resets, the completed history rides
-                // iterHist for dedup identity), and branch back for
-                // another iteration while below maxIters
-                val itersDone = p.iters + 1
-                val histDone =
-                  if (!needHist) Nil
-                  else p.iterHist ++ iterCounts(p, coll2, step.loopBack)
-                if (itersDone >= step.minIters) {
-                  if (p.stepIdx == nSteps - 1) emitHere()
-                  else next += Partial(p.stepIdx + 1, p.startUs, p.startSeq,
-                    coll2, iters = 0, iterBase = Nil, iterHist = histDone)
+              // outer-frame resolution (`pp` = the partial after the inner
+              // frame, if any, resolved — identical to `p` without one)
+              def outerAdvance(pp: Partial): Unit = {
+                if (step.loopBack >= 0) {
+                  // the group's LAST member just completed iteration
+                  // `pp.iters + 1`: emit/advance once the minimum iteration
+                  // count is met (advance leaves the group — the loop
+                  // bookkeeping resets, the completed history rides
+                  // iterHist for dedup identity), and branch back for
+                  // another iteration while below maxIters
+                  val itersDone = pp.iters + 1
+                  val histDone =
+                    if (!needHist) Nil
+                    // nested specs mark outer-iteration records with a −1
+                    // so inner splits and outer totals cannot alias in the
+                    // flattened history
+                    else if (hasInner)
+                      pp.iterHist ++ (-1 +: iterCounts(pp, coll2, step.loopBack))
+                    else pp.iterHist ++ iterCounts(pp, coll2, step.loopBack)
+                  if (itersDone >= step.minIters) {
+                    if (pp.stepIdx == nSteps - 1) emitHere()
+                    else next += Partial(pp.stepIdx + 1, pp.startUs, pp.startSeq,
+                      coll2, iters = 0, iterBase = Nil, iterHist = histDone)
+                  }
+                  if (itersDone < step.maxIters) {
+                    val nb = nextBase(pp, coll2, step.loopBack)
+                    // a fresh outer iteration also restarts the inner
+                    // frame: the inner group's next entry anchors at the
+                    // loop-back snapshot
+                    next += Partial(pp.stepIdx - step.loopBack, pp.startUs,
+                      pp.startSeq, coll2, iters = itersDone,
+                      iterBase = nb, iterHist = histDone,
+                      innerIters = 0, innerBase = if (hasInner) nb else Nil)
+                  }
+                } else if (pp.stepIdx == nSteps - 1) {
+                  emitHere()
+                } else {
+                  // mid-group members carry the iteration frames forward;
+                  // outside a group all fields are at their defaults
+                  next += Partial(pp.stepIdx + 1, pp.startUs, pp.startSeq, coll2,
+                    iters = pp.iters, iterBase = pp.iterBase,
+                    iterHist = pp.iterHist,
+                    innerIters = pp.innerIters, innerBase = pp.innerBase)
                 }
-                if (itersDone < step.maxIters)
-                  next += Partial(p.stepIdx - step.loopBack, p.startUs,
-                    p.startSeq, coll2, iters = itersDone,
-                    iterBase = nextBase(p, coll2, step.loopBack),
-                    iterHist = histDone)
-              } else if (p.stepIdx == nSteps - 1) {
-                emitHere()
-              } else {
-                // mid-group members carry the iteration frame forward;
-                // outside a group all three fields are at their defaults
-                next += Partial(p.stepIdx + 1, p.startUs, p.startSeq, coll2,
-                  iters = p.iters, iterBase = p.iterBase, iterHist = p.iterHist)
               }
+              if (step.innerLoopBack >= 0) {
+                // the INNER group's last member completed inner iteration
+                // `innerIters + 1`: leave once the inner floor is met
+                // (falling through to the outer logic with the inner split
+                // folded into iterHist; the inner base SURVIVES leaving so
+                // later outer-member refs anchor at the last inner
+                // iteration), and branch back for another inner iteration
+                // while below the inner ceiling
+                val innerDone = p.innerIters + 1
+                val ihist =
+                  if (!needHist) p.iterHist
+                  else p.iterHist ++ innerIterCounts(p, coll2, step.innerLoopBack)
+                if (innerDone >= step.innerMinIters)
+                  outerAdvance(p.copy(iterHist = ihist, innerIters = 0))
+                if (innerDone < step.innerMaxIters)
+                  next += Partial(p.stepIdx - step.innerLoopBack, p.startUs,
+                    p.startSeq, coll2, iters = p.iters, iterBase = p.iterBase,
+                    iterHist = ihist, innerIters = innerDone,
+                    innerBase = nextInnerBase(p, coll2, step.innerLoopBack))
+              } else outerAdvance(p)
             }
           } else if (!spec.strict && !guardKill) {
             // relaxed PATTERN: non-matching events are skipped; seeds that
@@ -376,7 +512,7 @@ object Cep {
           // guardKill: a mid-chain NOT event kills the gap's partial
         }
 
-        val trimmed = distinctPartials(next.result(), hasLoops)
+        val trimmed = distinctPartials(next.result(), hasLoops, hasInner)
         if (trimmed.size > spec.maxPartials)
           droppedRun += trimmed.size - spec.maxPartials
         partials = trimmed.take(spec.maxPartials)
@@ -449,6 +585,11 @@ object Cep {
     val nSteps = spec.steps.size
     val needHist = needIterHist(spec)
     val hasLoops = specHasLoops(spec)
+    val hasInner = specHasInner(spec)
+    val mergedBase: Partial => Seq[Int] =
+      if (!hasInner) (p: Partial) => p.iterBase
+      else (p: Partial) => Seq.tabulate(nSteps)(i =>
+        if (spec.steps(i).inner) innerBaseAt(p, i) else baseAt(p, i))
     var partials: Vector[Partial] = init.nfa.partials.toVector
     var seq = init.nfa.seq
     var mseq = init.nfa.matchSeq
@@ -486,44 +627,66 @@ object Cep {
       val next = Vector.newBuilder[Partial]
       (partials :+ seed).foreach { p =>
         val step = spec.steps(p.stepIdx)
-        if (stepOk(step, e, p)) {
+        if (stepOk(step, e, p, mergedBase)) {
           val coll2 = p.collected.updated(p.stepIdx, p.collected(p.stepIdx) :+ e)
           val cnt = coll2(p.stepIdx).size
-          val cntIter = cnt - baseAt(p, p.stepIdx)
+          val cntIter = cnt - gateBaseAt(step, p, p.stepIdx)
           if (cntIter < step.max) next += p.copy(collected = coll2)
           if (cntIter >= step.min) {
             def candHere(): Unit = addCand(SkipCand(
               CepMatch(e.key, p.startUs, e.tsUs,
                 spec.steps.map(_.name).zip(coll2).map { case (n, es) => Collected(n, es) }),
               p.startSeq, seq, coll2.map(_.size.toLong)))
-            if (step.loopBack >= 0) {
-              // same loop-group bookkeeping as [[runNfa]] (iteration gate,
-              // maxIters-bounded loop-back, iterHist identity carry)
-              val itersDone = p.iters + 1
-              val histDone =
-                if (!needHist) Nil
-                else p.iterHist ++ iterCounts(p, coll2, step.loopBack)
-              if (itersDone >= step.minIters) {
-                if (p.stepIdx == nSteps - 1) candHere()
-                else next += Partial(p.stepIdx + 1, p.startUs, p.startSeq,
-                  coll2, iters = 0, iterBase = Nil, iterHist = histDone)
+            // same loop-group bookkeeping as [[runNfa]]: inner frame
+            // resolves first, then the outer iteration gate /
+            // maxIters-bounded loop-back / iterHist identity carry
+            def outerAdvance(pp: Partial): Unit = {
+              if (step.loopBack >= 0) {
+                val itersDone = pp.iters + 1
+                val histDone =
+                  if (!needHist) Nil
+                  else if (hasInner)
+                    pp.iterHist ++ (-1 +: iterCounts(pp, coll2, step.loopBack))
+                  else pp.iterHist ++ iterCounts(pp, coll2, step.loopBack)
+                if (itersDone >= step.minIters) {
+                  if (pp.stepIdx == nSteps - 1) candHere()
+                  else next += Partial(pp.stepIdx + 1, pp.startUs, pp.startSeq,
+                    coll2, iters = 0, iterBase = Nil, iterHist = histDone)
+                }
+                if (itersDone < step.maxIters) {
+                  val nb = nextBase(pp, coll2, step.loopBack)
+                  next += Partial(pp.stepIdx - step.loopBack, pp.startUs,
+                    pp.startSeq, coll2, iters = itersDone,
+                    iterBase = nb, iterHist = histDone,
+                    innerIters = 0, innerBase = if (hasInner) nb else Nil)
+                }
+              } else if (pp.stepIdx == nSteps - 1) {
+                candHere()
+              } else {
+                next += Partial(pp.stepIdx + 1, pp.startUs, pp.startSeq, coll2,
+                  iters = pp.iters, iterBase = pp.iterBase,
+                  iterHist = pp.iterHist,
+                  innerIters = pp.innerIters, innerBase = pp.innerBase)
               }
-              if (itersDone < step.maxIters)
-                next += Partial(p.stepIdx - step.loopBack, p.startUs,
-                  p.startSeq, coll2, iters = itersDone,
-                  iterBase = nextBase(p, coll2, step.loopBack),
-                  iterHist = histDone)
-            } else if (p.stepIdx == nSteps - 1) {
-              candHere()
-            } else {
-              next += Partial(p.stepIdx + 1, p.startUs, p.startSeq, coll2,
-                iters = p.iters, iterBase = p.iterBase, iterHist = p.iterHist)
             }
+            if (step.innerLoopBack >= 0) {
+              val innerDone = p.innerIters + 1
+              val ihist =
+                if (!needHist) p.iterHist
+                else p.iterHist ++ innerIterCounts(p, coll2, step.innerLoopBack)
+              if (innerDone >= step.innerMinIters)
+                outerAdvance(p.copy(iterHist = ihist, innerIters = 0))
+              if (innerDone < step.innerMaxIters)
+                next += Partial(p.stepIdx - step.innerLoopBack, p.startUs,
+                  p.startSeq, coll2, iters = p.iters, iterBase = p.iterBase,
+                  iterHist = ihist, innerIters = innerDone,
+                  innerBase = nextInnerBase(p, coll2, step.innerLoopBack))
+            } else outerAdvance(p)
           }
         }
         // strict contiguity: a mismatching event kills the instance
       }
-      val trimmed = distinctPartials(next.result(), hasLoops)
+      val trimmed = distinctPartials(next.result(), hasLoops, hasInner)
       if (trimmed.size > spec.maxPartials)
         droppedRun += trimmed.size - spec.maxPartials
       partials = trimmed.take(spec.maxPartials)

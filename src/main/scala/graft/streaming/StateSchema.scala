@@ -23,16 +23,18 @@ import org.apache.spark.sql.SparkSession
   * ROWS' mr_match_number, round 13 (v12): AbsentChainState
   * grows the conclusive-emission ordinal `seq` so guard-killed matches
   * never gap mr_match_number, plus the new MultiSeqState/UnmatchedNfaState
-  * kernels, round 14 (v13) = current: Partial grows the loop-group
+  * kernels, round 14 (v13): Partial grows the loop-group
   * iteration frame `iters`/`iterBase`/`iterHist` backing quantified group
-  * members and bounded groups on the loop machine). Library users driving
+  * members and bounded groups on the loop machine, round 15 (v14) =
+  * current: Partial grows the NESTED iteration frame `innerIters`/
+  * `innerBase` backing variable-count nested groups `((A B){1,3} C)+`). Library users driving
   * the kernels directly (not through AppRuntime) can call [[guard]]
   * themselves.
   */
 object StateSchema {
 
   /** Current state-schema generation of the streaming kernels. */
-  val Version: Int = 13
+  val Version: Int = 14
 
   private val MarkerName = "graft-state-version.json"
 

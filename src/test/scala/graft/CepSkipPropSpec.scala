@@ -361,4 +361,132 @@ class CepSkipPropSpec extends AnyFunSuite {
     // the generator must actually exercise matches, not vacuous emptiness
     assert(nonEmpty > 150, s"only $nonEmpty/300 samples produced matches")
   }
+  test("variable-count NESTED groups: EVERY enumeration == brute force over 200 random samples") {
+    val rng = new Rng(0xCAFE15)
+
+    // pattern: pre -> ( (innerM){inMin,inMax} tail ){outMin,outMax} -> post
+    final case class NestCase(pre: Seq[StepSpec], innerM: Seq[StepSpec],
+                              tail: Seq[StepSpec], post: Seq[StepSpec],
+                              inMin: Int, inMax: Int, outMin: Int, outMax: Int)
+
+    // independent brute force: enumerate every derivation, collect per-STEP
+    // buffers (inner members accumulate across all outer x inner
+    // iterations), then dedup on (start, membership) — derivations that
+    // differ only in inner boundary placement are the SAME match
+    def bruteForce(tape: IndexedSeq[Int], c: NestCase): Seq[(Int, Seq[Seq[Long]])] = {
+      val out = Seq.newBuilder[(Int, Seq[Seq[Long]])]
+      val offIn = c.pre.size
+      val offTail = offIn + c.innerM.size
+      val offPost = offTail + c.tail.size
+      val total = offPost + c.post.size
+      def consume1(specs: Seq[StepSpec], off: Int, pos: Int, acc: Vector[Seq[Long]],
+                   k: (Int, Vector[Seq[Long]]) => Unit): Unit = {
+        def go(si: Int, p: Int, a: Vector[Seq[Long]]): Unit =
+          if (si == specs.size) k(p, a)
+          else if (p < tape.length && specs(si).kinds(tape(p)))
+            go(si + 1, p + 1, a.updated(off + si, a(off + si) :+ p.toLong))
+        go(0, pos, acc)
+      }
+      def consumeVar(specs: Seq[StepSpec], off: Int, pos: Int, acc: Vector[Seq[Long]],
+                     k: (Int, Vector[Seq[Long]]) => Unit): Unit = {
+        def go(si: Int, p0: Int, a0: Vector[Seq[Long]]): Unit =
+          if (si == specs.size) k(p0, a0)
+          else {
+            val st = specs(si)
+            var p = p0; var cnt = 0; var a = a0
+            while (cnt < st.max && p < tape.length && st.kinds(tape(p))) {
+              a = a.updated(off + si, a(off + si) :+ p.toLong)
+              p += 1; cnt += 1
+              if (cnt >= st.min) go(si + 1, p, a)
+            }
+          }
+        go(0, pos, acc)
+      }
+      def innerIters(pos: Int, j: Int, acc: Vector[Seq[Long]], kOut: Int, start: Int): Unit = {
+        if (j >= c.inMin)
+          consume1(c.tail, offTail, pos, acc,
+            (p2, a2) => outerIters(p2, kOut + 1, a2, start))
+        if (j < c.inMax)
+          consumeVar(c.innerM, offIn, pos, acc,
+            (p2, a2) => innerIters(p2, j + 1, a2, kOut, start))
+      }
+      def outerIters(pos: Int, k: Int, acc: Vector[Seq[Long]], start: Int): Unit = {
+        if (k >= c.outMin)
+          consume1(c.post, offPost, pos, acc, (p2, a2) => out += ((start, a2)))
+        if (k < c.outMax) innerIters(pos, 0, acc, k, start)
+      }
+      tape.indices.foreach { start =>
+        consume1(c.pre, 0, start, Vector.fill(total)(Seq.empty[Long]),
+          (p0, a0) => outerIters(p0, 0, a0, start))
+      }
+      out.result().distinct
+    }
+
+    def runEvery(tape: IndexedSeq[Int], c: NestCase): Seq[(Int, Seq[Seq[Long]])] = {
+      val nLoop = c.innerM.size + c.tail.size
+      def mk(st: StepSpec, name: String): Step =
+        Step(name, st.min, st.max, (e, _) => st.kinds(e.etype.toInt))
+      val steps =
+        c.pre.zipWithIndex.map { case (st, i) => mk(st, s"P$i") } ++
+        c.innerM.zipWithIndex.map { case (st, i) =>
+          mk(st, s"I$i").copy(looped = true,
+            minIters = c.outMin, maxIters = c.outMax,
+            inner = true,
+            innerLoopBack = if (i == c.innerM.size - 1) c.innerM.size - 1 else -1,
+            innerMinIters = c.inMin, innerMaxIters = c.inMax) } ++
+        c.tail.zipWithIndex.map { case (st, i) =>
+          mk(st, s"T$i").copy(looped = true,
+            minIters = c.outMin, maxIters = c.outMax,
+            loopBack = if (i == c.tail.size - 1) nLoop - 1 else -1) } ++
+        c.post.zipWithIndex.map { case (st, i) => mk(st, s"Q$i") }
+      val spec = PatternSpec(steps, strict = true, every = true,
+        withinUs = Some(1000L * 1000000L), maxPartials = 20000)
+      val evs = tape.zipWithIndex.map { case (kk, i) =>
+        CepEvent("k", i.toLong * 1000000, i.toLong, kk.toString, 0.0, Nil, Nil)
+      }
+      val (out, _) = Cep.runNfa(evs, NfaState(Nil, done = false), spec)
+      out.map(m => (m.steps.head.events.head.eventId.toInt,
+        m.steps.map(_.events.map(_.eventId))))
+    }
+
+    var checked = 0
+    var nonEmpty = 0
+    var multiInner = 0
+    while (checked < 200) {
+      def specOf(maxMax: Int): StepSpec = {
+        val kinds = (0 until 3).filter(_ => rng.next(2) == 1).toSet match {
+          case e if e.isEmpty => Set(rng.next(3))
+          case s2 => s2
+        }
+        StepSpec(kinds, 1, 1 + rng.next(maxMax), rel = false)
+      }
+      val pre = Seq.fill(rng.next(2))(specOf(1))
+      val innerM = Seq.fill(1 + rng.next(2))(specOf(2))
+      val tail = Seq.fill(1 + rng.next(2))(specOf(1))
+      val post = Seq.fill(rng.next(2))(specOf(1))
+      val inMin = 1 + rng.next(2)
+      val inMax = if (rng.next(2) == 0) Int.MaxValue else inMin + rng.next(2)
+      val outMin = 1 + rng.next(2)
+      val outMax = if (rng.next(3) == 0) Int.MaxValue else outMin + rng.next(2)
+      val c = NestCase(pre, innerM, tail, post, inMin, inMax, outMin, outMax)
+      val tape = IndexedSeq.fill(4 + rng.next(11))(rng.next(3))
+      val want = bruteForce(tape, c)
+        .map { case (s2, b) => (s2, b.map(_.sorted)) }.distinct.sortBy(_.toString)
+      val got = runEvery(tape, c)
+        .map { case (s2, b) => (s2, b.map(_.sorted)) }.sortBy(_.toString)
+      assert(got == want,
+        s"case=$c tape=${tape.mkString}\n  want=$want\n  got=$got")
+      if (want.nonEmpty) nonEmpty += 1
+      // sample exercised >1 inner iteration: some inner member holds more
+      // events than outer iterations could alone explain only if... just
+      // count samples where an inner member's buffer exceeds its max
+      // (must span >1 iteration, inner or outer)
+      if (want.exists { case (_, b) =>
+            b.slice(c.pre.size, c.pre.size + c.innerM.size).zip(c.innerM)
+              .exists { case (buf, st) => buf.size > st.max } }) multiInner += 1
+      checked += 1
+    }
+    assert(nonEmpty > 35, s"only $nonEmpty/200 samples produced matches")
+    assert(multiInner > 8, s"only $multiInner/200 samples exercised repeated inner groups")
+  }
 }

@@ -1528,9 +1528,8 @@ class GraftAppSpec extends AnyFunSuite {
     // nesting depth 2
     assert(errOf(mr("count(D.v) AS n_d", "A (((D U){2} C){2} U)+ E",
       defs + ", E AS E.kind = 'e'", "n_d BIGINT")).nonEmpty)
-    // variable inner count
-    assert(errOf(mr("count(D.v) AS n_d", "A ((D U){1,2} C)+ E",
-      defs + ", E AS E.kind = 'e'", "n_d BIGINT")).contains("EXACT"))
+    // variable inner count is round-15 SURFACE now (nested iteration
+    // frame) — see the dedicated variable-count nested-group test
     // reluctant member quantifier
     assert(errOf(mr("count(D.v) AS n_d", "A (D U+?)+ C", defs, "n_d BIGINT"))
       .contains("reluctant"))
@@ -1550,6 +1549,83 @@ class GraftAppSpec extends AnyFunSuite {
     // tokenizer itself rejects the shape (typed, message differs)
     assert(errOf(mr("count(D.v) AS n_d", "A ((D U?){2} C)+ E",
       defs + ", E AS E.kind = 'e'", "n_d BIGINT")).contains("not supported"))
+  }
+
+  test("MATCH_RECOGNIZE variable-count NESTED groups ((D U){1,3} C)+ (round 15)") {
+    def tape(rows: Seq[(Int, String, Double)]) = rows.map { case (s, k, v) => (s, 7L, k, v) }
+      .toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    def mr(measures: String, pattern: String, define: String, out: String) =
+      s"""CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+         |CREATE STREAM Out ($out);
+         |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+         |  PARTITION BY user_id ORDER BY ts
+         |  MEASURES $measures
+         |  ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW
+         |  PATTERN ($pattern) WITHIN INTERVAL '1' HOUR
+         |  DEFINE $define);""".stripMargin
+    val defs = "A AS A.kind = 'a', D AS D.kind = 'd', " +
+      "U AS U.kind = 'u', C AS C.kind = 'c', X AS X.kind = 'e'"
+    def run(t: org.apache.spark.sql.DataFrame, pattern: String,
+            define: String = defs) = GraftApp.run(spark,
+      mr("count(D.v) AS n_d, count(U.v) AS n_u, count(C.v) AS n_c, " +
+        "round(sum(U.v), 6) AS s_u", pattern, define,
+        "n_d BIGINT, n_u BIGINT, n_c BIGINT, s_u DOUBLE"),
+      Map("E" -> t))("Out")
+      .selectExpr("CAST(n_d AS BIGINT)", "CAST(n_u AS BIGINT)",
+        "CAST(n_c AS BIGINT)", "s_u")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+
+    // two outer iterations with DIFFERENT inner counts: iter 1 runs the
+    // inner group once (d u c), iter 2 twice (d u d u c) — strict
+    // contiguity + disjoint predicates make the parse unique
+    val t1 = tape(Seq((1, "a", 0.0), (2, "d", 1.0), (3, "u", 2.0), (4, "c", 0.0),
+      (5, "d", 3.0), (6, "u", 4.0), (7, "d", 5.0), (8, "u", 6.0), (9, "c", 0.0),
+      (10, "e", 0.0)))
+    assert(run(t1, "A ((D U){1,3} C)+ X") == Seq((3L, 3L, 2L, 12.0)))
+    // inner ceiling {1,2}: three consecutive (d u) pairs before the c
+    // exceed the inner max — no match on that outer iteration's shape
+    val t2 = tape(Seq((1, "a", 0.0), (2, "d", 1.0), (3, "u", 2.0),
+      (4, "d", 3.0), (5, "u", 4.0), (6, "d", 5.0), (7, "u", 6.0), (8, "c", 0.0),
+      (9, "e", 0.0)))
+    assert(run(t2, "A ((D U){1,2} C)+ X") == Seq())
+    assert(run(t2, "A ((D U){1,3} C)+ X") == Seq((3L, 3L, 1L, 12.0)))
+    // unbounded inner +: same tape matches with (D U)+ inside
+    assert(run(t2, "A ((D U)+ C)+ X") == Seq((3L, 3L, 1L, 12.0)))
+    // quantified member INSIDE the nested group: U+ gated per INNER
+    // iteration — d u u u c parses as one inner iteration with 3 u's
+    val t3 = tape(Seq((1, "a", 0.0), (2, "d", 1.0), (3, "u", 2.0),
+      (4, "u", 3.0), (5, "u", 4.0), (6, "c", 0.0), (7, "e", 0.0)))
+    assert(run(t3, "A ((D U+){1,2} C)+ X") == Seq((1L, 3L, 1L, 9.0)))
+    // per-INNER-iteration cross-member ref: U must beat ITS OWN inner
+    // iteration's D. d(5) u(3): 3 > 5 fails — no match; with the second
+    // pair rising it matches and binds pairwise
+    val defsRef = "A AS A.kind = 'a', D AS D.kind = 'd', " +
+      "U AS U.kind = 'u' AND U.v > D.v, C AS C.kind = 'c', X AS X.kind = 'e'"
+    val tRefBad = tape(Seq((1, "a", 0.0), (2, "d", 5.0), (3, "u", 3.0),
+      (4, "c", 0.0), (5, "e", 0.0)))
+    assert(run(tRefBad, "A ((D U){1,2} C)+ X", defsRef) == Seq())
+    val tRefOk = tape(Seq((1, "a", 0.0), (2, "d", 1.0), (3, "u", 2.0),
+      (4, "d", 5.0), (5, "u", 6.0), (6, "c", 0.0), (7, "e", 0.0)))
+    // pairwise binding: u(2)>d(1) and u(6)>d(5) — a first-iteration-only
+    // anchor would reject u(6) vs d(1)? no, 6>1 passes; the DISCRIMINATING
+    // case is u BELOW the first d: d(5) u(6) d(1) u(2) — u(2) > d(1) holds
+    // per-iteration but fails against the first d(5)
+    assert(run(tRefOk, "A ((D U){1,2} C)+ X", defsRef) == Seq((2L, 2L, 1L, 8.0)))
+    val tRefIter = tape(Seq((1, "a", 0.0), (2, "d", 5.0), (3, "u", 6.0),
+      (4, "d", 1.0), (5, "u", 2.0), (6, "c", 0.0), (7, "e", 0.0)))
+    assert(run(tRefIter, "A ((D U){1,2} C)+ X", defsRef) == Seq((2L, 2L, 1L, 8.0)))
+
+    // typed gates that REMAIN: zero-min inner; depth-2 nesting; reluctant
+    // outer group over a nested group
+    def errOf(app: String) = intercept[GraftApp.SqlError](
+      GraftApp.run(spark, app, Map("E" -> tape(Seq((1, "a", 0.0)))))).getMessage
+    def mrOf(pat: String) = mr("count(D.v) AS n_d", pat, defs, "n_d BIGINT")
+    assert(errOf(mrOf("A ((D U){0,2} C)+ X")).contains("zero-min"))
+    assert(errOf(mrOf("A (((D U){1,2} C){1,2} X)+")).nonEmpty)
+    assert(errOf(mrOf("A ((D U){1,2} C)+? X")).contains("nested"))
   }
 
   test("conflicting AFTER MATCH resume modes on the engine surface die typed (ADVICE r14)") {
