@@ -216,6 +216,18 @@ object PatternCompiler {
           "overlapping match) for those patterns")
       if (q.absents.nonEmpty) throw GraftApp.SqlError(
         s"$mode is not supported with absent (NOT) guards")
+      // the two-level reluctant-group key (fewest iterations, then member
+      // rows) reads ONE group's iteration count off the candidate — two
+      // loop groups would need a per-group vector
+      locally {
+        val chain = q.variants.head
+        if (chain.count(_.loopBack >= 0) > 1 &&
+            chain.exists(st => st.looped && st.reluctant && st.min != st.max))
+          throw GraftApp.SqlError(
+            s"$mode with a reluctant variable-member group needs a single " +
+              "loop group in the pattern — split the query or fix the " +
+              "member counts")
+      }
       q.skipTo.foreach { case (isFirst, alias) =>
         val chain = q.variants.head
         val step = chain.find(_.aliases.contains(alias)).getOrElse(
@@ -2237,12 +2249,17 @@ object PatternCompiler {
     aliases.groupBy(identity).collectFirst { case (a, as) if as.size > 1 => a }
       .foreach(a => throw GraftApp.SqlError(
         s"duplicate member alias '$a' in group '$el'"))
-    if (relGroup && members.exists(m => m.min != m.max || m.inner))
+    // reluctant group repetition with VARIABLE-count members is defined
+    // (round 15) as the two-level lexicographic key "fewest ITERATIONS,
+    // then fewest member rows" — carried to the skip machine through
+    // SkipCand.groupIters. A NESTED group inside a reluctant group would
+    // need a third key level and stays typed.
+    if (relGroup && members.exists(_.inner))
       throw GraftApp.SqlError(
-        s"reluctant group repetition in '$el' with a variable-count " +
-          "member or nested group is not supported — the parse preference " +
-          "would conflate iteration count with member count; fix the " +
-          "member counts or drop the group-level '?'")
+        s"reluctant group repetition in '$el' over a nested group is not " +
+          "supported — the parse preference would need a third level " +
+          "(outer iterations, inner iterations, member rows); restructure " +
+          "or drop the group-level '?'")
     // single plain member: (A)+ IS A+ — emit the plain quantifier step so
     // loop-group and quantifier semantics cannot drift apart (a single
     // NESTED-group member is excluded: its iteration bounds do not compose

@@ -532,8 +532,14 @@ object Cep {
     * still produce a leftmost-greedier match. `counts` = per-step buffer
     * sizes (the greedy comparison key — lex-max wins at a fixed start).
     */
+  /** `groupIters` (round 15, −1 = not applicable): total loop-group
+    * iterations of the candidate's parse — populated only when the spec
+    * holds a RELUCTANT loop group with a variable-count member, where the
+    * group-level '?' is defined as the two-level lexicographic key
+    * "fewest ITERATIONS, then fewest member rows" (member counts alone
+    * cannot order parses whose iteration/member splits trade off). */
   final case class SkipCand(m: CepMatch, startSeq: Long, endSeq: Long,
-                            counts: Seq[Long])
+                            counts: Seq[Long], groupIters: Long = -1L)
 
   /** State of the streaming skip-past machine: the NFA state (partials
     * enumerate every (start, parse) pair exactly like EVERY mode), the
@@ -590,6 +596,16 @@ object Cep {
       if (!hasInner) (p: Partial) => p.iterBase
       else (p: Partial) => Seq.tabulate(nSteps)(i =>
         if (spec.steps(i).inner) innerBaseAt(p, i) else baseAt(p, i))
+    // reluctant loop group with a VARIABLE-count member: candidates carry
+    // the parse's total iteration count for the two-level preference
+    // (fewest iterations, then fewest member rows). Derived from the
+    // iterHist record count — needIterHist is true for exactly these
+    // specs, one record of `width` ints per completed iteration (the
+    // compile gates keep this to a single, non-nested loop group)
+    val relVarWidth: Int =
+      if (spec.steps.exists(s => s.looped && s.reluctant && s.min != s.max))
+        spec.steps.find(_.loopBack >= 0).map(_.loopBack + 1).getOrElse(0)
+      else 0
     var partials: Vector[Partial] = init.nfa.partials.toVector
     var seq = init.nfa.seq
     var mseq = init.nfa.matchSeq
@@ -603,7 +619,8 @@ object Cep {
       if (c.startSeq < pos) return
       val i = cands.indexWhere(_.startSeq == c.startSeq)
       if (i < 0) cands :+= c
-      else if (skipPreferred(c.counts, cands(i).counts, rel)) cands = cands.updated(i, c)
+      else if (skipPreferred(c.counts, cands(i).counts, rel,
+        c.groupIters, cands(i).groupIters)) cands = cands.updated(i, c)
     }
     def flush(): Unit = {
       val (emitted, st2) = skipFlush(SkipNfaState(
@@ -633,10 +650,12 @@ object Cep {
           val cntIter = cnt - gateBaseAt(step, p, p.stepIdx)
           if (cntIter < step.max) next += p.copy(collected = coll2)
           if (cntIter >= step.min) {
-            def candHere(): Unit = addCand(SkipCand(
+            def candHere(hist: Seq[Int]): Unit = addCand(SkipCand(
               CepMatch(e.key, p.startUs, e.tsUs,
                 spec.steps.map(_.name).zip(coll2).map { case (n, es) => Collected(n, es) }),
-              p.startSeq, seq, coll2.map(_.size.toLong)))
+              p.startSeq, seq, coll2.map(_.size.toLong),
+              groupIters =
+                if (relVarWidth > 0) (hist.size / relVarWidth).toLong else -1L))
             // same loop-group bookkeeping as [[runNfa]]: inner frame
             // resolves first, then the outer iteration gate /
             // maxIters-bounded loop-back / iterHist identity carry
@@ -649,7 +668,7 @@ object Cep {
                     pp.iterHist ++ (-1 +: iterCounts(pp, coll2, step.loopBack))
                   else pp.iterHist ++ iterCounts(pp, coll2, step.loopBack)
                 if (itersDone >= step.minIters) {
-                  if (pp.stepIdx == nSteps - 1) candHere()
+                  if (pp.stepIdx == nSteps - 1) candHere(histDone)
                   else next += Partial(pp.stepIdx + 1, pp.startUs, pp.startSeq,
                     coll2, iters = 0, iterBase = Nil, iterHist = histDone)
                 }
@@ -661,7 +680,9 @@ object Cep {
                     innerIters = 0, innerBase = if (hasInner) nb else Nil)
                 }
               } else if (pp.stepIdx == nSteps - 1) {
-                candHere()
+                // group mid-chain: its completed-iteration records already
+                // sit in the partial's history
+                candHere(pp.iterHist)
               } else {
                 next += Partial(pp.stepIdx + 1, pp.startUs, pp.startSeq, coll2,
                   iters = pp.iters, iterBase = pp.iterBase,
@@ -708,7 +729,13 @@ object Cep {
     * chain). `rel(i)` = step i is reluctant; empty = all greedy. Returns
     * true when `a` is strictly preferred over `b`.
     */
-  private def skipPreferred(a: Seq[Long], b: Seq[Long], rel: Seq[Boolean]): Boolean = {
+  private def skipPreferred(a: Seq[Long], b: Seq[Long], rel: Seq[Boolean],
+                            aIters: Long = -1L, bIters: Long = -1L): Boolean = {
+    // two-level key for reluctant groups with variable-count members
+    // (round 15): the group-level '?' prefers the FEWEST ITERATIONS
+    // first; the member-level directions below then break ties among
+    // equal-iteration parses (fewest member rows)
+    if (aIters >= 0L && bIters >= 0L && aIters != bIters) return aIters < bIters
     val i = a.zip(b).indexWhere { case (x, y) => x != y }
     i >= 0 && (if (i < rel.length && rel(i)) a(i) < b(i) else a(i) > b(i))
   }
@@ -735,7 +762,8 @@ object Cep {
         val s = cands.map(_.startSeq).min
         if (!partials.exists(_.startSeq <= s)) {
           val best = cands.filter(_.startSeq == s)
-            .reduceLeft((x, y) => if (skipPreferred(y.counts, x.counts, rel)) y else x)
+            .reduceLeft((x, y) => if (skipPreferred(y.counts, x.counts, rel,
+              y.groupIters, x.groupIters)) y else x)
           mseq += 1
           o += best.m.copy(matchSeq = mseq)
           pos = resume match {

@@ -489,4 +489,138 @@ class CepSkipPropSpec extends AnyFunSuite {
     assert(nonEmpty > 35, s"only $nonEmpty/200 samples produced matches")
     assert(multiInner > 8, s"only $multiInner/200 samples exercised repeated inner groups")
   }
+  test("reluctant variable-member loop groups: two-level skip preference == brute force over 200 random samples") {
+    val rng = new Rng(0x15BEEF)
+
+    final case class RelCase(pre: Seq[StepSpec], loop: Seq[StepSpec],
+                             post: Seq[StepSpec], minIters: Int, maxIters: Int)
+
+    // every parse: (start, iterations, per-step counts)
+    def parses(tape: IndexedSeq[Int], c: RelCase): Seq[(Int, Int, Seq[Int])] = {
+      val out = Seq.newBuilder[(Int, Int, Seq[Int])]
+      val nLoop = c.loop.size
+      def consumeFix(specs: Seq[StepSpec], pos: Int): Option[Int] = {
+        var p = pos
+        specs.foreach { st =>
+          if (p >= tape.length || !st.kinds(tape(p))) return None
+          p += 1
+        }
+        Some(p)
+      }
+      def member(si: Int, pos: Int, k: Int, start: Int, cnts: Seq[Int]): Unit = {
+        if (si == nLoop) { iterations(pos, k + 1, start, cnts); return }
+        val st = c.loop(si)
+        var p = pos; var n = 0
+        while (n < st.max && p < tape.length && st.kinds(tape(p))) {
+          p += 1; n += 1
+          if (n >= st.min) member(si + 1, p, k, start, cnts.updated(si, cnts(si) + n))
+        }
+      }
+      def iterations(pos: Int, k: Int, start: Int, cnts: Seq[Int]): Unit = {
+        if (k >= c.minIters)
+          consumeFix(c.post, pos).foreach { _ =>
+            out += ((start, k,
+              c.pre.map(_ => 1) ++ cnts ++ c.post.map(_ => 1)))
+          }
+        if (k < c.maxIters) member(0, pos, k, start, cnts)
+      }
+      tape.indices.foreach { start =>
+        consumeFix(c.pre, start).foreach(p0 =>
+          iterations(p0, 0, start, Seq.fill(nLoop)(0)))
+      }
+      out.result()
+    }
+
+    // the defined preference: earliest start; same start -> fewest
+    // ITERATIONS, then member counts lexicographically (looped steps all
+    // reluctant -> fewer rows preferred; pre/post fixed); resume past the
+    // emitted match's last row
+    def selectRel(all: Seq[(Int, Int, Seq[Int])], c: RelCase): Seq[(Int, Seq[Int])] = {
+      val nPre = c.pre.size
+      def pref(a: (Int, Int, Seq[Int]), b: (Int, Int, Seq[Int])): Boolean = {
+        if (a._2 != b._2) return a._2 < b._2
+        val i = a._3.zip(b._3).indexWhere { case (x, y) => x != y }
+        i >= 0 && (if (i >= nPre && i < nPre + c.loop.size) a._3(i) < b._3(i)
+                   else a._3(i) > b._3(i))
+      }
+      val out = Seq.newBuilder[(Int, Seq[Int])]
+      var pos = Int.MinValue
+      var live = all
+      var cont = true
+      while (cont) {
+        live = live.filter(_._1 >= pos)
+        if (live.isEmpty) cont = false
+        else {
+          val s = live.map(_._1).min
+          val best = live.filter(_._1 == s)
+            .reduceLeft((x, y) => if (pref(y, x)) y else x)
+          out += ((best._1, best._3))
+          pos = best._1 + best._3.sum
+        }
+      }
+      out.result()
+    }
+
+    def runRelMachine(tape: IndexedSeq[Int], c: RelCase): Seq[(Int, Seq[Int])] = {
+      val within = 1000L * 1000000L
+      def mk(st: StepSpec, name: String): Step =
+        Step(name, st.min, st.max, (e, _) => st.kinds(e.etype.toInt))
+      val steps =
+        c.pre.zipWithIndex.map { case (st, i) => mk(st, s"P$i") } ++
+        c.loop.zipWithIndex.map { case (st, i) =>
+          mk(st, s"L$i").copy(looped = true, reluctant = true,
+            minIters = c.minIters, maxIters = c.maxIters,
+            loopBack = if (i == c.loop.size - 1) c.loop.size - 1 else -1) } ++
+        c.post.zipWithIndex.map { case (st, i) => mk(st, s"Q$i") }
+      val spec = PatternSpec(steps, strict = true, every = true,
+        withinUs = Some(within), maxPartials = 10000)
+      val evs = tape.zipWithIndex.map { case (kk, i) =>
+        CepEvent("k", i.toLong * 1000000, i.toLong, kk.toString, 0.0, Nil, Nil)
+      }
+      val rel = steps.map(_.reluctant)
+      val (out, st) = Cep.runNfaSkipPast(evs,
+        Cep.SkipNfaState(NfaState(Nil, done = false), 0L, Nil), spec, None)
+      val (tail, _) = Cep.skipPastTimeoutFlush(st,
+        wmUs = Long.MaxValue / 2, withinUs = within, resume = None, rel = rel)
+      (out ++ tail).map { m =>
+        (m.steps.head.events.head.eventId.toInt, m.steps.map(_.events.size))
+      }
+    }
+
+    var checked = 0
+    var nonEmpty = 0
+    var tradeoff = 0
+    while (checked < 200) {
+      def specOf(maxMax: Int): StepSpec = {
+        val kinds = (0 until 3).filter(_ => rng.next(2) == 1).toSet match {
+          case e if e.isEmpty => Set(rng.next(3))
+          case s2 => s2
+        }
+        StepSpec(kinds, 1, 1 + rng.next(maxMax), rel = false)
+      }
+      val pre = Seq.fill(rng.next(2))(specOf(1))
+      val loop = Seq.fill(1 + rng.next(2))(specOf(3))
+      val post = Seq.fill(rng.next(2))(specOf(1))
+      if (loop.forall(_.max == 1)) () // need a variable member
+      else {
+        val mi = 1 + rng.next(2)
+        val ma = if (rng.next(2) == 0) Int.MaxValue else mi + rng.next(3)
+        val c = RelCase(pre, loop, post, mi, ma)
+        val tape = IndexedSeq.fill(4 + rng.next(13))(rng.next(3))
+        val all = parses(tape, c)
+        val want = selectRel(all, c)
+        val got = runRelMachine(tape, c)
+        assert(got == want,
+          s"case=$c tape=${tape.mkString}\n  want=$want\n  got=$got")
+        if (want.nonEmpty) nonEmpty += 1
+        // a start held parses with DIFFERENT iteration counts -> the
+        // two-level order was load-bearing
+        if (all.groupBy(_._1).values.exists(ps => ps.map(_._2).distinct.size > 1))
+          tradeoff += 1
+        checked += 1
+      }
+    }
+    assert(nonEmpty > 60, s"only $nonEmpty/200 samples produced matches")
+    assert(tradeoff > 30, s"only $tradeoff/200 samples had iteration/row tradeoffs")
+  }
 }

@@ -1398,8 +1398,26 @@ class GraftAppSpec extends AnyFunSuite {
       within = "")).contains("WITHIN"))
     assert(errOf(mr("count(D.v) AS n_d", "A (D U)+ C", defs, "n_d BIGINT",
       skip = "AFTER MATCH SKIP TO LAST U")).contains("loop group"))
-    assert(errOf(mr("count(D.v) AS n_d", "(D U+)+?", defsDU, "n_d BIGINT",
-      skip = "AFTER MATCH SKIP PAST LAST ROW")).contains("variable-count"))
+
+    // round 15: reluctant group repetition with a VARIABLE-count member
+    // is now DEFINED — two-level preference: fewest ITERATIONS first,
+    // then fewest member rows. (D U+)+? on d u u d u x: iteration floor 1,
+    // preferred parse per start = 1 iteration with ONE u; SKIP PAST
+    // resumes after it, so the second pair matches separately. The greedy
+    // form takes everything in one 2-iteration match.
+    def runRelVar(pat: String) = GraftApp.run(spark,
+      mr("count(D.v) AS n_d, count(U.v) AS n_u", pat, defsDU,
+        "n_d BIGINT, n_u BIGINT",
+        skip = "AFTER MATCH SKIP PAST LAST ROW"),
+      Map("E" -> tape(Seq((1, "d", 1.0), (2, "u", 2.0), (3, "u", 3.0),
+        (4, "d", 4.0), (5, "u", 5.0), (6, "x", 0.0)))))("Out")
+      .selectExpr("CAST(n_d AS BIGINT)", "CAST(n_u AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(runRelVar("(D U+)+") == Seq((2L, 3L)))
+    assert(runRelVar("(D U+)+?") == Seq((1L, 1L), (1L, 1L)))
+    // iteration floor 2: the preferred parse must still reach 2
+    // iterations — (d|u,u)(d|u) is the fewest-rows 2-iteration parse
+    assert(runRelVar("(D U+){2,3}?") == Seq((2L, 3L)))
   }
 
   test("STRUCT<...> DDL columns: struct build, field access, nesting (round 14)") {
