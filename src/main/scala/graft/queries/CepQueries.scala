@@ -853,6 +853,67 @@ object CepQueries extends QueryFamily {
              |       AND c.rn = e.rn + 2 * ks.k + 1 AND c.event_type = 'signup')
              |ORDER BY 1, 2, 3""".stripMargin)),
 
+    // MATCH_RECOGNIZE QUANTIFIED PERMUTE (round 15): PERMUTE(D, U){1,2}
+    // lowers to the engine PERMUTE-loop — one looped chain per ordering,
+    // the interleaving chosen PER MATCH and repeated across iterations
+    // (documented; a per-iteration re-permutation would need
+    // orderings^iterations variants). The pattern ends ON the loop, so
+    // EVERY emits one row per (anchor, arm, iteration count). The oracle
+    // replays BOTH arms × BOTH iteration counts: per anchor × (arm, j),
+    // the 2j rows after the anchor must alternate view/purchase in the
+    // arm's parity; d1/u1 pin WHICH arm bound (min view/purchase ids).
+    QueryDef(
+      "q_cep_mr_permute_quant",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (user_id BIGINT, a_id BIGINT, n_d BIGINT,
+            |                   s_u DOUBLE, d1 BIGINT, u1 BIGINT);
+            |INSERT INTO Out SELECT * FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts
+            |  MEASURES A.event_id AS a_id, count(D.value) AS n_d,
+            |           round(sum(U.value), 6) AS s_u,
+            |           FIRST(D.event_id) AS d1, FIRST(U.event_id) AS u1
+            |  ONE ROW PER MATCH
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN (A PERMUTE(D, U){1,2}) WITHIN INTERVAL '30' DAY
+            |  DEFINE A AS A.event_type = 'error', D AS D.event_type = 'view',
+            |         U AS U.event_type = 'purchase'
+            |);""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .selectExpr("user_id", "a_id", "CAST(n_d AS BIGINT) AS n_d",
+            "s_u", "d1", "u1")
+          .orderBy(col("user_id"), col("a_id"), col("n_d"))
+      },
+      Some("""WITH ord AS (
+             |  SELECT user_id, event_id, event_type, value,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events),
+             |anch AS (SELECT user_id, event_id, rn FROM ord WHERE event_type = 'error'),
+             |arms AS (
+             |  SELECT 'du' AS arm, 1 AS j UNION ALL SELECT 'du', 2 UNION ALL
+             |  SELECT 'ud', 1 UNION ALL SELECT 'ud', 2)
+             |SELECT a.user_id, a.event_id AS a_id, CAST(x.j AS BIGINT) AS n_d,
+             |  (SELECT round(sum(o.value), 6) FROM ord o WHERE o.user_id = a.user_id
+             |     AND o.rn > a.rn AND o.rn <= a.rn + 2 * x.j
+             |     AND o.event_type = 'purchase') AS s_u,
+             |  (SELECT min(o.event_id) FROM ord o WHERE o.user_id = a.user_id
+             |     AND o.rn > a.rn AND o.rn <= a.rn + 2 * x.j
+             |     AND o.event_type = 'view') AS d1,
+             |  (SELECT min(o.event_id) FROM ord o WHERE o.user_id = a.user_id
+             |     AND o.rn > a.rn AND o.rn <= a.rn + 2 * x.j
+             |     AND o.event_type = 'purchase') AS u1
+             |FROM anch a CROSS JOIN arms x
+             |WHERE (SELECT count(*) FROM ord o WHERE o.user_id = a.user_id
+             |         AND o.rn > a.rn AND o.rn <= a.rn + 2 * x.j
+             |         AND ((o.rn - a.rn) % 2 = (CASE WHEN x.arm = 'du' THEN 1 ELSE 0 END)
+             |              AND o.event_type = 'view'
+             |           OR (o.rn - a.rn) % 2 = (CASE WHEN x.arm = 'du' THEN 0 ELSE 1 END)
+             |              AND o.event_type = 'purchase')) = 2 * x.j
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
     // MATCH_RECOGNIZE variable-count NESTED group (round 15):
     // ((D U){1,3} C)+ — the inner group's ITERATION count varies per
     // outer iteration, running the engine's nested iteration frame

@@ -1432,15 +1432,32 @@ object GraftApp {
           // PERMUTE(A, B[, C]) (round 12, ANSI): every ordering of the
           // members — lowers to the engine's n-ary AND element, whose
           // compile expands exactly the arrival-order variants (one shared
-          // NFA pass; strict SEQUENCE keeps the members adjacent)
-          if (gm.group(2) != null) throw SqlError(
-            s"quantified PERMUTE '…${gm.group(2)}' is not supported — " +
-              "engine AND elements take no count quantifier")
+          // NFA pass; strict SEQUENCE keeps the members adjacent).
+          // QUANTIFIED PERMUTE (round 15): `PERMUTE(A, B){1,2}` / `+` /
+          // `{n,}` lowers to the engine's PERMUTE-loop — one looped chain
+          // per ordering, so the interleaving is chosen PER MATCH and
+          // repeats across iterations (documented semantics; a
+          // per-iteration re-permutation would need cross-iteration
+          // variant re-expansion). Zero-min and reluctant forms stay
+          // typed.
+          val pq = Option(gm.group(2)).map(_.replaceAll("\\s", ""))
+            .filterNot(_ == "{1}") // {1} ≡ unquantified
+          pq.foreach { q =>
+            if (q.length > 1 && q.endsWith("?")) throw SqlError(
+              s"reluctant quantified PERMUTE '…$q' is not supported — " +
+                "drop the trailing '?'")
+            if (q == "?" || q == "*" || q.startsWith("{0")) throw SqlError(
+              s"zero-min quantified PERMUTE '…$q' is not supported — " +
+                "an optional PERMUTE needs an empty variant; restructure " +
+                "with alternation or {1,m}")
+            if (q != "+" && !q.matches("""\{[1-9]\d*(?:,\d*)?\}""")) throw SqlError(
+              s"bad PERMUTE quantifier '…$q' — supported: +, {n}, {n,}, {n,m} with n >= 1")
+          }
           val ms = gm.group(1).split(",").map(_.trim).toSeq
           ms.groupBy(identity).collectFirst { case (v, vs) if vs.size > 1 => v }
             .foreach(v => throw SqlError(
               s"duplicate variable '$v' in PERMUTE(${gm.group(1).trim})"))
-          MrTok(ms, None, excluded = false, permute = true)
+          MrTok(ms, pq, excluded = false, permute = true)
         } else if (gm.group(3) != null)
           MrTok(Seq(gm.group(3)), Option(gm.group(4)), excluded = true)
         else if (gm.group(5) != null) {
@@ -1717,11 +1734,13 @@ object GraftApp {
       lowered
     }
     val steps = toks.map {
-      case MrTok(ms, _, _, true, _, _, _) => // PERMUTE: one engine n-ary AND element
-        ms.map { v =>
+      case MrTok(ms, pq, _, true, _, _, _) => // PERMUTE: one engine n-ary AND element
+        val el = ms.map { v =>
           val pred = defines.get(v).map(p => s"[${lowerPred(v, p)}]").getOrElse("")
           s"$v=$stream$pred"
         }.mkString(" AND ")
+        // quantified (round 15): the engine PERMUTE-loop spelling
+        pq.map(q => s"($el)$q").getOrElse(el)
       case t @ MrTok(_, Some(q), _, _, true, _, _) =>
         // group repetition → the engine loop machine; member quantifiers
         // and inner exact groups pass through in engine spelling

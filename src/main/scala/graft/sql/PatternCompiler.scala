@@ -342,9 +342,16 @@ object PatternCompiler {
     // canonical step groups: alias set -> representative step (first
     // appearance; identical by value wherever it appears)
     val groupReg = scala.collection.mutable.LinkedHashMap.empty[Seq[String], PatternStep]
+    // loop TOPOLOGY (which member carries the loop-back edge) may differ
+    // across variants — a quantified PERMUTE's orderings place the edge on
+    // a different member per ordering (round 15) — but the step's
+    // SEMANTICS (alts, counts, iteration bounds) must agree: the canonical
+    // step drives the shared bit layout and measure metadata, while each
+    // variant's own chain keeps its edges for its NFA spec
+    def canon(st: PatternStep): PatternStep = st.copy(loopBack = -1)
     q.variants.foreach(_.foreach { st =>
       groupReg.get(st.aliases) match {
-        case Some(prev) if prev != st => throw GraftApp.SqlError(
+        case Some(prev) if canon(prev) != canon(st) => throw GraftApp.SqlError(
           s"pattern step '${st.aliases.mkString(",")}' differs across variants")
         case None => groupReg(st.aliases) = st
         case _ =>
@@ -2230,6 +2237,38 @@ object PatternCompiler {
     // members: plain alts, quantified alts, or ONE level of inner exact
     // groups (inlined with __i suffixes before the loop chain is built)
     val memberToks = splitTopLevel(gm.group(1), "->").map(_.trim)
+    // QUANTIFIED PERMUTE (round 15): `(A=S[...] AND B=S[...]){n,m}` — one
+    // LOOPED chain per ordering of the AND operands, composed through the
+    // ordinary multi-variant machinery (a concrete event sequence matches
+    // exactly one ordering, so the variant union counts each match once).
+    // The interleaving is chosen PER MATCH and repeats across iterations:
+    // a per-iteration re-permutation would need orderings^iterations
+    // variants. Reluctant / zero-min forms stay typed.
+    if (memberToks.size == 1 && splitTopLevelWord(memberToks.head, "AND").size > 1) {
+      if (relGroup) throw GraftApp.SqlError(
+        s"reluctant quantified PERMUTE in '$el' is not supported — drop " +
+          "the trailing '?'")
+      if (nMin == 0) throw GraftApp.SqlError(
+        s"zero-min quantifier on the PERMUTE element in '$el' is not " +
+          "supported — use {1,m} or alternation")
+      val ops = splitTopLevelWord(memberToks.head, "AND").map { t =>
+        val (alt, q2, rel2) = parseAlt(t.trim)
+        if (q2 != ((1, 1)) || rel2) throw GraftApp.SqlError(
+          s"PERMUTE operand '${alt.alias}' under a group quantifier takes " +
+            "no quantifier of its own")
+        alt
+      }
+      if (ops.size > 3) throw GraftApp.SqlError(
+        s"quantified PERMUTE over ${ops.size} operands expands to " +
+          s"${(1 to ops.size).product} ordering variants — cap 3 operands")
+      return ops.permutations.toSeq.map { ord =>
+        ord.zipWithIndex.map { case (alt, i) =>
+          PatternStep(Seq(alt), 1, 1, looped = true,
+            loopBack = if (i == ord.size - 1) ord.size - 1 else -1,
+            minIters = math.max(nMin, 1), maxIters = mMax)
+        }
+      }
+    }
     val members: Seq[Member] = memberToks.flatMap { tok =>
       GroupQuantRe.findFirstMatchIn(tok) match {
         case Some(igm) => expandInnerGroup(igm, tok, el)

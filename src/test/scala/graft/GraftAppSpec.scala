@@ -1646,6 +1646,58 @@ class GraftAppSpec extends AnyFunSuite {
     assert(errOf(mrOf("A ((D U){1,2} C)+? X")).contains("nested"))
   }
 
+  test("MATCH_RECOGNIZE quantified PERMUTE: PERMUTE(D, U){1,2} runs the engine PERMUTE-loop (round 15)") {
+    def tape(rows: Seq[(Int, String, Double)]) = rows.map { case (s, k, v) => (s, 7L, k, v) }
+      .toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    def mr(pattern: String) = {
+      val defC = if (pattern.contains("C")) ",\n         C AS C.kind = 'c'" else ""
+      s"""CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+         |CREATE STREAM Out (n_d BIGINT, n_u BIGINT, d1 DOUBLE, u1 DOUBLE);
+         |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+         |  PARTITION BY user_id ORDER BY ts
+         |  MEASURES count(D.v) AS n_d, count(U.v) AS n_u,
+         |           FIRST(D.v) AS d1, FIRST(U.v) AS u1
+         |  ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW
+         |  PATTERN ($pattern) WITHIN INTERVAL '1' HOUR
+         |  DEFINE A AS A.kind = 'a', D AS D.kind = 'd', U AS U.kind = 'u'$defC);""".stripMargin
+    }
+    def run(t: org.apache.spark.sql.DataFrame, pattern: String) =
+      GraftApp.run(spark, mr(pattern), Map("E" -> t))("Out")
+        .selectExpr("CAST(n_d AS BIGINT)", "CAST(n_u AS BIGINT)", "d1", "u1")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .sortBy(x => (x._1, x._3)).toSeq
+    // d-first arm, 1 and 2 iterations (prefix matches under NEXT ROW)
+    val tDu = tape(Seq((1, "a", 0.0), (2, "d", 1.0), (3, "u", 2.0),
+      (4, "d", 3.0), (5, "u", 4.0), (6, "c", 0.0)))
+    assert(run(tDu, "A PERMUTE(D, U){1,2} C") == Seq((2L, 2L, 1.0, 2.0)))
+    // u-first arm binds the REVERSED ordering variant
+    val tUd = tape(Seq((1, "a", 0.0), (2, "u", 2.0), (3, "d", 1.0), (4, "c", 0.0)))
+    assert(run(tUd, "A PERMUTE(D, U){1,2} C") == Seq((1L, 1L, 1.0, 2.0)))
+    // MIXED orders across iterations do NOT match: the interleaving is
+    // chosen per match and repeats (documented PERMUTE-loop semantics)
+    val tMix = tape(Seq((1, "a", 0.0), (2, "d", 1.0), (3, "u", 2.0),
+      (4, "u", 4.0), (5, "d", 3.0), (6, "c", 0.0)))
+    assert(run(tMix, "A PERMUTE(D, U){1,2} C") == Seq())
+    // ending ON the loop: both iteration counts emit per anchor
+    assert(run(tDu, "A PERMUTE(D, U){1,2}") == Seq((1L, 1L, 1.0, 2.0), (2L, 2L, 1.0, 2.0)))
+    // unbounded +: WITHIN-gated, three iterations
+    val tDu3 = tape(Seq((1, "a", 0.0), (2, "d", 1.0), (3, "u", 2.0),
+      (4, "d", 3.0), (5, "u", 4.0), (6, "d", 5.0), (7, "u", 6.0), (8, "c", 0.0)))
+    assert(run(tDu3, "A PERMUTE(D, U)+ C") == Seq((3L, 3L, 1.0, 2.0)))
+    // {1} normalizes to the plain PERMUTE element (structural equality)
+    assert(GraftApp.parse(mr("A PERMUTE(D, U){1} C")).patterns.head.variants ==
+      GraftApp.parse(mr("A PERMUTE(D, U) C")).patterns.head.variants)
+    // typed gates: zero-min, reluctant, operand cap
+    def errOf(pat: String) = intercept[GraftApp.SqlError](
+      GraftApp.run(spark, mr(pat), Map("E" -> tDu))).getMessage
+    assert(errOf("A PERMUTE(D, U)? C").contains("zero-min"))
+    assert(errOf("A PERMUTE(D, U)* C").contains("zero-min"))
+    assert(errOf("A PERMUTE(D, U){0,2} C").contains("zero-min"))
+    assert(errOf("A PERMUTE(D, U)+? C").contains("reluctant"))
+  }
+
   test("conflicting AFTER MATCH resume modes on the engine surface die typed (ADVICE r14)") {
     import spark.implicits._
     val tape = Seq((1, 7L, "a", 1.0), (2, 7L, "b", 2.0))
@@ -2208,8 +2260,10 @@ class GraftAppSpec extends AnyFunSuite {
       GraftApp.run(spark, app, Map("E" -> tape))).getMessage
     assert(errOf(app.replace("PATTERN (PERMUTE(A, B))",
       "PATTERN (PERMUTE(A, B) (D U)+)")).contains("group repetition"))
+    // quantified PERMUTE is round-15 surface (PERMUTE-loop) — the
+    // remaining typed quantifier forms are zero-min and reluctant
     assert(errOf(app.replace("PATTERN (PERMUTE(A, B))",
-      "PATTERN (PERMUTE(A, B)+)")).contains("quantified PERMUTE"))
+      "PATTERN (PERMUTE(A, B)?)")).contains("zero-min quantified PERMUTE"))
     assert(errOf(app.replace("MEASURES A.v AS a_v",
       "MEASURES LAST(U.v) AS a_v").replace("PATTERN (PERMUTE(A, B)) WITHIN INTERVAL '1' HOUR",
       "PATTERN (PERMUTE(A, B)) WITHIN INTERVAL '1' HOUR SUBSET U = (A, B)"))
