@@ -2873,4 +2873,95 @@ class StreamingSpec extends AnyFunSuite {
         s"hop windows $got")
     } finally q.stop()
   }
+  test("STREAMING MATCH_RECOGNIZE round-15 surfaces: nested variable groups and quantified PERMUTE, parity with batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // variable-count nested group ((D U){1,2} C)+ across micro-batches —
+    // the nested iteration frame (innerIters/innerBase) rides the NFA
+    // state between batches
+    locally {
+      val in = MemoryStream[(Long, Long, String, Double)]
+      val events = in.toDS().toDF("sec", "user_id", "kind", "v")
+        .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+          "user_id", "kind", "v")
+      val app =
+        """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+          |CREATE STREAM Out (user_id BIGINT, n_d BIGINT, n_c BIGINT, s_u DOUBLE);
+          |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY ts
+          |  MEASURES count(D.v) AS n_d, count(C.v) AS n_c, sum(U.v) AS s_u
+          |  ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW
+          |  PATTERN (A ((D U){1,2} C)+) WITHIN INTERVAL '1' HOUR
+          |  DEFINE A AS A.kind = 'a', D AS D.kind = 'd', U AS U.kind = 'u',
+          |         C AS C.kind = 'c');""".stripMargin
+      val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+      assert(outDf.isStreaming)
+      sinkId += 1; val name = s"mr_nest_sink_$sinkId"
+      val q = outDf.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      def grab(rows: Array[org.apache.spark.sql.Row]) = rows
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(x => (x._2, x._3)).toSeq
+      try {
+        // split MID-INNER-ITERATION: iteration 2's (d u) crosses batches
+        in.addData((1L, 7L, "a", 0.0), (2L, 7L, "d", 1.0), (3L, 7L, "u", 2.0))
+        q.processAllAvailable()
+        in.addData((4L, 7L, "d", 3.0), (5L, 7L, "u", 4.0), (6L, 7L, "c", 0.0),
+          (7L, 7L, "d", 5.0), (8L, 7L, "u", 6.0), (9L, 7L, "c", 0.0))
+        q.processAllAvailable()
+        val got = grab(spark.table(name).collect())
+        val tape = Seq((1L, 7L, "a", 0.0), (2L, 7L, "d", 1.0), (3L, 7L, "u", 2.0),
+          (4L, 7L, "d", 3.0), (5L, 7L, "u", 4.0), (6L, 7L, "c", 0.0),
+          (7L, 7L, "d", 5.0), (8L, 7L, "u", 6.0), (9L, 7L, "c", 0.0))
+          .toDF("sec", "user_id", "kind", "v")
+          .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+            "user_id", "kind", "v")
+        val batch = grab(graft.sql.GraftApp.run(spark, app, Map("E" -> tape))("Out")
+          .collect())
+        assert(got == batch, s"stream $got vs batch $batch")
+        // j=1 (2 pairs in iteration 1) and j=2 (plus the 1-pair iteration)
+        assert(got == Seq((7L, 2L, 1L, 6.0), (7L, 3L, 2L, 12.0)), s"$got")
+      } finally q.stop()
+    }
+    // quantified PERMUTE across micro-batches: the reversed arm's looped
+    // chain completes twice, split mid-iteration
+    locally {
+      val in = MemoryStream[(Long, Long, String, Double)]
+      val events = in.toDS().toDF("sec", "user_id", "kind", "v")
+        .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+          "user_id", "kind", "v")
+      val app =
+        """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+          |CREATE STREAM Out (user_id BIGINT, n_d BIGINT, d1 DOUBLE, u1 DOUBLE);
+          |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY ts
+          |  MEASURES count(D.v) AS n_d, FIRST(D.v) AS d1, FIRST(U.v) AS u1
+          |  ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW
+          |  PATTERN (A PERMUTE(D, U){1,2}) WITHIN INTERVAL '1' HOUR
+          |  DEFINE A AS A.kind = 'a', D AS D.kind = 'd', U AS U.kind = 'u');""".stripMargin
+      val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+      assert(outDf.isStreaming)
+      sinkId += 1; val name = s"mr_pq_sink_$sinkId"
+      val q = outDf.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      def grab(rows: Array[org.apache.spark.sql.Row]) = rows
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .sortBy(_._2).toSeq
+      try {
+        in.addData((1L, 7L, "a", 0.0), (2L, 7L, "u", 2.0), (3L, 7L, "d", 1.0))
+        q.processAllAvailable()
+        in.addData((4L, 7L, "u", 4.0), (5L, 7L, "d", 3.0))
+        q.processAllAvailable()
+        val got = grab(spark.table(name).collect())
+        val tape = Seq((1L, 7L, "a", 0.0), (2L, 7L, "u", 2.0), (3L, 7L, "d", 1.0),
+          (4L, 7L, "u", 4.0), (5L, 7L, "d", 3.0))
+          .toDF("sec", "user_id", "kind", "v")
+          .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+            "user_id", "kind", "v")
+        val batch = grab(graft.sql.GraftApp.run(spark, app, Map("E" -> tape))("Out")
+          .collect())
+        assert(got == batch, s"stream $got vs batch $batch")
+        assert(got == Seq((7L, 1L, 1.0, 2.0), (7L, 2L, 1.0, 2.0)), s"$got")
+      } finally q.stop()
+    }
+  }
 }
