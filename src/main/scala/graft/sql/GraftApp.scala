@@ -3376,10 +3376,10 @@ object GraftApp {
     }
     if (!df.columns.contains("ts")) throw SqlError(
       "streaming sketch aggregates need a 'ts' TIMESTAMP column (event time)")
-    if (q.having.isDefined || q.orderBy.nonEmpty || q.limit.isDefined ||
-        q.offset.isDefined) throw SqlError(
-      "HAVING/ORDER BY/LIMIT do not compose with streaming sketch " +
-        "aggregates — filter/order downstream")
+    if (q.orderBy.nonEmpty || q.limit.isDefined || q.offset.isDefined)
+      throw SqlError(
+        "ORDER BY/LIMIT are undefined on the unbounded per-window stream " +
+          "— apply them to a downstream batch read")
     val windowUs = parseDurationUs(sizeP)
     val slideUs = parseDurationUs(slideP)
     if (slideUs <= 0 || windowUs <= 0) throw SqlError(
@@ -3448,7 +3448,8 @@ object GraftApp {
     // round-14 shapes keep the round-14 kernels (checkpoint compatibility)
     val tumbling = slideUs == windowUs &&
       (w.kind == "timebatch" || w.kind == "tumbling")
-    if (sk.size == 1 && aggs.isEmpty && tumbling && sk.head._1 != "hist_quantile") {
+    if (sk.size == 1 && aggs.isEmpty && tumbling && q.having.isEmpty &&
+        sk.head._1 != "hist_quantile") {
       val (fn, c, p1, _, alias) = sk.head
       val kdf = fn match {
         case "kmv_distinct" =>
@@ -3537,7 +3538,30 @@ object GraftApp {
                 .otherwise(col("aggD").getItem(j)).as(alias)
           }
       }
-    withKeys.select(outCols: _*)
+    val result = withKeys.select(outCols: _*)
+    // HAVING over plain aggregates / GROUP BY keys (round 15): the kernel
+    // already computed every value, so HAVING is a post-kernel filter on
+    // the emitted per-window rows. HAVING over a SKETCH value stays typed
+    // (same discipline as the batch path).
+    q.having match {
+      case None => result
+      case Some(h) =>
+        sk.map(_._5).find(a =>
+          ("(?i)\\b" + java.util.regex.Pattern.quote(a) + "\\b").r
+            .findFirstIn(h).isDefined).foreach(a => throw SqlError(
+          s"HAVING references sketch aggregate '$a' — HAVING composes " +
+            "with the plain aggregates only; filter sketch values " +
+            "downstream (INSERT INTO a stream and SELECT ... WHERE)"))
+        // raw aggregate spellings resolve to their output columns (alias-
+        // aware, the batch resolution in reverse: values are precomputed)
+        val resolved = aggs.foldLeft(h) { case (acc, (fn, operand, _, alias)) =>
+          val raw = if (operand == "*") s"$fn\\s*\\(\\s*\\*\\s*\\)"
+            else s"$fn\\s*\\(\\s*${java.util.regex.Pattern.quote(operand)}\\s*\\)"
+          acc.replaceAll("(?i)" + raw,
+            java.util.regex.Matcher.quoteReplacement(alias))
+        }
+        result.filter(uexpr(resolved).cast("boolean"))
+    }
   }
 
   /** STREAMING lowering for kernel-shaped windows: the source row rides

@@ -412,6 +412,36 @@ class GraftAppSpec extends AnyFunSuite {
     assert(lchain(1).looped && lchain(1).loopBack == -1)
   }
 
+  test("examples/round15_demo.sql parses: nested variable groups, quantified PERMUTE, MAP, composable datacard") {
+    val app = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/round15_demo.sql")))
+    val spec = GraftApp.parse(app)
+    val byTarget = spec.patterns.map(p => p.target -> p).toMap
+    // ((DIP UP){1,3} BRK)+: inner members carry the nested frame
+    val wedges = byTarget("wedges").variants.head
+    assert(wedges.map(_.aliases.head) == Seq("OPEN1", "DIP", "UP", "BRK"))
+    assert(wedges(1).inner && wedges(2).inner && wedges(2).innerLoopBack == 1)
+    assert(wedges(2).innerMinIters == 1 && wedges(2).innerMaxIters == 3)
+    assert(wedges(3).looped && wedges(3).loopBack == 2 &&
+      wedges(3).maxIters == Int.MaxValue && !wedges(3).inner)
+    // PERMUTE(FILL, HEDGE){1,2}: one looped chain per ordering
+    val paired = byTarget("paired")
+    assert(paired.variants.size == 2)
+    assert(paired.variants.map(_.map(_.aliases.head)).toSet ==
+      Set(Seq("OPEN1", "FILL", "HEDGE"), Seq("OPEN1", "HEDGE", "FILL")))
+    assert(paired.variants.forall(v => v.last.looped && v.last.loopBack == 1 &&
+      v.last.minIters == 1 && v.last.maxIters == 2))
+    // (DIP UP+)+?: reluctant group with a variable-count member
+    val scalps = byTarget("scalps").variants.head
+    assert(scalps.forall(_.reluctant) && scalps.last.loopBack == 1)
+    assert(scalps(1).min == 1 && scalps(1).max == Int.MaxValue)
+    // MAP DDL column declared
+    assert(spec.streams("tagged").schema("kv").dataType ==
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.DoubleType))
+  }
+
   test("examples/round14_demo.sql parses: group quantifier matrix, STRUCT, multi-key sketch") {
     val app = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("examples/round14_demo.sql")))

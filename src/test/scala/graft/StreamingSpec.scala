@@ -2964,4 +2964,39 @@ class StreamingSpec extends AnyFunSuite {
       } finally q.stop()
     }
   }
+  test("streaming sketch HAVING over plain aggregates filters emitted windows (round 15)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long)]
+    val sdf = in.toDF().toDF("sec", "user_id", "doc_id").selectExpr(
+      "CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "user_id", "doc_id")
+    val app =
+      """CREATE STREAM S (ts TIMESTAMP, user_id BIGINT, doc_id BIGINT);
+        |CREATE STREAM Out (win_start TIMESTAMP, user_id BIGINT, du BIGINT, n BIGINT);
+        |INSERT INTO Out SELECT user_id, kmv_distinct(doc_id, 16) AS du, count(*) AS n
+        |FROM S WINDOW('timeBatch', '10 seconds') GROUP BY user_id
+        |HAVING count(*) >= 3;""".stripMargin
+    val out = graft.sql.GraftApp.run(spark, app, Map("S" -> sdf))("Out")
+    sinkId += 1; val name = s"hav_sink_$sinkId"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // user 1: 4 events (passes), user 2: 2 events (filtered)
+      in.addData((1L, 1L, 10L), (2L, 1L, 11L), (3L, 1L, 10L), (4L, 1L, 12L),
+        (2L, 2L, 20L), (3L, 2L, 21L))
+      in.addData((60L, 9L, 1L)) // close window 0
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .selectExpr("user_id", "du", "n")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == Seq((1L, 3L, 4L)), s"$got")
+    } finally q.stop()
+    // HAVING over a sketch alias stays typed
+    val err = intercept[graft.sql.GraftApp.SqlError](graft.sql.GraftApp.run(spark,
+      """CREATE STREAM S (ts TIMESTAMP, user_id BIGINT, doc_id BIGINT);
+        |CREATE STREAM Out (win_start TIMESTAMP, user_id BIGINT, du BIGINT);
+        |INSERT INTO Out SELECT user_id, kmv_distinct(doc_id, 16) AS du
+        |FROM S WINDOW('timeBatch', '10 seconds') GROUP BY user_id
+        |HAVING du > 5;""".stripMargin, Map("S" -> sdf))).getMessage
+    assert(err.contains("sketch aggregate"))
+  }
 }
