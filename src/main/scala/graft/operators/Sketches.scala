@@ -359,25 +359,40 @@ object Sketches {
       s"quantiles must be in [1,1000] per-mille, got $qsPm")
     require(scale >= 1, s"scale must be >= 1, got $scale")
     val spark = hist.sparkSession
-    val buckets = hist.select(col("bucket"), col("cnt"))
+    // cache the bucket relation BEFORE the range repartition:
+    // repartitionByRange evaluates its child twice (the range-sampling
+    // job, then the shuffle itself), which would re-run the upstream
+    // corpus scan/aggregation — against the cache both passes read the
+    // KB-sized histogram instead (round 15; halves q_sketch_hist_merge's
+    // corpus scans)
+    val histC = hist.select(col("bucket"), col("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = histC
       .repartitionByRange(col("bucket"))
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid")).orderBy(col("bucket"))
-    val wOff = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__pid"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val offsets = buckets.groupBy(col("__pid"))
+    // per-partition totals come back to the driver ONCE (≤ shuffle-
+    // partition-count rows — KBs at any scale): the running offsets AND
+    // the grand total N derive from the same tiny array, replacing the
+    // former single-ordered-window pass over the totals plus a separate
+    // full count of the relation (round 15 — two fewer jobs per call,
+    // same arithmetic)
+    val ptots = buckets.groupBy(col("__pid"))
       .agg(sum(col("cnt")).as("__ptot"))
-      .withColumn("__off", coalesce(sum(col("__ptot")).over(wOff), lit(0L)))
-      .select(col("__pid"), col("__off"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = ptots.map(_._2).sum
+    import spark.implicits._
+    val offsets = ptots
+      .scanLeft((0, 0L, 0L)) { case ((_, off, tot), (pid, ptot)) =>
+        (pid, off + tot, ptot)
+      }.drop(1).map { case (pid, off, _) => (pid, off) }.toSeq
+      .toDF("__pid", "__off")
     val cum = buckets
       .withColumn("__cum", sum(col("cnt")).over(wIn))
       .join(broadcast(offsets), Seq("__pid"))
       .select(col("bucket"), (col("__off") + col("__cum")).as("cum"))
-    val n = buckets.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
-    import spark.implicits._
     val tdf = qsPm.distinct.sorted
       .map(q => (q.toLong, math.max(1L, (q.toLong * n + 999) / 1000)))
       .toDF("q_pm", "target")
@@ -388,6 +403,7 @@ object Sketches {
       .orderBy(col("q_pm"))
     val res = out.localCheckpoint(true)
     buckets.unpersist()
+    histC.unpersist()
     res
   }
 
