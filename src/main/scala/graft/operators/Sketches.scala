@@ -567,6 +567,15 @@ object Sketches {
 
   private def ceilMs(us: Long): Long = (us + 999L) / 1000L
 
+  /** Misra-Gries survivors ordered count-desc then key, NULL-SAFE: a NULL
+    * member key is a real MG counter ("NULL keys count as their own
+    * group"), and a bare String sort would NPE on a count tie — NULL
+    * sorts first among equal counts (Spark's nulls-first ascending). */
+  private def mgOrdered(keys: Seq[String], cnts: Seq[Long]): Seq[String] =
+    keys.zip(cnts)
+      .sortBy { case (kk, c) => (-c, if (kk == null) "" else "\u0001" + kk) }
+      .map(_._1)
+
   /** Streaming windowed KMV distinct estimate: one row per
     * (group, window) with the SAME estimator arithmetic as
     * [[kmvDistinctBy]] — the result over a replayed stream is bit-equal
@@ -640,9 +649,7 @@ object Sketches {
             state.remove()
             if (st.keys.isEmpty) Iterator.empty
             else {
-              val ordered = st.keys.zip(st.cnts)
-                .sortBy { case (kk, c) => (-c, kk) }.map(_._1)
-              Iterator(MgWinOut(gk, win, ordered))
+              Iterator(MgWinOut(gk, win, mgOrdered(st.keys, st.cnts)))
             }
           } else {
             val counters = scala.collection.mutable.HashMap.empty[String, Long]
@@ -779,15 +786,21 @@ object Sketches {
       .withColumn("eventTime", col("ts"))
       .withWatermark("eventTime", lateness)
       .withColumn("gk", gkCol)
-      .withColumn("winStartUs", explode(winsCol))
+      // section columns (md5 hashes, casts, buckets) are computed BEFORE
+      // the window explode — a hopping window would otherwise re-evaluate
+      // every hash/bucket expression once per covering window
       .withColumn("hvs", arrOr(kmvSpecs.map { case (c, _) =>
         coalesce(hash60(col(c)), lit(Long.MinValue)) }, typedLit(Seq.empty[Long])))
       .withColumn("skeys", arrOr(mgSpecs.map { case (c, _) =>
         col(c).cast("string") }, typedLit(Seq.empty[String])))
-      .withColumn("buks", arrOr(histSpecs.map { case (c, scale, _) =>
-        coalesce(guardedBucket(col(c), scale), lit(0L)) }, typedLit(Seq.empty[Long])))
-      .withColumn("bukn", arrOr(histSpecs.map { case (c, scale, _) =>
-        guardedBucket(col(c), scale).isNull }, typedLit(Seq.empty[Boolean])))
+      // one named bucket column per hist spec: buks and bukn both read it,
+      // so the guarded bucket expression evaluates once per row
+      .withColumns(histSpecs.zipWithIndex.map { case ((c, scale, _), i) =>
+        s"__buk$i" -> guardedBucket(col(c), scale) }.toMap)
+      .withColumn("buks", arrOr(histSpecs.indices.map(i =>
+        coalesce(col(s"__buk$i"), lit(0L))), typedLit(Seq.empty[Long])))
+      .withColumn("bukn", arrOr(histSpecs.indices.map(i =>
+        col(s"__buk$i").isNull), typedLit(Seq.empty[Boolean])))
       .withColumn("avd", arrOr(aggSpecs.map {
         case ("count", "*", _) => lit(1.0)
         case (_, c, _) => coalesce(col(c).cast("double"), lit(0.0))
@@ -801,6 +814,7 @@ object Sketches {
         case ("count", "*", _) => lit(false)
         case (_, c, _) => col(c).isNull
       }, typedLit(Seq.empty[Boolean])))
+      .withColumn("winStartUs", explode(winsCol))
       .as[MsWinEvent]
     val nKmv = kmvSpecs.size; val nMg = mgSpecs.size
     val nHist = histSpecs.size; val nAgg = aggSpecs.size
@@ -827,10 +841,9 @@ object Sketches {
                   else if (hvs.size < k) hvs.size.toLong
                   else math.round((k - 1).toDouble * Two60 / hvs.last.toDouble)
                 }
-                // MG: surviving candidates, count desc then key
+                // MG: surviving candidates, count desc then key (null-safe)
                 val hh = (0 until nMg).map { i =>
-                  s.mgKeys(i).zip(s.mgCnts(i))
-                    .sortBy { case (kk, c) => (-c, kk) }.map(_._1)
+                  mgOrdered(s.mgKeys(i), s.mgCnts(i))
                 }
                 // hist: smallest bucket whose cumulative count reaches
                 // ceil(q·N/1000) — the quantilesBy contract verbatim

@@ -3392,8 +3392,12 @@ object GraftApp {
     import graft.operators.Sketches
 
     // classify every select item: GROUP BY key | sketch aggregate | plain
-    // aggregate (count/sum/avg/min/max). Anything else is typed.
-    val skRe = """(?i)^(kmv_distinct|hist_quantile|heavy_hitters)\s*\(""".r
+    // aggregate (count/sum/avg/min/max). Anything else is typed. The
+    // sketch regex is the caller's ANCHORED form — a loose prefix match
+    // would classify `kmv_distinct(x, 16) * 2` as a sketch item and
+    // index past the extracted sk list
+    val skRe =
+      """(?i)^(kmv_distinct|hist_quantile|heavy_hitters)\s*\(\s*(\w+)\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)$""".r
     val aggRe = """(?i)^(count|sum|avg|min|max)\s*\(\s*(\*|\w+)\s*\)$""".r
     sealed trait Item
     final case class KeyItem(kn: String, alias: Option[String]) extends Item
@@ -3546,19 +3550,46 @@ object GraftApp {
     q.having match {
       case None => result
       case Some(h) =>
-        sk.map(_._5).find(a =>
-          ("(?i)\\b" + java.util.regex.Pattern.quote(a) + "\\b").r
-            .findFirstIn(h).isDefined).foreach(a => throw SqlError(
+        // boundary-safe alias reference: identifiers use \b; non-identifier
+        // aliases (an UNALIASED `count(*)` select item names its output
+        // column "count(*)") match literally — \b after ')' never fires
+        def refHit(a: String, text: String): Boolean =
+          (if (a.matches("\\w+")) ("(?i)\\b" + java.util.regex.Pattern.quote(a) + "\\b").r
+           else ("(?i)" + java.util.regex.Pattern.quote(a)).r)
+            .findFirstIn(text).isDefined
+        sk.map(_._5).find(refHit(_, h)).foreach(a => throw SqlError(
           s"HAVING references sketch aggregate '$a' — HAVING composes " +
             "with the plain aggregates only; filter sketch values " +
             "downstream (INSERT INTO a stream and SELECT ... WHERE)"))
-        // raw aggregate spellings resolve to their output columns (alias-
-        // aware, the batch resolution in reverse: values are precomputed)
-        val resolved = aggs.foldLeft(h) { case (acc, (fn, operand, _, alias)) =>
-          val raw = if (operand == "*") s"$fn\\s*\\(\\s*\\*\\s*\\)"
-            else s"$fn\\s*\\(\\s*${java.util.regex.Pattern.quote(operand)}\\s*\\)"
-          acc.replaceAll("(?i)" + raw,
-            java.util.regex.Matcher.quoteReplacement(alias))
+        // raw aggregate spellings AND alias references resolve to the
+        // kernel's output columns (the batch resolution in reverse: the
+        // values are precomputed). Substitution goes through unique
+        // placeholders first so one item's replacement can never be
+        // re-matched by another pass, then the placeholders become
+        // BACKTICKED column references — an unaliased item's output
+        // column is literally named "count(*)" and must not re-parse as
+        // an aggregate call.
+        var resolved = h
+        aggs.zipWithIndex.foreach { case ((fn, operand, _, alias), i) =>
+          val op = if (operand == "*") "\\*"
+            else java.util.regex.Pattern.quote(operand)
+          resolved = resolved.replaceAll(
+            s"(?i)\\b$fn\\s*\\(\\s*$op\\s*\\)", s"__hv${i}__")
+          if (alias.matches("\\w+"))
+            resolved = resolved.replaceAll(
+              "(?i)\\b" + java.util.regex.Pattern.quote(alias) + "\\b", s"__hv${i}__")
+        }
+        // anything aggregate-shaped left is NOT in the select list — the
+        // kernel never computed it, so reject typed instead of letting
+        // Spark fail on an aggregate inside filter()
+        """(?i)\b(count|sum|avg|min|max|kmv_distinct|hist_quantile|heavy_hitters)\s*\("""
+          .r.findFirstIn(maskQuotes(resolved))
+          .foreach(f => throw SqlError(
+            s"HAVING references aggregate '${f.trim}(' which is not in the " +
+              "select list — streaming sketch HAVING filters the computed " +
+              "per-window columns; add the aggregate as a select item"))
+        aggs.zipWithIndex.foreach { case ((_, _, _, alias), i) =>
+          resolved = resolved.replace(s"__hv${i}__", s"`$alias`")
         }
         result.filter(uexpr(resolved).cast("boolean"))
     }

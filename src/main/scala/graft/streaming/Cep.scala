@@ -346,6 +346,65 @@ object Cep {
   private implicit val stateEnc: Encoder[NfaState] = Encoders.product[NfaState]
   private implicit val evEnc: Encoder[CepEvent] = Encoders.product[CepEvent]
 
+
+  /** Shared member-completion advance for [[runNfa]] and
+    * [[runNfaSkipPast]] (the two machines differ ONLY in what a terminal
+    * completion does — emit vs hold a candidate): resolves the INNER
+    * frame first (leave once the inner floor is met, folding the inner
+    * split into iterHist — the inner base SURVIVES leaving so later
+    * outer-member refs anchor at the last inner iteration — and branch
+    * back while below the inner ceiling), then the OUTER loop frame
+    * (iteration gate, maxIters-bounded loop-back, −1-marked history
+    * records on nested specs), then plain advance/complete. */
+  private def advanceMember(step: Step, p: Partial, coll2: Seq[Seq[CepEvent]],
+      needHist: Boolean, hasInner: Boolean, nSteps: Int,
+      push: Partial => Unit, complete: Seq[Int] => Unit): Unit = {
+    def outerAdvance(pp: Partial): Unit = {
+      if (step.loopBack >= 0) {
+        val itersDone = pp.iters + 1
+        val histDone =
+          if (!needHist) Nil
+          else if (hasInner)
+            pp.iterHist ++ (-1 +: iterCounts(pp, coll2, step.loopBack))
+          else pp.iterHist ++ iterCounts(pp, coll2, step.loopBack)
+        if (itersDone >= step.minIters) {
+          if (pp.stepIdx == nSteps - 1) complete(histDone)
+          else push(Partial(pp.stepIdx + 1, pp.startUs, pp.startSeq,
+            coll2, iters = 0, iterBase = Nil, iterHist = histDone))
+        }
+        if (itersDone < step.maxIters) {
+          val nb = nextBase(pp, coll2, step.loopBack)
+          // a fresh outer iteration also restarts the inner frame
+          push(Partial(pp.stepIdx - step.loopBack, pp.startUs,
+            pp.startSeq, coll2, iters = itersDone,
+            iterBase = nb, iterHist = histDone,
+            innerIters = 0, innerBase = if (hasInner) nb else Nil))
+        }
+      } else if (pp.stepIdx == nSteps - 1) {
+        complete(pp.iterHist)
+      } else {
+        // mid-group members carry the iteration frames forward; outside a
+        // group all fields are at their defaults
+        push(Partial(pp.stepIdx + 1, pp.startUs, pp.startSeq, coll2,
+          iters = pp.iters, iterBase = pp.iterBase, iterHist = pp.iterHist,
+          innerIters = pp.innerIters, innerBase = pp.innerBase))
+      }
+    }
+    if (step.innerLoopBack >= 0) {
+      val innerDone = p.innerIters + 1
+      val ihist =
+        if (!needHist) p.iterHist
+        else p.iterHist ++ innerIterCounts(p, coll2, step.innerLoopBack)
+      if (innerDone >= step.innerMinIters)
+        outerAdvance(p.copy(iterHist = ihist, innerIters = 0))
+      if (innerDone < step.innerMaxIters)
+        push(Partial(p.stepIdx - step.innerLoopBack, p.startUs, p.startSeq,
+          coll2, iters = p.iters, iterBase = p.iterBase,
+          iterHist = ihist, innerIters = innerDone,
+          innerBase = nextInnerBase(p, coll2, step.innerLoopBack)))
+    } else outerAdvance(p)
+  }
+
   /** Core incremental NFA step: feed ordered events through the state. */
   def runNfa(events: Seq[CepEvent], init: NfaState, spec: PatternSpec)
       : (Seq[CepMatch], NfaState) = {
@@ -437,71 +496,8 @@ object Cep {
                 }
                 matchedNow = true
               }
-              // outer-frame resolution (`pp` = the partial after the inner
-              // frame, if any, resolved — identical to `p` without one)
-              def outerAdvance(pp: Partial): Unit = {
-                if (step.loopBack >= 0) {
-                  // the group's LAST member just completed iteration
-                  // `pp.iters + 1`: emit/advance once the minimum iteration
-                  // count is met (advance leaves the group — the loop
-                  // bookkeeping resets, the completed history rides
-                  // iterHist for dedup identity), and branch back for
-                  // another iteration while below maxIters
-                  val itersDone = pp.iters + 1
-                  val histDone =
-                    if (!needHist) Nil
-                    // nested specs mark outer-iteration records with a −1
-                    // so inner splits and outer totals cannot alias in the
-                    // flattened history
-                    else if (hasInner)
-                      pp.iterHist ++ (-1 +: iterCounts(pp, coll2, step.loopBack))
-                    else pp.iterHist ++ iterCounts(pp, coll2, step.loopBack)
-                  if (itersDone >= step.minIters) {
-                    if (pp.stepIdx == nSteps - 1) emitHere()
-                    else next += Partial(pp.stepIdx + 1, pp.startUs, pp.startSeq,
-                      coll2, iters = 0, iterBase = Nil, iterHist = histDone)
-                  }
-                  if (itersDone < step.maxIters) {
-                    val nb = nextBase(pp, coll2, step.loopBack)
-                    // a fresh outer iteration also restarts the inner
-                    // frame: the inner group's next entry anchors at the
-                    // loop-back snapshot
-                    next += Partial(pp.stepIdx - step.loopBack, pp.startUs,
-                      pp.startSeq, coll2, iters = itersDone,
-                      iterBase = nb, iterHist = histDone,
-                      innerIters = 0, innerBase = if (hasInner) nb else Nil)
-                  }
-                } else if (pp.stepIdx == nSteps - 1) {
-                  emitHere()
-                } else {
-                  // mid-group members carry the iteration frames forward;
-                  // outside a group all fields are at their defaults
-                  next += Partial(pp.stepIdx + 1, pp.startUs, pp.startSeq, coll2,
-                    iters = pp.iters, iterBase = pp.iterBase,
-                    iterHist = pp.iterHist,
-                    innerIters = pp.innerIters, innerBase = pp.innerBase)
-                }
-              }
-              if (step.innerLoopBack >= 0) {
-                // the INNER group's last member completed inner iteration
-                // `innerIters + 1`: leave once the inner floor is met
-                // (falling through to the outer logic with the inner split
-                // folded into iterHist; the inner base SURVIVES leaving so
-                // later outer-member refs anchor at the last inner
-                // iteration), and branch back for another inner iteration
-                // while below the inner ceiling
-                val innerDone = p.innerIters + 1
-                val ihist =
-                  if (!needHist) p.iterHist
-                  else p.iterHist ++ innerIterCounts(p, coll2, step.innerLoopBack)
-                if (innerDone >= step.innerMinIters)
-                  outerAdvance(p.copy(iterHist = ihist, innerIters = 0))
-                if (innerDone < step.innerMaxIters)
-                  next += Partial(p.stepIdx - step.innerLoopBack, p.startUs,
-                    p.startSeq, coll2, iters = p.iters, iterBase = p.iterBase,
-                    iterHist = ihist, innerIters = innerDone,
-                    innerBase = nextInnerBase(p, coll2, step.innerLoopBack))
-              } else outerAdvance(p)
+              advanceMember(step, p, coll2, needHist, hasInner, nSteps,
+                next += _, _ => emitHere())
             }
           } else if (!spec.strict && !guardKill) {
             // relaxed PATTERN: non-matching events are skipped; seeds that
@@ -615,16 +611,18 @@ object Cep {
     val out = Seq.newBuilder[CepMatch]
 
     val rel = spec.steps.map(_.reluctant)
+    val gStart = relVarGroupStart(spec)
     def addCand(c: SkipCand): Unit = {
       if (c.startSeq < pos) return
       val i = cands.indexWhere(_.startSeq == c.startSeq)
       if (i < 0) cands :+= c
       else if (skipPreferred(c.counts, cands(i).counts, rel,
-        c.groupIters, cands(i).groupIters)) cands = cands.updated(i, c)
+        c.groupIters, cands(i).groupIters, gStart)) cands = cands.updated(i, c)
     }
     def flush(): Unit = {
       val (emitted, st2) = skipFlush(SkipNfaState(
-        NfaState(partials, done = false, seq, 0L, mseq), pos, cands), resume, rel)
+        NfaState(partials, done = false, seq, 0L, mseq), pos, cands), resume, rel,
+        gStart)
       out ++= emitted
       partials = st2.nfa.partials.toVector
       mseq = st2.nfa.matchSeq
@@ -656,53 +654,10 @@ object Cep {
               p.startSeq, seq, coll2.map(_.size.toLong),
               groupIters =
                 if (relVarWidth > 0) (hist.size / relVarWidth).toLong else -1L))
-            // same loop-group bookkeeping as [[runNfa]]: inner frame
-            // resolves first, then the outer iteration gate /
-            // maxIters-bounded loop-back / iterHist identity carry
-            def outerAdvance(pp: Partial): Unit = {
-              if (step.loopBack >= 0) {
-                val itersDone = pp.iters + 1
-                val histDone =
-                  if (!needHist) Nil
-                  else if (hasInner)
-                    pp.iterHist ++ (-1 +: iterCounts(pp, coll2, step.loopBack))
-                  else pp.iterHist ++ iterCounts(pp, coll2, step.loopBack)
-                if (itersDone >= step.minIters) {
-                  if (pp.stepIdx == nSteps - 1) candHere(histDone)
-                  else next += Partial(pp.stepIdx + 1, pp.startUs, pp.startSeq,
-                    coll2, iters = 0, iterBase = Nil, iterHist = histDone)
-                }
-                if (itersDone < step.maxIters) {
-                  val nb = nextBase(pp, coll2, step.loopBack)
-                  next += Partial(pp.stepIdx - step.loopBack, pp.startUs,
-                    pp.startSeq, coll2, iters = itersDone,
-                    iterBase = nb, iterHist = histDone,
-                    innerIters = 0, innerBase = if (hasInner) nb else Nil)
-                }
-              } else if (pp.stepIdx == nSteps - 1) {
-                // group mid-chain: its completed-iteration records already
-                // sit in the partial's history
-                candHere(pp.iterHist)
-              } else {
-                next += Partial(pp.stepIdx + 1, pp.startUs, pp.startSeq, coll2,
-                  iters = pp.iters, iterBase = pp.iterBase,
-                  iterHist = pp.iterHist,
-                  innerIters = pp.innerIters, innerBase = pp.innerBase)
-              }
-            }
-            if (step.innerLoopBack >= 0) {
-              val innerDone = p.innerIters + 1
-              val ihist =
-                if (!needHist) p.iterHist
-                else p.iterHist ++ innerIterCounts(p, coll2, step.innerLoopBack)
-              if (innerDone >= step.innerMinIters)
-                outerAdvance(p.copy(iterHist = ihist, innerIters = 0))
-              if (innerDone < step.innerMaxIters)
-                next += Partial(p.stepIdx - step.innerLoopBack, p.startUs,
-                  p.startSeq, coll2, iters = p.iters, iterBase = p.iterBase,
-                  iterHist = ihist, innerIters = innerDone,
-                  innerBase = nextInnerBase(p, coll2, step.innerLoopBack))
-            } else outerAdvance(p)
+            // same loop-group bookkeeping as [[runNfa]], terminal
+            // completions become held candidates
+            advanceMember(step, p, coll2, needHist, hasInner, nSteps,
+              next += _, candHere)
           }
         }
         // strict contiguity: a mismatching event kills the instance
@@ -730,15 +685,35 @@ object Cep {
     * true when `a` is strictly preferred over `b`.
     */
   private def skipPreferred(a: Seq[Long], b: Seq[Long], rel: Seq[Boolean],
-                            aIters: Long = -1L, bIters: Long = -1L): Boolean = {
+                            aIters: Long = -1L, bIters: Long = -1L,
+                            groupStart: Int = -1): Boolean = {
     // two-level key for reluctant groups with variable-count members
-    // (round 15): the group-level '?' prefers the FEWEST ITERATIONS
-    // first; the member-level directions below then break ties among
-    // equal-iteration parses (fewest member rows)
-    if (aIters >= 0L && bIters >= 0L && aIters != bIters) return aIters < bIters
-    val i = a.zip(b).indexWhere { case (x, y) => x != y }
-    i >= 0 && (if (i < rel.length && rel(i)) a(i) < b(i) else a(i) > b(i))
+    // (round 15): the group-level '?' prefers the FEWEST ITERATIONS, and
+    // it resolves AT THE GROUP'S POSITION in the left-to-right quantifier
+    // order (regex backtracking: steps BEFORE the group keep their own
+    // preference first — a global iters-first comparison would let the
+    // group override an earlier reluctant step's resolution); the
+    // member-level directions then break ties among equal-iteration
+    // parses (fewest member rows)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      if (i == groupStart && aIters >= 0L && bIters >= 0L && aIters != bIters)
+        return aIters < bIters
+      if (a(i) != b(i))
+        return if (i < rel.length && rel(i)) a(i) < b(i) else a(i) > b(i)
+      i += 1
+    }
+    false
   }
+
+  /** First looped step's index when the spec holds a reluctant loop group
+    * with a variable-count member (the positional anchor for the
+    * iteration key above); −1 otherwise. */
+  private def relVarGroupStart(spec: PatternSpec): Int =
+    if (spec.steps.exists(s => s.looped && s.reluctant && s.min != s.max))
+      spec.steps.indexWhere(_.looped)
+    else -1
 
   /** The selection sweep shared by the event path and the timeout path:
     * repeatedly emit the earliest-start held candidate once no live
@@ -748,7 +723,8 @@ object Cep {
     * overlap of the NEXT match). Returns (emitted, state'). */
   private def skipFlush(st: SkipNfaState,
                         resume: Option[(Int, Boolean)] = None,
-                        rel: Seq[Boolean] = Nil): (Seq[CepMatch], SkipNfaState) = {
+                        rel: Seq[Boolean] = Nil,
+                        groupStart: Int = -1): (Seq[CepMatch], SkipNfaState) = {
     var pos = st.pos
     var cands = st.cands.toVector
     var partials = st.nfa.partials.toVector
@@ -763,7 +739,7 @@ object Cep {
         if (!partials.exists(_.startSeq <= s)) {
           val best = cands.filter(_.startSeq == s)
             .reduceLeft((x, y) => if (skipPreferred(y.counts, x.counts, rel,
-              y.groupIters, x.groupIters)) y else x)
+              y.groupIters, x.groupIters, groupStart)) y else x)
           mseq += 1
           o += best.m.copy(matchSeq = mseq)
           pos = resume match {
@@ -796,10 +772,11 @@ object Cep {
     */
   def skipPastTimeoutFlush(st: SkipNfaState, wmUs: Long, withinUs: Long,
                            resume: Option[(Int, Boolean)] = None,
-                           rel: Seq[Boolean] = Nil)
+                           rel: Seq[Boolean] = Nil,
+                           groupStart: Int = -1)
       : (Seq[CepMatch], SkipNfaState) = {
     val live = st.nfa.partials.filter(p => p.startUs + withinUs >= wmUs)
-    skipFlush(st.copy(nfa = st.nfa.copy(partials = live)), resume, rel)
+    skipFlush(st.copy(nfa = st.nfa.copy(partials = live)), resume, rel, groupStart)
   }
 
   /** Batch `AFTER MATCH SKIP PAST LAST ROW` / `SKIP TO FIRST|LAST`
@@ -818,7 +795,7 @@ object Cep {
       val (out, st) = runNfaSkipPast(evs,
         SkipNfaState(NfaState(Nil, done = false), 0L, Nil), spec, resume)
       val (tail, _) = skipFlush(st.copy(nfa = st.nfa.copy(partials = Nil)),
-        resume, spec.steps.map(_.reluctant))
+        resume, spec.steps.map(_.reluctant), relVarGroupStart(spec))
       (out ++ tail).iterator
     }
 
@@ -1214,7 +1191,7 @@ object Cep {
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val st = state.getOption.getOrElse(emptySt)
           val (out, next) = skipPastTimeoutFlush(st, wmUs, withinUs, resume,
-            spec.steps.map(_.reluctant))
+            spec.steps.map(_.reluctant), relVarGroupStart(spec))
           if (next.nfa.partials.isEmpty && next.cands.isEmpty &&
               !(retainMatchSeq && next.nfa.matchSeq > 0)) {
             // seq/pos continuity is not needed once nothing is held: a
@@ -1314,7 +1291,8 @@ object Cep {
         //    unmatched flush below decides anything)
         val (matched: Seq[CepMatch], skip2: SkipNfaState) =
           if (state.hasTimedOut) {
-            if (useSkip) skipPastTimeoutFlush(st.skip, wmUs, withinUs, resume, rel)
+            if (useSkip) skipPastTimeoutFlush(st.skip, wmUs, withinUs, resume, rel,
+              relVarGroupStart(spec))
             else (Seq.empty[CepMatch], st.skip.copy(nfa = st.skip.nfa.copy(
               partials = st.skip.nfa.partials.filter(p => p.startUs + withinUs >= wmUs))))
           } else if (useSkip) runNfaSkipPast(events, st.skip, spec, resume)

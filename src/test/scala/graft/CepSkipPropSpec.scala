@@ -495,7 +495,8 @@ class CepSkipPropSpec extends AnyFunSuite {
     final case class RelCase(pre: Seq[StepSpec], loop: Seq[StepSpec],
                              post: Seq[StepSpec], minIters: Int, maxIters: Int)
 
-    // every parse: (start, iterations, per-step counts)
+    // every parse: (start, iterations, per-step counts) — pre steps may
+    // be variable-count, so they enumerate count choices like loop members
     def parses(tape: IndexedSeq[Int], c: RelCase): Seq[(Int, Int, Seq[Int])] = {
       val out = Seq.newBuilder[(Int, Int, Seq[Int])]
       val nLoop = c.loop.size
@@ -507,41 +508,63 @@ class CepSkipPropSpec extends AnyFunSuite {
         }
         Some(p)
       }
-      def member(si: Int, pos: Int, k: Int, start: Int, cnts: Seq[Int]): Unit = {
-        if (si == nLoop) { iterations(pos, k + 1, start, cnts); return }
+      def preStep(si: Int, pos: Int, start: Int, preCnts: Seq[Int]): Unit = {
+        if (si == c.pre.size) {
+          iterations(pos, 0, start, preCnts, Seq.fill(nLoop)(0)); return
+        }
+        val st = c.pre(si)
+        var p = pos; var n = 0
+        while (n < st.max && p < tape.length && st.kinds(tape(p))) {
+          p += 1; n += 1
+          if (n >= st.min) preStep(si + 1, p, start, preCnts.updated(si, n))
+        }
+      }
+      def member(si: Int, pos: Int, k: Int, start: Int, preCnts: Seq[Int],
+                 cnts: Seq[Int]): Unit = {
+        if (si == nLoop) { iterations(pos, k + 1, start, preCnts, cnts); return }
         val st = c.loop(si)
         var p = pos; var n = 0
         while (n < st.max && p < tape.length && st.kinds(tape(p))) {
           p += 1; n += 1
-          if (n >= st.min) member(si + 1, p, k, start, cnts.updated(si, cnts(si) + n))
+          if (n >= st.min)
+            member(si + 1, p, k, start, preCnts, cnts.updated(si, cnts(si) + n))
         }
       }
-      def iterations(pos: Int, k: Int, start: Int, cnts: Seq[Int]): Unit = {
+      def iterations(pos: Int, k: Int, start: Int, preCnts: Seq[Int],
+                     cnts: Seq[Int]): Unit = {
         if (k >= c.minIters)
           consumeFix(c.post, pos).foreach { _ =>
-            out += ((start, k,
-              c.pre.map(_ => 1) ++ cnts ++ c.post.map(_ => 1)))
+            out += ((start, k, preCnts ++ cnts ++ c.post.map(_ => 1)))
           }
-        if (k < c.maxIters) member(0, pos, k, start, cnts)
+        if (k < c.maxIters) member(0, pos, k, start, preCnts, cnts)
       }
-      tape.indices.foreach { start =>
-        consumeFix(c.pre, start).foreach(p0 =>
-          iterations(p0, 0, start, Seq.fill(nLoop)(0)))
-      }
+      tape.indices.foreach(start => preStep(0, start, start, Seq.fill(c.pre.size)(0)))
       out.result()
     }
 
-    // the defined preference: earliest start; same start -> fewest
-    // ITERATIONS, then member counts lexicographically (looped steps all
-    // reluctant -> fewer rows preferred; pre/post fixed); resume past the
-    // emitted match's last row
+    // the defined preference: earliest start; same start -> POSITIONAL
+    // left-to-right resolution (regex backtracking order): each pre step
+    // resolves by its own direction first; AT the group's position the
+    // iteration count resolves (fewest preferred); member counts then
+    // break ties (looped steps all reluctant -> fewer rows); post greedy.
+    // Resume past the emitted match's last row.
     def selectRel(all: Seq[(Int, Int, Seq[Int])], c: RelCase): Seq[(Int, Seq[Int])] = {
       val nPre = c.pre.size
       def pref(a: (Int, Int, Seq[Int]), b: (Int, Int, Seq[Int])): Boolean = {
-        if (a._2 != b._2) return a._2 < b._2
-        val i = a._3.zip(b._3).indexWhere { case (x, y) => x != y }
-        i >= 0 && (if (i >= nPre && i < nPre + c.loop.size) a._3(i) < b._3(i)
-                   else a._3(i) > b._3(i))
+        var i = 0
+        val n = math.min(a._3.length, b._3.length)
+        while (i < n) {
+          if (i == nPre && a._2 != b._2) return a._2 < b._2
+          if (a._3(i) != b._3(i)) {
+            val relI =
+              if (i < nPre) c.pre(i).rel
+              else if (i < nPre + c.loop.size) true
+              else false
+            return if (relI) a._3(i) < b._3(i) else a._3(i) > b._3(i)
+          }
+          i += 1
+        }
+        false
       }
       val out = Seq.newBuilder[(Int, Seq[Int])]
       var pos = Int.MinValue
@@ -566,7 +589,8 @@ class CepSkipPropSpec extends AnyFunSuite {
       def mk(st: StepSpec, name: String): Step =
         Step(name, st.min, st.max, (e, _) => st.kinds(e.etype.toInt))
       val steps =
-        c.pre.zipWithIndex.map { case (st, i) => mk(st, s"P$i") } ++
+        c.pre.zipWithIndex.map { case (st, i) =>
+          mk(st, s"P$i").copy(reluctant = st.rel) } ++
         c.loop.zipWithIndex.map { case (st, i) =>
           mk(st, s"L$i").copy(looped = true, reluctant = true,
             minIters = c.minIters, maxIters = c.maxIters,
@@ -598,7 +622,10 @@ class CepSkipPropSpec extends AnyFunSuite {
         }
         StepSpec(kinds, 1, 1 + rng.next(maxMax), rel = false)
       }
-      val pre = Seq.fill(rng.next(2))(specOf(1))
+      // pre steps may themselves be VARIABLE-count and RELUCTANT: the
+      // positional rule must resolve them BEFORE the group's iteration key
+      val pre = Seq.fill(rng.next(2))(
+        specOf(2).copy(rel = rng.next(2) == 0))
       val loop = Seq.fill(1 + rng.next(2))(specOf(3))
       val post = Seq.fill(rng.next(2))(specOf(1))
       if (loop.forall(_.max == 1)) () // need a variable member

@@ -2735,9 +2735,13 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode("append").start()
     try {
       // ≤ k distinct per window ⇒ Misra-Gries never decrements ⇒ counts
-      // exact ⇒ the emitted order is the exact frequency order
+      // exact ⇒ the emitted order is the exact frequency order. User 3's
+      // window holds a NULL token TIED on count with a real one — NULL
+      // keys are their own MG counter and must sort (first) without
+      // NPEing (review r15)
       in.addData(Seq.fill(5)((1L, 1L, "a")) ++ Seq.fill(2)((2L, 1L, "b")) ++
-        Seq((3L, 1L, "c")) ++ Seq.fill(3)((4L, 2L, "z")): _*)
+        Seq((3L, 1L, "c")) ++ Seq.fill(3)((4L, 2L, "z")) ++
+        Seq((5L, 3L, null: String), (6L, 3L, "m")): _*)
       in.addData((60L, 9L, "s")) // close window 0
       q.processAllAvailable()
       val got = spark.table(name)
@@ -2746,7 +2750,8 @@ class StreamingSpec extends AnyFunSuite {
           r.getSeq[String](2).toList)).sortBy(_._1).toSeq
       assert(got == Seq(
         ("""{"user_id":1}""", 0L, List("a", "b", "c")),
-        ("""{"user_id":2}""", 0L, List("z"))))
+        ("""{"user_id":2}""", 0L, List("z")),
+        ("""{"user_id":3}""", 0L, List(null, "m"))))
     } finally q.stop()
   }
   test("composable streaming sketches (round 15): multi-sketch + plain aggregates in ONE windowed query, late fold-in") {
@@ -2990,6 +2995,33 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       assert(got == Seq((1L, 3L, 4L)), s"$got")
     } finally q.stop()
+    // UNALIASED count(*): the output column is literally named
+    // "count(*)" — HAVING must resolve it as a column reference, not
+    // re-parse an aggregate call (review r15)
+    locally {
+      val in2 = MemoryStream[(Long, Long, Long)]
+      val sdf2 = in2.toDF().toDF("sec", "user_id", "doc_id").selectExpr(
+        "CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "user_id", "doc_id")
+      val app2 =
+        """CREATE STREAM S (ts TIMESTAMP, user_id BIGINT, doc_id BIGINT);
+          |CREATE STREAM Out (win_start TIMESTAMP, user_id BIGINT, du BIGINT,
+          |                   n BIGINT);
+          |INSERT INTO Out SELECT user_id, kmv_distinct(doc_id, 16) AS du, count(*)
+          |FROM S WINDOW('timeBatch', '10 seconds') GROUP BY user_id
+          |HAVING count(*) >= 3;""".stripMargin
+      val out2 = graft.sql.GraftApp.run(spark, app2, Map("S" -> sdf2))("Out")
+      sinkId += 1; val n2 = s"hav2_sink_$sinkId"
+      val q2 = out2.writeStream.format("memory").queryName(n2)
+        .outputMode("append").start()
+      try {
+        in2.addData((1L, 1L, 10L), (2L, 1L, 11L), (3L, 1L, 12L), (2L, 2L, 20L))
+        in2.addData((60L, 9L, 1L))
+        q2.processAllAvailable()
+        val got2 = spark.table(n2).selectExpr("user_id", "du", "`count(*)`")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(got2 == Seq((1L, 3L, 3L)), s"$got2")
+      } finally q2.stop()
+    }
     // HAVING over a sketch alias stays typed
     val err = intercept[graft.sql.GraftApp.SqlError](graft.sql.GraftApp.run(spark,
       """CREATE STREAM S (ts TIMESTAMP, user_id BIGINT, doc_id BIGINT);
@@ -2998,5 +3030,23 @@ class StreamingSpec extends AnyFunSuite {
         |FROM S WINDOW('timeBatch', '10 seconds') GROUP BY user_id
         |HAVING du > 5;""".stripMargin, Map("S" -> sdf))).getMessage
     assert(err.contains("sketch aggregate"))
+    // HAVING over an aggregate NOT in the select list dies typed
+    val err2 = intercept[graft.sql.GraftApp.SqlError](graft.sql.GraftApp.run(spark,
+      """CREATE STREAM S (ts TIMESTAMP, user_id BIGINT, doc_id BIGINT);
+        |CREATE STREAM Out (win_start TIMESTAMP, user_id BIGINT, du BIGINT);
+        |INSERT INTO Out SELECT user_id, kmv_distinct(doc_id, 16) AS du
+        |FROM S WINDOW('timeBatch', '10 seconds') GROUP BY user_id
+        |HAVING sum(doc_id) > 5;""".stripMargin, Map("S" -> sdf))).getMessage
+    assert(err2.contains("not in the"), err2)
+    // a sketch call inside an EXPRESSION is a typed error, not an
+    // index-out-of-bounds (review r15: anchored classification regex)
+    val err3 = intercept[graft.sql.GraftApp.SqlError](graft.sql.GraftApp.run(spark,
+      """CREATE STREAM S (ts TIMESTAMP, user_id BIGINT, doc_id BIGINT);
+        |CREATE STREAM Out (win_start TIMESTAMP, user_id BIGINT, du BIGINT, x BIGINT);
+        |INSERT INTO Out SELECT user_id, kmv_distinct(doc_id, 16) AS du,
+        |  kmv_distinct(doc_id, 16) * 2 AS x
+        |FROM S WINDOW('timeBatch', '10 seconds') GROUP BY user_id;""".stripMargin,
+      Map("S" -> sdf))).getMessage
+    assert(err3.contains("count/sum/avg/min/max"), err3)
   }
 }
