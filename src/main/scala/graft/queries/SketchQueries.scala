@@ -99,6 +99,42 @@ object SketchQueries extends QueryFamily {
              |FROM n LEFT JOIN duv ON duv.event_type = n.event_type AND duv.user_id = n.user_id
              |ORDER BY 1, 2""".stripMargin)),
 
+    // GLOBAL sketch + plain-aggregate mix (round 15): the whole-corpus
+    // datacard one-liner — count(*), a KMV distinct, max, and a median in
+    // ONE global select, composed as 1×1 cross joins with no spine
+    // (previously typed-rejected: "entire select list"). The oracle
+    // replays each piece independently.
+    QueryDef(
+      "q_sketch_sql_global",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (n BIGINT, du BIGINT, mx DOUBLE, p50 DOUBLE);
+            |INSERT INTO Out SELECT count(*) AS n, kmv_distinct(user_id, 64) AS du,
+            |  round(max(value), 6) AS mx, hist_quantile(value, 500) AS p50
+            |FROM events;""".stripMargin
+        graft.sql.GraftApp.run(s, app,
+          Map("events" -> Tables(s, dir, "events")))("Out")
+      },
+      Some("""WITH h AS (SELECT DISTINCT
+             |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+             |  FROM events WHERE user_id IS NOT NULL),
+             |kk AS (SELECT hv FROM h ORDER BY hv LIMIT 64),
+             |duv AS (SELECT CASE WHEN count(*) < 64 THEN CAST(count(*) AS BIGINT)
+             |  ELSE CAST(round(63.0 * 1152921504606846976.0 / CAST(max(hv) AS DOUBLE)) AS BIGINT) END AS du
+             |  FROM kk),
+             |b AS (SELECT CAST(floor(value * 100) AS BIGINT) AS bucket,
+             |        CAST(count(*) AS BIGINT) AS cnt
+             |      FROM events WHERE value IS NOT NULL GROUP BY 1),
+             |nb AS (SELECT coalesce(sum(cnt), 0) AS n FROM b),
+             |c AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum FROM b),
+             |p50 AS (SELECT CAST(min(c.bucket) AS DOUBLE) / 100 AS p50
+             |        FROM c, nb WHERE c.cum >= greatest(1, (500 * nb.n + 999) // 1000))
+             |SELECT (SELECT CAST(count(*) AS BIGINT) FROM events) AS n,
+             |  duv.du, (SELECT round(max(value), 6) FROM events) AS mx, p50.p50
+             |FROM duv, p50""".stripMargin)),
+
     // KMV bottom-k distinct estimation over two key columns of events:
     // user_id (1.5k distinct at sf0.1 — estimated from 64 hashes) and
     // event_id (100k distinct — estimated from 256). DuckDB replays the

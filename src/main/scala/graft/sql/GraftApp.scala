@@ -3034,16 +3034,38 @@ object GraftApp {
             }
             joined.select(outCols: _*)
           case None =>
-            if (q.selectItems.size != sk.size) throw SqlError(
-              "sketch aggregates without GROUP BY must be the entire select " +
-                "list (mixing with other global aggregates is not supported " +
-                "— add a GROUP BY or split the query)")
+            // GLOBAL form (round 15: plain aggregates COMPOSE — the
+            // datacard one-liner `SELECT count(*), kmv_distinct(u, 64)
+            // FROM t`): each sketch result and the single normal-agg
+            // frame are 1-row relations, so the join-back is a chain of
+            // 1×1 cross joins — no spine needed
+            if (q.having.isDefined) throw SqlError(
+              "HAVING needs a GROUP BY — the global sketch form emits one " +
+                "row; filter it downstream")
+            val normalG = q.selectItems.filter { case (e, _) =>
+              sketchRe.findFirstMatchIn(e.trim).isEmpty }
+            normalG.find { case (e, _) =>
+              AggCallRe.findFirstIn(e.trim).isEmpty }.foreach { case (e, _) =>
+              throw SqlError(
+                s"select item '${e.trim}' is not an aggregate — without " +
+                  "GROUP BY every non-sketch item must aggregate (count/" +
+                  "sum/avg/...)")
+            }
+            val normalDf =
+              if (normalG.isEmpty) None
+              else Some(df.agg(
+                normalG.map { case (e, a) => uexpr(e).as(a.getOrElse(e)) }.head,
+                normalG.map { case (e, a) => uexpr(e).as(a.getOrElse(e)) }.tail: _*))
+            val outNames = q.selectItems.map { case (e, a) =>
+              sketchRe.findFirstMatchIn(e.trim)
+                .map(_ => a.getOrElse(e.trim)).getOrElse(a.getOrElse(e))
+            }
             (sk.filter(_._1 != "hist_quantile")
               .map { case (fn, c, p1, p2, alias) => sketchOf(fn, c, p1, p2, alias) }
-              ++ histGroups)
+              ++ histGroups ++ normalDf)
               .reduce(_.crossJoin(_))
               // declared select order (the hist batch may have reordered)
-              .select(sk.map(x => col(x._5)): _*)
+              .select(outNames.map(col): _*)
         }
         return finishOrderLimit(if (q.distinct) result.dropDuplicates() else result, q)
       }

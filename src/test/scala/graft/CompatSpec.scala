@@ -2001,14 +2001,35 @@ class CompatSpec extends AnyFunSuite {
         |  kmv_distinct(user_id, 64) AS du
         |FROM events GROUP BY event_type;""".stripMargin
     assert(err(aliasClash).contains("aliased to the GROUP BY key"))
-    // global form must be the whole select list
+    // round 15: the GLOBAL form composes with plain aggregates (the
+    // datacard one-liner) — 1x1 cross joins, no spine
     val mixed =
       """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
         |                      event_type STRING, value DOUBLE, props STRING);
-        |CREATE STREAM Out (n BIGINT, du BIGINT);
-        |INSERT INTO Out SELECT count(*) AS n, kmv_distinct(user_id, 64) AS du
+        |CREATE STREAM Out (n BIGINT, du BIGINT, mx DOUBLE, p50 DOUBLE);
+        |INSERT INTO Out SELECT count(*) AS n, kmv_distinct(user_id, 64) AS du,
+        |  max(value) AS mx, hist_quantile(value, 500) AS p50
         |FROM events;""".stripMargin
-    assert(err(mixed).contains("entire select list"))
+    val mixGot = GraftApp.run(spark, mixed, Map("events" -> ev))("Out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val mixWant = {
+      val n = ev.count()
+      val du = graft.operators.Sketches.kmvDistinct(ev, "user_id", 64)
+        .select("est_distinct").head().getLong(0)
+      val mx = ev.agg(max(col("value"))).head().getDouble(0)
+      val p50 = graft.operators.Sketches.quantiles(ev, "value", Seq(500), 100)
+        .select("value").head().getDouble(0)
+      Seq((n, du, mx, p50))
+    }
+    assert(mixGot == mixWant, s"global mix $mixGot vs $mixWant")
+    // a NON-aggregate item without GROUP BY stays typed
+    val badMix =
+      """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+        |                      event_type STRING, value DOUBLE, props STRING);
+        |CREATE STREAM Out (et STRING, du BIGINT);
+        |INSERT INTO Out SELECT event_type AS et, kmv_distinct(user_id, 64) AS du
+        |FROM events;""".stripMargin
+    assert(err(badMix).contains("not an aggregate"))
     // multiple hist_quantile calls on one (column, scale) batch into ONE
     // quantilesBy pass (the p50/p95 datacard shape) — values must equal
     // the operator's own per-quantile output
