@@ -83,24 +83,69 @@ object Bench {
         if (t1p <= t0p) m1 else m0 + (m1 - m0) * (t - t0p) / (t1p - t0p)
       }
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // contention retry (round 16, VERDICT r15 #4): queries measured under a
+    // >20% capacity dip re-run ONCE, gated on a fresh probe confirming the
+    // host has recovered (>=90% of the run's best probe). The reading with
+    // the lower NORMALIZED time wins — a transient burst stops polluting
+    // round-over-round per-query deltas, while a genuinely slow query keeps
+    // its honest number (retrying under equal conditions can't flatter it).
+    val bestMops0 = probes.map(_._2).max
+    val contended0 = {
+      val spread0 = bestMops0 / math.max(probes.map(_._2).min, 1e-9)
+      if (spread0 <= 1.2) Set.empty[String]
+      else results.collect {
+        case (k, v, tMid) if v >= 0 && mopsAt(tMid) < 0.8 * bestMops0 => k
+      }.toSet
+    }
+    val adjustOverride = scala.collection.mutable.Map[String, Double]()
+    val results1 = if (contended0.isEmpty) results else {
+      val byName = ordered.toMap
+      results.map { case r @ (name, t, tMid) =>
+        if (t < 0 || !contended0(name)) r
+        else {
+          val m0 = HostCalib.mops(cpus.toInt, targetSec = 0.15, trials = 2)
+          if (m0 < 0.9 * bestMops0) r // still contended — keep the original
+          else {
+            val s0 = nowSec
+            val ok = try { run(byName(name)); true } catch { case _: Throwable => false }
+            val s1 = nowSec
+            val m1 = HostCalib.mops(cpus.toInt, targetSec = 0.15, trials = 2)
+            val adjNew = HostCalib.floorAdjust((m0 + m1) / 2)
+            val adjOld = HostCalib.floorAdjust(mopsAt(tMid))
+            if (ok && (s1 - s0) * adjNew < t * adjOld) {
+              adjustOverride(name) = adjNew
+              (name, s1 - s0, tMid)
+            } else r
+          }
+        }
+      }
+    }
+    val results2 = results1
+    val qs = results2.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results2.map(_._2).filter(_ >= 0).sum
+    // a compile-/run-broken registry entry must be LOUD (round 16, VERDICT
+    // r15 #2): q_sketch_sql_global shipped broken behind a silent -1.0
+    val failedQueries = results2.collect { case (k, v, _) if v < 0 => k }
+    if (failedQueries.nonEmpty)
+      System.err.println(
+        s"BENCH FAILED ${failedQueries.size}: ${failedQueries.mkString(", ")}")
     // per-query host-normalized seconds: t_norm = t_raw × adjust(t_mid),
     // adjust interpolated from the probes bracketing the query — a query
     // unchanged across rounds reads flat in `queries_norm` even through a
     // mid-run contention burst the end-of-run probe would miss.
-    val perQueryAdjust = results.map { case (_, _, tMid) => HostCalib.floorAdjust(mopsAt(tMid)) }
-    val qsNormStr = results.zip(perQueryAdjust).map { case ((k, v, _), a) =>
+    val perQueryAdjust = results2.map { case (name, _, tMid) =>
+      adjustOverride.getOrElse(name, HostCalib.floorAdjust(mopsAt(tMid))) }
+    val qsNormStr = results2.zip(perQueryAdjust).map { case ((k, v, _), a) =>
       "\"" + k + "\":" + (if (v >= 0) v * a else -1.0)
     }.mkString("{", ",", "}")
-    val totalNorm = results.zip(perQueryAdjust).collect { case ((_, v, _), a) if v >= 0 => v * a }.sum
+    val totalNorm = results2.zip(perQueryAdjust).collect { case ((_, v, _), a) if v >= 0 => v * a }.sum
     // contention flagging: spread = best/worst probe; when >1.2, list the
-    // queries whose local capacity was >20% under the run's best probe
+    // queries whose local capacity was >20% under the run's best probe —
+    // minus those whose retry landed in a verified-quiet window
     val bestMops = probes.map(_._2).max
     val worstMops = probes.map(_._2).min
     val calibSpread = if (worstMops > 0) bestMops / worstMops else Double.PositiveInfinity
-    val contended = if (calibSpread <= 1.2) Seq.empty[String] else
-      results.collect { case (k, v, tMid) if v >= 0 && mopsAt(tMid) < 0.8 * bestMops => k }
+    val contended = (contended0 -- adjustOverride.keySet).toSeq.sorted
     val probesJson = probes.map { case (t, m) =>
       s"""{"t_sec":${math.round(t * 10) / 10.0},"mops":${m.round}}"""
     }.mkString("[", ",", "]")
@@ -187,6 +232,10 @@ object Bench {
     val scalars =
       s""""calib_spread":${math.round(calibSpread * 1000) / 1000.0},""" +
       s""""contended_n":${contended.size},""" +
+      s""""retried_n":${adjustOverride.size},""" +
+      s""""retried_queries":${adjustOverride.keySet.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""failed_n":${failedQueries.size},""" +
+      s""""failed_queries":${failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""calib_clamp_saturated":$clampSaturated,""" +
       s""""warmup":"full-corpus-steady-state",""" +
       s""""window_kernel_events_per_sec":${winEps.round},"cep_events_per_sec":${cepEps.round},""" +

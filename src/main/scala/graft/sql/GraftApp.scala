@@ -323,6 +323,30 @@ object GraftApp {
   private val AggCallRe: Regex =
     "(?i)^(sum|avg|count|min|max|stddev|stddev_pop|first|last)\\s*\\(".r
 
+  /** Expression-level aggregate detection (round 16, VERDICT r15 #1): parse
+    * the item with Catalyst and walk for an aggregate function call, so
+    * scalar-wrapped aggregates (`round(max(x), 6)`) classify correctly —
+    * the `^`-anchored AggCallRe saw only bare calls and mis-classified the
+    * global sketch+aggregate mix. Strings Catalyst cannot parse as a single
+    * expression (`*`, graft-only fragments) fall back to the prefix regex;
+    * their own compile paths surface typed errors later.
+    */
+  private def hasAggCall(e: String): Boolean = {
+    val t = e.trim
+    if (t.isEmpty || t == "*") false
+    else try {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(t)
+        .exists {
+          case f: UnresolvedFunction =>
+            AggFnNames.contains(f.nameParts.last.toLowerCase)
+          case _ => false
+        }
+    } catch {
+      case scala.util.control.NonFatal(_) => AggCallRe.findFirstIn(t).isDefined
+    }
+  }
+
   /** Window kinds whose lowering emits a groupable `window` bucket column. */
   private val BucketWindowKinds: Set[String] =
     Set("tumbling", "timebatch", "externaltimebatch", "sliding", "hop",
@@ -763,8 +787,7 @@ object GraftApp {
               val newKeys = qKeys.filterNot(k =>
                 q0.selectItems.exists(_._1.trim.equalsIgnoreCase(k.keyExpr)))
               val keyItems = newKeys.map(k => (k.keyExpr, k.alias))
-              val hasAgg = q0.selectItems.exists { case (e, _) =>
-                AggCallRe.findFirstIn(e.trim).isDefined }
+              val hasAgg = q0.selectItems.exists { case (e, _) => hasAggCall(e) }
               if (q0.groupBy.nonEmpty)
                 q1.copy(groupBy = qKeys.map(_.keyExpr) ++ q0.groupBy,
                   selectItems = keyItems ++ q0.selectItems)
@@ -2795,7 +2818,7 @@ object GraftApp {
     q.outputRate.filter(r => r.behavior == "first" || r.behavior == "last")
       .foreach { r =>
       val hasAgg = q.groupBy.nonEmpty ||
-        q.selectItems.exists(it => AggCallRe.findFirstIn(it._1.trim).isDefined)
+        q.selectItems.exists(it => hasAggCall(it._1))
       if (hasAgg) throw SqlError(
         "OUTPUT FIRST/LAST applies to per-event queries in the batch " +
           "surface — aggregated shapes re-emit state per arrival, which " +
@@ -3044,8 +3067,7 @@ object GraftApp {
                 "row; filter it downstream")
             val normalG = q.selectItems.filter { case (e, _) =>
               sketchRe.findFirstMatchIn(e.trim).isEmpty }
-            normalG.find { case (e, _) =>
-              AggCallRe.findFirstIn(e.trim).isEmpty }.foreach { case (e, _) =>
+            normalG.find { case (e, _) => !hasAggCall(e) }.foreach { case (e, _) =>
               throw SqlError(
                 s"select item '${e.trim}' is not an aggregate — without " +
                   "GROUP BY every non-sketch item must aggregate (count/" +
@@ -3089,7 +3111,7 @@ object GraftApp {
       if (w0.kind != "length") throw SqlError(
         s"${q.outputEvents.toUpperCase} EVENTS is supported for WINDOW('length') " +
         "in the batch surface (streaming kernels emit the ±1 changelog)")
-      if (q.selectItems.exists(it => AggCallRe.findFirstIn(it._1.trim).isDefined))
+      if (q.selectItems.exists(it => hasAggCall(it._1)))
         throw SqlError("EXPIRED/ALL EVENTS emits event rows; aggregates are not applicable")
       if (!df.columns.contains("ts"))
         throw SqlError("EXPIRED/ALL EVENTS needs a 'ts' TIMESTAMP column for event order")
@@ -3188,7 +3210,7 @@ object GraftApp {
     // BY group implicitly per (keys, session)
     val groupByEff = q.window match {
       case Some(w) if w.kind == "session" && q.groupBy.isEmpty &&
-          q.selectItems.exists(it => AggCallRe.findFirstIn(it._1.trim).isDefined) =>
+          q.selectItems.exists(it => hasAggCall(it._1)) =>
         val keys = sessionParams(w)._3
         if (keys.nonEmpty) keys :+ "window" else q.groupBy
       case _ => q.groupBy
@@ -3206,7 +3228,7 @@ object GraftApp {
             a.trim.toLowerCase -> e.trim
         }.toMap
         aliasExpr.foreach { case (a, e) =>
-          if (groupSet.contains(a) && AggCallRe.findFirstIn(e).isDefined)
+          if (groupSet.contains(a) && hasAggCall(e))
             throw SqlError(s"GROUP BY '$a' references an aggregate select alias")
         }
         val (_, aggItems) = q.selectItems.partition {
@@ -3645,7 +3667,7 @@ object GraftApp {
     implicit val weEnc: org.apache.spark.sql.Encoder[WinEvent] =
       org.apache.spark.sql.Encoders.product[WinEvent]
     if (q.groupBy.nonEmpty ||
-        q.selectItems.exists(it => AggCallRe.findFirstIn(it._1.trim).isDefined))
+        q.selectItems.exists(it => hasAggCall(it._1)))
       throw SqlError(s"window('${w.kind}') on a STREAMING input emits the " +
         "per-event ±1 changelog; aggregate it downstream in update mode " +
         "(sum(x * op) per key) — GROUP BY/aggregates are not part of the " +
@@ -3907,7 +3929,7 @@ object GraftApp {
     // Aggregate-bearing HAVING is rejected like aggregate select items: the
     // kernel emits per-event rows, aggregation belongs downstream.
     q.having.foreach { h =>
-      if (AggCallRe.findFirstIn(h.trim).isDefined)
+      if (hasAggCall(h))
         throw SqlError(s"HAVING with aggregates on window('${w.kind}') over " +
           "a STREAMING input: the kernel emits the per-event ±1 changelog — " +
           "aggregate it downstream in update mode (sum(x * op) per key)")

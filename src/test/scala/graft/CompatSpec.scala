@@ -2022,6 +2022,21 @@ class CompatSpec extends AnyFunSuite {
       Seq((n, du, mx, p50))
     }
     assert(mixGot == mixWant, s"global mix $mixGot vs $mixWant")
+    // round 16 (VERDICT r15 #1): SCALAR-WRAPPED aggregates classify as
+    // aggregates — `round(max(value), 6)` shipped broken under the
+    // ^-anchored regex; aggregate detection is now expression-level
+    val wrapped =
+      """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+        |                      event_type STRING, value DOUBLE, props STRING);
+        |CREATE STREAM Out (n BIGINT, du BIGINT, mx DOUBLE);
+        |INSERT INTO Out SELECT count(*) AS n, kmv_distinct(user_id, 64) AS du,
+        |  round(max(value), 6) AS mx
+        |FROM events;""".stripMargin
+    val wrapGot = GraftApp.run(spark, wrapped, Map("events" -> ev))("Out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val wrapWant = Seq((mixWant.head._1, mixWant.head._2,
+      BigDecimal(mixWant.head._3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(wrapGot == wrapWant, s"wrapped global mix $wrapGot vs $wrapWant")
     // a NON-aggregate item without GROUP BY stays typed
     val badMix =
       """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
