@@ -75,7 +75,7 @@ object Dedup {
     val created = scala.collection.mutable.Set.empty[Int]
     def checkpointTracked(df: DataFrame): DataFrame = {
       val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(true)
+      val out = df.transform(Checkpoints.flat)
       created ++= sc.getPersistentRDDs.keySet -- before
       out
     }
@@ -131,7 +131,7 @@ object Dedup {
     // only ids in `created` are touched, never foreign persists
     val beforeFinal = sc.getPersistentRDDs.keySet
     val result = labels.select(col("id"), col("label").as("cluster_id"))
-      .localCheckpoint(true)
+      .transform(Checkpoints.flat)
     created --= sc.getPersistentRDDs.keySet -- beforeFinal
     created.foreach { id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))

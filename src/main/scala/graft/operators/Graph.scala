@@ -65,9 +65,11 @@ object Graph {
     * only the narrow `(node, rank)` relation (two longs per node) to meet
     * it, plus one aggregation exchange on `dst`. The corpus-sized side
     * (edges) never re-shuffles. Each generation is eagerly
-    * localCheckpoint'ed (lineage stays flat — an iterative plan otherwise
+    * checkpointed (lineage stays flat — an iterative plan otherwise
     * embeds every previous round's tree) and the previous generation's
-    * blocks are freed. Overflow headroom: `sum(contribs)` is bounded by
+    * blocks are freed; `localCheckpoint` by default, reliable DFS
+    * `checkpoint` when the context has a checkpoint dir (see
+    * [[Checkpoints.flat]] for the cluster durability contract). Overflow headroom: `sum(contribs)` is bounded by
     * total mass ≈ n_nodes*scale, and the damping multiply adds two decimal
     * digits — safe in BIGINT up to ~9e16 node-mass, i.e. 9e7 nodes at the
     * default scale; trim `scale` for larger graphs (host graphs are ≤1e8
@@ -99,7 +101,7 @@ object Graph {
     val created = scala.collection.mutable.Set.empty[Int]
     def checkpointTracked(df: DataFrame): DataFrame = {
       val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(true)
+      val out = df.transform(Checkpoints.flat)
       created ++= sc.getPersistentRDDs.keySet -- before
       out
     }
@@ -181,7 +183,7 @@ object Graph {
     // checkpoint this call created — never foreign persists
     lastRunIters = i
     val beforeFinal = sc.getPersistentRDDs.keySet
-    val result = rank.select(col("node"), col("rank")).localCheckpoint(true)
+    val result = rank.select(col("node"), col("rank")).transform(Checkpoints.flat)
     created --= sc.getPersistentRDDs.keySet -- beforeFinal
     nodes.unpersist()
     eDeg.unpersist()
@@ -222,7 +224,7 @@ object Graph {
     val created = scala.collection.mutable.Set.empty[Int]
     def checkpointTracked(df: DataFrame): DataFrame = {
       val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(true)
+      val out = df.transform(Checkpoints.flat)
       created ++= sc.getPersistentRDDs.keySet -- before
       out
     }
@@ -283,7 +285,7 @@ object Graph {
     }
     lastRunIters = i
     val beforeFinal = sc.getPersistentRDDs.keySet
-    val result = rank.select(col("node"), col("rank")).localCheckpoint(true)
+    val result = rank.select(col("node"), col("rank")).transform(Checkpoints.flat)
     created --= sc.getPersistentRDDs.keySet -- beforeFinal
     nodes.unpersist()
     eDeg.unpersist()
