@@ -3481,6 +3481,18 @@ object GraftApp {
                 s"streaming $fn takes a numeric operand, got '${f.name}' " +
                   s"(${f.dataType.simpleString}) — aggregate non-numeric " +
                   "columns on the batch surface")
+              // DECIMAL operands stay typed (ADVICE r15): the streaming
+              // kernel's numeric lanes are long/double, so a decimal would
+              // silently lose exactness past 2^53 while the batch surface
+              // keeps Spark's exact decimal sum — make the tradeoff the
+              // user's explicit choice, not a silent coercion
+              if (fn != "count" &&
+                  f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+                throw SqlError(
+                  s"streaming $fn over DECIMAL '${f.name}' would run in the " +
+                    "double lane and lose exactness past 2^53 — CAST(" +
+                    s"${f.name} AS DOUBLE) to accept that explicitly, or " +
+                    "aggregate on the batch surface (exact decimal arithmetic)")
               aggsB += ((fn, f.name, isIntegralType(f.dataType), a.getOrElse(et)))
             }
             aggSeen += 1; AggItem(aggSeen - 1)
@@ -3601,7 +3613,7 @@ object GraftApp {
           (if (a.matches("\\w+")) ("(?i)\\b" + java.util.regex.Pattern.quote(a) + "\\b").r
            else ("(?i)" + java.util.regex.Pattern.quote(a)).r)
             .findFirstIn(text).isDefined
-        sk.map(_._5).find(refHit(_, h)).foreach(a => throw SqlError(
+        sk.map(_._5).find(refHit(_, maskQuotes(h))).foreach(a => throw SqlError(
           s"HAVING references sketch aggregate '$a' — HAVING composes " +
             "with the plain aggregates only; filter sketch values " +
             "downstream (INSERT INTO a stream and SELECT ... WHERE)"))
@@ -3613,15 +3625,20 @@ object GraftApp {
         // BACKTICKED column references — an unaliased item's output
         // column is literally named "count(*)" and must not re-parse as
         // an aggregate call.
+        // every substitution runs OUTSIDE quoted spans (ADVICE r15): a
+        // string literal like `HAVING k <> 'avg(value)'` must survive
+        // untouched — matches locate on the quote-masked text, splice into
+        // the original
         var resolved = h
         aggs.zipWithIndex.foreach { case ((fn, operand, _, alias), i) =>
           val op = if (operand == "*") "\\*"
             else java.util.regex.Pattern.quote(operand)
-          resolved = resolved.replaceAll(
-            s"(?i)\\b$fn\\s*\\(\\s*$op\\s*\\)", s"__hv${i}__")
+          resolved = rewriteOutsideQuotes(resolved,
+            s"(?i)\\b$fn\\s*\\(\\s*$op\\s*\\)".r)(_ => s"__hv${i}__")
           if (alias.matches("\\w+"))
-            resolved = resolved.replaceAll(
-              "(?i)\\b" + java.util.regex.Pattern.quote(alias) + "\\b", s"__hv${i}__")
+            resolved = rewriteOutsideQuotes(resolved,
+              ("(?i)\\b" + java.util.regex.Pattern.quote(alias) + "\\b").r)(
+              _ => s"__hv${i}__")
         }
         // anything aggregate-shaped left is NOT in the select list — the
         // kernel never computed it, so reject typed instead of letting
@@ -3633,7 +3650,8 @@ object GraftApp {
               "select list — streaming sketch HAVING filters the computed " +
               "per-window columns; add the aggregate as a select item"))
         aggs.zipWithIndex.foreach { case ((_, _, _, alias), i) =>
-          resolved = resolved.replace(s"__hv${i}__", s"`$alias`")
+          resolved = rewriteOutsideQuotes(resolved, s"__hv${i}__".r)(
+            _ => s"`$alias`")
         }
         result.filter(uexpr(resolved).cast("boolean"))
     }

@@ -3048,5 +3048,51 @@ class StreamingSpec extends AnyFunSuite {
         |FROM S WINDOW('timeBatch', '10 seconds') GROUP BY user_id;""".stripMargin,
       Map("S" -> sdf))).getMessage
     assert(err3.contains("count/sum/avg/min/max"), err3)
+    // string literals in HAVING survive substitution (ADVICE r15): a raw
+    // aggregate spelling or a select ALIAS appearing INSIDE a quoted
+    // literal must not be rewritten into placeholder/backticked column
+    // references — substitutions run on the quote-masked text only
+    locally {
+      val in3 = MemoryStream[(Long, String, Long)]
+      val sdf3 = in3.toDF().toDF("sec", "k", "doc_id").selectExpr(
+        "CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "k", "doc_id")
+      val app3 =
+        """CREATE STREAM S (ts TIMESTAMP, k STRING, doc_id BIGINT);
+          |CREATE STREAM Out (win_start TIMESTAMP, k STRING, du BIGINT, n BIGINT);
+          |INSERT INTO Out SELECT k, kmv_distinct(doc_id, 16) AS du, count(*) AS n
+          |FROM S WINDOW('timeBatch', '10 seconds') GROUP BY k
+          |HAVING n >= 2 AND k <> 'count(*)' AND k <> 'n';""".stripMargin
+      val out3 = graft.sql.GraftApp.run(spark, app3, Map("S" -> sdf3))("Out")
+      sinkId += 1; val n3 = s"hav3_sink_$sinkId"
+      val q3 = out3.writeStream.format("memory").queryName(n3)
+        .outputMode("append").start()
+      try {
+        // "a": 3 events (passes); "n": 2 events (killed by k <> 'n');
+        // "count(*)": 2 events (killed by the literal comparison)
+        in3.addData((1L, "a", 10L), (2L, "a", 11L), (3L, "a", 12L),
+          (2L, "n", 20L), (3L, "n", 21L),
+          (4L, "count(*)", 30L), (5L, "count(*)", 31L))
+        in3.addData((60L, "z", 1L))
+        q3.processAllAvailable()
+        val got3 = spark.table(n3).selectExpr("k", "du", "n")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(got3 == Seq(("a", 3L, 3L)), s"$got3")
+      } finally q3.stop()
+    }
+    // DECIMAL operands stay typed (ADVICE r15): the kernel's numeric lanes
+    // are long/double — a silent double coercion would lose exactness past
+    // 2^53 where the batch surface keeps Spark's exact decimal sum
+    locally {
+      val sdfD = sdf.selectExpr("ts", "user_id",
+        "CAST(doc_id AS DECIMAL(20,2)) AS d")
+      val errD = intercept[graft.sql.GraftApp.SqlError](graft.sql.GraftApp.run(spark,
+        """CREATE STREAM S (ts TIMESTAMP, user_id BIGINT, d DECIMAL(20,2));
+          |CREATE STREAM Out (win_start TIMESTAMP, user_id BIGINT, du BIGINT, s DOUBLE);
+          |INSERT INTO Out SELECT user_id, kmv_distinct(user_id, 16) AS du,
+          |  sum(d) AS s
+          |FROM S WINDOW('timeBatch', '10 seconds') GROUP BY user_id;""".stripMargin,
+        Map("S" -> sdfD))).getMessage
+      assert(errD.contains("DECIMAL"), errD)
+    }
   }
 }
