@@ -3432,6 +3432,15 @@ object GraftApp {
     val keyFields = keys.map(k =>
       df.schema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
         throw SqlError(s"GROUP BY key '$k' not found in the stream schema")))
+    if (keys.isEmpty)
+      // the GLOBAL form is a single state key — state stays KB-bounded
+      // (Σ sketch k + buckets), but every event shuffles to ONE task;
+      // fine to ~10^5 events/s per window, after that add a coarse
+      // GROUP BY (e.g. a source/shard column) and merge downstream with
+      // the batch merge operators (kmvMerge/quantilesFromHist)
+      ScaleWarnings.warn("GLOBAL streaming sketch (no GROUP BY) funnels " +
+        "every event through one state key — at high rates add a coarse " +
+        "GROUP BY shard and merge per-shard sketches downstream")
     val lateness = streamOpts.getOrElse("allow.lateness", "0 seconds")
     import graft.operators.Sketches
 

@@ -2837,6 +2837,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming GLOBAL sketch + plain aggregates (round 16): no GROUP BY lowers to a single-group kernel, parity with the batch global form") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Double)]
+    val sdf = in.toDF().toDF("sec", "user_id", "value").selectExpr(
+      "CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "user_id", "value")
+    // the whole-corpus datacard one-liner, windowed and streaming: the
+    // q_sketch_sql_global select list with NO GROUP BY — one state entry
+    // per open window
+    val app =
+      """CREATE STREAM S (ts TIMESTAMP, user_id BIGINT, value DOUBLE);
+        |CREATE STREAM Out (win_start TIMESTAMP, n BIGINT, du BIGINT,
+        |                   mx DOUBLE, p50 DOUBLE);
+        |INSERT INTO Out SELECT count(*) AS n, kmv_distinct(user_id, 64) AS du,
+        |  max(value) AS mx, hist_quantile(value, 500) AS p50
+        |FROM S WINDOW('timeBatch', '10 seconds');""".stripMargin
+    val out = graft.sql.GraftApp.run(spark, app, Map("S" -> sdf))("Out")
+    assert(out.isStreaming)
+    sinkId += 1; val name = s"gms_sink_$sinkId"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      val w0 = Seq((1L, 1L, 2.0), (2L, 2L, 4.0), (3L, 3L, 6.25), (4L, 1L, 1.0),
+        (5L, 2L, 3.0), (6L, 4L, 5.0), (7L, 5L, 7.5))
+      in.addData(w0: _*)
+      in.addData((12L, 6L, 1.0)) // window [10,20)
+      in.addData((60L, 9L, 0.0)) // sentinel closes both
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .selectExpr("unix_micros(win_start) AS w", "n", "du", "mx", "p50")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+      assert(got.size == 2, s"$got")
+      // parity oracle: the BATCH global form (GraftApp batch lowering, the
+      // q_sketch_sql_global path) on the window-0 tape — the two surfaces
+      // must agree value-for-value on the same events
+      val batchApp =
+        """CREATE STREAM events (ts TIMESTAMP, user_id BIGINT, value DOUBLE);
+          |CREATE STREAM Out (n BIGINT, du BIGINT, mx DOUBLE, p50 DOUBLE);
+          |INSERT INTO Out SELECT count(*) AS n, kmv_distinct(user_id, 64) AS du,
+          |  max(value) AS mx, hist_quantile(value, 500) AS p50
+          |FROM events;""".stripMargin
+      val tape0 = w0.toDF("sec", "user_id", "value").selectExpr(
+        "CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts", "user_id", "value")
+      val want0 = graft.sql.GraftApp.run(spark, batchApp,
+        Map("events" -> tape0))("Out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).head
+      val g0 = got.head
+      assert(g0._1 == 0L &&
+        (g0._2, g0._3, g0._4, g0._5) == want0,
+        s"streaming ${got.head} vs batch $want0")
+      // window [10,20): the single row
+      assert(got(1) == ((10000000L, 1L, 1L, 1.0, 1.0)), s"$got")
+    } finally q.stop()
+  }
+
   test("streaming sketches over HOPPING windows (round 15): map-side window enumeration, one stateful operator") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, Long)]
