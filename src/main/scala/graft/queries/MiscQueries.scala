@@ -243,6 +243,36 @@ object MiscQueries extends QueryFamily {
              |  min(ub) AS u_min, max(ub) AS u_max,
              |  min(vb) AS v_min, max(vb) AS v_max
              |FROM w WHERE k = -1
-             |GROUP BY 1 ORDER BY block""".stripMargin))
+             |GROUP BY 1 ORDER BY block""".stripMargin)),
+
+    // CREATE FUNCTION expression UDFs (round 16, §2.11's last row): the
+    // declarative analogue of the reference's script-UDF stub
+    // (script_function_executor.rs:12) — bodies are Catalyst scalar
+    // expressions substituted at compile, so the plan stays codegen'd;
+    // the oracle inlines the same expressions by hand.
+    QueryDef(
+      "q_udf_expr",
+      (s, dir) => {
+        val app =
+          """CREATE FUNCTION net(v) AS 'v * 0.9';
+            |CREATE FUNCTION band(v) AS
+            |  'CASE WHEN v >= 7.5 THEN ''high'' WHEN v >= 2.5 THEN ''mid'' ELSE ''low'' END';
+            |CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (etype STRING, n BIGINT, tot DOUBLE, b STRING);
+            |INSERT INTO Out SELECT event_type AS etype, count(*) AS n,
+            |  round(sum(net(value)), 6) AS tot, band(avg(value)) AS b
+            |FROM events WHERE net(value) > 0.5
+            |GROUP BY event_type ORDER BY etype;""".stripMargin
+        graft.sql.GraftApp.run(s, app,
+          Map("events" -> Tables(s, dir, "events")))("Out")
+          .orderBy(col("etype"))
+      },
+      Some("""SELECT event_type AS etype, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(value * 0.9), 6) AS tot,
+             |  CASE WHEN avg(value) >= 7.5 THEN 'high'
+             |       WHEN avg(value) >= 2.5 THEN 'mid' ELSE 'low' END AS b
+             |FROM events WHERE value * 0.9 > 0.5
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

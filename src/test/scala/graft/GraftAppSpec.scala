@@ -2673,4 +2673,68 @@ class GraftAppSpec extends AnyFunSuite {
     // PREV(A.v,1): a@1 is the partition's first row → NULL, not an error
     assert(got.toSeq == Seq((2.0, 3.0, 3.0, null)))
   }
+  test("CREATE FUNCTION: expression UDFs compile through Catalyst (round 16)") {
+    // basic: used in SELECT, WHERE, and HAVING; stays a pure expression
+    val app =
+      """CREATE FUNCTION discounted(p, d) AS 'p * (1 - d)';
+        |CREATE FUNCTION tagof(s) AS 'CASE WHEN s >= 100 THEN ''big'' ELSE ''small'' END';
+        |CREATE STREAM S (sym STRING, price DOUBLE, disc DOUBLE);
+        |CREATE STREAM Out (sym STRING, net DOUBLE, tag STRING);
+        |INSERT INTO Out SELECT sym, discounted(price, disc) AS net,
+        |  tagof(discounted(price, disc)) AS tag
+        |FROM S WHERE discounted(price, disc) > 5;""".stripMargin
+    val in = Seq(("a", 200.0, 0.25), ("b", 10.0, 0.5), ("c", 8.0, 0.9))
+      .toDF("sym", "price", "disc")
+    val got = GraftApp.run(spark, app, Map("S" -> in))("Out")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(("a", 150.0, "big")))
+    // a function referencing an EARLIER function inlines eagerly
+    val app2 =
+      """CREATE FUNCTION sq(x) AS 'x * x';
+        |CREATE FUNCTION hyp(a, b) AS 'sqrt(sq(a) + sq(b))';
+        |CREATE STREAM S (a DOUBLE, b DOUBLE);
+        |CREATE STREAM Out (h DOUBLE);
+        |INSERT INTO Out SELECT hyp(a, b) AS h FROM S;""".stripMargin
+    val got2 = GraftApp.run(spark, app2,
+      Map("S" -> Seq((3.0, 4.0)).toDF("a", "b")))("Out")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got2 == Seq(5.0))
+    // the function name is gone from the session registry after the run
+    assert(spark.sessionState.functionRegistry.lookupFunctionBuilder(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("hyp")).isEmpty)
+    // works in aggregate position operands too
+    val app3 =
+      """CREATE FUNCTION net(p, d) AS 'p * (1 - d)';
+        |CREATE STREAM S (k STRING, p DOUBLE, d DOUBLE);
+        |CREATE STREAM Out (k STRING, t DOUBLE);
+        |INSERT INTO Out SELECT k, sum(net(p, d)) AS t FROM S GROUP BY k
+        |HAVING sum(net(p, d)) > 1;""".stripMargin
+    val got3 = GraftApp.run(spark, app3,
+      Map("S" -> Seq(("x", 10.0, 0.5), ("x", 20.0, 0.5), ("y", 1.0, 0.5))
+        .toDF("k", "p", "d")))("Out")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got3 == Seq(("x", 15.0)))
+    def err(a: String): String =
+      intercept[GraftApp.SqlError](GraftApp.parse(a)).getMessage
+    // typed error surface
+    assert(err("CREATE FUNCTION f(a) AS 'a + 1'; CREATE FUNCTION f(b) AS 'b';")
+      .contains("duplicate function"))
+    assert(err("CREATE FUNCTION max(a) AS 'a';").contains("shadows a builtin"))
+    assert(err("CREATE FUNCTION f(a) AS 'a + missing';")
+      .contains("not a parameter"))
+    assert(err("CREATE FUNCTION f(a) AS 'f(a)';").contains("reference itself"))
+    assert(err("CREATE FUNCTION f(a) AS 'S.a';")
+      .contains("qualified references"))
+    assert(err("CREATE FUNCTION f(a, a) AS 'a';").contains("duplicate parameter"))
+    assert(err("CREATE FUNCTION kmv_distinct(a) AS 'a';").contains("sketch"))
+    // arity mismatch dies at compile (analysis), typed
+    val e = intercept[Exception](GraftApp.run(spark,
+      """CREATE FUNCTION f(a, b) AS 'a + b';
+        |CREATE STREAM S (x INT);
+        |CREATE STREAM Out (y INT);
+        |INSERT INTO Out SELECT f(x) AS y FROM S;""".stripMargin,
+      Map("S" -> Seq(1).toDF("x"))))
+    assert(e.getMessage.contains("2 argument"), e.getMessage)
+  }
 }
