@@ -1004,6 +1004,80 @@ object CepQueries extends QueryFamily {
              |FROM chain ch
              |ORDER BY 1, 2, 4""".stripMargin)),
 
+    // MATCH_RECOGNIZE DEPTH-2 nested group (round 16): (((D){1,2} U)+ C)+
+    // — the innermost single-member group (D){1,2} normalizes to D{1,2}
+    // engine-side (no third iteration frame), so depth-2 runs the round-15
+    // nested machinery with a RANGE-quantified inner member. Classes are
+    // disjoint (D view/signup, U purchase/click, C error), so the parse per
+    // (anchor, end) is tape-determined; the pattern ends ON the outer
+    // group, so EVERY emits one row per completed outer count. The oracle
+    // is a TWO-LEVEL recursive replay: (d{1,2} u) mini-blocks, inner chains
+    // of mini-blocks closed by an error, outer chains of those blocks.
+    QueryDef(
+      "q_cep_mr_nested2",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (user_id BIGINT, a_id BIGINT, n_d BIGINT,
+            |                   n_u BIGINT, n_c BIGINT, s_u DOUBLE);
+            |INSERT INTO Out SELECT * FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts
+            |  MEASURES A.event_id AS a_id, count(D.value) AS n_d,
+            |           count(U.value) AS n_u, count(C.value) AS n_c,
+            |           round(sum(U.value), 6) AS s_u
+            |  ONE ROW PER MATCH
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN (A (((D){1,2} U)+ C)+) WITHIN INTERVAL '30' DAY
+            |  DEFINE A AS A.event_type = 'error',
+            |         D AS D.event_type = 'view' OR D.event_type = 'signup',
+            |         U AS U.event_type = 'purchase' OR U.event_type = 'click',
+            |         C AS C.event_type = 'error'
+            |);""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .selectExpr("user_id", "a_id", "CAST(n_d AS BIGINT) AS n_d",
+            "CAST(n_u AS BIGINT) AS n_u", "CAST(n_c AS BIGINT) AS n_c", "s_u")
+          .orderBy(col("user_id"), col("a_id"), col("n_c"))
+      },
+      Some("""WITH RECURSIVE ord AS (
+             |  SELECT user_id, event_id, event_type, value,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events),
+             |dub AS (
+             |  SELECT d1.user_id, d1.rn AS s, d1.rn + 1 AS e, 1 AS nd
+             |  FROM ord d1 JOIN ord u ON u.user_id = d1.user_id AND u.rn = d1.rn + 1
+             |  WHERE d1.event_type IN ('view','signup') AND u.event_type IN ('purchase','click')
+             |  UNION ALL
+             |  SELECT d1.user_id, d1.rn, d1.rn + 2, 2
+             |  FROM ord d1
+             |  JOIN ord d2 ON d2.user_id = d1.user_id AND d2.rn = d1.rn + 1
+             |  JOIN ord u  ON u.user_id  = d1.user_id AND u.rn  = d1.rn + 2
+             |  WHERE d1.event_type IN ('view','signup') AND d2.event_type IN ('view','signup')
+             |    AND u.event_type IN ('purchase','click')),
+             |ichain AS (
+             |  SELECT user_id, s, e, nd, 1 AS nu FROM dub
+             |  UNION ALL
+             |  SELECT ic.user_id, ic.s, b.e, ic.nd + b.nd, ic.nu + 1
+             |  FROM ichain ic JOIN dub b ON b.user_id = ic.user_id AND b.s = ic.e + 1),
+             |oblk AS (
+             |  SELECT ic.user_id, ic.s, c.rn AS e, ic.nd, ic.nu
+             |  FROM ichain ic JOIN ord c ON c.user_id = ic.user_id AND c.rn = ic.e + 1
+             |  WHERE c.event_type = 'error'),
+             |ochain AS (
+             |  SELECT user_id, s, e, nd, nu, 1 AS nc FROM oblk
+             |  UNION ALL
+             |  SELECT oc.user_id, oc.s, b.e, oc.nd + b.nd, oc.nu + b.nu, oc.nc + 1
+             |  FROM ochain oc JOIN oblk b ON b.user_id = oc.user_id AND b.s = oc.e + 1),
+             |anch AS (SELECT user_id, event_id, rn FROM ord WHERE event_type = 'error')
+             |SELECT a.user_id, a.event_id AS a_id, CAST(oc.nd AS BIGINT) AS n_d,
+             |  CAST(oc.nu AS BIGINT) AS n_u, CAST(oc.nc AS BIGINT) AS n_c,
+             |  (SELECT round(sum(o.value), 6) FROM ord o WHERE o.user_id = a.user_id
+             |     AND o.rn > a.rn AND o.rn < oc.e
+             |     AND o.event_type IN ('purchase','click')) AS s_u
+             |FROM anch a JOIN ochain oc ON oc.user_id = a.user_id AND oc.s = a.rn + 1
+             |ORDER BY 1, 2, 5""".stripMargin)),
+
     // MATCH_RECOGNIZE reluctant quantifier (round 13): B+? takes the
     // FEWEST purchases that complete the match — exactly one — where the
     // greedy B+ (q_cep_mr_skip_greedy, same tape) consumes the whole

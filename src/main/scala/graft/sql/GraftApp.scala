@@ -1546,7 +1546,15 @@ object GraftApp {
     // ((A B+){1,2} — per-iteration counts on the loop machine), and a
     // group body may nest ONE inner exact-count group (((A B){2} C)+,
     // inlined by the engine with __i alias suffixes)
-    val grpMember = """(?:\w+(?:[+*]\??|\{\d+(?:,\d*)?\}\??)?|\(\s*\w+(?:[+*]\??|\{\d+(?:,\d*)?\}\??)?(?:\s+\w+(?:[+*]\??|\{\d+(?:,\d*)?\}\??)?)*\s*\)\s*(?:[+*]|\{\d+(?:,\d*)?\}))"""
+    // round 16: DEPTH-2 single-member groups — (((A){1,2} B)+ C)+ — the
+    // innermost (A){n,m} normalizes to A{n,m} engine-side, so a second
+    // nesting level needs no third iteration frame; multi-member groups
+    // two levels down stay outside the grammar (the PATTERN() surface
+    // takes their exact-count form with explicit __i references)
+    val atomQ = """\w+(?:[+*]\??|\{\d+(?:,\d*)?\}\??)?"""
+    val paren2 = s"""\\(\\s*$atomQ\\s*\\)\\s*(?:[+*]\\??|\\{\\d+(?:,\\d*)?\\}\\??)"""
+    val innerMember = s"""(?:$atomQ|$paren2)"""
+    val grpMember = s"""(?:$atomQ|\\(\\s*$innerMember(?:\\s+$innerMember)*\\s*\\)\\s*(?:[+*]|\\{\\d+(?:,\\d*)?\\}))"""
     val grpRe =
       ("""(?i)PERMUTE\s*\(\s*(\w+(?:\s*,\s*\w+)+)\s*\)\s*(\+\??|\*\??|\?\??|\{\d+(?:,\d*)?\}\??)?""" +
         """|\{-\s*(\w+)\s*(\+\??|\*\??|\?\??|\{\d+(?:,\d*)?\}\??)?\s*-\}""" +
@@ -1616,11 +1624,19 @@ object GraftApp {
           val memberToks = ("""(?i)""" + grpMember).r
             .findAllIn(gm.group(9)).map(_.trim).toSeq
           val inner = Seq.newBuilder[(Seq[String], Int)]
+          // recursive name extraction (round 16): splits paren members on
+          // the member grammar instead of scanning bare \w+ (which also
+          // captured quantifier DIGITS as phantom variables), and descends
+          // into depth-2 single-member groups
+          def namesOf(t: String): Seq[String] =
+            if (t.startsWith("(")) {
+              val body = t.substring(1, t.lastIndexOf(')'))
+              ("""(?i)""" + innerMember).r.findAllIn(body)
+                .map(_.trim).toSeq.flatMap(namesOf)
+            } else Seq(t.replaceAll("""[+*{?].*$""", ""))
           val names = memberToks.flatMap { t =>
             if (t.startsWith("(")) {
-              val ns = """(\w+)(?:[+*]|\{\d+(?:,\d*)?\})?""".r
-                .findAllMatchIn(t.substring(1, t.lastIndexOf(')')))
-                .map(_.group(1)).toSeq
+              val ns = namesOf(t)
               // EXACT count {k}: the engine inlines with __i suffixes —
               // record for the auto-SUBSET measures union. VARIABLE count
               // ({n,m}, {n,}, +) runs the engine's NESTED iteration frame
@@ -1882,42 +1898,58 @@ object GraftApp {
       case t @ MrTok(_, Some(q), _, _, true, _, _) =>
         // group repetition → the engine loop machine; member quantifiers
         // and inner exact groups pass through in engine spelling
-        t.memberRaw.map { tok =>
-          if (tok.startsWith("(")) {
-            // the inner group's quantifier passes through verbatim — exact
-            // {k} inlines engine-side, variable {n,m}/{n,}/+ runs the
-            // nested iteration frame (round 15)
-            val iq = tok.substring(tok.lastIndexOf(')') + 1).replaceAll("\\s", "")
-            val body = tok.substring(1, tok.lastIndexOf(')'))
-            val innerSteps = """(\w+)([+*]|\{\d+(?:,\d*)?\})?(\??)""".r
-              .findAllMatchIn(body).map { m =>
-                val v = m.group(1); val mq = Option(m.group(2)).getOrElse("")
-                // a trailing '?' after the member quantifier is the
-                // reluctant mark — previously the regex silently dropped
-                // it, lowering `((D U+?){2} C)+` as greedy U+ (ADVICE r14);
-                // reluctant members get the same typed rejection the engine
-                // gives them in non-nested groups
-                if (m.group(3).nonEmpty) throw SqlError(
-                  if (mq.nonEmpty)
-                    s"reluctant member quantifier '$v$mq?' inside a nested " +
-                      "group is not supported — reluctance on group MEMBERS " +
-                      "conflates iteration count with member count; make the " +
-                      "member greedy or lift it out of the group"
-                  else
-                    s"optional member '$v?' inside a nested group is not " +
-                      "supported — spell the optionality as alternation or " +
-                      "lift the member out of the group")
-                val pred = defines.get(v).map(p => s"[${lowerPred(v, p)}]").getOrElse("")
-                s"$v=$stream$pred$mq"
-              }.mkString(" -> ")
-            s"($innerSteps)$iq"
-          } else {
-            val v = tok.replaceAll("""[+*{].*$""", "")
-            val mq = tok.stripPrefix(v)
-            val pred = defines.get(v).map(p => s"[${lowerPred(v, p)}]").getOrElse("")
-            s"$v=$stream$pred$mq"
-          }
-        }.mkString("(", " -> ", s")$q")
+        {
+          // recursive emission (round 16): inner groups keep their
+          // quantifiers verbatim — exact {k} inlines engine-side, variable
+          // {n,m}/{n,}/+ runs the nested iteration frame (round 15), and a
+          // depth-2 single-member group ((A){1,2}) normalizes engine-side
+          def emitTok(tok: String): String =
+            if (tok.startsWith("(")) {
+              val iq = tok.substring(tok.lastIndexOf(')') + 1).replaceAll("\\s", "")
+              val body = tok.substring(1, tok.lastIndexOf(')'))
+              val toks2 = ("""(?i)""" + innerMember).r
+                .findAllIn(body).map(_.trim).toSeq
+              // full coverage: a body chunk the member grammar cannot
+              // place must die typed, never drop silently
+              if (toks2.mkString.replaceAll("\\s", "") !=
+                  body.replaceAll("\\s", ""))
+                throw SqlError(s"unsupported nested-group member in " +
+                  s"'$tok' — members are variables with optional " +
+                  "quantifiers or single-member depth-2 groups")
+              s"(${toks2.map(emitTok).mkString(" -> ")})$iq"
+            } else {
+              val m = """^(\w+)([+*]|\{\d+(?:,\d*)?\})?(\??)$""".r
+                .findFirstMatchIn(tok.replaceAll("\\s", "")).getOrElse(
+                  throw SqlError(s"bad nested-group member '$tok'"))
+              val v = m.group(1); val mq = Option(m.group(2)).getOrElse("")
+              // a trailing '?' after the member quantifier is the
+              // reluctant mark — previously the regex silently dropped
+              // it, lowering `((D U+?){2} C)+` as greedy U+ (ADVICE r14);
+              // reluctant members get the same typed rejection the engine
+              // gives them in non-nested groups
+              if (m.group(3).nonEmpty) throw SqlError(
+                if (mq.nonEmpty)
+                  s"reluctant member quantifier '$v$mq?' inside a nested " +
+                    "group is not supported — reluctance on group MEMBERS " +
+                    "conflates iteration count with member count; make the " +
+                    "member greedy or lift it out of the group"
+                else
+                  s"optional member '$v?' inside a nested group is not " +
+                    "supported — spell the optionality as alternation or " +
+                    "lift the member out of the group")
+              val pred = defines.get(v).map(p => s"[${lowerPred(v, p)}]").getOrElse("")
+              s"$v=$stream$pred$mq"
+            }
+          t.memberRaw.map { tok =>
+            if (tok.startsWith("(")) emitTok(tok)
+            else {
+              val v = tok.replaceAll("""[+*{].*$""", "")
+              val mq = tok.stripPrefix(v)
+              val pred = defines.get(v).map(p => s"[${lowerPred(v, p)}]").getOrElse("")
+              s"$v=$stream$pred$mq"
+            }
+          }.mkString("(", " -> ", s")$q")
+        }
       case MrTok(Seq(v), q, _, _, _, _, _) =>
         val pred = defines.get(v).map(p => s"[${lowerPred(v, p)}]").getOrElse("")
         val quant = q.getOrElse("") match {

@@ -2346,14 +2346,22 @@ object PatternCompiler {
       s"reluctant quantifier on nested group '$tok' in '$el' is not " +
         "supported — reluctance is resolved at the outer group level")
     val innerToks = splitTopLevel(igm.group(1), "->").map(_.trim)
-    val parsedInner = innerToks.map { t =>
-      if (GroupQuantRe.findFirstMatchIn(t).isDefined) throw GraftApp.SqlError(
-        s"group nesting deeper than one level in '$el' is not supported")
-      val (alt, (mn, mx), rel) = parseAlt(t)
-      if (rel || mn == 0) throw GraftApp.SqlError(
-        s"member '${alt.alias}' of nested group '$tok' in '$el': only " +
-          "plain or {n,m}/+ quantifiers with min >= 1 are supported")
-      (alt, mn, mx)
+    val parsedInner = innerToks.flatMap { t =>
+      GroupQuantRe.findFirstMatchIn(t) match {
+        // DEPTH-2 (round 16): an inner-inner group folds away without a
+        // third live iteration frame — single-member groups move their
+        // quantifier onto the member ((A){1,2} ≡ A{1,2}); multi-member
+        // EXACT-count groups inline k suffixed copies (the round-14
+        // regime one level down). Variable-count multi-member inner-inner
+        // groups stay typed (third frame).
+        case Some(g2) => expandInnerInner(g2, t, el)
+        case None =>
+          val (alt, (mn, mx), rel) = parseAlt(t)
+          if (rel || mn == 0) throw GraftApp.SqlError(
+            s"member '${alt.alias}' of nested group '$tok' in '$el': only " +
+              "plain or {n,m}/+ quantifiers with min >= 1 are supported")
+          Seq((alt, mn, mx))
+      }
     }
     val innerAliases = parsedInner.map(_._1.alias)
     """^\{(\d+)\}$""".r.findFirstMatchIn(iq).map(_.group(1).toInt) match {
@@ -2397,6 +2405,87 @@ object PatternCompiler {
             innerLoopBack = if (i == parsedInner.size - 1) parsedInner.size - 1 else -1,
             innerMin = inMin, innerMax = inMax)
         }
+    }
+  }
+
+  /** Inner-INNER group (depth 2, round 16): folds into depth-1 member
+    * tuples without a third iteration frame.
+    *  - single member `(A){n,m}` / `(A)+` / `(A){k}`: the group quantifier
+    *    IS the member quantifier — normalize to `A{n,m}` (a member with
+    *    its own quantifier would need count composition: typed, same rule
+    *    as the outer single-member case).
+    *  - multi member `(A B){k}` exact: inline k copies with `__i` alias
+    *    suffixes, intra-group references rebound per repetition — the
+    *    round-14 inlining one level down.
+    *  - multi member variable (`(A B)+` two levels deep): typed — that is
+    *    the genuine third-frame case.
+    */
+  private def expandInnerInner(g2: scala.util.matching.Regex.Match,
+                               tok: String, el: String): Seq[(StepAlt, Int, Int)] = {
+    val q0 = g2.group(2).replaceAll("\\s", "")
+    if (q0.endsWith("?")) throw GraftApp.SqlError(
+      s"reluctant quantifier on depth-2 group '$tok' in '$el' is not " +
+        "supported — reluctance is resolved at the outer group level")
+    val toks = splitTopLevel(g2.group(1), "->").map(_.trim)
+    toks.foreach(t => if (GroupQuantRe.findFirstMatchIn(t).isDefined)
+      throw GraftApp.SqlError(
+        s"group nesting deeper than two levels in '$el' is not supported"))
+    val parsed = toks.map { t =>
+      val (alt, (mn, mx), rel) = parseAlt(t)
+      if (rel || mn == 0) throw GraftApp.SqlError(
+        s"member '${alt.alias}' of depth-2 group '$tok' in '$el': only " +
+          "plain or {n,m}/+ quantifiers with min >= 1 are supported")
+      (alt, mn, mx)
+    }
+    if (parsed.size == 1) {
+      val (alt, mn, mx) = parsed.head
+      if (mn != 1 || mx != 1) throw GraftApp.SqlError(
+        s"single-member depth-2 group '$tok' in '$el' quantifies both the " +
+          "member and the group — compose the counts into one quantifier")
+      val (n, m) = q0 match {
+        case "+" => (1, Int.MaxValue)
+        case "*" => throw GraftApp.SqlError(
+          s"zero-min depth-2 group '$tok*' in '$el' is not supported — " +
+            "use {1,m} or restructure")
+        case _ =>
+          val m0 = """^\{(\d+)(?:,(\d*))?\}$""".r.findFirstMatchIn(q0).getOrElse(
+            throw GraftApp.SqlError(
+              s"bad depth-2 group quantifier '$q0' on '$tok' in '$el'"))
+          val n0 = m0.group(1).toInt
+          val m1 = Option(m0.group(2)) match {
+            case None => n0
+            case Some("") => Int.MaxValue
+            case Some(s) => s.toInt
+          }
+          if (n0 == 0) throw GraftApp.SqlError(
+            s"zero-min depth-2 group '$tok' in '$el' is not supported — " +
+              "use {1,m} or restructure")
+          if (m1 < n0) throw GraftApp.SqlError(
+            s"bad depth-2 repetition {$n0,${m0.group(2)}} on '$tok' in " +
+              s"'$el' (max >= min)")
+          (n0, m1)
+      }
+      Seq((alt, n, m))
+    } else {
+      val k = """^\{(\d+)\}$""".r.findFirstMatchIn(q0).map(_.group(1).toInt)
+        .getOrElse(throw GraftApp.SqlError(
+          s"variable-count multi-member group two levels deep in '$el' " +
+            "would need a third iteration frame — only exact counts {k} " +
+            "inline at depth 2"))
+      if (k < 1 || k > MaxInnerReps) throw GraftApp.SqlError(
+        s"depth-2 group count {$k} in '$el' out of range [1,$MaxInnerReps] — " +
+          "each repetition inlines as a full member")
+      val aliases = parsed.map(_._1.alias)
+      (1 to k).flatMap { i =>
+        parsed.map { case (alt, mn, mx) =>
+          val pred2 = alt.pred.map { p =>
+            aliases.foldLeft(p)((acc, a) =>
+              acc.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(a) + "\\s*\\.",
+                java.util.regex.Matcher.quoteReplacement(s"${a}__$i") + "."))
+          }
+          (StepAlt(s"${alt.alias}__$i", alt.stream, pred2), mn, mx)
+        }
+      }
     }
   }
 

@@ -2737,4 +2737,106 @@ class GraftAppSpec extends AnyFunSuite {
       Map("S" -> Seq(1).toDF("x"))))
     assert(e.getMessage.contains("2 argument"), e.getMessage)
   }
+  test("MATCH_RECOGNIZE depth-2 nested groups (round 16): (((B){1,2} C)+ D)+") {
+    // member classes disjoint (view/click/error) so the parse per
+    // (anchor, end) is tape-determined; pattern ends ON the outer group so
+    // EVERY emits one row per completed outer-iteration count j
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, a_id DOUBLE, n_b BIGINT, n_c BIGINT, n_d BIGINT);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES A.v AS a_id, count(B.v) AS n_b, count(C.v) AS n_c,
+        |           count(D.v) AS n_d
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A (((B){1,2} C)+ D)+) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'signup', B AS B.kind = 'view',
+        |         C AS C.kind = 'click', D AS D.kind = 'error'
+        |);""".stripMargin
+    // user 7: A, [B C][B B C] D, [B C] D  -> j=1: b3 c2 d1; j=2: b4 c3 d2
+    // user 8: A, B B B C D -> 3 views exceed {1,2}: NO match
+    val in = Seq(
+      (1, 7L, "signup", 0.0), (2, 7L, "view", 1.0), (3, 7L, "click", 2.0),
+      (4, 7L, "view", 3.0), (5, 7L, "view", 4.0), (6, 7L, "click", 5.0),
+      (7, 7L, "error", 6.0), (8, 7L, "view", 7.0), (9, 7L, "click", 8.0),
+      (10, 7L, "error", 9.0),
+      (1, 8L, "signup", 0.0), (2, 8L, "view", 1.0), (3, 8L, "view", 2.0),
+      (4, 8L, "view", 3.0), (5, 8L, "click", 4.0), (6, 8L, "error", 5.0))
+      .toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val got = GraftApp.run(spark, app, Map("E" -> in))("Out")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(x => (x._1, x._5)).toSeq
+    assert(got == Seq((7L, 0.0, 3L, 2L, 1L), (7L, 0.0, 4L, 3L, 2L)), s"$got")
+    // depth-3 stays typed
+    val e3 = intercept[GraftApp.SqlError](GraftApp.parse(
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, n BIGINT);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES count(B.v) AS n
+        |  ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A ((((B){2}){1,2} C)+ D)+) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b', C AS C.kind = 'c',
+        |         D AS D.kind = 'd'
+        |);""".stripMargin)).getMessage
+    assert(e3.contains("not supported") || e3.contains("nested"), e3)
+    // multi-member depth-2 stays typed on the MR surface (the PATTERN()
+    // engine surface takes its exact-count form with explicit __i refs)
+    val e4 = intercept[GraftApp.SqlError](GraftApp.parse(
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, n BIGINT);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES count(B.v) AS n
+        |  ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A (((B X){2} C)+ D)+) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b', X AS X.kind = 'x',
+        |         C AS C.kind = 'c', D AS D.kind = 'd'
+        |);""".stripMargin)).getMessage
+    assert(e4.contains("not supported"), e4)
+  }
+  test("depth-2 normalization property: (((B)q C)+ D)+ == ((Bq C)+ D)+ over random tapes") {
+    // the depth-2 single-member group must be EXACTLY the hand-normalized
+    // quantified member — compare full MR outputs over random tapes (30
+    // tapes ride one run as 30 partition keys)
+    val rng = new scala.util.Random(0xD2D2)
+    def app(pat: String) =
+      s"""CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+         |CREATE STREAM Out (user_id BIGINT, a_id DOUBLE, n_b BIGINT, n_c BIGINT, n_d BIGINT);
+         |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts
+         |  MEASURES A.v AS a_id, count(B.v) AS n_b, count(C.v) AS n_c,
+         |           count(D.v) AS n_d
+         |  ONE ROW PER MATCH
+         |  AFTER MATCH SKIP TO NEXT ROW
+         |  PATTERN ($pat) WITHIN INTERVAL '1' HOUR
+         |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b',
+         |         C AS C.kind = 'c', D AS D.kind = 'd'
+         |);""".stripMargin
+    val kinds = Vector("a", "b", "c", "d")
+    val rows = (0 until 30).flatMap { u =>
+      val n = 6 + rng.nextInt(9)
+      (0 until n).map(i => (i + 1, u.toLong, kinds(rng.nextInt(4)), (u * 100 + i).toDouble))
+    }
+    val in = rows.toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    def run(pat: String): Seq[(Long, Double, Long, Long, Long)] =
+      GraftApp.run(spark, app(pat), Map("E" -> in))("Out")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_.toString).toSeq
+    for ((q2, q1) <- Seq(("(B){1,2}", "B{1,2}"), ("(B){2}", "B{2}"),
+        ("(B)+", "B+"), ("(B){2,3}", "B{2,3}"))) {
+      val d2 = run(s"A (($q2 C)+ D)+")
+      val d1 = run(s"A (($q1 C)+ D)+")
+      assert(d2 == d1, s"$q2 vs $q1: ${d2.size} vs ${d1.size} rows")
+      assert(d2.nonEmpty || q2 != "(B){1,2}", s"$q2 produced no matches at all")
+    }
+  }
 }
