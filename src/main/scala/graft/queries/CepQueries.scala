@@ -1004,6 +1004,77 @@ object CepQueries extends QueryFamily {
              |FROM chain ch
              |ORDER BY 1, 2, 4""".stripMargin)),
 
+    // MATCH_RECOGNIZE quantified PERMUTE over FOUR operands (round 16):
+    // PERMUTE(W, X, Y, Z){1,2} = 24 looped-chain variants, exactly the
+    // shared-NFA MaxVariants budget — one pass folds every ordering. The
+    // interleaving is chosen PER MATCH and repeats across iterations
+    // (round-15 documented semantics). The oracle replays ALL 24 orderings
+    // at once: each 4-block must hold the four classes pairwise-distinct
+    // and block k+1 must repeat block k's ordering positionally. At corpus
+    // densities j=2 is vanishingly rare ((1/5)^4 per anchor) — the crafted
+    // GraftAppSpec tape pins the repeat-and-reject behavior directly.
+    QueryDef(
+      "q_cep_mr_permute4",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (user_id BIGINT, a_id BIGINT, n_w BIGINT,
+            |                   w1 BIGINT, z1 BIGINT, s_x DOUBLE);
+            |INSERT INTO Out SELECT * FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts
+            |  MEASURES A.event_id AS a_id, count(W.value) AS n_w,
+            |           FIRST(W.event_id) AS w1, FIRST(Z.event_id) AS z1,
+            |           round(sum(X.value), 6) AS s_x
+            |  ONE ROW PER MATCH
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN (A PERMUTE(W, X, Y, Z){1,2}) WITHIN INTERVAL '30' DAY
+            |  DEFINE A AS A.event_type = 'error', W AS W.event_type = 'view',
+            |         X AS X.event_type = 'purchase', Y AS Y.event_type = 'click',
+            |         Z AS Z.event_type = 'signup'
+            |);""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .selectExpr("user_id", "a_id", "CAST(n_w AS BIGINT) AS n_w",
+            "w1", "z1", "s_x")
+          .orderBy(col("user_id"), col("a_id"), col("n_w"))
+      },
+      Some("""WITH ord AS (
+             |  SELECT user_id, event_id, event_type, value,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events),
+             |anch AS (SELECT user_id, event_id, rn FROM ord WHERE event_type = 'error'),
+             |js AS (SELECT 1 AS j UNION ALL SELECT 2),
+             |bs AS (SELECT 0 AS b UNION ALL SELECT 1),
+             |ok AS (
+             |  SELECT a.user_id, a.event_id AS a_id, a.rn, x.j
+             |  FROM anch a CROSS JOIN js x
+             |  WHERE
+             |    NOT EXISTS (
+             |      SELECT 1 FROM bs WHERE bs.b < x.j
+             |        AND ((SELECT count(DISTINCT o.event_type) FROM ord o
+             |             WHERE o.user_id = a.user_id
+             |               AND o.rn > a.rn + 4 * bs.b AND o.rn <= a.rn + 4 * (bs.b + 1)
+             |               AND o.event_type IN ('view','purchase','click','signup')) <> 4
+             |         OR (SELECT count(*) FROM ord o
+             |             WHERE o.user_id = a.user_id
+             |               AND o.rn > a.rn + 4 * bs.b AND o.rn <= a.rn + 4 * (bs.b + 1)) <> 4))
+             |    AND NOT EXISTS (
+             |      SELECT 1 FROM ord o JOIN ord p
+             |        ON p.user_id = o.user_id AND p.rn = o.rn - 4
+             |      WHERE o.user_id = a.user_id AND o.rn > a.rn + 4 AND o.rn <= a.rn + 4 * x.j
+             |        AND o.event_type <> p.event_type))
+             |SELECT k.user_id, k.a_id, CAST(k.j AS BIGINT) AS n_w,
+             |  (SELECT o.event_id FROM ord o WHERE o.user_id = k.user_id
+             |     AND o.rn > k.rn AND o.rn <= k.rn + 4 AND o.event_type = 'view') AS w1,
+             |  (SELECT o.event_id FROM ord o WHERE o.user_id = k.user_id
+             |     AND o.rn > k.rn AND o.rn <= k.rn + 4 AND o.event_type = 'signup') AS z1,
+             |  (SELECT round(sum(o.value), 6) FROM ord o WHERE o.user_id = k.user_id
+             |     AND o.rn > k.rn AND o.rn <= k.rn + 4 * k.j
+             |     AND o.event_type = 'purchase') AS s_x
+             |FROM ok k
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
     // MATCH_RECOGNIZE DEPTH-2 nested group (round 16): (((D){1,2} U)+ C)+
     // — the innermost single-member group (D){1,2} normalizes to D{1,2}
     // engine-side (no third iteration frame), so depth-2 runs the round-15

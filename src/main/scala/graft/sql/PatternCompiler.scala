@@ -2258,9 +2258,14 @@ object PatternCompiler {
             "no quantifier of its own")
         alt
       }
-      if (ops.size > 3) throw GraftApp.SqlError(
+      // round 16: 4 operands = 24 looped-chain variants — exactly the
+      // shared-NFA MaxVariants budget (one pass folds all orderings, the
+      // same machinery as the unquantified 4-way AND element); 5 operands
+      // would need 120
+      if (ops.size > 4) throw GraftApp.SqlError(
         s"quantified PERMUTE over ${ops.size} operands expands to " +
-          s"${(1 to ops.size).product} ordering variants — cap 3 operands")
+          s"${(1 to ops.size).product} ordering variants — cap 4 operands " +
+          s"(shared-NFA budget $MaxVariants)")
       return ops.permutations.toSeq.map { ord =>
         ord.zipWithIndex.map { case (alt, i) =>
           PatternStep(Seq(alt), 1, 1, looped = true,

@@ -2839,4 +2839,50 @@ class GraftAppSpec extends AnyFunSuite {
       assert(d2.nonEmpty || q2 != "(B){1,2}", s"$q2 produced no matches at all")
     }
   }
+  test("quantified PERMUTE over 4 operands (round 16): per-match ordering repeats across iterations") {
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, n_w BIGINT, w1 DOUBLE, s DOUBLE);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES count(W.v) AS n_w, FIRST(W.v) AS w1, sum(X.v) AS s
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A PERMUTE(W, X, Y, Z){1,2}) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', W AS W.kind = 'w', X AS X.kind = 'x',
+        |         Y AS Y.kind = 'y', Z AS Z.kind = 'z'
+        |);""".stripMargin
+    // user 1: A then z y x w | z y x w  -> same ordering twice: j=1 AND j=2
+    // user 2: A then z y x w | w x y z  -> ordering CHANGES: only j=1
+    // user 3: A then w w y z            -> not a permutation: no match
+    val rows =
+      Seq((1, "a", 0.0), (2, "z", 1.0), (3, "y", 2.0), (4, "x", 3.0), (5, "w", 4.0),
+        (6, "z", 5.0), (7, "y", 6.0), (8, "x", 7.0), (9, "w", 8.0)).map(t => (t._1, 1L, t._2, t._3)) ++
+      Seq((1, "a", 0.0), (2, "z", 1.0), (3, "y", 2.0), (4, "x", 3.0), (5, "w", 4.0),
+        (6, "w", 5.0), (7, "x", 6.0), (8, "y", 7.0), (9, "z", 8.0)).map(t => (t._1, 2L, t._2, t._3)) ++
+      Seq((1, "a", 0.0), (2, "w", 1.0), (3, "w", 2.0), (4, "y", 3.0), (5, "z", 4.0))
+        .map(t => (t._1, 3L, t._2, t._3))
+    val in = rows.toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val got = GraftApp.run(spark, app, Map("E" -> in))("Out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(got == Seq((1L, 1L, 4.0, 3.0), (1L, 2L, 4.0, 10.0), (2L, 1L, 4.0, 3.0)),
+      s"$got")
+    // 5 operands stay typed (120 variants)
+    val e5 = intercept[GraftApp.SqlError](GraftApp.parse(
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, n BIGINT);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES count(W.v) AS n
+        |  ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A PERMUTE(V, W, X, Y, Z){1,2}) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', V AS V.kind = 'v', W AS W.kind = 'w',
+        |         X AS X.kind = 'x', Y AS Y.kind = 'y', Z AS Z.kind = 'z'
+        |);""".stripMargin)).getMessage
+    assert(e5.contains("120"), e5)
+  }
 }
