@@ -1554,7 +1554,9 @@ object GraftApp {
     val atomQ = """\w+(?:[+*]\??|\{\d+(?:,\d*)?\}\??)?"""
     val paren2 = s"""\\(\\s*$atomQ\\s*\\)\\s*(?:[+*]\\??|\\{\\d+(?:,\\d*)?\\}\\??)"""
     val innerMember = s"""(?:$atomQ|$paren2)"""
-    val grpMember = s"""(?:$atomQ|\\(\\s*$innerMember(?:\\s+$innerMember)*\\s*\\)\\s*(?:[+*]|\\{\\d+(?:,\\d*)?\\}))"""
+    // the inner-group quantifier takes ANSI's reluctant marker (round 16:
+    // `((A B)+? C)+` — fewest inner iterations under skip-mode selection)
+    val grpMember = s"""(?:$atomQ|\\(\\s*$innerMember(?:\\s+$innerMember)*\\s*\\)\\s*(?:[+*]\\??|\\{\\d+(?:,\\d*)?\\}\\??))"""
     val grpRe =
       ("""(?i)PERMUTE\s*\(\s*(\w+(?:\s*,\s*\w+)+)\s*\)\s*(\+\??|\*\??|\?\??|\{\d+(?:,\d*)?\}\??)?""" +
         """|\{-\s*(\w+)\s*(\+\??|\*\??|\?\??|\{\d+(?:,\d*)?\}\??)?\s*-\}""" +

@@ -84,7 +84,12 @@ object PatternCompiler {
                                inner: Boolean = false,
                                innerLoopBack: Int = -1,
                                innerMinIters: Int = 1,
-                               innerMaxIters: Int = Int.MaxValue) {
+                               innerMaxIters: Int = Int.MaxValue,
+                               // round 16: reluctant INNER group (`(A B)+?`
+                               // nested in a greedy outer group) — fewest
+                               // inner iterations at each leave/continue
+                               // choice under skip-mode parse selection
+                               innerReluctant: Boolean = false) {
     def aliases: Seq[String] = alts.map(_.alias).distinct
   }
 
@@ -161,7 +166,8 @@ object PatternCompiler {
       // exclusive with EXCLUDING.
       allRowsUnmatched: Boolean = false) {
     def allAlts: Seq[StepAlt] = variants.flatten.flatMap(_.alts) ++ absents.map(_.alt)
-    def reluctantAny: Boolean = variants.exists(_.exists(_.reluctant))
+    def reluctantAny: Boolean =
+      variants.exists(_.exists(st => st.reluctant || st.innerReluctant))
     /** True when the query runs the greedy/preferred-parse selection
       * machine (consume-on-match) instead of the EVERY enumeration:
       * an after-match resume mode, or SKIP TO NEXT ROW with a reluctant
@@ -227,6 +233,20 @@ object PatternCompiler {
             s"$mode with a reluctant variable-member group needs a single " +
               "loop group in the pattern — split the query or fix the " +
               "member counts")
+        // reluctant INNER group (round 16): the hist-stream preference
+        // reads ONE group's record stream off the candidate and requires
+        // parse-independent record content — single loop group, every
+        // looped member fixed-count
+        if (chain.exists(_.innerReluctant)) {
+          if (chain.count(_.loopBack >= 0) > 1) throw GraftApp.SqlError(
+            s"$mode with a reluctant nested group needs a single loop " +
+              "group in the pattern — split the query")
+          chain.find(st => (st.looped || st.loopBack >= 0) && st.min != st.max)
+            .foreach(st => throw GraftApp.SqlError(
+              s"$mode with a reluctant nested group: looped member " +
+                s"'${st.aliases.head}' has a variable count — fix the " +
+                "member count or drop the inner '?'"))
+        }
       }
       q.skipTo.foreach { case (isFirst, alias) =>
         val chain = q.variants.head
@@ -1761,7 +1781,8 @@ object PatternCompiler {
       }, reluctant = st.reluctant, loopBack = st.loopBack,
       minIters = st.minIters, maxIters = st.maxIters, looped = st.looped,
       inner = st.inner, innerLoopBack = st.innerLoopBack,
-      innerMinIters = st.innerMinIters, innerMaxIters = st.innerMaxIters)
+      innerMinIters = st.innerMinIters, innerMaxIters = st.innerMaxIters,
+      innerReluctant = st.innerReluctant)
     // a same-group cross-member comparison anchors at the ref member's
     // first event of the CURRENT iteration (the partial's iterBase view) —
     // `(D U)+` with `U.price > D.price` binds each U to its iteration's D
@@ -2206,7 +2227,8 @@ object PatternCompiler {
                                   inner: Boolean = false,
                                   innerLoopBack: Int = -1,
                                   innerMin: Int = 1,
-                                  innerMax: Int = Int.MaxValue)
+                                  innerMax: Int = Int.MaxValue,
+                                  innerRel: Boolean = false)
 
   private def expandGroup(gm: scala.util.matching.Regex.Match,
                           el: String): Seq[Seq[PatternStep]] = {
@@ -2326,7 +2348,8 @@ object PatternCompiler {
         loopBack = if (i == members.size - 1) members.size - 1 else -1,
         minIters = math.max(nMin, 1), maxIters = mMax,
         inner = m.inner, innerLoopBack = m.innerLoopBack,
-        innerMinIters = m.innerMin, innerMaxIters = m.innerMax)
+        innerMinIters = m.innerMin, innerMaxIters = m.innerMax,
+        innerReluctant = m.innerRel)
     }
     if (nMin >= 1) Seq(chain) else Seq(chain, Seq.empty[PatternStep])
   }
@@ -2346,10 +2369,12 @@ object PatternCompiler {
     */
   private def expandInnerGroup(igm: scala.util.matching.Regex.Match,
                                tok: String, el: String): Seq[Member] = {
-    val iq = igm.group(2).replaceAll("\\s", "")
-    if (iq.endsWith("?") && iq.length > 1) throw GraftApp.SqlError(
-      s"reluctant quantifier on nested group '$tok' in '$el' is not " +
-        "supported — reluctance is resolved at the outer group level")
+    val iq0 = igm.group(2).replaceAll("\\s", "")
+    // round 16: reluctant INNER group — `(A B)+?` / `{n,m}?` prefers the
+    // FEWEST inner iterations at each leave/continue choice (skip-mode
+    // parse selection via the iterHist stream; Cep.histPreferred)
+    val innerRel = iq0.endsWith("?") && iq0.length > 1
+    val iq = if (innerRel) iq0.dropRight(1) else iq0
     val innerToks = splitTopLevel(igm.group(1), "->").map(_.trim)
     val parsedInner = innerToks.flatMap { t =>
       GroupQuantRe.findFirstMatchIn(t) match {
@@ -2371,6 +2396,9 @@ object PatternCompiler {
     val innerAliases = parsedInner.map(_._1.alias)
     """^\{(\d+)\}$""".r.findFirstMatchIn(iq).map(_.group(1).toInt) match {
       case Some(k) => // exact: round-14 inlining
+        if (innerRel) throw GraftApp.SqlError(
+          s"reluctant marker on exact-count nested group '$tok?' in '$el' " +
+            "is vacuous — a fixed iteration count leaves nothing to prefer")
         if (k < 1 || k > MaxInnerReps) throw GraftApp.SqlError(
           s"nested group count {$k} in '$el' out of range [1,$MaxInnerReps] — " +
             "each inner repetition inlines as a full member")
@@ -2405,10 +2433,18 @@ object PatternCompiler {
               s"bad nested repetition {$n,${m0.group(2)}} on '$tok' in '$el' (max >= min)")
             (n, m)
         }
+        // reluctant inner: the hist-stream preference is structural, so
+        // record CONTENT must be parse-independent — every inner member
+        // fixed-count (a variable member would need yet another key level)
+        if (innerRel) parsedInner.find { case (_, mn, mx) => mn != mx }
+          .foreach { case (alt, _, _) => throw GraftApp.SqlError(
+            s"reluctant nested group '$tok?' in '$el' with variable-count " +
+              s"member '${alt.alias}' is not supported — fix the member " +
+              "count or drop the inner '?'") }
         parsedInner.zipWithIndex.map { case ((alt, mn, mx), i) =>
           Member(alt, mn, mx, inner = true,
             innerLoopBack = if (i == parsedInner.size - 1) parsedInner.size - 1 else -1,
-            innerMin = inMin, innerMax = inMax)
+            innerMin = inMin, innerMax = inMax, innerRel = innerRel)
         }
     }
   }

@@ -121,7 +121,14 @@ final case class Step(
     inner: Boolean = false,
     innerLoopBack: Int = -1,
     innerMinIters: Int = 1,
-    innerMaxIters: Int = Int.MaxValue)
+    innerMaxIters: Int = Int.MaxValue,
+    // round 16: reluctant INNER group (`((A B)+? C)+`, inner `{n,m}?`) —
+    // under skip-mode parse selection the inner loop prefers LEAVING at
+    // the first opportunity. Resolved through the candidate's iterHist
+    // record stream (see skipPreferred's histPreferred level); compile
+    // gates keep every member fixed-count so record CONTENT is parse-
+    // independent and the stream comparison is purely structural.
+    innerReluctant: Boolean = false)
   extends Serializable
 
 object Step {
@@ -534,8 +541,18 @@ object Cep {
     * group-level '?' is defined as the two-level lexicographic key
     * "fewest ITERATIONS, then fewest member rows" (member counts alone
     * cannot order parses whose iteration/member splits trade off). */
+  /** `hist` (round 16, Nil = not applicable): the candidate parse's full
+    * iterHist record stream — populated only when the spec holds a
+    * reluctant INNER group, where the parse preference is the stream's
+    * first structural divergence (leave-inner beats continue-inner; a
+    * longer stream beats a strict prefix under the greedy outer group).
+    * Streaming state schema v15 (the field defaults Nil, so pre-round-16
+    * checkpoints of OTHER specs restore cleanly; inner-reluctant specs
+    * are new surface with no prior checkpoints).
+    */
   final case class SkipCand(m: CepMatch, startSeq: Long, endSeq: Long,
-                            counts: Seq[Long], groupIters: Long = -1L)
+                            counts: Seq[Long], groupIters: Long = -1L,
+                            hist: Seq[Int] = Nil)
 
   /** State of the streaming skip-past machine: the NFA state (partials
     * enumerate every (start, parse) pair exactly like EVERY mode), the
@@ -612,17 +629,19 @@ object Cep {
 
     val rel = spec.steps.map(_.reluctant)
     val gStart = relVarGroupStart(spec)
+    val irel = innerRelCfg(spec)
     def addCand(c: SkipCand): Unit = {
       if (c.startSeq < pos) return
       val i = cands.indexWhere(_.startSeq == c.startSeq)
       if (i < 0) cands :+= c
       else if (skipPreferred(c.counts, cands(i).counts, rel,
-        c.groupIters, cands(i).groupIters, gStart)) cands = cands.updated(i, c)
+        c.groupIters, cands(i).groupIters, gStart,
+        c.hist, cands(i).hist, irel)) cands = cands.updated(i, c)
     }
     def flush(): Unit = {
       val (emitted, st2) = skipFlush(SkipNfaState(
         NfaState(partials, done = false, seq, 0L, mseq), pos, cands), resume, rel,
-        gStart)
+        gStart, irel)
       out ++= emitted
       partials = st2.nfa.partials.toVector
       mseq = st2.nfa.matchSeq
@@ -653,7 +672,8 @@ object Cep {
                 spec.steps.map(_.name).zip(coll2).map { case (n, es) => Collected(n, es) }),
               p.startSeq, seq, coll2.map(_.size.toLong),
               groupIters =
-                if (relVarWidth > 0) (hist.size / relVarWidth).toLong else -1L))
+                if (relVarWidth > 0) (hist.size / relVarWidth).toLong else -1L,
+              hist = if (irel.isDefined) hist else Nil))
             // same loop-group bookkeeping as [[runNfa]], terminal
             // completions become held candidates
             advanceMember(step, p, coll2, needHist, hasInner, nSteps,
@@ -684,9 +704,46 @@ object Cep {
     * chain). `rel(i)` = step i is reluctant; empty = all greedy. Returns
     * true when `a` is strictly preferred over `b`.
     */
+  /** Inner-reluctant config (round 16): when the spec holds a reluctant
+    * INNER group, (group position, inner record width, outer record
+    * width) for the hist-stream preference; None otherwise. */
+  private[streaming] def innerRelCfg(spec: PatternSpec): Option[(Int, Int, Int)] =
+    spec.steps.find(s => s.innerLoopBack >= 0 && s.innerReluctant).map { in =>
+      (spec.steps.indexWhere(_.looped),
+        in.innerLoopBack + 1,
+        spec.steps.find(_.loopBack >= 0).map(_.loopBack + 1).getOrElse(0))
+    }
+
+  /** Backtracking order over two parses' iterHist record streams (both
+    * from the same start, all member counts FIXED by the compile gates, so
+    * record content is parse-independent and the first STRUCTURAL
+    * divergence is the first differing derivation choice):
+    *  - one stream has the `-1` outer marker where the other has an inner
+    *    record → the marker-side parse LEFT the inner loop at that choice;
+    *    the reluctant inner group prefers it;
+    *  - equal prefix, one stream ends → the longer took the outer
+    *    loop-back (more iterations); the greedy outer group prefers it.
+    * Returns <0 a preferred, >0 b preferred, 0 tie.
+    */
+  private def histPreferred(a: Seq[Int], b: Seq[Int],
+                            innerW: Int, outerW: Int): Int = {
+    var ia = 0; var ib = 0
+    while (ia < a.length && ib < b.length) {
+      val aOuter = a(ia) == -1; val bOuter = b(ib) == -1
+      if (aOuter != bOuter) return if (aOuter) -1 else 1
+      val w = if (aOuter) outerW + 1 else innerW
+      ia += w; ib += w
+    }
+    if (a.length == b.length) 0
+    else if (a.length > b.length) -1
+    else 1
+  }
+
   private def skipPreferred(a: Seq[Long], b: Seq[Long], rel: Seq[Boolean],
                             aIters: Long = -1L, bIters: Long = -1L,
-                            groupStart: Int = -1): Boolean = {
+                            groupStart: Int = -1,
+                            aHist: Seq[Int] = Nil, bHist: Seq[Int] = Nil,
+                            irel: Option[(Int, Int, Int)] = None): Boolean = {
     // two-level key for reluctant groups with variable-count members
     // (round 15): the group-level '?' prefers the FEWEST ITERATIONS, and
     // it resolves AT THE GROUP'S POSITION in the left-to-right quantifier
@@ -700,6 +757,15 @@ object Cep {
     while (i < n) {
       if (i == groupStart && aIters >= 0L && bIters >= 0L && aIters != bIters)
         return aIters < bIters
+      // reluctant INNER group (round 16): the whole group's parse order is
+      // the hist-stream backtracking comparison, resolved AT the group's
+      // position in the left-to-right quantifier order
+      irel match {
+        case Some((gs, iw, ow)) if i == gs =>
+          val h = histPreferred(aHist, bHist, iw, ow)
+          if (h != 0) return h < 0
+        case _ => ()
+      }
       if (a(i) != b(i))
         return if (i < rel.length && rel(i)) a(i) < b(i) else a(i) > b(i)
       i += 1
@@ -724,7 +790,9 @@ object Cep {
   private def skipFlush(st: SkipNfaState,
                         resume: Option[(Int, Boolean)] = None,
                         rel: Seq[Boolean] = Nil,
-                        groupStart: Int = -1): (Seq[CepMatch], SkipNfaState) = {
+                        groupStart: Int = -1,
+                        irel: Option[(Int, Int, Int)] = None)
+      : (Seq[CepMatch], SkipNfaState) = {
     var pos = st.pos
     var cands = st.cands.toVector
     var partials = st.nfa.partials.toVector
@@ -739,7 +807,7 @@ object Cep {
         if (!partials.exists(_.startSeq <= s)) {
           val best = cands.filter(_.startSeq == s)
             .reduceLeft((x, y) => if (skipPreferred(y.counts, x.counts, rel,
-              y.groupIters, x.groupIters, groupStart)) y else x)
+              y.groupIters, x.groupIters, groupStart, y.hist, x.hist, irel)) y else x)
           mseq += 1
           o += best.m.copy(matchSeq = mseq)
           pos = resume match {
@@ -773,10 +841,12 @@ object Cep {
   def skipPastTimeoutFlush(st: SkipNfaState, wmUs: Long, withinUs: Long,
                            resume: Option[(Int, Boolean)] = None,
                            rel: Seq[Boolean] = Nil,
-                           groupStart: Int = -1)
+                           groupStart: Int = -1,
+                           irel: Option[(Int, Int, Int)] = None)
       : (Seq[CepMatch], SkipNfaState) = {
     val live = st.nfa.partials.filter(p => p.startUs + withinUs >= wmUs)
-    skipFlush(st.copy(nfa = st.nfa.copy(partials = live)), resume, rel, groupStart)
+    skipFlush(st.copy(nfa = st.nfa.copy(partials = live)), resume, rel,
+      groupStart, irel)
   }
 
   /** Batch `AFTER MATCH SKIP PAST LAST ROW` / `SKIP TO FIRST|LAST`
@@ -795,7 +865,8 @@ object Cep {
       val (out, st) = runNfaSkipPast(evs,
         SkipNfaState(NfaState(Nil, done = false), 0L, Nil), spec, resume)
       val (tail, _) = skipFlush(st.copy(nfa = st.nfa.copy(partials = Nil)),
-        resume, spec.steps.map(_.reluctant), relVarGroupStart(spec))
+        resume, spec.steps.map(_.reluctant), relVarGroupStart(spec),
+        innerRelCfg(spec))
       (out ++ tail).iterator
     }
 
@@ -1191,7 +1262,8 @@ object Cep {
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val st = state.getOption.getOrElse(emptySt)
           val (out, next) = skipPastTimeoutFlush(st, wmUs, withinUs, resume,
-            spec.steps.map(_.reluctant), relVarGroupStart(spec))
+            spec.steps.map(_.reluctant), relVarGroupStart(spec),
+            innerRelCfg(spec))
           if (next.nfa.partials.isEmpty && next.cands.isEmpty &&
               !(retainMatchSeq && next.nfa.matchSeq > 0)) {
             // seq/pos continuity is not needed once nothing is held: a
@@ -1292,7 +1364,7 @@ object Cep {
         val (matched: Seq[CepMatch], skip2: SkipNfaState) =
           if (state.hasTimedOut) {
             if (useSkip) skipPastTimeoutFlush(st.skip, wmUs, withinUs, resume, rel,
-              relVarGroupStart(spec))
+              relVarGroupStart(spec), innerRelCfg(spec))
             else (Seq.empty[CepMatch], st.skip.copy(nfa = st.skip.nfa.copy(
               partials = st.skip.nfa.partials.filter(p => p.startUs + withinUs >= wmUs))))
           } else if (useSkip) runNfaSkipPast(events, st.skip, spec, resume)

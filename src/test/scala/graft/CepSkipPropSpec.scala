@@ -650,4 +650,138 @@ class CepSkipPropSpec extends AnyFunSuite {
     assert(nonEmpty > 60, s"only $nonEmpty/200 samples produced matches")
     assert(tradeoff > 30, s"only $tradeoff/200 samples had iteration/row tradeoffs")
   }
+  test("reluctant INNER groups: skip selection == backtracking-DFS brute force over 200 random samples") {
+    val rng = new Rng(0x16C0DE)
+
+    // pattern: pre -> ( (innerM){inMin,inMax}? tail ){outMin,outMax} -> post
+    // — every member FIXED count 1 (the compile gate), classes overlap so
+    // parses genuinely diverge at leave/continue choices
+    final case class IRelCase(pre: Seq[StepSpec], innerM: Seq[StepSpec],
+                              tail: Seq[StepSpec], post: Seq[StepSpec],
+                              inMin: Int, inMax: Int, outMin: Int, outMax: Int)
+
+    // regex backtracking reference: DFS with the preferred branch first
+    // (reluctant inner -> LEAVE before CONTINUE; greedy outer -> CONTINUE
+    // before COMPLETE); the first completed derivation per start is the
+    // preferred parse
+    def preferredParse(tape: IndexedSeq[Int], c: IRelCase, start: Int)
+        : Option[Seq[Seq[Int]]] = {
+      val offIn = c.pre.size
+      val offTail = offIn + c.innerM.size
+      val offPost = offTail + c.tail.size
+      val total = offPost + c.post.size
+      def consume(specs: Seq[StepSpec], off: Int, pos: Int,
+                  acc: Vector[Seq[Int]]): Option[(Int, Vector[Seq[Int]])] = {
+        var p = pos; var a = acc; var si = 0
+        while (si < specs.size) {
+          if (p >= tape.length || !specs(si).kinds(tape(p))) return None
+          a = a.updated(off + si, a(off + si) :+ p)
+          p += 1; si += 1
+        }
+        Some((p, a))
+      }
+      def innerIter(pos: Int, j: Int, acc: Vector[Seq[Int]], k: Int)
+          : Option[Vector[Seq[Int]]] =
+        consume(c.innerM, offIn, pos, acc) match {
+          case None => None
+          case Some((p2, a2)) =>
+            val j2 = j + 1
+            val leave =
+              if (j2 >= c.inMin) consume(c.tail, offTail, p2, a2) match {
+                case None => None
+                case Some((p3, a3)) => outerChoice(p3, k + 1, a3)
+              } else None
+            if (leave.isDefined) leave
+            else if (j2 < c.inMax) innerIter(p2, j2, a2, k)
+            else None
+        }
+      def outerChoice(pos: Int, k: Int, acc: Vector[Seq[Int]])
+          : Option[Vector[Seq[Int]]] = {
+        val cont = if (k < c.outMax) innerIter(pos, 0, acc, k) else None
+        if (cont.isDefined) cont
+        else if (k >= c.outMin) consume(c.post, offPost, pos, acc).map(_._2)
+        else None
+      }
+      consume(c.pre, 0, start, Vector.fill(total)(Seq.empty[Int])) match {
+        case None => None
+        case Some((p0, a0)) => innerIter(p0, 0, a0, 0)
+      }
+    }
+
+    def runMachine(tape: IndexedSeq[Int], c: IRelCase): Seq[(Int, Seq[Seq[Int]])] = {
+      val within = 1000L * 1000000L
+      val nLoop = c.innerM.size + c.tail.size
+      def mk(st: StepSpec, name: String): Step =
+        Step(name, 1, 1, (e, _) => st.kinds(e.etype.toInt))
+      val steps =
+        c.pre.zipWithIndex.map { case (st, i) => mk(st, s"P$i") } ++
+        c.innerM.zipWithIndex.map { case (st, i) =>
+          mk(st, s"I$i").copy(looped = true,
+            minIters = c.outMin, maxIters = c.outMax,
+            inner = true,
+            innerLoopBack = if (i == c.innerM.size - 1) c.innerM.size - 1 else -1,
+            innerMinIters = c.inMin, innerMaxIters = c.inMax,
+            innerReluctant = true) } ++
+        c.tail.zipWithIndex.map { case (st, i) =>
+          mk(st, s"T$i").copy(looped = true,
+            minIters = c.outMin, maxIters = c.outMax,
+            loopBack = if (i == c.tail.size - 1) nLoop - 1 else -1) } ++
+        c.post.zipWithIndex.map { case (st, i) => mk(st, s"Q$i") }
+      val spec = PatternSpec(steps, strict = true, every = true,
+        withinUs = Some(within), maxPartials = 20000)
+      val evs = tape.zipWithIndex.map { case (kk, i) =>
+        CepEvent("k", i.toLong * 1000000, i.toLong, kk.toString, 0.0, Nil, Nil)
+      }
+      // SKIP TO NEXT ROW under a parse preference: every start emits its
+      // one preferred parse
+      val resume = Some((-1, true))
+      val (out, st) = Cep.runNfaSkipPast(evs,
+        Cep.SkipNfaState(NfaState(Nil, done = false), 0L, Nil), spec, resume)
+      val (tail, _) = Cep.skipPastTimeoutFlush(st,
+        wmUs = Long.MaxValue / 2, withinUs = within, resume = resume,
+        rel = steps.map(_.reluctant))
+      (out ++ tail).map { m =>
+        (m.steps.head.events.head.eventId.toInt,
+          m.steps.map(_.events.map(_.eventId.toInt)))
+      }
+    }
+
+    var checked = 0
+    var nonEmpty = 0
+    var choiceful = 0
+    while (checked < 200) {
+      def specOf(): StepSpec = {
+        val kinds = (0 until 3).filter(_ => rng.next(2) == 1).toSet match {
+          case e if e.isEmpty => Set(rng.next(3))
+          case s2 => s2
+        }
+        StepSpec(kinds, 1, 1, rel = false)
+      }
+      val pre = Seq.fill(rng.next(2))(specOf())
+      val innerM = Seq.fill(1 + rng.next(2))(specOf())
+      val tail = Seq.fill(1 + rng.next(2))(specOf())
+      val post = Seq.fill(rng.next(2))(specOf())
+      val inMin = 1 + rng.next(2)
+      val inMax = if (rng.next(2) == 0) Int.MaxValue else inMin + 1 + rng.next(2)
+      val outMin = 1 + rng.next(2)
+      val outMax = if (rng.next(3) == 0) Int.MaxValue else outMin + rng.next(2)
+      val c = IRelCase(pre, innerM, tail, post, inMin, inMax, outMin, outMax)
+      val tape = IndexedSeq.fill(4 + rng.next(11))(rng.next(3))
+      val want = tape.indices.flatMap(st =>
+        preferredParse(tape, c, st).map(b => (st, b.map(_.toSeq))))
+      val got = runMachine(tape, c).sortBy(_._1)
+      assert(got == want.sortBy(_._1),
+        s"case=$c tape=${tape.mkString}\n  want=$want\n  got=$got")
+      if (want.nonEmpty) nonEmpty += 1
+      // the reluctant choice was load-bearing: some start had >= 2 distinct
+      // complete parses (checked via a cheap full enumeration bound)
+      if (want.exists { case (st, b) =>
+            b.slice(c.pre.size, c.pre.size + c.innerM.size).exists(_.size > c.inMin) ||
+            b.flatten.size > (c.pre.size + c.innerM.size * c.inMin + c.tail.size + c.post.size) })
+        choiceful += 1
+      checked += 1
+    }
+    assert(nonEmpty > 35, s"only $nonEmpty/200 samples produced matches")
+    assert(choiceful > 10, s"only $choiceful/200 samples exercised non-minimal parses")
+  }
 }

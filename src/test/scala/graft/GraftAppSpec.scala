@@ -2885,4 +2885,66 @@ class GraftAppSpec extends AnyFunSuite {
         |);""".stripMargin)).getMessage
     assert(e5.contains("120"), e5)
   }
+  test("reluctant quantifier inside a nested group (round 16): ((A B)+? C)+ prefers fewest inner iterations") {
+    def app(q: String) =
+      s"""CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+         |CREATE STREAM Out (user_id BIGINT, na BIGINT, nb BIGINT, nc BIGINT);
+         |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts
+         |  MEASURES count(A.v) AS na, count(B.v) AS nb, count(C.v) AS nc
+         |  ONE ROW PER MATCH
+         |  AFTER MATCH SKIP TO NEXT ROW
+         |  PATTERN (S ((A B)$q C)+) WITHIN INTERVAL '1' HOUR
+         |  DEFINE S AS S.kind = 's', A AS A.kind = 'a' OR A.kind = 'x',
+         |         B AS B.kind = 'b' OR B.kind = 'x',
+         |         C AS C.kind = 'c' OR C.kind = 'x'
+         |);""".stripMargin
+    // tape s x x x x c: the reluctant inner loop leaves after ONE (A B)
+    // pair (C binds the third x); the greedy form consumes TWO pairs and
+    // binds C to the final c
+    val in = Seq((1, "s", 0.0), (2, "x", 1.0), (3, "x", 2.0), (4, "x", 3.0),
+      (5, "x", 4.0), (6, "c", 5.0))
+      .map(t => (t._1, 1L, t._2, t._3))
+      .toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    def run(q: String): Seq[(Long, Long, Long, Long)] =
+      GraftApp.run(spark, app(q), Map("E" -> in))("Out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(run("+?") == Seq((1L, 1L, 1L, 1L)), s"reluctant ${run("+?")}")
+    // all-greedy SKIP TO NEXT ROW is the EVERY enumeration (no preference
+    // to select): BOTH parses emit — the contrast that shows the
+    // reluctant form genuinely selected one
+    assert(run("+").toSet == Set((1L, 1L, 1L, 1L), (1L, 2L, 2L, 1L)),
+      s"greedy ${run("+")}")
+    assert(run("{1,2}?") == Seq((1L, 1L, 1L, 1L)), s"range-reluctant ${run("{1,2}?")}")
+    // typed gates: vacuous exact-count '?', variable member under inner '?',
+    // and reluctance without a skip mode
+    def err(q: String, skip: String = "AFTER MATCH SKIP TO NEXT ROW"): String =
+      intercept[GraftApp.SqlError](GraftApp.parse(
+        s"""CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+           |CREATE STREAM Out (user_id BIGINT, na BIGINT);
+           |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+           |  PARTITION BY user_id ORDER BY ts
+           |  MEASURES count(A.v) AS na
+           |  ONE ROW PER MATCH $skip
+           |  PATTERN (S ((A B)$q C)+) WITHIN INTERVAL '1' HOUR
+           |  DEFINE S AS S.kind = 's', A AS A.kind = 'a',
+           |         B AS B.kind = 'b', C AS C.kind = 'c'
+           |);""".stripMargin)).getMessage
+    assert(err("{2}?").contains("vacuous"), err("{2}?"))
+    val eVar = intercept[GraftApp.SqlError](GraftApp.parse(
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, na BIGINT);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES count(A.v) AS na
+        |  ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (S ((A{1,2} B)+? C)+) WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS S.kind = 's', A AS A.kind = 'a',
+        |         B AS B.kind = 'b', C AS C.kind = 'c'
+        |);""".stripMargin)).getMessage
+    assert(eVar.contains("variable-count"), eVar)
+  }
 }
