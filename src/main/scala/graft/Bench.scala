@@ -98,12 +98,25 @@ object Bench {
       }.toSet
     }
     val adjustOverride = scala.collection.mutable.Map[String, Double]()
+    // the host's contention bursts are ~minutes long: a single immediate
+    // probe usually lands inside the same burst that flagged the query, so
+    // the retry pass may WAIT for recovery — bounded by one shared budget
+    // so a permanently-loaded host cannot stall the driver run
+    var waitBudgetMs = 120000L
+    def recoveredMops(): Double = {
+      var m = HostCalib.mops(cpus.toInt, targetSec = 0.15, trials = 2)
+      while (m < 0.9 * bestMops0 && waitBudgetMs > 0) {
+        Thread.sleep(5000); waitBudgetMs -= 5000
+        m = HostCalib.mops(cpus.toInt, targetSec = 0.15, trials = 2)
+      }
+      m
+    }
     val results1 = if (contended0.isEmpty) results else {
       val byName = ordered.toMap
       results.map { case r @ (name, t, tMid) =>
         if (t < 0 || !contended0(name)) r
         else {
-          val m0 = HostCalib.mops(cpus.toInt, targetSec = 0.15, trials = 2)
+          val m0 = recoveredMops()
           if (m0 < 0.9 * bestMops0) r // still contended — keep the original
           else {
             val s0 = nowSec

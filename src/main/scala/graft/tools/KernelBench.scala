@@ -39,9 +39,12 @@ object KernelBench {
     def cep(): Unit =
       Cep.detect(Cep.fromEvents(events), cepSpec).write.format("noop").mode("overwrite").save()
     for (_ <- 1 to 5) { win(); cep() } // deep-JIT warm (Bench warms over the full corpus)
-    for (i <- 1 to 4) {
+    val reps = sys.env.get("KB_REPS").map(_.toInt).getOrElse(4)
+    for (i <- 1 to reps) {
       val tw = timed(win()); val tc = timed(cep())
-      println(f"rep$i window ${nEvents / tw}%.0f events/s  cep ${nEvents / tc}%.0f events/s")
+      val load = scala.util.Try(scala.io.Source.fromFile("/proc/loadavg")
+        .getLines().next().split(" ").head).getOrElse("?")
+      println(f"rep$i window ${nEvents / tw}%.0f events/s  cep ${nEvents / tc}%.0f events/s  load=$load")
     }
     spark.stop()
   }
