@@ -1075,6 +1075,79 @@ object CepQueries extends QueryFamily {
              |FROM ok k
              |ORDER BY 1, 2, 3""".stripMargin)),
 
+    // MULTIPLE loop groups in one pattern (round 16): A (D U)+ C (L H)+
+    // — each group runs its own iteration frame (Partial.iters/iterBase
+    // reset on leaving a group, so the second group starts fresh). Group 1
+    // is class-driven (disjoint member classes, so its iteration count is
+    // tape-forced: the error terminator cannot extend a pair), group 2 is
+    // VALUE-driven (low<50 / high>=50 over any event type); the pattern
+    // ends ON group 2, so EVERY emits one row per completed j2. The oracle
+    // chains both groups independently with recursive CTEs and reads H
+    // values off the alternation parity.
+    QueryDef(
+      "q_cep_mr_multigroup",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (user_id BIGINT, a_id BIGINT, n_d BIGINT,
+            |                   n_l BIGINT, s_h DOUBLE);
+            |INSERT INTO Out SELECT * FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts
+            |  MEASURES A.event_id AS a_id, count(D.value) AS n_d,
+            |           count(L.value) AS n_l, round(sum(H.value), 6) AS s_h
+            |  ONE ROW PER MATCH
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN (A (D U)+ C (L H)+) WITHIN INTERVAL '30' DAY
+            |  DEFINE A AS A.event_type = 'error',
+            |         D AS D.event_type = 'view' OR D.event_type = 'signup',
+            |         U AS U.event_type = 'purchase' OR U.event_type = 'click',
+            |         C AS C.event_type = 'error',
+            |         L AS L.value < 50, H AS H.value >= 50
+            |);""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .selectExpr("user_id", "a_id", "CAST(n_d AS BIGINT) AS n_d",
+            "CAST(n_l AS BIGINT) AS n_l", "s_h")
+          .orderBy(col("user_id"), col("a_id"), col("n_l"))
+      },
+      Some("""WITH RECURSIVE ord AS (
+             |  SELECT user_id, event_id, event_type, value,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events),
+             |p1 AS (
+             |  SELECT d.user_id, d.rn AS s, d.rn + 1 AS e
+             |  FROM ord d JOIN ord u ON u.user_id = d.user_id AND u.rn = d.rn + 1
+             |  WHERE d.event_type IN ('view','signup') AND u.event_type IN ('purchase','click')),
+             |c1 AS (
+             |  SELECT user_id, s, e, 1 AS j1 FROM p1
+             |  UNION ALL
+             |  SELECT c.user_id, c.s, b.e, c.j1 + 1
+             |  FROM c1 c JOIN p1 b ON b.user_id = c.user_id AND b.s = c.e + 1),
+             |p2 AS (
+             |  SELECT l.user_id, l.rn AS s, l.rn + 1 AS e
+             |  FROM ord l JOIN ord h ON h.user_id = l.user_id AND h.rn = l.rn + 1
+             |  WHERE l.value < 50 AND h.value >= 50),
+             |c2 AS (
+             |  SELECT user_id, s, e, 1 AS j2 FROM p2
+             |  UNION ALL
+             |  SELECT c.user_id, c.s, b.e, c.j2 + 1
+             |  FROM c2 c JOIN p2 b ON b.user_id = c.user_id AND b.s = c.e + 1),
+             |anch AS (SELECT user_id, event_id, rn FROM ord WHERE event_type = 'error'),
+             |m AS (
+             |  SELECT a.user_id, a.event_id AS a_id, g1.j1, cv.rn AS crn,
+             |         g2.j2, g2.e AS endrn
+             |  FROM anch a
+             |  JOIN c1 g1 ON g1.user_id = a.user_id AND g1.s = a.rn + 1
+             |  JOIN ord cv ON cv.user_id = a.user_id AND cv.rn = g1.e + 1
+             |     AND cv.event_type = 'error'
+             |  JOIN c2 g2 ON g2.user_id = a.user_id AND g2.s = cv.rn + 1)
+             |SELECT m.user_id, m.a_id, CAST(m.j1 AS BIGINT) AS n_d,
+             |  CAST(m.j2 AS BIGINT) AS n_l,
+             |  (SELECT round(sum(o.value), 6) FROM ord o WHERE o.user_id = m.user_id
+             |     AND o.rn > m.crn AND o.rn <= m.endrn AND o.rn % 2 = (m.crn + 2) % 2) AS s_h
+             |FROM m ORDER BY 1, 2, 4""".stripMargin)),
+
     // MATCH_RECOGNIZE DEPTH-2 nested group (round 16): (((D){1,2} U)+ C)+
     // — the innermost single-member group (D){1,2} normalizes to D{1,2}
     // engine-side (no third iteration frame), so depth-2 runs the round-15

@@ -2947,4 +2947,33 @@ class GraftAppSpec extends AnyFunSuite {
         |);""".stripMargin)).getMessage
     assert(eVar.contains("variable-count"), eVar)
   }
+  test("multiple loop groups in one MR pattern (round 16): independent iteration frames") {
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, nb BIGINT, ne BIGINT);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES count(B.v) AS nb, count(EE.v) AS ne
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A (B C)+ D (EE F)+) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', B AS B.kind = 'b', C AS C.kind = 'c',
+        |         D AS D.kind = 'd', EE AS EE.kind = 'e', F AS F.kind = 'f'
+        |);""".stripMargin
+    val in = Seq((1, "a"), (2, "b"), (3, "c"), (4, "b"), (5, "c"), (6, "d"),
+      (7, "e"), (8, "f"))
+      .map(t => (t._1, 1L, t._2, t._1.toDouble))
+      .toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val got = GraftApp.run(spark, app, Map("E" -> in))("Out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 1L)), s"$got")
+    // the ANSI default SKIP PAST LAST ROW (greedy selection) composes too
+    val appSkip = app.replace("AFTER MATCH SKIP TO NEXT ROW\n", "")
+    val got2 = GraftApp.run(spark, appSkip, Map("E" -> in))("Out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got2 == Seq((1L, 2L, 1L)), s"skip-past $got2")
+  }
 }
