@@ -1148,6 +1148,73 @@ object CepQueries extends QueryFamily {
              |     AND o.rn > m.crn AND o.rn <= m.endrn AND o.rn % 2 = (m.crn + 2) % 2) AS s_h
              |FROM m ORDER BY 1, 2, 4""".stripMargin)),
 
+    // ZERO-MIN nested group (round 16): A ((D U)* C)+ — an outer
+    // iteration may contain NO (D U) pairs, so runs of consecutive errors
+    // chain as bare-C iterations (the NFA's zero-iteration tail fork,
+    // Cep.zeroMinTails; property-tested vs brute force with inMin=0).
+    // The oracle adds the EMPTY block (s=e=error) to the block relation
+    // and chains as before; n_d=0 rows pin the zero-iteration outers,
+    // n_d>0 rows the mixed chains. WITHIN 60 DAY never binds (the whole
+    // corpus spans 30).
+    QueryDef(
+      "q_cep_mr_nested_zeromin",
+      (s, dir) => {
+        val app =
+          """CREATE STREAM events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            |                      event_type STRING, value DOUBLE, props STRING);
+            |CREATE STREAM Out (user_id BIGINT, a_id BIGINT, n_d BIGINT,
+            |                   n_c BIGINT, s_u DOUBLE);
+            |INSERT INTO Out SELECT * FROM events MATCH_RECOGNIZE (
+            |  PARTITION BY user_id
+            |  ORDER BY ts
+            |  MEASURES A.event_id AS a_id, count(D.value) AS n_d,
+            |           count(C.value) AS n_c, round(sum(U.value), 6) AS s_u
+            |  ONE ROW PER MATCH
+            |  AFTER MATCH SKIP TO NEXT ROW
+            |  PATTERN (A ((D U)* C)+) WITHIN INTERVAL '60' DAY
+            |  DEFINE A AS A.event_type = 'error',
+            |         D AS D.event_type = 'view' OR D.event_type = 'signup',
+            |         U AS U.event_type = 'purchase' OR U.event_type = 'click',
+            |         C AS C.event_type = 'error'
+            |);""".stripMargin
+        GraftApp.run(s, app, Map("events" -> Tables(s, dir, "events")))("Out")
+          .selectExpr("user_id", "a_id", "CAST(n_d AS BIGINT) AS n_d",
+            "CAST(n_c AS BIGINT) AS n_c", "s_u")
+          .orderBy(col("user_id"), col("a_id"), col("n_c"))
+      },
+      Some("""WITH RECURSIVE ord AS (
+             |  SELECT user_id, event_id, event_type, value,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+             |  FROM events),
+             |p1 AS (
+             |  SELECT d.user_id, d.rn AS s, d.rn + 1 AS e
+             |  FROM ord d JOIN ord u ON u.user_id = d.user_id AND u.rn = d.rn + 1
+             |  WHERE d.event_type IN ('view','signup') AND u.event_type IN ('purchase','click')),
+             |c1 AS (
+             |  SELECT user_id, s, e, 1 AS k FROM p1
+             |  UNION ALL
+             |  SELECT c.user_id, c.s, b.e, c.k + 1
+             |  FROM c1 c JOIN p1 b ON b.user_id = c.user_id AND b.s = c.e + 1),
+             |blk AS (
+             |  SELECT user_id, rn AS s, rn AS e, 0 AS nd FROM ord WHERE event_type = 'error'
+             |  UNION ALL
+             |  SELECT c.user_id, c.s, o.rn, c.k
+             |  FROM c1 c JOIN ord o ON o.user_id = c.user_id AND o.rn = c.e + 1
+             |  WHERE o.event_type = 'error'),
+             |ochain AS (
+             |  SELECT user_id, s, e, nd, 1 AS nc FROM blk
+             |  UNION ALL
+             |  SELECT oc.user_id, oc.s, b.e, oc.nd + b.nd, oc.nc + 1
+             |  FROM ochain oc JOIN blk b ON b.user_id = oc.user_id AND b.s = oc.e + 1),
+             |anch AS (SELECT user_id, event_id, rn FROM ord WHERE event_type = 'error')
+             |SELECT a.user_id, a.event_id AS a_id, CAST(oc.nd AS BIGINT) AS n_d,
+             |  CAST(oc.nc AS BIGINT) AS n_c,
+             |  (SELECT round(sum(o.value), 6) FROM ord o WHERE o.user_id = a.user_id
+             |     AND o.rn > a.rn AND o.rn <= oc.e
+             |     AND o.event_type IN ('purchase','click')) AS s_u
+             |FROM anch a JOIN ochain oc ON oc.user_id = a.user_id AND oc.s = a.rn + 1
+             |ORDER BY 1, 2, 4""".stripMargin)),
+
     // MATCH_RECOGNIZE DEPTH-2 nested group (round 16): (((D){1,2} U)+ C)+
     // — the innermost single-member group (D){1,2} normalizes to D{1,2}
     // engine-side (no third iteration frame), so depth-2 runs the round-15

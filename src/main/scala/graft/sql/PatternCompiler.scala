@@ -381,8 +381,20 @@ object PatternCompiler {
     val gIdx: Map[Seq[String], Int] = groups.map(_.aliases).zipWithIndex.toMap
     val posOf: Seq[Map[Int, Int]] = q.variants.map(v =>
       v.zipWithIndex.map { case (st, i) => gIdx(st.aliases) -> i }.toMap)
+    // members of a ZERO-MIN inner group (round 16) are possibly EMPTY at
+    // runtime even though present in every variant — an outer iteration
+    // may take the zero-iteration derivation, so their aggregates must
+    // left-join (an inner join silently DROPPED every n=0 match) and
+    // count must coalesce to 0
+    val zeroMinInner: Set[Seq[String]] = q.variants.flatMap { v =>
+      v.zipWithIndex.collect {
+        case (st, i) if st.innerLoopBack >= 0 && st.innerMinIters == 0 =>
+          (i - st.innerLoopBack to i).map(j => v(j).aliases)
+      }.flatten
+    }.toSet
     val omittable: Seq[Boolean] =
-      groups.map(g => !q.variants.forall(_.exists(_.aliases == g.aliases)))
+      groups.map(g => !q.variants.forall(_.exists(_.aliases == g.aliases)) ||
+        zeroMinInner(g.aliases))
     val everOmitted: Set[String] =
       groups.zip(omittable).filter(_._2).flatMap(_._1.aliases).toSet
     // OR-step residual predicates referencing a possibly-absent alias would
@@ -1878,6 +1890,12 @@ object PatternCompiler {
     }.toMap
     if (multi.nonEmpty && steps.exists(st => st.max > 1 && st.alts.size > 1))
       throw GraftApp.SqlError("count quantifiers on OR steps are not supported")
+    // steps whose buffer may be EMPTY in a completed match: members of a
+    // zero-min inner group (round 16 — the zero-iteration derivation)
+    val maybeEmpty: Int => Boolean = steps.zipWithIndex.collect {
+      case (st, li) if st.innerLoopBack >= 0 && st.innerMinIters == 0 =>
+        (li - st.innerLoopBack) to li
+    }.flatten.toSet
 
     // joins: joinName -> (idExpr over base, streams, alias-qualified
     // residual predicate for OR alternatives, outer?)
@@ -1958,7 +1976,10 @@ object PatternCompiler {
             s"$fn() references '$alias' which is not a pattern step alias")
         }
       })
-      // collection aggregations over count-quantified steps
+      // collection aggregations over count-quantified steps. A zero-min
+      // inner group's member may hold an EMPTY buffer (round 16) — its
+      // aggregate left-joins below and count coalesces to the zero-repeat
+      // 0 (sum/avg/min/max stay NULL, ANSI's empty-aggregate contract)
       text = aggRe.replaceAllIn(text, m => {
         val (fn, alias, c) = (m.group(1), m.group(2), m.group(3))
         multi.get(alias) match {
@@ -1966,7 +1987,9 @@ object PatternCompiler {
             val name = s"__agg_$aggN"; aggN += 1
             aggItems(i) = aggItems.getOrElse(i, Vector.empty) :+
               (name, s"${fn.toLowerCase}(__c.$c)")
-            name
+            if (fn.equalsIgnoreCase("count") && maybeEmpty(i))
+              s"coalesce($name, CAST(0 AS BIGINT))"
+            else name
           case None => java.util.regex.Matcher.quoteReplacement(m.matched)
         }
       })
@@ -2039,7 +2062,11 @@ object PatternCompiler {
           col("__c.__id") === col("__eid") && col("__c.__key") === col("__mkey"))
       val aggCols = items.map { case (name, sql) => expr(sql).as(name) }
       val agg = exploded.groupBy(col("__match_id")).agg(aggCols.head, aggCols.tail: _*)
-      out = out.join(agg, "__match_id")
+      // a zero-min inner member's buffer may be EMPTY: its explode yields
+      // no rows for the match, so an inner join would DROP every
+      // zero-iteration match — left join, count coalesces at the item
+      out = out.join(agg, Seq("__match_id"),
+        if (maybeEmpty(i)) "left" else "inner")
     }
     whereRw.foreach(w => out = out.filter(expr(w)))
 
@@ -2315,6 +2342,15 @@ object PatternCompiler {
     aliases.groupBy(identity).collectFirst { case (a, as) if as.size > 1 => a }
       .foreach(a => throw GraftApp.SqlError(
         s"duplicate member alias '$a' in group '$el'"))
+    // zero-min inner groups need a TAIL member after them: the NFA's
+    // zero-iteration fork stands at the tail's first step — a trailing
+    // zero-min inner group would leave the outer iteration with no
+    // required member to fork to
+    members.lastOption.filter(m => m.inner && m.innerMin == 0).foreach(_ =>
+      throw GraftApp.SqlError(
+        s"zero-min inner group at the END of '$el' is not supported — the " +
+          "outer iteration needs a required member after it; move one " +
+          "after the group or use {1,m}"))
     // reluctant group repetition with VARIABLE-count members is defined
     // (round 15) as the two-level lexicographic key "fewest ITERATIONS,
     // then fewest member rows" — carried to the skip machine through
@@ -2413,26 +2449,27 @@ object PatternCompiler {
           }
         }
       case None => // variable: nested iteration frame
+        // zero-min inner counts (`*`, `{0,m}`) are supported since round
+        // 16: the NFA derives a tail fork for the zero-iteration
+        // derivation per outer iteration (Cep.zeroMinTails) — no variant
+        // expansion; expandGroup checks a tail member exists
         val (inMin, inMax) = iq match {
           case "+" => (1, Int.MaxValue)
-          case "*" => throw GraftApp.SqlError(
-            s"zero-min nested group '$tok*' in '$el' is not supported — " +
-              "an optional inner group needs an empty variant per outer " +
-              "iteration; use {1,m} or restructure")
+          case "*" => (0, Int.MaxValue)
           case _ =>
             val m0 = """\{(\d+),(\d*)\}""".r.findFirstMatchIn(iq).getOrElse(
               throw GraftApp.SqlError(
                 s"bad nested group quantifier '$iq' on '$tok' in '$el'"))
             val n = m0.group(1).toInt
             val m = if (m0.group(2).isEmpty) Int.MaxValue else m0.group(2).toInt
-            if (n == 0) throw GraftApp.SqlError(
-              s"zero-min nested group '$tok' in '$el' is not supported — " +
-                "an optional inner group needs an empty variant per outer " +
-                "iteration; use {1,m} or restructure")
-            if (m < n) throw GraftApp.SqlError(
-              s"bad nested repetition {$n,${m0.group(2)}} on '$tok' in '$el' (max >= min)")
+            if (m < math.max(n, 1)) throw GraftApp.SqlError(
+              s"bad nested repetition {$n,${m0.group(2)}} on '$tok' in '$el' (max >= min, max >= 1)")
             (n, m)
         }
+        if (innerRel && inMin == 0) throw GraftApp.SqlError(
+          s"reluctant zero-min nested group '$tok?' in '$el' is not " +
+            "supported — the hist-stream preference assumes at least one " +
+            "inner iteration per outer; use {1,m}? or drop the '?'")
         // reluctant inner: the hist-stream preference is structural, so
         // record CONTENT must be parse-independent — every inner member
         // fixed-count (a variable member would need yet another key level)

@@ -338,6 +338,22 @@ object Cep {
     Seq.tabulate(coll2.size)(i =>
       if (i >= lo && i <= p.stepIdx) coll2(i).size else baseAt(p, i))
   }
+  /** Zero-min inner groups (round 16): inner-group FIRST-member index →
+    * tail first-step index, for groups with `innerMinIters == 0`
+    * (`((A B)* C)+`, `{0,m}`). A partial standing at the group's first
+    * inner member with NO inner events collected this outer iteration may
+    * alternatively stand at the tail (the zero-iteration derivation).
+    * Twins are DERIVED per event and never stored, so partial state,
+    * checkpoints, and dedup keys are untouched; a twin that advances
+    * becomes an ordinary partial at the tail. The compile gates require a
+    * tail to exist (a trailing zero-min inner group is typed).
+    */
+  private def zeroMinTails(spec: PatternSpec): Map[Int, Int] =
+    spec.steps.zipWithIndex.collect {
+      case (s, li) if s.innerLoopBack >= 0 && s.innerMinIters == 0 =>
+        (li - s.innerLoopBack, li + 1)
+    }.toMap
+
   /** iterHist is only needed when a per-iteration count can vary: a looped
     * member's own count (min != max), or — round 15 — a nested group's
     * ITERATION count (innerMin != innerMax): two parses can then share
@@ -423,6 +439,8 @@ object Cep {
       if (!hasInner) (p: Partial) => p.iterBase
       else (p: Partial) => Seq.tabulate(nSteps)(i =>
         if (spec.steps(i).inner) innerBaseAt(p, i) else baseAt(p, i))
+    val zmTails: Map[Int, Int] =
+      if (hasInner) zeroMinTails(spec) else Map.empty
     var partials: Vector[Partial] = init.partials.toVector
     var done = init.done
     var seq = init.seq
@@ -461,7 +479,17 @@ object Cep {
             scala.collection.mutable.HashSet.empty[(Long, Seq[Seq[Long]])]
           else null
 
-        (if (seedNow) partials :+ seed else partials).foreach { p =>
+        (if (seedNow) partials :+ seed else partials).foreach { p0 =>
+          // zero-min inner group: also evaluate this event at the tail (the
+          // zero-iteration derivation) when no inner event has been
+          // consumed this outer iteration — derived, never stored
+          val forks: Seq[(Partial, Boolean)] = zmTails.get(p0.stepIdx) match {
+            case Some(t) if p0.innerIters == 0 &&
+                p0.collected(p0.stepIdx).size == innerBaseAt(p0, p0.stepIdx) =>
+              Seq((p0, false), (p0.copy(stepIdx = t), true))
+            case _ => Seq((p0, false))
+          }
+          forks.foreach { case (p, isTwin) =>
           val step = spec.steps(p.stepIdx)
           // mid-chain NOT: this event kills every partial whose guarded gap
           // is open (anchor collected, next step empty) — unless the step
@@ -508,11 +536,13 @@ object Cep {
             }
           } else if (!spec.strict && !guardKill) {
             // relaxed PATTERN: non-matching events are skipped; seeds that
-            // fail step 0 are simply not retained
-            if (p ne seed) next += p
+            // fail step 0 are simply not retained. Twins never retain —
+            // the original (retained separately) re-derives them.
+            if (!isTwin && (p ne seed)) next += p
           }
           // strict SEQUENCE: mismatch kills the in-flight instance;
           // guardKill: a mid-chain NOT event kills the gap's partial
+          }
         }
 
         val trimmed = distinctPartials(next.result(), hasLoops, hasInner)
@@ -615,6 +645,8 @@ object Cep {
     // iterHist record count — needIterHist is true for exactly these
     // specs, one record of `width` ints per completed iteration (the
     // compile gates keep this to a single, non-nested loop group)
+    val zmTails: Map[Int, Int] =
+      if (hasInner) zeroMinTails(spec) else Map.empty
     val relVarWidth: Int =
       if (spec.steps.exists(s => s.looped && s.reluctant && s.min != s.max))
         spec.steps.find(_.loopBack >= 0).map(_.loopBack + 1).getOrElse(0)
@@ -659,7 +691,15 @@ object Cep {
       }
       val seed = Partial(0, e.tsUs, seq, Vector.fill(nSteps)(Vector.empty))
       val next = Vector.newBuilder[Partial]
-      (partials :+ seed).foreach { p =>
+      (partials :+ seed).foreach { p0 =>
+        // zero-min inner group: derived tail fork (see zeroMinTails)
+        val forks: Seq[Partial] = zmTails.get(p0.stepIdx) match {
+          case Some(t) if p0.innerIters == 0 &&
+              p0.collected(p0.stepIdx).size == innerBaseAt(p0, p0.stepIdx) =>
+            Seq(p0, p0.copy(stepIdx = t))
+          case _ => Seq(p0)
+        }
+        forks.foreach { p =>
         val step = spec.steps(p.stepIdx)
         if (stepOk(step, e, p, mergedBase)) {
           val coll2 = p.collected.updated(p.stepIdx, p.collected(p.stepIdx) :+ e)
@@ -681,6 +721,7 @@ object Cep {
           }
         }
         // strict contiguity: a mismatching event kills the instance
+        }
       }
       val trimmed = distinctPartials(next.result(), hasLoops, hasInner)
       if (trimmed.size > spec.maxPartials)

@@ -280,7 +280,9 @@ class CepSkipPropSpec extends AnyFunSuite {
         CepEvent("k", i.toLong * 1000000, i.toLong, kk.toString, 0.0, Nil, Nil)
       }
       val (out, _) = Cep.runNfa(evs, NfaState(Nil, done = false), spec)
-      out.map(m => (m.steps.head.events.head.eventId.toInt,
+      // start = the earliest consumed event (step 0's buffer may be EMPTY
+      // when pre is empty and an inner group takes zero iterations)
+      out.map(m => (m.steps.flatMap(_.events).map(_.eventId).min.toInt,
         m.steps.map(_.events.map(_.eventId))))
     }
 
@@ -445,7 +447,9 @@ class CepSkipPropSpec extends AnyFunSuite {
         CepEvent("k", i.toLong * 1000000, i.toLong, kk.toString, 0.0, Nil, Nil)
       }
       val (out, _) = Cep.runNfa(evs, NfaState(Nil, done = false), spec)
-      out.map(m => (m.steps.head.events.head.eventId.toInt,
+      // start = the earliest consumed event (step 0's buffer may be EMPTY
+      // when pre is empty and an inner group takes zero iterations)
+      out.map(m => (m.steps.flatMap(_.events).map(_.eventId).min.toInt,
         m.steps.map(_.events.map(_.eventId))))
     }
 
@@ -464,8 +468,11 @@ class CepSkipPropSpec extends AnyFunSuite {
       val innerM = Seq.fill(1 + rng.next(2))(specOf(2))
       val tail = Seq.fill(1 + rng.next(2))(specOf(1))
       val post = Seq.fill(rng.next(2))(specOf(1))
-      val inMin = 1 + rng.next(2)
-      val inMax = if (rng.next(2) == 0) Int.MaxValue else inMin + rng.next(2)
+      // round 16: inMin = 0 exercises the zero-min tail fork (an outer
+      // iteration may contain NO inner iterations)
+      val inMin = rng.next(3)
+      val inMax = if (rng.next(2) == 0) Int.MaxValue
+        else math.max(inMin, 1) + rng.next(2)
       val outMin = 1 + rng.next(2)
       val outMax = if (rng.next(3) == 0) Int.MaxValue else outMin + rng.next(2)
       val c = NestCase(pre, innerM, tail, post, inMin, inMax, outMin, outMax)

@@ -1666,14 +1666,19 @@ class GraftAppSpec extends AnyFunSuite {
       (4, "d", 1.0), (5, "u", 2.0), (6, "c", 0.0), (7, "e", 0.0)))
     assert(run(tRefIter, "A ((D U){1,2} C)+ X", defsRef) == Seq((2L, 2L, 1L, 8.0)))
 
-    // typed gates that REMAIN: zero-min inner; depth-2 nesting; reluctant
-    // outer group over a nested group
+    // round 16 lifted the zero-min and depth-2 gates — those forms now
+    // COMPILE (their behavior is pinned by the round-16 suites); the one
+    // remaining typed gate here is the reluctant OUTER group over a
+    // nested group (third preference level)
     def errOf(app: String) = intercept[GraftApp.SqlError](
       GraftApp.run(spark, app, Map("E" -> tape(Seq((1, "a", 0.0)))))).getMessage
     def mrOf(pat: String) = mr("count(D.v) AS n_d", pat, defs, "n_d BIGINT")
-    assert(errOf(mrOf("A ((D U){0,2} C)+ X")).contains("zero-min"))
-    assert(errOf(mrOf("A (((D U){1,2} C){1,2} X)+")).nonEmpty)
+    GraftApp.run(spark, mrOf("A ((D U){0,2} C)+ X"),
+      Map("E" -> tape(Seq((1, "a", 0.0)))))
     assert(errOf(mrOf("A ((D U){1,2} C)+? X")).contains("nested"))
+    // multi-member VARIABLE-count groups two levels deep stay typed (the
+    // genuine third-frame case)
+    assert(errOf(mrOf("A (((D U){1,2} C){1,2} X)+")).nonEmpty)
   }
 
   test("MATCH_RECOGNIZE quantified PERMUTE: PERMUTE(D, U){1,2} runs the engine PERMUTE-loop (round 15)") {
@@ -2975,5 +2980,49 @@ class GraftAppSpec extends AnyFunSuite {
     val got2 = GraftApp.run(spark, appSkip, Map("E" -> in))("Out")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got2 == Seq((1L, 2L, 1L)), s"skip-past $got2")
+  }
+  test("zero-min nested groups (round 16): ((D U)* C)+ admits zero-iteration outers") {
+    val app =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, a_id DOUBLE, n_d BIGINT, n_c BIGINT, s_u DOUBLE);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES A.v AS a_id, count(D.v) AS n_d, count(C.v) AS n_c,
+        |           sum(U.v) AS s_u
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A ((D U)* C)+) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS A.kind = 'a', D AS D.kind = 'd', U AS U.kind = 'u',
+        |         C AS C.kind = 'c'
+        |);""".stripMargin
+    // tape a c c d u c: bare, bare, pair -> rows per outer count j=1..3;
+    // the j=1 and j=2 matches have EMPTY D/U buffers (n_d=0, s_u NULL)
+    val in = Seq((1, "a"), (2, "c"), (3, "c"), (4, "d"), (5, "u"), (6, "c"))
+      .map(t => (t._1, 1L, t._2, t._1.toDouble))
+      .toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    val got = GraftApp.run(spark, app, Map("E" -> in))("Out")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4)))
+      .sortBy(_._3).toSeq
+    assert(got == Seq((1L, 0L, 1L, -1.0), (1L, 0L, 2L, -1.0), (1L, 1L, 3L, 5.0)),
+      s"$got")
+    // typed gates: trailing zero-min inner group; reluctant zero-min
+    def err(pat: String): String =
+      intercept[GraftApp.SqlError](GraftApp.parse(
+        s"""CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+           |CREATE STREAM Out (user_id BIGINT, n BIGINT);
+           |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+           |  PARTITION BY user_id ORDER BY ts
+           |  MEASURES count(D.v) AS n
+           |  ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW
+           |  PATTERN ($pat) WITHIN INTERVAL '1' HOUR
+           |  DEFINE A AS A.kind = 'a', D AS D.kind = 'd', U AS U.kind = 'u',
+           |         C AS C.kind = 'c'
+           |);""".stripMargin)).getMessage
+    assert(err("A (C (D U)*)+").contains("END"), err("A (C (D U)*)+"))
+    assert(err("A ((D U)*? C)+").contains("zero-min"), err("A ((D U)*? C)+"))
   }
 }

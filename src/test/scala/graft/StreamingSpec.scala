@@ -2983,6 +2983,53 @@ class StreamingSpec extends AnyFunSuite {
         assert(got == Seq((7L, 2L, 1L, 6.0), (7L, 3L, 2L, 12.0)), s"$got")
       } finally q.stop()
     }
+    // ZERO-MIN nested group across micro-batches (round 16): the
+    // zero-iteration tail fork is derived per event, so state carries
+    // nothing new — a bare-C outer iteration completes in a LATER batch
+    locally {
+      val in = MemoryStream[(Long, Long, String, Double)]
+      val events = in.toDS().toDF("sec", "user_id", "kind", "v")
+        .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+          "user_id", "kind", "v")
+      val app =
+        """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+          |CREATE STREAM Out (user_id BIGINT, n_d BIGINT, n_c BIGINT, s_u DOUBLE);
+          |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY ts
+          |  MEASURES count(D.v) AS n_d, count(C.v) AS n_c, sum(U.v) AS s_u
+          |  ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW
+          |  PATTERN (A ((D U)* C)+) WITHIN INTERVAL '1' HOUR
+          |  DEFINE A AS A.kind = 'a', D AS D.kind = 'd', U AS U.kind = 'u',
+          |         C AS C.kind = 'c');""".stripMargin
+      val outDf = graft.sql.GraftApp.run(spark, app, Map("E" -> events))("Out")
+      assert(outDf.isStreaming)
+      sinkId += 1; val name = s"mr_zm_sink_$sinkId"
+      val q = outDf.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      def grab(rows: Array[org.apache.spark.sql.Row]) = rows
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+        .sortBy(x => (x._2, x._3)).toSeq
+      try {
+        // batch 1 ends right AFTER the anchor: the bare-C derivation
+        // completes in batch 2
+        in.addData((1L, 7L, "a", 0.0))
+        q.processAllAvailable()
+        in.addData((2L, 7L, "c", 0.0), (3L, 7L, "d", 1.0), (4L, 7L, "u", 2.0),
+          (5L, 7L, "c", 0.0))
+        q.processAllAvailable()
+        val got = grab(spark.table(name).collect())
+        val tape = Seq((1L, 7L, "a", 0.0), (2L, 7L, "c", 0.0), (3L, 7L, "d", 1.0),
+          (4L, 7L, "u", 2.0), (5L, 7L, "c", 0.0))
+          .toDF("sec", "user_id", "kind", "v")
+          .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+            "user_id", "kind", "v")
+        val batch = grab(graft.sql.GraftApp.run(spark, app, Map("E" -> tape))("Out")
+          .collect())
+        assert(got == batch, s"stream $got vs batch $batch")
+        assert(got == Seq((7L, 0L, 1L, -1.0), (7L, 1L, 2L, 2.0)), s"$got")
+      } finally q.stop()
+    }
     // quantified PERMUTE across micro-batches: the reversed arm's looped
     // chain completes twice, split mid-iteration
     locally {
