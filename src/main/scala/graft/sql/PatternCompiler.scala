@@ -233,11 +233,14 @@ object PatternCompiler {
             s"$mode with a reluctant variable-member group needs a single " +
               "loop group in the pattern — split the query or fix the " +
               "member counts")
-        // reluctant INNER group (round 16): the hist-stream preference
-        // reads ONE group's record stream off the candidate and requires
-        // parse-independent record content — single loop group, every
-        // looped member fixed-count
-        if (chain.exists(_.innerReluctant)) {
+        // reluctant quantifiers on/in NESTED groups (round 16): the
+        // hist-stream preference reads ONE group's record stream off the
+        // candidate and requires parse-independent record content —
+        // single loop group, every looped member fixed-count. Covers the
+        // inner form ((A B)+? C)+ and the outer form ((A B)+ C)+?
+        if (chain.exists(_.innerReluctant) ||
+            (chain.exists(_.innerLoopBack >= 0) &&
+             chain.exists(st => st.looped && st.reluctant))) {
           if (chain.count(_.loopBack >= 0) > 1) throw GraftApp.SqlError(
             s"$mode with a reluctant nested group needs a single loop " +
               "group in the pattern — split the query")
@@ -2351,17 +2354,18 @@ object PatternCompiler {
         s"zero-min inner group at the END of '$el' is not supported — the " +
           "outer iteration needs a required member after it; move one " +
           "after the group or use {1,m}"))
-    // reluctant group repetition with VARIABLE-count members is defined
-    // (round 15) as the two-level lexicographic key "fewest ITERATIONS,
-    // then fewest member rows" — carried to the skip machine through
-    // SkipCand.groupIters. A NESTED group inside a reluctant group would
-    // need a third key level and stays typed.
+    // reluctant OUTER group over a NESTED group (round 16): resolved by
+    // the same hist-stream backtracking comparison as the reluctant inner
+    // form (Cep.histPreferred with the outer direction flipped: a
+    // completed parse beats one that looped again) — requires every
+    // member fixed-count so record content stays parse-independent
     if (relGroup && members.exists(_.inner))
-      throw GraftApp.SqlError(
-        s"reluctant group repetition in '$el' over a nested group is not " +
-          "supported — the parse preference would need a third level " +
-          "(outer iterations, inner iterations, member rows); restructure " +
-          "or drop the group-level '?'")
+      members.find(m => m.min != m.max).foreach { m =>
+        throw GraftApp.SqlError(
+          s"reluctant group repetition in '$el' over a nested group with " +
+            s"variable-count member '${m.alt.alias}' is not supported — " +
+            "fix the member count or drop the group-level '?'")
+      }
     // single plain member: (A)+ IS A+ — emit the plain quantifier step so
     // loop-group and quantifier semantics cannot drift apart (a single
     // NESTED-group member is excluded: its iteration bounds do not compose
@@ -2466,10 +2470,10 @@ object PatternCompiler {
               s"bad nested repetition {$n,${m0.group(2)}} on '$tok' in '$el' (max >= min, max >= 1)")
             (n, m)
         }
-        if (innerRel && inMin == 0) throw GraftApp.SqlError(
-          s"reluctant zero-min nested group '$tok?' in '$el' is not " +
-            "supported — the hist-stream preference assumes at least one " +
-            "inner iteration per outer; use {1,m}? or drop the '?'")
+        // reluctant zero-min composes: the hist-stream rules cover the
+        // skip-inner choice too (an outer record where the other parse has
+        // an inner record = skipped, preferred under the inner '?') —
+        // pinned by the direction-matrix property test with inMin=0
         // reluctant inner: the hist-stream preference is structural, so
         // record CONTENT must be parse-independent — every inner member
         // fixed-count (a variable member would need yet another key level)

@@ -745,14 +745,22 @@ object Cep {
     * chain). `rel(i)` = step i is reluctant; empty = all greedy. Returns
     * true when `a` is strictly preferred over `b`.
     */
-  /** Inner-reluctant config (round 16): when the spec holds a reluctant
-    * INNER group, (group position, inner record width, outer record
-    * width) for the hist-stream preference; None otherwise. */
-  private[streaming] def innerRelCfg(spec: PatternSpec): Option[(Int, Int, Int)] =
-    spec.steps.find(s => s.innerLoopBack >= 0 && s.innerReluctant).map { in =>
-      (spec.steps.indexWhere(_.looped),
+  /** Hist-preference config (round 16): when the spec holds a nested
+    * group under a RELUCTANT quantifier — inner (`((A B)+? C)+`), outer
+    * (`((A B)+ C)+?`), or both — (group position, inner record width,
+    * outer record width, innerReluctant, outerReluctant) for the
+    * hist-stream preference; None otherwise (all-greedy nested specs keep
+    * the counts-lex selection).
+    */
+  private[streaming] def innerRelCfg(spec: PatternSpec)
+      : Option[(Int, Int, Int, Boolean, Boolean)] =
+    spec.steps.find(_.innerLoopBack >= 0).flatMap { in =>
+      val outerRel = spec.steps.exists(s => s.loopBack >= 0 && s.reluctant)
+      if (!in.innerReluctant && !outerRel) None
+      else Some((spec.steps.indexWhere(_.looped),
         in.innerLoopBack + 1,
-        spec.steps.find(_.loopBack >= 0).map(_.loopBack + 1).getOrElse(0))
+        spec.steps.find(_.loopBack >= 0).map(_.loopBack + 1).getOrElse(0),
+        in.innerReluctant, outerRel))
     }
 
   /** Backtracking order over two parses' iterHist record streams (both
@@ -760,23 +768,27 @@ object Cep {
     * record content is parse-independent and the first STRUCTURAL
     * divergence is the first differing derivation choice):
     *  - one stream has the `-1` outer marker where the other has an inner
-    *    record → the marker-side parse LEFT the inner loop at that choice;
-    *    the reluctant inner group prefers it;
-    *  - equal prefix, one stream ends → the longer took the outer
-    *    loop-back (more iterations); the greedy outer group prefers it.
+    *    record → the marker-side parse LEFT (or, zero-min, SKIPPED) the
+    *    inner loop at that choice; preferred iff the INNER group is
+    *    reluctant, else the continuing parse wins (greedy inner);
+    *  - equal prefix, one stream ends → the shorter COMPLETED where the
+    *    longer took the outer loop-back; preferred iff the OUTER group is
+    *    reluctant, else the longer wins (greedy outer).
     * Returns <0 a preferred, >0 b preferred, 0 tie.
     */
   private def histPreferred(a: Seq[Int], b: Seq[Int],
-                            innerW: Int, outerW: Int): Int = {
+                            innerW: Int, outerW: Int,
+                            innerRel: Boolean, outerRel: Boolean): Int = {
     var ia = 0; var ib = 0
     while (ia < a.length && ib < b.length) {
       val aOuter = a(ia) == -1; val bOuter = b(ib) == -1
-      if (aOuter != bOuter) return if (aOuter) -1 else 1
+      if (aOuter != bOuter)
+        return if (aOuter == innerRel) -1 else 1
       val w = if (aOuter) outerW + 1 else innerW
       ia += w; ib += w
     }
     if (a.length == b.length) 0
-    else if (a.length > b.length) -1
+    else if ((a.length < b.length) == outerRel) -1
     else 1
   }
 
@@ -784,7 +796,7 @@ object Cep {
                             aIters: Long = -1L, bIters: Long = -1L,
                             groupStart: Int = -1,
                             aHist: Seq[Int] = Nil, bHist: Seq[Int] = Nil,
-                            irel: Option[(Int, Int, Int)] = None): Boolean = {
+                            irel: Option[(Int, Int, Int, Boolean, Boolean)] = None): Boolean = {
     // two-level key for reluctant groups with variable-count members
     // (round 15): the group-level '?' prefers the FEWEST ITERATIONS, and
     // it resolves AT THE GROUP'S POSITION in the left-to-right quantifier
@@ -802,8 +814,8 @@ object Cep {
       // the hist-stream backtracking comparison, resolved AT the group's
       // position in the left-to-right quantifier order
       irel match {
-        case Some((gs, iw, ow)) if i == gs =>
-          val h = histPreferred(aHist, bHist, iw, ow)
+        case Some((gs, iw, ow, ir, orl)) if i == gs =>
+          val h = histPreferred(aHist, bHist, iw, ow, ir, orl)
           if (h != 0) return h < 0
         case _ => ()
       }
@@ -832,7 +844,7 @@ object Cep {
                         resume: Option[(Int, Boolean)] = None,
                         rel: Seq[Boolean] = Nil,
                         groupStart: Int = -1,
-                        irel: Option[(Int, Int, Int)] = None)
+                        irel: Option[(Int, Int, Int, Boolean, Boolean)] = None)
       : (Seq[CepMatch], SkipNfaState) = {
     var pos = st.pos
     var cands = st.cands.toVector
@@ -883,7 +895,7 @@ object Cep {
                            resume: Option[(Int, Boolean)] = None,
                            rel: Seq[Boolean] = Nil,
                            groupStart: Int = -1,
-                           irel: Option[(Int, Int, Int)] = None)
+                           irel: Option[(Int, Int, Int, Boolean, Boolean)] = None)
       : (Seq[CepMatch], SkipNfaState) = {
     val live = st.nfa.partials.filter(p => p.startUs + withinUs >= wmUs)
     skipFlush(st.copy(nfa = st.nfa.copy(partials = live)), resume, rel,

@@ -657,20 +657,21 @@ class CepSkipPropSpec extends AnyFunSuite {
     assert(nonEmpty > 60, s"only $nonEmpty/200 samples produced matches")
     assert(tradeoff > 30, s"only $tradeoff/200 samples had iteration/row tradeoffs")
   }
-  test("reluctant INNER groups: skip selection == backtracking-DFS brute force over 200 random samples") {
+  test("reluctant quantifier MATRIX on nested groups: skip selection == backtracking-DFS brute force over 240 random samples") {
     val rng = new Rng(0x16C0DE)
 
-    // pattern: pre -> ( (innerM){inMin,inMax}? tail ){outMin,outMax} -> post
-    // — every member FIXED count 1 (the compile gate), classes overlap so
-    // parses genuinely diverge at leave/continue choices
+    // pattern: pre -> ( (innerM){inMin,inMax}[?] tail ){outMin,outMax}[?] -> post
+    // — every member FIXED count 1 (the compile gate); innerRel/outerRel
+    // set the preference direction at each choice; inMin may be 0 (the
+    // zero-iteration derivation composes with both directions)
     final case class IRelCase(pre: Seq[StepSpec], innerM: Seq[StepSpec],
                               tail: Seq[StepSpec], post: Seq[StepSpec],
-                              inMin: Int, inMax: Int, outMin: Int, outMax: Int)
+                              inMin: Int, inMax: Int, outMin: Int, outMax: Int,
+                              innerRel: Boolean, outerRel: Boolean)
 
     // regex backtracking reference: DFS with the preferred branch first
-    // (reluctant inner -> LEAVE before CONTINUE; greedy outer -> CONTINUE
-    // before COMPLETE); the first completed derivation per start is the
-    // preferred parse
+    // (reluctant inner -> LEAVE/SKIP before CONTINUE; reluctant outer ->
+    // COMPLETE before CONTINUE); first completed derivation per start wins
     def preferredParse(tape: IndexedSeq[Int], c: IRelCase, start: Int)
         : Option[Seq[Seq[Int]]] = {
       val offIn = c.pre.size
@@ -687,31 +688,32 @@ class CepSkipPropSpec extends AnyFunSuite {
         }
         Some((p, a))
       }
-      def innerIter(pos: Int, j: Int, acc: Vector[Seq[Int]], k: Int)
-          : Option[Vector[Seq[Int]]] =
-        consume(c.innerM, offIn, pos, acc) match {
-          case None => None
-          case Some((p2, a2)) =>
-            val j2 = j + 1
-            val leave =
-              if (j2 >= c.inMin) consume(c.tail, offTail, p2, a2) match {
-                case None => None
-                case Some((p3, a3)) => outerChoice(p3, k + 1, a3)
-              } else None
-            if (leave.isDefined) leave
-            else if (j2 < c.inMax) innerIter(p2, j2, a2, k)
-            else None
-        }
+      def atInner(pos: Int, j: Int, acc: Vector[Seq[Int]], k: Int)
+          : Option[Vector[Seq[Int]]] = {
+        def leave: Option[Vector[Seq[Int]]] =
+          if (j >= c.inMin) consume(c.tail, offTail, pos, acc) match {
+            case None => None
+            case Some((p2, a2)) => outerChoice(p2, k + 1, a2)
+          } else None
+        def cont: Option[Vector[Seq[Int]]] =
+          if (j < c.inMax) consume(c.innerM, offIn, pos, acc) match {
+            case None => None
+            case Some((p2, a2)) => atInner(p2, j + 1, a2, k)
+          } else None
+        if (c.innerRel) leave.orElse(cont) else cont.orElse(leave)
+      }
       def outerChoice(pos: Int, k: Int, acc: Vector[Seq[Int]])
           : Option[Vector[Seq[Int]]] = {
-        val cont = if (k < c.outMax) innerIter(pos, 0, acc, k) else None
-        if (cont.isDefined) cont
-        else if (k >= c.outMin) consume(c.post, offPost, pos, acc).map(_._2)
-        else None
+        def cont: Option[Vector[Seq[Int]]] =
+          if (k < c.outMax) atInner(pos, 0, acc, k) else None
+        def comp: Option[Vector[Seq[Int]]] =
+          if (k >= c.outMin) consume(c.post, offPost, pos, acc).map(_._2)
+          else None
+        if (c.outerRel) comp.orElse(cont) else cont.orElse(comp)
       }
       consume(c.pre, 0, start, Vector.fill(total)(Seq.empty[Int])) match {
         case None => None
-        case Some((p0, a0)) => innerIter(p0, 0, a0, 0)
+        case Some((p0, a0)) => atInner(p0, 0, a0, 0)
       }
     }
 
@@ -723,14 +725,14 @@ class CepSkipPropSpec extends AnyFunSuite {
       val steps =
         c.pre.zipWithIndex.map { case (st, i) => mk(st, s"P$i") } ++
         c.innerM.zipWithIndex.map { case (st, i) =>
-          mk(st, s"I$i").copy(looped = true,
+          mk(st, s"I$i").copy(looped = true, reluctant = c.outerRel,
             minIters = c.outMin, maxIters = c.outMax,
             inner = true,
             innerLoopBack = if (i == c.innerM.size - 1) c.innerM.size - 1 else -1,
             innerMinIters = c.inMin, innerMaxIters = c.inMax,
-            innerReluctant = true) } ++
+            innerReluctant = c.innerRel) } ++
         c.tail.zipWithIndex.map { case (st, i) =>
-          mk(st, s"T$i").copy(looped = true,
+          mk(st, s"T$i").copy(looped = true, reluctant = c.outerRel,
             minIters = c.outMin, maxIters = c.outMax,
             loopBack = if (i == c.tail.size - 1) nLoop - 1 else -1) } ++
         c.post.zipWithIndex.map { case (st, i) => mk(st, s"Q$i") }
@@ -748,15 +750,16 @@ class CepSkipPropSpec extends AnyFunSuite {
         wmUs = Long.MaxValue / 2, withinUs = within, resume = resume,
         rel = steps.map(_.reluctant))
       (out ++ tail).map { m =>
-        (m.steps.head.events.head.eventId.toInt,
-          m.steps.map(_.events.map(_.eventId.toInt)))
+        (m.steps.flatMap(_.events).map(_.eventId).min.toInt,
+          m.steps.map(_.events.map(_.eventId).map(_.toInt)))
       }
     }
 
     var checked = 0
     var nonEmpty = 0
     var choiceful = 0
-    while (checked < 200) {
+    var zeroMin = 0
+    while (checked < 240) {
       def specOf(): StepSpec = {
         val kinds = (0 until 3).filter(_ => rng.next(2) == 1).toSet match {
           case e if e.isEmpty => Set(rng.next(3))
@@ -768,11 +771,19 @@ class CepSkipPropSpec extends AnyFunSuite {
       val innerM = Seq.fill(1 + rng.next(2))(specOf())
       val tail = Seq.fill(1 + rng.next(2))(specOf())
       val post = Seq.fill(rng.next(2))(specOf())
-      val inMin = 1 + rng.next(2)
-      val inMax = if (rng.next(2) == 0) Int.MaxValue else inMin + 1 + rng.next(2)
+      val inMin = rng.next(3) // 0 exercises the zero-min fork under both directions
+      val inMax = if (rng.next(2) == 0) Int.MaxValue
+        else math.max(inMin, 1) + 1 + rng.next(2)
       val outMin = 1 + rng.next(2)
       val outMax = if (rng.next(3) == 0) Int.MaxValue else outMin + rng.next(2)
-      val c = IRelCase(pre, innerM, tail, post, inMin, inMax, outMin, outMax)
+      // direction matrix: at least one reluctant (all-greedy nested specs
+      // keep the counts-lex selection, a different defined order)
+      val (ir, orl) = rng.next(3) match {
+        case 0 => (true, false)
+        case 1 => (false, true)
+        case _ => (true, true)
+      }
+      val c = IRelCase(pre, innerM, tail, post, inMin, inMax, outMin, outMax, ir, orl)
       val tape = IndexedSeq.fill(4 + rng.next(11))(rng.next(3))
       val want = tape.indices.flatMap(st =>
         preferredParse(tape, c, st).map(b => (st, b.map(_.toSeq))))
@@ -780,15 +791,16 @@ class CepSkipPropSpec extends AnyFunSuite {
       assert(got == want.sortBy(_._1),
         s"case=$c tape=${tape.mkString}\n  want=$want\n  got=$got")
       if (want.nonEmpty) nonEmpty += 1
-      // the reluctant choice was load-bearing: some start had >= 2 distinct
-      // complete parses (checked via a cheap full enumeration bound)
       if (want.exists { case (st, b) =>
-            b.slice(c.pre.size, c.pre.size + c.innerM.size).exists(_.size > c.inMin) ||
-            b.flatten.size > (c.pre.size + c.innerM.size * c.inMin + c.tail.size + c.post.size) })
+            b.slice(c.pre.size, c.pre.size + c.innerM.size).exists(_.size > math.max(c.inMin, 1)) ||
+            b.flatten.size > (c.pre.size + c.innerM.size * math.max(c.inMin, 1) + c.tail.size + c.post.size) })
         choiceful += 1
+      if (c.inMin == 0 && want.exists(_._2.slice(c.pre.size, c.pre.size + c.innerM.size).exists(_.isEmpty)))
+        zeroMin += 1
       checked += 1
     }
-    assert(nonEmpty > 35, s"only $nonEmpty/200 samples produced matches")
-    assert(choiceful > 10, s"only $choiceful/200 samples exercised non-minimal parses")
+    assert(nonEmpty > 40, s"only $nonEmpty/240 samples produced matches")
+    assert(choiceful > 12, s"only $choiceful/240 samples exercised non-minimal parses")
+    assert(zeroMin > 5, s"only $zeroMin/240 samples exercised empty inner buffers")
   }
 }

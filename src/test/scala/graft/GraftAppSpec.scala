@@ -1675,7 +1675,10 @@ class GraftAppSpec extends AnyFunSuite {
     def mrOf(pat: String) = mr("count(D.v) AS n_d", pat, defs, "n_d BIGINT")
     GraftApp.run(spark, mrOf("A ((D U){0,2} C)+ X"),
       Map("E" -> tape(Seq((1, "a", 0.0)))))
-    assert(errOf(mrOf("A ((D U){1,2} C)+? X")).contains("nested"))
+    // round 16 also lifted the reluctant-outer-over-nested gate (the
+    // hist-stream preference with the outer direction) — compiles now
+    GraftApp.run(spark, mrOf("A ((D U){1,2} C)+? X"),
+      Map("E" -> tape(Seq((1, "a", 0.0)))))
     // multi-member VARIABLE-count groups two levels deep stay typed (the
     // genuine third-frame case)
     assert(errOf(mrOf("A (((D U){1,2} C){1,2} X)+")).nonEmpty)
@@ -3023,6 +3026,69 @@ class GraftAppSpec extends AnyFunSuite {
            |         C AS C.kind = 'c'
            |);""".stripMargin)).getMessage
     assert(err("A (C (D U)*)+").contains("END"), err("A (C (D U)*)+"))
-    assert(err("A ((D U)*? C)+").contains("zero-min"), err("A ((D U)*? C)+"))
+  }
+  test("reluctant OUTER group over a nested group (round 16): ((A B)+ C)+? prefers fewest outer iterations") {
+    def app(q: String) =
+      s"""CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+         |CREATE STREAM Out (user_id BIGINT, na BIGINT, nc BIGINT);
+         |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts
+         |  MEASURES count(A.v) AS na, count(C.v) AS nc
+         |  ONE ROW PER MATCH
+         |  AFTER MATCH SKIP TO NEXT ROW
+         |  PATTERN (S ((A B)+ C)+$q) WITHIN INTERVAL '1' HOUR
+         |  DEFINE S AS S.kind = 's', A AS A.kind = 'a' OR A.kind = 'x',
+         |         B AS B.kind = 'b' OR B.kind = 'x',
+         |         C AS C.kind = 'c' OR C.kind = 'x'
+         |);""".stripMargin
+    // tape s x x x x x x (all-ambiguous): parses from the anchor are
+    // (A1B2 C3), (A1B2 A3B4 C5), and (A1B2 C3)(A4B5 C6)
+    val in = Seq((1, "s", 0.0), (2, "x", 1.0), (3, "x", 2.0), (4, "x", 3.0),
+      (5, "x", 4.0), (6, "x", 5.0), (7, "x", 6.0))
+      .map(t => (t._1, 1L, t._2, t._3))
+      .toDF("sec", "user_id", "kind", "v")
+      .selectExpr("CAST(timestamp_seconds(sec) AS TIMESTAMP) AS ts",
+        "user_id", "kind", "v")
+    def run(q: String): Set[(Long, Long, Long)] =
+      GraftApp.run(spark, app(q), Map("E" -> in))("Out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // backtracking with greedy INNER: the inner loop takes both pairs
+    // before leaving (A1 B2 A3 B4 C5), then the reluctant OUTER completes
+    // at the first opportunity - one outer iteration
+    assert(run("?") == Set((1L, 2L, 1L)), s"reluctant ${run("?")}")
+    // greedy EVERY enumerates all three parses
+    assert(run("") == Set((1L, 1L, 1L), (1L, 2L, 1L), (1L, 2L, 2L)),
+      s"greedy ${run("")}")
+    // BOTH reluctant: inner and outer '?' compose (fewest inner, then
+    // complete at the first outer opportunity)
+    val both =
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, na BIGINT, nc BIGINT);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES count(A.v) AS na, count(C.v) AS nc
+        |  ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (S ((A B)+? C)+?) WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS S.kind = 's', A AS A.kind = 'a' OR A.kind = 'x',
+        |         B AS B.kind = 'b' OR B.kind = 'x',
+        |         C AS C.kind = 'c' OR C.kind = 'x'
+        |);""".stripMargin
+    val gotBoth = GraftApp.run(spark, both, Map("E" -> in))("Out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotBoth == Set((1L, 1L, 1L)), s"both $gotBoth")
+    // variable member counts under the outer '?' stay typed
+    val eVar = intercept[GraftApp.SqlError](GraftApp.parse(
+      """CREATE STREAM E (ts TIMESTAMP, user_id BIGINT, kind STRING, v DOUBLE);
+        |CREATE STREAM Out (user_id BIGINT, na BIGINT);
+        |INSERT INTO Out SELECT * FROM E MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES count(A.v) AS na
+        |  ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (S ((A{1,2} B)+ C)+?) WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS S.kind = 's', A AS A.kind = 'a', B AS B.kind = 'b',
+        |         C AS C.kind = 'c'
+        |);""".stripMargin)).getMessage
+    assert(eVar.contains("variable-count"), eVar)
   }
 }
