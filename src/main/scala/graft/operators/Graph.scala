@@ -121,9 +121,9 @@ object Graph {
     val eDeg = degs.join(e, "src").persist(MEMORY_AND_DISK)
     // node spine from the PERSISTED degree relation — deriving it from
     // `e` would re-execute the caller's (unpersisted, often join-shaped)
-    // edge plan a second time
-    val nodes = eDeg.select(col("src").as("node"))
-      .union(eDeg.select(col("dst").as("node")))
+    // edge plan a second time. explode, not union-of-two-selects: one
+    // cache scan instead of two (round 16, guide §2.4).
+    val nodes = eDeg.select(explode(array(col("src"), col("dst"))).as("node"))
       .distinct()
       .persist(MEMORY_AND_DISK)
     val base = scale * (100 - dampingPct) / 100
@@ -238,8 +238,8 @@ object Graph {
     // derived from the PERSISTED degree relation so the caller's edge
     // plan executes once (see pageRank)
     val base = scale * (100 - dampingPct) / 100
-    val nodes = eDeg.select(col("src").as("node"))
-      .union(eDeg.select(col("dst").as("node")))
+    // explode, not union-of-two-selects: one cache scan (see pageRank)
+    val nodes = eDeg.select(explode(array(col("src"), col("dst"))).as("node"))
       .distinct()
       .join(broadcast(seedSet.withColumn("__seed", lit(true))), Seq("node"), "left_outer")
       .select(col("node"),
@@ -300,14 +300,20 @@ object Graph {
     * is the classic link-farm signature.
     */
   def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // One pass, one exchange (round 16): each edge explodes into two
+    // (node, out, in) contribution rows summed in a single aggregation —
+    // the former per-direction groupBys consumed the (often join-shaped)
+    // edge plan TWICE and met in a full-outer join (14-Exchange plan at
+    // sf0.1; guide §2.4 duplicate-subtree removal). Same rows out: a node
+    // missing from a side sums a 0 contribution, exactly the old
+    // full-outer + coalesce(0) padding.
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val outD = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
-    val inD = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_deg"))
-    outD.join(inD, Seq("node"), "full_outer")
-      .select(col("node"),
-        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
-        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+    e.select(explode(array(
+        struct(col("src").as("node"), lit(1L).as("o"), lit(0L).as("i")),
+        struct(col("dst").as("node"), lit(0L).as("o"), lit(1L).as("i")))).as("c"))
+      .groupBy(col("c.node").as("node"))
+      .agg(sum(col("c.o")).as("out_deg"), sum(col("c.i")).as("in_deg"))
       .withColumn("total_deg", col("out_deg") + col("in_deg"))
   }
 }

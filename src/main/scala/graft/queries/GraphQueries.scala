@@ -88,7 +88,13 @@ object GraphQueries extends QueryFamily {
           .select(col("o_custkey").as("src"),
             (col("l_suppkey") + SuppOffset).as("dst"))
           .distinct()
-        val sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+        // explode both directions from ONE scan: union(raw, raw-flipped)
+        // re-executed the join+distinct once per branch (profiled: two
+        // identical 5 MB edge-build stages; guide §2.4). Same edge multiset.
+        val sym = raw.select(explode(array(
+            struct(col("src"), col("dst")),
+            struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
         Graph.pageRank(sym, "src", "dst", iters = 3)
           .select(col("node"), col("rank").as("pr"))
           .orderBy(col("node"))
@@ -109,8 +115,11 @@ object GraphQueries extends QueryFamily {
           .groupBy(col("o_custkey").as("src"),
             (col("l_suppkey") + SuppOffset).as("dst"))
           .agg(count(lit(1)).as("w"))
-        val sym = raw.union(
-          raw.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        // one-scan symmetrization (see q_graph_pagerank)
+        val sym = raw.select(explode(array(
+            struct(col("src"), col("dst"), col("w")),
+            struct(col("dst").as("src"), col("src").as("dst"), col("w")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
         Graph.pageRank(sym, "src", "dst", iters = 2, weightCol = Some("w"))
           .select(col("node"), col("rank").as("pr"))
           .orderBy(col("node"))
@@ -153,7 +162,11 @@ object GraphQueries extends QueryFamily {
           .select(col("o_custkey").as("src"),
             (col("l_suppkey") + SuppOffset).as("dst"))
           .distinct()
-        val sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+        // one-scan symmetrization (see q_graph_pagerank)
+        val sym = raw.select(explode(array(
+            struct(col("src"), col("dst")),
+            struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
         val seeds = Tables(s, dir, "customer")
           .filter(col("c_custkey") % 50 === 0)
           .select(col("c_custkey"))
