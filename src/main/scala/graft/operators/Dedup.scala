@@ -218,6 +218,11 @@ object Dedup {
     // global order = (block doc-frequency asc, token): rarest-first
     // prefixes minimize candidate bucket sizes (classic AllPairs ordering)
     val dfRel = ex.groupBy(col("blk"), col("tk")).agg(count(lit(1)).as("dfc"))
+    // persisted: BOTH sides of the candidate self-join consume this
+    // relation, and the join broadcasts one side, so without the cache the
+    // whole prefix pipeline (explode + doc-freq join + collect_list
+    // re-group) executes once per side (plan-audited round 16; guide §2.4
+    // duplicate-subtree removal). Freed with `t` by the caller/clearCache.
     val prefixes = ex.join(dfRel, Seq("blk", "tk"))
       .groupBy(col("blk"), col("id"))
       .agg(array_sort(collect_list(struct(col("dfc"), col("tk")))).as("st"))
@@ -226,6 +231,7 @@ object Dedup {
       .select(col("blk"), col("id"), size(col("st")).as("sz"),
         explode(slice(transform(col("st"), s => s.getField("tk")),
           lit(1), col("plen"))).as("tk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = prefixes.select(col("blk"), col("tk"), col("id").as("a_id"), col("sz").as("a_sz"))
     val b = prefixes.select(col("blk"), col("tk"), col("id").as("b_id"), col("sz").as("b_sz"))
     // LENGTH FILTER (PPJoin): J(A,B) <= min/max of the set sizes, so a pair
@@ -941,11 +947,15 @@ object Dedup {
     val wins = toks.filter(col("n") >= k)
       .select(col(idCol), explode(transform(sequence(lit(0), col("n") - k),
         i => concat_ws(" ", slice(col("t"), i + 1, lit(k))))).as("win"))
-    // per-(window, doc) multiplicity, then per-window doc count: the second
-    // agg and the join are both pre-partitioned by win — one wide exchange
+    // per-(window, doc) multiplicity, then per-window doc count as a WINDOW
+    // over the aggregated pairs — pairs has exactly one row per (win, doc),
+    // so count(*) over (partition by win) IS the distinct doc count. The
+    // former groupBy(win) + join-back consumed `pairs` twice, re-executing
+    // the corpus-wide window explode once per consumer (two identical
+    // 7.6 MB exchange stages, plan-audited round 16; guide §2.4).
     val pairs = wins.groupBy(col("win"), col(idCol)).agg(count(lit(1)).as("c"))
-    val stats = pairs.groupBy(col("win")).agg(count(lit(1)).as("ndocs"))
-    val perDoc = pairs.join(stats, "win")
+    val wWin = org.apache.spark.sql.expressions.Window.partitionBy(col("win"))
+    val perDoc = pairs.withColumn("ndocs", count(lit(1)).over(wWin))
       .groupBy(col(idCol))
       .agg(sum(col("c")).as("n_windows"),
            sum(when(col("ndocs") > 1, col("c")).otherwise(0L)).as("n_dup_windows"))
@@ -1018,11 +1028,18 @@ object Dedup {
         i => struct(i.as("i"),
           concat_ws(" ", slice(col("t"), i + 1, lit(k))).as("win")))).as("w"))
       .select(col(idCol), col("w.i").as("i"), col("w.win").as("win"))
-    val dupWins = wins.groupBy(col("win"))
-      .agg(count_distinct(col(idCol)).as("nd"))
+    // duplicate-window flagging as ONE pipeline: collapse to one row per
+    // (win, doc) carrying the doc's hit positions, count docs per window
+    // with a window function, and re-explode the qualifying positions. The
+    // former groupBy(win) count_distinct + join-back consumed `wins` twice,
+    // re-executing the corpus-wide window explode once per consumer (two
+    // identical 7.6 MB exchange stages, plan-audited round 16; guide §2.4).
+    val g = wins.groupBy(col("win"), col(idCol))
+      .agg(collect_list(col("i")).as("is"))
+    val wWin = org.apache.spark.sql.expressions.Window.partitionBy(col("win"))
+    val removedPos = g.withColumn("nd", count(lit(1)).over(wWin))
       .filter(col("nd") >= minDocs)
-      .select(col("win"))
-    val removedPos = wins.join(dupWins, "win")
+      .select(col(idCol), explode(col("is")).as("i"))
       .select(col(idCol), explode(sequence(col("i"), col("i") + (k - 1))).as("pos"))
       .distinct()
     val rem = removedPos.groupBy(col(idCol))

@@ -359,39 +359,48 @@ object Sketches {
       s"quantiles must be in [1,1000] per-mille, got $qsPm")
     require(scale >= 1, s"scale must be >= 1, got $scale")
     val spark = hist.sparkSession
-    // cache the bucket relation BEFORE the range repartition:
-    // repartitionByRange evaluates its child twice (the range-sampling
-    // job, then the shuffle itself), which would re-run the upstream
-    // corpus scan/aggregation — against the cache both passes read the
-    // KB-sized histogram instead (round 15; halves q_sketch_hist_merge's
-    // corpus scans)
+    // cache the bucket relation: it feeds three consumers (min/max probe,
+    // coarse-group totals, the prefix-sum pass) — without the cache each
+    // would re-run the upstream corpus scan/aggregation
     val histC = hist.select(col("bucket"), col("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val buckets = histC
-      .repartitionByRange(col("bucket"))
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wIn = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__pid")).orderBy(col("bucket"))
-    // per-partition totals come back to the driver ONCE (≤ shuffle-
-    // partition-count rows — KBs at any scale): the running offsets AND
-    // the grand total N derive from the same tiny array, replacing the
-    // former single-ordered-window pass over the totals plus a separate
-    // full count of the relation (round 15 — two fewer jobs per call,
-    // same arithmetic)
-    val ptots = buckets.groupBy(col("__pid"))
-      .agg(sum(col("cnt")).as("__ptot"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val n = ptots.map(_._2).sum
+    // Two-level prefix sum WITHOUT a range shuffle (round 16): coarse
+    // group = bucket >> k, with k sized from one min/max probe so that
+    // <= 4096 coarse groups span the range. shiftright is an arithmetic
+    // shift = exact floor division by 2^k for every long (negative
+    // buckets included), and it is monotone in bucket, so global bucket
+    // order == (coarse group, bucket) order. This replaces the former
+    // repartitionByRange pipeline — whose sampling pass, second persist
+    // layer, and per-range-partition totals collect cost three extra
+    // jobs and a full extra exchange of the histogram (guide §2.4) —
+    // with: one min/max probe, one <=4096-row coarse-totals collect
+    // (same driver-size contract as the old per-partition collect), and
+    // a single hash exchange on the coarse key whose per-group windows
+    // parallelize like quantilesBy's.
+    val mm = histC.agg(min(col("bucket")), max(col("bucket"))).head()
+    val k =
+      if (mm.isNullAt(0)) 0
+      else {
+        val span = BigInt(mm.getLong(1)) - BigInt(mm.getLong(0))
+        var s = 0
+        while ((span >> s) > 4095) s += 1
+        s
+      }
+    val withCg = histC.withColumn("__cg", shiftright(col("bucket"), k))
+    val gtots = withCg.groupBy(col("__cg")).agg(sum(col("cnt")).as("__gt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = gtots.map(_._2).sum
     import spark.implicits._
-    val offsets = ptots
-      .scanLeft((0, 0L, 0L)) { case ((_, off, tot), (pid, ptot)) =>
-        (pid, off + tot, ptot)
-      }.drop(1).map { case (pid, off, _) => (pid, off) }.toSeq
-      .toDF("__pid", "__off")
-    val cum = buckets
+    val offsets = gtots
+      .scanLeft((0L, 0L, 0L)) { case ((_, off, tot), (cg, gt)) =>
+        (cg, off + tot, gt)
+      }.drop(1).map { case (cg, off, _) => (cg, off) }.toSeq
+      .toDF("__cg", "__off")
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__cg")).orderBy(col("bucket"))
+    val cum = withCg
       .withColumn("__cum", sum(col("cnt")).over(wIn))
-      .join(broadcast(offsets), Seq("__pid"))
+      .join(broadcast(offsets), Seq("__cg"))
       .select(col("bucket"), (col("__off") + col("__cum")).as("cum"))
     val tdf = qsPm.distinct.sorted
       .map(q => (q.toLong, math.max(1L, (q.toLong * n + 999) / 1000)))
@@ -402,7 +411,6 @@ object Sketches {
         (col("bucket").cast("double") / scale).as("value"))
       .orderBy(col("q_pm"))
     val res = out.localCheckpoint(true)
-    buckets.unpersist()
     histC.unpersist()
     res
   }
