@@ -14,25 +14,36 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts varies by generator vintage: parquet TIMESTAMP(NANOS) (which
-    // Spark 4 refuses to read natively — read as long nanos) or
-    // TIMESTAMP(MICROS) without timezone (read as TIMESTAMP_NTZ). Normalize
-    // both to a micro-precision TimestampType column; every entry point pins
-    // the session timezone to UTC, so the NTZ cast is micros-identical and
-    // matches DuckDB's naive timestamps.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
-          .cast(org.apache.spark.sql.types.TimestampType))
-      case _ => df
-    } else df
-  }
+  // Memoized ANALYZED plans per (session, dir, table): `spark.read.parquet`
+  // re-reads footers for schema inference on every call — a driver-side
+  // fixed cost (one ~30-100 ms job per call, guide §7.3) paid hundreds of
+  // times across a corpus run. The memo holds only the lazy DataFrame
+  // (schema + file index); every action still scans the parquet files, so
+  // this caches PLANNING, never results. Keyed by session so tests with
+  // their own sessions never share state.
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    memo.getOrElseUpdate((spark, dir, name), {
+      // events.ts varies by generator vintage: parquet TIMESTAMP(NANOS)
+      // (which Spark 4 refuses to read natively — read as long nanos) or
+      // TIMESTAMP(MICROS) without timezone (read as TIMESTAMP_NTZ).
+      // Normalize both to a micro-precision TimestampType column; every
+      // entry point pins the session timezone to UTC, so the NTZ cast is
+      // micros-identical and matches DuckDB's naive timestamps.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events") df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      } else df
+    })
 
   /** Register every table as a temp view (for spark.sql-expressed queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =

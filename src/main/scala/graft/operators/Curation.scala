@@ -462,8 +462,12 @@ object Curation {
   private def bigramModel(bi: DataFrame): DataFrame = {
     val c2 = bi.filter(col("w1").isNotNull)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    c2.join(c1, "w1")
+    // prefix totals as a WINDOW over the aggregated model relation, not a
+    // groupBy(w1) + join-back — the join consumed c2 twice (re-running the
+    // corpus-wide bigram aggregation once per consumer) and cost an extra
+    // model-sized exchange (round 16; same shape dsirResample already uses)
+    val w1win = org.apache.spark.sql.expressions.Window.partitionBy("w1")
+    c2.withColumn("c1", sum(col("c2")).over(w1win))
       .select(col("w1"), col("w2"),
         expr("CAST(1000000 AS BIGINT) * c2 div c1").as("cond_milli"))
   }

@@ -79,10 +79,15 @@ object Dedup {
       created ++= sc.getPersistentRDDs.keySet -- before
       out
     }
+    // explode both directions from ONE scan: union(pairs, pairs-flipped)
+    // would re-execute the caller's pair-mining plan once per branch
+    // (round 16, guide §2.4 — same fix as the graph symmetrization)
     val sym = pairs
-      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(pairs
-        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(MEMORY_AND_DISK)
     // eager localCheckpoint per generation: materializes AND truncates the
