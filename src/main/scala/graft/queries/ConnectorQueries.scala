@@ -33,12 +33,18 @@ object ConnectorQueries extends QueryFamily {
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("missing", org.apache.spark.sql.types.StringType)))
-        e.select(col("event_id"), from_json(col("props"), schema).as("p"))
+        // sort FIRST on the narrow scan, parse after: orderBy's range-
+        // sampling pass re-executes its child, so a sort placed above the
+        // JSON parse ran the parse twice (profiled: 315 ms sampling +
+        // 419 ms real at sf0.1; guide §2.4 — the sort exchange carries the
+        // same bytes either way, the parse is 1:1 so content is identical)
+        e.select(col("event_id"), col("props"))
+          .orderBy(col("event_id"))
+          .select(col("event_id"), from_json(col("props"), schema).as("p"))
           .select(
             col("event_id"),
             col("p.k").as("k_num"),
             col("p.missing").as("missing"))
-          .orderBy(col("event_id"))
       },
       Some("""SELECT event_id,
              |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_num,
@@ -50,10 +56,10 @@ object ConnectorQueries extends QueryFamily {
       "q_json_serialize",
       (s, dir) => {
         val e = Tables(s, dir, "events")
-        e.select(
+        // sorted before the to_json projection (see q_json_extract)
+        e.orderBy(col("event_id")).select(
             col("event_id"),
             to_json(struct(col("event_type").as("t"), col("user_id").as("u"))).as("payload"))
-          .orderBy(col("event_id"))
       },
       Some("""SELECT event_id,
              |  '{"t":"' || event_type || '","u":' || CAST(user_id AS VARCHAR) || '}' AS payload
@@ -64,7 +70,8 @@ object ConnectorQueries extends QueryFamily {
       "q_csv_mapper",
       (s, dir) => {
         val e = Tables(s, dir, "events")
-        val asCsv = e.select(
+        // sorted before the serialize/parse round trip (see q_json_extract)
+        val asCsv = e.orderBy(col("event_id")).select(
           col("event_id"),
           concat_ws(",", col("event_type"), col("user_id"), col("value")).as("line"))
         asCsv.select(
@@ -72,7 +79,6 @@ object ConnectorQueries extends QueryFamily {
             split(col("line"), ",").getItem(0).as("f_type"),
             split(col("line"), ",").getItem(1).cast("long").as("f_user"),
             split(col("line"), ",").getItem(2).cast("double").as("f_value"))
-          .orderBy(col("event_id"))
       },
       Some("""WITH c AS (
              |  SELECT event_id,

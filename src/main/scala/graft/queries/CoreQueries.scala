@@ -24,7 +24,11 @@ object CoreQueries extends QueryFamily {
       "q_filter_project",
       (s, dir) => {
         val li = Tables(s, dir, "lineitem")
+        // sorted after the filter, before the arithmetic projection: a
+        // trailing orderBy's range-sampling pass re-runs its child once
+        // more (guide §2.4); the 1:1 projection preserves content
         li.filter(col("l_quantity") > 45.0 && col("l_discount") >= 0.05)
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
           .select(
             col("l_orderkey"),
             col("l_linenumber").cast("long").as("l_linenumber"),
@@ -36,7 +40,6 @@ object CoreQueries extends QueryFamily {
             (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("mul_v"),
             (col("l_extendedprice") / col("l_quantity")).as("div_v"),
             (col("l_orderkey") % 97).as("mod_v"))
-          .orderBy(col("l_orderkey"), col("l_linenumber"))
       },
       Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
              |  l_extendedprice + l_tax AS add_v,
@@ -54,7 +57,8 @@ object CoreQueries extends QueryFamily {
       "q_expr_case_cast",
       (s, dir) => {
         val o = Tables(s, dir, "orders")
-        o.select(
+        // sorted before the projection (see q_filter_project)
+        o.orderBy(col("o_orderkey")).select(
             col("o_orderkey"),
             when(col("o_totalprice") > 300000.0, "high")
               .when(col("o_totalprice") > 100000.0, "mid")
@@ -66,7 +70,6 @@ object CoreQueries extends QueryFamily {
             col("o_custkey").cast("double").as("cust_dbl"),
             col("o_custkey").cast("string").as("cust_str"),
             round(col("o_totalprice").cast("string").cast("double"), 2).as("roundtrip"))
-          .orderBy(col("o_orderkey"))
       },
       Some("""SELECT o_orderkey,
              |  CASE WHEN o_totalprice > 300000.0 THEN 'high'
@@ -85,7 +88,9 @@ object CoreQueries extends QueryFamily {
       "q_expr_in_null",
       (s, dir) => {
         val o = Tables(s, dir, "orders")
+        // sorted after the filter, before the projection (see q_filter_project)
         o.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM"))
+          .orderBy(col("o_orderkey"))
           .select(
             col("o_orderkey"),
             nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
@@ -93,7 +98,6 @@ object CoreQueries extends QueryFamily {
             nullif(col("o_orderstatus"), lit("O")).isNotNull.as("is_closed"),
             coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_filled"),
             coalesce(nullif(col("o_custkey"), col("o_custkey")), lit(-1L)).as("always_default"))
-          .orderBy(col("o_orderkey"))
       },
       Some("""SELECT o_orderkey,
              |  nullif(o_orderstatus, 'O') AS status_or_null,
@@ -112,7 +116,8 @@ object CoreQueries extends QueryFamily {
       "q_str_funcs",
       (s, dir) => {
         val p = Tables(s, dir, "part")
-        p.select(
+        // sorted before the string-function projection (see q_filter_project)
+        p.orderBy(col("p_partkey")).select(
             col("p_partkey"),
             length(col("p_name")).cast("long").as("name_len"),
             concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
@@ -131,7 +136,6 @@ object CoreQueries extends QueryFamily {
             ascii(col("p_brand")).cast("long").as("first_ascii"),
             lpad(col("p_brand"), 12, "*").as("brand_lpad"),
             rpad(col("p_brand"), 12, "*").as("brand_rpad"))
-          .orderBy(col("p_partkey"))
       },
       Some("""SELECT p_partkey,
              |  length(p_name) AS name_len,
@@ -159,7 +163,9 @@ object CoreQueries extends QueryFamily {
       "q_math_funcs",
       (s, dir) => {
         val li = Tables(s, dir, "lineitem")
+        // sorted after the filter, before the math projection (see q_filter_project)
         li.filter(col("l_orderkey") <= 500)
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
           .select(
             col("l_orderkey"),
             col("l_linenumber").cast("long").as("l_linenumber"),
@@ -182,7 +188,6 @@ object CoreQueries extends QueryFamily {
             greatest(col("l_quantity"), col("l_discount") * 100.0).as("max_v"),
             least(col("l_quantity"), col("l_discount") * 100.0).as("min_v"),
             (col("l_extendedprice").cast("long") * 100 / 100).cast("double").as("trunc_v"))
-          .orderBy(col("l_orderkey"), col("l_linenumber"))
       },
       Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
              |  round(sqrt(l_extendedprice), 6) AS sqrt_v,
@@ -285,7 +290,8 @@ object CoreQueries extends QueryFamily {
       "q_date_funcs",
       (s, dir) => {
         val o = Tables(s, dir, "orders")
-        o.select(
+        // sorted before the date-format projection (see q_filter_project)
+        o.orderBy(col("o_orderkey")).select(
             col("o_orderkey"),
             date_format(col("o_orderdate"), "yyyy-MM-dd").as("fmt_date"),
             date_format(col("o_orderdate"), "yyyy/MM").as("fmt_ym"),
@@ -297,7 +303,6 @@ object CoreQueries extends QueryFamily {
             date_format(to_timestamp(concat(date_format(col("o_orderdate"), "yyyy-MM-dd"), lit(" 12:00:00")),
               "yyyy-MM-dd HH:mm:ss"), "yyyy-MM-dd HH:mm:ss").as("parsed_noon"),
             datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).cast("long").as("days_to_2002"))
-          .orderBy(col("o_orderkey"))
       },
       Some("""SELECT o_orderkey,
              |  strftime(o_orderdate, '%Y-%m-%d') AS fmt_date,
@@ -318,13 +323,13 @@ object CoreQueries extends QueryFamily {
       "q_expr_like",
       (s, dir) => {
         val p = Tables(s, dir, "part")
-        p.select(
+        // sorted before the pattern projection (see q_filter_project)
+        p.orderBy(col("p_partkey")).select(
             col("p_partkey"),
             col("p_type").like("%BRUSHED%").as("is_brushed"),
             col("p_type").like("STANDARD%").as("is_standard"),
             (!col("p_name").like("%a%")).as("no_a"),
             col("p_type").rlike("STEEL$").as("ends_steel"))
-          .orderBy(col("p_partkey"))
       },
       Some("""SELECT p_partkey,
              |  p_type LIKE '%BRUSHED%' AS is_brushed,
@@ -348,6 +353,8 @@ object CoreQueries extends QueryFamily {
         graft.functions.RefFns.withShadowing(s) {
         Tables(s, dir, "orders")
           .where("o_orderkey <= 2000")
+          // sorted before the RefFns projection (see q_filter_project)
+          .orderBy(col("o_orderkey"))
           .selectExpr(
             "o_orderkey",
             "maximum(o_totalprice, 150000.0D) AS max_v",
@@ -361,7 +368,6 @@ object CoreQueries extends QueryFamily {
               "'%Y-%m-%d'), ' 06:30:00'), '%Y-%m-%d %H:%M:%S') AS halfpast_ms",
             "instanceOfDouble(o_totalprice) AS is_dbl",
             "instanceOfString(o_orderstatus) AS is_str")
-          .orderBy(col("o_orderkey"))
         }
       },
       Some("""SELECT o_orderkey,

@@ -137,10 +137,12 @@ object CurationQueries extends QueryFamily {
       "q_text_redact",
       (s, dir) => {
         val d = Tables(s, dir, "documents")
-        Curation.redactPii(stagedPii(d), "text")
+        // sorted before the regex chain: a trailing orderBy's range-
+        // sampling pass re-ran the three-regex redaction once more
+        // (profiled: 619 ms sampling + 454 ms real at sf0.1; guide §2.4)
+        Curation.redactPii(stagedPii(d.orderBy(col("doc_id"))), "text")
           .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
             col("redacted"))
-          .orderBy(col("doc_id"))
       },
       Some(s"""WITH staged AS (
               |  SELECT doc_id,
@@ -683,6 +685,8 @@ object CurationQueries extends QueryFamily {
       (s, dir) => {
         import s.implicits._
         val d = Tables(s, dir, "documents").filter(col("doc_id") < 500)
+          // sorted before the script staging + regexp_count profile (§2.4)
+          .orderBy(col("doc_id"))
         val staged = d.select(col("doc_id"), substring(col("text"), 1, 20).as("base"))
           .as[(Long, String)].mapPartitions { it =>
             it.map { case (id, base) =>
@@ -698,7 +702,6 @@ object CurationQueries extends QueryFamily {
             }
           }.toDF("doc_id", "text")
         Curation.scriptProfile(staged, "doc_id", "text")
-          .orderBy(col("doc_id"))
       },
       Some("""WITH staged AS (
              |  SELECT doc_id,

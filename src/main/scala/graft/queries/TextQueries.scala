@@ -140,12 +140,13 @@ object TextQueries extends QueryFamily {
       (s, dir) => {
         val pat = "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+"
         val d = Tables(s, dir, "documents")
-        d.select(
+        // sorted before the heavy 1:1 projection — a trailing orderBy's
+        // range-sampling pass re-runs the regex tokenization (guide §2.4)
+        d.orderBy(col("doc_id")).select(
             col("doc_id"),
             size(regexp_extract_all(col("text"), lit(pat), lit(0)))
               .cast("long").as("n_bpe_tokens"),
             TextFns.tokenCount(col("text")).as("n_ws_tokens"))
-          .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id,
              |  len(regexp_extract_all(text,
@@ -196,13 +197,13 @@ object TextQueries extends QueryFamily {
         val d = Tables(s, dir, "documents")
         val scoreEn = TextFns.stopwordHits(col("text"), StopEn)
         val scoreData = TextFns.stopwordHits(col("text"), StopData)
-        d.select(
+        // sorted before the stopword regex projection (see q_text_bpe_tokens)
+        d.orderBy(col("doc_id")).select(
             col("doc_id"), col("lang"),
             scoreEn.as("score_en"),
             scoreData.as("score_data"),
             when(scoreEn >= scoreData, "en").otherwise("data").as("predicted"),
             ((col("lang") === "en") === (scoreEn >= scoreData)).as("agree"))
-          .orderBy(col("doc_id"))
       },
       Some(s"""SELECT doc_id, lang,
               |  len(regexp_extract_all(lower(text), '\\b(${StopEn.mkString("|")})\\b')) AS score_en,
@@ -221,11 +222,11 @@ object TextQueries extends QueryFamily {
       "q_text_fingerprint",
       (s, dir) => {
         val d = Tables(s, dir, "documents")
-        d.select(
+        // sorted before the md5 projection (see q_text_bpe_tokens)
+        d.orderBy(col("doc_id")).select(
             col("doc_id"),
             TextFns.fingerprint(col("text")).as("fp_md5"),
             col("source"))
-          .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id,
              |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
@@ -262,11 +263,11 @@ object TextQueries extends QueryFamily {
       "q_multimodal_meta",
       (s, dir) => {
         val d = Tables(s, dir, "documents")
-        d.select(
+        // sorted before the sha256 projection (see q_text_bpe_tokens)
+        d.orderBy(col("doc_id")).select(
             col("doc_id"),
             octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
             sha2(col("text").cast("binary"), 256).as("sha"))
-          .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id,
              |  octet_length(encode(text)) AS n_bytes,
@@ -284,13 +285,14 @@ object TextQueries extends QueryFamily {
       "q_multimodal_decode",
       (s, dir) => {
         val d = Tables(s, dir, "documents")
-        Multimodal.withMediaMeta(stagedMedia(d), "payload", Multimodal.HeaderDecoder)
+        // sorted before staging+decode (see q_text_bpe_tokens)
+        Multimodal.withMediaMeta(stagedMedia(d.orderBy(col("doc_id"))),
+            "payload", Multimodal.HeaderDecoder)
           .select(col("doc_id"),
             col("width").cast("long").as("width"),
             col("height").cast("long").as("height"),
             col("n_frames").cast("long").as("n_frames"),
             col("format"))
-          .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id,
              |  CASE WHEN doc_id % 6 IN (0, 1, 2, 3) THEN doc_id % 317 + 16 ELSE 0 END AS width,
@@ -395,6 +397,7 @@ object TextQueries extends QueryFamily {
       "q_multimodal_audio",
       (s, dir) => {
         val d = Tables(s, dir, "documents").filter(col("doc_id") < 300)
+          .orderBy(col("doc_id"))
         val nf = (col("doc_id") % 211 + 16).cast("int")
         val sampleHex = concat_ws("",
           transform(sequence(lit(0), nf - 1),
@@ -408,7 +411,6 @@ object TextQueries extends QueryFamily {
         Multimodal.withAudioStats(d.select(col("doc_id"), wav.as("payload")), "payload")
           .select(col("doc_id"), col("n_samples"), col("mean_amp"),
             col("rms_amp"), col("peak_amp"))
-          .orderBy(col("doc_id"))
       },
       Some("""SELECT d.doc_id,
              |  CAST(count(*) AS BIGINT) AS n_samples,
@@ -432,6 +434,7 @@ object TextQueries extends QueryFamily {
       "q_multimodal_vad",
       (s, dir) => {
         val d = Tables(s, dir, "documents").filter(col("doc_id") < 300)
+          .orderBy(col("doc_id"))
         val nf = (col("doc_id") % 211 + 16).cast("int")
         val sampleHex = concat_ws("",
           transform(sequence(lit(0), nf - 1),
@@ -446,7 +449,6 @@ object TextQueries extends QueryFamily {
             d.select(col("doc_id"), wav.as("payload")), "payload", 16, 22000L)
           .select(col("doc_id"), col("n_frames"), col("n_active"),
             col("n_segments"), col("longest_run"))
-          .orderBy(col("doc_id"))
       },
       Some("""WITH s AS (
              |  SELECT d.doc_id, g.i, (d.doc_id * 31 + g.i * 7) % 256 AS v
@@ -486,6 +488,7 @@ object TextQueries extends QueryFamily {
       "q_multimodal_pixels",
       (s, dir) => {
         val d = Tables(s, dir, "documents").filter(col("doc_id") < 300)
+          .orderBy(col("doc_id"))
         val w = (col("doc_id") % 8 + 2).cast("int")
         val h = (col("doc_id") % 6 + 2).cast("int")
         val stride = (w * 3 + 3).bitwiseAND(lit(-4))
@@ -508,7 +511,6 @@ object TextQueries extends QueryFamily {
         Multimodal.withImageStats(d.select(col("doc_id"), bmp.as("payload")), "payload")
           .select(col("doc_id"), col("n_pixels"), col("mean_b"),
             col("mean_g"), col("mean_r"))
-          .orderBy(col("doc_id"))
       },
       Some("""SELECT d.doc_id,
              |  CAST(count(*) AS BIGINT) AS n_pixels,
@@ -532,6 +534,7 @@ object TextQueries extends QueryFamily {
       "q_multimodal_pixels_png",
       (s, dir) => {
         val d = Tables(s, dir, "documents").filter(col("doc_id") < 300)
+          .orderBy(col("doc_id"))
         val w = (col("doc_id") % 8 + 2).cast("int")
         val h = (col("doc_id") % 6 + 2).cast("int")
         val rawHex = concat_ws("",
@@ -558,7 +561,6 @@ object TextQueries extends QueryFamily {
         Multimodal.withImageStats(d.select(col("doc_id"), png.as("payload")), "payload")
           .select(col("doc_id"), col("n_pixels"), col("mean_b"),
             col("mean_g"), col("mean_r"))
-          .orderBy(col("doc_id"))
       },
       Some("""SELECT d.doc_id,
              |  CAST(count(*) AS BIGINT) AS n_pixels,
@@ -583,6 +585,7 @@ object TextQueries extends QueryFamily {
       "q_multimodal_pixels_gif",
       (s, dir) => {
         val d = Tables(s, dir, "documents").filter(col("doc_id") < 300)
+          .orderBy(col("doc_id"))
         val w = (col("doc_id") % 8 + 2).cast("int")
         val h = (col("doc_id") % 6 + 2).cast("int")
         val idxHex = concat_ws("",
@@ -601,7 +604,6 @@ object TextQueries extends QueryFamily {
         Multimodal.withImageStats(d.select(col("doc_id"), gif.as("payload")), "payload")
           .select(col("doc_id"), col("n_pixels"), col("mean_b"),
             col("mean_g"), col("mean_r"))
-          .orderBy(col("doc_id"))
       },
       Some("""SELECT d.doc_id,
              |  CAST(count(*) AS BIGINT) AS n_pixels,
@@ -629,6 +631,7 @@ object TextQueries extends QueryFamily {
       (s, dir) => {
         import s.implicits._
         val d = Tables(s, dir, "documents").filter(col("doc_id") < 300)
+          .orderBy(col("doc_id"))
         val staged = d.select(col("doc_id")).as[Long].mapPartitions { it =>
           it.map { id =>
             val w = (id % 8 + 8).toInt; val h = (id % 6 + 8).toInt
@@ -642,7 +645,6 @@ object TextQueries extends QueryFamily {
             (abs(col("mean_r") - (col("doc_id") * 3 % 256)) <= 6 &&
              abs(col("mean_g") - (col("doc_id") * 5 + 85) % 256) <= 6 &&
              abs(col("mean_b") - (col("doc_id") * 7 + 170) % 256) <= 6).as("ok"))
-          .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id,
              |  CAST((doc_id % 8 + 8) * (doc_id % 6 + 8) AS BIGINT) AS n_pixels,
@@ -659,6 +661,7 @@ object TextQueries extends QueryFamily {
       "q_multimodal_video",
       (s, dir) => {
         val d = Tables(s, dir, "documents").filter(col("doc_id") < 300)
+          .orderBy(col("doc_id"))
         val w = (col("doc_id") % 317 + 16).cast("int")
         val h = (col("doc_id") % 211 + 16).cast("int")
         val nf = (col("doc_id") % 97 + 10).cast("int")
@@ -683,7 +686,6 @@ object TextQueries extends QueryFamily {
             "payload", Multimodal.HeaderDecoder)
           .select(col("doc_id"), col("width"), col("height"),
             col("n_frames"), col("format"))
-          .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id,
              |  CAST(doc_id % 317 + 16 AS INTEGER) AS width,
@@ -706,6 +708,7 @@ object TextQueries extends QueryFamily {
       (s, dir) => {
         import s.implicits._
         val d = Tables(s, dir, "documents").filter(col("doc_id") < 300)
+          .orderBy(col("doc_id"))
         val staged = d.select(col("doc_id")).as[Long].mapPartitions { it =>
           it.map { id =>
             val w = (id % 8 + 8).toInt; val h = (id % 6 + 8).toInt
@@ -726,7 +729,6 @@ object TextQueries extends QueryFamily {
             (abs(col("mean_r") - col("exp_r")) <= 6 &&
              abs(col("mean_g") - col("exp_g")) <= 6 &&
              abs(col("mean_b") - col("exp_b")) <= 6).as("ok"))
-          .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id,
              |  CAST(doc_id % 5 + 2 AS INTEGER) AS n_frames_decoded,
@@ -747,6 +749,7 @@ object TextQueries extends QueryFamily {
       "q_multimodal_audiohash",
       (s, dir) => {
         val d = Tables(s, dir, "documents").filter(col("doc_id") < 200)
+          .orderBy(col("doc_id"))
         val g = col("doc_id") % 25
         val delta = when(col("doc_id") % 4 === 0, lit(60)).otherwise(lit(0))
         val sampleHex = concat_ws("",
@@ -810,6 +813,7 @@ object TextQueries extends QueryFamily {
       "q_multimodal_phash",
       (s, dir) => {
         val d = Tables(s, dir, "documents").filter(col("doc_id") < 200)
+          .orderBy(col("doc_id"))
         val g = col("doc_id") % 25
         val delta = when(col("doc_id") % 4 === 0, lit(120)).otherwise(lit(0))
         val stride = 56 // 18*3 = 54, padded to the 4-byte boundary
@@ -886,6 +890,7 @@ object TextQueries extends QueryFamily {
       "q_text_normalize",
       (s, dir) => {
         val d = Tables(s, dir, "documents").filter(col("doc_id") < 200)
+          .orderBy(col("doc_id"))
         val raw = concat(
           substring(col("text"), 1, 30), lit(" CAF"),
           decode(unhex(lit("65CC81")), "UTF-8"),     // e + combining acute
@@ -897,7 +902,6 @@ object TextQueries extends QueryFamily {
           .select(col("doc_id"), col("norm_text"),
             length(col("raw")).cast("long").as("len_raw"),
             length(col("norm_text")).cast("long").as("len_norm"))
-          .orderBy(col("doc_id"))
       },
       Some("""WITH staged AS (
              |  SELECT doc_id,
@@ -1025,7 +1029,8 @@ object TextQueries extends QueryFamily {
       "q_text_deflate",
       (s, dir) => {
         val d = Tables(s, dir, "documents")
-        val staged = d.select(col("doc_id"),
+        // sorted before the deflate projection (see q_text_bpe_tokens)
+        val staged = d.orderBy(col("doc_id")).select(col("doc_id"),
           when(col("doc_id") % 5 === 0, repeat(substring(col("text"), 1, 10), 30))
             .otherwise(col("text")).as("text"))
         staged.select(col("doc_id"),
@@ -1034,7 +1039,6 @@ object TextQueries extends QueryFamily {
           .withColumn("ratio_pm", expr("(1000 * deflate_bytes) div n_bytes"))
           .withColumn("band",
             when(col("ratio_pm") < 200, "repetitive").otherwise("prose"))
-          .orderBy(col("doc_id"))
       },
       Some(TextQueries.stagedGolden("q_text_deflate",
         "doc_id, n_bytes, deflate_bytes, ratio_pm, band")))
