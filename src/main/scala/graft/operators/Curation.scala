@@ -438,14 +438,16 @@ object Curation {
 
   /** (id, w1, w2) bigram relation; docs with <2 tokens keep a null-w1 spine
     * row (explode_outer) so every doc scores. */
-  private def docBigrams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  private def docBigrams(df: DataFrame, idCol: String, textCol: String,
+                         extraCols: Seq[String] = Nil): DataFrame = {
     val toks = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= lit(""))
     val n1 = size_(toks)
     val pairLen = greatest(n1 - 1, lit(0))
     val bigrams = zip_with(slice(toks, lit(1), pairLen), slice(toks, lit(2), pairLen),
       (a, b) => struct(a.as("w1"), b.as("w2")))
-    df.select(col(idCol), explode_outer(bigrams).as("bg"))
-      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val keep = col(idCol) +: extraCols.map(col)
+    df.select(keep :+ explode_outer(bigrams).as("bg"): _*)
+      .select(keep :+ col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
   }
 
   /** Fixed-point bigram conditionals `(1e6·c2) div c1` from a bigram
@@ -516,11 +518,50 @@ object Curation {
                    textCol: String, ratePm: Int, capX: Int = 10,
                    salt: String = "dsir",
                    rawSamplePm: Int = 1000,
-                   onPersist: DataFrame => Unit = _ => ()): DataFrame = {
+                   onPersist: DataFrame => Unit = _ => (),
+                   targetFromRaw: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     require(ratePm >= 1 && ratePm <= 1000, s"ratePm must be in [1,1000], got $ratePm")
     require(capX >= 1 && capX <= 100, s"capX must be in [1,100], got $capX")
     require(rawSamplePm >= 1 && rawSamplePm <= 1000,
       s"rawSamplePm must be in [1,1000], got $rawSamplePm")
+    // `targetFromRaw` (round 16): when the target domain is a PREDICATE
+    // over the raw corpus (the common "en-domain slice of the crawl"
+    // shape), tokenizing raw once with the predicate as a flag column
+    // replaces the separate target tokenize pass — profiled at sf0.1 the
+    // target branch was a second full 0.7 s scan+tokenize of the domain
+    // slice. The flag rides the persisted bigram relation; the target
+    // branch is a cache filter. Bit-identical: docBigrams of a filtered
+    // relation == the filtered docBigrams (per-doc rows). `target` is
+    // ignored when the predicate is given.
+    targetFromRaw match {
+      case Some(cond) if rawSamplePm >= 1000 =>
+        // full model: the cache already exists for the two full-corpus
+        // consumers, so the flag rides it for free and the target branch
+        // becomes a cache filter (one tokenize total; A/B -11%)
+        val bi = docBigrams(raw.withColumn("__tgt", cond), idCol, textCol,
+            extraCols = Seq("__tgt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        onPersist(bi)
+        val rawBi = bi.drop("__tgt")
+        val targetBi = bi.filter(col("__tgt")).drop("__tgt")
+        return dsirCore(rawBi, rawBi, targetBi, idCol, ratePm, capX, salt)
+      case Some(cond) =>
+        // sampled model: scoring is the only full-corpus consumer, so a
+        // persist costs more than it saves (A/B: +16%) — keep the
+        // stream-once layout and tokenize only the filtered slices for
+        // the model branches
+        val sampleGate =
+          conv(substring(md5(concat(lit(salt), lit("raw:"),
+            col(idCol).cast("string"))), 1, 6), 16, 10).cast("long") <
+            lit(rawSamplePm.toLong * 16777216L / 1000L)
+        return dsirCore(
+          docBigrams(raw, idCol, textCol),
+          docBigrams(raw.filter(sampleGate), idCol, textCol),
+          docBigrams(raw.filter(cond), idCol, textCol),
+          idCol, ratePm, capX, salt)
+      case None => ()
+    }
     // Raw-model training slice (`rawSamplePm`): the md5 doc gate (salted
     // differently from the keep gate so the two decisions are independent)
     // filters the raw DOCS — per-doc hashes, not per-bigram — and the
@@ -546,6 +587,15 @@ object Curation {
         (docBigrams(raw, idCol, textCol), docBigrams(sampleDocs, idCol, textCol))
       }
     val targetBi = docBigrams(target, idCol, textCol)
+    dsirCore(rawBi, rawModelBi, targetBi, idCol, ratePm, capX, salt)
+  }
+
+  /** Shared model-build + scoring tail of [[dsirResample]] — identical
+    * arithmetic for both tokenize layouts (separate target relation, or
+    * the flag-column single-tokenize path). */
+  private def dsirCore(rawBi: DataFrame, rawModelBi: DataFrame,
+                       targetBi: DataFrame, idCol: String,
+                       ratePm: Int, capX: Int, salt: String): DataFrame = {
     // MERGED-MODEL build + scoring: ONE tagged-union aggregation computes
     // both corpora's bigram counts side by side (c2t/c2r per bigram, c1
     // re-aggregated model-sized), replacing the round-10 shape of two

@@ -579,8 +579,11 @@ object CurationQueries extends QueryFamily {
       "q_text_dsir",
       (s, dir) => {
         val d = Tables(s, dir, "documents")
-        Curation.dsirResample(d, d.filter(col("lang") === "en"),
-            "doc_id", "text", ratePm = 500)
+        // target domain as a predicate over raw: one tokenize pass serves
+        // both models (the separate target relation re-tokenized the en
+        // slice — a second full 0.7 s scan at sf0.1; round 16, guide §2.4)
+        Curation.dsirResample(d, d, "doc_id", "text", ratePm = 500,
+            targetFromRaw = Some(col("lang") === "en"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH tok AS (
@@ -630,8 +633,9 @@ object CurationQueries extends QueryFamily {
       "q_text_dsir_sampled",
       (s, dir) => {
         val d = Tables(s, dir, "documents")
-        Curation.dsirResample(d, d.filter(col("lang") === "en"),
-            "doc_id", "text", ratePm = 500, rawSamplePm = 200)
+        // predicate-form target: one tokenize pass (see q_text_dsir)
+        Curation.dsirResample(d, d, "doc_id", "text", ratePm = 500,
+            rawSamplePm = 200, targetFromRaw = Some(col("lang") === "en"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH tok AS (
