@@ -324,7 +324,12 @@ object Dedup {
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucketSize)
       .select(col("band"), col("band_key"))
+    // persisted: BOTH candidate-join sides consume this relation and the
+    // join broadcasts one side, so without the cache the band explode +
+    // skew-guard join executes once per side (round 16, same rationale as
+    // jaccardPairs' prefix persist). Freed with `base` by clearCache.
     val banded = allBanded.join(bucketSizes, Seq("band", "band_key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("band"), col("band_key"), col("id").as("a_id"), col("sz").as("a_sz"))
     val b = banded.select(col("band"), col("band_key"), col("id").as("b_id"), col("sz").as("b_sz"))
     // LENGTH FILTER (as in jaccardPairs): J <= min/max set sizes, so prune

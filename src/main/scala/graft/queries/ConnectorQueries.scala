@@ -152,13 +152,24 @@ object ConnectorQueries extends QueryFamily {
         val e = Tables(s, dir, "events")
           .select(col("user_id"), col("event_id"), col("value"),
             expr(s"unix_micros(ts) div $tickUs").as("ti"))
+        // ONE corpus pass (round 16, guide §2.3): tick bounds and the key
+        // spine both derive from the aggregated bucket relation — deriving
+        // them from `e` scanned the events three times. The three
+        // consumers share perBucket's partial-agg exchange via
+        // ReuseExchange (identical canonical subtree), so the corpus-sized
+        // work runs once with no persist (a persist here measured +27%
+        // locally — cache write + 32-task cached-consumer sweeps cost more
+        // than the saved column-pruned scans). Same values: every event
+        // lands in a bucket, so min/max(ti) and distinct user_id are
+        // identical over e and perBucket.
         val perBucket = e.groupBy(col("user_id"), col("ti"))
           .agg(max(col("event_id")).as("b_last"),
             sum(col("value")).as("b_sum"),
             count(lit(1)).as("b_n"))
-        val ticks = e.agg(min(col("ti")).as("t0"), max(col("ti")).as("t1"))
+        val ticks = perBucket.agg(min(col("ti")).as("t0"), max(col("ti")).as("t1"))
           .select(explode(sequence(col("t0"), col("t1"))).as("ti"))
-        val grid = e.select(col("user_id")).distinct().crossJoin(broadcast(ticks))
+        val grid = perBucket.select(col("user_id")).distinct()
+          .crossJoin(broadcast(ticks))
         val wFill = Window.partitionBy(col("user_id")).orderBy(col("ti"))
         grid.join(perBucket, Seq("user_id", "ti"), "left")
           .select(col("user_id"), col("ti"),
