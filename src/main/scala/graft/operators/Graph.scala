@@ -109,15 +109,21 @@ object Graph {
     // degree join), but BOTH consumers exchange it on src inside one plan —
     // ReuseExchange dedups the scan, so a persist here would only add a
     // serialize/deserialize pass
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"),
-      weightCol.map(c => positiveWeight(col(c).cast("long"))).getOrElse(lit(1L)).as("w"))
+    // unweighted runs carry NO weight column: `(rank div deg) * 1` ==
+    // `rank div deg`, so dropping the constant narrows the persisted edge
+    // relation and the per-iteration arithmetic (round 16, guide §2.3)
+    val weighted = weightCol.isDefined
+    val e = edges.select(Seq(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")) ++
+      weightCol.map(c => positiveWeight(col(c).cast("long")).as("w")).toSeq: _*)
     // fold out-degree (sum of out-weights; plain count when unweighted)
     // into the edge relation once; the degree-join output is already
     // hash-partitioned on src (both join inputs exchange on it), so
     // persisting it directly keeps the per-iteration rank join co-located
     // with NO extra repartition pass over the edges
-    val degs = e.groupBy("src").agg(sum(col("w")).as("deg"))
+    val degs =
+      if (weighted) e.groupBy("src").agg(sum(col("w")).as("deg"))
+      else e.groupBy("src").agg(count(lit(1)).as("deg"))
     val eDeg = degs.join(e, "src").persist(MEMORY_AND_DISK)
     // node spine from the PERSISTED degree relation — deriving it from
     // `e` would re-execute the caller's (unpersisted, often join-shaped)
@@ -140,9 +146,10 @@ object Graph {
     // (an extra broadcast + join stage per round) — nodes with no
     // in-edges still get a row, so sum(c) is never null
     def step(r: DataFrame): DataFrame = {
+      val cExpr = if (weighted) expr("(rank div deg) * w") else expr("rank div deg")
       val contrib = eDeg
         .join(r.select(col("node").as("src"), col("rank")), "src")
-        .select(col("dst").as("node"), expr("(rank div deg) * w").as("c"))
+        .select(col("dst").as("node"), cExpr.as("c"))
       contrib
         .union(nodes.select(col("node"), lit(0L).as("c")))
         .groupBy("node").agg(sum(col("c")).as("s"))
@@ -228,10 +235,16 @@ object Graph {
       created ++= sc.getPersistentRDDs.keySet -- before
       out
     }
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"),
-      weightCol.map(c => positiveWeight(col(c).cast("long"))).getOrElse(lit(1L)).as("w"))
-    val degs = e.groupBy("src").agg(sum(col("w")).as("deg"))
+    // unweighted runs carry NO weight column: `(rank div deg) * 1` ==
+    // `rank div deg`, so dropping the constant narrows the persisted edge
+    // relation and the per-iteration arithmetic (round 16, guide §2.3)
+    val weighted = weightCol.isDefined
+    val e = edges.select(Seq(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")) ++
+      weightCol.map(c => positiveWeight(col(c).cast("long")).as("w")).toSeq: _*)
+    val degs =
+      if (weighted) e.groupBy("src").agg(sum(col("w")).as("deg"))
+      else e.groupBy("src").agg(count(lit(1)).as("deg"))
     val eDeg = degs.join(e, "src").persist(MEMORY_AND_DISK)
     val seedSet = seeds.select(col(seedCol).cast("long").as("node")).distinct()
     // spine carries the per-node base term: seed → base, non-seed → 0;
@@ -249,9 +262,10 @@ object Graph {
     // spine rows carry the per-node base as a second aggregated column
     // (contrib rows carry 0), so base re-attachment costs no extra join
     def step(r: DataFrame): DataFrame = {
+      val cExpr = if (weighted) expr("(rank div deg) * w") else expr("rank div deg")
       val contrib = eDeg
         .join(r.select(col("node").as("src"), col("rank")), "src")
-        .select(col("dst").as("node"), expr("(rank div deg) * w").as("c"),
+        .select(col("dst").as("node"), cExpr.as("c"),
           lit(0L).as("b"))
       contrib
         .union(nodes.select(col("node"), lit(0L).as("c"), col("node_base").as("b")))
