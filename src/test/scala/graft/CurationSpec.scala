@@ -184,6 +184,32 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("dsirResample: targetFromRaw predicate path is bit-identical to the " +
+      "separate-target relation, full and sampled models (round 16)") {
+    val raw = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "9 8 7 6 5 4 3 2 1 0 9 8 7 6 5"),
+      (4L, ""),
+      (5L, "the cat sat"),
+      (6L, "a b a b a b a b"),
+      (7L, "the mat sat on the cat")).toDF("id", "txt")
+    val cond = col("id") =!= 3L && col("id") =!= 4L
+    val target = raw.filter(cond)
+    // full model (persist-with-flag single-tokenize layout)
+    val sep = Curation.dsirResample(raw, target, "id", "txt", ratePm = 500)
+      .orderBy("id").collect()
+    val pred = Curation.dsirResample(raw, raw, "id", "txt", ratePm = 500,
+      targetFromRaw = Some(cond)).orderBy("id").collect()
+    assert(sep.toSeq == pred.toSeq)
+    // sampled model (stream-once layout, lazily filtered slices)
+    val sepS = Curation.dsirResample(raw, target, "id", "txt", ratePm = 500,
+      rawSamplePm = 400).orderBy("id").collect()
+    val predS = Curation.dsirResample(raw, raw, "id", "txt", ratePm = 500,
+      rawSamplePm = 400, targetFromRaw = Some(cond)).orderBy("id").collect()
+    assert(sepS.toSeq == predS.toSeq)
+  }
+
   test("corpusDiff: NULL text is presence, not absence") {
     // id 1: text→NULL = changed (not deleted); id 2: NULL→text = changed
     // (not added); id 3: NULL→NULL = unchanged (not added); id 4: only in

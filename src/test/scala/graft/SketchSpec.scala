@@ -281,6 +281,31 @@ class SketchSpec extends AnyFunSuite {
       qs(Sketches.quantilesFromHist(sa, Seq(500), 1)))
   }
 
+  test("quantilesFromHist: coarse-group prefix sum handles negative, sparse " +
+      "and huge-span buckets exactly (round-16 shiftright layout)") {
+    def qs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // negative buckets: shiftright is an arithmetic shift = floor division,
+    // so coarse groups stay monotone across zero
+    val neg = (-500 to 500).map(v => Tuple1(v.toDouble)).toDF("v")
+    // N=1001: target(1) = ceil(1001/1000) = 2 -> 2nd smallest
+    assert(qs(Sketches.quantiles(neg, "v", Seq(1, 500, 1000), 1)) ==
+      Seq((1L, -499L), (500L, 0L), (1000L, 500L)))
+    // sparse buckets over a huge span (> 4096 coarse groups at k=0): the
+    // min/max probe must widen k and the per-group windows must still
+    // produce the exact global prefix sums
+    val sparse = Seq.tabulate(1000)(i => Tuple1((i.toLong * 1000003L).toDouble))
+      .toDF("v")
+    val got = qs(Sketches.quantiles(sparse, "v", Seq(1, 250, 500, 999), 1))
+    // exact contract: q-th per-mille = bucket at index ceil(q*N/1000)-1 of
+    // the sorted distinct values (each value occurs once)
+    def expect(q: Int): Long = {
+      val idx = math.max(1L, (q.toLong * 1000 + 999) / 1000) - 1
+      idx * 1000003L
+    }
+    assert(got == Seq(1, 250, 500, 999).map(q => (q.toLong, expect(q))))
+  }
+
   test("heavyHitters: exact counts above the N/(k+1) threshold, MG prune never loses one") {
     // skewed synthetic: key "hot" 500x, "warm" 120x, 200 singleton keys
     // (N = 820). k=5 → threshold 820/6 = 136.7: only "hot" qualifies at
