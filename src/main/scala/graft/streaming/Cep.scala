@@ -913,7 +913,13 @@ object Cep {
     */
   def detectSkipPast(ds: Dataset[CepEvent], spec: PatternSpec,
                      resume: Option[(Int, Boolean)] = None): Dataset[CepMatch] =
-    ds.groupByKey(_.key).flatMapGroups { (_: String, it: Iterator[CepEvent]) =>
+    // COLUMN-keyed grouping, not groupByKey(_.key) (round 16): the lambda
+    // key adds a per-row AppendColumns closure and an exchange that can
+    // never match existing partitioning; the column key drops the closure
+    // and reuses an upstream hash exchange on `key` (the MR compiler's
+    // persisted ordering) when one exists. Same groups, same matches.
+    ds.groupBy(org.apache.spark.sql.functions.col("key")).as[String, CepEvent]
+      .flatMapGroups { (_: String, it: Iterator[CepEvent]) =>
       val evs = it.toSeq.sortBy(e => (e.tsUs, e.eventId))
       val (out, st) = runNfaSkipPast(evs,
         SkipNfaState(NfaState(Nil, done = false), 0L, Nil), spec, resume)
@@ -930,7 +936,9 @@ object Cep {
   def detect(ds: Dataset[CepEvent], spec: PatternSpec,
              dropCounter: Option[org.apache.spark.util.LongAccumulator] = None)
       : Dataset[CepMatch] =
-    ds.groupByKey(_.key).flatMapGroups { (_: String, it: Iterator[CepEvent]) =>
+    // column-keyed grouping — see detectSkipPast
+    ds.groupBy(org.apache.spark.sql.functions.col("key")).as[String, CepEvent]
+      .flatMapGroups { (_: String, it: Iterator[CepEvent]) =>
       val (out, st) = runNfa(it.toSeq.sortBy(e => (e.tsUs, e.eventId)),
         NfaState(Nil, done = false), spec)
       dropCounter.foreach(_.add(st.dropped))
@@ -950,7 +958,9 @@ object Cep {
                   dropCounter: Option[org.apache.spark.util.LongAccumulator] = None)
       : Dataset[VariantMatch] = {
     implicit val vmEnc: Encoder[VariantMatch] = Encoders.product[VariantMatch]
-    ds.groupByKey(_.key).flatMapGroups { (_: String, it: Iterator[CepEvent]) =>
+    // column-keyed grouping — see detectSkipPast
+    ds.groupBy(org.apache.spark.sql.functions.col("key")).as[String, CepEvent]
+      .flatMapGroups { (_: String, it: Iterator[CepEvent]) =>
       val evs = it.toSeq.sortBy(e => (e.tsUs, e.eventId))
       specs.iterator.zipWithIndex.flatMap { case (spec, vi) =>
         val (out, st) = runNfa(evs, NfaState(Nil, done = false), spec)
