@@ -134,7 +134,13 @@ object Bench {
       }
     }
     val results2 = results1
-    val qs = results2.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // microsecond precision (round 17): full double precision printed a
+    // ~14 KB line the driver's capture truncated every round; 1e-6 s is
+    // 5-6 orders of magnitude below host noise and halves the line
+    def fmtSec(v: Double): String =
+      if (v < 0) "-1.0"
+      else BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results2.map { case (k, v, _) => "\"" + k + "\":" + fmtSec(v) }.mkString("{", ",", "}")
     val total = results2.map(_._2).filter(_ >= 0).sum
     // a compile-/run-broken registry entry must be LOUD (round 16, VERDICT
     // r15 #2): q_sketch_sql_global shipped broken behind a silent -1.0
@@ -149,7 +155,7 @@ object Bench {
     val perQueryAdjust = results2.map { case (name, _, tMid) =>
       adjustOverride.getOrElse(name, HostCalib.floorAdjust(mopsAt(tMid))) }
     val qsNormStr = results2.zip(perQueryAdjust).map { case ((k, v, _), a) =>
-      "\"" + k + "\":" + (if (v >= 0) v * a else -1.0)
+      "\"" + k + "\":" + (if (v >= 0) fmtSec(v * a) else "-1.0")
     }.mkString("{", ",", "}")
     val totalNorm = results2.zip(perQueryAdjust).collect { case ((_, v, _), a) if v >= 0 => v * a }.sum
     // contention flagging: spread = best/worst probe; when >1.2, list the
@@ -270,10 +276,17 @@ object Bench {
       s""""calib_probes":$probesJson,""" +
       s""""contended_queries":${contended.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       scalars + "}"
+    // per-run default name (round 17, VERDICT r16 #2): the 8-core scaling
+    // run used to OVERWRITE the 32-core map — key the artifact by the
+    // core count so both measurement axes survive one session. The legacy
+    // path is still written for any consumer that greps bench_out.json.
     val outFile = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"bench_out_$cpus.json"))
     java.nio.file.Files.write(outFile,
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+        fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
     // printed line: driver contract keys (metric/value/unit/queries/sf)
     // plus totals, kernels, and flags — the bulky normalized map and probe

@@ -19,13 +19,28 @@ object Tables {
   // fixed cost (one ~30-100 ms job per call, guide §7.3) paid hundreds of
   // times across a corpus run. The memo holds only the lazy DataFrame
   // (schema + file index); every action still scans the parquet files, so
-  // this caches PLANNING, never results. Keyed by session so tests with
-  // their own sessions never share state.
-  private val memo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
+  // this caches PLANNING, never results. Sessions are WEAK keys (ADVICE
+  // r16): a stopped session's plans become collectable instead of pinned
+  // for the JVM lifetime in multi-session suites. [[clear]] drops every
+  // entry for callers that regenerate a parquet dir in-process (the
+  // memoized file index would otherwise serve stale/deleted file lists).
+  private val memo = new java.util.WeakHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    memo.getOrElseUpdate((spark, dir, name), {
+  /** Drop all memoized plans (use when a table directory is rewritten
+    * within one JVM — the cached file index does not watch the FS). */
+  def clear(): Unit = memo.synchronized(memo.clear())
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = memo.synchronized {
+      var m = memo.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+        memo.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate((dir, name), {
       // events.ts varies by generator vintage: parquet TIMESTAMP(NANOS)
       // (which Spark 4 refuses to read natively — read as long nanos) or
       // TIMESTAMP(MICROS) without timezone (read as TIMESTAMP_NTZ).
@@ -44,6 +59,7 @@ object Tables {
         case _ => df
       } else df
     })
+  }
 
   /** Register every table as a temp view (for spark.sql-expressed queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -237,6 +237,7 @@ object Dedup {
         explode(slice(transform(col("st"), s => s.getField("tk")),
           lit(1), col("plen"))).as("tk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onPersist(prefixes)
     val a = prefixes.select(col("blk"), col("tk"), col("id").as("a_id"), col("sz").as("a_sz"))
     val b = prefixes.select(col("blk"), col("tk"), col("id").as("b_id"), col("sz").as("b_sz"))
     // LENGTH FILTER (PPJoin): J(A,B) <= min/max of the set sizes, so a pair
@@ -330,6 +331,7 @@ object Dedup {
     // jaccardPairs' prefix persist). Freed with `base` by clearCache.
     val banded = allBanded.join(bucketSizes, Seq("band", "band_key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onPersist(banded)
     val a = banded.select(col("band"), col("band_key"), col("id").as("a_id"), col("sz").as("a_sz"))
     val b = banded.select(col("band"), col("band_key"), col("id").as("b_id"), col("sz").as("b_sz"))
     // LENGTH FILTER (as in jaccardPairs): J <= min/max set sizes, so prune

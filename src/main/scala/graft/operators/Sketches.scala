@@ -270,9 +270,10 @@ object Sketches {
     *
     * Plan shape: one map-side-combined bucket aggregation (the only
     * corpus-sized exchange, already narrowed to distinct buckets by the
-    * partial agg), then the selectBudget two-level prefix sum over the
-    * BUCKET relation (range partition on bucket, in-partition running
-    * sums, broadcast per-partition offsets — no single-task global
+    * partial agg), then a two-level prefix sum over the BUCKET relation
+    * (coarse group = `bucket >> k` from one min/max probe, per-group
+    * running-sum windows on one hash exchange, broadcast ≤4096-row
+    * coarse-group offsets — no range shuffle, no single-task global
     * window even when buckets run to millions), then a tiny
     * targets-cross-buckets min. Output: one row per requested quantile
     * `(q_pm BIGINT, bucket BIGINT, value DOUBLE = bucket/scale)`.
@@ -361,8 +362,10 @@ object Sketches {
     val spark = hist.sparkSession
     // cache the bucket relation: it feeds three consumers (min/max probe,
     // coarse-group totals, the prefix-sum pass) — without the cache each
-    // would re-run the upstream corpus scan/aggregation
-    val histC = hist.select(col("bucket"), col("cnt"))
+    // would re-run the upstream corpus scan/aggregation. Buckets cast to
+    // long up front: the probe and shift arithmetic below are long-typed
+    // (an int-bucket hist relation would otherwise throw on getLong).
+    val histC = hist.select(col("bucket").cast("long").as("bucket"), col("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Two-level prefix sum WITHOUT a range shuffle (round 16): coarse
     // group = bucket >> k, with k sized from one min/max probe so that

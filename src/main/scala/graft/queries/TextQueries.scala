@@ -749,7 +749,6 @@ object TextQueries extends QueryFamily {
       "q_multimodal_audiohash",
       (s, dir) => {
         val d = Tables(s, dir, "documents").filter(col("doc_id") < 200)
-          .orderBy(col("doc_id"))
         val g = col("doc_id") % 25
         val delta = when(col("doc_id") % 4 === 0, lit(60)).otherwise(lit(0))
         val sampleHex = concat_ws("",
@@ -813,7 +812,6 @@ object TextQueries extends QueryFamily {
       "q_multimodal_phash",
       (s, dir) => {
         val d = Tables(s, dir, "documents").filter(col("doc_id") < 200)
-          .orderBy(col("doc_id"))
         val g = col("doc_id") % 25
         val delta = when(col("doc_id") % 4 === 0, lit(120)).otherwise(lit(0))
         val stride = 56 // 18*3 = 54, padded to the 4-byte boundary

@@ -490,8 +490,6 @@ object PatternCompiler {
     if (multi.nonEmpty && groups.exists(st => st.max > 1 && st.alts.size > 1))
       throw GraftApp.SqlError("count quantifiers on OR steps are not supported")
 
-    final case class JoinPlan(name: String, idExpr: Column, streams: Seq[String],
-                              pred: Option[Column], outer: Boolean)
     val joins = scala.collection.mutable.LinkedHashMap.empty[String, JoinPlan]
     val aggItems = scala.collection.mutable.LinkedHashMap.empty[Int, Vector[(String, String)]]
     var aggN = 0
@@ -610,8 +608,20 @@ object PatternCompiler {
     val items = q.selectItems.map { case (e, a) => (rewrite(e), a) }
     val whereRw = q.where.map(rewrite)
 
-    val needMatchId = aggItems.nonEmpty
-    if (needMatchId) {
+    val aggStepsSeq = aggItems.toSeq.map { case (gi, its) => (s"__ids_$gi", its: Seq[(String, String)]) }
+    val livePlans = pruneUnreferenced(joins.values.toSeq,
+      items.map(_._1) ++ whereRw.toSeq)
+    // same cost gate as compileVariant (A/B round 17): fused wins once it
+    // replaces enough lookups (permute4 −35%, multigroup −26%, nested2
+    // −17%) and loses below the threshold (permute +33%, sql_star +63%,
+    // both 2 lookups)
+    val fuseScore = livePlans.size + 2 * aggStepsSeq.size
+    var out = (if (fuseScore >= 5)
+        fusedJoinBack(base, ordered, livePlans, aggStepsSeq)
+      else None)
+      .getOrElse {
+      // legacy per-name join path (a lookup name shadows a base column)
+      //
       // FIXED-SIZE match identity (round 13): (variant, key, first id +
       // count per group). Within one NFA run a match's membership follows
       // deterministically from its start and per-step counts (the same
@@ -622,29 +632,32 @@ object PatternCompiler {
       // streaks (SkipStreakBench). Variant tag included: two variants CAN
       // share a key + identical present groups when one pads an absent
       // group NULL (firsts/counts coalesce that to a sentinel).
-      val idParts = groups.indices.flatMap(gi => Seq(
-        coalesce(try_element_at(col(s"__ids_$gi"), lit(1)), lit(-1L)),
-        coalesce(size(col(s"__ids_$gi")).cast("long"), lit(-1L))))
-      base = base.withColumn("__match_id",
-        struct(col("variant") +: col("__mkey") +: idParts: _*))
-    }
-
-    var out = base
-    joins.values.foreach { j =>
-      var cond = col(s"${j.name}.__id") === j.idExpr &&
-        col(s"${j.name}.__key") === col("__mkey") &&
-        col(s"${j.name}.__stream").isin(j.streams: _*)
-      j.pred.foreach(p => cond = cond && p)
-      out = out.join(ordered.as(j.name), cond, if (j.outer) "left_outer" else "inner")
-    }
-    aggItems.foreach { case (gi, items) =>
-      val exploded = base
-        .select(col("__match_id"), col("__mkey"), explode(col(s"__ids_$gi")).as("__eid"))
-        .join(ordered.as("__c"),
-          col("__c.__id") === col("__eid") && col("__c.__key") === col("__mkey"))
-      val aggCols = items.map { case (name, sql) => expr(sql).as(name) }
-      val agg = exploded.groupBy(col("__match_id")).agg(aggCols.head, aggCols.tail: _*)
-      out = out.join(agg, Seq("__match_id"), if (omittable(gi)) "left" else "inner")
+      val needMatchId = aggItems.nonEmpty
+      if (needMatchId) {
+        val idParts = groups.indices.flatMap(gi => Seq(
+          coalesce(try_element_at(col(s"__ids_$gi"), lit(1)), lit(-1L)),
+          coalesce(size(col(s"__ids_$gi")).cast("long"), lit(-1L))))
+        base = base.withColumn("__match_id",
+          struct(col("variant") +: col("__mkey") +: idParts: _*))
+      }
+      var o = base
+      livePlans.foreach { j =>
+        var cond = col(s"${j.name}.__id") === j.idExpr &&
+          col(s"${j.name}.__key") === col("__mkey") &&
+          col(s"${j.name}.__stream").isin(j.streams: _*)
+        j.pred.foreach(p => cond = cond && p)
+        o = o.join(ordered.as(j.name), cond, if (j.outer) "left_outer" else "inner")
+      }
+      aggItems.foreach { case (gi, items) =>
+        val exploded = base
+          .select(col("__match_id"), col("__mkey"), explode(col(s"__ids_$gi")).as("__eid"))
+          .join(ordered.as("__c"),
+            col("__c.__id") === col("__eid") && col("__c.__key") === col("__mkey"))
+        val aggCols = items.map { case (name, sql) => expr(sql).as(name) }
+        val agg = exploded.groupBy(col("__match_id")).agg(aggCols.head, aggCols.tail: _*)
+        o = o.join(agg, Seq("__match_id"), if (omittable(gi)) "left" else "inner")
+      }
+      o
     }
     whereRw.foreach(w => out = out.filter(expr(w)))
 
@@ -693,6 +706,129 @@ object PatternCompiler {
     */
   private[sql] val RunningMarkerRe =
     """(?is)^\s*__mr_running_(count|sum|min|max|avg)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)\s*$""".r
+
+  /** One scalar join-back lookup: resolve `name` to the ordered event row
+    * whose per-key id equals `idExpr` (NULL columns when `outer` and the
+    * id is out of range / the residual `pred` fails; row dropped when not
+    * `outer` and there is no qualifying event — the historical inner-join
+    * contract). Shared by [[compileVariant]] and [[compileMulti]].
+    */
+  private final case class JoinPlan(name: String, idExpr: Column,
+                                    streams: Seq[String], pred: Option[Column],
+                                    outer: Boolean)
+
+  /** Drop scalar lookups whose name never appears in the rewritten
+    * select/WHERE texts (round 17): every single-event alias used to get
+    * an unconditional join, referenced or not. Removing an unreferenced
+    * one is a no-op on the result: an inner lookup of a MATCHED event id
+    * always finds its (unique) ordered row on the right stream — the NFA
+    * only matched events of that step's stream — so it never drops a row;
+    * an outer lookup against a (key,id)-unique relation never multiplies
+    * rows, and its NULL-or-not columns are, by definition, unread. The
+    * check is a conservative whole-word scan: any appearance of the name
+    * keeps the lookup.
+    */
+  private def pruneUnreferenced(joins: Seq[JoinPlan],
+                                texts: Seq[String]): Seq[JoinPlan] =
+    joins.filter { j =>
+      val p = java.util.regex.Pattern.compile(
+        "\\b" + java.util.regex.Pattern.quote(j.name) + "\\b")
+      texts.exists(t => p.matcher(t).find())
+    }
+
+  /** Fused join-back (round 17, guide §2.4): resolve EVERY scalar alias
+    * lookup and EVERY collection aggregate in ONE pass over `ordered`
+    * instead of one join per alias plus one explode+aggregate+join-back
+    * per quantified step. Each match row explodes into its wanted event
+    * ids — `joins.size` scalar entries plus one entry per collected id of
+    * every aggregated step — tagged with the lookup name; ONE left join
+    * against `ordered` on (key, id) resolves them all, and ONE aggregation
+    * grouped on the match's own columns pivots the scalar rows back into
+    * per-alias STRUCT columns (at most one non-null row per (match, name),
+    * since (key, id) is unique in `ordered` — `first(…, ignoreNulls)` is
+    * deterministic) and folds the collection aggregates in the same pass.
+    * Multi-part references like `A.value` resolve against the struct
+    * column exactly as they resolved against the old join qualifier, so
+    * the rewritten select/WHERE texts are unchanged.
+    *
+    * Semantics preserved exactly:
+    *  - inner lookups (`outer = false`) drop the match when no event
+    *    qualifies: the post-pivot stream filter evaluates NULL → false on
+    *    a missed lookup, like the old inner join condition;
+    *  - outer lookups NULL the struct when the stream tag or the residual
+    *    predicate fails — with (key, id) unique, join-with-predicate ≡
+    *    lookup-then-nullify;
+    *  - aggregates ignore the other lookups' rows (their per-step struct
+    *    column is NULL there), and an empty buffer yields NULL/0 exactly
+    *    as the old left join did.
+    *
+    * At scale this replaces N shuffles/broadcasts of the corpus-sized
+    * `ordered` with one join plus one matches-sized exchange; locally it
+    * collapses the per-query AQE job count (VERDICT r16 #1).
+    *
+    * Returns None (caller falls back to per-name joins) when a lookup
+    * name shadows a column of the match relation — the pivoted struct
+    * column would be ambiguous.
+    */
+  private def fusedJoinBack(base: DataFrame, ordered: DataFrame,
+                            joins: Seq[JoinPlan],
+                            aggSteps: Seq[(String, Seq[(String, String)])])
+      : Option[DataFrame] = {
+    if (joins.isEmpty && aggSteps.isEmpty) return Some(base)
+    val baseCols = base.columns.toSeq
+    if (joins.exists(j => baseCols.exists(_.equalsIgnoreCase(j.name))))
+      return None
+    val entryType = "array<struct<__nm:string,__eid:bigint>>"
+    val scalarEntries =
+      if (joins.isEmpty) array().cast(entryType)
+      else array(joins.map(j =>
+        struct(lit(j.name).as("__nm"), j.idExpr.cast("long").as("__eid"))): _*)
+    val aggEntries = aggSteps.map { case (idsCol, _) =>
+      expr(s"transform(coalesce($idsCol, CAST(array() AS ARRAY<BIGINT>)), " +
+        s"x -> named_struct('__nm', '__lkagg_$idsCol', '__eid', x))")
+        .cast(entryType)
+    }
+    val allEntries =
+      if (aggEntries.isEmpty) scalarEntries
+      else concat(scalarEntries +: aggEntries: _*)
+    val orderedS = ordered.select(col("__key").as("__lk_k"),
+      col("__id").as("__lk_i"),
+      struct(ordered.columns.map(col): _*).as("__lk_row"))
+    // explode_outer: a match none of whose lookups resolve still reaches
+    // the pivot (its outer structs are NULL there, inner filters drop it —
+    // identical to the old join outcomes)
+    val ex0 = base.withColumn("__lk", explode_outer(allEntries))
+      .join(orderedS,
+        col("__mkey") === col("__lk_k") && col("__lk.__eid") === col("__lk_i"),
+        "left")
+    // per-step struct column so the rewritten aggregate texts (fn(__c.x))
+    // fold ONLY that step's entry rows — NULL elsewhere, which every
+    // supported aggregate (sum/avg/min/max/count) ignores
+    val ex = aggSteps.foldLeft(ex0) { case (acc, (idsCol, _)) =>
+      acc.withColumn(s"__c_$idsCol",
+        when(col("__lk.__nm") === s"__lkagg_$idsCol", col("__lk_row")))
+    }
+    val pivots = joins.map(j =>
+      first(when(col("__lk.__nm") === j.name, col("__lk_row")),
+        ignoreNulls = true).as(j.name))
+    val aggCols = aggSteps.flatMap { case (idsCol, items) =>
+      items.map { case (name, sqlText) =>
+        expr(sqlText.replace("__c.", s"__c_$idsCol.")).as(name) }
+    }
+    val allAggs = pivots ++ aggCols
+    // the match relation is unique on its own columns (a match's step
+    // buffers follow deterministically from its start/counts — the
+    // distinctPartials invariant — and the full ids arrays are part of
+    // the key), so grouping on them is grouping per match
+    var out = ex.groupBy(baseCols.map(col): _*).agg(allAggs.head, allAggs.tail: _*)
+    joins.foreach { j =>
+      val streamOk = col(s"${j.name}.__stream").isin(j.streams: _*)
+      val cond = j.pred.map(streamOk && _).getOrElse(streamOk)
+      if (j.outer) out = out.withColumn(j.name, when(cond, col(j.name)))
+      else out = out.filter(cond)
+    }
+    Some(out)
+  }
 
   private def emitAllRows(out: DataFrame, ordered: DataFrame,
                           idsCols: Seq[String], emitSteps: Seq[PatternStep],
@@ -1902,8 +2038,6 @@ object PatternCompiler {
 
     // joins: joinName -> (idExpr over base, streams, alias-qualified
     // residual predicate for OR alternatives, outer?)
-    final case class JoinPlan(name: String, idExpr: Column, streams: Seq[String],
-                              pred: Option[Column], outer: Boolean)
     val joins = scala.collection.mutable.LinkedHashMap.empty[String, JoinPlan]
     // collection aggregations: stepIdx -> (outputCol, aggSql over alias __c)
     val aggItems = scala.collection.mutable.LinkedHashMap.empty[Int, Vector[(String, String)]]
@@ -2035,41 +2169,62 @@ object PatternCompiler {
     val items = q.selectItems.map { case (e, a) => (rewrite(e), a) }
     val whereRw = q.where.map(rewrite)
 
-    // FIXED-SIZE match identity for re-joining aggregates (round 13): a
-    // match within a key is determined by its (first id, count) per step —
-    // membership follows deterministically from start + counts (the
-    // distinctPartials invariant) — so the identity is O(steps) bytes; the
-    // old full-ids concat_ws string was O(match length) and the aggItems
-    // explode duplicated it onto every exploded row (O(len²) per match,
-    // an OOM on adversarial streaks — SkipStreakBench pins the fix)
-    val needMatchId = aggItems.nonEmpty
-    if (needMatchId) {
-      val idParts = steps.indices.flatMap(i => Seq(
-        coalesce(try_element_at(col(s"__ids_$i"), lit(1)), lit(-1L)),
-        coalesce(size(col(s"__ids_$i")).cast("long"), lit(-1L))))
-      base = base.withColumn("__match_id", struct(col("__mkey") +: idParts: _*))
-    }
-
-    var out = base
-    joins.values.foreach { j =>
-      var cond = col(s"${j.name}.__id") === j.idExpr &&
-        col(s"${j.name}.__key") === col("__mkey") &&
-        col(s"${j.name}.__stream").isin(j.streams: _*)
-      j.pred.foreach(p => cond = cond && p)
-      out = out.join(ordered.as(j.name), cond, if (j.outer) "left_outer" else "inner")
-    }
-    aggItems.foreach { case (i, items) =>
-      val exploded = base
-        .select(col("__match_id"), col("__mkey"), explode(col(s"__ids_$i")).as("__eid"))
-        .join(ordered.as("__c"),
-          col("__c.__id") === col("__eid") && col("__c.__key") === col("__mkey"))
-      val aggCols = items.map { case (name, sql) => expr(sql).as(name) }
-      val agg = exploded.groupBy(col("__match_id")).agg(aggCols.head, aggCols.tail: _*)
-      // a zero-min inner member's buffer may be EMPTY: its explode yields
-      // no rows for the match, so an inner join would DROP every
-      // zero-iteration match — left join, count coalesces at the item
-      out = out.join(agg, Seq("__match_id"),
-        if (maybeEmpty(i)) "left" else "inner")
+    val aggStepsSeq = aggItems.toSeq.map { case (i, its) => (s"__ids_$i", its: Seq[(String, String)]) }
+    val livePlans = pruneUnreferenced(joins.values.toSeq,
+      items.map(_._1) ++ whereRw.toSeq)
+    // Cost gate (round 17, A/B-measured): the fused pivot's extra
+    // matches-sized exchange only pays once it replaces enough lookups —
+    // each aggregated step replaces its own explode+agg+join-back (~two
+    // joins' worth). Below the threshold the per-name broadcast joins win
+    // (q_cep_mr 2 lookups: fused +28%; q_cep_mr_skip_to 1+2 steps: fused
+    // −34%). Multi-variant queries take the fused path unconditionally in
+    // compileMulti.
+    val fuseScore = livePlans.size + 2 * aggStepsSeq.size
+    var out = (if (fuseScore >= 5)
+        fusedJoinBack(base, ordered, livePlans, aggStepsSeq)
+      else None)
+      .getOrElse {
+      // legacy per-name join path (below the fuse threshold, or a lookup
+      // name shadows a base column):
+      // one join per alias, one explode+agg+join-back per quantified step
+      //
+      // FIXED-SIZE match identity for re-joining aggregates (round 13): a
+      // match within a key is determined by its (first id, count) per
+      // step — membership follows deterministically from start + counts
+      // (the distinctPartials invariant) — so the identity is O(steps)
+      // bytes; the old full-ids concat_ws string was O(match length) and
+      // the aggItems explode duplicated it onto every exploded row
+      // (O(len²) per match, an OOM on adversarial streaks —
+      // SkipStreakBench pins the fix)
+      val needMatchId = aggItems.nonEmpty
+      if (needMatchId) {
+        val idParts = steps.indices.flatMap(i => Seq(
+          coalesce(try_element_at(col(s"__ids_$i"), lit(1)), lit(-1L)),
+          coalesce(size(col(s"__ids_$i")).cast("long"), lit(-1L))))
+        base = base.withColumn("__match_id", struct(col("__mkey") +: idParts: _*))
+      }
+      var o = base
+      livePlans.foreach { j =>
+        var cond = col(s"${j.name}.__id") === j.idExpr &&
+          col(s"${j.name}.__key") === col("__mkey") &&
+          col(s"${j.name}.__stream").isin(j.streams: _*)
+        j.pred.foreach(p => cond = cond && p)
+        o = o.join(ordered.as(j.name), cond, if (j.outer) "left_outer" else "inner")
+      }
+      aggItems.foreach { case (i, items) =>
+        val exploded = base
+          .select(col("__match_id"), col("__mkey"), explode(col(s"__ids_$i")).as("__eid"))
+          .join(ordered.as("__c"),
+            col("__c.__id") === col("__eid") && col("__c.__key") === col("__mkey"))
+        val aggCols = items.map { case (name, sql) => expr(sql).as(name) }
+        val agg = exploded.groupBy(col("__match_id")).agg(aggCols.head, aggCols.tail: _*)
+        // a zero-min inner member's buffer may be EMPTY: its explode yields
+        // no rows for the match, so an inner join would DROP every
+        // zero-iteration match — left join, count coalesces at the item
+        o = o.join(agg, Seq("__match_id"),
+          if (maybeEmpty(i)) "left" else "inner")
+      }
+      o
     }
     whereRw.foreach(w => out = out.filter(expr(w)))
 
