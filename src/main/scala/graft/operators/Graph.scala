@@ -105,10 +105,6 @@ object Graph {
       created ++= sc.getPersistentRDDs.keySet -- before
       out
     }
-    // the normalized edge relation is consumed twice below (degree agg +
-    // degree join), but BOTH consumers exchange it on src inside one plan —
-    // ReuseExchange dedups the scan, so a persist here would only add a
-    // serialize/deserialize pass
     // unweighted runs carry NO weight column: `(rank div deg) * 1` ==
     // `rank div deg`, so dropping the constant narrows the persisted edge
     // relation and the per-iteration arithmetic (round 16, guide §2.3)
@@ -116,15 +112,16 @@ object Graph {
     val e = edges.select(Seq(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")) ++
       weightCol.map(c => positiveWeight(col(c).cast("long")).as("w")).toSeq: _*)
-    // fold out-degree (sum of out-weights; plain count when unweighted)
-    // into the edge relation once; the degree-join output is already
-    // hash-partitioned on src (both join inputs exchange on it), so
-    // persisting it directly keeps the per-iteration rank join co-located
-    // with NO extra repartition pass over the edges
-    val degs =
-      if (weighted) e.groupBy("src").agg(sum(col("w")).as("deg"))
-      else e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val eDeg = degs.join(e, "src").persist(MEMORY_AND_DISK)
+    // degree folded in as a WINDOW over the src partition (round 17):
+    // the former groupBy+join spelled two pipeline stages over the edge
+    // relation (aggregate, then sort-merge join) on the shared src
+    // exchange; the window computes the same per-src count/sum on that
+    // one exchange with no join. Same rows, same values, same output
+    // partitioning (hashpartitioning(src)) feeding the persist.
+    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val eDeg = e.withColumn("deg",
+        if (weighted) sum(col("w")).over(wSrc) else count(lit(1)).over(wSrc))
+      .persist(MEMORY_AND_DISK)
     // node spine from the PERSISTED degree relation — deriving it from
     // `e` would re-execute the caller's (unpersisted, often join-shaped)
     // edge plan a second time. explode, not union-of-two-selects: one
@@ -242,10 +239,16 @@ object Graph {
     val e = edges.select(Seq(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")) ++
       weightCol.map(c => positiveWeight(col(c).cast("long")).as("w")).toSeq: _*)
-    val degs =
-      if (weighted) e.groupBy("src").agg(sum(col("w")).as("deg"))
-      else e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val eDeg = degs.join(e, "src").persist(MEMORY_AND_DISK)
+    // degree folded in as a WINDOW over the src partition (round 17):
+    // the former groupBy+join spelled two pipeline stages over the edge
+    // relation (aggregate, then sort-merge join) on the shared src
+    // exchange; the window computes the same per-src count/sum on that
+    // one exchange with no join. Same rows, same values, same output
+    // partitioning (hashpartitioning(src)) feeding the persist.
+    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val eDeg = e.withColumn("deg",
+        if (weighted) sum(col("w")).over(wSrc) else count(lit(1)).over(wSrc))
+      .persist(MEMORY_AND_DISK)
     val seedSet = seeds.select(col(seedCol).cast("long").as("node")).distinct()
     // spine carries the per-node base term: seed → base, non-seed → 0;
     // derived from the PERSISTED degree relation so the caller's edge
