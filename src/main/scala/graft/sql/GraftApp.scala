@@ -3134,25 +3134,6 @@ object GraftApp {
           }
         val result = gOpt match {
           case Some(g) =>
-            // group spine: every input group appears once, original types
-            // (multi-key: all key columns plus the composite join string)
-            val spine = compositeKey match {
-              case None => df.select(col(g)).distinct()
-                .withColumn("__skk0", col(g).cast("string"))
-              case Some(_) => df.select(gKeys.map(col): _*).distinct()
-                .withColumn("__skk0", to_json(struct(gKeys.map(col): _*)))
-            }
-            // each sketch result is ≤ |groups| rows — broadcast explicitly
-            // rather than trusting size estimation over the operator plans
-            var joined = sk.filter(_._1 != "hist_quantile")
-              .foldLeft(spine) { case (acc, (fn, c, p1, p2, alias)) =>
-                acc.join(broadcast(sketchOf(fn, c, p1, p2, alias)),
-                  col("__skk0") <=> col("__skk"), "left").drop("__skk")
-              }
-            joined = histGroups.foldLeft(joined) { (acc, h) =>
-              acc.join(broadcast(h), col("__skk0") <=> col("__skk"), "left")
-                .drop("__skk")
-            }
             val keyNames = if (compositeKey.isDefined) gKeys else Seq(g)
             def isKeyRef(e: String) = keyNames.exists(_.equalsIgnoreCase(e.trim))
             // a non-trivial expression aliased to a group key (e.g.
@@ -3168,40 +3149,56 @@ object GraftApp {
                     "name or transform the key upstream")
               }
             }
-            // non-sketch aggregates ride the normal grouped path and join
-            // back on the same spine key; HAVING evaluates here too (one
-            // boolean aggregate) and prunes the spine's groups
+            // non-sketch aggregates ride the normal grouped pass; HAVING
+            // evaluates there too (one boolean aggregate) and prunes the
+            // spine's groups
             val normal = q.selectItems.filter { case (e, a) =>
               sketchRe.findFirstMatchIn(e.trim).isEmpty &&
                 !isKeyRef(e) && !a.exists(al => keyNames.exists(_.equalsIgnoreCase(al)))
             }
-            if (normal.nonEmpty || q.having.isDefined) {
-              val aggCols = normal.map { case (e, a) => uexpr(e).as(a.getOrElse(e)) } ++
-                q.having.map { h =>
-                  // alias-aware: HAVING may name a normal select alias
-                  val resolved = normal.foldLeft(h) { case (acc, (e, a)) =>
-                    a.map(al => acc.replaceAll(
-                      "(?i)\\b" + java.util.regex.Pattern.quote(al) + "\\b",
-                      java.util.regex.Matcher.quoteReplacement(s"($e)"))).getOrElse(acc)
+            val skk0Expr = compositeKey.getOrElse(col(g).cast("string"))
+            // group spine: every input group appears once, original types
+            // (multi-key: all key columns plus the composite join string).
+            // When plain aggregates or a HAVING ride the query, the normal
+            // grouped aggregation IS a full group spine (groupBy emits
+            // exactly the distinct key set) — computing it AS the spine
+            // removes the former select-distinct corpus pass and its
+            // join-back (round 17, guide §2.4: one corpus aggregation
+            // instead of distinct + groupBy + broadcast join).
+            val spine =
+              if (normal.nonEmpty || q.having.isDefined) {
+                val aggCols = normal.map { case (e, a) => uexpr(e).as(a.getOrElse(e)) } ++
+                  q.having.map { h =>
+                    // alias-aware: HAVING may name a normal select alias
+                    val resolved = normal.foldLeft(h) { case (acc, (e, a)) =>
+                      a.map(al => acc.replaceAll(
+                        "(?i)\\b" + java.util.regex.Pattern.quote(al) + "\\b",
+                        java.util.regex.Matcher.quoteReplacement(s"($e)"))).getOrElse(acc)
+                    }
+                    uexpr(resolved).cast("boolean").as("__having")
                   }
-                  uexpr(resolved).cast("boolean").as("__having")
-                }
-              val ndKey = compositeKey
-                .getOrElse(col(g).cast("string")).as("__skkn")
-              // group by the RAW key columns too (the composite string is an
-              // injective function of them, so the groups are identical):
-              // HAVING may reference a GROUP BY key (`HAVING etype <> 'x'`)
-              // and grouping columns are legal inside agg expressions —
-              // without this the reference surfaced as a raw Spark
-              // AnalysisException instead of resolving (ADVICE r14)
-              val nd = df.groupBy(ndKey +: keyNames.map(col): _*)
-                .agg(aggCols.head, aggCols.tail: _*)
-                .drop(keyNames: _*)
-              joined = joined.join(broadcast(nd), col("__skk0") <=> col("__skkn"), "left")
-                .drop("__skkn")
-              if (q.having.isDefined)
-                joined = joined.filter(col("__having")).drop("__having")
+                // grouping by the RAW key columns: HAVING may reference a
+                // GROUP BY key (`HAVING etype <> 'x'`) and grouping columns
+                // are legal inside agg expressions (ADVICE r14); the join
+                // string is derived from the keys post-agg (injective)
+                df.groupBy(keyNames.map(col): _*)
+                  .agg(aggCols.head, aggCols.tail: _*)
+                  .withColumn("__skk0", skk0Expr)
+              } else df.select(keyNames.map(col): _*).distinct()
+                .withColumn("__skk0", skk0Expr)
+            // each sketch result is ≤ |groups| rows — broadcast explicitly
+            // rather than trusting size estimation over the operator plans
+            var joined = sk.filter(_._1 != "hist_quantile")
+              .foldLeft(spine) { case (acc, (fn, c, p1, p2, alias)) =>
+                acc.join(broadcast(sketchOf(fn, c, p1, p2, alias)),
+                  col("__skk0") <=> col("__skk"), "left").drop("__skk")
+              }
+            joined = histGroups.foldLeft(joined) { (acc, h) =>
+              acc.join(broadcast(h), col("__skk0") <=> col("__skk"), "left")
+                .drop("__skk")
             }
+            if (q.having.isDefined)
+              joined = joined.filter(col("__having")).drop("__having")
             val outCols = q.selectItems.map { case (e, a) =>
               if (isKeyRef(e)) {
                 val kn = keyNames.find(_.equalsIgnoreCase(e.trim)).get
