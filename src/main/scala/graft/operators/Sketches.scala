@@ -309,14 +309,22 @@ object Sketches {
     val cum = buckets
       .withColumn("cum", sum(col("cnt")).over(wCum))
       .withColumn("n", sum(col("cnt")).over(wAll))
-    val spark = df.sparkSession
-    import spark.implicits._
-    val qdf = qsPm.distinct.sorted.map(Tuple1(_)).toDF("q_pm")
-      .select(col("q_pm").cast("long").as("q_pm"))
-    cum.crossJoin(broadcast(qdf))
-      .filter(col("cum") >= greatest(lit(1L),
-        expr("(q_pm * n + 999) div 1000")))
-      .groupBy(col("key"), col("q_pm")).agg(min(col("bucket")).as("bucket"))
+    // per-group quantile selection as ONE aggregation on the key
+    // partition (round 17): each requested quantile is a
+    // `min(bucket | cum >= its per-key target)` aggregate — the per-key
+    // target derives from the windowed `n` column in-row, so no
+    // cross-join against a targets relation and no (key, q_pm) regroup
+    // exchange (cum is already partitioned by key from the windows; the
+    // groupBy(key) reuses that partitioning). stack() unpivots each
+    // key's aggregate row back to (key, q_pm, bucket, value) rows.
+    val qs = qsPm.distinct.sorted
+    val sels = qs.map(q =>
+      min(when(col("cum") >= greatest(lit(1L),
+        expr(s"(CAST($q AS BIGINT) * n + 999) div 1000")), col("bucket")))
+        .as(s"__b_$q"))
+    val stackArgs = qs.map(q => s"CAST($q AS BIGINT), __b_$q").mkString(", ")
+    cum.groupBy(col("key")).agg(sels.head, sels.tail: _*)
+      .selectExpr("key", s"stack(${qs.size}, $stackArgs) AS (q_pm, bucket)")
       .select(col("key"), col("q_pm"), col("bucket"),
         (col("bucket").cast("double") / scale).as("value"))
       .orderBy(col("key"), col("q_pm"))
@@ -405,15 +413,33 @@ object Sketches {
       .withColumn("__cum", sum(col("cnt")).over(wIn))
       .join(broadcast(offsets), Seq("__cg"))
       .select(col("bucket"), (col("__off") + col("__cum")).as("cum"))
-    val tdf = qsPm.distinct.sorted
+    // quantile selection as ONE aggregation (round 17, guide §2.3/2.4):
+    // the targets are DRIVER constants (n came off the ≤4096-row coarse
+    // totals), so `min(bucket | cum >= target)` per requested quantile
+    // folds map-side over the cum relation — the former cum×targets
+    // broadcast join emitted up to |targets|× the bucket relation into a
+    // re-grouping exchange. stack() unpivots the single aggregate row
+    // back to the (q_pm, bucket, value) row contract; empty input yields
+    // zero rows exactly as the old inner join did.
+    val targets = qsPm.distinct.sorted
       .map(q => (q.toLong, math.max(1L, (q.toLong * n + 999) / 1000)))
-      .toDF("q_pm", "target")
-    val out = cum.join(broadcast(tdf), col("cum") >= col("target"))
-      .groupBy(col("q_pm")).agg(min(col("bucket")).as("bucket"))
-      .select(col("q_pm"), col("bucket"),
-        (col("bucket").cast("double") / scale).as("value"))
-      .orderBy(col("q_pm"))
-    val res = out.localCheckpoint(true)
+    val res =
+      if (n == 0L) {
+        Seq.empty[(Long, Long)].toDF("q_pm", "bucket")
+          .select(col("q_pm"), col("bucket"),
+            (col("bucket").cast("double") / scale).as("value"))
+      } else {
+        val sels = targets.map { case (q, t) =>
+          min(when(col("cum") >= t, col("bucket"))).as(s"__b_$q") }
+        val stackArgs = targets
+          .map { case (q, _) => s"CAST($q AS BIGINT), __b_$q" }.mkString(", ")
+        cum.agg(sels.head, sels.tail: _*)
+          .selectExpr(s"stack(${targets.size}, $stackArgs) AS (q_pm, bucket)")
+          .select(col("q_pm"), col("bucket"),
+            (col("bucket").cast("double") / scale).as("value"))
+          .orderBy(col("q_pm"))
+          .localCheckpoint(true)
+      }
     histC.unpersist()
     res
   }
