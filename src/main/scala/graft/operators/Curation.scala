@@ -29,6 +29,10 @@ object Curation {
     * doc — fine on toy rows, a stall on 100 KB documents).
     */
   def gopherStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // NO spreadForCompute here (round 17, measured): the token and bigram
+    // stat families execute as PARALLEL independent subtrees over the scan
+    // (the r16 single-scan lesson) — a spread exchange in front serialized
+    // them behind a barrier and read +22% (q_text_gopher A/B)
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
     val toks = base.select(col("doc_id"),
       explode(TextFns.tokens(col("__text"))).as("tok"))
@@ -392,7 +396,8 @@ object Curation {
     val bucketExpr =
       if (portable) conv(substring(md5(col("feat")), 1, 8), 16, 10).cast("long") % nBuckets
       else pmod(xxhash64(col("feat")), lit(nBuckets.toLong))
-    df.select(col(idCol), explode_outer(feats).as("feat"))
+    Skew.spreadForCompute(df)
+      .select(col(idCol), explode_outer(feats).as("feat"))
       .withColumn("bucket", bucketExpr)
       .join(broadcast(weights), Seq("bucket"), "left")
       .groupBy(col(idCol))
@@ -446,7 +451,9 @@ object Curation {
     val bigrams = zip_with(slice(toks, lit(1), pairLen), slice(toks, lit(2), pairLen),
       (a, b) => struct(a.as("w1"), b.as("w2")))
     val keep = col(idCol) +: extraCols.map(col)
-    df.select(keep :+ explode_outer(bigrams).as("bg"): _*)
+    // spread before the bigram explode (round 17): identity on any
+    // already-split input, parallelizes the single-file local scan
+    Skew.spreadForCompute(df).select(keep :+ explode_outer(bigrams).as("bg"): _*)
       .select(keep :+ col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
   }
 

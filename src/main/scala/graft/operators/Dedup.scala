@@ -214,7 +214,10 @@ object Dedup {
                    blockCol: String, threshold: Double,
                    onPersist: DataFrame => Unit = _ => ()): DataFrame = {
     require(threshold >= 0.0, "threshold must be non-negative")
-    val t = df.select(
+    // spread before the tokenize (round 17): a single-split corpus scan
+    // would run the whole token-set build as ONE task (Skew.spreadForCompute
+    // is the identity on any already-split input)
+    val t = Skew.spreadForCompute(df).select(
         col(idCol).as("id"), col(blockCol).as("blk"),
         array_sort(TextFns.tokenSet(col(textCol))).as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -289,7 +292,10 @@ object Dedup {
           array_min(transform(col("toks"), s => md5(concat(lit(i + ":"), s))))
         }: _*)
       else TextFns.minHashSignature(col("toks"), numHashes)
-    df.select(col(idCol).as("id"), unit.as("toks")).withColumn("sig", sigExpr)
+    // spread before the shingle/minhash build (round 17) — identity on
+    // already-split inputs, parallelizes the single-file local scan
+    Skew.spreadForCompute(df)
+      .select(col(idCol).as("id"), unit.as("toks")).withColumn("sig", sigExpr)
   }
 
   /** NARROW banded relation (band, band_key, id, sz): token arrays never
@@ -954,7 +960,8 @@ object Dedup {
   def substringDupStats(df: DataFrame, idCol: String, textCol: String,
                         k: Int): DataFrame = {
     require(k >= 2, s"window must be >= 2 tokens, got $k")
-    val toks = df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("t"))
+    val toks = Skew.spreadForCompute(df)
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("t"))
       .withColumn("n", size(col("t")))
     val wins = toks.filter(col("n") >= k)
       .select(col(idCol), explode(transform(sequence(lit(0), col("n") - k),
@@ -1034,7 +1041,8 @@ object Dedup {
                      k: Int, minDocs: Int = 2): DataFrame = {
     require(k >= 1, s"window size k must be >= 1, got $k")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val base = df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("t"))
+    val base = Skew.spreadForCompute(df)
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("t"))
     val wins = base.filter(size(col("t")) >= k)
       .select(col(idCol), explode(transform(sequence(lit(0), size(col("t")) - k),
         i => struct(i.as("i"),

@@ -13,6 +13,24 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Spread an UNDER-PARALLELIZED relation before compute-heavy map work
+    * (round 17; guide §2.5's input-skew rule — "one huge unsplittable
+    * file … repartition immediately after the read"): a corpus that
+    * arrives in fewer scan splits than the session has cores (a single
+    * small parquet file, one unsplittable row group) serializes every
+    * tokenize/hash/decode pass stacked directly on the scan into one
+    * task. When the physical partition count is under half the default
+    * parallelism, round-robin the rows across the cores; otherwise this
+    * is the identity — any real multi-file table at scale already splits,
+    * so NO extra pass over raw text is added at 100 TB, where that
+    * exchange would be the dominant cost.
+    */
+  def spreadForCompute(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= want) df
+    else df.repartition(want)
+  }
+
   /** Equi-join `big ⋈ small` on `keys`, with the big side's rows of ANY one
     * key spread across `salts` shuffle partitions:
     *
