@@ -56,6 +56,10 @@ object Search {
       s"maxDfPermille must be in [1, 1000], got $maxDfPermille")
     require(postingsAs == "array" || postingsAs == "relation",
       s"postingsAs must be 'array' or 'relation', got '$postingsAs'")
+    // NO spreadForCompute here (round 17, measured +18%/+50% on
+    // q_search_index/q_search_tfidf): the postings pipeline's small
+    // exchanges re-coalesce to single tasks under AQE anyway, so the
+    // extra spread exchange buys no downstream parallelism
     val tok = df.select(col(idCol).cast("long").as("doc_id"),
         explode(toks(col(textCol))).as("token"))
     val nDocs = df.select(count(lit(1)).cast("long").as("n_docs"))

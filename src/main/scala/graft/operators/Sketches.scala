@@ -453,6 +453,12 @@ object Sketches {
     */
   def heavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // NO spreadForCompute here (round 17, measured +97% on
+    // q_sketch_heavy): the input is often an already-EXPLODED token
+    // relation — corpus-sized even when the scan was one split — and a
+    // round-robin exchange of every token row (plus its
+    // sort-before-repartition pass) costs far more than the single-task
+    // MG fold it parallelizes.
     val keys = df.select(col(keyCol).cast("string").as("key"))
     // pass 1: per-partition Misra-Gries; the partition row count rides on
     // an `is_tot` flag column (NOT a null-key sentinel — a genuine NULL
@@ -514,6 +520,7 @@ object Sketches {
   def heavyHittersBy(df: DataFrame, groupCol: String, keyCol: String,
                      k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // no spreadForCompute — see heavyHitters (round 17, measured)
     val keys = df.select(col(groupCol).cast("string").as("_1"),
       col(keyCol).cast("string").as("_2"))
     val mg = keys.as[(String, String)](Encoders.product[(String, String)])

@@ -152,38 +152,46 @@ object ConnectorQueries extends QueryFamily {
         val e = Tables(s, dir, "events")
           .select(col("user_id"), col("event_id"), col("value"),
             expr(s"unix_micros(ts) div $tickUs").as("ti"))
-        // ONE corpus pass (round 16, guide §2.3): tick bounds and the key
-        // spine both derive from the aggregated bucket relation — deriving
-        // them from `e` scanned the events three times. The three
-        // consumers share perBucket's partial-agg exchange via
-        // ReuseExchange (identical canonical subtree), so the corpus-sized
-        // work runs once with no persist (a persist here measured +27%
-        // locally — cache write + 32-task cached-consumer sweeps cost more
-        // than the saved column-pruned scans). Same values: every event
-        // lands in a bucket, so min/max(ti) and distinct user_id are
-        // identical over e and perBucket.
+        // tick bounds derive from the aggregated bucket relation, not `e`
+        // (round 16, guide §2.3): every event lands in a bucket, so
+        // max(ti) is identical over e and perBucket and the corpus is
+        // scanned once per consumer of the narrow partial-agg exchange
+        // (a persist here measured +27% locally — cache write + 32-task
+        // cached-consumer sweeps cost more than the column-pruned scans).
         val perBucket = e.groupBy(col("user_id"), col("ti"))
           .agg(max(col("event_id")).as("b_last"),
             sum(col("value")).as("b_sum"),
             count(lit(1)).as("b_n"))
-        val ticks = perBucket.agg(min(col("ti")).as("t0"), max(col("ti")).as("t1"))
-          .select(explode(sequence(col("t0"), col("t1"))).as("ti"))
-        val grid = perBucket.select(col("user_id")).distinct()
-          .crossJoin(broadcast(ticks))
+        // no keys×ticks grid (round 17, guide §2.4): a key's snapshot at
+        // tick t is its cumulative state at its last bucket <= t, so the
+        // output rows are a FORWARD-FILL of each key's cumulative bucket
+        // rows — explode(sequence(ti, next_ti - 1)) per bucket, bounded
+        // by the global last tick. This replaces the distinct-keys pass,
+        // the keys×ticks cross join, and the grid⋈buckets shuffle with
+        // one window pass (cumulative sums + lead on the same key
+        // exchange) and a generator; perBucket is consumed twice (window
+        // pass + 1-row bounds agg) instead of three times. Row set is
+        // identical: a key emits from its own first bucket through t1 —
+        // exactly the grid rows that survived the old isNotNull filter.
+        val t1Row = perBucket.agg(max(col("ti")).as("t1"))
         val wFill = Window.partitionBy(col("user_id")).orderBy(col("ti"))
-        grid.join(perBucket, Seq("user_id", "ti"), "left")
+        perBucket
           .select(col("user_id"), col("ti"),
-            // running max, not forward-fill: the oracle's last_id is
+            // running max, not plain fill: the oracle's last_id is
             // max(event_id) over ALL ticks <= t, which an earlier bucket
-            // may own when ids are not ts-monotone; sum/count windows
-            // ignore the grid's NULL gap rows, so cumulative state falls
-            // out of the same pass with no forward-fill step
+            // may own when ids are not ts-monotone
             max(col("b_last")).over(wFill).as("last_id"),
             sum(col("b_sum")).over(wFill).as("sum_raw"),
-            sum(col("b_n")).over(wFill).as("n_events"))
-          .filter(col("last_id").isNotNull) // keys with no state yet emit nothing
-          .select(col("ti").as("tick"), col("user_id"), col("n_events"),
-            round(col("sum_raw"), 2).as("sum_value"), col("last_id"))
+            sum(col("b_n")).over(wFill).as("n_events"),
+            lead(col("ti"), 1).over(wFill).as("next_ti"))
+          .crossJoin(broadcast(t1Row))
+          .select(col("user_id"),
+            explode(sequence(col("ti"),
+              coalesce(col("next_ti") - 1, col("t1")))).as("tick"),
+            col("n_events"), round(col("sum_raw"), 2).as("sum_value"),
+            col("last_id"))
+          .select(col("tick"), col("user_id"), col("n_events"),
+            col("sum_value"), col("last_id"))
           .orderBy(col("tick"), col("user_id"))
       },
       Some("""WITH e AS (SELECT user_id, event_id, value,
