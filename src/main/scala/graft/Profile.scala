@@ -16,11 +16,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Profile {
   private class Rec(val listenerLog: StringBuilder) extends SparkListener {
-    case class St(id: Int, name: String, tasks: Int,
+    case class St(id: Int, var name: String, var tasks: Int,
                   var launch: Long = Long.MaxValue, var done: Long = 0L,
                   var taskMs: Long = 0L, var shRead: Long = 0L,
                   var shWrite: Long = 0L, var inBytes: Long = 0L,
-                  var spill: Long = 0L)
+                  var spill: Long = 0L,
+                  val durs: scala.collection.mutable.ArrayBuffer[Long] =
+                    scala.collection.mutable.ArrayBuffer.empty)
     val stages = scala.collection.concurrent.TrieMap[Int, St]()
     val jobOfStage = scala.collection.concurrent.TrieMap[Int, Int]()
     @volatile var jobs = 0
@@ -28,10 +30,21 @@ object Profile {
       jobs += 1
       j.stageInfos.foreach(si => jobOfStage(si.stageId) = j.jobId)
     }
+    // per-task durations, for the stage max/median skew signal (guide
+    // §2.5: a max/median ratio above ~5-10x marks a straggler partition)
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val st = stages.getOrElseUpdate(te.stageId,
+        St(te.stageId, "", 0))
+      if (te.taskInfo != null) st.durs.synchronized {
+        st.durs += te.taskInfo.duration
+      }
+    }
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val si = sc.stageInfo
       val st = stages.getOrElseUpdate(si.stageId,
         St(si.stageId, si.name, si.numTasks))
+      st.name = si.name
+      st.tasks = si.numTasks
       st.launch = si.submissionTime.getOrElse(Long.MaxValue)
       st.done = si.completionTime.getOrElse(0L)
       val m = si.taskMetrics
@@ -48,8 +61,12 @@ object Profile {
       sb.append(f"  jobs=$jobs stages=${stages.size}\n")
       stages.values.toSeq.sortBy(_.launch).foreach { s =>
         val wall = if (s.done > 0 && s.launch < Long.MaxValue) s.done - s.launch else -1
+        val ds = s.durs.synchronized(s.durs.toArray.sorted)
+        val tMax = if (ds.nonEmpty) ds.last else 0L
+        val tMed = if (ds.nonEmpty) ds(ds.length / 2) else 0L
         sb.append(f"  [job ${jobOfStage.getOrElse(s.id, -1)}%3d stage ${s.id}%4d] " +
           f"wall=${wall}%5d ms tasks=${s.tasks}%4d taskSum=${s.taskMs}%6d ms " +
+          f"tMax=${tMax}%5d tMed=${tMed}%5d " +
           f"in=${s.inBytes / 1024}%7d KB shR=${s.shRead / 1024}%6d KB " +
           f"shW=${s.shWrite / 1024}%6d KB spill=${s.spill / 1024}%5d KB  ${s.name.take(90)}\n")
       }

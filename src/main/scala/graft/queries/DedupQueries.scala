@@ -33,13 +33,17 @@ object DedupQueries extends QueryFamily {
       "q_dedup_jaccard",
       (s, dir) => {
         val d = Tables(s, dir, "documents")
-        // repartition(1)+sortWithinPartitions instead of a global orderBy:
-        // a range sort would run a sampling pass that RECOMPUTES the whole
-        // candidate+verify pipeline a second time (observed 2.7x); the
-        // shuffle barrier keeps the pipeline parallel and the single-
-        // partition sort of the narrow output is trivial.
-        Dedup.jaccardPairs(d, "doc_id", "text", "source", 0.6)
-          .repartition(1).sortWithinPartitions(col("a_id"), col("b_id"))
+        // checkpoint-then-sort (round 17): a bare orderBy's sampling pass
+        // RECOMPUTES the whole candidate+verify pipeline (observed 2.7x in
+        // r16), and the former repartition(1)+sortWithinPartitions fix
+        // serialized the final sort into ONE task — 5.4 s (51% of the
+        // query) at sf1 where the pair relation is 38 MB. Eagerly
+        // materializing the pipeline once lets the range sort sample and
+        // sort the RESULT in parallel with no recompute. Same rows, same
+        // total (a_id, b_id) order.
+        graft.operators.Checkpoints.flat(
+            Dedup.jaccardPairs(d, "doc_id", "text", "source", 0.6))
+          .orderBy(col("a_id"), col("b_id"))
       },
       Some("""WITH t AS (
              |  SELECT doc_id, source,
@@ -64,15 +68,15 @@ object DedupQueries extends QueryFamily {
       "q_dedup_minhash",
       (s, dir) => {
         val d = Tables(s, dir, "documents")
-        Dedup.minHashLsh(d, "doc_id", "text", numHashes = 16, bands = 4,
+        // checkpoint-then-sort — see q_dedup_jaccard
+        graft.operators.Checkpoints.flat(
+          Dedup.minHashLsh(d, "doc_id", "text", numHashes = 16, bands = 4,
             threshold = 0.6, shingleSize = Some(3), maxBucketSize = 500,
             // Verify: portable family (bit-exact DuckDB oracle). Bench:
             // production xxhash64 family, so the measured cost is the
             // production plan's (RunMode scaladoc).
-            portable = !RunMode.productionHash)
-          // single-partition sort, not a range orderBy: same double-execution
-          // rationale as q_dedup_jaccard below
-          .repartition(1).sortWithinPartitions(col("a_id"), col("b_id"))
+            portable = !RunMode.productionHash))
+          .orderBy(col("a_id"), col("b_id"))
       },
       Some(minHashOracle)),
 
@@ -86,14 +90,13 @@ object DedupQueries extends QueryFamily {
       "q_dedup_cross",
       (s, dir) => {
         val d = Tables(s, dir, "documents")
-        Dedup.crossCorpusNearDup(
+        // checkpoint-then-sort — see q_dedup_jaccard
+        graft.operators.Checkpoints.flat(Dedup.crossCorpusNearDup(
             d.filter(col("doc_id") >= 250), d.filter(col("doc_id") < 250),
             "doc_id", "text", numHashes = 16, bands = 4, threshold = 0.6,
             shingleSize = Some(3), maxBucketSize = 500,
-            portable = !RunMode.productionHash)
-          // single-partition sort: same double-execution rationale as
-          // q_dedup_jaccard below
-          .repartition(1).sortWithinPartitions(col("new_id"))
+            portable = !RunMode.productionHash))
+          .orderBy(col("new_id"))
       },
       Some(crossCorpusOracle)),
 
